@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Recursive schema alignment: cast/pad an arbitrary DataFrame onto a
+  * target StructType — the open port of `apply_walden_schema`
+  * (reference: libraries/dlt_utils/openalex/dlt/transform.py:66-118).
+  *
+  * Rules (same recursion as the reference):
+  *   - missing field          → NULL literal cast to the target type
+  *   - struct → struct        → recurse per-field
+  *   - array<struct> → array  → `transform(arr, x -> struct(...))` recurse
+  *   - anything else          → `cast(target type)`
+  *
+  * This is a pure projection: one narrow `select`, fully codegen'd, no
+  * shuffle — safe at any scale.
+  */
+object AlignSchema {
+
+  def apply(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { f =>
+      val src = df.schema.find(_.name.equalsIgnoreCase(f.name))
+      (src match {
+        case None => lit(null).cast(f.dataType)
+        case Some(s) => alignCol(col(s.name), s.dataType, f.dataType)
+      }).as(f.name)
+    }.toSeq: _*)
+
+  private def alignCol(c: Column, from: DataType, to: DataType): Column = (from, to) match {
+    case (f: StructType, t: StructType) => alignStruct(c, f, t)
+    case (ArrayType(f: StructType, _), ArrayType(t: StructType, n)) =>
+      transform(c, x => alignStruct(x, f, t)).cast(ArrayType(t, n))
+    case (f, t) if f == t => c
+    case (_, t) => c.cast(t)
+  }
+
+  private def alignStruct(c: Column, from: StructType, to: StructType): Column = {
+    val fields = to.fields.map { f =>
+      from.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(s) => alignCol(c.getField(s.name), s.dataType, f.dataType).as(f.name)
+      }
+    }
+    when(c.isNull, lit(null).cast(to)).otherwise(struct(fields.toSeq: _*))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Test-table access for the driver fixtures (TESTDATA.md).
+  *
+  * Mirrors the reference's env-suffixed catalog resolution
+  * (`utils/environment.py:23-34` in /root/reference) in spirit: a single
+  * place that maps a logical table name to a physical location, so query
+  * code never hard-codes paths.
+  *
+  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+  * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it with an
+  * explicit schema taking the raw int64 nanoseconds; queries derive
+  * micro/milli timestamps from it (`timestamp_micros(ts div 1000)`), and
+  * oracle SQL uses DuckDB's `epoch_ns(ts)` so both engines sequence on the
+  * exact same integer. Never emit a raw nanosecond timestamp column: the
+  * two engines truncate differently.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events with `ts` as raw epoch-nanoseconds (LongType). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events")
+      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    else
+      spark.read.parquet(s"$dir/$name.parquet")
+}

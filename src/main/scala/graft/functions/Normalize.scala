@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Identifier/text normalization — pure Column functions (codegen'd
+  * built-ins; no UDFs, so everything stays inside whole-stage codegen).
+  *
+  * Reference semantics:
+  *  - DOI: `libraries/dlt_utils/openalex/dlt/normalize.py:226-231` —
+  *    lower/trim then extract `10.<prefix>/<suffix>`.
+  *  - Title: `normalize.py:142-179` — lowercase, de-accent (NFD, strip
+  *    combining marks), strip tags/non-alphanumerics, cap length.
+  *  - License: `normalize.py:181-223` — substring→canonical table.
+  *  - ORCID: `notebooks/ingest/Crossref.py:143-145` — extract the
+  *    16-char dashed id from any URL form.
+  */
+object Normalize {
+
+  /** Canonical DOI or null. */
+  def doi(c: Column): Column =
+    nullif(regexp_extract(lower(trim(c)), "(10\\.[0-9]+/[^\\s]+)", 1), lit(""))
+
+  /** ORCID `XXXX-XXXX-XXXX-XXX[0-9X]` or null. */
+  def orcid(c: Column): Column =
+    nullif(regexp_extract(upper(c), "([0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{3}[0-9X])", 1), lit(""))
+
+  /** Normalized title: lowercased, accents stripped, tags removed,
+    * non-alphanumerics collapsed to single spaces, capped at 500 chars.
+    * Uses SQL built-ins only; accent folding for the latin-1 range via
+    * translate (full ICU folding is out of scope for parity). */
+  def title(c: Column): Column = {
+    val deTagged = regexp_replace(c, "<[^>]*>", " ")
+    val folded = translate(lower(deTagged),
+      "àáâãäåèéêëìíîïòóôõöùúûüýÿñç", "aaaaaaeeeeiiiiooooouuuuyync")
+    val alnum = regexp_replace(folded, "[^a-z0-9]+", " ")
+    substring(trim(alnum), 1, 500)
+  }
+
+  /** Canonical license id from a free-text license URL/name. */
+  def license(c: Column): Column = {
+    val l = lower(coalesce(c, lit("")))
+    when(l.contains("creativecommons") || l.startsWith("cc"),
+        concat(lit("cc-"),
+          when(l.contains("by-nc-nd"), "by-nc-nd").when(l.contains("by-nc-sa"), "by-nc-sa")
+            .when(l.contains("by-nc"), "by-nc").when(l.contains("by-sa"), "by-sa")
+            .when(l.contains("by"), "by").otherwise("unknown")))
+      .when(l.contains("public domain") || l.contains("cc0"), "public-domain")
+      .when(l.contains("mit"), "mit")
+      .when(l === "", lit(null))
+      .otherwise("other")
+  }
+
+  /** Author blocking key: `lower(last);first-initial`
+    * (normalize.py:55-105 — HumanName-lite: last token = family). */
+  def authorKey(family: Column, given: Column): Column =
+    concat_ws(";", lower(trim(family)), lower(substring(trim(given), 1, 1)))
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-field priority-based survivorship — the walden "best value" idiom:
+  * `collect_list(struct(...)) → array_sort(comparator) → element_at(1)`
+  * (reference: CreateSuperLocations.ipynb:41 `staging_…`/`best_…` CTEs;
+  * CreateWorksBase.ipynb:43 `get_highest_priority_value`).
+  *
+  * Scale notes: one shuffle on `groupKeys` with map-side partial
+  * collect_list; group sizes are bounded by per-key candidate counts
+  * (locations per work ≤ ~10 in the reference — CreateWorksBase
+  * .ipynb:238), so the arrays stay small. For a pure "pick one row" the
+  * cheaper plan is `max_by(struct(payload), struct(-priority, recency,
+  * -tiebreak))`; the comparator form is kept because the reference also
+  * uses the sorted array itself (locations ranking).
+  */
+object Survivorship {
+
+  /** Keep, per group, the payload of the best row by
+    * (priority ASC, recency DESC, tiebreak ASC). */
+  def firstByPriority(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      priorityCol: Column,
+      recencyCol: Column,
+      tiebreakCol: Column,
+      payload: Seq[String]): DataFrame = {
+    val cand = struct(
+      (priorityCol.as("__prio") +: recencyCol.as("__rec") +: tiebreakCol.as("__tie") +:
+        payload.map(col)): _*)
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l("__prio") < r("__prio"), -1).when(l("__prio") > r("__prio"), 1)
+        .when(l("__rec") > r("__rec"), -1).when(l("__rec") < r("__rec"), 1)
+        .when(l("__tie") < r("__tie"), -1).when(l("__tie") > r("__tie"), 1)
+        .otherwise(0)
+    df.groupBy(groupKeys.map(col): _*)
+      .agg(element_at(array_sort(collect_list(cand), cmp), 1).as("__best"))
+      .select((groupKeys.map(col) ++ payload.map(p => col(s"__best.$p").as(p))): _*)
+  }
+
+  /** The `get_highest_priority_value` fold (CreateWorksBase.ipynb:43) as
+    * a Column fn over an ARRAY<STRUCT<value, priority>>: value of the
+    * minimum-priority non-null entry, ties broken by array order. */
+  def highestPriorityValue(entries: Column): Column = {
+    val nonNull = filter(entries, e => e("value").isNotNull)
+    val best = aggregate(nonNull, lit(null).cast("struct<value:string,priority:int>"),
+      (acc, e) => when(acc.isNull || e("priority") < acc("priority"), e).otherwise(acc))
+    best("value")
+  }
+}

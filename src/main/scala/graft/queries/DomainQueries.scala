@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.core.{AlignSchema, IdMinter, MergeInto, Scd1Upsert, Tables}
+
+/** Walden-domain infrastructure operators demonstrated on the driver
+  * fixtures: CDC/SCD1, MERGE, incremental metrics, sessionization,
+  * id minting, schema alignment, JSON documents, streaming windows and
+  * the abstract inverted index (SURVEY §1.1, §2.1, §2.9, §2.10).
+  *
+  * events.ts is raw epoch-nanoseconds (see Tables); oracles sequence on
+  * DuckDB's `epoch_ns(ts)` (micro-truncated) with an `event_id` tiebreak,
+  * so both engines order identically.
+  */
+object DomainQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** §2.10 SCD1 CDC apply (dlt.apply_changes, Crossref.py:284-289):
+    * last-writer-wins by data column + delete propagation. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Scd1Upsert.latest(ev, Seq("user_id"), col("ts"), Seq(col("event_id")),
+        deleteWhen = Some(col("event_type") === "error"))
+      .select(col("user_id"), col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"), col("event_id").as("last_event"))
+  }
+
+  /** §2.1 Delta-MERGE-shaped upsert via our join-based MergeInto
+    * (CreateLocationsMapped.sql:117-522): matched-delete guard,
+    * matched-update accumulation, not-matched insert. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def stats(m: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(2)) === m)
+      .groupBy(col("user_id")).agg(
+        RelationalQueries.dsum(col("value")).as("total"), count(lit(1)).as("n"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
+    val target = stats(0); val source = stats(1)
+    MergeInto(target, source, "user_id")
+      .whenMatchedDelete(col("__src.last_type") === "error")
+      .whenMatchedUpdate(Map(
+        "total" -> (col("__tgt.total") + col("__src.total")),
+        "n" -> (col("__tgt.n") + col("__src.n")),
+        "last_type" -> col("__src.last_type")))
+      .whenNotMatchedInsert()
+      .run()
+      .select(col("user_id"), col("total"), col("n"), col("last_type"))
+  }
+
+  /** §2.4 tall metrics (WorksDailyMetrics.py:104-160): single-pass agg
+    * then unpivot to (date, metric, value). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("d", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+    ev.groupBy(col("d")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        RelationalQueries.dsum(col("value")).as("sum_value"))
+      .selectExpr("d",
+        "stack(3, 'n_events', cast(n_events as double), " +
+          "'n_users', cast(n_users as double), " +
+          "'sum_value', sum_value) as (metric, value)")
+  }
+
+  /** Beyond-reference sessionization (gap-based session windows — the
+    * batch-SQL equivalent of mapGroupsWithState; streaming parity is
+    * proved in StreamingSpec). Gap = 6 h in nanoseconds. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val gapNs = 6L * 3600 * 1000000000L
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev", lag(col("ts"), 1).over(wo))
+      .withColumn("new_sess",
+        (col("prev").isNull || (col("ts") - col("prev") > gapNs)).cast("int"))
+      .withColumn("sess_id", sum(col("new_sess")).over(wrun))
+    sess.groupBy(col("user_id"), col("sess_id")).agg(count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id")).agg(
+        max(col("sess_id")).as("n_sessions"),
+        max(col("n_ev")).as("max_session_events"),
+        round(sum(col("n_ev")).cast("double") / max(col("sess_id")).cast("double"), 6)
+          .as("events_per_session"))
+  }
+
+  /** §1.1 identity/sequence: deterministic id minting with legacy-id
+    * adoption (CreateLocationsMapped.sql:69) via IdMinter. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events").select(col("user_id")).distinct()
+    val existing = users.filter(col("user_id") < 10)
+      .select(col("user_id").as("key"), (lit(6600000000L) + col("user_id")).as("id"))
+    val minted = IdMinter.mint(existing, users.filter(col("user_id") >= 10)
+      .select(col("user_id").as("key")), "key", "id")
+    existing.unionByName(minted)
+      .select(col("key").as("user_id"), col("id").as("mapped_id"))
+  }
+
+  /** §2.2 recursive schema alignment (apply_walden_schema,
+    * transform.py:66-118): pad missing column, cast widths, recurse into
+    * a struct adding a missing nested field. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").withColumn("profile",
+      struct(col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey")))
+    val target = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_comment", StringType),
+      StructField("profile", StructType(Seq(
+        StructField("segment", StringType),
+        StructField("nationkey", LongType),
+        StructField("score", DoubleType))))))
+    AlignSchema(c, target)
+  }
+
+  /** §2.8 JSON documents: extract typed fields from a JSON-string column
+    * (wunpaywall json_response / props pattern, CreateWunpaywall.ipynb). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.select(col("event_id"), col("user_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+  }
+
+  /** §2.10 streaming surface: tumbling 1-hour event-time windows — batch
+    * form of the Structured Streaming query in streaming/Streams.scala
+    * (stream≡batch parity is asserted in StreamingSpec). */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+    ev.groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), RelationalQueries.dsum(col("value")).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** §2.9 abstract inverted index `{word: [positions]}`
+    * (transform.py:24-64) as sorted entry structs — built from
+    * posexplode + two grouped collects, no UDF. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    toks.groupBy(col("doc_id"), col("word"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .groupBy(col("doc_id"))
+      .agg(to_json(array_sort(collect_list(struct(col("word"), col("positions")))))
+        .as("entries"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q22_scd1_latest_state" -> (q22 _),
+    "q23_merge_upsert_stats" -> (q23 _),
+    "q24_metrics_tall_daily" -> (q24 _),
+    "q25_sessionize_users" -> (q25 _),
+    "q26_id_minting" -> (q26 _),
+    "q27_schema_align_customer" -> (q27 _),
+    "q28_json_extract_props" -> (q28 _),
+    "q29_stream_window_hourly" -> (q29 _),
+    "q30_inverted_index_docs" -> (q30 _))
+
+  val oracle: Map[String, String] = Map(
+    "q22_scd1_latest_state" ->
+      """SELECT user_id, event_type AS last_type, round(value,2) AS last_value,
+        |event_id AS last_event
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events) r
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q23_merge_upsert_stats" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) AS tns FROM events),
+        |h0 AS (SELECT user_id, CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total,
+        |  count(*) AS n FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+        |l0 AS (SELECT user_id, event_type AS last_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY tns DESC, event_id DESC) AS rn
+        |  FROM e WHERE event_id % 2 = 0) x WHERE rn = 1),
+        |tt AS (SELECT h0.user_id, total, n, last_type FROM h0 JOIN l0 USING (user_id)),
+        |h1 AS (SELECT user_id, CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total,
+        |  count(*) AS n FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+        |l1 AS (SELECT user_id, event_type AS last_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY tns DESC, event_id DESC) AS rn
+        |  FROM e WHERE event_id % 2 = 1) x WHERE rn = 1),
+        |ss AS (SELECT h1.user_id, total, n, last_type FROM h1 JOIN l1 USING (user_id))
+        |SELECT coalesce(tt.user_id, ss.user_id) AS user_id,
+        |CASE WHEN tt.user_id IS NOT NULL AND ss.user_id IS NOT NULL THEN tt.total + ss.total
+        |  WHEN ss.user_id IS NOT NULL THEN ss.total ELSE tt.total END AS total,
+        |CAST(CASE WHEN tt.user_id IS NOT NULL AND ss.user_id IS NOT NULL THEN tt.n + ss.n
+        |  WHEN ss.user_id IS NOT NULL THEN ss.n ELSE tt.n END AS BIGINT) AS n,
+        |CASE WHEN ss.user_id IS NOT NULL THEN ss.last_type ELSE tt.last_type END AS last_type
+        |FROM tt FULL OUTER JOIN ss ON tt.user_id = ss.user_id
+        |WHERE NOT (tt.user_id IS NOT NULL AND ss.user_id IS NOT NULL AND ss.last_type = 'error')""".stripMargin,
+    "q24_metrics_tall_daily" ->
+      """WITH a AS (SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT d, 'n_events' AS metric, CAST(n_events AS DOUBLE) AS value FROM a
+        |UNION ALL SELECT d, 'n_users', CAST(n_users AS DOUBLE) FROM a
+        |UNION ALL SELECT d, 'sum_value', sum_value FROM a""".stripMargin,
+    "q25_sessionize_users" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |s1 AS (SELECT *, lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev FROM e),
+        |s2 AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > 21600000000000 THEN 1 ELSE 0 END AS new_sess FROM s1),
+        |s3 AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s2),
+        |ps AS (SELECT user_id, sess_id, count(*) AS n_ev FROM s3 GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        |round(CAST(sum(n_ev) AS DOUBLE) / CAST(max(sess_id) AS DOUBLE), 6) AS events_per_session
+        |FROM ps GROUP BY user_id""".stripMargin,
+    "q26_id_minting" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |known AS (SELECT user_id, 6600000000 + user_id AS id FROM u WHERE user_id < 10),
+        |mx AS (SELECT greatest(coalesce(max(id), 6600000000), 6600000000) AS m FROM known),
+        |newu AS (SELECT user_id, row_number() OVER (ORDER BY user_id) AS rn FROM u WHERE user_id >= 10)
+        |SELECT user_id, CAST(id AS BIGINT) AS mapped_id FROM known
+        |UNION ALL SELECT user_id, CAST((SELECT m FROM mx) + rn AS BIGINT) FROM newu""".stripMargin,
+    "q27_schema_align_customer" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |CAST(NULL AS VARCHAR) AS c_comment,
+        |struct_pack(segment := c_mktsegment,
+        |  nationkey := CAST(c_nationkey AS BIGINT),
+        |  score := CAST(NULL AS DOUBLE)) AS profile
+        |FROM customer""".stripMargin,
+    "q28_json_extract_props" ->
+      """SELECT event_id, user_id,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""".stripMargin,
+    "q29_stream_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |event_type, count(*) AS n,
+        |CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q30_inverted_index_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t.ws[u.i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50) t,
+        |  unnest(range(1, len(t.ws) + 1)) AS u(i)
+        |  WHERE t.ws[u.i] <> ''),
+        |pw AS (SELECT doc_id, word, list_sort(list(pos)) AS positions FROM toks GROUP BY 1, 2)
+        |SELECT doc_id,
+        |CAST(to_json(list_sort(list(struct_pack(word := word, positions := positions)))) AS VARCHAR) AS entries
+        |FROM pw GROUP BY doc_id""".stripMargin)
+}

@@ -1,0 +1,498 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Scd1Upsert, Tables}
+import graft.operators.Survivorship
+
+/** Generic relational operator suite over the driver fixtures.
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2.2–§2.8
+  * (reference: ourresearch/openalex-walden — citations in the Scaladoc of
+  * each query) as an idiomatic Spark plan, with a DuckDB oracle in
+  * [[RelationalQueries.oracle]].
+  *
+  * Numeric protocol (oracle hash parity):
+  *   - any aggregated DOUBLE is wrapped in round(…, 2|4|6) — per-row
+  *     IEEE arithmetic is bit-identical across engines, but sum order is
+  *     not; rounding far above the ~1e-15 relative accumulation error
+  *     makes the hash stable.
+  *   - integer-typed outputs are cast explicitly in the oracle (DuckDB
+  *     promotes BIGINT sums to HUGEINT, grouping() to BIGINT, …).
+  *   - timestamps are never emitted raw (DuckDB truncates the nanosecond
+  *     events.ts to micros; Spark reads raw nanos) — we emit dates or
+  *     derived integers, and order with an id tiebreak.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Exact decimal sum of a double expression whose TRUE value is a
+    * finite decimal (prices/discounts have ≤6 decimal digits): cast each
+    * row to DECIMAL(30,8) — exact, because the double is within 1e-10 of
+    * a ≤6-decimal value — sum exactly (order-insensitive), then cast the
+    * exact result to double. Bit-identical in Spark and DuckDB with no
+    * round() boundary hazards. */
+  private[queries] def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // decimal → string → double: DuckDB's direct decimal→double does two
+    // roundings (int128→double, ÷1e8) and can be 1 ulp off Spark's;
+    // parsing the exact decimal string is correctly rounded in both.
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 8))).cast("string").cast("double")
+
+  /** §2.4 agg: TPC-H-Q1-shaped pricing summary (cf. grouped survivorship
+    * aggregations, CreateWorksBase.ipynb:1061-1232). */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+      dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+      (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+      (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+      (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+      count(lit(1)).as("count_order"))
+  }
+
+  /** §2.2 filter + projection: predicate/column pushdown reaches the
+    * parquet scan (checked via explain in BenchSpec). */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.08) && col("l_quantity") < 30)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+  }
+
+  /** §2.3 equi joins (dimension enrichment, CreateWorksBase.ipynb:85-112):
+    * fact-to-dims star join; small dims broadcast. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name")).agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** §2.3 semi join (EXISTS; cf. curation existence checks,
+    * CreateWorksBase.ipynb:829-864). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    o.join(li.filter(col("l_quantity") > 45).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** §2.3 anti join (incremental "not yet processed" pattern,
+    * CreateAuthorNames.ipynb:1443). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** §2.3 full outer join + coalesce (concepts/topics combination,
+    * CreateWorksEnriched.ipynb:164-205). */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey")).agg(
+      count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("supp_bal"))
+    val cust = t(s, dir, "customer").groupBy(col("c_nationkey")).agg(
+      count(lit(1)).as("n_customers"))
+    sup.join(cust, col("s_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+  }
+
+  /** §2.5 ROW_NUMBER dedup — the reference's most ubiquitous idiom
+    * (CreateLocationsMapped.sql:103-113), via our Scd1Upsert.latest. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    Scd1Upsert.latest(o, Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+  }
+
+  /** §2.5/§2.6 top-k per group (QUALIFY row_num <= k,
+    * CreateWorksBase.ipynb:238-267). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"))
+  }
+
+  /** §2.5 running cumulative sum (citation percentile frequency tables,
+    * CreateWorksEnriched.ipynb:229). */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity").cast(DecimalType(30, 8))).over(w)
+        .cast("string").cast("double").as("running_qty"))
+  }
+
+  /** §2.5 percent_rank + top-decile flag (citation percentiles / top-1%
+    * flags, CreateWorksEnriched.ipynb:229). */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+    c.select(col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .withColumn("top_decile", col("pr") >= 0.9)
+  }
+
+  /** §2.4 GROUPING SETS (author-topic counts + totals in one pass,
+    * CreateAuthors.ipynb:85). */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("n_name")), Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("n_name"))
+      .agg(grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("n_name")).cast("int").as("g_nat"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** §2.4 max_by/min_by with composite deterministic tiebreak (latest APC
+    * by year, CreateWorksBase.ipynb:107-127). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(
+        max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("top_customer"),
+        min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("bottom_customer"),
+        round(max(col("c_acctbal")), 2).as("top_bal"))
+  }
+
+  /** §2.4 survivorship: collect_list(struct) → comparator array_sort →
+    * element_at — the walden "best value by priority" idiom
+    * (CreateSuperLocations.ipynb:41, CreateWorksBase.ipynb:43) via our
+    * Survivorship operator. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val priority = when(col("o_orderstatus") === "F", 1)
+      .when(col("o_orderstatus") === "O", 2).otherwise(3)
+    Survivorship.firstByPriority(
+      o.withColumn("prio", priority),
+      groupKeys = Seq("o_custkey"),
+      priorityCol = col("prio"),
+      recencyCol = col("o_orderdate"),
+      tiebreakCol = col("o_orderkey"),
+      payload = Seq("o_orderkey", "o_orderstatus", "o_orderdate"))
+      .select(col("o_custkey"), col("o_orderkey").as("picked_order"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+  }
+
+  /** §2.9 generators: explode(split) word count (inverted-index tokenize,
+    * transform.py:24-64; citation explode, CreateWorksEnriched.ipynb:103). */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** §2.7 unionByName with missing columns (7-source union,
+    * UnionAllWorksIntoLocationsParsed.ipynb:45-60). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("kind"), col("c_nationkey").as("nationkey"),
+      col("c_mktsegment").as("mktsegment"))
+    val sup = t(s, dir, "supplier").select(
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("kind"), col("s_nationkey").as("nationkey"))
+    c.unionByName(sup, allowMissingColumns = true)
+  }
+
+  /** §2.7 array set ops: collect_set, sort_array, arrays_overlap
+    * (ids/funders merges, CreateLocationsMapped.sql:173-192;
+    * MatchAuthors.ipynb:420-431). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_orderkey").as("o_orderkey")).agg(
+        sort_array(collect_set(col("l_partkey"))).as("parts"),
+        size(collect_set(col("l_partkey"))).as("n_parts"),
+        sort_array(collect_set(when(col("l_linenumber") <= 3, col("l_partkey")))).as("early"),
+        sort_array(collect_set(when(col("l_linenumber") > 3, col("l_partkey")))).as("late"))
+      .withColumn("overlap", coalesce(arrays_overlap(col("early"), col("late")), lit(false)))
+      .drop("early", "late")
+  }
+
+  /** §2.8 string functions + DOI normalization
+    * (normalize.py:226-231 DOI regex; split/substr caps, Crossref.py:17-20). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val fakeDoi = concat(lit("DOI:10."), pmod(col("doc_id"), lit(1000)).cast("string"),
+      lit("/"), split_part(col("text"), lit(" "), lit(1)), lit(" tail"))
+    d.select(col("doc_id"),
+      split_part(col("text"), lit(" "), lit(1)).as("first_tok"),
+      size(split(col("text"), " ")).as("n_words"),
+      substring(col("text"), 1, 40).as("head"),
+      array_join(slice(split(col("text"), " "), 1, 5), "_").as("norm_title"),
+      graft.functions.Normalize.doi(fakeDoi).as("doi"))
+  }
+
+  /** §2.8 date functions: year/month buckets, min/max dates
+    * (make_date defaulting, Crossref.py:261-265; date buckets). */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+  }
+
+  /** §2.8 content hashing for change detection — md5 over a canonical
+    * string (the reference uses xxhash64(to_json(...)),
+    * CreateWorksEnriched.ipynb:547; md5 is the cross-engine-checkable
+    * equivalent; xxhash64 is covered in unit tests). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"), date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("content_hash"))
+  }
+
+  /** §2.2 CASE cascade classifier (163-rule type classifier,
+    * CreateLocationsWithTypes.sql:14-694 — same shape, fewer rules) +
+    * derived boolean flag via distinct-key left join. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    val disc = li.filter(col("l_discount") > 0.05).select(col("l_orderkey")).distinct()
+      .withColumn("has_disc", lit(true))
+    val urgent = col("o_orderpriority").startsWith("1") || col("o_orderpriority").startsWith("2")
+    val big = col("o_totalprice") > 200000
+    o.join(disc, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("hd", coalesce(col("has_disc"), lit(false)))
+      .withColumn("klass",
+        when(urgent && big, "critical").when(urgent, "expedite")
+          .when(col("hd") && big, "bulk-discount").when(big, "bulk")
+          .when(col("o_orderstatus") === "F", "closed").otherwise("standard"))
+      .groupBy(col("klass")).agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** §2.3 range/inequality predicate after equi join (citation window
+    * `citing_year BETWEEN pub_year AND pub_year+3`,
+    * CreateWorksEnriched.ipynb:229): conditional agg, no extra shuffle. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    val fast = col("l_shipdate") >= col("o_orderdate") &&
+      col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY")
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n_items"),
+        count(when(fast, 1)).as("n_fast"))
+      .withColumn("fast_ratio",
+        round(col("n_fast").cast("double") / col("n_items").cast("double"), 6))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_agg_pricing_summary" -> (q01 _),
+    "q02_filter_pushdown_projection" -> (q02 _),
+    "q03_join_star_revenue" -> (q03 _),
+    "q04_join_semi_bigitems" -> (q04 _),
+    "q05_join_anti_idle_customers" -> (q05 _),
+    "q06_join_full_outer_nation" -> (q06 _),
+    "q07_window_dedup_latest_order" -> (q07 _),
+    "q08_window_topk_orders" -> (q08 _),
+    "q09_window_running_qty" -> (q09 _),
+    "q10_window_percent_rank_acctbal" -> (q10 _),
+    "q11_grouping_sets_segments" -> (q11 _),
+    "q12_agg_argmax_customers" -> (q12 _),
+    "q13_survivorship_best_order" -> (q13 _),
+    "q14_explode_wordcount" -> (q14 _),
+    "q15_union_byname_parties" -> (q15 _),
+    "q16_array_ops_orderparts" -> (q16 _),
+    "q17_string_normalize_docs" -> (q17 _),
+    "q18_date_buckets_orders" -> (q18 _),
+    "q19_content_hash_orders" -> (q19 _),
+    "q20_case_classifier_orders" -> (q20 _),
+    "q21_range_join_shipping" -> (q21 _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+        |CAST(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown_projection" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(l_extendedprice*(1-l_discount),4) AS revenue,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 30""".stripMargin,
+    "q03_join_star_revenue" ->
+      """SELECT r_name, n_name,
+        |CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q04_join_semi_bigitems" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_join_anti_idle_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q06_join_full_outer_nation" ->
+      """WITH sup AS (SELECT s_nationkey, count(*) AS n_suppliers,
+        |  CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS supp_bal
+        |  FROM supplier GROUP BY s_nationkey),
+        |cust AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey)
+        |SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        |CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+        |coalesce(supp_bal, 0.0) AS supp_bal,
+        |CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers
+        |FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey""".stripMargin,
+    "q07_window_dedup_latest_order" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS total,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) r
+        |WHERE rn = 1""".stripMargin,
+    "q08_window_topk_orders" ->
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice,2) AS total
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) r
+        |WHERE rk <= 3""".stripMargin,
+    "q09_window_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q10_window_percent_rank_acctbal" ->
+      """SELECT c_custkey, c_nationkey,
+        |round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal),6) AS pr,
+        |round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal),6) >= 0.9 AS top_decile
+        |FROM customer""".stripMargin,
+    "q11_grouping_sets_segments" ->
+      """SELECT c_mktsegment, n_name,
+        |CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg,
+        |CAST(grouping(n_name) AS INTEGER) AS g_nat,
+        |count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), ())""".stripMargin,
+    "q12_agg_argmax_customers" ->
+      """WITH ranked AS (
+        |  SELECT n_name, c_name, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name,
+        |max(CASE WHEN rmax = 1 THEN c_name END) AS top_customer,
+        |max(CASE WHEN rmin = 1 THEN c_name END) AS bottom_customer,
+        |round(max(c_acctbal),2) AS top_bal
+        |FROM ranked GROUP BY n_name""".stripMargin,
+    "q13_survivorship_best_order" ->
+      """SELECT o_custkey, o_orderkey AS picked_order, o_orderstatus AS status,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY
+        |  CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 3 END ASC,
+        |  o_orderdate DESC, o_orderkey ASC) AS rn FROM orders) r
+        |WHERE rn = 1""".stripMargin,
+    "q14_explode_wordcount" ->
+      """SELECT u.w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        |WHERE u.w <> '' GROUP BY u.w""".stripMargin,
+    "q15_union_byname_parties" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind,
+        |c_nationkey AS nationkey, c_mktsegment AS mktsegment FROM customer
+        |UNION ALL
+        |SELECT s_name, s_acctbal, 'supplier', s_nationkey, CAST(NULL AS VARCHAR) FROM supplier""".stripMargin,
+    "q16_array_ops_orderparts" ->
+      """SELECT l_orderkey AS o_orderkey,
+        |list_sort(list(DISTINCT l_partkey)) AS parts,
+        |CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts,
+        |coalesce(list_has_any(
+        |  list(DISTINCT l_partkey) FILTER (WHERE l_linenumber <= 3),
+        |  list(DISTINCT l_partkey) FILTER (WHERE l_linenumber > 3)), false) AS overlap
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q17_string_normalize_docs" ->
+      """SELECT doc_id,
+        |split_part(text, ' ', 1) AS first_tok,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |substr(text, 1, 40) AS head,
+        |array_to_string(list_slice(string_split(text, ' '), 1, 5), '_') AS norm_title,
+        |nullif(regexp_extract(lower(trim(
+        |  'DOI:10.' || CAST(doc_id % 1000 AS VARCHAR) || '/' || split_part(text,' ',1) || ' tail'
+        |)), '(10\.[0-9]+/[^ ]+)', 1), '') AS doi
+        |FROM documents""".stripMargin,
+    "q18_date_buckets_orders" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |CAST(month(o_orderdate) AS INTEGER) AS m,
+        |count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+        |strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q19_content_hash_orders" ->
+      """SELECT o_orderkey,
+        |md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+        |  o_orderpriority, strftime(o_orderdate, '%Y-%m-%d'))) AS content_hash
+        |FROM orders""".stripMargin,
+    "q20_case_classifier_orders" ->
+      """WITH disc AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+        |SELECT CASE
+        |  WHEN (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') AND o_totalprice > 200000 THEN 'critical'
+        |  WHEN (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') THEN 'expedite'
+        |  WHEN d.l_orderkey IS NOT NULL AND o_totalprice > 200000 THEN 'bulk-discount'
+        |  WHEN o_totalprice > 200000 THEN 'bulk'
+        |  WHEN o_orderstatus = 'F' THEN 'closed'
+        |  ELSE 'standard' END AS klass,
+        |count(*) AS n_orders,
+        |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders LEFT JOIN disc d ON o_orderkey = d.l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q21_range_join_shipping" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |count(CASE WHEN l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 1 END) AS n_fast,
+        |round(CAST(count(CASE WHEN l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 1 END) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE), 6) AS fast_ratio
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+}
