@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DomainQueries, RelationalQueries}
+import graft.queries.{DomainQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     RelationalQueries.queries("q03_join_star_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ DomainQueries.queries
+    RelationalQueries.queries ++ DomainQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ DomainQueries.oracle
+    RelationalQueries.oracle ++ DomainQueries.oracle ++
+      TextQueries.oracle ++ VectorQueries.oracle
 }

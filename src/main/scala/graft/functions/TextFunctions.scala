@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization / shingling / text-feature primitives for the
+  * LLM-training-data operators (dedup, quality, language-ID,
+  * fingerprinting). All pure Column expressions — no UDFs, so the whole
+  * pipeline stays in Catalyst and scales with codegen.
+  *
+  * Reference anchors: abstract cleaning + inverted index
+  * (libraries/dlt_utils/openalex/dlt/transform.py:24-64); title
+  * normalization (normalize.py:142-179). The dedup/fingerprint surface
+  * is beyond-reference (training-data pipeline requirements).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Word k-shingles as space-joined strings; empty array when the doc
+    * has fewer than k tokens. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * other non-space chars (same regex in the DuckDB oracles). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Stopword count over the token array. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Sum of token lengths (aggregate HOF fold — exact int arithmetic). */
+  def tokenLenSum(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Beyond-reference surface
+  * (the reference dedups only by key + content hash,
+  * CreateLocationsMapped.sql:103-113, CreateWorksEnriched.ipynb:547).
+  *
+  * Scale design:
+  *  - candidate generation NEVER does an all-pairs join: MinHash pairs
+  *    come from band-bucket equijoins, SimHash pairs from byte-block
+  *    equijoins (pigeonhole: ≤3 differing bits of 32 ⇒ ≥1 of 4 bytes
+  *    equal), Jaccard pairs from rare-shingle (document-frequency
+  *    filtered) prefix blocking. All are shuffle-on-key joins AQE can
+  *    skew-split.
+  *  - shingle→integer mapping here uses a sorted dictionary
+  *    (row_number over distinct shingles) so results are reproducible
+  *    against a SQL oracle; `sid = xxhash64(shingle)` is the
+  *    dictionary-free variant for production corpora (same downstream
+  *    operators — pass `hashed = true`).
+  */
+object Dedup {
+  val Prime = 1000003L
+
+  /** Exact dedup: md5 content groups with min-id canonical row. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (id, shingle) pairs. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  /** Attach integer shingle ids. Dictionary mode sorts the distinct
+    * shingle vocabulary (deterministic, oracle-checkable); hashed mode
+    * uses xxhash64 (no global sort — production path). */
+  def withShingleIds(sh: DataFrame, hashed: Boolean = false): DataFrame =
+    if (hashed) sh.withColumn("sid", abs(xxhash64(col("shingle"))) % Prime)
+    else {
+      val dict = sh.select(col("shingle")).distinct()
+        .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
+      sh.join(dict, "shingle")
+    }
+
+  /** MinHash signature: numHashes permutations h_i(x)=(a_i·x+b_i) mod P,
+    * one aggregation pass (no per-hash explode). */
+  def minHashSignature(ids: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min((col("sid") * lit(hashA(i)) + lit(hashB(i))) % Prime).as(s"s$i")
+    }
+    ids.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def hashA(i: Int): Long = 101L * i + 37
+  def hashB(i: Int): Long = 53L * i + 11
+
+  /** LSH banding: candidate pairs sharing at least one band key.
+    * bands×rowsPerBand must equal the signature width. */
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      concat_ws("|", cols: _*).as(s"k$b")
+    }
+    val withKeys = sig.select(col(idCol) +: bandKeys: _*)
+    val tall = withKeys.select(col(idCol).as("doc"),
+      posexplode(array((0 until bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+    val a = tall.select(col("doc").as("da"), col("band"), col("key"))
+    val b = tall.select(col("doc").as("db"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs
+    * (intersection via shingle equijoin restricted to candidates). */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sa = sh.select(col(idCol).as("da"), col("shingle"))
+    val sb = sh.select(col(idCol).as("db"), col("shingle"))
+    val common = pairs.join(sa, "da").join(sb, Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col(idCol).as("db"), col("n").as("nb")), "db")
+      // floor(x·1e6+0.5)/1e6: deterministic 6-decimal rounding — pure
+      // IEEE arithmetic, bit-identical across engines (see SURVEY §8).
+      .withColumn("jaccard", floor(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double") * 1000000 + 0.5) / 1000000.0)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Rare-shingle (df ≤ maxDf) prefix blocking: candidate pairs sharing
+    * at least one low-document-frequency shingle. */
+  def rareShingleCandidates(sh: DataFrame, idCol: String, maxDf: Int): DataFrame = {
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select(col("shingle"))
+    val rs = sh.join(rare, "shingle")
+    val a = rs.select(col(idCol).as("da"), col("shingle"))
+    val b = rs.select(col(idCol).as("db"), col("shingle"))
+    a.join(b, "shingle").filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+  }
+
+  val SimhashMul = 2654435761L
+  val SimhashBits = 32
+
+  /** 32-bit SimHash from word-frequency features: one aggregation with
+    * 32 bit-sum columns (no bit explode). */
+  def simHash(wordIds: DataFrame, idCol: String): DataFrame = {
+    // wordIds: (id, wid, cnt)
+    val wh = (col("wid").cast("long") * SimhashMul + 97) % 4294967296L
+    val withWh = wordIds.withColumn("wh", wh)
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(col("cnt") * (shiftright(col("wh"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"bs$j")
+    }
+    val sums = withWh.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fingerprint = (0 until SimhashBits).map { j =>
+      when(col(s"bs$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), fingerprint.as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ maxDist via byte-block LSH:
+    * pairs must share one of the four exact bytes (pigeonhole for
+    * maxDist ≤ 3). */
+  def simHashPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "byte blocking guarantees recall only for maxDist <= 3")
+    val tall = sig.select(col(idCol).as("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "bval")))
+    val a = tall.select(col("doc").as("da"), col("simhash").as("ha"), col("blk"), col("bval"))
+    val b = tall.select(col("doc").as("db"), col("simhash").as("hb"), col("blk"), col("bval"))
+    a.join(b, Seq("blk", "bval")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

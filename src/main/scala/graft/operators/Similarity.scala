@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity / approximate-nearest-neighbor operators over
+  * ARRAY<FLOAT> embedding columns (reference anchor: cosine-similarity
+  * SQL over ai_query embeddings,
+  * notebooks/vector_search/ComputeAuthorshipSimilarity.ipynb:9,65-101 —
+  * which batches the big join by `author_id % 5`; our scale path is
+  * hyperplane-LSH bucketing instead of modulo batching).
+  *
+  * All arithmetic is `zip_with` + sequential `aggregate` folds in DOUBLE
+  * — deterministic order, reproducible against the SQL oracle.
+  */
+object Similarity {
+
+  /** Cast a float vector to double for deterministic arithmetic. */
+  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product (left-to-right, exact order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot/(|a|·|b|) — formula shape matters for bit parity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: the CORRECTNESS baseline. The query set
+    * must be small (broadcast); candidates stream — cost O(|Q|·N), one
+    * broadcast-nested-loop, no shuffle of the big side. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+    val q = e.filter(queryPred).select(col(idCol).as("q_id"), col("__v").as("__qv"))
+    val cand = e.select(col(idCol).as("c_id"), col("__v").as("__cv"))
+    val scored = cand.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos", floor(cosine(col("__qv"), col("__cv")) * 1000000 + 0.5) / 1000000.0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: pure integer arithmetic
+    * (identical in any engine), values in [-0.5, 0.5). */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { i =>
+      (0 until dim).map { j =>
+        ((i.toLong * dim + j) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+      }
+    }
+
+  /** Sign-bit LSH bucket id from hyperplane dot products — the SCALE
+    * path: bucket equijoin replaces the all-pairs similarity join. */
+  def hyperplaneBucket(v: Column, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val parr = array(p.map(lit): _*)
+      when(dot(v, parr) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

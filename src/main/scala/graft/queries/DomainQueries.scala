@@ -82,7 +82,7 @@ object DomainQueries {
       .groupBy(col("user_id")).agg(
         max(col("sess_id")).as("n_sessions"),
         max(col("n_ev")).as("max_session_events"),
-        round(sum(col("n_ev")).cast("double") / max(col("sess_id")).cast("double"), 6)
+        RelationalQueries.r6(sum(col("n_ev")).cast("double") / max(col("sess_id")).cast("double"))
           .as("events_per_session"))
   }
 
@@ -208,7 +208,7 @@ object DomainQueries {
         |ps AS (SELECT user_id, sess_id, count(*) AS n_ev FROM s3 GROUP BY 1, 2)
         |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
         |CAST(max(n_ev) AS BIGINT) AS max_session_events,
-        |round(CAST(sum(n_ev) AS DOUBLE) / CAST(max(sess_id) AS DOUBLE), 6) AS events_per_session
+        |floor(CAST(sum(n_ev) AS DOUBLE) / CAST(max(sess_id) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS events_per_session
         |FROM ps GROUP BY user_id""".stripMargin,
     "q26_id_minting" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

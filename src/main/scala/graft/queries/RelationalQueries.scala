@@ -15,15 +15,21 @@ import graft.operators.Survivorship
   * [[RelationalQueries.oracle]].
   *
   * Numeric protocol (oracle hash parity):
-  *   - any aggregated DOUBLE is wrapped in round(…, 2|4|6) — per-row
-  *     IEEE arithmetic is bit-identical across engines, but sum order is
-  *     not; rounding far above the ~1e-15 relative accumulation error
-  *     makes the hash stable.
+  *   - aggregated money/quantity DOUBLEs go through [[dsum]] (exact
+  *     DECIMAL(30,8) sum → VARCHAR → DOUBLE): order-insensitive and
+  *     bit-identical across engines. Sum order sensitivity plus
+  *     round()'s engine-divergent half-way handling make plain
+  *     round(sum(x), k) hash-unstable.
+  *   - computed ratios use [[r6]] (floor(x·1e6+0.5)/1e6) — pure IEEE
+  *     arithmetic, identical in both engines even when the true value
+  *     sits exactly on a rounding boundary.
+  *   - per-row round(x, k) is kept only where the true value has ≤ k
+  *     decimal digits (then no boundary exists).
   *   - integer-typed outputs are cast explicitly in the oracle (DuckDB
   *     promotes BIGINT sums to HUGEINT, grouping() to BIGINT, …).
   *   - timestamps are never emitted raw (DuckDB truncates the nanosecond
-  *     events.ts to micros; Spark reads raw nanos) — we emit dates or
-  *     derived integers, and order with an id tiebreak.
+  *     events.ts to micros; Spark reads raw nanos) — we emit date/hour
+  *     strings or derived integers, and order with an id tiebreak.
   */
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -40,6 +46,14 @@ object RelationalQueries {
     // roundings (int128→double, ÷1e8) and can be 1 ulp off Spark's;
     // parsing the exact decimal string is correctly rounded in both.
     sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 8))).cast("string").cast("double")
+
+  /** Deterministic 6-decimal rounding for computed RATIOS (rationals can
+    * land exactly on a .xxxxxx5 boundary, where Spark's HALF_UP and
+    * DuckDB's rint disagree): floor(x·1e6 + 0.5)/1e6 is pure IEEE
+    * arithmetic — bit-identical in both engines on identical input.
+    * SQL form: floor(x * 1000000 + 0.5) / 1000000.0 */
+  private[queries] def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1000000 + 0.5) / 1000000.0
 
   /** §2.4 agg: TPC-H-Q1-shaped pricing summary (cf. grouped survivorship
     * aggregations, CreateWorksBase.ipynb:1061-1232). */
@@ -141,8 +155,12 @@ object RelationalQueries {
     * CreateWorksEnriched.ipynb:229). */
   private def q09(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures — include
+    // the value columns so the ordering is total (identical rows are
+    // interchangeable, so the output multiset stays deterministic).
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
       sum(col("l_quantity").cast(DecimalType(30, 8))).over(w)
@@ -155,7 +173,7 @@ object RelationalQueries {
     val c = t(s, dir, "customer")
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
     c.select(col("c_custkey"), col("c_nationkey"),
-        round(percent_rank().over(w), 6).as("pr"))
+        r6(percent_rank().over(w)).as("pr"))
       .withColumn("top_decile", col("pr") >= 0.9)
   }
 
@@ -310,7 +328,7 @@ object RelationalQueries {
         count(lit(1)).as("n_items"),
         count(when(fast, 1)).as("n_fast"))
       .withColumn("fast_ratio",
-        round(col("n_fast").cast("double") / col("n_items").cast("double"), 6))
+        r6(col("n_fast").cast("double") / col("n_items").cast("double")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -398,13 +416,13 @@ object RelationalQueries {
     "q09_window_running_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) OVER (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
     "q10_window_percent_rank_acctbal" ->
       """SELECT c_custkey, c_nationkey,
-        |round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal),6) AS pr,
-        |round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal),6) >= 0.9 AS top_decile
+        |floor(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) * 1000000 + 0.5) / 1000000.0 AS pr,
+        |floor(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) * 1000000 + 0.5) / 1000000.0 >= 0.9 AS top_decile
         |FROM customer""".stripMargin,
     "q11_grouping_sets_segments" ->
       """SELECT c_mktsegment, n_name,
@@ -490,9 +508,9 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n_items,
         |count(CASE WHEN l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 1 END) AS n_fast,
-        |round(CAST(count(CASE WHEN l_shipdate >= o_orderdate
+        |floor(CAST(count(CASE WHEN l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 1 END) AS DOUBLE)
-        |  / CAST(count(*) AS DOUBLE), 6) AS fast_ratio
+        |  / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS fast_ratio
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin)
 }

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (language-ID, quality scoring,
+  * token counting, fingerprinting, exact/Jaccard/MinHash/SimHash dedup,
+  * multimodal binary plumbing).
+  *
+  * Determinism protocol: all hashing is integer arithmetic over sorted
+  * dictionary ids (row_number over the distinct vocabulary), so the
+  * DuckDB oracle reproduces signatures bit-for-bit; `Dedup` also offers
+  * the xxhash64 production variant (no global dictionary sort).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Token counting: whitespace + BPE-ish regex tokens. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).as("n_ws"),
+        TextFunctions.bpeishCount(col("text")).as("n_bpe"))
+      .withColumn("chars_per_tok",
+        RelationalQueries.r6(col("n_bpe").cast("double") / col("n_ws").cast("double")))
+  }
+
+  /** Quality scoring: length/stopword/token-shape features folded into a
+    * bounded score (pure rational arithmetic for oracle parity). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+      TextFunctions.tokenLenSum(col("text")).as("sum_len"),
+      TextFunctions.stopwordCount(col("text")).as("n_stop"))
+    base.select(col("doc_id"), col("n_tokens"),
+      RelationalQueries.r6(col("sum_len").cast("double") / col("n_tokens").cast("double")).as("avg_tok_len"),
+      RelationalQueries.r6(col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
+      RelationalQueries.r6(
+        lit(0.5) * (col("n_stop").cast("double") / col("n_tokens").cast("double")) +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 50.0) +
+          lit(0.2) * least(lit(1.0),
+            (col("sum_len").cast("double") / col("n_tokens").cast("double")) / 8.0))
+        .as("quality_score"))
+  }
+
+  /** Language-ID: top-10-words-per-language profile (built from the
+    * labeled corpus), prediction = argmax profile overlap. The profile
+    * is tiny and broadcast; per-doc work is one hash join. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    val prof = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w").asc)))
+      .filter(col("r") <= 10).select(col("lang").as("plang"), col("w"))
+    val dw = toks.select(col("doc_id"), col("w")).distinct()
+    val scores = dw.join(broadcast(prof), "w")
+      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
+    val langs = d.select(col("lang").as("plang")).distinct()
+    val grid = d.select(col("doc_id"), col("lang")).crossJoin(broadcast(langs))
+    val pred = grid.join(scores, Seq("doc_id", "plang"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang").asc)))
+      .filter(col("r") === 1)
+    pred.select(col("doc_id"), col("lang").as("actual"),
+      col("plang").as("predicted"), (col("lang") === col("plang")).as("correct"))
+  }
+
+  /** Document fingerprinting: rolling polynomial hash over word ids,
+    * window w=4 (winnowing-style min fingerprint + distinct count). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+    val dict = toks.select(col("w")).distinct()
+      .withColumn("wid", row_number().over(Window.orderBy(col("w"))).cast("long"))
+    val ids = toks.join(dict, "w")
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("wid")))),
+        x => x.getField("wid")).as("ids"))
+    val hs = when(size(col("ids")) >= 4,
+      transform(sequence(lit(1), size(col("ids")) - 3), tt =>
+        (element_at(col("ids"), tt) +
+          element_at(col("ids"), tt + 1) * 31 +
+          element_at(col("ids"), tt + 2) * 961 +
+          element_at(col("ids"), tt + 3) * 29791) % Dedup.Prime))
+      .otherwise(array().cast("array<long>"))
+    ids.withColumn("hs", hs)
+      .select(col("doc_id"),
+        array_min(col("hs")).as("fingerprint"),
+        size(col("hs")).as("n_hashes"),
+        size(array_distinct(col("hs"))).as("n_distinct"))
+  }
+
+  /** Exact dedup via content hash groups. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+
+  /** N-gram Jaccard near-dup pairs with rare-shingle prefix blocking
+    * (df ∈ [2,20]) — no all-pairs join. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val cand = Dedup.rareShingleCandidates(sh, "doc_id", 20)
+    Dedup.jaccardForPairs(cand, sh, "doc_id").filter(col("jaccard") >= 0.5)
+  }
+
+  /** MinHash (16 perms) + LSH (4 bands × 4 rows) candidate pairs with
+    * exact-Jaccard verification. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val ids = Dedup.withShingleIds(sh)
+    val sig = Dedup.minHashSignature(ids.select(col("doc_id"), col("sid")), "doc_id", 16)
+    val cand = Dedup.lshCandidates(sig, "doc_id", 4, 4)
+    Dedup.jaccardForPairs(cand, sh, "doc_id")
+  }
+
+  /** SimHash (32-bit, word-frequency features) near-dup pairs via
+    * byte-block LSH, Hamming ≤ 3. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wtok = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val dict = wtok.select(col("w")).distinct()
+      .withColumn("wid", row_number().over(Window.orderBy(col("w"))).cast("long"))
+    val sig = Dedup.simHash(wtok.join(dict, "w"), "doc_id")
+    Dedup.simHashPairs(sig, "doc_id", 3)
+  }
+
+  /** Multimodal plumbing: opaque binary column + typed metadata —
+    * byte length, content digest, frame-sampling arithmetic (the decode
+    * itself is stubbed; see operators/Multimodal). */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bin = encode(col("text"), "UTF-8")
+    d.select(col("doc_id"),
+      length(bin).as("byte_len"),
+      sha2(bin, 256).as("sha"),
+      expr("CAST(length(text) div 100 AS INT)").as("n_frames"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_text_token_counts" -> (q31 _),
+    "q32_text_quality_score" -> (q32 _),
+    "q33_text_langid_profile" -> (q33 _),
+    "q34_text_fingerprint_winnow" -> (q34 _),
+    "q35_dedup_exact_md5" -> (q35 _),
+    "q36_dedup_jaccard_rare_shingle" -> (q36 _),
+    "q37_dedup_minhash_lsh" -> (q37 _),
+    "q38_dedup_simhash_hamming" -> (q38 _),
+    "q41_multimodal_binary_meta" -> (q41 _))
+
+  // ---- shared oracle fragments -------------------------------------
+
+  private val toksCte =
+    """toks AS (SELECT doc_id, lang, u.w FROM
+      |  (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') ws FROM documents) t,
+      |  unnest(t.ws) u(w))""".stripMargin
+
+  private val shCte =
+    """sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i+2), ' ') AS shingle
+      |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') ws FROM documents) t,
+      |  unnest(range(1, len(t.ws)-1)) u(i))""".stripMargin
+
+  private val jaccardTail =
+    """sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |com AS (SELECT c.da, c.db, count(*) common FROM cand c
+      |  JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.da, c.db,
+      |floor(CAST(common AS DOUBLE)/CAST(na.n + nb.n - common AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS jaccard
+      |FROM com c JOIN sizes na ON na.doc_id = c.da JOIN sizes nb ON nb.doc_id = c.db""".stripMargin
+
+  private val minhashMins = (0 until 16).map(i =>
+    s"min((sid*${Dedup.hashA(i)}+${Dedup.hashB(i)}) % ${Dedup.Prime}) AS s$i").mkString(", ")
+
+  private val bandTab = (0 until 4).map(b =>
+    s"SELECT doc_id, $b AS band, concat_ws('|', s${4 * b}, s${4 * b + 1}, s${4 * b + 2}, s${4 * b + 3}) AS key FROM sig")
+    .mkString(" UNION ALL ")
+
+  private val simhashSums = (0 until 32).map(j =>
+    s"CAST(sum(cnt * (((wh >> $j) & 1)*2 - 1)) AS BIGINT) AS bs$j").mkString(", ")
+
+  private val simhashCase = (0 until 32).map(j =>
+    s"CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q31_text_token_counts" ->
+      """SELECT doc_id, source,
+        |CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS INTEGER) AS n_ws,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe,
+        |floor(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+        |  / CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS chars_per_tok
+        |FROM documents""".stripMargin,
+    "q32_text_quality_score" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  CAST(list_sum(list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+        |    x -> length(x))) AS INTEGER) AS sum_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in'], x))) AS INTEGER) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |floor(CAST(sum_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS avg_tok_len,
+        |floor(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS stop_ratio,
+        |floor((0.5 * (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE))
+        |  + 0.3 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE)/50.0)
+        |  + 0.2 * least(CAST(1.0 AS DOUBLE),
+        |      (CAST(sum_len AS DOUBLE)/CAST(n_tokens AS DOUBLE))/8.0)) * 1000000 + 0.5) / 1000000.0 AS quality_score
+        |FROM b""".stripMargin,
+    "q33_text_langid_profile" ->
+      s"""WITH $toksCte,
+         |wc AS (SELECT lang, w, count(*) c FROM toks GROUP BY 1, 2),
+         |prof AS (SELECT lang AS plang, w FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) r FROM wc) x
+         |  WHERE r <= 10),
+         |dw AS (SELECT DISTINCT doc_id, w FROM toks),
+         |scores AS (SELECT dw.doc_id, p.plang, count(*) score FROM dw JOIN prof p ON dw.w = p.w
+         |  GROUP BY 1, 2),
+         |langs AS (SELECT DISTINCT lang AS plang FROM documents),
+         |grid AS (SELECT d.doc_id, d.lang, l.plang FROM documents d CROSS JOIN langs l),
+         |sc AS (SELECT g.doc_id, g.lang, g.plang, coalesce(s.score, 0) AS score
+         |  FROM grid g LEFT JOIN scores s ON s.doc_id = g.doc_id AND s.plang = g.plang),
+         |pred AS (SELECT doc_id, lang, plang FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) r
+         |   FROM sc) x WHERE r = 1)
+         |SELECT doc_id, lang AS actual, plang AS predicted, (lang = plang) AS correct
+         |FROM pred""".stripMargin,
+    "q34_text_fingerprint_winnow" ->
+      """WITH toks AS (SELECT doc_id, u.i AS pos, t.ws[u.i] AS w FROM
+        |  (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') ws FROM documents) t,
+        |  unnest(range(1, len(t.ws)+1)) u(i)),
+        |dict AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) wid
+        |  FROM (SELECT DISTINCT w FROM toks) x),
+        |ids AS (SELECT doc_id, list(wid ORDER BY pos) AS ids
+        |  FROM toks JOIN dict USING (w) GROUP BY doc_id),
+        |hs AS (SELECT doc_id, list_transform(range(1, len(ids)-2), t ->
+        |  (ids[t] + ids[t+1]*31 + ids[t+2]*961 + ids[t+3]*29791) % 1000003) AS hs
+        |  FROM ids)
+        |SELECT doc_id,
+        |CAST(list_aggregate(hs, 'min') AS BIGINT) AS fingerprint,
+        |CAST(len(hs) AS INTEGER) AS n_hashes,
+        |CAST(len(list_distinct(hs)) AS INTEGER) AS n_distinct
+        |FROM hs""".stripMargin,
+    "q35_dedup_exact_md5" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q36_dedup_jaccard_rare_shingle" ->
+      s"""WITH $shCte,
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) df FROM sh GROUP BY 1) x
+         |  WHERE df BETWEEN 2 AND 20),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+         |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+         |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         |$jaccardTail
+         |WHERE floor(CAST(common AS DOUBLE)/CAST(na.n + nb.n - common AS DOUBLE) * 1000000 + 0.5) / 1000000.0 >= 0.5""".stripMargin,
+    "q37_dedup_minhash_lsh" ->
+      s"""WITH $shCte,
+         |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) sid
+         |  FROM (SELECT DISTINCT shingle FROM sh) x),
+         |ids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+         |sig AS (SELECT doc_id, $minhashMins FROM ids GROUP BY doc_id),
+         |bandtab AS ($bandTab),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bandtab a
+         |  JOIN bandtab b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$jaccardTail""".stripMargin,
+    "q38_dedup_simhash_hamming" ->
+      s"""WITH wtok AS (SELECT doc_id, u.w, count(*) cnt FROM
+         |  (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') ws FROM documents) t,
+         |  unnest(t.ws) u(w) GROUP BY 1, 2),
+         |wdict AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) wid
+         |  FROM (SELECT DISTINCT w FROM wtok) x),
+         |wi AS (SELECT doc_id, cnt, ((wid*${Dedup.SimhashMul}+97) % 4294967296) AS wh
+         |  FROM wtok JOIN wdict USING (w)),
+         |bs AS (SELECT doc_id, $simhashSums FROM wi GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($simhashCase AS BIGINT) AS simhash FROM bs),
+         |blocks AS (SELECT doc_id, simhash, u.k AS blk, (simhash >> CAST(8*u.k AS INTEGER)) & 255 AS bval
+         |  FROM sig, unnest(range(0, 4)) u(k)),
+         |cand AS (SELECT DISTINCT a.doc_id da, a.simhash ha, b.doc_id db, b.simhash hb
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "q41_multimodal_binary_meta" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |sha256(text) AS sha,
+        |CAST(length(text) // 100 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity-search operators over the `embeddings` table:
+  * brute-force cosine top-k (correctness baseline) and hyperplane-LSH
+  * bucketed ANN (the 100 TB path — bucket equijoin, no all-pairs join).
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 16, 5)
+
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val ps = Similarity.planes(8, 64)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val bkt = e.withColumn("bucket", Similarity.hyperplaneBucket(col("v"), ps))
+    val q = bkt.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val cand = q.join(bkt.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bucket")),
+        Seq("bucket")).filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosv",
+        floor(Similarity.cosine(col("qv"), col("cv")) * 1000000 + 0.5) / 1000000.0)
+    val counts = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("c_id").asc)
+    val nn = cand.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("q_id"), col("c_id").as("nn"), col("cosv").as("nn_cos"))
+    q.select(col("q_id"), col("bucket"))
+      .join(counts, Seq("q_id"), "left")
+      .join(nn, Seq("q_id"), "left")
+      .select(col("q_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_candidates"), col("nn"), col("nn_cos"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q39_ann_cosine_topk" -> (q39 _),
+    "q40_ann_lsh_buckets" -> (q40 _))
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, len($a)+1), k -> $a[k]*$b[k]))"
+
+  val oracle: Map[String, String] = Map(
+    "q39_ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 16),
+         |scored AS (SELECT q.q_id, e.vec_id c_id,
+         |  floor(${dotSql("q.qv", "e.v")} /
+         |    (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("e.v", "e.v")})) * 1000000 + 0.5)
+         |    / 1000000.0 AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(r AS INTEGER) AS rank, c_id AS neighbor, cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) r
+         |  FROM scored) x WHERE r <= 5""".stripMargin,
+    "q40_ann_lsh_buckets" ->
+      s"""WITH planes AS (SELECT i, list(val ORDER BY j) p FROM
+         |  (SELECT u1.i, u2.j,
+         |   CAST(((u1.i*64+u2.j)*2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5 AS val
+         |   FROM unnest(range(0, 8)) u1(i), unnest(range(0, 64)) u2(j)) t GROUP BY i),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |dots AS (SELECT e.vec_id, p.i, ${dotSql("e.v", "p.p")} AS d
+         |  FROM e CROSS JOIN planes p),
+         |bkt AS (SELECT vec_id,
+         |  CAST(sum(CASE WHEN d > 0 THEN (1 << CAST(i AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |qs AS (SELECT vec_id q_id, bucket FROM bkt WHERE vec_id < 16),
+         |cand AS (SELECT q.q_id, b.vec_id c_id FROM qs q
+         |  JOIN bkt b ON b.bucket = q.bucket AND b.vec_id <> q.q_id),
+         |cc AS (SELECT q_id, count(*) n FROM cand GROUP BY 1),
+         |cos AS (SELECT c.q_id, c.c_id,
+         |  floor(${dotSql("a.v", "b.v")} /
+         |    (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) * 1000000 + 0.5)
+         |    / 1000000.0 AS cosv
+         |  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.c_id),
+         |nn AS (SELECT q_id, c_id AS nn, cosv AS nn_cos FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosv DESC, c_id ASC) r
+         |   FROM cos) x WHERE r = 1)
+         |SELECT q.q_id, q.bucket, CAST(coalesce(cc.n, 0) AS BIGINT) AS n_candidates,
+         |nn.nn, nn.nn_cos
+         |FROM qs q LEFT JOIN cc ON cc.q_id = q.q_id LEFT JOIN nn ON nn.q_id = q.q_id""".stripMargin)
+}
