@@ -42,10 +42,43 @@ object Scd1Upsert {
     }
   }
 
+  /** Incremental CDC state with TOMBSTONES: the winner row per key is
+    * retained even when it is a delete, so a stale (lower-sequence)
+    * update arriving in a later batch cannot resurrect a deleted key —
+    * the same guarantee Delta's `apply_changes` gets from storing the
+    * delete's sequence. `state` carries a `__deleted` flag; read the
+    * live view with [[current]]. Pass `state = None` for the first
+    * batch. */
+  def applyTombstoned(
+      state: Option[DataFrame],
+      changes: DataFrame,
+      keys: Seq[String],
+      sequenceBy: Column,
+      tiebreak: Seq[Column] = Nil,
+      deleteWhen: Option[Column] = None): DataFrame = {
+    val isDel = deleteWhen.getOrElse(lit(false))
+    val tagged = changes.withColumn("__deleted", coalesce(isDel, lit(false)))
+    val unioned = state match {
+      case Some(st) => st.unionByName(tagged.select(st.columns.map(col).toSeq: _*))
+      case None => tagged
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((sequenceBy.desc +: tiebreak.map(_.desc)): _*)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Live (non-deleted) view of a tombstoned state. */
+  def current(state: DataFrame): DataFrame =
+    state.filter(!col("__deleted")).drop("__deleted")
+
   /** Apply a change batch onto existing state: union then latest-wins.
     * Target rows count as sequence −∞ ties-lose (i.e. any change with
     * sequence ≥ target's stored sequence wins; `ignoreNullUpdates`
-    * refinement can be layered with per-column coalesce by the caller). */
+    * refinement can be layered with per-column coalesce by the caller).
+    * NOTE: deletes are dropped, not tombstoned — replay of OLDER
+    * changes after a delete can resurrect a key; use
+    * [[applyTombstoned]] for incremental/streaming application. */
   def apply(
       target: DataFrame,
       changes: DataFrame,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY
+  * columns with typed metadata, batched per-partition feature
+  * extraction. The actual media DECODE is stubbed (codec libraries are
+  * not available in this environment) — what is real and tested is the
+  * Spark-side contract: schema, batching, partition-wise execution, and
+  * deterministic fake features standing in for decoder output.
+  *
+  * Scale notes: media bytes travel as parquet BINARY; decode runs
+  * per-partition (one JNI/codec context per partition, not per row);
+  * feature vectors come back as ARRAY<FLOAT> ready for the Similarity
+  * operators. Nothing here collects to the driver.
+  */
+object Multimodal {
+
+  final case class Asset(asset_id: Long, media: Array[Byte], format: String)
+  final case class AssetFeatures(asset_id: Long, byte_len: Int,
+      format: String, features: Array[Float])
+
+  /** Typed metadata over raw bytes (real, codegen'd): length, digest,
+    * magic-prefix format sniff. */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_len", length(col(binCol)))
+      .withColumn("digest", sha2(col(binCol), 256))
+      .withColumn("sniffed_format",
+        when(hex(substring(col(binCol), 1, 2)) === "FFD8", "jpeg")
+          .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "png")
+          .otherwise("unknown"))
+
+  /** STUB decode → deterministic fake features. A real deployment swaps
+    * `decodeOne` for a codec call; the mapPartitions batching contract
+    * (schema, per-partition init, no driver collect) is the tested part. */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 8): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition "decoder" init would go here (one codec context)
+      it.map { a =>
+        AssetFeatures(a.asset_id, a.media.length, a.format, decodeOne(a.media, dim))
+      }
+    }
+  }
+
+  /** STUB: stands in for image/audio decode + embed. Deterministic in
+    * the bytes so tests are stable. */
+  private def decodeOne(media: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < media.length) {
+      out(i % dim) += (media(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.{Scd1Upsert, Tables}
+
+/** Structured Streaming surface — the open re-expression of the
+  * reference's DLT incremental micro-batch semantics (SURVEY §2.10):
+  * CDC/SCD1 is `foreachBatch` + Scd1Upsert (sequencing by a DATA column,
+  * so stream and batch application are equivalent and replayable), plus
+  * the beyond-reference event-time operators (watermarked tumbling
+  * windows, gap-session state via flatMapGroupsWithState).
+  */
+object Streams {
+
+  final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessBuf(times: Seq[(Long, Long)])
+  final case class SessOut(user_id: Long, n_sessions: Long, max_session_events: Long)
+
+  /** Streaming read of an events-shaped parquet directory (ts as raw
+    * epoch-nanos — see Tables.eventsSchema). `maxFilesPerTrigger`
+    * bounds micro-batch size (1 ⇒ one file per batch, exercising
+    * cross-batch state). */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(Tables.eventsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Tumbling 1-hour event-time windows with a watermark — the streaming
+    * twin of DomainQueries q29 (same output shape; parity asserted in
+    * StreamingSpec). */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsm", "2 hours")
+      .groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+
+  /** CDC apply: each micro-batch folded into keyed TOMBSTONED state
+    * with last-writer-wins by `ts` — `dlt.apply_changes` semantics
+    * (Crossref.py:284-289) as foreachBatch + Scd1Upsert.applyTombstoned.
+    * Tombstones make the fold order-insensitive: a stale update in a
+    * later batch loses to an earlier-arriving delete with a higher
+    * sequence. Read the live view with Scd1Upsert.current. */
+  def scd1Sink(events: DataFrame, getState: () => Option[DataFrame],
+      sink: DataFrame => Unit): Unit = {
+    events.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(Scd1Upsert.applyTombstoned(getState(), batch, Seq("user_id"),
+          col("ts"), Seq(col("event_id")),
+          deleteWhen = Some(col("event_type") === "error")))
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+  }
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState) — the stateful-streaming twin of
+    * DomainQueries q25. Gap sessions are NOT order-insensitive, so the
+    * state buffers the user's event times and recomputes — out-of-order
+    * micro-batches then still converge to the exact batch answer. At
+    * scale the buffer is pruned behind the watermark by collapsing the
+    * closed prefix into (lastTs, sessionsSoFar, runLen, maxLen); kept
+    * whole here for exact replay semantics on the fixtures. */
+  def sessionize(ds: Dataset[RawEvent], gapNs: Long): Dataset[SessOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[RawEvent], state: GroupState[SessBuf]) =>
+          val merged = (state.getOption.map(_.times).getOrElse(Seq.empty) ++
+            evs.map(e => (e.ts, e.event_id)).toSeq).distinct.sorted
+          state.update(SessBuf(merged))
+          var sessions = 0L; var run = 0L; var maxLen = 0L
+          var last = Long.MinValue
+          merged.foreach { case (ts, _) =>
+            if (sessions == 0 || ts - last > gapNs) { sessions += 1; run = 1 }
+            else run += 1
+            if (run > maxLen) maxLen = run
+            last = ts
+          }
+          Iterator(SessOut(uid, sessions, maxLen))
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Normalize, TextFunctions}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("Normalize.doi extracts canonical DOI") {
+    assert(one(Normalize.doi(lit("  DOI: 10.1234/AbC.5 junk"))) == "10.1234/abc.5")
+    assert(one(Normalize.doi(lit("https://doi.org/10.48550/ARXIV.2101.00001")))
+      == "10.48550/arxiv.2101.00001")
+    assert(one(Normalize.doi(lit("no doi here"))) == null)
+  }
+
+  test("Normalize.orcid extracts dashed id from URL forms") {
+    assert(one(Normalize.orcid(lit("https://orcid.org/0000-0002-1825-009x")))
+      == "0000-0002-1825-009X")
+    assert(one(Normalize.orcid(lit("none"))) == null)
+  }
+
+  test("Normalize.title lowercases, de-accents, strips tags and symbols") {
+    assert(one(Normalize.title(lit("<b>Über—Title</b>: a (test)!")))
+      == "uber title a test")
+  }
+
+  test("Normalize.license maps to canonical ids") {
+    assert(one(Normalize.license(lit("https://creativecommons.org/licenses/by-nc-nd/4.0"))) == "cc-by-nc-nd")
+    assert(one(Normalize.license(lit("CC BY 4.0"))) == "cc-by")
+    assert(one(Normalize.license(lit("Public Domain Mark"))) == "public-domain")
+    assert(one(Normalize.license(lit("proprietary eula"))) == "other")
+    assert(one(Normalize.license(lit(""))) == null)
+  }
+
+  test("Normalize.authorKey builds last;initial block key") {
+    assert(one(Normalize.authorKey(lit(" Smith "), lit("John"))) == "smith;j")
+  }
+
+  test("TextFunctions.wordShingles handles short docs and k-grams") {
+    assert(one(TextFunctions.wordShingles(lit("a b c d"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b c", "b c d"))
+    assert(one(TextFunctions.wordShingles(lit("a b"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+  }
+
+  test("TextFunctions counts: tokens, bpe-ish, stopwords, lengths") {
+    assert(one(size(TextFunctions.tokens(lit("the  quick fox")))) == 3)
+    assert(one(TextFunctions.bpeishCount(lit("ab 12 c!"))) == 4)
+    assert(one(TextFunctions.stopwordCount(lit("the fox and a hen"))) == 3)
+    assert(one(TextFunctions.tokenLenSum(lit("ab cde"))) == 5)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "one two three four five six seven eight nine ten"),          // exact dup of 3
+    (5L, "completely different words entirely unrelated content here now yes no")
+  ).toDF("doc_id", "text")
+
+  test("Dedup.exactGroups collapses identical texts") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.filter(col("n_dups") === 2).select("canonical_id").as[Long].collect()
+    assert(dup.toSeq == Seq(3L))
+  }
+
+  test("MinHash+LSH finds planted near-dup and exact dup (dict and hashed)") {
+    for (hashed <- Seq(false, true)) {
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val ids = Dedup.withShingleIds(sh, hashed)
+      val sig = Dedup.minHashSignature(ids.select(col("doc_id"), col("sid")), "doc_id", 16)
+      val cand = Dedup.lshCandidates(sig, "doc_id", 4, 4)
+      val pairs = Dedup.jaccardForPairs(cand, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"hashed=$hashed missing near-dup")
+      assert(pairs.contains((3L, 4L)), s"hashed=$hashed missing exact dup")
+    }
+  }
+
+  test("SimHash: exact dup at Hamming 0, byte-block join finds it") {
+    val wtok = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dict = wtok.select("w").distinct()
+      .withColumn("wid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("w")).cast("long"))
+    val sig = Dedup.simHash(wtok.join(dict, "w"), "doc_id")
+    val pairs = Dedup.simHashPairs(sig, "doc_id", 3)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((3L, 4L, 0)))
+  }
+
+  test("Similarity.bruteForceTopK ranks by cosine with id tiebreak") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 0, 2)
+      .select("rank", "neighbor").as[(Int, Long)].collect().sortBy(_._1)
+    assert(top.head == (1, 3L)) // identical vector, cos 1.0
+    assert(top(1) == (2, 1L))
+  }
+
+  test("Similarity.hyperplaneBucket groups identical vectors together") {
+    val ps = Similarity.planes(8, 2)
+    val emb = Seq((0L, Array(1.0f, 0.2f)), (1L, Array(1.0f, 0.2f)),
+      (2L, Array(-1.0f, -0.2f))).toDF("vec_id", "embedding")
+    val b = emb.select(col("vec_id"),
+        Similarity.hyperplaneBucket(Similarity.toDoubleVec(col("embedding")), ps).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(b(0L) == b(1L) && b(0L) != b(2L))
+  }
+
+  test("Multimodal: magic sniff + deterministic stub features, no driver collect") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)
+    val assets = Seq(Multimodal.Asset(1L, png, "png"),
+      Multimodal.Asset(2L, Array[Byte](1, 2, 3, 4), "raw")).toDS()
+    val meta = Multimodal.withMediaMeta(assets.toDF(), "media")
+      .select("asset_id", "sniffed_format").as[(Long, String)].collect().toMap
+    assert(meta(1L) == "png" && meta(2L) == "unknown")
+    val f1 = Multimodal.extractFeatures(assets, 4).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets, 4).collect().sortBy(_.asset_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1(0).byte_len == 7)
+  }
+}

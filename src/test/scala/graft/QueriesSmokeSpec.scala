@@ -1,0 +1,24 @@
+package graft
+
+/** Every declared query must execute at sf0.001; the flagship entry
+  * must return rows. (Value correctness is the driver's DuckDB gate —
+  * reproduced locally by dev/check_oracle.py.) */
+class QueriesSmokeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes") {
+      assert(fn(spark, sfDir).count() >= 0)
+    }
+  }
+}

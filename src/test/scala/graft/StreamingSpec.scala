@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Scd1Upsert, Tables}
+import graft.streaming.Streams
+
+/** Stream ≡ batch parity on the events fixture: the reference's
+  * streaming semantics sequence by a data column (SURVEY §2.10), so a
+  * streaming application over the same rows must produce exactly the
+  * batch answer. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** events.parquet copied into its own dir (streaming source = dir). */
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-events").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$d/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d
+  }
+
+  test("hourly windows: streaming equals batch") {
+    val q = Streams.hourlyWindows(Streams.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("hw").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hw").as[(String, String, Long)].collect().toSet
+    val batch = Tables(spark, sfDir, "events")
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize (flatMapGroupsWithState): streaming equals batch q25") {
+    val ev = Streams.readEvents(spark, streamDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.RawEvent]
+    val q = Streams.sessionize(ev, 6L * 3600 * 1000000000L)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess")
+      .groupBy("user_id").agg(max("n_sessions").as("s"), max("max_session_events").as("m"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("q25_sessionize_users")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("max_session_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("scd1 foreachBatch: stream state equals batch latest, replay idempotent") {
+    var state: Option[DataFrame] = None
+    def run(): Unit = Streams.scd1Sink(Streams.readEvents(spark, streamDir),
+      () => state, next => state = Some(next.cache()))
+    run()
+    val batch = Scd1Upsert.latest(Tables(spark, sfDir, "events"),
+        Seq("user_id"), col("ts"), Seq(col("event_id")),
+        deleteWhen = Some(col("event_type") === "error"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val afterOne = Scd1Upsert.current(state.get).select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(afterOne == batch)
+    run() // replay the same data on top of existing state
+    val afterTwo = Scd1Upsert.current(state.get).select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(afterTwo == batch)
+  }
+}
