@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints formatted physical plans for representative
+  * queries so pushdown/broadcast/codegen regressions are visible.
+  * Checks (exit 1 on failure):
+  *  - q02: parquet scan carries PushedFilters + pruned ReadSchema
+  *  - q03: nation/region joined via BroadcastHashJoin
+  *  - q01: partial (map-side) aggregation before the shuffle
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"===== $name =====\n$s")
+      s
+    }
+
+    var ok = true
+    def check(cond: Boolean, msg: String): Unit = {
+      println(s"[audit] ${if (cond) "OK " else "FAIL"} $msg"); ok &= cond
+    }
+
+    val p02 = plan("q02_filter_pushdown_projection")
+    check(p02.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q02 pushes filters to the parquet scan")
+    check(!p02.contains("l_partkey"), "q02 prunes unused columns from the scan")
+
+    val p03 = plan("q03_join_star_revenue")
+    check(p03.contains("BroadcastHashJoin"), "q03 broadcasts small dims")
+
+    val p01 = plan("q01_agg_pricing_summary")
+    check(p01.contains("HashAggregate"), "q01 hash-aggregates")
+    check(p01.contains("partial_sum"),
+      "q01 map-side partial aggregation before the shuffle")
+    check("""\(\d+\) Exchange""".r.findAllMatchIn(p01).size == 1,
+      "q01 shuffles exactly once")
+
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

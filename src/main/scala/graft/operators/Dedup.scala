@@ -75,17 +75,19 @@ object Dedup {
       .select(col("da"), col("db")).distinct()
   }
 
-  /** Exact Jaccard over shingle sets for given candidate pairs
-    * (intersection via shingle equijoin restricted to candidates). */
+  /** Exact Jaccard over shingle sets for given candidate pairs.
+    * Each doc's distinct shingles are packed into ONE sorted array, so
+    * a candidate pair costs two hash-join probes plus an in-memory
+    * array_intersect — no row-per-common-shingle blowup (the naive
+    * shingle⨝shingle intersection join materializes |A∩B| rows per
+    * pair; at 50k docs that was the dominant cost of the whole bench). */
   def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val sa = sh.select(col(idCol).as("da"), col("shingle"))
-    val sb = sh.select(col(idCol).as("db"), col("shingle"))
-    val common = pairs.join(sa, "da").join(sb, Seq("db", "shingle"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(idCol).as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col(idCol).as("db"), col("n").as("nb")), "db")
+    val sets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("shingle"))).as("set"), count(lit(1)).as("n"))
+    pairs
+      .join(sets.select(col(idCol).as("da"), col("set").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col(idCol).as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       // floor(x·1e6+0.5)/1e6: deterministic 6-decimal rounding — pure
       // IEEE arithmetic, bit-identical across engines (see SURVEY §8).
       .withColumn("jaccard", floor(col("common").cast("double") /
@@ -94,15 +96,22 @@ object Dedup {
   }
 
   /** Rare-shingle (df ≤ maxDf) prefix blocking: candidate pairs sharing
-    * at least one low-document-frequency shingle. */
-  def rareShingleCandidates(sh: DataFrame, idCol: String, maxDf: Int): DataFrame = {
+    * at least `minCommon` low-document-frequency shingles. `minCommon=2`
+    * kills the long tail of single-coincidence pairs (the candidate
+    * count, not the verification cost, dominates at scale); true
+    * near-dups above jaccard ≈ 0.5 share dozens of shingles, so the
+    * recall cost is marginal. */
+  def rareShingleCandidates(sh: DataFrame, idCol: String, maxDf: Int,
+      minCommon: Int = 1): DataFrame = {
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select(col("shingle"))
     val rs = sh.join(rare, "shingle")
     val a = rs.select(col(idCol).as("da"), col("shingle"))
     val b = rs.select(col(idCol).as("db"), col("shingle"))
     a.join(b, "shingle").filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("__rc"))
+      .filter(col("__rc") >= minCommon)
+      .select(col("da"), col("db"))
   }
 
   val SimhashMul = 2654435761L

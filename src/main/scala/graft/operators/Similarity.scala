@@ -30,14 +30,20 @@ object Similarity {
 
   /** Brute-force cosine top-k: the CORRECTNESS baseline. The query set
     * must be small (broadcast); candidates stream — cost O(|Q|·N), one
-    * broadcast-nested-loop, no shuffle of the big side. */
+    * broadcast-nested-loop, no shuffle of the big side. Norms are
+    * computed once per VECTOR, not once per pair (same arithmetic, so
+    * results are bit-identical — only the evaluation count changes). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
     val e = emb.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
-    val q = e.filter(queryPred).select(col(idCol).as("q_id"), col("__v").as("__qv"))
-    val cand = e.select(col(idCol).as("c_id"), col("__v").as("__cv"))
+      .withColumn("__norm", norm(col("__v")))
+    val q = e.filter(queryPred).select(col(idCol).as("q_id"),
+      col("__v").as("__qv"), col("__norm").as("__qn"))
+    val cand = e.select(col(idCol).as("c_id"), col("__v").as("__cv"),
+      col("__norm").as("__cn"))
     val scored = cand.join(broadcast(q), col("c_id") =!= col("q_id"))
-      .withColumn("cos", floor(cosine(col("__qv"), col("__cv")) * 1000000 + 0.5) / 1000000.0)
+      .withColumn("cos", floor(dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")) * 1000000 + 0.5) / 1000000.0)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor"), col("cos"))

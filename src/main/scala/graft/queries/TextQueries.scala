@@ -106,10 +106,10 @@ object TextQueries {
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
 
   /** N-gram Jaccard near-dup pairs with rare-shingle prefix blocking
-    * (df ∈ [2,20]) — no all-pairs join. */
+    * (df ∈ [2,20], co-occurrence ≥ 2) — no all-pairs join. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
-    val cand = Dedup.rareShingleCandidates(sh, "doc_id", 20)
+    val cand = Dedup.rareShingleCandidates(sh, "doc_id", 20, minCommon = 2)
     Dedup.jaccardForPairs(cand, sh, "doc_id").filter(col("jaccard") >= 0.5)
   }
 
@@ -257,9 +257,10 @@ object TextQueries {
       s"""WITH $shCte,
          |rare AS (SELECT shingle FROM (SELECT shingle, count(*) df FROM sh GROUP BY 1) x
          |  WHERE df BETWEEN 2 AND 20),
-         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+         |cand AS (SELECT a.doc_id da, b.doc_id db
          |  FROM sh a JOIN rare r ON a.shingle = r.shingle
-         |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |$jaccardTail
          |WHERE floor(CAST(common AS DOUBLE)/CAST(na.n + nb.n - common AS DOUBLE) * 1000000 + 0.5) / 1000000.0 >= 0.5""".stripMargin,
     "q37_dedup_minhash_lsh" ->

@@ -22,13 +22,17 @@ object VectorQueries {
     val ps = Similarity.planes(8, 64)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
     val bkt = e.withColumn("bucket", Similarity.hyperplaneBucket(col("v"), ps))
     val q = bkt.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val cand = q.join(bkt.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bucket")),
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket"))
+    val cand = q.join(bkt.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket")),
         Seq("bucket")).filter(col("c_id") =!= col("q_id"))
       .withColumn("cosv",
-        floor(Similarity.cosine(col("qv"), col("cv")) * 1000000 + 0.5) / 1000000.0)
+        floor(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+          * 1000000 + 0.5) / 1000000.0)
     val counts = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("c_id").asc)
     val nn = cand.withColumn("r", row_number().over(w)).filter(col("r") === 1)
