@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.authors.AuthorMatcher
+import graft.ingest.CrossrefParser
+import graft.resolve.WorkIdResolver
+import graft.serve.{Guardrails, SnapshotExport}
+import graft.works.{TypeClassifier, WorksBase}
+
+/** Consumer-style driver for the walden-domain slice (SURVEY §7.2):
+  * raw multi-source records → parse → merge key → work-id resolution
+  * (adoption + minting) → survivorship → type classification → author
+  * matching → guardrails → JSON snapshot export. Prints stage counts
+  * and a sample export line; exit 1 if any stage loses rows unexpectedly
+  * or a guardrail fails.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // two sources describing overlapping works (same DOI from a second
+    // provenance, a pmid-only record, and a brand-new DOI)
+    val raw = spark.read.json(Seq(
+      """{"doi":"10.9/alpha","title":["The Alpha Paper On Spark Engines"],"author":[{"given":"Jo","family":"Smith","orcid":"https://orcid.org/0000-0002-1825-0097","affiliation":[{"name":"MIT"}],"sequence":"first"}],"issued":{"date_parts":[[2023,4]]},"type":"journal-article","license":[{"url":"https://creativecommons.org/licenses/by/4.0"}],"container_title":["J Spark"],"publisher":"P","abstract":"a1","updated":"2024-01-02 00:00:00"}""",
+      """{"doi":"10.9/alpha","title":["The Alpha Paper On Spark Engines"],"author":[{"given":"Jo","family":"Smith","affiliation":[],"sequence":"first"}],"issued":{"date_parts":[[2023]]},"type":"journal-article","container_title":["J Spark"],"publisher":"P","abstract":"a1-longer-version","updated":"2024-02-02 00:00:00"}""",
+      """{"doi":"10.9/beta","title":["The Beta Paper About Dedup Methods"],"author":[{"given":"Kim","family":"Lee","affiliation":[],"sequence":"first"}],"issued":{"date_parts":[[2024,1,5]]},"type":"letter","updated":"2024-03-01 00:00:00"}""").toDS())
+
+    var ok = true
+    def stage(name: String, n: Long, expect: Long => Boolean): Unit = {
+      println(s"[pipe] $name: $n rows")
+      if (!expect(n)) { println(s"[pipe] UNEXPECTED at $name"); ok = false }
+    }
+
+    val walden = CrossrefParser.withMergeKey(CrossrefParser.parse(raw))
+    stage("parsed+keyed", walden.count(), _ == 3)
+
+    val idMap = Seq(("doi", "10.9/alpha", 6600000001L)).toDF("key_type", "key", "work_id")
+    val resolved = WorkIdResolver.resolve(walden, idMap)
+    stage("resolved", resolved.count(), _ == 3)
+    resolved.select("native_id", "work_id", "work_id_source").show(false)
+    val distinctIds = resolved.select("work_id").distinct().count()
+    stage("distinct work ids", distinctIds, _ == 2)
+
+    val prio = when(col("provenance") === "crossref", 1).otherwise(9)
+    val best = WorksBase.survivorship(
+      resolved.withColumn("native_num", xxhash64(col("native_id"))),
+      "work_id", prio, col("updated_date"), col("native_num"),
+      Seq("title", "abstract", "type", "published_date"))
+    stage("works (survived)", best.count(), _ == 2)
+
+    val typed = best
+      .withColumn("raw_native_type", col("type"))
+      .withColumn("source_type", lit("journal"))
+      .withColumn("n_refs", lit(0))
+      .withColumn("is_preprint_server", lit(false))
+      .withColumn("work_type", TypeClassifier.classify(TypeClassifier.defaultRules))
+    typed.select("work_id", "title", "work_type").show(false)
+
+    val incoming = resolved.select(col("work_id"),
+        posexplode(col("authors")).as(Seq("author_seq", "a")))
+      .select(col("work_id"), col("author_seq"),
+        col("a.author_key").as("block_key"), col("a.orcid").as("orcid"),
+        transform(col("a.affiliations"), x => x.getField("name")).as("institution_ids"),
+        lit(0L).as("source_id"))
+    val candidates = Seq(
+      (5001L, "smith;j", "0000-0002-1825-0097", Seq("MIT"), Seq.empty[Long]))
+      .toDF("author_id", "block_key", "orcid", "institution_ids", "source_ids")
+    val matched = AuthorMatcher.matchAuthors(incoming, candidates)
+    matched.select("work_id", "author_seq", "block_key", "author_id", "match_tier").show(false)
+    stage("authorships matched", matched.filter(col("author_id").isNotNull).count(),
+      _ == incoming.count())
+
+    val checks = Seq(
+      Guardrails.churn(typed, lit(true), maxChanged = 10),
+      Guardrails.attributeLoss(typed, "abstract", baseline = 1, 0, 0.05),
+      Guardrails.referential(matched, "work_id", typed, "work_id"))
+    checks.foreach(c => println(s"[pipe] guardrail ${c.name}: " +
+      (if (c.passed) "PASS" else s"FAIL (${c.detail})")))
+    ok &= Guardrails.runAll(checks).isRight
+
+    val outDir = Files.createTempDirectory("graft-snapshot").toString
+    val shaped = SnapshotExport.capStrings(typed, Map("abstract" -> 32000))
+      .withColumn("json", to_json(struct(col("work_id"), col("title"),
+        col("work_type"), col("abstract")), Map("ignoreNullFields" -> "true")))
+    SnapshotExport.writeJson(shaped, col("work_id"), "json", outDir, 1, 1000)
+    val exported = spark.read.text(outDir)
+    stage("exported json lines", exported.count(), _ == 2)
+    println("[pipe] sample: " + exported.as[String].collect().min)
+
+    println(s"[pipe] RESULT: ${if (ok) "ALL OK" else "FAILED"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DomainQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{DomainQueries, RelationalQueries, TextQueries, VectorQueries, WorksQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DomainQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ WorksQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DomainQueries.oracle ++
-      TextQueries.oracle ++ VectorQueries.oracle
+      TextQueries.oracle ++ VectorQueries.oracle ++ WorksQueries.oracle
 }

@@ -1,0 +1,93 @@
+package graft.authors
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.IdMinter
+
+/** Author disambiguation: blocking + tiered cascade with the
+  * unique-match rule (reference: notebooks/end2end/MatchAuthors.ipynb:
+  * 212-907 — block key = first-initial+last :296, ORCID tier with the
+  * publisher-stamped-duplicate skip :392, signal tiers with
+  * `count == 1` uniqueness :470-530, minting for the rest).
+  *
+  * Scale: every tier is an equijoin on block_key (the skew-prone
+  * "similarity join" — AQE skew splitting applies; for pathological
+  * blocks the reference caps the worklist, we cap candidates per block
+  * upstream). Tiers run as independent joins on the shrinking unmatched
+  * remainder.
+  */
+object AuthorMatcher {
+
+  /** @param incoming  (work_id, author_seq, block_key, orcid,
+    *                   institution_ids ARRAY, source_id)
+    * @param candidates (author_id, block_key, orcid,
+    *                   institution_ids ARRAY, source_ids ARRAY)
+    * @return incoming + author_id + match_tier */
+  def matchAuthors(incoming: DataFrame, candidates: DataFrame): DataFrame = {
+    // ORCID tier — skipped for works where the same orcid appears on
+    // multiple authorships (publisher stamping, MatchAuthors.ipynb:392)
+    val dupOrcid = incoming.filter(col("orcid").isNotNull)
+      .groupBy(col("work_id"), col("orcid")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("work_id").as("__dw"), col("orcid").as("__do"))
+    val orcidable = incoming
+      .join(dupOrcid, col("work_id") === col("__dw") && col("orcid") === col("__do"),
+        "left_anti")
+      .filter(col("orcid").isNotNull)
+    val byOrcid = orcidable.join(
+        candidates.filter(col("orcid").isNotNull)
+          .groupBy(col("orcid")).agg(min(col("author_id")).as("author_id")),
+        Seq("orcid"))
+      .select(col("work_id"), col("author_seq"), col("author_id"),
+        lit("orcid").as("match_tier"))
+
+    def uniqueTier(remaining: DataFrame, tier: String,
+        signal: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      val joined = signal(remaining,
+        candidates.select(col("author_id"), col("block_key").as("__bk"),
+          col("institution_ids").as("__inst"), col("source_ids").as("__src")))
+      // unique-match rule: exactly ONE candidate matches the signal
+      joined.groupBy(col("work_id"), col("author_seq"))
+        .agg(countDistinct(col("author_id")).as("__n"),
+          min(col("author_id")).as("author_id"))
+        .filter(col("__n") === 1)
+        .select(col("work_id"), col("author_seq"), col("author_id"),
+          lit(tier).as("match_tier"))
+    }
+
+    val afterOrcid = incoming.join(byOrcid.select("work_id", "author_seq"),
+      Seq("work_id", "author_seq"), "left_anti")
+
+    // tier 2: block key + institution overlap
+    val byInst = uniqueTier(afterOrcid, "name_institution", (rem, cand) =>
+      rem.join(cand, rem("block_key") === cand("__bk") &&
+        arrays_overlap(rem("institution_ids"), cand("__inst"))))
+    val afterInst = afterOrcid.join(byInst.select("work_id", "author_seq"),
+      Seq("work_id", "author_seq"), "left_anti")
+
+    // tier 3: block key + source
+    val bySource = uniqueTier(afterInst, "name_source", (rem, cand) =>
+      rem.join(cand, rem("block_key") === cand("__bk") &&
+        array_contains(cand("__src"), rem("source_id"))))
+    val afterSource = afterInst.join(bySource.select("work_id", "author_seq"),
+      Seq("work_id", "author_seq"), "left_anti")
+
+    // tier 4: block key alone (still unique-or-nothing)
+    val byName = uniqueTier(afterSource, "name_unique", (rem, cand) =>
+      rem.join(cand, rem("block_key") === cand("__bk")))
+    val afterName = afterSource.join(byName.select("work_id", "author_seq"),
+      Seq("work_id", "author_seq"), "left_anti")
+
+    // mint new author ids for the remainder (per distinct block_key)
+    val minted = IdMinter.mint(
+      candidates.select(col("block_key").as("key"), col("author_id").as("id")),
+      afterName.select(col("block_key").as("key")), "key", "id")
+    val byMint = afterName.join(minted, col("block_key") === col("key"))
+      .select(col("work_id"), col("author_seq"), col("id").as("author_id"),
+        lit("minted").as("match_tier"))
+
+    val matched = byOrcid.unionByName(byInst).unionByName(bySource)
+      .unionByName(byName).unionByName(byMint)
+    incoming.join(matched, Seq("work_id", "author_seq"), "left")
+  }
+}

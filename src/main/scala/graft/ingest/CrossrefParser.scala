@@ -1,0 +1,103 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** Crossref-shaped record → walden works rows (reference:
+  * notebooks/ingest/Crossref.py:244-575 — 40-column nested projection;
+  * this port keeps the semantically load-bearing subset: date-parts
+  * defaulting, typed-array pickers, author normalization + author_key,
+  * bad-record filters, merge-key derivation).
+  *
+  * Pure Column transforms over an already-loaded DataFrame — parsers do
+  * no I/O (SURVEY §7.1), so they compose with batch or streaming scans.
+  */
+object CrossrefParser {
+
+  /** `issued.date_parts[0] = [y, m?, d?]` with month/day defaulting to 1
+    * (Crossref.py:261-265,426-459). */
+  def dateFromParts(parts: Column): Column = {
+    val p = try_element_at(parts, lit(1))
+    when(p.isNotNull && size(p) >= 1,
+      make_date(try_element_at(p, lit(1)),
+        coalesce(try_element_at(p, lit(2)), lit(1)),
+        coalesce(try_element_at(p, lit(3)), lit(1))))
+  }
+
+  /** Typed-array picker: first element with matching `type`
+    * (`filter(issn-type, x -> x.type='print')`, Crossref.py:305-319). */
+  def pickByType(arr: Column, typeVal: String, valueField: String): Column =
+    try_element_at(filter(arr, x => x.getField("type") === typeVal), lit(1))
+      .getField(valueField)
+
+  /** Raw crossref-ish frame → walden rows. Expected input columns:
+    * doi, title ARRAY<STRING>, author ARRAY<STRUCT<given,family,orcid,
+    * affiliation ARRAY<STRUCT<name>>, sequence>>, issued STRUCT<
+    * date_parts ARRAY<ARRAY<INT>>>, type, license ARRAY<STRUCT<url,
+    * content_version>>, issn_type ARRAY<STRUCT<type,value>>,
+    * container_title ARRAY<STRING>, publisher, abstract, updated TIMESTAMP. */
+  def parse(raw: DataFrame): DataFrame = {
+    // bad-record filters: component/grant types, junk titles (Crossref.py:21,266)
+    val filtered = raw
+      .filter(!coalesce(col("type").isin("component", "grant"), lit(false)))
+      .withColumn("__title", try_element_at(col("title"), lit(1)))
+      .filter(length(trim(coalesce(col("__title"), lit("")))) >= 5)
+
+    val authors = transform(col("author"), a => struct(
+      a.getField("given").as("given"),
+      a.getField("family").as("family"),
+      trim(concat_ws(" ", a.getField("given"), a.getField("family"))).as("name"),
+      Normalize.orcid(a.getField("orcid")).as("orcid"),
+      transform(a.getField("affiliation"), af => struct(
+        af.getField("name").as("name"),
+        lit(null).cast("string").as("department"),
+        lit(null).cast("string").as("ror_id"))).as("affiliations"),
+      (a.getField("sequence") === "first").as("is_corresponding"),
+      Normalize.authorKey(a.getField("family"), a.getField("given")).as("author_key")))
+
+    val parsed = filtered.select(
+      lit("crossref").as("provenance"),
+      Normalize.doi(col("doi")).as("native_id"),
+      lit("doi").as("native_id_namespace"),
+      substring(col("__title"), 1, 5000).as("title"),
+      Normalize.title(col("__title")).as("normalized_title"),
+      authors.as("authors"),
+      array(struct(Normalize.doi(col("doi")).as("id"), lit("doi").as("namespace"),
+        lit("self").as("relationship"))).as("ids"),
+      col("type"),
+      lit("publishedVersion").as("version"),
+      Normalize.license(try_element_at(col("license"), lit(1)).getField("url")).as("license"),
+      lit(null).cast("string").as("language"),
+      dateFromParts(col("issued.date_parts")).as("published_date"),
+      col("updated").as("updated_date"),
+      substring(col("abstract"), 1, 10000).as("abstract"),
+      try_element_at(col("container_title"), lit(1)).as("source_name"),
+      col("publisher"),
+      try_element_at(col("license"), lit(1)).isNotNull.as("is_oa"))
+    AlignSchema(parsed, WaldenSchema.works)
+  }
+
+  /** merge_key struct + keep-if-any-key filter (normalize.py:116-139,
+    * transform.py:189-203): title_author only when the normalized title
+    * is long enough to be discriminative. */
+  def withMergeKey(walden: DataFrame): DataFrame = {
+    val doi = filter(col("ids"), i => i.getField("namespace") === "doi")
+    val pmid = filter(col("ids"), i => i.getField("namespace") === "pmid")
+    val arxiv = filter(col("ids"), i => i.getField("namespace") === "arxiv")
+    val firstFamily = try_element_at(col("authors"), lit(1)).getField("family")
+    val titleAuthor = when(
+      length(coalesce(col("normalized_title"), lit(""))) >= 20 && firstFamily.isNotNull,
+      concat_ws("|", col("normalized_title"), lower(firstFamily)))
+    val mk = struct(
+      try_element_at(doi, lit(1)).getField("id").as("doi"),
+      try_element_at(pmid, lit(1)).getField("id").as("pmid"),
+      try_element_at(arxiv, lit(1)).getField("id").as("arxiv"),
+      titleAuthor.as("title_author"))
+    walden.withColumn("merge_key", mk)
+      .filter(col("merge_key.doi").isNotNull || col("merge_key.pmid").isNotNull ||
+        col("merge_key.arxiv").isNotNull || col("merge_key.title_author").isNotNull)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.works.CitationMetrics
+
+/** Composed citation-metric pipelines (works/CitationMetrics) on a
+  * deterministic synthetic citation graph over the fixtures:
+  *  - q42: lineitem as edge list (order cites part) → per-cited counts
+  *    by year + walden counts_by_year JSON array
+  *  - q43: orders as works, deterministic synthetic edges
+  *    (cited = (key·7+3) mod (max+1)) → 3-year citation counts, FWCI
+  *    cohort normalization, within-year percentiles — the
+  *    CreateWorksEnriched.ipynb:229 shape end-to-end
+  */
+object WorksQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem").select(col("l_partkey"),
+      year(col("l_shipdate")).as("y"))
+    val byYear = CitationMetrics.countsByYear(edges, "l_partkey", "y")
+    CitationMetrics.countsWithJson(byYear, "l_partkey", "y")
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val works = o.select(col("o_orderkey"),
+      year(col("o_orderdate")).as("pub_year"),
+      col("o_orderstatus").as("wtype"), col("o_orderpriority").as("subf"))
+    val mx = o.agg(max(col("o_orderkey")).as("mx"))
+    val edges = o.select(year(col("o_orderdate")).as("cy"), col("o_orderkey"))
+      .crossJoin(broadcast(mx))
+      .select(col("cy"), pmod(col("o_orderkey") * 7 + 3, col("mx") + 1).as("cited"))
+    val withC3 = CitationMetrics.citations3y(works, "o_orderkey", "pub_year",
+      edges, "cited", "cy")
+    val withFwci = CitationMetrics.fwci(withC3, Seq("pub_year", "wtype", "subf"))
+    CitationMetrics.percentile(withFwci, Seq("pub_year"), "o_orderkey")
+      .select(col("o_orderkey"), col("c3"), col("fwci"), col("pctl"), col("is_top10"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q42_citation_counts_by_year" -> (q42 _),
+    "q43_citation_fwci_percentile" -> (q43 _))
+
+  val oracle: Map[String, String] = Map(
+    "q42_citation_counts_by_year" ->
+      """WITH e AS (SELECT l_partkey, CAST(year(l_shipdate) AS INTEGER) y FROM lineitem),
+        |b AS (SELECT l_partkey, y, count(*) n FROM e GROUP BY 1, 2)
+        |SELECT l_partkey, CAST(sum(n) AS BIGINT) AS cited_by_count,
+        |CAST(to_json(list_sort(list(struct_pack(y := y, n := n)))) AS VARCHAR) AS counts_by_year
+        |FROM b GROUP BY l_partkey""".stripMargin,
+    "q43_citation_fwci_percentile" ->
+      """WITH w AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) pub_year,
+        |  o_orderstatus wtype, o_orderpriority subf FROM orders),
+        |mx AS (SELECT max(o_orderkey) m FROM orders),
+        |e AS (SELECT CAST(year(o_orderdate) AS INTEGER) cy,
+        |  (o_orderkey*7+3) % ((SELECT m FROM mx)+1) AS cited FROM orders),
+        |c AS (SELECT w.o_orderkey, count(*) c3 FROM e JOIN w ON e.cited = w.o_orderkey
+        |  AND e.cy BETWEEN w.pub_year AND w.pub_year+3 GROUP BY 1),
+        |wc AS (SELECT w.*, CAST(coalesce(c.c3, 0) AS BIGINT) c3
+        |  FROM w LEFT JOIN c ON w.o_orderkey = c.o_orderkey),
+        |f AS (SELECT *, CAST(sum(c3) OVER (PARTITION BY pub_year, wtype, subf) AS DOUBLE)
+        |  / CAST(count(*) OVER (PARTITION BY pub_year, wtype, subf) AS DOUBLE) AS mean FROM wc),
+        |g AS (SELECT *, floor(CAST(c3 AS DOUBLE) / nullif(mean, 0.0) * 1000000 + 0.5)
+        |  / 1000000.0 AS fwci FROM f),
+        |p AS (SELECT *, floor(percent_rank() OVER (PARTITION BY pub_year
+        |  ORDER BY c3 ASC, o_orderkey ASC) * 1000000 + 0.5) / 1000000.0 AS pctl FROM g)
+        |SELECT o_orderkey, c3, fwci, pctl, pctl >= 0.9 AS is_top10 FROM p""".stripMargin)
+}

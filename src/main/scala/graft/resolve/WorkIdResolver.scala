@@ -1,0 +1,83 @@
+package graft.resolve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.IdMinter
+
+/** Work-id mapping/minting — the locations_mapped semantics (reference:
+  * notebooks/end2end/CreateLocationsMapped.sql:103-1170): adopt an
+  * existing work id by key priority doi → pmid → arxiv → title_author,
+  * with the reference's guards (title_author must be discriminative:
+  * length > 20 and ≤ 3 distinct candidate ids — :961,:967), else mint a
+  * new id above the 6.6B floor (identity-column semantics, :69).
+  *
+  * Scale: one left join per key tier against the (key → id) map — four
+  * shuffle joins on different keys (the reference's "avoid overly wide
+  * merge" two-pass narrowing is the same idea); minting touches only
+  * the unresolved remainder.
+  */
+object WorkIdResolver {
+
+  /** @param locations rows with merge_key STRUCT<doi,pmid,arxiv,title_author>
+    * @param idMap     (key_type, key, work_id) existing mappings
+    * @return locations + work_id (adopted or minted) + work_id_source */
+  def resolve(locations: DataFrame, idMap: DataFrame): DataFrame = {
+    def mapFor(kt: String, ambiguityCap: Option[Int] = None): DataFrame = {
+      val m = idMap.filter(col("key_type") === kt)
+      ambiguityCap match {
+        case Some(cap) =>
+          // title_author ambiguity guard: > cap distinct ids ⇒ unusable key
+          val ok = m.groupBy(col("key"))
+            .agg(countDistinct(col("work_id")).as("__n"))
+            .filter(col("__n") <= cap).select(col("key"))
+          // deterministic pick among the ≤cap candidates: smallest id
+          m.join(ok, "key").groupBy(col("key")).agg(min(col("work_id")).as("work_id"))
+        case None =>
+          m.groupBy(col("key")).agg(min(col("work_id")).as("work_id"))
+      }
+    }
+
+    def adopt(df: DataFrame, kt: String, keyExpr: org.apache.spark.sql.Column,
+        guard: org.apache.spark.sql.Column, cap: Option[Int]): DataFrame = {
+      val m = mapFor(kt, cap)
+        .select(col("key").as(s"__k_$kt"), col("work_id").as(s"__id_$kt"))
+      df.join(m, keyExpr === col(s"__k_$kt") && guard &&
+        col("work_id").isNull, "left")
+        .withColumn("work_id", coalesce(col("work_id"), col(s"__id_$kt")))
+        .withColumn("work_id_source",
+          when(col("work_id_source").isNull && col(s"__id_$kt").isNotNull, lit(kt))
+            .otherwise(col("work_id_source")))
+        .drop(s"__k_$kt", s"__id_$kt")
+    }
+
+    val init = locations
+      .withColumn("work_id", lit(null).cast("long"))
+      .withColumn("work_id_source", lit(null).cast("string"))
+    val adopted = Seq(
+      ("doi", col("merge_key.doi"), lit(true), Option.empty[Int]),
+      ("pmid", col("merge_key.pmid"), lit(true), Option.empty[Int]),
+      ("arxiv", col("merge_key.arxiv"), lit(true), Option.empty[Int]),
+      ("title_author", col("merge_key.title_author"),
+        length(coalesce(col("merge_key.title_author"), lit(""))) > 20, Some(3)))
+      .foldLeft(init) { case (df, (kt, key, guard, cap)) =>
+        adopt(df, kt, key, guard, cap)
+      }
+
+    // mint the remainder: one id per distinct unresolved merge_key,
+    // keyed canonically on the best available key
+    val mintKey = coalesce(col("merge_key.doi"), col("merge_key.pmid"),
+      col("merge_key.arxiv"), col("merge_key.title_author"))
+    val unresolved = adopted.filter(col("work_id").isNull)
+      .select(mintKey.as("key")).distinct()
+    val existingIds = idMap.select(col("key"), col("work_id").as("id"))
+    val minted = IdMinter.mint(existingIds, unresolved, "key", "id")
+      .select(col("key").as("__mint_key"), col("id").as("__mint_id"))
+    adopted
+      .join(minted, mintKey === col("__mint_key") && col("work_id").isNull, "left")
+      .withColumn("work_id", coalesce(col("work_id"), col("__mint_id")))
+      .withColumn("work_id_source",
+        when(col("work_id_source").isNull && col("__mint_id").isNotNull, "minted")
+          .otherwise(col("work_id_source")))
+      .drop("__mint_key", "__mint_id")
+  }
+}

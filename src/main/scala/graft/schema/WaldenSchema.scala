@@ -1,0 +1,55 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** The shared "walden works" ingest schema — every source parser lands
+  * here (reference: libraries/dlt_utils/openalex/dlt/normalize.py:14-52;
+  * fixture mirror in FIXTURES.md §B.1). Subset ordered as the reference
+  * declares it; `AlignSchema` pads any parser output onto it.
+  */
+object WaldenSchema {
+
+  val affiliation: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("department", StringType),
+    StructField("ror_id", StringType)))
+
+  val author: StructType = StructType(Seq(
+    StructField("given", StringType),
+    StructField("family", StringType),
+    StructField("name", StringType),
+    StructField("orcid", StringType),
+    StructField("affiliations", ArrayType(affiliation)),
+    StructField("is_corresponding", BooleanType),
+    StructField("author_key", StringType)))
+
+  val id: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("namespace", StringType),
+    StructField("relationship", StringType)))
+
+  val mergeKey: StructType = StructType(Seq(
+    StructField("doi", StringType),
+    StructField("pmid", StringType),
+    StructField("arxiv", StringType),
+    StructField("title_author", StringType)))
+
+  val works: StructType = StructType(Seq(
+    StructField("provenance", StringType),
+    StructField("native_id", StringType),
+    StructField("native_id_namespace", StringType),
+    StructField("title", StringType),
+    StructField("normalized_title", StringType),
+    StructField("authors", ArrayType(author)),
+    StructField("ids", ArrayType(id)),
+    StructField("type", StringType),
+    StructField("version", StringType),
+    StructField("license", StringType),
+    StructField("language", StringType),
+    StructField("published_date", DateType),
+    StructField("updated_date", TimestampType),
+    StructField("abstract", StringType),
+    StructField("source_name", StringType),
+    StructField("publisher", StringType),
+    StructField("is_oa", BooleanType)))
+}

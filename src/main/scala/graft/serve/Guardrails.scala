@@ -1,0 +1,49 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Post-build data-quality gates (reference: notebooks/end2end/
+  * Guardrails.ipynb:41-77 — churn ceiling, attribute-loss vs frozen
+  * baselines with −2M/−5% thresholds; failures block every downstream
+  * sync). Checks are pure functions returning structured results so a
+  * pipeline can assert-or-abort.
+  */
+object Guardrails {
+
+  final case class Check(name: String, passed: Boolean, value: Long,
+      threshold: Long, detail: String)
+
+  /** Churn ceiling: at most `maxChanged` rows changed in the window
+    * (Guardrails.ipynb:41 — ≤5M works changed / 24h). */
+  def churn(df: DataFrame, changedPred: org.apache.spark.sql.Column,
+      maxChanged: Long): Check = {
+    val n = df.filter(changedPred).count()
+    Check("churn_ceiling", n <= maxChanged, n, maxChanged,
+      s"$n rows changed (max $maxChanged)")
+  }
+
+  /** Attribute-loss vs a frozen baseline: current non-null count of
+    * `attr` must not drop more than `maxAbsLoss` or `maxPctLoss`. */
+  def attributeLoss(df: DataFrame, attr: String, baseline: Long,
+      maxAbsLoss: Long, maxPctLoss: Double): Check = {
+    val n = df.filter(col(attr).isNotNull).count()
+    val absOk = baseline - n <= maxAbsLoss
+    val pctOk = baseline == 0 || (baseline - n).toDouble / baseline <= maxPctLoss
+    Check(s"attribute_loss_$attr", absOk && pctOk, n, baseline,
+      s"$attr: $n vs baseline $baseline")
+  }
+
+  /** Referential integrity: no dangling foreign keys. */
+  def referential(child: DataFrame, fk: String, parent: DataFrame,
+      pk: String): Check = {
+    val dangling = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as("__pk")), col(fk) === col("__pk"), "left_anti")
+      .count()
+    Check(s"referential_${fk}", dangling == 0, dangling, 0,
+      s"$dangling dangling $fk")
+  }
+
+  def runAll(checks: Seq[Check]): Either[Seq[Check], Seq[Check]] =
+    if (checks.forall(_.passed)) Right(checks) else Left(checks.filterNot(_.passed))
+}

@@ -1,0 +1,35 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** API-shaped JSON export (reference: notebooks/snapshot/
+  * export_works.ipynb:43-296 — struct assembly → JSON lines on object
+  * storage, maxRecordsPerFile; notebooks/elastic/sync_works.ipynb:100 —
+  * 32K string caps and size-tiered repartitioning before the sink).
+  */
+object SnapshotExport {
+
+  /** Sanitize string fields: cap lengths (ES 32K-term limit). */
+  def capStrings(df: DataFrame, caps: Map[String, Int]): DataFrame =
+    caps.foldLeft(df) { case (d, (c, n)) =>
+      d.withColumn(c, substring(col(c), 1, n))
+    }
+
+  /** Rows → {"id":…, …} JSON lines with null fields dropped
+    * (to_json ignoreNullFields, CreateWunpaywall.ipynb:144). */
+  def toJsonLines(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(to_json(struct(cols.map(col): _*),
+      Map("ignoreNullFields" -> "true")).as("json"))
+
+  /** Size-tiered export: repartition by range on the id for even file
+    * sizes, bounded records per file (sync_works.ipynb:81,146-167).
+    * `df` must still carry `idCol`; only `jsonCol` is written. */
+  def writeJson(df: DataFrame, idCol: Column, jsonCol: String, outDir: String,
+      partitions: Int, maxRecordsPerFile: Int): Unit =
+    df.repartitionByRange(partitions, idCol)
+      .select(col(jsonCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .text(outDir)
+}

@@ -1,0 +1,69 @@
+package graft.works
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Citation-graph metrics — the reference's heaviest nightly shapes
+  * (notebooks/end2end/CreateWorksEnriched.ipynb:103-164 citation counts;
+  * :229 FWCI + percentile CTEs; Guardrails totals 2.84B citations).
+  *
+  * Scale design: the graph is adjacency arrays exploded to an edge
+  * table; every metric is explode → single-shuffle groupBy with
+  * map-side partials → join back. FWCI cohorts are window aggregates
+  * over (year, subfield, type) — thousands of cohorts, so the window
+  * shuffle is balanced; zero-citation works are preserved via left
+  * joins (the reference's cohort averages include them).
+  */
+object CitationMetrics {
+
+  /** Per-(cited, citing-year) counts from an edge list. */
+  def countsByYear(edges: DataFrame, citedCol: String, yearCol: String): DataFrame =
+    edges.groupBy(col(citedCol), col(yearCol)).agg(count(lit(1)).as("n"))
+
+  /** Walden counts_by_year shape: total + sorted {year,n} JSON array per
+    * cited id (CreateWorksEnriched.ipynb:103-164 collects the same
+    * struct array). */
+  def countsWithJson(byYear: DataFrame, citedCol: String, yearCol: String): DataFrame =
+    byYear.groupBy(col(citedCol)).agg(
+      sum(col("n")).as("cited_by_count"),
+      to_json(array_sort(collect_list(struct(col(yearCol), col("n")))))
+        .as("counts_by_year"))
+
+  /** Citations received within [pubYear, pubYear+3]; works with no
+    * citations keep 0 (left join) — required for cohort means. */
+  def citations3y(works: DataFrame, idCol: String, pubYearCol: String,
+      edges: DataFrame, citedCol: String, citingYearCol: String): DataFrame = {
+    val e = edges.join(works.select(col(idCol), col(pubYearCol)),
+        edges(citedCol) === works(idCol))
+      .filter(col(citingYearCol).between(col(pubYearCol), col(pubYearCol) + 3))
+      .groupBy(col(citedCol).as("__id")).agg(count(lit(1)).as("c3"))
+    works.join(e, works(idCol) === col("__id"), "left")
+      .withColumn("c3", coalesce(col("c3"), lit(0L))).drop("__id")
+  }
+
+  /** FWCI: c3 normalized by the (cohort) mean of c3 — mean computed as
+    * exact integer sum / count (deterministic division), null when the
+    * cohort mean is zero. Deterministic 6-decimal rounding. */
+  def fwci(withC3: DataFrame, cohortCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(cohortCols.map(col): _*)
+    withC3
+      .withColumn("__mean",
+        sum(col("c3")).over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+      .withColumn("fwci",
+        floor(col("c3").cast("double") / nullif(col("__mean"), lit(0.0))
+          * 1000000 + 0.5) / 1000000.0)
+      .drop("__mean")
+  }
+
+  /** Citation percentile within a cohort + top-10% flag
+    * (CreateWorksEnriched.ipynb:229 percentile CTEs use the same
+    * percent_rank-over-cohort shape). Tiebreak by id for determinism. */
+  def percentile(withC3: DataFrame, cohortCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(cohortCols.map(col): _*)
+      .orderBy(col("c3").asc, col(idCol).asc)
+    withC3
+      .withColumn("pctl", floor(percent_rank().over(w) * 1000000 + 0.5) / 1000000.0)
+      .withColumn("is_top10", col("pctl") >= 0.9)
+  }
+}

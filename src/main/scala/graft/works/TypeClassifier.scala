@@ -1,0 +1,44 @@
+package graft.works
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Rules-table work-type classifier — the open shape of the reference's
+  * frozen 163-rule cascade (notebooks/end2end/CreateLocationsWithTypes
+  * .sql:14-694): an ordered Seq of (condition, type) evaluated
+  * first-match-wins, compiled into one `when` chain (single codegen'd
+  * expression, no join, no UDF). Rules are data, so parity work is
+  * adding rows, not code.
+  */
+object TypeClassifier {
+
+  final case class Rule(name: String, cond: Column, workType: String)
+
+  /** Compile rules into a first-match-wins expression. */
+  def classify(rules: Seq[Rule], default: String = "article"): Column =
+    rules.foldRight(lit(default): Column)((r, acc) =>
+      when(r.cond, r.workType).otherwise(acc))
+
+  /** A representative subset of the reference cascade over the usual
+    * feature columns (raw_native_type, source_type, title, n_refs,
+    * has_journal, is_preprint_server). */
+  def defaultRules: Seq[Rule] = Seq(
+    Rule("explicit-retraction", lower(coalesce(col("title"), lit("")))
+      .startsWith("retraction:"), "retraction"),
+    Rule("explicit-erratum", lower(coalesce(col("title"), lit("")))
+      .rlike("^(erratum|corrigendum)"), "erratum"),
+    Rule("editorial-native", lower(coalesce(col("raw_native_type"), lit("")))
+      .isin("editorial", "editorial-material"), "editorial"),
+    Rule("letter-native", lower(coalesce(col("raw_native_type"), lit(""))) === "letter",
+      "letter"),
+    Rule("dataset-source", col("source_type") === "dataset-repository", "dataset"),
+    Rule("preprint-host", coalesce(col("is_preprint_server"), lit(false)), "preprint"),
+    Rule("book-chapter", lower(coalesce(col("raw_native_type"), lit("")))
+      .isin("book-chapter", "chapter"), "book-chapter"),
+    Rule("book", lower(coalesce(col("raw_native_type"), lit("")))
+      .isin("book", "monograph"), "book"),
+    Rule("proceedings", lower(coalesce(col("raw_native_type"), lit("")))
+      .contains("proceedings"), "proceedings-article"),
+    Rule("review-title", lower(coalesce(col("title"), lit("")))
+      .rlike("^(a |an )?(systematic )?review of") && col("n_refs") >= 20, "review"))
+}

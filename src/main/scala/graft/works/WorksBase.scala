@@ -1,0 +1,58 @@
+package graft.works
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Works assembly: per-field priority survivorship + locations ranking
+  * + OA status (reference: notebooks/end2end/CreateWorksBase.ipynb —
+  * `get_highest_priority_value` survivorship :43/:1270, locations array
+  * sort + primary selection :1373-1421, OA status cascade).
+  *
+  * One shuffle on work_id; all candidate collection is map-side-partial
+  * collect_list with per-work bounded candidate counts (the reference
+  * caps locations at 10 per provenance, :238-243).
+  */
+object WorksBase {
+
+  /** Best value per field by (priority ASC, updated DESC, native_id ASC)
+    * — deterministic survivorship for a set of fields in ONE pass. */
+  def survivorship(locations: DataFrame, workId: String,
+      priority: Column, updated: Column, tiebreak: Column,
+      fields: Seq[String]): DataFrame = {
+    val aggs = fields.map { f =>
+      // max_by with inverted priority: non-null values first, then best
+      // priority, newest, smallest native_id — one agg per field, no join
+      max_by(col(f), struct(
+        col(f).isNotNull.as("has"),
+        (-priority).as("np"),
+        updated.as("u"),
+        (-tiebreak).as("nt"))).as(f)
+    }
+    locations.groupBy(col(workId)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Ranked locations array + primary location (first by priority). */
+  def rankedLocations(locations: DataFrame, workId: String,
+      priority: Column, updated: Column, payload: Seq[String]): DataFrame = {
+    val cand = struct((priority.as("__p") +: updated.as("__u") +: payload.map(col)): _*)
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l("__p") < r("__p"), -1).when(l("__p") > r("__p"), 1)
+        .when(l("__u") > r("__u"), -1).when(l("__u") < r("__u"), 1)
+        .otherwise(0)
+    locations.groupBy(col(workId))
+      .agg(array_sort(collect_list(cand), cmp).as("locations"))
+      .withColumn("primary_location", element_at(col("locations"), 1))
+  }
+
+  /** OA status cascade (diamond/gold/hybrid/bronze/green/closed) —
+    * same decision order as the reference's works OA computation. */
+  def oaStatus(isOa: Column, inDoaj: Column, hasApc: Column,
+      hostType: Column, hasLicense: Column): Column =
+    when(!coalesce(isOa, lit(false)), "closed")
+      .when(inDoaj && !hasApc, "diamond")
+      .when(inDoaj, "gold")
+      .when(hostType === "journal" && hasLicense, "hybrid")
+      .when(hostType === "journal", "bronze")
+      .when(hostType === "repository", "green")
+      .otherwise("bronze")
+}

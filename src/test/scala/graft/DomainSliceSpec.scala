@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.authors.AuthorMatcher
+import graft.ingest.CrossrefParser
+import graft.resolve.WorkIdResolver
+import graft.serve.{Guardrails, SnapshotExport}
+import graft.works.{TypeClassifier, WorksBase}
+
+/** The walden-domain minimum slice (SURVEY §7.2) on FIXTURES.md-shaped
+  * synthetic records: parse → merge key → id resolution → survivorship
+  * → classification → author matching → guardrails → export. */
+class DomainSliceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val rawCrossref = spark.read.json(Seq(
+    """{"doi":"10.1234/A.1","title":["A Study Of Everything Important"],
+      |"author":[{"given":"John","family":"Smith","orcid":"https://orcid.org/0000-0002-1825-0097",
+      |"affiliation":[{"name":"MIT"}],"sequence":"first"},
+      |{"given":"Ada","family":"Lovelace","affiliation":[],"sequence":"additional"}],
+      |"issued":{"date_parts":[[2020]]},"type":"journal-article",
+      |"license":[{"url":"https://creativecommons.org/licenses/by/4.0","content_version":"vor"}],
+      |"container_title":["Journal of Things"],"publisher":"Pub Co",
+      |"abstract":"An abstract.","updated":"2024-05-01 10:00:00"}""".stripMargin.replace("\n", ""),
+    """{"doi":"10.1234/b.2","title":["Tiny"],"author":[],"issued":{"date_parts":[[2021,5]]},
+      |"type":"journal-article","updated":"2024-05-02 10:00:00"}""".stripMargin.replace("\n", ""),
+    """{"doi":"10.1234/c.3","title":["A Component That Should Be Dropped"],
+      |"author":[],"issued":{"date_parts":[[2021]]},"type":"component",
+      |"updated":"2024-05-03 10:00:00"}""".stripMargin.replace("\n", ""),
+    """{"doi":"10.1234/d.4","title":["Dated With Month And Day Present"],
+      |"author":[{"given":"Kim","family":"Lee","affiliation":[],"sequence":"first"}],
+      |"issued":{"date_parts":[[2021,5,7]]},"type":"journal-article",
+      |"updated":"2024-05-04 10:00:00"}""".stripMargin.replace("\n", "")).toDS())
+
+  test("CrossrefParser: filters, date defaulting, author keys, normalization") {
+    val w = CrossrefParser.parse(rawCrossref)
+    val rows = w.collect().map(r => r.getAs[String]("native_id") -> r).toMap
+    // 'Tiny' (title < 5 chars) and 'component' dropped
+    assert(rows.keySet == Set("10.1234/a.1", "10.1234/d.4"))
+    val a = rows("10.1234/a.1")
+    assert(a.getAs[java.sql.Date]("published_date").toString == "2020-01-01")
+    assert(rows("10.1234/d.4").getAs[java.sql.Date]("published_date").toString == "2021-05-07")
+    val authors = a.getSeq[org.apache.spark.sql.Row](a.fieldIndex("authors"))
+    assert(authors.head.getAs[String]("orcid") == "0000-0002-1825-0097")
+    assert(authors.head.getAs[String]("author_key") == "smith;j")
+    assert(authors.head.getAs[Boolean]("is_corresponding"))
+    assert(a.getAs[String]("license") == "cc-by")
+    assert(a.getAs[String]("normalized_title") == "a study of everything important")
+  }
+
+  test("CrossrefParser.withMergeKey: title_author guard + any-key filter") {
+    val w = CrossrefParser.withMergeKey(CrossrefParser.parse(rawCrossref))
+    assert(w.count() == 2) // all have DOIs
+    val ta = w.filter(col("native_id") === "10.1234/a.1")
+      .select("merge_key.title_author").as[String].collect().head
+    assert(ta == "a study of everything important|smith")
+  }
+
+  test("WorkIdResolver: key-priority adoption, ambiguity guard, minting") {
+    def mkRow(doi: Option[String], pmid: Option[String], ta: Option[String]) =
+      (doi.orNull, pmid.orNull, ta.orNull)
+    val locations = Seq(
+      ("l1", mkRow(Some("10.1/x"), None, None)),          // adopt by doi
+      ("l2", mkRow(None, Some("pm1"), None)),             // adopt by pmid
+      ("l3", mkRow(None, None, Some("a discriminative long title|smith"))), // 2 cands → min
+      ("l4", mkRow(None, None, Some("an ambiguous long title here|jones"))), // 4 cands → mint
+      ("l5", mkRow(None, None, Some("short|x"))),         // guard: too short → mint
+      ("l6", mkRow(Some("10.1/new"), None, None)),        // unmapped doi → mint
+      ("l7", mkRow(Some("10.1/new"), None, None)))        // same new doi → SAME minted id
+      .map { case (n, (d, p, t)) => (n, d, p, t) }
+      .toDF("loc", "doi", "pmid", "arxiv_raw")
+      .withColumn("merge_key", struct(col("doi"), col("pmid"),
+        lit(null).cast("string").as("arxiv"),
+        col("arxiv_raw").as("title_author")))
+      .drop("doi", "pmid", "arxiv_raw")
+    val amb = "an ambiguous long title here|jones"
+    val idMap = (Seq(
+      ("doi", "10.1/x", 100L), ("pmid", "pm1", 200L),
+      ("title_author", "a discriminative long title|smith", 301L),
+      ("title_author", "a discriminative long title|smith", 302L)) ++
+      (1 to 4).map(i => ("title_author", amb, 400L + i)))
+      .toDF("key_type", "key", "work_id")
+    val out = WorkIdResolver.resolve(locations, idMap)
+      .select(col("loc"), col("work_id"), col("work_id_source"))
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("l1") == ((100L, "doi")))
+    assert(out("l2") == ((200L, "pmid")))
+    assert(out("l3") == ((301L, "title_author")))
+    assert(out("l4")._2 == "minted" && out("l4")._1 > 6600000000L)
+    assert(out("l5")._2 == "minted")
+    assert(out("l6") == out("l7")) // same key ⇒ same minted id
+    assert(Set(out("l4")._1, out("l5")._1, out("l6")._1).size == 3)
+  }
+
+  test("WorksBase: survivorship by priority, location ranking, OA status") {
+    val locs = Seq(
+      (1L, 2, "2024-01-02 00:00:00", 11L, "title-from-pubmed", null.asInstanceOf[String]),
+      (1L, 1, "2024-01-01 00:00:00", 12L, "title-from-crossref", "abs-cr"),
+      (1L, 3, "2024-01-03 00:00:00", 13L, null.asInstanceOf[String], "abs-repo"))
+      .toDF("work_id", "prio", "upd", "native_id", "title", "abstract")
+      .withColumn("upd", col("upd").cast("timestamp"))
+    val best = WorksBase.survivorship(locs, "work_id", col("prio"), col("upd"),
+      col("native_id"), Seq("title", "abstract"))
+    val r = best.collect()(0)
+    assert(r.getAs[String]("title") == "title-from-crossref")  // priority 1 wins
+    assert(r.getAs[String]("abstract") == "abs-cr")            // non-null + best prio
+    val ranked = WorksBase.rankedLocations(locs, "work_id", col("prio"), col("upd"),
+      Seq("native_id"))
+    assert(ranked.select(col("primary_location.native_id")).as[Long].collect()(0) == 12L)
+
+    def oa(isOa: Boolean, doaj: Boolean, apc: Boolean, host: String, lic: Boolean) =
+      Seq(1).toDF("x").select(WorksBase.oaStatus(lit(isOa), lit(doaj), lit(apc),
+        lit(host), lit(lic)).as("s")).as[String].collect()(0)
+    assert(oa(false, false, false, "journal", false) == "closed")
+    assert(oa(true, true, false, "journal", true) == "diamond")
+    assert(oa(true, true, true, "journal", true) == "gold")
+    assert(oa(true, false, false, "journal", true) == "hybrid")
+    assert(oa(true, false, false, "journal", false) == "bronze")
+    assert(oa(true, false, false, "repository", false) == "green")
+  }
+
+  test("TypeClassifier: first-match-wins cascade with default") {
+    val df = Seq(
+      ("Retraction: bad paper", "journal-article", "journal", 5, false),
+      ("Regular paper", "letter", "journal", 5, false),
+      ("Data descriptor", "misc", "dataset-repository", 0, false),
+      ("On arXiv", "misc", "repository", 0, true),
+      ("Plain", "journal-article", "journal", 3, false))
+      .toDF("title", "raw_native_type", "source_type_raw", "n_refs", "is_preprint_server")
+      .withColumn("source_type", col("source_type_raw"))
+    val out = df.withColumn("wtype", TypeClassifier.classify(TypeClassifier.defaultRules))
+      .select("title", "wtype").as[(String, String)].collect().toMap
+    assert(out("Retraction: bad paper") == "retraction")
+    assert(out("Regular paper") == "letter")
+    assert(out("Data descriptor") == "dataset")
+    assert(out("On arXiv") == "preprint")
+    assert(out("Plain") == "article")
+  }
+
+  test("AuthorMatcher: orcid tier, duplicate-orcid skip, unique tiers, minting") {
+    val candidates = Seq(
+      (1001L, "smith;j", "0000-0001-0000-0001", Seq("I1"), Seq(10L)),
+      (1002L, "smith;j", null.asInstanceOf[String], Seq("I2"), Seq(20L)),
+      (1003L, "lee;k", null.asInstanceOf[String], Seq.empty[String], Seq.empty[Long]))
+      .toDF("author_id", "block_key", "orcid", "institution_ids", "source_ids")
+    val incoming = Seq(
+      (1L, 1, "smith;j", "0000-0001-0000-0001", Seq.empty[String], 0L),  // orcid tier
+      (2L, 1, "smith;j", null.asInstanceOf[String], Seq("I2"), 0L),      // inst tier → 1002
+      (2L, 2, "smith;j", null.asInstanceOf[String], Seq.empty[String], 20L), // source tier → 1002
+      (3L, 1, "lee;k", null.asInstanceOf[String], Seq.empty[String], 0L),    // unique name → 1003
+      (3L, 2, "smith;j", null.asInstanceOf[String], Seq.empty[String], 0L),  // 2 cands → mint
+      (4L, 1, "smith;j", "0000-0009-9999-9999", Seq.empty[String], 0L),  // dup orcid in work
+      (4L, 2, "smith;j", "0000-0009-9999-9999", Seq.empty[String], 0L))  // → skip orcid tier
+      .toDF("work_id", "author_seq", "block_key", "orcid", "institution_ids", "source_id")
+    val out = AuthorMatcher.matchAuthors(incoming, candidates)
+      .select(col("work_id"), col("author_seq"), col("author_id"), col("match_tier"))
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 1)) == ((1001L, "orcid")))
+    assert(out((2L, 1)) == ((1002L, "name_institution")))
+    assert(out((2L, 2)) == ((1002L, "name_source")))
+    assert(out((3L, 1)) == ((1003L, "name_unique")))
+    assert(out((3L, 2))._2 == "minted")
+    // duplicate-orcid rows do NOT match the (wrong) orcid tier
+    assert(out((4L, 1))._2 != "orcid" && out((4L, 2))._2 != "orcid")
+    // same minted block key ⇒ same new id
+    assert(out((3L, 2))._1 == out((4L, 1))._1)
+  }
+
+  test("Guardrails: churn / attribute loss / referential") {
+    val works = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("id", "abstract")
+    val churnOk = Guardrails.churn(works, col("id") > 2, maxChanged = 2)
+    val churnBad = Guardrails.churn(works, lit(true), maxChanged = 2)
+    assert(churnOk.passed && !churnBad.passed)
+    assert(Guardrails.attributeLoss(works, "abstract", baseline = 2, 0, 0.05).passed)
+    assert(!Guardrails.attributeLoss(works, "abstract", baseline = 10, 1, 0.05).passed)
+    val child = Seq((1L, 1L), (2L, 99L)).toDF("id", "work_id")
+    val ref = Guardrails.referential(child, "work_id", works.select(col("id")), "id")
+    assert(!ref.passed && ref.value == 1)
+    assert(Guardrails.runAll(Seq(churnOk)).isRight)
+    assert(Guardrails.runAll(Seq(churnOk, churnBad)).isLeft)
+  }
+
+  test("SnapshotExport: caps, null-dropping JSON, bounded files") {
+    val df = Seq((1L, "x" * 100, null.asInstanceOf[String]), (2L, "b", "t"))
+      .toDF("id", "title", "subtitle")
+    val capped = SnapshotExport.capStrings(df, Map("title" -> 10))
+    assert(capped.filter(col("id") === 1).select("title").as[String].collect()(0).length == 10)
+    val json = SnapshotExport.toJsonLines(capped, Seq("id", "title", "subtitle"))
+      .as[String].collect().sorted
+    assert(json(0) == """{"id":1,"title":"xxxxxxxxxx"}""") // null subtitle dropped
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    SnapshotExport.writeJson(
+      capped.withColumn("json", to_json(struct(col("id")))), col("id"), "json",
+      dir, partitions = 2, maxRecordsPerFile = 1)
+    val lines = spark.read.text(dir).count()
+    assert(lines == 2)
+  }
+}
