@@ -20,13 +20,17 @@ object TextFunctions {
     filter(split(text, " "), t => t =!= "")
 
   /** Word k-shingles as space-joined strings; empty array when the doc
-    * has fewer than k tokens. */
+    * has fewer than k tokens. Built as k−1 `zip_with` passes over
+    * shifted slices (NOT a per-position `slice` lambda — that is O(n·k)
+    * interpreted calls and dominated the sf0.1 dedup bench). */
   def wordShingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => array_join(slice(toks, i, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val n = size(toks)
+    val len = n - (k - 1)
+    val joined = (1 until k).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), len), (a, b) => concat(a, lit(" "), b))
+    }
+    when(n >= k, joined).otherwise(array().cast("array<string>"))
   }
 
   /** BPE-ish token count: runs of letters, runs of digits, or single

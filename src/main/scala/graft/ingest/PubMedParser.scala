@@ -1,0 +1,74 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** PubMed XML record → walden works rows (reference:
+  * notebooks/ingest/PubMed.py:106-153 — streaming XML with rowTag +
+  * schema hints; Spark 4 ships the XML source, so `from_xml` parses the
+  * per-record payload natively — no UDF, no external lib).
+  */
+object PubMedParser {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("MedlineCitation", StructType(Seq(
+      StructField("PMID", StringType),
+      StructField("DateRevised", StructType(Seq(
+        StructField("Year", IntegerType),
+        StructField("Month", IntegerType),
+        StructField("Day", IntegerType)))),
+      StructField("Article", StructType(Seq(
+        StructField("ArticleTitle", StringType),
+        StructField("Abstract", StructType(Seq(
+          StructField("AbstractText", StringType)))),
+        StructField("Journal", StructType(Seq(
+          StructField("Title", StringType),
+          StructField("JournalIssue", StructType(Seq(
+            StructField("PubDate", StructType(Seq(
+              StructField("Year", IntegerType),
+              StructField("Month", IntegerType)))))))))),
+        StructField("AuthorList", StructType(Seq(
+          StructField("Author", ArrayType(StructType(Seq(
+            StructField("LastName", StringType),
+            StructField("ForeName", StringType))))))))))))))))
+
+  /** Parse a frame with a raw `xml` STRING column of <PubmedArticle>
+    * payloads into walden rows. */
+  def parse(raw: DataFrame): DataFrame = {
+    val rec = raw.withColumn("__r", from_xml(col("xml"), recordSchema))
+      .filter(col("__r.MedlineCitation.PMID").isNotNull)
+    val art = col("__r.MedlineCitation.Article")
+    val authors = transform(art.getField("AuthorList").getField("Author"), a => struct(
+      a.getField("ForeName").as("given"),
+      a.getField("LastName").as("family"),
+      trim(concat_ws(" ", a.getField("ForeName"), a.getField("LastName"))).as("name"),
+      lit(null).cast("string").as("orcid"),
+      lit(null).cast(ArrayType(WaldenSchema.affiliation)).as("affiliations"),
+      lit(false).as("is_corresponding"),
+      Normalize.authorKey(a.getField("LastName"), a.getField("ForeName")).as("author_key")))
+    val pubDate = art.getField("Journal").getField("JournalIssue").getField("PubDate")
+    val revised = col("__r.MedlineCitation.DateRevised")
+    val parsed = rec.select(
+      lit("pubmed").as("provenance"),
+      col("__r.MedlineCitation.PMID").as("native_id"),
+      lit("pmid").as("native_id_namespace"),
+      substring(art.getField("ArticleTitle"), 1, 5000).as("title"),
+      Normalize.title(art.getField("ArticleTitle")).as("normalized_title"),
+      authors.as("authors"),
+      array(struct(col("__r.MedlineCitation.PMID").as("id"),
+        lit("pmid").as("namespace"), lit("self").as("relationship"))).as("ids"),
+      lit("journal-article").as("type"),
+      make_date(pubDate.getField("Year"),
+        coalesce(pubDate.getField("Month"), lit(1)), lit(1)).as("published_date"),
+      make_date(revised.getField("Year"), coalesce(revised.getField("Month"), lit(1)),
+        coalesce(revised.getField("Day"), lit(1)))
+        .cast("timestamp").as("updated_date"),
+      substring(art.getField("Abstract").getField("AbstractText"), 1, 10000).as("abstract"),
+      art.getField("Journal").getField("Title").as("source_name"))
+    AlignSchema(parsed, WaldenSchema.works)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.core.{AlignSchema, IdMinter, MergeInto, Scd1Upsert, Tables}
+import graft.core.{AlignSchema, IdMinter, Incremental, MergeInto, Scd1Upsert, Tables}
 
 /** Walden-domain infrastructure operators demonstrated on the driver
   * fixtures: CDC/SCD1, MERGE, incremental metrics, sessionization,
@@ -151,7 +151,24 @@ object DomainQueries {
         .as("entries"))
   }
 
+  /** §4 incrementalization: key-level diff with content-hash no-op
+    * suppression (CreateWorksEnriched.ipynb:544-608; CDF semantics,
+    * Crossref.py:326-329) — prev = per-user stats over even event_ids,
+    * next = over all events; emits insert/update change rows only.
+    * md5-hasher variant so the DuckDB oracle reproduces the hash. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def stats(df: DataFrame): DataFrame = df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
+    val prev = stats(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val next = stats(ev)
+    Incremental.diff(prev, next, Seq("user_id"), Seq("n", "last_type"),
+      cols => md5(to_json(struct(cols: _*))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_incremental_diff" -> (q44 _),
     "q22_scd1_latest_state" -> (q22 _),
     "q23_merge_upsert_stats" -> (q23 _),
     "q24_metrics_tall_daily" -> (q24 _),
@@ -163,6 +180,31 @@ object DomainQueries {
     "q30_inverted_index_docs" -> (q30 _))
 
   val oracle: Map[String, String] = Map(
+    "q44_incremental_diff" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) tns FROM events),
+        |pl AS (SELECT user_id, event_type AS last_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tns DESC, event_id DESC) rn FROM e WHERE event_id % 2 = 0) x WHERE rn = 1),
+        |pn AS (SELECT user_id, count(*) n FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        |prev AS (SELECT pn.user_id,
+        |  md5(CAST(to_json(struct_pack(n := n, last_type := last_type)) AS VARCHAR)) AS ph
+        |  FROM pn JOIN pl USING (user_id)),
+        |nl AS (SELECT user_id, event_type AS last_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tns DESC, event_id DESC) rn FROM e) x WHERE rn = 1),
+        |nn AS (SELECT user_id, count(*) n FROM e GROUP BY 1),
+        |nxt AS (SELECT nn.user_id,
+        |  md5(CAST(to_json(struct_pack(n := n, last_type := last_type)) AS VARCHAR)) AS nh
+        |  FROM nn JOIN nl USING (user_id))
+        |SELECT coalesce(nxt.user_id, prev.user_id) AS user_id,
+        |CASE WHEN prev.ph IS NULL THEN 'insert'
+        |  WHEN nxt.nh IS NULL THEN 'delete'
+        |  WHEN nxt.nh <> prev.ph THEN 'update' END AS _change_type,
+        |nxt.nh AS content_hash
+        |FROM nxt FULL OUTER JOIN prev ON nxt.user_id = prev.user_id
+        |WHERE (CASE WHEN prev.ph IS NULL THEN 'insert'
+        |  WHEN nxt.nh IS NULL THEN 'delete'
+        |  WHEN nxt.nh <> prev.ph THEN 'update' END) IS NOT NULL""".stripMargin,
     "q22_scd1_latest_state" ->
       """SELECT user_id, event_type AS last_type, round(value,2) AS last_value,
         |event_id AS last_event

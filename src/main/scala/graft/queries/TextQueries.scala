@@ -108,7 +108,9 @@ object TextQueries {
   /** N-gram Jaccard near-dup pairs with rare-shingle prefix blocking
     * (df ∈ [2,20], co-occurrence ≥ 2) — no all-pairs join. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    // the shingle frame feeds candidate generation AND verification —
+    // cache it or Catalyst recomputes the HOF shingling several times
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3).cache()
     val cand = Dedup.rareShingleCandidates(sh, "doc_id", 20, minCommon = 2)
     Dedup.jaccardForPairs(cand, sh, "doc_id").filter(col("jaccard") >= 0.5)
   }

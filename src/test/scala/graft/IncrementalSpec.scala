@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Incremental
+import graft.ingest.PubMedParser
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Incremental.diff: insert/update/delete with no-op suppression") {
+    val prev = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("k", "v", "x")
+    val next = Seq((1L, "a", 10L), (2L, "B", 10L), (4L, "d", 10L))
+      .toDF("k", "v", "x")
+    val d = Incremental.diff(prev, next, Seq("k"), Seq("v", "x"))
+      .select("k", "_change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    // no-op row 1 suppressed entirely
+  }
+
+  test("Incremental.bumpUpdatedDate only on content change") {
+    val prevHashes = Seq((1L, "a")).toDF("k", "v")
+      .withColumn("content_hash", Incremental.contentHash(Seq(col("v"))))
+      .withColumn("updated_date", lit("2020-01-01").cast("timestamp"))
+      .select("k", "content_hash", "updated_date")
+    val next = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = Incremental.bumpUpdatedDate(next, prevHashes, Seq("k"), Seq("v"),
+        lit("2024-06-01").cast("timestamp"))
+      .select(col("k"), col("updated_date").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L).startsWith("2020-01-01"))  // unchanged → keeps old date
+    assert(out(2L).startsWith("2024-06-01"))  // new → bumped
+  }
+
+  test("Incremental.aboveWatermark filters strictly above") {
+    val df = Seq((1L, 5L), (2L, 10L), (3L, 15L)).toDF("k", "seq")
+    assert(Incremental.aboveWatermark(df, col("seq"), Some(10L)).count() == 1)
+    assert(Incremental.aboveWatermark(df, col("seq"), None).count() == 3)
+  }
+
+  test("PubMedParser: from_xml record → walden row") {
+    val xml =
+      """<PubmedArticle><MedlineCitation><PMID>12345</PMID>
+        |<DateRevised><Year>2024</Year><Month>3</Month><Day>9</Day></DateRevised>
+        |<Article><ArticleTitle>A PubMed Title Of Substance</ArticleTitle>
+        |<Abstract><AbstractText>Some abstract text.</AbstractText></Abstract>
+        |<Journal><Title>J Med</Title><JournalIssue><PubDate><Year>2023</Year>
+        |<Month>7</Month></PubDate></JournalIssue></Journal>
+        |<AuthorList><Author><LastName>Smith</LastName><ForeName>Jo</ForeName></Author>
+        |<Author><LastName>Lee</LastName><ForeName>Kim</ForeName></Author></AuthorList>
+        |</Article></MedlineCitation></PubmedArticle>""".stripMargin.replace("\n", "")
+    val out = PubMedParser.parse(Seq(xml).toDF("xml"))
+    assert(out.count() == 1)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("native_id") == "12345")
+    assert(r.getAs[String]("title") == "A PubMed Title Of Substance")
+    assert(r.getAs[String]("abstract") == "Some abstract text.")
+    assert(r.getAs[java.sql.Date]("published_date").toString == "2023-07-01")
+    val authors = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("authors"))
+    assert(authors.map(_.getAs[String]("author_key")) == Seq("smith;j", "lee;k"))
+    // malformed XML → filtered, not crashed
+    assert(PubMedParser.parse(Seq("<not-xml").toDF("xml")).count() == 0)
+  }
+}
