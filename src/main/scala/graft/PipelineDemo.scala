@@ -96,6 +96,36 @@ object PipelineDemo {
     stage("exported json lines", exported.count(), _ == 2)
     println("[pipe] sample: " + exported.as[String].collect().min)
 
+    // enrichment: affiliation rules, stub embeddings, bulk indexing
+    val affils = resolved.select(col("work_id"),
+        posexplode(col("authors")).as(Seq("author_seq", "a")))
+      .select(col("work_id"), col("author_seq"),
+        coalesce(try_element_at(transform(col("a.affiliations"),
+          x => x.getField("name")), lit(1)), lit("")).as("affiliation_string"))
+    val rules = Seq(("I-MIT", "mit", "mit")).toDF("institution_id", "block_token", "pattern")
+    val insts = graft.entities.AffiliationMatcher.matchInstitutions(affils, rules)
+    stage("authorships with institutions",
+      insts.filter(size(col("institution_ids")) > 0).count(), _ == 1)
+
+    val emb = graft.llm.LlmOps.embed(
+      typed.select(col("work_id").as("id"), col("title").as("text"))
+        .as[graft.llm.LlmOps.EmbedIn],
+      () => new graft.llm.LlmOps.StubClient, dim = 8, batchSize = 16,
+      guard = Some(graft.llm.LlmOps.CostGuard(unitCostMicros = 1, budgetMicros = 1000)))
+    stage("embeddings", emb.count(), _ == 2)
+
+    val bulkFailures = graft.serve.BulkSink.index(
+      shaped, "work_id", "json",
+      () => new graft.serve.BulkSink.BulkClient {
+        def sendBulk(chunk: Seq[String]): Int = { chunk.foreach(_ => ()); 0 }
+      }, partitions = 1, chunkSize = 10)
+    stage("bulk-index failures", bulkFailures, _ == 0)
+
+    val layoutDir = Files.createTempDirectory("graft-layout").toString
+    graft.core.LayoutWriter.writeClustered(typed.drop("published_date"),
+      layoutDir, 1, Seq(col("work_id")))
+    stage("clustered layout rows", spark.read.parquet(layoutDir).count(), _ == 2)
+
     println(s"[pipe] RESULT: ${if (ok) "ALL OK" else "FAILED"}")
     spark.stop()
     if (!ok) sys.exit(1)

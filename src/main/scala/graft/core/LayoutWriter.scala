@@ -1,0 +1,21 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Storage-layout writer — the open equivalent of the reference's Delta
+  * liquid clustering / ZORDER passes (CreateLocationsMapped.sql:59-66
+  * `CLUSTER BY` on merge keys + raised dataSkippingNumIndexedCols;
+  * OptimizeWorksEnriched.ipynb): range-repartition on the hot key(s),
+  * sort within partitions, write parquet. Parquet row-group min/max
+  * stats on the sorted keys then give scan-time file/row-group pruning
+  * for key-range predicates — the same skipping the reference buys from
+  * clustering, with no table format dependency.
+  */
+object LayoutWriter {
+
+  def writeClustered(df: DataFrame, path: String, partitions: Int,
+      clusterBy: Seq[Column]): Unit =
+    df.repartitionByRange(partitions, clusterBy: _*)
+      .sortWithinPartitions(clusterBy: _*)
+      .write.mode("overwrite").parquet(path)
+}

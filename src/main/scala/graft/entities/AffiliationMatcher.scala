@@ -1,0 +1,35 @@
+package graft.entities
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Affiliation-string → institution matching as a DATA-DRIVEN rules
+  * table (reference: notebooks/institutions/affiliation_string_parsing
+  * .py:3-4880 — 4.9K lines of hand rules; the port expresses each rule
+  * as a row, so parity work is data entry, not code).
+  *
+  * Matching = broadcast the rules table, join on a cheap blocking
+  * token, then verify with the rule's pattern. The affiliation side
+  * streams; the rules side is tiny — no shuffle of the big side.
+  */
+object AffiliationMatcher {
+
+  /** @param rules (institution_id, block_token, pattern) — pattern is a
+    *              normalized substring the affiliation must contain
+    * @param affils (work_id, author_seq, affiliation_string) */
+  def matchInstitutions(affils: DataFrame, rules: DataFrame): DataFrame = {
+    val blocked = affils.withColumn("__norm",
+      lower(regexp_replace(col("affiliation_string"), "[^a-zA-Z0-9 ]", " ")))
+      .withColumn("__tok", explode(split(col("__norm"), " +")))
+      .filter(length(col("__tok")) >= 3)
+    val hits = blocked.join(broadcast(rules), col("__tok") === col("block_token"))
+      .filter(col("__norm").contains(col("pattern")))
+      .select(col("work_id"), col("author_seq"), col("institution_id"))
+      .distinct()
+    // one row per AUTHORSHIP: evidence from all of its affiliation
+    // strings (e.g. multiple locations) unions into institution_ids
+    affils.join(hits, Seq("work_id", "author_seq"), "left")
+      .groupBy(col("work_id"), col("author_seq"))
+      .agg(sort_array(collect_set(col("institution_id"))).as("institution_ids"))
+  }
+}

@@ -41,9 +41,33 @@ object WorksQueries {
       .select(col("o_orderkey"), col("c3"), col("fwci"), col("pctl"), col("is_top10"))
   }
 
+  /** §2.4 MeSH-shaped aggregation (CreateWorksBase.ipynb:1691-1766):
+    * collect sorted lines → arrays_zip → explode_outer → per-descriptor
+    * rollup → sorted struct-array JSON per work. The zip/explode is the
+    * Spark-side mechanics; the oracle states the equivalent relational
+    * semantics directly. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val perLine = li.select(col("l_orderkey"),
+        struct(col("l_linenumber"), col("l_partkey"), col("l_quantity")).as("ln"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("ln"))).as("lines"))
+    val zipped = perLine.select(col("l_orderkey"),
+      explode_outer(arrays_zip(
+        transform(col("lines"), x => x.getField("l_partkey")),
+        transform(col("lines"), x => x.getField("l_quantity")))).as("z"))
+    val perPart = zipped.groupBy(col("l_orderkey"), col("z.0").as("pk"))
+      .agg(RelationalQueries.dsum(col("z.1")).as("qty"), count(lit(1)).as("n"))
+    perPart.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("n_parts"),
+      to_json(array_sort(collect_list(struct(col("pk"), col("qty"), col("n")))))
+        .as("descriptors"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q42_citation_counts_by_year" -> (q42 _),
-    "q43_citation_fwci_percentile" -> (q43 _))
+    "q43_citation_fwci_percentile" -> (q43 _),
+    "q45_mesh_zip_aggregation" -> (q45 _))
 
   val oracle: Map[String, String] = Map(
     "q42_citation_counts_by_year" ->
@@ -68,5 +92,14 @@ object WorksQueries {
         |  / 1000000.0 AS fwci FROM f),
         |p AS (SELECT *, floor(percent_rank() OVER (PARTITION BY pub_year
         |  ORDER BY c3 ASC, o_orderkey ASC) * 1000000 + 0.5) / 1000000.0 AS pctl FROM g)
-        |SELECT o_orderkey, c3, fwci, pctl, pctl >= 0.9 AS is_top10 FROM p""".stripMargin)
+        |SELECT o_orderkey, c3, fwci, pctl, pctl >= 0.9 AS is_top10 FROM p""".stripMargin,
+    "q45_mesh_zip_aggregation" ->
+      """WITH pp AS (SELECT l_orderkey, l_partkey AS pk,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS qty,
+        |  count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, count(*) AS n_parts,
+        |CAST(to_json(list_sort(list(struct_pack(pk := pk, qty := qty, n := n)))) AS VARCHAR)
+        |  AS descriptors
+        |FROM pp GROUP BY l_orderkey""".stripMargin)
 }

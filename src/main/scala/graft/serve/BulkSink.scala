@@ -1,0 +1,38 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Partition-wise bulk indexing sink — the ES sync pattern (reference:
+  * notebooks/elastic/sync_works.ipynb:81,135 — size-tiered repartition
+  * then `helpers.parallel_bulk` per partition). The transport is
+  * pluggable (no network here); what the engine owns — and what is
+  * tested — is the distribution contract: range repartitioning, one
+  * client per partition, bounded bulk chunks, per-partition failure
+  * accounting via an accumulator (never a driver collect).
+  */
+object BulkSink {
+
+  /** Pluggable bulk transport; constructed once per partition. */
+  trait BulkClient extends Serializable {
+    /** @return number of failed documents in the chunk */
+    def sendBulk(chunk: Seq[String]): Int
+    def close(): Unit = ()
+  }
+
+  /** Index `jsonCol` docs: returns total failed-doc count (driver-side
+    * scalar from an accumulator, not a collect). */
+  def index(df: DataFrame, idCol: String, jsonCol: String,
+      makeClient: () => BulkClient, partitions: Int, chunkSize: Int): Long = {
+    val failures = df.sparkSession.sparkContext.longAccumulator("bulk_failures")
+    df.repartitionByRange(partitions, col(idCol))
+      .select(col(jsonCol))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val client = makeClient()
+        try it.map(_.getString(0)).grouped(chunkSize)
+          .foreach(chunk => failures.add(client.sendBulk(chunk).toLong))
+        finally client.close()
+      }
+    failures.value
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.LayoutWriter
+import graft.entities.AffiliationMatcher
+import graft.llm.LlmOps
+import graft.serve.BulkSink
+
+class ServeLlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LlmOps.embed: batched, deterministic, cost-guarded") {
+    val ds = Seq(LlmOps.EmbedIn(1L, "spark join merge"),
+      LlmOps.EmbedIn(2L, "window sort agg")).toDS()
+    val out1 = LlmOps.embed(ds, () => new LlmOps.StubClient, dim = 8, batchSize = 1)
+      .collect().sortBy(_.id).map(_.embedding.toSeq)
+    val out2 = LlmOps.embed(ds, () => new LlmOps.StubClient, dim = 8, batchSize = 2)
+      .collect().sortBy(_.id).map(_.embedding.toSeq)
+    assert(out1.toSeq == out2.toSeq) // batch size must not change results
+    val guard = LlmOps.CostGuard(unitCostMicros = 100, budgetMicros = 150)
+    val ex = intercept[IllegalStateException] {
+      LlmOps.embed(ds, () => new LlmOps.StubClient, 8, 1, Some(guard)).collect()
+    }
+    assert(ex.getMessage.contains("cost guard"))
+    assert(LlmOps.CostGuard(100, 1000).check(2).isRight)
+  }
+
+  test("LlmOps.judge: batched completion keeps row alignment") {
+    val df = Seq((1L, "is this ok?"), (2L, "and this?")).toDF("id", "prompt")
+    val out = LlmOps.judge(df, "id", "prompt", () => new LlmOps.StubClient, 1)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "echo:is this ok?" && out(2L) == "echo:and this?")
+  }
+
+  test("BulkSink: chunked per-partition bulk with failure accounting") {
+    val sent = spark.sparkContext.collectionAccumulator[Int]("chunks")
+    class CountingClient extends BulkSink.BulkClient {
+      def sendBulk(chunk: Seq[String]): Int = {
+        sent.add(chunk.size)
+        chunk.count(_.contains("bad"))
+      }
+    }
+    val df = (1 to 10).map(i => (i.toLong, if (i % 4 == 0) s"""{"bad":$i}""" else s"""{"ok":$i}"""))
+      .toDF("id", "json")
+    val failures = BulkSink.index(df, "id", "json", () => new CountingClient,
+      partitions = 2, chunkSize = 3)
+    assert(failures == 2)
+    import scala.jdk.CollectionConverters._
+    assert(sent.value.asScala.sum == 10)
+    assert(sent.value.asScala.forall(_ <= 3))
+  }
+
+  test("AffiliationMatcher: blocked substring rules, multi-hit, no-hit") {
+    val rules = Seq(
+      ("I-MIT", "institute", "massachusetts institute of technology"),
+      ("I-MIT", "mit", "mit "),
+      ("I-OX", "oxford", "university of oxford")).toDF("institution_id", "block_token", "pattern")
+    val affils = Seq(
+      (1L, 1, "Massachusetts Institute of Technology, Cambridge"),
+      (1L, 2, "University of Oxford; MIT visiting"),
+      (2L, 1, "Unknown Independent Lab")).toDF("work_id", "author_seq", "affiliation_string")
+    val out = AffiliationMatcher.matchInstitutions(affils, rules)
+      .select(col("work_id"), col("author_seq"), col("institution_ids"))
+      .as[(Long, Int, Seq[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 1)) == Seq("I-MIT"))
+    assert(out((1L, 2)) == Seq("I-MIT", "I-OX"))
+    assert(out((2L, 1)).isEmpty)
+  }
+
+  test("LayoutWriter: clustered parquet enables min/max range pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("k", pmod(col("id") * 37, lit(10000)))
+    LayoutWriter.writeClustered(df, dir, partitions = 8, Seq(col("k")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    // a narrow k-range predicate must NOT read all 8 files' row groups:
+    // with range clustering each file covers ~1/8 of the k domain
+    val files = back.filter(col("k").between(0, 100))
+      .select(input_file_name()).distinct().count()
+    assert(files <= 2, s"expected <=2 files for a 1% key range, read $files")
+  }
+}
