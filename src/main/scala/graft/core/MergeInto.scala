@@ -94,29 +94,53 @@ final class MergeInto(
     val notMatched = col("__tgt.__t_exists").isNull && col("__src.__s_exists").isNotNull
     val bySource = col("__tgt.__t_exists").isNotNull && col("__src.__s_exists").isNull
 
-    // First-clause-wins cascade: fold clauses in reverse so that earlier
-    // registrations override later ones in the final `when` chain.
+    // Delta evaluates clauses IN ORDER and stops at the first whose
+    // condition holds (per match category). Make each clause's
+    // condition explicitly disjoint with all earlier same-category
+    // clauses, so a later clause can neither change a row an earlier
+    // clause claimed nor contribute columns the earlier clause left.
+    def disjoint(category: Column, conds: Seq[Column]): Seq[Column] = {
+      var prior: Column = lit(false)
+      conds.map { c =>
+        val eff = category && coalesce(c, lit(false)) && !prior
+        prior = prior || (category && coalesce(c, lit(false)))
+        eff
+      }
+    }
+    val matchedClauses = clauses.collect {
+      case u: MatchedUpdate => (u.cond, Some(u.set))
+      case d: MatchedDelete => (d.cond, None)
+    }
+    val effMatched = disjoint(matched, matchedClauses.map(_._1))
+      .zip(matchedClauses.map(_._2))
+    val insertClauses = clauses.collect { case i: NotMatchedInsert => i }
+    val effInsert = disjoint(notMatched, insertClauses.map(_.cond))
+      .zip(insertClauses.map(_.values))
+    val effBySourceDel = disjoint(bySource,
+      clauses.collect { case d: NotMatchedBySourceDelete => d.cond })
+
     val outCols = target.columns.map { c =>
       var expr: Column = col(s"__tgt.$c")
-      clauses.reverse.foreach {
-        case MatchedUpdate(cond, set) if set.contains(c) =>
-          expr = when(matched && cond, set(c)).otherwise(expr)
-        case NotMatchedInsert(cond, values) =>
-          val v = values.flatMap(_.get(c)).getOrElse(
-            if (src0.columns.contains(c)) col(s"__src.$c") else lit(null))
-          expr = when(notMatched && cond, v).otherwise(expr)
+      effMatched.foreach {
+        case (eff, Some(set)) if set.contains(c) =>
+          expr = when(eff, set(c)).otherwise(expr)
         case _ => ()
+      }
+      effInsert.foreach { case (eff, values) =>
+        val v = values.flatMap(_.get(c)).getOrElse(
+          if (src0.columns.contains(c)) col(s"__src.$c") else lit(null))
+        expr = when(eff, v).otherwise(expr)
       }
       expr.as(c)
     }
 
-    var keep: Column = when(notMatched, lit(false)).otherwise(lit(true))
-    clauses.reverse.foreach {
-      case MatchedDelete(cond) => keep = when(matched && cond, lit(false)).otherwise(keep)
-      case NotMatchedInsert(cond, _) => keep = when(notMatched && cond, lit(true)).otherwise(keep)
-      case NotMatchedBySourceDelete(cond) => keep = when(bySource && cond, lit(false)).otherwise(keep)
-      case _ => ()
-    }
+    val deletedByMatch = effMatched.collect { case (eff, None) => eff }
+      .foldLeft(lit(false))(_ || _)
+    val inserted = effInsert.map(_._1).foldLeft(lit(false))(_ || _)
+    val deletedBySource = effBySourceDel.foldLeft(lit(false))(_ || _)
+    val keep = when(notMatched, inserted)
+      .when(matched, !deletedByMatch)
+      .otherwise(!deletedBySource)
 
     joined.filter(keep).select(outCols: _*)
   }

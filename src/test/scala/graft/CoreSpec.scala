@@ -102,4 +102,29 @@ class CoreSpec extends AnyFunSuite {
           "named_struct('value', 'best', 'priority', 1))")).as("v"))
     assert(df.as[String].collect().toSeq == Seq("best"))
   }
+
+  test("MergeInto: first-clause-wins ordering (Delta semantics)") {
+    import org.apache.spark.sql.functions._
+    val target = Seq((1L, "a", 5L)).toDF("k", "v", "x")
+    val source = Seq((1L, "S", 99L)).toDF("k", "v", "x")
+    // update registered FIRST shields the row from a later delete
+    val updFirst = MergeInto(target, source, "k")
+      .whenMatchedUpdate(Map("v" -> col("__src.v")))
+      .whenMatchedDelete()
+      .run().select("v").as[String].collect().toSeq
+    assert(updFirst == Seq("S"))
+    // delete registered FIRST wins over a later update
+    val delFirst = MergeInto(target, source, "k")
+      .whenMatchedDelete()
+      .whenMatchedUpdate(Map("v" -> col("__src.v")))
+      .run().count()
+    assert(delFirst == 0)
+    // an earlier update claims the row entirely: the second update's
+    // extra column assignment must NOT leak through
+    val twoUpdates = MergeInto(target, source, "k")
+      .whenMatchedUpdate(Map("v" -> col("__src.v")), col("__src.x") > 0)
+      .whenMatchedUpdate(Map("v" -> lit("OTHER"), "x" -> col("__src.x")))
+      .run().select("v", "x").as[(String, Long)].collect().toSeq
+    assert(twoUpdates == Seq(("S", 5L)))
+  }
 }
