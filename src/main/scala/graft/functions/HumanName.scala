@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HumanName-lite: raw author display name → (given, family, author_key)
+  * — the structured-parse subset of the reference's name parser
+  * (libraries/dlt_utils/openalex/dlt/normalize.py:55-105 `nameparser`
+  * usage; notebooks/end2end/CreateAuthorNames.ipynb:40-1242 is the full
+  * v2 with CJK romanization/transliteration, which is model/ICU
+  * territory — OUT of scope; CJK names pass through whole as family,
+  * the same fallback the reference's positional path takes for
+  * unparseable scripts).
+  *
+  * Pure Column expressions (codegen'd, no UDF):
+  *  - "Last, First"  comma form flips
+  *  - credential/suffix tokens stripped (jr, iii, phd, md, …)
+  *  - nobiliary particles (van, de, von, …) attach to the family
+  *  - author_key = lower(family);first-initial (the blocking key)
+  */
+object HumanName {
+
+  private val suffixes = Seq("jr", "sr", "ii", "iii", "iv", "phd", "md",
+    "dds", "esq", "mba", "msc", "bsc", "prof", "dr")
+  private val particles = Seq("van", "von", "de", "del", "della", "der",
+    "den", "da", "di", "la", "le", "al", "bin", "ibn", "mac", "st")
+
+  private def isIn(vals: Seq[String])(c: Column): Column =
+    c.isin(vals.map(x => x: Any): _*)
+
+  /** Tokens of the cleaned name, credentials stripped. */
+  private def cleanTokens(name: Column): Column = {
+    val noComma = regexp_replace(name, ",", " , ")
+    val toks = filter(split(trim(noComma), "\\s+"), t => t =!= "")
+    filter(toks, t => !isIn(suffixes)(regexp_replace(lower(t), "\\.", "")))
+  }
+
+  /** STRUCT<given, family> from a raw display name. */
+  def parse(name: Column): Column = {
+    val toks = cleanTokens(name)
+    val commaIdx = array_position(toks, ",")
+    // "Family, Given …" → family = tokens before comma, given = after
+    val commaForm = commaIdx > 0
+    val famComma = array_join(slice(toks, lit(1), (commaIdx - 1).cast("int")), " ")
+    val givComma = array_join(slice(toks, (commaIdx + 1).cast("int"), size(toks)), " ")
+    // natural form: family = last token, pulled-forward particles attach
+    val n = size(toks)
+    val partStart = when(n >= 3 && isIn(particles)(lower(try_element_at(toks, lit(-3)))) &&
+        isIn(particles)(lower(try_element_at(toks, lit(-2)))), n - 2)
+      .when(n >= 2 && isIn(particles)(lower(try_element_at(toks, lit(-2)))), n - 1)
+      .otherwise(n)
+    val famNat = when(n >= 1, array_join(slice(toks, partStart, n), " "))
+    val givNat = when(n >= 2, array_join(slice(toks, lit(1), (partStart - 1).cast("int")), " "))
+    val fam = when(commaForm, famComma).otherwise(famNat)
+    val giv = nullif(trim(when(commaForm, givComma).otherwise(givNat)), lit(""))
+    struct(giv.as("given"), nullif(trim(fam), lit("")).as("family"))
+  }
+
+  /** Blocking key from a raw display name. */
+  def authorKey(name: Column): Column = {
+    val p = parse(name)
+    when(p.getField("family").isNotNull,
+      Normalize.authorKey(p.getField("family"), coalesce(p.getField("given"), lit(""))))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** GROBID TEI → walden works rows (reference: notebooks/ingest/
+  * PDF.py:27-200 — xml.etree over the TEI header; here the TEI payload
+  * is parsed natively with `from_xml`, keeping the same field map:
+  * title, authors (persName forename/surname), DOI idno, date, abstract).
+  * XML attributes surface with the `_` prefix (`_when`, `_type`).
+  */
+object TeiParser {
+
+  val teiSchema: StructType = StructType.fromDDL(
+    """teiHeader STRUCT<
+      |  fileDesc: STRUCT<
+      |    titleStmt: STRUCT<title: STRING>,
+      |    sourceDesc: STRUCT<biblStruct: STRUCT<
+      |      analytic: STRUCT<
+      |        author: ARRAY<STRUCT<persName: STRUCT<forename: STRING, surname: STRING>>>,
+      |        idno: ARRAY<STRUCT<_type: STRING, _VALUE: STRING>>>,
+      |      monogr: STRUCT<imprint: STRUCT<date: STRUCT<_when: STRING>>>>>>,
+      |  profileDesc: STRUCT<abstract: STRUCT<p: STRING>>>""".stripMargin)
+
+  /** Parse a frame with a raw `xml` STRING column of <TEI> documents. */
+  def parse(raw: DataFrame): DataFrame = {
+    val rec = raw.withColumn("__r", from_xml(col("xml"), teiSchema))
+    val bibl = col("__r.teiHeader.fileDesc.sourceDesc.biblStruct")
+    val title = col("__r.teiHeader.fileDesc.titleStmt.title")
+    val doi = Normalize.doi(try_element_at(filter(
+      bibl.getField("analytic").getField("idno"),
+      i => upper(i.getField("_type")) === "DOI"), lit(1)).getField("_VALUE"))
+    val authors = transform(bibl.getField("analytic").getField("author"), a => {
+      val pn = a.getField("persName")
+      struct(
+        pn.getField("forename").as("given"),
+        pn.getField("surname").as("family"),
+        trim(concat_ws(" ", pn.getField("forename"), pn.getField("surname"))).as("name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast(ArrayType(WaldenSchema.affiliation)).as("affiliations"),
+        lit(false).as("is_corresponding"),
+        Normalize.authorKey(pn.getField("surname"), pn.getField("forename"))
+          .as("author_key"))
+    })
+    val parsed = rec
+      .filter(title.isNotNull && length(trim(title)) >= 5)
+      .select(
+        lit("pdf").as("provenance"),
+        coalesce(doi, md5(col("xml"))).as("native_id"),
+        when(doi.isNotNull, "doi").otherwise("pdf_hash").as("native_id_namespace"),
+        substring(title, 1, 5000).as("title"),
+        Normalize.title(title).as("normalized_title"),
+        authors.as("authors"),
+        when(doi.isNotNull, array(struct(doi.as("id"), lit("doi").as("namespace"),
+          lit("self").as("relationship"))))
+          .otherwise(array().cast(ArrayType(WaldenSchema.id))).as("ids"),
+        to_date(bibl.getField("monogr").getField("imprint")
+          .getField("date").getField("_when")).as("published_date"),
+        substring(col("__r.teiHeader.profileDesc.abstract.p"), 1, 10000).as("abstract"))
+    AlignSchema(parsed, WaldenSchema.works)
+  }
+}

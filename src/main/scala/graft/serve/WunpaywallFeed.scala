@@ -1,0 +1,41 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-DOI JSON data feed with change-date partitions (reference:
+  * notebooks/end2end/CreateWunpaywall.ipynb:2-193 + WunpaywallDataFeed
+  * .py — per-DOI `json_response`, sha2 hash, MERGE keeps the stored
+  * changed_date unless the hash moved, export partitioned by change
+  * date). Composes to_json + sha2 + the hash-guarded date bump.
+  */
+object WunpaywallFeed {
+
+  /** Build the next feed state. Rows keep their previous changed_date
+    * unless the response hash changed (or the DOI is new). */
+  def build(works: DataFrame, doiCol: String, payloadCols: Seq[String],
+      prevFeed: Option[DataFrame], today: Column): DataFrame = {
+    val json = to_json(struct(payloadCols.map(col): _*),
+      Map("ignoreNullFields" -> "true"))
+    val next = works
+      .withColumn("json_response", json)
+      .withColumn("response_hash", sha2(col("json_response"), 256))
+      .select(col(doiCol).as("doi"), col("json_response"), col("response_hash"))
+    prevFeed match {
+      case None => next.withColumn("changed_date", today)
+      case Some(prev) =>
+        val p = prev.select(col("doi").as("__pd"),
+          col("response_hash").as("__ph"), col("changed_date").as("__pc"))
+        next.join(p, col("doi") === col("__pd"), "left")
+          .withColumn("changed_date",
+            when(col("__ph").isNull || col("response_hash") =!= col("__ph"), today)
+              .otherwise(col("__pc")))
+          .drop("__pd", "__ph", "__pc")
+    }
+  }
+
+  /** Export, partitioned by change date (daily folders, the feed's
+    * consumption contract). */
+  def export(feed: DataFrame, outDir: String): Unit =
+    feed.write.mode("overwrite").partitionBy("changed_date").json(outDir)
+}

@@ -54,4 +54,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(TextFunctions.stopwordCount(lit("the fox and a hen"))) == 3)
     assert(one(TextFunctions.tokenLenSum(lit("ab cde"))) == 5)
   }
+
+  test("HumanName: comma form, suffixes, particles, CJK passthrough") {
+    import graft.functions.HumanName
+    def p(n: String): (String, String) = {
+      val r = Seq(1).toDF("x").select(HumanName.parse(lit(n)).as("p"))
+        .select("p.given", "p.family").collect()(0)
+      (r.getString(0), r.getString(1))
+    }
+    assert(p("John Smith") == (("John", "Smith")))
+    assert(p("Smith, John A.") == (("John A.", "Smith")))
+    assert(p("John Smith Jr. PhD") == (("John", "Smith")))
+    assert(p("Ludwig van Beethoven") == (("Ludwig", "van Beethoven")))
+    assert(p("Johannes van der Waals") == (("Johannes", "van der Waals")))
+    assert(p("Mononym") == ((null, "Mononym")))
+    assert(p("田中 太郎") == (("田中", "太郎"))) // natural order fallback
+    val k = Seq(1).toDF("x").select(
+      HumanName.authorKey(lit("Smith, John")).as("k")).as[String].collect()(0)
+    assert(k == "smith;j")
+  }
 }

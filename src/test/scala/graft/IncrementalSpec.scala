@@ -63,4 +63,30 @@ class IncrementalSpec extends AnyFunSuite {
     // malformed XML → filtered, not crashed
     assert(PubMedParser.parse(Seq("<not-xml").toDF("xml")).count() == 0)
   }
+
+  test("TeiParser: GROBID TEI header → walden row") {
+    import graft.ingest.TeiParser
+    val tei =
+      """<TEI><teiHeader><fileDesc><titleStmt><title>A Grobid Parsed Paper Title</title></titleStmt>
+        |<sourceDesc><biblStruct><analytic>
+        |<author><persName><forename>Ana</forename><surname>Silva</surname></persName></author>
+        |<idno type="DOI">10.5555/tei.1</idno>
+        |</analytic><monogr><imprint><date when="2022-11-03"/></imprint></monogr>
+        |</biblStruct></sourceDesc></fileDesc>
+        |<profileDesc><abstract><p>The abstract body.</p></abstract></profileDesc>
+        |</teiHeader></TEI>""".stripMargin.replace("\n", "")
+    val out = TeiParser.parse(Seq(tei).toDF("xml"))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("native_id") == "10.5555/tei.1")
+    assert(r.getAs[String]("title") == "A Grobid Parsed Paper Title")
+    assert(r.getAs[String]("abstract") == "The abstract body.")
+    assert(r.getAs[java.sql.Date]("published_date").toString == "2022-11-03")
+    val a = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("authors")).head
+    assert(a.getAs[String]("author_key") == "silva;a")
+    // no DOI → content-hash native id, pdf_hash namespace
+    val noDoi = tei.replace("""<idno type="DOI">10.5555/tei.1</idno>""", "")
+    val r2 = TeiParser.parse(Seq(noDoi).toDF("xml")).collect()(0)
+    assert(r2.getAs[String]("native_id_namespace") == "pdf_hash")
+    assert(r2.getAs[String]("native_id").length == 32)
+  }
 }

@@ -83,4 +83,23 @@ class ServeLlmSpec extends AnyFunSuite {
       .select(input_file_name()).distinct().count()
     assert(files <= 2, s"expected <=2 files for a 1% key range, read $files")
   }
+
+  test("WunpaywallFeed: hash-guarded change dates + partitioned export") {
+    import graft.serve.WunpaywallFeed
+    val v1 = Seq(("10.1/a", "open"), ("10.1/b", "closed")).toDF("doi", "oa_status")
+    val f1 = WunpaywallFeed.build(v1, "doi", Seq("doi", "oa_status"), None,
+      lit("2024-01-01"))
+    val v2 = Seq(("10.1/a", "open"), ("10.1/b", "open"), ("10.1/c", "open"))
+      .toDF("doi", "oa_status")
+    val f2 = WunpaywallFeed.build(v2, "doi", Seq("doi", "oa_status"), Some(f1),
+      lit("2024-02-02"))
+    val dates = f2.select("doi", "changed_date").as[(String, String)].collect().toMap
+    assert(dates("10.1/a") == "2024-01-01") // unchanged keeps its date
+    assert(dates("10.1/b") == "2024-02-02") // hash moved
+    assert(dates("10.1/c") == "2024-02-02") // new
+    val dir = java.nio.file.Files.createTempDirectory("graft-feed").toString
+    WunpaywallFeed.export(f2, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 3 && back.columns.contains("changed_date"))
+  }
 }
