@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** DataCite record → walden works rows (reference: notebooks/ingest/
+  * DataCite.py:47-57 scan + attribute projection — same shape family as
+  * Crossref: nested attributes, typed arrays, ORCID name identifiers).
+  *
+  * Expected input: attributes STRUCT<doi, titles ARRAY<STRUCT<title>>,
+  * creators ARRAY<STRUCT<givenName, familyName, name,
+  * nameIdentifiers ARRAY<STRUCT<nameIdentifier, nameIdentifierScheme>>>>,
+  * publicationYear INT, types STRUCT<resourceTypeGeneral>,
+  * rightsList ARRAY<STRUCT<rightsUri>>, descriptions ARRAY<STRUCT<
+  * description, descriptionType>>, publisher, updated>. */
+object DataCiteParser {
+
+  def parse(raw: DataFrame): DataFrame = {
+    val a = col("attributes")
+    val title = try_element_at(a.getField("titles"), lit(1)).getField("title")
+    val orcidOf = (c: org.apache.spark.sql.Column) =>
+      Normalize.orcid(try_element_at(filter(c.getField("nameIdentifiers"),
+        n => lower(n.getField("nameIdentifierScheme")) === "orcid"), lit(1))
+        .getField("nameIdentifier"))
+    val authors = transform(a.getField("creators"), cr => struct(
+      cr.getField("givenName").as("given"),
+      cr.getField("familyName").as("family"),
+      coalesce(cr.getField("name"),
+        trim(concat_ws(" ", cr.getField("givenName"), cr.getField("familyName"))))
+        .as("name"),
+      orcidOf(cr).as("orcid"),
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(WaldenSchema.affiliation))
+        .as("affiliations"),
+      lit(false).as("is_corresponding"),
+      Normalize.authorKey(cr.getField("familyName"), cr.getField("givenName"))
+        .as("author_key")))
+    val abstractText = try_element_at(filter(a.getField("descriptions"),
+      d => d.getField("descriptionType") === "Abstract"), lit(1))
+      .getField("description")
+    val parsed = raw
+      .filter(Normalize.doi(a.getField("doi")).isNotNull &&
+        length(trim(coalesce(title, lit("")))) >= 5)
+      .select(
+        lit("datacite").as("provenance"),
+        Normalize.doi(a.getField("doi")).as("native_id"),
+        lit("doi").as("native_id_namespace"),
+        substring(title, 1, 5000).as("title"),
+        Normalize.title(title).as("normalized_title"),
+        authors.as("authors"),
+        array(struct(Normalize.doi(a.getField("doi")).as("id"),
+          lit("doi").as("namespace"), lit("self").as("relationship"))).as("ids"),
+        lower(a.getField("types").getField("resourceTypeGeneral")).as("type"),
+        Normalize.license(try_element_at(a.getField("rightsList"), lit(1))
+          .getField("rightsUri")).as("license"),
+        make_date(a.getField("publicationYear"), lit(1), lit(1)).as("published_date"),
+        a.getField("updated").cast("timestamp").as("updated_date"),
+        substring(abstractText, 1, 10000).as("abstract"),
+        a.getField("publisher").as("publisher"))
+    AlignSchema(parsed, WaldenSchema.works)
+  }
+}

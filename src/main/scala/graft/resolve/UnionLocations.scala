@@ -1,0 +1,21 @@
+package graft.resolve
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Scd1Upsert
+
+/** Union all source parsers into locations_parsed (reference:
+  * notebooks/ingest/UnionAllWorksIntoLocationsParsed.ipynb:45-113 —
+  * unionByName across 7 feeds keyed on (native_id, native_id_namespace,
+  * provenance) with SCD1 last-writer-wins by updated_date).
+  */
+object UnionLocations {
+
+  val key: Seq[String] = Seq("native_id", "native_id_namespace", "provenance")
+
+  def apply(sources: Seq[DataFrame]): DataFrame = {
+    val unioned = sources.reduce(_.unionByName(_, allowMissingColumns = true))
+    Scd1Upsert.latest(unioned, key, col("updated_date"),
+      tiebreak = Seq(xxhash64(to_json(struct(col("title"), col("abstract"))))))
+  }
+}

@@ -199,4 +199,58 @@ class DomainSliceSpec extends AnyFunSuite {
     val lines = spark.read.text(dir).count()
     assert(lines == 2)
   }
+
+  test("DataCiteParser: attrs projection, ORCID scheme pick, year date") {
+    import graft.ingest.DataCiteParser
+    val raw = spark.read.json(Seq(
+      """{"attributes":{"doi":"10.5061/DRYAD.1","titles":[{"title":"A Dataset Of Many Things"}],
+        |"creators":[{"givenName":"Ana","familyName":"Silva","name":null,
+        |"nameIdentifiers":[{"nameIdentifier":"https://orcid.org/0000-0002-1825-0097","nameIdentifierScheme":"ORCID"}]}],
+        |"publicationYear":2021,"types":{"resourceTypeGeneral":"Dataset"},
+        |"rightsList":[{"rightsUri":"https://creativecommons.org/publicdomain/zero/1.0"}],
+        |"descriptions":[{"description":"The abstract.","descriptionType":"Abstract"}],
+        |"publisher":"Dryad","updated":"2024-01-01 00:00:00"}}""".stripMargin.replace("\n","")).toDS())
+    val r = DataCiteParser.parse(raw).collect()(0)
+    assert(r.getAs[String]("native_id") == "10.5061/dryad.1")
+    assert(r.getAs[String]("type") == "dataset")
+    assert(r.getAs[String]("abstract") == "The abstract.")
+    assert(r.getAs[java.sql.Date]("published_date").toString == "2021-01-01")
+    val a = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("authors")).head
+    assert(a.getAs[String]("orcid") == "0000-0002-1825-0097")
+  }
+
+  test("UnionLocations: unionByName + SCD1 latest per source key") {
+    import graft.resolve.UnionLocations
+    import graft.ingest.CrossrefParser
+    val w1 = CrossrefParser.parse(rawCrossref)
+    // replay the same records with a newer updated_date → latest wins, no dup keys
+    val w2 = w1.withColumn("updated_date",
+      col("updated_date") + expr("INTERVAL 10 DAYS"))
+      .withColumn("title", concat(col("title"), lit(" v2")))
+    val u = UnionLocations(Seq(w1, w2))
+    assert(u.count() == w1.count())
+    assert(u.filter(col("title").endsWith(" v2")).count() == w1.count())
+  }
+
+  test("Authorships: ordered array, positions, institution lineage") {
+    import graft.authors.Authorships
+    val matched = Seq(
+      (1L, 0, 101L, "Jo Smith", true, Seq("I1")),
+      (1L, 1, 102L, "Kim Lee", false, Seq.empty[String]),
+      (1L, 2, 103L, "Ana Silva", false, Seq("I1", "I2")))
+      .toDF("work_id", "author_seq", "author_id", "raw_name", "is_corresponding",
+        "institution_ids")
+    val insts = Seq(
+      ("I1", "MIT", "US", Seq("I1")),
+      ("I2", "Oxford", "GB", Seq("I2", "I2-parent")))
+      .toDF("institution_id", "display_name", "country_code", "lineage")
+    val out = Authorships.assemble(matched, insts).collect()(0)
+    val as = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("authorships"))
+    assert(as.size == 3)
+    assert(as.map(_.getAs[String]("author_position")) == Seq("first", "middle", "last"))
+    val third = as(2)
+    assert(third.getSeq[org.apache.spark.sql.Row](third.fieldIndex("institutions")).size == 2)
+    assert(third.getSeq[String](third.fieldIndex("countries")) == Seq("GB", "US"))
+    assert(out.getAs[Boolean]("has_corresponding"))
+  }
 }
