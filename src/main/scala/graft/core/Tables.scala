@@ -32,9 +32,11 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.plans.ArrayDotProduct.register(spark)
     if (name == "events")
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else
       spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

@@ -19,8 +19,18 @@ object Similarity {
   /** Cast a float vector to double for deterministic arithmetic. */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product (left-to-right, exact order). */
+  /** Sequential dot product (ascending index, exact order). Uses the
+    * codegen'd native expression (graft.plans.ArrayDotProduct — same
+    * bit-for-bit semantics as the `aggregate(zip_with(...))` fold, but
+    * stays in whole-stage codegen instead of interpreting two lambdas
+    * per element). The session must have it registered — done by
+    * `core.Tables`, `bruteForceTopK` and the test harness. */
   def dot(a: Column, b: Column): Column =
+    call_function("array_dot", a, b)
+
+  /** The pure-built-in fold (reference semantics; used to cross-check
+    * the native expression). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -35,6 +45,7 @@ object Similarity {
     * results are bit-identical — only the evaluation count changes). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
+    graft.plans.ArrayDotProduct.register(emb.sparkSession)
     val e = emb.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__norm", norm(col("__v")))
     val q = e.filter(queryPred).select(col(idCol).as("q_id"),

@@ -84,4 +84,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
     assert(f1(0).byte_len == 7)
   }
+
+  test("ArrayDotProduct: native codegen == HOF fold bit-for-bit, null semantics") {
+    import graft.operators.Similarity
+    graft.plans.ArrayDotProduct.register(spark)
+    val vecs = Seq(
+      (Seq(1.5, -2.25, 3.125), Seq(0.5, 4.75, -1.125)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.4))).toDF("a", "b")
+    val both = vecs.select(Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact bits
+    // length mismatch and null element → null (matches zip_with padding)
+    val edge = Seq((Seq(1.0, 2.0), Seq(1.0)), (Seq(1.0), Seq.empty[Double]))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    val withNull = spark.sql(
+      "SELECT array_dot(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) d")
+      .collect()(0)
+    assert(withNull.isNullAt(0))
+  }
 }
