@@ -126,6 +126,21 @@ object PipelineDemo {
       layoutDir, 1, Seq(col("work_id")))
     stage("clustered layout rows", spark.read.parquet(layoutDir).count(), _ == 2)
 
+    // OAI repository helpers: version detection + dc:identifier extraction
+    val oai = Seq(
+      (1L, "info:eu-repo/semantics/acceptedVersion",
+        Seq("https://doi.org/10.9/alpha", "oai:arXiv.org:2101.00001")),
+      (2L, "author preprint", Seq("https://repo.example.org/2")))
+      .toDF("rec", "meta", "identifiers")
+      .select(col("rec"),
+        graft.ingest.OaiFunctions.detectVersion(col("meta")).as("version"),
+        graft.ingest.OaiFunctions.extractIds(col("identifiers")).as("ids"))
+    oai.show(false)
+    stage("oai records with derived ids",
+      oai.filter(size(col("ids")) > 0).count(), _ == 2)
+    stage("oai accepted-version detected",
+      oai.filter(col("version") === "acceptedVersion").count(), _ == 1)
+
     println(s"[pipe] RESULT: ${if (ok) "ALL OK" else "FAILED"}")
     spark.stop()
     if (!ok) sys.exit(1)

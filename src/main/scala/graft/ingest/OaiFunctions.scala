@@ -1,0 +1,52 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Normalize
+
+/** OAI-PMH repository record helpers (reference: notebooks/ingest/
+  * Repo.py — `detect_version_udf` :1365-1440 and `extract_ids_udf`
+  * :1441-1523, both ported as pure Column expressions).
+  */
+object OaiFunctions {
+
+  /** submittedVersion / acceptedVersion / publishedVersion from the OAI
+    * metadata free-text (keyword cascade, first match wins). */
+  def detectVersion(meta: Column): Column = {
+    val m = lower(coalesce(meta, lit("")))
+    when(m.contains("publishedversion") || m.contains("version of record") ||
+        m.contains("info:eu-repo/semantics/publishedversion"), "publishedVersion")
+      .when(m.contains("acceptedversion") || m.contains("accepted manuscript") ||
+        m.contains("postprint") ||
+        m.contains("info:eu-repo/semantics/acceptedversion"), "acceptedVersion")
+      .when(m.contains("submittedversion") || m.contains("preprint") ||
+        m.contains("info:eu-repo/semantics/submittedversion"), "submittedVersion")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** dc:identifier strings → ARRAY<STRUCT<id, namespace, relationship>>:
+    * DOI / PMID / arXiv / URL classified per element, nulls dropped.
+    * arXiv OAI ids also derive the 10.48550 DOI (transform.py:127-133). */
+  def extractIds(identifiers: Column): Column = {
+    val classify = (s: Column) => {
+      val doi = Normalize.doi(s)
+      val pmid = nullif(regexp_extract(s,
+        "(?:pubmed/|pmid[: ]?)([0-9]{4,9})", 1), lit(""))
+      val arxiv = nullif(regexp_extract(lower(s),
+        "(?:oai:arxiv\\.org:|arxiv[: ])([0-9]{4}\\.[0-9]{4,5}|[a-z-]+/[0-9]{7})", 1),
+        lit(""))
+      when(doi.isNotNull,
+        struct(doi.as("id"), lit("doi").as("namespace"), lit("self").as("relationship")))
+        .when(pmid.isNotNull,
+          struct(pmid.as("id"), lit("pmid").as("namespace"), lit("self").as("relationship")))
+        .when(arxiv.isNotNull,
+          struct(concat(lit("10.48550/arxiv."), arxiv).as("id"),
+            lit("doi").as("namespace"), lit("derived").as("relationship")))
+        .when(s.startsWith("http"),
+          struct(s.as("id"), lit("url").as("namespace"), lit("self").as("relationship")))
+        .otherwise(lit(null).cast(
+          "struct<id:string,namespace:string,relationship:string>"))
+    }
+    filter(transform(identifiers, classify), x => x.isNotNull)
+  }
+}

@@ -89,4 +89,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(r2.getAs[String]("native_id_namespace") == "pdf_hash")
     assert(r2.getAs[String]("native_id").length == 32)
   }
+
+  test("OaiFunctions: version detection cascade + dc:identifier extraction") {
+    import graft.ingest.OaiFunctions
+    def v(m: String): String = Seq(1).toDF("x")
+      .select(OaiFunctions.detectVersion(lit(m)).as("v")).collect()(0).getString(0)
+    assert(v("info:eu-repo/semantics/publishedVersion") == "publishedVersion")
+    assert(v("this is the accepted manuscript / postprint") == "acceptedVersion")
+    assert(v("preprint deposited by author") == "submittedVersion")
+    assert(v("nothing informative") == null)
+
+    val ids = Seq(Seq(
+      "https://doi.org/10.1234/X.1",
+      "https://pubmed.ncbi.nlm.nih.gov/pubmed/123456",
+      "oai:arXiv.org:2101.00001",
+      "https://repo.example.org/record/9",
+      "garbage")).toDF("identifiers")
+      .select(OaiFunctions.extractIds(col("identifiers")).as("ids"))
+    val out = ids.selectExpr("inline(ids)").as[(String, String, String)]
+      .collect().toSeq
+    assert(out.contains(("10.1234/x.1", "doi", "self")))
+    assert(out.contains(("123456", "pmid", "self")))
+    assert(out.contains(("10.48550/arxiv.2101.00001", "doi", "derived")))
+    assert(out.contains(("https://repo.example.org/record/9", "url", "self")))
+    assert(out.size == 4) // garbage dropped
+  }
 }
