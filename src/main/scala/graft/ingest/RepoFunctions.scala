@@ -1,0 +1,54 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** OAI repository record helpers, part 2 (reference: notebooks/ingest/
+  * Repo.py — `best_type_udf` :1197-1266 quality-ranked dc:type pick;
+  * Crossref.py:98-213 affiliation-as-author detection).
+  */
+object RepoFunctions {
+
+  /** Quality rank for a dc:type element: specific scholarly types beat
+    * generic ones beat noise (the reference ranks the same way and picks
+    * the best element). Lower = better. */
+  def typeQuality(t: Column): Column = {
+    val x = lower(trim(coalesce(t, lit(""))))
+    when(x.isin("journal-article", "article", "proceedings-article",
+      "book-chapter", "dissertation", "dataset", "preprint", "review"), 1)
+      .when(x.isin("text", "publication", "other", "info:eu-repo/semantics/article"), 2)
+      .when(x.rlike("^info:eu-repo/semantics/"), 3)
+      .when(x === "", 9)
+      .otherwise(4)
+  }
+
+  /** Best dc:type from an ARRAY<STRING>: min quality, ties by array
+    * order (aggregate fold keeps the FIRST best — deterministic). */
+  def bestType(types: Column): Column = {
+    val best = aggregate(
+      filter(types, t => t.isNotNull),
+      lit(null).cast("struct<t:string,q:int>"),
+      (acc, t) => when(acc.isNull || typeQuality(t) < acc.getField("q"),
+        struct(t.as("t"), typeQuality(t).as("q"))).otherwise(acc))
+    best.getField("t")
+  }
+
+  private val instKeywords = Seq("university", "institute", "laboratory",
+    "department", "hospital", "college", "center", "centre", "school",
+    "faculty", "academy", "corporation", "consortium", "group", "team")
+
+  /** TRUE when an "author" name is actually an organization/affiliation
+    * stamped into the author list (Crossref.py:98-213 — keyword
+    * detection; the reference also carries a publisher allowlist that
+    * keeps legitimate group authors). */
+  def isAffiliationAsAuthor(name: Column, allowlisted: Column = lit(false)): Column = {
+    val n = lower(coalesce(name, lit("")))
+    val hasKeyword = instKeywords.map(k => n.contains(k)).reduce(_ || _)
+    val veryLong = length(n) > 60
+    (hasKeyword || veryLong) && !allowlisted
+  }
+
+  /** Drop affiliation-as-author entries from a walden authors array. */
+  def dropAffiliationAuthors(authors: Column): Column =
+    filter(authors, a => !isAffiliationAsAuthor(a.getField("name")))
+}

@@ -114,4 +114,28 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out.contains(("https://repo.example.org/record/9", "url", "self")))
     assert(out.size == 4) // garbage dropped
   }
+
+  test("RepoFunctions: best dc:type by quality, affiliation-as-author filter") {
+    import graft.ingest.RepoFunctions
+    def bt(ts: Seq[String]): String = Seq(Tuple1(ts)).toDF("types")
+      .select(RepoFunctions.bestType(col("types")).as("t")).collect()(0).getString(0)
+    assert(bt(Seq("info:eu-repo/semantics/article", "journal-article", "text"))
+      == "journal-article")
+    assert(bt(Seq("text", "publication")) == "text") // tie at q2 → first wins
+    assert(bt(Seq("weird-custom-type")) == "weird-custom-type")
+
+    val authors = Seq(Tuple1(Seq("Jo Smith",
+      "Department of Physics, Example University", "The ATLAS Consortium")))
+      .toDF("names")
+      .select(RepoFunctions.dropAffiliationAuthors(
+        transform(col("names"), n => struct(n.as("name")))).as("kept"))
+      .selectExpr("transform(kept, x -> x.name) AS kept")
+      .as[Seq[String]].collect()(0)
+    assert(authors == Seq("Jo Smith"))
+    // allowlist keeps a legitimate group author
+    val allowed = Seq(1).toDF("x").select(RepoFunctions.isAffiliationAsAuthor(
+      lit("The ATLAS Consortium"), allowlisted = lit(true)).as("b"))
+      .as[Boolean].collect()(0)
+    assert(!allowed)
+  }
 }
