@@ -41,4 +41,82 @@ object TypeClassifier {
       .contains("proceedings"), "proceedings-article"),
     Rule("review-title", lower(coalesce(col("title"), lit("")))
       .rlike("^(a |an )?(systematic )?review of") && col("n_refs") >= 20, "review"))
+
+  private def lc(c: String): Column = lower(coalesce(col(c), lit("")))
+
+  /** Fuller cascade re-expressing the reference's rule TIERS
+    * (CreateLocationsWithTypes.sql:14-694 — explicit crossref types,
+    * subtype, host allowlists, source-name table, source-context LIKEs,
+    * page-shape heuristics, group-window preprint/journal context).
+    * Requires the richer feature frame: raw_native_type, subtype, host,
+    * source_name, source_type, title, n_refs, single_page, has_abstract,
+    * is_retracted, is_preprint_server. Rules are DATA — reaching full
+    * 163-rule parity is row entry against the frozen parity corpus. */
+  def referenceRules: Seq[Rule] = Seq(
+    // tier 0: retraction/erratum signals dominate everything
+    Rule("retracted-flag", coalesce(col("is_retracted"), lit(false)), "retraction"),
+    Rule("retraction-title", lc("title").rlike("^retract(ion|ed)[:. ]"), "retraction"),
+    Rule("erratum-title", lc("title").rlike("^(erratum|corrigendum|correction to)"), "erratum"),
+    // tier 1: explicit crossref types
+    Rule("cr-dissertation", lc("raw_native_type") === "dissertation", "dissertation"),
+    Rule("cr-reference", lc("raw_native_type")
+      .isin("reference-entry", "reference-book"), "reference-entry"),
+    Rule("cr-standard", lc("raw_native_type") === "standard", "standard"),
+    Rule("cr-report", lc("raw_native_type")
+      .isin("report", "report-component"), "report"),
+    Rule("cr-editorial", lc("raw_native_type")
+      .isin("editorial", "editorial-material"), "editorial"),
+    Rule("cr-letter", lc("raw_native_type") === "letter", "letter"),
+    Rule("cr-peer-review", lc("raw_native_type") === "peer-review", "peer-review"),
+    Rule("cr-book-chapter", lc("raw_native_type")
+      .isin("book-chapter", "chapter"), "book-chapter"),
+    Rule("cr-book", lc("raw_native_type")
+      .isin("book", "monograph", "edited-book"), "book"),
+    Rule("cr-proceedings", lc("raw_native_type")
+      .isin("proceedings-article", "proceedings-paper"), "proceedings-article"),
+    Rule("cr-dataset", lc("raw_native_type") === "dataset", "dataset"),
+    // tier 2: subtype
+    Rule("subtype-preprint", lc("subtype") === "preprint", "preprint"),
+    // tier 3: host allowlists (url-derived)
+    Rule("host-preprint", lc("host")
+      .isin("osf.io", "www.researchsquare.com"), "preprint"),
+    Rule("host-dataset", lc("host")
+      .isin("www.encodeproject.org", "www.rcsb.org", "www.wwpdb.org"), "dataset"),
+    Rule("host-peer-review", lc("host")
+      .isin("facultyopinions.com", "publons.com", "www.webofscience.com"), "peer-review"),
+    Rule("host-dissertation", lc("host")
+      .isin("theses.fr", "theses.hal.science"), "dissertation"),
+    Rule("host-conf-abstract", lc("host")
+      .isin("meetingorganizer.copernicus.org", "www.morressier.com"),
+      "conference-abstract"),
+    // tier 4: source-name table
+    Rule("src-preprint", lc("source_name")
+      .isin("research square", "ssrn electronic journal"), "preprint"),
+    Rule("src-data-paper", lc("source_name") === "data in brief", "data-paper"),
+    Rule("src-software-paper", lc("source_name")
+      .isin("softwarex", "the journal of open source software"), "software-paper"),
+    Rule("src-report", lc("source_name") === "national bureau of economic research",
+      "report"),
+    Rule("src-editorial", lc("source_name") === "synfacts", "editorial"),
+    // tier 5: source-context LIKEs
+    Rule("sc-rxiv", lc("source_name").contains("rxiv") ||
+      lc("source_name").contains("preprint"), "preprint"),
+    Rule("sc-datasets", lc("source_name").contains("datasets"), "dataset"),
+    Rule("sc-reference", lc("source_name").contains("encyclopedia") ||
+      lc("source_name").contains("dictionary") ||
+      lc("source_name").contains("lexicon"), "reference-entry"),
+    Rule("sc-conf-abstract", lc("source_name").contains("meeting abstracts"),
+      "conference-abstract"),
+    Rule("sc-conf-paper", lc("source_name").contains("web of conferences") ||
+      lc("source_name").contains("spie proceedings") ||
+      lc("source_name").contains("sae technical paper"), "conference-paper"),
+    // tier 6: host-type context (group-window features upstream)
+    Rule("src-type-dataset", lc("source_type") === "dataset-repository", "dataset"),
+    Rule("preprint-server", coalesce(col("is_preprint_server"), lit(false)), "preprint"),
+    // tier 7: shape heuristics
+    Rule("single-page-no-refs-abstractless", coalesce(col("single_page"), lit(false)) &&
+      col("n_refs") === 0 && !coalesce(col("has_abstract"), lit(false)) &&
+      lc("source_type") === "journal", "paratext"),
+    Rule("review-title", lc("title").rlike("^(a |an )?systematic review") &&
+      col("n_refs") >= 20, "review"))
 }

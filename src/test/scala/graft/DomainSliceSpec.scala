@@ -253,4 +253,31 @@ class DomainSliceSpec extends AnyFunSuite {
     assert(third.getSeq[String](third.fieldIndex("countries")) == Seq("GB", "US"))
     assert(out.getAs[Boolean]("has_corresponding"))
   }
+
+  test("TypeClassifier.referenceRules: tiered cascade over the rich feature frame") {
+    val base = Seq(
+      // (title, raw_type, subtype, host, source_name, source_type, n_refs,
+      //  single_page, has_abstract, is_retracted, is_preprint_server, expect)
+      ("Retracted: bad", "journal-article", null, null, "nature", "journal", 10, false, true, false, false),
+      ("Fine but flagged", "journal-article", null, null, "nature", "journal", 10, false, true, true, false),
+      ("Plain", "dissertation", null, null, null, null, 0, false, false, false, false),
+      ("Plain", "journal-article", "preprint", null, null, "journal", 5, false, true, false, false),
+      ("Plain", "posted-content", null, "osf.io", null, null, 0, false, false, false, false),
+      ("Plain", "journal-article", null, null, "SSRN Electronic Journal", "journal", 0, false, false, false, false),
+      ("Plain", "journal-article", null, null, "Data in Brief", "journal", 3, false, true, false, false),
+      ("Plain", "journal-article", null, null, "bioRxiv", "repository", 0, false, true, false, true),
+      ("Plain", "journal-article", null, null, "Encyclopedia of Things", "journal", 0, false, false, false, false),
+      ("Masthead", "journal-article", null, null, "some journal", "journal", 0, true, false, false, false),
+      ("Normal paper", "journal-article", null, null, "some journal", "journal", 12, false, true, false, false))
+      .toDF("title", "raw_native_type", "subtype", "host", "source_name",
+        "source_type", "n_refs", "single_page", "has_abstract", "is_retracted",
+        "is_preprint_server")
+    val out = base.withColumn("wtype",
+        TypeClassifier.classify(TypeClassifier.referenceRules))
+      .select("source_name", "title", "wtype").collect()
+    val expected = Seq("retraction", "retraction", "dissertation", "preprint",
+      "preprint", "preprint", "data-paper", "preprint", "reference-entry",
+      "paratext", "article")
+    assert(out.map(_.getString(2)).toSeq == expected)
+  }
 }
