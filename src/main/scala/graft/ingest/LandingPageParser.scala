@@ -1,0 +1,67 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** Scraped landing-page record → walden works rows (reference:
+  * notebooks/ingest/LandingPage.py via docs/landing_page_pdf_integration
+  * .md:7-49 — URL-keyed rows whose `ids[]` carry the doi/pmh JOIN keys;
+  * error rows dropped; keep only rows contributing authors, an abstract
+  * or a license; "other-oa" license nulled; abstract capped 65 535).
+  *
+  * Expected input: url, error_had BOOLEAN, authors ARRAY<STRUCT<given,
+  * family, orcid>>, is_corresponding ARRAY<BOOLEAN> (positional),
+  * abstract, license, doi, pmh, updated TIMESTAMP. */
+object LandingPageParser {
+
+  /** doi/pmh join-key extraction from a walden `ids` array — the
+    * super-authorships/locations join pattern. */
+  def idFromIds(ids: Column, namespace: String): Column =
+    try_element_at(filter(ids, i => i.getField("namespace") === namespace), lit(1))
+      .getField("id")
+
+  def parse(raw: DataFrame): DataFrame = {
+    val hasSignal = coalesce(size(col("authors")), lit(0)) > 0 ||
+      col("abstract").isNotNull || col("license").isNotNull
+    val filtered = raw
+      .filter(!coalesce(col("error_had"), lit(false)) && hasSignal)
+
+    val authors = zip_with(col("authors"),
+      coalesce(col("is_corresponding"), array().cast("array<boolean>")),
+      (a, corr) => struct(
+        a.getField("given").as("given"),
+        a.getField("family").as("family"),
+        trim(concat_ws(" ", a.getField("given"), a.getField("family"))).as("name"),
+        Normalize.orcid(a.getField("orcid")).as("orcid"),
+        lit(null).cast(ArrayType(WaldenSchema.affiliation)).as("affiliations"),
+        coalesce(corr, lit(false)).as("is_corresponding"),
+        Normalize.authorKey(a.getField("family"), a.getField("given")).as("author_key")))
+
+    val idEntries = filter(array(
+      when(Normalize.doi(col("doi")).isNotNull,
+        struct(Normalize.doi(col("doi")).as("id"), lit("doi").as("namespace"),
+          lit("join").as("relationship"))),
+      when(col("pmh").isNotNull,
+        struct(col("pmh").as("id"), lit("pmh").as("namespace"),
+          lit("join").as("relationship")))), x => x.isNotNull)
+
+    val license = when(lower(col("license")) === "other-oa",
+      lit(null).cast("string")).otherwise(Normalize.license(col("license")))
+
+    val parsed = filtered.select(
+      lit("landing_page").as("provenance"),
+      col("url").as("native_id"),
+      lit("url").as("native_id_namespace"),
+      authors.as("authors"),
+      idEntries.as("ids"),
+      license.as("license"),
+      col("updated").cast("timestamp").as("updated_date"),
+      substring(col("abstract"), 1, 65535).as("abstract"),
+      lit(true).as("is_oa"))
+    AlignSchema(parsed, WaldenSchema.works)
+  }
+}

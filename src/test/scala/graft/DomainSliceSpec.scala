@@ -280,4 +280,37 @@ class DomainSliceSpec extends AnyFunSuite {
       "paratext", "article")
     assert(out.map(_.getString(2)).toSeq == expected)
   }
+
+  test("LandingPageParser: error filter, signal filter, join-key ids, positional corresponding") {
+    import graft.ingest.LandingPageParser
+    val raw = spark.read.json(Seq(
+      """{"url":"https://pub.example/x","error_had":false,
+        |"authors":[{"given":"Jo","family":"Smith","orcid":null},{"given":"Kim","family":"Lee","orcid":null}],
+        |"is_corresponding":[true,false],"abstract":"From the landing page.",
+        |"license":"cc-by","doi":"10.9/ALPHA","pmh":"oai:repo:1","updated":"2024-03-03 00:00:00"}""",
+      """{"url":"https://pub.example/err","error_had":true,"authors":[],"abstract":"x",
+        |"license":null,"doi":null,"pmh":null,"updated":"2024-03-03 00:00:00"}""",
+      """{"url":"https://pub.example/empty","error_had":false,"authors":[],"abstract":null,
+        |"license":null,"doi":null,"pmh":null,"updated":"2024-03-03 00:00:00"}""",
+      """{"url":"https://pub.example/otheroa","error_had":false,"authors":[],"abstract":"a",
+        |"license":"other-oa","doi":null,"pmh":null,"updated":"2024-03-03 00:00:00"}""")
+      .map(_.stripMargin.replace("\n","")).toDS())
+    val out = LandingPageParser.parse(raw)
+    assert(out.count() == 2) // error row + no-signal row dropped
+    val r = out.filter(col("native_id") === "https://pub.example/x").collect()(0)
+    assert(r.getAs[String]("native_id_namespace") == "url")
+    val ids = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("ids"))
+      .map(i => (i.getString(0), i.getString(1)))
+    assert(ids == Seq(("10.9/alpha", "doi"), ("oai:repo:1", "pmh")))
+    val a = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("authors"))
+    assert(a.head.getAs[Boolean]("is_corresponding") && !a(1).getAs[Boolean]("is_corresponding"))
+    // other-oa license nulled
+    val oa = out.filter(col("native_id") === "https://pub.example/otheroa").collect()(0)
+    assert(oa.getAs[String]("license") == null)
+    // the super-locations join path: extract the doi key and match crossref native_id
+    val joined = out.withColumn("doi_key",
+      LandingPageParser.idFromIds(col("ids"), "doi"))
+      .filter(col("doi_key") === "10.9/alpha")
+    assert(joined.count() == 1)
+  }
 }
