@@ -1,0 +1,52 @@
+package graft.resolve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ingest.LandingPageParser
+
+/** SuperLocations: attach the best landing-page / PDF URLs to
+  * crossref/repo records (reference: notebooks/end2end/
+  * CreateSuperLocations.ipynb:41-1000 — scored `row_number` picks the
+  * best URL per work; landing_page/pdf rows join via the doi/pmh keys
+  * extracted from their `ids[]`, docs/landing_page_pdf_integration
+  * .md:16-38).
+  *
+  * URL scoring (the reference's preference order): a https URL beats
+  * http, a publisher-domain URL beats an aggregator, newer beats older;
+  * ties broken by URL text for determinism.
+  */
+object SuperLocations {
+
+  /** Score for a candidate URL row — lower is better. */
+  def urlScore(url: Column, isPublisherDomain: Column): Column =
+    when(url.isNull, 9)
+      .otherwise(
+        when(isPublisherDomain, 0).otherwise(2) +
+          when(url.startsWith("https://"), 0).otherwise(1))
+
+  /** @param base     crossref/repo rows: (native_id, …) keyed by DOI/PMH
+    * @param scraped  landing_page/pdf walden rows (ids[] carry join keys)
+    * @param keyNs    "doi" or "pmh" — which extracted key joins to
+    *                 base.native_id
+    * @return base + landing_page_url + pdf-ish provenance columns */
+  def attachBestUrls(base: DataFrame, scraped: DataFrame, keyNs: String,
+      publisherDomains: Seq[String]): DataFrame = {
+    val withKey = scraped
+      .withColumn("__key", LandingPageParser.idFromIds(col("ids"), keyNs))
+      .filter(col("__key").isNotNull)
+      .withColumn("__url", col("native_id"))
+      .withColumn("__is_pub",
+        publisherDomains.map(d => col("__url").contains(d))
+          .foldLeft(lit(false))(_ || _))
+      .withColumn("__score", urlScore(col("__url"), col("__is_pub")))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__score").asc, col("updated_date").desc, col("__url").asc)
+    val best = withKey
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__key"), col("__url").as("landing_page_url"),
+        col("provenance").as("url_provenance"))
+    base.join(best, base("native_id") === best("__key"), "left")
+      .drop("__key")
+  }
+}

@@ -313,4 +313,29 @@ class DomainSliceSpec extends AnyFunSuite {
       .filter(col("doi_key") === "10.9/alpha")
     assert(joined.count() == 1)
   }
+
+  test("SuperLocations: scored best-URL attachment via extracted doi keys") {
+    import graft.resolve.SuperLocations
+    import graft.ingest.LandingPageParser
+    val base = Seq(("10.9/alpha", "crossref"), ("10.9/beta", "crossref"))
+      .toDF("native_id", "provenance")
+    val scraped = spark.read.json(Seq(
+      // aggregator https vs publisher http vs publisher https for alpha
+      """{"url":"https://aggregator.example/a","error_had":false,
+        |"authors":[{"given":"Jo","family":"Smith","orcid":null}],"is_corresponding":[true],
+        |"abstract":"x","license":null,"doi":"10.9/alpha","pmh":null,"updated":"2024-01-01 00:00:00"}""",
+      """{"url":"http://publisher.example/a","error_had":false,"authors":[],"is_corresponding":[],
+        |"abstract":"x","license":null,"doi":"10.9/alpha","pmh":null,"updated":"2024-01-02 00:00:00"}""",
+      """{"url":"https://publisher.example/a2","error_had":false,"authors":[],"is_corresponding":[],
+        |"abstract":"x","license":null,"doi":"10.9/alpha","pmh":null,"updated":"2024-01-01 00:00:00"}""")
+      .map(_.stripMargin.replace("\n","")).toDS())
+    val walden = LandingPageParser.parse(scraped)
+    val out = SuperLocations.attachBestUrls(base, walden, "doi",
+      publisherDomains = Seq("publisher.example"))
+    val urls = out.select("native_id", "landing_page_url")
+      .as[(String, String)].collect().toMap
+    // publisher https (score 0) beats publisher http (1) and aggregator https (2)
+    assert(urls("10.9/alpha") == "https://publisher.example/a2")
+    assert(urls("10.9/beta") == null) // no scrape → left join keeps the row
+  }
 }
