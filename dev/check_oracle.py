@@ -33,6 +33,14 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"spark output missing: {e}")); continue
     if sorted(got.columns) != sorted(want.columns):
         fails.append((name, f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}")); continue
+    # Driver-parity: its comparator pandas-sorts raw columns, which throws
+    # "unhashable type" on ndarray/dict cells (q16/q27 in round 1). Flag any
+    # non-scalar output column as a failure here, before the real gate does.
+    bad = [c for c in got.columns
+           if got[c].dtype == object and any(isinstance(v, (np.ndarray, list, dict))
+                                             for v in got[c].dropna().head(5))]
+    if bad:
+        fails.append((name, f"non-scalar output columns (driver gate would err): {bad} — emit to_json")); continue
     if len(got) != len(want):
         fails.append((name, f"row count: spark={len(got)} oracle={len(want)}")); continue
     g, w = canon(got), canon(want)

@@ -113,7 +113,11 @@ object DomainQueries {
         StructField("segment", StringType),
         StructField("nationkey", LongType),
         StructField("score", DoubleType))))))
-    AlignSchema(c, target)
+    // Driver-gate shape: the comparator can't sort raw STRUCT columns, so the
+    // aligned struct is emitted as JSON (ignoreNullFields=false keeps the
+    // padded-null `score` field, matching DuckDB's to_json of struct_pack).
+    AlignSchema(c, target).withColumn("profile",
+      to_json(col("profile"), Map("ignoreNullFields" -> "false")))
   }
 
   /** §2.8 JSON documents: extract typed fields from a JSON-string column
@@ -263,9 +267,9 @@ object DomainQueries {
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
         |CAST(c_acctbal AS DOUBLE) AS c_acctbal,
         |CAST(NULL AS VARCHAR) AS c_comment,
-        |struct_pack(segment := c_mktsegment,
+        |CAST(to_json(struct_pack(segment := c_mktsegment,
         |  nationkey := CAST(c_nationkey AS BIGINT),
-        |  score := CAST(NULL AS DOUBLE)) AS profile
+        |  score := CAST(NULL AS DOUBLE))) AS VARCHAR) AS profile
         |FROM customer""".stripMargin,
     "q28_json_extract_props" ->
       """SELECT event_id, user_id,

@@ -253,7 +253,7 @@ object RelationalQueries {
   private def q16(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     li.groupBy(col("l_orderkey").as("o_orderkey")).agg(
-        sort_array(collect_set(col("l_partkey"))).as("parts"),
+        to_json(sort_array(collect_set(col("l_partkey")))).as("parts"),
         size(collect_set(col("l_partkey"))).as("n_parts"),
         sort_array(collect_set(when(col("l_linenumber") <= 3, col("l_partkey")))).as("early"),
         sort_array(collect_set(when(col("l_linenumber") > 3, col("l_partkey")))).as("late"))
@@ -462,7 +462,7 @@ object RelationalQueries {
         |SELECT s_name, s_acctbal, 'supplier', s_nationkey, CAST(NULL AS VARCHAR) FROM supplier""".stripMargin,
     "q16_array_ops_orderparts" ->
       """SELECT l_orderkey AS o_orderkey,
-        |list_sort(list(DISTINCT l_partkey)) AS parts,
+        |CAST(to_json(list_sort(list(DISTINCT l_partkey))) AS VARCHAR) AS parts,
         |CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts,
         |coalesce(list_has_any(
         |  list(DISTINCT l_partkey) FILTER (WHERE l_linenumber <= 3),
