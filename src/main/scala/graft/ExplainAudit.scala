@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   *  - q02: parquet scan carries PushedFilters + pruned ReadSchema
   *  - q03: nation/region joined via BroadcastHashJoin
   *  - q01: partial (map-side) aggregation before the shuffle
+  *  - EVERY registered query: no `Exchange SinglePartition` in the plan
+  *    (the round-1 sorted-dictionary windows funneled whole vocabularies
+  *    through one task). Allowlisted: q26 — IdMinter's global row_number
+  *    is bounded by design to the daily-new key set (IdMinter.scala).
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
@@ -47,6 +51,16 @@ object ExplainAudit {
       "q01 map-side partial aggregation before the shuffle")
     check("""\(\d+\) Exchange""".r.findAllMatchIn(p01).size == 1,
       "q01 shuffles exactly once")
+
+    val singlePartitionOk = Set("q26_id_minting")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      if (!singlePartitionOk(name)) {
+        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        check(!p.contains("Exchange SinglePartition"),
+          s"$name has no single-partition exchange")
+      }
+    }
 
     spark.stop()
     if (!ok) sys.exit(1)

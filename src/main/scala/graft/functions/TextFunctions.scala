@@ -47,4 +47,21 @@ object TextFunctions {
   /** Sum of token lengths (aggregate HOF fold — exact int arithmetic). */
   def tokenLenSum(text: Column): Column =
     aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  /** 2^56 modulus for [[charHash]]: big enough that id collisions are
+    * negligible (birthday bound ≈ n²/2^57 — ~7 collisions at a 1e9-word
+    * vocabulary), small enough that `h*31 + c` never overflows a signed
+    * 64-bit long. */
+  val CharHashMod = 72057594037927936L
+
+  /** Deterministic 56-bit polynomial character hash
+    * `h ← (h·31 + codepoint) mod 2^56` — the dictionary-free word/shingle
+    * id. Pure per-row arithmetic: no vocabulary shuffle, no global sort
+    * (the scale-killer the sorted-dictionary id assignment had), and a
+    * SQL oracle reproduces it exactly via a `list_reduce` fold, unlike
+    * engine-internal hashes (xxhash64 seeds/variants differ across
+    * engines). */
+  def charHash(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c)),
+      lit(0L), (h, c) => (h * 31 + c) % CharHashMod)
 }

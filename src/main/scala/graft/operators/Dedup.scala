@@ -17,11 +17,12 @@ import graft.functions.TextFunctions
   *    equal), Jaccard pairs from rare-shingle (document-frequency
   *    filtered) prefix blocking. All are shuffle-on-key joins AQE can
   *    skew-split.
-  *  - shingle→integer mapping here uses a sorted dictionary
-  *    (row_number over distinct shingles) so results are reproducible
-  *    against a SQL oracle; `sid = xxhash64(shingle)` is the
-  *    dictionary-free variant for production corpora (same downstream
-  *    operators — pass `hashed = true`).
+  *  - shingle→integer ids default to `TextFunctions.charHash` — a
+  *    per-row 56-bit polynomial hash (no vocabulary shuffle, no global
+  *    sort) that a SQL oracle reproduces exactly. The sorted-dictionary
+  *    mode (row_number over distinct shingles) survives only as an
+  *    explicit debug/parity option: its `Window.orderBy` with no
+  *    partitionBy funnels the whole vocabulary through one task.
   */
 object Dedup {
   val Prime = 1000003L
@@ -36,22 +37,27 @@ object Dedup {
     df.select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), k)).as("shingle"))
       .distinct()
 
-  /** Attach integer shingle ids. Dictionary mode sorts the distinct
-    * shingle vocabulary (deterministic, oracle-checkable); hashed mode
-    * uses xxhash64 (no global sort — production path). */
-  def withShingleIds(sh: DataFrame, hashed: Boolean = false): DataFrame =
-    if (hashed) sh.withColumn("sid", abs(xxhash64(col("shingle"))) % Prime)
+  /** Attach integer shingle ids. Default (hashed) path: per-row 56-bit
+    * [[TextFunctions.charHash]] — full-width ids, so distinct shingles
+    * essentially never collide, and NO vocabulary-wide shuffle or sort.
+    * `hashed = false` keeps the old sorted-dictionary assignment for
+    * debugging only (single-task global sort — never register it). */
+  def withShingleIds(sh: DataFrame, hashed: Boolean = true): DataFrame =
+    if (hashed) sh.withColumn("sid", TextFunctions.charHash(col("shingle")))
     else {
       val dict = sh.select(col("shingle")).distinct()
         .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
       sh.join(dict, "shingle")
     }
 
-  /** MinHash signature: numHashes permutations h_i(x)=(a_i·x+b_i) mod P,
-    * one aggregation pass (no per-hash explode). */
+  /** MinHash signature: numHashes permutations h_i(x)=((x mod P)·a_i+b_i)
+    * mod P, one aggregation pass (no per-hash explode). The mod-P happens
+    * INSIDE the permutation — sids stay full-width 56-bit for identity
+    * (bucketing ids into P up front would alias distinct shingles), and
+    * the pre-reduction keeps `sid·a_i` inside signed-64 range. */
   def minHashSignature(ids: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
-      min((col("sid") * lit(hashA(i)) + lit(hashB(i))) % Prime).as(s"s$i")
+      min(((col("sid") % Prime) * lit(hashA(i)) + lit(hashB(i))) % Prime).as(s"s$i")
     }
     ids.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

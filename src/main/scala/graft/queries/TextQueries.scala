@@ -12,10 +12,12 @@ import graft.operators.Dedup
   * token counting, fingerprinting, exact/Jaccard/MinHash/SimHash dedup,
   * multimodal binary plumbing).
   *
-  * Determinism protocol: all hashing is integer arithmetic over sorted
-  * dictionary ids (row_number over the distinct vocabulary), so the
-  * DuckDB oracle reproduces signatures bit-for-bit; `Dedup` also offers
-  * the xxhash64 production variant (no global dictionary sort).
+  * Determinism protocol: all word/shingle ids come from
+  * `TextFunctions.charHash` — per-row 56-bit polynomial arithmetic the
+  * DuckDB oracle reproduces bit-for-bit with a `list_reduce` fold. No
+  * registered plan sorts a vocabulary dictionary (the round-1
+  * `row_number().over(Window.orderBy(...))` single-task global sort is
+  * gone; ExplainAudit asserts no single-partition exchange remains).
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -55,8 +57,10 @@ object TextQueries {
     * is tiny and broadcast; per-doc work is one hash join. */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // toks feeds BOTH the profile aggregation and the per-doc distinct —
+    // cache it or the tokenizing explode runs twice (round-1 cost ×2).
     val toks = d.select(col("doc_id"), col("lang"),
-      explode(TextFunctions.tokens(col("text"))).as("w"))
+      explode(TextFunctions.tokens(col("text"))).as("w")).cache()
     val prof = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w").asc)))
@@ -76,17 +80,15 @@ object TextQueries {
   }
 
   /** Document fingerprinting: rolling polynomial hash over word ids,
-    * window w=4 (winnowing-style min fingerprint + distinct count). */
+    * window w=4 (winnowing-style min fingerprint + distinct count).
+    * Word ids are per-row charHash values, so the whole query is ONE
+    * narrow projection — no explode, no dictionary join, no shuffle at
+    * all (round 1 routed the vocabulary through a global-sort window). */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val toks = d.select(col("doc_id"),
-      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
-    val dict = toks.select(col("w")).distinct()
-      .withColumn("wid", row_number().over(Window.orderBy(col("w"))).cast("long"))
-    val ids = toks.join(dict, "w")
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("wid")))),
-        x => x.getField("wid")).as("ids"))
+    val ids = d.select(col("doc_id"),
+      transform(TextFunctions.tokens(col("text")),
+        w => TextFunctions.charHash(w) % Dedup.Prime).as("ids"))
     val hs = when(size(col("ids")) >= 4,
       transform(sequence(lit(1), size(col("ids")) - 3), tt =>
         (element_at(col("ids"), tt) +
@@ -108,17 +110,26 @@ object TextQueries {
   /** N-gram Jaccard near-dup pairs with rare-shingle prefix blocking
     * (df ∈ [2,20], co-occurrence ≥ 2) — no all-pairs join. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    // the shingle frame feeds candidate generation AND verification —
-    // cache it or Catalyst recomputes the HOF shingling several times
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3).cache()
-    val cand = Dedup.rareShingleCandidates(sh, "doc_id", 20, minCommon = 2)
-    Dedup.jaccardForPairs(cand, sh, "doc_id").filter(col("jaccard") >= 0.5)
+    // Blocking + verification both run over 8-byte charHash shingle ids,
+    // not ~30-byte shingle strings: the df self-join shuffles longs and
+    // the jaccard verify intersects long arrays. Jaccard over hashed ids
+    // equals jaccard over the strings (56-bit ids: collisions negligible;
+    // any false candidate a collision could add is still exact-verified).
+    // The id frame feeds candidate generation AND verification — cache it
+    // or Catalyst recomputes the HOF shingling + hashing several times.
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val sid = Dedup.withShingleIds(sh)
+      .select(col("doc_id"), col("sid").as("shingle")).cache()
+    val cand = Dedup.rareShingleCandidates(sid, "doc_id", 20, minCommon = 2)
+    Dedup.jaccardForPairs(cand, sid, "doc_id").filter(col("jaccard") >= 0.5)
   }
 
   /** MinHash (16 perms) + LSH (4 bands × 4 rows) candidate pairs with
     * exact-Jaccard verification. */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    // Hashed (charHash) sids — no dictionary, no global sort. The same
+    // shingle frame feeds signatures and jaccard verification: cache it.
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3).cache()
     val ids = Dedup.withShingleIds(sh)
     val sig = Dedup.minHashSignature(ids.select(col("doc_id"), col("sid")), "doc_id", 16)
     val cand = Dedup.lshCandidates(sig, "doc_id", 4, 4)
@@ -128,12 +139,14 @@ object TextQueries {
   /** SimHash (32-bit, word-frequency features) near-dup pairs via
     * byte-block LSH, Hamming ≤ 3. */
   private def q38(s: SparkSession, dir: String): DataFrame = {
+    // Word ids are inline charHash values (mod P to keep wid·SimhashMul
+    // in signed-64 range) — the round-1 dictionary join + global sort
+    // is gone; the plan is explode → one grouped count → one bit-sum agg.
     val d = t(s, dir, "documents")
     val wtok = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-    val dict = wtok.select(col("w")).distinct()
-      .withColumn("wid", row_number().over(Window.orderBy(col("w"))).cast("long"))
-    val sig = Dedup.simHash(wtok.join(dict, "w"), "doc_id")
+      .withColumn("wid", TextFunctions.charHash(col("w")) % Dedup.Prime)
+    val sig = Dedup.simHash(wtok, "doc_id")
     Dedup.simHashPairs(sig, "doc_id", 3)
   }
 
@@ -181,8 +194,15 @@ object TextQueries {
       |floor(CAST(common AS DOUBLE)/CAST(na.n + nb.n - common AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS jaccard
       |FROM com c JOIN sizes na ON na.doc_id = c.da JOIN sizes nb ON nb.doc_id = c.db""".stripMargin
 
+  /** DuckDB twin of `TextFunctions.charHash`: the same 56-bit
+    * polynomial fold, as a list_reduce over codepoints. */
+  private def chash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e,''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h,c) -> (h*31+c) % ${graft.functions.TextFunctions.CharHashMod})"
+
   private val minhashMins = (0 until 16).map(i =>
-    s"min((sid*${Dedup.hashA(i)}+${Dedup.hashB(i)}) % ${Dedup.Prime}) AS s$i").mkString(", ")
+    s"min(((sid % ${Dedup.Prime})*${Dedup.hashA(i)}+${Dedup.hashB(i)}) % ${Dedup.Prime}) AS s$i").mkString(", ")
 
   private val bandTab = (0 until 4).map(b =>
     s"SELECT doc_id, $b AS band, concat_ws('|', s${4 * b}, s${4 * b + 1}, s${4 * b + 2}, s${4 * b + 3}) AS key FROM sig")
@@ -237,21 +257,17 @@ object TextQueries {
          |SELECT doc_id, lang AS actual, plang AS predicted, (lang = plang) AS correct
          |FROM pred""".stripMargin,
     "q34_text_fingerprint_winnow" ->
-      """WITH toks AS (SELECT doc_id, u.i AS pos, t.ws[u.i] AS w FROM
-        |  (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') ws FROM documents) t,
-        |  unnest(range(1, len(t.ws)+1)) u(i)),
-        |dict AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) wid
-        |  FROM (SELECT DISTINCT w FROM toks) x),
-        |ids AS (SELECT doc_id, list(wid ORDER BY pos) AS ids
-        |  FROM toks JOIN dict USING (w) GROUP BY doc_id),
-        |hs AS (SELECT doc_id, list_transform(range(1, len(ids)-2), t ->
-        |  (ids[t] + ids[t+1]*31 + ids[t+2]*961 + ids[t+3]*29791) % 1000003) AS hs
-        |  FROM ids)
-        |SELECT doc_id,
-        |CAST(list_aggregate(hs, 'min') AS BIGINT) AS fingerprint,
-        |CAST(len(hs) AS INTEGER) AS n_hashes,
-        |CAST(len(list_distinct(hs)) AS INTEGER) AS n_distinct
-        |FROM hs""".stripMargin,
+      s"""WITH ids AS (SELECT doc_id,
+         |  list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+         |    w -> ${chash("w")} % 1000003) AS ids FROM documents),
+         |hs AS (SELECT doc_id, list_transform(range(1, len(ids)-2), t ->
+         |  (ids[t] + ids[t+1]*31 + ids[t+2]*961 + ids[t+3]*29791) % 1000003) AS hs
+         |  FROM ids)
+         |SELECT doc_id,
+         |CAST(list_aggregate(hs, 'min') AS BIGINT) AS fingerprint,
+         |CAST(len(hs) AS INTEGER) AS n_hashes,
+         |CAST(len(list_distinct(hs)) AS INTEGER) AS n_distinct
+         |FROM hs""".stripMargin,
     "q35_dedup_exact_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
@@ -267,9 +283,7 @@ object TextQueries {
          |WHERE floor(CAST(common AS DOUBLE)/CAST(na.n + nb.n - common AS DOUBLE) * 1000000 + 0.5) / 1000000.0 >= 0.5""".stripMargin,
     "q37_dedup_minhash_lsh" ->
       s"""WITH $shCte,
-         |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) sid
-         |  FROM (SELECT DISTINCT shingle FROM sh) x),
-         |ids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+         |ids AS (SELECT doc_id, ${chash("shingle")} AS sid FROM sh),
          |sig AS (SELECT doc_id, $minhashMins FROM ids GROUP BY doc_id),
          |bandtab AS ($bandTab),
          |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bandtab a
@@ -279,10 +293,9 @@ object TextQueries {
       s"""WITH wtok AS (SELECT doc_id, u.w, count(*) cnt FROM
          |  (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') ws FROM documents) t,
          |  unnest(t.ws) u(w) GROUP BY 1, 2),
-         |wdict AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) wid
-         |  FROM (SELECT DISTINCT w FROM wtok) x),
-         |wi AS (SELECT doc_id, cnt, ((wid*${Dedup.SimhashMul}+97) % 4294967296) AS wh
-         |  FROM wtok JOIN wdict USING (w)),
+         |wi AS (SELECT doc_id, cnt,
+         |  (((${chash("w")} % 1000003)*${Dedup.SimhashMul}+97) % 4294967296) AS wh
+         |  FROM wtok),
          |bs AS (SELECT doc_id, $simhashSums FROM wi GROUP BY doc_id),
          |sig AS (SELECT doc_id, CAST($simhashCase AS BIGINT) AS simhash FROM bs),
          |blocks AS (SELECT doc_id, simhash, u.k AS blk, (simhash >> CAST(8*u.k AS INTEGER)) & 255 AS bval
