@@ -56,11 +56,23 @@ object LlmOps {
 
   /** Batched embedding op: mapPartitions with one client per partition,
     * fixed batch size (the reference batches ai_query the same way).
-    * Fails fast if the cost guard rejects the row count. */
+    * Fails fast if the cost guard rejects the estimated row count.
+    *
+    * The guard meters an ESTIMATE (caller-supplied `rowEstimate`, else
+    * the optimizer's plan-stats row count) — never `ds.count()`: at the
+    * reference's 217M-row embedding corpus an exact pre-count is a
+    * second full scan before the real job. With no estimate available
+    * the guard refuses rather than silently scanning. */
   def embed(ds: Dataset[EmbedIn], makeClient: () => LlmClient, dim: Int,
-      batchSize: Int, guard: Option[CostGuard] = None): Dataset[EmbedOut] = {
+      batchSize: Int, guard: Option[CostGuard] = None,
+      rowEstimate: Option[Long] = None): Dataset[EmbedOut] = {
     guard.foreach { g =>
-      g.check(ds.count()) match {
+      val rows = rowEstimate
+        .orElse(ds.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+        .getOrElse(throw new IllegalArgumentException(
+          "cost guard needs a row estimate: plan stats carry no rowCount here — " +
+            "pass rowEstimate instead of forcing an extra count job over the corpus"))
+      g.check(rows) match {
         case Left(err) => throw new IllegalStateException(s"cost guard: $err")
         case Right(_) => ()
       }

@@ -64,9 +64,17 @@ object WorkIdResolver {
       }
 
     // mint the remainder: one id per distinct unresolved merge_key,
-    // keyed canonically on the best available key
-    val mintKey = coalesce(col("merge_key.doi"), col("merge_key.pmid"),
-      col("merge_key.arxiv"), col("merge_key.title_author"))
+    // keyed canonically on the best available key. Keys are namespace-
+    // prefixed (doi:/pmid:/arxiv:/ta:) — without the prefix, two
+    // unresolved locations whose best keys collide ACROSS tiers (a pmid
+    // string equal to an arxiv id, or a null-doi row's title_author
+    // equal to another row's raw key) would silently merge into one
+    // minted work, mirroring the key_type scoping of the idMap itself.
+    val mintKey = coalesce(
+      concat(lit("doi:"), col("merge_key.doi")),
+      concat(lit("pmid:"), col("merge_key.pmid")),
+      concat(lit("arxiv:"), col("merge_key.arxiv")),
+      concat(lit("ta:"), col("merge_key.title_author")))
     val unresolved = adopted.filter(col("work_id").isNull)
       .select(mintKey.as("key")).distinct()
     val existingIds = idMap.select(col("key"), col("work_id").as("id"))

@@ -21,10 +21,25 @@ class ServeLlmSpec extends AnyFunSuite {
     assert(out1.toSeq == out2.toSeq) // batch size must not change results
     val guard = LlmOps.CostGuard(unitCostMicros = 100, budgetMicros = 150)
     val ex = intercept[IllegalStateException] {
-      LlmOps.embed(ds, () => new LlmOps.StubClient, 8, 1, Some(guard)).collect()
+      LlmOps.embed(ds, () => new LlmOps.StubClient, 8, 1, Some(guard),
+        rowEstimate = Some(2)).collect()
     }
     assert(ex.getMessage.contains("cost guard"))
     assert(LlmOps.CostGuard(100, 1000).check(2).isRight)
+    // The guard must meter the ESTIMATE, not run a count job: embed over a
+    // dataset whose evaluation throws must return (lazily) without error
+    // when the estimate passes — any eager scan would detonate the poison.
+    val poison = ds.map(x =>
+      if (x.id >= 0) throw new RuntimeException("poison: a job ran") else x)
+    val lazyOut = LlmOps.embed(poison, () => new LlmOps.StubClient, 8, 1,
+      Some(LlmOps.CostGuard(100, 100000)), rowEstimate = Some(2))
+    assert(lazyOut != null)
+    // and with neither estimate nor plan rowCount, the guard refuses
+    // rather than scanning (poisoned plan has no rowCount stats)
+    intercept[IllegalArgumentException] {
+      LlmOps.embed(poison, () => new LlmOps.StubClient, 8, 1,
+        Some(LlmOps.CostGuard(100, 100000)))
+    }
   }
 
   test("LlmOps.judge: batched completion keeps row alignment") {
