@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DomainQueries, RelationalQueries, TextQueries, VectorQueries, WorksQueries}
+import graft.queries.{DomainQueries, IngestQueries, RelationalQueries, TextQueries, VectorQueries, WorksQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DomainQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ WorksQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ WorksQueries.queries ++
+      IngestQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DomainQueries.oracle ++
-      TextQueries.oracle ++ VectorQueries.oracle ++ WorksQueries.oracle
+      TextQueries.oracle ++ VectorQueries.oracle ++ WorksQueries.oracle ++
+      IngestQueries.oracle
 }

@@ -55,4 +55,68 @@ object Normalize {
     * (normalize.py:55-105 — HumanName-lite: last token = family). */
   def authorKey(family: Column, given: Column): Column =
     concat_ws(";", lower(trim(family)), lower(substring(trim(given), 1, 1)))
+
+  private val langNames = Map(
+    "english" -> "en", "spanish" -> "es", "french" -> "fr", "german" -> "de",
+    "chinese" -> "zh", "russian" -> "ru", "japanese" -> "ja", "arabic" -> "ar",
+    "portuguese" -> "pt", "italian" -> "it")
+
+  private val langThreeToTwo = Map(
+    "eng" -> "en", "fra" -> "fr", "spa" -> "es", "deu" -> "de", "rus" -> "ru",
+    "zho" -> "zh", "jpn" -> "ja", "ara" -> "ar", "por" -> "pt", "ita" -> "it",
+    "abk" -> "ab", "aar" -> "aa", "afr" -> "af", "aka" -> "ak", "alb" -> "sq",
+    "amh" -> "am", "arg" -> "an", "arm" -> "hy", "asm" -> "as", "ava" -> "av",
+    "ave" -> "ae", "aym" -> "ay", "aze" -> "az", "bam" -> "bm", "bak" -> "ba",
+    "baq" -> "eu", "bel" -> "be", "ben" -> "bn", "bih" -> "bh", "bis" -> "bi",
+    "bos" -> "bs", "bre" -> "br", "bul" -> "bg", "bur" -> "my", "cat" -> "ca",
+    "cha" -> "ch", "che" -> "ce", "nya" -> "ny", "chi" -> "zh", "chu" -> "cu",
+    "chv" -> "cv", "cor" -> "kw", "cos" -> "co", "cre" -> "cr", "hrv" -> "hr",
+    "cze" -> "cs", "dan" -> "da", "div" -> "dv", "dut" -> "nl", "dzo" -> "dz",
+    "epo" -> "eo", "est" -> "et", "ewe" -> "ee", "fao" -> "fo", "fij" -> "fj",
+    "fin" -> "fi", "fre" -> "fr", "fry" -> "fy", "ful" -> "ff", "geo" -> "ka",
+    "ger" -> "de", "gla" -> "gd", "gle" -> "ga", "glg" -> "gl", "glv" -> "gv",
+    "gre" -> "el", "grn" -> "gn", "guj" -> "gu", "hat" -> "ht", "hau" -> "ha",
+    "heb" -> "he", "her" -> "hz", "hin" -> "hi", "hmo" -> "ho", "hun" -> "hu",
+    "ice" -> "is", "ido" -> "io", "iii" -> "ii", "iku" -> "iu", "ile" -> "ie",
+    "ina" -> "ia", "ind" -> "id", "ipk" -> "ik", "isl" -> "is", "jav" -> "jv",
+    "kan" -> "kn", "kau" -> "kr", "kas" -> "ks", "kaz" -> "kk", "khm" -> "km",
+    "kik" -> "ki", "kin" -> "rw", "kir" -> "ky", "kom" -> "kv", "kon" -> "kg",
+    "kor" -> "ko", "kua" -> "kj", "kur" -> "ku", "lao" -> "lo", "lat" -> "la",
+    "lav" -> "lv", "lim" -> "li", "lin" -> "ln", "lit" -> "lt", "ltz" -> "lb",
+    "lub" -> "lu", "lug" -> "lg", "mac" -> "mk", "mah" -> "mh", "mal" -> "ml",
+    "mao" -> "mi", "mar" -> "mr", "may" -> "ms", "mlg" -> "mg", "mlt" -> "mt",
+    "mon" -> "mn", "nau" -> "na", "nav" -> "nv", "nbl" -> "nr", "nde" -> "nd",
+    "ndo" -> "ng", "nep" -> "ne", "nno" -> "nn", "nob" -> "nb", "nor" -> "no",
+    "oji" -> "oj", "ori" -> "or", "orm" -> "om", "oss" -> "os", "pan" -> "pa",
+    "per" -> "fa", "pli" -> "pi", "pol" -> "pl", "pus" -> "ps", "que" -> "qu",
+    "roh" -> "rm", "rum" -> "ro", "run" -> "rn", "sag" -> "sg", "san" -> "sa",
+    "sin" -> "si", "slo" -> "sk", "slv" -> "sl", "sme" -> "se", "smo" -> "sm",
+    "sna" -> "sn", "snd" -> "sd", "som" -> "so", "sot" -> "st", "srd" -> "sc",
+    "srp" -> "sr", "ssw" -> "ss", "sun" -> "su", "swa" -> "sw", "swe" -> "sv",
+    "tah" -> "ty", "tam" -> "ta", "tat" -> "tt", "tel" -> "te", "tgk" -> "tg",
+    "tgl" -> "tl", "tha" -> "th", "tib" -> "bo", "tir" -> "ti", "ton" -> "to",
+    "tsn" -> "tn", "tso" -> "ts", "tuk" -> "tk", "tur" -> "tr", "twi" -> "tw",
+    "uig" -> "ug", "ukr" -> "uk", "urd" -> "ur", "uzb" -> "uz", "ven" -> "ve",
+    "vie" -> "vi", "vol" -> "vo", "wel" -> "cy", "wln" -> "wa", "wol" -> "wo",
+    "xho" -> "xh", "yid" -> "yi", "yor" -> "yo", "zha" -> "za", "zul" -> "zu")
+
+  /** ISO 639-1 two-letter code from free-text language
+    * (Repo.py:1268-1363 normalize_language_code — [[iso]] prefix strip,
+    * regional `_` variants, `;`-joined lists, full names, 639-2
+    * three-letter codes). The code tables are Spark MAP literals probed
+    * with try_element_at — one lookup, no 180-branch CASE chain. */
+  def languageCode(c: Column): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val cleaned0 = lower(trim(coalesce(c, lit(""))))
+    val cleaned1 = replace(cleaned0, lit("[[iso]]"), lit(""))
+    val cleaned2 = split_part(cleaned1, lit("_"), lit(1))
+    val code = trim(split_part(cleaned2, lit(";"), lit(1)))
+    val names = typedlit(langNames)
+    val threeTwo = typedlit(langThreeToTwo)
+    when(code.isin("", "null", "und", "other"), lit(null).cast("string"))
+      .when(length(code) === 2, code)
+      .when(try_element_at(names, code).isNotNull, try_element_at(names, code))
+      .when(length(code) === 3, try_element_at(threeTwo, code))
+      .otherwise(lit(null).cast("string"))
+  }
 }

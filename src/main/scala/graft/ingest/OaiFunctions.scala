@@ -6,9 +6,89 @@ import graft.functions.Normalize
 
 /** OAI-PMH repository record helpers (reference: notebooks/ingest/
   * Repo.py — `detect_version_udf` :1365-1440 and `extract_ids_udf`
-  * :1441-1523, both ported as pure Column expressions).
+  * :1441-1523, both re-expressed as pure Column expressions).
+  *
+  * Two tiers: the round-1 simplified `detectVersion`/`extractIds`
+  * (kept for their callers), and the full-cascade `detectVersionFull`/
+  * `extractIdsFull` that `RepoParser` composes — pattern set, match
+  * order, and defaults mirror the reference UDFs line-for-line.
   */
 object OaiFunctions {
+
+  /** Repositories whose records are always acceptedVersion
+    * (Repo.py:1371-1389 ACCEPTED_VERSION_REPOS). */
+  val AcceptedVersionRepos: Seq[String] = Seq(
+    "oai:catalog.lib.kyushu-u.ac.jp", "oai:cronfa.swan.ac.uk", "oai:dora",
+    "oai:e-space.mmu.ac.uk", "oai:hrcak.srce.hr", "oai:infocom.co.jp",
+    "oai:library.wur.nl", "oai:lirias2repo.kuleuven.be", "oai:mro.massey.ac.nz",
+    "oai:raumplan.iaus.ac.rs", "oai:repository.arizona.edu",
+    "oai:repository.cardiffmet.ac.uk", "oai:researchbank.swinburne.edu.au",
+    "oai:researchonline.gcu.ac.uk", "oai:rke.abertay.ac.uk",
+    "oai:shura.shu.ac.uk", "oai:taju.uniarts.fi")
+
+  /** Full version detection (Repo.py:1365-1429): repo allowlist first,
+    * then accepted patterns BEFORE published, default submittedVersion
+    * (never null — repo records are assumed submitted drafts). */
+  def detectVersionFull(metaString: Column, nativeId: Column): Column = {
+    val nid = coalesce(nativeId, lit(""))
+    val repoHit = AcceptedVersionRepos
+      .map(r => nid.startsWith(r + ":")).reduce(_ || _)
+    val m = lower(coalesce(metaString, lit("")))
+    val accepted = m.rlike(
+      "accepted.?version|version.?accepted|accepted.?manuscript|peer.?reviewed|refereed/peer-reviewed")
+    val published = m.rlike("publishedversion|published.*version|version.*published")
+    when(repoHit, "acceptedVersion")
+      .when(accepted, "acceptedVersion")
+      .when(published, "publishedVersion")
+      .otherwise("submittedVersion")
+  }
+
+  private val idStructT = "struct<id:string,namespace:string,relationship:string>"
+
+  /** Full id extraction (Repo.py:1441-1536): per-identifier FIRST match
+    * in the reference's pattern order (arxiv-url, arxiv-native, doi,
+    * issn, hal, handle, pmid, pmcid), arXiv ids prefixed `arXiv:` with
+    * relationship=self when they equal the native arXiv id, the
+    * native_id appended as (pmh, self), duplicates dropped. */
+  def extractIdsFull(identifiers: Column, nativeId: Column): Column = {
+    val arxivNativePat = "oai:arXiv\\.org:([^/\\s]+/[0-9]+|[0-9]+\\.[0-9]+)"
+    val nid = coalesce(nativeId, lit(""))
+    val arxivFromNative = nullif(regexp_extract(nid, arxivNativePat, 1), lit(""))
+    val classify = (s: Column) => {
+      val arxivUrl = nullif(regexp_extract(s,
+        "https?://arxiv\\.org/abs/([0-9]{4}\\.[0-9]{4,5}|[a-z\\-]+/[0-9]+)", 1), lit(""))
+      val arxivNat = nullif(regexp_extract(s, arxivNativePat, 1), lit(""))
+      val doi = nullif(regexp_extract(s, "\\b(10\\.[0-9]{4,9}/\\S+)\\b", 1), lit(""))
+      val issn = nullif(regexp_extract(s, "\\b([0-9]{4}-[0-9]{3}[0-9X])\\b", 1), lit(""))
+      val hal = nullif(regexp_extract(s, "\\b(hal-[0-9]+)\\b", 1), lit(""))
+      val handle = nullif(regexp_extract(s,
+        "https?://hdl\\.handle\\.net/([^/\\s]+/[^/\\s]+)", 1), lit(""))
+      val pmid = nullif(regexp_extract(s, "/pubmed/([0-9]+)", 1), lit(""))
+      val pmcid = nullif(regexp_extract(s, "/pmc/articles/(PMC[0-9]+)", 1), lit(""))
+      def arxivStruct(a: Column) = struct(
+        concat(lit("arXiv:"), a).as("id"), lit("arxiv").as("namespace"),
+        when(arxivFromNative.isNotNull && a === arxivFromNative, lit("self"))
+          .otherwise(lit(null).cast("string")).as("relationship"))
+      def idStruct(v: Column, ns: String) = struct(
+        v.as("id"), lit(ns).as("namespace"), lit(null).cast("string").as("relationship"))
+      when(arxivUrl.isNotNull, arxivStruct(arxivUrl))
+        .when(arxivNat.isNotNull, arxivStruct(arxivNat))
+        .when(doi.isNotNull, idStruct(doi, "doi"))
+        .when(issn.isNotNull, idStruct(issn, "issn"))
+        .when(hal.isNotNull, idStruct(hal, "hal"))
+        .when(handle.isNotNull, idStruct(handle, "handle"))
+        .when(pmid.isNotNull, idStruct(pmid, "pmid"))
+        .when(pmcid.isNotNull, idStruct(pmcid, "pmcid"))
+        .otherwise(lit(null).cast(idStructT))
+    }
+    val fromIds = filter(
+      transform(coalesce(identifiers, array().cast("array<string>")), classify),
+      x => x.isNotNull)
+    val withNative = when(nid =!= "",
+      concat(fromIds, array(struct(nid.as("id"), lit("pmh").as("namespace"),
+        lit("self").as("relationship"))))).otherwise(fromIds)
+    array_distinct(withNative)
+  }
 
   /** submittedVersion / acceptedVersion / publishedVersion from the OAI
     * metadata free-text (keyword cascade, first match wins). */

@@ -1,0 +1,211 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** Composed OAI-PMH repository parser: raw `<ns0:record>` XML → walden
+  * works rows. This is the reference's highest-volume XML feed (~228M
+  * PMH keys) and its full `repo_parsed` cascade (reference:
+  * notebooks/ingest/Repo.py:1589-1830):
+  * endpoint-id from the file path → header ids/dates → dedup →
+  * title filters → authors → extract_ids → best dc:type + delete-list
+  * filter → version detection → license/language normalization →
+  * published-date parse cascade → url selection (pmcid ≻ identifier ≻
+  * relation) → is_oa — each step a Column expression over one
+  * `from_xml` pass (Spark 4 ships the XML source natively; the
+  * streaming twin is the same plan behind readStream, see
+  * streaming/Streams.scala).
+  *
+  * Scale: the whole parse is one narrow projection per record — no
+  * joins, no shuffles except the final `dropDuplicates` on
+  * (native_id, updated_date), which the reference also pays (it is the
+  * at-least-once OAI harvest guard).
+  */
+object RepoParser {
+
+  val MaxTitleLength = 5000
+  val MaxAbstractLength = 10000
+  val MaxAuthorNameLength = 500
+
+  /** dc:types that mark a record as non-scholarly noise — the record is
+    * dropped (Repo.py:21-27 TYPES_TO_DELETE). */
+  val TypesToDelete: Seq[String] = Seq(
+    "person", "image", "newspaper", "info:eu-repo/semantics/lecture", "photograph",
+    "bildband", "dvd-video", "video", "fotografia", "cd", "sound recording",
+    "text and image", "moving image", "photographs", "cd-rom",
+    "blu-ray-disc", "stillimage", "image; text", "image;stillimage", "still image",
+    "image;", "ilustraciones y fotos", "fotografie", "fotografía")
+
+  /** OAI record payload schema (Repo.py:1540-1572 repository_schema,
+    * oai_dc subset). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("ns0:header", StructType(Seq(
+      StructField("ns0:identifier", StringType),
+      StructField("ns0:datestamp", StringType)))),
+    StructField("ns0:metadata", StructType(Seq(
+      StructField("ns1:dc", StructType(Seq(
+        StructField("dc:title", StringType),
+        StructField("dc:creator", ArrayType(StringType)),
+        StructField("dc:description", ArrayType(StringType)),
+        StructField("dc:source", StringType),
+        StructField("dc:date", ArrayType(StringType)),
+        StructField("dc:type", ArrayType(StringType)),
+        StructField("dc:identifier", ArrayType(StringType)),
+        StructField("dc:language", StringType),
+        StructField("dc:format", ArrayType(StringType)),
+        StructField("dc:publisher", StringType),
+        StructField("dc:rights", ArrayType(StringType)),
+        StructField("dc:relation", ArrayType(StringType))))))))))
+
+  private val urlPattern = "(https?://\\S+|www\\.\\S+)"
+
+  /** url-struct array from a dc string array (Repo.py:1749-1791):
+    * extract the url, https:// www-forms, pdf/html content type. */
+  private def urlStructs(arr: Column): Column =
+    filter(
+      transform(coalesce(arr, array().cast("array<string>")), x => {
+        val u = regexp_extract(x, urlPattern, 0)
+        struct(
+          when(u.startsWith("www."), concat(lit("https://"), u)).otherwise(u).as("url"),
+          when(x.rlike("(?i)pdf"), lit("pdf")).otherwise(lit("html")).as("content_type"))
+      }),
+      x => x.getField("url") =!= "")
+
+  /** Published date: earliest parseable dc:date ≥ 1900 across the
+    * reference's format cascade (ISO timestamp with/without zone, date,
+    * month, bare year — Repo.py:1688-1710). try_to_timestamp keeps the
+    * ANSI dialect from throwing on junk dates. */
+  private def publishedDate(dates: Column): Column =
+    array_min(filter(
+      transform(coalesce(dates, array().cast("array<string>")), ds => coalesce(
+        to_date(try_to_timestamp(ds, lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))),
+        to_date(try_to_timestamp(ds, lit("yyyy-MM-dd'T'HH:mm:ss"))),
+        to_date(try_to_timestamp(ds, lit("yyyy-MM-dd"))),
+        to_date(try_to_timestamp(ds, lit("yyyy-MM"))),
+        to_date(try_to_timestamp(
+          when(length(trim(ds)) === 4, concat(trim(ds), lit("-01-01"))),
+          lit("yyyy-MM-dd"))))),
+      d => d.isNotNull && year(d) >= 1900))
+
+  /** Parse a frame carrying a raw `xml` STRING column (one
+    * `<ns0:record>` payload per row) and a `file_path` STRING column
+    * (the ingest path — in production `_metadata.file_path`, see
+    * `Tables.withFileMetadata`). Returns walden rows. */
+  def parse(raw: DataFrame): DataFrame = {
+    val rec = raw
+      // endpoint id from the landing path (Repo.py:1603-1605)
+      .withColumn("endpoint_id",
+        regexp_extract(col("file_path"), "repositories/([^/]+)/", 1))
+      .withColumn("__r", from_xml(col("xml"), recordSchema))
+      // deleted records (e.g. doaj tombstones) carry no metadata
+      .filter(col("__r").getField("ns0:metadata").isNotNull)
+      .withColumn("native_id",
+        col("__r").getField("ns0:header").getField("ns0:identifier"))
+      .filter(col("native_id").isNotNull)
+      .withColumn("updated_raw",
+        col("__r").getField("ns0:header").getField("ns0:datestamp"))
+      .dropDuplicates("native_id", "updated_raw")
+
+    val dc = col("__r").getField("ns0:metadata").getField("ns1:dc")
+    val title = substring(dc.getField("dc:title"), 1, MaxTitleLength)
+    val rawTypes = dc.getField("dc:type")
+    val bestType = RepoFunctions.bestType(rawTypes)
+    val rights = dc.getField("dc:rights")
+    val ccRights = filter(coalesce(rights, array().cast("array<string>")),
+      x => x.contains("creativecommons.org"))
+    val rawLicense = when(size(ccRights) > 0, try_element_at(ccRights, lit(1)))
+      .otherwise(try_element_at(rights, lit(1)))
+    val license = Normalize.license(rawLicense)
+    val ids = OaiFunctions.extractIdsFull(dc.getField("dc:identifier"), col("native_id"))
+    val pmcid = try_element_at(filter(ids, x => x.getField("namespace") === "pmcid"), lit(1))
+      .getField("id")
+    val identifierUrls = urlStructs(dc.getField("dc:identifier"))
+    val relationUrls = urlStructs(dc.getField("dc:relation"))
+    val urls = when(pmcid.isNotNull,
+        array(struct(
+          concat(lit("https://www.ncbi.nlm.nih.gov/pmc/articles/"),
+            regexp_replace(pmcid, "PMC([0-9]+)", "$1")).as("url"),
+          lit("html").as("content_type"))))
+      .when(size(identifierUrls) > 0, identifierUrls)
+      .otherwise(relationUrls)
+    // is_oa (Repo.py:1817-1829): cc/open licenses, or an OA repository
+    // recognized from the native id's registry segment
+    val oaRepoSeg = lower(try_element_at(split(col("native_id"), ":"), lit(2)))
+    val isOa = (lower(license).startsWith("cc") ||
+      lower(coalesce(license, lit(""))).contains("other-oa") ||
+      lower(coalesce(license, lit(""))).contains("public-domain") ||
+      (size(split(col("native_id"), ":")) >= 2 &&
+        coalesce(oaRepoSeg, lit("")).rlike(
+          "arxiv|osti|pubmedcentral|biorxiv|medrxiv|zenodo|figshare|open-science\\.canada"))) === true
+
+    val authors = transform(dc.getField("dc:creator"), a => struct(
+      lit(null).cast("string").as("given"),
+      lit(null).cast("string").as("family"),
+      substring(a, 1, MaxAuthorNameLength).as("name"),
+      lit(null).cast("string").as("orcid"),
+      array(struct(
+        lit(null).cast("string").as("name"),
+        lit(null).cast("string").as("department"),
+        lit(null).cast("string").as("ror_id"))).as("affiliations"),
+      lit(false).as("is_corresponding"),
+      lit(null).cast("string").as("author_key")))
+
+    val parsed = rec
+      .withColumn("title", title)
+      .withColumn("raw_native_type", bestType)
+      // type filter (Repo.py:1659-1668): typed records survive unless
+      // deny-listed; untyped records survive unless from archive.org
+      .filter(
+        (col("raw_native_type").isNotNull &&
+          !lower(col("raw_native_type")).isin(TypesToDelete: _*)) ||
+        (col("raw_native_type").isNull &&
+          !col("native_id").startsWith("oai:archive.org")))
+      .filter(col("title").isNotNull && length(trim(col("title"))) >= 5)
+      .withColumn("urls", urls)
+      // a record must expose at least one non-doi.org URL (Repo.py:1813-1814)
+      .filter(size(col("urls")) > 0)
+      .filter(size(filter(col("urls"),
+        x => !x.getField("url").contains("doi.org"))) > 0)
+      .select(
+        lit("repo").as("provenance"),
+        col("native_id"),
+        lit("pmh").as("native_id_namespace"),
+        col("title"),
+        Normalize.title(col("title")).as("normalized_title"),
+        authors.as("authors"),
+        ids.as("ids"),
+        // ingest assigns no type: the work-type cascade owns it
+        // (raw_native_type rides along as evidence)
+        lit(null).cast("string").as("type"),
+        col("raw_native_type"),
+        OaiFunctions.detectVersionFull(to_json(col("__r").getField("ns0:metadata")),
+          col("native_id")).as("version"),
+        license.as("license"),
+        Normalize.languageCode(dc.getField("dc:language")).as("language"),
+        publishedDate(dc.getField("dc:date")).as("published_date"),
+        try_to_timestamp(col("updated_raw")).as("updated_date"),
+        substring(try_element_at(dc.getField("dc:description"), lit(1)),
+          1, MaxAbstractLength).as("abstract"),
+        dc.getField("dc:source").as("source_name"),
+        dc.getField("dc:publisher").as("publisher"),
+        isOa.as("is_oa"),
+        col("urls"),
+        col("endpoint_id"))
+
+    AlignSchema(parsed, waldenWithRepoExtras)
+  }
+
+  /** Walden works plus the repo-specific rider columns the downstream
+    * union keeps (raw_native_type evidence, urls, endpoint_id). */
+  val waldenWithRepoExtras: StructType = StructType(
+    WaldenSchema.works.fields ++ Seq(
+      StructField("raw_native_type", StringType),
+      StructField("urls", ArrayType(StructType(Seq(
+        StructField("url", StringType),
+        StructField("content_type", StringType))))),
+      StructField("endpoint_id", StringType)))
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Normalize
+import graft.ingest.{OaiFunctions, RepoFunctions}
+
+/** Oracle-gated queries over the ingest-cascade operators (the
+  * RepoParser constituents — reference notebooks/ingest/Repo.py). The
+  * XML shredding itself can't run in a SQL oracle, so the gate drives
+  * the scalar cascades over deterministic synthesized inputs derived
+  * from the `documents` fixture; the DuckDB oracle computes the
+  * EXPECTED outputs independently from the same modular-arithmetic
+  * synthesis rules (not by re-running the Spark expressions).
+  */
+object IngestQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** §2.9 repo ingest scalar cascades: detect_version (allowlist +
+    * accepted-before-published), normalize_language_code, best_type
+    * ranking, license normalization, is_oa, extract_ids (arxiv-self /
+    * doi / pmh-append / first-match-wins). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val m3 = id % 3; val m4 = id % 4; val m5 = id % 5; val m6 = id % 6
+    val pad = lpad(id.cast("string"), 5, "0")
+    val nativeId = when(m4 === 0, concat(lit("oai:arXiv.org:2401."), pad))
+      .when(m4 === 1, concat(lit("oai:repo.edu:"), id.cast("string")))
+      .when(m4 === 2, concat(lit("oai:archive.org:"), id.cast("string")))
+      .otherwise(concat(lit("oai:shura.shu.ac.uk:"), id.cast("string")))
+    val metaString = when(m5 === 0, lit("meta accepted manuscript"))
+      .when(m5 === 1, lit("meta publishedversion")).otherwise(lit("meta plain"))
+    val langIn = when(id % 2 === 0, lit("eng")).otherwise(col("lang"))
+    val types = when(m6 === 0, array(lit("text"), lit("article")))
+      .when(m6 === 1, array(lit("image"), lit("dataset")))
+      .when(m6 === 2, array(lit("image")))
+      .when(m6 === 3, array(lit("info:eu-repo/semantics/other-thing")))
+      .when(m6 === 4, array().cast("array<string>"))
+      .otherwise(lit(null).cast("array<string>"))
+    val rights = when(m3 === 0, lit("https://creativecommons.org/licenses/by-nc/4.0"))
+      .when(m3 === 1, lit("public domain mark"))
+      .otherwise(lit(null).cast("string"))
+    val license = Normalize.license(rights)
+    val identifiers = concat(
+      array(concat(lit("https://repo.edu/items/"), id.cast("string"))),
+      when(m4 === 0, array(concat(lit("https://arxiv.org/abs/2401."), pad)))
+        .otherwise(array().cast("array<string>")),
+      when(m3 === 0, array(concat(lit("doi:10.5555/x"), id.cast("string"))))
+        .otherwise(array().cast("array<string>")))
+    // is_oa, RepoParser semantics: cc/public-domain license, or an OA
+    // registry segment in the native id
+    val seg = lower(try_element_at(split(nativeId, ":"), lit(2)))
+    val isOa = lower(coalesce(license, lit(""))).startsWith("cc") ||
+      lower(coalesce(license, lit(""))).contains("public-domain") ||
+      coalesce(seg, lit("")).rlike("arxiv|osti|pubmedcentral|biorxiv|medrxiv|zenodo|figshare")
+    d.select(id.as("doc_id"),
+      nativeId.as("native_id"),
+      OaiFunctions.detectVersionFull(metaString, nativeId).as("version"),
+      Normalize.languageCode(langIn).as("language"),
+      RepoFunctions.bestType(types).as("best_type"),
+      license.as("license"),
+      isOa.as("is_oa"),
+      to_json(OaiFunctions.extractIdsFull(identifiers, nativeId),
+        Map("ignoreNullFields" -> "false")).as("ids_json"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q46_repo_oai_scalars" -> (q46 _))
+
+  val oracle: Map[String, String] = Map(
+    "q46_repo_oai_scalars" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  doc_id % 3 AS m3, doc_id % 4 AS m4, doc_id % 5 AS m5, doc_id % 6 AS m6,
+        |  lpad(CAST(doc_id AS VARCHAR), 5, '0') AS pad FROM documents),
+        |c AS (SELECT *,
+        |  CASE m4 WHEN 0 THEN 'oai:arXiv.org:2401.' || pad
+        |          WHEN 1 THEN 'oai:repo.edu:' || CAST(doc_id AS VARCHAR)
+        |          WHEN 2 THEN 'oai:archive.org:' || CAST(doc_id AS VARCHAR)
+        |          ELSE 'oai:shura.shu.ac.uk:' || CAST(doc_id AS VARCHAR) END AS native_id
+        |  FROM b)
+        |SELECT doc_id, native_id,
+        |CASE WHEN m4 = 3 THEN 'acceptedVersion'
+        |     WHEN m5 = 0 THEN 'acceptedVersion'
+        |     WHEN m5 = 1 THEN 'publishedVersion'
+        |     ELSE 'submittedVersion' END AS version,
+        |CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE lang END AS language,
+        |CASE m6 WHEN 0 THEN 'article' WHEN 1 THEN 'dataset' WHEN 2 THEN 'image'
+        |        WHEN 3 THEN 'info:eu-repo/semantics/other-thing'
+        |        ELSE NULL END AS best_type,
+        |CASE m3 WHEN 0 THEN 'cc-by-nc' WHEN 1 THEN 'public-domain' ELSE NULL END AS license,
+        |(m3 IN (0, 1) OR m4 = 0) AS is_oa,
+        |CAST(to_json(
+        |  CASE WHEN m4 = 0 THEN [struct_pack(id := 'arXiv:2401.' || pad,
+        |    namespace := 'arxiv', relationship := 'self')]
+        |    ELSE [] END ||
+        |  CASE WHEN m3 = 0 THEN [struct_pack(id := '10.5555/x' || CAST(doc_id AS VARCHAR),
+        |    namespace := 'doi', relationship := CAST(NULL AS VARCHAR))]
+        |    ELSE [] END ||
+        |  [struct_pack(id := native_id, namespace := 'pmh', relationship := 'self')]
+        |) AS VARCHAR) AS ids_json
+        |FROM c""".stripMargin)
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Normalize
+import graft.ingest.{OaiFunctions, RepoParser}
+
+class IngestRepoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rec(header: String, dcBody: String): String =
+    s"""<ns0:record><ns0:header>$header</ns0:header>
+       |<ns0:metadata><ns1:dc>$dcBody</ns1:dc></ns0:metadata></ns0:record>""".stripMargin
+
+  private val path = "s3a://bucket/repositories/endpoint-A1/chunk/rec.xml.gz"
+
+  test("RepoParser: full cascade on a plain repository record") {
+    val xml = rec(
+      "<ns0:identifier>oai:repo.edu:123</ns0:identifier>" +
+        "<ns0:datestamp>2024-05-01T10:00:00Z</ns0:datestamp>",
+      "<dc:title>Deep Learning for Citation Analysis</dc:title>" +
+        "<dc:creator>Smith, Jane</dc:creator><dc:creator>Doe, John</dc:creator>" +
+        "<dc:description>We study citation graphs at scale.</dc:description>" +
+        "<dc:date>2023-04-15</dc:date><dc:date>junk-date</dc:date>" +
+        "<dc:type>info:eu-repo/semantics/article</dc:type>" +
+        "<dc:identifier>https://repo.edu/items/123</dc:identifier>" +
+        "<dc:identifier>doi:10.1234/abc.def</dc:identifier>" +
+        "<dc:language>eng</dc:language>" +
+        "<dc:rights>http://creativecommons.org/licenses/by/4.0</dc:rights>")
+    val out = RepoParser.parse(Seq((xml, path)).toDF("xml", "file_path")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    def s(n: String) = r.getAs[String](n)
+    assert(s("provenance") == "repo" && s("native_id") == "oai:repo.edu:123")
+    assert(s("native_id_namespace") == "pmh")
+    assert(s("normalized_title") == "deep learning for citation analysis")
+    assert(s("endpoint_id") == "endpoint-A1")
+    assert(s("language") == "en")
+    assert(s("license") == "cc-by" && r.getAs[Boolean]("is_oa"))
+    assert(s("version") == "submittedVersion")
+    assert(r.getAs[java.sql.Date]("published_date").toString == "2023-04-15")
+    assert(s("type") == null && s("raw_native_type") == "info:eu-repo/semantics/article")
+    val authors = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("authors")
+    assert(authors.map(_.getAs[String]("name")) == Seq("Smith, Jane", "Doe, John"))
+    val ids = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ids")
+      .map(x => (x.getAs[String]("namespace"), x.getAs[String]("id")))
+    assert(ids.contains(("doi", "10.1234/abc.def")))
+    assert(ids.contains(("pmh", "oai:repo.edu:123")))
+    val urls = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("urls").map(_.getAs[String]("url"))
+    assert(urls == Seq("https://repo.edu/items/123"))
+  }
+
+  test("RepoParser: drops — deleted, junk type, archive.org untyped, short title, doi-only urls") {
+    val deleted = "<ns0:record><ns0:header><ns0:identifier>oai:x:1</ns0:identifier>" +
+      "<ns0:datestamp>2024-01-01</ns0:datestamp></ns0:header></ns0:record>"
+    val junkType = rec(
+      "<ns0:identifier>oai:x:2</ns0:identifier><ns0:datestamp>2024-01-01</ns0:datestamp>",
+      "<dc:title>A Photo Collection Overview</dc:title><dc:type>image</dc:type>" +
+        "<dc:identifier>https://x.org/2</dc:identifier>")
+    val archiveUntyped = rec(
+      "<ns0:identifier>oai:archive.org:item3</ns0:identifier><ns0:datestamp>2024-01-01</ns0:datestamp>",
+      "<dc:title>Untyped Archive Item Here</dc:title>" +
+        "<dc:identifier>https://x.org/3</dc:identifier>")
+    val shortTitle = rec(
+      "<ns0:identifier>oai:x:4</ns0:identifier><ns0:datestamp>2024-01-01</ns0:datestamp>",
+      "<dc:title>abc</dc:title><dc:type>article</dc:type>" +
+        "<dc:identifier>https://x.org/4</dc:identifier>")
+    val doiOnlyUrl = rec(
+      "<ns0:identifier>oai:x:5</ns0:identifier><ns0:datestamp>2024-01-01</ns0:datestamp>",
+      "<dc:title>Only A DOI Link Inside</dc:title><dc:type>article</dc:type>" +
+        "<dc:identifier>https://doi.org/10.1/x5</dc:identifier>")
+    val df = Seq(deleted, junkType, archiveUntyped, shortTitle, doiOnlyUrl)
+      .map((_, path)).toDF("xml", "file_path")
+    assert(RepoParser.parse(df).count() == 0)
+    // untyped NON-archive records with a real URL survive
+    val untypedOk = rec(
+      "<ns0:identifier>oai:x:6</ns0:identifier><ns0:datestamp>2024-01-01</ns0:datestamp>",
+      "<dc:title>Untyped But Kept Record</dc:title>" +
+        "<dc:identifier>https://x.org/6</dc:identifier>")
+    assert(RepoParser.parse(Seq((untypedOk, path)).toDF("xml", "file_path")).count() == 1)
+  }
+
+  test("RepoParser: pmcid wins url selection; harvest duplicates collapse") {
+    val xml = rec(
+      "<ns0:identifier>oai:pmc:7</ns0:identifier><ns0:datestamp>2024-02-02</ns0:datestamp>",
+      "<dc:title>A PubMed Central Mirror Record</dc:title><dc:type>article</dc:type>" +
+        "<dc:identifier>https://www.ncbi.nlm.nih.gov/pmc/articles/PMC7654321</dc:identifier>" +
+        "<dc:relation>https://other.site/fallback.pdf</dc:relation>")
+    val out = RepoParser.parse(Seq((xml, path), (xml, path)).toDF("xml", "file_path")).collect()
+    assert(out.length == 1) // dropDuplicates(native_id, datestamp)
+    val urls = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("urls")
+    assert(urls.map(_.getAs[String]("url")) ==
+      Seq("https://www.ncbi.nlm.nih.gov/pmc/articles/7654321"))
+    val ids = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ids")
+      .map(x => (x.getAs[String]("namespace"), x.getAs[String]("id")))
+    assert(ids.contains(("pmcid", "PMC7654321")))
+  }
+
+  test("RepoParser: arXiv native id derives self arxiv id; bare-year date parses") {
+    val xml = rec(
+      "<ns0:identifier>oai:arXiv.org:2401.12345</ns0:identifier>" +
+        "<ns0:datestamp>2024-03-03</ns0:datestamp>",
+      "<dc:title>Scaling Laws Under Replication</dc:title><dc:type>preprint</dc:type>" +
+        "<dc:identifier>https://arxiv.org/abs/2401.12345</dc:identifier>" +
+        "<dc:date>2024</dc:date>")
+    val out = RepoParser.parse(Seq((xml, path)).toDF("xml", "file_path")).collect()
+    assert(out.length == 1)
+    val ids = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ids")
+      .map(x => (x.getAs[String]("namespace"), x.getAs[String]("id"), x.getAs[String]("relationship")))
+    assert(ids.contains(("arxiv", "arXiv:2401.12345", "self")))
+    assert(out(0).getAs[java.sql.Date]("published_date").toString == "2024-01-01")
+    assert(out(0).getAs[Boolean]("is_oa")) // arxiv registry segment
+  }
+
+  test("OaiFunctions.detectVersionFull: repo allowlist, accepted-before-published, default") {
+    def v(meta: String, nid: String): String =
+      Seq((meta, nid)).toDF("m", "n")
+        .select(OaiFunctions.detectVersionFull(col("m"), col("n")).as("v"))
+        .collect()(0).getString(0)
+    assert(v("whatever", "oai:shura.shu.ac.uk:123") == "acceptedVersion")
+    assert(v("the published version was peer reviewed", "oai:x:1") == "acceptedVersion")
+    assert(v("this is the published version", "oai:x:1") == "publishedVersion")
+    assert(v("nothing of note", "oai:x:1") == "submittedVersion")
+    assert(v(null, null) == "submittedVersion")
+  }
+
+  test("Normalize.languageCode: 2-letter, 3-letter, names, variants, junk") {
+    val in = Seq("en", "ENG", "fre", "English", "pt_BR", "tr; en", "[[iso]]deu",
+      "und", "other", "klingonish", null)
+    val out = in.toDF("l").select(Normalize.languageCode(col("l")).as("c"))
+      .collect().map(r => Option(r.getString(0)).orNull)
+    assert(out.toSeq == Seq("en", "en", "fr", "en", "pt", "tr", "de",
+      null, null, null, null))
+  }
+}
