@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, regexp_extract}
 import org.apache.spark.sql.types._
 
 /** Test-table access for the driver fixtures (TESTDATA.md).
@@ -39,4 +40,19 @@ object Tables {
     else
       spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Scan with the hidden `_metadata.file_path` surfaced as `file_path`
+    * (reference Repo.py:1603-1605: multi-endpoint ingest derives the
+    * endpoint from the landing path, not from record content). The
+    * metadata column is resolved by the file source itself — zero extra
+    * IO; works identically on readStream sources. */
+  def withFileMetadata(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    df.select(col("*"), col("_metadata.file_path").as("file_path"))
+  }
+
+  /** Endpoint id from an ingest file path, `.../repositories/<id>/...`
+    * (Repo.py:1604). */
+  def endpointId(filePath: Column): Column =
+    regexp_extract(filePath, "repositories/([^/]+)/", 1)
 }

@@ -98,8 +98,7 @@ object RepoParser {
   def parse(raw: DataFrame): DataFrame = {
     val rec = raw
       // endpoint id from the landing path (Repo.py:1603-1605)
-      .withColumn("endpoint_id",
-        regexp_extract(col("file_path"), "repositories/([^/]+)/", 1))
+      .withColumn("endpoint_id", graft.core.Tables.endpointId(col("file_path")))
       .withColumn("__r", from_xml(col("xml"), recordSchema))
       // deleted records (e.g. doaj tombstones) carry no metadata
       .filter(col("__r").getField("ns0:metadata").isNotNull)

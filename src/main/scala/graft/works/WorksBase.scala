@@ -44,6 +44,26 @@ object WorksBase {
       .withColumn("primary_location", element_at(col("locations"), 1))
   }
 
+  /** Parser-boilerplate abstracts that must not survive into works
+    * (reference CreateWorksBase.ipynb:1246-1253, oxjob 682: ~1.04M CUP
+    * preview notices / T&F zoom-UI rows re-entered works through the
+    * priority-997 fallback whenever every real source was empty). */
+  private val junkAbstractPatterns = Seq(
+    "Click to increase image size%",
+    "An abstract is not available for this content so a preview%",
+    "%A summary is not available for this content so a preview%",
+    "Advertisements that appeared within the print issues of Chem. Eng. News%")
+
+  /** TRUE when an abstract matches the junk denylist. */
+  def isJunkAbstract(abstractCol: Column): Column =
+    junkAbstractPatterns.map(p => abstractCol.like(p)).reduce(_ || _)
+
+  /** NULL out denylisted abstracts BEFORE survivorship, so a junk
+    * high-priority candidate loses to any real lower-priority one
+    * (survivorship prefers non-null over priority — WorksBase:25-29). */
+  def scrubAbstract(abstractCol: Column): Column =
+    when(abstractCol.isNotNull && !isJunkAbstract(abstractCol), abstractCol)
+
   /** OA status cascade (diamond/gold/hybrid/bronze/green/closed) —
     * same decision order as the reference's works OA computation. */
   def oaStatus(isOa: Column, inDoaj: Column, hasApc: Column,

@@ -125,6 +125,33 @@ class IngestRepoSpec extends AnyFunSuite {
     assert(v(null, null) == "submittedVersion")
   }
 
+  test("Tables.withFileMetadata: _metadata.file_path surfaced, endpoint extract") {
+    import graft.core.Tables
+    val df = Tables.withFileMetadata(spark, "/root/testdata/sf0.001", "documents")
+    val p = df.select("file_path").limit(1).collect()(0).getString(0)
+    assert(p.endsWith("documents.parquet"))
+    val ep = Seq("s3a://b/repositories/ep-9/x/r.xml.gz", "s3a://b/other/r.xml")
+      .toDF("p").select(Tables.endpointId(col("p")).as("e"))
+      .collect().map(_.getString(0))
+    assert(ep.toSeq == Seq("ep-9", ""))
+  }
+
+  test("WorksBase junk-abstract denylist scrubs boilerplate, keeps real text") {
+    import graft.works.WorksBase
+    val rows = Seq(
+      "Click to increase image size of figure 3",
+      "An abstract is not available for this content so a preview is shown",
+      "note: A summary is not available for this content so a preview follows",
+      "Advertisements that appeared within the print issues of Chem. Eng. News were...",
+      "A real abstract about citation graphs.",
+      null)
+    val out = rows.toDF("abstract")
+      .select(WorksBase.scrubAbstract(col("abstract")).as("a"))
+      .collect().map(r => Option(r.getString(0)).orNull)
+    assert(out.take(4).forall(_ == null))
+    assert(out(4) == "A real abstract about citation graphs." && out(5) == null)
+  }
+
   test("Normalize.languageCode: 2-letter, 3-letter, names, variants, junk") {
     val in = Seq("en", "ENG", "fre", "English", "pt_BR", "tr; en", "[[iso]]deu",
       "und", "other", "klingonish", null)
