@@ -155,6 +155,32 @@ object DomainQueries {
         .as("entries"))
   }
 
+  /** §2.8 map-function surface: the reference's inverted index as a
+    * true MAP column (transform.py:24-64 `{word: [positions]}`;
+    * CreateWorksBase.ipynb:1258 MAP_FROM_ENTRIES over collected
+    * entries) — map_from_entries + transform_values + map_concat +
+    * map_filter, emitted as JSON (map JSON is `{"k":v}` in both
+    * engines, entry order = sorted entries array). */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val entries = toks.groupBy(col("doc_id"), col("word"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+          struct(col("word").as("key"), col("positions").as("value")))).as("es"),
+        sum(size(col("positions"))).cast("int").as("tot"))
+    val m = map_from_entries(col("es"))
+    entries.select(col("doc_id"),
+      to_json(m).as("idx_json"),
+      to_json(map_concat(
+        transform_values(m, (_, v) => size(v)),
+        map(lit("__total"), col("tot")))).as("counts_json"),
+      to_json(map_filter(m, (_, v) => size(v) >= 2)).as("repeats_json"))
+  }
+
   /** §4 incrementalization: key-level diff with content-hash no-op
     * suppression (CreateWorksEnriched.ipynb:544-608; CDF semantics,
     * Crossref.py:326-329) — prev = per-user stats over even event_ids,
@@ -181,7 +207,8 @@ object DomainQueries {
     "q27_schema_align_customer" -> (q27 _),
     "q28_json_extract_props" -> (q28 _),
     "q29_stream_window_hourly" -> (q29 _),
-    "q30_inverted_index_docs" -> (q30 _))
+    "q30_inverted_index_docs" -> (q30 _),
+    "q48_inverted_index_map" -> (q48 _))
 
   val oracle: Map[String, String] = Map(
     "q44_incremental_diff" ->
@@ -289,5 +316,24 @@ object DomainQueries {
         |pw AS (SELECT doc_id, word, list_sort(list(pos)) AS positions FROM toks GROUP BY 1, 2)
         |SELECT doc_id,
         |CAST(to_json(list_sort(list(struct_pack(word := word, positions := positions)))) AS VARCHAR) AS entries
-        |FROM pw GROUP BY doc_id""".stripMargin)
+        |FROM pw GROUP BY doc_id""".stripMargin,
+    "q48_inverted_index_map" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t.ws[u.i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50) t,
+        |  unnest(range(1, len(t.ws) + 1)) AS u(i)
+        |  WHERE t.ws[u.i] <> ''),
+        |pw AS (SELECT doc_id, word, list_sort(list(pos)) AS positions FROM toks GROUP BY 1, 2),
+        |e AS (SELECT doc_id,
+        |  list_sort(list(struct_pack(key := word, value := positions))) AS es,
+        |  CAST(sum(len(positions)) AS INTEGER) AS tot FROM pw GROUP BY doc_id)
+        |SELECT doc_id,
+        |CAST(to_json(map_from_entries(es)) AS VARCHAR) AS idx_json,
+        |CAST(to_json(map_from_entries(
+        |  list_transform(es, x -> struct_pack(key := x.key,
+        |    value := CAST(len(x.value) AS INTEGER)))
+        |  || [struct_pack(key := '__total', value := tot)])) AS VARCHAR) AS counts_json,
+        |CAST(to_json(map_from_entries(
+        |  list_filter(es, x -> len(x.value) >= 2))) AS VARCHAR) AS repeats_json
+        |FROM e""".stripMargin)
 }

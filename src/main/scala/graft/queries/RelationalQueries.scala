@@ -331,6 +331,22 @@ object RelationalQueries {
         r6(col("n_fast").cast("double") / col("n_items").cast("double")))
   }
 
+  /** §2.5 RANK keep-all-ties — the reference's best-priority-affiliation
+    * pick keeps EVERY row tied at rank 1, then aggregates them
+    * (CreateCrossrefSuperAuthorships.ipynb `crossref_affiliations_staging`:
+    * RANK() OVER (PARTITION BY doi, author_key ORDER BY priority) = 1).
+    * Same shape over lineitem: all lines sharing an order's earliest
+    * ship date survive (row_number would keep exactly one). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_shipdate"))
+    li.withColumn("r", rank().over(w)).filter(col("r") === 1)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_best"),
+        to_json(sort_array(collect_set(col("l_partkey")))).as("parts"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("best_date"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg_pricing_summary" -> (q01 _),
     "q02_filter_pushdown_projection" -> (q02 _),
@@ -352,7 +368,8 @@ object RelationalQueries {
     "q18_date_buckets_orders" -> (q18 _),
     "q19_content_hash_orders" -> (q19 _),
     "q20_case_classifier_orders" -> (q20 _),
-    "q21_range_join_shipping" -> (q21 _))
+    "q21_range_join_shipping" -> (q21 _),
+    "q47_rank_keepties_lineitem" -> (q47 _))
 
   val oracle: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
@@ -512,5 +529,13 @@ object RelationalQueries {
         |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 1 END) AS DOUBLE)
         |  / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS fast_ratio
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q47_rank_keepties_lineitem" ->
+      """WITH r AS (SELECT l_orderkey, l_partkey, l_shipdate,
+        |  rank() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate) AS rr
+        |  FROM lineitem)
+        |SELECT l_orderkey AS o_orderkey, count(*) AS n_best,
+        |CAST(to_json(list_sort(list(DISTINCT l_partkey))) AS VARCHAR) AS parts,
+        |strftime(min(l_shipdate), '%Y-%m-%d') AS best_date
+        |FROM r WHERE rr = 1 GROUP BY l_orderkey""".stripMargin)
 }
