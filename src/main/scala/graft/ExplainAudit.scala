@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   *  - q01: partial (map-side) aggregation before the shuffle
   *  - EVERY registered query: no `Exchange SinglePartition` in the plan
   *    (the round-1 sorted-dictionary windows funneled whole vocabularies
-  *    through one task). Allowlisted: q26 — IdMinter's global row_number
-  *    is bounded by design to the daily-new key set (IdMinter.scala).
+  *    through one task). Allowlisted: q26/q51/q52 — IdMinter's global
+  *    row_number is bounded by design to the new-entity remainder, never
+  *    the corpus (IdMinter.scala:14-18).
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
@@ -52,7 +53,8 @@ object ExplainAudit {
     check("""\(\d+\) Exchange""".r.findAllMatchIn(p01).size == 1,
       "q01 shuffles exactly once")
 
-    val singlePartitionOk = Set("q26_id_minting")
+    val singlePartitionOk = Set("q26_id_minting",
+      "q51_work_id_resolver", "q52_author_match_cascade")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!singlePartitionOk(name)) {
         val p = SparkEntry.queries(name)(spark, sfDir).queryExecution

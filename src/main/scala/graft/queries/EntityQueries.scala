@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.authors.{AuthorMatcher, Authorships}
+import graft.core.Tables
+import graft.functions.HumanName
+import graft.resolve.{UnionLocations, WorkIdResolver}
+
+/** Oracle-gated queries over the entity-resolution / assembly operators
+  * that round 1 covered only with unit tests: HumanName parsing,
+  * UnionLocations SCD1, WorkIdResolver adoption+minting, the
+  * AuthorMatcher tier cascade, and Authorships assembly. Inputs are
+  * synthesized deterministically from the driver fixtures (the q43
+  * synthetic-edge trick); each DuckDB oracle recomputes the expected
+  * output independently — either from the synthesis rules (q49) or by
+  * structurally mirroring the documented operator semantics in SQL.
+  */
+object EntityQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** §2.9 HumanName parse: comma flip, suffix strip, nobiliary
+    * particles, CJK pass-through, single-token names — one form per
+    * doc_id residue; the oracle states the expected parse per form. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val names = Seq("Jane Smith", "Smith, Jane", "Jan van der Berg",
+      "John Q. Public Jr.", "Maria de la Cruz", "李雷", "Doe, John PhD", "Prince")
+    val nameCol = elt(((pmod(col("doc_id"), lit(8)) + 1) +: names.map(lit)): _*)
+    val p = HumanName.parse(nameCol)
+    d.select(col("doc_id"), nameCol.as("raw_name"),
+      p.getField("given").as("given"), p.getField("family").as("family"),
+      HumanName.authorKey(nameCol).as("author_key"))
+  }
+
+  /** §2.1+§2.10 UnionLocations: unionByName(allowMissingColumns) across
+    * feeds + SCD1 last-writer-wins by updated_date — feed B (even keys,
+    * one day newer, no abstract column) must win over feed A. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.select(col("o_orderkey").cast("string").as("native_id"),
+      lit("key").as("native_id_namespace"), lit("feedA").as("provenance"),
+      col("o_orderdate").cast("timestamp").as("updated_date"),
+      col("o_orderpriority").as("title"),
+      lit(null).cast("string").as("abstract"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").cast("string").as("native_id"),
+        lit("key").as("native_id_namespace"), lit("feedA").as("provenance"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).cast("timestamp").as("updated_date"),
+        concat(lit("B:"), col("o_orderpriority")).as("title"))
+    UnionLocations(Seq(a, b)).select(col("native_id"), col("title"),
+      date_format(col("updated_date"), "yyyy-MM-dd").as("updated"), col("abstract"))
+  }
+
+  /** §2.3+§1.1 WorkIdResolver: tiered adoption (doi → pmid →
+    * title_author with the ≤3-candidate ambiguity cap) then namespaced
+    * minting for the remainder. Residues: k%6=0 doi-adopted, 1
+    * pmid-adopted, 2 title_author (2 candidates — capped pick), 3/4
+    * unmatched doi/pmid (minted), 5 ambiguous title_author (4
+    * candidates > cap — minted). */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val ks = k.cast("string")
+    val m3 = pmod(k, lit(3)); val m6 = pmod(k, lit(6))
+    val locations = o.select(k.as("loc_id"), struct(
+      when(m3 === 0, concat(lit("10.1/d"), ks)).as("doi"),
+      when(m3 === 1, concat(lit("pm"), ks)).as("pmid"),
+      lit(null).cast("string").as("arxiv"),
+      when(m3 === 2, concat(lit("title author string number "), ks)).as("title_author"))
+      .as("merge_key"))
+    val doiMap = o.filter(m6 === 0).select(lit("doi").as("key_type"),
+      concat(lit("10.1/d"), ks).as("key"), (lit(1000L) + k).as("work_id"))
+    val pmidMap = o.filter(m6 === 1).select(lit("pmid").as("key_type"),
+      concat(lit("pm"), ks).as("key"), (lit(2000L) + k).as("work_id"))
+    def taMap(resid: Int, base: Long, n: Int) = (0 until n).map(i =>
+      o.filter(m6 === resid).select(lit("title_author").as("key_type"),
+        concat(lit("title author string number "), ks).as("key"),
+        (lit(base + i) + k).as("work_id"))).reduce(_.unionByName(_))
+    val idMap = doiMap.unionByName(pmidMap)
+      .unionByName(taMap(2, 3000L, 2))   // 2 candidates: within cap
+      .unionByName(taMap(5, 4000L, 4))   // 4 candidates: over cap
+    WorkIdResolver.resolve(locations, idMap)
+      .select(col("loc_id"), col("work_id"), col("work_id_source"))
+  }
+
+  /** §2.3 AuthorMatcher tier cascade: orcid (with publisher-stamped
+    * duplicate skip) → block+institution-overlap unique → block+source
+    * unique → block unique → minted. The oracle mirrors the cascade
+    * structurally over the same synthesized frames. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey"); val ks = k.cast("string")
+    val incoming = c.select(
+      pmod(k, lit(100)).as("work_id"),
+      expr("c_custkey div 100").as("author_seq"),
+      concat(lit("b"), pmod(k, lit(40)).cast("string")).as("block_key"),
+      when(pmod(k, lit(4)) === 0, concat(lit("o"), ks))
+        .when(pmod(k, lit(4)) === 2,
+          concat(lit("odup"), pmod(k, lit(100)).cast("string"))).as("orcid"),
+      array(concat(lit("i"), pmod(k, lit(7)).cast("string"))).as("institution_ids"),
+      concat(lit("s"), pmod(k, lit(5)).cast("string")).as("source_id"))
+    val candidates = c.filter(pmod(k, lit(3)) === 0 && k <= 180).select(
+      (lit(500L) + k).as("author_id"),
+      concat(lit("b"), pmod(k, lit(40)).cast("string")).as("block_key"),
+      when(pmod(k, lit(12)) === 0, concat(lit("o"), ks)).as("orcid"),
+      array(concat(lit("i"), pmod(k, lit(7)).cast("string")),
+        concat(lit("i"), pmod(k + 1, lit(7)).cast("string"))).as("institution_ids"),
+      array(concat(lit("s"), pmod(k, lit(5)).cast("string")),
+        concat(lit("s"), pmod(k + 2, lit(5)).cast("string"))).as("source_ids"))
+    AuthorMatcher.matchAuthors(incoming, candidates)
+      .select(col("work_id"), col("author_seq"), col("author_id"), col("match_tier"))
+  }
+
+  /** §2.4 Authorships assembly: institution lineage enrich (broadcast
+    * dim), first/middle/last positions, per-work ordered array +
+    * corresponding flag; institutions dim from nation, some institution
+    * ids deliberately unresolvable, some authors with null id arrays. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val matched = c.select(
+      pmod(k, lit(200)).as("work_id"),
+      expr("c_custkey div 200").as("author_seq"),
+      concat(lit("A"), k.cast("string")).as("author_id"),
+      col("c_name").as("raw_name"),
+      (pmod(k, lit(5)) === 0).as("is_corresponding"),
+      when(pmod(k, lit(11)) === 0, lit(null).cast("array<string>"))
+        .otherwise(array(concat(lit("n"), pmod(k, lit(30)).cast("string"))))
+        .as("institution_ids"))
+    val n = t(s, dir, "nation")
+    val institutions = n.select(
+      concat(lit("n"), col("n_nationkey").cast("string")).as("institution_id"),
+      col("n_name").as("display_name"),
+      concat(lit("c"), col("n_regionkey").cast("string")).as("country_code"),
+      array(concat(lit("n"), col("n_nationkey").cast("string")),
+        concat(lit("r"), col("n_regionkey").cast("string"))).as("lineage"))
+    Authorships.assemble(matched, institutions)
+      .select(col("work_id"),
+        to_json(col("authorships"), Map("ignoreNullFields" -> "false")).as("authorships"),
+        col("has_corresponding"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q49_humanname_parse" -> (q49 _),
+    "q50_union_locations_scd1" -> (q50 _),
+    "q51_work_id_resolver" -> (q51 _),
+    "q52_author_match_cascade" -> (q52 _),
+    "q53_authorships_assemble" -> (q53 _))
+
+  val oracle: Map[String, String] = Map(
+    "q49_humanname_parse" ->
+      """SELECT doc_id,
+        |CASE doc_id % 8 WHEN 0 THEN 'Jane Smith' WHEN 1 THEN 'Smith, Jane'
+        |  WHEN 2 THEN 'Jan van der Berg' WHEN 3 THEN 'John Q. Public Jr.'
+        |  WHEN 4 THEN 'Maria de la Cruz' WHEN 5 THEN '李雷'
+        |  WHEN 6 THEN 'Doe, John PhD' ELSE 'Prince' END AS raw_name,
+        |CASE doc_id % 8 WHEN 0 THEN 'Jane' WHEN 1 THEN 'Jane'
+        |  WHEN 2 THEN 'Jan' WHEN 3 THEN 'John Q.'
+        |  WHEN 4 THEN 'Maria' WHEN 5 THEN NULL
+        |  WHEN 6 THEN 'John' ELSE NULL END AS given,
+        |CASE doc_id % 8 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Smith'
+        |  WHEN 2 THEN 'van der Berg' WHEN 3 THEN 'Public'
+        |  WHEN 4 THEN 'de la Cruz' WHEN 5 THEN '李雷'
+        |  WHEN 6 THEN 'Doe' ELSE 'Prince' END AS family,
+        |CASE doc_id % 8 WHEN 0 THEN 'smith;j' WHEN 1 THEN 'smith;j'
+        |  WHEN 2 THEN 'van der berg;j' WHEN 3 THEN 'public;j'
+        |  WHEN 4 THEN 'de la cruz;m' WHEN 5 THEN '李雷;'
+        |  WHEN 6 THEN 'doe;j' ELSE 'prince;' END AS author_key
+        |FROM documents""".stripMargin,
+    "q50_union_locations_scd1" ->
+      """WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS native_id,
+        |    o_orderdate AS ud, o_orderpriority AS title FROM orders),
+        |b AS (SELECT CAST(o_orderkey AS VARCHAR), o_orderdate + INTERVAL 1 DAY,
+        |    'B:' || o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY native_id ORDER BY ud DESC) AS rn FROM u)
+        |SELECT native_id, title, strftime(ud, '%Y-%m-%d') AS updated,
+        |CAST(NULL AS VARCHAR) AS abstract
+        |FROM w WHERE rn = 1""".stripMargin,
+    "q51_work_id_resolver" ->
+      """WITH loc AS (SELECT o_orderkey AS loc_id, o_orderkey % 6 AS m6 FROM orders),
+        |a AS (SELECT loc_id,
+        |  CASE WHEN m6 = 0 THEN 1000 + loc_id WHEN m6 = 1 THEN 2000 + loc_id
+        |       WHEN m6 = 2 THEN 3000 + loc_id END AS work_id,
+        |  CASE WHEN m6 = 0 THEN 'doi' WHEN m6 = 1 THEN 'pmid'
+        |       WHEN m6 = 2 THEN 'title_author' END AS src,
+        |  CASE WHEN m6 = 3 THEN 'doi:10.1/d' || CAST(loc_id AS VARCHAR)
+        |       WHEN m6 = 4 THEN 'pmid:pm' || CAST(loc_id AS VARCHAR)
+        |       WHEN m6 = 5 THEN 'ta:title author string number ' || CAST(loc_id AS VARCHAR)
+        |  END AS mint_key FROM loc),
+        |mint AS (SELECT mint_key, 6600000000 + row_number() OVER (ORDER BY mint_key) AS mid
+        |  FROM (SELECT DISTINCT mint_key FROM a WHERE mint_key IS NOT NULL) x)
+        |SELECT loc_id, CAST(coalesce(a.work_id, m.mid) AS BIGINT) AS work_id,
+        |coalesce(a.src, 'minted') AS work_id_source
+        |FROM a LEFT JOIN mint m USING (mint_key)""".stripMargin,
+    "q52_author_match_cascade" ->
+      """WITH inc AS (SELECT c_custkey AS k, c_custkey % 100 AS work_id,
+        |  c_custkey // 100 AS author_seq,
+        |  'b' || CAST(c_custkey % 40 AS VARCHAR) AS block_key,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'o' || CAST(c_custkey AS VARCHAR)
+        |       WHEN c_custkey % 4 = 2 THEN 'odup' || CAST(c_custkey % 100 AS VARCHAR)
+        |  END AS orcid,
+        |  'i' || CAST(c_custkey % 7 AS VARCHAR) AS inst,
+        |  's' || CAST(c_custkey % 5 AS VARCHAR) AS src FROM customer),
+        |cand AS (SELECT 500 + c_custkey AS author_id,
+        |  'b' || CAST(c_custkey % 40 AS VARCHAR) AS block_key,
+        |  CASE WHEN c_custkey % 12 = 0 THEN 'o' || CAST(c_custkey AS VARCHAR) END AS orcid,
+        |  ['i' || CAST(c_custkey % 7 AS VARCHAR), 'i' || CAST((c_custkey+1) % 7 AS VARCHAR)] AS insts,
+        |  ['s' || CAST(c_custkey % 5 AS VARCHAR), 's' || CAST((c_custkey+2) % 5 AS VARCHAR)] AS srcs
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey <= 180),
+        |dup AS (SELECT work_id, orcid FROM inc WHERE orcid IS NOT NULL
+        |  GROUP BY 1, 2 HAVING count(*) > 1),
+        |orc AS (SELECT i.work_id, i.author_seq, min(c.author_id) AS author_id,
+        |  'orcid' AS tier FROM inc i JOIN cand c ON i.orcid = c.orcid
+        |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+        |    WHERE d.work_id = i.work_id AND d.orcid = i.orcid)
+        |  GROUP BY 1, 2),
+        |r1 AS (SELECT * FROM inc WHERE NOT EXISTS (SELECT 1 FROM orc o
+        |  WHERE o.work_id = inc.work_id AND o.author_seq = inc.author_seq)),
+        |t2 AS (SELECT work_id, author_seq, min(author_id) AS author_id,
+        |  'name_institution' AS tier FROM r1 JOIN cand c ON r1.block_key = c.block_key
+        |    AND list_contains(c.insts, r1.inst)
+        |  GROUP BY 1, 2 HAVING count(DISTINCT author_id) = 1),
+        |r2 AS (SELECT * FROM r1 WHERE NOT EXISTS (SELECT 1 FROM t2
+        |  WHERE t2.work_id = r1.work_id AND t2.author_seq = r1.author_seq)),
+        |t3 AS (SELECT work_id, author_seq, min(author_id) AS author_id,
+        |  'name_source' AS tier FROM r2 JOIN cand c ON r2.block_key = c.block_key
+        |    AND list_contains(c.srcs, r2.src)
+        |  GROUP BY 1, 2 HAVING count(DISTINCT author_id) = 1),
+        |r3 AS (SELECT * FROM r2 WHERE NOT EXISTS (SELECT 1 FROM t3
+        |  WHERE t3.work_id = r2.work_id AND t3.author_seq = r2.author_seq)),
+        |t4 AS (SELECT work_id, author_seq, min(author_id) AS author_id,
+        |  'name_unique' AS tier FROM r3 JOIN cand c ON r3.block_key = c.block_key
+        |  GROUP BY 1, 2 HAVING count(DISTINCT author_id) = 1),
+        |r4 AS (SELECT * FROM r3 WHERE NOT EXISTS (SELECT 1 FROM t4
+        |  WHERE t4.work_id = r3.work_id AND t4.author_seq = r3.author_seq)),
+        |mint AS (SELECT block_key, 6600000000 + row_number() OVER (ORDER BY block_key) AS mid
+        |  FROM (SELECT DISTINCT block_key FROM r4) x),
+        |t5 AS (SELECT r4.work_id, r4.author_seq, m.mid AS author_id, 'minted' AS tier
+        |  FROM r4 JOIN mint m USING (block_key)),
+        |res AS (SELECT * FROM orc UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+        |  UNION ALL SELECT * FROM t4 UNION ALL SELECT * FROM t5)
+        |SELECT i.work_id, i.author_seq, CAST(r.author_id AS BIGINT) AS author_id,
+        |r.tier AS match_tier
+        |FROM inc i LEFT JOIN res r ON i.work_id = r.work_id AND i.author_seq = r.author_seq""".stripMargin,
+    "q53_authorships_assemble" ->
+      """WITH m AS (SELECT c_custkey AS k, c_custkey % 200 AS work_id,
+        |  c_custkey // 200 AS author_seq,
+        |  'A' || CAST(c_custkey AS VARCHAR) AS author_id, c_name AS raw_name,
+        |  (c_custkey % 5 = 0) AS is_corresponding,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |       ELSE 'n' || CAST(c_custkey % 30 AS VARCHAR) END AS iid
+        |  FROM customer),
+        |j AS (SELECT m.*,
+        |  CASE WHEN n.n_nationkey IS NOT NULL THEN struct_pack(
+        |    id := 'n' || CAST(n.n_nationkey AS VARCHAR),
+        |    display_name := n.n_name,
+        |    country_code := 'c' || CAST(n.n_regionkey AS VARCHAR),
+        |    lineage := ['n' || CAST(n.n_nationkey AS VARCHAR),
+        |                'r' || CAST(n.n_regionkey AS VARCHAR)]) END AS inst,
+        |  'c' || CAST(n.n_regionkey AS VARCHAR) AS cc
+        |  FROM m LEFT JOIN nation n ON m.iid = 'n' || CAST(n.n_nationkey AS VARCHAR)),
+        |g AS (SELECT work_id, author_seq, author_id, raw_name, is_corresponding,
+        |  list_sort(list_filter(list(inst), x -> x IS NOT NULL)) AS institutions,
+        |  list_sort(list_distinct(list_filter(list(cc), x -> x IS NOT NULL))) AS countries
+        |  FROM j GROUP BY 1, 2, 3, 4, 5),
+        |wl AS (SELECT *, max(author_seq) OVER (PARTITION BY work_id) AS mx FROM g),
+        |st AS (SELECT work_id, struct_pack(
+        |  author_seq := author_seq,
+        |  author_position := CASE WHEN author_seq = 0 THEN 'first'
+        |    WHEN author_seq = mx THEN 'last' ELSE 'middle' END,
+        |  author_id := author_id, raw_name := raw_name,
+        |  is_corresponding := is_corresponding,
+        |  institutions := institutions, countries := countries) AS a,
+        |  is_corresponding FROM wl)
+        |SELECT work_id,
+        |CAST(to_json(list(a ORDER BY a.author_seq)) AS VARCHAR) AS authorships,
+        |max(is_corresponding) AS has_corresponding
+        |FROM st GROUP BY work_id""".stripMargin)
+}
