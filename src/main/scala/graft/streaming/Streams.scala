@@ -18,6 +18,17 @@ object Streams {
       event_type: String, value: Double)
   final case class SessBuf(times: Seq[(Long, Long)])
   final case class SessOut(user_id: Long, n_sessions: Long, max_session_events: Long)
+  /** Collapsed sessionizer state: the closed (behind-watermark) prefix
+    * reduced to four longs, plus the still-open recent buffer. */
+  final case class SessAcc(lastTs: Long, sessions: Long, run: Long,
+      maxLen: Long, buf: Seq[(Long, Long)])
+  final case class RawEventW(event_id: Long, ts: Long, user_id: Long,
+      tsm: java.sql.Timestamp)
+  /** Output of the collapsed sessionizer; `buffered` = retained state
+    * rows for this user (production state-size monitoring; the spec
+    * asserts it stays bounded while totals match batch). */
+  final case class SessOutM(user_id: Long, n_sessions: Long,
+      max_session_events: Long, buffered: Int)
 
   /** Streaming read of an events-shaped parquet directory (ts as raw
     * epoch-nanos — see Tables.eventsSchema). `maxFilesPerTrigger`
@@ -63,10 +74,9 @@ object Streams {
     * (flatMapGroupsWithState) — the stateful-streaming twin of
     * DomainQueries q25. Gap sessions are NOT order-insensitive, so the
     * state buffers the user's event times and recomputes — out-of-order
-    * micro-batches then still converge to the exact batch answer. At
-    * scale the buffer is pruned behind the watermark by collapsing the
-    * closed prefix into (lastTs, sessionsSoFar, runLen, maxLen); kept
-    * whole here for exact replay semantics on the fixtures. */
+    * micro-batches then still converge to the exact batch answer.
+    * UNBOUNDED state (full per-user history): exact-replay debug/test
+    * harness only — production uses [[sessionizeCollapsed]]. */
   def sessionize(ds: Dataset[RawEvent], gapNs: Long): Dataset[SessOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
@@ -84,6 +94,54 @@ object Streams {
             last = ts
           }
           Iterator(SessOut(uid, sessions, maxLen))
+      }
+  }
+
+  /** Production sessionizer: watermark prefix-collapse + event-time
+    * timeout. Events at or behind the watermark can never be reordered
+    * by late data, so their fold is FINAL: they collapse into four longs
+    * (lastTs, sessions, runLen, maxLen) and leave state; only the open
+    * tail (newer than the watermark) stays buffered. Gap computation
+    * across the collapse boundary still sees `lastTs`, so totals equal
+    * the exact-replay sessionizer whenever late data respects `delay`.
+    * The timeout re-collapses idle users once the watermark passes their
+    * last event + gap — state then floors at the four-long accumulator
+    * (cumulative session counts can't be deleted: a returning user must
+    * resume, not restart). */
+  def sessionizeCollapsed(events: DataFrame, gapNs: Long,
+      delay: String): Dataset[SessOutM] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wm = events
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsm", delay)
+      .select(col("event_id"), col("ts"), col("user_id"), col("tsm"))
+      .as[RawEventW]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[RawEventW], state: GroupState[SessAcc]) =>
+          val prev = state.getOption.getOrElse(SessAcc(Long.MinValue, 0L, 0L, 0L, Nil))
+          def fold(acc: SessAcc, ts: Long): SessAcc = {
+            val (s, r) = if (acc.sessions == 0 || ts - acc.lastTs > gapNs)
+              (acc.sessions + 1, 1L) else (acc.sessions, acc.run + 1)
+            SessAcc(ts, s, r, math.max(acc.maxLen, r), acc.buf)
+          }
+          val buf = (prev.buf ++ evs.map(e => (e.ts, e.event_id))).distinct.sorted
+          // emitted totals: collapsed prefix extended by the ordered buffer
+          val total = buf.foldLeft(prev.copy(buf = Nil))((a, te) => fold(a, te._1))
+          // persisted state: fold ONLY the closed (< watermark) prefix
+          val wmNs = state.getCurrentWatermarkMs * 1000000L
+          val (closed, open) = buf.partition(_._1 < wmNs)
+          val collapsed = closed.foldLeft(prev.copy(buf = Nil))((a, te) => fold(a, te._1))
+            .copy(buf = open)
+          state.update(collapsed)
+          val wmMs = state.getCurrentWatermarkMs
+          val gapMs = gapNs / 1000000L
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(open.map(_._1).max / 1000000L + gapMs, wmMs + 1))
+          else if (wmMs > 0)
+            state.setTimeoutTimestamp(wmMs + gapMs)
+          Iterator(SessOutM(uid, total.sessions, total.maxLen, open.size))
       }
   }
 }

@@ -55,6 +55,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionizeCollapsed: watermark prefix-collapse equals batch, state bounded") {
+    // six time-ordered files => six micro-batches; the watermark advances
+    // between batches, so earlier batches' events collapse out of state
+    val d = Files.createTempDirectory("graft-events-split").toString
+    val ev = Tables(spark, sfDir, "events").orderBy("ts").collect()
+    val n = ev.length
+    val src = spark.readStream.schema(Tables.eventsSchema)
+      .option("recursiveFileLookup", "true").parquet(d)
+    val q = Streams.sessionizeCollapsed(src, 6L * 3600 * 1000000000L, "1 hour")
+      .writeStream.format("memory").queryName("sessc").outputMode("update").start()
+    // land each time-slice as its own file BETWEEN drains: ≥6 micro-batches,
+    // so the watermark advances and earlier slices collapse out of state
+    val schema = Tables(spark, sfDir, "events").schema
+    (0 until 6).foreach { i =>
+      val slice = ev.slice(i * n / 6, (i + 1) * n / 6)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toIndexedSeq, 1), schema)
+      df.coalesce(1).write.parquet(s"$d/part-$i")
+      q.processAllAvailable()
+    }
+    // sentinel far-future event: pushes the watermark past every real
+    // user's last event + gap, so each user's event-time timeout fires
+    // and collapses their state to the four-long accumulator (open = 0)
+    val maxTs = ev.map(_.getLong(1)).max
+    val sentinel = org.apache.spark.sql.Row(999999L,
+      maxTs + 30L * 24 * 3600 * 1000000000L, 999999L, "sentinel", 0.0, "{}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(sentinel), 1), schema)
+      .write.parquet(s"$d/part-sentinel")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessc").filter(col("user_id") =!= 999999L)
+    val streamed = rows.groupBy("user_id")
+      .agg(max("n_sessions").as("s"), max("max_session_events").as("m"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("q25_sessionize_users")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("max_session_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // boundedness: once the watermark passes a user's last event + gap,
+    // their timeout collapse must leave ZERO buffered state rows — every
+    // real user reaches that floor (exact-replay mode never drops below
+    // full history)
+    val nUsers = batch.size
+    val collapsed = rows.filter(col("buffered") === 0)
+      .select("user_id").distinct().count()
+    assert(collapsed == nUsers, s"only $collapsed of $nUsers users fully collapsed")
+  }
+
   test("scd1 foreachBatch: stream state equals batch latest, replay idempotent") {
     var state: Option[DataFrame] = None
     def run(): Unit = Streams.scd1Sink(Streams.readEvents(spark, streamDir),
