@@ -44,14 +44,10 @@ object TypeClassifier {
 
   private def lc(c: String): Column = lower(coalesce(col(c), lit("")))
 
-  /** Fuller cascade re-expressing the reference's rule TIERS
-    * (CreateLocationsWithTypes.sql:14-694 — explicit crossref types,
-    * subtype, host allowlists, source-name table, source-context LIKEs,
-    * page-shape heuristics, group-window preprint/journal context).
-    * Requires the richer feature frame: raw_native_type, subtype, host,
-    * source_name, source_type, title, n_refs, single_page, has_abstract,
-    * is_retracted, is_preprint_server. Rules are DATA — reaching full
-    * 163-rule parity is row entry against the frozen parity corpus. */
+  /** Round-1 summary cascade over a simplified feature frame — kept for
+    * its callers/tests. The FULL 163-rule transliteration (plus the
+    * 221-entry ingest-dict fallback and final verdict selection) lives
+    * in [[TypeRules]]; use that for reference parity. */
   def referenceRules: Seq[Rule] = Seq(
     // tier 0: retraction/erratum signals dominate everything
     Rule("retracted-flag", coalesce(col("is_retracted"), lit(false)), "retraction"),

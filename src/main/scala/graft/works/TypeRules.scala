@@ -1,0 +1,663 @@
+package graft.works
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TypeClassifier.Rule
+
+/** FULL transliteration of the reference's frozen work-type classifier
+  * (notebooks/end2end/CreateLocationsWithTypes.sql:24-291 feature build
+  * + 163-rule cascade, :444-690 ingest-dict fallback, :735-746 final
+  * selection). Rules are DATA evaluated first-match-wins over a
+  * lowercased feature frame; [[features]] derives that frame, the rule
+  * list compiles into ONE `when` chain (codegen'd — no join, no UDF),
+  * and [[finalType]] applies the reference's verdict order:
+  * preprint-registrant group flag ≻ non-default cascade verdict ≻
+  * ingest-dict fallback ≻ preserved ingest type ≻ 'article'.
+  */
+object TypeRules {
+
+  // ---- feature frame (feat/feat2 CTEs, :110-125) --------------------
+
+  private val dcPattern =
+    "(?:dc\\.type(?:\\.articletype)?|article-type|articletype|dcterms\\.type|" +
+      "prism\\.contenttype|citation_article_type)\"?\\s*(?:content=)?[\":=]?\\s*\"?\\s*" +
+      "([a-zA-Z][\\p{L}\\p{N}_ .\\-/]{1,40})"
+
+  /** dc.type-ish declared types scraped from landing-page meta tags. */
+  def dcTypes(meta: Column): Column =
+    transform(flatten(transform(coalesce(meta, array().cast("array<string>")),
+      m => regexp_extract_all(lower(m), lit(dcPattern), lit(1)))),
+      v => trim(rtrim(trim(v), "\"/")))
+
+  private def metaKey(meta: Column, names: String): Column =
+    exists(coalesce(meta, array().cast("array<string>")),
+      m => lower(m).rlike("(?:name|property)\\s*=\\s*\"(?:" + names + ")\""))
+
+  /** Input columns: title, raw_type, cr_type, cr_subtype, source_name,
+    * cr_container, issue, first_page, n_refs, single_page, has_abstract,
+    * is_retracted, oa_type, page_title, abstract, resolved_url,
+    * meta ARRAY<STRING>, doi, source_type, has_journal. n_refs and
+    * has_journal are GROUP-level (max over the work_group window
+    * upstream, :69-75); everything else is row-level. */
+  def features(df: DataFrame): DataFrame = {
+    def lo(n: String) = lower(coalesce(col(n).cast("string"), lit("")))
+    df
+      .withColumn("f_title", lo("title"))
+      .withColumn("f_raw", lower(coalesce(nullif(col("raw_type"), lit("")),
+        nullif(col("cr_type"), lit("")), lit(""))))
+      .withColumn("f_crtype", lo("cr_type"))
+      .withColumn("f_sub", lo("cr_subtype"))
+      .withColumn("f_src", lo("source_name"))
+      .withColumn("f_cont", lo("cr_container"))
+      .withColumn("f_sc", concat(col("f_src"), lit(" "), col("f_cont")))
+      .withColumn("f_issue", lo("issue"))
+      .withColumn("f_fp", when(col("first_page").isNull, lit("")).otherwise(
+        lower(trim(split_part(col("first_page").cast("string"), lit("-"), lit(1))))))
+      .withColumn("f_nrefs", coalesce(col("n_refs"), lit(0)))
+      .withColumn("f_single", coalesce(col("single_page"), lit(false)))
+      .withColumn("f_hasabs", coalesce(col("has_abstract"), lit(false)))
+      .withColumn("f_retr", coalesce(col("is_retracted"), lit(false)))
+      .withColumn("f_oatype", lo("oa_type"))
+      .withColumn("f_ptl", lo("page_title"))
+      .withColumn("f_abs", lo("abstract"))
+      .withColumn("f_url", lo("resolved_url"))
+      .withColumn("f_host", coalesce(regexp_extract(col("f_url"),
+        "^[a-z][a-z0-9+.\\-]*://([^/?#]*)", 1), lit("")))
+      .withColumn("f_path", when(col("f_url").rlike("^[a-z][a-z0-9+.\\-]*://"),
+        coalesce(regexp_extract(col("f_url"),
+          "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1), lit("")))
+        .otherwise(col("f_url")))
+      .withColumn("f_urltok",
+        regexp_extract_all(col("f_path"), lit("[a-z]{3,}"), lit(0)))
+      .withColumn("f_dc", dcTypes(col("meta")))
+      .withColumn("k_confabs", metaKey(col("meta"),
+        "citation_conference_date|citation_conference_location"))
+      .withColumn("k_confpap", metaKey(col("meta"),
+        "citation_conference_abbrev|citation_conference_abbreviation|" +
+          "citation_conference_identifier|citation_conference_series_id"))
+      .withColumn("f_doi", lo("doi"))
+      .withColumn("f_rawnorm", translate(col("f_raw"), "-_ :", ""))
+      .withColumn("f_srctype", lo("source_type"))
+      .withColumn("f_hasjournal", coalesce(col("has_journal"), lit(false)))
+  }
+
+  // ---- the frozen 163-rule cascade (:127-291), in order -------------
+
+  private val T = col("f_title"); private val A = col("f_abs")
+  private val R = col("f_raw"); private val RN = col("f_rawnorm")
+  private val CR = col("f_crtype"); private val SUB = col("f_sub")
+  private val S = col("f_src"); private val C = col("f_cont")
+  private val SC = col("f_sc"); private val H = col("f_host")
+  private val DC = col("f_dc"); private val NR = col("f_nrefs")
+  private val SP = col("f_single"); private val HA = col("f_hasabs")
+
+  private def anyLike(c: Column, ps: String*): Column = ps.map(c.like).reduce(_ || _)
+  private def scLike(p: String): Column = S.like(p) || C.like(p)
+  /** zero-ref single-page with abstract — the conference-ABSTRACT shape. */
+  private val absShape = NR === 0 && SP && HA
+  private def dc(v: String): Column = array_contains(DC, v)
+
+  def fullRules: Seq[Rule] = Seq(
+    Rule("retraction", anyLike(T, "retraction%", "statement of retraction%") ||
+      (col("f_retr") && T.like("withdrawn%")) ||
+      anyLike(A, "%this retracts%", "%retracts the article%"), "retraction"),
+    Rule("erratum", anyLike(T, "%erratum%", "%corrigendum%", "%correction to%",
+      "%author correction%", "%publisher correction%") || T.like("correction%") ||
+      anyLike(A, "%this corrects the article%", "%corrects the article%"), "erratum"),
+    Rule("peer-review", RN === "peerreview" || anyLike(T, "review for%",
+      "decision letter%", "author response%", "reply on%", "peer review of%",
+      "reviewer public%", "comment on egusphere%"), "peer-review"),
+    Rule("cr-dissertation", CR === "dissertation", "dissertation"),
+    Rule("cr-reference", CR.isin("reference-entry", "reference-book"), "reference-entry"),
+    Rule("cr-standard", CR === "standard", "standard"),
+    Rule("cr-report-component", CR === "report-component", "report"),
+    Rule("subtype-preprint", SUB === "preprint", "preprint"),
+    Rule("host-preprint", H.isin("osf.io", "www.researchsquare.com"), "preprint"),
+    Rule("host-dataset", H.isin("www.encodeproject.org", "www.rcsb.org",
+      "www.wwpdb.org"), "dataset"),
+    Rule("host-software-paper", H.isin("www.softxjournal.com"), "software-paper"),
+    Rule("host-software", H.isin("cran.r-project.org", "demonstrations.wolfram.com") &&
+      R =!= "dataset", "software"),
+    Rule("host-peer-review", H.isin("facultyopinions.com", "publons.com",
+      "www.webofscience.com"), "peer-review"),
+    Rule("host-dissertation", H.isin("theses.fr", "theses.hal.science"), "dissertation"),
+    Rule("host-reference", H.isin("materials.springer.com", "referenceworks.brill.com",
+      "www.cabidigitallibrary.org", "www.oed.com", "www.oxfordartonline.com",
+      "www.ukwhoswho.com"), "reference-entry"),
+    Rule("host-conf-abstract", H.isin("meetingorganizer.copernicus.org",
+      "www.morressier.com"), "conference-abstract"),
+    Rule("host-book", H.isin("goodreads.com", "www.goodreads.com"), "book"),
+    Rule("host-other", H.isin("picryl.com", "www.picryl.com"), "other"),
+    Rule("src-conf-abstract", S.isin("abstracts",
+      "abstracts with programs - geological society of america",
+      "academy of management proceedings", "endocrine abstracts",
+      "the proceedings of the annual convention of the japanese psychological association"),
+      "conference-abstract"),
+    Rule("src-reference", S.isin("brill’s new pauly", "definitions", "der neue pauly",
+      "encyclopédie de l’islam", "iucn red list of threatened species",
+      "lexikon des gesamten buchwesens online", "radiopaedia.org",
+      "religion in geschichte und gegenwart", "springerreference",
+      "supplementum epigraphicum graecum", "the shafr guide online",
+      "who was who", "who's who"), "reference-entry"),
+    Rule("src-psyctests", S.isin("psyctests dataset"), "dataset"),
+    Rule("src-preprint", S.isin("research square", "ssrn electronic journal"), "preprint"),
+    Rule("src-data-paper", S.isin("data in brief"), "data-paper"),
+    Rule("src-software-paper", S.isin("softwarex",
+      "the journal of open source software"), "software-paper"),
+    Rule("src-conf-paper", S.isin("acta horticulturae", "ecs transactions",
+      "iceri proceedings", "ifac proceedings volumes", "materials today proceedings",
+      "procedia engineering"), "conference-paper"),
+    Rule("src-peer-review", S.isin(
+      "faculty opinions – post-publication peer review of the biomedical literature"),
+      "peer-review"),
+    Rule("src-book-chapter", S.isin("apress ebooks",
+      "jaypee brothers medical publishers (p) ltd. ebooks"), "book-chapter"),
+    Rule("src-book-review", S.isin("bulletin of the center for children's books",
+      "choice reviews online"), "book-review"),
+    Rule("src-other", S.isin("electronic enlightenment scholarly edition of correspondence"),
+      "other"),
+    Rule("src-report", S.isin("national bureau of economic research"), "report"),
+    Rule("src-editorial", S.isin("synfacts"), "editorial"),
+    Rule("sc-datasets", SC.like("%datasets%"), "dataset"),
+    Rule("sc-web-of-conf", SC.like("%web of conferences%"), "conference-paper"),
+    Rule("sc-rxiv", SC.like("%rxiv%"), "preprint"),
+    Rule("sc-preprint", SC.like("%preprint%"), "preprint"),
+    Rule("sc-dictionary", SC.like("%dictionary%"), "reference-entry"),
+    Rule("sc-encyclopedia", SC.like("%encyclopedia%"), "reference-entry"),
+    Rule("sc-lexicon", SC.like("%lexicon%"), "reference-entry"),
+    Rule("sc-meeting-abstracts", SC.like("%meeting abstracts%"), "conference-abstract"),
+    Rule("src-conf-paper-2", S.isin("e3s web of conferences",
+      "lecture notes on data engineering and communications technologies",
+      "procedia - social and behavioral sciences"), "conference-paper"),
+    Rule("src-euro-urology", S.isin("european urology supplements"), "conference-abstract"),
+    Rule("src-gisaid", S.isin("gisaid"), "dataset"),
+    Rule("sc-encode", scLike("%encode%"), "dataset"),
+    Rule("sc-spie", scLike("%spie proceedings%"), "conference-paper"),
+    Rule("sc-wwpdb", scLike("%worldwide protein data bank%"), "dataset"),
+    Rule("sc-sae", scLike("%sae technical paper series%"), "conference-paper"),
+    Rule("sc-assehr", scLike("%advances in social science, education and humanities research%"),
+      "conference-paper"),
+    Rule("sc-cleo", scLike("%conference on lasers and electro-optics%"), "conference-paper"),
+    Rule("sc-ifmbe", scLike("%ifmbe proceedings%"), "conference-paper"),
+    Rule("sc-morphosource", scLike("%morphosource%"), "dataset"),
+    Rule("sc-sgem", scLike("%sgem international multidisciplinary scientific geoconference%"),
+      "conference-paper"),
+    Rule("doi-meeting-abstracts", anyLike(col("f_doi"), "%meetingabstracts%",
+      "%meeting-abstracts%") || anyLike(col("f_url"), "%meetingabstracts%",
+      "%meeting-abstracts%"), "conference-abstract"),
+    Rule("title-editorial-board", T.like("editorial board%"), "paratext"),
+    Rule("title-front-matter", T.like("front matter%"), "paratext"),
+    Rule("title-book-front", anyLike(T, "preface%", "appendix%", "proofs of%") &&
+      (R.isin("book-chapter", "book-part", "chapter", "book-section") ||
+        CR.isin("book-chapter", "monograph", "edited-book")), "paratext"),
+    Rule("url-referenceworkentry", array_contains(col("f_urltok"), "referenceworkentry"),
+      "reference-entry"),
+    Rule("url-meetingabstracts", array_contains(col("f_urltok"), "meetingabstracts"),
+      "conference-abstract"),
+    Rule("url-thesis", (array_contains(col("f_urltok"), "thesis") ||
+      array_contains(col("f_urltok"), "theses") ||
+      array_contains(col("f_urltok"), "dissertations")) &&
+      CR === "" && col("f_srctype") =!= "journal", "dissertation"),
+    Rule("meta-conf-abstract", col("k_confabs"), "conference-abstract"),
+    Rule("meta-conf-paper", col("k_confpap"), "conference-paper"),
+    Rule("dc-book-review-1", dc("book-review"), "book-review"),
+    Rule("dc-book-review-2", dc("bookreview"), "book-review"),
+    Rule("dc-book-review-3", dc("book reviews"), "book-review"),
+    Rule("dc-book-review-4", dc("book review"), "book-review"),
+    Rule("dc-book-review-5", dc("reseñas"), "book-review"),
+    Rule("dc-thesis", dc("thesis"), "dissertation"),
+    Rule("dc-dissertacao", dc("dissertação"), "dissertation"),
+    Rule("dc-doctoral", dc("doctoral dissertation"), "dissertation"),
+    Rule("dc-pg-thesis", dc("pg_thesis"), "dissertation"),
+    Rule("dc-editorial", dc("editorial"), "editorial"),
+    Rule("dc-editorialnotes", dc("editorialnotes"), "editorial"),
+    Rule("dc-commentary", dc("article-commentary"), "editorial"),
+    Rule("dc-meeting-report", dc("meeting-report"), "conference-abstract"),
+    Rule("dc-congress-abstract", dc("congress-abstract"), "conference-abstract"),
+    Rule("dc-oxan", dc("oxan-executive-summary"), "report"),
+    Rule("dc-news", dc("news"), "other"),
+    Rule("dc-chapter", dc("chapter"), "book-chapter"),
+    Rule("ptl-reply", col("f_ptl").like("reply%"), "letter"),
+    Rule("title-supplementary", anyLike(T, "supplementary%", "supplemental%",
+      "figure from%") || anyLike(T, "%supplementary figure%", "%supplementary table%",
+      "%supplemental material%", "%figure from%"), "supplementary-materials"),
+    Rule("title-paratext-start", anyLike(T, "table of contents%", "contents%",
+      "front matter%", "back matter%", "frontmatter%", "front cover%",
+      "editorial board%", "subject index%", "author index%", "name index%",
+      "list of figures%", "list of tables%", "list of contributors%",
+      "list of abbreviations%", "list of illustrations%", "list of plates%",
+      "bibliography%", "abbreviations%", "abbreviation%", "acknowledgment%",
+      "acknowledgments%", "acknowledgement%", "acknowledgements%", "dedication%",
+      "contributors%", "about the author%", "about the editor%", "copyright%",
+      "title page%", "masthead%", "frontispiece%", "titelei%",
+      "inhaltsverzeichnis%", "sachregister%", "literaturverzeichnis%", "inhalt%",
+      "session details%", "forthcoming%", "calendar%", "general index%",
+      "back cover%", "inside front cover%", "prelims%", "preliminary material%",
+      "backmatter%", "books received%", "works cited%", "about the contributors%",
+      "author biograph%", "expediente%", "table des mati%", "remerciements%"),
+      "paratext"),
+    Rule("title-paratext-mid", anyLike(T, "%issue information%", "%masthead%",
+      "%editorial board%", "%instructions for authors%", "%list of reviewers%",
+      "%acknowledgment of reviewers%", "%acknowledgement of reviewers%",
+      "%cover image%", "%information for authors%", "%society information%",
+      "%information for contributors%", "%information for readers%",
+      "%notes for contributors%", "%notes on contributors%", "%call for papers%",
+      "%call for submissions%", "%call for abstracts%", "%guide for authors%",
+      "%impressum%", "%publication information%", "%reviewer acknowledgement%"),
+      "paratext"),
+    Rule("title-notes", trim(T) === "notes", "paratext"),
+    Rule("title-peer-review-statement", trim(T) === "peer review statement", "paratext"),
+    Rule("title-committee", anyLike(T, "program committee%", "organizing committee%",
+      "workshop committee%", "conference committee%", "scientific committee%",
+      "technical program committee%", "steering committee%") ||
+      trim(T).rlike("^(program |organizing |scientific |technical |workshop |conference |steering )?committee(s)?( members| list(ing)?s?)?$"),
+      "paratext"),
+    Rule("title-index", T.like("index%") || (anyLike(T, "references%", "list of%") &&
+      (col("f_fp").isin("i", "ii", "iii", "iv", "ix", "v", "vi", "vii", "viii",
+        "x", "xi", "xii", "xiii", "xiv", "xv") || NR === 0 || !HA)), "paratext"),
+    Rule("title-python-package", T.like("%python package%"), "software-paper"),
+    Rule("title-standard", anyLike(T, "din en%", "specification for%",
+      "test method%") || T.like("%englische fassung%"), "standard"),
+    Rule("title-encsr", T.like("encsr%"), "dataset"),
+    Rule("title-book-review", anyLike(T, "book review%", "review of the book%",
+      "reseña del libro%") || anyLike(T, "% isbn%", "%edited by%") ||
+      dc("book-review") || (T.like("%pp.%") &&
+        anyLike(T, "%isbn%", "%press%", "%£%")), "book-review"),
+    Rule("title-editorial", anyLike(T, "guest editorial%", "editorial comment%",
+      "guest editor%", "commentary on%", "message from%", "editorial board is%",
+      "editorial:%", "preface:%", "préambule%", "éditorial%", "editors' note%",
+      "editors note%", "special thanks%", "nota de la directora%",
+      "note from the editor%", "interview with%", "interview:%", "entrevista%") ||
+      anyLike(T, "%from the editor%", "%special issue on%", "%to the special issue%",
+        "%commentary:%") ||
+      (T.like("editorial%") && !T.like("%board%")), "editorial"),
+    Rule("title-letter", anyLike(T, "letter to the%", "reply to%", "in reply%",
+      "reader response%", "comments on the article%") ||
+      anyLike(T, "%to the editor%", "%authors' reply%", "%reply to comment%") ||
+      (anyLike(T, "reply%", "comment on%") && SP) ||
+      T.like("correspondence%"), "letter"),
+    Rule("title-review-kinds", anyLike(T, "%narrative review%", "%mini-review%",
+      "%meta-analysis of%"), "review"),
+    Rule("title-libguides", anyLike(T, "libguides%", "all guides%",
+      "research guides%"), "libguides"),
+    Rule("title-re-letter", anyLike(T, "re:%", "the authors reply%", "comment on:%"),
+      "letter"),
+    Rule("title-discussion", T.like("discussion of%"), "editorial"),
+    Rule("title-data-for", T.like("data for %"), "dataset"),
+    Rule("title-slr", T.like("%systematic literature review%") &&
+      !anyLike(T, "%case report%", "%case study%"), "review"),
+    Rule("title-obituary", anyLike(T, "%in memoriam%", "%autograph letter%",
+      "%obituary%"), "other"),
+    Rule("title-abstract", T.like("abstract%"), "conference-abstract"),
+    Rule("sc-abstract-shape", scLike("%abstract%") && (SP || (NR === 0 && HA)),
+      "conference-abstract"),
+    Rule("src-supplement", S.like("%supplement%") && SP && NR === 0,
+      "conference-abstract"),
+    Rule("issue-suppl", col("f_issue").like("%suppl%") && SP, "conference-abstract"),
+    Rule("ja-supplement-issue", R === "journal-article" && NR === 0 && SP &&
+      (col("f_issue").rlike("^s[0-9]") || col("f_issue").rlike("^[0-9]+s$")),
+      "conference-abstract"),
+    Rule("abs-abstracts-of", anyLike(A, "%abstracts of presentations%",
+      "%searchable abstracts%"), "conference-abstract"),
+    Rule("abs-reviewed-by", ltrim(A).like("reviewed by%"), "book-review"),
+    Rule("abs-data-article", A.like("%this data article%"), "data-paper"),
+    Rule("abs-editorial", anyLike(A, "%this editorial%", "%in this editorial%"),
+      "editorial"),
+    Rule("src-lncs-abstract", S.isin("communications in computer and information science",
+      "energy procedia", "lecture notes in civil engineering",
+      "lecture notes in computer science", "procedia computer science") && absShape,
+      "conference-abstract"),
+    Rule("src-lncs-paper", S.isin("communications in computer and information science",
+      "energy procedia", "lecture notes in civil engineering",
+      "lecture notes in computer science", "procedia computer science"),
+      "conference-paper"),
+    Rule("src-scientific-data", S.isin("scientific data"), "data-paper"),
+    Rule("sc-jpcs-abstract", scLike("%journal of physics: conference series%") &&
+      absShape, "conference-abstract"),
+    Rule("sc-jpcs-paper", scLike("%journal of physics: conference series%"),
+      "conference-paper"),
+    Rule("title-abstract-code", T.rlike("^[a-z]{1,3}-?[0-9]{2,5}[.:\\s\\p{Z}]") &&
+      NR === 0 && !R.isin("dataset", "database"), "conference-abstract"),
+    Rule("title-systematic-review", T.like("%systematic review%") && NR > 0, "review"),
+    Rule("oatype-review", col("f_oatype") === "review" && NR >= 25 && HA, "review"),
+    Rule("sc-conference-abstract", SC.like("%conference%") && absShape,
+      "conference-abstract"),
+    Rule("sc-conference-paper", SC.like("%conference%"), "conference-paper"),
+    Rule("sc-symposium-abstract", SC.like("%symposium%") && absShape,
+      "conference-abstract"),
+    Rule("sc-symposium-paper", SC.like("%symposium%"), "conference-paper"),
+    Rule("sc-workshop-abstract", SC.like("%workshop%") && absShape,
+      "conference-abstract"),
+    Rule("sc-workshop-paper", SC.like("%workshop%"), "conference-paper"),
+    Rule("raw-proc-article-abstract", R === "proceedings-article" && absShape,
+      "conference-abstract"),
+    Rule("raw-proc-article", R === "proceedings-article", "conference-paper"),
+    Rule("raw-proceedings-abstract", R === "proceedings" && CR === "" &&
+      !T.like("proceedings%") && absShape, "conference-abstract"),
+    Rule("raw-proceedings-paper", R === "proceedings" && CR === "" &&
+      !T.like("proceedings%"), "conference-paper"),
+    Rule("cr-journal-issue", CR === "journal-issue", "paratext"),
+    Rule("cr-book", CR.isin("edited-book", "monograph"), "book"),
+    Rule("raw-reference-entry", R === "reference-entry", "reference-entry"),
+    Rule("raw-dissertation", R === "dissertation", "dissertation"),
+    Rule("title-a-review", NR >= 20 && (anyLike(rtrim(T, " ."), "%a review",
+      "%a literature review") || T.like("%scientometric review%")), "review"),
+    Rule("title-meta-analysis", T.like("%a meta-analysis%") && NR >= 20, "review"),
+    Rule("eurepo-conference", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/conferenceobject"), "conference-paper"),
+    Rule("eurepo-bookpart", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/bookpart"), "book-chapter"),
+    Rule("eurepo-doctoral", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/doctoralthesis"), "dissertation"),
+    Rule("eurepo-master", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/masterthesis"), "dissertation"),
+    Rule("eurepo-article", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/article"), "article"),
+    Rule("eurepo-report", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/report"), "report"),
+    Rule("eurepo-other", R.like("%eu-repo/semantics/%") &&
+      trim(R).like("%/other"), "other"),
+    Rule("raw-thesis", R.like("%thesis%"), "dissertation"),
+    Rule("raw-vaitoskirja", R.like("%väitöskirja%"), "dissertation"),
+    Rule("raw-hochschulschrift", R.like("%hochschulschrift%"), "dissertation"),
+    Rule("raw-tesis", anyLike(R, "tesis%", "%bakalářská práce%"), "dissertation"),
+    Rule("raw-final-year", R.like("%final year project%"), "report"),
+    Rule("rawnorm-chapter", RN.isin("chapter", "bookpart"), "book-chapter"),
+    Rule("rawnorm-confpaper", RN.like("%conferencepaper"), "conference-paper"),
+    Rule("rawnorm-researchreport", RN === "researchreport", "report"),
+    Rule("raw-figure", R === "figure", "supplementary-materials"),
+    Rule("rawnorm-software-multimedia", RN === "software,multimedia", "other"),
+    Rule("raw-software", R === "software", "software"),
+    Rule("raw-printed-serial", R.like("%printed serial%"), "other"),
+    Rule("rawnorm-image", RN.isin("image", "physicalobject"), "other"),
+    Rule("rawnorm-audiovisual", RN.isin("audiovisual", "sound"), "other"),
+    Rule("raw-monograph", anyLike(R, "%monograf%", "%monograph%"), "book"),
+    Rule("rawnorm-book", RN.like("%book") &&
+      !R.isin("book", "edited-book", "monograph", "book-set"), "book"),
+    Rule("raw-preprint", R.like("%preprint%") &&
+      !(R.like("%eu-repo%") && !trim(R).like("%/preprint")) &&
+      !(col("f_srctype") === "journal" && !anyLike(S, "%rxiv%", "%preprint%",
+        "%repec%", "%ssrn%", "%zenodo%", "%research square%", "%osf%")) &&
+      !col("f_hasjournal"), "preprint"),
+    Rule("raw-book-chapter", R.isin("book-chapter", "book-part"), "book-chapter"),
+    Rule("raw-book-section", R === "book-section", "reference-entry"),
+    Rule("raw-book", R.isin("book", "edited-book", "monograph", "book-set"), "book"),
+    Rule("raw-report", R === "report", "report"),
+    Rule("raw-posted-content", R === "posted-content", "other"),
+    Rule("raw-dataset", R.isin("dataset", "database"), "dataset"),
+    Rule("raw-proceedings-paratext", R === "proceedings", "paratext"),
+    Rule("raw-other", R === "other", "other"))
+
+  /** Matched rule name (or 'default') — the audit column, and the signal
+    * for the dict-fallback path in [[finalType]]. */
+  def matchedRule(rules: Seq[Rule]): Column =
+    rules.foldRight(lit("default"): Column)((r, acc) =>
+      when(r.cond, r.name).otherwise(acc))
+
+  // ---- ingest-dict fallback (:444-690), applied only on default -----
+
+  /** (family, lower(raw_type)) → type. Family is the provenance bucket:
+    * repo/repo_backfill → repo, else the provenance itself. */
+  val dictEntries: Seq[(String, String, String)] = Seq(
+    ("repo", "acceptedversion", "article"),
+    ("repo", "article", "article"),
+    ("repo", "article / letter to editor", "article"),
+    ("repo", "artigo de jornal", "article"),
+    ("repo", "award/grant", "award"),
+    ("repo", "bachelor thesis", "dissertation"),
+    ("repo", "bachelorthesis", "dissertation"),
+    ("repo", "book", "book"),
+    ("repo", "book article", "book-chapter"),
+    ("repo", "book part", "book-chapter"),
+    ("repo", "book sections", "book-chapter"),
+    ("repo", "bookpart", "book-chapter"),
+    ("repo", "books", "book"),
+    ("repo", "chapter, part of book", "book-chapter"),
+    ("repo", "chemical structures", "other"),
+    ("repo", "conference paper", "article"),
+    ("repo", "conference papers", "article"),
+    ("repo", "conferencecontribution", "article"),
+    ("repo", "conferenceitem", "article"),
+    ("repo", "conferenceobject", "article"),
+    ("repo", "conferencepaper", "article"),
+    ("repo", "conferenceposter", "article"),
+    ("repo", "conferenceproceedings", "article"),
+    ("repo", "contributiontoperiodical", "article"),
+    ("repo", "creative project", "other"),
+    ("repo", "dataset", "dataset"),
+    ("repo", "dataset/mass spectrometry", "dataset"),
+    ("repo", "diplomová práce", "dissertation"),
+    ("repo", "dissertation", "dissertation"),
+    ("repo", "dissertation-reproduction (electronic)", "dissertation"),
+    ("repo", "dissertação", "dissertation"),
+    ("repo", "doc-type:article", "article"),
+    ("repo", "doc-type:bookpart", "book-chapter"),
+    ("repo", "doc-type:doctoralthesis", "dissertation"),
+    ("repo", "doctor of philosophy", "dissertation"),
+    ("repo", "doctoral thesis", "dissertation"),
+    ("repo", "doctoral_dissertation", "dissertation"),
+    ("repo", "doctoralthesis", "dissertation"),
+    ("repo", "electronic dissertation", "dissertation"),
+    ("repo", "hochschulschrift", "dissertation"),
+    ("repo", "http://purl.org/coar/resource_type/c_18gh", "report"),
+    ("repo", "http://purl.org/coar/resource_type/c_18ws", "report"),
+    ("repo", "http://purl.org/coar/resource_type/c_2f33", "book"),
+    ("repo", "http://purl.org/coar/resource_type/c_3248", "book-chapter"),
+    ("repo", "http://purl.org/coar/resource_type/c_46ec", "dissertation"),
+    ("repo", "http://purl.org/coar/resource_type/c_5794", "conference-paper"),
+    ("repo", "http://purl.org/coar/resource_type/c_8042", "report"),
+    ("repo", "http://purl.org/coar/resource_type/c_816b", "preprint"),
+    ("repo", "http://purl.org/coar/resource_type/c_ba08", "review"),
+    ("repo", "http://purl.org/coar/resource_type/c_beb9", "dataset"),
+    ("repo", "http://purl.org/coar/resource_type/c_db06", "dissertation"),
+    ("repo", "http://purl.org/coar/resource_type/c_dcae04bc", "review"),
+    ("repo", "http://purl.org/coar/resource_type/c_efa0", "conference-abstract"),
+    ("repo", "image", "other"),
+    ("repo", "info:ulb-repo/semantics/openurl/article", "article"),
+    ("repo", "inproceedings", "article"),
+    ("repo", "journal article", "article"),
+    ("repo", "journal articles", "article"),
+    ("repo", "journal contribution", "article"),
+    ("repo", "konferenzschrift", "article"),
+    ("repo", "learning object", "other"),
+    ("repo", "lecture", "other"),
+    ("repo", "letter", "article"),
+    ("repo", "libros", "book"),
+    ("repo", "manuscript", "article"),
+    ("repo", "master thesis", "dissertation"),
+    ("repo", "masters paper", "dissertation"),
+    ("repo", "masters thesis", "dissertation"),
+    ("repo", "masterthesis", "dissertation"),
+    ("repo", "monografische reihe", "book"),
+    ("repo", "monograph", "book"),
+    ("repo", "null", "other"),
+    ("repo", "other", "other"),
+    ("repo", "part of book or chapter of book", "book-chapter"),
+    ("repo", "patent", "other"),
+    ("repo", "peer reviewed", "article"),
+    ("repo", "peer-review", "peer-review"),
+    ("repo", "peerreviewed", "article"),
+    ("repo", "phd", "dissertation"),
+    ("repo", "phdthesis", "dissertation"),
+    ("repo", "preprint", "preprint"),
+    ("repo", "preprints, working papers, ...", "preprint"),
+    ("repo", "presentation", "other"),
+    ("repo", "publishedversion", "article"),
+    ("repo", "report", "report"),
+    ("repo", "reportpart", "report"),
+    ("repo", "reports", "report"),
+    ("repo", "research data", "dataset"),
+    ("repo", "review", "review"),
+    ("repo", "review article", "review"),
+    ("repo", "software", "software"),
+    ("repo", "submittedversion", "article"),
+    ("repo", "technical documentation", "report"),
+    ("repo", "technical report", "report"),
+    ("repo", "tesi doctoral", "dissertation"),
+    ("repo", "text", "article"),
+    ("repo", "text (article)", "article"),
+    ("repo", "theses", "dissertation"),
+    ("repo", "thesis", "dissertation"),
+    ("repo", "thesis or dissertation", "dissertation"),
+    ("repo", "thesis-reproduction (electronic)", "dissertation"),
+    ("repo", "thèse", "dissertation"),
+    ("repo", "undergraduate senior honors thesis", "dissertation"),
+    ("repo", "volume", "book"),
+    ("repo", "vor", "article"),
+    ("repo", "working paper", "report"),
+    ("repo", "workingpaper", "report"),
+    ("repo", "zeitschrift", "article"),
+    ("datacite", "audiovisual", "other"),
+    ("datacite", "award", "other"),
+    ("datacite", "book", "book"),
+    ("datacite", "bookchapter", "book-chapter"),
+    ("datacite", "collection", "other"),
+    ("datacite", "computationalnotebook", "software"),
+    ("datacite", "conferencepaper", "conference-paper"),
+    ("datacite", "conferenceproceeding", "conference-paper"),
+    ("datacite", "datapaper", "data-paper"),
+    ("datacite", "dataset", "dataset"),
+    ("datacite", "dissertation", "dissertation"),
+    ("datacite", "event", "other"),
+    ("datacite", "image", "other"),
+    ("datacite", "instrument", "other"),
+    ("datacite", "interactiveresource", "other"),
+    ("datacite", "journal", "other"),
+    ("datacite", "journalarticle", "article"),
+    ("datacite", "model", "dataset"),
+    ("datacite", "modeloutput", "other"),
+    ("datacite", "other", "other"),
+    ("datacite", "peerreview", "peer-review"),
+    ("datacite", "physicalobject", "other"),
+    ("datacite", "poster", "conference-abstract"),
+    ("datacite", "preprint", "preprint"),
+    ("datacite", "projectreport", "report"),
+    ("datacite", "report", "report"),
+    ("datacite", "service", "other"),
+    ("datacite", "software", "software"),
+    ("datacite", "sound", "other"),
+    ("datacite", "standard", "standard"),
+    ("datacite", "studyregistration", "other"),
+    ("datacite", "text", "article"),
+    ("datacite", "workflow", "other"),
+    ("datacite", "chapter", "book-chapter"),
+    ("datacite", "thesis", "dissertation"),
+    ("crossref", "book", "book"),
+    ("crossref", "book-chapter", "book-chapter"),
+    ("crossref", "book-part", "book-chapter"),
+    ("crossref", "book-series", "paratext"),
+    ("crossref", "book-set", "book"),
+    ("crossref", "book-track", "book-chapter"),
+    ("crossref", "dataset", "dataset"),
+    ("crossref", "dissertation", "dissertation"),
+    ("crossref", "edited-book", "book"),
+    ("crossref", "journal", "paratext"),
+    ("crossref", "journal-issue", "paratext"),
+    ("crossref", "journal-volume", "paratext"),
+    ("crossref", "monograph", "book"),
+    ("crossref", "other", "other"),
+    ("crossref", "peer-review", "peer-review"),
+    ("crossref", "proceedings", "paratext"),
+    ("crossref", "proceedings-series", "paratext"),
+    ("crossref", "reference-book", "book"),
+    ("crossref", "reference-entry", "reference-entry"),
+    ("crossref", "report", "report"),
+    ("crossref", "report-series", "paratext"),
+    ("crossref", "standard", "standard"),
+    ("pubmed", "address", "other"),
+    ("pubmed", "autobiography", "other"),
+    ("pubmed", "bibliography", "paratext"),
+    ("pubmed", "biography", "other"),
+    ("pubmed", "classical article", "other"),
+    ("pubmed", "clinical conference", "other"),
+    ("pubmed", "collected work", "other"),
+    ("pubmed", "comment", "letter"),
+    ("pubmed", "congress", "paratext"),
+    ("pubmed", "consensus development conference", "other"),
+    ("pubmed", "corrected and republished article", "erratum"),
+    ("pubmed", "dataset", "dataset"),
+    ("pubmed", "dictionary", "paratext"),
+    ("pubmed", "directory", "paratext"),
+    ("pubmed", "duplicate publication", "other"),
+    ("pubmed", "editorial", "editorial"),
+    ("pubmed", "electronic supplementary materials", "supplementary-materials"),
+    ("pubmed", "english abstract", "other"),
+    ("pubmed", "expression of concern", "other"),
+    ("pubmed", "festschrift", "other"),
+    ("pubmed", "government publication", "other"),
+    ("pubmed", "guideline", "other"),
+    ("pubmed", "historical article", "other"),
+    ("pubmed", "interactive tutorial", "other"),
+    ("pubmed", "interview", "other"),
+    ("pubmed", "introductory journal article", "other"),
+    ("pubmed", "lecture", "other"),
+    ("pubmed", "legal case", "other"),
+    ("pubmed", "legislation", "other"),
+    ("pubmed", "letter", "letter"),
+    ("pubmed", "meta-analysis", "review"),
+    ("pubmed", "news", "other"),
+    ("pubmed", "newspaper article", "other"),
+    ("pubmed", "overall", "other"),
+    ("pubmed", "patient education handout", "other"),
+    ("pubmed", "peer review", "peer-review"),
+    ("pubmed", "periodical index", "paratext"),
+    ("pubmed", "personal narrative", "other"),
+    ("pubmed", "portrait", "other"),
+    ("pubmed", "practice guideline", "other"),
+    ("pubmed", "preprint", "preprint"),
+    ("pubmed", "published erratum", "erratum"),
+    ("pubmed", "research support, american recovery and reinvestment act", "other"),
+    ("pubmed", "research support, n.i.h., extramural", "other"),
+    ("pubmed", "research support, n.i.h., intramural", "other"),
+    ("pubmed", "research support, non-u.s. gov't", "other"),
+    ("pubmed", "research support, u.s. gov't, non-p.h.s.", "other"),
+    ("pubmed", "research support, u.s. gov't, p.h.s.", "other"),
+    ("pubmed", "retracted publication", "retraction"),
+    ("pubmed", "retraction of publication", "retraction"),
+    ("pubmed", "review", "review"),
+    ("pubmed", "scientific integrity review", "review"),
+    ("pubmed", "systematic review", "review"),
+    ("pubmed", "technical report", "report"),
+    ("pubmed", "video-audio media", "other"),
+    ("pubmed", "webcast", "other")
+  )
+
+  def dictMap(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    dictEntries.toDF("family", "k", "mapped_type")
+  }
+
+  /** Final verdict (:735-746): preprint-registrant group flag beats the
+    * cascade; a defaulted cascade falls back to the ingest dict, then
+    * the preserved ingest type, then 'article'.
+    * Expects columns: the feature frame, `provenance`, `raw_type`,
+    * `ingest_type`, `preprint_registrant`; joins the dict broadcast. */
+  def finalType(featured: DataFrame): DataFrame = {
+    val spark = featured.sparkSession
+    val family = when(col("provenance").isin("repo", "repo_backfill"), "repo")
+      .otherwise(col("provenance"))
+    val dm = broadcast(dictMap(spark))
+      .select(col("family").as("__fam"), col("k").as("__k"),
+        col("mapped_type").as("__mapped"))
+    featured
+      .withColumn("cascade_type", TypeClassifier.classify(fullRules))
+      .withColumn("cascade_rule", matchedRule(fullRules))
+      .withColumn("__fam_j", family)
+      .withColumn("__k_j", lower(coalesce(col("raw_type"), lit(""))))
+      .join(dm, col("__fam_j") === col("__fam") && col("__k_j") === col("__k"), "left")
+      .withColumn("type",
+        when(coalesce(col("preprint_registrant"), lit(false)), "preprint")
+          .when(col("cascade_rule") === "default",
+            coalesce(col("__mapped"), nullif(col("ingest_type"), lit("")), lit("article")))
+          .otherwise(col("cascade_type")))
+      .withColumn("classified_rule",
+        when(coalesce(col("preprint_registrant"), lit(false)),
+          lit("preprint-registrant DOI prefix"))
+          .when(col("cascade_rule") === "default" && col("__mapped").isNotNull,
+            concat(lit("ingest-dict fallback: "), col("__fam_j")))
+          .when(col("cascade_rule") === "default" &&
+            nullif(col("ingest_type"), lit("")).isNotNull, lit("ingest-type preserved"))
+          .otherwise(col("cascade_rule")))
+      .drop("__fam", "__k", "__fam_j", "__k_j", "__mapped")
+  }
+}
