@@ -142,7 +142,40 @@ object EntityQueries {
         col("has_corresponding"))
   }
 
+  /** §2.4 author_topics satellite (CreateAuthors.ipynb cell 4):
+    * grouping-sets author-topic counts + corpus topic totals in one
+    * pass, share = count/total (e7-scaled for exact oracle compare). */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val base = o.select(col("o_custkey").as("author_id"), k.as("work_id"),
+      concat(lit("t"), pmod(k, lit(20)).cast("string")).as("topic_id"))
+    val extra = o.filter(pmod(k, lit(3)) === 0)
+      .select(col("o_custkey").as("author_id"), k.as("work_id"),
+        concat(lit("t"), pmod(k + 7, lit(20)).cast("string")).as("topic_id"))
+    graft.entities.Authors.authorTopics(base.unionByName(extra))
+      .select(col("author_id"),
+        to_json(col("topics")).as("topics_json"),
+        to_json(transform(col("topic_share"), x => struct(
+          x.getField("id").as("id"), x.getField("value_e7").as("value_e7"))))
+          .as("share_json"))
+  }
+
+  /** §2.4 author counts_by_year satellite (CreateAuthors.ipynb cell 8):
+    * per author-year work/oa/citation counts. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val staging = o.select(col("o_custkey").as("author_id"),
+      year(col("o_orderdate")).as("pub_year"),
+      (pmod(k, lit(2)) === 0).as("is_oa"),
+      pmod(k, lit(17)).as("work_cited_by_count"))
+    graft.entities.Authors.countsByYear(staging)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q54_author_topics_share" -> (q54 _),
+    "q55_author_counts_by_year" -> (q55 _),
     "q49_humanname_parse" -> (q49 _),
     "q50_union_locations_scd1" -> (q50 _),
     "q51_work_id_resolver" -> (q51 _),
@@ -150,6 +183,31 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q54_author_topics_share" ->
+      """WITH awt AS (
+        |  SELECT DISTINCT o_custkey AS author_id, o_orderkey AS work_id,
+        |    't' || CAST(o_orderkey % 20 AS VARCHAR) AS topic_id FROM orders
+        |  UNION
+        |  SELECT DISTINCT o_custkey, o_orderkey, 't' || CAST((o_orderkey+7) % 20 AS VARCHAR)
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |ac AS (SELECT author_id, topic_id, count(DISTINCT work_id) AS cnt
+        |  FROM awt GROUP BY 1, 2),
+        |tot AS (SELECT topic_id, count(DISTINCT work_id) AS total FROM awt GROUP BY 1),
+        |r AS (SELECT ac.author_id, ac.topic_id, ac.cnt,
+        |  CAST(floor(CAST(ac.cnt AS DOUBLE)/CAST(tot.total AS DOUBLE)*10000000 + 0.5) AS BIGINT) AS e7
+        |  FROM ac JOIN tot USING (topic_id))
+        |SELECT author_id,
+        |CAST(to_json(list(struct_pack(id := topic_id, count := CAST(cnt AS INTEGER))
+        |  ORDER BY cnt DESC, topic_id ASC)) AS VARCHAR) AS topics_json,
+        |CAST(to_json(list(struct_pack(id := topic_id, value_e7 := e7)
+        |  ORDER BY e7 DESC, topic_id ASC)) AS VARCHAR) AS share_json
+        |FROM r GROUP BY author_id""".stripMargin,
+    "q55_author_counts_by_year" ->
+      """SELECT o_custkey AS author_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+        |CAST(count(*) AS INTEGER) AS works_count,
+        |CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS oa_works_count,
+        |CAST(sum(o_orderkey % 17) AS INTEGER) AS cited_by_count
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "q49_humanname_parse" ->
       """SELECT doc_id,
         |CASE doc_id % 8 WHEN 0 THEN 'Jane Smith' WHEN 1 THEN 'Smith, Jane'

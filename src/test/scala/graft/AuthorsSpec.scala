@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entities.Authors
+
+class AuthorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("authorTopics: grouping-sets counts, corpus totals, e7 shares") {
+    val awt = Seq(
+      (1L, 10L, "tA"), (1L, 11L, "tA"), (1L, 12L, "tB"),
+      (2L, 20L, "tA"), (2L, 20L, "tA"), // dup row collapses
+      (2L, 21L, "tB"), (2L, 22L, "tB"))
+      .toDF("author_id", "work_id", "topic_id")
+    val out = Authors.authorTopics(awt).orderBy("author_id").collect()
+    val a1 = out(0)
+    val topics1 = a1.getSeq[org.apache.spark.sql.Row](a1.fieldIndex("topics"))
+      .map(r => (r.getAs[String]("id"), r.getAs[Int]("count")))
+    assert(topics1 == Seq(("tA", 2), ("tB", 1)))
+    // totals: tA=3 works (10,11,20), tB=3 (12,21,22) => author1 shares 2/3, 1/3
+    val share1 = a1.getSeq[org.apache.spark.sql.Row](a1.fieldIndex("topic_share"))
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("value_e7")))
+    assert(share1 == Seq(("tA", 6666667L), ("tB", 3333333L)))
+  }
+
+  test("xConcepts: top-5 by count with id tiebreak, score-desc array") {
+    val awc = (1 to 7).flatMap(c => (1 to c).map(w =>
+      (1L, w.toLong, s"c$c", c / 10.0))).toDF("author_id", "work_id", "concept_id", "score")
+    val out = Authors.xConcepts(awc).collect()(0)
+    val ids = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("x_concepts"))
+      .map(_.getAs[String]("id"))
+    // top-5 by count: c7..c3 survive; array sorted by score desc => same order
+    assert(ids == Seq("c7", "c6", "c5", "c4", "c3"))
+  }
+
+  test("affiliations: per-institution active years, newest first") {
+    val awi = Seq((1L, Option(2020), "iX"), (1L, Option(2022), "iX"),
+      (1L, Option(2021), "iY"), (1L, Option(2020), "iX"),
+      (1L, Option.empty[Int], "iZ"))
+      .toDF("author_id", "pub_year", "institution_id")
+    val out = Authors.affiliations(awi).collect()(0)
+    val affs = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("affiliations"))
+      .map(r => (r.getAs[String]("institution_id"), r.getSeq[Int](1)))
+    assert(affs == Seq(("iX", Seq(2022, 2020)), ("iY", Seq(2021))))
+  }
+
+  test("lastKnownInstitution: most recent work wins with deterministic tiebreak") {
+    val awi = Seq((1L, 2020, 5L, "iOld"), (1L, 2022, 9L, "iNew"), (1L, 2022, 8L, "iMid"))
+      .toDF("author_id", "pub_year", "work_id", "institution_id")
+    val out = Authors.lastKnownInstitution(awi).collect()(0)
+    assert(out.getAs[String]("last_known_institution") == "iNew")
+  }
+
+  test("stampUpdated: unchanged rows keep their date, changed/new advance") {
+    val now = lit("2024-06-01")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    val s1 = Authors.stampUpdated(v1, None, "id",
+      Authors.contentHash(Seq(col("payload"))), lit("2024-01-01"))
+    val prev = s1.withColumn("__h", Authors.contentHash(Seq(col("payload"))))
+    val v2 = Seq((1L, "a"), (2L, "CHANGED"), (3L, "new")).toDF("id", "payload")
+    val s2 = Authors.stampUpdated(v2, Some(prev), "id",
+      Authors.contentHash(Seq(col("payload"))), now)
+    val dates = s2.select("id", "updated_date").as[(Long, String)].collect().toMap
+    assert(dates(1L) == "2024-01-01" && dates(2L) == "2024-06-01" && dates(3L) == "2024-06-01")
+  }
+}
