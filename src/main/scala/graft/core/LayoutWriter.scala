@@ -18,4 +18,13 @@ object LayoutWriter {
     df.repartitionByRange(partitions, clusterBy: _*)
       .sortWithinPartitions(clusterBy: _*)
       .write.mode("overwrite").parquet(path)
+
+  /** DEEP CLONE (CreateWorksEnriched.ipynb:53): a full, independent
+    * physical copy of a table at a new location — the rebuild-then-swap
+    * idiom. Parquet form: read + write preserving layout; the clone
+    * shares nothing with the source, so the source can be overwritten
+    * while readers stay on the clone. */
+  def deepClone(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit =
+    spark.read.parquet(srcPath).write.mode("overwrite").parquet(dstPath)
 }

@@ -1,0 +1,85 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.AlignSchema
+import graft.functions.Normalize
+import graft.schema.WaldenSchema
+
+/** MAG legacy-shape ingestion — the frozen 7th feed of the locations
+  * union (reference: notebooks/ingest/CreateMagWorks.py): walden-schema
+  * enrichment, Deleted Journal / DOAJ exclusion, latest row per
+  * native_id (SCD1 by updated_date with a deterministic hash tiebreak),
+  * URL-less husk filter, and the same-URL-set+title re-registration
+  * collapse (oxjob #733 — 64% of raw URL-set collisions span different
+  * titles, so the title is part of the key).
+  *
+  * Scale: two window dedups, each partitioned by a bounded key
+  * (native_id; url-set+title) — no global sorts; the enrichment is a
+  * narrow per-row projection.
+  */
+object MagParser {
+
+  val ExcludedSources: Seq[String] = Seq(
+    "Deleted Journal", "DOAJ (DOAJ: Directory of Open Access Journals)")
+
+  /** @param raw mag_works_raw-shaped frame: native_id STRING, title,
+    *            author_names ARRAY<STRING>, urls ARRAY<STRUCT<url,
+    *            content_type>>, updated_date TIMESTAMP, source_name,
+    *            doi, pmid, abstract, publisher, is_oa */
+  def parse(raw: DataFrame): DataFrame = {
+    val authors = transform(col("author_names"), a => struct(
+      lit(null).cast("string").as("given"),
+      lit(null).cast("string").as("family"),
+      substring(a, 1, 500).as("name"),
+      lit(null).cast("string").as("orcid"),
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(WaldenSchema.affiliation))
+        .as("affiliations"),
+      lit(false).as("is_corresponding"),
+      HumanNameKey(a).as("author_key")))
+    val enriched = raw
+      .withColumn("provenance", lit("mag"))
+      .withColumn("native_id_namespace", lit("mag"))
+      .withColumn("normalized_title", Normalize.title(col("title")))
+      .withColumn("authors", authors)
+      .withColumn("doi", Normalize.doi(col("doi")))
+      // Deleted Journal / DOAJ exclusion (CreateMagWorks.py:41-46)
+      .filter(col("source_name").isNull ||
+        !col("source_name").isin(ExcludedSources: _*))
+    // latest per native_id: updated_date DESC nulls last, whole-row hash
+    // tiebreak (CreateMagWorks.py:50-59)
+    val keyW = Window.partitionBy(col("native_id")).orderBy(
+      col("updated_date").desc_nulls_last,
+      xxhash64(enriched.columns.map(col).toSeq: _*).desc)
+    val latest = enriched
+      .withColumn("__rn", row_number().over(keyW)).filter(col("__rn") === 1)
+      .drop("__rn")
+      // URL-less husks can never serve a location (CreateMagWorks.py:62)
+      .filter(exists(col("urls"), u => u.getField("url").isNotNull))
+    // same-URL-set + same-title re-registrations collapse
+    // (CreateMagWorks.py:66-84)
+    val urlSetKey = concat_ws("",
+      array_sort(array_distinct(transform(
+        filter(col("urls"), u => u.getField("url").isNotNull),
+        u => trim(u.getField("url"))))))
+    val locW = Window.partitionBy(urlSetKey, col("normalized_title")).orderBy(
+      col("updated_date").desc_nulls_last, xxhash64(col("native_id")).desc)
+    latest.withColumn("__rn", row_number().over(locW)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MAG author blocking key from a bare display name. */
+  private def HumanNameKey(name: org.apache.spark.sql.Column) =
+    graft.functions.HumanName.authorKey(name)
+
+  /** Walden projection of the parsed frame (for the union feed). */
+  def toWalden(parsed: DataFrame): DataFrame =
+    AlignSchema(parsed
+      .select(col("provenance"), col("native_id"), col("native_id_namespace"),
+        col("title"), col("normalized_title"), col("authors"),
+        col("doi"), col("abstract"), col("publisher"), col("source_name"),
+        col("updated_date").cast("timestamp").as("updated_date"),
+        col("is_oa")),
+      WaldenSchema.works)
+}

@@ -1,0 +1,80 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Postgres (Lakebase) serving sink — the open shape of the reference's
+  * single-work-lookup layer (notebooks/lakebase/BuildLakebaseWorksDocs
+  * .py): work_id → API-doc JSON sharded by `pmod(work_id, nShards)`
+  * (≤1 TB per synced table), an external-id → work_id map, and
+  * doc_hash-gated churn so the MERGE-maintained tables see only true
+  * changes.
+  *
+  * The transport is pluggable (same pattern as BulkSink): executors
+  * open one writer per partition and stream batched upserts — no
+  * collect, no driver round-trips. A real deployment injects a JDBC
+  * writer (`INSERT ... ON CONFLICT (id) DO UPDATE`); tests use a
+  * counting mock, since this environment has no database.
+  */
+object JdbcSink {
+
+  /** Pluggable upsert transport: batch of (id, docJson) → rows applied.
+    * Constructed per partition on the executor. */
+  trait DocWriter extends Serializable {
+    def upsertBatch(rows: Seq[(Long, String)]): Int
+    def close(): Unit = ()
+  }
+
+  /** Shard assignment (BuildLakebaseWorksDocs.py N_SHARDS):
+    * `pmod(work_id, nShards)` keeps each synced table bounded. */
+  def withShard(docs: DataFrame, idCol: String, nShards: Int): DataFrame =
+    docs.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+
+  /** doc_hash-gated churn: only docs whose hash differs from the prior
+    * snapshot (or are new) flow to the sink — the reference's MERGE
+    * predicate. `prev` carries (idCol, doc_hash). */
+  def changedDocs(current: DataFrame, prev: Option[DataFrame],
+      idCol: String, jsonCol: String): DataFrame = {
+    val hashed = current.withColumn("doc_hash", md5(col(jsonCol)))
+    prev match {
+      case None => hashed
+      case Some(p) =>
+        val ph = p.select(col(idCol).as("__pid"), col("doc_hash").as("__ph"))
+        hashed.join(ph, col(idCol) === col("__pid"), "left")
+          .filter(col("__pid").isNull || col("doc_hash") =!= col("__ph"))
+          .drop("__pid", "__ph")
+    }
+  }
+
+  /** External id (URL form) → work_id map
+    * (lakebase_works_ids: DOI/PMID lookups resolve without scanning). */
+  def idMap(works: DataFrame, idCol: String, idsCol: String): DataFrame =
+    works.select(col(idCol).as("work_id"), explode(col(idsCol)).as("__id"))
+      .select(
+        when(col("__id.namespace") === "doi",
+          concat(lit("https://doi.org/"), col("__id.id")))
+          .when(col("__id.namespace") === "pmid",
+            concat(lit("https://pubmed.ncbi.nlm.nih.gov/"), col("__id.id")))
+          .otherwise(col("__id.id")).as("external_id"),
+        col("work_id"))
+      .filter(col("external_id").isNotNull)
+      .groupBy(col("external_id")).agg(min(col("work_id")).as("work_id"))
+
+  /** Stream the docs into the store: repartition by shard (co-locates a
+    * shard's rows), one writer per partition, fixed batch size. Returns
+    * rows applied (accumulator-counted — no collect). */
+  def writeDocs(docs: DataFrame, idCol: String, jsonCol: String,
+      makeWriter: () => DocWriter, partitions: Int, batchSize: Int): Long = {
+    val spark = docs.sparkSession
+    val applied = spark.sparkContext.longAccumulator("jdbc_rows_applied")
+    docs.select(col(idCol).cast("long"), col(jsonCol))
+      .repartition(partitions, col(idCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val w = makeWriter()
+        try it.grouped(batchSize).foreach { batch =>
+          applied.add(w.upsertBatch(batch.map(r => (r.getLong(0), r.getString(1)))))
+        } finally w.close()
+      }
+    applied.value
+  }
+}

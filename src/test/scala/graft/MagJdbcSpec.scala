@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.MagParser
+import graft.serve.JdbcSink
+
+final case class MagRaw(native_id: String, title: String,
+    author_names: Seq[String], urls: Seq[(String, String)],
+    updated_date: Timestamp, source_name: String, doi: String,
+    pmid: String, `abstract_text`: String, publisher: String, is_oa: Boolean)
+
+class MagJdbcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  private def magDf(rows: Seq[MagRaw]) =
+    rows.toDF()
+      .withColumnRenamed("abstract_text", "abstract")
+      .withColumn("urls", expr(
+        "transform(urls, u -> struct(nullif(u._1, '') AS url, u._2 AS content_type))"))
+
+  test("MagParser: exclusion, latest-per-id, husk filter, url-set+title collapse") {
+    val rows = Seq(
+      // two versions of the same native id: newest wins
+      MagRaw("m1", "Paper One", Seq("Ada Lovelace"), Seq(("https://a.org/1", "html")),
+        ts("2020-01-01"), "Journal A", "doi:10.5555/one", null, "old", "P", true),
+      MagRaw("m1", "Paper One", Seq("Ada Lovelace"), Seq(("https://a.org/1", "html")),
+        ts("2021-06-01"), "Journal A", "doi:10.5555/one", null, "new", "P", true),
+      // excluded source
+      MagRaw("m2", "Ghost Paper", Seq("X Y"), Seq(("https://a.org/2", "html")),
+        ts("2021-01-01"), "Deleted Journal", null, null, null, null, false),
+      // URL-less husk
+      MagRaw("m3", "Huskless", Seq("X Y"), Seq(("", "html")),
+        ts("2021-01-01"), "Journal B", null, null, null, null, false),
+      // same URL set + same title as m4a: re-registration collapses
+      MagRaw("m4a", "Shared Issue Page", Seq("A B"), Seq(("https://j.org/issue5", "html")),
+        ts("2021-01-01"), "Journal C", null, null, null, null, false),
+      MagRaw("m4b", "Shared Issue Page", Seq("A B"), Seq(("https://j.org/issue5", "html")),
+        ts("2022-01-01"), "Journal C", null, null, null, null, false),
+      // same URL set, DIFFERENT title: both survive (title is part of the key)
+      MagRaw("m5", "Another Article Entirely", Seq("C D"), Seq(("https://j.org/issue5", "html")),
+        ts("2021-01-01"), "Journal C", null, null, null, null, false))
+    val out = MagParser.parse(magDf(rows))
+    val ids = out.select("native_id").as[String].collect().toSet
+    assert(ids == Set("m1", "m4b", "m5"))
+    val m1 = out.filter(col("native_id") === "m1").collect()(0)
+    assert(m1.getAs[String]("abstract") == "new") // latest version won
+    assert(m1.getAs[String]("doi") == "10.5555/one") // normalized
+    assert(m1.getAs[String]("provenance") == "mag")
+    val w = MagParser.toWalden(out)
+    assert(w.columns.toSeq == graft.schema.WaldenSchema.works.fieldNames.toSeq)
+    assert(w.count() == 3)
+  }
+
+  test("JdbcSink: sharding, hash-gated churn, id map, batched upserts") {
+    val works = Seq(
+      (1L, """{"id":1,"t":"a"}"""), (2L, """{"id":2,"t":"b"}"""),
+      (9L, """{"id":9,"t":"c"}""")).toDF("work_id", "doc")
+    val sharded = JdbcSink.withShard(works, "work_id", 8)
+    assert(sharded.select("shard").as[Int].collect().sorted.toSeq == Seq(1, 1, 2))
+    // churn gate: only changed/new docs pass
+    val prev = JdbcSink.changedDocs(works, None, "work_id", "doc")
+      .select("work_id", "doc_hash")
+    val v2 = Seq(
+      (1L, """{"id":1,"t":"a"}"""),      // unchanged
+      (2L, """{"id":2,"t":"B2"}"""),     // changed
+      (3L, """{"id":3,"t":"new"}""")).toDF("work_id", "doc")
+    val churn = JdbcSink.changedDocs(v2, Some(prev), "work_id", "doc")
+    assert(churn.select("work_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // id map: doi/pmid to URL forms, min work_id on collision
+    val withIds = Seq(
+      (10L, Seq(("10.1/x", "doi", "self"), ("123", "pmid", "self"))),
+      (11L, Seq(("10.1/x", "doi", "self"))))
+      .toDF("work_id", "ids")
+      .withColumn("ids", expr(
+        "transform(ids, x -> struct(x._1 AS id, x._2 AS namespace, x._3 AS relationship))"))
+    val m = JdbcSink.idMap(withIds, "work_id", "ids")
+      .as[(String, Long)].collect().toMap
+    assert(m("https://doi.org/10.1/x") == 10L)
+    assert(m("https://pubmed.ncbi.nlm.nih.gov/123") == 10L)
+    // batched writer: all rows applied through the mock transport
+    val applied = spark.sparkContext.collectionAccumulator[Int]("batches")
+    class Mock extends JdbcSink.DocWriter {
+      def upsertBatch(rows: Seq[(Long, String)]): Int = { applied.add(rows.size); rows.size }
+    }
+    val n = JdbcSink.writeDocs(works, "work_id", "doc", () => new Mock, 2, 2)
+    assert(n == 3)
+    import scala.jdk.CollectionConverters._
+    assert(applied.value.asScala.forall(_ <= 2)) // batch size respected
+  }
+
+  test("LayoutWriter.deepClone: independent full copy") {
+    val src = java.nio.file.Files.createTempDirectory("graft-clone-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-clone-dst").toString + "/t"
+    spark.range(0, 100).toDF("id").write.mode("overwrite").parquet(src)
+    graft.core.LayoutWriter.deepClone(spark, src, dst)
+    // clone is complete and survives a source overwrite
+    spark.range(0, 5).toDF("id").write.mode("overwrite").parquet(src)
+    assert(spark.read.parquet(dst).count() == 100)
+  }
+}
