@@ -76,4 +76,21 @@ object Similarity {
       val parr = array(p.map(lit): _*)
       when(dot(v, parr) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** IVF coarse quantization: score every vector against the (small,
+    * broadcast) centroid table and keep the top `nProbe` cells by
+    * (cosine DESC, centroid id ASC — deterministic ties). `nProbe = 1`
+    * is list ASSIGNMENT; queries probe with `nProbe ≥ 1`. Cost is
+    * O(N·K) map-side work behind a broadcast — no shuffle of the corpus;
+    * at scale K ≈ √N keeps both the assign pass and the per-cell list
+    * sizes balanced (the standard IVF sizing).
+    * @param cent (cent_id, cv DOUBLE[], cn norm) */
+  def ivfCells(e: DataFrame, idCol: String, vecCol: String, normCol: String,
+      cent: DataFrame, nProbe: Int): DataFrame = {
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("__cos", dot(col(vecCol), col("cv")) / (col(normCol) * col("cn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cent_id").asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nProbe)
+      .select(col(idCol), col("cent_id").as("cell"), col("__r").as("probe_rank"))
+  }
 }

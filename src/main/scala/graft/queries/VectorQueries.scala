@@ -44,9 +44,69 @@ object VectorQueries {
         coalesce(col("n"), lit(0L)).as("n_candidates"), col("nn"), col("nn_cos"))
   }
 
+  /** Embedding-cosine near-dup dedup: LSH-bucketed candidate pairs +
+    * exact cosine ≥ τ verify — the embedding analog of MinHash dedup
+    * (bucket equijoin, never all-pairs). The fixture has no natural
+    * near-dups (max pairwise cos ≈ 0.51), so the query plants
+    * deterministic perturbed copies of every 10th vector; the expected
+    * output is exactly those planted pairs that the LSH buckets keep
+    * together (approximate recall is part of the operator's semantics —
+    * the oracle replicates the same bucketing). */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val ps = Similarity.planes(8, 64)
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val dup = e0.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => x + (pmod(i, lit(3)) - 1).cast("double") * 0.01)
+          .as("v"))
+    val all = e0.unionByName(dup)
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), ps))
+    val a = all.select(col("vec_id").as("da"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = all.select(col("vec_id").as("db"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+      .withColumn("cosv", floor(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) * 1000000 + 0.5) / 1000000.0)
+      .filter(col("cosv") >= 0.99)
+      .select(col("da"), col("db"), col("cosv"))
+  }
+
+  /** IVF ANN: K=16 coarse centroids (the first 16 vectors), corpus
+    * assigned to its nearest cell, queries probe their 2 closest cells,
+    * exact cosine re-rank of the probed candidates — the inverted-file
+    * scale path (per-cell candidate lists replace full scans). */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cells = Similarity.ivfCells(e, "vec_id", "v", "nrm", cent, nProbe = 1)
+      .select(col("vec_id").as("c_id"), col("cell"))
+    val queries = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = Similarity.ivfCells(
+      queries.select(col("q_id"), col("qv"), col("qn")), "q_id", "qv", "qn",
+      cent, nProbe = 2)
+    val cand = probes.join(cells, Seq("cell"))
+      .join(queries, Seq("q_id")).filter(col("c_id") =!= col("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("cv2"),
+        col("nrm").as("cn2")), Seq("c_id"))
+      .withColumn("cosv", floor(Similarity.dot(col("qv"), col("cv2")) /
+        (col("qn") * col("cn2")) * 1000000 + 0.5) / 1000000.0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("c_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"), col("cosv"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_ann_cosine_topk" -> (q39 _),
-    "q40_ann_lsh_buckets" -> (q40 _))
+    "q40_ann_lsh_buckets" -> (q40 _),
+    "q56_dedup_embedding_cosine" -> (q56 _),
+    "q57_ann_ivf_probe" -> (q57 _))
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), k -> $a[k]*$b[k]))"
@@ -88,5 +148,50 @@ object VectorQueries {
          |   FROM cos) x WHERE r = 1)
          |SELECT q.q_id, q.bucket, CAST(coalesce(cc.n, 0) AS BIGINT) AS n_candidates,
          |nn.nn, nn.nn_cos
-         |FROM qs q LEFT JOIN cc ON cc.q_id = q.q_id LEFT JOIN nn ON nn.q_id = q.q_id""".stripMargin)
+         |FROM qs q LEFT JOIN cc ON cc.q_id = q.q_id LEFT JOIN nn ON nn.q_id = q.q_id""".stripMargin,
+    "q56_dedup_embedding_cosine" ->
+      s"""WITH planes AS (SELECT i, list(val ORDER BY j) p FROM
+         |  (SELECT u1.i, u2.j,
+         |   CAST(((u1.i*64+u2.j)*2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5 AS val
+         |   FROM unnest(range(0, 8)) u1(i), unnest(range(0, 64)) u2(j)) t GROUP BY i),
+         |e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |dup AS (SELECT vec_id + 100000 AS vec_id,
+         |  list_transform(range(1, len(v)+1),
+         |    k -> v[k] + CAST((k-1)%3 - 1 AS DOUBLE)*0.01) AS v
+         |  FROM e0 WHERE vec_id % 10 = 0),
+         |al AS (SELECT * FROM e0 UNION ALL SELECT * FROM dup),
+         |dots AS (SELECT al.vec_id, p.i, ${dotSql("al.v", "p.p")} AS d
+         |  FROM al CROSS JOIN planes p),
+         |bkt AS (SELECT vec_id,
+         |  CAST(sum(CASE WHEN d > 0 THEN (1 << CAST(i AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |ev AS (SELECT a.vec_id, a.v, b.bucket FROM al a JOIN bkt b USING (vec_id)),
+         |pairs AS (SELECT x.vec_id da, y.vec_id db,
+         |  floor(${dotSql("x.v", "y.v")} /
+         |    (sqrt(${dotSql("x.v", "x.v")}) * sqrt(${dotSql("y.v", "y.v")})) * 1000000 + 0.5)
+         |    / 1000000.0 AS cosv
+         |  FROM ev x JOIN ev y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT da, db, cosv FROM pairs WHERE cosv >= 0.99""".stripMargin,
+    "q57_ann_ivf_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, c.cent_id,
+         |  ${dotSql("e.v", "c.cv")} /
+         |    (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS cs
+         |  FROM e CROSS JOIN cent c),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cs DESC, cent_id ASC) AS r FROM sc),
+         |asg AS (SELECT vec_id AS c_id, cent_id AS cell FROM rk WHERE r = 1),
+         |probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM rk
+         |  WHERE r <= 2 AND vec_id >= 16 AND vec_id < 24),
+         |cand AS (SELECT p.q_id, a.c_id FROM probes p JOIN asg a USING (cell)
+         |  WHERE a.c_id <> p.q_id),
+         |cosx AS (SELECT c.q_id, c.c_id,
+         |  floor(${dotSql("qa.v", "qb.v")} /
+         |    (sqrt(${dotSql("qa.v", "qa.v")}) * sqrt(${dotSql("qb.v", "qb.v")})) * 1000000 + 0.5)
+         |    / 1000000.0 AS cosv
+         |  FROM cand c JOIN e qa ON qa.vec_id = c.q_id JOIN e qb ON qb.vec_id = c.c_id)
+         |SELECT q_id, CAST(r AS INTEGER) AS rank, c_id AS neighbor, cosv FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosv DESC, c_id ASC) r
+         |   FROM cosx) x WHERE r <= 3""".stripMargin)
 }
