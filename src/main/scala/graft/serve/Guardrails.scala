@@ -46,4 +46,27 @@ object Guardrails {
 
   def runAll(checks: Seq[Check]): Either[Seq[Check], Seq[Check]] =
     if (checks.forall(_.passed)) Right(checks) else Left(checks.filterNot(_.passed))
+
+  private val readOnlyPrefixes =
+    Seq("SELECT", "WITH", "SHOW", "DESCRIBE", "DESC", "EXPLAIN")
+
+  private val forbidden = Seq("INSERT", "UPDATE", "DELETE", "DROP", "CREATE",
+    "ALTER", "TRUNCATE", "MERGE", "REPLACE", "GRANT", "REVOKE", "COPY",
+    "UNLOAD", "VACUUM", "OPTIMIZE", "REFRESH", "MSCK", "LOAD")
+
+  /** Read-only SQL guard for externally supplied queries (reference:
+    * utils/databricks_sql.py:15-60): strips comments, requires a
+    * read-only statement prefix, and rejects any modification keyword
+    * anywhere in the statement. Returns the reason on rejection. */
+  def validateReadOnly(sql: String): Either[String, String] = {
+    val noLine = sql.replaceAll("(?m)--.*$", "")
+    val noBlock = noLine.replaceAll("(?s)/\\*.*?\\*/", "")
+    val cleaned = noBlock.split("\\s+").filter(_.nonEmpty)
+      .mkString(" ").trim.toUpperCase
+    if (cleaned.isEmpty) Left("empty statement")
+    else if (!readOnlyPrefixes.exists(p => cleaned.startsWith(p + " ") || cleaned == p))
+      Left(s"not a read-only statement: starts with '${cleaned.split(" ").head}'")
+    else forbidden.find(k => ("\\b" + k + "\\b").r.findFirstIn(cleaned).isDefined)
+      .map(k => Left(s"forbidden keyword: $k")).getOrElse(Right(sql))
+  }
 }

@@ -93,6 +93,18 @@ class MagJdbcSpec extends AnyFunSuite {
     assert(applied.value.asScala.forall(_ <= 2)) // batch size respected
   }
 
+  test("Guardrails.validateReadOnly: prefixes, comments, forbidden keywords") {
+    import graft.serve.Guardrails.validateReadOnly
+    assert(validateReadOnly("SELECT * FROM works").isRight)
+    assert(validateReadOnly("WITH x AS (SELECT 1) SELECT * FROM x").isRight)
+    assert(validateReadOnly("-- note\nEXPLAIN SELECT 1").isRight)
+    assert(validateReadOnly("DROP TABLE works").isLeft)
+    assert(validateReadOnly("SELECT 1; DELETE FROM works").isLeft)
+    assert(validateReadOnly("/* sneaky */ INSERT INTO works VALUES (1)").isLeft)
+    assert(validateReadOnly("SELECT * FROM works -- DROP TABLE works").isRight)
+    assert(validateReadOnly("  ").isLeft)
+  }
+
   test("LayoutWriter.deepClone: independent full copy") {
     val src = java.nio.file.Files.createTempDirectory("graft-clone-src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-clone-dst").toString + "/t"
