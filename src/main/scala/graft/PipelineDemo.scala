@@ -7,7 +7,7 @@ import graft.authors.AuthorMatcher
 import graft.ingest.CrossrefParser
 import graft.resolve.WorkIdResolver
 import graft.serve.{Guardrails, SnapshotExport}
-import graft.works.{TypeClassifier, WorksBase}
+import graft.works.{TypeRules, WorksBase}
 
 /** Consumer-style driver for the walden-domain slice (SURVEY §7.2):
   * raw multi-source records → parse → merge key → work-id resolution
@@ -57,13 +57,32 @@ object PipelineDemo {
       Seq("title", "abstract", "type", "published_date"))
     stage("works (survived)", best.count(), _ == 2)
 
-    val typed = best
-      .withColumn("raw_native_type", col("type"))
-      .withColumn("source_type", lit("journal"))
+    // full 163-rule cascade + ingest-dict fallback + final selection
+    val forTyping = best
+      .withColumn("raw_type", col("type"))
+      .withColumn("cr_type", col("type"))
+      .withColumn("cr_subtype", lit(null).cast("string"))
+      .withColumn("source_name", lit("J Spark"))
+      .withColumn("cr_container", lit(null).cast("string"))
+      .withColumn("issue", lit(null).cast("string"))
+      .withColumn("first_page", lit(null).cast("string"))
       .withColumn("n_refs", lit(0))
-      .withColumn("is_preprint_server", lit(false))
-      .withColumn("work_type", TypeClassifier.classify(TypeClassifier.defaultRules))
-    typed.select("work_id", "title", "work_type").show(false)
+      .withColumn("single_page", lit(false))
+      .withColumn("has_abstract", col("abstract").isNotNull)
+      .withColumn("is_retracted", lit(false))
+      .withColumn("oa_type", lit(null).cast("string"))
+      .withColumn("page_title", lit(null).cast("string"))
+      .withColumn("resolved_url", lit(null).cast("string"))
+      .withColumn("meta", lit(null).cast("array<string>"))
+      .withColumn("doi", lit(null).cast("string"))
+      .withColumn("source_type", lit("journal"))
+      .withColumn("has_journal", lit(true))
+      .withColumn("provenance", lit("crossref"))
+      .withColumn("ingest_type", col("type"))
+      .withColumn("preprint_registrant", lit(false))
+    val typed = TypeRules.finalType(TypeRules.features(forTyping))
+      .withColumn("work_type", col("type"))
+    typed.select("work_id", "title", "work_type", "classified_rule").show(false)
 
     val incoming = resolved.select(col("work_id"),
         posexplode(col("authors")).as(Seq("author_seq", "a")))
@@ -111,7 +130,8 @@ object PipelineDemo {
       typed.select(col("work_id").as("id"), col("title").as("text"))
         .as[graft.llm.LlmOps.EmbedIn],
       () => new graft.llm.LlmOps.StubClient, dim = 8, batchSize = 16,
-      guard = Some(graft.llm.LlmOps.CostGuard(unitCostMicros = 1, budgetMicros = 1000)))
+      guard = Some(graft.llm.LlmOps.CostGuard(unitCostMicros = 1, budgetMicros = 1000)),
+      rowEstimate = Some(2)) // guard meters the estimate — no count scan
     stage("embeddings", emb.count(), _ == 2)
 
     val bulkFailures = graft.serve.BulkSink.index(
