@@ -1,0 +1,46 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity summary-stats machinery shared by the funders / institutions /
+  * publishers API builds (reference: notebooks/funders/CreateFundersAPI
+  * .ipynb `funder_metrics` CTE): per-entity works/citations/OA counts,
+  * h-index from the DESC-sorted citation array, i10-index, and the
+  * recent mean citedness. One grouped aggregation per entity — the
+  * citation array is bounded by the entity's works count (the reference
+  * collects the same list).
+  */
+object Metrics {
+
+  /** h-index from a DESC-sorted citation array: the largest h with
+    * `sorted(h) ≥ h` (1-based) — computed as one zip_with fold, no
+    * explode. */
+  def hIndex(sortedDesc: Column): Column =
+    when(size(sortedDesc) === 0, 0).otherwise(
+      aggregate(
+        zip_with(sortedDesc, sequence(lit(1), size(sortedDesc)),
+          (c, i) => when(c >= i, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x))
+
+  /** Per-entity summary stats. Input contract: ONE row per
+    * (entity, work) — (entityCol, work_id, cited_by_count, is_oa,
+    * pub_year). `recentYearMin` replaces the reference's
+    * `current_year - 2` (a fixed horizon keeps the metric
+    * deterministic for the oracle). */
+  def summaryStats(wf: DataFrame, entityCol: String,
+      recentYearMin: Int): DataFrame = {
+    val recent = when(col("pub_year") >= recentYearMin, col("cited_by_count"))
+    val mean = sum(recent).cast("double") /
+      nullif(count(recent).cast("double"), lit(0.0))
+    wf.groupBy(col(entityCol)).agg(
+        countDistinct(col("work_id")).cast("int").as("works_count"),
+        sum(col("cited_by_count")).cast("int").as("cited_by_count"),
+        sum(when(col("is_oa"), 1).otherwise(0)).cast("int").as("oa_works_count"),
+        count(when(col("cited_by_count") >= 10, 1)).cast("int").as("i10_index"),
+        (floor(mean * 1000000 + 0.5) / 1000000.0).as("recent_mean_citedness"),
+        sort_array(collect_list(col("cited_by_count")), asc = false).as("__sorted"))
+      .withColumn("h_index", hIndex(col("__sorted")))
+      .drop("__sorted")
+  }
+}

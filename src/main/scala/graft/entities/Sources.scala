@@ -1,0 +1,51 @@
+package graft.entities
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources satellite — the legacy-shape registry snapshot (reference:
+  * notebooks/sources/CreateSources.ipynb): JSONB columns parsed into
+  * typed arrays/maps, `webpage = homepage_url`, verbatim-NULL issns,
+  * `datacite_ids` coalesced to [], merged sources kept as redirect rows
+  * (`merge_into_id` set) with active-only consumers filtering them.
+  *
+  * Scale: a pure per-row projection (from_json + renames) — the
+  * snapshot is a narrow map over the registry extract, no shuffle.
+  */
+object Sources {
+
+  val apcPricesT: DataType = ArrayType(StructType(Seq(
+    StructField("price", IntegerType), StructField("currency", StringType))))
+  val societiesT: DataType = ArrayType(StructType(Seq(
+    StructField("url", StringType), StructField("organization", StringType))))
+
+  /** Legacy 40-column shape from the raw registry extract: JSONB strings
+    * → typed columns (CreateSources.ipynb cell 1). Expects string
+    * columns apc_prices, apc_usd_by_year, societies, alternate_titles,
+    * datacite_ids + scalar registry fields. */
+  def legacySnapshot(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("apc_prices", from_json(col("apc_prices"), apcPricesT))
+      .withColumn("apc_usd_by_year",
+        from_json(col("apc_usd_by_year"), MapType(StringType, IntegerType)))
+      .withColumn("societies", from_json(col("societies"), societiesT))
+      .withColumn("alternate_titles",
+        from_json(col("alternate_titles"), ArrayType(StringType)))
+      .withColumn("datacite_ids", coalesce(
+        from_json(col("datacite_ids"), ArrayType(StringType)),
+        array().cast("array<string>")))
+      .withColumnRenamed("homepage_url", "webpage")
+
+  /** Canonical id under merge redirects: a merged source row points at
+    * its survivor via merge_into_id (the registry re-points links on
+    * merges, so chains are already collapsed to one hop). */
+  def withCanonicalId(sources: DataFrame): DataFrame =
+    sources
+      .withColumn("is_redirect", col("merge_into_id").isNotNull)
+      .withColumn("canonical_id", coalesce(col("merge_into_id"), col("id")))
+
+  /** Active-only view (consumers needing live sources filter redirects). */
+  def active(sources: DataFrame): DataFrame =
+    sources.filter(col("merge_into_id").isNull)
+}

@@ -173,7 +173,47 @@ object EntityQueries {
     graft.entities.Authors.countsByYear(staging)
   }
 
+  /** §2.1+§2.8 Sources registry snapshot: typed-JSON parsing (array of
+    * struct, map<string,int>, string arrays with [] default) + merge
+    * redirect resolution — synthesized JSONB strings per residue, the
+    * oracle states expected values from the synthesis rules. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val raw = c.select(k.as("id"),
+      when(k % 3 === 0, lit("""[{"price":1000,"currency":"USD"},{"price":900,"currency":"EUR"}]"""))
+        .when(k % 3 === 1, lit("[]")).as("apc_prices"),
+      when(k % 2 === 0, lit("""{"2023":1500,"2024":1600}""")).as("apc_usd_by_year"),
+      lit(null).cast("string").as("societies"),
+      when(k % 4 === 0, lit("""["alt one","alt two"]""")).as("alternate_titles"),
+      lit(null).cast("string").as("datacite_ids"),
+      concat(lit("https://pub"), k.cast("string"), lit(".example")).as("homepage_url"),
+      when(k % 10 === 0, k + 1).as("merge_into_id"))
+    val snap = graft.entities.Sources.withCanonicalId(
+      graft.entities.Sources.legacySnapshot(raw))
+    snap.select(col("id"),
+      try_element_at(col("apc_prices"), lit(1)).getField("price").as("apc_first"),
+      try_element_at(col("apc_usd_by_year"), lit("2024")).as("apc_2024"),
+      when(col("alternate_titles").isNotNull, size(col("alternate_titles"))).as("n_alt"),
+      size(col("datacite_ids")).as("n_datacite"),
+      col("webpage"), col("is_redirect"), col("canonical_id"))
+  }
+
+  /** §2.4 entity summary stats (funders/institutions/publishers API
+    * shape): works/citations/OA counts, h-index from the sorted
+    * citation array (one zip_with fold), i10, recent mean citedness. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val wf = o.select((col("o_custkey") % 100).as("funder_id"),
+      k.as("work_id"), (k % 23).as("cited_by_count"),
+      (k % 2 === 0).as("is_oa"), year(col("o_orderdate")).as("pub_year"))
+    graft.entities.Metrics.summaryStats(wf, "funder_id", recentYearMin = 1997)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_sources_legacy_snapshot" -> (q58 _),
+    "q59_funder_summary_stats" -> (q59 _),
     "q54_author_topics_share" -> (q54 _),
     "q55_author_counts_by_year" -> (q55 _),
     "q49_humanname_parse" -> (q49 _),
@@ -183,6 +223,35 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q59_funder_summary_stats" ->
+      """WITH wf AS (SELECT o_custkey % 100 AS funder_id, o_orderkey AS work_id,
+        |  o_orderkey % 23 AS cited, (o_orderkey % 2 = 0) AS is_oa,
+        |  year(o_orderdate) AS pub_year FROM orders),
+        |g AS (SELECT funder_id,
+        |  CAST(count(DISTINCT work_id) AS INTEGER) AS works_count,
+        |  CAST(sum(cited) AS INTEGER) AS cited_by_count,
+        |  CAST(sum(CASE WHEN is_oa THEN 1 ELSE 0 END) AS INTEGER) AS oa_works_count,
+        |  CAST(count(CASE WHEN cited >= 10 THEN 1 END) AS INTEGER) AS i10_index,
+        |  floor(CAST(sum(CASE WHEN pub_year >= 1997 THEN cited END) AS DOUBLE)
+        |    / nullif(CAST(count(CASE WHEN pub_year >= 1997 THEN cited END) AS DOUBLE), 0)
+        |    * 1000000 + 0.5) / 1000000.0 AS recent_mean_citedness,
+        |  list_sort(list(cited), 'DESC') AS s
+        |  FROM wf GROUP BY funder_id)
+        |SELECT funder_id, works_count, cited_by_count, oa_works_count, i10_index,
+        |recent_mean_citedness,
+        |CAST(len(list_filter(range(1, len(s)+1), i -> s[i] >= i)) AS INTEGER) AS h_index
+        |FROM g""".stripMargin,
+    "q58_sources_legacy_snapshot" ->
+      """SELECT c_custkey AS id,
+        |CASE WHEN c_custkey % 3 = 0 THEN 1000 END AS apc_first,
+        |CASE WHEN c_custkey % 2 = 0 THEN 1600 END AS apc_2024,
+        |CASE WHEN c_custkey % 4 = 0 THEN 2 END AS n_alt,
+        |0 AS n_datacite,
+        |'https://pub' || CAST(c_custkey AS VARCHAR) || '.example' AS webpage,
+        |(c_custkey % 10 = 0) AS is_redirect,
+        |CAST(CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 1 ELSE c_custkey END AS BIGINT)
+        |  AS canonical_id
+        |FROM customer""".stripMargin,
     "q54_author_topics_share" ->
       """WITH awt AS (
         |  SELECT DISTINCT o_custkey AS author_id, o_orderkey AS work_id,
