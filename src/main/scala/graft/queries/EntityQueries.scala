@@ -211,9 +211,26 @@ object EntityQueries {
     graft.entities.Metrics.summaryStats(wf, "funder_id", recentYearMin = 1997)
   }
 
+  /** §2.3 institution ancestry: recursive parent-hierarchy closure as a
+    * bounded iterative self-join (the reference's WITH RECURSIVE walk).
+    * Synthetic hierarchy: every customer key ≥ 10 has parent k div 10
+    * (chains like 1234 → 123 → 12 → 1, depth ≤ 3); the oracle mirrors
+    * with DuckDB's native recursive CTE. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val edges = c.filter(k >= 10)
+      .select(k.as("child_id"), expr("c_custkey div 10").as("parent_id"))
+    val anc = graft.entities.Institutions.ancestors(edges, maxDepth = 5)
+    graft.entities.Institutions.lineage(anc)
+      .select(col("institution_id"), to_json(col("lineage_ids")).as("lineage"),
+        col("n_ancestors"), col("max_generation"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_sources_legacy_snapshot" -> (q58 _),
     "q59_funder_summary_stats" -> (q59 _),
+    "q60_institution_lineage" -> (q60 _),
     "q54_author_topics_share" -> (q54 _),
     "q55_author_counts_by_year" -> (q55 _),
     "q49_humanname_parse" -> (q49 _),
@@ -223,6 +240,20 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q60_institution_lineage" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS institution_id, c_custkey // 10 AS ancestor_id,
+        |    1 AS generation
+        |  FROM customer WHERE c_custkey >= 10
+        |  UNION ALL
+        |  SELECT a.institution_id, a.ancestor_id // 10, a.generation + 1
+        |  FROM anc a WHERE a.ancestor_id >= 10)
+        |SELECT institution_id,
+        |CAST(to_json(list(ancestor_id ORDER BY generation, ancestor_id)) AS VARCHAR)
+        |  AS lineage,
+        |CAST(count(*) AS INTEGER) AS n_ancestors,
+        |CAST(max(generation) AS INTEGER) AS max_generation
+        |FROM anc GROUP BY institution_id""".stripMargin,
     "q59_funder_summary_stats" ->
       """WITH wf AS (SELECT o_custkey % 100 AS funder_id, o_orderkey AS work_id,
         |  o_orderkey % 23 AS cited, (o_orderkey % 2 = 0) AS is_oa,

@@ -53,6 +53,25 @@ class AuthorsSpec extends AnyFunSuite {
     assert(out.getAs[String]("last_known_institution") == "iNew")
   }
 
+  test("Institutions.ancestors: closure, cycle termination, lineage rollup") {
+    import graft.entities.Institutions
+    // chain a->b->c plus a 2-cycle x<->y
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"))
+      .toDF("child_id", "parent_id")
+    val anc = Institutions.ancestors(edges, maxDepth = 6)
+    val byInst = anc.as[(String, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(byInst("a") == Set(("b", 1), ("c", 2)))
+    assert(byInst("b") == Set(("c", 1)))
+    // cycle: each node sees the other once, never itself, and terminates
+    assert(byInst("x") == Set(("y", 1)))
+    assert(byInst("y") == Set(("x", 1)))
+    val roll = Institutions.lineageRollup(
+      Seq(("a", 5L), ("b", 2L), ("c", 1L)).toDF("id", "n"), anc, "id", "n")
+      .as[(String, Long)].collect().toMap
+    assert(roll("c") == 8L && roll("b") == 7L && roll("a") == 5L)
+  }
+
   test("stampUpdated: unchanged rows keep their date, changed/new advance") {
     val now = lit("2024-06-01")
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
