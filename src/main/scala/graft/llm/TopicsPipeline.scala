@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Topics BERT-inference pipeline composition (reference:
+  * notebooks/topics/{topic_text_cleaning.py, topics_create_input.ipynb,
+  * topics_inference.ipynb, topics_merge_output.ipynb}): input selection
+  * (anti-join against already-predicted + declined, eligibility gates),
+  * the non-Latin script text gate, the batched model boundary
+  * (LlmOps-style — the model itself is the documented stub), and the
+  * merge-output enrichment (explode → hierarchy join → top-3 by score).
+  *
+  * The Spark side — selection joins, script gating, batching contract,
+  * output shaping — is real and tested; only the BERT forward pass is a
+  * pluggable client, exactly like the reference's endpoint call.
+  */
+object TopicsPipeline {
+
+  /** Unicode scripts the model skips (topic_text_cleaning.py
+    * groups_to_skip). Java regex script classes. */
+  private val skipScriptsJava =
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsArabic}\\p{IsHangul}" +
+      "\\p{IsThai}\\p{IsDevanagari}\\p{IsBengali}\\p{IsThaana}" +
+      "\\p{IsGujarati}\\p{IsCyrillic}"
+
+  /** Strip characters of the skipped scripts
+    * (remove_non_latin_characters). */
+  def removeNonLatin(c: Column): Column =
+    regexp_replace(c, s"[$skipScriptsJava]", "")
+
+  /** TRUE when the text contains NO skipped-script characters
+    * (name_to_keep_ind == 1). */
+  def keepByScript(c: Column): Column =
+    !coalesce(c, lit("")).rlike(s"[$skipScriptsJava]")
+
+  val EligibleTypes: Seq[String] = Seq("article", "book", "review",
+    "book-chapter", "preprint", "dissertation")
+
+  /** Works that need predictions (topics_create_input.ipynb): not yet in
+    * work_topics, not declined since their last update, eligible type,
+    * enough content (title ≥ 15 chars OR abstract ≥ 30), topics
+    * missing/empty. */
+  def createInput(works: DataFrame, existing: DataFrame,
+      declined: DataFrame): DataFrame =
+    works
+      .join(existing.select(col("work_id").as("__e")),
+        col("work_id") === col("__e"), "left_anti")
+      .join(declined.select(col("work_id").as("__d"), col("last_declined")),
+        col("work_id") === col("__d") &&
+          col("updated_date") <= col("last_declined"), "left_anti")
+      .filter(length(coalesce(col("title"), lit(""))) >= 15 ||
+        length(coalesce(col("abstract"), lit(""))) >= 30)
+      .filter(col("work_type").isin(EligibleTypes: _*))
+      .filter(col("topics").isNull || size(col("topics")) === 0)
+      .select(col("work_id"), col("title"), col("abstract"))
+
+  /** Merge-output shaping (topics_merge_output.ipynb): explode raw
+    * (topic_id, score) predictions, enrich with the hierarchy dims,
+    * keep top-3 by (score DESC, topic_id ASC).
+    * @param lmOutput (work_id, lm_topics ARRAY<STRUCT<topic_id, score>>)
+    * @param topicsMeta (topic_id, display_name, subfield, field, domain)
+    *                   — small dim, broadcast */
+  def mergeOutput(lmOutput: DataFrame, topicsMeta: DataFrame): DataFrame = {
+    val exploded = lmOutput.select(col("work_id"),
+      explode(col("lm_topics")).as("r"))
+      .select(col("work_id"), col("r.topic_id").as("topic_id"),
+        col("r.score").as("score"))
+      .join(broadcast(topicsMeta), Seq("topic_id"))
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l("score") > r("score"), -1).when(l("score") < r("score"), 1)
+        .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1).otherwise(0)
+    exploded.groupBy(col("work_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        concat(lit("https://openalex.org/T"), col("topic_id").cast("string")).as("id"),
+        col("display_name"), col("score"),
+        col("subfield"), col("field"), col("domain"))), cmp), 1, 3).as("topics"))
+  }
+}

@@ -67,10 +67,46 @@ object IngestQueries {
         Map("ignoreNullFields" -> "false")).as("ids_json"))
   }
 
+  /** §2.9 topics input gate: the non-Latin-script text gate that feeds
+    * BERT inference (topic_text_cleaning.py) — script-class regexes,
+    * keep/clean/char-count, synthesized mixed-script titles. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TopicsPipeline
+    val d = t(s, dir, "documents")
+    val base = substring(col("text"), 1, 40)
+    val m4 = col("doc_id") % 4
+    val title = when(m4 === 0, base)
+      .when(m4 === 1, concat(base, lit("漢字テスト")))
+      .when(m4 === 2, concat(base, lit(" Кириллица")))
+      .otherwise(concat(lit("短"), base))
+    d.select(col("doc_id"),
+      TopicsPipeline.keepByScript(title).as("kept"),
+      TopicsPipeline.removeNonLatin(title).as("cleaned"),
+      (length(title) - length(TopicsPipeline.removeNonLatin(title))).as("n_removed"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q46_repo_oai_scalars" -> (q46 _))
+    "q46_repo_oai_scalars" -> (q46 _),
+    "q61_topics_script_gate" -> (q61 _))
+
+  private val skipRe2 =
+    "[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Arabic}\\p{Hangul}\\p{Thai}" +
+      "\\p{Devanagari}\\p{Bengali}\\p{Thaana}\\p{Gujarati}\\p{Cyrillic}]"
 
   val oracle: Map[String, String] = Map(
+    "q61_topics_script_gate" ->
+      s"""WITH b AS (SELECT doc_id, substr(text, 1, 40) AS base, doc_id % 4 AS m4
+         |  FROM documents),
+         |t AS (SELECT doc_id, CASE m4 WHEN 0 THEN base
+         |  WHEN 1 THEN base || '漢字テスト'
+         |  WHEN 2 THEN base || ' Кириллица'
+         |  ELSE '短' || base END AS title FROM b)
+         |SELECT doc_id,
+         |NOT regexp_matches(title, '$skipRe2') AS kept,
+         |regexp_replace(title, '$skipRe2', '', 'g') AS cleaned,
+         |CAST(length(title) - length(regexp_replace(title, '$skipRe2', '', 'g')) AS INTEGER)
+         |  AS n_removed
+         |FROM t""".stripMargin,
     "q46_repo_oai_scalars" ->
       """WITH b AS (SELECT doc_id, lang,
         |  doc_id % 3 AS m3, doc_id % 4 AS m4, doc_id % 5 AS m5, doc_id % 6 AS m6,

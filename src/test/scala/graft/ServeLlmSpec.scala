@@ -42,6 +42,49 @@ class ServeLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("TopicsPipeline: input selection anti-joins and merge-output top-3") {
+    import graft.llm.TopicsPipeline
+    val works = Seq(
+      (1L, "A Sufficiently Long Title Here", null, "article", "2024-02-01", null),
+      (2L, "short", "An abstract easily past thirty characters.", "article", "2024-02-01", null),
+      (3L, "short", "tiny", "article", "2024-02-01", null), // too little content
+      (4L, "A Sufficiently Long Title Here", null, "paratext", "2024-02-01", null), // bad type
+      (5L, "A Sufficiently Long Title Here", null, "article", "2024-02-01", null), // already predicted
+      (6L, "A Sufficiently Long Title Here", null, "article", "2024-02-01", null)) // declined after update
+      .toDF("work_id", "title", "abstract", "work_type", "updated_date", "topics")
+      .withColumn("topics", lit(null).cast("array<int>"))
+    val existing = Seq(5L).toDF("work_id")
+    val declined = Seq((6L, "2024-03-01"), (1L, "2023-01-01"))
+      .toDF("work_id", "last_declined") // 1's decline predates its update: retry
+    val in = TopicsPipeline.createInput(works, existing, declined)
+    assert(in.select("work_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // merge output: enrich + top-3 by score with id tiebreak
+    val lm = Seq((10L, Seq((101, 0.5), (102, 0.75), (103, 0.25), (104, 0.75))))
+      .toDF("work_id", "lm_topics")
+      .withColumn("lm_topics", expr(
+        "transform(lm_topics, x -> struct(x._1 AS topic_id, x._2 AS score))"))
+    val meta = Seq(101, 102, 103, 104).map(t =>
+      (t, s"T$t", s"sf$t", s"f$t", s"d$t"))
+      .toDF("topic_id", "display_name", "subfield", "field", "domain")
+    val out = TopicsPipeline.mergeOutput(lm, meta).collect()(0)
+    val ts = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("topics"))
+    assert(ts.size == 3)
+    assert(ts.map(_.getAs[String]("id")) == Seq(
+      "https://openalex.org/T102", "https://openalex.org/T104", "https://openalex.org/T101"))
+  }
+
+  test("TopicsPipeline: script gate keeps latin, strips skip-scripts") {
+    import graft.llm.TopicsPipeline
+    val df = Seq("plain latin text", "mixed 漢字 here", "кириллица only")
+      .toDF("t")
+      .select(col("t"), TopicsPipeline.keepByScript(col("t")).as("keep"),
+        TopicsPipeline.removeNonLatin(col("t")).as("clean"))
+      .collect()
+    assert(df(0).getBoolean(1) && df(0).getString(2) == "plain latin text")
+    assert(!df(1).getBoolean(1) && df(1).getString(2) == "mixed  here")
+    assert(!df(2).getBoolean(1) && df(2).getString(2) == " only")
+  }
+
   test("LlmOps.judge: batched completion keeps row alignment") {
     val df = Seq((1L, "is this ok?"), (2L, "and this?")).toDF("id", "prompt")
     val out = LlmOps.judge(df, "id", "prompt", () => new LlmOps.StubClient, 1)
