@@ -31,18 +31,54 @@ object Multimodal {
           .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "png")
           .otherwise("unknown"))
 
+  /** Aspect-preserving resize target (w', h') for a max output
+    * dimension — pure codegen'd arithmetic; the decoder consumes it.
+    * Returns STRUCT<w INT, h INT>; never upscales. */
+  def resizeSpec(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+      maxDim: Int): org.apache.spark.sql.Column = {
+    val longest = greatest(w, h)
+    val scale = when(longest <= maxDim, lit(1.0))
+      .otherwise(lit(maxDim.toDouble) / longest.cast("double"))
+    struct(floor(w * scale).cast("int").as("w"),
+      floor(h * scale).cast("int").as("h"))
+  }
+
+  /** Frame-sampling plan for a video column: the frame indices a
+    * decoder should extract — `everyNth` frames of `durationMs × fps`,
+    * capped at `maxFrames` (uniform head sample, the common
+    * training-data policy). Pure sequence arithmetic, no decode. */
+  def frameSamplePlan(durationMs: org.apache.spark.sql.Column, fps: Double,
+      everyNth: Int, maxFrames: Int): org.apache.spark.sql.Column = {
+    val nFrames = floor(durationMs.cast("double") / 1000.0 * fps).cast("long")
+    val step = lit(everyNth.toLong)
+    val lastWanted = least(nFrames - 1, lit(everyNth.toLong * (maxFrames - 1)))
+    when(nFrames > 0, sequence(lit(0L), lastWanted, step))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** STUB decode → deterministic fake features. A real deployment swaps
-    * `decodeOne` for a codec call; the mapPartitions batching contract
-    * (schema, per-partition init, no driver collect) is the tested part. */
-  def extractFeatures(assets: Dataset[Asset], dim: Int = 8): Dataset[AssetFeatures] = {
+    * `decodeBatch` for a codec call; the mapPartitions BATCHED contract
+    * (schema, per-partition init, fixed batch shape, no driver collect)
+    * is the tested part — the decoder sees `batchSize` assets per call,
+    * the same shape a GPU/codec pipeline wants. */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 8,
+      batchSize: Int = 32): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // per-partition "decoder" init would go here (one codec context)
-      it.map { a =>
-        AssetFeatures(a.asset_id, a.media.length, a.format, decodeOne(a.media, dim))
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = decodeBatch(batch.map(_.media), dim)
+        batch.zip(feats).map { case (a, f) =>
+          AssetFeatures(a.asset_id, a.media.length, a.format, f)
+        }
       }
     }
   }
+
+  /** STUB: batch decode call (one invocation per batch — the GPU-shaped
+    * entry point a real codec/model backend implements). */
+  private def decodeBatch(medias: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    medias.map(decodeOne(_, dim))
 
   /** STUB: stands in for image/audio decode + embed. Deterministic in
     * the bytes so tests are stable. */

@@ -80,9 +80,27 @@ class OperatorsSpec extends AnyFunSuite {
       .select("asset_id", "sniffed_format").as[(Long, String)].collect().toMap
     assert(meta(1L) == "png" && meta(2L) == "unknown")
     val f1 = Multimodal.extractFeatures(assets, 4).collect().sortBy(_.asset_id)
-    val f2 = Multimodal.extractFeatures(assets, 4).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets, 4, batchSize = 1)
+      .collect().sortBy(_.asset_id)
+    // batch shape must not change results
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
     assert(f1(0).byte_len == 7)
+  }
+
+  test("Multimodal: resize spec preserves aspect, frame plan caps and strides") {
+    val dims = Seq((4000, 1000), (100, 50), (720, 1280)).toDF("w", "h")
+      .select(Multimodal.resizeSpec(col("w"), col("h"), 512).as("r"))
+      .select("r.w", "r.h").as[(Int, Int)].collect().toSeq
+    assert(dims(0) == ((512, 128))) // downscale by longest side
+    assert(dims(1) == ((100, 50))) // never upscale
+    assert(dims(2) == ((288, 512))) // portrait
+    val plans = Seq(10000L, 400L, 0L).toDF("dur")
+      .select(Multimodal.frameSamplePlan(col("dur"), fps = 30.0,
+        everyNth = 10, maxFrames = 8).as("p"))
+      .as[Seq[Long]].collect().toSeq
+    assert(plans(0) == Seq(0L, 10L, 20L, 30L, 40L, 50L, 60L, 70L)) // capped at 8
+    assert(plans(1) == Seq(0L, 10L)) // 12 frames -> indices 0,10
+    assert(plans(2) == Seq.empty) // zero duration
   }
 
   test("ArrayDotProduct: native codegen == HOF fold bit-for-bit, null semantics") {
