@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.authors.SuperAuthorships
+
+final case class SAAuthor(given: String, family: String, name: String,
+    orcid: String, affiliations: Seq[SAAff], is_corresponding: java.lang.Boolean,
+    author_key: String)
+final case class SAAff(name: String, department: String, ror_id: String)
+final case class SALoc(provenance: String, native_id: String,
+    ids: Seq[(String, String, String)], authors: Seq[SAAuthor],
+    updated_date: Timestamp)
+
+class SuperAuthorshipsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+  private def aff(n: String) = SAAff(n, null, null)
+  private def au(key: String, name: String, affs: Seq[SAAff] = Nil,
+      corr: java.lang.Boolean = null) =
+    SAAuthor(null, null, name, null, affs, corr, key)
+
+  private val priority = Seq(("crossref", 1), ("pubmed", 2), ("pdf", 3),
+    ("landing_page", 4)).toDF("provenance", "priority")
+
+  private def df(rows: Seq[SALoc]) = rows.toDF()
+    .withColumn("ids", expr(
+      "transform(ids, x -> struct(x._1 AS id, x._2 AS namespace, x._3 AS relationship))"))
+
+  test("key-based merge: authoritative names + best-priority affiliations + corr") {
+    val rows = Seq(
+      // crossref is authoritative for names (no affiliations)
+      SALoc("crossref", "10.1/a", Nil,
+        Seq(au("smith;j", "Jo Smith "), au("lee;k", "Kim Lee")), ts("2024-01-01")),
+      // pubmed carries affiliations for smith (priority 2)
+      SALoc("pubmed", "pm1", Seq(("10.1/a", "doi", "self")),
+        Seq(au("smith;j", "Jo Smith", Seq(aff("MIT")))), ts("2024-01-02")),
+      // pdf ALSO has smith affiliations at worse priority — must lose
+      SALoc("pdf", "pdf1", Seq(("10.1/a", "doi", "self")),
+        Seq(au("smith;j", "Jo Smith", Seq(aff("WrongU")))), ts("2024-01-03")),
+      // landing page brings is_corresponding for lee
+      SALoc("landing_page", "lp1", Seq(("10.1/a", "doi", "self")),
+        Seq(au("lee;k", "Kim Lee", Nil, true)), ts("2024-01-04")))
+    val out = SuperAuthorships.build(df(rows), priority).collect()
+    assert(out.length == 1)
+    val as = out(0).getSeq[Row](out(0).fieldIndex("authorships"))
+    assert(as.map(_.getAs[String]("name")) == Seq("Jo Smith", "Kim Lee")) // trimmed
+    val smith = as(0)
+    assert(smith.getSeq[Row](smith.fieldIndex("affiliations"))
+      .map(_.getAs[String]("name")) == Seq("MIT")) // pubmed won, pdf lost
+    assert(as(1).getAs[Boolean]("is_corresponding"))
+  }
+
+  test("pdf affiliation cap: >2 affiliations from pdf are scraper noise") {
+    val rows = Seq(
+      SALoc("crossref", "10.1/b", Nil, Seq(au("doe;j", "J Doe")), ts("2024-01-01")),
+      SALoc("pdf", "pdf2", Seq(("10.1/b", "doi", "self")),
+        Seq(au("doe;j", "J Doe", Seq(aff("A"), aff("B"), aff("C")))), ts("2024-01-02")))
+    val out = SuperAuthorships.build(df(rows), priority).collect()(0)
+    val a = out.getSeq[Row](out.fieldIndex("authorships"))(0)
+    assert(a.isNullAt(a.fieldIndex("affiliations"))) // capped out -> none
+  }
+
+  test("positional fallback fires only on zero key hits with equal counts") {
+    val rows = Seq(
+      // authoritative crossref: romanized keys
+      SALoc("crossref", "10.1/c", Nil,
+        Seq(au("li;l", "Li Lei"), au("han;m", "Han Mei")), ts("2024-01-01")),
+      // pubmed has CJK-derived keys (no overlap) but same author count
+      SALoc("pubmed", "pm3", Seq(("10.1/c", "doi", "self")),
+        Seq(au("李;", "李雷", Seq(aff("PKU"))), au("韩;", "韩梅", Seq(aff("THU")))),
+        ts("2024-01-02")))
+    val out = SuperAuthorships.build(df(rows), priority).collect()(0)
+    val as = out.getSeq[Row](out.fieldIndex("authorships"))
+    assert(as.map(a => a.getSeq[Row](a.fieldIndex("affiliations"))
+      .map(_.getAs[String]("name"))) == Seq(Seq("PKU"), Seq("THU")))
+    // but with a count mismatch the fallback must NOT fire
+    val rows2 = Seq(rows(0),
+      SALoc("pubmed", "pm4", Seq(("10.1/c", "doi", "self")),
+        Seq(au("李;", "李雷", Seq(aff("PKU")))), ts("2024-01-02")))
+    val out2 = SuperAuthorships.build(df(rows2), priority).collect()(0)
+    val as2 = out2.getSeq[Row](out2.fieldIndex("authorships"))
+    assert(as2.forall(a => a.isNullAt(a.fieldIndex("affiliations"))))
+  }
+
+  test("rank keep-ties: two same-priority sources both contribute affiliations") {
+    val rows = Seq(
+      SALoc("crossref", "10.1/d", Nil, Seq(au("kim;s", "S Kim")), ts("2024-01-01")),
+      SALoc("pubmed", "pm5", Seq(("10.1/d", "doi", "self")),
+        Seq(au("kim;s", "S Kim", Seq(aff("Yonsei")))), ts("2024-01-02")),
+      SALoc("pubmed", "pm6", Seq(("10.1/d", "doi", "self")),
+        Seq(au("kim;s", "S Kim", Seq(aff("KAIST")))), ts("2024-01-03")))
+    val out = SuperAuthorships.build(df(rows), priority).collect()(0)
+    val a = out.getSeq[Row](out.fieldIndex("authorships"))(0)
+    assert(a.getSeq[Row](a.fieldIndex("affiliations"))
+      .map(_.getAs[String]("name")).sorted == Seq("KAIST", "Yonsei"))
+  }
+}
