@@ -53,16 +53,24 @@ object StreamDemo {
         batchHw.as[(String, String, Long)].collect().toSet)
     spark.table("hw").orderBy(desc("n")).show(3, false)
 
-    // 2. sessionize across 3 micro-batches vs batch query
+    // 2. sessionize across 3 micro-batches vs batch query. Batch arrival
+    // order is nondeterministic (file mtimes), and with OUT-OF-ORDER
+    // arrival an intermediate recomputation can transiently overcount
+    // sessions (gaps later filled by earlier events) — the convergence
+    // contract is that each user's LAST emission equals the batch
+    // answer, so track last-emission-per-user via foreachBatch.
+    val lastEmit = scala.collection.mutable.Map[Long, (Long, Long)]()
     val sess = Streams.sessionize(
       Streams.readEvents(spark, dir, Some(1))
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
         .as[Streams.RawEvent], 6L * 3600 * 1000000000L)
-      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+      .writeStream.outputMode("update").foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Streams.SessOut], _: Long) =>
+          b.collect().foreach(r =>
+            lastEmit(r.user_id) = (r.n_sessions, r.max_session_events))
+      }.start()
     sess.processAllAvailable(); sess.stop()
-    val streamedSess = spark.table("sess").groupBy("user_id")
-      .agg(max("n_sessions").as("s"), max("max_session_events").as("m"))
-      .as[(Long, Long, Long)].collect().toSet
+    val streamedSess = lastEmit.map { case (u, (s, m)) => (u, s, m) }.toSet
     val batchSess = SparkEntry.queries("q25_sessionize_users")(spark, sfDir)
       .select(col("user_id"), col("n_sessions"), col("max_session_events"))
       .as[(Long, Long, Long)].collect().toSet
