@@ -85,15 +85,60 @@ object IngestQueries {
       (length(title) - length(TopicsPipeline.removeNonLatin(title))).as("n_removed"))
   }
 
+  /** §2.2 union merge-key normalization: clean_native_id charset/scheme
+    * rules + the three-tier title_author key (bad/short titles get a
+    * per-row native_id+provenance key; authorless rows key on title
+    * alone; else title_firstAuthorKey) — q62 synthesizes each tier. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import graft.resolve.MergeKeys
+    val d = t(s, dir, "documents")
+    val id = col("doc_id"); val ids = id.cast("string")
+    val m5 = id % 5; val m3 = id % 3; val m2 = id % 2
+    val walden = d.select(id.as("doc_id"),
+      concat(lit("https://Repo.EDU/Item-"), ids, lit("///")).as("native_id"),
+      lit("test").as("provenance"),
+      when(m5 === 0, lit("short"))
+        .when(m5 === 1, lit(null).cast("string"))
+        .when(m5 === 2, lit("Untitled Document Placeholder"))
+        .otherwise(concat(lit("A Sufficiently Discriminative Title "), ids))
+        .as("title"),
+      concat(lit("nt"), ids).as("normalized_title"),
+      when(m3 === 0, array().cast("array<struct<author_key:string>>"))
+        .otherwise(array(struct(concat(lit("k"), ids).as("author_key"))))
+        .as("authors"),
+      when(m2 === 0, array(struct(concat(lit("10.5/x"), ids).as("id"),
+          lit("doi").as("namespace"), lit("self").as("relationship"))))
+        .otherwise(array().cast(
+          "array<struct<id:string,namespace:string,relationship:string>>"))
+        .as("ids"))
+    MergeKeys.withMergeKey(walden, badTitles = Seq("Untitled Document Placeholder"))
+      .select(col("doc_id"), col("native_id"), col("true_native_id"),
+        col("merge_key.doi").as("doi"),
+        col("merge_key.title_author").as("title_author"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_repo_oai_scalars" -> (q46 _),
-    "q61_topics_script_gate" -> (q61 _))
+    "q61_topics_script_gate" -> (q61 _),
+    "q62_merge_key_normalize" -> (q62 _))
 
   private val skipRe2 =
     "[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Arabic}\\p{Hangul}\\p{Thai}" +
       "\\p{Devanagari}\\p{Bengali}\\p{Thaana}\\p{Gujarati}\\p{Cyrillic}]"
 
   val oracle: Map[String, String] = Map(
+    "q62_merge_key_normalize" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |  doc_id % 5 AS m5, doc_id % 3 AS m3, doc_id % 2 AS m2 FROM documents),
+        |c AS (SELECT *, 'repo.edu/item' || s AS cid FROM b)
+        |SELECT doc_id,
+        |cid AS native_id,
+        |'https://Repo.EDU/Item-' || s || '///' AS true_native_id,
+        |CASE WHEN m2 = 0 THEN '10.5/x' || s END AS doi,
+        |CASE WHEN m5 IN (0, 1, 2) THEN cid || 'test'
+        |     WHEN m3 = 0 THEN 'nt' || s
+        |     ELSE 'nt' || s || '_k' || s END AS title_author
+        |FROM c""".stripMargin,
     "q61_topics_script_gate" ->
       s"""WITH b AS (SELECT doc_id, substr(text, 1, 40) AS base, doc_id % 4 AS m4
          |  FROM documents),

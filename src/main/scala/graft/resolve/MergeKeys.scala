@@ -1,0 +1,61 @@
+package graft.resolve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Union-step merge-key normalization (reference: notebooks/ingest/
+  * LocationsUnionKeyNormalize.py:287-323 — VERBATIM semantics of
+  * `clean_native_id` + `create_merge_column`): native-id cleaning
+  * (scheme strip, trailing-slash strip, charset restriction, lowercase,
+  * original kept as true_native_id), first-per-namespace id extraction,
+  * and the three-tier title_author key:
+  *   bad/short/null title  → native_id+provenance (per-row key: such a
+  *                           title can never merge works safely),
+  *   no authors            → normalized_title alone,
+  *   otherwise             → normalized_title_firstAuthorKey.
+  * Pure per-row projection — the bad-titles list is a tiny broadcast.
+  */
+object MergeKeys {
+
+  /** clean_native_id: true_native_id keeps the original; native_id is
+    * normalized for keying. */
+  def cleanNativeId(df: DataFrame, column: String = "native_id"): DataFrame =
+    df.withColumn("true_native_id", col(column))
+      .withColumn(column, regexp_replace(col(column), "https?://", ""))
+      .withColumn(column, regexp_replace(col(column), "/+$", ""))
+      .withColumn(column, regexp_replace(col(column), "[^a-zA-Z0-9./:]", ""))
+      .withColumn(column, lower(col(column)))
+
+  private def idOf(ns: String): Column =
+    try_element_at(filter(col("ids"),
+      x => x.getField("namespace") === ns && x.getField("id").isNotNull),
+      lit(1)).getField("id")
+
+  /** create_merge_column over a walden frame (needs native_id,
+    * provenance, title, normalized_title, authors, ids). */
+  def withMergeKey(walden: DataFrame, badTitles: Seq[String] = Nil): DataFrame = {
+    val cleaned = cleanNativeId(walden)
+      .withColumn("__tnl", regexp_replace(col("title"), "\n", " "))
+    val authorsExist = col("authors").isNotNull && size(col("authors")) > 0
+    val firstKey = try_element_at(col("authors"), lit(1)).getField("author_key")
+    val badTitle = if (badTitles.isEmpty) lit(false)
+      else col("__tnl").isin(badTitles.map(x => x: Any): _*)
+    val titleAuthor =
+      when(badTitle || length(col("__tnl")) < 19 || col("__tnl").isNull,
+        concat(col("native_id"), col("provenance")))
+      .when(!authorsExist, col("normalized_title"))
+      .otherwise(concat_ws("_", col("normalized_title"), firstKey))
+    cleaned.withColumn("merge_key", struct(
+        idOf("doi").as("doi"), idOf("pmid").as("pmid"),
+        idOf("arxiv").as("arxiv"), titleAuthor.as("title_author")))
+      .drop("__tnl")
+  }
+
+  /** Stage-4 filter: a row must carry at least one usable merge key. */
+  def filterKeyed(df: DataFrame): DataFrame =
+    df.filter(col("merge_key.doi").isNotNull ||
+      col("merge_key.pmid").isNotNull ||
+      col("merge_key.arxiv").isNotNull ||
+      (col("merge_key.title_author").isNotNull &&
+        col("merge_key.title_author") =!= ""))
+}
