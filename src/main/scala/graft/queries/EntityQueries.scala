@@ -227,10 +227,31 @@ object EntityQueries {
         col("n_ancestors"), col("max_generation"))
   }
 
+  /** §2.1 Wunpaywall feed: per-DOI JSON + sha2 response hash, change
+    * dates kept unless the hash moved — two synthesized feed versions
+    * (changed rows, unchanged rows, new DOIs). */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import graft.serve.WunpaywallFeed
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def version(maxKey: Int, bumped: Boolean) = {
+      val n = if (bumped) when(k % 5 === 0, (k % 7 + 1).cast("int"))
+        .otherwise((k % 7).cast("int")) else (k % 7).cast("int")
+      o.filter(k <= maxKey).select(concat(lit("10.7/"), ks).as("doi"),
+        col("o_orderpriority").as("status"), n.as("n"))
+    }
+    val feed1 = WunpaywallFeed.build(version(6000, bumped = false), "doi",
+      Seq("doi", "status", "n"), None, lit("2024-01-01"))
+    val feed2 = WunpaywallFeed.build(version(6600, bumped = true), "doi",
+      Seq("doi", "status", "n"), Some(feed1), lit("2024-02-02"))
+    feed2.select(col("doi"), col("changed_date"), col("response_hash"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_sources_legacy_snapshot" -> (q58 _),
     "q59_funder_summary_stats" -> (q59 _),
     "q60_institution_lineage" -> (q60 _),
+    "q63_wunpaywall_changed_dates" -> (q63 _),
     "q54_author_topics_share" -> (q54 _),
     "q55_author_counts_by_year" -> (q55 _),
     "q49_humanname_parse" -> (q49 _),
@@ -240,6 +261,15 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q63_wunpaywall_changed_dates" ->
+      """SELECT '10.7/' || CAST(o_orderkey AS VARCHAR) AS doi,
+        |CASE WHEN o_orderkey > 6000 OR o_orderkey % 5 = 0
+        |     THEN '2024-02-02' ELSE '2024-01-01' END AS changed_date,
+        |sha256('{"doi":"10.7/' || CAST(o_orderkey AS VARCHAR) ||
+        |  '","status":"' || o_orderpriority || '","n":' ||
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey % 7 + 1
+        |            ELSE o_orderkey % 7 END AS VARCHAR) || '}') AS response_hash
+        |FROM orders WHERE o_orderkey <= 6600""".stripMargin,
     "q60_institution_lineage" ->
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS institution_id, c_custkey // 10 AS ancestor_id,
