@@ -41,53 +41,49 @@ object AuthorMatcher {
       .select(col("work_id"), col("author_seq"), col("author_id"),
         lit("orcid").as("match_tier"))
 
-    def uniqueTier(remaining: DataFrame, tier: String,
-        signal: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-      val joined = signal(remaining,
-        candidates.select(col("author_id"), col("block_key").as("__bk"),
-          col("institution_ids").as("__inst"), col("source_ids").as("__src")))
-      // unique-match rule: exactly ONE candidate matches the signal
-      joined.groupBy(col("work_id"), col("author_seq"))
-        .agg(countDistinct(col("author_id")).as("__n"),
-          min(col("author_id")).as("author_id"))
-        .filter(col("__n") === 1)
-        .select(col("work_id"), col("author_seq"), col("author_id"),
-          lit(tier).as("match_tier"))
-    }
-
     val afterOrcid = incoming.join(byOrcid.select("work_id", "author_seq"),
       Seq("work_id", "author_seq"), "left_anti")
 
-    // tier 2: block key + institution overlap
-    val byInst = uniqueTier(afterOrcid, "name_institution", (rem, cand) =>
-      rem.join(cand, rem("block_key") === cand("__bk") &&
-        arrays_overlap(rem("institution_ids"), cand("__inst"))))
-    val afterInst = afterOrcid.join(byInst.select("work_id", "author_seq"),
-      Seq("work_id", "author_seq"), "left_anti")
-
-    // tier 3: block key + source
-    val bySource = uniqueTier(afterInst, "name_source", (rem, cand) =>
-      rem.join(cand, rem("block_key") === cand("__bk") &&
-        array_contains(cand("__src"), rem("source_id"))))
-    val afterSource = afterInst.join(bySource.select("work_id", "author_seq"),
-      Seq("work_id", "author_seq"), "left_anti")
-
-    // tier 4: block key alone (still unique-or-nothing)
-    val byName = uniqueTier(afterSource, "name_unique", (rem, cand) =>
-      rem.join(cand, rem("block_key") === cand("__bk")))
-    val afterName = afterSource.join(byName.select("work_id", "author_seq"),
-      Seq("work_id", "author_seq"), "left_anti")
+    // Tiers 2–4 share the block-key equijoin and differ only in which
+    // SIGNAL must match uniquely — and an authorship reaches tier N+1
+    // exactly when tier N's candidate count ≠ 1. So all three tiers
+    // collapse into ONE join + ONE aggregation with conditional
+    // distinct-counts per signal (round 1 ran three joins plus three
+    // anti-joins over the same pairs — 3× the shuffles for identical
+    // results; the q52 oracle mirrors the sequential form and proves
+    // the fusion equivalent).
+    val cand = candidates.select(col("author_id"), col("block_key").as("__bk"),
+      col("institution_ids").as("__inst"), col("source_ids").as("__src"))
+    val pairs = afterOrcid.join(cand, col("block_key") === col("__bk"))
+      .withColumn("__instHit", arrays_overlap(col("institution_ids"), col("__inst")))
+      .withColumn("__srcHit", array_contains(col("__src"), col("source_id")))
+    val perAuthorship = pairs.groupBy(col("work_id"), col("author_seq")).agg(
+      countDistinct(when(col("__instHit"), col("author_id"))).as("__n2"),
+      min(when(col("__instHit"), col("author_id"))).as("__a2"),
+      countDistinct(when(col("__srcHit"), col("author_id"))).as("__n3"),
+      min(when(col("__srcHit"), col("author_id"))).as("__a3"),
+      countDistinct(col("author_id")).as("__n4"),
+      min(col("author_id")).as("__a4"))
+    val tiered = perAuthorship.select(col("work_id"), col("author_seq"),
+      when(col("__n2") === 1, col("__a2"))
+        .when(col("__n3") === 1, col("__a3"))
+        .when(col("__n4") === 1, col("__a4")).as("author_id"),
+      when(col("__n2") === 1, "name_institution")
+        .when(col("__n3") === 1, "name_source")
+        .when(col("__n4") === 1, "name_unique").as("match_tier"))
+      .filter(col("author_id").isNotNull)
 
     // mint new author ids for the remainder (per distinct block_key)
+    val afterTiers = afterOrcid.join(tiered.select("work_id", "author_seq"),
+      Seq("work_id", "author_seq"), "left_anti")
     val minted = IdMinter.mint(
       candidates.select(col("block_key").as("key"), col("author_id").as("id")),
-      afterName.select(col("block_key").as("key")), "key", "id")
-    val byMint = afterName.join(minted, col("block_key") === col("key"))
+      afterTiers.select(col("block_key").as("key")), "key", "id")
+    val byMint = afterTiers.join(minted, col("block_key") === col("key"))
       .select(col("work_id"), col("author_seq"), col("id").as("author_id"),
         lit("minted").as("match_tier"))
 
-    val matched = byOrcid.unionByName(byInst).unionByName(bySource)
-      .unionByName(byName).unionByName(byMint)
+    val matched = byOrcid.unionByName(tiered).unionByName(byMint)
     incoming.join(matched, Seq("work_id", "author_seq"), "left")
   }
 }
