@@ -1,0 +1,39 @@
+package graft.entities
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Publishers satellite — composed from the shared entity machinery
+  * (reference: the publishers_api build consumed by
+  * notebooks/funders/CreateFundersAPI.ipynb roles and the sources
+  * registry's publisher_id links): parent-chain lineage, per-publisher
+  * summary stats, and the sources-per-publisher rollup. Each piece is
+  * the already-gated operator (Institutions.ancestors/lineageRollup,
+  * Metrics.summaryStats — q59/q60); this module is their composition
+  * under the publishers grain.
+  */
+object Publishers {
+
+  /** Publisher hierarchy closure from (child_id, parent_id) ownership
+    * edges — imprint → house → group chains. */
+  def hierarchy(parentEdges: DataFrame, maxDepth: Int = 6): DataFrame =
+    Institutions.ancestors(parentEdges, maxDepth)
+
+  /** Per-publisher works/citations/OA stats from one row per
+    * (publisher_id, work). */
+  def summaryStats(pubWorks: DataFrame, recentYearMin: Int): DataFrame =
+    Metrics.summaryStats(pubWorks, "publisher_id", recentYearMin)
+
+  /** Count of distinct sources per publisher, credited up the
+    * ownership hierarchy (a group's sources_count includes its
+    * imprints' — the API's lineage-inclusive semantics). */
+  def sourcesCount(sources: DataFrame, hierarchy: DataFrame): DataFrame = {
+    val direct = sources.filter(col("publisher_id").isNotNull)
+      .groupBy(col("publisher_id"))
+      .agg(countDistinct(col("source_id")).as("sources_count"))
+    Institutions.lineageRollup(
+      direct.select(col("publisher_id").as("id"), col("sources_count")),
+      hierarchy, "id", "sources_count")
+      .withColumnRenamed("target_id", "publisher_id")
+  }
+}

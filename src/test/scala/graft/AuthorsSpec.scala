@@ -72,6 +72,20 @@ class AuthorsSpec extends AnyFunSuite {
     assert(roll("c") == 8L && roll("b") == 7L && roll("a") == 5L)
   }
 
+  test("Publishers: hierarchy-inclusive sources count") {
+    import graft.entities.Publishers
+    val edges = Seq(("imprint1", "house"), ("imprint2", "house"), ("house", "group"))
+      .toDF("child_id", "parent_id")
+    val sources = Seq(("s1", "imprint1"), ("s2", "imprint1"), ("s3", "imprint2"),
+      ("s4", "house"), ("s5", null)).toDF("source_id", "publisher_id")
+    val h = Publishers.hierarchy(edges)
+    val counts = Publishers.sourcesCount(sources, h)
+      .as[(String, Long)].collect().toMap
+    assert(counts("imprint1") == 2 && counts("imprint2") == 1)
+    assert(counts("house") == 4)  // own 1 + imprints' 3
+    assert(counts("group") == 4)  // everything below
+  }
+
   test("stampUpdated: unchanged rows keep their date, changed/new advance") {
     val now = lit("2024-06-01")
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
