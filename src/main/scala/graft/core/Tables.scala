@@ -35,6 +35,8 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.plans.ArrayDotProduct.register(spark)
+    graft.plans.CharHash.register(spark)
+    graft.plans.SortedIntersectCount.register(spark)
     if (name == "events")
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else

@@ -60,8 +60,18 @@ object TextFunctions {
     * (the scale-killer the sorted-dictionary id assignment had), and a
     * SQL oracle reproduces it exactly via a `list_reduce` fold, unlike
     * engine-internal hashes (xxhash64 seeds/variants differ across
-    * engines). */
+    * engines). Evaluated by the codegen'd [[graft.plans.CharHash]]
+    * expression (one fused loop per row); [[charHashHof]] keeps the
+    * built-in-HOF formulation for the bit-equality cross-check. */
   def charHash(s: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      graft.plans.CharHash(
+        org.apache.spark.sql.GraftExpr.expression(s)))
+
+  /** Interpreted-HOF twin of [[charHash]] (one lambda dispatch per
+    * character) — spec-only, for proving the codegen expression
+    * bit-identical on the fixture corpus + unicode edges. */
+  def charHashHof(s: Column): Column =
     aggregate(transform(split(s, ""), c => ascii(c)),
       lit(0L), (h, c) => (h * 31 + c) % CharHashMod)
 }

@@ -32,10 +32,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (id, shingle) pairs. */
+  /** (id, shingle) pairs — NOT deduplicated: a shingle repeating inside
+    * one doc emits repeated rows. Every downstream consumer here is
+    * duplicate-safe (min-fold signatures, collect_set document sets),
+    * so the explicit `.distinct()` this had — a full shuffle of the
+    * widest frame in the whole dedup pipeline, BEFORE map-side partial
+    * aggregation can shrink it — was pure cost. Callers that need
+    * per-doc distinct counts take `size(collect_set(...))`. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), k)).as("shingle"))
-      .distinct()
 
   /** Attach integer shingle ids. Default (hashed) path: per-row 56-bit
     * [[TextFunctions.charHash]] — full-width ids, so distinct shingles
@@ -65,6 +70,20 @@ object Dedup {
   def hashA(i: Int): Long = 101L * i + 37
   def hashB(i: Int): Long = 53L * i + 11
 
+  /** MinHash signature AND the per-doc sorted shingle-id set in ONE
+    * aggregation pass — the signature feeds LSH banding, the set feeds
+    * exact-Jaccard verification, and computing them together halves the
+    * shuffles of the widest frame in the pipeline (duplicate input rows
+    * are absorbed by min/collect_set partials). Output: (idCol, s0..sN,
+    * set, n). */
+  def signatureWithSets(ids: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(((col("sid") % Prime) * lit(hashA(i)) + lit(hashB(i))) % Prime).as(s"s$i")
+    } :+ sort_array(collect_set(col("sid"))).as("set")
+    ids.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", size(col("set")))
+  }
+
   /** LSH banding: candidate pairs sharing at least one band key.
     * bands×rowsPerBand must equal the signature width. */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -87,13 +106,42 @@ object Dedup {
     * array_intersect — no row-per-common-shingle blowup (the naive
     * shingle⨝shingle intersection join materializes |A∩B| rows per
     * pair; at 50k docs that was the dominant cost of the whole bench). */
-  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sets = sh.groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("shingle"))).as("set"), count(lit(1)).as("n"))
+  /** Per-doc sorted distinct shingle-id sets: (idCol, set, n). String
+    * shingles are charHashed here, once per doc — jaccard over 56-bit
+    * hashed ids equals jaccard over the strings (collisions negligible,
+    * see TextFunctions.CharHashMod). Duplicate input rows collapse in
+    * the collect_set (map-side partial), so callers feed raw
+    * [[shingles]] output with no distinct pass. */
+  def docSets(sh: DataFrame, idCol: String): DataFrame = {
+    val isLong = sh.schema(sh.schema.fieldIndex("shingle")).dataType ==
+      org.apache.spark.sql.types.LongType
+    val sid = if (isLong) col("shingle") else TextFunctions.charHash(col("shingle"))
+    sh.groupBy(col(idCol))
+      .agg(sort_array(collect_set(sid)).as("set"))
+      .withColumn("n", size(col("set")))
+  }
+
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    jaccardForSets(pairs, docSets(sh, idCol), idCol)
+
+  /** Exact Jaccard for candidate pairs over precomputed [[docSets]]
+    * (callers that already aggregated per doc — e.g. a combined
+    * signature+set pass — skip the extra shuffle). The per-pair
+    * intersection size is the codegen'd two-pointer merge
+    * (plans/SortedIntersectCount) — semantically
+    * size(array_intersect(sa, sb)), but allocation-free: array_intersect
+    * rebuilds a hash set + materializes the intersection array per pair,
+    * so a hub doc in k candidate pairs pays that k times. */
+  def jaccardForSets(pairs: DataFrame, sets: DataFrame, idCol: String): DataFrame = {
+    val common = org.apache.spark.sql.GraftExpr.column(
+      graft.plans.SortedIntersectCount(
+        org.apache.spark.sql.GraftExpr.expression(col("sa")),
+        org.apache.spark.sql.GraftExpr.expression(col("sb"))))
+    val s = sets.select(col(idCol), col("set"), col("n"))
     pairs
-      .join(sets.select(col(idCol).as("da"), col("set").as("sa"), col("n").as("na")), "da")
-      .join(sets.select(col(idCol).as("db"), col("set").as("sb"), col("n").as("nb")), "db")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .join(s.select(col(idCol).as("da"), col("set").as("sa"), col("n").as("na")), "da")
+      .join(s.select(col(idCol).as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+      .withColumn("common", common)
       // floor(x·1e6+0.5)/1e6: deterministic 6-decimal rounding — pure
       // IEEE arithmetic, bit-identical across engines (see SURVEY §8).
       .withColumn("jaccard", floor(col("common").cast("double") /
@@ -109,12 +157,22 @@ object Dedup {
     * recall cost is marginal. */
   def rareShingleCandidates(sh: DataFrame, idCol: String, maxDf: Int,
       minCommon: Int = 1): DataFrame = {
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf)).select(col("shingle"))
-    val rs = sh.join(rare, "shingle")
-    val a = rs.select(col(idCol).as("da"), col("shingle"))
-    val b = rs.select(col(idCol).as("db"), col("shingle"))
-    a.join(b, "shingle").filter(col("da") < col("db"))
+    // ONE aggregation keyed on shingle (map-side partial collect_set
+    // shrinks the wide frame before the shuffle), then the ≤ C(maxDf,2)
+    // ordered pairs per rare shingle are generated IN-ARRAY — the
+    // row-count df filter, the rare⨝sh filter join, and the a⨝b
+    // self-join of the previous formulation were three extra shuffles
+    // of the widest frame for the same pairs. Arrays are df-bounded
+    // (≤ maxDf elements), so the nested transform is O(maxDf²) with
+    // tiny constants.
+    val docs = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(idCol))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    val pairs = flatten(transform(col("ds"), (d, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
+        e => struct(d.as("da"), e.as("db")))))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.da"), col("p.db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("__rc"))
       .filter(col("__rc") >= minCommon)
       .select(col("da"), col("db"))

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd 56-bit polynomial character hash — the
+  * dictionary-free word/shingle id on every dedup/fingerprint hot path
+  * (SURVEY §7.3: custom Catalyst only where built-ins can't express it
+  * EFFICIENTLY).
+  *
+  * Semantics are IDENTICAL to the interpreted HOF formulation
+  * `aggregate(transform(split(s, ""), c => ascii(c)), 0L,
+  * (h, c) => (h*31 + c) % 2^56)` (see
+  * [[graft.functions.TextFunctions.charHash]]):
+  *  - `split(s, "")` yields one element per codepoint (Java regex split
+  *    never cuts inside a surrogate pair) and `ascii` returns
+  *    `codePointAt(0)`, so the fold visits codepoints in order;
+  *  - the empty string folds over `[""]` with `ascii("") = 0`, giving 0
+  *    — the same value as an empty loop;
+  *  - `h < 2^56` keeps `h*31 + c` inside signed-64 range.
+  * Bit-equality with the HOF version is asserted in PlansSpec over the
+  * fixture corpus plus unicode edge cases, and the DuckDB oracle
+  * reproduces the same fold via `list_reduce` (README protocol).
+  *
+  * The HOF version runs one interpreted lambda call per CHARACTER (a
+  * 30-char shingle = 30 `ascii` evals + 30 fold steps through
+  * HigherOrderFunction dispatch); this is a single fused loop inside
+  * whole-stage codegen.
+  */
+case class CharHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_hash requires a STRING argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    CharHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |final String $str = $s.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  final int $cp = $str.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % ${CharHash.Mod}L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharHash =
+    copy(child = newChild)
+}
+
+object CharHash {
+  /** 2^56 — see TextFunctions.CharHashMod for the collision/overflow
+    * analysis; kept in sync by a PlansSpec assertion. */
+  val Mod: Long = 72057594037927936L
+
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Register `char_hash` in the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_hash", exprs => CharHash(exprs.head), "scala_udf")
+}

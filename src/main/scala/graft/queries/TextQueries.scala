@@ -111,12 +111,13 @@ object TextQueries {
     * (df ∈ [2,20], co-occurrence ≥ 2) — no all-pairs join. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     // Blocking + verification both run over 8-byte charHash shingle ids,
-    // not ~30-byte shingle strings: the df self-join shuffles longs and
-    // the jaccard verify intersects long arrays. Jaccard over hashed ids
-    // equals jaccard over the strings (56-bit ids: collisions negligible;
-    // any false candidate a collision could add is still exact-verified).
-    // The id frame feeds candidate generation AND verification — cache it
-    // or Catalyst recomputes the HOF shingling + hashing several times.
+    // not ~30-byte shingle strings (jaccard over hashed ids equals
+    // jaccard over the strings: 56-bit ids, collisions negligible; any
+    // false candidate a collision could add is still exact-verified).
+    // The id frame is raw post-explode rows — no distinct pass; both
+    // downstream aggregations (docs-per-shingle, set-per-doc) collapse
+    // duplicates in their map-side partials. Cached because it feeds
+    // candidate generation AND verification.
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
     val sid = Dedup.withShingleIds(sh)
       .select(col("doc_id"), col("sid").as("shingle")).cache()
@@ -127,13 +128,17 @@ object TextQueries {
   /** MinHash (16 perms) + LSH (4 bands × 4 rows) candidate pairs with
     * exact-Jaccard verification. */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    // Hashed (charHash) sids — no dictionary, no global sort. The same
-    // shingle frame feeds signatures and jaccard verification: cache it.
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3).cache()
+    // Hashed (charHash) sids — no dictionary, no global sort. ONE
+    // aggregation pass over the exploded shingle frame produces both
+    // the 16-perm signature (→ LSH bands) and the per-doc sorted id set
+    // (→ exact-Jaccard verify); the resulting per-DOC frame is tiny and
+    // cached, so nothing recomputes the explode.
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
     val ids = Dedup.withShingleIds(sh)
-    val sig = Dedup.minHashSignature(ids.select(col("doc_id"), col("sid")), "doc_id", 16)
-    val cand = Dedup.lshCandidates(sig, "doc_id", 4, 4)
-    Dedup.jaccardForPairs(cand, sh, "doc_id")
+    val combined = Dedup.signatureWithSets(
+      ids.select(col("doc_id"), col("sid")), "doc_id", 16).cache()
+    val cand = Dedup.lshCandidates(combined, "doc_id", 4, 4)
+    Dedup.jaccardForSets(cand, combined, "doc_id")
   }
 
   /** SimHash (32-bit, word-frequency features) near-dup pairs via

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.plans.CharHash
+
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CharHash: bit-equal to the built-in HOF fold, incl. unicode and edges") {
+    val rows = Seq(
+      "", "a", "the quick brown fox", "shingle one two", "  spaced  ",
+      "MixedCase With CAPS", "num8er5 4nd punc!?;",
+      "李雷 韩梅梅", "café naïve", "𝄞 surrogate pair", "a" * 500)
+      .toDF("s")
+    val out = rows.select(
+      TextFunctions.charHash(col("s")).as("fast"),
+      TextFunctions.charHashHof(col("s")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("CharHash: matches on fixture corpus words (both eval paths)") {
+    val d = graft.core.Tables(spark, TestSpark.sfDir, "documents").limit(50)
+    val words = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val mismatch = words.select(
+      TextFunctions.charHash(col("w")).as("fast"),
+      TextFunctions.charHashHof(col("w")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatch == 0)
+    // interpreted (non-codegen) path: same scala eval
+    val s = "interpreted path check"
+    assert(CharHash.hash(s) ==
+      words.sparkSession.range(1).select(
+        TextFunctions.charHashHof(lit(s))).collect()(0).getLong(0))
+  }
+
+  test("SortedIntersectCount: equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L), Seq(4L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+      .toDF("a", "b")
+    val out = df.select(
+      org.apache.spark.sql.GraftExpr.column(graft.plans.SortedIntersectCount(
+        org.apache.spark.sql.GraftExpr.expression(col("a")),
+        org.apache.spark.sql.GraftExpr.expression(col("b")))).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("SortedIntersectCount: null in, null out") {
+    val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    val r = df.select(org.apache.spark.sql.GraftExpr.column(
+      graft.plans.SortedIntersectCount(
+        org.apache.spark.sql.GraftExpr.expression(col("a")),
+        org.apache.spark.sql.GraftExpr.expression(col("b"))))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("CharHash.Mod stays in sync with TextFunctions.CharHashMod") {
+    assert(CharHash.Mod == TextFunctions.CharHashMod)
+  }
+}

@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.plans.ArrayDotProduct.register(s)
+    graft.plans.CharHash.register(s)
+    graft.plans.SortedIntersectCount.register(s)
     s
   }
+
+  /** Smallest driver fixture dir (for specs that read real tables). */
+  val sfDir = "/root/testdata/sf0.001"
 }
