@@ -11,9 +11,25 @@ import org.apache.spark.sql.SparkSession
   *    computed (a bare count() lets Catalyst prune every column);
   *  - a table-listing/JIT warmup pass runs first so the first measured
   *    query doesn't absorb session startup;
-  *  - AQE on, shuffle partitions = worker threads (local mode).
+  *  - AQE on, shuffle partitions = worker threads (local mode);
+  *  - contention forensics (the round-3 artifact was unusable because
+  *    min-of-2 can't distinguish host contention from regression): BOTH
+  *    pass times are emitted under `passes`, and /proc/loadavg is
+  *    sampled before and after the run;
+  *  - `spark.catalog.clearCache()` runs between queries, and any query
+  *    that leaves persistent RDDs behind is reported under `leaked` —
+  *    one query's pinned storage must not taint the next measurement
+  *    (registered queries are contractually cache-free; QueriesSmokeSpec
+  *    asserts it per query).
   */
 object Bench {
+  private def loadavg: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).mkString("[", ",", "]")
+      finally src.close()
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,6 +42,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg
 
     graft.core.Tables.names.foreach { n =>
       try graft.core.Tables(spark, sfDir, n).count()
@@ -35,9 +52,11 @@ object Bench {
     // best-of-2: the first pass absorbs JIT/codegen compilation and any
     // transient host contention; the min is the repeatable number
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val leaked = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      spark.catalog.clearCache()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -46,12 +65,21 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
+        leaked += name
+        System.err.println(s"[bench] $name left persistent RDDs behind")
+        spark.catalog.clearCache()
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val leakedJson = leaked.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"leaked":$leakedJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

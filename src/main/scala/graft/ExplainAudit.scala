@@ -46,6 +46,10 @@ object ExplainAudit {
     val p03 = plan("q03_join_star_revenue")
     check(p03.contains("BroadcastHashJoin"), "q03 broadcasts small dims")
 
+    val p52 = plan("q52_author_match_cascade")
+    check(!p52.contains("Expand"),
+      "q52 has no Expand (multi-distinct rewritten as two-level agg)")
+
     val p01 = plan("q01_agg_pricing_summary")
     check(p01.contains("HashAggregate"), "q01 hash-aggregates")
     check(p01.contains("partial_sum"),

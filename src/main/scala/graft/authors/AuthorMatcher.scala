@@ -57,12 +57,22 @@ object AuthorMatcher {
     val pairs = afterOrcid.join(cand, col("block_key") === col("__bk"))
       .withColumn("__instHit", arrays_overlap(col("institution_ids"), col("__inst")))
       .withColumn("__srcHit", array_contains(col("__src"), col("source_id")))
-    val perAuthorship = pairs.groupBy(col("work_id"), col("author_seq")).agg(
-      countDistinct(when(col("__instHit"), col("author_id"))).as("__n2"),
+    // Two-level aggregation instead of three countDistinct's in one
+    // groupBy: multiple distinct aggregates plan through Expand, which
+    // multiplies the (skew-prone) block-pair frame 4× before the
+    // shuffle. Level 1 dedups per candidate author (O(1) state; a
+    // duplicate candidate row OR-folds its signals via max), level 2 is
+    // then plain counts — no Expand anywhere, same tier semantics.
+    val perCandidate = pairs
+      .groupBy(col("work_id"), col("author_seq"), col("author_id"))
+      .agg(max(col("__instHit")).as("__instHit"),
+        max(col("__srcHit")).as("__srcHit"))
+    val perAuthorship = perCandidate.groupBy(col("work_id"), col("author_seq")).agg(
+      count(when(col("__instHit"), lit(1))).as("__n2"),
       min(when(col("__instHit"), col("author_id"))).as("__a2"),
-      countDistinct(when(col("__srcHit"), col("author_id"))).as("__n3"),
+      count(when(col("__srcHit"), lit(1))).as("__n3"),
       min(when(col("__srcHit"), col("author_id"))).as("__a3"),
-      countDistinct(col("author_id")).as("__n4"),
+      count(col("author_id")).as("__n4"),
       min(col("author_id")).as("__a4"))
     val tiered = perAuthorship.select(col("work_id"), col("author_seq"),
       when(col("__n2") === 1, col("__a2"))

@@ -157,17 +157,27 @@ object Dedup {
     * recall cost is marginal. */
   def rareShingleCandidates(sh: DataFrame, idCol: String, maxDf: Int,
       minCommon: Int = 1): DataFrame = {
-    // ONE aggregation keyed on shingle (map-side partial collect_set
-    // shrinks the wide frame before the shuffle), then the ≤ C(maxDf,2)
-    // ordered pairs per rare shingle are generated IN-ARRAY — the
-    // row-count df filter, the rare⨝sh filter join, and the a⨝b
-    // self-join of the previous formulation were three extra shuffles
-    // of the widest frame for the same pairs. Arrays are df-bounded
-    // (≤ maxDf elements), so the nested transform is O(maxDf²) with
-    // tiny constants.
-    val docs = sh.groupBy(col("shingle"))
+    // Aggregation state is BOUNDED at every step — a stopword-like
+    // shingle with millions of docs must never materialize its whole id
+    // set in one aggregation buffer (map-side partials don't bound the
+    // reduce-side merge):
+    //  1. (shingle, doc) dedup — hash aggregate, O(1) state per key;
+    //  2. df via count window over the deduped frame (sort-based,
+    //     spill-safe even for the hottest shingle) + df ∈ [2, maxDf]
+    //     filter BEFORE any id collection;
+    //  3. collect_set over the survivors — ≤ maxDf ids per buffer. The
+    //     window's hashpartitioning(shingle) already satisfies the
+    //     groupBy, so step 3 adds no exchange.
+    // The ≤ C(maxDf,2) ordered pairs per rare shingle are then generated
+    // IN-ARRAY (arrays are ≤ maxDf elements, so the nested transform is
+    // O(maxDf²) with tiny constants) — no rare⨝sh filter join, no a⨝b
+    // self-join.
+    val distinctPairs = sh.select(col("shingle"), col(idCol)).distinct()
+    val docs = distinctPairs
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df").between(2, maxDf))
+      .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(idCol))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
     val pairs = flatten(transform(col("ds"), (d, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
         e => struct(d.as("da"), e.as("db")))))

@@ -76,5 +76,9 @@ object ArrayDotProduct {
   /** Register `array_dot` in the session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
+      "array_dot", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"array_dot requires exactly 2 arguments, got ${exprs.length}")
+        ArrayDotProduct(exprs(0), exprs(1))
+      }, "scala_udf")
 }

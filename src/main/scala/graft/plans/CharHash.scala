@@ -43,22 +43,38 @@ case class CharHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_hash"
 
   override def nullSafeEval(input: Any): Any =
-    CharHash.hash(input.asInstanceOf[UTF8String].toString)
+    CharHash.hashUtf8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
-      val str = ctx.freshName("str")
+      val n = ctx.freshName("n")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
+      val b0 = ctx.freshName("b0")
       val cp = ctx.freshName("cp")
+      val l = ctx.freshName("l")
+      val k = ctx.freshName("k")
+      // Codepoints decoded straight from the UTF8String bytes — no
+      // String/byte[] allocation per row (the whole point of this
+      // expression). Well-formed UTF-8 is Spark's own invariant for
+      // UTF8String column data; decode matches String.codePointAt on
+      // such input (verified against the HOF fold in PlansSpec).
       s"""
-         |final String $str = $s.toString();
+         |final int $n = $s.numBytes();
          |long $h = 0L;
          |int $i = 0;
-         |while ($i < $str.length()) {
-         |  final int $cp = $str.codePointAt($i);
+         |while ($i < $n) {
+         |  final int $b0 = $s.getByte($i) & 0xFF;
+         |  int $cp; int $l;
+         |  if ($b0 < 0x80) { $cp = $b0; $l = 1; }
+         |  else if ($b0 < 0xE0) { $cp = $b0 & 0x1F; $l = 2; }
+         |  else if ($b0 < 0xF0) { $cp = $b0 & 0x0F; $l = 3; }
+         |  else { $cp = $b0 & 0x07; $l = 4; }
+         |  for (int $k = 1; $k < $l && $i + $k < $n; $k++) {
+         |    $cp = ($cp << 6) | ($s.getByte($i + $k) & 0x3F);
+         |  }
          |  $h = ($h * 31L + $cp) % ${CharHash.Mod}L;
-         |  $i += Character.charCount($cp);
+         |  $i += $l;
          |}
          |${ev.value} = $h;
        """.stripMargin
@@ -84,8 +100,38 @@ object CharHash {
     h
   }
 
+  /** Interpreted twin of the codegen loop: decode codepoints directly
+    * from the UTF8String bytes (no String allocation). Equal to
+    * [[hash]] on well-formed UTF-8 — asserted in PlansSpec. */
+  def hashUtf8(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var l = 1
+      if (b0 < 0x80) { cp = b0; l = 1 }
+      else if (b0 < 0xE0) { cp = b0 & 0x1F; l = 2 }
+      else if (b0 < 0xF0) { cp = b0 & 0x0F; l = 3 }
+      else { cp = b0 & 0x07; l = 4 }
+      var k = 1
+      while (k < l && i + k < n) {
+        cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+        k += 1
+      }
+      h = (h * 31L + cp) % Mod
+      i += l
+    }
+    h
+  }
+
   /** Register `char_hash` in the session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_hash", exprs => CharHash(exprs.head), "scala_udf")
+      "char_hash", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"char_hash requires exactly 1 argument, got ${exprs.length}")
+        CharHash(exprs.head)
+      }, "scala_udf")
 }

@@ -83,5 +83,9 @@ object SortedIntersectCount {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
+        SortedIntersectCount(exprs(0), exprs(1))
+      }, "scala_udf")
 }

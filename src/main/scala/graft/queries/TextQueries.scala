@@ -57,10 +57,14 @@ object TextQueries {
     * is tiny and broadcast; per-doc work is one hash join. */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    // toks feeds BOTH the profile aggregation and the per-doc distinct —
-    // cache it or the tokenizing explode runs twice (round-1 cost ×2).
+    // toks feeds BOTH the profile aggregation and the per-doc distinct.
+    // Deliberately NOT cached: registered queries must leave zero
+    // persistent RDDs behind (long-lived sessions accumulate pinned
+    // executor storage otherwise — the round-3 defect), and the diamond
+    // costs only a second scan + narrow tokenize, while the cache pinned
+    // the widest frame in the query.
     val toks = d.select(col("doc_id"), col("lang"),
-      explode(TextFunctions.tokens(col("text"))).as("w")).cache()
+      explode(TextFunctions.tokens(col("text"))).as("w"))
     val prof = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w").asc)))
@@ -116,11 +120,13 @@ object TextQueries {
     // false candidate a collision could add is still exact-verified).
     // The id frame is raw post-explode rows — no distinct pass; both
     // downstream aggregations (docs-per-shingle, set-per-doc) collapse
-    // duplicates in their map-side partials. Cached because it feeds
-    // candidate generation AND verification.
+    // duplicates in their map-side partials. NOT cached even though it
+    // feeds candidate generation AND verification: pinning the widest
+    // (exploded) frame never unpersists in a registered query, and the
+    // recompute is one extra scan + narrow explode per consumer.
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
     val sid = Dedup.withShingleIds(sh)
-      .select(col("doc_id"), col("sid").as("shingle")).cache()
+      .select(col("doc_id"), col("sid").as("shingle"))
     val cand = Dedup.rareShingleCandidates(sid, "doc_id", 20, minCommon = 2)
     Dedup.jaccardForPairs(cand, sid, "doc_id").filter(col("jaccard") >= 0.5)
   }
@@ -131,12 +137,17 @@ object TextQueries {
     // Hashed (charHash) sids — no dictionary, no global sort. ONE
     // aggregation pass over the exploded shingle frame produces both
     // the 16-perm signature (→ LSH bands) and the per-doc sorted id set
-    // (→ exact-Jaccard verify); the resulting per-DOC frame is tiny and
-    // cached, so nothing recomputes the explode.
+    // (→ exact-Jaccard verify). The per-doc frame is NOT cached: a
+    // registered query may not leave pinned storage behind (the cache
+    // was never unpersisted — the round-3 long-lived-session defect);
+    // the two consumers each recompute the aggregation, which is the
+    // price of a second scan + shuffle, not of permanent executor
+    // storage. A production pipeline would persist this frame to a
+    // table between the candidate and verify jobs instead.
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
     val ids = Dedup.withShingleIds(sh)
     val combined = Dedup.signatureWithSets(
-      ids.select(col("doc_id"), col("sid")), "doc_id", 16).cache()
+      ids.select(col("doc_id"), col("sid")), "doc_id", 16)
     val cand = Dedup.lshCandidates(combined, "doc_id", 4, 4)
     Dedup.jaccardForSets(cand, combined, "doc_id")
   }

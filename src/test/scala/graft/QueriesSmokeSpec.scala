@@ -17,8 +17,15 @@ class QueriesSmokeSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name executes") {
+    test(s"$name executes and leaves no persistent RDDs") {
+      spark.catalog.clearCache()
       assert(fn(spark, sfDir).count() >= 0)
+      // Registered queries are contractually cache-free: in a long-lived
+      // session a leaked .cache() accumulates pinned executor storage
+      // across queries (the round-3 q33/q36/q37 defect).
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name left ${leaked.size} persistent RDD(s) behind")
     }
   }
 }
