@@ -52,7 +52,12 @@ object AuthorMatcher {
     // anti-joins over the same pairs — 3× the shuffles for identical
     // results; the q52 oracle mirrors the sequential form and proves
     // the fusion equivalent).
-    val cand = candidates.select(col("author_id"), col("block_key").as("__bk"),
+    // author_id.isNotNull: a null-id candidate row would form its own
+    // level-1 group and be counted by count(when(__instHit, 1)) — the
+    // sequential form's countDistinct(author_id) ignored nulls, so a
+    // null-only hit must fall through to the next tier, not block it.
+    val cand = candidates.filter(col("author_id").isNotNull)
+      .select(col("author_id"), col("block_key").as("__bk"),
       col("institution_ids").as("__inst"), col("source_ids").as("__src"))
     val pairs = afterOrcid.join(cand, col("block_key") === col("__bk"))
       .withColumn("__instHit", arrays_overlap(col("institution_ids"), col("__inst")))

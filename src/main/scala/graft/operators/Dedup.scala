@@ -160,22 +160,29 @@ object Dedup {
     // Aggregation state is BOUNDED at every step — a stopword-like
     // shingle with millions of docs must never materialize its whole id
     // set in one aggregation buffer (map-side partials don't bound the
-    // reduce-side merge):
+    // reduce-side merge), and must never funnel through one task's
+    // sorter either (a count window partitioned by shingle sends every
+    // row of the hottest shingle to ONE task — spill-safe but a
+    // guaranteed straggler at scale). So: hash aggregates only.
     //  1. (shingle, doc) dedup — hash aggregate, O(1) state per key;
-    //  2. df via count window over the deduped frame (sort-based,
-    //     spill-safe even for the hottest shingle) + df ∈ [2, maxDf]
-    //     filter BEFORE any id collection;
-    //  3. collect_set over the survivors — ≤ maxDf ids per buffer. The
-    //     window's hashpartitioning(shingle) already satisfies the
-    //     groupBy, so step 3 adds no exchange.
+    //  2. df via groupBy(shingle).count — O(1) state, map-side partials
+    //     shrink hot shingles BEFORE the shuffle — then df ∈ [2, maxDf]
+    //     filter; the surviving rare-shingle frame is narrow (one
+    //     column) and strictly smaller than the input vocabulary;
+    //  3. equijoin back on shingle (AQE picks broadcast/shuffle-hash by
+    //     measured size — the rare side is NOT assumed broadcast-able:
+    //     at 100 TB most of the vocabulary is rare) + collect_set over
+    //     the survivors — ≤ maxDf ids per buffer, provably bounded.
     // The ≤ C(maxDf,2) ordered pairs per rare shingle are then generated
     // IN-ARRAY (arrays are ≤ maxDf elements, so the nested transform is
     // O(maxDf²) with tiny constants) — no rare⨝sh filter join, no a⨝b
     // self-join.
     val distinctPairs = sh.select(col("shingle"), col(idCol)).distinct()
-    val docs = distinctPairs
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val rare = distinctPairs.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxDf))
+      .select(col("shingle"))
+    val docs = distinctPairs.join(rare, "shingle")
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(idCol))).as("ds"))
     val pairs = flatten(transform(col("ds"), (d, i) =>
