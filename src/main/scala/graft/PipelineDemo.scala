@@ -121,7 +121,9 @@ object PipelineDemo {
       .select(col("work_id"), col("author_seq"),
         coalesce(try_element_at(transform(col("a.affiliations"),
           x => x.getField("name")), lit(1)), lit("")).as("affiliation_string"))
-    val rules = Seq(("I-MIT", "mit", "mit")).toDF("institution_id", "block_token", "pattern")
+    val rules = Seq(("I-MIT", "mit", "mit", true,
+      Option.empty[String], Option.empty[String]))
+      .toDF("institution_id", "block_token", "pattern", "word", "require", "exclude")
     val insts = graft.entities.AffiliationMatcher.matchInstitutions(affils, rules)
     stage("authorships with institutions",
       insts.filter(size(col("institution_ids")) > 0).count(), _ == 1)

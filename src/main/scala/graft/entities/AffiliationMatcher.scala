@@ -1,29 +1,45 @@
 package graft.entities
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Affiliation-string → institution matching as a DATA-DRIVEN rules
   * table (reference: notebooks/institutions/affiliation_string_parsing
-  * .py:3-4880 — 4.9K lines of hand rules; the port expresses each rule
-  * as a row, so parity work is data entry, not code).
+  * .py:3-7186 — a hand-written if-cascade; each branch is a row here,
+  * see [[AffiliationRules]] for the translation idioms and the entered
+  * data).
   *
-  * Matching = broadcast the rules table, join on a cheap blocking
-  * token, then verify with the rule's pattern. The affiliation side
-  * streams; the rules side is tiny — no shuffle of the big side.
+  * Matching = broadcast the rules table, equijoin on a blocking token,
+  * then verify the rule's pattern / require / exclude against the
+  * normalized string. The affiliation side streams — no shuffle of the
+  * big side; rule evaluation is row-local, so the only exchange in the
+  * whole operator is the final per-authorship aggregation.
   */
 object AffiliationMatcher {
 
-  /** @param rules (institution_id, block_token, pattern) — pattern is a
-    *              normalized substring the affiliation must contain
+  /** Shared normalization: lowercase, punctuation → space (unicode
+    * letters/digits kept — the rules carry diacritics, the reference
+    * matches both accented and ASCII variants), collapse + trim.
+    * DuckDB mirrors this exactly (same regex classes, RE2-safe). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^\\p{L}\\p{N} ]", " "), " +", " "))
+
+  /** @param rules  (institution_id, block_token, pattern, word,
+    *               require, exclude) — see [[AffiliationRules.Rule]]
     * @param affils (work_id, author_seq, affiliation_string) */
   def matchInstitutions(affils: DataFrame, rules: DataFrame): DataFrame = {
-    val blocked = affils.withColumn("__norm",
-      lower(regexp_replace(col("affiliation_string"), "[^a-zA-Z0-9 ]", " ")))
-      .withColumn("__tok", explode(split(col("__norm"), " +")))
-      .filter(length(col("__tok")) >= 3)
+    val blocked = affils
+      .withColumn("__norm", normalize(col("affiliation_string")))
+      .withColumn("__tok", explode(split(col("__norm"), " ")))
+      .filter(length(col("__tok")) >= 2)
+    val padded = concat(lit(" "), col("__norm"), lit(" "))
+    val patternHit =
+      when(col("word"), padded.contains(concat(lit(" "), col("pattern"), lit(" "))))
+        .otherwise(col("__norm").contains(col("pattern")))
     val hits = blocked.join(broadcast(rules), col("__tok") === col("block_token"))
-      .filter(col("__norm").contains(col("pattern")))
+      .filter(patternHit &&
+        (col("require").isNull || regexp_like(col("__norm"), col("require"))) &&
+        (col("exclude").isNull || !regexp_like(col("__norm"), col("exclude"))))
       .select(col("work_id"), col("author_seq"), col("institution_id"))
       .distinct()
     // one row per AUTHORSHIP: evidence from all of its affiliation

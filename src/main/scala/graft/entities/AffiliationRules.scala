@@ -1,0 +1,350 @@
+package graft.entities
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The affiliation-string → institution rule TABLE (reference:
+  * notebooks/institutions/affiliation_string_parsing.py:3-7186 — a
+  * 549-block hand-written `if`-cascade). Each reference branch becomes
+  * a data row evaluated by [[AffiliationMatcher]]; the cascade's
+  * control-flow idioms map as:
+  *
+  *  - `'x' in aff_string.lower()` gate + variant list → one row per
+  *    variant, `pattern` = the variant normalized (lowercase,
+  *    punctuation → space, collapsed);
+  *  - `re.search('\\bACR\\b')` acronym guard → `word = true` (the
+  *    pattern must match a whole token, which the normalized padded
+  *    string gives exactly);
+  *  - nested geographic gates ("if 'France': ... if 'Nantes':") →
+  *    `require` regex (alternation for any-of lists, `a.*b|b.*a` for
+  *    conjunctions — RE2-safe, no lookahead, so the same regex runs in
+  *    DuckDB for the oracle);
+  *  - `elif` exclusivity that changes the appended id (Cornell-Qatar
+  *    vs Cornell-US, CUHK-Shenzhen vs CUHK) → `exclude` regex on the
+  *    shadowing branch's trigger;
+  *  - multi-append branches (China Medical hospital variants) → one
+  *    row per appended id.
+  *
+  * Case-folding note: the reference distinguishes `aff_string` from
+  * `aff_string.lower()` per variant; matching here is uniformly over
+  * the normalized lowercase string, so case-only variant pairs
+  * collapse to one row (a documented superset: every reference variant
+  * still matches).
+  *
+  * Data entry covers the cascade's first ~40 institution blocks, the
+  * French CNRS-lab acronym block, and a cross-section of the later
+  * country blocks (~70 institutions, 170 rows); the remaining blocks
+  * are the same row shapes — pure data entry against this schema.
+  */
+object AffiliationRules {
+
+  /** (institution_id, block_token, pattern, word, require, exclude) */
+  final case class Rule(institutionId: Long, blockToken: String,
+    pattern: String, word: Boolean, require: Option[String],
+    exclude: Option[String])
+
+  private def r(id: Long, tok: String, pat: String, word: Boolean = false,
+      req: String = null, exc: String = null): Rule =
+    Rule(id, tok, pat, word, Option(req), Option(exc))
+
+  private val SpainGate = "madrid|spain|espanha|espana|españa"
+  private val TrGate = "turkey|mersin|famagusta|trnc|cyprus"
+  private val ChGate = "lausanne|switzerland"
+  private val HuGate = "hungary|budapest"
+  private val BrGate = "brazil|rio grande|brasil"
+  private val RioExc = "\\bsul\\b|\\bnorte\\b|\\bnorth\\b|\\bsouth\\b"
+  private val CmuCity = "taichung|taiwan|yunlin|hsinchu"
+  private val CamsCity = "kunming|beijing|beijng|shenzhen|bejing"
+  private val FrNantes = "france.*nantes|nantes.*france"
+
+  val rules: Seq[Rule] = Seq(
+    // Te Pūkenga (affiliation_string_parsing.py:50-58)
+    r(4387152882L, "pūkenga", "te pūkenga"),
+    r(4387152882L, "pukenga", "te pukenga"),
+    r(4387152882L, "nzist", "nzist", word = true, req = "new zealand"),
+    r(4387152882L, "skills", "institute of skills and technology", req = "new zealand|\\bnz\\b"),
+    // University of Helsinki (:60)
+    r(133731052L, "yliopisto", "helsingin yliopisto"),
+    // St. Xavier's University, Kolkata (:64)
+    r(4400573289L, "xavier", "xavier s university", req = "kolkata"),
+    r(4400573289L, "xaviers", "xaviers university", req = "kolkata"),
+    // IIM Bodhgaya (:72)
+    r(4400600926L, "bodhgaya", "iim", word = true),
+    r(4400600926L, "bodhgaya", "indian institute of management"),
+    // Concordia University (:80)
+    r(60158472L, "concordia", "université concordia"),
+    r(60158472L, "concordia", "universite concordia"),
+    r(60158472L, "concordia", "concordia university",
+      req = "québec|montréal|quebec|montreal|h3g|maisonneuve"),
+    // University of Arizona / Wyant (:89)
+    r(138006243L, "wyant", "wyant college of optical science"),
+    // Cadi Ayyad University (:93-102)
+    r(119856527L, "cadi", "cadi ayyad"),
+    r(119856527L, "cadi", "cadi ayad"),
+    r(119856527L, "ayyad", "caddi ayyad", req = "marrakech"),
+    r(119856527L, "uca", "uca", word = true, req = "marrakech"),
+    // AGH Kraków (:104)
+    r(686019L, "agh", "agh", word = true, req = "poland"),
+    r(686019L, "poland", "university of science and technolog", req = "poland"),
+    r(686019L, "poland", "akademia górniczo hutnicza", req = "poland"),
+    // Universidad Autónoma de Madrid (:114)
+    r(63634437L, "uam", "uam", word = true, req = SpainGate),
+    r(63634437L, "madrid", "universidad autónoma de madrid"),
+    r(63634437L, "madrid", "autónoma university of madrid"),
+    r(63634437L, "madrid", "autonoma university of madrid"),
+    // Carlos III (:122)
+    r(50357001L, "carlos", "carlos iii",
+      req = s"univ.*($SpainGate)|($SpainGate).*univ"),
+    r(50357001L, "uc3m", "uc3m", word = true, req = SpainGate),
+    r(50357001L, "march", "juan march institute of social science", req = SpainGate),
+    // Babeș-Bolyai (:130-141)
+    r(3125347698L, "bolyai", "universității babeș bolyai"),
+    r(3125347698L, "bolyai", "bolyai university"),
+    r(3125347698L, "bolyai", "bolyai", req = "cluj.*napoca|napoca.*cluj"),
+    r(3125347698L, "bbu", "bbu", word = true, req = "cluj.*napoca|napoca.*cluj"),
+    // Benemérita Universidad Autónoma de Puebla (:143)
+    r(721619L, "puebla", "benemérita universidad de puebla"),
+    r(721619L, "puebla", "benemérita universidad autonoma de puebla"),
+    r(721619L, "puebla", "benemérita universidad autónoma de puebla"),
+    r(721619L, "puebla", "benemerita universidad de puebla"),
+    r(721619L, "puebla", "benemerita universidad autonoma de puebla"),
+    r(721619L, "puebla", "benemerita universidad autónoma de puebla"),
+    // Boğaziçi University (:157)
+    r(4405392L, "istanbul", "aziçi university", req = "istanbul"),
+    r(4405392L, "boğaziçi", "boğaziçi university"),
+    r(4405392L, "bogaziçi", "bogaziçi university"),
+    r(4405392L, "boğazici", "boğazici university"),
+    r(4405392L, "bogazici", "bogazici university"),
+    // Brunel University London (:166)
+    r(59433898L, "brunel", "brunel university"),
+    // Western University, Ontario (:170)
+    r(125749732L, "western", "western university", req = "london|ontario|canada|n6a"),
+    // Changchun University of Technology (:175)
+    r(4385474403L, "changchun", "changchun university of technology"),
+    r(4385474403L, "changchun", "ccut", word = true),
+    // Central China Normal University (:180)
+    r(40963666L, "wuhan", "ccnu", word = true),
+    r(40963666L, "wuhan", "central china normal university"),
+    // China Medical University (:188-204)
+    r(184693016L, "china", "china medical university", req = CmuCity),
+    r(4210126829L, "china", "china medical university hospital", req = CmuCity),
+    r(4210126829L, "china", "china medical university and hospital", req = CmuCity),
+    r(4210126829L, "china", "china medical university hsinchu hospital", req = CmuCity),
+    r(4210113902L, "china", "china medical university beigang hospital", req = CmuCity),
+    r(91656880L, "china", "china medical university", req = "shenyang|liaoning", exc = CmuCity),
+    // China University of Petroleum (:205)
+    r(4210162190L, "petroleum", "china petroleum university", req = "qingdao|shandong"),
+    r(4210162190L, "petroleum", "university of petroleum", req = "qingdao|shandong"),
+    r(204553293L, "petroleum", "china petroleum university", req = "beijing", exc = "qingdao|shandong"),
+    r(204553293L, "petroleum", "university of petroleum", req = "beijing", exc = "qingdao|shandong"),
+    // CAMS / Peking Union Medical College (:215)
+    r(200296433L, "medical", "union medical", req = CamsCity),
+    r(200296433L, "medical", "academy of medical", req = CamsCity),
+    r(200296433L, "medicine", "academy of medicine", req = CamsCity),
+    r(200296433L, "medical", "chinese academy medical sciences", req = CamsCity),
+    r(200296433L, "cams", "cams", word = true, req = CamsCity),
+    r(200296433L, "pumc", "pumc", word = true, req = CamsCity),
+    r(200296433L, "fuwai", "fuwai hospital", req = CamsCity),
+    r(200296433L, "chinese", "chinese academy of medical sciences",
+      exc = "dermatology hospital|cancer"),
+    // Cornell University (:227-251)
+    r(205783295L, "cornell", "cornell", exc = "doha|qatar"),
+    r(205783295L, "boyce", "boyce thompson institut"),
+    r(205783295L, "weill", "weill medical", exc = "doha|qatar"),
+    r(4210152471L, "cornell", "weill cornell", req = "doha|qatar"),
+    r(4210152471L, "cornell", "cornell medical college", req = "doha|qatar"),
+    // Cukurova University (:252, :3312)
+    r(55931168L, "cukurova", "cukurova university", req = "adana|turkey"),
+    r(55931168L, "çukurova", "çukurova university", req = "adana|turkey"),
+    // CY Cergy Paris University (:258-270)
+    r(4210142324L, "cergy", "université de cergy"),
+    r(4210142324L, "cergy", "universite de cergy"),
+    r(4210142324L, "cergy", "university of cergy"),
+    r(4210142324L, "cergy", "university cergy"),
+    r(4210142324L, "cergy", "cergy pontoise univ"),
+    r(4210142324L, "cergy", "univ cergy pontoise"),
+    r(4210142324L, "cergy", "univ de cergy pontoise"),
+    r(4210142324L, "essec", "essec", word = true, req = "cergy"),
+    r(4210142324L, "eisti", "eisti", word = true, req = "cergy"),
+    r(4210142324L, "ucp", "ucp", word = true, req = "cergy"),
+    // Czech Technical University in Prague (:272-281)
+    r(44504214L, "prague", "ctu", word = true, req = "prague"),
+    r(44504214L, "prague", "czech technical university", req = "prague"),
+    r(44504214L, "cvut", "cvut", word = true, req = "prague|praze"),
+    // Czech University of Life Sciences Prague (:283)
+    r(205984670L, "czech", "czech university of life sciences prague"),
+    r(205984670L, "czech", "culs prague"),
+    r(205984670L, "czech", "life sciences university prague", req = "czech"),
+    // Częstochowa University of Technology (:289)
+    r(130294970L, "czestochowa", "czestochowa university of technolog"),
+    r(130294970L, "częstochowa", "częstochowa university of technolog"),
+    // Eastern Mediterranean University (:293)
+    r(36515993L, "mediterranean", "eastern mediterranean university", req = TrGate),
+    r(36515993L, "akdeniz", "dogu akdeniz university", req = TrGate),
+    r(36515993L, "meditteranean", "eastern meditteranean university", req = TrGate),
+    // EPFL (:300-324)
+    r(5124864L, "epfl", "epfl", word = true, req = ChGate),
+    r(5124864L, "polytechnique", "polytechnique fédérale de lausanne"),
+    r(5124864L, "polytechnique", "polytechnique fédérale lausanne"),
+    r(5124864L, "lausanne", "swiss federal institute of technology", req = "lausanne"),
+    r(5124864L, "lausanne", "swiss institute of technology lausanne"),
+    r(5124864L, "lausanne", "federal institute of technology lausanne"),
+    r(5124864L, "lausanne", "federal institute of technology in lausanne"),
+    r(5124864L, "epf", "epf", word = true, req = "lausanne"),
+    r(5124864L, "lausanne", "brain mind institute", req = ChGate),
+    r(5124864L, "enac", "enac", word = true, req = "swiss federal institute of technology"),
+    // Eötvös Loránd University (:325)
+    r(106118109L, "eötvös", "eötvös university", req = HuGate),
+    r(106118109L, "eötvös", "eötvös loránd university", req = HuGate),
+    r(106118109L, "eötvös", "eötvös loránt university", req = HuGate),
+    r(106118109L, "eötvös", "university eötvös loránd", req = HuGate),
+    r(106118109L, "eotvos", "eotvos university", req = HuGate),
+    r(106118109L, "eotvos", "eotvos lordnd university", req = HuGate),
+    r(106118109L, "etvs", "etvs lornd university", req = HuGate),
+    r(106118109L, "elte", "elte", word = true, req = HuGate),
+    // Federal University of Rio Grande (+ do Sul / do Norte) (:336-362)
+    r(126460647L, "grande", "universidade federal do rio grande", req = BrGate, exc = RioExc),
+    r(126460647L, "grande", "federal university of rio grande", req = BrGate, exc = RioExc),
+    r(126460647L, "grande", "universidade federal de rio grande", req = BrGate, exc = RioExc),
+    r(126460647L, "grande", "universidade do rio grande", req = BrGate, exc = RioExc),
+    r(126460647L, "furg", "furg", word = true, req = BrGate),
+    r(130442723L, "grande", "universidade federal do rio grande do sul", req = BrGate),
+    r(130442723L, "grande", "federal university of rio grande do sul", req = BrGate),
+    r(130442723L, "ufrgs", "ufrgs", word = true, req = BrGate),
+    r(35046152L, "grande", "universidade federal do rio grande do norte", req = BrGate),
+    r(35046152L, "grande", "federal university of rio grande do norte", req = BrGate),
+    r(35046152L, "ufrn", "ufrn", word = true, req = BrGate),
+    // Feng Chia University (:364)
+    r(4880106L, "feng", "feng chia university", req = "taiwan|taichung"),
+    // French institutions block (:383-1300): acronym rules gated on
+    // country (+ city where the reference nests one)
+    r(4210158893L, "brgm", "brgm", word = true, req = "france"),
+    r(4210158893L, "france", "bureau de recherches géologiques et minières", req = "france"),
+    r(4210158893L, "france", "bureau de recherches geologiques et minieres", req = "france"),
+    r(4210112832L, "isterre", "isterre", word = true, req = "france"),
+    r(4210112832L, "isteem", "isteem", word = true, req = "france"),
+    r(4210160945L, "msme", "msme", word = true, req = "france"),
+    r(4210152323L, "lvmt", "lvmt", word = true, req = "france"),
+    r(4210152518L, "ligm", "ligm", word = true, req = "france"),
+    r(4210111949L, "licit", "licit", word = true, req = "france"),
+    r(3019878935L, "urba", "lab urba", req = "france"),
+    r(4210144844L, "lama", "lama", word = true, req = "france"),
+    r(4210136613L, "satie", "satie", word = true, req = "france"),
+    r(4210148266L, "erudite", "erudite", word = true, req = "france"),
+    r(4387154855L, "irg", "irg", word = true, req = "créteil|creteil"),
+    r(4210153136L, "cens", "cens", word = true, req = "france"),
+    r(4210092509L, "crcna", "crcna", word = true, req = "france"),
+    r(4210092509L, "crci2na", "crci2na", word = true, req = "france"),
+    r(4210138474L, "ceisam", "ceisam", word = true, req = "france"),
+    r(4210159912L, "ifac", "ifac", word = true, req = "france"),
+    r(4210091049L, "imn", "imn", word = true, req = FrNantes),
+    r(4210100746L, "dcs", "dcs", word = true, req = FrNantes),
+    r(4210146808L, "lpg", "lpg", word = true, req = FrNantes),
+    r(4210146808L, "lpgn", "lpgn", word = true, req = "france"),
+    r(4210109587L, "ltn", "ltn", word = true, req = FrNantes),
+    r(100445878L, "ecn", "ecn", word = true, req = FrNantes),
+    r(4210137520L, "gem", "gem", word = true, req = FrNantes),
+    r(4210100151L, "ietr", "ietr", word = true, req = "france"),
+    r(4210109007L, "subatech", "subatech", word = true, req = "france"),
+    r(4210089331L, "lppl", "lppl", word = true, req = "france"),
+    r(4210117005L, "ls2n", "ls2n", word = true, req = "france"),
+    r(4210148006L, "gepea", "gepea", word = true, req = "france"),
+    r(190497903L, "laas", "laas", word = true, req = "france"),
+    r(4210120905L, "laplace", "laplace", word = true, req = "france"),
+    r(4387153255L, "enseeiht", "enseeiht", word = true, req = "france"),
+    r(4210156583L, "lipn", "lipn", word = true, req = "france"),
+    r(4210127506L, "dma", "dma", word = true, req = "france.*paris|paris.*france"),
+    r(4210134846L, "iees", "iees", word = true, req = "france.*paris|paris.*france"),
+    r(4210087602L, "lgc", "lgc", word = true, req = "france.*toulouse|toulouse.*france"),
+    r(4210104620L, "ecolab", "ecolab", word = true, req = "france.*toulouse|toulouse.*france"),
+    r(4210110935L, "imft", "imft", word = true, req = "france"),
+    r(4210135817L, "cirimat", "cirimat", word = true, req = "france"),
+    r(4210130517L, "lgp", "lgp", word = true, req = "tarbes"),
+    r(4210156486L, "lgp", "lgp", word = true, req = "meudon"),
+    // Sağlık Bilimleri Üniversitesi (:2853)
+    r(4210128276L, "health", "health science university", req = "istanbul|ankara|turkey|türkiye"),
+    r(4210128276L, "health", "health sciences university", req = "istanbul|ankara|turkey|türkiye"),
+    r(4210128276L, "health", "university of health science", req = "istanbul|ankara|turkey|türkiye"),
+    // MEPhI (:2859)
+    r(887846188L, "mephi", "mephi", word = true, req = "russia"),
+    r(887846188L, "russia", "moscow physical engineering institute", req = "russia"),
+    r(887846188L, "russia", "moscow engineering physics insitute", req = "russia"),
+    r(887846188L, "russia", "national research nuclear university", req = "russia"),
+    // MIPT (:2865)
+    r(153845743L, "russia", "moscow institute of physics and technolog", req = "russia"),
+    r(153845743L, "russia", "moscow institute for physics and technology", req = "russia"),
+    r(153845743L, "russia", "institute of physics and technology",
+      req = "russia.*moscow|moscow.*russia"),
+    // UT Health San Antonio (:2879)
+    r(165951966L, "antonio", "university of texas health", req = "san antonio"),
+    // University of Hawaiʻi at Mānoa (:2885)
+    r(117965899L, "hawai", "university of hawai", req = "mānoa|manoa|monoa"),
+    r(117965899L, "hawaiʻi", "university of hawaiʻi", req = "mānoa|manoa"),
+    // University of Lübeck (:2892)
+    r(9341345L, "germany", "university of luebeck", req = "germany"),
+    r(9341345L, "germany", "university of lübeck", req = "germany"),
+    // University of Split (:2897)
+    r(92251255L, "splitu", "sveučilišta u splitu"),
+    // HSE (:2920, :3202)
+    r(118501908L, "economics", "higher school of economics"),
+    // National Research Tomsk State University (:2924)
+    r(196355604L, "tomsk", "tomsk state university", exc = "tomsk state university of"),
+    // University of Georgia (:2929)
+    r(165733156L, "georgia", "university of georgia",
+      req = "\\bga\\b|\\busa\\b|united states|athens|griffin|atlanta|augusta"),
+    // University of Colorado Aurora (:2934)
+    r(51713134L, "aurora", "university of colorado aurora"),
+    // Baylor University (:2938)
+    r(157394403L, "baylor", "baylor university", exc = "baylor university medical"),
+    // Xuzhou Medical (:2947)
+    r(177388780L, "xuzhou", "xuzhou medical university"),
+    r(177388780L, "xuzhou", "xuzhou medicine university"),
+    r(177388780L, "xuzhou", "xuzhou medicinal university"),
+    r(177388780L, "xuzhou", "xuzhou stomatology hospital"),
+    // University of Reims Champagne-Ardenne + CHU (:2953, :1279)
+    r(96226040L, "reims", "chu de reims"),
+    r(4210105796L, "reims", "chu de reims"),
+    r(96226040L, "reims", "chru de reims"),
+    r(4210105796L, "reims", "chru de reims"),
+    r(96226040L, "reims", "reims university hospital"),
+    r(4210105796L, "reims", "reims university hospital"),
+    r(96226040L, "reims", "university hospital of reims"),
+    r(4210105796L, "reims", "university hospital of reims"),
+    r(96226040L, "reims", "maison blanche", req = "chu|hospital|hôpital"),
+    r(4210105796L, "reims", "maison blanche", req = "chu|hospital|hôpital"),
+    r(96226040L, "reims", "université de reims"),
+    r(96226040L, "reims", "univ of reims"),
+    // Soochow University (:2966)
+    r(3923682L, "soochow", "soochow univ", req = "china|suzhou|jiangsu|changshu"),
+    // TMU / Ryerson "X University" (:2971)
+    r(530967L, "university", "x university", word = true, req = "canada|toronto|ontario"),
+    // Universidad Central de Chile (:2976)
+    r(4210156023L, "chile", "universidad central de chile"),
+    r(4210156023L, "chile", "central university of chile"),
+    r(4210156023L, "ucen", "ucen", word = true, req = "chile"),
+    // Hong Kong family (:2983-2998): elif chain → exclude shadows
+    r(177725633L, "kong", "chinese university of hong kong", exc = "shenzhen"),
+    r(4210116924L, "kong", "chinese university of hong kong", req = "shenzhen"),
+    r(4210086892L, "kong", "education university of hong kong"),
+    r(168719708L, "kong", "city university of hong kong"),
+    r(8679417L, "kong", "open university of hong kong"),
+    r(889458895L, "kong", "university of hong kong",
+      exc = "chinese university of hong kong|education university of hong kong|" +
+        "city university of hong kong|open university of hong kong"))
+
+  /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rules.map(x => (x.institutionId, x.blockToken, x.pattern, x.word,
+      x.require.orNull, x.exclude.orNull))
+      .toDF("institution_id", "block_token", "pattern", "word", "require", "exclude")
+  }
+
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** The same table as a DuckDB VALUES list (oracle mirror). */
+  def sqlValues: String = rules.map { x =>
+    val req = x.require.map(sq).getOrElse("CAST(NULL AS VARCHAR)")
+    val exc = x.exclude.map(sq).getOrElse("CAST(NULL AS VARCHAR)")
+    s"(CAST(${x.institutionId} AS BIGINT), ${sq(x.blockToken)}, ${sq(x.pattern)}, ${x.word}, $req, $exc)"
+  }.mkString(",\n")
+}

@@ -247,7 +247,126 @@ object EntityQueries {
     feed2.select(col("doi"), col("changed_date"), col("response_hash"))
   }
 
+  /** §2.9 affiliation-string → institution_ids via the data-driven
+    * rules table (AffiliationRules: gate/word/require/exclude rows
+    * translated from the reference cascade). Affiliation strings are a
+    * fixed 68-template rotation over customer keys exercising macron
+    * variants, acronym word-boundaries, require-gates, exclude-shadowed
+    * elif branches, multi-id appends, and no-match rows; the oracle
+    * re-evaluates the SAME rule rows (VALUES mirror) over the same
+    * normalization in DuckDB. */
+  private[queries] val q64Templates: Seq[String] = Seq(
+    "Te Pūkenga, Auckland Campus, New Zealand",
+    "NZ Institute of Skills and Technology, Wellington, New Zealand",
+    "Helsingin yliopisto, Helsinki, Finland",
+    "St. Xavier's University, Kolkata, India",
+    "St. Xavier's University, Mumbai, India",
+    "IIM Bodhgaya, Bihar, India",
+    "Indian Institute of Management, Bodhgaya",
+    "Université Concordia, Montréal, QC",
+    "Concordia University, Quebec, Canada H3G 1M8",
+    "Concordia University, Portland, Oregon, USA",
+    "Wyant College of Optical Sciences, Tucson",
+    "Cadi Ayyad University, Marrakech, Morocco",
+    "UCA, Marrakech",
+    "AGH University of Science and Technology, Krakow, Poland",
+    "Universidad Autónoma de Madrid, Spain",
+    "UAM, Madrid",
+    "Universidad Carlos III de Madrid, Spain",
+    "Babeș-Bolyai University, Cluj-Napoca, Romania",
+    "Benemérita Universidad Autónoma de Puebla, Mexico",
+    "Boğaziçi University, Istanbul, Turkey",
+    "Brunel University London, Uxbridge, UK",
+    "Western University, London, Ontario, Canada N6A 3K7",
+    "Western University of Health Sciences, Pomona, California",
+    "Changchun University of Technology, Changchun, China",
+    "Central China Normal University, Wuhan, China",
+    "China Medical University Hospital, Taichung, Taiwan",
+    "China Medical University, Shenyang, Liaoning, China",
+    "China University of Petroleum, Qingdao, Shandong",
+    "University of Petroleum, Beijing, China",
+    "Chinese Academy of Medical Sciences, Beijing, China",
+    "Weill Cornell Medicine, New York, NY, USA",
+    "Weill Cornell Medicine - Qatar, Doha, Qatar",
+    "Boyce Thompson Institute, Ithaca, NY",
+    "Çukurova University, Adana, Turkey",
+    "Université de Cergy-Pontoise, France",
+    "ESSEC Business School, Cergy, France",
+    "Czech Technical University in Prague, Czech Republic",
+    "CVUT v Praze, FEL",
+    "Czech University of Life Sciences Prague, Praha",
+    "Eastern Mediterranean University, Famagusta, North Cyprus",
+    "EPFL, CH-1015 Lausanne, Switzerland",
+    "École Polytechnique Fédérale de Lausanne (EPFL), Switzerland",
+    "Eötvös Loránd University, Budapest, Hungary",
+    "ELTE, Budapest, Hungary",
+    "Universidade Federal do Rio Grande, Rio Grande, RS, Brazil",
+    "Universidade Federal do Rio Grande do Sul, Porto Alegre, Brazil",
+    "UFRGS, Instituto de Informática, Porto Alegre, Brasil",
+    "Laboratoire d'Informatique Gaspard-Monge (LIGM), Marne-la-Vallée, France",
+    "SUBATECH, IMT Atlantique, Nantes, France",
+    "Institut des Matériaux Jean Rouxel (IMN), Nantes, France",
+    "The Chinese University of Hong Kong, Shenzhen, China",
+    "The University of Hong Kong, Pokfulam, Hong Kong",
+    "City University of Hong Kong, Kowloon",
+    "Department of Chemistry, University of Georgia, Athens, GA 30602",
+    "Baylor University Medical Center, Dallas, TX",
+    "Baylor University, Waco, Texas",
+    "Tomsk State University of Control Systems",
+    "National Research Tomsk State University, Tomsk, Russia",
+    "Higher School of Economics, Moscow, Russia",
+    "Moscow Institute of Physics and Technology, Dolgoprudny, Russia",
+    "X University, Toronto, Ontario, Canada",
+    "Soochow University, Suzhou, Jiangsu, China",
+    "University of Hawai'i at Mānoa, Honolulu, HI",
+    "Department of Physics, Generic State University",
+    "Independent Researcher",
+    "CHU de Reims, Hôpital Maison Blanche, Reims, France",
+    "Université de Reims Champagne-Ardenne, Reims, France",
+    "University of Texas Health Science Center at San Antonio, TX")
+
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val affil = c.select(k.as("work_id"), lit(0).as("author_seq"),
+      elt(((pmod(k, lit(q64Templates.size)) + 1).cast("int") +:
+        q64Templates.map(lit)): _*).as("affiliation_string"))
+    graft.entities.AffiliationMatcher
+      .matchInstitutions(affil, graft.entities.AffiliationRules.df(s))
+      .join(affil, Seq("work_id", "author_seq"))
+      .select(col("work_id"), col("affiliation_string"),
+        to_json(col("institution_ids")).as("institution_ids"))
+  }
+
+  private def q64Oracle: String = {
+    val list = q64Templates.map(x => "'" + x.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH affil AS (SELECT c_custkey AS work_id,
+       |  ($list)[(c_custkey % ${q64Templates.size}) + 1] AS affiliation_string
+       |  FROM customer),
+       |n AS (SELECT work_id, affiliation_string,
+       |  trim(regexp_replace(regexp_replace(lower(affiliation_string),
+       |    '[^\\p{L}\\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS nrm
+       |  FROM affil),
+       |rules(institution_id, block_token, pattern, word, require, exclude) AS (VALUES
+       |${graft.entities.AffiliationRules.sqlValues}),
+       |hits AS (SELECT DISTINCT n.work_id, r.institution_id
+       |  FROM n JOIN rules r
+       |    ON contains(' ' || n.nrm || ' ', ' ' || r.block_token || ' ')
+       |   AND (CASE WHEN r.word THEN contains(' ' || n.nrm || ' ', ' ' || r.pattern || ' ')
+       |        ELSE contains(n.nrm, r.pattern) END)
+       |   AND (r.require IS NULL OR regexp_matches(n.nrm, r.require))
+       |   AND (r.exclude IS NULL OR NOT regexp_matches(n.nrm, r.exclude)))
+       |SELECT n.work_id, n.affiliation_string,
+       |  CAST(to_json(coalesce(
+       |    list_sort(list(h.institution_id) FILTER (h.institution_id IS NOT NULL)),
+       |    CAST([] AS BIGINT[]))) AS VARCHAR) AS institution_ids
+       |FROM n LEFT JOIN hits h ON n.work_id = h.work_id
+       |GROUP BY n.work_id, n.affiliation_string""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q64_affiliation_rules" -> (q64 _),
     "q58_sources_legacy_snapshot" -> (q58 _),
     "q59_funder_summary_stats" -> (q59 _),
     "q60_institution_lineage" -> (q60 _),
@@ -261,6 +380,7 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q64_affiliation_rules" -> q64Oracle,
     "q63_wunpaywall_changed_dates" ->
       """SELECT '10.7/' || CAST(o_orderkey AS VARCHAR) AS doi,
         |CASE WHEN o_orderkey > 6000 OR o_orderkey % 5 = 0

@@ -110,15 +110,19 @@ class ServeLlmSpec extends AnyFunSuite {
     assert(sent.value.asScala.forall(_ <= 3))
   }
 
-  test("AffiliationMatcher: blocked substring rules, multi-hit, no-hit") {
+  test("AffiliationMatcher: blocked rules, word/require/exclude, multi-hit, no-hit") {
+    val none = Option.empty[String]
     val rules = Seq(
-      ("I-MIT", "institute", "massachusetts institute of technology"),
-      ("I-MIT", "mit", "mit "),
-      ("I-OX", "oxford", "university of oxford")).toDF("institution_id", "block_token", "pattern")
+      ("I-MIT", "institute", "massachusetts institute of technology", false, none, none),
+      ("I-MIT", "mit", "mit", true, none, none),
+      ("I-OX", "oxford", "university of oxford", false, none, none))
+      .toDF("institution_id", "block_token", "pattern", "word", "require", "exclude")
     val affils = Seq(
       (1L, 1, "Massachusetts Institute of Technology, Cambridge"),
       (1L, 2, "University of Oxford; MIT visiting"),
-      (2L, 1, "Unknown Independent Lab")).toDF("work_id", "author_seq", "affiliation_string")
+      (2L, 1, "Unknown Independent Lab"),
+      (2L, 2, "Smitten Kitchen Research Wing")). // 'mit' substring, NOT a token
+      toDF("work_id", "author_seq", "affiliation_string")
     val out = AffiliationMatcher.matchInstitutions(affils, rules)
       .select(col("work_id"), col("author_seq"), col("institution_ids"))
       .as[(Long, Int, Seq[String])].collect()
@@ -126,6 +130,28 @@ class ServeLlmSpec extends AnyFunSuite {
     assert(out((1L, 1)) == Seq("I-MIT"))
     assert(out((1L, 2)) == Seq("I-MIT", "I-OX"))
     assert(out((2L, 1)).isEmpty)
+    assert(out((2L, 2)).isEmpty)
+  }
+
+  test("AffiliationRules: reference-cascade semantics (require/exclude/elif shadows)") {
+    val affils = Seq(
+      (1L, 0, "The Chinese University of Hong Kong, Shenzhen, China"),
+      (2L, 0, "The University of Hong Kong, Pokfulam"),
+      (3L, 0, "Weill Cornell Medicine - Qatar, Doha, Qatar"),
+      (4L, 0, "Universidade Federal do Rio Grande do Sul, Porto Alegre, Brazil"),
+      (5L, 0, "Baylor University Medical Center, Dallas, TX"),
+      (6L, 0, "Te Pūkenga, Auckland, New Zealand"))
+      .toDF("work_id", "author_seq", "affiliation_string")
+    val out = AffiliationMatcher.matchInstitutions(
+        affils, graft.entities.AffiliationRules.df(spark))
+      .select(col("work_id"), col("institution_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(4210116924L)) // Shenzhen shadows CUHK + base HKU
+    assert(out(2L) == Seq(889458895L))
+    assert(out(3L) == Seq(4210152471L)) // Qatar branch shadows Cornell-US
+    assert(out(4L) == Seq(130442723L))  // do-Sul excludes the base campus
+    assert(out(5L).isEmpty)             // 'Medical' exclusion
+    assert(out(6L) == Seq(4387152882L)) // macron variant
   }
 
   test("LayoutWriter: clustered parquet enables min/max range pruning") {
