@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.authors.{AuthorMatcher, Authorships}
 import graft.core.Tables
@@ -325,6 +325,95 @@ object EntityQueries {
     "Université de Reims Champagne-Ardenne, Reims, France",
     "University of Texas Health Science Center at San Antonio, TX")
 
+  /** §2.4 concepts_api rebuild (CreateConceptsAPI.ipynb): per-work
+    * concept dedup (duplicate structs synthesized on k%4=0 residues),
+    * works/citations counts, registry join with wikipedia JSON path
+    * parse; registry rows with null wikidata or a merge redirect are
+    * excluded. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    def cs(id: Column) = struct(id.as("id"),
+      concat(lit("Concept "), id.cast("string")).as("display_name"))
+    val base = cs(pmod(k, lit(50)))
+    val second = cs(pmod(k + 3, lit(50)))
+    val works = o.select(k.as("work_id"), pmod(k, lit(23)).as("cited_by_count"),
+      when(pmod(k, lit(3)) === 0, array(base, second, base))
+        .otherwise(array(base)).as("concepts"))
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val cid = ck - 1
+    val registry = c.filter(ck.between(1, 50)).select(cid.as("concept_id"),
+      when(pmod(cid, lit(10)) === 9, lit(null).cast("string"))
+        .otherwise(concat(lit("Q"), cid.cast("string"))).as("wikidata_id"),
+      when(pmod(cid, lit(10)) === 8, ck).as("merge_into_id"),
+      pmod(cid, lit(6)).as("level"),
+      concat(lit("""{"query":{"pages":[{"original":{"source":"http://img/"""),
+        cid.cast("string"),
+        lit(""""},"thumbnail":{"source":"http://thumb/"""), cid.cast("string"),
+        lit(""""},"terms":{"description":["desc """), cid.cast("string"),
+        lit(""""]}}]}}""")).as("wikipedia_json"),
+      lit(null).cast("date").as("created_date"))
+    graft.entities.Concepts.conceptsApi(works, registry)
+      .select(col("id"), col("display_name"), col("level"), col("description"),
+        col("wikidata"), col("image_url"), col("image_thumbnail_url"),
+        col("works_count"), col("cited_by_count"),
+        to_json(col("ids")).as("ids_json"), col("works_api_url"))
+  }
+
+  /** §2.4+§2.9 concepts merge enrichment (concepts_merge_output
+    * .ipynb): registry join, per-work score-sorted capped concept
+    * array, keyword slugs from level>1 concepts, and the tanh-sized
+    * dynamic keyword count (2..12) — the oracle reproduces tanh via
+    * exp (DuckDB has none; no value in range lands near a rounding
+    * boundary). */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val lm = o.select(k.as("work_id"),
+      transform(sequence(lit(0L), pmod(k, lit(5))), i =>
+        struct(pmod(k + i * 7, lit(50)).as("id"),
+          (pmod(k * 7 + i * 13, lit(100)).cast("double") / 100.0).as("score")))
+        .as("concepts"))
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val cid = ck - 1
+    val registry = c.filter(ck.between(1, 50)).select(cid.as("concept_id"),
+      concat(lit("Q"), cid.cast("string")).as("wikidata_id"),
+      when(pmod(cid, lit(3)) === 0, concat(lit("Data Science (DS) "), cid.cast("string")))
+        .when(pmod(cid, lit(3)) === 1, concat(lit("Alice's Graph Theory "), cid.cast("string")))
+        .otherwise(concat(lit("Neural Networks / Deep "), cid.cast("string")))
+        .as("display_name"),
+      pmod(cid, lit(4)).as("level"))
+    graft.entities.Concepts.enrichLmOutput(lm, registry)
+      .select(col("work_id"), to_json(col("concepts")).as("concepts_json"),
+        to_json(col("keywords")).as("keywords_json"),
+        size(col("keywords")).as("n_keywords"))
+  }
+
+  /** §2.4 keywords_api rebuild (CreateKeywordsAPI.ipynb): per-work
+    * keyword dedup, counts, min-created registry join on the slug
+    * stripped of the url prefix. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    def ks(id: Column) = struct(
+      concat(lit("https://openalex.org/keywords/kw-"), id.cast("string")).as("id"),
+      concat(lit("Kw "), id.cast("string")).as("display_name"))
+    val works = o.select(k.as("work_id"), pmod(k, lit(19)).as("cited_by_count"),
+      when(pmod(k, lit(4)) === 0, array(ks(pmod(k, lit(30))), ks(pmod(k + 5, lit(30)))))
+        .otherwise(array(ks(pmod(k, lit(30))))).as("keywords"))
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val registry = c.filter(ck.between(1, 60)).select(
+      concat(lit("kw-"), pmod(ck - 1, lit(30)).cast("string")).as("keyword_id"),
+      date_add(to_date(lit("2021-01-01")), (ck - 1).cast("int")).as("created_datetime"))
+    graft.entities.Concepts.keywordsApi(works, registry)
+      .select(col("id"), col("display_name"), col("works_count"),
+        col("cited_by_count"), col("works_api_url"),
+        date_format(col("created_date"), "yyyy-MM-dd").as("created"))
+  }
+
   private def q64(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val k = col("c_custkey")
@@ -367,6 +456,9 @@ object EntityQueries {
 
   val queries: Map[String, Q] = Map(
     "q64_affiliation_rules" -> (q64 _),
+    "q65_concepts_api" -> (q65 _),
+    "q66_keywords_dynamic" -> (q66 _),
+    "q67_keywords_api" -> (q67 _),
     "q58_sources_legacy_snapshot" -> (q58 _),
     "q59_funder_summary_stats" -> (q59 _),
     "q60_institution_lineage" -> (q60 _),
@@ -381,6 +473,83 @@ object EntityQueries {
 
   val oracle: Map[String, String] = Map(
     "q64_affiliation_rules" -> q64Oracle,
+    "q65_concepts_api" ->
+      """WITH w AS (SELECT o_orderkey AS k FROM orders),
+        |pairs AS (
+        |  SELECT k AS work_id, k % 23 AS cbc, k % 50 AS cid FROM w
+        |  UNION
+        |  SELECT k, k % 23, (k + 3) % 50 FROM w WHERE k % 3 = 0),
+        |counts AS (SELECT cid,
+        |  CAST(count(*) AS INTEGER) AS works_count,
+        |  CAST(sum(cbc) AS INTEGER) AS cited_by_count
+        |  FROM pairs GROUP BY cid),
+        |reg AS (SELECT c_custkey - 1 AS cid, (c_custkey - 1) % 6 AS level,
+        |  'Q' || CAST(c_custkey - 1 AS VARCHAR) AS wikidata
+        |  FROM customer WHERE c_custkey <= 50
+        |    AND (c_custkey - 1) % 10 NOT IN (8, 9))
+        |SELECT c.cid AS id, 'Concept ' || CAST(c.cid AS VARCHAR) AS display_name,
+        |r.level, 'desc ' || CAST(c.cid AS VARCHAR) AS description, r.wikidata,
+        |'http://img/' || CAST(c.cid AS VARCHAR) AS image_url,
+        |'http://thumb/' || CAST(c.cid AS VARCHAR) AS image_thumbnail_url,
+        |c.works_count, c.cited_by_count,
+        |CAST(to_json(struct_pack(
+        |  openalex := 'https://openalex.org/C' || CAST(c.cid AS VARCHAR),
+        |  wikidata := r.wikidata,
+        |  wikipedia := 'https://en.wikipedia.org/wiki/' ||
+        |    replace(lower('Concept ' || CAST(c.cid AS VARCHAR)), ' ', '_')))
+        |  AS VARCHAR) AS ids_json,
+        |'https://api.openalex.org/works?filter=concepts.id:' || CAST(c.cid AS VARCHAR)
+        |  AS works_api_url
+        |FROM counts c JOIN reg r ON c.cid = r.cid""".stripMargin,
+    "q66_keywords_dynamic" ->
+      """WITH w AS (SELECT o_orderkey AS k FROM orders),
+        |ex AS (SELECT DISTINCT k AS work_id, (k + i * 7) % 50 AS cid,
+        |  CAST((k * 7 + i * 13) % 100 AS DOUBLE) / 100.0 AS score
+        |  FROM w, range(0, 5) r(i) WHERE i <= k % 5),
+        |joined AS (SELECT work_id, cid, score,
+        |  'Q' || CAST(cid AS VARCHAR) AS wd,
+        |  CASE WHEN cid % 3 = 0 THEN 'Data Science (DS) ' || CAST(cid AS VARCHAR)
+        |       WHEN cid % 3 = 1 THEN 'Alice''s Graph Theory ' || CAST(cid AS VARCHAR)
+        |       ELSE 'Neural Networks / Deep ' || CAST(cid AS VARCHAR) END AS dn,
+        |  cid % 4 AS lvl
+        |  FROM ex),
+        |slugged AS (SELECT *,
+        |  'https://openalex.org/keywords/' || regexp_replace(regexp_replace(
+        |    regexp_replace(replace(lower(dn), '''', ''), '\s*\([^)]*\)', '', 'g'),
+        |    '[^^\p{L}\p{N}\./–*#]+', '-', 'g'), '(^-+|-+$)', '', 'g') AS kid
+        |  FROM joined),
+        |g AS (SELECT work_id,
+        |  list_slice(list(struct_pack(id := cid, wikidata := wd,
+        |      display_name := dn, level := lvl, score := round(score, 4))
+        |    ORDER BY score DESC, cid ASC), 1, 40) AS concepts,
+        |  list(struct_pack(id := kid, display_name := dn, score := round(score, 4))
+        |    ORDER BY score DESC, kid ASC) FILTER (WHERE lvl > 1) AS kf
+        |  FROM slugged GROUP BY work_id),
+        |t AS (SELECT work_id, concepts, kf,
+        |  coalesce(len(list_filter(kf, x -> x.score > 0.20)), 0) AS na FROM g),
+        |u AS (SELECT work_id, concepts, kf,
+        |  list_slice(list_filter(kf, x -> x.score > 0), 1,
+        |    CAST(greatest(2, least(12, round(5.0 + 6.0 *
+        |      (exp(2 * ((na - 7) * 0.05)) - 1) / (exp(2 * ((na - 7) * 0.05)) + 1))))
+        |      AS INTEGER)) AS kws
+        |  FROM t)
+        |SELECT work_id, CAST(to_json(concepts) AS VARCHAR) AS concepts_json,
+        |CASE WHEN kf IS NULL THEN '[]'
+        |     ELSE CAST(to_json(kws) AS VARCHAR) END AS keywords_json,
+        |CASE WHEN kf IS NULL THEN 0 ELSE CAST(len(kws) AS INTEGER) END AS n_keywords
+        |FROM u""".stripMargin,
+    "q67_keywords_api" ->
+      """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 19 AS cbc FROM orders),
+        |pairs AS (SELECT k AS work_id, cbc, k % 30 AS kid FROM w
+        |  UNION SELECT k, cbc, (k + 5) % 30 FROM w WHERE k % 4 = 0),
+        |counts AS (SELECT kid, CAST(count(*) AS INTEGER) AS works_count,
+        |  CAST(sum(cbc) AS INTEGER) AS cited_by_count FROM pairs GROUP BY kid)
+        |SELECT 'https://openalex.org/keywords/kw-' || CAST(kid AS VARCHAR) AS id,
+        |'Kw ' || CAST(kid AS VARCHAR) AS display_name, works_count, cited_by_count,
+        |'https://api.openalex.org/works?filter=keywords.id:keywords/kw-' ||
+        |  CAST(kid AS VARCHAR) AS works_api_url,
+        |strftime(DATE '2021-01-01' + CAST(kid AS INTEGER), '%Y-%m-%d') AS created
+        |FROM counts""".stripMargin,
     "q63_wunpaywall_changed_dates" ->
       """SELECT '10.7/' || CAST(o_orderkey AS VARCHAR) AS doi,
         |CASE WHEN o_orderkey > 6000 OR o_orderkey % 5 = 0
