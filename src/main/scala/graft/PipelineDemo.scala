@@ -148,6 +148,30 @@ object PipelineDemo {
       layoutDir, 1, Seq(col("work_id")))
     stage("clustered layout rows", spark.read.parquet(layoutDir).count(), _ == 2)
 
+    // dedup pipeline with the production materialization boundary: the
+    // one-pass signature+set frame (widest frame in the pipeline) is
+    // written to parquet once, and BOTH consumers — LSH candidate
+    // generation and exact-Jaccard verification — re-read it instead
+    // of recomputing the explode+aggregate (and instead of a cache()
+    // that would pin executor storage for the session's lifetime).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val sid = graft.operators.Dedup.withShingleIds(
+      graft.operators.Dedup.shingles(docs, "doc_id", "text", 3))
+    val (sets, setsDir) = graft.core.Materialize.temp(
+      graft.operators.Dedup.signatureWithSets(
+        sid.select(col("doc_id"), col("sid")), "doc_id", 16))
+    val pairs = graft.operators.Dedup.jaccardForSets(
+      graft.operators.Dedup.lshCandidates(sets, "doc_id", 4, 4), sets, "doc_id")
+    stage("near-dup pairs via materialized boundary",
+      pairs.filter(col("jaccard") >= 0.5).count(), _ == 1)
+    stage("no pinned storage after dedup",
+      spark.sparkContext.getPersistentRDDs.size.toLong, _ == 0)
+    println(s"[pipe] materialized candidate stage at $setsDir")
+
     // OAI repository helpers: version detection + dc:identifier extraction
     val oai = Seq(
       (1L, "info:eu-repo/semantics/acceptedVersion",

@@ -1,0 +1,46 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+
+/** Explicit pipeline breaker: write a frame to parquet and read it
+  * back, so every downstream consumer re-reads the files instead of
+  * recomputing the upstream plan.
+  *
+  * This is the production boundary between candidate GENERATION and
+  * VERIFICATION in the dedup pipelines (q36/q37 shapes): their widest
+  * frame — the exploded shingle aggregation — feeds two consumers, and
+  * without a boundary each consumer recomputes it. The alternatives
+  * both lose at scale:
+  *  - `.cache()/persist()` pins executor storage for the life of the
+  *    session; in a long-lived serving session it's never unpersisted
+  *    (the round-3 leak), and at 100 TB the frame doesn't fit storage
+  *    memory anyway — eviction makes the "cache" a slower recompute.
+  *  - `.checkpoint()` needs a cluster-wide checkpoint dir and writes
+  *    Spark-internal format; the files aren't reusable artifacts.
+  * Parquet materialization costs one write of the (columnar,
+  * compressed) frame, keeps lineage short for AQE re-planning, leaves
+  * ZERO pinned storage, and the artifact is inspectable/reusable —
+  * the same boundary the reference puts between pipeline stages as
+  * Delta tables (notebooks/works/CreateWorksEnriched.ipynb staging).
+  *
+  * Registered oracle queries stay single-plan (Verify writes each
+  * result exactly once — a boundary would only add I/O); Materialize
+  * is for multi-consumer pipelines: PipelineDemo, StreamDemo, and any
+  * driver program composing these operators.
+  */
+object Materialize {
+
+  /** Materialize `df` at `path` (overwrite) and return the re-read. */
+  def parquet(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Materialize into a fresh temp dir; caller owns cleanup (or lets
+    * the OS tmp reaper take it — the data is a transient stage). */
+  def temp(df: DataFrame, prefix: String = "graft-mat"): (DataFrame, String) = {
+    val dir = Files.createTempDirectory(prefix).resolve("data").toString
+    (parquet(df, dir), dir)
+  }
+}

@@ -3,12 +3,26 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.{AlignSchema, IdMinter, MergeInto, Scd1Upsert}
+import graft.core.{AlignSchema, IdMinter, Materialize, MergeInto, Scd1Upsert}
 import graft.operators.Survivorship
 
 class CoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("Materialize: upstream computed ONCE across two consumers, zero pinned storage") {
+    val acc = spark.sparkContext.longAccumulator("upstream-evals")
+    val tick = udf((x: Long) => { acc.add(1); x })
+    val upstream = spark.range(0, 1000).select(tick(col("id")).as("id"))
+    val (mat, dir) = Materialize.temp(upstream)
+    // two consumers — without the boundary each would re-run the scan
+    // (and the udf), doubling the accumulator
+    assert(mat.filter(col("id") % 2 === 0).count() == 500)
+    assert(mat.filter(col("id") % 3 === 0).count() == 334)
+    assert(acc.value == 1000, s"upstream ran ${acc.value / 1000.0}x, want exactly 1x")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(new java.io.File(dir).exists())
+  }
 
   test("MergeInto: update / conditional delete / insert") {
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
