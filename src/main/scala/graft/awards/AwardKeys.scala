@@ -1,0 +1,241 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Award-id normalization keys + the award→work merge (reference:
+  * notebooks/awards/AwardNormKey.sql — the generated per-funder key
+  * functions — and notebooks/awards/WorkAwards.ipynb — the
+  * normalized-key lookup with family election; the 351 per-funder
+  * Create*Awards ingest scripts all feed this shared shape).
+  *
+  * Key regimes:
+  *  - GENERIC key: lowercase, strip non-alphanumerics; if the stripped
+  *    form is ≥4 chars use it, else lowercased-exact (WorkAwards
+  *    `nk`). Spelling variants of the same id collapse; short ids stay
+  *    sharp to avoid mass collisions.
+  *  - SHARP key: per-funder grammar (AwardNormKey.sql `award_norm_key`)
+  *    with distinct registry-side (anchored — registry data is clean)
+  *    and deposited-side (salvaging — strings arrive with prefixes and
+  *    junk) rules. The rule table here carries a representative subset
+  *    of the 60+ configured funders covering every rule shape —
+  *    prefix-strip, anchored extract, multi-alternative salvage,
+  *    zero-trim via bigint cast, LPAD recompose; the rest is data
+  *    entry against [[SharpRule]].
+  *  - WEAKNESS guard (`award_id_is_weak`): a deposited string whose
+  *    normalized form is a bare number at a dense-numeric-registry
+  *    funder is never sufficient evidence for an automatic merge — its
+  *    sharp key is suppressed.
+  *
+  * Scale: key derivation is row-local (no shuffle); the canonical
+  * election is one window per regime over the awards registry (small
+  * side); the work join is a pair of keyed equijoins.
+  */
+object AwardKeys {
+
+  /** The shared normalization prelude (AwardNormKey.sql `_t`): upper,
+    * trim, literal `\U2xxx` escape sequences → '-', unicode dashes →
+    * '-', unicode spaces → ' ', collapse runs of spaces. */
+  def normalized(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      upper(trim(c)),
+      "\\\\U2[0-9A-F]{3}", "-"),
+      "[\\u2010-\\u2015\\u2212\\uFE58\\uFE63\\uFF0D\\uF000-\\uF8FF]", "-"),
+      "[\\u00A0\\u1680\\u2000-\\u200B\\u202F\\u205F\\u3000]", " "),
+      "  +", " ")
+
+  /** WorkAwards generic key: stripped-lower if ≥4 chars else
+    * lowercased-exact. */
+  def genericKey(c: Column): Column = {
+    val stripped = regexp_replace(lower(c), "[^a-z0-9]", "")
+    when(c.isNull, lit(null).cast("string"))
+      .when(length(stripped) >= 4, stripped)
+      .otherwise(lower(trim(c)))
+  }
+
+  private def ex(c: Column, pattern: String): Column =
+    nullif(regexp_extract(c, pattern, 1), lit(""))
+  private def nospace(c: Column): Column = regexp_replace(c, " ", "")
+  /** Leading-zero trim via bigint round-trip (the SQL's CAST(CAST…)). */
+  private def trimZeros(c: Column): Column = c.cast("long").cast("string")
+
+  /** Per-funder sharp-key rules; `registry` and `deposited` both take
+    * the [[normalized]] string. */
+  final case class SharpRule(funderId: Long,
+    registry: Column => Column, deposited: Column => Column)
+
+  /** Representative entry of AwardNormKey.sql's per-funder cascade
+    * (one funder per rule SHAPE; line refs into the generated SQL). */
+  val rules: Seq[SharpRule] = Seq(
+    // ANR (:34 / :87): recompose ANR-YY-CODE-NNNN → YY-CODE-NNNN
+    SharpRule(4320320883L,
+      n => {
+        val p = "^ANR-(\\d{2})-([A-Z0-9]{2,6})-(\\d{4})"
+        when(ex(n, p).isNotNull, concat_ws("-",
+          regexp_extract(n, p, 1), regexp_extract(n, p, 2), regexp_extract(n, p, 3)))
+      },
+      n => {
+        val s = nospace(n); val p = "(?:ANR-?)?(\\d{2})-([A-Z0-9]{2,6})-(\\d{4})"
+        when(ex(s, p).isNotNull, concat_ws("-",
+          regexp_extract(s, p, 1), regexp_extract(s, p, 2), regexp_extract(s, p, 3)))
+      }),
+    // Wellcome (:36 / :89): 5-6 digit core, LPAD 6 — '98765/Z/10/A'
+    // and '360G-WELLCOME-098765' meet at '098765'
+    SharpRule(4320311904L,
+      n => lpad(coalesce(ex(n, "360G-WELLCOME-(\\d{5,6})"),
+        ex(n, "^(\\d{5,6})(?:[/_ ][A-Z](?:[/_ ]\\d{2})?([/_ ][A-Z])?)?$")), 6, "0"),
+      n => lpad(ex(n, "^(\\d{5,6})(?:[/_ ][A-Z](?:[/_ ]\\d{2})?([/_ ][A-Z])?)?$"), 6, "0")),
+    // Taiwan MOST/NSC/NSTC (:28 / :82): strip agency prefix + all
+    // separators (the agency renamed twice; ids are continuous)
+    SharpRule(4320322795L,
+      n => nullif(regexp_replace(regexp_replace(n, "^(MOST|NSC|NSTC)[ -]*", ""), "[ -]", ""), lit("")),
+      n => nullif(regexp_replace(regexp_replace(n, "^(MOST|NSC|NSTC)[ -]*", ""), "[ -]", ""), lit(""))),
+    // JSPS KAKENHI (:32 / :80): registry anchored; deposited salvages
+    // KAKENHI/JP/NO./GRANT prefixes, with and without spaces
+    SharpRule(4320334764L,
+      n => ex(n, "^(\\d{2}[A-Z]\\d{5}|\\d{8})$"),
+      n => coalesce(
+        ex(n, "^(?:KAKENHI|JP|NO\\.?|GRANT)?[ -]*(\\d{2}[A-Z]\\d{5}|\\d{8})$"),
+        ex(nospace(n), "^(?:KAKENHI|JP|NO\\.?|GRANT)?(\\d{2}[A-Z]\\d{5}|\\d{8})$"))),
+    // Bare-number registry with zero-trim (:38 / :88); 12-digit
+    // deposited concatenations keep their last 6
+    SharpRule(4320320924L,
+      n => trimZeros(ex(n, "^(\\d{1,6})$")),
+      n => trimZeros(when(n.rlike("^\\d{12}$"), substring(n, 7, 6))
+        .otherwise(ex(n, "(\\d{5,6})$")))),
+    // Spanish AEI (:52 / :101): registry anchored with suffix tail,
+    // deposited unanchored program-code extract
+    SharpRule(4320335598L,
+      n => ex(nospace(n),
+        "^((PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)\\d{4}-\\d{5,6}[A-Z0-9-]{0,8})$"),
+      n => ex(nospace(n),
+        "((PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)\\d{4}-\\d{5,6})")),
+    // Separator-strip funder (:49 / :99)
+    SharpRule(4320321114L,
+      n => nullif(regexp_replace(n, "[+ /-]", ""), lit("")),
+      n => nullif(regexp_replace(n, "[+ /-]", ""), lit(""))),
+    // Swedish VR (:53 / :102): registry YYYY-NNNNN; deposited strips
+    // VR/DNR/GRANT label and LPADs the serial to 5
+    SharpRule(4320322581L,
+      n => ex(n, "^((19|20)\\d{2}-\\d{5})$"),
+      n => {
+        val s = regexp_replace(n, "^(VR|DNR|GRANT)[ .:#-]*", "")
+        when(s.rlike("^(19|20)\\d{2}[- ]\\d{4,5}$"), concat(
+          regexp_extract(s, "^((19|20)\\d{2})", 1), lit("-"),
+          lpad(regexp_extract(s, "[- ](\\d{4,5})$", 1), 5, "0")))
+      }),
+    // Spanish ISCIII (:51 / :100): CODE/NNNNN with LPAD-5 serial
+    SharpRule(4320334923L,
+      n => {
+        val s = nospace(n)
+        when(s.rlike("^[A-Z]{2,4}\\d{2}(CIII)?/\\d{5}$"), concat(
+          regexp_extract(s, "^([A-Z]{2,4}\\d{2}(CIII)?)/", 1), lit("/"),
+          regexp_extract(s, "/(\\d{5})$", 1)))
+      },
+      n => {
+        val s = nospace(n)
+        when(s.rlike("^[A-Z]{2,4}\\d{2}(CIII)?[/-]\\d{1,5}$"), concat(
+          regexp_extract(s, "^([A-Z]{2,4}\\d{2}(CIII)?)[/-]", 1), lit("/"),
+          lpad(regexp_extract(s, "[/-](\\d{1,5})$", 1), 5, "0")))
+      }),
+    // Underscore-suffixed serial (:44 / :92): deposited also strips
+    // '#' and 950-/letter-code prefixes
+    SharpRule(4320334506L,
+      n => trimZeros(ex(n, "^(\\d{4,6})_\\d+$")),
+      n => trimZeros(ex(
+        regexp_replace(regexp_replace(n, "^[#]+ ?", ""), "^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)", ""),
+        "^(\\d{4,6})([-_]\\d+)?$"))))
+
+  /** `award_id_is_weak`: deposited bare numbers at dense numeric
+    * registries (single source of truth WEAK_BARE in the generator). */
+  val weakBare: Seq[(Long, String)] = Seq(
+    4320334506L -> "^[0-9]{4,6}$", 4320311904L -> "^[0-9]{5,6}$",
+    4320320924L -> "^[0-9]{4,6}$", 4320320300L -> "^[0-9]{6}$",
+    4320306076L -> "^[0-9]{7}$", 4320334593L -> "^[0-9]{4,6}$")
+
+  def isWeak(funderId: Column, awardId: Column): Column = {
+    val n = normalized(awardId)
+    // reduceRight: when(a).otherwise(when(b).otherwise(...)) — each
+    // when gets exactly one otherwise
+    coalesce(weakBare.map { case (f, p) =>
+      when(funderId === f, n.rlike(p))
+    }.reduceRight(_.otherwise(_)), lit(false))
+  }
+
+  /** Sharp key for (funder, award, side); null for unconfigured
+    * funders — callers fall back to the generic key. */
+  def sharpKey(funderId: Column, awardId: Column, registrySide: Column): Column = {
+    val n = normalized(awardId)
+    rules.map { r =>
+      when(funderId === r.funderId,
+        when(registrySide, r.registry(n)).otherwise(r.deposited(n)))
+    }.reduceRight(_.otherwise(_))
+  }
+
+  /** Deposited provenances (WorkAwards): sharp keys from these are
+    * weakness-guarded; everything else is registry-side. */
+  val DepositedProvenances: Seq[String] = Seq("crossref_work_funders",
+    "crossref_work.grants", "crossref_work", "europepmc_work_funders",
+    "datacite_work_funders")
+
+  /** Canonical award per (funder, key, regime) — WorkAwards `awards`:
+    * regime 'g' elects by (has display_name, id); regime 's' elects by
+    * (is_registry, has display_name, newest end_year, id) — families
+    * sharing a sharp key elect the newest year's registry record.
+    * @param awards (id, display_name, funder_id, funder_award_id,
+    *               end_year, provenance) */
+  def canonicalLookup(awards: DataFrame): DataFrame = {
+    val isReg = !col("provenance").isin(DepositedProvenances: _*)
+    val base = awards.filter(col("funder_award_id").isNotNull)
+      .withColumn("gk", genericKey(col("funder_award_id")))
+      // weakness guards DEPOSITED evidence only; registry ids are
+      // trusted (WorkAwards awards_base CASE)
+      .withColumn("sk", when(isReg || !isWeak(col("funder_id"), col("funder_award_id")),
+        sharpKey(col("funder_id"), col("funder_award_id"), isReg)))
+      .withColumn("is_registry", isReg.cast("int"))
+    val g = base.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("funder_id"), col("gk"))
+          .orderBy(col("display_name").isNotNull.desc, col("id"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("display_name"), col("funder_id"),
+        col("funder_award_id"), col("gk").as("nk"), lit("g").as("regime"))
+    val s = base.filter(col("sk").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("funder_id"), col("sk"))
+          .orderBy(col("is_registry").desc, col("display_name").isNotNull.desc,
+            col("end_year").desc_nulls_last, col("id"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("display_name"), col("funder_id"),
+        col("funder_award_id"), col("sk").as("nk"), lit("s").as("regime"))
+    g.unionByName(s)
+  }
+
+  /** WorkAwards join: generic key first, sharp-deposited key second
+    * (weak deposited keys suppressed — they never auto-merge).
+    * @param workFunders (work_id, funder_id, funder_award_id) */
+  def matchWorkAwards(workFunders: DataFrame, lookup: DataFrame): DataFrame = {
+    val keyed = workFunders
+      .withColumn("nk", genericKey(col("funder_award_id")))
+      .withColumn("sk", when(!isWeak(col("funder_id"), col("funder_award_id")),
+        sharpKey(col("funder_id"), col("funder_award_id"), lit(false))))
+    val g = lookup.filter(col("regime") === "g").select(
+      col("funder_id").as("__gf"), col("nk").as("__gk"),
+      col("id").as("__gid"), col("display_name").as("__gdn"),
+      col("funder_award_id").as("__gaid"))
+    val s = lookup.filter(col("regime") === "s").select(
+      col("funder_id").as("__sf"), col("nk").as("__sk"),
+      col("id").as("__sid"), col("display_name").as("__sdn"),
+      col("funder_award_id").as("__said"))
+    keyed
+      .join(g, col("funder_id") === col("__gf") && col("nk") === col("__gk"), "left")
+      .join(s, col("funder_id") === col("__sf") && col("sk") === col("__sk"), "left")
+      .filter(coalesce(col("__gid"), col("__sid")).isNotNull)
+      .select(col("work_id"), col("funder_id"),
+        col("funder_award_id").as("deposited_award_id"),
+        coalesce(col("__gid"), col("__sid")).as("award_id"),
+        coalesce(col("__gdn"), col("__sdn")).as("award_display_name"),
+        coalesce(col("__gaid"), col("__said")).as("canonical_award_id"),
+        when(col("__gid").isNotNull, "generic").otherwise("sharp").as("matched_via"))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.awards.AwardKeys
+import graft.core.Tables
+
+/** Oracle-gated queries over the awards core pipeline (AwardNormKey
+  * .sql + WorkAwards.ipynb): q68 drives the key grammars + weakness
+  * guard over a 20-form template rotation (the oracle hand-states
+  * every expected key — deposited-side salvage regexes use Java
+  * lookarounds DuckDB's RE2 lacks, so re-running them is not the
+  * gate; stating their documented outputs is); q69 drives the full
+  * merge — canonical election incl. the newest-year family policy,
+  * generic-first/sharp-second join, weak-evidence suppression — with
+  * a structural DuckDB mirror (the two funders used have RE2-safe
+  * grammars).
+  */
+object AwardQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // (funder, award string, side) rotation; expectations in the oracle
+  private val forms: Seq[(Long, String, String)] = Seq(
+    (4320320883L, "ANR-21-CE45-0012-01", "registry"),
+    (4320320883L, "Agence ANR-21-CE45-0012 grant", "deposited"),
+    (4320311904L, "360G-WELLCOME-098765", "registry"),
+    (4320311904L, "98765/Z/10/A", "deposited"),
+    (4320311904L, "12345", "deposited"),
+    (4320322795L, "MOST 109-2221-E-002-152-MY3", "deposited"),
+    (4320322795L, "NSC101-2218-E-002-008", "registry"),
+    (4320334764L, "KAKENHI 17H01234", "deposited"),
+    (4320334764L, "JP19K12345", "deposited"),
+    (4320320924L, "202100123456", "deposited"),
+    (4320320924L, "004567", "registry"),
+    (4320335598L, "PID2020-112345GB-I00", "registry"),
+    (4320335598L, "Grant PID2020-112345GB-I00 funded by MCIN", "deposited"),
+    (4320322581L, "VR 2017-04630", "deposited"),
+    (4320322581L, "2017-4630", "registry"),
+    (4320334923L, "PI19/1234", "deposited"),
+    (4320334506L, "# 950-123456", "deposited"),
+    (4320334506L, "12345_2", "registry"),
+    (999L, "NSF-ABC 1234", "deposited"),
+    (999L, "A 1", "deposited"))
+
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val idx = (pmod(k, lit(forms.size)) + 1).cast("int")
+    val funder = element_at(array(forms.map(f => lit(f._1)): _*), idx)
+    val award = element_at(array(forms.map(f => lit(f._2)): _*), idx)
+    val side = element_at(array(forms.map(f => lit(f._3)): _*), idx)
+    o.select(k.as("k"), funder.as("funder_id"), award.as("award_id"), side.as("side"),
+      AwardKeys.genericKey(award).as("generic_key"),
+      AwardKeys.sharpKey(funder, award, side === "registry").as("sharp_key"),
+      AwardKeys.isWeak(funder, award).as("weak"))
+  }
+
+  private val q68Oracle: String = {
+    val generics = Seq("anr21ce45001201", "agenceanr21ce450012grant",
+      "360gwellcome098765", "98765z10a", "12345", "most1092221e002152my3",
+      "nsc1012218e002008", "kakenhi17h01234", "jp19k12345", "202100123456",
+      "004567", "pid2020112345gbi00", "grantpid2020112345gbi00fundedbymcin",
+      "vr201704630", "20174630", "pi191234", "950123456", "123452",
+      "nsfabc1234", "a 1")
+    val sharps = Seq("'21-CE45-0012'", "'21-CE45-0012'", "'098765'", "'098765'",
+      "'012345'", "'1092221E002152MY3'", "'1012218E002008'", "'17H01234'",
+      "'19K12345'", "'123456'", "'4567'", "'PID2020-112345GB-I00'",
+      "'PID2020-112345'", "'2017-04630'", "NULL", "'PI19/01234'", "'123456'",
+      "'12345'", "NULL", "NULL")
+    val weaks = Seq(4, 10)
+    def cases(vals: Seq[String]) = vals.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+    s"""SELECT o_orderkey AS k,
+       |CASE o_orderkey % 20 ${cases(forms.map(f => s"CAST(${f._1} AS BIGINT)"))} END AS funder_id,
+       |CASE o_orderkey % 20 ${cases(forms.map(f => "'" + f._2.replace("'", "''") + "'"))} END AS award_id,
+       |CASE o_orderkey % 20 ${cases(forms.map(f => s"'${f._3}'"))} END AS side,
+       |CASE o_orderkey % 20 ${cases(generics.map(g => s"'$g'"))} END AS generic_key,
+       |CASE o_orderkey % 20 ${cases(sharps)} END AS sharp_key,
+       |(o_orderkey % 20) IN (${weaks.mkString(",")}) AS weak
+       |FROM orders""".stripMargin
+  }
+
+  /** q69 synthesis: funder A = Taiwan MOST (prefix-strip grammar),
+    * funder B = bare-number registry (weakness-guarded). Families:
+    * every k%5=0 has a renamed NSC twin (newer end_year) sharing A's
+    * sharp key — the election must pick the twin for sharp joins
+    * while both spellings keep their generic entries. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val fa = lit(4320322795L); val fb = lit(4320320924L)
+    val a1 = o.select(k.as("id"),
+      when(pmod(k, lit(7)) =!= 0, concat(lit("MOST Award "), ks)).as("display_name"),
+      fa.as("funder_id"), concat(lit("MOST 109-2221-E-"), ks).as("funder_award_id"),
+      (lit(2000) + pmod(k, lit(20))).cast("int").as("end_year"),
+      lit("funder_registry").as("provenance"))
+    val a2 = o.filter(pmod(k, lit(5)) === 0).select((k + 100000).as("id"),
+      concat(lit("NSC Award "), ks).as("display_name"),
+      fa.as("funder_id"), concat(lit("NSC 109-2221-E-"), ks).as("funder_award_id"),
+      lit(2030).cast("int").as("end_year"), lit("funder_registry").as("provenance"))
+    val b1 = o.select((k + 200000).as("id"),
+      concat(lit("B Award "), ks).as("display_name"),
+      fb.as("funder_id"), lpad(ks, 6, "0").as("funder_award_id"),
+      lit(null).cast("int").as("end_year"), lit("funder_registry").as("provenance"))
+    val lookup = AwardKeys.canonicalLookup(a1.unionByName(a2).unionByName(b1))
+    val w1 = o.select(k.as("work_id"), fa.as("funder_id"),
+      concat(lit("most 109-2221-e-"), ks).as("funder_award_id"))
+    val w2 = o.filter(pmod(k, lit(3)) === 0).select(k.as("work_id"), fa.as("funder_id"),
+      concat(lit("NSC109 2221 E "), ks).as("funder_award_id"))
+    val w3 = o.filter(pmod(k, lit(4)) === 0).select(k.as("work_id"), fb.as("funder_id"),
+      concat(lit("00"), lpad(ks, 4, "0")).as("funder_award_id"))
+    val w4 = o.filter(pmod(k, lit(6)) === 0).select(k.as("work_id"), fb.as("funder_id"),
+      concat(lit("#"), ks).as("funder_award_id"))
+    AwardKeys.matchWorkAwards(
+      w1.unionByName(w2).unionByName(w3).unionByName(w4), lookup)
+  }
+
+  private val q69Oracle: String =
+    """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 3000),
+      |awards AS (
+      |  SELECT k AS id,
+      |    CASE WHEN k % 7 <> 0 THEN 'MOST Award ' || CAST(k AS VARCHAR) END AS display_name,
+      |    CAST(4320322795 AS BIGINT) AS funder_id,
+      |    'MOST 109-2221-E-' || CAST(k AS VARCHAR) AS faid,
+      |    2000 + k % 20 AS end_year, 1 AS is_registry FROM o
+      |  UNION ALL
+      |  SELECT k + 100000, 'NSC Award ' || CAST(k AS VARCHAR), 4320322795,
+      |    'NSC 109-2221-E-' || CAST(k AS VARCHAR), 2030, 1 FROM o WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k + 200000, 'B Award ' || CAST(k AS VARCHAR), 4320320924,
+      |    lpad(CAST(k AS VARCHAR), 6, '0'), NULL, 1 FROM o),
+      |keyed AS (SELECT *,
+      |  CASE WHEN length(regexp_replace(lower(faid), '[^a-z0-9]', '', 'g')) >= 4
+      |       THEN regexp_replace(lower(faid), '[^a-z0-9]', '', 'g')
+      |       ELSE lower(trim(faid)) END AS gk,
+      |  CASE WHEN funder_id = 4320322795 THEN
+      |    nullif(regexp_replace(regexp_replace(upper(trim(faid)),
+      |      '^(MOST|NSC|NSTC)[ -]*', ''), '[ -]', '', 'g'), '')
+      |  WHEN funder_id = 4320320924 THEN
+      |    CAST(CAST(nullif(regexp_extract(upper(trim(faid)), '^([0-9]{1,6})$', 1), '')
+      |      AS BIGINT) AS VARCHAR)
+      |  END AS sk
+      |  FROM awards),
+      |g AS (SELECT id, display_name, funder_id, faid, gk AS nk FROM keyed
+      |  QUALIFY row_number() OVER (PARTITION BY funder_id, gk
+      |    ORDER BY (display_name IS NOT NULL) DESC, id) = 1),
+      |s AS (SELECT id, display_name, funder_id, faid, sk AS nk FROM keyed
+      |  WHERE sk IS NOT NULL
+      |  QUALIFY row_number() OVER (PARTITION BY funder_id, sk
+      |    ORDER BY is_registry DESC, (display_name IS NOT NULL) DESC,
+      |      end_year DESC NULLS LAST, id) = 1),
+      |wf AS (
+      |  SELECT k AS work_id, CAST(4320322795 AS BIGINT) AS funder_id,
+      |    'most 109-2221-e-' || CAST(k AS VARCHAR) AS dep FROM o
+      |  UNION ALL
+      |  SELECT k, 4320322795, 'NSC109 2221 E ' || CAST(k AS VARCHAR) FROM o WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 4320320924, '00' || lpad(CAST(k AS VARCHAR), 4, '0') FROM o WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k, 4320320924, '#' || CAST(k AS VARCHAR) FROM o WHERE k % 6 = 0),
+      |wkeyed AS (SELECT *,
+      |  CASE WHEN length(regexp_replace(lower(dep), '[^a-z0-9]', '', 'g')) >= 4
+      |       THEN regexp_replace(lower(dep), '[^a-z0-9]', '', 'g')
+      |       ELSE lower(trim(dep)) END AS nk,
+      |  CASE WHEN funder_id = 4320320924
+      |         AND upper(trim(dep)) SIMILAR TO '[0-9]{4,6}' THEN NULL
+      |       WHEN funder_id = 4320322795 THEN
+      |         nullif(regexp_replace(regexp_replace(upper(trim(dep)),
+      |           '^(MOST|NSC|NSTC)[ -]*', ''), '[ -]', '', 'g'), '')
+      |       WHEN funder_id = 4320320924 THEN
+      |         CASE WHEN upper(trim(dep)) SIMILAR TO '[0-9]{12}'
+      |              THEN CAST(CAST(substr(upper(trim(dep)), 7, 6) AS BIGINT) AS VARCHAR)
+      |              ELSE CAST(CAST(nullif(regexp_extract(upper(trim(dep)),
+      |                '([0-9]{5,6})$', 1), '') AS BIGINT) AS VARCHAR) END
+      |  END AS sk
+      |  FROM wf)
+      |SELECT w.work_id, w.funder_id, w.dep AS deposited_award_id,
+      |  coalesce(g.id, s.id) AS award_id,
+      |  coalesce(g.display_name, s.display_name) AS award_display_name,
+      |  coalesce(g.faid, s.faid) AS canonical_award_id,
+      |  CASE WHEN g.id IS NOT NULL THEN 'generic' ELSE 'sharp' END AS matched_via
+      |FROM wkeyed w
+      |LEFT JOIN g ON w.funder_id = g.funder_id AND w.nk = g.nk
+      |LEFT JOIN s ON w.funder_id = s.funder_id AND w.sk = s.nk
+      |WHERE coalesce(g.id, s.id) IS NOT NULL""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q68_award_norm_keys" -> (q68 _),
+    "q69_work_awards_merge" -> (q69 _))
+
+  val oracle: Map[String, String] = Map(
+    "q68_award_norm_keys" -> q68Oracle,
+    "q69_work_awards_merge" -> q69Oracle)
+}
