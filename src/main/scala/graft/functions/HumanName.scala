@@ -4,19 +4,22 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** HumanName-lite: raw author display name → (given, family, author_key)
-  * — the structured-parse subset of the reference's name parser
+  * — the structured-parse core of the reference's name parser
   * (libraries/dlt_utils/openalex/dlt/normalize.py:55-105 `nameparser`
-  * usage; notebooks/end2end/CreateAuthorNames.ipynb:40-1242 is the full
-  * v2 with CJK romanization/transliteration, which is model/ICU
-  * territory — OUT of scope; CJK names pass through whole as family,
-  * the same fallback the reference's positional path takes for
-  * unparseable scripts).
+  * usage; notebooks/end2end/CreateAuthorNames.ipynb:40-1242 v2).
   *
-  * Pure Column expressions (codegen'd, no UDF):
+  * Parse structure is pure Column expressions (codegen'd, no UDF):
   *  - "Last, First"  comma form flips
   *  - credential/suffix tokens stripped (jr, iii, phd, md, …)
   *  - nobiliary particles (van, de, von, …) attach to the family
   *  - author_key = lower(family);first-initial (the blocking key)
+  *
+  * A [[Transliterate.preRomanize]] tier runs first: Hangul (Revised
+  * Romanization + the reference's surname map), kana (Hepburn),
+  * Cyrillic (incl. the surname-first patronymic reorder), and Arabic
+  * names romanize into forms this parse understands. Han-ideograph
+  * names (Chinese, kanji Japanese) still pass through whole as family
+  * — readings are dictionary/model territory, the declared boundary.
   */
 object HumanName {
 
@@ -35,8 +38,13 @@ object HumanName {
     filter(toks, t => !isIn(suffixes)(regexp_replace(lower(t), "\\.", "")))
   }
 
-  /** STRUCT<given, family> from a raw display name. */
-  def parse(name: Column): Column = {
+  /** STRUCT<given, family> from a raw display name (romanization tier
+    * first, then the structural parse). */
+  def parse(name: Column): Column =
+    parseLatin(Transliterate.preRomanizeCol(name))
+
+  /** The structural parse without the romanization tier. */
+  def parseLatin(name: Column): Column = {
     val toks = cleanTokens(name)
     val commaIdx = array_position(toks, ",")
     // "Family, Given …" → family = tokens before comma, given = after

@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Native romanization tier for the name parser (reference:
+  * notebooks/end2end/CreateAuthorNames.ipynb — pykakasi /
+  * korean-romanizer / transliterate / unidecode usage). The reference
+  * reaches for Python libraries; everything it uses them for except
+  * KANJI READINGS is table- or algorithm-driven and implemented here
+  * natively:
+  *
+  *  - Hangul: arithmetic jamo decomposition (U+AC00 block) → Revised
+  *    Romanization, with the reference's common-surname override map
+  *    (김→kim not gim, 이→lee, 박→park …).
+  *  - Kana: gojūon + dakuten + digraph Hepburn table, sokuon
+  *    gemination, with pykakasi's post-step (uu→u, ou→o — 佐藤
+  *    'satou' → 'sato').
+  *  - Cyrillic: unidecode-equivalent letter map; the 3-token
+  *    patronymic heuristic reorders surname-first forms
+  *    (`_np_parse_cyrillic`).
+  *  - Arabic: the reference's `_NP_ARABIC_MAP`, verbatim.
+  *
+  * Han ideographs (Chinese names, kanji-bearing Japanese names) pass
+  * through unchanged — readings need a dictionary/model, the declared
+  * stub boundary; the parser's CJK fallback (whole name as family)
+  * still applies to them.
+  *
+  * The dispatcher emits strings the Column-based [[HumanName.parse]]
+  * already understands: Hangul/kana names come out as "Family, Given"
+  * (comma form), Cyrillic surname-first patronymics are reordered into
+  * comma form, everything else romanizes in place. One JVM scalar UDF
+  * on a non-hot column — the reference runs the same tier as a Python
+  * UDF batch over pandas, so this is strictly cheaper.
+  */
+object Transliterate {
+
+  // ── Hangul (Revised Romanization) ──────────────────────────────────
+  private val HInitials = Array("g", "kk", "n", "d", "tt", "r", "m", "b",
+    "pp", "s", "ss", "", "j", "jj", "ch", "k", "t", "p", "h")
+  private val HMedials = Array("a", "ae", "ya", "yae", "eo", "e", "yeo",
+    "ye", "o", "wa", "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu",
+    "ui", "i")
+  private val HFinals = Array("", "g", "kk", "gs", "n", "nj", "nh", "d",
+    "l", "lg", "lm", "lb", "ls", "lt", "lp", "lh", "m", "b", "bs", "s",
+    "ss", "ng", "j", "ch", "k", "t", "p", "h")
+
+  /** Reference `_NP_KOREAN_SURNAME_MAP` (CreateAuthorNames.ipynb). */
+  val KoreanSurnames: Map[Char, String] = Map(
+    '김' -> "kim", '이' -> "lee", '박' -> "park", '최' -> "choi",
+    '정' -> "jeong", '강' -> "kang", '조' -> "jo", '윤' -> "yun",
+    '장' -> "jang", '임' -> "lim", '한' -> "han", '오' -> "oh",
+    '서' -> "seo", '신' -> "shin", '권' -> "kwon", '황' -> "hwang",
+    '안' -> "ahn", '송' -> "song", '전' -> "jeon", '홍' -> "hong",
+    '유' -> "yu", '고' -> "go", '문' -> "moon", '양' -> "yang",
+    '손' -> "son", '배' -> "bae", '백' -> "baek", '허' -> "heo",
+    '남' -> "nam", '심' -> "sim", '노' -> "noh", '하' -> "ha",
+    '곽' -> "kwak", '성' -> "seong", '차' -> "cha", '주' -> "ju",
+    '우' -> "woo", '구' -> "gu", '민' -> "min", '진' -> "jin",
+    '지' -> "ji", '엄' -> "eom", '채' -> "chae", '류' -> "ryu")
+
+  def isHangul(c: Char): Boolean = c >= '가' && c <= '힣'
+
+  def romanizeHangul(s: String): String = s.map { c =>
+    if (isHangul(c)) {
+      val x = c - 0xAC00
+      HInitials(x / 588) + HMedials((x % 588) / 28) + HFinals(x % 28)
+    } else c.toString
+  }.mkString
+
+  // ── Kana (Hepburn) ────────────────────────────────────────────────
+  private val KanaBase: Map[Char, String] = {
+    val rows = Seq(
+      "あa", "いi", "うu", "えe", "おo", "かka", "きki", "くku", "けke", "こko",
+      "さsa", "しshi", "すsu", "せse", "そso", "たta", "ちchi", "つtsu", "てte",
+      "とto", "なna", "にni", "ぬnu", "ねne", "のno", "はha", "ひhi", "ふfu",
+      "へhe", "ほho", "まma", "みmi", "むmu", "めme", "もmo", "やya", "ゆyu",
+      "よyo", "らra", "りri", "るru", "れre", "ろro", "わwa", "をo", "んn",
+      "がga", "ぎgi", "ぐgu", "げge", "ごgo", "ざza", "じji", "ずzu", "ぜze",
+      "ぞzo", "だda", "ぢji", "づzu", "でde", "どdo", "ばba", "びbi", "ぶbu",
+      "べbe", "ぼbo", "ぱpa", "ぴpi", "ぷpu", "ぺpe", "ぽpo")
+    rows.flatMap { r =>
+      val (k, v) = (r.head, r.tail)
+      // katakana sits 0x60 above hiragana in the BMP
+      Seq(k -> v, (k + 0x60).toChar -> v)
+    }.toMap
+  }
+  private val KanaSmall: Map[Char, String] = {
+    val rows = Seq("ゃya", "ゅyu", "ょyo")
+    rows.flatMap { r => Seq(r.head -> r.tail, (r.head + 0x60).toChar -> r.tail) }.toMap
+  }
+
+  def isKana(c: Char): Boolean =
+    (c >= '぀' && c <= 'ゟ') || (c >= '゠' && c <= 'ヿ')
+
+  /** Kana → Hepburn with sokuon gemination, digraphs (きゃ→kya,
+    * しゃ→sha), chōonpu skip, then the pykakasi post-step uu→u, ou→o. */
+  def romanizeKana(s: String): String = {
+    val out = new StringBuilder
+    var geminate = false
+    s.foreach { c =>
+      if (c == 'っ' || c == 'ッ') geminate = true
+      else if (c == 'ー') ()
+      else KanaSmall.get(c) match {
+        case Some(gl) => // digraph: replace the previous syllable's vowel
+          val prev = out.takeRight(3).toString
+          if (prev.endsWith("shi") || prev.endsWith("chi")) {
+            out.setLength(out.length - 1); out.append(gl.tail) // sha/shu/sho
+          } else if (out.nonEmpty && out.last == 'i') {
+            out.setLength(out.length - 1); out.append(gl)      // kya/kyu/kyo
+          } else out.append(gl)
+        case None =>
+          val rom = KanaBase.getOrElse(c, c.toString)
+          if (geminate && rom.nonEmpty) { out.append(rom.head); geminate = false }
+          out.append(rom)
+      }
+    }
+    out.toString.replace("uu", "u").replace("ou", "o")
+  }
+
+  // ── Cyrillic ──────────────────────────────────────────────────────
+  private val CyrillicMap: Map[Char, String] = Map(
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d",
+    'е' -> "e", 'ё' -> "e", 'ж' -> "zh", 'з' -> "z", 'и' -> "i",
+    'й' -> "i", 'к' -> "k", 'л' -> "l", 'м' -> "m", 'н' -> "n",
+    'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s", 'т' -> "t",
+    'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch",
+    'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y", 'ь' -> "",
+    'э' -> "e", 'ю' -> "yu", 'я' -> "ya",
+    'і' -> "i", 'ї' -> "i", 'є' -> "e", 'ґ' -> "g")
+
+  def isCyrillic(c: Char): Boolean = c >= 'Ѐ' && c <= 'ӿ'
+
+  def romanizeCyrillic(s: String): String = s.map { c =>
+    val lower = c.toLower
+    CyrillicMap.get(lower) match {
+      case Some(r) if c.isUpper && r.nonEmpty => r.head.toUpper + r.tail
+      case Some(r) => r
+      case None => c.toString
+    }
+  }.mkString
+
+  /** Reference `_NP_PATRONYMIC_ENDINGS`. */
+  val PatronymicEndings: Seq[String] = Seq(
+    "ович", "евич", "ивич", "овна", "евна", "ивна",
+    "овича", "евича", "івна", "іївна", "ївна", "ійович")
+
+  // ── Arabic (reference `_NP_ARABIC_MAP`, verbatim) ─────────────────
+  private val ArabicMap: Map[Char, String] = Map(
+    'ا' -> "a", 'أ' -> "a", 'إ' -> "i", 'آ' -> "a", 'ب' -> "b",
+    'ت' -> "t", 'ث' -> "th", 'ج' -> "j", 'ح' -> "h", 'خ' -> "kh",
+    'د' -> "d", 'ذ' -> "dh", 'ر' -> "r", 'ز' -> "z", 'س' -> "s",
+    'ش' -> "sh", 'ص' -> "s", 'ض' -> "d", 'ط' -> "t", 'ظ' -> "z",
+    'ع' -> "a", 'غ' -> "gh", 'ف' -> "f", 'ق' -> "q", 'ك' -> "k",
+    'ک' -> "k", 'ل' -> "l", 'م' -> "m", 'ن' -> "n", 'ه' -> "h",
+    'ة' -> "a", 'و' -> "w", 'ي' -> "y", 'ى' -> "a", 'ئ' -> "i",
+    'ؤ' -> "u", 'ء' -> "", 'پ' -> "p", 'چ' -> "ch", 'ژ' -> "zh",
+    'گ' -> "g", 'ی' -> "y",
+    'َ' -> "a", 'ُ' -> "u", 'ِ' -> "i",
+    'ّ' -> "", 'ْ' -> "")
+
+  def isArabic(c: Char): Boolean =
+    (c >= '؀' && c <= 'ۿ') || (c >= 'ݐ' && c <= 'ݿ')
+
+  def romanizeArabic(s: String): String = {
+    val out = s.flatMap { c =>
+      if (ArabicMap.contains(c)) ArabicMap(c)
+      else if (c == ' ') " "
+      else if (c == '-' || c == '/') " "
+      else if (c < 128) c.toString
+      else ""
+    }
+    out.replaceAll("\\s+", " ").trim
+  }
+
+  // ── Dispatcher ────────────────────────────────────────────────────
+  def isHan(c: Char): Boolean =
+    (c >= '一' && c <= '鿿') || (c >= '㐀' && c <= '䶿')
+
+  private def cap(s: String): String =
+    if (s.isEmpty) s else s.head.toUpper + s.tail
+
+  /** Pre-parse romanization. Output feeds [[HumanName.parse]]:
+    * family-first scripts come out in comma form, others in place.
+    * Han-bearing names return unchanged (the CJK pass-through
+    * boundary). */
+  def preRomanize(s: String): String = {
+    if (s == null) return null
+    if (s.exists(isHan)) s
+    else if (s.exists(isHangul)) {
+      // reference _np_parse_hangul: first syllable = surname (common
+      // map first), rest = given
+      val chars = s.filterNot(_ == ' ')
+      if (chars.isEmpty) s
+      else {
+        val sur = KoreanSurnames.getOrElse(chars.head,
+          romanizeHangul(chars.head.toString))
+        val giv = romanizeHangul(chars.tail)
+        if (giv.isEmpty) cap(sur) else s"${cap(sur)}, ${cap(giv)}"
+      }
+    } else if (s.exists(isKana)) {
+      // kana-only Japanese: surname-first convention
+      val toks = s.trim.split("\\s+").toSeq.map(t => cap(romanizeKana(t)))
+      if (toks.size >= 2) s"${toks.head}, ${toks.tail.mkString(" ")}"
+      else toks.mkString
+    } else if (s.exists(isCyrillic)) {
+      val toks = s.trim.split("\\s+")
+      // surname-first patronymic form → comma form (_np_parse_cyrillic)
+      if (toks.length == 3 && PatronymicEndings.exists(toks(2).endsWith))
+        s"${romanizeCyrillic(toks(0))}, ${romanizeCyrillic(toks(1))} ${romanizeCyrillic(toks(2))}"
+      else romanizeCyrillic(s)
+    } else if (s.exists(isArabic)) {
+      romanizeArabic(s).split(" ").map(cap).mkString(" ")
+    } else s
+  }
+
+  /** Column wrapper (null-safe scalar UDF). */
+  val preRomanizeCol: Column => Column = {
+    val f = udf((s: String) => preRomanize(s))
+    c => f(c)
+  }
+}

@@ -21,13 +21,18 @@ object EntityQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   /** §2.9 HumanName parse: comma flip, suffix strip, nobiliary
-    * particles, CJK pass-through, single-token names — one form per
-    * doc_id residue; the oracle states the expected parse per form. */
+    * particles, Han pass-through, single-token names, and the
+    * romanization tier — Hangul (surname map + RR), Cyrillic natural
+    * and surname-first-patronymic orders, kana Hepburn (incl. the
+    * ou→o collapse), Arabic — one form per doc_id residue; the oracle
+    * states the expected parse per form. */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val names = Seq("Jane Smith", "Smith, Jane", "Jan van der Berg",
-      "John Q. Public Jr.", "Maria de la Cruz", "李雷", "Doe, John PhD", "Prince")
-    val nameCol = elt(((pmod(col("doc_id"), lit(8)) + 1) +: names.map(lit)): _*)
+      "John Q. Public Jr.", "Maria de la Cruz", "李雷", "Doe, John PhD", "Prince",
+      "김민준", "Иван Сергеевич Иванов", "Петрова Анна Сергеевна",
+      "さとう ゆき", "محمد علي")
+    val nameCol = elt(((pmod(col("doc_id"), lit(names.size)) + 1) +: names.map(lit)): _*)
     val p = HumanName.parse(nameCol)
     d.select(col("doc_id"), nameCol.as("raw_name"),
       p.getField("given").as("given"), p.getField("family").as("family"),
@@ -629,22 +634,34 @@ object EntityQueries {
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q49_humanname_parse" ->
       """SELECT doc_id,
-        |CASE doc_id % 8 WHEN 0 THEN 'Jane Smith' WHEN 1 THEN 'Smith, Jane'
+        |CASE doc_id % 13 WHEN 0 THEN 'Jane Smith' WHEN 1 THEN 'Smith, Jane'
         |  WHEN 2 THEN 'Jan van der Berg' WHEN 3 THEN 'John Q. Public Jr.'
         |  WHEN 4 THEN 'Maria de la Cruz' WHEN 5 THEN '李雷'
-        |  WHEN 6 THEN 'Doe, John PhD' ELSE 'Prince' END AS raw_name,
-        |CASE doc_id % 8 WHEN 0 THEN 'Jane' WHEN 1 THEN 'Jane'
+        |  WHEN 6 THEN 'Doe, John PhD' WHEN 7 THEN 'Prince'
+        |  WHEN 8 THEN '김민준' WHEN 9 THEN 'Иван Сергеевич Иванов'
+        |  WHEN 10 THEN 'Петрова Анна Сергеевна' WHEN 11 THEN 'さとう ゆき'
+        |  ELSE 'محمد علي' END AS raw_name,
+        |CASE doc_id % 13 WHEN 0 THEN 'Jane' WHEN 1 THEN 'Jane'
         |  WHEN 2 THEN 'Jan' WHEN 3 THEN 'John Q.'
         |  WHEN 4 THEN 'Maria' WHEN 5 THEN NULL
-        |  WHEN 6 THEN 'John' ELSE NULL END AS given,
-        |CASE doc_id % 8 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Smith'
+        |  WHEN 6 THEN 'John' WHEN 7 THEN NULL
+        |  WHEN 8 THEN 'Minjun' WHEN 9 THEN 'Ivan Sergeevich'
+        |  WHEN 10 THEN 'Anna Sergeevna' WHEN 11 THEN 'Yuki'
+        |  ELSE 'Mhmd' END AS given,
+        |CASE doc_id % 13 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Smith'
         |  WHEN 2 THEN 'van der Berg' WHEN 3 THEN 'Public'
         |  WHEN 4 THEN 'de la Cruz' WHEN 5 THEN '李雷'
-        |  WHEN 6 THEN 'Doe' ELSE 'Prince' END AS family,
-        |CASE doc_id % 8 WHEN 0 THEN 'smith;j' WHEN 1 THEN 'smith;j'
+        |  WHEN 6 THEN 'Doe' WHEN 7 THEN 'Prince'
+        |  WHEN 8 THEN 'Kim' WHEN 9 THEN 'Ivanov'
+        |  WHEN 10 THEN 'Petrova' WHEN 11 THEN 'Sato'
+        |  ELSE 'Aly' END AS family,
+        |CASE doc_id % 13 WHEN 0 THEN 'smith;j' WHEN 1 THEN 'smith;j'
         |  WHEN 2 THEN 'van der berg;j' WHEN 3 THEN 'public;j'
         |  WHEN 4 THEN 'de la cruz;m' WHEN 5 THEN '李雷;'
-        |  WHEN 6 THEN 'doe;j' ELSE 'prince;' END AS author_key
+        |  WHEN 6 THEN 'doe;j' WHEN 7 THEN 'prince;'
+        |  WHEN 8 THEN 'kim;m' WHEN 9 THEN 'ivanov;i'
+        |  WHEN 10 THEN 'petrova;a' WHEN 11 THEN 'sato;y'
+        |  ELSE 'aly;m' END AS author_key
         |FROM documents""".stripMargin,
     "q50_union_locations_scd1" ->
       """WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS native_id,

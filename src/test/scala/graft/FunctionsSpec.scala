@@ -55,6 +55,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(TextFunctions.tokenLenSum(lit("ab cde"))) == 5)
   }
 
+  test("Transliterate: hangul RR + surname map, kana Hepburn, cyrillic, arabic, Han passthrough") {
+    import graft.functions.Transliterate._
+    // hangul: surname override map + arithmetic jamo decomposition
+    assert(preRomanize("김민준") == "Kim, Minjun")
+    assert(preRomanize("박지성") == "Park, Jiseong")
+    // kana: digraphs, chōonpu/ou collapse, gemination
+    assert(romanizeKana("さとう") == "sato")
+    assert(romanizeKana("きょうこ") == "kyoko")
+    assert(romanizeKana("しゃちょう") == "shacho")
+    assert(romanizeKana("ゆき") == "yuki")
+    assert(preRomanize("さとう ゆき") == "Sato, Yuki")
+    // cyrillic: in-place, comma form, and surname-first patronymic reorder
+    assert(preRomanize("Иван Иванов") == "Ivan Ivanov")
+    assert(preRomanize("Петрова Анна Сергеевна") == "Petrova, Anna Sergeevna")
+    assert(preRomanize("Хрущёв, Никита") == "Khrushchev, Nikita")
+    // arabic table
+    assert(preRomanize("محمد علي") == "Mhmd Aly")
+    // Han pass-through boundary (readings need a dictionary)
+    assert(preRomanize("李雷") == "李雷")
+    assert(preRomanize("Jane Smith") == "Jane Smith")
+    assert(preRomanize(null) == null)
+  }
+
   test("HumanName: comma form, suffixes, particles, CJK passthrough") {
     import graft.functions.HumanName
     def p(n: String): (String, String) = {
