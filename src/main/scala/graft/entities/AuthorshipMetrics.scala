@@ -1,0 +1,88 @@
+package graft.entities
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Authorship monitoring tier (reference: notebooks/metrics/
+  * AuthorshipDailyMetrics.py — observation-only daily monitor): a
+  * compact per-work FINGERPRINT of the author-list input, CHANGE
+  * EVENTS from diffing today's fingerprint against yesterday's, and a
+  * tall metrics table (snapshot × metric × dimension → value, the
+  * works_daily_metrics / q24 shape).
+  *
+  * Scale: the fingerprint is one narrow aggregate per work (hashes of
+  * the ordered name/content lists — list equality without shipping
+  * the lists); the diff is a keyed equijoin of two compact frames;
+  * metrics are small grouped counts. The reference computes the same
+  * three artifacts over ~250M works nightly.
+  */
+object AuthorshipMetrics {
+
+  /** One row per work: list size, ordered-name hash, content hash
+    * (name+orcid+corresponding — the diff struct), orcid hash, seat
+    * counts.
+    * @param works (work_id, authorships: array<struct<
+    *              raw_author_name, orcid, is_corresponding>>)
+    * @param seats (work_id, author_id) — author_id null = unbound */
+  def fingerprint(works: DataFrame, seats: DataFrame): DataFrame = {
+    val auths = col("authorships")
+    val base = works.select(col("work_id"),
+      coalesce(size(auths), lit(0)).as("base_n"),
+      xxhash64(to_json(transform(auths, a => a.getField("raw_author_name"))))
+        .as("names_hash"),
+      xxhash64(to_json(auths, Map("ignoreNullFields" -> "false"))).as("content_hash"),
+      xxhash64(to_json(transform(auths, a => coalesce(a.getField("orcid"), lit("")))))
+        .as("orcids_hash"))
+    val seatAgg = seats.groupBy(col("work_id")).agg(
+      count(lit(1)).cast("int").as("seat_n"),
+      count(when(col("author_id").isNull, lit(1))).cast("int").as("null_seat_n"))
+    base.join(seatAgg, Seq("work_id"), "left")
+      .na.fill(0, Seq("seat_n", "null_seat_n"))
+  }
+
+  /** Diff current vs previous fingerprints — one event per work whose
+    * author-list INPUT changed; precedence GREW > SHRANK >
+    * NAMES_CHANGED > METADATA_CHANGED (the reference's CASE). Works
+    * without previous state emit nothing (brand-new works are a
+    * metric, not an event). */
+  def changeEvents(previous: DataFrame, current: DataFrame): DataFrame = {
+    val p = previous.select(col("work_id"), col("base_n").as("prev_base_n"),
+      col("names_hash").as("__pn"), col("content_hash").as("__pc"),
+      col("seat_n").as("prev_seat_n"), col("null_seat_n").as("prev_null_seat_n"))
+    val c = current.select(col("work_id"), col("base_n").as("new_base_n"),
+      col("names_hash").as("__cn"), col("content_hash").as("__cc"),
+      col("seat_n").as("new_seat_n"), col("null_seat_n").as("new_null_seat_n"))
+    p.join(c, "work_id")
+      .withColumn("event_type",
+        when(col("new_base_n") > col("prev_base_n"), "GREW")
+          .when(col("new_base_n") < col("prev_base_n"), "SHRANK")
+          .when(!(col("__cn") <=> col("__pn")), "NAMES_CHANGED")
+          .when(!(col("__cc") <=> col("__pc")), "METADATA_CHANGED"))
+      .filter(col("event_type").isNotNull)
+      .withColumn("names_changed", !(col("__cn") <=> col("__pn")))
+      .withColumn("content_changed", !(col("__cc") <=> col("__pc")))
+      .drop("__pn", "__pc", "__cn", "__cc")
+  }
+
+  /** Tall metrics rows over a fingerprint snapshot + the day's change
+    * events: (metric, dimension, value) — the works_daily_metrics
+    * shape, one unioned frame of small grouped counts. */
+  def tallMetrics(fp: DataFrame, events: DataFrame): DataFrame = {
+    def one(metric: String, value: org.apache.spark.sql.Column) =
+      fp.agg(value.cast("long").as("value"))
+        .select(lit(metric).as("metric"), lit("(all)").as("dimension"), col("value"))
+    val totals = one("works_total", count(lit(1)))
+      .unionByName(one("base_authors_total", coalesce(sum(col("base_n")), lit(0))))
+      .unionByName(one("seats_total", coalesce(sum(col("seat_n")), lit(0))))
+      .unionByName(one("null_seats_total", coalesce(sum(col("null_seat_n")), lit(0))))
+    val byBaseN = fp.groupBy(col("base_n"))
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("works_by_base_n").as("metric"),
+        col("base_n").cast("string").as("dimension"), col("value"))
+    val byEvent = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("change_events").as("metric"),
+        col("event_type").as("dimension"), col("value"))
+    totals.unionByName(byBaseN).unionByName(byEvent)
+  }
+}

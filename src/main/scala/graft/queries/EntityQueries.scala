@@ -419,6 +419,50 @@ object EntityQueries {
         date_format(col("created_date"), "yyyy-MM-dd").as("created"))
   }
 
+  /** §2.4 authorship daily metrics (AuthorshipDailyMetrics.py): day-1
+    * vs day-2 author-list fingerprints → change events
+    * (GREW/SHRANK/NAMES_CHANGED/METADATA_CHANGED by residue) → tall
+    * (metric, dimension, value) monitor rows incl. seat and
+    * distribution metrics. The oracle derives every count from the
+    * synthesis residues directly — no hashes cross the gate. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.AuthorshipMetrics
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val n0 = pmod(k, lit(4)) + 1
+    val m5 = pmod(k, lit(5))
+    def author(i: Column, name: Column, orcid: Column) = struct(
+      name.as("raw_author_name"), orcid.as("orcid"),
+      (i === 0).as("is_corresponding"))
+    def baseAuthor(i: Column) = author(i,
+      concat(lit("A"), ks, lit("_"), i.cast("string")),
+      when(pmod(i, lit(2)) === 0, concat(lit("O"), ks, lit("_"), i.cast("string"))))
+    val base = transform(sequence(lit(0L), n0 - 1), i => baseAuthor(i))
+    val extra = author(n0, concat(lit("A"), ks, lit("_"), n0.cast("string")),
+      when(pmod(n0, lit(2)) === 0, concat(lit("O"), ks, lit("_"), n0.cast("string"))))
+    val day2 = when(m5 === 0, concat(base, array(extra)))
+      .when(m5 === 1, slice(base, lit(1), (n0 - 1).cast("int")))
+      .when(m5 === 2, transform(base, (a, i) => when(i === 0,
+        author(i.cast("long"), concat(lit("B"), ks, lit("_0")),
+          a.getField("orcid"))).otherwise(a)))
+      .when(m5 === 3, transform(base, (a, i) => when(i === 0,
+        author(i.cast("long"), a.getField("raw_author_name"),
+          concat(lit("OX"), ks))).otherwise(a)))
+      .otherwise(base)
+    val n2 = when(m5 === 0, n0 + 1).when(m5 === 1, n0 - 1).otherwise(n0)
+    val seats = o.select(k.as("work_id"),
+        explode(filter(sequence(lit(0L), lit(5L)), i => i < n2)).as("i"))
+      .select(col("work_id"),
+        when(pmod(col("work_id") + col("i"), lit(7)) =!= 0,
+          concat(lit("AU"), col("work_id").cast("string"), lit("_"),
+            col("i").cast("string"))).as("author_id"))
+    val fp1 = AuthorshipMetrics.fingerprint(
+      o.select(k.as("work_id"), base.as("authorships")), seats)
+    val fp2 = AuthorshipMetrics.fingerprint(
+      o.select(k.as("work_id"), day2.as("authorships")), seats)
+    AuthorshipMetrics.tallMetrics(fp2, AuthorshipMetrics.changeEvents(fp1, fp2))
+  }
+
   private def q64(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val k = col("c_custkey")
@@ -464,6 +508,7 @@ object EntityQueries {
     "q65_concepts_api" -> (q65 _),
     "q66_keywords_dynamic" -> (q66 _),
     "q67_keywords_api" -> (q67 _),
+    "q70_authorship_daily_metrics" -> (q70 _),
     "q58_sources_legacy_snapshot" -> (q58 _),
     "q59_funder_summary_stats" -> (q59 _),
     "q60_institution_lineage" -> (q60 _),
@@ -478,6 +523,26 @@ object EntityQueries {
 
   val oracle: Map[String, String] = Map(
     "q64_affiliation_rules" -> q64Oracle,
+    "q70_authorship_daily_metrics" ->
+      """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 4 + 1 AS n0,
+        |  o_orderkey % 5 AS m5 FROM orders),
+        |d AS (SELECT k, m5,
+        |  CASE WHEN m5 = 0 THEN n0 + 1 WHEN m5 = 1 THEN n0 - 1 ELSE n0 END AS n2
+        |  FROM w),
+        |seats AS (SELECT d.k, r.i FROM d, range(0, 6) r(i) WHERE r.i < d.n2)
+        |SELECT 'works_total' AS metric, '(all)' AS dimension,
+        |  CAST(count(*) AS BIGINT) AS value FROM d
+        |UNION ALL SELECT 'base_authors_total', '(all)', CAST(sum(n2) AS BIGINT) FROM d
+        |UNION ALL SELECT 'seats_total', '(all)', CAST(sum(n2) AS BIGINT) FROM d
+        |UNION ALL SELECT 'null_seats_total', '(all)',
+        |  CAST(count(*) FILTER (WHERE (k + i) % 7 = 0) AS BIGINT) FROM seats
+        |UNION ALL SELECT 'works_by_base_n', CAST(n2 AS VARCHAR),
+        |  CAST(count(*) AS BIGINT) FROM d GROUP BY n2
+        |UNION ALL SELECT * FROM (
+        |  SELECT 'change_events',
+        |    CASE m5 WHEN 0 THEN 'GREW' WHEN 1 THEN 'SHRANK'
+        |      WHEN 2 THEN 'NAMES_CHANGED' ELSE 'METADATA_CHANGED' END AS et,
+        |    CAST(count(*) AS BIGINT) FROM d WHERE m5 < 4 GROUP BY et)""".stripMargin,
     "q65_concepts_api" ->
       """WITH w AS (SELECT o_orderkey AS k FROM orders),
         |pairs AS (

@@ -41,6 +41,52 @@ object Streams {
     r.parquet(dir)
   }
 
+  /** Streaming XML FILE source with rowTag + rescue semantics — the
+    * reference's Auto Loader XML ingest (notebooks/ingest/Repo.py:
+    * 1589-1607: cloudFiles format=xml, rowTag=ns0:record, explicit
+    * schema, `_rescued_data` expectation, repository id from the file
+    * path). Spark-native: the built-in XML file format streams like
+    * json/csv; PERMISSIVE mode with `columnNameOfCorruptRecord` gives
+    * the rescue column (a record that doesn't fit the declared schema
+    * lands there instead of being dropped), and `_metadata.file_path`
+    * yields the per-endpoint id. `maxFilesPerTrigger` bounds
+    * micro-batches — the reference's file-event discovery maps to the
+    * source's file tracking.
+    * @param pathIdRegex capture group 1 → `endpoint_id` */
+  def readXml(spark: SparkSession, dir: String, rowTag: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None,
+      rescueColumn: String = "_rescued_data",
+      pathIdRegex: String = "([^/]+)/[^/]+$"): DataFrame = {
+    val full = schema.add(rescueColumn, org.apache.spark.sql.types.StringType)
+    val r = spark.readStream.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", rescueColumn)
+      .schema(full)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load(dir)
+      .withColumn("endpoint_id",
+        regexp_extract(col("_metadata.file_path"), pathIdRegex, 1))
+  }
+
+  /** Batch twin of [[readXml]] (same schema, options, and metadata
+    * columns) — stream≡batch parity is asserted in StreamingSpec. */
+  def readXmlBatch(spark: SparkSession, dir: String, rowTag: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rescueColumn: String = "_rescued_data",
+      pathIdRegex: String = "([^/]+)/[^/]+$"): DataFrame = {
+    val full = schema.add(rescueColumn, org.apache.spark.sql.types.StringType)
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", rescueColumn)
+      .schema(full)
+      .load(dir)
+      .withColumn("endpoint_id",
+        regexp_extract(col("_metadata.file_path"), pathIdRegex, 1))
+  }
+
   /** Tumbling 1-hour event-time windows with a watermark — the streaming
     * twin of DomainQueries q29 (same output shape; parity asserted in
     * StreamingSpec). */

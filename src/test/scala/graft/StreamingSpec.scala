@@ -25,6 +25,48 @@ class StreamingSpec extends AnyFunSuite {
     d
   }
 
+  test("streaming XML file source: rowTag + rescue + path id, multi-batch, equals batch") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-xml")
+    val endpoint = root.resolve("pmh-ep1"); Files.createDirectories(endpoint)
+    def write(name: String, body: String): Unit =
+      Files.write(endpoint.resolve(name), body.getBytes("UTF-8"))
+    write("batch1.xml",
+      """<records>
+        |<record><header><identifier>oai:1</identifier><datestamp>2024-01-01</datestamp></header><metadata><title>T1</title><n>1</n></metadata></record>
+        |<record><header><identifier>oai:2</identifier><datestamp>2024-01-02</datestamp></header><metadata><title>T2</title><n>2</n></metadata></record>
+        |</records>""".stripMargin)
+    write("batch2.xml",
+      """<records>
+        |<record><header><identifier>oai:3</identifier><datestamp>2024-01-03</datestamp></header><metadata><title>T3</title><n>not-a-number</n></metadata></record>
+        |<record><header><identifier>oai:4</identifier><datestamp>2024-01-04</datestamp></header><metadata><title>T4</title><n>4</n></metadata></record>
+        |</records>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("header", StructType(Seq(
+        StructField("identifier", StringType), StructField("datestamp", StringType)))),
+      StructField("metadata", StructType(Seq(
+        StructField("title", StringType), StructField("n", IntegerType))))))
+    val q = Streams.readXml(spark, root.toString + "/*", "record", schema,
+        maxFilesPerTrigger = Some(1))
+      .select(col("header.identifier").as("id"), col("metadata.title").as("title"),
+        col("metadata.n").as("n"), col("_rescued_data"), col("endpoint_id"))
+      .writeStream.format("memory").queryName("xmlstream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT * FROM xmlstream").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), Option(r.get(2)),
+        r.getString(3) != null, r.getString(4)))).toMap
+    assert(out.size == 4)
+    assert(out("oai:1") == (("T1", Some(1), false, "pmh-ep1")))
+    // bad typed field → row rescued (PERMISSIVE), others parse clean
+    assert(out("oai:3")._3, "malformed record must land in _rescued_data")
+    assert(out("oai:4") == (("T4", Some(4), false, "pmh-ep1")))
+    // batch twin parity
+    val b = Streams.readXmlBatch(spark, root.toString + "/*", "record", schema)
+      .select(col("header.identifier").as("id"), col("metadata.title"))
+      .collect().map(_.getString(0)).sorted
+    assert(b.toSeq == Seq("oai:1", "oai:2", "oai:3", "oai:4"))
+  }
+
   test("hourly windows: streaming equals batch") {
     val q = Streams.hourlyWindows(Streams.readEvents(spark, streamDir))
       .writeStream.format("memory").queryName("hw").outputMode("complete").start()
