@@ -44,14 +44,22 @@ object Bench {
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json")).map(_.getPath).toSeq
     }
+    // Tolerant extraction: the committed artifacts wrap (and truncate)
+    // the bench line inside another JSON object, so instead of parsing
+    // structure, harvest every `"qNN_name": <number|[numbers]>` pair
+    // anywhere in the file and fold by min. A query whose entry was
+    // truncated away simply has no floor.
+    val pair = "\"(q\\d+[A-Za-z0-9_]*)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9][0-9.eE+-]*)".r
+    val num = "[0-9][0-9.eE+-]*".r
     paths.flatMap { p =>
       try {
         val src = scala.io.Source.fromFile(p)
         val txt = try src.mkString finally src.close()
-        "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt).toSeq.flatMap { m =>
-          "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
-            .map(mm => mm.group(1) -> mm.group(2).toDouble)
-        }
+        pair.findAllMatchIn(txt).flatMap { m =>
+          val vals = num.findAllIn(m.group(2)).flatMap(v =>
+            scala.util.Try(v.toDouble).toOption).toSeq
+          if (vals.isEmpty) None else Some(m.group(1) -> vals.min)
+        }.toSeq
       } catch { case _: Throwable => Seq.empty }
     }.groupMapReduce(_._1)(_._2)(math.min)
   }
