@@ -329,7 +329,205 @@ object AffiliationRules {
     r(8679417L, "kong", "open university of hong kong"),
     r(889458895L, "kong", "university of hong kong",
       exc = "chinese university of hong kong|education university of hong kong|" +
-        "city university of hong kong|open university of hong kong"))
+        "city university of hong kong|open university of hong kong")) ++ rules2
+
+  private val CaGate = "canada|quebec|québec|montréal|montreal|trois rivières|" +
+    "trois rivieres|chicoutimi|rimouski|outaouais|abitibi"
+  // the u_quebec_strings variant list as one normalized regex ('.'
+  // absorbs the é/e spellings; 'univ' prefixes 'université/university')
+  private val UQc = "universit. du qu.bec|universit. of qu.bec|univ du qu.bec|" +
+    "univ of qu.bec|univ qu.bec|qu.bec univ|u de qu.bec|quebec university"
+  private val UMd = "univ of maryland|university of maryland"
+
+  /** Batch 2 (:700-1300 French labs incl. UMR/EA/FR unit codes — a
+    * joined-token row AND a spaced row per code, since normalization
+    * yields either 'umr7141' or 'umr 7141'; :3003-3330 Canada / DE /
+    * IN / VN / MX / US blocks). Case-sensitive reference acronyms that
+    * collide with common lowercase words (CHArt, LISA, RESPIRE) are
+    * deliberately omitted — lowercase matching would false-positive
+    * where the reference's exact-case regex cannot. */
+  private def rules2: Seq[Rule] = Seq(
+    // French lab acronyms (:700-1050), all gated on france
+    r(4387154094L, "cepn", "cepn", word = true, req = "france"),
+    r(4210154255L, "uren", "uren", word = true, req = "france"),
+    r(4387152862L, "experice", "experice", word = true, req = "france"),
+    r(4387156304L, "li2p", "li2p", word = true, req = "france"),
+    r(4387155240L, "utrpp", "utrpp", word = true, req = "france"),
+    r(4387153895L, "mshpn", "mshpn", word = true, req = "france"),
+    r(4387155632L, "urb2i", "urb2i", word = true, req = "france"),
+    r(4387153222L, "cspbat", "cspbat", word = true, req = "france"),
+    r(4387154308L, "cress", "cress", word = true, req = "france"),
+    r(4210161656L, "ldar", "ldar", word = true, req = "france"),
+    r(4210093096L, "certes", "certes", word = true, req = "france"),
+    r(4210145484L, "icmpe", "icmpe", word = true, req = "france"),
+    r(4210139303L, "crret", "crret", word = true, req = "france"),
+    r(4210159433L, "imrb", "imrb", word = true, req = "france"),
+    r(4210119150L, "vri", "vri", word = true, req = "france"),
+    r(4210126119L, "leesu", "leesu", word = true, req = "france"),
+    r(17606148L, "enva", "enva", word = true, req = "france"),
+    r(4387152707L, "circeft", "circeft", word = true, req = "france"),
+    r(4387156100L, "dynamyc", "dynamyc", word = true, req = "france"),
+    r(4387154016L, "sppin", "sppin", word = true, req = "france"),
+    r(4387154016L, "neurosciences", "paris institute for the neurosciences", req = "france"),
+    r(4387154016L, "umr8003", "umr8003", word = true, req = "france"),
+    r(4387154016L, "umr", "umr 8003", word = true, req = "france"),
+    r(4389425217L, "umr7141", "umr7141", word = true, req = "france"),
+    r(4389425217L, "umr", "umr 7141", word = true, req = "france"),
+    r(4387155530L, "neurodiderot", "neurodiderot"),
+    r(4387155530L, "umr1161", "umr1161", word = true, req = "france"),
+    r(4387155530L, "umr1129", "umr1129", word = true, req = "france"),
+    r(4387155530L, "umr1141", "umr1141", word = true, req = "france"),
+    r(4389425383L, "crimic", "crimic", word = true, req = "france"),
+    r(4389425318L, "creops", "creops", word = true, req = "france"),
+    r(4389425508L, "stms", "stms", word = true, req = "france"),
+    r(4389425508L, "umr9912", "umr9912", word = true, req = "france"),
+    r(4389425508L, "umr", "umr 9912", word = true, req = "france"),
+    r(4389425265L, "nps", "nps", word = true, req = "ibps"),
+    r(4389425265L, "seine", "neurosciences paris seine"),
+    r(4389425323L, "fcmat", "fcmat", word = true, req = "france"),
+    r(4389425323L, "fr2482", "fr2482", word = true, req = "france"),
+    r(4210151406L, "lpp", "lpp", word = true, req = "france"),
+    r(4210151406L, "plasmas", "laboratoire de physique des plasmas"),
+    r(4389425434L, "vale", "vale", word = true, req = "france"),
+    r(4389425314L, "celiso", "celiso", word = true, req = "france"),
+    r(4389425314L, "ea7332", "ea7332", word = true, req = "france"),
+    r(4389425262L, "b2a", "b2a", word = true, req = "france"),
+    r(4389425262L, "umr8256", "umr8256", word = true, req = "france"),
+    r(4389425493L, "gripic", "gripic", word = true, req = "france"),
+    r(4389425493L, "ea1498", "ea1498", word = true, req = "france"),
+    r(4389425316L, "umr8596", "umr8596", word = true, req = "france"),
+    r(4389425375L, "ea3550", "ea3550", word = true, req = "france"),
+    r(4389425293L, "psydev", "psydev", word = true, req = "france"),
+    r(4389425408L, "c3e", "c3e", word = true, req = "france"),
+    r(4389425367L, "hamcre", "hamcre", word = true, req = "france"),
+    r(4389425347L, "ardeluro", "ardeluro", word = true, req = "france"),
+    r(4389425476L, "biosfast", "biosfast", word = true, req = "france"),
+    r(4389425219L, "fr3020", "fr3020", word = true, req = "france"),
+    r(4389425281L, "fr2050", "fr2050", word = true, req = "france"),
+    r(4389425500L, "fr3640", "fr3640", word = true, req = "france"),
+    r(4389425500L, "quantum", "paris center for quantum", req = "france"),
+    r(4389425365L, "gdr2588", "gdr2588", word = true, req = "france"),
+    // Canada / Québec family (:3003-3098)
+    r(63341726L, "uqtr", "uqtr", word = true, req = CaGate),
+    r(159129438L, "uqam", "uqam", word = true, req = CaGate),
+    r(159129438L, "uqàm", "uqàm", word = true, req = CaGate),
+    r(104914703L, "uqac", "uqac", word = true, req = CaGate),
+    r(104914703L, "uqàc", "uqàc", word = true, req = CaGate),
+    r(182451676L, "uqar", "uqar", word = true, req = CaGate),
+    r(182451676L, "uqàr", "uqàr", word = true, req = CaGate),
+    r(190270569L, "uqat", "uqat", word = true, req = CaGate),
+    r(190270569L, "uqàt", "uqàt", word = true, req = CaGate),
+    r(33217400L, "uqo", "uqo", word = true, req = CaGate),
+    r(159129438L, "montréal", "montréal", word = true, req = UQc),
+    r(159129438L, "montreal", "montreal", word = true, req = UQc),
+    r(63341726L, "rivières", "trois rivières", req = UQc),
+    r(63341726L, "rivieres", "trois rivieres", req = UQc),
+    r(104914703L, "chicoutimi", "chicoutimi", word = true, req = UQc),
+    r(182451676L, "rimouski", "rimouski", word = true, req = UQc),
+    r(33217400L, "outaouais", "outaouais", word = true, req = UQc),
+    r(33217400L, "hull", "hull", word = true, req = UQc),
+    r(190270569L, "abitibi", "abitibi", word = true, req = UQc),
+    r(200745827L, "téluq", "téluq", word = true, req = CaGate),
+    r(200745827L, "teluq", "teluq", word = true, req = CaGate),
+    r(39481719L, "inrs", "inrs", word = true, req = CaGate),
+    r(39481719L, "scientifique", "institut national de la recherche scientifique", req = CaGate),
+    r(39481719L, "frappier", "armand frappier", req = CaGate),
+    r(31571312L, "enap", "enap", word = true, req = CaGate),
+    r(31571312L, "publique", "administration publique", req = "école|ecole"),
+    r(9736820L, "ets", "ets", word = true, req = CaGate),
+    r(9736820L, "technologie", "de technologie superieure", req = CaGate),
+    r(9736820L, "technologie", "de technologie supérieure", req = CaGate),
+    // University of Maryland campuses (:3099-3113, elif shadows)
+    r(79272384L, "maryland", "baltimore county", req = UMd),
+    r(126744593L, "maryland", "baltimore", req = UMd, exc = "baltimore county"),
+    r(126744593L, "maryland", "school of medicine", req = UMd),
+    r(22407884L, "maryland", "princess anne", req = UMd, exc = "baltimore"),
+    r(22407884L, "maryland", "eastern shore", req = UMd, exc = "baltimore"),
+    r(66946132L, "maryland", "college park", req = UMd,
+      exc = "baltimore|school of medicine|princess anne|eastern shore"),
+    // Universität Hamburg + UKE (:3114-3137, multi-id appends)
+    r(159176309L, "hamburg", "university of hamburg"),
+    r(159176309L, "hamburg", "univ of hamburg"),
+    r(159176309L, "hamburg", "hamburg univ"),
+    r(159176309L, "hamburg", "university medical cent", req = "hamburg"),
+    r(4210108711L, "hamburg", "university medical cent", req = "hamburg"),
+    r(159176309L, "eppendorf", "universitätsklinikum eppendorf"),
+    r(4210108711L, "eppendorf", "universitätsklinikum eppendorf"),
+    r(159176309L, "uke", "uke", word = true, req = "hamburg"),
+    r(4210108711L, "uke", "uke", word = true, req = "hamburg"),
+    // Comenius University Bratislava (:3138)
+    r(74788687L, "comenius", "comenius university", req = "slovakia|bratislava"),
+    r(74788687L, "commenius", "commenius university", req = "slovakia|bratislava"),
+    r(74788687L, "comenious", "comenious university", req = "slovakia|bratislava"),
+    // Polytechnic University of Bari (:3144)
+    r(68618741L, "bari", "politecnico di bari"),
+    r(68618741L, "bari", "polytechnic university of bari"),
+    r(68618741L, "bari", "technical university of bari"),
+    r(68618741L, "bari", "polytechnic of bari"),
+    // Hanoi S&T (:3161-3173)
+    r(94518387L, "hanoi", "university of science and technology of hanoi"),
+    r(94518387L, "hanoi", "hanoi university of science and technology"),
+    r(70349855L, "hanoi", "graduate university of science and technology"),
+    r(70349855L, "vast", "vast", word = true, req = "hanoi"),
+    r(94518387L, "usth", "usth", word = true, req = "vietnam"),
+    // SSN College of Engineering (:3174)
+    r(916357946L, "ssn", "ssn", word = true, req = "india|chennai"),
+    r(916357946L, "nadar", "sivasubramaniya nadar", req = "india|chennai"),
+    r(916357946L, "sivasubramaniya", "sri sivasubramaniya nadar college of engineering"),
+    // National Kaohsiung S&T (:3195)
+    r(4387154394L, "kaohsiung", "kaohsiung university of sci"),
+    r(4387154394L, "kaohsiung", "kaohsiung univ of science and tech"),
+    r(4387154394L, "kaohsiung", "kaohsiung university sciences and tech"),
+    // HSE acronym tier (:3202)
+    r(118501908L, "hse", "hse", word = true, req = "russia"),
+    r(118501908L, "hse", "hse university"),
+    r(118501908L, "hse", "nru hse"),
+    // Jinzhou Medical (:3209)
+    r(85430964L, "jinzhou", "jinzhou medical univ"),
+    r(85430964L, "jinzhou", "jinzhou medicinal univ"),
+    // Christian Medical College (:3215)
+    r(172917736L, "christian", "christian medical college"),
+    // AIIMS campuses (:3219-3256): city elif chain, Delhi default
+    r(4210117092L, "aiims", "aiims", word = true, req = "bhubaneswar"),
+    r(4210106490L, "aiims", "aiims", word = true, req = "bhopal"),
+    r(4401200305L, "aiims", "aiims", word = true, req = "nagpur"),
+    r(4387153078L, "aiims", "aiims", word = true, req = "guwahati"),
+    r(4387152206L, "aiims", "aiims", word = true, req = "rishikesh"),
+    r(129734738L, "aiims", "aiims", word = true, req = "raipur"),
+    r(216021267L, "aiims", "aiims", word = true, req = "jodhpur"),
+    r(4396570500L, "aiims", "aiims", word = true, req = "deoghar"),
+    r(63739035L, "aiims", "aiims", word = true,
+      exc = "bhubaneswar|bhopal|nagpur|guwahati|rishikesh|raipur|jodhpur|deoghar"),
+    // Anna University (:3257)
+    r(33585257L, "anna", "anna university", req = "india", exc = "coimbatore"),
+    r(4400600945L, "anna", "anna university", req = "coimbatore"),
+    // Instituto Politécnico Nacional / CINVESTAV (:3267)
+    r(68368234L, "ipn", "ipn", word = true, req = "cinvestav"),
+    r(59361560L, "ipn", "ipn", word = true,
+      req = "mexico|méxico|oaxaca|cdmx|esime|ciidir|cicimar|estudios avanzados|ciencias marinas",
+      exc = "cinvestav"),
+    // Army Engineering University (:3282)
+    r(4210163363L, "army", "army engineering university", req = "shijiazhuang|china"),
+    // University of North Texas campuses (:3287)
+    r(123534392L, "texas", "university of north texas",
+      req = "denton|health science center|fort worth"),
+    r(165139151L, "texas", "university of north texas",
+      req = "health science center|fort worth", exc = "denton"),
+    r(87573096L, "texas", "university of north texas", req = "dallas",
+      exc = "denton|health science center|fort worth"),
+    // Vet Hannover (:3300)
+    r(189991L, "hannover", "university of veterinary medicine", req = "hannover"),
+    // Upstate Medical (:3305)
+    r(20388574L, "syracuse", "upstate medical university"),
+    r(20388574L, "syracuse", "upstate college of medicine"),
+    // Cukurova alternate form (:3312)
+    r(55931168L, "cukurova", "university of cukurova", req = "turkey"),
+    // Panjab / Punjab (:3317-3321)
+    r(51452335L, "panjab", "panjab university"),
+    r(172780181L, "punjab", "punjab university"),
+    // Universidad de Los Andes, Bogotá (:3324)
+    r(162096671L, "andes", "universidad de los andes", req = "bogota|bogotá|colombia"),
+    r(162096671L, "andes", "university los andes", req = "bogota|bogotá|colombia"))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -56,19 +56,21 @@ object Concepts {
       filterThreshold: Double = 0.20, baseMid: Double = 5.0,
       halfRange: Double = 6.0, centerSize: Int = 7,
       slope: Double = 0.05): DataFrame = {
+    // slug regex chain evaluated ONCE per registry row (vocabulary-
+    // bounded, broadcast side) — not once per exploded work-concept row
+    val reg = registry.withColumn("__slug",
+      concat(lit("https://openalex.org/keywords/"), keywordSlug(col("display_name"))))
     val joined = lm
       .select(col("work_id"), explode(col("concepts")).as("concept"))
-      .join(broadcast(registry), col("concept.id") === col("concept_id"))
+      .join(broadcast(reg), col("concept.id") === col("concept_id"))
       .select(col("work_id"), col("concept_id"),
         col("concept.score").cast("double").as("score"),
-        col("wikidata_id"), col("display_name"), col("level"))
+        col("wikidata_id"), col("display_name"), col("level"), col("__slug"))
       .distinct()
     val cStruct = struct(col("concept_id").as("id"),
       col("wikidata_id").as("wikidata"), col("display_name"),
       col("level"), round(col("score"), 4).as("score"))
-    val kStruct = when(col("level") > 1, struct(
-      concat(lit("https://openalex.org/keywords/"),
-        keywordSlug(col("display_name"))).as("id"),
+    val kStruct = when(col("level") > 1, struct(col("__slug").as("id"),
       col("display_name"), round(col("score"), 4).as("score")))
     val agg = joined.groupBy(col("work_id")).agg(
       slice(array_sort(collect_set(cStruct), cmp), 1, 40).as("concepts"),

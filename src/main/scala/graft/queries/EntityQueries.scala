@@ -328,7 +328,21 @@ object EntityQueries {
     "Independent Researcher",
     "CHU de Reims, Hôpital Maison Blanche, Reims, France",
     "Université de Reims Champagne-Ardenne, Reims, France",
-    "University of Texas Health Science Center at San Antonio, TX")
+    "University of Texas Health Science Center at San Antonio, TX",
+    "UQAM, Montréal, Canada",
+    "Université du Québec à Trois-Rivières, QC, Canada",
+    "All India Institute of Medical Sciences (AIIMS), New Delhi",
+    "AIIMS Bhopal, Madhya Pradesh",
+    "University of Maryland, Baltimore County, MD",
+    "University of Maryland School of Medicine, Baltimore, MD",
+    "Universitätsklinikum Hamburg-Eppendorf (UKE), Hamburg, Germany",
+    "CINVESTAV-IPN, Ciudad de México, Mexico",
+    "Politecnico di Bari, Italy",
+    "SSN College of Engineering, Chennai, India",
+    "École de technologie supérieure, Montréal, Canada",
+    "Laboratoire de Physique des Plasmas (LPP), École Polytechnique, France",
+    "NeuroDiderot, UMR 1141, INSERM, Université Paris Cité, France",
+    "University of North Texas Health Science Center, Fort Worth, TX")
 
   /** §2.4 concepts_api rebuild (CreateConceptsAPI.ipynb): per-work
     * concept dedup (duplicate structs synthesized on k%4=0 residues),
