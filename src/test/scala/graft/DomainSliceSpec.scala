@@ -68,7 +68,9 @@ class DomainSliceSpec extends AnyFunSuite {
       ("l4", mkRow(None, None, Some("an ambiguous long title here|jones"))), // 4 cands → mint
       ("l5", mkRow(None, None, Some("short|x"))),         // guard: too short → mint
       ("l6", mkRow(Some("10.1/new"), None, None)),        // unmapped doi → mint
-      ("l7", mkRow(Some("10.1/new"), None, None)))        // same new doi → SAME minted id
+      ("l7", mkRow(Some("10.1/new"), None, None)),        // same new doi → SAME minted id
+      ("l8", mkRow(Some("10.1/miss"), Some("pm1"), None)),// doi MISSES map → pmid hit wins
+      ("l9", mkRow(Some("10.1/x"), Some("pm1"), None)))   // both hit → doi priority wins
       .map { case (n, (d, p, t)) => (n, d, p, t) }
       .toDF("loc", "doi", "pmid", "arxiv_raw")
       .withColumn("merge_key", struct(col("doi"), col("pmid"),
@@ -82,16 +84,23 @@ class DomainSliceSpec extends AnyFunSuite {
       ("title_author", "a discriminative long title|smith", 302L)) ++
       (1 to 4).map(i => ("title_author", amb, 400L + i)))
       .toDF("key_type", "key", "work_id")
-    val out = WorkIdResolver.resolve(locations, idMap)
-      .select(col("loc"), col("work_id"), col("work_id_source"))
-      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(out("l1") == ((100L, "doi")))
-    assert(out("l2") == ((200L, "pmid")))
-    assert(out("l3") == ((301L, "title_author")))
-    assert(out("l4")._2 == "minted" && out("l4")._1 > 6600000000L)
-    assert(out("l5")._2 == "minted")
-    assert(out("l6") == out("l7")) // same key ⇒ same minted id
-    assert(Set(out("l4")._1, out("l5")._1, out("l6")._1).size == 3)
+    // BOTH physical strategies must produce identical results: the
+    // sequential broadcast-friendly tiers and the fused single-shuffle
+    // union-keyed join (see WorkIdResolver doc for the crossover)
+    Seq(WorkIdResolver.resolve _, WorkIdResolver.resolveFused _).foreach { f =>
+      val out = f(locations, idMap)
+        .select(col("loc"), col("work_id"), col("work_id_source"))
+        .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out("l1") == ((100L, "doi")))
+      assert(out("l2") == ((200L, "pmid")))
+      assert(out("l3") == ((301L, "title_author")))
+      assert(out("l4")._2 == "minted" && out("l4")._1 > 6600000000L)
+      assert(out("l5")._2 == "minted")
+      assert(out("l6") == out("l7")) // same key ⇒ same minted id
+      assert(Set(out("l4")._1, out("l5")._1, out("l6")._1).size == 3)
+      assert(out("l8") == ((200L, "pmid"))) // missed doi falls through
+      assert(out("l9") == ((100L, "doi")))  // priority among multiple hits
+    }
   }
 
   test("WorksBase: survivorship by priority, location ranking, OA status") {
