@@ -145,7 +145,49 @@ object AwardKeys {
       n => trimZeros(ex(n, "^(\\d{4,6})_\\d+$")),
       n => trimZeros(ex(
         regexp_replace(regexp_replace(n, "^[#]+ ?", ""), "^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)", ""),
-        "^(\\d{4,6})([-_]\\d+)?$"))))
+        "^(\\d{4,6})([-_]\\d+)?$")))) ++ ukriRules ++ dodRules
+
+  /** UKRI councils (:55-60 / :106-111): registry strips separators;
+    * deposited salvages the council's GRANT-REF pattern
+    * (XX/ A12345 /1) with lookarounds, falling back to a label-strip.
+    * One shape, six councils — the rule factory IS the generator's
+    * structure. */
+  private def ukri(funderId: Long, prefixRe: String, label: String): SharpRule =
+    SharpRule(funderId,
+      n => nullif(regexp_replace(n, "[ _/.-]", ""), lit("")),
+      n => coalesce(
+        regexp_replace(ex(n,
+          s"(?<![A-Z0-9])($prefixRe/ ?[A-Z0-9/]{4,14}?(/[0-9]{1,2})?)(?![A-Z0-9])"),
+          "[ /]", ""),
+        nullif(regexp_replace(
+          regexp_replace(n, s"^($label|UKRI|GRANT|NO)[ .:#-]*", ""),
+          "[ _/.-]", ""), lit(""))))
+
+  private def ukriRules: Seq[SharpRule] = Seq(
+    ukri(4320334626L, "MR", "MRC"),        // Medical Research Council
+    ukri(4320334629L, "BBS?", "BBSRC"),    // Biotech & Biosciences
+    ukri(4320334631L, "NE", "NERC"),       // Natural Environment
+    ukri(4320334632L, "(ST|PP)", "STFC"),  // Science & Technology Facilities
+    ukri(4320334630L, "ES", "ESRC"),       // Economic & Social
+    ukri(4320334609L, "AH", "AHRC"))       // Arts & Humanities
+
+  /** US DOD agencies (:62-70 / :113-121): strip separators, anchored
+    * contract-number grammars per agency. */
+  private def dod(funderId: Long, re: String): SharpRule =
+    SharpRule(funderId,
+      n => nullif(regexp_extract(regexp_replace(n, "[-_ ]", ""), s"^($re)$$", 1), lit("")),
+      n => nullif(regexp_extract(regexp_replace(n, "[-_ ]", ""), s"^($re)$$", 1), lit("")))
+
+  private def dodRules: Seq[SharpRule] = Seq(
+    dod(4320338281L, "W911NF[0-9]{2}[A-Z0-9]{3,9}"),                  // ARO
+    dod(4320337345L, "N[0-9]{5}[0-9]{2}[A-Z0-9]{3,9}"),               // ONR
+    dod(4320338279L, "(?:FA[0-9]{4}|F49620)[0-9]{2}[A-Z0-9]{3,9}"),   // AFOSR
+    dod(4320332180L,
+      "(?:HR0011|D[0-9]{2}A[CP]|N66001|W31P4Q|FA86[0-9]{2}|FA87[0-9]{2})[0-9A-Z]{5,12}"), // DARPA
+    dod(4320332186L, "HDTRA[0-9][0-9]{2}[A-Z0-9]{3,9}"),              // DTRA
+    dod(4320338280L, "(?:W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9}"),
+    dod(4320338415L, "(?:W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9}"),
+    dod(4320338478L, "(?:W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9}"))
 
   /** `award_id_is_weak`: deposited bare numbers at dense numeric
     * registries (single source of truth WEAK_BARE in the generator). */

@@ -41,7 +41,13 @@ object AwardQueries {
     (4320334506L, "# 950-123456", "deposited"),
     (4320334506L, "12345_2", "registry"),
     (999L, "NSF-ABC 1234", "deposited"),
-    (999L, "A 1", "deposited"))
+    (999L, "A 1", "deposited"),
+    (4320334626L, "MR/S026193/1", "deposited"),
+    (4320334626L, "MRC Grant MR/N013166/1, UK", "deposited"),
+    (4320334626L, "MR/S026193/1", "registry"),
+    (4320338281L, "W911NF-18-1-0327", "deposited"),
+    (4320332180L, "HR0011-20-C-0021", "deposited"),
+    (4320337345L, "N00014-21-1-2345", "deposited"))
 
   private def q68(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -62,22 +68,27 @@ object AwardQueries {
       "nsc1012218e002008", "kakenhi17h01234", "jp19k12345", "202100123456",
       "004567", "pid2020112345gbi00", "grantpid2020112345gbi00fundedbymcin",
       "vr201704630", "20174630", "pi191234", "950123456", "123452",
-      "nsfabc1234", "a 1")
+      "nsfabc1234", "a 1",
+      "mrs0261931", "mrcgrantmrn0131661uk", "mrs0261931",
+      "w911nf1810327", "hr001120c0021", "n000142112345")
     val sharps = Seq("'21-CE45-0012'", "'21-CE45-0012'", "'098765'", "'098765'",
       "'012345'", "'1092221E002152MY3'", "'1012218E002008'", "'17H01234'",
       "'19K12345'", "'123456'", "'4567'", "'PID2020-112345GB-I00'",
       "'PID2020-112345'", "'2017-04630'", "NULL", "'PI19/01234'", "'123456'",
-      "'12345'", "NULL", "NULL")
+      "'12345'", "NULL", "NULL",
+      "'MRS0261931'", "'MRN0131661'", "'MRS0261931'",
+      "'W911NF1810327'", "'HR001120C0021'", "'N000142112345'")
     val weaks = Seq(4, 10)
+    val m = forms.size
     def cases(vals: Seq[String]) = vals.zipWithIndex
       .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
     s"""SELECT o_orderkey AS k,
-       |CASE o_orderkey % 20 ${cases(forms.map(f => s"CAST(${f._1} AS BIGINT)"))} END AS funder_id,
-       |CASE o_orderkey % 20 ${cases(forms.map(f => "'" + f._2.replace("'", "''") + "'"))} END AS award_id,
-       |CASE o_orderkey % 20 ${cases(forms.map(f => s"'${f._3}'"))} END AS side,
-       |CASE o_orderkey % 20 ${cases(generics.map(g => s"'$g'"))} END AS generic_key,
-       |CASE o_orderkey % 20 ${cases(sharps)} END AS sharp_key,
-       |(o_orderkey % 20) IN (${weaks.mkString(",")}) AS weak
+       |CASE o_orderkey % $m ${cases(forms.map(f => s"CAST(${f._1} AS BIGINT)"))} END AS funder_id,
+       |CASE o_orderkey % $m ${cases(forms.map(f => "'" + f._2.replace("'", "''") + "'"))} END AS award_id,
+       |CASE o_orderkey % $m ${cases(forms.map(f => s"'${f._3}'"))} END AS side,
+       |CASE o_orderkey % $m ${cases(generics.map(g => s"'$g'"))} END AS generic_key,
+       |CASE o_orderkey % $m ${cases(sharps)} END AS sharp_key,
+       |(o_orderkey % $m) IN (${weaks.mkString(",")}) AS weak
        |FROM orders""".stripMargin
   }
 
