@@ -527,7 +527,89 @@ object AffiliationRules {
     r(172780181L, "punjab", "punjab university"),
     // Universidad de Los Andes, Bogotá (:3324)
     r(162096671L, "andes", "universidad de los andes", req = "bogota|bogotá|colombia"),
-    r(162096671L, "andes", "university los andes", req = "bogota|bogotá|colombia"))
+    r(162096671L, "andes", "university los andes", req = "bogota|bogotá|colombia")) ++ rules3
+
+  /** Batch 3 (:1286-1500 Lyon / Tours / Orléans hospital+university
+    * complexes; :1480-1520 Hong Kong acronym tier). */
+  private def rules3: Seq[Rule] = Seq(
+    // Lyon geology / cancer / CNRS-unit labs
+    r(4210155927L, "lyon", "laboratory of geology of lyon"),
+    r(4210155927L, "lyon", "laboratoire de géologie de lyon"),
+    r(4210155927L, "lgltpe", "lgltpe", word = true),
+    r(4210125048L, "crcl", "crcl", word = true, req = "lyon|france"),
+    r(4210125048L, "cnrs", "cnrs 5286", word = true),
+    r(4210125048L, "cnrs5286", "cnrs5286", word = true),
+    r(4210104796L, "jordan", "institut camille jordan"),
+    r(4210104796L, "umr5208", "umr5208", word = true),
+    r(4210104796L, "umr", "umr 5208", word = true),
+    r(4210104796L, "cnrs5208", "cnrs5208", word = true),
+    r(4210104796L, "cnrs", "cnrs 5208", word = true),
+    r(2800958632L, "inl", "inl", word = true, req = "lyon|france"),
+    r(2800958632L, "umr5270", "umr5270", word = true),
+    r(2800958632L, "umr", "umr 5270", word = true),
+    r(2800958632L, "lyon", "nanotechnology institute of lyon"),
+    r(159885104L, "ephe", "ephe", word = true, req = "france|lyon|paris"),
+    r(4210135640L, "lbbe", "lbbe", word = true, req = "france|lyon"),
+    r(4210133140L, "light", "light matter institute"),
+    r(4210096929L, "umr5672", "umr5672", word = true),
+    r(4210096929L, "umr", "umr 5672", word = true),
+    r(4210089315L, "rousse", "croix rousse university hospital"),
+    r(4210089315L, "rousse", "croix rousse hospital"),
+    r(4210123600L, "herriot", "herriot hospital"),
+    r(4210123600L, "herriot", "hôpital edouard herriot"),
+    r(4210123600L, "herriot", "edouard herriot", req = "lyon"),
+    r(4210149024L, "lmfa", "lmfa", word = true),
+    r(4210149024L, "fluid", "fluid mechanics and acoustic"),
+    r(4210116130L, "prc", "prc", word = true, req = "cire|inrae|nouzilly"),
+    r(4210116130L, "reproduction", "physiologie de la reproduction et des comportements"),
+    // Claude Bernard University Lyon 1 (:1367-1400)
+    r(100532134L, "ucbl", "ucbl", word = true),
+    r(100532134L, "lyon", "lyon 1", word = true),
+    r(100532134L, "lyon1", "lyon1", word = true),
+    r(100532134L, "lyon", "lyon i", word = true),
+    r(100532134L, "bernard", "claude bernard"),
+    r(100532134L, "libm", "libm", word = true, req = "lyon|france"),
+    r(100532134L, "lbmc", "lbmc", word = true, req = "lyon|france"),
+    r(100532134L, "ibcp", "ibcp", word = true),
+    r(100532134L, "ciri", "ciri", word = true, req = "lyon|france"),
+    r(100532134L, "lyon", "université de lyon"),
+    r(100532134L, "lyon", "university of lyon"),
+    r(100532134L, "lyon", "universite de lyon"),
+    r(100532134L, "lyon", "univ lyon"),
+    r(100532134L, "lyon", "univ de lyon"),
+    r(100532134L, "umr5574", "umr5574", word = true),
+    r(100532134L, "umr", "umr 5574", word = true),
+    r(100532134L, "umr5005", "umr5005", word = true),
+    r(100532134L, "umr", "umr 5005", word = true),
+    // Denis Poisson / Orléans / Tours (:1405-1480)
+    r(4387156285L, "poisson", "institut denis poisson"),
+    r(4387156285L, "poisson", "institut dennis poisson"),
+    r(4387156285L, "poisson", "fédération denis poisson"),
+    r(12449238L, "orléans", "université d orléans"),
+    r(12449238L, "orléans", "univ orléans"),
+    r(12449238L, "orléans", "university orléans"),
+    r(110017253L, "tours", "tours university"),
+    r(110017253L, "tours", "université de tours"),
+    r(110017253L, "tours", "universite de tours"),
+    r(110017253L, "tours", "université tours"),
+    r(110017253L, "tours", "univ tours"),
+    r(110017253L, "tours", "u de tours", word = true),
+    r(110017253L, "tours", "university tours"),
+    r(110017253L, "rabelais", "rabelais", req = "univ"),
+    r(4210095477L, "chu", "chu", word = true, req = "tours"),
+    r(4210095477L, "chru", "chru", word = true, req = "tours"),
+    r(4210095477L, "bretonneau", "bretonneau", req = "tours"),
+    r(4210095477L, "trousseau", "trousseau", req = "tours"),
+    r(4210095477L, "clocheville", "clocheville", req = "tours"),
+    r(110017253L, "nantes", "nantes and tours"),
+    r(97188460L, "nantes", "nantes and tours"),
+    r(110017253L, "nantes", "nantes et tours"),
+    r(97188460L, "nantes", "nantes et tours"),
+    // Hong Kong acronym tier (:1480-1520)
+    r(4210116924L, "cuhksz", "cuhksz", word = true),
+    r(4210086892L, "euhk", "euhk", word = true),
+    r(4210086892L, "hkied", "hkied", word = true),
+    r(4210086892L, "eduhk", "eduhk", word = true))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -151,6 +151,21 @@ object Concepts {
         col("created_date"))
   }
 
+  /** Inference-input gate (concepts_create_input.ipynb): works still
+    * needing concept inference — anti-join against already-tagged
+    * works, non-null id/title, and the signal-length gates (short
+    * title alone is not enough evidence to tag).
+    * @param works  (work_id, title, abstract, journal, doc_type)
+    * @param tagged (work_id) — works already in work_concepts */
+  def inferenceInput(works: DataFrame, tagged: DataFrame): DataFrame =
+    works
+      .join(tagged.select(col("work_id")), Seq("work_id"), "left_anti")
+      .filter(col("work_id").isNotNull && col("title").isNotNull &&
+        ((length(col("title")) > 20 && length(col("abstract")) > 50) ||
+          length(col("title")) > 50 || length(col("abstract")) > 150))
+      .select(col("work_id"), col("title"), col("abstract"),
+        col("journal"), col("doc_type"))
+
   // The API notebooks' content-hash change detection (xxhash64 over
   // '|'-joined columns, updated_date preserved unless content moved)
   // is [[Authors.contentHash]] + [[Authors.stampUpdated]] — the same

@@ -342,7 +342,13 @@ object EntityQueries {
     "École de technologie supérieure, Montréal, Canada",
     "Laboratoire de Physique des Plasmas (LPP), École Polytechnique, France",
     "NeuroDiderot, UMR 1141, INSERM, Université Paris Cité, France",
-    "University of North Texas Health Science Center, Fort Worth, TX")
+    "University of North Texas Health Science Center, Fort Worth, TX",
+    "Université Claude Bernard Lyon 1, Villeurbanne, France",
+    "CHU de Tours, Hôpital Bretonneau, Tours, France",
+    "Institut Camille Jordan, UMR 5208, Lyon",
+    "EdUHK, Tai Po, Hong Kong",
+    "Université de Tours, France",
+    "Institut Denis Poisson, Orléans, France")
 
   /** §2.4 concepts_api rebuild (CreateConceptsAPI.ipynb): per-work
     * concept dedup (duplicate structs synthesized on k%4=0 residues),

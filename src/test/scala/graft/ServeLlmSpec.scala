@@ -42,6 +42,23 @@ class ServeLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("Concepts.inferenceInput: anti-join + signal-length gates") {
+    import graft.entities.Concepts
+    val t25 = "t" * 25; val t55 = "t" * 55; val a60 = "a" * 60; val a160 = "a" * 160
+    val works = Seq(
+      (1L, t25, a60, "J", "article"),    // title>20 & abstract>50 → in
+      (2L, t55, "", "J", "article"),     // title>50 alone → in
+      (3L, "short", a160, "J", "article"), // abstract>150 alone → in
+      (4L, t25, "tiny", "J", "article"), // neither gate → out
+      (5L, t25, a60, "J", "article"),    // already tagged → out
+      (6L, null.asInstanceOf[String], a160, "J", "article")) // null title → out
+      .toDF("work_id", "title", "abstract", "journal", "doc_type")
+    val tagged = Seq(Tuple1(5L)).toDF("work_id")
+    val got = Concepts.inferenceInput(works, tagged)
+      .select("work_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("TopicsPipeline: input selection anti-joins and merge-output top-3") {
     import graft.llm.TopicsPipeline
     val works = Seq(
