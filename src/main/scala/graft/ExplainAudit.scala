@@ -57,6 +57,18 @@ object ExplainAudit {
     check("""\(\d+\) Exchange""".r.findAllMatchIn(p01).size == 1,
       "q01 shuffles exactly once")
 
+    val p64 = plan("q64_affiliation_rules")
+    check(p64.contains("BroadcastHashJoin"),
+      "q64 broadcasts the affiliation rules table (big side never shuffles for the match)")
+
+    val p66 = plan("q66_keywords_dynamic")
+    check(p66.contains("BroadcastHashJoin"),
+      "q66 broadcasts the concept registry (slug regexes evaluated on the small side)")
+
+    val p36 = plan("q36_dedup_jaccard_rare_shingle")
+    check(!p36.contains("Window"),
+      "q36 df-computation is hash aggregation, not a per-shingle window sort")
+
     val singlePartitionOk = Set("q26_id_minting",
       "q51_work_id_resolver", "q52_author_match_cascade")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
