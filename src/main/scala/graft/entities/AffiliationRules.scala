@@ -609,7 +609,117 @@ object AffiliationRules {
     r(4210116924L, "cuhksz", "cuhksz", word = true),
     r(4210086892L, "euhk", "euhk", word = true),
     r(4210086892L, "hkied", "hkied", word = true),
-    r(4210086892L, "eduhk", "eduhk", word = true))
+    r(4210086892L, "eduhk", "eduhk", word = true)) ++ rules4
+
+  private val HdGate = "heidelberg|mannheim|heidelburg"
+  private val DdGate = "düsseldorf|duesseldorf|dusseldorf"
+
+  /** Batch 4 (:1600-1850): DE university+hospital multi-id complexes,
+    * MX/BR/AT/PT/CN/IN blocks. */
+  private def rules4: Seq[Rule] = Seq(
+    // Guiyang/Guizhou Medical (:1610)
+    r(149137203L, "guiyang", "guiyang medical university", req = "china"),
+    r(149137203L, "guizhou", "guizhou medical university", req = "china"),
+    // NKUST (:1615)
+    r(109289231L, "nkust", "nkust", word = true),
+    r(109289231L, "kaohsiung", "national kaohsiung first university of science and technology"),
+    // Tec de Monterrey (:1620)
+    r(98461037L, "monterrey", "tecnológico de monterrey"),
+    r(98461037L, "monterrey", "tecnologico de monterrey"),
+    r(98461037L, "itesm", "itesm", word = true, req = "monterrey"),
+    r(98461037L, "monterrey", "tec de monterrey"),
+    r(98461037L, "monterrey", "monterrey institute of technology"),
+    // North China Water Conservancy & EP (:1629)
+    r(198645480L, "conservancy", "water conservancy and electric power", req = "china"),
+    r(198645480L, "uwcep", "uwcep", word = true, req = "china"),
+    // UNICAMP (:1638)
+    r(181391015L, "unicamp", "unicamp", word = true, req = "campinas"),
+    r(181391015L, "campinas", "state university of campinas"),
+    r(181391015L, "campinas", "universidade estadual de campinas"),
+    // Goethe University Frankfurt (:1645-1675)
+    r(114090438L, "goethe", "goethe universit"),
+    r(114090438L, "goethe", "universidad goethe"),
+    r(114090438L, "frankfurt", "university of frankfurt"),
+    r(114090438L, "frankfurt", "university frankfurt"),
+    r(114090438L, "frankfurt", "universität frankfurt"),
+    r(114090438L, "frankfurt", "frankfurt medical school"),
+    r(114090438L, "frankfurt", "university clinic of frankfurt"),
+    r(114090438L, "kernphysik", "institut für kernphysik", req = "frankfurt|goethe"),
+    r(114090438L, "frankfurt", "frankfurt university",
+      exc = "applied sciences|music and performing arts"),
+    r(114090438L, "frankfurt", "university cancer center", req = "frankfurt"),
+    r(4210132578L, "frankfurt", "university cancer center", req = "frankfurt"),
+    // TU Graz (:1677)
+    r(4092182L, "graz", "tu graz"),
+    r(4092182L, "tugraz", "tugraz", word = true),
+    r(4092182L, "graz", "technical university of graz"),
+    r(4092182L, "graz", "technical university graz"),
+    r(4092182L, "graz", "graz technical university"),
+    r(4092182L, "graz", "university of technology", req = "graz"),
+    r(4092182L, "tug", "tug", word = true, req = "austria"),
+    // Universidade Nova de Lisboa (:1694)
+    r(83558840L, "nova", "nova school of science and technology", req = "portugal"),
+    r(83558840L, "nova", "fct nova", req = "portugal"),
+    r(83558840L, "lisbon", "new university of lisbon", req = "portugal"),
+    r(83558840L, "nova", "nova medical school", req = "portugal"),
+    r(83558840L, "nova", "universidade nova de lisboa"),
+    r(83558840L, "uninova", "uninova", word = true, req = "portugal"),
+    // Heidelberg University (+ hospital multi-id, :1703-1760)
+    r(223822909L, "heidelberg", "university heidelberg"),
+    r(223822909L, "heidelberg", "university of heidelberg"),
+    r(223822909L, "heidelberg", "universität heidelberg"),
+    r(223822909L, "heidelberg", "heidelberg univ"),
+    r(223822909L, "karls", "ruprecht karls universit"),
+    r(223822909L, "karls", "ruprecht karls university"),
+    r(223822909L, "dkfz", "dkfz", word = true),
+    r(223822909L, "cancer", "german cancer research center"),
+    r(223822909L, "hospital", "university hospital", req = HdGate),
+    r(2802164966L, "hospital", "university hospital", req = HdGate),
+    r(223822909L, "klinikum", "universitätsklinikum heidelberg"),
+    r(2802164966L, "klinikum", "universitätsklinikum heidelberg"),
+    r(223822909L, "faculty", "medical faculty", req = HdGate),
+    r(2802164966L, "faculty", "medical faculty", req = HdGate),
+    // IIT (ISM) Dhanbad (:1762)
+    r(189109744L, "dhanbad", "indian institute of technology", req = "dhanbad"),
+    r(189109744L, "dhanbad", "indian school of mines"),
+    r(189109744L, "ism", "ism", word = true, req = "india|dhanbad"),
+    // IIT Hyderabad (:1773)
+    r(65181880L, "iiit", "iiit", word = true, req = "hyderabad"),
+    r(65181880L, "hyderabad", "indian institute of technology", req = "hyderabad"),
+    r(65181880L, "hyderabad", "iit hyderabad"),
+    // Hubei University (:1781)
+    r(75900474L, "hubei", "hubei university", exc = "hubei university of"),
+    r(75900474L, "hubei", "hubei university of china"),
+    // Hongik (:1788)
+    r(94588446L, "hongik", "hongik university"),
+    // Henan Polytechnic / Normal (:1791-1797)
+    r(4210166499L, "henan", "henan polytechnic"),
+    r(4210166499L, "henan", "henan quality polytechnic"),
+    r(75955062L, "henan", "henan normal univ"),
+    // Heinrich Heine Düsseldorf (+ hospital multi-id, :1799-1840)
+    r(44260953L, "hhu", "hhu", word = true),
+    r(44260953L, "heine", "heinrich heine"),
+    r(44260953L, "düsseldorf", "universität düsseldorf"),
+    r(44260953L, "düsseldorf", "university düsseldorf"),
+    r(44260953L, "duesseldorf", "university duesseldorf"),
+    r(44260953L, "dusseldorf", "university dusseldorf"),
+    r(44260953L, "düsseldorf", "university of düsseldorf", exc = "applied sciences"),
+    r(44260953L, "duesseldorf", "university of duesseldorf", exc = "applied sciences"),
+    r(44260953L, "dusseldorf", "university of dusseldorf", exc = "applied sciences"),
+    r(4210089242L, "hospital", "university hospital", req = DdGate),
+    r(44260953L, "hospital", "university hospital", req = DdGate),
+    r(4210089242L, "uniklinik", "uniklinik", req = DdGate),
+    r(44260953L, "uniklinik", "uniklinik", req = DdGate),
+    // German Center for Diabetes Research (:1843, multi-id)
+    r(4210152419L, "diabetes", "german center for diabetes research", req = "germany"),
+    r(44260953L, "diabetes", "german center for diabetes research", req = "germany"),
+    r(4210152419L, "diabetes", "german centre for diabetes research", req = "germany"),
+    r(44260953L, "diabetes", "german centre for diabetes research", req = "germany"),
+    // IUPU Columbus / Fort Wayne (:1849)
+    r(59900826L, "iupuc", "iupuc", word = true),
+    r(59900826L, "columbus", "indiana university purdue university columbus"),
+    r(162817326L, "iupufw", "iupufw", word = true),
+    r(162817326L, "wayne", "indiana university purdue university fort wayne"))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -348,7 +348,13 @@ object EntityQueries {
     "Institut Camille Jordan, UMR 5208, Lyon",
     "EdUHK, Tai Po, Hong Kong",
     "Université de Tours, France",
-    "Institut Denis Poisson, Orléans, France")
+    "Institut Denis Poisson, Orléans, France",
+    "Goethe-Universität Frankfurt am Main, Germany",
+    "Medical Faculty Mannheim, Heidelberg University, Germany",
+    "Graz University of Technology (TU Graz), Austria",
+    "Universidade Estadual de Campinas (UNICAMP), SP, Brazil",
+    "Hochschule Düsseldorf University of Applied Sciences",
+    "Indian School of Mines (ISM), Dhanbad, India")
 
   /** §2.4 concepts_api rebuild (CreateConceptsAPI.ipynb): per-work
     * concept dedup (duplicate structs synthesized on k%4=0 residues),
