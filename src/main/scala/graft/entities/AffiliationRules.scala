@@ -719,7 +719,109 @@ object AffiliationRules {
     r(59900826L, "iupuc", "iupuc", word = true),
     r(59900826L, "columbus", "indiana university purdue university columbus"),
     r(162817326L, "iupufw", "iupufw", word = true),
-    r(162817326L, "wayne", "indiana university purdue university fort wayne"))
+    r(162817326L, "wayne", "indiana university purdue university fort wayne")) ++ rules5
+
+  // 'More French institutions' gate (:1925)
+  private val FrGate2 = "paris|france|bordeaux|toulouse|grenoble|rouen|lyon|" +
+    "nantes|montpellier|sorbonne|rennes|caen|normandie"
+  private val CeaWord = "\\bcea\\b"
+
+  /** Batch 5 (:1850-2100): IUPUI/Bloomington, Inner Mongolia, ITU,
+    * and the high-frequency French national institutes — INSERM, CNRS,
+    * the CEA site family (elif shadows as excludes), INRAE, the INSA
+    * campuses. LIS/PBS/BIAM are omitted: lowercase word-collisions the
+    * reference's case-sensitive regex avoids (and it marks them
+    * 'check' itself). */
+  private def rules5: Seq[Rule] = Seq(
+    // IUPUI / IU Bloomington / Indianapolis medicine (:1850-1895)
+    r(55769427L, "iupui", "iupui", word = true),
+    r(55769427L, "indianapolis", "indiana university school of medicine", req = "indianapolis"),
+    r(55769427L, "indianapolis", "indiana univ", req = "indianapolis"),
+    r(55769427L, "indianapolis", "purdue univ", req = "indianapolis"),
+    r(55769427L, "iusm", "iusm", word = true, req = "indianapolis"),
+    r(55769427L, "medicine", "iu school of medicine", req = "indianapolis"),
+    r(4210119109L, "bloomington", "indiana univ", req = "bloomington"),
+    r(4210119109L, "bloomington", "university of indiana", req = "bloomington"),
+    r(4210110049L, "roudebush", "roudebush va"),
+    r(55769427L, "roudebush", "roudebush va"),
+    r(4210110049L, "indianapolis", "va medical center", req = "indianapolis"),
+    r(55769427L, "indianapolis", "va medical center", req = "indianapolis"),
+    r(1283055418L, "simon", "simon cancer", req = "indianapolis"),
+    r(55769427L, "simon", "simon cancer", req = "indianapolis"),
+    r(1283055418L, "simon", "simon comprehensive cancer center", req = "indianapolis"),
+    r(55769427L, "simon", "simon comprehensive cancer center", req = "indianapolis"),
+    // Inner Mongolia (:1897)
+    r(120379545L, "mongolia", "inner mongolia agricultural univ"),
+    r(120379545L, "mongolia", "inner mongolia agriculture univ"),
+    r(2722730L, "mongolia", "inner mongolia univ",
+      exc = "inner mongolia university for|inner mongolia university of"),
+    // Istanbul Technical University (:1910)
+    r(48912391L, "itü", "itü", word = true),
+    r(48912391L, "itu", "itu", word = true, req = "istanbul|turkey"),
+    r(48912391L, "istanbul", "istanbul technical university"),
+    r(48912391L, "istanbul", "istanbul tech uni"),
+    // Islamic Azad Sciences & Research branch (:1917)
+    r(155419210L, "azad", "islamic azad university",
+      req = "sciences and researches branch|sciences? and research branch"),
+    // INSERM / CNRS / CEA family / INRAE (:1925-1975)
+    r(154526488L, "inserm", "inserm", word = true, req = FrGate2),
+    r(1294671590L, "cnrs", "cnrs", word = true, req = FrGate2),
+    r(2738703131L, "cea", "cea", word = true, req = FrGate2),
+    r(4210150049L, "leti", "leti", word = true, req = CeaWord),
+    r(4210150049L, "cealeti", "cealeti", word = true),
+    r(3019244752L, "liten", "liten", word = true, req = CeaWord),
+    r(4210094417L, "gramat", "gramat", word = true, req = CeaWord),
+    r(2799888343L, "valduc", "valduc", word = true, req = CeaWord),
+    r(4210101455L, "dif", "dif", word = true, req = CeaWord),
+    r(3020098449L, "grenoble", "grenoble", word = true, req = CeaWord,
+      exc = "\\bleti\\b|\\bliten\\b|\\bgramat\\b|\\bvalduc\\b|\\bdif\\b"),
+    r(4210110641L, "cadarache", "cadarache", word = true, req = CeaWord),
+    r(4210143636L, "marcoule", "marcoule", word = true, req = CeaWord),
+    r(4210128565L, "saclay", "saclay", word = true, req = CeaWord,
+      exc = "\\bleti\\b|\\bliten\\b|\\bgrenoble\\b|\\bcadarache\\b|\\bmarcoule\\b"),
+    r(4210088668L, "inrae", "inrae", word = true, req = FrGate2),
+    // INSA campuses (:1977-2000)
+    r(88814501L, "insa", "insa rouen"),
+    r(88814501L, "insa", "insa de rouen"),
+    r(28221208L, "insa", "insa rennes"),
+    r(28221208L, "insa", "insa de rennes"),
+    r(2801509770L, "insa", "insa strasbourg"),
+    r(2801509770L, "insa", "insa de strasbourg"),
+    r(4210143826L, "insa", "insa cvl"),
+    r(4210143826L, "insa", "insa centre val de loire"),
+    r(4210143826L, "insacvl", "insacvl", word = true),
+    r(48430043L, "insa", "insa lyon"),
+    r(48430043L, "insa", "insa de lyon"),
+    r(196454796L, "insa", "insa toulouse"),
+    r(196454796L, "insa", "insa de toulouse"),
+    r(196454796L, "insat", "insat", word = true, req = FrGate2),
+    // Rennes hospital/university, labs, hospitals (:2002-2100)
+    r(4210108239L, "irset", "irset", word = true, req = FrGate2),
+    r(4210155724L, "rennes", "university hospital of rennes"),
+    r(4210155724L, "rennes", "university of rennes hospital"),
+    r(4210155724L, "rennes", "hospitalier universitaire de rennes"),
+    r(56067802L, "rennes", "univ rennes",
+      exc = "university hospital of rennes|hospitalier universitaire de rennes"),
+    r(56067802L, "rennes", "univ de rennes",
+      exc = "university hospital of rennes|hospitalier universitaire de rennes"),
+    r(4210087514L, "bgpi", "bgpi", word = true, req = FrGate2),
+    r(44563897L, "artois", "univ artois"),
+    r(4210089824L, "cefe", "cefe", word = true, req = FrGate2),
+    r(4210141930L, "uccs", "uccs", word = true, req = FrGate2),
+    r(4210162909L, "timone", "la timone university hospital"),
+    r(4210162909L, "timone", "hôpital de la timone"),
+    r(4210162909L, "timône", "timône university hospital"),
+    r(68947357L, "globe", "institut de physique du globe", req = "strasbourg"),
+    r(4210092774L, "cochin", "cochin hospital", req = FrGate2),
+    r(198415970L, "avignon", "université d avignon"),
+    r(4210144804L, "lri", "lri", word = true, req = FrGate2),
+    r(124158823L, "cnam", "cnam", word = true, req = FrGate2),
+    r(4210145258L, "ibmm", "ibmm", word = true, req = FrGate2),
+    r(131077856L, "cirad", "cirad", word = true, req = FrGate2),
+    r(203339264L, "lamcos", "lamcos", word = true, req = FrGate2),
+    r(4210103698L, "cesp", "cesp", word = true, req = FrGate2),
+    r(137614889L, "enscl", "enscl", word = true, req = FrGate2),
+    r(4210103454L, "gepi", "gepi", word = true, req = FrGate2))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -354,7 +354,11 @@ object EntityQueries {
     "Graz University of Technology (TU Graz), Austria",
     "Universidade Estadual de Campinas (UNICAMP), SP, Brazil",
     "Hochschule Düsseldorf University of Applied Sciences",
-    "Indian School of Mines (ISM), Dhanbad, India")
+    "Indian School of Mines (ISM), Dhanbad, India",
+    "INSERM U1052, CNRS UMR5286, Université de Lyon, France",
+    "CEA-Leti, Grenoble, France",
+    "INSA de Lyon, Villeurbanne, France",
+    "Istanbul Technical University, Maslak, Istanbul")
 
   /** §2.4 concepts_api rebuild (CreateConceptsAPI.ipynb): per-work
     * concept dedup (duplicate structs synthesized on k%4=0 residues),
