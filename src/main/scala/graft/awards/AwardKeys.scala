@@ -145,7 +145,72 @@ object AwardKeys {
       n => trimZeros(ex(n, "^(\\d{4,6})_\\d+$")),
       n => trimZeros(ex(
         regexp_replace(regexp_replace(n, "^[#]+ ?", ""), "^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)", ""),
-        "^(\\d{4,6})([-_]\\d+)?$")))) ++ ukriRules ++ dodRules
+        "^(\\d{4,6})([-_]\\d+)?$")))) ++ batch2 ++ ukriRules ++ dodRules
+
+  /** Second entry batch: the remaining high-volume grammars. */
+  private def batch2: Seq[SharpRule] = Seq(
+    // NIH-shape (:25 / :75): U-prefixed 7-digit or bare 8-digit
+    SharpRule(4320321001L,
+      n => ex(n, "^(U?\\d{7,8})$"),
+      n => coalesce(ex(n, "(?<![A-Z0-9])(U\\d{7})(?!\\d)"),
+        ex(n, "(?<!\\d)(\\d{8})(?!\\d)"),
+        ex(nospace(n), "(?<!\\d)(\\d{8})(?!\\d)"))),
+    // two-letter + 6-digit registry (:26 / :76), LPAD recompose
+    SharpRule(4320332161L,
+      n => ex(n, "([A-Z]{2}\\d{6})"),
+      n => {
+        val p = "([A-Z]{2}) ?-?(\\d{5,6})(?!\\d)"
+        when(ex(n, p).isNotNull,
+          concat(regexp_extract(n, p, 1), lpad(regexp_extract(n, p, 2), 6, "0")))
+      }),
+    // bare 7-digit (:27 / :77) with prefix-code recompose salvage
+    SharpRule(4320306076L,
+      n => ex(n, "^(\\d{7})$"),
+      n => coalesce(ex(n, "(?<!\\d)(\\d{7})(?!\\d)"),
+        when(n.rlike("^[A-Z]{2,5}[ -]?\\d{2}[ -]\\d{5}$"),
+          concat(regexp_extract(n, "(\\d{2})[ -]\\d{5}$", 1),
+            regexp_extract(n, "(\\d{5})$", 1))))),
+    // bare 9-digit (:29 / :81)
+    SharpRule(4320320879L,
+      n => ex(n, "^(\\d{9})$"),
+      n => ex(n, "(?<!\\d)(\\d{9})(?!\\d)")),
+    // 6-or-9-digit registry, 101-prefixed preferred (:37 / :85)
+    SharpRule(4320320300L,
+      n => ex(n, "^(\\d{6}|\\d{9})$"),
+      n => coalesce(ex(n, "(?<!\\d)(101\\d{6})(?!\\d)"),
+        ex(n, "(?<!\\d)(\\d{6})(?!\\d)"))),
+    // DOE (:46 / :96): strip separators + DE prefix, program families
+    SharpRule(4320306084L,
+      n => ex(regexp_replace(regexp_replace(n, "[ -]", ""), "^DE(?=[A-Z]{2}[0-9])", ""),
+        "^((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)\\d{7}|" +
+          "(FG|FC|AC|AI|GO|PS|EV|ER|AA)\\d{4}[A-Z]{1,2}\\d{4,6})$"),
+      n => ex(regexp_replace(regexp_replace(n, "[ -]", ""), "^DE(?=[A-Z]{2}[0-9])", ""),
+        "((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)\\d{7}|" +
+          "(FG|FC|AC|AI|GO|PS|EV|ER|AA)\\d{4}[A-Z]{1,2}\\d{4,6})")),
+    // Shandong ZR (:47 / :97)
+    SharpRule(4320324174L,
+      n => ex(regexp_replace(n, "[ -]", ""),
+        "^(ZR(19|20)\\d{2}[A-Z]{1,3}\\d{2,4}|\\d{4}ZR[A-Z][0-9A-Z]{5})$"),
+      n => ex(regexp_replace(n, "[ -]", ""),
+        "(ZR(19|20)\\d{2}[A-Z]{1,3}\\d{2,4}|\\d{4}ZR[A-Z][0-9A-Z]{5})")),
+    // Austrian FWF (:50 / :98): letter+serial, DOI-prefixed deposits
+    SharpRule(4320321181L,
+      n => ex(nospace(n), "^([A-Z]{1,3}\\d{3,7})$"),
+      n => ex(nospace(n),
+        "^(?:10\\.55776/|HTTPS?://(?:DX\\.)?DOI\\.ORG/10\\.55776/)?([A-Z]{1,3}\\d{3,7})(?:-[A-Z]\\d{1,3})?$")),
+    // NHMRC (:57 / :104): APP/GNT-prefixed 6-7 digit
+    SharpRule(4320334705L,
+      n => ex(n, "^(\\d{6,7})$"),
+      n => coalesce(ex(n, "(?<![A-Z0-9])(?:APP|GNT) ?-?(\\d{6,7})(?!\\d)"),
+        ex(nospace(n), "^(?:ID|NHMRC)?[.:#-]*(\\d{6,7})$"))),
+    // Hunan JJ (:56 / :103): YYYYJJnnnnn, century salvage
+    SharpRule(4320322843L,
+      n => ex(n, "^((19|20)\\d{2}JJ\\d{4,5})$"),
+      n => {
+        val s = nospace(regexp_replace(n, "^(NO|GRANT)[ .:#-]*", ""))
+        coalesce(ex(s, "^((?:19|20)\\d{2}JJ\\d{4,5})$"),
+          when(s.rlike("^\\d{2}JJ\\d{4,5}$"), concat(lit("20"), s)))
+      }))
 
   /** UKRI councils (:55-60 / :106-111): registry strips separators;
     * deposited salvages the council's GRANT-REF pattern

@@ -47,7 +47,13 @@ object AwardQueries {
     (4320334626L, "MR/S026193/1", "registry"),
     (4320338281L, "W911NF-18-1-0327", "deposited"),
     (4320332180L, "HR0011-20-C-0021", "deposited"),
-    (4320337345L, "N00014-21-1-2345", "deposited"))
+    (4320337345L, "N00014-21-1-2345", "deposited"),
+    (4320321001L, "Grant U1234567, NIH", "deposited"),
+    (4320306084L, "DE-SC0012704", "deposited"),
+    (4320321181L, "10.55776/P36040", "deposited"),
+    (4320334705L, "NHMRC APP1234567", "deposited"),
+    (4320332161L, "EP 123456", "deposited"),
+    (4320322843L, "NO. 2021JJ40222", "deposited"))
 
   private def q68(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -70,14 +76,18 @@ object AwardQueries {
       "vr201704630", "20174630", "pi191234", "950123456", "123452",
       "nsfabc1234", "a 1",
       "mrs0261931", "mrcgrantmrn0131661uk", "mrs0261931",
-      "w911nf1810327", "hr001120c0021", "n000142112345")
+      "w911nf1810327", "hr001120c0021", "n000142112345",
+      "grantu1234567nih", "desc0012704", "1055776p36040",
+      "nhmrcapp1234567", "ep123456", "no2021jj40222")
     val sharps = Seq("'21-CE45-0012'", "'21-CE45-0012'", "'098765'", "'098765'",
       "'012345'", "'1092221E002152MY3'", "'1012218E002008'", "'17H01234'",
       "'19K12345'", "'123456'", "'4567'", "'PID2020-112345GB-I00'",
       "'PID2020-112345'", "'2017-04630'", "NULL", "'PI19/01234'", "'123456'",
       "'12345'", "NULL", "NULL",
       "'MRS0261931'", "'MRN0131661'", "'MRS0261931'",
-      "'W911NF1810327'", "'HR001120C0021'", "'N000142112345'")
+      "'W911NF1810327'", "'HR001120C0021'", "'N000142112345'",
+      "'U1234567'", "'SC0012704'", "'P36040'",
+      "'1234567'", "'EP123456'", "'2021JJ40222'")
     val weaks = Seq(4, 10)
     val m = forms.size
     def cases(vals: Seq[String]) = vals.zipWithIndex
