@@ -56,7 +56,12 @@ object AffiliationRules {
   private val CamsCity = "kunming|beijing|beijng|shenzhen|bejing"
   private val FrNantes = "france.*nantes|nantes.*france"
 
-  val rules: Seq[Rule] = Seq(
+  // LAZY: the batch methods below reference shared gate-regex vals
+  // declared later in this object; a strict val here would run them
+  // during object init and capture null gates (Option(null) = None —
+  // silently dropping every require). AffiliationRules semantics tests
+  // in ServeLlmSpec pin this.
+  lazy val rules: Seq[Rule] = Seq(
     // Te Pūkenga (affiliation_string_parsing.py:50-58)
     r(4387152882L, "pūkenga", "te pūkenga"),
     r(4387152882L, "pukenga", "te pukenga"),
@@ -821,7 +826,122 @@ object AffiliationRules {
     r(203339264L, "lamcos", "lamcos", word = true, req = FrGate2),
     r(4210103698L, "cesp", "cesp", word = true, req = FrGate2),
     r(137614889L, "enscl", "enscl", word = true, req = FrGate2),
-    r(4210103454L, "gepi", "gepi", word = true, req = FrGate2))
+    r(4210103454L, "gepi", "gepi", word = true, req = FrGate2)) ++ rules6
+
+  /** Batch 6 (:2100-2400): the rest of the French block — Grenoble-
+    * Alpes complex, Toulouse UPS/IRIT elif chains, Lille/Caen/Brest
+    * families, PSL, AP-HP, the national marine/development institutes.
+    * GAEL is omitted (lowercase collides with the given name). */
+  private def rules6: Seq[Rule] = Seq(
+    r(4210165232L, "irfu", "irfu", word = true, req = FrGate2),
+    r(4210119060L, "lcc", "lcc", word = true, req = FrGate2),
+    r(4210123471L, "iemn", "iemn", word = true, req = FrGate2),
+    r(4210119061L, "irit", "irit", word = true, req = "toulouse"),
+    // Lille (:2128)
+    r(2279609970L, "lille", "univ lille"),
+    r(3018718406L, "lille", "chu lille"),
+    r(3018718406L, "lille", "chu de lille"),
+    r(7454413L, "lille", "centrale lille"),
+    r(70348806L, "polytechnique", "polytechnique hauts de france"),
+    // Caen / Rouen / Normandie (:2148)
+    r(4210114068L, "caen", "chu de caen"),
+    r(98702875L, "caen", "chu de caen"),
+    r(4210114068L, "caen", "chu caen"),
+    r(98702875L, "caen", "chu caen"),
+    r(98702875L, "unicaen", "unicaen", word = true),
+    r(98702875L, "caen", "univ de caen", exc = "\\bchu\\b"),
+    r(62396329L, "unirouen", "unirouen", word = true),
+    r(4210105918L, "normandie", "normandie univ"),
+    r(4210105918L, "normandie", "univ normandie"),
+    r(4210127234L, "leasp", "leasp", word = true),
+    r(4210166444L, "ird", "ird", word = true, req = FrGate2),
+    r(4210126368L, "irdl", "irdl", word = true),
+    r(4210127738L, "ales", "imt mines ales"),
+    r(4210105943L, "isem", "isem", word = true, req = FrGate2),
+    r(4210155116L, "inrap", "inrap", word = true, req = FrGate2),
+    r(113428412L, "ens", "ens de lyon"),
+    r(4210157108L, "iuem", "iuem", word = true, req = FrGate2),
+    r(4210147247L, "icsm", "icsm", word = true, req = FrGate2),
+    r(4210145170L, "bichat", "hôpital bichat"),
+    r(4210134272L, "lops", "lops", word = true, req = FrGate2),
+    r(154202486L, "ifremer", "ifremer", word = true),
+    r(4210122796L, "irsd", "irsd", word = true, req = FrGate2),
+    r(4210124948L, "inac", "inac", word = true, req = FrGate2),
+    r(4210086977L, "aim", "aim", word = true, req = FrGate2),
+    r(4210136405L, "crfdp", "crfdp", word = true),
+    r(4210114102L, "latmos", "latmos", word = true, req = "ipsl"),
+    // PSL (:2240)
+    r(2746051580L, "psl", "psl universit"),
+    r(29607241L, "psl", "école normale supérieure", req = "\\bpsl\\b"),
+    r(29607241L, "ens", "ens", word = true, req = "\\bpsl\\b"),
+    // Montpellier (:2252)
+    r(19894307L, "montpellier", "univ montpellier"),
+    r(19894307L, "montpellier", "université montpellier"),
+    r(19894307L, "montpellier", "montpellier univ"),
+    r(4210136436L, "agro", "institut agro", req = "montpellier"),
+    r(4210117045L, "mistea", "mistea", word = true, req = "montpellier"),
+    r(4210145324L, "chru", "chru", word = true, req = "strasbourg"),
+    r(4210097159L, "ap", "ap hp", word = true),
+    // Grenoble Alpes complex (:2270-2330)
+    r(899635006L, "grenoble", "univ grenoble alp"),
+    r(899635006L, "grenoble", "university grenoble alp"),
+    r(899635006L, "grenoble", "university of grenoble"),
+    r(899635006L, "grenoble", "université de grenoble"),
+    r(899635006L, "grenoble", "université grenoble alp"),
+    r(899635006L, "grenoble", "grenoble alps university"),
+    r(899635006L, "grenoble", "grenoble alpes univ"),
+    r(899635006L, "grenoble", "grenoble university"),
+    r(899635006L, "grenoble", "grenoble 1", word = true),
+    r(899635006L, "uga", "uga", word = true, req = "grenoble|toulouse"),
+    r(899635006L, "g2elab", "g2elab", word = true),
+    r(4210152516L, "ibs", "ibs", word = true, req = "grenoble"),
+    r(4210152516L, "grenoble", "institut de biologie structurale"),
+    r(4210160510L, "iab", "iab", word = true, req = "grenoble"),
+    r(4210104430L, "lig", "lig", word = true, req = "grenoble"),
+    r(4210149092L, "ljk", "ljk", word = true, req = "grenoble"),
+    r(106785703L, "minatec", "minatec", word = true, req = "grenoble"),
+    r(4210101348L, "inria", "inria", word = true, req = "grenoble"),
+    r(4210137965L, "leca", "leca", word = true, req = "grenoble"),
+    r(177483745L, "ujf", "ujf", word = true, req = "grenoble"),
+    r(177483745L, "fourier", "j fourier", req = "grenoble"),
+    r(4210094574L, "simap", "simap", word = true, req = "grenoble"),
+    r(4210124956L, "gipsa", "gipsa", word = true, req = "grenoble"),
+    r(4210121220L, "ige", "ige", word = true, req = "grenoble"),
+    r(2800555055L, "chu", "chu", word = true, req = "grenoble"),
+    r(2800555055L, "grenoble", "grenoble university hospital"),
+    r(899635006L, "grenoble", "grenoble university hospital"),
+    r(2800555055L, "grenoble", "university hospital of grenoble"),
+    r(899635006L, "grenoble", "university hospital of grenoble"),
+    r(2800555055L, "grenoble", "chru de grenoble"),
+    r(899635006L, "grenoble", "chru de grenoble"),
+    // Toulouse: Paul Sabatier + the IRIT umbrella (:2340-2370)
+    r(134560555L, "ups", "ups", word = true, req = "toulouse"),
+    r(134560555L, "sabatier", "paul sabatier"),
+    r(134560555L, "toulouse", "toulouse iii"),
+    r(134560555L, "u1027", "u1027", word = true, req = "toulouse"),
+    r(134560555L, "umr1295", "umr1295", word = true, req = "toulouse"),
+    r(134560555L, "umr", "umr 1295", word = true, req = "toulouse"),
+    r(134560555L, "irit", "irit", word = true, req = "toulouse",
+      exc = "paul sabatier|toulouse iii|\\bups\\b"),
+    r(3131550300L, "irit", "irit", word = true, req = "toulouse",
+      exc = "paul sabatier|toulouse iii|\\bups\\b"),
+    r(4210152422L, "irit", "irit", word = true, req = "toulouse",
+      exc = "paul sabatier|toulouse iii|\\bups\\b"),
+    r(4210160189L, "irit", "irit", word = true, req = "toulouse",
+      exc = "paul sabatier|toulouse iii|\\bups\\b"),
+    r(176063091L, "envt", "envt", word = true, req = "toulouse"),
+    // Western Brittany / Brest (:2375-2400)
+    r(161929037L, "brest", "univ brest"),
+    r(161929037L, "brest", "university of brest"),
+    r(161929037L, "brest", "université de brest"),
+    r(161929037L, "occidentale", "bretagne occidentale"),
+    r(161929037L, "sticc", "lab sticc"),
+    r(161929037L, "ubo", "ubo", word = true, req = FrGate2),
+    r(161929037L, "lm2e", "lm2e", word = true, req = FrGate2),
+    r(4210123702L, "sticc", "sticc", word = true, req = FrGate2),
+    r(4210132604L, "brest", "chru de brest"),
+    r(4210132604L, "brest", "chru brest"),
+    r(4210132604L, "cavale", "cavale blanche"))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

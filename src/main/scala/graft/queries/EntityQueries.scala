@@ -358,7 +358,11 @@ object EntityQueries {
     "INSERM U1052, CNRS UMR5286, Université de Lyon, France",
     "CEA-Leti, Grenoble, France",
     "INSA de Lyon, Villeurbanne, France",
-    "Istanbul Technical University, Maslak, Istanbul")
+    "Istanbul Technical University, Maslak, Istanbul",
+    "Univ. Grenoble Alpes, CNRS, Grenoble INP, France",
+    "CHU Grenoble Alpes, La Tronche, France",
+    "IRIT, Université Paul Sabatier, Toulouse, France",
+    "Ifremer, Plouzané, France")
 
   /** §2.4 concepts_api rebuild (CreateConceptsAPI.ipynb): per-work
     * concept dedup (duplicate structs synthesized on k%4=0 residues),

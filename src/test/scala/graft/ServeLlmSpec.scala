@@ -171,6 +171,30 @@ class ServeLlmSpec extends AnyFunSuite {
     assert(out(6L) == Seq(4387152882L)) // macron variant
   }
 
+  test("AffiliationRules: shared gate regexes survive object init (no dropped requires)") {
+    import graft.entities.AffiliationRules
+    // regression: gate vals declared after `rules` used to be null at
+    // init, silently stripping the require off every later batch
+    assert(AffiliationRules.rules.count(_.require.isDefined) > 200,
+      "most rules carry a require gate")
+    val affils = Seq(
+      // 'grenoble' alone must NOT hit CEA-Grenoble (requires \bcea\b)
+      (1L, 0, "Univ Grenoble Alpes, CNRS, France"),
+      (2L, 0, "CEA Grenoble, France"),
+      // INSERM requires a French gate token
+      (3L, 0, "INSERM U1052, Lyon, France"),
+      (4L, 0, "INSERM-like token, Boston, USA"))
+      .toDF("work_id", "author_seq", "affiliation_string")
+    val out = AffiliationMatcher.matchInstitutions(
+        affils, graft.entities.AffiliationRules.df(spark))
+      .select(col("work_id"), col("institution_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(!out(1L).contains(3020098449L))
+    assert(out(2L).contains(3020098449L) && out(2L).contains(2738703131L))
+    assert(out(3L).contains(154526488L))
+    assert(!out(4L).contains(154526488L))
+  }
+
   test("LayoutWriter: clustered parquet enables min/max range pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = spark.range(0, 10000).toDF("id")
