@@ -44,17 +44,26 @@ object Bench {
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json")).map(_.getPath).toSeq
     }
-    // Tolerant extraction: the committed artifacts wrap (and truncate)
-    // the bench line inside another JSON object, so instead of parsing
-    // structure, harvest every `"qNN_name": <number|[numbers]>` pair
-    // anywhere in the file and fold by min. A query whose entry was
-    // truncated away simply has no floor.
+    floorTimesFrom(paths)
+  }
+
+  /** Tolerant extraction: the committed artifacts wrap (and truncate)
+    * the bench line inside another JSON string field, so every quote in
+    * the payload is escaped (`\"q36_...\":[...]`). Unescape the text
+    * first, then harvest every `"qNN_name": <number|[numbers]>` pair
+    * anywhere in it and fold by min. A query whose entry was truncated
+    * away simply has no floor. Package-visible so BenchFloorSpec can
+    * assert the committed artifacts actually yield floors — the escaped
+    * quotes silently defeated the previous pattern and the outlier
+    * re-run never fired. */
+  private[graft] def floorTimesFrom(paths: Seq[String]): Map[String, Double] = {
     val pair = "\"(q\\d+[A-Za-z0-9_]*)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9][0-9.eE+-]*)".r
     val num = "[0-9][0-9.eE+-]*".r
     paths.flatMap { p =>
       try {
         val src = scala.io.Source.fromFile(p)
-        val txt = try src.mkString finally src.close()
+        val txt = (try src.mkString finally src.close())
+          .replace("\\\"", "\"")
         pair.findAllMatchIn(txt).flatMap { m =>
           val vals = num.findAllIn(m.group(2)).flatMap(v =>
             scala.util.Try(v.toDouble).toOption).toSeq

@@ -255,7 +255,8 @@ object EntityQueries {
   /** §2.9 affiliation-string → institution_ids via the data-driven
     * rules table (AffiliationRules: gate/word/require/exclude rows
     * translated from the reference cascade). Affiliation strings are a
-    * fixed 68-template rotation over customer keys exercising macron
+    * fixed template rotation (one entry per q64Templates element) over
+    * customer keys exercising macron
     * variants, acronym word-boundaries, require-gates, exclude-shadowed
     * elif branches, multi-id appends, and no-match rows; the oracle
     * re-evaluates the SAME rule rows (VALUES mirror) over the same

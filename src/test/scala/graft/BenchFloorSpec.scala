@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the outlier-re-run feedback loop: `Bench.floorTimesFrom` must
+  * harvest per-query floors from the REAL committed driver artifacts,
+  * whose payload quotes are `\"`-escaped inside a wrapping JSON string.
+  * Rounds 3-5 shipped contaminated because the previous pattern matched
+  * zero entries against that escaping and `reran` stayed empty.
+  */
+class BenchFloorSpec extends AnyFunSuite {
+  private val committed =
+    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).map(_.getPath).toSeq
+
+  test("committed BENCH_r*.json artifacts yield >= 60 floors") {
+    assert(committed.nonEmpty, "no committed BENCH_r*.json found in cwd")
+    val floors = Bench.floorTimesFrom(committed)
+    assert(floors.size >= 60, s"only ${floors.size} floors harvested: ${floors.keys.toSeq.sorted.take(5)}...")
+    assert(floors.values.forall(v => v > 0 && v < 10000))
+  }
+
+  test("escaped-quote payloads parse identically to bare-quote payloads") {
+    val bare = """{"q01_agg":[2.5,1.25],"q02_filter":0.75}"""
+    val escaped = "{\"tail\": \"" + bare.replace("\"", "\\\"") + "\"}"
+    val dir = java.nio.file.Files.createTempDirectory("benchfloor")
+    val pBare = dir.resolve("bare.json"); val pEsc = dir.resolve("esc.json")
+    java.nio.file.Files.write(pBare, bare.getBytes("UTF-8"))
+    java.nio.file.Files.write(pEsc, escaped.getBytes("UTF-8"))
+    val fBare = Bench.floorTimesFrom(Seq(pBare.toString))
+    val fEsc = Bench.floorTimesFrom(Seq(pEsc.toString))
+    assert(fBare === Map("q01_agg" -> 1.25, "q02_filter" -> 0.75))
+    assert(fEsc === fBare)
+  }
+}
