@@ -65,6 +65,10 @@ object ExplainAudit {
     check(p66.contains("BroadcastHashJoin"),
       "q66 broadcasts the concept registry (slug regexes evaluated on the small side)")
 
+    val p71 = plan("q71_source_matcher")
+    check(p71.contains("BroadcastHashJoin"),
+      "q71 broadcasts the registry-side source indexes (location side never shuffles to match)")
+
     val p36 = plan("q36_dedup_jaccard_rare_shingle")
     check(!p36.contains("Window"),
       "q36 df-computation is hash aggregation, not a per-shingle window sort")

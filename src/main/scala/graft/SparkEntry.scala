@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AwardQueries, DomainQueries, EntityQueries, IngestQueries, RelationalQueries, TextQueries, VectorQueries, WorksQueries}
+import graft.queries.{AwardQueries, DomainQueries, EntityQueries, IngestQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries, WorksQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DomainQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ WorksQueries.queries ++
-      IngestQueries.queries ++ EntityQueries.queries ++ AwardQueries.queries
+      IngestQueries.queries ++ EntityQueries.queries ++ AwardQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DomainQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++ WorksQueries.oracle ++
-      IngestQueries.oracle ++ EntityQueries.oracle ++ AwardQueries.oracle
+      IngestQueries.oracle ++ EntityQueries.oracle ++ AwardQueries.oracle ++
+      PipelineQueries.oracle
 }

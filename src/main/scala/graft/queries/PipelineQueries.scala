@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.resolve.SourceMatcher
+
+/** Oracle-gated queries for the round-6 pipeline modules: the
+  * locations→sources matcher (q71). Inputs are synthesized
+  * deterministically from the driver fixtures; each DuckDB oracle
+  * structurally mirrors the tier joins/dedups while reducing the
+  * work-side `ids[]` array extraction to its scalar equivalent (the
+  * synthesis rule says exactly which id each row carries).
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** §2.3 SourceMatcher (CreateLocationsWithSources.ipynb:73-87):
+    * provenance-routed tiers — ISSN-ranked (eissn > lissn > pissn)
+    * explode for crossref, endpoint_id for repo, datacite_client for
+    * datacite, the PubMed constant — then display-name-unique fallback
+    * and the manual url/doi/name/publisher cascade. Registry synthesized
+    * from customer (ids custkey+100; %25 merged away, 140/280 on the
+    * exclusion list, %9 share a duplicate display name, %4 carry a
+    * datacite client id); locations from orders routed by k%6. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val sid = (ck + 100).cast("long")
+    val sources = c.filter(ck < 300).select(
+      sid.as("id"),
+      when(sid % 9 === 0, lit("Dup Journal"))
+        .otherwise(concat(lit("Journal "), sid.cast("string"))).as("display_name"),
+      when(sid % 10 === 3,
+          array(concat(lit("is-"), (sid % 120).cast("string")),
+            concat(lit("is2-"), sid.cast("string"))))
+        .otherwise(array(concat(lit("is-"), (sid % 120).cast("string"))))
+        .as("issns"),
+      when(sid % 4 === 0, array(concat(lit("dc-"), (sid % 60).cast("string"))))
+        .as("datacite_ids"),
+      (sid % 2 === 0).as("is_oa"),
+      when(sid % 25 === 0, sid + 1).as("merge_into_id"))
+    val e2s = c.filter(ck < 40).select(
+        concat(lit("ep"), ck.cast("string")).as("endpoint_id"),
+        ((ck * 3) % 300 + 100).cast("long").as("source_id"))
+      .unionByName(c.filter(ck < 40 && ck % 5 === 0).select(
+        concat(lit("ep"), ck.cast("string")).as("endpoint_id"),
+        ((ck * 3 + 7) % 300 + 100).cast("long").as("source_id")))
+
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val m6 = pmod(k, lit(6)); val m5 = pmod(k, lit(5))
+    def idRow(id: org.apache.spark.sql.Column, ns: String,
+        rel: org.apache.spark.sql.Column) =
+      struct(id.as("id"), lit(ns).as("namespace"), rel.as("relationship"))
+    val idsCol = when(m6 === 0, array(
+        idRow(concat(lit("is-"), pmod(k, lit(150)).cast("string")), "pissn",
+          lit("self")),
+        idRow(concat(lit("is-"), pmod(k + 3, lit(150)).cast("string")), "eissn",
+          lit(null).cast("string"))))
+      .when(m6 === 1, array(
+        idRow(concat(lit("is-"), pmod(k, lit(150)).cast("string")), "pissn",
+          lit("References"))))
+      .when(m6 === 3 && pmod(k, lit(12)) =!= 3, array(
+        idRow(concat(lit("dc-"), pmod(k, lit(80)).cast("string")),
+          "datacite_client", lit("self"))))
+    val locations = o.select(
+      when(m6 === 2, "repo").when(m6 === 3, "datacite")
+        .when(m6 === 4, "pubmed").when(m6 === 5, "landing_page")
+        .otherwise("crossref").as("provenance"),
+      concat(lit("L"), ks).as("native_id"),
+      idsCol.as("ids"),
+      when(m6 === 2, concat(lit("ep"), pmod(k, lit(50)).cast("string")))
+        .as("endpoint_id"),
+      when(m6 === 1, concat(lit("Journal "),
+          (pmod(k, lit(100)) + 100).cast("string")))
+        .when(m6 === 5 && m5 === 3, lit("bioRxiv")).as("source_name"),
+      when(m6 === 5 && m5 === 4, lit("The Research Square Platform LLC"))
+        .as("publisher"),
+      when(m6 === 5 && m5 === 2, concat(lit("10.2139/ssrn."), ks)).as("best_doi"),
+      when(m6 === 5 && m5 === 0,
+        concat(lit("https://www.europepmc.org/article/"), ks))
+        .as("landing_page_url"),
+      when(m6 === 5 && m5 === 1, concat(lit("https://osti.gov/"), ks, lit(".pdf")))
+        .as("pdf_url"))
+    SourceMatcher.attachSources(locations, sources, e2s,
+        excluded = Seq(140L, 280L))
+      .select(col("native_id"), col("provenance"), col("source_id"),
+        // int, not boolean: the driver comparator reprs a NULL BOOLEAN
+        // as nan (DuckDB) vs None (parquet) and hash-mismatches
+        col("is_oa_source").cast("int").as("oa_source"))
+  }
+
+  private val q71Oracle: String =
+    """WITH src AS (SELECT c_custkey + 100 AS sid FROM customer WHERE c_custkey < 300),
+      |srcm AS (SELECT sid, (sid % 25 = 0) AS merged FROM src),
+      |srcf AS (SELECT sid FROM srcm WHERE NOT merged AND sid NOT IN (140, 280)),
+      |issn_idx AS (SELECT 'is-' || CAST(sid % 120 AS VARCHAR) AS issn,
+      |  min(sid) AS sid FROM srcf GROUP BY 1),
+      |dc_idx AS (SELECT 'dc-' || CAST(sid % 60 AS VARCHAR) AS dckey,
+      |  min(sid) AS sid FROM srcf WHERE sid % 4 = 0 GROUP BY 1),
+      |epcand AS (
+      |  SELECT c_custkey AS e, (c_custkey * 3) % 300 + 100 AS sid
+      |  FROM customer WHERE c_custkey < 40
+      |  UNION ALL
+      |  SELECT c_custkey, (c_custkey * 3 + 7) % 300 + 100
+      |  FROM customer WHERE c_custkey < 40 AND c_custkey % 5 = 0),
+      |ep_idx AS (SELECT e, min(c.sid) AS sid
+      |  FROM epcand c JOIN srcf f ON c.sid = f.sid GROUP BY e),
+      |uniq AS (SELECT nm, min(sid) AS sid FROM (
+      |    SELECT CASE WHEN sid % 9 = 0 THEN 'Dup Journal'
+      |      ELSE 'Journal ' || CAST(sid AS VARCHAR) END AS nm, sid
+      |    FROM srcm WHERE NOT merged)
+      |  GROUP BY nm HAVING count(*) = 1),
+      |loc AS (SELECT o_orderkey AS k FROM orders),
+      |cx0 AS (SELECT k,
+      |    CASE WHEN ie.sid IS NOT NULL THEN ie.sid ELSE ip.sid END AS sid
+      |  FROM loc l
+      |  LEFT JOIN issn_idx ie ON ie.issn = 'is-' || CAST((l.k + 3) % 150 AS VARCHAR)
+      |  LEFT JOIN issn_idx ip ON ip.issn = 'is-' || CAST(l.k % 150 AS VARCHAR)
+      |  WHERE l.k % 6 = 0),
+      |cx1 AS (SELECT k, u.sid FROM loc l LEFT JOIN uniq u
+      |    ON u.nm = 'Journal ' || CAST(l.k % 100 + 100 AS VARCHAR)
+      |  WHERE l.k % 6 = 1),
+      |rp AS (SELECT k, e.sid FROM loc l LEFT JOIN ep_idx e ON e.e = l.k % 50
+      |  WHERE l.k % 6 = 2),
+      |dc AS (SELECT k, d.sid FROM loc l LEFT JOIN dc_idx d
+      |    ON l.k % 12 <> 3 AND d.dckey = 'dc-' || CAST(l.k % 80 AS VARCHAR)
+      |  WHERE l.k % 6 = 3)
+      |SELECT 'L' || CAST(k AS VARCHAR) AS native_id, 'crossref' AS provenance,
+      |  CAST(sid AS BIGINT) AS source_id, CAST(sid % 2 = 0 AS INTEGER) AS oa_source FROM cx0
+      |UNION ALL
+      |SELECT 'L' || CAST(k AS VARCHAR), 'crossref', CAST(sid AS BIGINT),
+      |  CAST(sid % 2 = 0 AS INTEGER) FROM cx1
+      |UNION ALL
+      |SELECT 'L' || CAST(k AS VARCHAR), 'repo', CAST(sid AS BIGINT),
+      |  CAST(sid % 2 = 0 AS INTEGER) FROM rp
+      |UNION ALL
+      |SELECT 'L' || CAST(k AS VARCHAR), 'datacite', CAST(sid AS BIGINT),
+      |  CAST(sid % 2 = 0 AS INTEGER) FROM dc
+      |UNION ALL
+      |SELECT 'L' || CAST(k AS VARCHAR), 'pubmed', CAST(4306525036 AS BIGINT),
+      |  0 FROM loc WHERE k % 6 = 4
+      |UNION ALL
+      |SELECT 'L' || CAST(k AS VARCHAR), 'landing_page',
+      |  CAST(CASE k % 5 WHEN 0 THEN 4306400806 WHEN 1 THEN 4306402487
+      |    WHEN 2 THEN 4210172589 WHEN 3 THEN 4306402567
+      |    ELSE 4306402450 END AS BIGINT),
+      |  CAST(NULL AS INTEGER) FROM loc WHERE k % 6 = 5""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q71_source_matcher" -> (q71 _))
+
+  val oracle: Map[String, String] = Map(
+    "q71_source_matcher" -> q71Oracle)
+}

@@ -1,0 +1,235 @@
+package graft.resolve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SourceMatcher: attach a source_id to every location — the
+  * CreateLocationsWithSources step (reference: notebooks/end2end/
+  * CreateLocationsWithSources.ipynb:73-87, the `locations_w_sources`
+  * CTAS). Locations route by provenance into four primary tiers, then
+  * unmatched rows fall through a display-name match and a manual
+  * url/doi/source-name/publisher cascade:
+  *
+  *  - repo/repo_backfill  → endpoint_id equijoin against the
+  *    endpoint→source map (first source per endpoint by id asc);
+  *  - datacite            → datacite_client id extracted from `ids[]`
+  *    joined to the exploded per-source datacite_ids;
+  *  - pubmed              → the constant PubMed source;
+  *  - everything else     → ISSNs extracted from `ids[]` (namespace
+  *    contains "issn", relationship self-ish or null), ranked
+  *    eissn > lissn > pissn then id text, joined to the exploded
+  *    per-source ISSN index.
+  *
+  * Scale posture: every tier is a keyed equijoin; the source-side
+  * indexes (ISSN / endpoint / datacite explodes) are registry-sized
+  * (thousands of rows), so each join broadcasts; the only work-sized
+  * shuffles are the per-native_id row_number dedups, all bounded by the
+  * handful of ids a single location carries.
+  *
+  * Determinism deviation (documented): the reference's per-work
+  * best-match row_number breaks ties arbitrarily when one ISSN maps to
+  * several sources; here the ISSN/datacite indexes are first deduped to
+  * one source per key (row_number by id asc = the reference's own
+  * `id_row_number` idiom, which its final join leaves unused), so every
+  * pick is deterministic.
+  */
+object SourceMatcher {
+
+  /** Registry rows excluded from matching (aggregators/catalogs that
+    * would swallow repo locations — CreateLocationsWithSources.ipynb
+    * `sources_filtered` CTE). */
+  val defaultExcludedIds: Seq[Long] = Seq(
+    4377196106L, // Internet Archive
+    4306400349L, // CiteSeer X
+    4308707206L, // B3Kat union catalog
+    4377196246L, // CISION
+    4306400063L, // Scopus
+    7407052528L, // ResearchGate
+    4306402117L, // Portail des Bibliotheques Municipales Specialisees
+    7407051242L, // E-Pics Bildarchiv
+    7407051288L, // WSL Landesforstinventar
+    4306400108L, // Library Stack
+    4306525896L) // Research Square duplicate
+
+  /** All PubMed locations attach to the PubMed source. */
+  val pubmedSourceId = 4306525036L
+
+  /** `ids[].relationship` values that still denote "this work's own
+    * ISSN" (version/variant/translation links). */
+  val issnRelationships: Seq[String] = Seq(
+    "self", "IsVersionOf", "IsNewVersionOf", "IsPreviousVersionOf",
+    "IsVariantFormOf", "IsOriginalFormOf", "IsIdentialTo",
+    "IsTranslationOf", "HasTranslation")
+
+  /** Registry rows eligible for matching: not merged away, id present,
+    * not on the exclusion list. */
+  def filteredSources(sources: DataFrame,
+      excluded: Seq[Long] = defaultExcludedIds): DataFrame =
+    sources.filter(col("merge_into_id").isNull && col("id").isNotNull &&
+      !col("id").isin(excluded: _*))
+
+  /** ISSN → (source id, is_oa) index: explode per-source ISSN arrays,
+    * keep the lowest source id per ISSN. */
+  def issnIndex(filtered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("issn")).orderBy(col("id").asc)
+    filtered.select(col("id"), col("is_oa").as("is_oa_source"),
+        explode(col("issns")).as("issn"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** endpoint_id → (source id, is_oa) index via the endpoint→source
+    * map; first source per endpoint by id asc. */
+  def endpointIndex(endpointToSource: DataFrame, filtered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("endpoint_id")).orderBy(col("id").asc)
+    endpointToSource.join(filtered,
+        endpointToSource("source_id") === filtered("id"))
+      .select(endpointToSource("endpoint_id"), filtered("id"),
+        filtered("is_oa").as("is_oa_source"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** datacite client id → (source id, is_oa) index. */
+  def dataciteIndex(filtered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("datacite_id")).orderBy(col("id").asc)
+    filtered.filter(col("datacite_ids").isNotNull && size(col("datacite_ids")) > 0)
+      .select(col("id"), col("is_oa").as("is_oa_source"),
+        explode(col("datacite_ids")).as("datacite_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def issnNamespaceRank(ns: Column): Column =
+    when(ns === "eissn", 1).when(ns === "lissn", 2).when(ns === "pissn", 3)
+
+  /** Primary-tier attach: route by provenance, return every location
+    * with `source_id` / `is_oa_source` (null when no tier matched).
+    * `locations` must carry provenance, native_id, ids[], endpoint_id. */
+  def attachPrimary(locations: DataFrame, sources: DataFrame,
+      endpointToSource: DataFrame,
+      excluded: Seq[Long] = defaultExcludedIds): DataFrame = {
+    val srcF = filteredSources(sources, excluded)
+    val cols = locations.columns.map(col)
+
+    // other (crossref/landing_page/…): extract self-ish ISSNs, rank
+    // eissn > lissn > pissn then id text, take the best match per work.
+    val others = locations.filter(
+      !col("provenance").isin("repo", "repo_backfill", "datacite", "pubmed"))
+    val relevant = explode_outer(filter(col("ids"), x =>
+      x.getField("namespace").contains("issn") &&
+        (x.getField("relationship").isin(issnRelationships.map(lit): _*) ||
+          x.getField("relationship").isNull)))
+    val ranked = others.select(cols :+ relevant.as("__rel"): _*)
+      .withColumn("__nid_rn", row_number().over(Window.partitionBy(col("native_id"))
+        .orderBy(issnNamespaceRank(col("__rel.namespace")).asc_nulls_last,
+          col("__rel.id").asc_nulls_last)))
+    val issnMatches = ranked
+      .join(broadcast(issnIndex(srcF)), ranked("__rel.id") === col("issn"))
+      .withColumn("__best", row_number().over(Window.partitionBy(col("native_id"))
+        .orderBy(col("__nid_rn").asc, col("id").asc)))
+      .filter(col("__best") === 1)
+      .select(col("native_id").as("__mid"), col("id").as("source_id"),
+        col("is_oa_source"))
+    val othersFinal = others.join(issnMatches,
+      others("native_id") === col("__mid"), "left").drop("__mid")
+
+    // datacite: extract the datacite_client id, join the client index,
+    // keep the lowest-source match per work (unmatched rows stay).
+    val datacite = locations.filter(col("provenance") === "datacite")
+    val clientId = explode_outer(filter(col("ids"), x =>
+      x.getField("namespace") === "datacite_client" &&
+        (x.getField("relationship") === "self" ||
+          x.getField("relationship").isNull)))
+    val dcFinal = datacite.select(cols :+ clientId.as("__client"): _*)
+      .join(broadcast(dataciteIndex(srcF)),
+        col("__client.id") === col("datacite_id"), "left")
+      .withColumn("__best", row_number().over(Window.partitionBy(col("native_id"))
+        .orderBy(col("id").asc_nulls_last)))
+      .filter(col("__best") === 1)
+      .select(cols ++ Seq(col("id").as("source_id"), col("is_oa_source")): _*)
+
+    // pubmed: constant source.
+    val pmFinal = locations.filter(col("provenance") === "pubmed")
+      .select(cols ++ Seq(lit(pubmedSourceId).as("source_id"),
+        lit(false).as("is_oa_source")): _*)
+
+    // repo: endpoint_id equijoin.
+    val repoFinal = locations
+      .filter(col("provenance").isin("repo", "repo_backfill"))
+      .join(broadcast(endpointIndex(endpointToSource, srcF)
+          .select(col("endpoint_id").as("__ep"), col("id").as("source_id"),
+            col("is_oa_source"))),
+        col("endpoint_id") === col("__ep"), "left")
+      .drop("__ep")
+
+    val out = cols ++ Seq(col("source_id"), col("is_oa_source"))
+    Seq(othersFinal, dcFinal, pmFinal, repoFinal)
+      .map(_.select(out: _*)).reduce(_.unionByName(_))
+  }
+
+  /** Display-name fallback: sources whose display_name is unique in the
+    * registry (merge redirects excluded, exclusion list NOT applied —
+    * the reference matches against the raw registry here) match
+    * unmatched locations on source_name. */
+  def displayNameFallback(attached: DataFrame, sources: DataFrame): DataFrame = {
+    val uniq = sources.filter(col("merge_into_id").isNull)
+      .groupBy(col("display_name"))
+      .agg(max(col("id")).as("__sid"), max(col("is_oa")).as("__oa"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === 1 && col("display_name").isNotNull)
+      .drop("__cnt")
+    val matched = attached.filter(col("source_id").isNotNull)
+    val unmatched = attached.filter(col("source_id").isNull)
+      .drop("source_id", "is_oa_source")
+      .join(broadcast(uniq), col("source_name") === col("display_name"), "left")
+      .withColumn("source_id", col("__sid"))
+      .withColumn("is_oa_source", col("__oa"))
+      .drop("display_name", "__sid", "__oa")
+    matched.unionByName(unmatched)
+  }
+
+  /** Manual cascade over still-unmatched rows: landing/pdf base-URL
+    * map, DOI-prefix map, source-name map, publisher contains — the
+    * hand-curated rules at the tail of the reference CTAS. */
+  def manualFallback(attached: DataFrame): Column = {
+    val baseUrl = regexp_extract(
+      coalesce(col("landing_page_url"), col("pdf_url")),
+      "https?://(www\\.)?([^/]+)", 2)
+    val byUrl = Seq(
+      "europepmc.org" -> 4306400806L, "ci.nii.ac.jp" -> 4210197683L,
+      "dialnet.unirioja.es" -> 4306401293L, "osti.gov" -> 4306402487L,
+      "cqvip.com" -> 4306500507L, "books.openedition.org" -> 4210222637L,
+      "cyberleninka.ru" -> 4306401404L, "ntrs.nasa.gov" -> 4306402118L,
+      "scopus.com" -> 4306400063L)
+      .foldLeft(when(lit(false), lit(null).cast("long"))) {
+        case (acc, (host, sid)) => acc.when(baseUrl === host, sid)
+      }
+      .when(coalesce(col("landing_page_url"), col("pdf_url"))
+        .contains("hal.science"), 4306402512L)
+    val byDoi = Seq(
+      "10.20944/preprints%" -> 6309402219L, "10.2139/ssrn.%" -> 4210172589L,
+      "10.26434/chemrxiv%" -> 4393918830L)
+      .foldLeft(byUrl) { case (acc, (pfx, sid)) =>
+        acc.when(col("best_doi").like(pfx), sid) }
+    val byName = Seq("biorxiv" -> 4306402567L, "medrxiv" -> 3005729997L,
+      "research square" -> 4306402450L)
+      .foldLeft(byDoi) { case (acc, (nm, sid)) =>
+        acc.when(lower(col("source_name")) === nm, sid) }
+    val byPublisher = byName.when(
+      lower(col("publisher")).contains("research square platform"),
+      4306402450L)
+    coalesce(col("source_id"), byPublisher)
+  }
+
+  /** Full cascade: primary tiers → display-name fallback → manual
+    * rules. Output = locations + (source_id, is_oa_source). */
+  def attachSources(locations: DataFrame, sources: DataFrame,
+      endpointToSource: DataFrame,
+      excluded: Seq[Long] = defaultExcludedIds): DataFrame = {
+    val primary = attachPrimary(locations, sources, endpointToSource, excluded)
+    val withNames = displayNameFallback(primary, sources)
+    withNames.withColumn("source_id", manualFallback(withNames))
+  }
+}
