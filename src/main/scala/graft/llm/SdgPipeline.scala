@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SDG-classifier pipeline composition (reference: notebooks/sdg/
+  * {sdg_create_frontfill_input.ipynb, sdg_inference_frontfill.ipynb,
+  * sdg_inference_frontfill_endpoint.py} and the combined
+  * backfill+frontfill MERGE in CreateWorksEnriched.ipynb): input
+  * selection (anti-join against already-classified, type/id-floor/
+  * content gates), the batched multi-label classifier boundary (the
+  * model itself is the documented stub, exactly like TopicsPipeline's
+  * BERT), output shaping against the 17-goal dim, and the frontfill
+  * merge source (latest-by-timestamp dedup with the size(sdg)>0 gate
+  * applied BEFORE ranking — an empty newer prediction lets an older
+  * non-empty one win, reference MERGE source CTE).
+  *
+  * Scale posture: selection is anti-join + narrow filters on the works
+  * scan; the goal dim (17 rows) broadcasts; the only work-sized shuffle
+  * is the per-work aggregation/dedup.
+  */
+object SdgPipeline {
+
+  /** Works below this id are covered by the static backfill table; the
+    * frontfill classifies only newly minted ids. */
+  val IdFloor = 6600000000L
+
+  val EligibleTypes: Seq[String] = Seq("article", "book", "review",
+    "book-chapter", "preprint", "dissertation")
+
+  /** UN goal number → display name (ModelCache.goal_names,
+    * sdg_inference_frontfill.ipynb cell 1). */
+  val goalNames: Seq[(Int, String)] = Seq(
+    1 -> "No poverty", 2 -> "Zero hunger", 3 -> "Good health and well-being",
+    4 -> "Quality Education", 5 -> "Gender equality",
+    6 -> "Clean water and sanitation", 7 -> "Affordable and clean energy",
+    8 -> "Decent work and economic growth",
+    9 -> "Industry, innovation and infrastructure", 10 -> "Reduced inequalities",
+    11 -> "Sustainable cities and communities",
+    12 -> "Responsible consumption and production", 13 -> "Climate action",
+    14 -> "Life below water", 15 -> "Life in Land",
+    16 -> "Peace, Justice and strong institutions",
+    17 -> "Partnerships for the goals")
+
+  /** Works needing SDG inference (sdg_create_frontfill_input.ipynb):
+    * not yet classified, eligible type, new id, ≥25 combined chars and
+    * ≥5 combined words. NOTE the reference's `length(title) + …` has no
+    * coalesce on the title side — a null title NULLs the predicate and
+    * drops the row; ported faithfully. */
+  def createFrontfillInput(works: DataFrame, existing: DataFrame): DataFrame =
+    works
+      .join(existing.select(col("work_id").as("__e")),
+        col("work_id") === col("__e"), "left_anti")
+      .filter(col("work_type").isin(EligibleTypes: _*))
+      .filter(col("work_id") > IdFloor)
+      .filter((length(col("title")) + coalesce(length(col("abstract")), lit(0))) >= 25 &&
+        size(split(concat(coalesce(col("title"), lit("")), lit(" "),
+          coalesce(col("abstract"), lit(""))), " ")) >= 5)
+      .select(col("work_id"), col("title"), col("abstract"))
+
+  /** The reference's dynamic repartition sizing for GPU batches
+    * (~2000 records/partition, floor for cluster utilization). */
+  def optimalPartitions(rowCount: Long, perPartition: Int = 2000,
+      floor: Int = 32): Int =
+    math.max(floor, (rowCount / perPartition).toInt)
+
+  /** (goal, display_name) broadcast dim. */
+  def goalDim(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    goalNames.toDF("goal", "display_name")
+  }
+
+  /** Shape raw per-(work, goal) scores into the API sdg array:
+    * threshold, goal-dim enrich, sort score DESC then goal ASC.
+    * @param raw (work_id, goal INT, score DOUBLE) */
+  def shapeOutput(raw: DataFrame, minScore: Double = 0.2): DataFrame = {
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l("score") > r("score"), -1).when(l("score") < r("score"), 1)
+        .when(l("goal") < r("goal"), -1).when(l("goal") > r("goal"), 1)
+        .otherwise(0)
+    raw.filter(col("score") > minScore)
+      .join(broadcast(goalDim(raw.sparkSession)), Seq("goal"))
+      .groupBy(col("work_id"))
+      .agg(transform(array_sort(collect_list(struct(col("goal"),
+        concat(lit("https://metadata.un.org/sdg/"), col("goal").cast("string"))
+          .as("id"),
+        col("display_name"), col("score"))), cmp),
+        x => struct(x.getField("id").as("id"),
+          x.getField("display_name").as("display_name"),
+          x.getField("score").as("score"))).as("sdg"))
+  }
+
+  /** Frontfill side of the enrichment MERGE source: new ids only,
+    * non-empty predictions, latest per work by created_timestamp (the
+    * size gate applies before ranking — reference CTE `ranked`). */
+  def latestFrontfill(frontfill: DataFrame, idFloor: Long = IdFloor): DataFrame =
+    frontfill
+      .filter(col("work_id") > idFloor && size(col("sdg")) > 0)
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("work_id"))
+        .orderBy(col("created_timestamp").desc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col("work_id"), col("sdg"))
+
+  /** Combined MERGE source: backfill (old ids) UNION ALL deduped
+    * frontfill — the reference verifies the id ranges are disjoint. */
+  def mergeSource(backfill: DataFrame, frontfill: DataFrame): DataFrame =
+    backfill.select(col("work_id"), col("sdg"))
+      .unionByName(latestFrontfill(frontfill))
+}

@@ -91,6 +91,125 @@ object PipelineQueries {
         col("is_oa_source").cast("int").as("oa_source"))
   }
 
+  /** §2.9 SdgPipeline (sdg_create_frontfill_input.ipynb +
+    * CreateWorksEnriched SDG merge): input gates (anti-join vs
+    * classified, type list, id floor, the no-coalesce title-length
+    * predicate, word count), stub classifier scores shaped against the
+    * 17-goal dim (threshold 0.2, score-desc sort), two-version
+    * frontfill with the size(sdg)>0 gate applied before the
+    * latest-by-timestamp dedup (an empty newer prediction lets an older
+    * non-empty one win — k%3=0 rows carry both versions), and the
+    * backfill+frontfill merge source. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.SdgPipeline
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val wid = when(pmod(k, lit(7)) === 0, lit(6590000000L) + k)
+      .otherwise(lit(6600000000L) + k)
+    val works = o.select(wid.as("work_id"),
+      when(pmod(k, lit(3)) === 0,
+          lit("Deep learning for clean water and sanitation systems"))
+        .when(pmod(k, lit(3)) === 1, lit("Short note")).as("title"),
+      when(pmod(k, lit(4)) === 0,
+        lit("Extensive study of goals one through seventeen with methods"))
+        .as("abstract"),
+      elt((pmod(k, lit(8)) + 1).cast("int"), lit("article"), lit("book"),
+        lit("review"), lit("book-chapter"), lit("preprint"),
+        lit("dissertation"), lit("component"), lit("dataset")).as("work_type"))
+    val existing = o.filter(pmod(k, lit(5)) === 0).select(wid.as("work_id"))
+    val input = SdgPipeline.createFrontfillInput(works, existing)
+
+    val kk = col("work_id") - lit(6600000000L)
+    def score(g: org.apache.spark.sql.Column) =
+      pmod(kk * 7 + g * 13, lit(100)).cast("double") / lit(100.0)
+    val g1 = (pmod(kk, lit(17)) + 1).cast("int")
+    val g2 = (pmod(kk * 5, lit(17)) + 1).cast("int")
+    val g3 = (pmod(kk * 11, lit(17)) + 1).cast("int")
+    val raw2 = input.select(col("work_id"), g1.as("goal"))
+      .unionByName(input.filter(g2 =!= g1).select(col("work_id"), g2.as("goal")))
+      .withColumn("score", score(col("goal")))
+    val raw1 = input.filter(pmod(kk, lit(3)) === 0)
+      .select(col("work_id"), g3.as("goal"))
+      .withColumn("score", score(col("goal")))
+    val emptySdg = array()
+      .cast("array<struct<id:string,display_name:string,score:double>>")
+    val ffv2 = input.select(col("work_id"))
+      .join(SdgPipeline.shapeOutput(raw2), Seq("work_id"), "left")
+      .select(col("work_id"), coalesce(col("sdg"), emptySdg).as("sdg"),
+        lit("2024-02-01").cast("timestamp").as("created_timestamp"))
+    val ffv1 = input.filter(pmod(kk, lit(3)) === 0).select(col("work_id"))
+      .join(SdgPipeline.shapeOutput(raw1), Seq("work_id"), "left")
+      .select(col("work_id"), coalesce(col("sdg"), emptySdg).as("sdg"),
+        lit("2024-01-01").cast("timestamp").as("created_timestamp"))
+    val backfill = o.filter(pmod(k, lit(7)) === 0 && pmod(k, lit(11)) < 5)
+      .select((lit(6590000000L) + k).as("work_id"),
+        array(struct(
+          concat(lit("https://metadata.un.org/sdg/"),
+            (pmod(k, lit(17)) + 1).cast("string")).as("id"),
+          elt(((pmod(k, lit(17)) + 1).cast("int") +:
+            SdgPipeline.goalNames.map(n => lit(n._2))): _*).as("display_name"),
+          lit(0.9).as("score"))).as("sdg"))
+    SdgPipeline.mergeSource(backfill, ffv2.unionByName(ffv1))
+      .select(col("work_id"), size(col("sdg")).as("n_sdg"),
+        to_json(col("sdg")).as("sdg_json"))
+  }
+
+  private val q72Oracle: String = {
+    val goalRows = graft.llm.SdgPipeline.goalNames
+      .map { case (g, n) => s"($g, '${n.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH o AS (SELECT o_orderkey AS k FROM orders),
+       |w AS (SELECT k,
+       |  CASE WHEN k % 7 = 0 THEN 6590000000 + k ELSE 6600000000 + k END AS work_id,
+       |  CASE WHEN k % 3 = 0 THEN 'Deep learning for clean water and sanitation systems'
+       |       WHEN k % 3 = 1 THEN 'Short note' END AS title,
+       |  CASE WHEN k % 4 = 0 THEN 'Extensive study of goals one through seventeen with methods'
+       |       END AS abstract,
+       |  ['article','book','review','book-chapter','preprint','dissertation',
+       |   'component','dataset'][CAST(k % 8 AS INTEGER) + 1] AS wt
+       |  FROM o),
+       |sel AS (SELECT k, work_id FROM w
+       |  WHERE k % 5 <> 0
+       |    AND wt IN ('article','book','review','book-chapter','preprint','dissertation')
+       |    AND work_id > 6600000000
+       |    AND (length(title) + coalesce(length(abstract), 0)) >= 25
+       |    AND len(string_split(coalesce(title,'') || ' ' || coalesce(abstract,''), ' ')) >= 5),
+       |goals(g, nm) AS (VALUES $goalRows),
+       |r2 AS (SELECT k, work_id, CAST(k % 17 + 1 AS INTEGER) AS g FROM sel
+       |  UNION SELECT k, work_id, CAST((k * 5) % 17 + 1 AS INTEGER) FROM sel),
+       |s2 AS (SELECT k, work_id, g,
+       |    CAST((k * 7 + g * 13) % 100 AS DOUBLE) / 100.0 AS score FROM r2),
+       |v2 AS (SELECT work_id, list(struct_pack(
+       |    id := 'https://metadata.un.org/sdg/' || CAST(g AS VARCHAR),
+       |    display_name := nm, score := score) ORDER BY score DESC, g ASC) AS sdg
+       |  FROM s2 JOIN goals USING (g) WHERE score > 0.2 GROUP BY work_id),
+       |s1 AS (SELECT k, work_id, CAST((k * 11) % 17 + 1 AS INTEGER) AS g
+       |  FROM sel WHERE k % 3 = 0),
+       |s1s AS (SELECT k, work_id, g,
+       |    CAST((k * 7 + g * 13) % 100 AS DOUBLE) / 100.0 AS score FROM s1),
+       |v1 AS (SELECT work_id, list(struct_pack(
+       |    id := 'https://metadata.un.org/sdg/' || CAST(g AS VARCHAR),
+       |    display_name := nm, score := score) ORDER BY score DESC, g ASC) AS sdg
+       |  FROM s1s JOIN goals USING (g) WHERE score > 0.2 GROUP BY work_id),
+       |ff AS (
+       |  SELECT sel.work_id, coalesce(v2.sdg, []) AS sdg,
+       |    TIMESTAMP '2024-02-01' AS ts FROM sel LEFT JOIN v2 USING (work_id)
+       |  UNION ALL
+       |  SELECT sel.work_id, coalesce(v1.sdg, []), TIMESTAMP '2024-01-01'
+       |  FROM sel LEFT JOIN v1 USING (work_id) WHERE sel.k % 3 = 0),
+       |ranked AS (SELECT work_id, sdg,
+       |    row_number() OVER (PARTITION BY work_id ORDER BY ts DESC) AS rn
+       |  FROM ff WHERE len(sdg) > 0),
+       |bf AS (SELECT 6590000000 + k AS work_id,
+       |  [struct_pack(id := 'https://metadata.un.org/sdg/' || CAST(k % 17 + 1 AS VARCHAR),
+       |    display_name := nm, score := CAST(0.9 AS DOUBLE))] AS sdg
+       |  FROM o JOIN goals ON g = CAST(k % 17 + 1 AS INTEGER)
+       |  WHERE k % 7 = 0 AND k % 11 < 5)
+       |SELECT work_id, CAST(len(sdg) AS INTEGER) AS n_sdg,
+       |  CAST(to_json(sdg) AS VARCHAR) AS sdg_json
+       |FROM (SELECT work_id, sdg FROM bf
+       |      UNION ALL SELECT work_id, sdg FROM ranked WHERE rn = 1)""".stripMargin
+  }
+
   private val q71Oracle: String =
     """WITH src AS (SELECT c_custkey + 100 AS sid FROM customer WHERE c_custkey < 300),
       |srcm AS (SELECT sid, (sid % 25 = 0) AS merged FROM src),
@@ -149,8 +268,10 @@ object PipelineQueries {
       |  CAST(NULL AS INTEGER) FROM loc WHERE k % 6 = 5""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q71_source_matcher" -> (q71 _))
+    "q71_source_matcher" -> (q71 _),
+    "q72_sdg_pipeline" -> (q72 _))
 
   val oracle: Map[String, String] = Map(
-    "q71_source_matcher" -> q71Oracle)
+    "q71_source_matcher" -> q71Oracle,
+    "q72_sdg_pipeline" -> q72Oracle)
 }
