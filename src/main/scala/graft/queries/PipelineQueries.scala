@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.resolve.SourceMatcher
@@ -267,11 +267,208 @@ object PipelineQueries {
       |    ELSE 4306402450 END AS BIGINT),
       |  CAST(NULL AS INTEGER) FROM loc WHERE k % 6 = 5""".stripMargin
 
+  /** §2.4/§2.9 Funders API entity build (CreateFundersAPI.ipynb): the
+    * full assembly — exploded work→funder edges with the prefix filter
+    * (a ror-id element, a null-id element, and a null array are all
+    * routed to the drop paths), per-funder summary stats, unique award
+    * counts (null funder ids gated), the roles union with an F↔F link
+    * filtered out and a double-institution link exercising the
+    * works_count-DESC row_number dedup, newest-first counts_by_year
+    * (a null-year/null-date residue exercises the pub-year gate), and
+    * the merged-registry-row filter. Nested arrays compare as
+    * to_json; the no-recent-works → 0.0 citedness coalesce and the
+    * uncoalesced h_index are mirrored exactly. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.Funders
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val funders = c.filter(ck < 200).select(
+      ck.cast("long").as("funder_id"),
+      concat(lit("Funder "), ck.cast("string")).as("display_name"),
+      when(ck % 3 === 0, concat(lit("[\"Alt "), ck.cast("string"), lit("\"]")))
+        .as("alternate_titles"),
+      elt((ck % 5 + 1).cast("int"), lit("US"), lit("GB"), lit("DE"),
+        lit("FR"), lit("JP")).as("country_code"),
+      lit(null).cast("string").as("description"),
+      when(ck % 4 === 1,
+        concat(lit("https://funder"), ck.cast("string"), lit(".org")))
+        .as("homepage_url"),
+      lit(null).cast("string").as("image_url"),
+      lit(null).cast("string").as("image_thumbnail_url"),
+      when(ck % 2 === 0, concat(lit("https://ror.org/0"), ck.cast("string")))
+        .as("ror_id"),
+      when(ck % 7 === 0, concat(lit("Q"), ck.cast("string"))).as("wikidata_id"),
+      (ck + 100000).cast("string").as("crossref_id"),
+      when(ck % 6 === 2, concat(lit("10.13039/"), ck.cast("string"))).as("doi"),
+      when(ck % 25 === 0, (ck + 1).cast("long")).as("merge_into_id"))
+
+    val k = col("o_orderkey"); val m6 = pmod(k, lit(6))
+    def fEl(id: Column) = struct(
+      concat(lit("https://openalex.org/F"), id.cast("string")).as("id"))
+    val fundersArr = when(m6 === 0, array(fEl(pmod(k, lit(200))),
+        struct(lit("https://ror.org/02abc").as("id"))))
+      .when(m6 === 1, array(fEl(pmod(k, lit(200))), fEl(pmod(k * 3, lit(200)))))
+      .when(m6 === 2 || m6 === 3, array(fEl(pmod(k * 7, lit(200)))))
+      .when(m6 === 4, array(struct(lit(null).cast("string").as("id"))))
+    val works = o.select(k.cast("string").as("id"), fundersArr.as("funders"),
+      when(pmod(k, lit(10)) =!= 0, (lit(1992) + pmod(k, lit(10))).cast("int"))
+        .as("publication_year"),
+      when(pmod(k, lit(20)) =!= 10, lit("1995-06-15").cast("date"))
+        .as("publication_date"),
+      pmod(k, lit(30)).as("cited_by_count"),
+      struct((pmod(k, lit(3)) === 0).as("is_oa")).as("open_access"))
+    val wfE = Funders.enrichWorkFunders(Funders.workFunders(works), works)
+
+    val awards = o.filter(pmod(k, lit(4)) === 0).select(
+      when(pmod(k, lit(16)) =!= 0, pmod(k, lit(250)).cast("long"))
+        .as("funder_id"))
+    val links = c.filter(ck < 150).select(
+        when(ck % 3 === 0, concat(lit("F"), ck.cast("string")))
+          .when(ck % 3 === 1, concat(lit("P"), (ck % 20).cast("string")))
+          .otherwise(concat(lit("F"), ck.cast("string"))).as("id_1"),
+        when(ck % 3 === 0, concat(lit("I"), (ck % 40).cast("string")))
+          .when(ck % 3 === 1, concat(lit("F"), ck.cast("string")))
+          .otherwise(concat(lit("F"), (ck + 1).cast("string"))).as("id_2"))
+      .unionByName(c.filter(ck < 150 && ck % 6 === 0).select(
+        concat(lit("F"), ck.cast("string")).as("id_1"),
+        concat(lit("I"), ((ck + 5) % 40).cast("string")).as("id_2")))
+    val instCounts = c.filter(ck < 40).select(
+      concat(lit("I"), ck.cast("string")).as("entity_id"),
+      ((ck * 11) % 97).cast("int").as("works_count"))
+    val pubCounts = c.filter(ck < 20).select(
+      concat(lit("P"), ck.cast("string")).as("entity_id"),
+      ((ck * 13) % 89).cast("int").as("works_count"))
+
+    Funders.assemble(funders, wfE, awards, links, instCounts, pubCounts,
+        recentYearMin = 1998)
+      .select(col("id"), col("display_name"), col("country_code"),
+        when(col("alternate_titles").isNotNull, size(col("alternate_titles")))
+          .as("n_alt"),
+        col("ids").getField("ror").as("ror"),
+        col("ids").getField("doi").as("doi"),
+        col("works_count"), col("cited_by_count"), col("awards_count"),
+        col("summary_stats").getField("h_index").as("h_index"),
+        col("summary_stats").getField("i10_index").as("i10_index"),
+        col("summary_stats").getField("2yr_mean_citedness").as("rmc"),
+        to_json(col("roles")).as("roles_json"),
+        to_json(col("counts_by_year")).as("cby_json"))
+  }
+
+  private val q73Oracle: String =
+    """WITH f AS (SELECT c_custkey AS fid FROM customer WHERE c_custkey < 200),
+      |wf0 AS (
+      |  SELECT o_orderkey AS k, CAST(o_orderkey % 200 AS BIGINT) AS fid
+      |  FROM orders WHERE o_orderkey % 6 IN (0, 1)
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST((o_orderkey * 3) % 200 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 6 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST((o_orderkey * 7) % 200 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 6 IN (2, 3)),
+      |wfe AS (SELECT k, fid,
+      |  CASE WHEN k % 10 <> 0 THEN 1992 + k % 10
+      |       WHEN k % 20 <> 10 THEN 1995 END AS pub_year,
+      |  k % 30 AS cited, (k % 3 = 0) AS is_oa FROM wf0),
+      |met0 AS (SELECT fid,
+      |  CAST(count(DISTINCT k) AS INTEGER) AS works_count,
+      |  CAST(sum(cited) AS INTEGER) AS cited_by_count,
+      |  CAST(count(CASE WHEN cited >= 10 THEN 1 END) AS INTEGER) AS i10_index,
+      |  floor(CAST(sum(CASE WHEN pub_year >= 1998 THEN cited END) AS DOUBLE)
+      |    / nullif(CAST(count(CASE WHEN pub_year >= 1998 THEN cited END) AS DOUBLE), 0)
+      |    * 1000000 + 0.5) / 1000000.0 AS rmc,
+      |  list_sort(list(cited), 'DESC') AS s
+      |  FROM wfe GROUP BY fid),
+      |met AS (SELECT fid, works_count, cited_by_count, i10_index, rmc,
+      |  CAST(len(list_filter(range(1, len(s)+1), i -> s[i] >= i)) AS INTEGER)
+      |    AS h_index FROM met0),
+      |cbyr AS (SELECT fid, CAST(pub_year AS INTEGER) AS year,
+      |  CAST(count(DISTINCT k) AS INTEGER) AS works_count,
+      |  CAST(sum(CASE WHEN is_oa THEN 1 ELSE 0 END) AS INTEGER) AS oa_works_count,
+      |  CAST(sum(cited) AS INTEGER) AS cited_by_count
+      |  FROM wfe WHERE pub_year IS NOT NULL GROUP BY fid, pub_year),
+      |cby AS (SELECT fid, list(struct_pack(year := year,
+      |    works_count := works_count, oa_works_count := oa_works_count,
+      |    cited_by_count := cited_by_count) ORDER BY year DESC) AS cby
+      |  FROM cbyr GROUP BY fid),
+      |aw AS (SELECT CAST(o_orderkey % 250 AS BIGINT) AS fid,
+      |    CAST(count(*) AS INTEGER) AS c
+      |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0
+      |  GROUP BY 1),
+      |lnk AS (
+      |  SELECT 'F' || CAST(c_custkey AS VARCHAR) AS id_1,
+      |    'I' || CAST(c_custkey % 40 AS VARCHAR) AS id_2
+      |  FROM customer WHERE c_custkey < 150 AND c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 'P' || CAST(c_custkey % 20 AS VARCHAR),
+      |    'F' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 150 AND c_custkey % 3 = 1
+      |  UNION ALL
+      |  SELECT 'F' || CAST(c_custkey AS VARCHAR),
+      |    'F' || CAST(c_custkey + 1 AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 150 AND c_custkey % 3 = 2
+      |  UNION ALL
+      |  SELECT 'F' || CAST(c_custkey AS VARCHAR),
+      |    'I' || CAST((c_custkey + 5) % 40 AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 150 AND c_custkey % 6 = 0),
+      |sides AS (
+      |  SELECT id_1 AS fk, id_2 AS ent FROM lnk WHERE id_1 LIKE 'F%'
+      |  UNION ALL
+      |  SELECT id_2, id_1 FROM lnk WHERE id_2 LIKE 'F%'),
+      |ic AS (SELECT 'I' || CAST(c_custkey AS VARCHAR) AS ent,
+      |  CAST((c_custkey * 11) % 97 AS INTEGER) AS wc
+      |  FROM customer WHERE c_custkey < 40),
+      |pc AS (SELECT 'P' || CAST(c_custkey AS VARCHAR) AS ent,
+      |  CAST((c_custkey * 13) % 89 AS INTEGER) AS wc
+      |  FROM customer WHERE c_custkey < 20),
+      |rall AS (
+      |  SELECT f.fid, 'funder' AS role,
+      |    'https://openalex.org/F' || CAST(f.fid AS VARCHAR) AS id,
+      |    coalesce(m.works_count, 0) AS wc
+      |  FROM f LEFT JOIN met m ON f.fid = m.fid
+      |  UNION ALL
+      |  SELECT f.fid,
+      |    CASE WHEN sides.ent LIKE 'I%' THEN 'institution' ELSE 'publisher' END,
+      |    'https://openalex.org/' || sides.ent,
+      |    coalesce(CASE WHEN sides.ent LIKE 'I%' THEN ic.wc ELSE pc.wc END, 0)
+      |  FROM f JOIN sides ON sides.fk = 'F' || CAST(f.fid AS VARCHAR)
+      |  LEFT JOIN ic ON sides.ent = ic.ent
+      |  LEFT JOIN pc ON sides.ent = pc.ent
+      |  WHERE sides.ent LIKE 'I%' OR sides.ent LIKE 'P%'),
+      |rdedup AS (SELECT fid, role, id, wc, row_number() OVER (
+      |    PARTITION BY fid, role ORDER BY wc DESC, id ASC) AS rn FROM rall),
+      |rolesj AS (SELECT fid, list(struct_pack(role := role, id := id,
+      |    works_count := wc) ORDER BY role ASC, id ASC) AS roles
+      |  FROM rdedup WHERE rn = 1 GROUP BY fid)
+      |SELECT CAST(f.fid AS BIGINT) AS id,
+      |  'Funder ' || CAST(f.fid AS VARCHAR) AS display_name,
+      |  ['US','GB','DE','FR','JP'][CAST(f.fid % 5 AS INTEGER) + 1] AS country_code,
+      |  CASE WHEN f.fid % 3 = 0 THEN 1 END AS n_alt,
+      |  CASE WHEN f.fid % 2 = 0 THEN 'https://ror.org/0' || CAST(f.fid AS VARCHAR)
+      |    END AS ror,
+      |  CASE WHEN f.fid % 6 = 2 THEN '10.13039/' || CAST(f.fid AS VARCHAR)
+      |    END AS doi,
+      |  coalesce(m.works_count, 0) AS works_count,
+      |  coalesce(m.cited_by_count, 0) AS cited_by_count,
+      |  coalesce(a.c, 0) AS awards_count,
+      |  m.h_index AS h_index,
+      |  coalesce(m.i10_index, 0) AS i10_index,
+      |  coalesce(m.rmc, 0.0) AS rmc,
+      |  CAST(to_json(rl.roles) AS VARCHAR) AS roles_json,
+      |  CAST(to_json(c.cby) AS VARCHAR) AS cby_json
+      |FROM f
+      |LEFT JOIN met m ON f.fid = m.fid
+      |LEFT JOIN aw a ON f.fid = a.fid
+      |LEFT JOIN rolesj rl ON f.fid = rl.fid
+      |LEFT JOIN cby c ON f.fid = c.fid
+      |WHERE f.fid % 25 <> 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
-    "q72_sdg_pipeline" -> (q72 _))
+    "q72_sdg_pipeline" -> (q72 _),
+    "q73_funders_api" -> (q73 _))
 
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
-    "q72_sdg_pipeline" -> q72Oracle)
+    "q72_sdg_pipeline" -> q72Oracle,
+    "q73_funders_api" -> q73Oracle)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entities.Funders
+
+class FundersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("workFunders: prefix filter drops ror/null ids and null arrays") {
+    val works = Seq(
+      ("1", Seq("https://openalex.org/F7", "https://ror.org/02x")),
+      ("2", Seq("https://openalex.org/F7", "https://openalex.org/F9")),
+      ("3", Seq(null.asInstanceOf[String])),
+      ("4", null.asInstanceOf[Seq[String]]))
+      .toDF("id", "fids")
+      .select(col("id"), transform(col("fids"),
+        f => struct(f.as("id"))).as("funders"))
+    val edges = Funders.workFunders(works)
+      .orderBy("work_id", "funder_id")
+      .as[(Long, Long)].collect()
+    assert(edges.toSeq == Seq((7L, 1L), (7L, 2L), (9L, 2L)))
+  }
+
+  test("roles: F-side routing, F-F links dropped, works_count-desc dedup") {
+    val funderIds = Seq(1L, 2L).toDF("funder_id")
+    // F1 links two institutions (dedup keeps higher count), F2 sits on
+    // id_2 (publisher side) plus an F-F link that must vanish.
+    val links = Seq(
+      ("F1", "I10"), ("F1", "I11"), ("P5", "F2"), ("F2", "F1"))
+      .toDF("id_1", "id_2")
+    val fCounts = Seq((1L, 100), (2L, 50)).toDF("funder_id", "works_count")
+    val iCounts = Seq(("I10", 3), ("I11", 8)).toDF("entity_id", "works_count")
+    val pCounts = Seq(("P5", 6)).toDF("entity_id", "works_count")
+    val out = Funders.roles(funderIds, links, fCounts, iCounts, pCounts)
+      .orderBy("funder_id").collect()
+    val r1 = out(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(r1 == Seq(
+      ("funder", "https://openalex.org/F1", 100),
+      ("institution", "https://openalex.org/I11", 8)))
+    val r2 = out(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(r2 == Seq(
+      ("funder", "https://openalex.org/F2", 50),
+      ("publisher", "https://openalex.org/P5", 6)))
+  }
+
+  test("countsByYear: newest-first buckets with distinct work counts") {
+    val wfe = Seq(
+      (1L, 10L, 2020, 4, true), (1L, 11L, 2020, 2, false),
+      (1L, 12L, 2021, 9, true))
+      .toDF("funder_id", "work_id", "pub_year", "cited_by_count", "is_oa")
+    val out = Funders.countsByYear(wfe).collect()
+    val rows = out(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows == Seq((2021, 1, 1, 9), (2020, 2, 1, 6)))
+  }
+}
