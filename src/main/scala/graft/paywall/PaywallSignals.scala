@@ -1,0 +1,284 @@
+package graft.paywall
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Paywall-signals queue builders (reference: notebooks/paywall_signals/
+  * rebuild_cohort.sql, classify_candidate_html.sql, build_drain_queue.sql,
+  * build_oa_host_queue.sql, build_drip_pool.sql): the never-attempted
+  * PDF-candidate cohort (HOF id extraction + work-key cascade + three
+  * anti-joins), the HTML-only DOM classifier v3 (ordered host-gated
+  * regex cascade → class / rule / calibrated yield), the ranked
+  * likely-free drain queue (per-work dedup, linkinghub→sciencedirect
+  * PII rewrite, per-host rank for capped drains), the data-driven
+  * OA-host direct-drain queue, and the randomized slow-drip pool for
+  * rate-blocked publishers (marker validation, Hindawi-on-Wiley budget
+  * aliasing).
+  *
+  * Scale posture: the cohort is one window over work_key plus three
+  * anti-joins (all shuffle-keyed equijoins — harvested/attempted sides
+  * are DISTINCT-projected first so the anti-join build side is
+  * minimal); the classifier is a row-local codegen'd when-chain (no
+  * shuffle); each queue is one window. Host-prior verdicts are a
+  * registry-sized broadcast.
+  *
+  * Determinism deviation (documented): the reference breaks rank ties
+  * with `XXHASH64(work_key)` — random-but-stable. The hash choice is
+  * parameterized (`tieBreak`/`rankBy`/`randKey`, defaulting to the
+  * faithful xxhash64) so the DuckDB oracle, which lacks xxhash64, can
+  * pin a deterministic key; semantics (rank within host by yield DESC
+  * then a stable key) are unchanged.
+  */
+object PaywallSignals {
+
+  private val DoiPrefix = "^(doi:|https?://(dx\\.)?doi\\.org/)"
+
+  private def nsIds(ids: Column, ns: String): Column =
+    filter(ids, x => x.getField("namespace") === ns)
+
+  private def firstId(ids: Column, ns: String): Column =
+    try_element_at(nsIds(ids, ns), lit(1)).getField("id")
+
+  /** Normalized DOI form of a raw id (lowercase, scheme/resolver
+    * prefix stripped) — `rebuild_cohort.sql:17-18`. */
+  def normDoi(c: Column): Column = regexp_replace(lower(c), DoiPrefix, "")
+
+  /** Rebuild the never-attempted PDF-candidate cohort
+    * (`rebuild_cohort.sql`). `landing` carries (ids:
+    * array<struct<namespace,id>>, urls: array<struct<content_type,
+    * url>>, native_id, native_id_namespace, publisher, created_date,
+    * ingested_at); `taxicab` (native_id, native_id_namespace,
+    * status_code, content_type, s3_path, url); `locationsMapped`
+    * (native_id, native_id_namespace, work_id, pdf_s3_id,
+    * grobid_s3_id). */
+  def buildCohort(landing: DataFrame, taxicab: DataFrame,
+      locationsMapped: DataFrame, minCreatedDate: String,
+      builtAt: Column = current_timestamp()): DataFrame = {
+    val ids = col("ids")
+    val workKey = coalesce(firstId(ids, "pmh"), normDoi(firstId(ids, "doi")),
+      col("native_id"))
+    val fresh = landing
+      .filter(col("created_date") >= minCreatedDate &&
+        size(filter(col("urls"), u => u.getField("content_type") === "pdf")) > 0)
+      .select(
+        coalesce(concat(firstId(ids, "html.gz"), lit(".html.gz")),
+          firstId(ids, "docs.html")).as("file_key"),
+        workKey.as("work_key"),
+        when(size(nsIds(ids, "pmh")) > 0, "pmh")
+          .when(size(nsIds(ids, "doi")) > 0, "doi")
+          .otherwise("native").as("work_key_ns"),
+        col("native_id"), col("native_id_namespace"),
+        try_element_at(filter(col("urls"), u => u.getField("content_type") === "pdf"), lit(1))
+          .getField("url").as("pdf_url"),
+        col("publisher"), col("ingested_at"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("work_key")).orderBy(col("ingested_at").desc)))
+    val cand = fresh.filter(col("__rn") === 1 && col("file_key").isNotNull &&
+      col("pdf_url").isNotNull).drop("__rn", "ingested_at")
+    val harvested = taxicab
+      .filter(col("status_code") === 200 && col("content_type").like("%pdf%") &&
+        col("s3_path").isNotNull)
+      .select(when(col("native_id_namespace") === "doi", normDoi(col("native_id")))
+        .otherwise(col("native_id")).as("work_key")).distinct()
+    val heldWorks = locationsMapped
+      .filter(col("work_id").isNotNull &&
+        (col("pdf_s3_id").isNotNull || col("grobid_s3_id").isNotNull))
+      .select(col("work_id")).distinct()
+    val heldKeys = cand.select(col("work_key"), col("native_id"),
+        col("native_id_namespace"))
+      .join(locationsMapped.filter(col("work_id").isNotNull)
+        .select(col("native_id"), col("native_id_namespace"), col("work_id")),
+        Seq("native_id", "native_id_namespace"))
+      .join(heldWorks, Seq("work_id"), "leftsemi")
+      .select(col("work_key")).distinct()
+    val attempted = taxicab.select(col("url").as("pdf_url")).distinct()
+    cand
+      .join(harvested, Seq("work_key"), "leftanti")
+      .join(heldKeys, Seq("work_key"), "leftanti")
+      .join(attempted, Seq("pdf_url"), "leftanti")
+      .withColumn("url_host",
+        regexp_extract(col("pdf_url"), "^https?://([^/]+)", 1))
+      .withColumn("cohort_built_at", builtAt)
+  }
+
+  /** Ordered classifier cascade: (condition, class, rule). The order IS
+    * the semantics — first match wins (`classify_candidate_html.sql`). */
+  private def classifierRules: Seq[(Column, String, String)] = {
+    val html = col("html"); val host = col("url_host")
+    def rx(p: String) = html.rlike(p)
+    val sdFree = rx("(?i)(openaccesslabel|class=[\"'][^\"']*licenseinfo)")
+    val sdPay = rx("(?i)(class=[\"'][^\"']*PurchasePDF|remoteaccessbutton)")
+    Seq(
+      (host === "www.sciencedirect.com" && sdFree,
+        "likely_free", "sciencedirect_open_access_dom_v1"),
+      (host === "www.sciencedirect.com" && sdPay,
+        "paywalled", "sciencedirect_purchase_dom_v1"),
+      (host === "link.springer.com" && rx("(?i)data-test=[\"']open-access"),
+        "likely_free", "springer_open_access_dom_v1"),
+      (host === "link.springer.com" &&
+        rx("(?i)(sprcom-buybox|data-test-id=[\"']buy-article|c-article-buy-box)"),
+        "paywalled", "springer_buybox_dom_v1"),
+      (host === "www.nature.com" && rx("(?i)data-test=[\"']open-access"),
+        "likely_free", "nature_open_access_dom_v1"),
+      (host === "www.nature.com" && rx("(?i)readcube-buybox"),
+        "paywalled", "nature_buybox_dom_v1"),
+      (host === "academic.oup.com" &&
+        rx("(?i)(get-access-jumplink|no-access-message)"),
+        "paywalled", "oup_access_message_dom_v1"),
+      (host === "www.tandfonline.com" &&
+        rx("(?i)(accessDenialWidget|purchase-options)"),
+        "paywalled", "tandfonline_access_denial_dom_v1"),
+      (host === "linkinghub.elsevier.com" && sdFree,
+        "likely_free", "linkinghub_sd_open_access_dom_v2"),
+      (host === "linkinghub.elsevier.com" && sdPay,
+        "paywalled", "linkinghub_sd_purchase_dom_v2"),
+      (lower(col("pdf_url")).rlike("\\.(jpg|jpeg|png|gif|svg)([?#].*)?$"),
+        "bad_candidate_url", "image_pdf_url_v3"),
+      (host === "www.researchsquare.com",
+        "likely_free", "researchsquare_host_v3"),
+      (host === "www.cambridge.org" && rx("buttonGetAccess"),
+        "paywalled", "cambridge_getaccess_dom_v3"),
+      (host === "www.cambridge.org",
+        "likely_free", "cambridge_no_getaccess_dom_v3"),
+      (host === "journals.lww.com" && rx("(?i)(liPurchase|ejp-access-options)"),
+        "paywalled", "lww_purchase_dom_v3"),
+      (html.like("%jbs.elsevierhealth.com%") &&
+        rx("(?i)article-tools__purchase"),
+        "paywalled", "jbs_purchase_widget_dom_v3"))
+  }
+
+  /** Calibrated per-rule PDF yields (`classify_candidate_html.sql`
+    * final CASE). */
+  val calibratedYield: Map[String, Double] = Map(
+    "sciencedirect_open_access_dom_v1" -> 1.000,
+    "springer_open_access_dom_v1" -> 0.995,
+    "nature_open_access_dom_v1" -> 0.995,
+    "sciencedirect_purchase_dom_v1" -> 0.055,
+    "springer_buybox_dom_v1" -> 0.005,
+    "nature_buybox_dom_v1" -> 0.005,
+    "oup_access_message_dom_v1" -> 0.000,
+    "tandfonline_access_denial_dom_v1" -> 0.000,
+    "linkinghub_sd_open_access_dom_v2" -> 0.981,
+    "linkinghub_sd_purchase_dom_v2" -> 0.055,
+    "jbs_purchase_widget_dom_v3" -> 0.008,
+    "image_pdf_url_v3" -> 0.000,
+    "researchsquare_host_v3" -> 0.966,
+    "cambridge_getaccess_dom_v3" -> 0.000,
+    "cambridge_no_getaccess_dom_v3" -> 0.995,
+    "lww_purchase_dom_v3" -> 0.000)
+
+  /** HTML-only paywall classifier v3 over the ok-status candidate HTML
+    * (cohort columns + html + status). Row-local — the whole cascade
+    * stays inside whole-stage codegen. */
+  def classify(candidateHtml: DataFrame,
+      classifiedAt: Column = current_timestamp()): DataFrame = {
+    val rules = classifierRules
+    val cls = rules.map { case (c, k, _) => when(c, k) }
+      .foldRight(lit("needs_validation"))((w, rest) => w.otherwise(rest))
+    val rule = rules.map { case (c, _, r) => when(c, r) }
+      .foldRight(lit("no_calibrated_html_rule_v1"))((w, rest) => w.otherwise(rest))
+    val yieldCol = try_element_at(
+      typedLit(calibratedYield), col("classifier_rule"))
+    candidateHtml.filter(col("status") === "ok")
+      .select(col("file_key"), col("work_key"), col("work_key_ns"),
+        col("native_id"), col("native_id_namespace"), col("pdf_url"),
+        col("url_host"), col("publisher"),
+        cls.as("class"), rule.as("classifier_rule"))
+      .withColumn("calibrated_pdf_yield", yieldCol)
+      .withColumn("classifier_version", lit("html-dom-v3-2026-07-30"))
+      .withColumn("classified_at", classifiedAt)
+  }
+
+  /** Ranked likely-free drain queue (`build_drain_queue.sql`): per-work
+    * dedup (yield DESC, file_key), linkinghub→sciencedirect PII
+    * rewrite, per-host rank supporting `host_rank <= cap` drains. */
+  def drainQueue(classification: DataFrame,
+      queuedAt: Column = current_timestamp(),
+      tieBreak: Column = xxhash64(col("work_key"))): DataFrame = {
+    val pii = regexp_extract(col("pdf_url"), "pii/([A-Za-z0-9]+)", 1)
+    classification.filter(col("class") === "likely_free")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("work_key"), col("work_key_ns"))
+          .orderBy(col("calibrated_pdf_yield").desc, col("file_key"))))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("work_key"), col("work_key_ns"), col("native_id"),
+        col("native_id_namespace"),
+        when(col("url_host") === "linkinghub.elsevier.com" && pii =!= "",
+          concat(lit("https://www.sciencedirect.com/science/article/pii/"),
+            pii, lit("/pdf")))
+          .otherwise(col("pdf_url")).as("pdf_url"),
+        col("url_host"), col("publisher"), col("classifier_rule"),
+        col("calibrated_pdf_yield"), col("classifier_version"))
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy(col("url_host"))
+          .orderBy(col("calibrated_pdf_yield").desc, tieBreak)))
+      .withColumn("queued_at", queuedAt)
+  }
+
+  /** Direct-drain queue for hosts whose measured free-rate cleared the
+    * prior sweep (`build_oa_host_queue.sql`): membership is the
+    * verdict='drain' rows of `verdicts` (url_host, verdict) — a
+    * registry-sized broadcast. */
+  def oaHostQueue(cohort: DataFrame, verdicts: DataFrame,
+      queuedAt: Column = current_timestamp(),
+      rankBy: Column = xxhash64(col("work_key"))): DataFrame =
+    cohort
+      .join(broadcast(verdicts.filter(col("verdict") === "drain")
+        .select(col("url_host")).distinct()), Seq("url_host"), "leftsemi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("work_key"), col("work_key_ns"))
+          .orderBy(col("file_key"))))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("work_key"), col("work_key_ns"), col("native_id"),
+        col("native_id_namespace"), col("pdf_url"), col("url_host"),
+        col("publisher"), lit("oa_host_prior_v2").as("classifier_rule"))
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy(col("url_host")).orderBy(rankBy)))
+      .withColumn("queued_at", queuedAt)
+
+  /** Slow-drip pool for rate-blocked publishers (`build_drip_pool.sql`):
+    * marker-validated needs_validation rows on Wiley/T&F/OUP plus
+    * Hindawi-on-Wiley (whose pdf_url is rewritten to the Wiley
+    * pdfdirect endpoint and whose budget is aliased to Wiley — same
+    * origin). `randKey` seeds the stable randomized walk order. */
+  def dripPool(candidateHtml: DataFrame, classification: DataFrame,
+      pooledAt: Column = current_timestamp(),
+      randKey: Column = xxhash64(col("work_key"), lit(695))): DataFrame = {
+    val html = col("html"); val host = col("url_host")
+    val isDoiUrl = col("native_id").like("https://doi.org/%")
+    val strippedNative = when(isDoiUrl, expr("substring(native_id, 17)"))
+      .otherwise(col("native_id"))
+    val marker =
+      (host === "onlinelibrary.wiley.com" &&
+        html.rlike("(?i)doi-access[^>]*>\\s*(Open|Free) Access")) ||
+      (host === "downloads.hindawi.com" &&
+        (col("native_id").like("https://doi.org/10.1155/%") ||
+          col("native_id").like("10.1155/%"))) ||
+      (host === "www.tandfonline.com" &&
+        html.rlike("(?i)>\\s*Free Access\\s*<")) ||
+      (host === "academic.oup.com" &&
+        html.rlike("(?i)Open Access article distributed under the terms"))
+    candidateHtml.filter(col("status") === "ok" && marker)
+      .join(classification.filter(col("class") === "needs_validation")
+        .select(col("file_key")), Seq("file_key"), "leftsemi")
+      .select(
+        strippedNative.as("native_id"),
+        when(isDoiUrl, "doi").otherwise(col("native_id_namespace"))
+          .as("native_id_namespace"),
+        when(host === "downloads.hindawi.com",
+          concat(lit("https://onlinelibrary.wiley.com/doi/pdfdirect/"),
+            strippedNative))
+          .otherwise(col("pdf_url")).as("pdf_url"),
+        when(host.isin("onlinelibrary.wiley.com", "downloads.hindawi.com"),
+            "wiley")
+          .when(host === "www.tandfonline.com", "tandfonline")
+          .when(host === "academic.oup.com", "oup").as("budget_host"),
+        when(host === "onlinelibrary.wiley.com", "wiley_doi_access_badge_v1")
+          .when(host === "downloads.hindawi.com", "hindawi_wiley_rewrite_v1")
+          .when(host === "www.tandfonline.com", "tf_free_access_badge_v1")
+          .when(host === "academic.oup.com", "oup_oa_phrase_v1").as("drip_rule"),
+        randKey.as("rand_key"))
+      .withColumn("pooled_at", pooledAt)
+  }
+}

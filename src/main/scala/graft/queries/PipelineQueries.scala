@@ -462,13 +462,349 @@ object PipelineQueries {
       |LEFT JOIN cby c ON f.fid = c.fid
       |WHERE f.fid % 25 <> 0""".stripMargin
 
+  /** §2.1/§2.3/§2.5 paywall-signals queue builders (rebuild_cohort.sql
+    * + classify_candidate_html.sql + the three queue SQLs): landing
+    * rows with HOF-extractable id/url arrays (pmh / two doi prefix
+    * forms / html.gz / docs.html; a no-pdf and a no-file-key residue
+    * both dropped), ingested-at rn dedup (k%7 rows carry a later #v2
+    * snapshot), created-date gate, the three anti-joins (harvested
+    * taxicab PDFs, held works via locations_mapped, attempted urls),
+    * then a 12-host HTML rotation through the v3 classifier (every
+    * rule fires on at least one residue; the oracle re-evaluates the
+    * SAME regexes in DuckDB), the likely-free drain queue with the
+    * linkinghub PII rewrite, the verdict-driven OA-host queue, and the
+    * marker-validated drip pool with the Hindawi-on-Wiley rewrite.
+    * Rank tiebreaks pinned to work_key (xxhash64 isn't computable in
+    * DuckDB; semantics unchanged — see PaywallSignals scaladoc). */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import graft.paywall.PaywallSignals
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val m24 = pmod(k, lit(24)); val m12 = pmod(k, lit(12))
+    // ids-shape residue on k div 24 so it is independent of the host
+    // rotation (k%3 would alias m24%3 and starve 8 of the 24 residues)
+    val m3 = pmod(expr("o_orderkey div 24"), lit(3)); val m5 = pmod(k, lit(5))
+    val host = elt((m12 + 1).cast("int"), lit("www.sciencedirect.com"),
+      lit("link.springer.com"), lit("www.nature.com"), lit("academic.oup.com"),
+      lit("www.tandfonline.com"), lit("linkinghub.elsevier.com"),
+      lit("www.cambridge.org"), lit("www.researchsquare.com"),
+      lit("journals.lww.com"), lit("onlinelibrary.wiley.com"),
+      lit("downloads.hindawi.com"), lit("img-host.example"))
+    val pdfBase = when(m12 === 5, when(m24 === 5,
+        concat(lit("https://linkinghub.elsevier.com/retrieve/pii/S"), ks))
+        .otherwise(concat(lit("https://linkinghub.elsevier.com/retrieve/noid/"), ks)))
+      .when(m12 === 11, when(m24 === 11,
+        concat(lit("https://img-host.example/art/"), ks, lit(".png?dl=1")))
+        .otherwise(concat(lit("https://img-host.example/art/"), ks, lit(".gif"))))
+      .otherwise(concat(lit("https://"), host, lit("/pdf/"), ks))
+    val nativeId = when(m12 === 10 && m24 === 10,
+        concat(lit("https://doi.org/10.1155/"), ks))
+      .otherwise(concat(lit("N"), ks))
+    val nativeNs = when(m12 === 10 && m24 === 10, lit("doi")).otherwise(lit("nat"))
+    val doiId = when(pmod(k, lit(2)) === 1, concat(lit("https://doi.org/10.1/"), ks))
+      .otherwise(concat(lit("DOI:10.1/"), ks))
+    def idS(ns: String, id: Column) =
+      struct(lit(ns).as("namespace"), id.as("id"))
+    def idsArr(sfx: String) = when(m3 === 0, array(
+        idS("pmh", concat(lit("oai:rep:"), ks)),
+        idS("html.gz", concat(lit("hk"), ks, lit(sfx)))))
+      .when(m3 === 1, array(idS("doi", doiId),
+        idS("docs.html", concat(lit("hd"), ks, lit(sfx)))))
+      .otherwise(array(idS("doi", concat(lit("https://doi.org/10.3/"), ks))))
+    def uS(ct: String, u: Column) =
+      struct(lit(ct).as("content_type"), u.as("url"))
+    val pageUrl = concat(lit("https://"), host, lit("/page/"), ks)
+    def urlsArr(pdf: Column) = when(m5 === 4, array(uS("html", pageUrl)))
+      .when(m5 === 0, array(uS("html", pageUrl), uS("pdf", pdf)))
+      .otherwise(array(uS("pdf", pdf)))
+    val created = when(k % 9 === 5, lit("2026-07-20")).otherwise(lit("2026-07-28"))
+    def lpRows(base: DataFrame, sfx: String, pdf: Column, ing: Int) =
+      base.select(idsArr(sfx).as("ids"), urlsArr(pdf).as("urls"),
+        nativeId.as("native_id"), nativeNs.as("native_id_namespace"),
+        concat(lit("Pub "), pmod(k, lit(7)).cast("string")).as("publisher"),
+        created.as("created_date"), lit(ing).as("ingested_at"))
+    val landing = lpRows(o, "", pdfBase, 1)
+      .unionByName(lpRows(o.filter(k % 7 === 0), "b",
+        concat(pdfBase, lit("#v2")), 2))
+
+    val taxicab = o.filter(k % 10 === 6).select(
+        when(m3 === 0, concat(lit("oai:rep:"), ks))
+          .otherwise(concat(lit("https://doi.org/10.1/"), ks)).as("native_id"),
+        when(m3 === 0, lit("pmh")).otherwise(lit("doi")).as("native_id_namespace"),
+        lit(200).as("status_code"), lit("application/pdf").as("content_type"),
+        concat(lit("s3://t/"), ks).as("s3_path"),
+        concat(lit("https://t.example/"), ks).as("url"))
+      .unionByName(o.filter(k % 10 === 2).select(nativeId.as("native_id"),
+        nativeNs.as("native_id_namespace"), lit(404).as("status_code"),
+        lit("application/pdf").as("content_type"),
+        concat(lit("s3://t/"), ks).as("s3_path"),
+        concat(lit("https://t.example/x"), ks).as("url")))
+      .unionByName(o.filter(k % 10 === 8).select(nativeId.as("native_id"),
+        nativeNs.as("native_id_namespace"), lit(200).as("status_code"),
+        lit("text/html").as("content_type"),
+        lit(null).cast("string").as("s3_path"), pdfBase.as("url")))
+
+    val lm = o.filter(k % 10 === 7 || k % 10 === 3).select(
+        concat(lit("N"), ks).as("native_id"),
+        lit("nat").as("native_id_namespace"),
+        (k + 500000).as("work_id"),
+        when(pmod(k, lit(20)) === 7, concat(lit("s3://p/"), ks)).as("pdf_s3_id"),
+        when(pmod(k, lit(20)) === 17, concat(lit("s3://g/"), ks))
+          .as("grobid_s3_id"))
+      .unionByName(o.filter(k % 10 === 1).select(
+        concat(lit("N"), ks).as("native_id"),
+        lit("nat").as("native_id_namespace"),
+        lit(null).cast("long").as("work_id"),
+        lit(null).cast("string").as("pdf_s3_id"),
+        lit(null).cast("string").as("grobid_s3_id")))
+
+    val cohort = PaywallSignals.buildCohort(landing, taxicab, lm, "2026-07-27",
+      builtAt = lit(null).cast("timestamp"))
+
+    val kk = regexp_extract(col("file_key"), "\\d+", 0).cast("long")
+    val h24 = pmod(kk, lit(24))
+    val html = when(h24 === 0, "<span class=\"OpenAccessLabel\">OA</span>")
+      .when(h24 === 12, "<a class=\"xPurchasePDF\">buy</a>")
+      .when(h24 === 1, "<div data-test=\"open-access\"></div>")
+      .when(h24 === 13, "<div class=\"c-article-buy-box\">")
+      .when(h24 === 2, "<div data-test=\"open-access\">")
+      .when(h24 === 14, "<div id=\"readcube-buybox\">")
+      .when(h24 === 3, "<a class=\"get-access-jumplink\">")
+      .when(h24 === 15,
+        "<p>This is an Open Access article distributed under the terms of CC BY</p>")
+      .when(h24 === 4, "<div class=\"accessDenialWidget\">")
+      .when(h24 === 16, "<span> Free Access </span>")
+      .when(h24 === 5, "<div class=\"OpenAccessLabel\">")
+      .when(h24 === 17, "<div class=\"remoteAccessButton\">")
+      .when(h24 === 6, "<button class=\"buttonGetAccess\">")
+      .when(h24 === 18, "<div>plain article</div>")
+      .when(h24 === 7 || h24 === 19, "<div>rs page</div>")
+      .when(h24 === 8, "<li class=\"liPurchase\">")
+      .when(h24 === 20,
+        "<script src=\"https://jbs.elsevierhealth.com/a.js\"></script><div class=\"article-tools__purchase\">")
+      .when(h24 === 9, "<span class=\"doi-access\">Open Access</span>")
+      .when(h24 === 21, "<div>nothing</div>")
+      .when(h24 === 10 || h24 === 22, "<div>hindawi page</div>")
+      .otherwise("<div>img</div>")
+    val chMain = cohort.withColumn("html", html)
+      .withColumn("status", when(pmod(kk, lit(13)) === 0, "error").otherwise("ok"))
+    val ch = chMain.unionByName(chMain.filter(pmod(kk, lit(11)) === 0)
+      .withColumn("file_key", concat(col("file_key"), lit("x2")))
+      .withColumn("pdf_url", concat(col("pdf_url"), lit("#x2"))))
+
+    val classification = PaywallSignals.classify(ch,
+      classifiedAt = lit(null).cast("timestamp"))
+    val verdicts = Seq(("www.researchsquare.com", "drain"),
+      ("www.cambridge.org", "drain"), ("img-host.example", "hold"))
+      .toDF("url_host", "verdict")
+    val nullTs = lit(null).cast("timestamp")
+    val drain = PaywallSignals.drainQueue(classification, nullTs,
+      tieBreak = col("work_key"))
+    val oa = PaywallSignals.oaHostQueue(cohort, verdicts, nullTs,
+      rankBy = col("work_key"))
+    val drip = PaywallSignals.dripPool(ch, classification, nullTs,
+      randKey = lit(0L))
+
+    drain.select(lit("drain").as("queue"), col("work_key"), col("work_key_ns"),
+        col("pdf_url"), col("url_host"), col("classifier_rule").as("rule"),
+        col("calibrated_pdf_yield").as("yld"), col("host_rank"))
+      .unionByName(oa.select(lit("oa_host").as("queue"), col("work_key"),
+        col("work_key_ns"), col("pdf_url"), col("url_host"),
+        col("classifier_rule").as("rule"), lit(null).cast("double").as("yld"),
+        col("host_rank")))
+      .unionByName(drip.select(lit("drip").as("queue"),
+        col("native_id").as("work_key"),
+        col("native_id_namespace").as("work_key_ns"), col("pdf_url"),
+        col("budget_host").as("url_host"), col("drip_rule").as("rule"),
+        lit(null).cast("double").as("yld"),
+        lit(null).cast("int").as("host_rank")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
-    "q73_funders_api" -> (q73 _))
+    "q73_funders_api" -> (q73 _),
+    "q74_paywall_queues" -> (q74 _))
+
+  private val q74Oracle: String =
+    """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
+      |  o_orderkey % 12 AS m12, (o_orderkey // 24) % 3 AS m3,
+      |  o_orderkey % 5 AS m5,
+      |  CAST(o_orderkey AS VARCHAR) AS ks FROM orders),
+      |hosts(m12, host) AS (VALUES (0,'www.sciencedirect.com'),
+      |  (1,'link.springer.com'),(2,'www.nature.com'),(3,'academic.oup.com'),
+      |  (4,'www.tandfonline.com'),(5,'linkinghub.elsevier.com'),
+      |  (6,'www.cambridge.org'),(7,'www.researchsquare.com'),
+      |  (8,'journals.lww.com'),(9,'onlinelibrary.wiley.com'),
+      |  (10,'downloads.hindawi.com'),(11,'img-host.example')),
+      |l0 AS (SELECT b.*, h.host,
+      |  CASE WHEN m12 = 5 THEN CASE WHEN m24 = 5
+      |      THEN 'https://linkinghub.elsevier.com/retrieve/pii/S' || ks
+      |      ELSE 'https://linkinghub.elsevier.com/retrieve/noid/' || ks END
+      |    WHEN m12 = 11 THEN CASE WHEN m24 = 11
+      |      THEN 'https://img-host.example/art/' || ks || '.png?dl=1'
+      |      ELSE 'https://img-host.example/art/' || ks || '.gif' END
+      |    ELSE 'https://' || host || '/pdf/' || ks END AS pdf_base,
+      |  CASE WHEN m12 = 10 AND m24 = 10 THEN 'https://doi.org/10.1155/' || ks
+      |    ELSE 'N' || ks END AS native_id,
+      |  CASE WHEN m12 = 10 AND m24 = 10 THEN 'doi' ELSE 'nat' END AS nns,
+      |  CASE WHEN k % 9 = 5 THEN '2026-07-20' ELSE '2026-07-28' END AS created
+      |  FROM b JOIN hosts h USING (m12)),
+      |lr AS (
+      |  SELECT *, pdf_base AS pdf_url, 1 AS ing, '' AS sfx FROM l0
+      |  UNION ALL
+      |  SELECT *, pdf_base || '#v2', 2, 'b' FROM l0 WHERE k % 7 = 0),
+      |fr AS (SELECT *,
+      |  CASE WHEN m3 = 0 THEN 'hk' || ks || sfx || '.html.gz'
+      |       WHEN m3 = 1 THEN 'hd' || ks || sfx END AS file_key,
+      |  CASE WHEN m3 = 0 THEN 'oai:rep:' || ks ELSE '10.1/' || ks END AS work_key,
+      |  CASE WHEN m3 = 0 THEN 'pmh' ELSE 'doi' END AS wkns
+      |  FROM lr WHERE created >= '2026-07-27' AND m5 <> 4 AND m3 <> 2),
+      |cand AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY work_key ORDER BY ing DESC) AS rn FROM fr)
+      |  WHERE rn = 1 AND file_key IS NOT NULL),
+      |harv AS (SELECT DISTINCT CASE WHEN m3 = 0 THEN 'oai:rep:' || ks
+      |    ELSE '10.1/' || ks END AS wk FROM b WHERE k % 10 = 6),
+      |coh AS (SELECT *, regexp_extract(pdf_url, '^https?://([^/]+)', 1)
+      |    AS url_host FROM cand
+      |  WHERE work_key NOT IN (SELECT wk FROM harv)
+      |    AND k % 20 NOT IN (7, 17)
+      |    AND pdf_url NOT IN (SELECT pdf_base FROM l0 WHERE k % 10 = 8)),
+      |ch0 AS (SELECT k, m24, work_key, wkns, native_id, nns, pdf_url,
+      |  url_host, file_key,
+      |  CASE WHEN m24 = 0 THEN '<span class="OpenAccessLabel">OA</span>'
+      |    WHEN m24 = 12 THEN '<a class="xPurchasePDF">buy</a>'
+      |    WHEN m24 = 1 THEN '<div data-test="open-access"></div>'
+      |    WHEN m24 = 13 THEN '<div class="c-article-buy-box">'
+      |    WHEN m24 = 2 THEN '<div data-test="open-access">'
+      |    WHEN m24 = 14 THEN '<div id="readcube-buybox">'
+      |    WHEN m24 = 3 THEN '<a class="get-access-jumplink">'
+      |    WHEN m24 = 15 THEN '<p>This is an Open Access article distributed under the terms of CC BY</p>'
+      |    WHEN m24 = 4 THEN '<div class="accessDenialWidget">'
+      |    WHEN m24 = 16 THEN '<span> Free Access </span>'
+      |    WHEN m24 = 5 THEN '<div class="OpenAccessLabel">'
+      |    WHEN m24 = 17 THEN '<div class="remoteAccessButton">'
+      |    WHEN m24 = 6 THEN '<button class="buttonGetAccess">'
+      |    WHEN m24 = 18 THEN '<div>plain article</div>'
+      |    WHEN m24 IN (7, 19) THEN '<div>rs page</div>'
+      |    WHEN m24 = 8 THEN '<li class="liPurchase">'
+      |    WHEN m24 = 20 THEN '<script src="https://jbs.elsevierhealth.com/a.js"></script><div class="article-tools__purchase">'
+      |    WHEN m24 = 9 THEN '<span class="doi-access">Open Access</span>'
+      |    WHEN m24 = 21 THEN '<div>nothing</div>'
+      |    WHEN m24 IN (10, 22) THEN '<div>hindawi page</div>'
+      |    ELSE '<div>img</div>' END AS html,
+      |  CASE WHEN k % 13 = 0 THEN 'error' ELSE 'ok' END AS status FROM coh),
+      |chall AS (SELECT * FROM ch0 UNION ALL
+      |  SELECT k, m24, work_key, wkns, native_id, nns, pdf_url || '#x2',
+      |    url_host, file_key || 'x2', html, status FROM ch0 WHERE k % 11 = 0),
+      |cls AS (SELECT *,
+      |  CASE
+      |    WHEN url_host = 'www.sciencedirect.com' AND regexp_matches(html, '(?i)(openaccesslabel|class=["''][^"'']*licenseinfo)') THEN 'likely_free'
+      |    WHEN url_host = 'www.sciencedirect.com' AND regexp_matches(html, '(?i)(class=["''][^"'']*PurchasePDF|remoteaccessbutton)') THEN 'paywalled'
+      |    WHEN url_host = 'link.springer.com' AND regexp_matches(html, '(?i)data-test=["'']open-access') THEN 'likely_free'
+      |    WHEN url_host = 'link.springer.com' AND regexp_matches(html, '(?i)(sprcom-buybox|data-test-id=["'']buy-article|c-article-buy-box)') THEN 'paywalled'
+      |    WHEN url_host = 'www.nature.com' AND regexp_matches(html, '(?i)data-test=["'']open-access') THEN 'likely_free'
+      |    WHEN url_host = 'www.nature.com' AND regexp_matches(html, '(?i)readcube-buybox') THEN 'paywalled'
+      |    WHEN url_host = 'academic.oup.com' AND regexp_matches(html, '(?i)(get-access-jumplink|no-access-message)') THEN 'paywalled'
+      |    WHEN url_host = 'www.tandfonline.com' AND regexp_matches(html, '(?i)(accessDenialWidget|purchase-options)') THEN 'paywalled'
+      |    WHEN url_host = 'linkinghub.elsevier.com' AND regexp_matches(html, '(?i)(openaccesslabel|class=["''][^"'']*licenseinfo)') THEN 'likely_free'
+      |    WHEN url_host = 'linkinghub.elsevier.com' AND regexp_matches(html, '(?i)(class=["''][^"'']*PurchasePDF|remoteaccessbutton)') THEN 'paywalled'
+      |    WHEN regexp_matches(lower(pdf_url), '\.(jpg|jpeg|png|gif|svg)([?#].*)?$') THEN 'bad_candidate_url'
+      |    WHEN url_host = 'www.researchsquare.com' THEN 'likely_free'
+      |    WHEN url_host = 'www.cambridge.org' AND regexp_matches(html, 'buttonGetAccess') THEN 'paywalled'
+      |    WHEN url_host = 'www.cambridge.org' THEN 'likely_free'
+      |    WHEN url_host = 'journals.lww.com' AND regexp_matches(html, '(?i)(liPurchase|ejp-access-options)') THEN 'paywalled'
+      |    WHEN html LIKE '%jbs.elsevierhealth.com%' AND regexp_matches(html, '(?i)article-tools__purchase') THEN 'paywalled'
+      |    ELSE 'needs_validation' END AS clz,
+      |  CASE
+      |    WHEN url_host = 'www.sciencedirect.com' AND regexp_matches(html, '(?i)(openaccesslabel|class=["''][^"'']*licenseinfo)') THEN 'sciencedirect_open_access_dom_v1'
+      |    WHEN url_host = 'www.sciencedirect.com' AND regexp_matches(html, '(?i)(class=["''][^"'']*PurchasePDF|remoteaccessbutton)') THEN 'sciencedirect_purchase_dom_v1'
+      |    WHEN url_host = 'link.springer.com' AND regexp_matches(html, '(?i)data-test=["'']open-access') THEN 'springer_open_access_dom_v1'
+      |    WHEN url_host = 'link.springer.com' AND regexp_matches(html, '(?i)(sprcom-buybox|data-test-id=["'']buy-article|c-article-buy-box)') THEN 'springer_buybox_dom_v1'
+      |    WHEN url_host = 'www.nature.com' AND regexp_matches(html, '(?i)data-test=["'']open-access') THEN 'nature_open_access_dom_v1'
+      |    WHEN url_host = 'www.nature.com' AND regexp_matches(html, '(?i)readcube-buybox') THEN 'nature_buybox_dom_v1'
+      |    WHEN url_host = 'academic.oup.com' AND regexp_matches(html, '(?i)(get-access-jumplink|no-access-message)') THEN 'oup_access_message_dom_v1'
+      |    WHEN url_host = 'www.tandfonline.com' AND regexp_matches(html, '(?i)(accessDenialWidget|purchase-options)') THEN 'tandfonline_access_denial_dom_v1'
+      |    WHEN url_host = 'linkinghub.elsevier.com' AND regexp_matches(html, '(?i)(openaccesslabel|class=["''][^"'']*licenseinfo)') THEN 'linkinghub_sd_open_access_dom_v2'
+      |    WHEN url_host = 'linkinghub.elsevier.com' AND regexp_matches(html, '(?i)(class=["''][^"'']*PurchasePDF|remoteaccessbutton)') THEN 'linkinghub_sd_purchase_dom_v2'
+      |    WHEN regexp_matches(lower(pdf_url), '\.(jpg|jpeg|png|gif|svg)([?#].*)?$') THEN 'image_pdf_url_v3'
+      |    WHEN url_host = 'www.researchsquare.com' THEN 'researchsquare_host_v3'
+      |    WHEN url_host = 'www.cambridge.org' AND regexp_matches(html, 'buttonGetAccess') THEN 'cambridge_getaccess_dom_v3'
+      |    WHEN url_host = 'www.cambridge.org' THEN 'cambridge_no_getaccess_dom_v3'
+      |    WHEN url_host = 'journals.lww.com' AND regexp_matches(html, '(?i)(liPurchase|ejp-access-options)') THEN 'lww_purchase_dom_v3'
+      |    WHEN html LIKE '%jbs.elsevierhealth.com%' AND regexp_matches(html, '(?i)article-tools__purchase') THEN 'jbs_purchase_widget_dom_v3'
+      |    ELSE 'no_calibrated_html_rule_v1' END AS rule
+      |  FROM chall WHERE status = 'ok'),
+      |clsy AS (SELECT *, CAST(CASE rule
+      |    WHEN 'sciencedirect_open_access_dom_v1' THEN 1.000
+      |    WHEN 'springer_open_access_dom_v1' THEN 0.995
+      |    WHEN 'nature_open_access_dom_v1' THEN 0.995
+      |    WHEN 'sciencedirect_purchase_dom_v1' THEN 0.055
+      |    WHEN 'springer_buybox_dom_v1' THEN 0.005
+      |    WHEN 'nature_buybox_dom_v1' THEN 0.005
+      |    WHEN 'oup_access_message_dom_v1' THEN 0.000
+      |    WHEN 'tandfonline_access_denial_dom_v1' THEN 0.000
+      |    WHEN 'linkinghub_sd_open_access_dom_v2' THEN 0.981
+      |    WHEN 'linkinghub_sd_purchase_dom_v2' THEN 0.055
+      |    WHEN 'jbs_purchase_widget_dom_v3' THEN 0.008
+      |    WHEN 'image_pdf_url_v3' THEN 0.000
+      |    WHEN 'researchsquare_host_v3' THEN 0.966
+      |    WHEN 'cambridge_getaccess_dom_v3' THEN 0.000
+      |    WHEN 'cambridge_no_getaccess_dom_v3' THEN 0.995
+      |    WHEN 'lww_purchase_dom_v3' THEN 0.000
+      |    END AS DOUBLE) AS yld FROM cls),
+      |dr0 AS (SELECT *, row_number() OVER (PARTITION BY work_key, wkns
+      |    ORDER BY yld DESC, file_key) AS drn FROM clsy
+      |  WHERE clz = 'likely_free'),
+      |dr AS (SELECT work_key, wkns,
+      |  CASE WHEN url_host = 'linkinghub.elsevier.com'
+      |      AND regexp_extract(pdf_url, 'pii/([A-Za-z0-9]+)', 1) <> ''
+      |    THEN 'https://www.sciencedirect.com/science/article/pii/'
+      |      || regexp_extract(pdf_url, 'pii/([A-Za-z0-9]+)', 1) || '/pdf'
+      |    ELSE pdf_url END AS pdf_url,
+      |  url_host, rule, yld FROM dr0 WHERE drn = 1),
+      |drq AS (SELECT 'drain' AS queue, work_key, wkns AS work_key_ns, pdf_url,
+      |  url_host, rule, yld, CAST(row_number() OVER (PARTITION BY url_host
+      |    ORDER BY yld DESC, work_key) AS INTEGER) AS host_rank FROM dr),
+      |oa0 AS (SELECT *, row_number() OVER (PARTITION BY work_key, wkns
+      |    ORDER BY file_key) AS arn FROM coh
+      |  WHERE url_host IN ('www.researchsquare.com', 'www.cambridge.org')),
+      |oaq AS (SELECT 'oa_host' AS queue, work_key, wkns AS work_key_ns,
+      |  pdf_url, url_host, 'oa_host_prior_v2' AS rule,
+      |  CAST(NULL AS DOUBLE) AS yld,
+      |  CAST(row_number() OVER (PARTITION BY url_host ORDER BY work_key)
+      |    AS INTEGER) AS host_rank FROM oa0 WHERE arn = 1),
+      |dp AS (SELECT
+      |  CASE WHEN native_id LIKE 'https://doi.org/%' THEN substring(native_id, 17)
+      |    ELSE native_id END AS wk2,
+      |  CASE WHEN native_id LIKE 'https://doi.org/%' THEN 'doi' ELSE nns END AS ns2,
+      |  CASE WHEN url_host = 'downloads.hindawi.com'
+      |    THEN 'https://onlinelibrary.wiley.com/doi/pdfdirect/' ||
+      |      (CASE WHEN native_id LIKE 'https://doi.org/%'
+      |        THEN substring(native_id, 17) ELSE native_id END)
+      |    ELSE pdf_url END AS pdf2,
+      |  CASE WHEN url_host IN ('onlinelibrary.wiley.com', 'downloads.hindawi.com')
+      |      THEN 'wiley'
+      |    WHEN url_host = 'www.tandfonline.com' THEN 'tandfonline'
+      |    WHEN url_host = 'academic.oup.com' THEN 'oup' END AS bh,
+      |  CASE WHEN url_host = 'onlinelibrary.wiley.com' THEN 'wiley_doi_access_badge_v1'
+      |    WHEN url_host = 'downloads.hindawi.com' THEN 'hindawi_wiley_rewrite_v1'
+      |    WHEN url_host = 'www.tandfonline.com' THEN 'tf_free_access_badge_v1'
+      |    WHEN url_host = 'academic.oup.com' THEN 'oup_oa_phrase_v1' END AS dr_rule
+      |  FROM clsy WHERE clz = 'needs_validation' AND (
+      |    (url_host = 'onlinelibrary.wiley.com' AND regexp_matches(html, '(?i)doi-access[^>]*>\s*(Open|Free) Access'))
+      |    OR (url_host = 'downloads.hindawi.com' AND (native_id LIKE 'https://doi.org/10.1155/%' OR native_id LIKE '10.1155/%'))
+      |    OR (url_host = 'www.tandfonline.com' AND regexp_matches(html, '(?i)>\s*Free Access\s*<'))
+      |    OR (url_host = 'academic.oup.com' AND regexp_matches(html, '(?i)Open Access article distributed under the terms'))))
+      |SELECT queue, work_key, work_key_ns, pdf_url, url_host, rule, yld, host_rank FROM drq
+      |UNION ALL SELECT queue, work_key, work_key_ns, pdf_url, url_host, rule, yld, host_rank FROM oaq
+      |UNION ALL SELECT 'drip', wk2, ns2, pdf2, bh, dr_rule,
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER) FROM dp""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
-    "q73_funders_api" -> q73Oracle)
+    "q73_funders_api" -> q73Oracle,
+    "q74_paywall_queues" -> q74Oracle)
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.paywall.PaywallSignals
+
+class PaywallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def classifyOne(host: String, html: String,
+      pdfUrl: String = "https://x/pdf/1"): (String, String) = {
+    val df = Seq(("f1", "w1", "doi", "n1", "doi", pdfUrl, host, "P", html, "ok"))
+      .toDF("file_key", "work_key", "work_key_ns", "native_id",
+        "native_id_namespace", "pdf_url", "url_host", "publisher", "html",
+        "status")
+    val r = PaywallSignals.classify(df).select("class", "classifier_rule")
+      .collect().head
+    (r.getString(0), r.getString(1))
+  }
+
+  test("classifier: each v3 rule fires on reference-shaped HTML") {
+    // classify_candidate_html.sql:21-76 — one fixture per branch
+    assert(classifyOne("www.sciencedirect.com",
+      """<span class="OpenAccessLabel">""") ==
+      ("likely_free", "sciencedirect_open_access_dom_v1"))
+    assert(classifyOne("www.sciencedirect.com",
+      """<div class="article-tools PurchasePDF-button">""") ==
+      ("paywalled", "sciencedirect_purchase_dom_v1"))
+    assert(classifyOne("link.springer.com",
+      """<a data-test="open-access" href="#">""") ==
+      ("likely_free", "springer_open_access_dom_v1"))
+    assert(classifyOne("link.springer.com",
+      """<div data-test-id="buy-article">""") ==
+      ("paywalled", "springer_buybox_dom_v1"))
+    assert(classifyOne("www.nature.com", """<i data-test='open-access'>""") ==
+      ("likely_free", "nature_open_access_dom_v1"))
+    assert(classifyOne("www.nature.com", """<div class="Readcube-BuyBox">""") ==
+      ("paywalled", "nature_buybox_dom_v1"))
+    assert(classifyOne("academic.oup.com", """<a class="no-access-message">""") ==
+      ("paywalled", "oup_access_message_dom_v1"))
+    assert(classifyOne("www.tandfonline.com", """<div id="purchase-options">""") ==
+      ("paywalled", "tandfonline_access_denial_dom_v1"))
+    assert(classifyOne("linkinghub.elsevier.com",
+      """<span class="text licenseinfo">""") ==
+      ("likely_free", "linkinghub_sd_open_access_dom_v2"))
+    assert(classifyOne("linkinghub.elsevier.com",
+      """<div class="RemoteAccessButton">""") ==
+      ("paywalled", "linkinghub_sd_purchase_dom_v2"))
+    assert(classifyOne("any.host.example", "<div/>",
+      pdfUrl = "https://any.host.example/fig.JPEG?download=1") ==
+      ("bad_candidate_url", "image_pdf_url_v3"))
+    assert(classifyOne("www.researchsquare.com", "<div/>") ==
+      ("likely_free", "researchsquare_host_v3"))
+    assert(classifyOne("www.cambridge.org",
+      """<button class="buttonGetAccess">""") ==
+      ("paywalled", "cambridge_getaccess_dom_v3"))
+    // buttonGetAccess is case-sensitive in the reference — lowercase
+    // must NOT match and falls to the no-getaccess likely_free branch
+    assert(classifyOne("www.cambridge.org",
+      """<button class="buttongetaccess">""") ==
+      ("likely_free", "cambridge_no_getaccess_dom_v3"))
+    assert(classifyOne("journals.lww.com", """<li class="liPurchase">""") ==
+      ("paywalled", "lww_purchase_dom_v3"))
+    assert(classifyOne("jbs-branded.example",
+      """<script src="https://jbs.elsevierhealth.com/j.js"></script>
+        |<div class="article-tools__purchase">""".stripMargin) ==
+      ("paywalled", "jbs_purchase_widget_dom_v3"))
+    assert(classifyOne("unknown.example", "<div/>") ==
+      ("needs_validation", "no_calibrated_html_rule_v1"))
+  }
+
+  test("classifier: yield map covers every rule; error rows excluded") {
+    val df = Seq(
+      ("f1", "w1", "doi", "n1", "doi", "u1", "www.researchsquare.com", "P",
+        "<div/>", "ok"),
+      ("f2", "w2", "doi", "n2", "doi", "u2", "www.researchsquare.com", "P",
+        "<div/>", "error"))
+      .toDF("file_key", "work_key", "work_key_ns", "native_id",
+        "native_id_namespace", "pdf_url", "url_host", "publisher", "html",
+        "status")
+    val out = PaywallSignals.classify(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("calibrated_pdf_yield") == 0.966)
+  }
+
+  test("normDoi: strips doi:/https/dx resolver prefixes and lowercases") {
+    val got = Seq("https://doi.org/10.1/A", "http://dx.doi.org/10.1/b",
+      "DOI:10.1/C", "10.1/d").toDF("x")
+      .select(PaywallSignals.normDoi(col("x"))).as[String].collect().toSeq
+    assert(got == Seq("10.1/a", "10.1/b", "10.1/c", "10.1/d"))
+  }
+
+  test("drain: per-work dedup keeps highest yield then file_key; default " +
+      "xxhash64 host_rank is a 1..n permutation") {
+    val cls = Seq(
+      // same work twice: springer .995 beats nature-free? no — same class,
+      // dedup by yield: f2 (1.0 sciencedirect) wins over f1 (.995)
+      ("f1", "w1", "doi", "n1", "doi", "u1", "link.springer.com", "P",
+        "likely_free", "springer_open_access_dom_v1", 0.995, "v"),
+      ("f2", "w1", "doi", "n1", "doi", "u2", "www.sciencedirect.com", "P",
+        "likely_free", "sciencedirect_open_access_dom_v1", 1.0, "v"),
+      ("f3", "w2", "doi", "n2", "doi", "u3", "www.sciencedirect.com", "P",
+        "likely_free", "sciencedirect_open_access_dom_v1", 1.0, "v"),
+      ("f4", "w3", "doi", "n3", "doi", "u4", "www.sciencedirect.com", "P",
+        "likely_free", "sciencedirect_open_access_dom_v1", 1.0, "v"))
+      .toDF("file_key", "work_key", "work_key_ns", "native_id",
+        "native_id_namespace", "pdf_url", "url_host", "publisher", "class",
+        "classifier_rule", "calibrated_pdf_yield", "classifier_version")
+    val out = PaywallSignals.drainQueue(cls).collect()
+    assert(out.length == 3)
+    val w1 = out.filter(_.getAs[String]("work_key") == "w1").head
+    assert(w1.getAs[String]("pdf_url") == "u2")
+    val sdRanks = out.filter(_.getAs[String]("url_host") ==
+      "www.sciencedirect.com").map(_.getAs[Int]("host_rank")).sorted
+    assert(sdRanks.toSeq == Seq(1, 2, 3))
+  }
+
+  test("drain: linkinghub pdf_url rewrites to the sciencedirect PII form") {
+    val cls = Seq(("f1", "w1", "doi", "n1", "doi",
+      "https://linkinghub.elsevier.com/retrieve/pii/S0140673626#frag",
+      "linkinghub.elsevier.com", "P", "likely_free",
+      "linkinghub_sd_open_access_dom_v2", 0.981, "v"))
+      .toDF("file_key", "work_key", "work_key_ns", "native_id",
+        "native_id_namespace", "pdf_url", "url_host", "publisher", "class",
+        "classifier_rule", "calibrated_pdf_yield", "classifier_version")
+    val out = PaywallSignals.drainQueue(cls).collect().head
+    assert(out.getAs[String]("pdf_url") ==
+      "https://www.sciencedirect.com/science/article/pii/S0140673626/pdf")
+  }
+
+  test("drip: hindawi rewrites to wiley pdfdirect and aliases the budget") {
+    val ch = Seq(
+      ("f1", "w1", "https://doi.org/10.1155/2026/88", "doi",
+        "https://downloads.hindawi.com/j/88.pdf", "downloads.hindawi.com",
+        "<div/>", "ok"),
+      ("f2", "w2", "n2", "nat", "https://www.tandfonline.com/doi/pdf/2",
+        "www.tandfonline.com", "<span> Free Access </span>", "ok"))
+      .toDF("file_key", "work_key", "native_id", "native_id_namespace",
+        "pdf_url", "url_host", "html", "status")
+    val cls = Seq(("f1", "needs_validation"), ("f2", "needs_validation"))
+      .toDF("file_key", "class")
+    val out = PaywallSignals.dripPool(ch, cls)
+      .orderBy("budget_host").collect()
+    assert(out.length == 2)
+    val tf = out.head
+    assert(tf.getAs[String]("budget_host") == "tandfonline")
+    assert(tf.getAs[String]("drip_rule") == "tf_free_access_badge_v1")
+    val hw = out(1)
+    assert(hw.getAs[String]("budget_host") == "wiley")
+    assert(hw.getAs[String]("native_id") == "10.1155/2026/88")
+    assert(hw.getAs[String]("native_id_namespace") == "doi")
+    assert(hw.getAs[String]("pdf_url") ==
+      "https://onlinelibrary.wiley.com/doi/pdfdirect/10.1155/2026/88")
+  }
+}
