@@ -145,7 +145,7 @@ object AwardKeys {
       n => trimZeros(ex(n, "^(\\d{4,6})_\\d+$")),
       n => trimZeros(ex(
         regexp_replace(regexp_replace(n, "^[#]+ ?", ""), "^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)", ""),
-        "^(\\d{4,6})([-_]\\d+)?$")))) ++ batch2 ++ ukriRules ++ dodRules
+        "^(\\d{4,6})([-_]\\d+)?$")))) ++ batch2 ++ ukriRules ++ dodRules ++ batch3
 
   /** Second entry batch: the remaining high-volume grammars. */
   private def batch2: Seq[SharpRule] = Seq(
@@ -211,6 +211,140 @@ object AwardKeys {
         coalesce(ex(s, "^((?:19|20)\\d{2}JJ\\d{4,5})$"),
           when(s.rlike("^\\d{2}JJ\\d{4,5}$"), concat(lit("20"), s)))
       }))
+
+  /** Third entry batch — the remaining 16 configured funders of
+    * AwardNormKey.sql (strict side :23-73 / loose side :77-121). */
+  private def batch3: Seq[SharpRule] = {
+    val mostStrip: Column => Column = n => nullif(regexp_replace(
+      regexp_replace(n, "^(MOST|NSC|NSTC)[ -]*", ""), "[ -]", ""), lit(""))
+    Seq(
+      // Taiwan NSC legacy id (:37/:91): same grammar as the MOST/NSTC
+      // sibling — the agency renamed, the id space is continuous
+      SharpRule(2461203286L, mostStrip, mostStrip),
+      // UKRI umbrella (:64/:118): anchored council code; deposited
+      // gates out label/EU/ORCID-shaped strings then salvages DOD
+      // contract forms deposited against the wrong funder
+      SharpRule(4320306078L,
+        n => ex(n, "^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$"),
+        n => {
+          val s = regexp_replace(n, "[-_ ]", "")
+          coalesce(
+            when(!s.rlike("^(GRANT|AWARD|CONTRACT|PROJECT|DODWID|H2020|HORIZON)") &&
+              !s.rlike("^[A-Z]{2}[0-9]{9}$") &&
+              !s.rlike("^[0-9]?[A-Z][0-9]{2}[A-Z]{2}[0-9]{5,6}$"),
+              ex(s, "^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$")),
+            ex(regexp_replace(n, "[- ]", ""),
+              "(?<![A-Z0-9])((?:W81XWH|W911NF|N00014|FA[0-9]{4}|HR0011|HDTRA[0-9]|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})(?![A-Z0-9])"))
+        }),
+      // NIH activity-code / HHS serial (:51/:105)
+      SharpRule(4320306085L,
+        n => ex(regexp_replace(n, "[ -]", ""),
+          "^([A-Z][A-Z0-9]{4}\\d{6}|\\d{2}[A-Z][A-Z0-9]\\d{4,5})$"),
+        n => ex(regexp_replace(n, "[ -]", ""),
+          "([A-Z][A-Z0-9]{4}\\d{6}|(?<!\\d)\\d{2}[A-Z][A-Z0-9]\\d{4,5}(?!\\d))")),
+      // NASA (:49/:103): separator strip, grammar guarded by the
+      // part-plausibility rlikes downstream
+      SharpRule(4320306101L,
+        n => nullif(regexp_replace(n, "[ -]", ""), lit("")),
+        n => nullif(regexp_replace(n, "[ -]", ""), lit(""))),
+      // Space-strip funder (:39/:93)
+      SharpRule(4320306230L,
+        n => nullif(nospace(n), lit("")),
+        n => nullif(nospace(n), lit(""))),
+      // JSPS legacy H-suffixed (:50/:104): registry carries the HYYYY
+      // tail; deposited tolerates a JP prefix and a missing tail
+      SharpRule(4320311405L,
+        n => ex(n, "^(\\d{2}[A-Z]{2}\\d{7})H\\d{4}$"),
+        n => ex(n, "^(?:JP)?(\\d{2}[A-Z]{2}\\d{7})(?:H\\d{4})?$")),
+      // NIHR (:63/:117): programme/serial/year salvage tiers behind an
+      // NIHR label strip; bare concatenation as the last resort
+      SharpRule(4320319990L,
+        n => nullif(nospace(n), lit("")),
+        n => {
+          val l = regexp_replace(n, "NIHR[- ]", "")
+          coalesce(
+            ex(nospace(l), "^(?:[A-Z]{2,6})?(\\d{2}/\\d{2,4}/\\d{2,4})$"),
+            ex(l, "(?<![A-Z0-9-])([A-Z]{1,5}(?:-[A-Z0-9]{1,4}){0,3}-(?:19|20)\\d{2}-[0-9]{2,6}(?:-[A-Z0-9]{1,6}){0,2})(?![A-Z0-9-])"),
+            nullif(nospace(l), lit("")))
+        }),
+      // FAPESP (:29/:83): YY/NNNNN-D; deposited recomposes 4-digit
+      // years to their last two and LPADs the serial
+      SharpRule(4320320997L,
+        n => {
+          val p = "^(\\d{2})/(\\d{5})-(\\d)$"
+          when(ex(n, p).isNotNull, concat(regexp_extract(n, p, 1), lit("/"),
+            regexp_extract(n, p, 2), lit("-"), regexp_extract(n, p, 3)))
+        },
+        n => {
+          val p = "(?<!\\d)(\\d{2,4})/(\\d{4,5})-(\\d)(?!\\d)"
+          when(ex(n, p).isNotNull, concat(
+            substring(regexp_extract(n, p, 1), -2, 2), lit("/"),
+            lpad(regexp_extract(n, p, 2), 5, "0"), lit("-"),
+            regexp_extract(n, p, 3)))
+        }),
+      // Czech GACR (:53/:107): registry GX-prefixed; deposited strips
+      // stacked EXPRO/GACR/CSF labels, recomposes dashed legacy forms
+      // to slashes, then an unanchored modern-form salvage
+      SharpRule(4320321006L,
+        n => coalesce(ex(n, "^G[A-Z](\\d{2}-\\d{5}[A-Z])$"),
+          ex(n, "^G[A-Z](P?\\d{3}/\\d{2}/[A-Z]?\\d{3,4})$")),
+        n => {
+          val l = nospace(regexp_replace(n,
+            "^((EXPRO|GA ?[CČ]R|GACR|CSF|GRANT|NO)[ .:#-]+)+", ""))
+          val dash = "^(?:G[A-Z])?(P?\\d{3})-(\\d{2})-([A-Z]?\\d{3,4})$"
+          coalesce(
+            ex(l, "^(?:G[A-Z])?(\\d{2}-\\d{5}[A-Z])$"),
+            ex(l, "^(?:G[A-Z])?(P?\\d{3}/\\d{2}/[A-Z]?\\d{3,4})$"),
+            when(ex(nospace(n), dash).isNotNull, concat_ws("/",
+              regexp_extract(nospace(n), dash, 1),
+              regexp_extract(nospace(n), dash, 2),
+              regexp_extract(nospace(n), dash, 3))),
+            ex(nospace(n), "(?<![0-9A-Z-])(\\d{2}-\\d{5}[A-Z])(?![0-9A-Z])"))
+        }),
+      // Brazilian CAPES finance code (:40/:94)
+      SharpRule(4320321091L,
+        n => ex(nospace(n), "^((8888\\d|99999)\\.\\d{6}/\\d{4}-\\d{2})$"),
+        n => ex(nospace(n), "((8888\\d|99999)\\.\\d{6}/\\d{4}-\\d{2})")),
+      // Polish NCN (:41/:95): UMO/DEC-prefixed deposits salvage via
+      // the unanchored panel grammar
+      SharpRule(4320322511L,
+        n => ex(nospace(n),
+          "^(20\\d{2}/\\d{2}/[A-Z]{1,2}/[A-Z]{2,3}\\d{1,2}/\\d{5})$"),
+        n => ex(nospace(n),
+          "(20\\d{2}/\\d{2}/[A-Z]{1,2}/[A-Z]{2,3}\\d{1,2}/\\d{5})")),
+      // EPSRC (:36/:90) and the other space-strip funder (:30/:84)
+      SharpRule(4320334627L,
+        n => nullif(nospace(n), lit("")),
+        n => nullif(nospace(n), lit(""))),
+      SharpRule(4320334779L,
+        n => nullif(nospace(n), lit("")),
+        n => nullif(nospace(n), lit(""))),
+      // Innovate-UK-shape (:62/:116): bare serial or KTP code behind a
+      // single PROJECT/GRANT/APP/NO label
+      SharpRule(4320335087L,
+        n => ex(nospace(n), "^(\\d{5,8}|KTP\\d{6})$"),
+        n => ex(nospace(n),
+          "^(?:PROJECT|GRANT|APP|NO)?[.:#-]*(\\d{5,8}|KTP\\d{6})$")),
+      // CDMRP (:65/:119): contract families incl. W911 variants
+      SharpRule(4320338273L,
+        n => ex(regexp_replace(n, "[-_ ]", ""),
+          "^((?:W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911[A-Z0-9]{2}|CDMRPL)[0-9A-Z]{5,14})$"),
+        n => coalesce(
+          ex(regexp_replace(n, "[- ]", ""),
+            "(?<![A-Z0-9])((?:W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|CDMRPL)[0-9]{2}[A-Z0-9]{3,11})(?![A-Z0-9])"),
+          ex(regexp_replace(n, "[-_ ]", ""),
+            "^((?:W911[A-Z0-9]{2})[0-9]{2}[A-Z0-9]{3,11})$"))),
+      // Zhejiang NSF (:55/:109): L-series codes; deposits missing the
+      // leading L get it restored
+      SharpRule(4320338464L,
+        n => ex(n, "^(L[A-Z]{0,4}\\d{2}[A-Z]\\d{6})$"),
+        n => {
+          val l = nospace(regexp_replace(n, "^(NO|GRANT)[ .:#-]*", ""))
+          coalesce(ex(l, "^(L[A-Z]{0,4}\\d{2}[A-Z]\\d{6})$"),
+            when(l.rlike("^[A-Z]{1,4}\\d{2}[A-Z]\\d{6}$") && !l.rlike("^L"),
+              concat(lit("L"), l)))
+        }))
+  }
 
   /** UKRI councils (:55-60 / :106-111): registry strips separators;
     * deposited salvages the council's GRANT-REF pattern

@@ -53,7 +53,37 @@ object AwardQueries {
     (4320321181L, "10.55776/P36040", "deposited"),
     (4320334705L, "NHMRC APP1234567", "deposited"),
     (4320332161L, "EP 123456", "deposited"),
-    (4320322843L, "NO. 2021JJ40222", "deposited"))
+    (4320322843L, "NO. 2021JJ40222", "deposited"),
+    // batch 3 — the 16 remaining AwardNormKey funders
+    (2461203286L, "NSC 101-2218-E-002-008", "deposited"),
+    (4320306078L, "BB_S0123456_1", "deposited"),
+    (4320306078L, "BBS01234561", "registry"),
+    (4320306078L, "Award: W81XWH-18-1-0123", "deposited"),
+    (4320306085L, "R01AB123456", "registry"),
+    (4320306085L, "75N 91019", "deposited"),
+    (4320306101L, "NNX 12-AB 34G", "deposited"),
+    (4320306230L, "13 GW 0123", "deposited"),
+    (4320311405L, "19KK0123456H0001", "registry"),
+    (4320311405L, "JP19KK0123456", "deposited"),
+    (4320319990L, "NIHR 12/345/67", "deposited"),
+    (4320319990L, "HTA 09/800/34", "deposited"),
+    (4320319990L, "NIHR CS-2016-16-010", "deposited"),
+    (4320320997L, "2021/12345-6", "deposited"),
+    (4320320997L, "21/12345-6", "registry"),
+    (4320321006L, "GAP503/12/G042", "registry"),
+    (4320321006L, "GACR 21-12345S", "deposited"),
+    (4320321091L, "88881.123456/2019-01", "deposited"),
+    (4320322511L, "UMO-2019/33/B/ST10/01234", "deposited"),
+    (4320322511L, "2019/33/B/ST10/01234", "registry"),
+    (4320334627L, "EP/S026193/1", "deposited"),
+    (4320334779L, "DFF 4005-00079", "deposited"),
+    (4320335087L, "KTP 012345", "deposited"),
+    (4320335087L, "Grant: 1234567", "deposited"),
+    (4320338273L, "W81XWH-16-1-0123", "deposited"),
+    (4320338273L, "W911NF1234567", "deposited"),
+    (4320338464L, "LQ21F020001", "registry"),
+    (4320338464L, "Grant LY20C123456", "deposited"),
+    (4320338464L, "Y20C123456", "deposited"))
 
   private def q68(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -78,7 +108,15 @@ object AwardQueries {
       "mrs0261931", "mrcgrantmrn0131661uk", "mrs0261931",
       "w911nf1810327", "hr001120c0021", "n000142112345",
       "grantu1234567nih", "desc0012704", "1055776p36040",
-      "nhmrcapp1234567", "ep123456", "no2021jj40222")
+      "nhmrcapp1234567", "ep123456", "no2021jj40222",
+      "nsc1012218e002008", "bbs01234561", "bbs01234561",
+      "awardw81xwh1810123", "r01ab123456", "75n91019", "nnx12ab34g",
+      "13gw0123", "19kk0123456h0001", "jp19kk0123456", "nihr1234567",
+      "hta0980034", "nihrcs201616010", "2021123456", "21123456",
+      "gap50312g042", "gacr2112345s", "88881123456201901",
+      "umo201933bst1001234", "201933bst1001234", "eps0261931",
+      "dff400500079", "ktp012345", "grant1234567", "w81xwh1610123",
+      "w911nf1234567", "lq21f020001", "grantly20c123456", "y20c123456")
     val sharps = Seq("'21-CE45-0012'", "'21-CE45-0012'", "'098765'", "'098765'",
       "'012345'", "'1092221E002152MY3'", "'1012218E002008'", "'17H01234'",
       "'19K12345'", "'123456'", "'4567'", "'PID2020-112345GB-I00'",
@@ -87,7 +125,15 @@ object AwardQueries {
       "'MRS0261931'", "'MRN0131661'", "'MRS0261931'",
       "'W911NF1810327'", "'HR001120C0021'", "'N000142112345'",
       "'U1234567'", "'SC0012704'", "'P36040'",
-      "'1234567'", "'EP123456'", "'2021JJ40222'")
+      "'1234567'", "'EP123456'", "'2021JJ40222'",
+      "'1012218E002008'", "'BBS01234561'", "'BBS01234561'",
+      "'W81XWH1810123'", "'R01AB123456'", "'75N91019'", "'NNX12AB34G'",
+      "'13GW0123'", "'19KK0123456'", "'19KK0123456'", "'12/345/67'",
+      "'09/800/34'", "'CS-2016-16-010'", "'21/12345-6'", "'21/12345-6'",
+      "'P503/12/G042'", "'21-12345S'", "'88881.123456/2019-01'",
+      "'2019/33/B/ST10/01234'", "'2019/33/B/ST10/01234'", "'EP/S026193/1'",
+      "'DFF4005-00079'", "'KTP012345'", "'1234567'", "'W81XWH1610123'",
+      "'W911NF1234567'", "'LQ21F020001'", "'LY20C123456'", "'LY20C123456'")
     val weaks = Seq(4, 10)
     val m = forms.size
     def cases(vals: Seq[String]) = vals.zipWithIndex

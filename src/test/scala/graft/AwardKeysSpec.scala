@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.awards.AwardKeys
+
+/** Reference-example fixtures for the sharp-key grammars — the oracle
+  * (q68) hand-states expected keys for lookaround-bearing deposited
+  * rules, so each funder's salvage behavior is additionally pinned
+  * here against examples shaped like AwardNormKey.sql's comments. */
+class AwardKeysSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sharp(funder: Long, award: String, registry: Boolean): Option[String] = {
+    val df = Seq(award).toDF("a")
+      .select(AwardKeys.sharpKey(lit(funder), col("a"), lit(registry)).as("k"))
+    Option(df.collect().head.getString(0))
+  }
+
+  test("batch3: deposited salvage per funder (reference-shaped examples)") {
+    // Taiwan NSC legacy — prefix + separator strip
+    assert(sharp(2461203286L, "NSC 97-2221-E-009-165", registry = false)
+      .contains("972221E009165"))
+    // UKRI umbrella: label-prefixed strings gated; DOD forms salvaged
+    assert(sharp(4320306078L, "BB_S0123456_1", registry = false)
+      .contains("BBS01234561"))
+    assert(sharp(4320306078L, "Grant EP/T012345/1", registry = false).isEmpty)
+    assert(sharp(4320306078L, "Award: W81XWH-18-1-0123", registry = false)
+      .contains("W81XWH1810123"))
+    // NIH activity code, unanchored deposited; serial form lookarounds
+    assert(sharp(4320306085L, "R01 AB 123456", registry = false)
+      .contains("R01AB123456"))
+    assert(sharp(4320306085L, "75N 91019", registry = false)
+      .contains("75N91019"))
+    assert(sharp(4320306085L, "075N91019X", registry = false).isEmpty)
+    // NASA / space-strip funders
+    assert(sharp(4320306101L, "NNX 12-AB 34G", registry = false)
+      .contains("NNX12AB34G"))
+    assert(sharp(4320306230L, "13 GW 0123", registry = false)
+      .contains("13GW0123"))
+    // JSPS legacy: JP prefix + H-tail both optional on deposits
+    assert(sharp(4320311405L, "19KK0123456H0001", registry = true)
+      .contains("19KK0123456"))
+    assert(sharp(4320311405L, "JP19KK0123456", registry = false)
+      .contains("19KK0123456"))
+    assert(sharp(4320311405L, "19KK0123456", registry = true).isEmpty)
+    // NIHR: programme-number tier, award-id tier, bare fallback
+    assert(sharp(4320319990L, "NIHR 12/345/67", registry = false)
+      .contains("12/345/67"))
+    assert(sharp(4320319990L, "HTA 09/800/34", registry = false)
+      .contains("09/800/34"))
+    assert(sharp(4320319990L, "NIHR CS-2016-16-010", registry = false)
+      .contains("CS-2016-16-010"))
+    // FAPESP: 4-digit year folds to 2, serial LPADs to 5
+    assert(sharp(4320320997L, "2021/1234-6", registry = false)
+      .contains("21/01234-6"))
+    assert(sharp(4320320997L, "21/12345-6", registry = true)
+      .contains("21/12345-6"))
+    // GACR: stacked labels, dashed-form recompose to slashes
+    assert(sharp(4320321006L, "GACR 21-12345S", registry = false)
+      .contains("21-12345S"))
+    // dash recompose runs on the unstripped nospace form (GA prefix
+    // only, per :107 third tier) — "GA CR"-labelled dashed ids stay null
+    assert(sharp(4320321006L, "GA P503-12-1234", registry = false)
+      .contains("P503/12/1234"))
+    assert(sharp(4320321006L, "GA CR P503-12-1234", registry = false).isEmpty)
+    assert(sharp(4320321006L, "GAP503/12/G042", registry = true)
+      .contains("P503/12/G042"))
+    // CAPES finance code: unanchored on deposits
+    assert(sharp(4320321091L, "CAPES 88881.123456/2019-01 scholarship",
+      registry = false).contains("88881.123456/2019-01"))
+    // NCN: UMO prefix tolerated
+    assert(sharp(4320322511L, "UMO-2019/33/B/ST10/01234", registry = false)
+      .contains("2019/33/B/ST10/01234"))
+    // Innovate-UK shape: label-stripped serial or KTP code
+    assert(sharp(4320335087L, "Grant: 1234567", registry = false)
+      .contains("1234567"))
+    assert(sharp(4320335087L, "KTP 012345", registry = false)
+      .contains("KTP012345"))
+    // CDMRP: W81XWH lookaround tier + anchored W911 tier
+    assert(sharp(4320338273L, "W81XWH-16-1-0123", registry = false)
+      .contains("W81XWH1610123"))
+    assert(sharp(4320338273L, "W911NF1234567", registry = false)
+      .contains("W911NF1234567"))
+    // Zhejiang NSF: missing leading L restored
+    assert(sharp(4320338464L, "Y20C123456", registry = false)
+      .contains("LY20C123456"))
+    assert(sharp(4320338464L, "LQ21F020001", registry = true)
+      .contains("LQ21F020001"))
+  }
+
+  test("batch3: registry side stays anchored (no salvage on clean data)") {
+    assert(sharp(4320306085L, "NIH R01AB123456 grant", registry = true).isEmpty)
+    assert(sharp(4320320997L, "2021/12345-6", registry = true).isEmpty)
+    assert(sharp(4320322511L, "UMO-2019/33/B/ST10/01234", registry = true).isEmpty)
+    assert(sharp(4320338464L, "Y20C123456", registry = true).isEmpty)
+  }
+
+  test("rule table covers all 50 distinct AwardNormKey funders") {
+    assert(AwardKeys.rules.map(_.funderId).distinct.size == 50)
+  }
+}
