@@ -941,7 +941,313 @@ object AffiliationRules {
     r(4210123702L, "sticc", "sticc", word = true, req = FrGate2),
     r(4210132604L, "brest", "chru de brest"),
     r(4210132604L, "brest", "chru brest"),
-    r(4210132604L, "cavale", "cavale blanche"))
+    r(4210132604L, "cavale", "cavale blanche")) ++ batch7 ++ batch8
+
+  /** Batch 7: reference :2400-2650 — LESIA through the Paris numbered
+    * universities, Bordeaux cluster, CUNY Graduate Center, Tunis. */
+  private lazy val batch7: Seq[Rule] = Seq(
+    // LESIA (:2400-2403)
+    r(4210120578L, "lesia", "lesia", word = true),
+    r(4210120578L, "spatiales",
+      "laboratoire d études spatiales et d instrumentation en astrophysique"),
+    // Versailles Saint-Quentin-en-Yvelines (:2406-2410)
+    r(195731000L, "uvsq", "uvsq"),
+    r(195731000L, "versailles", "versailles saint quentin en yvelines"),
+    r(195731000L, "versailles", "versailles saintquentin en yvelines"),
+    // Université Gustave Eiffel (:2412-2423)
+    r(4210154111L, "eiffel", "gustave eiffel"),
+    r(4210154111L, "isterre", "isterre"),
+    r(4210154111L, "vallée", "paris est marne la vallée"),
+    r(4210154111L, "upem", "upem", word = true),
+    r(4210154111L, "umrae", "umrae", word = true),
+    r(4210154111L, "esiee", "esiee", word = true),
+    // Toulouse INP (:2426-2437)
+    r(205747304L, "toulouse", "toulouse institute of technology"),
+    r(205747304L, "toulouse", "national polytechnic institute of toulouse"),
+    r(205747304L, "toulouse", "institut national polytechnique de toulouse"),
+    r(205747304L, "toulouse", "école nationale supérieure agronomique de toulouse"),
+    r(205747304L, "électrotechnique",
+      "école nationale supérieure d électrotechnique d électronique d informatique d hydraulique et des télécommunications"),
+    r(205747304L, "chimiques",
+      "école nationale supérieure des ingénieurs en arts chimiques et technologiques"),
+    r(205747304L, "tarbes", "école nationale d ingénieurs de tarbes"),
+    r(205747304L, "météorologie", "école nationale de la météorologie"),
+    r(205747304L, "purpan", "école d ingénieurs de purpan"),
+    r(205747304L, "vétérinaire", "école nationale vétérinaire de toulouse"),
+    r(205747304L, "ensiacet", "ensiacet"),
+    r(205747304L, "enit", "enit"),
+    r(205747304L, "enm", "inp enm"),
+    r(205747304L, "ensat", "ensat"),
+    r(205747304L, "enseeiht", "enseeiht"),
+    r(205747304L, "inpt", "inpt", word = true),
+    // University of Rouen Normandy (:2440-2447)
+    r(62396329L, "rouen", "rouen normandy"),
+    r(62396329L, "rouen", "rouen normandie"),
+    r(62396329L, "rouen", "universitaire de rouen"),
+    r(62396329L, "rouen", "université de rouen"),
+    r(62396329L, "rouen", "insa rouen"),
+    r(62396329L, "rouen", "chu rouen"),
+    r(62396329L, "rouen", "chu de rouen"),
+    r(62396329L, "rouen", "rouen university"),
+    r(62396329L, "unirouen", "unirouen"),
+    r(62396329L, "gambetta", "boulevard gambetta",
+      req = "\\bchu\\b.*rouen|rouen.*\\bchu\\b"),
+    // Institut Polytechnique de Paris (:2450-2457)
+    r(4210145102L, "sudparis", "telecom sudparis"),
+    r(4210145102L, "sudparis", "télécom sudparis"),
+    r(4210145102L, "sudparís", "telecom sudparís"),
+    r(4210145102L, "télécom", "télécom sud paris"),
+    r(4210145102L, "ipparis", "ipparis"),
+    r(4210145102L, "ipp", "ipp", word = true, req = "palaiseau|paris"),
+    // Université Paris-Saclay (:2460-2465)
+    r(277688954L, "saclay", "paris saclay univ"),
+    r(277688954L, "saclay", "université paris saclay"),
+    r(277688954L, "saclay", "universit paris saclay"),
+    r(277688954L, "saclay", "university of paris saclay"),
+    r(277688954L, "saclay", "univ paris saclay"),
+    // École polytechnique (:2467-2470)
+    r(142476485L, "polytech", "ecole polytech", req = "palaiseau|paris",
+      exc = "computer science laboratory"),
+    r(142476485L, "polytech", "école polytech", req = "palaiseau|paris",
+      exc = "computer science laboratory"),
+    // Université Paris-Sud (:2472-2477)
+    r(102197404L, "sud", "univ paris sud"),
+    r(102197404L, "sud", "université paris sud"),
+    r(102197404L, "sud", "university of paris sud"),
+    r(102197404L, "sud", "paris sud univ"),
+    // CNRS-lab acronyms (:2480-2492)
+    r(4210165912L, "ltci", "ltci", word = true),
+    r(4210087526L, "luli", "luli", word = true),
+    r(84009706L, "ensai", "ensai", word = true),
+    r(4210161663L, "irmar", "irmar", word = true),
+    // EPOC (:2494-2499; Epoc/EpOC tiers collapse in the case-fold)
+    r(4210099840L, "epoc", "epoc", word = true),
+    // University of Bordeaux (:2502-2506) + ICMCB elif (:2519)
+    r(15057530L, "bordeaux", "university of bordeaux"),
+    r(15057530L, "bordeaux", "univ bordeaux"),
+    r(15057530L, "bordeaux", "université de bordeaux"),
+    r(15057530L, "icmcb", "icmcb",
+      exc = "\\bims\\b|\\bipb\\b|\\bi2m\\b|bordeaux inp|bordeaux ipb|" +
+        "umr ?5218|umr ?5248|cnrs ?5218|microbiologie fondamentale|" +
+        "institute of mathematics|institut national polytechnique|" +
+        "institut polytechnique bordeaux"),
+    // Institut Polytechnique de Bordeaux (:2509-2518)
+    r(4210160189L, "ims", "ims", word = true),
+    r(4210160189L, "bordeaux", "bordeaux inp"),
+    r(4210160189L, "bordeaux", "bordeaux ipb"),
+    r(4210160189L, "ipb", "ipb", word = true),
+    r(4210160189L, "i2m", "i2m", word = true),
+    r(4210160189L, "5218", "umr cnrs 5218"),
+    r(4210160189L, "5218", "umr 5218"),
+    r(4210160189L, "5218", "cnrs 5218"),
+    r(4210160189L, "umr5218", "umr5218"),
+    r(4210160189L, "umr5248", "umr5248"),
+    r(4210160189L, "5248", "umr 5248"),
+    r(4210160189L, "microbiologie", "microbiologie fondamentale et pathogénicité",
+      req = "bordeaux"),
+    r(4210160189L, "mathematics", "institute of mathematics", req = "bordeaux"),
+    r(4210160189L, "polytechnique", "bordeaux institut national polytechnique"),
+    r(4210160189L, "polytechnique", "institut polytechnique bordeaux"),
+    // Bordeaux CNRS labs (:2522-2541)
+    r(4210086194L, "ism", "ism", word = true),
+    r(4210086194L, "molecular", "institute of molecular science"),
+    r(4210144122L, "lcpo", "lcpo", word = true),
+    r(4210166017L, "imb", "imb", word = true),
+    r(4210166017L, "umr5251", "umr5251"),
+    r(4210166017L, "5251", "umr 5251"),
+    r(4210142254L, "labri", "labri"),
+    r(4210144489L, "iecb", "iecb", word = true),
+    // Sorbonne University (:2544-2555): Panthéon/Nouvelle/Paris-Nord
+    // and Abu Dhabi shadows excluded
+    r(39804081L, "sorbonne", "sorbonne univ",
+      exc = "sorbonne paris|panthéon sorbonne|pantheon sorbonne|" +
+        "sorbonne nouvelle|new sorbonne university|abu dhabi"),
+    r(39804081L, "sorbonne", "université sorbonne",
+      exc = "sorbonne paris|panthéon sorbonne|pantheon sorbonne|" +
+        "sorbonne nouvelle|new sorbonne university|abu dhabi"),
+    r(39804081L, "sorbonne", "paris sorbonne university",
+      exc = "sorbonne paris|panthéon sorbonne|pantheon sorbonne|" +
+        "sorbonne nouvelle|new sorbonne university|abu dhabi"),
+    r(39804081L, "curie", "pierre and marie curie university"),
+    r(39804081L, "curie", "pierre et marie curie"),
+    r(39804081L, "salpêtrière", "pitié salpêtrière"),
+    // Paris numbered universities (:2557-2630) — all 'Paris'-gated
+    r(51101395L, "paris", "paris i", word = true),
+    r(51101395L, "paris", "paris 1", word = true),
+    r(51101395L, "cred", "cred", word = true, req = "paris"),
+    r(51101395L, "panthéon", "panthéon sorbonne", req = "paris"),
+    r(51101395L, "pantheon", "pantheon sorbonne", req = "paris"),
+    r(51101395L, "économie", "centre de recherche en économie et droit",
+      req = "paris"),
+    r(117841876L, "paris", "paris ii", word = true),
+    r(117841876L, "paris", "paris 2", word = true),
+    r(117841876L, "assas", "paris panthéon assas"),
+    r(117841876L, "assas", "paris pantheon assas"),
+    r(182627622L, "paris", "paris iii", word = true),
+    r(182627622L, "paris", "paris 3", word = true),
+    r(182627622L, "nouvelle", "sorbonne nouvelle", req = "paris"),
+    r(39804081L, "paris", "paris iv", word = true),
+    r(39804081L, "paris", "paris 4", word = true),
+    r(39804081L, "paris", "paris vi", word = true),
+    r(39804081L, "paris", "paris 6", word = true),
+    r(39804081L, "upmc", "upmc", word = true, req = "paris"),
+    r(204730241L, "paris", "paris v", word = true),
+    r(204730241L, "paris", "paris 5", word = true),
+    r(204730241L, "paris", "paris vii", word = true),
+    r(204730241L, "paris", "paris 7", word = true),
+    r(204730241L, "cité", "paris cité"),
+    r(204730241L, "diderot", "paris diderot"),
+    r(204730241L, "descartes", "paris descartes"),
+    r(204730241L, "descartes", "rené descartes"),
+    r(204730241L, "diderot", "denis diderot"),
+    r(48825208L, "paris", "paris viii", word = true),
+    r(48825208L, "paris", "paris 8", word = true),
+    r(48825208L, "vincennes", "vincennes saint denis", req = "paris"),
+    r(56435720L, "paris", "paris ix", word = true),
+    r(56435720L, "paris", "paris 9", word = true),
+    r(40434647L, "paris", "paris x", word = true),
+    r(40434647L, "paris", "paris 10", word = true),
+    r(277688954L, "paris", "paris xi", word = true),
+    r(277688954L, "paris", "paris 11", word = true),
+    r(197681013L, "paris", "paris xii", word = true),
+    r(197681013L, "paris", "paris 12", word = true),
+    r(197681013L, "upec", "upec", word = true, req = "paris"),
+    r(197681013L, "créteil", "paris est créteil"),
+    r(197681013L, "creteil", "paris est creteil"),
+    r(4210091279L, "paris", "paris xiii", word = true),
+    r(4210091279L, "paris", "paris 13", word = true),
+    r(4210091279L, "nord", "sorbonne paris north", req = "paris"),
+    r(4210091279L, "nord", "sorbonne paris nord", req = "paris"),
+    r(4210091279L, "nord", "université sorbonne paris nord", req = "paris"),
+    r(4210091279L, "nord", "sorbonne north paris university", req = "paris"),
+    // CUNY Graduate Center (:2633-2640; the reference's truthy
+    // 'City University of New York' literal reduces the inner gate)
+    r(121847817L, "graduate", "graduate center",
+      req = "new york|usa|cuny|\\bny\\b"),
+    r(121847817L, "graduate", "graduate school and university center",
+      req = "new york|usa|cuny|\\bny\\b"),
+    r(121847817L, "graduate", "the graduate school",
+      req = "new york|usa|cuny|\\bny\\b"),
+    r(121847817L, "research", "advanced science research center",
+      req = "new york|usa|cuny|\\bny\\b"),
+    r(121847817L, "asrc", "asrc", word = true,
+      req = "new york|usa|cuny|\\bny\\b"),
+    // Tunis El Manar (:2643-2648)
+    r(63596082L, "manar", "tunis el manar"),
+    r(63596082L, "utm", "utm", word = true, req = "tunis"))
+
+  /** Batch 8: reference :2648-2852 — LSU through Colorado Denver
+    * (the US/China/Europe medical-university cluster). */
+  private lazy val batch8: Seq[Rule] = Seq(
+    // LSU Health Sciences New Orleans (:2648-2654)
+    r(75420490L, "lsu", "lsu health science", req = "new orleans"),
+    r(75420490L, "louisiana", "louisiana state university health science",
+      req = "new orleans"),
+    // University of Trieste (:2657-2661); UniTS tightened to a word
+    // match (case-fold superset of the reference's exact-case check)
+    r(142444530L, "trieste", "infn sezione di trieste", req = "italy"),
+    r(142444530L, "units", "units", word = true, req = "italy"),
+    r(142444530L, "trieste", "infn trieste", req = "italy"),
+    r(142444530L, "trieste", "università degli studi di trieste",
+      req = "italy"),
+    // UT Knoxville (:2664-2669): System excluded; bare UT only without
+    // the spelled-out form (elif)
+    r(75027704L, "tennessee", "university of tennessee", req = "knoxville",
+      exc = "university of tennessee system"),
+    r(75027704L, "ut", "ut", word = true, req = "knoxville",
+      exc = "university of tennessee"),
+    // China University of Geosciences Wuhan/Beijing (:2672-2674, :2725-2731)
+    r(3124059619L, "geosciences", "china university of geosciences",
+      req = "wuhan"),
+    r(3124059619L, "geoscience", "chinese university of geoscience",
+      req = "china.*wuhan|wuhan.*china"),
+    r(3124059619L, "geoscience", "china university of geoscience",
+      req = "wuhan"),
+    r(3125743391L, "geoscience", "chinese university of geoscience",
+      req = "china.*beijing|beijing.*china"),
+    r(3125743391L, "geoscience", "china university of geoscience",
+      req = "beijing"),
+    // Texas Tech (:2677-2681)
+    r(12315562L, "texas", "texas tech university",
+      exc = "texas tech university system"),
+    // Shandong Academy of Medical Science (:2684-2689, :2779)
+    r(4210163399L, "shandong", "shandong academy of medical science",
+      exc = "affiliated hospital of shandong academy of medical sciences"),
+    r(4210163399L, "shandong", "shandong first medical university",
+      exc = "affiliated hospital of shandong academy of medical sciences"),
+    r(4210163399L, "shandong", "shandong medical college", req = "china"),
+    // Anhui UST (:2692-2694)
+    r(184681353L, "anhui", "anhui science and technology univ"),
+    // Army Medical University (:2697-2706)
+    r(151075929L, "military", "third military medical univ"),
+    r(151075929L, "army", "army medical univ"),
+    r(151075929L, "army", "army medical center", req = "china"),
+    // Banaras Hindu (:2709-2711)
+    r(91357014L, "bhu", "bhu", word = true, req = "varanasi"),
+    // Cadi Ayyad French variant (:2714-2716)
+    r(119856527L, "ayyad", "université cadi ayyad"),
+    // 'China'-gated medical universities (:2718-2784)
+    r(139660479L, "central", "central south univ", req = "china"),
+    r(4210141683L, "academy", "china academy of chinese medical science"),
+    r(87780372L, "chongqing", "chongqing medical univ", req = "china"),
+    r(28813325L, "aviation", "civil aviation university of china"),
+    r(58995867L, "aviation", "civil aviation flight university of china"),
+    r(191996457L, "dalian", "dalian medical univ", req = "china"),
+    r(129708740L, "fujian", "fujian medical univ", req = "china"),
+    r(92039509L, "guangzhou", "guangzhou medical univ", req = "china"),
+    r(156144747L, "harbin", "harbin medical univ", req = "china"),
+    r(111381250L, "hebei", "hebei medical univ", req = "china"),
+    r(146500386L, "jichi", "jichi medical univ", req = "china"),
+    r(26080491L, "kunming", "kunming medical univ", req = "china"),
+    r(26080491L, "kunming", "kunming medical college", req = "china"),
+    r(91935597L, "south", "university of south china"),
+    r(4210098460L, "tcm", "shanghai university of tcm", req = "china"),
+    // Czech Technical University in Prague (:2787-2790)
+    r(44504214L, "czech", "czech technical univ", req = "prague|praha"),
+    // Georgetown (:2793-2798): Doha/Qatar campus passes through
+    r(184565670L, "georgetown", "georgetown univ", exc = "doha|qatar"),
+    // Goethe University Frankfurt (:2801-2807)
+    r(114090438L, "frankfurt", "universitätsklinikum frankfurt"),
+    r(114090438L, "frankfurt", "universitatsklinikum frankfurt"),
+    r(114090438L, "frankfurt", "university hospital frankfurt"),
+    r(114090438L, "goethe", "goethe university hospital", req = "frankfurt"),
+    r(114090438L, "goethe", "goethe university frankfurt"),
+    // LMU München (:2810-2815): the reference's unordered
+    // Ludwig+Maximilian+Univ conjunction is encoded in its dominant
+    // orders (ludwig..maximilian..univ / maximilian..ludwig..univ)
+    r(8204097L, "munich", "munich",
+      req = "ludwig.*maximilian.*univ|maximilian.*ludwig.*univ"),
+    r(8204097L, "münchen", "münchen",
+      req = "ludwig.*maximilian.*univ|maximilian.*ludwig.*univ"),
+    r(8204097L, "lmu", "lmu", word = true, req = "munich|münchen"),
+    // University of Macau (:2818-2821)
+    r(204512498L, "macau", "macau university",
+      exc = "city university of macau|macau university of science|city univ of macau"),
+    r(204512498L, "macau", "university of macau",
+      exc = "city university of macau|macau university of science|city univ of macau"),
+    r(204512498L, "macau", "univ of macau",
+      exc = "city university of macau|macau university of science|city univ of macau"),
+    r(204512498L, "macau", "universidade de macau",
+      exc = "city university of macau|macau university of science|city univ of macau"),
+    // Near East University (:2824-2829)
+    r(69050122L, "near", "near east university", req = "turkey|nicosia"),
+    r(69050122L, "yakin", "yakin dogu university", req = "turkey"),
+    r(69050122L, "yakın", "yakın doğu üniversitesi", req = "turkey"),
+    r(69050122L, "yakın", "yakın doğu university", req = "turkey"),
+    // National Yang Ming (:2832-2844); the Taipei elif tiers keep the
+    // Taiwan+Taipei conjunction, university implied by the patterns
+    r(148366613L, "yang", "national yang ming university"),
+    r(148366613L, "yang", "yang ming medical university"),
+    r(148366613L, "yang", "ming university",
+      req = "taiwan.*taipei|taipei.*taiwan"),
+    r(148366613L, "yang", "yang ming",
+      req = "(taiwan.*taipei|taipei.*taiwan)(?:.*university)|university.*(taiwan.*taipei|taipei.*taiwan)"),
+    // University of Colorado Denver (+ Anschutz co-append) (:2847-2852)
+    r(921990950L, "denver", "university of colorado at denver"),
+    r(921990950L, "anschutz", "uc denver anschutz"),
+    r(51713134L, "anschutz", "uc denver anschutz"),
+    r(921990950L, "anschutz", "university of colorado denver anschutz"),
+    r(51713134L, "anschutz", "university of colorado denver anschutz"))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -262,6 +262,58 @@ object EntityQueries {
     * re-evaluates the SAME rule rows (VALUES mirror) over the same
     * normalization in DuckDB. */
   private[queries] val q64Templates: Seq[String] = Seq(
+    // batch 8 (LSU→Colorado Denver cluster)
+    "LSU Health Sciences Center, New Orleans, LA",
+    "Università degli Studi di Trieste, Italy",
+    "Department of Physics, UniTS, Trieste, Italy",
+    "University of Tennessee, Knoxville, TN",
+    "University of Tennessee System, Knoxville",
+    "China University of Geosciences, Wuhan 430074, China",
+    "Texas Tech University, Lubbock, Texas",
+    "Third Military Medical University, Chongqing, China",
+    "Harbin Medical University, Harbin, China",
+    "Czech Technical University in Prague, Czech Republic",
+    "Georgetown University Medical Center, Washington DC",
+    "Georgetown University in Qatar, Doha",
+    "Ludwig-Maximilians-Universität München, Germany",
+    "LMU Munich, Geschwister-Scholl-Platz 1",
+    "University of Macau, Taipa, Macau SAR",
+    "Macau University of Science and Technology",
+    "Near East University, Nicosia",
+    "National Yang-Ming University, Taipei, Taiwan",
+    "University of Colorado Denver/Anschutz Medical Campus, Aurora",
+    "Kunming Medical University, Kunming, China",
+    // batch 7 (France cluster, CUNY, Tunis)
+    "LESIA, Observatoire de Meudon",
+    "UVSQ, Versailles, France",
+    "Université Gustave Eiffel, Marne-la-Vallée",
+    "ESIEE Paris, Noisy-le-Grand, France",
+    "Institut National Polytechnique de Toulouse (INPT), France",
+    "ENSEEIHT, 2 rue Charles Camichel, Toulouse",
+    "CHU de Rouen, 1 rue de Germont, Rouen, France",
+    "CHU, 37 boulevard Gambetta, Rouen cedex",
+    "Télécom SudParis, Évry, France",
+    "IPP, Palaiseau",
+    "Université Paris-Saclay, Gif-sur-Yvette",
+    "Ecole Polytechnique, 91128 Palaiseau Cedex France",
+    "LIX, Computer Science Laboratory, Ecole Polytechnique, Palaiseau",
+    "Université Paris-Sud, Orsay, France",
+    "IRMAR, Université de Rennes 1",
+    "University of Bordeaux, CNRS, ICMCB, Pessac, France",
+    "IMS, UMR 5218, Bordeaux INP, Talence",
+    "LaBRI, Université de Bordeaux, Talence, France",
+    "Sorbonne Université, 75005 Paris, France",
+    "Université Sorbonne Nouvelle - Paris 3, France",
+    "Sorbonne University Abu Dhabi, UAE",
+    "UPMC Univ Paris 6, UMR 7589, LPTHE, Paris",
+    "Université Paris Diderot, Sorbonne Paris Cité, 75013 Paris",
+    "Université Paris-Est Créteil (UPEC), Créteil, France",
+    "Université Paris 13, Sorbonne Paris Nord, Villetaneuse",
+    "The Graduate Center, CUNY, New York, NY 10016",
+    "ASRC, City University of New York, USA",
+    "Advanced Science Research Center, Marseille, France",
+    "Université de Tunis El Manar, Tunis, Tunisia",
+    "UTM, Skudai, Johor, Malaysia",
     "Te Pūkenga, Auckland Campus, New Zealand",
     "NZ Institute of Skills and Technology, Wellington, New Zealand",
     "Helsingin yliopisto, Helsinki, Finland",
