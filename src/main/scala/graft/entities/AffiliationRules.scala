@@ -1247,7 +1247,175 @@ object AffiliationRules {
     r(921990950L, "anschutz", "uc denver anschutz"),
     r(51713134L, "anschutz", "uc denver anschutz"),
     r(921990950L, "anschutz", "university of colorado denver anschutz"),
-    r(51713134L, "anschutz", "university of colorado denver anschutz"))
+    r(51713134L, "anschutz", "university of colorado denver anschutz")) ++
+    batch9 ++ batch10
+
+  /** Batch 9: reference :2858-2985 — Russia through Chile. */
+  private lazy val batch9: Seq[Rule] = Seq(
+    // MEPhI (:2858-2863)
+    r(887846188L, "moscow", "moscow physical engineering institute",
+      req = "russia"),
+    r(887846188L, "moscow", "moscow engineering physics insitute",
+      req = "russia"),
+    r(887846188L, "nuclear", "national research nuclear university",
+      req = "russia"),
+    r(887846188L, "mephi", "mephi", req = "russia"),
+    // MIPT (:2866-2877): the case variants collapse; the 'technolog'
+    // prefix covers technology/technologies
+    r(153845743L, "moscow", "moscow institute of physics and technolog",
+      req = "russia"),
+    r(153845743L, "moscow", "moscow institute for physics and technology",
+      req = "russia"),
+    r(153845743L, "moscow", "moscow institute of physisc and technologies",
+      req = "russia"),
+    r(153845743L, "moscow", "moscow institute of technology and physics",
+      req = "russia"),
+    r(153845743L, "moscow", "institute of physics and technology",
+      req = "russia.*moscow|moscow.*russia"),
+    // UT Health San Antonio (:2880-2882)
+    r(165951966L, "antonio", "university of texas health",
+      req = "san antonio"),
+    // University of Hawaiʻi at Mānoa (:2884-2889)
+    r(117965899L, "hawai", "university of hawai",
+      req = "mānoa|manoa|monoa"),
+    r(117965899L, "noa", "mā noa", req = "university of hawai"),
+    // University of Lübeck (:2891-2894)
+    r(9341345L, "luebeck", "university of luebeck", req = "germany"),
+    r(9341345L, "lübeck", "university of lübeck", req = "germany"),
+    // University of Split (:2897-2898)
+    r(92251255L, "splitu", "sveučilišta u splitu"),
+    // Piemonte Orientale + Maggiore della Carità co-append (:2901-2914)
+    r(123338534L, "ospedaliera", "azienda ospedaliera",
+      req = "italy.*maggiore della carit|maggiore della carit.*italy"),
+    r(4210119436L, "ospedaliera", "azienda ospedaliera",
+      req = "italy.*maggiore della carit|maggiore della carit.*italy"),
+    r(123338534L, "maggiore", "maggiore della carità hospital", req = "italy"),
+    r(4210119436L, "maggiore", "maggiore della carità hospital", req = "italy"),
+    r(123338534L, "piedmont", "university of east piedmont",
+      req = "italy.*(alessandria|novara|vercelli|torino|turin)|(alessandria|novara|vercelli|torino|turin).*italy|maggiore della carit"),
+    r(123338534L, "piedmont", "eastern piedmont university",
+      req = "italy.*(alessandria|novara|vercelli|torino|turin)|(alessandria|novara|vercelli|torino|turin).*italy|maggiore della carit"),
+    r(123338534L, "orientale", "università del piemonte orientale",
+      req = "italy.*(alessandria|novara|vercelli|torino|turin)|(alessandria|novara|vercelli|torino|turin).*italy|maggiore della carit"),
+    // Palacký (:2917-2919)
+    r(70703428L, "palacký", "palacký university", req = "olomouc"),
+    r(70703428L, "palacky", "palacky university", req = "olomouc"),
+    // HSE (:2922-2923)
+    r(118501908L, "economics", "higher school of economics"),
+    // Tomsk State (:2926-2928)
+    r(196355604L, "tomsk", "tomsk state university",
+      exc = "tomsk state university of"),
+    // University of Georgia (:2931-2933); bare 'GA' tightened to a
+    // word match (case-fold would otherwise hit 'georgia' itself)
+    r(165733156L, "georgia", "university of georgia",
+      req = "\\bga\\b|usa|united states|athens|griffin|atlanta|augusta"),
+    // Colorado Aurora (:2936-2937)
+    r(51713134L, "aurora", "university of colorado aurora"),
+    // Baylor (:2940-2942)
+    r(157394403L, "baylor", "baylor university",
+      exc = "baylor university medical"),
+    // Boğaziçi mojibake form (:2945-2946, kept as the reference spells it)
+    r(4405392L, "boŀaziçi", "boŀaziçi university"),
+    // Xuzhou (:2949-2952)
+    r(177388780L, "xuzhou", "xuzhou medicine university"),
+    r(177388780L, "xuzhou", "xuzhou stomatology hospital"),
+    r(177388780L, "xuzhou", "xuzhou medicinal university"),
+    r(177388780L, "xuzhou", "xuzhou medical university"),
+    // Reims + CHU co-append (:2955-2966)
+    r(96226040L, "blanche", "maison blanche",
+      req = "reims.*(\\bchu\\b|h[oô]pital|hospital)|(\\bchu\\b|h[oô]pital|hospital).*reims"),
+    r(4210105796L, "blanche", "maison blanche",
+      req = "reims.*(\\bchu\\b|h[oô]pital|hospital)|(\\bchu\\b|h[oô]pital|hospital).*reims"),
+    r(96226040L, "reims", "chru de reims"),
+    r(4210105796L, "reims", "chru de reims"),
+    r(96226040L, "reims", "chu de reims"),
+    r(4210105796L, "reims", "chu de reims"),
+    r(96226040L, "reims", "chu reims"),
+    r(4210105796L, "reims", "chu reims"),
+    r(96226040L, "reims", "chru reims"),
+    r(4210105796L, "reims", "chru reims"),
+    r(96226040L, "reims", "reims university hospital"),
+    r(4210105796L, "reims", "reims university hospital"),
+    r(96226040L, "reims", "university hospital of reims"),
+    r(4210105796L, "reims", "university hospital of reims"),
+    r(96226040L, "reims", "université de reims"),
+    r(96226040L, "reims", "univ of reims"),
+    // Soochow (:2969-2971)
+    r(3923682L, "soochow", "soochow univ",
+      req = "china|suzhou|jiangsu|changshu"),
+    // TMU/Ryerson 'X University' interregnum (:2974-2976)
+    r(530967L, "university", "x university", word = true,
+      req = "canada|toronto|ontario"),
+    // Universidad Central de Chile (:2979-2983)
+    r(4210156023L, "central", "universidad central de chile"),
+    r(4210156023L, "central", "central university of chile"),
+    r(4210156023L, "ucen", "ucen", word = true, req = "chile"))
+
+  private val UQRe = "universit[eé] du qu[eé]bec|university of qu[eé]bec|" +
+    "qu[eé]bec univ|univ qu[eé]bec|univ of qu[eé]bec|u de qu[eé]bec|" +
+    "univ du qu[eé]bec"
+  private val CaGate2 = "canada|qu[eé]bec|montr[eé]al|montreal|" +
+    "trois rivi[eè]res|trois rivieres|chicoutimi|rimouski|outaouais|abitibi"
+
+  /** Batch 10: reference :2998-3100 — Krembil + the Canada/Québec
+    * network (UQ campuses by acronym and by city, TÉLUQ, INRS, ENAP,
+    * ETS). The u_quebec_strings list is one alternation regex. */
+  private lazy val batch10: Seq[Rule] = Seq(
+    r(4388446386L, "krembil", "krembil research institute"),
+    // UQ acronym elif chain (:3013-3033) — later acronyms exclude
+    // earlier ones (id changes across the chain)
+    r(63341726L, "uqtr", "uqtr", word = true, req = CaGate2),
+    r(159129438L, "uqàm", "uqàm", word = true, req = CaGate2,
+      exc = "\\buqtr\\b"),
+    r(159129438L, "uqam", "uqam", word = true, req = CaGate2,
+      exc = "\\buqtr\\b"),
+    r(104914703L, "uqàc", "uqàc", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b"),
+    r(104914703L, "uqac", "uqac", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b"),
+    r(182451676L, "uqàr", "uqàr", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b|\\buq[àa]c\\b"),
+    r(182451676L, "uqar", "uqar", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b|\\buq[àa]c\\b"),
+    r(190270569L, "uqàt", "uqàt", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b|\\buq[àa]c\\b|\\buq[àa]r\\b"),
+    r(190270569L, "uqat", "uqat", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b|\\buq[àa]c\\b|\\buq[àa]r\\b"),
+    r(33217400L, "uqo", "uqo", word = true, req = CaGate2,
+      exc = "\\buqtr\\b|\\buq[àa]m\\b|\\buq[àa]c\\b|\\buq[àa]r\\b|\\buq[àa]t\\b"),
+    // UQ campuses by city + u_quebec_strings (:3036-3066)
+    r(159129438L, "montréal", "montréal", req = UQRe),
+    r(159129438L, "montreal", "montreal", req = UQRe),
+    r(63341726L, "rivières", "trois rivières", req = UQRe),
+    r(63341726L, "rivieres", "trois rivieres", req = UQRe),
+    r(63341726L, "rivers", "three rivers", req = UQRe),
+    r(104914703L, "chicoutimi", "chicoutimi", req = UQRe),
+    r(182451676L, "rimouski", "rimouski", req = UQRe),
+    r(33217400L, "outaouais", "outaouais", req = UQRe),
+    r(33217400L, "hull", "hull", word = true, req = UQRe),
+    r(190270569L, "abitibi", "abitibi témiscamingue", req = UQRe),
+    r(190270569L, "abitibi", "abitibi temiscamingue", req = UQRe),
+    // TÉLUQ (:3069-3070)
+    r(200745827L, "téluq", "téluq", req = CaGate2),
+    r(200745827L, "teluq", "teluq", req = CaGate2),
+    // INRS (:3073-3082): acronym tiers collapse in the case-fold;
+    // every Armand-Frappier variant contains 'armand frappier'
+    r(39481719L, "inrs", "inrs", word = true, req = CaGate2),
+    r(39481719L, "scientifique", "institut national de la recherche scientifique",
+      req = CaGate2),
+    r(39481719L, "frappier", "armand frappier", req = CaGate2),
+    // ENAP (:3085-3090)
+    r(31571312L, "enap", "enap", word = true, req = CaGate2),
+    r(31571312L, "administration", "ecole national d administration publique",
+      req = CaGate2),
+    r(31571312L, "administration", "école nationale d administration publique",
+      req = CaGate2),
+    r(31571312L, "administration", "ecole nationale d administration publique",
+      req = CaGate2),
+    // ETS (:3093-3098)
+    r(9736820L, "ets", "ets", word = true, req = CaGate2),
+    r(9736820L, "superieure", "ecole de technologie superieure", req = CaGate2),
+    r(9736820L, "supérieure", "école de technologie supérieure", req = CaGate2))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

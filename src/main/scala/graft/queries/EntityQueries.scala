@@ -262,6 +262,37 @@ object EntityQueries {
     * re-evaluates the SAME rule rows (VALUES mirror) over the same
     * normalization in DuckDB. */
   private[queries] val q64Templates: Seq[String] = Seq(
+    // batch 9-10 (Russia→Chile, Canada/Québec)
+    "National Research Nuclear University MEPhI, Moscow, Russia",
+    "Moscow Institute of Physics and Technology, Dolgoprudny, Russia",
+    "Institute of Physics and Technology, Moscow, Russia",
+    "University of Texas Health Science Center, San Antonio, TX",
+    "University of Hawai'i at Manoa, Honolulu",
+    "University of Lübeck, Germany",
+    "Sveučilišta u Splitu, Croatia",
+    "Azienda Ospedaliera Maggiore della Carità, Novara, Italy",
+    "Università del Piemonte Orientale, Novara, Italy",
+    "Palacký University, Olomouc, Czech Republic",
+    "Higher School of Economics, Moscow",
+    "Tomsk State University, Tomsk, Russia",
+    "Tomsk State University of Control Systems",
+    "University of Georgia, Athens, GA 30602",
+    "Baylor University, Waco, Texas",
+    "Baylor University Medical Center, Dallas",
+    "Xuzhou Medical University, Xuzhou, Jiangsu",
+    "CHU de Reims, Hôpital Maison Blanche, Reims, France",
+    "Université de Reims Champagne-Ardenne, Reims",
+    "Soochow University, Suzhou, China",
+    "X University, Toronto, Ontario, Canada",
+    "Universidad Central de Chile, Santiago, Chile",
+    "UQAM, Montréal, Canada",
+    "Université du Québec à Trois-Rivières (UQTR), Canada",
+    "Université du Québec à Montréal, Montréal, QC",
+    "Université du Québec en Outaouais, Gatineau",
+    "TÉLUQ, Québec, Canada",
+    "INRS-Institut Armand-Frappier, Laval, Canada",
+    "École de Technologie Supérieure, Montréal",
+    "ENAP, Québec City, Canada",
     // batch 8 (LSU→Colorado Denver cluster)
     "LSU Health Sciences Center, New Orleans, LA",
     "Università degli Studi di Trieste, Italy",
