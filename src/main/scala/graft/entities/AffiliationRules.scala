@@ -1415,7 +1415,170 @@ object AffiliationRules {
     // ETS (:3093-3098)
     r(9736820L, "ets", "ets", word = true, req = CaGate2),
     r(9736820L, "superieure", "ecole de technologie superieure", req = CaGate2),
-    r(9736820L, "supérieure", "école de technologie supérieure", req = CaGate2))
+    r(9736820L, "supérieure", "école de technologie supérieure", req = CaGate2)) ++
+    batch11
+
+  private val AiimsCities =
+    Seq("bhubaneswar", "bhopal", "nagpur", "guwahati", "rishikesh",
+      "raipur", "jodhpur", "deoghar")
+  private val HamburgT1 = "university of hamburg|univ of hamburg|hamburg univ"
+
+  /** Batch 11: reference :3100-3303 — Maryland campuses, Hamburg/UKE
+    * co-append, Bari, Hanoi/VAST, SSN, AIIMS campus cascade, Anna
+    * University, IPN/CINVESTAV, North Texas. */
+  private lazy val batch11: Seq[Rule] = {
+    // AIIMS campus elif chain: each city excludes the ones before it;
+    // New Delhi is the no-city default (:3227-3260)
+    val aiims = AiimsCities.zip(Seq(4210117092L, 4210106490L, 4401200305L,
+      4387153078L, 4387152206L, 129734738L, 216021267L, 4396570500L))
+      .zipWithIndex.map { case ((city, id), i) =>
+        val before = AiimsCities.take(i)
+        r(id, "aiims", "aiims", req = city,
+          exc = if (before.isEmpty) null else before.mkString("|"))
+      } :+ r(63739035L, "aiims", "aiims", exc = AiimsCities.mkString("|"))
+    Seq(
+      // University of Maryland campuses (:3100-3112)
+      r(79272384L, "maryland", "university of maryland", req = "baltimore county"),
+      r(79272384L, "maryland", "univ of maryland", req = "baltimore county"),
+      r(126744593L, "maryland", "university of maryland", req = "baltimore",
+        exc = "baltimore county"),
+      r(126744593L, "maryland", "univ of maryland", req = "baltimore",
+        exc = "baltimore county"),
+      r(126744593L, "maryland", "university of maryland",
+        req = "school of medicine", exc = "baltimore"),
+      r(126744593L, "maryland", "univ of maryland",
+        req = "school of medicine", exc = "baltimore"),
+      r(22407884L, "maryland", "university of maryland",
+        req = "princess anne|eastern shore",
+        exc = "baltimore|school of medicine"),
+      r(22407884L, "maryland", "univ of maryland",
+        req = "princess anne|eastern shore",
+        exc = "baltimore|school of medicine"),
+      r(66946132L, "maryland", "university of maryland", req = "college park",
+        exc = "baltimore|school of medicine|princess anne|eastern shore"),
+      r(66946132L, "maryland", "univ of maryland", req = "college park",
+        exc = "baltimore|school of medicine|princess anne|eastern shore"),
+      // Universität Hamburg + UKE (:3115-3136): the university id is
+      // appended by every tier; the clinic id only when the plain
+      // university form is absent (elif)
+      r(159176309L, "hamburg", "university of hamburg"),
+      r(159176309L, "hamburg", "univ of hamburg"),
+      r(159176309L, "hamburg", "hamburg univ"),
+      r(159176309L, "hamburg", "university medical cent", req = "hamburg"),
+      r(159176309L, "eppendorf", "university hospital eppendorf",
+        req = "hamburg"),
+      r(159176309L, "hamburg", "university heart cent", req = "hamburg"),
+      r(159176309L, "eppendorf", "universitätsklinikum eppendorf",
+        req = "hamburg"),
+      r(159176309L, "eppendorf", "hamburg eppendorf", req = "universit"),
+      r(159176309L, "eppendorf", "university clinic",
+        req = "hamburg.*eppendorf|eppendorf.*hamburg"),
+      r(159176309L, "uke", "uke", word = true, req = "hamburg"),
+      r(4210108711L, "hamburg", "university medical cent", req = "hamburg",
+        exc = HamburgT1),
+      r(4210108711L, "eppendorf", "university hospital eppendorf",
+        req = "hamburg", exc = HamburgT1),
+      r(4210108711L, "hamburg", "university heart cent", req = "hamburg",
+        exc = HamburgT1),
+      r(4210108711L, "eppendorf", "universitätsklinikum eppendorf",
+        req = "hamburg", exc = HamburgT1),
+      r(4210108711L, "eppendorf", "hamburg eppendorf", req = "universit",
+        exc = HamburgT1),
+      r(4210108711L, "eppendorf", "university clinic",
+        req = "hamburg.*eppendorf|eppendorf.*hamburg", exc = HamburgT1),
+      r(4210108711L, "uke", "uke", word = true, req = "hamburg",
+        exc = HamburgT1),
+      // Comenius Bratislava (:3139-3142)
+      r(74788687L, "comenious", "comenious university",
+        req = "slovakia|bratislava"),
+      r(74788687L, "commenius", "commenius university",
+        req = "slovakia|bratislava"),
+      r(74788687L, "comenius", "comenius university",
+        req = "slovakia|bratislava"),
+      // Politecnico di Bari (:3145-3155)
+      r(68618741L, "bari", "technical university of bari"),
+      r(68618741L, "bari", "technical univ of bari"),
+      r(68618741L, "bari", "university and politecnico of bari"),
+      r(68618741L, "bari", "technical university politecnico di bari"),
+      r(68618741L, "bari", "polytechnic university of bari"),
+      r(68618741L, "bari", "politecnico di bari"),
+      r(68618741L, "bari", "polytechnic of bari"),
+      r(68618741L, "bari", "univ and politecnico of bari"),
+      r(68618741L, "bari", "polytechinic university of bari"),
+      // Hanoi UST + VAST (:3158-3180; the reference's affs.remove is
+      // unreachable — 94518387 only enters via the explicit variants)
+      r(94518387L, "hanoi", "university of science and technology of hanoi"),
+      r(94518387L, "hanoi", "hanoi university of science and technology"),
+      r(70349855L, "hanoi", "graduate university of science and technology",
+        req = "hanoi"),
+      r(70349855L, "vast", "vast", word = true, req = "hanoi"),
+      r(94518387L, "usth", "usth", word = true, req = "vietnam",
+        exc = "hanoi"),
+      // SSN College of Engineering (:3183-3200)
+      r(916357946L, "ssn", "ssn college of engineering",
+        req = "india|chennai"),
+      r(916357946L, "ssn", "ssn engineering college", req = "india|chennai"),
+      r(916357946L, "ssn", "ssn research centre", req = "india|chennai"),
+      r(916357946L, "ssn", "ssn collage of engineering",
+        req = "india|chennai"),
+      r(916357946L, "nadar", "sri sivasubramania nadar college of engineering",
+        req = "india|chennai"),
+      r(916357946L, "nadar", "sri sivasubramanyia nadar college of engineering",
+        req = "india|chennai"),
+      r(916357946L, "nadar", "sri sivasubrmaniya nadar ssn college of engineering",
+        req = "india|chennai"),
+      r(916357946L, "sivasubramaniyanadar",
+        "sri sivasubramaniyanadar college of engineering",
+        req = "india|chennai"),
+      r(916357946L, "sivasubarmanianadar",
+        "sri sivasubarmanianadar college of engineering",
+        req = "india|chennai"),
+      r(916357946L, "nadar", "sri sivasubramaniya nadar college of engineering"),
+      // National Kaohsiung UST (:3203-3207)
+      r(4387154394L, "kaohsiung", "kaohsiung university of sci"),
+      r(4387154394L, "kaohsiung", "kaohsiung univ of science and tech"),
+      r(4387154394L, "kaohsiung", "kaohsiung university sciences and tech"),
+      // HSE acronym forms (:3210-3214)
+      r(118501908L, "hse", "hse", word = true, req = "russia"),
+      r(118501908L, "hse", "hse university"),
+      r(118501908L, "hse", "nru hse"),
+      r(118501908L, "hse", "national research university hse"),
+      // Jinzhou (:3217-3220)
+      r(85430964L, "jinzhou", "jinzhou medical univ"),
+      r(85430964L, "jinzhou", "jinzhou medicical univ"),
+      r(85430964L, "jinzhou", "jinzhou medicinal univ"),
+      // Christian Medical College (:3223-3224)
+      r(172917736L, "christian", "christian medical college"),
+      // Anna University (:3263-3270)
+      r(4400600945L, "anna", "anna university", req = "coimbatore"),
+      r(33585257L, "anna", "anna university", req = "india",
+        exc = "coimbatore"),
+      // IPN / CINVESTAV (:3273-3287)
+      r(68368234L, "ipn", "cinvestav"),
+      r(59361560L, "ipn", "ipn", word = true, req = "mexico|méxico",
+        exc = "cinvestav"),
+      r(59361560L, "ipn", "oaxaca", exc = "cinvestav"),
+      r(59361560L, "ipn", "esime", exc = "cinvestav"),
+      r(59361560L, "ipn", "ciidir", exc = "cinvestav"),
+      r(59361560L, "ipn", "cdmx", exc = "cinvestav"),
+      r(59361560L, "ipn", "cicimar", exc = "cinvestav"),
+      r(59361560L, "ipn", "cidiir", exc = "cinvestav"),
+      r(59361560L, "ipn", "escuela superior de medicina", exc = "cinvestav"),
+      r(59361560L, "ipn", "estudios avanzados", exc = "cinvestav"),
+      r(59361560L, "ipn", "actividades académicas", exc = "cinvestav"),
+      r(59361560L, "ipn", "ciencias marinas", exc = "cinvestav"),
+      // Army Engineering University (:3290-3292)
+      r(4210163363L, "army", "army engineering university",
+        req = "shijiazhuang|china"),
+      // University of North Texas system (:3295-3303)
+      r(123534392L, "texas", "university of north texas", req = "denton"),
+      r(165139151L, "texas", "university of north texas",
+        req = "health science center|fort worth", exc = "denton"),
+      r(123534392L, "texas", "university of north texas",
+        req = "health science center|fort worth", exc = "denton"),
+      r(87573096L, "texas", "university of north texas", req = "dallas",
+        exc = "denton|health science center|fort worth")) ++ aiims
+  }
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -262,6 +262,36 @@ object EntityQueries {
     * re-evaluates the SAME rule rows (VALUES mirror) over the same
     * normalization in DuckDB. */
   private[queries] val q64Templates: Seq[String] = Seq(
+    // batch 11 (Maryland, Hamburg, AIIMS, IPN, North Texas)
+    "University of Maryland, Baltimore County, MD",
+    "University of Maryland School of Medicine, Baltimore",
+    "University of Maryland, College Park, MD 20742",
+    "University Medical Center Hamburg-Eppendorf, Hamburg, Germany",
+    "University of Hamburg, Hamburg, Germany",
+    "UKE, Hamburg",
+    "Comenius University, Bratislava, Slovakia",
+    "Politecnico di Bari, Bari, Italy",
+    "Hanoi University of Science and Technology, Hanoi",
+    "Graduate University of Science and Technology, VAST, Hanoi",
+    "USTH, Vietnam Academy",
+    "SSN College of Engineering, Chennai, India",
+    "Sri Sivasubramaniya Nadar College of Engineering, Kalavakkam",
+    "National Kaohsiung University of Science and Technology, Kaohsiung",
+    "HSE University, Moscow",
+    "Jinzhou Medical University, Jinzhou, Liaoning",
+    "Christian Medical College, Vellore",
+    "AIIMS, New Delhi, India",
+    "AIIMS Bhubaneswar, Odisha",
+    "AIIMS Rishikesh, Uttarakhand, India",
+    "Anna University, Chennai, India",
+    "Anna University Regional Campus, Coimbatore",
+    "CINVESTAV-IPN, Mexico City",
+    "Instituto Politécnico Nacional (IPN), México",
+    "ESIME Zacatenco, IPN",
+    "Army Engineering University, Shijiazhuang, China",
+    "University of North Texas Health Science Center, Fort Worth",
+    "University of North Texas, Denton, TX",
+    "University of North Texas at Dallas",
     // batch 9-10 (Russia→Chile, Canada/Québec)
     "National Research Nuclear University MEPhI, Moscow, Russia",
     "Moscow Institute of Physics and Technology, Dolgoprudny, Russia",
