@@ -1577,8 +1577,111 @@ object AffiliationRules {
       r(123534392L, "texas", "university of north texas",
         req = "health science center|fort worth", exc = "denton"),
       r(87573096L, "texas", "university of north texas", req = "dallas",
-        exc = "denton|health science center|fort worth")) ++ aiims
+        exc = "denton|health science center|fort worth")) ++ aiims ++ batch12
   }
+
+  private val UmcRe = "\\bumc\\b|university medical cent"
+  private val JhmedRe = "bloomberg school of public health|school of medicine|" +
+    "medical school|medical institution"
+
+  /** Batch 12: reference :3332-3470 — UCL, Radboud/UMC co-append,
+    * Dortmund, UIC, UPC, Johns Hopkins, Mainz, Tampere, Ulster. */
+  private lazy val batch12: Seq[Rule] = Seq(
+    // Tomsk Polytechnic shares the Tomsk State id (:3333-3334)
+    r(196355604L, "tomsk", "tomsk polytechnic university"),
+    // UCL (:3337-3341)
+    r(45129253L, "london", "university college london"),
+    r(45129253L, "ucl", "ucl", word = true, req = "london"),
+    // Radboud + UMC co-append (:3344-3353)
+    r(145872427L, "radboud", "radboud university"),
+    r(2802934949L, "radboud", "radboud university medical cent"),
+    r(145872427L, "netherlands", "netherlands",
+      req = s"($UmcRe).*(radboud|nijmegen)|(radboud|nijmegen).*($UmcRe)",
+      exc = "radboud university"),
+    r(2802934949L, "netherlands", "netherlands",
+      req = s"($UmcRe).*(radboud|nijmegen)|(radboud|nijmegen).*($UmcRe)",
+      exc = "radboud university"),
+    // Zhejiang A&F (:3356-3359)
+    r(1284762954L, "zhejiang", "zhejiang agriculture and forestry university"),
+    r(1284762954L, "zhejiang", "zhejiang agricultural and forestry university"),
+    // TU Dortmund (:3362-3366)
+    r(200332995L, "dortmund", "technical university dortmund"),
+    r(200332995L, "dortmund", "tu dortmund"),
+    r(200332995L, "dortmund", "dortmund university of technology"),
+    r(200332995L, "dortmund", "technische universitaet dortmund"),
+    r(200332995L, "dortmund", "technical university of dortmund"),
+    // University of Illinois Chicago (:3369-3376)
+    r(39422238L, "illinois", "university of illinois", req = "chicago",
+      exc = "rockford"),
+    r(39422238L, "uic", "uic", word = true, req = "chicago",
+      exc = "university of illinois"),
+    // SMU (:3379-3381)
+    r(178169726L, "smu", "smu", word = true, req = "dallas"),
+    // UPC / BSC (:3384-3397)
+    r(9617848L, "barcelona", "barcelona supercomputing cent"),
+    r(9617848L, "barcelonatech", "barcelonatech"),
+    r(9617848L, "barcelona", "barcelona supercomputer cent"),
+    r(9617848L, "upc", "upc", word = true, req = "barcelona"),
+    r(9617848L, "bsc", "bsc", word = true, req = "barcelona"),
+    r(9617848L, "cimne", "cimne", word = true, req = "barcelona"),
+    r(9617848L, "catalonia", "technical university of catalonia",
+      req = "spain", exc = "barcelona"),
+    r(9617848L, "cataluña", "universidad politécnica de cataluña",
+      req = "spain", exc = "barcelona"),
+    r(9617848L, "cataluña", "universidade politécnica de cataluña",
+      req = "spain", exc = "barcelona"),
+    r(9617848L, "catalonia", "polytechnic university of catalonia",
+      req = "spain", exc = "barcelona"),
+    // Johns Hopkins (:3400-3410): Baltimore needs the medical-school
+    // evidence; non-Baltimore excludes APL and satellite campuses
+    r(145311948L, "jhu", "jhu", word = true, req = "baltimore"),
+    r(145311948L, "hopkins", "johns hopkins",
+      req = s"baltimore.*($JhmedRe)|($JhmedRe).*baltimore"),
+    r(145311948L, "hopkins", "johns hopkins university",
+      exc = "baltimore|applied physics laboratory|\\bapl\\b|makerere|" +
+        "nanjing|bologna"),
+    // Johannes Gutenberg Mainz (:3413-3422)
+    r(197323543L, "gutenberg", "johannes gutenberg university",
+      req = "mainz"),
+    r(197323543L, "gutenberg", "johannes gutenberg universität",
+      req = "mainz"),
+    r(197323543L, "mainz", "university of mainz"),
+    r(197323543L, "mainz", "mainz university hospital"),
+    r(197323543L, "mainz", "universitätsmedizin mainz"),
+    r(197323543L, "mainz", "university hospital mainz"),
+    r(197323543L, "mainz", "university medical center mainz"),
+    r(197323543L, "mainz", "universitaetsmedizin mainz"),
+    r(197323543L, "mainz", "university medicine mainz"),
+    r(197323543L, "mainz", "universitätsklinik mainz"),
+    r(197323543L, "mainz", "university medical cent", req = "mainz"),
+    r(197323543L, "mainz", "universitätsklinikum mainz"),
+    r(197323543L, "mainz", "university hospital of mainz"),
+    r(197323543L, "helmholtz", "helmholtz institute", req = "mainz"),
+    // Uludağ (:3425-3427)
+    r(131835042L, "udulağ", "udulağ university", req = "bursa"),
+    r(131835042L, "uludag", "uludag university", req = "bursa"),
+    // Yokohama City (:3430-3431)
+    r(89630735L, "yokohama", "yokohama city university"),
+    // Tampere (:3434-3439)
+    r(4210133110L, "tampere", "tampere university of technology"),
+    r(4210133110L, "tampere", "university of tampere"),
+    r(4210133110L, "tampere", "tampere univ of technology"),
+    r(4210133110L, "tampere", "tampere university hospital"),
+    // NTUA (:3442-3444)
+    r(174458059L, "ntua", "ntua", word = true, req = "athens|greece"),
+    // Trento (:3447-3449)
+    r(193223587L, "trento", "università di trento"),
+    r(193223587L, "trento", "university of trento"),
+    // Siegen (:3452-3455)
+    r(206895457L, "siegen", "siegen university"),
+    r(206895457L, "siegen", "university siegen"),
+    r(206895457L, "siegen", "universitat siegen"),
+    r(206895457L, "siegen", "universität siegen"),
+    r(206895457L, "siegen", "universitaet siegen"),
+    // Ulster (:3458-3460)
+    r(138801177L, "ulster", "ulster univ"),
+    r(138801177L, "ulster", "university of ulster"),
+    r(138801177L, "jordanstown", "university jordanstown", req = "ulster"))
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

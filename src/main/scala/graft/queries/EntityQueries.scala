@@ -262,6 +262,33 @@ object EntityQueries {
     * re-evaluates the SAME rule rows (VALUES mirror) over the same
     * normalization in DuckDB. */
   private[queries] val q64Templates: Seq[String] = Seq(
+    // batch 12 (UCL, Radboud, UPC, JHU, Mainz)
+    "University College London, Gower Street, London",
+    "UCL Queen Square Institute of Neurology, London",
+    "Radboud University, Nijmegen, The Netherlands",
+    "Radboud University Medical Center, Nijmegen",
+    "UMC, Nijmegen, The Netherlands",
+    "TU Dortmund, Dortmund, Germany",
+    "University of Illinois at Chicago, Chicago, IL",
+    "University of Illinois College of Medicine, Rockford, Chicago program",
+    "UIC, Chicago, Illinois",
+    "SMU, Dallas, TX 75275",
+    "Barcelona Supercomputing Center (BSC), Barcelona",
+    "UPC BarcelonaTech, Barcelona, Spain",
+    "Technical University of Catalonia, Spain",
+    "JHU, Baltimore, Maryland",
+    "Johns Hopkins Bloomberg School of Public Health, Baltimore, MD",
+    "Johns Hopkins University, 3400 N Charles St",
+    "Johns Hopkins University Applied Physics Laboratory, Laurel",
+    "Johannes Gutenberg University, Mainz, Germany",
+    "Universitätsmedizin Mainz, Mainz",
+    "Uludag University, Bursa, Turkey",
+    "Yokohama City University School of Medicine",
+    "Tampere University of Technology, Tampere, Finland",
+    "NTUA, Athens, Greece",
+    "Università di Trento, Trento, Italy",
+    "Universität Siegen, Siegen, Germany",
+    "Ulster University, Jordanstown campus",
     // batch 11 (Maryland, Hamburg, AIIMS, IPN, North Texas)
     "University of Maryland, Baltimore County, MD",
     "University of Maryland School of Medicine, Baltimore",
