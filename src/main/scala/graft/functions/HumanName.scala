@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * A [[Transliterate.preRomanize]] tier runs first: Hangul (Revised
   * Romanization + the reference's surname map), kana (Hepburn),
   * Cyrillic (incl. the surname-first patronymic reorder), and Arabic
-  * names romanize into forms this parse understands. Han-ideograph
-  * names (Chinese, kanji Japanese) still pass through whole as family
-  * — readings are dictionary/model territory, the declared boundary.
+  * names romanize into forms this parse understands. All-CJK
+  * single-token names split structurally (compound surname set, else
+  * first character — the reference's `_split_chinese_name`; it never
+  * romanizes Han either); only mixed Latin+Han forms pass through
+  * whole as family.
   */
 object HumanName {
 

@@ -173,6 +173,46 @@ object Transliterate {
     out.replaceAll("\\s+", " ").trim
   }
 
+  // ── Chinese structural split (no readings needed) ─────────────────
+  /** Reference `COMPOUND_SURNAMES` (CreateAuthorNames.ipynb) — the
+    * two-character Chinese surnames, simplified + traditional forms. */
+  val CompoundSurnames: Set[String] = Set(
+    "欧阳", "太史", "端木", "上官", "司马", "东方", "独孤", "南宫", "万俟",
+    "闻人", "夏侯", "诸葛", "尉迟", "公羊", "赫连", "澹台", "皇甫", "宗政",
+    "濮阳", "公冶", "太叔", "申屠", "公孙", "慕容", "仲孙", "钟离", "长孙",
+    "宇文", "司徒", "鲜于", "司空", "闾丘", "子车", "亓官", "司寇", "巫马",
+    "公西", "颛孙", "壤驷", "公良", "漆雕", "乐正", "宰父", "谷梁", "拓跋",
+    "夹谷", "轩辕", "令狐", "段干", "百里", "呼延", "东郭", "南门", "羊舌",
+    "微生", "公户", "公玉", "公仪", "梁丘", "公仲", "公上", "公门", "公山",
+    "公坚", "左丘", "公伯", "西门", "公祖", "第五", "公乘", "贯丘", "公皙",
+    "南荣", "东里", "东宫", "仲长", "子书", "子桑", "即墨", "达奚", "褚师",
+    "歐陽", "司馬", "東方", "獨孤", "南宮", "諸葛", "尉遲", "赫連", "澹臺",
+    "濮陽", "鍾離", "長孫", "鮮于", "閭丘", "顓孫", "樂正", "穀梁", "夾谷",
+    "軒轅", "段幹", "東郭", "南門", "梁丘", "左丘", "西門", "東里", "東宮",
+    "仲長")
+
+  /** The reference's `_is_cjk_char` ranges (incl. Ext-B and the
+    * compatibility blocks — wider than the BMP-only [[isHan]]). */
+  private def isCjkRef(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0xF900 && cp <= 0xFAFF) ||
+    (cp >= 0x2F800 && cp <= 0x2FA1F)
+
+  private def isAllCjk(s: String): Boolean = {
+    val chars = s.replace(" ", "")
+    chars.nonEmpty && chars.codePoints().allMatch(cp => isCjkRef(cp))
+  }
+
+  /** `_split_chinese_name`: 2-char compound surname if listed, else
+    * the first character (code-point safe). */
+  def splitChinese(name: String): (String, String) =
+    if (name.length >= 2 && CompoundSurnames.contains(name.substring(0, 2)))
+      (name.substring(0, 2), name.substring(2))
+    else {
+      val first = name.offsetByCodePoints(0, 1)
+      (name.substring(0, first), name.substring(first))
+    }
+
   // ── Dispatcher ────────────────────────────────────────────────────
   def isHan(c: Char): Boolean =
     (c >= '一' && c <= '鿿') || (c >= '㐀' && c <= '䶿')
@@ -182,11 +222,19 @@ object Transliterate {
 
   /** Pre-parse romanization. Output feeds [[HumanName.parse]]:
     * family-first scripts come out in comma form, others in place.
-    * Han-bearing names return unchanged (the CJK pass-through
-    * boundary). */
+    * All-CJK single-token names split structurally (compound-surname
+    * set, else first character — `_hnp_parse_name`; the reference
+    * never romanizes Han either); only MIXED Han forms pass through
+    * unchanged. */
   def preRomanize(s: String): String = {
     if (s == null) return null
-    if (s.exists(isHan)) s
+    if (s.exists(isHan) || s.codePoints().anyMatch(cp => isCjkRef(cp))) {
+      val t = s.trim
+      if (isAllCjk(t) && !t.contains(' ')) {
+        val (sur, giv) = splitChinese(t)
+        if (giv.isEmpty) sur else s"$sur, $giv"
+      } else s
+    }
     else if (s.exists(isHangul)) {
       // reference _np_parse_hangul: first syllable = surname (common
       // map first), rest = given

@@ -35,7 +35,7 @@ object EntityQueries {
       // round-6 residues: digraph+ou-collapse kana, sokuon geminates,
       // 2-token Cyrillic (no patronymic), mixed Latin+Han
       "たなか きょうこ", "ちょう しゅんすけ", "はっとり けんいち",
-      "ちゃん きっぺい", "Сергей Волков", "Li Wei 李伟")
+      "ちゃん きっぺい", "Сергей Волков", "Li Wei 李伟", "歐陽修")
     val nameCol = elt(((pmod(col("doc_id"), lit(names.size)) + 1) +: names.map(lit)): _*)
     val p = HumanName.parse(nameCol)
     d.select(col("doc_id"), nameCol.as("raw_name"),
@@ -878,7 +878,7 @@ object EntityQueries {
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q49_humanname_parse" ->
       """SELECT doc_id,
-        |CASE doc_id % 19 WHEN 0 THEN 'Jane Smith' WHEN 1 THEN 'Smith, Jane'
+        |CASE doc_id % 20 WHEN 0 THEN 'Jane Smith' WHEN 1 THEN 'Smith, Jane'
         |  WHEN 2 THEN 'Jan van der Berg' WHEN 3 THEN 'John Q. Public Jr.'
         |  WHEN 4 THEN 'Maria de la Cruz' WHEN 5 THEN '李雷'
         |  WHEN 6 THEN 'Doe, John PhD' WHEN 7 THEN 'Prince'
@@ -887,37 +887,39 @@ object EntityQueries {
         |  WHEN 12 THEN 'محمد علي'
         |  WHEN 13 THEN 'たなか きょうこ' WHEN 14 THEN 'ちょう しゅんすけ'
         |  WHEN 15 THEN 'はっとり けんいち' WHEN 16 THEN 'ちゃん きっぺい'
-        |  WHEN 17 THEN 'Сергей Волков' ELSE 'Li Wei 李伟' END AS raw_name,
-        |CASE doc_id % 19 WHEN 0 THEN 'Jane' WHEN 1 THEN 'Jane'
+        |  WHEN 17 THEN 'Сергей Волков' WHEN 18 THEN 'Li Wei 李伟'
+        |  ELSE '歐陽修' END AS raw_name,
+        |CASE doc_id % 20 WHEN 0 THEN 'Jane' WHEN 1 THEN 'Jane'
         |  WHEN 2 THEN 'Jan' WHEN 3 THEN 'John Q.'
-        |  WHEN 4 THEN 'Maria' WHEN 5 THEN NULL
+        |  WHEN 4 THEN 'Maria' WHEN 5 THEN '雷'
         |  WHEN 6 THEN 'John' WHEN 7 THEN NULL
         |  WHEN 8 THEN 'Minjun' WHEN 9 THEN 'Ivan Sergeevich'
         |  WHEN 10 THEN 'Anna Sergeevna' WHEN 11 THEN 'Yuki'
         |  WHEN 12 THEN 'Mhmd'
         |  WHEN 13 THEN 'Kyoko' WHEN 14 THEN 'Shunsuke'
         |  WHEN 15 THEN 'Kenichi' WHEN 16 THEN 'Kippei'
-        |  WHEN 17 THEN 'Sergei' ELSE 'Li Wei' END AS given,
-        |CASE doc_id % 19 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Smith'
+        |  WHEN 17 THEN 'Sergei' WHEN 18 THEN 'Li Wei' ELSE '修' END AS given,
+        |CASE doc_id % 20 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Smith'
         |  WHEN 2 THEN 'van der Berg' WHEN 3 THEN 'Public'
-        |  WHEN 4 THEN 'de la Cruz' WHEN 5 THEN '李雷'
+        |  WHEN 4 THEN 'de la Cruz' WHEN 5 THEN '李'
         |  WHEN 6 THEN 'Doe' WHEN 7 THEN 'Prince'
         |  WHEN 8 THEN 'Kim' WHEN 9 THEN 'Ivanov'
         |  WHEN 10 THEN 'Petrova' WHEN 11 THEN 'Sato'
         |  WHEN 12 THEN 'Aly'
         |  WHEN 13 THEN 'Tanaka' WHEN 14 THEN 'Cho'
         |  WHEN 15 THEN 'Hattori' WHEN 16 THEN 'Chan'
-        |  WHEN 17 THEN 'Volkov' ELSE '李伟' END AS family,
-        |CASE doc_id % 19 WHEN 0 THEN 'smith;j' WHEN 1 THEN 'smith;j'
+        |  WHEN 17 THEN 'Volkov' WHEN 18 THEN '李伟' ELSE '歐陽' END AS family,
+        |CASE doc_id % 20 WHEN 0 THEN 'smith;j' WHEN 1 THEN 'smith;j'
         |  WHEN 2 THEN 'van der berg;j' WHEN 3 THEN 'public;j'
-        |  WHEN 4 THEN 'de la cruz;m' WHEN 5 THEN '李雷;'
+        |  WHEN 4 THEN 'de la cruz;m' WHEN 5 THEN '李;雷'
         |  WHEN 6 THEN 'doe;j' WHEN 7 THEN 'prince;'
         |  WHEN 8 THEN 'kim;m' WHEN 9 THEN 'ivanov;i'
         |  WHEN 10 THEN 'petrova;a' WHEN 11 THEN 'sato;y'
         |  WHEN 12 THEN 'aly;m'
         |  WHEN 13 THEN 'tanaka;k' WHEN 14 THEN 'cho;s'
         |  WHEN 15 THEN 'hattori;k' WHEN 16 THEN 'chan;k'
-        |  WHEN 17 THEN 'volkov;s' ELSE '李伟;l' END AS author_key
+        |  WHEN 17 THEN 'volkov;s' WHEN 18 THEN '李伟;l'
+        |  ELSE '歐陽;修' END AS author_key
         |FROM documents""".stripMargin,
     "q50_union_locations_scd1" ->
       """WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS native_id,

@@ -72,8 +72,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(preRomanize("Хрущёв, Никита") == "Khrushchev, Nikita")
     // arabic table
     assert(preRomanize("محمد علي") == "Mhmd Aly")
-    // Han pass-through boundary (readings need a dictionary)
-    assert(preRomanize("李雷") == "李雷")
+    // all-CJK single-token names split structurally (no readings):
+    // compound surname set first, else first character
+    assert(preRomanize("李雷") == "李, 雷")
+    assert(preRomanize("歐陽修") == "歐陽, 修")
+    assert(preRomanize("诸葛亮") == "诸葛, 亮")
+    assert(preRomanize("王") == "王")
+    // mixed Latin+Han and spaced Han stay the pass-through boundary
+    assert(preRomanize("Li Wei 李伟") == "Li Wei 李伟")
+    assert(preRomanize("田中 太郎") == "田中 太郎")
     assert(preRomanize("Jane Smith") == "Jane Smith")
     assert(preRomanize(null) == null)
   }
