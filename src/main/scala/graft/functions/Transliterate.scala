@@ -224,8 +224,13 @@ object Transliterate {
     * family-first scripts come out in comma form, others in place.
     * All-CJK single-token names split structurally (compound-surname
     * set, else first character — `_hnp_parse_name`; the reference
-    * never romanizes Han either); only MIXED Han forms pass through
-    * unchanged. */
+    * never romanizes Han either); MIXED Han forms pass through
+    * unchanged. Documented deviation: SPACE-SEPARATED all-CJK names
+    * ("田中 太郎") also pass through whole-as-family, whereas the
+    * reference's `_hnp_parse_name` falls back to `nameparser`, which
+    * splits on the space in WESTERN order (first='田中', last='太郎') —
+    * western order is wrong for CJK, so we intentionally keep the
+    * whole string rather than mirror that mis-split. */
   def preRomanize(s: String): String = {
     if (s == null) return null
     if (s.exists(isHan) || s.codePoints().anyMatch(cp => isCjkRef(cp))) {

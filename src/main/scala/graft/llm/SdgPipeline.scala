@@ -72,9 +72,16 @@ object SdgPipeline {
   }
 
   /** Shape raw per-(work, goal) scores into the API sdg array:
-    * threshold, goal-dim enrich, sort score DESC then goal ASC.
+    * threshold (score > 0.4), goal-dim enrich, sort score DESC then
+    * goal ASC, keep the top 3 — `ModelCache.predict_batch`
+    * (sdg_inference_frontfill.ipynb: `score_threshold = 0.4`,
+    * `top_k = 3`, sort desc then `filtered[:top_k]`; the threshold also
+    * matches register_sdg_classifier.py SCORE_THRESHOLD). The
+    * reference's Python stable sort on ascending-goal input equals the
+    * explicit (score DESC, goal ASC) comparator here.
     * @param raw (work_id, goal INT, score DOUBLE) */
-  def shapeOutput(raw: DataFrame, minScore: Double = 0.2): DataFrame = {
+  def shapeOutput(raw: DataFrame, minScore: Double = 0.4,
+      topK: Int = 3): DataFrame = {
     val cmp: (Column, Column) => Column = (l, r) =>
       when(l("score") > r("score"), -1).when(l("score") < r("score"), 1)
         .when(l("goal") < r("goal"), -1).when(l("goal") > r("goal"), 1)
@@ -82,10 +89,10 @@ object SdgPipeline {
     raw.filter(col("score") > minScore)
       .join(broadcast(goalDim(raw.sparkSession)), Seq("goal"))
       .groupBy(col("work_id"))
-      .agg(transform(array_sort(collect_list(struct(col("goal"),
+      .agg(transform(slice(array_sort(collect_list(struct(col("goal"),
         concat(lit("https://metadata.un.org/sdg/"), col("goal").cast("string"))
           .as("id"),
-        col("display_name"), col("score"))), cmp),
+        col("display_name"), col("score"))), cmp), 1, topK),
         x => struct(x.getField("id").as("id"),
           x.getField("display_name").as("display_name"),
           x.getField("score").as("score"))).as("sdg"))

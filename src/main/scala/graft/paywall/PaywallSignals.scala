@@ -97,6 +97,12 @@ object PaywallSignals {
       .join(harvested, Seq("work_key"), "leftanti")
       .join(heldKeys, Seq("work_key"), "leftanti")
       .join(attempted, Seq("pdf_url"), "leftanti")
+      // Documented deviation: the reference uses try_parse_url(url,
+      // 'HOST') (rebuild_cohort.sql:55); this regex is equivalent for
+      // well-formed http(s) URLs but keeps userinfo/port forms
+      // ("host:8080", "user@host") that parse_url would strip — the
+      // cohort's pdf_urls are all plain publisher https URLs, so the
+      // shapes never diverge at this data.
       .withColumn("url_host",
         regexp_extract(col("pdf_url"), "^https?://([^/]+)", 1))
       .withColumn("cohort_built_at", builtAt)

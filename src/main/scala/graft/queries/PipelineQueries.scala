@@ -16,14 +16,21 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** §2.3 SourceMatcher (CreateLocationsWithSources.ipynb:73-87):
-    * provenance-routed tiers — ISSN-ranked (eissn > lissn > pissn)
-    * explode for crossref, endpoint_id for repo, datacite_client for
-    * datacite, the PubMed constant — then display-name-unique fallback
-    * and the manual url/doi/name/publisher cascade. Registry synthesized
+  /** §2.3 SourceMatcher (CreateLocationsWithSources.ipynb:73-87 CTAS +
+    * the cells 3-7 post-passes): provenance-routed tiers — ISSN-ranked
+    * (eissn > lissn > pissn) explode for crossref, endpoint_id for
+    * repo, datacite_client for datacite, the PubMed constant — then
+    * display-name-unique fallback, the manual url/doi/name/publisher
+    * cascade, the ebook-platform normalized-publisher book match, and
+    * the normalized display-name final fallback. Registry synthesized
     * from customer (ids custkey+100; %25 merged away, 140/280 on the
     * exclusion list, %9 share a duplicate display name, %4 carry a
-    * datacite client id); locations from orders routed by k%6. */
+    * datacite client id, %8==1 are ebook platforms with publishers —
+    * ids 105/113 a normalized-publisher collision); locations from
+    * orders routed by k%6, plus k%4==1 "X" rows exercising the
+    * post-passes (punctuated names matching only after normalization,
+    * book-raw-typed publisher matches incl. the collision drop and a
+    * non-book raw_type negative). */
   private def q71(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
     val ck = col("c_custkey")
@@ -40,7 +47,12 @@ object PipelineQueries {
       when(sid % 4 === 0, array(concat(lit("dc-"), (sid % 60).cast("string"))))
         .as("datacite_ids"),
       (sid % 2 === 0).as("is_oa"),
-      when(sid % 25 === 0, sid + 1).as("merge_into_id"))
+      when(sid % 25 === 0, sid + 1).as("merge_into_id"),
+      when(sid % 8 === 1, lit("ebook platform")).otherwise(lit("journal"))
+        .as("type"),
+      when(sid % 8 === 1,
+        when(sid === 105, lit("Coll Pub!")).when(sid === 113, lit("CollPub"))
+          .otherwise(concat(lit("Pub-"), sid.cast("string")))).as("publisher"))
     val e2s = c.filter(ck < 40).select(
         concat(lit("ep"), ck.cast("string")).as("endpoint_id"),
         ((ck * 3) % 300 + 100).cast("long").as("source_id"))
@@ -77,13 +89,44 @@ object PipelineQueries {
         .when(m6 === 5 && m5 === 3, lit("bioRxiv")).as("source_name"),
       when(m6 === 5 && m5 === 4, lit("The Research Square Platform LLC"))
         .as("publisher"),
+      lit(null).cast("string").as("raw_type"),
       when(m6 === 5 && m5 === 2, concat(lit("10.2139/ssrn."), ks)).as("best_doi"),
       when(m6 === 5 && m5 === 0,
         concat(lit("https://www.europepmc.org/article/"), ks))
         .as("landing_page_url"),
       when(m6 === 5 && m5 === 1, concat(lit("https://osti.gov/"), ks, lit(".pdf")))
         .as("pdf_url"))
-    SourceMatcher.attachSources(locations, sources, e2s,
+    // "X" rows for the post-CTAS passes: no ids/endpoint/urls, so every
+    // CTAS tier and the manual cascade miss; k%12==1 punctuated source
+    // names (raw display-name match fails, normalized succeeds unless
+    // the target carries the duplicate name or was merged), k%12==5
+    // book-typed publisher matches against the ebook index (target 105
+    // exercises the normalized-publisher collision drop), k%12==9 split
+    // by k%24: eu-repo book URI raw_type (fills) vs journal-article
+    // (normalized_book_publisher stays null — negative case).
+    val m12 = pmod(k, lit(12)); val m24 = pmod(k, lit(24))
+    val ebookSid  = (pmod(k, lit(37)) * 8 + 105).cast("long")
+    val ebookSid2 = (pmod(k, lit(31)) * 8 + 105).cast("long")
+    val extra = o.filter(pmod(k, lit(4)) === 1).select(
+      lit("landing_page").as("provenance"),
+      concat(lit("X"), ks).as("native_id"),
+      lit(null).cast("array<struct<id:string,namespace:string,relationship:string>>")
+        .as("ids"),
+      lit(null).cast("string").as("endpoint_id"),
+      when(m12 === 1, concat(lit("Journal #"),
+        (pmod(k, lit(100)) + 100).cast("string"))).as("source_name"),
+      when(m12 === 5,
+          when(ebookSid === 105, lit("Coll Pub"))
+            .otherwise(concat(lit("Pub-"), ebookSid.cast("string"))))
+        .when(m12 === 9, concat(lit("Pub-"), ebookSid2.cast("string")))
+        .as("publisher"),
+      when(m12 === 5, lit("Book"))
+        .when(m24 === 9, lit("info:eu-repo/semantics/bookpart"))
+        .when(m24 === 21, lit("journal-article")).as("raw_type"),
+      lit(null).cast("string").as("best_doi"),
+      lit(null).cast("string").as("landing_page_url"),
+      lit(null).cast("string").as("pdf_url"))
+    SourceMatcher.attachSourcesFull(locations.unionByName(extra), sources, e2s,
         excluded = Seq(140L, 280L))
       .select(col("native_id"), col("provenance"), col("source_id"),
         // int, not boolean: the driver comparator reprs a NULL BOOLEAN
@@ -95,7 +138,8 @@ object PipelineQueries {
     * CreateWorksEnriched SDG merge): input gates (anti-join vs
     * classified, type list, id floor, the no-coalesce title-length
     * predicate, word count), stub classifier scores shaped against the
-    * 17-goal dim (threshold 0.2, score-desc sort), two-version
+    * 17-goal dim (threshold 0.4, score-desc sort, top-3 slice —
+    * ModelCache.predict_batch), two-version
     * frontfill with the size(sdg)>0 gate applied before the
     * latest-by-timestamp dedup (an empty newer prediction lets an older
     * non-empty one win — k%3=0 rows carry both versions), and the
@@ -178,18 +222,18 @@ object PipelineQueries {
        |  UNION SELECT k, work_id, CAST((k * 5) % 17 + 1 AS INTEGER) FROM sel),
        |s2 AS (SELECT k, work_id, g,
        |    CAST((k * 7 + g * 13) % 100 AS DOUBLE) / 100.0 AS score FROM r2),
-       |v2 AS (SELECT work_id, list(struct_pack(
+       |v2 AS (SELECT work_id, list_slice(list(struct_pack(
        |    id := 'https://metadata.un.org/sdg/' || CAST(g AS VARCHAR),
-       |    display_name := nm, score := score) ORDER BY score DESC, g ASC) AS sdg
-       |  FROM s2 JOIN goals USING (g) WHERE score > 0.2 GROUP BY work_id),
+       |    display_name := nm, score := score) ORDER BY score DESC, g ASC), 1, 3) AS sdg
+       |  FROM s2 JOIN goals USING (g) WHERE score > 0.4 GROUP BY work_id),
        |s1 AS (SELECT k, work_id, CAST((k * 11) % 17 + 1 AS INTEGER) AS g
        |  FROM sel WHERE k % 3 = 0),
        |s1s AS (SELECT k, work_id, g,
        |    CAST((k * 7 + g * 13) % 100 AS DOUBLE) / 100.0 AS score FROM s1),
-       |v1 AS (SELECT work_id, list(struct_pack(
+       |v1 AS (SELECT work_id, list_slice(list(struct_pack(
        |    id := 'https://metadata.un.org/sdg/' || CAST(g AS VARCHAR),
-       |    display_name := nm, score := score) ORDER BY score DESC, g ASC) AS sdg
-       |  FROM s1s JOIN goals USING (g) WHERE score > 0.2 GROUP BY work_id),
+       |    display_name := nm, score := score) ORDER BY score DESC, g ASC), 1, 3) AS sdg
+       |  FROM s1s JOIN goals USING (g) WHERE score > 0.4 GROUP BY work_id),
        |ff AS (
        |  SELECT sel.work_id, coalesce(v2.sdg, []) AS sdg,
        |    TIMESTAMP '2024-02-01' AS ts FROM sel LEFT JOIN v2 USING (work_id)
@@ -245,7 +289,30 @@ object PipelineQueries {
       |  WHERE l.k % 6 = 2),
       |dc AS (SELECT k, d.sid FROM loc l LEFT JOIN dc_idx d
       |    ON l.k % 12 <> 3 AND d.dckey = 'dc-' || CAST(l.k % 80 AS VARCHAR)
-      |  WHERE l.k % 6 = 3)
+      |  WHERE l.k % 6 = 3),
+      |nsrc AS (SELECT sid,
+      |    CASE WHEN sid % 9 = 0 THEN 'Dup Journal'
+      |      ELSE 'Journal ' || CAST(sid AS VARCHAR) END AS nm,
+      |    CASE WHEN sid % 8 = 1 THEN
+      |      CASE WHEN sid = 105 THEN 'Coll Pub!' WHEN sid = 113 THEN 'CollPub'
+      |        ELSE 'Pub-' || CAST(sid AS VARCHAR) END END AS pub
+      |  FROM srcm WHERE NOT merged),
+      |nrm_idx AS (SELECT regexp_replace(lower(nm), '[^\p{L}\p{N}]', '', 'g') AS nrm,
+      |    max(sid) AS sid FROM nsrc GROUP BY 1 HAVING count(*) = 1),
+      |epub_idx AS (SELECT regexp_replace(lower(pub), '[^\p{L}\p{N}]', '', 'g') AS npub,
+      |    max(sid) AS sid FROM nsrc WHERE pub IS NOT NULL
+      |  GROUP BY 1 HAVING count(*) = 1),
+      |x1 AS (SELECT k, i.sid FROM loc l LEFT JOIN nrm_idx i
+      |    ON i.nrm = 'journal' || CAST(l.k % 100 + 100 AS VARCHAR)
+      |  WHERE l.k % 4 = 1 AND l.k % 12 = 1),
+      |x5 AS (SELECT k, i.sid FROM loc l LEFT JOIN epub_idx i
+      |    ON i.npub = CASE WHEN (l.k % 37) * 8 + 105 = 105 THEN 'collpub'
+      |      ELSE 'pub' || CAST((l.k % 37) * 8 + 105 AS VARCHAR) END
+      |  WHERE l.k % 4 = 1 AND l.k % 12 = 5),
+      |x9 AS (SELECT k, CASE WHEN l.k % 24 = 9 THEN i.sid END AS sid
+      |  FROM loc l LEFT JOIN epub_idx i
+      |    ON i.npub = 'pub' || CAST((l.k % 31) * 8 + 105 AS VARCHAR)
+      |  WHERE l.k % 4 = 1 AND l.k % 12 = 9)
       |SELECT 'L' || CAST(k AS VARCHAR) AS native_id, 'crossref' AS provenance,
       |  CAST(sid AS BIGINT) AS source_id, CAST(sid % 2 = 0 AS INTEGER) AS oa_source FROM cx0
       |UNION ALL
@@ -265,7 +332,16 @@ object PipelineQueries {
       |  CAST(CASE k % 5 WHEN 0 THEN 4306400806 WHEN 1 THEN 4306402487
       |    WHEN 2 THEN 4210172589 WHEN 3 THEN 4306402567
       |    ELSE 4306402450 END AS BIGINT),
-      |  CAST(NULL AS INTEGER) FROM loc WHERE k % 6 = 5""".stripMargin
+      |  CAST(NULL AS INTEGER) FROM loc WHERE k % 6 = 5
+      |UNION ALL
+      |SELECT 'X' || CAST(k AS VARCHAR), 'landing_page', CAST(sid AS BIGINT),
+      |  CAST(NULL AS INTEGER) FROM x1
+      |UNION ALL
+      |SELECT 'X' || CAST(k AS VARCHAR), 'landing_page', CAST(sid AS BIGINT),
+      |  CAST(NULL AS INTEGER) FROM x5
+      |UNION ALL
+      |SELECT 'X' || CAST(k AS VARCHAR), 'landing_page', CAST(sid AS BIGINT),
+      |  CAST(NULL AS INTEGER) FROM x9""".stripMargin
 
   /** §2.4/§2.9 Funders API entity build (CreateFundersAPI.ipynb): the
     * full assembly — exploded work→funder edges with the prefix filter

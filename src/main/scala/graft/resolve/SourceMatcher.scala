@@ -125,13 +125,19 @@ object SourceMatcher {
       .withColumn("__nid_rn", row_number().over(Window.partitionBy(col("native_id"))
         .orderBy(issnNamespaceRank(col("__rel.namespace")).asc_nulls_last,
           col("__rel.id").asc_nulls_last)))
+    // index columns aliased (__src_id/__src_oa) so a caller-supplied
+    // `id`/`is_oa_source` location column can never make the window /
+    // select references ambiguous (same idiom as the repo tier's __ep).
     val issnMatches = ranked
-      .join(broadcast(issnIndex(srcF)), ranked("__rel.id") === col("issn"))
+      .join(broadcast(issnIndex(srcF)
+          .select(col("issn"), col("id").as("__src_id"),
+            col("is_oa_source").as("__src_oa"))),
+        ranked("__rel.id") === col("issn"))
       .withColumn("__best", row_number().over(Window.partitionBy(col("native_id"))
-        .orderBy(col("__nid_rn").asc, col("id").asc)))
+        .orderBy(col("__nid_rn").asc, col("__src_id").asc)))
       .filter(col("__best") === 1)
-      .select(col("native_id").as("__mid"), col("id").as("source_id"),
-        col("is_oa_source"))
+      .select(col("native_id").as("__mid"), col("__src_id").as("source_id"),
+        col("__src_oa").as("is_oa_source"))
     val othersFinal = others.join(issnMatches,
       others("native_id") === col("__mid"), "left").drop("__mid")
 
@@ -143,12 +149,15 @@ object SourceMatcher {
         (x.getField("relationship") === "self" ||
           x.getField("relationship").isNull)))
     val dcFinal = datacite.select(cols :+ clientId.as("__client"): _*)
-      .join(broadcast(dataciteIndex(srcF)),
+      .join(broadcast(dataciteIndex(srcF)
+          .select(col("datacite_id"), col("id").as("__src_id"),
+            col("is_oa_source").as("__src_oa"))),
         col("__client.id") === col("datacite_id"), "left")
       .withColumn("__best", row_number().over(Window.partitionBy(col("native_id"))
-        .orderBy(col("id").asc_nulls_last)))
+        .orderBy(col("__src_id").asc_nulls_last)))
       .filter(col("__best") === 1)
-      .select(cols ++ Seq(col("id").as("source_id"), col("is_oa_source")): _*)
+      .select(cols ++ Seq(col("__src_id").as("source_id"),
+        col("__src_oa").as("is_oa_source")): _*)
 
     // pubmed: constant source.
     val pmFinal = locations.filter(col("provenance") === "pubmed")
@@ -231,5 +240,93 @@ object SourceMatcher {
     val primary = attachPrimary(locations, sources, endpointToSource, excluded)
     val withNames = displayNameFallback(primary, sources)
     withNames.withColumn("source_id", manualFallback(withNames))
+  }
+
+  // ── Post-CTAS passes (CreateLocationsWithSources.ipynb cells 3-7) ──
+
+  /** The notebook's shared normalization for the two post-CTAS MERGEs:
+    * `LOWER(REGEXP_REPLACE(x, '[^\p{L}\p{N}]', ''))` — strip everything
+    * but letters and digits, lowercase. */
+  def normalizedName(c: Column): Column =
+    lower(regexp_replace(c, "[^\\p{L}\\p{N}]", ""))
+
+  /** Source-native raw-type strings that mark a location as a book for
+    * the ebook-platform publisher match (cell 3: the ingest `type` is
+    * nulled by then — the cascade owns type — so the reference matches
+    * the measured crossref/datacite enums + repo eu-repo URIs + top
+    * free-text variants). */
+  val bookRawTypes: Seq[String] = Seq(
+    "book", "books", "book-chapter", "book chapter", "bookchapter",
+    "ebook chapter", "book-part", "book part", "bookpart", "book section",
+    "book article", "chapter", "inbook", "monograph", "printed monograph",
+    "edited-book", "reference-book", "book-set", "libros", "libro",
+    "info:eu-repo/semantics/book", "info:eu-repo/semantics/bookpart")
+
+  /** Cell 7's exclusion list is the CTAS list MINUS the Research Square
+    * duplicate (4306525896) — the notebook repeats the ids inline and
+    * the final-fallback copy has only the 10; kept faithful. */
+  val normalizedFallbackExcludedIds: Seq[Long] =
+    defaultExcludedIds.filterNot(_ == 4306525896L)
+
+  /** Cell 3: add `normalized_source_name` and, for book-raw-typed rows
+    * with a publisher, `normalized_book_publisher`. */
+  def withNormalizedColumns(attached: DataFrame): DataFrame =
+    attached
+      .withColumn("normalized_source_name", normalizedName(col("source_name")))
+      .withColumn("normalized_book_publisher",
+        when(lower(col("raw_type")).isin(bookRawTypes: _*) &&
+          col("publisher").isNotNull, normalizedName(col("publisher"))))
+
+  /** Cell 5 MERGE: 'ebook platform' registry rows whose NORMALIZED
+    * publisher is unique fill still-unmatched book-typed locations by
+    * normalized publisher. Only source_id is set (the reference MERGE
+    * leaves is_oa_source untouched). */
+  def ebookPublisherFill(attached: DataFrame, sources: DataFrame): DataFrame = {
+    val idx = sources
+      .filter(col("type") === "ebook platform" && col("publisher").isNotNull &&
+        col("merge_into_id").isNull)
+      .select(col("id").as("__bp_sid"),
+        normalizedName(col("publisher")).as("__np"))
+      .groupBy(col("__np"))
+      .agg(max(col("__bp_sid")).as("__bp_sid"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === 1).drop("__cnt")
+    attached.join(broadcast(idx),
+        col("source_id").isNull && col("normalized_book_publisher").isNotNull &&
+          col("normalized_book_publisher") === col("__np"), "left")
+      .withColumn("source_id", coalesce(col("source_id"), col("__bp_sid")))
+      .drop("__np", "__bp_sid")
+  }
+
+  /** Cell 7 MERGE — the final fallback: registry rows whose NORMALIZED
+    * display_name is unique (merge redirects out, cell-7 exclusion list
+    * applied) fill still-unmatched locations by normalized source name.
+    * Two display names that collide after normalization count as 2 and
+    * are dropped by the uniqueness gate. Only source_id is set. */
+  def normalizedDisplayNameFill(attached: DataFrame, sources: DataFrame,
+      excluded: Seq[Long] = normalizedFallbackExcludedIds): DataFrame = {
+    val idx = sources
+      .filter(col("merge_into_id").isNull && !col("id").isin(excluded: _*))
+      .select(col("id").as("__nd_sid"),
+        normalizedName(col("display_name")).as("__nn"))
+      .groupBy(col("__nn"))
+      .agg(max(col("__nd_sid")).as("__nd_sid"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === 1 && col("__nn").isNotNull).drop("__cnt")
+    attached.join(broadcast(idx),
+        col("source_id").isNull && col("normalized_source_name") === col("__nn"),
+        "left")
+      .withColumn("source_id", coalesce(col("source_id"), col("__nd_sid")))
+      .drop("__nn", "__nd_sid")
+  }
+
+  /** CTAS + the three post-CTAS passes in notebook order: normalized
+    * columns (cell 3) → ebook-platform publisher match (cell 5) →
+    * normalized display-name final fallback (cell 7). `locations` must
+    * additionally carry `raw_type` and `publisher`. */
+  def attachSourcesFull(locations: DataFrame, sources: DataFrame,
+      endpointToSource: DataFrame,
+      excluded: Seq[Long] = defaultExcludedIds): DataFrame = {
+    val ctas = attachSources(locations, sources, endpointToSource, excluded)
+    normalizedDisplayNameFill(
+      ebookPublisherFill(withNormalizedColumns(ctas), sources), sources)
   }
 }
