@@ -430,6 +430,171 @@ object PipelineQueries {
         to_json(col("counts_by_year")).as("cby_json"))
   }
 
+  /** §2.4/§2.9 Sources API entity build (CreateSourcesApi.ipynb): the
+    * full sources_api assembly — works_base source-id extraction from
+    * the primary-location URL, the fused main aggregate (counts, i10,
+    * h-index, e6-exact recent mean, second-truncated created date),
+    * grouping-sets topics + topic_share with the top-25 slices, newest-
+    * first counts_by_year, host-organization routing and lineage
+    * (repository → I, metadata keeps the institution lineage, else
+    * P + parent-publisher compact), the APC map→sorted-array, ids
+    * struct, flag coalesces, oa_flip_year — and the cells-1/4
+    * hash-gated updated_date across TWO generations of the works table
+    * (gen1 drops k%997==5 works — 14 works spread over 14 sources, 13
+    * visible after the merge filter; those sources' content changed so
+    * they get the gen-2 date, the other ~227 keep gen-1's). The oracle
+    * gates on works-set identity: a source's content tuple differs iff
+    * it lost a work (works_count strictly decreases), and registry
+    * fields are generation-constant, so "has a dropped work" ⟺ the
+    * engine's full-string xxhash64 changed. topic_share is corpus-
+    * dependent but excluded from the content key (as in the
+    * reference), so cross-source total drift cannot flip a hash. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.SourcesApi
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val sid = (ck + 500).cast("long")
+    val sources = c.filter(ck < 250).select(
+      sid.as("id"),
+      concat(lit("Source "), sid.cast("string")).as("display_name"),
+      when(ck % 2 === 0, concat(lit("issnl-"), ck.cast("string"))).as("issn_l"),
+      when(ck % 3 === 0, array(concat(lit("is-"), ck.cast("string")),
+          concat(lit("is2-"), ck.cast("string"))))
+        .when(ck % 3 === 1, array(concat(lit("is-"), ck.cast("string"))))
+        .as("issns"),
+      when(ck % 3 =!= 1, (ck % 30 + 5).cast("long")).as("publisher_id"),
+      when((ck % 5 === 1 || ck % 5 === 2) && ck % 7 =!= 0,
+        (ck % 40 + 10).cast("long")).as("institution_id"),
+      elt((ck % 5 + 1).cast("int"), lit("journal"), lit("repository"),
+        lit("metadata"), lit("conference"), lit("book series")).as("type"),
+      when(ck % 7 === 0, concat(lit("Q"), ck.cast("string"))).as("wikidata_id"),
+      (ck % 2 === 0).as("is_in_doaj"),
+      when(ck % 4 === 0, (lit(2000) + ck % 20)).as("is_in_doaj_start_year"),
+      (ck % 3 === 0).as("is_oa_high_oa_rate"),
+      when(ck % 6 === 0, (lit(2005) + ck % 10)).as("high_oa_rate_start_year"),
+      (ck % 11 === 0).as("is_in_scielo"),
+      (ck % 5 === 0).as("is_ojs"),
+      (ck % 13 === 0).as("is_core"),
+      (ck % 5 === 1 && ck % 4 === 0).as("is_preprint_repository"),
+      when(ck % 17 =!= 0, ck % 2 === 1).as("is_oa"),
+      when(ck % 4 === 2, concat(lit("https://s"), ck.cast("string"),
+        lit(".org"))).as("webpage"),
+      when(ck % 6 === 2, array(struct((ck + 100).cast("int").as("price"),
+        lit("USD").as("currency")))).as("apc_prices"),
+      when(ck % 6 === 2, (ck * 10).cast("int")).as("apc_usd"),
+      when(ck % 8 === 4, map_from_arrays(
+          array(lit("2022"), lit("2023")),
+          array(ck.cast("int"), (ck + 1).cast("int"))))
+        .when(ck % 8 === 0, map_from_arrays(array(lit("2021")),
+          array(ck.cast("int")))).as("apc_usd_by_year"),
+      elt((ck % 4 + 1).cast("int"), lit("US"), lit("BR"), lit("DE"), lit("JP"))
+        .as("country_code"),
+      when(ck % 9 === 3, array(struct(
+        concat(lit("https://soc"), ck.cast("string")).as("url"),
+        concat(lit("Soc "), ck.cast("string")).as("organization"))))
+        .as("societies"),
+      when(ck % 6 === 1, array(concat(lit("Alt "), ck.cast("string"))))
+        .as("alternate_titles"),
+      when(ck % 25 === 0, sid + 1).as("merge_into_id"))
+    val metricsPre = c.filter(ck < 200).select(sid.as("id"),
+      (lit(1990) + ck % 20).as("first_publication_year"),
+      (lit(2015) + ck % 8).as("last_publication_year"))
+    val institutions = c.filter(ck < 40).select(
+      (ck + 10).cast("long").as("id"),
+      concat(lit("Inst "), (ck + 10).cast("string")).as("display_name"))
+    val publishers = c.filter(ck < 30).select(
+      (ck + 5).cast("long").as("id"),
+      concat(lit("Publisher "), (ck + 5).cast("string")).as("display_name"),
+      when((ck + 5) % 3 === 0, struct(
+        concat(lit("https://openalex.org/P"), (ck + 105).cast("string"))
+          .as("id"))).as("parent_publisher"))
+
+    val k = col("o_orderkey")
+    def topicEl(tid: Column, score: Column) = struct(
+      concat(lit("T"), tid.cast("string")).as("id"),
+      concat(lit("Topic "), tid.cast("string")).as("display_name"),
+      concat(lit("SF"), (tid % 6).cast("string")).as("subfield"),
+      concat(lit("F"), (tid % 4).cast("string")).as("field"),
+      concat(lit("D"), (tid % 2).cast("string")).as("domain"),
+      score.as("score"))
+    val nullTopic = struct(lit(null).cast("string").as("id"),
+      lit(null).cast("string").as("display_name"),
+      lit(null).cast("string").as("subfield"),
+      lit(null).cast("string").as("field"),
+      lit(null).cast("string").as("domain"),
+      lit(null).cast("double").as("score"))
+    val t1 = topicEl(lit(10000) + pmod(k, lit(41)),
+      pmod(k, lit(10)).cast("double") / 10.0)
+    val t2 = topicEl(lit(10000) + pmod(k, lit(29)),
+      pmod(k, lit(7)).cast("double") / 7.0)
+    val works = o.select(
+      k.as("id"),
+      struct(struct(
+        when(pmod(k, lit(10)) =!= 9, concat(lit("https://openalex.org/S"),
+          (pmod(k, lit(250)) + 500).cast("string"))).as("id")).as("source"))
+        .as("primary_location"),
+      when(pmod(k, lit(13)) =!= 0, (lit(2015) + pmod(k, lit(10))).cast("int"))
+        .as("publication_year"),
+      when(pmod(k, lit(17)) =!= 0, lit("2018-03-05").cast("date"))
+        .as("publication_date"),
+      pmod(k, lit(40)).as("cited_by_count"),
+      struct((pmod(k, lit(3)) === 0).as("is_oa")).as("open_access"),
+      date_add(lit("2020-01-01").cast("date"), pmod(k, lit(300)).cast("int"))
+        .as("created_date"),
+      when(pmod(k, lit(4)) === 0, array(t1))
+        .when(pmod(k, lit(4)) === 1, array(t1, t2, nullTopic))
+        .when(pmod(k, lit(4)) === 2, array(t1, t1)).as("topics"))
+
+    val wb2 = SourcesApi.worksBase(works)
+    val wb1 = SourcesApi.worksBase(works.filter(pmod(col("id"), lit(997)) =!= 5))
+    def api(wb: DataFrame) = SourcesApi.assemble(sources, metricsPre,
+      institutions, publishers, wb, recentYearMin = 2023)
+    val snap1 = SourcesApi.hashSnapshot(api(wb1)
+      .withColumn("updated_date", lit("2024-01-01").cast("timestamp")))
+    val stamped = SourcesApi.stampUpdatedDate(api(wb2), snap1,
+      lit("2024-02-02").cast("timestamp"))
+    stamped.select(
+      col("id"), col("display_name"), col("issn_l"),
+      to_json(col("issn")).as("issn_json"),
+      col("host_organization"), col("host_organization_name"),
+      to_json(col("host_organization_lineage")).as("lineage_json"),
+      col("works_count"), col("oa_works_count"), col("cited_by_count"),
+      col("summary_stats").getField("2yr_mean_citedness").as("rmc"),
+      col("summary_stats").getField("h_index").as("h_index"),
+      col("summary_stats").getField("i10_index").as("i10_index"),
+      col("is_oa").cast("int").as("oa"),
+      col("is_in_doaj").cast("int").as("doaj"),
+      col("is_in_doaj_since_year").as("doaj_since"),
+      col("is_high_oa_rate").cast("int").as("high_oa"),
+      col("is_high_oa_rate_since_year").as("high_since"),
+      col("is_in_scielo").cast("int").as("scielo"),
+      col("is_ojs").cast("int").as("ojs"),
+      col("is_core").cast("int").as("core"),
+      col("is_preprint_repository").cast("int").as("preprint"),
+      col("oa_flip_year"), col("first_publication_year"),
+      col("last_publication_year"),
+      col("ids").getField("mag").as("mag"),
+      col("ids").getField("wikidata").as("wikidata"),
+      col("homepage_url"),
+      to_json(col("apc_prices")).as("apc_prices_json"),
+      col("apc_usd"),
+      to_json(col("apc_usd_by_year")).as("apc_json"),
+      col("country_code"),
+      to_json(col("societies")).as("societies_json"),
+      to_json(col("alternate_titles")).as("alt_json"),
+      col("type"),
+      to_json(col("topics")).as("topics_json"),
+      to_json(transform(col("topic_share"), x => struct(
+        x.getField("id").as("id"), x.getField("display_name").as("display_name"),
+        floor(x.getField("value") * 10000000L + 0.5).cast("long").as("value_e7"),
+        x.getField("subfield").as("subfield"), x.getField("field").as("field"),
+        x.getField("domain").as("domain")))).as("share_json"),
+      to_json(col("counts_by_year")).as("cby_json"),
+      col("works_api_url"),
+      date_format(col("updated_date"), "yyyy-MM-dd").as("updated_d"),
+      date_format(col("created_date"), "yyyy-MM-dd").as("created_d"))
+  }
+
   private val q73Oracle: String =
     """WITH f AS (SELECT c_custkey AS fid FROM customer WHERE c_custkey < 200),
       |wf0 AS (
@@ -712,7 +877,8 @@ object PipelineQueries {
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
     "q73_funders_api" -> (q73 _),
-    "q74_paywall_queues" -> (q74 _))
+    "q74_paywall_queues" -> (q74 _),
+    "q75_sources_api" -> (q75 _))
 
   private val q74Oracle: String =
     """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
@@ -889,9 +1055,169 @@ object PipelineQueries {
       |UNION ALL SELECT 'drip', wk2, ns2, pdf2, bh, dr_rule,
       |  CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER) FROM dp""".stripMargin
 
+  private val q75Oracle: String =
+    """WITH reg AS (
+      |  SELECT c_custkey AS ck, CAST(c_custkey + 500 AS BIGINT) AS id,
+      |    CASE WHEN c_custkey % 3 <> 1 THEN c_custkey % 30 + 5 END AS pid,
+      |    CASE WHEN c_custkey % 5 IN (1, 2) AND c_custkey % 7 <> 0
+      |      THEN c_custkey % 40 + 10 END AS iid,
+      |    ['journal','repository','metadata','conference','book series']
+      |      [CAST(c_custkey % 5 AS INTEGER) + 1] AS type,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 2000 + c_custkey % 20 END AS doaj_since,
+      |    CASE WHEN c_custkey % 6 = 0 THEN 2005 + c_custkey % 10 END AS high_since
+      |  FROM customer WHERE c_custkey < 250 AND c_custkey % 25 <> 0),
+      |wb AS (SELECT o_orderkey AS k,
+      |    CAST(o_orderkey % 250 + 500 AS BIGINT) AS sid,
+      |    CASE WHEN o_orderkey % 13 <> 0 THEN 2015 + o_orderkey % 10
+      |         WHEN o_orderkey % 17 <> 0 THEN 2018 END AS pub_year,
+      |    CAST(o_orderkey % 40 AS INTEGER) AS cited,
+      |    (o_orderkey % 3 = 0) AS is_oa,
+      |    DATE '2020-01-01' + CAST(o_orderkey % 300 AS INTEGER) AS created
+      |  FROM orders WHERE o_orderkey % 10 <> 9),
+      |met0 AS (SELECT sid,
+      |  CAST(count(*) AS INTEGER) AS works_count,
+      |  CAST(sum(cited) AS INTEGER) AS cited_by_count,
+      |  CAST(sum(CASE WHEN is_oa THEN 1 ELSE 0 END) AS INTEGER) AS oa_works_count,
+      |  CAST(count(CASE WHEN cited >= 10 THEN 1 END) AS INTEGER) AS i10,
+      |  floor(CAST(sum(CASE WHEN pub_year >= 2023 THEN cited END) AS DOUBLE)
+      |    / nullif(CAST(count(CASE WHEN pub_year >= 2023 THEN cited END)
+      |        AS DOUBLE), 0)
+      |    * 1000000 + 0.5) / 1000000.0 AS rmc,
+      |  list_sort(list(cited), 'DESC') AS s,
+      |  min(created) AS created_d
+      |  FROM wb GROUP BY sid),
+      |met AS (SELECT *, CAST(len(list_filter(range(1, len(s)+1),
+      |    i -> s[i] >= i)) AS INTEGER) AS h FROM met0),
+      |tw AS (
+      |  SELECT sid, k, 10000 + k % 41 AS tid FROM wb WHERE k % 4 IN (0, 1, 2)
+      |  UNION
+      |  SELECT sid, k, 10000 + k % 29 FROM wb WHERE k % 4 = 1),
+      |tc AS (SELECT sid, tid, CAST(count(*) AS INTEGER) AS cnt
+      |  FROM tw GROUP BY sid, tid),
+      |tt AS (SELECT tid, count(*) AS total FROM tw GROUP BY tid),
+      |tl AS (SELECT sid, CAST(to_json(list(struct_pack(
+      |    id := 'T' || CAST(tid AS VARCHAR),
+      |    display_name := 'Topic ' || CAST(tid AS VARCHAR),
+      |    "count" := cnt,
+      |    subfield := 'SF' || CAST(tid % 6 AS VARCHAR),
+      |    field := 'F' || CAST(tid % 4 AS VARCHAR),
+      |    domain := 'D' || CAST(tid % 2 AS VARCHAR))
+      |    ORDER BY cnt DESC, 'T' || CAST(tid AS VARCHAR) ASC)[1:25])
+      |    AS VARCHAR) AS topics_json
+      |  FROM tc GROUP BY sid),
+      |ts AS (SELECT sid, tid, floor(CAST(cnt AS DOUBLE)
+      |    / nullif(CAST(total AS DOUBLE), 0) * 10000000 + 0.5) / 10000000.0
+      |    AS value
+      |  FROM tc JOIN tt USING (tid)),
+      |sl AS (SELECT sid, CAST(to_json(list(struct_pack(
+      |    id := 'T' || CAST(tid AS VARCHAR),
+      |    display_name := 'Topic ' || CAST(tid AS VARCHAR),
+      |    value_e7 := CAST(floor(value * 10000000 + 0.5) AS BIGINT),
+      |    subfield := 'SF' || CAST(tid % 6 AS VARCHAR),
+      |    field := 'F' || CAST(tid % 4 AS VARCHAR),
+      |    domain := 'D' || CAST(tid % 2 AS VARCHAR))
+      |    ORDER BY value DESC, 'T' || CAST(tid AS VARCHAR) ASC)[1:25])
+      |    AS VARCHAR) AS share_json
+      |  FROM ts GROUP BY sid),
+      |cb0 AS (SELECT sid, CAST(pub_year AS INTEGER) AS year,
+      |  CAST(count(*) AS INTEGER) AS works_count,
+      |  CAST(sum(CASE WHEN is_oa THEN 1 ELSE 0 END) AS INTEGER) AS oa_works_count,
+      |  CAST(sum(cited) AS INTEGER) AS cited_by_count
+      |  FROM wb WHERE pub_year IS NOT NULL GROUP BY sid, pub_year),
+      |cbj AS (SELECT sid, CAST(to_json(list(struct_pack(year := year,
+      |    works_count := works_count, oa_works_count := oa_works_count,
+      |    cited_by_count := cited_by_count) ORDER BY year DESC)) AS VARCHAR)
+      |    AS cby_json
+      |  FROM cb0 GROUP BY sid),
+      |chg AS (SELECT DISTINCT CAST(o_orderkey % 250 + 500 AS BIGINT) AS sid
+      |  FROM orders WHERE o_orderkey % 10 <> 9 AND o_orderkey % 997 = 5)
+      |SELECT r.id,
+      |  'Source ' || CAST(r.id AS VARCHAR) AS display_name,
+      |  CASE WHEN r.ck % 2 = 0 THEN 'issnl-' || CAST(r.ck AS VARCHAR) END
+      |    AS issn_l,
+      |  CASE WHEN r.ck % 3 = 0 THEN CAST(to_json(
+      |      ['is-' || CAST(r.ck AS VARCHAR), 'is2-' || CAST(r.ck AS VARCHAR)])
+      |      AS VARCHAR)
+      |    WHEN r.ck % 3 = 1 THEN CAST(to_json(['is-' || CAST(r.ck AS VARCHAR)])
+      |      AS VARCHAR) END AS issn_json,
+      |  CASE WHEN r.type = 'repository'
+      |    THEN 'https://openalex.org/I' || CAST(r.iid AS VARCHAR)
+      |    ELSE 'https://openalex.org/P' || CAST(r.pid AS VARCHAR) END
+      |    AS host_organization,
+      |  CASE WHEN r.type = 'repository' THEN 'Inst ' || CAST(r.iid AS VARCHAR)
+      |    ELSE 'Publisher ' || CAST(r.pid AS VARCHAR) END
+      |    AS host_organization_name,
+      |  CASE WHEN r.type IN ('repository', 'metadata') AND r.iid IS NOT NULL
+      |    THEN CAST(to_json(['https://openalex.org/I' || CAST(r.iid AS VARCHAR)])
+      |      AS VARCHAR)
+      |    ELSE CAST(to_json(list_filter([
+      |      'https://openalex.org/P' || CAST(r.pid AS VARCHAR),
+      |      CASE WHEN r.pid % 3 = 0
+      |        THEN 'https://openalex.org/P' || CAST(r.pid + 100 AS VARCHAR) END],
+      |      x -> x IS NOT NULL)) AS VARCHAR) END AS lineage_json,
+      |  coalesce(m.works_count, 0) AS works_count,
+      |  coalesce(m.oa_works_count, 0) AS oa_works_count,
+      |  coalesce(m.cited_by_count, 0) AS cited_by_count,
+      |  coalesce(m.rmc, 0.0) AS rmc,
+      |  coalesce(m.h, 0) AS h_index,
+      |  coalesce(m.i10, 0) AS i10_index,
+      |  CAST(coalesce(CASE WHEN r.ck % 17 <> 0 THEN r.ck % 2 = 1 END, false)
+      |    AS INTEGER) AS oa,
+      |  CAST(r.ck % 2 = 0 AS INTEGER) AS doaj,
+      |  r.doaj_since AS doaj_since,
+      |  CAST(r.ck % 3 = 0 AS INTEGER) AS high_oa,
+      |  r.high_since AS high_since,
+      |  CAST(r.ck % 11 = 0 AS INTEGER) AS scielo,
+      |  CAST(r.ck % 5 = 0 AS INTEGER) AS ojs,
+      |  CAST(r.ck % 13 = 0 AS INTEGER) AS core,
+      |  CAST(r.ck % 5 = 1 AND r.ck % 4 = 0 AS INTEGER) AS preprint,
+      |  coalesce(r.high_since, r.doaj_since) - 1 AS oa_flip_year,
+      |  CASE WHEN r.ck < 200 THEN 1990 + r.ck % 20 END AS first_publication_year,
+      |  CASE WHEN r.ck < 200 THEN 2015 + r.ck % 8 END AS last_publication_year,
+      |  CAST(r.id AS VARCHAR) AS mag,
+      |  CASE WHEN r.ck % 7 = 0 THEN 'Q' || CAST(r.ck AS VARCHAR) END AS wikidata,
+      |  CASE WHEN r.ck % 4 = 2
+      |    THEN 'https://s' || CAST(r.ck AS VARCHAR) || '.org' END
+      |    AS homepage_url,
+      |  CASE WHEN r.ck % 6 = 2 THEN CAST(to_json([struct_pack(
+      |      price := CAST(r.ck + 100 AS INTEGER), currency := 'USD')])
+      |      AS VARCHAR) END AS apc_prices_json,
+      |  CASE WHEN r.ck % 6 = 2 THEN r.ck * 10 END AS apc_usd,
+      |  CASE WHEN r.ck % 8 = 4 THEN CAST(to_json([
+      |      struct_pack(year := CAST(2023 AS INTEGER),
+      |        price := CAST(r.ck + 1 AS INTEGER)),
+      |      struct_pack(year := CAST(2022 AS INTEGER),
+      |        price := CAST(r.ck AS INTEGER))]) AS VARCHAR)
+      |    WHEN r.ck % 8 = 0 THEN CAST(to_json([
+      |      struct_pack(year := CAST(2021 AS INTEGER),
+      |        price := CAST(r.ck AS INTEGER))]) AS VARCHAR) END AS apc_json,
+      |  ['US','BR','DE','JP'][CAST(r.ck % 4 AS INTEGER) + 1] AS country_code,
+      |  coalesce(CASE WHEN r.ck % 9 = 3 THEN CAST(to_json([struct_pack(
+      |      url := 'https://soc' || CAST(r.ck AS VARCHAR),
+      |      organization := 'Soc ' || CAST(r.ck AS VARCHAR))]) AS VARCHAR) END,
+      |    '[]') AS societies_json,
+      |  coalesce(CASE WHEN r.ck % 6 = 1 THEN CAST(to_json(
+      |      ['Alt ' || CAST(r.ck AS VARCHAR)]) AS VARCHAR) END, '[]') AS alt_json,
+      |  r.type,
+      |  coalesce(t.topics_json, '[]') AS topics_json,
+      |  coalesce(s.share_json, '[]') AS share_json,
+      |  coalesce(c.cby_json, '[]') AS cby_json,
+      |  'https://api.openalex.org/works?filter=primary_location.source.id:S'
+      |    || CAST(r.id AS VARCHAR) AS works_api_url,
+      |  CASE WHEN ch.sid IS NOT NULL THEN '2024-02-02' ELSE '2024-01-01' END
+      |    AS updated_d,
+      |  strftime(m.created_d, '%Y-%m-%d') AS created_d
+      |FROM reg r
+      |LEFT JOIN met m ON r.id = m.sid
+      |LEFT JOIN tl t ON r.id = t.sid
+      |LEFT JOIN sl s ON r.id = s.sid
+      |LEFT JOIN cbj c ON r.id = c.sid
+      |LEFT JOIN chg ch ON r.id = ch.sid""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
     "q73_funders_api" -> q73Oracle,
-    "q74_paywall_queues" -> q74Oracle)
+    "q74_paywall_queues" -> q74Oracle,
+    "q75_sources_api" -> q75Oracle)
 }
