@@ -56,6 +56,34 @@ object Bench {
     * assert the committed artifacts actually yield floors — the escaped
     * quotes silently defeated the previous pattern and the outlier
     * re-run never fired. */
+  /** Self-contained floors artifact: every query's cumulative floor on
+    * ONE compact line, keyed by the `qNN` prefix only. The driver keeps
+    * just the LAST ~2000 chars of the bench stdout (BENCH_r06 starts
+    * mid-`passes` and ends at the sbt trailer), which a 75-entry
+    * full-name map cannot fit — short keys + 3-decimal floors do
+    * (~1 KB). Printed after the main line (the surviving position) and
+    * also before it, in case the truncation direction ever flips.
+    * Values are floored (never rounded up) so the 3× outlier test stays
+    * conservative, and clamped at 0.001 so a zero floor can't mark
+    * every future run an outlier. */
+  private[graft] def floorsJson(entries: Seq[(String, Double)]): String =
+    entries.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + math.max(math.floor(v * 1000) / 1000, 0.001)
+      }
+      .mkString("{\"floors\":{", ",", "}}")
+
+  /** Floor for a query under both key schemes: the full name (legacy
+    * artifacts) and its `qNN` prefix (floors lines); min wins. */
+  private[graft] def floorFor(floors: Map[String, Double],
+      name: String): Option[Double] = {
+    val hits = Seq(floors.get(name), floors.get(name.takeWhile(_ != '_')))
+      .flatten
+    if (hits.isEmpty) None else Some(hits.min)
+  }
+
   private[graft] def floorTimesFrom(paths: Seq[String]): Map[String, Double] = {
     val pair = "\"(q\\d+[A-Za-z0-9_]*)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9][0-9.eE+-]*)".r
     val num = "[0-9][0-9.eE+-]*".r
@@ -128,7 +156,8 @@ object Bench {
     val floors = floorTimes
     val reran = scala.collection.mutable.ListBuffer.empty[String]
     val results = firstPass.map { case (name, fn, times) =>
-      val outlier = floors.get(name).exists(f => times.min > 3 * f && times.min > 1.5)
+      val outlier = floorFor(floors, name)
+        .exists(f => times.min > 3 * f && times.min > 1.5)
       if (outlier) {
         reran += name
         System.err.println(s"[bench] $name min ${times.min} > 3x floor — re-running")
@@ -143,7 +172,11 @@ object Bench {
     val leakedJson = leaked.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.min).sum
+    val floorsLine = floorsJson(
+      floors.toSeq ++ results.map { case (k, v) => (k, v.min) })
+    println(floorsLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"leaked":$leakedJson,"reran":$reranJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
+    println(floorsLine)
     spark.stop()
   }
 }

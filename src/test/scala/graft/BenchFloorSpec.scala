@@ -20,6 +20,46 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(floors.values.forall(v => v > 0 && v < 10000))
   }
 
+  test("one new-format artifact alone floors EVERY query through the " +
+    "driver's wrap-escape-tail-truncate") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 75)
+    val mins = names.zipWithIndex.map { case (n, i) => n -> (0.5 + i * 0.01) }
+    // what Bench.main prints: big line (passes for every query, far over
+    // the driver's window) bracketed by the compact floors lines
+    val floorsLine = Bench.floorsJson(mins)
+    assert(floorsLine.length < 1400,
+      s"floors line too long to survive the ~2000-char tail: ${floorsLine.length}")
+    val passes = mins.map { case (k, v) => "\"" + k + s"\":[$v,${v * 2}]" }
+      .mkString("{", ",", "}")
+    val stdout = floorsLine + "\n" +
+      s"""{"metric":"total","value":42.0,"unit":"sec","passes":$passes}""" +
+      "\n" + floorsLine + "\n[success] Total time: 168 s"
+    // the driver keeps only the tail, escaped inside a JSON string field
+    val wrapped = "{\"n\":7,\"rc\":0,\"tail\": \"" +
+      stdout.takeRight(2000).replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+    val dir = java.nio.file.Files.createTempDirectory("benchfloor75")
+    val p = dir.resolve("BENCH_r97.json")
+    java.nio.file.Files.write(p, wrapped.getBytes("UTF-8"))
+    val floors = Bench.floorTimesFrom(Seq(p.toString))
+    names.foreach { n =>
+      val f = Bench.floorFor(floors, n)
+      assert(f.nonEmpty, s"no floor recovered for $n")
+      val want = mins.toMap.apply(n)
+      assert(f.get <= want && f.get >= want - 0.001,
+        s"$n floor ${f.get} != floored($want)")
+    }
+  }
+
+  test("floorFor: short qNN keys serve full names, min wins over both") {
+    val m = Map("q49" -> 0.7, "q49_humanname_parse" -> 0.9, "q03" -> 1.2)
+    assert(Bench.floorFor(m, "q49_humanname_parse").contains(0.7))
+    assert(Bench.floorFor(Map("q49_humanname_parse" -> 0.4, "q49" -> 0.8),
+      "q49_humanname_parse").contains(0.4))
+    assert(Bench.floorFor(m, "q03_join_star_revenue").contains(1.2))
+    assert(Bench.floorFor(m, "q99_missing").isEmpty)
+  }
+
   test("escaped-quote payloads parse identically to bare-quote payloads") {
     val bare = """{"q01_agg":[2.5,1.25],"q02_filter":0.75}"""
     val escaped = "{\"tail\": \"" + bare.replace("\"", "\\\"") + "\"}"
