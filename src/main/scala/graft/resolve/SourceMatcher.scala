@@ -201,7 +201,12 @@ object SourceMatcher {
 
   /** Manual cascade over still-unmatched rows: landing/pdf base-URL
     * map, DOI-prefix map, source-name map, publisher contains — the
-    * hand-curated rules at the tail of the reference CTAS. */
+    * hand-curated rules at the tail of the reference CTAS.
+    *
+    * Documented deviation: the reference derives the host with
+    * `try_parse_url(url, 'HOST')`; this regex keeps userinfo/port forms
+    * ("host:8080", "user@host") that parse_url would strip. Equivalent
+    * for well-formed http(s) URLs, which is all this data carries. */
   def manualFallback(attached: DataFrame): Column = {
     val baseUrl = regexp_extract(
       coalesce(col("landing_page_url"), col("pdf_url")),

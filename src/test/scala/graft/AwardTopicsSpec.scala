@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.awards.AwardTopics
+
+/** Pins the award-topics pipeline semantics against reference-shaped
+  * fixtures (award_topics_create_input / _inference / _merge_output):
+  * each createInput drop reason, the stripped-ratio boundary, the
+  * model-text contract, and the merge shaping (re-gate, score floor,
+  * top-3, rounding). */
+class AwardTopicsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("createInput: anti-join, both-fields-required, majority-Latin gate") {
+    val awards = Seq(
+      (1L, Option("Grant one"), Option("A Latin description")),
+      (2L, None, Option("desc")), // no display_name
+      (3L, Option("Grant three"), None), // no description
+      (4L, Option("Grant four"), Option("desc")), // already classified
+      // 15 CJK + space + 'abc': 4/19 Latin-1 → dropped
+      (5L, Option("Grant five"), Option("非常に長い日本語の説明テキスト abc")),
+      // exactly half survives (4 CJK + 4 Latin-1) → kept (>= boundary)
+      (6L, Option("Grant six"), Option("ああああx yz")))
+      .toDF("id", "display_name", "description")
+    val existing = Seq(4L).toDF("award_id")
+    val got = AwardTopics.createInput(awards, existing)
+      .select("award_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 6L))
+  }
+
+  test("optimalPartitions: floor 16, cap 1024, ~2500 rows each") {
+    assert(AwardTopics.optimalPartitions(0) == 16)
+    assert(AwardTopics.optimalPartitions(40000) == 16)
+    assert(AwardTopics.optimalPartitions(100000) == 40)
+    assert(AwardTopics.optimalPartitions(3840000) == 1024)
+  }
+
+  test("heavilyStripped boundary: ratio must EXCEED 0.5; spaces ignored") {
+    val df = Seq(
+      ("ああああ     abc", "     abc", true), // 4 of 7 non-space stripped
+      ("あああ    abc", "    abc", false), // exactly half → not stripped
+      ("all latin", "all latin", false),
+      ("", "", false)) // empty original never stripped
+      .toDF("orig", "clean", "want")
+    val got = df.select(
+      AwardTopics.heavilyStripped(col("orig"), col("clean")).as("got"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("skipPrediction: stripped display_name AND stripped-or-null description") {
+    val df = Seq(
+      ("量子力学研究", Option("ああああ     abc"), true),
+      ("量子力学研究", Option("a perfectly latin description"), false),
+      ("Latin grant title", Option("ああああ     abc"), false),
+      ("量子力学研究", None, true))
+      .toDF("dn", "descr", "want")
+    df.select(AwardTopics.skipPrediction(col("dn"), col("descr")).as("got"),
+        col("want")).collect()
+      .foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("modelText: [CLS]<TITLE> … <ABSTRACT> … [SEP] over stripped+trimmed text") {
+    val df = Seq(("漢字 Mixed title", "ある Description text")).toDF("dn", "d")
+    val got = df.select(AwardTopics.modelText(col("dn"), col("d")))
+      .as[String].head()
+    assert(got == "[CLS]<TITLE> Mixed title <ABSTRACT> Description text [SEP]")
+  }
+
+  test("labelToTopicId: 10000 + int prefix of 'N: name' labels") {
+    val got = Seq("23: Plant Biology", "7: Optics").toDF("l")
+      .select(AwardTopics.labelToTopicId(col("l"))).as[Int].collect()
+    assert(got.toSeq == Seq(10023, 10007))
+  }
+
+  test("mergeSource: non-Latin re-gate, 0.5 floor, top-3 by score desc/id asc, round 4") {
+    val lm = Seq(
+      // 4 above-floor predictions → top-3 kept; 0.49 dropped by floor
+      (1L, Option("latin description"), Seq((10001, 0.91234567),
+        (10002, 0.91234567), (10003, 0.6), (10004, 0.7), (10005, 0.49)),
+        "bert", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+      // all below floor → award vanishes
+      (2L, Option("latin description"), Seq((10001, 0.2)), "bert",
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+      // non-Latin-majority description → re-gated out despite high score
+      (3L, Option("研究プロジェクトの概要説明"), Seq((10001, 0.99)), "bert",
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("award_id", "description", "raw", "source", "created_timestamp")
+      .withColumn("lm_topics", expr(
+        "transform(raw, x -> struct(x._1 as topic_id, x._2 as score))"))
+    val meta = (1 to 5).map(t => (10000 + t, s"Topic $t")).toDF("topic_id", "display_name")
+      .withColumn("subfield", struct(lit("sf").as("id"), lit("SF").as("display_name")))
+      .withColumn("field", struct(lit("f").as("id"), lit("F").as("display_name")))
+      .withColumn("domain", struct(lit("d").as("id"), lit("D").as("display_name")))
+    val out = AwardTopics.mergeSource(lm, meta).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    val topics = out(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+    // equal rounded scores tie-break on id ASC; 0.6 drops (4th)
+    assert(topics == Seq(("https://openalex.org/T10001", 0.9123),
+      ("https://openalex.org/T10002", 0.9123),
+      ("https://openalex.org/T10004", 0.7)))
+  }
+}
