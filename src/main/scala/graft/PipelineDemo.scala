@@ -17,6 +17,87 @@ import graft.works.{TypeRules, WorksBase}
   * or a guardrail fails.
   */
 object PipelineDemo {
+
+  /** Fixture records → parsed+keyed walden rows → resolved work ids
+    * (adoption via the doi map + minting). Shared by main() and
+    * DomainSliceSpec so the composed path is exercised identically in
+    * both. Returns (walden, resolved). */
+  def demoResolved(spark: SparkSession): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val s = spark; import s.implicits._
+    val raw = spark.read.json(Seq(
+      """{"doi":"10.9/alpha","title":["The Alpha Paper On Spark Engines"],"author":[{"given":"Jo","family":"Smith","orcid":"https://orcid.org/0000-0002-1825-0097","affiliation":[{"name":"MIT"}],"sequence":"first"}],"issued":{"date_parts":[[2023,4]]},"type":"journal-article","license":[{"url":"https://creativecommons.org/licenses/by/4.0"}],"container_title":["J Spark"],"publisher":"P","abstract":"a1","updated":"2024-01-02 00:00:00"}""",
+      """{"doi":"10.9/alpha","title":["The Alpha Paper On Spark Engines"],"author":[{"given":"Jo","family":"Smith","affiliation":[],"sequence":"first"}],"issued":{"date_parts":[[2023]]},"type":"journal-article","container_title":["J Spark"],"publisher":"P","abstract":"a1-longer-version","updated":"2024-02-02 00:00:00"}""",
+      """{"doi":"10.9/beta","title":["The Beta Paper About Dedup Methods"],"author":[{"given":"Kim","family":"Lee","affiliation":[],"sequence":"first"}],"issued":{"date_parts":[[2024,1,5]]},"type":"letter","updated":"2024-03-01 00:00:00"}""").toDS())
+    val walden = CrossrefParser.withMergeKey(CrossrefParser.parse(raw))
+    val idMap = Seq(("doi", "10.9/alpha", 6600000001L))
+      .toDF("key_type", "key", "work_id")
+    (walden, WorkIdResolver.resolve(walden, idMap))
+  }
+
+  /** The composed round-6 path over the resolved rows, in DAG order:
+    * SuperLocations best-URL attach → location shaping → the FULL
+    * SourceMatcher cascade (ISSN tier, display-name fallbacks, and the
+    * post-CTAS ebook-publisher + normalized-name passes). The alpha
+    * rows attach through the ISSN tier, the beta row (book raw type,
+    * unmatched name) through the ebook-platform publisher MERGE, and
+    * the standalone punctuated-name row only after normalization. */
+  def demoLocations(spark: SparkSession,
+      resolved: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = spark; import s.implicits._
+    import graft.resolve.{SourceMatcher, SuperLocations}
+    val scraped = Seq(
+      ("https://publisher.example.org/alpha", "10.9/alpha", "2024-03-01"),
+      ("https://mirror.example.net/alpha", "10.9/alpha", "2024-02-01"),
+      ("https://mirror.example.net/beta.pdf", "10.9/beta", "2024-03-02"))
+      .toDF("native_id", "doi", "updated_date")
+      .withColumn("provenance", lit("landing_page"))
+      .withColumn("ids", array(struct(col("doi").as("id"),
+        lit("doi").as("namespace"), lit("self").as("relationship"))))
+      .withColumn("updated_date", col("updated_date").cast("timestamp"))
+      .drop("doi")
+    val withUrls = SuperLocations.attachBestUrls(
+      resolved.select(col("native_id"), col("provenance"), col("ids"),
+        col("source_name"), col("publisher"), col("type")),
+      scraped, "doi", Seq("publisher.example.org"))
+    val emptyIds = array().cast(
+      "array<struct<id:string,namespace:string,relationship:string>>")
+    val locations = withUrls.select(col("native_id"), col("provenance"),
+        concat(col("ids"), when(col("source_name") === "J Spark",
+          array(struct(lit("1234-5678").as("id"), lit("eissn").as("namespace"),
+            lit("self").as("relationship")))).otherwise(emptyIds)).as("ids"),
+        lit(null).cast("string").as("endpoint_id"),
+        coalesce(col("source_name"), lit("Unknown Collection"))
+          .as("source_name"),
+        when(col("native_id") === "10.9/beta", lit("Beta-Press!"))
+          .otherwise(col("publisher")).as("publisher"),
+        when(col("native_id") === "10.9/beta", lit("monograph"))
+          .otherwise(col("type")).as("raw_type"),
+        col("landing_page_url"), lit(null).cast("string").as("pdf_url"),
+        col("native_id").as("best_doi"))
+      .unionByName(Seq(("L-gamma", "landing_page", "J. Spark!"))
+        .toDF("native_id", "provenance", "source_name")
+        .withColumn("ids", emptyIds)
+        .withColumn("endpoint_id", lit(null).cast("string"))
+        .withColumn("publisher", lit(null).cast("string"))
+        .withColumn("raw_type", lit(null).cast("string"))
+        .withColumn("landing_page_url", lit(null).cast("string"))
+        .withColumn("pdf_url", lit(null).cast("string"))
+        .withColumn("best_doi", lit(null).cast("string")),
+        allowMissingColumns = false)
+    val sources = Seq(
+      (9001L, "J Spark", Seq("1234-5678"), "journal",
+        Option.empty[String], true),
+      (9002L, "Beta Books", Seq.empty[String], "ebook platform",
+        Option("Beta Press"), false))
+      .toDF("id", "display_name", "issns", "type", "publisher", "is_oa")
+      .withColumn("merge_into_id", lit(null).cast("long"))
+      .withColumn("datacite_ids", lit(null).cast("array<string>"))
+    val endpointToSource = Seq.empty[(String, Long)]
+      .toDF("endpoint_id", "source_id")
+    SourceMatcher.attachSourcesFull(locations, sources, endpointToSource)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-pipeline-demo")
@@ -27,24 +108,17 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // two sources describing overlapping works (same DOI from a second
-    // provenance, a pmid-only record, and a brand-new DOI)
-    val raw = spark.read.json(Seq(
-      """{"doi":"10.9/alpha","title":["The Alpha Paper On Spark Engines"],"author":[{"given":"Jo","family":"Smith","orcid":"https://orcid.org/0000-0002-1825-0097","affiliation":[{"name":"MIT"}],"sequence":"first"}],"issued":{"date_parts":[[2023,4]]},"type":"journal-article","license":[{"url":"https://creativecommons.org/licenses/by/4.0"}],"container_title":["J Spark"],"publisher":"P","abstract":"a1","updated":"2024-01-02 00:00:00"}""",
-      """{"doi":"10.9/alpha","title":["The Alpha Paper On Spark Engines"],"author":[{"given":"Jo","family":"Smith","affiliation":[],"sequence":"first"}],"issued":{"date_parts":[[2023]]},"type":"journal-article","container_title":["J Spark"],"publisher":"P","abstract":"a1-longer-version","updated":"2024-02-02 00:00:00"}""",
-      """{"doi":"10.9/beta","title":["The Beta Paper About Dedup Methods"],"author":[{"given":"Kim","family":"Lee","affiliation":[],"sequence":"first"}],"issued":{"date_parts":[[2024,1,5]]},"type":"letter","updated":"2024-03-01 00:00:00"}""").toDS())
-
     var ok = true
     def stage(name: String, n: Long, expect: Long => Boolean): Unit = {
       println(s"[pipe] $name: $n rows")
       if (!expect(n)) { println(s"[pipe] UNEXPECTED at $name"); ok = false }
     }
 
-    val walden = CrossrefParser.withMergeKey(CrossrefParser.parse(raw))
+    // two sources describing overlapping works (same DOI from a second
+    // provenance and a brand-new DOI) — fixtures in demoResolved so
+    // DomainSliceSpec drives the identical composed path
+    val (walden, resolved) = demoResolved(spark)
     stage("parsed+keyed", walden.count(), _ == 3)
-
-    val idMap = Seq(("doi", "10.9/alpha", 6600000001L)).toDF("key_type", "key", "work_id")
-    val resolved = WorkIdResolver.resolve(walden, idMap)
     stage("resolved", resolved.count(), _ == 3)
     resolved.select("native_id", "work_id", "work_id_source").show(false)
     val distinctIds = resolved.select("work_id").distinct().count()
@@ -78,7 +152,11 @@ object PipelineDemo {
       .withColumn("source_type", lit("journal"))
       .withColumn("has_journal", lit(true))
       .withColumn("provenance", lit("crossref"))
-      .withColumn("ingest_type", col("type"))
+      // crossref ingest normalizes its type enum to the API vocabulary
+      // before classification (journal-article → article)
+      .withColumn("ingest_type",
+        when(col("type") === "journal-article", "article")
+          .otherwise(col("type")))
       .withColumn("preprint_registrant", lit(false))
     val typed = TypeRules.finalType(TypeRules.features(forTyping))
       .withColumn("work_type", col("type"))
@@ -186,6 +264,48 @@ object PipelineDemo {
       oai.filter(size(col("ids")) > 0).count(), _ == 2)
     stage("oai accepted-version detected",
       oai.filter(col("version") === "acceptedVersion").count(), _ == 1)
+
+    // round-6 composed path in DAG order: SuperLocations best-URL
+    // attach → SourceMatcher full cascade (CTAS tiers + post-CTAS
+    // ebook/normalized passes) → source-id coverage parity
+    val attached = demoLocations(spark, resolved)
+    attached.select("native_id", "provenance", "source_id", "source_name")
+      .show(false)
+    stage("locations with source_id",
+      attached.filter(col("source_id").isNotNull).count(),
+      _ == attached.count())
+    stage("issn-tier attach (alpha rows)", attached.filter(
+      col("best_doi") === "10.9/alpha" && col("source_id") === 9001L).count(),
+      _ == 2)
+    stage("post-CTAS ebook-publisher attach (beta)", attached.filter(
+      col("best_doi") === "10.9/beta" && col("source_id") === 9002L).count(),
+      _ == 1)
+    stage("post-CTAS normalized-name attach (gamma)", attached.filter(
+      col("native_id") === "L-gamma" && col("source_id") === 9001L).count(),
+      _ == 1)
+
+    // enrichment fan-out: SDG frontfill over the typed works — only the
+    // eligible-typed article with enough text reaches the classifier;
+    // the 0.4 score floor drops the weak goal; merge source carries the
+    // surviving top goal
+    import graft.llm.SdgPipeline
+    val sdgWorks = typed.select(col("work_id"), col("title"),
+      col("abstract"), col("work_type"))
+    val sdgInput = SdgPipeline.createFrontfillInput(sdgWorks,
+      Seq.empty[Long].toDF("work_id"))
+    stage("sdg frontfill input (eligible typed)", sdgInput.count(), _ == 1)
+    val sdgRaw = sdgInput.select(col("work_id"), lit(3).as("goal"),
+        lit(0.83).as("score"))
+      .unionByName(sdgInput.select(col("work_id"), lit(13).as("goal"),
+        lit(0.39).as("score")))
+    val shaped2 = SdgPipeline.shapeOutput(sdgRaw)
+      .withColumn("created_timestamp",
+        lit("2024-03-01").cast("timestamp"))
+    val sdgMerged = SdgPipeline.mergeSource(
+      shaped2.limit(0).select(col("work_id"), col("sdg")), shaped2)
+    stage("sdg merge source rows", sdgMerged.count(), _ == 1)
+    stage("sdg goals above the 0.4 floor",
+      sdgMerged.select(size(col("sdg"))).as[Int].head().toLong, _ == 1)
 
     println(s"[pipe] RESULT: ${if (ok) "ALL OK" else "FAILED"}")
     spark.stop()

@@ -347,4 +347,22 @@ class DomainSliceSpec extends AnyFunSuite {
     assert(urls("10.9/alpha") == "https://publisher.example/a2")
     assert(urls("10.9/beta") == null) // no scrape → left join keeps the row
   }
+
+  test("demo composed path SuperLocations→SourceMatcher: source_id " +
+    "coverage parity, one attach per tier") {
+    val (_, resolved) = PipelineDemo.demoResolved(spark)
+    val attached = PipelineDemo.demoLocations(spark, resolved)
+    // parity: every location row leaves the cascade with a source_id
+    assert(attached.filter(col("source_id").isNull).count() == 0)
+    assert(attached.count() == 4)
+    val byRow = attached.select("native_id", "best_doi", "source_id")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+    // ISSN tier (CTAS) for both alpha provenance rows
+    assert(byRow.count(r => r._2.contains("10.9/alpha") && r._3 == 9001L) == 2)
+    // post-CTAS ebook-platform publisher MERGE for the book-typed beta
+    assert(byRow.count(r => r._2.contains("10.9/beta") && r._3 == 9002L) == 1)
+    // post-CTAS normalized display-name final fallback for 'J. Spark!'
+    assert(byRow.count(r => r._1 == "L-gamma" && r._3 == 9001L) == 1)
+  }
 }
