@@ -1681,7 +1681,707 @@ object AffiliationRules {
     // Ulster (:3458-3460)
     r(138801177L, "ulster", "ulster univ"),
     r(138801177L, "ulster", "university of ulster"),
-    r(138801177L, "jordanstown", "university jordanstown", req = "ulster"))
+    r(138801177L, "jordanstown", "university jordanstown", req = "ulster")) ++
+    batch13 ++ batch14
+
+  /** Batches 13-14: reference lines 3462-4851 — the long acronym tail
+    * of `match_affiliation_to_institution_ids` (French research units,
+    * word-bounded acronyms, the city-gated sections mapping to require
+    * gates) plus the Tunis El Manar conjunction block. Entered
+    * MECHANICALLY by a parser over the reference if-cascade (simple
+    * `re.search(\\bX\\b)`/append pairs and single-city gates), which
+    * removes hand-transcription risk for this range; with these, the
+    * append cascade (reference lines 3-4851) is fully entered.
+    * The correction pass `process_current_affiliation_with_ids`
+    * (:4880-7186) is a separate operator — see AffiliationOverrides. */
+  private lazy val batch13: Seq[Rule] = Seq(
+    // Tunis El Manar University (:3463 — case-folded translation: the
+    // reference's strict-case any/all branches collapse under the
+    // matcher's lowercase normalization into one conjunction rule
+    // (univer & manar & el as substrings, 6-permutation regex, the
+    // repo's established all()-idiom) plus the two phrase variants
+    // that carry no 'el' substring)
+    r(63596082L, "tunis", "tunis",
+      req = "univer.*manar.*el|univer.*el.*manar|el.*univer.*manar|" +
+        "el.*manar.*univer|manar.*univer.*el|manar.*el.*univer"),
+    r(63596082L, "tunis", "université tunis manar"),
+    r(63596082L, "tunis", "university of tunis manar"),
+    // Génomique fonctionnelle métabolique (epi) et mécanismes moléculaires impliqués (:3479)
+    r(4387156116L, "gi3m", "gi3m", word = true),
+    // Acteurs, Ressources et Territoires dans le Développement (:3483)
+    r(4210097770L, "art", "art dev", word = true),
+    r(4210097770L, "artdev", "artdev", word = true),
+    // AERIS/ICARE Data and Services Center (:3489)
+    r(4387155909L, "icare", "icare", word = true),
+    // Agropolymerpolymer Engineering and Emerging Technologies (:3493)
+    r(4210088087L, "iate", "iate", word = true),
+    // Aliments Bioprocédés Toxicologie Environnements (:3497)
+    r(4387156208L, "abte", "abte", word = true),
+    // AMURE - Centre de droit et d'économie de la mer (:3501)
+    r(4387156023L, "amure", "amure", word = true),
+    // Analyses Littéraires et Histoire de la Langue (:3505)
+    r(4387152964L, "alithila", "alithila", word = true),
+    // Anthropology and History of the Ancient World (:3509)
+    r(4210140785L, "anhima", "anhima", word = true),
+    // Astrophysique Relativiste, Théories, Expériences, Métrologie, Instrumentation, Signaux (:3513)
+    r(4210124832L, "artemis", "artemis", word = true),
+    // Bases, Corpus, Langage (:3517)
+    r(4210139825L, "bcl", "bcl", word = true),
+    // Biochemistry and Plant Molecular Physiology (:3521)
+    r(4210165050L, "bpmp", "bpmp", word = true),
+    // Brain and Cognition Research Center (:3525)
+    r(4210145991L, "cerco", "cerco", word = true),
+    // CALMIP (:3529)
+    r(4387153662L, "calmip", "calmip", word = true),
+    // CANTHER - Hétérogénéité, Plasticité et Résistance aux Thérapies des Cancers (:3533)
+    r(4387152542L, "canther", "canther", word = true),
+    // Center for Research in Medicine, Science, Health, Mental Health and Society (:3537)
+    r(4210132422L, "cermes3", "cermes3", word = true),
+    // Center for Social Studies on African, American and Asian Worlds (:3541)
+    r(4210137420L, "cessma", "cessma", word = true),
+    // Centre Atlantique de Philosophie (:3545)
+    r(4387152714L, "caphi", "caphi", word = true),
+    // Centre d'Etude des Arts Contemporains (:3549)
+    r(4387154796L, "ceac", "ceac", word = true),
+    // Centre d'Étude et de Recherche Travail Organisation Pouvoir (:3553)
+    r(4210130108L, "certop", "certop", word = true),
+    // Centre d'Etudes des Maladies Infectieuses et Pharmacologie Anti-Infectieuse (:3557)
+    r(4387156441L, "cemipai", "cemipai", word = true),
+    // Centre d'Etudes en Civilisations, Langues et Littératures Etrangères (:3561)
+    r(4210123514L, "cecille", "cecille", word = true),
+    // Centre d'Études et de Recherches sur le Développement International (:3565)
+    r(4387153954L, "cerdi", "cerdi", word = true),
+    // Centre d'Études Spatiales de la Biosphère (:3569)
+    r(4210100083L, "cesbio", "cesbio", word = true),
+    // Centre de Compétences NanoSciences Ile-de-France (:3573)
+    r(4210114404L, "nano", "c nano idf", word = true),
+    // Centre de la Méditerranée Moderne et Contemporaine (:3577)
+    r(4210126072L, "cmmc", "cmmc", word = true),
+    // Centre de Linguistique Inter-langues, de Lexicologie, de Linguistique Anglaise et de Corpus-Atelier de Recherche sur la Parole (:3581)
+    r(4210113454L, "clillac", "clillac arp", word = true),
+    // Centre de Recherche "Individus, Epreuves, Sociétés" (:3585)
+    r(4387154329L, "ceries", "ceries", word = true),
+    // Centre de Recherche en Informatique, Signal et Automatique de Lille (:3589)
+    r(4387153239L, "cristal", "cristal", word = true),
+    // Centre de recherche sur l'éducation, les apprentissages et la didactique (:3593)
+    r(4387155070L, "cread", "cread", word = true),
+    // Centre de recherche sur les civilisations de l'Asie orientale (:3597)
+    r(4387154843L, "crcao", "crcao", word = true),
+    // Centre de Recherche sur les Liens Sociaux (:3601)
+    r(4210110823L, "cerlis", "cerlis", word = true),
+    // Centre de Recherches Sociologiques sur le Droit et les Institutions Pénales (:3605)
+    r(4210109827L, "cesdip", "cesdip", word = true),
+    // Centre de Recherches sur les Fonctionnements et Dysfonctionnements Psychologiques (:3609)
+    r(4210136405L, "crfdp", "crfdp", word = true),
+    // Centre for Research in Epidemiology and Population Health (:3613)
+    r(4210103698L, "cesp", "cesp", word = true),
+    // Centre Hospitalier Universitaire de Nice (:3617)
+    r(3018988418L, "chu", "chu de nice", word = true),
+    r(3018988418L, "chu", "chu nice", word = true),
+    // Centre Interuniversitaire de Recherche en Education de Lille (:3625)
+    r(4387155238L, "cirel", "cirel", word = true),
+    // Centre Lillois d'Etudes et de Recherches Sociologiques et Economiques (:3629)
+    r(4210095576L, "clersé", "clersé", word = true),
+    r(4210095576L, "clerse", "clerse", word = true),
+    // Centre Méditerranéen de l'Environnement et de la Biodiversité (:3635)
+    r(4387154032L, "cemeb", "cemeb", word = true),
+    // Centre Méditerranéen de Médecine Moléculaire (:3639)
+    r(4210118704L, "c3m", "c3m", word = true),
+    // Centre National de Création Musicale (:3643)
+    r(4387155025L, "cncm", "cncm", word = true),
+    // Clermont Research Management (:3647)
+    r(4210094644L, "clerma", "clerma", word = true),
+    // Cognition Behaviour Technology (:3651)
+    r(4210144177L, "cobtek", "cobtek", word = true),
+    // Complexe de Recherche Interprofessionnel en Aérothermochimie (:3655)
+    r(4210104963L, "coria", "coria", word = true),
+    // Cultures et Environnements. Préhistoire, Antiquité, Moyen Âge (:3659)
+    r(4210141055L, "cepam", "cepam", word = true),
+    // Digestive Health Research Institute (:3663)
+    r(4210122796L, "irsd", "irsd", word = true),
+    // Diversité, adaptation, développement des plantes (:3667)
+    r(4387156163L, "diade", "diade", word = true),
+    // Diversity Adaptation plant Development (:3671)
+    r(4210117822L, "diade", "diade", word = true),
+    // Diversity, Genomes and Insects-Microorganisms Interactions (:3675)
+    r(4210131987L, "dgimi", "dgimi", word = true),
+    // Dynamique Musculaire et Métabolisme (:3679)
+    r(4387153819L, "dmem", "dmem", word = true),
+    // Ecology and Conservation Science for Sustainable Seas (:3683)
+    r(4387156187L, "ecomers", "ecomers", word = true),
+    r(4387156187L, "ecoseas", "ecoseas", word = true),
+    // Ecosystèmes, Biodiversité, Evolution (:3689)
+    r(4210087209L, "ecobio", "ecobio", word = true),
+    // Empenn (:3693)
+    r(4387152452L, "visages", "visages", word = true),
+    // Épidémiologie Clinique, Évaluation Économique Appliquées aux Populations Vulnérables (:3697)
+    r(4210110362L, "eceve", "eceve", word = true),
+    // Ethologie animale et humaine (:3701)
+    r(4387154707L, "ethos", "ethos", word = true),
+    // Étude des Structures, des Processus d'Adaptation et des Changements de l'Espace (:3705)
+    r(4387156460L, "espace", "espace", word = true),
+    // European Institute for Marine Studies (:3709)
+    r(4210157108L, "iuem", "iuem", word = true),
+    // Évolution, Génomes, Comportement, Écologie (:3713)
+    r(4210100071L, "legs", "legs", word = true),
+    r(4210100071L, "egce", "egce", word = true),
+    // Expression Génétique Microbienne (:3719)
+    r(4210165307L, "egm", "egm", word = true),
+    // Facteurs de risque et déterminants moléculaires des maladies liées au vieillissement (:3723)
+    r(4387154478L, "rid", "rid age", word = true),
+    // Fish Physiology and Genomics Institute (:3727)
+    r(4210141078L, "lpgp", "lpgp", word = true),
+    // Fonctions Optiques pour les Technologies de l'information (:3731)
+    r(4210138837L, "foton", "foton", word = true),
+    // Galaxies, Etoiles, Physique et Instrumentation (:3735)
+    r(4210103454L, "gepi", "gepi", word = true),
+    // Genetics, Diversity and Ecophysiology of Cereals (:3739)
+    r(4210138126L, "gdec", "gdec", word = true),
+    // Genetics, Functional Genomics and Biotechnology (:3743)
+    r(4210165461L, "ggb", "ggb", word = true),
+    // Genetique Reproduction and Developpement (:3747)
+    r(4210163188L, "gred", "gred", word = true),
+    // Group of Study of Condensed Matter (:3751)
+    r(4210110683L, "gemac", "gemac", word = true),
+    // Groupe d'Etudes et de Recherche Interdisciplinaire en Information et Communication (:3755)
+    r(4387156027L, "geriico", "geriico", word = true),
+    // Groupe de Recherche en Droit, Économie, Gestion (:3759)
+    r(4210096615L, "gredeg", "gredeg", word = true),
+    // Groupe de Recherche sur les formes Injectables et les Technologies Associées (:3763)
+    r(4387154967L, "grita", "grita", word = true),
+    // Handicap Neuromusculaire Physiopathologie, Biothérapie et Pharmacologie Appliquées (:3767)
+    r(4210129617L, "end", "end icap", word = true),
+    // Histoire, Archéologie et Littérature des Mondes Anciens (:3771)
+    r(4387155028L, "halma", "halma", word = true),
+    // Identités et Différenciation de l'Environnement des Espaces et des Sociétés (:3775)
+    r(4210155900L, "idees", "idees", word = true),
+    // Imagerie Moléculaire et Stratégies Théranostiques (:3779)
+    r(4387155818L, "imost", "imost", word = true),
+    // IMPact de l'Environnement Chimique sur la Santé humaine (:3783)
+    r(4387154702L, "impecs", "impecs", word = true),
+    // Infection, Antimicrobials, Modelling, Evolution (:3787)
+    r(4387156044L, "iame", "iame", word = true),
+    // Innovations Thérapeutiques en Hémostase (:3791)
+    r(4387152685L, "ithem", "ithem", word = true),
+    // Institut Charles Gerhardt (:3795)
+    r(4210115639L, "icgm", "icgm", word = true),
+    // Institut d'Histoire des Représentations et des Idées dans les Modernités (:3799)
+    r(4210120985L, "ihrim", "ihrim", word = true),
+    // Institut de Génétique Moléculaire de Montpellier (:3803)
+    r(4210114166L, "igmm", "igmm", word = true),
+    // Institut de Mathématique et de Modélisation de Montpellier (:3807)
+    r(4210142014L, "i3m", "i3m", word = true),
+    // Institut de Mathématiques de Jussieu (:3811)
+    r(3017942884L, "imj", "imj prg", word = true),
+    // Institut de Mécanique Céleste et de Calcul des Éphémérides (:3815)
+    r(54006703L, "imcce", "imcce", word = true),
+    // Institut de Pharmacologie Moléculaire et Cellulaire (:3819)
+    r(4210160500L, "ipmc", "ipmc", word = true),
+    // Institut de Physique de Nice (:3823)
+    r(4210149294L, "inphyni", "inphyni", word = true),
+    // Institut de Recherche bio-Médicale et d'Epidémiologie du Sport (:3827)
+    r(4387155426L, "irmes", "irmes", word = true),
+    // Institut de Recherche Dupuy de Lôme (:3831)
+    r(4210126368L, "irdl", "irdl", word = true),
+    // Institut de Recherche en Infectiologie de Montpellier (:3835)
+    r(4210140640L, "irim", "irim", word = true),
+    // Institut de Recherche en Informatique et Systèmes Aléatoires (:3839)
+    r(2802519937L, "irisa", "irisa", word = true),
+    // Institut de Recherche en Santé, Environnement et Travail (:3843)
+    r(4210108239L, "irset", "irset", word = true),
+    // Institut de recherche mathématique de Rennes (:3847)
+    r(4210161663L, "irmar", "irmar", word = true),
+    // Institut de Recherche sur les Composants logiciels et matériels pour l'Information et la Communication Avancée (:3851)
+    r(4387153055L, "ircica", "ircica", word = true),
+    // Institut de Recherches Historiques du Septentrion (:3855)
+    r(4210115252L, "irhis", "irhis", word = true),
+    // Institut des Biomolécules Max Mousseron (:3859)
+    r(4210145258L, "ibmm", "ibmm", word = true),
+    // Institut des Sciences Chimiques de Rennes (:3863)
+    r(4210090783L, "iscr", "iscr", word = true),
+    // Institut des Sciences de l'Evolution de Montpellier (:3867)
+    r(4210105943L, "isem", "isem", word = true),
+    // Institut des Sciences des Plantes de Paris Saclay (:3871)
+    r(4210090571L, "ips2", "ips2", word = true),
+    // Institut du droit public et de la science politique (:3875)
+    r(4387154572L, "idpsp", "idpsp", word = true),
+    // Institut Lavoisier de Versailles (:3879)
+    r(4210165330L, "ilv", "ilv", word = true),
+    // Institut Necker Enfants Malades (:3883)
+    r(4210086369L, "inem", "inem", word = true),
+    // Institute for Genetics, Environment and Plant Protection (:3887)
+    r(4210141755L, "igepp", "igepp", word = true),
+    // Institute for Regenerative Medicine & Biotherapy (:3891)
+    r(4210095750L, "irmb", "irmb", word = true),
+    // Institute for the Separation Chemistry in Marcoule (:3895)
+    r(4210147247L, "icsm", "icsm", word = true),
+    // Institute of Cancer Research of Montpellier (:3899)
+    r(4210140335L, "ircm", "ircm", word = true),
+    // Institute of Chemistry of Clermont-Ferrand (:3903)
+    r(4210133183L, "iccf", "iccf", word = true),
+    // Institute of Electronics and Telecommunications of Rennes (:3907)
+    r(4210100151L, "ietr", "ietr", word = true),
+    // Institute of Electronics, Microelectronics and Nanotechnology (:3911)
+    r(4210123471L, "iemn", "iemn", word = true),
+    // Institute of Fluid Mechanics of Toulouse (:3915)
+    r(4210110935L, "imft", "imft", word = true),
+    // Institute of Genetics and Development of Rennes (:3919)
+    r(4210127029L, "igdr", "igdr", word = true),
+    // Institute of Molecular Chemistry Reims (:3923)
+    r(4210131305L, "icmr", "icmr", word = true),
+    // Institute of Pharmacology and Structural Biology (:3927)
+    r(4210099749L, "ipbs", "ipbs", word = true),
+    // Institute of Psychiatry and Neuroscience of Paris (:3931)
+    r(4210130152L, "ipnp", "ipnp", word = true),
+    // Institute of Research on Cancer and Aging in Nice (:3935)
+    r(4210119200L, "ircan", "ircan", word = true),
+    // Integrative Neuroscience and Cognition Center (:3939)
+    r(4387154659L, "incc", "incc", word = true),
+    // Integrative Physics and Physiology of Fruit and Forest Trees (:3943)
+    r(4210133230L, "piaf", "piaf", word = true),
+    // Interactions Hôtes-Pathogènes-Environnements (:3947)
+    r(4387154330L, "ihpe", "ihpe", word = true),
+    // Interfaces Traitements Organisation et Dynamique des Systèmes (:3951)
+    r(4210124942L, "itodys", "itodys", word = true),
+    // Laboratoire Chimie Electrochimie Moléculaires et Chimie Analytique (:3955)
+    r(4210118725L, "cemca", "cemca", word = true),
+    // Laboratoire d'Anthropologie et de Psychologie Cognitives et Sociales (:3959)
+    r(4210114701L, "lapcos", "lapcos", word = true),
+    // Laboratoire d'Automatique, Génie Informatique et Signal (:3963)
+    r(4210143894L, "lagis", "lagis", word = true),
+    // Laboratoire d'Écophysiologie Moléculaire des Plantes sous Stress Environnementaux (:3967)
+    r(4210131186L, "lepse", "lepse", word = true),
+    // Laboratoire d'Électronique, Antennes et Télécommunications (:3971)
+    r(4210095736L, "leat", "leat", word = true),
+    // Laboratoire d'Électrotechnique et d'Électronique de Puissance de Lille (:3975)
+    r(4210102085L, "l2ep", "l2ep", word = true),
+    // Laboratoire d'études et de recherche en sociologie (:3979)
+    r(4387152360L, "labers", "labers", word = true),
+    // Laboratoire d'Études et de Recherches Appliquées en Sciences Sociales (:3983)
+    r(4387154506L, "lerass", "lerass", word = true),
+    // Laboratoire d'Informatique, Signaux et Systèmes de Sophia Antipolis (:3987)
+    r(4210106479L, "i3s", "i3s", word = true),
+    // Laboratoire d'Économie et de Gestion de l'Ouest (:3991)
+    r(4387154291L, "lego", "lego", word = true),
+    // Laboratoire d'Étude et de Recherche sur l'Économie, les Politiques et les Systèmes Sociaux (:3995)
+    r(4210155567L, "lereps", "lereps", word = true),
+    // Laboratoire d'Études en Géophysique et Océanographie Spatiales (:3999)
+    r(4210112630L, "legos", "legos", word = true),
+    // Osteo-Articular Bioengineering and Bioimaging (:4003)
+    r(4210137432L, "b2oa", "b2oa", word = true),
+    r(4210137432L, "b3oa", "b3oa", word = true),
+    // Laboratoire de Chimie et Biochimie Pharmacologiques et Toxicologiques (:4009)
+    r(4210117082L, "lcbpt", "lcbpt", word = true),
+    // Laboratoire de Chimie et Physique Quantiques (:4013)
+    r(4210144120L, "lcpq", "lcpq", word = true),
+    // Laboratoire de Génétique & Evolution des Populations Végétales (:4017)
+    r(4210104410L, "gepv", "gepv", word = true),
+    // Laboratoire de génie civil et génie mécanique (:4021)
+    r(4387155956L, "lgcgm", "lgcgm", word = true),
+    // Laboratoire de Génie Civil et Géo Environnement (:4025)
+    r(4387153130L, "lgcge", "lgcge", word = true),
+    // Laboratoire de Géographie Physique et Environnementale (:4029)
+    r(4210092141L, "geolab", "geolab", word = true),
+    // Laboratoire de Mathématiques de Bretagne Atlantique (:4033)
+    r(4210119023L, "lmba", "lmba", word = true),
+    // Laboratoire de Mathématiques Raphaël Salem (:4037)
+    r(4210105181L, "lmrs", "lmrs", word = true),
+    // Laboratoire de Mécanique des Fluides de Lille - Kampé de Fériet (:4041)
+    r(4210123886L, "lcfc", "lcfc", word = true),
+    // Laboratoire de Mécanique et Génie Civil (:4045)
+    r(4210115072L, "lmgc", "lmgc", word = true),
+    // Laboratoire de Mécanique, Multiphysique, Multiéchelle (:4049)
+    r(4387155011L, "lamcube", "lamcube", word = true),
+    // Laboratoire de Microbiologie et Génétique Moléculaires (:4053)
+    r(4210149702L, "lmgm", "lmgm", word = true),
+    // Laboratoire de PhysioMédecine Moléculaire (:4057)
+    r(4210091024L, "lp2m", "lp2m", word = true),
+    // Laboratoire de Physique des Lasers, Atomes et Molécules (:4061)
+    r(4210160651L, "phlam", "phlam", word = true),
+    // Laboratoire de Physique Nucléaire et de Hautes Énergies (:4065)
+    r(4210105151L, "lpnhe", "lpnhe", word = true),
+    // Laboratoire de Probabilités, Statistique et Modélisation (:4069)
+    r(4387155306L, "lpsm", "lpsm", word = true),
+    // Laboratoire de Psychologie : Cognition, Comportement, Communication (:4073)
+    r(4210132724L, "lp3c", "lp3c", word = true),
+    // Laboratoire de Psychologie Sociale et Cognitive (:4077)
+    r(4210116526L, "lapsco", "lapsco", word = true),
+    // Laboratoire de recherche en droit (:4081)
+    r(4387153921L, "lab", "lab lex", word = true),
+    // Laboratoire de Recherche en Sciences Végétales (:4085)
+    r(4210140000L, "lrsv", "lrsv", word = true),
+    // Laboratoire de Recherche sur les Cultures Anglophones (:4089)
+    r(4387155640L, "larca", "larca", word = true),
+    // Laboratoire de Sécurité des Procédés Chimiques (:4093)
+    r(4387153716L, "lspc", "lspc", word = true),
+    // Laboratoire de Spectrochimie Infrarouge et Raman (:4097)
+    r(4210107855L, "lasir", "lasir", word = true),
+    // Laboratoire des 2 Infinis Toulouse (:4101)
+    r(4387153973L, "l2it", "l2it", word = true),
+    // Laboratoire des Interactions Moléculaires et Réactivité Chimique et Photochimique (:4105)
+    r(4210101257L, "imrcp", "imrcp", word = true),
+    // Laboratoire des Interactions Plantes Micro-Organismes (:4109)
+    r(4210115873L, "lipm", "lipm", word = true),
+    // Laboratoire des Sciences de l'Environnement Marin (:4113)
+    r(4210162872L, "lemar", "lemar", word = true),
+    // Laboratoire des Sciences du Climat et de l'Environnement (:4117)
+    r(4210124937L, "lcse", "lcse", word = true),
+    // Laboratoire des Sciences et Techniques de l'Information de la Communication et de la Connaissance (:4121)
+    r(4210123702L, "lab", "lab sticc", word = true),
+    // Laboratoire Dynamiques Sociales et Recomposition des Espaces (:4125)
+    r(4210141654L, "ladyss", "ladyss", word = true),
+    // Laboratoire Génie et Matériaux Textiles (:4129)
+    r(4210132107L, "gemtex", "gemtex", word = true),
+    // Laboratoire Hétérochimie Fondamentale et Appliquée (:4133)
+    r(4210135875L, "lhfa", "lhfa", word = true),
+    // Laboratoire interdisciplinaire de recherche en didactique, éducation et formation (:4137)
+    r(4387152446L, "lirdef", "lirdef", word = true),
+    // Laboratoire Interdisciplinaire des Énergies de Demain (:4141)
+    r(4210094488L, "lied", "lied", word = true),
+    // Laboratoire Jacques-Louis Lions (:4145)
+    r(4210158291L, "ljll", "ljll", word = true),
+    // Laboratoire Magmas et Volcans (:4149)
+    r(4210125915L, "lmv", "lmv", word = true)
+  )
+
+  private lazy val batch14: Seq[Rule] = Seq(
+    // Laboratoire Microorganismes Génome et Environnement (:4153)
+    r(4210122170L, "lmge", "lmge", word = true),
+    // Laboratoire Motricité Humaine Éducation Sport Santé (:4157)
+    r(4210137748L, "lamhess", "lamhess", word = true),
+    // French National High Magnetic Field Laboratory (:4161)
+    r(3170133708L, "lncmi", "lncmi", word = true),
+    // Laboratoire Traitement du Signal et de l'Image (:4165)
+    r(4210105651L, "ltsi", "ltsi", word = true),
+    // Laboratoire Univers et Particules de Montpellier (:4169)
+    r(4210095986L, "lupm", "lupm", word = true),
+    // Laboratory for Ocean Physics and Satellite Remote Sensing (:4173)
+    r(4210134272L, "lops", "lops", word = true),
+    // Laboratory for the Psychology of Child Development and Education (:4177)
+    r(4210111983L, "lapsydé", "lapsydé", word = true),
+    r(4210111983L, "lapsyde", "lapsyde", word = true),
+    // Laboratory for Vascular Translational Science (:4183)
+    r(4210134185L, "lvts", "lvts", word = true),
+    // Laboratory of Computing, Modelling and Optimization of the Systems (:4187)
+    r(4210099416L, "limos", "limos", word = true),
+    // Laboratory of Molecular Anthropology and Image Synthesis (:4191)
+    r(4210159772L, "amis", "amis", word = true),
+    // Laboratory of Physical and Chemical Biology of Membrane Proteins (:4195)
+    r(4210128656L, "lbpcpm", "lbpcpm", word = true),
+    // Laboratory of Space Studies and Instrumentation in Astrophysics (:4199)
+    r(4210120578L, "lesia", "lesia", word = true),
+    // Laboratory Universe and Theories (:4203)
+    r(4210089183L, "luth", "luth", word = true),
+    // LACTH - Laboratoire d'Architecture Conception Territoire Histoire Matérialité (:4207)
+    r(4387155060L, "lacth", "lacth", word = true),
+    // Lille Center for European Research on Administration, Politics and Society (:4211)
+    r(4210144087L, "ceraps", "ceraps", word = true),
+    // Lille Inflammation Research International Center (:4215)
+    r(4210128436L, "liric", "liric", word = true),
+    // Lille Neurosciences & Cognition (:4219)
+    r(4387155073L, "lilncog", "lilncog", word = true),
+    // Lille School of Management Research Center (:4223)
+    r(4387154787L, "lsmrc", "lsmrc", word = true),
+    // Lille University Management (:4227)
+    r(4387156340L, "lumen", "lumen", word = true),
+    // Maison de la Simulation (:4231)
+    r(4210125654L, "mdls", "mdls", word = true),
+    // Maison Européenne des Sciences de l'Homme et de la Société (:4235)
+    r(4210093229L, "meshs", "meshs", word = true),
+    // Maladies Infectieuses et Vecteurs: Écologie, Génétique, Évolution et Contrôle (:4239)
+    r(4210087127L, "mivegec", "mivegec", word = true),
+    // Marine Biodiversity Exploitation and Conservation (:4243)
+    r(4210149887L, "marbec", "marbec", word = true),
+    // Marrow Adiposity & Bone Lab (:4247)
+    r(4387154812L, "mablab", "mablab", word = true),
+    // Mathématiques Appliquées à Paris 5 (:4251)
+    r(4387154995L, "map5", "map5", word = true),
+    // Matrice Extracellulaire et Dynamique Cellulaire MEDyC (:4255)
+    r(4387155780L, "medyc", "medyc", word = true),
+    // Mécanismes moléculaires dans les démences neurodégénératives (:4259)
+    r(4387152481L, "mmdn", "mmdn", word = true),
+    // Médicaments et Molécules pour Agir sur les Systèmes Vivants (:4263)
+    r(4387154141L, "m2sv", "m2sv", word = true),
+    // Mère et Enfant en Milieu Tropical (:4267)
+    r(4210093064L, "merit", "merit", word = true),
+    // Microbe, Intestine, Inflammation and Host Susceptibility (:4271)
+    r(4210123714L, "m2ish", "m2ish", word = true),
+    // Microbiologie Environnement Digestif Santé (:4275)
+    r(4210133202L, "medis", "medis", word = true),
+    // Microenvironment and B-cells: Immunopathology, Cell, Differentiation and Cancer (:4279)
+    r(4387154398L, "mobidic", "mobidic", word = true),
+    // Miniaturisation pour la Synthèse, l'Analyse et la Protéomique (:4283)
+    r(4210123347L, "msap", "msap", word = true),
+    // Molecular and Atmospheric Spectrometry Group (:4287)
+    r(4210130789L, "gsma", "gsma", word = true),
+    // Montpellier Laboratory of Informatics, Robotics and Microelectronics (:4291)
+    r(4210101743L, "lirmm", "lirmm", word = true),
+    // Movement, Sport and health Sciences Laboratory (:4295)
+    r(4210160484L, "m2s", "m2s", word = true),
+    // Normandie Innovation Marché Entreprise Consommation (:4299)
+    r(4387153363L, "nimec", "nimec", word = true),
+    // Nutrition, métabolismes et cancer (:4303)
+    r(4387156410L, "numecan", "numecan", word = true),
+    // Observatoire de Physique du Globe de Clermont-Ferrand (:4307)
+    r(4210111874L, "opgc", "opgc", word = true),
+    // Observatoire des Sciences de l'Univers de Rennes (:4311)
+    r(4387156395L, "osur", "osur", word = true),
+    // Observatoire des Sciences de l'Univers OREME (:4315)
+    r(4387155600L, "oreme", "oreme", word = true),
+    // Optimisation Thérapeutique en Neuropsychopharmacologie (:4319)
+    r(4387154652L, "variapsy", "variapsy", word = true),
+    // Organic and Analytical Chemistry Laboratory (:4323)
+    r(4210152404L, "cobra", "cobra", word = true),
+    // Paris Cardiovascular Research Center (:4327)
+    r(4210131199L, "parcc", "parcc", word = true),
+    // Pathologies Pulmonaires et Plasticité Cellulaire (:4331)
+    r(4387154171L, "p3cell", "p3cell", word = true),
+    // Pharmacochimie et Pharmacologie pour le Développement (:4335)
+    r(4210140430L, "pharma", "pharma dev", word = true),
+    // PhysicoChimie des Processus de Combustion et de l'Atmosphère (:4339)
+    r(4210139807L, "pc2a", "pc2a", word = true),
+    // Physiology & Experimental Medicine of the Heart and Muscles (:4343)
+    r(4210086516L, "phymedexp", "phymedexp", word = true),
+    // Physique et Mécanique des Milieux Hétérogènes (:4347)
+    r(4210133938L, "pmmh", "pmmh", word = true),
+    // Plateformes Lilloises en Biologie et Santé (:4351)
+    r(4387153745L, "plbs", "plbs", word = true),
+    // Pôle de Recherche pour l'Organisation et la Diffusion de l'Information Géographique (:4355)
+    r(4210087727L, "prodig", "prodig", word = true),
+    // Population and Development Center (:4359)
+    r(4210091642L, "ceped", "ceped", word = true),
+    // Protéomique, Réponse Inflammatoire et Spectrométrie de Masse (:4363)
+    r(4210164350L, "prism", "prism", word = true),
+    // Psychologie : Interactions, Temps, Emotions, Cognition (:4367)
+    r(4387154736L, "psitec", "psitec", word = true),
+    // Recherches Translationnelles sur le VIH et les Maladies Infectieuses (:4371)
+    r(4387153971L, "transvihmi", "transvihmi", word = true),
+    // Research Institute in Astrophysics and Planetology (:4375)
+    r(4210165452L, "irap", "irap", word = true),
+    // Research Institute on the Foundations of Computer Science (:4379)
+    r(4210117673L, "irif", "irif", word = true),
+    // Réseau interdisciplinaire pour l'aménagement, l'observation et la cohésion des territoires européens (:4383)
+    r(4387153667L, "riate", "riate", word = true),
+    // Sciences Cognitives et Sciences Affectives (:4387)
+    r(4210166223L, "scalab", "scalab", word = true),
+    // Sciences, Philosophie, Histoire (:4391)
+    r(4210150713L, "sphere", "sphere", word = true),
+    // South European Center for Political Studies (:4395)
+    r(4210126751L, "cepel", "cepel", word = true),
+    // SPPIN - Saints-Pères Paris Institute for Neurosciences (:4399)
+    r(4387154016L, "sppin", "sppin", word = true),
+    // Stabilité Génétique, Cellules Souches et Radiations (:4403)
+    r(4387152861L, "sgcsr", "sgcsr", word = true),
+    // STIC Research Centre (:4407)
+    r(4210100943L, "crestic", "crestic", word = true),
+    // Stress Environnementaux et Biosurveillance des Milieux Aquatiques (:4411)
+    r(4210142992L, "sebio", "sebio", word = true),
+    // Systèmes avancés de délivrance de principes actifs (:4415)
+    r(4387155654L, "adds", "adds", word = true),
+    // Territoires, Villes, Environnement & Société (:4419)
+    r(4210154078L, "tves", "tves", word = true),
+    // Toxalim Research Centre in Food Toxicology (:4423)
+    r(4210100066L, "toxalim", "toxalim", word = true),
+    // Transporteurs, Imagerie et Radiothérapie en Oncologie - Mécanismes Biologiques des Altérations du Tissu Osseux (:4427)
+    r(4387152173L, "tiro", "tiro mato", word = true),
+    // Unité de Glycobiologie Structurale et Fonctionnelle (:4431)
+    r(4210118174L, "ugsf", "ugsf", word = true),
+    // Unité de Recherche en Biomatériaux Innovant et Interfaces (:4435)
+    r(4387155632L, "urb2i", "urb2i", word = true),
+    // Unite de recherche migrations et sociétés (:4439)
+    r(4387154975L, "urmis", "urmis", word = true),
+    // Unité de Recherche Pluridisciplinaire Sport, Santé, Société (:4443)
+    r(4210136412L, "urepsss", "urepsss", word = true),
+    // Unité de Taphonomie Médico-Légale (:4447)
+    r(4387153599L, "utml", "utml a", word = true),
+    // Unité de Technologies Chimiques et Biologiques pour la Santé (:4451)
+    r(4210139070L, "utcbs", "utcbs", word = true),
+    // Virologie et Immunologie Moléculaires (:4455)
+    r(4210114484L, "vim", "vim", word = true),
+    // Western Institute of Law and Europe (:4459)
+    r(4210128017L, "iode", "iode", word = true),
+    // Polymères, Biopolymères, Surfaces (:4464)
+    r(4210140452L, "pbs", "pbs", word = true, req = "aignan"),
+    // Laboratoire de Météorologie Physique (:4469)
+    r(4210133081L, "lamp", "lamp", word = true, req = "aubière"),
+    // Laboratoire Vision Action Cognition (:4474)
+    r(4210135853L, "vac", "vac", word = true, req = "boulogne"),
+    // Memory and Cognition Laboratory (:4478)
+    r(4210124483L, "lmc", "lmc", word = true, req = "boulogne"),
+    // Centre de recherche bretonne et celtique (:4483)
+    r(4387155747L, "crbc", "crbc", word = true, req = "brest"),
+    // Laboratoire Morphodynamique Continentale et Côtière (:4488)
+    r(4387154573L, "m2c", "m2c", word = true, req = "caen"),
+    // Laboratoire d'Excellence TULIP (:4493)
+    r(4387153282L, "tulip", "tulip", word = true, req = "castanet"),
+    // Centre d'Investigation Clinique de Vaccinologie Cochin-Pasteur (:4498)
+    r(4387156468L, "cic", "cic", word = true, req = "cochin pasteur"),
+    // Laboratoire Interuniversitaire des Systèmes Atmosphériques (:4503)
+    r(4210135273L, "lisa", "lisa", word = true, req = "créteil"),
+    // Station d'Écologie Théorique et Expérimentale (:4508)
+    r(4210162824L, "sete", "sete", word = true, req = "foix"),
+    // Astrophysique, Instrumentation et Modélisation (:4513)
+    r(4210086977L, "aim", "aim", word = true, req = "gif sur yvette"),
+    // Soutenabilité et Résilence (:4518)
+    r(4387155194L, "source", "source", word = true, req = "guyancourt"),
+    // Center for Infection and Immunity of Lille (:4523)
+    r(4210098529L, "ciil", "ciil", word = true, req = "lille"),
+    // Centre d'Histoire Judiciaire (:4527)
+    r(4387154580L, "chj", "chj", word = true, req = "lille"),
+    // Centre d'Investigation Clinique - Innovation Technologique de Lille (:4531)
+    r(4387154933L, "cic", "cic", word = true, req = "lille"),
+    // Centre de Recherche Droits et Perspectives du droit (:4535)
+    r(4387153790L, "crdp", "crdp", word = true, req = "lille"),
+    // Evaluation des technologies de santé et des pratiques médicales (:4539)
+    r(4387155751L, "metrics", "metrics", word = true, req = "lille"),
+    // Institut de Biologie de Lille (:4543)
+    r(4210163910L, "ibl", "ibl", word = true, req = "lille"),
+    // Institute for Translational Research in Inflammation (:4547)
+    r(4387152267L, "infinite", "infinite", word = true, req = "lille"),
+    // Laboratory of Catalysis and Solid State Chemistry (:4551)
+    r(4210141930L, "uccs", "uccs", word = true, req = "lille"),
+    // Lille Économie Management (:4555)
+    r(4210159017L, "lem", "lem", word = true, req = "lille"),
+    // Recherche translationnelle sur le diabète (:4559)
+    r(4387154483L, "trd", "trd", word = true, req = "lille"),
+    // Unité de Mécanique de Lille - Joseph Boussinesq (:4563)
+    r(4387155272L, "uml", "uml", word = true, req = "lille"),
+    // Botany and Modelling of Plant Architecture and Vegetation (:4568)
+    r(4210121611L, "amap", "amap", word = true, req = "montpellier"),
+    // Center for Environmental Economics - Montpellier (:4572)
+    r(4387156380L, "cee", "cee m", word = true, req = "montpellier"),
+    r(4387156380L, "ceem", "ceem", word = true, req = "montpellier"),
+    // Centre d'Écologie Fonctionnelle et Évolutive (:4578)
+    r(4210089824L, "cefe", "cefe", word = true, req = "montpellier"),
+    // Centre de Biochimie Structurale (:4582)
+    r(4210100279L, "cbs", "cbs", word = true, req = "montpellier"),
+    // Centre for Biochemical and Macromolecular Research (:4586)
+    r(4210113016L, "crbm", "crbm", word = true, req = "montpellier"),
+    // Institut d'Électronique et des Systèmes (:4590)
+    r(4210134800L, "ies", "ies", word = true, req = "montpellier"),
+    // Institut de Génomique Fonctionnelle (:4594)
+    r(4210156758L, "igf", "igf", word = true, req = "montpellier"),
+    // Institut Européen des Membranes (:4598)
+    r(4210159287L, "iem", "iem", word = true, req = "montpellier"),
+    // Institute of Human Genetics (:4602)
+    r(4210163339L, "igh", "igh", word = true, req = "montpellier"),
+    // Laboratoire Charles Coulomb (:4606)
+    r(4210128986L, "l2c", "l2c", word = true, req = "montpellier"),
+    // Laboratoire des Symbioses Tropicales et Méditerranéennes (:4610)
+    r(4210165061L, "lstm", "lstm", word = true, req = "montpellier"),
+    // Laboratory HydroSciences Montpellier (:4614)
+    r(3019667749L, "hsm", "hsm", word = true, req = "montpellier"),
+    // Sciences pour L'Œnologie (:4618)
+    r(4210147867L, "spo", "spo", word = true, req = "montpellier"),
+    // Centre François Viète (:4623)
+    r(4387153064L, "cfv", "cfv", word = true, req = "nantes"),
+    // Institut de Chimie de Nice (:4628)
+    r(4210086528L, "icn", "icn", word = true, req = "nice"),
+    // Institute of Biology Valrose (:4632)
+    r(4210117840L, "ibv", "ibv", word = true, req = "nice"),
+    // Maison des Sciences de l'Homme et de la Société Sud-Est (:4636)
+    r(4387153586L, "mshs", "mshs", word = true, req = "nice"),
+    // Observatoire de la Côte d'Azur (:4640)
+    r(4210126779L, "oca", "oca", word = true, req = "nice"),
+    // Bacterial Virulence and Chronic Infections (:4645)
+    r(4387154649L, "vbic", "vbic", word = true, req = "nîmes"),
+    r(4387154649L, "vbmi", "vbmi", word = true, req = "nîmes"),
+    // Astroparticle and Cosmology Laboratory (:4652)
+    r(2802090066L, "apc", "apc", word = true, req = "paris"),
+    // Centre de Recherche des Cordeliers (:4656)
+    r(4210092322L, "crc", "crc", word = true, req = "paris"),
+    // Epigenetics and Cell Fate (:4660)
+    r(4210131858L, "edc", "edc", word = true, req = "paris"),
+    // HIPI - Human Immunology, Pathophysiology and Immunotherapy (:4664)
+    r(4387154437L, "hipi", "hipi", word = true, req = "paris"),
+    // Histoire des Théories Linguistiques (:4668)
+    r(4387155844L, "htl", "htl", word = true, req = "paris"),
+    // Institut Droit et Santé (:4672)
+    r(4387152995L, "ids", "ids", word = true, req = "paris"),
+    // Institut Jacques Monod (:4676)
+    r(4210113761L, "ijm", "ijm", word = true, req = "paris"),
+    // Institute of Ecology and Environmental Sciences Paris (:4680)
+    r(4210134846L, "iees", "iees", word = true, req = "paris"),
+    // International College of Territorial Sciences (:4684)
+    r(4210088804L, "cist", "cist", word = true, req = "paris"),
+    // Laboratoire d'Electrochimie Moléculaire (:4688)
+    r(4210131283L, "lem", "lem", word = true, req = "paris"),
+    // Laboratoire de Linguistique Formelle (:4692)
+    r(4210114212L, "llf", "llf", word = true, req = "paris"),
+    // Laboratoire ICT (:4696)
+    r(3018794593L, "ict", "ict", word = true, req = "paris"),
+    // Laboratoire Matière et Systèmes Complexes (:4700)
+    r(4210127056L, "msc", "msc", word = true, req = "paris"),
+    // Laboratory Materials and Quantum Phenomena (:4704)
+    r(4210133036L, "mpq", "mpq", word = true, req = "paris"),
+    // Laboratory of Theoretical Biochemistry (:4708)
+    r(4210094297L, "lbt", "lbt", word = true, req = "paris"),
+    // Laboratory Preuves, Programmes et Systèmes (:4712)
+    r(4210139011L, "pps", "pps", word = true, req = "paris"),
+    // Pathologie et Virologie Moléculaire (:4716)
+    r(4210086835L, "pvm", "pvm", word = true, req = "paris"),
+    // The Centre for Studies on China, Korea and Japan (:4720)
+    r(4210125567L, "ccj", "ccj", word = true, req = "paris"),
+    // Unit of Functional and Adaptive Biology (:4724)
+    r(4210137329L, "bfa", "bfa", word = true, req = "paris"),
+    // Geo-Ocean (:4729)
+    r(4387153566L, "lgo", "lgo", word = true, req = "plouzané"),
+    // Fractionnation of AgroResources and Environment (:4734)
+    r(4210086276L, "fare", "fare", word = true, req = "reims"),
+    // Laboratoire de Mathématiques de Reims (:4738)
+    r(4387156098L, "lmr", "lmr", word = true, req = "reims"),
+    // Centre de droit des affaires (:4743)
+    r(4387152641L, "cda", "cda", word = true, req = "rennes"),
+    // Centre de Recherche en Économie et Management (:4747)
+    r(4210088544L, "crem", "crem", word = true, req = "rennes"),
+    // CIC Rennes (:4751)
+    r(4210116274L, "cic", "cic", word = true, req = "rennes"),
+    // Institut de Physique de Rennes (:4755)
+    r(4210109443L, "ipr", "ipr", word = true, req = "rennes"),
+    // Oncogenesis Stress Signaling (:4759)
+    r(4210090689L, "oss", "oss", word = true, req = "rennes"),
+    // Nutrition, Inflammation et axe Microbiote-Intestin-Cerveau (:4764)
+    r(4387154241L, "aden", "aden", word = true, req = "rouen"),
+    // Groupe de Physique des Matériaux (:4769)
+    r(4210130800L, "gpm", "gpm", word = true, req = "seine port"),
+    // Télescope Bernard Lyot (:4774)
+    r(4387154879L, "tbl", "tbl", word = true, req = "tarbes"),
+    // Cancer Research Center of Toulouse (:4779)
+    r(4210087620L, "crct", "crct", word = true, req = "toulouse"),
+    // Centre d'Investigation Clinique 1436 (:4783)
+    r(4387156050L, "cic", "cic", word = true, req = "toulouse"),
+    // Géosciences Environnement Toulouse (:4787)
+    r(4210164289L, "get", "get", word = true, req = "toulouse"),
+    // Institut Clément Ader (:4791)
+    r(4210130254L, "ica", "ica", word = true, req = "toulouse"),
+    // Laboratoire de Génie Chimique (:4795)
+    r(4210087602L, "lgc", "lgc", word = true, req = "toulouse"),
+    // Laboratoire Epidémiologie et Analyses en Santé Publique : Risques, Maladies Chroniques et Handicaps (:4799)
+    r(4210127234L, "leasp", "leasp", word = true, req = "toulouse"),
+    // Laboratory Evolution and Biological Diversity (:4803)
+    r(4210122570L, "edb", "edb", word = true, req = "toulouse"),
+    // Research Centre on Animal Cognition (:4807)
+    r(4210098684L, "crca", "crca", word = true, req = "toulouse"),
+    // RESTORE (:4811)
+    r(4387152741L, "restore", "restore", word = true, req = "toulouse"),
+    // Toulouse Mathematics Institute (:4815)
+    r(84500057L, "imt", "imt", word = true, req = "toulouse"),
+    // Institut Sophia Agrobiotech (:4820)
+    r(4210153141L, "isa", "isa", word = true, req = "valbonne"),
+    // Laboratoire de Mathématiques de Versailles (:4825)
+    r(4387152735L, "lmv", "lmv", word = true, req = "versailles"),
+    // Laboratoire d'Optique Atmosphérique (:4830)
+    r(4210123210L, "loa", "loa", word = true, req = "villeneuve"),
+    // Laboratoire Paul Painlevé (:4834)
+    r(4210145948L, "lpp", "lpp", word = true, req = "villeneuve"),
+    // Savoirs, Textes, Langage (:4838)
+    r(4210087136L, "stl", "stl", word = true, req = "villeneuve"),
+    // Unité Matériaux et Transformations (:4842)
+    r(4210143235L, "umet", "umet", word = true, req = "villeneuve"),
+    // Laboratoire d'Océanologie et de Géosciences (:4847)
+    r(4210161208L, "log", "log", word = true, req = "wimereux")
+  )
+
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

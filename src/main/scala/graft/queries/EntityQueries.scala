@@ -266,6 +266,26 @@ object EntityQueries {
     * re-evaluates the SAME rule rows (VALUES mirror) over the same
     * normalization in DuckDB. */
   private[queries] val q64Templates: Seq[String] = Seq(
+    // batches 13-14 (the mechanically-entered acronym tail: plain
+    // word-bounded acronyms, hyphen/apostrophe forms, diacritic
+    // variants, city require-gates with a gate-miss negative, the
+    // double-id DIADE blocks, and the Tunis conjunction + phrase rules)
+    "CRIStAL, Université de Lille, France",
+    "ART-Dev, Université Paul Valéry, Montpellier",
+    "C'Nano IdF, Île-de-France",
+    "CLERSÉ, Villeneuve d'Ascq, France",
+    "UMET, Villeneuve d'Ascq, France",
+    "UMET, Lyon, France",
+    "LMV, Université Clermont Auvergne",
+    "LMV, Université de Versailles Saint-Quentin",
+    "DIADE, Univ de Montpellier",
+    "IRISA, Rennes, France",
+    "GEPI, Observatoire de Paris, Meudon",
+    "CHU de Nice, Hôpital Pasteur, Nice",
+    "SETE, Moulis, Foix, France",
+    "Université de Tunis El Manar, Tunis, Tunisia",
+    "University of Tunis Manar, Tunisia",
+    "Tunis Business School, Tunis",
     // batch 12 (UCL, Radboud, UPC, JHU, Mainz)
     "University College London, Gower Street, London",
     "UCL Queen Square Institute of Neurology, London",

@@ -195,6 +195,36 @@ class ServeLlmSpec extends AnyFunSuite {
     assert(!out(4L).contains(154526488L))
   }
 
+  test("AffiliationRules batches 13-14: acronym tail, city gates, " +
+    "double-id DIADE, Tunis conjunction") {
+    import graft.entities.{AffiliationMatcher, AffiliationRules}
+    val affils = Seq(
+      (1L, 0, "CRIStAL, Université de Lille, France"),
+      (2L, 0, "UMET, Villeneuve d'Ascq, France"), // gated: hit
+      (3L, 0, "UMET, Lyon, France"), // gate miss
+      // ungated Clermont LMV + Versailles-gated LMV both append
+      (4L, 0, "LMV, Université de Versailles Saint-Quentin"),
+      (5L, 0, "DIADE, Univ de Montpellier"), // two reference blocks, two ids
+      (6L, 0, "Université de Tunis El Manar, Tunisia"), // conjunction
+      (7L, 0, "University of Tunis Manar"), // el-free phrase branch
+      (8L, 0, "Tunis Business School"), // tunis alone: no match
+      (9L, 0, "C'Nano IdF, Paris"))
+      .toDF("work_id", "author_seq", "affiliation_string")
+    val out = AffiliationMatcher.matchInstitutions(
+        affils, AffiliationRules.df(spark))
+      .select(col("work_id"), col("institution_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(4387153239L))
+    assert(out(2L) == Seq(4210143235L))
+    assert(out(3L).isEmpty)
+    assert(out(4L) == Seq(4210125915L, 4387152735L))
+    assert(out(5L) == Seq(4210117822L, 4387156163L))
+    assert(out(6L) == Seq(63596082L))
+    assert(out(7L) == Seq(63596082L))
+    assert(out(8L).isEmpty)
+    assert(out(9L) == Seq(4210114404L))
+  }
+
   test("LayoutWriter: clustered parquet enables min/max range pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = spark.range(0, 10000).toDF("id")
