@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""Dev-only draft generator for AffiliationRules batch 15: the
+remaining ids of the France mega-block (affiliation_string_parsing.py
+:384-1464). Emits r(...) rows in the established file idioms — acronym
+word-rows, unit-number row pairs (tok 'umr8003' + tok 'umr'), full-name
+pattern rows with a distinctive blocking token, GRC n° require-regex
+rows — for review before landing. Only leaf appends whose id is absent
+from AffiliationRules.scala are emitted."""
+import ast, re, unicodedata, collections
+
+SRC = '/root/reference/notebooks/institutions/affiliation_string_parsing.py'
+src = open(SRC).read()
+tree = ast.parse(src)
+fn = [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+      and n.name == 'match_affiliation_to_institution_ids'][0]
+scala = open('/root/repo/src/main/scala/graft/entities/AffiliationRules.scala').read()
+have = set(int(m) for m in re.findall(r'r\((\d+)L', scala))
+lines = src.split('\n')
+
+def norm(s):
+    s = s.lower()
+    s = ''.join(c if (c.isalnum() or c == ' ') else ' ' for c in s)
+    return re.sub(' +', ' ', s).strip()
+
+STOP = set('''de la des et en du le les pour sur un une d l aux au dans
+ sciences science recherche recherches laboratoire institut centre unite
+ mixte groupe clinique universite university paris france etude etudes
+ equipe federation'''.split())
+
+def pick_token(pat):
+    toks = [t for t in pat.split(' ') if len(t) >= 3 and t not in STOP]
+    if not toks:
+        toks = [t for t in pat.split(' ') if t]
+    return max(toks, key=len) if toks else pat.split(' ')[0]
+
+UNIT = re.compile(r'^\\b\(?([A-Za-zÉé|_ ?\[\]-]+?)\)?\[?[ _-]*\]?\??\[? ?\]?\??(\(?[0-9|]+\)?)\\b$')
+
+rows = []        # (id, tok, pattern, word, req, comment)
+warn = []
+
+def gate_req(gates):
+    gs = [g for g in gates if g]
+    if not gs:
+        return None
+    if len(gs) == 1:
+        return gs[0]
+    a, b = gs[0], gs[1]
+    return f'{a}.*({b})|({b}).*{a}'
+
+def emit_regex(rx, iid, gates, cmt):
+    """compile a re.search pattern into rows."""
+    m = re.match(r'^\\b([A-Za-zÉéèÈ0-9&-]+)\\b$', rx)
+    if m:  # plain acronym / hyphenated acronym
+        p = norm(m.group(1))
+        rows.append((iid, p.split(' ')[0], p, True, gate_req(gates), cmt))
+        return
+    m = re.match(r'^\\b([A-Z]+)\[ -\]([A-Z]+)\\b$', rx)
+    if m:  # mandatory separator: GRC[ -]RIC
+        p = f'{norm(m.group(1))} {norm(m.group(2))}'
+        rows.append((iid, norm(m.group(1)), p, True, gate_req(gates), cmt))
+        return
+    # unit numbers: (UMS|UAR)[ -]?3455, EA[ -]?1496, UR[ -]?(6|06),
+    # FR[ -]?2687, UMS[ -]?(28|028), (UMRS?[_ -]?[_ -]?S?|U)[ ]?933
+    m = re.match(r'^\\b\(?([A-Za-z?|_\[\] -]+)\)?\[?[_ -]*\]?\?\[? ?\]?\??(\(?[0-9|]+\)?)\\b$', rx)
+    if not m:
+        m = re.match(r'^\\b\(?([A-Za-z?|]+)\)?\[[ _-]+\]\?(\(?[0-9|]+\)?)\\b$', rx)
+    if m:
+        pres, nums = m.group(1), m.group(2).strip('()')
+        pres = pres.replace('[_ -]?', '').replace('[ ]?', '').strip('()')
+        prefixes = []
+        for p in pres.split('|'):
+            p = p.strip()
+            if not p:
+                continue
+            if p.endswith('S?'):
+                prefixes += [p[:-2], p[:-2] + 's']
+            elif p.endswith('?'):
+                prefixes += [p[:-1]]
+            else:
+                prefixes.append(p)
+        for p in prefixes:
+            p = norm(p)
+            if not p:
+                continue
+            for n in nums.split('|'):
+                rows.append((iid, f'{p}{n}', f'{p}{n}', True,
+                             gate_req(gates), cmt))
+                rows.append((iid, p, f'{p} {n}', True, gate_req(gates), cmt))
+        return
+    # GRC n° pattern
+    m = re.match(r"^\\b\(Groupe de Recherche Clinique\|GRC\)\{1\}.*\?(\(?[0-9|]+\)?)\\b$", rx)
+    if m:
+        nums = m.group(1).strip('()')
+        alt = '|'.join(sorted(set(nums.split('|'))))
+        rows.append((iid, 'grc', 'grc', True,
+                     f'\\bgrc ?(no?)? ?({alt})\\b', cmt))
+        rows.append((iid, 'clinique', 'groupe de recherche clinique', False,
+                     f'\\bgroupe de recherche clinique ?(no?)? ?({alt})\\b',
+                     cmt))
+        for n in set(nums.split('|')):
+            rows.append((iid, f'grc{n}', f'grc{n}', True,
+                         gate_req(gates), cmt))
+        return
+    warn.append(f'REGEX unhandled for {iid}: {rx}')
+
+def emit_name(s, iid, gates, cmt):
+    p = norm(s)
+    rows.append((iid, pick_token(p), p, False, gate_req(gates), cmt))
+
+def gate_of(test):
+    """compile a gate test to a normalized require fragment or None."""
+    try:
+        if isinstance(test, ast.Compare) and isinstance(test.ops[0], ast.In):
+            return norm(test.left.value)
+        if isinstance(test, ast.Call) and ast.unparse(test.func) == 'any':
+            items = [norm(c.value) for c in test.args[0].generators[0].iter.elts]
+            return '|'.join(items)
+    except Exception:
+        pass
+    return None
+
+def walk(body, gates, outer_cmt=''):
+    for stmt in body:
+        if isinstance(stmt, ast.If):
+            # leaf chain? every branch body is [affs.append(id)]
+            branches = []
+            node, leafy = stmt, True
+            chain = []
+            cur = stmt
+            while True:
+                chain.append((cur.test, cur.body))
+                o = cur.orelse
+                if len(o) == 1 and isinstance(o[0], ast.If):
+                    cur = o[0]
+                elif not o:
+                    break
+                else:
+                    chain.append((None, o))
+                    break
+            def leaf_id(b):
+                if len(b) == 1 and isinstance(b[0], ast.Expr) and \
+                   isinstance(b[0].value, ast.Call) and \
+                   ast.unparse(b[0].value.func) == 'affs.append':
+                    return b[0].value.args[0].value
+                return None
+            ids = [leaf_id(b) for _, b in chain]
+            if all(i is not None for i in ids):
+                cmt = ''
+                for back in range(stmt.lineno - 2, stmt.lineno - 5, -1):
+                    s2 = lines[back].strip()
+                    if s2.startswith('#'):
+                        cmt = s2.lstrip('# ').strip()
+                        break
+                for (test, _), iid in zip(chain, ids):
+                    if iid in have or iid is None:
+                        continue
+                    if test is None:
+                        warn.append(f'ELSE leaf for {iid} (hand-port)')
+                        continue
+                    emit_test(test, iid, gates, cmt)
+                continue
+            # otherwise: descend with this gate
+            g = gate_of(stmt.test)
+            if g is None and any(
+                    leaf_id(b) not in have and leaf_id(b) is not None
+                    for _, b in chain):
+                pass
+            for test, b in chain:
+                g2 = gate_of(test) if test is not None else None
+                walk(b, gates + [g2])
+            continue
+
+def emit_test(test, iid, gates, cmt):
+    if isinstance(test, ast.Call) and ast.unparse(test.func) == 're.search':
+        emit_regex(test.args[0].value, iid, gates, cmt)
+        return
+    if isinstance(test, ast.Compare) and isinstance(test.ops[0], ast.In):
+        left = test.left
+        if isinstance(left, ast.Constant):
+            emit_name(left.value, iid, gates, cmt)
+            return
+        if isinstance(left, ast.Call):  # "x".lower()
+            emit_name(left.func.value.value, iid, gates, cmt)
+            return
+    if isinstance(test, ast.Call) and ast.unparse(test.func) == 'any':
+        for c in test.args[0].generators[0].iter.elts:
+            v = c if isinstance(c, ast.Constant) else None
+            if v is not None:
+                emit_name(v.value, iid, gates, cmt)
+            elif isinstance(c, ast.Call):
+                emit_name(c.func.value.value, iid, gates, cmt)
+            else:
+                warn.append(f'any-item unhandled for {iid}: {ast.unparse(c)[:60]}')
+        return
+    if isinstance(test, (ast.BoolOp, ast.BinOp)):
+        warn.append(f'BOOL test for {iid}: {ast.unparse(test)[:90]} (hand)')
+        return
+    warn.append(f'TEST unhandled for {iid}: {ast.unparse(test)[:90]}')
+
+# locate the France any-gate block (:384)
+france = [n for n in ast.walk(fn) if isinstance(n, ast.If)
+          and n.lineno == 384][0]
+walk(france.body, [])
+
+print(f'// {len(rows)} draft rows, {len(warn)} warnings')
+for w in warn:
+    print('// WARN', w)
+seen = set()
+for iid, tok, pat, word, req, cmt in rows:
+    key = (iid, tok, pat, req)
+    if key in seen:
+        continue
+    seen.add(key)
+    args = [str(iid) + 'L', f'"{tok}"', f'"{pat}"']
+    extra = []
+    if word:
+        extra.append('word = true')
+    if req:
+        rq = req.replace('\\', '\\\\').replace('"', '\\"')
+        extra.append(f'req = "{rq}"')
+    print(f'    r({", ".join(args + extra)}), // {cmt}')

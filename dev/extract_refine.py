@@ -1,0 +1,461 @@
+#!/usr/bin/env python3
+"""Dev-only extraction aid for porting the reference's
+process_current_affiliation_with_ids cascade (affiliation_string_parsing
+.py:4880-7187) into the AffiliationRefineRules data table.
+
+Emits a DRAFT of the Scala rule rows (reviewed by hand before landing)
+plus a report of blocks the trace model cannot express (hand-ported).
+
+Trace model: each top-level if-block flattens into "execution traces" —
+root-to-leaf paths through its nested if/elif/else chains. A trace
+carries the POSITIVE tests along its path, the actions accumulated in
+order, and a lexicographic branch-index priority. Per (row, block),
+the minimum-priority trace whose conditions all hold is applied;
+fall-through traces (no condition, lowest priority per chain) make
+negations unnecessary: an earlier branch that fires shadows everything
+after it exactly like Python's elif.
+
+Sequential cross-block chains (a block reading an id an earlier block
+added/removed) force stage boundaries; within a stage all blocks
+evaluate against the stage input.
+"""
+import ast, sys, re, collections
+
+SRC = '/root/reference/notebooks/institutions/affiliation_string_parsing.py'
+src = open(SRC).read()
+lines = src.split('\n')
+tree = ast.parse(src)
+fn = [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+      and n.name == 'process_current_affiliation_with_ids'][0]
+
+# ---------- condition compilation ----------------------------------------
+# literal kinds: ('ids', [ids...]) any-present | ('none', [ids...]) all-absent
+#                ('str', neg, ci, isre, [terms...]) | ('size', n) len>n
+LOCALS = {}
+
+def const_list(e):
+    if isinstance(e, ast.Name) and e.id in LOCALS:
+        e = LOCALS[e.id]
+    if isinstance(e, (ast.List, ast.Tuple)):
+        return [c.value for c in e.elts]
+    raise Unsupported(f'not a literal list: {ast.unparse(e)[:60]}')
+
+class Unsupported(Exception):
+    pass
+
+def const_val(e):
+    try:
+        return ast.literal_eval(e)
+    except Exception:
+        return None
+
+def compile_test(t):
+    """test AST -> list of literals (conjunction). Raises Unsupported."""
+    if isinstance(t, ast.BoolOp) and isinstance(t.op, ast.And):
+        out = []
+        for v in t.values:
+            out += compile_test(v)
+        return out
+    if isinstance(t, ast.BinOp) and isinstance(t.op, ast.BitAnd):
+        return compile_test(t.left) + compile_test(t.right)
+    if isinstance(t, ast.BoolOp) and isinstance(t.op, ast.Or) or \
+       isinstance(t, ast.BinOp) and isinstance(t.op, ast.BitOr):
+        parts = t.values if isinstance(t, ast.BoolOp) else [t.left, t.right]
+        lits = [compile_test(p) for p in parts]
+        if all(len(l) == 1 for l in lits):
+            flat = [l[0] for l in lits]
+            if all(l[0] == 'str' and l[1] is False for l in flat):
+                cis = set(l[2] for l in flat)
+                res = set(l[3] for l in flat)
+                if len(cis) == 1 and res == {False}:
+                    terms = [x for l in flat for x in l[4]]
+                    return [('str', False, flat[0][2], False, terms)]
+            if all(l[0] == 'ids' for l in flat):
+                return [('ids', [x for l in flat for x in l[1]])]
+        raise Unsupported('OR across literal kinds: ' + ast.unparse(t)[:80])
+    if isinstance(t, ast.UnaryOp) and isinstance(t.op, ast.Not):
+        inner = compile_test(t.operand)
+        if len(inner) == 1 and inner[0][0] == 'str':
+            l = inner[0]
+            return [('str', not l[1], l[2], l[3], l[4])]
+        raise Unsupported('NOT of non-string: ' + ast.unparse(t)[:80])
+    if isinstance(t, ast.Compare):
+        op, right = t.ops[0], t.comparators[0]
+        rs = ast.unparse(right)
+        if rs == 'current_affs' and isinstance(const_val(t.left), str):
+            # reference bug: a STRING tested against the id list is
+            # always False in Python — the branch never fires
+            return [('never',)]
+        if rs == 'current_affs' and const_val(t.left) is not None:
+            ids = [const_val(t.left)]
+            if isinstance(op, ast.In):
+                return [('ids', ids)]
+            if isinstance(op, ast.NotIn):
+                return [('none', ids)]
+        if rs in ('aff_string', 'aff_string.lower()'):
+            ci = rs.endswith('.lower()')
+            term = t.left.value
+            if isinstance(op, ast.In):
+                return [('str', False, ci, False, [term])]
+            if isinstance(op, ast.NotIn):
+                return [('str', True, ci, False, [term])]
+        if ast.unparse(t.left) == 'len(current_affs)' and isinstance(op, ast.Gt):
+            return [('size', right.value)]
+        raise Unsupported('compare: ' + ast.unparse(t)[:80])
+    if isinstance(t, ast.Call):
+        f = ast.unparse(t.func)
+        if f in ('any', 'all') and isinstance(t.args[0], ast.GeneratorExp):
+            gen = t.args[0]
+            inner = gen.elt
+            items = const_list(gen.generators[0].iter)
+            if isinstance(inner, ast.Compare):
+                rs = ast.unparse(inner.comparators[0])
+                if rs == 'current_affs' and f == 'any':
+                    return [('ids', items)]
+                if rs in ('aff_string', 'aff_string.lower()'):
+                    ci = rs.endswith('.lower()')
+                    if f == 'any':
+                        return [('str', False, ci, False, items)]
+                    return [('str', False, ci, False, [x]) for x in items]
+        if f == 're.search':
+            return [('str', False, False, True, [t.args[0].value])]
+        raise Unsupported('call: ' + ast.unparse(t)[:80])
+    raise Unsupported('test: ' + ast.unparse(t)[:80])
+
+# ---------- trace flattening ---------------------------------------------
+
+def is_guard(stmt):
+    """'if X in current_affs: current_affs.remove(X)' -> action remove X;
+       'if X not in current_affs: current_affs.append(X)' -> append X."""
+    if not (isinstance(stmt, ast.If) and not stmt.orelse and
+            len(stmt.body) == 1):
+        return None
+    b = stmt.body[0]
+    if not (isinstance(b, ast.Expr) and isinstance(b.value, ast.Call)):
+        return None
+    f = ast.unparse(b.value.func)
+    t = stmt.test
+    if not isinstance(t, ast.Compare) or \
+       ast.unparse(t.comparators[0]) != 'current_affs':
+        return None
+    tid = const_val(t.left)
+    aid = const_val(b.value.args[0])
+    if tid is None or aid != tid:
+        return None
+    if f == 'current_affs.remove' and isinstance(t.ops[0], ast.In):
+        return ('rm', aid)
+    if f == 'current_affs.append' and isinstance(t.ops[0], ast.NotIn):
+        return ('add', aid)
+    return None
+
+def chain_branches(node):
+    """If node -> [(test|None, body)] for the if/elif/else chain."""
+    out = [(node.test, node.body)]
+    o = node.orelse
+    while len(o) == 1 and isinstance(o[0], ast.If):
+        out.append((o[0].test, o[0].body))
+        o = o[0].orelse
+    if o:
+        out.append((None, o))
+    return out
+
+def action_of(stmt):
+    if isinstance(stmt, ast.Expr) and isinstance(stmt.value, ast.Call):
+        f = ast.unparse(stmt.value.func)
+        a = const_val(stmt.value.args[0])
+        if f == 'current_affs.append' and a is not None:
+            return ('add', a)
+        if f == 'current_affs.remove' and a is not None:
+            return ('rm', a)
+    return None
+
+def traces_of(body):
+    """Cartesian product flatten — only valid for bodies whose chains
+    carry real elif exclusivity. Raises Unsupported if a multi-branch
+    chain's branch body itself splits into multiple units."""
+    cur = [([], [], [])]
+    for stmt in body:
+        a = action_of(stmt)
+        if a:
+            for c in cur:
+                c[1].append(a)
+            continue
+        if isinstance(stmt, ast.Pass):
+            continue
+        g = is_guard(stmt)
+        if g:
+            for c in cur:
+                c[1].append(g)
+            continue
+        if isinstance(stmt, ast.If):
+            branches = chain_branches(stmt)
+            nxt = []
+            for conds, acts, prio in cur:
+                for i, (test, bod) in enumerate(branches):
+                    tl = compile_test(test) if test is not None else []
+                    for c2, a2, p2 in traces_of(bod):
+                        nxt.append((conds + tl + c2, acts + list(a2),
+                                    prio + [i] + p2))
+                if branches[-1][0] is not None:  # no else: fall-through
+                    nxt.append((conds, list(acts), prio + [len(branches)]))
+            cur = nxt
+            continue
+        raise Unsupported('stmt: ' + ast.unparse(stmt)[:80])
+    return cur
+
+def emit_units(body, conds, out):
+    """Split a body into independent units: one rule for its direct
+    actions, one group per single-branch chain (recursed), one
+    product-flattened group per multi-branch (elif) chain. Sibling
+    units evaluate against block-entry state (union semantics); the
+    interference checker reports any block where that deviates."""
+    acts = []
+    for stmt in body:
+        a = action_of(stmt) or is_guard(stmt)
+        if a:
+            acts.append((a, stmt.lineno))
+            continue
+        if isinstance(stmt, (ast.Pass,)):
+            continue
+        if isinstance(stmt, ast.Assign):
+            if isinstance(stmt.value, (ast.List, ast.Tuple)):
+                LOCALS[ast.unparse(stmt.targets[0])] = stmt.value
+                continue
+            raise Unsupported('assign: ' + ast.unparse(stmt)[:80])
+        if isinstance(stmt, ast.If):
+            branches = chain_branches(stmt)
+            if len(branches) == 1:
+                tl = compile_test(branches[0][0])
+                emit_units(branches[0][1], conds + tl, out)
+            else:
+                for c2, a2, p2 in traces_of([stmt]):
+                    out.append((f'c{stmt.lineno}', p2, conds + c2, a2,
+                                len(conds)))
+            continue
+        raise Unsupported('stmt: ' + ast.unparse(stmt)[:80])
+    if acts:
+        out.append((f'a{acts[0][1]}', [0], list(conds),
+                    [a for a, _ in acts], len(conds)))
+
+# ---------- chinese_medical_university_affs expansion --------------------
+
+def expand_cmu(call, lineno, note):
+    args = call.args  # aff_string, current_affs, id1, one_offs, adds, strs
+    id1 = args[2].value
+    one = const_list(args[3])
+    adds = const_list(args[4])
+    strs = const_list(args[5])
+    rules = []
+    trig = [id1] + one + adds
+    rules.append(dict(group=f'{lineno}', prio='000',
+                      conds=[('ids', trig)], adds=[id1], rms=[],
+                      note=note + ' (parent implied)'))
+    k = 0
+    for xi, x in enumerate(adds):
+        for yi, y in enumerate(adds):
+            if x == y:
+                continue
+            rules.append(dict(
+                group=f'{lineno}p{k}', prio='000',
+                conds=[('ids', [x]), ('str', False, False, False, [strs[yi]])],
+                adds=[y], rms=[x],
+                note=note + f' hospital swap {x}->{y}'))
+            k += 1
+    return rules
+
+# ---------- walk top-level blocks ----------------------------------------
+rules = []          # dict: group, prio, conds, adds, rms, note, line
+unsupported = []
+for stmt in fn.body:
+    lineno = stmt.lineno
+    # preceding comment
+    note = ''
+    for back in range(lineno - 2, max(lineno - 5, 0), -1):
+        s = lines[back].strip()
+        if s.startswith('#'):
+            note = s.lstrip('# ').strip()
+            break
+    if isinstance(stmt, ast.Assign):
+        if isinstance(stmt.value, (ast.List, ast.Tuple)):
+            LOCALS[ast.unparse(stmt.targets[0])] = stmt.value
+            continue
+        if isinstance(stmt.value, ast.Call) and \
+           ast.unparse(stmt.value.func) == 'chinese_medical_university_affs':
+            rules += expand_cmu(stmt.value, lineno, note)
+            continue
+        unsupported.append((lineno, ast.unparse(stmt)[:100]))
+        continue
+    if isinstance(stmt, ast.Return):
+        continue
+    if isinstance(stmt, ast.Expr) and isinstance(stmt.value, ast.Constant):
+        continue  # docstring
+    if isinstance(stmt, ast.If):
+        # the final 'if not current_affs: append(-1)' is operator logic
+        if ast.unparse(stmt.test) == 'not current_affs':
+            continue
+        # blocks with intra-block sequential reads, ported by hand
+        if lineno in (6407,):
+            unsupported.append((lineno, 'HAND-PORTED (Xiangya/CSU swap)'))
+            continue
+        try:
+            out = []
+            emit_units([stmt], [], out)
+        except Unsupported as e:
+            unsupported.append((lineno, str(e)))
+            continue
+
+        def sat(conds):
+            if any(c[0] == 'never' for c in conds):
+                return False
+            strs = [c for c in conds if c[0] == 'str']
+            for c in strs:
+                for d in strs:
+                    if c[1] != d[1] and c[2:] == d[2:]:
+                        return False
+            return True
+        by_g = collections.defaultdict(list)
+        npfx_g = {}
+        for gsuf, prio, conds, acts, npfx in out:
+            npfx_g[gsuf] = npfx
+            if sat(conds):
+                by_g[gsuf].append((prio, conds, acts))
+        for gsuf, trs in by_g.items():
+            # drop trailing all-empty-action traces (pure fall-through)
+            trs = [t for t in trs
+                   if t[2] or any(u[2] and u[0] > t[0] for u in trs)]
+            gid = f'{lineno}.{gsuf}'
+            npfx = npfx_g[gsuf]
+            for prio, conds, acts in trs:
+                adds = [a[1] for a in acts if a[0] == 'add']
+                rms = [a[1] for a in acts if a[0] == 'rm']
+                ps = '.'.join(f'{i:03d}' for i in prio)
+                over = set(adds) & set(rms)
+                if over:
+                    # Python list-count semantics: append(X) then
+                    # remove(X) leaves X present iff it was already
+                    # present (the duplicate survives). Split into two
+                    # prioritized set-semantics traces.
+                    assert len(over) == 1, (lineno, adds, rms)
+                    x = over.pop()
+                    seqx = [a[0] for a in acts if a[1] == x]
+                    assert seqx == ['add', 'rm'], (lineno, acts)
+                    rules.append(dict(
+                        group=gid, prio=ps + '.000',
+                        conds=conds + [('ids', [x])], adds=[],
+                        rms=[r for r in rms if r != x], note=note))
+                    rules.append(dict(
+                        group=gid, prio=ps + '.001',
+                        conds=conds, adds=[], rms=rms, note=note))
+                    continue
+                rules.append(dict(
+                    group=gid, prio=ps, npfx=npfx,
+                    conds=conds, adds=adds, rms=rms, note=note))
+        continue
+    unsupported.append((lineno, type(stmt).__name__))
+
+# a top-level guard-collapse can leave a condition-free remove-only
+# rule ('if X in cur: remove X'); restore the id trigger so the rule
+# blocks on X instead of firing on every row
+for r in rules:
+    if not r['conds'] and not r['adds'] and r['rms']:
+        r['conds'] = [('ids', list(r['rms']))]
+
+# ---------- intra-block interference report ------------------------------
+by_block = collections.defaultdict(list)
+for r in rules:
+    by_block[r['group'].split('.')[0].split('p')[0]].append(r)
+interference = []
+for blk, rs in by_block.items():
+    groups = collections.defaultdict(
+        lambda: (set(), set(), set(), set()))
+    for r in rs:                # (prefix-reads, own-reads, adds, rms)
+        g = r['group']
+        np_ = r.get('npfx', 0)
+        pr, orr = set(), set()
+        for k, c in enumerate(r['conds']):
+            if c[0] in ('ids', 'none'):
+                (pr if k < np_ else orr).update(c[1])
+        groups[g] = (groups[g][0] | pr, groups[g][1] | orr,
+                     groups[g][2] | set(r['adds']),
+                     groups[g][3] | set(r['rms']))
+    gl = list(groups.items())
+    bad_ids = set()
+    for i, (g1, (p1, o1, a1, m1)) in enumerate(gl):
+        for g2, (p2, o2, a2, m2) in gl[i + 1:]:
+            w1, w2 = a1 | m1, a2 | m2
+            # reads Python evaluates after the other unit's write:
+            # own reads, plus prefix reads not shared with the writer
+            e2 = o2 | (p2 - p1)
+            e1 = o1 | (p1 - p2)
+            bad = (w1 & e2) | (w2 & e1) | (a1 & m2) | (a2 & m1)
+            bad_ids |= bad
+    if bad_ids:
+        interference.append((blk, sorted(bad_ids)))
+
+# ---------- stage assignment ---------------------------------------------
+stage, dirty_add, dirty_rm = 0, set(), set()
+group_stage = {}
+last_group_base = None
+for r in rules:
+    base = r['group'].split('.')[0].split('p')[0]
+    if base in group_stage:          # keep a block's traces in one stage
+        r['stage'] = group_stage[base]
+        continue
+    reads = set()
+    for c in r['conds']:
+        if c[0] in ('ids', 'none'):
+            reads |= set(c[1])
+    mut = dirty_add | dirty_rm
+    if (reads & mut) or (set(r['adds']) & dirty_rm):
+        stage += 1
+        dirty_add, dirty_rm = set(), set()
+    r['stage'] = stage
+    group_stage[base] = stage
+    # account the whole BLOCK's mutations (all its traces)
+    for r2 in rules:
+        if r2['group'].split('.')[0].split('p')[0] == base:
+            dirty_add |= set(r2['adds'])
+            dirty_rm |= set(r2['rms'])
+
+# ---------- emit Scala ---------------------------------------------------
+def sstr(s):
+    return '"' + s.replace('\\', '\\\\').replace('"', '\\"') + '"'
+
+def emit_rule(r):
+    anyg, none_ids, size, strl = [], [], -1, []
+    for c in r['conds']:
+        if c[0] == 'ids':
+            anyg.append(c[1])
+        elif c[0] == 'none':
+            none_ids += c[1]
+        elif c[0] == 'size':
+            size = max(size, c[1])
+        else:
+            _, neg, ci, isre, terms = c
+            terms = [t.lower() for t in terms] if ci else terms
+            strl.append((neg, ci, isre, terms))
+    def ids(v):
+        return 'Seq(' + ', '.join(f'{x}L' for x in v) + ')'
+    def idss(v):
+        return 'Seq(' + ', '.join(ids(g) for g in v) + ')'
+    lits = ', '.join(
+        f'l({str(n).lower()}, {str(c).lower()}, {str(e).lower()}, '
+        + ', '.join(sstr(t) for t in ts) + ')'
+        for n, c, e, ts in strl)
+    return (f'    rr({r["stage"]}, "{r["group"]}", "{r["prio"]}", '
+            f'{idss(anyg)}, {ids(none_ids)}, {size}, Seq({lits}), '
+            f'{ids(r["adds"])}, {ids(r["rms"])}),  // :{r["group"].split("p")[0]} {r["note"]}')
+
+print(f'// {len(rules)} rules, {stage + 1} stages, '
+      f'{len(unsupported)} unsupported blocks, '
+      f'{len(interference)} intra-block interference pairs')
+for u in unsupported:
+    print('// UNSUPPORTED', u[0], u[1])
+for blk, ids in interference:
+    print(f'// INTERFERENCE block {blk} on {ids}')
+prev = None
+for r in rules:
+    if r['note'] != prev:
+        print(f'    // ── {r["note"]} (:{r["group"].split("p")[0]})')
+        prev = r['note']
+    print(emit_rule(r))

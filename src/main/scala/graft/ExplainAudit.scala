@@ -69,6 +69,12 @@ object ExplainAudit {
     check(p71.contains("BroadcastHashJoin"),
       "q71 broadcasts the registry-side source indexes (location side never shuffles to match)")
 
+    val p78 = plan("q78_affiliation_refine")
+    check(p78.contains("BroadcastHashJoin"),
+      "q78 broadcasts the refine rule blocks (affiliation side never shuffles to match)")
+    check(!p78.contains("Window"),
+      "q78 winner selection is in-array, not a per-stage window sort")
+
     val p36 = plan("q36_dedup_jaccard_rare_shingle")
     check(!p36.contains("Window"),
       "q36 df-computation is hash aggregation, not a per-shingle window sort")

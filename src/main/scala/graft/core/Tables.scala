@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, regexp_extract}
+import org.apache.spark.sql.functions.{col, lit, regexp_extract, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Test-table access for the driver fixtures (TESTDATA.md).
@@ -37,11 +37,30 @@ object Tables {
     graft.plans.ArrayDotProduct.register(spark)
     graft.plans.CharHash.register(spark)
     graft.plans.SortedIntersectCount.register(spark)
-    if (name == "events")
-      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
-    else
-      spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Events fixtures have shipped with `ts` as INT64 TIMESTAMP(NANOS)
+    * (which Spark's reader rejects — read via [[eventsSchema]] as raw
+    * int64) and as plain TIMESTAMP(MICROS) (read normally, widened
+    * back to epoch-nanos). Either way callers see `ts` as epoch-nanos
+    * LongType, so downstream `timestamp_micros(ts div 1000)` math and
+    * the DuckDB `epoch_ns(ts)` oracle stay bit-identical. */
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    try {
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case TimestampType | TimestampNTZType =>
+          // NTZ casts through session time (UTC everywhere here)
+          df.withColumn("ts",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        case _ => df
+      }
+    } catch {
+      case _: org.apache.spark.SparkException =>
+        spark.read.schema(eventsSchema).parquet(path)
+    }
 
   /** Scan with the hidden `_metadata.file_path` surfaced as `file_path`
     * (reference Repo.py:1603-1605: multi-endpoint ingest derives the

@@ -1,0 +1,175 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Second-pass refinement of matched institution ids (reference:
+  * notebooks/institutions/affiliation_string_parsing.py:4880-7187,
+  * `process_current_affiliation_with_ids`) — the id-conditioned
+  * cascade that runs AFTER the string-matching pass: branch
+  * disambiguation (Islamic Azad / AIIMS city keywords), hospital⇄
+  * university swaps (the `chinese_medical_university_affs` helper and
+  * its hand-written siblings), conditional removals (ICES without
+  * Denmark context), id implications (Sorbonne hospitals → AP-HP),
+  * and the -1 husk bookkeeping.
+  *
+  * The reference is a 2.3K-line ordered Python if-cascade mutating a
+  * list. Here each block is DATA ([[AffiliationRefineRules]]): a rule
+  * = (stage, group, priority, id-CNF trigger, absent-ids, size gate,
+  * string literals, add-ids, remove-ids). Evaluation semantics:
+  *
+  *  - per (row, group) the minimum-priority rule whose conditions all
+  *    hold is applied — branch-index priorities + condition-free
+  *    fall-through rules reproduce Python's nested if/elif first-match
+  *    exactly, with no negated-condition blow-up (a 117-branch elif
+  *    chain stays 118 rules);
+  *  - rules that sequentially read another rule's writes (the Navarra
+  *    flip pair, the IAU→Tehran follow-up, the Poincaré re-add) are
+  *    split into STAGES; within a stage every rule evaluates against
+  *    the stage input and removes win over adds (the extractor in
+  *    dev/extract_refine.py verifies the only in-stage read-after-
+  *    write remainders are the documented hospital-swap blocks, where
+  *    the reference's own loop semantics are order-dependent: on a
+  *    string naming several hospitals of one university we keep every
+  *    named hospital, the reference keeps the loop-order survivor);
+  *  - string conditions match the RAW affiliation string (not the
+  *    matcher's normalized form), case-sensitively or lowered exactly
+  *    as the reference branch does; regex literals stay RE2-safe so
+  *    the DuckDB oracle evaluates the same table generically.
+  *
+  * Scale posture: rows whose ids touch no rule trigger (the huge
+  * majority) are split off by one codegen'd literal-array overlap
+  * test and pass through untouched. Each stage over the candidate
+  * slice is LINEAR — explode ids → broadcast-equijoin the rule blocks
+  * → one (work_id, author_seq) aggregation with in-array winner
+  * selection — so the plan grows linearly in stages, every stage is
+  * keyed by the same columns (one effective shuffle; downstream
+  * aggregations reuse the partitioning), and there is no per-stage
+  * window or self-join. The handful of rules with no id trigger
+  * (string-triggered blocks) are evaluated as static codegen'd
+  * when-chains in the same projection, not joins.
+  */
+object AffiliationRefine {
+
+  final case class StrLit(neg: Boolean, ci: Boolean, isre: Boolean,
+    terms: Seq[String])
+
+  /** One flattened trace of a reference block; see companion scaladoc.
+    * `anyGroups` is a conjunction of any-of id groups; `noneIds` must
+    * all be absent; `minSize` (-1 = none) requires size > minSize. */
+  final case class Rule(stage: Int, grp: String, prio: String,
+    anyGroups: Seq[Seq[Long]], noneIds: Seq[Long], minSize: Int,
+    strLits: Seq[StrLit], addIds: Seq[Long], removeIds: Seq[Long])
+
+  /** Data-valued fire condition (rule fields are columns of the
+    * joined rules table; terms evaluate per row). */
+  private def firedCond(aff: Column, ids: Column): Column = {
+    def base(l: Column) = when(l.getField("ci"), lower(aff)).otherwise(aff)
+    forall(col("any_groups"), g => arrays_overlap(ids, g)) &&
+      not(coalesce(arrays_overlap(ids, col("none_ids")), lit(false))) &&
+      (col("min_size") < 0 || size(ids) > col("min_size")) &&
+      forall(col("str_lits"), l =>
+        l.getField("neg") =!= exists(l.getField("terms"), t =>
+          when(l.getField("isre"), regexp_like(base(l), t))
+            .otherwise(base(l).contains(t))))
+  }
+
+  /** Plan-time (codegen'd, literal) fire condition of one rule with
+    * no id-trigger groups — for loose rules and the candidate test. */
+  private def staticFire(aff: Column, ids: Column, r: Rule): Column = {
+    val strs = r.strLits.map { l =>
+      val b = if (l.ci) lower(aff) else aff
+      val hit = l.terms.map(t =>
+        if (l.isre) b.rlike(t) else b.contains(t)).reduce(_ || _)
+      if (l.neg) !hit else hit
+    }
+    val none =
+      if (r.noneIds.isEmpty) None
+      else Some(!arrays_overlap(ids, lit(r.noneIds.toArray)))
+    val sz = if (r.minSize < 0) None else Some(size(ids) > r.minSize)
+    (strs ++ none ++ sz).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** One stage, linear: explode current ids → broadcast-join blocked
+    * rules → verify → single keyed aggregation with per-group
+    * min-priority winner picked inside the collected array; loose
+    * (string-triggered) rules fold in as static when-chains.
+    * Removes win over adds within a stage. */
+  private def applyStage(cur: DataFrame, rulesDf: DataFrame,
+      loose: Seq[Rule]): DataFrame = {
+    val blocked = broadcast(rulesDf
+      .withColumn("__block", explode(col("any_groups").getItem(0))))
+    val cmp = (a: Column, b: Column) =>
+      when(a.getField("prio") < b.getField("prio"), -1)
+        .when(a.getField("prio") > b.getField("prio"), 1).otherwise(0)
+    val aff = col("affiliation_string")
+    val ids = col("institution_ids")
+    val grouped = cur
+      .withColumn("__tok", explode_outer(ids))
+      .join(blocked, col("__tok") === col("__block"), "left")
+      .groupBy(col("work_id"), col("author_seq"))
+      .agg(first(aff).as("__aff"),
+        first(ids).as("__ids"),
+        collect_list(when(col("grp").isNotNull && firedCond(aff, ids),
+          struct(col("grp"), col("prio"), col("add_ids"),
+            col("remove_ids")))).as("__fired"))
+      .withColumnRenamed("__aff", "affiliation_string")
+      .withColumnRenamed("__ids", "institution_ids")
+    val winners = transform(
+      array_distinct(transform(col("__fired"), f => f.getField("grp"))),
+      g => element_at(array_sort(filter(col("__fired"),
+        f => f.getField("grp") === g), cmp), 1))
+    // loose rules: per group a static first-match when-chain
+    val looseCols = loose.groupBy(_.grp).toSeq.sortBy(_._1).map {
+      case (_, rs) =>
+        rs.sortBy(_.prio).foldRight(
+          (typedlit(Seq.empty[Long]), typedlit(Seq.empty[Long]))) {
+          case (r, (accA, accR)) =>
+            val f = staticFire(col("affiliation_string"),
+              col("institution_ids"), r)
+            (when(f, typedlit(r.addIds)).otherwise(accA),
+              when(f, typedlit(r.removeIds)).otherwise(accR))
+        }
+    }
+    val baseAdds = flatten(transform(winners, x => x.getField("add_ids")))
+    val baseRms = flatten(transform(winners, x => x.getField("remove_ids")))
+    val allAdds = looseCols.map(_._1).foldLeft(baseAdds)(concat(_, _))
+    val allRms = looseCols.map(_._2).foldLeft(baseRms)(concat(_, _))
+    grouped.select(col("work_id"), col("author_seq"),
+      col("affiliation_string"),
+      array_sort(array_except(
+        array_union(col("institution_ids"), allAdds),
+        allRms)).as("institution_ids"))
+  }
+
+  /** Refine matched ids. @param affils (work_id, author_seq,
+    * affiliation_string, institution_ids ARRAY<BIGINT>); the output
+    * keeps the schema, ids sorted, `[-1]` for empty results (the
+    * reference's no-match sentinel). */
+  def refine(affils: DataFrame,
+      rules: Seq[Rule] = AffiliationRefineRules.rules): DataFrame = {
+    val spark = affils.sparkSession
+    import spark.implicits._
+    val allTriggers = rules.flatMap(_.anyGroups.flatten).distinct.sorted
+    val looseCond = rules.filter(_.anyGroups.isEmpty)
+      .map(r => staticFire(col("affiliation_string"),
+        col("institution_ids"), r))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val isCand = arrays_overlap(col("institution_ids"),
+      lit(allTriggers.toArray)) || looseCond
+    val nStages = rules.map(_.stage).max
+    val cands = (0 to nStages).foldLeft(affils.filter(isCand)) { (df, s) =>
+      val stageRules = rules.filter(_.stage == s)
+      val blocked = stageRules.filter(_.anyGroups.nonEmpty)
+      val loose = stageRules.filter(_.anyGroups.isEmpty)
+      val rulesDf = blocked.toDF(
+        "stage", "grp", "prio", "any_groups", "none_ids", "min_size",
+        "str_lits", "add_ids", "remove_ids")
+      applyStage(df, rulesDf, loose)
+    }
+    cands.unionByName(affils.filter(!isCand))
+      .withColumn("institution_ids",
+        when(size(col("institution_ids")) === 0, array(lit(-1L)))
+          .otherwise(array_sort(col("institution_ids"))))
+  }
+}

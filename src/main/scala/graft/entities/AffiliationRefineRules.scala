@@ -1,0 +1,910 @@
+package graft.entities
+
+import graft.entities.AffiliationRefine.{Rule, StrLit}
+
+/** The process_current_affiliation_with_ids cascade as DATA
+  * (reference: notebooks/institutions/affiliation_string_parsing.py
+  * :4880-7187). Each `rr` row is one flattened execution trace of a
+  * reference block — see [[AffiliationRefine]] for the evaluation
+  * semantics (per-group min-priority first-match, staged sequential
+  * chains) and dev/extract_refine.py for the trace flattening, the
+  * guard-collapse (`if X in current: remove(X)` becomes an
+  * unconditional set-remove), the elif fall-through priorities, and
+  * the stage assignment. Groups are named `<reference line>.<unit>`;
+  * rows keep the reference block's comment for line-level diffing.
+  *
+  * Documented deviations (all corner-case):
+  *  - hospital-swap blocks (the chinese_medical_university_affs
+  *    expansions `p`-groups and their hand-written siblings 6449/
+  *    6463/6490/6505/6524/6561-6681/6407): sibling swaps evaluate
+  *    against block-entry state, so a string naming SEVERAL hospitals
+  *    of one university keeps every named hospital where the
+  *    reference's sequential loop keeps the loop-order survivor;
+  *  - the "Science and Research Branch" append-then-remove of
+  *    155419210 relies on Python list duplicate counts; it is split
+  *    into two prioritized set-semantics rules with identical net
+  *    effect;
+  *  - final output is sorted (the reference returns an unordered
+  *    `list(set(...))`).
+  */
+object AffiliationRefineRules {
+
+  private def rr(stage: Int, grp: String, prio: String,
+      anyGroups: Seq[Seq[Long]], noneIds: Seq[Long], minSize: Int,
+      strLits: Seq[StrLit], addIds: Seq[Long],
+      removeIds: Seq[Long]): Rule =
+    Rule(stage, grp, prio, anyGroups, noneIds, minSize, strLits,
+      addIds, removeIds)
+
+  private def l(neg: Boolean, ci: Boolean, isre: Boolean,
+      terms: String*): StrLit = StrLit(neg, ci, isre, terms)
+
+  private lazy val part1: Seq[Rule] = Seq(
+    // ──  (:4909.a4910)
+    rr(0, "4909.a4910", "000", Seq(Seq(-1L)), Seq(), 1, Seq(), Seq(), Seq(-1L)),  // :4909.a4910
+    // ── Sorbonne Hospitals (:4913.a4915)
+    rr(0, "4913.a4915", "000", Seq(Seq(4210086685L, 4210166768L, 4210134887L, 4210153132L, 4210090185L, 4210102928L, 4210121705L)), Seq(), -1, Seq(), Seq(39804081L), Seq()),  // :4913.a4915 Sorbonne Hospitals
+    // ── International Council for the Exploration of the Sea (:4918.a4921)
+    rr(0, "4918.a4921", "000", Seq(Seq(282179226L)), Seq(), -1, Seq(l(true, true, false, "denmark"), l(true, true, false, "sea")), Seq(), Seq(282179226L)),  // :4918.a4921 International Council for the Exploration of the Sea
+    // ── Universidad Publica de Navarra vs Universidad de Navarra (:4924.a4926)
+    rr(0, "4924.a4926", "000", Seq(Seq(88155538L)), Seq(), -1, Seq(l(false, true, false, "universidad publica", "universidad pública")), Seq(175051016L), Seq(88155538L)),  // :4924.a4926 Universidad Publica de Navarra vs Universidad de Navarra
+    // ──  (:4929.a4931)
+    rr(1, "4929.a4931", "000", Seq(Seq(175051016L)), Seq(), -1, Seq(l(false, true, false, "universidad de navarra")), Seq(88155538L), Seq(175051016L)),  // :4929.a4931
+    // ── University of Mannheim (:4935.c4936)
+    rr(1, "4935.c4936", "000.000", Seq(Seq(177802217L)), Seq(), -1, Seq(l(false, true, false, "university hospital mannheim", "university-hospital mannheim", "mannheim university hospital"), l(false, true, false, "university of heidelberg", "heidelberg university", "faculty of clinical medicine mannheim", "universität heidelberg", "universitätsklinik", "university clinic, mannheim")), Seq(4210156450L, 223822909L), Seq(177802217L)),  // :4935.c4936 University of Mannheim
+    rr(1, "4935.c4936", "000.001", Seq(Seq(177802217L)), Seq(), -1, Seq(l(false, true, false, "university hospital mannheim", "university-hospital mannheim", "mannheim university hospital"), l(false, true, false, "university hospital heidelberg")), Seq(4210156450L, 223822909L), Seq(177802217L)),  // :4935.c4936 University of Mannheim
+    rr(1, "4935.c4936", "000.002", Seq(Seq(177802217L)), Seq(), -1, Seq(l(false, true, false, "university hospital mannheim", "university-hospital mannheim", "mannheim university hospital")), Seq(4210156450L), Seq(177802217L)),  // :4935.c4936 University of Mannheim
+    rr(1, "4935.c4936", "001.000", Seq(Seq(177802217L)), Seq(), -1, Seq(l(false, true, false, "university of heidelberg", "heidelberg university", "faculty of clinical medicine mannheim", "universität heidelberg", "universitätsklinik", "university clinic, mannheim"), l(false, true, false, "university of mannheim", "mannheim university", "universität mannheim")), Seq(223822909L), Seq(177802217L)),  // :4935.c4936 University of Mannheim
+    // ── Western Caspian University (:4957.c4958)
+    rr(1, "4957.c4958", "000", Seq(Seq(3130874397L)), Seq(), -1, Seq(l(false, true, false, "caspian", "baku")), Seq(), Seq()),  // :4957.c4958 Western Caspian University
+    rr(1, "4957.c4958", "001.000", Seq(Seq(3130874397L)), Seq(), -1, Seq(l(false, false, false, "Case Western")), Seq(58956616L), Seq(3130874397L)),  // :4957.c4958 Western Caspian University
+    rr(1, "4957.c4958", "001.001", Seq(Seq(3130874397L)), Seq(), -1, Seq(l(false, true, false, "south western", "central western", "western university of health science")), Seq(), Seq(3130874397L)),  // :4957.c4958 Western Caspian University
+    rr(1, "4957.c4958", "001.002", Seq(Seq(3130874397L)), Seq(), -1, Seq(), Seq(125749732L), Seq(3130874397L)),  // :4957.c4958 Western Caspian University
+    // ── Brown University (:4970.c4972)
+    rr(1, "4970.c4972", "000", Seq(Seq(27804330L), Seq(196272386L)), Seq(), -1, Seq(l(false, false, false, "Providence College", "PC")), Seq(), Seq()),  // :4970.c4972 Brown University
+    rr(1, "4970.c4972", "001", Seq(Seq(27804330L), Seq(196272386L)), Seq(), -1, Seq(), Seq(), Seq(196272386L)),  // :4970.c4972 Brown University
+    // ── Archéologie et Histoire Ancienne : Méditerranée – Europe (:4978.c4979)
+    rr(1, "4978.c4979", "000", Seq(Seq(4210089340L)), Seq(), -1, Seq(l(false, true, false, "7044", "histoire ancienne")), Seq(), Seq()),  // :4978.c4979 Archéologie et Histoire Ancienne : Méditerranée – Europe
+    rr(1, "4978.c4979", "001", Seq(Seq(4210089340L)), Seq(), -1, Seq(), Seq(), Seq(4210089340L)),  // :4978.c4979 Archéologie et Histoire Ancienne : Méditerranée – Europe
+    // ── Institut Pascal (:4985.c4986)
+    rr(1, "4985.c4986", "000", Seq(Seq(169645620L)), Seq(), -1, Seq(l(false, true, false, "institut blaise-pascal", "institut blaise pascal", "institut pascal")), Seq(), Seq()),  // :4985.c4986 Institut Pascal
+    rr(1, "4985.c4986", "001", Seq(Seq(169645620L)), Seq(), -1, Seq(l(false, true, false, "clermont", "auvergne", "blaise pascal", "blaise-pascal")), Seq(198244214L), Seq(169645620L)),  // :4985.c4986 Institut Pascal
+    rr(1, "4985.c4986", "002", Seq(Seq(169645620L)), Seq(), -1, Seq(l(false, true, false, "blaise"), l(false, true, false, "pascal")), Seq(198244214L), Seq(169645620L)),  // :4985.c4986 Institut Pascal
+    // ── Tekniska Högskolans Studentkår (:4998.a4999)
+    rr(1, "4998.a4999", "000", Seq(Seq(4210147696L)), Seq(), -1, Seq(), Seq(86987016L), Seq(4210147696L)),  // :4998.a4999 Tekniska Högskolans Studentkår
+    // ── Purdue University (:5003.c5005)
+    rr(1, "5003.c5005", "000", Seq(Seq(2801333002L)), Seq(), -1, Seq(l(false, false, false, "Fort Wayne")), Seq(4210130184L), Seq()),  // :5003.c5005 Purdue University
+    rr(1, "5003.c5005", "001", Seq(Seq(2801333002L)), Seq(), -1, Seq(l(false, false, false, "Northwest")), Seq(117015748L), Seq()),  // :5003.c5005 Purdue University
+    rr(1, "5003.c5005", "002", Seq(Seq(2801333002L)), Seq(), -1, Seq(l(false, false, false, "Columbus")), Seq(59900826L), Seq()),  // :5003.c5005 Purdue University
+    rr(1, "5003.c5005", "003", Seq(Seq(2801333002L)), Seq(), -1, Seq(), Seq(219193219L), Seq()),  // :5003.c5005 Purdue University
+    rr(1, "5003.a5004", "000", Seq(Seq(2801333002L)), Seq(), -1, Seq(), Seq(), Seq(2801333002L)),  // :5003.a5004 Purdue University
+    // ── Western University (Cambodia) (:5015.c5016)
+    rr(1, "5015.c5016", "000", Seq(Seq(4210116551L)), Seq(), -1, Seq(l(false, true, false, "cambodia")), Seq(), Seq()),  // :5015.c5016 Western University (Cambodia)
+    rr(1, "5015.c5016", "001", Seq(Seq(4210116551L)), Seq(), -1, Seq(l(false, false, false, "KH")), Seq(), Seq()),  // :5015.c5016 Western University (Cambodia)
+    rr(1, "5015.c5016", "002.000", Seq(Seq(4210116551L)), Seq(), -1, Seq(l(false, false, false, "Lurie")), Seq(4390039227L), Seq(4210116551L)),  // :5015.c5016 Western University (Cambodia)
+    rr(1, "5015.c5016", "002.001", Seq(Seq(4210116551L)), Seq(), -1, Seq(l(false, true, false, "northwestern university")), Seq(), Seq(4210116551L)),  // :5015.c5016 Western University (Cambodia)
+    rr(1, "5015.c5016", "002.002", Seq(Seq(4210116551L)), Seq(), -1, Seq(l(false, true, false, "western university of sydney")), Seq(), Seq(4210116551L)),  // :5015.c5016 Western University (Cambodia)
+    rr(1, "5015.c5016", "002.003", Seq(Seq(4210116551L)), Seq(), -1, Seq(), Seq(125749732L), Seq(4210116551L)),  // :5015.c5016 Western University (Cambodia)
+    // ── Western University (Canada) (:5032.a5034)
+    rr(2, "5032.a5034", "000", Seq(Seq(125749732L)), Seq(), -1, Seq(l(false, true, false, "caspian")), Seq(3130874397L), Seq(125749732L)),  // :5032.a5034 Western University (Canada)
+    // ── UniLaSalle (:5038.c5039)
+    rr(2, "5038.c5039", "000", Seq(Seq(4210156868L)), Seq(), -1, Seq(l(false, true, false, "france")), Seq(), Seq()),  // :5038.c5039 UniLaSalle
+    rr(2, "5038.c5039", "001", Seq(Seq(4210156868L)), Seq(), -1, Seq(l(false, true, false, "beauvais", "beauvaisis", "institut polytechnique")), Seq(), Seq()),  // :5038.c5039 UniLaSalle
+    rr(2, "5038.c5039", "002", Seq(Seq(4210156868L)), Seq(), -1, Seq(), Seq(4210102413L), Seq(4210156868L)),  // :5038.c5039 UniLaSalle
+    // ── Humana (:5048.c5049)
+    rr(2, "5048.c5049", "000.000", Seq(Seq(96048030L)), Seq(), -1, Seq(l(false, true, false, "humana"), l(false, true, false, "louisville", "kentucky", "united states")), Seq(), Seq()),  // :5048.c5049 Humana
+    rr(2, "5048.c5049", "000.001", Seq(Seq(96048030L)), Seq(), -1, Seq(l(false, true, false, "humana"), l(false, false, false, "KY", " 40217", "USA")), Seq(), Seq()),  // :5048.c5049 Humana
+    rr(2, "5048.c5049", "000.002", Seq(Seq(96048030L)), Seq(), -1, Seq(l(false, true, false, "humana")), Seq(), Seq(96048030L)),  // :5048.c5049 Humana
+    rr(2, "5048.c5049", "001", Seq(Seq(96048030L)), Seq(), -1, Seq(), Seq(), Seq(96048030L)),  // :5048.c5049 Humana
+    // ── Bocas del Toro Research Station (:5060.c5061)
+    rr(2, "5060.c5061", "000", Seq(Seq(4210115077L)), Seq(), -1, Seq(l(false, false, false, "Smith")), Seq(), Seq()),  // :5060.c5061 Bocas del Toro Research Station
+    rr(2, "5060.c5061", "001", Seq(Seq(4210115077L)), Seq(), -1, Seq(), Seq(), Seq(4210115077L)),  // :5060.c5061 Bocas del Toro Research Station
+    // ── American Institutes for Research (:5067.a5069)
+    rr(2, "5067.a5069", "000", Seq(Seq(1293631320L)), Seq(), -1, Seq(l(false, true, false, "ethical approval")), Seq(), Seq(1293631320L)),  // :5067.a5069 American Institutes for Research
+    // ── Anton Pannekoek Institute for Astronomy (:5077.a5079)
+    rr(2, "5077.a5079", "000", Seq(Seq(2898336195L)), Seq(), -1, Seq(l(false, true, false, "anton pannekoek")), Seq(), Seq(2898336195L)),  // :5077.a5079 Anton Pannekoek Institute for Astronomy
+    // ── Chemin de Polytechnique (:5082.a5085)
+    rr(2, "5082.a5085", "000", Seq(Seq(45683168L)), Seq(), -1, Seq(l(false, true, false, "chemin"), l(false, false, false, "2940", "2950", "2017")), Seq(), Seq(45683168L)),  // :5082.a5085 Chemin de Polytechnique
+    // ── Helen Hay Whitney Foundation (:5088.a5090)
+    rr(2, "5088.a5090", "000", Seq(Seq(262162183L)), Seq(), -1, Seq(l(true, false, false, "Helen")), Seq(32971472L), Seq(262162183L)),  // :5088.a5090 Helen Hay Whitney Foundation
+    // ── Artificial Intelligence Research Institute (:5094.c5095)
+    rr(2, "5094.c5095", "000", Seq(Seq(4210131846L)), Seq(), -1, Seq(l(false, true, false, "airi")), Seq(4392021246L), Seq(4210131846L)),  // :5094.c5095 Artificial Intelligence Research Institute
+    rr(2, "5094.c5095", "001", Seq(Seq(4210131846L)), Seq(), -1, Seq(l(false, true, false, "moscow")), Seq(4392021246L), Seq(4210131846L)),  // :5094.c5095 Artificial Intelligence Research Institute
+    // ── Valleywise Health (:5103.a5107)
+    rr(2, "5103.a5107", "000", Seq(Seq(4210152461L)), Seq(), -1, Seq(l(true, false, false, "MIHS"), l(true, true, false, "health"), l(true, true, false, "integrated")), Seq(), Seq(4210152461L)),  // :5103.a5107 Valleywise Health
+    // ── California Academy of Sciences (:5110.a5112)
+    rr(2, "5110.a5112", "000", Seq(Seq(2803094215L)), Seq(), -1, Seq(l(false, true, false, "mathematics")), Seq(), Seq(2803094215L)),  // :5110.a5112 California Academy of Sciences
+    // ── Manado State University (:5115.a5119)
+    rr(2, "5115.a5119", "000", Seq(Seq(3131162304L)), Seq(), -1, Seq(l(true, false, false, "UNIMA"), l(true, true, false, "negeri"), l(true, true, false, "state")), Seq(), Seq(3131162304L)),  // :5115.a5119 Manado State University
+    // ── Institut Català de Nanociència i Nanotecnologia (:5122.c5123)
+    rr(2, "5122.c5123", "000", Seq(Seq(4210093216L)), Seq(), -1, Seq(l(false, false, true, "\\bIN2UB\\b")), Seq(4401200369L), Seq(4210093216L)),  // :5122.c5123 Institut Català de Nanociència i Nanotecnologia
+    rr(2, "5122.c5123", "001", Seq(Seq(4210093216L)), Seq(), -1, Seq(l(false, true, false, "universitat de barcelona", "university of barcelona")), Seq(4401200369L), Seq(4210093216L)),  // :5122.c5123 Institut Català de Nanociència i Nanotecnologia
+    // ── Department of Agriculture and Fisheries, Queensland Government (:5131.a5133)
+    rr(2, "5131.a5133", "000", Seq(Seq(2801244131L)), Seq(), -1, Seq(l(false, false, false, "Department of Agriculture and Fisheries, Queensland Government")), Seq(4210164589L), Seq(2801244131L)),  // :5131.a5133 Department of Agriculture and Fisheries, Queensland Government
+    // ── St Xavier's in India (:5137.a5142)
+    rr(2, "5137.a5142", "000", Seq(Seq(906608882L)), Seq(), -1, Seq(l(false, false, false, "St. Xavier's University", "St. Xaviers University", "St Xaviers University", "St Xavier's University"), l(false, false, false, "Kolkata")), Seq(4400573289L), Seq(906608882L)),  // :5137.a5142 St Xavier's in India
+  )
+
+  private lazy val part2: Seq[Rule] = Seq(
+    // ── Helsinki Art Museum (:5146.a5148)
+    rr(2, "5146.a5148", "000", Seq(Seq(4210102852L)), Seq(), -1, Seq(l(false, false, false, "elsingin yliopisto")), Seq(133731052L), Seq(4210102852L)),  // :5146.a5148 Helsinki Art Museum
+    // ── Concordia University (:5158.a5162)
+    rr(2, "5158.a5162", "000", Seq(Seq(105925353L)), Seq(), -1, Seq(l(false, true, false, "université concordia", "universite concordia", "québec", "montréal", "quebec", "montreal", "h3g ", "h3g1m8", "maisonneuve")), Seq(60158472L), Seq(105925353L)),  // :5158.a5162 Concordia University
+    // ── University of Arizona (:5166.a5168)
+    rr(2, "5166.a5168", "000", Seq(Seq(4210122332L)), Seq(), -1, Seq(l(false, true, false, "optical sciences center", "college of optical sciences", "wyant")), Seq(138006243L), Seq(4210122332L)),  // :5166.a5168 University of Arizona
+    // ──  (:5171.a5173)
+    rr(2, "5171.a5173", "000", Seq(Seq(4210166658L)), Seq(), -1, Seq(l(false, true, false, "university of arizona")), Seq(138006243L), Seq(4210166658L)),  // :5171.a5173
+    // ── Bari fixes (:5177.c5178)
+    rr(2, "5177.c5178", "000", Seq(Seq(68618741L)), Seq(), -1, Seq(l(false, false, false, "Technical University of Bari", "Technical Univ. of Bari", "University and Politecnico of Bari", "Technical University Politecnico di Bari", "Polytechnic University of Bari", "Politecnico di Bari", "Polytechnic of Bari", "Univ. and Politecnico of Bari", "Polytechinic University of Bari")), Seq(), Seq()),  // :5177.c5178 Bari fixes
+    rr(2, "5177.c5178", "001", Seq(Seq(68618741L)), Seq(), -1, Seq(), Seq(), Seq(68618741L)),  // :5177.c5178 Bari fixes
+    // ── Institut Polytechnique de Paris (:5190.c5191)
+    rr(2, "5190.c5191", "000", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, false, "Telecom SudParis", "Télécom SudParis", "Telecom SudParís", "TELECOM SudParis", "Telecom-SudParis", "Telecom Sudparis", "Télécom Sud Paris", "Telecom SudParis", "IPParis")), Seq(), Seq()),  // :5190.c5191 Institut Polytechnique de Paris
+    rr(2, "5190.c5191", "001.000", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, true, "\\bIPP\\b"), l(false, true, false, "palaiseau", "paris")), Seq(), Seq()),  // :5190.c5191 Institut Polytechnique de Paris
+    rr(2, "5190.c5191", "001.001", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, true, "\\bIPP\\b")), Seq(), Seq(4210145102L)),  // :5190.c5191 Institut Polytechnique de Paris
+    rr(2, "5190.c5191", "002", Seq(Seq(4210145102L)), Seq(), -1, Seq(), Seq(), Seq(4210145102L)),  // :5190.c5191 Institut Polytechnique de Paris
+    // ── Adana Hospital (:5204.c5205)
+    rr(2, "5204.c5205", "000", Seq(Seq(4210094594L)), Seq(), -1, Seq(l(false, true, false, "başkent", "baskent", "university hospital")), Seq(), Seq()),  // :5204.c5205 Adana Hospital
+    rr(2, "5204.c5205", "001", Seq(Seq(4210094594L)), Seq(), -1, Seq(), Seq(), Seq(4210094594L)),  // :5204.c5205 Adana Hospital
+    // ── Amity Univ Noida (:5211.c5212)
+    rr(2, "5211.c5212", "000", Seq(Seq(191972202L)), Seq(), -1, Seq(l(false, false, false, "Noida")), Seq(), Seq()),  // :5211.c5212 Amity Univ Noida
+    rr(2, "5211.c5212", "001", Seq(Seq(191972202L)), Seq(), -1, Seq(), Seq(), Seq(191972202L)),  // :5211.c5212 Amity Univ Noida
+    // ── Natl Inst Technol - Trichy (:5218.c5219)
+    rr(2, "5218.c5219", "000.000", Seq(Seq(122964287L)), Seq(), -1, Seq(l(false, false, false, "National Engineering College"), l(false, false, false, "Kovilpatti")), Seq(), Seq(122964287L)),  // :5218.c5219 Natl Inst Technol - Trichy
+    rr(2, "5218.c5219", "000.001", Seq(Seq(122964287L)), Seq(), -1, Seq(l(false, false, false, "National Engineering College")), Seq(), Seq()),  // :5218.c5219 Natl Inst Technol - Trichy
+    rr(2, "5218.c5219", "001.000.000.000", Seq(Seq(122964287L)), Seq(), -1, Seq(l(false, false, false, "National College"), l(false, false, false, "Tiruchirappalli"), l(true, false, true, "\\bNIT\\b"), l(true, false, false, "National Institute")), Seq(), Seq(122964287L)),  // :5218.c5219 Natl Inst Technol - Trichy
+    // ── Afyonkarahisar Health Sciences University and Kutahya Health Sciences University (:5231.c5232)
+    rr(2, "5231.c5232", "000", Seq(Seq(4210128276L)), Seq(), -1, Seq(l(false, false, false, "Afyonkarahisar Health Sciences University")), Seq(4387154071L), Seq(4210128276L)),  // :5231.c5232 Afyonkarahisar Health Sciences University and Kutahya Health Sciences University
+    rr(2, "5231.c5232", "001", Seq(Seq(4210128276L)), Seq(), -1, Seq(l(false, false, false, "Kutahya Health Sciences University")), Seq(4387156457L), Seq(4210128276L)),  // :5231.c5232 Afyonkarahisar Health Sciences University and Kutahya Health Sciences University
+    // ── Islamic Azad University (:5242.c5244)
+    rr(2, "5242.c5244", "000", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Rasht")), Seq(4210098966L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "001", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Mahabad")), Seq(4210101274L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "002", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Ahvaz")), Seq(4210147666L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "003", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Zahedan")), Seq(4210103813L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "004", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Mashhad")), Seq(183859904L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "005", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "UAE")), Seq(4210124555L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "006", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Naragh")), Seq(4210124802L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "007", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Karaj")), Seq(204588832L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "008", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Falavarjan")), Seq(2802842351L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "009", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shabestar")), Seq(4210130889L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "010", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Qazvin")), Seq(197220011L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "011", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Semnan")), Seq(4210104301L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "012", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Azadshahr")), Seq(4210147006L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "013", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "North Tehran")), Seq(183067279L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "014", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Firoozkooh")), Seq(4210103782L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "015", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Ayatollah Amoli")), Seq(4210116557L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "016", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Sanandaj")), Seq(2801503745L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "017", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Damghan")), Seq(4210159640L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "018", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Dehaghan")), Seq(4210106588L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "019", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Qaemshahr")), Seq(4210138903L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "020", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Islamshahr")), Seq(4210159652L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "021", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Damavand")), Seq(4210163293L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "022", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Birjand")), Seq(4210122540L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "023", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Maybod")), Seq(4210145406L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "024", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shoushtar")), Seq(4210153432L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "025", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Kerman")), Seq(4210152146L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "026", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Larestan")), Seq(4210145150L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "027", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shirvan")), Seq(4210120980L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "028", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Pharmaceutical Sciences")), Seq(4210152512L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "029.000", Seq(Seq(155419210L, 110525433L), Seq(155419210L)), Seq(), -1, Seq(l(false, false, false, "Science and Research")), Seq(), Seq(110525433L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "029.001", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Science and Research")), Seq(), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "030", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Marvdasht")), Seq(4210090965L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "031", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shahrekord")), Seq(4210121772L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "032", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Sari")), Seq(4210086811L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "033", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Buin-Zahra")), Seq(4210123837L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "034", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Firuzabad")), Seq(4210095796L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+  )
+
+  private lazy val part3: Seq[Rule] = Seq(
+    rr(2, "5242.c5244", "035", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Omidieh")), Seq(4210127412L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "036", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Jirt")), Seq(4210122456L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "037", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Gorgan")), Seq(4210117791L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "038", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Yasuj")), Seq(4210126091L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "039", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Tonekabon")), Seq(4210149299L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "040", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Nishapur")), Seq(4210113978L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "041", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shiraz")), Seq(91138267L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "042", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Sirjan")), Seq(4210137408L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "043", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Nowshahr")), Seq(4210118876L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "044", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Gachsaran")), Seq(4210093963L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "045", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Sepidan")), Seq(4387152370L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "046", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Majlesi")), Seq(261916979L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "047", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Central Tehran")), Seq(41775361L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "048", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Masjed Soleyman")), Seq(4210158817L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "049", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Malayer")), Seq(4210131670L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "050", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Marand")), Seq(4210151143L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "051", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Kashmar")), Seq(4210088567L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "052", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Tabriz")), Seq(1293555014L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "053", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Kermanshah")), Seq(2801954088L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "054", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Dolatabad")), Seq(4210140966L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "055", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Dental   Tehran")), Seq(2801553314L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "056", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shahr-e-Qods")), Seq(4210116438L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "057", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Bonab")), Seq(4210156805L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "058", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Varamin")), Seq(4210109236L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "059", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Fasa")), Seq(4210108082L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "060", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Khorramabad")), Seq(4210129655L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "061", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Arsanjan")), Seq(4210146840L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "062", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Ardabil")), Seq(4210161716L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "063", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Mobarakeh")), Seq(4210103000L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "064", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Khomeinishahr", "Khomeynishahr")), Seq(2799360687L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "065", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Mahshahr")), Seq(189748745L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "066", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Isfahan")), Seq(2799282979L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "067", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Malard")), Seq(3010108046L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "068", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Parand")), Seq(2802594446L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "069", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Najafabad")), Seq(9256017L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "070", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Lahijan")), Seq(33162209L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "071", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Takestan")), Seq(4210165322L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "072", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Chalous")), Seq(4210118335L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "073", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Bandar Abbas")), Seq(4210110333L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "074", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Roudehen")), Seq(1306291479L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "075", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Zanjan")), Seq(131837588L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "076", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Izeh")), Seq(4210144160L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "077", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Quchan")), Seq(4210152523L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "078", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "South Tehran")), Seq(136830121L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "079", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Arak")), Seq(2801771032L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "080", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Boroujerd")), Seq(4210114866L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "081.000", Seq(Seq(155419210L, 110525433L), Seq(110525433L)), Seq(), -1, Seq(l(false, false, false, "Tehran")), Seq(), Seq(155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "081.001", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Tehran")), Seq(), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "082", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Farahan")), Seq(2802465448L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "083", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Hamedan")), Seq(4210089026L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "084", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Kashan")), Seq(2801582476L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "085", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Bostanabad")), Seq(4210155841L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "086", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shahreza")), Seq(4210094515L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "087", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Khoy")), Seq(4210124016L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "088", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Medical   Tehran")), Seq(2800744764L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+  )
+
+  private lazy val part4: Seq[Rule] = Seq(
+    rr(2, "5242.c5244", "089", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Tafresh")), Seq(4210120974L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "090", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Urmia")), Seq(4210163840L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "091", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Aliabad Katoul")), Seq(4210111814L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "092", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Yazd")), Seq(4210159272L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "093", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Babol")), Seq(4400573191L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "094", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Garmsar")), Seq(115420810L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "095", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Bandar Anzali")), Seq(4210126954L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "096", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Komijan")), Seq(4210115839L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "097", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Sabzevar")), Seq(4210140773L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "098", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shahr-e-Rey")), Seq(4210154044L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "099", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Ahar")), Seq(4210112351L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "100", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Saveh")), Seq(4210162396L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "101", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Kazeron")), Seq(4210125694L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "102", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Janah")), Seq(4210154612L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "103", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Dezful")), Seq(4210155764L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "104", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Ashtian")), Seq(4210106052L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "105", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Bushehr")), Seq(4210132474L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "106", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Abhar")), Seq(4210110389L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "107", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Qom")), Seq(4210113955L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "108", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shahrood")), Seq(4210093808L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "109", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Jahrom")), Seq(4210108307L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "110", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Mehriz")), Seq(4210096727L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "111", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Boukan")), Seq(4210091465L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "112", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Bojnourd")), Seq(93979751L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "113", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Estahban")), Seq(4210090247L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "114", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Langarud")), Seq(4210139362L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "115", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Shahinshahr")), Seq(4210157053L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    rr(2, "5242.c5244", "116", Seq(Seq(155419210L, 110525433L)), Seq(), -1, Seq(l(false, false, false, "Ilam")), Seq(4210165053L), Seq(110525433L, 155419210L)),  // :5242.c5244 Islamic Azad University
+    // ── AIIMS (All India Institute of Medical Sciences) (:6180.c6182)
+    rr(2, "6180.c6182", "000", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Bhubaneswar")), Seq(4210117092L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "001", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Bhopal")), Seq(4210106490L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "002", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Nagpur")), Seq(4401200305L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "003", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Guwahati")), Seq(4387153078L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "004", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Rishikesh")), Seq(4387152206L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "005", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Raipur")), Seq(129734738L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "006", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Jodhpur")), Seq(216021267L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    rr(2, "6180.c6182", "007", Seq(Seq(63739035L)), Seq(), -1, Seq(l(false, false, false, "Deoghar")), Seq(4396570500L), Seq(63739035L)),  // :6180.c6182 AIIMS (All India Institute of Medical Sciences)
+    // ── Tianjin Medical University General Hospital (:6230.a6232)
+    rr(2, "6230.a6232", "000", Seq(Seq(5740404L)), Seq(), -1, Seq(l(false, false, false, "Tianjin Medical University General Hospital")), Seq(2802534033L), Seq(5740404L)),  // :6230.a6232 Tianjin Medical University General Hospital
+    // ── National Kaohsiung University of Science and Technology (:6236.a6240)
+    rr(2, "6236.a6240", "000", Seq(Seq(192168892L)), Seq(), -1, Seq(l(false, true, false, "kaohsiung university of sci", "kaohsiung univ. of science and tech", "kaohsiung university sciences and tech")), Seq(4387154394L), Seq(192168892L)),  // :6236.a6240 National Kaohsiung University of Science and Technology
+    // ── Institut Polytechnique de Paris (:6244.c6245)
+    rr(3, "6244.c6245", "000", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, false, "Telecom SudParis", "Télécom SudParis", "Telecom SudParís", "TELECOM SudParis", "Telecom-SudParis", "Telecom Sudparis", "Télécom Sud Paris", "Telecom SudParis", "IPParis", "Institut Polytechnique de Paris")), Seq(), Seq()),  // :6244.c6245 Institut Polytechnique de Paris
+    rr(3, "6244.c6245", "001.000", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, true, "\\bIPP\\b"), l(false, true, false, "palaiseau", "paris")), Seq(), Seq()),  // :6244.c6245 Institut Polytechnique de Paris
+    rr(3, "6244.c6245", "001.001", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, true, "\\bIPP\\b")), Seq(), Seq()),  // :6244.c6245 Institut Polytechnique de Paris
+    rr(3, "6244.c6245", "002", Seq(Seq(4210145102L)), Seq(), -1, Seq(l(false, false, true, "\\bIP Paris\\b")), Seq(), Seq()),  // :6244.c6245 Institut Polytechnique de Paris
+    rr(3, "6244.c6245", "003", Seq(Seq(4210145102L)), Seq(), -1, Seq(), Seq(), Seq(4210145102L)),  // :6244.c6245 Institut Polytechnique de Paris
+    // ── AGH University of Science and Technology (:6259.a6260)
+    rr(3, "6259.a6260", "000", Seq(Seq(686019L)), Seq(), -1, Seq(), Seq(), Seq(4210163816L)),  // :6259.a6260 AGH University of Science and Technology
+    // ── Changchun University of Technology (:6264.a6265)
+    rr(3, "6264.a6265", "000", Seq(Seq(4385474403L)), Seq(), -1, Seq(), Seq(), Seq(49232843L, 106645853L)),  // :6264.a6265 Changchun University of Technology
+    // ── China Medical University (:6271.a6272)
+    rr(3, "6271.a6272", "000", Seq(Seq(184693016L, 4210126829L)), Seq(), -1, Seq(), Seq(), Seq(91656880L, 91807558L)),  // :6271.a6272 China Medical University
+    // ── China University of Petroleum East China (:6278.a6279)
+    rr(3, "6278.a6279", "000", Seq(Seq(4210162190L)), Seq(), -1, Seq(), Seq(), Seq(204553293L)),  // :6278.a6279 China University of Petroleum East China
+    // ── Chinese Academy of Medical Sciences Peking Union Medical College (:6283.a6284)
+    rr(3, "6283.a6284", "000", Seq(Seq(200296433L)), Seq(), -1, Seq(), Seq(), Seq(4210119648L, 4210141683L, 4210147708L, 4210092004L, 4210141458L)),  // :6283.a6284 Chinese Academy of Medical Sciences Peking Union Medical College
+    // ── Claude Bernard University Lyon 1 (:6296.a6297)
+    rr(3, "6296.a6297", "000", Seq(Seq(100532134L)), Seq(), -1, Seq(), Seq(), Seq(203339264L)),  // :6296.a6297 Claude Bernard University Lyon 1
+    // ── Cornell University (:6301.a6302)
+    rr(3, "6301.a6302", "000", Seq(Seq(205783295L, 4210152471L)), Seq(), -1, Seq(), Seq(), Seq(145220665L, 92528248L)),  // :6301.a6302 Cornell University
+    // ── Czech Technical University in Prague (:6308.a6309)
+    rr(3, "6308.a6309", "000", Seq(Seq(44504214L)), Seq(), -1, Seq(), Seq(), Seq(4210100395L)),  // :6308.a6309 Czech Technical University in Prague
+    // ── Education University of Hong Kong (:6313.a6314)
+    rr(3, "6313.a6314", "000", Seq(Seq(4210086892L)), Seq(), -1, Seq(), Seq(), Seq(16518940L, 200769079L, 177725633L, 168719708L, 8679417L)),  // :6313.a6314 Education University of Hong Kong
+    // ── Ohio University (:6326.a6327)
+    rr(3, "6326.a6327", "000", Seq(Seq(4210106879L)), Seq(), -1, Seq(), Seq(), Seq(22759111L)),  // :6326.a6327 Ohio University
+    // ── Poznan University of Life Sciences (:6331.a6332)
+    rr(3, "6331.a6332", "000", Seq(Seq(55783418L)), Seq(), -1, Seq(), Seq(), Seq(158552681L)),  // :6331.a6332 Poznan University of Life Sciences
+    // ── Graz University of Technology (:6336.a6337)
+    rr(3, "6336.a6337", "000", Seq(Seq(4092182L)), Seq(), -1, Seq(), Seq(), Seq(15766117L)),  // :6336.a6337 Graz University of Technology
+  )
+
+  private lazy val part5: Seq[Rule] = Seq(
+    // ── Heinrich Heine University Düsseldorf (:6341.a6342)
+    rr(3, "6341.a6342", "000", Seq(Seq(44260953L)), Seq(), -1, Seq(), Seq(), Seq(75356249L)),  // :6341.a6342 Heinrich Heine University Düsseldorf
+    // ── Henan Polytechnic University (:6346.a6347)
+    rr(3, "6346.a6347", "000", Seq(Seq(4210166499L)), Seq(), -1, Seq(), Seq(), Seq(4210115515L)),  // :6346.a6347 Henan Polytechnic University
+    // ── Hubei University (:6351.a6352)
+    rr(3, "6351.a6352", "000", Seq(Seq(75900474L)), Seq(), -1, Seq(), Seq(), Seq(4210099437L, 4210154851L)),  // :6351.a6352 Hubei University
+    // ── Indian Institute of Technology Dhanbad (:6358.a6359)
+    rr(3, "6358.a6359", "000", Seq(Seq(189109744L)), Seq(), -1, Seq(), Seq(), Seq(64295750L)),  // :6358.a6359 Indian Institute of Technology Dhanbad
+    // ── Indian Institute of Technology Hyderabad (:6363.a6364)
+    rr(3, "6363.a6364", "000", Seq(Seq(65181880L)), Seq(), -1, Seq(), Seq(), Seq(64189192L)),  // :6363.a6364 Indian Institute of Technology Hyderabad
+    // ── Indiana University Purdue University Indianapolis (:6368.a6369)
+    rr(3, "6368.a6369", "000", Seq(Seq(55769427L)), Seq(), -1, Seq(), Seq(), Seq(592451L)),  // :6368.a6369 Indiana University Purdue University Indianapolis
+    // ── Indiana University Bloomington (:6373.a6374)
+    rr(3, "6373.a6374", "000", Seq(Seq(4210119109L)), Seq(), -1, Seq(), Seq(), Seq(592451L)),  // :6373.a6374 Indiana University Bloomington
+    // ── Inner Mongolia Agricultural University (:6378.a6379)
+    rr(3, "6378.a6379", "000", Seq(Seq(120379545L)), Seq(), -1, Seq(), Seq(), Seq(190774190L)),  // :6378.a6379 Inner Mongolia Agricultural University
+    // ── Inner Mongolia University (:6383.a6384)
+    rr(3, "6383.a6384", "000", Seq(Seq(2722730L)), Seq(), -1, Seq(), Seq(), Seq(55654194L)),  // :6383.a6384 Inner Mongolia University
+    // ── Islamic Azad University Science and Research Branch (:6388.a6389)
+    rr(3, "6388.a6389", "000", Seq(Seq(155419210L)), Seq(), -1, Seq(), Seq(), Seq(55654194L)),  // :6388.a6389 Islamic Azad University Science and Research Branch
+    // ── China University of Geosciences, Wuhan (need to remove 3016766249) (:6393.a6394)
+    rr(3, "6393.a6394", "000", Seq(Seq(3124059619L)), Seq(), -1, Seq(), Seq(), Seq(3016766249L)),  // :6393.a6394 China University of Geosciences, Wuhan (need to remove 3016766249)
+    // ── Texas Tech University (remove 4210088475) (:6398.a6399)
+    rr(3, "6398.a6399", "000", Seq(Seq(12315562L)), Seq(), -1, Seq(), Seq(), Seq(4210088475L)),  // :6398.a6399 Texas Tech University (remove 4210088475)
+    // ── Anhui Medical University (:6403.a6404)
+    rr(3, "6403.a6404", "000", Seq(Seq(4210136596L, 4210161469L, 4210149412L)), Seq(), -1, Seq(), Seq(197869895L), Seq()),  // :6403.a6404 Anhui Medical University
+    // ── China University of Geosciences (:6449.a6453)
+    rr(3, "6449.a6453", "000", Seq(Seq(3124059619L, 3125743391L), Seq(3125743391L)), Seq(), -1, Seq(l(false, false, false, "Wuhan"), l(true, false, false, "Beijing")), Seq(3124059619L), Seq(3125743391L)),  // :6449.a6453 China University of Geosciences
+    rr(3, "6449.a6459", "000", Seq(Seq(3124059619L, 3125743391L), Seq(3124059619L)), Seq(), -1, Seq(l(false, false, false, "Beijing"), l(true, false, false, "Wuhan")), Seq(3125743391L), Seq(3124059619L)),  // :6449.a6459 China University of Geosciences
+    // ── Chongqing Medical University (:6463.a6467)
+    rr(3, "6463.a6467", "000", Seq(Seq(4210159428L, 4210129459L, 4210097509L, 4210128042L, 87780372L), Seq(4210129459L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210097509L), Seq(4210129459L)),  // :6463.a6467 Chongqing Medical University
+    rr(3, "6463.a6473", "000", Seq(Seq(4210159428L, 4210129459L, 4210097509L, 4210128042L, 87780372L), Seq(4210097509L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210129459L), Seq(4210097509L)),  // :6463.a6473 Chongqing Medical University
+    rr(3, "6463.a6464", "000", Seq(Seq(4210159428L, 4210129459L, 4210097509L, 4210128042L, 87780372L)), Seq(), -1, Seq(), Seq(87780372L), Seq()),  // :6463.a6464 Chongqing Medical University
+    // ── Civil Aviation Flight University of China (:6478.a6480)
+    rr(3, "6478.a6480", "000", Seq(Seq(28813325L)), Seq(), -1, Seq(l(false, false, false, "Civil Aviation Flight University of China")), Seq(58995867L), Seq(28813325L)),  // :6478.a6480 Civil Aviation Flight University of China
+    // ── Civil Aviation University of China (:6484.a6486)
+    rr(4, "6484.a6486", "000", Seq(Seq(58995867L)), Seq(), -1, Seq(l(false, false, false, "Civil Aviation University of China")), Seq(28813325L), Seq(58995867L)),  // :6484.a6486 Civil Aviation University of China
+    // ── Dalian Medical University (:6490.a6494)
+    rr(4, "6490.a6494", "000", Seq(Seq(4210097509L, 4210140813L, 191996457L), Seq(4210140813L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210097509L), Seq(4210140813L)),  // :6490.a6494 Dalian Medical University
+    rr(4, "6490.a6500", "000", Seq(Seq(4210097509L, 4210140813L, 191996457L), Seq(4210100868L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210140813L), Seq(4210100868L)),  // :6490.a6500 Dalian Medical University
+    rr(4, "6490.a6491", "000", Seq(Seq(4210097509L, 4210140813L, 191996457L)), Seq(), -1, Seq(), Seq(191996457L), Seq()),  // :6490.a6491 Dalian Medical University
+    // ── Fujian Medical University (:6505.a6509)
+    rr(4, "6505.a6509", "000", Seq(Seq(129708740L, 4210121761L, 4210134617L), Seq(4210121761L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210134617L), Seq(4210121761L)),  // :6505.a6509 Fujian Medical University
+    rr(4, "6505.a6515", "000", Seq(Seq(129708740L, 4210121761L, 4210134617L), Seq(4210134617L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210121761L), Seq(4210134617L)),  // :6505.a6515 Fujian Medical University
+    rr(4, "6505.a6506", "000", Seq(Seq(129708740L, 4210121761L, 4210134617L)), Seq(), -1, Seq(), Seq(129708740L), Seq()),  // :6505.a6506 Fujian Medical University
+    // ── Goethe University Frankfurt (:6520.a6521)
+    rr(4, "6520.a6521", "000", Seq(Seq(4210132578L)), Seq(), -1, Seq(), Seq(114090438L), Seq()),  // :6520.a6521 Goethe University Frankfurt
+    // ── Guangzhou Medical University (:6524.a6531)
+    rr(4, "6524.a6531", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210098361L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital", "Third Affiliated Hospital"), l(false, false, false, "Second Affiliated Hospital")), Seq(4210090868L), Seq()),  // :6524.a6531 Guangzhou Medical University
+    rr(4, "6524.a6535", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210098361L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital", "Third Affiliated Hospital"), l(false, false, false, "Third Affiliated Hospital")), Seq(4210092091L), Seq()),  // :6524.a6535 Guangzhou Medical University
+    rr(4, "6524.a6529", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210098361L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital", "Third Affiliated Hospital")), Seq(), Seq(4210098361L)),  // :6524.a6529 Guangzhou Medical University
+    rr(4, "6524.a6542", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210090868L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital", "Third Affiliated Hospital"), l(false, false, false, "First Affiliated Hospital")), Seq(4210098361L), Seq()),  // :6524.a6542 Guangzhou Medical University
+    rr(4, "6524.a6546", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210090868L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital", "Third Affiliated Hospital"), l(false, false, false, "Third Affiliated Hospital")), Seq(4210092091L), Seq()),  // :6524.a6546 Guangzhou Medical University
+    rr(4, "6524.a6540", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210090868L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital", "Third Affiliated Hospital")), Seq(), Seq(4210090868L)),  // :6524.a6540 Guangzhou Medical University
+    rr(4, "6524.a6553", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210092091L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital", "Second Affiliated Hospital"), l(false, false, false, "First Affiliated Hospital")), Seq(4210098361L), Seq()),  // :6524.a6553 Guangzhou Medical University
+    rr(4, "6524.a6557", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210092091L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital", "Second Affiliated Hospital"), l(false, false, false, "Second Affiliated Hospital")), Seq(4210090868L), Seq()),  // :6524.a6557 Guangzhou Medical University
+    rr(4, "6524.a6551", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L), Seq(4210092091L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital", "Second Affiliated Hospital")), Seq(), Seq(4210092091L)),  // :6524.a6551 Guangzhou Medical University
+    rr(4, "6524.a6526", "000", Seq(Seq(92039509L, 4210153921L, 4210105982L, 4210116575L, 4210098361L, 4210090868L, 4210092091L)), Seq(), -1, Seq(), Seq(92039509L), Seq()),  // :6524.a6526 Guangzhou Medical University
+    // ── Harbin Medical University (parent implied) (:6561)
+    rr(4, "6561", "000", Seq(Seq(156144747L, 4210087423L, 4210156501L, 4210132813L, 4210103956L, 4210122309L)), Seq(), -1, Seq(), Seq(156144747L), Seq()),  // :6561 Harbin Medical University (parent implied)
+    // ── Harbin Medical University hospital swap 4210156501->4210132813 (:6561)
+    rr(4, "6561p0", "000", Seq(Seq(4210156501L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210132813L), Seq(4210156501L)),  // :6561 Harbin Medical University hospital swap 4210156501->4210132813
+    // ── Harbin Medical University hospital swap 4210156501->4210103956 (:6561)
+    rr(4, "6561p1", "000", Seq(Seq(4210156501L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210103956L), Seq(4210156501L)),  // :6561 Harbin Medical University hospital swap 4210156501->4210103956
+    // ── Harbin Medical University hospital swap 4210156501->4210122309 (:6561)
+    rr(4, "6561p2", "000", Seq(Seq(4210156501L)), Seq(), -1, Seq(l(false, false, false, "Fourth Affiliated Hospital")), Seq(4210122309L), Seq(4210156501L)),  // :6561 Harbin Medical University hospital swap 4210156501->4210122309
+    // ── Harbin Medical University hospital swap 4210132813->4210156501 (:6561)
+    rr(4, "6561p3", "000", Seq(Seq(4210132813L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210156501L), Seq(4210132813L)),  // :6561 Harbin Medical University hospital swap 4210132813->4210156501
+    // ── Harbin Medical University hospital swap 4210132813->4210103956 (:6561)
+    rr(4, "6561p4", "000", Seq(Seq(4210132813L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210103956L), Seq(4210132813L)),  // :6561 Harbin Medical University hospital swap 4210132813->4210103956
+    // ── Harbin Medical University hospital swap 4210132813->4210122309 (:6561)
+    rr(4, "6561p5", "000", Seq(Seq(4210132813L)), Seq(), -1, Seq(l(false, false, false, "Fourth Affiliated Hospital")), Seq(4210122309L), Seq(4210132813L)),  // :6561 Harbin Medical University hospital swap 4210132813->4210122309
+    // ── Harbin Medical University hospital swap 4210103956->4210156501 (:6561)
+    rr(4, "6561p6", "000", Seq(Seq(4210103956L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210156501L), Seq(4210103956L)),  // :6561 Harbin Medical University hospital swap 4210103956->4210156501
+    // ── Harbin Medical University hospital swap 4210103956->4210132813 (:6561)
+    rr(4, "6561p7", "000", Seq(Seq(4210103956L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210132813L), Seq(4210103956L)),  // :6561 Harbin Medical University hospital swap 4210103956->4210132813
+    // ── Harbin Medical University hospital swap 4210103956->4210122309 (:6561)
+    rr(4, "6561p8", "000", Seq(Seq(4210103956L)), Seq(), -1, Seq(l(false, false, false, "Fourth Affiliated Hospital")), Seq(4210122309L), Seq(4210103956L)),  // :6561 Harbin Medical University hospital swap 4210103956->4210122309
+    // ── Harbin Medical University hospital swap 4210122309->4210156501 (:6561)
+    rr(4, "6561p9", "000", Seq(Seq(4210122309L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210156501L), Seq(4210122309L)),  // :6561 Harbin Medical University hospital swap 4210122309->4210156501
+    // ── Harbin Medical University hospital swap 4210122309->4210132813 (:6561)
+    rr(4, "6561p10", "000", Seq(Seq(4210122309L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210132813L), Seq(4210122309L)),  // :6561 Harbin Medical University hospital swap 4210122309->4210132813
+    // ── Harbin Medical University hospital swap 4210122309->4210103956 (:6561)
+    rr(4, "6561p11", "000", Seq(Seq(4210122309L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210103956L), Seq(4210122309L)),  // :6561 Harbin Medical University hospital swap 4210122309->4210103956
+    // ── Hebei Medical University (parent implied) (:6567)
+    rr(4, "6567", "000", Seq(Seq(111381250L, 4210115020L, 4210099373L, 4210088328L, 4210106405L)), Seq(), -1, Seq(), Seq(111381250L), Seq()),  // :6567 Hebei Medical University (parent implied)
+    // ── Hebei Medical University hospital swap 4210099373->4210088328 (:6567)
+    rr(4, "6567p0", "000", Seq(Seq(4210099373L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210088328L), Seq(4210099373L)),  // :6567 Hebei Medical University hospital swap 4210099373->4210088328
+    // ── Hebei Medical University hospital swap 4210099373->4210106405 (:6567)
+    rr(4, "6567p1", "000", Seq(Seq(4210099373L)), Seq(), -1, Seq(l(false, false, false, "Fourth Affiliated Hospital")), Seq(4210106405L), Seq(4210099373L)),  // :6567 Hebei Medical University hospital swap 4210099373->4210106405
+    // ── Hebei Medical University hospital swap 4210088328->4210099373 (:6567)
+    rr(4, "6567p2", "000", Seq(Seq(4210088328L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210099373L), Seq(4210088328L)),  // :6567 Hebei Medical University hospital swap 4210088328->4210099373
+    // ── Hebei Medical University hospital swap 4210088328->4210106405 (:6567)
+    rr(4, "6567p3", "000", Seq(Seq(4210088328L)), Seq(), -1, Seq(l(false, false, false, "Fourth Affiliated Hospital")), Seq(4210106405L), Seq(4210088328L)),  // :6567 Hebei Medical University hospital swap 4210088328->4210106405
+  )
+
+  private lazy val part6: Seq[Rule] = Seq(
+    // ── Hebei Medical University hospital swap 4210106405->4210099373 (:6567)
+    rr(4, "6567p4", "000", Seq(Seq(4210106405L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210099373L), Seq(4210106405L)),  // :6567 Hebei Medical University hospital swap 4210106405->4210099373
+    // ── Hebei Medical University hospital swap 4210106405->4210088328 (:6567)
+    rr(4, "6567p5", "000", Seq(Seq(4210106405L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210088328L), Seq(4210106405L)),  // :6567 Hebei Medical University hospital swap 4210106405->4210088328
+    // ── Jichi Medical University (:6573.a6574)
+    rr(4, "6573.a6574", "000", Seq(Seq(4210153031L, 4210166222L)), Seq(), -1, Seq(), Seq(146500386L), Seq()),  // :6573.a6574 Jichi Medical University
+    // ── Jilin University (:6578.a6579)
+    rr(4, "6578.a6579", "000", Seq(Seq(4210125137L, 4210103885L)), Seq(), -1, Seq(), Seq(194450716L), Seq()),  // :6578.a6579 Jilin University
+    // ── Keimyung University (:6582.a6583)
+    rr(4, "6582.a6583", "000", Seq(Seq(4210128080L)), Seq(), -1, Seq(), Seq(52010207L), Seq()),  // :6582.a6583 Keimyung University
+    // ── Kunming Medical University (parent implied) (:6586)
+    rr(4, "6586", "000", Seq(Seq(26080491L, 4210120169L, 2799435780L, 4210165315L, 4210146235L)), Seq(), -1, Seq(), Seq(26080491L), Seq()),  // :6586 Kunming Medical University (parent implied)
+    // ── Kunming Medical University hospital swap 4210120169->2799435780 (:6586)
+    rr(4, "6586p0", "000", Seq(Seq(4210120169L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(2799435780L), Seq(4210120169L)),  // :6586 Kunming Medical University hospital swap 4210120169->2799435780
+    // ── Kunming Medical University hospital swap 4210120169->4210165315 (:6586)
+    rr(4, "6586p1", "000", Seq(Seq(4210120169L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210165315L), Seq(4210120169L)),  // :6586 Kunming Medical University hospital swap 4210120169->4210165315
+    // ── Kunming Medical University hospital swap 4210120169->4210146235 (:6586)
+    rr(4, "6586p2", "000", Seq(Seq(4210120169L)), Seq(), -1, Seq(l(false, false, false, "Yan'an Hospital")), Seq(4210146235L), Seq(4210120169L)),  // :6586 Kunming Medical University hospital swap 4210120169->4210146235
+    // ── Kunming Medical University hospital swap 2799435780->4210120169 (:6586)
+    rr(4, "6586p3", "000", Seq(Seq(2799435780L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210120169L), Seq(2799435780L)),  // :6586 Kunming Medical University hospital swap 2799435780->4210120169
+    // ── Kunming Medical University hospital swap 2799435780->4210165315 (:6586)
+    rr(4, "6586p4", "000", Seq(Seq(2799435780L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210165315L), Seq(2799435780L)),  // :6586 Kunming Medical University hospital swap 2799435780->4210165315
+    // ── Kunming Medical University hospital swap 2799435780->4210146235 (:6586)
+    rr(4, "6586p5", "000", Seq(Seq(2799435780L)), Seq(), -1, Seq(l(false, false, false, "Yan'an Hospital")), Seq(4210146235L), Seq(2799435780L)),  // :6586 Kunming Medical University hospital swap 2799435780->4210146235
+    // ── Kunming Medical University hospital swap 4210165315->4210120169 (:6586)
+    rr(4, "6586p6", "000", Seq(Seq(4210165315L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210120169L), Seq(4210165315L)),  // :6586 Kunming Medical University hospital swap 4210165315->4210120169
+    // ── Kunming Medical University hospital swap 4210165315->2799435780 (:6586)
+    rr(4, "6586p7", "000", Seq(Seq(4210165315L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(2799435780L), Seq(4210165315L)),  // :6586 Kunming Medical University hospital swap 4210165315->2799435780
+    // ── Kunming Medical University hospital swap 4210165315->4210146235 (:6586)
+    rr(4, "6586p8", "000", Seq(Seq(4210165315L)), Seq(), -1, Seq(l(false, false, false, "Yan'an Hospital")), Seq(4210146235L), Seq(4210165315L)),  // :6586 Kunming Medical University hospital swap 4210165315->4210146235
+    // ── Kunming Medical University hospital swap 4210146235->4210120169 (:6586)
+    rr(4, "6586p9", "000", Seq(Seq(4210146235L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210120169L), Seq(4210146235L)),  // :6586 Kunming Medical University hospital swap 4210146235->4210120169
+    // ── Kunming Medical University hospital swap 4210146235->2799435780 (:6586)
+    rr(4, "6586p10", "000", Seq(Seq(4210146235L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(2799435780L), Seq(4210146235L)),  // :6586 Kunming Medical University hospital swap 4210146235->2799435780
+    // ── Kunming Medical University hospital swap 4210146235->4210165315 (:6586)
+    rr(4, "6586p11", "000", Seq(Seq(4210146235L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210165315L), Seq(4210146235L)),  // :6586 Kunming Medical University hospital swap 4210146235->4210165315
+    // ── Lanzhou University (parent implied) (:6592)
+    rr(4, "6592", "000", Seq(Seq(76214153L, 4210163492L, 4210124531L)), Seq(), -1, Seq(), Seq(76214153L), Seq()),  // :6592 Lanzhou University (parent implied)
+    // ── Lanzhou University hospital swap 4210163492->4210124531 (:6592)
+    rr(4, "6592p0", "000", Seq(Seq(4210163492L)), Seq(), -1, Seq(l(false, false, false, "Second Hospital")), Seq(4210124531L), Seq(4210163492L)),  // :6592 Lanzhou University hospital swap 4210163492->4210124531
+    // ── Lanzhou University hospital swap 4210124531->4210163492 (:6592)
+    rr(4, "6592p1", "000", Seq(Seq(4210124531L)), Seq(), -1, Seq(l(false, false, false, "First Hospital")), Seq(4210163492L), Seq(4210124531L)),  // :6592 Lanzhou University hospital swap 4210124531->4210163492
+    // ── Loma Linda University (:6597.a6598)
+    rr(4, "6597.a6598", "000", Seq(Seq(1293502524L)), Seq(), -1, Seq(), Seq(26347476L), Seq()),  // :6597.a6598 Loma Linda University
+    // ── Louisiana State University Health Sciences Center (:6601.c6603)
+    rr(4, "6601.c6603", "000", Seq(Seq(121820613L)), Seq(), -1, Seq(l(false, false, false, "Health Sciences Center", "School of Medicine"), l(false, false, false, "New Orleans")), Seq(75420490L), Seq()),  // :6601.c6603 Louisiana State University Health Sciences Center
+    rr(4, "6601.c6603", "001", Seq(Seq(121820613L)), Seq(), -1, Seq(l(false, false, false, "Health Sciences Center", "School of Medicine"), l(false, false, false, "Shreveport")), Seq(81020160L), Seq()),  // :6601.c6603 Louisiana State University Health Sciences Center
+    // ── University Mohammed V (:6609.a6612)
+    rr(4, "6609.a6612", "000", Seq(), Seq(), -1, Seq(l(false, false, false, "Mohammed V", "Mohammed-V"), l(true, false, false, "VI"), l(false, false, false, "Agdal", "Rabat", "Morocco")), Seq(126477371L), Seq()),  // :6609.a6612 University Mohammed V
+    // ── Ningxia Medical University (:6615.a6616)
+    rr(4, "6615.a6616", "000", Seq(Seq(4210139449L)), Seq(), -1, Seq(), Seq(4210127460L), Seq()),  // :6615.a6616 Ningxia Medical University
+    // ── Second Military Medical University (:6619.a6620)
+    rr(4, "6619.a6620", "000", Seq(Seq(4210137389L, 4210115928L, 4210151530L)), Seq(), -1, Seq(), Seq(177933477L), Seq()),  // :6619.a6620 Second Military Medical University
+    // ── Shandong Academy of Medical Science (:6623.a6624)
+    rr(4, "6623.a6624", "000", Seq(Seq(4210162355L, 4210100830L, 4210156461L)), Seq(), -1, Seq(), Seq(4210163399L), Seq()),  // :6623.a6624 Shandong Academy of Medical Science
+    // ── Shanxi Medical University (:6627.a6628)
+    rr(4, "6627.a6628", "000", Seq(Seq(4210125748L, 4387154184L, 4210160763L, 4210133678L)), Seq(), -1, Seq(), Seq(17721919L), Seq()),  // :6627.a6628 Shanxi Medical University
+    // ── Tianjin Medical University (:6631.a6633)
+    rr(4, "6631.a6633", "000", Seq(Seq(4210133270L, 2800200322L, 4210145773L, 4210088587L, 4210095816L)), Seq(), -1, Seq(), Seq(5740404L), Seq()),  // :6631.a6633 Tianjin Medical University
+    // ── Wenzhou Medical University (parent implied) (:6636)
+    rr(4, "6636", "000", Seq(Seq(27781120L, 4210156545L, 4210099263L, 4210158774L, 4210086973L, 2801769982L, 4210099512L)), Seq(), -1, Seq(), Seq(27781120L), Seq()),  // :6636 Wenzhou Medical University (parent implied)
+    // ── Wenzhou Medical University hospital swap 4210086973->2801769982 (:6636)
+    rr(4, "6636p0", "000", Seq(Seq(4210086973L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(2801769982L), Seq(4210086973L)),  // :6636 Wenzhou Medical University hospital swap 4210086973->2801769982
+    // ── Wenzhou Medical University hospital swap 4210086973->4210099512 (:6636)
+    rr(4, "6636p1", "000", Seq(Seq(4210086973L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210099512L), Seq(4210086973L)),  // :6636 Wenzhou Medical University hospital swap 4210086973->4210099512
+    // ── Wenzhou Medical University hospital swap 2801769982->4210086973 (:6636)
+    rr(4, "6636p2", "000", Seq(Seq(2801769982L)), Seq(), -1, Seq(l(false, false, false, "Affiliated Eye Hospital")), Seq(4210086973L), Seq(2801769982L)),  // :6636 Wenzhou Medical University hospital swap 2801769982->4210086973
+    // ── Wenzhou Medical University hospital swap 2801769982->4210099512 (:6636)
+    rr(4, "6636p3", "000", Seq(Seq(2801769982L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210099512L), Seq(2801769982L)),  // :6636 Wenzhou Medical University hospital swap 2801769982->4210099512
+    // ── Wenzhou Medical University hospital swap 4210099512->4210086973 (:6636)
+    rr(4, "6636p4", "000", Seq(Seq(4210099512L)), Seq(), -1, Seq(l(false, false, false, "Affiliated Eye Hospital")), Seq(4210086973L), Seq(4210099512L)),  // :6636 Wenzhou Medical University hospital swap 4210099512->4210086973
+    // ── Wenzhou Medical University hospital swap 4210099512->2801769982 (:6636)
+    rr(4, "6636p5", "000", Seq(Seq(4210099512L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(2801769982L), Seq(4210099512L)),  // :6636 Wenzhou Medical University hospital swap 4210099512->2801769982
+    // ── Xinjiang Medical University (parent implied) (:6643)
+    rr(4, "6643", "000", Seq(Seq(154093214L, 2802734952L, 4210165944L, 4210102015L, 2801820870L, 4210151285L)), Seq(), -1, Seq(), Seq(154093214L), Seq()),  // :6643 Xinjiang Medical University (parent implied)
+    // ── Xinjiang Medical University hospital swap 2802734952->4210165944 (:6643)
+    rr(4, "6643p0", "000", Seq(Seq(2802734952L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210165944L), Seq(2802734952L)),  // :6643 Xinjiang Medical University hospital swap 2802734952->4210165944
+    // ── Xinjiang Medical University hospital swap 2802734952->4210102015 (:6643)
+    rr(4, "6643p1", "000", Seq(Seq(2802734952L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210102015L), Seq(2802734952L)),  // :6643 Xinjiang Medical University hospital swap 2802734952->4210102015
+    // ── Xinjiang Medical University hospital swap 2802734952->2801820870 (:6643)
+    rr(4, "6643p2", "000", Seq(Seq(2802734952L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(2801820870L), Seq(2802734952L)),  // :6643 Xinjiang Medical University hospital swap 2802734952->2801820870
+    // ── Xinjiang Medical University hospital swap 2802734952->4210151285 (:6643)
+    rr(4, "6643p3", "000", Seq(Seq(2802734952L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210151285L), Seq(2802734952L)),  // :6643 Xinjiang Medical University hospital swap 2802734952->4210151285
+    // ── Xinjiang Medical University hospital swap 4210165944->2802734952 (:6643)
+    rr(4, "6643p4", "000", Seq(Seq(4210165944L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(2802734952L), Seq(4210165944L)),  // :6643 Xinjiang Medical University hospital swap 4210165944->2802734952
+    // ── Xinjiang Medical University hospital swap 4210165944->4210102015 (:6643)
+    rr(4, "6643p5", "000", Seq(Seq(4210165944L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210102015L), Seq(4210165944L)),  // :6643 Xinjiang Medical University hospital swap 4210165944->4210102015
+    // ── Xinjiang Medical University hospital swap 4210165944->2801820870 (:6643)
+    rr(4, "6643p6", "000", Seq(Seq(4210165944L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(2801820870L), Seq(4210165944L)),  // :6643 Xinjiang Medical University hospital swap 4210165944->2801820870
+    // ── Xinjiang Medical University hospital swap 4210165944->4210151285 (:6643)
+    rr(4, "6643p7", "000", Seq(Seq(4210165944L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210151285L), Seq(4210165944L)),  // :6643 Xinjiang Medical University hospital swap 4210165944->4210151285
+    // ── Xinjiang Medical University hospital swap 4210102015->2802734952 (:6643)
+    rr(4, "6643p8", "000", Seq(Seq(4210102015L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(2802734952L), Seq(4210102015L)),  // :6643 Xinjiang Medical University hospital swap 4210102015->2802734952
+    // ── Xinjiang Medical University hospital swap 4210102015->4210165944 (:6643)
+    rr(4, "6643p9", "000", Seq(Seq(4210102015L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210165944L), Seq(4210102015L)),  // :6643 Xinjiang Medical University hospital swap 4210102015->4210165944
+    // ── Xinjiang Medical University hospital swap 4210102015->2801820870 (:6643)
+    rr(4, "6643p10", "000", Seq(Seq(4210102015L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(2801820870L), Seq(4210102015L)),  // :6643 Xinjiang Medical University hospital swap 4210102015->2801820870
+    // ── Xinjiang Medical University hospital swap 4210102015->4210151285 (:6643)
+    rr(4, "6643p11", "000", Seq(Seq(4210102015L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210151285L), Seq(4210102015L)),  // :6643 Xinjiang Medical University hospital swap 4210102015->4210151285
+    // ── Xinjiang Medical University hospital swap 2801820870->2802734952 (:6643)
+    rr(4, "6643p12", "000", Seq(Seq(2801820870L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(2802734952L), Seq(2801820870L)),  // :6643 Xinjiang Medical University hospital swap 2801820870->2802734952
+    // ── Xinjiang Medical University hospital swap 2801820870->4210165944 (:6643)
+    rr(4, "6643p13", "000", Seq(Seq(2801820870L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210165944L), Seq(2801820870L)),  // :6643 Xinjiang Medical University hospital swap 2801820870->4210165944
+    // ── Xinjiang Medical University hospital swap 2801820870->4210102015 (:6643)
+    rr(4, "6643p14", "000", Seq(Seq(2801820870L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210102015L), Seq(2801820870L)),  // :6643 Xinjiang Medical University hospital swap 2801820870->4210102015
+    // ── Xinjiang Medical University hospital swap 2801820870->4210151285 (:6643)
+    rr(4, "6643p15", "000", Seq(Seq(2801820870L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210151285L), Seq(2801820870L)),  // :6643 Xinjiang Medical University hospital swap 2801820870->4210151285
+    // ── Xinjiang Medical University hospital swap 4210151285->2802734952 (:6643)
+    rr(4, "6643p16", "000", Seq(Seq(4210151285L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(2802734952L), Seq(4210151285L)),  // :6643 Xinjiang Medical University hospital swap 4210151285->2802734952
+  )
+
+  private lazy val part7: Seq[Rule] = Seq(
+    // ── Xinjiang Medical University hospital swap 4210151285->4210165944 (:6643)
+    rr(4, "6643p17", "000", Seq(Seq(4210151285L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210165944L), Seq(4210151285L)),  // :6643 Xinjiang Medical University hospital swap 4210151285->4210165944
+    // ── Xinjiang Medical University hospital swap 4210151285->4210102015 (:6643)
+    rr(4, "6643p18", "000", Seq(Seq(4210151285L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210102015L), Seq(4210151285L)),  // :6643 Xinjiang Medical University hospital swap 4210151285->4210102015
+    // ── Xinjiang Medical University hospital swap 4210151285->2801820870 (:6643)
+    rr(4, "6643p19", "000", Seq(Seq(4210151285L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(2801820870L), Seq(4210151285L)),  // :6643 Xinjiang Medical University hospital swap 4210151285->2801820870
+    // ── Xuzhou Medical College (parent implied) (:6651)
+    rr(4, "6651", "000", Seq(Seq(177388780L, 4210106614L, 4210140789L)), Seq(), -1, Seq(), Seq(177388780L), Seq()),  // :6651 Xuzhou Medical College (parent implied)
+    // ── Xuzhou Medical College hospital swap 4210106614->4210140789 (:6651)
+    rr(4, "6651p0", "000", Seq(Seq(4210106614L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210140789L), Seq(4210106614L)),  // :6651 Xuzhou Medical College hospital swap 4210106614->4210140789
+    // ── Xuzhou Medical College hospital swap 4210140789->4210106614 (:6651)
+    rr(4, "6651p1", "000", Seq(Seq(4210140789L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210106614L), Seq(4210140789L)),  // :6651 Xuzhou Medical College hospital swap 4210140789->4210106614
+    // ── Nanchang University (parent implied) (:6656)
+    rr(4, "6656", "000", Seq(Seq(141649914L, 4210164024L, 4210108480L, 4210114086L)), Seq(), -1, Seq(), Seq(141649914L), Seq()),  // :6656 Nanchang University (parent implied)
+    // ── Nanchang University hospital swap 4210164024->4210108480 (:6656)
+    rr(4, "6656p0", "000", Seq(Seq(4210164024L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210108480L), Seq(4210164024L)),  // :6656 Nanchang University hospital swap 4210164024->4210108480
+    // ── Nanchang University hospital swap 4210164024->4210114086 (:6656)
+    rr(4, "6656p1", "000", Seq(Seq(4210164024L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210114086L), Seq(4210164024L)),  // :6656 Nanchang University hospital swap 4210164024->4210114086
+    // ── Nanchang University hospital swap 4210108480->4210164024 (:6656)
+    rr(4, "6656p2", "000", Seq(Seq(4210108480L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210164024L), Seq(4210108480L)),  // :6656 Nanchang University hospital swap 4210108480->4210164024
+    // ── Nanchang University hospital swap 4210108480->4210114086 (:6656)
+    rr(4, "6656p3", "000", Seq(Seq(4210108480L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210114086L), Seq(4210108480L)),  // :6656 Nanchang University hospital swap 4210108480->4210114086
+    // ── Nanchang University hospital swap 4210114086->4210164024 (:6656)
+    rr(4, "6656p4", "000", Seq(Seq(4210114086L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210164024L), Seq(4210114086L)),  // :6656 Nanchang University hospital swap 4210114086->4210164024
+    // ── Nanchang University hospital swap 4210114086->4210108480 (:6656)
+    rr(4, "6656p5", "000", Seq(Seq(4210114086L)), Seq(), -1, Seq(l(false, false, false, "Second Affiliated Hospital")), Seq(4210108480L), Seq(4210114086L)),  // :6656 Nanchang University hospital swap 4210114086->4210108480
+    // ── Nantong University (:6662.a6663)
+    rr(4, "6662.a6663", "000", Seq(Seq(4210086801L, 4210085873L, 4210112320L, 4210122818L, 4210119554L)), Seq(), -1, Seq(), Seq(199305430L), Seq()),  // :6662.a6663 Nantong University
+    // ── Peking University (:6666.a6668)
+    rr(4, "6666.a6668", "000", Seq(Seq(2802957242L, 4210093964L, 4210130930L, 4210133846L, 4210124809L, 4210162420L, 4210095659L, 4210141942L)), Seq(), -1, Seq(), Seq(20231570L), Seq()),  // :6666.a6668 Peking University
+    // ── University of Macau (:6671.a6673)
+    rr(4, "6671.a6673", "000", Seq(Seq(111950717L)), Seq(), -1, Seq(l(false, false, false, "University of Macau")), Seq(204512498L), Seq(111950717L)),  // :6671.a6673 University of Macau
+    // ── Toho University (:6677.a6678)
+    rr(4, "6677.a6678", "000", Seq(Seq(4210125448L, 4210093329L, 4210095039L)), Seq(), -1, Seq(), Seq(129634264L), Seq()),  // :6677.a6678 Toho University
+    // ── Sun Yat-sen University (parent implied) (:6681)
+    rr(4, "6681", "000", Seq(Seq(157773358L, 4210128272L, 4210129003L, 4210119259L, 4210097354L, 4210146711L, 4387155047L, 4210128921L, 4210146956L, 4210113039L, 4210093460L, 4210096354L, 4387154481L)), Seq(), -1, Seq(), Seq(157773358L), Seq()),  // :6681 Sun Yat-sen University (parent implied)
+    // ── Sun Yat-sen University hospital swap 4210128921->4210146956 (:6681)
+    rr(4, "6681p0", "000", Seq(Seq(4210128921L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210146956L), Seq(4210128921L)),  // :6681 Sun Yat-sen University hospital swap 4210128921->4210146956
+    // ── Sun Yat-sen University hospital swap 4210128921->4210113039 (:6681)
+    rr(4, "6681p1", "000", Seq(Seq(4210128921L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(4210113039L), Seq(4210128921L)),  // :6681 Sun Yat-sen University hospital swap 4210128921->4210113039
+    // ── Sun Yat-sen University hospital swap 4210128921->4210093460 (:6681)
+    rr(4, "6681p2", "000", Seq(Seq(4210128921L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210093460L), Seq(4210128921L)),  // :6681 Sun Yat-sen University hospital swap 4210128921->4210093460
+    // ── Sun Yat-sen University hospital swap 4210128921->4210096354 (:6681)
+    rr(4, "6681p3", "000", Seq(Seq(4210128921L)), Seq(), -1, Seq(l(false, false, false, "Seventh Affiliated Hospital")), Seq(4210096354L), Seq(4210128921L)),  // :6681 Sun Yat-sen University hospital swap 4210128921->4210096354
+    // ── Sun Yat-sen University hospital swap 4210128921->4387154481 (:6681)
+    rr(4, "6681p4", "000", Seq(Seq(4210128921L)), Seq(), -1, Seq(l(false, false, false, "Eighth Affiliated Hospital")), Seq(4387154481L), Seq(4210128921L)),  // :6681 Sun Yat-sen University hospital swap 4210128921->4387154481
+    // ── Sun Yat-sen University hospital swap 4210146956->4210128921 (:6681)
+    rr(4, "6681p5", "000", Seq(Seq(4210146956L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210128921L), Seq(4210146956L)),  // :6681 Sun Yat-sen University hospital swap 4210146956->4210128921
+    // ── Sun Yat-sen University hospital swap 4210146956->4210113039 (:6681)
+    rr(4, "6681p6", "000", Seq(Seq(4210146956L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(4210113039L), Seq(4210146956L)),  // :6681 Sun Yat-sen University hospital swap 4210146956->4210113039
+    // ── Sun Yat-sen University hospital swap 4210146956->4210093460 (:6681)
+    rr(4, "6681p7", "000", Seq(Seq(4210146956L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210093460L), Seq(4210146956L)),  // :6681 Sun Yat-sen University hospital swap 4210146956->4210093460
+    // ── Sun Yat-sen University hospital swap 4210146956->4210096354 (:6681)
+    rr(4, "6681p8", "000", Seq(Seq(4210146956L)), Seq(), -1, Seq(l(false, false, false, "Seventh Affiliated Hospital")), Seq(4210096354L), Seq(4210146956L)),  // :6681 Sun Yat-sen University hospital swap 4210146956->4210096354
+    // ── Sun Yat-sen University hospital swap 4210146956->4387154481 (:6681)
+    rr(4, "6681p9", "000", Seq(Seq(4210146956L)), Seq(), -1, Seq(l(false, false, false, "Eighth Affiliated Hospital")), Seq(4387154481L), Seq(4210146956L)),  // :6681 Sun Yat-sen University hospital swap 4210146956->4387154481
+    // ── Sun Yat-sen University hospital swap 4210113039->4210128921 (:6681)
+    rr(4, "6681p10", "000", Seq(Seq(4210113039L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210128921L), Seq(4210113039L)),  // :6681 Sun Yat-sen University hospital swap 4210113039->4210128921
+    // ── Sun Yat-sen University hospital swap 4210113039->4210146956 (:6681)
+    rr(4, "6681p11", "000", Seq(Seq(4210113039L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210146956L), Seq(4210113039L)),  // :6681 Sun Yat-sen University hospital swap 4210113039->4210146956
+    // ── Sun Yat-sen University hospital swap 4210113039->4210093460 (:6681)
+    rr(4, "6681p12", "000", Seq(Seq(4210113039L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210093460L), Seq(4210113039L)),  // :6681 Sun Yat-sen University hospital swap 4210113039->4210093460
+    // ── Sun Yat-sen University hospital swap 4210113039->4210096354 (:6681)
+    rr(4, "6681p13", "000", Seq(Seq(4210113039L)), Seq(), -1, Seq(l(false, false, false, "Seventh Affiliated Hospital")), Seq(4210096354L), Seq(4210113039L)),  // :6681 Sun Yat-sen University hospital swap 4210113039->4210096354
+    // ── Sun Yat-sen University hospital swap 4210113039->4387154481 (:6681)
+    rr(4, "6681p14", "000", Seq(Seq(4210113039L)), Seq(), -1, Seq(l(false, false, false, "Eighth Affiliated Hospital")), Seq(4387154481L), Seq(4210113039L)),  // :6681 Sun Yat-sen University hospital swap 4210113039->4387154481
+    // ── Sun Yat-sen University hospital swap 4210093460->4210128921 (:6681)
+    rr(4, "6681p15", "000", Seq(Seq(4210093460L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210128921L), Seq(4210093460L)),  // :6681 Sun Yat-sen University hospital swap 4210093460->4210128921
+    // ── Sun Yat-sen University hospital swap 4210093460->4210146956 (:6681)
+    rr(4, "6681p16", "000", Seq(Seq(4210093460L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210146956L), Seq(4210093460L)),  // :6681 Sun Yat-sen University hospital swap 4210093460->4210146956
+    // ── Sun Yat-sen University hospital swap 4210093460->4210113039 (:6681)
+    rr(4, "6681p17", "000", Seq(Seq(4210093460L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(4210113039L), Seq(4210093460L)),  // :6681 Sun Yat-sen University hospital swap 4210093460->4210113039
+    // ── Sun Yat-sen University hospital swap 4210093460->4210096354 (:6681)
+    rr(4, "6681p18", "000", Seq(Seq(4210093460L)), Seq(), -1, Seq(l(false, false, false, "Seventh Affiliated Hospital")), Seq(4210096354L), Seq(4210093460L)),  // :6681 Sun Yat-sen University hospital swap 4210093460->4210096354
+    // ── Sun Yat-sen University hospital swap 4210093460->4387154481 (:6681)
+    rr(4, "6681p19", "000", Seq(Seq(4210093460L)), Seq(), -1, Seq(l(false, false, false, "Eighth Affiliated Hospital")), Seq(4387154481L), Seq(4210093460L)),  // :6681 Sun Yat-sen University hospital swap 4210093460->4387154481
+    // ── Sun Yat-sen University hospital swap 4210096354->4210128921 (:6681)
+    rr(4, "6681p20", "000", Seq(Seq(4210096354L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210128921L), Seq(4210096354L)),  // :6681 Sun Yat-sen University hospital swap 4210096354->4210128921
+    // ── Sun Yat-sen University hospital swap 4210096354->4210146956 (:6681)
+    rr(4, "6681p21", "000", Seq(Seq(4210096354L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210146956L), Seq(4210096354L)),  // :6681 Sun Yat-sen University hospital swap 4210096354->4210146956
+    // ── Sun Yat-sen University hospital swap 4210096354->4210113039 (:6681)
+    rr(4, "6681p22", "000", Seq(Seq(4210096354L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(4210113039L), Seq(4210096354L)),  // :6681 Sun Yat-sen University hospital swap 4210096354->4210113039
+    // ── Sun Yat-sen University hospital swap 4210096354->4210093460 (:6681)
+    rr(4, "6681p23", "000", Seq(Seq(4210096354L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210093460L), Seq(4210096354L)),  // :6681 Sun Yat-sen University hospital swap 4210096354->4210093460
+    // ── Sun Yat-sen University hospital swap 4210096354->4387154481 (:6681)
+    rr(4, "6681p24", "000", Seq(Seq(4210096354L)), Seq(), -1, Seq(l(false, false, false, "Eighth Affiliated Hospital")), Seq(4387154481L), Seq(4210096354L)),  // :6681 Sun Yat-sen University hospital swap 4210096354->4387154481
+    // ── Sun Yat-sen University hospital swap 4387154481->4210128921 (:6681)
+    rr(4, "6681p25", "000", Seq(Seq(4387154481L)), Seq(), -1, Seq(l(false, false, false, "First Affiliated Hospital")), Seq(4210128921L), Seq(4387154481L)),  // :6681 Sun Yat-sen University hospital swap 4387154481->4210128921
+    // ── Sun Yat-sen University hospital swap 4387154481->4210146956 (:6681)
+    rr(4, "6681p26", "000", Seq(Seq(4387154481L)), Seq(), -1, Seq(l(false, false, false, "Third Affiliated Hospital")), Seq(4210146956L), Seq(4387154481L)),  // :6681 Sun Yat-sen University hospital swap 4387154481->4210146956
+    // ── Sun Yat-sen University hospital swap 4387154481->4210113039 (:6681)
+    rr(4, "6681p27", "000", Seq(Seq(4387154481L)), Seq(), -1, Seq(l(false, false, false, "Fifth Affiliated Hospital")), Seq(4210113039L), Seq(4387154481L)),  // :6681 Sun Yat-sen University hospital swap 4387154481->4210113039
+    // ── Sun Yat-sen University hospital swap 4387154481->4210093460 (:6681)
+    rr(4, "6681p28", "000", Seq(Seq(4387154481L)), Seq(), -1, Seq(l(false, false, false, "Sixth Affiliated Hospital")), Seq(4210093460L), Seq(4387154481L)),  // :6681 Sun Yat-sen University hospital swap 4387154481->4210093460
+    // ── Sun Yat-sen University hospital swap 4387154481->4210096354 (:6681)
+    rr(4, "6681p29", "000", Seq(Seq(4387154481L)), Seq(), -1, Seq(l(false, false, false, "Seventh Affiliated Hospital")), Seq(4210096354L), Seq(4387154481L)),  // :6681 Sun Yat-sen University hospital swap 4387154481->4210096354
+    // ── Qingdao University (:6692.a6693)
+    rr(4, "6692.a6693", "000", Seq(Seq(4210116869L, 4210119987L, 4210167271L)), Seq(), -1, Seq(), Seq(108688024L), Seq()),  // :6692.a6693 Qingdao University
+    // ── University of Lübeck (:6696.a6697)
+    rr(4, "6696.a6697", "000", Seq(Seq(4210112713L)), Seq(), -1, Seq(), Seq(9341345L), Seq()),  // :6696.a6697 University of Lübeck
+    // ── SUNY (:6700.c6701)
+    rr(4, "6700.c6701", "000", Seq(Seq(1327163397L)), Seq(), -1, Seq(l(false, false, false, "Albany")), Seq(392282L), Seq(1327163397L)),  // :6700.c6701 SUNY
+    rr(4, "6700.c6701", "001", Seq(Seq(1327163397L)), Seq(), -1, Seq(l(false, false, false, "Buffalo")), Seq(63190737L), Seq(1327163397L)),  // :6700.c6701 SUNY
+    // ── SUNY Upstate Medical University (:6710.a6711)
+    rr(4, "6710.a6711", "000", Seq(Seq(4210089004L, 4210114695L, 4210106223L)), Seq(), -1, Seq(), Seq(20388574L), Seq()),  // :6710.a6711 SUNY Upstate Medical University
+    // ── Jiangsu University (:6714.a6716)
+    rr(4, "6714.a6716", "000", Seq(Seq(4210111628L, 4210110396L, 4210124790L, 4210104909L, 4210139780L, 4210146175L)), Seq(), -1, Seq(), Seq(115592961L), Seq()),  // :6714.a6716 Jiangsu University
+    // ── University of Georgia (:6719.a6721)
+    rr(4, "6719.a6721", "000", Seq(Seq(4210126868L)), Seq(), -1, Seq(l(true, false, false, "Tbilisi")), Seq(165733156L), Seq(4210126868L)),  // :6719.a6721 University of Georgia
+  )
+
+  private lazy val part8: Seq[Rule] = Seq(
+    // ── University of Eastern Piedmont Amadeo Avogadro (:6725.a6726)
+    rr(4, "6725.a6726", "000", Seq(Seq(4210119436L)), Seq(), -1, Seq(), Seq(123338534L), Seq()),  // :6725.a6726 University of Eastern Piedmont Amadeo Avogadro
+    // ── University of Colorado Denver (:6729.a6731)
+    rr(4, "6729.a6731", "000", Seq(Seq(4210096275L, 2801983979L, 3019586173L, 2802547023L, 4210134151L, 1288162130L)), Seq(), -1, Seq(), Seq(921990950L), Seq()),  // :6729.a6731 University of Colorado Denver
+    // ── University of Tennessee at Knoxville (:6734.a6735)
+    rr(4, "6734.a6735", "000", Seq(Seq(2802076678L)), Seq(), -1, Seq(), Seq(75027704L), Seq()),  // :6734.a6735 University of Tennessee at Knoxville
+    // ── Xuzhou Medical College (:6738.a6739)
+    rr(5, "6738.a6739", "000", Seq(Seq(4210106614L, 4210140789L, 4210124997L, 4210143072L)), Seq(), -1, Seq(), Seq(177388780L), Seq()),  // :6738.a6739 Xuzhou Medical College
+    // ── UT Southwestern Medical Center (:6742.a6743)
+    rr(5, "6742.a6743", "000", Seq(Seq(4210096815L)), Seq(), -1, Seq(), Seq(867280407L), Seq()),  // :6742.a6743 UT Southwestern Medical Center
+    // ── University of Reims Champagne-Ardenne (:6746.a6747)
+    rr(5, "6746.a6747", "000", Seq(Seq(4210105796L)), Seq(), -1, Seq(), Seq(96226040L), Seq()),  // :6746.a6747 University of Reims Champagne-Ardenne
+    // ── Soochow University (:6750.a6752)
+    rr(5, "6750.a6752", "000", Seq(Seq(4210151382L, 4210153519L, 4210166543L, 4210123502L, 4210124971L, 4210133251L, 4210108364L)), Seq(), -1, Seq(), Seq(3923682L), Seq()),  // :6750.a6752 Soochow University
+    // ── Virginia Tech (:6755.a6756)
+    rr(5, "6755.a6756", "000", Seq(Seq(4210166782L)), Seq(), -1, Seq(), Seq(859038795L), Seq(4210166782L)),  // :6755.a6756 Virginia Tech
+    // ── University Canada West (:6760.a6762)
+    rr(5, "6760.a6762", "000", Seq(Seq(214977574L)), Seq(), -1, Seq(l(true, false, false, "University Canada West")), Seq(), Seq(214977574L)),  // :6760.a6762 University Canada West
+    // ── Universidad Central de Chile (:6765.c6766)
+    rr(5, "6765.c6766", "000", Seq(Seq(4210156023L)), Seq(), -1, Seq(l(false, false, false, "Universidad Central de Chile", "UCEN", "Central University of Chile")), Seq(), Seq()),  // :6765.c6766 Universidad Central de Chile
+    rr(5, "6765.c6766", "001", Seq(Seq(4210156023L)), Seq(), -1, Seq(l(false, false, false, "Universidad de Chile")), Seq(69737025L), Seq(4210156023L)),  // :6765.c6766 Universidad Central de Chile
+    rr(5, "6765.c6766", "002", Seq(Seq(4210156023L)), Seq(), -1, Seq(l(false, false, false, "Pontificia Universidad Católica de Chile")), Seq(162148367L), Seq(4210156023L)),  // :6765.c6766 Universidad Central de Chile
+    rr(5, "6765.c6766", "003", Seq(Seq(4210156023L)), Seq(), -1, Seq(), Seq(), Seq(4210156023L)),  // :6765.c6766 Universidad Central de Chile
+    // ── Hamilton College (getting confused with Hamilton Institute at Maynooth University) (:6778.a6780)
+    rr(5, "6778.a6780", "000", Seq(Seq(188592606L)), Seq(), -1, Seq(l(false, false, false, "Hamilton Institute")), Seq(), Seq(188592606L)),  // :6778.a6780 Hamilton College (getting confused with Hamilton Institute at Maynooth University)
+    // ── University of Quebec (:6783.a6785)
+    rr(5, "6783.a6785", "000", Seq(Seq(159129438L, 63341726L, 104914703L, 182451676L, 33217400L, 190270569L, 39481719L, 31571312L, 9736820L, 200745827L)), Seq(), -1, Seq(), Seq(), Seq(49663120L)),  // :6783.a6785 University of Quebec
+    // ── Removing bad University of Quebec matches from Laval U. and U. of Montreal (:6794.c6796)
+    rr(6, "6794.c6796", "000", Seq(Seq(49663120L)), Seq(), -1, Seq(l(false, false, false, "Laval University", "University of Montreal"), l(false, false, false, "Université du Québec", "University of Quebec", "University of Québec", "Quebec University", "Universite du Quebec", "Univ Quebec", "Univ. Quebec", "Univ Québec", "Univ. Québec", "Quebec Univ.", "Québec Univ.", "Univ. of Quebec", "Univ. of Québec", "U de Québec", "U de Quebec", "Univ. du Quebec", "Univ. du Québec")), Seq(), Seq()),  // :6794.c6796 Removing bad University of Quebec matches from Laval U. and U. of Montreal
+    rr(6, "6794.c6796", "001.000", Seq(Seq(49663120L)), Seq(), -1, Seq(l(false, false, false, "Laval University", "University of Montreal"), l(false, false, false, "Laval University")), Seq(43406934L), Seq(49663120L)),  // :6794.c6796 Removing bad University of Quebec matches from Laval U. and U. of Montreal
+    rr(6, "6794.c6796", "001.001", Seq(Seq(49663120L)), Seq(), -1, Seq(l(false, false, false, "Laval University", "University of Montreal"), l(false, false, false, "University of Montreal")), Seq(70931966L), Seq(49663120L)),  // :6794.c6796 Removing bad University of Quebec matches from Laval U. and U. of Montreal
+    rr(6, "6794.c6796", "001.002", Seq(Seq(49663120L)), Seq(), -1, Seq(l(false, false, false, "Laval University", "University of Montreal")), Seq(), Seq(49663120L)),  // :6794.c6796 Removing bad University of Quebec matches from Laval U. and U. of Montreal
+    // ── University of Maryland (:6806.c6809)
+    rr(6, "6806.c6809", "000.000", Seq(Seq(116545467L)), Seq(), -1, Seq(l(false, false, false, "University of Maryland"), l(false, false, false, "Baltimore"), l(false, false, false, "Baltimore County")), Seq(79272384L), Seq()),  // :6806.c6809 University of Maryland
+    rr(6, "6806.c6809", "000.001", Seq(Seq(116545467L)), Seq(), -1, Seq(l(false, false, false, "University of Maryland"), l(false, false, false, "Baltimore")), Seq(126744593L), Seq()),  // :6806.c6809 University of Maryland
+    rr(6, "6806.c6809", "001", Seq(Seq(116545467L)), Seq(), -1, Seq(l(false, false, false, "University of Maryland"), l(false, false, false, "Princess Anne", "Eastern Shore")), Seq(22407884L), Seq()),  // :6806.c6809 University of Maryland
+    rr(6, "6806.c6809", "002", Seq(Seq(116545467L)), Seq(), -1, Seq(l(false, false, false, "University of Maryland"), l(false, false, false, "College Park")), Seq(66946132L), Seq()),  // :6806.c6809 University of Maryland
+    rr(6, "6806.a6808", "000", Seq(Seq(116545467L)), Seq(), -1, Seq(l(false, false, false, "University of Maryland")), Seq(), Seq(116545467L)),  // :6806.a6808 University of Maryland
+    // ──  (:6818.a6819)
+    rr(6, "6818.a6819", "000", Seq(Seq(4210132871L, 1315496137L)), Seq(), -1, Seq(), Seq(126744593L), Seq()),  // :6818.a6819
+    // ── Comenius University Bratislava (:6822.a6823)
+    rr(6, "6822.a6823", "000", Seq(Seq(4210095125L)), Seq(), -1, Seq(), Seq(74788687L), Seq()),  // :6822.a6823 Comenius University Bratislava
+    // ── University of North Texas (:6826.a6827)
+    rr(6, "6826.a6827", "000", Seq(Seq(165139151L)), Seq(), -1, Seq(), Seq(123534392L), Seq()),  // :6826.a6827 University of North Texas
+    // ── University of Veterinary Medicine Hannover, Foundation (:6830.a6832)
+    rr(6, "6830.a6832", "000", Seq(Seq(114112103L)), Seq(), -1, Seq(l(false, false, false, "University of Veterinary Medicine")), Seq(189991L), Seq(114112103L)),  // :6830.a6832 University of Veterinary Medicine Hannover, Foundation
+    // ── University of South China (:6836.a6837)
+    rr(6, "6836.a6837", "000", Seq(Seq(4210143187L)), Seq(), -1, Seq(), Seq(91935597L), Seq()),  // :6836.a6837 University of South China
+    // ── Wuhan University (:6840.a6842)
+    rr(6, "6840.a6842", "000", Seq(Seq(4210131162L, 4210125402L, 4210140357L, 4210126156L, 4210120234L)), Seq(), -1, Seq(), Seq(37461747L), Seq()),  // :6840.a6842 Wuhan University
+    // ── SUNY Upstate Medical University (:6845.a6846)
+    rr(6, "6845.a6846", "000", Seq(Seq(4210089004L, 4210114695L, 4210106223L)), Seq(), -1, Seq(), Seq(20388574L), Seq()),  // :6845.a6846 SUNY Upstate Medical University
+    // ── University College London (:6849.c6850)
+    rr(6, "6849.c6850", "000", Seq(Seq(2800173700L)), Seq(), -1, Seq(l(false, false, false, "University College London")), Seq(), Seq(2800173700L)),  // :6849.c6850 University College London
+    rr(6, "6849.c6850", "001.000", Seq(Seq(2800173700L)), Seq(), -1, Seq(l(false, false, false, "UCL"), l(false, false, false, "London")), Seq(), Seq(2800173700L)),  // :6849.c6850 University College London
+    // ──  (:6856.a6859)
+    rr(6, "6856.a6859", "000", Seq(Seq(2800129641L, 4210150574L, 4210141040L, 4210151618L, 2802751111L, 4210118734L, 2801138448L, 1289784979L, 4210119772L, 2802844630L, 2802576581L)), Seq(), -1, Seq(), Seq(45129253L), Seq()),  // :6856.a6859
+    // ── Radboud University (:6862.c6862)
+    rr(6, "6862.c6862", "000", Seq(Seq(4210109357L, 2802934949L)), Seq(), -1, Seq(), Seq(145872427L, 2802934949L), Seq()),  // :6862.c6862 Radboud University
+    rr(6, "6862.c6862", "001", Seq(Seq(2801238018L, 4210126394L)), Seq(), -1, Seq(), Seq(145872427L), Seq()),  // :6862.c6862 Radboud University
+    // ── Shanghai University of Traditional Chinese Medicine (:6869.a6870)
+    rr(6, "6869.a6870", "000", Seq(Seq(4210101984L, 4210149132L, 4210124018L, 4210133418L)), Seq(), -1, Seq(), Seq(4210098460L), Seq()),  // :6869.a6870 Shanghai University of Traditional Chinese Medicine
+    // ── Technical University Dortmund (:6873.a6874)
+    rr(6, "6873.a6874", "000", Seq(Seq(4210166399L)), Seq(), -1, Seq(), Seq(200332995L), Seq()),  // :6873.a6874 Technical University Dortmund
+    // ── University of Liverpool (:6877.a6880)
+    rr(6, "6877.a6880", "000", Seq(Seq(2802775644L, 4210089066L, 4210165020L, 2799272705L, 4210157731L, 2801018919L, 4210134784L, 4210086861L, 4210093008L, 4210157668L, 2799451200L, 4210111181L, 2802833755L, 4210086643L)), Seq(), -1, Seq(), Seq(146655781L), Seq()),  // :6877.a6880 University of Liverpool
+    // ── Sichuan University (:6883.a6884)
+    rr(6, "6883.a6884", "000", Seq(Seq(4210089228L, 4210089761L)), Seq(), -1, Seq(), Seq(24185976L), Seq()),  // :6883.a6884 Sichuan University
+    // ── Johns Hopkins University (:6887.a6888)
+    rr(6, "6887.a6888", "000", Seq(Seq(4210098865L, 2802697821L, 4210129832L, 2799853436L)), Seq(), -1, Seq(), Seq(145311948L), Seq()),  // :6887.a6888 Johns Hopkins University
+    // ── Shantou University (:6891.a6892)
+    rr(6, "6891.a6892", "000", Seq(Seq(4210091098L, 4210115239L, 4210120522L, 4210121200L, 4210109945L)), Seq(), -1, Seq(), Seq(32574673L), Seq()),  // :6891.a6892 Shantou University
+    // ── Johannes Gutenberg University Mainz (:6895.a6896)
+    rr(6, "6895.a6896", "000", Seq(Seq(4210094062L, 4387156336L, 4210148626L)), Seq(), -1, Seq(), Seq(197323543L), Seq()),  // :6895.a6896 Johannes Gutenberg University Mainz
+    // ── Yokohama City University (:6899.c6899)
+    rr(6, "6899.c6899", "000", Seq(Seq(2802180866L)), Seq(), -1, Seq(), Seq(89630735L), Seq()),  // :6899.c6899 Yokohama City University
+    rr(6, "6899.c6899", "001", Seq(Seq(4210099218L)), Seq(), -1, Seq(), Seq(89630735L), Seq()),  // :6899.c6899 Yokohama City University
+    // ── Tampere University (:6905.a6908)
+    rr(6, "6905.a6908", "000", Seq(Seq(150589677L)), Seq(), -1, Seq(l(false, false, false, "Tampere University of Technology"), l(true, false, false, "Tampere University of Applied Sciences")), Seq(4210133110L), Seq(150589677L)),  // :6905.a6908 Tampere University
+    // ── University of Ulster (:6912.a6913)
+    rr(6, "6912.a6913", "000", Seq(Seq(2802259370L, 2802808109L, 4210130048L)), Seq(), -1, Seq(), Seq(138801177L), Seq()),  // :6912.a6913 University of Ulster
+    // ── Bloomberg (:6916.a6918)
+    rr(6, "6916.a6918", "000", Seq(Seq(1299907687L)), Seq(), -1, Seq(l(false, false, false, "Bloomberg School of")), Seq(145311948L), Seq(1299907687L)),  // :6916.a6918 Bloomberg
+    // ── Coventry (UK) (:6922.a6924)
+    rr(6, "6922.a6924", "000", Seq(Seq(4210127762L), Seq(39555362L)), Seq(), -1, Seq(), Seq(), Seq(4210127762L)),  // :6922.a6924 Coventry (UK)
+    // ── Hershey (:6927.a6929)
+    rr(6, "6927.a6929", "000", Seq(Seq(123457487L), Seq(130769515L, 82783531L)), Seq(), -1, Seq(), Seq(), Seq(123457487L)),  // :6927.a6929 Hershey
+    // ── Södra Skogsägarna (:6932.a6934)
+    rr(6, "6932.a6934", "000", Seq(Seq(4210151240L)), Seq(), -1, Seq(l(true, false, false, "Södra Skogsägarna", "Sodra Skogsägarna", "Sodra Skogsagarna")), Seq(), Seq(4210151240L)),  // :6932.a6934 Södra Skogsägarna
+    // ── Bayer (:6937.a6940)
+    rr(6, "6937.a6940", "000", Seq(Seq(67348948L)), Seq(), -1, Seq(l(false, false, false, "Bayerisch"), l(false, false, false, "Germany")), Seq(), Seq(67348948L)),  // :6937.a6940 Bayer
+    // ── Eppendorf (:6943.c6944)
+    rr(6, "6943.c6944", "000", Seq(Seq(2801537753L), Seq(159176309L, 4210108711L, 4210125929L)), Seq(), -1, Seq(), Seq(), Seq(2801537753L)),  // :6943.c6944 Eppendorf
+    rr(6, "6943.c6944", "001.000", Seq(Seq(2801537753L)), Seq(), -1, Seq(l(false, false, false, "University Medical Center", "University Medical Centre"), l(false, false, false, "Hamburg")), Seq(4210108711L, 159176309L), Seq(2801537753L)),  // :6943.c6944 Eppendorf
+    rr(6, "6943.c6944", "001.001", Seq(Seq(2801537753L)), Seq(), -1, Seq(l(false, false, false, "University Medical Center", "University Medical Centre")), Seq(), Seq()),  // :6943.c6944 Eppendorf
+  )
+
+  private lazy val part9: Seq[Rule] = Seq(
+    rr(6, "6943.c6944", "002", Seq(Seq(2801537753L)), Seq(), -1, Seq(l(false, false, false, "Hamburg-Eppendorf")), Seq(4210108711L, 159176309L), Seq()),  // :6943.c6944 Eppendorf
+    // ── Applied Mathematics (:6958.a6966)
+    rr(6, "6958.a6966", "000", Seq(Seq(4210131439L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for", "Applied Mathematics Inst", "Applied Mathematics Dep", "Applied Mathematics Div")), Seq(), Seq(4210131439L)),  // :6958.a6966 Applied Mathematics
+    // ── Applied Materials (Germany) (:6969.c6970)
+    rr(6, "6969.c6970", "000", Seq(Seq(4210165146L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for", "Applied Materials Inst", "Applied Materials Dep", "Applied Materials Div")), Seq(), Seq(4210165146L)),  // :6969.c6970 Applied Materials (Germany)
+    rr(6, "6969.c6970", "001", Seq(Seq(4210165146L)), Seq(), 1, Seq(), Seq(), Seq(4210165146L)),  // :6969.c6970 Applied Materials (Germany)
+    // ── Applied Materials (United States) (:6982.c6983)
+    rr(6, "6982.c6983", "000", Seq(Seq(193427800L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for", "Applied Materials Inst", "Applied Materials Dep", "Applied Materials Div")), Seq(), Seq(193427800L)),  // :6982.c6983 Applied Materials (United States)
+    rr(6, "6982.c6983", "001", Seq(Seq(193427800L)), Seq(), 1, Seq(), Seq(), Seq(193427800L)),  // :6982.c6983 Applied Materials (United States)
+    // ── Applied Materials (Israel) (:6995.a6997)
+    rr(6, "6995.a6997", "000", Seq(Seq(4210100008L)), Seq(), 1, Seq(), Seq(), Seq(4210100008L)),  // :6995.a6997 Applied Materials (Israel)
+    // ── Applied Materials (U.K.) (:7000.a7002)
+    rr(6, "7000.a7002", "000", Seq(Seq(4210087370L)), Seq(), 1, Seq(), Seq(), Seq(4210087370L)),  // :7000.a7002 Applied Materials (U.K.)
+    // ── Applied Materials (Singapore) (:7005.a7007)
+    rr(6, "7005.a7007", "000", Seq(Seq(4210102879L)), Seq(), 1, Seq(), Seq(), Seq(4210102879L)),  // :7005.a7007 Applied Materials (Singapore)
+    // ── Bioengineering (Switzerland) (:7010.a7018)
+    rr(6, "7010.a7018", "000", Seq(Seq(4210092485L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for", "Bioengineering Inst", "Bioengineering Dep", "Bioengineering Div")), Seq(), Seq(4210092485L)),  // :7010.a7018 Bioengineering (Switzerland)
+    // ── Visual Sciences (USA) (:7021.a7023)
+    rr(6, "7021.a7023", "000", Seq(Seq(4210107648L)), Seq(), -1, Seq(l(true, false, false, "Raleigh")), Seq(), Seq(4210107648L)),  // :7021.a7023 Visual Sciences (USA)
+    // ── Quantum Group (USA) (:7026.a7028)
+    rr(6, "7026.a7028", "000", Seq(Seq(4210090401L)), Seq(), -1, Seq(l(true, false, false, "San Diego")), Seq(), Seq(4210090401L)),  // :7026.a7028 Quantum Group (USA)
+    // ── Engineering (Italy) (:7031.a7039)
+    rr(6, "7031.a7039", "000", Seq(Seq(4210127672L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for", "Engineering Inst", "Engineering Dep", "Engineering Div")), Seq(), Seq(4210127672L)),  // :7031.a7039 Engineering (Italy)
+    // ── Neurobehavioral Research (USA) (:7042.c7043)
+    rr(6, "7042.c7043", "000", Seq(Seq(4210157590L)), Seq(), -1, Seq(l(true, false, false, "Neurobehavioral Research")), Seq(), Seq(4210157590L)),  // :7042.c7043 Neurobehavioral Research (USA)
+    rr(6, "7042.c7043", "001", Seq(Seq(4210157590L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for")), Seq(), Seq(4210157590L)),  // :7042.c7043 Neurobehavioral Research (USA)
+    // ── Materials Research Institute (USA) (:7052.a7054)
+    rr(6, "7052.a7054", "000", Seq(Seq(4210148571L)), Seq(), -1, Seq(l(true, false, false, "Dayton")), Seq(), Seq(4210148571L)),  // :7052.a7054 Materials Research Institute (USA)
+    // ── Materials Sciences (USA) (:7058.c7059)
+    rr(6, "7058.c7059", "000", Seq(Seq(4210111788L)), Seq(), -1, Seq(l(false, false, false, "Division of", "Department of", "Institute of", "Center for", "Engineering Inst", "Engineering Dep", "Engineering Div")), Seq(), Seq(4210111788L)),  // :7058.c7059 Materials Sciences (USA)
+    rr(6, "7058.c7059", "001", Seq(Seq(4210111788L)), Seq(), -1, Seq(l(true, false, false, "Horsham")), Seq(), Seq(4210111788L)),  // :7058.c7059 Materials Sciences (USA)
+    // ── Surgical Science (Sweden) (:7071.a7073)
+    rr(6, "7071.a7073", "000", Seq(Seq(4210147392L)), Seq(), -1, Seq(l(true, false, false, "Göteborg")), Seq(), Seq(4210147392L)),  // :7071.a7073 Surgical Science (Sweden)
+    // ── Computational Sciences (USA) (:7076.a7078)
+    rr(6, "7076.a7078", "000", Seq(Seq(4210129810L)), Seq(), -1, Seq(l(true, false, false, "Madison")), Seq(), Seq(4210129810L)),  // :7076.a7078 Computational Sciences (USA)
+    // ── Translational Sciences (USA) (:7081.a7083)
+    rr(6, "7081.a7083", "000", Seq(Seq(4210163070L)), Seq(), -1, Seq(l(true, false, false, "Memphis")), Seq(), Seq(4210163070L)),  // :7081.a7083 Translational Sciences (USA)
+    // ── Roskilde University (:7109.a7113)
+    rr(6, "7109.a7113", "000", Seq(Seq(107707843L)), Seq(), -1, Seq(l(false, false, false, "Roskilde"), l(false, true, false, "roskilde uni", "university of roskilde", "universidade de roskilde", "rosikilde university", "universities of roskilde and copenhagen")), Seq(), Seq(107707843L)),  // :7109.a7113 Roskilde University
+    // ── Hochschule Hannover (:7116.c7117)
+    rr(6, "7116.c7117", "000", Seq(Seq(140025399L)), Seq(), -1, Seq(l(false, true, false, "medizinische", "medical", "med.", "medische")), Seq(34809795L), Seq(140025399L)),  // :7116.c7117 Hochschule Hannover
+    rr(6, "7116.c7117", "001", Seq(Seq(140025399L)), Seq(), -1, Seq(l(false, true, false, "technische", "techn.")), Seq(114112103L), Seq(140025399L)),  // :7116.c7117 Hochschule Hannover
+    // ── Twitter (:7125.a7127)
+    rr(6, "7125.a7127", "000", Seq(Seq(113979032L)), Seq(), -1, Seq(l(false, false, false, "@")), Seq(), Seq(113979032L)),  // :7125.a7127 Twitter
+    // ── BIOM (:7130.c7131)
+    rr(6, "7130.c7131", "000", Seq(Seq(4210131549L)), Seq(), -1, Seq(l(false, false, false, "BOME", "Biologie des organismes marins et écosystèmes")), Seq(4210110009L), Seq(4210131549L)),  // :7130.c7131 BIOM
+    rr(6, "7130.c7131", "001", Seq(Seq(4210131549L)), Seq(), -1, Seq(l(false, false, false, "ISOMER", "Institut Des Substances et Organismes de la Mer")), Seq(4210144488L), Seq(4210131549L)),  // :7130.c7131 BIOM
+    rr(6, "7130.c7131", "002", Seq(Seq(4210131549L)), Seq(), -1, Seq(l(false, false, false, "BOREA", "Biologie des Organismes et Ecosystèmes Aquatiques")), Seq(4210110009L), Seq(4210131549L)),  // :7130.c7131 BIOM
+    rr(6, "7130.c7131", "003", Seq(Seq(4210131549L)), Seq(), -1, Seq(l(false, false, false, "EFNO", "Ecosystèmes forestiers", "BioMEA", "PFOM", "Physiologie Fonctionnelle des Organismes Marins")), Seq(), Seq(4210131549L)),  // :7130.c7131 BIOM
+    // ── Gateway (:7145.a7145)
+    rr(6, "7145.a7145", "000", Seq(Seq(4210139101L)), Seq(), -1, Seq(), Seq(), Seq(4210139101L)),  // :7145.a7145 Gateway
+    // ── Australian College of Theology (:7149.a7151)
+    rr(6, "7149.a7151", "000", Seq(Seq(2800615496L)), Seq(), -1, Seq(l(true, true, false, "theology")), Seq(), Seq(2800615496L)),  // :7149.a7151 Australian College of Theology
+    // ── Southern Institute of Technology (:7154.a7156)
+    rr(6, "7154.a7156", "000", Seq(Seq(2802042008L)), Seq(), -1, Seq(l(true, false, false, "Southern Institute of Technology", "SIT")), Seq(), Seq(2802042008L)),  // :7154.a7156 Southern Institute of Technology
+    // ── Access e.V. (:7159.a7162)
+    rr(6, "7159.a7162", "000", Seq(Seq(4210121009L)), Seq(), -1, Seq(l(true, true, false, "access e.v.", "access e. v.", "accessmm e. v.", "access ev ", "access ev.", "access ev,")), Seq(), Seq(4210121009L)),  // :7159.a7162 Access e.V.
+    // ── Manipal University Jaipur (:7165.a7167)
+    rr(6, "7165.a7167", "000", Seq(Seq(164861460L)), Seq(), -1, Seq(l(false, true, false, "manipal university jaipur")), Seq(73779912L), Seq(164861460L)),  // :7165.a7167 Manipal University Jaipur
+    // ── Westfälische Hochschule (:7171.a7173)
+    rr(6, "7171.a7173", "000", Seq(Seq(4210145899L), Seq(887968799L)), Seq(), -1, Seq(), Seq(), Seq(4210145899L)),  // :7171.a7173 Westfälische Hochschule
+  )
+
+  private lazy val handPorted: Seq[Rule] = Seq(
+    // ════ hand-ported blocks (dev/extract_refine.py cannot express) ════
+    // ── Xiangya / Central South University hospital swaps (:6407) —
+    //    the hand-written sibling of chinese_medical_university_affs;
+    //    same union-semantics deviation on multi-hospital strings.
+    rr(3, "6407", "000", Seq(Seq(4210159865L, 4210153856L, 4210156904L, 139660479L)), Seq(), -1, Seq(), Seq(139660479L), Seq()),
+    rr(3, "6407p0", "000", Seq(Seq(4210159865L)), Seq(), -1, Seq(l(false, false, false, "Second Xiangya Hospital")), Seq(4210153856L), Seq(4210159865L)),
+    rr(3, "6407p1", "000", Seq(Seq(4210159865L)), Seq(), -1, Seq(l(false, false, false, "Third Xiangya Hospital")), Seq(4210156904L), Seq(4210159865L)),
+    rr(3, "6407s2a", "000", Seq(Seq(4210153856L)), Seq(), -1, Seq(l(true, false, false, "Second Xiangya Hospital"), l(true, false, false, "Third Xiangya Hospital"), l(false, false, false, "Xiangya Hospital")), Seq(4210159865L), Seq(4210153856L)),
+    rr(3, "6407s2a", "001", Seq(Seq(4210153856L)), Seq(), -1, Seq(l(true, false, false, "Second Xiangya Hospital")), Seq(), Seq(4210153856L)),
+    rr(3, "6407s2b", "000", Seq(Seq(4210153856L)), Seq(), -1, Seq(l(false, false, false, "Third Xiangya Hospital")), Seq(4210156904L), Seq(4210153856L)),
+    rr(3, "6407s3a", "000", Seq(Seq(4210156904L)), Seq(), -1, Seq(l(true, false, false, "Third Xiangya Hospital"), l(true, false, false, "Second Xiangya Hospital"), l(false, false, false, "Xiangya Hospital")), Seq(4210159865L), Seq(4210156904L)),
+    rr(3, "6407s3a", "001", Seq(Seq(4210156904L)), Seq(), -1, Seq(l(true, false, false, "Third Xiangya Hospital")), Seq(), Seq(4210156904L)),
+    rr(3, "6407s3b", "000", Seq(Seq(4210156904L)), Seq(), -1, Seq(l(false, false, false, "Second Xiangya Hospital")), Seq(4210153856L), Seq(4210156904L)),
+    // ── Institut Henri Poincaré / Université Henri Poincaré (:7086) —
+    //    sibling A: IHP-context removal (chain :7089) and the Nancy
+    //    re-add that Python gates on "the removal just happened",
+    //    expressed here symbolically as the removal paths (:7097).
+    rr(6, "7089", "000", Seq(Seq(51178685L)), Seq(), -1, Seq(l(false, false, false, "IHP Group")), Seq(), Seq(51178685L)),
+    rr(6, "7089", "001", Seq(Seq(51178685L)), Seq(), -1, Seq(l(false, false, true, "\\bIHP\\b"), l(false, false, false, "Paris")), Seq(), Seq()),
+    rr(6, "7089", "002", Seq(Seq(51178685L)), Seq(), -1, Seq(l(true, false, false, "Institut Henri Poincaré", "Henri Poincaré Institut", "Institute Henri Poincare")), Seq(), Seq(51178685L)),
+    rr(6, "7097", "000", Seq(Seq(51178685L)), Seq(), -1, Seq(l(false, false, false, "IHP Group"), l(false, false, false, "Henri Poincaré", "Henri Poincare"), l(false, false, false, "Nancy")), Seq(90183372L), Seq()),
+    rr(6, "7097", "001", Seq(Seq(51178685L)), Seq(), -1, Seq(l(true, false, true, "\\bIHP\\b"), l(true, false, false, "Institut Henri Poincaré", "Henri Poincaré Institut", "Institute Henri Poincare"), l(false, false, false, "Henri Poincaré", "Henri Poincare"), l(false, false, false, "Nancy")), Seq(90183372L), Seq()),
+    rr(6, "7097", "002", Seq(Seq(51178685L)), Seq(), -1, Seq(l(true, false, false, "Paris"), l(true, false, false, "Institut Henri Poincaré", "Henri Poincaré Institut", "Institute Henri Poincare"), l(false, false, false, "Henri Poincaré", "Henri Poincare"), l(false, false, false, "Nancy")), Seq(90183372L), Seq()),
+    // ── sibling B (:7101): string-triggered Nancy/IHP adds; stage 7 so
+    //    its 51178685 re-add survives sibling A's same-id removal
+    //    (Python evaluates B after A).
+    rr(7, "7101", "000", Seq(), Seq(), -1, Seq(l(false, false, false, "Henri Poincaré", "Henri Poincare"), l(false, false, false, "Nancy")), Seq(90183372L), Seq()),
+    rr(7, "7101", "001", Seq(), Seq(), -1, Seq(l(false, false, false, "Henri Poincaré", "Henri Poincare"), l(false, false, false, "Institut Henri Poincaré", "Henri Poincaré Institut", "Institute Henri Poincare")), Seq(51178685L), Seq()),
+    // ── École des Ponts ParisTech vs LCPC labs (:7176) — the mixed
+    //    case-insensitive-list OR case-sensitive-'LCPC' trigger as two
+    //    prioritized rules with one action.
+    rr(6, "7176", "000", Seq(Seq(142631665L)), Seq(), -1, Seq(l(false, true, false, "laboratoire central des ponts", "laboratoire régional des ponts", "laboratoire regional des ponts"), l(true, true, false, "ecole nationale des ponts", "ecole des ponts paristech")), Seq(), Seq(142631665L)),
+    rr(6, "7176", "001", Seq(Seq(142631665L)), Seq(), -1, Seq(l(false, false, false, "LCPC"), l(true, true, false, "ecole nationale des ponts", "ecole des ponts paristech")), Seq(), Seq(142631665L)),
+  )
+
+  /** All rules, reference order; stages 0-7. */
+  val rules: Seq[Rule] =
+    part1 ++ part2 ++ part3 ++ part4 ++ part5 ++ part6 ++ part7 ++ part8 ++ part9 ++ handPorted
+
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** The same table as DuckDB VALUES rows (native LIST/STRUCT
+    * literals) for the q78 oracle's generic evaluator. */
+  def sqlValues: String = rules.map { r =>
+    val ag = "CAST(" + r.anyGroups.map(g => g.mkString("[", ",", "]"))
+      .mkString("[", ",", "]") + " AS BIGINT[][])"
+    val ni = "CAST(" + r.noneIds.mkString("[", ",", "]") + " AS BIGINT[])"
+    val sl =
+      if (r.strLits.isEmpty)
+        "CAST([] AS STRUCT(neg BOOLEAN, ci BOOLEAN, isre BOOLEAN, terms VARCHAR[])[])"
+      else r.strLits.map(x => s"{'neg': ${x.neg}, 'ci': ${x.ci}, " +
+        s"'isre': ${x.isre}, 'terms': " +
+        x.terms.map(sq).mkString("[", ",", "]") + "}")
+        .mkString("[", ",", "]")
+    val ai = "CAST(" + r.addIds.mkString("[", ",", "]") + " AS BIGINT[])"
+    val ri = "CAST(" + r.removeIds.mkString("[", ",", "]") + " AS BIGINT[])"
+    s"(${r.stage}, ${sq(r.grp)}, ${sq(r.prio)}, $ag, $ni, ${r.minSize}, $sl, $ai, $ri)"
+  }.mkString("," + "\n")
+
+  /** Generic DuckDB evaluator over [[sqlValues]]: one (fired →
+    * winner-per-group → delta → apply) CTE triple per stage, then the
+    * empty→[-1] sentinel — an independent recomputation of
+    * [[AffiliationRefine.refine]] given the same rule data.
+    * @param inputSql CTE body yielding (work_id, author_seq, aff, ids) */
+  def oracleSql(inputSql: String): String = {
+    val n = rules.map(_.stage).max
+    val stages = (0 to n).map { s =>
+      s"""__f$s AS (SELECT a.work_id, a.author_seq, r.grp, r.prio, r.add_ids, r.remove_ids
+         |  FROM __s$s a JOIN __rules r ON r.stage = $s
+         |   AND coalesce(list_aggregate(list_transform(r.any_groups,
+         |         g -> CAST(list_has_any(a.ids, g) AS INT)), 'min'), 1) = 1
+         |   AND NOT coalesce(list_has_any(a.ids, r.none_ids), false)
+         |   AND (r.min_size < 0 OR len(a.ids) > r.min_size)
+         |   AND coalesce(list_aggregate(list_transform(r.str_lits,
+         |         l -> CAST((struct_extract(l, 'neg') <> (len(list_filter(struct_extract(l, 'terms'),
+         |           t -> CASE WHEN struct_extract(l, 'isre')
+         |                THEN regexp_matches(CASE WHEN struct_extract(l, 'ci') THEN lower(a.aff) ELSE a.aff END, t)
+         |                ELSE contains(CASE WHEN struct_extract(l, 'ci') THEN lower(a.aff) ELSE a.aff END, t) END)) > 0)) AS INT)), 'min'), 1) = 1
+         |  QUALIFY row_number() OVER (PARTITION BY a.work_id, a.author_seq, r.grp ORDER BY r.prio) = 1),
+         |__d$s AS (SELECT work_id, author_seq,
+         |    flatten(list(add_ids)) AS adds, flatten(list(remove_ids)) AS rms
+         |  FROM __f$s GROUP BY 1, 2),
+         |__s${s + 1} AS (SELECT a.work_id, a.author_seq, a.aff,
+         |    CASE WHEN d.work_id IS NULL THEN a.ids
+         |         ELSE list_sort(list_filter(list_distinct(a.ids || d.adds),
+         |                x -> NOT list_contains(d.rms, x))) END AS ids
+         |  FROM __s$s a LEFT JOIN __d$s d USING (work_id, author_seq))""".stripMargin
+    }.mkString("," + "\n")
+    s"""WITH __rules(stage, grp, prio, any_groups, none_ids, min_size, str_lits, add_ids, remove_ids) AS (VALUES
+       |$sqlValues),
+       |__s0 AS ($inputSql),
+       |$stages
+       |SELECT work_id, author_seq, aff AS affiliation_string,
+       |  CAST(to_json(CASE WHEN len(ids) = 0 THEN [CAST(-1 AS BIGINT)]
+       |       ELSE list_sort(ids) END) AS VARCHAR) AS institution_ids
+       |FROM __s${n + 1}""".stripMargin
+  }
+}

@@ -330,11 +330,10 @@ object AffiliationRules {
     r(177725633L, "kong", "chinese university of hong kong", exc = "shenzhen"),
     r(4210116924L, "kong", "chinese university of hong kong", req = "shenzhen"),
     r(4210086892L, "kong", "education university of hong kong"),
-    r(168719708L, "kong", "city university of hong kong"),
+    r(168719708L, "kong", "city university of hong kong",
+      exc = "shenzhen research institute"),
     r(8679417L, "kong", "open university of hong kong"),
-    r(889458895L, "kong", "university of hong kong",
-      exc = "chinese university of hong kong|education university of hong kong|" +
-        "city university of hong kong|open university of hong kong")) ++ rules2
+    r(889458895L, "kong", "university of hong kong", exc = HkuExc2)) ++ rules2
 
   private val CaGate = "canada|quebec|québec|montréal|montreal|trois rivières|" +
     "trois rivieres|chicoutimi|rimouski|outaouais|abitibi"
@@ -781,9 +780,10 @@ object AffiliationRules {
     r(3020098449L, "grenoble", "grenoble", word = true, req = CeaWord,
       exc = "\\bleti\\b|\\bliten\\b|\\bgramat\\b|\\bvalduc\\b|\\bdif\\b"),
     r(4210110641L, "cadarache", "cadarache", word = true, req = CeaWord),
-    r(4210143636L, "marcoule", "marcoule", word = true, req = CeaWord),
+    r(4210143636L, "marcoule", "marcoule", word = true, req = CeaWord,
+      exc = "\\blist\\b"),
     r(4210128565L, "saclay", "saclay", word = true, req = CeaWord,
-      exc = "\\bleti\\b|\\bliten\\b|\\bgrenoble\\b|\\bcadarache\\b|\\bmarcoule\\b"),
+      exc = "\\bleti\\b|\\bliten\\b|\\bgrenoble\\b|\\bcadarache\\b|\\bmarcoule\\b|\\blist\\b"),
     r(4210088668L, "inrae", "inrae", word = true, req = FrGate2),
     // INSA campuses (:1977-2000)
     r(88814501L, "insa", "insa rouen"),
@@ -1682,7 +1682,7 @@ object AffiliationRules {
     r(138801177L, "ulster", "ulster univ"),
     r(138801177L, "ulster", "university of ulster"),
     r(138801177L, "jordanstown", "university jordanstown", req = "ulster")) ++
-    batch13 ++ batch14
+    batch13 ++ batch14 ++ batch15
 
   /** Batches 13-14: reference lines 3462-4851 — the long acronym tail
     * of `match_affiliation_to_institution_ids` (French research units,
@@ -2382,6 +2382,352 @@ object AffiliationRules {
     r(4210161208L, "log", "log", word = true, req = "wimereux")
   )
 
+
+
+  private val FrOuter = "france|villeurbanne|lyon|inserm|tours|reims"
+  private val FrOuterParis =
+    "(france|villeurbanne|lyon|inserm|tours|reims).*paris|" +
+      "paris.*(france|villeurbanne|lyon|inserm|tours|reims)"
+  private val FrOuterBanyuls =
+    "(france|villeurbanne|lyon|inserm|tours|reims).*banyuls sur mer|" +
+      "banyuls sur mer.*(france|villeurbanne|lyon|inserm|tours|reims)"
+  private val HkuExc =
+    "chinese university of hong kong|education university|" +
+      "city university of hong kong|open university of hong kong|" +
+      "baptist|hang seng|cuhksz|euhk|hkied|eduhk|hkmu|" +
+      "shenzhen research institute"
+  private val HkuExc2 = HkuExc + "|shenzhen hospital"
+
+  /** Batch 15 (round 7): the France mega-block remainder — the
+    * 'France'-gated CNRS/Sorbonne lab tail :386-1251 (acronym rows,
+    * unit-number row pairs, GRC n° require-regexes via
+    * dev/extract_affil_france.py, reviewed), the Lyon/Paris satellite
+    * blocks :1253-1340, Hong Kong :1465-1529, Poznan Life Sciences
+    * :1530-1563, Ohio campuses :1564-1576, Henri Poincaré/Nancy
+    * :1577-1599, and the CEA elif tail :1955-1964 with BIAM/LIS/GAEL
+    * :2058-2113. Elif chains whose branches append DIFFERENT ids are
+    * ported with exclude-shadowing; same-id chains need none. */
+  private lazy val batch15: Seq[Rule] = Seq(
+    r(4387156373L, "lisis", "lisis", word = true, req = "france"), // Laboratoire Interdisciplinaire Sciences, Innovations, Sociétés
+    r(4210128309L, "cermics", "cermics", word = true, req = "france"), // Center for Training and Research in MathematIcs and Scientific Computing
+    r(4210104533L, "fclab", "fclab", word = true, req = "france"), // Fédération de Recherche FCLAB
+    r(4387154050L, "dicen", "dicen idf", word = true, req = "france"), // Dispositifs d'information et de communication à l'ère du numérique - Paris Ile-de-france
+    r(4387155313L, "esycom", "esycom", word = true, req = "france"), // Laboratoire d'électronique, systèmes de communication et microsystèmes
+    r(4387155503L, "umrestte", "umrestte", word = true, req = "france"), // Unité Mixte de Recherche Epidémiologique et de Surveillance Transport Travail Environnement
+    r(4387155789L, "lipha", "lipha", word = true, req = "france"), // Laboratoire Interdisciplinaire d'étude du Politique Hannah Arendt
+    r(4387154451L, "umrae", "umrae", word = true, req = "france"), // Unité Mixte de Recherche en Acoustique Environnementale
+    r(4387153539L, "lapea", "lapea", word = true, req = "france"), // Laboratoire de Psychologie et d’Ergonomie Appliquées
+    r(4210161484L, "fedpv", "fedpv", word = true, req = "france"), // Fédération de Recherche PhotoVoltaïque
+    r(4210087604L, "labexmer", "labexmer", word = true, req = "france"), // LabexMER
+    r(4210153365L, "lmjl", "lmjl", word = true, req = "france"), // Laboratoire de Mathématiques Jean Leray
+    r(4210162532L, "phan", "phan", word = true, req = "france"), // PhysioPathologie des Adaptations Nutritionnelles
+    r(4387153462L, "osuna", "osuna", word = true, req = "france"), // Observatoire des Sciences de l'Univers Nantes Atlantique
+    r(4387153012L, "creaah", "creaah", word = true, req = "france"), // Centre de Recherche en Archéologie, Archéosciences, Histoire
+    r(4387153532L, "eso", "eso", word = true, req = "france.*(rennes)|(rennes).*france"), // Espaces et Sociétés
+    r(4387153176L, "letg", "letg", word = true, req = "france"), // Littoral, Environnement, Télédétection, Géomatique
+    r(4387152322L, "cren", "cren", word = true, req = "france"), // Centre de Recherche en Éducation de Nantes
+    r(4387154840L, "ufip", "ufip", word = true, req = "france"), // Unité en Sciences Biologiques et Biotechnologies de Nantes
+    r(4387154840L, "us2b", "us2b", word = true, req = "france"), // Unité en Sciences Biologiques et Biotechnologies de Nantes
+    r(4387152679L, "lling", "lling", word = true, req = "france"), // Laboratoire de Linguistique de Nantes
+    r(4387153799L, "crini", "crini", word = true, req = "france"), // Centre de Recherche sur les Identités, les Nations et l'Interculturalité
+    r(4387152722L, "lamo", "lamo", word = true, req = "france"), // LAMO - Littératures Antiques et Modernes
+    r(4387930219L, "iicimed", "iicimed", word = true, req = "france"), // Cibles et Médicaments des Infections et de l'Immunité
+    r(4210112218L, "gbf", "gbf", word = true, req = "france"), // Genomics and Biotechnology of the Fruits Laboratory
+    r(4387155609L, "dynafor", "dynafor", word = true, req = "france"), // Dynamiques et écologie des paysages agriforestiers
+    r(4210153840L, "ibhgc", "ibhgc", word = true, req = "france"), // Institut de Biomécanique Humaine Georges Charpak
+    r(4210102686L, "laga", "laga", word = true, req = "france"), // Laboratoire Analyse, Géométrie et Applications
+    r(4210132853L, "leec", "leec", word = true, req = "france"), // Laboratoire d’Ethologie Expérimentale et Comparée
+    r(4210129765L, "lpl", "lpl", word = true, req = "france.*(villetaneuse)|(villetaneuse).*france"), // Laser Physics Laboratory
+    r(4210117271L, "chart", "chart", word = true, req = "france"), // Laboratoire Cognitions Humaine et Artificielle
+    r(4210159180L, "lisa", "lisa", word = true, req = "france"), // Laboratoire Techniques, Territoires et Sociétés
+    r(4389425374L, "chirurgicale", "grc robotique et innovation chirurgicale", req = "france"), // Robotique et Innovation Chirurgicale - GRC 33
+    r(4389425374L, "innovation", "robotics and surgical innovation", req = "france"), // Robotique et Innovation Chirurgicale - GRC 33
+    r(4389425374L, "grc", "grc ric", word = true, req = "france"), // Robotique et Innovation Chirurgicale - GRC 33
+    r(4389425374L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(33)\\b"), // Robotique et Innovation Chirurgicale - GRC 33
+    r(4389425374L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(33)\\b"), // Robotique et Innovation Chirurgicale - GRC 33
+    r(4389425374L, "grc33", "grc33", word = true, req = "france"), // Robotique et Innovation Chirurgicale - GRC 33
+    r(4389425468L, "insuffisance", "reanimation et soins intensifs du patient en insuffisance respiratoire aigue", req = "france"), // REanimation et Soins intensifs du Patient en Insuffisance Respiratoire aiguE - GRC 30
+    r(4389425468L, "respire", "respire", word = true, req = "france"), // REanimation et Soins intensifs du Patient en Insuffisance Respiratoire aiguE - GRC 30
+    r(4389425468L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(30)\\b"), // REanimation et Soins intensifs du Patient en Insuffisance Respiratoire aiguE - GRC 30
+    r(4389425468L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(30)\\b"), // REanimation et Soins intensifs du Patient en Insuffisance Respiratoire aiguE - GRC 30
+    r(4389425468L, "grc30", "grc30", word = true, req = "france"), // REanimation et Soins intensifs du Patient en Insuffisance Respiratoire aiguE - GRC 30
+    r(4389425313L, "greco", "greco", word = true, req = "france"), // Groupe de REcherche en Cardio Oncologie - GRC 27
+    r(4389425313L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(27)\\b"), // Groupe de REcherche en Cardio Oncologie - GRC 27
+    r(4389425313L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(27)\\b"), // Groupe de REcherche en Cardio Oncologie - GRC 27
+    r(4389425313L, "grc27", "grc27", word = true, req = "france"), // Groupe de REcherche en Cardio Oncologie - GRC 27
+    r(4389425402L, "transplantation", "transplantation et thérapies innovantes de la cornée", req = "france"), // Transplantation et Thérapies Innovantes de la Cornée - GRC 32
+    r(4389425402L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(32)\\b"), // Transplantation et Thérapies Innovantes de la Cornée - GRC 32
+    r(4389425402L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(32)\\b"), // Transplantation et Thérapies Innovantes de la Cornée - GRC 32
+    r(4389425402L, "grc32", "grc32", word = true, req = "france"), // Transplantation et Thérapies Innovantes de la Cornée - GRC 32
+    r(4389425385L, "médiations", "laboratoire médiations", req = "france"), // MÉDIATIONS Sciences des lieux, sciences des liens
+    r(4389425385L, "médiations", "médiations sciences des lieux", req = "france"), // MÉDIATIONS Sciences des lieux, sciences des liens
+    r(4389425373L, "pédiatrique", "maladies génétiques d expression pédiatrique", req = "france"), // Maladies génétiques d’expression pédiatrique
+    r(4389425373L, "umrs933", "umrs933", word = true, req = "france"), // Maladies génétiques d’expression pédiatrique
+    r(4389425373L, "umrs", "umrs 933", word = true, req = "france"), // Maladies génétiques d’expression pédiatrique
+    r(4389425373L, "s933", "umr s933", word = true, req = "france"), // Maladies génétiques d’expression pédiatrique (UMR-S form)
+    r(4389425373L, "933", "umr s 933", word = true, req = "france"), // Maladies génétiques d’expression pédiatrique (UMR_S form)
+    r(4389425373L, "u933", "u933", word = true, req = "france"), // Maladies génétiques d’expression pédiatrique
+    r(4389425373L, "933", "u 933", word = true, req = "france"), // Maladies génétiques d’expression pédiatrique
+    r(4389425249L, "premup", "premup", word = true, req = "france"), // PremUP
+    r(4389425384L, "interface", "interface neuro machine", req = "france"), // Interface Neuro-machine - GRC 23
+    r(4389425384L, "interface", "brain machine interface", req = "france"), // Interface Neuro-machine - GRC 23
+    r(4389425384L, "neuron", "neuron", word = true, req = "france"), // Interface Neuro-machine - GRC 23
+    r(4389425384L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(23)\\b"), // Interface Neuro-machine - GRC 23
+    r(4389425384L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(23)\\b"), // Interface Neuro-machine - GRC 23
+    r(4389425384L, "grc23", "grc23", word = true, req = "france"), // Interface Neuro-machine - GRC 23
+    r(4389425424L, "amylose", "groupe de recherche clinique amylose aa", req = "france"), // Groupe de recherche clinique Amylose AA Sorbonne Université - GRC 28
+    r(4389425424L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(28)\\b"), // Groupe de recherche clinique Amylose AA Sorbonne Université - GRC 28
+    r(4389425424L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(28)\\b"), // Groupe de recherche clinique Amylose AA Sorbonne Université - GRC 28
+    r(4389425424L, "grc28", "grc28", word = true, req = "france"), // Groupe de recherche clinique Amylose AA Sorbonne Université - GRC 28
+    r(4389425474L, "theranoscan", "theranoscan", word = true, req = "france"), // Biomarqueurs Théranostiques des Cancers Bronchiques Non à Petites Cellules - GRC 4
+    r(4389425474L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(04|4)\\b"), // Biomarqueurs Théranostiques des Cancers Bronchiques Non à Petites Cellules - GRC 4
+    r(4389425474L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(04|4)\\b"), // Biomarqueurs Théranostiques des Cancers Bronchiques Non à Petites Cellules - GRC 4
+    r(4389425474L, "grc4", "grc4", word = true, req = "france"), // Biomarqueurs Théranostiques des Cancers Bronchiques Non à Petites Cellules - GRC 4
+    r(4389425474L, "grc04", "grc04", word = true, req = "france"), // Biomarqueurs Théranostiques des Cancers Bronchiques Non à Petites Cellules - GRC 4
+    r(4389425398L, "thyroïdiennes", "tumeurs thyroïdiennes", req = "france"), // Tumeurs Thyroïdiennes - GRC 16
+    r(4389425398L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(16)\\b"), // Tumeurs Thyroïdiennes - GRC 16
+    r(4389425398L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(16)\\b"), // Tumeurs Thyroïdiennes - GRC 16
+    r(4389425398L, "grc16", "grc16", word = true, req = "france"), // Tumeurs Thyroïdiennes - GRC 16
+    r(4389425478L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(29)\\b"), // Groupe de Recherche Clinique en Anesthésie Réanimation médecine PEriopératoire - GRC 29
+    r(4389425478L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(29)\\b"), // Groupe de Recherche Clinique en Anesthésie Réanimation médecine PEriopératoire - GRC 29
+    r(4389425478L, "grc29", "grc29", word = true, req = "france"), // Groupe de Recherche Clinique en Anesthésie Réanimation médecine PEriopératoire - GRC 29
+    r(4389425339L, "htic", "e htic", word = true, req = "france"), // Groupe d’Étude sur l’HyperTension Intra Crânienne idiopathique - GRC 31
+    r(4389425339L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(31)\\b"), // Groupe d’Étude sur l’HyperTension Intra Crânienne idiopathique - GRC 31
+    r(4389425339L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(31)\\b"), // Groupe d’Étude sur l’HyperTension Intra Crânienne idiopathique - GRC 31
+    r(4389425339L, "grc31", "grc31", word = true, req = "france"), // Groupe d’Étude sur l’HyperTension Intra Crânienne idiopathique - GRC 31
+    r(4389425225L, "littérature", "équipe littérature et culture italiennes", req = "france"), // Équipe Littérature et Culture italiennes
+    r(4389425225L, "elci", "elci", word = true, req = "france"), // Équipe Littérature et Culture italiennes
+    r(4389425225L, "ea1496", "ea1496", word = true, req = "france"), // Équipe Littérature et Culture italiennes
+    r(4389425225L, "ea", "ea 1496", word = true, req = "france"), // Équipe Littérature et Culture italiennes
+    r(4389425459L, "littérature", "centre de recherche en littérature comparée", req = "france"), // CENTRE DE RECHERCHE EN LITTERATURE COMPAREE
+    r(4389425459L, "ea4510", "ea4510", word = true, req = "france"), // CENTRE DE RECHERCHE EN LITTERATURE COMPAREE
+    r(4389425459L, "ea", "ea 4510", word = true, req = "france"), // CENTRE DE RECHERCHE EN LITTERATURE COMPAREE
+    r(4389425349L, "informatique", "sens texte informatique histoire", req = "france"), // SENS, TEXTE, INFORMATIQUE, HISTOIRE
+    r(4389425349L, "stih", "stih", word = true, req = "france"), // SENS, TEXTE, INFORMATIQUE, HISTOIRE
+    r(4389425437L, "ea4083", "ea4083", word = true, req = "france"), // Civilisations et littératures d'Espagne et d'Amérique du Moyen-Age aux Lumières
+    r(4389425437L, "ea", "ea 4083", word = true, req = "france"), // Civilisations et littératures d'Espagne et d'Amérique du Moyen-Age aux Lumières
+    r(4389425387L, "myologie", "centre de recherche en myologie", req = "france"), // Centre de Recherche en Myologie
+    r(4389425387L, "umrs974", "umrs974", word = true, req = "france"), // Centre de Recherche en Myologie
+    r(4389425387L, "umrs", "umrs 974", word = true, req = "france"), // Centre de Recherche en Myologie
+    r(4389425387L, "s974", "umr s974", word = true, req = "france"), // Centre de Recherche en Myologie (UMR-S form)
+    r(4389425387L, "974", "umr s 974", word = true, req = "france"), // Centre de Recherche en Myologie (UMR_S form)
+    r(4389425387L, "u974", "u974", word = true, req = "france"), // Centre de Recherche en Myologie
+    r(4389425387L, "974", "u 974", word = true, req = "france"), // Centre de Recherche en Myologie
+    r(4389425457L, "donnees", "institut des sciences du calcul et des donnees", req = "france"), // INSTITUT DES SCIENCES DU CALCUL ET DES DONNEES
+    r(4389425457L, "institute", "institute of computing and data sciences", req = "france"), // INSTITUT DES SCIENCES DU CALCUL ET DES DONNEES
+    r(4389425457L, "iscd", "iscd", word = true, req = "france"), // INSTITUT DES SCIENCES DU CALCUL ET DES DONNEES
+    r(4389425423L, "fr2687", "fr2687", word = true, req = "france"), // Fédération de recherche : Interactions fondamentales
+    r(4389425423L, "fr", "fr 2687", word = true, req = "france"), // Fédération de recherche : Interactions fondamentales
+    r(4389425355L, "democracy", "science norms democracy", req = "france"), // Sciences, éthique, société
+    r(4389425355L, "démocratie", "sciences normes démocratie", req = "france"), // Sciences, éthique, société
+    r(4389425355L, "umr8011", "umr8011", word = true, req = "france"), // Sciences, éthique, société
+    r(4389425355L, "umr", "umr 8011", word = true, req = "france"), // Sciences, éthique, société
+    r(4389425216L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(26)\\b"), // La médecine de la femme et de l’enfant assistée par l’image - GRC 26
+    r(4389425216L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(26)\\b"), // La médecine de la femme et de l’enfant assistée par l’image - GRC 26
+    r(4389425216L, "grc26", "grc26", word = true, req = "france"), // La médecine de la femme et de l’enfant assistée par l’image - GRC 26
+    r(4389425492L, "drépanocytose", "drépanocytose groupe de recherche de paris", req = "france"), // Drépanocytose : groupe de Recherche de Paris – Sorbonne Université - GRC 25
+    r(4389425492L, "dreps", "dreps", word = true, req = "france"), // Drépanocytose : groupe de Recherche de Paris – Sorbonne Université - GRC 25
+    r(4389425492L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(25)\\b"), // Drépanocytose : groupe de Recherche de Paris – Sorbonne Université - GRC 25
+    r(4389425492L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(25)\\b"), // Drépanocytose : groupe de Recherche de Paris – Sorbonne Université - GRC 25
+    r(4389425492L, "grc25", "grc25", word = true, req = "france"), // Drépanocytose : groupe de Recherche de Paris – Sorbonne Université - GRC 25
+    r(4389425255L, "fr2769", "fr2769", word = true, req = "france"), // Institut de Chimie Moléculaire de Paris Centre, organique, inorganique et biologique
+    r(4389425255L, "fr", "fr 2769", word = true, req = "france"), // Institut de Chimie Moléculaire de Paris Centre, organique, inorganique et biologique
+    r(4389425433L, "reigenn", "reigenn", word = true, req = "france"), // Représentations et Identités. Espaces Germanique, Nordique et Néerlandophone
+    r(4389425253L, "mathématiques", "fondation sciences mathématiques de paris", req = "france"), // Réseau thématique de recherche avancée en sciences mathématiques
+    r(4389425483L, "médiévaux", "étude et édition de textes médiévaux", req = "france"), // ETUDE ET EDITION DE TEXTES MEDIEVAUX
+    r(4389425370L, "dynamics", "history and dynamics of english speaking spaces", req = "france"), // HISTOIRE ET DYNAMIQUE DES ESPACES ANGLOPHONES: DU RÉEL AU VIRTUEL
+    r(4389425370L, "anglophones", "histoire et dynamique des espaces anglophones", req = "france"), // HISTOIRE ET DYNAMIQUE DES ESPACES ANGLOPHONES: DU RÉEL AU VIRTUEL
+    r(4389425370L, "hdea", "hdea", word = true, req = "france"), // HISTOIRE ET DYNAMIQUE DES ESPACES ANGLOPHONES: DU RÉEL AU VIRTUEL
+    r(4389425370L, "ea4086", "ea4086", word = true, req = "france"), // HISTOIRE ET DYNAMIQUE DES ESPACES ANGLOPHONES: DU RÉEL AU VIRTUEL
+    r(4389425370L, "ea", "ea 4086", word = true, req = "france"), // HISTOIRE ET DYNAMIQUE DES ESPACES ANGLOPHONES: DU RÉEL AU VIRTUEL
+    r(4389425234L, "villefranche", "institut de la mer de villefranche", req = "france"), // Institut de la Mer de Villefranche
+    r(4389425234L, "villefranche", "villefranche sea institute", req = "france"), // Institut de la Mer de Villefranche
+    r(4389425234L, "imev", "imev", word = true, req = "france"), // Institut de la Mer de Villefranche
+    r(4389425234L, "fr3761", "fr3761", word = true, req = "france"), // Institut de la Mer de Villefranche
+    r(4389425234L, "fr", "fr 3761", word = true, req = "france"), // Institut de la Mer de Villefranche
+    r(4389425445L, "terra", "ecce terra", req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425445L, "ums3455", "ums3455", word = true, req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425445L, "ums", "ums 3455", word = true, req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425445L, "uar3455", "uar3455", word = true, req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425445L, "uar", "uar 3455", word = true, req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425445L, "ums244", "ums244", word = true, req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425445L, "ums", "ums 244", word = true, req = "france"), // Observatoire des sciences de l'Univers Paris-Centre Ecce Terra
+    r(4389425322L, "fédération", "fédération de recherche sur l energie solaire", req = "france"), // Fédération de Recherche sur l'Energie Solaire
+    r(4389425322L, "fédesol", "fédesol", word = true, req = "france"), // Fédération de Recherche sur l'Energie Solaire
+    r(4389425322L, "fr3344", "fr3344", word = true, req = "france"), // Fédération de Recherche sur l'Energie Solaire
+    r(4389425322L, "fr", "fr 3344", word = true, req = "france"), // Fédération de Recherche sur l'Energie Solaire
+    r(4389425420L, "enzymologie", "enzymologie de l arn", req = "france"), // ENZYMOLOGIE DE L'ARN
+    r(4389425420L, "ur6", "ur6", word = true, req = "france"), // ENZYMOLOGIE DE L'ARN
+    r(4389425420L, "ur", "ur 6", word = true, req = "france"), // ENZYMOLOGIE DE L'ARN
+    r(4389425420L, "ur06", "ur06", word = true, req = "france"), // ENZYMOLOGIE DE L'ARN
+    r(4389425420L, "ur", "ur 06", word = true, req = "france"), // ENZYMOLOGIE DE L'ARN
+    r(4389425324L, "connaissances", "laboratoire d informatique me dicale et d inge nierie des connaissances en e sante", req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé
+    r(4389425324L, "limics", "limics", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé
+    r(4389425324L, "umrs1142", "umrs1142", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé
+    r(4389425324L, "umrs", "umrs 1142", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé
+    r(4389425324L, "s1142", "umr s1142", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé (UMR-S form)
+    r(4389425324L, "1142", "umr s 1142", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé (UMR_S form)
+    r(4389425324L, "u1142", "u1142", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé
+    r(4389425324L, "1142", "u 1142", word = true, req = "france"), // Laboratoire d'Informatique Médicale et d'Ingénieurie des Connaissances en e-Santé
+    r(4389425456L, "théorique", "institut parisien de chimie physique et théorique", req = "france"), // Institut Parisien de Chimie Physique et Théorique
+    r(4389425456L, "ip2ct", "ip2ct", word = true, req = "france"), // Institut Parisien de Chimie Physique et Théorique
+    r(4389425456L, "fr2622", "fr2622", word = true, req = "france"), // Institut Parisien de Chimie Physique et Théorique
+    r(4389425456L, "fr", "fr 2622", word = true, req = "france"), // Institut Parisien de Chimie Physique et Théorique
+    r(4389425403L, "production", "production et analyse de données en sciences de la vie et en santé", req = "france"), // PRODUCTION ET ANALYSE DES DONNEES EN SCIENCES DE LA VIE ET EN SANTE
+    r(4210096450L, "nutriomics", "nutriomics", req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE)
+    r(4210096450L, "umrs1269", "umrs1269", word = true, req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE)
+    r(4210096450L, "umrs", "umrs 1269", word = true, req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE)
+    r(4210096450L, "s1269", "umr s1269", word = true, req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE) (UMR-S form)
+    r(4210096450L, "1269", "umr s 1269", word = true, req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE) (UMR_S form)
+    r(4210096450L, "u1269", "u1269", word = true, req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE)
+    r(4210096450L, "1269", "u 1269", word = true, req = "france"), // NUTRITION ET OBESITES : APPROCHES SYSTEMIQUES (NUTRIOMIQUE)
+    r(4389425223L, "archéologie", "d histoire et d archéologie maritime", req = "france"), // HISTOIRE ET ARCHEOLOGIE MARITIMES
+    r(4389425223L, "fed4124", "fed4124", word = true, req = "france"), // HISTOIRE ET ARCHEOLOGIE MARITIMES
+    r(4389425223L, "fed", "fed 4124", word = true, req = "france"), // HISTOIRE ET ARCHEOLOGIE MARITIMES
+    r(4389425465L, "alzheimer", "alzheimer precision medicine", req = "france"), // Alzheimer Precision Medicine
+    r(4389425465L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(21)\\b"), // Alzheimer Precision Medicine
+    r(4389425465L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(21)\\b"), // Alzheimer Precision Medicine
+    r(4389425465L, "grc21", "grc21", word = true, req = "france"), // Alzheimer Precision Medicine
+    r(4389425312L, "neuro", "groupe de recherche clinique en neuro", req = "france"), // Groupe de Recherche Clinique en Neuro-urologie - GRC 1
+    r(4389425312L, "green", "green", word = true, req = "france"), // Groupe de Recherche Clinique en Neuro-urologie - GRC 1
+    r(4389425418L, "cardiovasculaires", "complications cardiovasculaires et métaboliques chez les patients vivant avec le v", req = "france"), // Complications Cardiovasculaires et Métaboliques chez les patients vivant avec le VIH - GRC 22
+    r(4389425418L, "c2mv", "c2mv", word = true, req = "france"), // Complications Cardiovasculaires et Métaboliques chez les patients vivant avec le VIH - GRC 22
+    r(4389425418L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(22)\\b"), // Complications Cardiovasculaires et Métaboliques chez les patients vivant avec le VIH - GRC 22
+    r(4389425418L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(22)\\b"), // Complications Cardiovasculaires et Métaboliques chez les patients vivant avec le VIH - GRC 22
+    r(4389425418L, "grc22", "grc22", word = true, req = "france"), // Complications Cardiovasculaires et Métaboliques chez les patients vivant avec le VIH - GRC 22
+    r(4389425335L, "predictive", "predictive onco uro", req = "france.*(paris)|(paris).*france"), // Onco-Urologie Prédictive - GRC 5
+    r(4389425335L, "grc", "grc", word = true, req = "\\bgrc ?(no?)? ?(05|5)\\b"), // Onco-Urologie Prédictive - GRC 5
+    r(4389425335L, "clinique", "groupe de recherche clinique", req = "\\bgroupe de recherche clinique ?(no?)? ?(05|5)\\b"), // Onco-Urologie Prédictive - GRC 5
+    r(4389425335L, "grc05", "grc05", word = true, req = "france.*(paris)|(paris).*france"), // Onco-Urologie Prédictive - GRC 5
+    r(4389425335L, "grc5", "grc5", word = true, req = "france.*(paris)|(paris).*france"), // Onco-Urologie Prédictive - GRC 5
+    r(4389425361L, "acquisition", "centre d acquisition et de traitement des images", req = "france.*(paris)|(paris).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425361L, "cati", "cati", word = true, req = "france.*(paris)|(paris).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425361L, "uar2031", "uar2031", word = true, req = "france.*(paris)|(paris).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425361L, "uar", "uar 2031", word = true, req = "france.*(paris)|(paris).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425460L, "phénotypage", "phénotypage du petit animal", req = "france.*(paris)|(paris).*france"), // UMS Phénotypage du petit animal
+    r(4389425460L, "ums28", "ums28", word = true, req = "france.*(paris)|(paris).*france"), // UMS Phénotypage du petit animal
+    r(4389425460L, "ums", "ums 28", word = true, req = "france.*(paris)|(paris).*france"), // UMS Phénotypage du petit animal
+    r(4389425460L, "ums028", "ums028", word = true, req = "france.*(paris)|(paris).*france"), // UMS Phénotypage du petit animal
+    r(4389425460L, "ums", "ums 028", word = true, req = "france.*(paris)|(paris).*france"), // UMS Phénotypage du petit animal
+    r(4389425386L, "ceres", "ceres", word = true, req = "france.*(paris)|(paris).*france", exc = "phénotypage du petit animal|\\bums ?0?28\\b"), // CERES (elif-shadowed after UMS28 petit animal)
+    r(4389425361L, "acquisition", "centre d acquisition et de traitement des images", req = "france.*(gif sur yvette)|(gif sur yvette).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425361L, "cati", "cati", word = true, req = "france.*(gif sur yvette)|(gif sur yvette).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425361L, "uar2031", "uar2031", word = true, req = "france.*(gif sur yvette)|(gif sur yvette).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4389425361L, "uar", "uar 2031", word = true, req = "france.*(gif sur yvette)|(gif sur yvette).*france"), // Centre d'Acquisition et de Traitement des Images
+    r(4390039341L, "corakid", "corakid", req = FrOuterParis), // CoRaKID
+    r(4390039341L, "fréquentes", "maladies rénales fréquentes et rares", req = FrOuterParis), // CoRaKID
+    r(4390039341L, "disease", "common and rare kidney disease", req = FrOuterParis), // CoRaKID
+    r(4389425513L, "médiévales", "centre d études médiévales anglaises", req = FrOuterParis), // CEMA
+    r(4389425513L, "cema", "cema", word = true, req = FrOuterParis), // CEMA
+    r(4210131549L, "intégrative", "biologie intégrative des organismes marins", req = FrOuterBanyuls), // BIOM
+    r(4210131549L, "integrative", "integrative biology of marine organisms", req = FrOuterBanyuls), // BIOM
+    r(4210131549L, "biom", "biom", word = true, req = FrOuterBanyuls), // BIOM
+    r(4210100596L, "cetd", "cetd", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hcl", "hcl", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hospital", "lyon university hospital", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hospital", "university hospital of lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hospices", "hospices civils de lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hospices", "civil hospices of lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "lyon", "chu of lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hospital", "university hospital lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "lyon", "chu lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210100596L, "hospice", "hospice civils de lyon", req = FrOuter), // Hospices Civils de Lyon
+    r(4210095118L, "5292", "umr 5292", req = FrOuter), // Lyon Neuroscience Research Center
+    r(4210095118L, "umr5292", "umr5292", req = FrOuter), // Lyon Neuroscience Research Center
+    r(4210095118L, "inserm", "inserm 1028", req = FrOuter), // Lyon Neuroscience Research Center,
+    // ── hand-entered remainder of the France cluster ──
+    // GRC 28 Amylose AA acronym (:1015)
+    r(4389425424L, "grc", "grc aa su", word = true, req = "france"),
+    // UMS PASS (:1179)
+    r(4389425403L, "ums", "ums pass", word = true, req = "france"),
+    // CRLC with the Sorbonne conjunct (:1053)
+    r(4389425459L, "crlc", "crlc", word = true,
+      req = "france.*sorbonne|sorbonne.*france"),
+    // Lyon Neuroscience / HCL inserm unit conjuncts (:1287-1301)
+    r(4210095118L, "u1028", "u1028", word = true, req = "inserm"),
+    r(4210100596L, "u1060", "u1060", word = true, req = "inserm"),
+    // CEA elif tail: LIST / Ripault / Fontenay (:1955-1964) — exclude
+    // the earlier branches exactly as the reference elif order does
+    r(4210085861L, "list", "list", word = true, req = CeaWord,
+      exc = "\\bleti\\b|\\bliten\\b|\\bgramat\\b|\\bvalduc\\b|\\bdif\\b|\\bgrenoble\\b|\\bcadarache\\b"),
+    r(4210115841L, "ripault", "ripault", word = true, req = CeaWord,
+      exc = "\\bleti\\b|\\bliten\\b|\\bgrenoble\\b|\\bcadarache\\b|\\blist\\b|\\bmarcoule\\b|\\bsaclay\\b"),
+    r(4210097138L, "fontenay", "fontenay", word = true, req = CeaWord,
+      exc = "\\bleti\\b|\\bliten\\b|\\bgrenoble\\b|\\bcadarache\\b|\\blist\\b|\\bmarcoule\\b|\\bsaclay\\b|\\bripault\\b"),
+    // BIAM / LIS / GAEL acronyms under the 13-word gate (:2058-2113)
+    r(4210152302L, "biam", "biam", word = true, req = FrGate2),
+    r(4210114274L, "lis", "lis", word = true, req = FrGate2),
+    r(4210091947L, "gael", "gael", word = true, req = FrGate2),
+    // ── Hong Kong block remainder (:1465-1529) ──
+    r(4210105229L, "kong", "city university of hong kong",
+      req = "shenzhen research institute"),
+    r(141568987L, "baptist", "hong kong baptist university"),
+    r(47605537L, "seng", "hang seng university of hong kong"),
+    // HKU Shenzhen Hospital vs HKU proper: inner any-list with the
+    // reference's not-any guard as the exclusion set
+    r(4210141719L, "hku", "hku", word = true, req = "shenzhen hospital", exc = HkuExc),
+    r(4210141719L, "uhk", "uhk", word = true, req = "shenzhen hospital", exc = HkuExc),
+    r(4210141719L, "kong", "university of hong kong", req = "shenzhen hospital", exc = HkuExc),
+    r(4210141719L, "kong", "hong kong university", req = "shenzhen hospital", exc = HkuExc),
+    r(889458895L, "hku", "hku", word = true, exc = HkuExc2),
+    r(889458895L, "uhk", "uhk", word = true, exc = HkuExc2),
+    r(889458895L, "kong", "hong kong university", exc = HkuExc2),
+    // ── Poznan University of Life Sciences cascade (:1530-1563) —
+    // gate variants x geography elif; excludes mirror the elif order
+    r(55783418L, "poznan", "poznan university of life science"),
+    r(55783418L, "life", "university of life", req = "pozna|institute of food technology of plant origin"),
+    r(55783418L, "life", "univ of life", req = "pozna|institute of food technology of plant origin"),
+    r(158552681L, "life", "university of life", req = "lublin",
+      exc = "pozna|institute of food technology of plant origin"),
+    r(158552681L, "life", "univ of life", req = "lublin",
+      exc = "pozna|institute of food technology of plant origin"),
+    r(170230895L, "life", "university of life", req = "warsaw",
+      exc = "pozna|institute of food technology of plant origin|lublin"),
+    r(170230895L, "life", "univ of life", req = "warsaw",
+      exc = "pozna|institute of food technology of plant origin|lublin"),
+    r(19409027L, "life", "university of life", req = "estonia|tartu"),
+    r(19409027L, "life", "univ of life", req = "estonia|tartu"),
+    r(116152951L, "life", "university of life", req = "latvia|jelgava"),
+    r(116152951L, "life", "univ of life", req = "latvia|jelgava"),
+    r(190774190L, "life", "university of life", req = "mongolia|ulaanbaatar"),
+    r(190774190L, "life", "univ of life", req = "mongolia|ulaanbaatar"),
+    r(54108979L, "life", "university of life", req = "norway|norwegian"),
+    r(54108979L, "life", "univ of life", req = "norway|norwegian"),
+    r(205984670L, "life", "university of life", req = "czech|prague"),
+    r(205984670L, "life", "univ of life", req = "czech|prague"),
+    // ── Ohio University campuses (:1564-1576) — elif order as excludes;
+    // the Athens id doubles as the else fall-through
+    r(2801499443L, "ohio", "ohio univ", req = "ironton|ohio university southern",
+      exc = "athens"),
+    r(22759111L, "ohio", "ohio univ", req = "lancaster",
+      exc = "athens|ironton|ohio university southern"),
+    r(182441304L, "ohio", "ohio univ", req = "chillicothe",
+      exc = "athens|ironton|ohio university southern|lancaster"),
+    r(4210106879L, "ohio", "ohio univ",
+      exc = "ironton|ohio university southern|lancaster|chillicothe"),
+    // ── Université Henri Poincaré (:1577-1599) — name variants plus
+    // the Nancy-gated UHP/INPL/ENSG acronyms; the reference's
+    // 'nancy 2 univ''institut...' missing-comma concatenation is a
+    // dead variant and is not ported
+    r(90183372L, "henri", "université henri poincar"),
+    r(90183372L, "henri", "universite henri poincar"),
+    r(90183372L, "henri", "univ henri poincar"),
+    r(90183372L, "uhp", "uhp", word = true, req = "nancy"),
+    r(90183372L, "inpl", "inpl", word = true, req = "nancy"),
+    r(90183372L, "ensg", "ensg", word = true, req = "nancy"),
+    r(90183372L, "nancy", "université nancy 1"),
+    r(90183372L, "nancy", "universite nancy 1"),
+    r(90183372L, "nancy", "université de nancy 1"),
+    r(90183372L, "nancy", "universite de nancy 1"),
+    r(90183372L, "nancy", "univ nancy 1"),
+    r(90183372L, "nancy", "université nancy 2"),
+    r(90183372L, "nancy", "universite nancy 2"),
+    r(90183372L, "nancy", "univ nancy 2"),
+    r(90183372L, "nancy", "université de nancy 2"),
+    r(90183372L, "nancy", "universite de nancy 2"),
+    r(90183372L, "nancy", "nancy 1 univ"),
+    r(90183372L, "nancy", "nancy 2 univ")
+  )
 
   /** Rules as a DataFrame for [[AffiliationMatcher.matchInstitutions]]. */
   def df(spark: SparkSession): DataFrame = {

@@ -266,6 +266,29 @@ object EntityQueries {
     * re-evaluates the SAME rule rows (VALUES mirror) over the same
     * normalization in DuckDB. */
   private[queries] val q64Templates: Seq[String] = Seq(
+    // batch 15 (France mega-block remainder + HK/Poznan/Ohio/Nancy):
+    // acronym under the France gate, GRC n° require-regex forms,
+    // UMR-S unit spellings, CEA elif-shadowing (LIST must beat
+    // Saclay), the CERES shadow miss, HKU Shenzhen-Hospital split,
+    // Poznan geography elif, Ohio campus elif + else fall-through,
+    // Nancy acronyms, and the inserm-unit conjunction
+    "LISIS, Université Gustave Eiffel, France",
+    "GRC n°27 GRECO, Sorbonne Université, France",
+    "Groupe de Recherche Clinique 30 RESPIRE, Paris, France",
+    "INSERM UMR_S 933, Hôpital Trousseau, France",
+    "CEA LIST, Saclay, France",
+    "CEA, Saclay, France",
+    "CATI, CEA, Gif-sur-Yvette, France",
+    "CERES, UMS 28 Phénotypage du petit animal, Paris, France",
+    "The University of Hong Kong-Shenzhen Hospital, HKU",
+    "HKU, Pokfulam, Hong Kong",
+    "Poznan University of Life Sciences, Lublin",
+    "University of Life Sciences, Lublin, Poland",
+    "Ohio University Chillicothe",
+    "Ohio University, Athens, OH",
+    "UHP Nancy 1, France",
+    "Hospices civils de Lyon, HCL, France",
+    "INSERM U1060, CarMeN, Lyon",
     // batches 13-14 (the mechanically-entered acronym tail: plain
     // word-bounded acronyms, hyphen/apostrophe forms, diacritic
     // variants, city require-gates with a gate-miss negative, the
@@ -662,6 +685,85 @@ object EntityQueries {
     AuthorshipMetrics.tallMetrics(fp2, AuthorshipMetrics.changeEvents(fp1, fp2))
   }
 
+  /** q78 affiliation-id refinement fixtures: one template per
+    * evaluation mechanism of the process_current_affiliation_with_ids
+    * port — husk, implication, conditional removal, staged flips,
+    * elif chains with fall-through, hospital swaps (cmu expansion and
+    * the hand-ported Xiangya block), the Poincaré cross-stage re-add,
+    * loose string-triggered rules, and untouched/non-candidate rows. */
+  private[queries] val q78Templates: Seq[(String, Seq[Long])] = Seq(
+    ("AP-HP Sorbonne University", Seq(-1L, 4210086685L)),
+    ("Universidad Pública de Navarra, Pamplona", Seq(88155538L)),
+    ("Universidad de Navarra, Pamplona", Seq(175051016L)),
+    ("ICES Copenhagen Denmark", Seq(282179226L)),
+    ("International Council Secretariat", Seq(282179226L)),
+    ("Islamic Azad University, Rasht Branch, Iran",
+      Seq(155419210L, 110525433L)),
+    ("Islamic Azad University, Science and Research Branch, Tehran",
+      Seq(155419210L)),
+    ("Islamic Azad University, Science and Research Branch, Tehran",
+      Seq(110525433L)),
+    ("University Hospital Mannheim, University of Heidelberg, Germany",
+      Seq(177802217L)),
+    ("University Hospital Mannheim, Germany", Seq(177802217L)),
+    ("Second Affiliated Hospital of Harbin Medical University, Harbin",
+      Seq(4210156501L)),
+    ("Second Xiangya Hospital, Central South University, Changsha",
+      Seq(4210159865L)),
+    ("Xiangya Hospital, Central South University, Changsha",
+      Seq(4210153856L)),
+    ("Institut Henri Poincaré, Paris", Seq(51178685L)),
+    ("Université Henri Poincaré, Nancy", Seq(51178685L)),
+    ("Mohammed V University, Rabat, Morocco", Seq()),
+    ("AIIMS Bhubaneswar, India", Seq(63739035L)),
+    ("Laval University, Quebec", Seq(49663120L)),
+    ("University of Maryland, Baltimore County", Seq(116545467L)),
+    ("Twitter @research", Seq(113979032L)),
+    ("Purdue University Fort Wayne", Seq(2801333002L)),
+    ("Brown University and Providence College",
+      Seq(27804330L, 196272386L)),
+    ("China University of Geosciences, Wuhan",
+      Seq(3124059619L, 3125743391L)),
+    ("Department of Physics, Unrelated University", Seq(7L, 99L)),
+    ("LCPC Paris", Seq(142631665L)),
+    ("Hochschule Hannover medizinische Fakultät", Seq(140025399L)))
+
+  /** §2.9 AffiliationRefine (q78): the staged second-pass cascade on
+    * a fixed template rotation; the oracle re-evaluates the same rule
+    * table with [[graft.entities.AffiliationRefineRules.oracleSql]]'s
+    * generic DuckDB evaluator. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    val n = q78Templates.size
+    val aff = elt(((pmod(k, lit(n)) + 1).cast("int") +:
+      q78Templates.map(x => lit(x._1))): _*)
+    val ids = q78Templates.zipWithIndex
+      .foldLeft(lit(null).cast("array<bigint>")) { case (acc, ((_, v), i)) =>
+        when(pmod(k, lit(n)) === i, typedlit(v)).otherwise(acc)
+      }
+    val affil = c.select(k.as("work_id"), lit(0).as("author_seq"),
+      aff.as("affiliation_string"), ids.as("institution_ids"))
+    graft.entities.AffiliationRefine.refine(affil)
+      .select(col("work_id"), col("author_seq"),
+        col("affiliation_string"),
+        to_json(col("institution_ids")).as("institution_ids"))
+  }
+
+  private def q78Oracle: String = {
+    val n = q78Templates.size
+    val affCase = q78Templates.zipWithIndex.map { case ((a, _), i) =>
+      s"WHEN $i THEN '" + a.replace("'", "''") + "'"
+    }.mkString(" ")
+    val idsCase = q78Templates.zipWithIndex.map { case ((_, v), i) =>
+      s"WHEN $i THEN CAST(" + v.mkString("[", ",", "]") + " AS BIGINT[])"
+    }.mkString(" ")
+    graft.entities.AffiliationRefineRules.oracleSql(
+      s"""SELECT c_custkey AS work_id, 0 AS author_seq,
+         |  CASE (c_custkey % $n) $affCase END AS aff,
+         |  CASE (c_custkey % $n) $idsCase END AS ids FROM customer""".stripMargin)
+  }
+
   private def q64(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val k = col("c_custkey")
@@ -704,6 +806,7 @@ object EntityQueries {
 
   val queries: Map[String, Q] = Map(
     "q64_affiliation_rules" -> (q64 _),
+    "q78_affiliation_refine" -> (q78 _),
     "q65_concepts_api" -> (q65 _),
     "q66_keywords_dynamic" -> (q66 _),
     "q67_keywords_api" -> (q67 _),
@@ -722,6 +825,7 @@ object EntityQueries {
 
   val oracle: Map[String, String] = Map(
     "q64_affiliation_rules" -> q64Oracle,
+    "q78_affiliation_refine" -> q78Oracle,
     "q70_authorship_daily_metrics" ->
       """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 4 + 1 AS n0,
         |  o_orderkey % 5 AS m5 FROM orders),

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entities.{AffiliationRefine, AffiliationRefineRules}
+
+/** Pins [[AffiliationRefine.refine]] against reference-shaped cases:
+  * the two docstring examples of process_current_affiliation_with_ids
+  * (affiliation_string_parsing.py:4893-4896) plus one fixture per
+  * evaluation mechanism — husk, first-match elif, fall-through else,
+  * staged sequential chains, group exclusivity, swaps, sentinel. */
+class AffiliationRefineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(cases: (String, Seq[Long])*): Seq[Seq[Long]] = {
+    val df = cases.zipWithIndex.map { case ((aff, ids), i) =>
+      (i.toLong, 0, aff, ids)
+    }.toDF("work_id", "author_seq", "affiliation_string", "institution_ids")
+    AffiliationRefine.refine(df)
+      .orderBy("work_id")
+      .select("institution_ids").as[Seq[Long]].collect().toSeq
+  }
+
+  test("reference docstring examples") {
+    // >>> process_current_affiliation_with_ids([-1, 4210086685], "AP-HP Sorbonne University")
+    // [4210086685, 39804081]  (husk -1 dropped, Sorbonne implies AP-HP)
+    // >>> process_current_affiliation_with_ids([88155538], "Universidad Pública de Navarra")
+    // [175051016]             (public-Navarra flip)
+    val out = run(
+      ("AP-HP Sorbonne University", Seq(-1L, 4210086685L)),
+      ("Universidad Pública de Navarra", Seq(88155538L)))
+    assert(out(0) == Seq(4210086685L, 39804081L).sorted)
+    assert(out(1) == Seq(175051016L))
+  }
+
+  test("navarra flip is staged: reverse direction still fires") {
+    // :4929 reads 175051016 which :4924 writes — stage boundary keeps
+    // the sequential semantics (a de-Navarra string flips back).
+    assert(run(("Universidad de Navarra", Seq(175051016L)))
+      .head == Seq(88155538L))
+  }
+
+  test("ICES removal: kept with context, dropped without") {
+    // :4918 — remove 282179226 only when neither denmark nor sea appears
+    val out = run(
+      ("ICES Copenhagen Denmark", Seq(282179226L)),
+      ("International Council University", Seq(282179226L)))
+    assert(out(0) == Seq(282179226L))
+    assert(out(1) == Seq(-1L)) // removed, empty -> sentinel
+  }
+
+  test("IAU elif chain: first city match wins, generics removed") {
+    // :5242 — 'Rasht' branch beats later branches; both generics go
+    val out = run(
+      ("Islamic Azad University, Rasht Branch, Rasht, Iran",
+        Seq(155419210L, 110525433L)),
+      // Science and Research Branch: append-then-remove split — the
+      // id survives only because it was already present
+      ("Islamic Azad University, Science and Research Branch",
+        Seq(155419210L)),
+      ("Islamic Azad University, Science and Research Branch",
+        Seq(110525433L)))
+    assert(out(0) == Seq(4210098966L))
+    assert(out(1) == Seq(155419210L))
+    assert(out(2) == Seq(-1L))
+  }
+
+  test("Mannheim nested chain: university-hospital + heidelberg context") {
+    // :4935 branch 000.000 — both adds, trigger removed
+    val out = run(
+      ("University Hospital Mannheim, University of Heidelberg",
+        Seq(177802217L)),
+      // fall-through 000.002: hospital string alone adds only 4210156450
+      ("University Hospital Mannheim", Seq(177802217L)))
+    assert(out(0) == Seq(4210156450L, 223822909L).sorted)
+    assert(out(1) == Seq(4210156450L))
+  }
+
+  test("hospital swap (Harbin cmu expansion): matched hospital corrected") {
+    // :6561 — current says First Affiliated, string says Second ->
+    // swap, parent university implied
+    val out = run(
+      ("Second Affiliated Hospital of Harbin Medical University",
+        Seq(4210156501L)))
+    assert(out.head == Seq(156144747L, 4210132813L).sorted)
+  }
+
+  test("Xiangya hand-port: generic hospital resolved to named branch") {
+    // :6407 — Xiangya Hospital id + 'Second Xiangya Hospital' string
+    val out = run(
+      ("Second Xiangya Hospital, Central South University",
+        Seq(4210159865L)),
+      // swap-back: Second id but only generic Xiangya Hospital named
+      ("Xiangya Hospital, Central South University", Seq(4210153856L)))
+    assert(out(0) == Seq(139660479L, 4210153856L).sorted)
+    assert(out(1) == Seq(139660479L, 4210159865L).sorted)
+  }
+
+  test("Poincaré stage split: sibling B re-add survives sibling A removal") {
+    // :7086 — 'Institut Henri Poincaré' string keeps/re-adds 51178685
+    // even though chain :7089 would remove it on a bare string; the
+    // Nancy university form converts to 90183372 instead.
+    val out = run(
+      ("Institut Henri Poincaré, Paris", Seq(51178685L)),
+      ("Université Henri Poincaré, Nancy", Seq(51178685L)))
+    assert(out(0) == Seq(51178685L))
+    assert(out(1) == Seq(90183372L))
+  }
+
+  test("string-triggered loose rule fires without any current id") {
+    // :6609 Mohammed V — Rabat context adds the id on an empty match
+    assert(run(("Mohammed V University, Rabat, Morocco", Seq()))
+      .head == Seq(126477371L))
+  }
+
+  test("husk and sentinel bookkeeping") {
+    val out = run(
+      ("anything", Seq(-1L, 42L)), // husk: -1 dropped when len>1
+      ("no rules fire here", Seq()))
+    assert(out(0) == Seq(42L))
+    assert(out(1) == Seq(-1L))
+  }
+
+  test("untouched candidates and non-candidates pass through sorted") {
+    val out = run(
+      ("Some Unrelated Institute", Seq(99L, 7L)),
+      // candidate (trigger id present) but no rule fires: Twitter
+      // without an @ sign
+      ("Twitter research division", Seq(113979032L)))
+    assert(out(0) == Seq(7L, 99L))
+    assert(out(1) == Seq(113979032L))
+  }
+
+  test("rule table sanity: stages contiguous, prios unique per group") {
+    val rs = AffiliationRefineRules.rules
+    assert(rs.map(_.stage).distinct.sorted == (0 to 7))
+    rs.groupBy(_.grp).foreach { case (g, rows) =>
+      assert(rows.map(_.prio).distinct.size == rows.size, s"dup prio in $g")
+      assert(rows.map(_.stage).distinct.size == 1, s"split stages in $g")
+    }
+    assert(rs.size > 450)
+  }
+}

@@ -17,11 +17,13 @@ class StreamingSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** events.parquet copied into its own dir (streaming source = dir). */
+  /** events staged into a streaming-source dir via Tables, so `ts` is
+    * epoch-nanos LongType regardless of the fixture's timestamp
+    * precision (the readEvents streaming contract). */
   private lazy val streamDir: String = {
     val d = Files.createTempDirectory("graft-events").toString
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      Paths.get(s"$d/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables(spark, sfDir, "events").coalesce(1).write
+      .mode("overwrite").parquet(d)
     d
   }
 
