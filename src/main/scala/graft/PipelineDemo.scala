@@ -199,12 +199,24 @@ object PipelineDemo {
       .select(col("work_id"), col("author_seq"),
         coalesce(try_element_at(transform(col("a.affiliations"),
           x => x.getField("name")), lit(1)), lit("")).as("affiliation_string"))
-    val rules = Seq(("I-MIT", "mit", "mit", true,
+    val rules = Seq((42L, "mit", "mit", true,
       Option.empty[String], Option.empty[String]))
       .toDF("institution_id", "block_token", "pattern", "word", "require", "exclude")
     val insts = graft.entities.AffiliationMatcher.matchInstitutions(affils, rules)
     stage("authorships with institutions",
       insts.filter(size(col("institution_ids")) > 0).count(), _ == 1)
+    // composed second pass: the refinement cascade over the matcher
+    // output (none of these strings triggers a real rule, so matched
+    // ids pass through and no-match rows pick up the -1 sentinel)
+    val refined = graft.entities.AffiliationRefine.refine(
+      insts.join(affils.groupBy(col("work_id"), col("author_seq"))
+          .agg(first(col("affiliation_string")).as("affiliation_string")),
+        Seq("work_id", "author_seq")))
+    stage("refined keeps the matched row",
+      refined.filter(array_contains(col("institution_ids"), 42L)).count(), _ == 1)
+    stage("refined sentinels the no-match rows",
+      refined.filter(array_contains(col("institution_ids"), -1L)).count(),
+      _ == insts.count() - 1)
 
     val emb = graft.llm.LlmOps.embed(
       typed.select(col("work_id").as("id"), col("title").as("text"))

@@ -2433,6 +2433,10 @@ object AffiliationRules {
     r(4387152722L, "lamo", "lamo", word = true, req = "france"), // LAMO - Littératures Antiques et Modernes
     r(4387930219L, "iicimed", "iicimed", word = true, req = "france"), // Cibles et Médicaments des Infections et de l'Immunité
     r(4210112218L, "gbf", "gbf", word = true, req = "france"), // Genomics and Biotechnology of the Fruits Laboratory
+    // AGroecologies, Innovations & Ruralities (:609 — the pass-branch
+    // on Amiens/Agent becomes the exclude)
+    r(4210111259L, "agir", "agir", word = true, req = "france",
+      exc = "amiens|agent"),
     r(4387155609L, "dynafor", "dynafor", word = true, req = "france"), // Dynamiques et écologie des paysages agriforestiers
     r(4210153840L, "ibhgc", "ibhgc", word = true, req = "france"), // Institut de Biomécanique Humaine Georges Charpak
     r(4210102686L, "laga", "laga", word = true, req = "france"), // Laboratoire Analyse, Géométrie et Applications
