@@ -1,0 +1,142 @@
+package graft.aer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** The AER (author entity resolution) embedding pipeline (reference:
+  * notebooks/vector_search/ComputeAuthorEmbeddings.ipynb,
+  * ComputeAuthorshipSimilarity.ipynb, PairwiseOvermergeSignal.ipynb):
+  * content-similarity signals for author merge/split detection.
+  *
+  *  1. Author embeddings — the unweighted element-wise mean of a
+  *     cluster's work embeddings plus its work_count.
+  *  2. Authorship similarity — per (author, work) cosine between the
+  *     author mean and the work embedding, with the reference's
+  *     phase-1 shortcut: a single-work author's mean IS its one
+  *     embedding, so the similarity is definitionally 1.0 and no
+  *     vector math runs for those rows.
+  *  3. Pairwise overmerge signal — the reference's pure-SQL HDBSCAN
+  *     replacement: per-author all-pairs cosine over a staged
+  *     (author, work) set, aggregated to n_pairs / mean / p10 / p5 /
+  *     min / stddev. The HDBSCAN clustering notebook itself is a
+  *     driver-side sklearn loop (model boundary, not ported); this
+  *     signal is the production SQL path the reference built to
+  *     replace it.
+  *
+  * Scale notes: the reference sums embeddings with a
+  * collect_list+aggregate fold, which buffers one author's whole
+  * embedding list per group (OOM-prone for 10⁵-work authors). Here
+  * the sum is a custom [[ArraySumAgg]] UDAF with map-side partial
+  * aggregation — executors fold arrays in place and shuffle one
+  * partial vector per (author × partition), never a list. All-pairs
+  * generation in the overmerge signal is keyed by author_id (the
+  * staged table caps works per author, reference: 500), so no join
+  * explodes beyond the cap². Cosines use the codegen'd
+  * `array_dot` expression ([[graft.plans.ArrayDotProduct]]).
+  *
+  * Determinism protocol: emitted means and statistics floor-round at
+  * 1e-6 (the cross-engine double protocol, see README) — sums across
+  * rows are order-sensitive in the last ulps; per-pair cosines fold
+  * in ascending index order and are bit-identical across engines.
+  */
+object AuthorVectors {
+
+  /** Element-wise array sum with map-side partials. Null zero value:
+    * the first array seen (copied) seeds the accumulator, so the
+    * dimension never needs declaring up front. */
+  object ArraySumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = null
+    def reduce(acc: Array[Double], x: Seq[Double]): Array[Double] =
+      if (x == null) acc
+      else if (acc == null) x.toArray
+      else { var i = 0; while (i < acc.length) { acc(i) += x(i); i += 1 }; acc }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a == null) b else if (b == null) a
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    def finish(acc: Array[Double]): Seq[Double] =
+      if (acc == null) null else acc.toSeq
+    def bufferEncoder: ExpressionEncoder[Array[Double]] = ExpressionEncoder()
+    def outputEncoder: ExpressionEncoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  private val arraySum = udaf(ArraySumAgg)
+
+  private def round6(c: Column): Column =
+    floor(c * lit(1000000L) + lit(0.5)) / lit(1000000.0)
+
+  /** Author mean embeddings (ComputeAuthorEmbeddings: the `summed`
+    * CTE's fold ÷ work_count, null embeddings dropped by the join).
+    * @param pairs      (author_id, work_id)
+    * @param embeddings (work_id, embedding ARRAY<numeric>) */
+  def authorEmbeddings(pairs: DataFrame, embeddings: DataFrame): DataFrame =
+    pairs
+      .join(embeddings.filter(col("embedding").isNotNull)
+          .select(col("work_id"), col("embedding").cast("array<double>")),
+        Seq("work_id"))
+      .groupBy(col("author_id"))
+      .agg(count(lit(1)).cast("int").as("work_count"),
+        arraySum(col("embedding")).as("__sum"))
+      .withColumn("embedding",
+        transform(col("__sum"), v => round6(v / col("work_count"))))
+      .drop("__sum")
+
+  /** Per-authorship cosine similarity (ComputeAuthorshipSimilarity).
+    * Single-work authors short-circuit to literal 1.0 — no vector
+    * math (the reference's phase 1); multi-work authors join the two
+    * embedding tables and compute dot/(|a||b|).
+    * @param authorEmb  (author_id, work_count, embedding) — [[authorEmbeddings]] output
+    * @param pairs      (author_id, work_id)
+    * @param embeddings (work_id, embedding) */
+  def authorshipSimilarity(authorEmb: DataFrame, pairs: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val joined = pairs.join(authorEmb
+        .select(col("author_id"), col("work_count"),
+          col("embedding").as("__ae")), Seq("author_id"))
+    val single = joined.filter(col("work_count") === 1)
+      .select(col("work_id"), col("author_id"),
+        lit(1.0).as("cosine_similarity"))
+    val multi = joined.filter(col("work_count") > 1)
+      .join(embeddings.filter(col("embedding").isNotNull)
+          .select(col("work_id"), col("embedding").cast("array<double>").as("__we")),
+        Seq("work_id"))
+      .select(col("work_id"), col("author_id"),
+        round6(Similarity.cosine(col("__ae"), col("__we")))
+          .as("cosine_similarity"))
+    single.unionByName(multi)
+  }
+
+  /** Per-author all-pairs cosine statistics (PairwiseOvermergeSignal:
+    * `a.work_id < b.work_id` self-join keyed by author, then n_pairs,
+    * mean, exact p10/p5, min, sample stddev). The mean goes through
+    * an exact DECIMAL sum of the (bit-identical) per-pair cosines so
+    * its value does not depend on aggregation order.
+    * @param staged     (author_id, work_id) — capped works per author
+    * @param embeddings (work_id, embedding) */
+  def pairwiseOvermergeSignal(staged: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val aw = staged.join(embeddings.filter(col("embedding").isNotNull)
+        .select(col("work_id"), col("embedding").cast("array<double>")),
+      Seq("work_id"))
+    val a = aw.select(col("author_id"), col("work_id").as("__wa"),
+      col("embedding").as("__ea"))
+    val b = aw.select(col("author_id"), col("work_id").as("__wb"),
+      col("embedding").as("__eb"))
+    val pairs = a.join(b, Seq("author_id")).filter(col("__wa") < col("__wb"))
+      .select(col("author_id"),
+        Similarity.cosine(col("__ea"), col("__eb")).as("__cos"))
+    pairs.groupBy(col("author_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round6(sum(col("__cos").cast("decimal(28,18)")).cast("double") /
+          count(lit(1))).as("mean_sim"),
+        round6(percentile(col("__cos"), lit(0.10))).as("p10_sim"),
+        round6(percentile(col("__cos"), lit(0.05))).as("p5_sim"),
+        round6(min(col("__cos"))).as("min_sim"),
+        // one pair: sample stddev is undefined (Spark NaN, DuckDB
+        // NULL) — normalize to NULL
+        when(count(lit(1)) > 1, round6(stddev_samp(col("__cos"))))
+          .as("std_sim"))
+  }
+}

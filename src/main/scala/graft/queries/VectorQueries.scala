@@ -102,7 +102,52 @@ object VectorQueries {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor"), col("cosv"))
   }
 
+  /** Synthetic AER staging: author clusters of growing size over the
+    * embeddings table (author k owns vec_ids [k², (k+1)²−1]; author 0
+    * is the single-work shortcut case). */
+  private def aerPairs(e: DataFrame): DataFrame =
+    e.select(floor(sqrt(col("vec_id").cast("double"))).cast("long")
+        .as("author_id"),
+      col("vec_id").as("work_id"))
+
+  /** §2.4+vector_search AER author mean embeddings (q79,
+    * ComputeAuthorEmbeddings): per-cluster element-wise mean +
+    * work_count via the map-side-partial ArraySumAgg; emitted as
+    * micro-int arrays (floor(v·1e6+0.5)) so the JSON compare is
+    * integer-exact across engines. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.aer.AuthorVectors.authorEmbeddings(aerPairs(e),
+        e.select(col("vec_id").as("work_id"), col("embedding")))
+      .select(col("author_id"), col("work_count"),
+        to_json(transform(col("embedding"),
+          v => round(v * 1000000).cast("long"))).as("embedding_micro"))
+  }
+
+  /** AER authorship similarity (q80, ComputeAuthorshipSimilarity):
+    * single-work shortcut rows carry literal 1.0; multi-work rows the
+    * rounded cosine of (rounded author mean, raw work embedding). */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val emb = e.select(col("vec_id").as("work_id"), col("embedding"))
+    val pairs = aerPairs(e)
+    val ae = graft.aer.AuthorVectors.authorEmbeddings(pairs, emb)
+    graft.aer.AuthorVectors.authorshipSimilarity(ae, pairs, emb)
+  }
+
+  /** AER pairwise overmerge signal (q81, PairwiseOvermergeSignal):
+    * per-author all-pairs cosine stats — n_pairs, decimal-exact mean,
+    * exact p10/p5, min, sample stddev (guarded NULL at one pair). */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.aer.AuthorVectors.pairwiseOvermergeSignal(aerPairs(e),
+      e.select(col("vec_id").as("work_id"), col("embedding")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_aer_author_embeddings" -> (q79 _),
+    "q80_aer_authorship_similarity" -> (q80 _),
+    "q81_aer_overmerge_signal" -> (q81 _),
     "q39_ann_cosine_topk" -> (q39 _),
     "q40_ann_lsh_buckets" -> (q40 _),
     "q56_dedup_embedding_cosine" -> (q56 _),
@@ -111,7 +156,60 @@ object VectorQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), k -> $a[k]*$b[k]))"
 
+  private val aerBase =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |p AS (SELECT CAST(floor(sqrt(CAST(vec_id AS DOUBLE))) AS BIGINT)
+       |    AS author_id, vec_id AS work_id, v FROM e)""".stripMargin
+
+  /** Rounded author means as micro-int lists + the /1e6 double form
+    * (bit-identical to the Spark round6 output). */
+  private val aerMeans =
+    s"""x AS (SELECT p.author_id, r.i AS i, p.v[CAST(r.i AS INT)] AS val
+       |  FROM p, range(1, 65) AS r(i)),
+       |m AS (SELECT author_id, i,
+       |    CAST(floor((sum(val) / count(*)) * 1000000 + 0.5) AS BIGINT) AS mv
+       |  FROM x GROUP BY author_id, i),
+       |ae AS (SELECT m.author_id, cnt.work_count,
+       |    list(m.mv ORDER BY m.i) AS micro,
+       |    list(m.mv / 1000000.0 ORDER BY m.i) AS mean_v
+       |  FROM m JOIN (SELECT author_id, CAST(count(*) AS INT) AS work_count
+       |               FROM p GROUP BY 1) cnt USING (author_id)
+       |  GROUP BY m.author_id, cnt.work_count)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q79_aer_author_embeddings" ->
+      s"""WITH $aerBase,
+         |$aerMeans
+         |SELECT author_id, work_count,
+         |  CAST(to_json(micro) AS VARCHAR) AS embedding_micro FROM ae""".stripMargin,
+    "q80_aer_authorship_similarity" ->
+      s"""WITH $aerBase,
+         |$aerMeans
+         |SELECT p.work_id, p.author_id,
+         |  CASE WHEN ae.work_count = 1 THEN 1.0
+         |       ELSE floor(${dotSql("ae.mean_v", "p.v")} /
+         |         (sqrt(${dotSql("ae.mean_v", "ae.mean_v")}) *
+         |          sqrt(${dotSql("p.v", "p.v")})) * 1000000 + 0.5) / 1000000.0
+         |  END AS cosine_similarity
+         |FROM p JOIN ae USING (author_id)""".stripMargin,
+    "q81_aer_overmerge_signal" ->
+      s"""WITH $aerBase,
+         |pr AS (SELECT a.author_id,
+         |    ${dotSql("a.v", "b.v")} /
+         |      (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")}))
+         |      AS cos
+         |  FROM p a JOIN p b
+         |    ON a.author_id = b.author_id AND a.work_id < b.work_id)
+         |SELECT author_id, count(*) AS n_pairs,
+         |  floor((CAST(SUM(CAST(cos AS DECIMAL(28,18))) AS DOUBLE) / count(*))
+         |    * 1000000 + 0.5) / 1000000.0 AS mean_sim,
+         |  floor(quantile_cont(cos, 0.10) * 1000000 + 0.5) / 1000000.0 AS p10_sim,
+         |  floor(quantile_cont(cos, 0.05) * 1000000 + 0.5) / 1000000.0 AS p5_sim,
+         |  floor(min(cos) * 1000000 + 0.5) / 1000000.0 AS min_sim,
+         |  CASE WHEN count(*) > 1
+         |       THEN floor(stddev(cos) * 1000000 + 0.5) / 1000000.0 END AS std_sim
+         |FROM pr GROUP BY author_id""".stripMargin,
     "q39_ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 16),

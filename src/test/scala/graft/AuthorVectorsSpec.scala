@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.aer.AuthorVectors
+
+/** Pins the AER embedding pipeline (ComputeAuthorEmbeddings /
+  * ComputeAuthorshipSimilarity / PairwiseOvermergeSignal port). */
+class AuthorVectorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val emb = Seq(
+    (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)),
+    (4L, Seq(2.0, 0.0)), (5L, null.asInstanceOf[Seq[Double]]))
+    .toDF("work_id", "embedding")
+
+  private val pairs = Seq(
+    (10L, 1L), (10L, 2L),        // author 10: two orthogonal works
+    (11L, 3L),                   // author 11: single work
+    (12L, 4L), (12L, 5L))        // author 12: one null embedding drops
+    .toDF("author_id", "work_id")
+
+  test("authorEmbeddings: element-wise mean, null embeddings dropped") {
+    val out = AuthorVectors.authorEmbeddings(pairs, emb)
+      .orderBy("author_id")
+      .as[(Long, Int, Seq[Double])].collect().toSeq
+    assert(out == Seq(
+      (10L, 2, Seq(0.5, 0.5)),
+      (11L, 1, Seq(1.0, 1.0)),
+      (12L, 1, Seq(2.0, 0.0)))) // work 5's null row never joins
+  }
+
+  test("authorshipSimilarity: single-work shortcut is literal 1.0") {
+    val ae = AuthorVectors.authorEmbeddings(pairs, emb)
+    val out = AuthorVectors.authorshipSimilarity(ae, pairs, emb)
+      .orderBy("author_id", "work_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // author 10 mean (.5,.5): cos with (1,0) = .5/(√.5·1) = √.5
+    val r = 0.707107
+    assert(out == Seq(
+      (1L, 10L, r), (2L, 10L, r),
+      (3L, 11L, 1.0),          // shortcut — no vector math
+      (4L, 12L, 1.0),          // work_count=1 after the null drop
+      // the shortcut path never joins embeddings, so a single-work
+      // author's no-embedding authorship still gets 1.0 — matching
+      // the reference's phase 1 (pairs come from the works table)
+      (5L, 12L, 1.0)))
+  }
+
+  test("pairwiseOvermergeSignal: stats per author, 1-pair stddev NULL") {
+    val staged = Seq((20L, 1L), (20L, 2L), (20L, 3L), (21L, 1L), (21L, 4L))
+      .toDF("author_id", "work_id")
+    val out = AuthorVectors.pairwiseOvermergeSignal(staged, emb)
+      .orderBy("author_id").collect()
+    val a20 = out(0)
+    // pairs (1,2)=0, (1,3)=√.5, (2,3)=√.5
+    assert(a20.getLong(1) == 3)
+    assert(a20.getDouble(2) == 0.471405)           // mean
+    assert(a20.getDouble(5) == 0.0)                // min
+    assert(!a20.isNullAt(6))
+    val a21 = out(1)                               // single pair (1,4): cos=1
+    assert(a21.getLong(1) == 1)
+    assert(a21.getDouble(2) == 1.0)
+    assert(a21.isNullAt(6))                        // stddev undefined
+  }
+}
