@@ -1,0 +1,60 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier meta view over harvested landing-page meta tags
+  * (reference: notebooks/meta_tags/classifier_meta_view.py — the
+  * wave-2 derived layer feeding the work-type classifier).
+  *
+  * Two pieces:
+  *  - the KEEP-8 tag-family filter. The reference runs the Python
+  *    regex through a pandas UDF under a byte-compat contract with
+  *    its extractor; the pattern itself (an alternation of literal
+  *    prefixes, `re.I|re.X`) has identical semantics in Java/RE2, so
+  *    here it is a codegen'd `filter(tags, t → t RLIKE …)` — no UDF,
+  *    and the DuckDB oracle runs the same pattern;
+  *  - the two-phase newest-wins dedupe. The reference note: a window
+  *    over ~300M rows would shuffle every row WITH its meta_tags
+  *    array through the sorter (OOM'd a 256 GB node); instead the
+  *    aggregate `max(struct(fetched_at, file_key))` shuffles only
+  *    keys+timestamps, then ONE join moves each winning payload once.
+  *    Ported as-is — it is the right plan at 100 TB too.
+  */
+object MetaTags {
+
+  /** The KEEP-8 families (classifier_meta_view.py KEEP, re.X folded,
+    * case-insensitivity via the (?i) flag — RE2-safe, oracle-shared). */
+  val Keep8Regex: String =
+    "(?i)[\"'](?:citation_[a-z_]+|bepress_citation_[a-z_]+|dc\\.type[a-z.]*|" +
+      "dcterms\\.type|DC\\.Type|article-?type|og:type|prism\\.contenttype|" +
+      "eprints\\.type)[\"']"
+
+  /** Row-local tag filter; tags pass through byte-unmodified. */
+  def keep8(tags: Column): Column =
+    filter(coalesce(tags, array()), t => t.rlike(Keep8Regex))
+
+  /** One row per (native_id, namespace): status=ok, newest fetched_at
+    * (tie: max file_key) wins, chosen file_key kept as provenance;
+    * tx_meta = KEEP-8 tags, tx_page_title passes through.
+    * @param raw (file_key, native_id, native_id_namespace, status,
+    *             fetched_at, meta_tags ARRAY<STRING>, page_title,
+    *             extractor_version) */
+  def classifierMetaView(raw: DataFrame,
+      deriverVersion: String = "keep8-2026-07-13"): DataFrame = {
+    val src = raw.filter(col("status") === "ok" && col("native_id").isNotNull)
+    val winners = src
+      .groupBy(col("native_id"), col("native_id_namespace"))
+      .agg(max(struct(col("fetched_at"), col("file_key"))).as("w"))
+      .select(col("native_id"), col("native_id_namespace"),
+        col("w.fetched_at").as("fetched_at"), col("w.file_key").as("file_key"))
+    src.join(winners,
+        Seq("native_id", "native_id_namespace", "fetched_at", "file_key"))
+      .dropDuplicates("native_id", "native_id_namespace")
+      .select(col("file_key"), col("native_id"), col("native_id_namespace"),
+        keep8(col("meta_tags")).as("tx_meta"),
+        col("page_title").as("tx_page_title"),
+        col("extractor_version"),
+        lit(deriverVersion).as("deriver_version"))
+  }
+}

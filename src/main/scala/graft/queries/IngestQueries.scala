@@ -117,7 +117,42 @@ object IngestQueries {
         col("merge_key.title_author").as("title_author"))
   }
 
+  /** §2.1 classifier meta view (q83, meta_tags/classifier_meta_view
+    * .py): status gate, two-phase newest-wins dedupe (aggregate
+    * shuffles keys+timestamps only, one join moves each winning
+    * payload), KEEP-8 tag-family filter as a codegen'd rlike. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val tags = Seq(
+      """<meta name="citation_title" content="c">""",
+      """<meta name="og:type" content="article">""",
+      """<meta name="viewport" content="w">""",
+      """<meta name='dc.type.genre' content="g">""",
+      """<meta name="DC.Type" content="t">""",
+      """<meta name="description" content="d">""")
+    def tg(i: Int) = lit(tags(i))
+    val raw = o.select(concat(lit("f"), k).as("file_key"),
+      pmod(k, lit(4000)).as("native_id"),
+      lit("doi").as("native_id_namespace"),
+      when(pmod(k, lit(17)) === 0, lit("error")).otherwise(lit("ok")).as("status"),
+      col("o_orderdate").cast("timestamp").as("fetched_at"),
+      when(pmod(k, lit(5)) === 0, array(tg(0), tg(2)))
+        .when(pmod(k, lit(5)) === 1, array(tg(1), tg(5)))
+        .when(pmod(k, lit(5)) === 2, array(tg(2), tg(5)))
+        .when(pmod(k, lit(5)) === 3, array(tg(3), tg(0), tg(5)))
+        .otherwise(array(tg(4))).as("meta_tags"),
+      when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("T"), pmod(k, lit(50)))).as("page_title"),
+      lit("x1").as("extractor_version"))
+    graft.ingest.MetaTags.classifierMetaView(raw)
+      .select(col("native_id"), col("native_id_namespace"), col("file_key"),
+        to_json(col("tx_meta")).as("tx_meta"), col("tx_page_title"),
+        col("extractor_version"), col("deriver_version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q83_classifier_meta_view" -> (q83 _),
     "q46_repo_oai_scalars" -> (q46 _),
     "q61_topics_script_gate" -> (q61 _),
     "q62_merge_key_normalize" -> (q62 _))
@@ -127,6 +162,36 @@ object IngestQueries {
       "\\p{Devanagari}\\p{Bengali}\\p{Thaana}\\p{Gujarati}\\p{Cyrillic}]"
 
   val oracle: Map[String, String] = Map(
+    "q83_classifier_meta_view" ->
+      """WITH raw AS (
+        |  SELECT 'f' || o_orderkey AS file_key,
+        |    o_orderkey % 4000 AS native_id, 'doi' AS ns,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'error' ELSE 'ok' END AS status,
+        |    CAST(o_orderdate AS TIMESTAMP) AS fetched_at,
+        |    CASE o_orderkey % 5
+        |      WHEN 0 THEN ['<meta name="citation_title" content="c">',
+        |                   '<meta name="viewport" content="w">']
+        |      WHEN 1 THEN ['<meta name="og:type" content="article">',
+        |                   '<meta name="description" content="d">']
+        |      WHEN 2 THEN ['<meta name="viewport" content="w">',
+        |                   '<meta name="description" content="d">']
+        |      WHEN 3 THEN ['<meta name=''dc.type.genre'' content="g">',
+        |                   '<meta name="citation_title" content="c">',
+        |                   '<meta name="description" content="d">']
+        |      ELSE ['<meta name="DC.Type" content="t">'] END AS meta_tags,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE 'T' || (o_orderkey % 50) END AS page_title
+        |  FROM orders),
+        |ok AS (SELECT * FROM raw WHERE status = 'ok' AND native_id IS NOT NULL),
+        |latest AS (SELECT *, row_number() OVER (PARTITION BY native_id, ns
+        |    ORDER BY fetched_at DESC, file_key DESC) AS rn FROM ok)
+        |SELECT native_id, ns AS native_id_namespace, file_key,
+        |  CAST(to_json(list_filter(meta_tags, t -> regexp_matches(t,
+        |    '(?i)["''](?:citation_[a-z_]+|bepress_citation_[a-z_]+|dc\.type[a-z.]*|dcterms\.type|DC\.Type|article-?type|og:type|prism\.contenttype|eprints\.type)["'']')))
+        |    AS VARCHAR) AS tx_meta,
+        |  page_title AS tx_page_title, 'x1' AS extractor_version,
+        |  'keep8-2026-07-13' AS deriver_version
+        |FROM latest WHERE rn = 1""".stripMargin,
     "q62_merge_key_normalize" ->
       """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
         |  doc_id % 5 AS m5, doc_id % 3 AS m3, doc_id % 2 AS m2 FROM documents),

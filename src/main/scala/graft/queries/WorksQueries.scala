@@ -64,12 +64,101 @@ object WorksQueries {
         .as("descriptors"))
   }
 
+  /** §3 work-references pipeline (q82, parse_work_references.ipynb):
+    * sentinel-filtered explode → insert-only newness (pre-existing
+    * rows keep their resolved ids) → DOI-then-PMID staged resolution
+    * MERGEs → the referenced_works array. The oracle recomputes the
+    * whole dataflow in SQL, including LOWER() doi matching, the
+    * paper_id-over-id coalesce, the doi-null pmid source gate, and
+    * update-only-when-NULL. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val k = col("o_orderkey")
+    def nstr = lit(null).cast("string")
+    def ref(doi: org.apache.spark.sql.Column, pmid: org.apache.spark.sql.Column,
+        raw: org.apache.spark.sql.Column) =
+      struct(doi.as("doi"), pmid.as("pmid"), nstr.as("arxiv"),
+        nstr.as("title"), nstr.as("authors"),
+        lit(null).cast("int").as("year"), raw.as("raw"))
+    val doiRef = ref(
+      when(pmod(k, lit(2)) === 0, concat(lit("10.1/D"), pmod(k, lit(400))))
+        .otherwise(concat(lit("10.1/d"), pmod(k, lit(400)))), nstr, nstr)
+    val pmidRef = ref(nstr, concat(lit("pm"), pmod(k, lit(300))), nstr)
+    val rawRef = ref(nstr, nstr, lit("Unparsed reference string"))
+    val nullRef = ref(nstr, nstr, nstr)
+    val locations = o.select(concat(lit("n"), k).as("native_id"),
+      lit("doi").as("native_id_namespace"), k.as("work_id"),
+      lit("crossref").as("provenance"),
+      when(pmod(k, lit(11)) === 0, array(nullRef)) // sentinel: no references
+        .when(pmod(k, lit(3)) === 0, array(doiRef, pmidRef, rawRef))
+        .otherwise(array(doiRef, pmidRef)).as("references"))
+    val ck = col("c_custkey")
+    val idMap = c.select(
+      when(pmod(ck, lit(6)) === 0, nstr)
+        .when(pmod(ck, lit(2)) === 0, concat(lit("10.1/D"), pmod(ck, lit(400))))
+        .otherwise(concat(lit("10.1/d"), pmod(ck, lit(400)))).as("doi"),
+      when(pmod(ck, lit(4)) === 0, concat(lit("PM"), pmod(ck, lit(300))))
+        .otherwise(nstr).as("pmid"),
+      when(pmod(ck, lit(5)) === 0, lit(null).cast("long"))
+        .otherwise(ck + 1000000L).as("paper_id"),
+      ck.cast("long").as("id"),
+      when(pmod(ck, lit(7)) === 0, nstr)
+        .otherwise(concat(lit("ta"), pmod(ck, lit(50)))).as("title_author"))
+    val exploded = graft.works.WorkReferences.explodeRefs(locations)
+    val existing = exploded.filter(pmod(col("citing_work_id"), lit(13)) === 0)
+      .withColumn("cited_work_id", -col("citing_work_id"))
+    val merged = graft.works.WorkReferences.insertNew(existing, exploded)
+    val resolved = graft.works.WorkReferences.resolveByPmid(
+      graft.works.WorkReferences.resolveByDoi(merged, idMap), idMap)
+    graft.works.WorkReferences.referencedWorks(resolved)
+      .select(col("citing_work_id"),
+        to_json(col("referenced_works")).as("referenced_works"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_work_references" -> (q82 _),
     "q42_citation_counts_by_year" -> (q42 _),
     "q43_citation_fwci_percentile" -> (q43 _),
     "q45_mesh_zip_aggregation" -> (q45 _))
 
   val oracle: Map[String, String] = Map(
+    "q82_work_references" ->
+      """WITH refs0 AS (
+        |  SELECT o_orderkey AS citing, r.i AS ref_ind,
+        |    CASE WHEN r.i = 0 THEN
+        |      CASE WHEN o_orderkey % 2 = 0 THEN '10.1/D' || (o_orderkey % 400)
+        |           ELSE '10.1/d' || (o_orderkey % 400) END END AS doi,
+        |    CASE WHEN r.i = 1 THEN 'pm' || (o_orderkey % 300) END AS pmid
+        |  FROM orders, range(0, 3) AS r(i)
+        |  WHERE o_orderkey % 11 <> 0 AND (r.i < 2 OR o_orderkey % 3 = 0)),
+        |preset AS (SELECT *,
+        |    CASE WHEN citing % 13 = 0 THEN -citing END AS cited0 FROM refs0),
+        |map AS (SELECT
+        |    CASE WHEN c_custkey % 6 = 0 THEN NULL
+        |         WHEN c_custkey % 2 = 0 THEN '10.1/D' || (c_custkey % 400)
+        |         ELSE '10.1/d' || (c_custkey % 400) END AS doi,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'PM' || (c_custkey % 300) END AS pmid,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |         ELSE c_custkey + 1000000 END AS paper_id,
+        |    CAST(c_custkey AS BIGINT) AS id
+        |  FROM customer),
+        |dmap AS (SELECT lower(doi) AS dkey, min(paper_id) AS pp, min(id) AS mid
+        |  FROM map WHERE doi IS NOT NULL GROUP BY 1),
+        |pmap AS (SELECT lower(pmid) AS pkey, min(paper_id) AS pp, min(id) AS mid
+        |  FROM map WHERE pmid IS NOT NULL AND doi IS NULL GROUP BY 1),
+        |r1 AS (SELECT p.citing, p.pmid,
+        |    coalesce(p.cited0, CASE WHEN p.doi IS NOT NULL
+        |      THEN coalesce(d.pp, d.mid) END) AS cited1
+        |  FROM preset p LEFT JOIN dmap d ON lower(p.doi) = d.dkey),
+        |r2 AS (SELECT citing,
+        |    coalesce(cited1, CASE WHEN pmid IS NOT NULL
+        |      THEN coalesce(pm.pp, pm.mid) END) AS cited
+        |  FROM r1 LEFT JOIN pmap pm ON lower(r1.pmid) = pm.pkey)
+        |SELECT citing AS citing_work_id,
+        |  CAST(to_json(list_sort(list(DISTINCT cited))) AS VARCHAR)
+        |    AS referenced_works
+        |FROM r2 WHERE cited IS NOT NULL GROUP BY 1""".stripMargin,
     "q42_citation_counts_by_year" ->
       """WITH e AS (SELECT l_partkey, CAST(year(l_shipdate) AS INTEGER) y FROM lineitem),
         |b AS (SELECT l_partkey, y, count(*) n FROM e GROUP BY 1, 2)
