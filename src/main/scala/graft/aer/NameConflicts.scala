@@ -1,0 +1,140 @@
+package graft.aer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Name-conflict overmerge estimation (reference:
+  * notebooks/aer/EstimateNameConflictOvermerges.ipynb): authors whose
+  * profile carries provably incompatible parsed names ("Jason Priem"
+  * and "Joseph Priem" in one block) plus the per-work outlier /
+  * cross-indexing analysis.
+  *
+  *  - [[namesCompatible]] is the reference's SQL UDF verbatim as a
+  *    Column expression: exact last-name match; first names compared
+  *    hyphen-stripped with length ≤ 2 treated as initials (first-char
+  *    match); middles compatible when either side has none, else the
+  *    initials strings must match EN BLOC;
+  *  - pass 1 flags authors by distinct full first names (longer than
+  *    2 after hyphen removal and not equal to the author's most
+  *    common surname — the surname-swap filter) or by ≥2 distinct
+  *    middle-initial patterns, all in ONE aggregate (no self-join);
+  *  - pass 2 elects a core identity (most common full first, middle
+  *    pattern, surname) and marks works whose name is incompatible
+  *    with it;
+  *  - the cross-indexing filter drops outliers where ANY coauthor on
+  *    the same work is compatible with the core identity (a position
+  *    swap, not an overmerge).
+  *
+  * "Most common" winners tie-break on the value ascending after count
+  * descending — the reference's bare ROW_NUMBER leaves ties
+  * unspecified; a deterministic tiebreak is required for the oracle.
+  */
+object NameConflicts {
+
+  private def cleanFirst(c: Column) = regexp_replace(c, "-", "")
+
+  /** The names_compatible SQL UDF (cells :3-:4) as an expression. */
+  def namesCompatible(first1: Column, mid1: Column, mc1: Column, last1: Column,
+      first2: Column, mid2: Column, mc2: Column, last2: Column): Column = {
+    val lastOk = last1.isNotNull && last2.isNotNull && last1 === last2
+    val f1 = cleanFirst(first1)
+    val f2 = cleanFirst(first2)
+    val firstOk =
+      when(first1.isNull || first2.isNull || first1 === "" || first2 === "",
+        lit(true))
+        .when(length(f1) <= 2 || length(f2) <= 2,
+          substring(f1, 1, 1) === substring(f2, 1, 1))
+        .otherwise(f1 === f2)
+    val midOk =
+      when(coalesce(mc1, lit(0)) === 0 || coalesce(mc2, lit(0)) === 0,
+        lit(true))
+        .otherwise(coalesce(mid1, lit("")) === coalesce(mid2, lit("")))
+    lastOk && firstOk && midOk
+  }
+
+  private def mostCommon(names: DataFrame, keys: Seq[(Column, String)],
+      filt: Column): DataFrame = {
+    val grouped = names.filter(filt)
+      .groupBy(col("author_id") +: keys.map { case (c, n) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("__cnt"))
+    grouped.withColumn("__rn", row_number().over(Window
+        .partitionBy(col("author_id"))
+        .orderBy(col("__cnt").desc +: keys.map { case (_, n) => col(n).asc }: _*)))
+      .filter(col("__rn") === 1).drop("__cnt", "__rn")
+  }
+
+  /** Pass 1 (cell :9): per-author conflict flags in one aggregate.
+    * @param names (author_id, work_id, normalized_first,
+    *               middle_initials, middle_initial_count,
+    *               normalized_last) */
+  def conflictedAuthors(names: DataFrame): DataFrame = {
+    val common = mostCommon(names,
+      Seq(col("normalized_last") -> "common_last"),
+      col("normalized_last").isNotNull)
+    val cf = cleanFirst(col("normalized_first"))
+    val fullFirst = when(length(cf) > 2 && cf =!= col("common_last"), cf)
+    val mids = when(col("middle_initial_count") > 0, col("middle_initials"))
+    names.join(common, Seq("author_id"), "left")
+      .groupBy(col("author_id"), col("common_last"))
+      .agg(countDistinct(fullFirst).as("distinct_full_firsts"),
+        countDistinct(mids).as("distinct_middles"),
+        count(lit(1)).as("total_works"))
+      .filter(col("distinct_full_firsts") > 1 || col("distinct_middles") > 1)
+  }
+
+  /** Pass 2 core identity (cell :11): most common full first / middle
+    * pattern / surname per CONFLICTED author. */
+  def coreIdentity(names: DataFrame, conflicted: DataFrame): DataFrame = {
+    val cf = cleanFirst(col("normalized_first"))
+    val coreFirst = mostCommon(names,
+      Seq(cf -> "core_first_name"), length(cf) > 2)
+    val coreMid = mostCommon(names,
+      Seq(col("middle_initials") -> "core_mid_initials",
+        col("middle_initial_count") -> "core_mid_count"),
+      col("middle_initial_count") > 0)
+    val coreLast = mostCommon(names,
+      Seq(col("normalized_last") -> "core_last_name"),
+      col("normalized_last").isNotNull)
+    coreLast
+      .join(conflicted.select(col("author_id")), Seq("author_id"))
+      .join(coreFirst, Seq("author_id"), "left")
+      .join(coreMid, Seq("author_id"), "left")
+      .withColumn("core_mid_count", coalesce(col("core_mid_count"), lit(0)))
+  }
+
+  /** Works whose name is incompatible with the author's core. */
+  def outlierWorks(names: DataFrame, core: DataFrame): DataFrame =
+    names.join(core, Seq("author_id"))
+      .filter(!namesCompatible(
+        col("normalized_first"), col("middle_initials"),
+        col("middle_initial_count"), col("normalized_last"),
+        col("core_first_name"), col("core_mid_initials"),
+        col("core_mid_count"), col("core_last_name")))
+
+  /** Cross-indexing filter (cell :14): drop outliers where some
+    * coauthor on the work is compatible with the core identity.
+    * @param workAuthors (work_id, author_id, raw_author_name)
+    * @param parsed      (raw_author_name, normalized_first,
+    *                     middle_initials, middle_initial_count,
+    *                     normalized_last) */
+  def genuineOutliers(outliers: DataFrame, workAuthors: DataFrame,
+      parsed: DataFrame): DataFrame = {
+    val co = workAuthors
+      .select(col("work_id"), col("author_id").as("__co_author"),
+        col("raw_author_name"))
+      .join(parsed.select(col("raw_author_name"),
+        col("normalized_first").as("__cf"), col("middle_initials").as("__cm"),
+        col("middle_initial_count").as("__cmc"),
+        col("normalized_last").as("__cl")), Seq("raw_author_name"))
+    val matches = outliers.join(co,
+        outliers("work_id") === co("work_id") &&
+          col("__co_author") =!= outliers("author_id"))
+      .filter(namesCompatible(col("__cf"), col("__cm"), col("__cmc"),
+        col("__cl"), col("core_first_name"), col("core_mid_initials"),
+        col("core_mid_count"), col("core_last_name")))
+      .select(outliers("author_id").as("author_id"),
+        outliers("work_id").as("work_id")).distinct()
+    outliers.join(matches, Seq("author_id", "work_id"), "left_anti")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The authorship quality-judge APPLY task (reference:
+  * notebooks/metrics/AuthorshipQualityJudgeApply.sql — task 3 of the
+  * Authorship Daily Metrics job): run the LLM judge over the staged
+  * prompt tables, land verdicts in the per-date quality sample, and
+  * roll them into the tall metrics table.
+  *
+  * The `ai_query` call itself is the declared model boundary (the
+  * same boundary as [[graft.llm.LlmOps]]): callers pass the judged
+  * frame with its raw JSON `out` column; everything downstream — the
+  * structured-verdict extraction, the per-(date, arm) delete-insert
+  * idempotency (the reference's 2026-07-26 double-judging incident is
+  * why it exists), the ORCID mint-collision arm, and the four metric
+  * rollups including the cost formula — is engine surface and ported
+  * faithfully.
+  */
+object QualityJudge {
+
+  private def jget(c: Column, f: String) =
+    get_json_object(c, "$." + f)
+
+  /** Arm A verdict rows (tier-keyed re-judging of assigned matches).
+    * @param judged judge_prompts_arm_a columns + `out` (the judge's
+    *               JSON verdict string) */
+  def armA(judged: DataFrame, sampleDate: Column): DataFrame =
+    judged.select(sampleDate.as("sample_date"), lit("armA").as("arm"),
+      col("work_id"), col("author_sequence"),
+      col("tier").as("match_tier"),
+      col("existing_author_id").as("assigned_author_id"),
+      lit(null).cast("string").as("cand_author_ids"),
+      col("raw_author_name"), col("primary_source_id"),
+      jget(col("out"), "verdict").as("verdict"),
+      jget(col("out"), "confidence").as("confidence"),
+      length(col("prompt")).as("prompt_chars"))
+
+  /** Arm B verdict rows (candidate-lineup pick). */
+  def armB(judged: DataFrame, sampleDate: Column): DataFrame =
+    judged.select(sampleDate.as("sample_date"), lit("armB").as("arm"),
+      col("work_id"), col("author_sequence"),
+      lit(null).cast("string").as("match_tier"),
+      lit(null).cast("long").as("assigned_author_id"),
+      col("cand_author_ids"),
+      col("raw_author_name"), col("primary_source_id"),
+      jget(col("out"), "verdict").as("verdict"),
+      jget(col("out"), "confidence").as("confidence"),
+      length(col("prompt")).as("prompt_chars"))
+
+  /** ORCID mint-collision arm: authors minted on the run date whose
+    * orcid already belongs to an OLDER author id. */
+  def orcidCollisions(authors: DataFrame, runDate: Column): DataFrame = {
+    val minted = authors.filter(col("orcid").isNotNull &&
+        to_date(col("created_date")) === runDate)
+      .select(col("orcid"), col("id").as("minted_id"))
+    val older = authors.filter(col("orcid").isNotNull)
+      .select(col("orcid"), col("id").as("older_id"))
+    minted.join(older, Seq("orcid"))
+      .filter(col("older_id") < col("minted_id"))
+      .select(runDate.as("sample_date"), lit("orcid_collision").as("arm"),
+        lit(null).cast("long").as("work_id"),
+        lit(null).cast("int").as("author_sequence"),
+        lit(null).cast("string").as("match_tier"),
+        col("minted_id").as("assigned_author_id"),
+        col("older_id").cast("string").as("cand_author_ids"),
+        lit(null).cast("string").as("raw_author_name"),
+        lit(null).cast("long").as("primary_source_id"),
+        lit("collision").as("verdict"), lit("high").as("confidence"),
+        lit(null).cast("int").as("prompt_chars"))
+  }
+
+  /** Idempotent landing: drop the sample's rows for the arms being
+    * re-inserted (per date), then append — a same-date rerun
+    * re-judges without duplicating verdicts. */
+  def landSample(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val keys = fresh.select(col("sample_date"), col("arm")).distinct()
+    existing.join(keys, Seq("sample_date", "arm"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** The four tall-metric rollups for one snapshot date: per-(tier|
+    * verdict) arm-A counts, arm-B with the candidate_% collapse,
+    * distinct mint collisions, and the cost estimate
+    * `(chars/4·15 + n·20·75)/1e6·100` cents. */
+  def rollups(sample: DataFrame, promptsA: DataFrame, promptsB: DataFrame,
+      date: Column): DataFrame = {
+    val day = sample.filter(col("sample_date") === date)
+    val armARoll = day.filter(col("arm") === "armA")
+      .groupBy(concat_ws("|", col("match_tier"), col("verdict")).as("dimension"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("judge_arm_a").as("metric"), col("dimension"), col("value"))
+    val armBRoll = day.filter(col("arm") === "armB")
+      .groupBy(when(col("verdict").like("candidate%"), lit("candidate_pick"))
+        .otherwise(col("verdict")).as("dimension"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("judge_arm_b").as("metric"), col("dimension"), col("value"))
+    val collisions = day.filter(col("arm") === "orcid_collision")
+      .agg(countDistinct(col("assigned_author_id")).as("value"))
+      .select(lit("orcid_mint_collisions").as("metric"),
+        lit(null).cast("string").as("dimension"), col("value"))
+    val costs = promptsA.select(length(col("prompt")).as("n"))
+      .unionByName(promptsB.select(length(col("prompt")).as("n")))
+      .agg((coalesce(sum(col("n")), lit(0L)) / 4.0 * 15.0 +
+        count(lit(1)) * 20.0 * 75.0).as("__c"))
+      .select(lit("judge_cost_cents").as("metric"),
+        lit(null).cast("string").as("dimension"),
+        (col("__c") / 1e6 * 100).cast("bigint").as("value"))
+    armARoll.unionByName(armBRoll).unionByName(collisions).unionByName(costs)
+  }
+}

@@ -804,7 +804,125 @@ object EntityQueries {
        |GROUP BY n.work_id, n.affiliation_string""".stripMargin
   }
 
+  /** §2 metrics: the quality-judge APPLY task (q84,
+    * AuthorshipQualityJudgeApply.sql): structured-verdict extraction
+    * from the judge's JSON, per-(date, arm) delete-insert idempotency
+    * (stale same-date rows vanish, other dates survive), the ORCID
+    * mint-collision self-join arm, and the four tall rollups incl.
+    * the cost formula. The judge call is the stubbed model boundary:
+    * deterministic JSON synthesized per row. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.QualityJudge
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val runDate = to_date(lit("2024-01-05"))
+    def outJson(v: Column, conf: Column) = concat(lit("{\"verdict\": \""), v,
+      lit("\", \"confidence\": \""), conf, lit("\"}"))
+    val confOf = (k: Column) => element_at(
+      array(lit("high"), lit("medium"), lit("low")), (pmod(k, lit(3)) + 1).cast("int"))
+    val promptsA = c.filter(pmod(ck, lit(3)) =!= 0).select(
+      ck.cast("long").as("work_id"), pmod(ck, lit(5)).cast("int").as("author_sequence"),
+      concat(lit("tier"), pmod(ck, lit(3))).as("tier"),
+      (ck + 500000L).as("existing_author_id"),
+      concat(lit("N"), pmod(ck, lit(40))).as("raw_author_name"),
+      pmod(ck, lit(100)).cast("long").as("primary_source_id"),
+      concat(lit("A"), repeat(lit("x"), pmod(ck, lit(37)).cast("int"))).as("prompt"))
+      .withColumn("out", outJson(element_at(array(lit("same_person"),
+        lit("different_person"), lit("cannot_determine")),
+        (pmod(col("work_id"), lit(3)) + 1).cast("int")), confOf(col("work_id"))))
+    val ok = col("o_orderkey")
+    val promptsB = o.filter(pmod(ok, lit(4)) === 1).select(
+      ok.as("work_id"), pmod(ok, lit(6)).cast("int").as("author_sequence"),
+      concat(lit("A"), ok % 97, lit(",A"), ok % 89).as("cand_author_ids"),
+      concat(lit("M"), pmod(ok, lit(40))).as("raw_author_name"),
+      pmod(ok, lit(100)).cast("long").as("primary_source_id"),
+      concat(lit("B"), repeat(lit("y"), pmod(ok, lit(53)).cast("int"))).as("prompt"))
+      .withColumn("out", outJson(element_at(array(lit("candidate_1"),
+        lit("candidate_2"), lit("candidate_3"), lit("candidate_4"),
+        lit("candidate_5"), lit("none_correct"), lit("cannot_determine")),
+        (pmod(col("work_id"), lit(7)) + 1).cast("int")), confOf(col("work_id"))))
+    val authors = c.select(ck.cast("long").as("id"),
+      when(pmod(ck, lit(2)) === 0, concat(lit("orc"), pmod(ck, lit(200))))
+        .otherwise(lit(null).cast("string")).as("orcid"),
+      date_add(to_date(lit("2024-01-01")), pmod(ck, lit(10)).cast("int"))
+        .as("created_date"))
+    val fresh = QualityJudge.armA(promptsA, runDate)
+      .unionByName(QualityJudge.armB(promptsB, runDate))
+      .unionByName(QualityJudge.orcidCollisions(authors, runDate))
+    // pre-existing sample: STALE same-date armA rows (must vanish) and
+    // an older date's rows (must survive)
+    val older = QualityJudge.armA(
+      promptsA.withColumn("out", outJson(lit("same_person"), lit("low"))),
+      to_date(lit("2024-01-04")))
+    val staleSame = QualityJudge.armA(
+      promptsA.withColumn("out", outJson(lit("cannot_determine"), lit("low"))),
+      runDate)
+    val landed = QualityJudge.landSample(older.unionByName(staleSame), fresh)
+    val totals = landed.groupBy(col("arm"), col("sample_date"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("sample_total").as("metric"),
+        concat_ws("|", col("arm"), col("sample_date")).as("dimension"),
+        col("value"))
+    QualityJudge.rollups(landed, promptsA, promptsB, runDate)
+      .unionByName(totals)
+  }
+
+  /** aer name-conflict overmerge estimation (q85,
+    * EstimateNameConflictOvermerges.ipynb): pass-1 conflict flags
+    * (surname-swap filter, hyphen folding, ≤2-char initials), core
+    * identity election with deterministic tiebreaks, per-work
+    * outliers via names_compatible, and the coauthor cross-indexing
+    * filter. Authors ≡0 (mod 4) rotate through all 7 name variants
+    * (conflicted); others see only the compatible jason/j pair. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.aer.NameConflicts
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val author = pmod(ck, lit(113))
+    val variant = when(pmod(author, lit(4)) === 0, pmod(ck, lit(7)))
+      .otherwise(pmod(ck, lit(2)))
+    val wa1 = c.select(ck.cast("long").as("work_id"),
+      author.cast("long").as("author_id"),
+      concat(lit("raw"), variant).as("raw_author_name"))
+    val coRaw = when(pmod(ck, lit(5)) === 0, lit("raw0")).otherwise(lit("raw7"))
+    val wa = wa1.unionByName(c.select(ck.cast("long").as("work_id"),
+      (pmod(ck, lit(113)) + 1000L).as("author_id"), coRaw.as("raw_author_name")))
+    val parsed = Seq(
+      ("raw0", "jason", null, 0, "priem"),
+      ("raw1", "j", null, 0, "priem"),
+      ("raw2", "jason", "r", 1, "priem"),
+      ("raw3", "joseph", null, 0, "priem"),
+      ("raw4", "yi-ting", null, 0, "priem"),
+      ("raw5", "yiting", null, 0, "priem"),
+      ("raw6", "priem", null, 0, "priem"),
+      ("raw7", "maria", null, 0, "garcia"))
+      .toDF("raw_author_name", "normalized_first", "middle_initials",
+        "middle_initial_count", "normalized_last")
+    val names = wa1.join(parsed, Seq("raw_author_name"))
+      .select(col("author_id"), col("work_id"), col("normalized_first"),
+        col("middle_initials"), col("middle_initial_count"),
+        col("normalized_last"))
+    val conflicted = NameConflicts.conflictedAuthors(names)
+    val core = NameConflicts.coreIdentity(names, conflicted)
+    val outliers = NameConflicts.outlierWorks(names, core)
+    val genuine = NameConflicts.genuineOutliers(outliers, wa, parsed)
+    val oCnt = outliers.groupBy(col("author_id"))
+      .agg(count(lit(1)).as("n_outliers"))
+    val gCnt = genuine.groupBy(col("author_id"))
+      .agg(count(lit(1)).as("n_genuine"))
+    conflicted.join(oCnt, Seq("author_id"), "left")
+      .join(gCnt, Seq("author_id"), "left")
+      .select(col("author_id"), col("distinct_full_firsts"),
+        col("distinct_middles"), col("total_works"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        coalesce(col("n_genuine"), lit(0L)).as("n_genuine"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_name_conflict_overmerges" -> (q85 _),
+    "q84_quality_judge_apply" -> (q84 _),
     "q64_affiliation_rules" -> (q64 _),
     "q78_affiliation_refine" -> (q78 _),
     "q65_concepts_api" -> (q65 _),
@@ -824,6 +942,154 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q85_name_conflict_overmerges" ->
+      """WITH pn(raw, nf, mi, mc, nl) AS (VALUES
+        |  ('raw0', 'jason', NULL, 0, 'priem'),
+        |  ('raw1', 'j', NULL, 0, 'priem'),
+        |  ('raw2', 'jason', 'r', 1, 'priem'),
+        |  ('raw3', 'joseph', NULL, 0, 'priem'),
+        |  ('raw4', 'yi-ting', NULL, 0, 'priem'),
+        |  ('raw5', 'yiting', NULL, 0, 'priem'),
+        |  ('raw6', 'priem', NULL, 0, 'priem'),
+        |  ('raw7', 'maria', NULL, 0, 'garcia')),
+        |wa1 AS (SELECT c_custkey AS work_id, c_custkey % 113 AS author_id,
+        |    'raw' || (CASE WHEN (c_custkey % 113) % 4 = 0
+        |      THEN c_custkey % 7 ELSE c_custkey % 2 END) AS raw
+        |  FROM customer),
+        |wa AS (SELECT * FROM wa1
+        |  UNION ALL SELECT c_custkey, (c_custkey % 113) + 1000,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'raw0' ELSE 'raw7' END
+        |  FROM customer),
+        |nm AS (SELECT w.author_id, w.work_id, p.nf, p.mi, p.mc, p.nl,
+        |    replace(p.nf, '-', '') AS cf
+        |  FROM wa1 w JOIN pn p ON w.raw = p.raw),
+        |cl AS (SELECT author_id, nl AS common_last FROM (
+        |    SELECT author_id, nl, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY author_id
+        |        ORDER BY count(*) DESC, nl ASC) AS rn
+        |    FROM nm WHERE nl IS NOT NULL GROUP BY author_id, nl)
+        |  WHERE rn = 1),
+        |confl AS (SELECT nm.author_id, cl.common_last,
+        |    count(DISTINCT CASE WHEN length(cf) > 2 AND cf <> cl.common_last
+        |      THEN cf END) AS dff,
+        |    count(DISTINCT CASE WHEN nm.mc > 0 THEN nm.mi END) AS dm,
+        |    count(*) AS tw
+        |  FROM nm LEFT JOIN cl USING (author_id)
+        |  GROUP BY nm.author_id, cl.common_last
+        |  HAVING dff > 1 OR dm > 1),
+        |corf AS (SELECT author_id, cf AS core_first FROM (
+        |    SELECT author_id, cf, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY author_id
+        |        ORDER BY count(*) DESC, cf ASC) AS rn
+        |    FROM nm WHERE length(cf) > 2 GROUP BY author_id, cf)
+        |  WHERE rn = 1),
+        |corm AS (SELECT author_id, mi AS core_mi, mc AS core_mc FROM (
+        |    SELECT author_id, mi, mc, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY author_id
+        |        ORDER BY count(*) DESC, mi ASC, mc ASC) AS rn
+        |    FROM nm WHERE mc > 0 GROUP BY author_id, mi, mc)
+        |  WHERE rn = 1),
+        |corl AS (SELECT author_id, nl AS core_last FROM (
+        |    SELECT author_id, nl, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY author_id
+        |        ORDER BY count(*) DESC, nl ASC) AS rn
+        |    FROM nm WHERE nl IS NOT NULL GROUP BY author_id, nl)
+        |  WHERE rn = 1),
+        |core AS (SELECT corl.author_id, corf.core_first, corm.core_mi,
+        |    coalesce(corm.core_mc, 0) AS core_mc, corl.core_last
+        |  FROM corl JOIN confl USING (author_id)
+        |  LEFT JOIN corf USING (author_id) LEFT JOIN corm USING (author_id)),
+        |outl AS (SELECT nm.author_id, nm.work_id, c2.core_first, c2.core_mi,
+        |    c2.core_mc, c2.core_last
+        |  FROM nm JOIN core c2 USING (author_id)
+        |  WHERE NOT (
+        |    (nm.nl IS NOT NULL AND c2.core_last IS NOT NULL
+        |      AND nm.nl = c2.core_last)
+        |    AND (CASE WHEN nm.nf IS NULL OR c2.core_first IS NULL
+        |           OR nm.nf = '' OR c2.core_first = '' THEN TRUE
+        |         WHEN length(nm.cf) <= 2
+        |           OR length(replace(c2.core_first, '-', '')) <= 2
+        |         THEN substr(nm.cf, 1, 1)
+        |           = substr(replace(c2.core_first, '-', ''), 1, 1)
+        |         ELSE nm.cf = replace(c2.core_first, '-', '') END)
+        |    AND (CASE WHEN coalesce(nm.mc, 0) = 0
+        |           OR coalesce(c2.core_mc, 0) = 0 THEN TRUE
+        |         ELSE coalesce(nm.mi, '') = coalesce(c2.core_mi, '') END))),
+        |cim AS (SELECT DISTINCT o.author_id, o.work_id
+        |  FROM outl o JOIN wa co ON o.work_id = co.work_id
+        |    AND co.author_id <> o.author_id
+        |  JOIN pn cp ON co.raw = cp.raw
+        |  WHERE (cp.nl IS NOT NULL AND o.core_last IS NOT NULL
+        |      AND cp.nl = o.core_last)
+        |    AND (CASE WHEN cp.nf IS NULL OR o.core_first IS NULL
+        |           OR cp.nf = '' OR o.core_first = '' THEN TRUE
+        |         WHEN length(replace(cp.nf, '-', '')) <= 2
+        |           OR length(replace(o.core_first, '-', '')) <= 2
+        |         THEN substr(replace(cp.nf, '-', ''), 1, 1)
+        |           = substr(replace(o.core_first, '-', ''), 1, 1)
+        |         ELSE replace(cp.nf, '-', '') = replace(o.core_first, '-', '') END)
+        |    AND (CASE WHEN coalesce(cp.mc, 0) = 0
+        |           OR coalesce(o.core_mc, 0) = 0 THEN TRUE
+        |         ELSE coalesce(cp.mi, '') = coalesce(o.core_mi, '') END)),
+        |gen AS (SELECT o.author_id, o.work_id FROM outl o
+        |  LEFT JOIN cim USING (author_id, work_id)
+        |  WHERE cim.work_id IS NULL)
+        |SELECT c3.author_id, c3.dff AS distinct_full_firsts,
+        |  c3.dm AS distinct_middles, c3.tw AS total_works,
+        |  coalesce(oc.n, 0) AS n_outliers, coalesce(gc.n, 0) AS n_genuine
+        |FROM confl c3
+        |LEFT JOIN (SELECT author_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM outl GROUP BY 1) oc USING (author_id)
+        |LEFT JOIN (SELECT author_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM gen GROUP BY 1) gc USING (author_id)""".stripMargin,
+    "q84_quality_judge_apply" ->
+      """WITH pa AS (SELECT c_custkey AS k,
+        |    ['same_person','different_person','cannot_determine'][(c_custkey % 3) + 1] AS verdict,
+        |    'tier' || (c_custkey % 3) AS tier,
+        |    1 + (c_custkey % 37) AS plen
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |pb AS (SELECT o_orderkey AS k,
+        |    ['candidate_1','candidate_2','candidate_3','candidate_4',
+        |     'candidate_5','none_correct','cannot_determine'][(o_orderkey % 7) + 1] AS verdict,
+        |    1 + (o_orderkey % 53) AS plen
+        |  FROM orders WHERE o_orderkey % 4 = 1),
+        |auth AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'orc' || (c_custkey % 200) END AS orcid,
+        |    DATE '2024-01-01' + INTERVAL ((c_custkey % 10)) DAY AS created
+        |  FROM customer),
+        |coll AS (SELECT m.id AS minted FROM auth m JOIN auth o2
+        |    ON m.orcid = o2.orcid AND o2.id < m.id
+        |  WHERE m.orcid IS NOT NULL AND m.created = DATE '2024-01-05'),
+        |rollups AS (
+        |  SELECT 'judge_arm_a' AS metric, tier || '|' || verdict AS dimension,
+        |    CAST(count(*) AS BIGINT) AS value FROM pa GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'judge_arm_b',
+        |    CASE WHEN verdict LIKE 'candidate%' THEN 'candidate_pick'
+        |         ELSE verdict END, CAST(count(*) AS BIGINT)
+        |  FROM pb GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'orcid_mint_collisions', NULL,
+        |    CAST(count(DISTINCT minted) AS BIGINT) FROM coll
+        |  UNION ALL
+        |  SELECT 'judge_cost_cents', NULL,
+        |    CAST(trunc((((SELECT coalesce(sum(plen), 0) FROM pa)
+        |      + (SELECT coalesce(sum(plen), 0) FROM pb)) / 4.0 * 15.0
+        |      + ((SELECT count(*) FROM pa) + (SELECT count(*) FROM pb))
+        |        * 20.0 * 75.0) / 1e6 * 100) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'sample_total', 'armA|2024-01-04',
+        |    CAST((SELECT count(*) FROM pa) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'sample_total', 'armA|2024-01-05',
+        |    CAST((SELECT count(*) FROM pa) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'sample_total', 'armB|2024-01-05',
+        |    CAST((SELECT count(*) FROM pb) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'sample_total', 'orcid_collision|2024-01-05',
+        |    CAST((SELECT count(*) FROM coll) AS BIGINT))
+        |SELECT * FROM rollups""".stripMargin,
     "q64_affiliation_rules" -> q64Oracle,
     "q78_affiliation_refine" -> q78Oracle,
     "q70_authorship_daily_metrics" ->
