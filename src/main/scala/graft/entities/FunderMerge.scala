@@ -1,0 +1,86 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funder entity merge — alias row, not delete (reference:
+  * notebooks/maintenance/MergeFunders.ipynb, the Wellcome →
+  * Wellcome Trust merge). Aggregator matching resolves funders by DOI
+  * or name forever, so the loser row SURVIVES as an alias: it keeps
+  * its doi and name but gets `merge_into_id` stamped; matchers
+  * resolve `COALESCE(merge_into_id, funder_id)` and the API build
+  * filters `merge_into_id IS NULL` (entities/Funders does).
+  *
+  * Engine surface ported:
+  *  - name absorption: the winner's alternate_titles (a JSON string
+  *    array) gains the loser's display_name + alternate_titles,
+  *    first-occurrence order kept (the reference's dict.fromkeys),
+  *    minus the winner's own display_name and empties;
+  *  - the loser tombstone (merge_into_id stamp);
+  *  - work→funder edge remap (downstream consumers collapse the
+  *    transient duplicate pairs);
+  *  - awards-raw remap with identity recompute: an award's id is
+  *    `ABS(XXHASH64(funder_id || ':' || lower(funder_award_id)))
+  *    % 9e9` (identical across award sources so duplicates collapse
+  *    in CreateAwards); loser rows whose recomputed id already
+  *    exists as a winner row in the same provenance are duplicates
+  *    the winner already has — dropped.
+  *
+  * The id mint is parameterized (PaywallSignals convention): the
+  * faithful xxhash64 default for production, a DuckDB-computable
+  * mint pinned by the q86 oracle. The ES redirect doc is the
+  * transport boundary (BulkSink).
+  */
+object FunderMerge {
+
+  /** The reference's award identity mint. */
+  def defaultMint(funderId: Column, award: Column): Column =
+    pmod(abs(xxhash64(concat(funderId.cast("string"), lit(":"),
+      lower(award)))), lit(9000000000L))
+
+  /** Winner absorbs loser names; loser gets the merge_into_id stamp.
+    * @param funders (funder_id, display_name, alternate_titles JSON
+    *                 string, merge_into_id) */
+  def mergeFunderRows(funders: DataFrame, fromId: Long,
+      toId: Long): DataFrame = {
+    val loser = funders.filter(col("funder_id") === fromId)
+      .select(col("display_name").as("__ld"),
+        col("alternate_titles").as("__la"))
+    val alts = (c: Column) => coalesce(
+      from_json(c, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)), array())
+    val winner = funders.filter(col("funder_id") === toId)
+      .crossJoin(broadcast(loser))
+      .withColumn("alternate_titles", to_json(filter(array_distinct(
+        concat(alts(col("alternate_titles")), array(col("__ld")),
+          alts(col("__la")))),
+        x => x.isNotNull && x =!= "" && x =!= col("display_name"))))
+      .drop("__ld", "__la")
+    funders.filter(col("funder_id") =!= fromId && col("funder_id") =!= toId)
+      .unionByName(winner)
+      .unionByName(funders.filter(col("funder_id") === fromId)
+        .withColumn("merge_into_id", lit(toId)))
+  }
+
+  /** Stored work→funder edges: loser edges point at the winner. */
+  def remapEdges(edges: DataFrame, fromId: Long, toId: Long): DataFrame =
+    edges.withColumn("funder_id",
+      when(col("funder_id") === fromId, lit(toId))
+        .otherwise(col("funder_id")))
+
+  /** awards-raw remap: recompute ids under the winner; drop loser
+    * rows whose recomputed (id, provenance) the winner already has.
+    * @param raw (id, funder_id, funder_award_id, provenance, …) */
+  def remapAwardsRaw(raw: DataFrame, fromId: Long, toId: Long,
+      mint: (Column, Column) => Column = defaultMint): DataFrame = {
+    val winnerKeys = raw.filter(col("funder_id") === toId)
+      .select(col("id").as("__wid"), col("provenance").as("__wp"))
+      .distinct()
+    val remapped = raw.filter(col("funder_id") === fromId)
+      .withColumn("funder_id", lit(toId))
+      .withColumn("id", mint(col("funder_id"), col("funder_award_id")))
+      .join(winnerKeys, col("id") === col("__wid") &&
+        col("provenance") === col("__wp"), "left_anti")
+    raw.filter(col("funder_id") =!= fromId).unionByName(remapped)
+  }
+}

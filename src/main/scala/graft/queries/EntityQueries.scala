@@ -920,7 +920,50 @@ object EntityQueries {
         coalesce(col("n_genuine"), lit(0L)).as("n_genuine"))
   }
 
+  /** Funder alias merge (q86, MergeFunders.ipynb): name absorption
+    * into the winner's alternate_titles, the loser merge_into_id
+    * tombstone, edge remap, and the awards-raw identity recompute
+    * with the duplicate drop. The award-id mint is pinned to a
+    * DuckDB-computable injective formula (PaywallSignals convention —
+    * the faithful xxhash64 default stays the production path). */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.FunderMerge
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val nk = col("n_nationkey")
+    val funders = n.select(nk.cast("long").as("funder_id"),
+      concat(lit("F"), nk).as("display_name"),
+      when(pmod(nk, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("[\"alt"), nk, lit("\"]"))).as("alternate_titles"),
+      lit(null).cast("long").as("merge_into_id"))
+    val mint = (f: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column) =>
+      pmod(f * 1000000L + substring(a, 3, 10).cast("long"), lit(9000000000L))
+    val ck = col("c_custkey")
+    val award = when(pmod(ck, lit(2)) === 0,
+      concat(lit("AW"), pmod(ck, lit(97))))
+      .otherwise(concat(lit("aw"), pmod(ck, lit(97))))
+    val raw0 = c.select(pmod(ck, lit(25)).cast("long").as("funder_id"),
+        award.as("funder_award_id"),
+        concat(lit("p"), pmod(ck, lit(3))).as("provenance"))
+      .withColumn("id", mint(col("funder_id"), col("funder_award_id")))
+    val edges0 = o.select(col("o_orderkey").as("work_id"),
+      pmod(col("o_orderkey"), lit(25)).cast("long").as("funder_id"))
+    val mergedF = FunderMerge.mergeFunderRows(funders, 7L, 12L)
+    val raw1 = FunderMerge.remapAwardsRaw(raw0, 7L, 12L, mint)
+    val edges1 = FunderMerge.remapEdges(edges0, 7L, 12L)
+    mergedF
+      .join(raw1.groupBy(col("funder_id")).agg(count(lit(1)).as("n_awards")),
+        Seq("funder_id"), "left")
+      .join(edges1.groupBy(col("funder_id")).agg(count(lit(1)).as("n_edges")),
+        Seq("funder_id"), "left")
+      .select(col("funder_id"), col("display_name"), col("alternate_titles"),
+        col("merge_into_id"), coalesce(col("n_awards"), lit(0L)).as("n_awards"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_funder_merge" -> (q86 _),
     "q85_name_conflict_overmerges" -> (q85 _),
     "q84_quality_judge_apply" -> (q84 _),
     "q64_affiliation_rules" -> (q64 _),
@@ -942,6 +985,37 @@ object EntityQueries {
     "q53_authorships_assemble" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
+    "q86_funder_merge" ->
+      """WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
+        |    'F' || n_nationkey AS dn,
+        |    CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |         ELSE '["alt' || n_nationkey || '"]' END AS alts
+        |  FROM nation),
+        |raw AS (SELECT CAST(c_custkey % 25 AS BIGINT) AS fid,
+        |    c_custkey % 97 AS n, 'p' || (c_custkey % 3) AS prov
+        |  FROM customer),
+        |e AS (SELECT CAST(o_orderkey % 25 AS BIGINT) AS fid FROM orders),
+        |wkeys AS (SELECT DISTINCT n, prov FROM raw WHERE fid = 12),
+        |raw2 AS (SELECT fid FROM raw WHERE fid <> 7
+        |  UNION ALL
+        |  SELECT CAST(12 AS BIGINT) FROM raw r WHERE r.fid = 7
+        |    AND NOT EXISTS (SELECT 1 FROM wkeys w
+        |      WHERE w.n = r.n AND w.prov = r.prov)),
+        |e2 AS (SELECT CASE WHEN fid = 7 THEN 12 ELSE fid END AS fid FROM e),
+        |fm AS (SELECT fid, dn,
+        |    CASE WHEN fid = 12 THEN to_json(['alt12', 'F7', 'alt7'])
+        |         ELSE alts END AS alternate_titles,
+        |    CASE WHEN fid = 7 THEN CAST(12 AS BIGINT) END AS merge_into_id
+        |  FROM f)
+        |SELECT fm.fid AS funder_id, fm.dn AS display_name,
+        |  CAST(fm.alternate_titles AS VARCHAR) AS alternate_titles,
+        |  fm.merge_into_id,
+        |  coalesce(a.n, 0) AS n_awards, coalesce(ee.n, 0) AS n_edges
+        |FROM fm
+        |LEFT JOIN (SELECT fid, CAST(count(*) AS BIGINT) AS n
+        |  FROM raw2 GROUP BY 1) a ON fm.fid = a.fid
+        |LEFT JOIN (SELECT fid, CAST(count(*) AS BIGINT) AS n
+        |  FROM e2 GROUP BY 1) ee ON fm.fid = ee.fid""".stripMargin,
     "q85_name_conflict_overmerges" ->
       """WITH pn(raw, nf, mi, mc, nl) AS (VALUES
         |  ('raw0', 'jason', NULL, 0, 'priem'),
