@@ -1,0 +1,56 @@
+package graft.ingest
+
+import java.io.ByteArrayInputStream
+import java.util.zip.GZIPInputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** native_id → repository_id mapping from raw harvested OAI files
+  * (reference: notebooks/maintenance/build_native_id_repo_mapping.py):
+  * read gzipped XML as BINARY files, decompress + regex the
+  * `<ns0:identifier>` values — the reference measured this 10× faster
+  * than XML parsing for this one-field extraction — and key each id
+  * by the repository folder it landed in.
+  *
+  * The gzip decompression is a genuine JVM-function boundary (Spark
+  * SQL has no decompress builtin; the reference uses a Python UDF) —
+  * here a Scala UDF over the binary column, with everything around it
+  * native: the `binaryFile` source with its pushed path-glob filter,
+  * `_metadata`-free repository id from the file path (the
+  * Tables.endpointId idiom), explode, and the per-repository
+  * dropDuplicates. Per-folder checkpointing/resume in the reference
+  * is driver-side job control; the operator itself is one plan per
+  * folder (or one plan over the whole tree — the repository id comes
+  * from the path, not the folder loop).
+  */
+object RepoMapping {
+
+  private val IdRe =
+    "<(?:ns0:)?identifier>([^<]+)</(?:ns0:)?identifier>".r
+
+  /** Decompress gzipped bytes and regex out identifier values; bad
+    * records (truncated gzip, null) yield an empty list — the
+    * reference swallows them identically. */
+  def extractNativeIds(content: Array[Byte]): Seq[String] = {
+    if (content == null) return Seq.empty
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(content))
+      val text = new String(in.readAllBytes(), "UTF-8")
+      IdRe.findAllMatchIn(text).map(_.group(1)).toSeq
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  private val extractUdf = udf(extractNativeIds _)
+
+  /** Scan a repositories tree (xml.gz files under
+    * `.../repositories/<id>/`) and emit the distinct
+    * (native_id, repository_id) mapping. */
+  def build(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.xml.gz")
+      .load(path)
+      .select(explode(extractUdf(col("content"))).as("native_id"),
+        graft.core.Tables.endpointId(col("path")).as("repository_id"))
+      .dropDuplicates("native_id", "repository_id")
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.RepoMapping
+
+/** Pins the build_native_id_repo_mapping port: gzip+regex extraction,
+  * path-derived repository ids, glob filter, bad-record tolerance. */
+class RepoMappingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def gz(s: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(s.getBytes("UTF-8")); g.close()
+    bos.toByteArray
+  }
+
+  test("extractNativeIds: ns0 and bare identifiers, bad gzip tolerated") {
+    val xml = "<records><ns0:identifier>oai:a:1</ns0:identifier>" +
+      "<identifier>oai:b:2</identifier><other>x</other></records>"
+    assert(RepoMapping.extractNativeIds(gz(xml)) == Seq("oai:a:1", "oai:b:2"))
+    assert(RepoMapping.extractNativeIds("not gzip".getBytes) == Seq.empty)
+    assert(RepoMapping.extractNativeIds(null) == Seq.empty)
+  }
+
+  test("build: binaryFile tree scan, path-keyed repo ids, dedup, glob") {
+    val root = Files.createTempDirectory("graft-repomap")
+    val r1 = root.resolve("repositories/ep1"); Files.createDirectories(r1)
+    val r2 = root.resolve("repositories/ep2"); Files.createDirectories(r2)
+    Files.write(r1.resolve("a.xml.gz"),
+      gz("<ns0:identifier>oai:1</ns0:identifier><ns0:identifier>oai:2</ns0:identifier>"))
+    Files.write(r1.resolve("b.xml.gz"),
+      gz("<ns0:identifier>oai:2</ns0:identifier>")) // dup across files
+    Files.write(r2.resolve("c.xml.gz"),
+      gz("<identifier>oai:1</identifier>"))         // same id, other repo
+    Files.write(r2.resolve("skipme.txt"), "nope".getBytes) // glob-filtered
+    val out = RepoMapping.build(spark, root.toString)
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("oai:1", "ep1"), ("oai:2", "ep1"), ("oai:1", "ep2")))
+  }
+}
