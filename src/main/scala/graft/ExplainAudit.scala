@@ -74,6 +74,8 @@ object ExplainAudit {
       "q78 broadcasts the refine rule blocks (affiliation side never shuffles to match)")
     check(!p78.contains("Window"),
       "q78 winner selection is in-array, not a per-stage window sort")
+    check("""\(\d+\) Exchange""".r.findAllMatchIn(p78).size == 1,
+      "q78 establishes ONE (work_id, author_seq) partitioning that all 8 refine stages reuse")
 
     val p36 = plan("q36_dedup_jaccard_rare_shingle")
     check(!p36.contains("Window"),

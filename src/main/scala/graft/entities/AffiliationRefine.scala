@@ -43,9 +43,13 @@ import org.apache.spark.sql.functions._
   * slice is LINEAR — explode ids → broadcast-equijoin the rule blocks
   * → one (work_id, author_seq) aggregation with in-array winner
   * selection — so the plan grows linearly in stages, every stage is
-  * keyed by the same columns (one effective shuffle; downstream
-  * aggregations reuse the partitioning), and there is no per-stage
-  * window or self-join. The handful of rules with no id trigger
+  * keyed by the same columns, and there is no per-stage window or
+  * self-join. Because explode and broadcast joins preserve the
+  * child's partitioning, EnsureRequirements elides every stage's
+  * exchange after the first: the WHOLE 8-stage cascade plans with
+  * ONE shuffle (ExplainAudit asserts this on q78; a constant
+  * author_seq would constant-fold out of the grouping key and break
+  * the reuse). The handful of rules with no id trigger
   * (string-triggered blocks) are evaluated as static codegen'd
   * when-chains in the same projection, not joins.
   */

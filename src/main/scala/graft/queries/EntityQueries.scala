@@ -742,7 +742,11 @@ object EntityQueries {
       .foldLeft(lit(null).cast("array<bigint>")) { case (acc, ((_, v), i)) =>
         when(pmod(k, lit(n)) === i, typedlit(v)).otherwise(acc)
       }
-    val affil = c.select(k.as("work_id"), lit(0).as("author_seq"),
+    // author_seq varies: a constant would fold to a literal grouping
+    // key and defeat the cross-stage partitioning reuse (1 exchange
+    // for all 8 stages vs 8) that the operator is designed for
+    val affil = c.select(k.as("work_id"),
+      pmod(k, lit(3)).cast("int").as("author_seq"),
       aff.as("affiliation_string"), ids.as("institution_ids"))
     graft.entities.AffiliationRefine.refine(affil)
       .select(col("work_id"), col("author_seq"),
@@ -759,7 +763,8 @@ object EntityQueries {
       s"WHEN $i THEN CAST(" + v.mkString("[", ",", "]") + " AS BIGINT[])"
     }.mkString(" ")
     graft.entities.AffiliationRefineRules.oracleSql(
-      s"""SELECT c_custkey AS work_id, 0 AS author_seq,
+      s"""SELECT c_custkey AS work_id,
+         |  CAST(c_custkey % 3 AS INT) AS author_seq,
          |  CASE (c_custkey % $n) $affCase END AS aff,
          |  CASE (c_custkey % $n) $idsCase END AS ids FROM customer""".stripMargin)
   }
