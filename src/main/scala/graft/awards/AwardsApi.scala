@@ -1,0 +1,120 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The awards_api institution_awarded extraction (reference:
+  * notebooks/awards/CreateAwardsAPI.ipynb cell 2, oxjob #123.2):
+  * which institutions a grant was awarded to, derived from
+  * investigator affiliation strings.
+  *
+  *  1. Distinct (award, provenance, raw string) across the lead /
+  *     co-lead / investigators[] slots; KAKEN awards source the
+  *     clean English institution from kaken_projects_raw instead of
+  *     the messy composite, provenances with no usable investigator
+  *     structure are excluded, and known junk strings dropped.
+  *  2. Disambiguation against the affiliation-strings lookup: the
+  *     rule-parser override wins when present and not [-1]; otherwise
+  *     the model response is score-filtered with a PER-SOURCE
+  *     threshold (0.1 for NIH/NSF/KAKEN whose strings deviate from
+  *     the works-author distribution, 0.3 elsewhere).
+  *  3. Explode + dedupe by institution id (multi-site grants keep
+  *     multi-element arrays), hydrate from institutions_api, collect
+  *     per award.
+  *
+  * The reference's COLLECT_LIST order is undefined; the collected
+  * array here sorts by institution id (the cross-engine determinism
+  * protocol). The awards_api content-hash-gated updated_date stamp in
+  * cells 1/3 is the `core/Incremental` idiom already gated by
+  * q75/q77.
+  */
+object AwardsApi {
+
+  /** Provenances whose investigator slots carry no usable structure
+    * (plus kaken, which routes through its raw table instead). */
+  val ExcludedProvenances: Seq[String] = Seq(
+    "kaken", "crossref_work.grants", "crossref_work_funders",
+    "gateway_to_research", "usaspending", "rwjf_grants_explorer",
+    "argentina_mincyt", "openaire_fwf", "researchfi", "nobelprize_api")
+
+  /** Junk affiliation strings (#123.6: the NOPL junk magnet). */
+  val JunkStrings: Seq[String] = Seq(
+    "grantee", "autre", "autres", "n/a", "na", "null", "unknown",
+    "none", "tbd", "tba", "other", "individual", "data not available",
+    "no institution available")
+
+  /** Sources whose strings need the wider 0.1 net. */
+  val WideNetProvenances: Seq[String] = Seq(
+    "nih_exporter", "nsf_award_search", "kaken")
+
+  private def thresh(prov: Column): Column =
+    when(prov.isin(WideNetProvenances: _*), lit(0.1)).otherwise(lit(0.3))
+
+  /** Step 1: the distinct (award_id, provenance, raw, thresh) rows.
+    * @param awards   (id, provenance, funder_award_id,
+    *                  lead_investigator / co_lead_investigator
+    *                  STRUCT<…, affiliation STRUCT<name …>>,
+    *                  investigators ARRAY<same>)
+    * @param kakenRaw (project_id, institution) */
+  def investigatorStrings(awards: DataFrame, kakenRaw: DataFrame): DataFrame = {
+    val nonKaken = awards.filter(!col("provenance").isin(
+      ExcludedProvenances: _*))
+    def slot(c: Column) = nonKaken
+      .select(col("id").as("award_id"), col("provenance"), c.as("raw"))
+      .filter(col("raw").isNotNull)
+    val lead = slot(col("lead_investigator.affiliation.name"))
+    val co = slot(col("co_lead_investigator.affiliation.name"))
+    val inv = nonKaken
+      .select(col("id").as("award_id"), col("provenance"),
+        explode_outer(col("investigators")).as("__inv"))
+      .select(col("award_id"), col("provenance"),
+        col("__inv.affiliation.name").as("raw"))
+      .filter(col("raw").isNotNull)
+    val kaken = awards.filter(col("provenance") === "kaken")
+      .join(kakenRaw.filter(col("institution").isNotNull),
+        col("funder_award_id") === col("project_id"))
+      .select(col("id").as("award_id"), col("provenance"),
+        col("institution").as("raw"))
+    lead.unionByName(co).unionByName(inv).unionByName(kaken)
+      .filter(col("raw").isNotNull &&
+        !col("raw").like("Institution abroad%") &&
+        !lower(trim(col("raw"))).isin(JunkStrings: _*))
+      .withColumn("thresh", thresh(col("provenance")))
+      .select(col("award_id"), col("provenance"), col("raw"), col("thresh"))
+      .distinct()
+  }
+
+  /** Step 2: override-else-model disambiguation.
+    * @param lookup (raw_affiliation_string, institution_ids_override
+    *                ARRAY<BIGINT>, model_response
+    *                ARRAY<STRUCT<id STRING, score DOUBLE>>) */
+  def disambiguate(strings: DataFrame, lookup: DataFrame): DataFrame =
+    strings.join(lookup,
+        strings("raw") === lookup("raw_affiliation_string"))
+      .select(col("award_id"),
+        when(size(col("institution_ids_override")) > 0 &&
+            !array_contains(col("institution_ids_override"), -1L),
+          col("institution_ids_override"))
+          .otherwise(transform(
+            filter(col("model_response"),
+              x => x.getField("score") >= col("thresh")),
+            x => x.getField("id").cast("bigint"))).as("ids"))
+
+  /** Steps 3-4: explode, dedupe, hydrate, collect (sorted by id).
+    * @param institutionsApi (id, display_name, ror, country_code,
+    *                         type, lineage) */
+  def institutionAwarded(disambiguated: DataFrame,
+      institutionsApi: DataFrame): DataFrame = {
+    val deduped = disambiguated
+      .select(col("award_id"), explode(col("ids")).as("institution_id"))
+      .filter(col("institution_id").isNotNull)
+      .distinct()
+    deduped.join(institutionsApi,
+        col("institution_id") === institutionsApi("id"))
+      .groupBy(col("award_id"))
+      .agg(array_sort(collect_list(struct(
+        concat(lit("https://openalex.org/I"), col("id").cast("string")).as("id"),
+        col("display_name"), col("ror"), col("country_code"),
+        col("type"), col("lineage")))).as("institution_awarded"))
+  }
+}

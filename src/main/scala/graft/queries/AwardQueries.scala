@@ -262,11 +262,145 @@ object AwardQueries {
       |LEFT JOIN s ON w.funder_id = s.funder_id AND w.sk = s.nk
       |WHERE coalesce(g.id, s.id) IS NOT NULL""".stripMargin
 
+  /** awards_api institution_awarded (q87, CreateAwardsAPI cell 2):
+    * slot union with the KAKEN raw-table override and
+    * excluded-provenance/junk filters, override-else-model
+    * disambiguation with per-source thresholds (0.25 passes the NIH
+    * 0.1 net but not the 0.3 default — both arms exercised), explode
+    * + dedupe + hydrate + id-sorted collect. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.awards.AwardsApi
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val ck = col("c_custkey")
+    val pool = Seq("Alpha University", "Beta Institute", "Gamma Lab",
+      "n/a", "Institution abroad (FR)", "tbd", "Delta College",
+      "Epsilon Center")
+    val provs = Seq("irdb", "nih_exporter", "kaken",
+      "crossref_work_funders", "nsf_award_search", "gateway_to_research")
+    def pick(xs: Seq[String], i: org.apache.spark.sql.Column) =
+      element_at(array(xs.map(lit): _*), (i + 1).cast("int"))
+    def aff(name: org.apache.spark.sql.Column) =
+      struct(struct(name.as("name")).as("affiliation"))
+    val nullAff = lit(null)
+      .cast("struct<affiliation:struct<name:string>>")
+    val awards = c.select(ck.cast("long").as("id"),
+      pick(provs, pmod(ck, lit(6))).as("provenance"),
+      concat(lit("K"), pmod(ck, lit(3))).as("funder_award_id"),
+      aff(pick(pool, pmod(ck, lit(8)))).as("lead_investigator"),
+      when(pmod(ck, lit(3)) === 0, aff(pick(pool, pmod(ck + 1, lit(8)))))
+        .otherwise(nullAff).as("co_lead_investigator"),
+      when(pmod(ck, lit(4)) === 0,
+        array(aff(pick(pool, pmod(ck + 2, lit(8))))))
+        .otherwise(lit(null).cast(
+          "array<struct<affiliation:struct<name:string>>>"))
+        .as("investigators"))
+    val kakenRaw = Seq(("K0", "kaken inst 0"), ("K1", "kaken inst 1"),
+      ("K2", "kaken inst 2")).toDF("project_id", "institution")
+    val lookup = Seq(
+      ("Alpha University", Seq(101L), Seq.empty[(String, Double)]),
+      ("Beta Institute", Seq(-1L), Seq(("102", 0.25))),
+      ("Gamma Lab", Seq.empty[Long], Seq(("103", 0.35), ("104", 0.15))),
+      ("Epsilon Center", Seq(106L, 107L), Seq.empty[(String, Double)]),
+      ("kaken inst 0", Seq(105L), Seq.empty[(String, Double)]),
+      ("kaken inst 1", Seq.empty[Long], Seq(("101", 0.12))),
+      ("kaken inst 2", Seq.empty[Long], Seq(("102", 0.05))))
+      .toDF("raw_affiliation_string", "institution_ids_override", "__mr")
+      .select(col("raw_affiliation_string"),
+        col("institution_ids_override"),
+        transform(col("__mr"), x => struct(x.getField("_1").as("id"),
+          x.getField("_2").as("score"))).as("model_response"))
+    val instApi = n.filter(col("n_nationkey").between(1, 7))
+      .select((col("n_nationkey") + 100).cast("long").as("id"),
+        concat(lit("I"), col("n_nationkey") + 100).as("display_name"),
+        concat(lit("ror"), col("n_nationkey") + 100).as("ror"),
+        concat(lit("C"), pmod(col("n_nationkey"), lit(3))).as("country_code"),
+        lit("education").as("type"),
+        array(concat(lit("https://openalex.org/I"),
+          col("n_nationkey") + 100)).as("lineage"))
+    val strings = AwardsApi.investigatorStrings(awards, kakenRaw)
+    val out = AwardsApi.institutionAwarded(
+      AwardsApi.disambiguate(strings, lookup), instApi)
+    out.select(col("award_id"),
+      to_json(col("institution_awarded")).as("institution_awarded"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_awards_api_institutions" -> (q87 _),
     "q68_award_norm_keys" -> (q68 _),
     "q69_work_awards_merge" -> (q69 _))
 
   val oracle: Map[String, String] = Map(
+    "q87_awards_api_institutions" ->
+      """WITH a AS (SELECT c_custkey AS id,
+        |    (['irdb','nih_exporter','kaken','crossref_work_funders',
+        |      'nsf_award_search','gateway_to_research'])[(c_custkey % 6) + 1] AS prov,
+        |    'K' || (c_custkey % 3) AS fai,
+        |    (['Alpha University','Beta Institute','Gamma Lab','n/a',
+        |      'Institution abroad (FR)','tbd','Delta College',
+        |      'Epsilon Center']) AS pool
+        |  FROM customer),
+        |kraw(pid, inst) AS (VALUES ('K0', 'kaken inst 0'),
+        |  ('K1', 'kaken inst 1'), ('K2', 'kaken inst 2')),
+        |excl AS (SELECT ['kaken','crossref_work.grants','crossref_work_funders',
+        |  'gateway_to_research','usaspending','rwjf_grants_explorer',
+        |  'argentina_mincyt','openaire_fwf','researchfi','nobelprize_api'] AS l),
+        |slots AS (
+        |  SELECT id, prov, pool[(id % 8) + 1] AS raw FROM a
+        |    WHERE NOT list_contains((SELECT l FROM excl), prov)
+        |  UNION ALL
+        |  SELECT id, prov, pool[((id + 1) % 8) + 1] FROM a
+        |    WHERE id % 3 = 0 AND NOT list_contains((SELECT l FROM excl), prov)
+        |  UNION ALL
+        |  SELECT id, prov, pool[((id + 2) % 8) + 1] FROM a
+        |    WHERE id % 4 = 0 AND NOT list_contains((SELECT l FROM excl), prov)
+        |  UNION ALL
+        |  SELECT a.id, a.prov, k.inst FROM a JOIN kraw k ON a.fai = k.pid
+        |    WHERE a.prov = 'kaken'),
+        |strings AS (SELECT DISTINCT id AS award_id, prov, raw,
+        |    CASE WHEN prov IN ('nih_exporter','nsf_award_search','kaken')
+        |         THEN 0.1 ELSE 0.3 END AS thresh
+        |  FROM slots WHERE raw IS NOT NULL
+        |    AND raw NOT LIKE 'Institution abroad%'
+        |    AND lower(trim(raw)) NOT IN ('grantee','autre','autres','n/a',
+        |      'na','null','unknown','none','tbd','tba','other','individual',
+        |      'data not available','no institution available')),
+        |lkp(raw, ovr, mr) AS (VALUES
+        |  ('Alpha University', CAST([101] AS BIGINT[]),
+        |    CAST([] AS STRUCT(id VARCHAR, score DOUBLE)[])),
+        |  ('Beta Institute', CAST([-1] AS BIGINT[]),
+        |    [{'id': '102', 'score': 0.25}]),
+        |  ('Gamma Lab', CAST([] AS BIGINT[]),
+        |    [{'id': '103', 'score': 0.35}, {'id': '104', 'score': 0.15}]),
+        |  ('Epsilon Center', CAST([106, 107] AS BIGINT[]),
+        |    CAST([] AS STRUCT(id VARCHAR, score DOUBLE)[])),
+        |  ('kaken inst 0', CAST([105] AS BIGINT[]),
+        |    CAST([] AS STRUCT(id VARCHAR, score DOUBLE)[])),
+        |  ('kaken inst 1', CAST([] AS BIGINT[]),
+        |    [{'id': '101', 'score': 0.12}]),
+        |  ('kaken inst 2', CAST([] AS BIGINT[]),
+        |    [{'id': '102', 'score': 0.05}])),
+        |dis AS (SELECT s.award_id,
+        |    CASE WHEN len(l.ovr) > 0 AND NOT list_contains(l.ovr, -1)
+        |         THEN l.ovr
+        |         ELSE list_transform(list_filter(l.mr,
+        |             x -> struct_extract(x, 'score') >= s.thresh),
+        |           x -> CAST(struct_extract(x, 'id') AS BIGINT)) END AS ids
+        |  FROM strings s JOIN lkp l ON s.raw = l.raw),
+        |ded AS (SELECT DISTINCT award_id, u.iid
+        |  FROM dis, UNNEST(dis.ids) AS u(iid) WHERE u.iid IS NOT NULL),
+        |iapi AS (SELECT CAST(n_nationkey + 100 AS BIGINT) AS iid,
+        |    'I' || (n_nationkey + 100) AS dn, 'ror' || (n_nationkey + 100) AS ror,
+        |    'C' || (n_nationkey % 3) AS cc,
+        |    ['https://openalex.org/I' || (n_nationkey + 100)] AS lineage
+        |  FROM nation WHERE n_nationkey BETWEEN 1 AND 7)
+        |SELECT d.award_id, CAST(to_json(list(struct_pack(
+        |    id := 'https://openalex.org/I' || i.iid,
+        |    display_name := i.dn, ror := i.ror, country_code := i.cc,
+        |    "type" := 'education', lineage := i.lineage)
+        |  ORDER BY i.iid) ) AS VARCHAR) AS institution_awarded
+        |FROM ded d JOIN iapi i ON d.iid = i.iid GROUP BY 1""".stripMargin,
     "q68_award_norm_keys" -> q68Oracle,
     "q69_work_awards_merge" -> q69Oracle)
 }
