@@ -131,6 +131,52 @@ class AffiliationRefineSpec extends AnyFunSuite {
     assert(out(1) == Seq(113979032L))
   }
 
+  test("Caspian fall-through chain: context keeps, Case Western swaps, default falls back") {
+    // :4957 — 'caspian/baku' noop beats everything; 'Case Western'
+    // swaps to 58956616; bare strings fall through to 125749732
+    val out = run(
+      ("Western Caspian University, Baku", Seq(3130874397L)),
+      ("Case Western Reserve University", Seq(3130874397L)),
+      ("Department of Medicine, Western University", Seq(3130874397L)))
+    assert(out(0) == Seq(3130874397L))
+    assert(out(1) == Seq(58956616L))
+    assert(out(2) == Seq(125749732L))
+  }
+
+  test("Purdue: campus branch picked, else-branch default, trigger removed") {
+    // :5003 — remove 2801333002 always; append by campus keyword,
+    // else the West Lafayette default 219193219
+    val out = run(
+      ("Purdue University Fort Wayne", Seq(2801333002L)),
+      ("Purdue University, West Lafayette", Seq(2801333002L)))
+    assert(out(0) == Seq(4210130184L))
+    assert(out(1) == Seq(219193219L))
+  }
+
+  test("Brown conjunction trigger: Providence College context spares the PC id") {
+    // :4970 — BOTH ids must be present; 'Providence College' noop
+    // wins, otherwise 196272386 is removed
+    val out = run(
+      ("Brown University and Providence College", Seq(27804330L, 196272386L)),
+      ("Brown University, Providence RI", Seq(27804330L, 196272386L)),
+      // only one id present: trigger unsatisfied, nothing happens
+      ("Brown University", Seq(196272386L)))
+    assert(out(0) == Seq(27804330L, 196272386L).sorted)
+    assert(out(1) == Seq(27804330L))
+    assert(out(2) == Seq(196272386L))
+  }
+
+  test("Maryland nested chain: county beats city, campus keywords route") {
+    // :6806 — 'Baltimore County' wins inside the 'Baltimore' branch
+    val out = run(
+      ("University of Maryland, Baltimore County", Seq(116545467L)),
+      ("University of Maryland, Baltimore", Seq(116545467L)),
+      ("University of Maryland, College Park", Seq(116545467L)))
+    assert(out(0) == Seq(79272384L))
+    assert(out(1) == Seq(126744593L))
+    assert(out(2) == Seq(66946132L))
+  }
+
   test("rule table sanity: stages contiguous, prios unique per group") {
     val rs = AffiliationRefineRules.rules
     assert(rs.map(_.stage).distinct.sorted == (0 to 7))
