@@ -1166,8 +1166,10 @@ object EntityQueries {
         |  SELECT 'sample_total', 'armB|2024-01-05',
         |    CAST((SELECT count(*) FROM pb) AS BIGINT)
         |  UNION ALL
+        |  -- a groupBy emits no row for an empty arm (small SFs have
+        |  -- no orcid collisions)
         |  SELECT 'sample_total', 'orcid_collision|2024-01-05',
-        |    CAST((SELECT count(*) FROM coll) AS BIGINT))
+        |    CAST(count(*) AS BIGINT) FROM coll HAVING count(*) > 0)
         |SELECT * FROM rollups""".stripMargin,
     "q64_affiliation_rules" -> q64Oracle,
     "q78_affiliation_refine" -> q78Oracle,
