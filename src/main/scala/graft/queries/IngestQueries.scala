@@ -151,7 +151,27 @@ object IngestQueries {
         col("extractor_version"), col("deriver_version"))
   }
 
+  /** §2.1 content manifest (q88, export_content_manifest_to_r2.py):
+    * one GROUP BY (no window), min UUIDs with suffix strips, and the
+    * pdf-row-else-grobid-row source attribution via min_by — works
+    * with only-grobid files exercise the null-ordering fallback. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val locations = o.select(pmod(k, lit(2000)).as("work_id"),
+      concat(lit("n"), k).as("native_id"),
+      when(pmod(k, lit(2)) === 0, lit("doi")).otherwise(lit("pmh"))
+        .as("native_id_namespace"),
+      when(pmod(k, lit(3)) =!= 0, concat(lit("p"), k, lit(".pdf")))
+        .otherwise(lit(null).cast("string")).as("pdf_s3_id"),
+      when(pmod(k, lit(4)) =!= 0, concat(lit("g"), k, lit(".xml.gz")))
+        .otherwise(lit(null).cast("string")).as("grobid_s3_id"),
+      col("o_orderdate").as("updated_date"))
+    graft.serve.ContentManifest.build(locations)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_content_manifest" -> (q88 _),
     "q83_classifier_meta_view" -> (q83 _),
     "q46_repo_oai_scalars" -> (q46 _),
     "q61_topics_script_gate" -> (q61 _),
@@ -162,6 +182,28 @@ object IngestQueries {
       "\\p{Devanagari}\\p{Bengali}\\p{Thaana}\\p{Gujarati}\\p{Cyrillic}]"
 
   val oracle: Map[String, String] = Map(
+    "q88_content_manifest" ->
+      """WITH l AS (SELECT o_orderkey % 2000 AS work_id,
+        |    'n' || o_orderkey AS native_id,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'doi' ELSE 'pmh' END AS ns,
+        |    CASE WHEN o_orderkey % 3 <> 0
+        |         THEN 'p' || o_orderkey || '.pdf' END AS pdf_s3_id,
+        |    CASE WHEN o_orderkey % 4 <> 0
+        |         THEN 'g' || o_orderkey || '.xml.gz' END AS grobid_s3_id,
+        |    o_orderdate AS updated_date
+        |  FROM orders)
+        |SELECT 'W' || work_id AS openalex_id,
+        |  replace(min(pdf_s3_id), '.pdf', '') AS pdf_uuid,
+        |  replace(min(grobid_s3_id), '.xml.gz', '') AS grobid_xml_id,
+        |  coalesce(arg_min(native_id, pdf_s3_id),
+        |    arg_min(native_id, grobid_s3_id)) AS native_id,
+        |  coalesce(arg_min(ns, pdf_s3_id),
+        |    arg_min(ns, grobid_s3_id)) AS native_id_namespace,
+        |  max(updated_date) AS updated_date
+        |FROM l
+        |WHERE (pdf_s3_id IS NOT NULL OR grobid_s3_id IS NOT NULL)
+        |  AND work_id IS NOT NULL
+        |GROUP BY work_id""".stripMargin,
     "q83_classifier_meta_view" ->
       """WITH raw AS (
         |  SELECT 'f' || o_orderkey AS file_key,

@@ -1,0 +1,45 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The partner bulk-sync content manifest (reference:
+  * notebooks/elastic/export_content_manifest_to_r2.py): one row per
+  * work mapping its OpenAlex id to the PDF / GROBID object UUIDs plus
+  * the native id of the location that supplied the file.
+  *
+  * The reference deliberately uses ONE GROUP BY instead of a
+  * row_number window (no per-row sort, map-side partials) — kept
+  * as-is. Source attribution follows the reported file: the
+  * MIN_BY(…, pdf_s3_id) row, falling back to the grobid row for
+  * works with only XML (~7.5% of works carry multiple native_ids, so
+  * the choice matters and must be deterministic). Suffixes are
+  * stripped with plain REPLACE exactly like the reference. The R2
+  * upload loop is the transport boundary (BulkSink's category); the
+  * repartition-to-few-files write is LayoutWriter territory.
+  */
+object ContentManifest {
+
+  /** @param locations (work_id, native_id, native_id_namespace,
+    *                   pdf_s3_id, grobid_s3_id, updated_date) */
+  def build(locations: DataFrame): DataFrame =
+    locations
+      .filter((col("pdf_s3_id").isNotNull || col("grobid_s3_id").isNotNull) &&
+        col("work_id").isNotNull)
+      .groupBy(col("work_id"))
+      .agg(
+        regexp_replace(min(col("pdf_s3_id")), "\\.pdf", "").as("pdf_uuid"),
+        regexp_replace(min(col("grobid_s3_id")), "\\.xml\\.gz", "")
+          .as("grobid_xml_id"),
+        coalesce(
+          min_by(struct(col("native_id"), col("native_id_namespace")),
+            col("pdf_s3_id")),
+          min_by(struct(col("native_id"), col("native_id_namespace")),
+            col("grobid_s3_id"))).as("__src"),
+        max(col("updated_date")).as("updated_date"))
+      .select(concat(lit("W"), col("work_id")).as("openalex_id"),
+        col("pdf_uuid"), col("grobid_xml_id"),
+        col("__src.native_id").as("native_id"),
+        col("__src.native_id_namespace").as("native_id_namespace"),
+        col("updated_date"))
+}
