@@ -72,13 +72,18 @@ object SourcesApi {
       .drop("__sorted")
   }
 
-  /** `topics_and_share`: distinct (source, work, topic) rows → one
-    * GROUPING SETS aggregation for per-source counts and corpus totals,
+  /** `topics_and_share`: distinct (entity, work, topic) rows → one
+    * GROUPING SETS aggregation for per-entity counts and corpus totals,
     * top-25 `topics` (count DESC, id ASC) and `topic_share`
-    * (value DESC, id ASC; value = ROUND(count/total, 7)). */
-  def topicsAndShare(worksBase: DataFrame, topK: Int = 25): DataFrame = {
+    * (value DESC, id ASC; value = ROUND(count/total, 7)). The same
+    * template serves sources (`source_id`, the default) and
+    * institutions (`institution_id` — CreateInstitutionsApi.ipynb's
+    * identical `topics_and_share` CTE); `key` picks the grouping
+    * column. */
+  def topicsAndShare(worksBase: DataFrame, topK: Int = 25,
+      key: String = "source_id"): DataFrame = {
     val awt = worksBase.filter(col("work_id").isNotNull)
-      .select(col("source_id"), col("work_id"),
+      .select(col(key).as("source_id"), col("work_id"),
         explode_outer(col("work_topics")).as("__t"))
       .filter(col("__t.id").isNotNull)
       .select(col("source_id"), col("work_id"),

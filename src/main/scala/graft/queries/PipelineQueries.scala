@@ -873,12 +873,229 @@ object PipelineQueries {
         lit(null).cast("int").as("host_rank")))
   }
 
+  /** §2.4/§2.9 Institutions API entity build (CreateInstitutionsApi
+    * .ipynb): the full institutions_api assembly — authorship-
+    * institution double-explode works_base preserving the reference's
+    * NON-deduplicated aggregate grain (k%5==0 works carry the same
+    * institution on two authorships → citations count twice while
+    * works_count stays DISTINCT; the oracle replicates the asymmetry),
+    * super-system-filtered lineage with string-sorted I-URLs (103 < 3
+    * lexically — pinned), entity_link roles with the keep-all-but-top-
+    * funder dedup and NULLS LAST works_count ranking (P0 and F(5k+2)
+    * ids have no counts row), repository rollups (institution 6 gets
+    * two), ROR-relationship associated institutions with the prefer-
+    * non-funder type lookup (Education+Funder / Funder-only / no-row
+    * arms), label∪alias alternative names deduped against the
+    * registry's own alternatives (ck%12 plants the collision), top-25
+    * topics/topic_share on the shared grouping-sets template, newest-
+    * first counts_by_year with the ≥2010 floor, and the cells-2/5
+    * hash-gated updated_date across two works generations (gen1 drops
+    * k%997==5 works; content differs ⟺ an institution lost a distinct
+    * work ⟺ works_count strictly decreased, so the oracle gates on
+    * dropped-work membership). */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.InstitutionsApi
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val OA = "https://openalex.org/"
+    val cc = elt((ck % 4 + 1).cast("int"), lit("US"), lit("DE"), lit("BR"),
+      lit("JP"))
+    val institutions = c.filter(ck < 60).select(
+      ck.cast("long").as("id"),
+      when(ck % 7 =!= 3, concat(lit("https://ror.org/0r"), ck.cast("string")))
+        .as("ror_id"),
+      concat(lit("Inst "), ck.cast("string")).as("display_name"),
+      cc.as("iso3166_code"),
+      elt((ck % 3 + 1).cast("int"), lit("education"), lit("facility"),
+        lit("government")).as("type"),
+      when(ck % 5 =!= 2, concat(lit("https://i"), ck.cast("string"),
+        lit(".edu"))).as("official_page"),
+      when(ck % 6 === 0, concat(lit("https://img.example/"),
+        ck.cast("string"))).as("image_url"),
+      when(ck % 6 === 0, concat(lit("https://img.example/"), ck.cast("string"),
+        lit("/thumb"))).as("image_thumbnail_url"),
+      when(ck % 4 === 0, array(concat(lit("A"), ck.cast("string"))))
+        .as("display_name_acronyms"),
+      when(ck % 3 === 0, array(concat(lit("Alt "), ck.cast("string")),
+        concat(lit("Zed "), ck.cast("string"))))
+        .as("display_name_alternatives"),
+      concat(lit("City "), (ck % 10).cast("string")).as("city"),
+      when(ck % 9 =!= 2, (ck * 3).cast("long")).as("geonames_city_id"),
+      when(ck % 8 =!= 1, concat(lit("Reg "), (ck % 5).cast("string")))
+        .as("region"),
+      concat(lit("Country "), (ck % 4).cast("string")).as("country"),
+      when(ck % 11 =!= 4, ck.cast("double") / 2).as("latitude"),
+      when(ck % 11 =!= 4, -ck.cast("double") * 1.5).as("longitude"),
+      when(ck % 5 === 0, concat(lit("grid."), ck.cast("string"))).as("grid_id"),
+      when(ck % 3 === 1, concat(lit("https://en.wikipedia.org/wiki/I"),
+        ck.cast("string"))).as("wiki_page"),
+      when(ck % 4 === 2, concat(lit("Q"), (ck * 7).cast("string")))
+        .as("wikidata_id"),
+      date_add(lit("2012-01-01").cast("date"), ck.cast("int"))
+        .as("created_date"),
+      when(ck % 23 === 0, ck + 1).as("merge_into_id"))
+    val ror = c.filter(ck < 60 && ck % 2 === 0 && ck % 7 =!= 3).select(
+      concat(lit("https://ror.org/0r"), ck.cast("string")).as("id"),
+      elt((ck % 3 + 1).cast("int"), lit("active"), lit("inactive"),
+        lit("withdrawn")).as("status"))
+    val ancestors = c.filter(ck < 60 && ck % 3 =!= 2).select(
+      ck.cast("long").as("institution_id"),
+      when(ck % 3 === 0, array((ck + 100).cast("long"),
+          (ck + 101).cast("long"), lit(777L)))
+        .otherwise(array(lit(888L), lit(777L))).as("lineage_ids"))
+    val links = c.filter(ck < 120 && ck % 4 =!= 3).select(
+      when(ck % 4 === 1, concat(lit("F"), (ck % 50).cast("string")))
+        .otherwise(concat(lit("I"), (ck % 60).cast("string"))).as("id_1"),
+      when(ck % 4 === 0, concat(lit("P"), (ck % 20).cast("string")))
+        .when(ck % 4 === 1, concat(lit("I"), (ck % 60).cast("string")))
+        .otherwise(concat(lit("F"), (ck % 50 + 50).cast("string"))).as("id_2"))
+      .unionByName(c.filter(ck < 120 && ck % 4 === 3).select(
+        concat(lit("I"), (ck % 60).cast("string")).as("id_1"),
+        concat(lit("X"), ck.cast("string")).as("id_2")))
+    val entityCounts = c.filter(ck < 20).select(
+        concat(lit("P"), ck.cast("string")).as("entity_id"),
+        ((ck * 13) % 89).cast("int").as("works_count"))
+      .unionByName(c.filter(ck < 100 && ck % 5 =!= 2).select(
+        concat(lit("F"), ck.cast("string")).as("entity_id"),
+        ((ck * 11) % 97).cast("int").as("works_count")))
+    val sources = c.filter(ck < 80).select(
+      (ck + 900).cast("long").as("id"),
+      concat(lit("Repo "), ck.cast("string")).as("display_name"),
+      when(ck % 3 === 0, (ck % 60).cast("long")).as("institution_id"),
+      when(ck % 2 === 0, lit("repository")).otherwise(lit("journal"))
+        .as("type"),
+      when(ck % 18 === 0, lit(901L)).as("merge_into_id"))
+    val rorRel = c.filter(ck < 60 && ck % 5 === 0 && ck % 7 =!= 3).select(
+        concat(lit("0r"), ck.cast("string")).as("ror_id"),
+        concat(lit("0r"), ((ck + 7) % 60).cast("string")).as("related_ror_id"),
+        elt((ck % 3 + 1).cast("int"), lit("Parent"), lit("Child"),
+          lit("Related")).as("relationship_type"))
+      .unionByName(c.filter(ck < 60 && ck % 10 === 0 && ck % 7 =!= 3).select(
+        concat(lit("0r"), ck.cast("string")).as("ror_id"),
+        concat(lit("0r"), ((ck + 14) % 60).cast("string"))
+          .as("related_ror_id"),
+        lit("Successor").as("relationship_type")))
+    val rorTypes = c.filter(ck < 60 && ck % 2 === 0).select(
+        concat(lit("0r"), ck.cast("string")).as("ror_id"),
+        lit("Education").as("type"))
+      .unionByName(c.filter(ck < 60 && ck % 3 === 0).select(
+        concat(lit("0r"), ck.cast("string")).as("ror_id"),
+        lit("Funder").as("type")))
+    val rorLabels = c.filter(ck < 60 && ck % 2 === 0).select(
+      concat(lit("0r"), ck.cast("string")).as("ror_id"),
+      concat(lit("Label "), ck.cast("string")).as("label"))
+    val rorAliases = c.filter(ck < 60 && ck % 4 === 0).select(
+        concat(lit("0r"), ck.cast("string")).as("ror_id"),
+        concat(lit("Alias "), ck.cast("string")).as("alias"))
+      .unionByName(c.filter(ck < 60 && ck % 12 === 0).select(
+        concat(lit("0r"), ck.cast("string")).as("ror_id"),
+        concat(lit("Alt "), ck.cast("string")).as("alias")))
+
+    val k = col("o_orderkey")
+    def instS(id: Column) = struct(
+      concat(lit(OA + "I"), id.cast("string")).as("id"))
+    val nullInst = struct(lit(null).cast("string").as("id"))
+    val i1 = instS(pmod(k, lit(60))); val i2 = instS(pmod(k * 3, lit(60)))
+    def au(insts: Column) = struct(insts.as("institutions"))
+    val m5 = pmod(k, lit(5))
+    val emptyInsts = array().cast("array<struct<id:string>>")
+    val authorships = when(m5 === 0, array(au(array(i1, i2)), au(array(i1))))
+      .when(m5 === 1, array(au(array(i1))))
+      .when(m5 === 2, array(au(emptyInsts)))
+      .when(m5 === 3, array(au(array(i1, nullInst))))
+    def topicEl(tid: Column, score: Column) = struct(
+      concat(lit("T"), tid.cast("string")).as("id"),
+      concat(lit("Topic "), tid.cast("string")).as("display_name"),
+      concat(lit("SF"), (tid % 6).cast("string")).as("subfield"),
+      concat(lit("F"), (tid % 4).cast("string")).as("field"),
+      concat(lit("D"), (tid % 2).cast("string")).as("domain"),
+      score.as("score"))
+    val nullTopic = struct(lit(null).cast("string").as("id"),
+      lit(null).cast("string").as("display_name"),
+      lit(null).cast("string").as("subfield"),
+      lit(null).cast("string").as("field"),
+      lit(null).cast("string").as("domain"),
+      lit(null).cast("double").as("score"))
+    val t1 = topicEl(lit(10000) + pmod(k, lit(41)),
+      pmod(k, lit(10)).cast("double") / 10.0)
+    val t2 = topicEl(lit(10000) + pmod(k, lit(29)),
+      pmod(k, lit(7)).cast("double") / 7.0)
+    val works = o.select(
+      k.as("id"),
+      when(pmod(k, lit(10)) =!= 0, (lit(2008) + pmod(k, lit(12))).cast("int"))
+        .as("publication_year"),
+      when(pmod(k, lit(20)) =!= 10, lit("2013-06-15").cast("date"))
+        .as("publication_date"),
+      pmod(k, lit(25)).as("cited_by_count"),
+      struct((pmod(k, lit(3)) === 0).as("is_oa")).as("open_access"),
+      when(pmod(k, lit(4)) === 0, array(t1))
+        .when(pmod(k, lit(4)) === 1, array(t1, t2, nullTopic))
+        .when(pmod(k, lit(4)) === 2, array(t1, t1)).as("topics"),
+      authorships.as("authorships"))
+
+    val wb2 = InstitutionsApi.worksBase(works)
+    val wb1 = InstitutionsApi.worksBase(
+      works.filter(pmod(col("id"), lit(997)) =!= 5))
+    val supers = Seq(777L, 888L, 30L)
+    def api(wb: DataFrame) = InstitutionsApi.assemble(institutions, ror,
+      ancestors, supers, wb, links, entityCounts, sources, rorRel, rorTypes,
+      rorLabels, rorAliases, recentYearMin = 2018)
+    val snap = InstitutionsApi.hashSnapshot(api(wb1)
+      .withColumn("updated_date", lit("2024-01-01").cast("timestamp")))
+    val stamped = InstitutionsApi.stampUpdatedDate(api(wb2), snap,
+      lit("2024-02-02").cast("timestamp"))
+    stamped.select(
+      col("id"), col("display_name"), col("ror"), col("country_code"),
+      col("type"), col("type_id"),
+      to_json(col("lineage")).as("lineage_json"),
+      col("is_super_system").cast("int").as("super"),
+      col("homepage_url"), col("image_url"),
+      col("image_thumbnail_url").as("thumb_url"),
+      to_json(col("display_name_acronyms")).as("acronyms_json"),
+      to_json(col("display_name_alternatives")).as("alt_json"),
+      col("works_count"), col("cited_by_count"),
+      col("ids").getField("openalex").as("openalex_id"),
+      col("ids").getField("grid").as("grid"),
+      col("ids").getField("wikipedia").as("wikipedia"),
+      col("ids").getField("wikidata").as("wikidata"),
+      to_json(col("roles")).as("roles_json"),
+      to_json(col("repositories")).as("repos_json"),
+      col("geo").getField("city").as("city"),
+      col("geo").getField("geonames_city_id").as("geonames_city_id"),
+      col("geo").getField("region").as("region"),
+      col("geo").getField("country").as("country"),
+      col("geo").getField("latitude").as("latitude"),
+      col("geo").getField("longitude").as("longitude"),
+      to_json(col("topics")).as("topics_json"),
+      to_json(transform(col("topic_share"), x => struct(
+        x.getField("id").as("id"),
+        x.getField("display_name").as("display_name"),
+        floor(x.getField("value") * 10000000L + 0.5).cast("long")
+          .as("value_e7"),
+        x.getField("subfield").as("subfield"), x.getField("field").as("field"),
+        x.getField("domain").as("domain")))).as("share_json"),
+      to_json(transform(col("associated_institutions"), x => struct(
+        x.getField("id").as("id"), x.getField("ror").as("ror"),
+        x.getField("display_name").as("display_name"),
+        x.getField("country_code").as("country_code"),
+        coalesce(x.getField("type"), lit("-")).as("type"),
+        x.getField("relationship").as("relationship")))).as("assoc_json"),
+      to_json(col("counts_by_year")).as("cby_json"),
+      col("summary_stats").getField("2yr_mean_citedness").as("rmc"),
+      col("summary_stats").getField("h_index").as("h_index"),
+      col("summary_stats").getField("i10_index").as("i10_index"),
+      col("status"), col("works_api_url"),
+      date_format(col("updated_date"), "yyyy-MM-dd").as("updated_d"),
+      date_format(col("created_date"), "yyyy-MM-dd").as("created_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
     "q73_funders_api" -> (q73 _),
     "q74_paywall_queues" -> (q74 _),
-    "q75_sources_api" -> (q75 _))
+    "q75_sources_api" -> (q75 _),
+    "q89_institutions_api" -> (q89 _))
 
   private val q74Oracle: String =
     """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
@@ -1214,10 +1431,280 @@ object PipelineQueries {
       |LEFT JOIN cbj c ON r.id = c.sid
       |LEFT JOIN chg ch ON r.id = ch.sid""".stripMargin
 
+  private val q89Oracle: String =
+    """WITH reg AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 60),
+      |active AS (SELECT id FROM reg WHERE id % 23 <> 0),
+      |wb0 AS (SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 10 <> 0 THEN 2008 + o_orderkey % 12
+      |         WHEN o_orderkey % 20 <> 10 THEN 2013 END AS pub_year,
+      |    CAST(o_orderkey % 25 AS INTEGER) AS cited,
+      |    (o_orderkey % 3 = 0) AS is_oa
+      |  FROM orders),
+      |wbrows AS (
+      |  SELECT k, CAST(k % 60 AS BIGINT) AS iid, pub_year, cited, is_oa
+      |  FROM wb0 WHERE k % 5 IN (0, 1, 3)
+      |  UNION ALL
+      |  SELECT k, CAST(k % 60 AS BIGINT), pub_year, cited, is_oa
+      |  FROM wb0 WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k, CAST((k * 3) % 60 AS BIGINT), pub_year, cited, is_oa
+      |  FROM wb0 WHERE k % 5 = 0),
+      |met0 AS (SELECT iid,
+      |  CAST(count(DISTINCT k) AS INTEGER) AS works_count,
+      |  CAST(sum(cited) AS INTEGER) AS cited_by_count,
+      |  CAST(count(CASE WHEN cited >= 10 THEN 1 END) AS INTEGER) AS i10,
+      |  floor(CAST(sum(CASE WHEN pub_year >= 2018 THEN cited END) AS DOUBLE)
+      |    / nullif(CAST(count(CASE WHEN pub_year >= 2018 THEN cited END)
+      |        AS DOUBLE), 0)
+      |    * 1000000 + 0.5) / 1000000.0 AS rmc,
+      |  list_sort(list(cited), 'DESC') AS s
+      |  FROM wbrows GROUP BY iid),
+      |met AS (SELECT iid, works_count, cited_by_count, i10,
+      |  coalesce(rmc, 0.0) AS rmc,
+      |  CAST(len(list_filter(range(1, len(s)+1), i -> s[i] >= i)) AS INTEGER)
+      |    AS h
+      |  FROM met0),
+      |chg AS (SELECT DISTINCT iid FROM wbrows WHERE k % 997 = 5),
+      |up AS (SELECT DISTINCT iid, k, pub_year, cited, is_oa FROM wbrows),
+      |cb0 AS (SELECT iid, CAST(pub_year AS INTEGER) AS year,
+      |  CAST(count(DISTINCT k) AS INTEGER) AS works_count,
+      |  CAST(sum(CASE WHEN is_oa THEN 1 ELSE 0 END) AS INTEGER)
+      |    AS oa_works_count,
+      |  CAST(sum(cited) AS INTEGER) AS cited_by_count
+      |  FROM up WHERE pub_year IS NOT NULL AND pub_year >= 2010
+      |  GROUP BY iid, pub_year),
+      |cbj AS (SELECT iid, CAST(to_json(list(struct_pack(year := year,
+      |    works_count := works_count, oa_works_count := oa_works_count,
+      |    cited_by_count := cited_by_count) ORDER BY year DESC)) AS VARCHAR)
+      |    AS cby_json
+      |  FROM cb0 GROUP BY iid),
+      |tw AS (
+      |  SELECT DISTINCT iid, k, 10000 + k % 41 AS tid FROM wbrows
+      |  WHERE k % 4 IN (0, 1, 2)
+      |  UNION
+      |  SELECT iid, k, 10000 + k % 29 FROM wbrows WHERE k % 4 = 1),
+      |tc AS (SELECT iid, tid, CAST(count(DISTINCT k) AS INTEGER) AS cnt
+      |  FROM tw GROUP BY iid, tid),
+      |tt AS (SELECT tid, count(DISTINCT k) AS total FROM tw GROUP BY tid),
+      |tl AS (SELECT iid, CAST(to_json(list(struct_pack(
+      |    id := 'T' || CAST(tid AS VARCHAR),
+      |    display_name := 'Topic ' || CAST(tid AS VARCHAR),
+      |    "count" := cnt,
+      |    subfield := 'SF' || CAST(tid % 6 AS VARCHAR),
+      |    field := 'F' || CAST(tid % 4 AS VARCHAR),
+      |    domain := 'D' || CAST(tid % 2 AS VARCHAR))
+      |    ORDER BY cnt DESC, 'T' || CAST(tid AS VARCHAR) ASC)[1:25])
+      |    AS VARCHAR) AS topics_json
+      |  FROM tc GROUP BY iid),
+      |tsv AS (SELECT iid, tid, floor(CAST(cnt AS DOUBLE)
+      |    / nullif(CAST(total AS DOUBLE), 0) * 10000000 + 0.5) / 10000000.0
+      |    AS value
+      |  FROM tc JOIN tt USING (tid)),
+      |sl AS (SELECT iid, CAST(to_json(list(struct_pack(
+      |    id := 'T' || CAST(tid AS VARCHAR),
+      |    display_name := 'Topic ' || CAST(tid AS VARCHAR),
+      |    value_e7 := CAST(floor(value * 10000000 + 0.5) AS BIGINT),
+      |    subfield := 'SF' || CAST(tid % 6 AS VARCHAR),
+      |    field := 'F' || CAST(tid % 4 AS VARCHAR),
+      |    domain := 'D' || CAST(tid % 2 AS VARCHAR))
+      |    ORDER BY value DESC, 'T' || CAST(tid AS VARCHAR) ASC)[1:25])
+      |    AS VARCHAR) AS share_json
+      |  FROM tsv GROUP BY iid),
+      |lnk AS (
+      |  SELECT CAST(c_custkey % 60 AS BIGINT) AS iid,
+      |    'P' || CAST(c_custkey % 20 AS VARCHAR) AS ent
+      |  FROM customer WHERE c_custkey < 120 AND c_custkey % 4 = 0
+      |  UNION ALL
+      |  SELECT CAST(c_custkey % 60 AS BIGINT),
+      |    'F' || CAST(c_custkey % 50 AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 120 AND c_custkey % 4 = 1
+      |  UNION ALL
+      |  SELECT CAST(c_custkey % 60 AS BIGINT),
+      |    'F' || CAST(c_custkey % 50 + 50 AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 120 AND c_custkey % 4 = 2),
+      |pc AS (SELECT 'P' || CAST(c_custkey AS VARCHAR) AS ent,
+      |  CAST((c_custkey * 13) % 89 AS INTEGER) AS wc
+      |  FROM customer WHERE c_custkey < 20),
+      |fc AS (SELECT 'F' || CAST(c_custkey AS VARCHAR) AS ent,
+      |  CAST((c_custkey * 11) % 97 AS INTEGER) AS wc
+      |  FROM customer WHERE c_custkey < 100 AND c_custkey % 5 <> 2),
+      |rall AS (
+      |  SELECT a.id AS iid, 'institution' AS role,
+      |    'https://openalex.org/I' || CAST(a.id AS VARCHAR) AS rid,
+      |    m.works_count AS wc
+      |  FROM active a LEFT JOIN met m ON a.id = m.iid
+      |  UNION ALL
+      |  SELECT l.iid,
+      |    CASE WHEN l.ent LIKE 'P%' THEN 'publisher' ELSE 'funder' END,
+      |    'https://openalex.org/' || l.ent, coalesce(pc.wc, fc.wc)
+      |  FROM lnk l JOIN active a ON l.iid = a.id
+      |  LEFT JOIN pc ON l.ent = pc.ent
+      |  LEFT JOIN fc ON l.ent = fc.ent),
+      |rded AS (SELECT iid, role, rid, wc, row_number() OVER (
+      |    PARTITION BY iid, role ORDER BY wc DESC NULLS LAST, rid ASC) AS rn
+      |  FROM rall),
+      |rolesj AS (SELECT iid, CAST(to_json(list(struct_pack(role := role,
+      |    id := rid, works_count := coalesce(wc, 0))
+      |    ORDER BY role ASC, rid ASC)) AS VARCHAR) AS roles_json
+      |  FROM rded WHERE rn = 1 OR role <> 'funder' GROUP BY iid),
+      |repo AS (SELECT CAST(c_custkey % 60 AS BIGINT) AS iid,
+      |    900 + c_custkey AS sid,
+      |    'Repo ' || CAST(c_custkey AS VARCHAR) AS rname
+      |  FROM customer WHERE c_custkey < 80 AND c_custkey % 2 = 0
+      |    AND c_custkey % 3 = 0 AND c_custkey % 18 <> 0),
+      |reposj AS (SELECT repo.iid, CAST(to_json(list(struct_pack(
+      |    id := 'https://openalex.org/S' || CAST(sid AS VARCHAR),
+      |    display_name := rname,
+      |    host_organization :=
+      |      'https://openalex.org/I' || CAST(repo.iid AS VARCHAR),
+      |    host_organization_name := 'Inst ' || CAST(repo.iid AS VARCHAR),
+      |    host_organization_lineage :=
+      |      ['https://openalex.org/I' || CAST(repo.iid AS VARCHAR)])
+      |    ORDER BY 'https://openalex.org/S' || CAST(sid AS VARCHAR) ASC))
+      |    AS VARCHAR) AS repos_json
+      |  FROM repo JOIN reg r ON repo.iid = r.id GROUP BY repo.iid),
+      |rel AS (
+      |  SELECT c_custkey AS src, (c_custkey + 7) % 60 AS rid,
+      |    ['parent','child','related'][CAST(c_custkey % 3 AS INTEGER) + 1]
+      |      AS relationship
+      |  FROM customer
+      |  WHERE c_custkey < 60 AND c_custkey % 5 = 0 AND c_custkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT c_custkey, (c_custkey + 14) % 60, 'successor'
+      |  FROM customer
+      |  WHERE c_custkey < 60 AND c_custkey % 10 = 0 AND c_custkey % 7 <> 3),
+      |rtyp AS (SELECT ror_id, lower(coalesce(
+      |    max(CASE WHEN lower(typ) <> 'funder' THEN typ END), max(typ)))
+      |    AS rtype
+      |  FROM (
+      |    SELECT '0r' || CAST(c_custkey AS VARCHAR) AS ror_id,
+      |      'Education' AS typ
+      |    FROM customer WHERE c_custkey < 60 AND c_custkey % 2 = 0
+      |    UNION ALL
+      |    SELECT '0r' || CAST(c_custkey AS VARCHAR), 'Funder'
+      |    FROM customer WHERE c_custkey < 60 AND c_custkey % 3 = 0)
+      |  GROUP BY ror_id),
+      |assocj AS (SELECT src AS iid, CAST(to_json(list(struct_pack(
+      |    id := 'https://openalex.org/I' || CAST(rid AS VARCHAR),
+      |    ror := 'https://ror.org/0r' || CAST(rid AS VARCHAR),
+      |    display_name := 'Inst ' || CAST(rid AS VARCHAR),
+      |    country_code := ['US','DE','BR','JP'][CAST(rid % 4 AS INTEGER) + 1],
+      |    "type" := coalesce(rtype, '-'),
+      |    relationship := relationship)
+      |    ORDER BY 'https://openalex.org/I' || CAST(rid AS VARCHAR) ASC))
+      |    AS VARCHAR) AS assoc_json
+      |  FROM rel
+      |  LEFT JOIN rtyp ON '0r' || CAST(rid AS VARCHAR) = rtyp.ror_id
+      |  WHERE rid % 7 <> 3 AND rid % 23 <> 0 AND rid >= 1 AND rid < 60
+      |  GROUP BY src),
+      |altu AS (
+      |  SELECT c_custkey AS id, 'Alt ' || CAST(c_custkey AS VARCHAR) AS alt
+      |  FROM customer WHERE c_custkey < 60 AND c_custkey % 3 = 0
+      |  UNION
+      |  SELECT c_custkey, 'Zed ' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 60 AND c_custkey % 3 = 0
+      |  UNION
+      |  SELECT c_custkey, 'Label ' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer
+      |  WHERE c_custkey < 60 AND c_custkey % 2 = 0 AND c_custkey % 7 <> 3
+      |  UNION
+      |  SELECT c_custkey, 'Alias ' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer
+      |  WHERE c_custkey < 60 AND c_custkey % 4 = 0 AND c_custkey % 7 <> 3
+      |  UNION
+      |  SELECT c_custkey, 'Alt ' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer
+      |  WHERE c_custkey < 60 AND c_custkey % 12 = 0 AND c_custkey % 7 <> 3),
+      |altj AS (SELECT id, CAST(to_json(list(alt ORDER BY alt ASC)) AS VARCHAR)
+      |    AS alt_json
+      |  FROM altu GROUP BY id),
+      |linj AS (SELECT id, CAST(to_json(CASE
+      |    WHEN id % 3 = 0 THEN list_sort([
+      |      'https://openalex.org/I' || CAST(id AS VARCHAR),
+      |      'https://openalex.org/I' || CAST(id + 100 AS VARCHAR),
+      |      'https://openalex.org/I' || CAST(id + 101 AS VARCHAR)])
+      |    ELSE ['https://openalex.org/I' || CAST(id AS VARCHAR)] END)
+      |    AS VARCHAR) AS lineage_json
+      |  FROM reg)
+      |SELECT CAST(a.id AS BIGINT) AS id,
+      |  'Inst ' || CAST(a.id AS VARCHAR) AS display_name,
+      |  CASE WHEN a.id % 7 <> 3
+      |    THEN 'https://ror.org/0r' || CAST(a.id AS VARCHAR) END AS ror,
+      |  ['US','DE','BR','JP'][CAST(a.id % 4 AS INTEGER) + 1] AS country_code,
+      |  ['education','facility','government'][CAST(a.id % 3 AS INTEGER) + 1]
+      |    AS type,
+      |  'https://openalex.org/institution-types/' ||
+      |    ['education','facility','government'][CAST(a.id % 3 AS INTEGER) + 1]
+      |    AS type_id,
+      |  l.lineage_json,
+      |  CAST(a.id = 30 AS INTEGER) AS super,
+      |  CASE WHEN a.id % 5 <> 2
+      |    THEN 'https://i' || CAST(a.id AS VARCHAR) || '.edu' END
+      |    AS homepage_url,
+      |  CASE WHEN a.id % 6 = 0
+      |    THEN 'https://img.example/' || CAST(a.id AS VARCHAR) END
+      |    AS image_url,
+      |  CASE WHEN a.id % 6 = 0
+      |    THEN 'https://img.example/' || CAST(a.id AS VARCHAR) || '/thumb' END
+      |    AS thumb_url,
+      |  CASE WHEN a.id % 4 = 0 THEN CAST(to_json(
+      |    ['A' || CAST(a.id AS VARCHAR)]) AS VARCHAR) END AS acronyms_json,
+      |  coalesce(aj.alt_json, '[]') AS alt_json,
+      |  coalesce(m.works_count, 0) AS works_count,
+      |  coalesce(m.cited_by_count, 0) AS cited_by_count,
+      |  'https://openalex.org/I' || CAST(a.id AS VARCHAR) AS openalex_id,
+      |  CASE WHEN a.id % 5 = 0 THEN 'grid.' || CAST(a.id AS VARCHAR) END
+      |    AS grid,
+      |  CASE WHEN a.id % 3 = 1
+      |    THEN 'https://en.wikipedia.org/wiki/I' || CAST(a.id AS VARCHAR) END
+      |    AS wikipedia,
+      |  CASE WHEN a.id % 4 = 2 THEN 'Q' || CAST(a.id * 7 AS VARCHAR) END
+      |    AS wikidata,
+      |  rj.roles_json,
+      |  coalesce(rp.repos_json, '[]') AS repos_json,
+      |  'City ' || CAST(a.id % 10 AS VARCHAR) AS city,
+      |  CASE WHEN a.id % 9 <> 2 THEN CAST(a.id * 3 AS BIGINT) END
+      |    AS geonames_city_id,
+      |  CASE WHEN a.id % 8 <> 1 THEN 'Reg ' || CAST(a.id % 5 AS VARCHAR) END
+      |    AS region,
+      |  'Country ' || CAST(a.id % 4 AS VARCHAR) AS country,
+      |  CASE WHEN a.id % 11 <> 4 THEN CAST(a.id AS DOUBLE) / 2 END
+      |    AS latitude,
+      |  CASE WHEN a.id % 11 <> 4 THEN -CAST(a.id AS DOUBLE) * 1.5 END
+      |    AS longitude,
+      |  coalesce(t.topics_json, '[]') AS topics_json,
+      |  coalesce(s.share_json, '[]') AS share_json,
+      |  coalesce(ai.assoc_json, '[]') AS assoc_json,
+      |  coalesce(cb.cby_json, '[]') AS cby_json,
+      |  coalesce(m.rmc, 0.0) AS rmc,
+      |  coalesce(m.h, 0) AS h_index,
+      |  coalesce(m.i10, 0) AS i10_index,
+      |  CASE WHEN a.id % 2 = 0 AND a.id % 7 <> 3
+      |    THEN ['active','inactive','withdrawn'][CAST(a.id % 3 AS INTEGER) + 1]
+      |    ELSE 'active' END AS status,
+      |  'https://api.openalex.org/works?filter=institutions.id:I' ||
+      |    CAST(a.id AS VARCHAR) AS works_api_url,
+      |  CASE WHEN ch.iid IS NOT NULL THEN '2024-02-02' ELSE '2024-01-01' END
+      |    AS updated_d,
+      |  strftime(DATE '2012-01-01' + CAST(a.id AS INTEGER), '%Y-%m-%d')
+      |    AS created_d
+      |FROM active a
+      |LEFT JOIN met m ON a.id = m.iid
+      |LEFT JOIN linj l ON a.id = l.id
+      |LEFT JOIN altj aj ON a.id = aj.id
+      |LEFT JOIN rolesj rj ON a.id = rj.iid
+      |LEFT JOIN reposj rp ON a.id = rp.iid
+      |LEFT JOIN tl t ON a.id = t.iid
+      |LEFT JOIN sl s ON a.id = s.iid
+      |LEFT JOIN assocj ai ON a.id = ai.iid
+      |LEFT JOIN cbj cb ON a.id = cb.iid
+      |LEFT JOIN chg ch ON a.id = ch.iid""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
     "q73_funders_api" -> q73Oracle,
     "q74_paywall_queues" -> q74Oracle,
-    "q75_sources_api" -> q75Oracle)
+    "q75_sources_api" -> q75Oracle,
+    "q89_institutions_api" -> q89Oracle)
 }
