@@ -1089,13 +1089,119 @@ object PipelineQueries {
       date_format(col("created_date"), "yyyy-MM-dd").as("created_d"))
   }
 
+  /** §2.4/§2.9 Publishers API entity build (CreatePublishersAPI.ipynb):
+    * the full publishers_api assembly — locations-explode work pairs at
+    * the DISTINCT grain (k%6==1 plants a duplicate host that must
+    * dedup, k%6==0 a two-publisher work, k%6==3 an I-host that the
+    * P-prefix filter drops), totals vs the 2014–2021-bounded
+    * counts_by_year (years run 2010–2023 so both bounds cut), the
+    * NULL-h-index-when-no-works asymmetry of the reference's
+    * summary_stats struct, from_json registry parsing with a malformed-
+    * JSON arm (ck%11==7 → NULL), entity-link roles with the top-funder
+    * dedup, and the cells-0/2 hash-gated updated_date across two works
+    * generations (gen1 drops k%991==3). */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.PublishersApi
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val OA = "https://openalex.org/"
+    val publishers = c.filter(ck < 50).select(
+      ck.cast("long").as("id"),
+      concat(lit("Pub "), ck.cast("string")).as("display_name"),
+      when(ck % 3 === 0, concat(lit("[\"Apub "), ck.cast("string"),
+          lit("\",\"Bpub "), ck.cast("string"), lit("\"]")))
+        .when(ck % 11 === 7, lit("not json")).as("alternate_titles"),
+      when(ck % 4 === 0, lit("[\"US\",\"DE\"]"))
+        .when(ck % 4 === 1, lit("[\"BR\"]")).as("country_codes"),
+      (ck % 3).cast("int").as("hierarchy_level"),
+      when(ck % 5 === 0, struct(concat(lit(OA + "P"),
+        (ck + 200).cast("string")).as("id"))).as("parent_publisher"),
+      when(ck % 6 =!= 2, concat(lit("https://ror.org/0p"), ck.cast("string")))
+        .as("ror_id"),
+      when(ck % 7 === 0, concat(lit("https://img.example/p"),
+        ck.cast("string"))).as("image_url"),
+      when(ck % 7 === 0, concat(lit("https://img.example/p"),
+        ck.cast("string"), lit("/t"))).as("image_thumbnail_url"),
+      when(ck % 4 === 2, concat(lit("Q"), (ck * 3).cast("string")))
+        .as("wikidata_id"),
+      when(ck % 5 =!= 3, concat(lit("https://p"), ck.cast("string"),
+        lit(".com"))).as("homepage_url"),
+      date_add(lit("2013-01-01").cast("date"), ck.cast("int"))
+        .as("created_date"),
+      when(ck % 21 === 0, ck + 1).as("merge_into_id"))
+    val links = c.filter(ck < 100 && ck % 4 =!= 3).select(
+      when(ck % 4 === 1, concat(lit("F"), (ck % 40).cast("string")))
+        .otherwise(concat(lit("P"), (ck % 50).cast("string"))).as("id_1"),
+      when(ck % 4 === 0, concat(lit("I"), (ck % 30).cast("string")))
+        .when(ck % 4 === 1, concat(lit("P"), (ck % 50).cast("string")))
+        .otherwise(concat(lit("F"), (ck % 40 + 40).cast("string")))
+        .as("id_2"))
+      .unionByName(c.filter(ck < 100 && ck % 4 === 3).select(
+        concat(lit("X"), ck.cast("string")).as("id_1"),
+        concat(lit("P"), (ck % 50).cast("string")).as("id_2")))
+    val entityCounts = c.filter(ck < 30 && ck % 4 =!= 1).select(
+        concat(lit("I"), ck.cast("string")).as("entity_id"),
+        ((ck * 17) % 83).cast("int").as("works_count"))
+      .unionByName(c.filter(ck < 80 && ck % 6 =!= 2).select(
+        concat(lit("F"), ck.cast("string")).as("entity_id"),
+        ((ck * 7) % 71).cast("int").as("works_count")))
+
+    val k = col("o_orderkey")
+    def loc(host: Column) = struct(struct(host.as("host_organization"))
+      .as("source"))
+    val p1 = loc(concat(lit(OA + "P"), pmod(k, lit(50)).cast("string")))
+    val p2 = loc(concat(lit(OA + "P"), pmod(k * 7, lit(50)).cast("string")))
+    val iHost = loc(concat(lit(OA + "I"), pmod(k, lit(40)).cast("string")))
+    val nullHost = loc(lit(null).cast("string"))
+    val m6 = pmod(k, lit(6))
+    val works = o.select(
+      k.as("id"),
+      when(pmod(k, lit(12)) =!= 0, (lit(2010) + pmod(k, lit(14))).cast("int"))
+        .as("publication_year"),
+      pmod(k, lit(30)).as("cited_by_count"),
+      when(m6 === 0, array(p1, p2)).when(m6 === 1, array(p1, p1))
+        .when(m6 === 2, array(p1)).when(m6 === 3, array(iHost))
+        .when(m6 === 4, array(nullHost)).as("locations"))
+    val wp2 = PublishersApi.workPairs(works)
+    val wp1 = PublishersApi.workPairs(
+      works.filter(pmod(col("id"), lit(991)) =!= 3))
+    def api(wp: DataFrame) = PublishersApi.assemble(publishers, wp, links,
+      entityCounts, recentYearMin = 2022, yearMin = 2014, yearMax = 2021)
+    val snap = PublishersApi.hashSnapshot(api(wp1)
+      .withColumn("updated_date", lit("2024-03-01").cast("timestamp")))
+    val stamped = PublishersApi.stampUpdatedDate(api(wp2), snap,
+      lit("2024-04-04").cast("timestamp"))
+    stamped.select(
+      col("id"), col("display_name"),
+      to_json(col("lineage")).as("lineage_json"),
+      to_json(col("alternate_titles")).as("alt_json"),
+      to_json(col("country_codes")).as("cc_json"),
+      col("hierarchy_level"),
+      col("parent_publisher").getField("id").as("parent_id"),
+      col("ids").getField("openalex").as("openalex_id"),
+      col("ids").getField("ror").as("ror"),
+      col("ids").getField("wikidata").as("wikidata"),
+      col("image_url"), col("image_thumbnail_url").as("thumb_url"),
+      col("homepage_url"),
+      col("works_count"), col("cited_by_count"),
+      col("summary_stats").getField("2yr_mean_citedness").as("rmc"),
+      col("summary_stats").getField("h_index").as("h_index"),
+      col("summary_stats").getField("i10_index").as("i10_index"),
+      to_json(col("roles")).as("roles_json"),
+      to_json(col("counts_by_year")).as("cby_json"),
+      col("sources_api_url"),
+      date_format(col("created_date"), "yyyy-MM-dd").as("created_d"),
+      date_format(col("updated_date"), "yyyy-MM-dd").as("updated_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
     "q73_funders_api" -> (q73 _),
     "q74_paywall_queues" -> (q74 _),
     "q75_sources_api" -> (q75 _),
-    "q89_institutions_api" -> (q89 _))
+    "q89_institutions_api" -> (q89 _),
+    "q90_publishers_api" -> (q90 _))
 
   private val q74Oracle: String =
     """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
@@ -1700,11 +1806,136 @@ object PipelineQueries {
       |LEFT JOIN cbj cb ON a.id = cb.iid
       |LEFT JOIN chg ch ON a.id = ch.iid""".stripMargin
 
+  private val q90Oracle: String =
+    """WITH reg AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 50),
+      |active AS (SELECT id FROM reg WHERE id % 21 <> 0),
+      |w0 AS (SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 12 <> 0 THEN 2010 + o_orderkey % 14 END
+      |      AS py,
+      |    CAST(o_orderkey % 30 AS BIGINT) AS cited
+      |  FROM orders),
+      |pairs AS (
+      |  SELECT k, CAST(k % 50 AS BIGINT) AS pid, py, cited
+      |  FROM w0 WHERE k % 6 IN (0, 1, 2)
+      |  UNION
+      |  SELECT k, CAST((k * 7) % 50 AS BIGINT), py, cited
+      |  FROM w0 WHERE k % 6 = 0),
+      |tot AS (SELECT pid, CAST(count(*) AS BIGINT) AS works_count,
+      |    CAST(sum(cited) AS BIGINT) AS cited_by_count
+      |  FROM pairs GROUP BY pid),
+      |st0 AS (SELECT pid,
+      |  CAST(count(CASE WHEN cited >= 10 THEN 1 END) AS INTEGER) AS i10,
+      |  floor(CAST(sum(CASE WHEN py >= 2022 THEN cited END) AS DOUBLE)
+      |    / nullif(CAST(count(CASE WHEN py >= 2022 THEN cited END)
+      |        AS DOUBLE), 0)
+      |    * 1000000 + 0.5) / 1000000.0 AS rmc,
+      |  list_sort(list(CAST(cited AS INTEGER)), 'DESC') AS s
+      |  FROM pairs GROUP BY pid),
+      |st AS (SELECT pid, i10, coalesce(rmc, 0.0) AS rmc,
+      |  CAST(len(list_filter(range(1, len(s)+1), i -> s[i] >= i)) AS INTEGER)
+      |    AS h
+      |  FROM st0),
+      |chg AS (SELECT DISTINCT pid FROM pairs WHERE k % 991 = 3),
+      |cb0 AS (SELECT pid, CAST(py AS INTEGER) AS year,
+      |  CAST(count(*) AS BIGINT) AS works_count,
+      |  CAST(sum(cited) AS BIGINT) AS cited_by_count
+      |  FROM pairs WHERE py IS NOT NULL AND py BETWEEN 2014 AND 2021
+      |  GROUP BY pid, py),
+      |cbj AS (SELECT pid, CAST(to_json(list(struct_pack(year := year,
+      |    works_count := works_count, cited_by_count := cited_by_count)
+      |    ORDER BY year DESC)) AS VARCHAR) AS cby_json
+      |  FROM cb0 GROUP BY pid),
+      |lnk AS (
+      |  SELECT CAST(c_custkey % 50 AS BIGINT) AS pid,
+      |    'I' || CAST(c_custkey % 30 AS VARCHAR) AS ent
+      |  FROM customer WHERE c_custkey < 100 AND c_custkey % 4 = 0
+      |  UNION ALL
+      |  SELECT CAST(c_custkey % 50 AS BIGINT),
+      |    'F' || CAST(c_custkey % 40 AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 100 AND c_custkey % 4 = 1
+      |  UNION ALL
+      |  SELECT CAST(c_custkey % 50 AS BIGINT),
+      |    'F' || CAST(c_custkey % 40 + 40 AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 100 AND c_custkey % 4 = 2),
+      |ic AS (SELECT 'I' || CAST(c_custkey AS VARCHAR) AS ent,
+      |  CAST((c_custkey * 17) % 83 AS INTEGER) AS wc
+      |  FROM customer WHERE c_custkey < 30 AND c_custkey % 4 <> 1),
+      |fc AS (SELECT 'F' || CAST(c_custkey AS VARCHAR) AS ent,
+      |  CAST((c_custkey * 7) % 71 AS INTEGER) AS wc
+      |  FROM customer WHERE c_custkey < 80 AND c_custkey % 6 <> 2),
+      |rall AS (
+      |  SELECT a.id AS pid, 'publisher' AS role,
+      |    'https://openalex.org/P' || CAST(a.id AS VARCHAR) AS rid,
+      |    CAST(t.works_count AS INTEGER) AS wc
+      |  FROM active a LEFT JOIN tot t ON a.id = t.pid
+      |  UNION ALL
+      |  SELECT l.pid,
+      |    CASE WHEN l.ent LIKE 'I%' THEN 'institution' ELSE 'funder' END,
+      |    'https://openalex.org/' || l.ent, coalesce(ic.wc, fc.wc)
+      |  FROM lnk l JOIN active a ON l.pid = a.id
+      |  LEFT JOIN ic ON l.ent = ic.ent
+      |  LEFT JOIN fc ON l.ent = fc.ent),
+      |rded AS (SELECT pid, role, rid, wc, row_number() OVER (
+      |    PARTITION BY pid, role ORDER BY wc DESC NULLS LAST, rid ASC) AS rn
+      |  FROM rall),
+      |rolesj AS (SELECT pid, CAST(to_json(list(struct_pack(role := role,
+      |    id := rid, works_count := coalesce(wc, 0))
+      |    ORDER BY role ASC, rid ASC)) AS VARCHAR) AS roles_json
+      |  FROM rded WHERE rn = 1 OR role <> 'funder' GROUP BY pid)
+      |SELECT CAST(a.id AS BIGINT) AS id,
+      |  'Pub ' || CAST(a.id AS VARCHAR) AS display_name,
+      |  CAST(to_json(['https://openalex.org/P' || CAST(a.id AS VARCHAR)])
+      |    AS VARCHAR) AS lineage_json,
+      |  CASE WHEN a.id % 3 = 0 THEN CAST(to_json(
+      |      ['Apub ' || CAST(a.id AS VARCHAR),
+      |       'Bpub ' || CAST(a.id AS VARCHAR)]) AS VARCHAR) END AS alt_json,
+      |  CASE WHEN a.id % 4 = 0 THEN CAST(to_json(['US','DE']) AS VARCHAR)
+      |       WHEN a.id % 4 = 1 THEN CAST(to_json(['BR']) AS VARCHAR) END
+      |    AS cc_json,
+      |  CAST(a.id % 3 AS INTEGER) AS hierarchy_level,
+      |  CASE WHEN a.id % 5 = 0
+      |    THEN 'https://openalex.org/P' || CAST(a.id + 200 AS VARCHAR) END
+      |    AS parent_id,
+      |  'https://openalex.org/P' || CAST(a.id AS VARCHAR) AS openalex_id,
+      |  CASE WHEN a.id % 6 <> 2
+      |    THEN 'https://ror.org/0p' || CAST(a.id AS VARCHAR) END AS ror,
+      |  CASE WHEN a.id % 4 = 2 THEN 'Q' || CAST(a.id * 3 AS VARCHAR) END
+      |    AS wikidata,
+      |  CASE WHEN a.id % 7 = 0
+      |    THEN 'https://img.example/p' || CAST(a.id AS VARCHAR) END
+      |    AS image_url,
+      |  CASE WHEN a.id % 7 = 0
+      |    THEN 'https://img.example/p' || CAST(a.id AS VARCHAR) || '/t' END
+      |    AS thumb_url,
+      |  CASE WHEN a.id % 5 <> 3
+      |    THEN 'https://p' || CAST(a.id AS VARCHAR) || '.com' END
+      |    AS homepage_url,
+      |  coalesce(t.works_count, 0) AS works_count,
+      |  coalesce(t.cited_by_count, 0) AS cited_by_count,
+      |  coalesce(s.rmc, 0.0) AS rmc,
+      |  s.h AS h_index,
+      |  coalesce(s.i10, 0) AS i10_index,
+      |  rj.roles_json,
+      |  coalesce(cb.cby_json, '[]') AS cby_json,
+      |  'https://api.openalex.org/sources?filter=host_organization.id:P' ||
+      |    CAST(a.id AS VARCHAR) AS sources_api_url,
+      |  strftime(DATE '2013-01-01' + CAST(a.id AS INTEGER), '%Y-%m-%d')
+      |    AS created_d,
+      |  CASE WHEN ch.pid IS NOT NULL THEN '2024-04-04' ELSE '2024-03-01' END
+      |    AS updated_d
+      |FROM active a
+      |LEFT JOIN tot t ON a.id = t.pid
+      |LEFT JOIN st s ON a.id = s.pid
+      |LEFT JOIN rolesj rj ON a.id = rj.pid
+      |LEFT JOIN cbj cb ON a.id = cb.pid
+      |LEFT JOIN chg ch ON a.id = ch.pid""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
     "q73_funders_api" -> q73Oracle,
     "q74_paywall_queues" -> q74Oracle,
     "q75_sources_api" -> q75Oracle,
-    "q89_institutions_api" -> q89Oracle)
+    "q89_institutions_api" -> q89Oracle,
+    "q90_publishers_api" -> q90Oracle)
 }
