@@ -1,0 +1,88 @@
+package graft.authors
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Author curation maintenance ops (reference: notebooks/authors/
+  * SyncAuthorNameCurations.ipynb, ApplyAuthorNameCurations.ipynb,
+  * SyncAuthorOrcidCurations.ipynb, ApplyAuthorOrcidCurations.ipynb):
+  * the user-submitted curation snapshot dedup (latest event per author
+  * wins) and the pending-changes diffs that decide which authors need a
+  * re-sync. Curations are OVERRIDES applied at CreateAuthors time via
+  * COALESCE(curated, organic) — deleting a curation reverts the author
+  * organically, which is why the diffs compare the currently-DISPLAYED
+  * value against the value the current curation state implies, with
+  * null-safe `<=>` equality throughout (a null organic name must not
+  * mark every curated author changed).
+  *
+  * Scale posture: the event dedup is one window bounded per author; the
+  * diffs are two broadcast-joined registry-sized tables against the
+  * authors table — one work-sized shuffle total for the enqueue count.
+  */
+object Curations {
+
+  /** SyncAuthorNameCurations cell 4: latest curation event per author
+    * (ROW_NUMBER by created DESC). Generic over the payload columns —
+    * pass the raw event table and the columns to carry. */
+  def latestCurations(events: DataFrame, carry: String*): DataFrame = {
+    val w = Window.partitionBy(col("author_id")).orderBy(col("created").desc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("author_id") +: carry.map(col): _*)
+  }
+
+  /** ApplyAuthorNameCurations cell 2: authors whose displayed name
+    * differs from what the current curation state implies. Inputs:
+    * authors(id, display_name) organic, openalexAuthors(id,
+    * display_name) displayed, curations(author_id,
+    * curated_display_name). */
+  def namesPendingChanges(authors: DataFrame, openalexAuthors: DataFrame,
+      curations: DataFrame): DataFrame = {
+    val a = authors.select(col("id"), col("display_name").as("__organic"))
+    val oa = openalexAuthors.select(col("id"), col("display_name")
+      .as("__displayed"))
+    val c = curations.select(col("author_id").as("__cid"),
+      col("curated_display_name").as("__curated"))
+    a.join(oa, Seq("id"))
+      .join(broadcast(c), col("id") === col("__cid"), "left")
+      .filter((col("__cid").isNotNull ||
+          !(col("__displayed") <=> col("__organic"))) &&
+        !(col("__displayed") <=> coalesce(col("__curated"), col("__organic"))))
+      .select(col("id").as("author_id"))
+  }
+
+  /** ApplyAuthorOrcidCurations cell 2: the ORCID variant — a curation
+    * can SET an ORCID (curated_orcid, empty string ignored) or REMOVE
+    * one (removed_orcid nulls the organic value only when it still
+    * matches, so a re-attested different ORCID survives removal). */
+  def orcidPendingChanges(authors: DataFrame, openalexAuthors: DataFrame,
+      curations: DataFrame): DataFrame = {
+    val a = authors.select(col("id"), col("orcid").as("__organic"))
+    val oa = openalexAuthors.select(col("id"), col("orcid").as("__displayed"))
+    val c = curations.select(col("author_id").as("__cid"),
+      col("curated_orcid").as("__curated"),
+      col("removed_orcid").as("__removed"))
+    val target =
+      when(col("__curated").isNotNull && col("__curated") =!= "",
+        col("__curated"))
+      .when(col("__removed").isNotNull &&
+        col("__organic") === col("__removed"), lit(null).cast("string"))
+      .otherwise(col("__organic"))
+    a.join(oa, Seq("id"))
+      .join(broadcast(c), col("id") === col("__cid"), "left")
+      .filter((col("__cid").isNotNull ||
+          !(col("__displayed") <=> col("__organic"))) &&
+        !(col("__displayed") <=> target))
+      .select(col("id").as("author_id"))
+  }
+
+  /** Cell-4 verification rollup, per author: the distinct works that a
+    * pending author would enqueue (the notebook reports the global
+    * COUNT(DISTINCT work_id); the per-author grain sums to it). */
+  def worksEnqueued(pending: DataFrame, workAuthors: DataFrame): DataFrame =
+    workAuthors.select(col("author_id"), col("work_id"))
+      .join(pending.select(col("author_id")), Seq("author_id"), "left_semi")
+      .groupBy(col("author_id"))
+      .agg(countDistinct(col("work_id")).as("works_enqueued"))
+}

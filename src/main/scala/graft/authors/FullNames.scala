@@ -1,0 +1,252 @@
+package graft.authors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Author full-name maintenance (reference: notebooks/authors/
+  * UpdateAuthorFullNames.ipynb): build per-author display-name EVIDENCE
+  * from the attested raw strings (plus curated overrides), then decide
+  * per author whether the stored `full_name` should be ENRICHED (a
+  * strictly-more-informative variant of the same name: initial → full
+  * first, missing → present middle, credential-free suffix) or RESET
+  * (missing or polluted by a cross-person merge). Every path is gated:
+  *
+  *  - `is_clean` evidence gates: no digits/heavy punctuation, 5–80
+  *    chars, has a space, parsed first present, no credential tokens
+  *    (case-sensitive — lowercase 'Md.' is a common Bangladeshi name
+  *    prefix, only 'MD'/'M.D' style credentials are junk), no repeated
+  *    name tokens ('Shin Kubo Shin Kubo' doubled-name junk);
+  *  - enrich candidates must share the current name's block key (same
+  *    parsed last, same first initial) and every component gain must be
+  *    0 (equal) or 1 (strict refinement) — a NULL gain (conflict /
+  *    degradation) disqualifies; ambiguity guards block refinements
+  *    when the author's evidence carries ≥2 distinct full firsts or
+  *    middle initials (unless curated); a surname-particle guard stops
+  *    variants that drop a particle the current name has (cross-person
+  *    variants on merged profiles parse to colliding particle-stripped
+  *    lasts);
+  *  - resets require a dominant clean variant (n ≥ 3 AND ≥ half of all
+  *    attested evidence) and fire as `fill_missing` (no/unparseable
+  *    current name) or `pollution_reset` (no attested variant shares
+  *    the current last — the stored name is somebody else's).
+  *
+  * Scale posture: evidence is one hash aggregation on (author, raw)
+  * plus a broadcast join against the parsed-names dictionary; every
+  * window partitions by author_id (bounded by an author's variant
+  * count); the apply step is a keyed MERGE.
+  */
+object FullNames {
+
+  private val BadChars = "[0-9,;:()\\[\\]{}<>/@&#%*_=+|\"!?]"
+  private val Credentials = "(^| )(Dr|Dra|Drs|Prof|Ir|Hj|MD|M\\.D|PhD|" +
+    "Ph\\.D|M\\.Si|S\\.T|M\\.Sc|MSc|M\\.Pd|S\\.Pd|DDS|DVM|MPH)\\.?(,| |$)"
+  private val Particles = "(?i)(^| )(van|der|von|de|da|del|della|di|dos|" +
+    "das|du|ter|ten)( |$)"
+
+  private def letters(c: Column): Column =
+    regexp_replace(c, "[^\\p{L}]", "")
+
+  /** The cell-2 `author_full_name_evidence` build. Inputs:
+    *  - `staging`: (author_id 'https://openalex.org/A…' URL,
+    *    raw_author_name) one row per attested authorship;
+    *  - `curations`: (author_id BIGINT, curated_display_name);
+    *  - `parsedNames`: (raw_author_name, parsed_name
+    *    STRUCT<first,middle,last,suffix>) — the author_names
+    *    dictionary. */
+  def evidence(staging: DataFrame, curations: DataFrame,
+      parsedNames: DataFrame): DataFrame = {
+    val attested = staging
+      .filter(col("raw_author_name").isNotNull &&
+        trim(col("raw_author_name")) =!= "")
+      .groupBy(
+        regexp_extract(col("author_id"), "/A([0-9]+)$", 1).cast("long")
+          .as("author_id"),
+        trim(col("raw_author_name")).as("raw"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_curated", lit(false))
+    val curated = curations
+      .filter(col("curated_display_name").isNotNull &&
+        trim(col("curated_display_name")) =!= "")
+      .select(col("author_id"), trim(col("curated_display_name")).as("raw"),
+        lit(null).cast("long").as("n"), lit(true).as("is_curated"))
+    val unioned = attested.unionByName(curated)
+      .groupBy(col("author_id"), col("raw"))
+      .agg(sum(col("n")).as("n"), bool_or(col("is_curated")).as("is_curated"))
+    val tokens = filter(
+      split(lower(regexp_replace(col("raw"), "[^\\p{L}]", " ")), " +"),
+      t => length(t) >= 2)
+    unioned
+      .join(parsedNames.select(col("raw_author_name"),
+        col("parsed_name")), col("raw") === col("raw_author_name"))
+      .filter(col("parsed_name.last").isNotNull &&
+        col("parsed_name.last") =!= "")
+      .select(col("author_id"), col("raw"), col("n"), col("is_curated"),
+        col("parsed_name.first").as("p_first"),
+        coalesce(col("parsed_name.middle"), lit("")).as("p_middle"),
+        col("parsed_name.last").as("p_last"),
+        coalesce(col("parsed_name.suffix"), lit("")).as("p_suffix"),
+        (!col("raw").rlike(BadChars) &&
+          length(col("raw")).between(5, 80) &&
+          col("raw").contains(" ") &&
+          coalesce(col("parsed_name.first"), lit("")) =!= "" &&
+          !col("raw").rlike(Credentials) &&
+          size(tokens) === size(array_distinct(tokens))).as("is_clean"))
+  }
+
+  /** The cell-4 `author_full_name_pending_changes` build: enrich ∪
+    * resets. `authors`: (id, full_name). */
+  def pendingChanges(ev: DataFrame, authors: DataFrame,
+      parsedNames: DataFrame): DataFrame = {
+    val current = authors
+      .join(broadcast(parsedNames.select(col("raw_author_name"),
+          col("parsed_name"))),
+        trim(col("full_name")) === col("raw_author_name"), "left")
+      .select(col("id").as("author_id"),
+        trim(col("full_name")).as("full_name"),
+        col("parsed_name.first").as("c_first"),
+        coalesce(col("parsed_name.middle"), lit("")).as("c_middle"),
+        col("parsed_name.last").as("c_last"),
+        coalesce(col("parsed_name.suffix"), lit("")).as("c_suffix"))
+    val attestedEv = ev.filter(col("n").isNotNull)
+    val evidenceStats = attestedEv
+      .groupBy(col("author_id"))
+      .agg(sum(col("n")).as("total_n"),
+        max(when(col("is_clean"),
+          struct(struct(col("n"), length(col("raw")).as("len"),
+            col("raw")).as("k"), struct(col("raw"), col("n")).as("v"))))
+          .getField("v").as("top_clean"))
+    val lastMatch = attestedEv.join(current, Seq("author_id"))
+      .groupBy(col("author_id"))
+      .agg(max(when(col("p_last") === col("c_last"), 1).otherwise(0))
+        .as("any_last_match"))
+
+    val compat = ev.join(current, Seq("author_id"))
+      .filter(col("c_last").isNotNull && col("c_last") =!= "" &&
+        col("p_last") === col("c_last") &&
+        col("p_first").isNotNull && col("p_first") =!= "" &&
+        col("c_first").isNotNull && col("c_first") =!= "" &&
+        substring(col("p_first"), 1, 1) === substring(col("c_first"), 1, 1))
+      .select(col("author_id"), col("raw"), col("n"), col("is_clean"),
+        col("is_curated"), col("p_suffix"), col("full_name"), col("c_suffix"),
+        letters(col("c_first")).as("c_first_letters"),
+        letters(col("p_first")).as("e_first_letters"),
+        letters(col("c_middle")).as("c_mid_letters"),
+        letters(col("p_middle")).as("e_mid_letters"))
+    val flagged = compat
+      .withColumn("first_gain",
+        when(col("e_first_letters") === col("c_first_letters"), 0)
+          .when(length(col("c_first_letters")) <= 1 &&
+            length(col("e_first_letters")) >= 3, 1))
+      .withColumn("middle_gain",
+        when(col("e_mid_letters") === col("c_mid_letters"), 0)
+          .when(col("c_mid_letters") === "" && col("e_mid_letters") =!= "", 1)
+          .when(length(col("c_mid_letters")) === 1 &&
+            length(col("e_mid_letters")) >= 3 &&
+            substring(col("e_mid_letters"), 1, 1) ===
+              substring(col("c_mid_letters"), 1, 1), 1))
+      .withColumn("suffix_gain",
+        when(coalesce(col("p_suffix"), lit("")) ===
+          coalesce(col("c_suffix"), lit("")), 0)
+          .when(col("c_suffix") === "" && col("p_suffix") =!= "" &&
+            regexp_replace(lower(col("p_suffix")), "[^a-z]", "")
+              .isin("jr", "sr", "ii", "iii", "iv", "junior"), 1))
+    val conflicts = flagged.groupBy(col("author_id"))
+      .agg(
+        countDistinct(when(col("n") >= 2 && col("e_mid_letters") =!= "",
+          substring(col("e_mid_letters"), 1, 1))).as("distinct_mid_initials"),
+        countDistinct(when(col("n") >= 2 &&
+          length(col("e_first_letters")) >= 3, col("e_first_letters")))
+          .as("distinct_full_firsts"))
+    val gainSum = col("first_gain") + col("middle_gain") + col("suffix_gain")
+    val enrich = flagged.join(conflicts, Seq("author_id"))
+      .filter(col("is_clean") &&
+        (col("n") >= 2 || col("is_curated")) &&
+        col("first_gain").isNotNull && col("middle_gain").isNotNull &&
+        col("suffix_gain").isNotNull &&
+        gainSum >= when(col("is_curated"), 0).otherwise(1) &&
+        (col("first_gain") === 0 || col("is_curated") ||
+          col("distinct_full_firsts") <= 1) &&
+        (col("middle_gain") === 0 || col("is_curated") ||
+          col("distinct_mid_initials") <= 1) &&
+        col("raw") =!= col("full_name") &&
+        (col("is_curated") || !(col("full_name").rlike(Particles) &&
+          !col("raw").rlike(Particles))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("author_id"))
+        .orderBy(gainSum.desc, col("is_curated").desc,
+          col("n").desc_nulls_last, length(col("raw")).desc,
+          col("raw").asc)))
+      .filter(col("rk") === 1)
+      .select(col("author_id"), col("full_name").as("old_full_name"),
+        col("raw").as("new_full_name"),
+        when(col("is_curated"), "enrich_curated").otherwise("enrich")
+          .as("reason"),
+        col("n").as("support_n"))
+
+    val resets = current
+      .join(evidenceStats, Seq("author_id"))
+      .join(lastMatch, Seq("author_id"), "left")
+      .filter(col("top_clean").isNotNull &&
+        col("top_clean.n") >= 3 &&
+        col("top_clean.n") / col("total_n") >= 0.5 &&
+        (col("full_name").isNull || col("full_name") === "" ||
+          col("c_last").isNull || col("c_last") === "" ||
+          coalesce(col("any_last_match"), lit(0)) === 0) &&
+        !(col("top_clean.raw") <=> col("full_name")))
+      .select(col("author_id"), col("full_name").as("old_full_name"),
+        col("top_clean.raw").as("new_full_name"),
+        when(col("full_name").isNull || col("full_name") === "" ||
+          col("c_last").isNull || col("c_last") === "", "fill_missing")
+          .otherwise("pollution_reset").as("reason"),
+        col("top_clean.n").as("support_n"))
+
+    enrich.unionByName(resets)
+  }
+
+  /** The cell-8 MERGE: one change per author (highest support, then
+    * reason ASC), applied as an in-place full_name update. */
+  def applyFullNames(authors: DataFrame, pending: DataFrame): DataFrame = {
+    val picked = pending
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("author_id"))
+          .orderBy(col("support_n").desc_nulls_last, col("reason").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("author_id"), col("new_full_name"))
+    authors.join(picked, col("id") === col("author_id"), "left")
+      .withColumn("full_name",
+        when(col("author_id").isNotNull, col("new_full_name"))
+          .otherwise(col("full_name")))
+      .drop("author_id", "new_full_name")
+  }
+
+  /** The cell-6 guard rollup (counts only — the notebook RAISE_ERRORs;
+    * callers assert): enrich/pollution/missing counts, malformed rows,
+    * duplicate authors, and the enrich block-key drift count. */
+  def guardCounts(pending: DataFrame, parsedNames: DataFrame): DataFrame = {
+    val counts = pending.agg(
+      count(when(col("reason").startsWith("enrich"), 1)).as("enrich_n"),
+      count(when(col("reason") === "pollution_reset", 1)).as("pollution_n"),
+      count(when(col("reason") === "fill_missing", 1)).as("missing_n"),
+      count(when(col("new_full_name").isNull ||
+        trim(col("new_full_name")) === "" ||
+        col("new_full_name") <=> col("old_full_name"), 1)).as("bad_rows"),
+      (count(lit(1)) - countDistinct(col("author_id"))).as("dup_authors"))
+    def blockKey(p: Column): Column =
+      when(p.getField("last").isNull, lit(null).cast("string"))
+        .when(p.getField("first").isNull || p.getField("first") === "",
+          p.getField("last"))
+        .otherwise(concat(substring(p.getField("first"), 1, 1), lit(" "),
+          p.getField("last")))
+    val pn = parsedNames.select(col("raw_author_name"), col("parsed_name"))
+    val drift = pending.filter(col("reason").startsWith("enrich"))
+      .join(broadcast(pn.withColumnRenamed("raw_author_name", "__or")
+          .withColumnRenamed("parsed_name", "__op")),
+        trim(col("old_full_name")) === col("__or"))
+      .join(broadcast(pn.withColumnRenamed("raw_author_name", "__nr")
+          .withColumnRenamed("parsed_name", "__np")),
+        trim(col("new_full_name")) === col("__nr"))
+      .filter(!(blockKey(col("__op")) <=> blockKey(col("__np"))))
+      .agg(count(lit(1)).as("block_key_drift"))
+    counts.crossJoin(broadcast(drift))
+  }
+}

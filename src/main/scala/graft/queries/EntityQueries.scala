@@ -967,7 +967,160 @@ object EntityQueries {
         coalesce(col("n_edges"), lit(0L)).as("n_edges"))
   }
 
+  /** §2.2/§2.3 author curation maintenance (SyncAuthorNameCurations +
+    * ApplyAuthorName/OrcidCurations): the latest-event curation dedup
+    * (two name events per ck%6 author, a third NULL-name deletion event
+    * for ck%18) feeding the null-safe pending-changes diffs — name via
+    * COALESCE(curated, organic) under `<=>`, ORCID via the set-beats-
+    * remove cascade (empty-string curated ignored, removal only nulls a
+    * still-matching organic), displayed-vs-organic drift arms covering
+    * both null sides — plus the per-author distinct works-enqueued
+    * rollup. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import graft.authors.Curations
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val organicName =
+      when(ck % 17 =!= 5, concat(lit("Name "), (ck % 40).cast("string")))
+    val organicOrcid =
+      when(ck % 13 =!= 2, concat(lit("0000-"), (ck % 23).cast("string")))
+    val authors = c.filter(ck < 300).select(ck.cast("long").as("id"),
+      organicName.as("display_name"), organicOrcid.as("orcid"))
+    val displayed = c.filter(ck < 300).select(ck.cast("long").as("id"),
+      when(ck % 9 === 0, concat(lit("Cur "), ck.cast("string")))
+        .when(ck % 9 === 3, lit(null).cast("string"))
+        .otherwise(organicName).as("display_name"),
+      when(ck % 11 === 0, concat(lit("0000-D"), ck.cast("string")))
+        .when(ck % 11 === 4, lit(null).cast("string"))
+        .otherwise(organicOrcid).as("orcid"))
+    def ev(filt: Column, name: Column, created: String) =
+      c.filter(ck < 300 && filt).select(ck.cast("long").as("author_id"),
+        name.as("new_display_name"), lit(created).cast("date").as("created"))
+    val nameCur = Curations.latestCurations(
+      ev(ck % 6 === 0, concat(lit("Old "), ck.cast("string")), "2024-01-01")
+        .unionByName(ev(ck % 6 === 0, concat(lit("Cur "), ck.cast("string")),
+          "2024-02-01"))
+        .unionByName(ev(ck % 18 === 0, lit(null).cast("string"),
+          "2024-03-01")),
+      "new_display_name")
+      .withColumnRenamed("new_display_name", "curated_display_name")
+    val orcidCur = c.filter(ck < 300 && ck % 5 === 0).select(
+      ck.cast("long").as("author_id"),
+      when(ck % 15 === 0, lit("")).when(ck % 15 === 5,
+        concat(lit("0000-C"), ck.cast("string"))).as("curated_orcid"),
+      when(ck % 20 === 0, concat(lit("0000-"), (ck % 23).cast("string")))
+        .when(ck % 20 === 10, lit("0000-X")).as("removed_orcid"))
+    val namePending =
+      Curations.namesPendingChanges(authors, displayed, nameCur)
+    val orcidPending =
+      Curations.orcidPendingChanges(authors, displayed, orcidCur)
+    val k = col("o_orderkey")
+    val workAuthors = o.select(k.as("work_id"),
+      pmod(k, lit(300)).cast("long").as("author_id"))
+    val we = Curations.worksEnqueued(
+      namePending.unionByName(orcidPending).distinct(), workAuthors)
+    namePending.withColumn("name_pending", lit(1))
+      .join(orcidPending.withColumn("orcid_pending", lit(1)),
+        Seq("author_id"), "full_outer")
+      .join(we, Seq("author_id"), "left")
+      .select(col("author_id"),
+        coalesce(col("name_pending"), lit(0)).as("name_pending"),
+        coalesce(col("orcid_pending"), lit(0)).as("orcid_pending"),
+        coalesce(col("works_enqueued"), lit(0L)).as("works_enqueued"))
+  }
+
+  /** §2.4/§2.5 author full-name maintenance (UpdateAuthorFullNames
+    * .ipynb): evidence build over five attested variant arms per author
+    * (dominant full-first / initial / credential-junk for even authors;
+    * dominant with middle / doubled-token junk / suffixed for odd) plus
+    * curated overrides, then the enrich/reset cascade — current-name
+    * arms (ck%8) cover initial→full enrich, middle-initial→full enrich
+    * with the suffix gain deciding the rank, curated tie-break,
+    * fill_missing (NULL and unparseable-last), pollution_reset, the
+    * particle guard negative, the raw==current negative, and the
+    * suffix-conflict negative. The oracle re-derives parses from the
+    * construction rules and recomputes gains/ranks structurally. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import graft.authors.FullNames
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey")
+    val Lc = expr("char(65 + CAST(c_custkey % 26 AS INT))")
+    val lastN = concat(lit("Last"), Lc)
+    val wrongN = concat(lit("Wrong"), Lc)
+    val fam = c.filter(ck < 26) // custkeys start at 0: exactly one row per letter
+    def pRow(raw: Column, f: Column, m: Column, l: Column,
+        sfx: Column): DataFrame =
+      fam.select(raw.as("raw_author_name"),
+        struct(f.as("first"), m.as("middle"), l.as("last"),
+          sfx.as("suffix")).as("parsed_name"))
+    val nS = lit(null).cast("string")
+    val parsed = pRow(concat(lit("Johnathan "), lastN), lit("Johnathan"), nS,
+        lastN, nS)
+      .unionByName(pRow(concat(lit("John Michael "), lastN), lit("John"),
+        lit("Michael"), lastN, nS))
+      .unionByName(pRow(concat(lit("J. "), lastN), lit("J."), nS, lastN, nS))
+      .unionByName(pRow(concat(lit("John Michael "), lastN, lit(" Jr.")),
+        lit("John"), lit("Michael"), lastN, lit("Jr.")))
+      .unionByName(pRow(concat(lit("John Micheal "), lastN, lit(" Jr.")),
+        lit("John"), lit("Micheal"), lastN, lit("Jr.")))
+      .unionByName(pRow(concat(lit("J. van der "), lastN), lit("J."), nS,
+        lastN, nS))
+      .unionByName(pRow(concat(lit("John M. "), lastN), lit("John"),
+        lit("M."), lastN, nS))
+      .unionByName(pRow(concat(lit("Alpha "), wrongN), lit("Alpha"), nS,
+        wrongN, nS))
+      .unionByName(pRow(concat(lit("John John "), lastN), lit("John"), nS,
+        lastN, nS))
+      .unionByName(pRow(concat(lit("Dr. Johnathan "), lastN),
+        lit("Johnathan"), nS, lastN, nS))
+      .unionByName(c.filter(ck === 1).select(
+        lit("Junk1234").as("raw_author_name"),
+        struct(lit("Junk").as("first"), nS.as("middle"), lit("").as("last"),
+          nS.as("suffix")).as("parsed_name")))
+
+    val k = col("o_orderkey")
+    val a = pmod(k, lit(120))
+    val La = expr("char(65 + CAST(o_orderkey % 120 % 26 AS INT))")
+    val aLast = concat(lit("Last"), La)
+    val v = pmod(expr("o_orderkey div 240"), lit(5))
+    val pad = pmod(expr("o_orderkey div 2"), lit(2)) === 1
+    val evenRaw = when(v <= 2, concat(lit("Johnathan "), aLast))
+      .when(v === 3, when(pad, concat(lit(" J. "), aLast, lit(" ")))
+        .otherwise(concat(lit("J. "), aLast)))
+      .otherwise(concat(lit("Dr. Johnathan "), aLast))
+    val oddRaw = when(v <= 2, concat(lit("John Michael "), aLast))
+      .when(v === 3, concat(lit("John John "), aLast))
+      .otherwise(concat(lit("John Michael "), aLast, lit(" Jr.")))
+    val staging = o.filter(pmod(k, lit(97)) =!= 0).select(
+      concat(lit("https://openalex.org/A"), a.cast("string")).as("author_id"),
+      when(pmod(a, lit(2)) === 0, evenRaw).otherwise(oddRaw)
+        .as("raw_author_name"))
+    val curations = c.filter(ck < 120 && ck % 24 === 1).select(
+        ck.cast("long").as("author_id"),
+        concat(lit("John Micheal Last"), Lc, lit(" Jr."))
+          .as("curated_display_name"))
+      .unionByName(c.filter(ck < 120 && ck % 24 === 13).select(
+        ck.cast("long").as("author_id"), lit("").as("curated_display_name")))
+    val m = ck % 8
+    val authors = c.filter(ck < 120).select(ck.cast("long").as("id"),
+      when(m === 0, concat(lit(" J. Last"), Lc))
+        .when(m === 1, concat(lit("John M. Last"), Lc))
+        .when(m === 2, nS)
+        .when(m === 3, lit("Junk1234"))
+        .when(m === 4, concat(lit("Johnathan Last"), Lc))
+        .when(m === 5, concat(lit("Alpha Wrong"), Lc))
+        .when(m === 6, concat(lit("J. van der Last"), Lc))
+        .otherwise(concat(lit("John Michael Last"), Lc, lit(" Jr.")))
+        .as("full_name"))
+    val ev = FullNames.evidence(staging, curations, parsed)
+    FullNames.pendingChanges(ev, authors, parsed)
+      .select(col("author_id"), col("old_full_name"), col("new_full_name"),
+        col("reason"), col("support_n").cast("long").as("support_n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_author_curations" -> (q91 _),
+    "q92_author_full_names" -> (q92 _),
     "q86_funder_merge" -> (q86 _),
     "q85_name_conflict_overmerges" -> (q85 _),
     "q84_quality_judge_apply" -> (q84 _),
@@ -989,7 +1142,194 @@ object EntityQueries {
     "q52_author_match_cascade" -> (q52 _),
     "q53_authorships_assemble" -> (q53 _))
 
+  private val q91Oracle: String =
+    """WITH a AS (SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey % 17 <> 5
+      |      THEN 'Name ' || CAST(c_custkey % 40 AS VARCHAR) END AS oname,
+      |    CASE WHEN c_custkey % 13 <> 2
+      |      THEN '0000-' || CAST(c_custkey % 23 AS VARCHAR) END AS oorcid
+      |  FROM customer WHERE c_custkey < 300),
+      |d AS (SELECT id,
+      |    CASE WHEN id % 9 = 0 THEN 'Cur ' || CAST(id AS VARCHAR)
+      |         WHEN id % 9 = 3 THEN NULL
+      |         ELSE oname END AS dname,
+      |    CASE WHEN id % 11 = 0 THEN '0000-D' || CAST(id AS VARCHAR)
+      |         WHEN id % 11 = 4 THEN NULL
+      |         ELSE oorcid END AS dorcid
+      |  FROM a),
+      |nc AS (SELECT id AS author_id,
+      |    CASE WHEN id % 18 = 0 THEN NULL
+      |         ELSE 'Cur ' || CAST(id AS VARCHAR) END AS curated
+      |  FROM a WHERE id % 6 = 0),
+      |oc AS (SELECT id AS author_id,
+      |    CASE WHEN id % 15 = 0 THEN ''
+      |         WHEN id % 15 = 5 THEN '0000-C' || CAST(id AS VARCHAR) END
+      |      AS curated_orcid,
+      |    CASE WHEN id % 20 = 0 THEN '0000-' || CAST(id % 23 AS VARCHAR)
+      |         WHEN id % 20 = 10 THEN '0000-X' END AS removed_orcid
+      |  FROM a WHERE id % 5 = 0),
+      |np AS (SELECT a.id FROM a JOIN d ON a.id = d.id
+      |  LEFT JOIN nc ON a.id = nc.author_id
+      |  WHERE (nc.author_id IS NOT NULL OR d.dname IS DISTINCT FROM a.oname)
+      |    AND d.dname IS DISTINCT FROM coalesce(nc.curated, a.oname)),
+      |op AS (SELECT a.id FROM a JOIN d ON a.id = d.id
+      |  LEFT JOIN oc ON a.id = oc.author_id
+      |  WHERE (oc.author_id IS NOT NULL OR d.dorcid IS DISTINCT FROM a.oorcid)
+      |    AND d.dorcid IS DISTINCT FROM (CASE
+      |      WHEN oc.curated_orcid IS NOT NULL AND oc.curated_orcid <> ''
+      |        THEN oc.curated_orcid
+      |      WHEN oc.removed_orcid IS NOT NULL
+      |        AND a.oorcid = oc.removed_orcid THEN NULL
+      |      ELSE a.oorcid END)),
+      |pend AS (SELECT id FROM np UNION SELECT id FROM op),
+      |we AS (SELECT CAST(o_orderkey % 300 AS BIGINT) AS author_id,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS works
+      |  FROM orders JOIN pend ON o_orderkey % 300 = pend.id GROUP BY 1)
+      |SELECT CAST(p.id AS BIGINT) AS author_id,
+      |  CASE WHEN np.id IS NOT NULL THEN 1 ELSE 0 END AS name_pending,
+      |  CASE WHEN op.id IS NOT NULL THEN 1 ELSE 0 END AS orcid_pending,
+      |  coalesce(we.works, 0) AS works_enqueued
+      |FROM pend p
+      |LEFT JOIN np ON p.id = np.id
+      |LEFT JOIN op ON p.id = op.id
+      |LEFT JOIN we ON p.id = we.author_id""".stripMargin
+
+  private val q92Oracle: String =
+    """WITH auth AS (SELECT c_custkey AS a, c_custkey % 8 AS m,
+      |    chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS L
+      |  FROM customer WHERE c_custkey < 120),
+      |curp AS (SELECT a, m, L,
+      |  CASE m WHEN 0 THEN 'J. Last' || L WHEN 1 THEN 'John M. Last' || L
+      |         WHEN 3 THEN 'Junk1234' WHEN 4 THEN 'Johnathan Last' || L
+      |         WHEN 5 THEN 'Alpha Wrong' || L
+      |         WHEN 6 THEN 'J. van der Last' || L
+      |         WHEN 7 THEN 'John Michael Last' || L || ' Jr.' END
+      |    AS full_name,
+      |  CASE m WHEN 0 THEN 'J.' WHEN 1 THEN 'John' WHEN 3 THEN 'Junk'
+      |         WHEN 4 THEN 'Johnathan' WHEN 5 THEN 'Alpha' WHEN 6 THEN 'J.'
+      |         WHEN 7 THEN 'John' END AS c_first,
+      |  CASE m WHEN 1 THEN 'M.' WHEN 7 THEN 'Michael' ELSE '' END
+      |    AS c_middle,
+      |  CASE m WHEN 0 THEN 'Last' || L WHEN 1 THEN 'Last' || L
+      |         WHEN 3 THEN '' WHEN 4 THEN 'Last' || L
+      |         WHEN 5 THEN 'Wrong' || L WHEN 6 THEN 'Last' || L
+      |         WHEN 7 THEN 'Last' || L END AS c_last,
+      |  CASE m WHEN 7 THEN 'Jr.' ELSE '' END AS c_suffix
+      |  FROM auth),
+      |ev0 AS (SELECT CAST(o_orderkey % 120 AS BIGINT) AS a,
+      |    (o_orderkey // 240) % 5 AS v
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |evr AS (SELECT ev0.a,
+      |  CASE WHEN ev0.a % 2 = 0 THEN
+      |    CASE WHEN v <= 2 THEN 'Johnathan Last' || au.L
+      |         WHEN v = 3 THEN 'J. Last' || au.L
+      |         ELSE 'Dr. Johnathan Last' || au.L END
+      |  ELSE
+      |    CASE WHEN v <= 2 THEN 'John Michael Last' || au.L
+      |         WHEN v = 3 THEN 'John John Last' || au.L
+      |         ELSE 'John Michael Last' || au.L || ' Jr.' END END AS raw
+      |  FROM ev0 JOIN auth au ON ev0.a = au.a),
+      |att AS (SELECT a, raw, CAST(count(*) AS BIGINT) AS n
+      |  FROM evr GROUP BY a, raw),
+      |curt AS (SELECT a, 'John Micheal Last' || L || ' Jr.' AS raw
+      |  FROM auth WHERE a % 24 = 1),
+      |u AS (SELECT a, raw, sum(n) AS n, bool_or(is_cur) AS is_curated
+      |  FROM (SELECT a, raw, n, false AS is_cur FROM att
+      |        UNION ALL SELECT a, raw, NULL, true FROM curt)
+      |  GROUP BY a, raw),
+      |evj AS (SELECT u.a, u.raw, CAST(u.n AS BIGINT) AS n, u.is_curated,
+      |  CASE WHEN u.raw LIKE 'Johnathan %' THEN 'Johnathan'
+      |       WHEN u.raw LIKE 'Dr. %' THEN 'Johnathan'
+      |       WHEN u.raw LIKE 'J. %' THEN 'J.'
+      |       ELSE 'John' END AS p_first,
+      |  CASE WHEN u.raw LIKE 'John Michael %' THEN 'Michael'
+      |       WHEN u.raw LIKE 'John Micheal %' THEN 'Micheal'
+      |       ELSE '' END AS p_middle,
+      |  'Last' || right(replace(replace(u.raw, ' Jr.', ''), ' ', ''), 1)
+      |    AS p_last,
+      |  CASE WHEN u.raw LIKE '% Jr.' THEN 'Jr.' ELSE '' END AS p_suffix,
+      |  NOT (u.raw LIKE 'Dr.%' OR u.raw LIKE 'John John%') AS is_clean
+      |  FROM u),
+      |compat AS (SELECT e.a, e.raw, e.n, e.is_curated, e.is_clean,
+      |    e.p_suffix, c.full_name, c.c_suffix,
+      |    regexp_replace(c.c_first, '[^a-zA-Z]', '', 'g') AS cf,
+      |    regexp_replace(e.p_first, '[^a-zA-Z]', '', 'g') AS ef,
+      |    regexp_replace(c.c_middle, '[^a-zA-Z]', '', 'g') AS cm,
+      |    regexp_replace(e.p_middle, '[^a-zA-Z]', '', 'g') AS em
+      |  FROM evj e JOIN curp c ON e.a = c.a
+      |  WHERE c.c_last IS NOT NULL AND c.c_last <> ''
+      |    AND e.p_last = c.c_last AND e.p_first <> ''
+      |    AND c.c_first IS NOT NULL AND c.c_first <> ''
+      |    AND substr(e.p_first, 1, 1) = substr(c.c_first, 1, 1)),
+      |flag AS (SELECT *,
+      |  CASE WHEN ef = cf THEN 0
+      |       WHEN length(cf) <= 1 AND length(ef) >= 3 THEN 1 END AS fg,
+      |  CASE WHEN em = cm THEN 0
+      |       WHEN cm = '' AND em <> '' THEN 1
+      |       WHEN length(cm) = 1 AND length(em) >= 3
+      |            AND substr(em, 1, 1) = substr(cm, 1, 1) THEN 1 END AS mg,
+      |  CASE WHEN coalesce(p_suffix, '') = coalesce(c_suffix, '') THEN 0
+      |       WHEN c_suffix = '' AND p_suffix <> ''
+      |            AND regexp_replace(lower(p_suffix), '[^a-z]', '', 'g')
+      |              IN ('jr','sr','ii','iii','iv','junior') THEN 1 END AS sg
+      |  FROM compat),
+      |conf AS (SELECT a,
+      |  count(DISTINCT CASE WHEN n >= 2 AND em <> ''
+      |    THEN substr(em, 1, 1) END) AS dmi,
+      |  count(DISTINCT CASE WHEN n >= 2 AND length(ef) >= 3
+      |    THEN ef END) AS dff
+      |  FROM flag GROUP BY a),
+      |enr AS (SELECT a, full_name, raw, is_curated, n,
+      |    row_number() OVER (PARTITION BY a ORDER BY (fg+mg+sg) DESC,
+      |      is_curated DESC, n DESC NULLS LAST, length(raw) DESC, raw ASC)
+      |      AS rk
+      |  FROM flag JOIN conf USING (a)
+      |  WHERE is_clean AND (n >= 2 OR is_curated)
+      |    AND fg IS NOT NULL AND mg IS NOT NULL AND sg IS NOT NULL
+      |    AND (fg+mg+sg) >= (CASE WHEN is_curated THEN 0 ELSE 1 END)
+      |    AND (fg = 0 OR is_curated OR dff <= 1)
+      |    AND (mg = 0 OR is_curated OR dmi <= 1)
+      |    AND raw <> full_name
+      |    AND (is_curated OR NOT (regexp_matches(full_name,
+      |      '(?i)(^| )(van|der|von|de|da|del|della|di|dos|das|du|ter|ten)( |$)')
+      |      AND NOT regexp_matches(raw,
+      |      '(?i)(^| )(van|der|von|de|da|del|della|di|dos|das|du|ter|ten)( |$)')))),
+      |stats AS (SELECT a, sum(n) AS total_n FROM evj
+      |  WHERE n IS NOT NULL GROUP BY a),
+      |topc AS (SELECT a, raw, n, row_number() OVER (PARTITION BY a
+      |    ORDER BY n DESC, length(raw) DESC, raw DESC) AS rn
+      |  FROM evj WHERE n IS NOT NULL AND is_clean),
+      |lastm AS (SELECT e.a,
+      |    max(CASE WHEN e.p_last = c.c_last THEN 1 ELSE 0 END) AS anym
+      |  FROM evj e JOIN curp c ON e.a = c.a
+      |  WHERE e.n IS NOT NULL GROUP BY e.a),
+      |resets AS (SELECT c.a, c.full_name, t.raw,
+      |    CASE WHEN c.full_name IS NULL OR c.full_name = ''
+      |           OR c.c_last IS NULL OR c.c_last = ''
+      |         THEN 'fill_missing' ELSE 'pollution_reset' END AS reason,
+      |    t.n
+      |  FROM curp c
+      |  JOIN stats s ON c.a = s.a
+      |  JOIN topc t ON c.a = t.a AND t.rn = 1
+      |  LEFT JOIN lastm lm ON c.a = lm.a
+      |  WHERE t.n >= 3 AND CAST(t.n AS DOUBLE) / s.total_n >= 0.5
+      |    AND (c.full_name IS NULL OR c.full_name = ''
+      |         OR c.c_last IS NULL OR c.c_last = ''
+      |         OR coalesce(lm.anym, 0) = 0)
+      |    AND t.raw IS DISTINCT FROM c.full_name)
+      |SELECT CAST(a AS BIGINT) AS author_id, full_name AS old_full_name,
+      |  raw AS new_full_name,
+      |  CASE WHEN is_curated THEN 'enrich_curated' ELSE 'enrich' END
+      |    AS reason,
+      |  CAST(n AS BIGINT) AS support_n
+      |FROM enr WHERE rk = 1
+      |UNION ALL
+      |SELECT CAST(a AS BIGINT), full_name, raw, reason, CAST(n AS BIGINT)
+      |FROM resets""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q91_author_curations" -> q91Oracle,
+    "q92_author_full_names" -> q92Oracle,
     "q86_funder_merge" ->
       """WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
         |    'F' || n_nationkey AS dn,

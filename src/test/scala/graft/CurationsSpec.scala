@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.authors.Curations
+
+/** Pins for the curation diffs (oracle: q91): the null-safe branches
+  * that make deletions revert organically, and the ORCID set/remove
+  * cascade edge cases. */
+class CurationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("namesPendingChanges: deletion reverts, null organic is not drift") {
+    val authors = Seq((1L, Option("Ann")), (2L, Option("Bob")),
+      (3L, Option.empty[String]), (4L, Option("Cai")))
+      .toDF("id", "display_name")
+    val displayed = Seq((1L, Option("Ann")), (2L, Option("Curated Bob")),
+      (3L, Option.empty[String]), (4L, Option("Cai")))
+      .toDF("id", "display_name")
+    val cur = Seq((4L, "Curated Cai")).toDF("author_id",
+      "curated_display_name")
+    // 1: no curation, no drift → absent. 2: displayed carries a DELETED
+    // curation → pending (revert). 3: both null → <=> holds → absent.
+    // 4: active curation not yet displayed → pending.
+    val got = Curations.namesPendingChanges(authors, displayed, cur)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 4L))
+  }
+
+  test("orcidPendingChanges: removal only nulls a still-matching organic; " +
+    "empty curated is ignored") {
+    val authors = Seq((1L, Option("X1")), (2L, Option("X2")),
+      (3L, Option("X3")), (4L, Option.empty[String]))
+      .toDF("id", "orcid")
+    val displayed = Seq((1L, Option("X1")), (2L, Option.empty[String]),
+      (3L, Option("X3")), (4L, Option.empty[String]))
+      .toDF("id", "orcid")
+    val cur = Seq(
+      (1L, Option.empty[String], Option("X1")), // removal matches → pending
+      (2L, Option.empty[String], Option("X9")), // removal stale → organic
+      // (2 displays null but target is organic X2 → pending)
+      (3L, Option(""), Option.empty[String]), // empty curated → no-op
+      (4L, Option("X4"), Option.empty[String])) // set on null organic
+      .toDF("author_id", "curated_orcid", "removed_orcid")
+    val got = Curations.orcidPendingChanges(authors, displayed, cur)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("latestCurations: newest event per author wins") {
+    val ev = Seq(
+      (1L, "old", "2024-01-01"), (1L, "new", "2024-02-01"),
+      (2L, "only", "2024-01-15"))
+      .toDF("author_id", "new_display_name", "c")
+      .selectExpr("author_id", "new_display_name", "CAST(c AS DATE) AS created")
+    val got = Curations.latestCurations(ev, "new_display_name")
+      .orderBy("author_id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("new", "only"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.authors.FullNames
+
+/** Semantics pins for UpdateAuthorFullNames (oracle: q92) — the gates
+  * the fixture-level oracle can't isolate: each is_clean predicate on
+  * targeted strings (incl. the case-sensitive credential rule that must
+  * PASS lowercase 'Md.'), the ambiguity guards as positives, and the
+  * one-change-per-author apply pick. */
+class FullNamesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parsedOf(rows: Seq[(String, String, String, String, String)])
+      : DataFrame =
+    rows.toDF("raw_author_name", "f", "m", "l", "sfx")
+      .selectExpr("raw_author_name",
+        "named_struct('first', f, 'middle', m, 'last', l, 'suffix', sfx) " +
+          "AS parsed_name")
+
+  private def stagingOf(rows: Seq[(Long, String, Int)]): DataFrame =
+    rows.flatMap { case (a, raw, n) => Seq.fill(n)((a, raw)) }
+      .toDF("aid", "raw_author_name")
+      .selectExpr("concat('https://openalex.org/A', aid) AS author_id",
+        "raw_author_name")
+
+  private val noCur =
+    Seq.empty[(Long, String)].toDF("author_id", "curated_display_name")
+
+  test("is_clean gates, each in isolation") {
+    val cases = Seq(
+      ("Anna Maria Lopez", true), // baseline clean
+      ("Anna Lopez 3rd", false), // digit
+      ("Anna (Maria) Lopez", false), // bracket punctuation
+      ("A Li", false), // under 5 chars
+      ("AnnaMariaLopez", false), // no space
+      ("Anna Lopez MD", false), // credential, uppercase
+      ("Md. Anna Lopez", true), // lowercase Md. is a name prefix — clean
+      ("Dr. Anna Lopez", false), // credential prefix
+      ("Anna Lopez Anna Lopez", false)) // repeated tokens
+    val parsed = parsedOf(cases.map { case (raw, _) =>
+      (raw, "Anna", null, "Lopez", null) })
+    val ev = FullNames.evidence(
+      stagingOf(cases.zipWithIndex.map { case ((raw, _), i) =>
+        (i.toLong, raw, 1) }), noCur, parsed)
+      .select("raw", "is_clean").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((raw, want) <- cases)
+      assert(ev(raw) == want, s"is_clean('$raw') should be $want")
+  }
+
+  test("evidence: trim-merge, empty-raw drop, curated union, " +
+    "unparseable-last drop") {
+    val parsed = parsedOf(Seq(
+      ("Ann Chen", "Ann", null, "Chen", null),
+      ("NoLast Here", "NoLast", null, "", null)))
+    val ev = FullNames.evidence(
+      stagingOf(Seq((1L, "Ann Chen", 2), (1L, " Ann Chen ", 3),
+        (1L, "  ", 1), (2L, "NoLast Here", 4))),
+      Seq((1L, "Ann Chen")).toDF("author_id", "curated_display_name"),
+      parsed).collect()
+    assert(ev.length == 1) // author 2's variant has an empty parsed last
+    val r = ev(0)
+    assert(r.getLong(r.fieldIndex("n")) == 5) // 2 + 3 trim-merged
+    assert(r.getBoolean(r.fieldIndex("is_curated"))) // curated same raw
+  }
+
+  test("ambiguity guards: two distinct full firsts block a first " +
+    "refinement unless curated") {
+    val parsed = parsedOf(Seq(
+      ("J. Kim", "J.", null, "Kim", null),
+      ("Jane Kim", "Jane", null, "Kim", null),
+      ("June Kim", "June", null, "Kim", null)))
+    val authors = Seq((1L, "J. Kim")).toDF("id", "full_name")
+    def pending(cur: DataFrame) = FullNames.pendingChanges(
+      FullNames.evidence(
+        stagingOf(Seq((1L, "Jane Kim", 5), (1L, "June Kim", 4))),
+        cur, parsed),
+      authors, parsed).collect()
+    assert(pending(noCur).isEmpty) // conflicting firsts → blocked
+    val curated = pending(
+      Seq((1L, "Jane Kim")).toDF("author_id", "curated_display_name"))
+    assert(curated.length == 1 &&
+      curated(0).getString(2) == "Jane Kim" &&
+      curated(0).getString(3) == "enrich_curated")
+  }
+
+  test("applyFullNames: one change per author (support desc, reason asc)") {
+    val authors = Seq((1L, "Old"), (2L, "Keep")).toDF("id", "full_name")
+    val pending = Seq(
+      (1L, "Old", "A Name", "pollution_reset", Some(9L)),
+      (1L, "Old", "B Name", "enrich", Some(9L)), // ties → 'enrich' < 'poll…'
+      (1L, "Old", "C Name", "enrich", Some(3L)))
+      .toDF("author_id", "old_full_name", "new_full_name", "reason",
+        "support_n")
+    val out = FullNames.applyFullNames(authors, pending)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("B Name", "Keep"))
+  }
+
+  test("guardCounts: malformed rows, dup authors, block-key drift") {
+    val parsed = parsedOf(Seq(
+      ("J. Kim", "J.", null, "Kim", null),
+      ("Jane Kim", "Jane", null, "Kim", null),
+      ("Jane Lee", "Jane", null, "Lee", null)))
+    val pending = Seq(
+      (1L, "J. Kim", "Jane Kim", "enrich", Some(5L)), // same block key J Kim
+      (2L, "J. Kim", "Jane Lee", "enrich", Some(5L)), // drift: J Kim → J Lee
+      (2L, "J. Kim", "J. Kim", "fill_missing", Some(2L)), // no-op row + dup
+      (3L, null, null, "fill_missing", None: Option[Long])) // null new name
+      .toDF("author_id", "old_full_name", "new_full_name", "reason",
+        "support_n")
+    val g = FullNames.guardCounts(pending, parsed).collect()(0)
+    assert(g.getLong(g.fieldIndex("enrich_n")) == 2)
+    assert(g.getLong(g.fieldIndex("missing_n")) == 2)
+    assert(g.getLong(g.fieldIndex("bad_rows")) == 2)
+    assert(g.getLong(g.fieldIndex("dup_authors")) == 1)
+    assert(g.getLong(g.fieldIndex("block_key_drift")) == 1)
+  }
+}
