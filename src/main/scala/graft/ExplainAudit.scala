@@ -82,7 +82,10 @@ object ExplainAudit {
       "q36 df-computation is hash aggregation, not a per-shingle window sort")
 
     val singlePartitionOk = Set("q26_id_minting",
-      "q51_work_id_resolver", "q52_author_match_cascade")
+      "q51_work_id_resolver", "q52_author_match_cascade",
+      // q93: IdMinter over NEW (unseen, non-withdrawn) ROR ids only — a
+      // registry delta, never the corpus (RorTables.insertNewFromRor).
+      "q93_ror_registry_sync")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!singlePartitionOk(name)) {
         val p = SparkEntry.queries(name)(spark, sfDir).queryExecution

@@ -1,0 +1,201 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.IdMinter
+
+/** ROR registry maintenance (reference: notebooks/institutions/
+  * CreateRorDerivedTables.ipynb + CreateUpdateInstitutionsFromRor
+  * .ipynb): the four derived explode tables consumed by the
+  * institutions builds (relationships / types / labels / aliases), the
+  * shared field-extraction CTE block over the nested ROR dump schema,
+  * and the two registry passes — INSERT new (non-withdrawn, unseen ROR
+  * ids, minted past the current max id in ROR-id order) and MERGE
+  * update (newer ROR record than the stored row, merged rows left
+  * alone).
+  *
+  * Scale posture: every derived table is one explode + one hash
+  * aggregation keyed by ROR id; the insert's global row_number runs
+  * over NEW ROR ids only (a registry-delta, never the corpus — the
+  * IdMinter contract, same allowlist rationale as q26/q51).
+  *
+  * ROR dump schema (subset used): id, status, updated_date,
+  * names ARRAY<STRUCT<value,lang,types ARRAY<STRING>>>,
+  * types ARRAY<STRING>, links ARRAY<STRUCT<type,value>>,
+  * external_ids ARRAY<STRUCT<type,preferred>>,
+  * relationships ARRAY<STRUCT<id,type>>,
+  * locations ARRAY<STRUCT<geonames_id,geonames_details
+  *   STRUCT<country_code,lat,lng,name,country_subdivision_name,
+  *   country_name>>>.
+  */
+object RorTables {
+
+  private def bare(c: Column): Column =
+    regexp_replace(c, "https://ror\\.org/", "")
+
+  /** ror_relationships (cell 1): one row per non-null relationship
+    * edge. */
+  def relationships(ror: DataFrame): DataFrame =
+    ror.select(bare(col("id")).as("ror_id"),
+        explode(col("relationships")).as("__r"))
+      .filter(col("__r.id").isNotNull)
+      .select(col("ror_id"), bare(col("__r.id")).as("related_ror_id"),
+        col("__r.type").as("relationship_type"))
+
+  /** ror_types (cell 3). */
+  def types(ror: DataFrame): DataFrame =
+    ror.select(bare(col("id")).as("ror_id"),
+      explode(col("types")).as("type"))
+
+  /** ror_labels (cell 5): 'label'-typed names with their language. */
+  def labels(ror: DataFrame): DataFrame =
+    ror.select(bare(col("id")).as("ror_id"), explode(col("names")).as("__n"))
+      .filter(array_contains(col("__n.types"), "label"))
+      .select(col("ror_id"), col("__n.lang").as("iso639"),
+        col("__n.value").as("label"))
+
+  /** ror_aliases (cell 7): 'alias'-typed names. */
+  def aliases(ror: DataFrame): DataFrame =
+    ror.select(bare(col("id")).as("ror_id"), explode(col("names")).as("__n"))
+      .filter(array_contains(col("__n.types"), "alias"))
+      .select(col("ror_id"), col("__n.value").as("alias"))
+
+  /** The shared per-ROR field extraction (both passes' CTE block):
+    * ror_display name, first-location geo, website/wikipedia links,
+    * grid/wikidata preferred ids, prefer-non-funder type, acronym and
+    * alias arrays. One row per ROR id. */
+  def fields(ror: DataFrame): DataFrame = {
+    val names = ror.select(bare(col("id")).as("ror_id"),
+      explode(col("names")).as("__n"))
+    val displayName = names.groupBy(col("ror_id"))
+      .agg(max(when(array_contains(col("__n.types"), "ror_display"),
+        col("__n.value"))).as("display_name"))
+    val acronyms = names.filter(array_contains(col("__n.types"), "acronym"))
+      .groupBy(col("ror_id"))
+      .agg(collect_list(col("__n.value")).as("display_name_acronyms"))
+    val aliasArr = names.filter(array_contains(col("__n.types"), "alias"))
+      .groupBy(col("ror_id"))
+      .agg(collect_list(col("__n.value")).as("display_name_alternatives"))
+    val links = ror.select(bare(col("id")).as("ror_id"),
+        explode(col("links")).as("__l"))
+      .groupBy(col("ror_id"))
+      .agg(max(when(col("__l.type") === "website", col("__l.value")))
+          .as("official_page"),
+        max(when(col("__l.type") === "wikipedia", col("__l.value")))
+          .as("wiki_page"))
+    val externalIds = ror.select(bare(col("id")).as("ror_id"),
+        explode(col("external_ids")).as("__e"))
+      .groupBy(col("ror_id"))
+      .agg(max(when(col("__e.type") === "grid", col("__e.preferred")))
+          .as("grid_id"),
+        max(when(col("__e.type") === "wikidata", col("__e.preferred")))
+          .as("wikidata_id"))
+    val typ = types(ror).groupBy(col("ror_id"))
+      .agg(lower(coalesce(
+        max(when(lower(col("type")) =!= "funder", col("type"))),
+        max(col("type")))).as("type"))
+    // get() (not [0]): a ROR record without locations yields NULL geo
+    // fields instead of an ANSI out-of-bounds error
+    val loc = ror.select(bare(col("id")).as("ror_id"),
+      get(col("locations"), lit(0)).as("__loc"))
+      .select(col("ror_id"),
+        col("__loc.geonames_details.country_code").as("iso3166_code"),
+        col("__loc.geonames_details.lat").cast("double").as("latitude"),
+        col("__loc.geonames_details.lng").cast("double").as("longitude"),
+        col("__loc.geonames_details.name").as("city"),
+        col("__loc.geonames_details.country_subdivision_name").as("region"),
+        col("__loc.geonames_details.country_name").as("country"),
+        col("__loc.geonames_id").as("geonames_city_id"))
+    ror.select(bare(col("id")).as("ror_id"), col("status"),
+        col("updated_date").as("ror_updated_date"))
+      .join(displayName, Seq("ror_id"), "left")
+      .join(loc, Seq("ror_id"), "left")
+      .join(links, Seq("ror_id"), "left")
+      .join(externalIds, Seq("ror_id"), "left")
+      .join(typ, Seq("ror_id"), "left")
+      .join(acronyms, Seq("ror_id"), "left")
+      .join(aliasArr, Seq("ror_id"), "left")
+  }
+
+  /** Cell-3 INSERT: ROR records with no institution row (and not
+    * withdrawn) become new registry rows, ids minted past the current
+    * max in ROR-id order (IdMinter — the bounded-delta global window).
+    * Returns ONLY the inserted rows, registry-shaped. */
+  def insertNewFromRor(ror: DataFrame, institutions: DataFrame,
+      now: Column): DataFrame = {
+    val f = fields(ror)
+    val existing = institutions.select(bare(col("ror_id")).as("ror_id"),
+      col("id"))
+    val newKeys = f.filter(col("status") =!= "withdrawn")
+      .join(existing.select(col("ror_id")), Seq("ror_id"), "left_anti")
+      .select(col("ror_id"))
+    val minted = IdMinter.mint(existing, newKeys, "ror_id", "id", floor = 0L)
+    minted.join(f, Seq("ror_id"))
+      .select(
+        col("id"), col("display_name"), col("official_page"),
+        col("wiki_page"), col("iso3166_code"), col("latitude"),
+        col("longitude"), col("grid_id"),
+        concat(lit("https://ror.org/"), col("ror_id")).as("ror_id"),
+        col("wikidata_id"), lit(null).cast("long").as("merge_into_id"),
+        col("city"), col("region"), col("country"), col("geonames_city_id"),
+        lit(null).cast("string").as("image_url"),
+        lit(null).cast("string").as("image_thumbnail_url"),
+        lit(null).cast("timestamp").as("merge_into_date"),
+        now.as("created_date"), now.as("updated_date"), col("type"),
+        coalesce(col("display_name_acronyms"),
+          array().cast("array<string>")).as("display_name_acronyms"),
+        coalesce(col("display_name_alternatives"),
+          array().cast("array<string>")).as("display_name_alternatives"))
+  }
+
+  /** Cell-6 MERGE: existing institutions whose ROR record is newer than
+    * the stored row (non-withdrawn, not merged away) get the ROR
+    * fields re-applied and updated_date = now; everything else passes
+    * through unchanged. Returns the full updated registry. */
+  def updateFromRor(institutions: DataFrame, ror: DataFrame,
+      now: Column): DataFrame = {
+    val f = fields(ror).filter(col("status") =!= "withdrawn")
+      .withColumnRenamed("ror_id", "__ror_key")
+    val tgt = institutions.withColumn("__bare", bare(col("ror_id")))
+    val upd = col("__ror_key").isNotNull &&
+      col("ror_updated_date") >
+        coalesce(col("updated_date"), lit("1970-01-01").cast("timestamp")) &&
+      col("merge_into_id").isNull
+    def pick(src: Column, keep: Column): Column = when(upd, src).otherwise(keep)
+    tgt.join(f.select(col("__ror_key"), col("ror_updated_date"),
+        col("display_name").as("__dn"), col("type").as("__ty"),
+        col("official_page").as("__op"), col("wiki_page").as("__wp"),
+        col("iso3166_code").as("__cc"), col("latitude").as("__lat"),
+        col("longitude").as("__lng"), col("city").as("__city"),
+        col("region").as("__reg"), col("country").as("__ctry"),
+        col("geonames_city_id").as("__geo"), col("grid_id").as("__grid"),
+        col("wikidata_id").as("__wd"),
+        coalesce(col("display_name_acronyms"), array().cast("array<string>"))
+          .as("__acr"),
+        coalesce(col("display_name_alternatives"),
+          array().cast("array<string>")).as("__alt")),
+      col("__bare") === col("__ror_key"), "left")
+      .select(
+        col("id"),
+        pick(col("__dn"), col("display_name")).as("display_name"),
+        pick(col("__op"), col("official_page")).as("official_page"),
+        pick(col("__wp"), col("wiki_page")).as("wiki_page"),
+        pick(col("__cc"), col("iso3166_code")).as("iso3166_code"),
+        pick(col("__lat"), col("latitude")).as("latitude"),
+        pick(col("__lng"), col("longitude")).as("longitude"),
+        pick(col("__grid"), col("grid_id")).as("grid_id"),
+        col("ror_id"),
+        pick(col("__wd"), col("wikidata_id")).as("wikidata_id"),
+        col("merge_into_id"), pick(col("__city"), col("city")).as("city"),
+        pick(col("__reg"), col("region")).as("region"),
+        pick(col("__ctry"), col("country")).as("country"),
+        pick(col("__geo"), col("geonames_city_id")).as("geonames_city_id"),
+        col("created_date"),
+        pick(now, col("updated_date")).as("updated_date"),
+        pick(col("__ty"), col("type")).as("type"),
+        pick(col("__acr"), col("display_name_acronyms"))
+          .as("display_name_acronyms"),
+        pick(col("__alt"), col("display_name_alternatives"))
+          .as("display_name_alternatives"))
+  }
+}

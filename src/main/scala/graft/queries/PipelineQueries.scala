@@ -1194,6 +1194,148 @@ object PipelineQueries {
       date_format(col("updated_date"), "yyyy-MM-dd").as("updated_d"))
   }
 
+  /** §2.1/§2.3 ROR registry sync (CreateRorDerivedTables.ipynb +
+    * CreateUpdateInstitutionsFromRor.ipynb): the nested ROR dump
+    * (names/types/links/external_ids/relationships/locations arrays)
+    * drives the four derived explode tables (null-id relationship
+    * elements dropped; label language carried) and the two registry
+    * passes — INSERT of unseen non-withdrawn RORs with ids minted past
+    * the current max in ROR-id string order, and the newer-record MERGE
+    * update (withdrawn / merged-away / stale rows kept verbatim; a
+    * registry row with a NULL ror_id never matches, so its ROR id is
+    * re-inserted fresh while the old row is kept). Output: the full
+    * post-sync registry tagged inserted/updated/kept, joined with the
+    * per-ROR derived rollups. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.RorTables
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey"); val cks = ck.cast("string")
+    val nullS = lit(null).cast("string")
+    val nameT = "array<struct<value:string,lang:string,types:array<string>>>"
+    val linkT = "array<struct<type:string,value:string>>"
+    val extT = "array<struct<type:string,preferred:string>>"
+    val relT = "array<struct<id:string,type:string>>"
+    def nm(v: Column, lang: Column, ts: Seq[String]) =
+      struct(v.as("value"), lang.as("lang"),
+        array(ts.map(lit(_)): _*).as("types"))
+    def opt(cond: Column, el: Column, tpe: String) =
+      when(cond, array(el)).otherwise(array().cast(tpe))
+    val names = concat(
+      array(nm(concat(lit("Ror Inst "), cks), lit("en"),
+        Seq("ror_display", "label"))),
+      opt(ck % 3 === 0, nm(concat(lit("Alias "), cks), nullS, Seq("alias")),
+        nameT),
+      opt(ck % 4 === 0, nm(concat(lit("AC"), cks), nullS, Seq("acronym")),
+        nameT),
+      opt(ck % 5 === 0, nm(concat(lit("Etiqueta "), cks), lit("es"),
+        Seq("label")), nameT),
+      opt(ck % 6 === 0, nm(concat(lit("Alias2 "), cks), nullS, Seq("alias")),
+        nameT))
+    val links = concat(
+      opt(ck % 2 === 0 || ck % 4 === 1, struct(lit("website").as("type"),
+        concat(lit("https://w"), cks).as("value")), linkT),
+      opt(ck % 4 === 1, struct(lit("wikipedia").as("type"),
+        concat(lit("https://wiki/"), cks).as("value")), linkT))
+    val extIds = concat(
+      opt(ck % 5 === 0, struct(lit("grid").as("type"),
+        concat(lit("grid."), cks).as("preferred")), extT),
+      opt(ck % 5 === 0 || ck % 5 === 1, struct(lit("wikidata").as("type"),
+        concat(lit("Q"), cks).as("preferred")), extT))
+    val rels = concat(
+      opt(ck % 4 === 0, struct(concat(lit("https://ror.org/0x"),
+        (ck + 3).cast("string")).as("id"), lit("parent").as("type")), relT),
+      opt(ck % 4 === 0, struct(nullS.as("id"), lit("child").as("type")),
+        relT),
+      opt(ck % 4 === 2, struct(concat(lit("https://ror.org/0x"),
+        (ck + 1).cast("string")).as("id"), lit("child").as("type")), relT))
+    val locT = "array<struct<geonames_id:bigint,geonames_details:struct<" +
+      "country_code:string,lat:double,lng:double,name:string," +
+      "country_subdivision_name:string,country_name:string>>>"
+    val locs = opt(ck % 9 =!= 4, struct((ck * 7).cast("long")
+        .as("geonames_id"),
+      struct(concat(lit("CC"), (ck % 4).cast("string")).as("country_code"),
+        (ck.cast("double") / 4).as("lat"), (ck.cast("double") * 2).as("lng"),
+        concat(lit("City"), (ck % 10).cast("string")).as("name"),
+        when(ck % 8 =!= 2, concat(lit("Sub"), (ck % 5).cast("string")))
+          .as("country_subdivision_name"),
+        concat(lit("Ctry"), (ck % 3).cast("string")).as("country_name"))
+        .as("geonames_details")), locT)
+    val ror = c.filter(ck < 200).select(
+      concat(lit("https://ror.org/0x"), cks).as("id"),
+      when(ck % 7 === 6, "withdrawn").otherwise("active").as("status"),
+      date_add(lit("2024-01-01").cast("date"), (ck % 40).cast("int"))
+        .cast("timestamp").as("updated_date"),
+      names.as("names"),
+      when(ck % 3 === 0, array(lit("education"), lit("Funder")))
+        .when(ck % 3 === 1, array(lit("Funder")))
+        .otherwise(array(lit("facility"))).as("types"),
+      links.as("links"), extIds.as("external_ids"), rels.as("relationships"),
+      locs.as("locations"))
+    val inst = c.filter(ck < 150 && ck % 3 =!= 1).select(
+      (ck + 1000).cast("long").as("id"),
+      concat(lit("Inst "), cks).as("display_name"),
+      nullS.as("official_page"), nullS.as("wiki_page"),
+      lit("US").as("iso3166_code"),
+      (ck.cast("double") / 10).as("latitude"),
+      lit(null).cast("double").as("longitude"),
+      nullS.as("grid_id"),
+      when(ck % 50 =!= 49, concat(lit("https://ror.org/0x"), cks))
+        .as("ror_id"),
+      nullS.as("wikidata_id"),
+      when(ck % 31 === 0, (ck + 999).cast("long")).as("merge_into_id"),
+      lit("OldCity").as("city"), nullS.as("region"),
+      lit("OldCountry").as("country"), ck.cast("long").as("geonames_city_id"),
+      lit("2020-01-01").cast("timestamp").as("created_date"),
+      lit("2024-01-15").cast("timestamp").as("updated_date"),
+      lit("education").as("type"),
+      lit(null).cast("array<string>").as("display_name_acronyms"),
+      when(ck % 9 === 0, array(lit("OldAlt")))
+        .as("display_name_alternatives"))
+    val now = lit("2024-06-01").cast("timestamp")
+    val kept = RorTables.updateFromRor(inst, ror, now)
+      .withColumn("tag", when(col("updated_date") === now, "updated")
+        .otherwise("kept"))
+    val inserted = RorTables.insertNewFromRor(ror, inst, now)
+      .drop("image_url", "image_thumbnail_url", "merge_into_date")
+      .withColumn("tag", lit("inserted"))
+    val full = kept.unionByName(inserted)
+    val bareR = regexp_replace(col("ror_id"), "https://ror\\.org/", "")
+    val nRel = RorTables.relationships(ror).groupBy(col("ror_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val lab = RorTables.labels(ror).groupBy(col("ror_id"))
+      .agg(sort_array(collect_list(concat_ws(":",
+        coalesce(col("iso639"), lit("-")), col("label")))).as("labels"))
+    val ali = RorTables.aliases(ror).groupBy(col("ror_id"))
+      .agg(sort_array(collect_list(col("alias"))).as("aliases"))
+    val typ = RorTables.types(ror).groupBy(col("ror_id"))
+      .agg(sort_array(collect_list(col("type"))).as("types"))
+    full.withColumn("__bare", bareR)
+      .join(nRel.withColumnRenamed("ror_id", "__r1"),
+        col("__bare") === col("__r1"), "left").drop("__r1")
+      .join(lab.withColumnRenamed("ror_id", "__r2"),
+        col("__bare") === col("__r2"), "left").drop("__r2")
+      .join(ali.withColumnRenamed("ror_id", "__r3"),
+        col("__bare") === col("__r3"), "left").drop("__r3")
+      .join(typ.withColumnRenamed("ror_id", "__r4"),
+        col("__bare") === col("__r4"), "left").drop("__r4")
+      .select(col("tag"), col("id"), col("ror_id").as("ror"),
+        col("display_name"), col("official_page"), col("wiki_page"),
+        col("iso3166_code").as("country_code"),
+        col("latitude"), col("longitude"), col("grid_id"),
+        col("wikidata_id"),
+        col("merge_into_id").isNotNull.cast("int").as("merged"),
+        col("city"), col("region"), col("country"),
+        col("geonames_city_id"), col("type"),
+        to_json(col("display_name_acronyms")).as("acr_json"),
+        to_json(col("display_name_alternatives")).as("alt_json"),
+        date_format(col("created_date"), "yyyy-MM-dd").as("created_d"),
+        date_format(col("updated_date"), "yyyy-MM-dd").as("updated_d"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(to_json(col("labels")), lit("[]")).as("labels_json"),
+        coalesce(to_json(col("aliases")), lit("[]")).as("aliases_json"),
+        coalesce(to_json(col("types")), lit("[]")).as("types_json"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
@@ -1201,7 +1343,8 @@ object PipelineQueries {
     "q74_paywall_queues" -> (q74 _),
     "q75_sources_api" -> (q75 _),
     "q89_institutions_api" -> (q89 _),
-    "q90_publishers_api" -> (q90 _))
+    "q90_publishers_api" -> (q90 _),
+    "q93_ror_registry_sync" -> (q93 _))
 
   private val q74Oracle: String =
     """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
@@ -1930,6 +2073,112 @@ object PipelineQueries {
       |LEFT JOIN cbj cb ON a.id = cb.pid
       |LEFT JOIN chg ch ON a.id = ch.pid""".stripMargin
 
+  private val q93Oracle: String =
+    """WITH r0 AS (SELECT c_custkey AS ck FROM customer WHERE c_custkey < 200),
+      |flds AS (SELECT ck, '0x' || CAST(ck AS VARCHAR) AS bror,
+      |  (ck % 7 = 6) AS withdrawn,
+      |  'Ror Inst ' || CAST(ck AS VARCHAR) AS dn,
+      |  CASE WHEN ck % 3 = 0 THEN 'education' WHEN ck % 3 = 1 THEN 'funder'
+      |       ELSE 'facility' END AS ty,
+      |  CASE WHEN ck % 2 = 0 OR ck % 4 = 1
+      |    THEN 'https://w' || CAST(ck AS VARCHAR) END AS op,
+      |  CASE WHEN ck % 4 = 1
+      |    THEN 'https://wiki/' || CAST(ck AS VARCHAR) END AS wp,
+      |  CASE WHEN ck % 5 = 0 THEN 'grid.' || CAST(ck AS VARCHAR) END AS grid,
+      |  CASE WHEN ck % 5 IN (0, 1) THEN 'Q' || CAST(ck AS VARCHAR) END AS wd,
+      |  CASE WHEN ck % 9 <> 4 THEN 'CC' || CAST(ck % 4 AS VARCHAR) END AS cc,
+      |  CASE WHEN ck % 9 <> 4 THEN CAST(ck AS DOUBLE) / 4 END AS lat,
+      |  CASE WHEN ck % 9 <> 4 THEN CAST(ck AS DOUBLE) * 2 END AS lng,
+      |  CASE WHEN ck % 9 <> 4
+      |    THEN 'City' || CAST(ck % 10 AS VARCHAR) END AS city,
+      |  CASE WHEN ck % 9 <> 4 AND ck % 8 <> 2
+      |    THEN 'Sub' || CAST(ck % 5 AS VARCHAR) END AS region,
+      |  CASE WHEN ck % 9 <> 4
+      |    THEN 'Ctry' || CAST(ck % 3 AS VARCHAR) END AS ctry,
+      |  CASE WHEN ck % 9 <> 4 THEN CAST(ck * 7 AS BIGINT) END AS geo,
+      |  CASE WHEN ck % 4 = 0 THEN CAST(to_json(
+      |    ['AC' || CAST(ck AS VARCHAR)]) AS VARCHAR) ELSE '[]' END AS acr,
+      |  CASE WHEN ck % 6 = 0 THEN CAST(to_json(
+      |      ['Alias ' || CAST(ck AS VARCHAR),
+      |       'Alias2 ' || CAST(ck AS VARCHAR)]) AS VARCHAR)
+      |    WHEN ck % 3 = 0 THEN CAST(to_json(
+      |      ['Alias ' || CAST(ck AS VARCHAR)]) AS VARCHAR)
+      |    ELSE '[]' END AS alt,
+      |  CAST(CASE WHEN ck % 4 IN (0, 2) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_rel,
+      |  CASE WHEN ck % 5 = 0 THEN CAST(to_json(
+      |      ['en:Ror Inst ' || CAST(ck AS VARCHAR),
+      |       'es:Etiqueta ' || CAST(ck AS VARCHAR)]) AS VARCHAR)
+      |    ELSE CAST(to_json(['en:Ror Inst ' || CAST(ck AS VARCHAR)])
+      |      AS VARCHAR) END AS labels,
+      |  CASE WHEN ck % 6 = 0 THEN CAST(to_json(
+      |      ['Alias ' || CAST(ck AS VARCHAR),
+      |       'Alias2 ' || CAST(ck AS VARCHAR)]) AS VARCHAR)
+      |    WHEN ck % 3 = 0 THEN CAST(to_json(
+      |      ['Alias ' || CAST(ck AS VARCHAR)]) AS VARCHAR)
+      |    ELSE '[]' END AS aliases,
+      |  CASE WHEN ck % 3 = 0
+      |      THEN CAST(to_json(['Funder','education']) AS VARCHAR)
+      |    WHEN ck % 3 = 1 THEN CAST(to_json(['Funder']) AS VARCHAR)
+      |    ELSE CAST(to_json(['facility']) AS VARCHAR) END AS tys
+      |  FROM r0),
+      |reg AS (SELECT ck, ck + 1000 AS id,
+      |   CASE WHEN ck % 50 <> 49 THEN '0x' || CAST(ck AS VARCHAR) END
+      |     AS bror,
+      |   (ck % 31 = 0) AS merged
+      |  FROM r0 WHERE ck < 150 AND ck % 3 <> 1),
+      |newk AS (SELECT f.ck, f.bror,
+      |    1149 + row_number() OVER (ORDER BY f.bror) AS nid
+      |  FROM flds f LEFT JOIN reg ON f.bror = reg.bror
+      |  WHERE reg.id IS NULL AND NOT f.withdrawn)
+      |SELECT CASE WHEN do_upd THEN 'updated' ELSE 'kept' END AS tag,
+      |  CAST(id AS BIGINT) AS id,
+      |  CASE WHEN bror IS NOT NULL THEN 'https://ror.org/' || bror END
+      |    AS ror,
+      |  CASE WHEN do_upd THEN dn
+      |    ELSE 'Inst ' || CAST(rck AS VARCHAR) END AS display_name,
+      |  CASE WHEN do_upd THEN op END AS official_page,
+      |  CASE WHEN do_upd THEN wp END AS wiki_page,
+      |  CASE WHEN do_upd THEN cc ELSE 'US' END AS country_code,
+      |  CASE WHEN do_upd THEN lat
+      |    ELSE CAST(rck AS DOUBLE) / 10 END AS latitude,
+      |  CASE WHEN do_upd THEN lng END AS longitude,
+      |  CASE WHEN do_upd THEN grid END AS grid_id,
+      |  CASE WHEN do_upd THEN wd END AS wikidata_id,
+      |  CAST(merged AS INTEGER) AS merged,
+      |  CASE WHEN do_upd THEN city ELSE 'OldCity' END AS city,
+      |  CASE WHEN do_upd THEN region END AS region,
+      |  CASE WHEN do_upd THEN ctry ELSE 'OldCountry' END AS country,
+      |  CASE WHEN do_upd THEN geo ELSE CAST(rck AS BIGINT) END
+      |    AS geonames_city_id,
+      |  CASE WHEN do_upd THEN ty ELSE 'education' END AS type,
+      |  CASE WHEN do_upd THEN acr END AS acr_json,
+      |  CASE WHEN do_upd THEN alt
+      |    WHEN rck % 9 = 0 THEN CAST(to_json(['OldAlt']) AS VARCHAR) END
+      |    AS alt_json,
+      |  '2020-01-01' AS created_d,
+      |  CASE WHEN do_upd THEN '2024-06-01' ELSE '2024-01-15' END
+      |    AS updated_d,
+      |  coalesce(n_rel, 0) AS n_rel,
+      |  coalesce(labels, '[]') AS labels_json,
+      |  coalesce(aliases, '[]') AS aliases_json,
+      |  coalesce(tys, '[]') AS types_json
+      |FROM (
+      |  SELECT reg.ck AS rck, reg.id, reg.bror, reg.merged,
+      |    (f.ck IS NOT NULL AND NOT reg.merged AND NOT f.withdrawn
+      |     AND reg.ck % 40 >= 15) AS do_upd,
+      |    f.dn, f.op, f.wp, f.cc, f.lat, f.lng, f.grid, f.wd, f.city,
+      |    f.region, f.ctry, f.geo, f.ty, f.acr, f.alt, f.n_rel, f.labels,
+      |    f.aliases, f.tys
+      |  FROM reg LEFT JOIN flds f ON reg.bror = f.bror)
+      |UNION ALL
+      |SELECT 'inserted', CAST(n.nid AS BIGINT),
+      |  'https://ror.org/' || n.bror, f.dn, f.op, f.wp, f.cc, f.lat, f.lng,
+      |  f.grid, f.wd, 0, f.city, f.region, f.ctry, f.geo, f.ty, f.acr,
+      |  f.alt, '2024-06-01', '2024-06-01', f.n_rel, f.labels, f.aliases,
+      |  f.tys
+      |FROM newk n JOIN flds f ON n.bror = f.bror""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
@@ -1937,5 +2186,6 @@ object PipelineQueries {
     "q74_paywall_queues" -> q74Oracle,
     "q75_sources_api" -> q75Oracle,
     "q89_institutions_api" -> q89Oracle,
-    "q90_publishers_api" -> q90Oracle)
+    "q90_publishers_api" -> q90Oracle,
+    "q93_ror_registry_sync" -> q93Oracle)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entities.RorTables
+
+/** Semantics pins for the ROR registry sync (oracle: q93). */
+class RorTablesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ror(rows: Seq[(String, String, String, String)]): DataFrame =
+    // (bareId, status, updated, displayName)
+    rows.toDF("b", "status", "upd", "dn").selectExpr(
+      "concat('https://ror.org/', b) AS id", "status",
+      "CAST(upd AS TIMESTAMP) AS updated_date",
+      "array(named_struct('value', dn, 'lang', 'en', " +
+        "'types', array('ror_display', 'label'))) AS names",
+      "array('Funder', 'Education') AS types",
+      "CAST(array() AS ARRAY<STRUCT<type:STRING,value:STRING>>) AS links",
+      "CAST(array() AS ARRAY<STRUCT<type:STRING,preferred:STRING>>) " +
+        "AS external_ids",
+      "array(named_struct('id', 'https://ror.org/xx1', 'type', 'parent'), " +
+        "named_struct('id', CAST(NULL AS STRING), 'type', 'child')) " +
+        "AS relationships",
+      "CAST(array() AS ARRAY<STRUCT<geonames_id:BIGINT,geonames_details:" +
+        "STRUCT<country_code:STRING,lat:DOUBLE,lng:DOUBLE,name:STRING," +
+        "country_subdivision_name:STRING,country_name:STRING>>>) " +
+        "AS locations")
+
+  private def reg(rows: Seq[(Long, String, String)]): DataFrame =
+    // (id, bareRor or null, updated)
+    rows.toDF("id", "b", "upd").selectExpr("id",
+      "'Old Name' AS display_name", "CAST(NULL AS STRING) AS official_page",
+      "CAST(NULL AS STRING) AS wiki_page", "'US' AS iso3166_code",
+      "CAST(NULL AS DOUBLE) AS latitude", "CAST(NULL AS DOUBLE) AS longitude",
+      "CAST(NULL AS STRING) AS grid_id",
+      "CASE WHEN b IS NOT NULL THEN concat('https://ror.org/', b) END " +
+        "AS ror_id",
+      "CAST(NULL AS STRING) AS wikidata_id",
+      "CAST(NULL AS BIGINT) AS merge_into_id", "'C' AS city",
+      "CAST(NULL AS STRING) AS region", "'X' AS country",
+      "CAST(NULL AS BIGINT) AS geonames_city_id",
+      "TIMESTAMP '2020-01-01' AS created_date",
+      "CAST(upd AS TIMESTAMP) AS updated_date", "'education' AS type",
+      "CAST(NULL AS ARRAY<STRING>) AS display_name_acronyms",
+      "CAST(NULL AS ARRAY<STRING>) AS display_name_alternatives")
+
+  test("relationships drops null-id edges; types keep raw casing; " +
+    "fields prefers the non-funder type lowercased") {
+    val r = ror(Seq(("aaa", "active", "2024-01-01", "A")))
+    assert(RorTables.relationships(r).collect()
+      .map(_.getString(1)).toSeq == Seq("xx1"))
+    assert(RorTables.types(r).collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("Education", "Funder"))
+    val f = RorTables.fields(r).collect()(0)
+    assert(f.getString(f.fieldIndex("type")) == "education")
+  }
+
+  test("insertNewFromRor: unseen non-withdrawn rors minted past max id " +
+    "in ror-id string order; withdrawn and matched rors skipped") {
+    val r = ror(Seq(("b10", "active", "2024-01-01", "B10"),
+      ("b2", "active", "2024-01-01", "B2"),
+      ("b3", "withdrawn", "2024-01-01", "B3"),
+      ("old", "active", "2024-01-01", "Old")))
+    val existing = reg(Seq((500L, "old", "2024-01-01")))
+    val out = RorTables.insertNewFromRor(r, existing,
+      lit("2024-06-01").cast("timestamp"))
+      .select("id", "ror_id", "display_name").orderBy("id").collect()
+    // string order: 'b10' < 'b2' → b10 gets 501
+    assert(out.map(x => (x.getLong(0), x.getString(2))).toSeq ==
+      Seq((501L, "B10"), (502L, "B2")))
+  }
+
+  test("updateFromRor: newer record updates; stale / merged / withdrawn " +
+    "/ null-ror rows keep their values") {
+    val r = ror(Seq(
+      ("fresh", "active", "2024-05-01", "New Name"),
+      ("stale", "active", "2023-01-01", "Should Not Apply"),
+      ("gone", "withdrawn", "2024-05-01", "Withdrawn")))
+    val target = reg(Seq((1L, "fresh", "2024-01-15"),
+      (2L, "stale", "2024-01-15"), (3L, "gone", "2024-01-15"),
+      (4L, null, "2024-01-15")))
+    val out = RorTables.updateFromRor(target, r,
+      lit("2024-06-01").cast("timestamp"))
+      .select(col("id"), col("display_name"),
+        date_format(col("updated_date"), "yyyy-MM-dd"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, "New Name", "2024-06-01"),
+      (2L, "Old Name", "2024-01-15"),
+      (3L, "Old Name", "2024-01-15"),
+      (4L, "Old Name", "2024-01-15")))
+  }
+}
