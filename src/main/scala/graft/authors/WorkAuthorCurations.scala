@@ -1,0 +1,62 @@
+package graft.authors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.MergeInto
+
+/** Work-author curation apply (reference: notebooks/end2end/
+  * ApplyWorkAuthorCurations.ipynb): user-submitted CLAIMS bind an
+  * author id to a (work, raw_author_name) seat; REMOVALS null a
+  * (work, author) binding. Both are MERGEs with the reference's exact
+  * fan-in handling:
+  *
+  *  - claims: several users (or one double-submitting) can claim the
+  *    same seat with DIFFERENT author ids — plain DISTINCT cannot
+  *    collapse them, so the most recent claim wins (created DESC,
+  *    curation_id DESC tiebreak — the QUALIFY dedup of cell 2). The
+  *    update fires only when the seat is unbound or bound differently
+  *    (a no-op claim leaves updated_at untouched).
+  *  - removals: several users disclaiming the same (work, author) pair
+  *    produce identical updates (SET NULL), so DISTINCT is the correct
+  *    collapse (cell 4's comment).
+  *
+  * Scale posture: both MERGEs are single keyed joins; the curation side
+  * is tiny (user submissions) and broadcastable by the optimizer.
+  */
+object WorkAuthorCurations {
+
+  /** Cell-2 claim MERGE over work_authors(work_id, author_sequence,
+    * raw_author_name, author_id, updated_at).
+    * @param claims (work_id, raw_author_name, author_id, created,
+    *               curation_id) */
+  def applyClaims(workAuthors: DataFrame, claims: DataFrame,
+      now: Column): DataFrame =
+    // non-null key guard: MergeInto keys are null-safe (<=>), but the
+    // reference's ON uses plain equality — a NULL-keyed curation row
+    // must match nothing, not every NULL-keyed seat
+    MergeInto(workAuthors,
+      claims.filter(col("raw_author_name").isNotNull)
+        .select(col("work_id"), col("raw_author_name"),
+          col("author_id"), col("created"), col("curation_id")),
+      "work_id", "raw_author_name")
+      .dedupSourceBy(col("created").desc, col("curation_id").desc)
+      .whenMatchedUpdate(Map(
+        "author_id" -> col("__src.author_id"),
+        "updated_at" -> now),
+        condition = col("__tgt.author_id").isNull ||
+          col("__tgt.author_id") =!= col("__src.author_id"))
+      .run()
+
+  /** Cell-4 removal MERGE: DISTINCT (work_id, author_id) disclaims
+    * null the binding. */
+  def applyRemovals(workAuthors: DataFrame, removals: DataFrame,
+      now: Column): DataFrame =
+    MergeInto(workAuthors,
+      removals.filter(col("author_id").isNotNull) // plain-equality ON (see applyClaims)
+        .select(col("work_id"), col("author_id")).distinct(),
+      "work_id", "author_id")
+      .whenMatchedUpdate(Map(
+        "author_id" -> lit(null).cast("long"),
+        "updated_at" -> now))
+      .run()
+}

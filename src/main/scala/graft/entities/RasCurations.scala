@@ -1,0 +1,114 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.MergeInto
+
+/** Raw-affiliation-string curation sync + works-count refresh
+  * (reference: notebooks/end2end/SyncRasCurations.ipynb +
+  * RefreshRasWorksCounts.ipynb):
+  *
+  *  - [[pivot]]: the resolved curation pairs (latest-action-wins is
+  *    already applied upstream in the source view) pivoted to one row
+  *    per string with add/remove id arrays. The reference's
+  *    FILTER(ARRAY_AGG(CASE…)) carries collect order — we sort the
+  *    arrays (documented deviation; Delta table content is
+  *    order-insensitive downstream).
+  *  - [[syncMerge]]: inserts + updates only, deliberately NO
+  *    not-matched-by-source delete — the curation log is append-only
+  *    (undo = submit the opposite action), so a local row missing from
+  *    the source view means an out-of-band delete and is preserved.
+  *  - [[worksCounts]]: the per-string works count rebuild (distinct
+  *    works per exploded raw affiliation string).
+  *  - [[refreshLookup]]: the hash-gated lookup refresh — rows keep
+  *    their `refreshed_at` unless the content hash (sorted id arrays +
+  *    counts) changed; zero-work strings get count 0, not a stale
+  *    value.
+  *
+  * Scale posture: worksCounts is one explode + one hash aggregation;
+  * the sync/refresh MERGEs are keyed joins with the tiny curation side
+  * broadcast.
+  */
+object RasCurations {
+
+  /** (raw_affiliation_string, curated_add_ids, curated_remove_ids,
+    * latest_curation_at) from resolved (string, institution_id, action,
+    * created) pairs. */
+  def pivot(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("raw_affiliation_string"))
+      .agg(
+        sort_array(collect_list(when(col("action") === "add",
+          col("institution_id")))).as("curated_add_ids"),
+        sort_array(collect_list(when(col("action") === "remove",
+          col("institution_id")))).as("curated_remove_ids"),
+        max(col("created")).as("latest_curation_at"))
+
+  /** Cell-3 MERGE into ras_curations(raw_affiliation_string,
+    * curated_add_ids, curated_remove_ids, latest_curation_at,
+    * updated_datetime): upsert only, extra local rows preserved. */
+  def syncMerge(target: DataFrame, pivoted: DataFrame,
+      now: Column): DataFrame =
+    MergeInto(target, pivoted, "raw_affiliation_string")
+      .whenMatchedUpdate(Map(
+        "curated_add_ids" -> col("__src.curated_add_ids"),
+        "curated_remove_ids" -> col("__src.curated_remove_ids"),
+        "latest_curation_at" -> col("__src.latest_curation_at"),
+        "updated_datetime" -> now))
+      .whenNotMatchedInsertValues(Map(
+        "raw_affiliation_string" -> col("__src.raw_affiliation_string"),
+        "curated_add_ids" -> col("__src.curated_add_ids"),
+        "curated_remove_ids" -> col("__src.curated_remove_ids"),
+        "latest_curation_at" -> col("__src.latest_curation_at"),
+        "updated_datetime" -> now))
+      .run()
+
+  /** RefreshRasWorksCounts cell 2: COUNT(DISTINCT work) per exploded
+    * raw affiliation string. `works`: (id, authorships ARRAY<STRUCT<
+    * raw_affiliation_strings ARRAY<STRING>>>). */
+  def worksCounts(works: DataFrame): DataFrame =
+    works.select(col("id"), explode(col("authorships")).as("__a"))
+      .select(col("id"),
+        explode(col("__a.raw_affiliation_strings")).as("raw_aff_string"))
+      .groupBy(col("raw_aff_string"))
+      .agg(countDistinct(col("id")).as("works_count"))
+
+  /** The lookup side's content hash (cell 5): sorted id arrays +
+    * works_count, JSON-serialized then SHA2 — hash equality ⟺ content
+    * equality, so the oracle can gate on the tuple. */
+  def contentKey(c: Column => Column = identity): Column =
+    to_json(struct(
+      sort_array(c(col("institution_ids"))).as("iif"),
+      sort_array(c(col("model_institution_ids"))).as("iim"),
+      c(col("works_count")).as("wc")))
+
+  /** Cell-5 MERGE: the materialized-view rows (institution id arrays +
+    * zero-defaulted works counts) refresh the lookup; `refreshed_at`
+    * advances only when the content hash changed. Target columns:
+    * (raw_affiliation_string, institution_ids, model_institution_ids,
+    * works_count, content_hash, refreshed_at). */
+  def refreshLookup(target: DataFrame, mv: DataFrame, counts: DataFrame,
+      now: Column): DataFrame = {
+    val source = mv
+      .join(counts.withColumnRenamed("raw_aff_string",
+        "raw_affiliation_string"), Seq("raw_affiliation_string"), "left")
+      .withColumn("works_count", coalesce(col("works_count"), lit(0L)))
+      .withColumn("content_hash", sha2(contentKey(), 256))
+    MergeInto(target, source, "raw_affiliation_string")
+      .whenMatchedUpdate(Map(
+        "institution_ids" -> col("__src.institution_ids"),
+        "model_institution_ids" -> col("__src.model_institution_ids"),
+        "works_count" -> col("__src.works_count"),
+        "content_hash" -> col("__src.content_hash"),
+        "refreshed_at" -> now),
+        condition = coalesce(col("__tgt.content_hash"), lit("")) =!=
+          col("__src.content_hash"))
+      .whenNotMatchedInsertValues(Map(
+        "raw_affiliation_string" -> col("__src.raw_affiliation_string"),
+        "institution_ids" -> col("__src.institution_ids"),
+        "model_institution_ids" -> col("__src.model_institution_ids"),
+        "works_count" -> col("__src.works_count"),
+        "content_hash" -> col("__src.content_hash"),
+        "refreshed_at" -> now))
+      .run()
+  }
+}

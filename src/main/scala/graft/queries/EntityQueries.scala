@@ -1118,9 +1118,161 @@ object EntityQueries {
         col("reason"), col("support_n").cast("long").as("support_n"))
   }
 
+  /** §2.1/§2.3 work-author curation apply (ApplyWorkAuthorCurations
+    * .ipynb): the claim MERGE with latest-wins fan-in (a k%10==0
+    * conflict pair resolved by created DESC, a k%10==5 exact-timestamp
+    * tie resolved by curation_id DESC), the no-op-claim guard (k%45==0
+    * claims the already-bound author → updated_at untouched), a ghost
+    * claim on a nonexistent seat, NULL-seat binding, then the DISTINCT
+    * removal MERGE (duplicate disclaims collapsed; a removal can null
+    * BOTH seats when their author ids coincide — k%600==0). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import graft.authors.WorkAuthorCurations
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val baseAt = lit("2024-01-01").cast("timestamp")
+    val now = lit("2024-03-01").cast("timestamp")
+    val seat1 = o.select(k.as("work_id"), lit(1).as("author_sequence"),
+      concat(lit("Auth "), pmod(k, lit(50)).cast("string"))
+        .as("raw_author_name"),
+      when(pmod(k, lit(9)) =!= 4, pmod(k, lit(300))).as("author_id"),
+      baseAt.as("updated_at"))
+    val seat2 = o.select(k.as("work_id"), lit(2).as("author_sequence"),
+      concat(lit("Co "), pmod(k, lit(40)).cast("string"))
+        .as("raw_author_name"),
+      pmod(k, lit(200)).as("author_id"), baseAt.as("updated_at"))
+    val workAuthors = seat1.unionByName(seat2)
+    val claimable = o.filter(pmod(k, lit(5)) === 0)
+    val baseClaims = claimable.select(k.as("work_id"),
+      concat(lit("Auth "), pmod(k, lit(50)).cast("string"))
+        .as("raw_author_name"),
+      when(pmod(k, lit(45)) === 0, pmod(k, lit(300)))
+        .otherwise(lit(9000) + pmod(k, lit(20))).as("author_id"),
+      lit("2024-02-01").cast("timestamp").as("created"),
+      k.as("curation_id"))
+    val conflictClaims = claimable.filter(pmod(k, lit(10)) === 0).select(
+      k.as("work_id"),
+      concat(lit("Auth "), pmod(k, lit(50)).cast("string"))
+        .as("raw_author_name"),
+      (lit(9100) + pmod(k, lit(20))).as("author_id"),
+      lit("2024-02-15").cast("timestamp").as("created"),
+      (k + 1).as("curation_id"))
+    val tieClaims = claimable.filter(pmod(k, lit(10)) === 5).select(
+      k.as("work_id"),
+      concat(lit("Auth "), pmod(k, lit(50)).cast("string"))
+        .as("raw_author_name"),
+      (lit(9200) + pmod(k, lit(20))).as("author_id"),
+      lit("2024-02-01").cast("timestamp").as("created"),
+      (k + 1).as("curation_id"))
+    val ghostClaims = claimable.filter(pmod(k, lit(7)) === 0).select(
+      k.as("work_id"), lit("Ghost").as("raw_author_name"),
+      lit(1L).as("author_id"),
+      lit("2024-02-20").cast("timestamp").as("created"),
+      (k + 2).as("curation_id"))
+    val claims = baseClaims.unionByName(conflictClaims)
+      .unionByName(tieClaims).unionByName(ghostClaims)
+    val removals = o.filter(pmod(k, lit(6)) === 0).select(
+        k.as("work_id"), pmod(k, lit(200)).as("author_id"))
+      .unionByName(o.filter(pmod(k, lit(6)) === 0).select(
+        k.as("work_id"), pmod(k, lit(200)).as("author_id")))
+      .unionByName(o.filter(pmod(k, lit(6)) === 0 && pmod(k, lit(13)) === 0)
+        .select(k.as("work_id"), lit(99999L).as("author_id")))
+    val afterClaims =
+      WorkAuthorCurations.applyClaims(workAuthors, claims, now)
+    WorkAuthorCurations.applyRemovals(afterClaims, removals, now)
+      .select(col("work_id"), col("author_sequence"),
+        col("raw_author_name"), col("author_id"),
+        (col("updated_at") === now).cast("int").as("touched"))
+  }
+
+  /** §2.4/§2.1 RAS curation sync (SyncRasCurations.ipynb): the
+    * action-pivot to add/remove id arrays (three pairs per string —
+    * one remove residue, two adds), the append-only upsert MERGE (no
+    * by-source delete: the local-only 'RAS X' row survives), and the
+    * latest-curation timestamp carry. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.RasCurations
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val pairs = c.filter(ck < 240).select(
+      concat(lit("RAS "), (ck % 80).cast("string"))
+        .as("raw_affiliation_string"),
+      (ck % 60 + 1).cast("long").as("institution_id"),
+      when(ck % 3 === 0, "remove").otherwise("add").as("action"),
+      date_add(lit("2024-01-01").cast("date"), (ck % 30).cast("int"))
+        .cast("timestamp").as("created"))
+    val target = c.filter(ck < 40).select(
+        concat(lit("RAS "), ck.cast("string")).as("raw_affiliation_string"),
+        array(lit(999L)).as("curated_add_ids"),
+        array().cast("array<bigint>").as("curated_remove_ids"),
+        lit("2023-12-01").cast("timestamp").as("latest_curation_at"),
+        lit("2023-12-15").cast("timestamp").as("updated_datetime"))
+      .unionByName(c.filter(ck === 40).select(
+        lit("RAS X").as("raw_affiliation_string"),
+        array(lit(7L)).as("curated_add_ids"),
+        array().cast("array<bigint>").as("curated_remove_ids"),
+        lit("2023-12-01").cast("timestamp").as("latest_curation_at"),
+        lit("2023-12-15").cast("timestamp").as("updated_datetime")))
+    RasCurations.syncMerge(target, RasCurations.pivot(pairs),
+        lit("2024-05-05").cast("timestamp"))
+      .select(col("raw_affiliation_string"),
+        to_json(col("curated_add_ids")).as("add_json"),
+        to_json(col("curated_remove_ids")).as("remove_json"),
+        date_format(col("latest_curation_at"), "yyyy-MM-dd").as("latest_d"),
+        date_format(col("updated_datetime"), "yyyy-MM-dd").as("updated_d"))
+  }
+
+  /** §2.4/§2.1 RAS lookup refresh (RefreshRasWorksCounts.ipynb): the
+    * per-string distinct-works count rebuild (duplicate strings within
+    * a work dedup; empty/null authorship arms contribute nothing) and
+    * the content-hash-gated MERGE across two works generations — gen1
+    * seeds the lookup without the k%499==7 works, gen2 restores them,
+    * so exactly the strings that gained a work advance refreshed_at
+    * (zero-work strings get count 0, not a stale value). */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import graft.entities.RasCurations
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    def aff(strs: Column) = struct(strs.as("raw_affiliation_strings"))
+    val s1 = concat(lit("L"), pmod(k, lit(100)).cast("string"))
+    val s2 = concat(lit("L"), pmod(k * 3, lit(100)).cast("string"))
+    val m3 = pmod(k, lit(3))
+    val works = o.select(k.as("id"),
+      when(m3 === 0, array(aff(array(s1, s2)), aff(array(s1))))
+        .when(m3 === 1, array(aff(array(s1))))
+        .when(pmod(k, lit(6)) === 2,
+          array(aff(array().cast("array<string>"))))
+        .as("authorships"))
+    val mv = c.filter(ck < 100).select(
+      concat(lit("L"), ck.cast("string")).as("raw_affiliation_string"),
+      when(ck % 3 === 0, array((ck + 5).cast("long"), (ck + 1).cast("long")))
+        .otherwise(array(ck.cast("long"))).as("institution_ids"),
+      when(ck % 2 === 0, array((ck + 9).cast("long")))
+        .otherwise(array().cast("array<bigint>"))
+        .as("model_institution_ids"))
+    val emptyTarget = mv.filter(lit(false)).select(
+      col("raw_affiliation_string"), col("institution_ids"),
+      col("model_institution_ids"), lit(0L).as("works_count"),
+      lit(null).cast("string").as("content_hash"),
+      lit(null).cast("timestamp").as("refreshed_at"))
+    val gen1 = RasCurations.refreshLookup(emptyTarget, mv,
+      RasCurations.worksCounts(works.filter(pmod(k, lit(499)) =!= 7)),
+      lit("2024-01-10").cast("timestamp"))
+    RasCurations.refreshLookup(gen1, mv, RasCurations.worksCounts(works),
+        lit("2024-02-20").cast("timestamp"))
+      .select(col("raw_affiliation_string"),
+        to_json(sort_array(col("institution_ids"))).as("iif_json"),
+        to_json(sort_array(col("model_institution_ids"))).as("iim_json"),
+        col("works_count"),
+        date_format(col("refreshed_at"), "yyyy-MM-dd").as("refreshed_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q91_author_curations" -> (q91 _),
     "q92_author_full_names" -> (q92 _),
+    "q94_work_author_claims" -> (q94 _),
+    "q95_ras_curations_sync" -> (q95 _),
+    "q96_ras_lookup_refresh" -> (q96 _),
     "q86_funder_merge" -> (q86 _),
     "q85_name_conflict_overmerges" -> (q85 _),
     "q84_quality_judge_apply" -> (q84 _),
@@ -1327,9 +1479,95 @@ object EntityQueries {
       |SELECT CAST(a AS BIGINT), full_name, raw, reason, CAST(n AS BIGINT)
       |FROM resets""".stripMargin
 
+  private val q94Oracle: String =
+    """WITH w AS (SELECT o_orderkey AS k FROM orders),
+      |win AS (SELECT k,
+      |    CASE WHEN k % 10 = 0 THEN 9100 + k % 20
+      |         WHEN k % 10 = 5 THEN 9200 + k % 20
+      |         WHEN k % 45 = 0 THEN k % 300
+      |         ELSE 9000 + k % 20 END AS winner
+      |  FROM w WHERE k % 5 = 0),
+      |s1 AS (SELECT w.k, 'Auth ' || CAST(w.k % 50 AS VARCHAR) AS raw,
+      |    CASE WHEN w.k % 9 <> 4 THEN w.k % 300 END AS auth,
+      |    win.winner
+      |  FROM w LEFT JOIN win ON w.k = win.k),
+      |p1 AS (SELECT k, raw,
+      |    CASE WHEN winner IS NOT NULL
+      |           AND (auth IS NULL OR auth <> winner)
+      |      THEN winner ELSE auth END AS auth1,
+      |    (winner IS NOT NULL AND (auth IS NULL OR auth <> winner)) AS cl
+      |  FROM s1),
+      |f1 AS (SELECT k, raw,
+      |    CASE WHEN k % 6 = 0 AND auth1 = k % 200 THEN NULL
+      |         ELSE auth1 END AS auth,
+      |    (cl OR (k % 6 = 0 AND auth1 = k % 200)) AS touched
+      |  FROM p1)
+      |SELECT CAST(k AS BIGINT) AS work_id, 1 AS author_sequence,
+      |  raw AS raw_author_name, CAST(auth AS BIGINT) AS author_id,
+      |  CAST(touched AS INTEGER) AS touched
+      |FROM f1
+      |UNION ALL
+      |SELECT CAST(k AS BIGINT), 2, 'Co ' || CAST(k % 40 AS VARCHAR),
+      |  CASE WHEN k % 6 = 0 THEN NULL ELSE CAST(k % 200 AS BIGINT) END,
+      |  CAST(k % 6 = 0 AS INTEGER)
+      |FROM w""".stripMargin
+
+  private val q95Oracle: String =
+    """WITH p AS (SELECT 'RAS ' || CAST(c_custkey % 80 AS VARCHAR) AS raw,
+      |    CAST(c_custkey % 60 + 1 AS BIGINT) AS inst,
+      |    CASE WHEN c_custkey % 3 = 0 THEN 'remove' ELSE 'add' END
+      |      AS action,
+      |    DATE '2024-01-01' + CAST(c_custkey % 30 AS INTEGER) AS created
+      |  FROM customer WHERE c_custkey < 240),
+      |piv AS (SELECT raw,
+      |    CAST(to_json(list(inst ORDER BY inst)
+      |      FILTER (WHERE action = 'add')) AS VARCHAR) AS addj,
+      |    CAST(to_json(list(inst ORDER BY inst)
+      |      FILTER (WHERE action = 'remove')) AS VARCHAR) AS remj,
+      |    max(created) AS latest
+      |  FROM p GROUP BY raw)
+      |SELECT raw AS raw_affiliation_string, addj AS add_json,
+      |  remj AS remove_json, strftime(latest, '%Y-%m-%d') AS latest_d,
+      |  '2024-05-05' AS updated_d
+      |FROM piv
+      |UNION ALL
+      |SELECT 'RAS X', CAST(to_json([CAST(7 AS BIGINT)]) AS VARCHAR), '[]',
+      |  '2023-12-01', '2023-12-15'""".stripMargin
+
+  private val q96Oracle: String =
+    """WITH sw AS (
+      |  SELECT DISTINCT o_orderkey AS k,
+      |    'L' || CAST(o_orderkey % 100 AS VARCHAR) AS s
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |  UNION
+      |  SELECT o_orderkey, 'L' || CAST((o_orderkey * 3) % 100 AS VARCHAR)
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS wc FROM sw GROUP BY s),
+      |chg AS (SELECT DISTINCT s FROM sw WHERE k % 499 = 7),
+      |mv AS (SELECT c_custkey AS ck, 'L' || CAST(c_custkey AS VARCHAR)
+      |    AS raw
+      |  FROM customer WHERE c_custkey < 100)
+      |SELECT raw AS raw_affiliation_string,
+      |  CASE WHEN ck % 3 = 0 THEN CAST(to_json(
+      |      [CAST(ck + 1 AS BIGINT), CAST(ck + 5 AS BIGINT)]) AS VARCHAR)
+      |    ELSE CAST(to_json([CAST(ck AS BIGINT)]) AS VARCHAR) END
+      |    AS iif_json,
+      |  CASE WHEN ck % 2 = 0 THEN CAST(to_json([CAST(ck + 9 AS BIGINT)])
+      |      AS VARCHAR)
+      |    ELSE '[]' END AS iim_json,
+      |  coalesce(cnt.wc, 0) AS works_count,
+      |  CASE WHEN chg.s IS NOT NULL THEN '2024-02-20' ELSE '2024-01-10' END
+      |    AS refreshed_d
+      |FROM mv
+      |LEFT JOIN cnt ON mv.raw = cnt.s
+      |LEFT JOIN chg ON mv.raw = chg.s""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q91_author_curations" -> q91Oracle,
     "q92_author_full_names" -> q92Oracle,
+    "q94_work_author_claims" -> q94Oracle,
+    "q95_ras_curations_sync" -> q95Oracle,
+    "q96_ras_lookup_refresh" -> q96Oracle,
     "q86_funder_merge" ->
       """WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
         |    'F' || n_nationkey AS dn,
