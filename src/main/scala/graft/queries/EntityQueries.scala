@@ -1267,12 +1267,168 @@ object EntityQueries {
         date_format(col("refreshed_at"), "yyyy-MM-dd").as("refreshed_d"))
   }
 
+  /** Shared fixture for q97/q98 (UpdateWorkAuthors.ipynb): per-work
+    * name-transition arms keyed m = k%12 —
+    *  m=0 crossed-seat swap → exact-realign rebinds (k%24==12 adds a
+    *      curator-removal that nulls one hypothesis);
+    *  m=1 single incompatible (no invalidation) + a seat-3 insert
+    *      adopting a legacy author via exact raw (rank-1 over a
+    *      duplicate legacy row);
+    *  m=2 compatible initial→full transition;
+    *  m=3 CJK abstention + one incompatible (count stays 1) + a seat-3
+    *      insert adopting via the parsed-name fallback;
+    *  m=4 unparsed abstention;
+    *  m=5 curated hold on one seat, the other rebinding via legacy
+    *      exact;
+    *  m=6 legacy candidate occupied by a surviving seat (k%24==18
+    *      instead makes the legacy candidate ambiguous, le_n=2);
+    *  m=7 three invalidated seats, two exact-realigning to the SAME
+    *      donor → multi-receiver nulling;
+    *  m=8 drift-admitted work (stale watermark) whose one donor has a
+    *      name-incompatible profile → only the other seat rebinds;
+    *  m=9 legacy-parsed-tier rebind (profile reachable only through
+    *      the authors-table fallback);
+    *  m=10/11 untouched (stale, no drift). */
+  private def q97Fixture(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey"); val m = pmod(k, lit(12))
+    val aff = concat(lit("Aff "), pmod(k, lit(30)).cast("string"))
+    val aff2 = concat(lit("Aff2 "), pmod(k, lit(15)).cast("string"))
+    val cur1 = when(m.isin(1, 2, 4, 10, 11), "Eve Stone")
+      .otherwise("Bob Kim")
+    val cur2 = when(m === 0, "Eve Stone").when(m === 7, "Cara Lee")
+      .otherwise("Fay Glass")
+    val inc0 = when(m.isin(0, 1, 8), "Bob Kim").when(m === 2, "A. Park")
+      .when(m === 3, "田中 太郎").when(m === 4, "Zq Unparsed")
+      .when(m.isin(5, 6, 9), "Cara Lee").when(m === 7, "Dan Wu")
+      .otherwise("Ann Park")
+    val inc1 = when(m.isin(0, 7, 8), "Ann Park")
+      .when(m.isin(5, 6, 9), "Dan Wu").when(m === 3, "Cara Lee")
+      .otherwise(cur1)
+    val inc2 = when(m === 7, "Ann Park").otherwise(cur2)
+    val nullStrs = lit(null).cast("array<string>")
+    def strs(sq: Int): Column = sq match {
+      case 0 => when(k % 2 === 0, array(aff, aff2, aff))
+        .otherwise(array(aff, aff2))
+      case 1 => when(k % 5 === 0, nullStrs).otherwise(array(aff))
+      case _ => array(aff)
+    }
+    def au(name: Column, sq: Int, st: Column) = struct(
+      name.as("raw_author_name"), st.as("raw_affiliation_strings"),
+      ((k + sq) % 2 === 0).as("is_corresponding"))
+    val au3 = au(when(m === 1, "Ann Chen").otherwise("Fay Glass"), 3,
+      array(aff))
+    val worksBase = o.select(k.as("id"),
+      when(m.isin(8, 10, 11), lit("2024-01-01"))
+        .otherwise(lit("2024-02-01")).cast("timestamp").as("updated_date"),
+      when(m.isin(1, 3), array(au(inc0, 0, strs(0)), au(inc1, 1, strs(1)),
+          au(inc2, 2, strs(2)), au3))
+        .otherwise(array(au(inc0, 0, strs(0)), au(inc1, 1, strs(1)),
+          au(inc2, 2, strs(2)))).as("authorships"))
+    def waSeat(sq: Int, name: Column, st: Column) = o.select(
+      k.as("work_id"), lit(sq).as("author_sequence"),
+      (k * 10 + sq).as("author_id"), name.as("raw_author_name"),
+      st.as("raw_affiliation_strings"),
+      ((k + sq) % 3 === 0).as("is_corresponding"),
+      lit("2023-10-01").cast("timestamp").as("created_at"),
+      lit("2023-12-01").cast("timestamp").as("updated_at"))
+    val workAuthors = waSeat(0, lit("Ann Park"),
+        when(m === 8, array(aff)).otherwise(array(aff, aff2)))
+      .unionByName(waSeat(1, cur1, array(aff)))
+      .unionByName(waSeat(2, cur2, array(aff)))
+    val authorNames = Seq(
+      ("Ann Park", "park", "ann"), ("A. Park", "park", "a"),
+      ("Bob Kim", "kim", "bob"), ("Cara Lee", "lee", "cara"),
+      ("Dan Wu", "wu", "dan"), ("Ann Chen", "chen", "ann"),
+      ("Eve Stone", "stone", "eve"), ("Fay Glass", "glass", "fay"),
+      ("D Wu Alt", "wu", "dan"), ("F Glass Alt", "glass", "fay"))
+      .toDF("raw_author_name", "match_last", "match_first")
+      .withColumn("parsed_last", col("match_last"))
+      .withColumn("parsed_first", col("match_first"))
+    def prof(sq: Int, name: Column) = o.select((k * 10 + sq).as("id"),
+      name.as("display_name"), pmod(k, lit(12)).as("__m"),
+      lit(sq).as("__s"))
+    val profiles = prof(0, when(m === 8, "Fay Glass").otherwise("Ann Park"))
+      .unionByName(prof(1, cur1)).unionByName(prof(2, cur2))
+    val oa = profiles.filter(!(col("__m") === 9 && col("__s") === 1))
+      .select(col("id"), col("display_name"),
+        col("display_name").as("full_name"))
+    val ar = profiles.select(col("id"), col("display_name"))
+    val claims = o.filter(m === 5).select(k.as("work_id"),
+      lit("Cara Lee").as("raw_author_name"))
+    val removes = o.filter(m === 0 && pmod(k, lit(24)) === 12)
+      .select(k.as("work_id"), (k * 10 + 1).as("author_id"))
+    def leg(filt: Column, sq: Int, raw: Column, auth: Column) =
+      o.filter(filt).select(k.as("work_id"),
+        lit(sq).as("author_sequence"), raw.as("raw_author_name"),
+        auth.as("author_id"))
+    val legacy = leg(m === 1, 1, lit("Ann Chen"), lit(6000) + pmod(k, lit(50)))
+      .unionByName(leg(m === 1, 2, lit("Ann Chen"),
+        lit(6100) + pmod(k, lit(50))))
+      .unionByName(leg(m === 3, 1, lit("F Glass Alt"),
+        lit(6500) + pmod(k, lit(50))))
+      .unionByName(leg(m === 5, 1, lit("Dan Wu"),
+        lit(7000) + pmod(k, lit(50))))
+      .unionByName(leg(m === 5, 2, lit("AnyRaw"), k * 10 + 1))
+      .unionByName(leg(m === 6, 1, lit("Cara Lee"), k * 10 + 2))
+      .unionByName(leg(m === 6, 2, lit("LegacyOk"), k * 10))
+      .unionByName(leg(m === 6 && pmod(k, lit(24)) === 18, 3,
+        lit("Cara Lee"), lit(999L)))
+      .unionByName(leg(m === 9, 1, lit("D Wu Alt"),
+        lit(8000) + pmod(k, lit(50))))
+      .unionByName(leg(m === 9, 2, lit("LegacyOk2"), k * 10 + 1))
+    (worksBase, workAuthors, authorNames, claims, removes, oa, ar, legacy)
+  }
+
+  /** §2.3/§2.5 the UpdateWorkAuthors guard batch (cell 11): see
+    * [[q97Fixture]] for the arm map. Observation-only — the oracle
+    * re-derives each arm's verdicts and rebind tiers from the
+    * construction. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.authors.WorkAuthorGuard
+    val (wb, wa, an, cl, rm, oa, ar, lg) = q97Fixture(s, dir)
+    val batch = WorkAuthorGuard.updateBatch(wb, wa,
+      lit("2024-01-15").cast("timestamp"))
+    WorkAuthorGuard.guardBatch(batch, wa, an, cl, rm, oa, ar, lg)
+      .select(col("work_id"), col("author_sequence"),
+        col("incoming_name"), col("current_name"), col("verdict"),
+        col("work_incompat_count"),
+        col("curated_hold").cast("int").as("curated"),
+        col("invalidate").cast("int").as("inval"),
+        col("realign_author_id"), col("legacy_rebind_id"),
+        col("rebind_author_id"))
+  }
+
+  /** §2.1/§2.3 the UpdateWorkAuthors apply MERGE (cells 7/9/13):
+    * matched seats refresh name/strings/is_corresponding with the
+    * batch date (author bindings untouched); seat-3 inserts adopt
+    * legacy authors (exact-raw rank-1, else parsed fallback); stale
+    * no-drift works (m=10/11) pass through unchanged; the m=8 work is
+    * admitted purely by string drift. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.authors.WorkAuthorGuard
+    val (wb, wa, an, _, _, _, _, lg) = q97Fixture(s, dir)
+    val batch = WorkAuthorGuard.updateBatch(wb, wa,
+      lit("2024-01-15").cast("timestamp"))
+    WorkAuthorGuard.applyBatch(wa, batch, wb, an, lg,
+        lit("2024-06-01").cast("timestamp"))
+      .select(col("work_id"), col("author_sequence"), col("author_id"),
+        col("raw_author_name"),
+        to_json(sort_array(col("raw_affiliation_strings"))).as("aff_json"),
+        col("is_corresponding").cast("int").as("corr"),
+        date_format(col("created_at"), "yyyy-MM-dd").as("created_d"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("updated_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q91_author_curations" -> (q91 _),
     "q92_author_full_names" -> (q92 _),
     "q94_work_author_claims" -> (q94 _),
     "q95_ras_curations_sync" -> (q95 _),
     "q96_ras_lookup_refresh" -> (q96 _),
+    "q97_work_author_guard" -> (q97 _),
+    "q98_work_author_apply" -> (q98 _),
     "q86_funder_merge" -> (q86 _),
     "q85_name_conflict_overmerges" -> (q85 _),
     "q84_quality_judge_apply" -> (q84 _),
@@ -1562,12 +1718,129 @@ object EntityQueries {
       |LEFT JOIN cnt ON mv.raw = cnt.s
       |LEFT JOIN chg ON mv.raw = chg.s""".stripMargin
 
+  private val q97Oracle: String =
+    """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 12 AS m FROM orders),
+      |g AS (
+      |  SELECT k, 0 AS seq, 'Bob Kim' AS inc, 'Ann Park' AS cur,
+      |    'INCOMPATIBLE' AS verdict, 2 AS cnt, 0 AS curated, 1 AS inval,
+      |    k*10+1 AS realign, CAST(NULL AS BIGINT) AS legacy,
+      |    CASE WHEN k % 24 = 12 THEN NULL ELSE k*10+1 END AS rebind
+      |  FROM w WHERE m = 0
+      |  UNION ALL SELECT k, 1, 'Ann Park', 'Bob Kim', 'INCOMPATIBLE', 2,
+      |    0, 1, k*10, NULL, k*10 FROM w WHERE m = 0
+      |  UNION ALL SELECT k, 0, 'Bob Kim', 'Ann Park', 'INCOMPATIBLE', 1,
+      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 1
+      |  UNION ALL SELECT k, 0, 'A. Park', 'Ann Park', 'COMPATIBLE', 0,
+      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 2
+      |  UNION ALL SELECT k, 0, '田中 太郎', 'Ann Park', 'ABSTAIN_CJK', 1,
+      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 3
+      |  UNION ALL SELECT k, 1, 'Cara Lee', 'Bob Kim', 'INCOMPATIBLE', 1,
+      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 3
+      |  UNION ALL SELECT k, 0, 'Zq Unparsed', 'Ann Park',
+      |    'ABSTAIN_UNPARSED', 0, 0, 0, NULL, NULL, NULL FROM w WHERE m = 4
+      |  UNION ALL SELECT k, 0, 'Cara Lee', 'Ann Park', 'INCOMPATIBLE', 2,
+      |    1, 0, NULL, NULL, NULL FROM w WHERE m = 5
+      |  UNION ALL SELECT k, 1, 'Dan Wu', 'Bob Kim', 'INCOMPATIBLE', 2,
+      |    0, 1, NULL, 7000 + k % 50, 7000 + k % 50 FROM w WHERE m = 5
+      |  UNION ALL SELECT k, 0, 'Cara Lee', 'Ann Park', 'INCOMPATIBLE', 2,
+      |    0, 1, NULL, CASE WHEN k % 24 = 18 THEN NULL ELSE k*10+2 END,
+      |    NULL FROM w WHERE m = 6
+      |  UNION ALL SELECT k, 1, 'Dan Wu', 'Bob Kim', 'INCOMPATIBLE', 2,
+      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 6
+      |  UNION ALL SELECT k, 0, 'Dan Wu', 'Ann Park', 'INCOMPATIBLE', 3,
+      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 7
+      |  UNION ALL SELECT k, 1, 'Ann Park', 'Bob Kim', 'INCOMPATIBLE', 3,
+      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 7
+      |  UNION ALL SELECT k, 2, 'Ann Park', 'Cara Lee', 'INCOMPATIBLE', 3,
+      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 7
+      |  UNION ALL SELECT k, 0, 'Bob Kim', 'Ann Park', 'INCOMPATIBLE', 2,
+      |    0, 1, k*10+1, NULL, k*10+1 FROM w WHERE m = 8
+      |  UNION ALL SELECT k, 1, 'Ann Park', 'Bob Kim', 'INCOMPATIBLE', 2,
+      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 8
+      |  UNION ALL SELECT k, 0, 'Cara Lee', 'Ann Park', 'INCOMPATIBLE', 2,
+      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 9
+      |  UNION ALL SELECT k, 1, 'Dan Wu', 'Bob Kim', 'INCOMPATIBLE', 2,
+      |    0, 1, NULL, 8000 + k % 50, 8000 + k % 50 FROM w WHERE m = 9)
+      |SELECT CAST(k AS BIGINT) AS work_id,
+      |  CAST(seq AS INTEGER) AS author_sequence,
+      |  inc AS incoming_name, cur AS current_name, verdict,
+      |  CAST(cnt AS BIGINT) AS work_incompat_count, curated, inval,
+      |  CAST(realign AS BIGINT) AS realign_author_id,
+      |  CAST(legacy AS BIGINT) AS legacy_rebind_id,
+      |  CAST(rebind AS BIGINT) AS rebind_author_id
+      |FROM g""".stripMargin
+
+  private val q98Oracle: String =
+    """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 12 AS m,
+      |    'Aff ' || CAST(o_orderkey % 30 AS VARCHAR) AS a1,
+      |    'Aff2 ' || CAST(o_orderkey % 15 AS VARCHAR) AS a2
+      |  FROM orders),
+      |adm AS (SELECT * FROM w WHERE m <= 9),
+      |outp AS (
+      |  SELECT k, 0 AS seq, k*10 AS auth,
+      |    CASE WHEN m IN (0, 1, 8) THEN 'Bob Kim'
+      |         WHEN m = 2 THEN 'A. Park' WHEN m = 3 THEN '田中 太郎'
+      |         WHEN m = 4 THEN 'Zq Unparsed'
+      |         WHEN m IN (5, 6, 9) THEN 'Cara Lee'
+      |         ELSE 'Dan Wu' END AS raw,
+      |    CAST(to_json([a1, a2]) AS VARCHAR) AS affj,
+      |    CAST(k % 2 = 0 AS INTEGER) AS corr,
+      |    '2023-10-01' AS created_d,
+      |    CASE WHEN m = 8 THEN '2024-01-01' ELSE '2024-02-01' END
+      |      AS updated_d
+      |  FROM adm
+      |  UNION ALL
+      |  SELECT k, 1, k*10+1,
+      |    CASE WHEN m IN (0, 7, 8) THEN 'Ann Park'
+      |         WHEN m IN (5, 6, 9) THEN 'Dan Wu'
+      |         WHEN m = 3 THEN 'Cara Lee'
+      |         ELSE 'Eve Stone' END,
+      |    CASE WHEN k % 5 = 0 THEN '[]'
+      |         ELSE CAST(to_json([a1]) AS VARCHAR) END,
+      |    CAST((k + 1) % 2 = 0 AS INTEGER), '2023-10-01',
+      |    CASE WHEN m = 8 THEN '2024-01-01' ELSE '2024-02-01' END
+      |  FROM adm
+      |  UNION ALL
+      |  SELECT k, 2, k*10+2,
+      |    CASE WHEN m = 7 THEN 'Ann Park' WHEN m = 0 THEN 'Eve Stone'
+      |         ELSE 'Fay Glass' END,
+      |    CAST(to_json([a1]) AS VARCHAR),
+      |    CAST(k % 2 = 0 AS INTEGER), '2023-10-01',
+      |    CASE WHEN m = 8 THEN '2024-01-01' ELSE '2024-02-01' END
+      |  FROM adm
+      |  UNION ALL
+      |  SELECT k, 3,
+      |    CASE WHEN m = 1 THEN 6000 + k % 50 ELSE 6500 + k % 50 END,
+      |    CASE WHEN m = 1 THEN 'Ann Chen' ELSE 'Fay Glass' END,
+      |    CAST(to_json([a1]) AS VARCHAR),
+      |    CAST((k + 3) % 2 = 0 AS INTEGER), '2024-06-01', '2024-02-01'
+      |  FROM adm WHERE m IN (1, 3)
+      |  UNION ALL
+      |  SELECT k, 0, k*10, 'Ann Park', CAST(to_json([a1, a2]) AS VARCHAR),
+      |    CAST(k % 3 = 0 AS INTEGER), '2023-10-01', '2023-12-01'
+      |  FROM w WHERE m >= 10
+      |  UNION ALL
+      |  SELECT k, 1, k*10+1, 'Eve Stone', CAST(to_json([a1]) AS VARCHAR),
+      |    CAST((k + 1) % 3 = 0 AS INTEGER), '2023-10-01', '2023-12-01'
+      |  FROM w WHERE m >= 10
+      |  UNION ALL
+      |  SELECT k, 2, k*10+2, 'Fay Glass', CAST(to_json([a1]) AS VARCHAR),
+      |    CAST((k + 2) % 3 = 0 AS INTEGER), '2023-10-01', '2023-12-01'
+      |  FROM w WHERE m >= 10)
+      |SELECT CAST(k AS BIGINT) AS work_id,
+      |  CAST(seq AS INTEGER) AS author_sequence,
+      |  CAST(auth AS BIGINT) AS author_id, raw AS raw_author_name,
+      |  affj AS aff_json, corr, created_d, updated_d
+      |FROM outp""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q91_author_curations" -> q91Oracle,
     "q92_author_full_names" -> q92Oracle,
     "q94_work_author_claims" -> q94Oracle,
     "q95_ras_curations_sync" -> q95Oracle,
     "q96_ras_lookup_refresh" -> q96Oracle,
+    "q97_work_author_guard" -> q97Oracle,
+    "q98_work_author_apply" -> q98Oracle,
     "q86_funder_merge" ->
       """WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
         |    'F' || n_nationkey AS dn,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.authors.WorkAuthorGuard
+
+/** Pins for the UpdateWorkAuthors guard (oracle: q97/q98): the
+  * names_compatible v2 branches the arm fixture doesn't isolate, and
+  * the telemetry tier split. */
+class WorkAuthorGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def compat(aL: Option[String], aF: Option[String],
+      bL: Option[String], bF: Option[String], aR: String,
+      bR: String): Boolean = {
+    val df = Seq((aL, aF, bL, bF, aR, bR))
+      .toDF("al", "af", "bl", "bf", "ar", "br")
+    df.select(WorkAuthorGuard.namesCompatibleV2(col("al"), col("af"),
+      col("bl"), col("bf"), col("ar"), col("br")).as("c"))
+      .collect()(0).getBoolean(0)
+  }
+
+  test("namesCompatibleV2: every branch") {
+    // same last + initial agreement
+    assert(compat(Some("park"), Some("ann"), Some("park"), Some("a"),
+      "", ""))
+    // same last, one first missing
+    assert(compat(Some("park"), None, Some("park"), Some("ann"), "", ""))
+    // same last, initials differ
+    assert(!compat(Some("park"), Some("ann"), Some("park"), Some("bo"),
+      "", ""))
+    // order swap: a_last = b_first AND a_first = b_last
+    assert(compat(Some("wei"), Some("li"), Some("li"), Some("wei"), "", ""))
+    // containment with min length 4 + initial agreement
+    assert(compat(Some("vandermei"), Some("jan"), Some("mei"), Some("jan"),
+      "", "") == false) // 'mei' shorter than 4 → no containment
+    assert(compat(Some("vandermeer"), Some("jan"), Some("meer"), Some("jan"),
+      "", "")) // endswith, min length 4
+    assert(compat(Some("meerdink"), Some("jan"), Some("meer"), Some("jan"),
+      "", "")) // startswith
+    // containment but initials disagree
+    assert(!compat(Some("vandermeer"), Some("jan"), Some("meer"),
+      Some("bob"), "", ""))
+    // unparsed fallback: raw equality after lower/trim
+    assert(compat(None, None, Some("x"), Some("y"), " Ann Park ",
+      "ann park"))
+    assert(!compat(None, None, Some("x"), Some("y"), "Ann Park", "Other"))
+  }
+
+  test("telemetry: realign vs legacy tier split") {
+    val guard = Seq(
+      // verdict, curated, invalidate, realign, rebind
+      ("INCOMPATIBLE", false, true, Some(10L), Some(10L)), // realign tier
+      ("INCOMPATIBLE", false, true, None, Some(20L)), // legacy tier
+      ("INCOMPATIBLE", true, false, None, None), // curated hold
+      ("ABSTAIN_CJK", false, false, None, None),
+      ("COMPATIBLE", false, false, None, None))
+      .toDF("verdict", "curated_hold", "invalidate", "realign_author_id",
+        "rebind_author_id")
+    val r = WorkAuthorGuard.telemetry(guard).collect()(0)
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("changed_name_positions") == 5 && g("incompatible") == 3)
+    assert(g("abstain_cjk") == 1 && g("curated_holds") == 1)
+    assert(g("would_invalidate") == 2 && g("rebindable") == 2)
+    assert(g("realign_tier") == 1 && g("legacy_tier") == 1)
+  }
+}
