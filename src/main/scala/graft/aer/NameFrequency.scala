@@ -1,0 +1,125 @@
+package graft.aer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population-weighted name frequency tables (reference: notebooks/aer/
+  * CreatePopulationWeightedNameFrequency.ipynb): how many living humans
+  * plausibly carry a given (romanized) first / last name — the prior
+  * the AER name-conflict estimator consumes. The reference runs this as
+  * a driver-side pandas loop; the computation is pure relational
+  * arithmetic, re-expressed here as DataFrame aggregations:
+  *
+  *  - per-source PROPORTIONS (name share of the source's census
+  *    population), with the Chinese surname source split between
+  *    Mandarin pinyin and the well-known Cantonese forms of the
+  *    HK/Guangdong diaspora ([[CantoneseMap]], 93%/7% by default);
+  *  - census.names sources weighted per country:
+  *    P(name|country) · population/world, CN/JP/KR excluded where a
+  *    dedicated source exists (KR has none for GIVEN names — it stays
+  *    in the census source there, an asymmetry the fixture pins);
+  *  - combination: Σ source_prob · source_population/world.
+  *
+  * Romanization boundary: the reference romanizes via unidecode; the
+  * dictionaries here carry a precomputed `romanized` column (the Han →
+  * reading table is the declared data boundary, as in HumanName).
+  *
+  * Scale posture: every aggregation is keyed by name; the only global
+  * aggregates are the one-row source totals over registry-sized name
+  * dictionaries (broadcast back — the pandas `.sum()` equivalent),
+  * allowlisted like the IdMinter mints.
+  */
+object NameFrequency {
+
+  /** Cantonese romanization for top Chinese surnames (reference cell 2
+    * — these constants ARE the spec). */
+  val CantoneseMap: Map[String, String] = Map(
+    "王" -> "wong", "张" -> "cheung", "刘" -> "lau", "陈" -> "chan",
+    "杨" -> "yeung", "赵" -> "chiu", "吴" -> "ng", "周" -> "chow",
+    "郭" -> "kwok", "何" -> "ho", "林" -> "lam", "梁" -> "leung",
+    "谢" -> "tse", "冯" -> "fung", "曾" -> "tsang", "钟" -> "chung",
+    "谭" -> "tam")
+
+  private def withTotal(df: DataFrame, c: Column): DataFrame =
+    df.crossJoin(broadcast(df.agg(sum(c).as("__total"))))
+
+  /** Chinese surnames → romanized proportions with the Mandarin /
+    * Cantonese split. `src`: (surname, n_total, romanized) — romanized
+    * is the precomputed pinyin reading. */
+  def chineseLast(src: DataFrame, mandarinPct: Double = 0.93,
+      cantonesePct: Double = 0.07): DataFrame = {
+    val canto = element_at(typedlit(CantoneseMap), col("surname"))
+    val rows = withTotal(src, col("n_total"))
+      .withColumn("__canto", canto)
+      .select(col("romanized").as("name"),
+        when(col("__canto").isNotNull,
+          col("n_total") * mandarinPct).otherwise(col("n_total"))
+          .as("__n"), col("__total"))
+      .unionByName(withTotal(src, col("n_total"))
+        .withColumn("__canto", canto)
+        .filter(col("__canto").isNotNull)
+        .select(col("__canto").as("name"),
+          (col("n_total") * cantonesePct).as("__n"), col("__total")))
+    rows.groupBy(col("name"))
+      .agg((sum(col("__n")) / first(col("__total"))).as("prob"))
+  }
+
+  /** Japanese surnames → romaji proportions. `src`: (surname_kanji,
+    * population, romanized). The source total counts ALL rows — an
+    * unromanizable surname still holds its population share (the
+    * reference sums the column before the skip-empty loop). */
+  def japaneseLast(src: DataFrame): DataFrame =
+    withTotal(src, col("population"))
+      .filter(col("romanized").isNotNull && col("romanized") =!= "")
+      .groupBy(col("romanized").as("name"))
+      .agg((sum(col("population")) / first(col("__total"))).as("prob"))
+
+  /** Korean surnames (already romanized). `src`: (romanized,
+    * population_2015). */
+  def koreanLast(src: DataFrame): DataFrame =
+    withTotal(src, col("population_2015"))
+      .groupBy(lower(trim(col("romanized"))).as("name"))
+      .agg((sum(col("population_2015")) / first(col("__total"))).as("prob"))
+
+  /** census.names weighted by country population share. `src`:
+    * (name_ascii, country_code, frequency); `countryPop`:
+    * (country_code, population). Excluded countries have a dedicated
+    * source. */
+  def censusWeighted(src: DataFrame, countryPop: DataFrame,
+      worldPop: Double, exclude: Seq[String]): DataFrame = {
+    val filtered = src.filter(!col("country_code").isin(exclude: _*))
+    val sampleTotals = filtered.groupBy(col("country_code"))
+      .agg(sum(col("frequency")).as("__sample_total"))
+    filtered
+      .join(broadcast(sampleTotals), Seq("country_code"))
+      .join(broadcast(countryPop.select(col("country_code"),
+        col("population").as("__pop"))), Seq("country_code"))
+      .filter(col("__sample_total") > 0 && col("__pop") > 0)
+      .select(lower(trim(col("name_ascii"))).as("name"),
+        ((col("frequency") / col("__sample_total")) *
+          (col("__pop") / worldPop)).as("__p"))
+      .groupBy(col("name"))
+      .agg(sum(col("__p")).as("prob"))
+  }
+
+  /** Chinese given names (pinyin). `src`: (pinyin_name, n_total) — the
+    * total counts all rows, empty names dropped after (as above). */
+  def chineseGiven(src: DataFrame): DataFrame =
+    withTotal(src, col("n_total"))
+      .filter(lower(trim(col("pinyin_name"))) =!= "")
+      .groupBy(lower(trim(col("pinyin_name"))).as("name"))
+      .agg((sum(col("n_total")) / first(col("__total"))).as("prob"))
+
+  /** Combine per-source (name, prob) tables with their population
+    * weights into the final table: prob = Σ sourceProb · weight;
+    * est_humans = half-up-rounded prob · world. */
+  def combine(sources: Seq[(DataFrame, Double)],
+      worldPop: Double): DataFrame =
+    sources.map { case (df, w) =>
+      df.select(col("name"), (col("prob") * w).as("__p"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("name"))
+      .agg(sum(col("__p")).as("prob"))
+      .withColumn("est_humans",
+        floor(col("prob") * worldPop + 0.5).cast("long"))
+}

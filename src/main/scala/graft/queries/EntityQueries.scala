@@ -1421,6 +1421,106 @@ object EntityQueries {
         date_format(col("updated_at"), "yyyy-MM-dd").as("updated_d"))
   }
 
+  /** AER population-weighted name frequency
+    * (CreatePopulationWeightedNameFrequency.ipynb): per-source
+    * proportions (Chinese surnames with the Mandarin/Cantonese split,
+    * Japanese romaji with an unromanizable row still holding its
+    * population share, Korean romanized, census.names per-country
+    * weighting with CN/JP/KR exclusion for surnames but KR RETAINED for
+    * given names), then the weighted combination. Every count and
+    * population in the fixture is dyadic (powers of two) and the split
+    * is parameterized to 0.75/0.25, so every double is exact and the
+    * sums are order-independent — the oracle recomputes bit-identical
+    * values (the reference's 0.93/0.07 defaults stand in production;
+    * the parameterization is the documented FP-determinism trade). */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import graft.aer.NameFrequency
+    val c = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val world = 8589934592.0 // 2^33
+    val chinese = c.filter(ck < 16).select(
+      elt((ck + 1).cast("int"), lit("王"), lit("张"), lit("刘"), lit("陈"),
+        lit("X4"), lit("X5"), lit("X6"), lit("X7"), lit("X8"), lit("X9"),
+        lit("X10"), lit("X11"), lit("X12"), lit("X13"), lit("X14"),
+        lit("X15")).as("surname"),
+      lit(64L).as("n_total"),
+      elt((ck + 1).cast("int"), lit("wang"), lit("zhang"), lit("liu"), lit("chen"),
+        lit("sur4"), lit("sur5"), lit("sur6"), lit("sur7"), lit("sur8"),
+        lit("sur9"), lit("sur10"), lit("sur11"), lit("sur12"),
+        lit("sur13"), lit("sur14"), lit("sur14")).as("romanized"))
+    val japanese = c.filter(ck < 8).select(
+      concat(lit("K"), ck.cast("string")).as("surname_kanji"),
+      lit(128L).as("population"),
+      when(ck === 7, "").otherwise(concat(lit("yama"),
+        (ck % 4).cast("string"))).as("romanized"))
+    val korean = c.filter(ck < 4).select(
+      elt((ck + 1).cast("int"), lit("kim"), lit("lee"), lit("park"), lit("choi"))
+        .as("romanized"),
+      elt((ck + 1).cast("int"), lit(512L), lit(256L), lit(128L), lit(128L))
+        .as("population_2015"))
+    val censusLast = c.filter(ck < 16).select(
+        concat(lit("C"), expr("c_custkey div 4")).as("country_code"),
+        elt((ck % 4 + 1).cast("int"), lit("kim"), lit("smith"), lit("garcia"),
+          concat(lit("nm"), expr("c_custkey div 4"))).as("name_ascii"),
+        elt((ck % 4 + 1).cast("int"), lit(512L), lit(256L), lit(128L), lit(128L))
+          .as("frequency"))
+      .unionByName(c.filter(ck === 16).select(lit("CN").as("country_code"),
+        lit("wang").as("name_ascii"), lit(999L).as("frequency")))
+      .unionByName(c.filter(ck === 17).select(lit("C4").as("country_code"),
+        lit("zero").as("name_ascii"), lit(100L).as("frequency")))
+      .unionByName(c.filter(ck === 18).select(lit("C5").as("country_code"),
+        lit("ghost").as("name_ascii"), lit(100L).as("frequency")))
+    val countryPop = c.filter(ck < 4).select(
+        concat(lit("C"), ck.cast("string")).as("country_code"),
+        expr("CAST(pow(2, 30 + c_custkey) AS BIGINT)").as("population"))
+      .unionByName(c.filter(ck === 4).select(lit("CN").as("country_code"),
+        lit(1L).as("population")))
+      .unionByName(c.filter(ck === 5).select(lit("C4").as("country_code"),
+        lit(0L).as("population")))
+      .unionByName(c.filter(ck === 6).select(lit("KR").as("country_code"),
+        lit(268435456L).as("population"))) // 2^28
+    val chineseGivenSrc = c.filter(ck < 5).select(
+      elt((ck + 1).cast("int"), lit("wei"), lit("li"), lit("fang"), lit("na"), lit(""))
+        .as("pinyin_name"),
+      elt((ck + 1).cast("int"), lit(512L), lit(256L), lit(128L), lit(128L), lit(1024L))
+        .as("n_total"))
+    val japaneseGiven = c.filter(ck < 2).select(
+      elt((ck + 1).cast("int"), lit("yuki"), lit("hiroshi")).as("name"),
+      elt((ck + 1).cast("int"), lit(0.25), lit(0.125)).as("prob"))
+    val censusFirst = c.filter(ck < 8).select(
+        concat(lit("C"), expr("c_custkey div 4")).as("country_code"),
+        elt((ck % 4 + 1).cast("int"), lit("maria"), lit("john"), lit("wei"),
+          concat(lit("gn"), expr("c_custkey div 4"))).as("name_ascii"),
+        elt((ck % 4 + 1).cast("int"), lit(512L), lit(256L), lit(128L), lit(128L))
+          .as("frequency"))
+      .unionByName(c.filter(ck >= 8 && ck < 12).select(
+        lit("KR").as("country_code"),
+        elt((ck - 7).cast("int"), lit("minjun"), lit("seo"), lit("ji"), lit("hye"))
+          .as("name_ascii"),
+        elt((ck - 7).cast("int"), lit(512L), lit(256L), lit(128L), lit(128L))
+          .as("frequency")))
+      .unionByName(c.filter(ck === 12).select(lit("CN").as("country_code"),
+        lit("x").as("name_ascii"), lit(10L).as("frequency")))
+      .unionByName(c.filter(ck === 13).select(lit("JP").as("country_code"),
+        lit("y").as("name_ascii"), lit(10L).as("frequency")))
+    val chinaW = 0.25; val japanW = 0.015625; val koreaW = 0.00390625
+    val lastTable = NameFrequency.combine(Seq(
+      NameFrequency.chineseLast(chinese, mandarinPct = 0.75,
+        cantonesePct = 0.25) -> chinaW,
+      NameFrequency.japaneseLast(japanese) -> japanW,
+      NameFrequency.koreanLast(korean) -> koreaW,
+      NameFrequency.censusWeighted(censusLast, countryPop, world,
+        Seq("CN", "JP", "KR")) -> 1.0), world)
+    val givenTable = NameFrequency.combine(Seq(
+      NameFrequency.chineseGiven(chineseGivenSrc) -> chinaW,
+      japaneseGiven -> japanW,
+      NameFrequency.censusWeighted(censusFirst, countryPop, world,
+        Seq("CN", "JP")) -> 1.0), world)
+    lastTable.withColumn("kind", lit("last"))
+      .unionByName(givenTable.withColumn("kind", lit("given")))
+      .select(col("kind"), col("name"), col("prob"), col("est_humans"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q91_author_curations" -> (q91 _),
     "q92_author_full_names" -> (q92 _),
@@ -1429,6 +1529,7 @@ object EntityQueries {
     "q96_ras_lookup_refresh" -> (q96 _),
     "q97_work_author_guard" -> (q97 _),
     "q98_work_author_apply" -> (q98 _),
+    "q99_name_frequency" -> (q99 _),
     "q86_funder_merge" -> (q86 _),
     "q85_name_conflict_overmerges" -> (q85 _),
     "q84_quality_judge_apply" -> (q84 _),
@@ -1833,6 +1934,67 @@ object EntityQueries {
       |  affj AS aff_json, corr, created_d, updated_d
       |FROM outp""".stripMargin
 
+  private val q99Oracle: String =
+    """WITH cks AS (SELECT CAST(c_custkey AS INTEGER) AS ck FROM customer),
+      |chl AS (SELECT nm AS name, sum(n) / 1024.0 AS prob FROM (
+      |    SELECT ['wang','zhang','liu','chen','sur4','sur5','sur6','sur7',
+      |        'sur8','sur9','sur10','sur11','sur12','sur13','sur14',
+      |        'sur14'][ck + 1] AS nm,
+      |      CASE WHEN ck < 4 THEN 64 * 0.75 ELSE 64 END AS n
+      |    FROM cks WHERE ck < 16
+      |    UNION ALL
+      |    SELECT ['wong','cheung','lau','chan'][ck + 1], 64 * 0.25
+      |    FROM cks WHERE ck < 4)
+      |  GROUP BY nm),
+      |jpl AS (SELECT 'yama' || CAST(ck % 4 AS VARCHAR) AS name,
+      |    sum(128) / 1024.0 AS prob
+      |  FROM cks WHERE ck < 7 GROUP BY 1),
+      |krl AS (SELECT ['kim','lee','park','choi'][ck + 1] AS name,
+      |    CAST([512,256,128,128][ck + 1] AS DOUBLE) / 1024.0 AS prob
+      |  FROM cks WHERE ck < 4),
+      |cwl AS (SELECT name, sum(p) AS prob FROM (
+      |    SELECT ['kim','smith','garcia',
+      |        'nm' || CAST(ck // 4 AS VARCHAR)][ck % 4 + 1] AS name,
+      |      CAST([512,256,128,128][ck % 4 + 1] AS DOUBLE) / 1024.0 *
+      |        [0.125, 0.25, 0.5, 1.0][(ck // 4) + 1] AS p
+      |    FROM cks WHERE ck < 16)
+      |  GROUP BY name),
+      |lastt AS (SELECT name, sum(p) AS prob FROM (
+      |    SELECT name, prob * 0.25 AS p FROM chl
+      |    UNION ALL SELECT name, prob * 0.015625 FROM jpl
+      |    UNION ALL SELECT name, prob * 0.00390625 FROM krl
+      |    UNION ALL SELECT name, prob FROM cwl)
+      |  GROUP BY name),
+      |cgv AS (SELECT ['wei','li','fang','na'][ck + 1] AS name,
+      |    CAST([512,256,128,128][ck + 1] AS DOUBLE) / 2048.0 AS prob
+      |  FROM cks WHERE ck < 4),
+      |jgv AS (SELECT ['yuki','hiroshi'][ck + 1] AS name,
+      |    [0.25, 0.125][ck + 1] AS prob
+      |  FROM cks WHERE ck < 2),
+      |cwg AS (SELECT name, sum(p) AS prob FROM (
+      |    SELECT ['maria','john','wei',
+      |        'gn' || CAST(ck // 4 AS VARCHAR)][ck % 4 + 1] AS name,
+      |      CAST([512,256,128,128][ck % 4 + 1] AS DOUBLE) / 1024.0 *
+      |        [0.125, 0.25][(ck // 4) + 1] AS p
+      |    FROM cks WHERE ck < 8
+      |    UNION ALL
+      |    SELECT ['minjun','seo','ji','hye'][ck - 7],
+      |      CAST([512,256,128,128][ck - 7] AS DOUBLE) / 1024.0 * 0.03125
+      |    FROM cks WHERE ck BETWEEN 8 AND 11)
+      |  GROUP BY name),
+      |givent AS (SELECT name, sum(p) AS prob FROM (
+      |    SELECT name, prob * 0.25 AS p FROM cgv
+      |    UNION ALL SELECT name, prob * 0.015625 FROM jgv
+      |    UNION ALL SELECT name, prob FROM cwg)
+      |  GROUP BY name)
+      |SELECT 'last' AS kind, name, prob,
+      |  CAST(floor(prob * 8589934592.0 + 0.5) AS BIGINT) AS est_humans
+      |FROM lastt
+      |UNION ALL
+      |SELECT 'given', name, prob,
+      |  CAST(floor(prob * 8589934592.0 + 0.5) AS BIGINT)
+      |FROM givent""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q91_author_curations" -> q91Oracle,
     "q92_author_full_names" -> q92Oracle,
@@ -1841,6 +2003,7 @@ object EntityQueries {
     "q96_ras_lookup_refresh" -> q96Oracle,
     "q97_work_author_guard" -> q97Oracle,
     "q98_work_author_apply" -> q98Oracle,
+    "q99_name_frequency" -> q99Oracle,
     "q86_funder_merge" ->
       """WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
         |    'F' || n_nationkey AS dn,
