@@ -119,11 +119,20 @@ object WorkAuthorGuard {
   /** Cell 11: the guard batch. Inputs beyond the batch: bound seats
     * (work_authors), the name dictionary, claim + removal curations,
     * author profiles (openalexAuthors with display_name/full_name,
-    * authors with display_name), and the legacy work_authors. */
+    * authors with display_name), and the legacy work_authors.
+    *
+    * `boundary` cuts the plan after the verdict stage: the flagged
+    * frame feeds FIVE downstream consumers (freed donors, realign,
+    * legacy tiers, occupied, final), and without a boundary each
+    * replays the whole batch+judgment subtree (the reference lands it
+    * as a Delta table for the same reason). Pass
+    * `df => Materialize.temp(df)._1` in multi-consumer pipelines;
+    * the default keeps the plan pure. */
   def guardBatch(batch: DataFrame, workAuthors: DataFrame,
       authorNames: DataFrame, claimCurations: DataFrame,
       removeCurations: DataFrame, openalexAuthors: DataFrame,
-      authors: DataFrame, legacy: DataFrame): DataFrame = {
+      authors: DataFrame, legacy: DataFrame,
+      boundary: DataFrame => DataFrame = identity): DataFrame = {
     val workSeats = workAuthors
       .join(batch.select(col("work_id")).distinct(), Seq("work_id"),
         "left_semi")
@@ -163,12 +172,12 @@ object WorkAuthorGuard {
       .filter(col("__claim_name") === lower(trim(col("incoming_name"))))
       .select(col("work_id"), col("author_sequence")).distinct()
       .withColumn("__cu", lit(true))
-    val flagged = judged
+    val flagged = boundary(judged
       .join(curated, Seq("work_id", "author_sequence"), "left")
       .withColumn("curated_hold", coalesce(col("__cu"), lit(false)))
       .withColumn("invalidate", col("verdict") === "INCOMPATIBLE" &&
         col("work_incompat_count") >= 2 && !col("curated_hold"))
-      .drop("__cu")
+      .drop("__cu"))
 
     // hypothetical rebind cascade — freed donors with name-compatible
     // profiles
@@ -272,8 +281,10 @@ object WorkAuthorGuard {
         Seq("work_id", "author_sequence"), "left_anti")
       .select(col("work_id").as("__occ_w"), col("author_id").as("__occ"))
       .distinct()
+    // flagged (post-boundary) has exactly changed's work set — join it
+    // instead of replaying the changed subtree
     val removes = removeCurations
-      .join(changed.select(col("work_id")).distinct(), Seq("work_id"),
+      .join(flagged.select(col("work_id")).distinct(), Seq("work_id"),
         "left_semi")
       .select(col("work_id").as("__rm_w"), col("author_id").as("__rm"))
       .distinct()

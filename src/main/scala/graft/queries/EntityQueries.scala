@@ -1378,7 +1378,13 @@ object EntityQueries {
       .unionByName(leg(m === 9, 1, lit("D Wu Alt"),
         lit(8000) + pmod(k, lit(50))))
       .unionByName(leg(m === 9, 2, lit("LegacyOk2"), k * 10 + 1))
-    (worksBase, workAuthors, authorNames, claims, removes, oa, ar, legacy)
+    // The synthesized inputs stand in for STORED tables (works base,
+    // work_authors, legacy work_authors are all Delta tables in the
+    // reference); materialize them so the pipeline's multiple reads
+    // scan files instead of replaying the union-of-arms construction.
+    def mat(df: DataFrame) = graft.core.Materialize.temp(df)._1
+    (mat(worksBase), mat(workAuthors), authorNames, claims, removes,
+      oa, ar, mat(legacy))
   }
 
   /** §2.3/§2.5 the UpdateWorkAuthors guard batch (cell 11): see
@@ -1388,9 +1394,13 @@ object EntityQueries {
   private def q97(s: SparkSession, dir: String): DataFrame = {
     import graft.authors.WorkAuthorGuard
     val (wb, wa, an, cl, rm, oa, ar, lg) = q97Fixture(s, dir)
-    val batch = WorkAuthorGuard.updateBatch(wb, wa,
-      lit("2024-01-15").cast("timestamp"))
-    WorkAuthorGuard.guardBatch(batch, wa, an, cl, rm, oa, ar, lg)
+    // boundaries: the batch feeds the seat capture + judgment + apply,
+    // and the flagged frame feeds five cascade consumers — both are
+    // multi-consumer stages (the reference lands each as a Delta table)
+    val batch = graft.core.Materialize.temp(WorkAuthorGuard.updateBatch(
+      wb, wa, lit("2024-01-15").cast("timestamp")))._1
+    WorkAuthorGuard.guardBatch(batch, wa, an, cl, rm, oa, ar, lg,
+        boundary = df => graft.core.Materialize.temp(df)._1)
       .select(col("work_id"), col("author_sequence"),
         col("incoming_name"), col("current_name"), col("verdict"),
         col("work_incompat_count"),
@@ -1409,8 +1419,8 @@ object EntityQueries {
   private def q98(s: SparkSession, dir: String): DataFrame = {
     import graft.authors.WorkAuthorGuard
     val (wb, wa, an, _, _, _, _, lg) = q97Fixture(s, dir)
-    val batch = WorkAuthorGuard.updateBatch(wb, wa,
-      lit("2024-01-15").cast("timestamp"))
+    val batch = graft.core.Materialize.temp(WorkAuthorGuard.updateBatch(
+      wb, wa, lit("2024-01-15").cast("timestamp")))._1
     WorkAuthorGuard.applyBatch(wa, batch, wb, an, lg,
         lit("2024-06-01").cast("timestamp"))
       .select(col("work_id"), col("author_sequence"), col("author_id"),

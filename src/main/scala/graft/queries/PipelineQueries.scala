@@ -1336,6 +1336,71 @@ object PipelineQueries {
         coalesce(to_json(col("types")), lit("[]")).as("types_json"))
   }
 
+  /** §5 snapshot smoke checks (smoke_tests.ipynb, the relational
+    * tests): ID-format validation (two malformed arms), duplicate-id
+    * detection (planted k%997/ck%97 duplicates that also flow through
+    * every other count), required/mostly-required null rates (type
+    * fails the zero bar, title/publication_year pass the 10% ceiling),
+    * authorship + affiliation coverage with the 2020+ split, keyword/
+    * SDG population (both keyword floors fail at ~33%), and abstract
+    * inverted-index validity via the map-shape from_json probe
+    * (malformed-JSON and valid-but-wrong-shape arms both counted — the
+    * documented stronger-than-reference check). */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.serve.SnapshotSmoke
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    val ks = k.cast("string")
+    def instS = struct(concat(lit("https://openalex.org/I"), ks).as("id"))
+    val emptyInsts = array().cast("array<struct<id:string>>")
+    val worksBase = o.select(
+      when(k % 97 === 0, concat(lit("https://openalex.org/X"), ks))
+        .when(k % 89 === 0, concat(lit("W"), ks))
+        .otherwise(concat(lit("https://openalex.org/W"), ks)).as("id"),
+      when(k % 50 =!= 7, lit("article")).as("type"),
+      (k % 2 === 0).as("is_paratext"),
+      when(k % 15 =!= 0, concat(lit("T"), ks)).as("title"),
+      when(k % 200 =!= 5, (lit(2000) + k % 25).cast("int"))
+        .as("publication_year"),
+      (k % 4 === 0).as("is_xpac"),
+      when(k % 10 === 0, array().cast(
+          "array<struct<institutions:array<struct<id:string>>>>"))
+        .when(k % 10 === 1, array(struct(emptyInsts.as("institutions"))))
+        .otherwise(array(struct(array(instS).as("institutions"))))
+        .as("authorships"),
+      when(k % 3 === 0, array(lit("kw"))).otherwise(
+        array().cast("array<string>")).as("keywords"),
+      when(k % 7 === 0, array(lit("sdg"))).otherwise(
+        array().cast("array<string>"))
+        .as("sustainable_development_goals"),
+      when(k % 11 === 0, lit(null).cast("string"))
+        .when(k % 13 === 0, lit("{bad"))
+        .when(k % 17 === 0, lit("[1,2]"))
+        .otherwise(lit("{\"a\":[1,2]}")).as("abstract_inverted_index"),
+      k.as("__k"))
+    val works = worksBase.unionByName(
+      worksBase.filter(pmod(col("__k"), lit(997)) === 1)).drop("__k")
+    val authors = c.filter(ck < 500).select(
+        when(ck % 41 === 0, concat(lit("https://openalex.org/B"),
+          ck.cast("string")))
+        .otherwise(concat(lit("https://openalex.org/A"), ck.cast("string")))
+        .as("id"))
+      .unionByName(c.filter(ck < 500 && ck % 97 === 3).select(
+        concat(lit("https://openalex.org/A"), ck.cast("string")).as("id")))
+    val report = SnapshotSmoke.idFormatBad(works, "works", "W")
+      .unionByName(SnapshotSmoke.idFormatBad(authors, "authors", "A"))
+      .unionByName(SnapshotSmoke.duplicateIds(works, "works"))
+      .unionByName(SnapshotSmoke.duplicateIds(authors, "authors"))
+      .unionByName(SnapshotSmoke.nullCounts(works, "works",
+        Seq("id", "type", "is_paratext", "title", "publication_year")))
+      .unionByName(SnapshotSmoke.authorshipStats(works, 2020))
+      .unionByName(SnapshotSmoke.populationRates(works))
+      .unionByName(SnapshotSmoke.abstractValidity(works))
+    SnapshotSmoke.withVerdicts(report,
+      requiredNullFields = Seq("id", "type", "is_paratext"),
+      mostlyNullFields = Seq("title", "publication_year"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
@@ -1344,7 +1409,8 @@ object PipelineQueries {
     "q75_sources_api" -> (q75 _),
     "q89_institutions_api" -> (q89 _),
     "q90_publishers_api" -> (q90 _),
-    "q93_ror_registry_sync" -> (q93 _))
+    "q93_ror_registry_sync" -> (q93 _),
+    "q100_snapshot_smoke" -> (q100 _))
 
   private val q74Oracle: String =
     """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
@@ -2179,6 +2245,81 @@ object PipelineQueries {
       |  f.tys
       |FROM newk n JOIN flds f ON n.bror = f.bror""".stripMargin
 
+  private val q100Oracle: String =
+    """WITH ko AS (SELECT o_orderkey AS k FROM orders),
+      |wk AS (SELECT k FROM ko UNION ALL SELECT k FROM ko WHERE k % 997 = 1),
+      |au AS (SELECT 'https://openalex.org/' ||
+      |    (CASE WHEN c_custkey % 41 = 0 THEN 'B' ELSE 'A' END) ||
+      |    CAST(c_custkey AS VARCHAR) AS id
+      |  FROM customer WHERE c_custkey < 500
+      |  UNION ALL
+      |  SELECT 'https://openalex.org/A' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer WHERE c_custkey < 500 AND c_custkey % 97 = 3),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(count(CASE WHEN k % 4 <> 0 THEN 1 END) AS BIGINT) AS nx
+      |  FROM wk),
+      |r AS (
+      |  SELECT 'works' AS entity, 'id_format_bad' AS chk,
+      |    CAST(count(CASE WHEN k % 97 = 0 OR k % 89 = 0 THEN 1 END)
+      |      AS BIGINT) AS value
+      |  FROM wk
+      |  UNION ALL SELECT 'authors', 'id_format_bad',
+      |    CAST(count(CASE WHEN id NOT LIKE 'https://openalex.org/A%' THEN 1
+      |      END) AS BIGINT)
+      |  FROM au
+      |  UNION ALL SELECT 'works', 'duplicate_ids',
+      |    CAST(count(*) - count(DISTINCT k) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'authors', 'duplicate_ids',
+      |    CAST(count(*) - count(DISTINCT id) AS BIGINT) FROM au
+      |  UNION ALL SELECT 'works', 'null_id', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'works', 'null_type',
+      |    CAST(count(CASE WHEN k % 50 = 7 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'null_is_paratext', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'works', 'null_title',
+      |    CAST(count(CASE WHEN k % 15 = 0 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'null_publication_year',
+      |    CAST(count(CASE WHEN k % 200 = 5 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'total', CAST(count(*) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'with_authorships',
+      |    CAST(count(CASE WHEN k % 10 <> 0 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'with_affiliations',
+      |    CAST(count(CASE WHEN k % 10 NOT IN (0, 1) THEN 1 END) AS BIGINT)
+      |  FROM wk
+      |  UNION ALL SELECT 'works', 'recent_total',
+      |    CAST(count(CASE WHEN k % 200 <> 5 AND k % 25 >= 20 THEN 1 END)
+      |      AS BIGINT)
+      |  FROM wk
+      |  UNION ALL SELECT 'works', 'recent_with_affiliations',
+      |    CAST(count(CASE WHEN k % 200 <> 5 AND k % 25 >= 20
+      |      AND k % 10 NOT IN (0, 1) THEN 1 END) AS BIGINT)
+      |  FROM wk
+      |  UNION ALL SELECT 'works', 'with_keywords',
+      |    CAST(count(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'with_sdgs',
+      |    CAST(count(CASE WHEN k % 7 = 0 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'non_xpac_total',
+      |    CAST(count(CASE WHEN k % 4 <> 0 THEN 1 END) AS BIGINT) FROM wk
+      |  UNION ALL SELECT 'works', 'non_xpac_with_keywords',
+      |    CAST(count(CASE WHEN k % 4 <> 0 AND k % 3 = 0 THEN 1 END)
+      |      AS BIGINT)
+      |  FROM wk
+      |  UNION ALL SELECT 'works', 'invalid_abstract_json',
+      |    CAST(count(CASE WHEN k % 11 <> 0 AND (k % 13 = 0 OR k % 17 = 0)
+      |      THEN 1 END) AS BIGINT)
+      |  FROM wk)
+      |SELECT r.entity, r.chk AS "check", r.value,
+      |  CAST(CASE
+      |    WHEN r.chk IN ('id_format_bad', 'duplicate_ids', 'null_id',
+      |      'null_type', 'null_is_paratext') THEN r.value = 0
+      |    WHEN r.chk IN ('null_title', 'null_publication_year')
+      |      THEN r.value < t.total * 0.10
+      |    WHEN r.chk = 'with_keywords' THEN r.value >= t.total * 0.50
+      |    WHEN r.chk = 'non_xpac_with_keywords'
+      |      THEN r.value >= t.nx * 0.65
+      |    WHEN r.chk = 'invalid_abstract_json' THEN r.value < 1000
+      |  END AS INTEGER) AS passed
+      |FROM r CROSS JOIN tot t""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
@@ -2187,5 +2328,6 @@ object PipelineQueries {
     "q75_sources_api" -> q75Oracle,
     "q89_institutions_api" -> q89Oracle,
     "q90_publishers_api" -> q90Oracle,
-    "q93_ror_registry_sync" -> q93Oracle)
+    "q93_ror_registry_sync" -> q93Oracle,
+    "q100_snapshot_smoke" -> q100Oracle)
 }

@@ -1,0 +1,120 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot release smoke checks (reference: notebooks/snapshot/
+  * smoke_tests.ipynb — the relational tests; the API cross-checks and
+  * S3 listing tests are transport-boundary ops): ID-format validation,
+  * duplicate-id detection, required / mostly-required null rates,
+  * authorship + affiliation coverage (incl. the 2020+ and non-xpac
+  * splits), keyword / SDG population rates, and abstract
+  * inverted-index JSON validity. Each check emits tall
+  * (entity, check, value) rows; [[withVerdicts]] applies the
+  * reference's thresholds.
+  *
+  * Abstract validity boundary: the reference probes arbitrary-JSON
+  * parseability with a Python UDF; here validity means the string
+  * parses as the inverted-index shape (`MAP<STRING, ARRAY<INT>>`) via
+  * from_json — codegen-friendly and strictly stronger for this column
+  * (documented deviation).
+  *
+  * Scale posture: every check is one full-scan aggregation with
+  * map-side partials reducing to O(1) rows — the report is a handful
+  * of numbers regardless of corpus size; the duplicate check is a
+  * distinct count (one shuffle on id).
+  */
+object SnapshotSmoke {
+
+  private def row(entity: String, check: String, v: Column): Column =
+    struct(lit(entity).as("entity"), lit(check).as("check"),
+      v.cast("long").as("value"))
+
+  /** TEST 1: ids failing `^https://openalex\.org/<L>\d+$`. */
+  def idFormatBad(df: DataFrame, entity: String,
+      prefixLetter: String): DataFrame =
+    df.agg(row(entity, "id_format_bad",
+      count(when(!col("id").rlike(
+        "^https://openalex\\.org/" + prefixLetter + "[0-9]+$"), 1)))
+      .as("r")).select(col("r.*"))
+
+  /** TEST 8: duplicate ids (total − distinct). */
+  def duplicateIds(df: DataFrame, entity: String): DataFrame =
+    df.agg(row(entity, "duplicate_ids",
+      count(lit(1)) - countDistinct(col("id"))).as("r")).select(col("r.*"))
+
+  /** TEST 7: per-field null counts, tall. */
+  def nullCounts(df: DataFrame, entity: String,
+      fields: Seq[String]): DataFrame =
+    df.agg(array(fields.map(f =>
+        row(entity, s"null_$f", count(when(col(f).isNull, 1)))): _*)
+      .as("rs"))
+      .select(explode(col("rs")).as("r")).select(col("r.*"))
+
+  /** TESTS 5/5b: authorship + affiliation coverage in ONE pass. */
+  def authorshipStats(works: DataFrame, recentYearMin: Int): DataFrame = {
+    val hasAffil = exists(col("authorships"),
+      a => size(a.getField("institutions")) > 0)
+    works.agg(array(
+        row("works", "total", count(lit(1))),
+        row("works", "with_authorships",
+          count(when(size(col("authorships")) > 0, 1))),
+        row("works", "with_affiliations", count(when(hasAffil, 1))),
+        row("works", "recent_total",
+          count(when(col("publication_year") >= recentYearMin, 1))),
+        row("works", "recent_with_affiliations",
+          count(when(col("publication_year") >= recentYearMin && hasAffil,
+            1)))).as("rs"))
+      .select(explode(col("rs")).as("r")).select(col("r.*"))
+  }
+
+  /** TEST 13: keyword / SDG population incl. the non-xpac split. */
+  def populationRates(works: DataFrame): DataFrame =
+    works.agg(array(
+        row("works", "with_keywords",
+          count(when(size(col("keywords")) > 0, 1))),
+        row("works", "with_sdgs",
+          count(when(size(col("sustainable_development_goals")) > 0, 1))),
+        row("works", "non_xpac_total", count(when(!col("is_xpac"), 1))),
+        row("works", "non_xpac_with_keywords",
+          count(when(!col("is_xpac") && size(col("keywords")) > 0, 1))))
+        .as("rs"))
+      .select(explode(col("rs")).as("r")).select(col("r.*"))
+
+  /** TEST 11: abstract strings that fail to parse as the inverted-index
+    * shape (NULL passes — absence is not invalidity). */
+  def abstractValidity(works: DataFrame): DataFrame =
+    works.agg(row("works", "invalid_abstract_json",
+      count(when(col("abstract_inverted_index").isNotNull &&
+        from_json(col("abstract_inverted_index"),
+          lit("map<string,array<int>>")).isNull, 1))).as("r"))
+      .select(col("r.*"))
+
+  /** The reference's pass thresholds over the tall report: exact-zero
+    * checks (id format, duplicates, required nulls), rate floors
+    * (keywords ≥ 50%, non-xpac keywords ≥ 65%), rate ceilings
+    * (mostly-required nulls < 10%), and the absolute abstract cap. */
+  def withVerdicts(report: DataFrame, requiredNullFields: Seq[String],
+      mostlyNullFields: Seq[String], abstractCap: Long = 1000L): DataFrame = {
+    val totals = report.filter(col("check") === "total")
+      .select(col("value").as("__total"))
+    val nxTotals = report.filter(col("check") === "non_xpac_total")
+      .select(col("value").as("__nx_total"))
+    val zeroChecks = Seq("id_format_bad", "duplicate_ids") ++
+      requiredNullFields.map(f => s"null_$f")
+    report.crossJoin(broadcast(totals)).crossJoin(broadcast(nxTotals))
+      .withColumn("passed",
+        when(col("check").isin(zeroChecks: _*), col("value") === 0)
+          .when(col("check").isin(mostlyNullFields.map(f => s"null_$f"): _*),
+            col("value") < col("__total") * 0.10)
+          .when(col("check") === "with_keywords",
+            col("value") >= col("__total") * 0.50)
+          .when(col("check") === "non_xpac_with_keywords",
+            col("value") >= col("__nx_total") * 0.65)
+          .when(col("check") === "invalid_abstract_json",
+            col("value") < abstractCap)
+          .otherwise(lit(null).cast("boolean")) // informational rows
+        .cast("int"))
+      .drop("__total", "__nx_total")
+  }
+}
