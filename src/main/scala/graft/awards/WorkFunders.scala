@@ -1,0 +1,113 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Work→funder linkage from DataCite metadata plus the raw-award
+  * landing op (reference: notebooks/awards/CreateDataCiteWorkFunders
+  * .ipynb + InsertCrossref/DataCiteAwardsToRaw.ipynb):
+  *
+  *  - [[dataCiteWorkFunders]]: the matching cascade — bulk-publisher
+  *    distortion guard (NIFS/NINS/JSPS, oxjobs #478: ~109M of ~115M
+  *    rows were bulk-tagged), DOI match with merged-funder resolution,
+  *    then the name fallback against display_name ∪ alternate_titles
+  *    with the AMBIGUITY DROP (a name variant mapping to >1 funder —
+  *    'ccf' → 52 funders — links nothing), per-element award-id
+  *    usability filtering through OUTER explode (a funder-only link
+  *    survives with an empty award array), one row per
+  *    (work, funder).
+  *  - [[insertAwardsToRaw]]: the delete-insert idempotency of the
+  *    Insert*ToRaw notebooks — a source's priority slice is replaced
+  *    wholesale, other provenances untouched.
+  *
+  * [[usableAwardId]] boundary: `openalex.common.is_usable_award_id` is
+  * defined in a migration outside the public snapshot; this predicate
+  * carries the documented behavior (non-empty, not a bare junk token,
+  * carries real id signal) and is injectable where the exact gate
+  * matters.
+  *
+  * Scale posture: the funder registry (and its exploded name variants)
+  * is registry-sized → broadcast; the work side shuffles once on the
+  * (work, funder) re-aggregation key.
+  */
+object WorkFunders {
+
+  /** The oxjobs #478 bulk-publisher exclusion list — these constants
+    * are the spec. */
+  val BulkPublisherNames: Seq[String] = Seq(
+    "National Institute for Fusion Science",
+    "National Institutes of Natural Science",
+    "Japan Society for the Promotion of Science (JSPS)")
+
+  /** Documented approximation of `openalex.common.is_usable_award_id`
+    * (DDL outside the snapshot): trimmed non-empty, not a junk token,
+    * and either carries a digit or is a long-enough opaque id. */
+  def usableAwardId(c: Column): Column = {
+    val t = trim(c)
+    c.isNotNull && t =!= "" &&
+      !lower(t).isin("n/a", "na", "none", "unknown", "null", "0", "-") &&
+      (t.rlike("[0-9]") || length(t) >= 5)
+  }
+
+  /** The full matching cascade. Inputs:
+    *  - `locationsMapped`: (work_id, provenance, funders
+    *    ARRAY<STRUCT<doi, name, awards ARRAY<STRING>>>);
+    *  - `funders`: the mid.funder registry (funder_id, doi,
+    *    display_name, alternate_titles JSON STRING, merge_into_id). */
+  def dataCiteWorkFunders(locationsMapped: DataFrame, funders: DataFrame,
+      usable: Column => Column = usableAwardId): DataFrame = {
+    val exploded = locationsMapped
+      .filter(col("provenance") === "datacite" && col("work_id").isNotNull)
+      .select(col("work_id"), explode(col("funders")).as("__f"))
+      .select(col("work_id"), col("__f.doi").as("funder_doi"),
+        col("__f.name").as("funder_name"), col("__f.awards").as("award_ids"))
+      .filter((col("funder_doi").isNotNull || col("funder_name").isNotNull) &&
+        !coalesce(col("funder_name"), lit(""))
+          .isin(BulkPublisherNames: _*))
+    val resolved = funders.select(
+      coalesce(col("merge_into_id"), col("funder_id")).as("funder_id"),
+      col("doi"), col("display_name"), col("alternate_titles"))
+    val byDoi = exploded
+      .filter(col("funder_doi").isNotNull && col("funder_doi") =!= "")
+      .join(broadcast(resolved.select(col("doi").as("__fdoi"),
+        col("funder_id"))), col("funder_doi") === col("__fdoi"))
+      .select(col("work_id"), col("funder_id"), col("award_ids"))
+    val nameVariants = resolved
+      .filter(col("display_name").isNotNull)
+      .select(col("funder_id"), explode(array_union(
+        array(col("display_name")),
+        coalesce(from_json(col("alternate_titles"), lit("array<string>")),
+          array().cast("array<string>")))).as("__variant"))
+      .select(col("funder_id"), lower(col("__variant")).as("name_lower"))
+    val unambiguous = nameVariants.groupBy(col("name_lower"))
+      .agg(max(col("funder_id")).as("funder_id"),
+        countDistinct(col("funder_id")).as("__n"))
+      .filter(col("__n") === 1).drop("__n")
+    val byName = exploded
+      .filter(col("funder_name").isNotNull &&
+        (col("funder_doi").isNull || col("funder_doi") === ""))
+      .join(broadcast(unambiguous),
+        lower(col("funder_name")) === col("name_lower"))
+      .select(col("work_id"), col("funder_id"), col("award_ids"))
+    byDoi.unionByName(byName)
+      .select(col("work_id"), col("funder_id"),
+        explode_outer(col("award_ids")).as("__aid"))
+      .select(col("work_id"), col("funder_id"),
+        when(usable(col("__aid")), col("__aid")).as("__aid"))
+      .groupBy(col("work_id"), col("funder_id"))
+      .agg(array_distinct(collect_list(col("__aid"))).as("award_ids"))
+  }
+
+  /** Insert*ToRaw: replace one (provenance, priority) slice of the raw
+    * awards table with `fresh` rows (gated by `keep`), leaving every
+    * other slice untouched. `fresh` must carry the raw table's columns
+    * minus (provenance, priority), which are stamped here. */
+  def insertAwardsToRaw(raw: DataFrame, fresh: DataFrame,
+      provenance: String, priority: Int, keep: Column): DataFrame = {
+    val kept = raw.filter(!(col("provenance") === provenance &&
+      col("priority") === priority))
+    kept.unionByName(fresh.filter(keep)
+      .withColumn("provenance", lit(provenance))
+      .withColumn("priority", lit(priority)))
+  }
+}

@@ -326,12 +326,122 @@ object AwardQueries {
       to_json(col("institution_awarded")).as("institution_awarded"))
   }
 
+  /** §2.3/§2.4 DataCite work→funder matching
+    * (CreateDataCiteWorkFunders.ipynb): the bulk-publisher guard
+    * (m=4 arm links nothing), DOI matching with merged-funder
+    * resolution (alias dois 0/76 resolve to their winners), the
+    * name fallback against display ∪ alternate-title variants with the
+    * ambiguity drop ('acr<j>' shared by many funders links nothing;
+    * 'altx <f>' unique links), the doi-present-but-unmatched
+    * fall-through (m=8), per-element award usability through OUTER
+    * explode (junk 'n/a' dropped, duplicate ids deduped, NULL award
+    * arrays → empty arrays), and the (work, funder) re-aggregation
+    * that merges the m=6 two-path collision when both rows resolve to
+    * one funder. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.WorkFunders
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    val ks = k.cast("string")
+    val funders = c.filter(ck < 80).select(
+      ck.cast("long").as("funder_id"),
+      when(ck % 4 === 0, concat(lit("10.13039/"), ck.cast("string")))
+        .as("doi"),
+      concat(lit("Funder "), ck.cast("string")).as("display_name"),
+      when(ck % 3 === 0, concat(lit("[\"AltX "), ck.cast("string"),
+        lit("\",\"ACR"), (ck % 5).cast("string"), lit("\"]")))
+        .as("alternate_titles"),
+      when(ck % 19 === 0, ck + 1).as("merge_into_id"))
+    def fd(doi: Column, name: Column, awards: Column) = struct(
+      doi.as("doi"), name.as("name"), awards.as("awards"))
+    val nullS = lit(null).cast("string")
+    val nullA = lit(null).cast("array<string>")
+    val m = pmod(k, lit(9))
+    val doiCol = concat(lit("10.13039/"), (pmod(k, lit(20)) * 4)
+      .cast("string"))
+    val fundersArr =
+      when(m === 0, array(fd(doiCol, nullS,
+        array(concat(lit("A-"), ks), lit("n/a"), concat(lit("A-"), ks)))))
+      .when(m === 1, array(fd(lit(""), concat(lit("Funder "),
+        pmod(k, lit(80)).cast("string")), array(concat(lit("G"), ks)))))
+      .when(m === 2, array(fd(nullS, concat(lit("acr"),
+        pmod(k, lit(5)).cast("string")), array(concat(lit("W"), ks)))))
+      .when(m === 3, array(fd(nullS, concat(lit("AltX "),
+        pmod(k, lit(80)).cast("string")), array(concat(lit("H"), ks)))))
+      .when(m === 4, array(fd(nullS,
+        lit("National Institute for Fusion Science"),
+        array(concat(lit("B"), ks)))))
+      .when(m === 5, array(fd(doiCol, nullS, nullA)))
+      .when(m === 6, array(
+        fd(doiCol, nullS, array(concat(lit("D"), ks))),
+        fd(nullS, concat(lit("Funder "), pmod(k, lit(40)).cast("string")),
+          array(concat(lit("E"), ks)))))
+      .when(m === 7, array(fd(nullS, nullS, array(concat(lit("X"), ks)))))
+      .otherwise(array(fd(lit("10.13039/BAD"), concat(lit("Funder "),
+        pmod(k, lit(80)).cast("string")), array(concat(lit("C"), ks)))))
+    val locations = o.select(
+      when(k % 31 =!= 0, k).as("work_id"),
+      when(k % 6 === 5, lit("crossref")).otherwise(lit("datacite"))
+        .as("provenance"),
+      fundersArr.as("funders"))
+    WorkFunders.dataCiteWorkFunders(locations, funders)
+      .select(col("work_id"), col("funder_id"),
+        to_json(sort_array(col("award_ids"))).as("awards_json"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_awards_api_institutions" -> (q87 _),
     "q68_award_norm_keys" -> (q68 _),
-    "q69_work_awards_merge" -> (q69 _))
+    "q69_work_awards_merge" -> (q69 _),
+    "q101_datacite_work_funders" -> (q101 _))
+
+  private val q101Oracle: String =
+    """WITH res AS (SELECT c_custkey AS f,
+      |    CASE WHEN c_custkey % 19 = 0 THEN c_custkey + 1
+      |         ELSE c_custkey END AS rid,
+      |    CASE WHEN c_custkey % 4 = 0
+      |      THEN '10.13039/' || CAST(c_custkey AS VARCHAR) END AS doi
+      |  FROM customer WHERE c_custkey < 80),
+      |nv AS (
+      |  SELECT rid, 'funder ' || CAST(f AS VARCHAR) AS nl FROM res
+      |  UNION ALL
+      |  SELECT rid, 'altx ' || CAST(f AS VARCHAR) FROM res WHERE f % 3 = 0
+      |  UNION ALL
+      |  SELECT rid, 'acr' || CAST(f % 5 AS VARCHAR) FROM res
+      |  WHERE f % 3 = 0),
+      |unamb AS (SELECT nl, max(rid) AS rid FROM nv GROUP BY nl
+      |  HAVING count(DISTINCT rid) = 1),
+      |dois AS (SELECT doi, rid FROM res WHERE doi IS NOT NULL),
+      |w0 AS (SELECT o_orderkey AS k, o_orderkey % 9 AS m,
+      |    '10.13039/' || CAST((o_orderkey % 20) * 4 AS VARCHAR) AS wdoi,
+      |    CAST(o_orderkey AS VARCHAR) AS ks
+      |  FROM orders WHERE o_orderkey % 31 <> 0 AND o_orderkey % 6 <> 5),
+      |linked AS (
+      |  SELECT k, d.rid, 'A-' || ks AS aid FROM w0 JOIN dois d
+      |    ON wdoi = d.doi WHERE m = 0
+      |  UNION ALL
+      |  SELECT k, d.rid, NULL FROM w0 JOIN dois d ON wdoi = d.doi
+      |  WHERE m = 5
+      |  UNION ALL
+      |  SELECT k, d.rid, 'D' || ks FROM w0 JOIN dois d ON wdoi = d.doi
+      |  WHERE m = 6
+      |  UNION ALL
+      |  SELECT k, u.rid, 'E' || ks FROM w0 JOIN unamb u
+      |    ON 'funder ' || CAST(k % 40 AS VARCHAR) = u.nl WHERE m = 6
+      |  UNION ALL
+      |  SELECT k, u.rid, 'G' || ks FROM w0 JOIN unamb u
+      |    ON 'funder ' || CAST(k % 80 AS VARCHAR) = u.nl WHERE m = 1
+      |  UNION ALL
+      |  SELECT k, u.rid, 'H' || ks FROM w0 JOIN unamb u
+      |    ON 'altx ' || CAST(k % 80 AS VARCHAR) = u.nl WHERE m = 3)
+      |SELECT CAST(k AS BIGINT) AS work_id, CAST(rid AS BIGINT) AS funder_id,
+      |  coalesce(CAST(to_json(list(aid ORDER BY aid)
+      |    FILTER (WHERE aid IS NOT NULL)) AS VARCHAR), '[]') AS awards_json
+      |FROM linked
+      |GROUP BY k, rid""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q101_datacite_work_funders" -> q101Oracle,
     "q87_awards_api_institutions" ->
       """WITH a AS (SELECT c_custkey AS id,
         |    (['irdb','nih_exporter','kaken','crossref_work_funders',

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.awards.WorkFunders
+
+/** Pins for the work-funder landing ops (oracle: q101 covers the
+  * matching cascade; these cover the sink-side Insert*ToRaw semantics
+  * and the usability predicate arms). */
+class WorkFundersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("usableAwardId: junk tokens and signal-free strings rejected") {
+    val cases = Seq(
+      ("R01CA12345", true), ("n/a", false), ("N/A", false), ("", false),
+      ("  ", false), ("0", false), ("-", false), ("abcde", true),
+      ("ab", false), ("G123", true), (null.asInstanceOf[String], false))
+    val got = cases.map(_._1).toDF("id")
+      .select(col("id"), WorkFunders.usableAwardId(col("id")).as("u"))
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    for ((id, want) <- cases)
+      assert(got(Option(id)) == want, s"usableAwardId($id) should be $want")
+  }
+
+  test("insertAwardsToRaw: replaces exactly the (provenance, priority) " +
+    "slice, stamps the new rows, applies the keep gate") {
+    val raw = Seq(
+      (1L, "crossref_work", 1), (2L, "crossref_work", 2),
+      (3L, "datacite", 1), (4L, "europepmc", 1))
+      .toDF("id", "provenance", "priority")
+    val fresh = Seq(Tuple1(10L), Tuple1(11L)).toDF("id")
+    val out = WorkFunders.insertAwardsToRaw(raw, fresh, "crossref_work", 1,
+      keep = col("id") =!= 11L).collect()
+    val ids = out.map(_.getLong(0)).sorted
+    // old (1, crossref_work, 1) replaced; priority-2 and other
+    // provenances kept; the gate drops 11; 10 lands with the stamp
+    assert(ids.toSeq == Seq(2L, 3L, 4L, 10L))
+    assert(out.filter(_.getLong(0) == 10L).forall(r =>
+      r.getString(1) == "crossref_work" && r.getInt(2) == 1))
+  }
+}
