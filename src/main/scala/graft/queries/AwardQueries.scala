@@ -389,11 +389,117 @@ object AwardQueries {
         to_json(sort_array(col("award_ids"))).as("awards_json"))
   }
 
+  /** §2.8/§2.3 PDF award tagging (TagPdfAwardsIncremental.sql): TEI
+    * section extraction under the checkpoint window (early/late rows
+    * excluded), orgName joins + tag-stripped acknowledgement/funding
+    * divs, MAX-work native-id dedup (k%37 carries a second mapping),
+    * funder screening with the acronym case-SENSITIVITY arm (m=4
+    * lowercase must not fire), the word-boundary arm (m=7 embeds the
+    * acronym in an alphanumeric run), the metachar-escape arm (m=2's
+    * parenthesised name matches literally), award tagging with
+    * word-bounded ids (AW-3 cannot fire on AW-35), the usability gate,
+    * the alt-name collision drop (m=6's AWD-X id is also a funder
+    * alternate title → never tags), and insert-only landing against
+    * pre-populated targets. The oracle derives every outcome from the
+    * construction arms. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.PdfAwardTagger
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    val ks = k.cast("string")
+    val fnk = c.filter(ck < 30).select(
+      when(ck % 3 === 0, concat(lit("ACR"), (ck % 10).cast("string")))
+        .when(ck % 3 === 1, concat(lit("Long Fund "), ck.cast("string")))
+        .otherwise(concat(lit("Grp (X"), ck.cast("string"), lit(") Fund")))
+        .as("name"),
+      concat(lit("F"), (ck + 100).cast("string")).as("id"))
+    val fapi = c.filter(ck < 30).select(
+      (ck + 100).cast("long").as("id"),
+      concat(lit("Funder "), (ck + 100).cast("string")).as("display_name"),
+      struct(concat(lit("https://ror.org/r"), ck.cast("string")).as("ror"),
+        concat(lit("10.13039/"), ck.cast("string")).as("doi")).as("ids"),
+      when(ck % 5 === 0, array(lit("AWD-X")))
+        .otherwise(array().cast("array<string>")).as("alternate_titles"))
+    val m = pmod(k, lit(8))
+    val acr = concat(lit("ACR"), pmod(k, lit(10)).cast("string"))
+    val xml =
+      when(m === 0, concat(lit("<funder ref=\"a\"><orgName type=\"full\">"),
+        acr, lit("</orgName></funder><div type=\"acknowledgement\">Grant " +
+          "AW-"), pmod(k, lit(40)).cast("string"), lit(" thanks</div>")))
+      .when(m === 1, concat(lit("<div type=\"acknowledgement\">we thank " +
+        "<hi>long fund "), pmod(k, lit(30)).cast("string"),
+        lit("</hi> for</div>")))
+      .when(m === 2, concat(lit("<div type=\"funding\">backed by grp (x"),
+        pmod(k, lit(30)).cast("string"), lit(") fund program</div>")))
+      .when(m === 3, lit("<div type=\"other\">nothing</div>"))
+      .when(m === 4, concat(lit("<div type=\"acknowledgement\">acr"),
+        pmod(k, lit(10)).cast("string"), lit(" support</div>")))
+      .when(m === 5, lit(null).cast("string"))
+      .when(m === 6, concat(lit("<funder><orgName>"), acr,
+        lit("</orgName></funder><div type=\"funding\">ref AWD-X " +
+          "here</div>")))
+      .otherwise(concat(lit("<div type=\"acknowledgement\">X"), acr,
+        lit("Y runs</div>")))
+    val grobid = o.select(concat(lit("N"), ks).as("native_id"),
+      lit("nat").as("native_id_namespace"),
+      when(k % 10 === 0, lit("2024-01-01"))
+        .when(k % 50 === 3, lit("2024-03-01"))
+        .otherwise(lit("2024-02-01")).cast("timestamp").as("created_date"),
+      xml.as("xml_content"))
+    val lm = o.filter(k % 43 =!= 0).select(
+        concat(lit("N"), ks).as("native_id"),
+        lit("nat").as("native_id_namespace"),
+        when(k % 41 =!= 0, k).as("work_id"))
+      .unionByName(o.filter(k % 43 =!= 0 && k % 37 === 0).select(
+        concat(lit("N"), ks).as("native_id"),
+        lit("nat").as("native_id_namespace"),
+        (k + 1000000L).as("work_id")))
+    // ckOf: the unique keep-list acronym owner for each k%10 residue
+    val ckOf = elt((pmod(k, lit(10)) + 1).cast("int"), lit(0L), lit(21L),
+      lit(12L), lit(3L), lit(24L), lit(15L), lit(6L), lit(27L), lit(18L),
+      lit(9L))
+    val awards = c.filter(ck < 30).select((ck + 100).cast("long")
+          .as("funder_id"),
+        concat(lit("AW-"), ck.cast("string")).as("funder_award_id"))
+      .unionByName(c.filter(ck < 30).select((ck + 100).cast("long")
+        .as("funder_id"), lit("n/a").as("funder_award_id")))
+      .unionByName(c.filter(ck < 30 && ck % 5 === 0).select(
+        (ck + 100).cast("long").as("funder_id"),
+        lit("AWD-X").as("funder_award_id")))
+    val sections = PdfAwardTagger.funderSections(grobid, lm,
+      lit("2024-01-15").cast("timestamp"), lit("2024-02-15").cast("timestamp"))
+    val staging = PdfAwardTagger.funderMatches(sections,
+      PdfAwardTagger.funderRegexes(fnk, fapi))
+    val wid = when(k % 37 === 0, k + 1000000L).otherwise(k)
+    val existingWF = o.filter(k % 23 === 1 && m === 0 && k % 41 =!= 0 &&
+        k % 43 =!= 0 && k % 10 =!= 0 && k % 50 =!= 3)
+      .select(wid.as("work_id"),
+        concat(lit("F"), (ckOf + 100).cast("string")).as("funder_id"))
+    val existingAw = o.filter(k % 29 === 2 && m === 0)
+      .select(wid.as("paper_id"), (ckOf + 100).as("funder_id"),
+        concat(lit("AW-"), ckOf.cast("string")).as("funder_award_id"))
+    val wfOut = PdfAwardTagger.insertOnly(existingWF,
+      staging.select(col("work_id"), col("funder_id")),
+      Seq("work_id", "funder_id"))
+    val awOut = PdfAwardTagger.insertOnly(existingAw,
+      PdfAwardTagger.awardMatches(staging, fapi, awards)
+        .select(col("paper_id"), col("funder_id"), col("funder_award_id")),
+      Seq("paper_id", "funder_id", "funder_award_id"))
+    wfOut.select(lit("funder").as("kind"), col("work_id"),
+        col("funder_id").as("funder"),
+        lit(null).cast("string").as("award_id"))
+      .unionByName(awOut.select(lit("award").as("kind"),
+        col("paper_id").as("work_id"),
+        concat(lit("F"), col("funder_id").cast("string")).as("funder"),
+        col("funder_award_id").as("award_id")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_awards_api_institutions" -> (q87 _),
     "q68_award_norm_keys" -> (q68 _),
     "q69_work_awards_merge" -> (q69 _),
-    "q101_datacite_work_funders" -> (q101 _))
+    "q101_datacite_work_funders" -> (q101 _),
+    "q102_pdf_award_tagging" -> (q102 _))
 
   private val q101Oracle: String =
     """WITH res AS (SELECT c_custkey AS f,
@@ -440,8 +546,55 @@ object AwardQueries {
       |FROM linked
       |GROUP BY k, rid""".stripMargin
 
+  private val q102Oracle: String =
+    """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 8 AS m,
+      |    CASE WHEN o_orderkey % 37 = 0 THEN o_orderkey + 1000000
+      |         ELSE o_orderkey END AS wid,
+      |    [0,21,12,3,24,15,6,27,18,9]
+      |      [CAST(o_orderkey % 10 AS INTEGER) + 1] AS ckof
+      |  FROM orders),
+      |v AS (SELECT * FROM w
+      |  WHERE (k % 41 <> 0 OR k % 37 = 0) -- dup-arm mapping rescues
+      |    AND k % 43 <> 0 AND k % 10 <> 0 AND k % 50 <> 3
+      |    AND m NOT IN (3, 5)),
+      |freshf AS (
+      |  SELECT DISTINCT wid, 'F' || CAST(ckof + 100 AS VARCHAR) AS funder
+      |  FROM v WHERE m IN (0, 6)
+      |  UNION
+      |  SELECT wid, 'F' || CAST(k % 30 + 100 AS VARCHAR)
+      |  FROM v WHERE m = 1 AND (k % 30) % 3 = 1
+      |  UNION
+      |  SELECT wid, 'F' || CAST(k % 30 + 100 AS VARCHAR)
+      |  FROM v WHERE m = 2 AND (k % 30) % 3 = 2),
+      |exwf AS (SELECT wid, 'F' || CAST(ckof + 100 AS VARCHAR) AS funder
+      |  FROM v WHERE k % 23 = 1 AND m = 0 AND k % 41 <> 0),
+      |fout AS (SELECT wid, funder FROM exwf
+      |  UNION ALL
+      |  SELECT f.wid, f.funder FROM freshf f WHERE NOT EXISTS (
+      |    SELECT 1 FROM exwf e
+      |    WHERE e.wid = f.wid AND e.funder = f.funder)),
+      |fresha AS (SELECT wid, ckof + 100 AS fid,
+      |    'AW-' || CAST(ckof AS VARCHAR) AS aid
+      |  FROM v WHERE m = 0 AND k % 40 = ckof),
+      |exaw AS (SELECT wid, ckof + 100 AS fid,
+      |    'AW-' || CAST(ckof AS VARCHAR) AS aid
+      |  FROM w WHERE k % 29 = 2 AND m = 0),
+      |aout AS (SELECT wid, fid, aid FROM exaw
+      |  UNION ALL
+      |  SELECT f.wid, f.fid, f.aid FROM fresha f WHERE NOT EXISTS (
+      |    SELECT 1 FROM exaw e WHERE e.wid = f.wid AND e.fid = f.fid
+      |      AND e.aid = f.aid))
+      |SELECT 'funder' AS kind, CAST(wid AS BIGINT) AS work_id, funder,
+      |  CAST(NULL AS VARCHAR) AS award_id
+      |FROM fout
+      |UNION ALL
+      |SELECT 'award', CAST(wid AS BIGINT), 'F' || CAST(fid AS VARCHAR),
+      |  aid
+      |FROM aout""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q101_datacite_work_funders" -> q101Oracle,
+    "q102_pdf_award_tagging" -> q102Oracle,
     "q87_awards_api_institutions" ->
       """WITH a AS (SELECT c_custkey AS id,
         |    (['irdb','nih_exporter','kaken','crossref_work_funders',
