@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.works.CitationMetrics
@@ -116,13 +116,135 @@ object WorksQueries {
         to_json(col("referenced_works")).as("referenced_works"))
   }
 
+  /** §2.1/§2.5 work fulltext assembly (CreateWorkFulltext.ipynb):
+    * DOI-preferred PDF keying (lowercased DOI URL; PMH only when no
+    * DOI id), the non-seed watermark dropping legacy NULL-ingested
+    * rows (k%23 arm), per-key longest-raw winners (ties are
+    * content-identical — the xxhash64 tiebreak never decides, q74
+    * convention), tag-strip + whitespace-collapse cleaning, the
+    * longest-raw-wins key MERGE against a pre-seeded table (99999 arm
+    * keeps its OLD text but still advances src_ingested_at; raw=1 arm
+    * is replaced), DOI-over-PMH match priority per work, and the
+    * change-detected merge-only landing run TWICE — the second pass
+    * finds nothing changed (no '2024-04-04' stamp anywhere) and the
+    * unmatched stale rows survive (no delete path). */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import graft.works.WorkFulltext
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    val m3 = pmod(k, lit(3))
+    def idS(ns: String, id: Column) =
+      struct(lit(ns).as("namespace"), id.as("id"))
+    val doiId = concat(lit("10.1/AB"), pmod(k, lit(400)).cast("string"))
+    val pmhId = concat(lit("oai:"), pmod(k, lit(300)).cast("string"))
+    val ids = when(m3 === 0, array(idS("doi", doiId), idS("pmh", pmhId)))
+      .when(m3 === 1, array(idS("pmh", pmhId)))
+      .otherwise(array(idS("other", lit("x"))))
+    val fulltext = when(k % 17 === 0, lit(null).cast("string"))
+      .when(k % 19 === 0, lit("   "))
+      .otherwise(concat(lit("<p>Hdr</p> "),
+        expr("repeat('x', CAST(o_orderkey % 50 AS INT) + 5)"),
+        lit("  tail")))
+    val pdf = o.select(ids.as("ids"), fulltext.as("fulltext"),
+      when(k % 23 =!= 0, lit("2024-01-01").cast("timestamp"))
+        .as("ingested_at"))
+    val existingKeys = c.filter(ck < 40).select(
+      lit("doi").as("key_type"),
+      concat(lit("https://doi.org/10.1/ab"), (ck * 10).cast("string"))
+        .as("key"),
+      concat(lit("OLD"), (ck * 10).cast("string")).as("fulltext"),
+      (length(concat(lit("OLD"), (ck * 10).cast("string"))))
+        .cast("bigint").as("fulltext_length"),
+      when(ck % 2 === 0, lit(99999L)).otherwise(lit(1L)).as("raw_length"),
+      lit("2023-12-01").cast("timestamp").as("src_ingested_at"),
+      lit("2023-12-01").cast("timestamp").as("updated_at"))
+    // ties are content-identical; order by content so DuckDB needs no hash
+    val delta = WorkFulltext.keysDelta(pdf, existingKeys,
+      tiebreak = identity)
+    val keys = WorkFulltext.mergeKeys(existingKeys, delta,
+      lit("2024-03-03").cast("timestamp"))
+    val works = o.select(k.as("id"),
+      when(pmod(k, lit(4)) < 2, concat(lit("https://doi.org/10.1/AB"),
+        pmod(k, lit(400)).cast("string"))).as("doi"),
+      when(pmod(k, lit(5)) < 2, array(struct(pmhId.as("pmh_id"))))
+        .as("locations"))
+    val matched = graft.core.Materialize.temp(
+      WorkFulltext.matches(works, keys))._1
+    val keysM = graft.core.Materialize.temp(keys)._1
+    val wf0 = o.filter(k % 21 === 6).select(k.as("work_id"),
+      lit("PRE").as("fulltext"), lit("pmh").as("match_type"),
+      lit("stale").as("key"), lit(-1L).as("raw_length"),
+      lit("2023-11-11").cast("timestamp").as("updated_at"))
+    val wf1 = graft.core.Materialize.temp(WorkFulltext.mergeWorkFulltext(
+      wf0, WorkFulltext.fulltextDelta(matched, wf0, keysM),
+      lit("2024-03-03").cast("timestamp")))._1
+    val wf2 = WorkFulltext.mergeWorkFulltext(wf1,
+      WorkFulltext.fulltextDelta(matched, wf1, keysM),
+      lit("2024-04-04").cast("timestamp"))
+    wf2.select(col("work_id"), col("match_type"), col("key"),
+      col("raw_length"),
+      length(col("fulltext")).as("ft_len"),
+      substring(col("fulltext"), 1, 12).as("ft_prefix"),
+      date_format(col("updated_at"), "yyyy-MM-dd").as("updated_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q82_work_references" -> (q82 _),
     "q42_citation_counts_by_year" -> (q42 _),
     "q43_citation_fwci_percentile" -> (q43 _),
-    "q45_mesh_zip_aggregation" -> (q45 _))
+    "q45_mesh_zip_aggregation" -> (q45 _),
+    "q103_work_fulltext" -> (q103 _))
+
+  private val q103Oracle: String =
+    """WITH pdfk AS (SELECT o_orderkey AS k, o_orderkey % 3 AS m3
+      |  FROM orders
+      |  WHERE o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0
+      |    AND o_orderkey % 23 <> 0),
+      |dd AS (SELECT k % 400 AS j, CAST(max(k % 50) AS BIGINT) AS lmax
+      |  FROM pdfk WHERE m3 = 0 GROUP BY 1),
+      |pd AS (SELECT k % 300 AS p, CAST(max(k % 50) AS BIGINT) AS lmax
+      |  FROM pdfk WHERE m3 = 1 GROUP BY 1),
+      |ex AS (SELECT CAST(c_custkey * 10 AS BIGINT) AS j, c_custkey AS ck
+      |  FROM customer WHERE c_custkey < 40),
+      |dkey AS (SELECT coalesce(d.j, e.j) AS j,
+      |    CASE WHEN e.ck IS NOT NULL AND e.ck % 2 = 0 THEN 99999
+      |         WHEN e.ck IS NOT NULL AND d.j IS NULL THEN 1
+      |         ELSE d.lmax + 22 END AS raw,
+      |    CASE WHEN e.ck IS NOT NULL AND (e.ck % 2 = 0 OR d.j IS NULL)
+      |      THEN 'OLD' || CAST(coalesce(d.j, e.j) AS VARCHAR)
+      |      ELSE 'Hdr ' || repeat('x', CAST(d.lmax + 5 AS INTEGER)) ||
+      |        ' tail' END AS ft
+      |  FROM dd d FULL OUTER JOIN ex e ON d.j = e.j),
+      |pkey AS (SELECT p, lmax + 22 AS raw,
+      |    'Hdr ' || repeat('x', CAST(lmax + 5 AS INTEGER)) || ' tail' AS ft
+      |  FROM pd),
+      |wrk AS (SELECT o_orderkey AS k FROM orders),
+      |cand AS (
+      |  SELECT w.k, 'doi' AS mt,
+      |    'https://doi.org/10.1/ab' || CAST(w.k % 400 AS VARCHAR) AS key,
+      |    dk.raw, dk.ft, 1 AS pri
+      |  FROM wrk w JOIN dkey dk ON w.k % 400 = dk.j WHERE w.k % 4 < 2
+      |  UNION ALL
+      |  SELECT w.k, 'pmh', 'oai:' || CAST(w.k % 300 AS VARCHAR),
+      |    pk.raw, pk.ft, 2
+      |  FROM wrk w JOIN pkey pk ON w.k % 300 = pk.p WHERE w.k % 5 < 2),
+      |best AS (SELECT k, mt, key, raw, ft, row_number() OVER (
+      |    PARTITION BY k ORDER BY pri ASC, raw DESC, key ASC) AS rn
+      |  FROM cand)
+      |SELECT CAST(k AS BIGINT) AS work_id, mt AS match_type, key,
+      |  CAST(raw AS BIGINT) AS raw_length,
+      |  CAST(length(ft) AS INTEGER) AS ft_len,
+      |  substr(ft, 1, 12) AS ft_prefix, '2024-03-03' AS updated_d
+      |FROM best WHERE rn = 1
+      |UNION ALL
+      |SELECT CAST(w.k AS BIGINT), 'pmh', 'stale', -1, 3, 'PRE',
+      |  '2023-11-11'
+      |FROM wrk w
+      |LEFT JOIN (SELECT DISTINCT k FROM best WHERE rn = 1) b ON w.k = b.k
+      |WHERE w.k % 21 = 6 AND b.k IS NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q103_work_fulltext" -> q103Oracle,
     "q82_work_references" ->
       """WITH refs0 AS (
         |  SELECT o_orderkey AS citing, r.i AS ref_ind,

@@ -1,0 +1,172 @@
+package graft.works
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.MergeInto
+
+/** Work fulltext assembly (reference: notebooks/end2end/
+  * CreateWorkFulltext.ipynb): key PDF fulltexts by DOI (preferred) or
+  * PMH id, keep the longest raw text per key, clean it (tag strip +
+  * whitespace collapse on a 200k prefix), match works by lowercased
+  * DOI first then location PMH ids, and land changes merge-only.
+  *
+  *  - [[keysDelta]] (cell 5): watermarked intake with the 1h-lookback
+  *    idempotent overlap; legacy NULL ingested_at rows pass only the
+  *    first (1900-watermark) seed run; per-key winner = longest raw,
+  *    then a content tiebreak (the reference's XXHASH64 — injectable,
+  *    q74 convention: DuckDB has no xxhash64, and tied rows in the
+  *    fixture are content-identical so the tiebreak never decides
+  *    output);
+  *  - [[mergeKeys]] (cell 6): longest-raw-wins upsert whose
+  *    src_ingested_at ALWAYS advances — a skipped shorter duplicate
+  *    must not be rescanned forever;
+  *  - [[matches]] (cell 8): DOI (priority 1) then PMH (priority 2),
+  *    longest-then-key tiebreaks, one key per work;
+  *  - [[fulltextDelta]] (cell 9): (match_type, key, raw_length)
+  *    identifies content — a work re-lands only when its best key
+  *    changed or its raw text strictly grew;
+  *  - [[mergeWorkFulltext]] (cell 10): merge-only landing (no delete
+  *    path — an unmatched stale row is preserved).
+  *
+  * Scale posture: keying is one window per (key_type, key); matching
+  * is two keyed joins; the delta is a keyed anti-ish join; the final
+  * landing shuffles once on work_id.
+  */
+object WorkFulltext {
+
+  private def idsOf(ns: String): Column =
+    filter(col("ids"), x => x.getField("namespace") === ns)
+
+  /** Cell 5. `pdfCombined`: (ids ARRAY<STRUCT<namespace, id>>,
+    * fulltext, ingested_at); `existingKeys` drives the watermark. */
+  def keysDelta(pdfCombined: DataFrame, existingKeys: DataFrame,
+      tiebreak: Column => Column = xxhash64(_)): DataFrame = {
+    val wm = existingKeys.agg(coalesce(
+      max(col("src_ingested_at")) - expr("INTERVAL 1 HOUR"),
+      lit("1900-01-01").cast("timestamp")).as("__wm"))
+    val delta = pdfCombined.crossJoin(broadcast(wm))
+      .filter(coalesce(col("ingested_at"),
+        lit("1900-01-01 00:00:01").cast("timestamp")) > col("__wm") &&
+        col("fulltext").isNotNull && trim(col("fulltext")) =!= "")
+    val doiKeyed = delta.filter(size(idsOf("doi")) > 0)
+      .select(lit("doi").as("key_type"),
+        concat(lit("https://doi.org/"),
+          lower(get(idsOf("doi"), lit(0)).getField("id"))).as("key"),
+        col("fulltext"), col("ingested_at"))
+    val pmhKeyed = delta
+      .filter(size(idsOf("pmh")) > 0 && size(idsOf("doi")) === 0)
+      .select(lit("pmh").as("key_type"),
+        get(idsOf("pmh"), lit(0)).getField("id").as("key"),
+        col("fulltext"), col("ingested_at"))
+    val keyWin = Window.partitionBy(col("key_type"), col("key"))
+    val winners = doiKeyed.unionByName(pmhKeyed)
+      .filter(col("key").isNotNull)
+      .withColumn("raw_length", length(col("fulltext")))
+      .withColumn("__rn", row_number().over(keyWin
+        .orderBy(length(col("fulltext")).desc,
+          tiebreak(col("fulltext")).asc)))
+      .withColumn("__max_ing", max(col("ingested_at")).over(keyWin))
+      .filter(col("__rn") === 1)
+    winners.select(col("key_type"), col("key"), col("raw_length"),
+        col("__max_ing").as("src_ingested_at"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          substring(col("fulltext"), 1, 200000), "<[^>]+>", " "),
+          "\\s+", " "), "(^\\s+|\\s+$)", "")).as("fulltext"))
+      .withColumn("fulltext_length", length(col("fulltext")))
+      .filter(col("fulltext").isNotNull && length(col("fulltext")) > 0)
+      .select(col("key_type"), col("key"), col("fulltext"),
+        col("fulltext_length"), col("raw_length"), col("src_ingested_at"))
+  }
+
+  /** Cell 6. */
+  def mergeKeys(existing: DataFrame, delta: DataFrame,
+      now: Column): DataFrame = {
+    def longer(s: String, keep: String) =
+      when(col("__src.raw_length") > col("__tgt.raw_length"),
+        col(s"__src.$s")).otherwise(col(s"__tgt.$keep"))
+    MergeInto(existing, delta, "key_type", "key")
+      .whenMatchedUpdate(Map(
+        "fulltext" -> longer("fulltext", "fulltext"),
+        "fulltext_length" -> longer("fulltext_length", "fulltext_length"),
+        "raw_length" -> longer("raw_length", "raw_length"),
+        "updated_at" ->
+          when(col("__src.raw_length") > col("__tgt.raw_length"), now)
+            .otherwise(col("__tgt.updated_at")),
+        "src_ingested_at" -> greatest(col("__tgt.src_ingested_at"),
+          col("__src.src_ingested_at"))))
+      .whenNotMatchedInsertValues(Map(
+        "key_type" -> col("__src.key_type"), "key" -> col("__src.key"),
+        "fulltext" -> col("__src.fulltext"),
+        "fulltext_length" -> col("__src.fulltext_length"),
+        "raw_length" -> col("__src.raw_length"),
+        "src_ingested_at" -> col("__src.src_ingested_at"),
+        "updated_at" -> now))
+      .run()
+  }
+
+  /** Cell 8. `worksBase`: (id, doi,
+    * locations ARRAY<STRUCT<pmh_id, …>>). */
+  def matches(worksBase: DataFrame, keys: DataFrame): DataFrame = {
+    val doiKeys = keys.filter(col("key_type") === "doi")
+      .select(col("key_type"), col("key"), col("raw_length"))
+    val pmhKeys = keys.filter(col("key_type") === "pmh")
+      .select(col("key_type"), col("key"), col("raw_length"))
+    val doiMatches = worksBase.filter(col("doi").isNotNull)
+      .select(col("id").as("work_id"), lower(col("doi")).as("__dl"))
+      .join(doiKeys, col("__dl") === col("key"))
+      .select(col("work_id"), col("key_type"), col("key"),
+        col("raw_length"), lit(1).as("priority"))
+    val pmhPairs = worksBase
+      .select(col("id").as("work_id"), explode(col("locations")).as("__l"))
+      .select(col("work_id"), col("__l.pmh_id").as("__pmh"))
+      .filter(col("__pmh").isNotNull).distinct()
+    val pmhMatches = pmhPairs.join(pmhKeys, col("__pmh") === col("key"))
+      .select(col("work_id"), col("key_type"), col("key"),
+        col("raw_length"), lit(2).as("priority"))
+    doiMatches.unionByName(pmhMatches)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("work_id")).orderBy(col("priority").asc,
+          col("raw_length").desc, col("key").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("work_id"), col("key_type"), col("key"),
+        col("raw_length"))
+  }
+
+  /** Cell 9: works whose best-key identity changed, hydrated. */
+  def fulltextDelta(matched: DataFrame, workFulltext: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val current = workFulltext.select(col("work_id").as("__cw"),
+      col("match_type").as("__ct"), col("key").as("__ck"),
+      col("raw_length").as("__cr"))
+    matched
+      .join(current, col("work_id") === col("__cw"), "left")
+      .filter(col("__cw").isNull || col("__ct") =!= col("key_type") ||
+        col("__ck") =!= col("key") || col("__cr") =!= col("raw_length"))
+      .select(col("work_id"), col("key_type"), col("key"),
+        col("raw_length"))
+      .join(keys.select(col("key_type"), col("key"), col("fulltext")),
+        Seq("key_type", "key"))
+      .select(col("work_id"), col("fulltext"),
+        col("key_type").as("match_type"), col("key"), col("raw_length"))
+  }
+
+  /** Cell 10: merge-only (no delete path). */
+  def mergeWorkFulltext(existing: DataFrame, delta: DataFrame,
+      now: Column): DataFrame =
+    MergeInto(existing, delta, "work_id")
+      .whenMatchedUpdate(Map(
+        "fulltext" -> col("__src.fulltext"),
+        "match_type" -> col("__src.match_type"),
+        "key" -> col("__src.key"),
+        "raw_length" -> col("__src.raw_length"),
+        "updated_at" -> now))
+      .whenNotMatchedInsertValues(Map(
+        "work_id" -> col("__src.work_id"),
+        "fulltext" -> col("__src.fulltext"),
+        "match_type" -> col("__src.match_type"),
+        "key" -> col("__src.key"),
+        "raw_length" -> col("__src.raw_length"),
+        "updated_at" -> now))
+      .run()
+}

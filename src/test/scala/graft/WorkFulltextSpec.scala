@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.works.WorkFulltext
+
+/** Pins for CreateWorkFulltext (oracle: q103) — the behaviors the
+  * query output can't show: the skipped-shorter-duplicate still
+  * advancing src_ingested_at (or it would be rescanned every run), and
+  * the seed-run watermark admitting legacy NULL-ingested rows. */
+class WorkFulltextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def keysOf(rows: Seq[(String, String, String, Long, String)]) =
+    rows.toDF("key_type", "key", "fulltext", "raw_length", "ing")
+      .selectExpr("key_type", "key", "fulltext",
+        "CAST(length(fulltext) AS BIGINT) AS fulltext_length",
+        "raw_length", "CAST(ing AS TIMESTAMP) AS src_ingested_at",
+        "CAST(ing AS TIMESTAMP) AS updated_at")
+
+  test("mergeKeys: shorter duplicate keeps text but advances " +
+    "src_ingested_at; longer replaces and stamps updated_at") {
+    val existing = keysOf(Seq(
+      ("doi", "k1", "LONG TEXT", 100L, "2024-01-01"),
+      ("doi", "k2", "SHORT", 10L, "2024-01-01")))
+    val delta = keysOf(Seq(
+      ("doi", "k1", "tiny", 5L, "2024-02-01"), // shorter → skipped
+      ("doi", "k2", "MUCH LONGER TEXT", 50L, "2024-02-01")))
+    val out = WorkFulltext.mergeKeys(existing, delta,
+        lit("2024-03-03").cast("timestamp"))
+      .select(col("key"), col("fulltext"),
+        date_format(col("src_ingested_at"), "yyyy-MM-dd").as("src"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("upd"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("k1", "LONG TEXT", "2024-02-01", "2024-01-01"), // src advanced!
+      ("k2", "MUCH LONGER TEXT", "2024-02-01", "2024-03-03")))
+  }
+
+  test("keysDelta: empty table seeds legacy NULL-ingested rows; a " +
+    "populated table's watermark drops them") {
+    val pdf = Seq(
+      ("10.1/x", Option.empty[String]), // legacy row, no ingested_at
+      ("10.1/y", Option("2024-02-01")))
+      .toDF("doi", "ing")
+      .selectExpr("array(named_struct('namespace', 'doi', 'id', doi)) " +
+        "AS ids", "'some text body' AS fulltext",
+        "CAST(ing AS TIMESTAMP) AS ingested_at")
+    val empty = keysOf(Nil)
+    val seeded = WorkFulltext.keysDelta(pdf, empty)
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(seeded.toSeq == Seq("https://doi.org/10.1/x",
+      "https://doi.org/10.1/y"))
+    val populated = keysOf(Seq(("doi", "k0", "t", 1L, "2024-01-15")))
+    val incremental = WorkFulltext.keysDelta(pdf, populated)
+      .select("key").collect().map(_.getString(0))
+    assert(incremental.toSeq == Seq("https://doi.org/10.1/y"))
+  }
+}
