@@ -1,0 +1,72 @@
+package graft.authors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.MergeInto
+
+/** The author_names parse dictionary build (reference: notebooks/
+  * end2end/CreateAuthorNames.ipynb — the table around the parser;
+  * the parser itself is `functions/HumanName`+`Transliterate`,
+  * oracle-gated by q49):
+  *
+  *  - [[newNames]] (cell 7): distinct trimmed intake from the works'
+  *    author slots ∪ the authors' full names, minus already-known
+  *    raws — an anti-join, not a watermark, so missing strings are
+  *    always caught;
+  *  - [[withMatchKeys]] (cell 9, oxjob #608): match_last / match_first
+  *    strip residual punctuation from the lowered parse
+  *    ("cooper-sarkar" == "coopersarkar", "d." == "d"); match_key =
+  *    '<last>;<first initial>' with an EMPTY initial when there is no
+  *    first (not a NULL key);
+  *  - [[reparseMerge]] (oxjob #105.17): the parser-version-bump path —
+  *    update-only MERGE touching rows whose parse actually changed,
+  *    preserving created_datetime; stored keys of an UNCHANGED parse
+  *    are left as they are (the condition watches parsed_name only).
+  *
+  * Scale posture: intake is one distinct + anti-join keyed on the raw
+  * string; the merge is one keyed join.
+  */
+object AuthorNames {
+
+  /** Distinct new raw names. `locationsMapped`: carries
+    * authors ARRAY<STRUCT<name, …>>; `openalexAuthors`: full_name. */
+  def newNames(locationsMapped: DataFrame, openalexAuthors: DataFrame,
+      known: DataFrame): DataFrame = {
+    val fromWorks = locationsMapped
+      .select(explode(col("authors")).as("__a"))
+      .filter(col("__a.name").isNotNull && trim(col("__a.name")) =!= "")
+      .select(trim(col("__a.name")).as("raw_author_name"))
+    val fromAuthors = openalexAuthors
+      .filter(col("full_name").isNotNull && trim(col("full_name")) =!= "")
+      .select(trim(col("full_name")).as("raw_author_name"))
+    fromWorks.unionByName(fromAuthors).distinct()
+      .join(known.select(col("raw_author_name")), Seq("raw_author_name"),
+        "left_anti")
+  }
+
+  /** The oxjob #608 key derivation over a frame carrying
+    * parsed_name STRUCT<first, last, …>. */
+  def withMatchKeys(parsed: DataFrame): DataFrame = {
+    val last = regexp_replace(
+      lower(coalesce(col("parsed_name.last"), lit(""))), "[^a-z]", "")
+    val first = regexp_replace(
+      lower(coalesce(col("parsed_name.first"), lit(""))), "[^a-z]", "")
+    parsed
+      .withColumn("match_last", when(last =!= "", last))
+      .withColumn("match_first", when(first =!= "", first))
+      .withColumn("match_key",
+        when(last =!= "", concat(last, lit(";"), substring(first, 1, 1))))
+  }
+
+  /** The full-reparse changed-only MERGE: parse + keys refresh when the
+    * parse differs; created_datetime never touched; no insert clause. */
+  def reparseMerge(known: DataFrame, reparsed: DataFrame): DataFrame =
+    MergeInto(known, reparsed, "raw_author_name")
+      .whenMatchedUpdate(Map(
+        "parsed_name" -> col("__src.parsed_name"),
+        "match_last" -> col("__src.match_last"),
+        "match_first" -> col("__src.match_first"),
+        "match_key" -> col("__src.match_key")),
+        condition = !(col("__tgt.parsed_name") <=> col("__src.parsed_name")))
+      .run()
+}

@@ -98,6 +98,25 @@ object WorkFunders {
       .agg(array_distinct(collect_list(col("__aid"))).as("award_ids"))
   }
 
+  /** EuropePMC's packed-grant variant
+    * (CreateEuropePmcWorkFunders.py `split_awards`): one grantId field
+    * can pack several ids ("3250170251, U23A20207") — split on , or ;,
+    * trim, usability-gate per element; OUTER explode keeps funder-only
+    * rows (NULL grant_id) so those funder edges survive with empty
+    * award arrays. Input: (work_id, funder_id, grant_id). */
+  def splitAwardIds(resolved: DataFrame,
+      usable: Column => Column = usableAwardId): DataFrame =
+    resolved
+      .select(col("work_id"), col("funder_id"),
+        explode_outer(split(col("grant_id"), "[,;]")).as("__raw"))
+      .select(col("work_id"), col("funder_id"),
+        trim(col("__raw")).as("__aid"))
+      .select(col("work_id"), col("funder_id"),
+        when(col("__aid").isNotNull && col("__aid") =!= "" &&
+          usable(col("__aid")), col("__aid")).as("__aid"))
+      .groupBy(col("work_id"), col("funder_id"))
+      .agg(array_distinct(collect_list(col("__aid"))).as("award_ids"))
+
   /** Insert*ToRaw: replace one (provenance, priority) slice of the raw
     * awards table with `fresh` rows (gated by `keep`), leaving every
     * other slice untouched. `fresh` must carry the raw table's columns

@@ -1531,6 +1531,67 @@ object EntityQueries {
       .select(col("kind"), col("name"), col("prob"), col("est_humans"))
   }
 
+  /** §2.4/§2.1 the author_names dictionary build (CreateAuthorNames
+    * .ipynb around the q49-gated parser): trim-distinct intake from
+    * work author slots (padded duplicates collapse; null/blank names
+    * drop) ∪ author full names, anti-known; the oxjob-#608 match keys
+    * (punctuation-stripped — 'Cooper-Sarkar' → 'coopersarkar',
+    * "O'Brien" → 'obrien'; single-token 'Solo' gets the EMPTY-initial
+    * key 'solo;'); and the reparse path — the stale-parse row
+    * ('Ann Cooper-Sarkar') refreshes its keys while keeping
+    * created_datetime, the parse-equal row with a stored 'WRONG' key
+    * keeps it (the merge condition watches parsed_name only). The
+    * oracle states the expected dictionary rows from the vocab. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import graft.authors.AuthorNames
+    import graft.functions.HumanName
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    val vocab = Seq("John Smith", "Smith, John", "Ann Cooper-Sarkar",
+      "D. O'Brien", "Eve Stone", "Solo")
+    val vname = elt(((pmod(k, lit(6)) + 1).cast("int") +:
+      vocab.map(lit(_))): _*)
+    def au(n: Column) = struct(n.as("name"))
+    val lm = o.select(
+      when(k % 13 === 0, array(au(lit(null).cast("string"))))
+        .when(k % 11 === 0, array(au(lit("  "))))
+        .when(k % 2 === 0, array(au(vname),
+          au(concat(lit(" "), vname, lit(" ")))))
+        .otherwise(array(au(vname))).as("authors"))
+    val oa = c.filter(ck < 50).select(
+      when(ck % 3 === 1, concat(lit("Uma Kel"), (ck % 4).cast("string")))
+        .otherwise(elt(((ck % 6 + 1).cast("int") +: vocab.map(lit(_))): _*))
+        .as("full_name"))
+    def pn(f: Column, l: Column) = struct(f.as("first"), l.as("last"))
+    val known = c.filter(ck < 3).select(
+      elt((ck + 1).cast("int"), lit("John Smith"), lit("Smith, John"),
+        lit("Ann Cooper-Sarkar")).as("raw_author_name"),
+      when(ck === 2, pn(lit("old"), lit("stale")))
+        .otherwise(pn(lit("John"), lit("Smith"))).as("parsed_name"),
+      when(ck === 2, lit("stale")).otherwise(lit("smith")).as("match_last"),
+      when(ck === 2, lit("old")).otherwise(lit("john")).as("match_first"),
+      when(ck === 1, lit("WRONG"))
+        .when(ck === 2, lit("stale;o")).otherwise(lit("smith;j"))
+        .as("match_key"),
+      lit("2023-01-01").cast("timestamp").as("created_datetime"))
+    def parse(df: DataFrame): DataFrame =
+      AuthorNames.withMatchKeys(df.withColumn("parsed_name", struct(
+        HumanName.parse(col("raw_author_name")).getField("given")
+          .as("first"),
+        HumanName.parse(col("raw_author_name")).getField("family")
+          .as("last"))))
+    val reparsed = parse(known.select(col("raw_author_name")))
+    val afterReparse = AuthorNames.reparseMerge(known, reparsed)
+    val appended = parse(AuthorNames.newNames(lm, oa, known))
+      .withColumn("created_datetime",
+        lit("2024-05-05").cast("timestamp"))
+      .select(afterReparse.columns.map(col): _*)
+    afterReparse.unionByName(appended)
+      .select(col("raw_author_name"), col("match_last"),
+        col("match_first"), col("match_key"),
+        date_format(col("created_datetime"), "yyyy-MM-dd").as("created_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q91_author_curations" -> (q91 _),
     "q92_author_full_names" -> (q92 _),
@@ -1540,6 +1601,7 @@ object EntityQueries {
     "q97_work_author_guard" -> (q97 _),
     "q98_work_author_apply" -> (q98 _),
     "q99_name_frequency" -> (q99 _),
+    "q104_author_names_dict" -> (q104 _),
     "q86_funder_merge" -> (q86 _),
     "q85_name_conflict_overmerges" -> (q85 _),
     "q84_quality_judge_apply" -> (q84 _),
@@ -2005,6 +2067,22 @@ object EntityQueries {
       |  CAST(floor(prob * 8589934592.0 + 0.5) AS BIGINT)
       |FROM givent""".stripMargin
 
+  private val q104Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('John Smith', 'smith', 'john', 'smith;j', '2023-01-01'),
+      |  ('Smith, John', 'smith', 'john', 'WRONG', '2023-01-01'),
+      |  ('Ann Cooper-Sarkar', 'coopersarkar', 'ann', 'coopersarkar;a',
+      |   '2023-01-01'),
+      |  ('D. O''Brien', 'obrien', 'd', 'obrien;d', '2024-05-05'),
+      |  ('Eve Stone', 'stone', 'eve', 'stone;e', '2024-05-05'),
+      |  ('Solo', 'solo', NULL, 'solo;', '2024-05-05'),
+      |  ('Uma Kel0', 'kel', 'uma', 'kel;u', '2024-05-05'),
+      |  ('Uma Kel1', 'kel', 'uma', 'kel;u', '2024-05-05'),
+      |  ('Uma Kel2', 'kel', 'uma', 'kel;u', '2024-05-05'),
+      |  ('Uma Kel3', 'kel', 'uma', 'kel;u', '2024-05-05'))
+      |AS t(raw_author_name, match_last, match_first, match_key,
+      |  created_d)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q91_author_curations" -> q91Oracle,
     "q92_author_full_names" -> q92Oracle,
@@ -2014,6 +2092,7 @@ object EntityQueries {
     "q97_work_author_guard" -> q97Oracle,
     "q98_work_author_apply" -> q98Oracle,
     "q99_name_frequency" -> q99Oracle,
+    "q104_author_names_dict" -> q104Oracle,
     "q86_funder_merge" ->
       """WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
         |    'F' || n_nationkey AS dn,

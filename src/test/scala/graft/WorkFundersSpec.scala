@@ -23,6 +23,21 @@ class WorkFundersSpec extends AnyFunSuite {
       assert(got(Option(id)) == want, s"usableAwardId($id) should be $want")
   }
 
+  test("splitAwardIds: packed grant ids split on , and ;, trimmed, " +
+    "usability-gated; funder-only rows keep empty arrays") {
+    val resolved = Seq(
+      (1L, 10L, Option("3250170251, U23A20207;n/a")),
+      (2L, 11L, Option.empty[String]), // funder-only edge survives
+      (3L, 12L, Option("  R01CA1 "))) // trim pin
+      .toDF("work_id", "funder_id", "grant_id")
+    val out = WorkFunders.splitAwardIds(resolved)
+      .orderBy("work_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](2).sorted))
+    assert(out.toSeq == Seq(
+      (1L, Seq("3250170251", "U23A20207")), // 'n/a' gated out
+      (2L, Seq()), (3L, Seq("R01CA1"))))
+  }
+
   test("insertAwardsToRaw: replaces exactly the (provenance, priority) " +
     "slice, stamps the new rows, applies the keep gate") {
     val raw = Seq(
