@@ -117,6 +117,37 @@ object WorkFunders {
       .groupBy(col("work_id"), col("funder_id"))
       .agg(array_distinct(collect_list(col("__aid"))).as("award_ids"))
 
+  /** The #690 verdict-consuming mint leg (the shared shape of the
+    * crossref / europepmc / datacite work-funder and backfill mint
+    * passes): distinct (funder, award-id) pairs from the work-funder
+    * edges, suppressed when the AwardNormKey scoring run marked the id
+    * 'suppress' for that funder — FAIL-OPEN by design: an id with no
+    * guard row (new since the last scoring run, or an unconfigured
+    * funder) mints exactly as before. Award entity ids are minted as
+    * `abs(hash(funder:normalized_id)) % 9e9` — `mintId` is injectable
+    * (the xxhash64-vs-oracle convention).
+    * @param workFunders (work_id, funder_id, award_ids ARRAY<STRING>)
+    * @param guard (funder_id, funder_award_id, decision) */
+  def guardedAwardMint(workFunders: DataFrame, guard: DataFrame,
+      mintId: Column => Column = c =>
+        pmod(abs(xxhash64(c)), lit(9000000000L))): DataFrame = {
+    val pairs = workFunders.filter(size(col("award_ids")) > 0)
+      .select(col("funder_id"), explode(col("award_ids")).as("award_id"))
+      .select(col("funder_id"), lower(col("award_id"))
+        .as("normalized_award_id"), col("award_id").as("funder_award_id"))
+      .distinct()
+    pairs
+      .join(broadcast(guard.select(col("funder_id"),
+        col("funder_award_id"), col("decision"))),
+        Seq("funder_id", "funder_award_id"), "left")
+      .filter(coalesce(col("decision"), lit("mint")) =!= "suppress")
+      .select(
+        mintId(concat(col("funder_id").cast("string"), lit(":"),
+          col("normalized_award_id"))).as("id"),
+        col("funder_id"), col("funder_award_id"),
+        col("normalized_award_id"))
+  }
+
   /** Insert*ToRaw: replace one (provenance, priority) slice of the raw
     * awards table with `fresh` rows (gated by `keep`), leaving every
     * other slice untouched. `fresh` must carry the raw table's columns

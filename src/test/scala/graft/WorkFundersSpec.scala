@@ -38,6 +38,26 @@ class WorkFundersSpec extends AnyFunSuite {
       (2L, Seq()), (3L, Seq("R01CA1"))))
   }
 
+  test("guardedAwardMint: suppress drops, unscored fails open, " +
+    "normalization dedups, empty arrays contribute nothing") {
+    val wf = Seq(
+      (1L, 10L, Seq("R01A", "r01a")), // normalizes to one pair
+      (2L, 10L, Seq("BAD1")), // suppressed
+      (3L, 11L, Seq("NEW9")), // no guard row → mint
+      (4L, 11L, Seq.empty[String])) // funder-only edge mints nothing
+      .toDF("work_id", "funder_id", "award_ids")
+    val guard = Seq((10L, "BAD1", "suppress"), (10L, "R01A", "mint"))
+      .toDF("funder_id", "funder_award_id", "decision")
+    val out = WorkFunders.guardedAwardMint(wf, guard,
+        mintId = length(_).cast("long"))
+      .select("funder_id", "funder_award_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+    // normalized dedup keys on lower(), but BOTH raw spellings survive
+    // as distinct funder_award_ids (the reference's DISTINCT grain)
+    assert(out.toSeq == Seq((10L, "R01A"), (11L, "NEW9"),
+      (10L, "r01a")).sortBy(_._2))
+  }
+
   test("insertAwardsToRaw: replaces exactly the (provenance, priority) " +
     "slice, stamps the new rows, applies the keep gate") {
     val raw = Seq(
