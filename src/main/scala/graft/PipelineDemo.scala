@@ -319,6 +319,61 @@ object PipelineDemo {
     stage("sdg goals above the 0.4 floor",
       sdgMerged.select(size(col("sdg"))).as[Int].head().toLong, _ == 1)
 
+    // round-7 composed path: work-author seat maintenance — the
+    // watermarked batch admits the changed work, the guard judges the
+    // crossed-seat swap (observation only: both seats INCOMPATIBLE,
+    // each rebind hypothesis re-homes the other's freed author), the
+    // seat MERGE refreshes names without touching bindings, and a
+    // curator claim then rebinds one seat explicitly
+    import graft.authors.{WorkAuthorCurations, WorkAuthorGuard}
+    def gAu(n: String) = s"named_struct('raw_author_name', '$n', " +
+      "'raw_affiliation_strings', array('MIT'), 'is_corresponding', false)"
+    val gBase = Seq(1L).toDF("id").selectExpr("id",
+      "TIMESTAMP '2024-02-01' AS updated_date",
+      s"array(${gAu("Bob Kim")}, ${gAu("Ann Park")}) AS authorships")
+    def gSeat(sq: Int, name: String, auth: Long) = Seq(1L).toDF("work_id")
+      .selectExpr("work_id", s"$sq AS author_sequence",
+        s"CAST($auth AS BIGINT) AS author_id", s"'$name' AS raw_author_name",
+        "array('MIT') AS raw_affiliation_strings",
+        "false AS is_corresponding",
+        "TIMESTAMP '2023-10-01' AS created_at",
+        "TIMESTAMP '2023-12-01' AS updated_at")
+    val gSeats = gSeat(0, "Ann Park", 70L).unionByName(gSeat(1, "Bob Kim", 71L))
+    val gNames = Seq(("Ann Park", "park", "ann"), ("Bob Kim", "kim", "bob"))
+      .toDF("raw_author_name", "match_last", "match_first")
+      .withColumn("parsed_last", col("match_last"))
+      .withColumn("parsed_first", col("match_first"))
+    val gProf = Seq((70L, "Ann Park"), (71L, "Bob Kim"))
+      .toDF("id", "display_name").withColumn("full_name", col("display_name"))
+    val gEmptyClaims = Seq.empty[(Long, String)]
+      .toDF("work_id", "raw_author_name")
+    val gEmptyRemoves = Seq.empty[(Long, Long)].toDF("work_id", "author_id")
+    val gEmptyLegacy = Seq.empty[(Long, Int, String, Long)]
+      .toDF("work_id", "author_sequence", "raw_author_name", "author_id")
+    val gBatch = WorkAuthorGuard.updateBatch(gBase, gSeats,
+      lit("2024-01-15").cast("timestamp"))
+    val gGuard = WorkAuthorGuard.guardBatch(gBatch, gSeats, gNames,
+      gEmptyClaims, gEmptyRemoves, gProf, gProf.drop("full_name"),
+      gEmptyLegacy)
+    stage("guard: crossed seats both judged incompatible",
+      gGuard.filter(col("verdict") === "INCOMPATIBLE").count(), _ == 2)
+    stage("guard: each hypothesis re-homes the other's freed author",
+      gGuard.filter(col("rebind_author_id") ===
+        lit(71L) - col("author_sequence")).count(), _ == 2)
+    val gApplied = WorkAuthorGuard.applyBatch(gSeats, gBatch, gBase, gNames,
+      gEmptyLegacy, lit("2024-06-01").cast("timestamp"))
+    stage("apply: names refreshed, bindings untouched",
+      gApplied.filter(col("raw_author_name") === "Bob Kim" &&
+        col("author_id") === 70L).count(), _ == 1)
+    val gClaimed = WorkAuthorCurations.applyClaims(gApplied,
+      Seq((1L, "Bob Kim", 99L, "2024-06-02", 1L))
+        .toDF("work_id", "raw_author_name", "author_id", "c", "curation_id")
+        .withColumn("created", col("c").cast("timestamp")).drop("c"),
+      lit("2024-06-02").cast("timestamp"))
+    stage("curation claim rebinds the seat",
+      gClaimed.filter(col("raw_author_name") === "Bob Kim" &&
+        col("author_id") === 99L).count(), _ == 1)
+
     println(s"[pipe] RESULT: ${if (ok) "ALL OK" else "FAILED"}")
     spark.stop()
     if (!ok) sys.exit(1)
