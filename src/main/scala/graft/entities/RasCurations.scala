@@ -62,6 +62,29 @@ object RasCurations {
         "updated_datetime" -> now))
       .run()
 
+  /** PrepareAffiliationStrings.ipynb: seed the lookup with every raw
+    * affiliation string it has never seen — an ANTI-JOIN intake (not a
+    * watermark, so missing strings are always caught), new rows landing
+    * with NULL id/country columns for the parser to fill. Returns the
+    * post-merge lookup. */
+  def prepareStrings(works: DataFrame, lookup: DataFrame,
+      now: Column): DataFrame = {
+    val fresh = works.select(explode(col("authorships")).as("__a"))
+      .select(explode(col("__a.raw_affiliation_strings"))
+        .as("raw_affiliation_string"))
+      .filter(col("raw_affiliation_string").isNotNull &&
+        col("raw_affiliation_string") =!= "")
+      .distinct()
+      .join(lookup.select(col("raw_affiliation_string")),
+        Seq("raw_affiliation_string"), "left_anti")
+      .select(col("raw_affiliation_string"),
+        lit(null).cast("array<bigint>").as("institution_ids"),
+        lit(null).cast("array<bigint>").as("institution_ids_override"),
+        lit(null).cast("array<string>").as("countries"),
+        now.as("created_datetime"))
+    lookup.unionByName(fresh)
+  }
+
   /** RefreshRasWorksCounts cell 2: COUNT(DISTINCT work) per exploded
     * raw affiliation string. `works`: (id, authorships ARRAY<STRUCT<
     * raw_affiliation_strings ARRAY<STRING>>>). */

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.entities.RasCurations
+
+/** Pins for the RAS maintenance ops (oracles: q95/q96): the
+  * PrepareAffiliationStrings anti-join intake. */
+class RasCurationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prepareStrings: anti-join intake seeds only unseen strings " +
+    "with NULL parse columns; empty/null strings dropped") {
+    val works = Seq(
+      (1L, Seq(Seq("MIT", "Harvard"), Seq("MIT", ""))),
+      (2L, Seq(Seq("ETH", null.asInstanceOf[String]))))
+      .toDF("id", "affs")
+      .selectExpr("id", "transform(affs, a -> named_struct(" +
+        "'raw_affiliation_strings', a)) AS authorships")
+    val lookup = Seq("MIT").toDF("raw_affiliation_string")
+      .selectExpr("raw_affiliation_string",
+        "array(CAST(42 AS BIGINT)) AS institution_ids",
+        "CAST(NULL AS ARRAY<BIGINT>) AS institution_ids_override",
+        "CAST(NULL AS ARRAY<STRING>) AS countries",
+        "TIMESTAMP '2020-01-01' AS created_datetime")
+    val out = RasCurations.prepareStrings(works, lookup,
+      lit("2024-01-01").cast("timestamp")).orderBy("raw_affiliation_string")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("ETH", "Harvard", "MIT"))
+    val mit = out.find(_.getString(0) == "MIT").get
+    assert(mit.getSeq[Long](1) == Seq(42L)) // existing row untouched
+    assert(out.find(_.getString(0) == "ETH").get.isNullAt(1))
+  }
+}
