@@ -1849,10 +1849,10 @@ object EntityQueries {
       |    DATE '2024-01-01' + CAST(c_custkey % 30 AS INTEGER) AS created
       |  FROM customer WHERE c_custkey < 240),
       |piv AS (SELECT raw,
-      |    CAST(to_json(list(inst ORDER BY inst)
-      |      FILTER (WHERE action = 'add')) AS VARCHAR) AS addj,
-      |    CAST(to_json(list(inst ORDER BY inst)
-      |      FILTER (WHERE action = 'remove')) AS VARCHAR) AS remj,
+      |    coalesce(CAST(to_json(list(inst ORDER BY inst)
+      |      FILTER (WHERE action = 'add')) AS VARCHAR), '[]') AS addj,
+      |    coalesce(CAST(to_json(list(inst ORDER BY inst)
+      |      FILTER (WHERE action = 'remove')) AS VARCHAR), '[]') AS remj,
       |    max(created) AS latest
       |  FROM p GROUP BY raw)
       |SELECT raw AS raw_affiliation_string, addj AS add_json,
