@@ -77,6 +77,25 @@ object ExplainAudit {
     check("""\(\d+\) Exchange""".r.findAllMatchIn(p78).size == 1,
       "q78 establishes ONE (work_id, author_seq) partitioning that all 8 refine stages reuse")
 
+    val p89 = plan("q89_institutions_api")
+    check(p89.contains("BroadcastHashJoin"),
+      "q89 broadcasts the registry-side rollups (ror/links/lineage/repos)")
+    check(!p89.contains("CartesianProduct"),
+      "q89 has no cartesian product")
+
+    val p101 = plan("q101_datacite_work_funders")
+    check(p101.contains("BroadcastHashJoin"),
+      "q101 broadcasts the funder doi/name-variant indexes")
+    check(!p101.contains("CartesianProduct"),
+      "q101 has no cartesian product")
+
+    val p102 = plan("q102_pdf_award_tagging")
+    check(p102.contains("BroadcastNestedLoopJoin"),
+      "q102's regex screen is the broadcast nested-loop shape (patterns " +
+        "broadcast; the section side scans once)")
+    check(!p102.contains("CartesianProduct"),
+      "q102 has no cartesian product")
+
     val p36 = plan("q36_dedup_jaccard_rare_shingle")
     check(!p36.contains("Window"),
       "q36 df-computation is hash aggregation, not a per-shingle window sort")
