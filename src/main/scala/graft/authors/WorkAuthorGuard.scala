@@ -230,51 +230,46 @@ object WorkAuthorGuard {
       .filter(col("chosen_id").isNotNull)
       .withColumn("n_receivers", count(lit(1)).over(
         Window.partitionBy(col("work_id"), col("chosen_id"))))
-    val legacyOk = invalidSeats
-      .join(legacy.select(col("work_id"),
-        col("author_id").as("__l_auth")), Seq("work_id"))
-      .filter(col("__l_auth") === col("current_author_id"))
-      .select(col("work_id"), col("author_sequence")).distinct()
-      .withColumn("__lok", lit(true))
-    val legacyExact = invalidSeats
-      .join(legacy.filter(col("author_id").isNotNull)
-        .select(col("work_id"),
-          lower(trim(col("raw_author_name"))).as("__l_raw"),
-          col("author_id").as("__l_auth")), Seq("work_id"))
-      .filter(col("__l_raw") === lower(trim(col("incoming_name"))))
+    // the three legacy tiers (ok / exact / parsed) share one work-keyed
+    // join against the legacy seats — fused into a single join + one
+    // aggregation (the reference's three CTEs scan legacy three times;
+    // the per-tier semantics are preserved as conditional aggregates:
+    // le_n = 0 ⟺ no exact-raw row ⟺ the reference's NULL __le)
+    val legDict = legacy.filter(col("author_id").isNotNull)
+      .join(broadcast(nameKeys(authorNames, "pn")),
+        trim(col("raw_author_name")) === col("pn_raw"), "left").drop("pn_raw")
+      .select(col("work_id"),
+        lower(trim(col("raw_author_name"))).as("__l_raw"),
+        col("author_id").as("__l_auth"),
+        col("pn_last").as("__pn_last"), col("pn_first").as("__pn_first"))
+    val parsedMatch = col("in_last").isNotNull &&
+      col("__pn_last") === col("in_last") &&
+      coalesce(col("__pn_first"), lit("")) ===
+        coalesce(col("in_first"), lit(""))
+    val exactMatch = col("__l_raw") === lower(trim(col("incoming_name")))
+    val legStats = invalidSeats
+      .select(col("work_id"), col("author_sequence"), col("incoming_name"),
+        col("current_author_id"), col("in_last"), col("in_first"))
+      .join(legDict, Seq("work_id"))
       .groupBy(col("work_id"), col("author_sequence"))
-      .agg(min(col("__l_auth")).as("le_id"),
-        countDistinct(col("__l_auth")).as("le_n"))
-      .withColumn("__le", lit(true))
-    val legacyParsed = invalidSeats.filter(col("in_last").isNotNull)
-      .join(legacy.filter(col("author_id").isNotNull)
-        .join(broadcast(authorNames.select(
-          col("raw_author_name").as("__pn_raw"),
-          col("match_last").as("__pn_last"),
-          col("match_first").as("__pn_first"))),
-          trim(col("raw_author_name")) === col("__pn_raw"))
-        .select(col("work_id"), col("author_id").as("__l_auth"),
-          col("__pn_last"), col("__pn_first")), Seq("work_id"))
-      .filter(col("__pn_last") === col("in_last") &&
-        coalesce(col("__pn_first"), lit("")) ===
-          coalesce(col("in_first"), lit("")))
-      .groupBy(col("work_id"), col("author_sequence"))
-      .agg(min(col("__l_auth")).as("lp_id"),
-        countDistinct(col("__l_auth")).as("lp_n"))
+      .agg(
+        max(col("__l_auth") === col("current_author_id")).as("__lok"),
+        min(when(exactMatch, col("__l_auth"))).as("le_id"),
+        countDistinct(when(exactMatch, col("__l_auth"))).as("le_n"),
+        min(when(parsedMatch, col("__l_auth"))).as("lp_id"),
+        countDistinct(when(parsedMatch, col("__l_auth"))).as("lp_n"))
     val withRebind = flagged
       .join(realignChosen, Seq("work_id", "author_sequence"), "left")
-      .join(legacyOk, Seq("work_id", "author_sequence"), "left")
-      .join(legacyExact, Seq("work_id", "author_sequence"), "left")
-      .join(legacyParsed, Seq("work_id", "author_sequence"), "left")
+      .join(legStats, Seq("work_id", "author_sequence"), "left")
       .withColumn("realign_author_id",
         when(col("n_receivers") === 1, col("chosen_id")))
       .withColumn("legacy_fallback_ok", coalesce(col("__lok"), lit(false)))
       .withColumn("legacy_rebind_id",
         when(col("le_n") === 1, col("le_id"))
-          .when(col("__le").isNull && col("lp_n") === 1, col("lp_id")))
+          .when(col("le_n") === 0 && col("lp_n") === 1, col("lp_id")))
       .withColumn("rebind_candidate", coalesce(col("realign_author_id"),
         when(col("legacy_fallback_ok"), col("legacy_rebind_id"))))
-      .drop("chosen_id", "n_receivers", "__lok", "__le", "le_id", "le_n",
+      .drop("chosen_id", "n_receivers", "__lok", "le_id", "le_n",
         "lp_id", "lp_n")
     val occupied = workSeats
       .join(invalidSeats.select(col("work_id"), col("author_sequence")),
