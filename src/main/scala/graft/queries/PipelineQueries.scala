@@ -1401,6 +1401,71 @@ object PipelineQueries {
       mostlyNullFields = Seq("title", "publication_year"))
   }
 
+  /** §2.1/§2.5 location curation apply (ApplyLocationCurations.sql,
+    * oxjob #745): latest-per-field moderation dedup (the m=0 arm's
+    * earlier bad edit loses), the value+apply-flag pivot
+    * distinguishing set-to-NULL from untouched (the m=1 arm nulls the
+    * pdf AND removes its urls entry by content_type/scheme-stripped
+    * url; when the scalar was already null and urls are absent the row
+    * is NOT touched), in-place urls rewrite for a replaced landing
+    * page (m=2), lowercased license + tolerant boolean parse (m=3),
+    * the no-op-edit guard (m=4's identical title leaves
+    * openalex_updated_dt alone), and is_retracted (m=5). */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import graft.resolve.LocationCurations
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val hj = pmod(k, lit(9)).cast("string")
+    val pdfU = concat(lit("https://H"), hj, lit("/p"), ks)
+    val landU = concat(lit("https://H"), hj, lit("/l"), ks)
+    def uS(u: Column, ct: String) =
+      struct(u.as("url"), lit(ct).as("content_type"))
+    val target = o.select(
+      concat(lit("L"), ks).as("native_id"), lit("nat")
+        .as("native_id_namespace"),
+      concat(lit("T"), ks).as("title"),
+      when(k % 7 =!= 2, pdfU).as("pdf_url"),
+      landU.as("landing_page_url"),
+      when(k % 5 =!= 1, lit("cc-by")).as("license"),
+      (k % 2 === 0).as("is_oa"),
+      lit("article").as("type"), lit("publishedVersion").as("version"),
+      when(k % 6 =!= 3, lit("en")).as("language"),
+      lit("1").as("issue"), lit("v").as("volume"),
+      lit("10").as("first_page"), lit("20").as("last_page"),
+      lit(false).as("is_retracted"),
+      when(k % 11 =!= 4, array(
+        uS(concat(lit("http://H"), hj, lit("/p"), ks), "pdf"),
+        uS(landU, "text/html"))).as("urls"),
+      lit("2024-01-01").cast("timestamp").as("openalex_updated_dt"))
+    val m = pmod(expr("o_orderkey div 4"), lit(6))
+    val cur = o.filter(k % 4 === 0)
+    def ev(mv: Int, prop: String, value: Column, ts: String,
+        extra: Column = lit(true)) =
+      cur.filter(m === mv && extra).select(
+        concat(lit("L"), ks).as("native_id"),
+        lit("nat").as("native_id_namespace"), lit(prop).as("property"),
+        value.as("property_value"),
+        lit(ts).cast("timestamp").as("moderated_ts"))
+    val nullV = lit(null).cast("string")
+    val queue = ev(0, "title", lit("Bad Title"), "2024-02-01")
+      .unionByName(ev(0, "title", lit("Good Title"), "2024-02-10"))
+      .unionByName(ev(1, "pdf_url", nullV, "2024-02-05"))
+      .unionByName(ev(2, "landing_page_url",
+        concat(lit("https://new"), ks), "2024-02-06"))
+      .unionByName(ev(3, "license", lit("CC-BY-SA"), "2024-02-07"))
+      .unionByName(ev(3, "is_oa", lit("True"), "2024-02-08"))
+      .unionByName(ev(4, "title", concat(lit("T"), ks), "2024-02-09"))
+      .unionByName(ev(5, "is_retracted", lit("yes"), "2024-02-11"))
+    val out = LocationCurations.applyOverrides(target,
+      LocationCurations.fieldOverrides(queue))
+    out.select(col("native_id"), col("title"), col("pdf_url"),
+      col("landing_page_url"), col("license"),
+      col("is_oa").cast("int").as("oa"), col("language"),
+      col("is_retracted").cast("int").as("retracted"),
+      to_json(col("urls")).as("urls_json"),
+      date_format(col("openalex_updated_dt"), "yyyy-MM-dd").as("updated_d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_source_matcher" -> (q71 _),
     "q72_sdg_pipeline" -> (q72 _),
@@ -1410,7 +1475,8 @@ object PipelineQueries {
     "q89_institutions_api" -> (q89 _),
     "q90_publishers_api" -> (q90 _),
     "q93_ror_registry_sync" -> (q93 _),
-    "q100_snapshot_smoke" -> (q100 _))
+    "q100_snapshot_smoke" -> (q100 _),
+    "q105_location_curations" -> (q105 _))
 
   private val q74Oracle: String =
     """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 24 AS m24,
@@ -2320,6 +2386,51 @@ object PipelineQueries {
       |  END AS INTEGER) AS passed
       |FROM r CROSS JOIN tot t""".stripMargin
 
+  private val q105Oracle: String =
+    """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 9 AS j,
+      |    (o_orderkey % 4 = 0) AS cu, (o_orderkey // 4) % 6 AS m
+      |  FROM orders),
+      |b AS (SELECT *,
+      |    CASE WHEN k % 7 <> 2 THEN 'https://H' || CAST(j AS VARCHAR) ||
+      |      '/p' || CAST(k AS VARCHAR) END AS pdf0,
+      |    'https://H' || CAST(j AS VARCHAR) || '/l' || CAST(k AS VARCHAR)
+      |      AS land0,
+      |    'http://H' || CAST(j AS VARCHAR) || '/p' || CAST(k AS VARCHAR)
+      |      AS updf,
+      |    (k % 11 <> 4) AS hasu,
+      |    CASE WHEN cu AND m = 1 THEN (k % 7 <> 2 OR k % 11 <> 4)
+      |         WHEN cu AND m = 4 THEN false
+      |         WHEN cu THEN true ELSE false END AS chg
+      |  FROM w)
+      |SELECT 'L' || CAST(k AS VARCHAR) AS native_id,
+      |  CASE WHEN cu AND m = 0 THEN 'Good Title'
+      |       ELSE 'T' || CAST(k AS VARCHAR) END AS title,
+      |  CASE WHEN cu AND m = 1 AND chg THEN NULL ELSE pdf0 END AS pdf_url,
+      |  CASE WHEN cu AND m = 2 THEN 'https://new' || CAST(k AS VARCHAR)
+      |       ELSE land0 END AS landing_page_url,
+      |  CASE WHEN cu AND m = 3 THEN 'cc-by-sa'
+      |       WHEN k % 5 <> 1 THEN 'cc-by' END AS license,
+      |  CASE WHEN cu AND m = 3 THEN 1
+      |       ELSE CAST(k % 2 = 0 AS INTEGER) END AS oa,
+      |  CASE WHEN k % 6 <> 3 THEN 'en' END AS language,
+      |  CAST(cu AND m = 5 AS INTEGER) AS retracted,
+      |  CASE WHEN NOT hasu THEN NULL
+      |    WHEN cu AND m = 1 AND chg THEN CAST(to_json([struct_pack(
+      |      url := land0, content_type := 'text/html')]) AS VARCHAR)
+      |    WHEN cu AND m = 2 THEN CAST(to_json([
+      |      struct_pack(url := updf, content_type := 'pdf'),
+      |      struct_pack(url := 'https://new' || CAST(k AS VARCHAR),
+      |        content_type := 'text/html')]) AS VARCHAR)
+      |    ELSE CAST(to_json([
+      |      struct_pack(url := updf, content_type := 'pdf'),
+      |      struct_pack(url := land0, content_type := 'text/html')])
+      |      AS VARCHAR) END AS urls_json,
+      |  CASE WHEN NOT (cu AND chg) THEN '2024-01-01'
+      |    WHEN m = 0 THEN '2024-02-10' WHEN m = 1 THEN '2024-02-05'
+      |    WHEN m = 2 THEN '2024-02-06' WHEN m = 3 THEN '2024-02-08'
+      |    ELSE '2024-02-11' END AS updated_d
+      |FROM b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q71_source_matcher" -> q71Oracle,
     "q72_sdg_pipeline" -> q72Oracle,
@@ -2329,5 +2440,6 @@ object PipelineQueries {
     "q89_institutions_api" -> q89Oracle,
     "q90_publishers_api" -> q90Oracle,
     "q93_ror_registry_sync" -> q93Oracle,
-    "q100_snapshot_smoke" -> q100Oracle)
+    "q100_snapshot_smoke" -> q100Oracle,
+    "q105_location_curations" -> q105Oracle)
 }

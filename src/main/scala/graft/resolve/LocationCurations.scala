@@ -1,0 +1,134 @@
+package graft.resolve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.MergeInto
+
+/** Location curation apply (reference: notebooks/end2end/
+  * ApplyLocationCurations.sql, oxjob #745 — moved out of
+  * CreateLocationsMapped so matching stays pure):
+  *
+  *  - [[fieldOverrides]]: the moderation queue holds one event per
+    *  (location, property) edit; the latest moderated event per field
+  *    wins, then the fields pivot to a (value, apply-flag) pair — the
+  *    flag distinguishes "curator set the field to NULL" from "curator
+  *    did not touch the field" (a plain value pivot cannot).
+  *  - [[applyOverrides]]: the apply-flag MERGE — a field updates only
+  *    when its flag is set AND the value actually differs (no-op edits
+  *    must not advance openalex_updated_dt); the `urls` array is kept
+  *    in sync with the scalar overrides: a replaced pdf/landing URL is
+  *    rewritten in place (scheme-insensitive match), a NULLified pdf
+  *    removes its array entry by content_type or URL, a NULLified
+  *    landing page removes by URL.
+  *  - [[applyNewLocations]]: curator-created locations land under the
+  *    'curation' provenance — matched rows take a sparse COALESCE
+  *    update gated on real changes, new rows insert whole.
+  *
+  * Scale posture: the queue is human-sized → broadcast; both MERGEs
+  * are single keyed joins against locations_mapped.
+  */
+object LocationCurations {
+
+  /** The property names the reference pivots (values lowercased where
+    * the reference lowercases; booleans parsed tolerantly). */
+  val ScalarProps: Seq[String] = Seq("title", "pdf_url",
+    "landing_page_url", "license", "is_oa", "type", "version", "language",
+    "issue", "volume", "first_page", "last_page", "is_retracted")
+
+  private def boolVal(c: Column): Column =
+    lower(c).isin("true", "t", "1", "yes").cast("boolean")
+
+  /** Latest-per-field dedup + pivot. `queue`: (native_id,
+    * native_id_namespace, property, property_value, moderated_ts). */
+  def fieldOverrides(queue: DataFrame): DataFrame = {
+    val latest = queue
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("native_id"), col("native_id_namespace"),
+          col("property"))
+          .orderBy(col("moderated_ts").desc)))
+      .filter(col("__rn") === 1)
+    def valOf(p: String): Column = {
+      val raw = max(when(col("property") === p, col("property_value")))
+      p match {
+        case "license" | "type" | "language" =>
+          max(when(col("property") === p, lower(col("property_value"))))
+        case "is_oa" | "is_retracted" =>
+          max(when(col("property") === p, boolVal(col("property_value"))))
+        case _ => raw
+      }
+    }
+    val aggs = ScalarProps.map(p => valOf(p).as(s"${p}_val")) ++
+      ScalarProps.map(p =>
+        max(when(col("property") === p, 1).otherwise(0))
+          .as(s"${p}_apply")) ++
+      Seq(max(col("moderated_ts")).as("latest_moderated_dt"))
+    latest.groupBy(col("native_id"), col("native_id_namespace"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def stripScheme(c: Column): Column =
+    regexp_replace(lower(c), "^https?://", "")
+
+  /** The apply-flag MERGE over locations_mapped (the subset of columns
+    * the op touches plus `urls` and `openalex_updated_dt`). */
+  def applyOverrides(target: DataFrame, pivoted: DataFrame): DataFrame = {
+    def ap(p: String) = col(s"__src.${p}_apply") === 1
+    def v(p: String) = col(s"__src.${p}_val")
+    def tgt(p: String) = col(s"__tgt.$p")
+    val pdfIsPdf = (x: Column) => lower(x.getField("content_type"))
+      .isin("pdf", "application/pdf")
+    val changed = ScalarProps.map(p =>
+      ap(p) && !(v(p) <=> tgt(p))).reduce(_ || _) ||
+      (ap("pdf_url") && v("pdf_url").isNull &&
+        exists(col("__tgt.urls"), pdfIsPdf))
+    val urlMatches = (x: Column, t: Column) =>
+      t.isNotNull && stripScheme(x.getField("url")) === stripScheme(t)
+    val rewritten = when(
+      (ap("pdf_url") || ap("landing_page_url")) &&
+        col("__tgt.urls").isNotNull,
+      filter(
+        transform(col("__tgt.urls"), x => struct(
+          when(ap("pdf_url") && v("pdf_url").isNotNull &&
+            urlMatches(x, tgt("pdf_url")), v("pdf_url"))
+            .when(ap("landing_page_url") &&
+              v("landing_page_url").isNotNull &&
+              urlMatches(x, tgt("landing_page_url")),
+              v("landing_page_url"))
+            .otherwise(x.getField("url")).as("url"),
+          x.getField("content_type").as("content_type"))),
+        x => !(
+          (ap("pdf_url") && v("pdf_url").isNull &&
+            (pdfIsPdf(x) || urlMatches(x, tgt("pdf_url")))) ||
+          (ap("landing_page_url") && v("landing_page_url").isNull &&
+            urlMatches(x, tgt("landing_page_url"))))))
+      .otherwise(col("__tgt.urls"))
+    val sets = ScalarProps.map(p =>
+      p -> when(ap(p), v(p)).otherwise(tgt(p))).toMap ++
+      Map("urls" -> rewritten,
+        "openalex_updated_dt" -> col("__src.latest_moderated_dt"))
+    MergeInto(target, pivoted, "native_id", "native_id_namespace")
+      .whenMatchedUpdate(sets, condition = changed)
+      .run()
+  }
+
+  /** The new-location MERGE (part 1 of the reference file): curation-
+    * provenance rows keyed (native_id, namespace, provenance) — matched
+    * rows take a sparse non-null COALESCE update gated on real changes;
+    * unseen rows insert whole. `curated` must be target-shaped. */
+  def applyNewLocations(target: DataFrame, curated: DataFrame,
+      sparseFields: Seq[String]): DataFrame = {
+    def v(p: String) = col(s"__src.$p")
+    def tgt(p: String) = col(s"__tgt.$p")
+    val changed = sparseFields.map(p =>
+      v(p).isNotNull && !(v(p) <=> tgt(p))).reduce(_ || _)
+    val sets = sparseFields.map(p => p -> coalesce(v(p), tgt(p))).toMap ++
+      Map("updated_date" -> col("__src.openalex_updated_dt").cast("date"),
+        "openalex_updated_dt" -> col("__src.openalex_updated_dt"))
+    MergeInto(target, curated, "native_id", "native_id_namespace",
+        "provenance")
+      .whenMatchedUpdate(sets, condition = changed)
+      .whenNotMatchedInsert()
+      .run()
+  }
+}

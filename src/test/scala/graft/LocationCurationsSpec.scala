@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.resolve.LocationCurations
+
+/** Pins for the location curation apply (oracle: q105 covers the
+  * overrides MERGE): the new-location half — sparse COALESCE update,
+  * real-change gate, whole-row insert. */
+class LocationCurationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(t: Seq[(String, String, Option[String], Option[String],
+      String)]) =
+    t.toDF("native_id", "provenance", "title", "license", "upd")
+      .selectExpr("native_id", "'openalex_curation' AS native_id_namespace",
+        "provenance", "title", "license",
+        "CAST(NULL AS DATE) AS updated_date",
+        "CAST(upd AS TIMESTAMP) AS openalex_updated_dt")
+
+  test("applyNewLocations: sparse update only on real change; " +
+    "null source fields never clobber; new rows insert") {
+    val target = rows(Seq(
+      ("c1", "curation", Some("Old T"), Some("cc-by"), "2024-01-01"),
+      ("c2", "curation", Some("Same"), Some("cc-by"), "2024-01-01"),
+      ("x1", "crossref", Some("Other"), None, "2024-01-01")))
+    val curated = rows(Seq(
+      // c1: title changes, license NULL must keep cc-by
+      ("c1", "curation", Some("New T"), None, "2024-03-03"),
+      // c2: identical non-null fields → gate blocks, date untouched
+      ("c2", "curation", Some("Same"), Some("cc-by"), "2024-03-03"),
+      // c9: unseen → full insert
+      ("c9", "curation", Some("Fresh"), None, "2024-03-03")))
+    val out = LocationCurations.applyNewLocations(target, curated,
+        sparseFields = Seq("title", "license"))
+      .select(col("native_id"), col("title"), col("license"),
+        date_format(col("openalex_updated_dt"), "yyyy-MM-dd").as("d"))
+      .orderBy("native_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("c1", "New T", "cc-by", "2024-03-03"),
+      ("c2", "Same", "cc-by", "2024-01-01"),
+      ("c9", "Fresh", null, "2024-03-03"),
+      ("x1", "Other", null, "2024-01-01")))
+  }
+}
