@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.aer.NameFrequency
+
+/** Pins for the name-frequency build (oracle: q99, which runs the
+  * dyadic-exact parameterization): the REFERENCE defaults the fixture
+  * can't exercise — the 93/7 Mandarin/Cantonese split over the real
+  * [[NameFrequency.CantoneseMap]], and the all-rows totals. */
+class NameFrequencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chineseLast: default 93/7 split on a mapped surname; unmapped " +
+    "keeps its full share; collisions merge") {
+    val src = Seq(
+      ("王", 50L, "wang"), // mapped → wong gets 7%
+      ("黄", 30L, "huang"), // unmapped
+      ("X", 20L, "wang")) // romanization collision with 王's pinyin
+      .toDF("surname", "n_total", "romanized")
+    val got = NameFrequency.chineseLast(src).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("wang") - (50 * 0.93 + 20) / 100.0) < 1e-12)
+    assert(math.abs(got("wong") - 50 * 0.07 / 100.0) < 1e-12)
+    assert(math.abs(got("huang") - 0.30) < 1e-12)
+  }
+
+  test("japaneseLast: the unromanizable row holds population share " +
+    "in the total but gets no entry") {
+    val src = Seq(("山田", 60L, "yamada"), ("？", 40L, ""))
+      .toDF("surname_kanji", "population", "romanized")
+    val got = NameFrequency.japaneseLast(src).collect()
+    assert(got.length == 1)
+    assert(math.abs(got(0).getDouble(1) - 0.6) < 1e-12) // /100, not /60
+  }
+
+  test("censusWeighted: excluded countries and zero-pop countries " +
+    "contribute nothing") {
+    val src = Seq(
+      ("US", "smith", 80L), ("US", "kim", 20L),
+      ("CN", "wang", 100L), ("Z0", "zero", 50L))
+      .toDF("country_code", "name_ascii", "frequency")
+    val pops = Seq(("US", 400L), ("CN", 1000L), ("Z0", 0L))
+      .toDF("country_code", "population")
+    val got = NameFrequency.censusWeighted(src, pops, worldPop = 800.0,
+        exclude = Seq("CN")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("smith", "kim"))
+    assert(math.abs(got("smith") - 0.8 * 0.5) < 1e-12)
+  }
+
+  test("combine: weighted union sums overlapping names; est_humans " +
+    "half-up rounds") {
+    val a = Seq(("kim", 0.5)).toDF("name", "prob")
+    val b = Seq(("kim", 0.25), ("lee", 0.5)).toDF("name", "prob")
+    val got = NameFrequency.combine(Seq(a -> 0.5, b -> 0.1), worldPop = 10.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("kim", 0.275, 3L), ("lee", 0.05, 1L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.SnapshotSmoke
+
+/** Pins for the smoke harness (oracle: q100): each verdict threshold
+  * class at its boundary, and the from_json abstract probe arms. */
+class SnapshotSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("withVerdicts: zero bars, the strict 10% ceiling, rate floors, " +
+    "the abstract cap, and informational NULLs") {
+    val report = Seq(
+      ("works", "total", 100L),
+      ("works", "non_xpac_total", 40L),
+      ("works", "id_format_bad", 0L), // zero bar → pass
+      ("works", "duplicate_ids", 1L), // zero bar → fail
+      ("works", "null_id", 0L),
+      ("works", "null_title", 10L), // exactly 10% → FAIL (strict <)
+      ("works", "null_publication_year", 9L), // under → pass
+      ("works", "with_keywords", 50L), // exactly 50% → pass (>=)
+      ("works", "non_xpac_with_keywords", 25L), // 62.5% < 65% → fail
+      ("works", "invalid_abstract_json", 999L), // under cap → pass
+      ("works", "with_authorships", 70L)) // informational → NULL
+      .toDF("entity", "check", "value")
+    val got = SnapshotSmoke.withVerdicts(report,
+        requiredNullFields = Seq("id"),
+        mostlyNullFields = Seq("title", "publication_year"))
+      .collect()
+      .map(r => r.getString(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(got("id_format_bad").contains(1))
+    assert(got("duplicate_ids").contains(0))
+    assert(got("null_title").contains(0))
+    assert(got("null_publication_year").contains(1))
+    assert(got("with_keywords").contains(1))
+    assert(got("non_xpac_with_keywords").contains(0))
+    assert(got("invalid_abstract_json").contains(1))
+    assert(got("with_authorships").isEmpty)
+    assert(got("total").isEmpty)
+  }
+
+  test("abstractValidity: NULL passes, malformed and wrong-shape " +
+    "JSON both count") {
+    val works = Seq(Option.empty[String], Some("{bad"), Some("[1,2]"),
+      Some("{\"a\":[1,2]}")).toDF("abstract_inverted_index")
+    val r = SnapshotSmoke.abstractValidity(works).collect()(0)
+    assert(r.getLong(2) == 2)
+  }
+}
