@@ -25,7 +25,13 @@ import graft.entities.AffiliationRefine.{Rule, StrLit}
   *    into two prioritized set-semantics rules with identical net
   *    effect;
   *  - final output is sorted (the reference returns an unordered
-  *    `list(set(...))`).
+  *    `list(set(...))`);
+  *  - two reference blocks are intentionally ABSENT: the 865915315
+  *    block is commented out in the reference itself
+  *    (affiliation_string_parsing.py:5073), and the IIM block
+  *    150870154→4400600926 (:5152) is dead code — its guard
+  *    `if 'Bodhgaya' in current_affs` compares a string against a
+  *    list of ints and is always False in Python.
   */
 object AffiliationRefineRules {
 
