@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.serve.{SnapshotDocs, SnapshotWriter}
+
+/** Snapshot export surface (export_works.ipynb cell 3 + _utils.py):
+  *  - q106: the works snapshot doc assembly over a works-enriched-
+  *    shaped frame synthesized from `orders` — id filtering + URL
+  *    prefixing, sanitize_name/sanitize_string, date validity
+  *    windows, ids-map DOI rewrite, referenced-works prefix+count,
+  *    the byte-capped inverted-abstract truncation (maxBytes=64 so
+  *    every branch is reachable at fixture scale), location/
+  *    authorship reshaping, indexed_in, has_fulltext, and the
+  *    null-array coalesces. The oracle recomputes every arm in SQL.
+  *  - q107: the partitioned-export salting semantics — partition
+  *    date fallback chain and the tiered salt modulus (fed synthetic
+  *    per-date counts to reach every tier), plus salt-in-range and
+  *    the unsalted-small-date zero salt.
+  */
+object SnapshotQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    def nstr = lit(null).cast("string")
+    val m3 = pmod(k, lit(3))
+    // --- locations (drive indexed_in + reshape) ---
+    val srcStruct = (dn: Column, doaj: Column) =>
+      struct(dn.as("display_name"), doaj.as("is_in_doaj"))
+    def locS(nid: Column, prov: Column, src: Column, ver: Column,
+        lp: Column, pdf: Column): Column = struct(
+      nid.as("native_id"), src.as("source"),
+      (pmod(k, lit(2)) === 0).as("is_oa"), ver.as("version"),
+      lp.as("landing_page_url"), pdf.as("pdf_url"),
+      lit("rs").as("raw_source_name"), lit("journal-article").as("raw_type"),
+      prov.as("provenance"),
+      when(pmod(k, lit(5)) =!= 0, lit("cc-by")).as("license"),
+      pmod(k, lit(5)).cast("long").as("license_id"),
+      (m3 === 0).as("is_accepted"))
+    val loc1 = when(m3 === 0,
+        locS(concat(lit("n"), k), lit("crossref"),
+          srcStruct(concat(lit("S"), pmod(k, lit(20))), pmod(k, lit(2)) === 0),
+          when(pmod(k, lit(2)) === 0, "publishedVersion")
+            .otherwise("submittedVersion"),
+          concat(lit("https://l/"), k),
+          when(pmod(k, lit(4)) =!= 0, concat(lit("https://p/"), k))))
+      .when(m3 === 1,
+        locS(when(pmod(k, lit(5)) === 1, concat(lit("oai:doaj.org/x"), k))
+            .otherwise(concat(lit("oai:arXiv.org:"), k)),
+          lit("repo"), srcStruct(lit("Repo"), lit(false)),
+          lit("acceptedVersion"), concat(lit("https://l/"), k), nstr))
+      .otherwise(
+        locS(concat(lit("m"), k), lit("mag"),
+          srcStruct(when(pmod(k, lit(4)) === 2, "PubMed").otherwise("Other"),
+            lit(false)),
+          nstr, concat(lit("https://l/"), k), nstr))
+    val loc2 = locS(concat(lit("d"), k), lit("datacite"),
+      srcStruct(lit("DC"), pmod(k, lit(7)) === 0), lit("publishedVersion"),
+      concat(lit("https://l2/"), k), nstr)
+    val locations = when(pmod(k, lit(71)) === 0,
+        lit(null).cast("array<struct<native_id:string,source:struct<display_name:string,is_in_doaj:boolean>,is_oa:boolean,version:string,landing_page_url:string,pdf_url:string,raw_source_name:string,raw_type:string,provenance:string,license:string,license_id:bigint,is_accepted:boolean>>"))
+      .when(pmod(k, lit(6)) < 3, array(loc1, loc2))
+      .otherwise(array(loc1))
+    // --- abstract_inverted_index arms (maxBytes = 64) ---
+    val absIdx = when(pmod(k, lit(19)) === 0, nstr)
+      .when(pmod(k, lit(23)) === 0, lit("not json"))
+      .when(pmod(k, lit(29)) === 0,
+        lit("""{"alpha":[1,2,3],"beta":[4,5],"gamma":[6],"delta":[7,8],"epsilon":[9]}"""))
+      .when(pmod(k, lit(31)) === 0, lit("""{"a":[1]}"""))
+      .otherwise(concat(lit("{\"word"), pmod(k, lit(10)),
+        lit("\":[1,2],\"w2\":[3]}")))
+    // --- authorships ---
+    val au = (i: Int) => struct(
+      struct((k + i).cast("long").as("id")).as("author"),
+      (if (i == 0) lit("first") else lit("middle")).as("author_position"),
+      array(struct(concat(lit("inst"), k).as("name"))).as("affiliations"),
+      array(lit("US")).as("countries"),
+      concat(lit("Author "), k + i).as("raw_author_name"),
+      nstr.as("raw_orcid"), (pmod(k, lit(2)) === 0).as("is_corresponding"),
+      array(concat(lit("aff"), k)).as("raw_affiliation_strings"),
+      array(pmod(k, lit(10)).cast("long")).as("institutions"))
+    val authorships = when(pmod(k, lit(31)) === 0,
+        lit(null).cast("array<struct<author:struct<id:bigint>,author_position:string,affiliations:array<struct<name:string>>,countries:array<string>,raw_author_name:string,raw_orcid:string,is_corresponding:boolean,raw_affiliation_strings:array<string>,institutions:array<bigint>>>"))
+      .when(pmod(k, lit(4)) === 0, array(au(0)))
+      .otherwise(array(au(0), au(1)))
+    // --- dates ---
+    val created = when(pmod(k, lit(7)) === 0, lit("0850-03-03"))
+      .otherwise(date_format(date_add(lit("2020-01-01").cast("date"),
+        pmod(k, lit(300)).cast("int")), "yyyy-MM-dd"))
+    val updated = when(pmod(k, lit(5)) === 0, nstr)
+      .when(pmod(k, lit(11)) === 0, lit("0900-01-01"))
+      .otherwise(date_format(date_add(lit("2021-01-01").cast("date"),
+        pmod(k, lit(300)).cast("int")), "yyyy-MM-dd"))
+    val pub = when(pmod(k, lit(13)) === 0, lit("2070-01-01"))
+      .otherwise(date_format(date_add(lit("2000-01-01").cast("date"),
+        pmod(k, lit(600)).cast("int")), "yyyy-MM-dd"))
+    val concept = (off: Int) => struct(
+      (pmod(k, lit(50)) + off).cast("long").as("id"),
+      concat(lit("wd"), pmod(k, lit(50)) + off).as("wikidata"),
+      concat(lit("C"), pmod(k, lit(50)) + off).as("display_name"),
+      pmod(k, lit(5)).cast("int").as("level"),
+      (pmod(k, lit(100)) / lit(100.0)).as("score"))
+    val works = o.select(
+      when(pmod(k, lit(89)) === 0, lit(null).cast("long"))
+        .when(pmod(k, lit(97)) === 0, -k.cast("long"))
+        .otherwise(k.cast("long")).as("id"),
+      concat(lit("Pa\u0007per"), lit("  #"), pmod(k, lit(100))).as("title"),
+      created.as("created_date"), updated.as("updated_date"),
+      pub.as("publication_date"),
+      when(pmod(k, lit(3)) === 0, array(concept(0), concept(7)))
+        .otherwise(array(concept(0))).as("concepts"),
+      when(pmod(k, lit(41)) === 0,
+          map(lit("mag"), concat(lit("m"), k)))
+        .otherwise(map(lit("doi"), concat(lit("10.7/x"), pmod(k, lit(500))),
+          lit("mag"), concat(lit("m"), k))).as("ids"),
+      when(pmod(k, lit(43)) =!= 0,
+        concat(lit("https://doi.org/10.7/x"), pmod(k, lit(500)))).as("doi"),
+      when(pmod(k, lit(6)) =!= 0,
+        when(pmod(k, lit(2)) === 0, "en").otherwise("fr")).as("language"),
+      lit("article").as("type"),
+      when(pmod(k, lit(17)) =!= 0,
+        array(pmod(k, lit(100)).cast("string"),
+          (pmod(k, lit(100)) + 1).cast("string"))).as("referenced_works"),
+      absIdx.as("abstract_inverted_index"),
+      struct((pmod(k, lit(2)) === 0).as("is_oa"),
+        when(pmod(k, lit(4)) === 0, "gold").when(pmod(k, lit(4)) === 1, "green")
+          .when(pmod(k, lit(4)) === 2, "bronze").otherwise("closed")
+          .as("oa_status"),
+        (m3 === 0).as("any_repository_has_fulltext"),
+        concat(lit("https://u/"), k).as("oa_url")).as("open_access"),
+      authorships.as("authorships"),
+      locations.as("locations"),
+      when(pmod(k, lit(47)) =!= 0 && pmod(k, lit(71)) =!= 0, loc1)
+        .as("primary_location"),
+      when(pmod(k, lit(6)) < 3, loc2).as("best_oa_location"),
+      when(pmod(k, lit(37)) === 0, lit("ft")).as("fulltext"),
+      pmod(k, lit(7)).cast("int").as("authors_count"),
+      when(pmod(k, lit(61)) =!= 0, array(pmod(k, lit(13)).cast("long")))
+        .as("corresponding_author_ids"),
+      when(pmod(k, lit(63)) =!= 0, array(pmod(k, lit(15)).cast("long")))
+        .as("corresponding_institution_ids"),
+      struct(concat(lit("T"), pmod(k, lit(25))).as("id")).as("primary_topic"),
+      array(struct(concat(lit("T"), pmod(k, lit(25))).as("id"))).as("topics"),
+      array(concat(lit("kw"), pmod(k, lit(15)))).as("keywords"),
+      pmod(k, lit(4)).cast("int").as("locations_count"),
+      when(pmod(k, lit(67)) =!= 0,
+        array(struct(concat(lit("https://sdg/"), pmod(k, lit(17))).as("id"),
+          lit("g").as("display_name"), lit(0.5).as("score"))))
+        .as("sustainable_development_goals"),
+      array(concat(lit("G"), pmod(k, lit(9)))).as("awards"),
+      array(pmod(k, lit(12)).cast("long")).as("funders"),
+      array(pmod(k, lit(21)).cast("long")).as("institutions"),
+      pmod(k, lit(4)).cast("int").as("countries_distinct_count"),
+      pmod(k, lit(5)).cast("int").as("institutions_distinct_count"),
+      (pmod(k, lit(2)) === 0).as("is_paratext"), lit(false).as("is_retracted"),
+      (pmod(k, lit(9)) === 0).as("is_xpac"),
+      struct(pmod(k, lit(30)).cast("string").as("volume")).as("biblio"),
+      when(pmod(k, lit(59)) =!= 0, array(pmod(k, lit(77)).cast("string")))
+        .as("related_works"),
+      pmod(k, lit(500)).cast("long").as("cited_by_count"),
+      array(struct(lit(2024).as("year"),
+        pmod(k, lit(10)).cast("long").as("cited_by_count")))
+        .as("counts_by_year"),
+      struct(pmod(k, lit(100)).cast("long").as("value")).as("apc_list"),
+      lit(null).cast("struct<value:bigint>").as("apc_paid"),
+      (pmod(k, lit(100)) / lit(10.0)).as("fwci"),
+      struct((pmod(k, lit(100)) / lit(100.0)).as("value"))
+        .as("citation_normalized_percentile"),
+      struct(pmod(k, lit(100)).cast("int").as("min"),
+        (pmod(k, lit(100)) + 1).cast("int").as("max"))
+        .as("cited_by_percentile_year"),
+      when(pmod(k, lit(53)) =!= 0, array(concat(lit("m"), pmod(k, lit(11)))))
+        .as("mesh"),
+      (m3 === 0).as("has_content"))
+    val doc = SnapshotDocs.worksDoc(works, maxAbstractBytes = 64)
+    doc.select(col("id"), col("doi"), col("display_name"),
+      date_format(col("created_date"), "yyyy-MM-dd HH:mm:ss").as("created_d"),
+      date_format(col("updated_date"), "yyyy-MM-dd HH:mm:ss").as("updated_d"),
+      date_format(col("publication_date"), "yyyy-MM-dd").as("pub_d"),
+      col("publication_year"), col("language"),
+      try_element_at(col("ids"), lit("doi")).as("doi_id"),
+      try_element_at(col("ids"), lit("mag")).as("mag_id"),
+      try_element_at(col("concepts"), lit(1)).getField("id").as("concept1"),
+      size(col("concepts")).as("n_concepts"),
+      to_json(col("referenced_works")).as("refs_json"),
+      col("referenced_works_count"),
+      col("abstract_inverted_index").as("abs_idx"),
+      to_json(col("indexed_in")).as("indexed_in_json"),
+      when(col("locations").isNull, -1).otherwise(size(col("locations")))
+        .as("locs_n"),
+      col("primary_location").getField("is_published").cast("string")
+        .as("pl_is_published"),
+      col("primary_location").getField("id").as("pl_id"),
+      col("best_oa_location").getField("provenance").as("bo_provenance"),
+      size(col("authorships")).as("n_auth"),
+      try_element_at(col("authorships"), lit(1)).getField("raw_author_name")
+        .as("first_auth"),
+      try_element_at(col("authorships"), lit(1)).getField("author_position")
+        .as("first_pos"),
+      col("open_access").getField("is_oa").as("oa_is_oa"),
+      col("open_access").getField("oa_status").as("oa_status"),
+      col("has_fulltext"),
+      size(col("mesh")).as("mesh_n"),
+      size(col("corresponding_author_ids")).as("corr_a_n"),
+      size(col("corresponding_institution_ids")).as("corr_i_n"),
+      size(col("sustainable_development_goals")).as("sdg_n"),
+      to_json(col("related_works")).as("related_json"),
+      col("cited_by_count"), col("has_content"))
+  }
+
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val sess = s; import sess.implicits._
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val rows = o.select(k.cast("long").as("id"),
+      when(pmod(k, lit(13)) =!= 0,
+        concat(lit("2024-01-0"), pmod(k, lit(7)) + 1, lit(" 10:00:00")))
+        .cast("timestamp").as("updated_date"),
+      lit("2023-06-15").cast("timestamp").as("created_date"))
+    // synthetic per-date counts exercising EVERY salting tier
+    val tiers = Seq(
+      ("2024-01-01", 500000L), ("2024-01-02", 900000L),
+      ("2024-01-03", 3000000L), ("2024-01-04", 7000000L),
+      ("2024-01-05", 20000000L), ("2024-01-06", 60000000L),
+      ("2024-01-07", 200000000L), ("2023-06-15", 500000L))
+      .toDF("_partition_date", "date_count")
+      .withColumn("_partition_date", col("_partition_date").cast("date"))
+    val salted = SnapshotWriter.withSalt(rows, tiers)
+      .join(broadcast(tiers), Seq("_partition_date"))
+      .withColumn("modulus", SnapshotWriter.saltModulus(col("date_count")))
+    // real (small) counts path: every salt must be 0
+    val real = SnapshotWriter.withSalt(rows, SnapshotWriter.dateCounts(rows))
+    salted.select(col("id"),
+        date_format(col("_partition_date"), "yyyy-MM-dd").as("part_d"),
+        col("modulus").cast("int").as("modulus"),
+        (col("salt") >= 0 && col("salt") < col("modulus"))
+          .as("salt_in_range"))
+      .join(real.select(col("id"), col("salt").cast("int").as("salt_small")),
+        Seq("id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q106_works_snapshot_doc" -> (q106 _),
+    "q107_snapshot_salting" -> (q107 _))
+
+  private val q106Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k FROM orders
+      |  WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 <> 0),
+      |dts AS (SELECT k,
+      |  CASE WHEN k % 7 = 0 THEN NULL
+      |       ELSE CAST(DATE '2020-01-01' + INTERVAL (k % 300) DAY
+      |         AS TIMESTAMP) END AS created_v,
+      |  CASE WHEN k % 5 = 0 OR k % 11 = 0 THEN NULL
+      |       ELSE CAST(DATE '2021-01-01' + INTERVAL (k % 300) DAY
+      |         AS TIMESTAMP) END AS updated_v,
+      |  CASE WHEN k % 13 = 0 THEN NULL
+      |       ELSE CAST(DATE '2000-01-01' + INTERVAL (k % 600) DAY
+      |         AS DATE) END AS pub_v
+      |  FROM base),
+      |absx AS (SELECT k,
+      |  CASE
+      |    WHEN k % 19 = 0 THEN NULL
+      |    WHEN k % 23 = 0 THEN NULL
+      |    WHEN k % 29 = 0 THEN
+      |      regexp_replace(substr('{"alpha":[1,2,3],"beta":[4,5],"gamma":[6],"delta":[7,8],"epsilon":[9]}', 1, 64),
+      |        '[^\]]*$', '') || '}'
+      |    WHEN k % 31 = 0 THEN '{"a":[1]}'
+      |    ELSE '{"word' || (k % 10) || '":[1,2],"w2":[3]}'
+      |  END AS abs_idx FROM base),
+      |idx AS (SELECT k,
+      |  CASE WHEN k % 71 = 0 THEN NULL ELSE
+      |    to_json(list_sort(list_distinct(list_filter(
+      |      CASE WHEN k % 3 = 0 THEN
+      |             ['crossref', CASE WHEN k % 2 = 0 THEN 'doaj' END]
+      |           WHEN k % 3 = 1 THEN
+      |             [CASE WHEN k % 5 = 1 THEN 'doaj' ELSE 'arxiv' END]
+      |           ELSE CASE WHEN k % 4 = 2 THEN ['pubmed']
+      |                ELSE CAST([] AS VARCHAR[]) END
+      |      END ||
+      |      CASE WHEN k % 6 < 3 THEN
+      |             ['datacite', CASE WHEN k % 7 = 0 THEN 'doaj' END]
+      |           ELSE CAST([] AS VARCHAR[]) END,
+      |      x -> x IS NOT NULL))))
+      |  END AS indexed_in_json FROM base)
+      |SELECT
+      |  'https://openalex.org/W' || b.k AS id,
+      |  CASE WHEN b.k % 43 <> 0
+      |    THEN 'https://doi.org/10.7/x' || (b.k % 500) END AS doi,
+      |  'Paper #' || (b.k % 100) AS display_name,
+      |  strftime(d.created_v, '%Y-%m-%d %H:%M:%S') AS created_d,
+      |  strftime(coalesce(d.updated_v, d.created_v),
+      |    '%Y-%m-%d %H:%M:%S') AS updated_d,
+      |  strftime(d.pub_v, '%Y-%m-%d') AS pub_d,
+      |  CAST(year(d.pub_v) AS INTEGER) AS publication_year,
+      |  CASE WHEN b.k % 6 <> 0 THEN
+      |    CASE WHEN b.k % 2 = 0 THEN 'en' ELSE 'fr' END END AS language,
+      |  CASE WHEN b.k % 41 <> 0
+      |    THEN 'https://doi.org/10.7/x' || (b.k % 500) END AS doi_id,
+      |  'm' || b.k AS mag_id,
+      |  'https://openalex.org/C' || (b.k % 50) AS concept1,
+      |  CASE WHEN b.k % 3 = 0 THEN 2 ELSE 1 END AS n_concepts,
+      |  CASE WHEN b.k % 17 <> 0 THEN
+      |    to_json(['https://openalex.org/W' || (b.k % 100),
+      |             'https://openalex.org/W' || (b.k % 100 + 1)]) END AS refs_json,
+      |  CASE WHEN b.k % 17 = 0 THEN 0 ELSE 2 END AS referenced_works_count,
+      |  a.abs_idx,
+      |  i.indexed_in_json,
+      |  CASE WHEN b.k % 71 = 0 THEN -1
+      |       WHEN b.k % 6 < 3 THEN 2 ELSE 1 END AS locs_n,
+      |  CASE WHEN b.k % 47 = 0 OR b.k % 71 = 0 THEN NULL
+      |       WHEN b.k % 3 = 0 THEN CAST(b.k % 2 = 0 AS VARCHAR)
+      |       WHEN b.k % 3 = 1 THEN 'false'
+      |       ELSE NULL END AS pl_is_published,
+      |  CASE WHEN b.k % 47 = 0 OR b.k % 71 = 0 THEN NULL
+      |       WHEN b.k % 3 = 0 THEN 'n' || b.k
+      |       WHEN b.k % 3 = 1 THEN
+      |         CASE WHEN b.k % 5 = 1 THEN 'oai:doaj.org/x' || b.k
+      |              ELSE 'oai:arXiv.org:' || b.k END
+      |       ELSE 'm' || b.k END AS pl_id,
+      |  CASE WHEN b.k % 6 < 3 THEN 'datacite' END AS bo_provenance,
+      |  CASE WHEN b.k % 31 = 0 THEN 0
+      |       WHEN b.k % 4 = 0 THEN 1 ELSE 2 END AS n_auth,
+      |  CASE WHEN b.k % 31 <> 0 THEN 'Author ' || b.k END AS first_auth,
+      |  CASE WHEN b.k % 31 <> 0 THEN 'first' END AS first_pos,
+      |  b.k % 2 = 0 AS oa_is_oa,
+      |  CASE WHEN b.k % 4 = 0 THEN 'gold' WHEN b.k % 4 = 1 THEN 'green'
+      |       WHEN b.k % 4 = 2 THEN 'bronze' ELSE 'closed' END AS oa_status,
+      |  b.k % 37 = 0 AS has_fulltext,
+      |  CASE WHEN b.k % 53 = 0 THEN 0 ELSE 1 END AS mesh_n,
+      |  CASE WHEN b.k % 61 = 0 THEN 0 ELSE 1 END AS corr_a_n,
+      |  CASE WHEN b.k % 63 = 0 THEN 0 ELSE 1 END AS corr_i_n,
+      |  CASE WHEN b.k % 67 = 0 THEN 0 ELSE 1 END AS sdg_n,
+      |  CASE WHEN b.k % 59 = 0 THEN to_json(CAST([] AS VARCHAR[]))
+      |       ELSE to_json([CAST(b.k % 77 AS VARCHAR)]) END AS related_json,
+      |  CAST(b.k % 500 AS BIGINT) AS cited_by_count,
+      |  b.k % 3 = 0 AS has_content
+      |FROM base b
+      |JOIN dts d ON b.k = d.k
+      |JOIN absx a ON b.k = a.k
+      |JOIN idx i ON b.k = i.k""".stripMargin
+
+  private val q107Oracle: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS id,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN '2023-06-15'
+      |       ELSE '2024-01-0' || (o_orderkey % 7 + 1) END AS part_d,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN 1
+      |       WHEN o_orderkey % 7 = 0 THEN 1
+      |       WHEN o_orderkey % 7 = 1 THEN 3
+      |       WHEN o_orderkey % 7 = 2 THEN 10
+      |       WHEN o_orderkey % 7 = 3 THEN 25
+      |       WHEN o_orderkey % 7 = 4 THEN 50
+      |       WHEN o_orderkey % 7 = 5 THEN 160
+      |       ELSE 1400 END AS modulus,
+      |  TRUE AS salt_in_range,
+      |  0 AS salt_small
+      |FROM orders""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q106_works_snapshot_doc" -> q106Oracle,
+    "q107_snapshot_salting" -> q107Oracle)
+}
