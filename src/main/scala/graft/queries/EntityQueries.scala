@@ -1891,57 +1891,233 @@ object EntityQueries {
       |LEFT JOIN cnt ON mv.raw = cnt.s
       |LEFT JOIN chg ON mv.raw = chg.s""".stripMargin
 
-  private val q97Oracle: String =
-    """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 12 AS m FROM orders),
-      |g AS (
-      |  SELECT k, 0 AS seq, 'Bob Kim' AS inc, 'Ann Park' AS cur,
-      |    'INCOMPATIBLE' AS verdict, 2 AS cnt, 0 AS curated, 1 AS inval,
-      |    k*10+1 AS realign, CAST(NULL AS BIGINT) AS legacy,
-      |    CASE WHEN k % 24 = 12 THEN NULL ELSE k*10+1 END AS rebind
-      |  FROM w WHERE m = 0
-      |  UNION ALL SELECT k, 1, 'Ann Park', 'Bob Kim', 'INCOMPATIBLE', 2,
-      |    0, 1, k*10, NULL, k*10 FROM w WHERE m = 0
-      |  UNION ALL SELECT k, 0, 'Bob Kim', 'Ann Park', 'INCOMPATIBLE', 1,
-      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 1
-      |  UNION ALL SELECT k, 0, 'A. Park', 'Ann Park', 'COMPATIBLE', 0,
-      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 2
-      |  UNION ALL SELECT k, 0, '田中 太郎', 'Ann Park', 'ABSTAIN_CJK', 1,
-      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 3
-      |  UNION ALL SELECT k, 1, 'Cara Lee', 'Bob Kim', 'INCOMPATIBLE', 1,
-      |    0, 0, NULL, NULL, NULL FROM w WHERE m = 3
-      |  UNION ALL SELECT k, 0, 'Zq Unparsed', 'Ann Park',
-      |    'ABSTAIN_UNPARSED', 0, 0, 0, NULL, NULL, NULL FROM w WHERE m = 4
-      |  UNION ALL SELECT k, 0, 'Cara Lee', 'Ann Park', 'INCOMPATIBLE', 2,
-      |    1, 0, NULL, NULL, NULL FROM w WHERE m = 5
-      |  UNION ALL SELECT k, 1, 'Dan Wu', 'Bob Kim', 'INCOMPATIBLE', 2,
-      |    0, 1, NULL, 7000 + k % 50, 7000 + k % 50 FROM w WHERE m = 5
-      |  UNION ALL SELECT k, 0, 'Cara Lee', 'Ann Park', 'INCOMPATIBLE', 2,
-      |    0, 1, NULL, CASE WHEN k % 24 = 18 THEN NULL ELSE k*10+2 END,
-      |    NULL FROM w WHERE m = 6
-      |  UNION ALL SELECT k, 1, 'Dan Wu', 'Bob Kim', 'INCOMPATIBLE', 2,
-      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 6
-      |  UNION ALL SELECT k, 0, 'Dan Wu', 'Ann Park', 'INCOMPATIBLE', 3,
-      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 7
-      |  UNION ALL SELECT k, 1, 'Ann Park', 'Bob Kim', 'INCOMPATIBLE', 3,
-      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 7
-      |  UNION ALL SELECT k, 2, 'Ann Park', 'Cara Lee', 'INCOMPATIBLE', 3,
-      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 7
-      |  UNION ALL SELECT k, 0, 'Bob Kim', 'Ann Park', 'INCOMPATIBLE', 2,
-      |    0, 1, k*10+1, NULL, k*10+1 FROM w WHERE m = 8
-      |  UNION ALL SELECT k, 1, 'Ann Park', 'Bob Kim', 'INCOMPATIBLE', 2,
-      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 8
-      |  UNION ALL SELECT k, 0, 'Cara Lee', 'Ann Park', 'INCOMPATIBLE', 2,
-      |    0, 1, NULL, NULL, NULL FROM w WHERE m = 9
-      |  UNION ALL SELECT k, 1, 'Dan Wu', 'Bob Kim', 'INCOMPATIBLE', 2,
-      |    0, 1, NULL, 8000 + k % 50, 8000 + k % 50 FROM w WHERE m = 9)
-      |SELECT CAST(k AS BIGINT) AS work_id,
-      |  CAST(seq AS INTEGER) AS author_sequence,
-      |  inc AS incoming_name, cur AS current_name, verdict,
-      |  CAST(cnt AS BIGINT) AS work_incompat_count, curated, inval,
-      |  CAST(realign AS BIGINT) AS realign_author_id,
-      |  CAST(legacy AS BIGINT) AS legacy_rebind_id,
-      |  CAST(rebind AS BIGINT) AS rebind_author_id
-      |FROM g""".stripMargin
+  /** names_compatible v2 transcribed VERBATIM from
+    * UpdateWorkAuthors.ipynb cell 3 into DuckDB SQL — emitted at each
+    * call site so the q97 oracle RECOMPUTES compatibility instead of
+    * stating verdicts per arm. */
+  private def ncSql(al: String, af: String, bl: String, bf: String,
+      ar: String, br: String): String =
+    s"""COALESCE(CASE
+       |    WHEN $al IS NULL OR $bl IS NULL
+       |      THEN lower(trim($ar)) = lower(trim($br))
+       |    WHEN $al = $bl AND (left($af,1) = left($bf,1)
+       |      OR $af IS NULL OR $bf IS NULL) THEN TRUE
+       |    WHEN $al = $bf AND $af = $bl THEN TRUE
+       |    WHEN (starts_with($al, $bl) OR ends_with($al, $bl)
+       |       OR starts_with($bl, $al) OR ends_with($bl, $al))
+       |     AND least(length($al), length($bl)) >= 4
+       |     AND (left($af,1) = left($bf,1) OR $af IS NULL OR $bf IS NULL)
+       |     THEN TRUE
+       |    ELSE FALSE END, FALSE)""".stripMargin
+
+  private val cjkClass: String =
+    "[\\x{1100}-\\x{11FF}\\x{3040}-\\x{30FF}\\x{3130}-\\x{318F}" +
+    "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}" +
+    "\\x{F900}-\\x{FAFF}]"
+
+  /** Recomputation oracle for q97: rebuilds the fixture inputs
+    * (seats, batch names, dictionary, profiles, legacy, curations) as
+    * CTEs and re-runs the WHOLE guard dataflow in SQL — drift
+    * admission, changed-seat detection, the three-state verdict with
+    * the transcribed cell-3 predicate, >=2-incompatible invalidation
+    * with curated holds, freed-donor profile compatibility, the
+    * exact/unique-compat realign tiers, the fused legacy exact/parsed
+    * tiers, and the occupied / curator-removed / multi-receiver
+    * nulling. Nothing is hand-stated per arm. */
+  private val q97Oracle: String = {
+    val compatJudge = ncSql("in_last", "in_first", "cur_last",
+      "cur_first", "inc_name", "cur_name")
+    val compatDonor = ncSql("i.cur_last", "i.cur_first",
+      "CASE WHEN pd.ml IS NOT NULL THEN pd.ml ELSE pf.ml END",
+      "CASE WHEN pd.ml IS NOT NULL THEN pd.mf ELSE pf.mf END",
+      "i.cur_name", "p.prof_dn")
+    val compatRealign = ncSql("i.in_last", "i.in_first", "f.donor_last",
+      "f.donor_first", "i.inc_name", "f.donor_name")
+    s"""WITH w AS (SELECT o_orderkey AS k, o_orderkey % 12 AS m,
+       |    'Aff ' || (o_orderkey % 30) AS a1,
+       |    'Aff2 ' || (o_orderkey % 15) AS a2 FROM orders),
+       |base_slots AS (
+       |  SELECT k, 0 AS seq, a1 AS rs FROM w
+       |  UNION ALL SELECT k, 0, a2 FROM w
+       |  UNION ALL SELECT k, 1, a1 FROM w WHERE k % 5 <> 0
+       |  UNION ALL SELECT k, 2, a1 FROM w
+       |  UNION ALL SELECT k, 3, a1 FROM w WHERE m IN (1, 3)),
+       |wa_slots AS (
+       |  SELECT k, 0 AS seq, a1 AS rs FROM w
+       |  UNION ALL SELECT k, 0, a2 FROM w WHERE m <> 8
+       |  UNION ALL SELECT k, 1, a1 FROM w
+       |  UNION ALL SELECT k, 2, a1 FROM w),
+       |drift AS (SELECT DISTINCT b.k FROM base_slots b
+       |  LEFT JOIN wa_slots sl
+       |    ON b.k = sl.k AND b.seq = sl.seq AND b.rs = sl.rs
+       |  WHERE sl.k IS NULL),
+       |adm AS (SELECT w.k, w.m FROM w LEFT JOIN drift d ON w.k = d.k
+       |  WHERE (CASE WHEN w.m IN (8, 10, 11) THEN TIMESTAMP '2024-01-01'
+       |          ELSE TIMESTAMP '2024-02-01' END) > TIMESTAMP '2024-01-15'
+       |     OR d.k IS NOT NULL),
+       |inc AS (
+       |  SELECT k, m, 0 AS seq,
+       |    CASE WHEN m IN (0,1,8) THEN 'Bob Kim' WHEN m = 2 THEN 'A. Park'
+       |         WHEN m = 3 THEN '田中 太郎' WHEN m = 4 THEN 'Zq Unparsed'
+       |         WHEN m IN (5,6,9) THEN 'Cara Lee' WHEN m = 7 THEN 'Dan Wu'
+       |         ELSE 'Ann Park' END AS name FROM adm
+       |  UNION ALL SELECT k, m, 1,
+       |    CASE WHEN m IN (0,7,8) THEN 'Ann Park'
+       |         WHEN m IN (5,6,9) THEN 'Dan Wu' WHEN m = 3 THEN 'Cara Lee'
+       |         WHEN m IN (1,2,4,10,11) THEN 'Eve Stone'
+       |         ELSE 'Bob Kim' END FROM adm
+       |  UNION ALL SELECT k, m, 2,
+       |    CASE WHEN m = 7 THEN 'Ann Park' WHEN m = 0 THEN 'Eve Stone'
+       |         ELSE 'Fay Glass' END FROM adm),
+       |cur AS (
+       |  SELECT k, m, 0 AS seq, 'Ann Park' AS name, k*10 AS auth FROM adm
+       |  UNION ALL SELECT k, m, 1,
+       |    CASE WHEN m IN (1,2,4,10,11) THEN 'Eve Stone'
+       |         ELSE 'Bob Kim' END, k*10+1 FROM adm
+       |  UNION ALL SELECT k, m, 2,
+       |    CASE WHEN m = 0 THEN 'Eve Stone' WHEN m = 7 THEN 'Cara Lee'
+       |         ELSE 'Fay Glass' END, k*10+2 FROM adm),
+       |names(raw, ml, mf) AS (VALUES
+       |  ('Ann Park','park','ann'), ('A. Park','park','a'),
+       |  ('Bob Kim','kim','bob'), ('Cara Lee','lee','cara'),
+       |  ('Dan Wu','wu','dan'), ('Ann Chen','chen','ann'),
+       |  ('Eve Stone','stone','eve'), ('Fay Glass','glass','fay'),
+       |  ('D Wu Alt','wu','dan'), ('F Glass Alt','glass','fay')),
+       |chg AS (
+       |  SELECT i.k, i.m, i.seq, i.name AS inc_name, c.name AS cur_name,
+       |    c.auth AS cur_auth, nin.ml AS in_last, nin.mf AS in_first,
+       |    ncu.ml AS cur_last, ncu.mf AS cur_first
+       |  FROM inc i JOIN cur c ON i.k = c.k AND i.seq = c.seq
+       |  LEFT JOIN names nin ON trim(i.name) = nin.raw
+       |  LEFT JOIN names ncu ON trim(c.name) = ncu.raw
+       |  WHERE lower(trim(i.name)) <> lower(trim(c.name))),
+       |judged AS (
+       |  SELECT *, CASE
+       |      WHEN regexp_matches(inc_name, '$cjkClass')
+       |        OR regexp_matches(cur_name, '$cjkClass') THEN 'ABSTAIN_CJK'
+       |      WHEN in_last IS NULL OR cur_last IS NULL
+       |        THEN 'ABSTAIN_UNPARSED'
+       |      WHEN $compatJudge THEN 'COMPATIBLE'
+       |      ELSE 'INCOMPATIBLE' END AS verdict
+       |  FROM chg),
+       |cnted AS (SELECT *,
+       |    count(CASE WHEN verdict = 'INCOMPATIBLE' THEN 1 END)
+       |      OVER (PARTITION BY k) AS cnt FROM judged),
+       |claims AS (SELECT k, 'Cara Lee' AS raw FROM w WHERE m = 5),
+       |inv AS (SELECT j.*,
+       |    EXISTS(SELECT 1 FROM claims cl WHERE cl.k = j.k
+       |      AND lower(trim(cl.raw)) = lower(trim(j.inc_name)))
+       |      AS curated_hold,
+       |    (j.verdict = 'INCOMPATIBLE' AND j.cnt >= 2
+       |      AND NOT EXISTS(SELECT 1 FROM claims cl WHERE cl.k = j.k
+       |        AND lower(trim(cl.raw)) = lower(trim(j.inc_name))))
+       |      AS inval
+       |  FROM cnted j),
+       |profx AS (
+       |  SELECT pid, dn AS prof_dn,
+       |    CASE WHEN m = 9 AND seq = 1 THEN NULL ELSE dn END AS prof_fn
+       |  FROM (
+       |    SELECT k, m, 0 AS seq, k*10 AS pid,
+       |      CASE WHEN m = 8 THEN 'Fay Glass' ELSE 'Ann Park' END AS dn
+       |    FROM w
+       |    UNION ALL SELECT k, m, 1, k*10+1,
+       |      CASE WHEN m IN (1,2,4,10,11) THEN 'Eve Stone'
+       |           ELSE 'Bob Kim' END FROM w
+       |    UNION ALL SELECT k, m, 2, k*10+2,
+       |      CASE WHEN m = 0 THEN 'Eve Stone' WHEN m = 7 THEN 'Cara Lee'
+       |           ELSE 'Fay Glass' END FROM w)),
+       |freed AS (
+       |  SELECT i.k, i.cur_name AS donor_name, i.cur_auth AS donor_id,
+       |    i.cur_last AS donor_last, i.cur_first AS donor_first
+       |  FROM inv i
+       |  LEFT JOIN profx p ON i.cur_auth = p.pid
+       |  LEFT JOIN names pd ON trim(p.prof_dn) = pd.raw
+       |  LEFT JOIN names pf ON trim(p.prof_fn) = pf.raw
+       |  WHERE i.inval AND $compatDonor),
+       |rcand AS (
+       |  SELECT i.k, i.seq,
+       |    count(DISTINCT CASE WHEN lower(trim(f.donor_name)) =
+       |      lower(trim(i.inc_name)) THEN f.donor_id END) AS n_exact,
+       |    min(CASE WHEN lower(trim(f.donor_name)) =
+       |      lower(trim(i.inc_name)) THEN f.donor_id END) AS id_exact,
+       |    count(DISTINCT CASE WHEN $compatRealign
+       |      THEN f.donor_id END) AS n_compat,
+       |    min(CASE WHEN $compatRealign THEN f.donor_id END) AS id_compat
+       |  FROM inv i JOIN freed f ON i.k = f.k
+       |  WHERE i.inval GROUP BY i.k, i.seq),
+       |rchosen AS (SELECT k, seq, chosen,
+       |    count(*) OVER (PARTITION BY k, chosen) AS n_recv
+       |  FROM (SELECT k, seq,
+       |      CASE WHEN n_exact = 1 THEN id_exact
+       |           WHEN n_exact = 0 AND n_compat = 1 THEN id_compat END
+       |        AS chosen FROM rcand)
+       |  WHERE chosen IS NOT NULL),
+       |leg AS (
+       |  SELECT k, 'Ann Chen' AS raw, 6000 + k % 50 AS auth
+       |  FROM w WHERE m = 1
+       |  UNION ALL SELECT k, 'Ann Chen', 6100 + k % 50 FROM w WHERE m = 1
+       |  UNION ALL SELECT k, 'F Glass Alt', 6500 + k % 50 FROM w WHERE m = 3
+       |  UNION ALL SELECT k, 'Dan Wu', 7000 + k % 50 FROM w WHERE m = 5
+       |  UNION ALL SELECT k, 'AnyRaw', k*10 + 1 FROM w WHERE m = 5
+       |  UNION ALL SELECT k, 'Cara Lee', k*10 + 2 FROM w WHERE m = 6
+       |  UNION ALL SELECT k, 'LegacyOk', k*10 FROM w WHERE m = 6
+       |  UNION ALL SELECT k, 'Cara Lee', 999
+       |  FROM w WHERE m = 6 AND k % 24 = 18
+       |  UNION ALL SELECT k, 'D Wu Alt', 8000 + k % 50 FROM w WHERE m = 9
+       |  UNION ALL SELECT k, 'LegacyOk2', k*10 + 1 FROM w WHERE m = 9),
+       |legd AS (SELECT l.k, lower(trim(l.raw)) AS l_raw, l.auth AS l_auth,
+       |    pn.ml AS pn_last, pn.mf AS pn_first
+       |  FROM leg l LEFT JOIN names pn ON trim(l.raw) = pn.raw),
+       |lstat AS (
+       |  SELECT i.k, i.seq,
+       |    bool_or(d.l_auth = i.cur_auth) AS lok,
+       |    min(CASE WHEN d.l_raw = lower(trim(i.inc_name))
+       |      THEN d.l_auth END) AS le_id,
+       |    count(DISTINCT CASE WHEN d.l_raw = lower(trim(i.inc_name))
+       |      THEN d.l_auth END) AS le_n,
+       |    min(CASE WHEN i.in_last IS NOT NULL AND d.pn_last = i.in_last
+       |      AND coalesce(d.pn_first,'') = coalesce(i.in_first,'')
+       |      THEN d.l_auth END) AS lp_id,
+       |    count(DISTINCT CASE WHEN i.in_last IS NOT NULL
+       |      AND d.pn_last = i.in_last
+       |      AND coalesce(d.pn_first,'') = coalesce(i.in_first,'')
+       |      THEN d.l_auth END) AS lp_n
+       |  FROM inv i JOIN legd d ON i.k = d.k
+       |  WHERE i.inval GROUP BY i.k, i.seq),
+       |wr AS (
+       |  SELECT v.*,
+       |    CASE WHEN rc.n_recv = 1 THEN rc.chosen END AS realign_id,
+       |    coalesce(ls.lok, FALSE) AS lok,
+       |    CASE WHEN ls.le_n = 1 THEN ls.le_id
+       |         WHEN ls.le_n = 0 AND ls.lp_n = 1 THEN ls.lp_id END
+       |      AS legacy_id
+       |  FROM inv v
+       |  LEFT JOIN rchosen rc ON v.k = rc.k AND v.seq = rc.seq
+       |  LEFT JOIN lstat ls ON v.k = ls.k AND v.seq = ls.seq),
+       |wr2 AS (SELECT *, coalesce(realign_id,
+       |    CASE WHEN lok THEN legacy_id END) AS cand FROM wr),
+       |occ AS (SELECT DISTINCT c.k, c.auth FROM cur c
+       |  LEFT JOIN (SELECT k, seq FROM inv WHERE inval) x
+       |    ON c.k = x.k AND c.seq = x.seq
+       |  WHERE x.k IS NULL),
+       |rm AS (SELECT k, k*10+1 AS auth FROM w WHERE m = 0 AND k % 24 = 12)
+       |SELECT CAST(f.k AS BIGINT) AS work_id,
+       |  CAST(f.seq AS INTEGER) AS author_sequence,
+       |  f.inc_name AS incoming_name, f.cur_name AS current_name,
+       |  f.verdict, CAST(f.cnt AS BIGINT) AS work_incompat_count,
+       |  CAST(f.curated_hold AS INTEGER) AS curated,
+       |  CAST(f.inval AS INTEGER) AS inval,
+       |  CAST(f.realign_id AS BIGINT) AS realign_author_id,
+       |  CAST(f.legacy_id AS BIGINT) AS legacy_rebind_id,
+       |  CAST(CASE WHEN f.cand IS NULL THEN NULL
+       |       WHEN EXISTS(SELECT 1 FROM occ o
+       |         WHERE o.k = f.k AND o.auth = f.cand) THEN NULL
+       |       WHEN EXISTS(SELECT 1 FROM rm r
+       |         WHERE r.k = f.k AND r.auth = f.cand) THEN NULL
+       |       WHEN count(*) OVER (PARTITION BY f.k, f.cand) > 1 THEN NULL
+       |       ELSE f.cand END AS BIGINT) AS rebind_author_id
+       |FROM wr2 f""".stripMargin
+  }
 
   private val q98Oracle: String =
     """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 12 AS m,
