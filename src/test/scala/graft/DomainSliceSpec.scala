@@ -365,4 +365,71 @@ class DomainSliceSpec extends AnyFunSuite {
     // post-CTAS normalized display-name final fallback for 'J. Spark!'
     assert(byRow.count(r => r._1 == "L-gamma" && r._3 == 9001L) == 1)
   }
+
+  test("composed nightly tail: curations → references → fulltext → ROR " +
+    "sync → API builds → snapshot docs, SnapshotSmoke all-PASS gate") {
+    val (_, resolved) = PipelineDemo.demoResolved(spark)
+    val typed = PipelineDemo.demoTyped(spark, resolved)
+    val (_, refined) = PipelineDemo.demoAffiliations(spark, resolved)
+    val attached = PipelineDemo.demoLocations(spark, resolved)
+    val sdgMerged = PipelineDemo.demoSdg(spark, typed)
+    val tail = PipelineDemo.demoNightlyTail(spark, resolved, typed,
+      attached, refined, sdgMerged)
+
+    // location curation: the curator's pdf replacement lands and syncs
+    // the urls array; the nulled landing page disappears
+    val beta = tail.curated.filter(col("native_id") === "10.9/beta")
+      .select("pdf_url").as[String].head()
+    assert(beta == "https://curated.example/beta.pdf")
+    assert(tail.curated.filter(col("native_id") === "L-gamma" &&
+      col("landing_page_url").isNull).count() == 1)
+
+    // references: alpha resolves its beta citation to beta's work id
+    val betaId = resolved.filter(col("native_id") === "10.9/beta")
+      .select("work_id").as[Long].head()
+    val refs = tail.references
+      .select(explode(col("referenced_works")).as("r")).as[Long]
+      .collect().toSeq
+    assert(refs == Seq(betaId))
+
+    // fulltext: every work with a DOI keys in; text is tag-stripped
+    assert(tail.fulltext.count() == 2)
+    assert(tail.fulltext.filter(col("fulltext").startsWith("Full text"))
+      .count() == 2)
+
+    // ROR sync: the new lab minted PAST the existing max id; MIT's
+    // geo fields refreshed from the newer dump record
+    assert(tail.registry.filter(col("display_name") === "New Lab" &&
+      col("id") === 43L).count() == 1)
+    assert(tail.registry.filter(col("display_name") === "MIT" &&
+      col("city") === "Cambridge").count() == 1)
+
+    // enriched works carry the composed institutions + citation counts
+    assert(tail.worksEnriched.count() == 2)
+    assert(tail.worksEnriched.filter(col("cited_by_count") > 0)
+      .select("id").as[Long].collect().toSeq == Seq(betaId))
+
+    // API builds: one entity per registry row, works-derived counts
+    assert(tail.sourcesApi.count() == 2)
+    assert(tail.publishersApi.count() == 2)
+    assert(tail.institutionsApi.count() == 2)
+    assert(tail.institutionsApi.filter(col("id") === 42L)
+      .select("works_count").as[Long].head() >= 1)
+    // the topic rollup sees both works' primary topic at every level
+    assert(tail.domainCounts.count() == 4)
+
+    // snapshot docs: W-prefixed ids, derived year, sanitized names
+    assert(tail.worksDocs.count() == 2)
+    assert(tail.worksDocs.filter(
+      !col("id").startsWith("https://openalex.org/W")).count() == 0)
+
+    // the RELEASE GATE: guardrails green and every smoke verdict PASS
+    assert(tail.guardrails.forall(_.passed),
+      tail.guardrails.filterNot(_.passed).map(_.detail).mkString("; "))
+    val verdicts = tail.smokeVerdicts.filter(col("passed").isNotNull)
+      .select("check", "passed").as[(String, Int)].collect().toSeq
+    assert(verdicts.nonEmpty)
+    assert(verdicts.forall(_._2 == 1),
+      "smoke failures: " + verdicts.filter(_._2 == 0).mkString(", "))
+  }
 }
