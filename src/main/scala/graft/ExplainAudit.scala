@@ -96,6 +96,53 @@ object ExplainAudit {
     check(!p102.contains("CartesianProduct"),
       "q102 has no cartesian product")
 
+    val p97 = plan("q97_work_author_guard")
+    check(p97.contains("graft-mat"),
+      "q97 crosses a Materialize parquet boundary (the multi-consumer " +
+        "verdict stage is landed once, not replayed per consumer)")
+    check(p97.contains("windowspecdefinition(work_id"),
+      "q97 windows partition by work_id — never the whole corpus")
+    check(!p97.contains("rangepartitioning"),
+      "q97 has no global sort")
+
+    val p103 = plan("q103_work_fulltext")
+    check(p103.contains("graft-mat"),
+      "q103 lands matched/keys at Materialize boundaries (the final " +
+        "MERGE reads files, not a replay of the keying subtree)")
+    check(!p103.contains("rangepartitioning"),
+      "q103 has no global sort")
+    // the keying window lives upstream of the boundary — explain the
+    // stage directly: winners must partition by (key_type, key)
+    locally {
+      val sess = spark; import sess.implicits._
+      val pdf = Seq(1).toDF("one").selectExpr(
+        "array(named_struct('namespace', 'doi', 'id', 'x')) AS ids",
+        "'body text' AS fulltext",
+        "TIMESTAMP '2024-01-01' AS ingested_at")
+      val ek = Seq.empty[(String, String, String, Long, Long,
+          java.sql.Timestamp, java.sql.Timestamp)]
+        .toDF("key_type", "key", "fulltext", "fulltext_length",
+          "raw_length", "src_ingested_at", "updated_at")
+      val pk = graft.works.WorkFulltext.keysDelta(pdf, ek).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      check(pk.contains("windowspecdefinition(key_type"),
+        "q103 keysDelta window partitions by (key_type, key) — " +
+          "per-key winners, never a corpus-wide sort")
+    }
+
+    val p75 = plan("q75_sources_api")
+    check(p75.contains("BroadcastHashJoin"),
+      "q75 broadcasts the registry-side dims (institutions/publishers/metrics)")
+    check(!p75.contains("CartesianProduct"),
+      "q75 has no cartesian product")
+
+    val p77 = plan("q77_topic_hierarchy")
+    check(p77.contains("BroadcastHashJoin"),
+      "q77 broadcasts the vocabulary-sized hierarchy/counts joins")
+    check(!p77.contains("CartesianProduct"),
+      "q77 has no cartesian product")
+
     val p36 = plan("q36_dedup_jaccard_rare_shingle")
     check(!p36.contains("Window"),
       "q36 df-computation is hash aggregation, not a per-shingle window sort")
