@@ -268,6 +268,64 @@ object SnapshotDocs {
   /** Keywords are already full-URL keyed — pass-through. */
   def keywordsDoc(df: DataFrame): DataFrame = entityDoc(df, None, Nil)
 
+  /** One row of the snapshot entity registry (the union of
+    * update_meta.ipynb's ENTITIES list with each export notebook's
+    * id transform / array coalesces / salting choice). */
+  final case class EntitySpec(name: String, idPrefix: Option[String],
+      arrayCols: Seq[String], dropCols: Seq[String] = Nil,
+      salt: Boolean = false)
+
+  /** All 21 snapshot entities. `works` and `authors` have dedicated
+    * struct-reshaping builders ([[worksDoc]], [[authorsDoc]]) — their
+    * spec rows carry only the export parameters; every other entity is
+    * fully described by its spec and runs through [[entityDoc]] via
+    * [[docFor]]. */
+  val entitySpecs: Seq[EntitySpec] = Seq(
+    EntitySpec("works", None, Nil, salt = true),
+    EntitySpec("authors", None, Nil, salt = true),
+    EntitySpec("institutions", Some("I"), Seq("lineage",
+      "display_name_acronyms", "display_name_alternatives", "roles",
+      "repositories", "topics", "topic_share", "associated_institutions",
+      "counts_by_year")),
+    EntitySpec("sources", Some("S"), Seq("issn",
+      "host_organization_lineage", "apc_prices", "societies",
+      "alternate_titles", "topics", "topic_share", "counts_by_year")),
+    EntitySpec("publishers", Some("P"), Seq("lineage", "alternate_titles",
+      "country_codes", "roles", "counts_by_year")),
+    EntitySpec("funders", Some("F"), Seq("alternate_titles", "roles",
+      "counts_by_year")),
+    EntitySpec("topics", Some("T"), Seq("keywords", "siblings")),
+    EntitySpec("subfields", Some("subfields/"),
+      Seq("display_name_alternatives", "topics", "siblings")),
+    EntitySpec("fields", Some("fields/"),
+      Seq("display_name_alternatives", "subfields", "siblings")),
+    EntitySpec("domains", Some("domains/"),
+      Seq("display_name_alternatives", "fields", "siblings")),
+    EntitySpec("concepts", Some("C"), Nil),
+    EntitySpec("keywords", None, Nil),
+    EntitySpec("awards", Some("G"), Seq("investigators", "funded_outputs"),
+      dropCols = Seq("funder_id"), salt = true),
+    EntitySpec("continents", None,
+      Seq("display_name_alternatives", "countries")),
+    EntitySpec("countries", None, Seq("display_name_alternatives")),
+    EntitySpec("institution-types", None, Nil),
+    EntitySpec("languages", None, Nil),
+    EntitySpec("licenses", None, Nil),
+    EntitySpec("sdgs", None, Nil),
+    EntitySpec("source-types", None, Nil),
+    EntitySpec("work-types", None, Nil))
+
+  /** Entity-table → snapshot doc by name (works/authors route to their
+    * dedicated builders). */
+  def docFor(name: String, df: DataFrame): DataFrame = name match {
+    case "works" => worksDoc(df)
+    case "authors" => authorsDoc(df)
+    case other =>
+      val spec = entitySpecs.find(_.name == other).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot entity: $other"))
+      entityDoc(df, spec.idPrefix, spec.arrayCols, spec.dropCols)
+  }
+
   /** Authors (export_authors.ipynb): A-prefixed id, topics and
     * topic_share capped at 5, x_concepts re-keyed to the C URL with
     * the legacy col4 renamed to level, display_name_alternatives
