@@ -406,7 +406,7 @@ object PipelineDemo {
       .join(sdgMerged.select(col("work_id"),
         col("sdg").as("sustainable_development_goals")),
         Seq("work_id"), "left")
-      .select(col("work_id").as("id"), col("title"),
+      .select(col("work_id").as("id"), col("title"), col("abstract"),
         lit("2024-01-01").as("created_date"),
         lit("2024-05-02").as("updated_date"),
         date_format(col("published_date"), "yyyy-MM-dd")
@@ -539,10 +539,15 @@ object PipelineDemo {
     val smokeVerdicts = SnapshotSmoke.withVerdicts(report,
       requiredNullFields = Seq("id", "display_name"),
       mostlyNullFields = Nil)
-    val checks = Seq(
-      Guardrails.churn(worksEnriched, lit(true), maxChanged = 10),
-      Guardrails.attributeLoss(worksDocs, "abstract_inverted_index",
-        baseline = 2, 0, 0.05),
+    // the reference's NINE-check gate with baselines frozen to this
+    // corpus (Guardrails.ipynb cells 4-10), plus referential spot
+    // checks over the composed outputs
+    val baselines = Guardrails.WorksBaselines(affiliationStrings = 1,
+      institutionIds = 1, abstractsAny = 2, abstractsInverted = 2,
+      fulltext = 2, worksCount = 2, citations = 1)
+    val checks = Guardrails.worksGuardrails(worksEnriched, baselines,
+      now = lit("2024-05-02 12:00:00").cast("timestamp"),
+      maxChanged = 10, maxLoss = 0) ++ Seq(
       Guardrails.referential(
         worksEnriched.select(explode(col("referenced_works")).as("__rw"))
           .select(col("__rw").cast("long").as("cited")),

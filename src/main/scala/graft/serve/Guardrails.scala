@@ -47,6 +47,95 @@ object Guardrails {
   def runAll(checks: Seq[Check]): Either[Seq[Check], Seq[Check]] =
     if (checks.forall(_.passed)) Right(checks) else Left(checks.filterNot(_.passed))
 
+  /** The frozen works-count baselines of the nine-check release gate
+    * (Guardrails.ipynb cell 8/10 — values are re-frozen per corpus). */
+  final case class WorksBaselines(affiliationStrings: Long,
+      institutionIds: Long, abstractsAny: Long, abstractsInverted: Long,
+      fulltext: Long, worksCount: Long, citations: Long)
+
+  /** The reference's NINE post-CreateWorksEnriched checks
+    * (Guardrails.ipynb cells 4-10) in ONE aggregation pass over
+    * openalex_works (the reference runs three scans; the per-check
+    * semantics are identical):
+    *  1 churn ceiling (≤ maxChanged updated in the last 24h of `now`);
+    *  2 missing author ids in recent new works (id ≥ newIdFloor,
+    *    created in the last day, non-empty authorships; a work fails
+    *    when any seat has an author object + non-blank raw name but a
+    *    null/empty author id) ≤ maxMissingAuthorPct%;
+    *  3-7 attribute loss vs frozen baselines, −maxLoss absolute
+    *    (affiliation strings / institution ids / any abstract /
+    *    inverted-index abstract / fulltext);
+    *  8 total works count −maxLoss;
+    *  9 total citations −citationsMaxLossPct%.
+    * Scale posture: one full scan, map-side partial aggregation to a
+    * single row — O(1) result regardless of corpus size. */
+  def worksGuardrails(works: DataFrame, b: WorksBaselines,
+      now: org.apache.spark.sql.Column, maxChanged: Long = 5000000L,
+      maxLoss: Long = 2000000L, maxMissingAuthorPct: Double = 5.0,
+      citationsMaxLossPct: Double = 5.0,
+      newIdFloor: Long = 7000000000L): Seq[Check] = {
+    val cnt = (c: org.apache.spark.sql.Column) => count(when(c, 1))
+    val recent = col("id") >= newIdFloor &&
+      col("created_date") >= (now - expr("INTERVAL 1 DAY")).cast("date") &&
+      col("authorships").isNotNull && size(col("authorships")) > 0
+    val missingSeat = (a: org.apache.spark.sql.Column) =>
+      a.getField("author").isNotNull &&
+        a.getField("raw_author_name").isNotNull &&
+        trim(a.getField("raw_author_name")) =!= "" &&
+        (a.getField("author").getField("id").isNull ||
+          a.getField("author").getField("id").cast("string") === "")
+    val r = works.agg(
+      cnt(col("updated_date") >= now - expr("INTERVAL 24 HOURS"))
+        .as("changed"),
+      cnt(recent).as("recent_total"),
+      cnt(recent && exists(col("authorships"), missingSeat))
+        .as("recent_missing"),
+      cnt(exists(col("authorships"), a =>
+        a.getField("raw_affiliation_strings").isNotNull &&
+          size(a.getField("raw_affiliation_strings")) > 0))
+        .as("has_affil_strings"),
+      cnt(exists(col("authorships"), a =>
+        a.getField("institutions").isNotNull &&
+          size(a.getField("institutions")) > 0)).as("has_institutions"),
+      cnt(col("abstract").isNotNull ||
+        col("abstract_inverted_index").isNotNull).as("has_any_abstract"),
+      cnt(col("abstract_inverted_index").isNotNull).as("has_inverted"),
+      cnt(col("fulltext").isNotNull).as("has_fulltext"),
+      count(lit(1)).as("total_works"),
+      coalesce(sum(col("cited_by_count")), lit(0L)).as("total_citations")
+    ).head()
+    def loss(name: String, current: Long, baseline: Long): Check =
+      Check(s"data_loss_$name", baseline - current <= maxLoss, current,
+        baseline, s"current $current vs baseline $baseline (max loss $maxLoss)")
+    val recentTotal = r.getAs[Long]("recent_total")
+    val recentMissing = r.getAs[Long]("recent_missing")
+    val missingPct =
+      if (recentTotal == 0) 0.0 else recentMissing * 100.0 / recentTotal
+    val citations = r.getAs[Long]("total_citations")
+    val citLossPct = if (b.citations == 0) 0.0
+      else math.max(0L, b.citations - citations) * 100.0 / b.citations
+    Seq(
+      Check("records_changed_last_day",
+        r.getAs[Long]("changed") <= maxChanged, r.getAs[Long]("changed"),
+        maxChanged, s"${r.getAs[Long]("changed")} changed in 24h"),
+      Check("missing_author_ids_recent", missingPct <= maxMissingAuthorPct,
+        recentMissing, recentTotal,
+        f"$recentMissing of $recentTotal recent works ($missingPct%.1f%%)"),
+      loss("affiliation_strings", r.getAs[Long]("has_affil_strings"),
+        b.affiliationStrings),
+      loss("institution_ids", r.getAs[Long]("has_institutions"),
+        b.institutionIds),
+      loss("abstracts_any", r.getAs[Long]("has_any_abstract"),
+        b.abstractsAny),
+      loss("abstracts_inverted_index", r.getAs[Long]("has_inverted"),
+        b.abstractsInverted),
+      loss("fulltext", r.getAs[Long]("has_fulltext"), b.fulltext),
+      loss("total_works_count", r.getAs[Long]("total_works"), b.worksCount),
+      Check("total_citations", citLossPct <= citationsMaxLossPct,
+        citations, b.citations,
+        f"current $citations vs baseline ${b.citations} ($citLossPct%.1f%% loss)"))
+  }
+
   private val readOnlyPrefixes =
     Seq("SELECT", "WITH", "SHOW", "DESCRIBE", "DESC", "EXPLAIN")
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.serve.Guardrails
+
+/** Pins the nine-check works release gate (Guardrails.ipynb cells
+  * 4-10) against a corpus where each check's pass/fail boundary is
+  * known by construction. */
+class GuardrailsSuiteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def au(name: String, authorId: Option[Long], affs: Seq[String],
+      insts: Seq[Long]): String = {
+    val id = authorId.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+    s"named_struct('author', named_struct('id', CAST($id AS BIGINT)), " +
+      s"'raw_author_name', '$name', " +
+      s"'raw_affiliation_strings', array(${affs.map("'" + _ + "'").mkString(",")}), " +
+      s"'institutions', array(${insts.mkString(",")}))"
+  }
+
+  private def works = Seq(1).toDF("one").selectExpr(
+    // w1: new-id work created today, one seat MISSING its author id,
+    //     carries affils + institutions + both abstracts + fulltext
+    s"""inline(array(
+      named_struct('id', CAST(7000000001 AS BIGINT),
+        'created_date', DATE '2024-05-02',
+        'updated_date', TIMESTAMP '2024-05-02 01:00:00',
+        'authorships', array(${au("Ann", None, Seq("MIT"), Seq(42L))}),
+        'abstract', 'text', 'abstract_inverted_index', '{"a":[0]}',
+        'fulltext', 'ft', 'cited_by_count', CAST(60 AS BIGINT)),
+      named_struct('id', CAST(7000000002 AS BIGINT),
+        'created_date', DATE '2024-05-02',
+        'updated_date', TIMESTAMP '2024-04-20 01:00:00',
+        'authorships', array(${au("Bob", Some(9L), Seq(), Seq())}),
+        'abstract', CAST(NULL AS STRING),
+        'abstract_inverted_index', CAST(NULL AS STRING),
+        'fulltext', CAST(NULL AS STRING),
+        'cited_by_count', CAST(40 AS BIGINT)),
+      named_struct('id', CAST(100 AS BIGINT),
+        'created_date', DATE '2020-01-01',
+        'updated_date', TIMESTAMP '2024-04-20 01:00:00',
+        'authorships', CAST(NULL AS ARRAY<STRUCT<author: STRUCT<id: BIGINT>, raw_author_name: STRING, raw_affiliation_strings: ARRAY<STRING>, institutions: ARRAY<BIGINT>>>),
+        'abstract', CAST(NULL AS STRING),
+        'abstract_inverted_index', '{"b":[1]}',
+        'fulltext', CAST(NULL AS STRING),
+        'cited_by_count', CAST(0 AS BIGINT))))""")
+    .drop("one")
+
+  private val now = lit("2024-05-02 12:00:00").cast("timestamp")
+
+  test("all nine checks pass at the frozen baselines") {
+    val b = Guardrails.WorksBaselines(affiliationStrings = 1,
+      institutionIds = 1, abstractsAny = 2, abstractsInverted = 2,
+      fulltext = 1, worksCount = 3, citations = 100)
+    val checks = Guardrails.worksGuardrails(works, b, now,
+      maxChanged = 1, maxLoss = 0, maxMissingAuthorPct = 50.0)
+    assert(checks.map(_.name) === Seq("records_changed_last_day",
+      "missing_author_ids_recent", "data_loss_affiliation_strings",
+      "data_loss_institution_ids", "data_loss_abstracts_any",
+      "data_loss_abstracts_inverted_index", "data_loss_fulltext",
+      "data_loss_total_works_count", "total_citations"))
+    assert(checks.forall(_.passed),
+      checks.filterNot(_.passed).map(_.detail).mkString("; "))
+    // the recent-new-works split: 2 eligible, 1 with a missing id
+    val m = checks.find(_.name == "missing_author_ids_recent").get
+    assert(m.value == 1 && m.threshold == 2)
+  }
+
+  test("each boundary fails when crossed") {
+    val b = Guardrails.WorksBaselines(1, 1, 2, 2, 1, 3, 100)
+    // churn: only w1 updated within 24h of now → ceiling 0 fails
+    assert(!Guardrails.worksGuardrails(works, b, now, maxChanged = 0,
+      maxLoss = 0, maxMissingAuthorPct = 50.0).head.passed)
+    // missing-author pct: 1 of 2 recent = 50% > 40% cap
+    assert(!Guardrails.worksGuardrails(works, b, now, maxChanged = 1,
+      maxLoss = 0, maxMissingAuthorPct = 40.0)(1).passed)
+    // attribute loss: baseline one higher than current, zero tolerance
+    val lossy = Guardrails.worksGuardrails(works,
+      b.copy(fulltext = 2), now, maxChanged = 1, maxLoss = 0,
+      maxMissingAuthorPct = 50.0)
+    assert(!lossy.find(_.name == "data_loss_fulltext").get.passed)
+    // citations: baseline 100, current 100 → a 200 baseline loses 50%
+    val cit = Guardrails.worksGuardrails(works, b.copy(citations = 250),
+      now, maxChanged = 1, maxLoss = 0, maxMissingAuthorPct = 50.0)
+    assert(!cit.find(_.name == "total_citations").get.passed)
+    // works count: baseline 4 vs current 3 at zero tolerance
+    val wc = Guardrails.worksGuardrails(works, b.copy(worksCount = 4),
+      now, maxChanged = 1, maxLoss = 0, maxMissingAuthorPct = 50.0)
+    assert(!wc.find(_.name == "data_loss_total_works_count").get.passed)
+  }
+}
