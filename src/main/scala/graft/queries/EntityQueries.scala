@@ -2119,12 +2119,77 @@ object EntityQueries {
        |FROM wr2 f""".stripMargin
   }
 
+  /** Recomputation oracle for q98: the drift admission and the
+    * two-pass legacy author adoption (exact-raw rank-1 over duplicate
+    * legacy rows, else parsed-key rank-1) are re-derived in SQL from
+    * the reconstructed inputs — only the fixture's own name/flag CASE
+    * chains are restated. */
   private val q98Oracle: String =
     """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 12 AS m,
       |    'Aff ' || CAST(o_orderkey % 30 AS VARCHAR) AS a1,
       |    'Aff2 ' || CAST(o_orderkey % 15 AS VARCHAR) AS a2
       |  FROM orders),
-      |adm AS (SELECT * FROM w WHERE m <= 9),
+      |base_slots AS (
+      |  SELECT k, 0 AS seq, a1 AS rs FROM w
+      |  UNION ALL SELECT k, 0, a2 FROM w
+      |  UNION ALL SELECT k, 1, a1 FROM w WHERE k % 5 <> 0
+      |  UNION ALL SELECT k, 2, a1 FROM w
+      |  UNION ALL SELECT k, 3, a1 FROM w WHERE m IN (1, 3)),
+      |wa_slots AS (
+      |  SELECT k, 0 AS seq, a1 AS rs FROM w
+      |  UNION ALL SELECT k, 0, a2 FROM w WHERE m <> 8
+      |  UNION ALL SELECT k, 1, a1 FROM w
+      |  UNION ALL SELECT k, 2, a1 FROM w),
+      |drift AS (SELECT DISTINCT b.k FROM base_slots b
+      |  LEFT JOIN wa_slots sl
+      |    ON b.k = sl.k AND b.seq = sl.seq AND b.rs = sl.rs
+      |  WHERE sl.k IS NULL),
+      |adm AS (SELECT w.* FROM w LEFT JOIN drift d ON w.k = d.k
+      |  WHERE (CASE WHEN w.m IN (8, 10, 11) THEN TIMESTAMP '2024-01-01'
+      |          ELSE TIMESTAMP '2024-02-01' END) > TIMESTAMP '2024-01-15'
+      |     OR d.k IS NOT NULL),
+      |names(raw, pl, pf) AS (VALUES
+      |  ('Ann Park','park','ann'), ('A. Park','park','a'),
+      |  ('Bob Kim','kim','bob'), ('Cara Lee','lee','cara'),
+      |  ('Dan Wu','wu','dan'), ('Ann Chen','chen','ann'),
+      |  ('Eve Stone','stone','eve'), ('Fay Glass','glass','fay'),
+      |  ('D Wu Alt','wu','dan'), ('F Glass Alt','glass','fay')),
+      |leg AS (
+      |  SELECT k, 1 AS seq, 'Ann Chen' AS raw,
+      |    CAST(6000 + k % 50 AS BIGINT) AS auth FROM w WHERE m = 1
+      |  UNION ALL SELECT k, 2, 'Ann Chen', 6100 + k % 50 FROM w WHERE m = 1
+      |  UNION ALL SELECT k, 1, 'F Glass Alt', 6500 + k % 50
+      |  FROM w WHERE m = 3
+      |  UNION ALL SELECT k, 1, 'Dan Wu', 7000 + k % 50 FROM w WHERE m = 5
+      |  UNION ALL SELECT k, 2, 'AnyRaw', k*10 + 1 FROM w WHERE m = 5
+      |  UNION ALL SELECT k, 1, 'Cara Lee', k*10 + 2 FROM w WHERE m = 6
+      |  UNION ALL SELECT k, 2, 'LegacyOk', k*10 FROM w WHERE m = 6
+      |  UNION ALL SELECT k, 3, 'Cara Lee', 999
+      |  FROM w WHERE m = 6 AND k % 24 = 18
+      |  UNION ALL SELECT k, 1, 'D Wu Alt', 8000 + k % 50 FROM w WHERE m = 9
+      |  UNION ALL SELECT k, 2, 'LegacyOk2', k*10 + 1 FROM w WHERE m = 9),
+      |lwa_name AS (SELECT k, lraw, auth FROM (
+      |  SELECT k, lower(trim(raw)) AS lraw, auth, row_number() OVER (
+      |    PARTITION BY k, lower(trim(raw)) ORDER BY seq) AS rn FROM leg)
+      |  WHERE rn = 1),
+      |lwa_parsed AS (SELECT k, pl, pf, auth FROM (
+      |  SELECT l.k, n.pl, n.pf, l.auth, row_number() OVER (
+      |    PARTITION BY l.k, n.pl, n.pf ORDER BY l.seq) AS rn
+      |  FROM leg l JOIN names n ON trim(l.raw) = n.raw
+      |  WHERE n.pl IS NOT NULL AND n.pl <> '') WHERE rn = 1),
+      |ins AS (SELECT k, m, a1,
+      |    CASE WHEN m = 1 THEN 'Ann Chen' ELSE 'Fay Glass' END AS raw
+      |  FROM adm WHERE m IN (1, 3)),
+      |adopt AS (
+      |  SELECT i.k, i.m, i.a1, i.raw,
+      |    coalesce(ln.auth,
+      |      CASE WHEN ln.auth IS NULL THEN lp.auth END) AS auth
+      |  FROM ins i
+      |  LEFT JOIN lwa_name ln
+      |    ON i.k = ln.k AND lower(trim(i.raw)) = ln.lraw
+      |  LEFT JOIN names sn ON trim(i.raw) = sn.raw
+      |  LEFT JOIN lwa_parsed lp
+      |    ON i.k = lp.k AND sn.pl = lp.pl AND sn.pf = lp.pf),
       |outp AS (
       |  SELECT k, 0 AS seq, k*10 AS auth,
       |    CASE WHEN m IN (0, 1, 8) THEN 'Bob Kim'
@@ -2158,12 +2223,9 @@ object EntityQueries {
       |    CASE WHEN m = 8 THEN '2024-01-01' ELSE '2024-02-01' END
       |  FROM adm
       |  UNION ALL
-      |  SELECT k, 3,
-      |    CASE WHEN m = 1 THEN 6000 + k % 50 ELSE 6500 + k % 50 END,
-      |    CASE WHEN m = 1 THEN 'Ann Chen' ELSE 'Fay Glass' END,
-      |    CAST(to_json([a1]) AS VARCHAR),
+      |  SELECT k, 3, auth, raw, CAST(to_json([a1]) AS VARCHAR),
       |    CAST((k + 3) % 2 = 0 AS INTEGER), '2024-06-01', '2024-02-01'
-      |  FROM adm WHERE m IN (1, 3)
+      |  FROM adopt
       |  UNION ALL
       |  SELECT k, 0, k*10, 'Ann Park', CAST(to_json([a1, a2]) AS VARCHAR),
       |    CAST(k % 3 = 0 AS INTEGER), '2023-10-01', '2023-12-01'
