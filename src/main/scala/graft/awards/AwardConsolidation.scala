@@ -1,0 +1,201 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The awards consolidation build (reference: notebooks/awards/
+  * CreateAwards.ipynb cells 2-3): collapse the multi-source raw awards
+  * landing into the single public awards table, plus the award-id
+  * alias table that lets external holders of a collapsed shell id
+  * resolve to the surviving award.
+  *
+  * Semantics ported line-for-line:
+  *  - per-id survivorship: HIGHER priority wins (flipped from
+  *    lower-wins, cell 3 `deduplicated_awards` — the reference's
+  *    oxjob #500 note), deterministic tie-break (funder_id ASC,
+  *    funder_award_id ASC) because minted ids `hash % 9e9` collide
+  *    across funders (cell 2 `keyed` rn comment);
+  *  - normalized-ID shell collapse (cell 3 `norm_keyed`..
+  *    `normalized_collapse`): a shell record (priority < 3) is dropped
+  *    when a direct-ingest award (priority >= 3) of the same funder
+  *    exists under the same generic key, or under the same sharp
+  *    per-funder translation key (FAMILY MERGE ON: ANY sharp twin
+  *    collapses the shell). Direct rows are never dropped. Weak-form
+  *    deposits (bare numbers at dense numeric registries) contribute
+  *    NO sharp key — `AwardKeys.isWeak` is the shared predicate;
+  *  - the alias table (cell 2): for every dropped-able shell, the
+  *    canonical id elected generic-first (`COALESCE(cg, cs)`); the
+  *    generic election prefers (has display_name, priority, lowest
+  *    id), the sharp election adds end_year DESC so families (e.g.
+  *    yearly registry records sharing one translated key) merge onto
+  *    the newest year's record;
+  *  - funded_outputs (cell 3 `work_award_ids`/`award_aggregates`):
+  *    works' award edges resolved THROUGH the alias table (works still
+  *    pointing at a collapsed shell aggregate onto the survivor),
+  *    sorted work URLs capped at 100, distinct count uncapped;
+  *  - future-date hygiene (cell 3 `cleaned_awards`): start_year >
+  *    currentYear+1 nulls BOTH year columns; in-range start leaves
+  *    end_year untouched.
+  *
+  * `award_norm_key`'s COALESCE(sharp, generic) fallback is preserved:
+  * the sharp key here is `coalesce(AwardKeys.sharpKey, genericKey)`.
+  *
+  * 100 TB posture: everything is keyed — one id-window for
+  * survivorship, (funder, key) windows/aggregations for the collapse,
+  * a keyed explode+agg for funded_outputs. The alias table is bounded
+  * by the shell population (order 100k rows in the reference's own
+  * measurement), so it broadcasts into the works-edge aggregation.
+  * The key grammars are row-local (see the AwardKeys codegen note).
+  *
+  * Deliberately not ported: cell 1's defensive empty-`award_topics`
+  * CTAS (Databricks catalog bootstrap — callers here pass the frame).
+  */
+object AwardConsolidation {
+
+  /** Generic normalization key (cell 2/3 `nk`): stripped-lower when >=4
+    * chars survive, else lowercased-trim so degenerate ids can't
+    * over-group. Identical to AwardKeys.genericKey modulo null-in. */
+  private def nk(awardId: Column): Column =
+    when(awardId.isNull, lit(null).cast("string"))
+      .otherwise(AwardKeys.genericKey(awardId))
+
+  /** `award_norm_key(funder, id, side)` with the weakness guard:
+    * deposited (priority < 3) weak bare numbers get NO key at all;
+    * otherwise sharp-with-generic-fallback. */
+  private def sk(funderId: Column, awardId: Column, priority: Column): Column =
+    when(priority < 3 && AwardKeys.isWeak(funderId, awardId),
+      lit(null).cast("string"))
+      .otherwise(coalesce(
+        AwardKeys.sharpKey(funderId, awardId, priority >= 3), nk(awardId)))
+
+  /** Per-id survivorship (cells 2/3): higher priority wins; the
+    * (funder_id, funder_award_id) tie-break keeps hash-collided ids
+    * deterministic run-to-run. */
+  def dedupById(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("priority").desc,
+      col("funder_id").asc, col("funder_award_id").asc_nulls_last)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def keyed(raw: DataFrame): DataFrame =
+    dedupById(raw)
+      .withColumn("nk", nk(col("funder_award_id")))
+      .withColumn("sk", sk(col("funder_id"), col("funder_award_id"),
+        col("priority")))
+
+  /** Cell 2: the award-id alias table — (old_id → canonical_id) for
+    * every shell whose normalized id has a direct-ingest canonical.
+    * @param raw the raw awards landing (id, display_name, funder_id,
+    *            funder_award_id, end_year, priority, ...) */
+  def idAliases(raw: DataFrame): DataFrame = {
+    val k = keyed(raw).select("id", "funder_id", "funder_award_id",
+      "priority", "display_name", "end_year", "nk", "sk")
+    val direct = k.filter(col("priority") >= 3)
+    val cg = direct.filter(col("nk").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("funder_id"), col("nk"))
+          .orderBy(col("display_name").isNotNull.desc, col("priority").desc,
+            col("id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("funder_id").as("__gf"), col("nk").as("__gnk"),
+        col("id").as("__gid"), col("funder_award_id").as("__gaid"))
+    val cs = direct.filter(col("sk").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("funder_id"), col("sk"))
+          .orderBy(col("display_name").isNotNull.desc, col("priority").desc,
+            col("end_year").desc_nulls_last, col("id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("funder_id").as("__sf"), col("sk").as("__snk"),
+        col("id").as("__sid"), col("funder_award_id").as("__said"))
+    k.filter(col("priority") < 3)
+      .join(cg, col("funder_id") === col("__gf") && col("nk") === col("__gnk"),
+        "left")
+      .join(cs, col("funder_id") === col("__sf") && col("sk") === col("__snk"),
+        "left")
+      .filter(coalesce(col("__gid"), col("__sid")).isNotNull &&
+        col("id") =!= coalesce(col("__gid"), col("__sid")))
+      .select(col("id").as("old_id"),
+        coalesce(col("__gid"), col("__sid")).as("canonical_id"),
+        col("funder_id"),
+        col("funder_award_id").as("old_funder_award_id"),
+        coalesce(col("__gaid"), col("__said"))
+          .as("canonical_funder_award_id"))
+  }
+
+  /** Cell 3 `work_award_ids` + `award_aggregates`: works' award edges
+    * (id + `awards` array of G-prefixed URL structs) resolved through
+    * the alias table, aggregated per surviving award. `aliases` is
+    * shell-bounded — broadcast. */
+  def fundedOutputs(works: DataFrame, aliases: DataFrame): DataFrame = {
+    val edges = works
+      .filter(col("awards").isNotNull && size(col("awards")) > 0)
+      .select(col("id").as("work_id"), explode(col("awards")).as("award"))
+      .select(col("work_id"),
+        regexp_replace(col("award.id"), "https://openalex\\.org/G", "")
+          .cast("long").as("award_id"))
+    edges
+      .join(broadcast(aliases.select(col("old_id"),
+        col("canonical_id").as("__can"))),
+        col("award_id") === col("old_id"), "left")
+      .groupBy(coalesce(col("__can"), col("award_id")).as("award_id"))
+      .agg(
+        transform(sort_array(collect_set(col("work_id"))),
+          w => concat(lit("https://openalex.org/W"), w))
+          .as("funded_outputs"),
+        countDistinct(col("work_id")).as("funded_outputs_count"))
+  }
+
+  /** Cell 3: the full consolidation. `awardTopics` carries
+    * (award_id, topics); `currentYear` parameterizes the future-date
+    * rule (the reference reads YEAR(current_date())).
+    * @param raw (id, display_name, funder_id, funder_award_id,
+    *             start_year, end_year, priority, + payload columns) */
+  def consolidate(raw: DataFrame, works: DataFrame, awardTopics: DataFrame,
+      currentYear: Int): DataFrame = {
+    val aliases = idAliases(raw)
+    val normKeyed = keyed(raw)
+    val sharpRegCounts = normKeyed
+      .filter(col("priority") >= 3 && col("sk").isNotNull)
+      .groupBy(col("funder_id").as("__cf"), col("sk").as("__csk"))
+      .agg(countDistinct(col("id")).as("__n_reg"))
+    val twinW = Window.partitionBy(col("funder_id"), col("nk"))
+    val collapsed = normKeyed
+      .withColumn("__has_direct_twin",
+        when(col("nk").isNotNull,
+          max(when(col("priority") >= 3, 1).otherwise(0)).over(twinW))
+          .otherwise(lit(0)))
+      .join(sharpRegCounts,
+        col("funder_id") === col("__cf") && col("sk") === col("__csk"),
+        "left")
+      // keep when: direct row, OR no generic twin AND no sharp twin
+      // (FAMILY MERGE ON: shells with ANY direct twin collapse)
+      .filter(col("priority") >= 3 ||
+        (coalesce(col("__has_direct_twin"), lit(0)) === 0 &&
+          coalesce(col("__n_reg"), lit(0L)) === 0L))
+      .drop("priority", "nk", "sk", "__has_direct_twin", "__cf", "__csk",
+        "__n_reg")
+    val futureStart = col("start_year") > currentYear + 1
+    val cleaned = collapsed
+      .withColumn("__sy", when(futureStart, lit(null)).otherwise(col("start_year")))
+      .withColumn("__ey", when(futureStart, lit(null)).otherwise(col("end_year")))
+      .drop("start_year", "end_year")
+      .withColumnRenamed("__sy", "start_year")
+      .withColumnRenamed("__ey", "end_year")
+    val agg = fundedOutputs(works, aliases)
+      .select(col("award_id").as("__aid"), col("funded_outputs").as("__fo"),
+        col("funded_outputs_count").as("__foc"))
+    val topics = awardTopics
+      .select(col("award_id").as("__tid"), col("topics").as("__topics"))
+    cleaned
+      .join(agg, col("id") === col("__aid"), "left")
+      .join(topics, col("id") === col("__tid"), "left")
+      .withColumn("funded_outputs",
+        slice(coalesce(col("__fo"), array().cast("array<string>")), 1, 100))
+      .withColumn("funded_outputs_count", coalesce(col("__foc"), lit(0L)))
+      .withColumn("topics", col("__topics"))
+      .withColumn("primary_topic", try_element_at(col("__topics"), lit(1)))
+      .drop("__aid", "__fo", "__foc", "__tid", "__topics")
+  }
+}

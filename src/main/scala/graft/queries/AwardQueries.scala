@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.awards.AwardKeys
+import graft.awards.{AwardConsolidation, AwardKeys}
 import graft.core.Tables
 
 /** Oracle-gated queries over the awards core pipeline (AwardNormKey
@@ -494,12 +494,113 @@ object AwardQueries {
         col("funder_award_id").as("award_id")))
   }
 
+  // ---- q108/q109: the CreateAwards consolidation build ----
+  // Three funders exercise every collapse mechanism: FA (MOST/NSC
+  // prefix-strip grammar — sharp family merges), FB (bare-number
+  // registry — the weak-evidence guard), FC (unconfigured — the
+  // norm-key COALESCE falls back to the generic key).
+  private val FA = 4320322795L
+  private val FB = 4320320924L
+  private val FC = 4300000001L
+
+  /** The raw awards landing synthesized from `orders` (k <= 2500):
+    * direct registry rows, renamed family twins, shells in every
+    * spelling class, hash-collided ids, and a future-dated arm. */
+  private def rawAwards(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def row(id: Column, dn: Column, fid: Long, aid: Column, sy: Column,
+        ey: Column, p: Int, prov: String)(src: DataFrame) =
+      src.select(id.cast("long").as("id"), dn.as("display_name"),
+        lit(fid).as("funder_id"), aid.as("funder_award_id"),
+        sy.cast("int").as("start_year"), ey.cast("int").as("end_year"),
+        lit(p).as("priority"), lit(prov).as("provenance"))
+    val nstr = lit(null).cast("string"); val nint = lit(null).cast("int")
+    val parts = Seq(
+      row(k, when(pmod(k, lit(7)) =!= 0, concat(lit("MOST Award "), ks)), FA,
+        concat(lit("MOST 109-2221-E-"), ks), lit(2005), lit(2000) + pmod(k, lit(20)),
+        3, "funder_registry")(o),
+      row(k + 100000, concat(lit("NSC Award "), ks), FA,
+        concat(lit("NSC 109-2221-E-"), ks), lit(2005), lit(2030),
+        3, "funder_registry")(o.filter(pmod(k, lit(5)) === 0)),
+      row(k + 200000, nstr, FA, concat(lit("most 109 2221 e "), ks),
+        nint, nint, 1, "crossref_work_funders")(o),
+      row(k + 300000, nstr, FA, concat(lit("NSC109-2221-E-"), ks),
+        nint, nint, 2, "datacite_work_funders")(o.filter(pmod(k, lit(3)) === 0)),
+      row(k + 400000, concat(lit("B Award "), ks), FB, lpad(ks, 6, "0"),
+        lit(2010), nint, 4, "funder_registry")(o),
+      row(k + 500000, nstr, FB, concat(lit("00"), lpad(ks, 4, "0")),
+        nint, nint, 2, "crossref_work_funders")(o.filter(pmod(k, lit(2)) === 0)),
+      row(k + 600000, nstr, FB, lpad(ks, 5, "0"),
+        nint, nint, 1, "europepmc_work_funders")(o.filter(pmod(k, lit(4)) === 0)),
+      row(k + 700000, nstr, FB, concat(lit("Grant no. "), ks),
+        nint, nint, 0, "crossref_work")(o.filter(pmod(k, lit(6)) === 0)),
+      row(k + 800000, concat(lit("FC Award "), ks), FC, concat(lit("FC-AW-"), ks),
+        when(pmod(k, lit(9)) === 0, 2100).otherwise(2015), lit(2010) + pmod(k, lit(5)),
+        3, "funder_registry")(o),
+      row(k + 900000, concat(lit("FC Twin "), ks), FC, concat(lit("FCAW"), ks),
+        lit(2015), lit(2025), 3, "funder_registry")(o.filter(pmod(k, lit(4)) === 0)),
+      row(k + 1000000, nstr, FC, concat(lit("fc aw "), ks),
+        nint, nint, 2, "crossref_work_funders")(o.filter(pmod(k, lit(2)) === 1)),
+      row(k + 1100000, concat(lit("Dup Lo "), ks), FC, concat(lit("DUP-"), ks),
+        lit(2016), nint, 2, "crossref_work_funders")(o),
+      row(k + 1100000, concat(lit("Dup Hi "), ks), FC, concat(lit("DUPHI-"), ks),
+        lit(2017), nint, 27, "cordis")(o),
+      row(k + 1200000, concat(lit("Tie A "), ks), FC, concat(lit("TIE-A-"), ks),
+        lit(2018), nint, 2, "crossref_work_funders")(o.filter(pmod(k, lit(11)) === 0)),
+      row(k + 1200000, concat(lit("Tie B "), ks), FC, concat(lit("TIE-B-"), ks),
+        lit(2018), nint, 2, "crossref_work_funders")(o.filter(pmod(k, lit(11)) === 0)),
+      row(lit(1500000L), lit("Hub Award"), FC, lit("HUB-1"),
+        lit(2015), lit(2020), 3, "funder_registry")(s.range(1).toDF()))
+    // Materialize: the 51-grammar key chain over this 16-arm synthesis
+    // would top the 64KB codegen method limit (q68 lesson); production
+    // feeds the keys from a table scan, which the boundary restores.
+    graft.core.Materialize.temp(parts.reduce(_ unionByName _),
+      "graft-q108-raw")._1
+  }
+
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    AwardConsolidation.idAliases(rawAwards(s, dir))
+
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def g(id: Column) = concat(lit("https://openalex.org/G"), id.cast("string"))
+    val w1 = o.select(k.cast("long").as("id"),
+      when(pmod(k, lit(71)) === 0, lit(null).cast("array<struct<id:string>>"))
+        .when(pmod(k, lit(73)) === 0, array().cast("array<struct<id:string>>"))
+        .otherwise(array(struct(g(k + 200000).as("id")),
+          struct(g(k).as("id")))).as("awards"))
+    val w2 = o.filter(pmod(k, lit(2)) === 0).select((k + 5000).cast("long").as("id"),
+      array(struct(g(k).as("id"))).as("awards"))
+    val w3 = o.filter(pmod(k, lit(3)) === 0).select((k + 10000).cast("long").as("id"),
+      array(struct(g(lit(1500000)).as("id")),
+        struct(g(k + 1000000).as("id"))).as("awards"))
+    val works = w1.unionByName(w2).unionByName(w3)
+    val topics = o.filter(pmod(k, lit(2)) === 0).select(k.cast("long").as("award_id"),
+      array(struct(concat(lit("T"), pmod(k, lit(25)).cast("string")).as("id"),
+          lit(0.5).as("score")),
+        struct(lit("T2").as("id"), lit(0.25).as("score"))).as("topics"))
+    val out = AwardConsolidation.consolidate(rawAwards(s, dir), works, topics,
+      currentYear = 2026)
+    out.select(col("id"), col("display_name"), col("funder_id"),
+      col("funder_award_id"), col("provenance"), col("start_year"),
+      col("end_year"), col("funded_outputs_count"),
+      to_json(col("funded_outputs")).as("fo_json"),
+      col("primary_topic").getField("id").as("pt_id"),
+      col("primary_topic").getField("score").as("pt_score"),
+      when(col("topics").isNull, 0).otherwise(size(col("topics")))
+        .as("n_topics"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_awards_api_institutions" -> (q87 _),
     "q68_award_norm_keys" -> (q68 _),
     "q69_work_awards_merge" -> (q69 _),
     "q101_datacite_work_funders" -> (q101 _),
-    "q102_pdf_award_tagging" -> (q102 _))
+    "q102_pdf_award_tagging" -> (q102 _),
+    "q108_award_id_aliases" -> (q108 _),
+    "q109_awards_consolidation" -> (q109 _))
 
   private val q101Oracle: String =
     """WITH res AS (SELECT c_custkey AS f,
@@ -592,7 +693,155 @@ object AwardQueries {
       |  aid
       |FROM aout""".stripMargin
 
+  /** Shared q108/q109 recomputation prelude: the raw-awards fixture,
+    * id survivorship, norm keys (generic + sharp-with-fallback + the
+    * weak guard), canonical elections, and the alias table — the
+    * CreateAwards cells transcribed into DuckDB SQL (the two
+    * configured funders use RE2-safe grammars, q69 convention). */
+  private val consolidationPrelude: String =
+    """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2500),
+      |raw AS (
+      |  SELECT CAST(k AS BIGINT) AS id,
+      |    CASE WHEN k % 7 <> 0 THEN 'MOST Award ' || CAST(k AS VARCHAR) END AS dn,
+      |    CAST(4320322795 AS BIGINT) AS fid,
+      |    'MOST 109-2221-E-' || CAST(k AS VARCHAR) AS aid,
+      |    CAST(2005 AS INTEGER) AS sy, CAST(2000 + k % 20 AS INTEGER) AS ey,
+      |    CAST(3 AS INTEGER) AS p, 'funder_registry' AS prov FROM o
+      |  UNION ALL SELECT k + 100000, 'NSC Award ' || CAST(k AS VARCHAR), 4320322795,
+      |    'NSC 109-2221-E-' || CAST(k AS VARCHAR), 2005, 2030, 3, 'funder_registry'
+      |    FROM o WHERE k % 5 = 0
+      |  UNION ALL SELECT k + 200000, NULL, 4320322795,
+      |    'most 109 2221 e ' || CAST(k AS VARCHAR), NULL, NULL, 1,
+      |    'crossref_work_funders' FROM o
+      |  UNION ALL SELECT k + 300000, NULL, 4320322795,
+      |    'NSC109-2221-E-' || CAST(k AS VARCHAR), NULL, NULL, 2,
+      |    'datacite_work_funders' FROM o WHERE k % 3 = 0
+      |  UNION ALL SELECT k + 400000, 'B Award ' || CAST(k AS VARCHAR), 4320320924,
+      |    lpad(CAST(k AS VARCHAR), 6, '0'), 2010, NULL, 4, 'funder_registry' FROM o
+      |  UNION ALL SELECT k + 500000, NULL, 4320320924,
+      |    '00' || lpad(CAST(k AS VARCHAR), 4, '0'), NULL, NULL, 2,
+      |    'crossref_work_funders' FROM o WHERE k % 2 = 0
+      |  UNION ALL SELECT k + 600000, NULL, 4320320924,
+      |    lpad(CAST(k AS VARCHAR), 5, '0'), NULL, NULL, 1,
+      |    'europepmc_work_funders' FROM o WHERE k % 4 = 0
+      |  UNION ALL SELECT k + 700000, NULL, 4320320924,
+      |    'Grant no. ' || CAST(k AS VARCHAR), NULL, NULL, 0,
+      |    'crossref_work' FROM o WHERE k % 6 = 0
+      |  UNION ALL SELECT k + 800000, 'FC Award ' || CAST(k AS VARCHAR), 4300000001,
+      |    'FC-AW-' || CAST(k AS VARCHAR),
+      |    CASE WHEN k % 9 = 0 THEN 2100 ELSE 2015 END,
+      |    2010 + k % 5, 3, 'funder_registry' FROM o
+      |  UNION ALL SELECT k + 900000, 'FC Twin ' || CAST(k AS VARCHAR), 4300000001,
+      |    'FCAW' || CAST(k AS VARCHAR), 2015, 2025, 3, 'funder_registry'
+      |    FROM o WHERE k % 4 = 0
+      |  UNION ALL SELECT k + 1000000, NULL, 4300000001,
+      |    'fc aw ' || CAST(k AS VARCHAR), NULL, NULL, 2,
+      |    'crossref_work_funders' FROM o WHERE k % 2 = 1
+      |  UNION ALL SELECT k + 1100000, 'Dup Lo ' || CAST(k AS VARCHAR), 4300000001,
+      |    'DUP-' || CAST(k AS VARCHAR), 2016, NULL, 2, 'crossref_work_funders' FROM o
+      |  UNION ALL SELECT k + 1100000, 'Dup Hi ' || CAST(k AS VARCHAR), 4300000001,
+      |    'DUPHI-' || CAST(k AS VARCHAR), 2017, NULL, 27, 'cordis' FROM o
+      |  UNION ALL SELECT k + 1200000, 'Tie A ' || CAST(k AS VARCHAR), 4300000001,
+      |    'TIE-A-' || CAST(k AS VARCHAR), 2018, NULL, 2, 'crossref_work_funders'
+      |    FROM o WHERE k % 11 = 0
+      |  UNION ALL SELECT k + 1200000, 'Tie B ' || CAST(k AS VARCHAR), 4300000001,
+      |    'TIE-B-' || CAST(k AS VARCHAR), 2018, NULL, 2, 'crossref_work_funders'
+      |    FROM o WHERE k % 11 = 0
+      |  UNION ALL SELECT 1500000, 'Hub Award', 4300000001, 'HUB-1', 2015, 2020, 3,
+      |    'funder_registry'),
+      |dedup AS (SELECT * FROM raw
+      |  QUALIFY row_number() OVER (PARTITION BY id
+      |    ORDER BY p DESC, fid ASC, aid ASC) = 1),
+      |keyed AS (SELECT *,
+      |  CASE WHEN aid IS NULL THEN NULL
+      |       WHEN length(regexp_replace(lower(aid), '[^a-z0-9]', '', 'g')) >= 4
+      |         THEN regexp_replace(lower(aid), '[^a-z0-9]', '', 'g')
+      |       ELSE lower(trim(aid)) END AS nk,
+      |  CASE WHEN p < 3 AND fid = 4320320924
+      |         AND upper(trim(aid)) SIMILAR TO '[0-9]{4,6}' THEN NULL
+      |    ELSE coalesce(
+      |      CASE WHEN fid = 4320322795 THEN
+      |        nullif(regexp_replace(regexp_replace(upper(trim(aid)),
+      |          '^(MOST|NSC|NSTC)[ -]*', ''), '[ -]', '', 'g'), '')
+      |      WHEN fid = 4320320924 AND p >= 3 THEN
+      |        CAST(CAST(nullif(regexp_extract(upper(trim(aid)),
+      |          '^([0-9]{1,6})$', 1), '') AS BIGINT) AS VARCHAR)
+      |      WHEN fid = 4320320924 THEN
+      |        CASE WHEN upper(trim(aid)) SIMILAR TO '[0-9]{12}'
+      |          THEN CAST(CAST(substr(upper(trim(aid)), 7, 6) AS BIGINT) AS VARCHAR)
+      |          ELSE CAST(CAST(nullif(regexp_extract(upper(trim(aid)),
+      |            '([0-9]{5,6})$', 1), '') AS BIGINT) AS VARCHAR) END
+      |      END,
+      |      CASE WHEN aid IS NULL THEN NULL
+      |           WHEN length(regexp_replace(lower(aid), '[^a-z0-9]', '', 'g')) >= 4
+      |             THEN regexp_replace(lower(aid), '[^a-z0-9]', '', 'g')
+      |           ELSE lower(trim(aid)) END) END AS sk
+      |  FROM dedup),
+      |cg AS (SELECT fid, nk, id AS cid, aid AS caid FROM keyed
+      |  WHERE p >= 3 AND nk IS NOT NULL
+      |  QUALIFY row_number() OVER (PARTITION BY fid, nk
+      |    ORDER BY (dn IS NOT NULL) DESC, p DESC, id ASC) = 1),
+      |cs AS (SELECT fid, sk, id AS cid, aid AS caid FROM keyed
+      |  WHERE p >= 3 AND sk IS NOT NULL
+      |  QUALIFY row_number() OVER (PARTITION BY fid, sk
+      |    ORDER BY (dn IS NOT NULL) DESC, p DESC, ey DESC NULLS LAST, id ASC) = 1),
+      |al AS (SELECT kk.id AS old_id, coalesce(g.cid, s.cid) AS canonical_id,
+      |    kk.fid AS funder_id, kk.aid AS old_funder_award_id,
+      |    coalesce(g.caid, s.caid) AS canonical_funder_award_id
+      |  FROM keyed kk
+      |  LEFT JOIN cg g ON kk.fid = g.fid AND kk.nk = g.nk
+      |  LEFT JOIN cs s ON kk.fid = s.fid AND kk.sk = s.sk
+      |  WHERE kk.p < 3 AND coalesce(g.cid, s.cid) IS NOT NULL
+      |    AND kk.id <> coalesce(g.cid, s.cid))""".stripMargin
+
+  private val q108Oracle: String = consolidationPrelude +
+    "\nSELECT old_id, canonical_id, funder_id, old_funder_award_id,\n" +
+    "  canonical_funder_award_id FROM al"
+
+  private val q109Oracle: String = consolidationPrelude + """,
+      |counts AS (SELECT fid, sk, count(DISTINCT id) AS n_reg FROM keyed
+      |  WHERE p >= 3 AND sk IS NOT NULL GROUP BY fid, sk),
+      |coll AS (SELECT kk.*,
+      |    CASE WHEN kk.nk IS NOT NULL THEN
+      |      max(CASE WHEN kk.p >= 3 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY kk.fid, kk.nk) ELSE 0 END AS twin,
+      |    c.n_reg
+      |  FROM keyed kk LEFT JOIN counts c ON kk.fid = c.fid AND kk.sk = c.sk),
+      |kept AS (SELECT id, dn, fid, aid, prov,
+      |    CASE WHEN sy > 2027 THEN NULL ELSE sy END AS start_year,
+      |    CASE WHEN sy > 2027 THEN NULL ELSE ey END AS end_year
+      |  FROM coll
+      |  WHERE p >= 3 OR (coalesce(twin, 0) = 0 AND coalesce(n_reg, 0) = 0)),
+      |edges AS (
+      |  SELECT k AS wid, k + 200000 AS aw FROM o WHERE k % 71 <> 0 AND k % 73 <> 0
+      |  UNION ALL SELECT k, k FROM o WHERE k % 71 <> 0 AND k % 73 <> 0
+      |  UNION ALL SELECT k + 5000, k FROM o WHERE k % 2 = 0
+      |  UNION ALL SELECT k + 10000, 1500000 FROM o WHERE k % 3 = 0
+      |  UNION ALL SELECT k + 10000, k + 1000000 FROM o WHERE k % 3 = 0),
+      |resolved AS (SELECT e.wid, coalesce(a.canonical_id, e.aw) AS award_id
+      |  FROM edges e LEFT JOIN al a ON e.aw = a.old_id),
+      |agg AS (SELECT award_id,
+      |    list_transform(list_sort(list(DISTINCT wid)),
+      |      w -> 'https://openalex.org/W' || CAST(w AS VARCHAR)) AS fo,
+      |    count(DISTINCT wid) AS foc
+      |  FROM resolved GROUP BY award_id),
+      |tp AS (SELECT k AS award_id, 'T' || CAST(k % 25 AS VARCHAR) AS pt_id,
+      |    CAST(0.5 AS DOUBLE) AS pt_score, 2 AS n_topics
+      |  FROM o WHERE k % 2 = 0)
+      |SELECT kt.id, kt.dn AS display_name, kt.fid AS funder_id,
+      |  kt.aid AS funder_award_id, kt.prov AS provenance,
+      |  kt.start_year, kt.end_year,
+      |  coalesce(g2.foc, 0) AS funded_outputs_count,
+      |  to_json(list_slice(coalesce(g2.fo, CAST([] AS VARCHAR[])), 1, 100))
+      |    AS fo_json,
+      |  tp.pt_id, tp.pt_score, coalesce(tp.n_topics, 0) AS n_topics
+      |FROM kept kt
+      |LEFT JOIN agg g2 ON kt.id = g2.award_id
+      |LEFT JOIN tp ON kt.id = tp.award_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q108_award_id_aliases" -> q108Oracle,
+    "q109_awards_consolidation" -> q109Oracle,
     "q101_datacite_work_funders" -> q101Oracle,
     "q102_pdf_award_tagging" -> q102Oracle,
     "q87_awards_api_institutions" ->

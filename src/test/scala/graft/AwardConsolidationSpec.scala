@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.awards.AwardConsolidation
+
+/** Pins the CreateAwards consolidation mechanisms (CreateAwards.ipynb
+  * cells 2-3) on a hand fixture: higher-priority id survivorship with
+  * the deterministic tie-break, generic + sharp shell collapse, the
+  * weak-evidence guard, the generic-before-sharp canonical precedence,
+  * the newest-year family election, alias-resolved funded_outputs with
+  * the 100-cap, and future-date hygiene. */
+class AwardConsolidationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val FA = 4320322795L // MOST/NSC prefix-strip grammar
+  private val FB = 4320320924L // bare-number registry; weak deposits
+
+  // (id, display_name, funder_id, funder_award_id, start_year,
+  //  end_year, priority, provenance)
+  private def raw = Seq(
+    // family: two direct registry records sharing the sharp key
+    (1L, Some("MOST Award"), FA, "MOST 109-2221-E-002", Some(2005), Some(2012), 3, "funder_registry"),
+    (2L, Some("NSC Award"), FA, "NSC 109-2221-E-002", Some(2005), Some(2030), 3, "funder_registry"),
+    // shell matching record 1 generically (same stripped spelling)
+    (10L, None, FA, "most 109 2221 e 002", None, None, 1, "crossref_work_funders"),
+    // shell matching the family only via the sharp key (its generic
+    // key 'nstc1092221e002' has no direct twin)
+    (11L, None, FA, "NSTC 109-2221-E-002", None, None, 2, "datacite_work_funders"),
+    // weak bare-number shell: semantically record 20, but NO sharp key
+    (20L, Some("B Award"), FB, "000123", Some(2010), None, 4, "funder_registry"),
+    (21L, None, FB, "00123", None, None, 1, "europepmc_work_funders"),
+    // id collision: higher priority wins; tie broken by award id ASC
+    (30L, Some("Lo"), FB, "X-1", Some(2016), None, 2, "crossref_work_funders"),
+    (30L, Some("Hi"), FB, "X-2", Some(2017), None, 27, "cordis"),
+    (31L, Some("Tie B"), FB, "TIE-B", Some(2018), None, 2, "crossref_work_funders"),
+    (31L, Some("Tie A"), FB, "TIE-A", Some(2018), None, 2, "crossref_work_funders"),
+    // future-dated start_year nulls both year columns
+    (40L, Some("Future"), FB, "FUT-1", Some(2100), Some(2101), 3, "funder_registry")
+  ).toDF("id", "display_name", "funder_id", "funder_award_id",
+    "start_year", "end_year", "priority", "provenance")
+
+  private lazy val aliases =
+    AwardConsolidation.idAliases(raw).orderBy("old_id")
+      .select("old_id", "canonical_id").as[(Long, Long)].collect().toSeq
+
+  test("generic collapse resolves before the sharp election") {
+    // shell 10 shares record 1's generic key; the sharp family election
+    // would pick record 2 (newest end_year) — generic-first wins
+    assert(aliases.contains((10L, 1L)))
+  }
+
+  test("sharp-only shells merge onto the newest year of the family") {
+    // shell 11's generic key 'nstc1092221e002' has no direct twin; the
+    // sharp key '1092221E002' elects record 2 (end_year 2030 > 2012)
+    assert(aliases.contains((11L, 2L)))
+  }
+
+  test("weak bare-number deposits contribute no sharp key") {
+    // shell 21 would sharp-match record 20 ('123') if not weak-guarded
+    assert(!aliases.exists(_._1 == 21L))
+  }
+
+  test("consolidation keeps directs, drops twinned shells, cleans dates") {
+    val works = Seq(
+      (100L, Seq("https://openalex.org/G10", "https://openalex.org/G1")),
+      (101L, Seq("https://openalex.org/G1"))
+    ).toDF("id", "aw")
+      .select(col("id"), transform(col("aw"),
+        u => struct(u.as("id"))).as("awards"))
+    val topics = Seq((1L, Seq(("T7", 0.5)))).toDF("award_id", "t")
+      .select(col("award_id"), transform(col("t"),
+        x => struct(x.getField("_1").as("id"), x.getField("_2").as("score")))
+        .as("topics"))
+    val out = AwardConsolidation.consolidate(raw, works, topics, 2026)
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId.keySet === Set(1L, 2L, 20L, 21L, 30L, 31L, 40L))
+    // id-collision survivors: priority then award-id tie-break
+    assert(byId(30L).getAs[String]("funder_award_id") === "X-2")
+    assert(byId(31L).getAs[String]("funder_award_id") === "TIE-A")
+    // alias-resolved funded outputs: shell edge G10 lands on award 1,
+    // work 100 counted once despite its two edges
+    assert(byId(1L).getAs[scala.collection.Seq[String]]("funded_outputs") ===
+      Seq("https://openalex.org/W100", "https://openalex.org/W101"))
+    assert(byId(1L).getAs[Long]("funded_outputs_count") === 2L)
+    assert(byId(2L).getAs[Long]("funded_outputs_count") === 0L)
+    // topics join + primary_topic = first element
+    assert(byId(1L).getAs[org.apache.spark.sql.Row]("primary_topic")
+      .getAs[String]("id") === "T7")
+    // future-dated start nulls BOTH years; in-range rows keep end_year
+    assert(byId(40L).isNullAt(byId(40L).fieldIndex("start_year")))
+    assert(byId(40L).isNullAt(byId(40L).fieldIndex("end_year")))
+    assert(byId(2L).getAs[Int]("end_year") === 2030)
+  }
+
+  test("funded_outputs caps at 100 sorted URLs, count stays exact") {
+    val works = spark.range(1, 151).select(col("id"),
+      array(struct(lit("https://openalex.org/G1").as("id"))).as("awards"))
+    val out = AwardConsolidation.fundedOutputs(works,
+      AwardConsolidation.idAliases(raw))
+      .collect().head
+    val fo = out.getAs[scala.collection.Seq[String]]("funded_outputs")
+    assert(fo.size === 150) // uncapped here; consolidate applies the cap
+    assert(out.getAs[Long]("funded_outputs_count") === 150L)
+    val capped = AwardConsolidation.consolidate(raw, works,
+      spark.emptyDataFrame.select(lit(1L).as("award_id"),
+        lit(null).cast("array<struct<id:string,score:double>>").as("topics"))
+        .limit(0), 2026)
+      .filter(col("id") === 1L).collect().head
+    assert(capped.getAs[scala.collection.Seq[String]]("funded_outputs").size === 100)
+    assert(capped.getAs[Long]("funded_outputs_count") === 150L)
+  }
+}
