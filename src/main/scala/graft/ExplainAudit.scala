@@ -143,6 +143,26 @@ object ExplainAudit {
     check(!p77.contains("CartesianProduct"),
       "q77 has no cartesian product")
 
+    val p109 = plan("q109_awards_consolidation")
+    check(p109.contains("BroadcastHashJoin"),
+      "q109 broadcasts the shell-bounded alias table into the " +
+        "works-edge aggregation")
+    check(!p109.contains("CartesianProduct"),
+      "q109 has no cartesian product")
+
+    val p110 = plan("q110_funder_ingest_patterns")
+    check("""\(\d+\) Exchange hashpartitioning""".r
+        .findAllMatchIn(p110).isEmpty,
+      "q110 per-funder transforms are pure projections — zero shuffles " +
+        "(the only join is the broadcast 1-row funder registry)")
+    check(!p110.contains("CartesianProduct"),
+      "q110 has no cartesian product")
+
+    val p111 = plan("q111_funder_landing_reports")
+    check(p111.contains("partial_count"),
+      "q111 slice reports aggregate map-side-partial per " +
+        "(provenance, priority) — one keyed pass, no global agg")
+
     val p36 = plan("q36_dedup_jaccard_rare_shingle")
     check(!p36.contains("Window"),
       "q36 df-computation is hash aggregation, not a per-shingle window sort")

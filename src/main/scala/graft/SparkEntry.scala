@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AwardQueries, DomainQueries, EntityQueries, IngestQueries, PipelineQueries, RelationalQueries, SnapshotQueries, TextQueries, TopicApiQueries, VectorQueries, WorksQueries}
+import graft.queries.{AwardQueries, DomainQueries, EntityQueries, FunderIngestQueries, IngestQueries, PipelineQueries, RelationalQueries, SnapshotQueries, TextQueries, TopicApiQueries, VectorQueries, WorksQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
       TextQueries.queries ++ VectorQueries.queries ++ WorksQueries.queries ++
       IngestQueries.queries ++ EntityQueries.queries ++ AwardQueries.queries ++
       PipelineQueries.queries ++ TopicApiQueries.queries ++
-      SnapshotQueries.queries
+      SnapshotQueries.queries ++ FunderIngestQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DomainQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++ WorksQueries.oracle ++
       IngestQueries.oracle ++ EntityQueries.oracle ++ AwardQueries.oracle ++
       PipelineQueries.oracle ++ TopicApiQueries.oracle ++
-      SnapshotQueries.oracle
+      SnapshotQueries.oracle ++ FunderIngestQueries.oracle
 }

@@ -1,0 +1,344 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The per-funder award ingest pattern (reference: the ~100
+  * `notebooks/awards/Create<Funder>Awards.ipynb` one-offs — every one
+  * is the SAME transform with per-funder field mappings; studied
+  * against the three pattern representatives: `CreateACFAwards.ipynb`
+  * cell 10 (USAspending federal grants), `CreateANRAwards.ipynb`
+  * cell 7 (open-data grants with a scheme→type cascade and a PI
+  * struct), `CreateAbelPrizeAwards.ipynb` cell 11 (the prize pattern:
+  * year-boundary amount × laureate portion)).
+  *
+  * The durable shape, declarative here as [[FunderIngestConfig]]:
+  *  - fail-fast funder resolution (Step 1.6: the `CROSS JOIN ...
+  *    WHERE funder_id = N` silently emits zero rows if the registry
+  *    row is missing — assert presence BEFORE transforming);
+  *  - id mint `abs(xxhash64(funder_id || ':' || key)) % 9e9`
+  *    (injectable, the repo's xxhash64-vs-oracle convention) — the
+  *    same mint feeds `works_api_url`;
+  *  - the funder struct from the registry row; per-funder
+  *    display_name/description/amount/currency/type/scheme/date
+  *    mappings; null investigator slots unless the source publishes
+  *    PI info;
+  *  - delete-insert landing at the funder's (provenance, priority)
+  *    slice ([[WorkFunders.insertAwardsToRaw]]);
+  *  - the §6.3 completeness and §6.7 amount/currency fail-fast
+  *    verification reports (post-PR-80 canonical queries).
+  *
+  * 100 TB posture: the transform is a single narrow projection over
+  * the raw landing with one broadcast 1-row cross join; the landing
+  * slice replace is a partition-prunable anti-filter + union. The
+  * registry lookup reads 2 rows driver-side (a bounded keyed lookup,
+  * same class as the IdMinter max-id).
+  */
+final case class FunderIngestConfig(
+    funderId: Long,
+    provenance: String,
+    priority: Int,
+    /** The hash-key suffix: `abs(xxhash64(funder_id || ':' || mintKey))`.
+      * USAspending/ANR pass `lower(raw_id)`; Abel `'abel:' || slug`. */
+    mintKey: Column,
+    funderAwardId: Column,
+    displayName: Column,
+    description: Column,
+    amount: Column,
+    currency: Column,
+    fundingType: Column,
+    funderScheme: Column,
+    startDate: Column,
+    endDate: Column,
+    startYear: Column,
+    endYear: Column,
+    leadInvestigator: Column,
+    landingPageUrl: Column,
+    doi: Column,
+    /** Step-2 WHERE: rows without a usable source award id are dropped. */
+    rowFilter: Column)
+
+object FunderIngest {
+
+  /** The shared investigator slot type (identical across all three
+    * pattern notebooks). */
+  val InvestigatorType: String =
+    "struct<given_name:string,family_name:string,orcid:string," +
+      "role_start:date,affiliation:struct<name:string,country:string," +
+      "ids:array<struct<id:string,type:string,asserted_by:string>>>>"
+
+  def nullInvestigator: Column = lit(null).cast(InvestigatorType)
+
+  private def defaultMint(c: Column): Column =
+    pmod(abs(xxhash64(c)), lit(9000000000L))
+
+  /** Step 1.6 fail-fast: the funder row must exist (exactly once) in
+    * the registry BEFORE the transform — otherwise the broadcast cross
+    * join silently emits zero rows and the landing looks successful.
+    * Bounded: reads at most 2 rows of a keyed registry lookup. */
+  def requireFunder(funders: DataFrame, funderId: Long): DataFrame = {
+    val f = funders.filter(col("funder_id") === funderId)
+      .select("funder_id", "display_name", "ror_id", "doi")
+    val n = f.limit(2).count()
+    require(n == 1L,
+      s"funder $funderId: expected exactly 1 registry row, found $n — " +
+        "STOP, the funder is missing from (or duplicated in) the registry")
+    f
+  }
+
+  /** The Step-2 transform (cell 10/7/11's `awards_transformed`). */
+  def transform(raw: DataFrame, funders: DataFrame, cfg: FunderIngestConfig,
+      nowTs: Column, mintId: Column => Column = defaultMint): DataFrame = {
+    val f = requireFunder(funders, cfg.funderId)
+      .select(col("funder_id").as("__fid"), col("display_name").as("__fdn"),
+        col("ror_id").as("__fror"), col("doi").as("__fdoi"))
+    val mint = mintId(concat(col("__fid").cast("string"), lit(":"),
+      cfg.mintKey))
+    raw.filter(cfg.rowFilter)
+      .crossJoin(broadcast(f))
+      .select(
+        mint.as("id"),
+        cfg.displayName.as("display_name"),
+        cfg.description.as("description"),
+        col("__fid").as("funder_id"),
+        cfg.funderAwardId.as("funder_award_id"),
+        cfg.amount.as("amount"),
+        cfg.currency.as("currency"),
+        struct(
+          concat(lit("https://openalex.org/F"), col("__fid").cast("string"))
+            .as("id"),
+          col("__fdn").as("display_name"),
+          col("__fror").as("ror_id"),
+          col("__fdoi").as("doi")).as("funder"),
+        cfg.fundingType.as("funding_type"),
+        cfg.funderScheme.as("funder_scheme"),
+        lit(cfg.provenance).as("provenance"),
+        cfg.startDate.as("start_date"),
+        cfg.endDate.as("end_date"),
+        cfg.startYear.cast("int").as("start_year"),
+        cfg.endYear.cast("int").as("end_year"),
+        cfg.leadInvestigator.as("lead_investigator"),
+        nullInvestigator.as("co_lead_investigator"),
+        lit(null).cast(s"array<$InvestigatorType>").as("investigators"),
+        cfg.landingPageUrl.as("landing_page_url"),
+        cfg.doi.as("doi"),
+        concat(lit("https://api.openalex.org/works?filter=awards.id:G"),
+          mint.cast("string")).as("works_api_url"),
+        nowTs.as("created_date"),
+        nowTs.as("updated_date"))
+  }
+
+  /** Step 3: replace the funder's (provenance, priority) slice of the
+    * shared raw landing (DELETE + INSERT in the reference). */
+  def landRaw(rawLanding: DataFrame, transformed: DataFrame,
+      cfg: FunderIngestConfig): DataFrame =
+    WorkFunders.insertAwardsToRaw(rawLanding,
+      transformed.drop("provenance"), cfg.provenance, cfg.priority,
+      keep = lit(true))
+
+  /** §6.3 data completeness (post-PR-80 canonical form). */
+  def completenessReport(awards: DataFrame): DataFrame =
+    awards.agg(
+      count(lit(1)).as("total"),
+      count(col("display_name")).as("has_title"),
+      count(col("description")).as("has_description"),
+      count(col("amount")).as("has_amount"),
+      count(col("start_date")).as("has_start_date"),
+      count(col("end_date")).as("has_end_date"),
+      count(col("landing_page_url")).as("has_url"),
+      count(col("lead_investigator")).as("has_pi"),
+      sum(col("amount")).as("total_funding"),
+      round(try_divide(count(col("amount")), count(lit(1))) * 100.0, 1)
+        .as("pct_with_amount"),
+      round(try_divide(count(col("start_date")), count(lit(1))) * 100.0, 1)
+        .as("pct_with_start_date"),
+      round(try_divide(count(col("description")), count(lit(1))) * 100.0, 1)
+        .as("pct_description"))
+
+  /** §6.7 amount/currency fail-fast (mandatory for monetary sources).
+    * `currencies` is sorted so the report is deterministic. */
+  def amountCheck(awards: DataFrame): DataFrame =
+    awards.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("amount") > 0, 1).otherwise(0)).as("has_amount_nonzero"),
+      round(try_divide(sum(when(col("amount") > 0, 1).otherwise(0)),
+        count(lit(1))) * 100.0, 1).as("pct_amount"),
+      countDistinct(col("currency")).as("distinct_currencies"),
+      sort_array(collect_set(col("currency"))).as("currencies"),
+      round(min(col("amount")), 0).as("min_amt"),
+      round(max(col("amount")), 0).as("max_amt"),
+      round(avg(when(col("amount") > 0, col("amount"))), 0)
+        .as("avg_nonzero_amt"))
+
+  /** Both verification reports for EVERY (provenance, priority) slice
+    * of a landed table in ONE keyed aggregation pass (the reference
+    * runs §6.3 and §6.7 as two separate scans per funder notebook;
+    * grouped-by-slice there is no single-partition exchange and the
+    * landing scans once). */
+  def sliceReports(landed: DataFrame): DataFrame =
+    landed.groupBy(col("provenance"), col("priority"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("display_name")).as("has_title"),
+        count(col("description")).as("has_description"),
+        count(col("amount")).as("has_amount"),
+        count(col("start_date")).as("has_start_date"),
+        count(col("end_date")).as("has_end_date"),
+        count(col("landing_page_url")).as("has_url"),
+        count(col("lead_investigator")).as("has_pi"),
+        sum(col("amount")).as("total_funding"),
+        round(try_divide(count(col("amount")), count(lit(1))) * 100.0, 1)
+          .as("pct_with_amount"),
+        round(try_divide(count(col("start_date")), count(lit(1))) * 100.0, 1)
+          .as("pct_with_start_date"),
+        round(try_divide(count(col("description")), count(lit(1))) * 100.0, 1)
+          .as("pct_description"),
+        sum(when(col("amount") > 0, 1L).otherwise(0L))
+          .as("has_amount_nonzero"),
+        round(try_divide(sum(when(col("amount") > 0, 1).otherwise(0)),
+          count(lit(1))) * 100.0, 1).as("pct_amount"),
+        countDistinct(col("currency")).as("distinct_currencies"),
+        sort_array(collect_set(col("currency"))).as("currencies"),
+        round(min(col("amount")), 0).as("min_amt"),
+        round(max(col("amount")), 0).as("max_amt"),
+        round(avg(when(col("amount") > 0, col("amount"))), 0)
+          .as("avg_nonzero_amt"))
+      .withColumn("slice", concat(col("provenance"), lit(":"),
+        col("priority").cast("string")))
+      .drop("provenance", "priority")
+
+  // ---- the three pattern-representative configs ----
+
+  /** USAspending federal grants (CreateACFAwards.ipynb cell 10; the
+    * column set is stable across all federal subtier funders). The
+    * reference's assistance_type_code CASE maps every code (02 block /
+    * 03 formula / 04 project / 05 cooperative) AND the fallback to
+    * 'grant' — kept as the constant it collapses to. */
+  def usaSpending(funderId: Long, provenance: String,
+      priority: Int): FunderIngestConfig = {
+    val title = coalesce(col("prime_award_base_transaction_description"),
+      col("transaction_description"))
+    def d(c: Column) = to_date(try_to_timestamp(c, lit("yyyy-MM-dd")))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("award_id_fain")),
+      funderAwardId = col("award_id_fain"),
+      displayName = title, description = title,
+      amount = col("total_obligated_amount").try_cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = col("cfda_title"),
+      startDate = d(col("period_of_performance_start_date")),
+      endDate = d(col("period_of_performance_current_end_date")),
+      startYear = year(d(col("period_of_performance_start_date"))),
+      endYear = year(d(col("period_of_performance_current_end_date"))),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = col("usaspending_permalink"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("award_id_fain").isNotNull &&
+        trim(col("award_id_fain")) =!= "")
+  }
+
+  /** ANR open-data grants (CreateANRAwards.ipynb cell 7): the
+    * scheme→funding_type LIKE cascade, ORCID URL normalization, the
+    * RNSR-coded affiliation id, start_year falling back to the call's
+    * edition year, no end dates in the source. */
+  def anr: FunderIngestConfig = {
+    val prog = lower(col("funding_program"))
+    val fundingType =
+      when(prog.like("%jcjc%"), "fellowship")
+        .when(prog.like("%jeunes%chercheur%"), "fellowship")
+        .when(prog.like("%chaire%"), "fellowship")
+        .when(prog.like("%postdoc%"), "fellowship")
+        .when(prog.like("%equipex%"), "infrastructure")
+        .when(prog.like("%labex%"), "infrastructure")
+        .when(prog.like("%infrastruct%"), "infrastructure")
+        .when(prog.like("%idex%"), "infrastructure")
+        .when(prog.like("%formation%"), "training")
+        .when(prog.like("%astrid%"), "research")
+        .when(prog.like("%blanc%"), "research")
+        .when(prog.like("%aapg%"), "research")
+        .otherwise("grant")
+    val orcid = when(col("pi_orcid").isNotNull && col("pi_orcid") =!= "",
+      when(col("pi_orcid").like("https://orcid.org/%"), col("pi_orcid"))
+        .otherwise(concat(lit("https://orcid.org/"), col("pi_orcid"))))
+    val affIds = when(col("rnsr_code").isNotNull,
+      array(struct(col("rnsr_code").as("id"), lit("rnsr").as("type"),
+        lit("anr").as("asserted_by"))))
+      .otherwise(lit(null)
+        .cast("array<struct<id:string,type:string,asserted_by:string>>"))
+    val lead = when(col("pi_family_name").isNotNull, struct(
+      col("pi_given_name").as("given_name"),
+      col("pi_family_name").as("family_name"),
+      orcid.as("orcid"),
+      lit(null).cast("date").as("role_start"),
+      struct(col("institution").as("name"),
+        coalesce(col("country"), lit("France")).as("country"),
+        affIds.as("ids")).as("affiliation")))
+    val sd = to_date(try_to_timestamp(col("start_date"), lit("yyyy-MM-dd")))
+    FunderIngestConfig(
+      funderId = 4320320883L, provenance = "anr_opendata", priority = 6,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("title"), description = col("abstract"),
+      amount = col("amount").try_cast("double"),
+      currency = lit("EUR"),
+      fundingType = fundingType,
+      funderScheme = col("funding_program"),
+      startDate = sd,
+      endDate = lit(null).cast("date"),
+      startYear = coalesce(year(sd), col("edition_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://anr.fr/Projet-"),
+        col("project_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** Abel Prize (CreateAbelPrizeAwards.ipynb cell 11 — the prize
+    * pattern): NOK amount by year boundary (6M from 2003, 7.5M from
+    * 2019) apportioned by laureate portion; declined-prize
+    * descriptions; the laureate as lead investigator; May-1 canonical
+    * ceremony date. */
+  def abelPrize: FunderIngestConfig = {
+    val yearAmount = when(col("year") >= 2019, 7500000.0)
+      .when(col("year") >= 2003, 6000000.0)
+    val amount = when(col("portion") === "1", yearAmount)
+      .when(col("portion") === "1/2", yearAmount * 0.5)
+      .when(col("portion") === "1/3", yearAmount / 3.0)
+      .when(col("portion") === "1/4", yearAmount * 0.25)
+      .otherwise(yearAmount)
+    val desc = when(col("declined") && col("citation").isNotNull,
+      concat(lit("Declined the prize. "), col("citation")))
+      .when(col("declined"), lit("Declined the prize."))
+      .otherwise(col("citation"))
+    val mayFirst = to_date(try_to_timestamp(
+      concat(col("year").cast("string"), lit("-05-01")), lit("yyyy-MM-dd")))
+    FunderIngestConfig(
+      funderId = 8651541334L, provenance = "abelprize_no", priority = 51,
+      mintKey = concat(lit("abel:"), col("slug")),
+      funderAwardId = concat(lit("abel-"), col("slug")),
+      displayName = concat(lit("Abel Prize "), col("year").cast("string"),
+        lit(" — "), col("laureate_name")),
+      description = desc,
+      amount = amount, currency = lit("NOK"),
+      fundingType = lit("prize"), funderScheme = lit("Abel Prize"),
+      startDate = mayFirst, endDate = mayFirst,
+      startYear = col("year").try_cast("int"),
+      endYear = col("year").try_cast("int"),
+      leadInvestigator = struct(
+        col("given_name").as("given_name"),
+        col("family_name").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(col("institution").as("name"),
+          lit(null).cast("string").as("country"),
+          lit(null).cast("array<struct<id:string,type:string," +
+            "asserted_by:string>>").as("ids")).as("affiliation")),
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("slug").isNotNull && col("year").isNotNull)
+  }
+}

@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.awards.FunderIngest
+import graft.core.Tables
+
+/** Oracle-gated queries over the declarative per-funder award ingest
+  * (the Create<Funder>Awards pattern):
+  *  - q110 runs all three pattern transforms (USAspending federal,
+  *    ANR open-data, Abel prize) over synthetic raw landings shaped
+  *    from `orders`, with the DuckDB-computable mint injected (the
+  *    xxhash64-vs-oracle convention) — every per-funder mapping arm
+  *    (amount TRY_CAST, date parse-or-null, scheme→type cascade,
+  *    ORCID normalization, portion apportioning, declined prefix,
+  *    year-boundary amounts) is recomputed by the oracle;
+  *  - q111 lands two funders' transforms into a shared raw landing
+  *    (stale slices replaced, foreign slices untouched) and emits the
+  *    §6.3 completeness + §6.7 amount fail-fast report per slice.
+  */
+object FunderIngestQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val NOW = "2026-08-14 00:00:00"
+  private def nowTs = lit(NOW).cast("timestamp")
+  private def mint(c: Column): Column = length(c).cast("long")
+
+  private def funders(s: SparkSession): DataFrame = {
+    val sess = s; import sess.implicits._
+    Seq(
+      (4320332208L, "Administration for Children and Families",
+        "https://ror.org/03jmfdf59", "10.13039/100000133"),
+      (4320320883L, "Agence Nationale de la Recherche",
+        "https://ror.org/00rbzpz17", "10.13039/501100001665"),
+      (8651541334L, "Det Norske Videnskaps-Akademi",
+        "https://ror.org/03kw54a66", "10.13039/501100023037"),
+      (999L, "Distractor", "https://ror.org/x", "10.13039/0"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+  }
+
+  private def usaRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def d(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(37)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(41)) === 0, lit("  "))
+        .otherwise(concat(lit("FAIN-"), ks)).as("award_id_fain"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Prime desc "), ks))
+        .as("prime_award_base_transaction_description"),
+      concat(lit("Fallback desc "), ks).as("transaction_description"),
+      when(pmod(k, lit(7)) === 0, lit("garbage"))
+        .when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(pmod(k, lit(9000)).cast("string"), lit(".5")))
+        .as("total_obligated_amount"),
+      when(pmod(k, lit(13)) === 0, lit("not a date"))
+        .otherwise(d("2015-01-01", pmod(k, lit(3000))))
+        .as("period_of_performance_start_date"),
+      when(pmod(k, lit(17)) === 0, lit(null).cast("string"))
+        .otherwise(d("2015-07-01", pmod(k, lit(3000))))
+        .as("period_of_performance_current_end_date"),
+      concat(lit("CFDA "), pmod(k, lit(20)).cast("string")).as("cfda_title"),
+      concat(lit("https://usasp/"), ks).as("usaspending_permalink"))
+  }
+
+  private def anrRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val programs = array(Seq("JCJC 2020",
+      "Jeunes Chercheuses et Jeunes Chercheurs", "Chaire IA",
+      "Postdoc mobilité", "EQUIPEX+", "Infrastructures nationales",
+      "IdEx", "Formation par la recherche", "ASTRID maturation",
+      "AAPG 2021", "Autre appel").map(lit): _*)
+    o.select(
+      when(pmod(k, lit(43)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("ANR-"), pmod(k, lit(100)).cast("string"),
+          lit("-CE"), ks)).as("project_id"),
+      concat(lit("Projet "), ks).as("title"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Resume "), ks)).as("abstract"),
+      (pmod(k, lit(500)) * 1000).cast("string").as("amount"),
+      element_at(programs, (pmod(k, lit(11)) + 1).cast("int"))
+        .as("funding_program"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(date_format(date_add(lit("2010-01-01").cast("date"),
+          pmod(k, lit(4000)).cast("int")), "yyyy-MM-dd")).as("start_date"),
+      (lit(2005) + pmod(k, lit(15))).cast("string").as("edition_year"),
+      concat(lit("Prenom"), ks).as("pi_given_name"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Nom"), ks)).as("pi_family_name"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(5)) === 1, lit(""))
+        .when(pmod(k, lit(5)) === 2, concat(lit("0000-0001-"), ks))
+        .otherwise(concat(lit("https://orcid.org/0000-0002-"), ks))
+        .as("pi_orcid"),
+      concat(lit("CNRS UMR "), pmod(k, lit(50)).cast("string"))
+        .as("institution"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise(lit("Belgique")).as("country"),
+      when(pmod(k, lit(2)) === 0, concat(lit("RNSR"), ks))
+        .otherwise(lit(null).cast("string")).as("rnsr_code"))
+  }
+
+  private def abelRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(29)) === 0, lit(null).cast("string"))
+        .otherwise(concat((lit(2003) + pmod(k, lit(23))).cast("string"),
+          lit("-name"), ks)).as("slug"),
+      when(pmod(k, lit(31)) === 0, lit(null).cast("int"))
+        .otherwise((lit(1990) + pmod(k, lit(40))).cast("int")).as("year"),
+      concat(lit("Laureate "), ks).as("laureate_name"),
+      concat(lit("G"), ks).as("given_name"),
+      concat(lit("F"), ks).as("family_name"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("For work "), ks)).as("citation"),
+      (pmod(k, lit(10)) === 0).as("declined"),
+      element_at(array(lit("1"), lit("1/2"), lit("1/3"), lit("1/4"),
+        lit("2/3")), (pmod(k, lit(5)) + 1).cast("int")).as("portion"),
+      concat(lit("Univ "), pmod(k, lit(7)).cast("string")).as("institution"),
+      concat(lit("https://abelprize.no/w/"), ks).as("source_url"))
+  }
+
+  /** Flatten one transform output to oracle-comparable columns. */
+  private def flat(df: DataFrame, src: String): DataFrame =
+    df.select(lit(src).as("src"), col("id"), col("display_name"),
+      col("description"), col("funder_id"), col("funder_award_id"),
+      col("amount"), col("currency"),
+      col("funder").getField("id").as("funder_url"),
+      col("funder").getField("display_name").as("funder_name"),
+      col("funder").getField("ror_id").as("funder_ror"),
+      col("funder").getField("doi").as("funder_doi"),
+      col("funding_type"), col("funder_scheme"), col("provenance"),
+      date_format(col("start_date"), "yyyy-MM-dd").as("start_d"),
+      date_format(col("end_date"), "yyyy-MM-dd").as("end_d"),
+      col("start_year"), col("end_year"),
+      col("lead_investigator").getField("given_name").as("pi_given"),
+      col("lead_investigator").getField("family_name").as("pi_family"),
+      col("lead_investigator").getField("orcid").as("pi_orcid_url"),
+      col("lead_investigator").getField("affiliation").getField("name")
+        .as("pi_aff_name"),
+      col("lead_investigator").getField("affiliation").getField("country")
+        .as("pi_aff_country"),
+      to_json(col("lead_investigator").getField("affiliation")
+        .getField("ids")).as("pi_aff_ids_json"),
+      col("landing_page_url"), col("doi"), col("works_api_url"),
+      date_format(col("created_date"), "yyyy-MM-dd HH:mm:ss").as("created_d"))
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val f = funders(s)
+    val acf = FunderIngest.transform(usaRaw(s, dir), f,
+      FunderIngest.usaSpending(4320332208L, "usaspending_acf", 233),
+      nowTs, mint)
+    val anr = FunderIngest.transform(anrRaw(s, dir), f,
+      FunderIngest.anr, nowTs, mint)
+    val abel = FunderIngest.transform(abelRaw(s, dir), f,
+      FunderIngest.abelPrize, nowTs, mint)
+    flat(acf, "acf").unionByName(flat(anr, "anr"))
+      .unionByName(flat(abel, "abel"))
+  }
+
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val f = funders(s)
+    val acfCfg = FunderIngest.usaSpending(4320332208L, "usaspending_acf", 233)
+    val acf = FunderIngest.transform(usaRaw(s, dir), f, acfCfg, nowTs, mint)
+    val anr = FunderIngest.transform(anrRaw(s, dir), f,
+      FunderIngest.anr, nowTs, mint)
+    // existing landing: STALE slices for both funders (must vanish) +
+    // a foreign slice that must survive untouched
+    val staleAnr = anr.limit(0).unionByName(
+      FunderIngest.transform(
+        anrRaw(s, dir).filter(col("project_id").isNotNull).limit(7), f,
+        FunderIngest.anr, nowTs, mint))
+      .withColumn("priority", lit(6))
+    val staleAcf = acf.limit(3)
+      .withColumn("priority", lit(233))
+    val foreign = acf.limit(5)
+      .withColumn("provenance", lit("other_src"))
+      .withColumn("priority", lit(7))
+    val existing = staleAnr.unionByName(staleAcf).unionByName(foreign)
+    val landed = FunderIngest.landRaw(
+      FunderIngest.landRaw(existing, acf, acfCfg), anr, FunderIngest.anr)
+    FunderIngest.sliceReports(landed)
+      .withColumn("currencies_json", to_json(col("currencies")))
+      .drop("currencies")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q110_funder_ingest_patterns" -> (q110 _),
+    "q111_funder_landing_reports" -> (q111 _))
+
+  val oracle: Map[String, String] = Map(
+    "q110_funder_ingest_patterns" -> Oracles.q110,
+    "q111_funder_landing_reports" -> Oracles.q111)
+
+  /** DuckDB recomputations (kept in a nested object for readability). */
+  private object Oracles {
+    /** Shared transform CTEs: the three raw fixtures and their full
+      * per-funder transforms, mint = length('<funder_id>:' || key). */
+    val prelude: String =
+      """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |ob AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 300),
+        |uraw AS (SELECT k,
+        |  CASE WHEN k % 37 = 0 THEN NULL WHEN k % 41 = 0 THEN '  '
+        |       ELSE 'FAIN-' || CAST(k AS VARCHAR) END AS fain,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE 'Prime desc ' || CAST(k AS VARCHAR) END AS primed,
+        |  'Fallback desc ' || CAST(k AS VARCHAR) AS falld,
+        |  CASE WHEN k % 7 = 0 THEN 'garbage' WHEN k % 11 = 0 THEN NULL
+        |       ELSE CAST(k % 9000 AS VARCHAR) || '.5' END AS amt,
+        |  CASE WHEN k % 13 = 0 THEN 'not a date'
+        |       ELSE strftime(DATE '2015-01-01' + INTERVAL (k % 3000) DAY,
+        |         '%Y-%m-%d') END AS sd,
+        |  CASE WHEN k % 17 = 0 THEN NULL
+        |       ELSE strftime(DATE '2015-07-01' + INTERVAL (k % 3000) DAY,
+        |         '%Y-%m-%d') END AS ed,
+        |  'CFDA ' || CAST(k % 20 AS VARCHAR) AS cfda,
+        |  'https://usasp/' || CAST(k AS VARCHAR) AS permalink
+        |  FROM o),
+        |ut AS (SELECT
+        |  CAST(length('4320332208:' || lower(fain)) AS BIGINT) AS id,
+        |  coalesce(primed, falld) AS display_name,
+        |  coalesce(primed, falld) AS description,
+        |  CAST(4320332208 AS BIGINT) AS funder_id,
+        |  fain AS funder_award_id,
+        |  TRY_CAST(amt AS DOUBLE) AS amount, 'USD' AS currency,
+        |  'https://openalex.org/F4320332208' AS funder_url,
+        |  'Administration for Children and Families' AS funder_name,
+        |  'https://ror.org/03jmfdf59' AS funder_ror,
+        |  '10.13039/100000133' AS funder_doi,
+        |  'grant' AS funding_type, cfda AS funder_scheme,
+        |  'usaspending_acf' AS provenance,
+        |  strftime(TRY_CAST(sd AS DATE), '%Y-%m-%d') AS start_d,
+        |  strftime(TRY_CAST(ed AS DATE), '%Y-%m-%d') AS end_d,
+        |  CAST(year(TRY_CAST(sd AS DATE)) AS INTEGER) AS start_year,
+        |  CAST(year(TRY_CAST(ed AS DATE)) AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given, CAST(NULL AS VARCHAR) AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid_url,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_name,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_ids_json,
+        |  permalink AS landing_page_url, CAST(NULL AS VARCHAR) AS doi,
+        |  'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length('4320332208:' || lower(fain)) AS VARCHAR)
+        |    AS works_api_url,
+        |  '2026-08-14 00:00:00' AS created_d
+        |  FROM uraw WHERE fain IS NOT NULL AND trim(fain) <> ''),
+        |araw AS (SELECT k,
+        |  CASE WHEN k % 43 = 0 THEN NULL
+        |       ELSE 'ANR-' || CAST(k % 100 AS VARCHAR) || '-CE' ||
+        |         CAST(k AS VARCHAR) END AS pid,
+        |  'Projet ' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE 'Resume ' || CAST(k AS VARCHAR) END AS abstr,
+        |  CAST(k % 500 * 1000 AS VARCHAR) AS amt,
+        |  (['JCJC 2020', 'Jeunes Chercheuses et Jeunes Chercheurs',
+        |    'Chaire IA', 'Postdoc mobilité', 'EQUIPEX+',
+        |    'Infrastructures nationales', 'IdEx',
+        |    'Formation par la recherche', 'ASTRID maturation',
+        |    'AAPG 2021', 'Autre appel'])[(k % 11) + 1] AS prog,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE strftime(DATE '2010-01-01' + INTERVAL (k % 4000) DAY,
+        |         '%Y-%m-%d') END AS sd,
+        |  CAST(2005 + k % 15 AS VARCHAR) AS edition_year,
+        |  'Prenom' || CAST(k AS VARCHAR) AS pig,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Nom' || CAST(k AS VARCHAR) END AS pif,
+        |  CASE WHEN k % 5 = 0 THEN NULL WHEN k % 5 = 1 THEN ''
+        |       WHEN k % 5 = 2 THEN '0000-0001-' || CAST(k AS VARCHAR)
+        |       ELSE 'https://orcid.org/0000-0002-' || CAST(k AS VARCHAR)
+        |       END AS piorcid,
+        |  'CNRS UMR ' || CAST(k % 50 AS VARCHAR) AS inst,
+        |  CASE WHEN k % 8 = 0 THEN NULL ELSE 'Belgique' END AS ctry,
+        |  CASE WHEN k % 2 = 0 THEN 'RNSR' || CAST(k AS VARCHAR) END AS rnsr
+        |  FROM o),
+        |at2 AS (SELECT
+        |  CAST(length('4320320883:' || lower(pid)) AS BIGINT) AS id,
+        |  title AS display_name, abstr AS description,
+        |  CAST(4320320883 AS BIGINT) AS funder_id,
+        |  pid AS funder_award_id,
+        |  TRY_CAST(amt AS DOUBLE) AS amount, 'EUR' AS currency,
+        |  'https://openalex.org/F4320320883' AS funder_url,
+        |  'Agence Nationale de la Recherche' AS funder_name,
+        |  'https://ror.org/00rbzpz17' AS funder_ror,
+        |  '10.13039/501100001665' AS funder_doi,
+        |  CASE WHEN lower(prog) LIKE '%jcjc%' THEN 'fellowship'
+        |       WHEN lower(prog) LIKE '%jeunes%chercheur%' THEN 'fellowship'
+        |       WHEN lower(prog) LIKE '%chaire%' THEN 'fellowship'
+        |       WHEN lower(prog) LIKE '%postdoc%' THEN 'fellowship'
+        |       WHEN lower(prog) LIKE '%equipex%' THEN 'infrastructure'
+        |       WHEN lower(prog) LIKE '%labex%' THEN 'infrastructure'
+        |       WHEN lower(prog) LIKE '%infrastruct%' THEN 'infrastructure'
+        |       WHEN lower(prog) LIKE '%idex%' THEN 'infrastructure'
+        |       WHEN lower(prog) LIKE '%formation%' THEN 'training'
+        |       WHEN lower(prog) LIKE '%astrid%' THEN 'research'
+        |       WHEN lower(prog) LIKE '%blanc%' THEN 'research'
+        |       WHEN lower(prog) LIKE '%aapg%' THEN 'research'
+        |       ELSE 'grant' END AS funding_type,
+        |  prog AS funder_scheme, 'anr_opendata' AS provenance,
+        |  strftime(TRY_CAST(sd AS DATE), '%Y-%m-%d') AS start_d,
+        |  CAST(NULL AS VARCHAR) AS end_d,
+        |  CAST(coalesce(year(TRY_CAST(sd AS DATE)),
+        |    TRY_CAST(edition_year AS INTEGER)) AS INTEGER) AS start_year,
+        |  CAST(NULL AS INTEGER) AS end_year,
+        |  CASE WHEN pif IS NOT NULL THEN pig END AS pi_given,
+        |  pif AS pi_family,
+        |  CASE WHEN pif IS NOT NULL AND piorcid IS NOT NULL AND piorcid <> ''
+        |       THEN CASE WHEN piorcid LIKE 'https://orcid.org/%' THEN piorcid
+        |                 ELSE 'https://orcid.org/' || piorcid END
+        |       END AS pi_orcid_url,
+        |  CASE WHEN pif IS NOT NULL THEN inst END AS pi_aff_name,
+        |  CASE WHEN pif IS NOT NULL THEN coalesce(ctry, 'France') END
+        |    AS pi_aff_country,
+        |  CASE WHEN pif IS NOT NULL AND rnsr IS NOT NULL THEN
+        |    to_json([{'id': rnsr, 'type': 'rnsr', 'asserted_by': 'anr'}])
+        |    END AS pi_aff_ids_json,
+        |  'https://anr.fr/Projet-' || pid AS landing_page_url,
+        |  CAST(NULL AS VARCHAR) AS doi,
+        |  'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length('4320320883:' || lower(pid)) AS VARCHAR)
+        |    AS works_api_url,
+        |  '2026-08-14 00:00:00' AS created_d
+        |  FROM araw WHERE pid IS NOT NULL AND trim(pid) <> ''),
+        |braw AS (SELECT k,
+        |  CASE WHEN k % 29 = 0 THEN NULL
+        |       ELSE CAST(2003 + k % 23 AS VARCHAR) || '-name' ||
+        |         CAST(k AS VARCHAR) END AS slug,
+        |  CASE WHEN k % 31 = 0 THEN NULL ELSE 1990 + k % 40 END AS yr,
+        |  'Laureate ' || CAST(k AS VARCHAR) AS lname,
+        |  'G' || CAST(k AS VARCHAR) AS gname,
+        |  'F' || CAST(k AS VARCHAR) AS fname,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE 'For work ' || CAST(k AS VARCHAR) END AS cit,
+        |  k % 10 = 0 AS declined,
+        |  (['1', '1/2', '1/3', '1/4', '2/3'])[(k % 5) + 1] AS portion,
+        |  'Univ ' || CAST(k % 7 AS VARCHAR) AS inst,
+        |  'https://abelprize.no/w/' || CAST(k AS VARCHAR) AS src_url
+        |  FROM ob),
+        |bt AS (SELECT
+        |  CAST(length('8651541334:abel:' || slug) AS BIGINT) AS id,
+        |  'Abel Prize ' || CAST(yr AS VARCHAR) || ' — ' || lname
+        |    AS display_name,
+        |  CASE WHEN declined AND cit IS NOT NULL
+        |         THEN 'Declined the prize. ' || cit
+        |       WHEN declined THEN 'Declined the prize.'
+        |       ELSE cit END AS description,
+        |  CAST(8651541334 AS BIGINT) AS funder_id,
+        |  'abel-' || slug AS funder_award_id,
+        |  CASE WHEN portion = '1' THEN ya WHEN portion = '1/2' THEN ya * 0.5
+        |       WHEN portion = '1/3' THEN ya / 3.0
+        |       WHEN portion = '1/4' THEN ya * 0.25 ELSE ya END AS amount,
+        |  'NOK' AS currency,
+        |  'https://openalex.org/F8651541334' AS funder_url,
+        |  'Det Norske Videnskaps-Akademi' AS funder_name,
+        |  'https://ror.org/03kw54a66' AS funder_ror,
+        |  '10.13039/501100023037' AS funder_doi,
+        |  'prize' AS funding_type, 'Abel Prize' AS funder_scheme,
+        |  'abelprize_no' AS provenance,
+        |  strftime(md, '%Y-%m-%d') AS start_d,
+        |  strftime(md, '%Y-%m-%d') AS end_d,
+        |  CAST(yr AS INTEGER) AS start_year, CAST(yr AS INTEGER) AS end_year,
+        |  gname AS pi_given, fname AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid_url,
+        |  inst AS pi_aff_name, CAST(NULL AS VARCHAR) AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_ids_json,
+        |  src_url AS landing_page_url, CAST(NULL AS VARCHAR) AS doi,
+        |  'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length('8651541334:abel:' || slug) AS VARCHAR)
+        |    AS works_api_url,
+        |  '2026-08-14 00:00:00' AS created_d
+        |  FROM (SELECT *,
+        |    CASE WHEN yr >= 2019 THEN 7500000.0
+        |         WHEN yr >= 2003 THEN 6000000.0 END AS ya,
+        |    TRY_CAST(CAST(yr AS VARCHAR) || '-05-01' AS DATE) AS md
+        |    FROM braw)
+        |  WHERE slug IS NOT NULL AND yr IS NOT NULL)""".stripMargin
+
+    val q110: String = prelude + """
+      |SELECT 'acf' AS src, * FROM ut
+      |UNION ALL SELECT 'anr', * FROM at2
+      |UNION ALL SELECT 'abel', * FROM bt""".stripMargin
+
+    val q111: String = prelude + """,
+      |fresh AS (
+      |  SELECT 'usaspending_acf' AS prov, 233 AS prio, display_name,
+      |    description, amount, currency, start_d, end_d,
+      |    landing_page_url, pi_family FROM ut
+      |  UNION ALL
+      |  SELECT 'anr_opendata', 6, display_name, description, amount,
+      |    currency, start_d, end_d, landing_page_url, pi_family FROM at2
+      |  UNION ALL
+      |  SELECT 'other_src', 7, display_name, description, amount,
+      |    currency, start_d, end_d, landing_page_url, pi_family
+      |  FROM (SELECT * FROM ut ORDER BY id, funder_award_id LIMIT 5)),
+      |rep AS (SELECT prov || ':' || CAST(prio AS VARCHAR) AS slice,
+      |    count(*) AS total,
+      |    count(display_name) AS has_title,
+      |    count(description) AS has_description,
+      |    count(amount) AS has_amount,
+      |    count(start_d) AS has_start_date,
+      |    count(end_d) AS has_end_date,
+      |    count(landing_page_url) AS has_url,
+      |    count(pi_family) AS has_pi,
+      |    sum(amount) AS total_funding,
+    -- pct arms divide FIRST then scale (matching Spark's
+    -- try_divide(a,b)*100.0 evaluation order bit-for-bit)
+      |    round((CAST(count(amount) AS DOUBLE) / count(*)) * 100.0, 1)
+      |      AS pct_with_amount,
+      |    round((CAST(count(start_d) AS DOUBLE) / count(*)) * 100.0, 1)
+      |      AS pct_with_start_date,
+      |    round((CAST(count(description) AS DOUBLE) / count(*)) * 100.0, 1)
+      |      AS pct_description,
+      |    CAST(sum(CASE WHEN amount > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS has_amount_nonzero,
+      |    round((CAST(sum(CASE WHEN amount > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*)) * 100.0, 1) AS pct_amount,
+      |    count(DISTINCT currency) AS distinct_currencies,
+      |    to_json(list_sort(list(DISTINCT currency))) AS currencies_json,
+      |    round(min(amount), 0) AS min_amt,
+      |    round(max(amount), 0) AS max_amt,
+      |    round(avg(CASE WHEN amount > 0 THEN amount END), 0)
+      |      AS avg_nonzero_amt
+      |  FROM fresh GROUP BY prov, prio)
+      |SELECT * FROM rep""".stripMargin
+  }
+}
