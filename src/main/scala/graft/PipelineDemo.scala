@@ -181,8 +181,8 @@ object PipelineDemo {
       fulltext: DataFrame, registry: DataFrame, worksEnriched: DataFrame,
       sourcesApi: DataFrame, publishersApi: DataFrame,
       institutionsApi: DataFrame, domainCounts: DataFrame,
-      worksDocs: DataFrame, smokeVerdicts: DataFrame,
-      guardrails: Seq[Guardrails.Check])
+      worksDocs: DataFrame, awardAliases: DataFrame, awards: DataFrame,
+      smokeVerdicts: DataFrame, guardrails: Seq[Guardrails.Check])
 
   /** The round-7 tail of the nightly DAG in the reference's task order
     * (jobs/walden_end2end.yaml:141-296 + jobs/snapshot_full.yaml):
@@ -526,6 +526,49 @@ object PipelineDemo {
     val domainCounts = TopicHierarchy.levelCounts(
       TopicHierarchy.primaryTopics(worksEnriched))
 
+    // ── awards chain (the awards job of the nightly): the per-funder
+    // ingest lands at its (provenance, priority) slice, CreateAwards
+    // collapses a crossref shell spelling onto the minted award, and
+    // the works' award edges aggregate onto the survivor through the
+    // alias table
+    import graft.awards.{AwardConsolidation, FunderIngest}
+    val awardFunders = Seq((8651541334L, "Det Norske Videnskaps-Akademi",
+      "https://ror.org/03kw54a66", "10.13039/501100023037"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+    val abelRawDemo = Seq(
+      ("2022-demo", 2022, "Demo Laureate", "D", "Laureate",
+        Some("For demo work"), false, "1", "Demo Inst", "https://abel/1"),
+      ("2004-shared", 2004, "Shared Laureate", "S", "Shared",
+        Some("Shared year"), false, "1/2", "Other Inst", "https://abel/2"))
+      .toDF("slug", "year", "laureate_name", "given_name", "family_name",
+        "citation", "declined", "portion", "institution", "source_url")
+    val abelCfg = FunderIngest.abelPrize
+    val minted = land(FunderIngest.transform(abelRawDemo, awardFunders,
+      abelCfg, lit("2024-05-02 12:00:00").cast("timestamp")))
+    // a deposited shell citing the 2022 prize in a different spelling —
+    // same generic key ('abel2022demo'), so the consolidation collapses
+    // it onto the direct-ingest award
+    val shell = minted.filter(col("funder_award_id") === "abel-2022-demo")
+      .withColumn("id", col("id") + 1)
+      .withColumn("display_name", nstr)
+      .withColumn("funder_award_id", lit("ABEL / 2022 / DEMO"))
+      .withColumn("end_year", lit(null).cast("int"))
+      .withColumn("provenance", lit("crossref_work_funders"))
+      .withColumn("priority", lit(0))
+    val awardsRaw = land(FunderIngest.landRaw(shell, minted, abelCfg))
+    val awardAliases = AwardConsolidation.idAliases(awardsRaw)
+    // every enriched work deposits the SHELL spelling — funded_outputs
+    // must land on the surviving minted award via the alias
+    val awardEdges = worksEnriched.select(col("id"))
+      .crossJoin(broadcast(shell.select(col("id").as("__sid"))))
+      .select(col("id"), array(struct(
+        concat(lit(OA + "G"), col("__sid").cast("string")).as("id")))
+        .as("awards"))
+    val emptyTopics = minted.limit(0).select(col("id").as("award_id"),
+      lit(null).cast("array<struct<id:string,score:double>>").as("topics"))
+    val awards = land(AwardConsolidation.consolidate(awardsRaw, awardEdges,
+      emptyTopics, currentYear = 2026))
+
     // ── exports: the snapshot works doc + smoke + guardrails gate
     val worksDocs = land(SnapshotDocs.worksDoc(worksEnriched))
     val report = SnapshotSmoke.idFormatBad(worksDocs, "works", "W")
@@ -555,10 +598,16 @@ object PipelineDemo {
       Guardrails.referential(
         TopicHierarchy.hierarchy(topicsMaster)
           .select(col("domain_id").as("d")), "d",
-        topicsMaster.select(col("domain_id")), "domain_id"))
+        topicsMaster.select(col("domain_id")), "domain_id"),
+      // consolidated awards' funded outputs point only at real works
+      Guardrails.referential(
+        awards.select(explode(col("funded_outputs")).as("__fw"))
+          .select(regexp_replace(col("__fw"), "https://openalex\\.org/W", "")
+            .cast("long").as("w")),
+        "w", worksEnriched.select(col("id")), "id"))
     NightlyOut(curated, references, fulltext, registry, worksEnriched,
       sourcesApi, publishersApi, institutionsApi, domainCounts,
-      worksDocs, smokeVerdicts, checks)
+      worksDocs, awardAliases, awards, smokeVerdicts, checks)
   }
 
   def main(args: Array[String]): Unit = {
@@ -801,6 +850,13 @@ object PipelineDemo {
     stage("institutions api entities", tail.institutionsApi.count(), _ == 2)
     stage("topic-hierarchy level counts", tail.domainCounts.count(), _ >= 1)
     stage("works snapshot docs", tail.worksDocs.count(), _ == 2)
+    stage("award shell aliased to the minted prize",
+      tail.awardAliases.count(), _ == 1)
+    stage("consolidated awards (shell collapsed)",
+      tail.awards.count(), _ == 2)
+    stage("funded outputs resolve through the alias", tail.awards.filter(
+      col("funder_award_id") === "abel-2022-demo" &&
+        col("funded_outputs_count") === 2).count(), _ == 1)
 
     // export the docs through the partitioned snapshot writer
     val snapDir = Files.createTempDirectory("graft-snapshot-full").toString

@@ -28,6 +28,22 @@ import graft.core.MergeInto
   */
 object AuthorNames {
 
+  /** The particle-contamination predicate of the one-off reparse
+    * backfill (ReparseParticleContaminatedNames.ipynb cells 2/4): a
+    * stored parse whose `last` still LEADS with a surname particle
+    * (or IS a bare compound particle) predates the particle-strip
+    * logic. Deleting these rows lets [[newNames]]' anti-join re-admit
+    * the raw strings, so the next build re-parses them. */
+  def particleContaminated(parsedLast: Column): Column =
+    parsedLast.rlike("^(de |da |do |dos |das |del |van |von |zu )") ||
+      parsedLast.isin("de la", "de las", "de los",
+        "van de", "van der", "van den")
+
+  /** Cell 4's DELETE: the dictionary minus the contaminated rows.
+    * Post-condition (cell 5): zero remaining particle-prefixed rows. */
+  def deleteParticleContaminated(names: DataFrame): DataFrame =
+    names.filter(!particleContaminated(col("parsed_name.last")))
+
   /** Distinct new raw names. `locationsMapped`: carries
     * authors ARRAY<STRUCT<name, …>>; `openalexAuthors`: full_name. */
   def newNames(locationsMapped: DataFrame, openalexAuthors: DataFrame,

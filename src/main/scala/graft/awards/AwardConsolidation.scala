@@ -79,18 +79,29 @@ object AwardConsolidation {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  private def keyed(raw: DataFrame): DataFrame =
-    dedupById(raw)
-      .withColumn("nk", nk(col("funder_award_id")))
-      .withColumn("sk", sk(col("funder_id"), col("funder_award_id"),
-        col("priority")))
+  /** The shared keying stage of both cells: id survivorship + norm
+    * keys. LANDED at a Materialize parquet boundary — the alias
+    * elections, the sharp twin counts, and the collapse each read the
+    * keyed frame again, and without the boundary every branch would
+    * re-run the id window and the 51-grammar key chain (measured 3-4×
+    * on the q108/q109 fixtures; the reference's cells read the landed
+    * Delta staging table the same way). */
+  def keyed(raw: DataFrame): DataFrame =
+    graft.core.Materialize.temp(
+      dedupById(raw)
+        .withColumn("nk", nk(col("funder_award_id")))
+        .withColumn("sk", sk(col("funder_id"), col("funder_award_id"),
+          col("priority"))),
+      "graft-award-keyed")._1
 
   /** Cell 2: the award-id alias table — (old_id → canonical_id) for
     * every shell whose normalized id has a direct-ingest canonical.
     * @param raw the raw awards landing (id, display_name, funder_id,
     *            funder_award_id, end_year, priority, ...) */
-  def idAliases(raw: DataFrame): DataFrame = {
-    val k = keyed(raw).select("id", "funder_id", "funder_award_id",
+  def idAliases(raw: DataFrame): DataFrame = idAliasesKeyed(keyed(raw))
+
+  private def idAliasesKeyed(keyedDf: DataFrame): DataFrame = {
+    val k = keyedDf.select("id", "funder_id", "funder_award_id",
       "priority", "display_name", "end_year", "nk", "sk")
     val direct = k.filter(col("priority") >= 3)
     val cg = direct.filter(col("nk").isNotNull)
@@ -154,8 +165,8 @@ object AwardConsolidation {
     *             start_year, end_year, priority, + payload columns) */
   def consolidate(raw: DataFrame, works: DataFrame, awardTopics: DataFrame,
       currentYear: Int): DataFrame = {
-    val aliases = idAliases(raw)
     val normKeyed = keyed(raw)
+    val aliases = idAliasesKeyed(normKeyed)
     val sharpRegCounts = normKeyed
       .filter(col("priority") >= 3 && col("sk").isNotNull)
       .groupBy(col("funder_id").as("__cf"), col("sk").as("__csk"))

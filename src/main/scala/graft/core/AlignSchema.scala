@@ -19,6 +19,19 @@ import org.apache.spark.sql.types._
   */
 object AlignSchema {
 
+  /** `withColumnAt` (reference: utils/dataframe.py:10-29): add or
+    * replace a column AND pin its position — the notebooks use it to
+    * keep landed-table column order stable across reruns. Pure
+    * projection. */
+  def withColumnAt(df: DataFrame, index: Int, name: String,
+      column: Column): DataFrame = {
+    val names = df.schema.names.toSeq.filterNot(_ == name)
+    require(index >= 0 && index <= names.length, "index out of valid range")
+    val (before, after) = names.splitAt(index)
+    df.withColumn(name, column)
+      .select((before.map(col) :+ col(name)) ++ after.map(col): _*)
+  }
+
   def apply(df: DataFrame, target: StructType): DataFrame =
     df.select(target.fields.map { f =>
       val src = df.schema.find(_.name.equalsIgnoreCase(f.name))

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
+  /** String → boolean flag (`utils/dataframe.py:31-47`
+    * normalize_boolean_column): yes/y/true/t → true, no/n/false/f →
+    * false, anything else (incl. null) → null; trims + lowercases
+    * first. */
+  def booleanFlag(c: Column): Column =
+    when(lower(trim(c)).isin("yes", "y", "true", "t"), lit(true))
+      .when(lower(trim(c)).isin("no", "n", "false", "f"), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+
   /** Canonical DOI or null. */
   def doi(c: Column): Column =
     nullif(regexp_extract(lower(trim(c)), "(10\\.[0-9]+/[^\\s]+)", 1), lit(""))

@@ -8,6 +8,26 @@ class AuthorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("particle backfill: leading/compound particles deleted, clean " +
+    "parses and mid-name particles kept") {
+    // reference: ReparseParticleContaminatedNames.ipynb cells 2/4 —
+    // the delete re-opens the anti-join so the next build re-parses
+    val names = Seq(
+      ("Ludwig van Beethoven", "van beethoven"), // old parse kept the particle → delete
+      ("Ludwig Beethoven", "beethoven"),         // post-strip clean → kept
+      ("Jan van der Berg", "van der"),           // bare compound → delete
+      ("Ana de la Cruz", "de la cruz"),          // leading 'de la ' → delete
+      ("Luis del Rio", "del rio"),               // leading 'del ' → delete
+      ("Eva Vandenberg", "vandenberg"),          // no particle space — kept
+      ("Li Zu", "zu"))                           // bare 'zu' w/o trailing space — kept
+      .toDF("raw_author_name", "last")
+      .select(col("raw_author_name"),
+        struct(lit("x").as("first"), col("last")).as("parsed_name"))
+    val kept = graft.authors.AuthorNames.deleteParticleContaminated(names)
+      .select("raw_author_name").as[String].collect().toSet
+    assert(kept == Set("Ludwig Beethoven", "Eva Vandenberg", "Li Zu"))
+  }
+
   test("authorTopics: grouping-sets counts, corpus totals, e7 shares") {
     val awt = Seq(
       (1L, 10L, "tA"), (1L, 11L, "tA"), (1L, 12L, "tB"),

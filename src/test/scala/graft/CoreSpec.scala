@@ -97,6 +97,20 @@ class CoreSpec extends AnyFunSuite {
     assert(tag.getString(0) == "x" && tag.getLong(1) == 2L && tag.isNullAt(2))
   }
 
+  test("withColumnAt: pins position for new and replaced columns") {
+    val df = Seq((1, "a", true)).toDF("id", "name", "flag")
+    // new column inserted in the middle
+    val ins = AlignSchema.withColumnAt(df, 1, "score", lit(0.5))
+    assert(ins.columns.toSeq == Seq("id", "score", "name", "flag"))
+    // replacing an existing column moves it to the index
+    val moved = AlignSchema.withColumnAt(df, 0, "flag", lit(false))
+    assert(moved.columns.toSeq == Seq("flag", "id", "name"))
+    assert(!moved.collect()(0).getBoolean(0))
+    intercept[IllegalArgumentException] {
+      AlignSchema.withColumnAt(df, 9, "x", lit(1))
+    }
+  }
+
   test("IdMinter: deterministic, collision-free, above floor and max") {
     val existing = Seq(("a", 6600000005L), ("b", 6600000001L)).toDF("key", "id")
     val newKeys = Seq("d", "c", "e").toDF("key")

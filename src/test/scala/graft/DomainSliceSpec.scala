@@ -423,6 +423,18 @@ class DomainSliceSpec extends AnyFunSuite {
     assert(tail.worksDocs.filter(
       !col("id").startsWith("https://openalex.org/W")).count() == 0)
 
+    // awards chain: the crossref shell spelling collapses onto the
+    // minted prize; the works' deposited edges aggregate onto the
+    // survivor through the alias; the shared-year portion apportions
+    assert(tail.awardAliases.count() == 1)
+    assert(tail.awards.count() == 2)
+    val prize = tail.awards
+      .filter(col("funder_award_id") === "abel-2022-demo")
+      .select("funded_outputs_count").as[Long].head()
+    assert(prize == 2L)
+    assert(tail.awards.filter(col("funder_award_id") === "abel-2004-shared")
+      .select("amount").as[Double].head() == 3000000.0)
+
     // the RELEASE GATE: guardrails green and every smoke verdict PASS
     assert(tail.guardrails.forall(_.passed),
       tail.guardrails.filterNot(_.passed).map(_.detail).mkString("; "))

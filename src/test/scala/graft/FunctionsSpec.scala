@@ -11,6 +11,17 @@ class FunctionsSpec extends AnyFunSuite {
   private def one(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
 
+  test("booleanFlag: yes/no family normalizes, garbage and null stay null") {
+    // reference: utils/dataframe.py normalize_boolean_column
+    val out = Seq("yes", " Y ", "TRUE", "t", "no", "N", "False", "f",
+        "maybe", "", null)
+      .toDF("s").select(Normalize.booleanFlag(col("s")).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(out.take(4).forall(_ == Some(true)))
+    assert(out.slice(4, 8).forall(_ == Some(false)))
+    assert(out.drop(8).forall(_ == None))
+  }
+
   test("Normalize.doi extracts canonical DOI") {
     assert(one(Normalize.doi(lit("  DOI: 10.1234/AbC.5 junk"))) == "10.1234/abc.5")
     assert(one(Normalize.doi(lit("https://doi.org/10.48550/ARXIV.2101.00001")))
