@@ -7,14 +7,15 @@ import graft.core.Tables
 
 /** Oracle-gated queries over the awards core pipeline (AwardNormKey
   * .sql + WorkAwards.ipynb): q68 drives the key grammars + weakness
-  * guard over a 20-form template rotation (the oracle hand-states
-  * every expected key — deposited-side salvage regexes use Java
-  * lookarounds DuckDB's RE2 lacks, so re-running them is not the
-  * gate; stating their documented outputs is); q69 drives the full
-  * merge — canonical election incl. the newest-year family policy,
-  * generic-first/sharp-second join, weak-evidence suppression — with
-  * a structural DuckDB mirror (the two funders used have RE2-safe
-  * grammars).
+  * guard over a 61-form template rotation — the oracle RECOMPUTES
+  * generic keys, weakness, and the 50 RE2-expressible sharp arms from
+  * the AwardNormKey.sql regexes transcribed into DuckDB; only the 11
+  * forms whose active arm needs Java lookarounds keep a hand-stated
+  * key (each cross-pinned by an AwardKeysSpec reference-example
+  * fixture); q69 drives the full merge — canonical election incl. the
+  * newest-year family policy, generic-first/sharp-second join,
+  * weak-evidence suppression — with a structural DuckDB mirror (the
+  * two funders used have RE2-safe grammars).
   */
 object AwardQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -108,54 +109,124 @@ object AwardQueries {
       AwardKeys.isWeak(col("funder_id"), col("award_id")).as("weak"))
   }
 
+  /** q68 oracle v2 (round 8): generic keys, weakness, and every
+    * RE2-expressible sharp arm are RECOMPUTED from the AwardNormKey.sql
+    * regexes transcribed into DuckDB; only the 11 forms whose ACTIVE
+    * arm needs Java lookarounds (which DuckDB's RE2 lacks) keep their
+    * hand-stated expected key, each cross-pinned by a reference-example
+    * unit fixture in AwardKeysSpec. Multi-arm COALESCEs transcribe the
+    * arms up to and including the one that fires for the fixture form;
+    * later lookaround arms are omitted (RE2 would reject the pattern at
+    * evaluation). */
   private val q68Oracle: String = {
-    val generics = Seq("anr21ce45001201", "agenceanr21ce450012grant",
-      "360gwellcome098765", "98765z10a", "12345", "most1092221e002152my3",
-      "nsc1012218e002008", "kakenhi17h01234", "jp19k12345", "202100123456",
-      "004567", "pid2020112345gbi00", "grantpid2020112345gbi00fundedbymcin",
-      "vr201704630", "20174630", "pi191234", "950123456", "123452",
-      "nsfabc1234", "a 1",
-      "mrs0261931", "mrcgrantmrn0131661uk", "mrs0261931",
-      "w911nf1810327", "hr001120c0021", "n000142112345",
-      "grantu1234567nih", "desc0012704", "1055776p36040",
-      "nhmrcapp1234567", "ep123456", "no2021jj40222",
-      "nsc1012218e002008", "bbs01234561", "bbs01234561",
-      "awardw81xwh1810123", "r01ab123456", "75n91019", "nnx12ab34g",
-      "13gw0123", "19kk0123456h0001", "jp19kk0123456", "nihr1234567",
-      "hta0980034", "nihrcs201616010", "2021123456", "21123456",
-      "gap50312g042", "gacr2112345s", "88881123456201901",
-      "umo201933bst1001234", "201933bst1001234", "eps0261931",
-      "dff400500079", "ktp012345", "grant1234567", "w81xwh1610123",
-      "w911nf1234567", "lq21f020001", "grantly20c123456", "y20c123456")
-    val sharps = Seq("'21-CE45-0012'", "'21-CE45-0012'", "'098765'", "'098765'",
-      "'012345'", "'1092221E002152MY3'", "'1012218E002008'", "'17H01234'",
-      "'19K12345'", "'123456'", "'4567'", "'PID2020-112345GB-I00'",
-      "'PID2020-112345'", "'2017-04630'", "NULL", "'PI19/01234'", "'123456'",
-      "'12345'", "NULL", "NULL",
-      "'MRS0261931'", "'MRN0131661'", "'MRS0261931'",
-      "'W911NF1810327'", "'HR001120C0021'", "'N000142112345'",
-      "'U1234567'", "'SC0012704'", "'P36040'",
-      "'1234567'", "'EP123456'", "'2021JJ40222'",
-      "'1012218E002008'", "'BBS01234561'", "'BBS01234561'",
-      "'W81XWH1810123'", "'R01AB123456'", "'75N91019'", "'NNX12AB34G'",
-      "'13GW0123'", "'19KK0123456'", "'19KK0123456'", "'12/345/67'",
-      "'09/800/34'", "'CS-2016-16-010'", "'21/12345-6'", "'21/12345-6'",
-      "'P503/12/G042'", "'21-12345S'", "'88881.123456/2019-01'",
-      "'2019/33/B/ST10/01234'", "'2019/33/B/ST10/01234'", "'EP/S026193/1'",
-      "'DFF4005-00079'", "'KTP012345'", "'1234567'", "'W81XWH1610123'",
-      "'W911NF1234567'", "'LQ21F020001'", "'LY20C123456'", "'LY20C123456'")
-    val weaks = Seq(4, 10)
+    def rx(src: String, re: String, g: Int = 1) =
+      s"nullif(regexp_extract($src, '$re', $g), '')"
+    def big(e: String) = s"CAST(CAST($e AS BIGINT) AS VARCHAR)"
+    def parts3(src: String, re: String, sep1: String, sep2: String) =
+      s"CASE WHEN ${rx(src, re)} IS NOT NULL THEN " +
+        s"regexp_extract($src, '$re', 1) || '$sep1' || " +
+        s"regexp_extract($src, '$re', 2) || '$sep2' || " +
+        s"regexp_extract($src, '$re', 3) END"
+    val most =
+      "nullif(regexp_replace(regexp_replace(nrm, '^(MOST|NSC|NSTC)[ -]*', ''), '[ -]', '', 'g'), '')"
+    val wtRe = raw"^(\d{5,6})(?:[/_ ][A-Z](?:[/_ ]\d{2})?([/_ ][A-Z])?)?$$"
+    val kkRe = raw"(?:KAKENHI|JP|NO\.?|GRANT)?"
+    val pidHeads = "(PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)"
+    val vr = "regexp_replace(nrm, '^(VR|DNR|GRANT)[ .:#-]*', '')"
+    val b506 = "regexp_replace(regexp_replace(nrm, '^[#]+ ?', ''), '^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)', '')"
+    val noGrant = "regexp_replace(regexp_replace(nrm, '^(NO|GRANT)[ .:#-]*', ''), ' ', '', 'g')"
+    val nihr = "regexp_replace(regexp_replace(nrm, 'NIHR[- ]', ''), ' ', '', 'g')"
+    val gacr = raw"regexp_replace(regexp_replace(nrm, '^((EXPRO|GA ?[CČ]R|GACR|CSF|GRANT|NO)[ .:#-]+)+', ''), ' ', '', 'g')"
+    val nullStr = "CAST(NULL AS VARCHAR)"
+    val sharpExprs: Seq[String] = Seq(
+      /* 0 */ parts3("nrm", raw"^ANR-(\d{2})-([A-Z0-9]{2,6})-(\d{4})", "-", "-"),
+      /* 1 */ parts3("sp", raw"(?:ANR-?)?(\d{2})-([A-Z0-9]{2,6})-(\d{4})", "-", "-"),
+      /* 2 */ s"lpad(coalesce(${rx("nrm", raw"360G-WELLCOME-(\d{5,6})")}, ${rx("nrm", wtRe)}), 6, '0')",
+      /* 3 */ s"lpad(${rx("nrm", wtRe)}, 6, '0')",
+      /* 4 */ s"lpad(${rx("nrm", wtRe)}, 6, '0')",
+      /* 5 */ most,
+      /* 6 */ most,
+      /* 7 */ s"coalesce(${rx("nrm", raw"^$kkRe[ -]*(\d{2}[A-Z]\d{5}|\d{8})$$")}, ${rx("sp", raw"^$kkRe(\d{2}[A-Z]\d{5}|\d{8})$$")})",
+      /* 8 */ s"coalesce(${rx("nrm", raw"^$kkRe[ -]*(\d{2}[A-Z]\d{5}|\d{8})$$")}, ${rx("sp", raw"^$kkRe(\d{2}[A-Z]\d{5}|\d{8})$$")})",
+      /* 9 */ raw"CASE WHEN regexp_matches(nrm, '^[0-9]{12}$$') THEN CAST(CAST(substr(nrm, 7) AS BIGINT) AS VARCHAR) ELSE " + big(rx("nrm", raw"([0-9]{5,6})$$")) + " END",
+      /* 10 */ big(rx("nrm", raw"^([0-9]{1,6})$$")),
+      /* 11 */ rx("sp", raw"^($pidHeads\d{4}-\d{5,6}[A-Z0-9-]{0,8})$$"),
+      /* 12 */ rx("sp", raw"($pidHeads\d{4}-\d{5,6})"),
+      /* 13 */ raw"CASE WHEN regexp_matches($vr, '^(19|20)\d{2}[- ]\d{4,5}$$') THEN regexp_extract($vr, '^((19|20)\d{2})', 1) || '-' || lpad(regexp_extract($vr, '[- ](\d{4,5})$$', 1), 5, '0') END",
+      /* 14 */ rx("nrm", raw"^((19|20)\d{2}-\d{5})$$"),
+      /* 15 */ raw"CASE WHEN regexp_matches(sp, '^[A-Z]{2,4}\d{2}(CIII)?[/-]\d{1,5}$$') THEN regexp_extract(sp, '^([A-Z]{2,4}\d{2}(CIII)?)[/-]', 1) || '/' || lpad(regexp_extract(sp, '[/-](\d{1,5})$$', 1), 5, '0') END",
+      /* 16 */ big(rx(b506, raw"^(\d{4,6})([-_]\d+)?$$")),
+      /* 17 */ big(rx("nrm", raw"^(\d{4,6})_\d+$$")),
+      /* 18 */ nullStr,
+      /* 19 */ nullStr,
+      /* 20 lookbehind arm */ "'MRS0261931'",
+      /* 21 lookbehind arm */ "'MRN0131661'",
+      /* 22 */ "nullif(regexp_replace(nrm, '[ _/.-]', '', 'g'), '')",
+      /* 23 */ rx("dh", raw"^(W911NF[0-9]{2}[A-Z0-9]{3,9})$$"),
+      /* 24 */ rx("dh", raw"^((HR0011|D[0-9]{2}A[CP]|N66001|W31P4Q|FA86[0-9]{2}|FA87[0-9]{2})[0-9A-Z]{5,12})$$"),
+      /* 25 */ rx("dh", raw"^(N[0-9]{5}[0-9]{2}[A-Z0-9]{3,9})$$"),
+      /* 26 lookbehind arm */ "'U1234567'",
+      /* 27 lookahead arm */ "'SC0012704'",
+      /* 28 */ rx("sp", raw"^(?:10\.55776/|HTTPS?://(?:DX\.)?DOI\.ORG/10\.55776/)?([A-Z]{1,3}\d{3,7})(?:-[A-Z]\d{1,3})?$$"),
+      /* 29 lookbehind arm */ "'1234567'",
+      /* 30 lookahead arm */ "'EP123456'",
+      /* 31 */ s"coalesce(${rx(noGrant, raw"^((19|20)\d{2}JJ\d{4,5})$$")}, " + raw"CASE WHEN regexp_matches($noGrant, '^\d{2}JJ\d{4,5}$$') THEN '20' || $noGrant END)",
+      /* 32 */ most,
+      /* 33 */ raw"CASE WHEN NOT regexp_matches(dh, '^(GRANT|AWARD|CONTRACT|PROJECT|DODWID|H2020|HORIZON)') AND NOT regexp_matches(dh, '^[A-Z]{2}[0-9]{9}$$') AND NOT regexp_matches(dh, '^[0-9]?[A-Z][0-9]{2}[A-Z]{2}[0-9]{5,6}$$') THEN " + rx("dh", raw"^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$$") + " END",
+      /* 34 */ rx("nrm", raw"^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$$"),
+      /* 35 lookbehind arm */ "'W81XWH1810123'",
+      /* 36 */ rx("hy", raw"^([A-Z][A-Z0-9]{4}\d{6}|\d{2}[A-Z][A-Z0-9]\d{4,5})$$"),
+      /* 37 lookbehind arm */ "'75N91019'",
+      /* 38 */ "nullif(regexp_replace(nrm, '[ -]', '', 'g'), '')",
+      /* 39 */ "nullif(regexp_replace(nrm, ' ', '', 'g'), '')",
+      /* 40 */ rx("nrm", raw"^(\d{2}[A-Z]{2}\d{7})H\d{4}$$"),
+      /* 41 */ rx("nrm", raw"^(?:JP)?(\d{2}[A-Z]{2}\d{7})(?:H\d{4})?$$"),
+      /* 42 */ rx(nihr, raw"^(?:[A-Z]{2,6})?(\d{2}/\d{2,4}/\d{2,4})$$"),
+      /* 43 */ rx(nihr, raw"^(?:[A-Z]{2,6})?(\d{2}/\d{2,4}/\d{2,4})$$"),
+      /* 44 lookbehind arm */ "'CS-2016-16-010'",
+      /* 45 lookaround arm */ "'21/12345-6'",
+      /* 46 */ parts3("nrm", raw"^(\d{2})/(\d{5})-(\d)$$", "/", "-"),
+      /* 47 */ s"coalesce(${rx("nrm", raw"^G[A-Z](\d{2}-\d{5}[A-Z])$$")}, ${rx("nrm", raw"^G[A-Z](P?\d{3}/\d{2}/[A-Z]?\d{3,4})$$")})",
+      /* 48 */ s"coalesce(${rx(gacr, raw"^(?:G[A-Z])?(\d{2}-\d{5}[A-Z])$$")}, ${rx(gacr, raw"^(?:G[A-Z])?(P?\d{3}/\d{2}/[A-Z]?\d{3,4})$$")})",
+      /* 49 */ rx("sp", raw"((8888\d|99999)\.\d{6}/\d{4}-\d{2})"),
+      /* 50 */ rx("sp", raw"(20\d{2}/\d{2}/[A-Z]{1,2}/[A-Z]{2,3}\d{1,2}/\d{5})"),
+      /* 51 */ rx("sp", raw"^(20\d{2}/\d{2}/[A-Z]{1,2}/[A-Z]{2,3}\d{1,2}/\d{5})$$"),
+      /* 52 */ "nullif(regexp_replace(nrm, ' ', '', 'g'), '')",
+      /* 53 */ "nullif(regexp_replace(nrm, ' ', '', 'g'), '')",
+      /* 54 */ rx("sp", raw"^(?:PROJECT|GRANT|APP|NO)?[.:#-]*(\d{5,8}|KTP\d{6})$$"),
+      /* 55 */ rx("sp", raw"^(?:PROJECT|GRANT|APP|NO)?[.:#-]*(\d{5,8}|KTP\d{6})$$"),
+      /* 56 lookbehind arm */ "'W81XWH1610123'",
+      /* 57 */ rx("dh", raw"^((W911[A-Z0-9]{2})[0-9]{2}[A-Z0-9]{3,11})$$"),
+      /* 58 */ rx("nrm", raw"^(L[A-Z]{0,4}\d{2}[A-Z]\d{6})$$"),
+      /* 59 */ s"coalesce(${rx(noGrant, raw"^(L[A-Z]{0,4}\d{2}[A-Z]\d{6})$$")}, " + raw"CASE WHEN regexp_matches($noGrant, '^[A-Z]{1,4}\d{2}[A-Z]\d{6}$$') AND NOT regexp_matches($noGrant, '^L') THEN 'L' || $noGrant END)",
+      /* 60 */ s"coalesce(${rx(noGrant, raw"^(L[A-Z]{0,4}\d{2}[A-Z]\d{6})$$")}, " + raw"CASE WHEN regexp_matches($noGrant, '^[A-Z]{1,4}\d{2}[A-Z]\d{6}$$') AND NOT regexp_matches($noGrant, '^L') THEN 'L' || $noGrant END)")
+    require(sharpExprs.size == forms.size)
     val m = forms.size
     def cases(vals: Seq[String]) = vals.zipWithIndex
       .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
-    s"""SELECT o_orderkey AS k,
+    s"""WITH f AS (SELECT o_orderkey AS k, o_orderkey % $m AS i,
        |CASE o_orderkey % $m ${cases(forms.map(f => s"CAST(${f._1} AS BIGINT)"))} END AS funder_id,
        |CASE o_orderkey % $m ${cases(forms.map(f => "'" + f._2.replace("'", "''") + "'"))} END AS award_id,
-       |CASE o_orderkey % $m ${cases(forms.map(f => s"'${f._3}'"))} END AS side,
-       |CASE o_orderkey % $m ${cases(generics.map(g => s"'$g'"))} END AS generic_key,
-       |CASE o_orderkey % $m ${cases(sharps)} END AS sharp_key,
-       |(o_orderkey % $m) IN (${weaks.mkString(",")}) AS weak
-       |FROM orders""".stripMargin
+       |CASE o_orderkey % $m ${cases(forms.map(f => s"'${f._3}'"))} END AS side
+       |FROM orders),
+       |n AS (SELECT *, upper(trim(award_id)) AS nrm,
+       |  regexp_replace(upper(trim(award_id)), ' ', '', 'g') AS sp,
+       |  regexp_replace(upper(trim(award_id)), '[-_ ]', '', 'g') AS dh,
+       |  regexp_replace(upper(trim(award_id)), '[ -]', '', 'g') AS hy
+       |  FROM f)
+       |SELECT k, funder_id, award_id, side,
+       |CASE WHEN length(regexp_replace(lower(award_id), '[^a-z0-9]', '', 'g')) >= 4
+       |     THEN regexp_replace(lower(award_id), '[^a-z0-9]', '', 'g')
+       |     ELSE lower(trim(award_id)) END AS generic_key,
+       |CASE i ${cases(sharpExprs)} END AS sharp_key,
+       |CASE WHEN funder_id = 4320334506 THEN regexp_matches(nrm, '^[0-9]{4,6}$$')
+       |     WHEN funder_id = 4320311904 THEN regexp_matches(nrm, '^[0-9]{5,6}$$')
+       |     WHEN funder_id = 4320320924 THEN regexp_matches(nrm, '^[0-9]{4,6}$$')
+       |     WHEN funder_id = 4320320300 THEN regexp_matches(nrm, '^[0-9]{6}$$')
+       |     WHEN funder_id = 4320306076 THEN regexp_matches(nrm, '^[0-9]{7}$$')
+       |     WHEN funder_id = 4320334593 THEN regexp_matches(nrm, '^[0-9]{4,6}$$')
+       |     ELSE FALSE END AS weak
+       |FROM n""".stripMargin
   }
 
   /** q69 synthesis: funder A = Taiwan MOST (prefix-strip grammar),
