@@ -178,7 +178,32 @@ object TextQueries {
       expr("CAST(length(text) div 100 AS INT)").as("n_frames"))
   }
 
+  /** Transitive dedup clusters: candidate pairs (paths, one ~55-hop
+    * chain through the multiples of 100, cross bridges, isolated
+    * pairs) → connected components with min-id canonicals. The oracle
+    * recomputes reachability with a recursive CTE. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+    val k = col("o_orderkey")
+    def e(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)(src: DataFrame) =
+      src.select(a.cast("long").as("da"), b.cast("long").as("db"))
+    val pairs = Seq(
+      e(k, k + 1)(o.filter(pmod(k, lit(10)) < 3)),
+      e(k, k + 100)(o.filter(pmod(k, lit(100)) === 0)),
+      e(k, k + 2)(o.filter(pmod(k, lit(7)) === 3)),
+      e(k + 20000, k + 30000)(o.filter(pmod(k, lit(11)) === 5)))
+      .reduce(_ unionByName _)
+    val cc = Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q112_dedup_components" -> (q112 _),
     "q31_text_token_counts" -> (q31 _),
     "q32_text_quality_score" -> (q32 _),
     "q33_text_langid_profile" -> (q33 _),
@@ -287,6 +312,28 @@ object TextQueries {
     "q35_dedup_exact_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q112_dedup_components" ->
+      """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey <= 5000),
+        |e0 AS (
+        |  SELECT CAST(k AS BIGINT) AS a, CAST(k + 1 AS BIGINT) AS b
+        |    FROM o WHERE k % 10 < 3
+        |  UNION ALL SELECT k, k + 100 FROM o WHERE k % 100 = 0
+        |  UNION ALL SELECT k, k + 2 FROM o WHERE k % 7 = 3
+        |  UNION ALL SELECT k + 20000, k + 30000 FROM o WHERE k % 11 = 5),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON rr.id = e.src),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY cluster_id)
+        |SELECT c.id, c.cluster_id, c.id = c.cluster_id AS is_canonical,
+        |  s.cluster_size
+        |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin,
     "q36_dedup_jaccard_rare_shingle" ->
       s"""WITH $shCte,
          |rare AS (SELECT shingle FROM (SELECT shingle, count(*) df FROM sh GROUP BY 1) x

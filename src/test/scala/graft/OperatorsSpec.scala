@@ -16,6 +16,22 @@ class OperatorsSpec extends AnyFunSuite {
     (5L, "completely different words entirely unrelated content here now yes no")
   ).toDF("doc_id", "text")
 
+  test("connectedComponents: 60-hop chain, ring merge, singleton pair " +
+    "— min-id canonicals within the default 8 pointer-jump rounds") {
+    // a path 0-1-2-...-60 (diameter 60 > the 8 plain-propagation hops
+    // — only pointer jumping reaches the min), a 3-ring sharing node
+    // 60 (merges into the chain), and an isolated pair
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val ring = Seq((60L, 200L), (200L, 201L), (201L, 60L))
+    val pair = Seq((500L, 400L))
+    val cc = Dedup.connectedComponents(
+        (chain ++ ring ++ pair).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 60L).forall(i => cc(i) == 0L))
+    assert(cc(200L) == 0L && cc(201L) == 0L)
+    assert(cc(400L) == 400L && cc(500L) == 400L)
+  }
+
   test("Dedup.exactGroups collapses identical texts") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 4)
