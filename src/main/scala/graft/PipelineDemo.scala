@@ -871,6 +871,11 @@ object PipelineDemo {
         col("display_name_acronyms")))
     stage("institutions docs id-prefixed", instDocs.filter(
       col("id").startsWith("https://openalex.org/I")).count(), _ == 2)
+    // the consolidated awards flow through the same doc+export path
+    val awardDocs = SnapshotDocs.awardsDoc(tail.awards)
+    stage("awards docs id-prefixed (shell never exported)",
+      awardDocs.filter(col("id").startsWith("https://openalex.org/G"))
+        .count(), _ == 2)
 
     tail.guardrails.foreach(c => println(s"[pipe] guardrail ${c.name}: " +
       (if (c.passed) "PASS" else s"FAIL (${c.detail})")))

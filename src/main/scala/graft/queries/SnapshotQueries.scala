@@ -243,9 +243,95 @@ object SnapshotQueries {
         Seq("id"))
   }
 
+  /** The authors snapshot doc (export_authors.ipynb): A-prefixed id,
+    * topics/topic_share capped at 5, x_concepts re-keyed to C URLs
+    * with the legacy col4→level rename, display_name_alternatives
+    * mirrored from raw_author_names, null arrays → empty, the
+    * 20-field whitelist. Oracle recomputes every arm. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") <= 3000)
+    val k = col("c_custkey"); val ks = k.cast("string")
+    def narr(t: String) = lit(null).cast(s"array<$t>")
+    val topicT = "struct<id:string,score:double>"
+    val xcT = "struct<id:bigint,wikidata:string,display_name:string," +
+      "col4:int,score:double,count:bigint>"
+    val authors = c.select(
+      k.cast("long").as("id"),
+      concat(lit("Author "), ks).as("display_name"),
+      when(pmod(k, lit(23)) =!= 0,
+        array(concat(lit("R"), ks), concat(lit("R2"), ks)))
+        .otherwise(narr("string")).as("raw_author_names"),
+      when(pmod(k, lit(5)) =!= 0, concat(lit("Full "), ks)).as("full_name"),
+      when(pmod(k, lit(4)) =!= 0,
+        concat(lit("https://orcid.org/0000-0001-"), ks)).as("orcid"),
+      pmod(k, lit(50)).cast("long").as("works_count"),
+      pmod(k, lit(500)).cast("long").as("cited_by_count"),
+      struct(pmod(k, lit(40)).cast("int").as("h_index"),
+        pmod(k, lit(20)).cast("int").as("i10_index")).as("summary_stats"),
+      struct(concat(lit("https://openalex.org/A"), ks).as("openalex"))
+        .as("ids"),
+      when(pmod(k, lit(13)) =!= 0, array(struct(
+        concat(lit("I"), pmod(k, lit(9)).cast("string")).as("institution"),
+        array(lit(2020), lit(2021)).as("years")))).otherwise(
+        narr("struct<institution:string,years:array<int>>"))
+        .as("affiliations"),
+      when(pmod(k, lit(17)) =!= 0,
+        array(concat(lit("I"), pmod(k, lit(9)).cast("string"))))
+        .otherwise(narr("string")).as("last_known_institutions"),
+      when(pmod(k, lit(7)) =!= 0, transform(sequence(lit(1), lit(7)),
+        i => struct(concat(lit("T"), (pmod(k, lit(25)) + i).cast("string"))
+          .as("id"), (i.cast("double") / 10.0).as("score"))))
+        .otherwise(narr(topicT)).as("topics"),
+      when(pmod(k, lit(9)) =!= 0, transform(sequence(lit(1), lit(6)),
+        i => struct(concat(lit("T"), (pmod(k, lit(25)) + i).cast("string"))
+          .as("id"), (i.cast("double") / 100.0).as("score"))))
+        .otherwise(narr(topicT)).as("topic_share"),
+      when(pmod(k, lit(11)) =!= 0, array(struct(
+        pmod(k, lit(40)).cast("long").as("id"),
+        concat(lit("wd"), pmod(k, lit(40)).cast("string")).as("wikidata"),
+        concat(lit("C"), pmod(k, lit(40)).cast("string")).as("display_name"),
+        pmod(k, lit(4)).cast("int").as("col4"),
+        (pmod(k, lit(100)).cast("double") / 100.0).as("score"),
+        pmod(k, lit(30)).cast("long").as("count"))))
+        .otherwise(narr(xcT)).as("x_concepts"),
+      when(pmod(k, lit(19)) =!= 0,
+        array(concat(lit("S"), pmod(k, lit(5)).cast("string"))))
+        .otherwise(narr("string")).as("sources"),
+      array(struct(lit(2024).as("year"),
+        pmod(k, lit(10)).cast("long").as("works_count")))
+        .as("counts_by_year"),
+      concat(lit("https://api.openalex.org/works?filter=author.id:A"), ks)
+        .as("works_api_url"),
+      lit("2024-05-01").as("updated_date"),
+      lit("2020-01-01").as("created_date"))
+    val doc = SnapshotDocs.authorsDoc(authors)
+    doc.select(col("id"), col("display_name"),
+      to_json(col("display_name_alternatives")).as("dna_json"),
+      to_json(col("raw_author_names")).as("raw_json"),
+      col("full_name"), col("orcid"), col("works_count"),
+      col("cited_by_count"),
+      col("summary_stats").getField("h_index").as("h_index"),
+      col("ids").getField("openalex").as("openalex_id"),
+      size(col("affiliations")).as("n_aff"),
+      size(col("last_known_institutions")).as("n_lki"),
+      size(col("topics")).as("n_topics"),
+      try_element_at(col("topics"), lit(1)).getField("id").as("topic1"),
+      try_element_at(col("topics"), lit(5)).getField("id").as("topic5"),
+      size(col("topic_share")).as("n_share"),
+      try_element_at(col("x_concepts"), lit(1)).getField("id").as("xc_id"),
+      try_element_at(col("x_concepts"), lit(1)).getField("level")
+        .as("xc_level"),
+      try_element_at(col("x_concepts"), lit(1)).getField("score")
+        .as("xc_score"),
+      size(col("sources")).as("n_sources"),
+      size(col("counts_by_year")).as("n_cby"),
+      col("works_api_url"), col("updated_date"), col("created_date"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_works_snapshot_doc" -> (q106 _),
-    "q107_snapshot_salting" -> (q107 _))
+    "q107_snapshot_salting" -> (q107 _),
+    "q113_authors_snapshot_doc" -> (q113 _))
 
   private val q106Oracle: String =
     """WITH base AS (
@@ -360,7 +446,47 @@ object SnapshotQueries {
       |  0 AS salt_small
       |FROM orders""".stripMargin
 
+  private val q113Oracle: String =
+    """WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 3000)
+      |SELECT
+      |  'https://openalex.org/A' || CAST(k AS VARCHAR) AS id,
+      |  'Author ' || CAST(k AS VARCHAR) AS display_name,
+      |  CASE WHEN k % 23 <> 0 THEN to_json(['R' || CAST(k AS VARCHAR),
+      |    'R2' || CAST(k AS VARCHAR)]) ELSE to_json(CAST([] AS VARCHAR[]))
+      |    END AS dna_json,
+      |  CASE WHEN k % 23 <> 0 THEN to_json(['R' || CAST(k AS VARCHAR),
+      |    'R2' || CAST(k AS VARCHAR)]) ELSE to_json(CAST([] AS VARCHAR[]))
+      |    END AS raw_json,
+      |  CASE WHEN k % 5 <> 0 THEN 'Full ' || CAST(k AS VARCHAR) END
+      |    AS full_name,
+      |  CASE WHEN k % 4 <> 0 THEN 'https://orcid.org/0000-0001-' ||
+      |    CAST(k AS VARCHAR) END AS orcid,
+      |  CAST(k % 50 AS BIGINT) AS works_count,
+      |  CAST(k % 500 AS BIGINT) AS cited_by_count,
+      |  CAST(k % 40 AS INTEGER) AS h_index,
+      |  'https://openalex.org/A' || CAST(k AS VARCHAR) AS openalex_id,
+      |  CAST(CASE WHEN k % 13 <> 0 THEN 1 ELSE 0 END AS INTEGER) AS n_aff,
+      |  CAST(CASE WHEN k % 17 <> 0 THEN 1 ELSE 0 END AS INTEGER) AS n_lki,
+      |  CAST(CASE WHEN k % 7 <> 0 THEN 5 ELSE 0 END AS INTEGER) AS n_topics,
+      |  CASE WHEN k % 7 <> 0 THEN 'T' || CAST(k % 25 + 1 AS VARCHAR) END
+      |    AS topic1,
+      |  CASE WHEN k % 7 <> 0 THEN 'T' || CAST(k % 25 + 5 AS VARCHAR) END
+      |    AS topic5,
+      |  CAST(CASE WHEN k % 9 <> 0 THEN 5 ELSE 0 END AS INTEGER) AS n_share,
+      |  CASE WHEN k % 11 <> 0 THEN 'https://openalex.org/C' ||
+      |    CAST(k % 40 AS VARCHAR) END AS xc_id,
+      |  CASE WHEN k % 11 <> 0 THEN CAST(k % 4 AS INTEGER) END AS xc_level,
+      |  CASE WHEN k % 11 <> 0 THEN CAST(k % 100 AS DOUBLE) / 100.0 END
+      |    AS xc_score,
+      |  CAST(CASE WHEN k % 19 <> 0 THEN 1 ELSE 0 END AS INTEGER) AS n_sources,
+      |  CAST(1 AS INTEGER) AS n_cby,
+      |  'https://api.openalex.org/works?filter=author.id:A' ||
+      |    CAST(k AS VARCHAR) AS works_api_url,
+      |  '2024-05-01' AS updated_date, '2020-01-01' AS created_date
+      |FROM c""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q106_works_snapshot_doc" -> q106Oracle,
-    "q107_snapshot_salting" -> q107Oracle)
+    "q107_snapshot_salting" -> q107Oracle,
+    "q113_authors_snapshot_doc" -> q113Oracle)
 }
