@@ -251,6 +251,35 @@ object Dedup {
     *
     * @param pairs candidate pairs (both orientations implied)
     * @return (id, cluster_id) for every node appearing in `pairs` */
+  /** Benchmark decontamination (the standard n-gram-overlap screen a
+    * training corpus runs against its eval sets): a document is
+    * contaminated when it shares at least `minCommon` DISTINCT
+    * shingles with any single benchmark document.
+    *
+    * Input is raw [[shingles]] output for both sides (duplicates
+    * collapse in the count-distinct partials). The benchmark side is
+    * eval-set-sized — broadcast — so the corpus never shuffles: one
+    * broadcast join + one keyed aggregation.
+    *
+    * @return (idCol, bench_id, n_common) pairs at n_common >= minCommon */
+  def contaminationPairs(docShingles: DataFrame, benchShingles: DataFrame,
+      idCol: String, minCommon: Int): DataFrame = {
+    val bench = benchShingles
+      .select(col(idCol).as("bench_id"), col("shingle")).distinct()
+    docShingles
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** Drops every contaminated document: one broadcast anti-join
+    * (the pair table is bounded by corpus-hits × eval size). */
+  def decontaminate(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    docs.join(broadcast(pairs.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   def connectedComponents(pairs: DataFrame, idA: String = "da",
       idB: String = "db", maxIter: Int = 8): DataFrame = {
     // edges land ONCE (read again every round); labels land every

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deterministic dataset splitting + stratified sampling for
+  * training-data curation (beyond-reference surface, same family as
+  * the Dedup/Similarity operators).
+  *
+  * Both primitives key on [[TextFunctions.charHash]] — a per-row
+  * 56-bit polynomial with a bit-exact DuckDB twin — so splits are
+  * reproducible across engines and runs, and changing the seed string
+  * reshuffles every assignment:
+  *  - [[hashSplit]]: stable train/val/test labels from the id hash,
+  *    a pure projection (zero shuffle — every executor labels its own
+  *    rows; new rows never move existing rows between splits, unlike
+  *    randomSplit);
+  *  - [[stratifiedCap]]: at most `cap` rows per stratum, elected by a
+  *    salted hash rank — one keyed window, never a global sort, so a
+  *    skewed stratum costs only its own partition. */
+object Sampling {
+
+  /** Stable bucket 0..99 for an id under a seed. */
+  def splitBucket(id: Column, seed: String): Column =
+    pmod(TextFunctions.charHash(
+      concat(id.cast("string"), lit(":" + seed))), lit(100L))
+
+  /** Adds `bucket` (0..99) and `split` ∈ train/val/test with the given
+    * percentages (test takes the remainder). */
+  def hashSplit(df: DataFrame, idCol: String, seed: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val b = splitBucket(col(idCol), seed)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Keeps at most `cap` rows per stratum, elected deterministically
+    * by the salted id hash (ties impossible for distinct ids; the id
+    * itself is the final tiebreak for duplicate ids). */
+  def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
+      seed: String, cap: Int): DataFrame = {
+    val rank = row_number().over(
+      Window.partitionBy(strata.map(col): _*)
+        .orderBy(TextFunctions.charHash(
+          concat(col(idCol).cast("string"), lit(":cap:" + seed))).asc,
+          col(idCol).asc))
+    df.withColumn("__rank", rank).filter(col("__rank") <= cap)
+      .drop("__rank")
+  }
+}

@@ -202,8 +202,57 @@ object TextQueries {
         col("cluster_size"))
   }
 
+  /** Deterministic train/val/test split (80/10/10) + per-language
+    * stratified cap — both keyed on the charHash twin the oracle
+    * reproduces bit-for-bit. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val split = Sampling.hashSplit(d, "doc_id", "s1",
+      trainPct = 80, valPct = 10)
+    val capped = Sampling.stratifiedCap(split, Seq("lang"), "doc_id",
+        "s1", cap = 5)
+      .select(col("doc_id"), lit(true).as("kept"))
+    split.join(capped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+  }
+
+  /** Benchmark decontamination: verbatim eval copies, partial
+    * (first-6-words) overlaps, and novel benchmark rows — a doc is
+    * contaminated at >= 3 distinct shared 3-gram shingles with any
+    * single benchmark doc. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val k = col("doc_id")
+    val bench = d.filter(pmod(k, lit(10)) === 0)
+      .select((k + 100000).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(k, lit(7)) === 0)
+        .select((k + 200000).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
+            .as("text")))
+      .unionByName(d.filter(pmod(k, lit(13)) === 0)
+        .select((k + 300000).as("doc_id"),
+          concat(lit("novel benchmark question "), k.cast("string"))
+            .as("text")))
+    val pairs = Dedup.contaminationPairs(
+      Dedup.shingles(d, "doc_id", "text", 3),
+      Dedup.shingles(bench, "doc_id", "text", 3),
+      "doc_id", minCommon = 3)
+    val flags = pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench"), max(col("n_common")).as("max_common"))
+    d.select(col("doc_id"), col("lang"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        col("n_bench").isNotNull.as("contaminated"),
+        coalesce(col("n_bench"), lit(0L)).as("n_bench"),
+        coalesce(col("max_common"), lit(0L)).as("max_common"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q112_dedup_components" -> (q112 _),
+    "q114_hash_split_stratified" -> (q114 _),
+    "q115_decontamination" -> (q115 _),
     "q31_text_token_counts" -> (q31 _),
     "q32_text_quality_score" -> (q32 _),
     "q33_text_langid_profile" -> (q33 _),
@@ -312,6 +361,52 @@ object TextQueries {
     "q35_dedup_exact_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q114_hash_split_stratified" -> {
+      val splitH = chash("CAST(doc_id AS VARCHAR) || ':s1'")
+      val capH = chash("CAST(doc_id AS VARCHAR) || ':cap:s1'")
+      s"""WITH h AS (SELECT doc_id, lang, $splitH % 100 AS bucket,
+         |    $capH AS caph FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY caph, doc_id) AS rk FROM h)
+         |SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  rk <= 5 AS kept
+         |FROM r""".stripMargin
+    },
+    "q115_decontamination" ->
+      """WITH dsh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(ws, i, i+2), ' ') AS shingle
+        |  FROM (SELECT doc_id, list_filter(string_split(text,' '),
+        |    x -> x <> '') ws FROM documents) t,
+        |  unnest(range(1, len(t.ws)-1)) u(i)),
+        |bench AS (
+        |  SELECT doc_id + 100000 AS bench_id, text FROM documents
+        |    WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, array_to_string(list_slice(
+        |    list_filter(string_split(text,' '), x -> x <> ''), 1, 6), ' ')
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    'novel benchmark question ' || CAST(doc_id AS VARCHAR)
+        |    FROM documents WHERE doc_id % 13 = 0),
+        |bsh AS (SELECT DISTINCT bench_id,
+        |    array_to_string(list_slice(ws, i, i+2), ' ') AS shingle
+        |  FROM (SELECT bench_id, list_filter(string_split(text,' '),
+        |    x -> x <> '') ws FROM bench) t,
+        |  unnest(range(1, len(t.ws)-1)) u(i)),
+        |pairs AS (SELECT d.doc_id, b.bench_id,
+        |    count(DISTINCT d.shingle) AS n_common
+        |  FROM dsh d JOIN bsh b ON d.shingle = b.shingle
+        |  GROUP BY d.doc_id, b.bench_id
+        |  HAVING count(DISTINCT d.shingle) >= 3),
+        |fl AS (SELECT doc_id, count(*) AS n_bench, max(n_common) AS max_common
+        |  FROM pairs GROUP BY doc_id)
+        |SELECT doc.doc_id, doc.lang, fl.doc_id IS NOT NULL AS contaminated,
+        |  coalesce(fl.n_bench, 0) AS n_bench,
+        |  coalesce(fl.max_common, 0) AS max_common
+        |FROM documents doc LEFT JOIN fl ON doc.doc_id = fl.doc_id""".stripMargin,
     "q112_dedup_components" ->
       """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders
         |  WHERE o_orderkey <= 5000),

@@ -32,6 +32,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cc(400L) == 400L && cc(500L) == 400L)
   }
 
+  test("Sampling: stable splits under a seed, reshuffled under another, " +
+    "stratified cap is exact and deterministic") {
+    import graft.operators.Sampling
+    val d = spark.range(1, 201).select(col("id"),
+      (pmod(col("id"), lit(4))).cast("string").as("g"))
+    val s1 = Sampling.hashSplit(d, "id", "seedA", 80, 10)
+    val s2 = Sampling.hashSplit(d, "id", "seedA", 80, 10)
+    val s3 = Sampling.hashSplit(d, "id", "seedB", 80, 10)
+    assert(s1.select("id", "split").collect().toSet ==
+      s2.select("id", "split").collect().toSet) // stable
+    assert(s1.select("id", "split").collect().toSet !=
+      s3.select("id", "split").collect().toSet) // seed reshuffles
+    val splits = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+    val capped = Sampling.stratifiedCap(d, Seq("g"), "id", "s", 7)
+    val per = capped.groupBy("g").count().collect().map(_.getLong(1))
+    assert(per.length == 4 && per.forall(_ == 7L))
+    assert(capped.collect().toSet ==
+      Sampling.stratifiedCap(d, Seq("g"), "id", "s", 7).collect().toSet)
+  }
+
+  test("contaminationPairs: verbatim copy flagged, short overlap below " +
+    "minCommon passes, decontaminate drops flagged docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines at scale"),
+      (3L, "short doc here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over something"), // 4 shared shingles
+      (901L, "short doc here indeed"))                    // 1 shared shingle
+      .toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3),
+      Dedup.shingles(bench, "doc_id", "text", 3), "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 900L, 4L)))
+    val clean = Dedup.decontaminate(docs, "doc_id",
+      Dedup.contaminationPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3),
+        Dedup.shingles(bench, "doc_id", "text", 3), "doc_id", 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("Dedup.exactGroups collapses identical texts") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 4)
