@@ -49,7 +49,7 @@ import org.apache.spark.sql.functions._
   * The key grammars are row-local (see the AwardKeys codegen note).
   *
   * Deliberately not ported: cell 1's defensive empty-`award_topics`
-  * CTAS (Databricks catalog bootstrap — callers here pass the frame).
+  * CTAS (the reference's catalog bootstrap — callers pass the frame).
   */
 object AwardConsolidation {
 
