@@ -222,10 +222,11 @@ object TextQueries {
     * (first-6-words) overlaps, and novel benchmark rows — a doc is
     * contaminated at >= 3 distinct shared 3-gram shingles with any
     * single benchmark doc. */
-  private def q115(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** The q115/q116 benchmark fixture: verbatim eval copies, partial
+    * first-6-words overlaps, novel rows. */
+  private def benchDocs(d: DataFrame): DataFrame = {
     val k = col("doc_id")
-    val bench = d.filter(pmod(k, lit(10)) === 0)
+    d.filter(pmod(k, lit(10)) === 0)
       .select((k + 100000).as("doc_id"), col("text"))
       .unionByName(d.filter(pmod(k, lit(7)) === 0)
         .select((k + 200000).as("doc_id"),
@@ -235,6 +236,11 @@ object TextQueries {
         .select((k + 300000).as("doc_id"),
           concat(lit("novel benchmark question "), k.cast("string"))
             .as("text")))
+  }
+
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bench = benchDocs(d)
     val pairs = Dedup.contaminationPairs(
       Dedup.shingles(d, "doc_id", "text", 3),
       Dedup.shingles(bench, "doc_id", "text", 3),
@@ -249,10 +255,46 @@ object TextQueries {
         coalesce(col("max_common"), lit(0L)).as("max_common"))
   }
 
+  /** The COMPOSED curation pipeline, end-to-end in one oracle-gated
+    * query: MinHash-LSH candidates → exact-Jaccard verify (>= 0.5) →
+    * transitive components with min-id canonicals → benchmark
+    * decontamination → deterministic split. final_kept = canonical AND
+    * clean — the rowset a training run would actually read. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    val sid = Dedup.withShingleIds(sh).select(col("doc_id"), col("sid"))
+    val combined = Dedup.signatureWithSets(sid, "doc_id", 16)
+    val cand = Dedup.lshCandidates(combined, "doc_id", 4, 4)
+    val verified = Dedup.jaccardForSets(cand, combined, "doc_id")
+      .filter(col("jaccard") >= 0.5).select(col("da"), col("db"))
+    // verified >= 0.5-Jaccard chains are shallow — 4 pointer-jump
+    // rounds (diameter 16) is generous; each round is a fixed
+    // shuffle+land cost, so don't pay the stress-test default here
+    val cc = Dedup.connectedComponents(verified, maxIter = 4)
+      .select(col("id").as("doc_id"), col("cluster_id").as("__cl"))
+    val cont = Dedup.contaminationPairs(sh,
+        Dedup.shingles(benchDocs(d), "doc_id", "text", 3),
+        "doc_id", minCommon = 3)
+      .select(col("doc_id")).distinct().withColumn("__dirty", lit(true))
+    val split = graft.operators.Sampling.hashSplit(
+      d.select(col("doc_id"), col("lang")), "doc_id", "s1", 80, 10)
+    split.join(cc, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("split"),
+        coalesce(col("__cl"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("__cl"), col("doc_id")) === col("doc_id"))
+          .as("is_canonical"),
+        coalesce(col("__dirty"), lit(false)).as("contaminated"),
+        ((coalesce(col("__cl"), col("doc_id")) === col("doc_id")) &&
+          !coalesce(col("__dirty"), lit(false))).as("final_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
     "q115_decontamination" -> (q115 _),
+    "q116_curation_pipeline" -> (q116 _),
     "q31_text_token_counts" -> (q31 _),
     "q32_text_quality_score" -> (q32 _),
     "q33_text_langid_profile" -> (q33 _),
@@ -290,6 +332,26 @@ object TextQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e,''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(h,c) -> (h*31+c) % ${graft.functions.TextFunctions.CharHashMod})"
+
+  /** Shared q115/q116 benchmark CTEs: the three bench arms + their
+    * distinct 3-gram shingles. */
+  private val benchCtes =
+    """bench AS (
+      |  SELECT doc_id + 100000 AS bench_id, text FROM documents
+      |    WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, array_to_string(list_slice(
+      |    list_filter(string_split(text,' '), x -> x <> ''), 1, 6), ' ')
+      |    FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    'novel benchmark question ' || CAST(doc_id AS VARCHAR)
+      |    FROM documents WHERE doc_id % 13 = 0),
+      |bsh AS (SELECT DISTINCT bench_id,
+      |    array_to_string(list_slice(ws, i, i+2), ' ') AS shingle
+      |  FROM (SELECT bench_id, list_filter(string_split(text,' '),
+      |    x -> x <> '') ws FROM bench) t,
+      |  unnest(range(1, len(t.ws)-1)) u(i))""".stripMargin
 
   private val minhashMins = (0 until 16).map(i =>
     s"min(((sid % ${Dedup.Prime})*${Dedup.hashA(i)}+${Dedup.hashB(i)}) % ${Dedup.Prime}) AS s$i").mkString(", ")
@@ -407,6 +469,52 @@ object TextQueries {
         |  coalesce(fl.n_bench, 0) AS n_bench,
         |  coalesce(fl.max_common, 0) AS max_common
         |FROM documents doc LEFT JOIN fl ON doc.doc_id = fl.doc_id""".stripMargin,
+    "q116_curation_pipeline" -> {
+      val splitH = chash("CAST(d.doc_id AS VARCHAR) || ':s1'")
+      s"""WITH RECURSIVE $shCte,
+         |ids AS (SELECT doc_id, ${chash("shingle")} AS sid FROM sh),
+         |sig AS (SELECT doc_id, $minhashMins FROM ids GROUP BY doc_id),
+         |bandtab AS ($bandTab),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bandtab a
+         |  JOIN bandtab b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |com AS (SELECT c.da, c.db, count(*) common FROM cand c
+         |  JOIN sh x ON x.doc_id = c.da
+         |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (SELECT c.da, c.db FROM com c
+         |  JOIN sizes na ON na.doc_id = c.da
+         |  JOIN sizes nb ON nb.doc_id = c.db
+         |  WHERE floor(CAST(common AS DOUBLE) /
+         |    CAST(na.n + nb.n - common AS DOUBLE) * 1000000 + 0.5)
+         |    / 1000000.0 >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL SELECT db, da FROM vp),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON rr.id = e.src),
+         |compo AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |$benchCtes,
+         |cpairs AS (SELECT s2.doc_id, b.bench_id,
+         |    count(DISTINCT s2.shingle) AS n_common
+         |  FROM sh s2 JOIN bsh b ON s2.shingle = b.shingle
+         |  GROUP BY 1, 2 HAVING count(DISTINCT s2.shingle) >= 3),
+         |cont AS (SELECT DISTINCT doc_id FROM cpairs)
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN $splitH % 100 < 80 THEN 'train'
+         |       WHEN $splitH % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         |  coalesce(compo.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(compo.cluster_id, d.doc_id) = d.doc_id AS is_canonical,
+         |  cont.doc_id IS NOT NULL AS contaminated,
+         |  coalesce(compo.cluster_id, d.doc_id) = d.doc_id
+         |    AND cont.doc_id IS NULL AS final_kept
+         |FROM documents d
+         |LEFT JOIN compo ON d.doc_id = compo.id
+         |LEFT JOIN cont ON d.doc_id = cont.doc_id""".stripMargin
+    },
     "q112_dedup_components" ->
       """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders
         |  WHERE o_orderkey <= 5000),
