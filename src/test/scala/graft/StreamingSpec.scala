@@ -165,4 +165,26 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(afterTwo == batch)
   }
+
+  test("streaming hash split equals batch: curation labels assigned " +
+    "at ingestion never move") {
+    // hashSplit is a pure projection, so it runs unchanged over a
+    // stream — each micro-batch labels its own rows and the labels
+    // equal the batch assignment row-for-row
+    import graft.operators.Sampling
+    val src = spark.readStream.schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .select(col("event_id").as("id"))
+    val q = Sampling.hashSplit(src, "id", "seedZ", 80, 10)
+      .writeStream.format("memory").queryName("splitstream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("splitstream")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val batch = Sampling.hashSplit(
+        Tables(spark, sfDir, "events").select(col("event_id").as("id")),
+        "id", "seedZ", 80, 10)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
