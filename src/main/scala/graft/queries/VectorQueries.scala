@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Embedding similarity-search operators over the `embeddings` table:
   * brute-force cosine top-k (correctness baseline) and hyperplane-LSH
@@ -52,7 +52,9 @@ object VectorQueries {
     * output is exactly those planted pairs that the LSH buckets keep
     * together (approximate recall is part of the operator's semantics —
     * the oracle replicates the same bucketing). */
-  private def q56(s: SparkSession, dir: String): DataFrame = {
+  /** q56 body, shared with q117: LSH-bucketed cosine near-dup pairs
+    * (planted perturbed duplicates at vec_id+100000). */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val ps = Similarity.planes(8, 64)
     val e0 = t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
@@ -72,6 +74,31 @@ object VectorQueries {
         (col("na") * col("nb")) * 1000000 + 0.5) / 1000000.0)
       .filter(col("cosv") >= 0.99)
       .select(col("da"), col("db"), col("cosv"))
+  }
+
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    cosinePairs(s, dir)
+
+  /** Embedding-side curation: cosine near-dup pairs → transitive
+    * components → min-id canonical per cluster, over the FULL vector
+    * universe (pairless vectors are their own singleton cluster). */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cosinePairs(s, dir).select(col("da"), col("db"))
+    // cosine >= 0.99 chains are shallow; 4 rounds = diameter 16
+    val cc = Dedup.connectedComponents(pairs, maxIter = 4)
+    val base = t(s, dir, "embeddings").select(col("vec_id"))
+    val ids = base.unionByName(
+      base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 100000).as("vec_id")))
+    val withC = ids.join(cc, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    val sizes = withC.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withC.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_size"))
   }
 
   /** IVF ANN: K=16 coarse centroids (the first 16 vectors), corpus
@@ -151,7 +178,8 @@ object VectorQueries {
     "q39_ann_cosine_topk" -> (q39 _),
     "q40_ann_lsh_buckets" -> (q40 _),
     "q56_dedup_embedding_cosine" -> (q56 _),
-    "q57_ann_ivf_probe" -> (q57 _))
+    "q57_ann_ivf_probe" -> (q57 _),
+    "q117_embedding_curation" -> (q117 _))
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), k -> $a[k]*$b[k]))"
@@ -270,6 +298,46 @@ object VectorQueries {
          |    / 1000000.0 AS cosv
          |  FROM ev x JOIN ev y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT da, db, cosv FROM pairs WHERE cosv >= 0.99""".stripMargin,
+    "q117_embedding_curation" ->
+      s"""WITH RECURSIVE planes AS (SELECT i, list(val ORDER BY j) p FROM
+         |  (SELECT u1.i, u2.j,
+         |   CAST(((u1.i*64+u2.j)*2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5 AS val
+         |   FROM unnest(range(0, 8)) u1(i), unnest(range(0, 64)) u2(j)) t GROUP BY i),
+         |e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |dup AS (SELECT vec_id + 100000 AS vec_id,
+         |  list_transform(range(1, len(v)+1),
+         |    k -> v[k] + CAST((k-1)%3 - 1 AS DOUBLE)*0.01) AS v
+         |  FROM e0 WHERE vec_id % 10 = 0),
+         |al AS (SELECT * FROM e0 UNION ALL SELECT * FROM dup),
+         |dots AS (SELECT al.vec_id, p.i, ${dotSql("al.v", "p.p")} AS d
+         |  FROM al CROSS JOIN planes p),
+         |bkt AS (SELECT vec_id,
+         |  CAST(sum(CASE WHEN d > 0 THEN (1 << CAST(i AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |ev AS (SELECT a.vec_id, a.v, b.bucket FROM al a JOIN bkt b USING (vec_id)),
+         |vp AS (SELECT x.vec_id da, y.vec_id db
+         |  FROM ev x JOIN ev y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE floor(${dotSql("x.v", "y.v")} /
+         |    (sqrt(${dotSql("x.v", "x.v")}) * sqrt(${dotSql("y.v", "y.v")})) * 1000000 + 0.5)
+         |    / 1000000.0 >= 0.99),
+         |edges AS (SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL SELECT db, da FROM vp),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e2.dst, rr.r FROM reach rr JOIN edges e2 ON rr.id = e2.src),
+         |compo AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |ids AS (SELECT vec_id FROM e0
+         |  UNION ALL SELECT vec_id + 100000 FROM e0 WHERE vec_id % 10 = 0),
+         |withc AS (SELECT i.vec_id,
+         |    coalesce(c.cluster_id, i.vec_id) AS cluster_id
+         |  FROM ids i LEFT JOIN compo c ON i.vec_id = c.id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM withc GROUP BY cluster_id)
+         |SELECT w.vec_id, w.cluster_id,
+         |  w.vec_id = w.cluster_id AS is_canonical, s2.cluster_size
+         |FROM withc w JOIN sizes s2 USING (cluster_id)""".stripMargin,
     "q57_ann_ivf_probe" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
