@@ -71,10 +71,12 @@ object AwardConsolidation {
 
   /** Per-id survivorship (cells 2/3): higher priority wins; the
     * (funder_id, funder_award_id) tie-break keeps hash-collided ids
-    * deterministic run-to-run. */
+    * deterministic run-to-run. NULLS FIRST on the award-id leg matches
+    * the reference engine's plain-ASC default (the notebook runs on
+    * Spark, where ASC sorts nulls first). */
   def dedupById(raw: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("priority").desc,
-      col("funder_id").asc, col("funder_award_id").asc_nulls_last)
+      col("funder_id").asc, col("funder_award_id").asc_nulls_first)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -25,8 +25,13 @@ object AlignSchema {
     * projection. */
   def withColumnAt(df: DataFrame, index: Int, name: String,
       column: Column): DataFrame = {
+    // index is validated against the PRE-removal column count (the
+    // reference checks before dropping an existing column, so
+    // replacing a column at index == ncols is accepted and appends;
+    // splitAt clamps past-the-end after the removal).
+    require(index >= 0 && index <= df.schema.names.length,
+      "index out of valid range")
     val names = df.schema.names.toSeq.filterNot(_ == name)
-    require(index >= 0 && index <= names.length, "index out of valid range")
     val (before, after) = names.splitAt(index)
     df.withColumn(name, column)
       .select((before.map(col) :+ col(name)) ++ after.map(col): _*)

@@ -231,26 +231,6 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Transitive duplicate clusters over a candidate-pair graph: every
-    * node gets `cluster_id` = the MIN doc id reachable through pairs,
-    * so borderline chains (A~B, B~C but not A~C) collapse into one
-    * group with a deterministic canonical representative.
-    *
-    * Algorithm: min-label propagation with pointer jumping — each
-    * round a node adopts the minimum label among itself and its
-    * neighbors, then labels chase their own label's label (path
-    * halving), so reach doubles per round: `maxIter` rounds cover
-    * components of diameter 2^maxIter. Every step is a keyed
-    * shuffle/aggregation (the distributed-CC shape of the large-star/
-    * small-star family); NO driver-side convergence loop — the
-    * iteration count is fixed and lineage is cut at a Materialize
-    * parquet boundary every 4 rounds so the plan stays bounded at any
-    * scale. Near-dup graphs have shallow components (chains of
-    * borderline pairs), so the default 8 rounds (diameter 256) is
-    * far past anything a real corpus produces.
-    *
-    * @param pairs candidate pairs (both orientations implied)
-    * @return (id, cluster_id) for every node appearing in `pairs` */
   /** Benchmark decontamination (the standard n-gram-overlap screen a
     * training corpus runs against its eval sets): a document is
     * contaminated when it shares at least `minCommon` DISTINCT
@@ -280,6 +260,26 @@ object Dedup {
     docs.join(broadcast(pairs.select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
+  /** Transitive duplicate clusters over a candidate-pair graph: every
+    * node gets `cluster_id` = the MIN doc id reachable through pairs,
+    * so borderline chains (A~B, B~C but not A~C) collapse into one
+    * group with a deterministic canonical representative.
+    *
+    * Algorithm: min-label propagation with pointer jumping — each
+    * round a node adopts the minimum label among itself and its
+    * neighbors, then labels chase their own label's label (path
+    * halving), so reach doubles per round: `maxIter` rounds cover
+    * components of diameter 2^maxIter. Every step is a keyed
+    * shuffle/aggregation (the distributed-CC shape of the large-star/
+    * small-star family); NO driver-side convergence loop — the
+    * iteration count is fixed and lineage is cut at a Materialize
+    * parquet boundary every second round so the plan stays bounded at
+    * any scale. Near-dup graphs have shallow components (chains of
+    * borderline pairs), so the default 8 rounds (diameter 256) is
+    * far past anything a real corpus produces.
+    *
+    * @param pairs candidate pairs (both orientations implied)
+    * @return (id, cluster_id) for every node appearing in `pairs` */
   def connectedComponents(pairs: DataFrame, idA: String = "da",
       idB: String = "db", maxIter: Int = 8): DataFrame = {
     // edges land ONCE (read again every round); labels land every

@@ -822,7 +822,7 @@ object AwardQueries {
       |    'funder_registry'),
       |dedup AS (SELECT * FROM raw
       |  QUALIFY row_number() OVER (PARTITION BY id
-      |    ORDER BY p DESC, fid ASC, aid ASC) = 1),
+      |    ORDER BY p DESC, fid ASC, aid ASC NULLS FIRST) = 1),
       |keyed AS (SELECT *,
       |  CASE WHEN aid IS NULL THEN NULL
       |       WHEN length(regexp_replace(lower(aid), '[^a-z0-9]', '', 'g')) >= 4

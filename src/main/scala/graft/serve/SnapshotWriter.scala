@@ -213,8 +213,21 @@ object SnapshotWriter {
     }
     renamePartitions(outDir, "snappy.parquet", "parquet")
     val files = enumerate(outDir, "parquet")
-    val entries = files.map { case (rel, size, full) =>
-      FileEntry(s"$outDir/$rel", size, spark.read.parquet(full).count())
+    // Per-file record counts from ONE distributed read grouped by
+    // input file (same shape as the jsonl path) — never a per-file
+    // driver `count()` loop, which at a 500M-row export is ~1,250
+    // serial tiny jobs. The empty projection keeps the scan
+    // footer-weight: no data columns are decoded.
+    val countsByFile: Map[String, Long] =
+      if (files.isEmpty) Map.empty
+      else spark.read.parquet(s"$outDir/updated_date=*")
+        .groupBy(input_file_name().as("path")).count()
+        .collect()
+        .map(r => (r.getString(0).split("/").takeRight(2).mkString("/"),
+          r.getLong(1)))
+        .toMap
+    val entries = files.map { case (rel, size, _) =>
+      FileEntry(s"$outDir/$rel", size, countsByFile.getOrElse(rel, 0L))
     }
     val meta = EntityMeta(entity, "parquet",
       entries.map(_.recordCount).sum, entries.map(_.contentLength).sum,

@@ -109,6 +109,11 @@ class CoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AlignSchema.withColumnAt(df, 9, "x", lit(1))
     }
+    // replacing an existing column at index == ncols is accepted
+    // (index validates against the PRE-removal width, like the
+    // reference) and appends
+    val appended = AlignSchema.withColumnAt(df, 3, "flag", lit(false))
+    assert(appended.columns.toSeq == Seq("id", "name", "flag"))
   }
 
   test("IdMinter: deterministic, collision-free, above floor and max") {
