@@ -1,0 +1,678 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The top-volume per-funder ingest configs, derived from the
+  * reference's one-off `Create<Funder>Awards.ipynb` notebooks —
+  * constant-for-constant (funder ids, provenances, priorities,
+  * scheme→type cascades, date fallbacks, landing URLs).
+  *
+  * Archetype coverage (the audit of all 338 Create*Awards notebooks;
+  * the full table is SURVEY.md §2.11):
+  *   - single-funder cross-join  → [[FunderIngest.transform]]
+  *     (kaken, dfg, sshrc, snsf, cihr, nsf, dod + the r8 trio)
+  *   - resolved multi-funder     → [[FunderIngest.transformResolved]]
+  *     (nihExporter, gtrProjects, erc, europeanCommission)
+  *   - prize portions            → the abelPrize shape of
+  *     [[FunderIngest.transform]]
+  */
+object FunderConfigs {
+  import FunderIngest.nullInvestigator
+
+  private def affIds: String =
+    "array<struct<id:string,type:string,asserted_by:string>>"
+
+  private def investigator(given: Column, family: Column, orcid: Column,
+      roleStart: Column, affName: Column, affCountry: Column,
+      ids: Column): Column =
+    struct(given.as("given_name"), family.as("family_name"),
+      orcid.as("orcid"), roleStart.as("role_start"),
+      struct(affName.as("name"), affCountry.as("country"),
+        ids.as("ids")).as("affiliation"))
+
+  private def d(c: Column): Column =
+    to_date(try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  // ---------------------------------------------------------------
+  // Single-funder cross-join archetype
+  // ---------------------------------------------------------------
+
+  /** KAKEN / JSPS Grants-in-Aid (CreateKAKENAwards.ipynb cell 6,
+    * ~1M+ projects): JPY amounts, the research-category→type LIKE
+    * cascade, the NRID affiliation identifier, landing URL straight
+    * from the source row. */
+  def kaken: FunderIngestConfig = {
+    val cat = lower(col("category"))
+    val fundingType =
+      when(cat.like("%fellow%"), "fellowship")
+        .when(cat.like("%young%"), "fellowship")
+        .when(cat.like("%early-career%"), "fellowship")
+        .when(cat.like("%encouragement%"), "fellowship")
+        .when(cat.like("%start%"), "fellowship")
+        .when(cat.like("%specially promoted%"), "research")
+        .when(cat.like("%scientific research%"), "research")
+        .when(cat.like("%challenging%"), "research")
+        .when(cat.like("%transformative%"), "research")
+        .when(cat.like("%pioneering%"), "research")
+        .when(cat.like("%international%"), "research")
+        .when(cat.like("%publication%"), "other")
+        .otherwise("grant")
+    val nridIds = when(col("pi_nrid").isNotNull,
+      array(struct(
+        concat(lit("https://nrid.nii.ac.jp/nrid/"), col("pi_nrid")).as("id"),
+        lit("nrid").as("type"), lit("kaken").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("pi_family_name").isNotNull,
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        coalesce(col("institution"), col("pi_affiliation")), lit("Japan"),
+        nridIds))
+    FunderIngestConfig(
+      funderId = 4320334764L, provenance = "kaken", priority = 10,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("title"), description = col("abstract"),
+      amount = col("amount").try_cast("double"), currency = lit("JPY"),
+      fundingType = fundingType, funderScheme = col("category"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** DFG / GEPRIS (CreateDFGAwards.ipynb cell 7, ~144K projects):
+    * EUR, the German programme→type cascade, date-or-year-boundary
+    * fallbacks, institution-only lead investigator. */
+  def dfg: FunderIngestConfig = {
+    val prog = lower(col("program_type"))
+    val fundingType =
+      when(prog.like("%emmy noether%"), "fellowship")
+        .when(prog.like("%heisenberg%"), "fellowship")
+        .when(prog.like("%walter benjamin%"), "fellowship")
+        .when(prog.like("%research fellowship%"), "fellowship")
+        .when(prog.like("%stipend%"), "fellowship")
+        .when(prog.like("%graduiertenkolleg%"), "training")
+        .when(prog.like("%research training%"), "training")
+        .when(prog.like("%collaborative research%"), "research")
+        .when(prog.like("%sonderforschungsbereich%"), "research")
+        .when(prog.like("%priority programme%"), "research")
+        .when(prog.like("%schwerpunktprogramm%"), "research")
+        .when(prog.like("%forschergruppe%"), "research")
+        .when(prog.like("%research unit%"), "research")
+        .when(prog.like("%cluster%"), "research")
+        .when(prog.like("%excellence%"), "research")
+        .when(prog.like("%infrastructure%"), "infrastructure")
+        .when(prog.like("%equipment%"), "infrastructure")
+        .otherwise("grant")
+    val sd = coalesce(d(col("start_date")),
+      d(concat(col("start_year"), lit("-01-01"))))
+    val ed = coalesce(d(col("end_date")),
+      d(concat(col("end_year"), lit("-12-31"))))
+    val lead = when(col("lead_inst").isNotNull && trim(col("lead_inst")) =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("lead_inst"), lit("Germany"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320879L, provenance = "gepris", priority = 18,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("title"), description = col("description"),
+      amount = col("amount").try_cast("double"), currency = lit("EUR"),
+      fundingType = fundingType, funderScheme = col("program_type"),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(d(col("start_date"))),
+        col("start_year").try_cast("int")),
+      endYear = coalesce(year(d(col("end_date"))),
+        col("end_year").try_cast("int")),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://gepris.dfg.de/gepris/projekt/"),
+        col("project_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id").cast("string")) =!= "")
+  }
+
+  /** SSHRC open data (CreateSSHRCAwards.ipynb cell 6, ~114K): CAD,
+    * no abstracts, competition-year approximated to April 1 (the
+    * fiscal-year start), applicant full name stored in family_name,
+    * portal-level landing URL. */
+  def sshrc: FunderIngestConfig = {
+    val prog = lower(col("program"))
+    val fundingType =
+      when(prog.like("%doctoral%"), "fellowship")
+        .when(prog.like("%postdoctoral%"), "fellowship")
+        .when(prog.like("%fellowship%"), "fellowship")
+        .when(prog.like("%scholarship%"), "fellowship")
+        .when(prog.like("%vanier%"), "fellowship")
+        .when(prog.like("%banting%"), "fellowship")
+        .when(prog.like("%talent%"), "fellowship")
+        .when(prog.like("%canada research chair%"), "fellowship")
+        .when(prog.like("%partnership%"), "research")
+        .when(prog.like("%insight%"), "research")
+        .when(prog.like("%connection%"), "research")
+        .when(prog.like("%aid%"), "research")
+        .when(prog.like("%savoir%"), "research")
+        .when(prog.like("%sshrc %grant%"), "grant")
+        .when(prog.like("%general research%"), "research")
+        .when(prog.like("%major collaborative%"), "research")
+        .when(prog.like("%standard research%"), "research")
+        .when(prog.like("%strategic%"), "research")
+        .otherwise("grant")
+    val lead = when(col("applicant_name").isNotNull &&
+        trim(col("applicant_name")) =!= "",
+      investigator(lit(null).cast("string"), trim(col("applicant_name")),
+        lit(null).cast("string"), lit(null).cast("date"),
+        trim(col("institution")), lit("Canada"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334617L, provenance = "sshrc_opendata", priority = 5,
+      mintKey = lower(trim(col("file_number"))),
+      funderAwardId = trim(col("file_number")),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"), currency = lit("CAD"),
+      fundingType = fundingType, funderScheme = col("program"),
+      startDate = when(col("start_year").isNotNull,
+        d(concat(col("start_year").try_cast("int").cast("string"),
+          lit("-04-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit("https://open.canada.ca/data/en/dataset/" +
+        "b4e2b302-9bc6-4b33-b880-6496f8cef0f1"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("file_number").isNotNull &&
+        trim(col("file_number")) =!= "")
+  }
+
+  /** SNSF Data Portal (CreateSNSFAwards.ipynb cell 6, ~90K): CHF,
+    * English-preferred titles/summaries, the funding-instrument
+    * two-level type cascade, last-space PI name split. */
+  def snsf: FunderIngestConfig = {
+    val l1 = lower(col("funding_instrument_level1"))
+    val fi = lower(col("funding_instrument"))
+    val fundingType =
+      when(l1.like("%careers%"), "fellowship")
+        .when(fi.like("%fellowship%"), "fellowship")
+        .when(fi.like("%professorship%"), "fellowship")
+        .when(fi.like("%postdoc%"), "fellowship")
+        .when(fi.like("%doc.ch%"), "fellowship")
+        .when(fi.like("%ambizione%"), "fellowship")
+        .when(fi.like("%prima%"), "fellowship")
+        .when(fi.like("%eccellenza%"), "fellowship")
+        .when(l1.like("%infrastructure%"), "infrastructure")
+        .when(l1.like("%programmes%"), "research")
+        .when(l1.like("%project funding%"), "research")
+        .when(fi.like("%nccr%"), "research")
+        .when(fi.like("%sinergia%"), "research")
+        .when(fi.like("%project%"), "research")
+        .otherwise("grant")
+    // last-space split of the single responsible_applicant string:
+    // given = everything before the LAST space, family = the last
+    // token (single-token names land whole in family_name)
+    val nm = trim(col("responsible_applicant"))
+    val hasSpace = instr(nm, " ") > 0
+    val given = when(hasSpace,
+      trim(regexp_extract(nm, "^(.*)\\s+\\S+$", 1)))
+    val family = when(hasSpace, regexp_extract(nm, "(\\S+)$", 1))
+      .otherwise(col("responsible_applicant"))
+    val lead = when(col("responsible_applicant").isNotNull && nm =!= "",
+      investigator(given, family,
+        lit(null).cast("string"), lit(null).cast("date"),
+        coalesce(col("research_institution"), col("institute")),
+        coalesce(col("institute_country"), lit("Switzerland")),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320924L, provenance = "snsf", priority = 14,
+      mintKey = lower(col("grant_number")),
+      funderAwardId = col("grant_number"),
+      displayName = coalesce(col("title_english"), col("title")),
+      description = coalesce(col("lay_summary_en"), col("abstract")),
+      amount = col("amount").try_cast("double"), currency = lit("CHF"),
+      fundingType = fundingType, funderScheme = col("funding_instrument"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://data.snf.ch/grants/grant/"),
+        col("grant_number")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_number").isNotNull &&
+        trim(col("grant_number")) =!= "")
+  }
+
+  /** CIHR open data (CreateCIHRAwards.ipynb cell 7, ~82K): CAD,
+    * program_type award-screen before the program_name cascade,
+    * structured PI names with role_start = funding start. */
+  def cihr: FunderIngestConfig = {
+    val pt = lower(col("program_type"))
+    val pn = lower(col("program_name"))
+    val fundingType =
+      when(pt.like("%award%"), "fellowship")
+        .when(pn.like("%doctoral%"), "fellowship")
+        .when(pn.like("%postdoctoral%"), "fellowship")
+        .when(pn.like("%fellowship%"), "fellowship")
+        .when(pn.like("%scholarship%"), "fellowship")
+        .when(pn.like("%master%"), "fellowship")
+        .when(pn.like("%vanier%"), "fellowship")
+        .when(pn.like("%banting%"), "fellowship")
+        .when(pn.like("%canada research chair%"), "fellowship")
+        .when(pn.like("%salary%"), "fellowship")
+        .when(pn.like("%new investigator%"), "fellowship")
+        .when(pn.like("%career%"), "fellowship")
+        .when(pn.like("%travel%"), "travel")
+        .when(pn.like("%meeting%"), "travel")
+        .when(pn.like("%planning%"), "planning")
+        .when(pn.like("%operating grant%"), "research")
+        .when(pn.like("%project grant%"), "research")
+        .when(pn.like("%team grant%"), "research")
+        .when(pn.like("%foundation grant%"), "research")
+        .when(pn.like("%bridge%"), "research")
+        .when(pn.like("%catalyst%"), "research")
+        .when(pn.like("%randomized controlled%"), "research")
+        .when(pt.like("%grant%"), "grant")
+        .otherwise("grant")
+    // TRY_TO_DATE with no pattern = a plain date cast
+    val sd = col("funding_start_date").try_cast("date")
+    val lead = when(col("family_name").isNotNull &&
+        trim(col("family_name")) =!= "",
+      investigator(trim(col("first_name")), trim(col("family_name")),
+        lit(null).cast("string"), sd,
+        trim(col("research_institution_name")), lit("Canada"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334506L, provenance = "cihr_opendata", priority = 7,
+      mintKey = lower(trim(col("funding_reference_number"))),
+      funderAwardId = trim(col("funding_reference_number")),
+      displayName = col("application_title"),
+      description = col("application_abstract"),
+      amount = col("total_amount_awarded").try_cast("double"),
+      currency = lit("CAD"),
+      fundingType = fundingType, funderScheme = col("program_name"),
+      startDate = sd,
+      endDate = col("funding_end_date").try_cast("date"),
+      startYear = year(sd),
+      endYear = year(col("funding_end_date").try_cast("date")),
+      leadInvestigator = lead,
+      landingPageUrl = lit("https://open.canada.ca/data/en/dataset/" +
+        "49edb1d7-5cb4-4fa7-897c-515d1aad5da3"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funding_reference_number").isNotNull &&
+        trim(col("funding_reference_number")) =!= "")
+  }
+
+  /** NSF Award Search (CreateNSFAwards.ipynb cell 8, 1960-present):
+    * USD, instrument-text type cascade, lowered award id. The
+    * notebook resolves the registry row by ROR
+    * (https://ror.org/021nxhr62); the id it resolves to is the
+    * constant below, which the registry precheck re-asserts. */
+  def nsf: FunderIngestConfig = {
+    val instr = lower(col("awd_istr_txt"))
+    val fundingType =
+      when(instr.like("%fellowship%"), "fellowship")
+        .when(instr.like("%cooperative%"), "cooperative_agreement")
+        .when(instr.like("%contract%"), "contract")
+        .when(instr.like("%continuing%"), "grant")
+        .when(instr.like("%standard%"), "grant")
+        .otherwise("grant")
+    val lead = when(col("pi_last_name").isNotNull,
+      investigator(col("pi_first_name"), col("pi_last_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("inst_name"), col("inst_country_name"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306076L, provenance = "nsf_award_search", priority = 3,
+      mintKey = lower(col("awd_id")),
+      funderAwardId = lower(col("awd_id")),
+      displayName = col("awd_titl_txt"),
+      description = col("awd_abstract_narration"),
+      amount = col("awd_amount").try_cast("double"), currency = lit("USD"),
+      fundingType = fundingType, funderScheme = col("awd_istr_txt"),
+      startDate = d(col("awd_eff_date")), endDate = d(col("awd_exp_date")),
+      startYear = year(d(col("awd_eff_date"))),
+      endYear = year(d(col("awd_exp_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(
+        lit("https://www.nsf.gov/awardsearch/showAward?AWD_ID="),
+        col("awd_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("awd_id").isNotNull && trim(col("awd_id")) =!= "")
+  }
+
+  /** DOD via USAspending (CreateDODAwards.ipynb cell 8, ~78K): the
+    * exact federal-bulk archetype at DOD's slice —
+    * `usaSpending(4320306078, "usaspending", 26)`. The FY-extension
+    * leg (cells 10-11) reuses this config over the extension raw
+    * filtered to grant types 02-05, then
+    * [[FunderIngest.appendFyExtension]] anti-joins it on. */
+  def dod: FunderIngestConfig =
+    FunderIngest.usaSpending(4320306078L, "usaspending", 26)
+
+  /** The FY-extension raw screen (CreateDODAwards cell 10's
+    * `assistance_type_code IN ('02','03','04','05')`). */
+  def dodFyExtensionFilter: Column =
+    col("assistance_type_code").isin("02", "03", "04", "05")
+
+  // ---------------------------------------------------------------
+  // Resolved multi-funder archetype
+  // ---------------------------------------------------------------
+
+  /** NIH ExPORTER's administering_ic → real-funder map
+    * (CreateNIHAwards.ipynb cell 5's ic_funder_map VALUES, verbatim):
+    * RePORTER is the shared HHS grants system, so the bulk download
+    * bundles CDC/FDA/SAMHSA/HRSA/AHRQ/ATSDR/IHS/ACF/ONC + VA grants;
+    * unmapped codes (incl. the ambiguous AD/MN/FP) default to NIH. */
+  val nihIcFunderMap: Map[String, Long] = {
+    val fda = Seq("FD", "BK", "BJ", "BA", "BN", "BB", "BQ", "BR", "BD",
+      "BL", "BI", "BM", "BF", "BO", "BH", "BG", "BE", "BS", "BT", "BU")
+    val cdc = Seq("PS", "DP", "CE", "GH", "DD", "IP", "EH", "CI", "TP",
+      "CK", "CD", "SO", "HM", "EP", "GD", "SH", "PH", "PR", "WC", "HK",
+      "CC")
+    val hrsa = Seq("PE", "NU", "MB", "AH", "DH", "BP", "NC", "HP")
+    (Seq("VA" -> 4320306127L, "HS" -> 4320332177L,
+      "SU" -> 4320332164L, "SP" -> 4320332164L, "SM" -> 4320332164L,
+      "TI" -> 4320332164L,
+      "OH" -> 4320337382L, "TS" -> 4320337419L, "IS" -> 4320332207L,
+      "AF" -> 4320332208L, "OC" -> 4320332334L) ++
+      fda.map(_ -> 4320332163L) ++ cdc.map(_ -> 4320332162L) ++
+      hrsa.map(_ -> 4320332175L)).toMap
+  }
+
+  /** The NIH default + every agency the ic map can resolve to —
+    * the funder_lookup allow-list for [[FunderIngest.requireFunders]]. */
+  val nihFunderIds: Seq[Long] =
+    (nihIcFunderMap.values.toSet + 4320332161L).toSeq.sorted
+
+  /** NIH ExPORTER (CreateNIHAwards.ipynb cell 5, ~2.28M awards):
+    * the resolved multi-funder archetype — administering_ic resolves
+    * the REAL funder (default NIH 4320332161), the activity-code
+    * prefix drives the type, PI names parse from the
+    * "LASTNAME, FIRSTNAME (contact); ..." list, and dates try three
+    * formats. The ic map is a literal-map projection (no join needed
+    * for resolution — only the funder lookup joins, broadcast). */
+  def nihExporter: ResolvedFunderIngestConfig = {
+    val resolved = coalesce(
+      element_at(typedlit(nihIcFunderMap),
+        upper(trim(col("administering_ic")))),
+      lit(4320332161L))
+    val act = col("activity")
+    val fundingType =
+      when(act.like("R%"), "research")
+        .when(act.like("K%"), "career_development")
+        .when(act.like("T%"), "training")
+        .when(act.like("F%"), "fellowship")
+        .when(act.like("P%"), "program")
+        .when(act.like("U%"), "cooperative_agreement")
+        .when(act.like("N%"), "contract")
+        .when(act.like("Z%"), "intramural")
+        .otherwise("grant")
+    def tryDates(c: Column): Column = coalesce(
+      to_date(try_to_timestamp(c, lit("yyyy-MM-dd"))),
+      to_date(try_to_timestamp(c, lit("MM/dd/yyyy"))),
+      to_date(try_to_timestamp(c, lit("M/d/yyyy"))))
+    // first PI = the slice before the first semicolon; names arrive
+    // as "LASTNAME, FIRSTNAME (contact)"
+    val firstPi = when(col("pi_names").isNotNull && col("pi_names") =!= "",
+      trim(element_at(split(col("pi_names"), ";"), 1)))
+    val hasComma = firstPi.contains(",")
+    val given = when(hasComma,
+      trim(regexp_replace(element_at(split(firstPi, ","), 2),
+        "\\s*\\(.*\\)\\s*", "")))
+    val family = when(hasComma, trim(element_at(split(firstPi, ","), 1)))
+      .otherwise(trim(firstPi))
+    val lead = when(firstPi.isNotNull,
+      investigator(given, family,
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("org_name"), col("org_country"), lit(null).cast(affIds)))
+    ResolvedFunderIngestConfig(
+      provenance = "nih_exporter", priority = 3,
+      resolvedFunderId = resolved,
+      mintKey = lower(col("full_project_num")),
+      funderAwardId = lower(col("full_project_num")),
+      displayName = col("project_title"),
+      description = col("phr"),
+      amount = col("total_cost").try_cast("double"), currency = lit("USD"),
+      fundingType = fundingType, funderScheme = col("activity"),
+      startDate = tryDates(col("project_start")),
+      endDate = tryDates(col("project_end")),
+      startYear = year(tryDates(col("project_start"))),
+      endYear = year(tryDates(col("project_end"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(
+        lit("https://reporter.nih.gov/project-details/"),
+        col("application_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("full_project_num").isNotNull &&
+        trim(col("full_project_num")) =!= "")
+  }
+
+  /** GTR's grant-reference prefix → council map
+    * (CreateGTRProjectAwards.ipynb cell 6's prefix_to_funder —
+    * explicit ids avoid the alternate-title collisions the notebook
+    * documents, e.g. "NERC" matching Sight Research UK). */
+  val gtrPrefixFunderMap: Map[String, Long] = Map(
+    "EP/" -> 4320334627L, "MR/" -> 4320334626L, "ST/" -> 4320334632L,
+    "BB/" -> 4320334629L, "NE/" -> 4320334631L, "ES/" -> 4320334630L,
+    "AH/" -> 4320334609L)
+
+  /** The council names whose appearance in lead_funder means
+    * "standard council grant, no special programme" (cell 6's
+    * council_names) — anything else in lead_funder IS the programme. */
+  val gtrCouncilNames: Seq[String] = Seq(
+    "AHRC", "BBSRC", "EPSRC", "ESRC", "MRC", "NERC", "STFC", "Innovate UK",
+    "Arts and Humanities Research Council",
+    "Biotechnology and Biological Sciences Research Council",
+    "Engineering and Physical Sciences Research Council",
+    "Economic and Social Research Council",
+    "Medical Research Council",
+    "Natural Environment Research Council",
+    "Science and Technology Facilities Council")
+
+  val gtrFunderIds: Seq[Long] = Seq(4320334609L, 4320334629L, 4320334627L,
+    4320334630L, 4320334626L, 4320334631L, 4320334632L, 4320335087L)
+
+  /** UKRI Gateway to Research (CreateGTRProjectAwards.ipynb cell 6,
+    * ~171K): grant-reference prefix resolves the council, falling
+    * back to a lead_funder LIKE cascade; unresolved rows drop. GBP.
+    * GTR carries draft records pre-dated to 2028+, so start/end
+    * years null out when the start is more than one year past
+    * `currentYear` — injected, the repo's no-wall-clock convention
+    * (the reference reads current_date()). Lands at priority 30;
+    * the notebook's DELETE clears both the 0 and 30 slices. */
+  def gtrProjects(currentYear: Int): ResolvedFunderIngestConfig = {
+    val ref = col("grant_reference")
+    val prefix = when(ref.isNotNull && length(ref) >= 3,
+      concat(substring(ref, 1, 2), lit("/")))
+    val lf = col("lead_funder")
+    val resolved = coalesce(
+      element_at(typedlit(gtrPrefixFunderMap), prefix),
+      when(lf === "Innovate UK", 4320335087L)
+        .when(lf.like("%EPSRC%"), 4320334627L)
+        .when(lf.like("%MRC%"), 4320334626L)
+        .when(lf.like("%BBSRC%"), 4320334629L)
+        .when(lf.like("%NERC%"), 4320334631L)
+        .when(lf.like("%ESRC%"), 4320334630L)
+        .when(lf.like("%AHRC%"), 4320334609L)
+        .when(lf.like("%STFC%"), 4320334632L))
+    val cat = col("grant_category")
+    val fundingType =
+      when(cat === "Research Grant", "research")
+        .when(cat === "Fellowship", "fellowship")
+        .when(cat === "Training Grant", "training")
+        .when(cat === "Studentship", "studentship")
+        .when(cat === "Vouchers", "voucher")
+        .when(cat.isNull, lit(null).cast("string"))
+        .otherwise(lower(regexp_replace(cat, " ", "_")))
+    val programme = when(lf.isin(gtrCouncilNames: _*),
+      lit(null).cast("string")).otherwise(lf)
+    val futureDated = year(col("start_date")) > currentYear + 1
+    val lead = when(col("pi_family_name").isNotNull,
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("lead_org_name"), lit("United Kingdom"), lit(null).cast(affIds)))
+    ResolvedFunderIngestConfig(
+      provenance = "gateway_to_research", priority = 30,
+      resolvedFunderId = resolved,
+      mintKey = lower(ref),
+      funderAwardId = ref,
+      displayName = col("title"), description = col("abstract"),
+      amount = col("amount").try_cast("double"), currency = lit("GBP"),
+      fundingType = fundingType, funderScheme = programme,
+      startDate = col("start_date").cast("date"),
+      endDate = col("end_date").cast("date"),
+      startYear = when(futureDated, lit(null).cast("int"))
+        .otherwise(year(col("start_date"))),
+      endYear = when(futureDated, lit(null).cast("int"))
+        .otherwise(year(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://gtr.ukri.org/projects?ref="),
+        ref),
+      doi = lit(null).cast("string"),
+      rowFilter = ref.isNotNull)
+  }
+
+  /** The ERC inline funder lookup (CreateERCAwards.ipynb cell 7's
+    * erc_funders VALUES + the COALESCE main-funder defaults): one
+    * framework-specific sub-funder per programme, the generic ERC
+    * funder for anything unmapped; ror_id is the single ERC ROR for
+    * all four. */
+  def ercFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (4320334678L, "European Research Council",
+        Some("https://ror.org/0472cxd90"), "10.13039/501100000781"),
+      (4320338335L, "H2020 European Research Council",
+        Some("https://ror.org/0472cxd90"), "10.13039/100010663"),
+      (4320338352L, "FP7 Ideas: European Research Council",
+        Some("https://ror.org/0472cxd90"), "10.13039/100011199"),
+      (4320338453L, "HORIZON EUROPE European Research Council",
+        Some("https://ror.org/0472cxd90"), "10.13039/100019180")))
+
+  /** ERC via CORDIS (CreateERCAwards.ipynb cell 7): framework
+    * programme resolves the sub-funder (H2020 / FP7 / HORIZON),
+    * default the generic ERC funder; EUR amounts arrive with comma
+    * decimal separators; grant-type suffixes drive the type. */
+  def erc: ResolvedFunderIngestConfig = {
+    val resolved = coalesce(
+      element_at(typedlit(Map(
+        "H2020" -> 4320338335L, "FP7" -> 4320338352L,
+        "HORIZON" -> 4320338453L)), col("framework_programme")),
+      lit(4320334678L))
+    val fs = upper(col("funding_scheme"))
+    val fundingType =
+      when(fs.like("%STG%"), "fellowship")
+        .when(fs.like("%COG%"), "fellowship")
+        .when(fs.like("%ADG%"), "fellowship")
+        .when(fs.like("%SYG%"), "research")
+        .when(fs.like("%POC%"), "commercialization")
+        .when(fs.like("%LVG%"), "travel")
+        .otherwise("research")
+    val lead = when(col("host_institution").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("host_institution"), col("host_country"),
+        lit(null).cast(affIds)))
+    ResolvedFunderIngestConfig(
+      provenance = "erc", priority = 21,
+      resolvedFunderId = resolved,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("title"), description = col("abstract"),
+      amount = regexp_replace(col("ec_contribution"), ",", ".")
+        .try_cast("double"),
+      currency = lit("EUR"),
+      fundingType = fundingType, funderScheme = col("funding_scheme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://cordis.europa.eu/project/id/"),
+        col("project_id")),
+      doi = when(col("grant_doi").isNotNull && trim(col("grant_doi")) =!= "",
+        col("grant_doi")),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** The EC inline funder lookup (CreateEuropeanCommissionAwards
+    * cell 8's funders CTE, verbatim — deliberately NOT the registry
+    * dim: the HORIZON EUROPE sub-body rows may be absent from it and
+    * a missing dim row would silently drop every MSCA/EIC project). */
+  def ecFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (4320320300L, "European Commission",
+        Some("https://ror.org/00k4n6c32"), "10.13039/501100000780"),
+      (4320338438L, "HORIZON EUROPE Marie Sklodowska-Curie Actions",
+        None, "10.13039/100018694"),
+      (4320338448L, "HORIZON EUROPE European Innovation Council",
+        None, "10.13039/100018703")))
+
+  /** European Commission via CORDIS bulk
+    * (CreateEuropeanCommissionAwards.ipynb cell 8, ~80K across
+    * FP7/H2020/HORIZON): ERC-scheme projects are EXCLUDED (the ERC
+    * ingest is authoritative — without the screen the same project
+    * landed under both funders with different minted ids and
+    * double-counted ~17.5k grants); HORIZON-framework MSCA / EIC
+    * projects route to their sub-body funders, everything else to
+    * the generic EC funder. */
+  def europeanCommission: ResolvedFunderIngestConfig = {
+    val fsU = upper(col("funding_scheme"))
+    val fsL = lower(col("funding_scheme"))
+    val resolved =
+      when(col("framework_programme") === "HORIZON" &&
+        fsU.like("%MSCA%"), 4320338438L)
+        .when(col("framework_programme") === "HORIZON" &&
+          fsU.like("%EIC%"), 4320338448L)
+        .otherwise(4320320300L)
+    val fundingType =
+      when(fsL.like("%msca%"), "fellowship")
+        .when(fsL.like("%itn%"), "training")
+        .when(fsL.like("%mc-itn%"), "training")
+        .when(fsL.like("%if%"), "fellowship")
+        .when(fsL.like("%irf%"), "fellowship")
+        .when(fsL.like("%ief%"), "fellowship")
+        .when(fsL.like("%iof%"), "fellowship")
+        .when(fsL.like("%cofund%"), "fellowship")
+        .when(fsL.like("%erc%"), "research")
+        .when(fsL.like("horizon-erc%"), "research")
+        .when(fsL.like("%sme%"), "commercial")
+        .when(fsU.isin("RIA", "HORIZON-RIA"), "research")
+        .when(fsU.isin("IA", "HORIZON-IA"), "research")
+        .when(fsU.isin("CSA", "HORIZON-CSA"), "grant")
+        .when(fsL.like("%infra%"), "infrastructure")
+        .when(fsU.isin("CP", "CP-FP", "CP-IP"), "research")
+        .otherwise("grant")
+    val lead = when(col("coordinator_name").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("coordinator_name"), col("coordinator_country"),
+        lit(null).cast(affIds)))
+    ResolvedFunderIngestConfig(
+      provenance = "cordis", priority = 27,
+      resolvedFunderId = resolved,
+      mintKey = lower(col("cordis_project_id")),
+      funderAwardId = col("cordis_project_id"),
+      displayName = col("title"), description = col("objective"),
+      amount = col("ec_max_contribution").try_cast("double"),
+      currency = lit("EUR"),
+      fundingType = fundingType,
+      funderScheme = concat(col("framework_programme"), lit(" - "),
+        coalesce(col("funding_scheme"), lit("Unknown"))),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://cordis.europa.eu/project/id/"),
+        col("cordis_project_id")),
+      doi = col("grant_doi"),
+      rowFilter = col("cordis_project_id").isNotNull &&
+        trim(col("cordis_project_id")) =!= "" &&
+        !coalesce(upper(col("funding_scheme")), lit(""))
+          .like("ERC-%") &&
+        !coalesce(upper(col("funding_scheme")), lit(""))
+          .like("HORIZON-ERC%"))
+  }
+}

@@ -34,6 +34,29 @@ import org.apache.spark.sql.functions._
   * registry lookup reads 2 rows driver-side (a bounded keyed lookup,
   * same class as the IdMinter max-id).
   */
+/** The per-funder field mapping shared by both ingest shapes (the
+  * single-funder cross-join and the resolved multi-funder join). */
+sealed trait AwardFieldMap {
+  def provenance: String
+  def priority: Int
+  def mintKey: Column
+  def funderAwardId: Column
+  def displayName: Column
+  def description: Column
+  def amount: Column
+  def currency: Column
+  def fundingType: Column
+  def funderScheme: Column
+  def startDate: Column
+  def endDate: Column
+  def startYear: Column
+  def endYear: Column
+  def leadInvestigator: Column
+  def landingPageUrl: Column
+  def doi: Column
+  def rowFilter: Column
+}
+
 final case class FunderIngestConfig(
     funderId: Long,
     provenance: String,
@@ -56,7 +79,43 @@ final case class FunderIngestConfig(
     landingPageUrl: Column,
     doi: Column,
     /** Step-2 WHERE: rows without a usable source award id are dropped. */
-    rowFilter: Column)
+    rowFilter: Column) extends AwardFieldMap
+
+/** The resolved multi-funder archetype (NIH ExPORTER's
+  * administering_ic map, GTR's grant-reference prefix map, CORDIS'
+  * framework/scheme routing): one raw landing carries awards of
+  * SEVERAL funders and a per-row expression resolves which, before a
+  * broadcast join against a bounded funder lookup.
+  *
+  * `resolvedFunderId` is evaluated against the raw columns; rows
+  * resolving to NULL are dropped (the reference's
+  * `WHERE matched_funder_id IS NOT NULL` — GTR) — sources that want a
+  * default instead bake a `coalesce(..., lit(default))` into the
+  * expression (NIH, ERC). The resolved id then feeds the same mint
+  * (`funder_id || ':' || mintKey`), so the same source award id under
+  * two funders mints two distinct award ids, exactly as the
+  * reference's per-row `f.funder_id` concat does. */
+final case class ResolvedFunderIngestConfig(
+    provenance: String,
+    priority: Int,
+    /** Per-row funder resolution over the raw columns; NULL → dropped. */
+    resolvedFunderId: Column,
+    mintKey: Column,
+    funderAwardId: Column,
+    displayName: Column,
+    description: Column,
+    amount: Column,
+    currency: Column,
+    fundingType: Column,
+    funderScheme: Column,
+    startDate: Column,
+    endDate: Column,
+    startYear: Column,
+    endYear: Column,
+    leadInvestigator: Column,
+    landingPageUrl: Column,
+    doi: Column,
+    rowFilter: Column) extends AwardFieldMap
 
 object FunderIngest {
 
@@ -86,16 +145,76 @@ object FunderIngest {
     f
   }
 
+  /** Fail-fast for a MULTI-funder lookup (the resolved archetype's
+    * `funder_lookup` CTE): every id in `funderIds` must be present
+    * exactly once — a missing row would silently drop that funder's
+    * whole slice at the inner join (NIH runbook §1.6). Bounded: the
+    * driver-side check reads at most `funderIds.size` keyed rows. */
+  def requireFunders(funders: DataFrame, funderIds: Seq[Long]): DataFrame = {
+    val f = funders.filter(col("funder_id").isin(funderIds: _*))
+      .select("funder_id", "display_name", "ror_id", "doi")
+    val counts = f.groupBy(col("funder_id")).count().collect()
+    val dup = counts.filter(_.getLong(1) > 1).map(_.getLong(0)).sorted
+    val missing =
+      (funderIds.toSet -- counts.map(_.getLong(0)).toSet).toSeq.sorted
+    require(dup.isEmpty && missing.isEmpty,
+      s"funder registry precheck failed — missing: ${missing.mkString(",")}" +
+        s"; duplicated: ${dup.mkString(",")} — STOP, a missing row would " +
+        "silently drop that funder's awards at the lookup join")
+    f
+  }
+
+  /** An inline funder lookup for sources whose notebooks do NOT trust
+    * the registry dim (CORDIS runbook §1.6 Path B: the HORIZON EUROPE
+    * sub-body funders may be absent from it, and a missing dim row
+    * would silently drop every routed project). Rows are
+    * (funder_id, display_name, ror_id, doi) literals from the
+    * notebook's VALUES block. */
+  def inlineFunders(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, String, Option[String], String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, dn, ror, doi) => (id, dn, ror.orNull, doi) }
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+  }
+
   /** The Step-2 transform (cell 10/7/11's `awards_transformed`). */
   def transform(raw: DataFrame, funders: DataFrame, cfg: FunderIngestConfig,
       nowTs: Column, mintId: Column => Column = defaultMint): DataFrame = {
     val f = requireFunder(funders, cfg.funderId)
       .select(col("funder_id").as("__fid"), col("display_name").as("__fdn"),
         col("ror_id").as("__fror"), col("doi").as("__fdoi"))
+    projectAward(raw.filter(cfg.rowFilter).crossJoin(broadcast(f)),
+      cfg, nowTs, mintId)
+  }
+
+  /** The resolved multi-funder Step-2 transform (NIH cell 5 / GTR
+    * cell 6 / ERC cell 7): per-row funder resolution, then a
+    * BROADCAST inner join against the bounded funder lookup
+    * (registry-backed via [[requireFunders]] or notebook-inline via
+    * [[inlineFunders]]). Rows whose resolution is NULL are dropped
+    * before the join. Still one narrow projection + one broadcast
+    * join — zero shuffles at any corpus size. */
+  def transformResolved(raw: DataFrame, funderLookup: DataFrame,
+      cfg: ResolvedFunderIngestConfig, nowTs: Column,
+      mintId: Column => Column = defaultMint): DataFrame = {
+    val lk = funderLookup.select(col("funder_id").as("__fid"),
+      col("display_name").as("__fdn"), col("ror_id").as("__fror"),
+      col("doi").as("__fdoi"))
+    val joined = raw.filter(cfg.rowFilter)
+      .withColumn("__rfid", cfg.resolvedFunderId)
+      .filter(col("__rfid").isNotNull)
+      .join(broadcast(lk), col("__rfid") === col("__fid"))
+      .drop("__rfid")
+    projectAward(joined, cfg, nowTs, mintId)
+  }
+
+  /** The shared award projection over a frame that has the raw
+    * columns plus the bound funder row (`__fid/__fdn/__fror/__fdoi`). */
+  private def projectAward(joined: DataFrame, cfg: AwardFieldMap,
+      nowTs: Column, mintId: Column => Column): DataFrame = {
     val mint = mintId(concat(col("__fid").cast("string"), lit(":"),
       cfg.mintKey))
-    raw.filter(cfg.rowFilter)
-      .crossJoin(broadcast(f))
+    joined
       .select(
         mint.as("id"),
         cfg.displayName.as("display_name"),
@@ -131,10 +250,24 @@ object FunderIngest {
   /** Step 3: replace the funder's (provenance, priority) slice of the
     * shared raw landing (DELETE + INSERT in the reference). */
   def landRaw(rawLanding: DataFrame, transformed: DataFrame,
-      cfg: FunderIngestConfig): DataFrame =
+      cfg: AwardFieldMap): DataFrame =
     WorkFunders.insertAwardsToRaw(rawLanding,
       transformed.drop("provenance"), cfg.provenance, cfg.priority,
       keep = lit(true))
+
+  /** The additive FY-extension append (CreateDODAwards cells 10-11):
+    * extension rows whose (lowercased) funder_award_id the primary
+    * corpus already carries are dropped, the rest union on. Both
+    * sides are single-funder corpora, so the anti join is a bounded
+    * keyed shuffle (or a broadcast when the primary is small). */
+  def appendFyExtension(primary: DataFrame, extension: DataFrame): DataFrame = {
+    val existing = primary.select(lower(col("funder_award_id")).as("__fk"))
+      .distinct()
+    primary.unionByName(
+      extension.join(existing,
+        lower(extension.col("funder_award_id")) === existing.col("__fk"),
+        "left_anti"))
+  }
 
   /** §6.3 data completeness (post-PR-80 canonical form). */
   def completenessReport(awards: DataFrame): DataFrame =

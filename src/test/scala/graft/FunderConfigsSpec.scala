@@ -1,0 +1,462 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.awards.{FunderConfigs, FunderIngest}
+
+/** Pins the round-9 per-funder configs against the reference
+  * notebooks' documented mappings (CreateKAKENAwards cell 6,
+  * CreateDFGAwards cell 7, CreateSSHRCAwards cell 6, CreateSNSFAwards
+  * cell 6, CreateCIHRAwards cell 7, CreateNSFAwards cell 8,
+  * CreateDODAwards cells 8-11, CreateNIHAwards cell 5,
+  * CreateGTRProjectAwards cell 6, CreateERCAwards cell 7,
+  * CreateEuropeanCommissionAwards cell 8). */
+class FunderConfigsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val now = lit("2026-01-01 00:00:00").cast("timestamp")
+
+  private def reg = Seq(
+    (4320334764L, "Japan Society for the Promotion of Science",
+      "https://ror.org/00hhkn466", "10.13039/501100001691"),
+    (4320320879L, "Deutsche Forschungsgemeinschaft",
+      "https://ror.org/018mejw64", "10.13039/501100001659"),
+    (4320334617L, "Social Sciences and Humanities Research Council",
+      "https://ror.org/04j5jqy92", "10.13039/501100000155"),
+    (4320320924L, "Schweizerischer Nationalfonds",
+      "https://ror.org/00yjd3n13", "10.13039/501100001711"),
+    (4320334506L, "Canadian Institutes of Health Research",
+      "https://ror.org/01gavpb45", "10.13039/501100000024"),
+    (4320306076L, "National Science Foundation",
+      "https://ror.org/021nxhr62", "10.13039/100000001"),
+    (4320306078L, "U.S. Department of Defense",
+      "https://ror.org/0447fe631", "10.13039/100000005"),
+    // the NIH ExPORTER population (subset used in the NIH test)
+    (4320332161L, "National Institutes of Health", "ror-nih", "doi-nih"),
+    (4320306127L, "U.S. Department of Veterans Affairs", "ror-va", "doi-va"),
+    (4320332162L, "Centers for Disease Control and Prevention", "ror-cdc",
+      "doi-cdc"),
+    (4320332163L, "U.S. Food and Drug Administration", "ror-fda", "doi-fda"),
+    (4320332164L, "SAMHSA", "ror-sam", "doi-sam"),
+    (4320332175L, "HRSA", "ror-hrsa", "doi-hrsa"),
+    (4320332177L, "AHRQ", "ror-ahrq", "doi-ahrq"),
+    (4320337382L, "NIOSH", "ror-niosh", "doi-niosh"),
+    (4320337419L, "ATSDR", "ror-atsdr", "doi-atsdr"),
+    (4320332207L, "Indian Health Service", "ror-ihs", "doi-ihs"),
+    (4320332208L, "Administration for Children and Families", "ror-acf",
+      "doi-acf"),
+    (4320332334L, "ONC Health IT", "ror-onc", "doi-onc"),
+    // GTR councils
+    (4320334609L, "AHRC", "r", "d"), (4320334629L, "BBSRC", "r", "d"),
+    (4320334627L, "EPSRC", "r", "d"), (4320334630L, "ESRC", "r", "d"),
+    (4320334626L, "MRC", "r", "d"), (4320334631L, "NERC", "r", "d"),
+    (4320334632L, "STFC", "r", "d"), (4320335087L, "Innovate UK", "r", "d"))
+    .toDF("funder_id", "display_name", "ror_id", "doi")
+
+  test("KAKEN: category cascade, NRID affiliation id, JPY") {
+    val raw = Seq(
+      ("19H01234", "Study A", Some("abs"), Some(5000000.0),
+        "Grant-in-Aid for JSPS Fellows", "2019-04-01", "2022-03-31",
+        Some("Taro"), Some("Yamada"), Some("90123456"), Some("Kyoto Univ"),
+        None: Option[String], "https://kaken.nii.ac.jp/grant/19H01234"),
+      ("20K99999", "Study B", None, None,
+        "Grant-in-Aid for Scientific Research (C)", "bad", "2023-03-31",
+        None, None, None, None, Some("Osaka Univ"), "https://k/2"))
+      .toDF("project_id", "title", "abstract", "amount", "category",
+        "start_date", "end_date", "pi_given_name", "pi_family_name",
+        "pi_nrid", "institution", "pi_affiliation", "landing_page_url")
+    val out = FunderIngest.transform(raw, reg, FunderConfigs.kaken, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("fellowship", "research"))
+    assert(out(0).getAs[String]("currency") === "JPY")
+    val aff = out(0).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(aff.getAs[String]("name") === "Kyoto Univ")
+    assert(aff.getAs[String]("country") === "Japan")
+    val ids = aff.getSeq[Row](aff.fieldIndex("ids"))
+    assert(ids.head.getAs[String]("id")
+      === "https://nrid.nii.ac.jp/nrid/90123456")
+    assert(ids.head.getAs[String]("type") === "nrid")
+    assert(ids.head.getAs[String]("asserted_by") === "kaken")
+    // no PI row → null investigator; bad start date → null
+    assert(out(1).isNullAt(out(1).fieldIndex("lead_investigator")))
+    assert(out(1).isNullAt(out(1).fieldIndex("start_date")))
+    assert(out(0).getAs[String]("landing_page_url")
+      === "https://kaken.nii.ac.jp/grant/19H01234")
+  }
+
+  test("DFG: date-or-year-boundary fallback, programme cascade, " +
+    "institution-only PI") {
+    val raw = Seq(
+      ("101", "P1", "d1", Some(200000.0), "Emmy Noether Programme",
+        Some("2018-02-03"), None: Option[String], Some("2018"), Some("2021"),
+        Some("MPI Jena")),
+      ("102", "P2", "d2", None, "Sonderforschungsbereiche",
+        None, None, Some("2015"), None, Some("  ")),
+      ("103", "P3", "d3", None, "Scientific equipment",
+        None, None, None, None, None))
+      .toDF("project_id", "title", "description", "amount", "program_type",
+        "start_date", "end_date", "start_year", "end_year", "lead_inst")
+    val out = FunderIngest.transform(raw, reg, FunderConfigs.dfg, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("fellowship", "research", "infrastructure"))
+    // explicit date wins; year-only falls to Jan-1 / Dec-31 boundaries
+    assert(out(0).getAs[java.sql.Date]("start_date").toString
+      === "2018-02-03")
+    assert(out(0).getAs[java.sql.Date]("end_date").toString === "2021-12-31")
+    assert(out(1).getAs[java.sql.Date]("start_date").toString
+      === "2015-01-01")
+    assert(out(1).getAs[Int]("start_year") === 2015)
+    // blank lead_inst → no investigator struct
+    assert(out(1).isNullAt(out(1).fieldIndex("lead_investigator")))
+    val pi = out(0).getAs[Row]("lead_investigator")
+    assert(pi.isNullAt(pi.fieldIndex("family_name")))
+    assert(pi.getAs[Row]("affiliation").getAs[String]("name") === "MPI Jena")
+    assert(pi.getAs[Row]("affiliation").getAs[String]("country")
+      === "Germany")
+    assert(out(0).getAs[String]("landing_page_url")
+      === "https://gepris.dfg.de/gepris/projekt/101")
+  }
+
+  test("SSHRC: fiscal April-1 start, full name in family_name, " +
+    "no abstracts") {
+    val raw = Seq(
+      (" 435-2020-0001 ", "T1", "Insight Grants", Some("2020"),
+        Some(" Jane Q Doe "), Some(" UBC "), Some(98000.0)),
+      ("767-2021-0002", "T2", "Doctoral Fellowships", None, None, None,
+        None))
+      .toDF("file_number", "title", "program", "start_year",
+        "applicant_name", "institution", "amount")
+    val out = FunderIngest.transform(raw, reg, FunderConfigs.sshrc, now)
+      .orderBy("funder_award_id").collect()
+    assert(out(0).getAs[String]("funder_award_id") === "435-2020-0001")
+    assert(out(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-04-01")
+    assert(out(1).isNullAt(out(1).fieldIndex("start_date")))
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("research", "fellowship"))
+    assert(out(0).isNullAt(out(0).fieldIndex("description")))
+    val pi = out(0).getAs[Row]("lead_investigator")
+    assert(pi.isNullAt(pi.fieldIndex("given_name")))
+    assert(pi.getAs[String]("family_name") === "Jane Q Doe")
+    assert(pi.getAs[Row]("affiliation").getAs[String]("name") === "UBC")
+  }
+
+  test("SNSF: English-preferred text, last-space PI split, " +
+    "instrument cascade") {
+    val raw = Seq(
+      ("100001", Some("Titre FR"), Some("Title EN"), Some("abs"),
+        Some("Lay EN"), Some(450000.0), "Careers", "Ambizione",
+        "2020-01-01", "2024-12-31", Some("Maria von Arx"),
+        Some("ETH Zurich"), None: Option[String], None: Option[String]),
+      ("100002", Some("T2"), None, None, None, None, "Project funding",
+        "Project funding in biology", "2019-03-01", "2023-02-28",
+        Some("Plato"), None, Some("Uni Basel"), Some("CH")))
+      .toDF("grant_number", "title", "title_english", "abstract",
+        "lay_summary_en", "amount", "funding_instrument_level1",
+        "funding_instrument", "start_date", "end_date",
+        "responsible_applicant", "research_institution", "institute",
+        "institute_country")
+    val out = FunderIngest.transform(raw, reg, FunderConfigs.snsf, now)
+      .orderBy("funder_award_id").collect()
+    assert(out(0).getAs[String]("display_name") === "Title EN")
+    assert(out(0).getAs[String]("description") === "Lay EN")
+    assert(out(1).getAs[String]("display_name") === "T2")
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("fellowship", "research"))
+    val p0 = out(0).getAs[Row]("lead_investigator")
+    assert(p0.getAs[String]("given_name") === "Maria von")
+    assert(p0.getAs[String]("family_name") === "Arx")
+    assert(p0.getAs[Row]("affiliation").getAs[String]("country")
+      === "Switzerland")
+    // single-token name: whole name lands in family_name
+    val p1 = out(1).getAs[Row]("lead_investigator")
+    assert(p1.isNullAt(p1.fieldIndex("given_name")))
+    assert(p1.getAs[String]("family_name") === "Plato")
+    assert(p1.getAs[Row]("affiliation").getAs[String]("name")
+      === "Uni Basel")
+    assert(p1.getAs[Row]("affiliation").getAs[String]("country") === "CH")
+    assert(out(0).getAs[String]("landing_page_url")
+      === "https://data.snf.ch/grants/grant/100001")
+  }
+
+  test("CIHR: award-type screen before the name cascade, PI role_start") {
+    val raw = Seq(
+      ("PJT-1", "T1", Some("a1"), Some(100.0), "Grant",
+        "Project Grant", Some("2021-04-01"), Some("2026-03-31"),
+        Some("Ada"), Some("Lovelace"), Some("McGill")),
+      ("FRN-2", "T2", None, None, "Salary Award",
+        "Operating Grant", None, None, None, None, None))
+      .toDF("funding_reference_number", "application_title",
+        "application_abstract", "total_amount_awarded", "program_type",
+        "program_name", "funding_start_date", "funding_end_date",
+        "first_name", "family_name", "research_institution_name")
+    val out = FunderIngest.transform(raw, reg, FunderConfigs.cihr, now)
+      .orderBy("funder_award_id").collect()
+    // program_type '%award%' wins over the program_name 'Operating Grant'
+    assert(out(0).getAs[String]("funding_type") === "fellowship")
+    assert(out(1).getAs[String]("funding_type") === "research")
+    val pi = out(1).getAs[Row]("lead_investigator")
+    assert(pi.getAs[java.sql.Date]("role_start").toString === "2021-04-01")
+    assert(out(1).getAs[Int]("end_year") === 2026)
+  }
+
+  test("NSF: lowered award id, instrument cascade") {
+    val raw = Seq(
+      ("2012345", "T1", "abs", Some(750000.0), "Standard Grant",
+        "2020-09-01", "2025-08-31", Some("Grace"), Some("Hopper"),
+        Some("Yale"), Some("United States"), "2012345"),
+      ("1999999", "T2", "a2", None, "Cooperative Agreement",
+        "2019-01-01", "2024-01-01", None, None, None, None, "1999999"))
+      .toDF("awd_id", "awd_titl_txt", "awd_abstract_narration",
+        "awd_amount", "awd_istr_txt", "awd_eff_date", "awd_exp_date",
+        "pi_first_name", "pi_last_name", "inst_name", "inst_country_name",
+        "application_id")
+    val out = FunderIngest.transform(raw, reg, FunderConfigs.nsf, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("cooperative_agreement", "grant"))
+    assert(out(1).getAs[String]("funder_award_id") === "2012345")
+    assert(out(1).getAs[String]("landing_page_url")
+      === "https://www.nsf.gov/awardsearch/showAward?AWD_ID=2012345")
+    assert(out(1).getAs[Row]("funder").getAs[String]("id")
+      === "https://openalex.org/F4320306076")
+  }
+
+  test("DOD: the usaspending archetype at priority 26 + the " +
+    "FY-extension anti-join append") {
+    def usaRow(fain: String, desc: String) =
+      (fain, Some(desc), "fb", Some(1000.0), "2020-01-01", "2021-01-01",
+        "CFDA", s"https://u/$fain", "04")
+    val raw = Seq(usaRow("FAIN-A", "a"), usaRow("FAIN-B", "b"))
+      .toDF("award_id_fain", "prime_award_base_transaction_description",
+        "transaction_description", "total_obligated_amount",
+        "period_of_performance_start_date",
+        "period_of_performance_current_end_date", "cfda_title",
+        "usaspending_permalink", "assistance_type_code")
+    val ext = Seq(usaRow("fain-b", "dup-different-case"),
+      usaRow("FAIN-C", "new"), usaRow("FAIN-D", "wrong-type"))
+      .toDF(raw.columns: _*)
+      .withColumn("assistance_type_code",
+        when(col("award_id_fain") === "FAIN-D", "09").otherwise("04"))
+    val cfg = FunderConfigs.dod
+    assert(cfg.provenance === "usaspending" && cfg.priority === 26)
+    val primary = FunderIngest.transform(raw, reg, cfg, now)
+    val extension = FunderIngest.transform(
+      ext.filter(FunderConfigs.dodFyExtensionFilter), reg, cfg, now)
+    val all = FunderIngest.appendFyExtension(primary, extension)
+      .select("funder_award_id").as[String].collect().sorted
+    // FAIN-B already present (case-insensitive) → dropped;
+    // FAIN-D screened by assistance type; FAIN-C appended
+    assert(all.toSeq === Seq("FAIN-A", "FAIN-B", "FAIN-C"))
+  }
+
+  test("NIH: administering_ic resolves the real funder, PI list " +
+    "parse, three date formats, per-funder mint") {
+    val raw = Seq(
+      // VA-administered: resolves away from NIH
+      ("1I01BX001234-01", "T1", Some("phr1"), Some(350000.0), "VA", "I01",
+        Some("SMITH, JOHN (contact); DOE, JANE"), Some("VA Boston"),
+        Some("UNITED STATES"), "3/4/2008", "02/28/2013", "10001"),
+      // unmapped IC → NIH default; no-comma PI name
+      ("5R01CA000001-02", "T2", None, None, "CA", "R01",
+        Some("Madonna"), Some("MSKCC"), None, "2019-09-01", "garbage",
+        "10002"),
+      // FDA CBER branch code
+      ("1K99BK000003-01", "T3", None, Some(1.5), "BK", "K99",
+        None, None, None, "", "", "10003"))
+      .toDF("full_project_num", "project_title", "phr", "total_cost",
+        "administering_ic", "activity", "pi_names", "org_name",
+        "org_country", "project_start", "project_end", "application_id")
+    val lookup = FunderIngest.requireFunders(reg, FunderConfigs.nihFunderIds)
+    val out = FunderIngest.transformResolved(raw, lookup,
+      FunderConfigs.nihExporter, now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(byAward("1i01bx001234-01").getAs[Long]("funder_id")
+      === 4320306127L)
+    assert(byAward("5r01ca000001-02").getAs[Long]("funder_id")
+      === 4320332161L)
+    assert(byAward("1k99bk000003-01").getAs[Long]("funder_id")
+      === 4320332163L)
+    // activity-code prefixes ("I01" matches no arm → the grant default)
+    assert(byAward("1i01bx001234-01").getAs[String]("funding_type")
+      === "grant")
+    assert(byAward("5r01ca000001-02").getAs[String]("funding_type")
+      === "research")
+    assert(byAward("1k99bk000003-01").getAs[String]("funding_type")
+      === "career_development")
+    // "(contact)" parenthetical stripped; "LAST, FIRST" split
+    val pi = byAward("1i01bx001234-01").getAs[Row]("lead_investigator")
+    assert(pi.getAs[String]("given_name") === "JOHN")
+    assert(pi.getAs[String]("family_name") === "SMITH")
+    // no-comma name: whole string in family_name, given null
+    val pi2 = byAward("5r01ca000001-02").getAs[Row]("lead_investigator")
+    assert(pi2.isNullAt(pi2.fieldIndex("given_name")))
+    assert(pi2.getAs[String]("family_name") === "Madonna")
+    // M/d/yyyy and MM/dd/yyyy both parse; garbage → null
+    assert(byAward("1i01bx001234-01").getAs[java.sql.Date]("start_date")
+      .toString === "2008-03-04")
+    assert(byAward("1i01bx001234-01").getAs[java.sql.Date]("end_date")
+      .toString === "2013-02-28")
+    assert(byAward("5r01ca000001-02")
+      .isNullAt(out(0).fieldIndex("end_date")))
+    assert(byAward("1i01bx001234-01").getAs[String]("landing_page_url")
+      === "https://reporter.nih.gov/project-details/10001")
+    // the mint concatenates the RESOLVED funder id
+    val expected = math.floorMod(org.apache.spark.sql.catalyst.expressions
+      .XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "4320306127:1i01bx001234-01"),
+        org.apache.spark.sql.types.StringType, 42L).abs, 9000000000L)
+    assert(byAward("1i01bx001234-01").getAs[Long]("id") === expected)
+  }
+
+  test("GTR: prefix resolution, lead_funder fallback, unresolved " +
+    "dropped, programme vs council, future-dated year nulling") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val raw = Seq(
+      ("EP/Y036530/1", "T1", Some("a1"), Some(500000.0), "Research Grant",
+        "EPSRC", Some(ts("2024-01-01 00:00:00")),
+        Some(ts("2027-12-31 00:00:00")), Some("Alan"), Some("Turing"),
+        Some("Univ of Manchester")),
+      // no usable prefix (2-char ref) → lead_funder LIKE fallback;
+      // programme name survives as funder_scheme
+      ("XX", "T2", None, None, "Fellowship", "UKRI FLF", None, None,
+        None, None, None),
+      // draft record pre-dated to 2030 → years nulled, dates kept
+      ("MR/Z000001/1", "T3", None, None, "Training Grant", "MRC",
+        Some(ts("2030-06-01 00:00:00")), Some(ts("2034-05-31 00:00:00")),
+        None, None, None),
+      // a novel category lowers/underscores
+      ("ST/W000001/1", "T4", None, None, "EU Support", "STFC",
+        Some(ts("2022-01-01 00:00:00")), None, None, None, None))
+      .toDF("grant_reference", "title", "abstract", "amount",
+        "grant_category", "lead_funder", "start_date", "end_date",
+        "pi_given_name", "pi_family_name", "lead_org_name")
+    val lookup = FunderIngest.requireFunders(reg, FunderConfigs.gtrFunderIds)
+    val out = FunderIngest.transformResolved(raw, lookup,
+      FunderConfigs.gtrProjects(currentYear = 2026), now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    // "XX" has no prefix and lead_funder "UKRI FLF" matches no council
+    // LIKE → dropped
+    assert(!byAward.contains("XX") && out.length === 3)
+    assert(byAward("EP/Y036530/1").getAs[Long]("funder_id") === 4320334627L)
+    assert(byAward("MR/Z000001/1").getAs[Long]("funder_id") === 4320334626L)
+    // council lead_funder → no programme; scheme null
+    assert(byAward("EP/Y036530/1")
+      .isNullAt(out(0).fieldIndex("funder_scheme")))
+    // 2030 start with currentYear=2026 → both years null, dates kept
+    val draft = byAward("MR/Z000001/1")
+    assert(draft.isNullAt(draft.fieldIndex("start_year")))
+    assert(draft.isNullAt(draft.fieldIndex("end_year")))
+    assert(draft.getAs[java.sql.Date]("start_date").toString
+      === "2030-06-01")
+    assert(byAward("ST/W000001/1").getAs[String]("funding_type")
+      === "eu_support")
+    assert(byAward("EP/Y036530/1").getAs[String]("funding_type")
+      === "research")
+    assert(byAward("EP/Y036530/1").getAs[String]("currency") === "GBP")
+    assert(byAward("EP/Y036530/1").getAs[String]("landing_page_url")
+      === "https://gtr.ukri.org/projects?ref=EP/Y036530/1")
+    val pi = byAward("EP/Y036530/1").getAs[Row]("lead_investigator")
+    assert(pi.getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+  }
+
+  test("ERC: framework sub-funder resolution with generic default, " +
+    "comma-decimal amount, scheme-suffix types") {
+    val raw = Seq(
+      ("101001", "T1", Some("a1"), Some("1499375,50"), "ERC-STG", "HORIZON",
+        Some("KU Leuven"), Some("BE"), "2022-01-01", "2026-12-31",
+        Some("10.3030/101001")),
+      ("637001", "T2", None, Some("2000000"), "ERC-ADG", "H2020",
+        None, None, "2015-06-01", "2020-05-31", None),
+      // unmapped framework → generic ERC funder
+      ("12345", "T3", None, None, "ERC-POC", "FP6",
+        None, None, "bad", "bad", Some("   ")))
+      .toDF("project_id", "title", "abstract", "ec_contribution",
+        "funding_scheme", "framework_programme", "host_institution",
+        "host_country", "start_date", "end_date", "grant_doi")
+    val out = FunderIngest.transformResolved(raw,
+      FunderConfigs.ercFunderLookup(spark), FunderConfigs.erc, now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(byAward("101001").getAs[Long]("funder_id") === 4320338453L)
+    assert(byAward("637001").getAs[Long]("funder_id") === 4320338335L)
+    assert(byAward("12345").getAs[Long]("funder_id") === 4320334678L)
+    assert(byAward("12345").getAs[Row]("funder")
+      .getAs[String]("display_name") === "European Research Council")
+    assert(byAward("101001").getAs[Row]("funder").getAs[String]("ror_id")
+      === "https://ror.org/0472cxd90")
+    // comma decimal separator normalized
+    assert(byAward("101001").getAs[Double]("amount") === 1499375.50)
+    assert(byAward("101001").getAs[String]("funding_type") === "fellowship")
+    assert(byAward("12345").getAs[String]("funding_type")
+      === "commercialization")
+    // whitespace-only grant_doi → null
+    assert(byAward("12345").isNullAt(out(0).fieldIndex("doi")))
+    assert(byAward("101001").getAs[String]("doi") === "10.3030/101001")
+    val host = byAward("101001").getAs[Row]("lead_investigator")
+    assert(host.isNullAt(host.fieldIndex("family_name")))
+    assert(host.getAs[Row]("affiliation").getAs[String]("name")
+      === "KU Leuven")
+  }
+
+  test("EC CORDIS: ERC schemes excluded, HORIZON MSCA/EIC routed to " +
+    "sub-body funders, older frameworks stay generic EC") {
+    val raw = Seq(
+      ("1001", "T1", "o1", Some(1000.0), "HORIZON-MSCA-2021-PF", "HORIZON",
+        Some("UvA"), Some("NL"), "2022-01-01", "2024-01-01", None),
+      ("1002", "T2", "o2", None, "HORIZON-EIC-ACC", "HORIZON",
+        None, None, "2023-01-01", "2025-01-01", None),
+      // H2020 MSCA stays generic EC (no H2020 sub-body funder)
+      ("1003", "T3", "o3", None, "MSCA-IF-2019", "H2020",
+        None, None, "2020-01-01", "2022-01-01", None),
+      // ERC projects excluded entirely
+      ("1004", "T4", "o4", None, "ERC-STG", "H2020",
+        None, None, "2019-01-01", "2024-01-01", None),
+      ("1005", "T5", "o5", None, "HORIZON-ERC-SYG", "HORIZON",
+        None, None, "2023-01-01", "2028-01-01", None),
+      ("1006", "T6", "o6", None, null, "FP7",
+        None, None, "2008-01-01", "2012-01-01", None: Option[String]))
+      .toDF("cordis_project_id", "title", "objective",
+        "ec_max_contribution", "funding_scheme", "framework_programme",
+        "coordinator_name", "coordinator_country", "start_date",
+        "end_date", "grant_doi")
+    val out = FunderIngest.transformResolved(raw,
+      FunderConfigs.ecFunderLookup(spark),
+      FunderConfigs.europeanCommission, now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(out.length === 4) // 1004/1005 excluded
+    assert(byAward("1001").getAs[Long]("funder_id") === 4320338438L)
+    assert(byAward("1002").getAs[Long]("funder_id") === 4320338448L)
+    assert(byAward("1003").getAs[Long]("funder_id") === 4320320300L)
+    assert(byAward("1006").getAs[Long]("funder_id") === 4320320300L)
+    // sub-body funders carry null ror_id (inline VALUES)
+    assert(byAward("1001").getAs[Row]("funder")
+      .isNullAt(1 + 1)) // fields: id, display_name, ror_id, doi
+    assert(byAward("1003").getAs[String]("funding_type") === "fellowship")
+    assert(byAward("1006").getAs[String]("funder_scheme")
+      === "FP7 - Unknown")
+    assert(byAward("1001").getAs[String]("funder_scheme")
+      === "HORIZON - HORIZON-MSCA-2021-PF")
+  }
+
+  test("requireFunders: missing or duplicated registry rows fail fast") {
+    val e = intercept[IllegalArgumentException] {
+      FunderIngest.requireFunders(reg, Seq(4320334764L, 111L, 222L))
+    }
+    assert(e.getMessage.contains("missing: 111,222"))
+    val dupReg = reg.unionByName(reg.filter(col("funder_id") === 4320334764L))
+    val e2 = intercept[IllegalArgumentException] {
+      FunderIngest.requireFunders(dupReg, Seq(4320334764L))
+    }
+    assert(e2.getMessage.contains("duplicated: 4320334764"))
+  }
+}
