@@ -167,6 +167,48 @@ object ExplainAudit {
     check(!p36.contains("Window"),
       "q36 df-computation is hash aggregation, not a per-shingle window sort")
 
+    val p118 = plan("q118_resolved_funder_ingest")
+    check(p118.contains("BroadcastHashJoin"),
+      "q118 resolved-funder lookups join broadcast (the corpus side " +
+        "never shuffles; ic/prefix/framework maps are literal projections)")
+    check(!p118.contains("CartesianProduct"),
+      "q118 has no cartesian product")
+    check("""\(\d+\) Exchange hashpartitioning""".r
+        .findAllMatchIn(p118).isEmpty,
+      "q118 resolved transforms are projection + broadcast join only — " +
+        "zero shuffles")
+
+    // The dedup DAG (round-8 additions): the CC loop is exactly the
+    // plan shape that regresses silently — a dropped Materialize cut
+    // re-expands the whole prior round subtree per labels reference.
+    val p112 = plan("q112_dedup_components")
+    check(p112.contains("graft-cc"),
+      "q112 connected components cross a Materialize parquet boundary " +
+        "(lineage cut present — plan reads the landed temp, not the " +
+        "re-expanded loop subtree)")
+    check(!p112.contains("CartesianProduct"),
+      "q112 has no cartesian product")
+
+    val p115 = plan("q115_decontamination")
+    check(p115.contains("BroadcastHashJoin"),
+      "q115 contamination join broadcasts the eval side — the corpus " +
+        "never shuffles for the screen")
+    check(!p115.contains("CartesianProduct"),
+      "q115 has no cartesian product")
+
+    val p116 = plan("q116_curation_pipeline")
+    check(p116.contains("graft-"),
+      "q116 curation DAG crosses a Materialize boundary (the combined " +
+        "signature+set aggregation lands once and every branch re-reads it)")
+    check(p116.contains("BroadcastHashJoin"),
+      "q116 decontamination leg broadcasts the benchmark side")
+    check(!p116.contains("CartesianProduct"),
+      "q116 has no cartesian product")
+
+    val p117 = plan("q117_embedding_curation")
+    check(!p117.contains("CartesianProduct"),
+      "q117 cosine-LSH bucket join is an equijoin, not a cartesian")
+
     val singlePartitionOk = Set("q26_id_minting",
       "q51_work_id_resolver", "q52_author_match_cascade",
       // q93: IdMinter over NEW (unseen, non-withdrawn) ROR ids only — a

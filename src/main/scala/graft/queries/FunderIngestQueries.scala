@@ -126,6 +126,153 @@ object FunderIngestQueries {
       concat(lit("https://abelprize.no/w/"), ks).as("source_url"))
   }
 
+  /** The resolved-archetype injectable mint: still DuckDB-computable,
+    * but (unlike plain length) sensitive to WHICH funder id the
+    * per-row resolution picked — all resolvable ids are 10 digits, so
+    * `length` alone would not catch a mis-resolved funder. */
+  private def rmint(c: Column): Column =
+    length(c) * 10000 + pmod(substring(c, 1, 10).cast("long"), lit(9973))
+
+  private def nihRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    // mapped ICs across every agency family + unmapped (CA/AD/MN/XX)
+    val ics = array(Seq("VA", "HS", "SU", "FD", "BK", "OH", "PS", "CC",
+      "PE", "TS", "IS", "AF", "OC", "CA", "AD", "MN", "XX")
+      .map(lit): _*)
+    val d1 = date_add(lit("2000-01-01").cast("date"), pmod(k, lit(9000)).cast("int"))
+    val d2 = date_add(lit("2001-02-03").cast("date"), pmod(k, lit(9000)).cast("int"))
+    o.select(
+      when(pmod(k, lit(53)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(59)) === 0, lit(" "))
+        .otherwise(concat(lit("5R01XX"), ks, lit("-0"),
+          pmod(k, lit(9)).cast("string"))).as("full_project_num"),
+      concat(lit("Project "), ks).as("project_title"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("PHR "), ks)).as("phr"),
+      when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise((pmod(k, lit(900)) * 1000).cast("string"))
+        .as("total_cost"),
+      element_at(ics, (pmod(k, lit(17)) + 1).cast("int"))
+        .as("administering_ic"),
+      element_at(array(Seq("R01", "K08", "T32", "F31", "P30", "U01",
+        "N01", "ZIA", "I01", "D43").map(lit): _*),
+        (pmod(k, lit(10)) + 1).cast("int")).as("activity"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(5)) === 1, lit(""))
+        .when(pmod(k, lit(5)) === 2, concat(lit("LAST"), ks,
+          lit(", FIRST"), ks, lit(" (contact); OTHER, PI")))
+        .when(pmod(k, lit(5)) === 3, concat(lit("MONONYM"), ks))
+        .otherwise(concat(lit("DOE"), ks, lit(", JANE"), ks))
+        .as("pi_names"),
+      concat(lit("Org "), pmod(k, lit(40)).cast("string")).as("org_name"),
+      when(pmod(k, lit(9)) === 0, lit(null).cast("string"))
+        .otherwise(lit("UNITED STATES")).as("org_country"),
+      when(pmod(k, lit(4)) === 0, date_format(d1, "yyyy-MM-dd"))
+        .when(pmod(k, lit(4)) === 1, date_format(d1, "MM/dd/yyyy"))
+        .when(pmod(k, lit(4)) === 2, date_format(d1, "M/d/yyyy"))
+        .otherwise(lit("garbage")).as("project_start"),
+      when(pmod(k, lit(3)) === 0, date_format(d2, "yyyy-MM-dd"))
+        .when(pmod(k, lit(3)) === 1, date_format(d2, "MM/dd/yyyy"))
+        .otherwise(lit("n/a")).as("project_end"),
+      (lit(7000000) + k).cast("string").as("application_id"))
+  }
+
+  private def gtrRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val prefixes = array(Seq("EP", "MR", "ST", "BB", "NE", "ES", "AH",
+      "ZZ", "QQ").map(lit): _*)
+    val sd = date_add(lit("2015-01-01").cast("date"),
+      pmod(k * 3, lit(5000)).cast("int"))
+    o.select(
+      when(pmod(k, lit(23)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(29)) === 0, lit("XX"))
+        .otherwise(concat(
+          element_at(prefixes, (pmod(k, lit(9)) + 1).cast("int")),
+          lit("/Y"), ks, lit("/1"))).as("grant_reference"),
+      concat(lit("GTR project "), ks).as("title"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Abstract "), ks)).as("abstract"),
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise((pmod(k, lit(2000)) * 500).cast("string")).as("amount"),
+      when(pmod(k, lit(31)) === 0, lit(null).cast("string"))
+        .otherwise(element_at(array(Seq("Research Grant", "Fellowship",
+          "Training Grant", "Studentship", "Vouchers", "EU Support")
+          .map(lit): _*), (pmod(k, lit(6)) + 1).cast("int")))
+        .as("grant_category"),
+      element_at(array(Seq("EPSRC", "MRC", "Innovate UK", "UKRI FLF",
+        "GCRF", "The EPSRC strategic fund", "Nothing here",
+        "Natural Environment Research Council").map(lit): _*),
+        (pmod(k, lit(8)) + 1).cast("int")).as("lead_funder"),
+      sd.as("start_date"),
+      when(pmod(k, lit(13)) === 0, lit(null).cast("date"))
+        .otherwise(date_add(sd, lit(800))).as("end_date"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Given"), ks)).as("pi_given_name"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Family"), ks)).as("pi_family_name"),
+      concat(lit("Org "), pmod(k, lit(25)).cast("string"))
+        .as("lead_org_name"))
+  }
+
+  private def ercRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(37)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(41)) === 0, lit("  "))
+        .otherwise(concat(lit("10"), ks)).as("project_id"),
+      concat(lit("ERC project "), ks).as("title"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Objective "), ks)).as("abstract"),
+      when(pmod(k, lit(3)) === 0,
+        concat((pmod(k, lit(3000)) * 1000).cast("string"), lit(",75")))
+        .when(pmod(k, lit(3)) === 1,
+          (pmod(k, lit(2500)) * 1000).cast("string"))
+        .otherwise(lit("garbage")).as("ec_contribution"),
+      element_at(array(Seq("ERC-STG", "ERC-COG", "ERC-ADG", "ERC-SyG",
+        "ERC-POC", "ERC-LVG", "ERC-XYZ").map(lit): _*),
+        (pmod(k, lit(7)) + 1).cast("int")).as("funding_scheme"),
+      element_at(array(Seq("H2020", "FP7", "HORIZON", "FP6").map(lit): _*),
+        (pmod(k, lit(4)) + 1).cast("int")).as("framework_programme"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Host "), pmod(k, lit(30)).cast("string")))
+        .as("host_institution"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(element_at(array(Seq("DE", "FR", "NL", "BE", "IT")
+          .map(lit): _*), (pmod(k, lit(5)) + 1).cast("int")))
+        .as("host_country"),
+      date_format(date_add(lit("2008-01-01").cast("date"),
+        pmod(k, lit(6000)).cast("int")), "yyyy-MM-dd").as("start_date"),
+      when(pmod(k, lit(19)) === 0, lit("bad"))
+        .otherwise(date_format(date_add(lit("2010-01-01").cast("date"),
+          pmod(k, lit(6000)).cast("int")), "yyyy-MM-dd")).as("end_date"),
+      when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(7)) === 1, lit("   "))
+        .otherwise(concat(lit("10.3030/10"), ks)).as("grant_doi"))
+  }
+
+  /** The NIH funder-lookup rows for every resolvable agency (the
+    * funder_lookup CTE's population — display fields synthetic but
+    * keyed on the reference ids, so mis-resolution flips the whole
+    * funder struct in the output). */
+  private def nihFunders(s: SparkSession): DataFrame = {
+    val sess = s; import sess.implicits._
+    graft.awards.FunderConfigs.nihFunderIds
+      .map(id => (id, s"Agency $id", s"https://ror.org/a$id",
+        s"10.13039/$id"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+  }
+
+  private def gtrFunders(s: SparkSession): DataFrame = {
+    val sess = s; import sess.implicits._
+    graft.awards.FunderConfigs.gtrFunderIds
+      .map(id => (id, s"Council $id", s"https://ror.org/c$id",
+        s"10.13039/$id"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+  }
+
   /** Flatten one transform output to oracle-comparable columns. */
   private def flat(df: DataFrame, src: String): DataFrame =
     df.select(lit(src).as("src"), col("id"), col("display_name"),
@@ -190,13 +337,36 @@ object FunderIngestQueries {
       .drop("currencies")
   }
 
+  /** q118: the resolved multi-funder archetype end-to-end — NIH
+    * ExPORTER (ic-map resolution with NIH default + the PI-list
+    * parse + three date formats), UKRI GTR (prefix map + lead_funder
+    * LIKE fallback + unresolved drop + future-dated year nulling at
+    * the injected currentYear), and ERC/CORDIS (inline funder lookup
+    * with a generic default + comma-decimal amounts). The mint is
+    * funder-id-sensitive so a mis-resolved row flips its minted id,
+    * not just the funder struct. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.{FunderConfigs, FunderIngest}
+    val nih = FunderIngest.transformResolved(nihRaw(s, dir),
+      nihFunders(s), FunderConfigs.nihExporter, nowTs, rmint)
+    val gtr = FunderIngest.transformResolved(gtrRaw(s, dir),
+      gtrFunders(s), FunderConfigs.gtrProjects(currentYear = 2026),
+      nowTs, rmint)
+    val erc = FunderIngest.transformResolved(ercRaw(s, dir),
+      FunderConfigs.ercFunderLookup(s), FunderConfigs.erc, nowTs, rmint)
+    flat(nih, "nih").unionByName(flat(gtr, "gtr"))
+      .unionByName(flat(erc, "erc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
-    "q111_funder_landing_reports" -> (q111 _))
+    "q111_funder_landing_reports" -> (q111 _),
+    "q118_resolved_funder_ingest" -> (q118 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
-    "q111_funder_landing_reports" -> Oracles.q111)
+    "q111_funder_landing_reports" -> Oracles.q111,
+    "q118_resolved_funder_ingest" -> Oracles.q118)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -384,6 +554,296 @@ object FunderIngestQueries {
       |SELECT 'acf' AS src, * FROM ut
       |UNION ALL SELECT 'anr', * FROM at2
       |UNION ALL SELECT 'abel', * FROM bt""".stripMargin
+
+    /** q118: full recomputation of the three resolved multi-funder
+      * transforms — the ic/prefix/framework maps are the notebooks'
+      * VALUES blocks (those constants ARE the spec), everything else
+      * (resolution joins, mint, PI parses, date fallbacks, year
+      * nulling, type cascades) is recomputed from the raw fixtures. */
+    val q118: String =
+      """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |oe AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 1000),
+        |icmap AS (SELECT * FROM (VALUES
+        |  ('VA',4320306127),('HS',4320332177),
+        |  ('SU',4320332164),('SP',4320332164),('SM',4320332164),('TI',4320332164),
+        |  ('FD',4320332163),('BK',4320332163),('BJ',4320332163),('BA',4320332163),
+        |  ('BN',4320332163),('BB',4320332163),('BQ',4320332163),('BR',4320332163),
+        |  ('BD',4320332163),('BL',4320332163),('BI',4320332163),('BM',4320332163),
+        |  ('BF',4320332163),('BO',4320332163),('BH',4320332163),('BG',4320332163),
+        |  ('BE',4320332163),('BS',4320332163),('BT',4320332163),('BU',4320332163),
+        |  ('OH',4320337382),
+        |  ('PS',4320332162),('DP',4320332162),('CE',4320332162),('GH',4320332162),
+        |  ('DD',4320332162),('IP',4320332162),('EH',4320332162),('CI',4320332162),
+        |  ('TP',4320332162),('CK',4320332162),('CD',4320332162),('SO',4320332162),
+        |  ('HM',4320332162),('EP',4320332162),('GD',4320332162),('SH',4320332162),
+        |  ('PH',4320332162),('PR',4320332162),('WC',4320332162),('HK',4320332162),
+        |  ('CC',4320332162),
+        |  ('PE',4320332175),('NU',4320332175),('MB',4320332175),('AH',4320332175),
+        |  ('DH',4320332175),('BP',4320332175),('NC',4320332175),('HP',4320332175),
+        |  ('TS',4320337419),('IS',4320332207),('AF',4320332208),('OC',4320332334)
+        |  ) AS t(ic, fid)),
+        |nraw AS (SELECT k,
+        |  CASE WHEN k % 53 = 0 THEN NULL WHEN k % 59 = 0 THEN ' '
+        |       ELSE '5R01XX' || CAST(k AS VARCHAR) || '-0' ||
+        |         CAST(k % 9 AS VARCHAR) END AS fpn,
+        |  'Project ' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE 'PHR ' || CAST(k AS VARCHAR) END AS phr,
+        |  CASE WHEN k % 7 = 0 THEN NULL
+        |       ELSE CAST(k % 900 * 1000 AS VARCHAR) END AS cost,
+        |  (['VA','HS','SU','FD','BK','OH','PS','CC','PE','TS','IS','AF',
+        |    'OC','CA','AD','MN','XX'])[(k % 17) + 1] AS ic,
+        |  (['R01','K08','T32','F31','P30','U01','N01','ZIA','I01','D43'
+        |    ])[(k % 10) + 1] AS act,
+        |  CASE WHEN k % 5 = 0 THEN NULL WHEN k % 5 = 1 THEN ''
+        |       WHEN k % 5 = 2 THEN 'LAST' || CAST(k AS VARCHAR) ||
+        |         ', FIRST' || CAST(k AS VARCHAR) || ' (contact); OTHER, PI'
+        |       WHEN k % 5 = 3 THEN 'MONONYM' || CAST(k AS VARCHAR)
+        |       ELSE 'DOE' || CAST(k AS VARCHAR) || ', JANE' ||
+        |         CAST(k AS VARCHAR) END AS pin,
+        |  'Org ' || CAST(k % 40 AS VARCHAR) AS orgn,
+        |  CASE WHEN k % 9 = 0 THEN NULL ELSE 'UNITED STATES' END AS orgc,
+        |  CASE WHEN k % 4 = 0 THEN strftime(d1, '%Y-%m-%d')
+        |       WHEN k % 4 = 1 THEN strftime(d1, '%m/%d/%Y')
+        |       WHEN k % 4 = 2 THEN strftime(d1, '%-m/%-d/%Y')
+        |       ELSE 'garbage' END AS ps,
+        |  CASE WHEN k % 3 = 0 THEN strftime(d2, '%Y-%m-%d')
+        |       WHEN k % 3 = 1 THEN strftime(d2, '%m/%d/%Y')
+        |       ELSE 'n/a' END AS pe,
+        |  CAST(7000000 + k AS VARCHAR) AS appid
+        |  FROM (SELECT k, DATE '2000-01-01' + INTERVAL (k % 9000) DAY AS d1,
+        |        DATE '2001-02-03' + INTERVAL (k % 9000) DAY AS d2 FROM o)),
+        |nres AS (SELECT r.*, COALESCE(m.fid, 4320332161) AS rfid,
+        |  CASE WHEN r.pin IS NOT NULL AND r.pin <> ''
+        |       THEN trim(split_part(r.pin, ';', 1)) END AS firstpi,
+        |  CAST(coalesce(TRY_STRPTIME(r.ps, '%Y-%m-%d'),
+        |    TRY_STRPTIME(r.ps, '%m/%d/%Y')) AS DATE) AS psd,
+        |  CAST(coalesce(TRY_STRPTIME(r.pe, '%Y-%m-%d'),
+        |    TRY_STRPTIME(r.pe, '%m/%d/%Y')) AS DATE) AS ped
+        |  FROM nraw r LEFT JOIN icmap m ON upper(trim(r.ic)) = m.ic
+        |  WHERE r.fpn IS NOT NULL AND trim(r.fpn) <> ''),
+        |nt AS (SELECT
+        |  length(mid) * 10000 + CAST(substr(mid, 1, 10) AS BIGINT) % 9973
+        |    AS id,
+        |  title AS display_name, phr AS description,
+        |  CAST(rfid AS BIGINT) AS funder_id,
+        |  lower(fpn) AS funder_award_id,
+        |  TRY_CAST(cost AS DOUBLE) AS amount, 'USD' AS currency,
+        |  'https://openalex.org/F' || CAST(rfid AS VARCHAR) AS funder_url,
+        |  'Agency ' || CAST(rfid AS VARCHAR) AS funder_name,
+        |  'https://ror.org/a' || CAST(rfid AS VARCHAR) AS funder_ror,
+        |  '10.13039/' || CAST(rfid AS VARCHAR) AS funder_doi,
+        |  CASE WHEN act LIKE 'R%' THEN 'research'
+        |       WHEN act LIKE 'K%' THEN 'career_development'
+        |       WHEN act LIKE 'T%' THEN 'training'
+        |       WHEN act LIKE 'F%' THEN 'fellowship'
+        |       WHEN act LIKE 'P%' THEN 'program'
+        |       WHEN act LIKE 'U%' THEN 'cooperative_agreement'
+        |       WHEN act LIKE 'N%' THEN 'contract'
+        |       WHEN act LIKE 'Z%' THEN 'intramural'
+        |       ELSE 'grant' END AS funding_type,
+        |  act AS funder_scheme, 'nih_exporter' AS provenance,
+        |  strftime(psd, '%Y-%m-%d') AS start_d,
+        |  strftime(ped, '%Y-%m-%d') AS end_d,
+        |  CAST(year(psd) AS INTEGER) AS start_year,
+        |  CAST(year(ped) AS INTEGER) AS end_year,
+        |  CASE WHEN firstpi IS NOT NULL AND contains(firstpi, ',') THEN
+        |    trim(regexp_replace(split_part(firstpi, ',', 2),
+        |      '\s*\(.*\)\s*', '', 'g')) END AS pi_given,
+        |  CASE WHEN firstpi IS NOT NULL THEN
+        |    CASE WHEN contains(firstpi, ',')
+        |         THEN trim(split_part(firstpi, ',', 1))
+        |         ELSE trim(firstpi) END END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid_url,
+        |  CASE WHEN firstpi IS NOT NULL THEN orgn END AS pi_aff_name,
+        |  CASE WHEN firstpi IS NOT NULL THEN orgc END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_ids_json,
+        |  'https://reporter.nih.gov/project-details/' || appid
+        |    AS landing_page_url,
+        |  CAST(NULL AS VARCHAR) AS doi,
+        |  'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length(mid) * 10000 +
+        |      CAST(substr(mid, 1, 10) AS BIGINT) % 9973 AS VARCHAR)
+        |    AS works_api_url,
+        |  '2026-08-14 00:00:00' AS created_d
+        |  FROM (SELECT *, CAST(rfid AS VARCHAR) || ':' || lower(fpn) AS mid
+        |        FROM nres)),
+        |pmap AS (SELECT * FROM (VALUES
+        |  ('EP/',4320334627),('MR/',4320334626),('ST/',4320334632),
+        |  ('BB/',4320334629),('NE/',4320334631),('ES/',4320334630),
+        |  ('AH/',4320334609)) AS t(pfx, fid)),
+        |graw AS (SELECT k,
+        |  CASE WHEN k % 23 = 0 THEN NULL WHEN k % 29 = 0 THEN 'XX'
+        |       ELSE (['EP','MR','ST','BB','NE','ES','AH','ZZ','QQ'
+        |         ])[(k % 9) + 1] || '/Y' || CAST(k AS VARCHAR) || '/1'
+        |       END AS ref,
+        |  'GTR project ' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 8 = 0 THEN NULL
+        |       ELSE 'Abstract ' || CAST(k AS VARCHAR) END AS abstr,
+        |  CASE WHEN k % 11 = 0 THEN NULL
+        |       ELSE CAST(k % 2000 * 500 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 31 = 0 THEN NULL
+        |       ELSE (['Research Grant','Fellowship','Training Grant',
+        |         'Studentship','Vouchers','EU Support'])[(k % 6) + 1]
+        |       END AS cat,
+        |  (['EPSRC','MRC','Innovate UK','UKRI FLF','GCRF',
+        |    'The EPSRC strategic fund','Nothing here',
+        |    'Natural Environment Research Council'])[(k % 8) + 1] AS lf,
+        |  DATE '2015-01-01' + INTERVAL ((k * 3) % 5000) DAY AS sd,
+        |  CASE WHEN k % 13 = 0 THEN NULL
+        |       ELSE DATE '2015-01-01' + INTERVAL ((k * 3) % 5000 + 800) DAY
+        |       END AS ed,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Given' || CAST(k AS VARCHAR) END AS pig,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Family' || CAST(k AS VARCHAR) END AS pif,
+        |  'Org ' || CAST(k % 25 AS VARCHAR) AS orgn
+        |  FROM o),
+        |gres AS (SELECT g.*,
+        |  COALESCE(pm.fid,
+        |    CASE WHEN g.lf = 'Innovate UK' THEN 4320335087
+        |         WHEN g.lf LIKE '%EPSRC%' THEN 4320334627
+        |         WHEN g.lf LIKE '%MRC%' THEN 4320334626
+        |         WHEN g.lf LIKE '%BBSRC%' THEN 4320334629
+        |         WHEN g.lf LIKE '%NERC%' THEN 4320334631
+        |         WHEN g.lf LIKE '%ESRC%' THEN 4320334630
+        |         WHEN g.lf LIKE '%AHRC%' THEN 4320334609
+        |         WHEN g.lf LIKE '%STFC%' THEN 4320334632 END) AS rfid
+        |  FROM graw g LEFT JOIN pmap pm
+        |    ON (CASE WHEN g.ref IS NOT NULL AND length(g.ref) >= 3
+        |             THEN substr(g.ref, 1, 2) || '/' END) = pm.pfx
+        |  WHERE g.ref IS NOT NULL),
+        |gt AS (SELECT
+        |  length(mid) * 10000 + CAST(substr(mid, 1, 10) AS BIGINT) % 9973
+        |    AS id,
+        |  title AS display_name, abstr AS description,
+        |  CAST(rfid AS BIGINT) AS funder_id,
+        |  ref AS funder_award_id,
+        |  TRY_CAST(amt AS DOUBLE) AS amount, 'GBP' AS currency,
+        |  'https://openalex.org/F' || CAST(rfid AS VARCHAR) AS funder_url,
+        |  'Council ' || CAST(rfid AS VARCHAR) AS funder_name,
+        |  'https://ror.org/c' || CAST(rfid AS VARCHAR) AS funder_ror,
+        |  '10.13039/' || CAST(rfid AS VARCHAR) AS funder_doi,
+        |  CASE WHEN cat = 'Research Grant' THEN 'research'
+        |       WHEN cat = 'Fellowship' THEN 'fellowship'
+        |       WHEN cat = 'Training Grant' THEN 'training'
+        |       WHEN cat = 'Studentship' THEN 'studentship'
+        |       WHEN cat = 'Vouchers' THEN 'voucher'
+        |       WHEN cat IS NULL THEN NULL
+        |       ELSE lower(replace(cat, ' ', '_')) END AS funding_type,
+        |  CASE WHEN lf IN ('AHRC','BBSRC','EPSRC','ESRC','MRC','NERC',
+        |    'STFC','Innovate UK','Arts and Humanities Research Council',
+        |    'Biotechnology and Biological Sciences Research Council',
+        |    'Engineering and Physical Sciences Research Council',
+        |    'Economic and Social Research Council',
+        |    'Medical Research Council',
+        |    'Natural Environment Research Council',
+        |    'Science and Technology Facilities Council') THEN NULL
+        |    ELSE lf END AS funder_scheme,
+        |  'gateway_to_research' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  CASE WHEN year(sd) > 2027 THEN NULL
+        |       ELSE CAST(year(sd) AS INTEGER) END AS start_year,
+        |  CASE WHEN year(sd) > 2027 THEN NULL
+        |       ELSE CAST(year(ed) AS INTEGER) END AS end_year,
+        |  CASE WHEN pif IS NOT NULL THEN pig END AS pi_given,
+        |  pif AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid_url,
+        |  CASE WHEN pif IS NOT NULL THEN orgn END AS pi_aff_name,
+        |  CASE WHEN pif IS NOT NULL THEN 'United Kingdom' END
+        |    AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_ids_json,
+        |  'https://gtr.ukri.org/projects?ref=' || ref AS landing_page_url,
+        |  CAST(NULL AS VARCHAR) AS doi,
+        |  'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length(mid) * 10000 +
+        |      CAST(substr(mid, 1, 10) AS BIGINT) % 9973 AS VARCHAR)
+        |    AS works_api_url,
+        |  '2026-08-14 00:00:00' AS created_d
+        |  FROM (SELECT *, CAST(rfid AS VARCHAR) || ':' || lower(ref) AS mid
+        |        FROM gres WHERE rfid IS NOT NULL)),
+        |efmap AS (SELECT * FROM (VALUES
+        |  ('H2020', 4320338335, 'H2020 European Research Council',
+        |   '10.13039/100010663'),
+        |  ('FP7', 4320338352, 'FP7 Ideas: European Research Council',
+        |   '10.13039/100011199'),
+        |  ('HORIZON', 4320338453, 'HORIZON EUROPE European Research Council',
+        |   '10.13039/100019180')) AS t(fw, fid, dn, fdoi)),
+        |eraw AS (SELECT k,
+        |  CASE WHEN k % 37 = 0 THEN NULL WHEN k % 41 = 0 THEN '  '
+        |       ELSE '10' || CAST(k AS VARCHAR) END AS pid,
+        |  'ERC project ' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE 'Objective ' || CAST(k AS VARCHAR) END AS abstr,
+        |  CASE WHEN k % 3 = 0 THEN CAST(k % 3000 * 1000 AS VARCHAR) || ',75'
+        |       WHEN k % 3 = 1 THEN CAST(k % 2500 * 1000 AS VARCHAR)
+        |       ELSE 'garbage' END AS ecc,
+        |  (['ERC-STG','ERC-COG','ERC-ADG','ERC-SyG','ERC-POC','ERC-LVG',
+        |    'ERC-XYZ'])[(k % 7) + 1] AS fs,
+        |  (['H2020','FP7','HORIZON','FP6'])[(k % 4) + 1] AS fw,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE 'Host ' || CAST(k % 30 AS VARCHAR) END AS host,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE (['DE','FR','NL','BE','IT'])[(k % 5) + 1] END AS hc,
+        |  strftime(DATE '2008-01-01' + INTERVAL (k % 6000) DAY,
+        |    '%Y-%m-%d') AS sd,
+        |  CASE WHEN k % 19 = 0 THEN 'bad'
+        |       ELSE strftime(DATE '2010-01-01' + INTERVAL (k % 6000) DAY,
+        |         '%Y-%m-%d') END AS ed,
+        |  CASE WHEN k % 7 = 0 THEN NULL WHEN k % 7 = 1 THEN '   '
+        |       ELSE '10.3030/10' || CAST(k AS VARCHAR) END AS gdoi
+        |  FROM oe),
+        |eres AS (SELECT e.*,
+        |  COALESCE(m.fid, 4320334678) AS rfid,
+        |  COALESCE(m.dn, 'European Research Council') AS fdn,
+        |  COALESCE(m.fdoi, '10.13039/501100000781') AS ffdoi
+        |  FROM eraw e LEFT JOIN efmap m ON e.fw = m.fw
+        |  WHERE e.pid IS NOT NULL AND trim(e.pid) <> ''),
+        |et AS (SELECT
+        |  length(mid) * 10000 + CAST(substr(mid, 1, 10) AS BIGINT) % 9973
+        |    AS id,
+        |  title AS display_name, abstr AS description,
+        |  CAST(rfid AS BIGINT) AS funder_id,
+        |  pid AS funder_award_id,
+        |  TRY_CAST(replace(ecc, ',', '.') AS DOUBLE) AS amount,
+        |  'EUR' AS currency,
+        |  'https://openalex.org/F' || CAST(rfid AS VARCHAR) AS funder_url,
+        |  fdn AS funder_name,
+        |  'https://ror.org/0472cxd90' AS funder_ror,
+        |  ffdoi AS funder_doi,
+        |  CASE WHEN upper(fs) LIKE '%STG%' THEN 'fellowship'
+        |       WHEN upper(fs) LIKE '%COG%' THEN 'fellowship'
+        |       WHEN upper(fs) LIKE '%ADG%' THEN 'fellowship'
+        |       WHEN upper(fs) LIKE '%SYG%' THEN 'research'
+        |       WHEN upper(fs) LIKE '%POC%' THEN 'commercialization'
+        |       WHEN upper(fs) LIKE '%LVG%' THEN 'travel'
+        |       ELSE 'research' END AS funding_type,
+        |  fs AS funder_scheme, 'erc' AS provenance,
+        |  strftime(TRY_CAST(sd AS DATE), '%Y-%m-%d') AS start_d,
+        |  strftime(TRY_CAST(ed AS DATE), '%Y-%m-%d') AS end_d,
+        |  CAST(year(TRY_CAST(sd AS DATE)) AS INTEGER) AS start_year,
+        |  CAST(year(TRY_CAST(ed AS DATE)) AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CAST(NULL AS VARCHAR) AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid_url,
+        |  CASE WHEN host IS NOT NULL THEN host END AS pi_aff_name,
+        |  CASE WHEN host IS NOT NULL THEN hc END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_ids_json,
+        |  'https://cordis.europa.eu/project/id/' || pid
+        |    AS landing_page_url,
+        |  CASE WHEN gdoi IS NOT NULL AND trim(gdoi) <> '' THEN gdoi END
+        |    AS doi,
+        |  'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length(mid) * 10000 +
+        |      CAST(substr(mid, 1, 10) AS BIGINT) % 9973 AS VARCHAR)
+        |    AS works_api_url,
+        |  '2026-08-14 00:00:00' AS created_d
+        |  FROM (SELECT *, CAST(rfid AS VARCHAR) || ':' || lower(pid) AS mid
+        |        FROM eres))
+        |SELECT 'nih' AS src, * FROM nt
+        |UNION ALL SELECT 'gtr', * FROM gt
+        |UNION ALL SELECT 'erc', * FROM et""".stripMargin
 
     val q111: String = prelude + """,
       |fresh AS (
