@@ -818,10 +818,27 @@ object PipelineDemo {
     stage("apply: names refreshed, bindings untouched",
       gApplied.filter(col("raw_author_name") === "Bob Kim" &&
         col("author_id") === 70L).count(), _ == 1)
-    val gClaimed = WorkAuthorCurations.applyClaims(gApplied,
-      Seq((1L, "Bob Kim", 99L, "2024-06-02", 1L))
-        .toDF("work_id", "raw_author_name", "author_id", "c", "curation_id")
-        .withColumn("created", col("c").cast("timestamp")).drop("c"),
+    val gClaimSrc = Seq((1L, "Bob Kim", 99L, "2024-06-02", 1L))
+      .toDF("work_id", "raw_author_name", "author_id", "c", "curation_id")
+      .withColumn("created", col("c").cast("timestamp")).drop("c")
+    // ── SyncWorkAuthorCurations cell 5: the decline-guard screens the
+    // sync BEFORE any apply — its MERGE carries a not-matched-by-source
+    // DELETE, so an empty/short source must abort, not mass-delete
+    val syncGate = graft.serve.Guardrails.syncDeclineGuard(
+      Seq(gClaimSrc, gEmptyRemoves), Seq(gClaimSrc, gEmptyRemoves),
+      allowedDecline = 10, overrideGuard = false)
+    stage("sync decline-guard: healthy source passes both checks",
+      syncGate.count(_.passed).toLong, _ == 2)
+    stage("sync decline-guard: empty source vs non-empty target " +
+      "hard-fails (override does not apply)",
+      graft.serve.Guardrails.syncDeclineGuard(0L, 5L,
+        allowedDecline = 10, overrideGuard = true)
+        .count(c => c.name == "sync_empty_source" && !c.passed).toLong,
+      _ == 1)
+    stage("sync decline-guard: both-zero startup is legitimate",
+      graft.serve.Guardrails.syncDeclineGuard(0L, 0L)
+        .count(_.passed).toLong, _ == 2)
+    val gClaimed = WorkAuthorCurations.applyClaims(gApplied, gClaimSrc,
       lit("2024-06-02").cast("timestamp"))
     stage("curation claim rebinds the seat",
       gClaimed.filter(col("raw_author_name") === "Bob Kim" &&

@@ -31,6 +31,29 @@ object RepoParser {
   val MaxAbstractLength = 10000
   val MaxAuthorNameLength = 500
 
+  /** The backfill XML-unescape chain (reference: notebooks/ingest/
+    * RepoBackfill.py:25-40 `cleaned_xml`): historical repo harvests
+    * landed `api_raw` as a CSV-escaped string literal — wrapped in
+    * triple quotes with `\"` and `""` escapes — so a re-ingest must
+    * strip, in order: leading `\"\"\"`, trailing `\"\"\"`, `\\\"` →
+    * `\"`, `\"\"` → `\"`, then trim. The result feeds [[parse]] the
+    * same as a live harvest. Pure per-row projection. */
+  def backfillCleanXml(apiRaw: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(apiRaw, "^\"{3}", ""),
+            "\"{3}$", ""),
+          "\\\\\"", "\""),
+        "\"\"", "\""))
+
+  /** Frame form: `api_raw` → `cleaned_xml`, dropping the raw column
+    * (RepoBackfill.py's clean_df). */
+  def backfillClean(df: DataFrame): DataFrame =
+    df.withColumn("cleaned_xml", backfillCleanXml(col("api_raw")))
+      .drop("api_raw")
+
   /** dc:types that mark a record as non-scholarly noise — the record is
     * dropped (Repo.py:21-27 TYPES_TO_DELETE). */
   val TypesToDelete: Seq[String] = Seq(

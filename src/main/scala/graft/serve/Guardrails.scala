@@ -47,6 +47,43 @@ object Guardrails {
   def runAll(checks: Seq[Check]): Either[Seq[Check], Seq[Check]] =
     if (checks.forall(_.passed)) Right(checks) else Left(checks.filterNot(_.passed))
 
+  /** The curation-sync decline-guard (reference: end2end/
+    * SyncWorkAuthorCurations.ipynb cell 5): the sync MERGE carries a
+    * `WHEN NOT MATCHED BY SOURCE THEN DELETE` clause, so a broken
+    * source view would silently mass-delete the target. Two checks
+    * gate it:
+    *  1. empty-when-target-nonempty fails UNCONDITIONALLY — a
+    *     non-empty target with a zero-row source is never legitimate
+    *     and the override does NOT bypass it;
+    *  2. a decline beyond `allowedDecline` rows (default 10, the
+    *     notebook's overridable floor) fails unless
+    *     `overrideGuard` is set (the job's guardrails_override).
+    * Both counts zero (fresh startup) is legitimate and passes. */
+  def syncDeclineGuard(newCount: Long, currentCount: Long,
+      allowedDecline: Long = 10, overrideGuard: Boolean = false): Seq[Check] =
+    Seq(
+      Check("sync_empty_source",
+        !(currentCount > 0 && newCount == 0), newCount, currentCount,
+        if (currentCount > 0 && newCount == 0)
+          s"source has 0 curations but targets hold $currentCount rows — " +
+            "aborting to prevent mass delete (override does not apply)"
+        else s"source $newCount vs target $currentCount"),
+      Check("sync_decline_floor",
+        !(currentCount > 0 && newCount < currentCount - allowedDecline &&
+          !overrideGuard),
+        newCount, currentCount,
+        s"source declined by ${currentCount - newCount} " +
+          s"($newCount vs $currentCount), allowed $allowedDecline" +
+          (if (overrideGuard) " [override]" else "")))
+
+  /** DataFrame form of [[syncDeclineGuard]]: counts the unioned
+    * source views against the unioned targets — two bounded
+    * aggregations, same class as the rest of the release gate. */
+  def syncDeclineGuard(sources: Seq[DataFrame], targets: Seq[DataFrame],
+      allowedDecline: Long, overrideGuard: Boolean): Seq[Check] =
+    syncDeclineGuard(sources.map(_.count()).sum,
+      targets.map(_.count()).sum, allowedDecline, overrideGuard)
+
   /** The frozen works-count baselines of the nine-check release gate
     * (Guardrails.ipynb cell 8/10 — values are re-frozen per corpus). */
   final case class WorksBaselines(affiliationStrings: Long,

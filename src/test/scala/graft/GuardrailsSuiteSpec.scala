@@ -90,4 +90,30 @@ class GuardrailsSuiteSpec extends AnyFunSuite {
       now, maxChanged = 1, maxLoss = 0, maxMissingAuthorPct = 50.0)
     assert(!wc.find(_.name == "data_loss_total_works_count").get.passed)
   }
+
+  test("sync decline-guard: the SyncWorkAuthorCurations cell-5 matrix") {
+    import graft.serve.Guardrails
+    // healthy: source >= target
+    assert(Guardrails.syncDeclineGuard(100L, 95L).forall(_.passed))
+    // small decline within the floor passes
+    assert(Guardrails.syncDeclineGuard(90L, 100L).forall(_.passed))
+    // decline past the floor fails the overridable check only
+    val declined = Guardrails.syncDeclineGuard(80L, 100L)
+    assert(declined.find(_.name == "sync_empty_source").get.passed)
+    assert(!declined.find(_.name == "sync_decline_floor").get.passed)
+    // ... and the override bypasses exactly that check
+    assert(Guardrails.syncDeclineGuard(80L, 100L, overrideGuard = true)
+      .forall(_.passed))
+    // empty-when-target-nonempty fails UNCONDITIONALLY, override or not
+    val empty = Guardrails.syncDeclineGuard(0L, 100L, overrideGuard = true)
+    assert(!empty.find(_.name == "sync_empty_source").get.passed)
+    // both-zero startup is legitimate
+    assert(Guardrails.syncDeclineGuard(0L, 0L).forall(_.passed))
+    // a custom floor moves the boundary: decline of exactly the floor
+    // passes, one more fails (new < current - allowed)
+    assert(Guardrails.syncDeclineGuard(90L, 100L, allowedDecline = 10L)
+      .forall(_.passed))
+    assert(!Guardrails.syncDeclineGuard(89L, 100L, allowedDecline = 10L)
+      .forall(_.passed))
+  }
 }

@@ -160,4 +160,24 @@ class IngestRepoSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "en", "fr", "en", "pt", "tr", "de",
       null, null, null, null))
   }
+
+  test("backfillCleanXml: the RepoBackfill.py four-regex unescape chain") {
+    import graft.ingest.RepoParser
+    val rows = Seq(
+      // CSV-escaped literal: triple-quote wrap + doubled quotes
+      ("\"\"\"<record attr=\"\"x\"\">hi</record>\"\"\"",
+        "<record attr=\"x\">hi</record>"),
+      // backslash-escaped quotes
+      ("<a t=\\\"v\\\">", "<a t=\"v\">"),
+      // surrounding whitespace trimmed; untouched body preserved
+      ("  <plain/>  ", "<plain/>"),
+      // triple quotes only strip at the ENDS; mid-string the pair
+      // collapse applies non-overlapping ("" + ") -> ("")
+      ("<x>\"\"\"</x>", "<x>\"\"</x>"))
+      .toDF("api_raw", "want")
+    val got = RepoParser.backfillClean(rows)
+    assert(got.columns.toSeq === Seq("want", "cleaned_xml"))
+    val bad = got.filter(col("cleaned_xml") =!= col("want")).count()
+    assert(bad === 0L)
+  }
 }
