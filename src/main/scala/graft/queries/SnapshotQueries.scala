@@ -328,10 +328,53 @@ object SnapshotQueries {
       col("works_api_url"), col("updated_date"), col("created_date"))
   }
 
+  /** q119: the D1 grobid reconciliation's relational core — the
+    * bad-cohort screen (status-gated for processing results,
+    * unconditional for the backfill), the `.xml.gz` strip, the
+    * good-sibling MIN pick after the anti-join, and the NULL-grobid
+    * gap join. Fixtures shaped from `orders` so multi-XML works carry
+    * both a bad and a good sibling. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.serve.GrobidReconcile
+    val o = Tables(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val markers = array((GrobidReconcile.BadXmlMarkers :+ "<body>real</body>"
+      :+ "<tei>fine</tei>").map(lit): _*)
+    val gpr = o.select(
+      concat(lit("uuid-"), ks).as("id"),
+      element_at(array(lit("success"), lit("success - cached response"),
+        lit("error - grobid 500")), (pmod(k, lit(3)) + 1).cast("int"))
+        .as("status"),
+      concat(lit("<TEI>"), element_at(markers,
+        (pmod(k, lit(7)) + 1).cast("int")), lit("</TEI>"))
+        .as("xml_content"))
+    val backfill = o.filter(pmod(k, lit(5)) === 0).select(
+      concat(lit("uuid-"), (k + 1).cast("string")).as("id"),
+      concat(lit("<TEI>"), element_at(markers,
+        (pmod(k, lit(7)) + 1).cast("int")), lit("</TEI>"))
+        .as("xml_content"))
+    val lm = o.select(
+      when(pmod(k, lit(43)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(k, lit(500))).as("work_id"),
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("uuid-"), ks, lit(".xml.gz")))
+        .as("grobid_s3_id"))
+    val d1 = o.filter(k <= 500).select(
+      pmod(k, lit(500)).as("work_id"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("pdf-"), ks)).as("pdf_uuid"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g-"), ks)).as("grobid_uuid"))
+    val bad = GrobidReconcile.badUuids(gpr, backfill)
+    val good = GrobidReconcile.goodSiblings(lm, bad)
+    GrobidReconcile.upsertGap(good, d1)
+  }
+
   val queries: Map[String, Q] = Map(
     "q106_works_snapshot_doc" -> (q106 _),
     "q107_snapshot_salting" -> (q107 _),
-    "q113_authors_snapshot_doc" -> (q113 _))
+    "q113_authors_snapshot_doc" -> (q113 _),
+    "q119_grobid_reconcile" -> (q119 _))
 
   private val q106Oracle: String =
     """WITH base AS (
@@ -485,8 +528,58 @@ object SnapshotQueries {
       |  '2024-05-01' AS updated_date, '2020-01-01' AS created_date
       |FROM c""".stripMargin
 
+  private val q119Oracle: String =
+    """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 3000),
+      |mk AS (SELECT ['<body/>', '[BAD_INPUT_DATA]', '[NO_BLOCKS]',
+      |  '[TIMEOUT]', '[NO_GROBID_RESPONSES]', '<body>real</body>',
+      |  '<tei>fine</tei>'] AS m),
+      |gpr AS (SELECT 'uuid-' || CAST(k AS VARCHAR) AS id,
+      |  (['success', 'success - cached response',
+      |    'error - grobid 500'])[(k % 3) + 1] AS status,
+      |  '<TEI>' || (SELECT m FROM mk)[(k % 7) + 1] || '</TEI>'
+      |    AS xml_content FROM o),
+      |bf AS (SELECT 'uuid-' || CAST(k + 1 AS VARCHAR) AS id,
+      |  '<TEI>' || (SELECT m FROM mk)[(k % 7) + 1] || '</TEI>'
+      |    AS xml_content FROM o WHERE k % 5 = 0),
+      |bad AS (
+      |  SELECT id FROM gpr
+      |  WHERE status IN ('success', 'success - cached response')
+      |    AND (xml_content LIKE '%<body/>%'
+      |      OR xml_content LIKE '%[BAD_INPUT_DATA]%'
+      |      OR xml_content LIKE '%[NO_BLOCKS]%'
+      |      OR xml_content LIKE '%[TIMEOUT]%'
+      |      OR xml_content LIKE '%[NO_GROBID_RESPONSES]%')
+      |  UNION
+      |  SELECT id FROM bf
+      |  WHERE xml_content LIKE '%<body/>%'
+      |    OR xml_content LIKE '%[BAD_INPUT_DATA]%'
+      |    OR xml_content LIKE '%[NO_BLOCKS]%'
+      |    OR xml_content LIKE '%[TIMEOUT]%'
+      |    OR xml_content LIKE '%[NO_GROBID_RESPONSES]%'),
+      |lm AS (SELECT
+      |  CASE WHEN k % 43 = 0 THEN NULL ELSE k % 500 END AS work_id,
+      |  CASE WHEN k % 11 = 0 THEN NULL
+      |       ELSE 'uuid-' || CAST(k AS VARCHAR) || '.xml.gz' END
+      |    AS grobid_s3_id FROM o),
+      |lm_good AS (SELECT work_id,
+      |  regexp_replace(grobid_s3_id, '\.xml\.gz$', '') AS grobid_uuid
+      |  FROM lm WHERE grobid_s3_id IS NOT NULL AND work_id IS NOT NULL),
+      |good AS (SELECT g.work_id, MIN(g.grobid_uuid) AS grobid_uuid
+      |  FROM lm_good g ANTI JOIN bad b ON b.id = g.grobid_uuid
+      |  GROUP BY g.work_id),
+      |d1 AS (SELECT k % 500 AS work_id,
+      |  CASE WHEN k % 4 = 0 THEN NULL
+      |       ELSE 'pdf-' || CAST(k AS VARCHAR) END AS pdf_uuid,
+      |  CASE WHEN k % 3 = 0 THEN NULL
+      |       ELSE 'g-' || CAST(k AS VARCHAR) END AS grobid_uuid
+      |  FROM o WHERE k <= 500)
+      |SELECT d.work_id, d.pdf_uuid, g.grobid_uuid
+      |FROM d1 d JOIN good g USING (work_id)
+      |WHERE d.grobid_uuid IS NULL AND g.grobid_uuid IS NOT NULL""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q106_works_snapshot_doc" -> q106Oracle,
     "q107_snapshot_salting" -> q107Oracle,
-    "q113_authors_snapshot_doc" -> q113Oracle)
+    "q113_authors_snapshot_doc" -> q113Oracle,
+    "q119_grobid_reconcile" -> q119Oracle)
 }

@@ -1,0 +1,74 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The D1 grobid_uuid reconciliation's relational core (reference:
+  * notebooks/elastic/d1_antijoin_grobid.py:148-210 — the transport
+  * around it is Cloudflare-D1 HTTP batching, a declared boundary):
+  * close the column-level gap where the content index has a row for a
+  * work (with pdf_uuid) but a NULL grobid_uuid, despite the locations
+  * mapping carrying a grobid id for it.
+  *
+  * The bad-cohort screen matters: without it ~216K consumers would
+  * transition from an honest 404 to garbage bytes. Bad uuids (HTML
+  * wrappers, empty TEI) from BOTH source tables anti-join out BEFORE
+  * the per-work pick, so multi-XML works keep their good sibling:
+  * the ANTI JOIN drops only the bad uuid row and `MIN(grobid_uuid)`
+  * elects among the remaining good ones.
+  *
+  * 100 TB posture: the bad cohort is failure-bounded (broadcastable);
+  * the pick is one keyed hash aggregation; the gap join is keyed on
+  * work_id. No global sorts, no driver loops — the reference's
+  * `collect()` into Python exists only to feed the D1 HTTP batches.
+  */
+object GrobidReconcile {
+
+  /** The empty/garbage TEI markers (d1_antijoin_grobid.py:156-167 —
+    * identical list for both source tables). */
+  val BadXmlMarkers: Seq[String] = Seq(
+    "<body/>", "[BAD_INPUT_DATA]", "[NO_BLOCKS]", "[TIMEOUT]",
+    "[NO_GROBID_RESPONSES]")
+
+  private def hasBadMarker = BadXmlMarkers
+    .map(m => col("xml_content").contains(m))
+    .reduce(_ || _)
+
+  /** bad_grobid_uuids: ids whose landed XML is a wrapper/empty-TEI
+    * failure. Processing results only count when their status claims
+    * success (a failed row never landed a uuid to poison); the
+    * backfill table has no status column. UNION dedups, as the
+    * reference's UNION does. */
+  def badUuids(processingResults: DataFrame, backfill: DataFrame): DataFrame =
+    processingResults
+      .filter(col("status").isin("success", "success - cached response")
+        && hasBadMarker)
+      .select(col("id"))
+      .union(backfill.filter(hasBadMarker).select(col("id")))
+      .distinct()
+
+  /** lm_good → per-work good-sibling pick: strip the `.xml.gz`
+    * suffix, anti-join the bad cohort (broadcast — it is bounded by
+    * failure volume), MIN among the surviving uuids per work. */
+  def goodSiblings(locationsMapped: DataFrame, bad: DataFrame): DataFrame =
+    locationsMapped
+      .filter(col("grobid_s3_id").isNotNull && col("work_id").isNotNull)
+      .select(col("work_id"),
+        regexp_replace(col("grobid_s3_id"), "\\.xml\\.gz$", "")
+          .as("grobid_uuid"))
+      .join(broadcast(bad.select(col("id").as("__bad"))),
+        col("grobid_uuid") === col("__bad"), "left_anti")
+      .groupBy(col("work_id"))
+      .agg(min(col("grobid_uuid")).as("grobid_uuid"))
+
+  /** Step 3: the upsert set — D1 rows that have the work (pdf_uuid
+    * may be NULL) but a NULL grobid_uuid, joined to the good-sibling
+    * pick. Returns (work_id, pdf_uuid, grobid_uuid), the exact D1
+    * INSERT OR REPLACE payload. */
+  def upsertGap(good: DataFrame, d1Index: DataFrame): DataFrame =
+    d1Index
+      .filter(col("grobid_uuid").isNull)
+      .select(col("work_id"), col("pdf_uuid"))
+      .join(good.filter(col("grobid_uuid").isNotNull), Seq("work_id"))
+      .select(col("work_id"), col("pdf_uuid"), col("grobid_uuid"))
+}
