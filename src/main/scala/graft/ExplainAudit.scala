@@ -178,6 +178,16 @@ object ExplainAudit {
       "q118 resolved transforms are projection + broadcast join only — " +
         "zero shuffles")
 
+    val p120 = plan("q120_registry_grant_awards")
+    check(p120.contains("Broadcast"),
+      "q120 ROR-or-DOI funder resolution broadcasts the registry dim " +
+        "(OR-equality join — nested-loop over the broadcast dim, as the " +
+        "reference's own join shape; the record side never shuffles)")
+    check(!p120.contains("CartesianProduct"),
+      "q120 has no cartesian product")
+    check(p120.contains("windowspecdefinition(DOI"),
+      "q120 dedup windows per DOI — never a global sort")
+
     // The dedup DAG (round-8 additions): the CC loop is exactly the
     // plan shape that regresses silently — a dropped Materialize cut
     // re-expands the whole prior round subtree per labels reference.

@@ -1,0 +1,143 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrTransform}
+
+/** The registry-record grants archetype (reference:
+  * `notebooks/awards/CreateCrossrefAwards.ipynb` cell 1; DataCite's
+  * `CreateDataCiteAwards.ipynb` mirrors it): awards derived from
+  * grant-TYPE records in a bibliographic registry rather than a
+  * funder's own portal. Unlike the per-funder archetypes, the funder
+  * is resolved from the RECORD's own funder identifier — a ROR or
+  * Funder-DOI — via one broadcast LEFT join against the registry dim
+  * (rows whose funder is unknown keep a NULL funder struct), and the
+  * investigator structs arrive fully nested (given/family/ORCID,
+  * role-start date-parts, affiliation with typed ids).
+  *
+  * 100 TB posture: dedup is one keyed window per DOI; the funder
+  * join broadcasts the dim; everything else is a narrow projection
+  * over the exploded records.
+  */
+object RegistryGrantAwards {
+
+  /** Crossref investigator struct → the walden investigator slot
+    * (the notebook's parse_investigator, used for lead / co-lead /
+    * the investigators list). `role-start` arrives as date-parts
+    * [[y,m,d]] and only counts when the DAY is present. */
+  def parseInvestigator(inv: Column): Column = {
+    val parts = element_at(inv.getField("role-start")
+      .getField("date-parts"), 1)
+    val aff = element_at(inv.getField("affiliation"), 1)
+    struct(
+      inv.getField("given").as("given_name"),
+      inv.getField("family").as("family_name"),
+      inv.getField("ORCID").as("orcid"),
+      when(element_at(parts, 3).isNotNull,
+        make_date(element_at(parts, 1), element_at(parts, 2),
+          element_at(parts, 3))).as("role_start"),
+      when(size(inv.getField("affiliation")) > 0, struct(
+        aff.getField("name").as("name"),
+        aff.getField("country").as("country"),
+        arrTransform(aff.getField("id"), x => struct(
+          x.getField("id").as("id"),
+          x.getField("id-type").as("type"),
+          x.getField("asserted-by").as("asserted_by"))).as("ids")))
+        .as("affiliation"))
+  }
+
+  /** crossref_grants_deduplicated: newest indexed snapshot per DOI. */
+  def dedupByDoi(grants: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("DOI"))
+      .orderBy(col("indexed").getField("timestamp").desc)
+    grants.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** crossref_awards: stage the first project/funding structs,
+    * resolve the funder by ROR-or-DOI against the registry dim
+    * (broadcast LEFT — unknown funders keep the row with a NULL
+    * struct), mint, and project every walden award column from the
+    * record itself (timestamps included — registry records carry
+    * their own created/indexed times, unlike the portal ingests'
+    * current_timestamp). */
+  def transform(grants: DataFrame, funders: DataFrame,
+      mintId: Column => Column = defaultMint): DataFrame = {
+    val proj = element_at(col("project"), 1)
+    val fund = element_at(proj.getField("funding"), 1)
+    val fid = element_at(fund.getField("funder").getField("id"), 1)
+    val staged = grants.select(col("*"),
+      proj.as("proj_struct"), fund.as("fund_struct"),
+      when(fid.getField("id-type") === "ROR", fid.getField("id"))
+        .as("join_ror_id"),
+      when(fid.getField("id-type") === "DOI", fid.getField("id"))
+        .as("join_doi"),
+      element_at(proj.getField("award-start").getField("date-parts"), 1)
+        .as("start_parts"),
+      element_at(proj.getField("award-end").getField("date-parts"), 1)
+        .as("end_parts"))
+    val dim = funders.select(col("funder_id").as("f_funder_id"),
+      col("display_name").as("f_display_name"),
+      col("ror_id").as("f_ror_id"), col("doi").as("f_doi"))
+    val mint = mintId(concat(col("f_funder_id").cast("string"), lit(":"),
+      lower(col("award"))))
+    staged
+      .join(broadcast(dim),
+        col("join_doi") === col("f_doi") ||
+          col("join_ror_id") === col("f_ror_id"), "left")
+      .select(
+        mint.as("id"),
+        element_at(col("proj_struct").getField("project-title"), 1)
+          .getField("title").as("display_name"),
+        element_at(col("proj_struct").getField("project-description"), 1)
+          .getField("description").as("description"),
+        col("f_funder_id").as("funder_id"),
+        col("award").as("funder_award_id"),
+        col("fund_struct").getField("award-amount").getField("amount")
+          .as("amount"),
+        col("fund_struct").getField("award-amount").getField("currency")
+          .as("currency"),
+        when(col("f_funder_id").isNotNull, struct(
+          concat(lit("https://openalex.org/F"),
+            col("f_funder_id").cast("string")).as("id"),
+          coalesce(col("f_display_name"),
+            col("fund_struct").getField("funder").getField("name"))
+            .as("display_name"),
+          col("f_ror_id").as("ror_id"),
+          col("f_doi").as("doi"))).as("funder"),
+        col("fund_struct").getField("type").as("funding_type"),
+        col("fund_struct").getField("scheme").as("funder_scheme"),
+        lit("crossref_work").as("provenance"),
+        when(element_at(col("start_parts"), 3).isNotNull,
+          make_date(element_at(col("start_parts"), 1),
+            element_at(col("start_parts"), 2),
+            element_at(col("start_parts"), 3))).as("start_date"),
+        when(element_at(col("end_parts"), 3).isNotNull,
+          make_date(element_at(col("end_parts"), 1),
+            element_at(col("end_parts"), 2),
+            element_at(col("end_parts"), 3))).as("end_date"),
+        element_at(col("start_parts"), 1).as("start_year"),
+        element_at(col("end_parts"), 1).as("end_year"),
+        element_at(arrTransform(
+          col("proj_struct").getField("lead-investigator"),
+          parseInvestigator _), 1).as("lead_investigator"),
+        element_at(arrTransform(
+          col("proj_struct").getField("co-lead-investigator"),
+          parseInvestigator _), 1).as("co_lead_investigator"),
+        arrTransform(col("proj_struct").getField("investigator"),
+          parseInvestigator _).as("investigators"),
+        col("resource").getField("primary").getField("URL")
+          .as("landing_page_url"),
+        col("URL").as("doi"),
+        concat(lit("https://api.openalex.org/works?filter=awards.id:G"),
+          mint.cast("string")).as("works_api_url"),
+        to_timestamp(col("created").getField("date-time"))
+          .as("created_date"),
+        to_timestamp(col("indexed").getField("date-time"))
+          .as("updated_date"))
+  }
+
+  private def defaultMint(c: Column): Column =
+    pmod(abs(xxhash64(c)), lit(9000000000L))
+}

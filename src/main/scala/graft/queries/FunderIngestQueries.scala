@@ -273,6 +273,103 @@ object FunderIngestQueries {
       .toDF("funder_id", "display_name", "ror_id", "doi")
   }
 
+  /** Crossref-shaped grant records assembled from `orders` scalars:
+    * duplicate DOIs (dedup picks the highest indexed timestamp),
+    * ROR / Funder-DOI / unknown funder identifiers, date-parts with
+    * and without days, nested investigators with optional
+    * role-start/affiliation. */
+  private def crossrefRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 1500)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def inv(tag: String) = struct(
+      concat(lit(s"G$tag"), ks).as("given"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(s"F$tag"), ks)).as("family"),
+      when(pmod(k, lit(4)) === 0,
+        concat(lit("https://orcid.org/0000-000"), pmod(k, lit(10))
+          .cast("string"))).as("ORCID"),
+      struct(when(pmod(k, lit(3)) === 0,
+        array(array((lit(2015) + pmod(k, lit(9))).cast("int"),
+          (pmod(k, lit(12)) + 1).cast("int"),
+          when(pmod(k, lit(5)) === 0, lit(null).cast("int"))
+            .otherwise((pmod(k, lit(28)) + 1).cast("int")))))
+        .as("date-parts")).as("role-start"),
+      when(pmod(k, lit(7)) =!= 0, array(struct(
+        concat(lit("Inst "), pmod(k, lit(20)).cast("string")).as("name"),
+        when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+          .otherwise(lit("DE")).as("country"),
+        when(pmod(k, lit(9)) =!= 0, array(struct(
+          concat(lit("https://ror.org/i"), ks).as("id"),
+          lit("ROR").as("id-type"),
+          lit("publisher").as("asserted-by")))).as("id"))))
+        .as("affiliation"))
+    val fidStruct = when(pmod(k, lit(3)) === 0, struct(
+      concat(lit("https://ror.org/r"), pmod(k, lit(4)).cast("string"))
+        .as("id"), lit("ROR").as("id-type")))
+      .when(pmod(k, lit(3)) === 1, struct(
+        concat(lit("10.13039/50"), pmod(k, lit(4)).cast("string"))
+          .as("id"), lit("DOI").as("id-type")))
+      .otherwise(struct(lit("https://ror.org/unknown").as("id"),
+        lit("ROR").as("id-type")))
+    o.select(
+      concat(lit("10.1/g"), pmod(k, lit(400)).cast("string")).as("DOI"),
+      concat(lit("https://doi.org/10.1/g"), pmod(k, lit(400)).cast("string"))
+        .as("URL"),
+      concat(lit("AW-"), ks).as("award"),
+      array(struct(
+        when(pmod(k, lit(10)) =!= 0, array(struct(
+          concat(lit("Grant title "), ks).as("title"))))
+          .as("project-title"),
+        when(pmod(k, lit(11)) =!= 0, array(struct(
+          concat(lit("About "), ks).as("description"))))
+          .as("project-description"),
+        struct(array(array((lit(2000) + pmod(k, lit(25))).cast("int"),
+          (pmod(k, lit(12)) + 1).cast("int"),
+          when(pmod(k, lit(13)) === 0, lit(null).cast("int"))
+            .otherwise((pmod(k, lit(28)) + 1).cast("int"))))
+          .as("date-parts")).as("award-start"),
+        struct(array(array((lit(2005) + pmod(k, lit(25))).cast("int"),
+          lit(null).cast("int"), lit(null).cast("int")))
+          .as("date-parts")).as("award-end"),
+        array(struct(
+          struct(when(pmod(k, lit(17)) =!= 0,
+            (pmod(k, lit(900)) * lit(100)).cast("double")).as("amount"),
+            when(pmod(k, lit(19)) === 0, lit(null).cast("string"))
+              .otherwise(element_at(array(lit("EUR"), lit("USD"),
+                lit("GBP")), (pmod(k, lit(3)) + 1).cast("int")))
+              .as("currency")).as("award-amount"),
+          struct(concat(lit("Stated Funder "), pmod(k, lit(4))
+            .cast("string")).as("name"),
+            array(fidStruct).as("id")).as("funder"),
+          lit("grant").as("type"),
+          when(pmod(k, lit(5)) =!= 0,
+            concat(lit("Scheme "), pmod(k, lit(6)).cast("string")))
+            .as("scheme"))).as("funding"),
+        when(pmod(k, lit(12)) =!= 0, array(inv("L"))).as("lead-investigator"),
+        when(pmod(k, lit(15)) === 0, array(inv("C")))
+          .as("co-lead-investigator"),
+        when(pmod(k, lit(4)) =!= 0, array(inv("I1"), inv("I2")))
+          .as("investigator"))).as("project"),
+      struct(struct(concat(lit("https://grants.example/"), ks)
+        .as("URL")).as("primary")).as("resource"),
+      struct(concat(date_format(
+        date_add(lit("2020-01-01").cast("date"), pmod(k, lit(2000)).cast("int")),
+        "yyyy-MM-dd"), lit("T03:04:05Z")).as("date-time")).as("created"),
+      struct(concat(date_format(
+        date_add(lit("2022-01-01").cast("date"), pmod(k, lit(2000)).cast("int")),
+        "yyyy-MM-dd"), lit("T08:09:10Z")).as("date-time"),
+        k.as("timestamp")).as("indexed"))
+  }
+
+  /** The registry dim the ROR/DOI identifiers resolve against (4
+    * known funders; the unknown-ROR third of the fixture misses). */
+  private def crossrefFunders(s: SparkSession): DataFrame = {
+    val sess = s; import sess.implicits._
+    (0 until 4).map(i => (5000000000L + i, s"Registry Funder $i",
+      s"https://ror.org/r$i", s"10.13039/50$i"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+  }
+
   /** Flatten one transform output to oracle-comparable columns. */
   private def flat(df: DataFrame, src: String): DataFrame =
     df.select(lit(src).as("src"), col("id"), col("display_name"),
@@ -358,15 +455,63 @@ object FunderIngestQueries {
       .unionByName(flat(erc, "erc"))
   }
 
+  /** q120: the registry-record grants archetype end-to-end — per-DOI
+    * dedup on the indexed timestamp, ROR-or-DOI funder resolution
+    * with NULL-funder survivors, date-parts date/year split, and the
+    * nested investigator parse probed through scalar columns. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.RegistryGrantAwards
+    val out = RegistryGrantAwards.transform(
+      RegistryGrantAwards.dedupByDoi(crossrefRaw(s, dir)),
+      crossrefFunders(s), rmint)
+    def invProbe(c: Column, p: String) = Seq(
+      c.getField("given_name").as(s"${p}_given"),
+      c.getField("family_name").as(s"${p}_family"),
+      c.getField("orcid").as(s"${p}_orcid"),
+      date_format(c.getField("role_start"), "yyyy-MM-dd")
+        .as(s"${p}_role_start"),
+      c.getField("affiliation").getField("name").as(s"${p}_aff_name"),
+      c.getField("affiliation").getField("country").as(s"${p}_aff_country"),
+      when(c.getField("affiliation").getField("ids").isNotNull,
+        size(c.getField("affiliation").getField("ids")))
+        .as(s"${p}_aff_ids_n"))
+    out.select(Seq(
+      col("id"), col("display_name"), col("description"),
+      col("funder_id"), col("funder_award_id"), col("amount"),
+      col("currency"),
+      col("funder").getField("id").as("funder_url"),
+      col("funder").getField("display_name").as("funder_name"),
+      col("funder").getField("ror_id").as("funder_ror"),
+      col("funder").getField("doi").as("funder_doi"),
+      col("funding_type"), col("funder_scheme"), col("provenance"),
+      date_format(col("start_date"), "yyyy-MM-dd").as("start_d"),
+      date_format(col("end_date"), "yyyy-MM-dd").as("end_d"),
+      col("start_year"), col("end_year")) ++
+      invProbe(col("lead_investigator"), "lead") ++
+      Seq(col("co_lead_investigator").getField("family_name")
+        .as("co_family"),
+        when(col("investigators").isNotNull,
+          size(col("investigators"))).as("n_inv"),
+        element_at(col("investigators"), 2).getField("family_name")
+          .as("inv2_family"),
+        col("landing_page_url"), col("doi"), col("works_api_url"),
+        date_format(col("created_date"), "yyyy-MM-dd HH:mm:ss")
+          .as("created_d"),
+        date_format(col("updated_date"), "yyyy-MM-dd HH:mm:ss")
+          .as("updated_d")): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
-    "q118_resolved_funder_ingest" -> (q118 _))
+    "q118_resolved_funder_ingest" -> (q118 _),
+    "q120_registry_grant_awards" -> (q120 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
     "q111_funder_landing_reports" -> Oracles.q111,
-    "q118_resolved_funder_ingest" -> Oracles.q118)
+    "q118_resolved_funder_ingest" -> Oracles.q118,
+    "q120_registry_grant_awards" -> Oracles.q120)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -844,6 +989,104 @@ object FunderIngestQueries {
         |SELECT 'nih' AS src, * FROM nt
         |UNION ALL SELECT 'gtr', * FROM gt
         |UNION ALL SELECT 'erc', * FROM et""".stripMargin
+
+    /** q120: recompute the registry-grants transform straight from
+      * the fixture scalars (the Spark side assembles the nested
+      * crossref record shape and runs the real parse; both sides
+      * derive every output from k). */
+    val q120: String =
+      """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 1500),
+        |dedup AS (SELECT k FROM o
+        |  QUALIFY row_number() OVER (PARTITION BY k % 400 ORDER BY k DESC) = 1),
+        |base AS (SELECT k,
+        |  CASE WHEN k % 3 = 0 THEN k % 4
+        |       WHEN k % 3 = 1 THEN k % 4 END AS fidx
+        |  FROM dedup),
+        |res AS (SELECT k,
+        |  CASE WHEN fidx IS NOT NULL THEN 5000000000 + fidx END AS rfid,
+        |  CASE WHEN fidx IS NOT NULL
+        |       THEN CAST(5000000000 + fidx AS VARCHAR) || ':aw-' ||
+        |         CAST(k AS VARCHAR) END AS mid,
+        |  fidx FROM base),
+        |probe AS (SELECT r.k, r.rfid, r.fidx, r.mid,
+        |  2000 + r.k % 25 AS sy, r.k % 12 + 1 AS sm,
+        |  CASE WHEN r.k % 13 = 0 THEN NULL ELSE r.k % 28 + 1 END AS sd,
+        |  r.k % 12 <> 0 AS has_lead, r.k % 15 = 0 AS has_co,
+        |  r.k % 4 <> 0 AS has_invs,
+        |  r.k % 6 = 0 AS fam_null, r.k % 4 = 0 AS has_orcid,
+        |  r.k % 3 = 0 AND r.k % 5 <> 0 AS has_role_start,
+        |  r.k % 7 <> 0 AS has_aff, r.k % 8 = 0 AS ctry_null,
+        |  r.k % 9 <> 0 AS has_aff_ids
+        |  FROM res r)
+        |SELECT
+        |  CASE WHEN mid IS NOT NULL THEN
+        |    length(mid) * 10000 + CAST(substr(mid, 1, 10) AS BIGINT) % 9973
+        |    END AS id,
+        |  CASE WHEN k % 10 <> 0 THEN 'Grant title ' || CAST(k AS VARCHAR)
+        |    END AS display_name,
+        |  CASE WHEN k % 11 <> 0 THEN 'About ' || CAST(k AS VARCHAR)
+        |    END AS description,
+        |  CAST(rfid AS BIGINT) AS funder_id,
+        |  'AW-' || CAST(k AS VARCHAR) AS funder_award_id,
+        |  CASE WHEN k % 17 <> 0 THEN CAST(k % 900 * 100 AS DOUBLE)
+        |    END AS amount,
+        |  CASE WHEN k % 19 = 0 THEN NULL
+        |       ELSE (['EUR','USD','GBP'])[(k % 3) + 1] END AS currency,
+        |  CASE WHEN rfid IS NOT NULL
+        |    THEN 'https://openalex.org/F' || CAST(rfid AS VARCHAR)
+        |    END AS funder_url,
+        |  CASE WHEN rfid IS NOT NULL
+        |    THEN 'Registry Funder ' || CAST(fidx AS VARCHAR)
+        |    END AS funder_name,
+        |  CASE WHEN rfid IS NOT NULL
+        |    THEN 'https://ror.org/r' || CAST(fidx AS VARCHAR)
+        |    END AS funder_ror,
+        |  CASE WHEN rfid IS NOT NULL
+        |    THEN '10.13039/50' || CAST(fidx AS VARCHAR) END AS funder_doi,
+        |  'grant' AS funding_type,
+        |  CASE WHEN k % 5 <> 0 THEN 'Scheme ' || CAST(k % 6 AS VARCHAR)
+        |    END AS funder_scheme,
+        |  'crossref_work' AS provenance,
+        |  CASE WHEN sd IS NOT NULL
+        |    THEN strftime(make_date(sy, sm, sd), '%Y-%m-%d')
+        |    END AS start_d,
+        |  CAST(NULL AS VARCHAR) AS end_d,
+        |  CAST(sy AS INTEGER) AS start_year,
+        |  CAST(2005 + k % 25 AS INTEGER) AS end_year,
+        |  CASE WHEN has_lead THEN 'GL' || CAST(k AS VARCHAR)
+        |    END AS lead_given,
+        |  CASE WHEN has_lead AND NOT fam_null
+        |    THEN 'FL' || CAST(k AS VARCHAR) END AS lead_family,
+        |  CASE WHEN has_lead AND has_orcid
+        |    THEN 'https://orcid.org/0000-000' || CAST(k % 10 AS VARCHAR)
+        |    END AS lead_orcid,
+        |  CASE WHEN has_lead AND has_role_start
+        |    THEN strftime(make_date(2015 + k % 9, k % 12 + 1, k % 28 + 1),
+        |      '%Y-%m-%d') END AS lead_role_start,
+        |  CASE WHEN has_lead AND has_aff
+        |    THEN 'Inst ' || CAST(k % 20 AS VARCHAR) END AS lead_aff_name,
+        |  CASE WHEN has_lead AND has_aff AND NOT ctry_null THEN 'DE'
+        |    END AS lead_aff_country,
+        |  CASE WHEN has_lead AND has_aff AND has_aff_ids
+        |    THEN 1 END AS lead_aff_ids_n,
+        |  CASE WHEN has_co AND NOT fam_null
+        |    THEN 'FC' || CAST(k AS VARCHAR) END AS co_family,
+        |  CASE WHEN has_invs THEN 2 END AS n_inv,
+        |  CASE WHEN has_invs AND NOT fam_null
+        |    THEN 'FI2' || CAST(k AS VARCHAR) END AS inv2_family,
+        |  'https://grants.example/' || CAST(k AS VARCHAR)
+        |    AS landing_page_url,
+        |  'https://doi.org/10.1/g' || CAST(k % 400 AS VARCHAR) AS doi,
+        |  CASE WHEN mid IS NOT NULL THEN
+        |    'https://api.openalex.org/works?filter=awards.id:G' ||
+        |    CAST(length(mid) * 10000 +
+        |      CAST(substr(mid, 1, 10) AS BIGINT) % 9973 AS VARCHAR)
+        |    END AS works_api_url,
+        |  strftime(DATE '2020-01-01' + INTERVAL (k % 2000) DAY,
+        |    '%Y-%m-%d') || ' 03:04:05' AS created_d,
+        |  strftime(DATE '2022-01-01' + INTERVAL (k % 2000) DAY,
+        |    '%Y-%m-%d') || ' 08:09:10' AS updated_d
+        |FROM probe""".stripMargin
 
     val q111: String = prelude + """,
       |fresh AS (

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.awards.RegistryGrantAwards
+
+/** Pins the registry-record grants archetype against
+  * CreateCrossrefAwards.ipynb cell 1: the nested investigator parse
+  * (date-parts role_start, typed affiliation ids), ROR-or-DOI funder
+  * resolution with a NULL-funder survivor, and the per-DOI dedup on
+  * the indexed timestamp. */
+class RegistryGrantAwardsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def inv(given: String, family: String, orcid: String,
+      rs: String, affName: String): String = {
+    val roleStart = if (rs == null) "CAST(NULL AS ARRAY<ARRAY<INT>>)"
+      else s"array(array(${rs.split("-").mkString(", ")}))"
+    val aff = if (affName == null)
+      "CAST(NULL AS ARRAY<STRUCT<name:STRING, country:STRING, " +
+        "id:ARRAY<STRUCT<id:STRING, `id-type`:STRING, `asserted-by`:STRING>>>>)"
+    else s"""array(named_struct('name', '$affName', 'country', 'DE',
+      'id', array(named_struct('id', 'https://ror.org/x1', 'id-type',
+      'ROR', 'asserted-by', 'publisher'))))"""
+    s"""named_struct('given', '$given', 'family', '$family',
+       |'ORCID', ${if (orcid == null) "CAST(NULL AS STRING)" else s"'$orcid'"},
+       |'role-start', named_struct('date-parts', $roleStart),
+       |'affiliation', $aff)""".stripMargin
+  }
+
+  private def grant(doi: String, award: String, idType: String,
+      idVal: String, ts: Long, title: String): org.apache.spark.sql.DataFrame =
+    Seq(1).toDF("one").selectExpr(
+      s"'$doi' AS DOI",
+      s"'https://doi.org/$doi' AS URL",
+      s"'$award' AS award",
+      s"""array(named_struct(
+         |  'project-title', array(named_struct('title', '$title')),
+         |  'project-description', array(named_struct('description', 'desc')),
+         |  'award-start', named_struct('date-parts', array(array(2021, 3, 15))),
+         |  'award-end', named_struct('date-parts', array(array(2024, CAST(NULL AS INT), CAST(NULL AS INT)))),
+         |  'funding', array(named_struct(
+         |    'award-amount', named_struct('amount', 150000.0D, 'currency', 'EUR'),
+         |    'funder', named_struct('name', 'Funder As Stated',
+         |      'id', array(named_struct('id', '$idVal', 'id-type', '$idType'))),
+         |    'type', 'grant', 'scheme', 'Open Call')),
+         |  'lead-investigator', array(${inv("Ada", "Lovelace",
+             "https://orcid.org/0000-0001-0000-0001", "2021-3-15", "TU Wien")}),
+         |  'co-lead-investigator', CAST(NULL AS ARRAY<STRUCT<given:STRING,
+         |    family:STRING, ORCID:STRING,
+         |    `role-start`:STRUCT<`date-parts`:ARRAY<ARRAY<INT>>>,
+         |    affiliation:ARRAY<STRUCT<name:STRING, country:STRING,
+         |      id:ARRAY<STRUCT<id:STRING, `id-type`:STRING, `asserted-by`:STRING>>>>>>),
+         |  'investigator', array(${inv("Grace", "Hopper", null, null, null)})
+         |)) AS project""".stripMargin,
+      "named_struct('primary', named_struct('URL', 'https://grants.example/1')) AS resource",
+      s"named_struct('date-time', '2024-01-02T03:04:05Z') AS created",
+      s"named_struct('date-time', '2024-06-07T08:09:10Z', 'timestamp', CAST($ts AS BIGINT)) AS indexed")
+
+  private def funders = Seq(
+    (4320320879L, "Deutsche Forschungsgemeinschaft",
+      "https://ror.org/018mejw64", "10.13039/501100001659"),
+    (4320320883L, "Agence Nationale de la Recherche",
+      "https://ror.org/00rbzpz17", "10.13039/501100001665"))
+    .toDF("funder_id", "display_name", "ror_id", "doi")
+
+  test("dedupByDoi keeps the newest indexed snapshot per DOI") {
+    val g = grant("10.1/a", "G-1", "DOI", "10.13039/501100001659", 100L, "old")
+      .unionByName(grant("10.1/a", "G-1", "DOI", "10.13039/501100001659",
+        200L, "new"))
+      .unionByName(grant("10.1/b", "G-2", "ROR", "https://ror.org/00rbzpz17",
+        50L, "other"))
+    val d = RegistryGrantAwards.dedupByDoi(g)
+    assert(d.count() === 2)
+    val kept = d.filter(col("DOI") === "10.1/a")
+      .select(element_at(col("project"), 1)
+        .getField("project-title").getItem(0).getField("title"))
+      .as[String].head()
+    assert(kept === "new")
+  }
+
+  test("transform: DOI-resolved funder, dates from date-parts, " +
+    "nested investigator parse") {
+    val out = RegistryGrantAwards.transform(
+      grant("10.1/a", "ANR-21-CE1", "DOI", "10.13039/501100001659",
+        100L, "T"),
+      funders).collect()(0)
+    assert(out.getAs[Long]("funder_id") === 4320320879L)
+    assert(out.getAs[Row]("funder").getAs[String]("display_name")
+      === "Deutsche Forschungsgemeinschaft")
+    assert(out.getAs[java.sql.Date]("start_date").toString === "2021-03-15")
+    // end date-parts carry a year only → end_date null, end_year kept
+    assert(out.isNullAt(out.fieldIndex("end_date")))
+    assert(out.getAs[Int]("end_year") === 2024)
+    assert(out.getAs[Double]("amount") === 150000.0)
+    assert(out.getAs[String]("currency") === "EUR")
+    assert(out.getAs[String]("provenance") === "crossref_work")
+    assert(out.getAs[String]("doi") === "https://doi.org/10.1/a")
+    assert(out.getAs[String]("landing_page_url")
+      === "https://grants.example/1")
+    val lead = out.getAs[Row]("lead_investigator")
+    assert(lead.getAs[String]("given_name") === "Ada")
+    assert(lead.getAs[String]("orcid")
+      === "https://orcid.org/0000-0001-0000-0001")
+    assert(lead.getAs[java.sql.Date]("role_start").toString === "2021-03-15")
+    val aff = lead.getAs[Row]("affiliation")
+    assert(aff.getAs[String]("name") === "TU Wien")
+    val ids = aff.getSeq[Row](aff.fieldIndex("ids"))
+    assert(ids.head.getAs[String]("type") === "ROR")
+    assert(ids.head.getAs[String]("asserted_by") === "publisher")
+    // co-lead array null → null slot; investigators list parsed with
+    // null role-start (no day) and null affiliation
+    assert(out.isNullAt(out.fieldIndex("co_lead_investigator")))
+    val invs = out.getSeq[Row](out.fieldIndex("investigators"))
+    assert(invs.head.getAs[String]("family_name") === "Hopper")
+    assert(invs.head.isNullAt(invs.head.fieldIndex("role_start")))
+    assert(invs.head.isNullAt(invs.head.fieldIndex("affiliation")))
+    // record timestamps, not wall clock
+    assert(out.getAs[java.sql.Timestamp]("created_date").toInstant.toString
+      === "2024-01-02T03:04:05Z")
+  }
+
+  test("transform: ROR resolution, and unknown funders survive with " +
+    "a NULL struct (LEFT join) but a stated-name fallback never " +
+    "applies without a registry row") {
+    val g = grant("10.1/r", "G-R", "ROR", "https://ror.org/00rbzpz17",
+      1L, "T1")
+      .unionByName(grant("10.1/u", "G-U", "ROR", "https://ror.org/unknown",
+        1L, "T2"))
+    val out = RegistryGrantAwards.transform(g, funders)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(byAward("G-R").getAs[Long]("funder_id") === 4320320883L)
+    assert(byAward("G-U").isNullAt(out(0).fieldIndex("funder_id")))
+    assert(byAward("G-U").isNullAt(out(0).fieldIndex("funder")))
+    // the null mint key hashes to the xxhash64 SEED (42) — Spark's
+    // hash functions skip null inputs — so every unknown-funder row
+    // shares id 42, exactly as the reference's formula does
+    assert(byAward("G-U").getAs[Long]("id") === 42L)
+    assert(out.length === 2)
+  }
+}
