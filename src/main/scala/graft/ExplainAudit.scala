@@ -188,6 +188,13 @@ object ExplainAudit {
     check(p120.contains("windowspecdefinition(DOI"),
       "q120 dedup windows per DOI — never a global sort")
 
+    val p121 = plan("q121_funder_reported_outputs")
+    check(!p121.contains("CartesianProduct"),
+      "q121 resolution paths are keyed equijoins on lowered DOIs/URLs " +
+        "— no cartesian")
+    check(!p121.contains("rangepartitioning"),
+      "q121 has no global sort (the unique-URL map is a hash agg)")
+
     // The dedup DAG (round-8 additions): the CC loop is exactly the
     // plan shape that regresses silently — a dropped Materialize cut
     // re-expands the whole prior round subtree per labels reference.

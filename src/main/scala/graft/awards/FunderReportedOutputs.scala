@@ -1,0 +1,123 @@
+package graft.awards
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{transform => _, _}
+
+/** The funder-reported work-linkage shape (reference:
+  * `notebooks/awards/CreateNWOWorkAwards.ipynb` cell 1;
+  * `CreateKAKENWorkAwards.ipynb` mirrors it): research-output lists
+  * that funders publish on their own project records (`products_json`
+  * on the raw landing) resolved to OpenAlex works, landed as
+  * (work_id, funder_id, award_ids) work-funder edges.
+  *
+  * Two resolution paths, unioned DISTINCT:
+  *  1. DOI salvage — strip injected whitespace from the reported URL,
+  *     regex the DOI back out, rebuild the canonical
+  *     `https://doi.org/` form, equijoin works on the lowered DOI;
+  *  2. unique-URL map — non-DOI URLs match work locations ONLY when
+  *     the URL maps to exactly one `best_doi` across the corpus
+  *     (ambiguous URLs drop), then that DOI resolves the work.
+  *
+  * 100 TB posture: the unique-URL map is one hash aggregation over
+  * exploded location URLs with a HAVING screen; both resolution
+  * joins are keyed equijoins on lowered DOIs/URLs; the edge rollup is
+  * one keyed aggregation. Patents/contracts are screened before any
+  * join.
+  */
+object FunderReportedOutputs {
+
+  /** Product types that are not scholarly works (NWO: patents and
+    * contracts). */
+  val NonWorkTypes: Seq[String] = Seq("Octrooi", "Contract")
+
+  /** products: explode the reported-outputs JSON into
+    * (projectIdCol, url_oa, product_type), screening empty payloads,
+    * null URLs, and non-work types. */
+  def explodeProducts(projectsRaw: DataFrame, projectIdCol: String,
+      jsonCol: String = "products_json",
+      nonWorkTypes: Seq[String] = NonWorkTypes): DataFrame =
+    projectsRaw
+      .filter(col(jsonCol).isNotNull && !col(jsonCol).isin("", "[]", "null"))
+      .select(col(projectIdCol).as("project_id"),
+        explode(from_json(col(jsonCol), lit("array<map<string,string>>")))
+          .as("prod"))
+      .select(col("project_id"),
+        col("prod").getItem("url_open_access").as("url_oa"),
+        col("prod").getItem("type").as("product_type"))
+      .filter(col("url_oa").isNotNull &&
+        !coalesce(col("product_type"), lit("")).isin(nonWorkTypes: _*))
+
+  /** Path 1 — DOI salvage: whitespace-stripped, lowered URL → the
+    * first DOI-shaped token, rebuilt canonical, equijoined on the
+    * works DOI. The empty-salvage guard drops URLs that looked
+    * DOI-ish but yielded nothing. */
+  def doiResolved(products: DataFrame, works: DataFrame): DataFrame = {
+    val doiUrl = concat(lit("https://doi.org/"),
+      regexp_extract(lower(regexp_replace(col("url_oa"), "\\s+", "")),
+        "(10\\.[0-9]{2,}/[^\\s\"<>]+)", 1))
+    products
+      .filter(col("url_oa").rlike("(?i)(doi\\.org/|10\\.[0-9])"))
+      .select(col("project_id"), doiUrl.as("doi_url"))
+      .filter(col("doi_url") =!= "https://doi.org/")
+      .join(works.select(col("id").as("work_id"),
+        lower(col("doi")).as("__wdoi")),
+        col("doi_url") === col("__wdoi"))
+      .select("project_id", "work_id").distinct()
+  }
+
+  /** loc_unique: exploded location URLs (trailing slashes stripped,
+    * doi.org URLs excluded) kept only when the URL maps to exactly
+    * ONE distinct best_doi corpus-wide. */
+  def uniqueUrlMap(locations: DataFrame): DataFrame =
+    locations
+      .filter(col("best_doi").isNotNull)
+      .select(col("best_doi"), explode(col("urls")).as("u"))
+      .select(col("best_doi"),
+        regexp_replace(lower(col("u").getField("url")), "/+$", "")
+          .as("url"))
+      .filter(col("url").isNotNull && !col("url").rlike("doi\\.org/"))
+      .groupBy(col("url"))
+      .agg(max(col("best_doi")).as("best_doi"),
+        countDistinct(col("best_doi")).as("__n"))
+      .filter(col("__n") === 1).drop("__n")
+
+  /** Path 2 — unique-URL resolution: the reported URL (first
+    * http(s) token, lowered, trailing slashes stripped) through the
+    * unique-URL map, then the mapped best_doi to the work. */
+  def urlResolved(products: DataFrame, locUnique: DataFrame,
+      works: DataFrame): DataFrame =
+    products
+      .filter(col("url_oa").rlike("(?i)https?://") &&
+        !col("url_oa").rlike("(?i)doi\\.org/"))
+      .select(col("project_id"),
+        regexp_replace(lower(regexp_extract(col("url_oa"),
+          "(https?://[^\\s]+)", 1)), "/+$", "").as("url"))
+      .filter(col("url") =!= "")
+      .join(locUnique, Seq("url"))
+      .join(works.select(col("id").as("work_id"),
+        lower(col("doi")).as("__wdoi")),
+        col("__wdoi") === concat(lit("https://doi.org/"),
+          lower(col("best_doi"))))
+      .select("project_id", "work_id").distinct()
+
+  /** Both paths, union DISTINCT. */
+  def resolve(products: DataFrame, works: DataFrame,
+      locations: DataFrame): DataFrame =
+    doiResolved(products, works)
+      .union(urlResolved(products, uniqueUrlMap(locations), works))
+      .distinct()
+
+  /** with_award + the final edge rollup: the award entity must exist
+    * in the already-ingested awards landing (its funder_award_id is
+    * the project id, 1:1) — that join also supplies the funder;
+    * edges aggregate to one row per (work_id, funder_id) with the
+    * distinct award-id list. */
+  def workFunderEdges(resolved: DataFrame, awards: DataFrame): DataFrame =
+    resolved
+      .filter(col("work_id").isNotNull)
+      .join(awards.select(col("funder_award_id"), col("funder_id")),
+        col("funder_award_id") === col("project_id"))
+      .groupBy(col("work_id"), col("funder_id"))
+      .agg(array_distinct(collect_list(col("funder_award_id")))
+        .as("award_ids"))
+}

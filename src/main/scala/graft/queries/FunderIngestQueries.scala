@@ -501,17 +501,85 @@ object FunderIngestQueries {
           .as("updated_d")): _*)
   }
 
+  /** q121: the funder-reported work-linkage shape — products-JSON
+    * explode (real `from_json` on the Spark side), DOI salvage with
+    * whitespace stripping, the unique-URL map with its ambiguity
+    * screen, patent/contract and empty-payload exclusion, the
+    * award-existence join, and the per-(work, funder) edge rollup. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.FunderReportedOutputs
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 1200)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def jprod(u: Column, ty: String) = concat(
+      lit("{\"url_open_access\":\""), u,
+      lit("\",\"type\":\"" + ty + "\"}"))
+    val doiU = concat(lit("https://doi.org/10.99/w"),
+      pmod(k, lit(400)).cast("string"))
+    val doiSpaced = concat(lit("https://doi .org/10.99/w"),
+      pmod(k, lit(400)).cast("string"))
+    val repoU = concat(lit("https://repo.test/item/"),
+      pmod(k, lit(200)).cast("string"))
+    val pjson =
+      when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(7)) === 1, lit("[]"))
+        .when(pmod(k, lit(7)) === 2, lit("null"))
+        .when(pmod(k, lit(7)) === 3, concat(lit("["),
+          jprod(doiU, "Article"), lit(","),
+          jprod(concat(lit("https://x.test/p"), ks), "Octrooi"),
+          lit(",{\"type\":\"NoUrl\"}]")))
+        .when(pmod(k, lit(7)) === 4, concat(lit("["),
+          jprod(doiSpaced, "Chapter"), lit("]")))
+        .when(pmod(k, lit(7)) === 5, concat(lit("["),
+          jprod(repoU, "Dataset"), lit("]")))
+        .otherwise(concat(lit("["), jprod(lit("not a url"), "Report"),
+          lit("]")))
+    val projects = o.select(concat(lit("P"), ks).as("project_id"),
+      pjson.as("products_json"))
+    val ow = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+    val works = ow.select((col("o_orderkey") + 10000).as("id"),
+      concat(lit("https://doi.org/10.99/w"),
+        (col("o_orderkey") - 1).cast("string")).as("doi"))
+      .union(t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+        .select((col("o_orderkey") + 20000).as("id"),
+          concat(lit("https://doi.org/10.77/u"),
+            (col("o_orderkey") - 1).cast("string")).as("doi")))
+    val ol = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+    val j = (col("o_orderkey") - 1)
+    val locations = ol.select(
+      concat(lit("10.77/u"), j.cast("string")).as("best_doi"),
+      array(struct(concat(lit("https://repo.test/item/"),
+        j.cast("string")).as("url")),
+        struct(concat(lit("https://doi.org/10.77/u"),
+          j.cast("string")).as("url"))).as("urls"))
+      .union(ol.filter(pmod(j, lit(10)) === 0).select(
+        concat(lit("10.77/other"), j.cast("string")).as("best_doi"),
+        array(struct(concat(lit("https://repo.test/item/"),
+          j.cast("string")).as("url"))).as("urls")))
+    val awards = o.filter(pmod(k, lit(13)) =!= 0).select(
+      concat(lit("P"), ks).as("funder_award_id"),
+      (lit(4000000000L) + pmod(k, lit(2))).as("funder_id"))
+    val products = FunderReportedOutputs.explodeProducts(
+      projects, "project_id")
+    val resolved = FunderReportedOutputs.resolve(products, works, locations)
+    FunderReportedOutputs.workFunderEdges(resolved, awards)
+      .select(col("work_id"), col("funder_id"),
+        to_json(sort_array(col("award_ids"))).as("award_ids_json"),
+        size(col("award_ids")).as("n_awards"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
     "q118_resolved_funder_ingest" -> (q118 _),
-    "q120_registry_grant_awards" -> (q120 _))
+    "q120_registry_grant_awards" -> (q120 _),
+    "q121_funder_reported_outputs" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
     "q111_funder_landing_reports" -> Oracles.q111,
     "q118_resolved_funder_ingest" -> Oracles.q118,
-    "q120_registry_grant_awards" -> Oracles.q120)
+    "q120_registry_grant_awards" -> Oracles.q120,
+    "q121_funder_reported_outputs" -> Oracles.q121)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -1087,6 +1155,29 @@ object FunderIngestQueries {
         |  strftime(DATE '2022-01-01' + INTERVAL (k % 2000) DAY,
         |    '%Y-%m-%d') || ' 08:09:10' AS updated_d
         |FROM probe""".stripMargin
+
+    /** q121: recompute all resolution paths from the fixture
+      * arithmetic — arm 3/4 (DOI salvage, plain + whitespace) reach
+      * work 10001+k%400; arm 5 (unique URL) reaches 20001+k%200
+      * unless the URL is ambiguous (j%10=0, a second best_doi shares
+      * it); arms 0-2/6 and patents resolve nothing; projects k%13=0
+      * have no ingested award and drop at the award join. */
+    val q121: String =
+      """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 1200),
+        |res AS (SELECT k,
+        |  CASE WHEN k % 7 IN (3, 4) THEN 10001 + k % 400
+        |       WHEN k % 7 = 5 AND (k % 200) % 10 <> 0 THEN 20001 + k % 200
+        |       END AS work_id
+        |  FROM o WHERE k % 7 IN (3, 4, 5)),
+        |aw AS (SELECT r.work_id,
+        |  CAST(4000000000 + r.k % 2 AS BIGINT) AS funder_id,
+        |  'P' || CAST(r.k AS VARCHAR) AS award
+        |  FROM res r WHERE r.work_id IS NOT NULL AND r.k % 13 <> 0)
+        |SELECT CAST(work_id AS BIGINT) AS work_id, funder_id,
+        |  CAST(to_json(list(DISTINCT award ORDER BY award)) AS VARCHAR)
+        |    AS award_ids_json,
+        |  CAST(count(DISTINCT award) AS INTEGER) AS n_awards
+        |FROM aw GROUP BY work_id, funder_id""".stripMargin
 
     val q111: String = prelude + """,
       |fresh AS (

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.awards.FunderReportedOutputs
+
+/** Pins the funder-reported work-linkage paths against
+  * CreateNWOWorkAwards.ipynb cell 1. */
+class FunderReportedOutputsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def works = Seq(
+    (1L, "https://doi.org/10.99/Alpha"),
+    (2L, "https://doi.org/10.77/beta"))
+    .toDF("id", "doi")
+
+  private def locations = Seq(
+    ("10.77/beta", Seq("https://repo.example/item/7/",
+      "https://doi.org/10.77/beta")),
+    // the same repo URL under a SECOND doi → ambiguous, dropped
+    ("10.77/gamma", Seq("https://repo.example/item/9")),
+    ("10.77/delta", Seq("https://repo.example/item/9")))
+    .toDF("best_doi", "raw")
+    .select(col("best_doi"),
+      transform(col("raw"), u => struct(u.as("url"))).as("urls"))
+
+  test("explodeProducts screens empty payloads, null urls, patents") {
+    val raw = Seq(
+      ("P1", """[{"url_open_access":"https://a","type":"Article"},
+        {"url_open_access":"https://b","type":"Octrooi"},
+        {"type":"NoUrl"}]""".replaceAll("\n\\s*", "")),
+      ("P2", "[]"), ("P3", "null"), ("P4", null))
+      .toDF("project_id", "products_json")
+    val p = FunderReportedOutputs.explodeProducts(raw, "project_id")
+      .collect()
+    assert(p.length === 1)
+    assert(p(0).getAs[String]("url_oa") === "https://a")
+  }
+
+  test("DOI salvage strips injected whitespace and rebuilds the " +
+    "canonical form; case-insensitive work match") {
+    val prods = Seq(
+      ("P1", "see https://doi .org/10.99/Al pha", "Article"),
+      ("P2", "no doi here", "Article"))
+      .toDF("project_id", "url_oa", "product_type")
+    val r = FunderReportedOutputs.doiResolved(prods, works).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("project_id") === "P1")
+    assert(r(0).getAs[Long]("work_id") === 1L)
+  }
+
+  test("unique-URL path resolves only unambiguous URLs; trailing " +
+    "slashes normalize; doi.org location urls never enter the map") {
+    val prods = Seq(
+      ("P1", "https://repo.example/item/7", "Dataset"),   // unique → work 2
+      ("P2", "https://repo.example/item/9", "Dataset"))   // ambiguous
+      .toDF("project_id", "url_oa", "product_type")
+    val lu = FunderReportedOutputs.uniqueUrlMap(locations)
+    assert(lu.filter(col("url").contains("doi.org")).count() === 0)
+    val r = FunderReportedOutputs.urlResolved(prods, lu, works).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("project_id") === "P1")
+    assert(r(0).getAs[Long]("work_id") === 2L)
+  }
+
+  test("edges require an ingested award and roll up distinct ids " +
+    "per (work, funder)") {
+    val resolved = Seq(("P1", 1L), ("P2", 1L), ("P3", 1L), ("P1", 1L))
+      .toDF("project_id", "work_id")
+    val awards = Seq(("P1", 900L), ("P2", 900L)) // P3 never ingested
+      .toDF("funder_award_id", "funder_id")
+    val e = FunderReportedOutputs.workFunderEdges(resolved, awards)
+      .select(col("work_id"), col("funder_id"),
+        sort_array(col("award_ids")).as("a")).collect()
+    assert(e.length === 1)
+    assert(e(0).getAs[Seq[String]]("a") === Seq("P1", "P2"))
+  }
+}
