@@ -188,6 +188,18 @@ object ExplainAudit {
     check(p120.contains("windowspecdefinition(DOI"),
       "q120 dedup windows per DOI — never a global sort")
 
+    val p122 = plan("q122_repetition_screens")
+    check("""\(\d+\) Exchange""".r.findAllMatchIn(p122).isEmpty,
+      "q122 repetition screens are ONE narrow projection — zero " +
+        "shuffles, the per-doc mode counts stay in-array")
+    val p123 = plan("q123_mixture_sampling")
+    check(p123.contains("windowspecdefinition(source"),
+      "q123 budget window partitions per source — a skewed source " +
+        "costs only its own partition, never a global sort")
+    check(p123.contains("BroadcastHashJoin") ||
+        p123.contains("BroadcastNestedLoopJoin"),
+      "q123 broadcasts the budgets side")
+
     val p121 = plan("q121_funder_reported_outputs")
     check(!p121.contains("CartesianProduct"),
       "q121 resolution paths are keyed equijoins on lowered DOIs/URLs " +

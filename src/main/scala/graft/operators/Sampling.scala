@@ -40,6 +40,28 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Mixture sampling to per-source TOKEN budgets (the domain-mixing
+    * step of a training-data pipeline: each source contributes at
+    * most its budgeted token mass). Documents are admitted in
+    * deterministic salted-hash order until a source's budget is
+    * exhausted: a document is kept when the cumulative token count
+    * BEFORE it is still under the budget, so the last admitted
+    * document may overshoot (greedy prefix — the standard budgeted
+    * sampler; never a partial document). One keyed window per source
+    * + a broadcast budget join; a skewed source costs only its own
+    * partition. Adds `cum_tokens` (inclusive) to the kept rows. */
+  def mixtureSample(docs: DataFrame, budgets: DataFrame, idCol: String,
+      tokenCol: String, sourceCol: String, seed: String): DataFrame = {
+    val h = TextFunctions.charHash(
+      concat(col(idCol).cast("string"), lit(":mix:" + seed)))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(h.asc, col(idCol).asc)
+    docs
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .join(broadcast(budgets), Seq(sourceCol))
+      .filter(col("cum_tokens") - col(tokenCol) < col("token_budget"))
+  }
+
   /** Keeps at most `cap` rows per stratum, elected deterministically
     * by the salted id hash (ties impossible for distinct ids; the id
     * itself is the final tiebreak for duplicate ids). */

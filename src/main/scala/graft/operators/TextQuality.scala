@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Repetition-based quality screens for training-data curation
+  * (beyond-reference surface; the Gopher/C4/Dolma family of
+  * "repetitious document" filters, re-expressed token-based so every
+  * fraction has an exact DuckDB twin):
+  *  - top_word_frac — occurrences of the single most frequent token
+  *    over the token count (Gopher's top-1-gram fraction);
+  *  - top_bigram_frac — tokens covered by the most frequent bigram
+  *    (2 × its count / n_tokens; may exceed 1 on overlapping runs,
+  *    kept unclamped like the character-fraction original);
+  *  - dup_trigram_frac — fraction of trigram OCCURRENCES that are
+  *    repeats (1 − distinct/total; Gopher's duplicate-n-gram
+  *    coverage);
+  *  - keep — all fractions under their thresholds.
+  *
+  * 100 TB posture: one narrow projection, zero shuffle, zero explode —
+  * the per-document mode counts run as array HOFs inside whole-stage
+  * codegen (documents are short; the O(distinct × n) in-array count is
+  * thousands of comparisons per row, not a corpus-wide aggregation).
+  */
+object TextQuality {
+
+  final case class RepetitionThresholds(maxTopWordFrac: Double = 0.20,
+      maxTopBigramFrac: Double = 0.40, maxDupTrigramFrac: Double = 0.30)
+
+  /** Highest occurrence count of any element of `arr` (0 for empty). */
+  def topCount(arr: Column): Column =
+    when(size(arr) > 0, array_max(transform(array_distinct(arr),
+      w => size(filter(arr, x => x === w))))).otherwise(0)
+
+  private def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000.0
+  private def frac(num: Column, den: Column): Column =
+    when(den > 0, r6(num.cast("double") / den.cast("double")))
+      .otherwise(0.0)
+
+  /** Per-document repetition metrics + the keep verdict. */
+  def repetitionScreens(docs: DataFrame, textCol: String,
+      t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val bi = TextFunctions.wordShingles(col(textCol), 2)
+    val tri = TextFunctions.wordShingles(col(textCol), 3)
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("top_word_frac", frac(topCount(toks), size(toks)))
+      .withColumn("top_bigram_frac",
+        frac(topCount(bi) * 2, size(toks)))
+      .withColumn("dup_trigram_frac",
+        frac(size(tri) - size(array_distinct(tri)), size(tri)))
+      .withColumn("keep",
+        col("top_word_frac") <= t.maxTopWordFrac &&
+          col("top_bigram_frac") <= t.maxTopBigramFrac &&
+          col("dup_trigram_frac") <= t.maxDupTrigramFrac)
+  }
+}

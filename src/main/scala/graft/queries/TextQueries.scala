@@ -290,9 +290,35 @@ object TextQueries {
           !coalesce(col("__dirty"), lit(false))).as("final_kept"))
   }
 
+  /** q122: the Gopher/C4-family repetition screens — per-document
+    * top-word/top-bigram/duplicate-trigram fractions and the keep
+    * verdict, all as array HOFs in one projection (zero shuffle). */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextQuality.repetitionScreens(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .drop("text")
+
+  /** q123: mixture sampling to per-source token budgets — documents
+    * admitted in salted-charHash order until each source's budget is
+    * spent (greedy prefix, last document may overshoot). Budgets
+    * derive from the source index so both engines compute them. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val docs = d.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    val budgets = d.select(col("source")).distinct()
+      .withColumn("token_budget",
+        lit(150) + pmod(regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int"), lit(4)) * 120)
+    graft.operators.Sampling.mixtureSample(docs, budgets, "doc_id",
+      "n_tokens", "source", "m1")
+  }
+
   val queries: Map[String, Q] = Map(
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
+    "q122_repetition_screens" -> (q122 _),
+    "q123_mixture_sampling" -> (q123 _),
     "q115_decontamination" -> (q115 _),
     "q116_curation_pipeline" -> (q116 _),
     "q31_text_token_counts" -> (q31 _),
@@ -423,6 +449,55 @@ object TextQueries {
     "q35_dedup_exact_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q122_repetition_screens" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id, ws, len(ws) AS n,
+        |  list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]) AS bi,
+        |  list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+        |  FROM tk),
+        |c AS (SELECT doc_id, n,
+        |  CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(ws),
+        |    w -> len(list_filter(ws, x -> x = w)))) ELSE 0 END AS topw,
+        |  CASE WHEN len(bi) > 0 THEN list_max(list_transform(
+        |    list_distinct(bi), w -> len(list_filter(bi, x -> x = w))))
+        |    ELSE 0 END AS topb,
+        |  len(tri) AS ntri, len(list_distinct(tri)) AS dtri
+        |  FROM m),
+        |f AS (SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        |  CASE WHEN n > 0 THEN floor(CAST(topw AS DOUBLE) /
+        |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS top_word_frac,
+        |  CASE WHEN n > 0 THEN floor(CAST(topb * 2 AS DOUBLE) /
+        |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS top_bigram_frac,
+        |  CASE WHEN ntri > 0 THEN floor(CAST(ntri - dtri AS DOUBLE) /
+        |    CAST(ntri AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS dup_trigram_frac
+        |  FROM c)
+        |SELECT *, top_word_frac <= 0.20 AND top_bigram_frac <= 0.40
+        |  AND dup_trigram_frac <= 0.30 AS keep FROM f""".stripMargin,
+    "q123_mixture_sampling" -> {
+      val mixH = chash("CAST(doc_id AS VARCHAR) || ':mix:m1'")
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    AS INTEGER) AS n_tokens,
+         |  $mixH AS h FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY h, doc_id) AS BIGINT) AS cum_tokens FROM d),
+         |b AS (SELECT source,
+         |  150 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
+         |    % 4) * 120 AS token_budget
+         |  FROM (SELECT DISTINCT source FROM documents))
+         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+         |  CAST(b.token_budget AS INTEGER) AS token_budget
+         |FROM c JOIN b USING (source)
+         |WHERE c.cum_tokens - c.n_tokens < b.token_budget""".stripMargin
+    },
     "q114_hash_split_stratified" -> {
       val splitH = chash("CAST(doc_id AS VARCHAR) || ':s1'")
       val capH = chash("CAST(doc_id AS VARCHAR) || ':cap:s1'")

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextQuality}
+
+/** Pins the repetition screens and the token-budget mixture sampler. */
+class TextQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionScreens: hand-computed fractions and keep verdicts") {
+    val docs = Seq(
+      (1L, "a a a b"),              // top word 3/4; bigram "a a" ×2 → 4/4
+      (2L, "w x y z w x y z w x"),  // "w x" ×3 → 6/10; tri 8 occ, 4 distinct
+      (3L, "unique tokens only here now"),
+      (4L, "solo"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextQuality.repetitionScreens(docs, "text")
+      .orderBy("doc_id").collect()
+    def g(i: Int, c: String) = out(i).getAs[Double](c)
+    assert(out(0).getAs[Int]("n_tokens") === 4)
+    assert(g(0, "top_word_frac") === 0.75)
+    assert(g(0, "top_bigram_frac") === 1.0)   // 2×2/4
+    assert(g(0, "dup_trigram_frac") === 0.0)  // "a a a","a a b" distinct
+    assert(!out(0).getAs[Boolean]("keep"))
+    assert(g(1, "top_word_frac") === 0.3)
+    assert(g(1, "top_bigram_frac") === 0.6)   // "w x" ×3 → 6/10
+    assert(g(1, "dup_trigram_frac") === 0.5)  // 8 occurrences, 4 distinct
+    assert(!out(1).getAs[Boolean]("keep"))
+    assert(g(2, "top_word_frac") === 0.2)
+    assert(out(2).getAs[Boolean]("keep"))
+    // single token: no bigrams/trigrams → zero fractions, top word 1.0
+    assert(g(3, "top_word_frac") === 1.0)
+    assert(g(3, "top_bigram_frac") === 0.0)
+    // empty doc: everything zero, trivially kept
+    assert(out(4).getAs[Int]("n_tokens") === 0)
+    assert(g(4, "top_word_frac") === 0.0)
+    assert(out(4).getAs[Boolean]("keep"))
+  }
+
+  test("mixtureSample: greedy prefix per source, budget boundary, " +
+    "deterministic rerun") {
+    val docs = (1L to 20L).map(i =>
+      (i, if (i <= 10) "sA" else "sB", 4)).toDF("doc_id", "source",
+      "n_tokens")
+    val budgets = Seq(("sA", 10), ("sB", 4000)).toDF("source",
+      "token_budget")
+    val kept = Sampling.mixtureSample(docs, budgets, "doc_id",
+      "n_tokens", "source", "seed1").orderBy("source", "cum_tokens")
+      .collect()
+    val a = kept.filter(_.getAs[String]("source") == "sA")
+    val b = kept.filter(_.getAs[String]("source") == "sB")
+    // budget 10 at 4 tokens each: cum 4 (0<10 ok), 8 (4<10 ok),
+    // 12 (8<10 ok, overshoots), 16 (12<10 NO) → exactly 3 docs
+    assert(a.length === 3)
+    assert(a.map(_.getAs[Long]("cum_tokens")).toSeq === Seq(4L, 8L, 12L))
+    // roomy budget admits everything
+    assert(b.length === 10)
+    // deterministic: identical rerun, and a different seed may pick a
+    // different prefix but the same admitted count for uniform docs
+    val again = Sampling.mixtureSample(docs, budgets, "doc_id",
+      "n_tokens", "source", "seed1").orderBy("source", "cum_tokens")
+      .collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq ===
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    val other = Sampling.mixtureSample(docs, budgets, "doc_id",
+      "n_tokens", "source", "seed2")
+      .filter(col("source") === "sA").count()
+    assert(other === 3L)
+  }
+}
