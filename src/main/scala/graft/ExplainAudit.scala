@@ -200,6 +200,14 @@ object ExplainAudit {
         p123.contains("BroadcastNestedLoopJoin"),
       "q123 broadcasts the budgets side")
 
+    val p124 = plan("q124_paragraph_dedup")
+    check(p124.contains("windowspecdefinition(para_hash"),
+      "q124 first-occurrence election windows per paragraph hash — " +
+        "one keyed shuffle, never a global sort")
+    val p125 = plan("q125_pii_scrub")
+    check("""\(\d+\) Exchange""".r.findAllMatchIn(p125).isEmpty,
+      "q125 PII scrub is a pure projection — zero shuffles")
+
     val p121 = plan("q121_funder_reported_outputs")
     check(!p121.contains("CartesianProduct"),
       "q121 resolution paths are keyed equijoins on lowered DOIs/URLs " +

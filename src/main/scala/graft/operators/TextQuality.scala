@@ -38,6 +38,74 @@ object TextQuality {
     when(den > 0, r6(num.cast("double") / den.cast("double")))
       .otherwise(0.0)
 
+  /** Fixed-size token chunks as space-joined "paragraphs" (the unit
+    * of cross-document paragraph dedup when the corpus carries no
+    * layout newlines; with real paragraphs, split on them instead —
+    * the downstream dedup is identical). Final short chunk kept. */
+  def tokenChunks(text: Column, chunkSize: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val lastChunk = floor((size(toks) - 1) / lit(chunkSize)).cast("int")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), lastChunk),
+        i => array_join(slice(toks, i * chunkSize + 1, lit(chunkSize)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-document paragraph dedup (the Dolma paragraph-level pass):
+    * every paragraph occurrence hashes ([[TextFunctions.charHash]]),
+    * the FIRST occurrence corpus-wide — ordered by (docId, position)
+    * — owns the hash, every later occurrence is a duplicate. Returns
+    * one row per occurrence: (docId, para_idx, para_hash,
+    * is_duplicate). ONE keyed shuffle on the paragraph hash; the
+    * per-hash winner is a keyed window, never a global sort. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col(idCol),
+        posexplode(tokenChunks(col(textCol), chunkSize))
+          .as(Seq("para_idx", "para")))
+      .filter(col("para") =!= "")
+      .withColumn("para_hash", TextFunctions.charHash(col("para")))
+      .drop("para")
+    val w = Window.partitionBy(col("para_hash"))
+      .orderBy(col(idCol).asc, col("para_idx").asc)
+    paras.withColumn("is_duplicate", row_number().over(w) > 1)
+  }
+
+  /** Per-document rollup of [[paragraphDedup]]: paragraph counts and
+    * the duplicate fraction (what a Dolma-style pipeline thresholds
+    * on before dropping or trimming a document). */
+  def paragraphDupStats(occurrences: DataFrame, idCol: String): DataFrame =
+    occurrences.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_para_frac",
+        floor(col("n_dup_paras").cast("double") /
+          col("n_paras").cast("double") * 1000000 + 0.5) / 1000000.0)
+
+  /** PII redaction (the Dolma/CCNet-family scrub): emails, IPv4
+    * addresses, and international phone numbers replaced by typed
+    * placeholder tokens, with per-kind match counts for audit.
+    * Patterns are deliberately lookaround-free so the DuckDB twin is
+    * exact. Pure projection. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailRe, "|||EMAIL|||"),
+          Ipv4Re, "|||IP|||"),
+          PhoneRe, "|||PHONE|||"))
+
   /** Per-document repetition metrics + the keep verdict. */
   def repetitionScreens(docs: DataFrame, textCol: String,
       t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {

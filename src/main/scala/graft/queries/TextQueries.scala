@@ -314,11 +314,49 @@ object TextQueries {
       "n_tokens", "source", "m1")
   }
 
+  /** q124: cross-document paragraph dedup — 10-token chunks hashed
+    * with charHash, first corpus-wide occurrence owns the hash,
+    * per-doc duplicate-paragraph stats. The synthetic corpus repeats
+    * vocabulary heavily, so real cross-document chunk collisions
+    * exist and the dup fractions are non-trivial. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextQuality
+    val occ = TextQuality.paragraphDedup(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    TextQuality.paragraphDupStats(occ, "doc_id")
+  }
+
+  /** q125: PII scrub over PII-injected documents (the fixture plants
+    * emails/IPs/phones by doc-id arithmetic so both engines know the
+    * ground truth) — typed placeholder redaction + per-kind counts. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextQuality
+    val d = t(s, dir, "documents")
+    val k = col("doc_id"); val ks = k.cast("string")
+    val injected = d.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(k, lit(3)) === 0,
+          concat(lit(" contact bob"), ks, lit("@mail"),
+            pmod(k, lit(10)).cast("string"), lit(".example.com now")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(4)) === 0,
+          concat(lit(" from 10."), pmod(k, lit(256)).cast("string"),
+            lit(".0."), pmod(k, lit(100)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(5)) === 0,
+          concat(lit(" call +4915"), pmod(k, lit(100000)).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    TextQuality.piiScrub(injected, "text").drop("text")
+  }
+
   val queries: Map[String, Q] = Map(
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
     "q122_repetition_screens" -> (q122 _),
     "q123_mixture_sampling" -> (q123 _),
+    "q124_paragraph_dedup" -> (q124 _),
+    "q125_pii_scrub" -> (q125 _),
     "q115_decontamination" -> (q115 _),
     "q116_curation_pipeline" -> (q116 _),
     "q31_text_token_counts" -> (q31 _),
@@ -497,6 +535,55 @@ object TextQueries {
          |  CAST(b.token_budget AS INTEGER) AS token_budget
          |FROM c JOIN b USING (source)
          |WHERE c.cum_tokens - c.n_tokens < b.token_budget""".stripMargin
+    },
+    "q124_paragraph_dedup" -> {
+      val paraH = chash("para")
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |ch AS (SELECT doc_id, i AS para_idx,
+         |  array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS para
+         |  FROM tk, unnest(range(0, ((len(ws) - 1) // 10) + 1)) u(i)
+         |  WHERE len(ws) > 0),
+         |occ AS (SELECT doc_id, para_idx, $paraH AS para_hash
+         |  FROM ch WHERE para <> ''),
+         |fl AS (SELECT doc_id,
+         |  row_number() OVER (PARTITION BY para_hash
+         |    ORDER BY doc_id, para_idx) > 1 AS is_dup FROM occ)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_paras,
+         |  floor(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    AS dup_para_frac
+         |FROM fl GROUP BY doc_id""".stripMargin
+    },
+    "q125_pii_scrub" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact bob' ||
+         |    CAST(doc_id AS VARCHAR) || '@mail' ||
+         |    CAST(doc_id % 10 AS VARCHAR) || '.example.com now'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call +4915' ||
+         |    CAST(doc_id % 100000 AS VARCHAR) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER)
+         |    AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '|||EMAIL|||', 'g'),
+         |    '$ip', '|||IP|||', 'g'),
+         |    '$phone', '|||PHONE|||', 'g') AS scrubbed
+         |FROM inj""".stripMargin
     },
     "q114_hash_split_stratified" -> {
       val splitH = chash("CAST(doc_id AS VARCHAR) || ':s1'")

@@ -70,4 +70,44 @@ class TextQualitySpec extends AnyFunSuite {
       .filter(col("source") === "sA").count()
     assert(other === 3L)
   }
+
+  test("tokenChunks + paragraphDedup: first corpus-wide occurrence " +
+    "owns the hash; later occurrences flagged") {
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "a b c d e f"),        // chunks(3): "a b c", "d e f"
+      (2L, "a b c x y z"),        // "a b c" duplicates doc 1's
+      (3L, "d e f"))              // duplicates doc 1's second chunk
+      .toDF("doc_id", "text")
+    val chunks = docs.select(col("doc_id"),
+      TextQuality.tokenChunks(col("text"), 3).as("c"))
+      .orderBy("doc_id").collect()
+    assert(chunks(0).getSeq[String](1) === Seq("a b c", "d e f"))
+    assert(chunks(2).getSeq[String](1) === Seq("d e f"))
+    val occ = TextQuality.paragraphDedup(docs, "doc_id", "text", 3)
+    val stats = TextQuality.paragraphDupStats(occ, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(stats(0).getAs[Long]("n_dup_paras") === 0L) // doc 1 owns both
+    assert(stats(1).getAs[Long]("n_dup_paras") === 1L)
+    assert(stats(2).getAs[Long]("n_dup_paras") === 1L)
+    assert(stats(2).getAs[Double]("dup_para_frac") === 1.0)
+    // empty doc contributes no occurrences at all
+    val empty = TextQuality.paragraphDedup(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(empty.count() === 0L)
+  }
+
+  test("piiScrub: typed placeholders, per-kind counts, short phone " +
+    "numbers survive") {
+    val docs = Seq((1L,
+      "mail me at jo.doe+x@sub.example.org or 192.168.0.1 " +
+        "call +491234567 not +49123"))
+      .toDF("doc_id", "text")
+    val r = TextQuality.piiScrub(docs, "text").collect()(0)
+    assert(r.getAs[Int]("n_emails") === 1)
+    assert(r.getAs[Int]("n_ips") === 1)
+    assert(r.getAs[Int]("n_phones") === 1)
+    assert(r.getAs[String]("scrubbed") ===
+      "mail me at |||EMAIL||| or |||IP||| call |||PHONE||| not +49123")
+  }
 }
