@@ -597,6 +597,134 @@ object FunderConfigs {
         trim(col("project_id")) =!= "")
   }
 
+  /** HHS TAGGS obligation-action rollup (CreateHHSTaggsAwards.ipynb
+    * cell 11's actions/awards_rolled/awards_scoped CTEs): the export
+    * is action-level, so amounts sum SIGNED obligations (parenthesized
+    * = negative), titles elect the longest, categorical fields take
+    * the mode, and the start date only counts when the award's
+    * budget-period-1 action is inside the export window. Research
+    * scope = competitively awarded classes only. One keyed
+    * aggregation per (opdiv, award_number). */
+  def hhsTaggsRollup(raw: DataFrame): DataFrame = {
+    val amt = regexp_replace(col("award_amount"), "[$,()]", "")
+      .try_cast("double") *
+      when(col("award_amount").like("%(%"), -1).otherwise(1)
+    val dt = coalesce(
+      to_date(try_to_timestamp(col("action_date"), lit("M/d/yyyy"))),
+      to_date(try_to_timestamp(col("action_date"), lit("MM/dd/yyyy"))))
+    def nz(c: Column) = when(trim(c) =!= "", trim(c))
+    raw
+      .filter(col("award_number").isNotNull &&
+        trim(col("award_number")) =!= "")
+      .select(col("opdiv"),
+        upper(trim(col("award_number"))).as("award_number"),
+        nz(col("award_title")).as("award_title"),
+        nz(col("assistance_listing")).as("assistance_listing"),
+        nz(col("award_class_type")).as("award_class_type"),
+        amt.as("amount_signed"), dt.as("action_dt"),
+        col("budget_year").try_cast("int").as("budget_yr"))
+      .groupBy(col("opdiv"), col("award_number"))
+      .agg(max_by(col("award_title"), length(col("award_title")))
+        .as("award_title"),
+        mode(col("assistance_listing")).as("assistance_listing"),
+        mode(col("award_class_type")).as("award_class_type"),
+        sum(col("amount_signed")).as("total_obligated"),
+        min(when(col("budget_yr") === 1, col("action_dt"))).as("start_dt"))
+      .filter(col("award_class_type")
+        .isin("DISCRETIONARY", "COOPERATIVE AGREEMENT"))
+  }
+
+  /** The TAGGS OPDIV → funder map (never blanket-assign one funder;
+    * runbook §2.3.2). ASPR is a non-registry funder — its canonical
+    * values inline (Path B). */
+  val hhsTaggsOpdivMap: Map[String, Long] = Map(
+    "SAMHSA" -> 4320332164L, "IHS" -> 4320332207L, "CMS" -> 4320332205L,
+    "DHHS/OS" -> 4320306085L, "ASPR" -> 1724715131L)
+
+  /** Registry rows for the four F4320* OPDIVs + the inline ASPR row. */
+  def hhsTaggsFunderLookup(spark: SparkSession,
+      funders: DataFrame): DataFrame =
+    FunderIngest.requireFunders(funders,
+      Seq(4320332164L, 4320332207L, 4320332205L, 4320306085L))
+      .unionByName(FunderIngest.inlineFunders(spark, Seq(
+        (1724715131L,
+          "Administration for Strategic Preparedness and Response",
+          Some("https://ror.org/05tjhqa05"), "10.13039/100021704"))))
+
+  /** HHS TAGGS (CreateHHSTaggsAwards.ipynb cell 11): runs over the
+    * [[hhsTaggsRollup]] output — OPDIV resolves the real funder,
+    * positive obligation sums only, no PI/landing/description in the
+    * export by design. */
+  def hhsTaggs: ResolvedFunderIngestConfig = ResolvedFunderIngestConfig(
+    provenance = "hhs_taggs", priority = 417,
+    resolvedFunderId = element_at(typedlit(hhsTaggsOpdivMap), col("opdiv")),
+    mintKey = lower(col("award_number")),
+    funderAwardId = col("award_number"),
+    displayName = col("award_title"),
+    description = lit(null).cast("string"),
+    amount = when(col("total_obligated") > 0, col("total_obligated")),
+    currency = lit("USD"),
+    fundingType = lit("grant"),
+    funderScheme = col("assistance_listing"),
+    startDate = col("start_dt"), endDate = lit(null).cast("date"),
+    startYear = year(col("start_dt")), endYear = lit(null).cast("int"),
+    leadInvestigator = FunderIngest.nullInvestigator,
+    landingPageUrl = lit(null).cast("string"),
+    doi = lit(null).cast("string"),
+    rowFilter = col("award_number").isNotNull)
+
+  val swecrisFunderIds: Seq[Long] = Seq(4320321031L, 4320322579L,
+    4320321759L, 4320316858L, 4320325984L)
+
+  /** SweCRIS (CreateSweCRISAwards.ipynb cell 8, priority 437): the
+    * parquet CARRIES the resolved OpenAlex funder id per row —
+    * resolution is a cast, the 5-id allow-list join drops anything
+    * else. Award ids strip their `_Xyz` org suffix for the mint and
+    * the landed id, but the landing URL keeps the unstripped form. */
+  def swecris: ResolvedFunderIngestConfig = {
+    val stripped = regexp_replace(trim(col("project_id")),
+      "_[A-Za-z]+$", "")
+    val ta = lower(coalesce(col("type_of_award"), lit("")))
+    def nz(c: Column) = when(trim(c) =!= "", trim(c))
+    val lead = when(col("pi_family_name").isNotNull &&
+        trim(col("pi_family_name")) =!= "",
+      struct(nz(col("pi_given_name")).as("given_name"),
+        trim(col("pi_family_name")).as("family_name"),
+        nz(col("pi_orcid")).as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(nz(col("coordinating_organisation")).as("name"),
+          lit("Sweden").as("country"),
+          lit(null).cast("array<struct<id:string,type:string," +
+            "asserted_by:string>>").as("ids")).as("affiliation")))
+    ResolvedFunderIngestConfig(
+      provenance = "swecris", priority = 437,
+      resolvedFunderId = col("openalex_funder_id").try_cast("bigint"),
+      mintKey = lower(stripped),
+      funderAwardId = stripped,
+      displayName = coalesce(nz(col("title_english")), nz(col("title"))),
+      description = coalesce(nz(col("abstract_english")),
+        nz(col("abstract"))),
+      amount = when(col("amount").try_cast("double") =!= 0,
+        col("amount").try_cast("double")),
+      currency = lit("SEK"),
+      fundingType = when(ta.like("%fellow%"), "fellowship")
+        .when(ta.like("%stipend%"), "fellowship")
+        .when(ta.like("%position%"), "fellowship")
+        .when(ta.like("%infrastructure%"), "infrastructure")
+        .when(ta.like("%project%"), "research")
+        .otherwise("grant"),
+      funderScheme = nz(col("type_of_award")),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.vr.se/swecris#/project/"),
+        trim(col("project_id"))),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
   /** The EC inline funder lookup (CreateEuropeanCommissionAwards
     * cell 8's funders CTE, verbatim — deliberately NOT the registry
     * dim: the HORIZON EUROPE sub-body rows may be absent from it and

@@ -459,4 +459,89 @@ class FunderConfigsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("duplicated: 4320334764"))
   }
+
+  test("HHS TAGGS: signed-obligation rollup, mode/longest elections, " +
+    "scope screen, OPDIV resolution incl. the inline ASPR funder") {
+    val raw = Seq(
+      // SAMHSA award: two positive actions + one parenthesized negative
+      ("SAMHSA", "1h79sm0001", Some("Short"), Some("93.243 Programs"),
+        "DISCRETIONARY", "$1,000.00", "1/15/2023", "1"),
+      ("SAMHSA", "1H79SM0001 ", Some("A Much Longer Title"),
+        Some("93.243 Programs"), "DISCRETIONARY", "$500.00",
+        "02/20/2023", "2"),
+      ("SAMHSA", "1H79SM0001", Some("Mid"), Some("93.243 Programs"),
+        "DISCRETIONARY", "($250.00)", "3/1/2023", "2"),
+      // ASPR (inline funder), cooperative agreement
+      ("ASPR", "ASPR-99", Some("Prep"), Some("93.889"),
+        "COOPERATIVE AGREEMENT", "$2,000.00", "5/5/2024", "1"),
+      // non-competitive class screened out
+      ("CMS", "CMS-1", Some("Block"), Some("93.778"), "FORMULA",
+        "$9.00", "1/1/2023", "1"),
+      // unmapped OPDIV drops at resolution
+      ("FDA", "FDA-1", Some("X"), Some("93.103"), "DISCRETIONARY",
+        "$5.00", "1/1/2023", "1"))
+      .toDF("opdiv", "award_number", "award_title", "assistance_listing",
+        "award_class_type", "award_amount", "action_date", "budget_year")
+    val rolled = FunderConfigs.hhsTaggsRollup(raw)
+    val lookup = FunderConfigs.hhsTaggsFunderLookup(spark,
+      reg.unionByName(Seq((4320332205L, "CMS", "r", "d"),
+        (4320306085L, "HHS", "r", "d")).toDF(reg.columns: _*)))
+    val out = FunderIngest.transformResolved(rolled, lookup,
+      FunderConfigs.hhsTaggs, now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(out.length === 2) // FORMULA screened, FDA unresolved
+    val sam = byAward("1H79SM0001")
+    assert(sam.getAs[Long]("funder_id") === 4320332164L)
+    assert(sam.getAs[String]("display_name") === "A Much Longer Title")
+    assert(sam.getAs[Double]("amount") === 1250.0) // 1000 + 500 - 250
+    // start only from the budget-period-1 action, M/d parse
+    assert(sam.getAs[java.sql.Date]("start_date").toString === "2023-01-15")
+    val aspr = byAward("ASPR-99")
+    assert(aspr.getAs[Long]("funder_id") === 1724715131L)
+    assert(aspr.getAs[Row]("funder").getAs[String]("doi")
+      === "10.13039/100021704")
+  }
+
+  test("SweCRIS: source-carried funder id, allow-list drop, org-suffix " +
+    "strip for the id but not the landing URL") {
+    val swReg = reg.unionByName(Seq(
+      (4320321031L, "Vetenskapsrådet", "r", "d"),
+      (4320322579L, "Formas", "r", "d"))
+      .toDF(reg.columns: _*))
+    val raw = Seq(
+      ("2021-01234_VR", "4320321031", Some("Titel"), Some("Title EN"),
+        Some("Abstrakt"), None: Option[String], Some(1500000.0),
+        "Project grant", "2021-01-01", "2024-12-31",
+        Some("Anna"), Some("Svensson"), Some("0000-0001-2345-6789"),
+        Some("Lund University")),
+      // zero amount → null; funder id not in the allow-list → dropped
+      ("2022-9_X", "999", None, None, None, None, Some(0.0),
+        "Fellowship stipend", "2022-01-01", "2023-01-01",
+        None, None, None, None),
+      ("2022-5_Formas", "4320322579", Some("T"), None, None, None,
+        Some(0.0), "Fellowship stipend", "2022-01-01", "2023-01-01",
+        None, None, None, None))
+      .toDF("project_id", "openalex_funder_id", "title", "title_english",
+        "abstract", "abstract_english", "amount", "type_of_award",
+        "start_date", "end_date", "pi_given_name", "pi_family_name",
+        "pi_orcid", "coordinating_organisation")
+    val out = FunderIngest.transformResolved(raw,
+      FunderIngest.requireFunders(swReg, FunderConfigs.swecrisFunderIds
+        .filter(Seq(4320321031L, 4320322579L).contains)),
+      FunderConfigs.swecris, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2)
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    val vr = byAward("2021-01234")
+    assert(vr.getAs[Long]("funder_id") === 4320321031L)
+    assert(vr.getAs[String]("display_name") === "Title EN")
+    assert(vr.getAs[String]("description") === "Abstrakt")
+    assert(vr.getAs[String]("landing_page_url")
+      === "https://www.vr.se/swecris#/project/2021-01234_VR")
+    assert(vr.getAs[String]("funding_type") === "research")
+    val fo = byAward("2022-5")
+    assert(fo.isNullAt(fo.fieldIndex("amount"))) // zero → null
+    assert(fo.getAs[String]("funding_type") === "fellowship")
+  }
 }
