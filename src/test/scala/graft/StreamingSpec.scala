@@ -187,4 +187,34 @@ class StreamingSpec extends AnyFunSuite {
       .select("id", "split").as[(Long, String)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming repetition screens + PII scrub equal batch " +
+    "(stateless curation projections)") {
+    import graft.operators.TextQuality
+    def doc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id").as("doc_id"),
+        concat_ws(" ", col("event_type"), col("event_type"),
+          col("event_type"), lit("filler words here contact"),
+          concat(lit("u"), col("event_id"), lit("@ex.org")),
+          lit("and ip 10.1.2.3 end")).as("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextQuality.piiScrub(
+        TextQuality.repetitionScreens(doc(df), "text"), "text")
+        .select(col("doc_id"), col("top_word_frac"), col("keep"),
+          col("n_emails"), col("n_ips"), col("scrubbed"))
+    val src = spark.readStream.schema(Tables.eventsSchema)
+      .parquet(streamDir)
+    val q = run(src).writeStream.format("memory").queryName("curstream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("curstream").collect()
+      .map(_.toSeq).toSet
+    val batch = run(Tables(spark, sfDir, "events")).collect()
+      .map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every doc carries exactly one planted email + one IP
+    assert(spark.table("curstream")
+      .filter(col("n_emails") === 1 && col("n_ips") === 1).count()
+      === spark.table("curstream").count())
+  }
 }
