@@ -357,6 +357,32 @@ object FunderConfigs {
   def dodFyExtensionFilter: Column =
     col("assistance_type_code").isin("02", "03", "04", "05")
 
+  /** EVERY USAspending federal subtier config — one per
+    * `Create<Agency>Awards.ipynb` in the family, (funder_id,
+    * provenance, priority) transcribed from its notebook's funder CTE
+    * + landing INSERT. Audited this round: each notebook's transform
+    * is the shared archetype verbatim modulo the amount TRY_CAST
+    * (which this config uses) and non-landed recipient passthrough
+    * columns (the INSERT takes only the 24 shared columns). The
+    * DOD/DOE/NASA trio shares the bare `usaspending` provenance and
+    * deletes its slice by (provenance, funder_id). */
+  val usaSpendingRegistry: Map[String, FunderIngestConfig] = Map(
+    "acf" -> FunderIngest.usaSpending(4320332208L, "usaspending_acf", 233),
+    "acl" -> FunderIngest.usaSpending(4320332398L, "usaspending_acl", 235),
+    "ahrq" -> FunderIngest.usaSpending(4320332177L, "usaspending_ahrq", 54),
+    "cdc" -> FunderIngest.usaSpending(4320332162L, "usaspending_cdc", 55),
+    "dod" -> FunderIngest.usaSpending(4320306078L, "usaspending", 26),
+    "doe" -> FunderIngest.usaSpending(4320306084L, "usaspending", 25),
+    "epa" -> FunderIngest.usaSpending(4320306107L, "usaspending_epa", 53),
+    "fda" -> FunderIngest.usaSpending(4320332163L, "usaspending_fda", 56),
+    "nasa" -> FunderIngest.usaSpending(4320306101L, "usaspending", 23),
+    "nist" -> FunderIngest.usaSpending(4320332178L, "usaspending_nist", 60),
+    "noaa" -> FunderIngest.usaSpending(4320332181L, "usaspending_noaa", 88),
+    "usaid" -> FunderIngest.usaSpending(4320306115L, "usaspending_usaid",
+      75),
+    "usda" -> FunderIngest.usaSpending(4320306114L, "usaspending_usda", 58),
+    "usgs" -> FunderIngest.usaSpending(4320332183L, "usaspending_usgs", 59))
+
   // ---------------------------------------------------------------
   // Resolved multi-funder archetype
   // ---------------------------------------------------------------

@@ -544,4 +544,24 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(fo.isNullAt(fo.fieldIndex("amount"))) // zero → null
     assert(fo.getAs[String]("funding_type") === "fellowship")
   }
+
+  test("USAspending registry: every subtier carries its notebook's " +
+    "(funder_id, provenance, priority); slices never collide") {
+    val r = FunderConfigs.usaSpendingRegistry
+    assert(r.size === 14)
+    assert(r("nasa").funderId === 4320306101L &&
+      r("nasa").provenance === "usaspending" && r("nasa").priority === 23)
+    assert(r("cdc").funderId === 4320332162L &&
+      r("cdc").provenance === "usaspending_cdc" && r("cdc").priority === 55)
+    assert(r("noaa").priority === 88 && r("usaid").priority === 75)
+    // the shared-provenance trio is disambiguated by funder_id; all
+    // OTHER configs own a unique (provenance, priority) slice
+    val shared = r.values.filter(_.provenance == "usaspending").toSeq
+    assert(shared.map(_.funderId).distinct.size === 3)
+    val own = r.values.filterNot(_.provenance == "usaspending")
+      .map(c => (c.provenance, c.priority)).toSeq
+    assert(own.distinct.size === own.size)
+    // distinct funders everywhere
+    assert(r.values.map(_.funderId).toSeq.distinct.size === 14)
+  }
 }
