@@ -200,6 +200,14 @@ object ExplainAudit {
         p123.contains("BroadcastNestedLoopJoin"),
       "q123 broadcasts the budgets side")
 
+    val p126 = plan("q126_curation_scrub_mix")
+    check(p126.contains("windowspecdefinition(para_hash") &&
+        p126.contains("windowspecdefinition(source"),
+      "q126 composed curation DAG: paragraph election and budget " +
+        "windows both keyed — no global sort anywhere in the chain")
+    check(!p126.contains("CartesianProduct"),
+      "q126 has no cartesian product")
+
     val p124 = plan("q124_paragraph_dedup")
     check(p124.contains("windowspecdefinition(para_hash"),
       "q124 first-occurrence election windows per paragraph hash — " +

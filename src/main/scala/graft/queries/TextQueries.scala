@@ -350,6 +350,47 @@ object TextQueries {
     TextQuality.piiScrub(injected, "text").drop("text")
   }
 
+  /** q126: the composed Dolma-style curation DAG over PII-injected
+    * documents — scrub FIRST (so no downstream stage ever sees raw
+    * PII), repetition screens + cross-document paragraph dedup over
+    * the SCRUBBED text, quality gate (keep AND dup_para_frac ≤ 0.5),
+    * then token-budgeted mixture sampling over the survivors and the
+    * deterministic train/val/test split. Output = the admitted
+    * rowset a training run reads. Every stage is a projection, a
+    * keyed window, or a broadcast join — one DAG, no driver loops. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, TextQuality}
+    val d = t(s, dir, "documents")
+    val k = col("doc_id"); val ks = k.cast("string")
+    val injected = d.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(pmod(k, lit(3)) === 0,
+          concat(lit(" contact bob"), ks, lit("@mail"),
+            pmod(k, lit(10)).cast("string"), lit(".example.com now")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(4)) === 0,
+          concat(lit(" from 10."), pmod(k, lit(256)).cast("string"),
+            lit(".0."), pmod(k, lit(100)).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    val scrubbed = TextQuality.piiScrub(injected, "text")
+      .select(col("doc_id"), col("source"), col("scrubbed").as("text"))
+    val rep = TextQuality.repetitionScreens(scrubbed, "text")
+    val para = TextQuality.paragraphDupStats(
+      TextQuality.paragraphDedup(scrubbed, "doc_id", "text"), "doc_id")
+    val gated = rep.join(para, Seq("doc_id"))
+      .filter(col("keep") && col("dup_para_frac") <= 0.5)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val budgets = d.select(col("source")).distinct()
+      .withColumn("token_budget",
+        lit(150) + pmod(regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int"), lit(4)) * 120)
+    val admitted = Sampling.mixtureSample(gated, budgets, "doc_id",
+      "n_tokens", "source", "m2")
+    Sampling.hashSplit(admitted, "doc_id", "c1", 80, 10)
+      .select("doc_id", "source", "n_tokens", "cum_tokens",
+        "token_budget", "bucket", "split")
+  }
+
   val queries: Map[String, Q] = Map(
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
@@ -357,6 +398,7 @@ object TextQueries {
     "q123_mixture_sampling" -> (q123 _),
     "q124_paragraph_dedup" -> (q124 _),
     "q125_pii_scrub" -> (q125 _),
+    "q126_curation_scrub_mix" -> (q126 _),
     "q115_decontamination" -> (q115 _),
     "q116_curation_pipeline" -> (q116 _),
     "q31_text_token_counts" -> (q31 _),
@@ -584,6 +626,83 @@ object TextQueries {
          |    '$ip', '|||IP|||', 'g'),
          |    '$phone', '|||PHONE|||', 'g') AS scrubbed
          |FROM inj""".stripMargin
+    },
+    "q126_curation_scrub_mix" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      val paraH = chash("para")
+      val mixH = chash("CAST(doc_id AS VARCHAR) || ':mix:m2'")
+      val splitH = chash("CAST(doc_id AS VARCHAR) || ':c1'")
+      s"""WITH inj AS (SELECT doc_id, source, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact bob' ||
+         |    CAST(doc_id AS VARCHAR) || '@mail' ||
+         |    CAST(doc_id % 10 AS VARCHAR) || '.example.com now'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t0
+         |  FROM documents),
+         |scr AS (SELECT doc_id, source,
+         |  regexp_replace(regexp_replace(regexp_replace(t0,
+         |    '$email', '|||EMAIL|||', 'g'),
+         |    '$ip', '|||IP|||', 'g'),
+         |    '$phone', '|||PHONE|||', 'g') AS t FROM inj),
+         |tk AS (SELECT doc_id, source,
+         |  list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM scr),
+         |m AS (SELECT doc_id, source, ws, len(ws) AS n,
+         |  list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i+1]) AS bi,
+         |  list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+         |  FROM tk),
+         |rep AS (SELECT doc_id, source, n,
+         |  CASE WHEN n > 0 THEN floor(CAST(list_max(list_transform(
+         |    list_distinct(ws), w -> len(list_filter(ws, x -> x = w))))
+         |    AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS twf,
+         |  CASE WHEN n > 0 AND len(bi) > 0 THEN floor(
+         |    CAST(list_max(list_transform(list_distinct(bi),
+         |      w -> len(list_filter(bi, x -> x = w)))) * 2 AS DOUBLE)
+         |    / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS tbf,
+         |  CASE WHEN len(tri) > 0 THEN floor(
+         |    CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+         |    / CAST(len(tri) AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS dtf
+         |  FROM m),
+         |ch AS (SELECT doc_id, i AS para_idx,
+         |  array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS para
+         |  FROM tk, unnest(range(0, ((len(ws) - 1) // 10) + 1)) u(i)
+         |  WHERE len(ws) > 0),
+         |occ AS (SELECT doc_id, para_idx, $paraH AS para_hash
+         |  FROM ch WHERE para <> ''),
+         |pf AS (SELECT doc_id,
+         |  floor(CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    AS dpf
+         |  FROM (SELECT doc_id, row_number() OVER (PARTITION BY para_hash
+         |    ORDER BY doc_id, para_idx) > 1 AS dup FROM occ) x
+         |  GROUP BY doc_id),
+         |gated AS (SELECT r.doc_id, r.source,
+         |  CAST(r.n AS INTEGER) AS n_tokens, $mixH AS h
+         |  FROM rep r JOIN pf USING (doc_id)
+         |  WHERE r.twf <= 0.20 AND r.tbf <= 0.40 AND r.dtf <= 0.30
+         |    AND pf.dpf <= 0.5),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY h, doc_id) AS BIGINT) AS cum_tokens FROM gated),
+         |b AS (SELECT source,
+         |  150 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)
+         |    % 4) * 120 AS token_budget
+         |  FROM (SELECT DISTINCT source FROM documents))
+         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+         |  CAST(b.token_budget AS INTEGER) AS token_budget,
+         |  $splitH % 100 AS bucket,
+         |  CASE WHEN $splitH % 100 < 80 THEN 'train'
+         |       WHEN $splitH % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM c JOIN b USING (source)
+         |WHERE c.cum_tokens - c.n_tokens < b.token_budget""".stripMargin
     },
     "q114_hash_split_stratified" -> {
       val splitH = chash("CAST(doc_id AS VARCHAR) || ':s1'")
