@@ -623,6 +623,230 @@ object FunderConfigs {
         trim(col("project_id")) =!= "")
   }
 
+  /** CONAHCYT / SECIHTI SNII appointments (CreateCONAHCYTAwards.ipynb
+    * cell 13, 84,067 awards): appointment-as-award — display name is
+    * "level — researcher", the description assembles from knowledge
+    * area/institution, currency from the source, start/end YEARS come
+    * from string prefixes (not the parsed dates), candidate level C
+    * is the early-career fellowship. */
+  def conahcyt: FunderIngestConfig = {
+    val desc =
+      when(col("area_conocimiento").isNotNull && col("institution").isNotNull,
+        concat(lit("SNII appointment in "), col("area_conocimiento"),
+          lit(" at "), col("institution"), lit(".")))
+        .when(col("area_conocimiento").isNotNull,
+          concat(lit("SNII appointment in "), col("area_conocimiento"),
+            lit(".")))
+        .when(col("institution").isNotNull,
+          concat(lit("SNII appointment at "), col("institution"), lit(".")))
+        .otherwise("SNII appointment.")
+    val lead = struct(
+      col("given_name").as("given_name"),
+      col("family_name").as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      d(col("start_date")).as("role_start"),
+      struct(col("institution").as("name"), lit("MX").as("country"),
+        lit(null).cast(affIds).as("ids")).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320321739L, provenance = "conahcyt_snii_ckan",
+      priority = 83,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("snii_level_label"), lit(" — "),
+        col("researcher_full_name")),
+      description = desc,
+      amount = col("amount_mxn").try_cast("double"),
+      currency = col("currency"),
+      fundingType = when(upper(col("snii_level")) === "C", "fellowship")
+        .otherwise("research"),
+      funderScheme = col("snii_level_label"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("cvu").isNotNull && col("snii_level").isNotNull)
+  }
+
+  /** ANID Chile (CreateANIDAwards.ipynb cell 7, ~47K, priority 35):
+    * CLP amounts, year-boundary dates, program→type cascade in
+    * Spanish, "program - instrument" scheme, PI-or-institution-only
+    * lead slot. */
+  def anid: FunderIngestConfig = {
+    val prog = upper(col("program"))
+    val aff = when(col("institution").isNotNull,
+      struct(col("institution").as("name"), lit("Chile").as("country"),
+        lit(null).cast(affIds).as("ids")))
+      .otherwise(lit(null).cast("struct<name:string,country:string," +
+        "ids:array<struct<id:string,type:string,asserted_by:string>>>"))
+    val lead = when(col("pi_name").isNotNull, struct(
+      col("pi_given_name").as("given_name"),
+      col("pi_family_name").as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      lit(null).cast("date").as("role_start"),
+      aff.as("affiliation")))
+      .when(col("institution").isNotNull, struct(
+        lit(null).cast("string").as("given_name"),
+        lit(null).cast("string").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(col("institution").as("name"), lit("Chile").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation")))
+    FunderIngestConfig(
+      funderId = 4320331146L, provenance = "anid_github", priority = 35,
+      mintKey = lower(col("project_code")),
+      funderAwardId = col("project_code"),
+      displayName = when(trim(col("title")) =!= "", trim(col("title"))),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"), currency = lit("CLP"),
+      fundingType = when(prog.like("%POSTDOC%"), "fellowship")
+        .when(prog.like("%DOCTORADO%"), "fellowship")
+        .when(prog.like("%BECAS%"), "fellowship")
+        .when(prog.like("%EQUIPAMIENTO%"), "equipment")
+        .when(prog.like("%INFRAESTRUCTURA%"), "infrastructure")
+        .otherwise("research"),
+      funderScheme = when(col("instrument").isNotNull,
+        concat(coalesce(col("program"), lit("")), lit(" - "),
+          col("instrument"))).otherwise(col("program")),
+      startDate = when(col("start_year").try_cast("int").isNotNull,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = when(col("end_year").try_cast("int").isNotNull,
+        d(concat(col("end_year"), lit("-12-31")))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_code").isNotNull &&
+        trim(col("project_code")) =!= "")
+  }
+
+  /** GrantConnect's agency → funder map (CreateGrantConnectAwards
+    * cell 8's VALUES, verbatim — a shared whole-of-government
+    * register, never blanket-assigned; unmapped agencies fall back to
+    * the Australian Government umbrella funder). */
+  val grantConnectAgencyMap: Map[String, Long] = Map(
+    "Attorney-General's Department" -> 4320325650L,
+    "Australian Communications and Media Authority" -> 4320333917L,
+    "Australian Federal Police" -> 4320310990L,
+    "Australian Renewable Energy Agency" -> 4320323119L,
+    "Australian Trade and Investment Commission (Austrade)" -> 4320331701L,
+    "Cancer Australia" -> 4320320501L,
+    "Department of Agriculture" -> 4320320376L,
+    "Department of Agriculture, Fisheries and Forestry" -> 4320320376L,
+    "Department of Climate Change, Energy, the Environment and Water" ->
+      4216318126L,
+    "Department of Communications and the Arts" -> 4320328982L,
+    "Department of Defence" -> 4320320441L,
+    "Department of Education" -> 4320321981L,
+    "Department of Employment and Workplace Relations" -> 6050540351L,
+    "Department of Employment, Skills, Small and Family Business" ->
+      6050540351L,
+    "Department of Finance" -> 4320331702L,
+    "Department of Foreign Affairs and Trade" -> 4320320432L,
+    "Department of Health, Disability and Ageing" -> 4320322220L,
+    "Department of Home Affairs" -> 4320331703L,
+    "Department of Industry, Science and Resources" -> 4320328828L,
+    "Department of Infrastructure, Transport, Regional Development, " +
+      "Communications, Sport and the Arts" -> 4320328982L,
+    "Department of Social Services" -> 4320320374L,
+    "Department of the Prime Minister and Cabinet" -> 4320323600L,
+    "Department of Veterans' Affairs" -> 4320320381L,
+    "Great Barrier Reef Marine Park Authority" -> 4320314560L,
+    "National Blood Authority" -> 4320315995L,
+    "National Disability Insurance Agency (NDIA)" -> 4320331704L,
+    "National Indigenous Australians Agency" -> 4320331928L,
+    "National Mental Health Commission" -> 4320331162L,
+    "NDIS Quality and Safeguards Commission" -> 1374002132L,
+    "Office of National Intelligence" -> 4320337300L,
+    "Organ and Tissue Authority" -> 4320316032L,
+    "Safe Work Australia" -> 4320325649L,
+    "Wine Australia" -> 4320324767L)
+
+  /** The GrantConnect funder lookup: the WHOLE registry dim plus the
+    * three non-registry (Path B) funders inlined from their canonical
+    * API values. */
+  def grantConnectFunderLookup(spark: SparkSession,
+      funders: DataFrame): DataFrame =
+    funders.select("funder_id", "display_name", "ror_id", "doi")
+      .unionByName(FunderIngest.inlineFunders(spark, Seq(
+        (4216318126L, "Department of Climate Change, Energy, the " +
+          "Environment and Water", Some("https://ror.org/01db6n192"),
+          "10.13039/501100024290"),
+        (6050540351L, "Department of Employment and Workplace Relations",
+          Some("https://ror.org/02wa0fq92"), "10.13039/501100024170"),
+        (1374002132L, "NDIS Quality and Safeguards Commission",
+          Some("https://ror.org/036jqev97"), "10.13039/100032045"))))
+
+  /** The research-relevance scope (CreateGrantConnectAwards cell 8's
+    * scoped CTE): research-flavored subcategories OR a
+    * research-program name pattern. */
+  def grantConnectScope: Column =
+    col("category").isin("Academic Medical Research",
+      "Health and Medical Research",
+      "Humanities, Arts and Social Sciences (HASS) Research",
+      "Medical Research",
+      "Science, Technology, Engineering and Mathematics (STEM) Research",
+      "Scientific Research", "Technology") ||
+      lower(col("grant_program")).rlike(
+        "research (grant|program|programme|fund|scheme)|" +
+          "cooperative research centre|medical research future fund")
+
+  /** GrantConnect / grants.gov.au (CreateGrantConnectAwards.ipynb
+    * cell 8, ~50K research-scoped, priority 415): agency-map
+    * resolution with the umbrella default, AUD amounts,
+    * recipient-org-as-affiliation with the placeholder screen
+    * (Gates precedent), keyword-search landing URLs. */
+  def grantConnect: ResolvedFunderIngestConfig = {
+    val title = coalesce(
+      when(trim(col("grant_activity")) =!= "", trim(col("grant_activity"))),
+      when(trim(col("grant_program")) =!= "", trim(col("grant_program"))),
+      when(length(col("purpose")) > 150,
+        concat(substring(col("purpose"), 1, 147), lit("...")))
+        .otherwise(col("purpose")))
+    val recipient = trim(col("recipient_name"))
+    val lead = when(recipient.isNotNull && recipient =!= "" &&
+        !upper(recipient).isin("ABN EXEMPT", "CONFIDENTIAL", "WITHHELD",
+          "N/A"),
+      struct(lit(null).cast("string").as("given_name"),
+        lit(null).cast("string").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(recipient.as("name"),
+          col("recipient_country").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation")))
+    def d10(c: Column) = d(substring(c, 1, 10))
+    ResolvedFunderIngestConfig(
+      provenance = "grantconnect", priority = 415,
+      resolvedFunderId = coalesce(
+        element_at(typedlit(grantConnectAgencyMap), col("agency")),
+        lit(4320315885L)),
+      mintKey = lower(col("ga_id")),
+      funderAwardId = col("ga_id"),
+      displayName = title,
+      description = when(trim(col("purpose")) =!= "", trim(col("purpose"))),
+      amount = col("value_aud").try_cast("double"), currency = lit("AUD"),
+      fundingType = when(lower(col("grant_program")).like("%fellowship%"),
+        "fellowship")
+        .when(lower(col("grant_program")).like("%scholarship%"),
+          "fellowship")
+        .otherwise("research"),
+      funderScheme = when(trim(col("grant_program")) =!= "",
+        trim(col("grant_program"))),
+      startDate = d10(col("start_date")), endDate = d10(col("end_date")),
+      startYear = year(d10(col("start_date"))),
+      endYear = year(d10(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(
+        lit("https://www.grants.gov.au/Search/KeywordSearch?keyword="),
+        col("ga_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = grantConnectScope && col("ga_id").isNotNull &&
+        trim(col("ga_id")) =!= "")
+  }
+
   /** HHS TAGGS obligation-action rollup (CreateHHSTaggsAwards.ipynb
     * cell 11's actions/awards_rolled/awards_scoped CTEs): the export
     * is action-level, so amounts sum SIGNED obligations (parenthesized

@@ -564,4 +564,117 @@ class FunderConfigsSpec extends AnyFunSuite {
     // distinct funders everywhere
     assert(r.values.map(_.funderId).toSeq.distinct.size === 14)
   }
+
+  test("CONAHCYT: appointment-as-award display/description assembly, " +
+    "string-prefix years, candidate-level fellowship") {
+    val cReg = reg.unionByName(Seq((4320321739L, "CONACYT", "r", "d"))
+      .toDF(reg.columns: _*))
+    val raw = Seq(
+      ("SNII-1", "C", "Candidato a Investigador", "Maria Perez",
+        Some("Fisica"), Some("UNAM"), Some(120000.0), "MXN",
+        "2023-01-01", "2026-12-31", "Maria", "Perez", Some("cvu1"),
+        None: Option[String]),
+      ("SNII-2", "3", "Investigador Nacional Nivel III", "Juan Lopez",
+        None, None, None, "MXN", "bad", "2027-06-30", "Juan", "Lopez",
+        Some("cvu2"), None),
+      // null cvu → screened
+      ("SNII-3", "1", "Nivel I", "X Y", None, None, None, "MXN",
+        "2023-01-01", "2024-01-01", "X", "Y", None, None))
+      .toDF("funder_award_id", "snii_level", "snii_level_label",
+        "researcher_full_name", "area_conocimiento", "institution",
+        "amount_mxn", "currency", "start_date", "end_date",
+        "given_name", "family_name", "cvu", "landing_page_url")
+    val out = FunderIngest.transform(raw, cReg, FunderConfigs.conahcyt, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("display_name")
+      === "Candidato a Investigador \u2014 Maria Perez")
+    assert(out(0).getAs[String]("description")
+      === "SNII appointment in Fisica at UNAM.")
+    assert(out(1).getAs[String]("description") === "SNII appointment.")
+    assert(out(0).getAs[String]("funding_type") === "fellowship")
+    assert(out(1).getAs[String]("funding_type") === "research")
+    // unparseable start date still yields the string-prefix year... no:
+    // "bad" has no 4-digit prefix → null year, null date
+    assert(out(1).isNullAt(out(1).fieldIndex("start_date")))
+    assert(out(1).isNullAt(out(1).fieldIndex("start_year")))
+    assert(out(1).getAs[Int]("end_year") === 2027)
+    val pi = out(0).getAs[Row]("lead_investigator")
+    assert(pi.getAs[java.sql.Date]("role_start").toString === "2023-01-01")
+    assert(pi.getAs[Row]("affiliation").getAs[String]("country") === "MX")
+  }
+
+  test("ANID: Spanish program cascade, year-boundary dates, " +
+    "institution-only fallback lead") {
+    val aReg = reg.unionByName(Seq((4320331146L, "ANID", "r", "d"))
+      .toDF(reg.columns: _*))
+    val raw = Seq(
+      ("FONDECYT-1", Some(" Proyecto X "), Some(5000000.0),
+        Some("FONDECYT Postdoctorado"), Some("Regular"), "2020", "2023",
+        Some("Ana Rojas"), Some("Ana"), Some("Rojas"),
+        Some("U. de Chile"), "https://github.com/anid/1"),
+      ("BECAS-2", None, None, Some("BECAS CHILE"), None, "x", "2024",
+        None, None, None, Some("PUC"), "https://github.com/anid/2"))
+      .toDF("project_code", "title", "amount", "program", "instrument",
+        "start_year", "end_year", "pi_name", "pi_given_name",
+        "pi_family_name", "institution", "source_url")
+    val out = FunderIngest.transform(raw, aReg, FunderConfigs.anid, now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    val f1 = byAward("FONDECYT-1")
+    assert(f1.getAs[String]("display_name") === "Proyecto X")
+    assert(f1.getAs[String]("funding_type") === "fellowship")
+    assert(f1.getAs[String]("funder_scheme")
+      === "FONDECYT Postdoctorado - Regular")
+    assert(f1.getAs[java.sql.Date]("start_date").toString === "2020-01-01")
+    assert(f1.getAs[java.sql.Date]("end_date").toString === "2023-12-31")
+    val b2 = byAward("BECAS-2")
+    assert(b2.getAs[String]("funder_scheme") === "BECAS CHILE")
+    assert(b2.isNullAt(b2.fieldIndex("start_date"))) // "x" year
+    // no PI name → institution-only lead
+    val pi = b2.getAs[Row]("lead_investigator")
+    assert(pi.isNullAt(pi.fieldIndex("family_name")))
+    assert(pi.getAs[Row]("affiliation").getAs[String]("name") === "PUC")
+  }
+
+  test("GrantConnect: agency map with umbrella default, research " +
+    "scope screen, placeholder-recipient nulling") {
+    val gcReg = reg.unionByName(Seq(
+      (4320320501L, "Cancer Australia", "r", "d"),
+      (4320315885L, "Australian Government", "r", "d"))
+      .toDF(reg.columns: _*))
+    val raw = Seq(
+      ("GA-1", "Cancer Australia", "Medical Research",
+        Some("Priority-driven Cancer Research Scheme"), Some("Act 1"),
+        Some("Purpose text"), Some(100000.0), "2023-01-15T00:00:00",
+        "2025-01-14T00:00:00", Some("Uni Sydney"), Some("Australia")),
+      // unmapped agency → umbrella funder; program matches the rlike
+      ("GA-2", "Some Tiny Agency", "Other",
+        Some("National Research Grant Round 4"), None, Some("P"),
+        None, "2022-01-01", "2023-01-01", Some("CONFIDENTIAL"), None),
+      // out of scope entirely → dropped
+      ("GA-3", "Cancer Australia", "Community Sport",
+        Some("Sports Participation"), None, Some("P"), None,
+        "2022-01-01", "2023-01-01", Some("Club"), None))
+      .toDF("ga_id", "agency", "category", "grant_program",
+        "grant_activity", "purpose", "value_aud", "start_date",
+        "end_date", "recipient_name", "recipient_country")
+    val out = FunderIngest.transformResolved(raw,
+      FunderConfigs.grantConnectFunderLookup(spark, gcReg),
+      FunderConfigs.grantConnect, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2)
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(byAward("GA-1").getAs[Long]("funder_id") === 4320320501L)
+    assert(byAward("GA-2").getAs[Long]("funder_id") === 4320315885L)
+    assert(byAward("GA-1").getAs[String]("display_name") === "Act 1")
+    assert(byAward("GA-2").getAs[String]("display_name")
+      === "National Research Grant Round 4")
+    assert(byAward("GA-1").getAs[java.sql.Date]("start_date").toString
+      === "2023-01-15")
+    // placeholder recipient → no lead slot
+    assert(byAward("GA-2").isNullAt(out(0).fieldIndex("lead_investigator")))
+    assert(byAward("GA-1").getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "Uni Sydney")
+  }
 }
