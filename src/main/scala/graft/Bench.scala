@@ -64,14 +64,18 @@ object Bench {
     * (~1 KB). Printed after the main line (the surviving position) and
     * also before it, in case the truncation direction ever flips.
     * Values are floored (never rounded up) so the 3× outlier test stays
-    * conservative, and clamped at 0.001 so a zero floor can't mark
-    * every future run an outlier. */
+    * conservative, and clamped at 0.01 so a zero floor can't mark
+    * every future run an outlier. Two decimals, not three: at 126
+    * queries the 3-decimal line crossed the driver's ~2000-char tail
+    * margin; flooring one digit earlier only lowers floors, which
+    * keeps the outlier test on its conservative side. */
   private[graft] def floorsJson(entries: Seq[(String, Double)]): String =
     entries.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
       .groupMapReduce(_._1)(_._2)(math.min)
       .toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        "\"" + k + "\":" + math.max(math.floor(v * 1000) / 1000, 0.001)
+        "\"" + k.stripPrefix("q") + "\":" +
+          math.max(math.floor(v * 100) / 100, 0.01)
       }
       .mkString("{\"floors\":{", ",", "}}")
 
@@ -85,7 +89,10 @@ object Bench {
   }
 
   private[graft] def floorTimesFrom(paths: Seq[String]): Map[String, Double] = {
-    val pair = "\"(q\\d+[A-Za-z0-9_]*)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9][0-9.eE+-]*)".r
+    // two key schemes: full/prefixed names ("q36_...", "q36") from the
+    // passes maps and legacy floors lines, and the bare-number keys
+    // ("36") of the compact floors line — re-prefixed to qNN on harvest
+    val pair = "\"(q?\\d+[A-Za-z0-9_]*)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9][0-9.eE+-]*)".r
     val num = "[0-9][0-9.eE+-]*".r
     paths.flatMap { p =>
       try {
@@ -95,7 +102,9 @@ object Bench {
         pair.findAllMatchIn(txt).flatMap { m =>
           val vals = num.findAllIn(m.group(2)).flatMap(v =>
             scala.util.Try(v.toDouble).toOption).toSeq
-          if (vals.isEmpty) None else Some(m.group(1) -> vals.min)
+          val key = if (m.group(1).startsWith("q")) m.group(1)
+            else "q" + m.group(1)
+          if (vals.isEmpty) None else Some(key -> vals.min)
         }.toSeq
       } catch { case _: Throwable => Seq.empty }
     }.groupMapReduce(_._1)(_._2)(math.min)
