@@ -372,8 +372,14 @@ object TextQueries {
           concat(lit(" from 10."), pmod(k, lit(256)).cast("string"),
             lit(".0."), pmod(k, lit(100)).cast("string")))
           .otherwise(lit(""))).as("text"))
-    val scrubbed = TextQuality.piiScrub(injected, "text")
-      .select(col("doc_id"), col("source"), col("scrubbed").as("text"))
+    // the scrubbed frame feeds BOTH the repetition screens and the
+    // paragraph dedup — landed at a Materialize boundary so the
+    // inject+3-regex scrub chain runs once, not per consumer (the
+    // q97/q116 multi-consumer convention)
+    val scrubbed = graft.core.Materialize.temp(
+      TextQuality.piiScrub(injected, "text")
+        .select(col("doc_id"), col("source"), col("scrubbed").as("text")),
+      "graft-curation-scrub")._1
     val rep = TextQuality.repetitionScreens(scrubbed, "text")
     val para = TextQuality.paragraphDupStats(
       TextQuality.paragraphDedup(scrubbed, "doc_id", "text"), "doc_id")
