@@ -623,6 +623,95 @@ object FunderConfigs {
         trim(col("project_id")) =!= "")
   }
 
+  /** Gates Foundation committed grants (CreateGatesAwards.ipynb
+    * cell 6, ~40K, priority 4): grants carry no titles, so the
+    * display name assembles grantee + truncated purpose; recipients
+    * are organizations, stored in the lead affiliation slot (the
+    * pattern GrantConnect later cites as precedent). */
+  def gates: FunderIngestConfig = {
+    val topic = lower(col("topic"))
+    val purpose = when(length(col("purpose")) > 150,
+      concat(substring(col("purpose"), 1, 147), lit("...")))
+      .otherwise(col("purpose"))
+    val lead = when(col("grantee_name").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("grantee_name"), col("grantee_country"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306137L, provenance = "gates_foundation",
+      priority = 4,
+      mintKey = lower(col("grant_id")),
+      funderAwardId = col("grant_id"),
+      displayName = concat(col("grantee_name"), lit(" - "), purpose),
+      description = col("purpose"),
+      amount = col("amount").try_cast("double"), currency = lit("USD"),
+      fundingType = when(topic.like("%fellowship%"), "fellowship")
+        .when(topic.like("%scholarship%"), "fellowship")
+        .when(topic.like("%training%"), "training")
+        .when(topic.like("%research%"), "research")
+        .when(topic.like("%discovery%"), "research")
+        .when(topic.like("%translational%"), "research")
+        .when(lower(col("division")).like("%global health%"), "research")
+        .when(topic.like("%education%"), "training")
+        .when(topic.like("%infrastructure%"), "infrastructure")
+        .otherwise("grant"),
+      funderScheme = col("division"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(
+        lit("https://www.gatesfoundation.org/about/committed-grants?q="),
+        col("grant_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_id").isNotNull && trim(col("grant_id")) =!= "")
+  }
+
+  /** BMBF / Förderkatalog (CreateBMBFAwards.ipynb cell 8, ~46K,
+    * priority 36): German foerderart→type cascade, currency from the
+    * source with a EUR default, future-dated year nulling (the
+    * catalog stamps out-year placeholders on nuclear-decommissioning
+    * projects) against the injected `currentYear`, recipient-org
+    * lead with a Germany default country. */
+  def bmbf(currentYear: Int): FunderIngestConfig = {
+    val fa = lower(col("foerderart"))
+    val sd = d(col("start_date"))
+    val futureDated = year(sd) > currentYear + 1
+    val lead = when(col("zuwendungsempfaenger").isNotNull &&
+        trim(col("zuwendungsempfaenger")) =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("zuwendungsempfaenger"),
+        coalesce(col("staat"), lit("Germany")), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321114L, provenance = "foerderkatalog",
+      priority = 36,
+      mintKey = lower(col("fkz")),
+      funderAwardId = col("fkz"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"),
+      currency = coalesce(col("currency"), lit("EUR")),
+      fundingType = when(fa.like("%stipend%"), "fellowship")
+        .when(fa.like("%ausbildung%"), "training")
+        .when(fa.like("%infrastruktur%"), "infrastructure")
+        .when(fa.like("%zuwendung%"), "grant")
+        .when(fa.like("%zuschuss%"), "grant")
+        .when(fa.like("%darlehen%"), "grant")
+        .otherwise("grant"),
+      funderScheme = col("foerderprofil"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = when(futureDated, lit(null).cast("int"))
+        .otherwise(year(sd)),
+      endYear = when(futureDated, lit(null).cast("int"))
+        .otherwise(year(d(col("end_date")))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("fkz").isNotNull && trim(col("fkz")) =!= "")
+  }
+
   /** CONAHCYT / SECIHTI SNII appointments (CreateCONAHCYTAwards.ipynb
     * cell 13, 84,067 awards): appointment-as-award — display name is
     * "level — researcher", the description assembles from knowledge

@@ -677,4 +677,65 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(byAward("GA-1").getAs[Row]("lead_investigator")
       .getAs[Row]("affiliation").getAs[String]("name") === "Uni Sydney")
   }
+
+  test("Gates: grantee+truncated-purpose display, org-as-affiliation, " +
+    "topic/division cascade") {
+    val gReg = reg.unionByName(Seq((4320306137L, "Gates Foundation",
+      "r", "d")).toDF(reg.columns: _*))
+    val longPurpose = "to " + ("x" * 160)
+    val raw = Seq(
+      ("OPP1", "PATH", Some("Kenya"), longPurpose, Some("Discovery science"),
+        Some("Global Health"), Some(2500000.0), "2019-01-01", "2022-12-31"),
+      ("INV-2", "UW", None, "short purpose", Some("Other topic"),
+        Some("Global Development"), None, "2021-01-01", "2023-01-01"))
+      .toDF("grant_id", "grantee_name", "grantee_country", "purpose",
+        "topic", "division", "amount", "start_date", "end_date")
+    val out = FunderIngest.transform(raw, gReg, FunderConfigs.gates, now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    val g1 = byAward("OPP1")
+    assert(g1.getAs[String]("display_name")
+      === "PATH - " + longPurpose.take(147) + "...")
+    assert(g1.getAs[String]("description") === longPurpose)
+    assert(g1.getAs[String]("funding_type") === "research") // discovery
+    assert(byAward("INV-2").getAs[String]("funding_type") === "grant")
+    val aff = g1.getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(aff.getAs[String]("name") === "PATH")
+    assert(aff.getAs[String]("country") === "Kenya")
+    assert(g1.getAs[String]("landing_page_url")
+      === "https://www.gatesfoundation.org/about/committed-grants?q=OPP1")
+  }
+
+  test("BMBF: foerderart cascade, EUR default currency, out-year " +
+    "placeholder nulling") {
+    val bReg = reg.unionByName(Seq((4320321114L, "BMBF", "r", "d"))
+      .toDF(reg.columns: _*))
+    val raw = Seq(
+      ("01AB1234", "Projekt X", Some(500000.0), Some("EUR"),
+        "Zuwendung fuer Projekte", Some("Energie"), "2022-03-01",
+        "2025-02-28", Some("TU Muenchen"), None: Option[String],
+        Some("https://foerderportal.bund.de/x")),
+      // nuclear-decommissioning placeholder: start=end=2030
+      ("02NUK999", "Rueckbau", None, None, "Zuschuss", None, "2030-01-01",
+        "2030-12-31", Some("KIT"), Some("Deutschland"), None))
+      .toDF("fkz", "title", "amount", "currency", "foerderart",
+        "foerderprofil", "start_date", "end_date",
+        "zuwendungsempfaenger", "staat", "landing_page_url")
+    val out = FunderIngest.transform(raw, bReg,
+      FunderConfigs.bmbf(currentYear = 2026), now)
+      .orderBy("funder_award_id").collect()
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(byAward("01AB1234").getAs[String]("funding_type") === "grant")
+    assert(byAward("01AB1234").getAs[Int]("start_year") === 2022)
+    assert(byAward("02NUK999").getAs[String]("currency") === "EUR")
+    val nuk = byAward("02NUK999")
+    assert(nuk.isNullAt(nuk.fieldIndex("start_year")))
+    assert(nuk.isNullAt(nuk.fieldIndex("end_year")))
+    assert(nuk.getAs[java.sql.Date]("start_date").toString === "2030-01-01")
+    val aff = byAward("01AB1234").getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation")
+    assert(aff.getAs[String]("country") === "Germany")
+    assert(nuk.getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+      .getAs[String]("country") === "Deutschland")
+  }
 }
