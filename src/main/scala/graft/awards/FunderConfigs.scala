@@ -812,6 +812,65 @@ object FunderConfigs {
         trim(col("project_code")) =!= "")
   }
 
+  /** Nobel's category → awarding-body map (CreateNobelAwards.ipynb
+    * cell 9: physics/chemistry/economics → the Royal Swedish Academy
+    * of Sciences, medicine → Karolinska; peace/literature are
+    * non-scientific and deliberately unmapped, so they drop at the
+    * resolution join exactly as the reference's inner join drops
+    * them). */
+  val nobelCategoryFunderMap: Map[String, Long] = Map(
+    "phy" -> 4320320936L, "che" -> 4320320936L, "eco" -> 4320320936L,
+    "med" -> 4320322315L)
+
+  val nobelFunderIds: Seq[Long] = Seq(4320320936L, 4320322315L)
+
+  /** Nobel Prizes (CreateNobelAwards.ipynb cell 9, priority 42 — the
+    * PRIZE PATTERN TEMPLATE, and a prize+resolved hybrid: the
+    * category resolves the awarding BODY, the apportioned amount
+    * comes from the source's nominal SEK sum × portion, one row per
+    * laureate with the laureate as lead investigator, Dec-10
+    * ceremony-date fallback). */
+  def nobel: ResolvedFunderIngestConfig = {
+    val amt = col("prize_amount_sek").try_cast("double")
+    val amount = when(col("portion") === "1", amt)
+      .when(col("portion") === "1/2", amt * 0.5)
+      .when(col("portion") === "1/3", amt / 3.0)
+      .when(col("portion") === "1/4", amt * 0.25)
+      .otherwise(amt)
+    val awarded = coalesce(d(col("date_awarded")),
+      d(concat(col("award_year"), lit("-12-10"))))
+    ResolvedFunderIngestConfig(
+      provenance = "nobelprize_api", priority = 42,
+      resolvedFunderId = element_at(typedlit(nobelCategoryFunderMap),
+        col("category_code")),
+      mintKey = concat(lit("nobel:"), col("category_code"), lit(":"),
+        col("award_year"), lit(":"), col("laureate_id")),
+      funderAwardId = concat(col("category_code"), lit("-"),
+        col("award_year"), lit("-"), col("laureate_id")),
+      displayName = concat(col("category_full_en"), lit(" "),
+        col("award_year"), lit(" — "), col("laureate_full_name")),
+      description = col("motivation_en"),
+      amount = amount, currency = lit("SEK"),
+      fundingType = lit("prize"),
+      funderScheme = col("category_full_en"),
+      startDate = awarded, endDate = awarded,
+      startYear = col("award_year").try_cast("int"),
+      endYear = col("award_year").try_cast("int"),
+      leadInvestigator = struct(
+        col("laureate_given_name").as("given_name"),
+        col("laureate_family_name").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(col("affiliation_name").as("name"),
+          col("affiliation_country").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation")),
+      landingPageUrl = concat(lit("https://www.nobelprize.org/prizes/"),
+        col("category_code"), lit("/"), col("award_year"),
+        lit("/summary/")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("laureate_id").isNotNull)
+  }
+
   /** GrantConnect's agency → funder map (CreateGrantConnectAwards
     * cell 8's VALUES, verbatim — a shared whole-of-government
     * register, never blanket-assigned; unmapped agencies fall back to

@@ -738,4 +738,47 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(nuk.getAs[Row]("lead_investigator").getAs[Row]("affiliation")
       .getAs[String]("country") === "Deutschland")
   }
+
+  test("Nobel: category resolves the awarding body, peace/literature " +
+    "drop, portion apportioning from the source sum, Dec-10 fallback") {
+    val nReg = reg.unionByName(Seq(
+      (4320320936L, "Royal Swedish Academy of Sciences", "r", "d"),
+      (4320322315L, "Karolinska Institutet", "r", "d"))
+      .toDF(reg.columns: _*))
+    val raw = Seq(
+      ("phy", "Physics", "2021", "1001", "Syukuro Manabe", "Syukuro",
+        "Manabe", Some("for the physical modelling of Earth's climate"),
+        "1/4", Some(10000000.0), Some("2021-10-05"),
+        Some("Princeton University"), Some("USA")),
+      ("med", "Physiology or Medicine", "2023", "1034",
+        "Katalin Kariko", "Katalin", "Kariko", None, "1/2",
+        Some(11000000.0), None, None, None),
+      // peace is unmapped -> dropped at resolution
+      ("pea", "Peace", "2023", "9999", "X", "X", "Y", None, "1",
+        Some(11000000.0), None, None, None))
+      .toDF("category_code", "category_full_en", "award_year",
+        "laureate_id", "laureate_full_name", "laureate_given_name",
+        "laureate_family_name", "motivation_en", "portion",
+        "prize_amount_sek", "date_awarded", "affiliation_name",
+        "affiliation_country")
+    val out = FunderIngest.transformResolved(raw,
+      FunderIngest.requireFunders(nReg, FunderConfigs.nobelFunderIds),
+      FunderConfigs.nobel, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2)
+    val byAward = out.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    val phy = byAward("phy-2021-1001")
+    assert(phy.getAs[Long]("funder_id") === 4320320936L)
+    assert(phy.getAs[Double]("amount") === 2500000.0) // 10M x 1/4
+    assert(phy.getAs[java.sql.Date]("start_date").toString === "2021-10-05")
+    assert(phy.getAs[String]("display_name")
+      === "Physics 2021 — Syukuro Manabe")
+    val med = byAward("med-2023-1034")
+    assert(med.getAs[Long]("funder_id") === 4320322315L)
+    assert(med.getAs[Double]("amount") === 5500000.0)
+    // no date_awarded -> the traditional Dec-10 ceremony date
+    assert(med.getAs[java.sql.Date]("start_date").toString === "2023-12-10")
+    assert(med.getAs[String]("landing_page_url")
+      === "https://www.nobelprize.org/prizes/med/2023/summary/")
+  }
 }
