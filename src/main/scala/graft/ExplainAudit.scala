@@ -220,6 +220,15 @@ object ExplainAudit {
     check("""\(\d+\) Exchange""".r.findAllMatchIn(p125).isEmpty,
       "q125 PII scrub is a pure projection — zero shuffles")
 
+    val p127 = plan("q127_truncated_tail_map")
+    check(!p127.contains("CartesianProduct"),
+      "q127 tail recovery is a keyed equijoin on (funder, tail) — " +
+        "the suffix explode is a bounded 7x fan-out, never a cartesian")
+    check(!p127.contains("Window"),
+      "q127 ambiguity screen is a keyed HAVING aggregation, not a window")
+    check(!p127.contains("rangepartitioning"),
+      "q127 has no global sort")
+
     val p121 = plan("q121_funder_reported_outputs")
     check(!p121.contains("CartesianProduct"),
       "q121 resolution paths are keyed equijoins on lowered DOIs/URLs " +

@@ -1,0 +1,214 @@
+package graft.awards
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Truncated-tail canonical-map emission (reference:
+  * `notebooks/awards/CreateTruncatedTailCanonicalMap.ipynb` cells 1-4):
+  * a deposited award id that failed registry match maps to a registry
+  * award iff its flattened form (alphanumerics, lowercased) is 6-12
+  * chars, equals the tail of exactly ONE distinct registry id spelling
+  * at the same funder, the registry id is strictly longer, and the
+  * pair passes the blind-grade class gates. Ambiguous tails drop,
+  * never guess.
+  *
+  * Class gates (cell 1 CASE, in evaluation order): NCN legacy-registry
+  * bar, DFG signature-code (slash-bearing) bar, prose call-name bar;
+  * NSERC year-serial keep; NSF zero-restore (date-like and
+  * cross-funder-deposited variants barred, the surviving class HELD
+  * BACK pending a prospective grade); DFG 8-to-9 GEPRIS keep; KAKEN
+  * 7-to-8 refuted bar; ISCIII PI-form keep; NIH serial-year keep;
+  * FAPESP process-shape keep; letter-bearing keep; all other
+  * bare-numeric tails barred.
+  *
+  * Registry ambiguity is counted over DISTINCT registry id SPELLINGS —
+  * duplicate registry rows of one spelling (GTR per-organisation rows)
+  * are one target (the cell-1 comment: the row-counting prototype
+  * wrongly dropped ~250 valid recoveries).
+  *
+  * 100 TB posture: the suffix explode is a bounded 7x fan-out of the
+  * (distinct) registry side; the tail match is one keyed equijoin on
+  * (funder_id, tail); ambiguity and the cross-funder screen are keyed
+  * hash aggregations with HAVING; classification is a pure projection.
+  * No broadcast is required anywhere (both sides scale with the
+  * corpus), no window, no global sort.
+  */
+object TruncatedTailMap {
+
+  // Funder ids named by the cell-1 class gates.
+  val NcnFunder    = 4320322511L
+  val DfgFunder    = 4320320879L
+  val NsercFunder  = 4320334593L
+  val NsfFunder    = 4320306076L
+  val KakenFunder  = 4320334764L
+  val IsciiiFunder = 4320334923L
+  val NihFunder    = 4320332161L
+  val FapespFunder = 4320320997L
+
+  /** Flattened id form: alphanumerics only, lowercased (cell 1 `f`/`rf`). */
+  def flat(c: Column): Column = lower(regexp_replace(c, "[^0-9A-Za-z]", ""))
+
+  /** The candidate map (cell 1 `truncated_tail_candidates`):
+    * (funder_id, variant_id, canonical_id, cls) with only `keep%`
+    * classes emitted.
+    *
+    * @param verdicts the award-id verdict table:
+    *                 (funder_id, funder_award_id, verdict)
+    * @param registry the raw registry landing:
+    *                 (funder_id, funder_award_id, priority)
+    */
+  def candidates(verdicts: DataFrame, registry: DataFrame): DataFrame = {
+    // dep/d: failed-match deposits, flattened, 6-12 chars
+    val dep = verdicts
+      .filter(col("verdict").isin("plausible", "garbage"))
+      .select(col("funder_id"), col("funder_award_id"),
+        flat(col("funder_award_id")).as("f"))
+      .distinct()
+      .filter(length(col("f")).between(6, 12))
+
+    // reg: distinct registry spellings at scored funders (the funder
+    // semi-join is a prune — a funder without non-unscored verdicts
+    // cannot contribute deposits either; it keeps the explode off
+    // never-matchable registries)
+    val scoredFunders = verdicts
+      .filter(col("verdict") =!= "unscored")
+      .select("funder_id").distinct()
+    val reg = registry
+      .filter(col("priority") >= 3 && col("funder_award_id").isNotNull)
+      .join(scoredFunders, Seq("funder_id"), "left_semi")
+      .select(col("funder_id"),
+        col("funder_award_id").as("registry_award_id"),
+        flat(col("funder_award_id")).as("rf"))
+      .distinct()
+
+    // sfx: every 6-12-char strict suffix of every registry spelling
+    // (strictly longer: length(rf) > L)
+    val sfx = reg
+      .select(col("funder_id"), col("registry_award_id"), col("rf"),
+        explode(sequence(lit(6), lit(12))).as("L"))
+      .filter(length(col("rf")) > col("L"))
+      .select(col("funder_id"), col("registry_award_id"),
+        col("rf").substr(length(col("rf")) - col("L") + 1, col("L"))
+          .as("tail"))
+
+    // pairs -> uniq: the tail equijoin (two hash keys — funder AND
+    // tail; a tail of length L only ever equals an f of the same
+    // length, so the cell-1 `s.L = length(d.f)` conjunct is implied),
+    // then the distinct-spelling ambiguity screen
+    // (HAVING count(DISTINCT registry) = 1)
+    val pairs = dep.join(sfx,
+        dep("funder_id") === sfx("funder_id") &&
+          sfx("tail") === dep("f"))
+      .select(dep("funder_id"), col("funder_award_id"), col("f"),
+        col("registry_award_id"))
+      .distinct()
+    val uniq = pairs
+      .groupBy(col("funder_id"), col("funder_award_id"), col("f"))
+      .agg(min(col("registry_award_id")).as("registry_award_id"),
+        countDistinct(col("registry_award_id")).as("__n"))
+      .filter(col("__n") === 1).drop("__n")
+
+    // xfunder: variant strings deposited under >1 funder (the Crossref
+    // funder x award cross-product artifact)
+    val xfunder = verdicts
+      .groupBy(col("funder_award_id").as("xf_variant"))
+      .agg(countDistinct(col("funder_id")).as("__nf"))
+      .filter(col("__nf") > 1).select("xf_variant")
+
+    val classed = uniq
+      .join(xfunder, col("funder_award_id") === col("xf_variant"), "left")
+      .withColumn("cls", classify(
+        col("funder_id"), col("funder_award_id"), col("f"),
+        col("registry_award_id"), col("xf_variant").isNotNull))
+
+    classed
+      .filter(col("cls").startsWith("keep"))
+      .select(col("funder_id"), col("funder_award_id").as("variant_id"),
+        col("registry_award_id").as("canonical_id"), col("cls"))
+  }
+
+  /** The cell-1 class CASE, in its evaluation order (exclusions first,
+    * then the graded-clean keep classes, bare-numeric last). */
+  def classify(funderId: Column, variantId: Column, f: Column,
+      registryId: Column, xfunderDeposited: Column): Column = {
+    val zeroRestore = registryId === concat(lit("0"), variantId)
+    when(funderId === NcnFunder, "drop_ncn_legacy_registry")
+      .when(funderId === DfgFunder && variantId.contains("/"),
+        "drop_dfg_signature_code")
+      .when(variantId.rlike("^[A-Za-z]+ ?[0-9]{1,3}$"),
+        "drop_prose_call_name")
+      .when(funderId === NsercFunder && f.rlike("^(19|20)[0-9]{7}$"),
+        "keep_nserc_year_serial")
+      .when(funderId === NsfFunder && zeroRestore &&
+        (f.rlike("^(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{2}$") ||
+         f.rlike("^(0[1-9]|[12][0-9]|3[01])(0[1-9]|1[0-2])[0-9]{2}$") ||
+         f.rlike("^[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$")),
+        "drop_date_like")
+      .when(funderId === NsfFunder && zeroRestore && xfunderDeposited,
+        "drop_xfunder_deposited")
+      // held back at the 2026-08-06 landing: the round-2 carve was
+      // post-hoc on the grade sample; re-admit only after a fresh
+      // prospective grade (notebook header "Honesty note")
+      .when(funderId === NsfFunder && zeroRestore,
+        "hold_nsf_zero_restore")
+      .when(funderId === DfgFunder && f.rlike("^[0-9]{8}$") &&
+        length(flat(registryId)) === 9, "keep_dfg_8to9")
+      .when(funderId === KakenFunder && f.rlike("^[0-9]{7}$") &&
+        registryId.rlike("^[0-9]{8}$"), "drop_kaken_7to8_refuted")
+      .when(funderId === IsciiiFunder &&
+        variantId.rlike("^[0-9]{2}/[0-9]{5}$") &&
+        registryId.rlike("^[A-Za-z]{2}[0-9]{2}/[0-9]{5}$"),
+        "keep_isciii_pi_form")
+      .when(funderId === NihFunder &&
+        variantId.rlike("^[0-9]{6}[-‐‒–—][0-9]{2}$"),
+        "keep_nih_serial_year")
+      .when(funderId === FapespFunder &&
+        variantId.rlike("^([0-9]{1,2}/)?[0-9]{5}[-‐‒–—][0-9]$"),
+        "keep_fapesp_process_shape")
+      .when(f.rlike("[a-z]"), "keep_letter_bearing")
+      .otherwise("drop_bare_numeric")
+  }
+
+  /** The cell-3 integrity guards, as one report frame
+    * (guard, measured, ok). A caller aborts emission unless every row
+    * is ok — the reference asserts before MERGE. All four are bounded
+    * aggregations of the (small) candidate map. */
+  def guardReport(cand: DataFrame, existing: DataFrame,
+      lo: Long = 2000L, hi: Long = 8000L): DataFrame = {
+    val n = cand.agg(count(lit(1)).as("measured"))
+      .select(lit("count_band").as("guard"), col("measured"),
+        col("measured").between(lo, hi).as("ok"))
+    val grain = cand.groupBy("funder_id", "variant_id")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("measured"))
+      .select(lit("grain_unique").as("guard"), col("measured"),
+        (col("measured") === 0).as("ok"))
+    val selfMap = cand.filter(col("variant_id") === col("canonical_id"))
+      .agg(count(lit(1)).as("measured"))
+      .select(lit("no_self_map").as("guard"), col("measured"),
+        (col("measured") === 0).as("ok"))
+    val conflicts = cand.alias("c")
+      .join(existing.alias("t"), Seq("funder_id", "variant_id"))
+      .filter(col("c.canonical_id") =!= col("t.canonical_id"))
+      .agg(count(lit(1)).as("measured"))
+      .select(lit("no_curation_conflict").as("guard"), col("measured"),
+        (col("measured") === 0).as("ok"))
+    n.unionByName(grain).unionByName(selfMap).unionByName(conflicts)
+  }
+
+  /** The cell-4 idempotent emission: only (funder_id, variant_id)
+    * grains NOT already present are inserted; existing curation rows
+    * are never modified (MERGE WHEN NOT MATCHED THEN INSERT == a
+    * left-anti on the grain). `addedAt` is caller-supplied — the
+    * reference stamps current_timestamp() at merge time. */
+  def emit(cand: DataFrame, existing: DataFrame,
+      addedAt: java.sql.Timestamp): DataFrame =
+    cand.join(existing.select("funder_id", "variant_id"),
+        Seq("funder_id", "variant_id"), "left_anti")
+      .select(col("funder_id"), col("variant_id"), col("canonical_id"),
+        lit("tail_unique_6_12").as("rule"),
+        lit("crossref-award-validation").as("added_by"),
+        lit(addedAt).as("added_at"),
+        lit("unique-tail truncation recovery vs funder registry; " +
+          "blind-graded 100 rows 2026-08-06").as("notes"))
+}

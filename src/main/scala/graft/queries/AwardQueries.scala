@@ -664,7 +664,92 @@ object AwardQueries {
         .as("n_topics"))
   }
 
+  // ---- q127: the truncated-tail canonical map ----
+  // (CreateTruncatedTailCanonicalMap.ipynb cell 1.) One arm per class
+  // gate: six keep classes that must emit, the NSF zero-restore hold,
+  // every drop class, plus the structural screens — distinct-SPELLING
+  // ambiguity counting (duplicate registry rows of one spelling are
+  // one target), true two-spelling ambiguity, the strictly-longer
+  // rule, the priority>=3 and verdict screens, the 6-12 length band,
+  // and the unscored-funder registry prune.
+  private val TTFL = 4400000001L // letter-id funder
+  private val TTFN = 4400000002L // dense-numeric funder
+  private val TTFU = 4400000003L // unscored-only funder
+
+  /** (verdicts, registry) fixture synthesized from `orders`. */
+  private def ttFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.awards.TruncatedTailMap._
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+    val k = col("o_orderkey")
+    def ks(n: Int) = lpad(k.cast("string"), n, "0")
+    val vd = when(pmod(k, lit(2)) === 0, "plausible").otherwise("garbage")
+    def vrow(fid: Long, aid: Column, verdict: Column)(src: DataFrame) =
+      src.select(lit(fid).as("funder_id"), aid.as("funder_award_id"),
+        verdict.as("verdict"))
+    def m(n: Int) = o.filter(pmod(k, lit(n)) === 0)
+    val verdicts = Seq(
+      vrow(TTFL, concat(lit("GR"), ks(5), lit("X")), vd)(o),
+      vrow(TTFL, concat(lit("Harmonia "), pmod(k, lit(100)).cast("string")), vd)(m(3)),
+      vrow(TTFN, concat(lit("77"), ks(5)), vd)(o),
+      vrow(NsercFunder, concat(lit("2019-"), ks(5)), vd)(o),
+      vrow(NsfFunder, concat(lit("7"), ks(6)), vd)(m(2)),
+      vrow(NsfFunder, concat(lit("0312"),
+        lpad((pmod(k, lit(90)) + 10).cast("string"), 2, "0")), vd)(m(5)),
+      vrow(NsfFunder, concat(lit("8"), ks(6)), vd)(m(4)),
+      vrow(TTFN, concat(lit("8"), ks(6)), vd)(m(4)), // cross-funder twin
+      vrow(DfgFunder, concat(lit("27"), ks(6)), vd)(o),
+      vrow(DfgFunder, concat(lit("ZA "), ks(4), lit("/1")), vd)(m(3)),
+      vrow(KakenFunder, ks(7), vd)(o),
+      vrow(IsciiiFunder, concat(lit("19/"), ks(5)), vd)(o),
+      vrow(NihFunder, concat(ks(6), lit("-99")), vd)(o),
+      vrow(FapespFunder, concat(lit("21/"), ks(5), lit("-3")), vd)(o),
+      vrow(NcnFunder, concat(lit("DEC"), ks(5)), vd)(o),
+      vrow(TTFL, concat(lit("AMB"), ks(4)), vd)(m(7)),
+      vrow(TTFL, concat(lit("EQ"), ks(5)), vd)(m(11)),
+      vrow(TTFL, concat(lit("LP"), ks(5)), vd)(m(13)),
+      vrow(TTFL, concat(lit("VV"), ks(5)), lit("registry_hit"))(m(17)),
+      vrow(TTFL, lit("AB1"), vd)(m(19)),
+      vrow(TTFL, concat(lit("LONGTAIL"), ks(6), lit("EXTRA")), vd)(m(23)),
+      vrow(TTFU, concat(lit("UN"), ks(5)), lit("unscored"))(m(29))
+    ).reduce(_ unionByName _)
+    def rrow(fid: Long, rid: Column, p: Int)(src: DataFrame) =
+      src.select(lit(fid).as("funder_id"), rid.as("funder_award_id"),
+        lit(p).as("priority"))
+    val registry = Seq(
+      rrow(TTFL, concat(lit("FLPROGGR"), ks(5), lit("X")), 3)(o),
+      // duplicate ROW of the same spelling: must stay ONE target
+      rrow(TTFL, concat(lit("FLPROGGR"), ks(5), lit("X")), 4)(m(2)),
+      rrow(TTFL, concat(lit("2020/HARMONIA "), pmod(k, lit(100)).cast("string")), 3)(m(3)),
+      rrow(TTFN, concat(lit("XX77"), ks(5)), 3)(o),
+      rrow(NsercFunder, concat(lit("RGPIN-2019-"), ks(5)), 3)(o),
+      rrow(NsfFunder, concat(lit("07"), ks(6)), 3)(m(2)),
+      rrow(NsfFunder, concat(lit("00312"),
+        lpad((pmod(k, lit(90)) + 10).cast("string"), 2, "0")), 3)(m(5)),
+      rrow(NsfFunder, concat(lit("08"), ks(6)), 3)(m(4)),
+      rrow(DfgFunder, concat(lit("327"), ks(6)), 3)(o),
+      rrow(DfgFunder, concat(lit("GZ-ZA "), ks(4), lit("/1")), 3)(m(3)),
+      rrow(KakenFunder, concat(lit("1"), ks(7)), 3)(o),
+      rrow(IsciiiFunder, concat(lit("PI19/"), ks(5)), 3)(o),
+      rrow(NihFunder, concat(lit("R01-"), ks(6), lit("99")), 3)(o),
+      rrow(FapespFunder, concat(lit("2021/"), ks(5), lit("-3")), 3)(o),
+      rrow(NcnFunder, concat(lit("UMO-DEC"), ks(5)), 3)(o),
+      rrow(TTFL, concat(lit("P1-AMB"), ks(4)), 3)(m(7)),   // ambiguous pair
+      rrow(TTFL, concat(lit("P2/AMB"), ks(4)), 3)(m(7)),
+      rrow(TTFL, concat(lit("EQ"), ks(5)), 3)(m(11)),      // equal length: no match
+      rrow(TTFL, concat(lit("Y-LP"), ks(5)), 2)(m(13)),    // priority < 3
+      rrow(TTFL, concat(lit("PRE-VV"), ks(5)), 3)(m(17)),  // verdict-screened dep
+      rrow(TTFU, concat(lit("ZZUN"), ks(5)), 3)(m(29))     // unscored funder
+    ).reduce(_ unionByName _)
+    (verdicts, registry)
+  }
+
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val (verdicts, registry) = ttFixture(s, dir)
+    graft.awards.TruncatedTailMap.candidates(verdicts, registry)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q127_truncated_tail_map" -> (q127 _),
     "q87_awards_api_institutions" -> (q87 _),
     "q68_award_norm_keys" -> (q68 _),
     "q69_work_awards_merge" -> (q69 _),
@@ -910,7 +995,116 @@ object AwardQueries {
       |LEFT JOIN agg g2 ON kt.id = g2.award_id
       |LEFT JOIN tp ON kt.id = tp.award_id""".stripMargin
 
+  /** q127 oracle: the fixture synthesis mirrored in SQL, then the
+    * CreateTruncatedTailCanonicalMap cell-1 pipeline RECOMPUTED —
+    * flatten, 6-12 band, suffix explode (a VALUES cross join), tail
+    * equijoin, distinct-spelling HAVING, cross-funder screen, and the
+    * full class CASE (all patterns are RE2-safe). */
+  private val q127Oracle: String =
+    """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+      |b AS (SELECT k, lpad(CAST(k AS VARCHAR), 4, '0') AS k4,
+      |    lpad(CAST(k AS VARCHAR), 5, '0') AS k5,
+      |    lpad(CAST(k AS VARCHAR), 6, '0') AS k6,
+      |    lpad(CAST(k AS VARCHAR), 7, '0') AS k7,
+      |    CAST(k % 100 AS VARCHAR) AS h2,
+      |    lpad(CAST(k % 90 + 10 AS VARCHAR), 2, '0') AS dd,
+      |    CASE WHEN k % 2 = 0 THEN 'plausible' ELSE 'garbage' END AS vd
+      |  FROM o),
+      |v AS (
+      |  SELECT 4400000001 AS fid, 'GR' || k5 || 'X' AS aid, vd AS verdict FROM b
+      |  UNION ALL SELECT 4400000001, 'Harmonia ' || h2, vd FROM b WHERE k % 3 = 0
+      |  UNION ALL SELECT 4400000002, '77' || k5, vd FROM b
+      |  UNION ALL SELECT 4320334593, '2019-' || k5, vd FROM b
+      |  UNION ALL SELECT 4320306076, '7' || k6, vd FROM b WHERE k % 2 = 0
+      |  UNION ALL SELECT 4320306076, '0312' || dd, vd FROM b WHERE k % 5 = 0
+      |  UNION ALL SELECT 4320306076, '8' || k6, vd FROM b WHERE k % 4 = 0
+      |  UNION ALL SELECT 4400000002, '8' || k6, vd FROM b WHERE k % 4 = 0
+      |  UNION ALL SELECT 4320320879, '27' || k6, vd FROM b
+      |  UNION ALL SELECT 4320320879, 'ZA ' || k4 || '/1', vd FROM b WHERE k % 3 = 0
+      |  UNION ALL SELECT 4320334764, k7, vd FROM b
+      |  UNION ALL SELECT 4320334923, '19/' || k5, vd FROM b
+      |  UNION ALL SELECT 4320332161, k6 || '-99', vd FROM b
+      |  UNION ALL SELECT 4320320997, '21/' || k5 || '-3', vd FROM b
+      |  UNION ALL SELECT 4320322511, 'DEC' || k5, vd FROM b
+      |  UNION ALL SELECT 4400000001, 'AMB' || k4, vd FROM b WHERE k % 7 = 0
+      |  UNION ALL SELECT 4400000001, 'EQ' || k5, vd FROM b WHERE k % 11 = 0
+      |  UNION ALL SELECT 4400000001, 'LP' || k5, vd FROM b WHERE k % 13 = 0
+      |  UNION ALL SELECT 4400000001, 'VV' || k5, 'registry_hit' FROM b WHERE k % 17 = 0
+      |  UNION ALL SELECT 4400000001, 'AB1', vd FROM b WHERE k % 19 = 0
+      |  UNION ALL SELECT 4400000001, 'LONGTAIL' || k6 || 'EXTRA', vd FROM b WHERE k % 23 = 0
+      |  UNION ALL SELECT 4400000003, 'UN' || k5, 'unscored' FROM b WHERE k % 29 = 0),
+      |r AS (
+      |  SELECT 4400000001 AS fid, 'FLPROGGR' || k5 || 'X' AS rid, 3 AS p FROM b
+      |  UNION ALL SELECT 4400000001, 'FLPROGGR' || k5 || 'X', 4 FROM b WHERE k % 2 = 0
+      |  UNION ALL SELECT 4400000001, '2020/HARMONIA ' || h2, 3 FROM b WHERE k % 3 = 0
+      |  UNION ALL SELECT 4400000002, 'XX77' || k5, 3 FROM b
+      |  UNION ALL SELECT 4320334593, 'RGPIN-2019-' || k5, 3 FROM b
+      |  UNION ALL SELECT 4320306076, '07' || k6, 3 FROM b WHERE k % 2 = 0
+      |  UNION ALL SELECT 4320306076, '00312' || dd, 3 FROM b WHERE k % 5 = 0
+      |  UNION ALL SELECT 4320306076, '08' || k6, 3 FROM b WHERE k % 4 = 0
+      |  UNION ALL SELECT 4320320879, '327' || k6, 3 FROM b
+      |  UNION ALL SELECT 4320320879, 'GZ-ZA ' || k4 || '/1', 3 FROM b WHERE k % 3 = 0
+      |  UNION ALL SELECT 4320334764, '1' || k7, 3 FROM b
+      |  UNION ALL SELECT 4320334923, 'PI19/' || k5, 3 FROM b
+      |  UNION ALL SELECT 4320332161, 'R01-' || k6 || '99', 3 FROM b
+      |  UNION ALL SELECT 4320320997, '2021/' || k5 || '-3', 3 FROM b
+      |  UNION ALL SELECT 4320322511, 'UMO-DEC' || k5, 3 FROM b
+      |  UNION ALL SELECT 4400000001, 'P1-AMB' || k4, 3 FROM b WHERE k % 7 = 0
+      |  UNION ALL SELECT 4400000001, 'P2/AMB' || k4, 3 FROM b WHERE k % 7 = 0
+      |  UNION ALL SELECT 4400000001, 'EQ' || k5, 3 FROM b WHERE k % 11 = 0
+      |  UNION ALL SELECT 4400000001, 'Y-LP' || k5, 2 FROM b WHERE k % 13 = 0
+      |  UNION ALL SELECT 4400000001, 'PRE-VV' || k5, 3 FROM b WHERE k % 17 = 0
+      |  UNION ALL SELECT 4400000003, 'ZZUN' || k5, 3 FROM b WHERE k % 29 = 0),
+      |dep AS (SELECT DISTINCT fid, aid,
+      |    lower(regexp_replace(aid, '[^0-9A-Za-z]', '', 'g')) AS f
+      |  FROM v WHERE verdict IN ('plausible', 'garbage')),
+      |d2 AS (SELECT * FROM dep WHERE length(f) BETWEEN 6 AND 12),
+      |scored AS (SELECT DISTINCT fid FROM v WHERE verdict <> 'unscored'),
+      |reg AS (SELECT DISTINCT r.fid, rid,
+      |    lower(regexp_replace(rid, '[^0-9A-Za-z]', '', 'g')) AS rf
+      |  FROM r JOIN scored s ON r.fid = s.fid
+      |  WHERE p >= 3 AND rid IS NOT NULL),
+      |sfx AS (SELECT fid, rid, substr(rf, length(rf) - L + 1, L) AS tail, L
+      |  FROM reg CROSS JOIN (VALUES (6),(7),(8),(9),(10),(11),(12)) t(L)
+      |  WHERE length(rf) > L),
+      |pairs AS (SELECT DISTINCT d2.fid, d2.aid, d2.f, s.rid
+      |  FROM d2 JOIN sfx s ON s.fid = d2.fid AND s.tail = d2.f
+      |    AND s.L = length(d2.f)),
+      |uniq AS (SELECT fid, aid, f, min(rid) AS rid FROM pairs
+      |  GROUP BY 1, 2, 3 HAVING count(DISTINCT rid) = 1),
+      |xf AS (SELECT aid AS xv FROM v GROUP BY 1
+      |  HAVING count(DISTINCT fid) > 1),
+      |classed AS (SELECT u.*,
+      |  CASE
+      |    WHEN fid = 4320322511 THEN 'drop_ncn_legacy_registry'
+      |    WHEN fid = 4320320879 AND aid LIKE '%/%' THEN 'drop_dfg_signature_code'
+      |    WHEN regexp_matches(aid, '^[A-Za-z]+ ?[0-9]{1,3}$') THEN 'drop_prose_call_name'
+      |    WHEN fid = 4320334593 AND regexp_matches(f, '^(19|20)[0-9]{7}$') THEN 'keep_nserc_year_serial'
+      |    WHEN fid = 4320306076 AND rid = '0' || aid
+      |         AND (regexp_matches(f, '^(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{2}$')
+      |           OR regexp_matches(f, '^(0[1-9]|[12][0-9]|3[01])(0[1-9]|1[0-2])[0-9]{2}$')
+      |           OR regexp_matches(f, '^[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$')) THEN 'drop_date_like'
+      |    WHEN fid = 4320306076 AND rid = '0' || aid
+      |         AND x.xv IS NOT NULL THEN 'drop_xfunder_deposited'
+      |    WHEN fid = 4320306076 AND rid = '0' || aid THEN 'hold_nsf_zero_restore'
+      |    WHEN fid = 4320320879 AND regexp_matches(f, '^[0-9]{8}$')
+      |         AND length(regexp_replace(lower(rid), '[^0-9a-z]', '', 'g')) = 9 THEN 'keep_dfg_8to9'
+      |    WHEN fid = 4320334764 AND regexp_matches(f, '^[0-9]{7}$')
+      |         AND regexp_matches(rid, '^[0-9]{8}$') THEN 'drop_kaken_7to8_refuted'
+      |    WHEN fid = 4320334923 AND regexp_matches(aid, '^[0-9]{2}/[0-9]{5}$')
+      |         AND regexp_matches(rid, '^[A-Za-z]{2}[0-9]{2}/[0-9]{5}$') THEN 'keep_isciii_pi_form'
+      |    WHEN fid = 4320332161 AND regexp_matches(aid, '^[0-9]{6}[-‐‒–—][0-9]{2}$') THEN 'keep_nih_serial_year'
+      |    WHEN fid = 4320320997 AND regexp_matches(aid, '^([0-9]{1,2}/)?[0-9]{5}[-‐‒–—][0-9]$') THEN 'keep_fapesp_process_shape'
+      |    WHEN regexp_matches(f, '[a-z]') THEN 'keep_letter_bearing'
+      |    ELSE 'drop_bare_numeric'
+      |  END AS cls
+      |  FROM uniq u LEFT JOIN xf x ON x.xv = u.aid)
+      |SELECT CAST(fid AS BIGINT) AS funder_id, aid AS variant_id,
+      |  rid AS canonical_id, cls
+      |FROM classed WHERE cls LIKE 'keep%'""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q127_truncated_tail_map" -> q127Oracle,
     "q108_award_id_aliases" -> q108Oracle,
     "q109_awards_consolidation" -> q109Oracle,
     "q101_datacite_work_funders" -> q101Oracle,

@@ -1,0 +1,184 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.awards.TruncatedTailMap
+import graft.awards.TruncatedTailMap._
+
+/** Fixture pins for the truncated-tail canonical map (reference:
+  * `notebooks/awards/CreateTruncatedTailCanonicalMap.ipynb` cells 1-4):
+  * one pin per class gate of the cell-1 CASE plus each structural
+  * screen (distinct-SPELLING ambiguity counting, strictly-longer,
+  * 6-12 band, priority/verdict/unscored-funder prunes), the cell-3
+  * guards and the cell-4 idempotent emission. */
+class TruncatedTailMapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val F  = 1000L // generic letter-id funder
+  private val FN = 1001L // generic dense-numeric funder
+
+  private def verdicts(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("funder_id", "funder_award_id", "verdict")
+  private def registry(rows: (Long, String, Int)*): DataFrame =
+    rows.toDF("funder_id", "funder_award_id", "priority")
+
+  /** cand for a single-deposit scenario; None = dropped/held. */
+  private def mapOf(v: DataFrame, r: DataFrame): Map[String, (String, String)] =
+    TruncatedTailMap.candidates(v, r).collect()
+      .map(x => x.getAs[String]("variant_id") ->
+        (x.getAs[String]("canonical_id"), x.getAs[String]("cls"))).toMap
+
+  test("letter-bearing tail keeps; bare-numeric and prose call-name drop") {
+    val v = verdicts(
+      (F, "GR12345X", "plausible"),     // letter-bearing -> keep
+      (F, "Harmonia 5", "garbage"),     // prose call-name -> drop
+      (FN, "7712345", "plausible"))     // bare digits -> drop
+    val r = registry(
+      (F, "PROG-GR12345X", 3),
+      (F, "2020/HARMONIA 5", 3),
+      (FN, "XX7712345", 3))
+    val m = mapOf(v, r)
+    assert(m === Map("GR12345X" -> ("PROG-GR12345X", "keep_letter_bearing")))
+  }
+
+  test("ambiguity counts DISTINCT registry SPELLINGS, not rows") {
+    val v = verdicts((F, "AMB9901X", "plausible"), (F, "DUP8802X", "garbage"))
+    val r = registry(
+      (F, "P1-AMB9901X", 3), (F, "P2/AMB9901X", 3), // two spellings -> drop
+      (F, "REG-DUP8802X", 3), (F, "REG-DUP8802X", 4)) // one spelling, 2 rows -> keep
+    val m = mapOf(v, r)
+    assert(m === Map("DUP8802X" -> ("REG-DUP8802X", "keep_letter_bearing")))
+  }
+
+  test("registry must be strictly longer; deposit flat form must be 6-12 chars") {
+    val v = verdicts(
+      (F, "EQ123X", "plausible"),          // equal flat length -> no pair
+      (F, "AB1XY", "plausible"),           // 5 chars: under band
+      (F, "LONGTAIL12345", "plausible"))   // 13 chars: over band
+    val r = registry(
+      (F, "EQ123X", 3),
+      (F, "PRE-AB1XY", 3),
+      (F, "P-LONGTAIL12345", 3))
+    assert(mapOf(v, r).isEmpty)
+  }
+
+  test("priority, verdict and unscored-funder screens prune the join inputs") {
+    val FU = 1002L
+    val v = verdicts(
+      (F, "LP12345X", "plausible"),
+      (F, "VV12345X", "registry_hit"),  // not plausible/garbage -> no deposit
+      (FU, "UN12345X", "unscored"))     // funder has no scored verdicts
+    val r = registry(
+      (F, "Y-LP12345X", 2),             // priority < 3 -> not a target
+      (F, "PRE-VV12345X", 3),
+      (FU, "ZZ-UN12345X", 3))
+    assert(mapOf(v, r).isEmpty)
+  }
+
+  test("NSERC year-serial and NIH serial-year keep classes") {
+    val v = verdicts(
+      (NsercFunder, "2019-12345", "plausible"),
+      (NihFunder, "123456-99", "garbage"))
+    val r = registry(
+      (NsercFunder, "RGPIN-2019-12345", 3),
+      (NihFunder, "R01-12345699", 3))
+    val m = mapOf(v, r)
+    assert(m("2019-12345") === (("RGPIN-2019-12345", "keep_nserc_year_serial")))
+    assert(m("123456-99") === (("R01-12345699", "keep_nih_serial_year")))
+  }
+
+  test("NSF zero-restore: date-like drops, cross-funder drops, the rest HELD") {
+    val v = verdicts(
+      (NsfFunder, "7012345", "plausible"),  // plain zero-restore -> hold
+      (NsfFunder, "031215", "plausible"),   // MMDDYY-parsable -> drop
+      (NsfFunder, "8012345", "plausible"),  // deposited at 2 funders -> drop
+      (FN, "8012345", "garbage"))
+    val r = registry(
+      (NsfFunder, "07012345", 3),
+      (NsfFunder, "0031215", 3),
+      (NsfFunder, "08012345", 3))
+    assert(mapOf(v, r).isEmpty) // hold_ and drop_ classes never emit
+    val classed = {
+      val dep = v.filter($"verdict".isin("plausible", "garbage"))
+      TruncatedTailMap.candidates(dep, r)
+    }
+    assert(classed.count() === 0)
+  }
+
+  test("DFG: 8-to-9 GEPRIS keeps, slash-bearing signature codes drop") {
+    val v = verdicts(
+      (DfgFunder, "27123456", "plausible"),
+      (DfgFunder, "ZA 1234/1", "plausible"))
+    val r = registry(
+      (DfgFunder, "327123456", 3),
+      (DfgFunder, "GZ-ZA 1234/1", 3))
+    assert(mapOf(v, r) ===
+      Map("27123456" -> ("327123456", "keep_dfg_8to9")))
+  }
+
+  test("KAKEN 7-to-8 refuted class and NCN legacy registry drop") {
+    val v = verdicts(
+      (KakenFunder, "1234567", "plausible"),
+      (NcnFunder, "DEC12345", "plausible")) // letter-bearing but NCN bars all
+    val r = registry(
+      (KakenFunder, "81234567", 3),
+      (NcnFunder, "UMO-DEC12345", 3))
+    assert(mapOf(v, r).isEmpty)
+  }
+
+  test("ISCIII PI-form and FAPESP process-shape keep classes") {
+    val v = verdicts(
+      (IsciiiFunder, "19/12345", "plausible"),
+      (FapespFunder, "21/12345-3", "garbage"))
+    val r = registry(
+      (IsciiiFunder, "PI19/12345", 3),
+      (FapespFunder, "2021/12345-3", 3))
+    val m = mapOf(v, r)
+    assert(m("19/12345") === (("PI19/12345", "keep_isciii_pi_form")))
+    assert(m("21/12345-3") === (("2021/12345-3", "keep_fapesp_process_shape")))
+  }
+
+  test("guards: count band, grain, self-map, curation conflicts (cell 3)") {
+    val cand = Seq(
+      (F, "A12345X", "R-A12345X", "keep_letter_bearing"),
+      (F, "B12345X", "R-B12345X", "keep_letter_bearing"))
+      .toDF("funder_id", "variant_id", "canonical_id", "cls")
+    val existing = Seq((F, "A12345X", "OTHER-CANON"))
+      .toDF("funder_id", "variant_id", "canonical_id")
+    val rep = TruncatedTailMap.guardReport(cand, existing, lo = 1L, hi = 10L)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(rep("count_band") === ((2L, true)))
+    assert(rep("grain_unique") === ((0L, true)))
+    assert(rep("no_self_map") === ((0L, true)))
+    assert(rep("no_curation_conflict") === ((1L, false))) // conflict caught
+
+    val bad = cand.unionByName(
+      Seq((F, "A12345X", "R2", "keep_letter_bearing"),  // dup grain
+          (F, "SELF1X", "SELF1X", "keep_letter_bearing")) // self map
+        .toDF("funder_id", "variant_id", "canonical_id", "cls"))
+    val rep2 = TruncatedTailMap.guardReport(bad, existing.limit(0), lo = 10L, hi = 20L)
+      .collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
+    assert(rep2 === Map("count_band" -> false, "grain_unique" -> false,
+      "no_self_map" -> false, "no_curation_conflict" -> true))
+  }
+
+  test("emit is idempotent: existing grains never re-inserted or modified (cell 4)") {
+    val cand = Seq(
+      (F, "A12345X", "R-A12345X", "keep_letter_bearing"),
+      (F, "B12345X", "R-B12345X", "keep_letter_bearing"))
+      .toDF("funder_id", "variant_id", "canonical_id", "cls")
+    val existing = Seq((F, "A12345X", "CURATED-CANON"))
+      .toDF("funder_id", "variant_id", "canonical_id")
+    val ts = Timestamp.valueOf("2026-08-06 00:00:00")
+    val out = TruncatedTailMap.emit(cand, existing, ts).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("variant_id") === "B12345X")
+    assert(r.getAs[String]("rule") === "tail_unique_6_12")
+    assert(r.getAs[String]("added_by") === "crossref-award-validation")
+    assert(r.getAs[Timestamp]("added_at") === ts)
+  }
+}
