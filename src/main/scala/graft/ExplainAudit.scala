@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    the corpus (IdMinter.scala:14-18).
   */
 object ExplainAudit {
+  /** Exact number of `check(...)` calls a full run performs (named
+    * checks + the generic per-query single-partition screen). */
+  val ExpectedChecks = 186
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
@@ -34,8 +38,10 @@ object ExplainAudit {
     }
 
     var ok = true
+    var nChecks = 0
     def check(cond: Boolean, msg: String): Unit = {
-      println(s"[audit] ${if (cond) "OK " else "FAIL"} $msg"); ok &= cond
+      println(s"[audit] ${if (cond) "OK " else "FAIL"} $msg")
+      ok &= cond; nChecks += 1
     }
 
     val p02 = plan("q02_filter_pushdown_projection")
@@ -193,18 +199,26 @@ object ExplainAudit {
       "q122 repetition screens are ONE narrow projection — zero " +
         "shuffles, the per-doc mode counts stay in-array")
     val p123 = plan("q123_mixture_sampling")
-    check(p123.contains("windowspecdefinition(source"),
-      "q123 budget window partitions per source — a skewed source " +
-        "costs only its own partition, never a global sort")
+    check("""windowspecdefinition\(source#\d+, __b#\d+L?, __h#"""
+        .r.findFirstIn(p123).nonEmpty,
+      "q123 budget cumsum windows per (source, hash-bucket) — the " +
+        "sorted region is the admitted prefix, never a whole source")
+    check("""windowspecdefinition\(source#\d+, (?!__b)""".r
+        .findFirstIn(p123).isEmpty,
+      "q123 has NO per-source window over the full docs frame (a " +
+        "dominant source would sort in one task); the only bare-source " +
+        "window runs on the <=1024-row bucket histogram")
     check(p123.contains("BroadcastHashJoin") ||
         p123.contains("BroadcastNestedLoopJoin"),
       "q123 broadcasts the budgets side")
 
     val p126 = plan("q126_curation_scrub_mix")
     check(p126.contains("windowspecdefinition(para_hash") &&
-        p126.contains("windowspecdefinition(source"),
-      "q126 composed curation DAG: paragraph election and budget " +
-        "windows both keyed — no global sort anywhere in the chain")
+        """windowspecdefinition\(source#\d+, __b#""".r
+          .findFirstIn(p126).nonEmpty,
+      "q126 composed curation DAG: paragraph election keyed per hash, " +
+        "budget cumsum keyed per (source, hash-bucket) — no global " +
+        "sort anywhere in the chain")
     check(p126.contains("graft-curation-scrub"),
       "q126 lands the multi-consumer scrub stage at a Materialize " +
         "boundary (measured 9.1 s -> 3.4 s at sf0.1 — the regex chain " +
@@ -279,6 +293,16 @@ object ExplainAudit {
         check(!p.contains("Exchange SinglePartition"),
           s"$name has no single-partition exchange")
       }
+    }
+
+    // Pin the total so doc claims can't drift: adding/removing a check
+    // (or a registered query, via the generic screen) must also bump
+    // this constant — the audit itself fails otherwise.
+    println(s"[audit] TOTAL $nChecks checks")
+    if (nChecks != ExpectedChecks) {
+      println(s"[audit] FAIL expected $ExpectedChecks checks, " +
+        s"ran $nChecks — update ExplainAudit.ExpectedChecks")
+      ok = false
     }
 
     spark.stop()

@@ -55,6 +55,13 @@ sealed trait AwardFieldMap {
   def landingPageUrl: Column
   def doi: Column
   def rowFilter: Column
+  /** The full investigator list — null for most sources; NSERC fills
+    * it from the co-applicants side table (CreateNSERCAwards cell 8's
+    * `coapplicants_agg` LEFT JOIN). */
+  def investigators: Column
+  /** None → the standard mint-derived works_api_url; Some(expr) for
+    * the sources whose notebooks deviate (CRUK/NCN emit NULL). */
+  def worksApiUrl: Option[Column]
 }
 
 final case class FunderIngestConfig(
@@ -79,7 +86,9 @@ final case class FunderIngestConfig(
     landingPageUrl: Column,
     doi: Column,
     /** Step-2 WHERE: rows without a usable source award id are dropped. */
-    rowFilter: Column) extends AwardFieldMap
+    rowFilter: Column,
+    investigators: Column = FunderIngest.nullInvestigators,
+    worksApiUrl: Option[Column] = None) extends AwardFieldMap
 
 /** The resolved multi-funder archetype (NIH ExPORTER's
   * administering_ic map, GTR's grant-reference prefix map, CORDIS'
@@ -115,7 +124,9 @@ final case class ResolvedFunderIngestConfig(
     leadInvestigator: Column,
     landingPageUrl: Column,
     doi: Column,
-    rowFilter: Column) extends AwardFieldMap
+    rowFilter: Column,
+    investigators: Column = FunderIngest.nullInvestigators,
+    worksApiUrl: Option[Column] = None) extends AwardFieldMap
 
 object FunderIngest {
 
@@ -127,6 +138,9 @@ object FunderIngest {
       "ids:array<struct<id:string,type:string,asserted_by:string>>>>"
 
   def nullInvestigator: Column = lit(null).cast(InvestigatorType)
+
+  def nullInvestigators: Column =
+    lit(null).cast(s"array<$InvestigatorType>")
 
   private def defaultMint(c: Column): Column =
     pmod(abs(xxhash64(c)), lit(9000000000L))
@@ -238,11 +252,12 @@ object FunderIngest {
         cfg.endYear.cast("int").as("end_year"),
         cfg.leadInvestigator.as("lead_investigator"),
         nullInvestigator.as("co_lead_investigator"),
-        lit(null).cast(s"array<$InvestigatorType>").as("investigators"),
+        cfg.investigators.as("investigators"),
         cfg.landingPageUrl.as("landing_page_url"),
         cfg.doi.as("doi"),
-        concat(lit("https://api.openalex.org/works?filter=awards.id:G"),
-          mint.cast("string")).as("works_api_url"),
+        cfg.worksApiUrl.getOrElse(
+          concat(lit("https://api.openalex.org/works?filter=awards.id:G"),
+            mint.cast("string"))).as("works_api_url"),
         nowTs.as("created_date"),
         nowTs.as("updated_date"))
   }

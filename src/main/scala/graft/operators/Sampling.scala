@@ -47,19 +47,49 @@ object Sampling {
     * exhausted: a document is kept when the cumulative token count
     * BEFORE it is still under the budget, so the last admitted
     * document may overshoot (greedy prefix — the standard budgeted
-    * sampler; never a partial document). One keyed window per source
-    * + a broadcast budget join; a skewed source costs only its own
-    * partition. Adds `cum_tokens` (inclusive) to the kept rows. */
+    * sampler; never a partial document). Adds `cum_tokens`
+    * (inclusive) to the kept rows.
+    *
+    * 100 TB posture — threshold election, NOT a per-source window
+    * over the corpus (a `Window.partitionBy(source)` sorts a dominant
+    * source — 60% of a 100 TB mixture — in ONE task): the 56-bit hash
+    * space is range-bucketed by its top 10 bits (monotone in the
+    * hash, so bucket order IS admission order), one map-side-partial
+    * hash agg builds the ≤1024-row-per-source token-mass histogram,
+    * a running sum over that tiny frame yields each bucket's
+    * exclusive prefix mass, and whole buckets whose prefix already
+    * meets the budget are pruned by a broadcast join BEFORE any sort.
+    * The per-(source, bucket) cumsum window then touches only the
+    * admitted region plus the one boundary bucket — work proportional
+    * to the BUDGET, not the source, and spread over ~budget/2^46 of
+    * the hash space per task. The admitted rowset and `cum_tokens`
+    * values are bit-identical to the naive per-source running sum. */
   def mixtureSample(docs: DataFrame, budgets: DataFrame, idCol: String,
       tokenCol: String, sourceCol: String, seed: String): DataFrame = {
     val h = TextFunctions.charHash(
       concat(col(idCol).cast("string"), lit(":mix:" + seed)))
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(h.asc, col(idCol).asc)
-    docs
-      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+    // top-10-bit range bucket: monotone in h, so (__b, __h, id) sorts
+    // exactly like (__h, id) — the original admission order
+    val withB = docs.withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 46))
+    val hist = withB.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col(tokenCol)).as("__mass"))
+    val wHist = Window.partitionBy(col(sourceCol)).orderBy(col("__b").asc)
+    val prefix = hist
+      .withColumn("__pre", sum(col("__mass")).over(wHist) - col("__mass"))
+      .drop("__mass")
+    val wBucket = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withB
+      .join(broadcast(prefix), Seq(sourceCol, "__b"))
       .join(broadcast(budgets), Seq(sourceCol))
+      // whole-bucket prune: every row of a bucket whose exclusive
+      // prefix mass already meets the budget fails the admission test
+      .filter(col("__pre") < col("token_budget"))
+      .withColumn("cum_tokens",
+        col("__pre") + sum(col(tokenCol)).over(wBucket))
       .filter(col("cum_tokens") - col(tokenCol) < col("token_budget"))
+      .drop("__h", "__b", "__pre")
   }
 
   /** Keeps at most `cap` rows per stratum, elected deterministically

@@ -71,6 +71,37 @@ class TextQualitySpec extends AnyFunSuite {
     assert(other === 3L)
   }
 
+  test("mixtureSample: threshold-election result is bit-identical to " +
+    "the naive per-source running-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    // 300 docs over 3 sources with varying token counts; budgets land
+    // mid-stream so the boundary-bucket path is exercised
+    val docs = (1L to 300L).map(i =>
+      (i, "s" + (i % 3), 1 + (i % 17).toInt)).toDF("doc_id", "source",
+      "n_tokens")
+    val budgets = Seq(("s0", 230), ("s1", 5), ("s2", 0))
+      .toDF("source", "token_budget")
+    val h = TextFunctions.charHash(
+      concat(col("doc_id").cast("string"), lit(":mix:sd")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(h.asc, col("doc_id").asc)
+    val naive = docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") - col("n_tokens") < col("token_budget"))
+      .select("doc_id", "source", "cum_tokens")
+      .orderBy("source", "cum_tokens").collect()
+    val fast = Sampling.mixtureSample(docs, budgets, "doc_id",
+      "n_tokens", "source", "sd")
+      .select("doc_id", "source", "cum_tokens")
+      .orderBy("source", "cum_tokens").collect()
+    assert(naive.nonEmpty && fast.toSeq === naive.toSeq)
+    // zero budget admits nothing; mid budget cut the source strictly
+    assert(!naive.exists(_.getAs[String]("source") == "s2"))
+    assert(naive.count(_.getAs[String]("source") == "s0") < 100)
+  }
+
   test("tokenChunks + paragraphDedup: first corpus-wide occurrence " +
     "owns the hash; later occurrences flagged") {
     import org.apache.spark.sql.Row
