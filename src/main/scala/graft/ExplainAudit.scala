@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 186
+  val ExpectedChecks = 189
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -242,6 +242,13 @@ object ExplainAudit {
       "q127 ambiguity screen is a keyed HAVING aggregation, not a window")
     check(!p127.contains("rangepartitioning"),
       "q127 has no global sort")
+
+    val p128 = plan("q128_crossref_work_funders")
+    check(p128.contains("BroadcastHashJoin"),
+      "q128 broadcasts the funder-registry doi index (the exploded " +
+        "crossref side never shuffles to match)")
+    check(!p128.contains("CartesianProduct"),
+      "q128 has no cartesian product")
 
     val p121 = plan("q121_funder_reported_outputs")
     check(!p121.contains("CartesianProduct"),

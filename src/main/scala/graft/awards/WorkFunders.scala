@@ -98,6 +98,44 @@ object WorkFunders {
       .agg(array_distinct(collect_list(col("__aid"))).as("award_ids"))
   }
 
+  /** Crossref work→funder junction
+    * (CreateCrossrefWorkFunders.ipynb cell 1): simpler than the
+    * DataCite cascade — crossref funder assertions carry registry DOIs,
+    * so there is NO name fallback and NO bulk-publisher guard. Explode
+    * `funders[]` from crossref-provenance locations (work_id and f.doi
+    * both required), resolve merged funders to their canonical id via
+    * `COALESCE(merge_into_id, funder_id)`, INNER-join drop of DOIs not
+    * in the registry (new funders arrive via the registry import, job
+    * #114.1), per-element usability through OUTER explode (a
+    * funder-only link survives with an empty award array; junk
+    * elements become NULL and COLLECT_LIST drops them), then one row
+    * per (work_id, funder_id) with ARRAY_DISTINCT dedup.
+    *
+    * Scale posture: the funder registry is registry-sized → broadcast
+    * (the exploded work side never shuffles to match); the only shuffle
+    * is the (work, funder) re-aggregation key. */
+  def crossrefWorkFunders(locationsMapped: DataFrame, funders: DataFrame,
+      usable: Column => Column = usableAwardId): DataFrame = {
+    val exploded = locationsMapped
+      .filter(col("provenance") === "crossref" && col("work_id").isNotNull)
+      .select(col("work_id"), explode(col("funders")).as("__f"))
+      .select(col("work_id"), col("__f.doi").as("funder_doi"),
+        col("__f.awards").as("award_ids"))
+      .filter(col("funder_doi").isNotNull)
+    val resolved = funders
+      .filter(col("doi").isNotNull)
+      .select(col("doi").as("__fdoi"),
+        coalesce(col("merge_into_id"), col("funder_id")).as("funder_id"))
+    exploded
+      .join(broadcast(resolved), col("funder_doi") === col("__fdoi"))
+      .select(col("work_id"), col("funder_id"),
+        explode_outer(col("award_ids")).as("__aid"))
+      .select(col("work_id"), col("funder_id"),
+        when(usable(col("__aid")), col("__aid")).as("__aid"))
+      .groupBy(col("work_id"), col("funder_id"))
+      .agg(array_distinct(collect_list(col("__aid"))).as("award_ids"))
+  }
+
   /** EuropePMC's packed-grant variant
     * (CreateEuropePmcWorkFunders.py `split_awards`): one grantId field
     * can pack several ids ("3250170251, U23A20207") — split on , or ;,

@@ -748,8 +748,81 @@ object AwardQueries {
     graft.awards.TruncatedTailMap.candidates(verdicts, registry)
   }
 
+  /** §2.1/§2.3 Crossref work→funder junction + guarded mint leg
+    * (CreateCrossrefWorkFunders.ipynb cells 1 + 6): funders[] explode
+    * restricted to crossref provenance (m-arm datacite rows at k%7=3
+    * drop), f.doi required (m=2 name-only rows drop — crossref has NO
+    * name fallback, unlike q101's DataCite cascade), merged-funder
+    * COALESCE resolve (doi 76 → canonical 77), INNER-join drop of
+    * unregistered DOIs (m=3's 10.13039/BAD), per-element usability via
+    * OUTER explode (m=0's 'n/a' junk + duplicate drop; m=4's NULL award
+    * array keeps the funder-only link with []), the (work, funder)
+    * re-aggregation (m=5's two same-funder structs merge), then the
+    * #690 verdict-consuming mint: distinct (funder, award) pairs,
+    * suppress-decision drop (k%9=0), explicit mint + absent guard rows
+    * fail open (k%9=3 and all others), ids minted as
+    * charHash(funder:lower(id)) % 9e9. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.WorkFunders
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val ck = col("c_custkey"); val k = col("o_orderkey")
+    val ks = k.cast("string")
+    val funders = c.filter(ck < 80).select(
+      ck.cast("long").as("funder_id"),
+      when(ck % 4 === 0, concat(lit("10.13039/"), ck.cast("string")))
+        .as("doi"),
+      when(ck % 19 === 0, (ck + 1).cast("long")).as("merge_into_id"))
+    def fd(doi: Column, awards: Column) = struct(
+      doi.as("doi"), lit("some name").as("name"), awards.as("awards"))
+    val nullS = lit(null).cast("string")
+    val nullA = lit(null).cast("array<string>")
+    val m = pmod(k, lit(6))
+    val doiCol = concat(lit("10.13039/"),
+      (pmod(k, lit(20)) * 4).cast("string"))
+    val fundersArr =
+      when(m === 0, array(fd(doiCol,
+        array(concat(lit("A-"), ks), lit("n/a"), concat(lit("A-"), ks)))))
+      .when(m === 1, array(fd(lit("10.13039/76"),
+        array(concat(lit("M"), ks)))))
+      .when(m === 2, array(fd(nullS, array(concat(lit("W"), ks)))))
+      .when(m === 3, array(fd(lit("10.13039/BAD"),
+        array(concat(lit("B"), ks)))))
+      .when(m === 4, array(fd(doiCol, nullA)))
+      .otherwise(array(
+        fd(doiCol, array(concat(lit("D"), ks))),
+        fd(doiCol, array(concat(lit("E"), ks)))))
+    val locations = o.select(
+      when(k % 31 =!= 0, k).as("work_id"),
+      when(k % 7 =!= 3, lit("crossref")).otherwise(lit("datacite"))
+        .as("provenance"),
+      fundersArr.as("funders"))
+    // guard rows only over the m=0 arm's (resolved funder, A-k) pairs
+    val dv = pmod(k, lit(20)) * 4
+    val resolvedF = when(dv % 19 === 0, dv + 1).otherwise(dv)
+    val guard = o.filter(m === 0 && (k % 9 === 0 || k % 9 === 3)).select(
+      resolvedF.cast("long").as("funder_id"),
+      concat(lit("A-"), ks).as("funder_award_id"),
+      when(k % 9 === 0, lit("suppress")).otherwise(lit("mint"))
+        .as("decision"))
+    val junction = WorkFunders.crossrefWorkFunders(locations, funders)
+    val mint = WorkFunders.guardedAwardMint(junction, guard,
+      x => pmod(graft.functions.TextFunctions.charHash(x),
+        lit(9000000000L)))
+    junction.select(lit("junction").as("kind"),
+        col("work_id").cast("long").as("work_id"),
+        col("funder_id").cast("long").as("funder_id"),
+        to_json(sort_array(col("award_ids"))).as("award_ref"),
+        lit(null).cast("long").as("mint_id"))
+      .unionByName(mint.select(lit("mint").as("kind"),
+        lit(null).cast("long").as("work_id"),
+        col("funder_id").cast("long").as("funder_id"),
+        col("funder_award_id").as("award_ref"),
+        col("id").cast("long").as("mint_id")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q127_truncated_tail_map" -> (q127 _),
+    "q128_crossref_work_funders" -> (q128 _),
     "q87_awards_api_institutions" -> (q87 _),
     "q68_award_norm_keys" -> (q68 _),
     "q69_work_awards_merge" -> (q69 _),
@@ -802,6 +875,65 @@ object AwardQueries {
       |    FILTER (WHERE aid IS NOT NULL)) AS VARCHAR), '[]') AS awards_json
       |FROM linked
       |GROUP BY k, rid""".stripMargin
+
+  /** q128 recomputation: the junction arms re-derived from the
+    * construction residues (junk/dup drop and the no-name-fallback /
+    * unregistered-DOI / datacite-provenance drops are analytic — those
+    * arms simply never produce linked rows), then the mint leg with the
+    * charHash twin (same 56-bit fold as TextQueries' chash). */
+  private val q128Oracle: String =
+    """WITH res AS (SELECT c_custkey AS f,
+      |    CASE WHEN c_custkey % 19 = 0 THEN c_custkey + 1
+      |         ELSE c_custkey END AS rid,
+      |    CASE WHEN c_custkey % 4 = 0
+      |      THEN '10.13039/' || CAST(c_custkey AS VARCHAR) END AS doi
+      |  FROM customer WHERE c_custkey < 80),
+      |dois AS (SELECT doi, rid FROM res WHERE doi IS NOT NULL),
+      |w0 AS (SELECT o_orderkey AS k, o_orderkey % 6 AS m,
+      |    '10.13039/' || CAST((o_orderkey % 20) * 4 AS VARCHAR) AS wdoi,
+      |    CAST(o_orderkey AS VARCHAR) AS ks
+      |  FROM orders WHERE o_orderkey % 31 <> 0 AND o_orderkey % 7 <> 3),
+      |linked AS (
+      |  SELECT k, d.rid, 'A-' || ks AS aid FROM w0 JOIN dois d
+      |    ON wdoi = d.doi WHERE m = 0
+      |  UNION ALL
+      |  SELECT k, d.rid, 'M' || ks FROM w0 JOIN dois d
+      |    ON d.doi = '10.13039/76' WHERE m = 1
+      |  UNION ALL
+      |  SELECT k, d.rid, NULL FROM w0 JOIN dois d ON wdoi = d.doi
+      |  WHERE m = 4
+      |  UNION ALL
+      |  SELECT k, d.rid, 'D' || ks FROM w0 JOIN dois d ON wdoi = d.doi
+      |  WHERE m = 5
+      |  UNION ALL
+      |  SELECT k, d.rid, 'E' || ks FROM w0 JOIN dois d ON wdoi = d.doi
+      |  WHERE m = 5),
+      |junction AS (SELECT k, rid,
+      |    coalesce(CAST(to_json(list(aid ORDER BY aid)
+      |      FILTER (WHERE aid IS NOT NULL)) AS VARCHAR), '[]') AS aj
+      |  FROM linked GROUP BY k, rid),
+      |pairs AS (SELECT DISTINCT rid, aid FROM linked
+      |  WHERE aid IS NOT NULL),
+      |guard AS (SELECT d.rid, 'A-' || ks AS aid,
+      |    CASE WHEN k % 9 = 0 THEN 'suppress' ELSE 'mint' END AS dec
+      |  FROM w0 JOIN dois d ON wdoi = d.doi
+      |  WHERE m = 0 AND (k % 9 = 0 OR k % 9 = 3)),
+      |minted AS (SELECT p.rid, p.aid,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(
+      |        CAST(p.rid AS VARCHAR) || ':' || lower(p.aid), ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 72057594037927936) % 9000000000 AS mid
+      |  FROM pairs p LEFT JOIN guard g ON g.rid = p.rid AND g.aid = p.aid
+      |  WHERE coalesce(g.dec, 'mint') <> 'suppress')
+      |SELECT 'junction' AS kind, CAST(k AS BIGINT) AS work_id,
+      |  CAST(rid AS BIGINT) AS funder_id, aj AS award_ref,
+      |  CAST(NULL AS BIGINT) AS mint_id
+      |FROM junction
+      |UNION ALL
+      |SELECT 'mint', CAST(NULL AS BIGINT), CAST(rid AS BIGINT), aid,
+      |  CAST(mid AS BIGINT)
+      |FROM minted""".stripMargin
 
   private val q102Oracle: String =
     """WITH w AS (SELECT o_orderkey AS k, o_orderkey % 8 AS m,
@@ -1105,6 +1237,7 @@ object AwardQueries {
 
   val oracle: Map[String, String] = Map(
     "q127_truncated_tail_map" -> q127Oracle,
+    "q128_crossref_work_funders" -> q128Oracle,
     "q108_award_id_aliases" -> q108Oracle,
     "q109_awards_consolidation" -> q109Oracle,
     "q101_datacite_work_funders" -> q101Oracle,

@@ -38,6 +38,47 @@ class WorkFundersSpec extends AnyFunSuite {
       (2L, Seq()), (3L, Seq("R01CA1"))))
   }
 
+  test("crossrefWorkFunders: crossref-only, doi required (no name " +
+    "fallback), merged-funder resolve, unregistered DOIs drop, junk " +
+    "elements gated, funder-only links keep [], (work,funder) merges") {
+    def f(doi: Option[String], awards: Option[Seq[String]]) =
+      (doi, Option("Some Name"), awards)
+    val locations = Seq(
+      // two structs resolve to the same funder → one merged row
+      (Option(1L), "crossref", Seq(
+        f(Some("10.1/a"), Some(Seq("G1", "n/a", "G1"))),
+        f(Some("10.1/a"), Some(Seq("G2"))))),
+      // alias doi resolves to the canonical winner
+      (Option(2L), "crossref", Seq(f(Some("10.1/alias"), Some(Seq("G3"))))),
+      // name-only: crossref has NO name fallback → dropped
+      (Option(3L), "crossref", Seq(f(None, Some(Seq("G4"))))),
+      // unregistered doi → INNER join drops
+      (Option(4L), "crossref", Seq(f(Some("10.1/none"), Some(Seq("G5"))))),
+      // NULL awards → funder-only link with empty array
+      (Option(5L), "crossref", Seq(f(Some("10.1/a"), None))),
+      // non-crossref provenance → dropped
+      (Option(6L), "datacite", Seq(f(Some("10.1/a"), Some(Seq("G6"))))),
+      // NULL work_id → dropped
+      (Option.empty[Long], "crossref", Seq(f(Some("10.1/a"), Some(Seq("G7"))))))
+      .toDF("work_id", "provenance", "funders")
+      .select(col("work_id"), col("provenance"),
+        transform(col("funders"), x => struct(x.getField("_1").as("doi"),
+          x.getField("_2").as("name"), x.getField("_3").as("awards")))
+          .as("funders"))
+    val funders = Seq(
+      (100L, Option("10.1/a"), Option.empty[Long]),
+      (101L, Option("10.1/alias"), Option(102L)),
+      (102L, Option.empty[String], Option.empty[Long]))
+      .toDF("funder_id", "doi", "merge_into_id")
+    val out = WorkFunders.crossrefWorkFunders(locations, funders)
+      .orderBy("work_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).sorted))
+    assert(out.toSeq == Seq(
+      (1L, 100L, Seq("G1", "G2")), // merged + junk/dup gated
+      (2L, 102L, Seq("G3")),       // alias → canonical
+      (5L, 100L, Seq())))          // funder-only edge survives
+  }
+
   test("guardedAwardMint: suppress drops, unscored fails open, " +
     "normalization dedups, empty arrays contribute nothing") {
     val wf = Seq(
