@@ -1201,4 +1201,607 @@ object FunderConfigs {
         !coalesce(upper(col("funding_scheme")), lit(""))
           .like("HORIZON-ERC%"))
   }
+
+  // ---------------------------------------------------------------
+  // Tier-2 single-funder configs (round-11): the next ten notebooks
+  // by volume, constant-for-constant from their transform cells.
+  // ---------------------------------------------------------------
+
+  /** Wellcome Trust 360Giving dump (CreateWellcomeAwards.ipynb cell 7,
+    * ~20K): GBP, the 2026-07-31 award-id fix — funder_award_id is the
+    * CITABLE grant_ref (NNNNNN/L/NN/L), never the 360Giving
+    * `360G-Wellcome-...` form (guarded in rowFilter), the
+    * grant-programme type cascade, and the surname-anchored given-name
+    * parse (strip the surname off either end of the full name; comma /
+    * first-word fallbacks otherwise). */
+  def wellcome: FunderIngestConfig = {
+    val gp = lower(col("grant_programme"))
+    val fundingType =
+      when(gp.like("%phd%"), "fellowship")
+        .when(gp.like("%studentship%"), "fellowship")
+        .when(gp.like("%fellowship%"), "fellowship")
+        .when(gp.like("%scholarship%"), "fellowship")
+        .when(gp.like("%training%"), "training")
+        .when(gp.like("%career%"), "fellowship")
+        .when(gp.like("%investigator%"), "research")
+        .when(gp.like("%project%"), "research")
+        .when(gp.like("%strategic%"), "research")
+        .when(gp.like("%collaborative%"), "research")
+        .when(gp.like("%seed%"), "research")
+        .when(gp.like("%discovery%"), "research")
+        .when(gp.like("%equipment%"), "infrastructure")
+        .when(gp.like("%capital%"), "infrastructure")
+        .when(gp.like("%building%"), "infrastructure")
+        .when(gp.like("%open access%"), "other")
+        .when(gp.like("%vacation%"), "fellowship")
+        .otherwise("grant")
+    val nm = col("lead_applicant_name")
+    val sn = col("applicant_surname")
+    val given =
+      when(nm.startsWith(concat(sn, lit(","))),
+        trim(nm.substr(length(sn) + lit(2), length(nm))))
+        .when(nm.endsWith(concat(lit(" "), sn)),
+          trim(nm.substr(lit(1), length(nm) - length(sn) - 1)))
+        .when(instr(nm, ",") > 0,
+          trim(nm.substr(instr(nm, ",") + 1, length(nm))))
+        .when(instr(nm, " ") > 0, trim(nm.substr(lit(1), instr(nm, " ") - 1)))
+    val lead = when(nm.isNotNull, investigator(
+      given, sn, lit(null).cast("string"), lit(null).cast("date"),
+      col("recipient_org_name"), col("recipient_orgcountry"),
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320311904L, provenance = "wellcome_trust", priority = 22,
+      mintKey = lower(col("grant_ref")),
+      funderAwardId = col("grant_ref"),
+      displayName = col("title"), description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = coalesce(col("currency"), lit("GBP")),
+      fundingType = fundingType, funderScheme = col("grant_programme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://wellcome.org/grant-funding/" +
+        "people-and-projects/grants-awarded?q="), col("grant_ref")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_ref").isNotNull &&
+        trim(col("grant_ref")) =!= "" && !col("grant_ref").like("360G-%"))
+  }
+
+  /** The shared "Family, Given" / "Title Given Family" PI parse of the
+    * NHMRC/ARC family (CreateNHMRCAwards cell 9 / CreateARCAwards
+    * cell 7): comma form splits at the comma; otherwise the honorific
+    * prefix is stripped and the first/last tokens are taken. Returns
+    * (given, family). */
+  private def titledNameParse(nm: Column, titleRe: String):
+      (Column, Column) = {
+    val stripped = trim(regexp_replace(nm, titleRe, ""))
+    val given =
+      when(instr(nm, ",") > 0, trim(substring_index(nm, ",", -1)))
+        .when(instr(nm, " ") > 0, trim(substring_index(stripped, " ", 1)))
+    val family =
+      when(instr(nm, ",") > 0, trim(substring_index(nm, ",", 1)))
+        .when(instr(nm, " ") > 0, trim(substring_index(stripped, " ", -1)))
+        .otherwise(nm)
+    (given, family)
+  }
+
+  private val NhmrcTitleRe =
+    "^(Dr|Prof|Professor|Associate Professor|A/Prof|Assoc Prof|Mr|Ms|Mrs)\\s+"
+
+  /** NHMRC grant outcomes (CreateNHMRCAwards.ipynb cell 9, primary
+    * corpus): AUD, the grant-type cascade over
+    * COALESCE(grant_type, grant_sub_type), two-format date parse with
+    * year-boundary fallback, the CIA (Chief Investigator A) titled-name
+    * parse with ORCID + optional ROR affiliation id. */
+  def nhmrc: FunderIngestConfig = {
+    val gt = lower(coalesce(col("grant_type"), col("grant_sub_type")))
+    val fundingType =
+      when(gt.like("%investigator%"), "research")
+        .when(gt.like("%ideas%"), "research")
+        .when(gt.like("%synergy%"), "research")
+        .when(gt.like("%fellowship%"), "fellowship")
+        .when(gt.like("%scholarship%"), "fellowship")
+        .when(gt.like("%postgraduate%"), "fellowship")
+        .when(gt.like("%clinical trial%"), "research")
+        .when(gt.like("%cohort%"), "research")
+        .when(gt.like("%project%"), "research")
+        .when(gt.like("%program%"), "research")
+        .when(gt.like("%centre%"), "infrastructure")
+        .when(gt.like("%equipment%"), "infrastructure")
+        .when(gt.like("%development%"), "research")
+        .otherwise("grant")
+    def ts(c: Column) = coalesce(
+      to_date(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))),
+      to_date(try_to_timestamp(c, lit("yyyy-MM-dd"))))
+    val sd = coalesce(ts(col("start_date")),
+      when(col("start_year").try_cast("int").isNotNull,
+        d(concat(col("start_year"), lit("-01-01")))))
+    val ed = coalesce(ts(col("end_date")),
+      when(col("end_year").try_cast("int").isNotNull,
+        d(concat(col("end_year"), lit("-12-31")))))
+    val (given, family) = titledNameParse(col("cia_name"), NhmrcTitleRe)
+    val rorIds = when(col("administering_institution_ror_id").isNotNull,
+      array(struct(col("administering_institution_ror_id").as("id"),
+        lit("ror").as("type"), lit("nhmrc").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("cia_name").isNotNull && trim(col("cia_name")) =!= "",
+      investigator(given, family, col("cia_orcid"), lit(null).cast("date"),
+        col("administering_institution"), lit("Australia"), rorIds))
+    val aid = coalesce(col("grant_id"), col("app_id"))
+    FunderIngestConfig(
+      funderId = 4320334705L, provenance = "nhmrc", priority = 12,
+      mintKey = lower(aid),
+      funderAwardId = aid,
+      displayName = coalesce(col("grant_title"), col("simplified_title")),
+      description = col("plain_description"),
+      amount = col("total").try_cast("double"), currency = lit("AUD"),
+      fundingType = fundingType,
+      funderScheme = concat_ws(" - ", col("grant_type"),
+        col("grant_sub_type")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(col("start_year").try_cast("int"),
+        year(ts(col("start_date")))),
+      endYear = coalesce(col("end_year").try_cast("int"),
+        year(ts(col("end_date")))),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = aid.isNotNull && trim(aid) =!= "")
+  }
+
+  /** The NHMRC historical-extension dedup (CreateNHMRCAwards cell 11's
+    * `dedup` CTE): the 1993-2016 all-grants dump carries 3 in-file
+    * duplicate award ids — keep the latest application_year. Keyed
+    * window over the registry delta, never the corpus. */
+  def nhmrcHistoricalDedup(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    raw.filter(col("award_id").isNotNull && trim(col("award_id")) =!= "")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("award_id")).orderBy(
+          col("application_year").try_cast("double").cast("int").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** NHMRC historical extension (CreateNHMRCAwards.ipynb cell 11,
+    * 1993-2016 all-grants dump): bare APP-numeral award ids (the
+    * citation-side citable form), year-boundary dates only, the E/Pr
+    * honorific added to the titled-name parse; landed ADDITIVELY via
+    * [[FunderIngest.appendFyExtension]] (cell 12's anti-join — primary
+    * rows always win on lowered funder_award_id). Same provenance +
+    * priority slot as the primary. */
+  def nhmrcHistorical: FunderIngestConfig = {
+    val titleRe = "^(Dr|Prof|Professor|Associate Professor|A/Prof|" +
+      "Assoc Prof|Mr|Ms|Mrs|E/Pr)\\s+"
+    val gt = lower(col("grant_type"))
+    val fundingType =
+      when(gt.like("%fellowship%"), "fellowship")
+        .when(gt.like("%scholarship%"), "fellowship")
+        .when(gt.like("%postgraduate%"), "fellowship")
+        .when(gt.like("%centre%"), "infrastructure")
+        .when(gt.like("%equipment%"), "infrastructure")
+        .when(col("grant_type").isNotNull, "research")
+        .otherwise("grant")
+    val sy = col("start_year").try_cast("double").cast("int")
+    val ey = col("end_year").try_cast("double").cast("int")
+    val (given, family) = titledNameParse(col("pi_name"), titleRe)
+    val lead = when(col("pi_name").isNotNull && trim(col("pi_name")) =!= "",
+      investigator(given, family, lit(null).cast("string"),
+        lit(null).cast("date"), col("institution"), lit("Australia"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334705L, provenance = "nhmrc", priority = 12,
+      mintKey = lower(col("award_id")),
+      funderAwardId = col("award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("budget_total").try_cast("double"),
+      currency = lit("AUD"),
+      fundingType = fundingType, funderScheme = col("grant_type"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = when(ey.isNotNull,
+        d(concat(ey.cast("string"), lit("-12-31")))),
+      startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("award_id").isNotNull && trim(col("award_id")) =!= "")
+  }
+
+  private val ArcTitleRe = "^(Dr|Prof|Professor|Associate Professor|" +
+    "A/Prof|Asst Prof|Assoc Prof|Mr|Ms|Mrs|Miss|Emeritus Professor|" +
+    "Emeritus Prof|Adj/Prof|Adjunct Professor)\\s+"
+
+  /** ARC grants (CreateARCAwards.ipynb cell 7): AUD, the scheme-name
+    * type cascade (fellowship screens before the
+    * infrastructure/centre block, which screens before
+    * project/discovery/linkage research), start-year-boundary start
+    * date + real end date, the titled-name PI parse against the
+    * grantee institution. */
+  def arc: FunderIngestConfig = {
+    val sch = lower(col("scheme_name"))
+    val fundingType =
+      when(sch.like("%fellowship%"), "fellowship")
+        .when(sch.like("%decra%") || sch.like("%early career%"),
+          "fellowship")
+        .when(sch.like("%laureate%"), "fellowship")
+        .when(sch.like("%infrastructure%"), "infrastructure")
+        .when(sch.like("%equipment%"), "infrastructure")
+        .when(sch.like("%facilities%"), "infrastructure")
+        .when(sch.like("%centre%"), "infrastructure")
+        .when(sch.like("%project%"), "research")
+        .when(sch.like("%discovery%"), "research")
+        .when(sch.like("%linkage%"), "research")
+        .when(sch.like("%industrial%"), "research")
+        .when(sch.like("%intelligence%"), "research")
+        .when(sch.like("%indigenous%"), "research")
+        .otherwise("grant")
+    val li = col("lead_investigator")
+    val empty = li.isNull || trim(li) === ""
+    // unlike NHMRC's space-gated parse, ARC's else-arm always splits
+    // the title-stripped name: single-token names land in BOTH fields
+    val stripped = trim(regexp_replace(li, ArcTitleRe, ""))
+    val given = when(instr(li, ",") > 0, trim(substring_index(li, ",", -1)))
+      .otherwise(trim(element_at(split(stripped, " "), 1)))
+    val family = when(instr(li, ",") > 0, trim(substring_index(li, ",", 1)))
+      .otherwise(trim(element_at(split(stripped, " "), -1)))
+    val lead = when(!empty, investigator(
+      given, family,
+      lit(null).cast("string"), lit(null).cast("date"),
+      col("grantee"), lit("Australia"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334704L, provenance = "arc", priority = 20,
+      mintKey = lower(col("code")),
+      funderAwardId = col("code"),
+      displayName = col("title"), description = col("summary"),
+      amount = col("grant_value").try_cast("double"),
+      currency = lit("AUD"),
+      fundingType = fundingType, funderScheme = col("scheme_name"),
+      startDate = when(col("start_year").try_cast("int").isNotNull,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = d(col("end_date")),
+      startYear = col("start_year").try_cast("int"),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(
+        lit("https://dataportal.arc.gov.au/RGS/Web/Grants/"), col("code")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("code").isNotNull && trim(col("code")) =!= "")
+  }
+
+  /** The NSERC co-applicants rollup (CreateNSERCAwards.ipynb cell 8's
+    * `coapplicants_agg` CTE): one investigators array per
+    * applicationid from the side table's "LastName, FirstName" names —
+    * LEFT JOIN this onto the raw before [[FunderIngest.transform]]
+    * with [[nserc]] (whose `investigators = col("investigators")`
+    * reads the joined column). One keyed aggregation; the join key is
+    * the award id, so both sides partition the same way. */
+  def nsercCoapplicantsAgg(coapplicants: DataFrame): DataFrame = {
+    val nm = col("coapplicantname_nomcoapplicant")
+    val hasComma = nm.contains(",")
+    coapplicants.filter(col("applicationid").isNotNull)
+      .groupBy(col("applicationid"))
+      .agg(collect_list(struct(
+        when(hasComma, trim(element_at(split(nm, ","), 2)))
+          .otherwise(lit(null).cast("string")).as("given_name"),
+        when(hasComma, trim(element_at(split(nm, ","), 1)))
+          .otherwise(trim(nm)).as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(col("coappinstitution_etablissement").as("name"),
+          col("countryen").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation")))
+        .as("investigators"))
+  }
+
+  /** NSERC open data (CreateNSERCAwards.ipynb cell 8, FY1991-2024):
+    * CAD amounts scrubbed of currency formatting, the Canadian fiscal
+    * year (April 1 → March 31 next year) as the date span, LOWERED
+    * funder_award_id (the notebook lands it lowered), the
+    * "LastName, FirstName" comma parse, co-applicants as the
+    * investigators array via [[nsercCoapplicantsAgg]], and the 'NA'
+    * placeholder id screen. */
+  def nserc: FunderIngestConfig = {
+    val grp = lower(col("groupen"))
+    val fundingType =
+      when(grp.like("%discovery%"), "research")
+        .when(grp.like("%fellowship%"), "fellowship")
+        .when(grp.like("%scholarship%"), "fellowship")
+        .when(grp.like("%research partnership%"), "research")
+        .when(grp.like("%training%"), "training")
+        .when(grp.like("%equipment%"), "equipment")
+        .when(grp.like("%supplement%"), "supplement")
+        .otherwise("grant")
+    val fy = col("fiscalyear_exercice_financier")
+    val nm = col("name_nom")
+    val hasComma = nm.contains(",")
+    val lead = when(nm.isNotNull && trim(nm) =!= "", investigator(
+      when(hasComma, trim(element_at(split(nm, ","), 2))),
+      when(hasComma, trim(element_at(split(nm, ","), 1)))
+        .otherwise(trim(nm)),
+      lit(null).cast("string"), lit(null).cast("date"),
+      col("institution_etablissement"), col("countryen"),
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334593L, provenance = "nserc_open_data", priority = 3,
+      mintKey = lower(trim(col("applicationid"))),
+      funderAwardId = lower(trim(col("applicationid"))),
+      displayName = col("applicationtitle"),
+      description = col("applicationsummary"),
+      amount = regexp_replace(col("awardamount"), "[^0-9.]", "")
+        .try_cast("double"),
+      currency = lit("CAD"),
+      fundingType = fundingType,
+      funderScheme = coalesce(col("programnameen"), col("programnaneen")),
+      startDate = when(fy.isNotNull, d(concat(fy, lit("-04-01")))),
+      endDate = when(fy.isNotNull, d(concat(
+        (fy.cast("int") + 1).cast("string"), lit("-03-31")))),
+      startYear = fy.cast("int"), endYear = fy.cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.nserc-crsng.gc.ca/" +
+        "ase-oro/Details-Detailles_eng.asp?id="), col("applicationid")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("applicationid").isNotNull &&
+        trim(col("applicationid")) =!= "" &&
+        trim(col("applicationid")) =!= "NA",
+      investigators = col("investigators"))
+  }
+
+  /** Cancer Research UK (CreateCRUKAwards.ipynb cell 7, Path A, 154
+    * recent awards): no amounts published (§6.7 waiver — NULL
+    * amount/currency), fixed 'research' type, committee as scheme,
+    * scraped landing URL, and the NULL works_api_url deviation (the
+    * notebook emits CAST(NULL AS STRING), not the mint-derived URL). */
+  def cruk: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull, investigator(
+      col("pi_given"), col("pi_family"), lit(null).cast("string"),
+      lit(null).cast("date"), col("institution"), lit("United Kingdom"),
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320319985L, provenance = "cruk", priority = 342,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Academy of Finland via the Research.fi API
+    * (CreateAcademyOfFinlandAwards.ipynb cell 7, ~5.4K): EUR,
+    * English-preferred title/description with Finnish fallback, the
+    * Research.fi funding-type cascade, the mint keyed on project_id
+    * but funder_award_id = funder_project_number (they differ!),
+    * PI name only (affiliation fields are all NULL in the source). */
+  def academyOfFinland: FunderIngestConfig = {
+    val ft = lower(col("funding_type"))
+    val fundingType =
+      when(ft.like("%fellowship%"), "fellowship")
+        .when(ft.like("%postdoctoral%"), "fellowship")
+        .when(ft.like("%research fellow%"), "fellowship")
+        .when(ft.like("%academy professor%"), "fellowship")
+        .when(ft.like("%centre of excellence%"), "research")
+        .when(ft.like("%flagship%"), "research")
+        .when(ft.like("%infrastructure%"), "infrastructure")
+        .when(ft.like("%strategic%"), "research")
+        .when(ft.like("%academy project%"), "grant")
+        .otherwise("grant")
+    def enOr(en: Column, fi: Column) =
+      coalesce(when(trim(en) =!= "", trim(en)), fi)
+    val lead = when(col("pi_family_name").isNotNull, investigator(
+      col("pi_given_name"), col("pi_family_name"),
+      lit(null).cast("string"), lit(null).cast("date"),
+      lit(null).cast("string"), lit("Finland"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321108L, provenance = "researchfi", priority = 24,
+      mintKey = lower(col("project_id").cast("string")),
+      funderAwardId = col("funder_project_number"),
+      displayName = enOr(col("title_en"), col("title_fi")),
+      description = enOr(col("description_en"), col("description_fi")),
+      amount = col("amount_eur").try_cast("double"),
+      currency = lit("EUR"),
+      fundingType = fundingType, funderScheme = col("call_programme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://research.fi/en/results/funding/"),
+        col("project_id").cast("string")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull)
+  }
+
+  /** FWF / Austrian Science Fund via OpenAIRE
+    * (_deprecated/CreateFWFAwards.ipynb cell 6, ~10.1K — the notebook
+    * is parked in _deprecated but 'openaire_fwf' remains a live
+    * provenance in CreateAwards/CreateAwardsAPI, so the slice shape is
+    * pinned here): EUR, keywords as the description (OpenAIRE carries
+    * no abstracts), the German programme-name cascade with the
+    * Wittgenstein 'prize' and SFB/cluster 'center' arms, GRANT DOIs
+    * lifted from the source (the 10.55776/... forms), no PI data. */
+  def fwf: FunderIngestConfig = {
+    val fp = lower(col("funding_program"))
+    val fundingType =
+      when(fp.like("%start%"), "fellowship")
+        .when(fp.like("%hertha firnberg%"), "fellowship")
+        .when(fp.like("%elise richter%"), "fellowship")
+        .when(fp.like("%lise meitner%"), "fellowship")
+        .when(fp.like("%schr%dinger%"), "fellowship")
+        .when(fp.like("%doctoral%"), "training")
+        .when(fp.like("%doktorat%"), "training")
+        .when(fp.like("%wittgenstein%"), "prize")
+        .when(fp.like("%special research%"), "center")
+        .when(fp.like("%spezialforschung%"), "center")
+        .when(fp.like("%sfb%"), "center")
+        .when(fp.like("%cluster%"), "center")
+        .when(fp.like("%infrastructure%"), "infrastructure")
+        .when(fp.like("%einzelprojekt%"), "grant")
+        .when(fp.like("%principal investigator%"), "grant")
+        .otherwise("grant")
+    FunderIngestConfig(
+      funderId = 4320321181L, provenance = "openaire_fwf", priority = 29,
+      mintKey = lower(col("project_code")),
+      funderAwardId = col("project_code"),
+      displayName = col("title"), description = col("keywords"),
+      amount = col("funded_amount").try_cast("double"),
+      currency = coalesce(col("currency"), lit("EUR")),
+      fundingType = fundingType, funderScheme = col("funding_program"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = col("website_url"),
+      doi = col("doi"),
+      rowFilter = col("project_code").isNotNull &&
+        trim(col("project_code")) =!= "")
+  }
+
+  /** FAPESP Biblioteca Virtual (CreateFAPESPAwards.ipynb cell 7,
+    * ~113K): no amounts in the source but currency pinned 'BRL',
+    * English-preferred title/abstract with Portuguese fallback, the
+    * Portuguese support-modality cascade (bolsa/fellowship,
+    * reunião/conference, PIPE-PITE/innovation, temático/research),
+    * process-number landing URL with slashes dashed. */
+  def fapesp: FunderIngestConfig = {
+    val sm = lower(col("support_modality"))
+    val fundingType =
+      when(sm.like("%bolsa%"), "fellowship")
+        .when(sm.like("%jovens pesquisadores%"), "fellowship")
+        .when(sm.like("%young investigators%"), "fellowship")
+        .when(sm.like("%pesquisador visitante%"), "fellowship")
+        .when(sm.like("%visiting researcher%"), "fellowship")
+        .when(sm.like("%infraestrutura%"), "infrastructure")
+        .when(sm.like("%equipamentos%"), "infrastructure")
+        .when(sm.like("%reunião%"), "conference")
+        .when(sm.like("%organização%"), "conference")
+        .when(sm.like("%publicações%"), "publication")
+        .when(sm.like("%pipe%"), "innovation")
+        .when(sm.like("%pite%"), "innovation")
+        .when(sm.like("%inovativa%"), "innovation")
+        .when(sm.like("%temático%"), "research")
+        .when(sm.like("%thematic%"), "research")
+        .otherwise("grant")
+    def enOr(en: Column, pt: Column) =
+      coalesce(when(trim(en) =!= "", trim(en)), pt)
+    val lead = when(col("pi_family_name").isNotNull, investigator(
+      col("pi_given_name"), col("pi_family_name"),
+      lit(null).cast("string"), lit(null).cast("date"),
+      col("institution"), lit("Brazil"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320997L, provenance = "fapesp_bv", priority = 19,
+      mintKey = lower(col("process_number")),
+      funderAwardId = col("process_number"),
+      displayName = enOr(col("title_en"), col("title_pt")),
+      description = enOr(col("abstract_en"), col("abstract_pt")),
+      amount = lit(null).cast("double"), currency = lit("BRL"),
+      fundingType = fundingType, funderScheme = col("support_modality"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://bv.fapesp.br/en/auxilios/"),
+        regexp_replace(col("process_number"), "/", "-"), lit("/")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("process_number").isNotNull &&
+        trim(col("process_number")) =!= "")
+  }
+
+  /** NCN / Polish National Science Centre via RAD-on
+    * (CreateNCNAwards.ipynb cell 8 — the oxjob #690 source pivot:
+    * citable UMO project numbers replacing the synthetic ranking-list
+    * codes, same 'ncn' provenance + priority-32 slot): PLN amounts
+    * gated on > 0 (currency nulled alongside), title falling back to
+    * "NCN grant <id>", the institution-only lead fallback when no PI
+    * name, and the NULL works_api_url deviation. */
+  def ncn: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull, investigator(
+      col("pi_given"), col("pi_family"), lit(null).cast("string"),
+      lit(null).cast("date"), col("institution"), lit("Poland"),
+      lit(null).cast(affIds)))
+      .when(col("institution").isNotNull, investigator(
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Poland"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322511L, provenance = "ncn", priority = 32,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(
+        when(trim(col("title")) =!= "", trim(col("title"))),
+        concat(lit("NCN grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt.cast("double")),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      startDate = d(col("start_date_raw")), endDate = d(col("end_date_raw")),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = year(d(col("end_date_raw"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Research Council of Norway Project Bank
+    * (CreateResearchCouncilNorwayAwards.ipynb cell 13, ~45K FORISS
+    * projects): NOK gated on amount presence, the five-segment
+    * labelled description assembly (pop-sci / summary / teaser /
+    * disciplines / geographies, blank-collapsed), 1800-2100
+    * year-validity screens on every date/year, the lead struct fired
+    * by EITHER a leader name OR an affiliation (family falls back to
+    * the full name; country 'NO' only when the affiliation is
+    * present), role_start = project start. */
+  def researchCouncilNorway: FunderIngestConfig = {
+    def nz(c: Column) = when(trim(c) =!= "", trim(c))
+    def seg(label: String, c: Column) =
+      when(nz(c).isNotNull, concat(lit(label), trim(c)))
+    val desc = concat_ws("\n\n",
+      seg("Popular science description: ", col("pop_sci_description")),
+      seg("Project summary: ", col("project_summary")),
+      seg("Teaser: ", col("teaser")),
+      seg("Disciplines: ", col("disciplines_json")),
+      seg("Geographies: ", col("geographies_json")))
+    def vd(c: Column) = when(year(d(c)).between(1800, 2100), d(c))
+    def vy(c: Column) = when(c.try_cast("int").between(1800, 2100),
+      c.try_cast("int"))
+    val given = nz(col("lead_given_name"))
+    val family = nz(col("lead_family_name"))
+    val full = nz(col("lead_name"))
+    val aff = nz(col("primary_organization"))
+    val amt = col("total_funding").try_cast("double")
+    val lead = when(full.isNotNull || aff.isNotNull, investigator(
+      given, coalesce(family, full), lit(null).cast("string"),
+      vd(col("start_date")), aff,
+      when(aff.isNotNull, lit("NO")), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320323299L,
+      provenance = "research_council_norway_project_bank", priority = 130,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = when(desc =!= "", desc),
+      amount = amt,
+      currency = when(amt.isNotNull, lit("NOK")),
+      fundingType = lit("research"),
+      funderScheme = nz(col("current_activity_code")),
+      startDate = vd(col("start_date")), endDate = vd(col("end_date")),
+      startYear = vy(col("start_year")), endYear = vy(col("end_year")),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
 }

@@ -57,10 +57,12 @@ sealed trait AwardFieldMap {
   def rowFilter: Column
   /** The full investigator list — null for most sources; NSERC fills
     * it from the co-applicants side table (CreateNSERCAwards cell 8's
-    * `coapplicants_agg` LEFT JOIN). */
+    * `coapplicants_agg` LEFT JOIN — `FunderConfigs.nserc` +
+    * `nsercCoapplicantsAgg`). */
   def investigators: Column
   /** None → the standard mint-derived works_api_url; Some(expr) for
-    * the sources whose notebooks deviate (CRUK/NCN emit NULL). */
+    * the sources whose notebooks deviate (`FunderConfigs.cruk` /
+    * `FunderConfigs.ncn` emit NULL). */
   def worksApiUrl: Option[Column]
 }
 

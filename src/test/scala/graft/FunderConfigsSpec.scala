@@ -781,4 +781,371 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(med.getAs[String]("landing_page_url")
       === "https://www.nobelprize.org/prizes/med/2023/summary/")
   }
+
+  // ---- tier-2 configs (round 11) ----
+
+  private def reg2 = reg.unionByName(Seq(
+    (4320311904L, "Wellcome Trust", "https://ror.org/029chgv08",
+      "10.13039/100010269"),
+    (4320334705L, "National Health and Medical Research Council",
+      "https://ror.org/011kf5r70", "10.13039/501100000925"),
+    (4320334704L, "Australian Research Council",
+      "https://ror.org/05mmh0f86", "10.13039/501100000923"),
+    (4320334593L, "Natural Sciences and Engineering Research Council " +
+      "of Canada", "https://ror.org/01h531d29", "10.13039/501100000038"),
+    (4320319985L, "Cancer Research UK", "r-cruk", "d-cruk"),
+    (4320321108L, "Academy of Finland", "https://ror.org/05k73zm37",
+      "10.13039/501100002341"),
+    (4320321181L, "Austrian Science Fund", "https://ror.org/013tf3c58",
+      "10.13039/501100002428"),
+    (4320320997L, "Fundação de Amparo à Pesquisa do Estado de São Paulo",
+      "https://ror.org/02ddkpn78", "10.13039/501100001807"),
+    (4320322511L, "Narodowe Centrum Nauki", "https://ror.org/04waf7p94",
+      "10.13039/501100004281"),
+    (4320323299L, "Norges Forskningsrad", "r-rcn", "d-rcn"))
+    .toDF(reg.columns: _*))
+
+  test("Wellcome: citable grant_ref only (360G guard), surname-anchored " +
+    "given-name parse, programme cascade, GBP default") {
+    val raw = Seq(
+      ("323416/Z/24/Z", "T1", Some("D1"), Some(500000.0), None,
+        "Investigator Award", "2024-01-05", "2029-01-04",
+        Some("Smith, John"), Some("Smith"), Some("Univ of Oxford"),
+        Some("United Kingdom")),
+      ("098765/B/12/A", "T2", None, Some(80000.0), Some("USD"),
+        "PhD Studentship", "2012-10-01", "bad",
+        Some("Mary Anne Jones"), Some("Jones"), None, None),
+      // 360Giving id -> guarded out
+      ("360G-Wellcome-1", "T3", None, None, None, "Seed Award",
+        "2020-01-01", "2021-01-01", None, Some("X"), None, None))
+      .toDF("grant_ref", "title", "description", "amount", "currency",
+        "grant_programme", "start_date", "end_date",
+        "lead_applicant_name", "applicant_surname", "recipient_org_name",
+        "recipient_orgcountry")
+    val out = FunderIngest.transform(raw, reg2, FunderConfigs.wellcome, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("fellowship", "research"))
+    assert(out(1).getAs[String]("currency") === "GBP")
+    assert(out(0).getAs[String]("currency") === "USD")
+    // comma form: given is everything after "Surname,"
+    val pi1 = out(1).getAs[Row]("lead_investigator")
+    assert(pi1.getAs[String]("given_name") === "John")
+    assert(pi1.getAs[String]("family_name") === "Smith")
+    // trailing-surname form: given is everything before " Surname"
+    val pi0 = out(0).getAs[Row]("lead_investigator")
+    assert(pi0.getAs[String]("given_name") === "Mary Anne")
+    assert(out(0).isNullAt(out(0).fieldIndex("end_date")))
+    assert(out(1).getAs[String]("landing_page_url") ===
+      "https://wellcome.org/grant-funding/people-and-projects/" +
+        "grants-awarded?q=323416/Z/24/Z")
+  }
+
+  test("NHMRC: grant_id-or-app_id key, titled CIA parse, ROR ids, " +
+    "two-format dates with year-boundary fallback") {
+    val raw = Seq(
+      (Some("1198754"), "APP1198754", Some("Ideas Grants"),
+        "GT", Some("ST"), Some("2021-01-01 00:00:00"),
+        Some("2024-12-31 00:00:00"), None, None, Some(950000.0),
+        Some("Prof Jane Doe"), Some("0000-0001-2345-678X"),
+        Some("Univ of Sydney"), Some("https://ror.org/0384j8v12")),
+      (None, "APP2000001", Some("Postgraduate Scholarships"),
+        "T2", None, None, None, Some("2019"), Some("2022"), None,
+        Some("Nguyen, Thi"), None, Some("Monash"), None))
+      .toDF("grant_id", "app_id", "grant_type",
+        "grant_title", "simplified_title", "start_date", "end_date",
+        "start_year", "end_year", "total", "cia_name", "cia_orcid",
+        "administering_institution", "administering_institution_ror_id")
+      .withColumn("grant_sub_type", lit(null).cast("string"))
+      .withColumn("plain_description", lit(null).cast("string"))
+    val out = FunderIngest.transform(raw, reg2, FunderConfigs.nhmrc, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.map(_.getAs[String]("funder_award_id")).toSeq
+      === Seq("1198754", "APP2000001"))
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("research", "fellowship"))
+    // explicit timestamp-format date wins; year-only falls to boundaries
+    assert(out(0).getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(out(1).getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(out(1).getAs[java.sql.Date]("end_date").toString === "2022-12-31")
+    val pi0 = out(0).getAs[Row]("lead_investigator")
+    assert(pi0.getAs[String]("given_name") === "Jane") // title stripped
+    assert(pi0.getAs[String]("family_name") === "Doe")
+    assert(pi0.getAs[String]("orcid") === "0000-0001-2345-678X")
+    val ids = pi0.getAs[Row]("affiliation")
+    val idArr = ids.getSeq[Row](ids.fieldIndex("ids"))
+    assert(idArr.head.getAs[String]("id") === "https://ror.org/0384j8v12")
+    assert(idArr.head.getAs[String]("asserted_by") === "nhmrc")
+    val pi1 = out(1).getAs[Row]("lead_investigator")
+    assert(pi1.getAs[String]("given_name") === "Thi") // comma form
+    assert(pi1.getAs[String]("family_name") === "Nguyen")
+  }
+
+  test("NHMRC historical: in-file dedup keeps latest application_year, " +
+    "anti-join append never shadows the primary corpus") {
+    val hist = Seq(
+      ("970001", "Old Grant A", "Fellowship X", Some("1997"),
+        Some("1999"), Some(120000.0), Some("E/Pr Alan Smith"),
+        Some("ANU"), "1996.0"),
+      ("970001", "Old Grant A dup", "Fellowship X", Some("1997"),
+        Some("1999"), Some(120000.0), None, None, "1995.0"),
+      ("1198754", "Overlaps primary", "Project Grants", Some("2013"),
+        Some("2016"), Some(400000.0), None, None, "2013.0"))
+      .toDF("award_id", "title", "grant_type", "start_year", "end_year",
+        "budget_total", "pi_name", "institution", "application_year")
+    val deduped = FunderConfigs.nhmrcHistoricalDedup(hist)
+    assert(deduped.count() === 2)
+    assert(deduped.filter(col("award_id") === "970001")
+      .head().getAs[String]("title") === "Old Grant A") // 1996 > 1995
+    val histAwards = FunderIngest.transform(deduped, reg2,
+      FunderConfigs.nhmrcHistorical, now)
+    assert(histAwards.filter(col("funder_award_id") === "970001")
+      .head().getAs[String]("funding_type") === "fellowship")
+    val pi = histAwards.filter(col("funder_award_id") === "970001")
+      .head().getAs[Row]("lead_investigator")
+    assert(pi.getAs[String]("given_name") === "Alan") // E/Pr stripped
+    // primary wins on the shared id
+    val primary = Seq(("1198754", "Primary row")).toDF("funder_award_id",
+      "display_name")
+    val merged = FunderIngest.appendFyExtension(primary,
+      histAwards.select(col("funder_award_id"),
+        col("display_name")))
+    assert(merged.count() === 2)
+    assert(merged.filter(col("funder_award_id") === "1198754")
+      .head().getAs[String]("display_name") === "Primary row")
+  }
+
+  test("ARC: scheme cascade order (centre=infrastructure before " +
+    "project), single-token PI lands in both name fields") {
+    val raw = Seq(
+      ("DP210101234", "T1", Some("S1"), Some(500000.0),
+        "Discovery Projects", Some("2021"), Some("2024-12-31"),
+        Some("Prof John Smith"), Some("Univ of Melbourne")),
+      ("CE200100025", "T2", None, None,
+        "ARC Centres of Excellence", None, None,
+        Some("Plato"), None),
+      ("FL190100100", "T3", None, None, "ARC Australian Laureate " +
+        "Fellowships", Some("2019"), None, Some("Doe, Jane"), None))
+      .toDF("code", "title", "summary", "grant_value", "scheme_name",
+        "start_year", "end_date", "lead_investigator", "grantee")
+    val out = FunderIngest.transform(raw, reg2, FunderConfigs.arc, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("infrastructure", "research", "fellowship"))
+    assert(out(1).getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(out(1).getAs[Int]("end_year") === 2024)
+    val pi = out(1).getAs[Row]("lead_investigator")
+    assert(pi.getAs[String]("given_name") === "John")
+    assert(pi.getAs[String]("family_name") === "Smith")
+    val single = out(0).getAs[Row]("lead_investigator")
+    assert(single.getAs[String]("given_name") === "Plato")
+    assert(single.getAs[String]("family_name") === "Plato")
+    val comma = out(2).getAs[Row]("lead_investigator")
+    assert(comma.getAs[String]("given_name") === "Jane")
+    assert(comma.getAs[String]("family_name") === "Doe")
+    assert(out(1).getAs[String]("landing_page_url")
+      === "https://dataportal.arc.gov.au/RGS/Web/Grants/DP210101234")
+  }
+
+  test("NSERC: co-applicants rollup feeds investigators, fiscal-year " +
+    "span, currency-formatted amount scrub, NA screen, lowered id") {
+    val raw = Seq(
+      ("123456", "T1", Some("Sum1"), "$45,000", "Discovery Grants",
+        Some("Individual"), "2020", Some("Tremblay, Marie"),
+        Some("McGill University"), Some("Canada")),
+      ("NA", "T2", None, "1", "X", None, "2020", None, None, None),
+      ("777", "T3", None, "12000", "Scholarships and Fellowships",
+        None, "1999", Some("Sole"), Some("UBC"), Some("Canada")))
+      .toDF("applicationid", "applicationtitle", "applicationsummary",
+        "awardamount", "groupen", "programnameen", // programnaneen below
+        "fiscalyear_exercice_financier", "name_nom",
+        "institution_etablissement", "countryen")
+      .withColumn("programnaneen", lit(null).cast("string"))
+    val co = Seq(
+      ("123456", "Roy, Luc", "Univ Laval", "Canada"),
+      ("123456", "Singh", "Univ of Toronto", "Canada"),
+      (null.asInstanceOf[String], "Ghost, G", "X", "Y"))
+      .toDF("applicationid", "coapplicantname_nomcoapplicant",
+        "coappinstitution_etablissement", "countryen")
+    val agg = FunderConfigs.nsercCoapplicantsAgg(co)
+      .withColumnRenamed("applicationid", "__aid")
+    val joined = raw.join(agg, raw("applicationid") === col("__aid"),
+      "left").drop("__aid")
+    val out = FunderIngest.transform(joined, reg2, FunderConfigs.nserc, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2) // 'NA' screened
+    assert(out(0).getAs[String]("funder_award_id") === "123456")
+    assert(out(0).getAs[Double]("amount") === 45000.0) // $ and , scrubbed
+    assert(out(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-04-01")
+    assert(out(0).getAs[java.sql.Date]("end_date").toString === "2021-03-31")
+    assert(out(0).getAs[Int]("start_year") === 2020)
+    val inv = out(0).getSeq[Row](out(0).fieldIndex("investigators"))
+    assert(inv.length === 2)
+    val names = inv.map(r => (r.getAs[String]("given_name"),
+      r.getAs[String]("family_name"))).toSet
+    assert(names === Set(("Luc", "Roy"), (null, "Singh")))
+    assert(out.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("research", "fellowship"))
+    // no co-applicants row -> null investigators
+    assert(out(1).isNullAt(out(1).fieldIndex("investigators")))
+  }
+
+  test("CRUK + NCN: the NULL works_api_url deviation, CRUK's amount " +
+    "waiver, NCN's >0 amount gate and title fallback") {
+    val cruk = Seq(
+      ("C1234/A5678", "CRUK T1", "Programme Foundation Awards",
+        Some("Green"), Some("Ana"), Some("ICR"),
+        "https://www.cancerresearchuk.org/x"))
+      .toDF("funder_award_id", "title", "funder_scheme", "pi_family",
+        "pi_given", "institution", "landing_page_url")
+    val outC = FunderIngest.transform(cruk, reg2, FunderConfigs.cruk, now)
+      .collect()
+    assert(outC.head.isNullAt(outC.head.fieldIndex("works_api_url")))
+    assert(outC.head.isNullAt(outC.head.fieldIndex("amount")))
+    assert(outC.head.isNullAt(outC.head.fieldIndex("currency")))
+    assert(outC.head.getAs[String]("funding_type") === "research")
+    val ncn = Seq(
+      ("UMO-2018/29/B/HS1/02676", "  ", Some("abs"), Some("1500000.50"),
+        Some("PLN"), "OPUS", "2019-01-15", "2022-01-14",
+        Some("Kowalska"), Some("Eva"), Some("Uniwersytet Warszawski"),
+        "https://projekty.ncn.gov.pl/x"),
+      ("UMO-2020/39/D/NZ3/01234", "Title B", None, Some("0"),
+        Some("PLN"), "SONATA", "2021-03-01", "2025-02-28", None, None,
+        Some("UJ"), "https://projekty.ncn.gov.pl/y"))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_family", "pi_given", "institution", "landing_page_url")
+    val outN = FunderIngest.transform(ncn, reg2, FunderConfigs.ncn, now)
+      .orderBy("funder_award_id").collect()
+    // blank title -> "NCN grant <id>" fallback
+    assert(outN(0).getAs[String]("display_name")
+      === "NCN grant UMO-2018/29/B/HS1/02676")
+    assert(outN(0).getAs[Double]("amount") === 1500000.5)
+    // zero amount -> NULL amount AND currency
+    assert(outN(1).isNullAt(outN(1).fieldIndex("amount")))
+    assert(outN(1).isNullAt(outN(1).fieldIndex("currency")))
+    assert(outN(1).isNullAt(outN(1).fieldIndex("works_api_url")))
+    // institution-only fallback lead
+    val lead1 = outN(1).getAs[Row]("lead_investigator")
+    assert(lead1.isNullAt(lead1.fieldIndex("family_name")))
+    assert(lead1.getAs[Row]("affiliation").getAs[String]("name") === "UJ")
+    assert(lead1.getAs[Row]("affiliation").getAs[String]("country")
+      === "Poland")
+  }
+
+  test("Academy of Finland + FWF + FAPESP: language-preferred text, " +
+    "mint-vs-award-id divergence, grant DOIs, dashed landing URL") {
+    val aof = Seq(
+      (12345L, "  ", "Suomi otsikko", Some("  "), Some("Kuvaus"),
+        "345678", Some(600000.0), "Academy Research Fellow", "Call X",
+        "2020-09-01", "2025-08-31", Some("2020"), Some("2025"),
+        Some("Virtanen"), Some("Aino")))
+      .toDF("project_id", "title_en", "title_fi", "description_en",
+        "description_fi", "funder_project_number", "amount_eur",
+        "funding_type", "call_programme", "start_date", "end_date",
+        "start_year", "end_year", "pi_family_name", "pi_given_name")
+    val outA = FunderIngest.transform(aof, reg2,
+      FunderConfigs.academyOfFinland, now).collect()
+    // blank English falls back to Finnish
+    assert(outA.head.getAs[String]("display_name") === "Suomi otsikko")
+    assert(outA.head.getAs[String]("description") === "Kuvaus")
+    assert(outA.head.getAs[String]("funding_type") === "fellowship")
+    // the mint keys on project_id, the award id is the project NUMBER
+    assert(outA.head.getAs[String]("funder_award_id") === "345678")
+    assert(outA.head.getAs[String]("landing_page_url")
+      === "https://research.fi/en/results/funding/12345")
+    val pa = outA.head.getAs[Row]("lead_investigator")
+    assert(pa.getAs[Row]("affiliation").isNullAt(0)) // no aff name in source
+    assert(pa.getAs[Row]("affiliation").getAs[String]("country")
+      === "Finland")
+    val fwf = Seq(
+      ("P36040", "FWF T1", Some("kw1, kw2"), Some(400000.0), None,
+        "Einzelprojekte", "2023-01-01", "2026-12-31",
+        Some("https://www.fwf.ac.at/x"), Some("10.55776/P36040")),
+      ("W1255", "FWF T2", None, None, Some("EUR"),
+        "Doktoratskollegs", "2015-01-01", "2023-12-31", None, None))
+      .toDF("project_code", "title", "keywords", "funded_amount",
+        "currency", "funding_program", "start_date", "end_date",
+        "website_url", "doi")
+    val outF = FunderIngest.transform(fwf, reg2, FunderConfigs.fwf, now)
+      .orderBy("funder_award_id").collect()
+    assert(outF.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("grant", "training"))
+    assert(outF(0).getAs[String]("doi") === "10.55776/P36040")
+    assert(outF(0).getAs[String]("description") === "kw1, kw2")
+    assert(outF(0).isNullAt(outF(0).fieldIndex("lead_investigator")))
+    val fap = Seq(
+      ("19/12345-6", "  ", "Titulo PT", Some("Abstract EN"),
+        None: Option[String],
+        "Bolsas no Brasil - Doutorado", "2019-08-01", "2023-07-31",
+        Some("Silva"), Some("Maria"), Some("USP")))
+      .toDF("process_number", "title_en", "title_pt", "abstract_en",
+        "abstract_pt", "support_modality", "start_date", "end_date",
+        "pi_family_name", "pi_given_name", "institution")
+    val outP = FunderIngest.transform(fap, reg2, FunderConfigs.fapesp, now)
+      .collect()
+    assert(outP.head.getAs[String]("display_name") === "Titulo PT")
+    assert(outP.head.getAs[String]("description") === "Abstract EN")
+    assert(outP.head.getAs[String]("funding_type") === "fellowship")
+    assert(outP.head.isNullAt(outP.head.fieldIndex("amount")))
+    assert(outP.head.getAs[String]("currency") === "BRL")
+    assert(outP.head.getAs[String]("landing_page_url")
+      === "https://bv.fapesp.br/en/auxilios/19-12345-6/")
+  }
+
+  test("Research Council of Norway: labelled description assembly, " +
+    "1800-2100 validity screens, name-or-affiliation lead") {
+    val raw = Seq(
+      ("rcn-foriss-100", "P1", Some("Pop sci."), Some("Summary."),
+        None: Option[String], None: Option[String], None: Option[String],
+        Some(2500000.0), "2020-01-01", "2023-12-31",
+        Some("2020"), Some("2023"), Some("Ola"), Some("Nordmann"),
+        Some("Ola Nordmann"), Some("SINTEF"), Some("ES123456"),
+        "https://prosjektbanken.forskningsradet.no/project/FORISS/100"),
+      // corrupt year 0200 -> screened; no leader name but an org ->
+      // lead struct still fires with the org
+      ("rcn-foriss-200", "P2", None, None, Some("Teaser."), None, None,
+        None, "0200-01-01", "2023-12-31", Some("200"), Some("2023"),
+        None, None, None, Some("Univ of Oslo"), None,
+        "https://x/200"),
+      // no display_name -> dropped
+      (null.asInstanceOf[String], null, None, None, None, None, None,
+        None, "2020-01-01", "2021-01-01", Some("2020"), Some("2021"),
+        None, None, None, None, None, "https://x/300"))
+      .toDF("funder_award_id", "display_name", "pop_sci_description",
+        "project_summary", "teaser", "disciplines_json",
+        "geographies_json", "total_funding", "start_date", "end_date",
+        "start_year", "end_year", "lead_given_name", "lead_family_name",
+        "lead_name", "primary_organization", "current_activity_code",
+        "landing_page_url")
+    val out = FunderIngest.transform(raw, reg2,
+      FunderConfigs.researchCouncilNorway, now)
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("description")
+      === "Popular science description: Pop sci.\n\nProject summary: " +
+        "Summary.")
+    assert(out(0).getAs[String]("currency") === "NOK")
+    assert(out(1).isNullAt(out(1).fieldIndex("currency"))) // no amount
+    assert(out(1).getAs[String]("description") === "Teaser: Teaser.")
+    // corrupt start date/year screened, end kept
+    assert(out(1).isNullAt(out(1).fieldIndex("start_date")))
+    assert(out(1).isNullAt(out(1).fieldIndex("start_year")))
+    assert(out(1).getAs[java.sql.Date]("end_date").toString
+      === "2023-12-31")
+    val l0 = out(0).getAs[Row]("lead_investigator")
+    assert(l0.getAs[String]("family_name") === "Nordmann")
+    assert(l0.getAs[java.sql.Date]("role_start").toString === "2020-01-01")
+    assert(l0.getAs[Row]("affiliation").getAs[String]("country") === "NO")
+    val l1 = out(1).getAs[Row]("lead_investigator")
+    assert(l1.isNullAt(l1.fieldIndex("family_name")))
+    assert(l1.getAs[Row]("affiliation").getAs[String]("name")
+      === "Univ of Oslo")
+    assert(out(0).getAs[String]("funder_scheme") === "ES123456")
+  }
 }
