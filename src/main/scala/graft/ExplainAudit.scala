@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 189
+  val ExpectedChecks = 192
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -256,6 +256,13 @@ object ExplainAudit {
         "— no cartesian")
     check(!p121.contains("rangepartitioning"),
       "q121 has no global sort (the unique-URL map is a hash agg)")
+
+    val p129 = plan("q129_work_linkage_legs")
+    check(!p129.contains("CartesianProduct"),
+      "q129 per-source linkage legs (KAKEN bare-DOI, ANR links file, " +
+        "Hakai output list) are all keyed DOI equijoins — no cartesian")
+    check(!p129.contains("rangepartitioning") && !p129.contains("Window"),
+      "q129 edge rollups are keyed hash aggs — no global sort, no window")
 
     // The dedup DAG (round-8 additions): the CC loop is exactly the
     // plan shape that regresses silently — a dropped Materialize cut

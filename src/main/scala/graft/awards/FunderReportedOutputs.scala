@@ -120,4 +120,101 @@ object FunderReportedOutputs {
       .groupBy(col("work_id"), col("funder_id"))
       .agg(array_distinct(collect_list(col("funder_award_id")))
         .as("award_ids"))
+
+  // ---- the KAKEN / ANR / Hakai per-source legs (round 11) ----
+
+  /** KAKEN's products variant (CreateKAKENWorkAwards.ipynb cell 1):
+    * the self-reported outputs carry a bare DOI field, not a URL —
+    * explode products_json, keep rows with a DOI; there is no
+    * patent/type screen (DOI presence IS the work screen: DOI-less
+    * presentations/books drop here). */
+  def explodeDoiProducts(projectsRaw: DataFrame, projectIdCol: String,
+      jsonCol: String = "products_json"): DataFrame =
+    projectsRaw
+      .filter(col(jsonCol).isNotNull && !col(jsonCol).isin("", "[]", "null"))
+      .select(col(projectIdCol).as("project_id"),
+        explode(from_json(col(jsonCol), lit("array<map<string,string>>")))
+          .as("prod"))
+      .select(col("project_id"), col("prod").getItem("doi").as("doi_raw"))
+      .filter(col("doi_raw").isNotNull)
+
+  /** KAKEN's bare-DOI resolution (cell 1's doi_resolved): lower+TRIM
+    * the bare `10.xxxx/yyyy` form (KAKEN reports clean DOIs — trim,
+    * not the NWO whitespace-strip), extract the DOI token, rebuild
+    * canonical, equijoin works on the lowered DOI; the empty-salvage
+    * guard drops non-DOI payloads. */
+  def bareDoiResolved(products: DataFrame, works: DataFrame): DataFrame = {
+    val doiUrl = concat(lit("https://doi.org/"),
+      regexp_extract(lower(trim(col("doi_raw"))),
+        "(10\\.[0-9]{2,}/[^\\s\"<>]+)", 1))
+    products
+      .filter(lower(col("doi_raw")).rlike("10\\.[0-9]"))
+      .select(col("project_id"), doiUrl.as("doi_url"))
+      .filter(col("doi_url") =!= "https://doi.org/")
+      .join(works.select(col("id").as("work_id"),
+        lower(col("doi")).as("__wdoi")),
+        col("doi_url") === col("__wdoi"))
+      .select("project_id", "work_id").distinct()
+  }
+
+  /** ANR's links-file variant (CreateANRWorkFunders.ipynb cell 3's
+    * `exploded`): the funder ships (doi, anr_grants[]) rows — one
+    * (doi, grant) pair per exploded grant, trimmed, empties dropped.
+    * The grant id IS the project id (= anr_awards.funder_award_id). */
+  def anrLinkPairs(linksRaw: DataFrame): DataFrame =
+    linksRaw
+      .filter(col("doi").isNotNull)
+      .select(lower(col("doi")).as("doi"),
+        explode(col("anr_grants")).as("__g"))
+      .select(col("doi"), trim(col("__g")).as("project_id"))
+      .filter(col("project_id").isNotNull && col("project_id") =!= "")
+
+  /** ANR's DOI resolution (cell 3's doi_resolved): the file carries
+    * bare lowered DOIs; canonical rebuild is a plain prefix concat
+    * (the funder-compiled file needs no salvage regex), equijoin on
+    * the lowered works DOI. The shipped W-ids are deliberately
+    * IGNORED (~1.4% disagree with the DOI on merges; the DOI never
+    * resolves less). */
+  def anrDoiResolved(pairs: DataFrame, works: DataFrame): DataFrame =
+    pairs
+      .join(works.select(col("id").as("work_id"),
+        lower(col("doi")).as("__wdoi")),
+        concat(lit("https://doi.org/"), col("doi")) === col("__wdoi"))
+      .select("project_id", "work_id").distinct()
+
+  /** The Hakai OUTPUT-LIST pattern (CreateHakaiWorkFunders.ipynb
+    * cell 6; how-to-add-a-funder-v2 §11): a funder-published DOI list
+    * with NO award entities — the junction is (work_id, funder_id,
+    * provenance), consumed directly by works-enriched's
+    * funder-reported leg. DOIs arrive pre-canonicalized by the
+    * scraper; the transform still lowers and screens empties, and
+    * unresolved DOIs simply drop (sub-100% coverage is expected). */
+  def outputListEdges(outputsRaw: DataFrame, works: DataFrame): DataFrame =
+    outputsRaw
+      .filter(col("doi").isNotNull && col("doi") =!= "")
+      .select(lower(col("doi")).as("doi_url"),
+        col("funder_id").cast("long").as("funder_id"), col("provenance"))
+      .distinct()
+      .join(works.select(col("id").as("work_id"),
+        lower(col("doi")).as("__wdoi")),
+        col("doi_url") === col("__wdoi"))
+      .select("work_id", "funder_id", "provenance").distinct()
+      .groupBy(col("work_id"), col("funder_id"))
+      .agg(max(col("provenance")).as("provenance"))
+
+  /** The shared funder_reported_work_funders rebuild (Hakai cell 8):
+    * ONE table unions every per-funder junction so the works-enriched
+    * leg never needs editing as funders are added. Junctions that
+    * carry award_ids instead of a provenance column (EuropePMC,
+    * oxjob #477) pass a literal provenance. */
+  def funderReportedUnion(
+      junctions: Seq[(DataFrame, Option[String])]): DataFrame =
+    junctions.map { case (df, litProv) =>
+      litProv match {
+        case Some(p) => df.select(col("work_id"), col("funder_id"),
+          lit(p).as("provenance"))
+        case None => df.select(col("work_id"), col("funder_id"),
+          col("provenance"))
+      }
+    }.reduce(_ unionByName _)
 }

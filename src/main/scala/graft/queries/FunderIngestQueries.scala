@@ -567,19 +567,118 @@ object FunderIngestQueries {
         size(col("award_ids")).as("n_awards"))
   }
 
+  /** q129: the per-source work-linkage legs that deviate from q121's
+    * NWO shape — KAKEN's bare-DOI products (lower+trim salvage, no
+    * type screen, uppercase + padded DOIs normalize, non-DOI payloads
+    * and DOI-less products drop, the award-existence gate at k%11=0),
+    * ANR's funder-compiled links file (per-grant explode with trim +
+    * empty drop, plain canonical rebuild — no salvage regex), and the
+    * Hakai OUTPUT-LIST pattern (no award entities: (work, funder,
+    * provenance) junction, case-folded pre-canonical DOIs, unresolved
+    * DOIs drop) plus the shared funder_reported_work_funders union
+    * (provenance-carrying + literal-provenance junctions). */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import graft.awards.FunderReportedOutputs
+    val works = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+      .select((col("o_orderkey") + 10000).as("id"),
+        concat(lit("https://doi.org/10.99/w"),
+          (col("o_orderkey") - 1).cast("string")).as("doi"))
+    val kp = t(s, dir, "orders").filter(col("o_orderkey") <= 600)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    val m = pmod(k, lit(5))
+    val kjson =
+      when(m === 0, lit(null).cast("string"))
+        .when(m === 1, concat(lit("[{\"doi\":\" 10.99/W"),
+          pmod(k, lit(400)).cast("string"),
+          lit(" \",\"type\":\"journal article\"},"
+            + "{\"type\":\"presentation\"}]")))
+        .when(m === 2,
+          lit("[{\"doi\":\"presentation-no-doi\",\"type\":\"p\"}]"))
+        .when(m === 3, lit("[{\"type\":\"book\"}]"))
+        .otherwise(concat(lit("[{\"doi\":\"10.55555/x"), ks,
+          lit("\",\"type\":\"journal article\"}]")))
+    val kProjects = kp.select(concat(lit("K"), ks).as("project_id"),
+      kjson.as("products_json"))
+    val kAwards = kp.filter(k % 11 =!= 0).select(
+      concat(lit("K"), ks).as("funder_award_id"),
+      lit(4320334764L).as("funder_id"))
+    val kakenEdges = FunderReportedOutputs.workFunderEdges(
+      FunderReportedOutputs.bareDoiResolved(
+        FunderReportedOutputs.explodeDoiProducts(kProjects, "project_id"),
+        works),
+      kAwards)
+
+    val al = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+    val n = pmod(k, lit(3))
+    val g20 = concat(lit("ANR-20-C-"), pmod(k, lit(50)).cast("string"))
+    val g21 = concat(lit(" ANR-21-D-"), pmod(k, lit(60)).cast("string"),
+      lit(" "))
+    val links = al.select(
+      when(k % 17 =!= 0,
+        concat(lit("10.99/W"), pmod(k, lit(400)).cast("string"))).as("doi"),
+      when(n === 0, array(g20))
+        .when(n === 1, array(g20, g21))
+        .otherwise(array(lit(""))).as("anr_grants"))
+    val anrAwards = t(s, dir, "orders").filter(col("o_orderkey") <= 50 &&
+        (col("o_orderkey") - 1) % 7 =!= 0)
+      .select(concat(lit("ANR-20-C-"), (col("o_orderkey") - 1)
+        .cast("string")).as("funder_award_id"),
+        lit(4320320883L).as("funder_id"))
+      .unionByName(t(s, dir, "orders").filter(col("o_orderkey") <= 60)
+        .select(concat(lit("ANR-21-D-"), (col("o_orderkey") - 1)
+          .cast("string")).as("funder_award_id"),
+          lit(4320320883L).as("funder_id")))
+    val anrEdges = FunderReportedOutputs.workFunderEdges(
+      FunderReportedOutputs.anrDoiResolved(
+        FunderReportedOutputs.anrLinkPairs(links), works),
+      anrAwards)
+
+    val hp = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val h = pmod(k, lit(4))
+    val outputs = hp.select(
+      when(h === 0, concat(lit("https://doi.org/10.99/w"),
+        pmod(k, lit(150)).cast("string")))
+        .when(h === 1, concat(lit("HTTPS://DOI.ORG/10.99/W"),
+          pmod(k, lit(150)).cast("string")))
+        .when(h === 2, lit(""))
+        .otherwise(concat(lit("https://doi.org/10.55/nope"), ks))
+        .as("doi"),
+      lit(4320334031L).as("funder_id"),
+      lit("hakai_publications").as("provenance"))
+    val hakaiEdges = FunderReportedOutputs.outputListEdges(outputs, works)
+    val shared = FunderReportedOutputs.funderReportedUnion(Seq(
+      (hakaiEdges, None), (kakenEdges, Some("kaken_work_funders"))))
+
+    def awardLeg(kind: String, df: DataFrame) = df.select(
+      lit(kind).as("kind"), col("work_id").cast("long").as("work_id"),
+      col("funder_id").cast("long").as("funder_id"),
+      to_json(sort_array(col("award_ids"))).as("ref"),
+      size(col("award_ids")).as("n_awards"))
+    def provLeg(kind: String, df: DataFrame) = df.select(
+      lit(kind).as("kind"), col("work_id").cast("long").as("work_id"),
+      col("funder_id").cast("long").as("funder_id"),
+      col("provenance").as("ref"), lit(null).cast("int").as("n_awards"))
+    awardLeg("kaken", kakenEdges)
+      .unionByName(awardLeg("anr", anrEdges))
+      .unionByName(provLeg("hakai", hakaiEdges))
+      .unionByName(provLeg("shared", shared))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
     "q118_resolved_funder_ingest" -> (q118 _),
     "q120_registry_grant_awards" -> (q120 _),
-    "q121_funder_reported_outputs" -> (q121 _))
+    "q121_funder_reported_outputs" -> (q121 _),
+    "q129_work_linkage_legs" -> (q129 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
     "q111_funder_landing_reports" -> Oracles.q111,
     "q118_resolved_funder_ingest" -> Oracles.q118,
     "q120_registry_grant_awards" -> Oracles.q120,
-    "q121_funder_reported_outputs" -> Oracles.q121)
+    "q121_funder_reported_outputs" -> Oracles.q121,
+    "q129_work_linkage_legs" -> Oracles.q129)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -1221,5 +1320,69 @@ object FunderIngestQueries {
       |      AS avg_nonzero_amt
       |  FROM fresh GROUP BY prov, prio)
       |SELECT * FROM rep""".stripMargin
+
+    /** q129: the three linkage legs recomputed from the construction
+      * residues (the non-DOI / DOI-less / empty / unresolved arms are
+      * analytic — they never produce resolved rows). */
+    val q129: String =
+      """WITH works AS (SELECT o_orderkey + 10000 AS work_id,
+        |    o_orderkey - 1 AS j FROM orders WHERE o_orderkey <= 400),
+        |kp AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 600),
+        |kres AS (SELECT DISTINCT 'K' || CAST(k AS VARCHAR) AS pid,
+        |    wk.work_id
+        |  FROM kp JOIN works wk ON k % 400 = wk.j WHERE k % 5 = 1),
+        |kgated AS (SELECT r.work_id, r.pid FROM kres r
+        |  JOIN (SELECT 'K' || CAST(k AS VARCHAR) AS aid FROM kp
+        |        WHERE k % 11 <> 0) a ON a.aid = r.pid),
+        |kedge AS (SELECT work_id,
+        |    CAST(4320334764 AS BIGINT) AS funder_id,
+        |    CAST(to_json(list(DISTINCT pid ORDER BY pid)) AS VARCHAR)
+        |      AS ref,
+        |    CAST(count(DISTINCT pid) AS INTEGER) AS n_awards
+        |  FROM kgated GROUP BY work_id),
+        |al AS (SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey <= 500 AND o_orderkey % 17 <> 0),
+        |apairs AS (
+        |  SELECT k % 400 AS j,
+        |    'ANR-20-C-' || CAST(k % 50 AS VARCHAR) AS pid
+        |  FROM al WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT k % 400, 'ANR-21-D-' || CAST(k % 60 AS VARCHAR)
+        |  FROM al WHERE k % 3 = 1),
+        |ares AS (SELECT DISTINCT p.pid, wk.work_id
+        |  FROM apairs p JOIN works wk ON p.j = wk.j),
+        |aaw AS (
+        |  SELECT 'ANR-20-C-' || CAST(o_orderkey - 1 AS VARCHAR) AS aid
+        |  FROM orders WHERE o_orderkey <= 50 AND (o_orderkey - 1) % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'ANR-21-D-' || CAST(o_orderkey - 1 AS VARCHAR)
+        |  FROM orders WHERE o_orderkey <= 60),
+        |agated AS (SELECT r.work_id, r.pid FROM ares r
+        |  JOIN aaw a ON a.aid = r.pid),
+        |aedge AS (SELECT work_id,
+        |    CAST(4320320883 AS BIGINT) AS funder_id,
+        |    CAST(to_json(list(DISTINCT pid ORDER BY pid)) AS VARCHAR)
+        |      AS ref,
+        |    CAST(count(DISTINCT pid) AS INTEGER) AS n_awards
+        |  FROM agated GROUP BY work_id),
+        |hp AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 300),
+        |hedge AS (SELECT DISTINCT wk.work_id,
+        |    CAST(4320334031 AS BIGINT) AS funder_id,
+        |    'hakai_publications' AS ref
+        |  FROM hp JOIN works wk ON k % 150 = wk.j WHERE k % 4 IN (0, 1))
+        |SELECT 'kaken' AS kind, CAST(work_id AS BIGINT) AS work_id,
+        |  funder_id, ref, n_awards FROM kedge
+        |UNION ALL
+        |SELECT 'anr', CAST(work_id AS BIGINT), funder_id, ref, n_awards
+        |FROM aedge
+        |UNION ALL
+        |SELECT 'hakai', CAST(work_id AS BIGINT), funder_id, ref,
+        |  CAST(NULL AS INTEGER) FROM hedge
+        |UNION ALL
+        |SELECT 'shared', CAST(work_id AS BIGINT), funder_id, ref,
+        |  CAST(NULL AS INTEGER) FROM hedge
+        |UNION ALL
+        |SELECT 'shared', CAST(work_id AS BIGINT), funder_id,
+        |  'kaken_work_funders', CAST(NULL AS INTEGER) FROM kedge""".stripMargin
   }
 }

@@ -76,4 +76,67 @@ class FunderReportedOutputsSpec extends AnyFunSuite {
     assert(e.length === 1)
     assert(e(0).getAs[Seq[String]]("a") === Seq("P1", "P2"))
   }
+
+  test("KAKEN leg: bare-DOI products explode (no type screen, " +
+    "DOI-less products drop), lower+trim salvage, non-DOI payloads " +
+    "drop (CreateKAKENWorkAwards cell 1)") {
+    val raw = Seq(
+      ("K1", """[{"doi":" 10.99/Alpha ","type":"journal article"},
+        {"type":"presentation"}]""".replaceAll("\n\\s*", "")),
+      ("K2", """[{"doi":"presentation-only","type":"x"}]"""),
+      ("K3", "[]"), ("K4", null))
+      .toDF("project_id", "products_json")
+    val p = FunderReportedOutputs.explodeDoiProducts(raw, "project_id")
+    assert(p.count() === 2) // K1's DOI product + K2's non-DOI payload
+    val r = FunderReportedOutputs.bareDoiResolved(p, works).collect()
+    assert(r.length === 1) // K2's payload fails the DOI screen
+    assert(r(0).getAs[String]("project_id") === "K1")
+    assert(r(0).getAs[Long]("work_id") === 1L) // case-folded match
+  }
+
+  test("ANR leg: per-grant explode with trim + empty drop, plain " +
+    "canonical rebuild, W-ids ignored (CreateANRWorkFunders cell 3)") {
+    val links = Seq(
+      (Option("10.99/ALPHA"), Seq(" ANR-12-CHRI-0003 ", "")),
+      (Option("10.77/beta"), Seq("ANR-20-CE45-0001", "ANR-12-CHRI-0003")),
+      (Option.empty[String], Seq("ANR-99-XXXX-0009")))
+      .toDF("doi", "anr_grants")
+    val pairs = FunderReportedOutputs.anrLinkPairs(links)
+    assert(pairs.count() === 3) // empty grant + null doi dropped
+    assert(pairs.filter(col("project_id") === "ANR-12-CHRI-0003")
+      .count() === 2) // trimmed, appears under both DOIs
+    val r = FunderReportedOutputs.anrDoiResolved(pairs, works)
+    assert(r.count() === 3) // both works resolve (case-folded)
+    val awards = Seq(("ANR-12-CHRI-0003", 883L))
+      .toDF("funder_award_id", "funder_id")
+    val e = FunderReportedOutputs.workFunderEdges(r, awards)
+      .orderBy("work_id").collect()
+    assert(e.length === 2) // the un-ingested grant drops its edges
+    assert(e.map(_.getAs[Long]("work_id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("Hakai OUTPUT-LIST leg: no award entities — (work, funder, " +
+    "provenance) junction, case-fold + empty screen, unresolved DOIs " +
+    "drop; the shared union takes literal-provenance junctions " +
+    "(CreateHakaiWorkFunders cells 6+8)") {
+    val outputs = Seq(
+      ("https://doi.org/10.99/alpha", 31L, "hakai_publications"),
+      ("HTTPS://DOI.ORG/10.99/ALPHA", 31L, "hakai_publications"), // dup
+      ("https://doi.org/10.55/none", 31L, "hakai_publications"),
+      ("", 31L, "hakai_publications"))
+      .toDF("doi", "funder_id", "provenance")
+    val e = FunderReportedOutputs.outputListEdges(outputs, works).collect()
+    assert(e.length === 1) // dup case-folds together; others drop
+    assert(e(0).getAs[Long]("work_id") === 1L)
+    assert(e(0).getAs[String]("provenance") === "hakai_publications")
+    val awardJunction = Seq((2L, 477L, Seq("G1")))
+      .toDF("work_id", "funder_id", "award_ids")
+    val shared = FunderReportedOutputs.funderReportedUnion(Seq(
+      (FunderReportedOutputs.outputListEdges(outputs, works), None),
+      (awardJunction, Some("europepmc_work_funders"))))
+      .orderBy("work_id").collect()
+    assert(shared.length === 2)
+    assert(shared(1).getAs[String]("provenance")
+      === "europepmc_work_funders")
+  }
 }
