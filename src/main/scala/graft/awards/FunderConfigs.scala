@@ -1754,6 +1754,424 @@ object FunderConfigs {
       worksApiUrl = Some(lit(null).cast("string")))
   }
 
+  // ---------------------------------------------------------------
+  // Tier-3 single-funder configs (round-11, second batch): the next
+  // ten by volume after the verdict's tier-2 list.
+  // ---------------------------------------------------------------
+
+  /** Erasmus+ Project Results platform
+    * (CreateErasmusPlusAwards.ipynb cell 9, ~327K projects across
+    * 2014-2020 + 2021-2027): EUR EU-grant amounts, fixed 'grant' type,
+    * action-type scheme with key-action fallback, organisation-only
+    * lead (no person PIs in the source — coordinator org =
+    * affiliation). */
+  def erasmusPlus: FunderIngestConfig = {
+    val lead = when(col("coordinator_name").isNotNull, investigator(
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("date"),
+      col("coordinator_name"), col("coordinator_country"),
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320335551L, provenance = "erasmus_plus", priority = 427,
+      mintKey = lower(col("project_reference")),
+      funderAwardId = col("project_reference"),
+      displayName = col("project_title"),
+      description = coalesce(col("project_description"),
+        col("description_objectives"), col("description_background")),
+      amount = col("granted_eu_amount").try_cast("double"),
+      currency = lit("EUR"),
+      fundingType = lit("grant"),
+      funderScheme = coalesce(col("level3_label"), col("level2_label")),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_reference").isNotNull &&
+        trim(col("project_reference")) =!= "")
+  }
+
+  /** NSFC completed-project database (CreateNSFCAwards.ipynb cell 7,
+    * ~126K 结题 projects): CNY gated on amount > 0, the
+    * Chinese-programme type cascade (杰出青年/优秀青年 fellowships,
+    * 创新研究群体/基础科学中心/重点/重大 research — case-sensitive, no
+    * LOWER), conclusion-year Dec-31 end boundary, the
+    * name-or-institution lead gate, priority 209 (restored by
+    * oxjob #500 after the dedup-direction flip so NSFC outranks the
+    * crossref/datacite shells). */
+  def nsfc: FunderIngestConfig = {
+    val sch = col("funder_scheme")
+    val fundingType =
+      when(sch.like("%杰出青年%"), "fellowship")
+        .when(sch.like("%优秀青年%"), "fellowship")
+        .when(sch.like("%创新研究群体%"), "research")
+        .when(sch.like("%基础科学中心%"), "research")
+        .when(sch.like("%重点%"), "research")
+        .when(sch.like("%重大%"), "research")
+        .otherwise("grant")
+    val lead = when(
+      (col("family_name").isNotNull && trim(col("family_name")) =!= "") ||
+        (col("institution").isNotNull && trim(col("institution")) =!= ""),
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("China"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321001L, provenance = "nsfc_kd", priority = 209,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"),
+      currency = when(col("amount").try_cast("double") > 0, "CNY"),
+      fundingType = fundingType, funderScheme = sch,
+      startDate = d(col("start_date")),
+      endDate = d(concat(col("conclusion_year"), lit("-12-31"))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("conclusion_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://kd.nsfc.cn/finalDetails?id="),
+        col("project_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id").cast("string")) =!= "")
+  }
+
+  /** Junta de Andalucía bulk subsidies, research-scoped
+    * (CreateAndaluciaAwards.ipynb cell 9; the 54A/research inclusion
+    * rule runs in the scraper): EUR gated on > 0, the
+    * announcement-regex fellowship screen, grant-date-or-award-year
+    * start, institution-only lead (person names unsplittable),
+    * portal-level landing URL, no row filter (the scraper owns the
+    * scope). */
+  def andalucia: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("institution_name").isNotNull &&
+        trim(col("institution_name")) =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution_name"), lit("Spain"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320326754L, provenance = "andalucia", priority = 421,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("announcement"),
+      description = when(trim(col("finality")) =!= "",
+        trim(col("finality"))),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, lit("EUR")),
+      fundingType = when(lower(col("announcement")).rlike(
+        "(predoctoral|postdoctoral|posdoctoral|contrat|talentia|beca)"),
+        "fellowship").otherwise("research"),
+      funderScheme = when(trim(col("name_program")) =!= "",
+        trim(col("name_program"))),
+      startDate = d(col("grant_date")),
+      endDate = lit(null).cast("date"),
+      startYear = coalesce(year(d(col("grant_date"))),
+        col("award_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit("https://www.juntadeandalucia.es/datosabiertos/" +
+        "portal/dataset/subvenciones-otorgadas-por-la-junta-de-andalucia"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** NWO / Dutch Research Council via NWOpen
+    * (CreateNWOAwards.ipynb cell 6, ~14.6K): no amounts in the API
+    * (EUR currency still stamped), the Veni/Vidi/Vici fellowship +
+    * Spinoza/Stevin prize + Gravitation research cascade, pi_id
+    * already an ORCID URL, dotted project ids dashed for the landing
+    * URL. */
+  def nwo: FunderIngestConfig = {
+    val gc = lower(col("grant_category"))
+    val fundingType =
+      when(gc.like("%veni%"), "fellowship")
+        .when(gc.like("%vidi%"), "fellowship")
+        .when(gc.like("%vici%"), "fellowship")
+        .when(gc.like("%fellowship%"), "fellowship")
+        .when(gc.like("%promotiebeurs%"), "fellowship")
+        .when(gc.like("%onderzoekstalent%"), "fellowship")
+        .when(gc.like("%graduate%"), "training")
+        .when(gc.like("%spinoza%"), "prize")
+        .when(gc.like("%stevin%"), "prize")
+        .when(gc.like("%gravitation%"), "research")
+        .when(gc.like("%zwaartekracht%"), "research")
+        .when(gc.like("%infrastructuur%"), "infrastructure")
+        .when(gc.like("%infrastructure%"), "infrastructure")
+        .otherwise("grant")
+    val lead = when(col("pi_family_name").isNotNull, investigator(
+      col("pi_given_name"), col("pi_family_name"), col("pi_id"),
+      lit(null).cast("date"), col("lead_org_name"), lit("Netherlands"),
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321800L, provenance = "nwopen", priority = 11,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("title"), description = col("abstract"),
+      amount = lit(null).cast("double"), currency = lit("EUR"),
+      fundingType = fundingType, funderScheme = col("grant_category"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.nwo.nl/projecten/"),
+        regexp_replace(col("project_id"), "\\.", "-")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** NIHR Open Data (CreateNIHRAwards.ipynb cell 7, ~10.8K after the
+    * 2026-07-12 export-endpoint refresh; DHSC-direct rows are split
+    * out by the scraper into the CreateDHSCAwards slice): GBP, the
+    * programme cascade, plain-English-preferred abstracts, the
+    * institution-country array's first element falling back to
+    * 'United Kingdom'. */
+  def nihr: FunderIngestConfig = {
+    val prog = lower(col("programme"))
+    val fundingType =
+      when(prog.like("%fellowship%"), "fellowship")
+        .when(prog.like("%senior investigator%"), "fellowship")
+        .when(prog.like("%academic%"), "fellowship")
+        .when(prog.like("%bridging%"), "fellowship")
+        .when(prog.like("%health technology%"), "research")
+        .when(prog.like("%research for patient%"), "research")
+        .when(prog.like("%programme grant%"), "research")
+        .when(prog.like("%efficacy%"), "research")
+        .when(prog.like("%public health%"), "research")
+        .when(prog.like("%policy%"), "research")
+        .when(prog.like("%global health%"), "research")
+        .when(prog.like("%delivery%"), "research")
+        .when(prog.like("%invention%"), "research")
+        .when(prog.like("%infrastructure%"), "infrastructure")
+        .otherwise("grant")
+    val country = coalesce(
+      when(size(col("institution_country")) > 0,
+        element_at(col("institution_country"), 1)),
+      lit("United Kingdom"))
+    val lead = when(col("pi_family_name").isNotNull, investigator(
+      col("pi_given_name"), col("pi_family_name"), col("orcid"),
+      lit(null).cast("date"), col("contracted_organisation"), country,
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320319990L, provenance = "nihr", priority = 13,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("title"),
+      description = coalesce(col("plain_english_abstract"),
+        col("scientific_abstract")),
+      amount = col("award_amount").try_cast("double"),
+      currency = lit("GBP"),
+      fundingType = fundingType, funderScheme = col("programme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** Innovate UK funded projects (CreateInnovateUKAwards.ipynb
+    * cell 6, ~41K since 2004): GBP, the product-type cascade with the
+    * 'loan' arm, organisation grantees (lead participant = the
+    * affiliation, always UK), GtR landing URLs, and the UN-lowered
+    * mint (the notebook concats the bare CAST — no LOWER, unlike
+    * every sibling). The notebook's extra analysis columns
+    * (sector/region/...) are not landed — the INSERT takes only the
+    * 24 shared columns. */
+  def innovateUk: FunderIngestConfig = {
+    val pt = lower(col("product_type"))
+    val fundingType =
+      when(pt.like("%fellowship%"), "fellowship")
+        .when(pt.like("%feasibility%"), "research")
+        .when(pt.like("%r&d%") || pt.like("%research%"), "research")
+        .when(pt.like("%innovation%"), "research")
+        .when(pt.like("%demonstrator%"), "research")
+        .when(pt.like("%smart%"), "research")
+        .when(pt.like("%knowledge transfer%"), "training")
+        .when(pt.like("%loan%"), "loan")
+        .otherwise("grant")
+    val pn = col("project_number").cast("string")
+    val lead = when(col("participant_name").isNotNull, investigator(
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("date"),
+      col("participant_name"), lit("United Kingdom"),
+      lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320335087L, provenance = "innovate_uk", priority = 28,
+      mintKey = pn,
+      funderAwardId = pn,
+      displayName = col("project_title"),
+      description = col("public_description"),
+      amount = col("award_amount").try_cast("double"),
+      currency = lit("GBP"),
+      fundingType = fundingType, funderScheme = col("product_type"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://gtr.ukri.org/projects?ref="),
+        pn),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_number").isNotNull)
+  }
+
+  /** AEI via the Spanish BDNS subsidies register
+    * (CreateAEIAwards.ipynb cell 7, ~28.8K concessions since 2022):
+    * EUR, the SUBVENCIÓN/PRÉSTAMO instrument split (case-sensitive
+    * accented LIKEs), call title doubling as description, the
+    * NIF-prefix strip deriving the beneficiary org name, an
+    * UNCONDITIONAL org-affiliation lead struct ('ES' country), BOE
+    * legal-basis landing URL, concession date as the start. */
+  def aei: FunderIngestConfig = {
+    val orgName = trim(regexp_replace(col("beneficiary"),
+      "^[A-Z0-9]+\\s+", ""))
+    FunderIngestConfig(
+      funderId = 4320335598L, provenance = "bdns_aei", priority = 31,
+      mintKey = lower(col("grant_code")),
+      funderAwardId = col("grant_code"),
+      displayName = col("call_title"), description = col("call_title"),
+      amount = col("amount").try_cast("double"), currency = lit("EUR"),
+      fundingType = when(col("instrument_type").like("%PRÉSTAMO%"), "loan")
+        .when(col("instrument_type").like("%SUBVENCI%"), "grant")
+        .otherwise("grant"),
+      funderScheme = col("instrument_type"),
+      startDate = d(col("grant_date")), endDate = lit(null).cast("date"),
+      startYear = col("grant_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("date"), orgName, lit("ES"),
+        lit(null).cast(affIds)),
+      landingPageUrl = col("legal_basis_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_code").isNotNull &&
+        trim(col("grant_code")) =!= "")
+  }
+
+  /** The SweCRIS citable-id strip (the 2026-07-31 award-id audit):
+    * `_VR` / `_Vinnova` / `_<agency>` suffixes come off the trimmed
+    * project id so the bare diarienummer — the form works cite —
+    * ships as the award id. */
+  private def swecrisBareId(c: Column): Column =
+    regexp_replace(trim(c), "_[A-Za-z]+$", "")
+
+  /** Swedish Research Council / Vetenskapsrådet via SweCRIS
+    * (CreateSwedishResearchCouncilAwards.ipynb cell 7, ~23K): SEK,
+    * English-preferred text, the award-type cascade, the bare
+    * diarienummer award id ([[swecrisBareId]]) while the landing URL
+    * keeps the RAW suffixed id. */
+  def swedishResearchCouncil: FunderIngestConfig = {
+    val ta = lower(col("type_of_award"))
+    val fundingType =
+      when(ta.like("%positions%"), "fellowship")
+        .when(ta.like("%stipend%"), "fellowship")
+        .when(ta.like("%infrastructure%"), "infrastructure")
+        .when(ta.like("%environment%"), "research")
+        .when(ta.like("%project%"), "research")
+        .when(ta.like("%international%"), "research")
+        .otherwise("grant")
+    val lead = when(col("pi_family_name").isNotNull &&
+        trim(col("pi_family_name")) =!= "",
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        col("pi_orcid"), lit(null).cast("date"),
+        col("coordinating_organisation"), lit("Sweden"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322581L, provenance = "swedish_research_council",
+      priority = 15,
+      mintKey = lower(swecrisBareId(col("project_id"))),
+      funderAwardId = swecrisBareId(col("project_id")),
+      displayName = coalesce(col("title_english"), col("title")),
+      description = coalesce(col("abstract_english"), col("abstract")),
+      amount = col("amount").try_cast("double"), currency = lit("SEK"),
+      fundingType = fundingType, funderScheme = col("type_of_award"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.vr.se/swecris#/project/"),
+        col("project_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** Vinnova via SweCRIS (CreateVinnovaAwards.ipynb cell 7, ~24K):
+    * SEK, English-preferred text, the bare-diarienummer strip, the
+    * full PI name stored in family_name with the ORCID URL prefix
+    * normalize and role_start = project start. */
+  def vinnova: FunderIngestConfig = {
+    val orcid = when(col("pi_orcid").isNotNull && trim(col("pi_orcid"))
+        =!= "", concat(lit("https://orcid.org/"), trim(col("pi_orcid"))))
+    val lead = when(col("pi_name").isNotNull && trim(col("pi_name")) =!= "",
+      investigator(lit(null).cast("string"), trim(col("pi_name")),
+        orcid, d(col("projectstartdate")),
+        trim(col("coordinatingorganisationnameen")), lit("Sweden"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321030L, provenance = "swecris_vinnova", priority = 9,
+      mintKey = lower(swecrisBareId(col("projectid"))),
+      funderAwardId = swecrisBareId(col("projectid")),
+      displayName = coalesce(col("projecttitleen"), col("projecttitlesv")),
+      description = coalesce(col("projectabstracten"),
+        col("projectabstractsv")),
+      amount = col("fundingssek").try_cast("double"),
+      currency = lit("SEK"),
+      fundingType = lit("grant"),
+      funderScheme = col("typeofawarddescren"),
+      startDate = d(col("projectstartdate")),
+      endDate = d(col("projectenddate")),
+      startYear = year(d(col("projectstartdate"))),
+      endYear = year(d(col("projectenddate"))),
+      leadInvestigator = lead,
+      landingPageUrl = lit("https://www.vr.se/english/swecris.html"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("projectid").isNotNull &&
+        trim(col("projectid")) =!= "")
+  }
+
+  /** FCT / Fundação para a Ciência e a Tecnologia
+    * (CreateFCTAwards.ipynb cell 6, 7,569 Projetos de I&D): the
+    * NCN/RAD-on pattern twin — 'FCT grant <id>' title fallback, the
+    * >0 amount gate with source-carried currency, the
+    * name-else-institution lead fallback ('Portugal'), and the NULL
+    * works_api_url deviation. */
+  def fct: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull, investigator(
+      col("pi_given"), col("pi_family"), lit(null).cast("string"),
+      lit(null).cast("date"), col("institution"), lit("Portugal"),
+      lit(null).cast(affIds)))
+      .when(col("institution").isNotNull, investigator(
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Portugal"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334779L, provenance = "fct", priority = 385,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(
+        when(trim(col("title")) =!= "", trim(col("title"))),
+        concat(lit("FCT grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt.cast("double")),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      startDate = d(col("start_date_raw")),
+      endDate = d(col("end_date_raw")),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = year(d(col("end_date_raw"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
   /** Research Council of Norway Project Bank
     * (CreateResearchCouncilNorwayAwards.ipynb cell 13, ~45K FORISS
     * projects): NOK gated on amount presence, the five-segment

@@ -1098,6 +1098,213 @@ class FunderConfigsSpec extends AnyFunSuite {
       === "https://bv.fapesp.br/en/auxilios/19-12345-6/")
   }
 
+  private def reg3 = reg2.unionByName(Seq(
+    (4320335551L, "Erasmus+", "r-ep", "d-ep"),
+    (4320321001L, "National Natural Science Foundation of China",
+      "r-nsfc", "10.13039/501100001809"),
+    (4320326754L, "Junta de Andalucía", "r-ja", "d-ja"),
+    (4320321800L, "Dutch Research Council",
+      "https://ror.org/04jsz6e67", "10.13039/501100003246"),
+    (4320319990L, "National Institute for Health and Care Research",
+      "https://ror.org/0187kwz08", "10.13039/501100000272"),
+    // Innovate UK 4320335087 is already in the base reg (GTR block)
+    (4320335598L, "Agencia Estatal de Investigación", "r-aei",
+      "10.13039/501100011033"),
+    (4320322581L, "Vetenskapsrådet", "https://ror.org/03zttf063",
+      "10.13039/501100004359"),
+    (4320321030L, "VINNOVA", "https://ror.org/01kd5m353",
+      "10.13039/501100001858"),
+    (4320334779L, "Fundação para a Ciência e a Tecnologia",
+      "https://ror.org/00snfqn58", "10.13039/501100001871"))
+    .toDF(reg.columns: _*))
+
+  test("Erasmus+ / NWO / NIHR: org-only lead, prize arms, ORCID " +
+    "passthrough, country-array fallback, dotted-id landing") {
+    val ep = Seq(
+      ("2021-1-FR01-KA220-HED-000027577", "EP T1", Some("Summary"),
+        None: Option[String], None: Option[String], Some(400000.0),
+        Some("Cooperation partnerships"), Some("KA2"), "2022-01-01",
+        "2024-12-31", Some("Univ Lyon"), Some("France"), "https://ep/1"))
+      .toDF("project_reference", "project_title", "project_description",
+        "description_objectives", "description_background",
+        "granted_eu_amount", "level3_label", "level2_label",
+        "start_date", "end_date", "coordinator_name",
+        "coordinator_country", "landing_page_url")
+    val oe = FunderIngest.transform(ep, reg3, FunderConfigs.erasmusPlus,
+      now).collect()
+    assert(oe.head.getAs[String]("funding_type") === "grant")
+    val le = oe.head.getAs[Row]("lead_investigator")
+    assert(le.isNullAt(le.fieldIndex("family_name")))
+    assert(le.getAs[Row]("affiliation").getAs[String]("name")
+      === "Univ Lyon")
+    val nw = Seq(
+      ("016.Veni.192.067", "NWO T1", Some("Abs"), "Veni",
+        "2019-09-01", "2023-08-31", Some("Aa"), Some("van der Berg"),
+        Some("https://orcid.org/0000-0002-1111-2222"), Some("TU Delft")),
+      ("024.003.001", "NWO T2", None, "Zwaartekracht (Gravitation)",
+        "2017-01-01", "2027-12-31", None, None, None, None))
+      .toDF("project_id", "title", "abstract", "grant_category",
+        "start_date", "end_date", "pi_given_name", "pi_family_name",
+        "pi_id", "lead_org_name")
+    val on = FunderIngest.transform(nw, reg3, FunderConfigs.nwo, now)
+      .orderBy("funder_award_id").collect()
+    assert(on.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("fellowship", "research"))
+    assert(on(0).isNullAt(on(0).fieldIndex("amount"))) // no amounts
+    assert(on(0).getAs[String]("currency") === "EUR")  // EUR still stamped
+    assert(on(0).getAs[Row]("lead_investigator").getAs[String]("orcid")
+      === "https://orcid.org/0000-0002-1111-2222")
+    assert(on(0).getAs[String]("landing_page_url")
+      === "https://www.nwo.nl/projecten/016-Veni-192-067")
+    val ni = Seq(
+      ("NIHR300001", "NIHR T1", Some("Plain"), Some("Sci"),
+        Some(1200000.0), "Advanced Fellowship", "2021-01-01",
+        "2025-12-31", Some("Priya"), Some("Patel"),
+        Some("0000-0003-1"), Some("Univ of Leeds"), Seq("England"),
+        "https://fundingawards.nihr.ac.uk/award/NIHR300001"),
+      ("NIHR200002", "NIHR T2", None, Some("Sci2"), None,
+        "Health Technology Assessment", "2020-01-01", "2023-12-31",
+        Some("A"), Some("B"), None, Some("X"), Seq.empty[String],
+        "https://x/2"))
+      .toDF("project_id", "title", "plain_english_abstract",
+        "scientific_abstract", "award_amount", "programme",
+        "start_date", "end_date", "pi_given_name", "pi_family_name",
+        "orcid", "contracted_organisation", "institution_country",
+        "landing_page_url")
+    val oi = FunderIngest.transform(ni, reg3, FunderConfigs.nihr, now)
+      .orderBy("funder_award_id").collect()
+    assert(oi.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("research", "fellowship"))
+    assert(oi(1).getAs[String]("description") === "Plain") // preferred
+    assert(oi(0).getAs[String]("description") === "Sci2")  // fallback
+    val a1 = oi(1).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(a1.getAs[String]("country") === "England") // array head
+    val a0 = oi(0).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(a0.getAs[String]("country") === "United Kingdom") // empty array
+  }
+
+  test("NSFC / Andalucía / AEI: Chinese programme cascade, >0 amount " +
+    "gates, announcement regex, NIF strip, unconditional org lead") {
+    val ns = Seq(
+      ("52273091", "NSFC T1", "面上项目", Some(540000.0), "2023-01-01",
+        "2026", "2023", Some("伟"), Some("王"), Some("清华大学"), "p1"),
+      ("T2125015", "NSFC T2", "国家杰出青年科学基金项目", Some(0.0),
+        "2022-01-01", "2026", "2022", None, None, Some("北京大学"), "p2"))
+      .toDF("funder_award_id", "display_name", "funder_scheme", "amount",
+        "start_date", "conclusion_year", "start_year", "given_name",
+        "family_name", "institution", "project_id")
+    val os = FunderIngest.transform(ns, reg3, FunderConfigs.nsfc, now)
+      .orderBy("funder_award_id").collect()
+    assert(os.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("grant", "fellowship"))
+    assert(os(0).getAs[String]("currency") === "CNY")
+    assert(os(1).isNullAt(os(1).fieldIndex("currency"))) // 0 amount
+    assert(os(0).getAs[java.sql.Date]("end_date").toString === "2026-12-31")
+    // institution-only rows still produce the lead struct
+    val l1 = os(1).getAs[Row]("lead_investigator")
+    assert(l1.getAs[Row]("affiliation").getAs[String]("name") === "北京大学")
+    val an = Seq(
+      ("AND-1", "Ayudas predoctorales PAIDI", Some("  "), Some(25000.0),
+        Some("2021-06-01"), Some("2021"), Some("PAIDI 2020"),
+        Some("Universidad de Sevilla")),
+      ("AND-2", "Proyectos I+D+i universidades", Some("Fin"), Some(-5.0),
+        None, Some("2022"), None, None))
+      .toDF("funder_award_id", "announcement", "finality", "amount",
+        "grant_date", "award_year", "name_program", "institution_name")
+    val oa = FunderIngest.transform(an, reg3, FunderConfigs.andalucia, now)
+      .orderBy("funder_award_id").collect()
+    assert(oa.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("fellowship", "research"))
+    assert(oa(0).isNullAt(oa(0).fieldIndex("description"))) // blank finality
+    assert(oa(1).isNullAt(oa(1).fieldIndex("amount"))) // negative gated
+    assert(oa(0).getAs[Int]("start_year") === 2021)
+    assert(oa(1).getAs[Int]("start_year") === 2022) // award_year fallback
+    val ae = Seq(
+      ("PID2022-123456", "Proyectos de Generación de Conocimiento",
+        Some(150000.0), "SUBVENCIÓN Y ENTREGA DINERARIA", "2023-01-10",
+        "2023", "A12345678 UNIVERSIDAD DE GRANADA", "https://boe/1"),
+      ("EIN2022-5", "Préstamos I+D", Some(90000.0), "PRÉSTAMO",
+        "2023-02-01", "2023", "B9 ACME SL", "https://boe/2"))
+      .toDF("grant_code", "call_title", "amount", "instrument_type",
+        "grant_date", "grant_year", "beneficiary", "legal_basis_url")
+    val oae = FunderIngest.transform(ae, reg3, FunderConfigs.aei, now)
+      .orderBy("funder_award_id").collect()
+    assert(oae.map(_.getAs[String]("funding_type")).toSeq
+      === Seq("loan", "grant"))
+    val af = oae(1).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(af.getAs[String]("name") === "UNIVERSIDAD DE GRANADA") // NIF off
+    assert(af.getAs[String]("country") === "ES")
+  }
+
+  test("InnovateUK / VR / Vinnova / FCT: un-lowered mint key, SweCRIS " +
+    "suffix strip, full-name-in-family + ORCID prefix, FCT NULL " +
+    "works_api_url + title fallback") {
+    val iu = Seq(
+      (132462L, "IUK T1", Some("Desc"), Some(350000.0),
+        "Collaborative R&D", "2019-04-01", "2021-03-31",
+        Some("ACME ROBOTICS LTD")))
+      .toDF("project_number", "project_title", "public_description",
+        "award_amount", "product_type", "start_date", "end_date",
+        "participant_name")
+    val oiu = FunderIngest.transform(iu, reg3, FunderConfigs.innovateUk,
+      now).collect()
+    assert(oiu.head.getAs[String]("funder_award_id") === "132462")
+    assert(oiu.head.getAs[String]("funding_type") === "research")
+    assert(oiu.head.getAs[String]("landing_page_url")
+      === "https://gtr.ukri.org/projects?ref=132462")
+    val vr = Seq(
+      (" 2016-07099_VR ", "Titel", Some("VR T1 EN"), "Sammanfattning",
+        Some("Abstract EN"), Some(3200000.0), "Project grant",
+        "2017-01-01", "2020-12-31", Some("Erik"), Some("Larsson"),
+        Some("https://orcid.org/0000-1"), Some("Lunds universitet")))
+      .toDF("project_id", "title", "title_english", "abstract",
+        "abstract_english", "amount", "type_of_award", "start_date",
+        "end_date", "pi_given_name", "pi_family_name", "pi_orcid",
+        "coordinating_organisation")
+    val ovr = FunderIngest.transform(vr, reg3,
+      FunderConfigs.swedishResearchCouncil, now).collect()
+    assert(ovr.head.getAs[String]("funder_award_id") === "2016-07099")
+    assert(ovr.head.getAs[String]("display_name") === "VR T1 EN")
+    assert(ovr.head.getAs[String]("funding_type") === "research")
+    assert(ovr.head.getAs[String]("landing_page_url")
+      === "https://www.vr.se/swecris#/project/ 2016-07099_VR ")
+    val vi = Seq(
+      ("2025-00304_Vinnova", "Sv titel", Some("Vin T1 EN"), None,
+        Some("Abs EN"), Some(1500000.0), "Grant to organisation",
+        "2025-03-01", "2027-02-28", Some("Anna Svensson"),
+        Some("0000-0002-9"), Some("RISE AB")))
+      .toDF("projectid", "projecttitlesv", "projecttitleen",
+        "projectabstractsv", "projectabstracten", "fundingssek",
+        "typeofawarddescren", "projectstartdate", "projectenddate",
+        "pi_name", "pi_orcid", "coordinatingorganisationnameen")
+    val ovi = FunderIngest.transform(vi, reg3, FunderConfigs.vinnova, now)
+      .collect()
+    assert(ovi.head.getAs[String]("funder_award_id") === "2025-00304")
+    val pv = ovi.head.getAs[Row]("lead_investigator")
+    assert(pv.isNullAt(pv.fieldIndex("given_name")))
+    assert(pv.getAs[String]("family_name") === "Anna Svensson")
+    assert(pv.getAs[String]("orcid") === "https://orcid.org/0000-0002-9")
+    assert(pv.getAs[java.sql.Date]("role_start").toString === "2025-03-01")
+    val fc = Seq(
+      ("PTDC/123/2020", "  ", Some("Desc"), Some("120000.00"),
+        Some("EUR"), "Projetos de I&D", "2021-01-01", "2023-12-31",
+        None: Option[String], None: Option[String],
+        Some("Universidade do Porto"), "https://fct/1"))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ofc = FunderIngest.transform(fc, reg3, FunderConfigs.fct, now)
+      .collect()
+    assert(ofc.head.getAs[String]("display_name")
+      === "FCT grant PTDC/123/2020")
+    assert(ofc.head.isNullAt(ofc.head.fieldIndex("works_api_url")))
+    assert(ofc.head.getAs[Double]("amount") === 120000.0)
+    val lf = ofc.head.getAs[Row]("lead_investigator")
+    assert(lf.isNullAt(lf.fieldIndex("family_name"))) // institution-only
+    assert(lf.getAs[Row]("affiliation").getAs[String]("country")
+      === "Portugal")
+  }
+
   test("Research Council of Norway: labelled description assembly, " +
     "1800-2100 validity screens, name-or-affiliation lead") {
     val raw = Seq(
