@@ -2222,4 +2222,757 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull &&
         col("display_name").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 tranche (VERDICT r11 ask #3): ISCIII, FWO, SFI,
+  // Marie Curie, MRFF, Business Finland, TUBITAK, NCBR, GACR, Formas
+  // ---------------------------------------------------------------
+
+  /** ISCIII / Instituto de Salud Carlos III via Portal FIS
+    * (CreateISCIIIAwards.ipynb cell 6, ~8.8K Spanish health
+    * projects): EUR default currency, the project-id-prefix→type
+    * cascade (FI/CP fellowships, RD centers, DTS infrastructure),
+    * 'ES' country lead. */
+  def isciii: FunderIngestConfig = {
+    val pid = col("project_id")
+    val fundingType =
+      when(pid.like("FI%"), "fellowship")
+        .when(pid.like("CP%"), "fellowship")
+        .when(pid.like("RD%"), "center")
+        .when(pid.like("DTS%"), "infrastructure")
+        .when(pid.like("PI%"), "grant")
+        .when(pid.like("AC%"), "grant")
+        .when(pid.like("COV%"), "grant")
+        .otherwise("grant")
+    val lead = when(col("pi_family_name").isNotNull,
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("ES"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334923L, provenance = "portal_fis_isciii",
+      priority = 33,
+      mintKey = lower(pid),
+      funderAwardId = pid,
+      displayName = col("title"), description = col("abstract"),
+      amount = col("amount").try_cast("double"),
+      currency = coalesce(col("currency"), lit("EUR")),
+      fundingType = fundingType, funderScheme = col("funder_scheme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = pid.isNotNull && trim(pid) =!= "")
+  }
+
+  /** FWO / Research Foundation - Flanders via FRIS
+    * (CreateFWOAwards.ipynb cell 12, ~60-65K Flemish projects): the
+    * §6.7 budget waiver (amount/currency NULL), the future-year cap
+    * (start_year > now+1 NULLs BOTH years, both gated on the start
+    * date), promoter lead + co-promoter co-lead with the
+    * source-carried country. */
+  def fwo(currentYear: Int): FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    val future = year(sd) > currentYear + 1
+    def promoter(g: Column, fam: Column): Column =
+      when(g.isNotNull || fam.isNotNull,
+        investigator(g, fam, lit(null).cast("string"),
+          lit(null).cast("date"), col("institution_name"), col("country"),
+          lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321730L, provenance = "fwo_fris", priority = 167,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"), description = col("abstract"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = col("funding_type"),
+      funderScheme = col("funder_scheme"),
+      startDate = sd, endDate = ed,
+      startYear = when(!future, year(sd)),
+      endYear = when(!future, year(ed)),
+      leadInvestigator =
+        promoter(col("lead_given_name"), col("lead_family_name")),
+      coLeadInvestigator =
+        promoter(col("colead_given_name"), col("colead_family_name")),
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** SFI / Science Foundation Ireland open data
+    * (CreateSFIAwards.ipynb cell 11): NULL description, the
+    * amount-gated source currency, the 'sfi'-asserted ROR
+    * affiliation id, name-OR-institution lead, NULL landing page,
+    * the shared future-year cap. */
+  def sfi(currentYear: Int): FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    val future = year(sd) > currentYear + 1
+    val amt = col("amount").try_cast("double")
+    val rorIds = when(col("institution_ror").isNotNull,
+      array(struct(col("institution_ror").as("id"), lit("ror").as("type"),
+        lit("sfi").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("lead_given_name").isNotNull ||
+        col("lead_family_name").isNotNull ||
+        col("institution_name").isNotNull,
+      investigator(col("lead_given_name"), col("lead_family_name"),
+        col("lead_orcid"), lit(null).cast("date"),
+        col("institution_name"), col("country"), rorIds))
+    FunderIngestConfig(
+      funderId = 4320320847L, provenance = "sfi_open_data", priority = 169,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = amt,
+      currency = when(amt.isNotNull, col("currency")),
+      fundingType = col("funding_type"),
+      funderScheme = col("funder_scheme"),
+      startDate = sd, endDate = ed,
+      startYear = when(!future, year(sd)),
+      endYear = when(!future, year(ed)),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** Marie Curie (UK) fellowship register
+    * (CreateMarieCurieAwards.ipynb cell 7): an all-constant shape —
+    * NULL description/amount/dates/years, literal 'grant', programme
+    * scheme, 'United Kingdom' lead country, and the NULL
+    * works_api_url deviation; no row filter in the reference. */
+  def marieCurie: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320217L, provenance = "marie_curie", priority = 261,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** The MRFF funder row is MISSING from the registry (the
+    * reference's flagged gap) — CreateMRFFAwards.ipynb cell 6 inlines
+    * it with a Crossref-carried DOI and a NULL ROR; pass this as the
+    * `funders` frame so [[FunderIngest.requireFunder]] still
+    * fail-fasts on the literal row. */
+  def mrffFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (4906014721L, "Medical Research Future Fund", None,
+        "10.13039/501100025520")))
+
+  /** MRFF / Medical Research Future Fund (CreateMRFFAwards.ipynb
+    * cell 6): the title→scheme→'MRFF grant: <inst>'→award-id display
+    * cascade, AUD decimal amounts, 'Australia' lead country, NULL
+    * works_api_url; no row filter in the reference. */
+  def mrff: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Australia"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4906014721L, provenance = "mrff", priority = 351,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        col("scheme"),
+        concat(lit("MRFF grant: "), col("institution")),
+        col("funder_award_id")),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("AUD"),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = d(col("start_date_raw")), endDate = d(col("end_date_raw")),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = year(d(col("end_date_raw"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** The Business Finland / Tekes era-funder pair
+    * (CreateBusinessFinlandAwards.ipynb cell 8's `bf_funders` CTE) —
+    * feed to [[FunderIngest.requireFunders]]. */
+  def businessFinlandFunderIds: Seq[Long] = Seq(4320321855L, 4320328501L)
+
+  /** Business Finland / Tekes (CreateBusinessFinlandAwards.ipynb
+    * cell 8, resolved §2.3.2 multi-funder: the source carries the era
+    * funder id per row): the programme—organisation (diary) display
+    * concat, the 'Luottamuksellinen' confidential-amount NULL and the
+    * zero-amount NULL, decision-year-only dates, no investigators. */
+  def businessFinland: ResolvedFunderIngestConfig = {
+    val diary = trim(col("diary_number"))
+    ResolvedFunderIngestConfig(
+      provenance = "business_finland", priority = 433,
+      resolvedFunderId = col("openalex_funder_id").try_cast("bigint"),
+      mintKey = lower(diary),
+      funderAwardId = diary,
+      displayName = concat(
+        coalesce(nullif(trim(col("program")), lit("")),
+          nullif(trim(col("funding_service")), lit("")),
+          lit("Public research project")),
+        lit(" — "),
+        coalesce(nullif(trim(col("organisation")), lit("")),
+          lit("unknown organisation")),
+        lit(" ("), diary, lit(")")),
+      description = nullif(trim(col("abstract_fi")), lit("")),
+      amount = when(col("amount_eur") === "Luottamuksellinen",
+          lit(null).cast("double"))
+        .otherwise(nullif(col("amount_eur").try_cast("double"), lit(0.0))),
+      currency = lit("EUR"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("funding_service")), lit("")),
+        nullif(trim(col("program")), lit(""))),
+      startDate = d(concat(col("decision_year"), lit("-01-01"))),
+      endDate = lit(null).cast("date"),
+      startYear = col("decision_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("diary_number").isNotNull && diary =!= "")
+  }
+
+  /** The TRDizin other-investigators JSON shape
+    * (CreateTUBITAKAwards.ipynb cell 19's FROM_JSON schema). */
+  private def trdizinContributors: String =
+    "array<struct<name:string,given_name:string,family_name:string," +
+      "orcid:string,duty:string,order:string,role_start:string," +
+      "institution_name:string,institution_title:string," +
+      "institution_root_title:string,institution_country:string>>"
+
+  /** TUBITAK via TRDizin (CreateTUBITAKAwards.ipynb cell 19): the
+    * title-required row screen, the 1900/future publication-year
+    * scrub feeding the year COALESCEs, trimmed-NULLIF name fields
+    * with role_start = project start, and the JSON-parsed
+    * other-investigators list (NULL affiliation slots). */
+  def tubitak(currentYear: Int): FunderIngestConfig = {
+    val py = col("publication_year").try_cast("int")
+    val pubYear = when(py === 1900, lit(null).cast("int"))
+      .when(py > currentYear + 1, lit(null).cast("int"))
+      .otherwise(py)
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val lead = when(col("lead_name").isNotNull &&
+        trim(col("lead_name")) =!= "",
+      investigator(nzt(col("lead_given_name")),
+        nzt(col("lead_family_name")), nzt(col("lead_orcid")), sd,
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    val oc = from_json(col("other_investigators_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(trdizinContributors))
+    val invs = when(oc.isNotNull && size(oc) > 0,
+      transform(oc, c => investigator(nzt(c.getField("given_name")),
+        nzt(c.getField("family_name")), nzt(c.getField("orcid")), sd,
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast(affIds))))
+      .otherwise(FunderIngest.nullInvestigators)
+    FunderIngestConfig(
+      funderId = 4320322626L, provenance = "trdizin_tubitak_projects",
+      priority = 200,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = trim(col("funder_award_id")),
+      displayName = trim(col("display_name")),
+      description = nzt(col("description")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nzt(col("project_group")),
+        lit("TRDizin PROJECT")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), pubYear),
+      endYear = coalesce(year(ed), pubYear),
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull && trim(col("display_name")) =!= "",
+      investigators = invs)
+  }
+
+  /** NCBR / Narodowe Centrum Badań i Rozwoju (CreateNCBRAwards.ipynb
+    * cell 8): EN-preferred trimmed text, the zero-amount PLN NULL,
+    * manager lead with the manager→leader institution fallback,
+    * 'Poland' country, NULL landing page. */
+  def ncbr: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val lead = when(col("manager_last_name").isNotNull &&
+        trim(col("manager_last_name")) =!= "",
+      investigator(nzt(col("manager_first_name")),
+        trim(col("manager_last_name")), lit(null).cast("string"),
+        lit(null).cast("date"),
+        coalesce(nzt(col("manager_institution")),
+          nzt(col("leader_institution"))),
+        lit("Poland"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320335039L, provenance = "ncbr", priority = 431,
+      mintKey = lower(trim(col("project_number"))),
+      funderAwardId = trim(col("project_number")),
+      displayName = coalesce(nzt(col("title_en")), nzt(col("title_pl"))),
+      description = coalesce(nzt(col("abstract_en")),
+        nzt(col("abstract_pl"))),
+      amount = nullif(col("amount_pln").try_cast("double"), lit(0.0)),
+      currency = lit("PLN"),
+      fundingType = lit("research"),
+      funderScheme = nzt(col("scheme")),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_number").isNotNull &&
+        trim(col("project_number")) =!= "")
+  }
+
+  /** The shared IS VaVaI CEP open-data shape (the Czech research
+    * information system feeds GACR/MZE/MVCR/MPO from ONE CSV, each
+    * notebook an exact twin filtered to its ministry): EN→CS→generic
+    * text fallbacks, state-support-else-total-cost CZK amounts,
+    * date-or-year-boundary dates with source-carried years, an
+    * institution-only lead with the CZ country expansion and
+    * 'isvavai'-asserted ROR. Only (funder, provenance, priority,
+    * type, scheme) vary per ministry. */
+  private def isvavaiCep(funderId: Long, provenance: String,
+      priority: Int, fundingType: Column,
+      funderScheme: Column): FunderIngestConfig = {
+    val rorIds = when(col("ror_id").isNotNull,
+      array(struct(col("ror_id").as("id"), lit("ror").as("type"),
+        lit("isvavai").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("institution_name").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution_name"),
+        when(col("institution_country") === "CZ", "Czech Republic")
+          .otherwise(col("institution_country")), rorIds))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("project_code")),
+      funderAwardId = col("project_code"),
+      displayName = coalesce(nullif(trim(col("title_en")), lit("")),
+        col("title_cs"), col("title")),
+      description = coalesce(nullif(trim(col("description_en")), lit("")),
+        col("description_cs"), col("description")),
+      amount = coalesce(col("funding_amount"), col("total_cost")),
+      currency = lit("CZK"),
+      fundingType = fundingType, funderScheme = funderScheme,
+      startDate = when(col("start_date").isNotNull, d(col("start_date")))
+        .when(col("start_year").try_cast("int").isNotNull,
+          d(concat(col("start_year"), lit("-01-01")))),
+      endDate = when(col("end_date").isNotNull, d(col("end_date")))
+        .when(col("end_year").try_cast("int").isNotNull,
+          d(concat(col("end_year"), lit("-12-31")))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_code").isNotNull)
+  }
+
+  /** GACR / Grantová Agentura České Republiky via IS VaVaI CEP
+    * (CreateGACRAwards.ipynb cell 7): the [[isvavaiCep]] shape with
+    * the GJ/GP fellowship split and the program-code→scheme-name
+    * map. */
+  def gacr: FunderIngestConfig = {
+    val pc = upper(col("program_code"))
+    val fundingType = when(pc.isin("GJ", "GP"), "fellowship")
+      .otherwise("grant")
+    val scheme = when(col("program_code") === "GA", "Standard Projects")
+      .when(col("program_code") === "GJ", "Junior Grants")
+      .when(col("program_code") === "GP", "Postdoc Grants")
+      .when(col("program_code") === "GX", "EXPRO Excellence Projects")
+      .when(col("program_code") === "GM", "International Projects")
+      .when(col("program_code") === "GC", "International Collaboration")
+      .when(col("program_code") === "GB", "Center of Excellence")
+      .when(col("program_code") === "GD", "Bilateral Projects")
+      .when(col("program_code") === "GF", "LA Projects")
+      .otherwise(col("program_code"))
+    isvavaiCep(4320321006L, "isvavai_cep", 34, fundingType, scheme)
+  }
+
+  /** MZE / Ministerstvo Zemědělství (CreateMZEAwards.ipynb cell 6,
+    * ~21.6K NAZV/KUS agriculture projects): the [[isvavaiCep]] twin —
+    * literal 'grant', raw programme-code scheme. */
+  def mze: FunderIngestConfig =
+    isvavaiCep(4320323938L, "isvavai_cep_mze", 227, lit("grant"),
+      col("program_code"))
+
+  /** MVCR / Ministerstvo Vnitra České Republiky
+    * (CreateMVCRAwards.ipynb, ~21.6K VI/VJ security-research
+    * projects): the [[isvavaiCep]] twin. */
+  def mvcr: FunderIngestConfig =
+    isvavaiCep(4320311333L, "isvavai_cep_mvcr", 231, lit("grant"),
+      col("program_code"))
+
+  /** MPO / Ministerstvo Průmyslu a Obchodu (CreateMPOAwards.ipynb,
+    * ~21.6K TRIO/FV/FW applied-research projects): the
+    * [[isvavaiCep]] twin. */
+  def mpo: FunderIngestConfig =
+    isvavaiCep(4320322741L, "isvavai_cep_mpo", 229, lit("grant"),
+      col("program_code"))
+
+  /** Formas / Svenska Forskningsrådet Formas via SweCRIS
+    * (CreateFormasAwards.ipynb cell 7): the VR pattern twin — SEK,
+    * English-preferred text, the same award-type cascade, the bare
+    * diarienummer ([[swecrisBareId]]) with the RAW suffixed id kept
+    * in the landing URL. */
+  def formas: FunderIngestConfig = {
+    val ta = lower(col("type_of_award"))
+    val fundingType =
+      when(ta.like("%positions%"), "fellowship")
+        .when(ta.like("%stipend%"), "fellowship")
+        .when(ta.like("%infrastructure%"), "infrastructure")
+        .when(ta.like("%environment%"), "research")
+        .when(ta.like("%project%"), "research")
+        .when(ta.like("%international%"), "research")
+        .otherwise("grant")
+    val lead = when(col("pi_family_name").isNotNull &&
+        trim(col("pi_family_name")) =!= "",
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        col("pi_orcid"), lit(null).cast("date"),
+        col("coordinating_organisation"), lit("Sweden"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321033L, provenance = "formas", priority = 16,
+      mintKey = lower(swecrisBareId(col("project_id"))),
+      funderAwardId = swecrisBareId(col("project_id")),
+      displayName = coalesce(col("title_english"), col("title")),
+      description = coalesce(col("abstract_english"), col("abstract")),
+      amount = col("amount").try_cast("double"), currency = lit("SEK"),
+      fundingType = fundingType, funderScheme = col("type_of_award"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.vr.se/swecris#/project/"),
+        col("project_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  // ---------------------------------------------------------------
+  // Round-12 second tranche by volume: PCORI, MinSanteFr, RFBR,
+  // FMFC, NEH, RWJF, Humboldt, CDMRP, MZE, MVCR, MPO
+  // ---------------------------------------------------------------
+
+  /** PCORI / Patient-Centered Outcomes Research Institute
+    * (CreatePCORIAwards.ipynb cell 7, 2,683 projects, USD median
+    * ~349K): NULL description, decimal USD, 'research', start_year
+    * only, 'United States' lead country, NULL works_api_url; no row
+    * filter in the reference. */
+  def pcori: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320308927L, provenance = "pcori", priority = 345,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      fundingType = lit("research"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Ministère des Affaires sociales et de la Santé (France), SIRANO
+    * PHRC/PHRIP/PREPS/PRT calls (CreateMinSanteFrAwards.ipynb cell 7,
+    * 3,689 grants, EUR median ~338K): the PCORI twin with EUR,
+    * 'grant', 'France', and a NULL landing page. */
+  def minSanteFr: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("France"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322734L, provenance = "min_sante_fr", priority = 333,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("EUR"),
+      fundingType = lit("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** RFBR / Russian Foundation for Basic Research legacy portal
+    * archive (CreateRFBRAwards.ipynb cell 12, ~250K funded 1993-2018
+    * grants): the §6.7 amount waiver (portal publishes none), the
+    * funded-status belt-and-braces screen ('поддержана' only —
+    * rejected applications are NOT awards), year-only coverage,
+    * trimmed-NULLIF lead with no host org and 'RU'. */
+  def rfbr: FunderIngestConfig = {
+    val lead = when(col("lead_family_name").isNotNull &&
+        col("lead_family_name") =!= "",
+      investigator(nullif(trim(col("lead_given_name")), lit("")),
+        trim(col("lead_family_name")), lit(null).cast("string"),
+        lit(null).cast("date"), lit(null).cast("string"), lit("RU"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321079L, provenance = "rfbr", priority = 401,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull && col("status") === "поддержана")
+  }
+
+  /** FMFC / Financial Markets Foundation for Children
+    * (CreateFMFCAwards.ipynb cell 7, ~168 child-health projects):
+    * AUD decimal, NULL description/scheme/dates, 'Australia' lead,
+    * NULL works_api_url; no row filter in the reference. */
+  def fmfc: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Australia"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320323274L, provenance = "fmfc", priority = 329,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("AUD"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** NEH / National Endowment for the Humanities bulk open data
+    * (CreateNEHAwards.ipynb cell 12, ~57K grants 1965-present): the
+    * fellowship/training programme cascade, source-carried currency,
+    * year_awarded start_year with an end-date-substring end_year,
+    * full-name-gated lead with role_start = grant begin and the
+    * source-carried institution country. */
+  def neh: FunderIngestConfig = {
+    val prog = lower(col("program"))
+    val fundingType = when(prog.like("%fellowship%"), "fellowship")
+      .when(prog.like("%training%") || prog.like("%institute%"), "training")
+      .otherwise("research")
+    val sd = d(col("begin_grant"))
+    val lead = when(col("lead_full_name").isNotNull &&
+        col("lead_full_name") =!= "",
+      investigator(col("lead_given_name"), col("lead_family_name"),
+        lit(null).cast("string"), sd,
+        col("institution"), col("inst_country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306100L, provenance = "neh_open_data", priority = 81,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("project_title"),
+      description = col("description"),
+      amount = col("amount_usd").try_cast("double"),
+      currency = col("currency"),
+      fundingType = fundingType,
+      funderScheme = col("program"),
+      startDate = sd, endDate = d(col("end_grant")),
+      startYear = col("year_awarded").try_cast("int"),
+      endYear = substring(col("end_grant"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("project_title").isNotNull)
+  }
+
+  /** The RWJF surrogate-id stage (CreateRWJFAwards.ipynb cell 9's
+    * `src` CTE): the grants explorer publishes NO native grant id, so
+    * the reference mints a row surrogate from the listing fields plus
+    * `monotonically_increasing_id()` (the scrape can carry true
+    * duplicate listings that must stay distinct rows). Run this over
+    * the raw landing BEFORE [[rwjf]]. */
+  def rwjfSurrogate(raw: DataFrame): DataFrame =
+    raw.filter(col("grant_title").isNotNull && trim(col("grant_title"))
+        =!= "")
+      .withColumn("surrogate_id", pmod(abs(xxhash64(concat(
+        coalesce(col("grant_title"), lit("")), lit(":"),
+        coalesce(col("year_awarded"), lit(0)).cast("string"), lit(":"),
+        coalesce(col("amount_usd").cast("string"), lit("")), lit(":"),
+        coalesce(col("location"), lit("")), lit(":"),
+        col("page").cast("string"), lit(":"),
+        monotonically_increasing_id().cast("string")))),
+        lit(9000000000L)))
+
+  /** RWJF / Robert Wood Johnson Foundation grants explorer
+    * (CreateRWJFAwards.ipynb cell 9, ~31.7K grants): the ':rwj:'
+    * surrogate mint ([[rwjfSurrogate]] first), year-boundary dates
+    * BOTH from year_awarded, the multi-line programme-area collapse,
+    * an UNCONDITIONAL all-null lead carrying only the location's
+    * last 'City, ST' token as country, and the page-anchored landing
+    * URL. */
+  def rwjf: FunderIngestConfig = {
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("date"), lit(null).cast("string"),
+      element_at(split(col("location"), ", "), -1),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320306139L, provenance = "rwjf_grants_explorer",
+      priority = 46,
+      mintKey = concat(lit("rwj:"), col("surrogate_id").cast("string")),
+      funderAwardId = col("surrogate_id").cast("string"),
+      displayName = col("grant_title"),
+      description = lit(null).cast("string"),
+      amount = col("amount_usd"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = when(col("program_area").isNotNull &&
+          trim(col("program_area")) =!= "",
+        regexp_replace(col("program_area"), "[\\n\\r]+", " / ")),
+      startDate = when(col("year_awarded").isNotNull,
+        d(concat(col("year_awarded").cast("string"), lit("-01-01")))),
+      endDate = when(col("year_awarded").isNotNull,
+        d(concat(col("year_awarded").cast("string"), lit("-12-31")))),
+      startYear = col("year_awarded"),
+      endYear = col("year_awarded"),
+      leadInvestigator = lead,
+      landingPageUrl = concat(
+        lit("https://www.rwjf.org/en/grants/awarded-grants.html?s="),
+        col("page").cast("string")),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** Humboldt / Alexander von Humboldt-Stiftung network DB
+    * (CreateHumboldtAwards.ipynb cell 6, ~28K fellowships): the
+    * 'Humboldt grant <id>' title fallback, the >0 amount gate with
+    * source-carried currency (§6.7 fellowship waiver in practice),
+    * selection-year-only start_year, the name-else-institution lead
+    * fallback ('Germany'), NULL works_api_url. */
+  def humboldt: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Germany"), lit(null).cast(affIds)))
+      .when(col("institution").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          col("institution"), lit("Germany"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320308269L, provenance = "humboldt", priority = 383,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("Humboldt grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** CDMRP / Congressionally Directed Medical Research Programs via
+    * the Dimensions-for-DTIC instance (CreateCDMRPAwards.ipynb
+    * cell 7, ~23.7K grants — the dedicated source that overrides the
+    * DoD USAspending aggregator rows at lower priority): USD-default
+    * currency, INITCAP'd PI names, the institution→pi_affiliation
+    * fallback, 10-char date substrings, NULL works_api_url; no row
+    * filter in the reference. */
+  def cdmrp: FunderIngestConfig = {
+    val sd = d(substring(col("start_date"), 1, 10))
+    val ed = d(substring(col("end_date"), 1, 10))
+    val lead = when(col("pi_last_name").isNotNull,
+      investigator(initcap(col("pi_first_name")),
+        initcap(col("pi_last_name")), lit(null).cast("string"),
+        lit(null).cast("date"),
+        coalesce(col("institution"), col("pi_affiliation")),
+        col("institution_country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320338273L, provenance = "dimensions_cdmrp",
+      priority = 237,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("short_abstract"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = coalesce(nullif(trim(col("currency")), lit("")),
+        lit("USD")),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

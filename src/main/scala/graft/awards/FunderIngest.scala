@@ -64,6 +64,10 @@ sealed trait AwardFieldMap {
     * the sources whose notebooks deviate (`FunderConfigs.cruk` /
     * `FunderConfigs.ncn` emit NULL). */
   def worksApiUrl: Option[Column]
+  /** The co-lead slot — null for most sources; FWO fills it from the
+    * FRIS co-promoter (CreateFWOAwards.ipynb cell 12's
+    * `colead_given_name/colead_family_name` CASE). */
+  def coLeadInvestigator: Column
 }
 
 final case class FunderIngestConfig(
@@ -90,7 +94,9 @@ final case class FunderIngestConfig(
     /** Step-2 WHERE: rows without a usable source award id are dropped. */
     rowFilter: Column,
     investigators: Column = FunderIngest.nullInvestigators,
-    worksApiUrl: Option[Column] = None) extends AwardFieldMap
+    worksApiUrl: Option[Column] = None,
+    coLeadInvestigator: Column = FunderIngest.nullInvestigator)
+  extends AwardFieldMap
 
 /** The resolved multi-funder archetype (NIH ExPORTER's
   * administering_ic map, GTR's grant-reference prefix map, CORDIS'
@@ -128,7 +134,9 @@ final case class ResolvedFunderIngestConfig(
     doi: Column,
     rowFilter: Column,
     investigators: Column = FunderIngest.nullInvestigators,
-    worksApiUrl: Option[Column] = None) extends AwardFieldMap
+    worksApiUrl: Option[Column] = None,
+    coLeadInvestigator: Column = FunderIngest.nullInvestigator)
+  extends AwardFieldMap
 
 object FunderIngest {
 
@@ -253,7 +261,7 @@ object FunderIngest {
         cfg.startYear.cast("int").as("start_year"),
         cfg.endYear.cast("int").as("end_year"),
         cfg.leadInvestigator.as("lead_investigator"),
-        nullInvestigator.as("co_lead_investigator"),
+        cfg.coLeadInvestigator.as("co_lead_investigator"),
         cfg.investigators.as("investigators"),
         cfg.landingPageUrl.as("landing_page_url"),
         cfg.doi.as("doi"),

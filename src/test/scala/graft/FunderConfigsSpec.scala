@@ -1269,7 +1269,8 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ovr.head.getAs[String]("landing_page_url")
       === "https://www.vr.se/swecris#/project/ 2016-07099_VR ")
     val vi = Seq(
-      ("2025-00304_Vinnova", "Sv titel", Some("Vin T1 EN"), None,
+      ("2025-00304_Vinnova", "Sv titel", Some("Vin T1 EN"),
+        None: Option[String],
         Some("Abs EN"), Some(1500000.0), "Grant to organisation",
         "2025-03-01", "2027-02-28", Some("Anna Svensson"),
         Some("0000-0002-9"), Some("RISE AB")))
@@ -1354,5 +1355,680 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(l1.getAs[Row]("affiliation").getAs[String]("name")
       === "Univ of Oslo")
     assert(out(0).getAs[String]("funder_scheme") === "ES123456")
+  }
+
+  // ---------------------------------------------------------------
+  // Round-12 tranche (CreateISCIIIAwards / CreateFWOAwards /
+  // CreateSFIAwards / CreateMarieCurieAwards / CreateMRFFAwards /
+  // CreateBusinessFinlandAwards / CreateTUBITAKAwards /
+  // CreateNCBRAwards / CreateGACRAwards / CreateFormasAwards)
+  // ---------------------------------------------------------------
+
+  private def reg4 = reg3.unionByName(Seq(
+    (4320334923L, "Instituto de Salud Carlos III",
+      "https://ror.org/00ca2c886", "10.13039/501100004587"),
+    (4320321730L, "Research Foundation - Flanders",
+      "https://ror.org/02fjqqn88", "10.13039/501100003130"),
+    (4320320847L, "Science Foundation Ireland",
+      "https://ror.org/012y1cz28", "10.13039/501100001602"),
+    (4320320217L, "Marie Curie", "r-mc", "d-mc"),
+    (4320321855L, "Business Finland", "r-bf", "d-bf"),
+    (4320328501L, "Tekes", "r-tekes", "d-tekes"),
+    (4320322626L, "TUBITAK", "https://ror.org/04w9kkr77",
+      "10.13039/501100004410"),
+    (4320335039L, "Narodowe Centrum Badań i Rozwoju", "r-ncbr", "d-ncbr"),
+    (4320321006L, "Grantová Agentura České Republiky",
+      "https://ror.org/01pv73b02", "10.13039/501100001824"),
+    (4320321033L, "Svenska Forskningsrådet Formas",
+      "https://ror.org/03pjs1y45", "10.13039/501100001862"))
+    .toDF(reg.columns: _*))
+
+  test("ISCIII / GACR / Formas: project-id prefix cascade, EN→CS→raw " +
+    "fallbacks, program-code scheme map, year-boundary dates with " +
+    "source-carried years, bare diarienummer with raw landing id") {
+    val is = Seq(
+      ("FI20/00123", "T1", Some("A1"), Some(50000.0),
+        None: Option[String], "FI", "2020-01-01", "2023-12-31",
+        Some("Ana"), Some("García"), Some("ISCIII Madrid"), "https://pf/1"),
+      ("RD21/0001", "T2", None: Option[String], Some(900000.0),
+        Some("USD"), "RD", "2021-01-01", "2024-12-31",
+        None: Option[String], None: Option[String], None: Option[String],
+        "https://pf/2"),
+      ("  ", "dropped", None: Option[String], None: Option[Double],
+        None: Option[String], "PI", "2020-01-01", "2021-01-01",
+        None: Option[String], None: Option[String], None: Option[String],
+        "https://pf/3"))
+      .toDF("project_id", "title", "abstract", "amount", "currency",
+        "funder_scheme", "start_date", "end_date", "pi_given_name",
+        "pi_family_name", "institution", "landing_page_url")
+    val ois = FunderIngest.transform(is, reg4, FunderConfigs.isciii, now)
+      .orderBy("funder_award_id").collect()
+    assert(ois.length === 2)
+    assert(ois(0).getAs[String]("funding_type") === "fellowship") // FI%
+    assert(ois(0).getAs[String]("currency") === "EUR") // default
+    assert(ois(1).getAs[String]("funding_type") === "center") // RD%
+    assert(ois(1).getAs[String]("currency") === "USD") // source kept
+    val li = ois(0).getAs[Row]("lead_investigator")
+    assert(li.getAs[Row]("affiliation").getAs[String]("country") === "ES")
+    assert(ois(1).isNullAt(ois(1).fieldIndex("lead_investigator")))
+
+    val ga = Seq(
+      ("GJ20-12345X", Some("  "), Some("Český název"),
+        "raw", Some("EN desc"), None: Option[String], "raw-d",
+        None: Option[Double], Some(1000000.0), "GJ",
+        None: Option[String], None: Option[String], Some("2020"),
+        Some("2022"), Some("Univerzita Karlova"), Some("CZ"),
+        Some("https://ror.org/024d6js02"), "https://isvavai/1"),
+      ("GA19-00001S", Some("EN title"), None: Option[String],
+        "raw", None: Option[String], Some("Český popis"), "raw-d",
+        Some(2000000.0), Some(2500000.0), "GA",
+        Some("2019-03-01"), Some("2021-12-31"), Some("2019"), Some("2021"),
+        Some("VUT Brno"), Some("DE"), None: Option[String], "https://i/2"))
+      .toDF("project_code", "title_en", "title_cs", "title",
+        "description_en", "description_cs", "description",
+        "funding_amount", "total_cost", "program_code", "start_date",
+        "end_date", "start_year", "end_year", "institution_name",
+        "institution_country", "ror_id", "landing_page_url")
+    val oga = FunderIngest.transform(ga, reg4, FunderConfigs.gacr, now)
+      .orderBy("funder_award_id").collect()
+    assert(oga.length === 2)
+    // GA row: EN title kept, CS description fallback, state support
+    assert(oga(0).getAs[String]("display_name") === "EN title")
+    assert(oga(0).getAs[String]("description") === "Český popis")
+    assert(oga(0).getAs[Double]("amount") === 2000000.0)
+    assert(oga(0).getAs[String]("funding_type") === "grant")
+    assert(oga(0).getAs[String]("funder_scheme") === "Standard Projects")
+    assert(oga(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-03-01")
+    val aff0 = oga(0).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(aff0.getAs[String]("country") === "DE") // non-CZ passthrough
+    assert(aff0.isNullAt(aff0.fieldIndex("ids")))
+    // GJ row: blank EN title → CS, total-cost fallback, year-boundary
+    assert(oga(1).getAs[String]("display_name") === "Český název")
+    assert(oga(1).getAs[Double]("amount") === 1000000.0)
+    assert(oga(1).getAs[String]("funding_type") === "fellowship")
+    assert(oga(1).getAs[String]("funder_scheme") === "Junior Grants")
+    assert(oga(1).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    assert(oga(1).getAs[java.sql.Date]("end_date").toString
+      === "2022-12-31")
+    assert(oga(1).getAs[Int]("start_year") === 2020)
+    val aff1 = oga(1).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(aff1.getAs[String]("country") === "Czech Republic")
+    val id1 = aff1.getSeq[Row](aff1.fieldIndex("ids")).head
+    assert(id1.getAs[String]("asserted_by") === "isvavai")
+    assert(oga(1).getAs[String]("currency") === "CZK")
+
+    val fo = Seq(
+      ("2021-01234_Formas", "Sv titel", Some("EN title"), "Sv abs",
+        Some("EN abs"), Some(3000000.0), "Research project",
+        "2022-01-01", "2025-12-31", Some("Karin"), Some("Berg"),
+        Some("https://orcid.org/0000-2"), Some("SLU")))
+      .toDF("project_id", "title", "title_english", "abstract",
+        "abstract_english", "amount", "type_of_award", "start_date",
+        "end_date", "pi_given_name", "pi_family_name", "pi_orcid",
+        "coordinating_organisation")
+    val ofo = FunderIngest.transform(fo, reg4, FunderConfigs.formas, now)
+      .collect()
+    assert(ofo.head.getAs[String]("funder_award_id") === "2021-01234")
+    assert(ofo.head.getAs[String]("display_name") === "EN title")
+    assert(ofo.head.getAs[String]("funding_type") === "research")
+    assert(ofo.head.getAs[String]("currency") === "SEK")
+    assert(ofo.head.getAs[String]("landing_page_url")
+      === "https://www.vr.se/swecris#/project/2021-01234_Formas")
+    val lf = ofo.head.getAs[Row]("lead_investigator")
+    assert(lf.getAs[String]("orcid") === "https://orcid.org/0000-2")
+    assert(lf.getAs[Row]("affiliation").getAs[String]("country")
+      === "Sweden")
+  }
+
+  test("FWO / SFI: §6.7 budget waiver, co-promoter co-lead, future-year " +
+    "cap NULLs both years off the start date, amount-gated currency, " +
+    "sfi-asserted ROR affiliation id") {
+    val fw = Seq(
+      ("1286227N", "T1", Some("Abs"), "FWO junior postdoctoral fellowship",
+        "fellowship", Some("Jan"), Some("Peeters"), Some("Els"),
+        Some("Mertens"), Some("KU Leuven"), "BE", Some("https://fris/1"),
+        "2020-01-01", "2023-12-31"),
+      ("fwo-abc-uuid", "T2", None: Option[String], "FWO research project",
+        "grant", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("UGent"), "BE",
+        None: Option[String], "2099-01-01", "2102-12-31"))
+      .toDF("funder_award_id", "title", "abstract", "funder_scheme",
+        "funding_type", "lead_given_name", "lead_family_name",
+        "colead_given_name", "colead_family_name", "institution_name",
+        "country", "landing_page_url", "start_date", "end_date")
+    val ofw = FunderIngest.transform(fw, reg4, FunderConfigs.fwo(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(ofw.length === 2)
+    assert(ofw(0).isNullAt(ofw(0).fieldIndex("amount"))) // budget waiver
+    assert(ofw(0).isNullAt(ofw(0).fieldIndex("currency")))
+    assert(ofw(0).getAs[Int]("start_year") === 2020)
+    val cl = ofw(0).getAs[Row]("co_lead_investigator")
+    assert(cl.getAs[String]("family_name") === "Mertens")
+    assert(cl.getAs[Row]("affiliation").getAs[String]("country") === "BE")
+    // future-dated: years NULL (both, off start year), dates kept
+    assert(ofw(1).isNullAt(ofw(1).fieldIndex("start_year")))
+    assert(ofw(1).isNullAt(ofw(1).fieldIndex("end_year")))
+    assert(ofw(1).getAs[java.sql.Date]("start_date").toString
+      === "2099-01-01")
+    assert(ofw(1).isNullAt(ofw(1).fieldIndex("lead_investigator")))
+    assert(ofw(1).isNullAt(ofw(1).fieldIndex("co_lead_investigator")))
+
+    val sf = Seq(
+      ("12/RC/2273", "Research Centre", "Research Centres", "grant",
+        Some("Sean"), Some("O'Brien"), Some("https://orcid.org/0000-3"),
+        Some("UCD"), Some("https://ror.org/05m7pjf47"), "IE",
+        Some("5000000"), Some("EUR"), "2013-01-01", "2019-12-31"),
+      ("99/X/1", "No amount", "Frontiers", "grant",
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("TCD"), None: Option[String], "IE",
+        None: Option[String], Some("EUR"), "2021-01-01", "2024-12-31"))
+      .toDF("funder_award_id", "title", "funder_scheme", "funding_type",
+        "lead_given_name", "lead_family_name", "lead_orcid",
+        "institution_name", "institution_ror", "country", "amount",
+        "currency", "start_date", "end_date")
+    val osf = FunderIngest.transform(sf, reg4, FunderConfigs.sfi(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(osf.length === 2)
+    assert(osf(0).getAs[Double]("amount") === 5000000.0)
+    assert(osf(0).getAs[String]("currency") === "EUR")
+    assert(osf(0).isNullAt(osf(0).fieldIndex("description")))
+    assert(osf(0).isNullAt(osf(0).fieldIndex("landing_page_url")))
+    val sa = osf(0).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    val sid = sa.getSeq[Row](sa.fieldIndex("ids")).head
+    assert(sid.getAs[String]("id") === "https://ror.org/05m7pjf47")
+    assert(sid.getAs[String]("asserted_by") === "sfi")
+    // no amount → currency NULLed even though the source carries one
+    assert(osf(1).isNullAt(osf(1).fieldIndex("amount")))
+    assert(osf(1).isNullAt(osf(1).fieldIndex("currency")))
+    // institution-only lead still fires (name-OR-institution condition)
+    val l1 = osf(1).getAs[Row]("lead_investigator")
+    assert(l1.isNullAt(l1.fieldIndex("family_name")))
+    assert(l1.getAs[Row]("affiliation").getAs[String]("name") === "TCD")
+    val sb = osf(1).getAs[Row]("lead_investigator").getAs[Row]("affiliation")
+    assert(sb.isNullAt(sb.fieldIndex("ids")))
+  }
+
+  test("Marie Curie / MRFF: inline registry row for the flagged gap, " +
+    "title→scheme→institution→id display cascade, AUD decimal amount, " +
+    "NULL works_api_url deviation, all-constant UK fellowship shape") {
+    val mc = Seq(
+      ("MC-101", "Fellowship X", "FP7-PEOPLE", Some("Marie"),
+        Some("Curie"), Some("Univ Warsaw"), "https://cordis/1"))
+      .toDF("funder_award_id", "title", "programme", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val omc = FunderIngest.transform(mc, reg4, FunderConfigs.marieCurie,
+      now).collect()
+    assert(omc.length === 1)
+    assert(omc.head.isNullAt(omc.head.fieldIndex("description")))
+    assert(omc.head.isNullAt(omc.head.fieldIndex("amount")))
+    assert(omc.head.isNullAt(omc.head.fieldIndex("start_date")))
+    assert(omc.head.isNullAt(omc.head.fieldIndex("start_year")))
+    assert(omc.head.isNullAt(omc.head.fieldIndex("works_api_url")))
+    assert(omc.head.getAs[String]("funding_type") === "grant")
+    assert(omc.head.getAs[String]("funder_scheme") === "FP7-PEOPLE")
+    val ml = omc.head.getAs[Row]("lead_investigator")
+    assert(ml.getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+
+    val mr = Seq(
+      ("MRF1234", "Real title", Some("Clinical Trials"), Some("Monash"),
+        Some("Desc"), Some("750000"), "2022-07-01", "2025-06-30",
+        Some("Jo"), Some("Smith"), Some("https://grants/1")),
+      ("MRF5678", "  ", Some("Genomics"), Some("Monash"),
+        None: Option[String], None: Option[String], "2023-01-01",
+        "2026-12-31", None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("MRF9999", "  ", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], "2023-01-01",
+        "2026-12-31", None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "scheme", "institution",
+        "description", "amount", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "landing_page_url")
+    val omr = FunderIngest.transform(mr,
+      FunderConfigs.mrffFunderLookup(spark), FunderConfigs.mrff, now)
+      .orderBy("funder_award_id").collect()
+    assert(omr.length === 3)
+    assert(omr(0).getAs[String]("display_name") === "Real title")
+    assert(omr(0).getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("750000")) === 0)
+    assert(omr(0).getAs[String]("currency") === "AUD")
+    assert(omr(0).isNullAt(omr(0).fieldIndex("works_api_url")))
+    val mf = omr(0).getAs[Row]("funder")
+    assert(mf.getAs[String]("display_name")
+      === "Medical Research Future Fund")
+    assert(mf.isNullAt(mf.fieldIndex("ror_id")))
+    assert(mf.getAs[String]("doi") === "10.13039/501100025520")
+    val mla = omr(0).getAs[Row]("lead_investigator")
+    assert(mla.getAs[Row]("affiliation").getAs[String]("country")
+      === "Australia")
+    // blank title → scheme; no scheme → 'MRFF grant: <inst>'; → id
+    assert(omr(1).getAs[String]("display_name") === "Genomics")
+    assert(omr(2).getAs[String]("display_name") === "MRF9999")
+    assert(omr(1).getAs[Int]("start_year") === 2023)
+  }
+
+  test("Business Finland / TUBITAK / NCBR: era-funder per-row routing, " +
+    "confidential/zero amount NULL, programme—organisation display, " +
+    "1900/future publication-year scrub, JSON other-investigators, " +
+    "trimmed-NULLIF fields with manager→leader institution fallback") {
+    val bf = Seq(
+      (" 1234/31/2020 ", Some("AI Program"), None: Option[String],
+        Some("Aalto"), Some("Tiivistelmä"), "250000", "2020",
+        "4320321855"),
+      ("999/31/2019", None: Option[String], None: Option[String],
+        None: Option[String], Some("  "), "Luottamuksellinen", "2019",
+        "4320328501"),
+      ("777/31/2018", None: Option[String], Some("Research org funding"),
+        Some("VTT"), None: Option[String], "0", "2018", "4320328501"),
+      ("555/31/2017", Some("X"), None: Option[String],
+        None: Option[String], None: Option[String], "100", "2017", "123"))
+      .toDF("diary_number", "program", "funding_service", "organisation",
+        "abstract_fi", "amount_eur", "decision_year", "openalex_funder_id")
+    val obf = FunderIngest.transformResolved(bf,
+      FunderIngest.requireFunders(reg4, FunderConfigs.businessFinlandFunderIds),
+      FunderConfigs.businessFinland, now)
+      .orderBy("funder_award_id").collect()
+    assert(obf.length === 3) // the unroutable era id drops
+    assert(obf(0).getAs[String]("funder_award_id") === "1234/31/2020")
+    assert(obf(0).getAs[String]("display_name")
+      === "AI Program — Aalto (1234/31/2020)")
+    assert(obf(0).getAs[Long]("funder_id") === 4320321855L)
+    assert(obf(0).getAs[Double]("amount") === 250000.0)
+    assert(obf(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    assert(obf(0).getAs[Int]("start_year") === 2020)
+    assert(obf(0).isNullAt(obf(0).fieldIndex("end_year")))
+    // confidential → NULL amount; all-fallback display; blank desc NULL
+    assert(obf(2).getAs[String]("display_name")
+      === "Public research project — unknown organisation (999/31/2019)")
+    assert(obf(2).isNullAt(obf(2).fieldIndex("amount")))
+    assert(obf(2).isNullAt(obf(2).fieldIndex("description")))
+    assert(obf(2).getAs[Long]("funder_id") === 4320328501L)
+    // zero amount → NULL; funding_service scheme
+    assert(obf(1).isNullAt(obf(1).fieldIndex("amount")))
+    assert(obf(1).getAs[String]("funder_scheme")
+      === "Research org funding")
+    assert(obf(1).getAs[String]("currency") === "EUR")
+
+    val tuJson = """[{"name":"X","given_name":" Ayşe ","family_name":""" +
+      """"Demir","orcid":"","duty":"Researcher","order":"1"}]"""
+    val tu = Seq(
+      (" 119E123 ", " Proje Adı ", Some("  "), Some("1001"), "2020",
+        Some("2020-05-01"), Some("2022-05-01"), Some("Ahmet Yılmaz"),
+        Some("Ahmet"), Some("Yılmaz"), Some(" "), Some(tuJson),
+        Some("https://trdizin/1")),
+      ("P2", "T2", Some("Açıklama"), None: Option[String], "2021",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("[]"), None: Option[String]),
+      ("P3", "T3", None: Option[String], None: Option[String], "1900",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]),
+      ("P4", "  ", None: Option[String], None: Option[String], "2020",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "project_group", "publication_year", "start_date", "end_date",
+        "lead_name", "lead_given_name", "lead_family_name", "lead_orcid",
+        "other_investigators_json", "landing_page_url")
+    val otu = FunderIngest.transform(tu, reg4, FunderConfigs.tubitak(2026),
+      now).orderBy("funder_award_id").collect()
+    assert(otu.length === 3) // blank display_name row dropped
+    assert(otu(0).getAs[String]("funder_award_id") === "119E123")
+    assert(otu(0).getAs[String]("display_name") === "Proje Adı")
+    assert(otu(0).isNullAt(otu(0).fieldIndex("description"))) // blank
+    assert(otu(0).getAs[String]("funder_scheme") === "1001")
+    assert(otu(0).getAs[Int]("start_year") === 2020) // from the date
+    val tl = otu(0).getAs[Row]("lead_investigator")
+    assert(tl.getAs[String]("family_name") === "Yılmaz")
+    assert(tl.isNullAt(tl.fieldIndex("orcid"))) // blank → NULL
+    assert(tl.getAs[java.sql.Date]("role_start").toString === "2020-05-01")
+    val tis = otu(0).getSeq[Row](otu(0).fieldIndex("investigators"))
+    assert(tis.length === 1)
+    assert(tis.head.getAs[String]("given_name") === "Ayşe") // trimmed
+    assert(tis.head.isNullAt(tis.head.fieldIndex("orcid"))) // "" → NULL
+    assert(tis.head.getAs[java.sql.Date]("role_start").toString
+      === "2020-05-01")
+    // no dates → publication-year fallback; [] → NULL investigators
+    assert(otu(1).getAs[Int]("start_year") === 2021)
+    assert(otu(1).getAs[Int]("end_year") === 2021)
+    assert(otu(1).getAs[String]("funder_scheme") === "TRDizin PROJECT")
+    assert(otu(1).isNullAt(otu(1).fieldIndex("investigators")))
+    assert(otu(1).isNullAt(otu(1).fieldIndex("lead_investigator")))
+    // 1900 sentinel → NULL years
+    assert(otu(2).isNullAt(otu(2).fieldIndex("start_year")))
+    assert(otu(2).isNullAt(otu(2).fieldIndex("end_year")))
+
+    val nc = Seq(
+      (" POIR.01.01.01-00-0001/17 ", Some("Tytuł"), Some(""),
+        Some("Streszczenie"), None: Option[String], "0", Some("POIR"),
+        "2017-06-01", "2020-05-31", Some(" Piotr "), Some(" Kowalski "),
+        Some("  "), Some("Politechnika Warszawska")),
+      ("TECHMATSTRATEG1/347200", None: Option[String], Some("EN title"),
+        None: Option[String], Some("EN abstract"), "1500000.5",
+        None: Option[String], "2018-01-01", "2021-12-31",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("project_number", "title_pl", "title_en", "abstract_pl",
+        "abstract_en", "amount_pln", "scheme", "start_date", "end_date",
+        "manager_first_name", "manager_last_name", "manager_institution",
+        "leader_institution")
+    val onc = FunderIngest.transform(nc, reg4, FunderConfigs.ncbr, now)
+      .orderBy("funder_award_id").collect()
+    assert(onc.length === 2)
+    assert(onc(0).getAs[String]("funder_award_id")
+      === "POIR.01.01.01-00-0001/17") // trimmed
+    assert(onc(0).getAs[String]("display_name") === "Tytuł") // blank EN
+    assert(onc(0).isNullAt(onc(0).fieldIndex("amount"))) // zero → NULL
+    assert(onc(0).getAs[String]("currency") === "PLN")
+    val nl = onc(0).getAs[Row]("lead_investigator")
+    assert(nl.getAs[String]("given_name") === "Piotr")
+    assert(nl.getAs[String]("family_name") === "Kowalski")
+    // blank manager institution → leader fallback
+    assert(nl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Politechnika Warszawska")
+    assert(nl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Poland")
+    assert(onc(1).getAs[String]("display_name") === "EN title")
+    assert(onc(1).getAs[Double]("amount") === 1500000.5)
+    assert(onc(1).isNullAt(onc(1).fieldIndex("funder_scheme")))
+    assert(onc(1).isNullAt(onc(1).fieldIndex("lead_investigator")))
+    assert(onc(1).getAs[Int]("start_year") === 2018)
+  }
+
+  // ---------------------------------------------------------------
+  // Round-12 second tranche (CreatePCORIAwards / CreateMinSanteFr /
+  // CreateRFBRAwards / CreateFMFCAwards / CreateNEHAwards /
+  // CreateRWJFAwards / CreateHumboldtAwards / CreateCDMRPAwards /
+  // CreateMZEAwards / CreateMVCRAwards / CreateMPOAwards)
+  // ---------------------------------------------------------------
+
+  private def reg5 = reg4.unionByName(Seq(
+    (4320308927L, "Patient-Centered Outcomes Research Institute",
+      "https://ror.org/02zjmve82", "10.13039/100006093"),
+    (4320322734L, "Ministère des Affaires sociales et de la Santé",
+      "r-msas", "d-msas"),
+    (4320321079L, "Russian Foundation for Basic Research",
+      "https://ror.org/01f5dd661", "10.13039/501100002261"),
+    (4320323274L, "Financial Markets Foundation for Children",
+      "r-fmfc", "d-fmfc"),
+    (4320306100L, "National Endowment for the Humanities",
+      "https://ror.org/02vdm1p28", "10.13039/100000286"),
+    (4320306139L, "Robert Wood Johnson Foundation",
+      "https://ror.org/02ymmdj85", "10.13039/100000867"),
+    (4320308269L, "Alexander von Humboldt-Stiftung",
+      "https://ror.org/012kf4317", "10.13039/100005156"),
+    (4320338273L, "Congressionally Directed Medical Research Programs",
+      "r-cdmrp", "d-cdmrp"),
+    (4320323938L, "Ministerstvo Zemědělství",
+      "https://ror.org/049wftm75", "10.13039/501100006533"),
+    (4320311333L, "Ministerstvo Vnitra České Republiky",
+      "https://ror.org/05w1nn565", "10.13039/100009532"),
+    (4320322741L, "Ministerstvo Průmyslu a Obchodu",
+      "https://ror.org/03j4eb467", "10.13039/501100004578"))
+    .toDF(reg.columns: _*))
+
+  test("PCORI / MinSanteFr / FMFC: NULL-description scrape shapes, " +
+    "decimal amounts with literal currencies, start_year-only dates, " +
+    "literal lead countries, NULL works_api_url") {
+    val pc = Seq(("AD-12345", "Disparities study", Some("349000"),
+        Some("Addressing Disparities"), Some("2019"), Some("Pat"),
+        Some("Lee"), Some("Duke"), Some("https://pcori/1")))
+      .toDF("funder_award_id", "title", "amount", "funder_scheme",
+        "start_year", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val opc = FunderIngest.transform(pc, reg5, FunderConfigs.pcori, now)
+      .collect()
+    assert(opc.head.isNullAt(opc.head.fieldIndex("description")))
+    assert(opc.head.getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("349000")) === 0)
+    assert(opc.head.getAs[String]("currency") === "USD")
+    assert(opc.head.getAs[String]("funding_type") === "research")
+    assert(opc.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(opc.head.isNullAt(opc.head.fieldIndex("end_date")))
+    assert(opc.head.getAs[Int]("start_year") === 2019)
+    assert(opc.head.isNullAt(opc.head.fieldIndex("works_api_url")))
+    assert(opc.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+    assert(opc.head.getAs[String]("landing_page_url") === "https://pcori/1")
+
+    val ms = Seq(("PHRC-2015-001", "Étude clinique", Some("338000"),
+        Some("PHRC"), Some("2015"), Some("Marie"), Some("Dupont"),
+        Some("CHU Lyon")))
+      .toDF("funder_award_id", "title", "amount", "funder_scheme",
+        "start_year", "pi_given", "pi_family", "institution")
+    val oms = FunderIngest.transform(ms, reg5, FunderConfigs.minSanteFr,
+      now).collect()
+    assert(oms.head.getAs[String]("currency") === "EUR")
+    assert(oms.head.getAs[String]("funding_type") === "grant")
+    assert(oms.head.isNullAt(oms.head.fieldIndex("landing_page_url")))
+    assert(oms.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "France")
+
+    val fm = Seq(("fmfc-001", "Child health study", Some("117000"),
+        Some("Ann"), Some("Bell"), Some("MCRI"), Some("https://ffc/1")))
+      .toDF("funder_award_id", "title", "amount", "pi_given", "pi_family",
+        "institution", "landing_page_url")
+    val ofm = FunderIngest.transform(fm, reg5, FunderConfigs.fmfc, now)
+      .collect()
+    assert(ofm.head.getAs[String]("currency") === "AUD")
+    assert(ofm.head.isNullAt(ofm.head.fieldIndex("funder_scheme")))
+    assert(ofm.head.isNullAt(ofm.head.fieldIndex("start_year")))
+    assert(ofm.head.isNullAt(ofm.head.fieldIndex("start_date")))
+    assert(ofm.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Australia")
+  }
+
+  test("RFBR / NEH: funded-status belt-and-braces screen, §6.7 amount " +
+    "waiver with year-only coverage, fellowship/training programme " +
+    "cascade, role_start = grant begin, end-date-substring end_year") {
+    val rf = Seq(
+      ("18-00-00001", "Проект А", Some("Аннотация"), Some("а"),
+        Some("2018"), Some(" Иван "), Some(" Петров "),
+        Some("https://rfbr/1"), "поддержана"),
+      ("18-00-00002", "Проект Б", None: Option[String],
+        None: Option[String], Some("2018"), None: Option[String],
+        Some(""), Some("https://rfbr/2"), "поддержана"),
+      ("18-00-00003", "Rejected", None: Option[String],
+        None: Option[String], Some("2018"), None: Option[String],
+        None: Option[String], None: Option[String], "отклонена"))
+      .toDF("funder_award_id", "display_name", "description",
+        "funder_scheme", "start_year", "lead_given_name",
+        "lead_family_name", "landing_page_url", "status")
+    val orf = FunderIngest.transform(rf, reg5, FunderConfigs.rfbr, now)
+      .orderBy("funder_award_id").collect()
+    assert(orf.length === 2) // rejected application dropped
+    assert(orf(0).isNullAt(orf(0).fieldIndex("amount"))) // §6.7 waiver
+    assert(orf(0).isNullAt(orf(0).fieldIndex("currency")))
+    assert(orf(0).isNullAt(orf(0).fieldIndex("start_date"))) // year only
+    assert(orf(0).getAs[Int]("start_year") === 2018)
+    assert(orf(0).getAs[String]("funding_type") === "research")
+    val rl = orf(0).getAs[Row]("lead_investigator")
+    assert(rl.getAs[String]("given_name") === "Иван") // trimmed
+    assert(rl.getAs[String]("family_name") === "Петров")
+    assert(rl.getAs[Row]("affiliation").isNullAt(
+      rl.getAs[Row]("affiliation").fieldIndex("name"))) // no host org
+    assert(rl.getAs[Row]("affiliation").getAs[String]("country") === "RU")
+    assert(orf(0).getAs[String]("works_api_url") != null) // standard mint
+    assert(orf(1).isNullAt(orf(1).fieldIndex("lead_investigator"))) // ""
+
+    val ne = Seq(
+      ("FA-12345", Some("Humanities T1"), Some("D1"), Some("50000"),
+        "USD", "Fellowships for Younger Scholars", Some("1999-07-01"),
+        Some("2000-06-30"), "1999", Some("Jane Doe"), Some("Jane"),
+        Some("Doe"), Some("Yale"), Some("USA"), Some("https://neh/1")),
+      ("ES-99999", Some("Summer T2"), None: Option[String],
+        Some("30000"), "USD", "Summer Institutes for Teachers",
+        Some("2005-06-01"), Some("2005-08-31"), "2005",
+        Some(""), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]),
+      ("ZZ-1", None: Option[String], None: Option[String],
+        None: Option[String], "USD", "P", None: Option[String],
+        None: Option[String], "2000", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "project_title", "description",
+        "amount_usd", "currency", "program", "begin_grant", "end_grant",
+        "year_awarded", "lead_full_name", "lead_given_name",
+        "lead_family_name", "institution", "inst_country",
+        "landing_page_url")
+    val one = FunderIngest.transform(ne, reg5, FunderConfigs.neh, now)
+      .orderBy("funder_award_id").collect()
+    assert(one.length === 2) // title-less row dropped
+    assert(one(1).getAs[String]("funder_award_id") === "FA-12345")
+    assert(one(1).getAs[String]("funding_type") === "fellowship")
+    assert(one(1).getAs[Double]("amount") === 50000.0)
+    assert(one(1).getAs[Int]("start_year") === 1999)
+    assert(one(1).getAs[Int]("end_year") === 2000) // end-date substring
+    val nl = one(1).getAs[Row]("lead_investigator")
+    assert(nl.getAs[java.sql.Date]("role_start").toString === "1999-07-01")
+    assert(nl.getAs[Row]("affiliation").getAs[String]("country") === "USA")
+    assert(one(0).getAs[String]("funding_type") === "training") // institute
+    assert(one(0).isNullAt(one(0).fieldIndex("lead_investigator"))) // ""
+  }
+
+  test("RWJF / Humboldt / CDMRP: surrogate mint keeps duplicate " +
+    "listings distinct, programme-area newline collapse, year-boundary " +
+    "dates both from year_awarded, title fallback + >0 amount gate, " +
+    "USD-default currency with INITCAP names and affiliation fallback") {
+    val rw = Seq(
+      ("Health Policy Fellowship", Some(2019), Some(75000.0),
+        Some("Princeton, NJ"), 3, Some("Leadership\nDevelopment")),
+      ("Health Policy Fellowship", Some(2019), Some(75000.0),
+        Some("Princeton, NJ"), 3, Some("Leadership\nDevelopment")),
+      ("  ", Some(2020), None: Option[Double], None: Option[String], 4,
+        None: Option[String]))
+      .toDF("grant_title", "year_awarded", "amount_usd", "location",
+        "page", "program_area")
+    val orw = FunderIngest.transform(FunderConfigs.rwjfSurrogate(rw),
+      reg5, FunderConfigs.rwjf, now).collect()
+    assert(orw.length === 2) // blank title dropped pre-surrogate
+    // the monotonic component keeps TRUE duplicate listings distinct
+    assert(orw.map(_.getAs[String]("funder_award_id")).distinct.length
+      === 2)
+    assert(orw.map(_.getAs[Long]("id")).distinct.length === 2)
+    assert(orw.head.getAs[String]("funder_scheme")
+      === "Leadership / Development")
+    assert(orw.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(orw.head.getAs[java.sql.Date]("end_date").toString
+      === "2019-12-31")
+    assert(orw.head.getAs[Int]("end_year") === 2019)
+    val rwl = orw.head.getAs[Row]("lead_investigator")
+    assert(rwl.isNullAt(rwl.fieldIndex("family_name"))) // unconditional
+    assert(rwl.getAs[Row]("affiliation").getAs[String]("country") === "NJ")
+    assert(orw.head.getAs[String]("landing_page_url")
+      === "https://www.rwjf.org/en/grants/awarded-grants.html?s=3")
+    assert(orw.head.getAs[String]("works_api_url") != null)
+
+    val hu = Seq(
+      ("humboldt:123", "  ", Some("Desc"), Some("0"), Some("EUR"),
+        "Humboldt Research Fellowship", Some("2015-01-01"),
+        None: Option[String], None: Option[String], Some("LMU München"),
+        Some("https://h/1")),
+      ("humboldt:456", "Professorship X", None: Option[String],
+        Some("25000"), Some("EUR"), "AvH Professorship",
+        Some("2020-01-01"), Some("Ada"), Some("Lovelace"),
+        Some("TU Berlin"), Some("https://h/2")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "pi_given", "pi_family",
+        "institution", "landing_page_url")
+    val ohu = FunderIngest.transform(hu, reg5, FunderConfigs.humboldt,
+      now).orderBy("funder_award_id").collect()
+    assert(ohu(0).getAs[String]("display_name")
+      === "Humboldt grant humboldt:123") // blank-title fallback
+    assert(ohu(0).isNullAt(ohu(0).fieldIndex("amount"))) // 0 gated
+    assert(ohu(0).isNullAt(ohu(0).fieldIndex("currency")))
+    assert(ohu(0).getAs[Int]("start_year") === 2015)
+    assert(ohu(0).isNullAt(ohu(0).fieldIndex("start_date"))) // year only
+    val hl0 = ohu(0).getAs[Row]("lead_investigator")
+    assert(hl0.isNullAt(hl0.fieldIndex("family_name"))) // org-only arm
+    assert(hl0.getAs[Row]("affiliation").getAs[String]("name")
+      === "LMU München")
+    assert(hl0.getAs[Row]("affiliation").getAs[String]("country")
+      === "Germany")
+    assert(ohu(1).getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("25000")) === 0)
+    assert(ohu(1).getAs[String]("currency") === "EUR")
+    assert(ohu(1).getAs[Row]("lead_investigator")
+      .getAs[String]("family_name") === "Lovelace")
+    assert(ohu(1).isNullAt(ohu(1).fieldIndex("works_api_url")))
+
+    val cd = Seq(
+      ("W81XWH-20-1-0001", "Breast cancer study", Some("Abs"),
+        Some("500000"), Some("  "), Some("BCRP"),
+        Some("2020-09-15T00:00:00"), Some("2023-09-14T00:00:00"),
+        Some("jOHN"), Some("dOE"), None: Option[String],
+        Some("MD Anderson"), Some("US"), Some("https://dtic/1")))
+      .toDF("funder_award_id", "title", "short_abstract", "amount",
+        "currency", "program", "start_date", "end_date", "pi_first_name",
+        "pi_last_name", "institution", "pi_affiliation",
+        "institution_country", "landing_page_url")
+    val ocd = FunderIngest.transform(cd, reg5, FunderConfigs.cdmrp, now)
+      .collect()
+    assert(ocd.head.getAs[String]("currency") === "USD") // blank default
+    assert(ocd.head.getAs[java.sql.Date]("start_date").toString
+      === "2020-09-15") // 10-char substring
+    assert(ocd.head.getAs[Int]("end_year") === 2023)
+    val cl = ocd.head.getAs[Row]("lead_investigator")
+    assert(cl.getAs[String]("given_name") === "John") // INITCAP
+    assert(cl.getAs[String]("family_name") === "Doe")
+    assert(cl.getAs[Row]("affiliation").getAs[String]("name")
+      === "MD Anderson") // institution → pi_affiliation fallback
+    assert(ocd.head.getAs[String]("funder_scheme") === "BCRP")
+    assert(ocd.head.isNullAt(ocd.head.fieldIndex("works_api_url")))
+  }
+
+  test("IS VaVaI ministry twins (MZE / MVCR / MPO): the shared CEP " +
+    "shape routed per ministry — literal 'grant', raw programme-code " +
+    "scheme, distinct provenances and funder rows") {
+    def cep(code: String, prog: String) = Seq(
+      (code, Some("EN title"), None: Option[String], "raw",
+        None: Option[String], None: Option[String], "raw-d",
+        Some(900000.0), None: Option[Double], prog,
+        Some("2021-02-01"), None: Option[String], Some("2021"),
+        Some("2024"), Some("VŠB Ostrava"), Some("CZ"),
+        Some("https://ror.org/05x8mcb75"), "https://isvavai/x"))
+      .toDF("project_code", "title_en", "title_cs", "title",
+        "description_en", "description_cs", "description",
+        "funding_amount", "total_cost", "program_code", "start_date",
+        "end_date", "start_year", "end_year", "institution_name",
+        "institution_country", "ror_id", "landing_page_url")
+    val omz = FunderIngest.transform(cep("QK21010001", "QK"), reg5,
+      FunderConfigs.mze, now).collect()
+    assert(omz.head.getAs[String]("provenance") === "isvavai_cep_mze")
+    assert(omz.head.getAs[Long]("funder_id") === 4320323938L)
+    assert(omz.head.getAs[String]("funding_type") === "grant")
+    assert(omz.head.getAs[String]("funder_scheme") === "QK") // raw code
+    assert(omz.head.getAs[Double]("amount") === 900000.0)
+    assert(omz.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-02-01")
+    assert(omz.head.getAs[java.sql.Date]("end_date").toString
+      === "2024-12-31") // year-boundary fallback
+    val ma = omz.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation")
+    assert(ma.getAs[String]("country") === "Czech Republic")
+    assert(ma.getSeq[Row](ma.fieldIndex("ids")).head
+      .getAs[String]("asserted_by") === "isvavai")
+    val omv = FunderIngest.transform(cep("VI20172020001", "VI"), reg5,
+      FunderConfigs.mvcr, now).collect()
+    assert(omv.head.getAs[String]("provenance") === "isvavai_cep_mvcr")
+    assert(omv.head.getAs[Long]("funder_id") === 4320311333L)
+    val omp = FunderIngest.transform(cep("FW01010001", "FW"), reg5,
+      FunderConfigs.mpo, now).collect()
+    assert(omp.head.getAs[String]("provenance") === "isvavai_cep_mpo")
+    assert(omp.head.getAs[Long]("funder_id") === 4320322741L)
+    // the three ministries and GACR land at DISTINCT (prov, priority)
+    val slices = Seq(FunderConfigs.gacr, FunderConfigs.mze,
+      FunderConfigs.mvcr, FunderConfigs.mpo)
+      .map(c => (c.provenance, c.priority))
+    assert(slices.distinct.length === 4)
   }
 }
