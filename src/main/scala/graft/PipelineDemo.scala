@@ -395,6 +395,60 @@ object PipelineDemo {
     val topicFlat = struct(lit("T10101").as("id"),
       lit("Demo Topic").as("display_name"), lit("SF1010").as("subfield"),
       lit("F10").as("field"), lit("D1").as("domain"), lit(0.9).as("score"))
+
+    // ── work→funder junction legs (CreateWorksEnriched cell 17's
+    // from_crossref + from_funder_reported arms): the crossref
+    // junction resolves the registry DOI off the curated locations'
+    // funder assertions (doi-less assertions drop, unregistered DOIs
+    // drop at the inner join, the shell award spelling rides along),
+    // and the Hakai-style OUTPUT-LIST edges arrive through the shared
+    // funder_reported_work_funders union — both roll into the
+    // enriched works' funders array exactly as the reference merges
+    // them, gated below by a funders ⊆ registry referential check.
+    import graft.awards.{FunderReportedOutputs, WorkFunders}
+    val funderDim = Seq(
+      (8651541334L, "Det Norske Videnskaps-Akademi",
+        "https://ror.org/03kw54a66", "10.13039/501100023037"),
+      (4391743520L, "Hakai Institute", "https://ror.org/00fx2mx93",
+        "10.13039/100014553"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+      .withColumn("merge_into_id", lit(null).cast("long"))
+    val crossrefLocFunders = curated
+      .join(workIds, col("best_doi") === col("__wdoi"))
+      .select(col("work_id"), col("provenance"),
+        when(col("best_doi") === "10.9/alpha", array(
+          struct(lit("10.13039/501100023037").as("doi"),
+            array(lit("ABEL / 2022 / DEMO")).as("awards")),
+          // a doi-less assertion: dropped (no name fallback)
+          struct(nstr.as("doi"), array(lit("x")).as("awards"))))
+        .otherwise(array(
+          // a DOI absent from the registry: inner-join drop
+          struct(lit("10.13039/999999999").as("doi"),
+            array(lit("B-1")).as("awards")))).as("funders"))
+    val crossrefJunction = WorkFunders.crossrefWorkFunders(
+      crossrefLocFunders, funderDim)
+    val hakaiOutputs = Seq(("10.9/beta", 4391743520L, "hakai_publications"))
+      .toDF("doi", "funder_id", "provenance")
+    val funderReported = FunderReportedOutputs.funderReportedUnion(Seq(
+      (FunderReportedOutputs.outputListEdges(hakaiOutputs,
+        workIds.select(col("work_id").as("id"), col("__wdoi").as("doi"))),
+        None)))
+    val funderEdges = crossrefJunction
+      .select(col("work_id"), col("funder_id"))
+      .unionByName(funderReported.select(col("work_id"), col("funder_id")))
+    val rolledFunders = funderEdges
+      .join(broadcast(funderDim), Seq("funder_id"))
+      .select(col("work_id"),
+        concat(lit(OA + "F"), col("funder_id")).as("fid"),
+        col("ror_id").as("ror"), col("display_name"))
+      .groupBy(col("work_id"), col("fid"))
+      .agg(max(col("display_name")).as("display_name"),
+        max(col("ror")).as("ror"))
+      .groupBy(col("work_id"))
+      .agg(sort_array(collect_list(struct(col("fid").as("id"),
+        col("display_name"), col("ror")))).as("__funders"))
+      .withColumnRenamed("work_id", "__fwid")
+
     val worksEnriched = land(typed
       .join(auths, Seq("work_id"), "left")
       .join(workLocs, Seq("work_id"), "left")
@@ -406,6 +460,7 @@ object PipelineDemo {
       .join(sdgMerged.select(col("work_id"),
         col("sdg").as("sustainable_development_goals")),
         Seq("work_id"), "left")
+      .join(rolledFunders, col("work_id") === col("__fwid"), "left")
       .select(col("work_id").as("id"), col("title"), col("abstract"),
         lit("2024-01-01").as("created_date"),
         lit("2024-05-02").as("updated_date"),
@@ -434,7 +489,9 @@ object PipelineDemo {
         coalesce(size(col("locations")), lit(0)).as("locations_count"),
         col("sustainable_development_goals"),
         array().cast("array<string>").as("awards"),
-        array().cast("array<bigint>").as("funders"),
+        coalesce(col("__funders"), array().cast(
+          "array<struct<id:string,display_name:string,ror:string>>"))
+          .as("funders"),
         array().cast("array<bigint>").as("institutions"),
         lit(1).as("countries_distinct_count"),
         lit(1).as("institutions_distinct_count"),
@@ -604,7 +661,20 @@ object PipelineDemo {
         awards.select(explode(col("funded_outputs")).as("__fw"))
           .select(regexp_replace(col("__fw"), "https://openalex\\.org/W", "")
             .cast("long").as("w")),
-        "w", worksEnriched.select(col("id")), "id"))
+        "w", worksEnriched.select(col("id")), "id"),
+      // the junction legs' funder edges point only at registry funders
+      Guardrails.referential(funderEdges.select(col("funder_id")),
+        "funder_id", funderDim.select(col("funder_id")), "funder_id"),
+      // every funder edge surfaced in the enriched works' rolled array
+      Guardrails.referential(funderEdges
+          .join(broadcast(funderDim), Seq("funder_id"))
+          .select(concat(col("work_id").cast("string"), lit(":"),
+            lit(OA + "F"), col("funder_id")).as("edge")),
+        "edge",
+        worksEnriched.select(col("id"),
+            explode(col("funders")).as("__fu"))
+          .select(concat(col("id").cast("string"), lit(":"),
+            col("__fu.id")).as("edge")), "edge"))
     NightlyOut(curated, references, fulltext, registry, worksEnriched,
       sourcesApi, publishersApi, institutionsApi, domainCounts,
       worksDocs, awardAliases, awards, smokeVerdicts, checks)

@@ -409,6 +409,21 @@ class DomainSliceSpec extends AnyFunSuite {
     assert(tail.worksEnriched.filter(col("cited_by_count") > 0)
       .select("id").as[Long].collect().toSeq == Seq(betaId))
 
+    // the funder junction legs surface in the enriched works' rolled
+    // funders array (CreateWorksEnriched cell 17): alpha through the
+    // crossref registry-DOI junction (its doi-less assertion dropped),
+    // beta through the funder-reported OUTPUT-LIST union (its
+    // unregistered-DOI crossref assertion dropped at the inner join)
+    val funderIdsByWork = tail.worksEnriched
+      .select(col("id"), explode(col("funders")).as("__f"))
+      .select(col("id"), col("__f.id").as("fid"), col("__f.ror"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(funderIdsByWork === Seq(
+      (6600000001L, "https://openalex.org/F8651541334",
+        "https://ror.org/03kw54a66"),
+      (betaId, "https://openalex.org/F4391743520",
+        "https://ror.org/00fx2mx93")).sorted)
+
     // API builds: one entity per registry row, works-derived counts
     assert(tail.sourcesApi.count() == 2)
     assert(tail.publishersApi.count() == 2)
