@@ -2975,4 +2975,831 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 third tranche by volume: MacArthur, Guggenheim,
+  // Argentina MINCYT, RSCF, CFI, Hewlett, ARIS, AMED, AHA, Carnegie
+  // ---------------------------------------------------------------
+
+  /** MacArthur Fellows ("genius grants",
+    * CreateMacArthurFellowsAwards.ipynb cell 13, 1,174 fellows
+    * 1981-2025): person-level fellowship rows — literal scheme,
+    * source-carried amount/currency and self-reported country,
+    * role_start = award start, substring years. (The reference's
+    * transform also carries a `declined` passthrough column its
+    * landing INSERT drops — not part of the 24-column award shape.) */
+  def macArthurFellows: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("affiliation"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306142L, provenance = "macarthur_fellows",
+      priority = 104,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("MacArthur Fellowship"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Guggenheim Fellowship directory
+    * (CreateGuggenheimAwards.ipynb cell 12, ~19.8K fellows since
+    * 1925): the 'Guggenheim Fellowship - <name> (<year>)' display
+    * assembly, §6.7 fellowship waiver, NULL scheme (discipline is
+    * client-side only — never guessed), names-only lead with a fully
+    * NULL affiliation's fields. */
+  def guggenheim: FunderIngestConfig = {
+    val lead = when(col("family_name").isNotNull ||
+        col("given_name").isNotNull,
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320308774L, provenance = "guggenheim_fellowship",
+      priority = 163,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Guggenheim Fellowship - "),
+        col("fellow_name"),
+        when(col("start_year").isNotNull,
+          concat(lit(" ("), col("start_year"), lit(")")))
+          .otherwise(lit(""))),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit(null).cast("string"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** The MINCYT fuente→funder trio
+    * (CreateArgentinaMINCYTAwards.ipynb cell 10's VALUES map). */
+  def argentinaMincytFunderIds: Seq[Long] =
+    Seq(4320334832L, 4320321594L, 4320326565L)
+
+  /** Argentina MINCYT CKAN projects (resolved §2.3.2 multi-funder,
+    * CreateArgentinaMINCYTAwards.ipynb cell 10, ~19.3K 2008-2019):
+    * `proyecto_fuente` routes ANPCYT/CONICET/INTA (others dropped),
+    * the surrogate proyecto_id mints while codigo_identificacion is
+    * preferred as the award id, total-awarded ARS amounts, dual
+    * yyyy/MM/dd-or-yyyy-MM-dd date parse, an UNCONDITIONAL all-null
+    * 'AR' lead, the per-year CKAN landing URL. */
+  def argentinaMincyt: ResolvedFunderIngestConfig = {
+    def d2(c: Column): Column = {
+      val s = substring(c, 1, 10)
+      coalesce(to_date(try_to_timestamp(s, lit("yyyy/MM/dd"))),
+        to_date(try_to_timestamp(s, lit("yyyy-MM-dd"))))
+    }
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("date"), lit(null).cast("string"), lit("AR"),
+      lit(null).cast(affIds))
+    ResolvedFunderIngestConfig(
+      provenance = "argentina_mincyt", priority = 43,
+      resolvedFunderId = when(col("proyecto_fuente") === "ANPCYT",
+          4320334832L)
+        .when(col("proyecto_fuente") === "CONICET", 4320321594L)
+        .when(col("proyecto_fuente") === "INTA", 4320326565L),
+      mintKey = lower(col("proyecto_id").cast("string")),
+      funderAwardId = coalesce(col("codigo_identificacion"),
+        col("proyecto_id").cast("string")),
+      displayName = col("titulo"),
+      description = col("resumen"),
+      amount = col("monto_total_adjudicado").try_cast("double"),
+      currency = lit("ARS"),
+      fundingType = lit("research"),
+      funderScheme = col("proyecto_fuente"),
+      startDate = d2(col("fecha_inicio")),
+      endDate = d2(col("fecha_finalizacion")),
+      startYear = year(d2(col("fecha_inicio"))),
+      endYear = year(d2(col("fecha_finalizacion"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://datos.gob.ar/dataset/" +
+        "mincyt-proyectos-ciencia-tecnologia-innovacion/archivo/" +
+        "proyectos_"), col("_source_year").cast("string")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("proyecto_id").isNotNull)
+  }
+
+  /** RSCF / Russian Science Foundation project cards
+    * (CreateRSCFAwards.ipynb cell 11, ~15.7K stub-seeded grants): the
+    * RFBR twin — §6.7 amount waiver, year-only coverage from the
+    * grant-number YY prefix, trimmed-NULLIF lead with the host
+    * organization and 'RU'. */
+  def rscf: FunderIngestConfig = {
+    val lead = when(col("lead_family_name").isNotNull &&
+        col("lead_family_name") =!= "",
+      investigator(nullif(trim(col("lead_given_name")), lit("")),
+        trim(col("lead_family_name")), lit(null).cast("string"),
+        lit(null).cast("date"),
+        nullif(trim(col("organization")), lit("")), lit("RU"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320324099L, provenance = "rscf", priority = 399,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** CFI / Canada Foundation for Innovation dashboard
+    * (CreateCFIAwards.ipynb cell 7, ~14K infrastructure projects):
+    * the source has NO native grant id — the mint key is the
+    * sanitized (year, institution, title-prefix) concat and the
+    * award id a 'CFI-<year>-<hash%1e6>' pseudo-id, CAD amounts,
+    * literal 'infrastructure', first-of-pipe team leader stored in
+    * family_name, the fixed dashboard landing URL. */
+  def cfi: FunderIngestConfig = {
+    val sd = to_date(col("decision_date"))
+    val lead = when(col("team_leaders").isNotNull &&
+        trim(col("team_leaders")) =!= "",
+      investigator(lit(null).cast("string"),
+        trim(element_at(split(col("team_leaders"), "\\|"), 1)),
+        lit(null).cast("string"), sd,
+        trim(col("lead_institution")), lit("Canada"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320995L, provenance = "cfi_opendata", priority = 8,
+      mintKey = lower(regexp_replace(
+        concat(col("decision_year"), lit("_"), col("lead_institution"),
+          lit("_"), substring(col("project_title"), 1, 50)),
+        "[^a-zA-Z0-9]", "_")),
+      funderAwardId = concat(lit("CFI-"), col("decision_year"), lit("-"),
+        (abs(hash(concat(col("lead_institution"), col("project_title"))))
+          % 1000000).cast("string")),
+      displayName = col("project_title"),
+      description = lit(null).cast("string"),
+      amount = col("cfi_contribution").try_cast("double"),
+      currency = lit("CAD"),
+      fundingType = lit("infrastructure"),
+      funderScheme = col("fund_type"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("decision_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit("https://www.innovation.ca/projects-results/" +
+        "funded-projects-dashboard"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_title").isNotNull &&
+        trim(col("project_title")) =!= "")
+  }
+
+  /** Hewlett Foundation grants DB (CreateHewlettAwards.ipynb cell 12,
+    * ~12.6K grants): the 'Hewlett <program> — <grantee>' display, the
+    * title+'. '+overview description assembly, the advocacy/arts
+    * programme→'other' split, substring years, an org-level lead
+    * ('US') with role_start = grant start, the grantee's own website
+    * as landing URL. */
+  def hewlett: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val otherPrograms = Seq("Performing Arts", "Special Projects",
+      "Effective Philanthropy", "Gender Equity and Governance")
+    val lead = when(col("grantee").isNotNull && col("grantee") =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), sd,
+        col("grantee"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320307873L, provenance = "hewlett_facetwp",
+      priority = 86,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Hewlett "), col("program"),
+        lit(" — "), col("grantee")),
+      description = when(col("projectTitle").isNotNull &&
+          col("overview").isNotNull,
+          concat(col("projectTitle"), lit(". "), col("overview")))
+        .when(col("projectTitle").isNotNull, col("projectTitle"))
+        .otherwise(col("overview")),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = when(col("program").isin(otherPrograms: _*), "other")
+        .otherwise("research"),
+      funderScheme = col("program"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("grantee_website"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("grantee").isNotNull)
+  }
+
+  private def affType: String =
+    s"struct<name:string,country:string,ids:$affIds>"
+
+  /** ARIS / Slovenian Research and Innovation Agency eCRIS
+    * (CreateARISAwards.ipynb cell 9, ~11.9K projects): the §6.7
+    * waiver, the Z-postdoc fellowship split, the 21-entry
+    * mstid_prg→labelled-scheme map, keywords-as-description, and a
+    * lead whose AFFILIATION STRUCT ITSELF is NULL when no org —
+    * the only config with a conditional affiliation slot; no row
+    * filter in the reference. */
+  def aris: FunderIngestConfig = {
+    val prg = col("mstid_prg")
+    val scheme = Seq(
+      "P" -> "P — research programme",
+      "I" -> "I — infrastructure programme",
+      "J" -> "J — basic research project",
+      "L" -> "L — applied research project",
+      "V" -> "V — target research project",
+      "Z" -> "Z — postdoctoral research project",
+      "M" -> "M — CRP MIR",
+      "N" -> "N — European research project (ARIS-cofunded)",
+      "H" -> "H — European research project (ERA)",
+      "R" -> "R — development research project",
+      "T" -> "T — natural and cultural heritage project",
+      "NI" -> "NI — bilateral research project (Israel)",
+      "NC" -> "NC — bilateral research project (CEA)",
+      "NK" -> "NK — bilateral research project (China)",
+      "NJ" -> "NJ — bilateral research project (Japan)",
+      "BI" -> "BI — bilateral project",
+      "GC" -> "GC — Gravitation",
+      "STR" -> "STR — strategic project",
+      "MN" -> "RRP — mobility project",
+      "TN" -> "RRP — TRL 3-6 project",
+      "O" -> "O — citizen science project")
+      .foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+        when(prg === k, v).otherwise(acc) }
+    val lead = when(col("lead_family_name").isNotNull ||
+        col("lead_org_name").isNotNull,
+      struct(col("lead_given_name").as("given_name"),
+        col("lead_family_name").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        when(col("lead_org_name").isNotNull,
+          struct(col("lead_org_name").as("name"),
+            lit("Slovenia").as("country"),
+            lit(null).cast(affIds).as("ids")))
+          .otherwise(lit(null).cast(affType)).as("affiliation")))
+    FunderIngestConfig(
+      funderId = 4320322554L, provenance = "aris_ecris", priority = 423,
+      mintKey = lower(col("code")),
+      funderAwardId = col("code"),
+      displayName = coalesce(nullif(trim(col("title_en")), lit("")),
+        col("title_sl")),
+      description = nullif(trim(col("keywords")), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = when(prg === "Z", "fellowship").otherwise("research"),
+      funderScheme = coalesce(scheme, prg),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** AMED's registry-tolerant funder lookup
+    * (CreateAMEDAwards.ipynb cell 11's `funder_resolved` CTE):
+    * ungrouped MAX aggregates over the keyed registry slice always
+    * yield exactly ONE row — a missing registry row degrades to the
+    * notebook's literal defaults instead of silently zeroing the
+    * cross join (the MRFF-gap lesson institutionalized). */
+  def amedFunderLookup(funders: DataFrame): DataFrame =
+    funders.filter(col("funder_id") === 4320311405L)
+      .agg(
+        coalesce(max(col("display_name")),
+          lit("Japan Agency for Medical Research and Development"))
+          .as("display_name"),
+        coalesce(max(col("ror_id")), lit("https://ror.org/004rtk039"))
+          .as("ror_id"),
+        coalesce(max(col("doi")), lit("10.13039/100009619")).as("doi"))
+      .select(lit(4320311405L).as("funder_id"), col("display_name"),
+        col("ror_id"), col("doi"))
+
+  /** AMED / Japan Agency for Medical Research and Development via
+    * AMEDfind (CreateAMEDAwards.ipynb cell 11, ~11K projects): JPY
+    * gated on amount presence, 1800-2100 year screens, the Japanese
+    * fellowship-keyword regex (育成/フェロー/特別研究員), full name in
+    * family_name with a JP-gated affiliation country, trimmed mint
+    * key with the VERBATIM award id. Pair with
+    * [[amedFunderLookup]]. */
+  def amed: FunderIngestConfig = {
+    def vy(c: Column) = when(c.try_cast("int").between(1800, 2100),
+      c.try_cast("int"))
+    val amt = col("amount").try_cast("double")
+    val leaderName = nullif(trim(col("lead_researcher_name")), lit(""))
+    val leaderAff = nullif(trim(col("lead_affiliation_name")), lit(""))
+    val lead = when(leaderName.isNotNull || leaderAff.isNotNull,
+      investigator(lit(null).cast("string"), leaderName,
+        lit(null).cast("string"), lit(null).cast("date"),
+        leaderAff, when(leaderAff.isNotNull, "JP"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320311405L, provenance = "amed_amedfind",
+      priority = 207,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "JPY"),
+      fundingType = when(col("funder_scheme")
+          .rlike("育成|フェロー|特別研究員"), "fellowship")
+        .otherwise("research"),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = vy(col("start_year")), endYear = vy(col("end_year")),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** AHA / American Heart Association report builder
+    * (CreateAHAAwards.ipynb cell 12, ~10.2K awards): the
+    * script-shaped investigators JSON parses into the FULL typed
+    * investigator list (role_start dates and affiliation ids
+    * included), the first element becoming the lead; source-carried
+    * funding_type and currency; exact award dates. */
+  def aha: FunderIngestConfig = {
+    val arr = from_json(col("investigators_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        s"array<${FunderIngest.InvestigatorType}>"))
+    FunderIngestConfig(
+      funderId = 4320306230L, provenance = "aha_report_builder",
+      priority = 397,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = col("funding_type"),
+      funderScheme = col("funder_scheme"),
+      startDate = col("start_date").try_cast("date"),
+      endDate = col("end_date").try_cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = element_at(arr, 1),
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("title").isNotNull,
+      investigators = arr)
+  }
+
+  /** Carnegie Corporation of New York grants DB
+    * (CreateCarnegieAwards.ipynb cell 12, ~9.3K grants): the
+    * 'Carnegie <program> - <grantee> (<year>)' display with a
+    * 'Grant' programme fallback, year-only coverage, an org-level
+    * lead whose country stays NULL (never guessed). */
+  def carnegie: FunderIngestConfig = {
+    val lead = when(col("grantee_org").isNotNull &&
+        col("grantee_org") =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("grantee_org"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306125L, provenance = "carnegie_corporation",
+      priority = 141,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Carnegie "),
+        coalesce(col("program"), lit("Grant")), lit(" - "),
+        col("grantee_org"),
+        when(col("year").isNotNull,
+          concat(lit(" ("), col("year"), lit(")"))).otherwise(lit(""))),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("grantee_org").isNotNull)
+  }
+
+  // ---------------------------------------------------------------
+  // Round-12 fourth tranche: Energimyndigheten, Forte, HK ITC,
+  // CSA Canada, AGAUR, APVV, Moore, Doris Duke, HMRF, Sloan, IRFD
+  // ---------------------------------------------------------------
+
+  /** Energimyndigheten / Swedish Energy Agency via SweCRIS
+    * (CreateEnergimyndighetenAwards.ipynb, ~6K): the VR/Formas shape
+    * with trimmed-NULLIF text pairs, the zero-amount NULL, the
+    * COALESCE-guarded type cascade, NO investigator slots at all,
+    * and the TRIMMED raw id kept in the landing URL. */
+  def energimyndigheten: FunderIngestConfig = {
+    val ta = lower(coalesce(col("type_of_award"), lit("")))
+    val fundingType =
+      when(ta.like("%fellow%"), "fellowship")
+        .when(ta.like("%stipend%"), "fellowship")
+        .when(ta.like("%infrastructure%"), "infrastructure")
+        .when(ta.like("%project%"), "research")
+        .otherwise("grant")
+    FunderIngestConfig(
+      funderId = 4320322711L, provenance = "energimyndigheten",
+      priority = 435,
+      mintKey = lower(swecrisBareId(col("project_id"))),
+      funderAwardId = swecrisBareId(col("project_id")),
+      displayName = coalesce(nullif(trim(col("title_english")), lit("")),
+        nullif(trim(col("title")), lit(""))),
+      description = coalesce(nullif(trim(col("abstract_english")),
+        lit("")), nullif(trim(col("abstract")), lit(""))),
+      amount = nullif(col("amount").try_cast("double"), lit(0.0)),
+      currency = lit("SEK"),
+      fundingType = fundingType,
+      funderScheme = nullif(trim(col("type_of_award")), lit("")),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = concat(lit("https://www.vr.se/swecris#/project/"),
+        trim(col("project_id"))),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** Forte / Swedish Research Council for Health, Working Life and
+    * Welfare via SweCRIS (CreateForteAwards.ipynb, ~2.7K): the Formas
+    * twin minus the environment/international arms of the type
+    * cascade. */
+  def forte: FunderIngestConfig = {
+    val ta = lower(col("type_of_award"))
+    val fundingType =
+      when(ta.like("%positions%"), "fellowship")
+        .when(ta.like("%stipend%"), "fellowship")
+        .when(ta.like("%infrastructure%"), "infrastructure")
+        .when(ta.like("%project%"), "research")
+        .otherwise("grant")
+    val lead = when(col("pi_family_name").isNotNull &&
+        trim(col("pi_family_name")) =!= "",
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        col("pi_orcid"), lit(null).cast("date"),
+        col("coordinating_organisation"), lit("Sweden"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320324004L, provenance = "forte", priority = 17,
+      mintKey = lower(swecrisBareId(col("project_id"))),
+      funderAwardId = swecrisBareId(col("project_id")),
+      displayName = coalesce(col("title_english"), col("title")),
+      description = coalesce(col("abstract_english"), col("abstract")),
+      amount = col("amount").try_cast("double"), currency = lit("SEK"),
+      fundingType = fundingType, funderScheme = col("type_of_award"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.vr.se/swecris#/project/"),
+        col("project_id")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** The beneficiary-register archetype (HK ITC / CSA Canada / AGAUR
+    * — government subvention registers with NO PI names): the >0
+    * amount gate on BOTH amount and the literal currency, a
+    * fellowship regex over a scheme column, year-boundary dates, an
+    * org-only lead with a placeholder-beneficiary screen (§6.4a), a
+    * fixed register landing URL. */
+  private def beneficiaryRegister(funderId: Long, provenance: String,
+      priority: Int, currencyCode: String, fellowOn: Column,
+      fellowRe: String, display: Column, description: Column,
+      scheme: Column, startYearCol: Column, endYearCol: Column,
+      instPlaceholder: String, country: Column,
+      landing: String): FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sy = startYearCol.try_cast("int")
+    val ey = endYearCol.try_cast("int")
+    val inst = col("institution_name")
+    val lead = when(inst.isNotNull && inst =!= instPlaceholder &&
+        trim(inst) =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        inst, country, lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = display, description = description,
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, currencyCode),
+      fundingType = when(lower(fellowOn).rlike(fellowRe), "fellowship")
+        .otherwise("research"),
+      funderScheme = scheme,
+      startDate = when(sy.isNotNull,
+        concat(sy.cast("string"), lit("-01-01")).cast("date")),
+      endDate = when(ey.isNotNull,
+        concat(ey.cast("string"), lit("-12-31")).cast("date")),
+      startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = lit(landing),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id").cast("string")) =!= "")
+  }
+
+  /** HK ITC / Innovation and Technology Commission ITF register
+    * (CreateHKITCAwards.ipynb): HKD, year-only start (no end), 'Hong
+    * Kong' beneficiaries, the empty-string placeholder screen. (The
+    * notebook's fellowship regex tests UPPERCASE codes against the
+    * LOWERED scheme — kept verbatim; it classifies everything
+    * 'research', exactly as the reference does.) */
+  def hkItc: FunderIngestConfig = beneficiaryRegister(
+    4320321920L, "hk_itc_itf", 197, "HKD",
+    fellowOn = col("funder_scheme"), fellowRe = "(ITSP|PRP|MRP|TCFS)",
+    display = col("title"), description = lit(null).cast("string"),
+    scheme = col("funder_scheme"),
+    startYearCol = col("year"), endYearCol = lit(null).cast("int"),
+    instPlaceholder = "", country = lit("Hong Kong"),
+    landing = "https://www.itf.gov.hk/datagovhk/Economia/" +
+      "Concessions-del-RAISC-Registre-de-subvencions-i-aju/s9xt-n979")
+
+  /** CSA Canada proactive-disclosure register
+    * (CreateCSACanadaAwards.ipynb): CAD, title-else-description
+    * display, source-carried recipient country. */
+  def csaCanada: FunderIngestConfig = beneficiaryRegister(
+    4320334436L, "csa_canada_proactive", 201, "CAD",
+    fellowOn = col("prog_name_en"), fellowRe = "(fellowship)",
+    display = coalesce(col("title_en"), col("description_en")),
+    description = col("description_en"),
+    scheme = col("prog_name_en"),
+    startYearCol = col("start_year"), endYearCol = col("end_year"),
+    instPlaceholder = "", country = col("recipient_country"),
+    landing = "https://analisi.transparenciacatalunya.cat/Economia/" +
+      "Concessions-del-RAISC-Registre-de-subvencions-i-aju/s9xt-n979")
+
+  /** AGAUR / Catalan RAISC subvention register via Socrata
+    * (CreateAGAURAwards.ipynb): EUR, the Catalan fellowship-term
+    * regex, the 'Estranger-Altres' placeholder screen, 'Spain'. */
+  def agaur: FunderIngestConfig = beneficiaryRegister(
+    4320334830L, "agaur_raisc_socrata", 195, "EUR",
+    fellowOn = col("funder_scheme"),
+    fellowRe = "(doctorat|industrial|formacio|formation|beca|" +
+      "fellowship|investigador|professor|jove)",
+    display = col("title"), description = lit(null).cast("string"),
+    scheme = col("funder_scheme"),
+    startYearCol = col("start_year"), endYearCol = col("end_year"),
+    instPlaceholder = "Estranger-Altres", country = lit("Spain"),
+    landing = "https://analisi.transparenciacatalunya.cat/Economia/" +
+      "Concessions-del-RAISC-Registre-de-subvencions-i-aju/s9xt-n979")
+
+  /** APVV / Slovak Research and Development Agency
+    * (CreateAPVVAwards.ipynb, ~5.4K): the 'APVV grant <id>' title
+    * fallback, the >0 decimal gate with source currency, the
+    * scheme-embedded call-year regex for start_year, an org-only
+    * 'Slovakia' lead, NULL works_api_url; no row filter in the
+    * reference. */
+  def apvv: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("institution").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Slovakia"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320323251L, provenance = "apvv", priority = 367,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("APVV grant "), col("funder_award_id"))),
+      description = lit(null).cast("string"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = regexp_extract(col("scheme"), "([0-9]{4})", 1)
+        .try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Moore Foundation grants DB (CreateMooreAwards.ipynb, ~4.5K):
+    * title-else-'Moore Foundation grant <id>' fallback, >0 USD gate,
+    * year-only coverage, org-only lead with a NULL country (never
+    * guessed). */
+  def moore: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("grantee_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("grantee_org"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306202L, provenance = "moore_foundation",
+      priority = 161,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Moore Foundation grant "), col("funder_award_id"))),
+      description = lit(null).cast("string"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "USD"),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** Doris Duke Foundation (CreateDorisDukeAwards.ipynb, ~4.3K): the
+    * DUAL-ARM shape keyed on source_kind — organizational grants get
+    * a 'Doris Duke Grant - <org> (<year>)' display and an org lead
+    * with role_start = approval, named recipients (artists/fellows)
+    * get a 'Doris Duke <scheme> - <name> (<year>)' display and a
+    * names-only 'US' lead; source-carried funding_type. */
+  def dorisDuke: FunderIngestConfig = {
+    val orgArm = col("source_kind") === "organizational_grant"
+    val yearSuffix = when(col("year").isNotNull,
+      concat(lit(" ("), col("year"), lit(")"))).otherwise(lit(""))
+    val sd = d(col("approved_on"))
+    val lead = when(orgArm && col("grantee_org").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), sd,
+          col("grantee_org"), lit("US"), lit(null).cast(affIds)))
+      .when(col("recipient_name").isNotNull,
+        investigator(col("given_name"), col("family_name"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          lit(null).cast("string"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306134L, provenance = "doris_duke", priority = 143,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = when(orgArm,
+          concat(lit("Doris Duke Grant - "), col("grantee_org"),
+            yearSuffix))
+        .otherwise(concat(lit("Doris Duke "), col("scheme"), lit(" - "),
+          col("recipient_name"), yearSuffix)),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = col("funding_type"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        (col("grantee_org").isNotNull || col("recipient_name").isNotNull))
+  }
+
+  /** HMRF / Health and Medical Research Fund (Hong Kong)
+    * (CreateHMRFAwards.ipynb, ~4K): ref_no key, decimal HKD, the
+    * final-else-proposal abstract fallback, call-year-only coverage,
+    * 'Hong Kong' lead, NULL landing and works_api_url; no row filter
+    * in the reference. */
+  def hmrf: FunderIngestConfig = {
+    val cy = col("call_year").try_cast("int")
+    val lead = when(col("lead_family_name").isNotNull,
+      investigator(col("lead_given_name"), col("lead_family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("lead_affiliation"), lit("Hong Kong"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320335055L, provenance = "hmrf", priority = 322,
+      mintKey = lower(col("ref_no")),
+      funderAwardId = col("ref_no"),
+      displayName = col("project_title"),
+      description = coalesce(col("abstract_final"),
+        col("abstract_proposal")),
+      amount = col("approved_amount_hkd").try_cast("decimal(18,2)"),
+      currency = lit("HKD"),
+      fundingType = lit("grant"),
+      funderScheme = col("fund"),
+      startDate = when(cy.isNotNull,
+        d(concat(cy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = cy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Sloan Foundation grants DB (CreateSloanAwards.ipynb, ~3.4K):
+    * the '<program> - <grantee> (<year>)' display with a 'Sloan
+    * Grant' fallback, source currency, an org+investigator lead with
+    * the parsed-city country left NULL when unmappable. */
+  def sloan: FunderIngestConfig = {
+    val lead = when(col("grantee_org").isNotNull ||
+        col("investigator").isNotNull,
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("grantee_org"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306151L, provenance = "sloan_foundation",
+      priority = 149,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(coalesce(col("program"), lit("Sloan Grant")),
+        lit(" - "), col("grantee_org"),
+        when(col("year").isNotNull,
+          concat(lit(" ("), col("year"), lit(")"))).otherwise(lit(""))),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("permalink_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("grantee_org").isNotNull)
+  }
+
+  /** Independent Research Fund Denmark via Forskningsportal
+    * (CreateIndependentResearchFundDenmarkAwards.ipynb, ~4K): DKK,
+    * the Danish instrument→type cascade (Sapere Aude fellowships),
+    * instrument-else-call scheme, the PI-role row screen (the source
+    * is person-grained — only PI rows land, avoiding duplicates),
+    * 'funder'-asserted ROR ids, and a REAL grant DOI. */
+  def irfDenmark: FunderIngestConfig = {
+    val ft = lower(col("funding_type"))
+    val fundingType =
+      when(ft.like("%fellowship%"), "fellowship")
+        .when(ft.like("%postdoctoral%"), "fellowship")
+        .when(ft.like("%sapere aude%"), "fellowship")
+        .when(ft.like("%individual%"), "grant")
+        .when(ft.like("%research project%"), "grant")
+        .otherwise("grant")
+    val rorIds = when(col("organisation_ror").isNotNull,
+      array(struct(col("organisation_ror").as("id"),
+        lit("ror").as("type"), lit("funder").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("last_name").isNotNull &&
+        col("person_role") === "Principal Investigator",
+      investigator(col("first_name"), col("last_name"),
+        nullif(trim(col("orcid")), lit("")), lit(null).cast("date"),
+        col("organisation_name"), col("organisation_country"), rorIds))
+    FunderIngestConfig(
+      funderId = 4320322928L, provenance = "forskningsportal_dk",
+      priority = 30,
+      mintKey = lower(col("grant_id").cast("string")),
+      funderAwardId = col("grant_id"),
+      displayName = trim(col("title")),
+      description = trim(col("abstract")),
+      amount = col("amount_granted").try_cast("double"),
+      currency = lit("DKK"),
+      fundingType = fundingType,
+      funderScheme = coalesce(col("funder_specific_instrument"),
+        col("call")),
+      startDate = d(col("grant_start_date")),
+      endDate = d(col("grant_end_date")),
+      startYear = col("grant_year").try_cast("int"),
+      endYear = year(d(col("grant_end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("project_url"),
+      doi = nullif(trim(col("grant_doi")), lit("")),
+      rowFilter = col("grant_id").isNotNull &&
+        col("person_role") === "Principal Investigator")
+  }
 }

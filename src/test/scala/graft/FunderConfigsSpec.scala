@@ -2031,4 +2031,614 @@ class FunderConfigsSpec extends AnyFunSuite {
       .map(c => (c.provenance, c.priority))
     assert(slices.distinct.length === 4)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 third tranche (CreateMacArthurFellowsAwards /
+  // CreateGuggenheimAwards / CreateCarnegieAwards /
+  // CreateArgentinaMINCYTAwards / CreateRSCFAwards / CreateCFIAwards /
+  // CreateHewlettAwards / CreateARISAwards / CreateAMEDAwards /
+  // CreateAHAAwards)
+  // ---------------------------------------------------------------
+
+  private def reg6 = reg5.unionByName(Seq(
+    (4320306142L, "John D. and Catherine T. MacArthur Foundation",
+      "https://ror.org/00dxczh48", "10.13039/100000870"),
+    (4320308774L, "John Simon Guggenheim Memorial Foundation",
+      "https://ror.org/0407tnq23", "10.13039/100005851"),
+    (4320334832L, "Agencia I+D+i", "r-anpcyt", "d-anpcyt"),
+    (4320321594L, "CONICET", "https://ror.org/03cqe8w59",
+      "10.13039/501100002923"),
+    (4320326565L, "INTA", "r-inta", "d-inta"),
+    (4320324099L, "Russian Science Foundation",
+      "https://ror.org/01rxgrp53", "10.13039/501100006769"),
+    (4320320995L, "Canada Foundation for Innovation",
+      "https://ror.org/000az4664", "10.13039/501100001805"),
+    (4320307873L, "William and Flora Hewlett Foundation",
+      "https://ror.org/04sn5ne95", "10.13039/100004439"),
+    (4320322554L, "ARIS", "https://ror.org/05n4nr915",
+      "10.13039/501100004329"),
+    (4320311405L, "AMED (registry)", "https://ror.org/004rtk039",
+      "10.13039/100009619"),
+    (4320306230L, "American Heart Association",
+      "https://ror.org/035kwtf26", "10.13039/100000968"),
+    (4320306125L, "Carnegie Corporation of New York",
+      "https://ror.org/01xr9f367", "10.13039/100000308"))
+    .toDF(reg.columns: _*))
+
+  test("MacArthur / Guggenheim / Carnegie: fellowship shapes — " +
+    "role_start = award start, substring years, assembled displays " +
+    "with year suffixes and programme fallbacks, never-guessed NULL " +
+    "affiliation fields") {
+    val ma = Seq(
+      ("fellow-gould-1981", "MacArthur Fellowship - Stephen Jay Gould",
+        Some("Paleontologist"), Some("800000"), Some("USD"),
+        Some("1981-06-01"), Some("1986-05-31"),
+        Some("Stephen Jay Gould"), Some("Stephen Jay"), Some("Gould"),
+        Some("Harvard University"), Some("USA"), Some("https://macf/1")),
+      ("fellow-anon", "x", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "start_date", "end_date", "name", "given_name",
+        "family_name", "affiliation", "country", "landing_page_url")
+    val oma = FunderIngest.transform(ma, reg6,
+      FunderConfigs.macArthurFellows, now).collect()
+    assert(oma.length === 1) // nameless row dropped
+    assert(oma.head.getAs[String]("funding_type") === "fellowship")
+    assert(oma.head.getAs[String]("funder_scheme")
+      === "MacArthur Fellowship")
+    assert(oma.head.getAs[Int]("start_year") === 1981)
+    assert(oma.head.getAs[Int]("end_year") === 1986)
+    val mal = oma.head.getAs[Row]("lead_investigator")
+    assert(mal.getAs[java.sql.Date]("role_start").toString
+      === "1981-06-01")
+    assert(mal.getAs[Row]("affiliation").getAs[String]("country")
+      === "USA")
+
+    val gg = Seq(
+      ("kyle-abraham", "Kyle Abraham", Some("Kyle"), Some("Abraham"),
+        Some("2013"), Some("https://gf/1")),
+      ("old-fellow", "Old Fellow", Some("Old"), Some("Fellow"),
+        None: Option[String], Some("https://gf/2")))
+      .toDF("funder_award_id", "fellow_name", "given_name",
+        "family_name", "start_year", "landing_page_url")
+    val ogg = FunderIngest.transform(gg, reg6, FunderConfigs.guggenheim,
+      now).orderBy("funder_award_id").collect()
+    assert(ogg(0).getAs[String]("display_name")
+      === "Guggenheim Fellowship - Kyle Abraham (2013)")
+    assert(ogg(1).getAs[String]("display_name")
+      === "Guggenheim Fellowship - Old Fellow") // no year suffix
+    assert(ogg(0).isNullAt(ogg(0).fieldIndex("amount"))) // §6.7 waiver
+    assert(ogg(0).isNullAt(ogg(0).fieldIndex("funder_scheme")))
+    val gl = ogg(0).getAs[Row]("lead_investigator")
+    assert(gl.getAs[String]("family_name") === "Abraham")
+    assert(gl.getAs[Row]("affiliation").isNullAt(
+      gl.getAs[Row]("affiliation").fieldIndex("name"))) // never guessed
+
+    val ca = Seq(
+      ("carn-1", Some("Education"), Some("Columbia University"),
+        Some("2018"), Some("250000"), Some("USD"),
+        Some("https://carnegie/1")),
+      ("carn-2", None: Option[String], Some("Brookings"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "program", "grantee_org", "year",
+        "amount", "currency", "landing_page_url")
+    val oca = FunderIngest.transform(ca, reg6, FunderConfigs.carnegie,
+      now).orderBy("funder_award_id").collect()
+    assert(oca(0).getAs[String]("display_name")
+      === "Carnegie Education - Columbia University (2018)")
+    assert(oca(1).getAs[String]("display_name")
+      === "Carnegie Grant - Brookings") // programme + year fallbacks
+    val cal = oca(0).getAs[Row]("lead_investigator")
+    assert(cal.isNullAt(cal.fieldIndex("family_name"))) // org-level
+    assert(cal.getAs[Row]("affiliation").isNullAt(
+      cal.getAs[Row]("affiliation").fieldIndex("country"))) // NULL kept
+  }
+
+  test("Argentina MINCYT / RSCF / CFI: fuente→funder routing with " +
+    "drop, dual slash/dash date parse, codigo-else-surrogate award " +
+    "id, RFBR-twin year-only cards, pseudo-id mint with first-of-pipe " +
+    "team leader") {
+    val mi = Seq(
+      (101L, Some("PICT-2015-0001"), "Proyecto A", Some("Resumen"),
+        Some("1200000"), "ANPCYT", Some("2015/03/01 00:00:00.000"),
+        Some("2018-02-28"), 2015),
+      (102L, None: Option[String], "Proyecto B", None: Option[String],
+        None: Option[String], "CONICET", None: Option[String],
+        None: Option[String], 2016),
+      (103L, Some("X-1"), "Proyecto C", None: Option[String],
+        None: Option[String], "OTRA", None: Option[String],
+        None: Option[String], 2017))
+      .toDF("proyecto_id", "codigo_identificacion", "titulo", "resumen",
+        "monto_total_adjudicado", "proyecto_fuente", "fecha_inicio",
+        "fecha_finalizacion", "_source_year")
+    val omi = FunderIngest.transformResolved(mi,
+      FunderIngest.requireFunders(reg6,
+        FunderConfigs.argentinaMincytFunderIds),
+      FunderConfigs.argentinaMincyt, now)
+      .orderBy("funder_award_id").collect()
+    assert(omi.length === 2) // the unmapped fuente drops
+    assert(omi(1).getAs[String]("funder_award_id") === "PICT-2015-0001")
+    assert(omi(1).getAs[Long]("funder_id") === 4320334832L)
+    assert(omi(1).getAs[java.sql.Date]("start_date").toString
+      === "2015-03-01") // slash parse
+    assert(omi(1).getAs[java.sql.Date]("end_date").toString
+      === "2018-02-28") // dash parse
+    assert(omi(1).getAs[String]("currency") === "ARS")
+    assert(omi(1).getAs[String]("funder_scheme") === "ANPCYT")
+    assert(omi(1).getAs[String]("landing_page_url").endsWith(
+      "proyectos_2015"))
+    assert(omi(0).getAs[String]("funder_award_id") === "102") // surrogate
+    assert(omi(0).getAs[Long]("funder_id") === 4320321594L)
+    val mil = omi(0).getAs[Row]("lead_investigator") // unconditional
+    assert(mil.isNullAt(mil.fieldIndex("family_name")))
+    assert(mil.getAs[Row]("affiliation").getAs[String]("country") === "AR")
+
+    val rs = Seq(("19-11-00001", "Проект РНФ", Some("Аннотация"),
+        Some("Конкурс 2019"), Some("2019"), Some(" Анна "),
+        Some(" Иванова "), Some(" МГУ "),
+        Some("https://rscf.ru/project/19-11-00001/")))
+      .toDF("funder_award_id", "display_name", "description",
+        "funder_scheme", "start_year", "lead_given_name",
+        "lead_family_name", "organization", "landing_page_url")
+    val ors = FunderIngest.transform(rs, reg6, FunderConfigs.rscf, now)
+      .collect()
+    assert(ors.head.isNullAt(ors.head.fieldIndex("amount"))) // waiver
+    assert(ors.head.isNullAt(ors.head.fieldIndex("start_date")))
+    assert(ors.head.getAs[Int]("start_year") === 2019)
+    val rsl = ors.head.getAs[Row]("lead_investigator")
+    assert(rsl.getAs[String]("family_name") === "Иванова")
+    assert(rsl.getAs[Row]("affiliation").getAs[String]("name") === "МГУ")
+    assert(rsl.getAs[Row]("affiliation").getAs[String]("country") === "RU")
+
+    val cf = Seq(
+      ("Quantum Lab", "UBC", "2019", Some("2019-06-15"), Some("2000000"),
+        Some("Innovation Fund"), Some("Jane Doe|John Roe")),
+      ("  ", "X", "2020", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("project_title", "lead_institution", "decision_year",
+        "decision_date", "cfi_contribution", "fund_type", "team_leaders")
+    val ocf = FunderIngest.transform(cf, reg6, FunderConfigs.cfi, now)
+      .collect()
+    assert(ocf.length === 1) // blank title dropped
+    assert(ocf.head.getAs[String]("funder_award_id")
+      .startsWith("CFI-2019-")) // pseudo id
+    assert(ocf.head.getAs[String]("funding_type") === "infrastructure")
+    assert(ocf.head.getAs[String]("currency") === "CAD")
+    val cfl = ocf.head.getAs[Row]("lead_investigator")
+    assert(cfl.getAs[String]("family_name") === "Jane Doe") // first-of-pipe
+    assert(cfl.getAs[java.sql.Date]("role_start").toString
+      === "2019-06-15")
+    assert(cfl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Canada")
+    assert(ocf.head.getAs[String]("landing_page_url").contains(
+      "funded-projects-dashboard"))
+  }
+
+  test("Hewlett / ARIS / AMED / AHA: title+overview description " +
+    "assembly with the advocacy 'other' split, conditional-affiliation " +
+    "lead and the labelled programme map, registry-tolerant funder " +
+    "lookup with Japanese fellowship regex and verbatim award id, " +
+    "typed investigators JSON with first-element lead") {
+    val hw = Seq(
+      ("hw-1", "Education", Some("Stanford"), Some("Project T"),
+        Some("Overview O"), Some("100000"), Some("USD"),
+        Some("2020-01-01"), Some("2022-12-31"),
+        Some("https://stanford.edu")),
+      ("hw-2", "Performing Arts", Some("SF Ballet"),
+        None: Option[String], Some("Ov only"), Some("50000"),
+        Some("USD"), None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("hw-3", "Education", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "program", "grantee", "projectTitle",
+        "overview", "amount", "currency", "start_date", "end_date",
+        "grantee_website")
+    val ohw = FunderIngest.transform(hw, reg6, FunderConfigs.hewlett,
+      now).orderBy("funder_award_id").collect()
+    assert(ohw.length === 2) // grantee-less row dropped
+    assert(ohw(0).getAs[String]("display_name")
+      === "Hewlett Education — Stanford")
+    assert(ohw(0).getAs[String]("description") === "Project T. Overview O")
+    assert(ohw(0).getAs[String]("funding_type") === "research")
+    assert(ohw(0).getAs[Int]("start_year") === 2020)
+    assert(ohw(1).getAs[String]("funding_type") === "other") // arts
+    assert(ohw(1).getAs[String]("description") === "Ov only")
+    val hwl = ohw(0).getAs[Row]("lead_investigator")
+    assert(hwl.isNullAt(hwl.fieldIndex("family_name"))) // org-level
+    assert(hwl.getAs[java.sql.Date]("role_start").toString
+      === "2020-01-01")
+    assert(hwl.getAs[Row]("affiliation").getAs[String]("country") === "US")
+    assert(ohw(0).getAs[String]("landing_page_url")
+      === "https://stanford.edu")
+
+    val ar = Seq(
+      ("Z1-1234", Some("  "), Some("Slovenski naslov"), Some("kw1, kw2"),
+        Some("Z"), Some("2021-01-01"), Some("2023-01-01"), Some("Ana"),
+        Some("Novak"), Some("UL"), Some("https://ecris/1")),
+      ("XX-1", Some("T2"), None: Option[String], None: Option[String],
+        Some("QQ"), None: Option[String], None: Option[String],
+        Some("Bo"), Some("Kos"), None: Option[String],
+        None: Option[String]))
+      .toDF("code", "title_en", "title_sl", "keywords", "mstid_prg",
+        "start_date", "end_date", "lead_given_name", "lead_family_name",
+        "lead_org_name", "landing_page_url")
+    val oar = FunderIngest.transform(ar, reg6, FunderConfigs.aris, now)
+      .orderBy("funder_award_id").collect()
+    assert(oar(1).getAs[String]("display_name") === "Slovenski naslov")
+    assert(oar(1).getAs[String]("description") === "kw1, kw2")
+    assert(oar(1).getAs[String]("funding_type") === "fellowship") // Z
+    assert(oar(1).getAs[String]("funder_scheme")
+      === "Z — postdoctoral research project")
+    assert(oar(1).isNullAt(oar(1).fieldIndex("amount"))) // §6.7 waiver
+    val arl1 = oar(1).getAs[Row]("lead_investigator")
+    assert(arl1.getAs[Row]("affiliation").getAs[String]("country")
+      === "Slovenia")
+    // unmapped programme code passes through raw; org-less lead keeps
+    // the names but the affiliation STRUCT ITSELF is NULL
+    assert(oar(0).getAs[String]("funder_scheme") === "QQ")
+    assert(oar(0).getAs[String]("funding_type") === "research")
+    val arl0 = oar(0).getAs[Row]("lead_investigator")
+    assert(arl0.getAs[String]("family_name") === "Kos")
+    assert(arl0.isNullAt(arl0.fieldIndex("affiliation")))
+
+    // registry-tolerant lookup: registry row wins when present; the
+    // notebook literals back-fill when absent (the MRFF-gap lesson)
+    assert(FunderConfigs.amedFunderLookup(reg6).collect().head
+      .getAs[String]("display_name") === "AMED (registry)")
+    assert(FunderConfigs.amedFunderLookup(reg).collect().head
+      .getAs[String]("display_name")
+      === "Japan Agency for Medical Research and Development")
+    val am = Seq(
+      (" JP21fk0108123 ", "研究課題A", Some("  "),
+        Some("革新的先端研究開発支援事業"), Some("50000000"),
+        Some("2021"), Some("2023"), Some("2021-04-01"),
+        Some("2024-03-31"), Some("山田 太郎"), Some("東京大学"),
+        Some("https://amedfind/1")),
+      ("JP22rf0001", "研究課題B", None: Option[String],
+        Some("リサーチフェロー育成"), None: Option[String],
+        Some("1700"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("京都大学"),
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "funder_scheme", "amount", "start_year", "end_year",
+        "start_date", "end_date", "lead_researcher_name",
+        "lead_affiliation_name", "landing_page_url")
+    val oam = FunderIngest.transform(am,
+      FunderConfigs.amedFunderLookup(reg6), FunderConfigs.amed, now)
+      .orderBy("display_name").collect()
+    assert(oam(0).getAs[String]("funder_award_id")
+      === " JP21fk0108123 ") // verbatim, only the MINT key trims
+    assert(oam(0).getAs[String]("currency") === "JPY")
+    assert(oam(0).isNullAt(oam(0).fieldIndex("description"))) // blank
+    assert(oam(0).getAs[String]("funding_type") === "research")
+    val aml = oam(0).getAs[Row]("lead_investigator")
+    assert(aml.isNullAt(aml.fieldIndex("given_name"))) // full name in
+    assert(aml.getAs[String]("family_name") === "山田 太郎") // family
+    assert(aml.getAs[Row]("affiliation").getAs[String]("country") === "JP")
+    assert(oam(1).getAs[String]("funding_type") === "fellowship") // 育成
+    assert(oam(1).isNullAt(oam(1).fieldIndex("currency"))) // no amount
+    assert(oam(1).isNullAt(oam(1).fieldIndex("start_year"))) // 1700
+    val aml1 = oam(1).getAs[Row]("lead_investigator") // aff-only arm
+    assert(aml1.isNullAt(aml1.fieldIndex("family_name")))
+    assert(aml1.getAs[Row]("affiliation").getAs[String]("name")
+      === "京都大学")
+
+    val ahaJson = """[{"given_name":"Ann","family_name":"Lee","orcid":""" +
+      """"https://orcid.org/0000-9","role_start":"2023-01-01",""" +
+      """"affiliation":{"name":"Emory","country":"US","ids":""" +
+      """[{"id":"https://ror.org/emory1","type":"ror",""" +
+      """"asserted_by":"aha"}]}},{"given_name":"Bob",""" +
+      """"family_name":"Wu"}]"""
+    val ah = Seq(("23POST1000001", "Postdoc project", Some("Abs"),
+        Some("150000"), Some("USD"), "fellowship",
+        Some("Postdoctoral Fellowship"), Some("2023-01-01"),
+        Some("2024-12-31"), Some("2023"), Some("2024"), Some(ahaJson),
+        Some("https://aha/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "funding_type", "funder_scheme", "start_date",
+        "end_date", "start_year", "end_year", "investigators_json",
+        "landing_page_url")
+    val oah = FunderIngest.transform(ah, reg6, FunderConfigs.aha, now)
+      .collect()
+    assert(oah.head.getAs[String]("funding_type") === "fellowship")
+    assert(oah.head.getAs[java.sql.Date]("start_date").toString
+      === "2023-01-01")
+    val ahl = oah.head.getAs[Row]("lead_investigator") // first element
+    assert(ahl.getAs[String]("family_name") === "Lee")
+    assert(ahl.getAs[java.sql.Date]("role_start").toString
+      === "2023-01-01")
+    val ahAff = ahl.getAs[Row]("affiliation")
+    assert(ahAff.getSeq[Row](ahAff.fieldIndex("ids")).head
+      .getAs[String]("asserted_by") === "aha")
+    val ahis = oah.head.getSeq[Row](oah.head.fieldIndex("investigators"))
+    assert(ahis.length === 2)
+    assert(ahis(1).getAs[String]("family_name") === "Wu")
+  }
+
+  // ---------------------------------------------------------------
+  // Round-12 fourth tranche (CreateEnergimyndighetenAwards /
+  // CreateForteAwards / CreateHKITCAwards / CreateCSACanadaAwards /
+  // CreateAGAURAwards / CreateAPVVAwards / CreateMooreAwards /
+  // CreateDorisDukeAwards / CreateHMRFAwards / CreateSloanAwards /
+  // CreateIndependentResearchFundDenmarkAwards)
+  // ---------------------------------------------------------------
+
+  private def reg7 = reg6.unionByName(Seq(
+    (4320322711L, "Energimyndigheten", "https://ror.org/016sq2c65",
+      "10.13039/501100004527"),
+    (4320324004L, "Forte", "https://ror.org/02d290r06",
+      "10.13039/501100006636"),
+    (4320321920L, "Innovation and Technology Commission", "r-itc",
+      "d-itc"),
+    (4320334436L, "Canadian Space Agency", "https://ror.org/023v3f738",
+      "10.13039/501100000016"),
+    (4320334830L, "AGAUR", "r-agaur", "10.13039/501100003030"),
+    (4320323251L, "APVV", "https://ror.org/03edznm90",
+      "10.13039/501100005357"),
+    (4320306202L, "Gordon and Betty Moore Foundation",
+      "https://ror.org/006wxqw41", "10.13039/100000936"),
+    (4320306134L, "Doris Duke Charitable Foundation",
+      "https://ror.org/011x6n313", "10.13039/100000862"),
+    (4320335055L, "Health and Medical Research Fund", "r-hmrf",
+      "d-hmrf"),
+    (4320306151L, "Alfred P. Sloan Foundation",
+      "https://ror.org/052csg198", "10.13039/100000879"),
+    (4320322928L, "Independent Research Fund Denmark",
+      "https://ror.org/04k9mqs78", "10.13039/501100004836"))
+    .toDF(reg.columns: _*))
+
+  test("Energimyndigheten / Forte: SweCRIS twins — trimmed-NULLIF text " +
+    "pairs with zero-amount NULL and NO investigator slots vs the " +
+    "Formas-minus-arms cascade; both strip the suffix for the id but " +
+    "not the landing URL") {
+    val en = Seq((" 2020-012345_Energimyndigheten ", "  ",
+        Some("EN title"), " ", Some("EN abs"), Some(0.0),
+        "Research project", "2020-07-01", "2023-06-30"))
+      .toDF("project_id", "title", "title_english", "abstract",
+        "abstract_english", "amount", "type_of_award", "start_date",
+        "end_date")
+    val oen = FunderIngest.transform(en, reg7,
+      FunderConfigs.energimyndigheten, now).collect()
+    assert(oen.head.getAs[String]("funder_award_id") === "2020-012345")
+    assert(oen.head.getAs[String]("display_name") === "EN title")
+    assert(oen.head.isNullAt(oen.head.fieldIndex("amount"))) // zero
+    assert(oen.head.getAs[String]("currency") === "SEK") // unconditional
+    assert(oen.head.getAs[String]("funding_type") === "research")
+    assert(oen.head.isNullAt(oen.head.fieldIndex("lead_investigator")))
+    assert(oen.head.getAs[String]("landing_page_url")
+      === "https://www.vr.se/swecris#/project/2020-012345_Energimyndigheten")
+
+    val fo = Seq(("2019-00321_Forte", "Sv titel", Some("EN title"),
+        "Sv abs", Some("EN abs"), Some(4000000.0), "Programme grant",
+        "2019-01-01", "2024-12-31", Some("Karin"), Some("Berg"),
+        None: Option[String], Some("KI")))
+      .toDF("project_id", "title", "title_english", "abstract",
+        "abstract_english", "amount", "type_of_award", "start_date",
+        "end_date", "pi_given_name", "pi_family_name", "pi_orcid",
+        "coordinating_organisation")
+    val ofo = FunderIngest.transform(fo, reg7, FunderConfigs.forte, now)
+      .collect()
+    assert(ofo.head.getAs[String]("funder_award_id") === "2019-00321")
+    assert(ofo.head.getAs[Long]("funder_id") === 4320324004L)
+    assert(ofo.head.getAs[String]("provenance") === "forte")
+    // 'Programme grant' has no cascade arm in Forte's map → grant
+    assert(ofo.head.getAs[String]("funding_type") === "grant")
+    assert(ofo.head.getAs[String]("landing_page_url")
+      === "https://www.vr.se/swecris#/project/2019-00321_Forte")
+    assert(ofo.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Sweden")
+  }
+
+  test("HK ITC / CSA Canada / AGAUR: the beneficiary-register " +
+    "archetype — >0 gate on amount AND currency, fellowship regex " +
+    "(HK's uppercase-vs-lowered quirk kept verbatim), year-boundary " +
+    "dates, §6.4a placeholder-beneficiary screens") {
+    val hk = Seq(
+      ("ITS/001/20", "Proj A", Some("1000000"), Some("ITSP Tier 1"),
+        Some("2020"), Some("HKUST")),
+      ("PRP/002/21", "Proj B", Some("0"), Some("PRP"), Some("2021"),
+        Some("")))
+      .toDF("funder_award_id", "title", "amount", "funder_scheme",
+        "year", "institution_name")
+    val ohk = FunderIngest.transform(hk, reg7, FunderConfigs.hkItc, now)
+      .orderBy("funder_award_id").collect()
+    // the notebook lowers the scheme but matches UPPERCASE codes —
+    // nothing classifies 'fellowship'; kept verbatim
+    assert(ohk(0).getAs[String]("funding_type") === "research")
+    assert(ohk(0).getAs[Double]("amount") === 1000000.0)
+    assert(ohk(0).getAs[String]("currency") === "HKD")
+    assert(ohk(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    assert(ohk(0).isNullAt(ohk(0).fieldIndex("end_date"))) // never set
+    assert(ohk(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Hong Kong")
+    assert(ohk(1).isNullAt(ohk(1).fieldIndex("amount"))) // zero gated
+    assert(ohk(1).isNullAt(ohk(1).fieldIndex("currency")))
+    assert(ohk(1).isNullAt(ohk(1).fieldIndex("lead_investigator"))) // ''
+
+    val cs = Seq(("CSA-1", None: Option[String], Some("Desc"),
+        Some("50000"), Some("Research Fellowship Program"), Some("2018"),
+        Some("2020"), Some("UToronto"), Some("Canada")))
+      .toDF("funder_award_id", "title_en", "description_en", "amount",
+        "prog_name_en", "start_year", "end_year", "institution_name",
+        "recipient_country")
+    val ocs = FunderIngest.transform(cs, reg7, FunderConfigs.csaCanada,
+      now).collect()
+    assert(ocs.head.getAs[String]("display_name") === "Desc") // fallback
+    assert(ocs.head.getAs[String]("funding_type") === "fellowship")
+    assert(ocs.head.getAs[String]("currency") === "CAD")
+    assert(ocs.head.getAs[java.sql.Date]("end_date").toString
+      === "2020-12-31")
+    assert(ocs.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+
+    val ag = Seq(
+      ("AG-1", "T1", Some("30000"), Some("Beques de doctorat industrial"),
+        Some("2019"), None: Option[String], Some("Estranger-Altres")),
+      ("AG-2", "T2", Some("45000"), Some("Projectes de recerca"),
+        Some("2020"), Some("2022"), Some("Universitat de Barcelona")))
+      .toDF("funder_award_id", "title", "amount", "funder_scheme",
+        "start_year", "end_year", "institution_name")
+    val oag = FunderIngest.transform(ag, reg7, FunderConfigs.agaur, now)
+      .orderBy("funder_award_id").collect()
+    assert(oag(0).getAs[String]("funding_type") === "fellowship") // beca
+    assert(oag(0).isNullAt(oag(0).fieldIndex("lead_investigator")))
+    assert(oag(1).getAs[String]("funding_type") === "research")
+    assert(oag(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Spain")
+    assert(oag(1).getAs[String]("currency") === "EUR")
+    assert(oag(0).getAs[String]("landing_page_url").contains(
+      "transparenciacatalunya"))
+  }
+
+  test("APVV / Moore / Doris Duke / HMRF / Sloan / IRFD: title " +
+    "fallbacks with >0 gates, scheme-embedded call-year regex, the " +
+    "dual-arm org-vs-named-recipient shape, final-else-proposal " +
+    "abstract, PI-role row screen with a REAL grant DOI") {
+    val ap = Seq(("APVV-20-0001", "  ", Some("250000"), Some("EUR"),
+        Some("VV 2020"), Some("STU Bratislava"), Some("https://apvv/1")))
+      .toDF("funder_award_id", "title", "amount", "currency", "scheme",
+        "institution", "landing_page_url")
+    val oap = FunderIngest.transform(ap, reg7, FunderConfigs.apvv, now)
+      .collect()
+    assert(oap.head.getAs[String]("display_name")
+      === "APVV grant APVV-20-0001")
+    assert(oap.head.getAs[Int]("start_year") === 2020) // from scheme
+    assert(oap.head.getAs[String]("currency") === "EUR")
+    assert(oap.head.isNullAt(oap.head.fieldIndex("works_api_url")))
+    assert(oap.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Slovakia")
+
+    val mo = Seq(("GBMF1234", None: Option[String], Some("0"),
+        Some("Science"), Some("2015"), Some("Caltech"),
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "amount", "program",
+        "start_year", "grantee_org", "landing_page_url")
+    val omo = FunderIngest.transform(mo, reg7, FunderConfigs.moore, now)
+      .collect()
+    assert(omo.head.getAs[String]("display_name")
+      === "Moore Foundation grant GBMF1234")
+    assert(omo.head.isNullAt(omo.head.fieldIndex("amount"))) // 0 gated
+    assert(omo.head.isNullAt(omo.head.fieldIndex("currency")))
+    val mol = omo.head.getAs[Row]("lead_investigator")
+    assert(mol.getAs[Row]("affiliation").isNullAt(
+      mol.getAs[Row]("affiliation").fieldIndex("country")))
+    assert(omo.head.getAs[String]("works_api_url") != null)
+
+    val dd = Seq(
+      ("dd-1", "organizational_grant", Some("Duke University"),
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("Medical Research"), Some("D"), Some("100000"), Some("USD"),
+        Some("2019"), Some("2019-05-01"), None: Option[String], "grant"),
+      ("dd-2", "artist_award", None: Option[String], Some("Jane Doe"),
+        Some("Jane"), Some("Doe"), Some("Artist Award"),
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("2020"), None: Option[String], None: Option[String],
+        "other"),
+      ("dd-3", "artist_award", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        "other"))
+      .toDF("funder_award_id", "source_kind", "grantee_org",
+        "recipient_name", "given_name", "family_name", "scheme",
+        "description", "amount", "currency", "year", "approved_on",
+        "landing_page_url", "funding_type")
+    val odd = FunderIngest.transform(dd, reg7, FunderConfigs.dorisDuke,
+      now).orderBy("funder_award_id").collect()
+    assert(odd.length === 2) // recipient-less artist row dropped
+    assert(odd(0).getAs[String]("display_name")
+      === "Doris Duke Grant - Duke University (2019)")
+    val ddl0 = odd(0).getAs[Row]("lead_investigator")
+    assert(ddl0.isNullAt(ddl0.fieldIndex("family_name"))) // org arm
+    assert(ddl0.getAs[java.sql.Date]("role_start").toString
+      === "2019-05-01")
+    assert(ddl0.getAs[Row]("affiliation").getAs[String]("name")
+      === "Duke University")
+    assert(odd(1).getAs[String]("display_name")
+      === "Doris Duke Artist Award - Jane Doe (2020)")
+    val ddl1 = odd(1).getAs[Row]("lead_investigator")
+    assert(ddl1.getAs[String]("family_name") === "Doe") // named arm
+    assert(ddl1.getAs[Row]("affiliation").isNullAt(
+      ddl1.getAs[Row]("affiliation").fieldIndex("name")))
+    assert(odd(1).getAs[String]("funding_type") === "other") // source
+
+    val hm = Seq(("01234567", "HK study", None: Option[String],
+        Some("Proposal abs"), Some("800000"), Some("HMRF"), Some("2021"),
+        Some("Ka"), Some("Chan"), Some("HKU")))
+      .toDF("ref_no", "project_title", "abstract_final",
+        "abstract_proposal", "approved_amount_hkd", "fund", "call_year",
+        "lead_given_name", "lead_family_name", "lead_affiliation")
+    val ohm = FunderIngest.transform(hm, reg7, FunderConfigs.hmrf, now)
+      .collect()
+    assert(ohm.head.getAs[String]("description") === "Proposal abs")
+    assert(ohm.head.getAs[String]("currency") === "HKD")
+    assert(ohm.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(ohm.head.isNullAt(ohm.head.fieldIndex("landing_page_url")))
+    assert(ohm.head.isNullAt(ohm.head.fieldIndex("works_api_url")))
+
+    val sl = Seq(
+      ("sl-1", None: Option[String], Some("MIT"), Some("Ann Lee"),
+        Some("Ann"), Some("Lee"), Some("D"), Some("75000"), Some("USD"),
+        Some("2017"), None: Option[String], Some("https://sloan/1")),
+      ("sl-2", Some("Energy"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "program", "grantee_org", "investigator",
+        "given_name", "family_name", "description", "amount", "currency",
+        "year", "country", "landing_page_url")
+    // Sloan's landing column is permalink_url in the source
+    val slp = sl.withColumnRenamed("landing_page_url", "permalink_url")
+    val osl = FunderIngest.transform(slp, reg7, FunderConfigs.sloan, now)
+      .collect()
+    assert(osl.length === 1) // grantee-less row dropped
+    assert(osl.head.getAs[String]("display_name")
+      === "Sloan Grant - MIT (2017)") // programme fallback
+    val sll = osl.head.getAs[Row]("lead_investigator")
+    assert(sll.getAs[String]("family_name") === "Lee")
+    assert(sll.getAs[Row]("affiliation").isNullAt(
+      sll.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val ir = Seq(
+      ("1032-00001B", " T ", " A ", Some("2500000"),
+        Some("Sapere Aude research leader"), Some("Sapere Aude"),
+        Some("Call 2020"), Some("2020-09-01"), Some("2024-08-31"),
+        Some("2020"), Some("Lars"), Some("Jensen"), Some(" 0000-0001 "),
+        "Principal Investigator", Some("Aarhus University"),
+        Some("Denmark"), Some("https://ror.org/01aj84f44"),
+        Some("https://forskningsportal.dk/p1"),
+        Some(" 10.46540/1032-00001B ")),
+      ("1032-00001B", "T", "A", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("Mia"),
+        Some("Holm"), None: Option[String], "Co-Investigator",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("grant_id", "title", "abstract", "amount_granted",
+        "funding_type", "funder_specific_instrument", "call",
+        "grant_start_date", "grant_end_date", "grant_year", "first_name",
+        "last_name", "orcid", "person_role", "organisation_name",
+        "organisation_country", "organisation_ror", "project_url",
+        "grant_doi")
+    val oir = FunderIngest.transform(ir, reg7, FunderConfigs.irfDenmark,
+      now).collect()
+    assert(oir.length === 1) // only the PI row lands
+    assert(oir.head.getAs[String]("display_name") === "T") // trimmed
+    assert(oir.head.getAs[String]("funding_type") === "fellowship")
+    assert(oir.head.getAs[String]("funder_scheme") === "Sapere Aude")
+    assert(oir.head.getAs[String]("currency") === "DKK")
+    assert(oir.head.getAs[Int]("end_year") === 2024) // from end date
+    assert(oir.head.getAs[String]("doi") === "10.46540/1032-00001B")
+    val irl = oir.head.getAs[Row]("lead_investigator")
+    assert(irl.getAs[String]("orcid") === "0000-0001") // trimmed
+    val irAff = irl.getAs[Row]("affiliation")
+    assert(irAff.getSeq[Row](irAff.fieldIndex("ids")).head
+      .getAs[String]("asserted_by") === "funder")
+  }
 }
