@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 192
+  val ExpectedChecks = 195
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -263,6 +263,15 @@ object ExplainAudit {
         "Hakai output list) are all keyed DOI equijoins — no cartesian")
     check(!p129.contains("rangepartitioning") && !p129.contains("Window"),
       "q129 edge rollups are keyed hash aggs — no global sort, no window")
+
+    val p130 = plan("q130_r12_funder_config_shapes")
+    check("""\(\d+\) Exchange hashpartitioning""".r
+        .findAllMatchIn(p130).isEmpty,
+      "q130 r12 config shapes are pure projections — zero shuffles " +
+        "(funder lookups are broadcast 1-row/2-row joins, the JSON " +
+        "investigators parse is a scalar expression)")
+    check(!p130.contains("CartesianProduct"),
+      "q130 has no cartesian product")
 
     // The dedup DAG (round-8 additions): the CC loop is exactly the
     // plan shape that regresses silently — a dropped Materialize cut

@@ -664,13 +664,197 @@ object FunderIngestQueries {
       .unionByName(provLeg("shared", shared))
   }
 
+  // ── q130: the round-12 config shapes, oracle-gated ──────────────
+
+  private def agaurRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      concat(lit("AG-"), ks).as("funder_award_id"),
+      concat(lit("Projecte "), ks).as("title"),
+      when(pmod(k, lit(5)) === 0, lit("0"))
+        .when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise((k * 100).cast("string")).as("amount"),
+      when(pmod(k, lit(3)) === 0, lit("Beques de doctorat industrial"))
+        .when(pmod(k, lit(3)) === 1, lit("Projectes de recerca"))
+        .as("funder_scheme"),
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2000) + pmod(k, lit(20))).cast("string"))
+        .as("start_year"),
+      when(pmod(k, lit(13)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2003) + pmod(k, lit(20))).cast("string"))
+        .as("end_year"),
+      when(pmod(k, lit(4)) === 0, lit("Estranger-Altres"))
+        .when(pmod(k, lit(6)) === 0, lit(" "))
+        .when(pmod(k, lit(9)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Uni "), pmod(k, lit(7)).cast("string")))
+        .as("institution_name"))
+  }
+
+  private def bfRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      concat(lit(" "), ks, lit("/31/2020 ")).as("diary_number"),
+      when(pmod(k, lit(2)) === 0, lit("AI Program")).as("program"),
+      when(pmod(k, lit(3)) === 0, lit("Research org funding"))
+        .as("funding_service"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Org "), ks)).as("organisation"),
+      when(pmod(k, lit(4)) === 0, lit(" "))
+        .otherwise(concat(lit("Tiivistelmä "), ks)).as("abstract_fi"),
+      when(pmod(k, lit(7)) === 0, lit("Luottamuksellinen"))
+        .when(pmod(k, lit(5)) === 0, lit("0"))
+        .otherwise((k * 10).cast("string")).as("amount_eur"),
+      (lit(2010) + pmod(k, lit(10))).cast("string").as("decision_year"),
+      when(pmod(k, lit(11)) === 0, lit("123"))
+        .when(pmod(k, lit(2)) === 0, lit("4320321855"))
+        .otherwise(lit("4320328501")).as("openalex_funder_id"))
+  }
+
+  private def tubitakRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(17)) === 0, lit("  "))
+        .otherwise(concat(lit(" P"), ks, lit(" "))).as("funder_award_id"),
+      when(pmod(k, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" Proje "), ks, lit(" ")))
+        .as("display_name"),
+      when(pmod(k, lit(3)) === 0, lit("  "))
+        .otherwise(concat(lit("Açıklama "), ks)).as("description"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("100"), pmod(k, lit(3)).cast("string")))
+        .as("project_group"),
+      when(pmod(k, lit(5)) === 0, lit("1900"))
+        .when(pmod(k, lit(7)) === 0, lit("2090"))
+        .otherwise((lit(2000) + pmod(k, lit(20))).cast("string"))
+        .as("publication_year"),
+      when(pmod(k, lit(2)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2010-01-01", pmod(k, lit(3000)))).as("start_date"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2012-06-15", pmod(k, lit(3000)))).as("end_date"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise(lit("Ad Soyad")).as("lead_name"),
+      concat(lit("Ad"), ks, lit(" ")).as("lead_given_name"),
+      concat(lit(" Soy"), ks).as("lead_family_name"),
+      when(pmod(k, lit(16)) === 0, lit(" "))
+        .otherwise(concat(lit("0000-"), ks)).as("lead_orcid"),
+      when(pmod(k, lit(9)) === 0, lit("[]"))
+        .when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("[{\"given_name\":\" G"), ks,
+          lit(" \",\"family_name\":\"F"), ks,
+          lit("\",\"orcid\":\"\"}]"))).as("other_investigators_json"),
+      when(pmod(k, lit(10)) === 0, lit(" "))
+        .otherwise(concat(lit("https://trdizin/"), ks))
+        .as("landing_page_url"))
+  }
+
+  private def fwoRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(23)) === 0, lit(null).cast("string"))
+        .otherwise(concat(ks, lit("N"))).as("funder_award_id"),
+      concat(lit("T"), ks).as("title"),
+      when(pmod(k, lit(2)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("A"), ks)).as("abstract"),
+      lit("FWO project").as("funder_scheme"),
+      when(pmod(k, lit(2)) === 0, lit("fellowship")).otherwise("grant")
+        .as("funding_type"),
+      when(pmod(k, lit(4)) === 0, lit("2099-01-01"))
+        .otherwise(dd("2015-01-01", pmod(k, lit(1000)))).as("start_date"),
+      dd("2018-01-01", pmod(k, lit(1000))).as("end_date"),
+      when(pmod(k, lit(3)) =!= 0, concat(lit("Jan"), ks))
+        .as("lead_given_name"),
+      when(pmod(k, lit(5)) =!= 0, concat(lit("Peeters"), ks))
+        .as("lead_family_name"),
+      when(pmod(k, lit(6)) === 0, concat(lit("Els"), ks))
+        .as("colead_given_name"),
+      when(pmod(k, lit(7)) === 0, concat(lit("Mertens"), ks))
+        .as("colead_family_name"),
+      concat(lit("Uni"), pmod(k, lit(7)).cast("string"))
+        .as("institution_name"),
+      lit("BE").as("country"),
+      concat(lit("https://fris/"), ks).as("landing_page_url"))
+  }
+
+  private def flat2(df: DataFrame, src: String): DataFrame =
+    df.select(lit(src).as("src"), col("id"), col("funder_id"),
+      col("funder_award_id"), col("display_name"), col("description"),
+      col("amount").cast("double").as("amount"), col("currency"),
+      col("funding_type"), col("funder_scheme"), col("provenance"),
+      date_format(col("start_date"), "yyyy-MM-dd").as("start_d"),
+      date_format(col("end_date"), "yyyy-MM-dd").as("end_d"),
+      col("start_year"), col("end_year"),
+      col("lead_investigator").getField("given_name").as("pi_given"),
+      col("lead_investigator").getField("family_name").as("pi_family"),
+      col("lead_investigator").getField("orcid").as("pi_orcid"),
+      date_format(col("lead_investigator").getField("role_start"),
+        "yyyy-MM-dd").as("pi_role_start"),
+      col("lead_investigator").getField("affiliation").getField("name")
+        .as("pi_aff_name"),
+      col("lead_investigator").getField("affiliation").getField("country")
+        .as("pi_aff_country"),
+      col("co_lead_investigator").getField("family_name")
+        .as("colead_family"),
+      when(col("investigators").isNotNull, size(col("investigators")))
+        .as("n_inv"),
+      element_at(col("investigators"), 1).getField("given_name")
+        .as("inv1_given"),
+      col("landing_page_url"), col("works_api_url"))
+
+  /** q130: the round-12 per-funder config shapes, recomputed by the
+    * DuckDB oracle end-to-end — the beneficiary-register archetype
+    * (AGAUR: >0 gate on amount AND currency, Catalan fellowship
+    * regex, §6.4a placeholder screen, year-boundary dates), Business
+    * Finland's resolved era-funder routing (unroutable ids drop,
+    * 'Luottamuksellinen'/zero amounts NULL, the programme—organisation
+    * display concat), TUBITAK's TRDizin shape (1900/future pub-year
+    * scrub feeding the year COALESCEs, trimmed-NULLIF fields,
+    * role_start = project start, JSON other-investigators), and FWO's
+    * FRIS shape (§6.7 budget waiver, the future-year cap NULLing both
+    * years off the start date, the co-promoter co-lead slot). Same
+    * injected length-mint as q110 (the xxhash64-vs-oracle
+    * convention). */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val sess = s; import sess.implicits._
+    import graft.awards.FunderConfigs
+    val f = Seq(
+      (4320334830L, "AGAUR", "r-ag", "d-ag"),
+      (4320321855L, "Business Finland", "r-bf", "d-bf"),
+      (4320328501L, "Tekes", "r-tk", "d-tk"),
+      (4320322626L, "TUBITAK", "r-tu", "d-tu"),
+      (4320321730L, "Research Foundation - Flanders", "r-fw", "d-fw"),
+      (999L, "Distractor", "r-x", "d-x"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+    val ag = FunderIngest.transform(agaurRaw(s, dir), f,
+      FunderConfigs.agaur, nowTs, mint)
+    val bf = FunderIngest.transformResolved(bfRaw(s, dir),
+      FunderIngest.requireFunders(f, FunderConfigs.businessFinlandFunderIds),
+      FunderConfigs.businessFinland, nowTs, mint)
+    val tu = FunderIngest.transform(tubitakRaw(s, dir), f,
+      FunderConfigs.tubitak(currentYear = 2026), nowTs, mint)
+    val fw = FunderIngest.transform(fwoRaw(s, dir), f,
+      FunderConfigs.fwo(currentYear = 2026), nowTs, mint)
+    flat2(ag, "agaur").unionByName(flat2(bf, "bf"))
+      .unionByName(flat2(tu, "tubitak")).unionByName(flat2(fw, "fwo"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
     "q118_resolved_funder_ingest" -> (q118 _),
     "q120_registry_grant_awards" -> (q120 _),
     "q121_funder_reported_outputs" -> (q121 _),
-    "q129_work_linkage_legs" -> (q129 _))
+    "q129_work_linkage_legs" -> (q129 _),
+    "q130_r12_funder_config_shapes" -> (q130 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
@@ -678,7 +862,8 @@ object FunderIngestQueries {
     "q118_resolved_funder_ingest" -> Oracles.q118,
     "q120_registry_grant_awards" -> Oracles.q120,
     "q121_funder_reported_outputs" -> Oracles.q121,
-    "q129_work_linkage_legs" -> Oracles.q129)
+    "q129_work_linkage_legs" -> Oracles.q129,
+    "q130_r12_funder_config_shapes" -> Oracles.q130)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -1384,5 +1569,241 @@ object FunderIngestQueries {
         |UNION ALL
         |SELECT 'shared', CAST(work_id AS BIGINT), funder_id,
         |  'kaken_work_funders', CAST(NULL AS INTEGER) FROM kedge""".stripMargin
+
+    /** q130: full DuckDB recomputation of the four round-12 config
+      * shapes — every gate, screen, cascade, and fallback re-derived
+      * from the same `orders`-shaped fixtures, mint =
+      * length('<funder_id>:' || key). */
+    val q130: String =
+      """WITH o4 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 400),
+        |o3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 300),
+        |araw AS (SELECT k,
+        |  'AG-' || CAST(k AS VARCHAR) AS aid,
+        |  'Projecte ' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 5 = 0 THEN '0' WHEN k % 7 = 0 THEN NULL
+        |       ELSE CAST(k * 100 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 3 = 0 THEN 'Beques de doctorat industrial'
+        |       WHEN k % 3 = 1 THEN 'Projectes de recerca' END AS scheme,
+        |  CASE WHEN k % 11 = 0 THEN NULL
+        |       ELSE CAST(2000 + k % 20 AS VARCHAR) END AS sy,
+        |  CASE WHEN k % 13 = 0 THEN NULL
+        |       ELSE CAST(2003 + k % 20 AS VARCHAR) END AS ey,
+        |  CASE WHEN k % 4 = 0 THEN 'Estranger-Altres'
+        |       WHEN k % 6 = 0 THEN ' ' WHEN k % 9 = 0 THEN NULL
+        |       ELSE 'Uni ' || CAST(k % 7 AS VARCHAR) END AS inst
+        | FROM o4),
+        |aleg AS (SELECT 'agaur' AS src,
+        |  length('4320334830:' || lower(aid)) AS id,
+        |  CAST(4320334830 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id, title AS display_name,
+        |  CAST(NULL AS VARCHAR) AS description,
+        |  CASE WHEN TRY_CAST(amt AS DOUBLE) > 0
+        |       THEN TRY_CAST(amt AS DOUBLE) END AS amount,
+        |  CASE WHEN TRY_CAST(amt AS DOUBLE) > 0 THEN 'EUR' END AS currency,
+        |  CASE WHEN regexp_matches(lower(scheme),
+        |         '(doctorat|industrial|formacio|formation|beca|fellowship|investigador|professor|jove)')
+        |       THEN 'fellowship' ELSE 'research' END AS funding_type,
+        |  scheme AS funder_scheme, 'agaur_raisc_socrata' AS provenance,
+        |  CASE WHEN TRY_CAST(sy AS INTEGER) IS NOT NULL
+        |       THEN strftime(CAST(CAST(TRY_CAST(sy AS INTEGER) AS VARCHAR)
+        |         || '-01-01' AS DATE), '%Y-%m-%d') END AS start_d,
+        |  CASE WHEN TRY_CAST(ey AS INTEGER) IS NOT NULL
+        |       THEN strftime(CAST(CAST(TRY_CAST(ey AS INTEGER) AS VARCHAR)
+        |         || '-12-31' AS DATE), '%Y-%m-%d') END AS end_d,
+        |  TRY_CAST(sy AS INTEGER) AS start_year,
+        |  TRY_CAST(ey AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CAST(NULL AS VARCHAR) AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN inst IS NOT NULL AND inst <> 'Estranger-Altres'
+        |        AND TRIM(inst) <> '' THEN inst END AS pi_aff_name,
+        |  CASE WHEN inst IS NOT NULL AND inst <> 'Estranger-Altres'
+        |        AND TRIM(inst) <> '' THEN 'Spain' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://analisi.transparenciacatalunya.cat/Economia/Concessions-del-RAISC-Registre-de-subvencions-i-aju/s9xt-n979'
+        |    AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320334830:' || lower(aid)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM araw),
+        |braw AS (SELECT k,
+        |  ' ' || CAST(k AS VARCHAR) || '/31/2020 ' AS diary,
+        |  CASE WHEN k % 2 = 0 THEN 'AI Program' END AS program,
+        |  CASE WHEN k % 3 = 0 THEN 'Research org funding' END AS service,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE 'Org ' || CAST(k AS VARCHAR) END AS org,
+        |  CASE WHEN k % 4 = 0 THEN ' '
+        |       ELSE 'Tiivistelmä ' || CAST(k AS VARCHAR) END AS abst,
+        |  CASE WHEN k % 7 = 0 THEN 'Luottamuksellinen'
+        |       WHEN k % 5 = 0 THEN '0'
+        |       ELSE CAST(k * 10 AS VARCHAR) END AS amt,
+        |  CAST(2010 + k % 10 AS VARCHAR) AS dy,
+        |  CASE WHEN k % 11 = 0 THEN 123
+        |       WHEN k % 2 = 0 THEN 4320321855
+        |       ELSE 4320328501 END AS fid
+        | FROM o3),
+        |bleg AS (SELECT 'bf' AS src,
+        |  length(CAST(fid AS VARCHAR) || ':' || lower(TRIM(diary))) AS id,
+        |  CAST(fid AS BIGINT) AS funder_id,
+        |  TRIM(diary) AS funder_award_id,
+        |  COALESCE(NULLIF(TRIM(program), ''), NULLIF(TRIM(service), ''),
+        |    'Public research project') || ' — '
+        |    || COALESCE(NULLIF(TRIM(org), ''), 'unknown organisation')
+        |    || ' (' || TRIM(diary) || ')' AS display_name,
+        |  NULLIF(TRIM(abst), '') AS description,
+        |  CASE WHEN amt = 'Luottamuksellinen' THEN NULL
+        |       ELSE NULLIF(TRY_CAST(amt AS DOUBLE), 0) END AS amount,
+        |  'EUR' AS currency, 'research' AS funding_type,
+        |  COALESCE(NULLIF(TRIM(service), ''), NULLIF(TRIM(program), ''))
+        |    AS funder_scheme,
+        |  'business_finland' AS provenance,
+        |  strftime(CAST(dy || '-01-01' AS DATE), '%Y-%m-%d') AS start_d,
+        |  CAST(NULL AS VARCHAR) AS end_d,
+        |  TRY_CAST(dy AS INTEGER) AS start_year,
+        |  CAST(NULL AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CAST(NULL AS VARCHAR) AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_name,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  CAST(NULL AS VARCHAR) AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length(CAST(fid AS VARCHAR) || ':'
+        |         || lower(TRIM(diary))) AS VARCHAR) AS works_api_url
+        | FROM braw WHERE fid IN (4320321855, 4320328501)),
+        |traw AS (SELECT k,
+        |  CASE WHEN k % 17 = 0 THEN '  '
+        |       ELSE ' P' || CAST(k AS VARCHAR) || ' ' END AS aid,
+        |  CASE WHEN k % 19 = 0 THEN NULL
+        |       ELSE ' Proje ' || CAST(k AS VARCHAR) || ' ' END AS dname,
+        |  CASE WHEN k % 3 = 0 THEN '  '
+        |       ELSE 'Açıklama ' || CAST(k AS VARCHAR) END AS descr,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE '100' || CAST(k % 3 AS VARCHAR) END AS pgroup,
+        |  CASE WHEN k % 5 = 0 THEN 1900 WHEN k % 7 = 0 THEN 2090
+        |       ELSE 2000 + k % 20 END AS py,
+        |  CASE WHEN k % 2 = 0 THEN NULL
+        |       ELSE DATE '2010-01-01' + INTERVAL (k % 3000) DAY END AS sd,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE DATE '2012-06-15' + INTERVAL (k % 3000) DAY END AS ed,
+        |  CASE WHEN k % 8 = 0 THEN NULL ELSE 'Ad Soyad' END AS lname,
+        |  'Ad' || CAST(k AS VARCHAR) || ' ' AS lgiven,
+        |  ' Soy' || CAST(k AS VARCHAR) AS lfamily,
+        |  CASE WHEN k % 16 = 0 THEN ' '
+        |       ELSE '0000-' || CAST(k AS VARCHAR) END AS lorcid,
+        |  CASE WHEN k % 9 = 0 THEN '[]' WHEN k % 5 = 0 THEN NULL
+        |       ELSE '[{"given_name":" G' || CAST(k AS VARCHAR)
+        |         || ' ","family_name":"F' || CAST(k AS VARCHAR)
+        |         || '","orcid":""}]' END AS invjs,
+        |  CASE WHEN k % 10 = 0 THEN ' '
+        |       ELSE 'https://trdizin/' || CAST(k AS VARCHAR) END AS lurl
+        | FROM o3),
+        |tprep AS (SELECT *,
+        |  CASE WHEN py = 1900 THEN NULL WHEN py > 2027 THEN NULL
+        |       ELSE py END AS pubyear,
+        |  CASE WHEN invjs IS NULL THEN NULL
+        |       WHEN json_array_length(invjs) = 0 THEN NULL
+        |       ELSE CAST(json_array_length(invjs) AS INTEGER) END AS ninv
+        | FROM traw
+        | WHERE aid IS NOT NULL AND TRIM(aid) <> ''
+        |   AND dname IS NOT NULL AND TRIM(dname) <> ''),
+        |tleg AS (SELECT 'tubitak' AS src,
+        |  length('4320322626:' || lower(TRIM(aid))) AS id,
+        |  CAST(4320322626 AS BIGINT) AS funder_id,
+        |  TRIM(aid) AS funder_award_id, TRIM(dname) AS display_name,
+        |  NULLIF(TRIM(descr), '') AS description,
+        |  CAST(NULL AS DOUBLE) AS amount, CAST(NULL AS VARCHAR) AS currency,
+        |  'research' AS funding_type,
+        |  COALESCE(NULLIF(TRIM(pgroup), ''), 'TRDizin PROJECT')
+        |    AS funder_scheme,
+        |  'trdizin_tubitak_projects' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  COALESCE(CAST(year(sd) AS INTEGER), pubyear) AS start_year,
+        |  COALESCE(CAST(year(ed) AS INTEGER), pubyear) AS end_year,
+        |  CASE WHEN lname IS NOT NULL AND TRIM(lname) <> ''
+        |       THEN NULLIF(TRIM(lgiven), '') END AS pi_given,
+        |  CASE WHEN lname IS NOT NULL AND TRIM(lname) <> ''
+        |       THEN NULLIF(TRIM(lfamily), '') END AS pi_family,
+        |  CASE WHEN lname IS NOT NULL AND TRIM(lname) <> ''
+        |       THEN NULLIF(TRIM(lorcid), '') END AS pi_orcid,
+        |  CASE WHEN lname IS NOT NULL AND TRIM(lname) <> ''
+        |       THEN strftime(sd, '%Y-%m-%d') END AS pi_role_start,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_name,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  ninv AS n_inv,
+        |  CASE WHEN ninv IS NULL THEN NULL
+        |       ELSE NULLIF(TRIM(json_extract_string(invjs,
+        |         '$[0].given_name')), '') END AS inv1_given,
+        |  NULLIF(TRIM(lurl), '') AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320322626:' || lower(TRIM(aid)))
+        |         AS VARCHAR) AS works_api_url
+        | FROM tprep),
+        |fraw AS (SELECT k,
+        |  CASE WHEN k % 23 = 0 THEN NULL
+        |       ELSE CAST(k AS VARCHAR) || 'N' END AS aid,
+        |  'T' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 2 = 0 THEN NULL
+        |       ELSE 'A' || CAST(k AS VARCHAR) END AS abst,
+        |  CASE WHEN k % 2 = 0 THEN 'fellowship' ELSE 'grant' END AS ftype,
+        |  CASE WHEN k % 4 = 0 THEN DATE '2099-01-01'
+        |       ELSE DATE '2015-01-01' + INTERVAL (k % 1000) DAY END AS sd,
+        |  DATE '2018-01-01' + INTERVAL (k % 1000) DAY AS ed,
+        |  CASE WHEN k % 3 <> 0
+        |       THEN 'Jan' || CAST(k AS VARCHAR) END AS lgiven,
+        |  CASE WHEN k % 5 <> 0
+        |       THEN 'Peeters' || CAST(k AS VARCHAR) END AS lfamily,
+        |  CASE WHEN k % 6 = 0
+        |       THEN 'Els' || CAST(k AS VARCHAR) END AS cgiven,
+        |  CASE WHEN k % 7 = 0
+        |       THEN 'Mertens' || CAST(k AS VARCHAR) END AS cfamily,
+        |  'Uni' || CAST(k % 7 AS VARCHAR) AS inst
+        | FROM o3),
+        |fleg AS (SELECT 'fwo' AS src,
+        |  length('4320321730:' || lower(aid)) AS id,
+        |  CAST(4320321730 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id, title AS display_name,
+        |  abst AS description,
+        |  CAST(NULL AS DOUBLE) AS amount, CAST(NULL AS VARCHAR) AS currency,
+        |  ftype AS funding_type, 'FWO project' AS funder_scheme,
+        |  'fwo_fris' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  CASE WHEN year(sd) > 2027 THEN NULL
+        |       ELSE CAST(year(sd) AS INTEGER) END AS start_year,
+        |  CASE WHEN year(sd) > 2027 THEN NULL
+        |       ELSE CAST(year(ed) AS INTEGER) END AS end_year,
+        |  CASE WHEN lgiven IS NOT NULL OR lfamily IS NOT NULL
+        |       THEN lgiven END AS pi_given,
+        |  CASE WHEN lgiven IS NOT NULL OR lfamily IS NOT NULL
+        |       THEN lfamily END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN lgiven IS NOT NULL OR lfamily IS NOT NULL
+        |       THEN inst END AS pi_aff_name,
+        |  CASE WHEN lgiven IS NOT NULL OR lfamily IS NOT NULL
+        |       THEN 'BE' END AS pi_aff_country,
+        |  CASE WHEN cgiven IS NOT NULL OR cfamily IS NOT NULL
+        |       THEN cfamily END AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://fris/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320321730:' || lower(aid)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM fraw WHERE aid IS NOT NULL)
+        |SELECT * FROM aleg
+        |UNION ALL SELECT * FROM bleg
+        |UNION ALL SELECT * FROM tleg
+        |UNION ALL SELECT * FROM fleg""".stripMargin
   }
 }
