@@ -2266,13 +2266,15 @@ object FunderConfigs {
       rowFilter = pid.isNotNull && trim(pid) =!= "")
   }
 
-  /** FWO / Research Foundation - Flanders via FRIS
-    * (CreateFWOAwards.ipynb cell 12, ~60-65K Flemish projects): the
-    * §6.7 budget waiver (amount/currency NULL), the future-year cap
-    * (start_year > now+1 NULLs BOTH years, both gated on the start
-    * date), promoter lead + co-promoter co-lead with the
+  /** The FRIS project archetype (the Flanders Research Information
+    * Space serves FOUR funding parties from one web service — FWO,
+    * Vlaamse Regering, VLAIO, BELSPO — each notebook an exact twin):
+    * the §6.7 budget waiver (amount/currency NULL), the future-year
+    * cap (start_year > now+1 NULLs BOTH years, both gated on the
+    * start date), promoter lead + co-promoter co-lead with the
     * source-carried country. */
-  def fwo(currentYear: Int): FunderIngestConfig = {
+  private def frisProject(funderId: Long, provenance: String,
+      priority: Int, currentYear: Int): FunderIngestConfig = {
     val sd = d(col("start_date"))
     val ed = d(col("end_date"))
     val future = year(sd) > currentYear + 1
@@ -2282,7 +2284,7 @@ object FunderConfigs {
           lit(null).cast("date"), col("institution_name"), col("country"),
           lit(null).cast(affIds)))
     FunderIngestConfig(
-      funderId = 4320321730L, provenance = "fwo_fris", priority = 167,
+      funderId = funderId, provenance = provenance, priority = priority,
       mintKey = lower(col("funder_award_id")),
       funderAwardId = col("funder_award_id"),
       displayName = col("title"), description = col("abstract"),
@@ -2301,6 +2303,27 @@ object FunderConfigs {
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull)
   }
+
+  /** FWO / Research Foundation - Flanders via FRIS
+    * (CreateFWOAwards.ipynb cell 12, ~60-65K Flemish projects): the
+    * [[frisProject]] archetype at the FWO slice. */
+  def fwo(currentYear: Int): FunderIngestConfig =
+    frisProject(4320321730L, "fwo_fris", 167, currentYear)
+
+  /** Vlaamse Regering / Flemish Government via FRIS
+    * (CreateVlaamseRegeringAwards.ipynb): [[frisProject]] twin. */
+  def vlaamseRegering(currentYear: Int): FunderIngestConfig =
+    frisProject(4320327336L, "vlaamse_regering_fris", 177, currentYear)
+
+  /** VLAIO / Flanders Innovation & Entrepreneurship via FRIS
+    * (CreateVLAIOAwards.ipynb): [[frisProject]] twin. */
+  def vlaio(currentYear: Int): FunderIngestConfig =
+    frisProject(4320321732L, "vlaio_fris", 179, currentYear)
+
+  /** BELSPO / Belgian Science Policy Office via FRIS
+    * (CreateBELSPOAwards.ipynb): [[frisProject]] twin. */
+  def belspo(currentYear: Int): FunderIngestConfig =
+    frisProject(4320321454L, "belspo_fris", 181, currentYear)
 
   /** SFI / Science Foundation Ireland open data
     * (CreateSFIAwards.ipynb cell 11): NULL description, the
@@ -3801,5 +3824,269 @@ object FunderConfigs {
       doi = nullif(trim(col("grant_doi")), lit("")),
       rowFilter = col("grant_id").isNotNull &&
         col("person_role") === "Principal Investigator")
+  }
+
+  // ---------------------------------------------------------------
+  // Round-12 fifth tranche: Templeton, ETIS pair, MinCiencias,
+  // Telethon, Sweden-America, Arnold Ventures, Alzheimer's
+  // Association, Vlaamse Regering / VLAIO / BELSPO (FRIS twins above)
+  // ---------------------------------------------------------------
+
+  /** Templeton Foundation WordPress grants DB
+    * (CreateTempletonAwards.ipynb, ~6K): title-else-web-title and
+    * max-content-else-content fallbacks, USD, NULL scheme, 10-char
+    * date substrings, an UNCONDITIONAL lead carrying the verbatim
+    * (possibly multi-PI) project-leader string in family_name with
+    * the grantee org and a NULL country. */
+  def templeton: FunderIngestConfig = {
+    val lead = investigator(lit(null).cast("string"),
+      col("grant_project_leader"), lit(null).cast("string"),
+      lit(null).cast("date"), col("grant_grantee"),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    val sd = d(substring(col("grant_start_date"), 1, 10))
+    val ed = d(substring(col("grant_end_date"), 1, 10))
+    FunderIngestConfig(
+      funderId = 4320306193L, provenance = "templeton_wp", priority = 39,
+      mintKey = lower(col("grant_id")),
+      funderAwardId = col("grant_id"),
+      displayName = coalesce(nullif(col("title"), lit("")),
+        col("grant_web_title")),
+      description = coalesce(col("grant_max_content"),
+        col("grant_content")),
+      amount = col("grant_amount_raw").try_cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("research"),
+      funderScheme = lit(null).cast("string"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_id").isNotNull &&
+        trim(col("grant_id")) =!= "")
+  }
+
+  /** The ETIS (Estonian Research Information System) grant shape —
+    * the ETAg / ETF notebooks are exact twins differing only in the
+    * funder row, provenance/priority slice, and the title-fallback
+    * label: >0 decimal gate with source currency, full dates,
+    * PI-gated 'Estonia' lead, NULL works_api_url; no row filter. */
+  private def etisGrant(funderId: Long, provenance: String,
+      priority: Int, fallbackLabel: String): FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Estonia"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit(fallbackLabel), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = d(col("start_date_raw")), endDate = d(col("end_date_raw")),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = year(d(col("end_date_raw"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** ETAg / Estonian Research Council via ETIS
+    * (CreateETISETAgAwards.ipynb, ~2.5K). */
+  def etisEtag: FunderIngestConfig = etisGrant(4320321090L, "etis_etag",
+    363, "Estonian Research Council (ETAg) grant ")
+
+  /** ETF / Estonian Science Foundation via ETIS
+    * (CreateETISETFAwards.ipynb, ~2.1K). */
+  def etisEtf: FunderIngestConfig = etisGrant(4320321018L, "etis_etf",
+    365, "Estonian Science Foundation (ETF) grant ")
+
+  /** The MinCiencias/Colciencias era pair
+    * (CreateMinCienciasAwards.ipynb's year-bounded pick). */
+  def minCienciasFunderIds: Seq[Long] = Seq(3277441329L, 4320309955L)
+
+  /** MinCiencias / Colciencias (Colombia) via datos.gov.co
+    * (CreateMinCienciasAwards.ipynb, ~3.1K, resolved §2.3.2: the
+    * 2019 rename year-bounds the funder pick — ≥2019 MinCiencias,
+    * <2019 Colciencias): the citable codigo_proyecto with a
+    * 'minciencias-<slug-id>' fallback, the funder's own share as the
+    * canonical COP amount, approval-date start, an UNCONDITIONAL
+    * org-only 'CO' lead from the executing entity. */
+  def minCiencias: ResolvedFunderIngestConfig = {
+    val yr = col("ano_convocatoria").try_cast("int")
+    val awardId = coalesce(nullif(trim(col("codigo_proyecto")), lit("")),
+      concat(lit("minciencias-"), col("proyecto_id")))
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("date"), col("entidad_ejecuta"), lit("CO"),
+      lit(null).cast(affIds))
+    ResolvedFunderIngestConfig(
+      provenance = "datos_gov_co_minciencias", priority = 52,
+      resolvedFunderId = when(yr >= 2019, 3277441329L)
+        .when(yr < 2019, 4320309955L),
+      mintKey = lower(awardId),
+      funderAwardId = awardId,
+      displayName = col("titulo_proyecto"),
+      description = col("desc_convocatoria"),
+      amount = col("monto_financiado_ap").try_cast("double"),
+      currency = lit("COP"),
+      fundingType = lit("research"),
+      funderScheme = col("nme_prog_cti"),
+      startDate = d(substring(col("fecha_aprobacion"), 1, 10)),
+      endDate = lit(null).cast("date"),
+      startYear = yr, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("slug").isNotNull &&
+        col("ano_convocatoria").isNotNull)
+  }
+
+  /** Telethon Foundation (Italy) grants DB
+    * (CreateTelethonAwards.ipynb, ~3.1K): the Humboldt-shaped card —
+    * 'Telethon grant <id>' title fallback, >0 decimal gate with
+    * source currency, full dates, PI-else-institution 'Italy' lead,
+    * NULL works_api_url. */
+  def telethon: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Italy"), lit(null).cast(affIds)))
+      .when(col("institution").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          col("institution"), lit("Italy"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321179L, provenance = "telethon", priority = 218,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("Telethon grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = d(col("start_date_raw")), endDate = d(col("end_date_raw")),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = year(d(col("end_date_raw"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Sweden-America Foundation fellows
+    * (CreateSwedenAmericaFdnAwards.ipynb, ~3K): the
+    * '<scheme> <years>: <name>' display assembly, §6.7 fellowship
+    * waiver, literal scheme, year-span-only coverage, a name-gated
+    * lead placed at US institutions (the foundation's sole
+    * destination). */
+  def swedenAmericaFdn: FunderIngestConfig = {
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320938L, provenance = "sweden_america_foundation",
+      priority = 145,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Sweden-America Foundation Fellowship "),
+        col("start_year"), lit("-"), col("end_year"), lit(": "),
+        col("name")),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("Sweden-America Foundation Fellowship"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Arnold Ventures via the Algolia grants index
+    * (CreateArnoldVenturesAwards.ipynb, ~2.6K): objectID key,
+    * description-else-body fallback, USD, empty-string-NULLed
+    * funding-source scheme, year-boundary dates, an UNCONDITIONAL
+    * org-only lead with a NULL country. */
+  def arnoldVentures: FunderIngestConfig = {
+    val sy = col("start_year")
+    val ey = col("end_year")
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("grantee_name"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320315359L, provenance = "arnold_ventures_algolia",
+      priority = 41,
+      mintKey = lower(col("objectID")),
+      funderAwardId = col("objectID"),
+      displayName = col("title"),
+      description = coalesce(nullif(col("grant_description"), lit("")),
+        nullif(col("grant_body"), lit(""))),
+      amount = col("grant_amount").try_cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("research"),
+      funderScheme = nullif(col("funding_source"), lit("")),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = when(ey.isNotNull,
+        d(concat(ey.cast("string"), lit("-12-31")))),
+      startYear = sy.try_cast("int"), endYear = ey.try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("objectID").isNotNull &&
+        trim(col("objectID")) =!= "")
+  }
+
+  /** Alzheimer's Association grants (CreateAlzAssociationAwards
+    * .ipynb, ~2.4K): NULL amount/currency, programme scheme, the
+    * ASYMMETRIC year bands (start_date only within 2000-2027,
+    * start_year within the wider 1980-2030), source-carried lead
+    * country, NULL landing and works URLs; no row filter. */
+  def alzAssociation: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306219L, provenance = "alz_association",
+      priority = 269,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = col("programme"),
+      startDate = when(sy.between(2000, 2027),
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1980, 2030), sy),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
   }
 }

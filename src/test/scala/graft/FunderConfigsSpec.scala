@@ -2641,4 +2641,226 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(irAff.getSeq[Row](irAff.fieldIndex("ids")).head
       .getAs[String]("asserted_by") === "funder")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 fifth tranche (CreateVlaamseRegeringAwards /
+  // CreateVLAIOAwards / CreateBELSPOAwards / CreateETISETAgAwards /
+  // CreateETISETFAwards / CreateTempletonAwards /
+  // CreateMinCienciasAwards / CreateTelethonAwards /
+  // CreateSwedenAmericaFdnAwards / CreateArnoldVenturesAwards /
+  // CreateAlzAssociationAwards)
+  // ---------------------------------------------------------------
+
+  private def reg8 = reg7.unionByName(Seq(
+    (4320306193L, "John Templeton Foundation",
+      "https://ror.org/035tnyy05", "10.13039/100000925"),
+    (4320321090L, "Estonian Research Council",
+      "https://ror.org/02g2kde75", "10.13039/501100002301"),
+    (4320321018L, "Estonian Science Foundation", "r-etf",
+      "10.13039/501100002308"),
+    (3277441329L, "MinCiencias", "r-minc", "10.13039/100020084"),
+    (4320309955L, "Colciencias", "r-colc", "10.13039/100007637"),
+    (4320321179L, "Telethon Foundation", "https://ror.org/04xraxn18",
+      "10.13039/501100002426"),
+    (4320320938L, "Sweden-America Foundation", "r-saf", "d-saf"),
+    (4320315359L, "Arnold Ventures", "r-av", "d-av"),
+    (4320306219L, "Alzheimer's Association",
+      "https://ror.org/04b8v1s79", "10.13039/100000957"),
+    (4320327336L, "Vlaamse Regering", "r-vr-be", "d-vr-be"),
+    (4320321732L, "VLAIO", "r-vlaio", "d-vlaio"),
+    (4320321454L, "BELSPO", "https://ror.org/03rsypw10",
+      "10.13039/501100002749"))
+    .toDF(reg.columns: _*))
+
+  test("FRIS twins (Vlaamse Regering / VLAIO / BELSPO) + ETIS twins " +
+    "(ETAg / ETF): shared archetypes routed per funder with distinct " +
+    "(provenance, priority) slices, title-fallback labels, >0 gates") {
+    val fris = Seq(("VL-1", "T", Some("Abs"), "Project", "grant",
+        Some("An"), Some("Claes"), None: Option[String],
+        None: Option[String], Some("UGent"), "BE", Some("https://fris/9"),
+        "2020-01-01", "2023-12-31"))
+      .toDF("funder_award_id", "title", "abstract", "funder_scheme",
+        "funding_type", "lead_given_name", "lead_family_name",
+        "colead_given_name", "colead_family_name", "institution_name",
+        "country", "landing_page_url", "start_date", "end_date")
+    val ovl = FunderIngest.transform(fris, reg8,
+      FunderConfigs.vlaio(2026), now).collect()
+    assert(ovl.head.getAs[Long]("funder_id") === 4320321732L)
+    assert(ovl.head.getAs[String]("provenance") === "vlaio_fris")
+    assert(ovl.head.isNullAt(ovl.head.fieldIndex("amount"))) // waiver
+    val obe = FunderIngest.transform(fris, reg8,
+      FunderConfigs.belspo(2026), now).collect()
+    assert(obe.head.getAs[String]("provenance") === "belspo_fris")
+    val ovr2 = FunderIngest.transform(fris, reg8,
+      FunderConfigs.vlaamseRegering(2026), now).collect()
+    assert(ovr2.head.getAs[String]("provenance") === "vlaamse_regering_fris")
+    val frisSlices = Seq(FunderConfigs.fwo(2026),
+      FunderConfigs.vlaamseRegering(2026), FunderConfigs.vlaio(2026),
+      FunderConfigs.belspo(2026)).map(c => (c.provenance, c.priority))
+    assert(frisSlices.distinct.length === 4)
+
+    val et = Seq(
+      ("PRG1234", "  ", Some("Desc"), Some("0"), Some("EUR"),
+        Some("PRG"), Some("2020-01-01"), Some("2024-12-31"),
+        Some("Mari"), Some("Tamm"), Some("UT"), Some("https://etis/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oet = FunderIngest.transform(et, reg8, FunderConfigs.etisEtag,
+      now).collect()
+    assert(oet.head.getAs[String]("display_name")
+      === "Estonian Research Council (ETAg) grant PRG1234")
+    assert(oet.head.isNullAt(oet.head.fieldIndex("amount"))) // 0 gated
+    assert(oet.head.isNullAt(oet.head.fieldIndex("currency")))
+    assert(oet.head.isNullAt(oet.head.fieldIndex("works_api_url")))
+    assert(oet.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Estonia")
+    val et2 = et.withColumn("amount",
+      org.apache.spark.sql.functions.lit("5000"))
+    val oef = FunderIngest.transform(et2, reg8, FunderConfigs.etisEtf,
+      now).collect()
+    assert(oef.head.getAs[String]("display_name")
+      === "Estonian Science Foundation (ETF) grant PRG1234")
+    assert(oef.head.getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("5000")) === 0)
+    assert(oef.head.getAs[String]("currency") === "EUR")
+    assert(Seq(FunderConfigs.etisEtag, FunderConfigs.etisEtf)
+      .map(c => (c.provenance, c.priority)).distinct.length === 2)
+  }
+
+  test("Templeton / MinCiencias / Telethon / Sweden-America / Arnold " +
+    "Ventures / Alz Association: web-title and body fallbacks with a " +
+    "verbatim multi-PI leader, the 2019-rename year-bounded funder " +
+    "pick with codigo-else-slug id, org-only Italy fallback, " +
+    "year-span fellowship display, asymmetric year bands") {
+    val te = Seq(("61234", "", Some("Web Title"), None: Option[String],
+        Some("Body"), Some("1000000"), Some("2019-01-15T00:00:00"),
+        Some("2022-01-14"), Some("Oxford"), Some("A. One; B. Two"),
+        Some("https://templeton/1")))
+      .toDF("grant_id", "title", "grant_web_title", "grant_max_content",
+        "grant_content", "grant_amount_raw", "grant_start_date",
+        "grant_end_date", "grant_grantee", "grant_project_leader", "url")
+    val ote = FunderIngest.transform(te, reg8, FunderConfigs.templeton,
+      now).collect()
+    assert(ote.head.getAs[String]("display_name") === "Web Title")
+    assert(ote.head.getAs[String]("description") === "Body")
+    assert(ote.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-01-15") // 10-char substring
+    assert(ote.head.getAs[Int]("end_year") === 2022)
+    val tel = ote.head.getAs[Row]("lead_investigator")
+    assert(tel.getAs[String]("family_name") === "A. One; B. Two")
+    assert(tel.getAs[Row]("affiliation").getAs[String]("name")
+      === "Oxford")
+    assert(ote.head.getAs[String]("works_api_url") != null)
+
+    val mc = Seq(
+      ("p1", "1001", Some("111289466291"), "Título", Some("Conv"),
+        Some("500000000"), Some("Programa CTI"),
+        Some("2020-03-15T00:00:00"), "2020", Some("UNAL"),
+        Some("https://datos/1")),
+      ("p2", "1002", Some("  "), "T2", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        "2015", None: Option[String], None: Option[String]),
+      ("p3", "1003", Some("X"), "T3", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        null.asInstanceOf[String], None: Option[String],
+        None: Option[String]))
+      .toDF("slug", "proyecto_id", "codigo_proyecto", "titulo_proyecto",
+        "desc_convocatoria", "monto_financiado_ap", "nme_prog_cti",
+        "fecha_aprobacion", "ano_convocatoria", "entidad_ejecuta",
+        "source_url")
+    val omc = FunderIngest.transformResolved(mc,
+      FunderIngest.requireFunders(reg8, FunderConfigs.minCienciasFunderIds),
+      FunderConfigs.minCiencias, now)
+      .orderBy("funder_award_id").collect()
+    assert(omc.length === 2) // NULL call year dropped
+    assert(omc(0).getAs[String]("funder_award_id") === "111289466291")
+    assert(omc(0).getAs[Long]("funder_id") === 3277441329L) // ≥2019
+    assert(omc(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-03-15")
+    assert(omc(0).getAs[String]("currency") === "COP")
+    assert(omc(1).getAs[String]("funder_award_id") === "minciencias-1002")
+    assert(omc(1).getAs[Long]("funder_id") === 4320309955L) // <2019 era
+    val mcl = omc(0).getAs[Row]("lead_investigator") // unconditional
+    assert(mcl.isNullAt(mcl.fieldIndex("family_name")))
+    assert(mcl.getAs[Row]("affiliation").getAs[String]("country") === "CO")
+
+    val tl = Seq(("TGM-1", "  ", Some("D"), Some("-5"), Some("EUR"),
+        Some("Core"), Some("2018-01-01"), Some("2021-12-31"),
+        None: Option[String], None: Option[String], Some("TIGEM"),
+        Some("https://telethon/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val otl = FunderIngest.transform(tl, reg8, FunderConfigs.telethon,
+      now).collect()
+    assert(otl.head.getAs[String]("display_name") === "Telethon grant TGM-1")
+    assert(otl.head.isNullAt(otl.head.fieldIndex("amount"))) // ≤0 gated
+    val tll = otl.head.getAs[Row]("lead_investigator") // org-only arm
+    assert(tll.isNullAt(tll.fieldIndex("family_name")))
+    assert(tll.getAs[Row]("affiliation").getAs[String]("country")
+      === "Italy")
+
+    val sa = Seq(("saf-2018-jdoe", "Jane Doe", Some("Jane"), Some("Doe"),
+        Some("MIT"), None: Option[String], "2018", "2019",
+        Some("https://saf/1")))
+      .toDF("funder_award_id", "name", "given_name", "family_name",
+        "institution", "description", "start_year", "end_year",
+        "landing_page_url")
+    val osa = FunderIngest.transform(sa, reg8,
+      FunderConfigs.swedenAmericaFdn, now).collect()
+    assert(osa.head.getAs[String]("display_name")
+      === "Sweden-America Foundation Fellowship 2018-2019: Jane Doe")
+    assert(osa.head.getAs[String]("funding_type") === "fellowship")
+    assert(osa.head.isNullAt(osa.head.fieldIndex("amount")))
+    assert(osa.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+
+    val av = Seq(("obj-1", "AV title", Some(""), Some("Body text"),
+        Some("250000"), Some(""), Some(2021), Some(2023), Some("RAND"),
+        Some("https://av/1")))
+      .toDF("objectID", "title", "grant_description", "grant_body",
+        "grant_amount", "funding_source", "start_year", "end_year",
+        "grantee_name", "url")
+    val oav = FunderIngest.transform(av, reg8,
+      FunderConfigs.arnoldVentures, now).collect()
+    assert(oav.head.getAs[String]("description") === "Body text")
+    assert(oav.head.isNullAt(oav.head.fieldIndex("funder_scheme"))) // ''
+    assert(oav.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(oav.head.getAs[java.sql.Date]("end_date").toString
+      === "2023-12-31")
+    val avl = oav.head.getAs[Row]("lead_investigator") // unconditional
+    assert(avl.getAs[Row]("affiliation").getAs[String]("name") === "RAND")
+    assert(avl.getAs[Row]("affiliation").isNullAt(
+      avl.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val al = Seq(
+      ("AARG-1", "T1", Some("D"), Some("AARG"), "1995", Some("A"),
+        Some("B"), Some("Mayo"), Some("US")),
+      ("AARG-2", "T2", None: Option[String], Some("AARG"), "2020",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("AARG-3", "T3", None: Option[String], None: Option[String],
+        "1979", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "programme",
+        "start_year", "pi_given", "pi_family", "institution", "country")
+    val oal = FunderIngest.transform(al, reg8,
+      FunderConfigs.alzAssociation, now)
+      .orderBy("funder_award_id").collect()
+    // the ASYMMETRIC bands: 1995 is outside the 2000-2027 date band
+    // but inside the 1980-2030 year band
+    assert(oal(0).isNullAt(oal(0).fieldIndex("start_date")))
+    assert(oal(0).getAs[Int]("start_year") === 1995)
+    assert(oal(1).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    assert(oal(1).getAs[Int]("start_year") === 2020)
+    assert(oal(2).isNullAt(oal(2).fieldIndex("start_date"))) // 1979 out
+    assert(oal(2).isNullAt(oal(2).fieldIndex("start_year")))
+    assert(oal(0).isNullAt(oal(0).fieldIndex("amount")))
+    assert(oal(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+    assert(oal(0).isNullAt(oal(0).fieldIndex("works_api_url")))
+  }
 }
