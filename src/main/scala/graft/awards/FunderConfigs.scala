@@ -4089,4 +4089,399 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 sixth tranche: Taiwan GRB twins (MOST 177K / NSTC 57K),
+  // OTKA/NKFIH era split, UCOP, HRSA, IES, IFAU + Östersjöstiftelsen
+  // (SweCRIS rich twins), CZI
+  // ---------------------------------------------------------------
+
+  /** The Taiwan GRB contributor JSON shape (both GRB notebooks'
+    * FROM_JSON schemas). */
+  private def grbPerson: String =
+    "struct<given_name:string,family_name:string,orcid:string," +
+      "role_start_year:string,affiliation_name:string," +
+      "affiliation_country:string>"
+
+  /** The Taiwan Government Research Bulletin archetype (the MOST and
+    * NSTC notebooks are exact twins split by plan-organ code):
+    * year-only coverage with the future-start cap NULLing BOTH years,
+    * an UNCONDITIONAL trimmed lead (country never guessed), a JSON
+    * co-lead STRUCT and a JSON investigators ARRAY (both
+    * trimmed-NULLIF, NULL orcid/role), research-method-else-fallback
+    * scheme. */
+  private def grbProject(funderId: Long, provenance: String,
+      priority: Int, schemeFallback: String,
+      currentYear: Int): FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val future = sy > currentYear + 1
+    def person(g: Column, fam: Column, aff: Column): Column =
+      struct(nullif(trim(g), lit("")).as("given_name"),
+        nullif(trim(fam), lit("")).as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(nullif(trim(aff), lit("")).as("name"),
+          lit(null).cast("string").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation"))
+    val coLead0 = from_json(col("co_lead_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(grbPerson))
+    val coLead = when(coLead0.isNotNull,
+      person(coLead0.getField("given_name"),
+        coLead0.getField("family_name"),
+        coLead0.getField("affiliation_name")))
+    val invs0 = from_json(col("investigators_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(s"array<$grbPerson>"))
+    val invs = when(invs0.isNotNull && size(invs0) > 0,
+      transform(invs0, x => person(x.getField("given_name"),
+        x.getField("family_name"), x.getField("affiliation_name"))))
+      .otherwise(FunderIngest.nullInvestigators)
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("research_method")),
+        lit("")), lit(schemeFallback)),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = when(!future, sy), endYear = when(!future, ey),
+      leadInvestigator = person(col("lead_given_name"),
+        col("lead_family_name"), col("executing_institution")),
+      coLeadInvestigator = coLead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "",
+      investigators = invs)
+  }
+
+  /** Taiwan MOST via GRB (CreateTaiwanMOSTGRBAwards.ipynb, ~177K
+    * legacy Ministry of Science and Technology projects): the
+    * [[grbProject]] archetype at the BT100 plan-organ slice. */
+  def taiwanMostGrb(currentYear: Int): FunderIngestConfig =
+    grbProject(4320322795L, "grb_most_projects", 210,
+      "MOST GRB project", currentYear)
+
+  /** The NSTC funder row is non-F4320* and INLINED by the notebook
+    * (CreateNSTCGRBAwards.ipynb's runbook Step 0 literals). */
+  def nstcFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (2461203286L, "National Science and Technology Council",
+        Some("https://ror.org/02kv4zf79"), "10.13039/100020595")))
+
+  /** Taiwan NSTC via GRB (CreateNSTCGRBAwards.ipynb, ~57K current
+    * National Science and Technology Council projects): the
+    * [[grbProject]] twin at BT200, paired with
+    * [[nstcFunderLookup]]. */
+  def nstcGrb(currentYear: Int): FunderIngestConfig =
+    grbProject(2461203286L, "grb_nstc_projects", 202,
+      "NSTC GRB project", currentYear)
+
+  /** The OTKA/NKFIH era pair (CreateOTKAAwards.ipynb's §2.3.2
+    * split). */
+  def otkaFunderIds: Seq[Long] = Seq(4320321994L, 4320326762L)
+
+  /** OTKA / NKFIH (Hungary) via the NKFI-EPR database
+    * (CreateOTKAAwards.ipynb, ~157K projects, resolved §2.3.2 era
+    * split — never blanket-assign a shared-reporting source): starts
+    * ≥ 2015-09-01 are NKFIH, dated starts before are OTKA, NULL-date
+    * rows fall back on the 115000 first-NKFIH-call id boundary;
+    * EN→HU title/summary cascades, amount-gated HUF, the PD-postdoc
+    * fellowship split, a conditional-affiliation 'Hungary' lead with
+    * role_start = start, and the 'Family, Given' participants JSON
+    * split on the comma. */
+  def otka: ResolvedFunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val amt = col("amount_huf").try_cast("double")
+    val lead = when(col("pi_family_name").isNotNull ||
+        col("pi_given_name").isNotNull,
+      struct(nullif(trim(col("pi_given_name")), lit("")).as("given_name"),
+        nullif(trim(col("pi_family_name")), lit("")).as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        sd.as("role_start"),
+        when(col("institution").isNotNull,
+          struct(trim(col("institution")).as("name"),
+            lit("Hungary").as("country"),
+            lit(null).cast(affIds).as("ids")))
+          .otherwise(lit(null).cast(affType)).as("affiliation")))
+    val parts = from_json(col("participants_raw"),
+      org.apache.spark.sql.types.DataType.fromDDL("array<string>"))
+    val invs = when(col("participants_raw").isNotNull &&
+        !col("participants_raw").isin("[]", ""),
+      transform(
+        filter(parts, p => nullif(trim(p), lit("")).isNotNull),
+        p => struct(
+          when(instr(p, ",") > 0,
+            nullif(trim(substring_index(p, ",", -1)), lit("")))
+            .otherwise(lit(null).cast("string")).as("given_name"),
+          when(instr(p, ",") > 0,
+            nullif(trim(substring_index(p, ",", 1)), lit("")))
+            .otherwise(trim(p)).as("family_name"),
+          lit(null).cast("string").as("orcid"),
+          lit(null).cast("date").as("role_start"),
+          lit(null).cast(affType).as("affiliation"))))
+      .otherwise(FunderIngest.nullInvestigators)
+    ResolvedFunderIngestConfig(
+      provenance = "otka_nkfih", priority = 429,
+      resolvedFunderId = when(sd >= lit("2015-09-01").cast("date"),
+          4320326762L)
+        .when(sd.isNotNull, 4320321994L)
+        .when(col("num").try_cast("int") >= 115000, 4320326762L)
+        .otherwise(4320321994L),
+      mintKey = lower(col("identifier")),
+      funderAwardId = col("identifier"),
+      displayName = coalesce(nullif(trim(col("title_en")), lit("")),
+        nullif(trim(col("title_hu")), lit("")),
+        concat(lit("OTKA/NKFIH project "), col("identifier"))),
+      description = coalesce(nullif(trim(col("summary_en")), lit("")),
+        nullif(trim(col("results_en")), lit("")),
+        nullif(trim(col("summary_hu")), lit("")),
+        nullif(trim(col("results_hu")), lit(""))),
+      amount = amt,
+      currency = when(amt.isNotNull, "HUF"),
+      fundingType = when(upper(trim(col("type_code"))) === "PD",
+        "fellowship").otherwise("grant"),
+      funderScheme = nullif(trim(col("type_code")), lit("")),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = year(sd), endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      investigators = invs)
+  }
+
+  /** UCOP / University of California RGPO
+    * (CreateUCOPAwards.ipynb): applicationid key, the
+    * abstract-else-progress-report description, the currency-symbol
+    * strip before the USD amount cast, the training/fellowship
+    * regex, dual-format dates, and the FIRST and SECOND contacts of
+    * the JSON list as lead and co-lead (role_start = start). */
+  def ucop: FunderIngestConfig = {
+    val contacts = from_json(col("contacts_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<institution:string,lastname:string," +
+          "firstname:string,email:string,degree:string,role:string," +
+          "subject:string>>"))
+    def dd(c: Column): Column =
+      coalesce(d(c), d(substring(c, 1, 10)))
+    val sd = dd(col("startdate"))
+    def contact(i: Int): Column = {
+      val e = element_at(contacts, i)
+      struct(nullif(trim(e.getField("firstname")), lit(""))
+          .as("given_name"),
+        nullif(trim(e.getField("lastname")), lit("")).as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        sd.as("role_start"),
+        struct(nullif(trim(e.getField("institution")), lit(""))
+            .as("name"),
+          lit(null).cast("string").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation"))
+    }
+    val at = lower(coalesce(col("awardtype"), lit("")))
+    FunderIngestConfig(
+      funderId = 4320333677L, provenance = "ucop_grants", priority = 106,
+      mintKey = lower(col("applicationid")),
+      funderAwardId = col("applicationid"),
+      displayName = col("title"),
+      description = when(col("abstract").isNotNull &&
+          trim(col("abstract")) =!= "", col("abstract"))
+        .when(col("progressreportabbstract").isNotNull &&
+          trim(col("progressreportabbstract")) =!= "",
+          col("progressreportabbstract")),
+      amount = regexp_replace(col("approvedamount"), "[^0-9.-]", "")
+        .try_cast("double"),
+      currency = lit("USD"),
+      fundingType = when(at.rlike("training|traineeship|fellowship|" +
+        "scholarship|postdoc|dissertation|predoc"), "fellowship")
+        .otherwise("grant"),
+      funderScheme = coalesce(nullif(trim(col("awardtype")), lit("")),
+        nullif(trim(col("program")), lit(""))),
+      startDate = sd, endDate = dd(col("enddate")),
+      startYear = year(sd), endYear = year(dd(col("enddate"))),
+      leadInvestigator = when(contacts.isNotNull && size(contacts) > 0,
+        contact(1)),
+      coLeadInvestigator = when(contacts.isNotNull && size(contacts) >= 2,
+        contact(2)),
+      landingPageUrl = lit(null).cast("string"),
+      doi = nullif(trim(col("grant_doi")), lit("")),
+      rowFilter = col("applicationid").isNotNull &&
+        trim(col("applicationid")) =!= "")
+  }
+
+  /** HRSA Data Warehouse (CreateHRSAAwards.ipynb, ~72K award-year
+    * rows): the per-(grant, year, row-hash) composite award id — the
+    * warehouse is action-grained so the reference keys rows, NOT
+    * grants — MM/dd/yyyy dates, the 'no link' abstract scrub, the
+    * training regex, USD, no investigator slots. */
+  def hrsa: FunderIngestConfig = {
+    val rowId = concat_ws(":", lower(trim(col("grant_number"))),
+      trim(col("award_year")), col("source_row_hash"))
+    val prog = lower(coalesce(col("grant_program_name"),
+      col("hrsa_program_area_name"), lit("")))
+    def m(c: Column): Column = to_date(try_to_timestamp(c,
+      lit("MM/dd/yyyy")))
+    val sd = m(col("project_period_start_date"))
+    val ed = m(col("grant_project_period_end_date"))
+    FunderIngestConfig(
+      funderId = 4320332175L, provenance = "hrsa_data_warehouse",
+      priority = 57,
+      mintKey = rowId,
+      funderAwardId = rowId,
+      displayName = coalesce(
+        nullif(trim(col("grant_program_name")), lit("")),
+        nullif(trim(col("hrsa_program_area_name")), lit("")),
+        col("grant_number")),
+      description = when(col("abstract").isNull ||
+          trim(col("abstract")) === "" ||
+          lower(trim(col("abstract"))) === "no link",
+          lit(null).cast("string"))
+        .otherwise(col("abstract")),
+      amount = regexp_replace(col("financial_assistance"), "[^0-9.-]", "")
+        .try_cast("double"),
+      currency = lit("USD"),
+      fundingType = when(prog.rlike("training|traineeship|residency|" +
+        "workforce|scholarship|fellowship"), "training")
+        .otherwise("grant"),
+      funderScheme = coalesce(
+        nullif(trim(col("grant_program_name")), lit("")),
+        nullif(trim(col("hrsa_program_area_name")), lit(""))),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_number").isNotNull &&
+        trim(col("grant_number")) =!= "" &&
+        col("award_year").isNotNull && trim(col("award_year")) =!= "" &&
+        col("source_row_hash").isNotNull &&
+        trim(col("source_row_hash")) =!= "")
+  }
+
+  /** IES / Institute of Education Sciences official API
+    * (CreateIESAwards.ipynb, ~59K): mid key (trimmed), the
+    * description-else-title fallback, the contract/cooperative-
+    * agreement type map, 10-char award-date start only, the
+    * absolute-else-site-relative landing URL. */
+  def ies: FunderIngestConfig = {
+    val ct = lower(trim(col("mcontenttype")))
+    val sd = d(substring(col("mdateprimary"), 1, 10))
+    FunderIngestConfig(
+      funderId = 4320332210L, provenance = "ies_official", priority = 61,
+      mintKey = lower(trim(col("mid"))),
+      funderAwardId = trim(col("mid")),
+      displayName = nullif(trim(col("mtitle")), lit("")),
+      description = coalesce(nullif(trim(col("mdescriptionshort")),
+        lit("")), nullif(trim(col("mtitle")), lit(""))),
+      amount = col("lawardamount").try_cast("double"),
+      currency = lit("USD"),
+      fundingType = when(ct === "contract", "contract")
+        .when(ct === "cooperative agreement", "cooperative_agreement")
+        .otherwise("grant"),
+      funderScheme = nullif(trim(col("lprogram")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = year(sd), endYear = lit(null).cast("int"),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = when(col("landing_page_url")
+          .rlike("^https?://"), col("landing_page_url"))
+        .when(col("murl").isNotNull && trim(col("murl")) =!= "",
+          concat(lit("https://ies.ed.gov"), col("murl"))),
+      doi = lit(null).cast("string"),
+      rowFilter = col("mid").isNotNull && trim(col("mid")) =!= "")
+  }
+
+  /** The rich SweCRIS foundation shape (IFAU / Östersjöstiftelsen —
+    * both RE-SOURCED to SweCRIS from thin foundation scrapes): the
+    * Energimyndigheten text/amount hygiene plus a trimmed PI with
+    * ORCID passthrough and a SIX-arm type cascade (adds
+    * '%position%'). */
+  private def swecrisRich(funderId: Long, provenance: String,
+      priority: Int): FunderIngestConfig = {
+    val ta = lower(coalesce(col("type_of_award"), lit("")))
+    val fundingType =
+      when(ta.like("%fellow%"), "fellowship")
+        .when(ta.like("%stipend%"), "fellowship")
+        .when(ta.like("%position%"), "fellowship")
+        .when(ta.like("%infrastructure%"), "infrastructure")
+        .when(ta.like("%project%"), "research")
+        .otherwise("grant")
+    val lead = when(col("pi_family_name").isNotNull &&
+        trim(col("pi_family_name")) =!= "",
+      investigator(nullif(trim(col("pi_given_name")), lit("")),
+        trim(col("pi_family_name")),
+        nullif(trim(col("pi_orcid")), lit("")), lit(null).cast("date"),
+        nullif(trim(col("coordinating_organisation")), lit("")),
+        lit("Sweden"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(swecrisBareId(col("project_id"))),
+      funderAwardId = swecrisBareId(col("project_id")),
+      displayName = coalesce(nullif(trim(col("title_english")), lit("")),
+        nullif(trim(col("title")), lit(""))),
+      description = coalesce(nullif(trim(col("abstract_english")),
+        lit("")), nullif(trim(col("abstract")), lit(""))),
+      amount = nullif(col("amount").try_cast("double"), lit(0.0)),
+      currency = lit("SEK"),
+      fundingType = fundingType,
+      funderScheme = nullif(trim(col("type_of_award")), lit("")),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = year(d(col("start_date"))),
+      endYear = year(d(col("end_date"))),
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://www.vr.se/swecris#/project/"),
+        trim(col("project_id"))),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** IFAU via SweCRIS (CreateIFAUAwards.ipynb, 131 labour-market
+    * projects with full SEK/date/abstract coverage). */
+  def ifau: FunderIngestConfig =
+    swecrisRich(4320327653L, "ifau", 338)
+
+  /** Östersjöstiftelsen / Foundation for Baltic and East European
+    * Studies via SweCRIS (CreateOstersjostiftelsenAwards.ipynb, 242
+    * projects — the richer re-source over the thin wp-json scrape). */
+  def ostersjostiftelsen: FunderIngestConfig =
+    swecrisRich(4320310975L, "ostersjostiftelsen", 327)
+
+  /** CZI / Chan Zuckerberg Initiative WordPress grants
+    * (CreateCZIAwards.ipynb): §6.7 amount waiver, the
+    * programme-label-else-'CZI Grant' scheme, year-only start, an
+    * UNCONDITIONAL trimmed 'US' lead with role_start = Jan 1. */
+  def czi: FunderIngestConfig = {
+    val sd = d(concat(col("start_year"), lit("-01-01")))
+    val lead = struct(
+      nullif(trim(col("pi_given_name")), lit("")).as("given_name"),
+      nullif(trim(col("pi_family_name")), lit("")).as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      sd.as("role_start"),
+      struct(nullif(trim(col("pi_affiliation")), lit("")).as("name"),
+        lit("US").as("country"),
+        lit(null).cast(affIds).as("ids")).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320315474L, provenance = "czi_grants", priority = 120,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("program_label")),
+        lit("")), lit("CZI Grant")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
 }

@@ -2863,4 +2863,302 @@ class FunderConfigsSpec extends AnyFunSuite {
       .getAs[Row]("affiliation").getAs[String]("country") === "US")
     assert(oal(0).isNullAt(oal(0).fieldIndex("works_api_url")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 sixth tranche (CreateTaiwanMOSTGRBAwards /
+  // CreateNSTCGRBAwards / CreateOTKAAwards / CreateUCOPAwards /
+  // CreateHRSAAwards / CreateIESAwards / CreateIFAUAwards /
+  // CreateOstersjostiftelsenAwards / CreateCZIAwards)
+  // ---------------------------------------------------------------
+
+  private def reg9 = reg8.unionByName(Seq(
+    (4320322795L, "Ministry of Science and Technology, Taiwan",
+      "https://ror.org/02kv4zf79", "10.13039/501100004663"),
+    (4320321994L, "OTKA", "r-otka", "10.13039/501100003549"),
+    (4320326762L, "NKFIH", "https://ror.org/01hjmxs73",
+      "10.13039/501100011019"),
+    (4320333677L, "University of California Office of the President",
+      "r-ucop", "10.13039/100016222"),
+    (4320332210L, "Institute of Education Sciences", "r-ies",
+      "10.13039/100005246"),
+    (4320327653L, "IFAU", "r-ifau", "10.13039/501100023589"),
+    (4320310975L, "Östersjöstiftelsen", "r-ost",
+      "10.13039/501100006129"),
+    (4320315474L, "Chan Zuckerberg Initiative", "r-czi",
+      "10.13039/100014989"))
+    .toDF(reg.columns: _*))
+
+  test("Taiwan GRB twins (MOST/NSTC) + OTKA: future-start cap NULLs " +
+    "both years, JSON co-lead struct and investigators array, inlined " +
+    "NSTC funder row, the 2015-09-01 era split with the 115000 " +
+    "NULL-date id boundary and the 'Family, Given' participant split") {
+    val coJson = """{"given_name":" 小華 ","family_name":"李",""" +
+      """"role_start_year":"2020","affiliation_name":" 清大 "}"""
+    val invJson = """[{"given_name":"G1","family_name":"F1"},""" +
+      """{"given_name":" ","family_name":"F2"}]"""
+    val gr = Seq(
+      ("MOST109-2221", "計畫A", Some("摘要"), Some("1500000"),
+        Some("TWD"), Some("2020"), Some("2022"), Some("  "),
+        Some(" 大明 "), Some(" 王 "), Some(" 台大 "), Some(coJson),
+        Some(invJson), Some("https://grb/1")),
+      ("MOST110-X", "計畫B", None: Option[String], None: Option[String],
+        None: Option[String], Some("2090"), Some("2093"),
+        Some("survey"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("  ", "dropped", None: Option[String], None: Option[String],
+        None: Option[String], Some("2020"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "start_year", "end_year", "research_method",
+        "lead_given_name", "lead_family_name", "executing_institution",
+        "co_lead_json", "investigators_json", "landing_page_url")
+    val omo = FunderIngest.transform(gr, reg9,
+      FunderConfigs.taiwanMostGrb(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(omo.length === 2) // blank id dropped
+    assert(omo(0).getAs[String]("funder_scheme") === "MOST GRB project")
+    assert(omo(0).getAs[Int]("start_year") === 2020)
+    val gl = omo(0).getAs[Row]("lead_investigator")
+    assert(gl.getAs[String]("given_name") === "大明") // trimmed
+    assert(gl.getAs[Row]("affiliation").getAs[String]("name") === "台大")
+    assert(gl.getAs[Row]("affiliation").isNullAt(
+      gl.getAs[Row]("affiliation").fieldIndex("country"))) // never guessed
+    val gc = omo(0).getAs[Row]("co_lead_investigator")
+    assert(gc.getAs[String]("family_name") === "李")
+    val gis = omo(0).getSeq[Row](omo(0).fieldIndex("investigators"))
+    assert(gis.length === 2)
+    assert(gis(1).isNullAt(gis(1).fieldIndex("given_name"))) // blank
+    assert(gis(1).getAs[String]("family_name") === "F2")
+    // future start: BOTH years null, scheme from research_method
+    assert(omo(1).isNullAt(omo(1).fieldIndex("start_year")))
+    assert(omo(1).isNullAt(omo(1).fieldIndex("end_year")))
+    assert(omo(1).getAs[String]("funder_scheme") === "survey")
+    assert(omo(1).isNullAt(omo(1).fieldIndex("co_lead_investigator")))
+    assert(omo(1).isNullAt(omo(1).fieldIndex("investigators")))
+    // the NSTC twin runs off the INLINED funder row
+    val ons = FunderIngest.transform(gr,
+      FunderConfigs.nstcFunderLookup(spark),
+      FunderConfigs.nstcGrb(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(ons(0).getAs[Long]("funder_id") === 2461203286L)
+    assert(ons(0).getAs[String]("provenance") === "grb_nstc_projects")
+    assert(ons(1).getAs[String]("funder_scheme") === "survey")
+    assert(ons(0).getAs[Row]("funder").getAs[String]("doi")
+      === "10.13039/100020595")
+
+    val parts = """["Kovács, Éva", "Szabó, Péter", "  ", "Nagy"]"""
+    val ot = Seq(
+      ("K123456", "123456", Some("  "), Some("Magyar cím"),
+        None: Option[String], None: Option[String],
+        Some("Összefoglaló"), None: Option[String], Some("25000000"),
+        Some(" PD "), Some("2018-09-01"), Some("2021-08-31"),
+        Some(" Éva "), Some(" Kovács "), Some(" ELTE "), Some(parts),
+        Some("https://otka/1")),
+      ("K77777", "77777", Some("EN title"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("K"),
+        Some("2010-02-01"), Some("2013-01-31"), None: Option[String],
+        Some("Tóth"), None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("PD99", "116000", Some("  "), Some("  "), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("PD"), None: Option[String],
+        None: Option[String], Some("X"), None: Option[String],
+        None: Option[String], Some("[]"), None: Option[String]),
+      ("K11", "114000", Some("T4"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("K"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("identifier", "num", "title_en", "title_hu", "summary_en",
+        "results_en", "summary_hu", "results_hu", "amount_huf",
+        "type_code", "start_date", "end_date", "pi_given_name",
+        "pi_family_name", "institution", "participants_raw",
+        "landing_page_url")
+    val oot = FunderIngest.transformResolved(ot,
+      FunderIngest.requireFunders(reg9, FunderConfigs.otkaFunderIds),
+      FunderConfigs.otka, now).orderBy("funder_award_id").collect()
+    assert(oot.length === 4)
+    val byId = oot.map(r => r.getAs[String]("funder_award_id") -> r).toMap
+    assert(byId("K123456").getAs[Long]("funder_id") === 4320326762L)
+    assert(byId("K123456").getAs[String]("display_name") === "Magyar cím")
+    assert(byId("K123456").getAs[String]("description")
+      === "Összefoglaló") // EN blank → HU summary
+    assert(byId("K123456").getAs[String]("currency") === "HUF")
+    assert(byId("K123456").getAs[String]("funding_type") === "fellowship")
+    val ol = byId("K123456").getAs[Row]("lead_investigator")
+    assert(ol.getAs[String]("given_name") === "Éva")
+    assert(ol.getAs[java.sql.Date]("role_start").toString === "2018-09-01")
+    assert(ol.getAs[Row]("affiliation").getAs[String]("name") === "ELTE")
+    val ois2 = byId("K123456")
+      .getSeq[Row](byId("K123456").fieldIndex("investigators"))
+    assert(ois2.length === 3) // blank participant filtered
+    assert(ois2(0).getAs[String]("given_name") === "Éva")
+    assert(ois2(1).getAs[String]("family_name") === "Szabó")
+    assert(ois2(2).isNullAt(ois2(2).fieldIndex("given_name"))) // no comma
+    assert(ois2(2).getAs[String]("family_name") === "Nagy")
+    assert(byId("K77777").getAs[Long]("funder_id") === 4320321994L) // era
+    assert(byId("K77777").isNullAt(
+      byId("K77777").fieldIndex("currency"))) // no amount
+    assert(byId("PD99").getAs[Long]("funder_id") === 4320326762L) // ≥115k
+    assert(byId("PD99").getAs[String]("display_name")
+      === "OTKA/NKFIH project PD99")
+    val pl = byId("PD99").getAs[Row]("lead_investigator")
+    assert(pl.isNullAt(pl.fieldIndex("affiliation"))) // no institution
+    assert(byId("PD99").isNullAt(byId("PD99").fieldIndex("investigators")))
+    assert(byId("K11").getAs[Long]("funder_id") === 4320321994L) // <115k
+  }
+
+  test("UCOP / HRSA / IES / SweCRIS-rich twins / CZI: currency-symbol " +
+    "strip with first/second-contact lead and co-lead, the per-row " +
+    "composite award id with 'no link' scrub and MM/dd/yyyy dates, " +
+    "content-type map with site-relative landing, position-arm " +
+    "cascade, programme-label fallback") {
+    val contacts = """[{"institution":"UCSF","lastname":"Lee",""" +
+      """"firstname":"Amy"},{"institution":"UCLA","lastname":"Ng",""" +
+      """"firstname":"Bo"}]"""
+    val uc = Seq(
+      ("APP-1", "T1", Some("  "), Some("PR abstract"),
+        Some("$1,234,567.89"), Some("Postdoctoral Fellowship Award"),
+        Some("TRDRP"), Some("2019-07-01T00:00:00"), Some("2021-06-30"),
+        Some(contacts), Some(" 10.99/ucop ")),
+      ("APP-2", "T2", Some("Real"), None: Option[String],
+        Some("50000"), Some("Research Grant"), None: Option[String],
+        Some("2020-01-01"), None: Option[String], Some("[]"),
+        None: Option[String]))
+      .toDF("applicationid", "title", "abstract",
+        "progressreportabbstract", "approvedamount", "awardtype",
+        "program", "startdate", "enddate", "contacts_json", "grant_doi")
+    val ouc = FunderIngest.transform(uc, reg9, FunderConfigs.ucop, now)
+      .orderBy("funder_award_id").collect()
+    assert(ouc(0).getAs[String]("description") === "PR abstract")
+    assert(ouc(0).getAs[Double]("amount") === 1234567.89) // $ strip
+    assert(ouc(0).getAs[String]("funding_type") === "fellowship")
+    assert(ouc(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-07-01") // substring fallback parse
+    assert(ouc(0).getAs[String]("doi") === "10.99/ucop")
+    val ul = ouc(0).getAs[Row]("lead_investigator")
+    assert(ul.getAs[String]("family_name") === "Lee")
+    assert(ul.getAs[java.sql.Date]("role_start").toString === "2019-07-01")
+    val uco = ouc(0).getAs[Row]("co_lead_investigator")
+    assert(uco.getAs[String]("family_name") === "Ng")
+    assert(uco.getAs[Row]("affiliation").getAs[String]("name") === "UCLA")
+    assert(ouc(1).isNullAt(ouc(1).fieldIndex("lead_investigator"))) // []
+    assert(ouc(1).isNullAt(ouc(1).fieldIndex("co_lead_investigator")))
+    assert(ouc(1).getAs[String]("funding_type") === "grant")
+    assert(ouc(1).getAs[String]("description") === "Real")
+
+    val hr = Seq(
+      (" U77HP1234 ", "2020", "abc123", None: Option[String],
+        Some("Health Workforce Training"), Some("No Link"),
+        Some("$500,000"), Some("07/01/2020"), Some("06/30/2023")),
+      ("H80CS000", "2019", "def456", Some("Rural Health Research"),
+        None: Option[String], Some("Real abstract"), Some("250000"),
+        None: Option[String], None: Option[String]),
+      // BLANK (non-NULL) program shadows the area name in the TYPE
+      // regex (plain COALESCE) while the display still falls through
+      // (NULLIF-trim COALESCE) — the reference's own asymmetry
+      ("T99HP1", "2021", "ghi789", Some("  "),
+        Some("Nursing Workforce Training"), None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("X1", "2018", "", Some("P"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("grant_number", "award_year", "source_row_hash",
+        "grant_program_name", "hrsa_program_area_name", "abstract",
+        "financial_assistance", "project_period_start_date",
+        "grant_project_period_end_date")
+    val ohr = FunderIngest.transform(hr, reg9, FunderConfigs.hrsa, now)
+      .orderBy("funder_award_id").collect()
+    assert(ohr.length === 3) // blank row hash dropped
+    assert(ohr(2).getAs[String]("funder_award_id")
+      === "u77hp1234:2020:abc123") // composite row-level id
+    assert(ohr(2).getAs[String]("display_name")
+      === "Health Workforce Training") // NULL program → area
+    assert(ohr(2).isNullAt(ohr(2).fieldIndex("description"))) // 'no link'
+    assert(ohr(2).getAs[Double]("amount") === 500000.0)
+    assert(ohr(2).getAs[String]("funding_type") === "training")
+    assert(ohr(2).getAs[java.sql.Date]("start_date").toString
+      === "2020-07-01") // MM/dd/yyyy
+    assert(ohr(0).getAs[String]("funding_type") === "grant")
+    assert(ohr(0).getAs[String]("description") === "Real abstract")
+    // the blank-program shadow: display falls to the area, the TYPE
+    // regex does NOT (plain COALESCE keeps the blank) — 'grant'
+    assert(ohr(1).getAs[String]("display_name")
+      === "Nursing Workforce Training")
+    assert(ohr(1).getAs[String]("funding_type") === "grant")
+
+    val ie = Seq(
+      (" R305A1 ", " Title A ", Some("  "), Some("2500000"),
+        Some("Cooperative Agreement"), Some("NCER"),
+        Some("2015-07-01T00:00:00"), None: Option[String],
+        Some("/funding/grantsearch/details.asp?ID=1")),
+      ("91990021", "T2", Some("Short desc"), Some("1000000"),
+        Some("Contract"), None: Option[String], None: Option[String],
+        Some("https://ies.ed.gov/x"), None: Option[String]))
+      .toDF("mid", "mtitle", "mdescriptionshort", "lawardamount",
+        "mcontenttype", "lprogram", "mdateprimary", "landing_page_url",
+        "murl")
+    val oie = FunderIngest.transform(ie, reg9, FunderConfigs.ies, now)
+      .orderBy("funder_award_id").collect()
+    assert(oie(1).getAs[String]("funder_award_id") === "R305A1") // trim
+    assert(oie(1).getAs[String]("description") === "Title A") // fallback
+    assert(oie(1).getAs[String]("funding_type") === "cooperative_agreement")
+    assert(oie(1).getAs[String]("landing_page_url")
+      === "https://ies.ed.gov/funding/grantsearch/details.asp?ID=1")
+    assert(oie(1).getAs[Int]("start_year") === 2015)
+    assert(oie(0).getAs[String]("funding_type") === "contract")
+    assert(oie(0).getAs[String]("landing_page_url")
+      === "https://ies.ed.gov/x") // absolute kept
+    assert(oie(0).getAs[String]("description") === "Short desc")
+
+    val sw = Seq((" 2015-00042_IFAU ", "Sv", Some("EN title"), "SvA",
+        Some("EN abs"), Some(1200000.0), "Research position grant",
+        "2015-01-01", "2018-12-31", Some(" Per "), Some(" Lind "),
+        Some(" 0000-7 "), Some(" IFAU ")))
+      .toDF("project_id", "title", "title_english", "abstract",
+        "abstract_english", "amount", "type_of_award", "start_date",
+        "end_date", "pi_given_name", "pi_family_name", "pi_orcid",
+        "coordinating_organisation")
+    val oif = FunderIngest.transform(sw, reg9, FunderConfigs.ifau, now)
+      .collect()
+    assert(oif.head.getAs[String]("funder_award_id") === "2015-00042")
+    assert(oif.head.getAs[String]("funding_type") === "fellowship") // position
+    assert(oif.head.getAs[String]("landing_page_url")
+      === "https://www.vr.se/swecris#/project/2015-00042_IFAU") // trimmed
+    val ifl = oif.head.getAs[Row]("lead_investigator")
+    assert(ifl.getAs[String]("given_name") === "Per") // trimmed
+    assert(ifl.getAs[String]("orcid") === "0000-7")
+    val oos = FunderIngest.transform(sw, reg9,
+      FunderConfigs.ostersjostiftelsen, now).collect()
+    assert(oos.head.getAs[Long]("funder_id") === 4320310975L)
+    assert(oos.head.getAs[String]("provenance") === "ostersjostiftelsen")
+
+    val cz = Seq(
+      ("czi-eoss-1", "Tool grant", Some("D"), Some("  "), Some("2021"),
+        Some(" Jo "), Some(" Park "), Some(" Berkeley "),
+        Some("https://czi/1")),
+      ("czi-2", "  ", None: Option[String], None: Option[String],
+        Some("2020"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "program_label",
+        "start_year", "pi_given_name", "pi_family_name",
+        "pi_affiliation", "landing_page_url")
+    val ocz = FunderIngest.transform(cz, reg9, FunderConfigs.czi, now)
+      .collect()
+    assert(ocz.length === 1) // blank title dropped
+    assert(ocz.head.getAs[String]("funder_scheme") === "CZI Grant")
+    assert(ocz.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(ocz.head.isNullAt(ocz.head.fieldIndex("amount"))) // waiver
+    val czl = ocz.head.getAs[Row]("lead_investigator")
+    assert(czl.getAs[String]("family_name") === "Park") // trimmed
+    assert(czl.getAs[java.sql.Date]("role_start").toString === "2021-01-01")
+    assert(czl.getAs[Row]("affiliation").getAs[String]("country") === "US")
+  }
 }
