@@ -4484,4 +4484,186 @@ object FunderConfigs {
       rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
         col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 seventh tranche: the CN roster family (12 notebooks —
+  // 11 provincial NSFs + the national NSSFC — all fed by the shared
+  // cn_provincial harvest framework, in TWO sub-shapes)
+  // ---------------------------------------------------------------
+
+  /** An ordered LIKE cascade (the CN notebooks' scheme→type CASE):
+    * first matching arm wins, `default` otherwise — NULL input falls
+    * to the default exactly as SQL CASE does. */
+  private def likeCascade(c: Column, arms: Seq[(String, String)],
+      default: String): Column =
+    arms.reverse.foldLeft(lit(default): Column) { case (acc, (pat, v)) =>
+      when(c.like(s"%$pat%"), v).otherwise(acc)
+    }
+
+  /** CN roster sub-shape A (Chongqing / Fujian / Hainan /
+    * Heilongjiang / Zhejiang): the harvest framework emits a
+    * `row_key` surrogate the mint falls back on, FULL dates + end
+    * years, a (given, family) PI pair, the raw (un-NULLIFed) scheme,
+    * and — on the two amount-bearing provinces — an UNGATED amount
+    * with a >0-GATED 'CNY' currency (the reference's own asymmetry);
+    * no row filter. */
+  private def cnRosterA(funderId: Long, provenance: String,
+      priority: Int, hasAmounts: Boolean): FunderIngestConfig = {
+    val arms = Seq("杰出青年" -> "fellowship", "优秀青年" -> "fellowship",
+      "青年" -> "fellowship", "博士" -> "fellowship",
+      "团队" -> "research", "重大" -> "research", "重点" -> "research")
+    val amt = col("amount").try_cast("double")
+    val lead = when((col("family_name").isNotNull &&
+        trim(col("family_name")) =!= "") ||
+        (col("institution").isNotNull && trim(col("institution")) =!= ""),
+      investigator(nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), lit(null).cast("date"),
+        nullif(trim(col("institution")), lit("")), lit("China"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = coalesce(lower(nullif(trim(col("funder_award_id")),
+        lit(""))), col("row_key")),
+      funderAwardId = nullif(trim(col("funder_award_id")), lit("")),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = if (hasAmounts) amt else lit(null).cast("double"),
+      currency = if (hasAmounts) when(amt > 0, "CNY")
+        else lit(null).cast("string"),
+      fundingType = likeCascade(col("funder_scheme"), arms, "grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** CN roster sub-shape B (Guangdong / Hunan / Jiangxi / Liaoning /
+    * Shandong / Shanghai / NSSFC): the mint falls back on a
+    * synthetic lower(title)|lower(institution) key (rosters rarely
+    * publish an award id), roster-year-only coverage, the NSFC
+    * precedent full-name-in-family lead (given NULL), NULLIF-trim
+    * scheme, a per-province cascade, 万元×10,000 CNY on the two
+    * amount-bearing rosters, and the display-required row screen. */
+  private def cnRosterB(funderId: Long, provenance: String,
+      priority: Int, arms: Seq[(String, String)],
+      wanYuanAmounts: Boolean): FunderIngestConfig = {
+    val amt0 = col("amount_raw").try_cast("double")
+    val sy = col("start_year").try_cast("int")
+    val lead = when((col("lead_family_name").isNotNull &&
+        trim(col("lead_family_name")) =!= "") ||
+        (col("institution").isNotNull && trim(col("institution")) =!= ""),
+      investigator(lit(null).cast("string"),
+        nullif(trim(col("lead_family_name")), lit("")),
+        lit(null).cast("string"), lit(null).cast("date"),
+        nullif(trim(col("institution")), lit("")), lit("China"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = coalesce(nullif(lower(trim(col("funder_award_id"))),
+        lit("")), concat(lower(trim(col("display_name"))), lit("|"),
+        lower(trim(coalesce(col("institution"), lit("")))))),
+      funderAwardId = nullif(trim(col("funder_award_id")), lit("")),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = if (wanYuanAmounts) amt0 * 10000
+        else lit(null).cast("double"),
+      currency = if (wanYuanAmounts) when(amt0.isNotNull, "CNY")
+        else lit(null).cast("string"),
+      fundingType = likeCascade(col("funder_scheme"), arms, "grant"),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  private val cnArmsStar: Seq[(String, String)] = Seq(
+    "杰出青年" -> "fellowship", "优秀青年" -> "fellowship",
+    "青年" -> "fellowship", "博士" -> "fellowship",
+    "启明星" -> "fellowship", "扬帆" -> "fellowship",
+    "重大" -> "research", "重点" -> "research", "联合基金" -> "research")
+
+  private val cnArmsGroup: Seq[(String, String)] = Seq(
+    "杰出青年" -> "fellowship", "优秀青年" -> "fellowship",
+    "优青" -> "fellowship", "青年" -> "fellowship",
+    "博士" -> "fellowship", "重大" -> "research", "重点" -> "research",
+    "创新研究群体" -> "research", "联合基金" -> "research")
+
+  /** Chongqing NSF (CreateChongqingNSFAwards.ipynb): sub-shape A,
+    * §6.7 waiver. */
+  def chongqingNsf: FunderIngestConfig =
+    cnRosterA(4320323172L, "chongqing_nsf", 407, hasAmounts = false)
+
+  /** Fujian NSF: sub-shape A WITH published amounts (ungated amount,
+    * >0-gated CNY). */
+  def fujianNsf: FunderIngestConfig =
+    cnRosterA(4320321878L, "fujian_nsf", 405, hasAmounts = true)
+
+  /** Hainan NSF: sub-shape A with amounts. */
+  def hainanNsf: FunderIngestConfig =
+    cnRosterA(4320322866L, "hainan_nsf", 413, hasAmounts = true)
+
+  /** Heilongjiang NSF: sub-shape A, §6.7 waiver. */
+  def heilongjiangNsf: FunderIngestConfig =
+    cnRosterA(4320323085L, "heilongjiang_nsf", 409, hasAmounts = false)
+
+  /** Zhejiang NSF: sub-shape A, §6.7 waiver. */
+  def zhejiangNsf: FunderIngestConfig =
+    cnRosterA(4320338464L, "zhejiang_nsf", 403, hasAmounts = false)
+
+  /** Guangdong NSF: sub-shape B with 万元×10,000 amounts and the
+    * 启明星/扬帆 fellowship arms. */
+  def guangdongNsf: FunderIngestConfig =
+    cnRosterB(4320321921L, "guangdong_nsf", 445, cnArmsStar,
+      wanYuanAmounts = true)
+
+  /** Hunan NSF: sub-shape B (启明星/扬帆 arms), §6.7 waiver. */
+  def hunanNsf: FunderIngestConfig =
+    cnRosterB(4320322843L, "hunan_nsf", 453, cnArmsStar,
+      wanYuanAmounts = false)
+
+  /** Jiangxi NSF: sub-shape B with 万元×10,000 amounts (the 2024
+    * 联合基金 / 2025 重点 rosters) and the 优青/创新研究群体 arms. */
+  def jiangxiNsf: FunderIngestConfig =
+    cnRosterB(4320322665L, "jiangxi_nsf", 465, cnArmsGroup,
+      wanYuanAmounts = true)
+
+  /** Liaoning NSF: sub-shape B (优青/创新研究群体 arms), §6.7
+    * waiver. */
+  def liaoningNsf: FunderIngestConfig =
+    cnRosterB(4320323086L, "liaoning_nsf", 471, cnArmsGroup,
+      wanYuanAmounts = false)
+
+  /** NSSFC / National Social Science Fund of China
+    * (CreateNSSFCAwards.ipynb — the NATIONAL fund, same roster
+    * parser): sub-shape B with the minimal 青年/重大/重点/专项
+    * cascade. */
+  def nssfc: FunderIngestConfig =
+    cnRosterB(4320335869L, "nssfc", 475, Seq("青年" -> "fellowship",
+      "重大" -> "research", "重点" -> "research", "专项" -> "research"),
+      wanYuanAmounts = false)
+
+  /** Shandong NSF (the family's pilot): sub-shape B with the
+    * 博士基金-specific arm. */
+  def shandongNsf: FunderIngestConfig =
+    cnRosterB(4320324174L, "shandong_nsf", 439, Seq(
+      "杰出青年" -> "fellowship", "优秀青年" -> "fellowship",
+      "青年" -> "fellowship", "博士基金" -> "fellowship",
+      "重大" -> "research", "重点" -> "research",
+      "联合基金" -> "research"), wanYuanAmounts = false)
+
+  /** Shanghai NSF: sub-shape B (启明星/扬帆 arms), §6.7 waiver. */
+  def shanghaiNsf: FunderIngestConfig =
+    cnRosterB(4320309612L, "shanghai_nsf", 451, cnArmsStar,
+      wanYuanAmounts = false)
 }

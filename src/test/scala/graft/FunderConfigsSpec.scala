@@ -3161,4 +3161,135 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(czl.getAs[java.sql.Date]("role_start").toString === "2021-01-01")
     assert(czl.getAs[Row]("affiliation").getAs[String]("country") === "US")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 seventh tranche: the CN roster family (12 notebooks,
+  // two sub-shapes over the shared cn_provincial harvest framework)
+  // ---------------------------------------------------------------
+
+  private def regCn = reg9.unionByName(Seq(
+    (4320323172L, "Natural Science Foundation of Chongqing", "r", "d"),
+    (4320321878L, "Natural Science Foundation of Fujian Province", "r",
+      "d"),
+    (4320322866L, "Natural Science Foundation of Hainan Province", "r",
+      "d"),
+    (4320323085L, "Natural Science Foundation of Heilongjiang Province",
+      "r", "d"),
+    (4320338464L, "Natural Science Foundation of Zhejiang Province",
+      "r", "d"),
+    (4320321921L, "Natural Science Foundation of Guangdong Province",
+      "r", "d"),
+    (4320322843L, "Natural Science Foundation of Hunan Province", "r",
+      "d"),
+    (4320322665L, "Natural Science Foundation of Jiangxi Province", "r",
+      "d"),
+    (4320323086L, "Natural Science Foundation of Liaoning Province",
+      "r", "d"),
+    (4320335869L, "National Social Science Fund of China", "r", "d"),
+    (4320324174L, "Natural Science Foundation of Shandong Province",
+      "r", "d"),
+    (4320309612L, "Natural Science Foundation of Shanghai", "r", "d"))
+    .toDF(reg.columns: _*))
+
+  test("CN roster family: sub-shape A's row_key mint fallback with the " +
+    "ungated-amount/gated-CNY asymmetry and (given, family) pair; " +
+    "sub-shape B's synthetic title|institution mint, full-name-in-" +
+    "family lead, wan-yuan x10000 amounts, per-province cascades; all " +
+    "12 slices distinct") {
+    val a = Seq(
+      ("CQ2020-001", "rk-1", "项目甲", Some("-300000"), Some("重点项目"),
+        Some("2020-01-01"), Some("2023-12-31"), Some("2020"),
+        Some("2023"), Some(" 明 "), Some(" 王 "), Some(" 重庆大学 "),
+        Some("https://kjt/1")),
+      ("  ", "rk-2", "项目乙", Some("500000"), Some("青年项目"),
+        None: Option[String], None: Option[String], Some("2022"),
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("  "), None: Option[String]))
+      .toDF("funder_award_id", "row_key", "display_name", "amount",
+        "funder_scheme", "start_date", "end_date", "start_year",
+        "end_year", "given_name", "family_name", "institution",
+        "landing_page_url")
+    val ofj = FunderIngest.transform(a, regCn, FunderConfigs.fujianNsf,
+      now).orderBy("start_year").collect()
+    // ungated amount, >0-gated currency: the negative amount lands
+    // with a NULL currency — the reference's own asymmetry
+    assert(ofj(0).getAs[Double]("amount") === -300000.0)
+    assert(ofj(0).isNullAt(ofj(0).fieldIndex("currency")))
+    assert(ofj(0).getAs[String]("funding_type") === "research") // 重点
+    assert(ofj(0).getAs[java.sql.Date]("end_date").toString
+      === "2023-12-31")
+    val al = ofj(0).getAs[Row]("lead_investigator")
+    assert(al.getAs[String]("given_name") === "明") // pair kept
+    assert(al.getAs[String]("family_name") === "王")
+    assert(al.getAs[Row]("affiliation").getAs[String]("country")
+      === "China")
+    // blank award id → NULL in the output but the row_key mints
+    assert(ofj(1).isNullAt(ofj(1).fieldIndex("funder_award_id")))
+    assert(ofj(1).getAs[Long]("id") > 0)
+    assert(ofj(1).getAs[Double]("amount") === 500000.0)
+    assert(ofj(1).getAs[String]("currency") === "CNY")
+    assert(ofj(1).getAs[String]("funding_type") === "fellowship") // 青年
+    assert(ofj(1).isNullAt(ofj(1).fieldIndex("lead_investigator")))
+    val ocq = FunderIngest.transform(a, regCn,
+      FunderConfigs.chongqingNsf, now).orderBy("start_year").collect()
+    assert(ocq(0).isNullAt(ocq(0).fieldIndex("amount"))) // §6.7 waiver
+    assert(ocq(0).getAs[String]("provenance") === "chongqing_nsf")
+
+    val b = Seq(
+      ("  ", "题目一", Some("50"), Some("省联合基金项目"), Some("2024"),
+        Some(" 李华 "), Some(" 南昌大学 "), Some("https://kjt/2")),
+      ("JX2025-7", "题目二", None: Option[String], Some("优青项目"),
+        Some("2025"), None: Option[String], Some("江西师大"),
+        None: Option[String]),
+      ("X", "  ", Some("10"), Some("重点"), Some("2024"),
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "amount_raw",
+        "funder_scheme", "start_year", "lead_family_name", "institution",
+        "landing_page_url")
+    val ojx = FunderIngest.transform(b, regCn, FunderConfigs.jiangxiNsf,
+      now).orderBy("display_name").collect()
+    assert(ojx.length === 2) // blank display dropped
+    assert(ojx(0).getAs[Double]("amount") === 500000.0) // 万元 × 10000
+    assert(ojx(0).getAs[String]("currency") === "CNY")
+    assert(ojx(0).getAs[String]("funding_type") === "research") // 联合基金
+    assert(ojx(0).isNullAt(ojx(0).fieldIndex("funder_award_id")))
+    assert(ojx(0).getAs[java.sql.Date]("start_date").toString
+      === "2024-01-01")
+    val bl = ojx(0).getAs[Row]("lead_investigator")
+    assert(bl.isNullAt(bl.fieldIndex("given_name"))) // NSFC precedent
+    assert(bl.getAs[String]("family_name") === "李华")
+    assert(ojx(1).getAs[String]("funding_type") === "fellowship") // 优青
+    assert(ojx(1).isNullAt(ojx(1).fieldIndex("amount"))) // no raw amount
+    assert(ojx(1).isNullAt(ojx(1).fieldIndex("currency")))
+    // NSSFC's minimal cascade: 专项 → research, no 杰青 arm
+    val on2 = FunderIngest.transform(b.withColumn("funder_scheme",
+        org.apache.spark.sql.functions.lit("国家社科基金专项")), regCn,
+      FunderConfigs.nssfc, now).orderBy("display_name").collect()
+    assert(on2(0).getAs[String]("funding_type") === "research")
+    assert(on2(0).isNullAt(on2(0).fieldIndex("amount"))) // waiver
+    // Shandong's 博士基金-specific arm: plain 博士 does NOT match
+    val osd = FunderIngest.transform(b.withColumn("funder_scheme",
+        org.apache.spark.sql.functions.lit("博士启动项目")), regCn,
+      FunderConfigs.shandongNsf, now).orderBy("display_name").collect()
+    assert(osd(0).getAs[String]("funding_type") === "grant")
+    val osd2 = FunderIngest.transform(b.withColumn("funder_scheme",
+        org.apache.spark.sql.functions.lit("博士基金项目")), regCn,
+      FunderConfigs.shandongNsf, now).orderBy("display_name").collect()
+    assert(osd2(0).getAs[String]("funding_type") === "fellowship")
+    // Shanghai's 启明星/扬帆 local-programme arms
+    val osh = FunderIngest.transform(b.withColumn("funder_scheme",
+        org.apache.spark.sql.functions.lit("扬帆计划")), regCn,
+      FunderConfigs.shanghaiNsf, now).orderBy("display_name").collect()
+    assert(osh(0).getAs[String]("funding_type") === "fellowship")
+
+    val all12 = Seq(FunderConfigs.chongqingNsf, FunderConfigs.fujianNsf,
+      FunderConfigs.hainanNsf, FunderConfigs.heilongjiangNsf,
+      FunderConfigs.zhejiangNsf, FunderConfigs.guangdongNsf,
+      FunderConfigs.hunanNsf, FunderConfigs.jiangxiNsf,
+      FunderConfigs.liaoningNsf, FunderConfigs.nssfc,
+      FunderConfigs.shandongNsf, FunderConfigs.shanghaiNsf)
+    assert(all12.map(c => (c.provenance, c.priority)).distinct.length
+      === 12)
+    assert(all12.map(_.funderId).distinct.length === 12)
+  }
 }
