@@ -4666,4 +4666,271 @@ object FunderConfigs {
   def shanghaiNsf: FunderIngestConfig =
     cnRosterB(4320309612L, "shanghai_nsf", 451, cnArmsStar,
       wanYuanAmounts = false)
+
+  // ---------------------------------------------------------------
+  // Round-12 eighth tranche: the laureate-prize cards (Kavli, Wolf,
+  // Brain, Crafoord, Balzan, Millennium, King Faisal, Dan David)
+  // ---------------------------------------------------------------
+
+  /** Year-boundary prize dates: Jan 1 – Dec 31 of the award year,
+    * both years equal to it (the shared shape of every laureate
+    * prize card). */
+  private def prizeYear(yr: Column): (Column, Column, Column, Column) = {
+    val ys = yr.try_cast("int")
+    (when(ys.isNotNull, d(concat(ys.cast("string"), lit("-01-01")))),
+      when(ys.isNotNull, d(concat(ys.cast("string"), lit("-12-31")))),
+      ys, ys)
+  }
+
+  /** Kavli Prize laureates (CreateKavliPrizeAwards.ipynb): the
+    * ':kavli:' mint on the laureate id, 'Kavli Prize in <Field>
+    * <year> — <name>' display, NULL amount with a literal USD, the
+    * first element of the countries array as the laureate country,
+    * slug-else-id landing URL. */
+  def kavliPrize: FunderIngestConfig = {
+    val (sd, ed, sy, ey) = prizeYear(col("year"))
+    val lead = investigator(col("given_name"), col("family_name"),
+      lit(null).cast("string"), lit(null).cast("date"),
+      nullif(col("institution"), lit("")),
+      element_at(col("countries"), 1), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320306399L, provenance = "kavli_nextdata", priority = 49,
+      mintKey = concat(lit("kavli:"), lower(col("kavli_laureate_id"))),
+      funderAwardId = col("kavli_laureate_id"),
+      displayName = concat(lit("Kavli Prize in "), initcap(col("field")),
+        lit(" "), col("year").cast("string"), lit(" — "), col("name")),
+      description = nullif(col("citation"), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("prize"),
+      funderScheme = initcap(col("field")),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = concat(lit("https://kavliprize.org/laureates/"),
+        coalesce(col("slug"), col("kavli_laureate_id"))),
+      doi = lit(null).cast("string"),
+      rowFilter = col("kavli_laureate_id").isNotNull &&
+        col("year").isNotNull)
+  }
+
+  /** Wolf Prize laureates (CreateWolfPrizeAwards.ipynb): the ':wolf:'
+    * slug mint, the 'Various'-fallback field in the display, NULL
+    * amount with literal USD, script-side name split kept verbatim. */
+  def wolfPrize: FunderIngestConfig = {
+    val (sd, ed, sy, ey) = prizeYear(col("year"))
+    val lead = investigator(col("given_name"), col("family_name"),
+      lit(null).cast("string"), lit(null).cast("date"),
+      nullif(col("affiliation"), lit("")), lit(null).cast("string"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320320951L, provenance = "wolf_prize_wp", priority = 47,
+      mintKey = concat(lit("wolf:"), lower(col("slug"))),
+      funderAwardId = col("slug"),
+      displayName = concat(lit("Wolf Prize in "),
+        coalesce(col("field"), lit("Various")), lit(" "),
+        col("year").cast("string"), lit(" — "), col("name")),
+      description = nullif(col("citation"), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("prize"),
+      funderScheme = col("field"),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = col("url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("slug").isNotNull && col("year").isNotNull)
+  }
+
+  /** The Brain Prize (CreateBrainPrizeAwards.ipynb): the
+    * source-total ÷ laureate-count per-laureate portion, the
+    * year-description-else-profile fallback, the
+    * '<year> - <topic> - <name>' display. */
+  def brainPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val (sd, ed, sy, ey) = prizeYear(col("award_year"))
+    val total = col("source_total_award_amount").try_cast("double")
+    val n = col("laureate_count").try_cast("int")
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("affiliation"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320321999L, provenance = "brain_prize", priority = 84,
+      mintKey = concat(lit("brain-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("The Brain Prize "), yr.cast("string"),
+        lit(" - "), col("award_topic"), lit(" - "), col("laureate_name")),
+      description = coalesce(nullif(col("year_description"), lit("")),
+        nullif(col("profile_description"), lit(""))),
+      amount = when(total.isNotNull && n > 0, total / n),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("award_topic"), lit("")),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** Crafoord Prize (CreateCrafoordPrizeAwards.ipynb): the category
+    * display/scheme, direct source amount with NULLIF'd currency. */
+  def crafoordPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val (sd, ed, sy, ey) = prizeYear(col("award_year"))
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("affiliation"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320320936L, provenance = "crafoord_prize", priority = 69,
+      mintKey = concat(lit("crafoord-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Crafoord Prize "), yr.cast("string"),
+        lit(" - "), col("prize_category"), lit(" - "),
+        col("laureate_name")),
+      description = nullif(col("citation"), lit("")),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("prize_category"), lit("")),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = nullif(col("landing_page_url"), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** Balzan Prize (CreateBalzanPrizeAwards.ipynb): the award-field
+    * display/scheme and a laureate lead whose affiliation STRUCT
+    * ITSELF is NULL (the foundation publishes none). */
+  def balzanPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val (sd, ed, sy, ey) = prizeYear(col("award_year"))
+    val lead = struct(
+      nullif(col("laureate_given_name"), lit("")).as("given_name"),
+      nullif(col("laureate_family_name"), lit("")).as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      lit(null).cast("date").as("role_start"),
+      lit(null).cast(affType).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320310930L, provenance = "balzan_prize", priority = 76,
+      mintKey = concat(lit("balzan-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Balzan Prize "), yr.cast("string"),
+        lit(" - "), col("award_field"), lit(" - "),
+        col("laureate_name")),
+      description = nullif(col("citation"), lit("")),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("award_field"), lit("")),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** Millennium Technology Prize (CreateMillenniumPrizeAwards
+    * .ipynb): the innovation display/scheme and a laureate lead with
+    * country-only affiliation. */
+  def millenniumPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val (sd, ed, sy, ey) = prizeYear(col("award_year"))
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), lit(null).cast("string"),
+      nullif(col("country"), lit("")), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320324443L, provenance = "millennium_prize",
+      priority = 67,
+      mintKey = concat(lit("millennium-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Millennium Technology Prize "),
+        yr.cast("string"), lit(" - "), col("innovation"), lit(" - "),
+        col("laureate_name")),
+      description = nullif(col("profile_description"), lit("")),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("innovation"), lit("")),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = nullif(col("landing_page_url"), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** King Faisal Prize (CreateKingFaisalPrizeAwards.ipynb): the
+    * prize-title display/scheme, the citation→meta→quote→topic
+    * description cascade, a names-only lead, trimmed mint key. */
+  def kingFaisalPrize: FunderIngestConfig = {
+    val yr = col("parsed_award_year").try_cast("int")
+    val (sd, ed, sy, ey) = prizeYear(col("parsed_award_year"))
+    val lead = investigator(nullif(col("laureate_given_name"), lit("")),
+      nullif(col("laureate_family_name"), lit("")),
+      lit(null).cast("string"), lit(null).cast("date"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320323301L, provenance = "king_faisal_prize",
+      priority = 87,
+      mintKey = concat(lit("king_faisal_prize:"),
+        lower(trim(col("funder_award_id")))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("prize_title"), lit(" "),
+        yr.cast("string"), lit(" - "), col("laureate_name")),
+      description = coalesce(nullif(col("citation"), lit("")),
+        nullif(col("meta_description"), lit("")),
+        nullif(col("quote"), lit("")), nullif(col("topic"), lit(""))),
+      amount = col("parsed_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = col("prize_title"),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = nullif(col("landing_page_url"), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** Dan David Prize (CreateDanDavidPrizeAwards.ipynb): the
+    * name-only display, profile-else-research-topic description. */
+  def danDavidPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val (sd, ed, sy, ey) = prizeYear(col("award_year"))
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("affiliation"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320320949L, provenance = "dan_david_prize",
+      priority = 68,
+      mintKey = concat(lit("dan-david-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Dan David Prize "), yr.cast("string"),
+        lit(" - "), col("laureate_name")),
+      description = coalesce(nullif(col("profile_description"),
+        lit("")), nullif(col("research_topic"), lit(""))),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("research_topic"), lit("")),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = nullif(col("landing_page_url"), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
 }

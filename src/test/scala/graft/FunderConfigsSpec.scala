@@ -3292,4 +3292,167 @@ class FunderConfigsSpec extends AnyFunSuite {
       === 12)
     assert(all12.map(_.funderId).distinct.length === 12)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 eighth tranche: laureate-prize cards (Kavli, Wolf,
+  // Brain, Crafoord, Balzan, Millennium, King Faisal, Dan David)
+  // ---------------------------------------------------------------
+
+  private def regPrize = regCn.unionByName(Seq(
+    (4320306399L, "The Kavli Foundation", "r", "10.13039/100007219"),
+    (4320320951L, "Wolf Foundation", "r", "10.13039/501100001735"),
+    (4320321999L, "Lundbeck Foundation", "r", "10.13039/501100003554"),
+    (4320320936L, "Crafoord Foundation", "r", "10.13039/501100003173"),
+    (4320310930L, "International Balzan Prize Foundation", "r", "d"),
+    (4320324443L, "Technology Academy Finland", "r", "d"),
+    (4320323301L, "King Faisal Foundation", "r", "d"),
+    (4320320949L, "Dan David Foundation", "r", "d"))
+    .toDF(reg.columns: _*))
+
+  test("Laureate-prize cards: labelled mints, year-boundary dates " +
+    "with both years = award year, per-prize display assemblies, " +
+    "portion division, NULL-struct and country-only affiliations, " +
+    "description cascades") {
+    val kv = Seq(("kl-1", Some("jane-doe"), "Jane Doe", Some("Jane"),
+        Some("Doe"), "astrophysics", 2020, Some("for work on X"),
+        Some("Caltech"), Seq("US", "UK")))
+      .toDF("kavli_laureate_id", "slug", "name", "given_name",
+        "family_name", "field", "year", "citation", "institution",
+        "countries")
+    val okv = FunderIngest.transform(kv, regPrize,
+      FunderConfigs.kavliPrize, now).collect()
+    assert(okv.head.getAs[String]("display_name")
+      === "Kavli Prize in Astrophysics 2020 — Jane Doe")
+    assert(okv.head.getAs[String]("funding_type") === "prize")
+    assert(okv.head.isNullAt(okv.head.fieldIndex("amount")))
+    assert(okv.head.getAs[String]("currency") === "USD") // literal
+    assert(okv.head.getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    assert(okv.head.getAs[java.sql.Date]("end_date").toString
+      === "2020-12-31")
+    assert(okv.head.getAs[Int]("end_year") === 2020)
+    assert(okv.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+    assert(okv.head.getAs[String]("landing_page_url")
+      === "https://kavliprize.org/laureates/jane-doe")
+
+    val wf = Seq(("wolf-ab-1990", "A B", Some("A"), Some("B"),
+        None: Option[String], 1990, Some("cite"), Some("MIT"),
+        Some("https://wolf/1")))
+      .toDF("slug", "name", "given_name", "family_name", "field",
+        "year", "citation", "affiliation", "url")
+    val owf = FunderIngest.transform(wf, regPrize,
+      FunderConfigs.wolfPrize, now).collect()
+    assert(owf.head.getAs[String]("display_name")
+      === "Wolf Prize in Various 1990 — A B") // field fallback
+    assert(owf.head.isNullAt(owf.head.fieldIndex("funder_scheme")))
+
+    val br = Seq(
+      ("bp-2020-x", "2020", "Neural circuits", "X Y", Some("X"),
+        Some("Y"), Some("UCL"), Some(""), Some("Profile text"),
+        Some("10000000"), Some("4"), Some("DKK"), Some("https://bp/1")),
+      ("bp-2021-z", "2021", "Plasticity", "Z W", Some("Z"), Some("W"),
+        None: Option[String], Some("YD"), None: Option[String],
+        Some("10000000"), Some("0"), Some("DKK"), None: Option[String]))
+      .toDF("funder_award_id", "award_year", "award_topic",
+        "laureate_name", "given_name", "family_name", "affiliation",
+        "year_description", "profile_description",
+        "source_total_award_amount", "laureate_count", "currency",
+        "landing_page_url")
+    val obr = FunderIngest.transform(br, regPrize,
+      FunderConfigs.brainPrize, now).orderBy("funder_award_id").collect()
+    assert(obr(0).getAs[String]("display_name")
+      === "The Brain Prize 2020 - Neural circuits - X Y")
+    assert(obr(0).getAs[Double]("amount") === 2500000.0) // total / count
+    assert(obr(0).getAs[String]("description") === "Profile text") // ''
+    assert(obr(1).isNullAt(obr(1).fieldIndex("amount"))) // zero count
+    assert(obr(1).getAs[String]("description") === "YD")
+
+    val cr = Seq(("cf-1982-a", "1982", "Mathematics", "V A", Some("V"),
+        Some("A"), Some("IAS"), Some("cite"), Some("1200000"),
+        Some("SEK"), Some("")))
+      .toDF("funder_award_id", "award_year", "prize_category",
+        "laureate_name", "given_name", "family_name", "affiliation",
+        "citation", "source_award_amount", "currency",
+        "landing_page_url")
+    val ocr = FunderIngest.transform(cr, regPrize,
+      FunderConfigs.crafoordPrize, now).collect()
+    assert(ocr.head.getAs[String]("display_name")
+      === "Crafoord Prize 1982 - Mathematics - V A")
+    assert(ocr.head.getAs[Double]("amount") === 1200000.0)
+    assert(ocr.head.isNullAt(
+      ocr.head.fieldIndex("landing_page_url"))) // '' NULLed
+
+    val bz = Seq(("bz-2019-q", "2019", "Art history", "Q R", Some("Q"),
+        Some("R"), Some("cite"), Some("750000"), Some("CHF"),
+        Some("https://balzan/1")))
+      .toDF("funder_award_id", "award_year", "award_field",
+        "laureate_name", "laureate_given_name", "laureate_family_name",
+        "citation", "source_award_amount", "currency",
+        "landing_page_url")
+    val obz = FunderIngest.transform(bz, regPrize,
+      FunderConfigs.balzanPrize, now).collect()
+    assert(obz.head.getAs[String]("display_name")
+      === "Balzan Prize 2019 - Art history - Q R")
+    val bzl = obz.head.getAs[Row]("lead_investigator")
+    assert(bzl.getAs[String]("family_name") === "R")
+    assert(bzl.isNullAt(bzl.fieldIndex("affiliation"))) // NULL struct
+    assert(obz.head.getAs[Double]("amount") === 750000.0)
+
+    val ml = Seq(("mp-2004", "2004", "World Wide Web", "T B L",
+        Some("Tim"), Some("Berners-Lee"), Some("UK"), Some("Profile"),
+        Some("1000000"), Some("EUR"), Some("https://mp/1")))
+      .toDF("funder_award_id", "award_year", "innovation",
+        "laureate_name", "given_name", "family_name", "country",
+        "profile_description", "source_award_amount", "currency",
+        "landing_page_url")
+    val oml = FunderIngest.transform(ml, regPrize,
+      FunderConfigs.millenniumPrize, now).collect()
+    assert(oml.head.getAs[String]("display_name")
+      === "Millennium Technology Prize 2004 - World Wide Web - T B L")
+    val mll = oml.head.getAs[Row]("lead_investigator")
+    assert(mll.getAs[Row]("affiliation").isNullAt(
+      mll.getAs[Row]("affiliation").fieldIndex("name")))
+    assert(mll.getAs[Row]("affiliation").getAs[String]("country")
+      === "UK") // country-only affiliation
+
+    val kf = Seq((" kf-1984-m ", "1984", "King Faisal Prize in Medicine",
+        "M N", Some("M"), Some("N"), None: Option[String], Some(""),
+        Some("Quote text"), Some("Topic"), Some("200000"), Some("USD"),
+        None: Option[String]))
+      .toDF("funder_award_id", "parsed_award_year", "prize_title",
+        "laureate_name", "laureate_given_name", "laureate_family_name",
+        "citation", "meta_description", "quote", "topic",
+        "parsed_amount", "currency", "landing_page_url")
+    val okf = FunderIngest.transform(kf, regPrize,
+      FunderConfigs.kingFaisalPrize, now).collect()
+    assert(okf.head.getAs[String]("description") === "Quote text") // cascade
+    assert(okf.head.getAs[String]("funder_award_id")
+      === " kf-1984-m ") // verbatim; only the mint trims
+    assert(okf.head.getAs[String]("funder_scheme")
+      === "King Faisal Prize in Medicine")
+
+    val dd2 = Seq(("dd-2022-h", "2022", "H I", Some("H"), Some("I"),
+        Some("Tel Aviv University"), Some("Historian of X"),
+        None: Option[String], Some("300000"), Some("USD"),
+        Some("https://dd/1")))
+      .toDF("funder_award_id", "award_year", "laureate_name",
+        "given_name", "family_name", "affiliation", "research_topic",
+        "profile_description", "source_award_amount", "currency",
+        "landing_page_url")
+    val odd2 = FunderIngest.transform(dd2, regPrize,
+      FunderConfigs.danDavidPrize, now).collect()
+    assert(odd2.head.getAs[String]("display_name")
+      === "Dan David Prize 2022 - H I")
+    assert(odd2.head.getAs[String]("description") === "Historian of X")
+    assert(odd2.head.getAs[String]("funder_scheme") === "Historian of X")
+
+    val prizes = Seq(FunderConfigs.kavliPrize, FunderConfigs.wolfPrize,
+      FunderConfigs.brainPrize, FunderConfigs.crafoordPrize,
+      FunderConfigs.balzanPrize, FunderConfigs.millenniumPrize,
+      FunderConfigs.kingFaisalPrize, FunderConfigs.danDavidPrize)
+    assert(prizes.map(c => (c.provenance, c.priority)).distinct.length
+      === 8)
+    assert(prizes.forall(_.fundingType.toString.contains("prize")))
+  }
 }
