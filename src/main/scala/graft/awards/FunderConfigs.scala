@@ -4933,4 +4933,250 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
         col("laureate_name").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 ninth tranche: FAPEMIG, Carlsberg, Deutsche Krebshilfe,
+  // Wenner-Gren, Fritz Thyssen, Welch
+  // ---------------------------------------------------------------
+
+  /** FAPEMIG / Minas Gerais projetos contratados
+    * (CreateFAPEMIGAwards.ipynb, ~24K): the 'fapemig-' prefix strip
+    * with an UPPERCASED native id, trimmed text, type-else-'grant'
+    * and scheme→modalidade→literal cascades, date-else-source-year
+    * coverage, a coordinator-gated 'BR' lead with role_start =
+    * start. */
+  def fapemig: FunderIngestConfig = {
+    val nativeId = upper(regexp_replace(trim(col("funder_award_id")),
+      "^(?i)fapemig-", ""))
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val lead = when(col("coordinator").isNotNull &&
+        trim(col("coordinator")) =!= "",
+      investigator(nullif(trim(col("coordinator_given_name")), lit("")),
+        nullif(trim(col("coordinator_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("instituicaoexecutora_nome")), lit("")),
+        lit("BR"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322980L, provenance = "fapemig_projetos_contratados",
+      priority = 142,
+      mintKey = lower(nativeId),
+      funderAwardId = nativeId,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = col("amount").try_cast("double"),
+      currency = nullif(trim(col("currency")), lit("")),
+      fundingType = coalesce(nullif(trim(col("funding_type")), lit("")),
+        lit("grant")),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")), lit("")),
+        nullif(trim(col("modalidade")), lit("")),
+        lit("Projetos contratados")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = lead,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull && trim(col("display_name")) =!= "")
+  }
+
+  /** Carlsbergfondet grants DB (CreateCarlsbergFondetAwards.ipynb):
+    * NULL description, source currency, BOTH years from the award
+    * year, an applicant-gated lead with role_start = start and no
+    * country. (The `declined` passthrough is not part of the landed
+    * 24-column shape.) */
+  def carlsbergFondet: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val yr = col("year").try_cast("int")
+    val lead = when(col("applicant_name").isNotNull &&
+        col("applicant_name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321504L, provenance = "carlsberg_fondet",
+      priority = 121,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("grant"),
+      funderScheme = col("type_of_grant"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** Deutsche Krebshilfe (CreateDeutscheKrebshilfeAwards.ipynb): the
+    * Telethon/Humboldt card twin — title fallback, >0 decimal gate
+    * with source currency, year-only coverage from date-raws with
+    * NULL dates, PI-else-institution 'Germany' lead, NULL
+    * works_api_url. */
+  def deutscheKrebshilfe: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Germany"), lit(null).cast(affIds)))
+      .when(col("institution").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          col("institution"), lit("Germany"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320323556L, provenance = "deutsche_krebshilfe",
+      priority = 222,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("Deutsche Krebshilfe grant "),
+          col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = year(d(col("end_date_raw"))),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** The Wenner-Gren in-source dedup (CreateWennerGrenAwards.ipynb's
+    * raw_prepared QUALIFY): the scrape carries duplicate rows per
+    * grant number — keep one per stripped-lowered number, lowest
+    * slug wins. Run BEFORE [[wennerGren]]. */
+  def wennerGrenDedup(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    raw.filter(col("grantee_name").isNotNull &&
+        trim(col("grantee_name")) =!= "" &&
+        col("grant_number").isNotNull && trim(col("grant_number")) =!= "")
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(lower(regexp_replace(trim(col("grant_number")),
+          "^Gr[.][ ]*", "")))
+        .orderBy(col("slug"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Wenner-Gren Foundation grantees (CreateWennerGrenAwards.ipynb,
+    * ~42K): the 'Gr. ' display-prefix strip on the citable number,
+    * grantee-as-display with the project title as description, the
+    * fellowship/travel regex split, approval-date coverage, an
+    * UNCONDITIONAL grantee lead (country left inside the unsplit
+    * affiliation string), §6.7 waiver. */
+  def wennerGren: FunderIngestConfig = {
+    val nativeId = regexp_replace(trim(col("grant_number")),
+      "^Gr[.][ ]*", "")
+    val gt = lower(coalesce(col("grant_type"), lit("")))
+    val sd = d(col("approve_date_iso"))
+    val lead = investigator(nullif(trim(col("given_name")), lit("")),
+      nullif(trim(col("family_name")), lit("")),
+      lit(null).cast("string"), sd,
+      nullif(trim(col("affiliation")), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320306550L, provenance = "wenner_gren_grantees",
+      priority = 110,
+      mintKey = lower(nativeId),
+      funderAwardId = nativeId,
+      displayName = col("grantee_name"),
+      description = col("project_title"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = when(gt.rlike(
+          "fellowship|scholarship|postdoc|dissertation|traineeship"),
+          "fellowship")
+        .when(gt.rlike("conference|workshop|symposium"), "travel")
+        .otherwise("research"),
+      funderScheme = coalesce(nullif(trim(col("grant_type")), lit("")),
+        lit("Wenner-Gren Foundation Grant")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("approve_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** Fritz Thyssen Stiftung fundings
+    * (CreateFritzThyssenAwards.ipynb): §6.7 waiver, the
+    * foerderbereich-else-literal scheme, approval-year-only
+    * coverage, a lead that fires unless PI given AND family AND
+    * institution are ALL NULL ('DE', role_start = Jan 1). */
+  def fritzThyssen: FunderIngestConfig = {
+    val sd = d(concat(col("bewilligung_year"), lit("-01-01")))
+    val lead = when(!(col("pi_given_name").isNull &&
+        col("pi_family_name").isNull && col("institution").isNull),
+      investigator(nullif(trim(col("pi_given_name")), lit("")),
+        nullif(trim(col("pi_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")), lit("DE"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321876L, provenance = "fritz_thyssen_fundings",
+      priority = 117,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("foerderbereich")),
+        lit("")), lit("Fritz Thyssen Funding")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("bewilligung_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Welch Foundation awards (CreateWelchAwards.ipynb): 'prize'
+    * type across both named schemes (Welch Award in Chemistry /
+    * Norman Hackerman Award), substring years, a name-gated lead
+    * with role_start = start and the GraphQL recipientAffiliation. */
+  def welch: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("affiliation"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306196L, provenance = "welch_foundation",
+      priority = 102,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
 }

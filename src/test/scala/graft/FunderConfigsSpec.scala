@@ -3455,4 +3455,164 @@ class FunderConfigsSpec extends AnyFunSuite {
       === 8)
     assert(prizes.forall(_.fundingType.toString.contains("prize")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 ninth tranche (CreateFAPEMIGAwards /
+  // CreateCarlsbergFondetAwards / CreateDeutscheKrebshilfeAwards /
+  // CreateWennerGrenAwards / CreateFritzThyssenAwards /
+  // CreateWelchAwards)
+  // ---------------------------------------------------------------
+
+  private def regNine = regPrize.unionByName(Seq(
+    (4320322980L, "FAPEMIG", "r", "10.13039/501100004901"),
+    (4320321504L, "Carlsbergfondet", "r", "10.13039/501100002808"),
+    (4320323556L, "Deutsche Krebshilfe", "r", "10.13039/501100005972"),
+    (4320306550L, "Wenner-Gren Foundation", "r", "10.13039/100001388"),
+    (4320321876L, "Fritz Thyssen Stiftung", "r", "10.13039/501100003390"),
+    (4320306196L, "Welch Foundation", "r", "10.13039/100000928"))
+    .toDF(reg.columns: _*))
+
+  test("FAPEMIG / Carlsberg / Deutsche Krebshilfe / Wenner-Gren / " +
+    "Fritz Thyssen / Welch: prefix-strip uppercased ids, both-years-" +
+    "from-award-year, card-twin gates, scrape dedup keeping the " +
+    "lowest slug, all-NULL lead screens, prize-typed foundation " +
+    "awards") {
+    val fp = Seq((" fapemig-apq-01234-21 ", "Projeto X", Some("  "),
+        Some("150000"), Some("BRL"), Some(" "), None: Option[String],
+        Some("Demanda Universal"), Some("2021-05-01"),
+        None: Option[String], Some("2021"), Some("Ana C."),
+        Some("Ana"), Some("C."), Some("UFMG"), Some("https://fapemig/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funding_type", "funder_scheme", "modalidade",
+        "start_date", "end_date", "source_year", "coordinator",
+        "coordinator_given_name", "coordinator_family_name",
+        "instituicaoexecutora_nome", "landing_page_url")
+    val ofp = FunderIngest.transform(fp, regNine, FunderConfigs.fapemig,
+      now).collect()
+    assert(ofp.head.getAs[String]("funder_award_id") === "APQ-01234-21")
+    assert(ofp.head.isNullAt(ofp.head.fieldIndex("description")))
+    assert(ofp.head.getAs[String]("funder_scheme")
+      === "Demanda Universal") // scheme → modalidade fallback
+    assert(ofp.head.getAs[String]("funding_type") === "grant")
+    assert(ofp.head.getAs[Int]("start_year") === 2021)
+    assert(ofp.head.getAs[Int]("end_year") === 2021) // source-year fb
+    val fpl = ofp.head.getAs[Row]("lead_investigator")
+    assert(fpl.getAs[Row]("affiliation").getAs[String]("country")
+      === "BR")
+    assert(fpl.getAs[java.sql.Date]("role_start").toString
+      === "2021-05-01")
+
+    val cb = Seq(("CF21-0001", "Grant title", Some("1000000"),
+        Some("DKK"), Some("Semper Ardens"), "2021", Some("2021-09-01"),
+        Some("2024-08-31"), Some("P Q"), Some("P"), Some("Q"),
+        Some("KU"), Some("https://cf/1")))
+      .toDF("funder_award_id", "display_name", "amount", "currency",
+        "type_of_grant", "year", "start_date", "end_date",
+        "applicant_name", "given_name", "family_name", "institution",
+        "landing_page_url")
+    val ocb = FunderIngest.transform(cb, regNine,
+      FunderConfigs.carlsbergFondet, now).collect()
+    assert(ocb.head.getAs[Int]("start_year") === 2021)
+    assert(ocb.head.getAs[Int]("end_year") === 2021) // BOTH from year
+    assert(ocb.head.getAs[java.sql.Date]("end_date").toString
+      === "2024-08-31")
+    assert(ocb.head.getAs[String]("currency") === "DKK")
+    val cbl = ocb.head.getAs[Row]("lead_investigator")
+    assert(cbl.getAs[java.sql.Date]("role_start").toString
+      === "2021-09-01")
+    assert(cbl.getAs[Row]("affiliation").isNullAt(
+      cbl.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val dk = Seq(("dk-70114", "  ", Some("D"), Some("0"), Some("EUR"),
+        Some("Max Eder"), Some("2019-01-01"), Some("2022-12-31"),
+        None: Option[String], None: Option[String], Some("DKFZ"),
+        Some("https://dk/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val odk = FunderIngest.transform(dk, regNine,
+      FunderConfigs.deutscheKrebshilfe, now).collect()
+    assert(odk.head.getAs[String]("display_name")
+      === "Deutsche Krebshilfe grant dk-70114")
+    assert(odk.head.isNullAt(odk.head.fieldIndex("amount"))) // 0 gated
+    assert(odk.head.isNullAt(odk.head.fieldIndex("start_date"))) // NULL
+    assert(odk.head.getAs[Int]("start_year") === 2019) // year only
+    val dkl = odk.head.getAs[Row]("lead_investigator") // org arm
+    assert(dkl.isNullAt(dkl.fieldIndex("family_name")))
+    assert(dkl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Germany")
+    assert(odk.head.isNullAt(odk.head.fieldIndex("works_api_url")))
+
+    val wg = Seq(
+      ("Gr. 10742", "b-slug", "Jane Grantee", Some("Jane"),
+        Some("Grantee"), "Fieldwork project", Some("Dissertation " +
+        "Fieldwork Grant"), Some("2018"), Some("2018-04-15"),
+        Some("US - Harvard University"), Some("https://wg/1")),
+      ("Gr.10742", "a-slug", "Jane Grantee", Some("Jane"),
+        Some("Grantee"), "Fieldwork project", Some("Dissertation " +
+        "Fieldwork Grant"), Some("2018"), Some("2018-04-15"),
+        Some("US - Harvard University"), Some("https://wg/1")),
+      ("WIF-293", "c-slug", "Org Fellow", Some("Org"), Some("Fellow"),
+        "Conference on X", Some("International Symposium Grant"),
+        Some("2020"), Some("2020-02-01"), None: Option[String],
+        None: Option[String]))
+      .toDF("grant_number", "slug", "grantee_name", "given_name",
+        "family_name", "project_title", "grant_type", "approve_year",
+        "approve_date_iso", "affiliation", "landing_page_url")
+    val owg = FunderIngest.transform(FunderConfigs.wennerGrenDedup(wg),
+      regNine, FunderConfigs.wennerGren, now)
+      .orderBy("funder_award_id").collect()
+    assert(owg.length === 2) // the duplicate grant number collapsed
+    assert(owg(0).getAs[String]("funder_award_id") === "10742") // strip
+    // lowest slug won the dedup ('a-slug' row — identical fields here)
+    assert(owg(0).getAs[String]("display_name") === "Jane Grantee")
+    assert(owg(0).getAs[String]("funding_type") === "fellowship")
+    assert(owg(1).getAs[String]("funding_type") === "travel") // symposium
+    assert(owg(0).isNullAt(owg(0).fieldIndex("amount"))) // §6.7 waiver
+    val wgl = owg(0).getAs[Row]("lead_investigator")
+    assert(wgl.getAs[Row]("affiliation").getAs[String]("name")
+      === "US - Harvard University") // unsplit
+    assert(wgl.getAs[java.sql.Date]("role_start").toString
+      === "2018-04-15")
+
+    val ft = Seq(
+      ("ft-1", "Projekt A", Some("Geschichte"), "2015", Some("K"),
+        Some("L"), Some("Uni Köln"), Some("https://ft/1")),
+      ("ft-2", "Projekt B", None: Option[String], "2018",
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "foerderbereich",
+        "bewilligung_year", "pi_given_name", "pi_family_name",
+        "institution", "landing_page_url")
+    val oft = FunderIngest.transform(ft, regNine,
+      FunderConfigs.fritzThyssen, now).orderBy("funder_award_id")
+      .collect()
+    assert(oft(0).getAs[String]("funder_scheme") === "Geschichte")
+    assert(oft(0).getAs[java.sql.Date]("start_date").toString
+      === "2015-01-01")
+    assert(oft(1).getAs[String]("funder_scheme")
+      === "Fritz Thyssen Funding") // literal fallback
+    assert(oft(1).isNullAt(oft(1).fieldIndex("lead_investigator")))
+    val ftl = oft(0).getAs[Row]("lead_investigator")
+    assert(ftl.getAs[Row]("affiliation").getAs[String]("country")
+      === "DE")
+
+    val wl = Seq(("welch-2019", "Welch Award 2019 — R S",
+        Some("For contributions"), Some("500000"), Some("USD"),
+        Some("Welch Award in Chemistry"), Some("2019-01-01"),
+        Some("2019-12-31"), "R S", Some("R"), Some("S"),
+        Some("Rice University"), Some("https://welch/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "scheme", "start_date", "end_date", "name",
+        "given_name", "family_name", "affiliation", "landing_page_url")
+    val owl = FunderIngest.transform(wl, regNine, FunderConfigs.welch,
+      now).collect()
+    assert(owl.head.getAs[String]("funding_type") === "prize")
+    assert(owl.head.getAs[Int]("start_year") === 2019) // substring
+    val wll = owl.head.getAs[Row]("lead_investigator")
+    assert(wll.getAs[Row]("affiliation").getAs[String]("name")
+      === "Rice University")
+    assert(wll.getAs[java.sql.Date]("role_start").toString
+      === "2019-01-01")
+  }
 }
