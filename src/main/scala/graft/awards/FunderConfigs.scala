@@ -5179,4 +5179,171 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull &&
         col("name").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 tenth tranche: RJ, Velux Stiftung, Helmsley, Searle
+  // Scholars, Rita Allen
+  // ---------------------------------------------------------------
+
+  /** Riksbankens Jubileumsfond (CreateRJAwards.ipynb, ~1.7K English
+    * grant pages): reference_number award id, approval-year-only
+    * coverage, the funding-programme-else-'RJ Grant' scheme, a lead
+    * gated on the grant administrator ('SE', role_start = Jan 1). */
+  def rjJubileumsfond: FunderIngestConfig = {
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    val lead = when(col("grant_administrator").isNotNull,
+      investigator(nullif(trim(col("pi_given_name")), lit("")),
+        nullif(trim(col("pi_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("grant_administrator")), lit("")), lit("SE"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322659L, provenance = "rj_jubileumsfond_grants",
+      priority = 118,
+      mintKey = lower(col("reference_number")),
+      funderAwardId = col("reference_number"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("funding_program")),
+        lit("")), lit("RJ Grant")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Velux Stiftung projects (CreateVeluxStiftungAwards.ipynb):
+    * year-boundary dates from start/end years, the
+    * type-names-else-literal scheme, NO investigator slots (the
+    * org-level precedent), the `link` landing column. */
+  def veluxStiftung: FunderIngestConfig = {
+    val sd = d(concat(col("start_year"), lit("-01-01")))
+    val ed = d(concat(col("end_year"), lit("-12-31")))
+    FunderIngestConfig(
+      funderId = 4320309607L, provenance = "velux_stiftung_projects",
+      priority = 115,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("type_names")), lit("")),
+        lit("Velux Stiftung Project")),
+      startDate = sd, endDate = ed,
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = col("link"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Helmsley Charitable Trust grants (CreateHelmsleyAwards.ipynb):
+    * title-else-recipient display with the title doubling as the
+    * description, literal USD, award-date start with year-only
+    * coverage, an UNCONDITIONAL org-level 'US' recipient lead. */
+  def helmsley: FunderIngestConfig = {
+    val sd = d(col("award_date_iso"))
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"), sd,
+      nullif(trim(col("recipient")), lit("")), lit("US"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320309446L, provenance = "helmsley_grants",
+      priority = 112,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("project_title")),
+        lit("")), col("recipient")),
+      description = col("project_title"),
+      amount = col("amount").try_cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = coalesce(nullif(trim(col("program")), lit("")),
+        lit("Helmsley Charitable Trust Grant")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("recipient").isNotNull &&
+        trim(col("recipient")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Searle Scholars (CreateSearleScholarsAwards.ipynb): the
+    * 'Searle Scholar - <name> (<year>)' display, the THREE-year
+    * programme span (end_year = year + 2) with NULL dates, a
+    * name-gated 'US' lead (eligibility is US-only). */
+  def searleScholars: FunderIngestConfig = {
+    val yr = col("year").try_cast("int")
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320314849L, provenance = "searle_scholars",
+      priority = 133,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Searle Scholar - "), col("name"),
+        lit(" ("), col("year"), lit(")")),
+      description = col("research_title"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = lit("Searle Scholars Program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = yr, endYear = yr + 2,
+      leadInvestigator = lead,
+      landingPageUrl = coalesce(col("profile_url"),
+        col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Rita Allen Foundation Scholars (CreateRitaAllenAwards.ipynb):
+    * scholar-as-display with the bio as description, the literal
+    * scheme, §6.7 waiver, an UNCONDITIONAL scholar lead (country
+    * not exposed structured), the scholar-year landing URL. */
+  def ritaAllen: FunderIngestConfig = {
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    val lead = investigator(nullif(trim(col("given_name")), lit("")),
+      nullif(trim(col("family_name")), lit("")),
+      lit(null).cast("string"), sd,
+      nullif(trim(col("institution")), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320306590L, provenance = "rita_allen_scholars",
+      priority = 107,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("scholar_name"),
+      description = col("bio"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("Rita Allen Foundation Scholar"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("scholar_year_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("scholar_name").isNotNull &&
+        trim(col("scholar_name")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
 }

@@ -3615,4 +3615,115 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(wll.getAs[java.sql.Date]("role_start").toString
       === "2019-01-01")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 tenth tranche (CreateRJAwards / CreateVeluxStiftung /
+  // CreateHelmsleyAwards / CreateSearleScholarsAwards /
+  // CreateRitaAllenAwards)
+  // ---------------------------------------------------------------
+
+  private def regTen = regNine.unionByName(Seq(
+    (4320322659L, "Riksbankens Jubileumsfond", "r",
+      "10.13039/501100004472"),
+    (4320309607L, "Velux Stiftung", "r", "10.13039/100007214"),
+    (4320309446L, "Helmsley Charitable Trust", "r",
+      "10.13039/100007028"),
+    (4320314849L, "Searle Scholars Program", "r", "d"),
+    (4320306590L, "Rita Allen Foundation", "r", "10.13039/100008892"))
+    .toDF(reg.columns: _*))
+
+  test("RJ / Velux / Helmsley / Searle / Rita Allen: approval-year " +
+    "coverage with administrator-gated SE lead, org-level shapes " +
+    "with and without investigator slots, the three-year Searle " +
+    "span, unconditional scholar leads") {
+    val rj = Seq(("P21-0001", "Grant on X", Some("Desc"), Some("4000000"),
+        Some("SEK"), Some("Projects"), "2021", Some("Eva"), Some("Lund"),
+        Some("Uppsala universitet"), Some("https://rj/1")))
+      .toDF("reference_number", "title", "description", "amount",
+        "currency", "funding_program", "award_year", "pi_given_name",
+        "pi_family_name", "grant_administrator", "landing_page_url")
+      .withColumn("funder_award_id", col("reference_number"))
+    val orj = FunderIngest.transform(rj, regTen,
+      FunderConfigs.rjJubileumsfond, now).collect()
+    assert(orj.head.getAs[String]("funder_award_id") === "P21-0001")
+    assert(orj.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(orj.head.isNullAt(orj.head.fieldIndex("end_date")))
+    val rjl = orj.head.getAs[Row]("lead_investigator")
+    assert(rjl.getAs[String]("family_name") === "Lund")
+    assert(rjl.getAs[Row]("affiliation").getAs[String]("country")
+      === "SE")
+
+    val vx = Seq(("vx-101", "Ophthalmology project", Some("D"),
+        Some("500000"), Some("CHF"), Some("  "), "2019", "2022",
+        Some("https://velux/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "type_names", "start_year", "end_year", "link")
+    val ovx = FunderIngest.transform(vx, regTen,
+      FunderConfigs.veluxStiftung, now).collect()
+    assert(ovx.head.getAs[String]("funder_scheme")
+      === "Velux Stiftung Project") // blank → literal
+    assert(ovx.head.getAs[java.sql.Date]("end_date").toString
+      === "2022-12-31")
+    assert(ovx.head.isNullAt(
+      ovx.head.fieldIndex("lead_investigator"))) // NO slots
+    assert(ovx.head.getAs[String]("landing_page_url") === "https://velux/1")
+
+    val hm = Seq(("hm-1", Some("  "), Some("Crohn's Disease Program"),
+        "Mount Sinai", Some("2500000"), "2020", Some("2020-03-01"),
+        Some("https://helmsley/1")))
+      .toDF("funder_award_id", "project_title", "program", "recipient",
+        "amount", "award_year", "award_date_iso", "landing_page_url")
+    val ohm2 = FunderIngest.transform(hm, regTen, FunderConfigs.helmsley,
+      now).collect()
+    assert(ohm2.head.getAs[String]("display_name")
+      === "Mount Sinai") // blank title → recipient
+    assert(ohm2.head.getAs[String]("currency") === "USD")
+    val hml = ohm2.head.getAs[Row]("lead_investigator") // unconditional
+    assert(hml.isNullAt(hml.fieldIndex("family_name")))
+    assert(hml.getAs[Row]("affiliation").getAs[String]("name")
+      === "Mount Sinai")
+    assert(hml.getAs[java.sql.Date]("role_start").toString
+      === "2020-03-01")
+
+    val se = Seq(("ss-1994-smith", "Pat Smith", Some("Pat"),
+        Some("Smith"), "1994", Some("Signal transduction"),
+        Some("240000"), Some("USD"), Some("UCSF"),
+        Some("https://searle/p1"), None: Option[String]))
+      .toDF("funder_award_id", "name", "given_name", "family_name",
+        "year", "research_title", "amount", "currency", "institution",
+        "profile_url", "landing_page_url")
+    val ose = FunderIngest.transform(se, regTen,
+      FunderConfigs.searleScholars, now).collect()
+    assert(ose.head.getAs[String]("display_name")
+      === "Searle Scholar - Pat Smith (1994)")
+    assert(ose.head.getAs[Int]("start_year") === 1994)
+    assert(ose.head.getAs[Int]("end_year") === 1996) // 3-year span
+    assert(ose.head.isNullAt(ose.head.fieldIndex("start_date")))
+    assert(ose.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+    assert(ose.head.getAs[String]("landing_page_url")
+      === "https://searle/p1") // profile preferred
+
+    val ra = Seq(("ra-2015-lee", "Kim Lee", Some(" Kim "), Some(" Lee "),
+        Some("Bio text"), "2015", Some(" Princeton "),
+        Some("https://ra/2015")))
+      .toDF("funder_award_id", "scholar_name", "given_name",
+        "family_name", "bio", "award_year", "institution",
+        "scholar_year_url")
+    val ora = FunderIngest.transform(ra, regTen, FunderConfigs.ritaAllen,
+      now).collect()
+    assert(ora.head.getAs[String]("display_name") === "Kim Lee")
+    assert(ora.head.getAs[String]("description") === "Bio text")
+    assert(ora.head.getAs[String]("funder_scheme")
+      === "Rita Allen Foundation Scholar")
+    assert(ora.head.getAs[String]("funding_type") === "fellowship")
+    assert(ora.head.isNullAt(ora.head.fieldIndex("amount"))) // waiver
+    val ral = ora.head.getAs[Row]("lead_investigator")
+    assert(ral.getAs[String]("given_name") === "Kim") // trimmed
+    assert(ral.getAs[Row]("affiliation").getAs[String]("name")
+      === "Princeton")
+    assert(ral.getAs[java.sql.Date]("role_start").toString
+      === "2015-01-01")
+  }
 }
