@@ -5017,41 +5017,109 @@ object FunderConfigs {
         col("display_name").isNotNull)
   }
 
-  /** Deutsche Krebshilfe (CreateDeutscheKrebshilfeAwards.ipynb): the
-    * Telethon/Humboldt card twin — title fallback, >0 decimal gate
-    * with source currency, year-only coverage from date-raws with
-    * NULL dates, PI-else-institution 'Germany' lead, NULL
-    * works_api_url. */
-  def deutscheKrebshilfe: FunderIngestConfig = {
+  /** The grant-card archetype (Deutsche Krebshilfe / DOE Office of
+    * Science / FRQNT / FRQS are exact twins): title-fallback
+    * display, >0 decimal gate with source currency, 'grant',
+    * PI-else-institution lead with a literal country, NULL
+    * works_api_url; the date/year coverage varies per card
+    * (`fullDates` surfaces the parsed dates; `endYearFromRaw` keeps
+    * the raw end year). */
+  private def grantCard(funderId: Long, provenance: String,
+      priority: Int, fallbackPrefix: String, country: String,
+      fullDates: Boolean, endYearFromRaw: Boolean): FunderIngestConfig = {
     val amt = col("amount").try_cast("decimal(18,2)")
+    val sdRaw = d(col("start_date_raw"))
+    val edRaw = d(col("end_date_raw"))
     val lead = when(col("pi_family").isNotNull,
       investigator(col("pi_given"), col("pi_family"),
         lit(null).cast("string"), lit(null).cast("date"),
-        col("institution"), lit("Germany"), lit(null).cast(affIds)))
+        col("institution"), lit(country), lit(null).cast(affIds)))
       .when(col("institution").isNotNull,
         investigator(lit(null).cast("string"), lit(null).cast("string"),
           lit(null).cast("string"), lit(null).cast("date"),
-          col("institution"), lit("Germany"), lit(null).cast(affIds)))
+          col("institution"), lit(country), lit(null).cast(affIds)))
     FunderIngestConfig(
-      funderId = 4320323556L, provenance = "deutsche_krebshilfe",
-      priority = 222,
+      funderId = funderId, provenance = provenance, priority = priority,
       mintKey = lower(col("funder_award_id")),
       funderAwardId = col("funder_award_id"),
       displayName = coalesce(nullif(trim(col("title")), lit("")),
-        concat(lit("Deutsche Krebshilfe grant "),
-          col("funder_award_id"))),
+        concat(lit(fallbackPrefix), col("funder_award_id"))),
       description = col("description"),
       amount = when(amt > 0, amt),
       currency = when(amt > 0, col("currency")),
       fundingType = lit("grant"),
       funderScheme = col("scheme"),
-      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
-      startYear = year(d(col("start_date_raw"))),
-      endYear = year(d(col("end_date_raw"))),
+      startDate = if (fullDates) sdRaw else lit(null).cast("date"),
+      endDate = if (fullDates) edRaw else lit(null).cast("date"),
+      startYear = year(sdRaw),
+      endYear = if (endYearFromRaw) year(edRaw) else lit(null).cast("int"),
       leadInvestigator = lead,
       landingPageUrl = col("landing_page_url"),
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Deutsche Krebshilfe (CreateDeutscheKrebshilfeAwards.ipynb): the
+    * [[grantCard]] archetype with year-only coverage (NULL dates,
+    * both years from the date-raws), 'Germany'. */
+  def deutscheKrebshilfe: FunderIngestConfig =
+    grantCard(4320323556L, "deutsche_krebshilfe", 222,
+      "Deutsche Krebshilfe grant ", "Germany", fullDates = false,
+      endYearFromRaw = true)
+
+  /** DOE Office of Science (CreateDOEOffSciAwards.ipynb, ~21K
+    * grants ~$26B — the direct CFDA 81.049 channel, distinct from
+    * the USAspending DOE slice): [[grantCard]] with full dates,
+    * 'United States'. */
+  def doeOffSci: FunderIngestConfig =
+    grantCard(4320332359L, "doe_sc", 381,
+      "DOE Office of Science grant ", "United States",
+      fullDates = true, endYearFromRaw = true)
+
+  /** FRQNT / Fonds de recherche du Québec – Nature et technologies
+    * (CreateFRQNTAwards.ipynb, ~9.5K Dossiers): [[grantCard]] with
+    * NULL dates and start-year-only coverage, 'Canada'. */
+  def frqnt: FunderIngestConfig =
+    grantCard(4320334841L, "frqnt", 391, "FRQNT grant ", "Canada",
+      fullDates = false, endYearFromRaw = false)
+
+  /** FRQS / Fonds de recherche du Québec – Santé
+    * (CreateFRQSAwards.ipynb, ~5.7K): the FRQNT twin. */
+  def frqs: FunderIngestConfig =
+    grantCard(4320334618L, "frqs", 389, "FRQS grant ", "Canada",
+      fullDates = false, endYearFromRaw = false)
+
+  /** EMBO Young Investigators / Installation / Global Investigator
+    * awardees (CreateEMBOAwards.ipynb, 878): 'fellowship' with the
+    * programme-name scheme, §6.7 waiver, year-boundary dates, a
+    * PI-gated lead with the source-carried country, NULL
+    * works_api_url; no row filter. */
+  def embo: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320307844L, provenance = "embo", priority = 241,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = col("programme_name"),
+      startDate = when(col("start_year").try_cast("int").isNotNull,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = when(col("end_year").try_cast("int").isNotNull,
+        d(concat(col("end_year"), lit("-12-31")))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
 

@@ -3726,4 +3726,89 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ral.getAs[java.sql.Date]("role_start").toString
       === "2015-01-01")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 eleventh tranche (CreateDOEOffSciAwards /
+  // CreateFRQNTAwards / CreateFRQSAwards / CreateEMBOAwards) — the
+  // grantCard archetype Deutsche Krebshilfe also rides
+  // ---------------------------------------------------------------
+
+  private def regEleven = regTen.unionByName(Seq(
+    (4320332359L, "DOE Office of Science", "https://ror.org/00mmn6b08",
+      "10.13039/100006132"),
+    (4320334841L, "FRQNT", "https://ror.org/00b9f9778",
+      "10.13039/501100003151"),
+    (4320334618L, "FRQS", "https://ror.org/02eqrsj93",
+      "10.13039/501100000156"),
+    (4320307844L, "EMBO", "https://ror.org/04wfr2810",
+      "10.13039/100004410"))
+    .toDF(reg.columns: _*))
+
+  test("Grant-card archetype (DOE Office of Science / FRQNT / FRQS) " +
+    "+ EMBO: per-card date/year variants over one shape, the " +
+    "PI-else-institution lead with literal countries, fellowship " +
+    "programme awardees") {
+    val card = Seq(
+      ("DE-SC0001", "Plasma study", Some("Abs"), Some("1500000"),
+        Some("USD"), Some("Office of Science"), Some("2019-09-01"),
+        Some("2022-08-31"), Some("Lee"), Some("Ann"), Some("PNNL"),
+        Some("https://usasp/1")),
+      ("DE-SC0002", "  ", None: Option[String], Some("0"),
+        Some("USD"), None: Option[String], Some("2020-01-01"),
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("ORNL"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_family", "pi_given", "institution", "landing_page_url")
+    val odo = FunderIngest.transform(card, regEleven,
+      FunderConfigs.doeOffSci, now).orderBy("funder_award_id").collect()
+    assert(odo(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-09-01") // DOE keeps FULL dates
+    assert(odo(0).getAs[Int]("end_year") === 2022)
+    assert(odo(0).getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("1500000")) === 0)
+    assert(odo(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+    assert(odo(1).getAs[String]("display_name")
+      === "DOE Office of Science grant DE-SC0002") // title fallback
+    assert(odo(1).isNullAt(odo(1).fieldIndex("amount"))) // 0 gated
+    val dol = odo(1).getAs[Row]("lead_investigator") // org arm
+    assert(dol.isNullAt(dol.fieldIndex("family_name")))
+    assert(dol.getAs[Row]("affiliation").getAs[String]("name") === "ORNL")
+    val ofq = FunderIngest.transform(card, regEleven, FunderConfigs.frqnt,
+      now).orderBy("funder_award_id").collect()
+    assert(ofq(0).isNullAt(ofq(0).fieldIndex("start_date"))) // NULL dates
+    assert(ofq(0).getAs[Int]("start_year") === 2019)
+    assert(ofq(0).isNullAt(ofq(0).fieldIndex("end_year"))) // start only
+    assert(ofq(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+    assert(ofq(0).getAs[String]("provenance") === "frqnt")
+    val ofs = FunderIngest.transform(card, regEleven, FunderConfigs.frqs,
+      now).collect()
+    assert(ofs.head.getAs[Long]("funder_id") === 4320334618L)
+    // the three cards + Deutsche Krebshilfe land at distinct slices
+    assert(Seq(FunderConfigs.deutscheKrebshilfe, FunderConfigs.doeOffSci,
+      FunderConfigs.frqnt, FunderConfigs.frqs)
+      .map(c => (c.provenance, c.priority)).distinct.length === 4)
+
+    val em = Seq(("yip-2019-x", "EMBO Young Investigator — X Y",
+        Some("Young Investigator Programme"), "2019", "2022",
+        Some("X"), Some("Y"), Some("IMBA"), Some("Austria"),
+        Some("https://embo/1")))
+      .toDF("funder_award_id", "title", "programme_name", "start_year",
+        "end_year", "pi_given", "pi_family", "institution", "country",
+        "landing_page_url")
+    val oem = FunderIngest.transform(em, regEleven, FunderConfigs.embo,
+      now).collect()
+    assert(oem.head.getAs[String]("funding_type") === "fellowship")
+    assert(oem.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(oem.head.getAs[java.sql.Date]("end_date").toString
+      === "2022-12-31")
+    assert(oem.head.isNullAt(oem.head.fieldIndex("amount"))) // waiver
+    assert(oem.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Austria")
+    assert(oem.head.isNullAt(oem.head.fieldIndex("works_api_url")))
+  }
 }
