@@ -5414,4 +5414,155 @@ object FunderConfigs {
         trim(col("scholar_name")) =!= "" &&
         col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 twelfth tranche: Mott, Lister, Cottrell Scholars,
+  // Dreyfus
+  // ---------------------------------------------------------------
+
+  /** C.S. Mott Foundation grants (CreateMottAwards.ipynb): literal
+    * USD, the 'program / initiative' scheme assembly with a literal
+    * fallback, full dates with the start year source-carried and the
+    * end year date-derived, an UNCONDITIONAL org-level 'US'
+    * recipient lead. */
+  def mott: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    val prog = trim(col("program"))
+    val init = trim(col("initiative"))
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"), sd,
+      nullif(trim(col("recipient")), lit("")), lit("US"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320307861L, provenance = "mott_grants", priority = 113,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = when(col("initiative").isNotNull && init =!= "" &&
+          col("program").isNotNull && prog =!= "",
+          concat(prog, lit(" / "), init))
+        .when(col("program").isNotNull && prog =!= "", prog)
+        .otherwise(lit("Mott Foundation Grant")),
+      startDate = sd, endDate = ed,
+      startYear = col("start_year").try_cast("int"),
+      endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Lister Institute Research Prize Fellowships
+    * (CreateListerAwards.ipynb): §6.7 waiver, the literal scheme,
+    * banded years with BOTH boundary dates at Jan 1 (the
+    * reference's own end-date quirk) and ASYMMETRIC bands
+    * (1980-2027 start vs 1980-2035 end), a PI-gated 'United
+    * Kingdom' lead, NULL landing and works URLs; no row filter. */
+  def lister: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320615L, provenance = "lister", priority = 255,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("Lister Research Prize Fellowship"),
+      startDate = when(sy.between(1980, 2027),
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = when(ey.between(1980, 2035),
+        d(concat(col("end_year"), lit("-01-01")))),
+      startYear = when(sy.between(1980, 2027), sy),
+      endYear = when(ey.between(1980, 2035), ey),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Cottrell Scholars (CreateCottrellScholarsAwards.ipynb): the
+    * '<name> (<discipline>, <year>)' display, the ASSEMBLED
+    * 'Cottrell Scholar Award in <discipline> at <institution>
+    * (<type>)' description with 'science'/'(institution unknown)'
+    * fallbacks, the three-year term, a name-gated lead with the
+    * source country. */
+  def cottrellScholars: FunderIngestConfig = {
+    val yr = col("year").try_cast("int")
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306487L, provenance = "cottrell_scholars",
+      priority = 135,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Cottrell Scholar - "), col("name"),
+        lit(" ("), col("discipline"), lit(", "), col("year"), lit(")")),
+      description = concat(lit("Cottrell Scholar Award in "),
+        coalesce(col("discipline"), lit("science")),
+        when(col("institution_type").isNotNull,
+          concat(lit(" at "), col("institution"), lit(" ("),
+            col("institution_type"), lit(")")))
+          .otherwise(concat(lit(" at "),
+            coalesce(col("institution"), lit("(institution unknown)"))))),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = lit("Cottrell Scholar Award"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = yr, endYear = yr + 2,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Dreyfus Foundation awards (CreateDreyfusAwards.ipynb): the
+    * '<scheme> - <name>' display with the research title as
+    * description, source-carried funding_type/currency, year-only
+    * coverage, a name-gated lead whose country stays NULL (US+CA
+    * eligibility, never inferred). */
+  def dreyfus: FunderIngestConfig = {
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306315L, provenance = "dreyfus_foundation",
+      priority = 131,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("scheme_label"), lit(" - "), col("name")),
+      description = col("research_title"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = col("funding_type"),
+      funderScheme = col("scheme_label"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
 }

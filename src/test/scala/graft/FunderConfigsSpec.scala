@@ -3811,4 +3811,104 @@ class FunderConfigsSpec extends AnyFunSuite {
       .getAs[Row]("affiliation").getAs[String]("country") === "Austria")
     assert(oem.head.isNullAt(oem.head.fieldIndex("works_api_url")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 twelfth tranche (CreateMottAwards / CreateListerAwards /
+  // CreateCottrellScholarsAwards / CreateDreyfusAwards)
+  // ---------------------------------------------------------------
+
+  private def regTwelve = regEleven.unionByName(Seq(
+    (4320307861L, "Charles Stewart Mott Foundation", "r",
+      "10.13039/100001203"),
+    (4320320615L, "Lister Institute", "r", "10.13039/501100001255"),
+    (4320306487L, "Research Corporation for Science Advancement", "r",
+      "10.13039/100001309"),
+    (4320306315L, "Camille and Henry Dreyfus Foundation", "r",
+      "10.13039/100001082"))
+    .toDF(reg.columns: _*))
+
+  test("Mott / Lister / Cottrell / Dreyfus: program/initiative scheme " +
+    "assembly, Jan-1 end-date quirk with asymmetric bands, assembled " +
+    "scholar description with fallbacks, source-carried funding " +
+    "types") {
+    val mo = Seq(("mott-1", "Civil society grant", Some("D"),
+        Some("400000"), Some("Civil Society"), Some("Eastern Europe"),
+        Some("2018-01-01"), Some("2020-12-31"), Some("2018"),
+        Some("Open Society Fund"), Some("https://mott/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "program", "initiative", "start_date", "end_date", "start_year",
+        "recipient", "landing_page_url")
+    val omo2 = FunderIngest.transform(mo, regTwelve, FunderConfigs.mott,
+      now).collect()
+    assert(omo2.head.getAs[String]("funder_scheme")
+      === "Civil Society / Eastern Europe")
+    assert(omo2.head.getAs[String]("currency") === "USD")
+    assert(omo2.head.getAs[Int]("end_year") === 2020) // date-derived
+    val mol2 = omo2.head.getAs[Row]("lead_investigator") // unconditional
+    assert(mol2.isNullAt(mol2.fieldIndex("family_name")))
+    assert(mol2.getAs[Row]("affiliation").getAs[String]("name")
+      === "Open Society Fund")
+
+    val li = Seq(
+      ("lister-1985-x", "Fellowship X", Some("A"), Some("B"),
+        Some("LSHTM"), "1985", "1990"),
+      ("lister-2031-y", "Fellowship Y", None: Option[String],
+        None: Option[String], None: Option[String], "2031", "2036"))
+      .toDF("funder_award_id", "title", "pi_given", "pi_family",
+        "institution", "start_year", "end_year")
+    val oli = FunderIngest.transform(li, regTwelve, FunderConfigs.lister,
+      now).orderBy("funder_award_id").collect()
+    assert(oli(0).getAs[java.sql.Date]("start_date").toString
+      === "1985-01-01")
+    assert(oli(0).getAs[java.sql.Date]("end_date").toString
+      === "1990-01-01") // the Jan-1 END-date quirk, verbatim
+    assert(oli(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+    // asymmetric bands: 2031 start is out (>2027), 2036 end is out
+    assert(oli(1).isNullAt(oli(1).fieldIndex("start_year")))
+    assert(oli(1).isNullAt(oli(1).fieldIndex("end_year")))
+    assert(oli(1).isNullAt(oli(1).fieldIndex("works_api_url")))
+
+    val co = Seq(
+      ("cs-1995-doe", "J Doe", Some("J"), Some("Doe"),
+        Some("Chemistry"), "1995", Some("Reed College"),
+        Some("primarily undergraduate"), Some("100000"), Some("USD"),
+        Some("US"), Some("https://rcsa/1")),
+      ("cs-2000-roe", "K Roe", Some("K"), Some("Roe"),
+        None: Option[String], "2000", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "name", "given_name", "family_name",
+        "discipline", "year", "institution", "institution_type",
+        "amount", "currency", "country", "landing_page_url")
+    val oco = FunderIngest.transform(co, regTwelve,
+      FunderConfigs.cottrellScholars, now)
+      .orderBy("funder_award_id").collect()
+    assert(oco(0).getAs[String]("display_name")
+      === "Cottrell Scholar - J Doe (Chemistry, 1995)")
+    assert(oco(0).getAs[String]("description")
+      === "Cottrell Scholar Award in Chemistry at Reed College " +
+        "(primarily undergraduate)")
+    assert(oco(0).getAs[Int]("end_year") === 1997) // 3-year term
+    assert(oco(1).getAs[String]("description")
+      === "Cottrell Scholar Award in science at (institution unknown)")
+
+    val dr = Seq(("tc-23-001", "P Q", Some("P"), Some("Q"),
+        Some("Teacher-Scholar Award"), Some("Catalysis research"),
+        Some("100000"), Some("USD"), Some("fellowship"), "2023",
+        Some("Williams College"), Some("https://dreyfus/1")))
+      .toDF("funder_award_id", "name", "given_name", "family_name",
+        "scheme_label", "research_title", "amount", "currency",
+        "funding_type", "year", "institution", "landing_page_url")
+    val odr = FunderIngest.transform(dr, regTwelve, FunderConfigs.dreyfus,
+      now).collect()
+    assert(odr.head.getAs[String]("display_name")
+      === "Teacher-Scholar Award - P Q")
+    assert(odr.head.getAs[String]("funding_type") === "fellowship")
+    assert(odr.head.getAs[String]("description") === "Catalysis research")
+    val drl = odr.head.getAs[Row]("lead_investigator")
+    assert(drl.getAs[Row]("affiliation").isNullAt(
+      drl.getAs[Row]("affiliation").fieldIndex("country")))
+  }
 }
