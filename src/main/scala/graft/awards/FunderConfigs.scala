@@ -5565,4 +5565,158 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull &&
         col("name").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 thirteenth tranche: Lasker, Blavatnik, Vilcek, Packard
+  // ---------------------------------------------------------------
+
+  /** Lasker Awards (CreateLaskerAwards.ipynb): the composite
+    * (wp_post_id, laureate_term_id) identity — COLON-joined in the
+    * mint but DASH-joined in the award id — the 'Lasker <award>
+    * Award <year> — <name>' display, NULL amount with literal USD,
+    * an UNCONDITIONAL laureate lead whose parsed affiliation keeps
+    * 'formerly at X' entries verbatim. */
+  def lasker: FunderIngestConfig = {
+    val (sd, ed, sy, ey) = prizeYear(col("year"))
+    val lead = investigator(col("laureate_given_name"),
+      col("laureate_family_name"), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("affiliation"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320311370L, provenance = "lasker_wp", priority = 48,
+      mintKey = concat(lit("lasker:"), col("wp_post_id").cast("string"),
+        lit(":"), col("laureate_term_id").cast("string")),
+      funderAwardId = concat(col("wp_post_id").cast("string"), lit("-"),
+        col("laureate_term_id").cast("string")),
+      displayName = concat(lit("Lasker "), col("award_name"),
+        lit(" Award "), col("year").cast("string"), lit(" — "),
+        col("laureate_name")),
+      description = nullif(col("achievement_title"), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit("USD"),
+      fundingType = lit("prize"),
+      funderScheme = col("award_name"),
+      startDate = sd, endDate = ed, startYear = sy, endYear = ey,
+      leadInvestigator = lead,
+      landingPageUrl = col("url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("laureate_name").isNotNull &&
+        col("year").isNotNull)
+  }
+
+  /** Blavatnik Awards (CreateBlavatnikAwards.ipynb): the
+    * '<year> Blavatnik <region> Award <status> - <role> - <name>'
+    * display over NULLIF-trimmed norms with 'Unknown'/'Honoree'
+    * fallbacks, the declined-prefix description, the assembled
+    * region/role/status scheme, and SEPTEMBER 1-30 ceremony-month
+    * dates. */
+  def blavatnik: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val yr = col("award_year").try_cast("int")
+    val region = nzt(col("region"))
+    val status = nzt(col("status"))
+    val role = nzt(col("role"))
+    val citation = nzt(col("citation"))
+    val declined = col("declined").try_cast("boolean")
+    val lead = investigator(nzt(col("given_name")),
+      nzt(col("family_name")), lit(null).cast("string"),
+      lit(null).cast("date"), nzt(col("institution")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320312914L, provenance = "blavatnikawards_org",
+      priority = 64,
+      mintKey = concat(lit("blavatnik:"), lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(yr.cast("string"), lit(" Blavatnik "),
+        coalesce(region, lit("Unknown")), lit(" Award "),
+        coalesce(status, lit("Honoree")),
+        when(role.isNotNull, concat(lit(" - "), role)).otherwise(lit("")),
+        lit(" - "), nzt(col("laureate_name"))),
+      description = when(declined && citation.isNotNull,
+          concat(lit("Declined the prize. "), citation))
+        .when(declined, lit("Declined the prize."))
+        .otherwise(citation),
+      amount = col("amount_usd").try_cast("double"),
+      currency = nzt(col("currency")),
+      fundingType = lit("prize"),
+      funderScheme = concat(lit("Blavatnik "),
+        coalesce(region, lit("Unknown")), lit(" Award - "),
+        coalesce(role, lit("Honoree")), lit(" "),
+        coalesce(status, lit("Honoree"))),
+      startDate = when(yr.isNotNull,
+        d(concat(yr.cast("string"), lit("-09-01")))),
+      endDate = when(yr.isNotNull,
+        d(concat(yr.cast("string"), lit("-09-30")))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = col("profile_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        nullif(trim(col("laureate_name")), lit("")).isNotNull)
+  }
+
+  /** Vilcek Foundation prizes (CreateVilcekAwards.ipynb):
+    * source-shaped display/description, 'prize', full dates with
+    * substring years, a name-gated lead with role_start = start and
+    * the source-carried country. */
+  def vilcek: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("affiliation"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320307087L, provenance = "vilcek_foundation",
+      priority = 105,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Packard Fellowships for Science and Engineering
+    * (CreatePackardFellowsAwards.ipynb): §6.7 waiver, the literal
+    * scheme, the FIVE-year term (end_year = fellowship year + 4)
+    * beside full dates, a full-name-gated lead with role_start =
+    * start and the profile landing URL. */
+  def packardFellows: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val fy = col("fellowship_year").try_cast("int")
+    val lead = when(col("full_name").isNotNull &&
+        col("full_name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("fellowship_institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306079L, provenance = "packard_fellows_directory",
+      priority = 95,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("Packard Fellowships for Science and Engineering"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = fy, endYear = fy + 4,
+      leadInvestigator = lead,
+      landingPageUrl = col("profile_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("full_name").isNotNull)
+  }
 }

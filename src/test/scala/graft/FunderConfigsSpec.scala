@@ -3911,4 +3911,112 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(drl.getAs[Row]("affiliation").isNullAt(
       drl.getAs[Row]("affiliation").fieldIndex("country")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 thirteenth tranche (CreateLaskerAwards /
+  // CreateBlavatnikAwards / CreateVilcekAwards /
+  // CreatePackardFellowsAwards)
+  // ---------------------------------------------------------------
+
+  private def regThirteen = regTwelve.unionByName(Seq(
+    (4320311370L, "Albert and Mary Lasker Foundation", "r",
+      "10.13039/100005240"),
+    (4320312914L, "Blavatnik Family Foundation", "r", "d"),
+    (4320307087L, "Vilcek Foundation", "r", "10.13039/100011096"),
+    (4320306079L, "David and Lucile Packard Foundation", "r",
+      "10.13039/100000008"))
+    .toDF(reg.columns: _*))
+
+  test("Lasker / Blavatnik / Vilcek / Packard: colon-mint vs dash-id " +
+    "composite identity, declined-prefix descriptions with " +
+    "Unknown/Honoree fallbacks and September ceremony dates, " +
+    "five-year fellowship terms") {
+    val la = Seq((1001L, 7L, "Basic Medical Research", "A B", Some("A"),
+        Some("B"), Some("formerly at NIH"), 2001,
+        Some("Discovery of X"), Some("https://lasker/1")))
+      .toDF("wp_post_id", "laureate_term_id", "award_name",
+        "laureate_name", "laureate_given_name", "laureate_family_name",
+        "affiliation", "year", "achievement_title", "url")
+    val ola = FunderIngest.transform(la, regThirteen,
+      FunderConfigs.lasker, now).collect()
+    assert(ola.head.getAs[String]("funder_award_id") === "1001-7") // dash
+    assert(ola.head.getAs[String]("display_name")
+      === "Lasker Basic Medical Research Award 2001 — A B")
+    assert(ola.head.getAs[String]("currency") === "USD")
+    assert(ola.head.isNullAt(ola.head.fieldIndex("amount")))
+    assert(ola.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name")
+      === "formerly at NIH") // verbatim
+
+    val bl = Seq(
+      ("bl-2015-us-1", "2015", Some("National"), Some("Laureate"),
+        Some("Chemistry"), "C D", Some("C"), Some("D"),
+        Some("For work on Y"), Some("false"), Some("250000"),
+        Some("USD"), Some("MIT"), Some("https://blav/1")),
+      ("bl-2016-uk-2", "2016", None: Option[String],
+        None: Option[String], None: Option[String], "E F", Some("E"),
+        Some("F"), Some("Cite Z"), Some("true"), None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "award_year", "region", "status", "role",
+        "laureate_name", "given_name", "family_name", "citation",
+        "declined", "amount_usd", "currency", "institution",
+        "profile_url")
+    val obl = FunderIngest.transform(bl, regThirteen,
+      FunderConfigs.blavatnik, now).orderBy("funder_award_id").collect()
+    assert(obl(0).getAs[String]("display_name")
+      === "2015 Blavatnik National Award Laureate - Chemistry - C D")
+    assert(obl(0).getAs[String]("description") === "For work on Y")
+    assert(obl(0).getAs[String]("funder_scheme")
+      === "Blavatnik National Award - Chemistry Laureate")
+    assert(obl(0).getAs[java.sql.Date]("start_date").toString
+      === "2015-09-01") // ceremony month
+    assert(obl(0).getAs[java.sql.Date]("end_date").toString
+      === "2015-09-30")
+    // declined + fallbacks
+    assert(obl(1).getAs[String]("display_name")
+      === "2016 Blavatnik Unknown Award Honoree - E F")
+    assert(obl(1).getAs[String]("description")
+      === "Declined the prize. Cite Z")
+    assert(obl(1).getAs[String]("funder_scheme")
+      === "Blavatnik Unknown Award - Honoree Honoree")
+
+    val vi2 = Seq(("vilcek-2010-b", "Vilcek Prize 2010 — G H",
+        Some("For immigrant contributions"), Some("100000"),
+        Some("USD"), Some("Vilcek Prize in Biomedical Science"),
+        Some("2010-04-01"), Some("2010-12-31"), "G H", Some("G"),
+        Some("H"), Some("NYU"), Some("US"), Some("https://vilcek/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "scheme", "start_date", "end_date", "name",
+        "given_name", "family_name", "affiliation", "country",
+        "landing_page_url")
+    val ovi2 = FunderIngest.transform(vi2, regThirteen,
+      FunderConfigs.vilcek, now).collect()
+    assert(ovi2.head.getAs[String]("funding_type") === "prize")
+    assert(ovi2.head.getAs[Int]("start_year") === 2010)
+    val vl = ovi2.head.getAs[Row]("lead_investigator")
+    assert(vl.getAs[java.sql.Date]("role_start").toString
+      === "2010-04-01")
+    assert(vl.getAs[Row]("affiliation").getAs[String]("country") === "US")
+
+    val pk = Seq(("pf-1999-x", "Packard Fellow 1999 — I J",
+        Some("Astrophysics"), "I J", Some("I"), Some("J"), "1999",
+        Some("1999-10-01"), Some("2004-09-30"), Some("Caltech"),
+        Some("https://packard/p1")))
+      .toDF("funder_award_id", "display_name", "description",
+        "full_name", "given_name", "family_name", "fellowship_year",
+        "start_date", "end_date", "fellowship_institution",
+        "profile_url")
+    val opk = FunderIngest.transform(pk, regThirteen,
+      FunderConfigs.packardFellows, now).collect()
+    assert(opk.head.getAs[String]("funding_type") === "fellowship")
+    assert(opk.head.getAs[Int]("start_year") === 1999)
+    assert(opk.head.getAs[Int]("end_year") === 2003) // 5-year term
+    assert(opk.head.isNullAt(opk.head.fieldIndex("amount"))) // waiver
+    assert(opk.head.getAs[String]("landing_page_url")
+      === "https://packard/p1")
+    val pkl = opk.head.getAs[Row]("lead_investigator")
+    assert(pkl.getAs[java.sql.Date]("role_start").toString
+      === "1999-10-01")
+  }
 }
