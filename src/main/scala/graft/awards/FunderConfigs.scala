@@ -5719,4 +5719,119 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull &&
         col("full_name").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 fourteenth tranche: Gruber, Lemelson-MIT, Warren Alpert
+  // ---------------------------------------------------------------
+
+  /** Gruber Prizes (CreateGruberPrizesAwards.ipynb): the
+    * science-prize category allowlist (Cosmology / Genetics /
+    * Neuroscience — the foundation's justice/women's-rights prizes
+    * are NOT research awards), the total ÷ laureate-count portion,
+    * teaser→profile→bio description cascade, names-only laureate
+    * lead, recipient-else-prize profile landing. */
+  def gruberPrizes: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val (sd, ed, _, _) = prizeYear(col("award_year"))
+    val total = col("source_total_award_amount").try_cast("double")
+    val n = col("laureate_count").try_cast("double")
+    val lead = investigator(nullif(col("laureate_given_name"), lit("")),
+      nullif(col("laureate_family_name"), lit("")),
+      lit(null).cast("string"), lit(null).cast("date"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320312392L, provenance = "gruber_prizes", priority = 85,
+      mintKey = concat(lit("gruber_prizes:"),
+        lower(trim(col("funder_award_id")))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("source_title"), lit(" - "),
+        col("laureate_name")),
+      description = coalesce(nullif(col("source_teaser"), lit("")),
+        nullif(col("prize_profile_text"), lit("")),
+        nullif(col("recipient_bio_text"), lit(""))),
+      amount = when(total.isNotNull && n > 0, total / n),
+      currency = nullif(col("source_currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = concat(lit("Gruber "), col("prize_category"),
+        lit(" Prize")),
+      startDate = sd, endDate = ed, startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = coalesce(
+        nullif(col("recipient_profile_url"), lit("")),
+        nullif(col("prize_profile_url"), lit(""))),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("laureate_name").isNotNull &&
+        col("prize_category").isin("Cosmology", "Genetics",
+          "Neuroscience") && yr.isNotNull)
+  }
+
+  /** Lemelson-MIT Prize/program awards (CreateLemelsonMITAwards
+    * .ipynb): 'prize' with the programme scheme and source currency,
+    * full dates with substring years, a name-gated lead with
+    * role_start = start and the source country. */
+  def lemelsonMit: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("affiliation"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320314845L, provenance = "lemelson_mit", priority = 103,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = col("program"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Warren Alpert Foundation Prize (CreateWarrenAlpertPrizeAwards
+    * .ipynb): the LOWERED native award id reused verbatim as the
+    * mint key (no second lower), trimmed text, scheme-else-literal
+    * fallback, date-else-source-year coverage, an UNCONDITIONAL
+    * trimmed laureate lead with role_start = start. */
+  def warrenAlpertPrize: FunderIngestConfig = {
+    val nativeId = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val lead = investigator(nullif(trim(col("given_name")), lit("")),
+      nullif(trim(col("family_name")), lit("")),
+      lit(null).cast("string"), sd,
+      nullif(trim(col("affiliation_raw")), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320307125L, provenance = "warren_alpert_prize",
+      priority = 126,
+      mintKey = nativeId,
+      funderAwardId = nativeId,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = col("amount").try_cast("double"),
+      currency = nullif(trim(col("currency")), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")), lit("Warren Alpert Foundation Prize")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = lead,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull && trim(col("display_name")) =!= "")
+  }
 }

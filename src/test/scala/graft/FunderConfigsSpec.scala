@@ -4019,4 +4019,92 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(pkl.getAs[java.sql.Date]("role_start").toString
       === "1999-10-01")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 fourteenth tranche (CreateGruberPrizesAwards /
+  // CreateLemelsonMITAwards / CreateWarrenAlpertPrizeAwards)
+  // ---------------------------------------------------------------
+
+  private def regFourteen = regThirteen.unionByName(Seq(
+    (4320312392L, "Gruber Foundation", "r", "10.13039/100011205"),
+    (4320314845L, "Lemelson Foundation", "r", "d"),
+    (4320307125L, "Warren Alpert Foundation", "r", "10.13039/100008740"))
+    .toDF(reg.columns: _*))
+
+  test("Gruber / Lemelson-MIT / Warren Alpert: science-category " +
+    "allowlist with laureate-count portions, source-shaped prize " +
+    "cards, lowered-native-id reuse with date-else-source-year " +
+    "coverage") {
+    val gr2 = Seq(
+      ("gp-2007-cos-a", "2007 Cosmology Prize", "M N", Some("M"),
+        Some("N"), "Cosmology", "2007", Some("500000"), Some("2"),
+        Some("USD"), Some("Teaser."), None: Option[String],
+        None: Option[String], Some("https://gruber/r1"),
+        Some("https://gruber/p1")),
+      ("gp-2009-jus-b", "2009 Justice Prize", "O P", Some("O"),
+        Some("P"), "Justice", "2009", Some("500000"), Some("1"),
+        Some("USD"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "source_title", "laureate_name",
+        "laureate_given_name", "laureate_family_name", "prize_category",
+        "award_year", "source_total_award_amount", "laureate_count",
+        "source_currency", "source_teaser", "prize_profile_text",
+        "recipient_bio_text", "recipient_profile_url",
+        "prize_profile_url")
+    val ogr = FunderIngest.transform(gr2, regFourteen,
+      FunderConfigs.gruberPrizes, now).collect()
+    assert(ogr.length === 1) // the Justice prize is NOT a research award
+    assert(ogr.head.getAs[String]("display_name")
+      === "2007 Cosmology Prize - M N")
+    assert(ogr.head.getAs[Double]("amount") === 250000.0) // 500000 / 2
+    assert(ogr.head.getAs[String]("funder_scheme")
+      === "Gruber Cosmology Prize")
+    assert(ogr.head.getAs[String]("description") === "Teaser.")
+    assert(ogr.head.getAs[String]("landing_page_url")
+      === "https://gruber/r1") // recipient profile preferred
+    val grl = ogr.head.getAs[Row]("lead_investigator")
+    assert(grl.getAs[String]("family_name") === "N")
+    assert(grl.getAs[Row]("affiliation").isNullAt(
+      grl.getAs[Row]("affiliation").fieldIndex("name"))) // names only
+
+    val lm = Seq(("lemelson-2001-q", "Lemelson-MIT Prize 2001 — Q R",
+        Some("Inventor of Z"), Some("500000"), Some("USD"),
+        Some("Lemelson-MIT Prize"), Some("2001-01-01"),
+        Some("2001-12-31"), "Q R", Some("Q"), Some("R"), Some("MIT"),
+        Some("US"), Some("https://lemelson/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "program", "start_date", "end_date", "name",
+        "given_name", "family_name", "affiliation", "country",
+        "landing_page_url")
+    val olm = FunderIngest.transform(lm, regFourteen,
+      FunderConfigs.lemelsonMit, now).collect()
+    assert(olm.head.getAs[String]("funding_type") === "prize")
+    assert(olm.head.getAs[Int]("end_year") === 2001)
+    assert(olm.head.getAs[Row]("lead_investigator")
+      .getAs[java.sql.Date]("role_start").toString === "2001-01-01")
+
+    val wa = Seq((" WAP-1998 ", " Prize 1998 ", Some("  "),
+        Some("50000"), Some(" USD "), None: Option[String],
+        None: Option[String], None: Option[String], Some("1998"),
+        Some(" S "), Some(" T "), Some(" Harvard Medical School "),
+        Some(" https://alpert/1 ")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funder_scheme", "start_date", "end_date",
+        "source_year", "given_name", "family_name", "affiliation_raw",
+        "landing_page_url")
+    val owa = FunderIngest.transform(wa, regFourteen,
+      FunderConfigs.warrenAlpertPrize, now).collect()
+    assert(owa.head.getAs[String]("funder_award_id") === "wap-1998")
+    assert(owa.head.getAs[String]("display_name") === "Prize 1998")
+    assert(owa.head.isNullAt(owa.head.fieldIndex("description")))
+    assert(owa.head.getAs[String]("currency") === "USD") // trimmed
+    assert(owa.head.getAs[String]("funder_scheme")
+      === "Warren Alpert Foundation Prize") // literal fallback
+    assert(owa.head.getAs[Int]("start_year") === 1998) // source-year fb
+    assert(owa.head.isNullAt(owa.head.fieldIndex("start_date")))
+    val wal = owa.head.getAs[Row]("lead_investigator") // unconditional
+    assert(wal.getAs[String]("family_name") === "T")
+    assert(wal.getAs[Row]("affiliation").getAs[String]("name")
+      === "Harvard Medical School")
+  }
 }
