@@ -5834,4 +5834,125 @@ object FunderConfigs {
         trim(col("funder_award_id")) =!= "" &&
         col("display_name").isNotNull && trim(col("display_name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 fifteenth tranche: Klingenstein-Simons, BBRF, Nuffield
+  // ---------------------------------------------------------------
+
+  /** Klingenstein-Simons Fellowship Awards in Neuroscience
+    * (CreateKlingensteinSimonsAwards.ipynb): §6.7 waiver, the
+    * '<scheme> - <name> (<year>)' display, year-only coverage, a
+    * name-gated 'US' lead (the programme's eligibility). */
+  def klingensteinSimons: FunderIngestConfig = {
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306403L, provenance = "klingenstein_simons",
+      priority = 147,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("scheme_label"), lit(" - "), col("name"),
+        when(col("year").isNotNull,
+          concat(lit(" ("), col("year"), lit(")"))).otherwise(lit(""))),
+      description = col("research_title"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = col("scheme_label"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** BBRF / Brain & Behavior Research Foundation NARSAD grants
+    * (CreateBBRFAwards.ipynb): the KNOWN-STIPEND table (Young
+    * Investigator $70K, Independent/Distinguished $100K — the
+    * foundation's fixed tiers — with an exact-tier-gated USD), the
+    * '<type> awarded for <illness>-focused research.' description
+    * assembly, and the named-prize regex arm. */
+  def bbrf: FunderIngestConfig = {
+    val gt = lower(col("grant_type"))
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306147L, provenance = "bbrf_narsad", priority = 137,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("BBRF "),
+        coalesce(col("grant_type"), lit("Grant")),
+        when(col("grant_year").isNotNull,
+          concat(lit(" ("), col("grant_year"), lit(")")))
+          .otherwise(lit("")),
+        lit(" - "), col("name")),
+      description = when(col("grant_type").isNotNull &&
+          col("illness").isNotNull && col("illness") =!= "",
+          concat(col("grant_type"), lit(" awarded for "), col("illness"),
+            lit("-focused research.")))
+        .when(col("grant_type").isNotNull,
+          concat(col("grant_type"), lit("."))),
+      amount = when(gt === "young investigator", 70000.0)
+        .when(gt === "independent investigator", 100000.0)
+        .when(gt === "distinguished investigator", 100000.0),
+      currency = when(gt.rlike(
+        "^(young|independent|distinguished) investigator$"), "USD"),
+      fundingType = when(gt.rlike(
+          "young investigator|trailblazer|early.{0,5}career"),
+          "fellowship")
+        .when(gt.rlike("independent investigator|distinguished " +
+          "investigator|research"), "research")
+        .when(gt.rlike("lieber|pardes|goldman|ruane|colvin|maltz|" +
+          "klerman|freedman|prize|award"), "prize")
+        .otherwise("research"),
+      funderScheme = col("grant_type"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("grant_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Nuffield Foundation grants (CreateNuffieldAwards.ipynb): the
+    * theme scheme, source-carried GBP currency, full dates with
+    * substring years, a full-name-gated lead whose affiliation
+    * STRUCT ITSELF is NULL (the grants list publishes none). */
+  def nuffield: FunderIngestConfig = {
+    val lead = when(col("lead_full_name").isNotNull &&
+        col("lead_full_name") =!= "",
+      struct(col("lead_given_name").as("given_name"),
+        col("lead_family_name").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        lit(null).cast(affType).as("affiliation")))
+    FunderIngestConfig(
+      funderId = 4320319997L, provenance = "nuffield_wp_rest",
+      priority = 80,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = col("theme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("title").isNotNull)
+  }
 }

@@ -4107,4 +4107,84 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(wal.getAs[Row]("affiliation").getAs[String]("name")
       === "Harvard Medical School")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 fifteenth tranche (CreateKlingensteinSimonsAwards /
+  // CreateBBRFAwards / CreateNuffieldAwards)
+  // ---------------------------------------------------------------
+
+  private def regFifteen = regFourteen.unionByName(Seq(
+    (4320306403L, "Esther A. and Joseph Klingenstein Fund", "r", "d"),
+    (4320306147L, "Brain and Behavior Research Foundation", "r",
+      "10.13039/100000874"),
+    (4320319997L, "Nuffield Foundation", "r", "10.13039/501100000279"))
+    .toDF(reg.columns: _*))
+
+  test("Klingenstein-Simons / BBRF / Nuffield: year-suffixed " +
+    "fellowship displays, the known-stipend tier table with " +
+    "exact-tier-gated USD and the named-prize regex arm, NULL-struct " +
+    "affiliations") {
+    val kl = Seq(("ks-2018-a", "A B", Some("A"), Some("B"),
+        Some("Klingenstein-Simons Fellowship"), Some("Neural circuits"),
+        Some("2018"), Some("Yale"), Some("https://ks/1")))
+      .toDF("funder_award_id", "name", "given_name", "family_name",
+        "scheme_label", "research_title", "year", "institution",
+        "landing_page_url")
+    val okl = FunderIngest.transform(kl, regFifteen,
+      FunderConfigs.klingensteinSimons, now).collect()
+    assert(okl.head.getAs[String]("display_name")
+      === "Klingenstein-Simons Fellowship - A B (2018)")
+    assert(okl.head.getAs[String]("funding_type") === "fellowship")
+    assert(okl.head.isNullAt(okl.head.fieldIndex("amount")))
+    assert(okl.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+
+    val bb = Seq(
+      ("bbrf-1", "C D", Some("C"), Some("D"),
+        Some("Young Investigator"), Some("Schizophrenia"), Some("2015"),
+        Some("Columbia"), Some("US"), Some("https://bbrf/1")),
+      ("bbrf-2", "E F", Some("E"), Some("F"),
+        Some("Lieber Prize"), None: Option[String], Some("2020"),
+        None: Option[String], None: Option[String], None: Option[String]),
+      ("bbrf-3", "G H", Some("G"), Some("H"),
+        Some("Young Investigator Grant"), None: Option[String],
+        Some("2021"), None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "name", "given_name", "family_name",
+        "grant_type", "illness", "grant_year", "institution", "country",
+        "landing_page_url")
+    val obb = FunderIngest.transform(bb, regFifteen, FunderConfigs.bbrf,
+      now).orderBy("funder_award_id").collect()
+    assert(obb(0).getAs[String]("display_name")
+      === "BBRF Young Investigator (2015) - C D")
+    assert(obb(0).getAs[String]("description")
+      === "Young Investigator awarded for Schizophrenia-focused " +
+        "research.")
+    assert(obb(0).getAs[Double]("amount") === 70000.0) // stipend table
+    assert(obb(0).getAs[String]("currency") === "USD")
+    assert(obb(0).getAs[String]("funding_type") === "fellowship")
+    assert(obb(1).getAs[String]("funding_type") === "prize") // Lieber
+    assert(obb(1).isNullAt(obb(1).fieldIndex("amount")))
+    assert(obb(1).getAs[String]("description") === "Lieber Prize.")
+    // 'Young Investigator Grant' matches the type regex but NOT the
+    // exact-tier stipend/currency gates
+    assert(obb(2).getAs[String]("funding_type") === "fellowship")
+    assert(obb(2).isNullAt(obb(2).fieldIndex("amount")))
+    assert(obb(2).isNullAt(obb(2).fieldIndex("currency")))
+
+    val nu = Seq(("WEL/1234", "Welfare study", Some("D"), Some("250000"),
+        Some("GBP"), Some("Welfare"), Some("2019-01-01"),
+        Some("2021-06-30"), Some("I J"), Some("I"), Some("J"),
+        Some("https://nuffield/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "theme", "start_date", "end_date", "lead_full_name",
+        "lead_given_name", "lead_family_name", "landing_page_url")
+    val onu = FunderIngest.transform(nu, regFifteen,
+      FunderConfigs.nuffield, now).collect()
+    assert(onu.head.getAs[String]("currency") === "GBP")
+    assert(onu.head.getAs[Int]("end_year") === 2021)
+    val nul = onu.head.getAs[Row]("lead_investigator")
+    assert(nul.getAs[String]("family_name") === "J")
+    assert(nul.isNullAt(nul.fieldIndex("affiliation"))) // NULL struct
+  }
 }
