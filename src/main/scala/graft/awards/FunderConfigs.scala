@@ -5955,4 +5955,99 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull &&
         col("title").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 sixteenth tranche: Concytec/PROCIENCIA, FINEP FUNTTEL
+  // ---------------------------------------------------------------
+
+  /** CONCYTEC/PROCIENCIA (Peru) Observatorio de Subvenciones
+    * (CreateConcytecProcienciaAwards.ipynb): the labelled slug mint
+    * (slug NOT lowered), amount-gated PEN, the
+    * call→intervention→agreement scheme cascade, year-else-date
+    * coverage, and the 'Family, Given' leader split (comma → the
+    * second element is the given name; no comma → the full trimmed
+    * name stays in family). */
+  def concytecProciencia: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date"))
+    val ed = d(col("end_date"))
+    val syInt = coalesce(col("start_year").try_cast("int"), year(sd))
+    val eyInt = coalesce(col("end_year").try_cast("int"), year(ed))
+    val nm = col("lead_investigator_name")
+    val hasComma = nm.isNotNull && instr(nm, ",") > 0
+    val leaderGiven = when(hasComma,
+      nullif(trim(element_at(split(nm, ","), 2)), lit("")))
+    val leaderFamily = when(hasComma,
+      nullif(trim(element_at(split(nm, ","), 1)), lit("")))
+      .otherwise(nullif(trim(nm), lit("")))
+    val lead = investigator(leaderGiven, leaderFamily,
+      lit(null).cast("string"), lit(null).cast("date"),
+      col("leader_affiliation_name"), col("leader_affiliation_country"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320326614L, provenance = "prociencia_observatorio",
+      priority = 89,
+      mintKey = concat(lit("concytec_prociencia:"), col("slug")),
+      funderAwardId = col("slug"),
+      displayName = col("display_name"),
+      description = nullif(col("award_description"), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "PEN"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(col("call"), lit("")),
+        nullif(col("intervention_type"), lit("")),
+        nullif(col("agreement"), lit(""))),
+      startDate = sd, endDate = ed,
+      startYear = syInt, endYear = eyInt,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("slug").isNotNull &&
+        col("display_name").isNotNull && syInt.isNotNull)
+  }
+
+  /** FINEP FUNTTEL contracted projects
+    * (CreateFINEPFUNTTELAwards.ipynb): the lowered-trimmed native id
+    * reused as the mint key, amount-gated BRL, the
+    * type-else-'research' and demand→product→'FUNTTEL' cascades,
+    * signed-date-else-source-year coverage, an UNCONDITIONAL
+    * org-level 'BR' recipient lead carrying a 'source'-asserted
+    * CNPJ affiliation id. */
+  def finepFunttel: FunderIngestConfig = {
+    val nativeId = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("signed_date"))
+    val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val cnpjIds = when(col("recipient_cnpj").isNotNull &&
+        trim(col("recipient_cnpj")) =!= "",
+      array(struct(trim(col("recipient_cnpj")).as("id"),
+        lit("cnpj").as("type"), lit("source").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"), sd,
+      nullif(trim(col("recipient_name")), lit("")), lit("BR"), cnpjIds)
+    FunderIngestConfig(
+      funderId = 4320322904L, provenance = "finep_funttel",
+      priority = 154,
+      mintKey = nativeId,
+      funderAwardId = nativeId,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "BRL"),
+      fundingType = coalesce(nullif(trim(col("funding_type")), lit("")),
+        lit("research")),
+      funderScheme = coalesce(nullif(trim(col("demand")), lit("")),
+        nullif(trim(col("product")), lit("")), lit("FUNTTEL")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = lead,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull && trim(col("display_name")) =!= "")
+  }
 }

@@ -4187,4 +4187,86 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(nul.getAs[String]("family_name") === "J")
     assert(nul.isNullAt(nul.fieldIndex("affiliation"))) // NULL struct
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 sixteenth tranche (CreateConcytecProcienciaAwards /
+  // CreateFINEPFUNTTELAwards)
+  // ---------------------------------------------------------------
+
+  private def regSixteen = regFifteen.unionByName(Seq(
+    (4320326614L, "CONCYTEC", "r", "10.13039/501100010747"),
+    (4320322904L, "FINEP", "r", "10.13039/501100004809"))
+    .toDF(reg.columns: _*))
+
+  test("Concytec/PROCIENCIA / FINEP FUNTTEL: unlowered labelled slug " +
+    "mint with 'Family, Given' leader split and year-else-date " +
+    "coverage, lowered-native-id reuse with a source-asserted CNPJ " +
+    "affiliation id") {
+    val cp = Seq(
+      ("sub-001", "Proyecto A", Some("Desc"), Some("350000"),
+        Some("Convocatoria 2020"), None: Option[String],
+        None: Option[String], Some("2020-03-01"), Some("2023-02-28"),
+        None: Option[String], None: Option[String],
+        Some("Quispe, María"), Some("UNMSM"), Some("PE"),
+        Some("https://prociencia/1")),
+      ("sub-002", "Proyecto B", None: Option[String],
+        None: Option[String], None: Option[String],
+        Some("Intervención X"), None: Option[String],
+        None: Option[String], None: Option[String], Some("2019"),
+        None: Option[String], Some("Sologuren"), None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("slug", "display_name", "award_description", "amount",
+        "call", "intervention_type", "agreement", "start_date",
+        "end_date", "start_year", "end_year", "lead_investigator_name",
+        "leader_affiliation_name", "leader_affiliation_country",
+        "landing_page_url")
+    val ocp = FunderIngest.transform(cp, regSixteen,
+      FunderConfigs.concytecProciencia, now)
+      .orderBy("funder_award_id").collect()
+    assert(ocp.length === 2)
+    assert(ocp(0).getAs[Double]("amount") === 350000.0)
+    assert(ocp(0).getAs[String]("currency") === "PEN")
+    assert(ocp(0).getAs[String]("funder_scheme") === "Convocatoria 2020")
+    assert(ocp(0).getAs[Int]("start_year") === 2020) // from the date
+    val cpl = ocp(0).getAs[Row]("lead_investigator")
+    assert(cpl.getAs[String]("given_name") === "María") // comma split
+    assert(cpl.getAs[String]("family_name") === "Quispe")
+    assert(cpl.getAs[Row]("affiliation").getAs[String]("country")
+      === "PE")
+    assert(ocp(1).isNullAt(ocp(1).fieldIndex("currency"))) // no amount
+    assert(ocp(1).getAs[String]("funder_scheme") === "Intervención X")
+    assert(ocp(1).getAs[Int]("start_year") === 2019) // source year
+    val cpl1 = ocp(1).getAs[Row]("lead_investigator")
+    assert(cpl1.isNullAt(cpl1.fieldIndex("given_name"))) // no comma
+    assert(cpl1.getAs[String]("family_name") === "Sologuren")
+
+    val fn = Seq((" FUNTTEL-01.20.0123.00 ", " Projeto 5G ", Some("  "),
+        Some("2500000"), Some("Demanda 2020"), None: Option[String],
+        Some("Pesquisa"), Some("2020-06-15"), Some("2023-06-14"),
+        Some("2020"), Some(" Fundação CPqD "), Some(" 02.641.663/0001 "),
+        Some(" https://finep/1 ")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "demand", "product", "funding_type", "signed_date", "end_date",
+        "source_year", "recipient_name", "recipient_cnpj",
+        "landing_page_url")
+    val ofn = FunderIngest.transform(fn, regSixteen,
+      FunderConfigs.finepFunttel, now).collect()
+    assert(ofn.head.getAs[String]("funder_award_id")
+      === "funttel-01.20.0123.00") // lowered-trimmed native id
+    assert(ofn.head.getAs[String]("display_name") === "Projeto 5G")
+    assert(ofn.head.getAs[String]("currency") === "BRL")
+    assert(ofn.head.getAs[String]("funding_type") === "Pesquisa") // src
+    assert(ofn.head.getAs[String]("funder_scheme") === "Demanda 2020")
+    assert(ofn.head.getAs[Int]("start_year") === 2020)
+    val fnl = ofn.head.getAs[Row]("lead_investigator") // unconditional
+    assert(fnl.isNullAt(fnl.fieldIndex("family_name")))
+    val fna = fnl.getAs[Row]("affiliation")
+    assert(fna.getAs[String]("name") === "Fundação CPqD")
+    assert(fna.getAs[String]("country") === "BR")
+    val fnid = fna.getSeq[Row](fna.fieldIndex("ids")).head
+    assert(fnid.getAs[String]("id") === "02.641.663/0001") // trimmed
+    assert(fnid.getAs[String]("asserted_by") === "source")
+    assert(fnl.getAs[java.sql.Date]("role_start").toString
+      === "2020-06-15")
+  }
 }
