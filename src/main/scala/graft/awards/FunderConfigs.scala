@@ -6050,4 +6050,159 @@ object FunderConfigs {
         trim(col("funder_award_id")) =!= "" &&
         col("display_name").isNotNull && trim(col("display_name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 seventeenth tranche: Holberg, Blue Planet, Templeton
+  // Prize, Princess Asturias
+  // ---------------------------------------------------------------
+
+  /** Holberg Prize + Nils Klim Prize (CreateHolbergAwards.ipynb,
+    * awarded by Universitetet i Bergen): the '<prize> <year> —
+    * <name>' display, the declined-prefix description, the
+    * canonical JUNE-1 ceremony date on BOTH ends, a laureate lead
+    * whose country is the source nationality. */
+  def holberg: FunderIngestConfig = {
+    val yr = col("year").try_cast("int")
+    val declined = col("declined").try_cast("boolean")
+    val lead = investigator(col("laureate_given_name"),
+      col("laureate_family_name"), lit(null).cast("string"),
+      lit(null).cast("date"), lit(null).cast("string"),
+      col("nationality"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320323078L, provenance = "holberg_wp_rest",
+      priority = 78,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("prize_name"), lit(" "),
+        yr.cast("string"), lit(" — "), col("laureate_full_name")),
+      description = when(declined === true &&
+          col("description").isNotNull,
+          concat(lit("Declined the prize. "), col("description")))
+        .when(declined === true, lit("Declined the prize."))
+        .otherwise(col("description")),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = col("prize_name"),
+      startDate = when(yr.isNotNull,
+        d(concat(yr.cast("string"), lit("-06-01")))),
+      endDate = when(yr.isNotNull,
+        d(concat(yr.cast("string"), lit("-06-01")))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("prize_slug").isNotNull)
+  }
+
+  /** Blue Planet Prize (CreateBluePlanetPrizeAwards.ipynb, Asahi
+    * Glass Foundation): the recipient_kind branch — individuals get
+    * the split name with their affiliation, the six organizational
+    * recipients get NULL person fields with the org's own name in
+    * the affiliation slot — full dates with substring years. */
+  def bluePlanetPrize: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("recipient_kind") === "individual" &&
+        col("name_clean").isNotNull,
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        col("affiliation_name"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+      .when(col("recipient_kind") === "organization" &&
+        col("name_clean").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), sd,
+          col("name_clean"), lit(null).cast("string"),
+          lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320309996L, provenance = "blue_planet_prize",
+      priority = 91,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = lit("Blue Planet Prize"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name_clean").isNotNull)
+  }
+
+  /** Templeton Prize laureates (CreateTempletonPrizeAwards.ipynb —
+    * distinct from the grants DB at `templeton_wp`): 'prize' with
+    * the literal scheme, full dates with substring years, a
+    * name-gated names-only lead with role_start = start. */
+  def templetonPrize: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("name").isNotNull && col("name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd,
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306193L, provenance = "templeton_prize",
+      priority = 93,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = lit("Templeton Prize"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** Princess of Asturias Awards (CreatePrincessAsturiasAwards
+    * .ipynb): the '<year> <prize title> - <name>' display over
+    * NULLIF-trimmed norms, the prize-pattern amount waiver with the
+    * source currency KEPT (the reference's own quirk), year-boundary
+    * dates, a names-only laureate lead. */
+  def princessAsturias: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val yr = col("award_year").try_cast("int")
+    val lead = investigator(nzt(col("given_name")),
+      nzt(col("family_name")), lit(null).cast("string"),
+      lit(null).cast("date"), lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320323780L, provenance = "princess_asturias",
+      priority = 77,
+      mintKey = concat(lit("princess-asturias:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(yr.cast("string"), lit(" "),
+        nzt(col("prize_title")), lit(" - "), nzt(col("laureate_name"))),
+      description = nzt(col("citation")),
+      amount = lit(null).cast("double"),
+      currency = nzt(col("currency")),
+      fundingType = lit("prize"),
+      funderScheme = nzt(col("prize_title")),
+      startDate = when(yr.isNotNull,
+        d(concat(yr.cast("string"), lit("-01-01")))),
+      endDate = when(yr.isNotNull,
+        d(concat(yr.cast("string"), lit("-12-31")))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        nullif(trim(col("prize_title")), lit("")).isNotNull &&
+        nullif(trim(col("laureate_name")), lit("")).isNotNull)
+  }
 }

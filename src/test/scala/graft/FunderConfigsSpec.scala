@@ -4269,4 +4269,116 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(fnl.getAs[java.sql.Date]("role_start").toString
       === "2020-06-15")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 seventeenth tranche (CreateHolbergAwards /
+  // CreateBluePlanetPrizeAwards / CreateTempletonPrizeAwards /
+  // CreatePrincessAsturiasAwards)
+  // ---------------------------------------------------------------
+
+  private def regSeventeen = regSixteen.unionByName(Seq(
+    (4320323078L, "Universitetet i Bergen", "r", "10.13039/501100005036"),
+    (4320309996L, "Asahi Glass Foundation", "r", "10.13039/501100002157"),
+    (4320323780L, "Fundación Princesa de Asturias", "r", "d"))
+    .toDF(reg.columns: _*))
+
+  test("Holberg / Blue Planet / Templeton Prize / Princess Asturias: " +
+    "June-1 ceremony dates on both ends, the recipient_kind " +
+    "person-vs-organization branch, a second provenance slice for a " +
+    "shared funder, the amount-waiver-with-currency-kept quirk") {
+    val ho = Seq(
+      ("holberg-2004-k", "Holberg Prize", "holberg", "K L", Some("K"),
+        Some("L"), Some("Germany"), 2004, Some("4.5M NOK prize."),
+        Some("false"), Some("4500000"), Some("NOK"),
+        Some("https://holberg/1")),
+      ("nilsklim-2010-m", "Nils Klim Prize", "nils-klim", "M N",
+        Some("M"), Some("N"), Some("Norway"), 2010, Some("Cite."),
+        Some("true"), None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "prize_name", "prize_slug",
+        "laureate_full_name", "laureate_given_name",
+        "laureate_family_name", "nationality", "year", "description",
+        "declined", "amount", "currency", "landing_page_url")
+    val oho = FunderIngest.transform(ho, regSeventeen,
+      FunderConfigs.holberg, now).orderBy("funder_award_id").collect()
+    assert(oho(0).getAs[String]("display_name")
+      === "Holberg Prize 2004 — K L")
+    assert(oho(0).getAs[java.sql.Date]("start_date").toString
+      === "2004-06-01")
+    assert(oho(0).getAs[java.sql.Date]("end_date").toString
+      === "2004-06-01") // June 1 on BOTH ends
+    assert(oho(0).getAs[Double]("amount") === 4500000.0)
+    assert(oho(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Germany")
+    assert(oho(1).getAs[String]("description")
+      === "Declined the prize. Cite.")
+
+    val bp = Seq(
+      ("bpp-1992-i", "Blue Planet Prize 1992 — Dr. P", Some("D1"),
+        "individual", "Dr. P", Some("Dr."), Some("P"), Some("IIASA"),
+        Some("50000000"), Some("JPY"), Some("1992-10-01"),
+        Some("1992-10-31"), Some("https://bpp/1")),
+      ("bpp-1997-o", "Blue Planet Prize 1997 — ORG", Some("D2"),
+        "organization", "Conservation Org", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("1997-10-01"), None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "recipient_kind", "name_clean", "given_name", "family_name",
+        "affiliation_name", "amount", "currency", "start_date",
+        "end_date", "landing_page_url")
+    val obp = FunderIngest.transform(bp, regSeventeen,
+      FunderConfigs.bluePlanetPrize, now)
+      .orderBy("funder_award_id").collect()
+    val bpl0 = obp(0).getAs[Row]("lead_investigator") // individual arm
+    assert(bpl0.getAs[String]("family_name") === "P")
+    assert(bpl0.getAs[Row]("affiliation").getAs[String]("name")
+      === "IIASA")
+    val bpl1 = obp(1).getAs[Row]("lead_investigator") // org arm
+    assert(bpl1.isNullAt(bpl1.fieldIndex("family_name")))
+    assert(bpl1.getAs[Row]("affiliation").getAs[String]("name")
+      === "Conservation Org")
+    assert(obp(0).getAs[Int]("start_year") === 1992)
+
+    // the Templeton FUNDER already carries the grants-DB slice
+    // (templeton_wp); the prize lands at its own provenance
+    val tp = Seq(("tp-1973-mt", "Templeton Prize 1973 — Mother Teresa",
+        Some("First laureate."), Some("85000"), Some("GBP"),
+        Some("1973-04-01"), Some("1973-12-31"), "Mother Teresa",
+        Some("Mother"), Some("Teresa"), Some("https://tp/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "start_date", "end_date", "name", "given_name",
+        "family_name", "landing_page_url")
+    val otp = FunderIngest.transform(tp, regSeventeen,
+      FunderConfigs.templetonPrize, now).collect()
+    assert(otp.head.getAs[String]("funder_scheme") === "Templeton Prize")
+    assert(otp.head.getAs[String]("provenance") === "templeton_prize")
+    assert(FunderConfigs.templeton.funderId
+      === FunderConfigs.templetonPrize.funderId) // same funder,
+    assert(FunderConfigs.templeton.provenance
+      !== FunderConfigs.templetonPrize.provenance) // distinct slices
+    val tpl = otp.head.getAs[Row]("lead_investigator")
+    assert(tpl.getAs[java.sql.Date]("role_start").toString
+      === "1973-04-01")
+    assert(tpl.getAs[Row]("affiliation").isNullAt(
+      tpl.getAs[Row]("affiliation").fieldIndex("name"))) // names only
+
+    val pa = Seq(("pa-1981-com", " Premio Princesa de Asturias de " +
+        "Comunicación ", " Q R ", Some(" Q "), Some(" R "),
+        Some(" Cite. "), "1981", Some(" EUR "),
+        Some(" https://fpa/1 ")))
+      .toDF("funder_award_id", "prize_title", "laureate_name",
+        "given_name", "family_name", "citation", "award_year",
+        "currency", "landing_page_url")
+    val opa = FunderIngest.transform(pa, regSeventeen,
+      FunderConfigs.princessAsturias, now).collect()
+    assert(opa.head.getAs[String]("display_name")
+      === "1981 Premio Princesa de Asturias de Comunicación - Q R")
+    assert(opa.head.isNullAt(opa.head.fieldIndex("amount"))) // waiver
+    assert(opa.head.getAs[String]("currency") === "EUR") // kept quirk
+    assert(opa.head.getAs[java.sql.Date]("end_date").toString
+      === "1981-12-31")
+    val pal = opa.head.getAs[Row]("lead_investigator")
+    assert(pal.getAs[String]("given_name") === "Q") // trimmed
+  }
 }
