@@ -6205,4 +6205,76 @@ object FunderConfigs {
         nullif(trim(col("prize_title")), lit("")).isNotNull &&
         nullif(trim(col("laureate_name")), lit("")).isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 eighteenth tranche: AcMedSci, Ahmanson
+  // ---------------------------------------------------------------
+
+  /** Academy of Medical Sciences (CreateAcMedSciAwards.ipynb): §6.7
+    * waiver, the Fellowship-substring type split over the raw
+    * scheme, ALL dates and years NULL, a PI-gated lead with no
+    * country, NULL works_api_url; no row filter. */
+  def acMedSci: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320241L, provenance = "acmedsci", priority = 323,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = when(col("funder_scheme").like("%Fellowship%"),
+        "fellowship").otherwise("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Ahmanson Foundation grants archive
+    * (CreateAhmansonAwards.ipynb): the lowered-trimmed native id
+    * reuse, amount-gated USD, fiscal-year-only coverage with the
+    * 1900..now+1 validity band on the derived Jan-1 date, an
+    * UNCONDITIONAL org-level grantee lead with the source-carried
+    * recipient country. */
+  def ahmanson(currentYear: Int): FunderIngestConfig = {
+    val nativeId = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val fy = col("fiscal_year").try_cast("int")
+    val sd = when(fy.between(1900, currentYear + 1),
+      d(concat(col("fiscal_year"), lit("-01-01"))))
+    val lead = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"), sd,
+      nullif(trim(col("grantee_name")), lit("")),
+      nullif(trim(col("recipient_country")), lit("")),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320314405L, provenance = "ahmanson_grants_archive",
+      priority = 166,
+      mintKey = nativeId,
+      funderAwardId = nativeId,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "USD"),
+      fundingType = lit("grant"),
+      funderScheme = nullif(trim(col("program_area")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = fy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull && trim(col("display_name")) =!= "")
+  }
 }

@@ -4381,4 +4381,71 @@ class FunderConfigsSpec extends AnyFunSuite {
     val pal = opa.head.getAs[Row]("lead_investigator")
     assert(pal.getAs[String]("given_name") === "Q") // trimmed
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 eighteenth tranche (CreateAcMedSciAwards /
+  // CreateAhmansonAwards)
+  // ---------------------------------------------------------------
+
+  private def regEighteen = regSeventeen.unionByName(Seq(
+    (4320320241L, "Academy of Medical Sciences", "r",
+      "10.13039/501100000691"),
+    (4320314405L, "Ahmanson Foundation", "r", "d"))
+    .toDF(reg.columns: _*))
+
+  test("AcMedSci / Ahmanson: all-NULL temporal coverage with the " +
+    "Fellowship-substring split, fiscal-year banding on the derived " +
+    "Jan-1 date with an unconditional grantee lead") {
+    val am2 = Seq(("AMS-SBF003\\1234", "Springboard project",
+        Some("Springboard Award"), Some("A"), Some("B"),
+        Some("King's College London"), Some("https://acmedsci/1")),
+      ("AMS-F-2020", "Fellowship project",
+        Some("Starter Grant Fellowship"), Some("C"), Some("D"),
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "funder_scheme", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val oam2 = FunderIngest.transform(am2, regEighteen,
+      FunderConfigs.acMedSci, now).orderBy("funder_award_id").collect()
+    assert(oam2(1).getAs[String]("funding_type") === "grant")
+    assert(oam2(0).getAs[String]("funding_type") === "fellowship")
+    assert(oam2(0).isNullAt(oam2(0).fieldIndex("start_year")))
+    assert(oam2(0).isNullAt(oam2(0).fieldIndex("amount")))
+    assert(oam2(0).isNullAt(oam2(0).fieldIndex("works_api_url")))
+    val aml2 = oam2(0).getAs[Row]("lead_investigator")
+    assert(aml2.getAs[Row]("affiliation").isNullAt(
+      aml2.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val ah = Seq(
+      (" AHM-1990-12 ", " Museum grant ", Some("  "), Some("250000"),
+        Some("Arts"), "1990", Some(" LACMA "), Some(" US "),
+        Some("https://ahmanson/1")),
+      ("AHM-1850-1", "Pre-band grant", None: Option[String],
+        None: Option[String], None: Option[String], "1850",
+        Some("Org"), None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "program_area", "fiscal_year", "grantee_name",
+        "recipient_country", "landing_page_url")
+    val oah = FunderIngest.transform(ah, regEighteen,
+      FunderConfigs.ahmanson(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(oah(1).getAs[String]("funder_award_id") === "ahm-1990-12")
+    assert(oah(1).getAs[String]("display_name") === "Museum grant")
+    assert(oah(1).getAs[Double]("amount") === 250000.0)
+    assert(oah(1).getAs[String]("currency") === "USD")
+    assert(oah(1).getAs[java.sql.Date]("start_date").toString
+      === "1990-01-01")
+    assert(oah(1).getAs[Int]("start_year") === 1990)
+    val ahl = oah(1).getAs[Row]("lead_investigator") // unconditional
+    assert(ahl.isNullAt(ahl.fieldIndex("family_name")))
+    assert(ahl.getAs[Row]("affiliation").getAs[String]("name")
+      === "LACMA")
+    assert(ahl.getAs[Row]("affiliation").getAs[String]("country")
+      === "US")
+    // the 1900..now+1 band: an 1850 fiscal year keeps the year but
+    // never derives a date
+    assert(oah(0).isNullAt(oah(0).fieldIndex("start_date")))
+    assert(oah(0).getAs[Int]("start_year") === 1850)
+    assert(oah(0).isNullAt(oah(0).fieldIndex("amount")))
+    assert(oah(0).isNullAt(oah(0).fieldIndex("currency")))
+  }
 }
