@@ -6277,4 +6277,99 @@ object FunderConfigs {
         trim(col("funder_award_id")) =!= "" &&
         col("display_name").isNotNull && trim(col("display_name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 nineteenth tranche: WT Grant, Damon Runyon
+  // ---------------------------------------------------------------
+
+  /** William T. Grant Foundation (CreateWTGrantAwards.ipynb): the
+    * '<program> - <grantee|name|title> (<year>)' display whose
+    * recipient slot falls org→joined-person-name→title, >0 gates on
+    * amount AND currency, a grantee-OR-given-gated lead with a
+    * never-guessed NULL country. */
+  def wtGrant: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("grantee_org").isNotNull ||
+        col("given_name").isNotNull,
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("grantee_org"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306360L, provenance = "wt_grant_foundation",
+      priority = 151,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(coalesce(col("program"), lit("Grant")),
+        lit(" - "),
+        coalesce(col("grantee_org"),
+          nullif(concat_ws(" ", col("given_name"), col("family_name")),
+            lit("")), col("title")),
+        when(col("start_year").isNotNull,
+          concat(lit(" ("), col("start_year"), lit(")")))
+          .otherwise(lit(""))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** Damon Runyon Cancer Research Foundation
+    * (CreateDamonRunyonAwards.ipynb): the '<award type> — <name>'
+    * display with an 'Award' fallback, the ASSEMBLED '<type> working
+    * on <cancer> (<area>). Mentor: <mentor>.' description cascade,
+    * the fellow/investigator/clinical type regex with an 'other'
+    * floor, §6.7 waiver, no temporal coverage, a scientist-gated
+    * 'US' lead. */
+  def damonRunyon: FunderIngestConfig = {
+    val at = lower(col("award_type"))
+    val mentorSuffix = when(col("sponsor_mentor").isNotNull,
+      concat(lit(" Mentor: "), col("sponsor_mentor"), lit(".")))
+      .otherwise(lit(""))
+    val lead = when(col("scientist_full_name").isNotNull &&
+        col("scientist_full_name") =!= "",
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306271L, provenance = "damon_runyon_drupal",
+      priority = 73,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Damon Runyon "),
+        coalesce(col("award_type"), lit("Award")), lit(" — "),
+        col("scientist_full_name")),
+      description = when(col("cancer_type").isNotNull &&
+          col("research_area").isNotNull,
+          concat(col("award_type"), lit(" working on "),
+            col("cancer_type"), lit(" ("), col("research_area"),
+            lit(")."), mentorSuffix))
+        .when(col("cancer_type").isNotNull,
+          concat(col("award_type"), lit(" working on "),
+            col("cancer_type"), lit("."), mentorSuffix))
+        .when(col("award_type").isNotNull, col("award_type")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = when(at.rlike("fellow"), "fellowship")
+        .when(at.rlike("investigator|research|innovation|scholar"),
+          "research")
+        .when(at.rlike("clinical"), "research")
+        .otherwise("other"),
+      funderScheme = col("award_type"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("scientist_full_name").isNotNull)
+  }
 }

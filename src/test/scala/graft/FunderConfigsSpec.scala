@@ -4448,4 +4448,86 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(oah(0).isNullAt(oah(0).fieldIndex("amount")))
     assert(oah(0).isNullAt(oah(0).fieldIndex("currency")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-12 nineteenth tranche (CreateWTGrantAwards /
+  // CreateDamonRunyonAwards)
+  // ---------------------------------------------------------------
+
+  private def regNineteen = regEighteen.unionByName(Seq(
+    (4320306360L, "William T. Grant Foundation", "r",
+      "10.13039/100001143"),
+    (4320306271L, "Damon Runyon Cancer Research Foundation", "r",
+      "10.13039/100002188"))
+    .toDF(reg.columns: _*))
+
+  test("WT Grant / Damon Runyon: the org→person→title recipient " +
+    "fallback with >0 gates, the assembled working-on/mentor " +
+    "description cascade with the 'other' type floor") {
+    val wt = Seq(
+      ("wtg-1", Some("Research Grant"), Some("Youth study"), Some("D1"),
+        Some("600000"), Some("USD"), Some("2019"), Some("2022"),
+        Some("MDRC"), None: Option[String], None: Option[String],
+        Some("https://wtg/1")),
+      ("wtg-2", None: Option[String], Some("Fellowship title"),
+        None: Option[String], Some("0"), Some("USD"), None: Option[String],
+        None: Option[String], None: Option[String], Some("A"), Some("B"),
+        None: Option[String]))
+      .toDF("funder_award_id", "program", "title", "description",
+        "amount", "currency", "start_year", "end_year", "grantee_org",
+        "given_name", "family_name", "landing_page_url")
+    val owt = FunderIngest.transform(wt, regNineteen,
+      FunderConfigs.wtGrant, now).orderBy("funder_award_id").collect()
+    assert(owt(0).getAs[String]("display_name")
+      === "Research Grant - MDRC (2019)")
+    assert(owt(0).getAs[Double]("amount") === 600000.0)
+    assert(owt(0).getAs[Int]("end_year") === 2022)
+    val wtl0 = owt(0).getAs[Row]("lead_investigator") // org-gated
+    assert(wtl0.isNullAt(wtl0.fieldIndex("family_name")))
+    assert(wtl0.getAs[Row]("affiliation").getAs[String]("name")
+      === "MDRC")
+    // no org → joined person name; zero amount → both gates NULL
+    assert(owt(1).getAs[String]("display_name") === "Grant - A B")
+    assert(owt(1).isNullAt(owt(1).fieldIndex("amount")))
+    assert(owt(1).isNullAt(owt(1).fieldIndex("currency")))
+    val wtl1 = owt(1).getAs[Row]("lead_investigator") // given-gated
+    assert(wtl1.getAs[String]("family_name") === "B")
+    assert(wtl1.getAs[Row]("affiliation").isNullAt(
+      wtl1.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val dm = Seq(
+      ("dr-1", "C D", Some("C"), Some("D"), Some("Fellow"),
+        Some("Breast Cancer"), Some("Immunotherapy"),
+        Some("Dr. Mentor"), Some("MSKCC"), Some("https://dr/1")),
+      ("dr-2", "E F", Some("E"), Some("F"),
+        Some("Physician-Scientist"), Some("Leukemia"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("dr-3", "G H", Some("G"), Some("H"), Some("Bold Idea"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "scientist_full_name", "given_name",
+        "family_name", "award_type", "cancer_type", "research_area",
+        "sponsor_mentor", "institution", "landing_page_url")
+    val odm = FunderIngest.transform(dm, regNineteen,
+      FunderConfigs.damonRunyon, now).orderBy("funder_award_id")
+      .collect()
+    assert(odm(0).getAs[String]("display_name")
+      === "Damon Runyon Fellow — C D")
+    assert(odm(0).getAs[String]("description")
+      === "Fellow working on Breast Cancer (Immunotherapy). " +
+        "Mentor: Dr. Mentor.")
+    assert(odm(0).getAs[String]("funding_type") === "fellowship")
+    assert(odm(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+    assert(odm(1).getAs[String]("description")
+      === "Physician-Scientist working on Leukemia.") // no mentor
+    // 'Physician-Scientist' has no regex arm → 'other' floor;
+    // 'Bold Idea' likewise
+    assert(odm(1).getAs[String]("funding_type") === "other")
+    assert(odm(2).getAs[String]("funding_type") === "other")
+    assert(odm(2).getAs[String]("description") === "Bold Idea")
+    assert(odm(0).isNullAt(odm(0).fieldIndex("amount"))) // waiver
+    assert(odm(0).isNullAt(odm(0).fieldIndex("start_year")))
+  }
 }
