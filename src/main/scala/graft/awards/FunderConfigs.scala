@@ -4148,7 +4148,8 @@ object FunderConfigs {
       funderScheme = coalesce(nullif(trim(col("research_method")),
         lit("")), lit(schemeFallback)),
       startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
-      startYear = when(!future, sy), endYear = when(!future, ey),
+      startYear = when(future, lit(null)).otherwise(sy),
+      endYear = when(future, lit(null)).otherwise(ey),
       leadInvestigator = person(col("lead_given_name"),
         col("lead_family_name"), col("executing_institution")),
       coLeadInvestigator = coLead,
@@ -5759,7 +5760,7 @@ object FunderConfigs {
       leadInvestigator = lead,
       landingPageUrl = coalesce(
         nullif(col("recipient_profile_url"), lit("")),
-        nullif(col("prize_profile_url"), lit(""))),
+        nullif(col("prize_detail_url"), lit(""))),
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull &&
         col("laureate_name").isNotNull &&

@@ -2906,6 +2906,11 @@ class FunderConfigsSpec extends AnyFunSuite {
         Some("survey"), None: Option[String], None: Option[String],
         None: Option[String], None: Option[String], None: Option[String],
         None: Option[String]),
+      ("MOST111-N", "計畫C", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("2024"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
       ("  ", "dropped", None: Option[String], None: Option[String],
         None: Option[String], Some("2020"), None: Option[String],
         None: Option[String], None: Option[String], None: Option[String],
@@ -2918,7 +2923,7 @@ class FunderConfigsSpec extends AnyFunSuite {
     val omo = FunderIngest.transform(gr, reg9,
       FunderConfigs.taiwanMostGrb(2026), now)
       .orderBy("funder_award_id").collect()
-    assert(omo.length === 2) // blank id dropped
+    assert(omo.length === 3) // blank id dropped
     assert(omo(0).getAs[String]("funder_scheme") === "MOST GRB project")
     assert(omo(0).getAs[Int]("start_year") === 2020)
     val gl = omo(0).getAs[Row]("lead_investigator")
@@ -2938,6 +2943,10 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(omo(1).getAs[String]("funder_scheme") === "survey")
     assert(omo(1).isNullAt(omo(1).fieldIndex("co_lead_investigator")))
     assert(omo(1).isNullAt(omo(1).fieldIndex("investigators")))
+    // NULL start_year: the reference CASE takes the ELSE branch on
+    // NULL, so end_year is KEPT (r12 three-valued-logic defect)
+    assert(omo(2).isNullAt(omo(2).fieldIndex("start_year")))
+    assert(omo(2).getAs[Int]("end_year") === 2024)
     // the NSTC twin runs off the INLINED funder row
     val ons = FunderIngest.transform(gr,
       FunderConfigs.nstcFunderLookup(spark),
@@ -4044,16 +4053,21 @@ class FunderConfigsSpec extends AnyFunSuite {
       ("gp-2009-jus-b", "2009 Justice Prize", "O P", Some("O"),
         Some("P"), "Justice", "2009", Some("500000"), Some("1"),
         Some("USD"), None: Option[String], None: Option[String],
-        None: Option[String], None: Option[String], None: Option[String]))
+        None: Option[String], None: Option[String], None: Option[String]),
+      ("gp-2011-gen-c", "2011 Genetics Prize", "U V", Some("U"),
+        Some("V"), "Genetics", "2011", Some("500000"), Some("1"),
+        Some("USD"), Some("T2."), None: Option[String],
+        None: Option[String], Some(""), Some("https://gruber/d3")))
       .toDF("funder_award_id", "source_title", "laureate_name",
         "laureate_given_name", "laureate_family_name", "prize_category",
         "award_year", "source_total_award_amount", "laureate_count",
         "source_currency", "source_teaser", "prize_profile_text",
         "recipient_bio_text", "recipient_profile_url",
-        "prize_profile_url")
+        "prize_detail_url")
     val ogr = FunderIngest.transform(gr2, regFourteen,
-      FunderConfigs.gruberPrizes, now).collect()
-    assert(ogr.length === 1) // the Justice prize is NOT a research award
+      FunderConfigs.gruberPrizes, now)
+      .orderBy("funder_award_id").collect()
+    assert(ogr.length === 2) // the Justice prize is NOT a research award
     assert(ogr.head.getAs[String]("display_name")
       === "2007 Cosmology Prize - M N")
     assert(ogr.head.getAs[Double]("amount") === 250000.0) // 500000 / 2
@@ -4062,6 +4076,8 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ogr.head.getAs[String]("description") === "Teaser.")
     assert(ogr.head.getAs[String]("landing_page_url")
       === "https://gruber/r1") // recipient profile preferred
+    assert(ogr(1).getAs[String]("landing_page_url")
+      === "https://gruber/d3") // blank recipient → prize_detail_url
     val grl = ogr.head.getAs[Row]("lead_investigator")
     assert(grl.getAs[String]("family_name") === "N")
     assert(grl.getAs[Row]("affiliation").isNullAt(
