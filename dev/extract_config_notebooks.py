@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Regenerate the config→notebook citation map + per-notebook token
+files consumed by ConfigColumnsSpec.
+
+For every public `def <name>...: FunderIngestConfig` /
+`ResolvedFunderIngestConfig` in FunderConfigs.scala, find the
+`Create*.ipynb` notebooks cited in its leading Scaladoc block and write
+  src/test/resources/notebook_columns/config_notebooks.tsv
+    <defName>\t<nb1.ipynb>,<nb2.ipynb>
+plus, per cited notebook, the lowercased identifier-token set of its
+full source:
+  src/test/resources/notebook_columns/<NotebookBase>.txt
+
+Run after landing a funder tranche:
+  python3 dev/extract_config_notebooks.py
+"""
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.path.join(REPO, "src/main/scala/graft/awards/FunderConfigs.scala")
+NB_DIR = "/root/reference/notebooks/awards"
+OUT_DIR = os.path.join(REPO, "src/test/resources/notebook_columns")
+
+DEF_RE = re.compile(
+    r"^  def ([a-zA-Z0-9]+)(?:\([^)]*\))?\s*:\s*"
+    r"(?:Resolved)?FunderIngestConfig\b")
+NB_RE = re.compile(r"(Create\w+\.ipynb)")
+
+
+def main():
+    lines = open(SRC).read().splitlines()
+    # doc block preceding each def: walk back from the def over the
+    # contiguous comment/blank region and collect notebook citations.
+    mapping = {}
+    for i, ln in enumerate(lines):
+        m = DEF_RE.match(ln)
+        if not m:
+            continue
+        name = m.group(1)
+        doc = []
+        j = i - 1
+        while j >= 0:
+            s = lines[j].strip()
+            if s.startswith("*") or s.startswith("/**") or s == "":
+                doc.insert(0, s.lstrip("/*").lstrip("* "))
+                if s.startswith("/**"):
+                    break
+                j -= 1
+            else:
+                break
+        # re-join wrapped citations ("CreateFooAwards\n  * .ipynb")
+        text = re.sub(r"\s+", " ", " ".join(doc)).replace(" .ipynb",
+                                                          ".ipynb")
+        nbs = NB_RE.findall(text)
+        # keep order, dedupe
+        seen, uniq = set(), []
+        for nb in nbs:
+            if nb not in seen:
+                seen.add(nb)
+                uniq.append(nb)
+        mapping[name] = uniq
+
+    missing = {k for k, v in mapping.items() if not v}
+    if missing:
+        print("WARNING: no notebook cited in Scaladoc for: "
+              + ", ".join(sorted(missing)), file=sys.stderr)
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "config_notebooks.tsv"), "w") as f:
+        for name in sorted(mapping):
+            f.write("%s\t%s\n" % (name, ",".join(mapping[name])))
+
+    all_nbs = sorted({nb for v in mapping.values() for nb in v})
+    # index every notebook under the reference tree (incl. _deprecated)
+    nb_paths = {}
+    for root, _, files in os.walk(os.path.dirname(NB_DIR)):
+        for fn in files:
+            if fn.endswith(".ipynb"):
+                nb_paths.setdefault(fn, os.path.join(root, fn))
+    absent = []
+    for nb in all_nbs:
+        path = nb_paths.get(nb)
+        if path is None:
+            absent.append(nb)
+            continue
+        cells = json.load(open(path))["cells"]
+        text = "\n".join("".join(c["source"]) for c in cells)
+        toks = sorted({t.lower()
+                       for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", text)})
+        with open(os.path.join(OUT_DIR,
+                               nb.replace(".ipynb", ".txt")), "w") as f:
+            f.write("\n".join(toks) + "\n")
+    if absent:
+        print("WARNING: cited notebooks not found in reference: "
+              + ", ".join(absent), file=sys.stderr)
+    print("wrote %d mappings, %d token files"
+          % (len(mapping), len(all_nbs) - len(absent)))
+
+
+if __name__ == "__main__":
+    main()

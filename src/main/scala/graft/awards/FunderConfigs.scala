@@ -4605,41 +4605,41 @@ object FunderConfigs {
   def chongqingNsf: FunderIngestConfig =
     cnRosterA(4320323172L, "chongqing_nsf", 407, hasAmounts = false)
 
-  /** Fujian NSF: sub-shape A WITH published amounts (ungated amount,
+  /** Fujian NSF (CreateFujianNSFAwards.ipynb): sub-shape A WITH published amounts (ungated amount,
     * >0-gated CNY). */
   def fujianNsf: FunderIngestConfig =
     cnRosterA(4320321878L, "fujian_nsf", 405, hasAmounts = true)
 
-  /** Hainan NSF: sub-shape A with amounts. */
+  /** Hainan NSF (CreateHainanNSFAwards.ipynb): sub-shape A with amounts. */
   def hainanNsf: FunderIngestConfig =
     cnRosterA(4320322866L, "hainan_nsf", 413, hasAmounts = true)
 
-  /** Heilongjiang NSF: sub-shape A, §6.7 waiver. */
+  /** Heilongjiang NSF (CreateHeilongjiangNSFAwards.ipynb): sub-shape A, §6.7 waiver. */
   def heilongjiangNsf: FunderIngestConfig =
     cnRosterA(4320323085L, "heilongjiang_nsf", 409, hasAmounts = false)
 
-  /** Zhejiang NSF: sub-shape A, §6.7 waiver. */
+  /** Zhejiang NSF (CreateZhejiangNSFAwards.ipynb): sub-shape A, §6.7 waiver. */
   def zhejiangNsf: FunderIngestConfig =
     cnRosterA(4320338464L, "zhejiang_nsf", 403, hasAmounts = false)
 
-  /** Guangdong NSF: sub-shape B with 万元×10,000 amounts and the
+  /** Guangdong NSF (CreateGuangdongNSFAwards.ipynb): sub-shape B with 万元×10,000 amounts and the
     * 启明星/扬帆 fellowship arms. */
   def guangdongNsf: FunderIngestConfig =
     cnRosterB(4320321921L, "guangdong_nsf", 445, cnArmsStar,
       wanYuanAmounts = true)
 
-  /** Hunan NSF: sub-shape B (启明星/扬帆 arms), §6.7 waiver. */
+  /** Hunan NSF (CreateHunanNSFAwards.ipynb): sub-shape B (启明星/扬帆 arms), §6.7 waiver. */
   def hunanNsf: FunderIngestConfig =
     cnRosterB(4320322843L, "hunan_nsf", 453, cnArmsStar,
       wanYuanAmounts = false)
 
-  /** Jiangxi NSF: sub-shape B with 万元×10,000 amounts (the 2024
+  /** Jiangxi NSF (CreateJiangxiNSFAwards.ipynb): sub-shape B with 万元×10,000 amounts (the 2024
     * 联合基金 / 2025 重点 rosters) and the 优青/创新研究群体 arms. */
   def jiangxiNsf: FunderIngestConfig =
     cnRosterB(4320322665L, "jiangxi_nsf", 465, cnArmsGroup,
       wanYuanAmounts = true)
 
-  /** Liaoning NSF: sub-shape B (优青/创新研究群体 arms), §6.7
+  /** Liaoning NSF (CreateLiaoningNSFAwards.ipynb): sub-shape B (优青/创新研究群体 arms), §6.7
     * waiver. */
   def liaoningNsf: FunderIngestConfig =
     cnRosterB(4320323086L, "liaoning_nsf", 471, cnArmsGroup,
@@ -4654,7 +4654,7 @@ object FunderConfigs {
       "重大" -> "research", "重点" -> "research", "专项" -> "research"),
       wanYuanAmounts = false)
 
-  /** Shandong NSF (the family's pilot): sub-shape B with the
+  /** Shandong NSF (CreateShandongNSFAwards.ipynb, the family's pilot): sub-shape B with the
     * 博士基金-specific arm. */
   def shandongNsf: FunderIngestConfig =
     cnRosterB(4320324174L, "shandong_nsf", 439, Seq(
@@ -4663,7 +4663,7 @@ object FunderConfigs {
       "重大" -> "research", "重点" -> "research",
       "联合基金" -> "research"), wanYuanAmounts = false)
 
-  /** Shanghai NSF: sub-shape B (启明星/扬帆 arms), §6.7 waiver. */
+  /** Shanghai NSF (CreateShanghaiNSFAwards.ipynb): sub-shape B (启明星/扬帆 arms), §6.7 waiver. */
   def shanghaiNsf: FunderIngestConfig =
     cnRosterB(4320309612L, "shanghai_nsf", 451, cnArmsStar,
       wanYuanAmounts = false)

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Test-only bridge: `classic.ExpressionUtils` is `private[sql]`, but
+  * ConfigColumnsSpec needs the unresolved Catalyst tree of a bare
+  * `Column` (no session, no plan) to audit which source columns a
+  * funder config references. */
+object ColumnExprAccess {
+  def expr(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
