@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 195
+  val ExpectedChecks = 198
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -272,6 +272,15 @@ object ExplainAudit {
         "investigators parse is a scalar expression)")
     check(!p130.contains("CartesianProduct"),
       "q130 has no cartesian product")
+
+    val p131 = plan("q131_r12_shared_builder_shapes")
+    check("""\(\d+\) Exchange hashpartitioning""".r
+        .findAllMatchIn(p131).isEmpty,
+      "q131 r12 shared-builder shapes are pure projections — zero " +
+        "shuffles (funder lookups broadcast, JSON co-lead/investigator " +
+        "parses are scalar expressions)")
+    check(!p131.contains("CartesianProduct"),
+      "q131 has no cartesian product")
 
     // The dedup DAG (round-8 additions): the CC loop is exactly the
     // plan shape that regresses silently — a dropped Materialize cut

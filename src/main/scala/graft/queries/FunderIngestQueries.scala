@@ -847,6 +847,299 @@ object FunderIngestQueries {
       .unionByName(flat2(tu, "tubitak")).unionByName(flat2(fw, "fwo"))
   }
 
+  // ── q131: the round-12 shared-builder shapes, oracle-gated ──────
+  // One representative per still-unit-only builder: cnRosterA
+  // (fujianNsf), cnRosterB (guangdongNsf), grbProject (taiwanMostGrb
+  // — incl. the r13-fixed NULL-start-keeps-end-year arm), etisGrant
+  // (etisEtag), swecrisRich (ifau), isvavaiCep (gacr).
+
+  private def fjRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(13)) === 0, lit("  "))
+        .otherwise(concat(lit("FJ-"), ks)).as("funder_award_id"),
+      concat(lit("rk-"), ks).as("row_key"),
+      concat(lit("项目 "), ks).as("display_name"),
+      when(pmod(k, lit(5)) === 0, lit("0"))
+        .when(pmod(k, lit(7)) === 0, lit("x"))
+        .otherwise((k * 50).cast("string")).as("amount"),
+      when(pmod(k, lit(4)) === 0, lit("青年基金项目"))
+        .when(pmod(k, lit(4)) === 1, lit("重点项目"))
+        .when(pmod(k, lit(4)) === 2, lit(null).cast("string"))
+        .otherwise(lit("面上项目")).as("funder_scheme"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2015-01-01", pmod(k, lit(1000)))).as("start_date"),
+      dd("2018-06-01", pmod(k, lit(1000))).as("end_date"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2010) + pmod(k, lit(10))).cast("string"))
+        .as("start_year"),
+      (lit(2013) + pmod(k, lit(10))).cast("string").as("end_year"),
+      when(pmod(k, lit(2)) === 0, lit("小明")).otherwise(lit("  "))
+        .as("given_name"),
+      when(pmod(k, lit(3)) === 0, lit(" 王 "))
+        .when(pmod(k, lit(3)) === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("family_name"),
+      when(pmod(k, lit(9)) === 0, lit("  "))
+        .when(pmod(k, lit(9)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit(" 福建大学"), pmod(k, lit(5)).cast("string"),
+          lit(" "))).as("institution"),
+      concat(lit("https://fj/"), ks).as("landing_page_url"))
+  }
+
+  private def gdRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(7)) === 0, concat(lit("GD-"), ks))
+        .otherwise(lit(null).cast("string")).as("funder_award_id"),
+      when(pmod(k, lit(17)) === 0, lit("  "))
+        .when(pmod(k, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("粤项目 "), ks)).as("display_name"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(6)) === 0, lit("x"))
+        .otherwise(concat(pmod(k, lit(80)).cast("string"), lit(".5")))
+        .as("amount_raw"),
+      when(pmod(k, lit(4)) === 0, lit("启明星计划"))
+        .when(pmod(k, lit(4)) === 1, lit("联合基金项目"))
+        .when(pmod(k, lit(4)) === 2, lit("  "))
+        .otherwise(lit("扬帆计划")).as("funder_scheme"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(9)) === 0, lit("bad"))
+        .otherwise((lit(2005) + pmod(k, lit(15))).cast("string"))
+        .as("start_year"),
+      when(pmod(k, lit(3)) === 0, lit(" 张伟 "))
+        .when(pmod(k, lit(3)) === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("lead_family_name"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" 中山大学"), pmod(k, lit(4)).cast("string"),
+          lit(" "))).as("institution"),
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://gd/"), ks)).as("landing_page_url"))
+  }
+
+  private def grbRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(13)) === 0, lit("  "))
+        .when(pmod(k, lit(17)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("MOST"), ks)).as("funder_award_id"),
+      concat(lit("計畫"), ks).as("display_name"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("摘要"), ks)).as("description"),
+      when(pmod(k, lit(4)) === 0, (k * 7).cast("string"))
+        .otherwise(lit(null).cast("string")).as("amount"),
+      when(pmod(k, lit(4)) === 0, lit("TWD"))
+        .otherwise(lit(null).cast("string")).as("currency"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(7)) === 0, lit("2090"))
+        .when(pmod(k, lit(11)) === 0, lit("bad"))
+        .otherwise((lit(2000) + pmod(k, lit(20))).cast("string"))
+        .as("start_year"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2003) + pmod(k, lit(20))).cast("string"))
+        .as("end_year"),
+      when(pmod(k, lit(3)) === 0, lit("  "))
+        .when(pmod(k, lit(3)) === 1, lit(null).cast("string"))
+        .otherwise(lit("調查研究")).as("research_method"),
+      when(pmod(k, lit(2)) === 0, lit(" 大明 ")).otherwise(lit(""))
+        .as("lead_given_name"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" 王"), pmod(k, lit(9)).cast("string"),
+          lit(" "))).as("lead_family_name"),
+      when(pmod(k, lit(5)) === 0, lit("  "))
+        .otherwise(concat(lit(" 台大"), pmod(k, lit(6)).cast("string"),
+          lit(" "))).as("executing_institution"),
+      when(pmod(k, lit(4)) === 0, concat(
+        lit("{\"given_name\":\" 小華"), ks,
+        lit(" \",\"family_name\":\"李\",\"affiliation_name\":\" 清大 \"}")))
+        .otherwise(lit(null).cast("string")).as("co_lead_json"),
+      when(pmod(k, lit(5)) === 0, lit("[]"))
+        .when(pmod(k, lit(5)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("[{\"given_name\":\"G"), ks,
+          lit("\",\"family_name\":\" F"), ks,
+          lit(" \"},{\"given_name\":\"  \",\"family_name\":\"F2\"}]")))
+        .as("investigators_json"),
+      concat(lit("https://grb/"), ks).as("landing_page_url"))
+  }
+
+  private def etisRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      concat(lit("ETAG"), ks).as("funder_award_id"),
+      when(pmod(k, lit(5)) === 0, lit("  "))
+        .when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Grant title "), ks)).as("title"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Desc "), ks)).as("description"),
+      when(pmod(k, lit(4)) === 0, lit("0"))
+        .when(pmod(k, lit(9)) === 0, lit("bad"))
+        .when(pmod(k, lit(11)) === 0, lit("-5"))
+        .otherwise(concat((k * 25).cast("string"), lit(".50")))
+        .as("amount"),
+      lit("EUR").as("currency"),
+      when(pmod(k, lit(2)) === 0, lit("PUT"))
+        .otherwise(lit(null).cast("string")).as("scheme"),
+      when(pmod(k, lit(6)) === 0, lit("not-a-date"))
+        .when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2012-01-01", pmod(k, lit(2000))))
+        .as("start_date_raw"),
+      dd("2015-06-01", pmod(k, lit(2000))).as("end_date_raw"),
+      concat(lit("Mari"), ks).as("pi_given"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Tamm"), ks)).as("pi_family"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Tartu U"), pmod(k, lit(3)).cast("string")))
+        .as("institution"),
+      concat(lit("https://etis/"), ks).as("landing_page_url"))
+  }
+
+  private def ifauRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(13)) === 0, lit("  "))
+        .when(pmod(k, lit(17)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(2)) === 0, concat(lit(" 2019-0"), ks,
+          lit("_VR ")))
+        .otherwise(concat(lit("2020-1"), ks)).as("project_id"),
+      when(pmod(k, lit(3)) === 0, lit("  "))
+        .otherwise(concat(lit("Study "), ks)).as("title_english"),
+      concat(lit("Studie "), ks).as("title"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" Abs "), ks)).as("abstract_english"),
+      when(pmod(k, lit(5)) === 0, lit("  "))
+        .otherwise(concat(lit("Sammanfattning "), ks)).as("abstract"),
+      when(pmod(k, lit(6)) === 0, lit("0"))
+        .when(pmod(k, lit(7)) === 0, lit("bad"))
+        .otherwise((k * 1000).cast("string")).as("amount"),
+      when(pmod(k, lit(5)) === 0, lit("Research project grant"))
+        .when(pmod(k, lit(5)) === 1, lit("Fellowship grant"))
+        .when(pmod(k, lit(5)) === 2, lit("Research infrastructure"))
+        .when(pmod(k, lit(5)) === 3, lit(null).cast("string"))
+        .otherwise(lit("Other stipend")).as("type_of_award"),
+      when(pmod(k, lit(2)) === 0, lit(" Anna ")).otherwise(lit("  "))
+        .as("pi_given_name"),
+      when(pmod(k, lit(3)) === 0, lit("  "))
+        .when(pmod(k, lit(3)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit(" Svensson"), ks)).as("pi_family_name"),
+      when(pmod(k, lit(4)) === 0, lit("  "))
+        .otherwise(concat(lit(" 0000-0002-"), ks)).as("pi_orcid"),
+      when(pmod(k, lit(6)) === 0, lit(" "))
+        .otherwise(concat(lit(" IFAU "), pmod(k, lit(3)).cast("string")))
+        .as("coordinating_organisation"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2016-01-01", pmod(k, lit(1500)))).as("start_date"),
+      dd("2019-01-01", pmod(k, lit(1500))).as("end_date"))
+  }
+
+  private def gacrRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("GX20-"), ks)).as("project_code"),
+      when(pmod(k, lit(3)) === 0, lit("  "))
+        .when(pmod(k, lit(3)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("Project "), ks)).as("title_en"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Projekt "), ks)).as("title_cs"),
+      concat(lit("T "), ks).as("title"),
+      when(pmod(k, lit(2)) === 0, lit(""))
+        .otherwise(concat(lit("Desc "), ks)).as("description_en"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Popis "), ks)).as("description_cs"),
+      concat(lit("D"), ks).as("description"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("double"))
+        .otherwise((k * 100).cast("double")).as("funding_amount"),
+      when(pmod(k, lit(7)) === 0, lit(null).cast("double"))
+        .otherwise((k * 150).cast("double")).as("total_cost"),
+      when(pmod(k, lit(5)) === 0, lit("GJ"))
+        .when(pmod(k, lit(5)) === 1, lit("GP"))
+        .when(pmod(k, lit(5)) === 2, lit("GA"))
+        .when(pmod(k, lit(5)) === 3, lit("ZZ"))
+        .otherwise(lit("GX")).as("program_code"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2014-01-01", pmod(k, lit(2000)))).as("start_date"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2014) + pmod(k, lit(8))).cast("string"))
+        .as("start_year"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2017-06-01", pmod(k, lit(2000)))).as("end_date"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2018) + pmod(k, lit(8))).cast("string"))
+        .as("end_year"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("MU Brno "), pmod(k, lit(4)).cast("string")))
+        .as("institution_name"),
+      when(pmod(k, lit(2)) === 0, lit("CZ")).otherwise(lit("SK"))
+        .as("institution_country"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://ror.org/0"), ks)).as("ror_id"),
+      concat(lit("https://isvavai/"), ks).as("landing_page_url"))
+  }
+
+  /** q131: the round-12 shared-builder shapes end-to-end — one
+    * DuckDB-recomputed representative per builder that q130 left
+    * unit-only: the CN roster sub-shape A (Fujian: row_key mint
+    * fallback, ungated amount with >0-gated CNY, the 青年/重点 LIKE
+    * cascade), sub-shape B (Guangdong: title|institution synthetic
+    * mint, 万元×10,000, the 启明星/扬帆 fellowship arms,
+    * display-required screen), the Taiwan GRB shape (future-start cap
+    * NULLing both years, the NULL-start row KEEPING its end year —
+    * the r13 fix — JSON co-lead struct + investigators array,
+    * research-method-else-fallback scheme), the ETIS grant card (>0
+    * decimal gate, title-else-labeled-id, NULL works_api_url), the
+    * SweCRIS rich card (suffix-stripped diarienummer mint with the
+    * raw id in the landing URL, the award-type cascade, 0-NULLIF
+    * SEK), and the IS VaVaI CEP card (GACR's GJ/GP fellowship split +
+    * program-code scheme map, funding-else-total amount, CZK,
+    * date-else-year boundaries). Same injected length-mint as
+    * q110/q130. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val sess = s; import sess.implicits._
+    import graft.awards.FunderConfigs
+    val f = Seq(
+      (4320321878L, "Fujian NSF", "r-fj", "d-fj"),
+      (4320321921L, "Guangdong NSF", "r-gd", "d-gd"),
+      (4320322795L, "MOST Taiwan", "r-tw", "d-tw"),
+      (4320321090L, "Estonian Research Council", "r-ee", "d-ee"),
+      (4320327653L, "IFAU", "r-se", "d-se"),
+      (4320321006L, "GACR", "r-cz", "d-cz"),
+      (999L, "Distractor", "r-x", "d-x"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+    val fj = FunderIngest.transform(fjRaw(s, dir), f,
+      FunderConfigs.fujianNsf, nowTs, mint)
+    val gd = FunderIngest.transform(gdRaw(s, dir), f,
+      FunderConfigs.guangdongNsf, nowTs, mint)
+    val tw = FunderIngest.transform(grbRaw(s, dir), f,
+      FunderConfigs.taiwanMostGrb(currentYear = 2026), nowTs, mint)
+    val ee = FunderIngest.transform(etisRaw(s, dir), f,
+      FunderConfigs.etisEtag, nowTs, mint)
+    val se = FunderIngest.transform(ifauRaw(s, dir), f,
+      FunderConfigs.ifau, nowTs, mint)
+    val cz = FunderIngest.transform(gacrRaw(s, dir), f,
+      FunderConfigs.gacr, nowTs, mint)
+    flat2(fj, "fujian").unionByName(flat2(gd, "guangdong"))
+      .unionByName(flat2(tw, "grb")).unionByName(flat2(ee, "etis"))
+      .unionByName(flat2(se, "swecris")).unionByName(flat2(cz, "cep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
@@ -854,7 +1147,8 @@ object FunderIngestQueries {
     "q120_registry_grant_awards" -> (q120 _),
     "q121_funder_reported_outputs" -> (q121 _),
     "q129_work_linkage_legs" -> (q129 _),
-    "q130_r12_funder_config_shapes" -> (q130 _))
+    "q130_r12_funder_config_shapes" -> (q130 _),
+    "q131_r12_shared_builder_shapes" -> (q131 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
@@ -863,7 +1157,8 @@ object FunderIngestQueries {
     "q120_registry_grant_awards" -> Oracles.q120,
     "q121_funder_reported_outputs" -> Oracles.q121,
     "q129_work_linkage_legs" -> Oracles.q129,
-    "q130_r12_funder_config_shapes" -> Oracles.q130)
+    "q130_r12_funder_config_shapes" -> Oracles.q130,
+    "q131_r12_shared_builder_shapes" -> Oracles.q131)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -1805,5 +2100,433 @@ object FunderIngestQueries {
         |UNION ALL SELECT * FROM bleg
         |UNION ALL SELECT * FROM tleg
         |UNION ALL SELECT * FROM fleg""".stripMargin
+
+    /** q131: full DuckDB recomputation of the six round-12
+      * shared-builder shapes — every mint fallback, gate, LIKE
+      * cascade, JSON parse, and year cap re-derived from the same
+      * `orders`-shaped fixtures, mint = length('<funder_id>:' ||
+      * key). */
+    val q131: String =
+      """WITH o250 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 250),
+        |o200 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 200),
+        |f1raw AS (SELECT k,
+        |  CASE WHEN k % 11 = 0 THEN NULL WHEN k % 13 = 0 THEN '  '
+        |       ELSE 'FJ-' || CAST(k AS VARCHAR) END AS aid,
+        |  'rk-' || CAST(k AS VARCHAR) AS rk,
+        |  '项目 ' || CAST(k AS VARCHAR) AS dname,
+        |  CASE WHEN k % 5 = 0 THEN '0' WHEN k % 7 = 0 THEN 'x'
+        |       ELSE CAST(k * 50 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 4 = 0 THEN '青年基金项目'
+        |       WHEN k % 4 = 1 THEN '重点项目'
+        |       WHEN k % 4 = 2 THEN NULL ELSE '面上项目' END AS scheme,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE DATE '2015-01-01' + INTERVAL (k % 1000) DAY END AS sd,
+        |  DATE '2018-06-01' + INTERVAL (k % 1000) DAY AS ed,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE CAST(2010 + k % 10 AS VARCHAR) END AS sy,
+        |  CAST(2013 + k % 10 AS VARCHAR) AS ey,
+        |  CASE WHEN k % 2 = 0 THEN '小明' ELSE '  ' END AS giv,
+        |  CASE WHEN k % 3 = 0 THEN ' 王 ' WHEN k % 3 = 1 THEN ''
+        |       ELSE NULL END AS fam,
+        |  CASE WHEN k % 9 = 0 THEN '  ' WHEN k % 9 = 1 THEN NULL
+        |       ELSE ' 福建大学' || CAST(k % 5 AS VARCHAR) || ' ' END AS inst
+        | FROM o250),
+        |fjleg AS (SELECT 'fujian' AS src,
+        |  length('4320321878:'
+        |    || COALESCE(lower(NULLIF(TRIM(aid), '')), rk)) AS id,
+        |  CAST(4320321878 AS BIGINT) AS funder_id,
+        |  NULLIF(TRIM(aid), '') AS funder_award_id,
+        |  dname AS display_name, CAST(NULL AS VARCHAR) AS description,
+        |  TRY_CAST(amt AS DOUBLE) AS amount,
+        |  CASE WHEN TRY_CAST(amt AS DOUBLE) > 0 THEN 'CNY' END AS currency,
+        |  CASE WHEN scheme LIKE '%杰出青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%优秀青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%博士%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%团队%' THEN 'research'
+        |       WHEN scheme LIKE '%重大%' THEN 'research'
+        |       WHEN scheme LIKE '%重点%' THEN 'research'
+        |       ELSE 'grant' END AS funding_type,
+        |  scheme AS funder_scheme, 'fujian_nsf' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  TRY_CAST(sy AS INTEGER) AS start_year,
+        |  TRY_CAST(ey AS INTEGER) AS end_year,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(giv), '') END AS pi_given,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(fam), '') END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(inst), '') END AS pi_aff_name,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN 'China' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://fj/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320321878:'
+        |         || COALESCE(lower(NULLIF(TRIM(aid), '')), rk)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM f1raw),
+        |g1raw AS (SELECT k,
+        |  CASE WHEN k % 7 = 0 THEN 'GD-' || CAST(k AS VARCHAR) END AS aid,
+        |  CASE WHEN k % 17 = 0 THEN '  ' WHEN k % 19 = 0 THEN NULL
+        |       ELSE '粤项目 ' || CAST(k AS VARCHAR) END AS dname,
+        |  CASE WHEN k % 5 = 0 THEN NULL WHEN k % 6 = 0 THEN 'x'
+        |       ELSE CAST(k % 80 AS VARCHAR) || '.5' END AS amt,
+        |  CASE WHEN k % 4 = 0 THEN '启明星计划'
+        |       WHEN k % 4 = 1 THEN '联合基金项目'
+        |       WHEN k % 4 = 2 THEN '  ' ELSE '扬帆计划' END AS scheme,
+        |  CASE WHEN k % 8 = 0 THEN NULL WHEN k % 9 = 0 THEN 'bad'
+        |       ELSE CAST(2005 + k % 15 AS VARCHAR) END AS sy,
+        |  CASE WHEN k % 3 = 0 THEN ' 张伟 ' WHEN k % 3 = 1 THEN ''
+        |       ELSE NULL END AS fam,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE ' 中山大学' || CAST(k % 4 AS VARCHAR) || ' ' END AS inst,
+        |  CASE WHEN k % 11 = 0 THEN NULL
+        |       ELSE 'https://gd/' || CAST(k AS VARCHAR) END AS lurl
+        | FROM o250),
+        |g1prep AS (SELECT *,
+        |  COALESCE(NULLIF(lower(TRIM(aid)), ''),
+        |    lower(TRIM(dname)) || '|'
+        |      || lower(TRIM(COALESCE(inst, '')))) AS mk,
+        |  TRY_CAST(amt AS DOUBLE) AS amt0,
+        |  TRY_CAST(sy AS INTEGER) AS syi
+        | FROM g1raw
+        | WHERE dname IS NOT NULL AND TRIM(dname) <> ''),
+        |gdleg AS (SELECT 'guangdong' AS src,
+        |  length('4320321921:' || mk) AS id,
+        |  CAST(4320321921 AS BIGINT) AS funder_id,
+        |  NULLIF(TRIM(aid), '') AS funder_award_id,
+        |  dname AS display_name, CAST(NULL AS VARCHAR) AS description,
+        |  amt0 * 10000 AS amount,
+        |  CASE WHEN amt0 IS NOT NULL THEN 'CNY' END AS currency,
+        |  CASE WHEN scheme LIKE '%杰出青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%优秀青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%博士%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%启明星%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%扬帆%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%重大%' THEN 'research'
+        |       WHEN scheme LIKE '%重点%' THEN 'research'
+        |       WHEN scheme LIKE '%联合基金%' THEN 'research'
+        |       ELSE 'grant' END AS funding_type,
+        |  NULLIF(TRIM(scheme), '') AS funder_scheme,
+        |  'guangdong_nsf' AS provenance,
+        |  CASE WHEN syi IS NOT NULL
+        |       THEN strftime(CAST(CAST(syi AS VARCHAR) || '-01-01'
+        |         AS DATE), '%Y-%m-%d') END AS start_d,
+        |  CAST(NULL AS VARCHAR) AS end_d,
+        |  syi AS start_year, CAST(NULL AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(fam), '') END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(inst), '') END AS pi_aff_name,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN 'China' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  lurl AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320321921:' || mk) AS VARCHAR)
+        |    AS works_api_url
+        | FROM g1prep),
+        |t1raw AS (SELECT k,
+        |  CASE WHEN k % 13 = 0 THEN '  ' WHEN k % 17 = 0 THEN NULL
+        |       ELSE 'MOST' || CAST(k AS VARCHAR) END AS aid,
+        |  '計畫' || CAST(k AS VARCHAR) AS dname,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE '摘要' || CAST(k AS VARCHAR) END AS descr,
+        |  CASE WHEN k % 4 = 0 THEN CAST(k * 7 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 4 = 0 THEN 'TWD' END AS curr,
+        |  CASE WHEN k % 6 = 0 THEN NULL WHEN k % 7 = 0 THEN '2090'
+        |       WHEN k % 11 = 0 THEN 'bad'
+        |       ELSE CAST(2000 + k % 20 AS VARCHAR) END AS sy,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE CAST(2003 + k % 20 AS VARCHAR) END AS ey,
+        |  CASE WHEN k % 3 = 0 THEN '  ' WHEN k % 3 = 1 THEN NULL
+        |       ELSE '調查研究' END AS method,
+        |  CASE WHEN k % 2 = 0 THEN ' 大明 ' ELSE '' END AS lgiven,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE ' 王' || CAST(k % 9 AS VARCHAR) || ' ' END AS lfam,
+        |  CASE WHEN k % 5 = 0 THEN '  '
+        |       ELSE ' 台大' || CAST(k % 6 AS VARCHAR) || ' ' END AS inst,
+        |  CASE WHEN k % 4 = 0 THEN '{"given_name":" 小華'
+        |         || CAST(k AS VARCHAR)
+        |         || ' ","family_name":"李","affiliation_name":" 清大 "}'
+        |       END AS cojs,
+        |  CASE WHEN k % 5 = 0 THEN '[]' WHEN k % 5 = 1 THEN NULL
+        |       ELSE '[{"given_name":"G' || CAST(k AS VARCHAR)
+        |         || '","family_name":" F' || CAST(k AS VARCHAR)
+        |         || ' "},{"given_name":"  ","family_name":"F2"}]'
+        |       END AS invjs
+        | FROM o250),
+        |t1prep AS (SELECT *, TRY_CAST(sy AS INTEGER) AS syi,
+        |  TRY_CAST(ey AS INTEGER) AS eyi
+        | FROM t1raw WHERE aid IS NOT NULL AND TRIM(aid) <> ''),
+        |twleg AS (SELECT 'grb' AS src,
+        |  length('4320322795:' || lower(aid)) AS id,
+        |  CAST(4320322795 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id, dname AS display_name,
+        |  descr AS description,
+        |  TRY_CAST(amt AS DOUBLE) AS amount, curr AS currency,
+        |  'research' AS funding_type,
+        |  COALESCE(NULLIF(TRIM(method), ''), 'MOST GRB project')
+        |    AS funder_scheme,
+        |  'grb_most_projects' AS provenance,
+        |  CAST(NULL AS VARCHAR) AS start_d, CAST(NULL AS VARCHAR) AS end_d,
+        |  CASE WHEN syi > 2027 THEN NULL ELSE syi END AS start_year,
+        |  CASE WHEN syi > 2027 THEN NULL ELSE eyi END AS end_year,
+        |  NULLIF(TRIM(lgiven), '') AS pi_given,
+        |  NULLIF(TRIM(lfam), '') AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  NULLIF(TRIM(inst), '') AS pi_aff_name,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_country,
+        |  CASE WHEN cojs IS NOT NULL THEN NULLIF(TRIM(
+        |    json_extract_string(cojs, '$.family_name')), '')
+        |    END AS colead_family,
+        |  CASE WHEN invjs IS NULL THEN NULL
+        |       WHEN json_array_length(invjs) = 0 THEN NULL
+        |       ELSE CAST(json_array_length(invjs) AS INTEGER)
+        |       END AS n_inv,
+        |  CASE WHEN invjs IS NOT NULL AND json_array_length(invjs) > 0
+        |       THEN NULLIF(TRIM(json_extract_string(invjs,
+        |         '$[0].given_name')), '') END AS inv1_given,
+        |  'https://grb/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320322795:' || lower(aid)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM t1prep),
+        |e1raw AS (SELECT k,
+        |  'ETAG' || CAST(k AS VARCHAR) AS aid,
+        |  CASE WHEN k % 5 = 0 THEN '  ' WHEN k % 7 = 0 THEN NULL
+        |       ELSE 'Grant title ' || CAST(k AS VARCHAR) END AS title,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE 'Desc ' || CAST(k AS VARCHAR) END AS descr,
+        |  CASE WHEN k % 4 = 0 THEN '0' WHEN k % 9 = 0 THEN 'bad'
+        |       WHEN k % 11 = 0 THEN '-5'
+        |       ELSE CAST(k * 25 AS VARCHAR) || '.50' END AS amt,
+        |  'EUR' AS curr,
+        |  CASE WHEN k % 2 = 0 THEN 'PUT' END AS scheme,
+        |  CASE WHEN k % 6 = 0 THEN 'not-a-date' WHEN k % 8 = 0 THEN NULL
+        |       ELSE strftime(DATE '2012-01-01' + INTERVAL (k % 2000) DAY,
+        |         '%Y-%m-%d') END AS sdr,
+        |  strftime(DATE '2015-06-01' + INTERVAL (k % 2000) DAY,
+        |    '%Y-%m-%d') AS edr,
+        |  'Mari' || CAST(k AS VARCHAR) AS giv,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE 'Tamm' || CAST(k AS VARCHAR) END AS fam,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Tartu U' || CAST(k % 3 AS VARCHAR) END AS inst
+        | FROM o200),
+        |e1prep AS (SELECT *, TRY_CAST(amt AS DECIMAL(18,2)) AS amtd,
+        |  TRY_CAST(sdr AS DATE) AS sd, TRY_CAST(edr AS DATE) AS ed
+        | FROM e1raw),
+        |eeleg AS (SELECT 'etis' AS src,
+        |  length('4320321090:' || lower(aid)) AS id,
+        |  CAST(4320321090 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id,
+        |  COALESCE(NULLIF(TRIM(title), ''),
+        |    'Estonian Research Council (ETAg) grant ' || aid)
+        |    AS display_name,
+        |  descr AS description,
+        |  CASE WHEN amtd > 0 THEN CAST(amtd AS DOUBLE) END AS amount,
+        |  CASE WHEN amtd > 0 THEN curr END AS currency,
+        |  'grant' AS funding_type, scheme AS funder_scheme,
+        |  'etis_etag' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  CAST(year(sd) AS INTEGER) AS start_year,
+        |  CAST(year(ed) AS INTEGER) AS end_year,
+        |  CASE WHEN fam IS NOT NULL THEN giv END AS pi_given,
+        |  CASE WHEN fam IS NOT NULL THEN fam END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN fam IS NOT NULL THEN inst END AS pi_aff_name,
+        |  CASE WHEN fam IS NOT NULL THEN 'Estonia' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://etis/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  CAST(NULL AS VARCHAR) AS works_api_url
+        | FROM e1prep),
+        |s1raw AS (SELECT k,
+        |  CASE WHEN k % 13 = 0 THEN '  ' WHEN k % 17 = 0 THEN NULL
+        |       WHEN k % 2 = 0 THEN ' 2019-0' || CAST(k AS VARCHAR)
+        |         || '_VR '
+        |       ELSE '2020-1' || CAST(k AS VARCHAR) END AS pid,
+        |  CASE WHEN k % 3 = 0 THEN '  '
+        |       ELSE 'Study ' || CAST(k AS VARCHAR) END AS te,
+        |  'Studie ' || CAST(k AS VARCHAR) AS t,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE ' Abs ' || CAST(k AS VARCHAR) END AS ae,
+        |  CASE WHEN k % 5 = 0 THEN '  '
+        |       ELSE 'Sammanfattning ' || CAST(k AS VARCHAR) END AS a,
+        |  CASE WHEN k % 6 = 0 THEN '0' WHEN k % 7 = 0 THEN 'bad'
+        |       ELSE CAST(k * 1000 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 5 = 0 THEN 'Research project grant'
+        |       WHEN k % 5 = 1 THEN 'Fellowship grant'
+        |       WHEN k % 5 = 2 THEN 'Research infrastructure'
+        |       WHEN k % 5 = 3 THEN NULL
+        |       ELSE 'Other stipend' END AS toa,
+        |  CASE WHEN k % 2 = 0 THEN ' Anna ' ELSE '  ' END AS giv,
+        |  CASE WHEN k % 3 = 0 THEN '  ' WHEN k % 3 = 1 THEN NULL
+        |       ELSE ' Svensson' || CAST(k AS VARCHAR) END AS fam,
+        |  CASE WHEN k % 4 = 0 THEN '  '
+        |       ELSE ' 0000-0002-' || CAST(k AS VARCHAR) END AS orc,
+        |  CASE WHEN k % 6 = 0 THEN ' '
+        |       ELSE ' IFAU ' || CAST(k % 3 AS VARCHAR) END AS org,
+        |  CASE WHEN k % 8 = 0 THEN NULL
+        |       ELSE DATE '2016-01-01' + INTERVAL (k % 1500) DAY END AS sd,
+        |  DATE '2019-01-01' + INTERVAL (k % 1500) DAY AS ed
+        | FROM o200),
+        |s1prep AS (SELECT *,
+        |  regexp_replace(TRIM(pid), '_[A-Za-z]+$', '') AS bare,
+        |  lower(COALESCE(toa, '')) AS ta
+        | FROM s1raw WHERE pid IS NOT NULL AND TRIM(pid) <> ''),
+        |seleg AS (SELECT 'swecris' AS src,
+        |  length('4320327653:' || lower(bare)) AS id,
+        |  CAST(4320327653 AS BIGINT) AS funder_id,
+        |  bare AS funder_award_id,
+        |  COALESCE(NULLIF(TRIM(te), ''), NULLIF(TRIM(t), ''))
+        |    AS display_name,
+        |  COALESCE(NULLIF(TRIM(ae), ''), NULLIF(TRIM(a), ''))
+        |    AS description,
+        |  NULLIF(TRY_CAST(amt AS DOUBLE), 0) AS amount,
+        |  'SEK' AS currency,
+        |  CASE WHEN ta LIKE '%fellow%' THEN 'fellowship'
+        |       WHEN ta LIKE '%stipend%' THEN 'fellowship'
+        |       WHEN ta LIKE '%position%' THEN 'fellowship'
+        |       WHEN ta LIKE '%infrastructure%' THEN 'infrastructure'
+        |       WHEN ta LIKE '%project%' THEN 'research'
+        |       ELSE 'grant' END AS funding_type,
+        |  NULLIF(TRIM(toa), '') AS funder_scheme,
+        |  'ifau' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  CAST(year(sd) AS INTEGER) AS start_year,
+        |  CAST(year(ed) AS INTEGER) AS end_year,
+        |  CASE WHEN fam IS NOT NULL AND TRIM(fam) <> ''
+        |       THEN NULLIF(TRIM(giv), '') END AS pi_given,
+        |  CASE WHEN fam IS NOT NULL AND TRIM(fam) <> ''
+        |       THEN TRIM(fam) END AS pi_family,
+        |  CASE WHEN fam IS NOT NULL AND TRIM(fam) <> ''
+        |       THEN NULLIF(TRIM(orc), '') END AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN fam IS NOT NULL AND TRIM(fam) <> ''
+        |       THEN NULLIF(TRIM(org), '') END AS pi_aff_name,
+        |  CASE WHEN fam IS NOT NULL AND TRIM(fam) <> ''
+        |       THEN 'Sweden' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://www.vr.se/swecris#/project/' || TRIM(pid)
+        |    AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320327653:' || lower(bare)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM s1prep),
+        |c1raw AS (SELECT k,
+        |  CASE WHEN k % 11 = 0 THEN NULL
+        |       ELSE 'GX20-' || CAST(k AS VARCHAR) END AS pc,
+        |  CASE WHEN k % 3 = 0 THEN '  ' WHEN k % 3 = 1 THEN NULL
+        |       ELSE 'Project ' || CAST(k AS VARCHAR) END AS ten,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Projekt ' || CAST(k AS VARCHAR) END AS tcs,
+        |  'T ' || CAST(k AS VARCHAR) AS t,
+        |  CASE WHEN k % 2 = 0 THEN ''
+        |       ELSE 'Desc ' || CAST(k AS VARCHAR) END AS den,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE 'Popis ' || CAST(k AS VARCHAR) END AS dcs,
+        |  'D' || CAST(k AS VARCHAR) AS d,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE CAST(k * 100 AS DOUBLE) END AS fa,
+        |  CASE WHEN k % 7 = 0 THEN NULL
+        |       ELSE CAST(k * 150 AS DOUBLE) END AS tc,
+        |  CASE WHEN k % 5 = 0 THEN 'GJ' WHEN k % 5 = 1 THEN 'GP'
+        |       WHEN k % 5 = 2 THEN 'GA' WHEN k % 5 = 3 THEN 'ZZ'
+        |       ELSE 'GX' END AS pgc,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE DATE '2014-01-01' + INTERVAL (k % 2000) DAY END AS sd,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE CAST(2014 + k % 8 AS VARCHAR) END AS sy,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE DATE '2017-06-01' + INTERVAL (k % 2000) DAY END AS ed,
+        |  CASE WHEN k % 8 = 0 THEN NULL
+        |       ELSE CAST(2018 + k % 8 AS VARCHAR) END AS ey,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE 'MU Brno ' || CAST(k % 4 AS VARCHAR) END AS inst,
+        |  CASE WHEN k % 2 = 0 THEN 'CZ' ELSE 'SK' END AS ic
+        | FROM o200),
+        |c1prep AS (SELECT *, TRY_CAST(sy AS INTEGER) AS syi,
+        |  TRY_CAST(ey AS INTEGER) AS eyi
+        | FROM c1raw WHERE pc IS NOT NULL),
+        |czleg AS (SELECT 'cep' AS src,
+        |  length('4320321006:' || lower(pc)) AS id,
+        |  CAST(4320321006 AS BIGINT) AS funder_id,
+        |  pc AS funder_award_id,
+        |  COALESCE(NULLIF(TRIM(ten), ''), tcs, t) AS display_name,
+        |  COALESCE(NULLIF(TRIM(den), ''), dcs, d) AS description,
+        |  COALESCE(fa, tc) AS amount, 'CZK' AS currency,
+        |  CASE WHEN upper(pgc) IN ('GJ', 'GP') THEN 'fellowship'
+        |       ELSE 'grant' END AS funding_type,
+        |  CASE WHEN pgc = 'GA' THEN 'Standard Projects'
+        |       WHEN pgc = 'GJ' THEN 'Junior Grants'
+        |       WHEN pgc = 'GP' THEN 'Postdoc Grants'
+        |       WHEN pgc = 'GX' THEN 'EXPRO Excellence Projects'
+        |       WHEN pgc = 'GM' THEN 'International Projects'
+        |       WHEN pgc = 'GC' THEN 'International Collaboration'
+        |       WHEN pgc = 'GB' THEN 'Center of Excellence'
+        |       WHEN pgc = 'GD' THEN 'Bilateral Projects'
+        |       WHEN pgc = 'GF' THEN 'LA Projects'
+        |       ELSE pgc END AS funder_scheme,
+        |  'isvavai_cep' AS provenance,
+        |  CASE WHEN sd IS NOT NULL THEN strftime(sd, '%Y-%m-%d')
+        |       WHEN syi IS NOT NULL
+        |       THEN strftime(CAST(CAST(syi AS VARCHAR) || '-01-01'
+        |         AS DATE), '%Y-%m-%d') END AS start_d,
+        |  CASE WHEN ed IS NOT NULL THEN strftime(ed, '%Y-%m-%d')
+        |       WHEN eyi IS NOT NULL
+        |       THEN strftime(CAST(CAST(eyi AS VARCHAR) || '-12-31'
+        |         AS DATE), '%Y-%m-%d') END AS end_d,
+        |  syi AS start_year, eyi AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CASE WHEN inst IS NOT NULL THEN CAST(NULL AS VARCHAR)
+        |       END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN inst IS NOT NULL THEN inst END AS pi_aff_name,
+        |  CASE WHEN inst IS NOT NULL THEN
+        |    CASE WHEN ic = 'CZ' THEN 'Czech Republic' ELSE ic END
+        |    END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://isvavai/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320321006:' || lower(pc)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM c1prep)
+        |SELECT * FROM fjleg
+        |UNION ALL SELECT * FROM gdleg
+        |UNION ALL SELECT * FROM twleg
+        |UNION ALL SELECT * FROM eeleg
+        |UNION ALL SELECT * FROM seleg
+        |UNION ALL SELECT * FROM czleg""".stripMargin
   }
 }
