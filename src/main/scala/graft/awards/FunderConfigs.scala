@@ -5027,10 +5027,14 @@ object FunderConfigs {
     * the raw end year). */
   private def grantCard(funderId: Long, provenance: String,
       priority: Int, fallbackPrefix: String, country: String,
-      fullDates: Boolean, endYearFromRaw: Boolean): FunderIngestConfig = {
+      fullDates: Boolean, endYearFromRaw: Boolean,
+      dateFmt: String = "yyyy-MM-dd", mintSalt: Option[Column] = None,
+      doiFromRaw: Boolean = false): FunderIngestConfig = {
     val amt = col("amount").try_cast("decimal(18,2)")
-    val sdRaw = d(col("start_date_raw"))
-    val edRaw = d(col("end_date_raw"))
+    def dFmt(c: Column): Column =
+      to_date(try_to_timestamp(c, lit(dateFmt)))
+    val sdRaw = dFmt(col("start_date_raw"))
+    val edRaw = dFmt(col("end_date_raw"))
     val lead = when(col("pi_family").isNotNull,
       investigator(col("pi_given"), col("pi_family"),
         lit(null).cast("string"), lit(null).cast("date"),
@@ -5041,7 +5045,8 @@ object FunderConfigs {
           col("institution"), lit(country), lit(null).cast(affIds)))
     FunderIngestConfig(
       funderId = funderId, provenance = provenance, priority = priority,
-      mintKey = lower(col("funder_award_id")),
+      mintKey = mintSalt.foldLeft(lower(col("funder_award_id")))(
+        (base, salt) => concat(base, lit(":"), salt)),
       funderAwardId = col("funder_award_id"),
       displayName = coalesce(nullif(trim(col("title")), lit("")),
         concat(lit(fallbackPrefix), col("funder_award_id"))),
@@ -5056,7 +5061,7 @@ object FunderConfigs {
       endYear = if (endYearFromRaw) year(edRaw) else lit(null).cast("int"),
       leadInvestigator = lead,
       landingPageUrl = col("landing_page_url"),
-      doi = lit(null).cast("string"),
+      doi = if (doiFromRaw) col("doi") else lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull,
       worksApiUrl = Some(lit(null).cast("string")))
   }
@@ -6372,5 +6377,231 @@ object FunderConfigs {
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull &&
         col("scientist_full_name").isNotNull)
+  }
+
+  // ---------------------------------------------------------------
+  // Round-13 first tranche (volume order): RGC HK, ISF, Villum,
+  // OSTI facility, VEGA, MEYS
+  // ---------------------------------------------------------------
+
+  /** The RGC co-investigator JSON element (CreateRGCHKAwards.ipynb
+    * cell 16's FROM_JSON schema). */
+  private def rgcPerson: String =
+    "array<struct<raw_name:string,given_name:string,family_name:string>>"
+
+  /** RGC / Hong Kong Research Grants Council project enquiry
+    * (CreateRGCHKAwards.ipynb cell 16, ~21.3K projects): the LOWERED
+    * trimmed native id is BOTH the mint and the landed award id, >0
+    * HKD gate, hint-else-'research' type, completion-date end with
+    * year-only coverage under the future-start cap (NULL start keeps
+    * end_year — the SQL CASE ELSE arm), an UNCONDITIONAL trimmed
+    * lead with no country, and the co-investigators JSON split
+    * FIRST→co-lead / REST→investigators. */
+  def rgcHk(currentYear: Int): FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val future = sy > currentYear + 1
+    val co = from_json(col("co_investigators_struct_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(rgcPerson))
+    def coPerson(x: Column): Column =
+      struct(nullif(trim(x.getField("given_name")), lit(""))
+          .as("given_name"),
+        nullif(trim(x.getField("family_name")), lit(""))
+          .as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        struct(lit(null).cast("string").as("name"),
+          lit(null).cast("string").as("country"),
+          lit(null).cast(affIds).as("ids")).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320321592L, provenance = "rgc_hk_project_enquiry",
+      priority = 198,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("title")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "HKD"),
+      fundingType = coalesce(nullif(trim(col("funding_type_hint")),
+        lit("")), lit("research")),
+      funderScheme = nullif(trim(col("funding_scheme")), lit("")),
+      startDate = lit(null).cast("date"),
+      endDate = d(col("completion_date")),
+      startYear = when(future, lit(null)).otherwise(sy),
+      endYear = when(future, lit(null)).otherwise(ey),
+      leadInvestigator = investigator(
+        nullif(trim(col("pi_given_name")), lit("")),
+        nullif(trim(col("pi_family_name")), lit("")),
+        lit(null).cast("string"), lit(null).cast("date"),
+        nullif(trim(col("institution")), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      coLeadInvestigator = when(co.isNotNull && size(co) > 0,
+        coPerson(element_at(co, 1))),
+      investigators = when(co.isNotNull && size(co) > 1,
+        transform(slice(co, lit(2), size(co) - 1), x => coPerson(x)))
+        .otherwise(FunderIngest.nullInvestigators),
+      landingPageUrl = nullif(trim(col("source_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("title").isNotNull && trim(col("title")) =!= "")
+  }
+
+  /** ISF / Israel Science Foundation grant search
+    * (CreateISFAwards.ipynb cell 15, ~16.2K): lowered-trimmed native
+    * id, UNGATED amount with presence-gated 'ILS', type-else-'grant',
+    * the grant-type→allocation-type→'ISF grant' scheme cascade,
+    * date-else-source-year start and date-else-(start+duration−1)
+    * end years, an UNCONDITIONAL trimmed 'IL' lead with
+    * role_start = start. */
+  def isf: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val sy = col("source_year").try_cast("int")
+    val dur = col("years").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320322252L, provenance = "isf_grant_search",
+      priority = 146,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "ILS"),
+      fundingType = coalesce(nullif(trim(col("funding_type")), lit("")),
+        lit("grant")),
+      funderScheme = coalesce(nullif(trim(col("grant_type_name")),
+        lit("")), nullif(trim(col("source_allocation_type_name")),
+        lit("")), lit("ISF grant")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), sy),
+      endYear = coalesce(year(ed), sy + dur - 1),
+      leadInvestigator = investigator(
+        nullif(trim(col("lead_investigator_given_name")), lit("")),
+        nullif(trim(col("lead_investigator_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")), lit("IL"),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Villum Fonden / Velux Fonden grants roster
+    * (CreateVillumAwards.ipynb cell 10, ~15.5K): >0 DKK gate, the
+    * scheme-RLIKE fellowship arm over the area-RLIKE research arm,
+    * year-only coverage with the Jan-1 start built from the RAW year
+    * string, a family-or-institution-gated source-country lead, and
+    * the projects-granted page as the landing fallback. */
+  def villum: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val yr = col("year").try_cast("int")
+    val lead = when(col("pi_family_name").isNotNull ||
+        col("institution_name").isNotNull,
+      investigator(col("pi_given_name"), col("pi_family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution_name"), col("institution_country"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320310490L, provenance = "villum_veluxfonden",
+      priority = 191,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "DKK"),
+      fundingType = when(lower(col("funder_scheme")).rlike(
+          "(visiting professor|young invest|kavli|postdoc|fellowship|" +
+            "talent|phd|ph\\.d|stipend)"), "fellowship")
+        .when(lower(col("funder_area")).rlike(
+          "(technical|scientific|research)"), "research")
+        .otherwise("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(yr.isNotNull,
+        d(concat(col("year"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = yr, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = coalesce(col("landing_url"),
+        lit("https://veluxfonden.dk/en/basic-page/projects-granted")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id").cast("string")) =!= "")
+  }
+
+  /** DOE national user facilities via OSTI
+    * (CreateOSTIFacilityAwards.ipynb cell 8, ~14.3K): the
+    * [[grantCard]] archetype FACILITY-SALTED — 703 award numbers
+    * recur at >1 facility, so the mint appends the lowered scheme —
+    * with year-only 'yyyy' raws, the Crossref grant DOI passed
+    * through, 'United States'. */
+  def ostiFacility: FunderIngestConfig =
+    grantCard(4320306084L, "osti_facility", 455,
+      "DOE facility grant ", "United States", fullDates = false,
+      endYearFromRaw = true, dateFmt = "yyyy",
+      mintSalt = Some(lower(coalesce(col("scheme"), lit("")))),
+      doiFromRaw = true)
+
+  /** VEGA / Slovak joint MŠVVaŠ-SAV grant agency
+    * (CreateVEGAAwards.ipynb cell 6, ~11.9K projects): the
+    * [[grantCard]] archetype with Slovak 'dd.MM.yyyy' raws, full
+    * dates, 'Slovakia'. */
+  def vegaSk: FunderIngestConfig =
+    grantCard(4320323641L, "vega_sk", 379, "VEGA grant ", "Slovakia",
+      fullDates = true, endYearFromRaw = true, dateFmt = "dd.MM.yyyy")
+
+  /** MEYS / Czech Ministry of Education, Youth and Sports via IS
+    * VaVaI (CreateMEYSAwards.ipynb cell 17, ~11.4K MSM projects):
+    * NOT the CEP card — the participant-else-project org/country
+    * coalesce feeds an ORG-ONLY lead whose ror ids arm falls back to
+    * an EMPTY array (not NULL), un-trimmed EN→original title and
+    * objectives→keywords description cascades with a labeled-id
+    * fallback, >0-gated CZK state support, and the future-start cap
+    * NULLing start while a NULL start keeps end_year. */
+  def meys(currentYear: Int): FunderIngestConfig = {
+    val amt = col("state_support_czk").try_cast("double")
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val future = sy > currentYear + 1
+    val orgName = coalesce(col("lead_org_name_participant"),
+      col("lead_org_name_project"))
+    val orgCountry = coalesce(col("lead_country_participant"),
+      col("lead_country_project"))
+    val rorIds = when(col("lead_ror").isNotNull,
+      array(struct(col("lead_ror").as("id"), lit("ror").as("type"),
+        lit("source").as("asserted_by"))))
+      .otherwise(array().cast(affIds))
+    val lead = when(orgName.isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        orgName, orgCountry, rorIds))
+    FunderIngestConfig(
+      funderId = 4320321005L, provenance = "isvavai_msm", priority = 226,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title_en"), col("title_original"),
+        concat(lit("MEYS project "), col("funder_award_id"))),
+      description = coalesce(col("objectives_en"),
+        col("objectives_original"), col("keywords_en")),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "CZK"),
+      fundingType = lit("grant"),
+      funderScheme = col("program_code"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = when(future, lit(null)).otherwise(sy),
+      endYear = when(future, lit(null)).otherwise(ey),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
   }
 }

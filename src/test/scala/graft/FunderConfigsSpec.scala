@@ -4546,4 +4546,289 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(odm(0).isNullAt(odm(0).fieldIndex("amount"))) // waiver
     assert(odm(0).isNullAt(odm(0).fieldIndex("start_year")))
   }
+
+  private def regTwenty = regNineteen.unionByName(Seq(
+    (4320321592L, "Research Grants Council HK", "r-rgc", "d-rgc"),
+    (4320322252L, "Israel Science Foundation", "r-isf", "d-isf"),
+    (4320310490L, "Villum Fonden", "r-vil", "d-vil"),
+    (4320306084L, "U.S. Department of Energy", "r-doe", "d-doe"),
+    (4320323641L, "VEGA", "r-veg", "d-veg"),
+    (4320321005L, "Ministry of Education Youth and Sports", "r-msm",
+      "d-msm"))
+    .toDF(reg.columns: _*))
+
+  test("RGC HK / ISF: lowered native ids as landed award ids, the " +
+    "co-investigator JSON first→co-lead/rest→investigators split, " +
+    "the future-start cap keeping end_year on NULL start, ISF's " +
+    "presence-gated ILS with the duration-derived end year") {
+    val coJs = """[{"raw_name":"A B","given_name":" A ","family_name":""" +
+      """"B"},{"raw_name":"C D","given_name":"C","family_name":" D "}]"""
+    val rg = Seq(
+      (" RGC-1234 ", " Proj A ", Some("  "), Some("500000"),
+        Some("2019"), Some("2022"), Some("2022-06-30"), Some("  "),
+        Some(" GRF "), Some(" Ka "), Some(" Chan "), Some(" HKU "),
+        Some(coJs), Some("https://rgc/1")),
+      ("RGC-2", "Proj B", None: Option[String], Some("0"),
+        Some("2090"), Some("2093"), None: Option[String],
+        Some("fellowship"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("RGC-3", "Proj C", None: Option[String], None: Option[String],
+        None: Option[String], Some("2024"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("RGC-4", "  ", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "start_year", "end_year", "completion_date", "funding_type_hint",
+        "funding_scheme", "pi_given_name", "pi_family_name",
+        "institution", "co_investigators_struct_json", "source_url")
+    val org = FunderIngest.transform(rg, regTwenty,
+      FunderConfigs.rgcHk(2026), now).orderBy("funder_award_id")
+      .collect()
+    assert(org.length === 3) // blank title dropped
+    assert(org(0).getAs[String]("funder_award_id") === "rgc-1234")
+    assert(org(0).getAs[String]("display_name") === "Proj A")
+    assert(org(0).isNullAt(org(0).fieldIndex("description")))
+    assert(org(0).getAs[Double]("amount") === 500000.0)
+    assert(org(0).getAs[String]("currency") === "HKD")
+    assert(org(0).getAs[String]("funding_type") === "research") // blank hint
+    assert(org(0).getAs[String]("funder_scheme") === "GRF")
+    assert(org(0).getAs[java.sql.Date]("end_date").toString
+      === "2022-06-30")
+    val rl = org(0).getAs[Row]("lead_investigator")
+    assert(rl.getAs[String]("family_name") === "Chan")
+    assert(rl.getAs[Row]("affiliation").isNullAt(
+      rl.getAs[Row]("affiliation").fieldIndex("country"))) // no country
+    val rcl = org(0).getAs[Row]("co_lead_investigator")
+    assert(rcl.getAs[String]("given_name") === "A") // first co, trimmed
+    val ris = org(0).getSeq[Row](org(0).fieldIndex("investigators"))
+    assert(ris.length === 1) // rest of the list
+    assert(ris.head.getAs[String]("family_name") === "D")
+    // future start NULLs both years; zero amount gated
+    assert(org(1).isNullAt(org(1).fieldIndex("start_year")))
+    assert(org(1).isNullAt(org(1).fieldIndex("end_year")))
+    assert(org(1).isNullAt(org(1).fieldIndex("amount")))
+    assert(org(1).getAs[String]("funding_type") === "fellowship")
+    assert(org(1).isNullAt(org(1).fieldIndex("co_lead_investigator")))
+    assert(org(1).isNullAt(org(1).fieldIndex("investigators")))
+    // NULL start keeps end_year (the SQL CASE ELSE arm)
+    assert(org(2).isNullAt(org(2).fieldIndex("start_year")))
+    assert(org(2).getAs[Int]("end_year") === 2024)
+
+    val is = Seq(
+      (" ISF-100 ", " Study X ", None: Option[String], Some("0"),
+        None: Option[String], Some("  "), Some(" Personal "),
+        Some("2018-01-01"), None: Option[String], Some("2017"),
+        Some("3"), Some(" Dana "), Some(" Levi "), Some(" TAU "),
+        Some(" https://isf/1 ")),
+      ("ISF-200", "Study Y", Some(" D2 "), Some("bad"),
+        Some(" equipment "), None: Option[String], None: Option[String],
+        None: Option[String], Some("2020-12-31"), Some("2016"),
+        Some("4"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]),
+      ("ISF-300", "  ", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funding_type", "grant_type_name", "source_allocation_type_name",
+        "start_date", "end_date", "source_year", "years",
+        "lead_investigator_given_name", "lead_investigator_family_name",
+        "institution", "landing_page_url")
+    val ois = FunderIngest.transform(is, regTwenty,
+      FunderConfigs.isf, now).orderBy("funder_award_id").collect()
+    assert(ois.length === 2) // blank display dropped
+    assert(ois(0).getAs[String]("funder_award_id") === "isf-100")
+    assert(ois(0).getAs[Double]("amount") === 0.0) // UNGATED
+    assert(ois(0).getAs[String]("currency") === "ILS") // presence-gated
+    assert(ois(0).getAs[String]("funding_type") === "grant")
+    assert(ois(0).getAs[String]("funder_scheme") === "Personal")
+    assert(ois(0).getAs[Int]("start_year") === 2018) // from date
+    assert(ois(0).getAs[Int]("end_year") === 2019) // 2017 + 3 - 1
+    val il = ois(0).getAs[Row]("lead_investigator")
+    assert(il.getAs[java.sql.Date]("role_start").toString === "2018-01-01")
+    assert(il.getAs[Row]("affiliation").getAs[String]("country") === "IL")
+    assert(ois(1).isNullAt(ois(1).fieldIndex("amount"))) // 'bad'
+    assert(ois(1).isNullAt(ois(1).fieldIndex("currency")))
+    assert(ois(1).getAs[String]("funding_type") === "equipment")
+    assert(ois(1).getAs[String]("funder_scheme") === "ISF grant")
+    assert(ois(1).getAs[Int]("start_year") === 2016) // source year
+    assert(ois(1).getAs[Int]("end_year") === 2020) // from end date
+  }
+
+  test("Villum / OSTI facility / VEGA / MEYS: the scheme-RLIKE-over-" +
+    "area-RLIKE type arms with the projects-granted landing fallback, " +
+    "the facility-salted mint with 'yyyy' raws and the grant DOI " +
+    "passthrough, Slovak dd.MM.yyyy dates, and the MSM org-only lead " +
+    "whose ror arm falls back to an EMPTY array") {
+    val vl = Seq(
+      ("V100", "T1", Some("0"), Some("Postdoc Fellowship"),
+        None: Option[String], Some("2021"), None: Option[String],
+        None: Option[String], Some("DTU"), Some("DK"),
+        None: Option[String]),
+      ("V200", "T2", Some("1000000"), Some("Core"),
+        Some("Technical Sciences"), Some("bad"), Some("Lars"),
+        Some("Jensen"), None: Option[String], None: Option[String],
+        Some("https://villum/2")),
+      ("V300", "T3", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("  ", "dropped", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "amount", "funder_scheme",
+        "funder_area", "year", "pi_given_name", "pi_family_name",
+        "institution_name", "institution_country", "landing_url")
+    val ovl = FunderIngest.transform(vl, regTwenty,
+      FunderConfigs.villum, now).orderBy("funder_award_id").collect()
+    assert(ovl.length === 3)
+    assert(ovl(0).isNullAt(ovl(0).fieldIndex("amount"))) // 0 gated
+    assert(ovl(0).getAs[String]("funding_type") === "fellowship")
+    assert(ovl(0).getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(ovl(0).getAs[Int]("start_year") === 2021)
+    val vls = ovl(0).getAs[Row]("lead_investigator")
+    assert(vls.getAs[Row]("affiliation").getAs[String]("name") === "DTU")
+    assert(vls.getAs[Row]("affiliation").getAs[String]("country") === "DK")
+    assert(ovl(0).getAs[String]("landing_page_url")
+      === "https://veluxfonden.dk/en/basic-page/projects-granted")
+    assert(ovl(1).getAs[Double]("amount") === 1000000.0)
+    assert(ovl(1).getAs[String]("currency") === "DKK")
+    assert(ovl(1).getAs[String]("funding_type") === "research") // area arm
+    assert(ovl(1).isNullAt(ovl(1).fieldIndex("start_date"))) // 'bad' year
+    assert(ovl(1).getAs[Row]("lead_investigator")
+      .getAs[String]("family_name") === "Jensen")
+    assert(ovl(2).getAs[String]("funding_type") === "grant")
+    assert(ovl(2).isNullAt(ovl(2).fieldIndex("lead_investigator")))
+
+    val os = Seq(
+      ("DE-AC02-05", Some("  "), Some("Beam study"), Some("100000.00"),
+        Some("USD"), Some("ALS"), Some("2019"), Some("2021"),
+        Some("Ann"), Some("Smith"), Some("LBNL"), Some("10.1/osti1"),
+        Some("https://osti/1")),
+      ("DE-AC02-05", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("05/2019"), None: Option[String], None: Option[String],
+        None: Option[String], Some("ORNL"), None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "doi",
+        "landing_page_url")
+    val oos = FunderIngest.transform(os, regTwenty,
+      FunderConfigs.ostiFacility, now)
+      .orderBy(col("funder_scheme").asc_nulls_last).collect()
+    assert(oos.length === 2)
+    // facility-salted mint: same award number, different facility →
+    // distinct ids
+    assert(oos(0).getAs[Long]("id") !== oos(1).getAs[Long]("id"))
+    assert(oos(0).getAs[String]("display_name")
+      === "DOE facility grant DE-AC02-05") // blank title → labeled id
+    assert(oos(0).getAs[String]("description") === "Beam study")
+    assert(oos(0).getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 100000.0)
+    assert(oos(0).getAs[Int]("start_year") === 2019) // 'yyyy' raw
+    assert(oos(0).getAs[Int]("end_year") === 2021)
+    assert(oos(0).isNullAt(oos(0).fieldIndex("start_date"))) // year-only
+    assert(oos(0).getAs[String]("doi") === "10.1/osti1") // passthrough
+    assert(oos(0).isNullAt(oos(0).fieldIndex("works_api_url")))
+    assert(oos(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+    assert(oos(1).isNullAt(oos(1).fieldIndex("start_year"))) // 05/2019
+    assert(oos(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "ORNL")
+
+    val vg = Seq(
+      ("1/0123/20", Some("Projekt V"), Some("D"), Some("5000.00"),
+        Some("EUR"), Some("VEGA"), Some("01.01.2020"),
+        Some("31.12.2022"), Some("Jan"), Some("Novák"), Some("UK BA"),
+        Some("https://vega/1")),
+      ("2/0456/21", None: Option[String], None: Option[String],
+        Some("0"), Some("EUR"), None: Option[String],
+        Some("2020-01-01"), None: Option[String], None: Option[String],
+        None: Option[String], Some("SAV"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ovg = FunderIngest.transform(vg, regTwenty,
+      FunderConfigs.vegaSk, now).orderBy("funder_award_id").collect()
+    assert(ovg(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01") // dd.MM.yyyy
+    assert(ovg(0).getAs[java.sql.Date]("end_date").toString
+      === "2022-12-31")
+    assert(ovg(0).getAs[Int]("end_year") === 2022)
+    assert(ovg(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Slovakia")
+    assert(ovg(1).getAs[String]("display_name")
+      === "VEGA grant 2/0456/21")
+    assert(ovg(1).isNullAt(ovg(1).fieldIndex("start_year"))) // ISO ≠ fmt
+    assert(ovg(1).isNullAt(ovg(1).fieldIndex("amount")))
+    assert(ovg(0).getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 5000.0)
+
+    val me = Seq(
+      (" MSM001 ", None: Option[String], Some("Projekt M"),
+        None: Option[String], None: Option[String], Some("kw"),
+        Some("1000"), Some("LN"), Some("2019-01-01"), Some("2023-12-31"),
+        Some("2019"), Some("2023"), Some("Org A"), None: Option[String],
+        None: Option[String], Some("CZ"), Some("https://ror.org/x1"),
+        Some("https://msm/1")),
+      ("MSM002", Some("Project N"), None: Option[String],
+        Some("Obj EN"), None: Option[String], None: Option[String],
+        Some("0"), Some("LQ"), None: Option[String], None: Option[String],
+        Some("2090"), Some("2093"), None: Option[String], Some("Org B"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("MSM003", Some("Project O"), None: Option[String],
+        None: Option[String], Some("Obj CS"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("2025"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title_en", "title_original",
+        "objectives_en", "objectives_original", "keywords_en",
+        "state_support_czk", "program_code", "start_date", "end_date",
+        "start_year", "end_year", "lead_org_name_participant",
+        "lead_org_name_project", "lead_country_participant",
+        "lead_country_project", "lead_ror", "source_url")
+    val ome = FunderIngest.transform(me, regTwenty,
+      FunderConfigs.meys(2026), now).orderBy("funder_award_id").collect()
+    assert(ome.length === 3)
+    assert(ome(0).getAs[String]("funder_award_id") === " MSM001 ") // raw
+    assert(ome(0).getAs[String]("display_name") === "Projekt M")
+    assert(ome(0).getAs[String]("description") === "kw")
+    assert(ome(0).getAs[Double]("amount") === 1000.0)
+    assert(ome(0).getAs[String]("currency") === "CZK")
+    val ml = ome(0).getAs[Row]("lead_investigator")
+    assert(ml.isNullAt(ml.fieldIndex("family_name"))) // org-only
+    assert(ml.getAs[Row]("affiliation").getAs[String]("name") === "Org A")
+    assert(ml.getAs[Row]("affiliation").getAs[String]("country") === "CZ")
+    assert(ml.getAs[Row]("affiliation")
+      .getSeq[Row](ml.getAs[Row]("affiliation").fieldIndex("ids"))
+      .head.getAs[String]("id") === "https://ror.org/x1")
+    // future cap NULLs both; zero support gated; project-side org;
+    // NULL ror → EMPTY ids array, not NULL
+    assert(ome(1).isNullAt(ome(1).fieldIndex("start_year")))
+    assert(ome(1).isNullAt(ome(1).fieldIndex("end_year")))
+    assert(ome(1).isNullAt(ome(1).fieldIndex("amount")))
+    val ml2 = ome(1).getAs[Row]("lead_investigator")
+    assert(ml2.getAs[Row]("affiliation").getAs[String]("name") === "Org B")
+    assert(ml2.getAs[Row]("affiliation")
+      .getSeq[Row](ml2.getAs[Row]("affiliation").fieldIndex("ids"))
+      .isEmpty) // empty array arm
+    // NULL start keeps end_year; description falls to objectives_cs;
+    // labeled-id display fallback unused (title_en present)
+    assert(ome(2).isNullAt(ome(2).fieldIndex("start_year")))
+    assert(ome(2).getAs[Int]("end_year") === 2025)
+    assert(ome(2).getAs[String]("description") === "Obj CS")
+  }
 }
