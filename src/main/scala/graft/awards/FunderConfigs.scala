@@ -6604,4 +6604,227 @@ object FunderConfigs {
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 second tranche: DHSC, TrygFonden, NAFOSTED, FRQSC,
+  // HFSP, Wolfson
+  // ---------------------------------------------------------------
+
+  /** DHSC / UK Department of Health and Social Care via NIHR Open
+    * Data (CreateDHSCAwards.ipynb cell 9, ~10.8K): UNGATED GBP
+    * (PRU rows publish no amounts — §6.7 waiver), plain-English-else-
+    * scientific abstract, the training-award-title arm over the
+    * fellowship-programme arm, programme-else-stream scheme, a
+    * chief-investigator lead whose bare '0000-…' ORCID gets the
+    * https prefix, org-only fallback, 'GB'. */
+  def dhsc: FunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val orcid = when(col("orcid").isNotNull &&
+        col("orcid").rlike("^[0-9]{4}-"),
+      concat(lit("https://orcid.org/"), col("orcid")))
+      .otherwise(col("orcid"))
+    val lead = when(col("lead_family_name").isNotNull,
+      investigator(col("lead_given_name"), col("lead_family_name"),
+        orcid, lit(null).cast("date"),
+        col("contracted_organisation"), lit("GB"),
+        lit(null).cast(affIds)))
+      .when(col("contracted_organisation").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          col("contracted_organisation"), lit("GB"),
+          lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320319994L, provenance = "nihr_ods_dhsc",
+      priority = 425,
+      mintKey = lower(col("project_id")),
+      funderAwardId = col("project_id"),
+      displayName = col("project_title"),
+      description = coalesce(col("plain_english_abstract"),
+        col("scientific_abstract")),
+      amount = col("award_amount_from_dh").try_cast("double"),
+      currency = lit("GBP"),
+      fundingType = when(lower(coalesce(col("project_title"), lit("")))
+          .like("%training award%"), "training")
+        .when(lower(coalesce(col("programme"), lit("")))
+          .like("%fellowship%"), "fellowship")
+        .otherwise("research"),
+      funderScheme = coalesce(col("programme"), col("funding_stream")),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("funding_and_awards_link"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_id").isNotNull &&
+        trim(col("project_id")) =!= "")
+  }
+
+  /** The six Danish regions whose council labels assert 'DK'
+    * (CreateTrygFondenAwards.ipynb cell 15's IN list). */
+  private val trygCouncils = Seq("Syddanmark", "Hovedstaden",
+    "Landsdækkende", "Midtjylland", "Sjælland", "Nordjylland")
+
+  /** TrygFonden donations API (CreateTrygFondenAwards.ipynb cell 15,
+    * ~8.8K): lowered-trimmed native id, UNGATED amount with
+    * presence-gated 'DKK', the target—focus—type ' - ' scheme
+    * join (blank parts skipped), 'forskningsprojekt'-else-'grant'
+    * type, date-else-published-year coverage on BOTH years, and an
+    * ORG-ONLY unconditional lead (recipient name, 'DK' only when the
+    * council label is one of the six regions, role_start = start). */
+  def trygFonden: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("published_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320324424L, provenance = "trygfonden_donations_api",
+      priority = 122,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "DKK"),
+      fundingType = when(lower(trim(col("type")))
+        === "forskningsprojekt", "research").otherwise("grant"),
+      funderScheme = nullif(concat_ws(" - ",
+        nullif(trim(col("target_area")), lit("")),
+        nullif(trim(col("focus_area")), lit("")),
+        nullif(trim(col("type")), lit(""))), lit("")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        nullif(trim(col("recipient_name")), lit("")),
+        when(col("council").isin(trygCouncils: _*), "DK"),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** NAFOSTED / Vietnam National Foundation for Science and
+    * Technology Development (CreateNAFOSTEDAwards.ipynb cell 6,
+    * ~7.1K): the [[grantCard]] archetype with Vietnamese
+    * 'dd/MM/yyyy' raws, full dates, 'Vietnam'. */
+  def nafosted: FunderIngestConfig =
+    grantCard(4320309617L, "nafosted", 220, "NAFOSTED grant ",
+      "Vietnam", fullDates = true, endYearFromRaw = true,
+      dateFmt = "dd/MM/yyyy")
+
+  /** FRQSC / Fonds de recherche du Québec – Société et culture
+    * (CreateFRQSCAwards.ipynb cell 6, ~6.5K Dossiers): the
+    * [[grantCard]] archetype with NULL dates and start-year-only
+    * coverage, 'Canada' — the FRQNT/FRQS sibling. */
+  def frqsc: FunderIngestConfig =
+    grantCard(4320332645L, "frqsc", 393, "FRQSC grant ", "Canada",
+      fullDates = false, endYearFromRaw = false)
+
+  /** The HFSP awardee JSON element (CreateHFSPAwards.ipynb cell 16's
+    * FROM_JSON schema). */
+  private def hfspPerson: String =
+    "array<struct<person_name:string,given_name:string," +
+      "family_name:string,nationality:string,role:string," +
+      "institution:string,city:string,country:string>>"
+
+  /** HFSP / Human Frontier Science Program awards listing
+    * (CreateHFSPAwards.ipynb cell 16, ~5K): NULL amounts (the
+    * listing publishes none), type-else-'grant' and
+    * program-else-'Unlabeled HFSP row' cascades,
+    * date-else-source-year coverage, person-name-gated lead AND
+    * co-lead cards with role_start = start and trimmed source
+    * countries, and the FULL awardees JSON array as investigators
+    * (each with role_start = start). */
+  def hfsp: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val awardees = from_json(col("investigators_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(hfspPerson))
+    def card(name: Column, giv: Column, fam: Column, inst: Column,
+        ctry: Column): Column =
+      when(name.isNull || trim(name) === "",
+        lit(null).cast(FunderIngest.InvestigatorType))
+        .otherwise(investigator(nullif(trim(giv), lit("")),
+          nullif(trim(fam), lit("")), lit(null).cast("string"), sd,
+          nullif(trim(inst), lit("")), nullif(trim(ctry), lit("")),
+          lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320338L, provenance = "hfsp_awards_listing",
+      priority = 124,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = coalesce(nullif(trim(col("funding_type")), lit("")),
+        lit("grant")),
+      funderScheme = coalesce(nullif(trim(col("program")), lit("")),
+        lit("Unlabeled HFSP row")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = card(col("lead_person_name"),
+        col("lead_given_name"), col("lead_family_name"),
+        col("lead_institution"), col("lead_country")),
+      coLeadInvestigator = card(col("co_person_name"),
+        col("co_given_name"), col("co_family_name"),
+        col("co_institution"), col("co_country")),
+      investigators = when(awardees.isNull || size(awardees) === 0,
+        FunderIngest.nullInvestigators)
+        .otherwise(transform(awardees, x =>
+          investigator(nullif(trim(x.getField("given_name")), lit("")),
+            nullif(trim(x.getField("family_name")), lit("")),
+            lit(null).cast("string"), sd,
+            nullif(trim(x.getField("institution")), lit("")),
+            nullif(trim(x.getField("country")), lit("")),
+            lit(null).cast(affIds)))),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Wolfson Foundation via 360Giving (CreateWolfsonAwards.ipynb
+    * cell 12, ~4.3K): >0 GBP gate, labeled-id display fallback,
+    * award-date start with the RAW start_year column, an ORG-ONLY
+    * lead with the source-authoritative ISO country (never guessed),
+    * NULL landing page (360Giving has no per-grant page). */
+  def wolfson: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("recipient_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient_org"), col("recipient_country_iso"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320670L, provenance = "wolfson_foundation",
+      priority = 155,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Wolfson Foundation grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("grant_programme"),
+      startDate = d(col("award_date")), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
 }

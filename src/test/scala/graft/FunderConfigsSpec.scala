@@ -4831,4 +4831,237 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ome(2).getAs[Int]("end_year") === 2025)
     assert(ome(2).getAs[String]("description") === "Obj CS")
   }
+
+  private def regTwentyOne = regTwenty.unionByName(Seq(
+    (4320319994L, "Department of Health and Social Care", "r-dh", "d-dh"),
+    (4320324424L, "TrygFonden", "r-tf", "d-tf"),
+    (4320309617L, "NAFOSTED", "r-na", "d-na"),
+    (4320332645L, "FRQSC", "r-fq", "d-fq"),
+    (4320320338L, "Human Frontier Science Program", "r-hf", "d-hf"),
+    (4320320670L, "Wolfson Foundation", "r-wo", "d-wo"))
+    .toDF(reg.columns: _*))
+
+  test("DHSC / TrygFonden: the ORCID https-prefix normalization with " +
+    "the training-title-over-fellowship-programme arms and ungated " +
+    "GBP, the target—focus—type scheme join with council-gated 'DK' " +
+    "and presence-gated DKK") {
+    val dh = Seq(
+      ("NIHR100", Some("Proj Training Award X"), Some("Plain"),
+        Some("Sci"), Some("0"), Some("NIHR Fellowship Prog"),
+        None: Option[String], Some("2020-01-01"), Some("2022-06-30"),
+        Some("Amy"), Some("Jones"), Some("0000-0001-2345-6789"),
+        Some("Oxford"), Some("https://nihr/100")),
+      ("NIHR200", Some("Proj B"), None: Option[String], Some("Sci2"),
+        Some("bad"), Some("Global Health Fellowship"),
+        Some("Stream S"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        Some("https://orcid.org/0000-1"), Some("LSHTM"),
+        None: Option[String]),
+      ("NIHR300", Some("Proj C"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("Stream T"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]),
+      ("  ", Some("dropped"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("project_id", "project_title", "plain_english_abstract",
+        "scientific_abstract", "award_amount_from_dh", "programme",
+        "funding_stream", "start_date", "end_date", "lead_given_name",
+        "lead_family_name", "orcid", "contracted_organisation",
+        "funding_and_awards_link")
+    val odh = FunderIngest.transform(dh, regTwentyOne,
+      FunderConfigs.dhsc, now).orderBy("funder_award_id").collect()
+    assert(odh.length === 3)
+    assert(odh(0).getAs[Double]("amount") === 0.0) // UNGATED
+    assert(odh(0).getAs[String]("currency") === "GBP") // unconditional
+    assert(odh(0).getAs[String]("funding_type") === "training") // title arm
+    assert(odh(0).getAs[String]("description") === "Plain")
+    assert(odh(0).getAs[String]("funder_scheme") === "NIHR Fellowship Prog")
+    val dl = odh(0).getAs[Row]("lead_investigator")
+    assert(dl.getAs[String]("orcid")
+      === "https://orcid.org/0000-0001-2345-6789") // bare → prefixed
+    assert(dl.getAs[Row]("affiliation").getAs[String]("country") === "GB")
+    assert(odh(1).getAs[String]("funding_type") === "fellowship")
+    assert(odh(1).isNullAt(odh(1).fieldIndex("amount"))) // 'bad'
+    assert(odh(1).getAs[String]("description") === "Sci2")
+    val dl2 = odh(1).getAs[Row]("lead_investigator")
+    assert(dl2.isNullAt(dl2.fieldIndex("family_name"))) // org-only tier
+    assert(dl2.getAs[Row]("affiliation").getAs[String]("name") === "LSHTM")
+    assert(odh(2).getAs[String]("funding_type") === "research")
+    assert(odh(2).getAs[String]("funder_scheme") === "Stream T")
+    assert(odh(2).isNullAt(odh(2).fieldIndex("lead_investigator")))
+
+    val tf = Seq(
+      (" TF-1 ", " Donation A ", Some("  "), Some("50000"),
+        Some("Sikkerhed"), Some("  "), Some("Forskningsprojekt"),
+        Some("2021-03-01"), None: Option[String], Some("2020"),
+        Some(" Aarhus Universitet "), Some("Midtjylland"),
+        Some(" https://tryg/1 ")),
+      ("TF-2", "Donation B", Some(" D2 "), None: Option[String],
+        None: Option[String], Some("Akut"), Some("Udviklingsprojekt"),
+        None: Option[String], Some("2023-12-31"), Some("2022"),
+        None: Option[String], Some("Oslo"), None: Option[String]),
+      ("TF-3", "  ", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "target_area", "focus_area", "type", "start_date", "end_date",
+        "published_year", "recipient_name", "council",
+        "landing_page_url")
+    val otf = FunderIngest.transform(tf, regTwentyOne,
+      FunderConfigs.trygFonden, now).orderBy("funder_award_id").collect()
+    assert(otf.length === 2) // blank display dropped
+    assert(otf(0).getAs[String]("funder_award_id") === "tf-1")
+    assert(otf(0).getAs[Double]("amount") === 50000.0)
+    assert(otf(0).getAs[String]("currency") === "DKK")
+    assert(otf(0).getAs[String]("funding_type") === "research")
+    assert(otf(0).getAs[String]("funder_scheme")
+      === "Sikkerhed - Forskningsprojekt") // blank focus skipped
+    assert(otf(0).getAs[Int]("start_year") === 2021) // from date
+    assert(otf(0).getAs[Int]("end_year") === 2020) // published fallback
+    val tl = otf(0).getAs[Row]("lead_investigator")
+    assert(tl.isNullAt(tl.fieldIndex("given_name"))) // org-only
+    assert(tl.getAs[java.sql.Date]("role_start").toString === "2021-03-01")
+    assert(tl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Aarhus Universitet")
+    assert(tl.getAs[Row]("affiliation").getAs[String]("country") === "DK")
+    assert(otf(1).isNullAt(otf(1).fieldIndex("amount")))
+    assert(otf(1).isNullAt(otf(1).fieldIndex("currency"))) // presence gate
+    assert(otf(1).getAs[String]("funding_type") === "grant")
+    assert(otf(1).getAs[String]("funder_scheme")
+      === "Akut - Udviklingsprojekt")
+    assert(otf(1).getAs[Int]("start_year") === 2022) // published fallback
+    assert(otf(1).getAs[Int]("end_year") === 2023) // from date
+    val tl2 = otf(1).getAs[Row]("lead_investigator")
+    assert(tl2.getAs[Row]("affiliation").isNullAt(
+      tl2.getAs[Row]("affiliation").fieldIndex("country"))) // not a region
+  }
+
+  test("NAFOSTED / FRQSC / HFSP / Wolfson: dd/MM/yyyy grant cards, " +
+    "the FRQ start-year-only sibling, HFSP's person-name-gated " +
+    "lead/co-lead cards with the awardees JSON as investigators, " +
+    "and Wolfson's ISO-country org lead with NULL landing") {
+    val na = Seq(
+      ("101.01-2020.01", Some("Đề tài A"), Some("D"), Some("500.00"),
+        Some("VND"), Some("NCCB"), Some("15/03/2020"),
+        Some("15/03/2022"), Some("Anh"), Some("Nguyen"), Some("VNU"),
+        Some("https://naf/1")),
+      ("102.02-2021.05", None: Option[String], None: Option[String],
+        Some("0"), None: Option[String], None: Option[String],
+        Some("2020-03-15"), None: Option[String], None: Option[String],
+        None: Option[String], Some("HUST"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ona = FunderIngest.transform(na, regTwentyOne,
+      FunderConfigs.nafosted, now).orderBy("funder_award_id").collect()
+    assert(ona(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-03-15") // dd/MM/yyyy
+    assert(ona(0).getAs[Int]("end_year") === 2022)
+    assert(ona(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Vietnam")
+    assert(ona(1).getAs[String]("display_name")
+      === "NAFOSTED grant 102.02-2021.05")
+    assert(ona(1).isNullAt(ona(1).fieldIndex("start_year"))) // ISO ≠ fmt
+    assert(ona(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "HUST")
+
+    val fq = Seq(
+      ("2020-SE-1", Some("Projet"), None: Option[String],
+        Some("80000.00"), Some("CAD"), Some("Soutien"),
+        Some("2020-04-01"), Some("2023-03-31"), Some("Marie"),
+        Some("Côté"), Some("UdeM"), Some("https://frq/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ofq = FunderIngest.transform(fq, regTwentyOne,
+      FunderConfigs.frqsc, now).collect()
+    assert(ofq.head.isNullAt(ofq.head.fieldIndex("start_date"))) // NULLed
+    assert(ofq.head.getAs[Int]("start_year") === 2020)
+    assert(ofq.head.isNullAt(ofq.head.fieldIndex("end_year"))) // no raw
+    assert(ofq.head.getAs[String]("provenance") === "frqsc")
+    assert(ofq.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+
+    val awJs = """[{"person_name":"A B","given_name":" A ",""" +
+      """"family_name":"B","institution":" IGBMC ","country":" FR "},""" +
+      """{"person_name":"C D","given_name":"C","family_name":"D",""" +
+      """"institution":"Kyoto U","country":"JP"}]"""
+    val hf = Seq(
+      (" RGP0001/2020 ", " Networks ", Some(" Desc "), Some("grant"),
+        Some(" Program Grant "), Some("2020-09-01"),
+        None: Option[String], Some("2020"), Some("A B"), Some(" A "),
+        Some("B"), Some(" IGBMC "), Some(" FR "), Some("C D"),
+        Some("C"), Some("D"), Some("Kyoto U"), Some("JP"), Some(awJs),
+        Some(" https://hfsp/1 ")),
+      ("LT0002/2021", "Fellowship B", None: Option[String],
+        Some("fellowship"), None: Option[String], None: Option[String],
+        Some("2024-08-31"), Some("2021"), Some("  "),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("[]"), None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "funding_type", "program", "start_date", "end_date",
+        "source_year", "lead_person_name", "lead_given_name",
+        "lead_family_name", "lead_institution", "lead_country",
+        "co_person_name", "co_given_name", "co_family_name",
+        "co_institution", "co_country", "investigators_json",
+        "landing_page_url")
+    val ohf = FunderIngest.transform(hf, regTwentyOne,
+      FunderConfigs.hfsp, now).orderBy("funder_award_id").collect()
+    assert(ohf.length === 2)
+    val h1 = ohf(1) // rgp0001/2020 sorts after lt0002/2021
+    assert(h1.getAs[String]("funder_award_id") === "rgp0001/2020")
+    assert(h1.isNullAt(h1.fieldIndex("amount"))) // listing has none
+    assert(h1.getAs[String]("funder_scheme") === "Program Grant")
+    assert(h1.getAs[Int]("start_year") === 2020)
+    val hl = h1.getAs[Row]("lead_investigator")
+    assert(hl.getAs[String]("given_name") === "A")
+    assert(hl.getAs[java.sql.Date]("role_start").toString === "2020-09-01")
+    assert(hl.getAs[Row]("affiliation").getAs[String]("country") === "FR")
+    assert(h1.getAs[Row]("co_lead_investigator")
+      .getAs[String]("family_name") === "D")
+    val his = h1.getSeq[Row](h1.fieldIndex("investigators"))
+    assert(his.length === 2) // FULL awardee list
+    assert(his.head.getAs[Row]("affiliation").getAs[String]("name")
+      === "IGBMC")
+    val h2 = ohf(0)
+    assert(h2.getAs[String]("funding_type") === "fellowship")
+    assert(h2.getAs[String]("funder_scheme") === "Unlabeled HFSP row")
+    assert(h2.getAs[Int]("end_year") === 2024) // from end date
+    assert(h2.getAs[Int]("start_year") === 2021) // source-year fallback
+    assert(h2.isNullAt(h2.fieldIndex("lead_investigator"))) // blank name
+    assert(h2.isNullAt(h2.fieldIndex("co_lead_investigator")))
+    assert(h2.isNullAt(h2.fieldIndex("investigators"))) // empty array
+
+    val wo = Seq(
+      ("360G-wolfson-1", Some("Lab refurbishment"), Some("D"),
+        Some("250000"), Some("Capital"), Some("2019-06-01"),
+        Some("2019"), Some("UCL"), Some("GB")),
+      ("360G-wolfson-2", None: Option[String], None: Option[String],
+        Some("0"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "grant_programme", "award_date", "start_year", "recipient_org",
+        "recipient_country_iso")
+    val owo = FunderIngest.transform(wo, regTwentyOne,
+      FunderConfigs.wolfson, now).orderBy("funder_award_id").collect()
+    assert(owo(0).getAs[Double]("amount") === 250000.0)
+    assert(owo(0).getAs[String]("currency") === "GBP")
+    assert(owo(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-06-01")
+    assert(owo(0).getAs[Int]("start_year") === 2019)
+    val wl = owo(0).getAs[Row]("lead_investigator")
+    assert(wl.getAs[Row]("affiliation").getAs[String]("country") === "GB")
+    assert(owo(0).isNullAt(owo(0).fieldIndex("landing_page_url")))
+    assert(owo(1).getAs[String]("display_name")
+      === "Wolfson Foundation grant 360G-wolfson-2")
+    assert(owo(1).isNullAt(owo(1).fieldIndex("amount"))) // 0 gated
+    assert(owo(1).isNullAt(owo(1).fieldIndex("lead_investigator")))
+  }
 }
