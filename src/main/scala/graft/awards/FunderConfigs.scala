@@ -6827,4 +6827,257 @@ object FunderConfigs {
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 third tranche: HRZZ, MJFF, CPRIT, Canada Council
+  // prizes, NSF Sri Lanka, Schmidt Sciences
+  // ---------------------------------------------------------------
+
+  /** HRZZ / Croatian Science Foundation (CreateHRZZAwards.ipynb
+    * cell 6, ~3.6K): the grant-card shape with a THREE-tier display
+    * cascade (title → 'HRZZ <scheme> — <institution>', which
+    * null-propagates when the institution is missing → labeled id)
+    * and NO row screen (the notebook lands every raw row), >0
+    * decimal gate, full dates, PI-only 'Croatia' lead (no org
+    * fallback), NULL works_api_url. */
+  def hrzz: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val sd = d(col("start_date_raw")); val ed = d(col("end_date_raw"))
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Croatia"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322674L, provenance = "hrzz", priority = 355,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("HRZZ "), coalesce(col("scheme"), lit("")),
+          lit(" — "), col("institution")),
+        concat(lit("HRZZ project "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** MJFF / Michael J. Fox Foundation funded studies
+    * (CreateMJFFAwards.ipynb cell 17, ~2.7K): NULL amounts,
+    * program-else-'MJFF Funded Study' scheme, source-year bounds on
+    * dates AND both years, and a family-gated lead whose affiliation
+    * strips the '<position> at <org>' prefix when present
+    * (role_start = Jan 1). */
+  def mjff: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val py = col("source_year").try_cast("int")
+    val sd = d(concat(col("source_year"), lit("-01-01")))
+    val aff = nullif(trim(
+      when(col("lead_position_affiliation").rlike(" at "),
+        regexp_extract(col("lead_position_affiliation"),
+          " at (.+)$", 1))
+        .otherwise(col("lead_position_affiliation"))), lit(""))
+    val fam = nullif(trim(col("lead_family_name")), lit(""))
+    val lead = when(fam.isNotNull,
+      investigator(nullif(trim(col("lead_given_name")), lit("")), fam,
+        lit(null).cast("string"), sd, aff,
+        lit(null).cast("string"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306136L, provenance = "mjff_funded_studies",
+      priority = 129,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nullif(trim(col("source_program")),
+        lit("")), lit("MJFF Funded Study")),
+      startDate = sd,
+      endDate = d(concat(col("source_year"), lit("-12-31"))),
+      startYear = py, endYear = py,
+      leadInvestigator = lead,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** CPRIT / Cancer Prevention and Research Institute of Texas
+    * (CreateCPRITAwards.ipynb cell 6, ~2.3K): the [[grantCard]]
+    * archetype with full dates, 'United States' — named PI over the
+    * pending-recruitment org-only tier. */
+  def cprit: FunderIngestConfig =
+    grantCard(4320308129L, "cprit", 377, "CPRIT grant ",
+      "United States", fullDates = true, endYearFromRaw = true)
+
+  /** Canada Council for the Arts prizes
+    * (CreateCanadaCouncilPrizesAwards.ipynb cell 13, ~2.2K): the
+    * ':canada-council:' salted mint, the year—prize—laureate
+    * display with the winning-work parenthetical, an assembled
+    * labeled description (category/language/work/source-entry
+    * sentences, blank parts skipped), CURRENCY-without-amount
+    * defaulting 'CAD', prize—category—language scheme join,
+    * year-boundary dates, and the organization-like flag routing the
+    * full laureate name into given_name. */
+  def canadaCouncilPrizes: FunderIngestConfig = {
+    val yr = col("year").try_cast("int")
+    val aid = nullif(trim(col("funder_award_id")), lit(""))
+    val prize = nullif(trim(col("prize_name")), lit(""))
+    val cat = nullif(trim(col("category")), lit(""))
+    val lang = nullif(trim(col("language")), lit(""))
+    val laureate = nullif(trim(col("laureate_name")), lit(""))
+    val giv = nullif(trim(col("laureate_given_name")), lit(""))
+    val fam = nullif(trim(col("laureate_family_name")), lit(""))
+    val work = nullif(trim(col("work_title")), lit(""))
+    val orgLike = lower(nullif(trim(col("is_organization_like")),
+      lit(""))) === "true"
+    FunderIngestConfig(
+      funderId = 4320319951L, provenance = "canada_council_prizes",
+      priority = 74,
+      mintKey = concat(lit("canada-council:"), lower(aid)),
+      funderAwardId = aid,
+      displayName = concat(yr.cast("string"), lit(" "), prize,
+        lit(" - "), laureate,
+        when(work.isNotNull, concat(lit(" ("), work, lit(")")))
+          .otherwise(lit(""))),
+      description = nullif(concat_ws(" ",
+        nullif(trim(col("source_description")), lit("")),
+        when(cat.isNotNull, concat(lit("Category: "), cat, lit("."))),
+        when(lang.isNotNull, concat(lit("Language: "), lang, lit("."))),
+        when(work.isNotNull,
+          concat(lit("Winning work: "), work, lit("."))),
+        when(nullif(trim(col("raw_entry_text")), lit("")).isNotNull,
+          concat(lit("Source entry: "),
+            nullif(trim(col("raw_entry_text")), lit(""))))), lit("")),
+      amount = lit(null).cast("double"),
+      currency = coalesce(nullif(trim(col("currency")), lit("")),
+        lit("CAD")),
+      fundingType = lit("prize"),
+      funderScheme = concat_ws(" - ", prize, cat, lang),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = investigator(
+        when(orgLike, laureate).otherwise(coalesce(giv, laureate)),
+        when(orgLike, lit(null).cast("string")).otherwise(fam),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("prize_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = aid.isNotNull && yr.isNotNull &&
+        prize.isNotNull && laureate.isNotNull)
+  }
+
+  /** The GMIS duplicate-row screen (CreateNSFSriLankaAwards.ipynb
+    * cell 15's QUALIFY): one award per grant ref, lowest detail_id
+    * wins — apply BEFORE [[nsfSriLanka]]. */
+  def nsfSriLankaDedup(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lower(trim(col("grant_number"))))
+      .orderBy(col("detail_id"))
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** NSF Sri Lanka via GMIS (CreateNSFSriLankaAwards.ipynb cell 15,
+    * ~2.2K): the citable source-case grant ref (lowered only in the
+    * mint), abstract—findings ' | ' description join with the
+    * 'Keywords: ' fallback, UNGATED amount with presence-gated
+    * SOURCE currency, subject scheme, date-else-source-year
+    * coverage, an UNCONDITIONAL name-only 'LK' lead (no affiliation
+    * name) with role_start = start. */
+  def nsfSriLanka: FunderIngestConfig = {
+    val nid = trim(col("grant_number"))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val srcDesc = nullif(trim(concat_ws(" | ",
+      nullif(trim(col("abstract")), lit("")),
+      nullif(trim(col("key_research_findings")), lit("")))), lit(""))
+    FunderIngestConfig(
+      funderId = 4320335353L, provenance = "nsf_sri_lanka_gmis",
+      priority = 138,
+      mintKey = lower(nid),
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(srcDesc.isNotNull, srcDesc)
+        .when(nullif(trim(col("keywords")), lit("")).isNotNull,
+          concat(lit("Keywords: "), trim(col("keywords")))),
+      amount = amt,
+      currency = when(amt.isNotNull, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = nullif(trim(col("subject")), lit("")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(
+        nullif(trim(col("lead_investigator_given_name")), lit("")),
+        nullif(trim(col("lead_investigator_family_name")), lit("")),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        lit("LK"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grant_number").isNotNull &&
+        trim(col("grant_number")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** The Schmidt Futures funder row is non-F4320* and INLINED by the
+    * notebook (CreateSchmidtSciencesAwards.ipynb cell 17's
+    * schmidt_funder constants — the Abel/MinCiencias empty-dim
+    * failure mode). */
+  def schmidtFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (4026159580L, "Schmidt Futures", None, "10.13039/100027426")))
+
+  /** Schmidt Sciences awardees listing
+    * (CreateSchmidtSciencesAwards.ipynb cell 17, ~2.05K): paired
+    * with [[schmidtFunderLookup]] — 'fellowship' rows named by the
+    * grantee with NULL amounts (§6.7 waiver), the null-propagating
+    * 'Schmidt Sciences <program>' scheme defaulting to the bare
+    * label, year-boundary dates from the RAW year strings, a
+    * name-only lead with role_start = start. */
+  def schmidtSciences: FunderIngestConfig = {
+    val sd = d(concat(col("start_year"), lit("-01-01")))
+    FunderIngestConfig(
+      funderId = 4026159580L, provenance = "schmidt_sciences_awardees",
+      priority = 108,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("grantee_name"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = coalesce(concat(lit("Schmidt Sciences "),
+        nullif(trim(col("program")), lit(""))),
+        lit("Schmidt Sciences")),
+      startDate = sd,
+      endDate = d(concat(col("end_year"), lit("-12-31"))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = col("grantee_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("grantee_name").isNotNull &&
+        trim(col("grantee_name")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
 }

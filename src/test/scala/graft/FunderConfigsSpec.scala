@@ -5064,4 +5064,227 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(owo(1).isNullAt(owo(1).fieldIndex("amount"))) // 0 gated
     assert(owo(1).isNullAt(owo(1).fieldIndex("lead_investigator")))
   }
+
+  private def regTwentyTwo = regTwentyOne.unionByName(Seq(
+    (4320322674L, "Croatian Science Foundation", "r-hr", "d-hr"),
+    (4320306136L, "Michael J. Fox Foundation", "r-mj", "d-mj"),
+    (4320308129L, "CPRIT", "r-cp", "d-cp"),
+    (4320319951L, "Canada Council for the Arts", "r-cc", "d-cc"),
+    (4320335353L, "National Science Foundation Sri Lanka", "r-lk",
+      "d-lk"))
+    .toDF(reg.columns: _*))
+
+  test("HRZZ / MJFF / CPRIT: the three-tier HRZZ display cascade " +
+    "with NO row screen, MJFF's '<position> at <org>' affiliation " +
+    "strip with source-year bounds, and the CPRIT grant card") {
+    val hr = Seq(
+      ("IP-2020-01", Some("Projekt H"), Some("D"), Some("200000.00"),
+        Some("EUR"), Some("IP"), Some("2020-09-01"), Some("2024-08-31"),
+        Some("Ivana"), Some("Horvat"), Some("UniZg"),
+        Some("https://hrzz/1")),
+      ("UIP-2021-02", None: Option[String], None: Option[String],
+        Some("0"), None: Option[String], Some("UIP"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("IRB"), None: Option[String]),
+      ("DOK-2022-03", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ohr = FunderIngest.transform(hr, regTwentyTwo,
+      FunderConfigs.hrzz, now).orderBy("funder_award_id").collect()
+    assert(ohr.length === 3) // NO row screen
+    assert(ohr(1).getAs[String]("display_name") === "Projekt H")
+    assert(ohr(2).getAs[String]("display_name")
+      === "HRZZ UIP — IRB") // tier 2
+    assert(ohr(0).getAs[String]("display_name")
+      === "HRZZ project DOK-2022-03") // null institution → tier 3
+    assert(ohr(1).getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 200000.0)
+    assert(ohr(1).getAs[Int]("end_year") === 2024)
+    assert(ohr(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Croatia")
+    assert(ohr(2).isNullAt(ohr(2).fieldIndex("amount"))) // 0 gated
+    assert(ohr(2).isNullAt(ohr(2).fieldIndex("lead_investigator")))
+    assert(ohr(2).isNullAt(ohr(2).fieldIndex("works_api_url")))
+
+    val mj = Seq(
+      (" MJFF-001 ", " Study A ", Some(" D "), Some("2019"),
+        Some(" Target Validation "), Some("Amy"), Some("Lee"),
+        Some("Professor of Neurology at Yale University"),
+        Some("https://mjff/1")),
+      ("MJFF-002", "Study B", None: Option[String], Some("2020"),
+        Some("  "), None: Option[String], Some("Kim"),
+        Some("Harvard Medical School"), None: Option[String]),
+      ("MJFF-003", "Study C", None: Option[String],
+        None: Option[String], None: Option[String], Some("Bo"),
+        Some("  "), None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "source_year", "source_program", "lead_given_name",
+        "lead_family_name", "lead_position_affiliation",
+        "landing_page_url")
+    val omj = FunderIngest.transform(mj, regTwentyTwo,
+      FunderConfigs.mjff, now).orderBy("funder_award_id").collect()
+    assert(omj.length === 3)
+    assert(omj(0).getAs[String]("funder_award_id") === "mjff-001")
+    assert(omj(0).isNullAt(omj(0).fieldIndex("amount")))
+    assert(omj(0).getAs[String]("funder_scheme") === "Target Validation")
+    assert(omj(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(omj(0).getAs[java.sql.Date]("end_date").toString
+      === "2019-12-31")
+    assert(omj(0).getAs[Int]("end_year") === 2019)
+    val mjl = omj(0).getAs[Row]("lead_investigator")
+    assert(mjl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Yale University") // ' at ' strip
+    assert(mjl.getAs[java.sql.Date]("role_start").toString
+      === "2019-01-01")
+    assert(omj(1).getAs[String]("funder_scheme") === "MJFF Funded Study")
+    assert(omj(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name")
+      === "Harvard Medical School") // no ' at ' → raw
+    assert(omj(2).isNullAt(omj(2).fieldIndex("lead_investigator")))
+
+    val cp = Seq(
+      ("RP200001", Some("Cancer X"), None: Option[String],
+        Some("900000.00"), Some("USD"), Some("Academic Research"),
+        Some("2020-03-01"), Some("2023-02-28"), None: Option[String],
+        None: Option[String], Some("MD Anderson"),
+        Some("https://cprit/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ocp = FunderIngest.transform(cp, regTwentyTwo,
+      FunderConfigs.cprit, now).collect()
+    assert(ocp.head.getAs[String]("provenance") === "cprit")
+    assert(ocp.head.getAs[java.sql.Date]("start_date").toString
+      === "2020-03-01")
+    val cpl = ocp.head.getAs[Row]("lead_investigator")
+    assert(cpl.isNullAt(cpl.fieldIndex("family_name"))) // pending PI
+    assert(cpl.getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+  }
+
+  test("Canada Council prizes / NSF Sri Lanka / Schmidt Sciences: " +
+    "the salted prize mint with the org-like laureate routing and " +
+    "currency-without-amount, the GMIS QUALIFY dedup with the " +
+    "abstract|findings join, and the inlined non-F4320 Schmidt " +
+    "funder row") {
+    val cc = Seq(
+      (" GG-1 ", "2019", Some(" Governor General's Literary Award "),
+        Some(" Fiction "), Some(" English "), Some(" Jane Doe "),
+        Some("Jane"), Some("Doe"), Some("false"), Some(" Novel N "),
+        Some(" Cited for ... "), Some(" entry "), Some("https://cc/1"),
+        Some(" ")),
+      ("MP-2", "2020", Some("Molson Prize"), None: Option[String],
+        None: Option[String], Some("Some Institute"),
+        None: Option[String], None: Option[String], Some("TRUE"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("USD")),
+      ("XX-3", "bad", Some("P"), None: Option[String],
+        None: Option[String], Some("L"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "year", "prize_name", "category",
+        "language", "laureate_name", "laureate_given_name",
+        "laureate_family_name", "is_organization_like", "work_title",
+        "source_description", "raw_entry_text", "prize_url", "currency")
+    val occ = FunderIngest.transform(cc, regTwentyTwo,
+      FunderConfigs.canadaCouncilPrizes, now)
+      .orderBy("funder_award_id").collect()
+    assert(occ.length === 2) // bad year dropped
+    assert(occ(0).getAs[String]("display_name")
+      === "2019 Governor General's Literary Award - Jane Doe (Novel N)")
+    assert(occ(0).getAs[String]("description")
+      === "Cited for ... Category: Fiction. Language: English. " +
+        "Winning work: Novel N. Source entry: entry")
+    assert(occ(0).isNullAt(occ(0).fieldIndex("amount")))
+    assert(occ(0).getAs[String]("currency") === "CAD") // blank → default
+    assert(occ(0).getAs[String]("funder_scheme")
+      === "Governor General's Literary Award - Fiction - English")
+    assert(occ(0).getAs[java.sql.Date]("end_date").toString
+      === "2019-12-31")
+    val ccl = occ(0).getAs[Row]("lead_investigator")
+    assert(ccl.getAs[String]("given_name") === "Jane")
+    assert(ccl.getAs[String]("family_name") === "Doe")
+    assert(occ(1).getAs[String]("currency") === "USD")
+    val ccl2 = occ(1).getAs[Row]("lead_investigator")
+    assert(ccl2.getAs[String]("given_name") === "Some Institute") // org
+    assert(ccl2.isNullAt(ccl2.fieldIndex("family_name")))
+
+    val lkRaw = Seq(
+      (" RG/87/MAB/006 ", 2L, "dupe loses", Some("A2"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]),
+      ("RG/87/MAB/006", 1L, " Marine biology ", Some(" Abs "),
+        Some(" Findings "), Some(" coral, reef "), Some("40000"),
+        Some("LKR"), Some(" Biology "), Some("1987-01-01"),
+        Some("1989-12-31"), Some("1987"), Some("Sunil"), Some("Perera")),
+      ("RG/90/X/1", 3L, "Second", None: Option[String],
+        None: Option[String], Some(" kw2 "), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("1990"), None: Option[String],
+        None: Option[String]))
+      .toDF("grant_number", "detail_id", "display_name", "abstract",
+        "key_research_findings", "keywords", "amount", "currency",
+        "subject", "start_date", "end_date", "source_year",
+        "lead_investigator_given_name", "lead_investigator_family_name")
+    val olk = FunderIngest.transform(
+      FunderConfigs.nsfSriLankaDedup(
+        lkRaw.withColumn("landing_page_url", lit(null).cast("string"))),
+      regTwentyTwo, FunderConfigs.nsfSriLanka, now)
+      .orderBy("funder_award_id").collect()
+    assert(olk.length === 2) // QUALIFY keeps lowest detail_id
+    assert(olk(0).getAs[String]("funder_award_id") === "RG/87/MAB/006")
+    assert(olk(0).getAs[String]("display_name") === "Marine biology")
+    assert(olk(0).getAs[String]("description") === "Abs | Findings")
+    assert(olk(0).getAs[Double]("amount") === 40000.0)
+    assert(olk(0).getAs[String]("currency") === "LKR") // source currency
+    assert(olk(0).getAs[Int]("start_year") === 1987)
+    val lkl = olk(0).getAs[Row]("lead_investigator")
+    assert(lkl.getAs[String]("family_name") === "Perera")
+    assert(lkl.getAs[Row]("affiliation").isNullAt(
+      lkl.getAs[Row]("affiliation").fieldIndex("name"))) // name-only
+    assert(lkl.getAs[Row]("affiliation").getAs[String]("country")
+      === "LK")
+    assert(olk(1).getAs[String]("description") === "Keywords: kw2")
+    assert(olk(1).getAs[Int]("start_year") === 1990) // source year
+    assert(olk(1).isNullAt(olk(1).fieldIndex("currency")))
+
+    val sc = Seq(
+      ("ai2050-2022-jane", Some(" Jane Roe "), Some("AI2050"),
+        Some("2022"), Some("2027"), Some("Jane"), Some("Roe"),
+        Some("https://schmidt/1")),
+      ("sf-2021-x", Some("Org Y"), Some("  "), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "grantee_name", "program", "start_year",
+        "end_year", "given_name", "family_name", "grantee_url")
+    val osc = FunderIngest.transform(sc,
+      FunderConfigs.schmidtFunderLookup(spark),
+      FunderConfigs.schmidtSciences, now)
+      .orderBy("funder_award_id").collect()
+    assert(osc.length === 2)
+    assert(osc(0).getAs[Long]("funder_id") === 4026159580L) // inlined
+    assert(osc(0).getAs[Row]("funder").getAs[String]("doi")
+      === "10.13039/100027426")
+    assert(osc(0).getAs[Row]("funder").isNullAt(
+      osc(0).getAs[Row]("funder").fieldIndex("ror_id")))
+    assert(osc(0).getAs[String]("funder_scheme")
+      === "Schmidt Sciences AI2050")
+    assert(osc(0).getAs[String]("funding_type") === "fellowship")
+    assert(osc(0).getAs[java.sql.Date]("start_date").toString
+      === "2022-01-01")
+    assert(osc(0).getAs[java.sql.Date]("end_date").toString
+      === "2027-12-31")
+    assert(osc(0).getAs[Int]("end_year") === 2027)
+    assert(osc(1).getAs[String]("funder_scheme")
+      === "Schmidt Sciences") // blank program null-propagates
+    assert(osc(1).isNullAt(osc(1).fieldIndex("start_date")))
+  }
 }
