@@ -6840,21 +6840,32 @@ object FunderConfigs {
     * and NO row screen (the notebook lands every raw row), >0
     * decimal gate, full dates, PI-only 'Croatia' lead (no org
     * fallback), NULL works_api_url. */
-  def hrzz: FunderIngestConfig = {
+  def hrzz: FunderIngestConfig =
+    threeTierCard(4320322674L, "hrzz", 355, "HRZZ ", " — ",
+      "HRZZ project ", "Croatia")
+
+  /** The HRZZ/Ontario-MCU grant-card twin shape: three-tier display
+    * (title → '<prefix><scheme><sep><institution>', null-propagating
+    * on missing institution → '<label><id>'), NO row screen, >0
+    * decimal gate, full dates, PI-only lead (no org fallback), NULL
+    * works_api_url. */
+  private def threeTierCard(funderId: Long, provenance: String,
+      priority: Int, tier2Prefix: String, tier2Sep: String,
+      tier3Prefix: String, country: String): FunderIngestConfig = {
     val amt = col("amount").try_cast("decimal(18,2)")
     val sd = d(col("start_date_raw")); val ed = d(col("end_date_raw"))
     val lead = when(col("pi_family").isNotNull,
       investigator(col("pi_given"), col("pi_family"),
         lit(null).cast("string"), lit(null).cast("date"),
-        col("institution"), lit("Croatia"), lit(null).cast(affIds)))
+        col("institution"), lit(country), lit(null).cast(affIds)))
     FunderIngestConfig(
-      funderId = 4320322674L, provenance = "hrzz", priority = 355,
+      funderId = funderId, provenance = provenance, priority = priority,
       mintKey = lower(col("funder_award_id")),
       funderAwardId = col("funder_award_id"),
       displayName = coalesce(nullif(trim(col("title")), lit("")),
-        concat(lit("HRZZ "), coalesce(col("scheme"), lit("")),
-          lit(" — "), col("institution")),
-        concat(lit("HRZZ project "), col("funder_award_id"))),
+        concat(lit(tier2Prefix), coalesce(col("scheme"), lit("")),
+          lit(tier2Sep), col("institution")),
+        concat(lit(tier3Prefix), col("funder_award_id"))),
       description = col("description"),
       amount = when(amt > 0, amt),
       currency = when(amt > 0, col("currency")),
@@ -7079,5 +7090,219 @@ object FunderConfigs {
       rowFilter = col("grantee_name").isNotNull &&
         trim(col("grantee_name")) =!= "" &&
         col("funder_award_id").isNotNull)
+  }
+
+  // ---------------------------------------------------------------
+  // Round-13 fourth tranche: SEPM, Sir Jules Thorn, Keio prize,
+  // HEC Pakistan, Ontario MCU, ITF Hong Kong
+  // ---------------------------------------------------------------
+
+  /** SEPM Science Awards (CreateSEPMAwards.ipynb cell 17, ~2K
+    * medals/honors): 'prize' rows with NULL amounts, the award-name
+    * scheme, a RANGE-GATED Jan-1 start date (award_year within
+    * 1900..current+1) while start_year stays UNCAPPED, an
+    * UNCONDITIONAL recipient lead with source affiliation country
+    * and role_start = start. */
+  def sepm(currentYear: Int): FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val py = col("award_year").try_cast("int")
+    val sd = when(py.between(1900, currentYear + 1),
+      d(concat(col("award_year"), lit("-01-01"))))
+    FunderIngestConfig(
+      funderId = 4320312534L, provenance = "sepm_science_awards",
+      priority = 170,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("prize"),
+      funderScheme = nullif(trim(col("award_name")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = py, endYear = lit(null).cast("int"),
+      leadInvestigator = investigator(
+        nullif(trim(col("recipient_given_name")), lit("")),
+        nullif(trim(col("recipient_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("affiliation_name")), lit("")),
+        nullif(trim(col("affiliation_country")), lit("")),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Sir Jules Thorn Charitable Trust via 360Giving
+    * (CreateSirJulesThornAwards.ipynb cell 13, ~2K): the Wolfson
+    * sibling with the SOURCE currency behind the >0 gate, a NULL
+    * scheme, the 360Giving recipient-org identifier landed as the
+    * affiliation id ('360Giving Recipient Org:Identifier'), NULL
+    * landing, and the future-start cap over both years. */
+  def sirJulesThorn(currentYear: Int): FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sy = col("start_year").try_cast("int")
+    val future = sy > currentYear + 1
+    val orgIds = when(col("recipient_org_identifier").isNotNull,
+      array(struct(col("recipient_org_identifier").as("id"),
+        lit("360Giving Recipient Org:Identifier").as("type"),
+        lit("source").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("recipient_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient_org"), lit(null).cast("string"), orgIds))
+    FunderIngestConfig(
+      funderId = 4320320000L, provenance = "sir_jules_thorn_360giving",
+      priority = 186,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Sir Jules Thorn Charitable Trust grant "),
+          col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = d(col("award_date")), endDate = lit(null).cast("date"),
+      startYear = when(future, lit(null)).otherwise(sy),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** Keio Medical Science Prize
+    * (CreateKeioMedicalSciencePrizeAwards.ipynb cell 16, ~2K):
+    * 'prize' with UNGATED amount and trimmed source currency, the
+    * scheme-else-'Keio Medical Science Prize' fallback,
+    * date-else-source-year coverage, an UNCONDITIONAL laureate lead
+    * with the raw affiliation and NO country. */
+  def keioMedicalSciencePrize: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320320909L, provenance = "keio_medical_science_prize",
+      priority = 125,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = col("amount").try_cast("double"),
+      currency = nullif(trim(col("currency")), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")), lit("Keio Medical Science Prize")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("affiliation_raw")), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** HEC Pakistan NRPU (CreateHECPakistanAwards.ipynb cell 17,
+    * ~1.9K): UNGATED amount with trimmed source currency, the
+    * scheme-else-NRPU-label fallback, date-else-source-year
+    * coverage, and a pi-NAME-gated lead whose given/family come from
+    * the pre-split columns ('PK', role_start = start). */
+  def hecPakistan: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val lead = when(col("pi_name").isNull ||
+      trim(col("pi_name")) === "",
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(
+        nullif(trim(col("pi_given_name")), lit("")),
+        nullif(trim(col("pi_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("university")), lit("")), lit("PK"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322799L, provenance = "hec_pakistan_nrpu",
+      priority = 140,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = col("amount").try_cast("double"),
+      currency = nullif(trim(col("currency")), lit("")),
+      fundingType = lit("grant"),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")),
+        lit("National Research Program for Universities (NRPU)")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = lead,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Ontario MCU research funding (CreateOntarioMCUAwards.ipynb
+    * cell 6, ~1.8K): the [[threeTierCard]] twin — 'Ontario
+    * <scheme> - <institution>' tier 2, 'Ontario MCU project <id>'
+    * tier 3, 'Canada'. */
+  def ontarioMcu: FunderIngestConfig =
+    threeTierCard(4320331473L, "ontario_mcu", 369, "Ontario ", " - ",
+      "Ontario MCU project ", "Canada")
+
+  /** ITF / Hong Kong Innovation and Technology Fund
+    * (CreateITFHongKongAwards.ipynb cell 6, ~1.8K): >0 decimal gate
+    * with source currency, labeled-id display fallback, NULL dates
+    * with a start-year-only coverage from the date raw, an ORG-ONLY
+    * 'Hong Kong' lead (the Lead Applicant is an organisation), NO
+    * row screen, NULL works_api_url. */
+  def itfHk: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("institution").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Hong Kong"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320326427L, provenance = "itf_hk", priority = 371,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("ITF project "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
   }
 }

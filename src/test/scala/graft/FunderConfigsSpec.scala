@@ -5287,4 +5287,199 @@ class FunderConfigsSpec extends AnyFunSuite {
       === "Schmidt Sciences") // blank program null-propagates
     assert(osc(1).isNullAt(osc(1).fieldIndex("start_date")))
   }
+
+  private def regTwentyThree = regTwentyTwo.unionByName(Seq(
+    (4320312534L, "SEPM", "r-se2", "d-se2"),
+    (4320320000L, "Sir Jules Thorn Charitable Trust", "r-jt", "d-jt"),
+    (4320320909L, "Keio University Medical Science Fund", "r-ke",
+      "d-ke"),
+    (4320322799L, "Higher Education Commission Pakistan", "r-pk",
+      "d-pk"),
+    (4320331473L, "Ontario Ministry of Colleges and Universities",
+      "r-on", "d-on"),
+    (4320326427L, "Innovation and Technology Fund", "r-it", "d-it"))
+    .toDF(reg.columns: _*))
+
+  test("SEPM / Sir Jules Thorn / Keio / HEC Pakistan: the range-gated " +
+    "prize start date with the UNCAPPED start_year, the 360Giving " +
+    "org-identifier affiliation id with the future cap, ungated " +
+    "amounts with trimmed source currencies, the pi-name-gated " +
+    "pre-split lead") {
+    val se = Seq(
+      (" SEPM-1960-moore ", " 1960 Twenhofel Medal - R. Moore ",
+        Some(" Bio "), Some(" Twenhofel Medal "), Some("1960"),
+        Some("Raymond"), Some("Moore"), Some(" KU "), Some(" US "),
+        Some("https://sepm/1")),
+      ("SEPM-0-x", "Weird year", None: Option[String],
+        None: Option[String], Some("1850"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "award_name", "award_year", "recipient_given_name",
+        "recipient_family_name", "affiliation_name",
+        "affiliation_country", "landing_page_url")
+    val ose = FunderIngest.transform(se, regTwentyThree,
+      FunderConfigs.sepm(2026), now).orderBy("funder_award_id")
+      .collect()
+    assert(ose.length === 2)
+    assert(ose(1).getAs[String]("funder_award_id") === "sepm-1960-moore")
+    assert(ose(1).getAs[String]("funding_type") === "prize")
+    assert(ose(1).isNullAt(ose(1).fieldIndex("amount")))
+    assert(ose(1).getAs[String]("funder_scheme") === "Twenhofel Medal")
+    assert(ose(1).getAs[java.sql.Date]("start_date").toString
+      === "1960-01-01")
+    val sel = ose(1).getAs[Row]("lead_investigator")
+    assert(sel.getAs[Row]("affiliation").getAs[String]("country")
+      === "US")
+    assert(sel.getAs[java.sql.Date]("role_start").toString
+      === "1960-01-01")
+    // 1850 outside 1900..2027: date NULLed, start_year KEPT
+    assert(ose(0).isNullAt(ose(0).fieldIndex("start_date")))
+    assert(ose(0).getAs[Int]("start_year") === 1850)
+
+    val jt = Seq(
+      ("360G-sjt-1", Some("Medical programme"), Some("D"),
+        Some("150000"), Some("GBP"), Some("2021-05-01"), Some("2021"),
+        Some("Imperial College"), Some("GB-CHC-123")),
+      ("360G-sjt-2", None: Option[String], None: Option[String],
+        Some("0"), None: Option[String], None: Option[String],
+        Some("2090"), Some("Org"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "award_date", "start_year", "recipient_org",
+        "recipient_org_identifier")
+    val ojt = FunderIngest.transform(jt, regTwentyThree,
+      FunderConfigs.sirJulesThorn(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(ojt(0).getAs[Double]("amount") === 150000.0)
+    assert(ojt(0).getAs[String]("currency") === "GBP") // source, gated
+    assert(ojt(0).isNullAt(ojt(0).fieldIndex("funder_scheme")))
+    assert(ojt(0).getAs[Int]("start_year") === 2021)
+    val jtl = ojt(0).getAs[Row]("lead_investigator")
+    val jtIds = jtl.getAs[Row]("affiliation")
+      .getSeq[Row](jtl.getAs[Row]("affiliation").fieldIndex("ids"))
+    assert(jtIds.head.getAs[String]("id") === "GB-CHC-123")
+    assert(jtIds.head.getAs[String]("type")
+      === "360Giving Recipient Org:Identifier")
+    assert(ojt(0).isNullAt(ojt(0).fieldIndex("landing_page_url")))
+    assert(ojt(1).isNullAt(ojt(1).fieldIndex("start_year"))) // future
+    val jtl2 = ojt(1).getAs[Row]("lead_investigator")
+    assert(jtl2.getAs[Row]("affiliation").isNullAt(
+      jtl2.getAs[Row]("affiliation").fieldIndex("ids"))) // no identifier
+
+    val ke = Seq(
+      (" KEIO-1996 ", " 1996 Keio Prize - S. Tonegawa ", Some(" B "),
+        Some("10000000"), Some(" JPY "), Some("  "),
+        Some("1996-01-01"), Some("1996-12-31"), Some("1996"),
+        Some("Susumu"), Some("Tonegawa"), Some(" MIT "),
+        Some("https://keio/1")),
+      ("KEIO-2000", "2000 Keio Prize - X", None: Option[String],
+        None: Option[String], None: Option[String], Some("Special"),
+        None: Option[String], None: Option[String], Some("2000"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funder_scheme", "start_date", "end_date",
+        "source_year", "given_name", "family_name", "affiliation_raw",
+        "landing_page_url")
+    val oke = FunderIngest.transform(ke, regTwentyThree,
+      FunderConfigs.keioMedicalSciencePrize, now)
+      .orderBy("funder_award_id").collect()
+    assert(oke(0).getAs[Double]("amount") === 1.0e7) // UNGATED
+    assert(oke(0).getAs[String]("currency") === "JPY") // trimmed
+    assert(oke(0).getAs[String]("funder_scheme")
+      === "Keio Medical Science Prize") // blank → fallback
+    val kel = oke(0).getAs[Row]("lead_investigator")
+    assert(kel.getAs[Row]("affiliation").getAs[String]("name") === "MIT")
+    assert(kel.getAs[Row]("affiliation").isNullAt(
+      kel.getAs[Row]("affiliation").fieldIndex("country")))
+    assert(oke(1).getAs[String]("funder_scheme") === "Special")
+    assert(oke(1).getAs[Int]("start_year") === 2000) // source year
+    val kel2 = oke(1).getAs[Row]("lead_investigator")
+    assert(kel2.isNullAt(kel2.fieldIndex("family_name"))) // still struct
+
+    val hp = Seq(
+      ("NRPU-100", "Project P", Some("D"), Some("2000000"),
+        Some(" PKR "), None: Option[String], Some("2018-07-01"),
+        Some("2021-06-30"), Some("2018"), Some(" Dr. Ali Khan "),
+        Some("Ali"), Some("Khan"), Some(" QAU "),
+        Some("https://hec/1")),
+      ("NRPU-200", "Project Q", None: Option[String],
+        None: Option[String], None: Option[String], Some("TDF"),
+        None: Option[String], None: Option[String], Some("2019"),
+        Some("  "), Some("X"), Some("Y"), Some("LUMS"),
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funder_scheme", "start_date", "end_date",
+        "source_year", "pi_name", "pi_given_name", "pi_family_name",
+        "university", "landing_page_url")
+    val ohp = FunderIngest.transform(hp, regTwentyThree,
+      FunderConfigs.hecPakistan, now).orderBy("funder_award_id")
+      .collect()
+    assert(ohp(0).getAs[Double]("amount") === 2000000.0)
+    assert(ohp(0).getAs[String]("currency") === "PKR")
+    assert(ohp(0).getAs[String]("funder_scheme")
+      === "National Research Program for Universities (NRPU)")
+    assert(ohp(0).getAs[Int]("end_year") === 2021)
+    val hpl = ohp(0).getAs[Row]("lead_investigator")
+    assert(hpl.getAs[String]("family_name") === "Khan")
+    assert(hpl.getAs[Row]("affiliation").getAs[String]("country")
+      === "PK")
+    assert(ohp(1).getAs[String]("funder_scheme") === "TDF")
+    assert(ohp(1).isNullAt(ohp(1).fieldIndex("lead_investigator")))
+  }
+
+  test("Ontario MCU / ITF Hong Kong: the threeTierCard twin with " +
+    "' - ' and 'Canada', and ITF's org-only applicant lead with " +
+    "start-year-only coverage and no row screen") {
+    val on = Seq(
+      ("ORF-RE-1", None: Option[String], None: Option[String],
+        Some("750000.00"), Some("CAD"), Some("ORF-RE"),
+        Some("2019-04-01"), Some("2024-03-31"), Some("Ada"),
+        Some("Wong"), Some("UofT"), Some("https://on/1")),
+      ("ERA-2", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("ERA"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oon = FunderIngest.transform(on, regTwentyThree,
+      FunderConfigs.ontarioMcu, now).orderBy("funder_award_id")
+      .collect()
+    assert(oon(1).getAs[String]("display_name")
+      === "Ontario ORF-RE - UofT") // tier 2
+    assert(oon(0).getAs[String]("display_name")
+      === "Ontario MCU project ERA-2") // null inst → tier 3
+    assert(oon(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+    assert(oon(1).getAs[Int]("end_year") === 2024)
+    assert(oon(0).isNullAt(oon(0).fieldIndex("works_api_url")))
+
+    val it = Seq(
+      ("ITP/001/20", Some("Smart sensor"), Some("D"), Some("3000000.00"),
+        Some("HKD"), Some("ITSP"), Some("2020-10-01"), Some("HKUST"),
+        Some("https://itf/1")),
+      ("GSP/002/21", None: Option[String], None: Option[String],
+        Some("0"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "institution",
+        "landing_page_url")
+    val oit = FunderIngest.transform(it, regTwentyThree,
+      FunderConfigs.itfHk, now).orderBy("funder_award_id").collect()
+    assert(oit.length === 2) // no screen
+    assert(oit(1).getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 3000000.0)
+    assert(oit(1).getAs[Int]("start_year") === 2020)
+    assert(oit(1).isNullAt(oit(1).fieldIndex("start_date"))) // year only
+    val itl = oit(1).getAs[Row]("lead_investigator")
+    assert(itl.isNullAt(itl.fieldIndex("family_name"))) // org-only
+    assert(itl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Hong Kong")
+    assert(oit(0).getAs[String]("display_name")
+      === "ITF project GSP/002/21")
+    assert(oit(0).isNullAt(oit(0).fieldIndex("amount"))) // 0 gated
+    assert(oit(0).isNullAt(oit(0).fieldIndex("lead_investigator")))
+  }
 }
