@@ -5029,20 +5029,23 @@ object FunderConfigs {
       priority: Int, fallbackPrefix: String, country: String,
       fullDates: Boolean, endYearFromRaw: Boolean,
       dateFmt: String = "yyyy-MM-dd", mintSalt: Option[Column] = None,
-      doiFromRaw: Boolean = false): FunderIngestConfig = {
+      doiFromRaw: Boolean = false, orgFallback: Boolean = true,
+      requireId: Boolean = true): FunderIngestConfig = {
     val amt = col("amount").try_cast("decimal(18,2)")
     def dFmt(c: Column): Column =
       to_date(try_to_timestamp(c, lit(dateFmt)))
     val sdRaw = dFmt(col("start_date_raw"))
     val edRaw = dFmt(col("end_date_raw"))
-    val lead = when(col("pi_family").isNotNull,
+    val named = when(col("pi_family").isNotNull,
       investigator(col("pi_given"), col("pi_family"),
         lit(null).cast("string"), lit(null).cast("date"),
         col("institution"), lit(country), lit(null).cast(affIds)))
-      .when(col("institution").isNotNull,
+    val lead = if (orgFallback)
+      named.when(col("institution").isNotNull,
         investigator(lit(null).cast("string"), lit(null).cast("string"),
           lit(null).cast("string"), lit(null).cast("date"),
           col("institution"), lit(country), lit(null).cast(affIds)))
+    else named
     FunderIngestConfig(
       funderId = funderId, provenance = provenance, priority = priority,
       mintKey = mintSalt.foldLeft(lower(col("funder_award_id")))(
@@ -5062,7 +5065,8 @@ object FunderConfigs {
       leadInvestigator = lead,
       landingPageUrl = col("landing_page_url"),
       doi = if (doiFromRaw) col("doi") else lit(null).cast("string"),
-      rowFilter = col("funder_award_id").isNotNull,
+      rowFilter = if (requireId) col("funder_award_id").isNotNull
+        else lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
 
@@ -7298,6 +7302,153 @@ object FunderConfigs {
       funderScheme = col("scheme"),
       startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
       startYear = year(d(col("start_date_raw"))),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  // ---------------------------------------------------------------
+  // Round-13 fifth tranche: HRB Ireland, RPB, CIRM, Rockefeller,
+  // Hertz, JSMF
+  // ---------------------------------------------------------------
+
+  /** HRB / Health Research Board Ireland
+    * (CreateHRBIrelandAwards.ipynb cell 6, ~1.7K): the [[grantCard]]
+    * archetype with NULL dates and start-year-only coverage,
+    * 'Ireland', a PI-ONLY lead (no org fallback) and NO row
+    * screen. */
+  def hrbIreland: FunderIngestConfig =
+    grantCard(4320312041L, "hrb_ireland", 373, "HRB grant ",
+      "Ireland", fullDates = false, endYearFromRaw = false,
+      orgFallback = false, requireId = false)
+
+  /** RPB / Research to Prevent Blindness (CreateRPBAwards.ipynb
+    * cell 6, ~1.7K): the [[grantCard]] archetype with NULL dates and
+    * start-year-only coverage, 'United States', the departmental
+    * org-grant fallback tier, NO row screen. */
+  def rpb: FunderIngestConfig =
+    grantCard(4320306811L, "rpb", 375, "RPB grant ", "United States",
+      fullDates = false, endYearFromRaw = false, requireId = false)
+
+  /** CIRM / California Institute for Regenerative Medicine
+    * (CreateCIRMAwards.ipynb cell 7, ~1.6K): UNGATED decimal amount
+    * with unconditional 'USD', raw title, NO description/dates/
+    * years, programme scheme, PI-only 'United States' lead, NULL
+    * landing AND works URLs, no row screen. */
+  def cirm: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306171L, provenance = "cirm", priority = 253,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Rockefeller Foundation WordPress grants roster
+    * (CreateRockefellerAwards.ipynb cell 9, ~1.5K): the lowered SLUG
+    * mint with the slug as the landed award id, un-trimmed NULLIF
+    * description/focus-area, UNGATED USD-column amount with the raw
+    * source currency, full dates, and an UNCONDITIONAL org-only lead
+    * whose name falls back from grantee to the title (Rockefeller
+    * funds organisations). */
+  def rockefeller: FunderIngestConfig = FunderIngestConfig(
+    funderId = 4320306149L, provenance = "rockefeller_wp", priority = 40,
+    mintKey = lower(col("slug")),
+    funderAwardId = col("slug"),
+    displayName = col("title"),
+    description = nullif(col("description_raw"), lit("")),
+    amount = col("amount_usd").try_cast("double"),
+    currency = col("currency"),
+    fundingType = lit("grant"),
+    funderScheme = nullif(col("focus_area_raw"), lit("")),
+    startDate = d(col("start_date")), endDate = d(col("end_date")),
+    startYear = year(d(col("start_date"))),
+    endYear = year(d(col("end_date"))),
+    leadInvestigator = investigator(lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      lit(null).cast("date"),
+      coalesce(nullif(col("grantee_raw"), lit("")), col("title")),
+      lit(null).cast("string"), lit(null).cast(affIds)),
+    landingPageUrl = col("url"),
+    doi = lit(null).cast("string"),
+    rowFilter = col("slug").isNotNull && trim(col("slug")) =!= "")
+
+  /** Hertz Foundation fellows directory (CreateHertzAwards.ipynb
+    * cell 12, ~1.5K): 'fellowship'/'Hertz Fellowship' constants,
+    * UNGATED amount with the raw source currency, years from the
+    * raw date SUBSTRINGs, a full-name-gated PERSON lead whose
+    * affiliation is the fellow's CURRENT position with the 'US'
+    * citizenship invariant, per-fellow profile landing page. */
+  def hertz: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val lead = when(col("full_name").isNull || col("full_name") === "",
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd, col("current_position"),
+        lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320308782L, provenance = "hertz_facetwp", priority = 90,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("Hertz Fellowship"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("profile_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("full_name").isNotNull)
+  }
+
+  /** JSMF / James S. McDonnell Foundation (CreateJSMFAwards.ipynb
+    * cell 7, ~1.2K): UNGATED decimal amount with unconditional
+    * 'USD', NULL scheme, raw-date start with a 1980..2027
+    * RANGE-GATED start_year, a recipient ORG-ONLY lead with no
+    * country, NULL works_api_url, no row screen. */
+  def jsmf: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("recipient").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306183L, provenance = "jsmf", priority = 245,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = d(col("start_date_raw")), endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1980, 2027), sy),
       endYear = lit(null).cast("int"),
       leadInvestigator = lead,
       landingPageUrl = col("landing_page_url"),

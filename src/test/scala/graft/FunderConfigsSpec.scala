@@ -5482,4 +5482,155 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(oit(0).isNullAt(oit(0).fieldIndex("amount"))) // 0 gated
     assert(oit(0).isNullAt(oit(0).fieldIndex("lead_investigator")))
   }
+
+  private def regTwentyFour = regTwentyThree.unionByName(Seq(
+    (4320312041L, "Health Research Board", "r-hb", "d-hb"),
+    (4320306811L, "Research to Prevent Blindness", "r-rp", "d-rp"),
+    (4320306171L, "CIRM", "r-ci", "d-ci"),
+    (4320306149L, "Rockefeller Foundation", "r-ro", "d-ro"),
+    (4320308782L, "Fannie and John Hertz Foundation", "r-he", "d-he"),
+    (4320306183L, "James S. McDonnell Foundation", "r-js", "d-js"))
+    .toDF(reg.columns: _*))
+
+  test("HRB Ireland / RPB / CIRM / JSMF: grantCard PI-only vs " +
+    "org-fallback tiers without row screens, CIRM's ungated USD " +
+    "no-coverage card, JSMF's range-gated start_year with the " +
+    "recipient org lead") {
+    val hb = Seq(
+      ("HRB-1", Some("Study I"), None: Option[String], Some("400000.00"),
+        Some("EUR"), Some("ARPP"), Some("2020-01-01"),
+        None: Option[String], Some("Aoife"), Some("Byrne"), Some("TCD"),
+        Some("https://hrb/1")),
+      ("HRB-2", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("RCSI"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ohb = FunderIngest.transform(hb, regTwentyFour,
+      FunderConfigs.hrbIreland, now).orderBy("funder_award_id")
+      .collect()
+    assert(ohb(0).getAs[Int]("start_year") === 2020)
+    assert(ohb(0).isNullAt(ohb(0).fieldIndex("start_date"))) // year only
+    assert(ohb(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Ireland")
+    // PI-only: institution without a family name → NO lead
+    assert(ohb(1).isNullAt(ohb(1).fieldIndex("lead_investigator")))
+
+    val rp = hb // same column surface
+    val orp = FunderIngest.transform(rp, regTwentyFour,
+      FunderConfigs.rpb, now).orderBy("funder_award_id").collect()
+    // org fallback present: the departmental row DOES get a lead
+    val rpl = orp(1).getAs[Row]("lead_investigator")
+    assert(rpl.getAs[Row]("affiliation").getAs[String]("name") === "RCSI")
+    assert(rpl.getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+    assert(orp(1).getAs[String]("display_name") === "RPB grant HRB-2")
+
+    val ci = Seq(
+      ("CIRM-1", Some("Stem cell line"), Some("0"), Some("DISC"),
+        Some("Ana"), Some("Diaz"), Some("Stanford")),
+      ("CIRM-2", None: Option[String], Some("bad"),
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("UCSF")))
+      .toDF("funder_award_id", "title", "amount", "programme",
+        "pi_given", "pi_family", "institution")
+    val oci = FunderIngest.transform(ci, regTwentyFour,
+      FunderConfigs.cirm, now).orderBy("funder_award_id").collect()
+    assert(oci(0).getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 0.0) // UNGATED zero kept
+    assert(oci(0).getAs[String]("currency") === "USD") // unconditional
+    assert(oci(0).isNullAt(oci(0).fieldIndex("start_year")))
+    assert(oci(0).isNullAt(oci(0).fieldIndex("works_api_url")))
+    assert(oci(1).isNullAt(oci(1).fieldIndex("amount"))) // 'bad'
+    assert(oci(1).getAs[String]("currency") === "USD") // still set
+    assert(oci(1).isNullAt(oci(1).fieldIndex("lead_investigator")))
+
+    val js = Seq(
+      ("jsmf-1", Some("Complex systems"), Some("500000.00"),
+        Some("2015-06-01"), Some("2015"), Some("Santa Fe Institute"),
+        Some("https://jsmf/1")),
+      ("jsmf-2", Some("Old grant"), None: Option[String],
+        None: Option[String], Some("1950"), None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "amount", "start_date_raw",
+        "start_year", "recipient", "landing_page_url")
+    val ojs = FunderIngest.transform(js, regTwentyFour,
+      FunderConfigs.jsmf, now).orderBy("funder_award_id").collect()
+    assert(ojs(0).getAs[Int]("start_year") === 2015)
+    assert(ojs(0).getAs[java.sql.Date]("start_date").toString
+      === "2015-06-01")
+    assert(ojs(0).isNullAt(ojs(0).fieldIndex("funder_scheme")))
+    val jsl = ojs(0).getAs[Row]("lead_investigator")
+    assert(jsl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Santa Fe Institute")
+    assert(jsl.getAs[Row]("affiliation").isNullAt(
+      jsl.getAs[Row]("affiliation").fieldIndex("country")))
+    assert(ojs(1).isNullAt(ojs(1).fieldIndex("start_year"))) // 1950 < 1980
+    assert(ojs(1).isNullAt(ojs(1).fieldIndex("lead_investigator")))
+  }
+
+  test("Rockefeller / Hertz: the slug mint with grantee-else-title " +
+    "org lead and un-trimmed NULLIFs, and the fellows directory's " +
+    "full-name gate with current-position affiliation and " +
+    "substring years") {
+    val ro = Seq(
+      ("global-methane-hub-2026", "Global Methane Hub Stichting 2026",
+        Some(""), Some("1000000"), Some("USD"), Some(""),
+        Some("2026-01-01"), Some("2027-12-31"),
+        Some("Global Methane Hub"), Some("https://rock/1")),
+      ("  ", "dropped", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("slug", "title", "description_raw", "amount_usd",
+        "currency", "focus_area_raw", "start_date", "end_date",
+        "grantee_raw", "url")
+    val oro = FunderIngest.transform(ro, regTwentyFour,
+      FunderConfigs.rockefeller, now).collect()
+    assert(oro.length === 1) // blank slug dropped
+    assert(oro.head.getAs[String]("funder_award_id")
+      === "global-methane-hub-2026")
+    assert(oro.head.isNullAt(oro.head.fieldIndex("description"))) // ''
+    assert(oro.head.isNullAt(oro.head.fieldIndex("funder_scheme")))
+    assert(oro.head.getAs[Double]("amount") === 1000000.0)
+    assert(oro.head.getAs[Int]("end_year") === 2027)
+    val rol = oro.head.getAs[Row]("lead_investigator")
+    assert(rol.getAs[Row]("affiliation").getAs[String]("name")
+      === "Global Methane Hub") // grantee preferred over title
+    assert(rol.isNullAt(rol.fieldIndex("given_name")))
+
+    val he = Seq(
+      ("hertz-1965-doe", "Hertz Fellowship — John Doe",
+        Some("Fellow bio"), Some("250000"), Some("USD"),
+        Some("1965-09-01"), Some("1970-06-30"), Some("John Doe"),
+        Some("John"), Some("Doe"),
+        Some("Professor Emeritus, Caltech"),
+        Some("https://hertz/people/doe")),
+      ("hertz-1970-x", "Hertz Fellowship — X", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "start_date", "end_date", "full_name",
+        "given_name", "family_name", "current_position", "profile_url")
+    val ohe = FunderIngest.transform(he, regTwentyFour,
+      FunderConfigs.hertz, now).orderBy("funder_award_id").collect()
+    assert(ohe.length === 1) // null full_name dropped by row screen
+    assert(ohe.head.getAs[String]("funding_type") === "fellowship")
+    assert(ohe.head.getAs[String]("funder_scheme") === "Hertz Fellowship")
+    assert(ohe.head.getAs[Double]("amount") === 250000.0)
+    assert(ohe.head.getAs[Int]("start_year") === 1965) // substring
+    assert(ohe.head.getAs[Int]("end_year") === 1970)
+    val hel = ohe.head.getAs[Row]("lead_investigator")
+    assert(hel.getAs[String]("family_name") === "Doe")
+    assert(hel.getAs[java.sql.Date]("role_start").toString
+      === "1965-09-01")
+    assert(hel.getAs[Row]("affiliation").getAs[String]("name")
+      === "Professor Emeritus, Caltech") // CURRENT position
+    assert(hel.getAs[Row]("affiliation").getAs[String]("country")
+      === "US")
+  }
 }
