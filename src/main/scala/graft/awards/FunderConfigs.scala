@@ -7456,4 +7456,234 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 sixth tranche: Research Manitoba, Marsden, KWF, CIFAR,
+  // Brain Canada, SCAS fellows
+  // ---------------------------------------------------------------
+
+  /** Research Manitoba (CreateResearchManitobaAwards.ipynb cell 7,
+    * ~1.2K): UNGATED decimal amount with unconditional 'CAD', a
+    * 2000..2027 RANGE-GATED start date AND start_year, programme
+    * scheme, PI-only 'Canada' lead, NULL landing and works URLs, no
+    * row screen. */
+  def researchManitoba: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val inRange = sy.between(2000, 2027)
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Canada"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320310810L, provenance = "research_manitoba",
+      priority = 251,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("CAD"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = when(inRange,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = when(inRange, sy), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Marsden Fund / Royal Society Te Apārangi
+    * (CreateMarsdenAwards.ipynb cell 6, ~1K): the grant card with a
+    * scheme-labeled display fallback ('Marsden <scheme> grant <id>'),
+    * >0 decimal gate, year_awarded-only coverage, PI-only 'New
+    * Zealand' lead, NULL works_api_url, no row screen. */
+  def marsden: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("New Zealand"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320335369L, provenance = "marsden", priority = 357,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("Marsden "), coalesce(col("scheme"), lit("")),
+          lit(" grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("year_awarded").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** KWF Kankerbestrijding / Dutch Cancer Society
+    * (CreateKWFAwards.ipynb cell 6, ~1K): NO amounts (§6.7 — KWF
+    * publishes none), research-modality scheme, raw-date start with
+    * start-year-only coverage, PI-only 'Netherlands' lead, NULL
+    * works_api_url, no row screen. */
+  def kwf: FunderIngestConfig = {
+    val sd = d(col("start_date_raw"))
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Netherlands"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322777L, provenance = "kwf", priority = 359,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("KWF project "), col("funder_award_id"))),
+      description = col("description"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = year(sd), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** CIFAR appointments via the WordPress REST bios
+    * (CreateCIFARAwards.ipynb cell 11, ~0.9K): 'CIFAR <program> —
+    * <researcher>' display, the declined-flag/role description
+    * cascade, the role-name regex RECOMPUTING funding_type (advisory
+    * → 'other' BEFORE the fellow/chair arm), first-seen-date proxy
+    * start with the substring year, an UNCONDITIONAL researcher lead
+    * with source country. */
+  def cifar: FunderIngestConfig = {
+    val declined = col("declined").try_cast("boolean") === true
+    val role = col("role_name")
+    FunderIngestConfig(
+      funderId = 4320309949L, provenance = "cifar_wp_rest", priority = 79,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("CIFAR "), col("program_name"),
+        lit(" — "), col("researcher_full_name")),
+      description = when(declined && role.isNotNull,
+        concat(lit("Declined the appointment. Role: "), role))
+        .when(declined, lit("Declined the appointment."))
+        .when(role.isNotNull, concat(role, lit(" in CIFAR "),
+          col("program_name"), lit(".")))
+        .otherwise(concat(lit("Appointment in CIFAR "),
+          col("program_name"), lit("."))),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = when(lower(role).rlike("advisor|advisory|committee"),
+        "other")
+        .when(lower(role).rlike(
+          "fellow|chair|scholar|investigator|co-?director|director"),
+          "research")
+        .otherwise("other"),
+      funderScheme = col("program_name"),
+      startDate = d(substring(col("first_seen_date"), 1, 10)),
+      endDate = lit(null).cast("date"),
+      startYear = substring(col("first_seen_date"), 1, 4).cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = investigator(col("researcher_given"),
+        col("researcher_family"), lit(null).cast("string"),
+        lit(null).cast("date"), col("institution_name"),
+        col("country_name"), lit(null).cast(affIds)),
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("program_name").isNotNull &&
+        col("researcher_full_name").isNotNull)
+  }
+
+  /** Brain Canada (CreateBrainCanadaAwards.ipynb cell 6, ~0.8K): >0
+    * decimal gate with source currency, labeled-id display fallback,
+    * start-year-only coverage, a two-tier lead carrying the SOURCE
+    * country column (never guessed), NULL works_api_url. */
+  def brainCanada: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), col("country"), lit(null).cast(affIds)))
+      .when(col("institution").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          col("institution"), col("country"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320311238L, provenance = "brain_canada", priority = 387,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("Brain Canada grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = year(d(col("start_date_raw"))),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** SCAS / Swedish Collegium for Advanced Study former fellows
+    * (CreateSCASFellowsAwards.ipynb cell 17, ~0.8K): SOURCE
+    * funding_type (trimmed-NULLIF, no fallback), UPPERCASED trimmed
+    * currency over an ungated amount, scheme_label, years from the
+    * RAW year columns (no date coalesce), a NAME-required row screen
+    * and an unconditional fellow lead (no country, role_start =
+    * start). */
+  def scasFellows: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date"))
+    FunderIngestConfig(
+      funderId = 4320319588L, provenance = "scas_former_fellows",
+      priority = 174,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = col("amount").try_cast("double"),
+      currency = when(nullif(trim(col("currency")), lit("")).isNull,
+        lit(null).cast("string"))
+        .otherwise(upper(trim(col("currency")))),
+      fundingType = nullif(trim(col("funding_type")), lit("")),
+      funderScheme = nullif(trim(col("scheme_label")), lit("")),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("affiliation")), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "" &&
+        col("name").isNotNull && trim(col("name")) =!= "")
+  }
 }

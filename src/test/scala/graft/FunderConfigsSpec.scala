@@ -5633,4 +5633,174 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(hel.getAs[Row]("affiliation").getAs[String]("country")
       === "US")
   }
+
+  private def regTwentyFive = regTwentyFour.unionByName(Seq(
+    (4320310810L, "Research Manitoba", "r-mb", "d-mb"),
+    (4320335369L, "Marsden Fund", "r-mf", "d-mf"),
+    (4320322777L, "KWF Kankerbestrijding", "r-kw", "d-kw"),
+    (4320309949L, "Canadian Institute for Advanced Research", "r-cf",
+      "d-cf"),
+    (4320311238L, "Brain Canada", "r-bc", "d-bc"),
+    (4320319588L, "Swedish Collegium for Advanced Study", "r-sc",
+      "d-sc"))
+    .toDF(reg.columns: _*))
+
+  test("Research Manitoba / Marsden / KWF / Brain Canada: the " +
+    "2000..2027 range gate on date AND year, the scheme-labeled " +
+    "Marsden fallback with year_awarded coverage, KWF's no-amount " +
+    "card, and the source-country two-tier Brain Canada lead") {
+    val mb = Seq(
+      ("RM-1", Some("Health study"), Some("75000.00"), Some("Operating"),
+        Some("Zoe"), Some("Li"), Some("UManitoba"), Some("2019")),
+      ("RM-2", Some("Old study"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("1995")))
+      .toDF("funder_award_id", "title", "amount", "programme",
+        "pi_given", "pi_family", "institution", "start_year")
+    val omb = FunderIngest.transform(mb, regTwentyFive,
+      FunderConfigs.researchManitoba, now).orderBy("funder_award_id")
+      .collect()
+    assert(omb(0).getAs[String]("currency") === "CAD")
+    assert(omb(0).getAs[Int]("start_year") === 2019)
+    assert(omb(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(omb(1).isNullAt(omb(1).fieldIndex("start_year"))) // 1995
+    assert(omb(1).isNullAt(omb(1).fieldIndex("start_date")))
+    assert(omb(0).isNullAt(omb(0).fieldIndex("landing_page_url")))
+
+    val mf = Seq(
+      ("23-UOA-100", None: Option[String], None: Option[String],
+        Some("960000.00"), Some("NZD"), Some("Standard"), Some("2023"),
+        Some("Mere"), Some("Smith"), Some("UoA"), Some("https://mf/1")),
+      ("23-VUW-2", None: Option[String], None: Option[String],
+        Some("0"), None: Option[String], None: Option[String],
+        Some("2023"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "year_awarded", "pi_given", "pi_family",
+        "institution", "landing_page_url")
+    val omf = FunderIngest.transform(mf, regTwentyFive,
+      FunderConfigs.marsden, now).orderBy("funder_award_id").collect()
+    assert(omf(0).getAs[String]("display_name")
+      === "Marsden Standard grant 23-UOA-100")
+    assert(omf(0).getAs[Int]("start_year") === 2023)
+    assert(omf(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "New Zealand")
+    // NULL scheme coalesces to '' in the fallback, amount 0 gated
+    assert(omf(1).getAs[String]("display_name")
+      === "Marsden  grant 23-VUW-2")
+    assert(omf(1).isNullAt(omf(1).fieldIndex("amount")))
+
+    val kw = Seq(
+      ("KWF-2021-1", Some("Immunotherapie trial"), Some("D"),
+        Some("Immunotherapie"), Some("2021-06-01"), Some("Jan"),
+        Some("de Vries"), Some("NKI"), Some("https://kwf/1")))
+      .toDF("funder_award_id", "title", "description", "scheme",
+        "start_date_raw", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val okw = FunderIngest.transform(kw, regTwentyFive,
+      FunderConfigs.kwf, now).collect()
+    assert(okw.head.isNullAt(okw.head.fieldIndex("amount"))) // none
+    assert(okw.head.getAs[Int]("start_year") === 2021)
+    assert(okw.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-06-01")
+    assert(okw.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "Netherlands")
+
+    val bc = Seq(
+      ("BC-1", Some("Neuro X"), None: Option[String], Some("100000.00"),
+        Some("CAD"), Some("Platform"), Some("2018-01-01"),
+        None: Option[String], None: Option[String], Some("McGill"),
+        Some("CA"), Some("https://bc/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "pi_given",
+        "pi_family", "institution", "country", "landing_page_url")
+    val obc = FunderIngest.transform(bc, regTwentyFive,
+      FunderConfigs.brainCanada, now).collect()
+    val bcl = obc.head.getAs[Row]("lead_investigator")
+    assert(bcl.isNullAt(bcl.fieldIndex("family_name"))) // org tier
+    assert(bcl.getAs[Row]("affiliation").getAs[String]("country")
+      === "CA") // SOURCE column
+    assert(obc.head.getAs[Int]("start_year") === 2018)
+  }
+
+  test("CIFAR / SCAS fellows: the declined-flag description cascade " +
+    "with the advisory-first type regex, and the source-typed " +
+    "uppercased-currency fellows card with the name-required screen") {
+    val cf = Seq(
+      ("cifar-ai-doe", "AI Chairs", "Jane Doe", Some("Jane"),
+        Some("Doe"), Some("Canada CIFAR AI Chair"),
+        None: Option[String], Some("2021-03-05T10:00:00"),
+        Some("Mila"), Some("Canada"), Some("https://cifar/doe")),
+      ("cifar-qm-roe", "Quantum Materials", "Sam Roe", Some("Sam"),
+        Some("Roe"), Some("Advisory Committee Member"), Some("true"),
+        Some("2019-07-01T09:00:00"), None: Option[String],
+        None: Option[String], None: Option[String]),
+      ("cifar-hb-x", "Humans and the Microbiome", "Ann X", Some("Ann"),
+        Some("X"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "program_name", "researcher_full_name",
+        "researcher_given", "researcher_family", "role_name",
+        "declined", "first_seen_date", "institution_name",
+        "country_name", "landing_page_url")
+    val ocf = FunderIngest.transform(cf, regTwentyFive,
+      FunderConfigs.cifar, now).orderBy("funder_award_id").collect()
+    assert(ocf(0).getAs[String]("display_name")
+      === "CIFAR AI Chairs — Jane Doe")
+    assert(ocf(0).getAs[String]("description")
+      === "Canada CIFAR AI Chair in CIFAR AI Chairs.")
+    assert(ocf(0).getAs[String]("funding_type") === "research") // chair
+    assert(ocf(0).getAs[Int]("start_year") === 2021)
+    assert(ocf(0).getAs[java.sql.Date]("start_date").toString
+      === "2021-03-05")
+    assert(ocf(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+    // declined + advisory role: description AND the advisory-first arm
+    assert(ocf(2).getAs[String]("description")
+      === "Declined the appointment. Role: Advisory Committee Member")
+    assert(ocf(2).getAs[String]("funding_type") === "other")
+    // no role at all → generic description, 'other' floor
+    assert(ocf(1).getAs[String]("description")
+      === "Appointment in CIFAR Humans and the Microbiome.")
+    assert(ocf(1).getAs[String]("funding_type") === "other")
+    assert(ocf(1).isNullAt(ocf(1).fieldIndex("start_year")))
+
+    val sf = Seq(
+      (" SCAS-1990-doe ", " Fellow 1990/91 - J Doe ", Some(" B "),
+        Some("0"), Some(" sek "), Some("fellowship"),
+        Some(" Natural Sciences Programme "), Some("1990-09-01"),
+        Some("1991-06-30"), Some("1990"), Some("1991"), Some("J Doe"),
+        Some("J"), Some("Doe"), Some(" Uppsala "),
+        Some("https://scas/1")),
+      ("SCAS-2000-x", "Fellow 2000 - X", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("  "),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funding_type", "scheme_label", "start_date",
+        "end_date", "start_year", "end_year", "name", "given_name",
+        "family_name", "affiliation", "landing_page_url")
+    val osf = FunderIngest.transform(sf, regTwentyFive,
+      FunderConfigs.scasFellows, now).collect()
+    assert(osf.length === 1) // blank name dropped by the screen
+    assert(osf.head.getAs[String]("funder_award_id") === "scas-1990-doe")
+    assert(osf.head.getAs[Double]("amount") === 0.0) // ungated
+    assert(osf.head.getAs[String]("currency") === "SEK") // uppercased
+    assert(osf.head.getAs[String]("funding_type") === "fellowship")
+    assert(osf.head.getAs[String]("funder_scheme")
+      === "Natural Sciences Programme")
+    assert(osf.head.getAs[Int]("end_year") === 1991) // raw year col
+    val sfl = osf.head.getAs[Row]("lead_investigator")
+    assert(sfl.getAs[java.sql.Date]("role_start").toString
+      === "1990-09-01")
+    assert(sfl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Uppsala")
+    assert(sfl.getAs[Row]("affiliation").isNullAt(
+      sfl.getAs[Row]("affiliation").fieldIndex("country")))
+  }
 }
