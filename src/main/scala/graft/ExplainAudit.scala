@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 198
+  val ExpectedChecks = 201
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -281,6 +281,15 @@ object ExplainAudit {
         "parses are scalar expressions)")
     check(!p131.contains("CartesianProduct"),
       "q131 has no cartesian product")
+
+    val p132 = plan("q132_sparse_award_mints")
+    check("""\(\d+\) Exchange hashpartitioning""".r
+        .findAllMatchIn(p132).size <= 2,
+      "q132 sparse mints shuffle at most on the backfill DISTINCT " +
+        "(funder, id) grain — the guard, registry, and GTR " +
+        "alternate-title joins all broadcast")
+    check(!p132.contains("CartesianProduct"),
+      "q132 has no cartesian product")
 
     // The dedup DAG (round-8 additions): the CC loop is exactly the
     // plan shape that regresses silently — a dropped Materialize cut

@@ -198,4 +198,155 @@ object WorkFunders {
       .withColumn("provenance", lit(provenance))
       .withColumn("priority", lit(priority)))
   }
+
+  /** Documented approximation of `openalex.common.extract_grant_doi`
+    * (DDL outside the snapshot; oxjobs #172 'lift recognized
+    * grant-registry DOIs from funder_award_id'): an id that IS a
+    * DOI-shaped string (`10.<registrant>/<suffix>`, optionally
+    * prefixed by a doi.org URL) passes through lowercased; anything
+    * else yields NULL. Injectable where the exact gate matters. */
+  def extractGrantDoi(c: Column): Column = {
+    val bare = lower(regexp_replace(trim(c),
+      "^https?://(dx\\.)?doi\\.org/", ""))
+    when(bare.rlike("^10\\.[0-9]{4,9}/\\S+$"), bare)
+  }
+
+  private val nullInvestigator = lit(null)
+    .cast(FunderIngest.InvestigatorType)
+  private val nullInvestigators = FunderIngest.nullInvestigators
+
+  /** The NULL-heavy sparse award card shared by the backfill and
+    * Gateway-to-Research mints (CreateBackfillAwards cell 1 /
+    * CreateGatewayToResearchAwards cell 1): id + award id + funder
+    * struct + works_api_url; every descriptive field NULL. `pairs`
+    * carries (funder_id, funder_award_id, normalized_award_id,
+    * __fdn, __fror, __fdoi). */
+  private def sparseAwardCards(pairs: DataFrame, provenance: String,
+      doiExpr: Column, nowTs: Column,
+      mintId: Column => Column,
+      extras: Seq[Column] = Nil): DataFrame = {
+    val mint = mintId(concat(col("funder_id").cast("string"), lit(":"),
+      col("normalized_award_id")))
+    pairs.select(Seq(
+      mint.as("id"),
+      lit(null).cast("string").as("display_name"),
+      lit(null).cast("string").as("description"),
+      col("funder_id"),
+      col("funder_award_id"),
+      lit(null).cast("double").as("amount"),
+      lit(null).cast("string").as("currency"),
+      struct(
+        concat(lit("https://openalex.org/F"),
+          col("funder_id").cast("string")).as("id"),
+        col("__fdn").as("display_name"),
+        col("__fror").as("ror_id"),
+        col("__fdoi").as("doi")).as("funder"),
+      lit(null).cast("string").as("funding_type"),
+      lit(null).cast("string").as("funder_scheme"),
+      lit(provenance).as("provenance"),
+      lit(null).cast("date").as("start_date"),
+      lit(null).cast("date").as("end_date"),
+      lit(null).cast("int").as("start_year"),
+      lit(null).cast("int").as("end_year"),
+      nullInvestigator.as("lead_investigator"),
+      nullInvestigator.as("co_lead_investigator"),
+      nullInvestigators.as("investigators"),
+      lit(null).cast("string").as("landing_page_url"),
+      doiExpr.as("doi"),
+      concat(lit("https://api.openalex.org/works?filter=awards.id:G"),
+        mint.cast("string")).as("works_api_url"),
+      nowTs.as("created_date"),
+      nowTs.as("updated_date")) ++ extras: _*)
+  }
+
+  /** The backfill mint (CreateBackfillAwards.ipynb): sparse award
+    * cards from the `work_funder` junction's award_ids — per-element
+    * usability screen, DISTINCT (funder, id) pairs, the #690
+    * verdict-consuming guard (fail-open), grant-registry DOIs lifted
+    * from the award id, landed at provenance
+    * 'crossref_work.grants'. One explode + one keyed distinct; the
+    * guard and the funder registry broadcast — at 100× the only
+    * shuffle is the distinct on (funder, id). */
+  def backfillAwards(workFunder: DataFrame, funders: DataFrame,
+      guard: DataFrame, nowTs: Column,
+      mintId: Column => Column = c =>
+        pmod(abs(xxhash64(c)), lit(9000000000L)),
+      usable: Column => Column = usableAwardId,
+      grantDoi: Column => Column = extractGrantDoi): DataFrame = {
+    val ids = workFunder
+      .select(explode(col("award_ids")).as("award_id"),
+        col("funder_id"))
+      .filter(usable(col("award_id")))
+      .select(col("funder_id"),
+        lower(col("award_id")).as("normalized_award_id"),
+        col("award_id").as("funder_award_id"))
+      .distinct()
+    val guarded = ids
+      .join(broadcast(guard.select(col("funder_id"),
+        col("funder_award_id"), col("decision"))),
+        Seq("funder_id", "funder_award_id"), "left")
+      .filter(coalesce(col("decision"), lit("mint")) =!= "suppress")
+      .drop("decision")
+    val f = funders.select(col("funder_id"),
+      col("display_name").as("__fdn"), col("ror_id").as("__fror"),
+      col("doi").as("__fdoi"))
+    sparseAwardCards(guarded.join(broadcast(f), Seq("funder_id")),
+      "crossref_work.grants", grantDoi(col("funder_award_id")), nowTs,
+      mintId)
+  }
+
+  /** The UKRI council names the Gateway-to-Research parquet carries
+    * in its `ID:FUNDER` grant references — these constants are the
+    * spec (CreateGatewayToResearchAwards.ipynb's
+    * target_funder_list). */
+  val GtrTargetFunders: Seq[String] = Seq("AHRC", "BBSRC", "EPSRC",
+    "ESRC", "MRC", "NERC", "STFC", "INNOVATE UK")
+
+  /** The Gateway-to-Research parquet mint
+    * (CreateGatewayToResearchAwards.ipynb, priority 3): explode each
+    * work's `grant_reference` 'ID:FUNDER' strings, keep the eight
+    * UKRI councils, resolve the funder by its ALTERNATE TITLE
+    * (exploded from the registry JSON, 'United Kingdom' rows only),
+    * and mint sparse cards; the work linkage (work_id via the
+    * locations-mapped DOI join + the work's own DOI) rides along as
+    * legacy columns the raw-landing INSERT drops.
+    * @param gtrRaw (doi STRING 'https://doi.org/10…',
+    *   grant_reference ARRAY<STRING>)
+    * @param funders registry with (funder_id, display_name, ror_id,
+    *   doi, alternate_titles JSON STRING, location)
+    * @param locationsMapped (work_id, native_id) */
+  def gatewayToResearch(gtrRaw: DataFrame, funders: DataFrame,
+      locationsMapped: DataFrame, nowTs: Column,
+      mintId: Column => Column = c =>
+        pmod(abs(xxhash64(c)), lit(9000000000L))): DataFrame = {
+    val awards = gtrRaw
+      .filter(col("doi").isNotNull && size(col("grant_reference")) > 0)
+      .select(element_at(split(col("doi"), "doi.org/"), 2).as("__doi"),
+        explode(col("grant_reference")).as("__raw"))
+      .select(col("__doi"),
+        element_at(split(col("__raw"), ":"), 1).as("funder_award_id"),
+        element_at(split(col("__raw"), ":"), 2).as("__fname"))
+      .filter(col("__fname").isin(GtrTargetFunders: _*))
+    val f = funders
+      .select(col("funder_id"), col("display_name").as("__fdn"),
+        col("ror_id").as("__fror"), col("doi").as("__fdoi"),
+        col("location"),
+        explode(from_json(col("alternate_titles"), lit("array<string>")))
+          .as("__alt"))
+      .filter(col("__alt").isin(GtrTargetFunders: _*) &&
+        col("location") === "United Kingdom")
+      .select("funder_id", "__alt", "__fdn", "__fror", "__fdoi")
+      .distinct()
+    val joined = awards
+      .join(broadcast(f), awards("__fname") === f("__alt"))
+      .withColumn("normalized_award_id", lower(col("funder_award_id")))
+    // the legacy work-linkage columns ride along per minted row and
+    // are dropped by the raw-landing INSERT
+    sparseAwardCards(joined, "gateway_to_research",
+      lit(null).cast("string"), nowTs, mintId,
+      extras = Seq(col("__doi").as("work_doi")))
+      .join(locationsMapped.select(col("work_id"), col("native_id")),
+        col("native_id") === col("work_doi"), "left")
+      .drop("native_id")
+  }
 }

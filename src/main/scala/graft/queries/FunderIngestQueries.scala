@@ -1140,6 +1140,86 @@ object FunderIngestQueries {
       .unionByName(flat2(se, "swecris")).unionByName(flat2(cz, "cep"))
   }
 
+  // ── q132: the backfill + Gateway-to-Research sparse mints ───────
+
+  private def wfRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select((lit(100) + pmod(k, lit(3))).as("funder_id"),
+      array(
+        concat(lit("AW-"), pmod(k, lit(50)).cast("string")),
+        when(pmod(k, lit(4)) === 0, lit("n/a"))
+          .otherwise(concat(lit("10.13039/10"),
+            pmod(k, lit(20)).cast("string")))).as("award_ids"))
+  }
+
+  private def gtrRawFx(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://doi.org/10."), ks, lit("/w")))
+        .as("doi"),
+      array(
+        concat(lit("EP/X"), ks, lit(":EPSRC")),
+        concat(lit("XX/"), ks, lit(":WELLCOME")),
+        when(pmod(k, lit(3)) === 0,
+          concat(lit("MR/Z"), ks, lit(":MRC")))
+          .otherwise(concat(lit("NN/"), ks, lit(":NIH"))))
+        .as("grant_reference"))
+  }
+
+  /** q132: the two sparse-card award mints end-to-end — the backfill
+    * leg (per-element usability screen, DISTINCT (funder, id) grain,
+    * #690 guard fail-open, grant-registry DOI lift, registry inner
+    * join) and the Gateway-to-Research leg (ID:FUNDER split, the
+    * eight-council allowlist, alternate-title UK-only funder
+    * resolution, per-row work linkage via the locations-mapped DOI
+    * join) — both recomputed by the DuckDB oracle from the same
+    * `orders`-shaped fixtures with the injected length-mint. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val sess = s; import sess.implicits._
+    import graft.awards.WorkFunders
+    val funders = Seq(
+      (100L, "NIH-ish", "r-a", "d-a"),
+      (101L, "NSF-ish", "r-b", "d-b"),
+      (999L, "Distractor", "r-x", "d-x"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+    val guard = Seq(
+      (100L, "AW-7", "suppress"), (100L, "AW-8", "mint"),
+      (101L, "AW-7", "mint"))
+      .toDF("funder_id", "funder_award_id", "decision")
+    val bf = WorkFunders.backfillAwards(wfRaw(s, dir), funders, guard,
+      nowTs, mintId = mint)
+    val gtrFunders = Seq(
+      (20L, "Engineering and Physical Sciences Research Council",
+        "r-ep", "d-ep", """["EPSRC"]""", "United Kingdom"),
+      (21L, "Medical Research Council", "r-mr", "d-mr", """["MRC"]""",
+        "United Kingdom"),
+      (22L, "Impostor MRC", "r-im", "d-im", """["MRC"]""",
+        "United States"))
+      .toDF("funder_id", "display_name", "ror_id", "doi",
+        "alternate_titles", "location")
+    val lm = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select((col("o_orderkey") + 1000).as("work_id"),
+        concat(lit("10."), col("o_orderkey").cast("string"), lit("/w"))
+          .as("native_id"))
+    val gt = WorkFunders.gatewayToResearch(gtrRawFx(s, dir),
+      gtrFunders, lm, nowTs, mintId = mint)
+    def flat(df: DataFrame, src: String, workCols: Boolean) =
+      df.select(lit(src).as("src"), col("id"), col("funder_id"),
+        col("funder_award_id"), col("provenance"), col("doi"),
+        col("funder").getField("display_name").as("f_dn"),
+        col("works_api_url"),
+        (if (workCols) col("work_doi")
+         else lit(null).cast("string")).as("work_doi"),
+        (if (workCols) col("work_id")
+         else lit(null).cast("long")).as("work_id"))
+    flat(bf, "backfill", workCols = false)
+      .unionByName(flat(gt, "gtr", workCols = true))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
@@ -1148,7 +1228,8 @@ object FunderIngestQueries {
     "q121_funder_reported_outputs" -> (q121 _),
     "q129_work_linkage_legs" -> (q129 _),
     "q130_r12_funder_config_shapes" -> (q130 _),
-    "q131_r12_shared_builder_shapes" -> (q131 _))
+    "q131_r12_shared_builder_shapes" -> (q131 _),
+    "q132_sparse_award_mints" -> (q132 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
@@ -1158,7 +1239,8 @@ object FunderIngestQueries {
     "q121_funder_reported_outputs" -> Oracles.q121,
     "q129_work_linkage_legs" -> Oracles.q129,
     "q130_r12_funder_config_shapes" -> Oracles.q130,
-    "q131_r12_shared_builder_shapes" -> Oracles.q131)
+    "q131_r12_shared_builder_shapes" -> Oracles.q131,
+    "q132_sparse_award_mints" -> Oracles.q132)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -2528,5 +2610,101 @@ object FunderIngestQueries {
         |UNION ALL SELECT * FROM eeleg
         |UNION ALL SELECT * FROM seleg
         |UNION ALL SELECT * FROM czleg""".stripMargin
+
+    /** q132: DuckDB recomputation of the backfill and
+      * Gateway-to-Research sparse mints — usability screen, DISTINCT
+      * grain, #690 guard, grant-DOI lift, ID:FUNDER split,
+      * alternate-title UK resolution, per-row work linkage. */
+    val q132: String =
+      """WITH o3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 300),
+        |bexp AS (
+        |  SELECT 100 + k % 3 AS fid,
+        |    'AW-' || CAST(k % 50 AS VARCHAR) AS aid FROM o3
+        |  UNION ALL
+        |  SELECT 100 + k % 3,
+        |    CASE WHEN k % 4 = 0 THEN 'n/a'
+        |         ELSE '10.13039/10' || CAST(k % 20 AS VARCHAR) END
+        |  FROM o3),
+        |busable AS (SELECT DISTINCT fid, lower(aid) AS nid, aid
+        | FROM bexp
+        | WHERE aid IS NOT NULL AND TRIM(aid) <> ''
+        |   AND lower(TRIM(aid)) NOT IN
+        |     ('n/a', 'na', 'none', 'unknown', 'null', '0', '-')
+        |   AND (regexp_matches(TRIM(aid), '[0-9]')
+        |        OR length(TRIM(aid)) >= 5)),
+        |bguard AS (SELECT * FROM (VALUES
+        |  (100, 'AW-7', 'suppress'), (100, 'AW-8', 'mint'),
+        |  (101, 'AW-7', 'mint')) AS t(fid, aid, decision)),
+        |bfunders AS (SELECT * FROM (VALUES
+        |  (100, 'NIH-ish', 'r-a', 'd-a'),
+        |  (101, 'NSF-ish', 'r-b', 'd-b')) AS t(fid, dn, ror, fdoi)),
+        |bleg2 AS (SELECT 'backfill' AS src,
+        |  length(CAST(e.fid AS VARCHAR) || ':' || e.nid) AS id,
+        |  CAST(e.fid AS BIGINT) AS funder_id,
+        |  e.aid AS funder_award_id,
+        |  'crossref_work.grants' AS provenance,
+        |  CASE WHEN regexp_matches(lower(regexp_replace(TRIM(e.aid),
+        |         '^https?://(dx\.)?doi\.org/', '')),
+        |         '^10\.[0-9]{4,9}/\S+$')
+        |       THEN lower(regexp_replace(TRIM(e.aid),
+        |         '^https?://(dx\.)?doi\.org/', '')) END AS doi,
+        |  f.dn AS f_dn,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length(CAST(e.fid AS VARCHAR) || ':' || e.nid)
+        |         AS VARCHAR) AS works_api_url,
+        |  CAST(NULL AS VARCHAR) AS work_doi,
+        |  CAST(NULL AS BIGINT) AS work_id
+        | FROM busable e
+        | LEFT JOIN bguard g ON g.fid = e.fid AND g.aid = e.aid
+        | JOIN bfunders f ON f.fid = e.fid
+        | WHERE COALESCE(g.decision, 'mint') <> 'suppress'),
+        |gexp AS (
+        |  SELECT k, doi, 'EP/X' || CAST(k AS VARCHAR) || ':EPSRC' AS rawg
+        |  FROM (SELECT k, 'https://doi.org/10.' || CAST(k AS VARCHAR)
+        |          || '/w' AS doi FROM o3 WHERE k % 7 <> 0)
+        |  UNION ALL
+        |  SELECT k, doi, 'XX/' || CAST(k AS VARCHAR) || ':WELLCOME'
+        |  FROM (SELECT k, 'https://doi.org/10.' || CAST(k AS VARCHAR)
+        |          || '/w' AS doi FROM o3 WHERE k % 7 <> 0)
+        |  UNION ALL
+        |  SELECT k, doi,
+        |    CASE WHEN k % 3 = 0
+        |         THEN 'MR/Z' || CAST(k AS VARCHAR) || ':MRC'
+        |         ELSE 'NN/' || CAST(k AS VARCHAR) || ':NIH' END
+        |  FROM (SELECT k, 'https://doi.org/10.' || CAST(k AS VARCHAR)
+        |          || '/w' AS doi FROM o3 WHERE k % 7 <> 0)),
+        |gawards AS (SELECT k,
+        |  regexp_extract(doi, 'doi\.org/(.*)$', 1) AS wdoi,
+        |  string_split(rawg, ':')[1] AS aid,
+        |  string_split(rawg, ':')[2] AS fname
+        | FROM gexp
+        | WHERE string_split(rawg, ':')[2] IN
+        |   ('AHRC', 'BBSRC', 'EPSRC', 'ESRC', 'MRC', 'NERC', 'STFC',
+        |    'INNOVATE UK')),
+        |gfunders AS (SELECT * FROM (VALUES
+        |  (20, 'Engineering and Physical Sciences Research Council',
+        |   'EPSRC'),
+        |  (21, 'Medical Research Council', 'MRC'))
+        |  AS t(fid, dn, alt)),
+        |glm AS (SELECT k + 1000 AS work_id,
+        |  '10.' || CAST(k AS VARCHAR) || '/w' AS native_id
+        | FROM o3 WHERE k % 2 = 0),
+        |gleg AS (SELECT 'gtr' AS src,
+        |  length(CAST(f.fid AS VARCHAR) || ':' || lower(a.aid)) AS id,
+        |  CAST(f.fid AS BIGINT) AS funder_id,
+        |  a.aid AS funder_award_id,
+        |  'gateway_to_research' AS provenance,
+        |  CAST(NULL AS VARCHAR) AS doi,
+        |  f.dn AS f_dn,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length(CAST(f.fid AS VARCHAR) || ':' || lower(a.aid))
+        |         AS VARCHAR) AS works_api_url,
+        |  a.wdoi AS work_doi,
+        |  CAST(l.work_id AS BIGINT) AS work_id
+        | FROM gawards a
+        | JOIN gfunders f ON f.alt = a.fname
+        | LEFT JOIN glm l ON l.native_id = a.wdoi)
+        |SELECT * FROM bleg2
+        |UNION ALL SELECT * FROM gleg""".stripMargin
   }
 }

@@ -115,4 +115,93 @@ class WorkFundersSpec extends AnyFunSuite {
     assert(out.filter(_.getLong(0) == 10L).forall(r =>
       r.getString(1) == "crossref_work" && r.getInt(2) == 1))
   }
+
+  test("extractGrantDoi: DOI-shaped ids pass through lowercased " +
+    "(doi.org prefixes stripped), everything else NULL") {
+    val cases = Seq(
+      ("10.13039/501100000038", Some("10.13039/501100000038")),
+      ("https://doi.org/10.55776/P36512", Some("10.55776/p36512")),
+      ("http://dx.doi.org/10.1234/X", Some("10.1234/x")),
+      ("R01CA12345", None), ("10.13039/", None), ("10.1/x", None),
+      (" 10.13039/ABC ", Some("10.13039/abc")),
+      (null.asInstanceOf[String], None))
+    val got = cases.map(_._1).toDF("id")
+      .select(col("id"), WorkFunders.extractGrantDoi(col("id")).as("d"))
+      .collect().map(r => Option(r.getString(0)) ->
+        Option(r.getString(1))).toMap
+    for ((id, want) <- cases)
+      assert(got(Option(id)) == want, s"extractGrantDoi($id)")
+  }
+
+  test("backfillAwards: per-element usability screen before the " +
+    "distinct, #690 guard fail-open, grant DOIs lifted, sparse card " +
+    "shape with the funder struct") {
+    val wf = Seq(
+      (10L, Seq("R01A", "r01a", "n/a")), // usable screen + dedup grain
+      (10L, Seq("BAD1")), // suppressed
+      (11L, Seq("10.13039/100000001")), // grant-DOI id
+      (12L, Seq("X9999"))) // funder 12 absent from the dim → dropped
+      .toDF("funder_id", "award_ids")
+    val funders = Seq(
+      (10L, "NIH", "r-nih", "d-nih"), (11L, "NSF", "r-nsf", "d-nsf"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+    val guard = Seq((10L, "BAD1", "suppress"))
+      .toDF("funder_id", "funder_award_id", "decision")
+    val now = lit("2026-01-01 00:00:00").cast("timestamp")
+    val out = WorkFunders.backfillAwards(wf, funders, guard, now,
+        mintId = length(_).cast("long"))
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 3) // n/a + BAD1 + unknown funder gone
+    assert(out.map(_.getAs[String]("funder_award_id")).toSeq
+      === Seq("10.13039/100000001", "R01A", "r01a"))
+    val doiRow = out(0)
+    assert(doiRow.getAs[String]("doi") === "10.13039/100000001")
+    assert(doiRow.getAs[org.apache.spark.sql.Row]("funder")
+      .getAs[String]("display_name") === "NSF")
+    assert(doiRow.getAs[String]("provenance") === "crossref_work.grants")
+    assert(doiRow.isNullAt(doiRow.fieldIndex("display_name")))
+    assert(doiRow.isNullAt(doiRow.fieldIndex("lead_investigator")))
+    assert(out(1).isNullAt(out(1).fieldIndex("doi"))) // R01A no DOI
+    // works_api_url carries the mint
+    assert(doiRow.getAs[String]("works_api_url")
+      === "https://api.openalex.org/works?filter=awards.id:G" +
+        doiRow.getAs[Long]("id"))
+  }
+
+  test("gatewayToResearch: ID:FUNDER split with the eight-council " +
+    "allowlist, alternate-title UK-only resolution, per-row work " +
+    "linkage via the doi join") {
+    val gtr = Seq(
+      (Option("https://doi.org/10.1/a"),
+        Seq("EP/X1:EPSRC", "XX/9:WELLCOME")), // 2nd council filtered
+      (Option("https://doi.org/10.1/b"), Seq("MR/Z2:MRC")),
+      (Option.empty[String], Seq("EP/Y3:EPSRC")), // null doi dropped
+      (Option("https://doi.org/10.1/c"), Seq.empty[String]))
+      .toDF("doi", "grant_reference")
+    val funders = Seq(
+      (20L, "Engineering and Physical Sciences Research Council",
+        "r-ep", "d-ep", """["EPSRC"]""", "United Kingdom"),
+      (21L, "Medical Research Council", "r-mr", "d-mr",
+        """["MRC"]""", "United Kingdom"),
+      (22L, "Impostor MRC", "r-x", "d-x", """["MRC"]""",
+        "United States")) // wrong location → excluded
+      .toDF("funder_id", "display_name", "ror_id", "doi",
+        "alternate_titles", "location")
+    val lm = Seq((100L, "10.1/a"), (101L, "10.1/zzz"))
+      .toDF("work_id", "native_id")
+    val now = lit("2026-01-01 00:00:00").cast("timestamp")
+    val out = WorkFunders.gatewayToResearch(gtr, funders, lm, now,
+        mintId = length(_).cast("long"))
+      .orderBy("funder_award_id").collect()
+    assert(out.length === 2) // WELLCOME + null-doi rows gone
+    assert(out(0).getAs[String]("funder_award_id") === "EP/X1")
+    assert(out(0).getAs[Long]("funder_id") === 20L)
+    assert(out(0).getAs[String]("work_doi") === "10.1/a")
+    assert(out(0).getAs[Long]("work_id") === 100L) // linked
+    assert(out(0).getAs[String]("provenance") === "gateway_to_research")
+    assert(out(1).getAs[String]("funder_award_id") === "MR/Z2")
+    assert(out(1).getAs[Long]("funder_id") === 21L) // UK row only
+    assert(out(1).isNullAt(out(1).fieldIndex("work_id"))) // no location
+    assert(out(1).isNullAt(out(1).fieldIndex("display_name"))) // sparse
+  }
 }
