@@ -7686,4 +7686,216 @@ object FunderConfigs {
         trim(col("display_name")) =!= "" &&
         col("name").isNotNull && trim(col("name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 seventh tranche: Mercator fellows, HHMI, Royal Society
+  // grants, IADB sci-tech, LPDP RISPRO, EKFS
+  // ---------------------------------------------------------------
+
+  private def affStruct: String =
+    s"struct<name:string,country:string,ids:$affIds>"
+
+  /** Stiftung Mercator fellow profiles
+    * (CreateMercatorFellowsAwards.ipynb cell 15, ~1.9K): NULL
+    * amounts, program-else-'Stiftung Mercator Fellowship' scheme,
+    * period dates with the RAW year columns, an UNCONDITIONAL
+    * fellow lead whose AFFILIATION is a NULL struct (the profile
+    * carries none), fellow-name-required screen. */
+  def mercatorFellows: FunderIngestConfig = {
+    val sd = d(col("period_start"))
+    val lead = struct(
+      nullif(trim(col("given_name")), lit("")).as("given_name"),
+      nullif(trim(col("family_name")), lit("")).as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      sd.as("role_start"),
+      lit(null).cast(affStruct).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320327917L, provenance = "mercator_fellows",
+      priority = 116,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("fellow_name"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = coalesce(nullif(trim(col("fellowship_program")),
+        lit("")), lit("Stiftung Mercator Fellowship")),
+      startDate = sd, endDate = d(col("period_end")),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("fellow_name").isNotNull &&
+        trim(col("fellow_name")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** HHMI scientist pages (CreateHHMIAwards.ipynb cell 9, ~1.7K):
+    * the slug minted from the profile URL, the degree-then-
+    * generational suffix strip feeding the last-token family-name
+    * split, the '<name> — HHMI <role> (<term>)' display with the
+    * 'HHMI ' prefix strip, NULL amount with unconditional 'USD',
+    * the fellow-role arm, year-boundary dates. */
+  def hhmi: FunderIngestConfig = {
+    val slug = regexp_extract(col("url"), "/scientists/([^/]+)$", 1)
+    val noDegree = regexp_replace(
+      regexp_replace(col("name_full"),
+        ",?\\s*(PhD|MD|DPhil|DSc|ScD)\\.?\\s*$", ""),
+      ",?\\s+(Jr|Sr|II|III|IV)\\.?\\s*$", "")
+    val toks = split(trim(noDegree), "\\s+")
+    val fam = when(size(toks) >= 2, element_at(toks, -1))
+    val giv = when(size(toks) >= 2,
+      array_join(slice(toks, lit(1), size(toks) - 1), " "))
+      .otherwise(trim(noDegree))
+    FunderIngestConfig(
+      funderId = 4320306082L, provenance = "hhmi_scientist_pages",
+      priority = 44,
+      mintKey = lower(slug),
+      funderAwardId = slug,
+      displayName = concat(
+        coalesce(noDegree, col("name_full")), lit(" — HHMI "),
+        coalesce(regexp_replace(nullif(col("role"), lit("HHMI")),
+          "^HHMI ", ""), lit("Scientist")),
+        when(col("term").isNotNull,
+          concat(lit(" ("), col("term"), lit(")"))).otherwise(lit(""))),
+      description = nullif(col("bio"), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit("USD"),
+      fundingType = when(lower(col("role")).like("%fellow%"),
+        "fellowship").otherwise("research"),
+      funderScheme = nullif(col("role"), lit("HHMI")),
+      startDate = when(col("start_year").isNotNull,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = when(col("end_year").isNotNull,
+        d(concat(col("end_year"), lit("-12-31")))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = investigator(giv, fam,
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)),
+      landingPageUrl = col("url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("name_full").isNotNull && slug.isNotNull &&
+        trim(slug) =!= "")
+  }
+
+  /** Royal Society grants listing
+    * (CreateRoyalSocietyGrantsAwards.ipynb cell 7, ~0.8K):
+    * 'fellowship' rows with NULL amounts, a Jan-1 start from the
+    * year, PI-only 'United Kingdom' lead, NULL works_api_url, no
+    * row screen. */
+  def royalSocietyGrants: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320006L, provenance = "royal_society_grants",
+      priority = 339,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** IADB science-and-technology project search
+    * (CreateIADBScitechAwards.ipynb cell 17, ~0.8K): UNGATED amount
+    * with presence-gated 'USD', approved-else-signed start date with
+    * the source-year fallback, the subsector→sector→'SCIENCE AND
+    * TECHNOLOGY' scheme cascade, and NO lead at all (IADB projects
+    * name no investigators). */
+  def iadbScitech: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = coalesce(d(col("approved_date")), d(col("signed_date")))
+    FunderIngestConfig(
+      funderId = 4320307862L,
+      provenance = "iadb_project_search_scitech", priority = 156,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "USD"),
+      fundingType = coalesce(nullif(trim(col("funding_type")),
+        lit("")), lit("research")),
+      funderScheme = coalesce(nullif(trim(col("subsector_name")),
+        lit("")), nullif(trim(col("sector_name")), lit("")),
+        lit("SCIENCE AND TECHNOLOGY")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = coalesce(year(sd),
+        col("source_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** LPDP RISPRO grantees (CreateLPDPRISPROAwards.ipynb cell 16,
+    * ~0.7K Indonesian endowment-fund projects): NULL amounts,
+    * trimmed-NULLIF scheme, date-else-source-year start-only
+    * coverage, an UNCONDITIONAL trimmed 'ID' lead with
+    * role_start = start. */
+  def lpdpRispro: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date"))
+    FunderIngestConfig(
+      funderId = 4320328515L, provenance = "lpdp_rispro_grantees",
+      priority = 136,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = coalesce(year(sd),
+        col("start_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = investigator(
+        nullif(trim(col("lead_investigator_given_name")), lit("")),
+        nullif(trim(col("lead_investigator_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")), lit("ID"),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** EKFS / Else Kröner-Fresenius-Stiftung (CreateEKFSAwards.ipynb
+    * cell 6, ~0.6K): the [[grantCard]] archetype with German
+    * 'dd.MM.yyyy' raws, NULL dates but BOTH years, 'Germany'. */
+  def ekfs: FunderIngestConfig =
+    grantCard(4320321672L, "ekfs", 224, "EKFS grant ", "Germany",
+      fullDates = false, endYearFromRaw = true, dateFmt = "dd.MM.yyyy")
 }

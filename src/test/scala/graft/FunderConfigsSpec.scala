@@ -5803,4 +5803,174 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(sfl.getAs[Row]("affiliation").isNullAt(
       sfl.getAs[Row]("affiliation").fieldIndex("country")))
   }
+
+  private def regTwentySix = regTwentyFive.unionByName(Seq(
+    (4320327917L, "Stiftung Mercator", "r-me", "d-me"),
+    (4320306082L, "Howard Hughes Medical Institute", "r-hh", "d-hh"),
+    (4320320006L, "Royal Society", "r-rs", "d-rs"),
+    (4320307862L, "Inter-American Development Bank", "r-ia", "d-ia"),
+    (4320328515L, "LPDP", "r-lp", "d-lp"),
+    (4320321672L, "Else Kröner-Fresenius-Stiftung", "r-ek", "d-ek"))
+    .toDF(reg.columns: _*))
+
+  test("Mercator fellows / HHMI: the NULL-affiliation fellow lead, " +
+    "the degree-and-generational suffix strip feeding the last-token " +
+    "name split, the HHMI-prefix-stripped role display with USD on a " +
+    "NULL amount") {
+    val me = Seq(
+      ("mercator-2019-doe", " Prof. Jane Doe ", Some("Bio"),
+        Some(" Mercator Fellow on AI "), Some("2019-10-01"),
+        Some("2020-09-30"), Some("2019"), Some("2020"), Some(" Jane "),
+        Some(" Doe "), Some("https://merc/1")),
+      ("mercator-2020-x", "  ", None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "fellow_name", "description",
+        "fellowship_program", "period_start", "period_end",
+        "start_year", "end_year", "given_name", "family_name",
+        "landing_page_url")
+    val ome = FunderIngest.transform(me, regTwentySix,
+      FunderConfigs.mercatorFellows, now).collect()
+    assert(ome.length === 1) // blank fellow name dropped
+    assert(ome.head.getAs[String]("display_name") === " Prof. Jane Doe ")
+    assert(ome.head.getAs[String]("funder_scheme")
+      === "Mercator Fellow on AI")
+    assert(ome.head.getAs[String]("funding_type") === "fellowship")
+    assert(ome.head.getAs[Int]("end_year") === 2020)
+    val mel = ome.head.getAs[Row]("lead_investigator")
+    assert(mel.getAs[String]("given_name") === "Jane")
+    assert(mel.getAs[java.sql.Date]("role_start").toString
+      === "2019-10-01")
+    assert(mel.isNullAt(mel.fieldIndex("affiliation"))) // NULL struct
+
+    val hh = Seq(
+      ("https://www.hhmi.org/scientists/william-r-jacobs",
+        "William R. Jacobs Jr., PhD", Some("HHMI Investigator"),
+        Some("1990–2020"), Some("1990"), Some("2020"),
+        Some("Albert Einstein College of Medicine"), Some("Bio W.")),
+      ("https://www.hhmi.org/scientists/marta-zlatic",
+        "Marta Zlatic", Some("HHMI"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("")),
+      ("https://www.hhmi.org/scientists/ha-fellow",
+        "Ann Ha, MD", Some("HHMI Hanna Gray Fellow"),
+        None: Option[String], Some("2021"), None: Option[String],
+        Some("MIT"), None: Option[String]))
+      .toDF("url", "name_full", "role", "term", "start_year",
+        "end_year", "institution", "bio")
+    val ohh = FunderIngest.transform(hh, regTwentySix,
+      FunderConfigs.hhmi, now).orderBy("funder_award_id").collect()
+    assert(ohh.length === 3)
+    val w = ohh(2) // william-r-jacobs
+    assert(w.getAs[String]("funder_award_id") === "william-r-jacobs")
+    assert(w.getAs[String]("display_name")
+      === "William R. Jacobs — HHMI Investigator (1990–2020)")
+    assert(w.getAs[String]("description") === "Bio W.")
+    assert(w.isNullAt(w.fieldIndex("amount")))
+    assert(w.getAs[String]("currency") === "USD") // unconditional
+    assert(w.getAs[String]("funding_type") === "research")
+    assert(w.getAs[Int]("start_year") === 1990)
+    assert(w.getAs[java.sql.Date]("end_date").toString === "2020-12-31")
+    val wl = w.getAs[Row]("lead_investigator")
+    assert(wl.getAs[String]("given_name") === "William R.")
+    assert(wl.getAs[String]("family_name") === "Jacobs") // suffix gone
+    val z = ohh(1) // marta-zlatic: role 'HHMI' → NULLIF, 'Scientist'
+    assert(z.getAs[String]("display_name")
+      === "Marta Zlatic — HHMI Scientist")
+    assert(z.isNullAt(z.fieldIndex("funder_scheme")))
+    assert(z.isNullAt(z.fieldIndex("description"))) // '' bio
+    val h = ohh(0) // ha-fellow
+    assert(h.getAs[String]("funding_type") === "fellowship")
+    assert(h.getAs[String]("display_name")
+      === "Ann Ha — HHMI Hanna Gray Fellow")
+    assert(h.getAs[Row]("lead_investigator")
+      .getAs[String]("family_name") === "Ha") // MD stripped
+  }
+
+  test("Royal Society grants / IADB sci-tech / LPDP RISPRO / EKFS: " +
+    "year-start fellowships, the no-lead IADB card with the " +
+    "approved-else-signed start, the ID-country listing card, and " +
+    "the German-date both-years grant card") {
+    val rs = Seq(
+      ("URF-R1-001", Some("Quantum sensing"), Some("URF"),
+        Some("2019"), Some("Ben"), Some("Okafor"), Some("Oxford"),
+        Some("https://rs/1")))
+      .toDF("funder_award_id", "title", "funder_scheme", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ors = FunderIngest.transform(rs, regTwentySix,
+      FunderConfigs.royalSocietyGrants, now).collect()
+    assert(ors.head.getAs[String]("funding_type") === "fellowship")
+    assert(ors.head.isNullAt(ors.head.fieldIndex("amount")))
+    assert(ors.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(ors.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+    assert(ors.head.isNullAt(ors.head.fieldIndex("works_api_url")))
+
+    val ia = Seq(
+      (" TC-1 ", " Regional lab ", Some(" D "), Some("0"),
+        None: Option[String], Some(" Innovation "),
+        None: Option[String], None: Option[String], Some("2018-03-01"),
+        Some("2017"), Some(" https://iadb/1 ")),
+      ("TC-2", "Project 2", None: Option[String], None: Option[String],
+        Some("grant"), Some("  "), Some("SCIENCE"),
+        Some("2019-05-01"), None: Option[String], Some("2016"),
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funding_type", "subsector_name", "sector_name",
+        "approved_date", "signed_date", "source_year",
+        "landing_page_url")
+    val oia = FunderIngest.transform(ia, regTwentySix,
+      FunderConfigs.iadbScitech, now).orderBy("funder_award_id")
+      .collect()
+    assert(oia(0).getAs[Double]("amount") === 0.0) // ungated
+    assert(oia(0).getAs[String]("currency") === "USD") // presence
+    assert(oia(0).getAs[String]("funding_type") === "research")
+    assert(oia(0).getAs[String]("funder_scheme") === "Innovation")
+    assert(oia(0).getAs[java.sql.Date]("start_date").toString
+      === "2018-03-01") // signed fallback
+    assert(oia(0).getAs[Int]("start_year") === 2018)
+    assert(oia(0).isNullAt(oia(0).fieldIndex("lead_investigator")))
+    assert(oia(1).getAs[String]("funder_scheme") === "SCIENCE")
+    assert(oia(1).getAs[java.sql.Date]("start_date").toString
+      === "2019-05-01") // approved preferred
+    assert(oia(1).isNullAt(oia(1).fieldIndex("amount")))
+    assert(oia(1).isNullAt(oia(1).fieldIndex("currency")))
+
+    val lp = Seq(
+      ("RISPRO-1", "Energi terbarukan", Some("D"), Some("Invitasi"),
+        None: Option[String], Some("2020"), Some("Budi"),
+        Some("Santoso"), Some("ITB"), Some("https://lpdp/1")))
+      .toDF("funder_award_id", "display_name", "description",
+        "funder_scheme", "start_date", "start_year",
+        "lead_investigator_given_name", "lead_investigator_family_name",
+        "institution", "landing_page_url")
+    val olp = FunderIngest.transform(lp, regTwentySix,
+      FunderConfigs.lpdpRispro, now).collect()
+    assert(olp.head.isNullAt(olp.head.fieldIndex("amount")))
+    assert(olp.head.getAs[Int]("start_year") === 2020) // year fallback
+    assert(olp.head.isNullAt(olp.head.fieldIndex("start_date")))
+    val lpl = olp.head.getAs[Row]("lead_investigator")
+    assert(lpl.getAs[Row]("affiliation").getAs[String]("country")
+      === "ID")
+    assert(lpl.isNullAt(lpl.fieldIndex("role_start"))) // null start
+
+    val ek = Seq(
+      ("EKFS-2020-1", Some("Klinische Studie"), Some("D"),
+        Some("120000.00"), Some("EUR"), Some("Erstantrag"),
+        Some("01.04.2020"), Some("31.03.2023"), Some("Eva"),
+        Some("Müller"), Some("Charité"), Some("https://ekfs/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oek = FunderIngest.transform(ek, regTwentySix,
+      FunderConfigs.ekfs, now).collect()
+    assert(oek.head.isNullAt(oek.head.fieldIndex("start_date"))) // years
+    assert(oek.head.getAs[Int]("start_year") === 2020) // dd.MM.yyyy
+    assert(oek.head.getAs[Int]("end_year") === 2023)
+    assert(oek.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Germany")
+  }
 }
