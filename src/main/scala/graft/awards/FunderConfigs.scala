@@ -7898,4 +7898,291 @@ object FunderConfigs {
   def ekfs: FunderIngestConfig =
     grantCard(4320321672L, "ekfs", 224, "EKFS grant ", "Germany",
       fullDates = false, endYearFromRaw = true, dateFmt = "dd.MM.yyyy")
+
+  // ---------------------------------------------------------------
+  // Round-13 eighth tranche: ZonMw, MNiSW, MBIE, ICMR, IDRC,
+  // Novo Nordisk grants
+  // ---------------------------------------------------------------
+
+  /** ZonMw projects JSON:API (CreateZonMwAwards.ipynb cell 13):
+    * the ':zonmw:'-salted slug mint with the SLUG as the landed
+    * award id, a labeled multi-section description joined on blank
+    * lines (application/progress/final-report summaries + keywords),
+    * subsidies→programs→subject scheme cascade, 1900..2035 range
+    * gates on BOTH dates and the year fallback chains
+    * (year→start-date→end-date for start, year→end-date for end),
+    * presence-gated EUR, a full-NAME-in-family leader with the
+    * primary organisation, and a start-year-required screen. */
+  def zonMw: FunderIngestConfig = {
+    def inRange(c: Column): Column = c.between(1900, 2035)
+    val sd0 = d(col("start_date")); val ed0 = d(col("end_date"))
+    val sd = when(inRange(year(sd0)), sd0)
+    val ed = when(inRange(year(ed0)), ed0)
+    val syi = coalesce(
+      when(inRange(col("start_year").try_cast("int")),
+        col("start_year").try_cast("int")),
+      when(inRange(year(sd0)), year(sd0)),
+      when(inRange(year(ed0)), year(ed0)))
+    val eyi = coalesce(
+      when(inRange(col("end_year").try_cast("int")),
+        col("end_year").try_cast("int")),
+      when(inRange(year(ed0)), year(ed0)))
+    val amt = col("project_budget_api").try_cast("double")
+    val leaderName = nullif(trim(col("project_leader_name")), lit(""))
+    val leaderOrg = nullif(trim(col("primary_organization")), lit(""))
+    def section(label: String, c: Column): Column =
+      when(nullif(trim(c), lit("")).isNotNull,
+        concat(lit(label), trim(c)))
+    val descr = concat_ws("\n\n",
+      nullif(trim(col("description")), lit("")),
+      section("Application summary: ", col("application_summary")),
+      section("Progress summary: ", col("progress_summary")),
+      section("Progress results: ", col("progress_results")),
+      section("Final report summary: ", col("endreport_summary")),
+      section("Final report results: ", col("endreport_results")),
+      section("Keywords: ", col("keywords_json")))
+    val lead = when(leaderName.isNotNull || leaderOrg.isNotNull,
+      investigator(lit(null).cast("string"), leaderName,
+        lit(null).cast("string"), lit(null).cast("date"),
+        leaderOrg, lit(null).cast("string"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321007L, provenance = "zonmw_projects_jsonapi",
+      priority = 92,
+      mintKey = concat(lit("zonmw:"), lower(trim(col("slug")))),
+      funderAwardId = col("slug"),
+      displayName = col("display_name"),
+      description = nullif(descr, lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "EUR"),
+      fundingType = lit("research"),
+      funderScheme = coalesce(
+        nullif(trim(col("related_subsidies_json")), lit("")),
+        nullif(trim(col("related_programs_json")), lit("")),
+        nullif(trim(col("main_subject")), lit(""))),
+      startDate = sd, endDate = ed,
+      startYear = syi, endYear = eyi,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("project_number").isNotNull &&
+        col("display_name").isNotNull && syi.isNotNull)
+  }
+
+  /** MNiSW / Polish Ministry of Science national programmes
+    * (CreateMNiSWAwards.ipynb cell 7): the Research-Manitoba twin —
+    * ungated decimal with unconditional 'PLN', the 2000..2027 range
+    * gate on date AND year, but an ORG-ONLY 'Poland' lead. */
+  def mnisw: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val inRange = sy.between(2000, 2027)
+    val lead = when(col("institution").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Poland"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322733L, provenance = "mnisw", priority = 243,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("PLN"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = when(inRange,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = when(inRange, sy), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** MBIE 'Who got funded' workbook (CreateMBIEAwards.ipynb
+    * cell 15): >0 NZD gate, the fellowship/whitinga and
+    * studentship/training regex arms over 'research', trimmed-NULLIF
+    * normalization, the future-START cap over BOTH years (NULL start
+    * keeps end_year), org-only lead. The notebook's funder CTE
+    * carries dim-or-constant fallbacks against an empty dim — the
+    * registry row is required here as everywhere else. */
+  def mbie(currentYear: Int): FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val future = year(sd) > currentYear + 1
+    val scheme = nullif(trim(col("funder_scheme")), lit(""))
+    val org = nullif(trim(col("organisation")), lit(""))
+    val lead = when(org.isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"), org,
+        lit(null).cast("string"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321983L, provenance = "mbie_who_got_funded",
+      priority = 216,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = nullif(trim(col("display_name")), lit("")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "NZD"),
+      fundingType = when(lower(coalesce(scheme, lit("")))
+          .rlike("fellowship|scholarship|whitinga"), "fellowship")
+        .when(lower(coalesce(scheme, lit("")))
+          .rlike("studentship|internship|training"), "training")
+        .otherwise("research"),
+      funderScheme = scheme,
+      startDate = sd, endDate = ed,
+      startYear = when(future, lit(null)).otherwise(year(sd)),
+      endYear = when(future, lit(null)).otherwise(year(ed)),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        nullif(trim(col("display_name")), lit("")).isNotNull)
+  }
+
+  /** ICMR approved projects (CreateICMRAwards.ipynb cell 11): §6.7
+    * WAIVED amounts (the source's budget belongs to the
+    * collaborating agency, not ICMR), subject-area scheme, a
+    * 1900..2100 range-gated start year with NULL dates, a
+    * name-or-org lead whose 'IN' country asserts only when the
+    * affiliation name is present, the source PDF as landing. */
+  def icmr: FunderIngestConfig = {
+    val giv = nullif(trim(col("lead_given_name")), lit(""))
+    val fam = nullif(trim(col("lead_family_name")), lit(""))
+    val org = nullif(trim(col("institution")), lit(""))
+    val lead = when(fam.isNotNull || org.isNotNull,
+      investigator(giv, fam, lit(null).cast("string"),
+        lit(null).cast("date"), org,
+        when(org.isNotNull, "IN"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320720L, provenance = "icmr_approved_projects",
+      priority = 206,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = nullif(trim(col("subject_area")), lit("")),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = when(col("start_year").try_cast("int")
+        .between(1900, 2100), col("start_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_pdf_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** The IDRC IATI budget/org/country JSON element types
+    * (CreateIDRCAwards.ipynb cell 9's FROM_JSON schemas). */
+  private def idrcBudget: String =
+    "array<struct<status:string,type:string,period_start:string," +
+      "period_end:string,value:string,currency:string," +
+      "value_date:string>>"
+  private def idrcOrg: String =
+    "array<struct<role:string,type:string,ref:string," +
+      "name_en:string,name_fr:string,name_es:string>>"
+  private def idrcCountry: String =
+    "array<struct<code:string,percentage:string>>"
+
+  /** IDRC via IATI activity files (CreateIDRCAwards.ipynb cell 9):
+    * EN→FR→ES title/description cascades, the budget array FOLDED
+    * into a total (>0 gate; zero-budget activities are placeholders)
+    * with the FIRST non-null currency, the role-4 implementing org
+    * as an UNCONDITIONAL org lead with the first recipient-country
+    * ISO code, actual-else-planned dates, the source XML as
+    * landing. */
+  def idrc: FunderIngestConfig = {
+    val budgets = from_json(col("budgets_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(idrcBudget))
+    val orgs = from_json(col("participating_orgs_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(idrcOrg))
+    val countries = from_json(col("recipient_countries_json"),
+      org.apache.spark.sql.types.DataType.fromDDL(idrcCountry))
+    val emptyB = array().cast(idrcBudget)
+    val total = aggregate(coalesce(budgets, emptyB), lit(0.0),
+      (acc, b) => acc + coalesce(
+        b.getField("value").try_cast("double"), lit(0.0)))
+    val firstCurrency = try_element_at(
+      filter(coalesce(budgets, emptyB),
+        b => b.getField("currency").isNotNull), lit(1))
+      .getField("currency")
+    val implOrg = try_element_at(
+      filter(coalesce(orgs, array().cast(idrcOrg)),
+        o => o.getField("role") === "4"), lit(1))
+    val country = try_element_at(
+      coalesce(countries, array().cast(idrcCountry)), lit(1))
+      .getField("code")
+    val sd = coalesce(d(col("actual_start")), d(col("planned_start")))
+    val ed = coalesce(d(col("actual_end")), d(col("planned_end")))
+    FunderIngestConfig(
+      funderId = 4320319949L, provenance = "idrc_iati", priority = 37,
+      mintKey = lower(col("iati_identifier")),
+      funderAwardId = col("iati_identifier"),
+      displayName = coalesce(col("title_en"), col("title_fr"),
+        col("title_es")),
+      description = coalesce(col("description_en"),
+        col("description_fr"), col("description_es")),
+      amount = when(total > 0, total),
+      currency = firstCurrency,
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("date"),
+        coalesce(implOrg.getField("name_en"),
+          implOrg.getField("name_fr"), implOrg.getField("name_es")),
+        country, lit(null).cast(affIds)),
+      landingPageUrl = col("source_xml_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("iati_identifier").isNotNull &&
+        trim(col("iati_identifier")) =!= "")
+  }
+
+  /** Novo Nordisk Foundation grants search API
+    * (CreateNovoNordiskGrantsAwards.ipynb cell 18): UNGATED amount
+    * with the raw source currency, trimmed-NULLIF scheme,
+    * award-year-only coverage, an INSTITUTION-gated lead (names only
+    * ride along when the institution is present; role_start =
+    * Jan 1), NULL landing. */
+  def novoNordiskGrants: FunderIngestConfig = {
+    val sd = when(col("award_year").try_cast("int").isNotNull,
+      d(concat(col("award_year"), lit("-01-01"))))
+    val lead = when(col("institution").isNull ||
+      trim(col("institution")) === "",
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(
+        nullif(trim(col("lead_given_name")), lit("")),
+        nullif(trim(col("lead_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320325957L, provenance = "novo_nordisk_fonden_grants",
+      priority = 208,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
 }

@@ -5973,4 +5973,214 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(oek.head.getAs[Row]("lead_investigator")
       .getAs[Row]("affiliation").getAs[String]("country") === "Germany")
   }
+
+  private def regTwentySeven = regTwentySix.unionByName(Seq(
+    (4320321007L, "ZonMw", "r-zm", "d-zm"),
+    (4320322733L, "Ministerstwo Nauki i Szkolnictwa Wyższego", "r-pl",
+      "d-pl"),
+    (4320321983L, "Ministry of Business Innovation and Employment",
+      "r-nz", "d-nz"),
+    (4320320720L, "Indian Council of Medical Research", "r-in", "d-in"),
+    (4320319949L, "International Development Research Centre", "r-id",
+      "d-id"),
+    (4320325957L, "Novo Nordisk Fonden", "r-nn", "d-nn"))
+    .toDF(reg.columns: _*))
+
+  test("ZonMw / MNiSW / MBIE: the salted slug mint with the labeled " +
+    "multi-section description and 1900..2035 range chains, the " +
+    "org-only PLN card, and the whitinga fellowship arm with the " +
+    "future-start cap over both years") {
+    val zm = Seq(
+      ("proj-1", Some("10001"), Some("Zorg studie"), Some(" D. "),
+        Some(" AS "), None: Option[String], None: Option[String],
+        Some(" ER "), None: Option[String], Some(" kw1, kw2 "),
+        Some("250000"), Some("2021-02-01"), Some("2024-01-31"),
+        Some("2021"), Some("2024"), Some(" Prof. dr. A. de Boer "),
+        Some(" UMC Utrecht "), Some("  "), Some("Programma P"),
+        None: Option[String], Some("https://zonmw/1")),
+      ("proj-2", Some("10002"), Some("Oude studie"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("1880-01-01"), Some("1885-01-01"),
+        Some("1880"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("Onderwerp O"), None: Option[String]))
+      .toDF("slug", "project_number", "display_name", "description",
+        "application_summary", "progress_summary", "progress_results",
+        "endreport_summary", "endreport_results", "keywords_json",
+        "project_budget_api", "start_date", "end_date", "start_year",
+        "end_year", "project_leader_name", "primary_organization",
+        "related_subsidies_json", "related_programs_json",
+        "main_subject", "landing_page_url")
+    val ozm = FunderIngest.transform(zm, regTwentySeven,
+      FunderConfigs.zonMw, now).collect()
+    assert(ozm.length === 1) // 1880 outside range → start_year null → drop
+    val z = ozm.head
+    assert(z.getAs[String]("funder_award_id") === "proj-1")
+    assert(z.getAs[String]("description")
+      === "D.\n\nApplication summary: AS\n\nFinal report summary: ER" +
+        "\n\nKeywords: kw1, kw2")
+    assert(z.getAs[Double]("amount") === 250000.0)
+    assert(z.getAs[String]("currency") === "EUR")
+    assert(z.getAs[String]("funder_scheme") === "Programma P") // programs
+    assert(z.getAs[Int]("start_year") === 2021)
+    assert(z.getAs[Int]("end_year") === 2024)
+    val zl = z.getAs[Row]("lead_investigator")
+    assert(zl.isNullAt(zl.fieldIndex("given_name")))
+    assert(zl.getAs[String]("family_name") === "Prof. dr. A. de Boer")
+    assert(zl.getAs[Row]("affiliation").getAs[String]("name")
+      === "UMC Utrecht")
+
+    val pl = Seq(
+      ("NPRH-1", Some("Projekt polski"), Some("300000.00"),
+        Some("NPRH"), Some("UW"), Some("2021")),
+      ("PN-2", None: Option[String], None: Option[String],
+        Some("Perły Nauki"), None: Option[String], Some("1999")))
+      .toDF("funder_award_id", "title", "amount", "programme",
+        "institution", "start_year")
+    val opl = FunderIngest.transform(pl, regTwentySeven,
+      FunderConfigs.mnisw, now).orderBy("funder_award_id").collect()
+    assert(opl(0).getAs[String]("currency") === "PLN")
+    assert(opl(0).getAs[Int]("start_year") === 2021)
+    val pll = opl(0).getAs[Row]("lead_investigator")
+    assert(pll.isNullAt(pll.fieldIndex("family_name"))) // org-only
+    assert(pll.getAs[Row]("affiliation").getAs[String]("country")
+      === "Poland")
+    assert(opl(1).isNullAt(opl(1).fieldIndex("start_year"))) // 1999
+    assert(opl(1).isNullAt(opl(1).fieldIndex("lead_investigator")))
+
+    val nz = Seq(
+      (" MBIE-1 ", Some(" Endeavour project "), Some(" D "),
+        Some("5000000"), Some(" Endeavour Fund "),
+        Some("2020-10-01"), Some("2025-09-30"), Some(" UoA "),
+        Some("https://mbie/1")),
+      ("MBIE-2", Some("Whitinga row"), None: Option[String],
+        Some("0"), Some("Whitinga Fellowship"), None: Option[String],
+        Some("2026-01-01"), None: Option[String], None: Option[String]),
+      ("MBIE-3", Some("Training row"), None: Option[String],
+        None: Option[String], Some("He Tipu Internship"),
+        Some("2090-01-01"), Some("2093-01-01"), None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funder_scheme", "start_date", "end_date", "organisation",
+        "source_page_url")
+    val onz = FunderIngest.transform(nz, regTwentySeven,
+      FunderConfigs.mbie(2026), now).orderBy("funder_award_id")
+      .collect()
+    assert(onz(0).getAs[Double]("amount") === 5000000.0)
+    assert(onz(0).getAs[String]("currency") === "NZD")
+    assert(onz(0).getAs[String]("funding_type") === "research")
+    assert(onz(0).getAs[Int]("end_year") === 2025)
+    assert(onz(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "UoA")
+    // NULL start keeps end_year; whitinga → fellowship; 0 gated
+    assert(onz(1).getAs[String]("funding_type") === "fellowship")
+    assert(onz(1).isNullAt(onz(1).fieldIndex("amount")))
+    assert(onz(1).isNullAt(onz(1).fieldIndex("start_year")))
+    assert(onz(1).getAs[Int]("end_year") === 2026)
+    // future start NULLs both; internship → training
+    assert(onz(2).getAs[String]("funding_type") === "training")
+    assert(onz(2).isNullAt(onz(2).fieldIndex("start_year")))
+    assert(onz(2).isNullAt(onz(2).fieldIndex("end_year")))
+  }
+
+  test("ICMR / IDRC / Novo Nordisk grants: the waived-amount card " +
+    "with affiliation-gated 'IN', the IATI budget fold with first " +
+    "currency and role-4 implementing org, and the institution-gated " +
+    "NNF lead with raw source currency") {
+    val ic = Seq(
+      ("ICMR-1", "Malaria study", Some("Rahul"), Some("Gupta"),
+        Some("AIIMS"), Some("Tropical Medicine"), Some("2019"),
+        Some("https://icmr/1.pdf")),
+      ("ICMR-2", "Old row", None: Option[String], Some("Das"),
+        None: Option[String], None: Option[String], Some("1850"),
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "lead_given_name",
+        "lead_family_name", "institution", "subject_area",
+        "start_year", "source_pdf_url")
+    val oic = FunderIngest.transform(ic, regTwentySeven,
+      FunderConfigs.icmr, now).orderBy("funder_award_id").collect()
+    assert(oic(0).isNullAt(oic(0).fieldIndex("amount"))) // waived
+    assert(oic(0).getAs[String]("funder_scheme") === "Tropical Medicine")
+    assert(oic(0).getAs[Int]("start_year") === 2019)
+    val icl = oic(0).getAs[Row]("lead_investigator")
+    assert(icl.getAs[Row]("affiliation").getAs[String]("country")
+      === "IN")
+    // family without org: lead exists but country NOT asserted
+    assert(oic(1).isNullAt(oic(1).fieldIndex("start_year"))) // 1850
+    val icl2 = oic(1).getAs[Row]("lead_investigator")
+    assert(icl2.getAs[String]("family_name") === "Das")
+    assert(icl2.getAs[Row]("affiliation").isNullAt(
+      icl2.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val bJs = """[{"status":"2","value":"100000","currency":null},""" +
+      """{"status":"2","value":"50000.5","currency":"CAD"},""" +
+      """{"status":"1","value":"x","currency":"CAD"}]"""
+    val oJs = """[{"role":"1","name_en":"IDRC"},""" +
+      """{"role":"4","name_fr":"Université X"}]"""
+    val cJs = """[{"code":"SN","percentage":"100"}]"""
+    val idr = Seq(
+      ("XM-DAC-301-2-1", Some("Food systems"), None: Option[String],
+        None: Option[String], Some("Desc EN"), None: Option[String],
+        None: Option[String], Some("2019-04-01"), None: Option[String],
+        None: Option[String], Some("2022-03-31"), Some("2"),
+        Some(bJs), Some(oJs), Some(cJs), Some("https://idrc/1.xml")),
+      ("XM-DAC-301-2-2", None: Option[String], Some("Titre FR"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("2020-01-01"),
+        None: Option[String], None: Option[String], Some("1"),
+        Some("[]"), None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("iati_identifier", "title_en", "title_fr", "title_es",
+        "description_en", "description_fr", "description_es",
+        "actual_start", "planned_start", "actual_end", "planned_end",
+        "activity_status_code", "budgets_json",
+        "participating_orgs_json", "recipient_countries_json",
+        "source_xml_url")
+    val oid = FunderIngest.transform(idr, regTwentySeven,
+      FunderConfigs.idrc, now).orderBy("funder_award_id").collect()
+    assert(oid(0).getAs[Double]("amount") === 150000.5) // fold, 'x'→0
+    assert(oid(0).getAs[String]("currency") === "CAD") // first non-null
+    assert(oid(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-04-01") // actual preferred
+    assert(oid(0).getAs[Int]("end_year") === 2022) // planned fallback
+    val idl = oid(0).getAs[Row]("lead_investigator")
+    assert(idl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Université X") // role-4 org, FR fallback
+    assert(idl.getAs[Row]("affiliation").getAs[String]("country")
+      === "SN")
+    assert(oid(1).getAs[String]("display_name") === "Titre FR")
+    assert(oid(1).isNullAt(oid(1).fieldIndex("amount"))) // empty fold 0
+    assert(oid(1).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01") // planned fallback
+    val idl2 = oid(1).getAs[Row]("lead_investigator")
+    assert(idl2.getAs[Row]("affiliation").isNullAt(
+      idl2.getAs[Row]("affiliation").fieldIndex("name")))
+
+    val nn = Seq(
+      ("NNF20OC1", "Metabolism grant", Some("5000000"), Some("DKK"),
+        Some(" Project Grant "), Some("2020"), Some("Lars"),
+        Some("Olsen"), Some("KU")),
+      ("NNF21OC2", "No-inst grant", Some("100"), Some("DKK"),
+        None: Option[String], Some("2021"), Some("Eva"), Some("Berg"),
+        Some("  ")))
+      .toDF("funder_award_id", "display_name", "amount", "currency",
+        "funder_scheme", "award_year", "lead_given_name",
+        "lead_family_name", "institution")
+    val onn = FunderIngest.transform(nn, regTwentySeven,
+      FunderConfigs.novoNordiskGrants, now).orderBy("funder_award_id")
+      .collect()
+    assert(onn(0).getAs[Double]("amount") === 5000000.0)
+    assert(onn(0).getAs[String]("currency") === "DKK") // raw source
+    assert(onn(0).getAs[String]("funder_scheme") === "Project Grant")
+    assert(onn(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    val nnl = onn(0).getAs[Row]("lead_investigator")
+    assert(nnl.getAs[String]("family_name") === "Olsen")
+    assert(nnl.getAs[java.sql.Date]("role_start").toString
+      === "2020-01-01")
+    // blank institution → NO lead even though names exist
+    assert(onn(1).isNullAt(onn(1).fieldIndex("lead_investigator")))
+    assert(onn(1).isNullAt(onn(1).fieldIndex("landing_page_url")))
+  }
 }
