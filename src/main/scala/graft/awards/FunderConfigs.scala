@@ -8185,4 +8185,256 @@ object FunderConfigs {
         trim(col("display_name")) =!= "" &&
         col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 ninth tranche: Health Foundation, AAR Rome Prize,
+  // Treilles, Potter, Arcadia, LCRF
+  // ---------------------------------------------------------------
+
+  /** The Health Foundation (CreateHealthFoundationAwards.ipynb
+    * cell 6, ~0.6K): the minimal grant card — no amounts, NO lead at
+    * all, year_awarded-only coverage, NULL works_api_url, no row
+    * screen. */
+  def healthFoundation: FunderIngestConfig = FunderIngestConfig(
+    funderId = 4320320265L, provenance = "health_foundation",
+    priority = 353,
+    mintKey = lower(col("funder_award_id")),
+    funderAwardId = col("funder_award_id"),
+    displayName = col("title"),
+    description = col("description"),
+    amount = lit(null).cast("decimal(18,2)"),
+    currency = lit(null).cast("string"),
+    fundingType = lit("grant"),
+    funderScheme = col("scheme"),
+    startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+    startYear = col("year_awarded").try_cast("int"),
+    endYear = lit(null).cast("int"),
+    leadInvestigator = nullInvestigator,
+    landingPageUrl = col("landing_page_url"),
+    doi = lit(null).cast("string"),
+    rowFilter = lit(true),
+    worksApiUrl = Some(lit(null).cast("string")))
+
+  /** American Academy in Rome — Rome Prize fellows
+    * (CreateAARRomePrizeAwards.ipynb cell 17, ~0.6K): 'fellowship'
+    * rows titled project-else-'Rome Prize <year> - <recipient>', the
+    * fellowship-name-else-discipline scheme defaulting 'Rome Prize',
+    * the future cap keyed on the START coalesce NULLing BOTH years,
+    * an unconditional lead whose AFFILIATION NAME is the recipient's
+    * PROFESSION, and a co-fellow co-lead sharing that profession. */
+  def aarRomePrize(currentYear: Int): FunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val startPick = coalesce(year(sd), py)
+    val future = startPick > currentYear + 1
+    val prof = nullif(trim(col("profession")), lit(""))
+    val coGiv = nullif(trim(col("co_lead_given_name")), lit(""))
+    val coFam = nullif(trim(col("co_lead_family_name")), lit(""))
+    def card(g: Column, fam: Column): Column =
+      investigator(g, fam, lit(null).cast("string"), sd, prof,
+        lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320320895L, provenance = "aar_rome_prize_fellows",
+      priority = 172,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = lower(trim(col("funder_award_id"))),
+      displayName = coalesce(
+        nullif(trim(col("project_title")), lit("")),
+        concat(lit("Rome Prize "), py.cast("string"), lit(" - "),
+          nullif(trim(col("recipient_name")), lit("")))),
+      description = nullif(trim(col("description")), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = coalesce(
+        nullif(trim(col("fellowship_name")), lit("")),
+        nullif(trim(col("source_discipline")), lit("")),
+        lit("Rome Prize")),
+      startDate = sd, endDate = ed,
+      startYear = when(future, lit(null)).otherwise(startPick),
+      endYear = when(future, lit(null))
+        .otherwise(coalesce(year(ed), py)),
+      leadInvestigator = card(
+        nullif(trim(col("lead_given_name")), lit("")),
+        nullif(trim(col("lead_family_name")), lit(""))),
+      coLeadInvestigator = when(coGiv.isNull && coFam.isNull,
+        nullInvestigator).otherwise(card(coGiv, coFam)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("recipient_name").isNotNull &&
+        trim(col("recipient_name")) =!= "")
+  }
+
+  /** Fondation des Treilles — Prix jeune chercheur
+    * (CreateTreillesYoungResearcherAwards.ipynb cell 16, ~0.6K):
+    * 'prize'/'Prix jeune chercheur' constants, presence-gated EUR
+    * over an ungated amount, award-year boundary dates AND both
+    * years, a name-required screen, name-only lead with
+    * role_start = Jan 1. */
+  def treillesYoungResearcher: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val py = col("award_year").try_cast("int")
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    FunderIngestConfig(
+      funderId = 4320327761L,
+      provenance = "treilles_prix_jeune_chercheur", priority = 178,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "EUR"),
+      fundingType = lit("prize"),
+      funderScheme = lit("Prix jeune chercheur"),
+      startDate = sd,
+      endDate = d(concat(col("award_year"), lit("-12-31"))),
+      startYear = py, endYear = py,
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "" &&
+        col("name").isNotNull && trim(col("name")) =!= "")
+  }
+
+  /** Ian Potter Foundation grants (CreatePotterFoundationAwards
+    * .ipynb cell 17, ~0.6K): the DURATION-MONTH end date
+    * (start + months − 1 day), award-date-else-range-gated-year
+    * start, the future cap NULLing dates off the start year while
+    * end_year derives from the computed end date, source currency
+    * behind an amount-presence gate, the 'research' program arm, an
+    * unconditional org lead with source country and
+    * role_start = start. */
+  def potterFoundation(currentYear: Int): FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val py = col("award_year").try_cast("int")
+    val sd = coalesce(d(col("award_date")),
+      when(py.between(1900, currentYear + 1),
+        d(concat(col("award_year"), lit("-01-01")))))
+    val months = col("duration_months").try_cast("int")
+    val ed = when(sd.isNotNull && months.isNotNull && months > 0,
+      date_sub(add_months(sd, months), 1))
+    val startPick = coalesce(year(sd), py)
+    val futureDate = year(sd) > currentYear + 1
+    val futureYear = startPick > currentYear + 1
+    FunderIngestConfig(
+      funderId = 4320314720L, provenance = "potter_foundation_grants",
+      priority = 168,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, col("currency")),
+      fundingType = when(lower(trim(col("program_title")))
+        === "research", "research").otherwise("grant"),
+      funderScheme = nullif(trim(col("program_title")), lit("")),
+      startDate = when(futureDate, lit(null)).otherwise(sd),
+      endDate = when(futureDate, lit(null)).otherwise(ed),
+      startYear = when(futureYear, lit(null)).otherwise(startPick),
+      endYear = when(futureYear, lit(null)).otherwise(year(ed)),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        nullif(trim(col("recipient_name")), lit("")),
+        nullif(trim(col("recipient_country")), lit("")),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Arcadia Fund via 360Giving (CreateArcadiaAwards.ipynb cell 15,
+    * ~0.5K): award-else-start date, trimmed source currency behind
+    * the amount-presence gate, funding-area-else-'Arcadia grant'
+    * scheme, date-else-(year+duration−1) end year, an unconditional
+    * beneficiary org lead whose 360Giving identifier lands as a
+    * '360giving_recipient_org' affiliation id. */
+  def arcadia: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = coalesce(d(col("award_date")), d(col("start_date")))
+    val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    val dur = col("duration_years").try_cast("int")
+    val orgIds = when(col("recipient_org_identifier").isNotNull &&
+      trim(col("recipient_org_identifier")) =!= "",
+      array(struct(trim(col("recipient_org_identifier")).as("id"),
+        lit("360giving_recipient_org").as("type"),
+        lit("source").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320313262L, provenance = "arcadia_360giving",
+      priority = 148,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull,
+        nullif(trim(col("currency")), lit(""))),
+      fundingType = lit("grant"),
+      funderScheme = coalesce(nullif(trim(col("funding_area")),
+        lit("")), lit("Arcadia grant")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py + dur - 1),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        nullif(trim(col("beneficiary")), lit("")),
+        lit(null).cast("string"), orgIds),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** LCRF / Lung Cancer Research Foundation (CreateLCRFAwards.ipynb
+    * cell 7, ~0.4K): no amounts, Jan-1 start from the year, PI-only
+    * 'United States' lead, NULL works_api_url, no row screen. */
+  def lcrf: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320309412L, provenance = "lcrf", priority = 334,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

@@ -6183,4 +6183,175 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(onn(1).isNullAt(onn(1).fieldIndex("lead_investigator")))
     assert(onn(1).isNullAt(onn(1).fieldIndex("landing_page_url")))
   }
+
+  private def regTwentyEight = regTwentySeven.unionByName(Seq(
+    (4320320265L, "Health Foundation", "r-th", "d-th"),
+    (4320320895L, "American Academy in Rome", "r-aa", "d-aa"),
+    (4320327761L, "Fondation des Treilles", "r-tr", "d-tr"),
+    (4320314720L, "Ian Potter Foundation", "r-po", "d-po"),
+    (4320313262L, "Arcadia Fund", "r-ar", "d-ar"),
+    (4320309412L, "Lung Cancer Research Foundation", "r-lc", "d-lc"))
+    .toDF(reg.columns: _*))
+
+  test("Health Foundation / AAR Rome Prize / Treilles: the no-lead " +
+    "minimal card, the profession-as-affiliation fellow pair with " +
+    "the start-keyed future cap, and the Prix jeune chercheur " +
+    "year-boundary prize") {
+    val th = Seq(
+      ("THF-1", Some("Improvement study"), Some("D"), Some("Q Lab"),
+        Some("2018"), Some("https://thf/1")))
+      .toDF("funder_award_id", "title", "description", "scheme",
+        "year_awarded", "landing_page_url")
+    val oth = FunderIngest.transform(th, regTwentyEight,
+      FunderConfigs.healthFoundation, now).collect()
+    assert(oth.head.isNullAt(oth.head.fieldIndex("amount")))
+    assert(oth.head.isNullAt(oth.head.fieldIndex("lead_investigator")))
+    assert(oth.head.getAs[Int]("start_year") === 2018)
+    assert(oth.head.isNullAt(oth.head.fieldIndex("works_api_url")))
+
+    val aa = Seq(
+      (" ROME-2019-arch-doe ", " Jane Doe ", Some("Jane"), Some("Doe"),
+        Some("Sam"), Some("Co"), Some(" Architect "),
+        Some(" Architecture Fellowship "), None: Option[String],
+        Some(" Villa studies "), Some(" D "), Some("2019-09-01"),
+        Some("2020-08-31"), Some("2019"), Some("https://aar/1")),
+      ("ROME-2090-x", "Future Fellow", None: Option[String],
+        Some("X"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some(" Design "),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], Some("2090"), None: Option[String]))
+      .toDF("funder_award_id", "recipient_name", "lead_given_name",
+        "lead_family_name", "co_lead_given_name", "co_lead_family_name",
+        "profession", "fellowship_name", "source_discipline",
+        "project_title", "description", "start_date", "end_date",
+        "source_year", "landing_page_url")
+    val oaa = FunderIngest.transform(aa, regTwentyEight,
+      FunderConfigs.aarRomePrize(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(oaa(0).getAs[String]("funder_award_id")
+      === "rome-2019-arch-doe")
+    assert(oaa(0).getAs[String]("display_name") === "Villa studies")
+    assert(oaa(0).getAs[String]("funder_scheme")
+      === "Architecture Fellowship")
+    assert(oaa(0).getAs[Int]("start_year") === 2019)
+    assert(oaa(0).getAs[Int]("end_year") === 2020)
+    val aal = oaa(0).getAs[Row]("lead_investigator")
+    assert(aal.getAs[Row]("affiliation").getAs[String]("name")
+      === "Architect") // profession
+    val aac = oaa(0).getAs[Row]("co_lead_investigator")
+    assert(aac.getAs[String]("family_name") === "Co")
+    assert(aac.getAs[Row]("affiliation").getAs[String]("name")
+      === "Architect") // shared
+    // future source year: labeled display, both years NULL, no co
+    assert(oaa(1).getAs[String]("display_name")
+      === "Rome Prize 2090 - Future Fellow")
+    assert(oaa(1).getAs[String]("funder_scheme") === "Design")
+    assert(oaa(1).isNullAt(oaa(1).fieldIndex("start_year")))
+    assert(oaa(1).isNullAt(oaa(1).fieldIndex("end_year")))
+    assert(oaa(1).isNullAt(oaa(1).fieldIndex("co_lead_investigator")))
+
+    val tr = Seq(
+      (" TREILLES-2015-roux ", " Prix 2015 - M. Roux ", Some(" B "),
+        Some("20000"), Some("2015"), Some("M Roux"), Some(" Marie "),
+        Some(" Roux "), Some("https://treilles/1")),
+      ("TREILLES-2016-x", "Prix 2016 - X", None: Option[String],
+        None: Option[String], Some("2016"), Some("  "),
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "award_year", "name", "given_name", "family_name",
+        "landing_page_url")
+    val otr = FunderIngest.transform(tr, regTwentyEight,
+      FunderConfigs.treillesYoungResearcher, now).collect()
+    assert(otr.length === 1) // blank name dropped
+    assert(otr.head.getAs[Double]("amount") === 20000.0)
+    assert(otr.head.getAs[String]("currency") === "EUR")
+    assert(otr.head.getAs[String]("funder_scheme")
+      === "Prix jeune chercheur")
+    assert(otr.head.getAs[java.sql.Date]("end_date").toString
+      === "2015-12-31")
+    assert(otr.head.getAs[Int]("end_year") === 2015)
+    val trl = otr.head.getAs[Row]("lead_investigator")
+    assert(trl.getAs[String]("family_name") === "Roux")
+    assert(trl.getAs[Row]("affiliation").isNullAt(
+      trl.getAs[Row]("affiliation").fieldIndex("name")))
+  }
+
+  test("Potter / Arcadia / LCRF: the duration-month end date with " +
+    "the start-keyed caps, the 360giving beneficiary id with the " +
+    "year-plus-duration end year, and the no-amount US grant card") {
+    val po = Seq(
+      (" POTTER-1 ", " Medical equipment ", Some(" D "), Some("50000"),
+        Some("AUD"), Some(" Research "), Some("2020-03-15"),
+        None: Option[String], Some("24"), Some(" UoM "), Some(" AU "),
+        Some("https://potter/1")),
+      ("POTTER-2", "Community grant", None: Option[String],
+        None: Option[String], None: Option[String], Some("Community"),
+        None: Option[String], Some("2019"), None: Option[String],
+        Some("Org"), None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "program_title", "award_date", "award_year",
+        "duration_months", "recipient_name", "recipient_country",
+        "landing_page_url")
+    val opo = FunderIngest.transform(po, regTwentyEight,
+      FunderConfigs.potterFoundation(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(opo(0).getAs[String]("funding_type") === "research")
+    assert(opo(0).getAs[String]("currency") === "AUD")
+    assert(opo(0).getAs[java.sql.Date]("start_date").toString
+      === "2020-03-15")
+    assert(opo(0).getAs[java.sql.Date]("end_date").toString
+      === "2022-03-14") // +24 months − 1 day
+    assert(opo(0).getAs[Int]("end_year") === 2022)
+    val pol = opo(0).getAs[Row]("lead_investigator")
+    assert(pol.getAs[Row]("affiliation").getAs[String]("name") === "UoM")
+    assert(pol.getAs[Row]("affiliation").getAs[String]("country")
+      === "AU")
+    assert(opo(1).getAs[String]("funding_type") === "grant")
+    assert(opo(1).getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01") // year fallback
+    assert(opo(1).isNullAt(opo(1).fieldIndex("end_date"))) // no months
+    assert(opo(1).isNullAt(opo(1).fieldIndex("end_year")))
+    assert(opo(1).isNullAt(opo(1).fieldIndex("amount")))
+    assert(opo(1).isNullAt(opo(1).fieldIndex("currency")))
+
+    val ar = Seq(
+      (" ARC-1 ", " Archive preservation ", Some(" D "),
+        Some("1000000"), Some(" USD "), Some(" Culture "),
+        None: Option[String], Some("2018-07-01"), None: Option[String],
+        Some("2018"), Some("5"), Some(" Org Y "), Some(" GB-CHC-9 "),
+        Some("https://arc/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funding_area", "award_date", "start_date",
+        "end_date", "source_year", "duration_years", "beneficiary",
+        "recipient_org_identifier", "landing_page_url")
+    val oar = FunderIngest.transform(ar, regTwentyEight,
+      FunderConfigs.arcadia, now).collect()
+    assert(oar.head.getAs[String]("currency") === "USD") // trimmed
+    assert(oar.head.getAs[String]("funder_scheme") === "Culture")
+    assert(oar.head.getAs[java.sql.Date]("start_date").toString
+      === "2018-07-01") // start fallback
+    assert(oar.head.getAs[Int]("end_year") === 2022) // 2018 + 5 − 1
+    val arl = oar.head.getAs[Row]("lead_investigator")
+    assert(arl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Org Y")
+    assert(arl.getAs[Row]("affiliation")
+      .getSeq[Row](arl.getAs[Row]("affiliation").fieldIndex("ids"))
+      .head.getAs[String]("type") === "360giving_recipient_org")
+
+    val lc = Seq(
+      ("LCRF-1", Some("Lung study"), Some("Pilot"), Some("2021"),
+        Some("Ana"), Some("Kim"), Some("MSK"), Some("https://lcrf/1")))
+      .toDF("funder_award_id", "title", "funder_scheme", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val olc = FunderIngest.transform(lc, regTwentyEight,
+      FunderConfigs.lcrf, now).collect()
+    assert(olc.head.isNullAt(olc.head.fieldIndex("amount")))
+    assert(olc.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01")
+    assert(olc.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+    assert(olc.head.isNullAt(olc.head.fieldIndex("works_api_url")))
+  }
 }
