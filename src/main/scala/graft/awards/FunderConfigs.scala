@@ -8437,4 +8437,263 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 tenth tranche: COSTECH, SMRI treatment trials,
+  // Gulbenkian, Maudsley, Kauffman, Keck
+  // ---------------------------------------------------------------
+
+  /** COSTECH NFAST projects (CreateCOSTECHAwards.ipynb cell 17,
+    * ~0.4K Tanzanian projects): presence-gated 'TZS', the
+    * scheme→subprogram→program→'NFAST projects' cascade,
+    * date-else-source-year coverage, an UNCONDITIONAL name-only 'TZ'
+    * lead with role_start = start. */
+  def costech: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320323478L, provenance = "costech_nfast_projects",
+      priority = 152,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "TZS"),
+      fundingType = coalesce(nullif(trim(col("funding_type")),
+        lit("")), lit("research")),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")), nullif(trim(col("subprogram_name")), lit("")),
+        nullif(trim(col("program_name")), lit("")),
+        lit("NFAST projects")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(
+        nullif(trim(col("lead_investigator_given_name")), lit("")),
+        nullif(trim(col("lead_investigator_family_name")), lit("")),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        lit("TZ"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** The SMRI other-investigators JSON element
+    * (CreateSMRITreatmentTrialsAwards.ipynb cell 20). */
+  private def smriPerson: String =
+    "array<struct<name:string,given_name:string,family_name:string>>"
+
+  /** SMRI / Stanley Medical Research Institute treatment trials
+    * (CreateSMRITreatmentTrialsAwards.ipynb cell 20, ~0.4K): NULL
+    * amounts, 'Treatment Trials' constant scheme, the TWO-DIGIT
+    * award-id prefix decoding the start year (≥90 → 1900s, else
+    * 2000s) over a range-gated award-year fallback, a
+    * name-or-institution-or-country-gated lead, a co-lead-name-gated
+    * co-lead sharing the institution/country, and the
+    * other-investigators JSON array (each sharing them too). */
+  def smriTreatmentTrials(currentYear: Int): FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val inst = nullif(trim(col("institution")), lit(""))
+    val ctry = nullif(trim(col("country_code")), lit(""))
+    val leadName = nullif(trim(col("lead_name")), lit(""))
+    val coName = nullif(trim(col("co_lead_name")), lit(""))
+    val two = regexp_extract(col("funder_award_id"), "^([0-9]{2})", 1)
+    val yearInt = when(col("award_year").try_cast("int")
+      .between(1900, currentYear + 1), col("award_year").try_cast("int"))
+    val invs = from_json(col("other_investigators"),
+      org.apache.spark.sql.types.DataType.fromDDL(smriPerson))
+    FunderIngestConfig(
+      funderId = 4320309530L, provenance = "smri_treatment_trials",
+      priority = 214,
+      mintKey = nid,
+      funderAwardId = trim(col("funder_award_id")),
+      displayName = nullif(trim(col("display_name")), lit("")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = lit("Treatment Trials"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = when(two =!= "",
+        when(two.cast("int") >= 90, 1900).otherwise(2000)
+          + two.cast("int"))
+        .otherwise(yearInt),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = when(leadName.isNotNull || inst.isNotNull ||
+        ctry.isNotNull,
+        investigator(nullif(trim(col("lead_given_name")), lit("")),
+          nullif(trim(col("lead_family_name")), lit("")),
+          lit(null).cast("string"), lit(null).cast("date"), inst, ctry,
+          lit(null).cast(affIds))),
+      coLeadInvestigator = when(coName.isNotNull,
+        investigator(nullif(trim(col("co_lead_given_name")), lit("")),
+          nullif(trim(col("co_lead_family_name")), lit("")),
+          lit(null).cast("string"), lit(null).cast("date"), inst, ctry,
+          lit(null).cast(affIds))),
+      investigators = when(invs.isNotNull,
+        transform(invs, x =>
+          investigator(nullif(trim(x.getField("given_name")), lit("")),
+            nullif(trim(x.getField("family_name")), lit("")),
+            lit(null).cast("string"), lit(null).cast("date"), inst,
+            ctry, lit(null).cast(affIds))))
+        .otherwise(FunderIngest.nullInvestigators),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Calouste Gulbenkian Foundation projects
+    * (CreateGulbenkianAwards.ipynb cell 15, ~0.4K): UNGATED amount
+    * with raw source currency, 'Gulbenkian Project' constant scheme,
+    * year-boundary dates AND both years, a PARTNERS-gated org lead
+    * with the 'PT' default country, the `link` column as landing. */
+  def gulbenkian: FunderIngestConfig = {
+    val sd = d(concat(col("start_year"), lit("-01-01")))
+    val lead = when(col("partners").isNull ||
+      trim(col("partners")) === "",
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        col("partners"), lit("PT"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320323335L, provenance = "gulbenkian_projects",
+      priority = 114,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("research"),
+      funderScheme = lit("Gulbenkian Project"),
+      startDate = sd,
+      endDate = d(concat(col("end_year"), lit("-12-31"))),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("link"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Maudsley Charity via 360Giving (CreateMaudsleyAwards.ipynb
+    * cell 13, ~0.4K): the Wolfson/Thorn sibling whose title fallback
+    * labels the SOURCE IDENTIFIER, >0 gate with source currency,
+    * full TRY_CAST dates with raw years under the future cap, an
+    * org lead with the ISO country, the source URL as landing. */
+  def maudsley(currentYear: Int): FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sy = col("start_year").try_cast("int")
+    val future = sy > currentYear + 1
+    val lead = when(col("recipient_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient_org"), col("recipient_country_iso"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320313345L, provenance = "maudsley_360giving",
+      priority = 184,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Maudsley Charity grant "), col("source_identifier"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("grant_programme"),
+      startDate = d(col("start_date")), endDate = d(col("end_date")),
+      startYear = when(future, lit(null)).otherwise(sy),
+      endYear = when(future, lit(null))
+        .otherwise(col("end_year").try_cast("int")),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** Ewing Marion Kauffman Foundation (CreateKauffmanAwards.ipynb
+    * cell 13, ~0.3K): the 'Kauffman <type> - <org> (<year>)'
+    * assembled display, UNGATED amount with raw currency, the
+    * 'research' grant-type regex arm, strategy scheme, approved-on
+    * start, an org lead with the 'US' taxonomy invariant gated on
+    * the grantee org (role_start = approved-on). */
+  def kauffman: FunderIngestConfig = {
+    val sd = d(col("approved_on"))
+    val lead = when(col("grantee_org").isNull ||
+      col("grantee_org") === "",
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        col("grantee_org"), lit("US"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306140L, provenance = "kauffman_foundation",
+      priority = 139,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Kauffman "),
+        coalesce(col("grant_type"), lit("Grant")), lit(" - "),
+        col("grantee_org"),
+        when(col("start_year").isNotNull,
+          concat(lit(" ("), col("start_year"), lit(")")))
+          .otherwise(lit(""))),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = when(lower(col("grant_type")).rlike("research"),
+        "research").otherwise("grant"),
+      funderScheme = col("strategy"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("grantee_org").isNotNull)
+  }
+
+  /** W. M. Keck Foundation (CreateKeckAwards.ipynb cell 6, ~0.3K):
+    * UNGATED decimal with unconditional 'USD', the
+    * '<program>: <institution>' display fallback, year-awarded-only
+    * coverage, PI-only 'United States' lead, NULL works_api_url, no
+    * row screen. */
+  def keck: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306159L, provenance = "keck", priority = 349,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(col("program"), lit(": "), col("institution"))),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("year_awarded").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

@@ -6354,4 +6354,178 @@ class FunderConfigsSpec extends AnyFunSuite {
       === "United States")
     assert(olc.head.isNullAt(olc.head.fieldIndex("works_api_url")))
   }
+
+  private def regTwentyNine = regTwentyEight.unionByName(Seq(
+    (4320323478L, "COSTECH", "r-tz", "d-tz"),
+    (4320309530L, "Stanley Medical Research Institute", "r-sm", "d-sm"),
+    (4320323335L, "Calouste Gulbenkian Foundation", "r-gu", "d-gu"),
+    (4320313345L, "Maudsley Charity", "r-ma", "d-ma"),
+    (4320306140L, "Ewing Marion Kauffman Foundation", "r-ka", "d-ka"),
+    (4320306159L, "W. M. Keck Foundation", "r-kc", "d-kc"))
+    .toDF(reg.columns: _*))
+
+  test("COSTECH / SMRI / Gulbenkian: the TZS listing card, the " +
+    "two-digit award-id prefix year decode with shared-affiliation " +
+    "co-lead and investigators, the partners-gated PT org lead") {
+    val co = Seq(
+      ("NFAST-01", "Crop study", Some("D"), Some("5000000"),
+        Some("research"), None: Option[String], Some("Agri"),
+        None: Option[String], Some("2019-01-01"), None: Option[String],
+        Some("2018"), Some("Neema"), Some("Mushi"),
+        Some("https://costech/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funding_type", "funder_scheme", "subprogram_name",
+        "program_name", "start_date", "end_date", "source_year",
+        "lead_investigator_given_name", "lead_investigator_family_name",
+        "landing_page_url")
+    val oco = FunderIngest.transform(co, regTwentyNine,
+      FunderConfigs.costech, now).collect()
+    assert(oco.head.getAs[String]("currency") === "TZS")
+    assert(oco.head.getAs[String]("funder_scheme") === "Agri") // subprog
+    assert(oco.head.getAs[Int]("start_year") === 2019)
+    assert(oco.head.getAs[Int]("end_year") === 2018) // year fallback
+    val col1 = oco.head.getAs[Row]("lead_investigator")
+    assert(col1.getAs[Row]("affiliation").getAs[String]("country")
+      === "TZ")
+    assert(col1.getAs[Row]("affiliation").isNullAt(
+      col1.getAs[Row]("affiliation").fieldIndex("name")))
+
+    val invJs = """[{"name":"A B","given_name":"A","family_name":"B"}]"""
+    val sm = Seq(
+      ("95T-001 ", " Trial A ", Some("D"), Some("ongoing"),
+        Some("Dr. J Doe"), Some("J"), Some("Doe"), Some("Dr. K Roe"),
+        Some("K"), Some("Roe"), Some(" Hopkins "), Some(" US "),
+        Some(invJs), Some("2010"), Some("https://smri/1")),
+      ("05T-002", "Trial B", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("2005"), None: Option[String]),
+      ("SMRI-X", "Trial C", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("2012"), None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "status",
+        "lead_name", "lead_given_name", "lead_family_name",
+        "co_lead_name", "co_lead_given_name", "co_lead_family_name",
+        "institution", "country_code", "other_investigators",
+        "award_year", "landing_page_url")
+    val osm = FunderIngest.transform(sm, regTwentyNine,
+      FunderConfigs.smriTreatmentTrials(2026), now)
+      .orderBy("funder_award_id").collect()
+    assert(osm.length === 3)
+    val s95 = osm(1) // order: 05T-002 < 95T-001 < SMRI-X
+    assert(s95.getAs[String]("funder_award_id") === "95T-001") // trimmed
+    assert(s95.getAs[Int]("start_year") === 1995) // 95 ≥ 90 → 1900s
+    val sml = s95.getAs[Row]("lead_investigator")
+    assert(sml.getAs[String]("family_name") === "Doe")
+    assert(sml.getAs[Row]("affiliation").getAs[String]("name")
+      === "Hopkins")
+    assert(sml.getAs[Row]("affiliation").getAs[String]("country")
+      === "US")
+    val smc = s95.getAs[Row]("co_lead_investigator")
+    assert(smc.getAs[String]("family_name") === "Roe")
+    assert(smc.getAs[Row]("affiliation").getAs[String]("name")
+      === "Hopkins") // shared
+    val smi = s95.getSeq[Row](s95.fieldIndex("investigators"))
+    assert(smi.head.getAs[String]("family_name") === "B")
+    assert(smi.head.getAs[Row]("affiliation").getAs[String]("country")
+      === "US") // shared
+    assert(osm(0).getAs[Int]("start_year") === 2005) // '05' → 2000s
+    assert(osm(0).isNullAt(osm(0).fieldIndex("lead_investigator")))
+    assert(osm(2).getAs[Int]("start_year") === 2012) // no prefix → year
+    assert(osm(2).getAs[String]("funder_scheme") === "Treatment Trials")
+
+    val gu = Seq(
+      ("GULB-1", Some("Oceanos project"), Some("D"), Some("150000"),
+        Some("EUR"), Some("2019"), Some("2021"),
+        Some("Nova SBE; IPMA"), Some("https://gulb/1")),
+      ("GULB-2", Some("No partners"), None: Option[String],
+        None: Option[String], None: Option[String], Some("2020"),
+        None: Option[String], Some("  "), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "start_year", "end_year", "partners", "link")
+    val ogu = FunderIngest.transform(gu, regTwentyNine,
+      FunderConfigs.gulbenkian, now).orderBy("funder_award_id")
+      .collect()
+    assert(ogu(0).getAs[Double]("amount") === 150000.0) // ungated
+    assert(ogu(0).getAs[String]("funder_scheme") === "Gulbenkian Project")
+    assert(ogu(0).getAs[java.sql.Date]("end_date").toString
+      === "2021-12-31")
+    val gul = ogu(0).getAs[Row]("lead_investigator")
+    assert(gul.getAs[Row]("affiliation").getAs[String]("name")
+      === "Nova SBE; IPMA")
+    assert(gul.getAs[Row]("affiliation").getAs[String]("country")
+      === "PT")
+    assert(ogu(1).isNullAt(ogu(1).fieldIndex("lead_investigator")))
+  }
+
+  test("Maudsley / Kauffman / Keck: the source-identifier title " +
+    "fallback under the future cap, the assembled Kauffman display " +
+    "with the US taxonomy lead, and the program-institution Keck " +
+    "fallback") {
+    val ma = Seq(
+      ("360G-maud-1", None: Option[String], Some("D"), Some("80000"),
+        Some("GBP"), Some("Programme A"), Some("2021-04-01"),
+        Some("2023-03-31"), Some("2021"), Some("2023"), Some("SLaM"),
+        Some("GB"), Some("MAUD-001"), Some("https://maud/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "grant_programme", "start_date", "end_date",
+        "start_year", "end_year", "recipient_org",
+        "recipient_country_iso", "source_identifier", "source_url")
+    val oma = FunderIngest.transform(ma, regTwentyNine,
+      FunderConfigs.maudsley(2026), now).collect()
+    assert(oma.head.getAs[String]("display_name")
+      === "Maudsley Charity grant MAUD-001")
+    assert(oma.head.getAs[String]("currency") === "GBP")
+    assert(oma.head.getAs[Int]("end_year") === 2023)
+    assert(oma.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-04-01")
+    assert(oma.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "GB")
+
+    val ka = Seq(
+      ("kauff-1", Some("Research Grant"), Some("Entrepreneurship"),
+        Some("D"), Some("250000"), Some("USD"), Some("2020-06-15"),
+        Some("2020"), Some("UMKC"), Some("https://kauff/1")),
+      ("kauff-2", None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("Org Z"),
+        None: Option[String]))
+      .toDF("funder_award_id", "grant_type", "strategy", "description",
+        "amount", "currency", "approved_on", "start_year",
+        "grantee_org", "landing_page_url")
+    val oka = FunderIngest.transform(ka, regTwentyNine,
+      FunderConfigs.kauffman, now).orderBy("funder_award_id").collect()
+    assert(oka(0).getAs[String]("display_name")
+      === "Kauffman Research Grant - UMKC (2020)")
+    assert(oka(0).getAs[String]("funding_type") === "research")
+    assert(oka(0).getAs[String]("funder_scheme") === "Entrepreneurship")
+    val kal = oka(0).getAs[Row]("lead_investigator")
+    assert(kal.getAs[java.sql.Date]("role_start").toString
+      === "2020-06-15")
+    assert(kal.getAs[Row]("affiliation").getAs[String]("country")
+      === "US")
+    assert(oka(1).getAs[String]("display_name")
+      === "Kauffman Grant - Org Z") // no type, no year
+    assert(oka(1).getAs[String]("funding_type") === "grant")
+
+    val kc = Seq(
+      ("keck-1", None: Option[String], Some("2000000.00"),
+        Some("Science & Engineering"), Some("2018"),
+        None: Option[String], None: Option[String], Some("Caltech"),
+        Some("https://keck/1")))
+      .toDF("funder_award_id", "title", "amount", "program",
+        "year_awarded", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val okc = FunderIngest.transform(kc, regTwentyNine,
+      FunderConfigs.keck, now).collect()
+    assert(okc.head.getAs[String]("display_name")
+      === "Science & Engineering: Caltech") // fallback
+    assert(okc.head.getAs[String]("currency") === "USD")
+    assert(okc.head.getAs[Int]("start_year") === 2018)
+    assert(okc.head.isNullAt(okc.head.fieldIndex("lead_investigator")))
+    assert(okc.head.isNullAt(okc.head.fieldIndex("works_api_url")))
+  }
 }
