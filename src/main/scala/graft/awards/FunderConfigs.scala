@@ -8696,4 +8696,221 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 eleventh tranche: NNF prizes, GoMRI, Vivensa,
+  // Carl Zeiss, Kirby, Wallenberg
+  // ---------------------------------------------------------------
+
+  /** Novo Nordisk Fonden prize recipients
+    * (CreateNovoNordiskFondenAwards.ipynb cell 15, ~0.4K): the
+    * SECOND provenance slice on the NNF funder beside the grants
+    * API — 'prize' rows named by the recipient with the credentials
+    * string as description, NULL amounts, prize-name-else-labeled
+    * scheme, award-year start, a NULL-struct-affiliation laureate
+    * lead. */
+  def novoNordiskFonden: FunderIngestConfig = {
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    val lead = struct(
+      nullif(trim(col("given_name")), lit("")).as("given_name"),
+      nullif(trim(col("family_name")), lit("")).as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      sd.as("role_start"),
+      lit(null).cast(affStruct).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320325957L, provenance = "novo_nordisk_fonden_prizes",
+      priority = 119,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("recipient_name"),
+      description = col("credentials"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("prize"),
+      funderScheme = coalesce(nullif(trim(col("prize_name")), lit("")),
+        lit("Novo Nordisk Fonden Prize")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("recipient_name").isNotNull &&
+        trim(col("recipient_name")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** Gulf of Mexico Research Initiative (CreateGoMRIAwards.ipynb
+    * cell 7, ~0.3K): no amounts and NO temporal coverage at all,
+    * PI-only 'United States' lead, NULL works_api_url, no row
+    * screen. */
+  def gomri: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320309630L, provenance = "gomri", priority = 331,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Vivensa Foundation / Dunhill Medical Trust
+    * (CreateVivensaAwards.ipynb cell 7, ~0.2K): UNGATED decimal with
+    * unconditional 'GBP', programme scheme, full dates with the RAW
+    * start year and the date-derived end year, a recipient org
+    * 'United Kingdom' lead, NULL landing and works URLs, no row
+    * screen. */
+  def vivensa: FunderIngestConfig = {
+    val ed = d(col("end_date"))
+    val lead = when(col("recipient").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320080L, provenance = "vivensa", priority = 247,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = d(col("start_date")), endDate = ed,
+      startYear = col("start_year").try_cast("int"),
+      endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Carl-Zeiss-Stiftung (CreateCarlZeissAwards.ipynb cell 9,
+    * ~0.2K): the slug mint, UNGATED EUR-column amount with the raw
+    * source currency, the individual/fellowship-over-project type
+    * arms, full dates and years, an UNCONDITIONAL funded-institution
+    * org lead with 'DE'. */
+  def carlZeiss: FunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val tof = lower(col("type_of_funding"))
+    FunderIngestConfig(
+      funderId = 4320309895L, provenance = "carl_zeiss_stiftung",
+      priority = 38,
+      mintKey = lower(col("slug")),
+      funderAwardId = col("slug"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount_eur").try_cast("double"),
+      currency = col("currency"),
+      fundingType = when(tof.like("%individual%") ||
+        tof.like("%fellowship%"), "fellowship")
+        .when(tof.like("%project%"), "research")
+        .otherwise("grant"),
+      funderScheme = col("programme"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("date"), col("funded_institution"), lit("DE"),
+        lit(null).cast(affIds)),
+      landingPageUrl = col("url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("slug").isNotNull && trim(col("slug")) =!= "")
+  }
+
+  /** Kirby Institute recent grants (CreateKirbyAwards.ipynb cell 16,
+    * ~0.2K): presence-gated 'AUD', source-year-only coverage whose
+    * START YEAR (but not the derived Jan-1 date) carries the future
+    * cap, an UNCONDITIONAL recipient org lead with no country. */
+  def kirby(currentYear: Int): FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val py = col("source_year").try_cast("int")
+    val sd = when(py.isNotNull, d(concat(col("source_year"),
+      lit("-01-01"))))
+    FunderIngestConfig(
+      funderId = 4320314616L, provenance = "kirby_recent_grants",
+      priority = 164,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "AUD"),
+      fundingType = lit("grant"),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = when(py > currentYear + 1, lit(null)).otherwise(py),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        nullif(trim(col("recipient_name")), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Knut and Alice Wallenberg Foundation projects
+    * (CreateWallenbergAwards.ipynb cell 17, ~0.2K): UNGATED amount
+    * with raw source currency, the fellow/scholar/postdoc/stipend
+    * program regex arm, program-label-else-'KAW Research Project'
+    * scheme, award-year start, a lead gated on ALL THREE raw columns
+    * being NULL (trimmed-NULLIF inside, 'SE'). */
+  def wallenberg: FunderIngestConfig = {
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    val lead = when(col("pi_given_name").isNull &&
+      col("pi_family_name").isNull && col("institution").isNull,
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(
+        nullif(trim(col("pi_given_name")), lit("")),
+        nullif(trim(col("pi_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")), lit("SE"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320322327L, provenance = "kaw_wallenberg_projects",
+      priority = 111,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = when(lower(coalesce(col("program_label"), lit("")))
+        .rlike("fellow|scholar|postdoc|stipend"), "fellowship")
+        .otherwise("research"),
+      funderScheme = coalesce(nullif(trim(col("program_label")),
+        lit("")), lit("KAW Research Project")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
 }

@@ -6528,4 +6528,132 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(okc.head.isNullAt(okc.head.fieldIndex("lead_investigator")))
     assert(okc.head.isNullAt(okc.head.fieldIndex("works_api_url")))
   }
+
+  private def regThirty = regTwentyNine.unionByName(Seq(
+    (4320309630L, "Gulf of Mexico Research Initiative", "r-gm", "d-gm"),
+    (4320320080L, "Vivensa Foundation", "r-vv", "d-vv"),
+    (4320309895L, "Carl-Zeiss-Stiftung", "r-cz", "d-cz"),
+    (4320314616L, "Kirby Institute", "r-ki", "d-ki"),
+    (4320322327L, "Knut and Alice Wallenberg Foundation", "r-ww",
+      "d-ww"))
+    .toDF(reg.columns: _*))
+
+  test("NNF prizes / GoMRI / Vivensa / Carl Zeiss / Kirby / " +
+    "Wallenberg: the second NNF provenance slice, the no-coverage " +
+    "GoMRI card, unconditional GBP, the slug-minted DE org lead, " +
+    "the capped-year-uncapped-date Kirby quirk, and the " +
+    "all-three-null Wallenberg gate") {
+    val nf = Seq(
+      ("nnf-prize-2020-doe", " Prof. Jane Doe ", Some("MD, PhD"),
+        Some(" Novo Nordisk Prize "), Some("2020"), Some("Jane"),
+        Some("Doe"), Some("https://nnf/1")))
+      .toDF("funder_award_id", "recipient_name", "credentials",
+        "prize_name", "award_year", "given_name", "family_name",
+        "landing_page_url")
+    val onf = FunderIngest.transform(nf, regTwentySeven,
+      FunderConfigs.novoNordiskFonden, now).collect()
+    assert(onf.head.getAs[String]("provenance")
+      === "novo_nordisk_fonden_prizes")
+    assert(onf.head.getAs[String]("funding_type") === "prize")
+    assert(onf.head.getAs[String]("description") === "MD, PhD")
+    assert(onf.head.getAs[String]("funder_scheme")
+      === "Novo Nordisk Prize")
+    val nfl = onf.head.getAs[Row]("lead_investigator")
+    assert(nfl.getAs[String]("family_name") === "Doe")
+    assert(nfl.isNullAt(nfl.fieldIndex("affiliation"))) // NULL struct
+
+    val gm = Seq(
+      ("GOMRI-1", Some("Oil spill impacts"), Some("D"), Some("RFP-I"),
+        Some("Rita"), Some("Colwell"), Some("UMD"),
+        Some("https://gomri/1")))
+      .toDF("funder_award_id", "title", "description", "funder_scheme",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ogm = FunderIngest.transform(gm, regThirty,
+      FunderConfigs.gomri, now).collect()
+    assert(ogm.head.isNullAt(ogm.head.fieldIndex("start_year")))
+    assert(ogm.head.isNullAt(ogm.head.fieldIndex("amount")))
+    assert(ogm.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+    assert(ogm.head.isNullAt(ogm.head.fieldIndex("works_api_url")))
+
+    val vv = Seq(
+      ("VIV-1", Some("Ageing research"), Some("D"), Some("350000.00"),
+        Some("Research Project"), Some("2022-01-01"),
+        Some("2024-12-31"), Some("2022"), Some("KCL")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "programme", "start_date", "end_date", "start_year",
+        "recipient")
+    val ovv = FunderIngest.transform(vv, regThirty,
+      FunderConfigs.vivensa, now).collect()
+    assert(ovv.head.getAs[String]("currency") === "GBP") // unconditional
+    assert(ovv.head.getAs[Int]("end_year") === 2024) // from date
+    assert(ovv.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+    assert(ovv.head.isNullAt(ovv.head.fieldIndex("landing_page_url")))
+
+    val cz = Seq(
+      ("czs-nexus-2021-x", Some("Nexus project"), Some("D"),
+        Some("750000"), Some("EUR"), Some("Project funding"),
+        Some("CZS Nexus"), Some("2021-07-01"), Some("2026-06-30"),
+        Some("Uni Jena"), Some("https://czs/1")))
+      .toDF("slug", "title", "description", "amount_eur", "currency",
+        "type_of_funding", "programme", "start_date", "end_date",
+        "funded_institution", "url")
+    val ocz = FunderIngest.transform(cz, regThirty,
+      FunderConfigs.carlZeiss, now).collect()
+    assert(ocz.head.getAs[String]("funder_award_id")
+      === "czs-nexus-2021-x")
+    assert(ocz.head.getAs[String]("funding_type") === "research")
+    assert(ocz.head.getAs[Int]("end_year") === 2026)
+    val czl = ocz.head.getAs[Row]("lead_investigator")
+    assert(czl.getAs[Row]("affiliation").getAs[String]("country")
+      === "DE")
+
+    val ki = Seq(
+      ("KIRBY-1", "HIV program grant", Some("D"), Some("100000"),
+        Some("NHMRC Program"), Some("2090"), Some("Kirby Institute"),
+        Some("https://kirby/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funder_scheme", "source_year", "recipient_name",
+        "landing_page_url")
+    val oki = FunderIngest.transform(ki, regThirty,
+      FunderConfigs.kirby(2026), now).collect()
+    assert(oki.head.getAs[String]("currency") === "AUD")
+    assert(oki.head.isNullAt(oki.head.fieldIndex("start_year"))) // cap
+    assert(oki.head.getAs[java.sql.Date]("start_date").toString
+      === "2090-01-01") // date UNCAPPED (the notebook quirk)
+    assert(oki.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name")
+      === "Kirby Institute")
+
+    val ww = Seq(
+      ("KAW-2020-1", Some("Quantum project"), Some("D"),
+        Some("25000000"), Some("SEK"),
+        Some("Wallenberg Academy Fellow 2020"), Some("2020"),
+        Some(" Anna "), Some(" Lund "), Some(" KTH "),
+        Some("https://kaw/1")),
+      ("KAW-2021-2", Some("Org-less row"), None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        Some("2021"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "program_label", "award_year", "pi_given_name",
+        "pi_family_name", "institution", "landing_page_url")
+    val oww = FunderIngest.transform(ww, regThirty,
+      FunderConfigs.wallenberg, now).orderBy("funder_award_id")
+      .collect()
+    assert(oww(0).getAs[Double]("amount") === 2.5e7) // ungated
+    assert(oww(0).getAs[String]("currency") === "SEK")
+    assert(oww(0).getAs[String]("funding_type") === "fellowship")
+    val wwl = oww(0).getAs[Row]("lead_investigator")
+    assert(wwl.getAs[String]("family_name") === "Lund")
+    assert(wwl.getAs[Row]("affiliation").getAs[String]("country")
+      === "SE")
+    assert(oww(1).getAs[String]("funding_type") === "research")
+    assert(oww(1).getAs[String]("funder_scheme")
+      === "KAW Research Project")
+    assert(oww(1).isNullAt(oww(1).fieldIndex("lead_investigator")))
+  }
 }
