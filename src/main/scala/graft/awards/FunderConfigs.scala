@@ -8913,4 +8913,176 @@ object FunderConfigs {
       rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
         col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 twelfth tranche: PCHRD, Autism Science Foundation,
+  // Heineken Prizes, Vaincre Alzheimer, FNR Luxembourg, TSC Alliance
+  // ---------------------------------------------------------------
+
+  /** The small-charity year-card archetype (TSC Alliance / Vaincre
+    * Alzheimer / FNR Luxembourg / Autism Science Foundation …): raw
+    * title, NULL description, year-only coverage (optionally
+    * range-gated with a derived Jan-1 date), PI-only country lead,
+    * NULL works_api_url, no row screen. */
+  private def yearCard(funderId: Long, provenance: String,
+      priority: Int, country: String,
+      fundingType: Column, funderScheme: Column,
+      amount: Column, currency: Column, yearCol: String,
+      yearRange: Option[(Int, Int)] = None): FunderIngestConfig = {
+    val sy = col(yearCol).try_cast("int")
+    val (syOut, sdOut) = yearRange match {
+      case Some((lo, hi)) =>
+        val ok = sy.between(lo, hi)
+        (when(ok, sy),
+          when(ok, d(concat(col(yearCol), lit("-01-01")))))
+      case None => (sy, lit(null).cast("date"))
+    }
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit(country), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = amount, currency = currency,
+      fundingType = fundingType, funderScheme = funderScheme,
+      startDate = sdOut, endDate = lit(null).cast("date"),
+      startYear = syOut, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** The PCHRD funder row carries LITERAL constants in the notebook
+    * (CreatePCHRDAwards.ipynb cell 17's inline struct — name only,
+    * NULL ror/doi). */
+  def pchrdFunderLookup(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((4320335609L,
+      "Philippine Council for Health Research and Development",
+      Option.empty[String], Option.empty[String]))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+  }
+
+  /** PCHRD ongoing projects (CreatePCHRDAwards.ipynb cell 17,
+    * ~0.2K): paired with [[pchrdFunderLookup]] — NULL amounts,
+    * project-category scheme, the source POSTED date as start, an
+    * implementing-agency-gated 'PH' org lead with role_start =
+    * posted. */
+  def pchrd: FunderIngestConfig = {
+    val sd = d(col("source_posted_date"))
+    val agency = nullif(trim(col("source_implementing_agency")),
+      lit(""))
+    val lead = when(agency.isNull,
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        agency, lit("PH"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320335609L, provenance = "pchrd_ongoing_projects",
+      priority = 162,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = nullif(trim(col("description")), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = nullif(trim(col("project_category")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = year(sd), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** Autism Science Foundation
+    * (CreateAutismScienceFoundationAwards.ipynb cell 7, ~0.2K): the
+    * [[yearCard]] archetype as 'fellowship' with the 2005..2027
+    * range gate on BOTH the Jan-1 date and the year,
+    * 'United States'. */
+  def autismScienceFoundation: FunderIngestConfig =
+    yearCard(4320310295L, "autism_science_foundation", 283,
+      "United States", fundingType = lit("fellowship"),
+      funderScheme = col("programme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "start_year", yearRange = Some((2005, 2027)))
+
+  /** Heineken Prizes via WordPress
+    * (CreateHeinekenPrizesAwards.ipynb cell 16, ~0.1K): 'prize'
+    * rows with ungated amount and trimmed source currency,
+    * scheme-else-'Heineken Prizes', date-else-source-year coverage,
+    * a name-only laureate lead with role_start = start. */
+  def heinekenPrizes: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320320934L, provenance = "heineken_prizes_wp",
+      priority = 128,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = col("amount").try_cast("double"),
+      currency = nullif(trim(col("currency")), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")), lit("Heineken Prizes")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Fondation Vaincre Alzheimer (CreateVaincreAlzheimerAwards.ipynb
+    * cell 7, ~0.1K): the [[yearCard]] archetype with an UNGATED
+    * decimal amount whose 'EUR' gates on the RAW amount's presence
+    * (a junk amount string still asserts the currency), NULL scheme,
+    * 'France'. */
+  def vaincreAlzheimer: FunderIngestConfig =
+    yearCard(4320315322L, "vaincre_alzheimer", 299, "France",
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = when(col("amount").isNotNull, "EUR"),
+      yearCol = "year_awarded")
+
+  /** FNR Luxembourg (CreateFNRLuxembourgAwards.ipynb cell 7, ~0.1K):
+    * the [[yearCard]] archetype with the CALL column as scheme, the
+    * raw-presence 'EUR' gate, 'Luxembourg'. */
+  def fnrLuxembourg: FunderIngestConfig =
+    yearCard(4320321038L, "fnr_luxembourg", 305, "Luxembourg",
+      fundingType = lit("grant"), funderScheme = col("call"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = when(col("amount").isNotNull, "EUR"),
+      yearCol = "year")
+
+  /** TSC Alliance (CreateTSCAllianceAwards.ipynb cell 6, ~0.1K): the
+    * bare [[yearCard]] — no amounts, scheme column, year_awarded,
+    * 'United States'. */
+  def tscAlliance: FunderIngestConfig =
+    yearCard(4320306781L, "tsc_alliance", 321, "United States",
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "year_awarded")
 }

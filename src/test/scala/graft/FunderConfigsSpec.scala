@@ -6656,4 +6656,121 @@ class FunderConfigsSpec extends AnyFunSuite {
       === "KAW Research Project")
     assert(oww(1).isNullAt(oww(1).fieldIndex("lead_investigator")))
   }
+
+  private def regThirtyOne = regThirty.unionByName(Seq(
+    (4320310295L, "Autism Science Foundation", "r-as", "d-as"),
+    (4320320934L, "Koninklijke Nederlandse Akademie van Wetenschappen",
+      "r-hk2", "d-hk2"),
+    (4320315322L, "Fondation Vaincre Alzheimer", "r-va", "d-va"),
+    (4320321038L, "Fonds National de la Recherche Luxembourg", "r-lu",
+      "d-lu"),
+    (4320306781L, "Tuberous Sclerosis Alliance", "r-ts", "d-ts"))
+    .toDF(reg.columns: _*))
+
+  test("PCHRD / Autism Science / Heineken / Vaincre / FNR / TSC: the " +
+    "inline PCHRD funder constants with the posted-date start, the " +
+    "yearCard family (range gate, raw-presence EUR on junk amounts, " +
+    "call scheme), and the prize listing card") {
+    val pc = Seq(
+      ("PCHRD-1", "Dengue surveillance", Some(" D "),
+        Some(" Health R&D "), Some("2021-05-10"), Some(" UP Manila "),
+        Some("https://pchrd/1")))
+      .toDF("funder_award_id", "display_name", "description",
+        "project_category", "source_posted_date",
+        "source_implementing_agency", "landing_page_url")
+    val opc2 = FunderIngest.transform(pc,
+      FunderConfigs.pchrdFunderLookup(spark), FunderConfigs.pchrd, now)
+      .collect()
+    assert(opc2.head.getAs[Long]("funder_id") === 4320335609L)
+    assert(opc2.head.getAs[Row]("funder").getAs[String]("display_name")
+      === "Philippine Council for Health Research and Development")
+    assert(opc2.head.getAs[Row]("funder").isNullAt(
+      opc2.head.getAs[Row]("funder").fieldIndex("doi"))) // inline NULL
+    assert(opc2.head.getAs[Int]("start_year") === 2021)
+    val pcl = opc2.head.getAs[Row]("lead_investigator")
+    assert(pcl.getAs[Row]("affiliation").getAs[String]("country")
+      === "PH")
+    assert(pcl.getAs[java.sql.Date]("role_start").toString
+      === "2021-05-10")
+
+    val as2 = Seq(
+      ("ASF-1", Some("Postdoc fellowship"), Some("Postdoctoral"),
+        Some("2019"), Some("Amy"), Some("Tan"), Some("UCLA"),
+        Some("https://asf/1")),
+      ("ASF-2", Some("Early grant"), None: Option[String], Some("1999"),
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "programme", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oas = FunderIngest.transform(as2, regThirtyOne,
+      FunderConfigs.autismScienceFoundation, now)
+      .orderBy("funder_award_id").collect()
+    assert(oas(0).getAs[String]("funding_type") === "fellowship")
+    assert(oas(0).getAs[Int]("start_year") === 2019)
+    assert(oas(0).getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    assert(oas(1).isNullAt(oas(1).fieldIndex("start_year"))) // 1999
+    assert(oas(1).isNullAt(oas(1).fieldIndex("start_date")))
+
+    val he = Seq(
+      ("heineken-2020-doe", " Dr. C. Doe ", Some(" B "),
+        Some("200000"), Some(" USD "),
+        Some(" Dr. H. P. Heineken Prize for Biochemistry "),
+        Some("2020-01-01"), None: Option[String], Some("2020"),
+        Some(" Carol "), Some(" Doe "), Some("https://knaw/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funder_scheme", "start_date", "end_date",
+        "source_year", "given_name", "family_name",
+        "landing_page_url")
+    val ohe = FunderIngest.transform(he, regThirtyOne,
+      FunderConfigs.heinekenPrizes, now).collect()
+    assert(ohe.head.getAs[String]("funding_type") === "prize")
+    assert(ohe.head.getAs[Double]("amount") === 200000.0)
+    assert(ohe.head.getAs[String]("currency") === "USD") // trimmed
+    assert(ohe.head.getAs[Int]("end_year") === 2020) // source fallback
+    assert(ohe.head.getAs[Row]("lead_investigator")
+      .getAs[String]("family_name") === "Doe")
+
+    val va = Seq(
+      ("FVA-1", Some("Tau study"), Some("bad"), Some("2018"),
+        Some("Luc"), Some("Martin"), Some("ICM"),
+        Some("https://fva/1")))
+      .toDF("funder_award_id", "title", "amount", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ova = FunderIngest.transform(va, regThirtyOne,
+      FunderConfigs.vaincreAlzheimer, now).collect()
+    assert(ova.head.isNullAt(ova.head.fieldIndex("amount"))) // 'bad'
+    assert(ova.head.getAs[String]("currency") === "EUR") // RAW presence!
+    assert(ova.head.isNullAt(ova.head.fieldIndex("funder_scheme")))
+    assert(ova.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "France")
+
+    val fn = Seq(
+      ("FNR-1", Some("CORE project"), Some("500000.00"), Some("CORE"),
+        Some("2020"), Some("Pia"), Some("Weber"), Some("uni.lu"),
+        Some("https://fnr/1")))
+      .toDF("funder_award_id", "title", "amount", "call", "year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ofn = FunderIngest.transform(fn, regThirtyOne,
+      FunderConfigs.fnrLuxembourg, now).collect()
+    assert(ofn.head.getAs[String]("funder_scheme") === "CORE")
+    assert(ofn.head.getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 500000.0)
+    assert(ofn.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "Luxembourg")
+
+    val ts = Seq(
+      ("TSC-1", Some("TSC gene study"), Some("Research Grant"),
+        Some("2017"), Some("Raj"), Some("Patel"), Some("BCH"),
+        Some("https://tsc/1")))
+      .toDF("funder_award_id", "title", "scheme", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ots = FunderIngest.transform(ts, regThirtyOne,
+      FunderConfigs.tscAlliance, now).collect()
+    assert(ots.head.isNullAt(ots.head.fieldIndex("amount")))
+    assert(ots.head.getAs[Int]("start_year") === 2017)
+    assert(ots.head.isNullAt(ots.head.fieldIndex("start_date")))
+    assert(ots.head.isNullAt(ots.head.fieldIndex("works_api_url")))
+  }
 }
