@@ -9085,4 +9085,130 @@ object FunderConfigs {
       amount = lit(null).cast("decimal(18,2)"),
       currency = lit(null).cast("string"),
       yearCol = "year_awarded")
+
+  // ---------------------------------------------------------------
+  // Round-13 thirteenth tranche: MHRC, MMW, NOMIS, Smithsonian SARF
+  // ---------------------------------------------------------------
+
+  /** MHRC / Mental Health Research Canada (CreateMHRCAwards.ipynb
+    * cell 7, ~0.1K): the bare [[yearCard]], 'Canada'. */
+  def mhrc: FunderIngestConfig =
+    yearCard(4320314547L, "mhrc", 301, "Canada",
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "year_awarded")
+
+  /** MMW / Marcus and Amalia Wallenberg Foundation grants
+    * (CreateMMWAwards.ipynb cell 15, ~0.1K): the listing card with
+    * presence-gated 'SEK', section-else-'Project grants' scheme,
+    * date-else-source-year on both years, an UNCONDITIONAL 'SE'
+    * lead with role_start = start. */
+  def mmw: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320327344L, provenance = "mmw_wallenberg_grants",
+      priority = 123,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "SEK"),
+      fundingType = lit("grant"),
+      funderScheme = coalesce(nullif(trim(col("source_section")),
+        lit("")), lit("Project grants")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(
+        nullif(trim(col("lead_investigator_given_name")), lit("")),
+        nullif(trim(col("lead_investigator_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")), lit("SE"),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** NOMIS Foundation projects (CreateNomisAwards.ipynb cell 16,
+    * ~0.1K): §6.7 waived amounts, 'research'/'NOMIS Research
+    * Project' constants, award-year start, NO lead (PI names live in
+    * content prose), the `link` column as landing. */
+  def nomis: FunderIngestConfig = {
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    FunderIngestConfig(
+      funderId = 4320325162L, provenance = "nomis_projects",
+      priority = 109,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = lit("NOMIS Research Project"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = col("award_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = col("link"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("title").isNotNull && trim(col("title")) =!= "" &&
+        col("funder_award_id").isNotNull)
+  }
+
+  /** The Smithsonian SARF funder row is non-F4320* and INLINED by
+    * the notebook (CreateSmithsonianSARFAwards.ipynb cell 17's
+    * Path-B constants). */
+  def smithsonianSarfFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (7230414656L, "Office of Fellowships, Smithsonian Institution",
+        None, "10.13039/100023983")))
+
+  /** Smithsonian Artist Research Fellowships
+    * (CreateSmithsonianSARFAwards.ipynb cell 17, ~0.1K): paired with
+    * [[smithsonianSarfFunderLookup]] — 'fellowship' with NULL
+    * amounts, scheme-else-label, raw dates with the SOURCE YEAR on
+    * both years, a host-unit 'US' lead with role_start = start. */
+  def smithsonianSarf: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 7230414656L, provenance = "smithsonian_sarf",
+      priority = 132,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")), lit("Smithsonian Artist Research Fellowship")),
+      startDate = sd, endDate = ed,
+      startYear = py, endYear = py,
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("host_unit")), lit("")), lit("US"),
+        lit(null).cast(affIds)),
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
 }

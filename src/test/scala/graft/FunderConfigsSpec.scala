@@ -6773,4 +6773,82 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ots.head.isNullAt(ots.head.fieldIndex("start_date")))
     assert(ots.head.isNullAt(ots.head.fieldIndex("works_api_url")))
   }
+
+  private def regThirtyTwo = regThirtyOne.unionByName(Seq(
+    (4320314547L, "Mental Health Research Canada", "r-mh", "d-mh"),
+    (4320327344L, "Marcus and Amalia Wallenberg Foundation", "r-mw",
+      "d-mw"),
+    (4320325162L, "NOMIS Foundation", "r-no", "d-no"))
+    .toDF(reg.columns: _*))
+
+  test("MHRC / MMW / NOMIS / Smithsonian SARF: the bare yearCard, " +
+    "the SEK listing card, the no-lead NOMIS projects, and the " +
+    "inlined non-F4320 Smithsonian funder row") {
+    val mh = Seq(
+      ("MHRC-1", Some("Youth mental health"), Some("Catalyst"),
+        Some("2022"), Some("Eve"), Some("Chu"), Some("UBC"),
+        Some("https://mhrc/1")))
+      .toDF("funder_award_id", "title", "scheme", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val omh = FunderIngest.transform(mh, regThirtyTwo,
+      FunderConfigs.mhrc, now).collect()
+    assert(omh.head.getAs[Int]("start_year") === 2022)
+    assert(omh.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+
+    val mw = Seq(
+      (" MMW-2021.0001 ", " Archipelago study ", Some(" D "),
+        Some("4000000"), Some(" Natural sciences "),
+        Some("2021-01-01"), None: Option[String], Some("2021"),
+        Some(" Nils "), Some(" Ek "), Some(" SU "),
+        Some("https://mmw/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "source_section", "start_date", "end_date", "source_year",
+        "lead_investigator_given_name", "lead_investigator_family_name",
+        "institution", "landing_page_url")
+    val omw = FunderIngest.transform(mw, regThirtyTwo,
+      FunderConfigs.mmw, now).collect()
+    assert(omw.head.getAs[String]("funder_award_id") === "mmw-2021.0001")
+    assert(omw.head.getAs[String]("currency") === "SEK")
+    assert(omw.head.getAs[String]("funder_scheme") === "Natural sciences")
+    assert(omw.head.getAs[Int]("end_year") === 2021) // source fallback
+    assert(omw.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "SE")
+
+    val no2 = Seq(
+      ("nomis-insight-2019", "Insight project", Some("D"),
+        Some("2019"), Some("https://nomis/1")))
+      .toDF("funder_award_id", "title", "description", "award_year",
+        "link")
+    val ono = FunderIngest.transform(no2, regThirtyTwo,
+      FunderConfigs.nomis, now).collect()
+    assert(ono.head.isNullAt(ono.head.fieldIndex("amount"))) // waived
+    assert(ono.head.getAs[String]("funder_scheme")
+      === "NOMIS Research Project")
+    assert(ono.head.isNullAt(ono.head.fieldIndex("lead_investigator")))
+    assert(ono.head.getAs[String]("landing_page_url")
+      === "https://nomis/1")
+
+    val sa = Seq(
+      (" SARF-2016-doe ", " J. Doe (visual arts) ", Some(" B "),
+        None: Option[String], Some("2016-06-01"), Some("2016-08-31"),
+        Some("2016"), Some(" Jo "), Some(" Doe "), Some(" NMNH "),
+        Some("https://si/1")))
+      .toDF("funder_award_id", "display_name", "description",
+        "funder_scheme", "start_date", "end_date", "source_year",
+        "given_name", "family_name", "host_unit", "landing_page_url")
+    val osa = FunderIngest.transform(sa,
+      FunderConfigs.smithsonianSarfFunderLookup(spark),
+      FunderConfigs.smithsonianSarf, now).collect()
+    assert(osa.head.getAs[Long]("funder_id") === 7230414656L) // inlined
+    assert(osa.head.getAs[Row]("funder").getAs[String]("doi")
+      === "10.13039/100023983")
+    assert(osa.head.getAs[String]("funding_type") === "fellowship")
+    assert(osa.head.getAs[String]("funder_scheme")
+      === "Smithsonian Artist Research Fellowship") // blank → label
+    assert(osa.head.getAs[Int]("start_year") === 2016)
+    assert(osa.head.getAs[Int]("end_year") === 2016) // source year
+    assert(osa.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "NMNH")
+  }
 }
