@@ -8928,16 +8928,26 @@ object FunderConfigs {
       priority: Int, country: String,
       fundingType: Column, funderScheme: Column,
       amount: Column, currency: Column, yearCol: String,
-      yearRange: Option[(Int, Int)] = None): FunderIngestConfig = {
+      yearRange: Option[(Int, Int)] = None,
+      dateFromYear: Boolean = false,
+      orgLead: Boolean = false): FunderIngestConfig = {
     val sy = col(yearCol).try_cast("int")
     val (syOut, sdOut) = yearRange match {
       case Some((lo, hi)) =>
         val ok = sy.between(lo, hi)
         (when(ok, sy),
           when(ok, d(concat(col(yearCol), lit("-01-01")))))
-      case None => (sy, lit(null).cast("date"))
+      case None =>
+        (sy, if (dateFromYear) when(sy.isNotNull,
+          d(concat(sy.cast("string"), lit("-01-01"))))
+        else lit(null).cast("date"))
     }
-    val lead = when(col("pi_family").isNotNull,
+    val lead = if (orgLead)
+      when(col("institution").isNotNull,
+        investigator(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("string"), lit(null).cast("date"),
+          col("institution"), lit(country), lit(null).cast(affIds)))
+    else when(col("pi_family").isNotNull,
       investigator(col("pi_given"), col("pi_family"),
         lit(null).cast("string"), lit(null).cast("date"),
         col("institution"), lit(country), lit(null).cast(affIds)))
@@ -9211,4 +9221,203 @@ object FunderConfigs {
         col("display_name").isNotNull &&
         trim(col("display_name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 fourteenth tranche: AAS ARISE, BBVA Frontiers, AES,
+  // ANII, AOS research, Alcohol Change UK
+  // ---------------------------------------------------------------
+
+  /** AAS ARISE grantees (CreateAASARISEAwards.ipynb cell 16, ~0.1K
+    * African Academy of Sciences early-career grants): NULL amounts,
+    * date-else-source-year START-only coverage, an UNCONDITIONAL
+    * lead with the SOURCE country (role_start = start). */
+  def aasArise: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date"))
+    FunderIngestConfig(
+      funderId = 4320327323L, provenance = "aas_arise_grantees",
+      priority = 134,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = coalesce(year(sd),
+        col("start_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = investigator(
+        nullif(trim(col("lead_investigator_given_name")), lit("")),
+        nullif(trim(col("lead_investigator_family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("institution")), lit("")),
+        nullif(trim(col("country")), lit("")),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** BBVA Foundation Frontiers of Knowledge Awards
+    * (CreateBBVAFrontiersAwards.ipynb cell 14, ~0.1K): the
+    * ':bbva-frontiers:' salted mint, the assembled
+    * year-category-laureate display, the summary→contribution→bio
+    * description cascade (un-trimmed NULLIFs), UNGATED amount with
+    * NULLIF currency, year-boundary prize dates, an unconditional
+    * laureate lead with raw NULLIF names and a NULL-struct
+    * affiliation. */
+  def bbvaFrontiers: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val lead = struct(
+      nullif(col("given_name"), lit("")).as("given_name"),
+      nullif(col("family_name"), lit("")).as("family_name"),
+      lit(null).cast("string").as("orcid"),
+      lit(null).cast("date").as("role_start"),
+      lit(null).cast(affStruct).as("affiliation"))
+    FunderIngestConfig(
+      funderId = 4320309764L, provenance = "bbva_frontiers",
+      priority = 66,
+      mintKey = concat(lit("bbva-frontiers:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(
+        lit("BBVA Foundation Frontiers of Knowledge Award "),
+        yr.cast("string"), lit(" - "), col("award_category"),
+        lit(" - "), col("laureate_name")),
+      description = coalesce(nullif(col("award_summary"), lit("")),
+        nullif(col("contribution"), lit("")),
+        nullif(col("bio"), lit(""))),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("award_category"), lit("")),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = nullif(col("landing_page_url"), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        yr.isNotNull && col("laureate_name").isNotNull)
+  }
+
+  /** AES / American Epilepsy Society (CreateAESAwards.ipynb cell 7,
+    * ~0.1K): the [[yearCard]] archetype as 'fellowship' with an
+    * UNGATED Jan-1 start date from the year, 'United States'. */
+  def aes: FunderIngestConfig =
+    yearCard(4320306597L, "aes", 325, "United States",
+      fundingType = lit("fellowship"),
+      funderScheme = col("funder_scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "start_year", dateFromYear = true)
+
+  /** ANII Uruguay projects portal (CreateANIIAwards.ipynb cell 12,
+    * ~0.1K): the DURATION-MONTH end date (start + months − 1 day)
+    * with its own end year, presence-gated SOURCE currency, the
+    * instrument scheme, a beneficiary-PERSON-gated lead (raw names)
+    * whose affiliation struct itself NULLs when the institution is
+    * blank ('UY' otherwise). */
+  def anii: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date"))
+    val months = col("duration_months").try_cast("int")
+    val ed = when(sd.isNotNull && months.isNotNull,
+      date_sub(add_months(sd, months), 1))
+    val aff = when(col("beneficiary_institution").isNull ||
+      col("beneficiary_institution") === "",
+      lit(null).cast(affStruct))
+      .otherwise(struct(
+        col("beneficiary_institution").as("name"),
+        lit("UY").as("country"),
+        lit(null).cast(affIds).as("ids")))
+    val lead = when(col("beneficiary_person").isNull ||
+      col("beneficiary_person") === "",
+      lit(null).cast(FunderIngest.InvestigatorType))
+      .otherwise(struct(
+        col("lead_given_name").as("given_name"),
+        col("lead_family_name").as("family_name"),
+        lit(null).cast("string").as("orcid"),
+        lit(null).cast("date").as("role_start"),
+        aff.as("affiliation")))
+    FunderIngestConfig(
+      funderId = 4320310753L, provenance = "anii_projects_portal",
+      priority = 82,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = amt,
+      currency = when(amt.isNotNull, col("currency")),
+      fundingType = lit("research"),
+      funderScheme = col("instrument"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("title").isNotNull)
+  }
+
+  /** AOS Kessel/LACCR research awards
+    * (CreateAOSResearchAwards.ipynb cell 16, ~0.1K): SOURCE
+    * funding_type and scheme (trimmed-NULLIF), trimmed source
+    * currency over an ungated amount, award-year boundary dates AND
+    * both years, a recipient-name-required screen, an unconditional
+    * lead with affiliation but no country. */
+  def aosResearch: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(concat(col("award_year"), lit("-01-01")))
+    FunderIngestConfig(
+      funderId = 4320313553L, provenance = "aos_kessel_laccr_research",
+      priority = 180,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = col("amount").try_cast("double"),
+      currency = nullif(trim(col("currency")), lit("")),
+      fundingType = nullif(trim(col("funding_type")), lit("")),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = sd,
+      endDate = d(concat(col("award_year"), lit("-12-31"))),
+      startYear = col("award_year").try_cast("int"),
+      endYear = col("award_year").try_cast("int"),
+      leadInvestigator = investigator(
+        nullif(trim(col("given_name")), lit("")),
+        nullif(trim(col("family_name")), lit("")),
+        lit(null).cast("string"), sd,
+        nullif(trim(col("affiliation")), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "" &&
+        col("recipient_name").isNotNull &&
+        trim(col("recipient_name")) =!= "")
+  }
+
+  /** Alcohol Change UK / Alcohol Research UK
+    * (CreateAlcoholChangeUKAwards.ipynb cell 6, ~0.1K): the
+    * [[yearCard]] archetype with an ORG-ONLY 'United Kingdom'
+    * lead. */
+  def alcoholChangeUk: FunderIngestConfig =
+    yearCard(4320319998L, "alcohol_change_uk", 317, "United Kingdom",
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "year_awarded", orgLead = true)
 }

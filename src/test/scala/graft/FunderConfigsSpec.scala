@@ -6851,4 +6851,129 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(osa.head.getAs[Row]("lead_investigator")
       .getAs[Row]("affiliation").getAs[String]("name") === "NMNH")
   }
+
+  private def regThirtyThree = regThirtyTwo.unionByName(Seq(
+    (4320327323L, "African Academy of Sciences", "r-aas", "d-aas"),
+    (4320309764L, "BBVA Foundation", "r-bb", "d-bb"),
+    (4320306597L, "American Epilepsy Society", "r-ae", "d-ae"),
+    (4320310753L, "ANII Uruguay", "r-uy", "d-uy"),
+    (4320313553L, "American Otological Society", "r-ao", "d-ao"),
+    (4320319998L, "Alcohol Research UK", "r-ac", "d-ac"))
+    .toDF(reg.columns: _*))
+
+  test("AAS ARISE / BBVA / AES / ANII / AOS / Alcohol Change: the " +
+    "source-country ARISE lead, the salted assembled prize card with " +
+    "conditional-NULL affiliations, the ungated Jan-1 yearCard date, " +
+    "the ANII duration-month end with person-gated conditional " +
+    "affiliation, and the org-lead yearCard") {
+    val aa2 = Seq(
+      ("ARISE-1", "Vector biology", Some("D"), Some("ARISE-PP"),
+        Some("2021-04-01"), Some("2021"), Some("Kwame"),
+        Some("Mensah"), Some("KNUST"), Some("GH"),
+        Some("https://aas/1")))
+      .toDF("funder_award_id", "display_name", "description",
+        "funder_scheme", "start_date", "start_year",
+        "lead_investigator_given_name", "lead_investigator_family_name",
+        "institution", "country", "landing_page_url")
+    val oaa2 = FunderIngest.transform(aa2, regThirtyThree,
+      FunderConfigs.aasArise, now).collect()
+    assert(oaa2.head.isNullAt(oaa2.head.fieldIndex("amount")))
+    assert(oaa2.head.getAs[Int]("start_year") === 2021)
+    assert(oaa2.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "GH")
+
+    val bb = Seq(
+      ("bbva-2020-climate-doe", "2020", Some("Climate Change"),
+        Some("Jane Doe"), Some("Jane"), Some("Doe"), Some("400000"),
+        Some("EUR"), Some(""), Some("Contribution text"),
+        Some("Bio"), Some("https://bbva/1")))
+      .toDF("funder_award_id", "award_year", "award_category",
+        "laureate_name", "given_name", "family_name",
+        "source_award_amount", "currency", "award_summary",
+        "contribution", "bio", "landing_page_url")
+    val obb = FunderIngest.transform(bb, regThirtyThree,
+      FunderConfigs.bbvaFrontiers, now).collect()
+    assert(obb.head.getAs[String]("display_name")
+      === "BBVA Foundation Frontiers of Knowledge Award 2020 - " +
+        "Climate Change - Jane Doe")
+    assert(obb.head.getAs[String]("description")
+      === "Contribution text") // '' summary → next
+    assert(obb.head.getAs[Double]("amount") === 400000.0)
+    assert(obb.head.getAs[java.sql.Date]("end_date").toString
+      === "2020-12-31")
+    val bbl = obb.head.getAs[Row]("lead_investigator")
+    assert(bbl.getAs[String]("family_name") === "Doe")
+    assert(bbl.isNullAt(bbl.fieldIndex("affiliation")))
+
+    val ae = Seq(
+      ("AES-1", Some("Junior investigator"), Some("JIA"), Some("2020"),
+        Some("Max"), Some("Ruiz"), Some("UCSF"), Some("https://aes/1")))
+      .toDF("funder_award_id", "title", "funder_scheme", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oae = FunderIngest.transform(ae, regThirtyThree,
+      FunderConfigs.aes, now).collect()
+    assert(oae.head.getAs[String]("funding_type") === "fellowship")
+    assert(oae.head.getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01") // ungated Jan-1
+    assert(oae.head.getAs[Int]("start_year") === 2020)
+
+    val an = Seq(
+      ("FCE_1_2019", Some("Proyecto X"), Some("D"), Some("80000"),
+        Some("UYU"), Some("FCE"), Some("2019-03-01"), Some("24"),
+        Some("Ana Pérez"), Some("Ana"), Some("Pérez"),
+        Some("UdelaR"), Some("https://anii/1")),
+      ("POS_2_2020", Some("Beca Y"), None: Option[String],
+        None: Option[String], None: Option[String], Some("POS"),
+        Some("2020-04-01"), None: Option[String], Some("Luis Gómez"),
+        Some("Luis"), Some("Gómez"), Some(""), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "instrument", "start_date", "duration_months",
+        "beneficiary_person", "lead_given_name", "lead_family_name",
+        "beneficiary_institution", "source_url")
+    val oan = FunderIngest.transform(an, regThirtyThree,
+      FunderConfigs.anii, now).orderBy("funder_award_id").collect()
+    assert(oan(0).getAs[String]("currency") === "UYU")
+    assert(oan(0).getAs[java.sql.Date]("end_date").toString
+      === "2021-02-28") // +24 months − 1 day
+    assert(oan(0).getAs[Int]("end_year") === 2021)
+    val anl = oan(0).getAs[Row]("lead_investigator")
+    assert(anl.getAs[Row]("affiliation").getAs[String]("country")
+      === "UY")
+    assert(oan(1).isNullAt(oan(1).fieldIndex("end_date"))) // no months
+    val anl2 = oan(1).getAs[Row]("lead_investigator")
+    assert(anl2.getAs[String]("family_name") === "Gómez")
+    assert(anl2.isNullAt(anl2.fieldIndex("affiliation"))) // '' inst
+
+    val ao = Seq(
+      ("AOS-1", "Otosclerosis study", Some("D"), Some("50000"),
+        Some(" USD "), Some("research"), Some("Kessel"), Some("2018"),
+        Some("Dr. A. Lee"), Some("A."), Some("Lee"), Some("UMich"),
+        Some("https://aos/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funding_type", "funder_scheme", "award_year",
+        "recipient_name", "given_name", "family_name", "affiliation",
+        "landing_page_url")
+    val oao = FunderIngest.transform(ao, regThirtyThree,
+      FunderConfigs.aosResearch, now).collect()
+    assert(oao.head.getAs[String]("funding_type") === "research")
+    assert(oao.head.getAs[String]("currency") === "USD")
+    assert(oao.head.getAs[Int]("end_year") === 2018)
+    assert(oao.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").isNullAt(
+        oao.head.getAs[Row]("lead_investigator")
+          .getAs[Row]("affiliation").fieldIndex("country")))
+
+    val ac = Seq(
+      ("ACUK-1", Some("Alcohol harm study"), Some("Grant"),
+        Some("2016"), Some("LJMU"), Some("https://acuk/1")))
+      .toDF("funder_award_id", "title", "scheme", "year_awarded",
+        "institution", "landing_page_url")
+    val oac = FunderIngest.transform(ac, regThirtyThree,
+      FunderConfigs.alcoholChangeUk, now).collect()
+    val acl = oac.head.getAs[Row]("lead_investigator")
+    assert(acl.isNullAt(acl.fieldIndex("family_name"))) // org-only
+    assert(acl.getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+    assert(oac.head.getAs[Int]("start_year") === 2016)
+  }
 }
