@@ -8925,7 +8925,7 @@ object FunderConfigs {
     * range-gated with a derived Jan-1 date), PI-only country lead,
     * NULL works_api_url, no row screen. */
   private def yearCard(funderId: Long, provenance: String,
-      priority: Int, country: String,
+      priority: Int, country: Column,
       fundingType: Column, funderScheme: Column,
       amount: Column, currency: Column, yearCol: String,
       yearRange: Option[(Int, Int)] = None,
@@ -8946,11 +8946,11 @@ object FunderConfigs {
       when(col("institution").isNotNull,
         investigator(lit(null).cast("string"), lit(null).cast("string"),
           lit(null).cast("string"), lit(null).cast("date"),
-          col("institution"), lit(country), lit(null).cast(affIds)))
+          col("institution"), country, lit(null).cast(affIds)))
     else when(col("pi_family").isNotNull,
       investigator(col("pi_given"), col("pi_family"),
         lit(null).cast("string"), lit(null).cast("date"),
-        col("institution"), lit(country), lit(null).cast(affIds)))
+        col("institution"), country, lit(null).cast(affIds)))
     FunderIngestConfig(
       funderId = funderId, provenance = provenance, priority = priority,
       mintKey = lower(col("funder_award_id")),
@@ -9020,7 +9020,7 @@ object FunderConfigs {
     * 'United States'. */
   def autismScienceFoundation: FunderIngestConfig =
     yearCard(4320310295L, "autism_science_foundation", 283,
-      "United States", fundingType = lit("fellowship"),
+      lit("United States"), fundingType = lit("fellowship"),
       funderScheme = col("programme"),
       amount = lit(null).cast("decimal(18,2)"),
       currency = lit(null).cast("string"),
@@ -9069,7 +9069,7 @@ object FunderConfigs {
     * (a junk amount string still asserts the currency), NULL scheme,
     * 'France'. */
   def vaincreAlzheimer: FunderIngestConfig =
-    yearCard(4320315322L, "vaincre_alzheimer", 299, "France",
+    yearCard(4320315322L, "vaincre_alzheimer", 299, lit("France"),
       fundingType = lit("grant"),
       funderScheme = lit(null).cast("string"),
       amount = col("amount").try_cast("decimal(18,2)"),
@@ -9080,7 +9080,7 @@ object FunderConfigs {
     * the [[yearCard]] archetype with the CALL column as scheme, the
     * raw-presence 'EUR' gate, 'Luxembourg'. */
   def fnrLuxembourg: FunderIngestConfig =
-    yearCard(4320321038L, "fnr_luxembourg", 305, "Luxembourg",
+    yearCard(4320321038L, "fnr_luxembourg", 305, lit("Luxembourg"),
       fundingType = lit("grant"), funderScheme = col("call"),
       amount = col("amount").try_cast("decimal(18,2)"),
       currency = when(col("amount").isNotNull, "EUR"),
@@ -9090,7 +9090,7 @@ object FunderConfigs {
     * bare [[yearCard]] — no amounts, scheme column, year_awarded,
     * 'United States'. */
   def tscAlliance: FunderIngestConfig =
-    yearCard(4320306781L, "tsc_alliance", 321, "United States",
+    yearCard(4320306781L, "tsc_alliance", 321, lit("United States"),
       fundingType = lit("grant"), funderScheme = col("scheme"),
       amount = lit(null).cast("decimal(18,2)"),
       currency = lit(null).cast("string"),
@@ -9103,7 +9103,7 @@ object FunderConfigs {
   /** MHRC / Mental Health Research Canada (CreateMHRCAwards.ipynb
     * cell 7, ~0.1K): the bare [[yearCard]], 'Canada'. */
   def mhrc: FunderIngestConfig =
-    yearCard(4320314547L, "mhrc", 301, "Canada",
+    yearCard(4320314547L, "mhrc", 301, lit("Canada"),
       fundingType = lit("grant"), funderScheme = col("scheme"),
       amount = lit(null).cast("decimal(18,2)"),
       currency = lit(null).cast("string"),
@@ -9313,7 +9313,7 @@ object FunderConfigs {
     * ~0.1K): the [[yearCard]] archetype as 'fellowship' with an
     * UNGATED Jan-1 start date from the year, 'United States'. */
   def aes: FunderIngestConfig =
-    yearCard(4320306597L, "aes", 325, "United States",
+    yearCard(4320306597L, "aes", 325, lit("United States"),
       fundingType = lit("fellowship"),
       funderScheme = col("funder_scheme"),
       amount = lit(null).cast("decimal(18,2)"),
@@ -9415,9 +9415,127 @@ object FunderConfigs {
     * [[yearCard]] archetype with an ORG-ONLY 'United Kingdom'
     * lead. */
   def alcoholChangeUk: FunderIngestConfig =
-    yearCard(4320319998L, "alcohol_change_uk", 317, "United Kingdom",
+    yearCard(4320319998L, "alcohol_change_uk", 317, lit("United Kingdom"),
       fundingType = lit("grant"), funderScheme = col("scheme"),
       amount = lit(null).cast("decimal(18,2)"),
       currency = lit(null).cast("string"),
       yearCol = "year_awarded", orgLead = true)
+
+  // ---------------------------------------------------------------
+  // Round-13 fifteenth tranche: Alzheimer NL, Autistica, BACP, BD2,
+  // BDSRA, BRACE
+  // ---------------------------------------------------------------
+
+  /** Alzheimer Nederland (CreateAlzheimerNLAwards.ipynb, ~0.1K):
+    * ungated decimal with unconditional 'EUR', programme scheme, a
+    * RAW start date beside a 1980..2027 range-gated start year,
+    * PI-only 'Netherlands' lead, NULL landing and works URLs. */
+  def alzheimerNl: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Netherlands"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320326729L, provenance = "alzheimer_nl",
+      priority = 263,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("EUR"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = d(col("start_date")), endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1980, 2027), sy),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Autistica (CreateAutisticaAwards.ipynb, ~0.1K): the
+    * [[yearCard]] as 'research' with an ungated Jan-1 date and NULL
+    * scheme, 'United Kingdom'. */
+  def autistica: FunderIngestConfig =
+    yearCard(4320312945L, "autistica", 343, lit("United Kingdom"),
+      fundingType = lit("research"),
+      funderScheme = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "start_year", dateFromYear = true)
+
+  /** BACP (CreateBACPAwards.ipynb, ~0.1K): the Autistica twin. */
+  def bacp: FunderIngestConfig =
+    yearCard(4320312936L, "bacp", 346, lit("United Kingdom"),
+      fundingType = lit("research"),
+      funderScheme = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "start_year", dateFromYear = true)
+
+  /** The BD2 funder row is MISSING from the registry (F8901078393
+    * gap) and INLINED by the notebook (CreateBD2Awards.ipynb's
+    * funder_row constants). */
+  def bd2FunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (8901078393L,
+        "BD2 Breakthrough Discoveries for thriving with Bipolar " +
+          "Disorder",
+        Some("https://ror.org/00z5dw933"), "10.13039/100028749")))
+
+  /** BD2 (CreateBD2Awards.ipynb, ~0.1K): paired with
+    * [[bd2FunderLookup]] — the [[yearCard]] with scheme column and
+    * year_awarded, 'United States'. */
+  def bd2: FunderIngestConfig =
+    yearCard(8901078393L, "bd2", 309, lit("United States"),
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "year_awarded")
+
+  /** BDSRA / Batten Disease Support and Research Association
+    * (CreateBDSRAAwards.ipynb, ~0.1K): the [[yearCard]] with an
+    * ungated decimal and unconditional 'USD', Jan-1 date, NULL
+    * scheme, and a lead whose COUNTRY is NULL (never guessed). */
+  def bdsra: FunderIngestConfig =
+    yearCard(4320308508L, "bdsra", 345, lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      yearCol = "start_year", dateFromYear = true)
+
+  /** BRACE Alzheimer's research charity (CreateBRACEAwards.ipynb,
+    * ~0.1K): 'research' with NO temporal coverage at all, a PI lead
+    * whose affiliation NAME is NULL ('United Kingdom' only), NULL
+    * works_api_url. */
+  def brace: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320312938L, provenance = "brace", priority = 337,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

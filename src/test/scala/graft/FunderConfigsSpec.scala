@@ -6976,4 +6976,99 @@ class FunderConfigsSpec extends AnyFunSuite {
       === "United Kingdom")
     assert(oac.head.getAs[Int]("start_year") === 2016)
   }
+
+  private def regThirtyFour = regThirtyThree.unionByName(Seq(
+    (4320326729L, "Alzheimer Nederland", "r-an", "d-an"),
+    (4320312945L, "Autistica", "r-au", "d-au"),
+    (4320312936L, "BACP", "r-bp", "d-bp"),
+    (4320308508L, "Batten Disease Support and Research Association",
+      "r-bd", "d-bd"),
+    (4320312938L, "BRACE", "r-br", "d-br"))
+    .toDF(reg.columns: _*))
+
+  test("Alzheimer NL / Autistica / BACP / BD2 / BDSRA / BRACE: the " +
+    "raw-date-vs-range-gated-year split, the UK research twins, the " +
+    "inlined BD2 registry-gap funder, the NULL-country BDSRA lead, " +
+    "and the no-coverage NULL-affiliation BRACE card") {
+    val an2 = Seq(
+      ("ANL-1", Some("Amyloid studie"), Some("D"), Some("250000.00"),
+        Some("Onderzoek"), Some("2019-05-01"), Some("1975"),
+        Some("Jan"), Some("Bakker"), Some("VUmc")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "programme", "start_date", "start_year", "pi_given",
+        "pi_family", "institution")
+    val oan2 = FunderIngest.transform(an2, regThirtyFour,
+      FunderConfigs.alzheimerNl, now).collect()
+    assert(oan2.head.getAs[String]("currency") === "EUR")
+    assert(oan2.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-05-01") // raw date survives...
+    assert(oan2.head.isNullAt(oan2.head.fieldIndex("start_year")))
+    // ...while 1975 is outside the 1980..2027 band
+    assert(oan2.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "Netherlands")
+
+    val au = Seq(
+      ("AUT-1", Some("Autism study"), Some("2018"), Some("Mia"),
+        Some("Shah"), Some("KCL"), Some("https://aut/1")))
+      .toDF("funder_award_id", "title", "start_year", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val oau = FunderIngest.transform(au, regThirtyFour,
+      FunderConfigs.autistica, now).collect()
+    assert(oau.head.getAs[String]("funding_type") === "research")
+    assert(oau.head.isNullAt(oau.head.fieldIndex("funder_scheme")))
+    assert(oau.head.getAs[java.sql.Date]("start_date").toString
+      === "2018-01-01")
+    val obp = FunderIngest.transform(au, regThirtyFour,
+      FunderConfigs.bacp, now).collect()
+    assert(obp.head.getAs[String]("provenance") === "bacp")
+    assert(obp.head.getAs[Long]("funder_id") === 4320312936L)
+
+    val bd = Seq(
+      ("BD2-1", Some("Bipolar cohort"), Some("Integrated Network"),
+        Some("2022"), Some("Kay"), Some("Jam"), Some("Mayo"),
+        Some("https://bd2/1")))
+      .toDF("funder_award_id", "title", "scheme", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val obd = FunderIngest.transform(bd,
+      FunderConfigs.bd2FunderLookup(spark), FunderConfigs.bd2, now)
+      .collect()
+    assert(obd.head.getAs[Long]("funder_id") === 8901078393L) // inline
+    assert(obd.head.getAs[Row]("funder").getAs[String]("ror_id")
+      === "https://ror.org/00z5dw933")
+    assert(obd.head.getAs[String]("funder_scheme")
+      === "Integrated Network")
+    assert(obd.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+
+    val bs = Seq(
+      ("BDSRA-1", Some("Batten gene therapy"), Some("40000.00"),
+        Some("2021"), Some("Lin"), Some("Wu"), Some("OSU"),
+        Some("https://bdsra/1")))
+      .toDF("funder_award_id", "title", "amount", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val obs = FunderIngest.transform(bs, regThirtyFour,
+      FunderConfigs.bdsra, now).collect()
+    assert(obs.head.getAs[String]("currency") === "USD")
+    assert(obs.head.getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 40000.0)
+    val bsl = obs.head.getAs[Row]("lead_investigator")
+    assert(bsl.getAs[Row]("affiliation").isNullAt(
+      bsl.getAs[Row]("affiliation").fieldIndex("country"))) // NULL
+
+    val br = Seq(
+      ("BRACE-1", Some("Dementia imaging"), Some("Project grant"),
+        Some("Tom"), Some("Hart"), Some("https://brace/1")))
+      .toDF("funder_award_id", "title", "funder_scheme", "pi_given",
+        "pi_family", "landing_page_url")
+    val obr = FunderIngest.transform(br, regThirtyFour,
+      FunderConfigs.brace, now).collect()
+    assert(obr.head.isNullAt(obr.head.fieldIndex("start_year")))
+    val brl = obr.head.getAs[Row]("lead_investigator")
+    assert(brl.getAs[Row]("affiliation").isNullAt(
+      brl.getAs[Row]("affiliation").fieldIndex("name"))) // NULL name
+    assert(brl.getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+  }
 }
