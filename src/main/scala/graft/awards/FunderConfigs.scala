@@ -9538,4 +9538,138 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 sixteenth tranche: the UK/NA charity cluster — BTFC,
+  // Blood Cancer UK, Brain Aneurysm, Brain Research UK, Brain
+  // Tumour Charity, Breast Cancer Now
+  // ---------------------------------------------------------------
+
+  /** BTFC / Brain Tumour Foundation of Canada
+    * (CreateBTFCAwards.ipynb, ~0.1K): the bare [[yearCard]],
+    * 'Canada'. */
+  def btfc: FunderIngestConfig =
+    yearCard(4320319978L, "btfc", 311, lit("Canada"),
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "year_awarded")
+
+  /** Blood Cancer UK (CreateBloodCancerUKAwards.ipynb, ~0.1K): NO
+    * temporal coverage, the CONDITIONS column as description and
+    * research_type as scheme, PI-only 'United Kingdom' lead, NULL
+    * works_api_url. */
+  def bloodCancerUk: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320329013L, provenance = "blood_cancer_uk",
+      priority = 259,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("conditions"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("research_type"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Brain Aneurysm Foundation (CreateBrainAneurysmAwards.ipynb,
+    * ~0.1K): the [[yearCard]] with an ungated decimal, unconditional
+    * 'USD', and the SPONSOR column as scheme, 'United States'. */
+  def brainAneurysm: FunderIngestConfig =
+    yearCard(4320314312L, "brain_aneurysm", 307, lit("United States"),
+      fundingType = lit("grant"), funderScheme = col("sponsor"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      yearCol = "year_awarded")
+
+  /** The Brain-Research-UK/Brain-Tumour-Charity twin shape: raw
+    * start date, ASYMMETRIC 1990..2030 start / 1990..2035 end year
+    * bands, programme scheme, PI-only 'United Kingdom' lead, NULL
+    * works_api_url, no row screen. */
+  private def brainCharity(funderId: Long, provenance: String,
+      priority: Int, amount: Column,
+      currency: Column): FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = amount, currency = currency,
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = d(col("start_date")), endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1990, 2030), sy),
+      endYear = when(ey.between(1990, 2035), ey),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Brain Research UK (CreateBrainResearchUKAwards.ipynb, ~0.1K):
+    * the [[brainCharity]] twin with NO amounts. */
+  def brainResearchUk: FunderIngestConfig =
+    brainCharity(4320314536L, "brain_research_uk", 281,
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"))
+
+  /** The Brain Tumour Charity (CreateBrainTumourCharityAwards.ipynb,
+    * ~0.1K): the [[brainCharity]] twin with an ungated decimal and
+    * unconditional 'GBP'. */
+  def brainTumourCharity: FunderIngestConfig =
+    brainCharity(4320321000L, "brain_tumour_charity", 277,
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"))
+
+  /** Breast Cancer Now (CreateBreastCancerNowAwards.ipynb, ~0.1K):
+    * NO temporal coverage, an ungated decimal whose 'GBP' gates on
+    * the RAW amount's presence, NULL scheme, PI-only 'United
+    * Kingdom' lead, NULL works_api_url. */
+  def breastCancerNow: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320311542L, provenance = "breast_cancer_now",
+      priority = 297,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = when(col("amount").isNotNull, "GBP"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

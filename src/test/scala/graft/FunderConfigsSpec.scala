@@ -7071,4 +7071,88 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(brl.getAs[Row]("affiliation").getAs[String]("country")
       === "United Kingdom")
   }
+
+  private def regThirtyFive = regThirtyFour.unionByName(Seq(
+    (4320319978L, "Brain Tumour Foundation of Canada", "r-bt", "d-bt"),
+    (4320329013L, "Blood Cancer UK", "r-bl", "d-bl"),
+    (4320314312L, "Brain Aneurysm Foundation", "r-ba", "d-ba"),
+    (4320314536L, "Brain Research UK", "r-bu", "d-bu"),
+    (4320321000L, "The Brain Tumour Charity", "r-bq", "d-bq"),
+    (4320311542L, "Breast Cancer Now", "r-bn", "d-bn"))
+    .toDF(reg.columns: _*))
+
+  test("UK/NA charity cluster: BTFC / Blood Cancer UK / Brain " +
+    "Aneurysm / brainCharity twins with asymmetric 1990 bands / " +
+    "Breast Cancer Now's raw-presence GBP") {
+    val bt = Seq(
+      ("BTFC-1", Some("Glioma study"), Some("Research Grant"),
+        Some("2015"), Some("Eli"), Some("Roy"), Some("SickKids"),
+        Some("https://btfc/1")))
+      .toDF("funder_award_id", "title", "scheme", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val obt = FunderIngest.transform(bt, regThirtyFive,
+      FunderConfigs.btfc, now).collect()
+    assert(obt.head.getAs[Int]("start_year") === 2015)
+    assert(obt.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Canada")
+
+    val bl = Seq(
+      ("BCUK-1", Some("CAR-T trial"), Some("Myeloma"),
+        Some("Clinical trial"), Some("Ada"), Some("Obi"), Some("UCL"),
+        Some("https://bcuk/1")))
+      .toDF("funder_award_id", "title", "conditions", "research_type",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val obl = FunderIngest.transform(bl, regThirtyFive,
+      FunderConfigs.bloodCancerUk, now).collect()
+    assert(obl.head.getAs[String]("description") === "Myeloma")
+    assert(obl.head.getAs[String]("funder_scheme") === "Clinical trial")
+    assert(obl.head.isNullAt(obl.head.fieldIndex("start_year")))
+
+    val ba = Seq(
+      ("BAF-1", Some("Aneurysm wall imaging"), Some("Chair of Research"),
+        Some("25000.00"), Some("2019"), Some("Ian"), Some("Cho"),
+        Some("BWH"), Some("https://baf/1")))
+      .toDF("funder_award_id", "title", "sponsor", "amount",
+        "year_awarded", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val oba = FunderIngest.transform(ba, regThirtyFive,
+      FunderConfigs.brainAneurysm, now).collect()
+    assert(oba.head.getAs[String]("currency") === "USD")
+    assert(oba.head.getAs[String]("funder_scheme")
+      === "Chair of Research")
+    assert(oba.head.getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 25000.0)
+
+    val bu = Seq(
+      ("BRUK-1", Some("MND biomarkers"), Some("PhD studentship"),
+        None: Option[String], Some("2021-09-01"), Some("2021"),
+        Some("2036"), Some("Zoe"), Some("Ali"), Some("UCL"),
+        Some("https://bruk/1")))
+      .toDF("funder_award_id", "title", "programme", "amount",
+        "start_date", "start_year", "end_year", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val obu = FunderIngest.transform(bu, regThirtyFive,
+      FunderConfigs.brainResearchUk, now).collect()
+    assert(obu.head.isNullAt(obu.head.fieldIndex("amount")))
+    assert(obu.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-09-01")
+    assert(obu.head.getAs[Int]("start_year") === 2021)
+    assert(obu.head.isNullAt(obu.head.fieldIndex("end_year"))) // 2036
+    val obq = FunderIngest.transform(bu, regThirtyFive,
+      FunderConfigs.brainTumourCharity, now).collect()
+    assert(obq.head.getAs[String]("provenance") === "brain_tumour_charity")
+    assert(obq.head.isNullAt(obq.head.fieldIndex("amount"))) // no col val
+    assert(obq.head.getAs[String]("currency") === "GBP") // unconditional
+
+    val bn = Seq(
+      ("BCN-1", Some("Secondary spread"), Some("bad"), Some("Mia"),
+        Some("Cox"), Some("ICR"), Some("https://bcn/1")))
+      .toDF("funder_award_id", "title", "amount", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val obn = FunderIngest.transform(bn, regThirtyFive,
+      FunderConfigs.breastCancerNow, now).collect()
+    assert(obn.head.isNullAt(obn.head.fieldIndex("amount"))) // 'bad'
+    assert(obn.head.getAs[String]("currency") === "GBP") // RAW presence
+    assert(obn.head.isNullAt(obn.head.fieldIndex("funder_scheme")))
+  }
 }
