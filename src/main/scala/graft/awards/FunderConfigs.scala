@@ -9672,4 +9672,119 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 seventeenth tranche: CHSS, CURE Epilepsy, Cariplo,
+  // Crohn's & Colitis UK, Cure Parkinson's, ERUK
+  // ---------------------------------------------------------------
+
+  /** The no-coverage charity card (CURE Epilepsy / Crohn's &
+    * Colitis / Cure Parkinson's / ERUK …): raw title, no dates, a
+    * PI-family-gated lead, NULL works_api_url, no row screen. */
+  private def charityCard(funderId: Long, provenance: String,
+      priority: Int, description: Column, funderScheme: Column,
+      amount: Column, currency: Column, country: Column,
+      fundingType: Column = lit("grant"),
+      startYear: Column = lit(null).cast("int")): FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), country, lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = funderId, provenance = provenance, priority = priority,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = description,
+      amount = amount, currency = currency,
+      fundingType = fundingType, funderScheme = funderScheme,
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = startYear, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** CHSS / Chest Heart & Stroke Scotland (CreateCHSSAwards.ipynb):
+    * the [[yearCard]] with an ungated decimal, unconditional 'GBP',
+    * and the PROJECT_TYPES column as scheme. */
+  def chss: FunderIngestConfig =
+    yearCard(4320324771L, "chss", 295, lit("United Kingdom"),
+      fundingType = lit("grant"), funderScheme = col("project_types"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"), yearCol = "year_awarded")
+
+  /** CURE Epilepsy (CreateCUREEpilepsyAwards.ipynb): the
+    * [[charityCard]] with description and programme columns and a
+    * NULL-country lead. */
+  def cureEpilepsy: FunderIngestConfig =
+    charityCard(4320307214L, "cure_epilepsy", 273,
+      description = col("description"),
+      funderScheme = col("programme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      country = lit(null).cast("string"))
+
+  /** Fondazione Cariplo (CreateCariploAwards.ipynb): the
+    * [[yearCard]] whose display DOUBLE-NULLIFs the title (blank AND
+    * the '0' placeholder both fall to the labeled id), >0 gates on
+    * amount and source currency, 'Italy'. */
+  def cariplo: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val base = yearCard(4320321499L, "cariplo", 361, lit("Italy"),
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      yearCol = "year_awarded")
+    base.copy(displayName = coalesce(
+      nullif(nullif(trim(col("title")), lit("")), lit("0")),
+      concat(lit("Cariplo grant "), col("funder_award_id"))))
+  }
+
+  /** Crohn's & Colitis UK (CreateCrohnsColitisUKAwards.ipynb): the
+    * [[charityCard]] with an ungated decimal, unconditional 'GBP',
+    * NULL scheme, 'United Kingdom'. */
+  def crohnsColitisUk: FunderIngestConfig =
+    charityCard(4320321982L, "crohns_colitis_uk", 285,
+      description = lit(null).cast("string"),
+      funderScheme = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      country = lit("United Kingdom"))
+
+  /** Cure Parkinson's Trust (CreateCureParkinsonsAwards.ipynb): the
+    * [[charityCard]] with description, the YEAR column as
+    * start_year, NULL scheme and country. */
+  def cureParkinsons: FunderIngestConfig =
+    charityCard(4320315983L, "cure_parkinsons", 303,
+      description = col("description"),
+      funderScheme = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      country = lit(null).cast("string"),
+      startYear = col("year").try_cast("int"))
+
+  /** ERUK / Epilepsy Research UK (CreateERUKAwards.ipynb):
+    * 'research' rows with an ALWAYS-NULL lead (the notebook's lead
+    * CASE gates on a NULL literal — kept verbatim as a null
+    * investigator), no coverage, NULL scheme. */
+  def eruk: FunderIngestConfig = FunderIngestConfig(
+    funderId = 4320320012L, provenance = "eruk", priority = 335,
+    mintKey = lower(col("funder_award_id")),
+    funderAwardId = col("funder_award_id"),
+    displayName = col("title"),
+    description = lit(null).cast("string"),
+    amount = lit(null).cast("decimal(18,2)"),
+    currency = lit(null).cast("string"),
+    fundingType = lit("research"),
+    funderScheme = lit(null).cast("string"),
+    startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+    startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+    leadInvestigator = nullInvestigator,
+    landingPageUrl = col("landing_page_url"),
+    doi = lit(null).cast("string"),
+    rowFilter = lit(true),
+    worksApiUrl = Some(lit(null).cast("string")))
 }

@@ -7155,4 +7155,89 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(obn.head.getAs[String]("currency") === "GBP") // RAW presence
     assert(obn.head.isNullAt(obn.head.fieldIndex("funder_scheme")))
   }
+
+  private def regThirtySix = regThirtyFive.unionByName(Seq(
+    (4320324771L, "Chest Heart and Stroke Scotland", "r-ch", "d-ch"),
+    (4320307214L, "CURE Epilepsy", "r-ce", "d-ce"),
+    (4320321499L, "Fondazione Cariplo", "r-cr", "d-cr"),
+    (4320321982L, "Crohn's and Colitis UK", "r-cu", "d-cu"),
+    (4320315983L, "Cure Parkinson's Trust", "r-cp2", "d-cp2"),
+    (4320320012L, "Epilepsy Research UK", "r-er", "d-er"))
+    .toDF(reg.columns: _*))
+
+  test("CHSS / CURE Epilepsy / Cariplo / Crohn's UK / Cure " +
+    "Parkinson's / ERUK: the charityCard family, Cariplo's '0' " +
+    "placeholder double-NULLIF display, and the always-NULL ERUK " +
+    "lead") {
+    val ch = Seq(
+      ("CHSS-1", Some("Stroke rehab"), Some("Project"), Some("90000"),
+        Some("2020"), Some("Ian"), Some("Gray"), Some("Edinburgh"),
+        Some("https://chss/1")))
+      .toDF("funder_award_id", "title", "project_types", "amount",
+        "year_awarded", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val och = FunderIngest.transform(ch, regThirtySix,
+      FunderConfigs.chss, now).collect()
+    assert(och.head.getAs[String]("currency") === "GBP")
+    assert(och.head.getAs[String]("funder_scheme") === "Project")
+    assert(och.head.getAs[Int]("start_year") === 2020)
+
+    val ce = Seq(
+      ("CURE-1", Some("SUDEP study"), Some("D"), Some("Taking Flight"),
+        Some("Amy"), Some("Noe"), Some("NYU"), Some("https://cure/1")))
+      .toDF("funder_award_id", "title", "description", "programme",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oce = FunderIngest.transform(ce, regThirtySix,
+      FunderConfigs.cureEpilepsy, now).collect()
+    assert(oce.head.getAs[String]("description") === "D")
+    assert(oce.head.isNullAt(oce.head.fieldIndex("start_year")))
+    val cel = oce.head.getAs[Row]("lead_investigator")
+    assert(cel.getAs[Row]("affiliation").isNullAt(
+      cel.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val cr = Seq(
+      ("CAR-1", Some("0"), Some("Ricerca"), Some("150000.00"),
+        Some("EUR"), Some("2019"), Some("Ugo"), Some("Bianchi"),
+        Some("PoliMi"), Some("https://cariplo/1")))
+      .toDF("funder_award_id", "title", "scheme", "amount", "currency",
+        "year_awarded", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val ocr = FunderIngest.transform(cr, regThirtySix,
+      FunderConfigs.cariplo, now).collect()
+    assert(ocr.head.getAs[String]("display_name")
+      === "Cariplo grant CAR-1") // '0' placeholder → labeled id
+    assert(ocr.head.getAs[String]("currency") === "EUR") // >0 gate
+    assert(ocr.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Italy")
+
+    val cu = Seq(
+      ("CCUK-1", Some("IBD biomarker"), Some("55000.00"), Some("Jo"),
+        Some("Dunn"), Some("Leeds"), Some("https://ccuk/1")))
+      .toDF("funder_award_id", "title", "amount", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val ocu = FunderIngest.transform(cu, regThirtySix,
+      FunderConfigs.crohnsColitisUk, now).collect()
+    assert(ocu.head.getAs[String]("currency") === "GBP") // unconditional
+    assert(ocu.head.isNullAt(ocu.head.fieldIndex("funder_scheme")))
+
+    val cp2 = Seq(
+      ("CPT-1", Some("GDNF trial"), Some("D"), Some("2018"),
+        Some("Tom"), Some("Isaacs"), Some("UCL"),
+        Some("https://cpt/1")))
+      .toDF("funder_award_id", "title", "description", "year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ocp2 = FunderIngest.transform(cp2, regThirtySix,
+      FunderConfigs.cureParkinsons, now).collect()
+    assert(ocp2.head.getAs[Int]("start_year") === 2018) // 'year' col
+    assert(ocp2.head.getAs[String]("description") === "D")
+
+    val er = Seq(
+      ("ERUK-1", Some("Seizure forecasting"), Some("https://eruk/1")))
+      .toDF("funder_award_id", "title", "landing_page_url")
+    val oer = FunderIngest.transform(er, regThirtySix,
+      FunderConfigs.eruk, now).collect()
+    assert(oer.head.getAs[String]("funding_type") === "research")
+    assert(oer.head.isNullAt(oer.head.fieldIndex("lead_investigator")))
+    assert(oer.head.isNullAt(oer.head.fieldIndex("works_api_url")))
+  }
 }
