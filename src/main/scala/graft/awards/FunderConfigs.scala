@@ -9787,4 +9787,208 @@ object FunderConfigs {
     doi = lit(null).cast("string"),
     rowFilter = lit(true),
     worksApiUrl = Some(lit(null).cast("string")))
+
+  // ---------------------------------------------------------------
+  // Round-13 eighteenth tranche: Cyprus RIF, EDCTP, Fields Medal,
+  // Fondation ARC, GLA, GVA
+  // ---------------------------------------------------------------
+
+  /** Cyprus Research & Innovation Foundation funded projects
+    * (CreateCyprusRIFAwards.ipynb): the DOUBLE-try_cast year parse
+    * (string → double → int, '2019.0' survives) with ASYMMETRIC
+    * 1900..current+1 start / 1900..current+10 end bands, >0 EUR
+    * gates, the DIDAKTOR/Post-Doctoral/PhD case-insensitive
+    * fellowship arms, a family-or-affiliation lead with no
+    * country. */
+  def cyprusRif(currentYear: Int): FunderIngestConfig = {
+    val aid = nullif(trim(col("funder_award_id")), lit(""))
+    val amt = col("amount").try_cast("double")
+    val sy = col("start_year").try_cast("double").try_cast("int")
+    val ey = col("end_year").try_cast("double").try_cast("int")
+    val prog = nullif(trim(col("programme")), lit(""))
+    val giv = nullif(trim(col("lead_given_name")), lit(""))
+    val fam = nullif(trim(col("lead_family_name")), lit(""))
+    val aff = nullif(trim(col("lead_affiliation_name")), lit(""))
+    val lead = when(fam.isNotNull || aff.isNotNull,
+      investigator(giv, fam, lit(null).cast("string"),
+        lit(null).cast("date"), aff, lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320330084L, provenance = "cyprus_rif_funded_projects",
+      priority = 212,
+      mintKey = lower(trim(aid)),
+      funderAwardId = aid,
+      displayName = nullif(trim(col("display_name")), lit("")),
+      description = nullif(trim(col("description")), lit("")),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "EUR"),
+      fundingType = when(lower(prog).like("%didaktor%") ||
+        lower(prog).like("%post-doctoral%") ||
+        lower(prog).like("%phd%"), "fellowship")
+        .otherwise("research"),
+      funderScheme = prog,
+      startDate = d(col("start_date")), endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1900, currentYear + 1), sy),
+      endYear = when(ey.between(1900, currentYear + 10), ey),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = aid.isNotNull &&
+        nullif(trim(col("display_name")), lit("")).isNotNull)
+  }
+
+  /** EDCTP grants portal (CreateEDCTPAwards.ipynb): presence-gated
+    * 'EUR', type-else-'research', 1800..2100 year bands beside full
+    * dates, a family-or-host-institution lead with the host country,
+    * the dim-or-constant funder fallback noted as in MBIE. */
+  def edctp: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val giv = nullif(trim(col("lead_given_name")), lit(""))
+    val fam = nullif(trim(col("lead_family_name")), lit(""))
+    val host = nullif(trim(col("host_institution")), lit(""))
+    val hostCountry = nullif(trim(col("host_country")), lit(""))
+    val lead = when(fam.isNotNull || host.isNotNull,
+      investigator(giv, fam, lit(null).cast("string"),
+        lit(null).cast("date"), host, hostCountry,
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320338462L, provenance = "edctp_grants_portal",
+      priority = 205,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "EUR"),
+      fundingType = coalesce(nullif(trim(col("funding_type")),
+        lit("")), lit("research")),
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = sd, endDate = ed,
+      startYear = when(col("start_year").try_cast("int")
+        .between(1800, 2100), col("start_year").try_cast("int")),
+      endYear = when(col("end_year").try_cast("int")
+        .between(1800, 2100), col("end_year").try_cast("int")),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** IMU Fields Medal (CreateFieldsMedalAwards.ipynb): the
+    * ':fields:' salted mint over the RAW year-surname slug (never
+    * lowered), the 'fields-<slug>' landed award id, the
+    * declined-medal description cascade, Aug-1 ceremony dates on
+    * BOTH ends, an unconditional medalist lead with the
+    * when-awarded affiliation, §6.7 waived (non-monetary). */
+  def fieldsMedal: FunderIngestConfig = {
+    val yr = col("year").try_cast("int")
+    val declined = col("declined")
+    val aug = d(concat(yr.cast("string"), lit("-08-01")))
+    FunderIngestConfig(
+      funderId = 4320320877L, provenance = "imu_fields_medal",
+      priority = 50,
+      mintKey = concat(lit("fields:"), col("slug")),
+      funderAwardId = concat(lit("fields-"), col("slug")),
+      displayName = concat(lit("Fields Medal "), yr.cast("string"),
+        lit(" — "), col("medalist_name")),
+      description = when(declined && col("citation").isNotNull,
+        concat(lit("Declined the medal. "), col("citation")))
+        .when(declined, lit("Declined the medal."))
+        .otherwise(col("citation")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("prize"),
+      funderScheme = lit("Fields Medal"),
+      startDate = aug, endDate = aug,
+      startYear = yr, endYear = yr,
+      leadInvestigator = investigator(col("given_name"),
+        col("family_name"), lit(null).cast("string"),
+        lit(null).cast("date"), col("affiliation_when_awarded"),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = col("source_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("slug").isNotNull && col("year").isNotNull)
+  }
+
+  /** Fondation ARC (CreateFondationArcAwards.ipynb): the
+    * [[yearCard]] with an ungated Jan-1 date and the funder_scheme
+    * column, 'France'. */
+  def fondationArc: FunderIngestConfig =
+    yearCard(4320322361L, "fondation_arc", 332, lit("France"),
+      fundingType = lit("grant"), funderScheme = col("funder_scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "start_year", dateFromYear = true)
+
+  /** GLA / Global Lyme Alliance (CreateGLAAwards.ipynb): the
+    * [[charityCard]] as 'research' whose lead carries a NULL
+    * affiliation NAME with 'United States'. */
+  def gla: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320315262L, provenance = "gla", priority = 344,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("research"),
+      funderScheme = lit(null).cast("string"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = lit(null).cast("int"), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** GVA / Generalitat Valenciana subvenciones portal
+    * (CreateGVAAwards.ipynb): the extracto-else-convocatoria
+    * display, the predoctoral/beca/grisolía fellowship regex over
+    * the CONVOCATORIA, the línea→línea-agregada→finalidad scheme
+    * cascade, >0 EUR gates, date-else-EJERCICIO start year, a
+    * three-tier landing fallback ending at the portal search page,
+    * an institution-gated 'Spain' org lead, no row screen. */
+  def gva: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date"))
+    val lead = when(col("institution_name").isNotNull &&
+      trim(col("institution_name")) =!= "",
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution_name"), lit("Spain"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321864L, provenance = "gva", priority = 419,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("titulo_extracto")),
+        lit("")), col("convocatoria")),
+      description = lit(null).cast("string"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "EUR"),
+      fundingType = when(lower(col("convocatoria")).rlike(
+        "(predoctoral|postdoctoral|posdoctoral|doctorand|beca|" +
+          "contractaci|contrataci|grisol|acif|apostd)"), "fellowship")
+        .otherwise("research"),
+      funderScheme = coalesce(nullif(trim(col("linea")), lit("")),
+        nullif(trim(col("linea_agregada")), lit("")),
+        col("finalidad")),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = coalesce(year(sd), col("ejercicio").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = coalesce(nullif(trim(col("url_publi")), lit("")),
+        nullif(trim(col("url_base")), lit("")),
+        lit("https://gvaoberta.gva.es/es/buscador-de-subvencions")),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
 }

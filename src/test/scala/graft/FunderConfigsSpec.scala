@@ -7240,4 +7240,142 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(oer.head.isNullAt(oer.head.fieldIndex("lead_investigator")))
     assert(oer.head.isNullAt(oer.head.fieldIndex("works_api_url")))
   }
+
+  private def regThirtySeven = regThirtySix.unionByName(Seq(
+    (4320330084L, "Cyprus Research and Innovation Foundation", "r-cy",
+      "d-cy"),
+    (4320338462L, "EDCTP", "r-ed", "d-ed"),
+    (4320320877L, "International Mathematical Union", "r-fm", "d-fm"),
+    (4320322361L, "Fondation ARC", "r-fa", "d-fa"),
+    (4320315262L, "Global Lyme Alliance", "r-gl", "d-gl"),
+    (4320321864L, "Generalitat Valenciana", "r-gv", "d-gv"))
+    .toDF(reg.columns: _*))
+
+  test("Cyprus RIF / EDCTP / Fields Medal / Fondation ARC / GLA / " +
+    "GVA: the double-try_cast year parse with asymmetric bands, the " +
+    "raw-slug salted Fields mint with the declined cascade, and the " +
+    "GVA convocatoria fellowship regex with the three-tier landing") {
+    val cy = Seq(
+      (" RIF-1 ", "Marine project", Some("D"),
+        Some("EXCELLENCE/0421"), Some("150000"), Some("2021-06-01"),
+        Some("2021.0"), Some("2024.0"), Some("Niki"), Some("Charalambous"),
+        Some("UCY"), Some("https://rif/1")),
+      ("DIDAKTOR-2", "Postdoc", None: Option[String],
+        Some("DIDAKTOR/0521"), None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "programme", "amount", "start_date", "start_year", "end_year",
+        "lead_given_name", "lead_family_name", "lead_affiliation_name",
+        "landing_page_url")
+    val ocy = FunderIngest.transform(cy, regThirtySeven,
+      FunderConfigs.cyprusRif(2026), now).orderBy("funder_award_id")
+      .collect()
+    assert(ocy.length === 2)
+    val c1 = ocy(1) // ' RIF-1 ' trims to RIF-1, sorts after DIDAKTOR-2
+    assert(c1.getAs[String]("funder_award_id") === "RIF-1")
+    assert(c1.getAs[Int]("start_year") === 2021) // '2021.0' survives
+    assert(c1.getAs[Int]("end_year") === 2024)
+    assert(c1.getAs[String]("currency") === "EUR")
+    assert(c1.getAs[String]("funding_type") === "research")
+    assert(ocy(0).getAs[String]("funding_type") === "fellowship")
+    assert(ocy(0).isNullAt(ocy(0).fieldIndex("lead_investigator")))
+
+    val ed2 = Seq(
+      ("TMA2020-1", Some("Malaria vaccine trial"), Some(" D "),
+        Some("12000000"), Some("research"), Some(" RIA "),
+        Some("2020-01-01"), Some("2024-12-31"), Some("2020"),
+        Some("2024"), Some("Ama"), Some("Owusu"), Some(" KCCR "),
+        Some(" GH "), Some("https://edctp/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funding_type", "funder_scheme", "start_date", "end_date",
+        "start_year", "end_year", "lead_given_name",
+        "lead_family_name", "host_institution", "host_country",
+        "landing_page_url")
+    val oed = FunderIngest.transform(ed2, regThirtySeven,
+      FunderConfigs.edctp, now).collect()
+    assert(oed.head.getAs[String]("currency") === "EUR")
+    assert(oed.head.getAs[Int]("end_year") === 2024)
+    val edl = oed.head.getAs[Row]("lead_investigator")
+    assert(edl.getAs[Row]("affiliation").getAs[String]("name")
+      === "KCCR")
+    assert(edl.getAs[Row]("affiliation").getAs[String]("country")
+      === "GH")
+
+    val fm = Seq(
+      ("2014-mirzakhani", "2014", "Maryam Mirzakhani", Some("Maryam"),
+        Some("Mirzakhani"), Some(false), Some("Citation text."),
+        Some("Stanford University"), Some("https://imu/2014")),
+      ("1966-grothendieck", "1966", "Alexander Grothendieck",
+        Some("Alexander"), Some("Grothendieck"), Some(true),
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("slug", "year", "medalist_name", "given_name",
+        "family_name", "declined", "citation",
+        "affiliation_when_awarded", "source_url")
+    val ofm = FunderIngest.transform(fm, regThirtySeven,
+      FunderConfigs.fieldsMedal, now).orderBy("funder_award_id")
+      .collect()
+    assert(ofm(1).getAs[String]("funder_award_id")
+      === "fields-2014-mirzakhani")
+    assert(ofm(1).getAs[String]("display_name")
+      === "Fields Medal 2014 — Maryam Mirzakhani")
+    assert(ofm(1).getAs[String]("description") === "Citation text.")
+    assert(ofm(1).getAs[java.sql.Date]("start_date").toString
+      === "2014-08-01")
+    assert(ofm(1).getAs[java.sql.Date]("end_date").toString
+      === "2014-08-01") // Aug-1 BOTH ends
+    assert(ofm(0).getAs[String]("description") === "Declined the medal.")
+    assert(ofm(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name")
+      === "Stanford University")
+
+    val fa = Seq(
+      ("ARC-1", Some("Immuno projet"), Some("PGA"), Some("2020"),
+        Some("Luc"), Some("Roy"), Some("Gustave Roussy"),
+        Some("https://arc/1")))
+      .toDF("funder_award_id", "title", "funder_scheme", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ofa = FunderIngest.transform(fa, regThirtySeven,
+      FunderConfigs.fondationArc, now).collect()
+    assert(ofa.head.getAs[java.sql.Date]("start_date").toString
+      === "2020-01-01")
+    assert(ofa.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "France")
+
+    val gl = Seq(
+      ("GLA-1", Some("Persistent Lyme"), Some("D"), Some("Kim"),
+        Some("Lewis"), Some("https://gla/1")))
+      .toDF("funder_award_id", "title", "description", "pi_given",
+        "pi_family", "landing_page_url")
+    val ogl = FunderIngest.transform(gl, regThirtySeven,
+      FunderConfigs.gla, now).collect()
+    val gll = ogl.head.getAs[Row]("lead_investigator")
+    assert(gll.getAs[Row]("affiliation").isNullAt(
+      gll.getAs[Row]("affiliation").fieldIndex("name")))
+    assert(gll.getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+
+    val gv = Seq(
+      ("GVA-1", Some("  "), Some("Subvenciones grisolía 2021"),
+        Some("50000"), Some(" Línea A "), None: Option[String],
+        Some("I+D+i"), Some("2021-02-01"), Some("2021"),
+        Some(" Universitat de València "), Some("  "),
+        Some("https://gva/base")))
+      .toDF("funder_award_id", "titulo_extracto", "convocatoria",
+        "amount", "linea", "linea_agregada", "finalidad", "start_date",
+        "ejercicio", "institution_name", "url_publi", "url_base")
+    val ogv = FunderIngest.transform(gv, regThirtySeven,
+      FunderConfigs.gva, now).collect()
+    assert(ogv.head.getAs[String]("display_name")
+      === "Subvenciones grisolía 2021") // blank extracto
+    assert(ogv.head.getAs[String]("funding_type") === "fellowship")
+    assert(ogv.head.getAs[String]("funder_scheme") === "Línea A")
+    assert(ogv.head.getAs[String]("currency") === "EUR")
+    assert(ogv.head.getAs[Int]("start_year") === 2021)
+    assert(ogv.head.getAs[String]("landing_page_url")
+      === "https://gva/base") // blank publi → base
+    assert(ogv.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Spain")
+  }
 }
