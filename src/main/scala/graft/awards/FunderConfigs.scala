@@ -9991,4 +9991,230 @@ object FunderConfigs {
       doi = lit(null).cast("string"),
       rowFilter = lit(true))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 nineteenth tranche: Gairdner, Garfield Weston, Gerber,
+  // Guy's & St Thomas', HRC NZ, Hilton
+  // ---------------------------------------------------------------
+
+  /** Canada Gairdner Awards (CreateGairdnerAwards.ipynb): the
+    * ':gairdner:' salted mint, the '<award> <year> - <laureate>'
+    * display, the declined-prize description over a
+    * citation→description→summary cascade, the
+    * amount-waived-but-'CAD'-KEPT quirk, year-boundary dates, an
+    * unconditional laureate lead whose affiliation NAME is the
+    * POSITION TITLE. */
+  def gairdner: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val declined = col("declined").try_cast("boolean")
+    val text = coalesce(nullif(col("citation"), lit("")),
+      nullif(col("description"), lit("")),
+      nullif(col("award_summary"), lit("")))
+    FunderIngestConfig(
+      funderId = 4320313415L, provenance = "gairdner_sitefinity",
+      priority = 62,
+      mintKey = concat(lit("gairdner:"),
+        lower(trim(col("funder_award_id")))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("award_name"), lit(" "),
+        col("award_year").cast("string"), lit(" - "),
+        col("laureate_name")),
+      description = when(declined && text.isNotNull,
+        concat(lit("Declined the prize. "), text))
+        .when(declined, lit("Declined the prize."))
+        .otherwise(text),
+      amount = lit(null).cast("double"),
+      currency = lit("CAD"),
+      fundingType = lit("prize"),
+      funderScheme = col("award_name"),
+      startDate = d(concat(col("award_year").cast("string"),
+        lit("-01-01"))),
+      endDate = d(concat(col("award_year").cast("string"),
+        lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = investigator(
+        nullif(col("laureate_given_name"), lit("")),
+        nullif(col("laureate_family_name"), lit("")),
+        lit(null).cast("string"), lit(null).cast("date"),
+        nullif(col("laureate_position_title"), lit("")),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = col("laureate_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("laureate_name").isNotNull &&
+        col("award_name").isNotNull && col("award_year").isNotNull)
+  }
+
+  /** Garfield Weston Foundation via 360Giving
+    * (CreateGarfieldWestonAwards.ipynb): the Wolfson-family card —
+    * >0 'GBP' gate, grant-programme scheme, TRY_CAST dates with raw
+    * start year, a recipient-org lead with NO country column in the
+    * source (never guessed), NULL landing. */
+  def garfieldWeston: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("recipient_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient_org"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320314718L, provenance = "garfield_weston_foundation",
+      priority = 159,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Garfield Weston Foundation grant "),
+          col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, "GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("grant_programme"),
+      startDate = d(col("start_date")), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** Gerber Foundation (CreateGerberAwards.ipynb): the [[yearCard]]
+    * with an ungated decimal, unconditional 'USD', and NULL scheme,
+    * 'United States'. */
+  def gerber: FunderIngestConfig =
+    yearCard(4320306353L, "gerber", 289, lit("United States"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"), yearCol = "year_awarded")
+
+  /** Guy's & St Thomas' Charity via 360Giving
+    * (CreateGuysStThomasAwards.ipynb): the Wolfson-family card with
+    * the SOURCE currency behind the >0 gate and the recipient-org
+    * identifier landed as a '360Giving Recipient Org:Identifier'
+    * affiliation id, NULL landing. */
+  def guysStThomas: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val orgIds = when(col("recipient_org_identifier").isNotNull,
+      array(struct(col("recipient_org_identifier").as("id"),
+        lit("360Giving Recipient Org:Identifier").as("type"),
+        lit("source").as("asserted_by"))))
+      .otherwise(lit(null).cast(affIds))
+    val lead = when(col("recipient_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient_org"), lit(null).cast("string"), orgIds))
+    FunderIngestConfig(
+      funderId = 4320320083L, provenance = "guys_st_thomas_360giving",
+      priority = 196,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Guy's and St Thomas' Charity grant "),
+          col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("grant_programme"),
+      startDate = d(col("start_date")), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** HRC / Health Research Council of New Zealand research
+    * repository (CreateHRCAwards.ipynb): the HONORIFIC STRIP chain
+    * (Emeritus/Distinguished prefix + Professor/Dr/Sir/Dame titles,
+    * then trailing NZ honours/fellowship postnominals) feeding the
+    * last-token family split, presence-gated 'NZD', the
+    * fellowship/scholarship/career/training proposal-type arms,
+    * 1800..2100 start year, a family-or-host lead whose 'NZ'
+    * asserts only with the affiliation. */
+  def hrcNz: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val cleanName = trim(regexp_replace(regexp_replace(
+      col("researchers_raw"),
+      "^((Emeritus|Distinguished|Associate|Adjunct|Clinical|Honorary)" +
+        "\\s+)?(Professor|Prof\\.?|Dr\\.?|Doctor|Mr\\.?|Mrs\\.?|" +
+        "Ms\\.?|Miss|Sir|Dame)\\s+", ""),
+      "(\\s+(DNZM|GNZM|KNZM|CNZM|ONZM|MNZM|QSO|QSM|CRSNZ|FRSNZ|FRS|" +
+        "FMedSci|FRSC|FRACP|FRACS|FRCP|FNZIC|CBE|OBE|MBE|KBE|DBE|" +
+        "CNZOM|KC|QC|JP|[A-Z]{3,}))+$", ""))
+    val toks = split(cleanName, " ")
+    val fam = when(cleanName.isNotNull && length(cleanName) > 0,
+      element_at(toks, -1))
+    val giv = when(size(toks) > 1,
+      array_join(slice(toks, lit(1), size(toks) - 1), " "))
+    val host = nullif(trim(col("host_organization")), lit(""))
+    val prop = col("proposal_type")
+    val lead = when(fam.isNotNull || host.isNotNull,
+      investigator(giv, fam, lit(null).cast("string"),
+        lit(null).cast("date"), host,
+        when(host.isNotNull, "NZ"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320334749L, provenance = "hrc_research_repository",
+      priority = 204,
+      mintKey = lower(trim(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = nullif(trim(col("description")), lit("")),
+      amount = amt,
+      currency = when(amt.isNotNull, "NZD"),
+      fundingType = when(lower(prop).like("%fellowship%") ||
+        lower(prop).like("%scholarship%") ||
+        lower(prop).like("%career%"), "fellowship")
+        .when(lower(prop).like("%training%"), "training")
+        .otherwise("research"),
+      funderScheme = nullif(trim(col("proposal_type")), lit("")),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = when(col("start_year").try_cast("int")
+        .between(1800, 2100), col("start_year").try_cast("int")),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** Conrad N. Hilton Foundation (CreateHiltonAwards.ipynb): the
+    * Kauffman-style '<program> - <org-else-title> (<year>)'
+    * assembled display, >0 gate with source currency, program
+    * scheme, year-only coverage on BOTH years, a grantee-org lead
+    * whose country is NEVER guessed (Area Served is a region). */
+  def hilton: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("grantee_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("grantee_org"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306180L, provenance = "hilton_foundation",
+      priority = 153,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(coalesce(col("program"), lit("Grant")),
+        lit(" - "), coalesce(col("grantee_org"), col("title")),
+        when(col("start_year").isNotNull,
+          concat(lit(" ("), col("start_year"), lit(")")))
+          .otherwise(lit(""))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
 }

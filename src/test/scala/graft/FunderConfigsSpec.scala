@@ -7378,4 +7378,131 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ogv.head.getAs[Row]("lead_investigator")
       .getAs[Row]("affiliation").getAs[String]("country") === "Spain")
   }
+
+  private def regThirtyEight = regThirtySeven.unionByName(Seq(
+    (4320313415L, "Gairdner Foundation", "r-ga", "d-ga"),
+    (4320314718L, "Garfield Weston Foundation", "r-gw", "d-gw"),
+    (4320306353L, "Gerber Foundation", "r-ge", "d-ge"),
+    (4320320083L, "Guy's and St Thomas' Charity", "r-gs", "d-gs"),
+    (4320334749L, "Health Research Council of New Zealand", "r-hn",
+      "d-hn"),
+    (4320306180L, "Conrad N. Hilton Foundation", "r-hi", "d-hi"))
+    .toDF(reg.columns: _*))
+
+  test("Gairdner / Garfield Weston / Gerber / Guy's & St Thomas' / " +
+    "HRC NZ / Hilton: the amount-waived-CAD-kept prize with the " +
+    "declined cascade, the honorific-strip name parse with " +
+    "postnominal scrub, and the region-not-country Hilton lead") {
+    val ga = Seq(
+      ("gairdner-2019-doe", "Canada Gairdner International Award",
+        "2019", "Jane Doe", Some("Jane"), Some("Doe"),
+        Some("Professor, U Toronto"), Some("false"),
+        Some("Cited for X."), None: Option[String],
+        None: Option[String], Some("https://gairdner/doe")),
+      ("gairdner-1970-roe", "Canada Gairdner Wightman Award", "1970",
+        "Sam Roe", Some("Sam"), Some("Roe"), None: Option[String],
+        Some("true"), None: Option[String], None: Option[String],
+        Some("Summary S."), None: Option[String]))
+      .toDF("funder_award_id", "award_name", "award_year",
+        "laureate_name", "laureate_given_name", "laureate_family_name",
+        "laureate_position_title", "declined", "citation",
+        "description", "award_summary", "laureate_url")
+    val oga = FunderIngest.transform(ga, regThirtyEight,
+      FunderConfigs.gairdner, now).orderBy("funder_award_id").collect()
+    val g19 = oga(1)
+    assert(g19.getAs[String]("display_name")
+      === "Canada Gairdner International Award 2019 - Jane Doe")
+    assert(g19.isNullAt(g19.fieldIndex("amount")))
+    assert(g19.getAs[String]("currency") === "CAD") // KEPT quirk
+    assert(g19.getAs[String]("description") === "Cited for X.")
+    assert(g19.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name")
+      === "Professor, U Toronto") // position title
+    assert(oga(0).getAs[String]("description")
+      === "Declined the prize. Summary S.") // declined + summary tier
+
+    val gw = Seq(
+      ("360G-gw-1", None: Option[String], Some("D"), Some("100000"),
+        Some("Community"), Some("2020-01-01"), Some("2020"),
+        Some("Org W")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "grant_programme", "start_date", "start_year", "recipient_org")
+    val ogw = FunderIngest.transform(gw, regThirtyEight,
+      FunderConfigs.garfieldWeston, now).collect()
+    assert(ogw.head.getAs[String]("display_name")
+      === "Garfield Weston Foundation grant 360G-gw-1")
+    assert(ogw.head.getAs[String]("currency") === "GBP")
+    val gwl = ogw.head.getAs[Row]("lead_investigator")
+    assert(gwl.getAs[Row]("affiliation").isNullAt(
+      gwl.getAs[Row]("affiliation").fieldIndex("country")))
+    assert(ogw.head.isNullAt(ogw.head.fieldIndex("landing_page_url")))
+
+    val ge = Seq(
+      ("GERBER-1", Some("Infant nutrition"), Some("75000.00"),
+        Some("2019"), Some("Al"), Some("Poe"), Some("MSU"),
+        Some("https://gerber/1")))
+      .toDF("funder_award_id", "title", "amount", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oge = FunderIngest.transform(ge, regThirtyEight,
+      FunderConfigs.gerber, now).collect()
+    assert(oge.head.getAs[String]("currency") === "USD")
+    assert(oge.head.isNullAt(oge.head.fieldIndex("funder_scheme")))
+
+    val gs = Seq(
+      ("360G-gst-1", Some("Health equity"), Some("D"), Some("200000"),
+        Some("GBP"), Some("Programme G"), Some("2021-04-01"),
+        Some("2021"), Some("Org T"), Some("GB-CHC-55")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "grant_programme", "start_date", "start_year",
+        "recipient_org", "recipient_org_identifier")
+    val ogs = FunderIngest.transform(gs, regThirtyEight,
+      FunderConfigs.guysStThomas, now).collect()
+    assert(ogs.head.getAs[String]("currency") === "GBP") // source, gated
+    val gsl = ogs.head.getAs[Row]("lead_investigator")
+    assert(gsl.getAs[Row]("affiliation")
+      .getSeq[Row](gsl.getAs[Row]("affiliation").fieldIndex("ids"))
+      .head.getAs[String]("type") === "360Giving Recipient Org:Identifier")
+
+    val hr = Seq(
+      ("HRC-1", Some("Rheumatic fever"), Some("D"), Some("1200000"),
+        Some("Project"), Some("2019"),
+        Some("Distinguished Professor Jane M Doe DNZM FRSNZ"),
+        Some(" University of Auckland "), Some("https://hrc/1")),
+      ("HRC-2", Some("Fellowship row"), None: Option[String],
+        None: Option[String], Some("Clinical Research Training " +
+          "Fellowship"), Some("2021"), None: Option[String],
+        Some("Otago"), None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "proposal_type", "start_year", "researchers_raw",
+        "host_organization", "landing_page_url")
+    val ohr = FunderIngest.transform(hr, regThirtyEight,
+      FunderConfigs.hrcNz, now).orderBy("funder_award_id").collect()
+    assert(ohr(0).getAs[String]("currency") === "NZD")
+    assert(ohr(0).getAs[String]("funding_type") === "research")
+    val hrl = ohr(0).getAs[Row]("lead_investigator")
+    assert(hrl.getAs[String]("given_name") === "Jane M") // titles gone
+    assert(hrl.getAs[String]("family_name") === "Doe") // postnominals gone
+    assert(hrl.getAs[Row]("affiliation").getAs[String]("country")
+      === "NZ")
+    assert(ohr(1).getAs[String]("funding_type") === "fellowship")
+    val hrl2 = ohr(1).getAs[Row]("lead_investigator")
+    assert(hrl2.isNullAt(hrl2.fieldIndex("family_name"))) // org-only
+
+    val hi = Seq(
+      ("HILTON-1", Some("Water access project"), Some("D"),
+        Some("1500000"), Some("USD"), Some("Safe Water"),
+        Some("World Vision"), Some("2020"), Some("2023"),
+        Some("https://hilton/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "program", "grantee_org", "start_year",
+        "end_year", "landing_page_url")
+    val ohi = FunderIngest.transform(hi, regThirtyEight,
+      FunderConfigs.hilton, now).collect()
+    assert(ohi.head.getAs[String]("display_name")
+      === "Safe Water - World Vision (2020)")
+    assert(ohi.head.getAs[Int]("end_year") === 2023)
+    val hil = ohi.head.getAs[Row]("lead_investigator")
+    assert(hil.getAs[Row]("affiliation").isNullAt(
+      hil.getAs[Row]("affiliation").fieldIndex("country"))) // region≠ctry
+  }
 }
