@@ -10217,4 +10217,170 @@ object FunderConfigs {
       doi = lit(null).cast("string"),
       rowFilter = col("funder_award_id").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 twentieth tranche: INCa, Irish Cancer Society, KRUK,
+  // Lumina, Medical Research Scotland, MQ Mental Health
+  // ---------------------------------------------------------------
+
+  /** INCa / Institut National du Cancer (CreateINCaAwards.ipynb):
+    * >0 gates with source currency, 'yyyy' year-only raws on both
+    * years, labeled-id display fallback, an institution-gated
+    * org-only 'France' lead. */
+  def inca: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    def yFmt(c: Column): Column =
+      year(to_date(try_to_timestamp(c, lit("yyyy"))))
+    val lead = when(col("institution").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("France"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320323807L, provenance = "inca", priority = 228,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("INCa grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = yFmt(col("start_date_raw")),
+      endYear = yFmt(col("end_date_raw")),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Irish Cancer Society (CreateIrishCancerSocietyAwards.ipynb):
+    * the bare [[yearCard]], 'Ireland'. */
+  def irishCancerSociety: FunderIngestConfig =
+    yearCard(4320320839L, "irish_cancer_society", 319, lit("Ireland"),
+      fundingType = lit("grant"), funderScheme = col("scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "year_awarded")
+
+  /** KRUK / Kidney Research UK (CreateKRUKAwards.ipynb): ungated
+    * decimal with unconditional 'GBP', programme scheme, a RAW
+    * start date beside a 1980..2027 range-gated start year, PI-only
+    * 'United Kingdom' lead, NULL landing and works URLs. */
+  def kruk: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320008L, provenance = "kruk", priority = 257,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = d(col("start_date")), endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1980, 2027), sy),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Lumina Foundation grants database (CreateLuminaAwards.ipynb):
+    * presence-gated 'USD', type-else-'grant' and
+    * scheme-else-'Lumina grants database' cascades,
+    * date-else-source-year on both years, an UNCONDITIONAL recipient
+    * 'US' org lead with role_start = start. */
+  def lumina: FunderIngestConfig = {
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val py = col("source_year").try_cast("int")
+    FunderIngestConfig(
+      funderId = 4320306409L, provenance = "lumina_grant_database",
+      priority = 150,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, "USD"),
+      fundingType = coalesce(nullif(trim(col("funding_type")),
+        lit("")), lit("grant")),
+      funderScheme = coalesce(nullif(trim(col("funder_scheme")),
+        lit("")), lit("Lumina grants database")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), py),
+      endYear = coalesce(year(ed), py),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        nullif(trim(col("recipient_name")), lit("")), lit("US"),
+        lit(null).cast(affIds)),
+      landingPageUrl = nullif(trim(col("landing_page_url")), lit("")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Medical Research Scotland
+    * (CreateMedicalResearchScotlandAwards.ipynb): the [[yearCard]]
+    * as 'fellowship' with the 1990..2030 range gate on date AND
+    * year and NULL scheme, 'United Kingdom'. */
+  def medicalResearchScotland: FunderIngestConfig =
+    yearCard(4320320011L, "medical_research_scotland", 279,
+      lit("United Kingdom"), fundingType = lit("fellowship"),
+      funderScheme = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      yearCol = "start_year", yearRange = Some((1990, 2030)))
+
+  /** MQ Mental Health (CreateMQMentalHealthAwards.ipynb): the
+    * FUNDING-PERIOD regex years (leading and trailing 4-digit
+    * groups of 'YYYY-YYYY'), a PI lead whose country NORMALIZES
+    * UK/USA to the long forms and passes anything else through. */
+  def mqMentalHealth: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"),
+        when(col("location") === "UK", "United Kingdom")
+          .when(col("location") === "USA", "United States")
+          .otherwise(col("location")),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320312944L, provenance = "mq_mental_health",
+      priority = 271,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = lit(null).cast("date"), endDate = lit(null).cast("date"),
+      startYear = regexp_extract(col("funding_period_raw"),
+        "^(\\d{4})", 1).try_cast("int"),
+      endYear = regexp_extract(col("funding_period_raw"),
+        "(\\d{4})$", 1).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

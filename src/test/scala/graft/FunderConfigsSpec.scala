@@ -7505,4 +7505,120 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(hil.getAs[Row]("affiliation").isNullAt(
       hil.getAs[Row]("affiliation").fieldIndex("country"))) // region≠ctry
   }
+
+  private def regThirtyNine = regThirtyEight.unionByName(Seq(
+    (4320323807L, "Institut National du Cancer", "r-in2", "d-in2"),
+    (4320320839L, "Irish Cancer Society", "r-ic", "d-ic"),
+    (4320320008L, "Kidney Research UK", "r-kr", "d-kr"),
+    (4320306409L, "Lumina Foundation", "r-lm", "d-lm"),
+    (4320320011L, "Medical Research Scotland", "r-ms", "d-ms"),
+    (4320312944L, "MQ Mental Health", "r-mq", "d-mq"))
+    .toDF(reg.columns: _*))
+
+  test("INCa / Irish Cancer Society / KRUK / Lumina / Medical " +
+    "Research Scotland / MQ: the yyyy year-only raws, the raw-date " +
+    "range-gated-year KRUK split, the Lumina US recipient card, and " +
+    "the MQ funding-period regex with UK/USA normalization") {
+    val in2 = Seq(
+      ("INCA-1", Some("Projet K"), Some("D"), Some("300000.00"),
+        Some("EUR"), Some("PLBIO"), Some("2019"), Some("2022"),
+        Some("Institut Curie"), Some("https://inca/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "institution", "landing_page_url")
+    val oin = FunderIngest.transform(in2, regThirtyNine,
+      FunderConfigs.inca, now).collect()
+    assert(oin.head.getAs[Int]("start_year") === 2019) // 'yyyy' raw
+    assert(oin.head.getAs[Int]("end_year") === 2022)
+    assert(oin.head.isNullAt(oin.head.fieldIndex("start_date")))
+    assert(oin.head.isNullAt(oin.head.fieldIndex("works_api_url")))
+    val inl = oin.head.getAs[Row]("lead_investigator")
+    assert(inl.isNullAt(inl.fieldIndex("family_name"))) // org-only
+    assert(inl.getAs[Row]("affiliation").getAs[String]("country")
+      === "France")
+
+    val ic = Seq(
+      ("ICS-1", Some("Oesophageal study"), Some("Research Award"),
+        Some("2018"), Some("Una"), Some("Kelly"), Some("TCD"),
+        Some("https://ics/1")))
+      .toDF("funder_award_id", "title", "scheme", "year_awarded",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oic = FunderIngest.transform(ic, regThirtyNine,
+      FunderConfigs.irishCancerSociety, now).collect()
+    assert(oic.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Ireland")
+
+    val kr = Seq(
+      ("KRUK-1", Some("CKD biomarker"), Some("120000.00"),
+        Some("Project grant"), Some("2022-03-01"), Some("1975"),
+        Some("Nia"), Some("Evans"), Some("Cardiff"),
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "amount", "programme",
+        "start_date", "start_year", "pi_given", "pi_family",
+        "institution", "landing_page_url")
+    val okr = FunderIngest.transform(kr, regThirtyNine,
+      FunderConfigs.kruk, now).collect()
+    assert(okr.head.getAs[String]("currency") === "GBP")
+    assert(okr.head.getAs[java.sql.Date]("start_date").toString
+      === "2022-03-01") // raw date survives
+    assert(okr.head.isNullAt(okr.head.fieldIndex("start_year"))) // 1975
+    assert(okr.head.isNullAt(okr.head.fieldIndex("landing_page_url")))
+
+    val lu = Seq(
+      (" LUM-1 ", " Attainment project ", Some(" D "), Some("450000"),
+        Some("grant"), Some(" Strategy 1 "), Some("2020-02-01"),
+        None: Option[String], Some("2020"), Some(" Org L "),
+        Some("https://lumina/1")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "funding_type", "funder_scheme", "start_date", "end_date",
+        "source_year", "recipient_name", "landing_page_url")
+    val olu = FunderIngest.transform(lu, regThirtyNine,
+      FunderConfigs.lumina, now).collect()
+    assert(olu.head.getAs[String]("funder_award_id") === "lum-1")
+    assert(olu.head.getAs[String]("currency") === "USD")
+    assert(olu.head.getAs[Int]("end_year") === 2020) // source fallback
+    val lul = olu.head.getAs[Row]("lead_investigator")
+    assert(lul.getAs[Row]("affiliation").getAs[String]("name")
+      === "Org L")
+    assert(lul.getAs[Row]("affiliation").getAs[String]("country")
+      === "US")
+    assert(lul.getAs[java.sql.Date]("role_start").toString
+      === "2020-02-01")
+
+    val ms = Seq(
+      ("MRS-1", Some("PhD studentship"), Some("2021"), Some("Ewan"),
+        Some("Ross"), Some("Dundee"), Some("https://mrs/1")))
+      .toDF("funder_award_id", "title", "start_year", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val oms = FunderIngest.transform(ms, regThirtyNine,
+      FunderConfigs.medicalResearchScotland, now).collect()
+    assert(oms.head.getAs[String]("funding_type") === "fellowship")
+    assert(oms.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-01-01") // range-gated date
+    assert(oms.head.isNullAt(oms.head.fieldIndex("funder_scheme")))
+
+    val mq = Seq(
+      ("MQ-1", Some("Data science fellows"), Some("D"),
+        Some("Fellows"), Some("2019-2022"), Some("Tam"), Some("Ng"),
+        Some("KCL"), Some("UK"), Some("https://mq/1")),
+      ("MQ-2", Some("US row"), None: Option[String],
+        None: Option[String], Some("2020"), Some("Al"), Some("Wu"),
+        Some("Yale"), Some("USA"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "scheme",
+        "funding_period_raw", "pi_given", "pi_family", "institution",
+        "location", "landing_page_url")
+    val omq = FunderIngest.transform(mq, regThirtyNine,
+      FunderConfigs.mqMentalHealth, now).orderBy("funder_award_id")
+      .collect()
+    assert(omq(0).getAs[Int]("start_year") === 2019)
+    assert(omq(0).getAs[Int]("end_year") === 2022) // trailing group
+    assert(omq(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom") // UK normalized
+    assert(omq(1).getAs[Int]("start_year") === 2020)
+    assert(omq(1).getAs[Int]("end_year") === 2020) // same group
+    assert(omq(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+  }
 }
