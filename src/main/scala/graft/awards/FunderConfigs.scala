@@ -10383,4 +10383,199 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-13 twenty-first tranche: NPF, NTAP, ONS Foundation, OSF,
+  // PBTF, Parkinson's UK
+  // ---------------------------------------------------------------
+
+  /** NPF / National Psoriasis Foundation (CreateNPFAwards.ipynb):
+    * ENGLISH-MONTH 'MMMM d, yyyy' full dates on both ends, ungated
+    * decimal whose 'USD' gates on the RAW amount's presence, a PI
+    * lead with NO country. */
+  def npf: FunderIngestConfig = {
+    def mFmt(c: Column): Column =
+      to_date(try_to_timestamp(c, lit("MMMM d, yyyy")))
+    val sd = mFmt(col("start_date_raw"))
+    val ed = mFmt(col("end_date_raw"))
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320307379L, provenance = "npf", priority = 293,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = when(col("amount").isNotNull, "USD"),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** NTAP / Neurofibromatosis Therapeutic Acceleration Program
+    * (CreateNTAPAwards.ipynb): the [[charityCard]] with description
+    * and the SOURCE country column in the lead. */
+  def ntap: FunderIngestConfig =
+    charityCard(4320333709L, "ntap", 330,
+      description = col("description"),
+      funderScheme = col("funder_scheme"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      country = col("country"))
+
+  /** ONS Foundation / Oncology Nursing Society
+    * (CreateONSFoundationAwards.ipynb): year-only coverage with an
+    * ungated Jan-1 date, a PI lead whose affiliation NAME is NULL
+    * ('United States' only). */
+  def onsFoundation: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320308531L, provenance = "ons_foundation",
+      priority = 347,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** The OSF surrogate mint (CreateOSFAwards.ipynb's src CTE —
+    * multiple grants to the same grantee in the same year are
+    * common): grantee + year + amount + page + a monotonic id,
+    * applied BEFORE [[osf]] exactly as [[rwjfSurrogate]]. */
+  def osfSurrogate(raw: DataFrame): DataFrame =
+    raw.filter(col("grantee_name").isNotNull &&
+      trim(col("grantee_name")) =!= "")
+      .withColumn("surrogate_id", pmod(abs(xxhash64(concat(
+        coalesce(col("grantee_name"), lit("")), lit(":"),
+        col("year").cast("string"), lit(":"),
+        coalesce(col("amount_usd").cast("string"), lit("")), lit(":"),
+        col("page").cast("string"), lit(":"),
+        monotonically_increasing_id().cast("string")))),
+        lit(9000000000L)))
+
+  /** OSF / Open Society Foundations past grants
+    * (CreateOSFAwards.ipynb, [[osfSurrogate]] first): the ':osf:'
+    * surrogate mint, '<grantee> (<year>)' display, unconditional
+    * 'USD' over the source USD column, year-boundary dates, an
+    * unconditional grantee org lead with no country, the
+    * page-anchored landing URL. */
+  def osf: FunderIngestConfig = {
+    val yr = col("year")
+    FunderIngestConfig(
+      funderId = 4320306189L, provenance = "osf_grants_past",
+      priority = 45,
+      mintKey = concat(lit("osf:"), col("surrogate_id").cast("string")),
+      funderAwardId = col("surrogate_id").cast("string"),
+      displayName = concat(col("grantee_name"), lit(" ("),
+        yr.cast("string"), lit(")")),
+      description = lit(null).cast("string"),
+      amount = col("amount_usd"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr.cast("int"), endYear = yr.cast("int"),
+      leadInvestigator = investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("date"), col("grantee_name"),
+        lit(null).cast("string"), lit(null).cast(affIds)),
+      landingPageUrl = concat(
+        lit("https://www.opensocietyfoundations.org/grants/past?page="),
+        col("page").cast("string")),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true))
+  }
+
+  /** PBTF / Pediatric Brain Tumor Foundation
+    * (CreatePBTFAwards.ipynb): description column, ungated decimal
+    * with unconditional 'USD', Jan-1 date from the year, NULL
+    * scheme, PI-only 'United States' lead. */
+  def pbtf: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306797L, provenance = "pbtf", priority = 324,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Parkinson's UK (CreateParkinsonsUKAwards.ipynb): full dates
+    * with the RAW start year and a date-derived end year, ungated
+    * decimal with unconditional 'GBP', programme scheme, PI-only
+    * 'United Kingdom' lead. */
+  def parkinsonsUk: FunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320021L, provenance = "parkinsons_uk",
+      priority = 249,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = sd, endDate = ed,
+      startYear = col("start_year").try_cast("int"),
+      endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

@@ -7621,4 +7621,117 @@ class FunderConfigsSpec extends AnyFunSuite {
       .getAs[Row]("affiliation").getAs[String]("country")
       === "United States")
   }
+
+  private def regForty = regThirtyNine.unionByName(Seq(
+    (4320307379L, "National Psoriasis Foundation", "r-np", "d-np"),
+    (4320333709L, "NTAP", "r-nt", "d-nt"),
+    (4320308531L, "Oncology Nursing Society Foundation", "r-on2",
+      "d-on2"),
+    (4320306189L, "Open Society Foundations", "r-os", "d-os"),
+    (4320306797L, "Pediatric Brain Tumor Foundation", "r-pb", "d-pb"),
+    (4320320021L, "Parkinson's UK", "r-pu", "d-pu"))
+    .toDF(reg.columns: _*))
+
+  test("NPF / NTAP / ONS Foundation / OSF / PBTF / Parkinson's UK: " +
+    "English-month dates, the source-country charityCard, the OSF " +
+    "surrogate mint keeping duplicate grantee-year rows distinct, " +
+    "and the GBP full-date card") {
+    val np = Seq(
+      ("NPF-1", Some("Psoriasis genetics"), Some("Discovery"),
+        Some("bad"), Some("July 1, 2020"), Some("June 30, 2022"),
+        Some("Mei"), Some("Chen"), Some("UCSF")))
+      .toDF("funder_award_id", "title", "scheme", "amount",
+        "start_date_raw", "end_date_raw", "pi_given", "pi_family",
+        "institution")
+    val onp = FunderIngest.transform(np.withColumn("landing_page_url",
+      lit(null).cast("string")), regForty, FunderConfigs.npf, now)
+      .collect()
+    assert(onp.head.getAs[java.sql.Date]("start_date").toString
+      === "2020-07-01") // MMMM d, yyyy
+    assert(onp.head.getAs[Int]("end_year") === 2022)
+    assert(onp.head.isNullAt(onp.head.fieldIndex("amount"))) // 'bad'
+    assert(onp.head.getAs[String]("currency") === "USD") // raw presence
+    val npl = onp.head.getAs[Row]("lead_investigator")
+    assert(npl.getAs[Row]("affiliation").isNullAt(
+      npl.getAs[Row]("affiliation").fieldIndex("country")))
+
+    val nt = Seq(
+      ("NTAP-1", Some("NF1 trial"), Some("D"), Some("Francis " +
+        "Collins Scholars"), Some("Jo"), Some("Blakeley"),
+        Some("JHU"), Some("US"), Some("https://ntap/1")))
+      .toDF("funder_award_id", "title", "description", "funder_scheme",
+        "pi_given", "pi_family", "institution", "country",
+        "landing_page_url")
+    val ont = FunderIngest.transform(nt, regForty,
+      FunderConfigs.ntap, now).collect()
+    assert(ont.head.getAs[String]("description") === "D")
+    assert(ont.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "US")
+
+    val on2 = Seq(
+      ("ONSF-1", Some("Symptom science"), Some("Research Grant"),
+        Some("2019"), Some("Pam"), Some("Ginex"),
+        Some("https://onsf/1")))
+      .toDF("funder_award_id", "title", "funder_scheme", "start_year",
+        "pi_given", "pi_family", "landing_page_url")
+    val oon = FunderIngest.transform(on2, regForty,
+      FunderConfigs.onsFoundation, now).collect()
+    assert(oon.head.getAs[java.sql.Date]("start_date").toString
+      === "2019-01-01")
+    val onl = oon.head.getAs[Row]("lead_investigator")
+    assert(onl.getAs[Row]("affiliation").isNullAt(
+      onl.getAs[Row]("affiliation").fieldIndex("name"))) // NULL name
+    assert(onl.getAs[Row]("affiliation").getAs[String]("country")
+      === "United States")
+
+    val os2 = Seq(
+      (Some("Org A"), 2018L, Some(100000.0), 3L),
+      (Some("Org A"), 2018L, Some(100000.0), 3L), // duplicate row
+      (Some("  "), 2019L, Some(5000.0), 4L)) // blank grantee dropped
+      .toDF("grantee_name", "year", "amount_usd", "page")
+    val oos2 = FunderIngest.transform(
+      FunderConfigs.osfSurrogate(os2), regForty, FunderConfigs.osf,
+      now, mintId = c => pmod(abs(xxhash64(c)), lit(9000000000L)))
+      .collect()
+    assert(oos2.length === 2) // duplicates BOTH survive
+    assert(oos2.map(_.getAs[Long]("id")).distinct.length === 2)
+    assert(oos2.head.getAs[String]("display_name") === "Org A (2018)")
+    assert(oos2.head.getAs[String]("currency") === "USD")
+    assert(oos2.head.getAs[java.sql.Date]("end_date").toString
+      === "2018-12-31")
+    assert(oos2.head.getAs[String]("landing_page_url")
+      === "https://www.opensocietyfoundations.org/grants/past?page=3")
+    assert(oos2.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "Org A")
+
+    val pb = Seq(
+      ("PBTF-1", Some("Medulloblastoma"), Some("D"), Some("100000.00"),
+        Some("2017"), Some("Ira"), Some("Dunkel"), Some("MSK"),
+        Some("https://pbtf/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "start_year", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val opb = FunderIngest.transform(pb, regForty,
+      FunderConfigs.pbtf, now).collect()
+    assert(opb.head.getAs[String]("currency") === "USD")
+    assert(opb.head.getAs[String]("description") === "D")
+    assert(opb.head.isNullAt(opb.head.fieldIndex("funder_scheme")))
+
+    val pu = Seq(
+      ("PUK-1", Some("Alpha-synuclein"), Some("350000.00"),
+        Some("Project grant"), Some("2020-04-01"), Some("2023-03-31"),
+        Some("2020"), Some("Sol"), Some("Diaz"), Some("UCL"),
+        Some("https://puk/1")))
+      .toDF("funder_award_id", "title", "amount", "programme",
+        "start_date", "end_date", "start_year", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val opu = FunderIngest.transform(pu, regForty,
+      FunderConfigs.parkinsonsUk, now).collect()
+    assert(opu.head.getAs[String]("currency") === "GBP")
+    assert(opu.head.getAs[Int]("start_year") === 2020) // raw col
+    assert(opu.head.getAs[Int]("end_year") === 2023) // from date
+    assert(opu.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+  }
 }
