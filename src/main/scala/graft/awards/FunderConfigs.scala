@@ -10578,4 +10578,254 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-14 first tranche (laureate prizes): Breakthrough, Japan
+  // Prize, Kyoto Prize, International Prize for Biology, Stockholm
+  // Water Prize, World Food Prize
+  // ---------------------------------------------------------------
+
+  /** Breakthrough Prize (CreateBreakthroughPrizeAwards.ipynb cell 11,
+    * ~400 laureate rows): the '<year> <prize title> - <laureate>'
+    * display over NULLIF-trimmed norms, the declined-prefix
+    * description over the citation, source-apportioned USD amounts
+    * (the discontinued Physics Frontiers rows are the only §6.7
+    * NULL-amount arm), the prize-title scheme, Jan-1/Dec-31
+    * year-boundary dates, an UNCONDITIONAL laureate lead with
+    * affiliation name only, and the ':breakthrough:' mint over the
+    * lowered synthetic key. */
+  def breakthroughPrize: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val yr = col("award_year").try_cast("int")
+    val title = nzt(col("prize_title"))
+    val citation = nzt(col("citation"))
+    val declined = col("declined").try_cast("boolean")
+    val lead = investigator(nzt(col("laureate_given_name")),
+      nzt(col("laureate_family_name")), lit(null).cast("string"),
+      lit(null).cast("date"), nzt(col("affiliation")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320315036L, provenance = "breakthrough_prize",
+      priority = 63,
+      mintKey = concat(lit("breakthrough:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(yr.cast("string"), lit(" "), title,
+        lit(" - "), nzt(col("laureate_name"))),
+      description = when(declined && citation.isNotNull,
+          concat(lit("Declined the prize. "), citation))
+        .when(declined, lit("Declined the prize."))
+        .otherwise(citation),
+      amount = col("amount_usd").try_cast("double"),
+      currency = nzt(col("currency")),
+      fundingType = lit("prize"),
+      funderScheme = title,
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("detail_path")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        nullif(trim(col("prize_title")), lit("")).isNotNull &&
+        nullif(trim(col("laureate_name")), lit("")).isNotNull)
+  }
+
+  /** Japan Prize (CreateJapanPrizeAwards.ipynb cell 14, ~100
+    * laureates): the 'Japan Prize <year> - <field> - <name>' display
+    * over the RAW columns (a NULL field nulls the whole display, as
+    * the reference's CONCAT does), the achievement description, the
+    * source-carried constant 100M-JPY amount, the award-field
+    * scheme, year-boundary dates, and an UNCONDITIONAL lead whose
+    * nationality is deliberately NOT mapped to affiliation.country. */
+  def japanPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("affiliation"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320322286L, provenance = "japan_prize",
+      priority = 65,
+      mintKey = concat(lit("japan-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Japan Prize "), yr.cast("string"),
+        lit(" - "), col("award_field"), lit(" - "),
+        col("laureate_name")),
+      description = nullif(col("achievement"), lit("")),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("award_field"), lit("")),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** Kyoto Prize (CreateKyotoPrizeAwards.ipynb cell 15, ~130
+    * laureates): the 'Kyoto Prize <year> - <field> - <name>' display,
+    * the citation→achievement-digest→profile→achievement-title
+    * description cascade, post-2018 apportioned JPY (pre-2018 NULL by
+    * the source script), the prize-field-else-category scheme, and
+    * the Japan-Prize lead shape (the one organizational laureate —
+    * the Nobel Foundation — rides in family_name, as the source
+    * publishes it). */
+  def kyotoPrize: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), nullif(col("affiliation"), lit("")),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320322210L, provenance = "kyoto_prize",
+      priority = 70,
+      mintKey = concat(lit("kyoto-prize:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Kyoto Prize "), yr.cast("string"),
+        lit(" - "), col("prize_field"), lit(" - "),
+        col("laureate_name")),
+      description = coalesce(nullif(col("citation"), lit("")),
+        nullif(col("achievement_digest"), lit("")),
+        nullif(col("profile_description"), lit("")),
+        nullif(col("achievement_title"), lit(""))),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = coalesce(nullif(col("prize_field"), lit("")),
+        nullif(col("prize_category"), lit(""))),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** International Prize for Biology
+    * (CreateInternationalBiologyPrizeAwards.ipynb cell 16, 41
+    * recipients 1985-2025): a JSPS prize ingest operationally
+    * separate from the KAKEN grants slice — the LOWERED-TRIMMED
+    * native id is both the mint key (NO label prefix) and the landed
+    * award id, constant 10M-JPY from the official rule page, the
+    * scheme defaulting to 'International Prize for Biology', full
+    * source dates with year(date)-else-source_year coverage, and an
+    * UNCONDITIONAL lead with role_start = start. */
+  def internationalBiologyPrize: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val nid = lower(trim(col("funder_award_id")))
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val srcYr = col("source_year").try_cast("int")
+    val lead = investigator(nzt(col("given_name")),
+      nzt(col("family_name")), lit(null).cast("string"), sd,
+      nzt(col("affiliation_raw")), lit(null).cast("string"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320334764L,
+      provenance = "international_biology_prize", priority = 127,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nzt(col("description")),
+      amount = col("amount").try_cast("double"),
+      currency = nzt(col("currency")),
+      fundingType = lit("prize"),
+      funderScheme = coalesce(nzt(col("funder_scheme")),
+        lit("International Prize for Biology")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd), srcYr),
+      endYear = coalesce(year(ed), srcYr),
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** Stockholm Water Prize (CreateStockholmWaterPrizeAwards.ipynb
+    * cell 12, 36 laureates 1991-2026): the Blue-Planet-style
+    * recipient_kind person-vs-organization lead branch — individuals
+    * carry country but NO affiliation name, organizations carry the
+    * org's own name — role_start = start on both arms, the §6.7
+    * NULL-amount waiver (the foundation publishes no monetary
+    * value), the literal single-programme scheme, and
+    * substring-derived years. The raw `declined` passthrough is NOT
+    * part of the landed 24-column slice. */
+  def stockholmWaterPrize: FunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val lead = when(col("recipient_kind") === "individual" &&
+        col("name").isNotNull,
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        col("country"), lit(null).cast(affIds)))
+      .when(col("recipient_kind") === "organization" &&
+        col("name").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), sd, col("name"), col("country"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320937L, provenance = "stockholm_water_prize",
+      priority = 100,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = lit("Stockholm Water Prize"),
+      startDate = sd, endDate = ed,
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
+
+  /** World Food Prize (CreateWorldFoodPrizeAwards.ipynb cell 12, 39
+    * laureates 1987-2026): the Stockholm twin minus the
+    * recipient_kind branch — a PERSON-ONLY lead (NULL-or-empty name
+    * → NULL lead) with NULL affiliation AND country (the foundation
+    * publishes no institutional field), the constant source-carried
+    * USD 500K (§6.7 NOT waived), the literal scheme, and the same
+    * substring years / unprefixed lowered mint. */
+  def worldFoodPrize: FunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val lead = when(col("name").isNull || col("name") === "",
+        nullInvestigator)
+      .otherwise(investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd, lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320308859L, provenance = "world_food_prize",
+      priority = 101,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("prize"),
+      funderScheme = lit("World Food Prize"),
+      startDate = sd, endDate = ed,
+      startYear = substring(col("start_date"), 1, 4).try_cast("int"),
+      endYear = substring(col("end_date"), 1, 4).try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("name").isNotNull)
+  }
 }

@@ -7734,4 +7734,192 @@ class FunderConfigsSpec extends AnyFunSuite {
       .getAs[Row]("affiliation").getAs[String]("country")
       === "United Kingdom")
   }
+
+  private def regFortyOne = regForty.unionByName(Seq(
+    (4320315036L, "Breakthrough Prize Foundation", "r-bt", "d-bt"),
+    (4320322286L, "Japan Prize Foundation", "r-jp", "d-jp"),
+    (4320322210L, "Inamori Foundation", "r-ky", "d-ky"),
+    (4320320937L, "Stockholm International Water Institute", "r-sw",
+      "d-sw"),
+    (4320308859L, "World Food Prize Foundation", "r-wf", "d-wf"))
+    .toDF(reg.columns: _*))
+
+  test("Breakthrough / Japan / Kyoto / Intl Biology / Stockholm Water " +
+    "/ World Food prizes: the declined-prefix description with the " +
+    "Physics Frontiers NULL-amount arm, raw-concat displays that " +
+    "NULL on a missing field, the Kyoto description cascade, the " +
+    "JSPS prize slice's unprefixed lowered mint and year fallback, " +
+    "and the person-vs-organization lead branches") {
+    val bt = Seq(
+      ("bp-2020-phys-1", " Fundamental Physics ", "2020",
+        Some(" For discoveries. "), Some(" Jane Doe "), Some("Jane"),
+        Some("Doe"), Some(" MIT "), Some("3000000"), Some("USD"),
+        Some("false"), Some("/laureates/jane-doe")),
+      ("bp-2013-pf-1", "Physics Frontiers Prize in Fundamental Physics",
+        "2013", None: Option[String], Some("Joe Polchinski"),
+        Some("Joe"), Some("Polchinski"), None: Option[String],
+        None: Option[String], None: Option[String], Some("true"),
+        None: Option[String]),
+      ("bp-bad", "  ", "2013", None: Option[String], Some("X"),
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String])) // blank prize title dropped
+      .toDF("funder_award_id", "prize_title", "award_year", "citation",
+        "laureate_name", "laureate_given_name", "laureate_family_name",
+        "affiliation", "amount_usd", "currency", "declined",
+        "detail_path")
+    val obt = FunderIngest.transform(bt, regFortyOne,
+      FunderConfigs.breakthroughPrize, now)
+      .orderBy("funder_award_id").collect()
+    assert(obt.length === 2)
+    assert(obt(1).getAs[String]("display_name")
+      === "2020 Fundamental Physics - Jane Doe")
+    assert(obt(1).getAs[String]("description") === "For discoveries.")
+    assert(obt(1).getAs[Double]("amount") === 3000000.0)
+    assert(obt(1).getAs[String]("funder_scheme")
+      === "Fundamental Physics")
+    assert(obt(1).getAs[java.sql.Date]("end_date").toString
+      === "2020-12-31")
+    assert(obt(1).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name") === "MIT")
+    // declined + NULL citation → the bare declined sentence; §6.7 arm
+    assert(obt(0).getAs[String]("description") === "Declined the prize.")
+    assert(obt(0).isNullAt(obt(0).fieldIndex("amount")))
+
+    val jp = Seq(
+      ("japan-prize-1985-sato", "1985", Some("Electronics"),
+        Some("Dr. Sato"), Some("Taro"), Some("Sato"), Some("Tokyo U"),
+        Some("For optical fibers."), Some("100000000"), Some("JPY"),
+        Some("https://jp/1")),
+      ("japan-prize-1990-x", "1990", None: Option[String], Some("X Y"),
+        Some("X"), Some("Y"), None: Option[String], Some(""),
+        Some("100000000"), Some("JPY"), None: Option[String]))
+      .toDF("funder_award_id", "award_year", "award_field",
+        "laureate_name", "given_name", "family_name", "affiliation",
+        "achievement", "source_award_amount", "currency",
+        "landing_page_url")
+    val ojp = FunderIngest.transform(jp, regFortyOne,
+      FunderConfigs.japanPrize, now).orderBy("funder_award_id")
+      .collect()
+    assert(ojp(0).getAs[String]("display_name")
+      === "Japan Prize 1985 - Electronics - Dr. Sato")
+    assert(ojp(0).getAs[Double]("amount") === 1.0e8)
+    // NULL field nulls the raw CONCAT display; '' achievement → NULL
+    assert(ojp(1).isNullAt(ojp(1).fieldIndex("display_name")))
+    assert(ojp(1).isNullAt(ojp(1).fieldIndex("description")))
+    assert(ojp(1).isNullAt(ojp(1).fieldIndex("funder_scheme")))
+
+    val ky = Seq(
+      ("kyoto-2019-a", "2019", Some("Astrophysics"),
+        Some("Basic Sciences"), Some("James Gunn"), Some("James"),
+        Some("Gunn"), Some("Princeton"), None: Option[String],
+        Some("Digest text"), Some("Profile text"),
+        Some("Title text"), Some("33333333"), Some("JPY"),
+        Some("https://ky/1")))
+      .toDF("funder_award_id", "award_year", "prize_field",
+        "prize_category", "laureate_name", "given_name", "family_name",
+        "affiliation", "citation", "achievement_digest",
+        "profile_description", "achievement_title",
+        "source_award_amount", "currency", "landing_page_url")
+    val oky = FunderIngest.transform(ky, regFortyOne,
+      FunderConfigs.kyotoPrize, now).collect()
+    assert(oky.head.getAs[String]("display_name")
+      === "Kyoto Prize 2019 - Astrophysics - James Gunn")
+    assert(oky.head.getAs[String]("description") === "Digest text")
+    assert(oky.head.getAs[String]("funder_scheme") === "Astrophysics")
+
+    val ib = Seq(
+      (" IBP-2024 ", " 2024 International Prize for Biology - N ",
+        Some(" For systematics. "), Some("10000000"), Some("JPY"),
+        None: Option[String], Some("2024-01-01"), Some("2024-12-31"),
+        Some("2024"), Some("Nancy"), Some("Moran"), Some(" UT Austin "),
+        Some("https://jsps/1")),
+      ("IBP-1985", "1985 row", None: Option[String],
+        Some("10000000"), Some("JPY"), None: Option[String],
+        None: Option[String], None: Option[String], Some("1985"),
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "funder_scheme", "start_date", "end_date",
+        "source_year", "given_name", "family_name", "affiliation_raw",
+        "landing_page_url")
+    val oib = FunderIngest.transform(ib, regFortyOne,
+      FunderConfigs.internationalBiologyPrize, now)
+      .orderBy("funder_award_id").collect()
+    // unprefixed lowered-trimmed mint lands as the award id
+    assert(oib(1).getAs[String]("funder_award_id") === "ibp-2024")
+    assert(oib(1).getAs[String]("display_name")
+      === "2024 International Prize for Biology - N")
+    assert(oib(1).getAs[Int]("start_year") === 2024)
+    assert(oib(1).getAs[Row]("lead_investigator")
+      .getAs[java.sql.Date]("role_start").toString === "2024-01-01")
+    // scheme default + year fallback from source_year on the bare row
+    assert(oib(0).getAs[String]("funder_scheme")
+      === "International Prize for Biology")
+    assert(oib(0).getAs[Int]("end_year") === 1985)
+    assert(oib(0).isNullAt(oib(0).fieldIndex("start_date")))
+
+    val sw = Seq(
+      ("stockholm-water-prize-1991-schindler",
+        "Stockholm Water Prize 1991 - David Schindler",
+        Some("Citation."), None: Option[String], None: Option[String],
+        "individual", Some("David Schindler"), Some("David"),
+        Some("Schindler"), Some("Canada"), Some("1991-01-01"),
+        Some("1991-12-31"), Some("https://swp/1")),
+      ("stockholm-water-prize-1995-wateraid",
+        "Stockholm Water Prize 1995 - WaterAid", None: Option[String],
+        None: Option[String], None: Option[String], "organization",
+        Some("WaterAid"), None: Option[String], None: Option[String],
+        Some("UK"), Some("1995-01-01"), Some("1995-12-31"),
+        Some("https://swp/2")))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "recipient_kind", "name", "given_name",
+        "family_name", "country", "start_date", "end_date",
+        "landing_page_url")
+    val osw = FunderIngest.transform(sw, regFortyOne,
+      FunderConfigs.stockholmWaterPrize, now)
+      .orderBy("funder_award_id").collect()
+    assert(osw.length === 2)
+    assert(osw(0).isNullAt(osw(0).fieldIndex("amount"))) // §6.7 waiver
+    val swl = osw(0).getAs[Row]("lead_investigator")
+    assert(swl.getAs[String]("family_name") === "Schindler")
+    assert(swl.getAs[Row]("affiliation")
+      .isNullAt(swl.getAs[Row]("affiliation").fieldIndex("name")))
+    assert(swl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Canada")
+    val swo = osw(1).getAs[Row]("lead_investigator")
+    assert(swo.isNullAt(swo.fieldIndex("family_name")))
+    assert(swo.getAs[Row]("affiliation").getAs[String]("name")
+      === "WaterAid")
+    assert(osw(1).getAs[Int]("start_year") === 1995)
+
+    val wf = Seq(
+      ("world-food-prize-1987-swaminathan",
+        "World Food Prize 1987 - M.S. Swaminathan", Some("Citation."),
+        Some("500000"), Some("USD"), Some("M.S. Swaminathan"),
+        Some("M.S."), Some("Swaminathan"), Some("1987-01-01"),
+        Some("1987-12-31"), Some("https://wfp/1")),
+      ("world-food-prize-1996-joint", "WFP 1996 - Beachell and Khush",
+        None: Option[String], Some("500000"), Some("USD"), Some(""),
+        None: Option[String], None: Option[String], Some("1996-01-01"),
+        Some("1996-12-31"), None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "currency", "name", "given_name", "family_name", "start_date",
+        "end_date", "landing_page_url")
+    val owf = FunderIngest.transform(wf, regFortyOne,
+      FunderConfigs.worldFoodPrize, now)
+      .orderBy("funder_award_id").collect()
+    assert(owf.length === 2)
+    assert(owf(0).getAs[Double]("amount") === 500000.0)
+    assert(owf(0).getAs[String]("funder_scheme") === "World Food Prize")
+    val wfl = owf(0).getAs[Row]("lead_investigator")
+    assert(wfl.getAs[String]("family_name") === "Swaminathan")
+    assert(wfl.getAs[Row]("affiliation")
+      .isNullAt(wfl.getAs[Row]("affiliation").fieldIndex("name")))
+    // empty-string name keeps the row (filter is IS NOT NULL) but
+    // NULLs the lead, per the reference's CASE
+    assert(owf(1).isNullAt(owf(1).fieldIndex("lead_investigator")))
+    assert(owf(1).getAs[Int]("end_year") === 1996)
+  }
 }
