@@ -10828,4 +10828,245 @@ object FunderConfigs {
       rowFilter = col("funder_award_id").isNotNull &&
         col("name").isNotNull)
   }
+
+  // ---------------------------------------------------------------
+  // Round-14 second tranche: Letten Prize, Royal Society Medals,
+  // TWAS, Ragnar Söderberg, SSF, Shanghai STCSM
+  // ---------------------------------------------------------------
+
+  /** Letten Prize (CreateLettenPrizeAwards.ipynb cell 15, 4
+    * laureates): the LOWERED-TRIMMED native id as mint AND landed
+    * award id, the DERIVED currency — 'NOK' only when the amount
+    * parses (not source-carried), the award date on BOTH ends, the
+    * literal scheme, and an UNCONDITIONAL lead with role_start =
+    * award date. */
+  def lettenPrize: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val ad = d(col("award_date"))
+    val lead = investigator(nzt(col("given_name")),
+      nzt(col("family_name")), lit(null).cast("string"), ad,
+      nzt(col("affiliation")), lit(null).cast("string"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320328141L, provenance = "letten_prize",
+      priority = 176,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, lit("NOK")),
+      fundingType = lit("prize"),
+      funderScheme = lit("Letten Prize"),
+      startDate = ad, endDate = ad,
+      startYear = col("award_year").try_cast("int"),
+      endYear = col("award_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "" &&
+        col("laureate_name").isNotNull &&
+        trim(col("laureate_name")) =!= "")
+  }
+
+  /** Royal Society Medals (CreateRoyalSocietyMedalsAwards.ipynb cell
+    * 15, Copley + Royal Medals winners): the '<prize> <year> -
+    * <name>' display, the citation-else-page-summary description,
+    * the prize-pattern NULL-amount waiver (source_award_amount rides
+    * the normalize but the pages publish none), the prize-name
+    * scheme, year-boundary dates, and a lead with NO affiliation at
+    * all (the Society's role strings are honorifics, not
+    * institutions — they stay in the raw table). */
+  def royalSocietyMedals: FunderIngestConfig = {
+    val yr = col("award_year").try_cast("int")
+    val lead = investigator(nullif(col("given_name"), lit("")),
+      nullif(col("family_name"), lit("")), lit(null).cast("string"),
+      lit(null).cast("date"), lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320320006L, provenance = "royal_society_medals",
+      priority = 71,
+      mintKey = concat(lit("royal-society-medals:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(col("prize_name"), lit(" "),
+        yr.cast("string"), lit(" - "), col("laureate_name")),
+      description = coalesce(nullif(col("citation"), lit("")),
+        nullif(col("prize_page_summary"), lit(""))),
+      amount = col("source_award_amount").try_cast("double"),
+      currency = nullif(col("currency"), lit("")),
+      fundingType = lit("prize"),
+      funderScheme = nullif(col("prize_name"), lit("")),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        col("laureate_name").isNotNull)
+  }
+
+  /** TWAS Awards (CreateTWASAwards.ipynb cell 14): the
+    * '<year> <award name> - <laureate>' display over NULLIF-trimmed
+    * norms, the citation-else-description cascade, per-laureate
+    * shared-prize USD from 2012-onward announcement pages (older
+    * rows NULL under the prize waiver), a lead carrying BOTH the
+    * affiliation-or-context name and the country-or-nationality, and
+    * a row screen that also requires the award FIELD. */
+  def twas: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val yr = col("award_year").try_cast("int")
+    val lead = investigator(nzt(col("laureate_given_name")),
+      nzt(col("laureate_family_name")), lit(null).cast("string"),
+      lit(null).cast("date"),
+      nzt(col("laureate_affiliation_or_context")),
+      nzt(col("laureate_country_or_nationality")),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320321078L, provenance = "twas_awards",
+      priority = 72,
+      mintKey = concat(lit("twas-awards:"),
+        lower(col("funder_award_id"))),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(yr.cast("string"), lit(" "),
+        nzt(col("award_name")), lit(" - "),
+        nzt(col("laureate_name"))),
+      description = coalesce(nzt(col("citation")),
+        nzt(col("description"))),
+      amount = col("amount_per_laureate").try_cast("double"),
+      currency = nzt(col("currency")),
+      fundingType = lit("prize"),
+      funderScheme = nzt(col("award_name")),
+      startDate = d(concat(yr.cast("string"), lit("-01-01"))),
+      endDate = d(concat(yr.cast("string"), lit("-12-31"))),
+      startYear = yr, endYear = yr,
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull && yr.isNotNull &&
+        nullif(trim(col("award_name")), lit("")).isNotNull &&
+        nullif(trim(col("award_field")), lit("")).isNotNull &&
+        nullif(trim(col("laureate_name")), lit("")).isNotNull)
+  }
+
+  /** Ragnar Söderberg Foundation (CreateRagnarSoderbergAwards.ipynb
+    * cell 7, 97 grantee profiles): Swedish-language titles as-is,
+    * DECIMAL(18,2) SEK, the Jan-1 start-year date with NO end
+    * coverage, a PI-family-gated 'Sweden' lead, NULL works_api_url,
+    * and NO row screen. */
+  def ragnarSoderberg: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Sweden"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320309816L, provenance = "ragnar_soderberg",
+      priority = 326,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("SEK"),
+      fundingType = lit("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** SSF / Swedish Foundation for Strategic Research
+    * (CreateSSFAwards.ipynb cell 7): the research-AREA-as-description
+    * quirk, DECIMAL(18,2) SEK, 'research' (not 'grant') funding
+    * type, full source dates with the 1980-2030-banded start year
+    * against an UNBANDED date-derived end year, NO investigator
+    * slots at all, NULL landing AND works_api_url, no row screen. */
+  def ssf: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val ed = d(col("end_date"))
+    FunderIngestConfig(
+      funderId = 4320320940L, provenance = "ssf", priority = 267,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("research_area"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("SEK"),
+      fundingType = lit("research"),
+      funderScheme = col("programme"),
+      startDate = d(col("start_date")), endDate = ed,
+      startYear = when(sy.between(1980, 2030), sy),
+      endYear = year(ed),
+      leadInvestigator = nullInvestigator,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Shanghai STCSM basic-research rosters
+    * (CreateShanghaiSTCSMAwards.ipynb cell 9) — the non-NSF STCSM
+    * programmes, distinct from the shanghaiNsf roster slice: the
+    * id-else-(title|institution) synthetic mint, the Chinese
+    * programme LIKE cascade (青年/博士/启明星/扬帆 fellowships,
+    * 重大/重点/联合基金 research), §6.7 NULL amounts, Jan-1
+    * start-year dates, and the NSFC-precedent full-name-in-family
+    * lead gated on PI OR institution presence with 'China'. */
+  def shanghaiStcsm: FunderIngestConfig = {
+    val mint = coalesce(
+      nullif(lower(trim(col("funder_award_id"))), lit("")),
+      concat(lower(trim(col("display_name"))), lit("|"),
+        lower(trim(coalesce(col("institution"), lit(""))))))
+    val sy = col("start_year").try_cast("int")
+    val fundingType = likeCascade(col("funder_scheme"), Seq(
+      "杰出青年" -> "fellowship", "优秀青年" -> "fellowship",
+      "青年" -> "fellowship", "博士" -> "fellowship",
+      "启明星" -> "fellowship", "扬帆" -> "fellowship",
+      "重大" -> "research", "重点" -> "research",
+      "联合基金" -> "research"), "grant")
+    val lead = when(
+      (col("lead_family_name").isNotNull &&
+        trim(col("lead_family_name")) =!= "") ||
+      (col("institution").isNotNull && trim(col("institution")) =!= ""),
+      investigator(lit(null).cast("string"),
+        nullif(trim(col("lead_family_name")), lit("")),
+        lit(null).cast("string"), lit(null).cast("date"),
+        nullif(trim(col("institution")), lit("")), lit("China"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321885L, provenance = "shanghai_stcsm",
+      priority = 449,
+      mintKey = mint,
+      funderAwardId = nullif(trim(col("funder_award_id")), lit("")),
+      displayName = col("display_name"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = fundingType,
+      funderScheme = nullif(trim(col("funder_scheme")), lit("")),
+      startDate = when(sy.isNotNull,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
 }

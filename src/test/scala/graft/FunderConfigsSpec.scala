@@ -7922,4 +7922,187 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(owf(1).isNullAt(owf(1).fieldIndex("lead_investigator")))
     assert(owf(1).getAs[Int]("end_year") === 1996)
   }
+
+  // 4320320006 (Royal Society) already rides an earlier reg tranche
+  // via the Royal Society grants config.
+  private def regFortyTwo = regFortyOne.unionByName(Seq(
+    (4320328141L, "Letten Foundation", "r-lt", "d-lt"),
+    (4320321078L, "The World Academy of Sciences", "r-tw", "d-tw"),
+    (4320309816L, "Ragnar Söderberg Foundation", "r-rg", "d-rg"),
+    (4320320940L, "Swedish Foundation for Strategic Research", "r-sf",
+      "d-sf"),
+    (4320321885L,
+      "Science and Technology Commission of Shanghai Municipality",
+      "r-sh", "d-sh"))
+    .toDF(reg.columns: _*))
+
+  test("Letten / Royal Society Medals / TWAS / Ragnar Söderberg / SSF " +
+    "/ Shanghai STCSM: the parse-derived NOK currency, the " +
+    "no-affiliation medal lead, the award-field row screen, the SEK " +
+    "decimal cards, SSF's banded start year with NO investigator " +
+    "slots, and the STCSM synthetic mint + Chinese cascade") {
+    val lt = Seq(
+      (" LETTEN-2018-A ", " 2018 Letten Prize - Tarunabh Khaitan ",
+        Some(" For legal scholarship. "), Some("2000000"),
+        Some("2018-09-12"), Some("2018"), Some("Tarunabh"),
+        Some("Khaitan"), Some("Oxford"), Some("T. Khaitan"),
+        Some("https://letten/1")),
+      ("LETTEN-2021-B", "2021 Letten Prize - X", None: Option[String],
+        Some("junk"), None: Option[String], Some("2021"),
+        None: Option[String], None: Option[String],
+        None: Option[String], Some("X"), None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "award_date", "award_year", "given_name", "family_name",
+        "affiliation", "laureate_name", "landing_page_url")
+    val olt = FunderIngest.transform(lt, regFortyTwo,
+      FunderConfigs.lettenPrize, now).orderBy("funder_award_id")
+      .collect()
+    assert(olt(0).getAs[String]("funder_award_id") === "letten-2018-a")
+    assert(olt(0).getAs[String]("currency") === "NOK")
+    assert(olt(0).getAs[java.sql.Date]("end_date").toString
+      === "2018-09-12") // award date on BOTH ends
+    assert(olt(0).getAs[Row]("lead_investigator")
+      .getAs[java.sql.Date]("role_start").toString === "2018-09-12")
+    // unparseable amount → NULL amount AND NULL derived currency
+    assert(olt(1).isNullAt(olt(1).fieldIndex("amount")))
+    assert(olt(1).isNullAt(olt(1).fieldIndex("currency")))
+    assert(olt(1).getAs[String]("funder_scheme") === "Letten Prize")
+
+    val rs = Seq(
+      ("rsm-copley-1905", "Copley Medal", "1905",
+        Some("For researches."), Some("Copley page summary"),
+        Some("Dmitri Mendeleev"), Some("Dmitri"), Some("Mendeleev"),
+        None: Option[String], None: Option[String],
+        Some("https://rs/copley")))
+      .toDF("funder_award_id", "prize_name", "award_year", "citation",
+        "prize_page_summary", "laureate_name", "given_name",
+        "family_name", "source_award_amount", "currency",
+        "landing_page_url")
+    val ors = FunderIngest.transform(rs, regFortyTwo,
+      FunderConfigs.royalSocietyMedals, now).collect()
+    assert(ors.head.getAs[String]("display_name")
+      === "Copley Medal 1905 - Dmitri Mendeleev")
+    assert(ors.head.getAs[String]("description") === "For researches.")
+    val rsl = ors.head.getAs[Row]("lead_investigator")
+    assert(rsl.getAs[String]("family_name") === "Mendeleev")
+    assert(rsl.getAs[Row]("affiliation")
+      .isNullAt(rsl.getAs[Row]("affiliation").fieldIndex("name")))
+    assert(ors.head.isNullAt(ors.head.fieldIndex("amount")))
+
+    val tw = Seq(
+      ("twas-2024-chem-1", "2024", " TWAS Award in Chemistry ",
+        Some(" Chemistry "), Some(" For catalysis. "),
+        None: Option[String], " Jane Roe ", Some("Jane"), Some("Roe"),
+        Some(" Univ of Lagos "), Some(" Nigeria "), Some("20000"),
+        Some(" USD "), Some("https://twas/1")),
+      ("twas-bad", "2024", "TWAS Award", None: Option[String],
+        None: Option[String], None: Option[String], "X",
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String])) // NULL award field dropped
+      .toDF("funder_award_id", "award_year", "award_name",
+        "award_field", "citation", "description", "laureate_name",
+        "laureate_given_name", "laureate_family_name",
+        "laureate_affiliation_or_context",
+        "laureate_country_or_nationality", "amount_per_laureate",
+        "currency", "landing_page_url")
+    val otw = FunderIngest.transform(tw, regFortyTwo,
+      FunderConfigs.twas, now).collect()
+    assert(otw.length === 1)
+    assert(otw.head.getAs[String]("display_name")
+      === "2024 TWAS Award in Chemistry - Jane Roe")
+    assert(otw.head.getAs[Double]("amount") === 20000.0)
+    assert(otw.head.getAs[String]("currency") === "USD")
+    val twl = otw.head.getAs[Row]("lead_investigator")
+    assert(twl.getAs[Row]("affiliation").getAs[String]("name")
+      === "Univ of Lagos")
+    assert(twl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Nigeria")
+
+    val rg = Seq(
+      ("RS-2015-1", Some("Medicinsk forskning"), Some("Svensk abstrakt"),
+        Some("6700000"), Some("Fellowship"), Some("2015"), Some("Anna"),
+        Some("Berg"), Some("Lund University"), Some("https://rg/1")),
+      ("RS-2020-2", Some("T"), None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "funder_scheme", "start_year", "pi_given", "pi_family",
+        "institution", "landing_page_url")
+    val org2 = FunderIngest.transform(rg, regFortyTwo,
+      FunderConfigs.ragnarSoderberg, now).orderBy("funder_award_id")
+      .collect()
+    assert(org2.length === 2) // no row screen
+    assert(org2(0).getAs[String]("currency") === "SEK")
+    assert(org2(0).getAs[java.math.BigDecimal]("amount")
+      .doubleValue === 6700000.0)
+    assert(org2(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "Sweden")
+    assert(org2(0).isNullAt(org2(0).fieldIndex("works_api_url")))
+    assert(org2(1).isNullAt(org2(1).fieldIndex("lead_investigator")))
+    assert(org2(1).isNullAt(org2(1).fieldIndex("start_date")))
+
+    val sf = Seq(
+      ("SSF-FFL15", Some("Future leaders"), Some("Materials"),
+        Some("12000000"), Some("FFL"), Some("2016-01-01"),
+        Some("2021-06-30"), Some("2016")),
+      ("SSF-OLD", Some("Legacy"), None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], Some("2034-12-31"), Some("1902")))
+      .toDF("funder_award_id", "title", "research_area", "amount",
+        "programme", "start_date", "end_date", "start_year")
+    val osf3 = FunderIngest.transform(sf, regFortyTwo,
+      FunderConfigs.ssf, now).orderBy("funder_award_id").collect()
+    assert(osf3(0).getAs[String]("funding_type") === "research")
+    assert(osf3(0).getAs[String]("description") === "Materials")
+    assert(osf3(0).getAs[Int]("start_year") === 2016)
+    assert(osf3(0).getAs[Int]("end_year") === 2021)
+    assert(osf3(0).isNullAt(osf3(0).fieldIndex("lead_investigator")))
+    assert(osf3(0).isNullAt(osf3(0).fieldIndex("landing_page_url")))
+    // 1902 outside 1980..2030 → NULL start year; end year UNBANDED
+    assert(osf3(1).isNullAt(osf3(1).fieldIndex("start_year")))
+    assert(osf3(1).getAs[Int]("end_year") === 2034)
+
+    val sh = Seq(
+      (Some("24JC1400000"), "脑科学重点项目", Some("重点项目"),
+        Some("2024"), Some("王伟"), Some("复旦大学"),
+        Some("https://stcsm/1")),
+      (None: Option[String], "扬帆计划项目A", Some("扬帆计划"),
+        Some("2023"), None: Option[String], Some("上海交通大学"),
+        None: Option[String]),
+      (None: Option[String], "无主体项目", None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "funder_scheme",
+        "start_year", "lead_family_name", "institution",
+        "landing_page_url")
+    val osh = FunderIngest.transform(sh, regFortyTwo,
+      FunderConfigs.shanghaiStcsm, now).orderBy("display_name")
+      .collect()
+    assert(osh.length === 3)
+    val byName = osh.map(r => r.getAs[String]("display_name") -> r).toMap
+    assert(byName("脑科学重点项目").getAs[String]("funding_type")
+      === "research")
+    assert(byName("扬帆计划项目A").getAs[String]("funding_type")
+      === "fellowship")
+    assert(byName("无主体项目").getAs[String]("funding_type") === "grant")
+    // synthetic (title|institution) mint on the id-less rows: distinct
+    assert(osh.map(_.getAs[Long]("id")).distinct.length === 3)
+    assert(byName("脑科学重点项目").getAs[String]("funder_award_id")
+      === "24JC1400000")
+    assert(byName("扬帆计划项目A")
+      .isNullAt(byName("扬帆计划项目A").fieldIndex("funder_award_id")))
+    // institution-only row still gets the China lead
+    val shl = byName("扬帆计划项目A").getAs[Row]("lead_investigator")
+    assert(shl.isNullAt(shl.fieldIndex("family_name")))
+    assert(shl.getAs[Row]("affiliation").getAs[String]("name")
+      === "上海交通大学")
+    assert(shl.getAs[Row]("affiliation").getAs[String]("country")
+      === "China")
+    assert(byName("无主体项目")
+      .isNullAt(byName("无主体项目").fieldIndex("lead_investigator")))
+  }
 }
