@@ -11069,4 +11069,238 @@ object FunderConfigs {
       rowFilter = col("display_name").isNotNull &&
         trim(col("display_name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-14 third tranche: the Pew pair, Prostate Cancer UK, RNID,
+  // Radcliffe, RZS NSW
+  // ---------------------------------------------------------------
+
+  /** Pew Biomedical Scholars via the scraped JSON list
+    * (CreatePewBiomedAwards.ipynb cell 7, ~819 scholars): the thin
+    * scrape card — NULL DECIMAL amount (§6.7 career-fellowship
+    * waiver), 'fellowship', a PI-family-gated 'United States' lead,
+    * Jan-1 start-year date with NO end coverage, NULL works_api_url,
+    * no row screen. */
+  def pewBiomed: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United States"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306148L, provenance = "pew_biomed",
+      priority = 328,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Pew Biomedical Scholars via the official Sitecore directory
+    * (CreatePewBiomedicalScholarsAwards.ipynb cell 12) — a SECOND
+    * provenance slice on the same Pew funder: the four-year award
+    * window (end_year = award year + 3 against source-carried
+    * dates), the literal scheme, a full-name-gated lead with
+    * role_start = start and NO country, and a profile-URL landing. */
+  def pewBiomedicalScholars: FunderIngestConfig = {
+    val sd = d(col("start_date"))
+    val yr = col("award_year").try_cast("int")
+    val lead = when(col("full_name").isNull || col("full_name") === "",
+        nullInvestigator)
+      .otherwise(investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), sd, col("institution"),
+        lit(null).cast("string"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320306148L,
+      provenance = "pew_biomedical_scholars_directory", priority = 97,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit("Pew Biomedical Scholars"),
+      startDate = sd, endDate = d(col("end_date")),
+      startYear = yr, endYear = yr + lit(3),
+      leadInvestigator = lead,
+      landingPageUrl = col("profile_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("full_name").isNotNull && col("award_year").isNotNull)
+  }
+
+  /** Prostate Cancer UK (CreateProstateCancerUKAwards.ipynb cell 7):
+    * DECIMAL GBP, NULL description/scheme, the 1990-2030-banded
+    * start date AND year against a 1990-2035-banded end year
+    * (asymmetric bands), a PI-family-gated 'United Kingdom' lead,
+    * NULL works_api_url, no row screen. */
+  def prostateCancerUk: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val inBand = sy.between(1990, 2030)
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320292L, provenance = "prostate_cancer_uk",
+      priority = 275,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = when(inBand,
+        d(concat(col("start_year"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = when(inBand, sy),
+      endYear = when(ey.between(1990, 2035), ey),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** RNID / Action on Hearing Loss (CreateRNIDAwards.ipynb cell 7,
+    * 81 projects): the ROR-bearing record of the registry's 3-way
+    * RNID duplicate set, theme-as-scheme, §6.7 NULL DECIMAL amounts,
+    * year_awarded as the ONLY temporal coverage (no dates at all),
+    * and a PI-family-gated lead whose country stays NULL because the
+    * grantee institutions are international. */
+  def rnid: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320250L, provenance = "rnid", priority = 315,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("decimal(18,2)"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("grant"),
+      funderScheme = col("theme"),
+      startDate = lit(null).cast("date"),
+      endDate = lit(null).cast("date"),
+      startYear = col("year_awarded").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Radcliffe Fellowship (CreateRadcliffeAwards.ipynb cell 12,
+    * ~50/year): the 'Radcliffe Fellowship - <name> (<year>)' display
+    * whose year suffix collapses to '' (not NULL) when the cohort
+    * year is missing, §6.7 fellowship waiver, start_year as the only
+    * coverage, an either-name-gated lead with an all-NULL
+    * affiliation, and an id-only row screen. */
+  def radcliffe: FunderIngestConfig = {
+    val lead = when(col("family_name").isNotNull ||
+        col("given_name").isNotNull,
+      investigator(col("given_name"), col("family_name"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320332388L, provenance = "radcliffe_fellowship",
+      priority = 165,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = concat(lit("Radcliffe Fellowship - "),
+        col("fellow_name"),
+        when(col("start_year").isNotNull,
+          concat(lit(" ("), col("start_year"), lit(")")))
+          .otherwise(lit(""))),
+      description = lit(null).cast("string"),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = lit("fellowship"),
+      funderScheme = lit(null).cast("string"),
+      startDate = lit(null).cast("date"),
+      endDate = lit(null).cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** RZS NSW research grants
+    * (CreateRZSNSWResearchGrantsAwards.ipynb cell 18, 82 Paddy
+    * Pallin + Ethel Mary Read rows): source-carried funding_type and
+    * scheme, §6.7 NULL amounts (the society publishes caps, not
+    * per-recipient values), the LOWERED-TRIMMED native id landed as
+    * the award id, Jan-1/Dec-31 year-boundary coverage that the
+    * future-year gate (award_year > current+1) NULLs on dates,
+    * years, AND the lead's role_start — while the UNCONDITIONAL lead
+    * itself survives — plus a source DOI passthrough. */
+  def rzsnsw(currentYear: Int): FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val nid = lower(trim(col("funder_award_id")))
+    val yr = col("award_year").try_cast("int")
+    // CASE-faithful future gate: a NULL year falls to the ELSE arm
+    // (where the derived value is NULL anyway), never the NULL trap
+    // of `when(!future, …)` three-valued logic.
+    val future = yr > currentYear + 1
+    val sd = when(future, lit(null).cast("date"))
+      .otherwise(d(concat(col("award_year"), lit("-01-01"))))
+    val ed = when(future, lit(null).cast("date"))
+      .otherwise(d(concat(col("award_year"), lit("-12-31"))))
+    val lead = investigator(nzt(col("given_name")),
+      nzt(col("family_name")), lit(null).cast("string"), sd,
+      nzt(col("affiliation")), nzt(col("country")),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320331891L, provenance = "rzsnsw_research_grants",
+      priority = 182,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = col("amount").try_cast("double"),
+      currency = nzt(col("currency")),
+      fundingType = nzt(col("funding_type")),
+      funderScheme = nzt(col("funder_scheme")),
+      startDate = sd, endDate = ed,
+      startYear = when(future, lit(null).cast("int")).otherwise(yr),
+      endYear = when(future, lit(null).cast("int")).otherwise(yr),
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = nzt(col("doi")),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "" &&
+        col("recipient_name").isNotNull &&
+        trim(col("recipient_name")) =!= "")
+  }
 }
