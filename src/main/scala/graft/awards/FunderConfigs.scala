@@ -11303,4 +11303,211 @@ object FunderConfigs {
         col("recipient_name").isNotNull &&
         trim(col("recipient_name")) =!= "")
   }
+
+  // ---------------------------------------------------------------
+  // Round-14 fourth tranche (medical-charity cards): Shriners,
+  // Sparks, Stroke Association, Tenovus, Tourettes Action, Versus
+  // Arthritis
+  // ---------------------------------------------------------------
+
+  /** Shriners Hospitals for Children (CreateShrinersAwards.ipynb
+    * cell 7, ~93 grants): MM/dd/yyyy source dates with date-derived
+    * years, a SOURCE-carried ORCID on the lead (rare among the
+    * charity cards), the ILIKE hospital-site country inference
+    * (Canada/Mexico/else US), the program scheme, DECIMAL USD. */
+  def shriners: FunderIngestConfig = {
+    def md(c: Column) = to_date(try_to_timestamp(c, lit("MM/dd/yyyy")))
+    val sd = md(col("start_date_raw")); val ed = md(col("end_date_raw"))
+    val country = when(col("institution").ilike("%Canada%"), "Canada")
+      .when(col("institution").ilike("%Mexico%"), "Mexico")
+      .otherwise("United States")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"), col("orcid"),
+        lit(null).cast("date"), col("institution"), country,
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320313002L, provenance = "shriners", priority = 287,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("USD"),
+      fundingType = lit("grant"),
+      funderScheme = col("program"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Sparks / GOSH Charity national calls (CreateSparksAwards.ipynb
+    * cell 7, 66 grants): the call-as-scheme quirk, GBP, year_awarded
+    * as the only coverage, a PI-family-gated 'United Kingdom'
+    * lead. */
+  def sparks: FunderIngestConfig = {
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320345L, provenance = "sparks", priority = 291,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("call"),
+      startDate = lit(null).cast("date"),
+      endDate = lit(null).cast("date"),
+      startYear = col("year_awarded").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Stroke Association UK (CreateStrokeAssociationAwards.ipynb
+    * cell 7, ~127 projects): the 'N/A'-literal id NULLIF with the
+    * page-slug fallback (feeding mint AND landed id), the
+    * zero-amount→NULL screen, weekday-prefix-stripped 'd MMMM yyyy'
+    * dates, year_awarded start year against a date-derived end year,
+    * research-area scheme, and 'N/A' NULLIFs across the lead. */
+  def strokeAssociation: FunderIngestConfig = {
+    def dmy(c: Column) = to_date(try_to_timestamp(
+      regexp_replace(c, "^[A-Za-z]+ ", ""), lit("d MMMM yyyy")))
+    val nid = coalesce(nullif(col("funder_award_id"), lit("N/A")),
+      col("slug"))
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val ed = dmy(col("end_date_raw"))
+    val lead = when(nullif(col("pi_family"), lit("N/A")).isNotNull,
+      investigator(nullif(col("pi_given"), lit("N/A")),
+        nullif(col("pi_family"), lit("N/A")), lit(null).cast("string"),
+        lit(null).cast("date"), nullif(col("institution"), lit("N/A")),
+        lit("United Kingdom"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320068L, provenance = "stroke_association",
+      priority = 239,
+      mintKey = lower(nid),
+      funderAwardId = nid,
+      displayName = col("title"),
+      description = col("description"),
+      amount = when(amt === 0, lit(null).cast("decimal(18,2)"))
+        .otherwise(amt),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("research_area"),
+      startDate = dmy(col("start_date_raw")), endDate = ed,
+      startYear = col("year_awarded").try_cast("int"),
+      endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Tenovus Cancer Care (CreateTenovusAwards.ipynb cell 7): GBP,
+    * programme scheme, a full start DATE but banded START/END years
+    * (1980-2030 / 1980-2035) with NO end date, PI-gated UK lead. */
+  def tenovus: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val ey = col("end_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320320264L, provenance = "tenovus", priority = 265,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("programme"),
+      startDate = d(col("start_date")),
+      endDate = lit(null).cast("date"),
+      startYear = when(sy.between(1980, 2030), sy),
+      endYear = when(ey.between(1980, 2035), ey),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Tourettes Action (CreateTourettesAwards.ipynb cell 7):
+    * 'research' (not 'grant') funding type with a NULL scheme, GBP,
+    * the Jan-1 start-year date, PI-gated UK lead. */
+  def tourettes: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320312907L, provenance = "tourettes", priority = 336,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("research"),
+      funderScheme = lit(null).cast("string"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Versus Arthritis (CreateVersusArthritisAwards.ipynb cell 7, 61
+    * projects): 'd MMMM yyyy' start dates (the 11 'TBC'-id rows ride
+    * slug-fallback ids minted UPSTREAM in the raw, so the config
+    * sees a single id column), the date-derived start year with NO
+    * end coverage, scheme passthrough, PI-gated UK lead. */
+  def versusArthritis: FunderIngestConfig = {
+    val sd = to_date(try_to_timestamp(col("start_date_raw"),
+      lit("d MMMM yyyy")))
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("United Kingdom"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320327444L, provenance = "versus_arthritis",
+      priority = 313,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("GBP"),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = lit(null).cast("date"),
+      startYear = year(sd), endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

@@ -8270,4 +8270,131 @@ class FunderConfigsSpec extends AnyFunSuite {
     assert(ny.getAs[Row]("lead_investigator")
       .getAs[String]("family_name") === "D")
   }
+
+  private def regFortyFour = regFortyThree.unionByName(Seq(
+    (4320313002L, "Shriners Hospitals for Children", "r-shr", "d-shr"),
+    (4320320345L, "Sparks", "r-spk", "d-spk"),
+    (4320320068L, "Stroke Association", "r-str", "d-str"),
+    (4320320264L, "Tenovus Cancer Care", "r-ten", "d-ten"),
+    (4320312907L, "Tourettes Action", "r-tou", "d-tou"),
+    (4320327444L, "Versus Arthritis", "r-va", "d-va"))
+    .toDF(reg.columns: _*))
+
+  test("Shriners / Sparks / Stroke Association / Tenovus / Tourettes " +
+    "/ Versus Arthritis: MM/dd/yyyy dates with the hospital-site " +
+    "country ILIKE and a source ORCID, the N/A-id slug fallback with " +
+    "the zero-amount screen and weekday-stripped d-MMMM-yyyy dates, " +
+    "banded Tenovus years, and the research-typed Tourettes card") {
+    val sh2 = Seq(
+      ("SHC-85410", Some("Burn scar biology"), Some("D"),
+        Some("Regenerative Medicine"), Some("171000.50"),
+        Some("07/01/2023"), Some("06/30/2026"), Some("Ravi"),
+        Some("Kumar"), Some("0000-0001-2345-6789"),
+        Some("Shriners Hospitals for Children Canada"),
+        Some("https://shc/1")))
+      .toDF("funder_award_id", "title", "description", "program",
+        "amount", "start_date_raw", "end_date_raw", "pi_given",
+        "pi_family", "orcid", "institution", "landing_page_url")
+    val osh2 = FunderIngest.transform(sh2, regFortyFour,
+      FunderConfigs.shriners, now).collect()
+    assert(osh2.head.getAs[java.sql.Date]("start_date").toString
+      === "2023-07-01")
+    assert(osh2.head.getAs[Int]("end_year") === 2026)
+    assert(osh2.head.getAs[String]("currency") === "USD")
+    val shl2 = osh2.head.getAs[Row]("lead_investigator")
+    assert(shl2.getAs[String]("orcid") === "0000-0001-2345-6789")
+    assert(shl2.getAs[Row]("affiliation").getAs[String]("country")
+      === "Canada")
+
+    val sp = Seq(
+      ("SPK-2018-04", Some("Gene therapy for SMA"), Some("150000"),
+        Some("GOSH Charity and Sparks National Call 2018-19"),
+        Some("2018"), Some("Pia"), Some("Ostergaard"), Some("SGUL"),
+        Some("https://sparks/1")))
+      .toDF("funder_award_id", "title", "amount", "call",
+        "year_awarded", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val osp = FunderIngest.transform(sp, regFortyFour,
+      FunderConfigs.sparks, now).collect()
+    assert(osp.head.getAs[String]("funder_scheme")
+      === "GOSH Charity and Sparks National Call 2018-19")
+    assert(osp.head.getAs[Int]("start_year") === 2018)
+    assert(osp.head.isNullAt(osp.head.fieldIndex("start_date")))
+
+    val st = Seq(
+      ("SA-PG-2019-01", "proj-one", Some("Aphasia tech"), Some("Desc"),
+        Some("Rehabilitation"), Some("240000"),
+        Some("Monday 1 April 2019"), Some("Friday 31 March 2023"),
+        Some("2019"), Some("Jane"), Some("Marshall"), Some("City UL"),
+        Some("https://stroke/1")),
+      ("N/A", "proj-two", Some("Pilot"), None: Option[String],
+        None: Option[String], Some("0"), None: Option[String],
+        None: Option[String], Some("2021"), Some("N/A"), Some("N/A"),
+        Some("N/A"), None: Option[String]))
+      .toDF("funder_award_id", "slug", "title", "description",
+        "research_area", "amount", "start_date_raw", "end_date_raw",
+        "year_awarded", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val ost = FunderIngest.transform(st, regFortyFour,
+      FunderConfigs.strokeAssociation, now)
+      .orderBy("funder_award_id").collect()
+    val okSt = ost.find(_.getAs[String]("funder_award_id")
+      === "SA-PG-2019-01").get
+    assert(okSt.getAs[java.sql.Date]("start_date").toString
+      === "2019-04-01") // weekday prefix stripped
+    assert(okSt.getAs[Int]("end_year") === 2023)
+    assert(okSt.getAs[Int]("start_year") === 2019) // year_awarded
+    // 'N/A' id → slug fallback; zero amount → NULL; N/A PI → no lead
+    val na = ost.find(_.getAs[String]("funder_award_id")
+      === "proj-two").get
+    assert(na.isNullAt(na.fieldIndex("amount")))
+    assert(na.isNullAt(na.fieldIndex("lead_investigator")))
+
+    val te = Seq(
+      ("TEN-1", Some("Lung cancer"), Some("90000"), Some("PhD"),
+        Some("2018-10-01"), Some("2018"), Some("2037"), Some("Ed"),
+        Some("Wise"), Some("Cardiff"), Some("https://ten/1")))
+      .toDF("funder_award_id", "title", "amount", "programme",
+        "start_date", "start_year", "end_year", "pi_given",
+        "pi_family", "institution", "landing_page_url")
+    val ote = FunderIngest.transform(te, regFortyFour,
+      FunderConfigs.tenovus, now).collect()
+    assert(ote.head.getAs[java.sql.Date]("start_date").toString
+      === "2018-10-01")
+    assert(ote.head.getAs[Int]("start_year") === 2018)
+    // 2037 outside 1980..2035 → NULL end year; no end date ever
+    assert(ote.head.isNullAt(ote.head.fieldIndex("end_year")))
+    assert(ote.head.isNullAt(ote.head.fieldIndex("end_date")))
+
+    val to2 = Seq(
+      ("TA-2022", Some("Tic suppression"), Some("25000"), Some("2022"),
+        Some("Seonaid"), Some("Anderson"), Some("Nottingham"),
+        Some("https://ta/1")))
+      .toDF("funder_award_id", "title", "amount", "start_year",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val oto = FunderIngest.transform(to2, regFortyFour,
+      FunderConfigs.tourettes, now).collect()
+    assert(oto.head.getAs[String]("funding_type") === "research")
+    assert(oto.head.isNullAt(oto.head.fieldIndex("funder_scheme")))
+    assert(oto.head.getAs[java.sql.Date]("start_date").toString
+      === "2022-01-01")
+
+    val va = Seq(
+      ("VA-22798", Some("Cartilage repair"), Some("380000"),
+        Some("Research grant"), Some("1 September 2021"),
+        Some("Tonia"), Some("Vincent"), Some("Oxford"),
+        Some("https://va/1")))
+      .toDF("funder_award_id", "title", "amount", "scheme",
+        "start_date_raw", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val ova = FunderIngest.transform(va, regFortyFour,
+      FunderConfigs.versusArthritis, now).collect()
+    assert(ova.head.getAs[java.sql.Date]("start_date").toString
+      === "2021-09-01")
+    assert(ova.head.getAs[Int]("start_year") === 2021)
+    assert(ova.head.isNullAt(ova.head.fieldIndex("end_year")))
+    assert(ova.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country")
+      === "United Kingdom")
+  }
 }
