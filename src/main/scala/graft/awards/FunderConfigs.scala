@@ -11510,4 +11510,238 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-14 fifth tranche: the CAPES pair, Lloyd's Register,
+  // PCAARRD, POGO, Research NB
+  // ---------------------------------------------------------------
+
+  /** CAPES international cooperation
+    * (CreateCAPESCooperationAwards.ipynb cell 17): the
+    * Intl-Biology-style lowered-trimmed native id, the
+    * parse-derived 'BRL' currency (Letten's NOK pattern), 'research'
+    * type with the 'International cooperation' scheme default,
+    * year(date)-else-source-year coverage on BOTH ends, and a
+    * beneficiary-gated lead with the 'BR' ISO country. */
+  def capesCooperation: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val nid = lower(trim(col("funder_award_id")))
+    val amt = col("amount").try_cast("double")
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val lead = when(col("beneficiary_name").isNull ||
+        trim(col("beneficiary_name")) === "", nullInvestigator)
+      .otherwise(investigator(nzt(col("beneficiary_given_name")),
+        nzt(col("beneficiary_family_name")), lit(null).cast("string"),
+        sd, nzt(col("institution_name")), lit("BR"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321091L,
+      provenance = "capes_cooperacao_internacional", priority = 144,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = when(col("description").isNull ||
+        trim(col("description")) === "", lit(null).cast("string"))
+        .otherwise(trim(col("description"))),
+      amount = amt,
+      currency = when(amt.isNotNull, lit("BRL")),
+      fundingType = lit("research"),
+      funderScheme = coalesce(nzt(col("funder_scheme")),
+        lit("International cooperation")),
+      startDate = sd, endDate = ed,
+      startYear = coalesce(year(sd),
+        col("source_year").try_cast("int")),
+      endYear = coalesce(year(ed),
+        col("source_end_year").try_cast("int")),
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** CAPES DRI scholarships (CreateCAPESDRIAwards.ipynb cell 8,
+    * ~35.5K citable process numbers) — the #690 citable-ref
+    * complement to the cooperation slice on the SAME funder: the
+    * title-else-'CAPES DRI grant <id>' display, >0-gated DECIMAL
+    * amount AND source multi-currency, date-derived years, and the
+    * two-tier PI-else-institution 'Brazil' lead. */
+  def capesDri: FunderIngestConfig = {
+    val amt = col("amount").try_cast("decimal(18,2)")
+    val sd = d(col("start_date_raw")); val ed = d(col("end_date_raw"))
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Brazil"), lit(null).cast(affIds)))
+      .when(col("institution").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Brazil"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320321091L, provenance = "capes_dri", priority = 455,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(nullif(trim(col("title")), lit("")),
+        concat(lit("CAPES DRI grant "), col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, col("currency")),
+      fundingType = lit("grant"),
+      funderScheme = col("scheme"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull,
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Lloyd's Register Foundation via 360Giving
+    * (CreateLloydsRegisterAwards.ipynb cell 12): the org-level grant
+    * card — title-else-'Lloyd's Register Foundation grant <id>'
+    * display, >0-gated GBP on amount AND currency, real day-level
+    * planned dates with source-carried years, a recipient-ORG-only
+    * lead with the source-authoritative ISO country, and NULL
+    * landing (360Giving has no per-grant page). */
+  def lloydsRegister: FunderIngestConfig = {
+    val amt = col("amount").try_cast("double")
+    val lead = when(col("recipient_org").isNotNull,
+      investigator(lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("recipient_org"), col("recipient_country_iso"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320310833L, provenance = "lloyds_register_foundation",
+      priority = 157,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = coalesce(col("title"),
+        concat(lit("Lloyd's Register Foundation grant "),
+          col("funder_award_id"))),
+      description = col("description"),
+      amount = when(amt > 0, amt),
+      currency = when(amt > 0, lit("GBP")),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = col("start_date").try_cast("date"),
+      endDate = col("end_date").try_cast("date"),
+      startYear = col("start_year").try_cast("int"),
+      endYear = col("end_year").try_cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = lit(null).cast("string"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull)
+  }
+
+  /** The PCAARRD registry-gap inline funder row
+    * (CreatePCAARRDAwards.ipynb cell 18's literal funder struct —
+    * F4320336119 has no ROR/DOI in the registry the notebook
+    * trusts, so the name is INLINED). */
+  def pcaarrdFunderLookup(spark: SparkSession): DataFrame =
+    FunderIngest.inlineFunders(spark, Seq(
+      (4320336119L, "Philippine Council for Agriculture, Aquatic " +
+        "and Natural Resources Research and Development", None,
+        null)))
+
+  /** DOST-PCAARRD GIA projects (CreatePCAARRDAwards.ipynb cell 18,
+    * ~3.1K deduplicated Transparency Seal rows): the RAW-carried
+    * funder_id resolved per row against [[pcaarrdFunderLookup]] (the
+    * only config whose funder id rides the source), PHP total
+    * project cost, program_title scheme, date-derived years, an
+    * implementing-AGENCY-only lead ('PH') with role_start = start,
+    * and the PDF landing. The raw `declined` passthrough is not
+    * landed. */
+  def pcaarrd: ResolvedFunderIngestConfig = {
+    val sd = d(col("start_date")); val ed = d(col("end_date"))
+    val agency = nullif(trim(col("source_implementing_agency")),
+      lit(""))
+    val lead = when(agency.isNull, nullInvestigator)
+      .otherwise(investigator(lit(null).cast("string"),
+        lit(null).cast("string"), lit(null).cast("string"), sd,
+        agency, lit("PH"), lit(null).cast(affIds)))
+    ResolvedFunderIngestConfig(
+      provenance = "pcaarrd_gia_projects", priority = 160,
+      resolvedFunderId = col("funder_id").try_cast("bigint"),
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("display_name"),
+      description = col("description"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = lit("grant"),
+      funderScheme = col("program_title"),
+      startDate = sd, endDate = ed,
+      startYear = year(sd), endYear = year(ed),
+      leadInvestigator = lead,
+      landingPageUrl = col("source_pdf_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("display_name").isNotNull)
+  }
+
+  /** POGO / Pediatric Oncology Group of Ontario
+    * (CreatePOGOAwards.ipynb cell 7): CAD, NULL scheme, Jan-1
+    * start-year date, and a PI-gated 'Canada' lead with NO
+    * institution name at all (the source publishes none). */
+  def pogo: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        lit(null).cast("string"), lit("Canada"),
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320319937L, provenance = "pogo", priority = 341,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = col("description"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("CAD"),
+      fundingType = lit("grant"),
+      funderScheme = lit(null).cast("string"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
+
+  /** Research NB / New Brunswick Health Research Foundation
+    * (CreateResearchNBAwards.ipynb cell 7): the POGO twin with a
+    * source scheme, an institution-bearing 'Canada' lead, and NULL
+    * description. */
+  def researchNb: FunderIngestConfig = {
+    val sy = col("start_year").try_cast("int")
+    val lead = when(col("pi_family").isNotNull,
+      investigator(col("pi_given"), col("pi_family"),
+        lit(null).cast("string"), lit(null).cast("date"),
+        col("institution"), lit("Canada"), lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320314075L, provenance = "researchnb", priority = 340,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("decimal(18,2)"),
+      currency = lit("CAD"),
+      fundingType = lit("grant"),
+      funderScheme = col("funder_scheme"),
+      startDate = when(sy.isNotNull,
+        d(concat(sy.cast("string"), lit("-01-01")))),
+      endDate = lit(null).cast("date"),
+      startYear = sy, endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = lit(true),
+      worksApiUrl = Some(lit(null).cast("string")))
+  }
 }

@@ -8397,4 +8397,177 @@ class FunderConfigsSpec extends AnyFunSuite {
       .getAs[Row]("affiliation").getAs[String]("country")
       === "United Kingdom")
   }
+
+  private def regFortyFive = regFortyFour.unionByName(Seq(
+    (4320321091L, "CAPES", "r-cap", "d-cap"),
+    (4320310833L, "Lloyd's Register Foundation", "r-llr", "d-llr"),
+    (4320319937L, "Pediatric Oncology Group of Ontario", "r-pg",
+      "d-pg"),
+    (4320314075L, "New Brunswick Health Research Foundation", "r-nb",
+      "d-nb"))
+    .toDF(reg.columns: _*))
+
+  test("CAPES pair / Lloyd's Register / PCAARRD / POGO / Research NB: " +
+    "two CAPES provenance slices (parse-derived BRL vs >0-gated " +
+    "multi-currency with the display fallback), the 360Giving " +
+    "org-level card, the raw-carried-funder-id PCAARRD resolve " +
+    "against its inline lookup, and the Canadian twins") {
+    val cc = Seq(
+      (" 88881.123456/2018-01 ", " Cooperation with MIT ",
+        Some(" Joint project. "), Some("500000"), Some("2018-03-01"),
+        Some("2022-02-28"), None: Option[String],
+        None: Option[String], Some("PrInt"), Some(" Maria Silva "),
+        Some("Maria"), Some("Silva"), Some(" USP "),
+        Some("https://capes/1")),
+      ("88881.654321/2019-02", "No-amount row", None: Option[String],
+        Some("n/a"), None: Option[String], None: Option[String],
+        Some("2019"), Some("2023"), None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description", "amount",
+        "start_date", "end_date", "source_year", "source_end_year",
+        "funder_scheme", "beneficiary_name", "beneficiary_given_name",
+        "beneficiary_family_name", "institution_name",
+        "landing_page_url")
+    val occ = FunderIngest.transform(cc, regFortyFive,
+      FunderConfigs.capesCooperation, now).orderBy("funder_award_id")
+      .collect()
+    assert(occ(0).getAs[String]("funder_award_id")
+      === "88881.123456/2018-01")
+    assert(occ(0).getAs[String]("currency") === "BRL")
+    assert(occ(0).getAs[String]("funding_type") === "research")
+    assert(occ(0).getAs[Int]("start_year") === 2018)
+    assert(occ(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "BR")
+    // unparseable amount → NULL currency; scheme default; year
+    // fallback from source years; NULL beneficiary → NULL lead
+    assert(occ(1).isNullAt(occ(1).fieldIndex("currency")))
+    assert(occ(1).getAs[String]("funder_scheme")
+      === "International cooperation")
+    assert(occ(1).getAs[Int]("end_year") === 2023)
+    assert(occ(1).isNullAt(occ(1).fieldIndex("lead_investigator")))
+
+    val cd = Seq(
+      ("88887.100001/2020-00", Some("Doctoral exchange"), Some("D"),
+        Some("95000.00"), Some("EUR"), Some("PDSE"),
+        Some("2020-09-01"), Some("2021-08-31"), Some("Ana"),
+        Some("Costa"), Some("UFRJ"), Some("https://dri/1")),
+      ("88887.100002/2021-00", None: Option[String],
+        None: Option[String], Some("0"), Some("BRL"),
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], Some("UNICAMP"), None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "currency", "scheme", "start_date_raw", "end_date_raw",
+        "pi_given", "pi_family", "institution", "landing_page_url")
+    val ocd = FunderIngest.transform(cd, regFortyFive,
+      FunderConfigs.capesDri, now).orderBy("funder_award_id").collect()
+    assert(ocd(0).getAs[java.math.BigDecimal]("amount").doubleValue
+      === 95000.0)
+    assert(ocd(0).getAs[String]("currency") === "EUR")
+    assert(ocd(0).getAs[Int]("end_year") === 2021)
+    // zero amount → both NULL; title fallback; inst-only 2nd tier
+    assert(ocd(1).isNullAt(ocd(1).fieldIndex("amount")))
+    assert(ocd(1).isNullAt(ocd(1).fieldIndex("currency")))
+    assert(ocd(1).getAs[String]("display_name")
+      === "CAPES DRI grant 88887.100002/2021-00")
+    val cdl = ocd(1).getAs[Row]("lead_investigator")
+    assert(cdl.isNullAt(cdl.fieldIndex("family_name")))
+    assert(cdl.getAs[Row]("affiliation").getAs[String]("name")
+      === "UNICAMP")
+    // same funder, distinct provenance slices → distinct mints
+    assert(occ(0).getAs[Long]("id") !== ocd(0).getAs[Long]("id"))
+
+    val lr = Seq(
+      ("360G-LloydsRegisterFdn-G0008", Some("Safety research"),
+        Some("D"), Some("250000"), Some("2019-01-15"),
+        Some("2022-01-14"), Some("2019"), Some("2022"),
+        Some("University of York"), Some("GB")),
+      ("360G-LloydsRegisterFdn-G0009", None: Option[String],
+        None: Option[String], Some("0"), None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String]))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "start_date", "end_date", "start_year", "end_year",
+        "recipient_org", "recipient_country_iso")
+    val olr = FunderIngest.transform(lr, regFortyFive,
+      FunderConfigs.lloydsRegister, now).orderBy("funder_award_id")
+      .collect()
+    assert(olr(0).getAs[Double]("amount") === 250000.0)
+    assert(olr(0).getAs[String]("currency") === "GBP")
+    val lrl = olr(0).getAs[Row]("lead_investigator")
+    assert(lrl.isNullAt(lrl.fieldIndex("family_name")))
+    assert(lrl.getAs[Row]("affiliation").getAs[String]("country")
+      === "GB")
+    assert(olr(1).getAs[String]("display_name")
+      === "Lloyd's Register Foundation grant 360G-LloydsRegisterFdn-G0009")
+    assert(olr(1).isNullAt(olr(1).fieldIndex("amount")))
+    assert(olr(1).isNullAt(olr(1).fieldIndex("lead_investigator")))
+
+    val pc2 = Seq(
+      ("4320336119", "GIA-2020-RICE-01", "Rice resilience", Some("D"),
+        Some("Rice R&D Program"), Some("2020-01-01"),
+        Some("2022-12-31"), Some("25000000.50"), Some("PHP"),
+        Some(" PhilRice "), Some("https://pcaarrd/1.pdf")),
+      ("4320336119", "GIA-2021-AQUA-02", "Aqua feed",
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String], Some("  "),
+        None: Option[String]))
+      .toDF("funder_id", "funder_award_id", "display_name",
+        "description", "program_title", "start_date", "end_date",
+        "amount", "currency", "source_implementing_agency",
+        "source_pdf_url")
+    val opc2 = FunderIngest.transformResolved(pc2,
+      FunderConfigs.pcaarrdFunderLookup(spark), FunderConfigs.pcaarrd,
+      now).orderBy("funder_award_id").collect()
+    assert(opc2.length === 2)
+    assert(opc2(0).getAs[Long]("funder_id") === 4320336119L)
+    assert(opc2(0).getAs[Row]("funder").getAs[String]("display_name")
+      .startsWith("Philippine Council for Agriculture"))
+    assert(opc2(0).getAs[Double]("amount") === 2.500000050e7)
+    assert(opc2(0).getAs[Int]("end_year") === 2022)
+    val pcl = opc2(0).getAs[Row]("lead_investigator")
+    assert(pcl.getAs[Row]("affiliation").getAs[String]("name")
+      === "PhilRice")
+    assert(pcl.getAs[Row]("affiliation").getAs[String]("country")
+      === "PH")
+    assert(pcl.getAs[java.sql.Date]("role_start").toString
+      === "2020-01-01")
+    // blank agency → NULL lead
+    assert(opc2(1).isNullAt(opc2(1).fieldIndex("lead_investigator")))
+
+    val pg = Seq(
+      ("POGO-1", Some("Late effects"), Some("D"), Some("50000"),
+        Some("2019"), Some("Paul"), Some("Nathan"),
+        Some("https://pogo/1")))
+      .toDF("funder_award_id", "title", "description", "amount",
+        "start_year", "pi_given", "pi_family", "landing_page_url")
+    val opg = FunderIngest.transform(pg, regFortyFive,
+      FunderConfigs.pogo, now).collect()
+    assert(opg.head.getAs[String]("currency") === "CAD")
+    val pgl = opg.head.getAs[Row]("lead_investigator")
+    assert(pgl.getAs[Row]("affiliation")
+      .isNullAt(pgl.getAs[Row]("affiliation").fieldIndex("name")))
+    assert(pgl.getAs[Row]("affiliation").getAs[String]("country")
+      === "Canada")
+
+    val nb2 = Seq(
+      ("RNB-1", Some("Cardiac care"), Some("75000"),
+        Some("Research grant"), Some("2021"), Some("Keith"),
+        Some("Brunt"), Some("Dalhousie Medicine NB"),
+        Some("https://rnb/1")))
+      .toDF("funder_award_id", "title", "amount", "funder_scheme",
+        "start_year", "pi_given", "pi_family", "institution",
+        "landing_page_url")
+    val onb = FunderIngest.transform(nb2, regFortyFive,
+      FunderConfigs.researchNb, now).collect()
+    assert(onb.head.getAs[String]("funder_scheme") === "Research grant")
+    assert(onb.head.isNullAt(onb.head.fieldIndex("description")))
+    assert(onb.head.getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("name")
+      === "Dalhousie Medicine NB")
+  }
 }
