@@ -11744,4 +11744,93 @@ object FunderConfigs {
       rowFilter = lit(true),
       worksApiUrl = Some(lit(null).cast("string")))
   }
+
+  // ---------------------------------------------------------------
+  // Round-14 sixth tranche (closing the one-off inventory): UGC
+  // Bangladesh ICSETEP, BHF
+  // ---------------------------------------------------------------
+
+  /** UGC Bangladesh ICSETEP R&D Round-1 sub-projects
+    * (CreateUGCBangladeshICSETEPAwards.ipynb cell 16, 20 rows):
+    * lowered-trimmed native id as mint and landed id, §6.7 NULL
+    * amounts (the official PDF publishes none), the
+    * type→'research' and scheme→area→literal-Round-1 cascades,
+    * source_year-only coverage, and an UNCONDITIONAL 'BD' lead. */
+  def ugcBdIcsetep: FunderIngestConfig = {
+    def nzt(c: Column) = nullif(trim(c), lit(""))
+    val nid = lower(trim(col("funder_award_id")))
+    val lead = investigator(nzt(col("pi_given_name")),
+      nzt(col("pi_family_name")), lit(null).cast("string"),
+      lit(null).cast("date"), nzt(col("pi_affiliation")), lit("BD"),
+      lit(null).cast(affIds))
+    FunderIngestConfig(
+      funderId = 4320316035L, provenance = "ugc_bd_icsetep_rdg",
+      priority = 158,
+      mintKey = nid,
+      funderAwardId = nid,
+      displayName = trim(col("display_name")),
+      description = nzt(col("description")),
+      amount = lit(null).cast("double"),
+      currency = lit(null).cast("string"),
+      fundingType = coalesce(nzt(col("funding_type")),
+        lit("research")),
+      funderScheme = coalesce(nzt(col("funder_scheme")),
+        nzt(col("area_label")),
+        lit("ICSETEP Research and Development Grant - Round 1")),
+      startDate = lit(null).cast("date"),
+      endDate = lit(null).cast("date"),
+      startYear = col("source_year").try_cast("int"),
+      endYear = lit(null).cast("int"),
+      leadInvestigator = lead,
+      landingPageUrl = nzt(col("landing_page_url")),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        trim(col("funder_award_id")) =!= "" &&
+        col("display_name").isNotNull &&
+        trim(col("display_name")) =!= "")
+  }
+
+  /** British Heart Foundation annual-report archive
+    * (CreateBHFAwards.ipynb cell 12, ~20 FY PDFs back to 2004/05 —
+    * the pipeline's first multi-era PDF-archive ingest; the
+    * layout-drift parsing lives in the source script, so the
+    * transform is a plain card): source-carried GBP/type/scheme, NO
+    * dates at all (the reports publish only the financial year), the
+    * FY start year with end_year = start + CEIL(duration_months/12)
+    * when both parse, an initials-only family-gated lead whose 'GB'
+    * country NULLs on International-Award schemes (ILIKE), NULL
+    * description, and the id+title row screen. */
+  def bhf: FunderIngestConfig = {
+    val sy = col("report_year_start").try_cast("int")
+    val durYears = ceil(col("duration_months").try_cast("double")
+      / lit(12.0)).cast("int")
+    val country = when(col("funder_scheme").ilike("%International%"),
+      lit(null).cast("string")).otherwise(lit("GB"))
+    val lead = when(col("lead_family_name").isNull ||
+        col("lead_family_name") === "", nullInvestigator)
+      .otherwise(investigator(col("lead_given_name"),
+        col("lead_family_name"), lit(null).cast("string"),
+        lit(null).cast("date"), col("institution"), country,
+        lit(null).cast(affIds)))
+    FunderIngestConfig(
+      funderId = 4320319992L, provenance = "bhf_annual_reports",
+      priority = 395,
+      mintKey = lower(col("funder_award_id")),
+      funderAwardId = col("funder_award_id"),
+      displayName = col("title"),
+      description = lit(null).cast("string"),
+      amount = col("amount").try_cast("double"),
+      currency = col("currency"),
+      fundingType = col("funding_type"),
+      funderScheme = col("funder_scheme"),
+      startDate = lit(null).cast("date"),
+      endDate = lit(null).cast("date"),
+      startYear = sy,
+      endYear = when(sy.isNotNull && durYears.isNotNull, sy + durYears),
+      leadInvestigator = lead,
+      landingPageUrl = col("landing_page_url"),
+      doi = lit(null).cast("string"),
+      rowFilter = col("funder_award_id").isNotNull &&
+        col("title").isNotNull)
+  }
 }

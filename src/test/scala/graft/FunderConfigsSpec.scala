@@ -8570,4 +8570,90 @@ class FunderConfigsSpec extends AnyFunSuite {
       .getAs[Row]("affiliation").getAs[String]("name")
       === "Dalhousie Medicine NB")
   }
+
+  private def regFortySix = regFortyFive.unionByName(Seq(
+    (4320316035L, "University Grants Commission of Bangladesh",
+      "r-ugc", "d-ugc"),
+    (4320319992L, "British Heart Foundation", "r-bhf", "d-bhf"))
+    .toDF(reg.columns: _*))
+
+  test("UGC Bangladesh ICSETEP / BHF: the type/scheme cascades with " +
+    "the Round-1 literal floor, and the BHF FY card — duration-month " +
+    "CEIL end year, the International-scheme country NULL, " +
+    "initials-only leads, no dates at all") {
+    val ug = Seq(
+      (" ICSETEP-R1-07 ", " Solar microgrid stability ",
+        Some(" Focus area desc. "), None: Option[String],
+        None: Option[String], Some(" Renewable Energy "), Some("2025"),
+        Some("Md"), Some("Rahman"), Some(" BUET "),
+        Some("https://ugc/1")),
+      ("ICSETEP-R1-08", "Bare row", None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "display_name", "description",
+        "funding_type", "funder_scheme", "area_label", "source_year",
+        "pi_given_name", "pi_family_name", "pi_affiliation",
+        "landing_page_url")
+    val oug = FunderIngest.transform(ug, regFortySix,
+      FunderConfigs.ugcBdIcsetep, now).orderBy("funder_award_id")
+      .collect()
+    assert(oug(0).getAs[String]("funder_award_id") === "icsetep-r1-07")
+    assert(oug(0).getAs[String]("funding_type") === "research")
+    // NULL scheme → area_label tier of the cascade
+    assert(oug(0).getAs[String]("funder_scheme") === "Renewable Energy")
+    assert(oug(0).getAs[Int]("start_year") === 2025)
+    assert(oug(0).getAs[Row]("lead_investigator")
+      .getAs[Row]("affiliation").getAs[String]("country") === "BD")
+    // all-NULL scheme AND area → the literal Round-1 floor
+    assert(oug(1).getAs[String]("funder_scheme")
+      === "ICSETEP Research and Development Grant - Round 1")
+    assert(oug(1).isNullAt(oug(1).fieldIndex("amount")))
+
+    val bh = Seq(
+      ("PG/19/55/34545", Some("Atrial fibrillation mechanisms"),
+        Some("298000"), Some("GBP"), Some("research"),
+        Some("Project Grants"), Some("2019"), Some("36"), Some("H F"),
+        Some("Jorgensen"), Some("University of Cambridge"),
+        Some("https://bhf/previous-awards")),
+      ("IA/21/1/1", Some("Global cardio study"), Some("500000"),
+        Some("GBP"), Some("research"), Some("International Awards"),
+        Some("2021"), None: Option[String], Some("A"), Some("Roy"),
+        Some("AIIMS Delhi"), None: Option[String]),
+      ("FS/20/2/2", Some("CRTF project"), None: Option[String],
+        None: Option[String], Some("fellowship"),
+        Some("Clinical Research Training Fellowships"),
+        None: Option[String], Some("30"), None: Option[String],
+        Some(""), None: Option[String], None: Option[String]))
+      .toDF("funder_award_id", "title", "amount", "currency",
+        "funding_type", "funder_scheme", "report_year_start",
+        "duration_months", "lead_given_name", "lead_family_name",
+        "institution", "landing_page_url")
+    val obh = FunderIngest.transform(bh, regFortySix,
+      FunderConfigs.bhf, now).orderBy("funder_award_id").collect()
+    assert(obh.length === 3)
+    val byBhf = obh.map(r => r.getAs[String]("funder_award_id") -> r)
+      .toMap
+    val pg2 = byBhf("PG/19/55/34545")
+    assert(pg2.getAs[Int]("start_year") === 2019)
+    assert(pg2.getAs[Int]("end_year") === 2022) // 2019 + ceil(36/12)
+    assert(pg2.isNullAt(pg2.fieldIndex("start_date"))) // never dated
+    val bhl = pg2.getAs[Row]("lead_investigator")
+    assert(bhl.getAs[String]("given_name") === "H F")
+    assert(bhl.getAs[Row]("affiliation").getAs[String]("country")
+      === "GB")
+    // International scheme → country NULL, institution kept
+    val ia = byBhf("IA/21/1/1")
+    val ial = ia.getAs[Row]("lead_investigator")
+    assert(ial.getAs[Row]("affiliation")
+      .isNullAt(ial.getAs[Row]("affiliation").fieldIndex("country")))
+    assert(ial.getAs[Row]("affiliation").getAs[String]("name")
+      === "AIIMS Delhi")
+    assert(ia.isNullAt(ia.fieldIndex("end_year"))) // no duration
+    // empty family name → NULL lead; NULL year + duration → NULL end
+    val fs = byBhf("FS/20/2/2")
+    assert(fs.isNullAt(fs.fieldIndex("lead_investigator")))
+    assert(fs.isNullAt(fs.fieldIndex("end_year")))
+  }
 }
