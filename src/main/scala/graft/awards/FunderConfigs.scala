@@ -358,9 +358,16 @@ object FunderConfigs {
     col("assistance_type_code").isin("02", "03", "04", "05")
 
   /** EVERY USAspending federal subtier config — one per
-    * `Create<Agency>Awards.ipynb` in the family, (funder_id,
-    * provenance, priority) transcribed from its notebook's funder CTE
-    * + landing INSERT. Audited this round: each notebook's transform
+    * `Create<Agency>Awards.ipynb` in the family
+    * (CreateACFAwards.ipynb, CreateACLAwards.ipynb,
+    * CreateAHRQAwards.ipynb, CreateCDCAwards.ipynb,
+    * CreateDODAwards.ipynb, CreateDOEAwards.ipynb,
+    * CreateEPAAwards.ipynb, CreateFDAAwards.ipynb,
+    * CreateNASAAwards.ipynb, CreateNISTAwards.ipynb,
+    * CreateNOAAAwards.ipynb, CreateUSAIDAwards.ipynb,
+    * CreateUSDAAwards.ipynb, CreateUSGSAwards.ipynb), (funder_id,
+    * provenance, priority) transcribed from each notebook's funder
+    * CTE + landing INSERT. Audited r9: each notebook's transform
     * is the shared archetype verbatim modulo the amount TRY_CAST
     * (which this config uses) and non-landed recipient passthrough
     * columns (the INSERT takes only the 24 shared columns). The
