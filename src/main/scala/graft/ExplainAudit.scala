@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 201
+  val ExpectedChecks = 204
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -281,6 +281,15 @@ object ExplainAudit {
         "parses are scalar expressions)")
     check(!p131.contains("CartesianProduct"),
       "q131 has no cartesian product")
+
+    val p133 = plan("q133_r14_funder_config_shapes")
+    check("""\(\d+\) Exchange hashpartitioning""".r
+        .findAllMatchIn(p133).isEmpty,
+      "q133 r14 config shapes are pure projections — zero shuffles " +
+        "(the PCAARRD raw-carried funder resolve is a broadcast " +
+        "1-row inner join, every other leg a broadcast cross join)")
+    check(!p133.contains("CartesianProduct"),
+      "q133 has no cartesian product")
 
     val p132 = plan("q132_sparse_award_mints")
     check("""\(\d+\) Exchange hashpartitioning""".r

@@ -1220,6 +1220,257 @@ object FunderIngestQueries {
       .unionByName(flat(gt, "gtr", workCols = true))
   }
 
+  // ── q133: the round-14 config shapes, oracle-gated ──────────────
+  // One representative per distinctive new mechanic: the declined
+  // cascade + trim norms (Breakthrough), the N/A-id slug fallback +
+  // zero screen + weekday-stripped dates (Stroke Association), the
+  // duration-CEIL end year + ILIKE country NULL (BHF), the
+  // parse-derived currency + year fallback (CAPES cooperation), and
+  // the raw-carried funder_id resolve (PCAARRD).
+
+  private def btRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(23)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("BP-"), ks)).as("funder_award_id"),
+      when(pmod(k, lit(9)) === 0, lit("  "))
+        .when(pmod(k, lit(4)) === 0, lit(" Fundamental Physics "))
+        .when(pmod(k, lit(4)) === 1, lit("Life Sciences"))
+        .when(pmod(k, lit(4)) === 2, lit("Mathematics"))
+        .otherwise(lit("Physics Frontiers Prize in Fundamental Physics"))
+        .as("prize_title"),
+      when(pmod(k, lit(17)) === 0, lit("bad"))
+        .otherwise((lit(2012) + pmod(k, lit(14))).cast("string"))
+        .as("award_year"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" For work "), ks, lit(". ")))
+        .as("citation"),
+      when(pmod(k, lit(19)) === 0, lit(" "))
+        .otherwise(concat(lit("Laureate "), ks)).as("laureate_name"),
+      when(pmod(k, lit(5)) === 0, lit(""))
+        .when(pmod(k, lit(5)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("G"), ks)).as("laureate_given_name"),
+      when(pmod(k, lit(5)) === 2, lit(null).cast("string"))
+        .otherwise(concat(lit(" F"), ks, lit(" ")))
+        .as("laureate_family_name"),
+      when(pmod(k, lit(6)) === 0, lit(""))
+        .when(pmod(k, lit(6)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit(" Inst"), pmod(k, lit(7)).cast("string")))
+        .as("affiliation"),
+      when(pmod(k, lit(4)) === 3, lit(null).cast("string"))
+        .when(pmod(k, lit(7)) === 0, lit("x"))
+        .otherwise((k * 1000).cast("string")).as("amount_usd"),
+      when(pmod(k, lit(4)) === 3, lit(null).cast("string"))
+        .otherwise(lit(" USD ")).as("currency"),
+      when(pmod(k, lit(10)) === 0, lit("true"))
+        .when(pmod(k, lit(10)) === 1, lit(null).cast("string"))
+        .otherwise(lit("false")).as("declined"),
+      when(pmod(k, lit(8)) === 0, lit(""))
+        .otherwise(concat(lit("/laureates/l"), ks)).as("detail_path"))
+  }
+
+  private def saRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def wd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "EEEE dd MMMM yyyy")
+    o.select(
+      when(pmod(k, lit(4)) === 0, lit("N/A"))
+        .otherwise(concat(lit("Sa-"), ks)).as("funder_award_id"),
+      concat(lit("slug-"), ks).as("slug"),
+      concat(lit("Title "), ks).as("title"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("D"), ks)).as("description"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Area"), pmod(k, lit(4)).cast("string")))
+        .as("research_area"),
+      when(pmod(k, lit(5)) === 0, lit("0"))
+        .when(pmod(k, lit(7)) === 0, lit("x"))
+        .otherwise(concat((k * 100).cast("string"), lit(".25")))
+        .as("amount"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(11)) === 0, lit("garbage"))
+        .otherwise(wd("2016-01-01", pmod(k, lit(2000))))
+        .as("start_date_raw"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .otherwise(wd("2019-06-01", pmod(k, lit(2000))))
+        .as("end_date_raw"),
+      when(pmod(k, lit(9)) === 0, lit(null).cast("string"))
+        .otherwise((lit(2016) + pmod(k, lit(10))).cast("string"))
+        .as("year_awarded"),
+      when(pmod(k, lit(3)) === 0, lit("N/A"))
+        .otherwise(concat(lit("Gv"), ks)).as("pi_given"),
+      when(pmod(k, lit(4)) === 0, lit("N/A"))
+        .when(pmod(k, lit(4)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("Fam"), ks)).as("pi_family"),
+      when(pmod(k, lit(5)) === 0, lit("N/A"))
+        .otherwise(concat(lit("Uni"), pmod(k, lit(7)).cast("string")))
+        .as("institution"),
+      concat(lit("https://sa/"), ks).as("landing_page_url"))
+  }
+
+  private def bhfRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      concat(lit("PG/"), ks).as("funder_award_id"),
+      when(pmod(k, lit(21)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("BHF "), ks)).as("title"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise((k * 900).cast("string")).as("amount"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(lit("GBP")).as("currency"),
+      when(pmod(k, lit(3)) === 0, lit("research"))
+        .when(pmod(k, lit(3)) === 1, lit("fellowship"))
+        .otherwise(lit("training")).as("funding_type"),
+      when(pmod(k, lit(6)) === 0, lit("International Awards"))
+        .when(pmod(k, lit(6)) === 1, lit(null).cast("string"))
+        .when(pmod(k, lit(6)) === 2, lit("Project Grants"))
+        .otherwise(lit("Clinical Research Training Fellowships"))
+        .as("funder_scheme"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(13)) === 0, lit("bad"))
+        .otherwise((lit(2004) + pmod(k, lit(20))).cast("string"))
+        .as("report_year_start"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(9)) === 0, lit("x"))
+        .otherwise((lit(12) + pmod(k, lit(48))).cast("string"))
+        .as("duration_months"),
+      when(pmod(k, lit(5)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("H F"), pmod(k, lit(3)).cast("string")))
+        .as("lead_given_name"),
+      when(pmod(k, lit(7)) === 0, lit(""))
+        .when(pmod(k, lit(7)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("Jorg"), pmod(k, lit(11)).cast("string")))
+        .as("lead_family_name"),
+      concat(lit("Uni"), pmod(k, lit(9)).cast("string"))
+        .as("institution"),
+      concat(lit("https://bhf/"), ks).as("landing_page_url"))
+  }
+
+  private def capRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(13)) === 0, lit("  "))
+        .otherwise(concat(lit(" 88881."), ks, lit("/2018-01 ")))
+        .as("funder_award_id"),
+      when(pmod(k, lit(17)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" Coop "), ks, lit(" ")))
+        .as("display_name"),
+      when(pmod(k, lit(3)) === 0, lit(""))
+        .otherwise(concat(lit(" Desc"), ks, lit(" ")))
+        .as("description"),
+      when(pmod(k, lit(5)) === 0, lit("n/a"))
+        .otherwise((k * 77).cast("string")).as("amount"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2014-02-01", pmod(k, lit(1500))))
+        .as("start_date"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2017-03-01", pmod(k, lit(1500))))
+        .as("end_date"),
+      (lit(2010) + pmod(k, lit(8))).cast("string").as("source_year"),
+      (lit(2012) + pmod(k, lit(8))).cast("string")
+        .as("source_end_year"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(3)) === 1, lit(" "))
+        .otherwise(lit("PrInt")).as("funder_scheme"),
+      when(pmod(k, lit(7)) === 0, lit(""))
+        .when(pmod(k, lit(7)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("Ben "), ks)).as("beneficiary_name"),
+      when(pmod(k, lit(5)) === 0, lit(""))
+        .otherwise(concat(lit(" BG"), ks, lit(" ")))
+        .as("beneficiary_given_name"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(" BF"), ks, lit(" ")))
+        .as("beneficiary_family_name"),
+      when(pmod(k, lit(4)) === 0, lit(" "))
+        .otherwise(concat(lit(" USP"), pmod(k, lit(4)).cast("string"),
+          lit(" "))).as("institution_name"),
+      when(pmod(k, lit(8)) === 0, lit(""))
+        .otherwise(concat(lit("https://capes/"), ks))
+        .as("landing_page_url"))
+  }
+
+  private def pcRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    def dd(base: String, off: Column) =
+      date_format(date_add(lit(base).cast("date"), off.cast("int")),
+        "yyyy-MM-dd")
+    o.select(
+      when(pmod(k, lit(10)) === 0, lit("999999"))
+        .when(pmod(k, lit(15)) === 0, lit("bad"))
+        .otherwise(lit("4320336119")).as("funder_id"),
+      when(pmod(k, lit(21)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("GIA-"), ks)).as("funder_award_id"),
+      when(pmod(k, lit(23)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Proj "), ks)).as("display_name"),
+      when(pmod(k, lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("D"), ks)).as("description"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("Prog"), pmod(k, lit(5)).cast("string")))
+        .as("program_title"),
+      when(pmod(k, lit(6)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2012-01-01", pmod(k, lit(3000))))
+        .as("start_date"),
+      when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(dd("2015-01-01", pmod(k, lit(3000))))
+        .as("end_date"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat((k * 1234).cast("string"), lit(".5")))
+        .as("amount"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(lit("PHP")).as("currency"),
+      when(pmod(k, lit(6)) === 0, lit("  "))
+        .when(pmod(k, lit(6)) === 1, lit(null).cast("string"))
+        .otherwise(concat(lit(" Agency"), pmod(k, lit(7)).cast("string"),
+          lit(" "))).as("source_implementing_agency"),
+      concat(lit("https://pc/"), ks, lit(".pdf")).as("source_pdf_url"))
+  }
+
+  /** q133: the round-14 config shapes end-to-end — Breakthrough's
+    * declined-prefix description over NULLIF-trimmed norms (with the
+    * trim-screen row drops), Stroke Association's 'N/A'-id slug
+    * fallback + zero-amount screen + weekday-stripped 'd MMMM yyyy'
+    * dates, BHF's FY card (duration-CEIL end year, the
+    * International-scheme ILIKE country NULL, gated initials lead),
+    * CAPES cooperation's parse-derived BRL + year(date)-else-source
+    * coverage, and PCAARRD's raw-carried funder_id resolved against
+    * its inline registry-gap lookup (unknown/unparseable ids drop at
+    * the broadcast inner join). Same injected length-mint as
+    * q110/q130/q131. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val sess = s; import sess.implicits._
+    import graft.awards.FunderConfigs
+    val f = Seq(
+      (4320315036L, "Breakthrough Prize Foundation", "r-bt", "d-bt"),
+      (4320320068L, "Stroke Association", "r-sa", "d-sa"),
+      (4320319992L, "British Heart Foundation", "r-bh", "d-bh"),
+      (4320321091L, "CAPES", "r-cp", "d-cp"),
+      (999L, "Distractor", "r-x", "d-x"))
+      .toDF("funder_id", "display_name", "ror_id", "doi")
+    val bt = FunderIngest.transform(btRaw(s, dir), f,
+      FunderConfigs.breakthroughPrize, nowTs, mint)
+    val sa = FunderIngest.transform(saRaw(s, dir), f,
+      FunderConfigs.strokeAssociation, nowTs, mint)
+    val bh = FunderIngest.transform(bhfRaw(s, dir), f,
+      FunderConfigs.bhf, nowTs, mint)
+    val cp = FunderIngest.transform(capRaw(s, dir), f,
+      FunderConfigs.capesCooperation, nowTs, mint)
+    val pc = FunderIngest.transformResolved(pcRaw(s, dir),
+      FunderConfigs.pcaarrdFunderLookup(s), FunderConfigs.pcaarrd,
+      nowTs, mint)
+    flat2(bt, "breakthrough").unionByName(flat2(sa, "stroke"))
+      .unionByName(flat2(bh, "bhf")).unionByName(flat2(cp, "capes"))
+      .unionByName(flat2(pc, "pcaarrd"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_funder_ingest_patterns" -> (q110 _),
     "q111_funder_landing_reports" -> (q111 _),
@@ -1229,7 +1480,8 @@ object FunderIngestQueries {
     "q129_work_linkage_legs" -> (q129 _),
     "q130_r12_funder_config_shapes" -> (q130 _),
     "q131_r12_shared_builder_shapes" -> (q131 _),
-    "q132_sparse_award_mints" -> (q132 _))
+    "q132_sparse_award_mints" -> (q132 _),
+    "q133_r14_funder_config_shapes" -> (q133 _))
 
   val oracle: Map[String, String] = Map(
     "q110_funder_ingest_patterns" -> Oracles.q110,
@@ -1240,7 +1492,8 @@ object FunderIngestQueries {
     "q129_work_linkage_legs" -> Oracles.q129,
     "q130_r12_funder_config_shapes" -> Oracles.q130,
     "q131_r12_shared_builder_shapes" -> Oracles.q131,
-    "q132_sparse_award_mints" -> Oracles.q132)
+    "q132_sparse_award_mints" -> Oracles.q132,
+    "q133_r14_funder_config_shapes" -> Oracles.q133)
 
   /** DuckDB recomputations (kept in a nested object for readability). */
   private object Oracles {
@@ -2706,5 +2959,325 @@ object FunderIngestQueries {
         | LEFT JOIN glm l ON l.native_id = a.wdoi)
         |SELECT * FROM bleg2
         |UNION ALL SELECT * FROM gleg""".stripMargin
+
+    /** q133: full DuckDB recomputation of the five round-14 config
+      * shapes — the declined cascade, the N/A slug fallback + zero
+      * screen + weekday-stripped dates (dates re-derived from k, the
+      * same arithmetic that generated the fixture strings), the
+      * duration-CEIL end year + ILIKE country NULL, the
+      * parse-derived BRL + year fallbacks, and the raw-carried
+      * funder_id inner-join resolve. Mint = length('<funder_id>:'
+      * || key). */
+    val q133: String =
+      """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 250),
+        |btraw AS (SELECT k,
+        |  CASE WHEN k % 23 = 0 THEN NULL ELSE 'BP-' || CAST(k AS VARCHAR) END AS aid,
+        |  CASE WHEN k % 9 = 0 THEN '  '
+        |       WHEN k % 4 = 0 THEN ' Fundamental Physics '
+        |       WHEN k % 4 = 1 THEN 'Life Sciences'
+        |       WHEN k % 4 = 2 THEN 'Mathematics'
+        |       ELSE 'Physics Frontiers Prize in Fundamental Physics' END AS pt,
+        |  CASE WHEN k % 17 = 0 THEN 'bad'
+        |       ELSE CAST(2012 + k % 14 AS VARCHAR) END AS ay,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE ' For work ' || CAST(k AS VARCHAR) || '. ' END AS cit,
+        |  CASE WHEN k % 19 = 0 THEN ' '
+        |       ELSE 'Laureate ' || CAST(k AS VARCHAR) END AS ln,
+        |  CASE WHEN k % 5 = 0 THEN '' WHEN k % 5 = 1 THEN NULL
+        |       ELSE 'G' || CAST(k AS VARCHAR) END AS giv,
+        |  CASE WHEN k % 5 = 2 THEN NULL
+        |       ELSE ' F' || CAST(k AS VARCHAR) || ' ' END AS fam,
+        |  CASE WHEN k % 6 = 0 THEN '' WHEN k % 6 = 1 THEN NULL
+        |       ELSE ' Inst' || CAST(k % 7 AS VARCHAR) END AS aff,
+        |  CASE WHEN k % 4 = 3 THEN NULL WHEN k % 7 = 0 THEN 'x'
+        |       ELSE CAST(k * 1000 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 4 = 3 THEN NULL ELSE ' USD ' END AS cur,
+        |  CASE WHEN k % 10 = 0 THEN 'true' WHEN k % 10 = 1 THEN NULL
+        |       ELSE 'false' END AS dec,
+        |  CASE WHEN k % 8 = 0 THEN ''
+        |       ELSE '/laureates/l' || CAST(k AS VARCHAR) END AS dp
+        | FROM o),
+        |btleg AS (SELECT 'breakthrough' AS src,
+        |  length('4320315036:breakthrough:' || lower(aid)) AS id,
+        |  CAST(4320315036 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id,
+        |  CAST(TRY_CAST(ay AS INTEGER) AS VARCHAR) || ' '
+        |    || NULLIF(TRIM(pt), '') || ' - ' || NULLIF(TRIM(ln), '')
+        |    AS display_name,
+        |  CASE WHEN TRY_CAST(dec AS BOOLEAN)
+        |         AND NULLIF(TRIM(cit), '') IS NOT NULL
+        |       THEN 'Declined the prize. ' || NULLIF(TRIM(cit), '')
+        |       WHEN TRY_CAST(dec AS BOOLEAN) THEN 'Declined the prize.'
+        |       ELSE NULLIF(TRIM(cit), '') END AS description,
+        |  TRY_CAST(amt AS DOUBLE) AS amount,
+        |  NULLIF(TRIM(cur), '') AS currency,
+        |  'prize' AS funding_type,
+        |  NULLIF(TRIM(pt), '') AS funder_scheme,
+        |  'breakthrough_prize' AS provenance,
+        |  CAST(TRY_CAST(ay AS INTEGER) AS VARCHAR) || '-01-01' AS start_d,
+        |  CAST(TRY_CAST(ay AS INTEGER) AS VARCHAR) || '-12-31' AS end_d,
+        |  TRY_CAST(ay AS INTEGER) AS start_year,
+        |  TRY_CAST(ay AS INTEGER) AS end_year,
+        |  NULLIF(TRIM(giv), '') AS pi_given,
+        |  NULLIF(TRIM(fam), '') AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  NULLIF(TRIM(aff), '') AS pi_aff_name,
+        |  CAST(NULL AS VARCHAR) AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  NULLIF(TRIM(dp), '') AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320315036:breakthrough:' || lower(aid))
+        |         AS VARCHAR) AS works_api_url
+        | FROM btraw
+        | WHERE aid IS NOT NULL AND TRY_CAST(ay AS INTEGER) IS NOT NULL
+        |   AND NULLIF(TRIM(pt), '') IS NOT NULL
+        |   AND NULLIF(TRIM(ln), '') IS NOT NULL),
+        |saraw AS (SELECT k,
+        |  CASE WHEN k % 4 = 0 THEN 'N/A'
+        |       ELSE 'Sa-' || CAST(k AS VARCHAR) END AS aid,
+        |  'slug-' || CAST(k AS VARCHAR) AS slug,
+        |  'Title ' || CAST(k AS VARCHAR) AS title,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE 'D' || CAST(k AS VARCHAR) END AS descr,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Area' || CAST(k % 4 AS VARCHAR) END AS area,
+        |  CASE WHEN k % 5 = 0 THEN '0' WHEN k % 7 = 0 THEN 'x'
+        |       ELSE CAST(k * 100 AS VARCHAR) || '.25' END AS amt,
+        |  CASE WHEN k % 6 = 0 OR k % 11 = 0 THEN CAST(NULL AS DATE)
+        |       ELSE DATE '2016-01-01' + INTERVAL (k % 2000) DAY END AS sd,
+        |  CASE WHEN k % 8 = 0 THEN CAST(NULL AS DATE)
+        |       ELSE DATE '2019-06-01' + INTERVAL (k % 2000) DAY END AS ed,
+        |  CASE WHEN k % 9 = 0 THEN NULL
+        |       ELSE CAST(2016 + k % 10 AS VARCHAR) END AS ya,
+        |  CASE WHEN k % 3 = 0 THEN 'N/A'
+        |       ELSE 'Gv' || CAST(k AS VARCHAR) END AS giv,
+        |  CASE WHEN k % 4 = 0 THEN 'N/A' WHEN k % 4 = 1 THEN NULL
+        |       ELSE 'Fam' || CAST(k AS VARCHAR) END AS fam,
+        |  CASE WHEN k % 5 = 0 THEN 'N/A'
+        |       ELSE 'Uni' || CAST(k % 7 AS VARCHAR) END AS inst
+        | FROM o),
+        |saleg AS (SELECT 'stroke' AS src,
+        |  length('4320320068:'
+        |    || lower(COALESCE(NULLIF(aid, 'N/A'), slug))) AS id,
+        |  CAST(4320320068 AS BIGINT) AS funder_id,
+        |  COALESCE(NULLIF(aid, 'N/A'), slug) AS funder_award_id,
+        |  title AS display_name,
+        |  descr AS description,
+        |  CAST(CASE WHEN TRY_CAST(amt AS DECIMAL(18,2)) = 0 THEN NULL
+        |       ELSE TRY_CAST(amt AS DECIMAL(18,2)) END AS DOUBLE)
+        |    AS amount,
+        |  'GBP' AS currency,
+        |  'grant' AS funding_type,
+        |  area AS funder_scheme,
+        |  'stroke_association' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  TRY_CAST(ya AS INTEGER) AS start_year,
+        |  CAST(YEAR(ed) AS INTEGER) AS end_year,
+        |  CASE WHEN NULLIF(fam, 'N/A') IS NOT NULL
+        |       THEN NULLIF(giv, 'N/A') END AS pi_given,
+        |  NULLIF(fam, 'N/A') AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN NULLIF(fam, 'N/A') IS NOT NULL
+        |       THEN NULLIF(inst, 'N/A') END AS pi_aff_name,
+        |  CASE WHEN NULLIF(fam, 'N/A') IS NOT NULL
+        |       THEN 'United Kingdom' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://sa/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  CAST(NULL AS VARCHAR) AS works_api_url
+        | FROM saraw),
+        |bhraw AS (SELECT k,
+        |  'PG/' || CAST(k AS VARCHAR) AS aid,
+        |  CASE WHEN k % 21 = 0 THEN NULL
+        |       ELSE 'BHF ' || CAST(k AS VARCHAR) END AS title,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE CAST(k * 900 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 5 = 0 THEN NULL ELSE 'GBP' END AS cur,
+        |  CASE WHEN k % 3 = 0 THEN 'research'
+        |       WHEN k % 3 = 1 THEN 'fellowship'
+        |       ELSE 'training' END AS ftype,
+        |  CASE WHEN k % 6 = 0 THEN 'International Awards'
+        |       WHEN k % 6 = 1 THEN NULL
+        |       WHEN k % 6 = 2 THEN 'Project Grants'
+        |       ELSE 'Clinical Research Training Fellowships' END AS scheme,
+        |  CASE WHEN k % 8 = 0 THEN NULL WHEN k % 13 = 0 THEN 'bad'
+        |       ELSE CAST(2004 + k % 20 AS VARCHAR) END AS rys,
+        |  CASE WHEN k % 4 = 0 THEN NULL WHEN k % 9 = 0 THEN 'x'
+        |       ELSE CAST(12 + k % 48 AS VARCHAR) END AS dur,
+        |  CASE WHEN k % 5 = 1 THEN NULL
+        |       ELSE 'H F' || CAST(k % 3 AS VARCHAR) END AS giv,
+        |  CASE WHEN k % 7 = 0 THEN '' WHEN k % 7 = 1 THEN NULL
+        |       ELSE 'Jorg' || CAST(k % 11 AS VARCHAR) END AS fam,
+        |  'Uni' || CAST(k % 9 AS VARCHAR) AS inst
+        | FROM o),
+        |bhleg AS (SELECT 'bhf' AS src,
+        |  length('4320319992:' || lower(aid)) AS id,
+        |  CAST(4320319992 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id,
+        |  title AS display_name,
+        |  CAST(NULL AS VARCHAR) AS description,
+        |  TRY_CAST(amt AS DOUBLE) AS amount,
+        |  cur AS currency,
+        |  ftype AS funding_type,
+        |  scheme AS funder_scheme,
+        |  'bhf_annual_reports' AS provenance,
+        |  CAST(NULL AS VARCHAR) AS start_d,
+        |  CAST(NULL AS VARCHAR) AS end_d,
+        |  TRY_CAST(rys AS INTEGER) AS start_year,
+        |  CASE WHEN TRY_CAST(rys AS INTEGER) IS NOT NULL
+        |         AND TRY_CAST(dur AS DOUBLE) IS NOT NULL
+        |       THEN TRY_CAST(rys AS INTEGER)
+        |         + CAST(CEIL(TRY_CAST(dur AS DOUBLE) / 12.0) AS INTEGER)
+        |       END AS end_year,
+        |  CASE WHEN fam IS NOT NULL AND fam <> '' THEN giv END AS pi_given,
+        |  CASE WHEN fam IS NOT NULL AND fam <> '' THEN fam END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN fam IS NOT NULL AND fam <> '' THEN inst END
+        |    AS pi_aff_name,
+        |  CASE WHEN fam IS NOT NULL AND fam <> ''
+        |       THEN (CASE WHEN scheme ILIKE '%International%' THEN NULL
+        |             ELSE 'GB' END) END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://bhf/' || CAST(k AS VARCHAR) AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320319992:' || lower(aid)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM bhraw
+        | WHERE aid IS NOT NULL AND title IS NOT NULL),
+        |cpraw AS (SELECT k,
+        |  CASE WHEN k % 13 = 0 THEN '  '
+        |       ELSE ' 88881.' || CAST(k AS VARCHAR) || '/2018-01 ' END AS aid,
+        |  CASE WHEN k % 17 = 0 THEN NULL
+        |       ELSE ' Coop ' || CAST(k AS VARCHAR) || ' ' END AS dname,
+        |  CASE WHEN k % 3 = 0 THEN ''
+        |       ELSE ' Desc' || CAST(k AS VARCHAR) || ' ' END AS descr,
+        |  CASE WHEN k % 5 = 0 THEN 'n/a'
+        |       ELSE CAST(k * 77 AS VARCHAR) END AS amt,
+        |  CASE WHEN k % 4 = 0 THEN CAST(NULL AS DATE)
+        |       ELSE DATE '2014-02-01' + INTERVAL (k % 1500) DAY END AS sd,
+        |  CASE WHEN k % 6 = 0 THEN CAST(NULL AS DATE)
+        |       ELSE DATE '2017-03-01' + INTERVAL (k % 1500) DAY END AS ed,
+        |  2010 + k % 8 AS sy, 2012 + k % 8 AS ey,
+        |  CASE WHEN k % 3 = 0 THEN NULL WHEN k % 3 = 1 THEN ' '
+        |       ELSE 'PrInt' END AS scheme,
+        |  CASE WHEN k % 7 = 0 THEN '' WHEN k % 7 = 1 THEN NULL
+        |       ELSE 'Ben ' || CAST(k AS VARCHAR) END AS bname,
+        |  CASE WHEN k % 5 = 0 THEN ''
+        |       ELSE ' BG' || CAST(k AS VARCHAR) || ' ' END AS bgiv,
+        |  CASE WHEN k % 6 = 0 THEN NULL
+        |       ELSE ' BF' || CAST(k AS VARCHAR) || ' ' END AS bfam,
+        |  CASE WHEN k % 4 = 0 THEN ' '
+        |       ELSE ' USP' || CAST(k % 4 AS VARCHAR) || ' ' END AS inst,
+        |  CASE WHEN k % 8 = 0 THEN ''
+        |       ELSE 'https://capes/' || CAST(k AS VARCHAR) END AS lurl
+        | FROM o),
+        |cpleg AS (SELECT 'capes' AS src,
+        |  length('4320321091:' || lower(TRIM(aid))) AS id,
+        |  CAST(4320321091 AS BIGINT) AS funder_id,
+        |  lower(TRIM(aid)) AS funder_award_id,
+        |  TRIM(dname) AS display_name,
+        |  CASE WHEN descr IS NULL OR TRIM(descr) = '' THEN NULL
+        |       ELSE TRIM(descr) END AS description,
+        |  TRY_CAST(amt AS DOUBLE) AS amount,
+        |  CASE WHEN TRY_CAST(amt AS DOUBLE) IS NOT NULL THEN 'BRL' END
+        |    AS currency,
+        |  'research' AS funding_type,
+        |  COALESCE(NULLIF(TRIM(scheme), ''), 'International cooperation')
+        |    AS funder_scheme,
+        |  'capes_cooperacao_internacional' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  CAST(COALESCE(YEAR(sd), sy) AS INTEGER) AS start_year,
+        |  CAST(COALESCE(YEAR(ed), ey) AS INTEGER) AS end_year,
+        |  CASE WHEN bname IS NOT NULL AND TRIM(bname) <> ''
+        |       THEN NULLIF(TRIM(bgiv), '') END AS pi_given,
+        |  CASE WHEN bname IS NOT NULL AND TRIM(bname) <> ''
+        |       THEN NULLIF(TRIM(bfam), '') END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CASE WHEN bname IS NOT NULL AND TRIM(bname) <> ''
+        |       THEN strftime(sd, '%Y-%m-%d') END AS pi_role_start,
+        |  CASE WHEN bname IS NOT NULL AND TRIM(bname) <> ''
+        |       THEN NULLIF(TRIM(inst), '') END AS pi_aff_name,
+        |  CASE WHEN bname IS NOT NULL AND TRIM(bname) <> ''
+        |       THEN 'BR' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  NULLIF(TRIM(lurl), '') AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320321091:' || lower(TRIM(aid)))
+        |         AS VARCHAR) AS works_api_url
+        | FROM cpraw
+        | WHERE aid IS NOT NULL AND TRIM(aid) <> ''
+        |   AND dname IS NOT NULL AND TRIM(dname) <> ''),
+        |pcraw AS (SELECT k,
+        |  CASE WHEN k % 10 = 0 THEN '999999' WHEN k % 15 = 0 THEN 'bad'
+        |       ELSE '4320336119' END AS fid,
+        |  CASE WHEN k % 21 = 0 THEN NULL
+        |       ELSE 'GIA-' || CAST(k AS VARCHAR) END AS aid,
+        |  CASE WHEN k % 23 = 0 THEN NULL
+        |       ELSE 'Proj ' || CAST(k AS VARCHAR) END AS dname,
+        |  CASE WHEN k % 3 = 0 THEN NULL
+        |       ELSE 'D' || CAST(k AS VARCHAR) END AS descr,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'Prog' || CAST(k % 5 AS VARCHAR) END AS prog,
+        |  CASE WHEN k % 6 = 0 THEN CAST(NULL AS DATE)
+        |       ELSE DATE '2012-01-01' + INTERVAL (k % 3000) DAY END AS sd,
+        |  CASE WHEN k % 7 = 0 THEN CAST(NULL AS DATE)
+        |       ELSE DATE '2015-01-01' + INTERVAL (k % 3000) DAY END AS ed,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE CAST(k * 1234 AS VARCHAR) || '.5' END AS amt,
+        |  CASE WHEN k % 5 = 0 THEN NULL ELSE 'PHP' END AS cur,
+        |  CASE WHEN k % 6 = 0 THEN '  ' WHEN k % 6 = 1 THEN NULL
+        |       ELSE ' Agency' || CAST(k % 7 AS VARCHAR) || ' ' END AS ag
+        | FROM o),
+        |pcleg AS (SELECT 'pcaarrd' AS src,
+        |  length('4320336119:' || lower(aid)) AS id,
+        |  CAST(4320336119 AS BIGINT) AS funder_id,
+        |  aid AS funder_award_id,
+        |  dname AS display_name,
+        |  descr AS description,
+        |  TRY_CAST(amt AS DOUBLE) AS amount,
+        |  cur AS currency,
+        |  'grant' AS funding_type,
+        |  prog AS funder_scheme,
+        |  'pcaarrd_gia_projects' AS provenance,
+        |  strftime(sd, '%Y-%m-%d') AS start_d,
+        |  strftime(ed, '%Y-%m-%d') AS end_d,
+        |  CAST(YEAR(sd) AS INTEGER) AS start_year,
+        |  CAST(YEAR(ed) AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CAST(NULL AS VARCHAR) AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CASE WHEN NULLIF(TRIM(ag), '') IS NOT NULL
+        |       THEN strftime(sd, '%Y-%m-%d') END AS pi_role_start,
+        |  NULLIF(TRIM(ag), '') AS pi_aff_name,
+        |  CASE WHEN NULLIF(TRIM(ag), '') IS NOT NULL THEN 'PH' END
+        |    AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  'https://pc/' || CAST(k AS VARCHAR) || '.pdf'
+        |    AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320336119:' || lower(aid)) AS VARCHAR)
+        |    AS works_api_url
+        | FROM pcraw
+        | WHERE aid IS NOT NULL AND dname IS NOT NULL
+        |   AND TRY_CAST(fid AS BIGINT) = 4320336119)
+        |SELECT * FROM btleg
+        |UNION ALL SELECT * FROM saleg
+        |UNION ALL SELECT * FROM bhleg
+        |UNION ALL SELECT * FROM cpleg
+        |UNION ALL SELECT * FROM pcleg""".stripMargin
   }
 }
