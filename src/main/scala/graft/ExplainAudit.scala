@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 204
+  val ExpectedChecks = 207
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -281,6 +281,15 @@ object ExplainAudit {
         "parses are scalar expressions)")
     check(!p131.contains("CartesianProduct"),
       "q131 has no cartesian product")
+
+    val p134 = plan("q134_url_ccnet_dedup")
+    check(p134.contains("graft-url-dedup"),
+      "q134 lands the URL winner election at a Materialize boundary " +
+        "(the canonical-url window runs once, not per consumer)")
+    check(p134.contains("windowspecdefinition(para_hash") &&
+        !p134.contains("rangepartitioning"),
+      "q134 chunk election partitions by para_hash — keyed windows, " +
+        "no global sort")
 
     val p133 = plan("q133_r14_funder_config_shapes")
     check("""\(\d+\) Exchange hashpartitioning""".r

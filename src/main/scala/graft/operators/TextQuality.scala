@@ -122,6 +122,73 @@ object TextQuality {
           Ipv4Re, "|||IP|||"),
           PhoneRe, "|||PHONE|||"))
 
+  /** URL canonicalization (the CCNet/RefinedWeb/FineWeb-family
+    * URL-level dedup key): scheme and `www.` stripped, fragment
+    * dropped, tracking params (utm_*, fbclid, gclid, msclkid,
+    * mc_eid, igshid, ref, ref_src) removed, remaining query params
+    * SORTED, host lowercased (path case preserved), trailing path
+    * slashes stripped. Deterministic and lookaround-free so the
+    * DuckDB twin is exact. Pure projection. */
+  val TrackingParamRe =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)="
+
+  def urlCanonicalize(url: Column): Column = {
+    val noScheme = regexp_replace(trim(url),
+      "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val noWww = regexp_replace(noScheme, "^[Ww][Ww][Ww]\\.", "")
+    val noFrag = substring_index(noWww, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(noFrag.contains("?"),
+      regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val sortedQ = array_join(array_sort(kept), "&")
+    val host = lower(substring_index(base, "/", 1))
+    val path = regexp_replace(
+      base.substr(length(substring_index(base, "/", 1)) + 1,
+        lit(1000000)),
+      "/+$", "")
+    concat(host, path,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup (the stage CCNet/RefinedWeb run BEFORE any
+    * content hashing): rows sharing a canonical URL collapse to one
+    * winner — highest `qualityCol`, ties to the smallest id. Returns
+    * every input row + (canonical_url, is_url_duplicate). ONE keyed
+    * shuffle on the canonical URL; the winner election is a keyed
+    * window, never a global sort. */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String,
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withKey = docs.withColumn("canonical_url",
+      urlCanonicalize(col(urlCol)))
+    val w = Window.partitionBy(col("canonical_url"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    withKey.withColumn("is_url_duplicate", row_number().over(w) > 1)
+  }
+
+  /** CCNet-style text normalization for near-duplicate line/chunk
+    * hashing: lowercase, every digit → '0', punctuation stripped,
+    * whitespace collapsed and trimmed. Hashing normalized text
+    * catches the case/number/punct-variant near-dups exact hashing
+    * misses (CCNet hashes SHA1 of exactly this normalization). */
+  def ccnetNormalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[0-9]", "0"),
+      "[^a-z0 ]", ""),
+      " +", " "))
+
+  /** Cross-document NORMALIZED-chunk dedup (the CCNet line-hash pass
+    * re-expressed over token chunks): [[ccnetNormalize]] first, then
+    * the [[paragraphDedup]] first-occurrence election over the
+    * normalized text. Same ONE-keyed-shuffle posture. */
+  def ccnetChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 10): DataFrame =
+    paragraphDedup(
+      docs.withColumn(textCol, ccnetNormalize(col(textCol))),
+      idCol, textCol, chunkSize)
+
   /** Per-document repetition metrics + the keep verdict. */
   def repetitionScreens(docs: DataFrame, textCol: String,
       t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {

@@ -397,7 +397,55 @@ object TextQueries {
         "token_budget", "bucket", "split")
   }
 
+  /** q134: URL-level dedup + CCNet normalized-chunk dedup (the two
+    * front stages of a CCNet/RefinedWeb-style web-curation pipeline,
+    * beyond-reference tier) — URLs synthesized by doc-id arithmetic
+    * with scheme/www/case/tracking-param/param-order/fragment/
+    * trailing-slash variants that canonicalize onto colliding keys;
+    * per-canonical winner = highest n_chars then lowest doc_id; the
+    * winners' text (with case/digit-variant suffixes planted) then
+    * runs the NORMALIZED chunk dedup, so near-identical chunks
+    * differing only in case/digits/punctuation collide. Output: one
+    * row per document with its canonical URL, the URL-duplicate
+    * verdict, and (winners only) the normalized dup-chunk stats. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextQuality
+    val d = t(s, dir, "documents")
+    val k = col("doc_id")
+    val url = concat(
+      when(pmod(k, lit(2)) === 0, lit("https://WWW."))
+        .otherwise(lit("http://")),
+      lit("Site"), pmod(k, lit(40)).cast("string"),
+      lit(".Example.com/Path"), pmod(k, lit(25)).cast("string"),
+      when(pmod(k, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(k, lit(5)) === 0, lit("?utm_source=x&b=2&a=1"))
+        .when(pmod(k, lit(5)) === 1, lit("?a=1&b=2"))
+        .when(pmod(k, lit(5)) === 2, lit("?b=2&a=1&fbclid=zz"))
+        .otherwise(lit("")),
+      when(pmod(k, lit(4)) === 0, lit("#frag")).otherwise(lit("")))
+    val withUrl = d.select(col("doc_id"), col("n_chars"),
+      concat(col("text"),
+        when(pmod(k, lit(2)) === 0, lit(" Res 42 OK!"))
+          .otherwise(lit(" res 77 ok"))).as("text"),
+      url.as("url"))
+    // the URL winner election feeds BOTH the output verdicts and the
+    // winners-only chunk dedup — landed once (q126's multi-consumer
+    // convention)
+    val marked = graft.core.Materialize.temp(
+      TextQuality.urlDedup(withUrl, "doc_id", "url", "n_chars"),
+      "graft-url-dedup")._1
+    val stats = TextQuality.paragraphDupStats(
+      TextQuality.ccnetChunkDedup(
+        marked.filter(!col("is_url_duplicate"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text"), "doc_id")
+    marked.select(col("doc_id"), col("canonical_url"),
+        col("is_url_duplicate"))
+      .join(stats, Seq("doc_id"), "left")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_url_ccnet_dedup" -> (q134 _),
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
     "q122_repetition_screens" -> (q122 _),
@@ -583,6 +631,74 @@ object TextQueries {
          |  CAST(b.token_budget AS INTEGER) AS token_budget
          |FROM c JOIN b USING (source)
          |WHERE c.cum_tokens - c.n_tokens < b.token_budget""".stripMargin
+    },
+    "q134_url_ccnet_dedup" -> {
+      val paraH = chash("para")
+      s"""WITH wu AS (SELECT doc_id, n_chars,
+         |  text || CASE WHEN doc_id % 2 = 0 THEN ' Res 42 OK!'
+         |    ELSE ' res 77 ok' END AS t,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.'
+         |    ELSE 'http://' END)
+         |  || 'Site' || CAST(doc_id % 40 AS VARCHAR)
+         |  || '.Example.com/Path' || CAST(doc_id % 25 AS VARCHAR)
+         |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         |  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&b=2&a=1'
+         |       WHEN doc_id % 5 = 1 THEN '?a=1&b=2'
+         |       WHEN doc_id % 5 = 2 THEN '?b=2&a=1&fbclid=zz'
+         |       ELSE '' END)
+         |  || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents),
+         |canon AS (SELECT doc_id, n_chars, t,
+         |  lower(split_part(base, '/', 1))
+         |  || regexp_replace(substring(base,
+         |       len(split_part(base, '/', 1)) + 1), '/+$$', '')
+         |  || (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END)
+         |    AS canonical_url
+         |  FROM (SELECT doc_id, n_chars, t,
+         |    split_part(nf, '?', 1) AS base,
+         |    array_to_string(list_sort(list_filter(
+         |      string_split(CASE WHEN instr(nf, '?') > 0
+         |        THEN regexp_extract(nf, '^[^?]*\\?(.*)$$', 1)
+         |        ELSE '' END, '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p,
+         |        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)='))),
+         |      '&') AS sq
+         |    FROM (SELECT doc_id, n_chars, t,
+         |      split_part(regexp_replace(regexp_replace(trim(url),
+         |        '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+         |        '^[Ww][Ww][Ww]\\.', ''), '#', 1) AS nf
+         |      FROM wu))),
+         |marked AS (SELECT doc_id, canonical_url, t,
+         |  row_number() OVER (PARTITION BY canonical_url
+         |    ORDER BY n_chars DESC, doc_id) > 1 AS is_url_duplicate
+         |  FROM canon),
+         |norm AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(lower(t),
+         |    '[0-9]', '0', 'g'), '[^a-z0 ]', '', 'g'), ' +', ' ', 'g'))
+         |    AS nt
+         |  FROM marked WHERE NOT is_url_duplicate),
+         |tk AS (SELECT doc_id,
+         |  list_filter(string_split(nt, ' '), x -> x <> '') AS ws
+         |  FROM norm),
+         |ch AS (SELECT doc_id, i AS para_idx,
+         |  array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS para
+         |  FROM tk, unnest(range(0, ((len(ws) - 1) // 10) + 1)) u(i)
+         |  WHERE len(ws) > 0),
+         |occ AS (SELECT doc_id, para_idx, $paraH AS para_hash
+         |  FROM ch WHERE para <> ''),
+         |fl AS (SELECT doc_id,
+         |  row_number() OVER (PARTITION BY para_hash
+         |    ORDER BY doc_id, para_idx) > 1 AS is_dup FROM occ),
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_paras,
+         |  floor(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    AS dup_para_frac
+         |  FROM fl GROUP BY doc_id)
+         |SELECT m.doc_id, m.canonical_url, m.is_url_duplicate,
+         |  st.n_paras, st.n_dup_paras, st.dup_para_frac
+         |FROM marked m LEFT JOIN st ON st.doc_id = m.doc_id""".stripMargin
     },
     "q124_paragraph_dedup" -> {
       val paraH = chash("para")

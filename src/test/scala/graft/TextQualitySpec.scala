@@ -128,6 +128,56 @@ class TextQualitySpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("urlCanonicalize + urlDedup: scheme/www/fragment/trailing-slash " +
+    "stripped, tracking params dropped, params sorted, host lowered " +
+    "with path case kept; winner = highest quality then lowest id") {
+    val docs = Seq(
+      (1L, "https://WWW.Site.Example.com/Path/?utm_source=x&b=2&a=1#f",
+        100L),
+      (2L, "http://site.example.com/Path?a=1&b=2", 300L),
+      (3L, "http://site.example.com/Path?b=2&a=1&fbclid=zz", 300L),
+      (4L, "http://other.example.com/Path?a=1&b=2", 50L),
+      (5L, "https://site.example.com/CASEdiff", 10L))
+      .toDF("doc_id", "url", "quality")
+    val out = TextQuality.urlDedup(docs, "doc_id", "url", "quality")
+      .orderBy("doc_id").collect()
+    // docs 1-3 canonicalize onto one key; 2 wins (quality 300, id 2)
+    val canon = "site.example.com/Path?a=1&b=2"
+    assert(out(0).getAs[String]("canonical_url") === canon)
+    assert(out(1).getAs[String]("canonical_url") === canon)
+    assert(out(2).getAs[String]("canonical_url") === canon)
+    assert(out(0).getAs[Boolean]("is_url_duplicate") === true)
+    assert(out(1).getAs[Boolean]("is_url_duplicate") === false)
+    assert(out(2).getAs[Boolean]("is_url_duplicate") === true)
+    // different host survives; path case preserved
+    assert(out(3).getAs[Boolean]("is_url_duplicate") === false)
+    assert(out(4).getAs[String]("canonical_url")
+      === "site.example.com/CASEdiff")
+  }
+
+  test("ccnetNormalize + ccnetChunkDedup: case/digit/punct variants " +
+    "hash together; exact hashing would not catch them") {
+    val docs = Seq(
+      (1L, "The Answer Is 42! ok"),
+      (2L, "the answer is 77, OK"),  // same after normalization
+      (3L, "a different chunk here entirely"))
+      .toDF("doc_id", "text")
+    val n = docs.select(TextQuality.ccnetNormalize(col("text")))
+      .orderBy("text").collect().map(_.getString(0))
+    assert(n.contains("the answer is 00 ok"))
+    val stats = TextQuality.paragraphDupStats(
+      TextQuality.ccnetChunkDedup(docs, "doc_id", "text", 10), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(stats(0).getAs[Long]("n_dup_paras") === 0L) // doc 1 owns
+    assert(stats(1).getAs[Long]("n_dup_paras") === 1L) // normalized dup
+    assert(stats(2).getAs[Long]("n_dup_paras") === 0L)
+    // plain (un-normalized) dedup would NOT flag doc 2
+    val exact = TextQuality.paragraphDupStats(
+      TextQuality.paragraphDedup(docs, "doc_id", "text", 10), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(exact(1).getAs[Long]("n_dup_paras") === 0L)
+  }
+
   test("piiScrub: typed placeholders, per-kind counts, short phone " +
     "numbers survive") {
     val docs = Seq((1L,
