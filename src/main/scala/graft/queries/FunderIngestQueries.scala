@@ -1434,6 +1434,37 @@ object FunderIngestQueries {
       concat(lit("https://pc/"), ks, lit(".pdf")).as("source_pdf_url"))
   }
 
+  private def shRaw(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 250)
+    val k = col("o_orderkey"); val ks = k.cast("string")
+    o.select(
+      when(pmod(k, lit(7)) === 0, concat(lit("SH24-"), ks))
+        .when(pmod(k, lit(7)) === 1, lit("  "))
+        .otherwise(lit(null).cast("string")).as("funder_award_id"),
+      when(pmod(k, lit(17)) === 0, lit("  "))
+        .when(pmod(k, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("沪项目 "), ks)).as("display_name"),
+      when(pmod(k, lit(5)) === 0, lit("重点项目"))
+        .when(pmod(k, lit(5)) === 1, lit("扬帆计划"))
+        .when(pmod(k, lit(5)) === 2, lit("青年科技启明星"))
+        .when(pmod(k, lit(5)) === 3, lit("联合基金"))
+        .otherwise(lit(null).cast("string")).as("funder_scheme"),
+      when(pmod(k, lit(8)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(9)) === 0, lit("bad"))
+        .otherwise((lit(2008) + pmod(k, lit(15))).cast("string"))
+        .as("start_year"),
+      when(pmod(k, lit(3)) === 0, lit(" 李雷 "))
+        .when(pmod(k, lit(3)) === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("lead_family_name"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(5)) === 1, lit("  "))
+        .otherwise(concat(lit(" 复旦大学"), pmod(k, lit(4)).cast("string"),
+          lit(" "))).as("institution"),
+      when(pmod(k, lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://sh/"), ks))
+        .as("landing_page_url"))
+  }
+
   /** q133: the round-14 config shapes end-to-end — Breakthrough's
     * declined-prefix description over NULLIF-trimmed norms (with the
     * trim-screen row drops), Stroke Association's 'N/A'-id slug
@@ -1443,8 +1474,10 @@ object FunderIngestQueries {
     * CAPES cooperation's parse-derived BRL + year(date)-else-source
     * coverage, and PCAARRD's raw-carried funder_id resolved against
     * its inline registry-gap lookup (unknown/unparseable ids drop at
-    * the broadcast inner join). Same injected length-mint as
-    * q110/q130/q131. */
+    * the broadcast inner join) — plus Shanghai STCSM's
+    * id-else-(title|institution) synthetic mint, Chinese programme
+    * LIKE cascade, and institution-only 'China' lead. Same injected
+    * length-mint as q110/q130/q131. */
   private def q133(s: SparkSession, dir: String): DataFrame = {
     val sess = s; import sess.implicits._
     import graft.awards.FunderConfigs
@@ -1453,6 +1486,9 @@ object FunderIngestQueries {
       (4320320068L, "Stroke Association", "r-sa", "d-sa"),
       (4320319992L, "British Heart Foundation", "r-bh", "d-bh"),
       (4320321091L, "CAPES", "r-cp", "d-cp"),
+      (4320321885L,
+        "Science and Technology Commission of Shanghai Municipality",
+        "r-sh", "d-sh"),
       (999L, "Distractor", "r-x", "d-x"))
       .toDF("funder_id", "display_name", "ror_id", "doi")
     val bt = FunderIngest.transform(btRaw(s, dir), f,
@@ -1466,9 +1502,12 @@ object FunderIngestQueries {
     val pc = FunderIngest.transformResolved(pcRaw(s, dir),
       FunderConfigs.pcaarrdFunderLookup(s), FunderConfigs.pcaarrd,
       nowTs, mint)
+    val sh = FunderIngest.transform(shRaw(s, dir), f,
+      FunderConfigs.shanghaiStcsm, nowTs, mint)
     flat2(bt, "breakthrough").unionByName(flat2(sa, "stroke"))
       .unionByName(flat2(bh, "bhf")).unionByName(flat2(cp, "capes"))
       .unionByName(flat2(pc, "pcaarrd"))
+      .unionByName(flat2(sh, "shanghai"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -3273,11 +3312,83 @@ object FunderIngestQueries {
         |    AS works_api_url
         | FROM pcraw
         | WHERE aid IS NOT NULL AND dname IS NOT NULL
-        |   AND TRY_CAST(fid AS BIGINT) = 4320336119)
+        |   AND TRY_CAST(fid AS BIGINT) = 4320336119),
+        |shraw AS (SELECT k,
+        |  CASE WHEN k % 7 = 0 THEN 'SH24-' || CAST(k AS VARCHAR)
+        |       WHEN k % 7 = 1 THEN '  ' ELSE NULL END AS aid,
+        |  CASE WHEN k % 17 = 0 THEN '  ' WHEN k % 19 = 0 THEN NULL
+        |       ELSE '沪项目 ' || CAST(k AS VARCHAR) END AS dname,
+        |  CASE WHEN k % 5 = 0 THEN '重点项目'
+        |       WHEN k % 5 = 1 THEN '扬帆计划'
+        |       WHEN k % 5 = 2 THEN '青年科技启明星'
+        |       WHEN k % 5 = 3 THEN '联合基金'
+        |       ELSE NULL END AS scheme,
+        |  CASE WHEN k % 8 = 0 THEN NULL WHEN k % 9 = 0 THEN 'bad'
+        |       ELSE CAST(2008 + k % 15 AS VARCHAR) END AS sy,
+        |  CASE WHEN k % 3 = 0 THEN ' 李雷 ' WHEN k % 3 = 1 THEN ''
+        |       ELSE NULL END AS fam,
+        |  CASE WHEN k % 5 = 0 THEN NULL WHEN k % 5 = 1 THEN '  '
+        |       ELSE ' 复旦大学' || CAST(k % 4 AS VARCHAR) || ' ' END AS inst,
+        |  CASE WHEN k % 11 = 0 THEN NULL
+        |       ELSE 'https://sh/' || CAST(k AS VARCHAR) END AS lurl
+        | FROM o),
+        |shleg AS (SELECT 'shanghai' AS src,
+        |  length('4320321885:'
+        |    || COALESCE(NULLIF(lower(TRIM(aid)), ''),
+        |         lower(TRIM(dname)) || '|'
+        |         || lower(TRIM(COALESCE(inst, ''))))) AS id,
+        |  CAST(4320321885 AS BIGINT) AS funder_id,
+        |  NULLIF(TRIM(aid), '') AS funder_award_id,
+        |  dname AS display_name,
+        |  CAST(NULL AS VARCHAR) AS description,
+        |  CAST(NULL AS DOUBLE) AS amount,
+        |  CAST(NULL AS VARCHAR) AS currency,
+        |  CASE WHEN scheme LIKE '%杰出青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%优秀青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%青年%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%博士%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%启明星%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%扬帆%' THEN 'fellowship'
+        |       WHEN scheme LIKE '%重大%' THEN 'research'
+        |       WHEN scheme LIKE '%重点%' THEN 'research'
+        |       WHEN scheme LIKE '%联合基金%' THEN 'research'
+        |       ELSE 'grant' END AS funding_type,
+        |  NULLIF(TRIM(scheme), '') AS funder_scheme,
+        |  'shanghai_stcsm' AS provenance,
+        |  CASE WHEN TRY_CAST(sy AS INTEGER) IS NOT NULL
+        |       THEN sy || '-01-01' END AS start_d,
+        |  CAST(NULL AS VARCHAR) AS end_d,
+        |  TRY_CAST(sy AS INTEGER) AS start_year,
+        |  CAST(NULL AS INTEGER) AS end_year,
+        |  CAST(NULL AS VARCHAR) AS pi_given,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(fam), '') END AS pi_family,
+        |  CAST(NULL AS VARCHAR) AS pi_orcid,
+        |  CAST(NULL AS VARCHAR) AS pi_role_start,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN NULLIF(TRIM(inst), '') END AS pi_aff_name,
+        |  CASE WHEN (fam IS NOT NULL AND TRIM(fam) <> '')
+        |         OR (inst IS NOT NULL AND TRIM(inst) <> '')
+        |       THEN 'China' END AS pi_aff_country,
+        |  CAST(NULL AS VARCHAR) AS colead_family,
+        |  CAST(NULL AS INTEGER) AS n_inv,
+        |  CAST(NULL AS VARCHAR) AS inv1_given,
+        |  lurl AS landing_page_url,
+        |  'https://api.openalex.org/works?filter=awards.id:G'
+        |    || CAST(length('4320321885:'
+        |         || COALESCE(NULLIF(lower(TRIM(aid)), ''),
+        |              lower(TRIM(dname)) || '|'
+        |              || lower(TRIM(COALESCE(inst, ''))))) AS VARCHAR)
+        |    AS works_api_url
+        | FROM shraw
+        | WHERE dname IS NOT NULL AND TRIM(dname) <> '')
         |SELECT * FROM btleg
         |UNION ALL SELECT * FROM saleg
         |UNION ALL SELECT * FROM bhleg
         |UNION ALL SELECT * FROM cpleg
-        |UNION ALL SELECT * FROM pcleg""".stripMargin
+        |UNION ALL SELECT * FROM pcleg
+        |UNION ALL SELECT * FROM shleg""".stripMargin
   }
 }
