@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 207
+  val ExpectedChecks = 210
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -281,6 +281,14 @@ object ExplainAudit {
         "parses are scalar expressions)")
     check(!p131.contains("CartesianProduct"),
       "q131 has no cartesian product")
+
+    val p135 = plan("q135_dup_spans")
+    check(p135.contains("windowspecdefinition(win_hash") &&
+        !p135.contains("rangepartitioning"),
+      "q135 stride-1 window ownership partitions by win_hash — a " +
+        "keyed window, never a corpus-wide sort")
+    check(!p135.contains("CartesianProduct"),
+      "q135 has no cartesian product")
 
     val p134 = plan("q134_url_ccnet_dedup")
     check(p134.contains("graft-url-dedup"),

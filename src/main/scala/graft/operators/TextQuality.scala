@@ -189,6 +189,60 @@ object TextQuality {
       docs.withColumn(textCol, ccnetNormalize(col(textCol))),
       idCol, textCol, chunkSize)
 
+  /** Exact-substring duplicate spans (the Lee-et-al. suffix-array
+    * dedup re-expressed Spark-shaped): every STRIDE-1 window of
+    * `window` tokens hashes ([[TextFunctions.charHash]] built inside
+    * the transform lambda, so only (pos, hash) longs ever leave the
+    * row — never the window strings); the first corpus-wide
+    * occurrence of a hash — by (docId, pos) — owns it; every later
+    * occurrence marks its whole window-token span duplicated.
+    * Per-document output: n_tokens, n_dup_windows, dup_token_count
+    * (the UNION length of duplicated spans, merged by an in-array
+    * fold over the sorted duplicate positions — no second shuffle),
+    * dup_token_frac. Catches cross-document repeats that
+    * chunk-aligned dedup ([[paragraphDedup]]) misses when the repeat
+    * straddles a chunk boundary. ONE keyed shuffle on the window
+    * hash + one keyed agg per doc; the stride-1 fan-out (n windows
+    * per doc) is the documented cost of substring-level dedup. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val hashes = when(n >= window,
+      transform(sequence(lit(1), n - window + 1),
+        i => TextFunctions.charHash(
+          array_join(slice(toks, i, lit(window)), " "))))
+      .otherwise(array().cast("array<long>"))
+    val occ = docs.select(col(idCol), hashes.as("hs"))
+      .select(col(idCol),
+        posexplode(col("hs")).as(Seq("pos", "win_hash")))
+    val w = Window.partitionBy(col("win_hash"))
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val marked = occ.withColumn("is_dup", row_number().over(w) > 1)
+    val stats = marked.groupBy(col(idCol))
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L))
+          .as("n_dup_windows"),
+        array_sort(collect_list(when(col("is_dup"),
+          col("pos").cast("long")))).as("dps"))
+      .withColumn("dup_token_count",
+        aggregate(col("dps"),
+          struct(lit(0L).as("pe"), lit(0L).as("tot")),
+          (s, p) => struct(
+            greatest(s.getField("pe"), p + window).as("pe"),
+            (s.getField("tot") + greatest(lit(0L),
+              p + window - greatest(p, s.getField("pe")))).as("tot")),
+          s => s.getField("tot")))
+      .drop("dps")
+    docs.select(col(idCol), n.as("n_tokens"))
+      .join(stats, Seq(idCol), "left")
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+      .withColumn("dup_token_count",
+        coalesce(col("dup_token_count"), lit(0L)))
+      .withColumn("dup_token_frac",
+        frac(col("dup_token_count"), col("n_tokens")))
+  }
+
   /** Per-document repetition metrics + the keep verdict. */
   def repetitionScreens(docs: DataFrame, textCol: String,
       t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {

@@ -444,8 +444,23 @@ object TextQueries {
       .join(stats, Seq("doc_id"), "left")
   }
 
+  /** q135: exact-substring duplicate spans (the suffix-array-style
+    * stride-1 pass, beyond-reference tier) — 10-token windows at
+    * every position, first corpus-wide occurrence owns the hash,
+    * per-doc duplicated-token coverage as the UNION of overlapping
+    * duplicate spans (in-array fold). The synthetic corpus's heavy
+    * vocabulary reuse makes cross-document stride-1 collisions —
+    * including chunk-straddling ones q124 cannot see — common. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextQuality
+    TextQuality.dupSpans(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text")
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_url_ccnet_dedup" -> (q134 _),
+    "q135_dup_spans" -> (q135 _),
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
     "q122_repetition_screens" -> (q122 _),
@@ -631,6 +646,46 @@ object TextQueries {
          |  CAST(b.token_budget AS INTEGER) AS token_budget
          |FROM c JOIN b USING (source)
          |WHERE c.cum_tokens - c.n_tokens < b.token_budget""".stripMargin
+    },
+    "q135_dup_spans" -> {
+      val winH = chash("win")
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |occ AS (SELECT doc_id, i AS pos,
+         |  $winH AS h
+         |  FROM (SELECT doc_id, ws, i,
+         |    array_to_string(list_slice(ws, i + 1, i + 10), ' ') AS win
+         |    FROM tk, unnest(range(0, len(ws) - 10 + 1)) u(i)
+         |    WHERE len(ws) >= 10)),
+         |fl AS (SELECT doc_id, pos,
+         |  row_number() OVER (PARTITION BY h
+         |    ORDER BY doc_id, pos) > 1 AS is_dup FROM occ),
+         |agg AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  list_sort(list(pos) FILTER (WHERE is_dup)) AS dps
+         |  FROM fl GROUP BY doc_id),
+         |enc AS (SELECT doc_id, n_dup_windows,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(dps, x -> CAST(x AS BIGINT))),
+         |    (s, p) -> greatest(s // 4294967296, p + 10) * 4294967296
+         |      + (s % 4294967296)
+         |      + greatest(CAST(0 AS BIGINT),
+         |          p + 10 - greatest(p, s // 4294967296)))
+         |    % 4294967296 AS dup_token_count
+         |  FROM agg)
+         |SELECT t.doc_id,
+         |  CAST(len(t.ws) AS INTEGER) AS n_tokens,
+         |  COALESCE(e.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+         |  COALESCE(e.dup_token_count, CAST(0 AS BIGINT))
+         |    AS dup_token_count,
+         |  CASE WHEN len(t.ws) > 0 THEN
+         |    floor(CAST(COALESCE(e.dup_token_count, 0) AS DOUBLE)
+         |      / CAST(len(t.ws) AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |  ELSE 0.0 END AS dup_token_frac
+         |FROM tk t LEFT JOIN enc e ON e.doc_id = t.doc_id""".stripMargin
     },
     "q134_url_ccnet_dedup" -> {
       val paraH = chash("para")

@@ -178,6 +178,35 @@ class TextQualitySpec extends AnyFunSuite {
     assert(exact(1).getAs[Long]("n_dup_paras") === 0L)
   }
 
+  test("dupSpans: stride-1 window ownership, overlapping duplicate " +
+    "windows merge to one span, disjoint spans add, chunk-straddling " +
+    "repeats are caught") {
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w), // owns every window
+      // 12-token run w5..w16 at offset 3 — three overlapping dup
+      // windows whose union is 12 tokens
+      (2L, "x1 x2 x3 " + (5 to 16).map(i => s"w$i").mkString(" ")
+        + " y1 y2"),
+      // two DISJOINT 10-token runs — union adds to 20
+      (3L, (1 to 10).map(i => s"w$i").mkString(" ") + " z1 z2 "
+        + (11 to 20).map(i => s"w$i").mkString(" ")),
+      (4L, "short doc under ten tokens here"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.dupSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_dup_windows") === 0L)
+    assert(out(0).getAs[Long]("dup_token_count") === 0L)
+    assert(out(1).getAs[Int]("n_tokens") === 17)
+    assert(out(1).getAs[Long]("n_dup_windows") === 3L)
+    assert(out(1).getAs[Long]("dup_token_count") === 12L) // merged
+    assert(out(1).getAs[Double]("dup_token_frac") === 0.705882)
+    assert(out(2).getAs[Long]("dup_token_count") === 20L) // disjoint
+    // sub-window doc: zero windows, zero coverage, frac 0
+    assert(out(3).getAs[Long]("n_dup_windows") === 0L)
+    assert(out(3).getAs[Double]("dup_token_frac") === 0.0)
+  }
+
   test("piiScrub: typed placeholders, per-kind counts, short phone " +
     "numbers survive") {
     val docs = Seq((1L,
