@@ -190,4 +190,35 @@ object Streams {
           Iterator(SessOutM(uid, total.sessions, total.maxLen, open.size))
       }
   }
+
+  /** Fingerprinted document for [[incrementalDedup]]. */
+  final case class FpDoc(doc_id: Long, fp: Long)
+
+  /** Streaming incremental corpus dedup — the continuously-arriving-
+    * crawl shape of the batch exact dedup (beyond-reference tier,
+    * q35's election as a stateful stream): the FIRST document carrying
+    * a fingerprint owns it (earliest micro-batch; lowest doc_id within
+    * a batch), every later arrival is suppressed. Equals the batch
+    * min-id election whenever arrival order respects the id order the
+    * batch twin elects by (the §2.10 sequencing convention).
+    *
+    * 100 TB posture: state per fingerprint is ONE long (the owner id)
+    * behind a keyed shuffle on the fingerprint — a RocksDB-backed
+    * store scales per-key like the reference's MERGE-key staging
+    * tables, and a re-arriving fingerprint touches only its own state
+    * row; the corpus never re-shuffles on old keys. */
+  def incrementalDedup(docs: Dataset[FpDoc]): Dataset[FpDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[FpDoc], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val owner = rows.minBy(_.doc_id)
+            state.update(owner.doc_id)
+            Iterator(owner)
+          }
+      }
+  }
 }

@@ -188,6 +188,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("incrementalDedup: first-seen wins across micro-batches, " +
+    "re-arrivals suppressed, equals batch min-id election") {
+    import graft.streaming.Streams.FpDoc
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-fpdocs").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("fp", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(d).as[FpDoc]
+    val q = Streams.incrementalDedup(src)
+      .writeStream.format("memory").queryName("fpdedup")
+      .outputMode("append").start()
+    // batch 1: ids 1..100, fp = id % 37 → within-batch duplicates
+    // (min id owns); batch 2: ids 101..160, every fp already seen →
+    // fully suppressed; batch 3: ids 161..170 with NEW fps 1000+id
+    def land(part: String, rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("doc_id", "fp").coalesce(1).write.parquet(s"$d/$part")
+      q.processAllAvailable()
+    }
+    val b1 = (1L to 100L).map(i => (i, i % 37))
+    val b2 = (101L to 160L).map(i => (i, i % 37))
+    val b3 = (161L to 170L).map(i => (i, 1000L + i))
+    land("part-1", b1); land("part-2", b2); land("part-3", b3)
+    q.stop()
+    val streamed = spark.table("fpdedup")
+      .select("doc_id", "fp").as[(Long, Long)].collect().toSet
+    // batch twin: min doc_id per fingerprint over the whole corpus
+    // (arrival respected id order, so first-seen == min-id)
+    val batch = (b1 ++ b2 ++ b3).toDF("doc_id", "fp")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size === 37 + 10)
+    // nothing from the fully-duplicate batch 2 leaked through
+    assert(!streamed.exists { case (id, _) => id >= 101 && id <= 160 })
+  }
+
   test("streaming repetition screens + PII scrub equal batch " +
     "(stateless curation projections)") {
     import graft.operators.TextQuality
