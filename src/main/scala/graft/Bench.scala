@@ -64,18 +64,21 @@ object Bench {
     * (~1 KB). Printed after the main line (the surviving position) and
     * also before it, in case the truncation direction ever flips.
     * Values are floored (never rounded up) so the 3× outlier test stays
-    * conservative, and clamped at 0.01 so a zero floor can't mark
-    * every future run an outlier. Two decimals, not three: at 126
-    * queries the 3-decimal line crossed the driver's ~2000-char tail
-    * margin; flooring one digit earlier only lowers floors, which
-    * keeps the outlier test on its conservative side. */
+    * conservative, and clamped at 0.05 so a zero floor can't mark
+    * every future run an outlier. ONE decimal: at 126 queries the
+    * 3-decimal line crossed the driver's ~2000-char tail margin, and
+    * at 138 the 2-decimal line crossed the 1400-char headroom budget;
+    * flooring a digit earlier only lowers floors, which keeps the
+    * outlier test on its conservative side (the per-pass times in the
+    * same artifacts still carry exact floors when they survive the
+    * tail — floorFor folds min over both). */
   private[graft] def floorsJson(entries: Seq[(String, Double)]): String =
     entries.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
       .groupMapReduce(_._1)(_._2)(math.min)
       .toSeq.sortBy(_._1)
       .map { case (k, v) =>
         "\"" + k.stripPrefix("q") + "\":" +
-          math.max(math.floor(v * 100) / 100, 0.01)
+          math.max(math.floor(v * 10) / 10, 0.05)
       }
       .mkString("{\"floors\":{", ",", "}}")
 

@@ -46,7 +46,7 @@ class BenchFloorSpec extends AnyFunSuite {
       val f = Bench.floorFor(floors, n)
       assert(f.nonEmpty, s"no floor recovered for $n")
       val want = mins.toMap.apply(n)
-      assert(f.get <= want + 1e-9 && f.get >= want - 0.01,
+      assert(f.get <= want + 1e-9 && f.get >= want - 0.1,
         s"$n floor ${f.get} != floored($want)")
     }
   }
