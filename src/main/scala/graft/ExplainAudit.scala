@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 210
+  val ExpectedChecks = 221
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -282,6 +282,45 @@ object ExplainAudit {
     check(!p131.contains("CartesianProduct"),
       "q131 has no cartesian product")
 
+    val p139 = plan("q139_embedding_quantize")
+    check(p139.contains("BroadcastNestedLoopJoin") ||
+        p139.contains("BroadcastExchange"),
+      "q139 quantizes behind a broadcast of the packed per-dim " +
+        "codebook — the corpus itself is a pure projection")
+    check(p139.contains("partial_min") || p139.contains("partial_max"),
+      "q139 dim stats aggregate map-side-partially before the " +
+        "64-key shuffle")
+
+    val p138 = plan("q138_curation_pack_shard")
+    check(p138.contains("BroadcastHashJoin") &&
+        p138.contains("hashpartitioning(__b") &&
+        p138.contains("graft-curation-gate"),
+      "q138 training tail: the text-HOF gate lands at a Materialize " +
+        "boundary (four consumers), admit thresholds broadcast, " +
+        "packing cumsum bucket-keyed — the corpus shuffles only for " +
+        "the per-bucket pack window")
+    check(!p138.contains("rangepartitioning") &&
+        !p138.contains("CartesianProduct"),
+      "q138 has no corpus-wide sort and no cartesian product")
+
+    val p137 = plan("q137_temperature_resample")
+    check(p137.contains("BroadcastHashJoin"),
+      "q137 admit thresholds broadcast back to the corpus — the " +
+        "weight fold crosses only the tiny per-source mass frame, " +
+        "the corpus itself never shuffles for admission")
+    check(!p137.contains("CartesianProduct"),
+      "q137 has no cartesian product (the per-source self-cross is a " +
+        "broadcast nested loop over the tiny mass frame)")
+
+    val p136 = plan("q136_sequence_packing")
+    check(p136.contains("hashpartitioning(__b"),
+      "q136 global packing cumsum partitions by the top-10-bit hash " +
+        "range bucket — 1024-way parallel, never one global sort task " +
+        "(the generic screen separately proves no single-partition " +
+        "exchange)")
+    check(!p136.contains("rangepartitioning"),
+      "q136 has no corpus-wide sort")
+
     val p135 = plan("q135_dup_spans")
     check(p135.contains("windowspecdefinition(win_hash") &&
         !p135.contains("rangepartitioning"),
@@ -352,7 +391,12 @@ object ExplainAudit {
       "q51_work_id_resolver", "q52_author_match_cascade",
       // q93: IdMinter over NEW (unseen, non-withdrawn) ROR ids only — a
       // registry delta, never the corpus (RorTables.insertNewFromRor).
-      "q93_ror_registry_sync")
+      "q93_ror_registry_sync",
+      // q139: Similarity.packedStats folds the per-dim min/max frame
+      // (≤ embedding dim rows, 64 here) into one broadcast row — the
+      // corpus side is map-side-partially aggregated before its keyed
+      // shuffle and never passes through the single partition.
+      "q139_embedding_quantize")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!singlePartitionOk(name)) {
         val p = SparkEntry.queries(name)(spark, sfDir).queryExecution

@@ -92,6 +92,117 @@ object Sampling {
       .drop("__h", "__b", "__pre")
   }
 
+  /** GPT-style sequence packing (concat-and-chunk): documents are
+    * concatenated in deterministic salted-hash order and the token
+    * stream is cut into fixed `seqLen`-token training sequences
+    * ("packs"); a document may straddle pack boundaries (the standard
+    * pretraining packing — no padding, no bin-packing heuristics).
+    * Zero-token documents are dropped (they occupy no pack space).
+    * Emits per document its exclusive `start_offset` in the global
+    * token stream, inclusive `cum_tokens`, the `pack_id` holding its
+    * first token, `pack_end` holding its last, and `n_packs` spanned.
+    *
+    * 100 TB posture — the naive form is ONE global running-sum window
+    * (a single task sorting the corpus). Same range-bucket trick as
+    * [[mixtureSample]], but corpus-global: the top 10 hash bits bucket
+    * the stream (monotone in the hash, so bucket order IS concat
+    * order), one map-side-partial agg builds the ≤1024-row bucket
+    * token-mass histogram, each bucket's exclusive prefix mass comes
+    * from a triangular broadcast self-join over that tiny frame (no
+    * single-partition exchange anywhere), and the per-bucket cumsum
+    * window touches ~1/1024 of the corpus per task. `start_offset`
+    * and every pack id are bit-identical to the naive global window. */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+      seqLen: Int, seed: String): DataFrame = {
+    require(seqLen > 0)
+    val h = TextFunctions.charHash(
+      concat(col(idCol).cast("string"), lit(":pack:" + seed)))
+    val withB = docs.filter(col(tokenCol) > 0)
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 46))
+    val hist = withB.groupBy(col("__b"))
+      .agg(sum(col(tokenCol)).as("__mass"))
+    // exclusive prefix mass per bucket WITHOUT a global window: each
+    // bucket sums the masses of strictly-earlier buckets over a
+    // broadcast copy of the ≤1024-row histogram
+    val prefix = hist.select(col("__b"), col("__mass")).as("a")
+      .join(broadcast(hist.select(col("__b").as("__pb"),
+        col("__mass").as("__pm"))), col("__pb") < col("__b"), "left")
+      .groupBy(col("__b"))
+      .agg(coalesce(sum(col("__pm")), lit(0L)).as("__pre"))
+    val wBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withB
+      .join(broadcast(prefix), Seq("__b"))
+      .withColumn("cum_tokens",
+        col("__pre") + sum(col(tokenCol)).over(wBucket))
+      .withColumn("start_offset", col("cum_tokens") - col(tokenCol))
+      .withColumn("pack_id",
+        floor(col("start_offset") / lit(seqLen)).cast("long"))
+      .withColumn("pack_end",
+        floor((col("cum_tokens") - 1) / lit(seqLen)).cast("long"))
+      .withColumn("n_packs", col("pack_end") - col("pack_id") + 1)
+      .drop("__h", "__b", "__pre")
+  }
+
+  /** Temperature-based mixture resampling (the XLM-R/mT5 domain
+    * balancer): each source's sampling weight is `mass^alpha`
+    * (alpha < 1 up-weights small sources), the corpus is resampled to
+    * `targetNum/targetDen` of its total token mass, and a document is
+    * admitted when its salted hash falls under its source's admit
+    * probability `min(1, target·w_s/Σw/m_s)` — a pure per-row
+    * threshold, so the admitted set is stable under corpus growth
+    * within a source's mass. Adds `admit_ppm` (the source's admit
+    * probability in parts-per-million).
+    *
+    * Cross-engine exactness: alpha = 0.5 routes through `sqrt`
+    * (correctly rounded per IEEE-754, unlike `pow`), Σw is a
+    * sequential fold over the per-source weights in source order
+    * (both engines add in the same order → bit-identical), and the
+    * total mass / target are exact integer arithmetic. Other alphas
+    * use `pow` and may differ from an oracle in the last ulp.
+    *
+    * 100 TB posture: one map-side-partial agg to the per-source mass
+    * frame (≤ thousands of rows), a broadcast self-cross over that
+    * tiny frame for the ordered weight fold, then a broadcast join
+    * back — the corpus itself never shuffles and admission is a
+    * projection-side filter. */
+  def temperatureResample(docs: DataFrame, idCol: String,
+      tokenCol: String, sourceCol: String, alpha: Double,
+      targetNum: Int, targetDen: Int, seed: String): DataFrame = {
+    require(targetNum > 0 && targetDen > 0 && alpha > 0)
+    val mass = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("__m"))
+      .withColumn("__w",
+        if (alpha == 0.5) sqrt(col("__m").cast("double"))
+        else pow(col("__m").cast("double"), lit(alpha)))
+    val per = mass
+      .crossJoin(broadcast(mass.select(col(sourceCol).as("__bs"),
+        col("__m").as("__bm"), col("__w").as("__bw"))))
+      .groupBy(col(sourceCol), col("__m"), col("__w"))
+      .agg(sum(col("__bm")).as("__totm"),
+        sort_array(collect_list(struct(col("__bs").as("s"),
+          col("__bw").as("w")))).as("__ws"))
+      // sequential double fold in source order — the oracle's
+      // list_reduce twin adds in the same order, so Σw is bit-exact
+      .withColumn("__tot",
+        aggregate(col("__ws"), lit(0.0d),
+          (acc, x) => acc + x.getField("w")))
+      .withColumn("__target",
+        floor(col("__totm") * lit(targetNum) / lit(targetDen))
+          .cast("long"))
+      .withColumn("admit_ppm",
+        floor(least(lit(1.0d),
+          col("__target").cast("double") * col("__w") / col("__tot") /
+            col("__m").cast("double")) * lit(1000000.0d)).cast("long"))
+      .select(col(sourceCol), col("admit_ppm"))
+    docs
+      .join(broadcast(per), Seq(sourceCol))
+      .filter(pmod(TextFunctions.charHash(
+        concat(col(idCol).cast("string"), lit(":temp:" + seed))),
+        lit(1000000L)) < col("admit_ppm"))
+  }
+
   /** Keeps at most `cap` rows per stratum, elected deterministically
     * by the salted id hash (ties impossible for distinct ids; the id
     * itself is the final tiebreak for duplicate ids). */

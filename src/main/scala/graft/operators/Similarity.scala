@@ -93,4 +93,45 @@ object Similarity {
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nProbe)
       .select(col(idCol), col("cent_id").as("cell"), col("__r").as("probe_rank"))
   }
+
+  /** Per-dimension min/max over the embedding corpus — the int8
+    * scalar-quantizer "training" pass. One explode + keyed agg to a
+    * ≤dim-row frame (map-side partial, never a corpus shuffle). */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol))).toDF("dim", "x")
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+
+  /** Stats packed to ONE row of dim-ordered arrays — the broadcast
+    * side of the quantizer. The global fold is over ≤dim rows (a
+    * 64-dim corpus folds 64 rows), bounded by design like IdMinter's
+    * new-entity remainder. */
+  def packedStats(stats: DataFrame): DataFrame =
+    stats
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"),
+        col("mx")))).as("__s"))
+      .select(transform(col("__s"), e => e.getField("mn")).as("__mins"),
+        transform(col("__s"), e => e.getField("mx")).as("__maxs"))
+
+  /** Int8 scalar quantization (the memory-side of large-scale ANN: a
+    * 100 TB float corpus stores/scans 4× smaller as uint8 codes with
+    * a broadcast codebook): `code_d = clamp(floor((x_d − min_d) /
+    * (max_d − min_d) · 255 + 0.5), 0, 255)`; constant dimensions code
+    * to 0. Adds `codes ARRAY<INT>` — a pure projection behind one
+    * broadcast of the packed stats; the corpus never shuffles. */
+  def scalarQuantize(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val packed = packedStats(dimStats(emb, vecCol))
+    emb.crossJoin(broadcast(packed))
+      .withColumn("codes", transform(col(vecCol), (x, i) => {
+        val mn = element_at(col("__mins"), i + 1)
+        val mx = element_at(col("__maxs"), i + 1)
+        when(mx === mn, lit(0)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - mn) / (mx - mn) * 255 + 0.5)
+              .cast("long"))).cast("int"))
+      }))
+      .drop("__mins", "__maxs")
+  }
 }

@@ -167,15 +167,31 @@ object TextQueries {
   }
 
   /** Multimodal plumbing: opaque binary column + typed metadata —
-    * byte length, content digest, frame-sampling arithmetic (the decode
-    * itself is stubbed; see operators/Multimodal). */
+    * byte length, content digest, plus the REAL decoder-plan
+    * arithmetic (the decode itself is stubbed; see
+    * operators/Multimodal): frameSamplePlan's sampled-frame count and
+    * last frame index over a synthetic duration, and resizeSpec's
+    * aspect-preserving (w', h') over synthetic dimensions — both
+    * recomputed arithmetically by the oracle (r14). */
   private def q41(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
     val d = t(s, dir, "documents")
     val bin = encode(col("text"), "UTF-8")
+    val durMs = pmod(col("doc_id"), lit(10000)) * 400
+    val plan = Multimodal.frameSamplePlan(durMs, fps = 30.0,
+      everyNth = 5, maxFrames = 16)
+    val rs = Multimodal.resizeSpec(
+      (lit(100) + pmod(col("doc_id"), lit(1200))).cast("int"),
+      (lit(90) + pmod(col("doc_id"), lit(800))).cast("int"), 224)
     d.select(col("doc_id"),
       length(bin).as("byte_len"),
       sha2(bin, 256).as("sha"),
-      expr("CAST(length(text) div 100 AS INT)").as("n_frames"))
+      expr("CAST(length(text) div 100 AS INT)").as("n_frames"),
+      size(plan).as("n_sampled_frames"),
+      coalesce(try_element_at(plan, lit(-1)), lit(-1L))
+        .as("last_frame_idx"),
+      rs.getField("w").as("rs_w"),
+      rs.getField("h").as("rs_h"))
   }
 
   /** Transitive dedup clusters: candidate pairs (paths, one ~55-hop
@@ -458,9 +474,65 @@ object TextQueries {
       "doc_id", "text")
   }
 
+  /** q136: GPT-style sequence packing (beyond-reference tier) —
+    * documents concatenated in salted-hash order, the global token
+    * stream cut into 512-token training sequences; per doc its global
+    * start offset and the pack span. The bucketed-prefix plan is
+    * bit-identical to the oracle's single global running-sum window. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    Sampling.packSequences(docs, "doc_id", "n_tokens", 512, "p1")
+  }
+
+  /** q137: temperature-based mixture resampling (beyond-reference
+    * tier) — per-source weights ∝ mass^0.5 (up-weighting small
+    * sources), corpus resampled to 2/5 of its token mass, admission
+    * by salted-hash threshold. alpha = 0.5 keeps the weight math on
+    * IEEE-exact sqrt so the DuckDB oracle is bit-identical. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      col("source"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    Sampling.temperatureResample(docs, "doc_id", "n_tokens", "source",
+      0.5, 2, 5, "t1")
+  }
+
+  /** q138: the composed training-data TAIL end-to-end (beyond-
+    * reference tier) — repetition quality gate → temperature mixture
+    * resampling (α=0.5, half the gated token mass) → 256-token
+    * sequence packing → contiguous 32-pack training shards. q126
+    * gates the curation FRONT (scrub→screen→budget→split); this
+    * gates everything a training run needs after it: the final
+    * (doc, pack, shard) layout. Oracle chains every stage. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, TextQuality}
+    val d = t(s, dir, "documents")
+    // the gate's text HOFs are the expensive stage and FOUR downstream
+    // consumers re-read it (mass agg, admit join, bucket histogram,
+    // pack window) — landed once (q126's multi-consumer convention)
+    val gated = graft.core.Materialize.temp(
+      TextQuality.repetitionScreens(
+        d.select(col("doc_id"), col("source"), col("text")), "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("n_tokens")),
+      "graft-curation-gate")._1
+    val mixed = Sampling.temperatureResample(gated, "doc_id",
+      "n_tokens", "source", 0.5, 1, 2, "c2")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    Sampling.packSequences(mixed, "doc_id", "n_tokens", 256, "c2")
+      .withColumn("shard_id",
+        floor(col("pack_id") / lit(32)).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_url_ccnet_dedup" -> (q134 _),
     "q135_dup_spans" -> (q135 _),
+    "q136_sequence_packing" -> (q136 _),
+    "q137_temperature_resample" -> (q137 _),
+    "q138_curation_pack_shard" -> (q138 _),
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
     "q122_repetition_screens" -> (q122 _),
@@ -755,6 +827,105 @@ object TextQueries {
          |  st.n_paras, st.n_dup_paras, st.dup_para_frac
          |FROM marked m LEFT JOIN st ON st.doc_id = m.doc_id""".stripMargin
     },
+    "q136_sequence_packing" -> {
+      val packH = chash("CAST(doc_id AS VARCHAR) || ':pack:p1'")
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    AS INTEGER) AS n_tokens,
+         |  $packH AS h FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  cum_tokens - n_tokens AS start_offset,
+         |  (cum_tokens - n_tokens) // 512 AS pack_id,
+         |  (cum_tokens - 1) // 512 AS pack_end,
+         |  (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1
+         |    AS n_packs
+         |FROM c""".stripMargin
+    },
+    "q137_temperature_resample" -> {
+      val tempH = chash("CAST(doc_id AS VARCHAR) || ':temp:t1'")
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    AS INTEGER) AS n_tokens,
+         |  $tempH AS h FROM documents),
+         |m AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS m,
+         |  sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)) AS w
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(m) AS BIGINT) AS totm,
+         |  list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+         |    (a, b) -> a + b) AS tot FROM m),
+         |a AS (SELECT source,
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |    CAST((totm * 2) // 5 AS DOUBLE) * w / tot
+         |      / CAST(m AS DOUBLE)) * 1e6) AS BIGINT) AS admit_ppm
+         |  FROM m, t)
+         |SELECT d.doc_id, d.source, d.n_tokens, a.admit_ppm
+         |FROM d JOIN a USING (source)
+         |WHERE d.h % 1000000 < a.admit_ppm""".stripMargin
+    },
+    "q138_curation_pack_shard" -> {
+      val tempH = chash("CAST(doc_id AS VARCHAR) || ':temp:c2'")
+      val packH = chash("CAST(doc_id AS VARCHAR) || ':pack:c2'")
+      s"""WITH tk AS (SELECT doc_id, source,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |m0 AS (SELECT doc_id, source, ws, len(ws) AS n,
+         |  list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i+1]) AS bi,
+         |  list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+         |  FROM tk),
+         |c AS (SELECT doc_id, source, n,
+         |  CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(ws),
+         |    w -> len(list_filter(ws, x -> x = w)))) ELSE 0 END AS topw,
+         |  CASE WHEN len(bi) > 0 THEN list_max(list_transform(
+         |    list_distinct(bi), w -> len(list_filter(bi, x -> x = w))))
+         |    ELSE 0 END AS topb,
+         |  len(tri) AS ntri, len(list_distinct(tri)) AS dtri
+         |  FROM m0),
+         |f AS (SELECT doc_id, source, CAST(n AS INTEGER) AS n_tokens,
+         |  CASE WHEN n > 0 THEN floor(CAST(topw AS DOUBLE) /
+         |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS twf,
+         |  CASE WHEN n > 0 THEN floor(CAST(topb * 2 AS DOUBLE) /
+         |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS tbf,
+         |  CASE WHEN ntri > 0 THEN floor(CAST(ntri - dtri AS DOUBLE) /
+         |    CAST(ntri AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS dtf
+         |  FROM c),
+         |g AS (SELECT doc_id, source, n_tokens FROM f
+         |  WHERE twf <= 0.20 AND tbf <= 0.40 AND dtf <= 0.30),
+         |mm AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS m,
+         |  sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)) AS w
+         |  FROM g GROUP BY 1),
+         |tt AS (SELECT CAST(sum(m) AS BIGINT) AS totm,
+         |  list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+         |    (a, b) -> a + b) AS tot FROM mm),
+         |aa AS (SELECT source,
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |    CAST((totm * 1) // 2 AS DOUBLE) * w / tot
+         |      / CAST(m AS DOUBLE)) * 1e6) AS BIGINT) AS admit_ppm
+         |  FROM mm, tt),
+         |adm AS (SELECT g.doc_id, g.source, g.n_tokens
+         |  FROM g JOIN aa USING (source)
+         |  WHERE $tempH % 1000000 < aa.admit_ppm),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY $packH, doc_id) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM adm WHERE n_tokens > 0)
+         |SELECT doc_id, source, n_tokens, cum_tokens,
+         |  cum_tokens - n_tokens AS start_offset,
+         |  (cum_tokens - n_tokens) // 256 AS pack_id,
+         |  (cum_tokens - 1) // 256 AS pack_end,
+         |  (cum_tokens - 1) // 256 - (cum_tokens - n_tokens) // 256 + 1
+         |    AS n_packs,
+         |  (cum_tokens - n_tokens) // 256 // 32 AS shard_id
+         |FROM p""".stripMargin
+    },
     "q124_paragraph_dedup" -> {
       val paraH = chash("para")
       s"""WITH tk AS (SELECT doc_id,
@@ -1029,9 +1200,34 @@ object TextQueries {
          |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "q41_multimodal_binary_meta" ->
-      """SELECT doc_id,
-        |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |sha256(text) AS sha,
-        |CAST(length(text) // 100 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin)
+      """WITH b AS (SELECT doc_id, text,
+        |  (doc_id % 10000) * 400 AS dur_ms,
+        |  CAST(100 + doc_id % 1200 AS INTEGER) AS w,
+        |  CAST(90 + doc_id % 800 AS INTEGER) AS h
+        |  FROM documents),
+        |fr AS (SELECT doc_id,
+        |  CAST(floor(CAST(dur_ms AS DOUBLE) / 1000.0 * 30.0) AS BIGINT)
+        |    AS nf
+        |  FROM b),
+        |pl AS (SELECT doc_id,
+        |  CASE WHEN nf > 0 THEN least(nf - 1, CAST(75 AS BIGINT)) // 5 + 1
+        |    ELSE 0 END AS n_sampled,
+        |  CASE WHEN nf > 0
+        |    THEN (least(nf - 1, CAST(75 AS BIGINT)) // 5) * 5
+        |    ELSE CAST(-1 AS BIGINT) END AS last_idx
+        |  FROM fr),
+        |rz AS (SELECT doc_id,
+        |  CASE WHEN greatest(w, h) <= 224 THEN 1.0
+        |    ELSE 224.0 / CAST(greatest(w, h) AS DOUBLE) END AS scale,
+        |  w, h FROM b)
+        |SELECT b.doc_id,
+        |CAST(octet_length(encode(b.text)) AS INTEGER) AS byte_len,
+        |sha256(b.text) AS sha,
+        |CAST(length(b.text) // 100 AS INTEGER) AS n_frames,
+        |CAST(pl.n_sampled AS INTEGER) AS n_sampled_frames,
+        |pl.last_idx AS last_frame_idx,
+        |CAST(floor(CAST(rz.w AS DOUBLE) * rz.scale) AS INTEGER) AS rs_w,
+        |CAST(floor(CAST(rz.h AS DOUBLE) * rz.scale) AS INTEGER) AS rs_h
+        |FROM b JOIN pl ON pl.doc_id = b.doc_id
+        |JOIN rz ON rz.doc_id = b.doc_id""".stripMargin)
 }

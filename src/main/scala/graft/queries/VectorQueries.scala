@@ -171,7 +171,19 @@ object VectorQueries {
       e.select(col("vec_id").as("work_id"), col("embedding")))
   }
 
+  /** q139: int8 scalar quantization of the embedding corpus (the
+    * memory side of ANN at 100 TB — 4× smaller codes behind a
+    * broadcast per-dim codebook; a pure projection, the corpus never
+    * shuffles). Exploded to (vec_id, dim, code) so every code is
+    * hash-gated. */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id",
+      "embedding")
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "dim", "code")
+
   val queries: Map[String, Q] = Map(
+    "q139_embedding_quantize" -> (q139 _),
     "q79_aer_author_embeddings" -> (q79 _),
     "q80_aer_authorship_similarity" -> (q80 _),
     "q81_aer_overmerge_signal" -> (q81 _),
@@ -206,6 +218,20 @@ object VectorQueries {
        |  GROUP BY m.author_id, cnt.work_count)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q139_embedding_quantize" ->
+      """WITH x AS (SELECT vec_id,
+        |  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+        |  CAST(i - 1 AS INTEGER) AS dim
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+        |  WHERE embedding IS NOT NULL),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1)
+        |SELECT x.vec_id, x.dim,
+        |  CAST(CASE WHEN st.mx = st.mn THEN 0
+        |    ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |      CAST(floor((x.x - st.mn) / (st.mx - st.mn) * 255 + 0.5)
+        |        AS BIGINT)))
+        |  END AS INTEGER) AS code
+        |FROM x JOIN st USING (dim)""".stripMargin,
     "q79_aer_author_embeddings" ->
       s"""WITH $aerBase,
          |$aerMeans

@@ -165,6 +165,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plans(2) == Seq.empty) // zero duration
   }
 
+  test("scalarQuantize: exact int8 codes from per-dim min/max, " +
+    "constant dims code to 0, extremes hit 0/255") {
+    import graft.operators.Similarity
+    // dim 0 spans [1, 3], dim 1 constant 5, dim 2 spans [-2, 2]
+    val emb = Seq(
+      (1L, Seq(1.0f, 5.0f, -2.0f)),
+      (2L, Seq(3.0f, 5.0f, 2.0f)),
+      (3L, Seq(2.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) == Seq(0, 0, 0)) // mins of spanning dims, const dim
+    assert(out(2L) == Seq(255, 0, 255)) // maxes
+    // mid: (2-1)/(3-1)*255+0.5 = 128.0 -> 128; (0+2)/4*255+0.5 = 128
+    assert(out(3L) == Seq(128, 0, 128))
+    // deterministic rerun
+    val again = Similarity.scalarQuantize(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(again == out)
+  }
+
   test("ArrayDotProduct: native codegen == HOF fold bit-for-bit, null semantics") {
     import graft.operators.Similarity
     graft.plans.ArrayDotProduct.register(spark)

@@ -102,6 +102,75 @@ class TextQualitySpec extends AnyFunSuite {
     assert(naive.count(_.getAs[String]("source") == "s0") < 100)
   }
 
+  test("packSequences: bit-identical to the naive global running-sum " +
+    "window; straddle spans; zero-token docs dropped") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val docs = ((1L to 200L).map(i => (i, 1 + (i % 23).toInt)) :+
+      (201L, 0)).toDF("doc_id", "n_tokens")
+    val h = TextFunctions.charHash(
+      concat(col("doc_id").cast("string"), lit(":pack:ps")))
+    val naive = docs.filter(col("n_tokens") > 0)
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.orderBy(h.asc, col("doc_id").asc)))
+      .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("start_offset") / 16).cast("long"))
+      .withColumn("pack_end",
+        floor((col("cum_tokens") - 1) / 16).cast("long"))
+      .withColumn("n_packs", col("pack_end") - col("pack_id") + 1)
+      .orderBy("doc_id").collect()
+    val fast = Sampling.packSequences(docs, "doc_id", "n_tokens", 16, "ps")
+      .select("doc_id", "n_tokens", "cum_tokens", "start_offset",
+        "pack_id", "pack_end", "n_packs")
+      .orderBy("doc_id").collect()
+    assert(fast.length === 200 && fast.toSeq === naive.toSeq)
+    // the zero-token doc occupies no pack space
+    assert(!fast.exists(_.getAs[Long]("doc_id") == 201L))
+    // concat-and-chunk invariants: offsets tile the stream exactly,
+    // docs longer than one pack straddle (23-token docs over 16-token
+    // packs must), and pack ids cover the stream without gaps
+    val total = fast.map(_.getAs[Int]("n_tokens").toLong).sum
+    assert(fast.map(_.getAs[Long]("cum_tokens")).max === total)
+    assert(fast.exists(_.getAs[Long]("n_packs") > 1))
+    val lastPack = (total - 1) / 16
+    val covered = fast.flatMap(r => r.getAs[Long]("pack_id") to
+      r.getAs[Long]("pack_end")).toSet
+    assert(covered === (0L to lastPack).toSet)
+  }
+
+  test("temperatureResample: small sources capped at p=1, admit_ppm " +
+    "matches the hand-computed sqrt-weight math, alpha=1 thins " +
+    "uniformly") {
+    import graft.functions.TextFunctions
+    // sA: 10 docs x 100 tokens = 1000; sB: 5 docs x 10 = 50
+    val docs = ((1L to 10L).map(i => (i, "sA", 100)) ++
+      (11L to 15L).map(i => (i, "sB", 10)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.temperatureResample(docs, "doc_id", "n_tokens",
+      "source", 0.5, 2, 5, "ts").collect()
+    // hand math, same op order as the operator: target = 1050*2/5 = 420
+    val (wA, wB) = (math.sqrt(1000.0), math.sqrt(50.0))
+    val tot = 0.0 + wA + wB // fold in source order
+    val ppmA = math.floor(math.min(1.0, 420.0 * wA / tot / 1000.0) * 1e6).toLong
+    assert(ppmA < 1000000L)
+    val ppm = out.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.head.getAs[Long]("admit_ppm") }
+    assert(ppm("sA") === ppmA)
+    // sB is tiny: alpha=0.5 up-weights it past p=1 → all 5 admitted
+    assert(ppm("sB") === 1000000L)
+    assert(out.count(_.getAs[String]("source") == "sB") === 5)
+    // deterministic rerun
+    val again = Sampling.temperatureResample(docs, "doc_id", "n_tokens",
+      "source", 0.5, 2, 5, "ts").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // alpha=1: weights ∝ mass, so every source gets the SAME thinning
+    val flat = Sampling.temperatureResample(docs, "doc_id", "n_tokens",
+      "source", 1.0, 2, 5, "ts")
+      .select("source", "admit_ppm").distinct().collect()
+    assert(flat.map(_.getAs[Long]("admit_ppm")).distinct.length === 1)
+  }
+
   test("tokenChunks + paragraphDedup: first corpus-wide occurrence " +
     "owns the hash; later occurrences flagged") {
     import org.apache.spark.sql.Row
