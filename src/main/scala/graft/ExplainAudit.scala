@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 221
+  val ExpectedChecks = 223
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -291,6 +291,14 @@ object ExplainAudit {
       "q139 dim stats aggregate map-side-partially before the " +
         "64-key shuffle")
 
+    val p140 = plan("q140_ann_quantized_topk")
+    check(p140.contains("BroadcastNestedLoopJoin"),
+      "q140 quantized scan broadcasts the query codes — the candidate " +
+        "side streams, never shuffles for scoring")
+    check(p140.contains("windowspecdefinition(q_id") &&
+        !p140.contains("rangepartitioning"),
+      "q140 top-k is a per-query keyed window, no global sort")
+
     val p138 = plan("q138_curation_pack_shard")
     check(p138.contains("BroadcastHashJoin") &&
         p138.contains("hashpartitioning(__b") &&
@@ -392,11 +400,11 @@ object ExplainAudit {
       // q93: IdMinter over NEW (unseen, non-withdrawn) ROR ids only — a
       // registry delta, never the corpus (RorTables.insertNewFromRor).
       "q93_ror_registry_sync",
-      // q139: Similarity.packedStats folds the per-dim min/max frame
-      // (≤ embedding dim rows, 64 here) into one broadcast row — the
-      // corpus side is map-side-partially aggregated before its keyed
-      // shuffle and never passes through the single partition.
-      "q139_embedding_quantize")
+      // q139/q140: Similarity.packedStats folds the per-dim min/max
+      // frame (≤ embedding dim rows, 64 here) into one broadcast row —
+      // the corpus side is map-side-partially aggregated before its
+      // keyed shuffle and never passes through the single partition.
+      "q139_embedding_quantize", "q140_ann_quantized_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!singlePartitionOk(name)) {
         val p = SparkEntry.queries(name)(spark, sfDir).queryExecution

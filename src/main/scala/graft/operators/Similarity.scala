@@ -120,6 +120,30 @@ object Similarity {
     * (max_d − min_d) · 255 + 0.5), 0, 255)`; constant dimensions code
     * to 0. Adds `codes ARRAY<INT>` — a pure projection behind one
     * broadcast of the packed stats; the corpus never shuffles. */
+  /** ANN scan over int8 codes: integer squared-L2 between code
+    * vectors — the memory-bandwidth-side payoff of [[scalarQuantize]]
+    * (a 100 TB scan touches 4× fewer bytes; exact float re-rank of
+    * the shortlist follows as in the IVF path). Exact integer
+    * arithmetic, so the oracle is bit-trivially identical. Queries
+    * broadcast; top-k by (dist ASC, id ASC — deterministic ties). */
+  def quantizedTopK(codes: DataFrame, idCol: String, codesCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val c = codes.select(col(idCol), col(codesCol).as("__c"))
+    val q = c.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("__c").as("__qc"))
+    val scored = c.select(col(idCol).as("c_id"), col("__c").as("__cc"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("dist", aggregate(
+        zip_with(col("__qc"), col("__cc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"),
+        col("dist"))
+  }
+
   def scalarQuantize(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val packed = packedStats(dimStats(emb, vecCol))

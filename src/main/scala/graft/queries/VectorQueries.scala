@@ -182,8 +182,19 @@ object VectorQueries {
       .select(col("vec_id"), posexplode(col("codes")))
       .toDF("vec_id", "dim", "code")
 
+  /** q140: quantized-scan ANN — top-5 neighbors by integer squared-L2
+    * over q139's int8 codes (4× less scan bandwidth than the float
+    * corpus; exact re-rank would follow as in q57). Exact-integer
+    * math, so the oracle recomputes codes AND distances bit-for-bit. */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(
+      Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id",
+        "embedding"),
+      "vec_id", "codes", col("vec_id") < 16, 5)
+
   val queries: Map[String, Q] = Map(
     "q139_embedding_quantize" -> (q139 _),
+    "q140_ann_quantized_topk" -> (q140 _),
     "q79_aer_author_embeddings" -> (q79 _),
     "q80_aer_authorship_similarity" -> (q80 _),
     "q81_aer_overmerge_signal" -> (q81 _),
@@ -217,21 +228,42 @@ object VectorQueries {
        |               FROM p GROUP BY 1) cnt USING (author_id)
        |  GROUP BY m.author_id, cnt.work_count)""".stripMargin
 
+  /** Shared q139/q140 CTEs: the int8 quantizer recomputed in DuckDB. */
+  private val quantCtes =
+    """x AS (SELECT vec_id,
+      |  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+      |  CAST(i - 1 AS INTEGER) AS dim
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      |  WHERE embedding IS NOT NULL),
+      |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+      |codes AS (SELECT x.vec_id, x.dim,
+      |  CAST(CASE WHEN st.mx = st.mn THEN 0
+      |    ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |      CAST(floor((x.x - st.mn) / (st.mx - st.mn) * 255 + 0.5)
+      |        AS BIGINT)))
+      |  END AS INTEGER) AS code
+      |  FROM x JOIN st USING (dim))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q139_embedding_quantize" ->
-      """WITH x AS (SELECT vec_id,
-        |  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
-        |  CAST(i - 1 AS INTEGER) AS dim
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
-        |  WHERE embedding IS NOT NULL),
-        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1)
-        |SELECT x.vec_id, x.dim,
-        |  CAST(CASE WHEN st.mx = st.mn THEN 0
-        |    ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-        |      CAST(floor((x.x - st.mn) / (st.mx - st.mn) * 255 + 0.5)
-        |        AS BIGINT)))
-        |  END AS INTEGER) AS code
-        |FROM x JOIN st USING (dim)""".stripMargin,
+      s"""WITH $quantCtes
+         |SELECT vec_id, dim, code FROM codes""".stripMargin,
+    "q140_ann_quantized_topk" ->
+      s"""WITH $quantCtes,
+         |cv AS (SELECT vec_id, list(code ORDER BY dim) AS c
+         |  FROM codes GROUP BY 1),
+         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+         |    k -> CAST(q.c[k] - c.c[k] AS BIGINT)
+         |      * CAST(q.c[k] - c.c[k] AS BIGINT))) AS BIGINT) AS dist
+         |  FROM cv q JOIN cv c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 16)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank,
+         |  c_id AS neighbor, dist
+         |FROM (SELECT q_id, c_id, dist,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dist, c_id) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
     "q79_aer_author_embeddings" ->
       s"""WITH $aerBase,
          |$aerMeans

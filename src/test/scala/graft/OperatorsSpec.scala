@@ -187,6 +187,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("quantizedTopK: integer squared-L2 over codes, deterministic " +
+    "tie-break on id") {
+    import graft.operators.Similarity
+    val codes = Seq(
+      (1L, Seq(0, 0)), (2L, Seq(3, 4)), (3L, Seq(0, 5)),
+      (4L, Seq(3, 4))).toDF("vec_id", "codes")
+    val out = Similarity.quantizedTopK(codes, "vec_id", "codes",
+      col("vec_id") === 1, 3)
+      .select("rank", "neighbor", "dist")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    // dists from (0,0): id2 = 25, id3 = 25, id4 = 25 — all tie, id asc
+    assert(out == Seq((1, 2L, 25L), (2, 3L, 25L), (3, 4L, 25L)))
+  }
+
   test("ArrayDotProduct: native codegen == HOF fold bit-for-bit, null semantics") {
     import graft.operators.Similarity
     graft.plans.ArrayDotProduct.register(spark)
