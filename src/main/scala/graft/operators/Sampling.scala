@@ -104,22 +104,28 @@ object Sampling {
     *
     * 100 TB posture — the naive form is ONE global running-sum window
     * (a single task sorting the corpus). Same range-bucket trick as
-    * [[mixtureSample]], but corpus-global: the top 10 hash bits bucket
-    * the stream (monotone in the hash, so bucket order IS concat
-    * order), one map-side-partial agg builds the ≤1024-row bucket
-    * token-mass histogram, each bucket's exclusive prefix mass comes
-    * from a triangular broadcast self-join over that tiny frame (no
-    * single-partition exchange anywhere), and the per-bucket cumsum
-    * window touches ~1/1024 of the corpus per task. `start_offset`
-    * and every pack id are bit-identical to the naive global window. */
+    * [[mixtureSample]], but corpus-global: the top `bucketBits` hash
+    * bits bucket the stream (monotone in the hash, so bucket order IS
+    * concat order), one map-side-partial agg builds the
+    * ≤2^bucketBits-row bucket token-mass histogram, each bucket's
+    * exclusive prefix mass comes from a triangular broadcast
+    * self-join over that tiny frame (no single-partition exchange
+    * anywhere), and the per-bucket cumsum window touches
+    * ~1/2^bucketBits of the corpus per task. `start_offset` and every
+    * pack id are bit-identical to the naive global window — for ANY
+    * bucketBits (the bucketing only re-partitions the same total
+    * order). Size bucketBits so one bucket's rows fit an executor's
+    * sort: 10 (default, 1024 buckets) suits the test scales; ~14
+    * (16K buckets, ≈6 GB/bucket at 100 TB, triangular join ≈2^27
+    * pairs over the broadcast histogram) suits a large cluster. */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-      seqLen: Int, seed: String): DataFrame = {
-    require(seqLen > 0)
+      seqLen: Int, seed: String, bucketBits: Int = 10): DataFrame = {
+    require(seqLen > 0 && bucketBits >= 1 && bucketBits <= 20)
     val h = TextFunctions.charHash(
       concat(col(idCol).cast("string"), lit(":pack:" + seed)))
     val withB = docs.filter(col(tokenCol) > 0)
       .withColumn("__h", h)
-      .withColumn("__b", shiftright(col("__h"), 46))
+      .withColumn("__b", shiftright(col("__h"), 56 - bucketBits))
     val hist = withB.groupBy(col("__b"))
       .agg(sum(col(tokenCol)).as("__mass"))
     // exclusive prefix mass per bucket WITHOUT a global window: each

@@ -124,6 +124,14 @@ class TextQualitySpec extends AnyFunSuite {
         "pack_id", "pack_end", "n_packs")
       .orderBy("doc_id").collect()
     assert(fast.length === 200 && fast.toSeq === naive.toSeq)
+    // bucketing only re-partitions the same total order: any
+    // bucketBits yields the identical packing
+    val alt = Sampling.packSequences(docs, "doc_id", "n_tokens", 16,
+      "ps", bucketBits = 4)
+      .select("doc_id", "n_tokens", "cum_tokens", "start_offset",
+        "pack_id", "pack_end", "n_packs")
+      .orderBy("doc_id").collect()
+    assert(alt.toSeq === naive.toSeq)
     // the zero-token doc occupies no pack space
     assert(!fast.exists(_.getAs[Long]("doc_id") == 201L))
     // concat-and-chunk invariants: offsets tile the stream exactly,
