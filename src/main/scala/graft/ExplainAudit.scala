@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 223
+  val ExpectedChecks = 227
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -290,6 +290,15 @@ object ExplainAudit {
     check(p139.contains("partial_min") || p139.contains("partial_max"),
       "q139 dim stats aggregate map-side-partially before the " +
         "64-key shuffle")
+
+    val p142 = plan("q142_asof_join")
+    check(p142.contains("windowspecdefinition(user_id"),
+      "q142 as-of join is the union+window shape — one keyed shuffle " +
+        "on the join key, no inequality-join row explosion")
+    check(!p142.contains("BroadcastNestedLoopJoin") &&
+        !p142.contains("CartesianProduct") &&
+        !p142.contains("rangepartitioning"),
+      "q142 has no range/cartesian join and no global sort")
 
     val p140 = plan("q140_ann_quantized_topk")
     check(p140.contains("BroadcastNestedLoopJoin"),

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — each left row matched to the LATEST right row with
+  * `rightTs <= leftTs` within the same key: the point-in-time join
+  * time-series engines (DuckDB ASOF, kdb aj, pandas merge_asof) ship
+  * natively and Spark lacks (beyond-reference tier).
+  *
+  * Spark-shaped as the union+window trick instead of an inequality
+  * join: tag both sides, order each key's rows by (ts, side) with the
+  * right side FIRST at equal ts (`ts <=` semantics — the right row at
+  * the same instant is visible, DuckDB ASOF parity), and propagate
+  * the last non-null right payload onto each left row with
+  * `last(ignoreNulls)` over a running row frame. ONE keyed shuffle on
+  * the join keys; no range-join row explosion (a naive
+  * `l.ts >= r.ts` equi+inequality join materializes every earlier
+  * right row per left row before aggregating it away); skew is
+  * bounded by the hottest key, the same profile as any keyed window.
+  *
+  * Right-side (key, ts) pairs must be unique for deterministic output
+  * (dedupe upstream — q142 elects the min event id per instant). Left
+  * rows tied on (key, ts) are safe: their relative order is
+  * arbitrary, but both sit after every visible right row and carry
+  * null right payloads, so the propagated match is identical.
+  */
+object AsofJoin {
+
+  /** @return keys ++ left's non-key columns ++ `asof` STRUCT of
+    *         right's non-key columns (null when no right row is
+    *         visible yet). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.filterNot(keys.contains).toSeq
+    val rCols = right.columns.filterNot(keys.contains).toSeq
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rCols.map(col): _*)
+    val lType = left.select(lStruct.as("__l")).schema("__l").dataType
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val l = left.select(keys.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val r = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keys.map(col) ++ lCols.map(c => col("__l." + c).as(c)) :+
+        col("__m").as("asof"): _*)
+  }
+}

@@ -197,7 +197,33 @@ object DomainQueries {
       cols => md5(to_json(struct(cols: _*))))
   }
 
+  /** q142: as-of join (beyond-reference tier) — every click matched
+    * to the user's latest purchase at or before it (the point-in-time
+    * join Spark lacks; DuckDB runs its native ASOF JOIN as the
+    * oracle). Right side deduped to unique (user, instant) by min
+    * event id, as the operator contract requires. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsofJoin
+    val e = t(s, dir, "events")
+    val left = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("l_event"),
+        col("ts").as("l_ts"))
+    val rw = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").asc)
+    val right = e.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(rw))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("value").as("r_value"))
+    AsofJoin.asofJoin(left, right, Seq("user_id"), "l_ts", "r_ts")
+      .select(col("user_id"), col("l_event"), col("l_ts"),
+        col("asof.r_event").as("r_event"),
+        col("asof.r_value").as("r_value"),
+        col("asof.r_ts").as("r_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_asof_join" -> (q142 _),
     "q44_incremental_diff" -> (q44 _),
     "q22_scd1_latest_state" -> (q22 _),
     "q23_merge_upsert_stats" -> (q23 _),
@@ -211,6 +237,19 @@ object DomainQueries {
     "q48_inverted_index_map" -> (q48 _))
 
   val oracle: Map[String, String] = Map(
+    "q142_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event,
+        |  epoch_ns(ts) AS l_ts FROM events WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, epoch_ns(ts) AS r_ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+        |    ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, r_ts, event_id AS r_event,
+        |  value AS r_value FROM r0 WHERE rn = 1)
+        |SELECT l.user_id, l.l_event, l.l_ts, r.r_event, r.r_value,
+        |  r.r_ts
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.l_ts >= r.r_ts""".stripMargin,
     "q44_incremental_diff" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) tns FROM events),
         |pl AS (SELECT user_id, event_type AS last_type FROM (

@@ -527,12 +527,23 @@ object TextQueries {
         floor(col("pack_id") / lit(32)).cast("long"))
   }
 
+  /** q141: the shard MANIFEST a training launcher reads — q138's
+    * (doc, pack, shard) layout rolled up per shard: doc count, token
+    * mass, pack range. One keyed agg over the composed tail. */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    q138(s, dir).groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("pack_id")).as("first_pack"),
+        max(col("pack_end")).as("last_pack"))
+
   val queries: Map[String, Q] = Map(
     "q134_url_ccnet_dedup" -> (q134 _),
     "q135_dup_spans" -> (q135 _),
     "q136_sequence_packing" -> (q136 _),
     "q137_temperature_resample" -> (q137 _),
     "q138_curation_pack_shard" -> (q138 _),
+    "q141_shard_manifest" -> (q141 _),
     "q112_dedup_components" -> (q112 _),
     "q114_hash_split_stratified" -> (q114 _),
     "q122_repetition_screens" -> (q122 _),
@@ -612,6 +623,69 @@ object TextQueries {
 
   private val simhashCase = (0 until 32).map(j =>
     s"CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  /** q138's full DuckDB recomputation (gate → temperature resample →
+    * pack → shard); q141 aggregates it into the shard manifest. */
+  private val packShardSql: String = {
+    val tempH = chash("CAST(doc_id AS VARCHAR) || ':temp:c2'")
+    val packH = chash("CAST(doc_id AS VARCHAR) || ':pack:c2'")
+    s"""WITH tk AS (SELECT doc_id, source,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |m0 AS (SELECT doc_id, source, ws, len(ws) AS n,
+       |  list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1]) AS bi,
+       |  list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+       |  FROM tk),
+       |c AS (SELECT doc_id, source, n,
+       |  CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(ws),
+       |    w -> len(list_filter(ws, x -> x = w)))) ELSE 0 END AS topw,
+       |  CASE WHEN len(bi) > 0 THEN list_max(list_transform(
+       |    list_distinct(bi), w -> len(list_filter(bi, x -> x = w))))
+       |    ELSE 0 END AS topb,
+       |  len(tri) AS ntri, len(list_distinct(tri)) AS dtri
+       |  FROM m0),
+       |f AS (SELECT doc_id, source, CAST(n AS INTEGER) AS n_tokens,
+       |  CASE WHEN n > 0 THEN floor(CAST(topw AS DOUBLE) /
+       |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+       |    ELSE 0.0 END AS twf,
+       |  CASE WHEN n > 0 THEN floor(CAST(topb * 2 AS DOUBLE) /
+       |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+       |    ELSE 0.0 END AS tbf,
+       |  CASE WHEN ntri > 0 THEN floor(CAST(ntri - dtri AS DOUBLE) /
+       |    CAST(ntri AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+       |    ELSE 0.0 END AS dtf
+       |  FROM c),
+       |g AS (SELECT doc_id, source, n_tokens FROM f
+       |  WHERE twf <= 0.20 AND tbf <= 0.40 AND dtf <= 0.30),
+       |mm AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS m,
+       |  sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)) AS w
+       |  FROM g GROUP BY 1),
+       |tt AS (SELECT CAST(sum(m) AS BIGINT) AS totm,
+       |  list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+       |    (a, b) -> a + b) AS tot FROM mm),
+       |aa AS (SELECT source,
+       |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+       |    CAST((totm * 1) // 2 AS DOUBLE) * w / tot
+       |      / CAST(m AS DOUBLE)) * 1e6) AS BIGINT) AS admit_ppm
+       |  FROM mm, tt),
+       |adm AS (SELECT g.doc_id, g.source, g.n_tokens
+       |  FROM g JOIN aa USING (source)
+       |  WHERE $tempH % 1000000 < aa.admit_ppm),
+       |p AS (SELECT doc_id, source, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY $packH, doc_id) AS BIGINT)
+       |    AS cum_tokens
+       |  FROM adm WHERE n_tokens > 0)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  cum_tokens - n_tokens AS start_offset,
+       |  (cum_tokens - n_tokens) // 256 AS pack_id,
+       |  (cum_tokens - 1) // 256 AS pack_end,
+       |  (cum_tokens - 1) // 256 - (cum_tokens - n_tokens) // 256 + 1
+       |    AS n_packs,
+       |  (cum_tokens - n_tokens) // 256 // 32 AS shard_id
+       |FROM p""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q31_text_token_counts" ->
@@ -866,66 +940,13 @@ object TextQueries {
          |FROM d JOIN a USING (source)
          |WHERE d.h % 1000000 < a.admit_ppm""".stripMargin
     },
-    "q138_curation_pack_shard" -> {
-      val tempH = chash("CAST(doc_id AS VARCHAR) || ':temp:c2'")
-      val packH = chash("CAST(doc_id AS VARCHAR) || ':pack:c2'")
-      s"""WITH tk AS (SELECT doc_id, source,
-         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |  FROM documents),
-         |m0 AS (SELECT doc_id, source, ws, len(ws) AS n,
-         |  list_transform(range(1, len(ws)),
-         |    i -> ws[i] || ' ' || ws[i+1]) AS bi,
-         |  list_transform(range(1, len(ws) - 1),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
-         |  FROM tk),
-         |c AS (SELECT doc_id, source, n,
-         |  CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(ws),
-         |    w -> len(list_filter(ws, x -> x = w)))) ELSE 0 END AS topw,
-         |  CASE WHEN len(bi) > 0 THEN list_max(list_transform(
-         |    list_distinct(bi), w -> len(list_filter(bi, x -> x = w))))
-         |    ELSE 0 END AS topb,
-         |  len(tri) AS ntri, len(list_distinct(tri)) AS dtri
-         |  FROM m0),
-         |f AS (SELECT doc_id, source, CAST(n AS INTEGER) AS n_tokens,
-         |  CASE WHEN n > 0 THEN floor(CAST(topw AS DOUBLE) /
-         |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
-         |    ELSE 0.0 END AS twf,
-         |  CASE WHEN n > 0 THEN floor(CAST(topb * 2 AS DOUBLE) /
-         |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
-         |    ELSE 0.0 END AS tbf,
-         |  CASE WHEN ntri > 0 THEN floor(CAST(ntri - dtri AS DOUBLE) /
-         |    CAST(ntri AS DOUBLE) * 1000000 + 0.5) / 1000000.0
-         |    ELSE 0.0 END AS dtf
-         |  FROM c),
-         |g AS (SELECT doc_id, source, n_tokens FROM f
-         |  WHERE twf <= 0.20 AND tbf <= 0.40 AND dtf <= 0.30),
-         |mm AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS m,
-         |  sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)) AS w
-         |  FROM g GROUP BY 1),
-         |tt AS (SELECT CAST(sum(m) AS BIGINT) AS totm,
-         |  list_reduce(list_prepend(0.0, list(w ORDER BY source)),
-         |    (a, b) -> a + b) AS tot FROM mm),
-         |aa AS (SELECT source,
-         |  CAST(floor(least(CAST(1.0 AS DOUBLE),
-         |    CAST((totm * 1) // 2 AS DOUBLE) * w / tot
-         |      / CAST(m AS DOUBLE)) * 1e6) AS BIGINT) AS admit_ppm
-         |  FROM mm, tt),
-         |adm AS (SELECT g.doc_id, g.source, g.n_tokens
-         |  FROM g JOIN aa USING (source)
-         |  WHERE $tempH % 1000000 < aa.admit_ppm),
-         |p AS (SELECT doc_id, source, n_tokens,
-         |  CAST(sum(n_tokens) OVER (ORDER BY $packH, doc_id) AS BIGINT)
-         |    AS cum_tokens
-         |  FROM adm WHERE n_tokens > 0)
-         |SELECT doc_id, source, n_tokens, cum_tokens,
-         |  cum_tokens - n_tokens AS start_offset,
-         |  (cum_tokens - n_tokens) // 256 AS pack_id,
-         |  (cum_tokens - 1) // 256 AS pack_end,
-         |  (cum_tokens - 1) // 256 - (cum_tokens - n_tokens) // 256 + 1
-         |    AS n_packs,
-         |  (cum_tokens - n_tokens) // 256 // 32 AS shard_id
-         |FROM p""".stripMargin
-    },
+    "q138_curation_pack_shard" -> packShardSql,
+    "q141_shard_manifest" ->
+      s"""WITH o AS ($packShardSql)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(pack_id) AS first_pack, max(pack_end) AS last_pack
+         |FROM o GROUP BY 1""".stripMargin,
     "q124_paragraph_dedup" -> {
       val paraH = chash("para")
       s"""WITH tk AS (SELECT doc_id,

@@ -187,6 +187,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("asofJoin: latest right row at or before each left ts per key, " +
+    "equal-ts visible, no-match null") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 50L, "d")).toDF("k", "lts", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 60L, 3.0))
+      .toDF("k", "rts", "v")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .select(col("tag"), col("asof.v"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(1.0)) // equal ts IS visible
+    assert(out("b").contains(2.0)) // latest of 10, 15
+    assert(out("c").isEmpty) // nothing at or before 5
+    assert(out("d").isEmpty) // key 2's only right row is later
+    // left columns survive untouched
+    val cols = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts").columns
+    assert(cols.toSeq == Seq("k", "lts", "tag", "asof"))
+  }
+
   test("quantizedTopK: integer squared-L2 over codes, deterministic " +
     "tie-break on id") {
     import graft.operators.Similarity
