@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 227
+  val ExpectedChecks = 230
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -290,6 +290,17 @@ object ExplainAudit {
     check(p139.contains("partial_min") || p139.contains("partial_max"),
       "q139 dim stats aggregate map-side-partially before the " +
         "64-key shuffle")
+
+    val p143 = plan("q143_interval_join")
+    check(p143.contains("SortMergeJoin") ||
+        p143.contains("ShuffledHashJoin") ||
+        p143.contains("BroadcastHashJoin"),
+      "q143 interval join is a (key, bucket) EQUIJOIN — unit-bucket " +
+        "blocking, never the equi+inequality plan that materializes " +
+        "every same-key pair")
+    check(!p143.contains("BroadcastNestedLoopJoin") &&
+        !p143.contains("CartesianProduct"),
+      "q143 has no nested-loop/cartesian join")
 
     val p142 = plan("q142_asof_join")
     check(p142.contains("windowspecdefinition(user_id"),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval overlap join — pairs of rows sharing a key whose CLOSED
+  * intervals `[lStart, lEnd]` × `[rStart, rEnd]` overlap (the
+  * genomics/time-range join; beyond-reference tier).
+  *
+  * The naive form is an equi+inequality join: Spark plans it as the
+  * equi part then filters, materializing every same-key pair first —
+  * quadratic in the hottest key. Scale shape here is unit-bucket
+  * blocking: each interval explodes to the width-`bucketWidth`
+  * buckets it covers, candidates equijoin on (key, bucket), and the
+  * CANONICAL-bucket filter — keep only the bucket holding
+  * `greatest(lStart, rStart)`, the first bucket both sides cover —
+  * yields each true pair exactly once with NO dedup shuffle. Work per
+  * row ∝ interval_length / bucketWidth; size bucketWidth near the
+  * typical interval length.
+  *
+  * Bucket arithmetic is integer `div` (epoch-nanos exceed 2^53, so
+  * double division would mis-bucket). Inputs must be non-negative
+  * longs with start <= end (filter/normalize upstream).
+  */
+object IntervalJoin {
+
+  /** @return key columns ++ left's non-key columns ++ right's non-key
+    *         columns (caller disambiguates names upstream) ++
+    *         `overlap_len` = `least(lEnd, rEnd) − greatest(lStart,
+    *         rStart)` (closed-interval overlap length). */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val w = bucketWidth.toString
+    val l = left
+      .withColumn("__b",
+        explode(sequence(expr(s"$lStart div $w"), expr(s"$lEnd div $w"))))
+    val r = right
+      .withColumn("__b",
+        explode(sequence(expr(s"$rStart div $w"), expr(s"$rEnd div $w"))))
+    l.join(r, keys :+ "__b")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") ===
+        expr(s"greatest($lStart, $rStart) div $w"))
+      .withColumn("overlap_len",
+        least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+      .drop("__b")
+  }
+}

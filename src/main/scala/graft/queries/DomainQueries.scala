@@ -222,7 +222,33 @@ object DomainQueries {
         col("asof.r_ts").as("r_ts"))
   }
 
+  /** q143: interval overlap join (beyond-reference tier) — click
+    * attention windows × purchase sessions per user, unit-bucket
+    * blocked (2 h buckets over epoch-nanos; integer div — nanos
+    * exceed 2^53) with the canonical-bucket single-emit trick; the
+    * oracle runs the plain inequality join. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val e = t(s, dir, "events")
+    val hour = 3600L * 1000000000L
+    val left = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("l_event"),
+        col("ts").as("ls"),
+        (col("ts") + (lit(1) + pmod(col("event_id"), lit(5))) * hour)
+          .as("le"))
+    val right = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("r_event"),
+        col("ts").as("rs"),
+        (col("ts") + (lit(1) + pmod(col("event_id"), lit(3))) * hour)
+          .as("re"))
+    IntervalJoin.overlapJoin(left, right, Seq("user_id"),
+      "ls", "le", "rs", "re", 2L * hour)
+      .select(col("user_id"), col("l_event"), col("r_event"),
+        col("overlap_len"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_interval_join" -> (q143 _),
     "q142_asof_join" -> (q142 _),
     "q44_incremental_diff" -> (q44 _),
     "q22_scd1_latest_state" -> (q22 _),
@@ -237,6 +263,19 @@ object DomainQueries {
     "q48_inverted_index_map" -> (q48 _))
 
   val oracle: Map[String, String] = Map(
+    "q143_interval_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event,
+        |  epoch_ns(ts) AS ls,
+        |  epoch_ns(ts) + (1 + event_id % 5) * 3600000000000 AS le
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS r_event,
+        |  epoch_ns(ts) AS rs,
+        |  epoch_ns(ts) + (1 + event_id % 3) * 3600000000000 AS re
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.l_event, r.r_event,
+        |  least(l.le, r.re) - greatest(l.ls, r.rs) AS overlap_len
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND l.ls <= r.re AND r.rs <= l.le""".stripMargin,
     "q142_asof_join" ->
       """WITH l AS (SELECT user_id, event_id AS l_event,
         |  epoch_ns(ts) AS l_ts FROM events WHERE event_type = 'click'),

@@ -187,6 +187,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("overlapJoin: bucket blocking emits each true pair exactly " +
+    "once, touching endpoints overlap, disjoint excluded") {
+    import graft.operators.IntervalJoin
+    val left = Seq((1L, 11L, 0L, 100L), (1L, 12L, 250L, 260L),
+      (2L, 13L, 0L, 10L)).toDF("k", "lid", "ls", "le")
+    val right = Seq((1L, 21L, 100L, 300L), (1L, 22L, 90L, 95L),
+      (2L, 23L, 11L, 20L)).toDF("k", "rid", "rs", "re")
+    // width 7 forces multi-bucket spans (interval 0..100 covers 15
+    // buckets; pair (11, 21) shares several) — still ONE output row
+    val out = IntervalJoin.overlapJoin(left, right, Seq("k"),
+      "ls", "le", "rs", "re", 7L)
+      .select(col("lid"), col("rid"), col("overlap_len"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((11L, 21L, 0L), // touching at 100: closed overlap
+      (11L, 22L, 5L), (12L, 21L, 10L)))
+    // (13, 23): [0,10] vs [11,20] disjoint — closed ends do NOT touch
+  }
+
   test("asofJoin: latest right row at or before each left ts per key, " +
     "equal-ts visible, no-match null") {
     import graft.operators.AsofJoin
