@@ -14,11 +14,16 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = SparkEntry.queries(name)
-    (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      q(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[prof] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    // comma-separated names run in sequence (reproduces sweep
+    // neighborhood effects: shuffle-file/GC pressure on later queries)
+    name.split(",").foreach { n =>
+      val q = SparkEntry.queries(n)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[prof] $n pass $i: ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
