@@ -221,4 +221,62 @@ object Streams {
           }
       }
   }
+
+  /** Timestamped fingerprinted document for
+    * [[incrementalDedupExpiring]] (`ts` = epoch-nanos, the events
+    * convention). */
+  final case class FpDocT(doc_id: Long, fp: Long, ts: Long)
+  /** Internal watermarked twin (the watermark column must survive
+    * into the grouped Dataset, as in [[sessionizeCollapsed]]). */
+  final case class FpDocW(doc_id: Long, fp: Long, ts: Long,
+      tsm: java.sql.Timestamp)
+
+  /** PRODUCTION tier of [[incrementalDedup]] — the bounded-state
+    * variant (the sessionizeCollapsed relationship): a fingerprint
+    * suppresses duplicates only within a sliding event-time `horizon`
+    * of its last sighting; once the watermark passes last-seen +
+    * horizon, the event-time timeout REMOVES the state row and a
+    * later re-arrival is admitted as new. State is therefore bounded
+    * by the horizon's distinct-fingerprint count, not the corpus —
+    * the standard memory/recall tradeoff of windowed web-crawl dedup
+    * (an old page recrawled a year later re-enters; near-term
+    * duplicates never do).
+    *
+    * Duplicate sightings REFRESH the horizon (sliding, not fixed):
+    * a fingerprint kept alive by a steady duplicate stream never
+    * expires, matching "suppress while hot". */
+  def incrementalDedupExpiring(docs: Dataset[FpDocT], horizon: String,
+      horizonMs: Long): Dataset[FpDocT] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wm = docs
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsm", horizon)
+      .select(col("doc_id"), col("fp"), col("ts"), col("tsm"))
+      .as[FpDocW]
+    wm.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (fp: Long, rows: Iterator[FpDocW], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val lastMs = rs.map(_.ts / 1000000L).max
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                val o = rs.minBy(d => (d.ts, d.doc_id))
+                state.update(o.doc_id)
+                Iterator(FpDocT(o.doc_id, o.fp, o.ts))
+              }
+            // sliding horizon: every sighting refreshes the expiry
+            // (timeout must stay ahead of the current watermark)
+            state.setTimeoutTimestamp(math.max(lastMs + horizonMs,
+              state.getCurrentWatermarkMs + 1))
+            out
+          }
+      }
+  }
 }

@@ -225,6 +225,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists { case (id, _) => id >= 101 && id <= 160 })
   }
 
+  test("incrementalDedupExpiring: suppresses within the sliding " +
+    "horizon, expires via event-time timeout, re-admits after") {
+    import graft.streaming.Streams.FpDocT
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-fpdocs-exp").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("fp", LongType), StructField("ts", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(d).as[FpDocT]
+    val q = Streams.incrementalDedupExpiring(src, "1 hour", 3600000L)
+      .writeStream.format("memory").queryName("fpexp")
+      .outputMode("append").start()
+    val t0 = 1700000000L * 1000000000L
+    val m = 60L * 1000000000L
+    def land(part: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.toDF("doc_id", "fp", "ts").coalesce(1)
+        .write.parquet(s"$d/$part")
+      q.processAllAvailable()
+    }
+    // b1: fp 7 owned by doc 1; in-batch dup suppressed
+    land("p1", Seq((1L, 7L, t0), (2L, 7L, t0 + 10 * m)))
+    // b2: fp 7 within horizon (suppressed, refreshes expiry); fp 99
+    // new; the t0+5h row pushes the watermark to t0+4h
+    land("p2", Seq((3L, 7L, t0 + 30 * m), (4L, 99L, t0 + 300 * m)))
+    // b3: no fp-7 data → its pending timeout (last seen t0+30m + 1h,
+    // far behind the t0+4h watermark) fires and removes the state row
+    land("p3", Seq((5L, 500L, t0 + 360 * m)))
+    // b4: fp 7 re-arrives AFTER expiry → admitted as new
+    land("p4", Seq((6L, 7L, t0 + 330 * m)))
+    q.stop()
+    val got = spark.table("fpexp").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 4L, 5L, 6L))
+  }
+
   test("streaming repetition screens + PII scrub equal batch " +
     "(stateless curation projections)") {
     import graft.operators.TextQuality
