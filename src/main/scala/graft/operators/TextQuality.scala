@@ -209,11 +209,14 @@ object TextQuality {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.tokens(col(textCol))
     val n = size(toks)
-    val hashes = when(n >= window,
-      transform(sequence(lit(1), n - window + 1),
-        i => TextFunctions.charHash(
-          array_join(slice(toks, i, lit(window)), " "))))
-      .otherwise(array().cast("array<long>"))
+    // per-token charHash once (O(chars)), then the native rolling
+    // window fold (O(n)) — vs the r14-initial per-window string
+    // join + re-hash, which was O(n·window·chars) with a string
+    // allocation per position (measured 2x on q135 at sf0.1)
+    val tokenHashes = transform(toks, t => TextFunctions.charHash(t))
+    val hashes = org.apache.spark.sql.GraftExpr.column(
+      graft.plans.WindowHashes(
+        org.apache.spark.sql.GraftExpr.expression(tokenHashes), window))
     val occ = docs.select(col(idCol), hashes.as("hs"))
       .select(col(idCol),
         posexplode(col("hs")).as(Seq("pos", "win_hash")))

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native stride-1 window hashes over a token-hash array — the hot
+  * loop of the exact-substring duplicate-span pass (q135): position i
+  * gets the 56-bit polynomial fold of `tokenHashes[i .. i+window-1]`
+  * (`h*31 + th mod 2^56`, the charHash recurrence lifted from
+  * characters to token hashes).
+  *
+  * Computed as a TRUE rolling hash: because the modulus is 2^56,
+  * `mod` is a bitmask and every product/difference is exact in
+  * wrapping 64-bit arithmetic (2^56 divides 2^64), so
+  * `h' = (h − th_out·31^(w−1))·31 + th_in (mask)` — O(n) for the
+  * whole row instead of O(n·window), no per-window string
+  * materialization, and bit-identical to the per-window fold (the
+  * HOF twin PlansSpec pins). The SQL oracle recomputes the
+  * per-window fold with `list_reduce` over `list_slice`.
+  */
+case class WindowHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.compute(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.WindowHashes.compute($s, $window);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowHashes = copy(child = newChild)
+}
+
+object WindowHashes {
+  private val Mask: Long = CharHash.Mod - 1L
+
+  /** Shared by interpreted eval and the generated code (one static
+    * call per row keeps the surrounding operators in whole-stage
+    * codegen; the loop itself is branch-free long arithmetic). */
+  def compute(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    // 31^(w-1) mod 2^56
+    var p = 1L
+    var j = 1
+    while (j < w) { p = (p * 31L) & Mask; j += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * 31L + a.getLong(i)) & Mask; i += 1 }
+    out(0) = h
+    var k = 1
+    while (k + w - 1 < n) {
+      h = (((h - ((a.getLong(k - 1) * p) & Mask)) & Mask) * 31L +
+        a.getLong(k + w - 1)) & Mask
+      out(k) = h
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -794,16 +794,19 @@ object TextQueries {
          |WHERE c.cum_tokens - c.n_tokens < b.token_budget""".stripMargin
     },
     "q135_dup_spans" -> {
-      val winH = chash("win")
+      val tokH = chash("t")
       s"""WITH tk AS (SELECT doc_id,
          |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
          |  FROM documents),
+         |th AS (SELECT doc_id, ws,
+         |  list_transform(ws, t -> $tokH) AS hs FROM tk),
          |occ AS (SELECT doc_id, i AS pos,
-         |  $winH AS h
-         |  FROM (SELECT doc_id, ws, i,
-         |    array_to_string(list_slice(ws, i + 1, i + 10), ' ') AS win
-         |    FROM tk, unnest(range(0, len(ws) - 10 + 1)) u(i)
-         |    WHERE len(ws) >= 10)),
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_slice(hs, i + 1, i + 10)),
+         |    (h, c) -> (h * 31 + c) %
+         |      ${graft.functions.TextFunctions.CharHashMod}) AS h
+         |  FROM th, unnest(range(0, len(ws) - 10 + 1)) u(i)
+         |  WHERE len(ws) >= 10),
          |fl AS (SELECT doc_id, pos,
          |  row_number() OVER (PARTITION BY h
          |    ORDER BY doc_id, pos) > 1 AS is_dup FROM occ),
