@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 230
+  val ExpectedChecks = 232
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -311,6 +311,14 @@ object ExplainAudit {
         !p142.contains("rangepartitioning"),
       "q142 has no range/cartesian join and no global sort")
 
+    val p144 = plan("q144_ann_quantized_rerank")
+    check(p144.contains("BroadcastHashJoin"),
+      "q144 re-rank joins broadcast the tiny shortlist/query sides — " +
+        "the float corpus streams once")
+    check(!p144.contains("CartesianProduct") &&
+        !p144.contains("rangepartitioning"),
+      "q144 has no cartesian product and no global sort")
+
     val p140 = plan("q140_ann_quantized_topk")
     check(p140.contains("BroadcastNestedLoopJoin"),
       "q140 quantized scan broadcasts the query codes — the candidate " +
@@ -424,7 +432,8 @@ object ExplainAudit {
       // frame (≤ embedding dim rows, 64 here) into one broadcast row —
       // the corpus side is map-side-partially aggregated before its
       // keyed shuffle and never passes through the single partition.
-      "q139_embedding_quantize", "q140_ann_quantized_topk")
+      "q139_embedding_quantize", "q140_ann_quantized_topk",
+      "q144_ann_quantized_rerank")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!singlePartitionOk(name)) {
         val p = SparkEntry.queries(name)(spark, sfDir).queryExecution

@@ -192,9 +192,39 @@ object VectorQueries {
         "embedding"),
       "vec_id", "codes", col("vec_id") < 16, 5)
 
+  /** q144: the production ANN query shape end-to-end — quantized-scan
+    * SHORTLIST (top-20 by integer L2 over the int8 codes, 4× less
+    * bandwidth) → exact float cosine RE-RANK of the shortlist → final
+    * top-5. The corpus is scanned once in code space; float math
+    * touches only |Q|·20 pairs. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val shortlist = Similarity.quantizedTopK(
+      Similarity.scalarQuantize(e, "vec_id", "embedding"),
+      "vec_id", "codes", col("vec_id") < 16, 20)
+      .select(col("q_id"), col("neighbor"))
+    val v = e.select(col("vec_id"),
+      Similarity.toDoubleVec(col("embedding")).as("v"))
+    val scored = v.select(col("vec_id").as("neighbor"), col("v").as("cv"))
+      .join(broadcast(shortlist), Seq("neighbor"))
+      .join(broadcast(v.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        Seq("q_id"))
+      .withColumn("cos",
+        floor(Similarity.dot(col("qv"), col("cv")) /
+          (Similarity.norm(col("qv")) * Similarity.norm(col("cv"))) *
+          1000000 + 0.5) / 1000000.0)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q139_embedding_quantize" -> (q139 _),
     "q140_ann_quantized_topk" -> (q140 _),
+    "q144_ann_quantized_rerank" -> (q144 _),
     "q79_aer_author_embeddings" -> (q79 _),
     "q80_aer_authorship_similarity" -> (q80 _),
     "q81_aer_overmerge_signal" -> (q81 _),
@@ -296,6 +326,31 @@ object VectorQueries {
          |  CASE WHEN count(*) > 1
          |       THEN floor(stddev(cos) * 1000000 + 0.5) / 1000000.0 END AS std_sim
          |FROM pr GROUP BY author_id""".stripMargin,
+    "q144_ann_quantized_rerank" ->
+      s"""WITH $quantCtes,
+         |cv0 AS (SELECT vec_id, list(code ORDER BY dim) AS c
+         |  FROM codes GROUP BY 1),
+         |sdist AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+         |  CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+         |    k -> CAST(q.c[k] - c.c[k] AS BIGINT)
+         |      * CAST(q.c[k] - c.c[k] AS BIGINT))) AS BIGINT) AS dist
+         |  FROM cv0 q JOIN cv0 c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 16),
+         |short AS (SELECT q_id, neighbor FROM (SELECT q_id, neighbor,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dist, neighbor) AS r FROM sdist) WHERE r <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |scored AS (SELECT s.q_id, s.neighbor,
+         |  floor(${dotSql("qe.v", "ce.v")} /
+         |    (sqrt(${dotSql("qe.v", "qe.v")}) *
+         |     sqrt(${dotSql("ce.v", "ce.v")})) * 1000000 + 0.5)
+         |    / 1000000.0 AS cos
+         |  FROM short s JOIN e qe ON qe.vec_id = s.q_id
+         |  JOIN e ce ON ce.vec_id = s.neighbor)
+         |SELECT q_id, CAST(r AS INTEGER) AS rank, neighbor, cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY cos DESC, neighbor ASC) AS r FROM scored) x
+         |WHERE r <= 5""".stripMargin,
     "q39_ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 16),
