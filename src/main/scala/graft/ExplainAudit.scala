@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 232
+  val ExpectedChecks = 235
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -310,6 +310,16 @@ object ExplainAudit {
         !p142.contains("CartesianProduct") &&
         !p142.contains("rangepartitioning"),
       "q142 has no range/cartesian join and no global sort")
+
+    val p145 = plan("q145_topk_aggregate")
+    check(p145.contains("ObjectHashAggregate"),
+      "q145 bounded top-k runs as an object hash aggregate — map-side " +
+        "partials shuffle at most k pairs per (group x partition), " +
+        "never the rows the q08 window formulation moves")
+    check(p145.contains("partial_topkagg") ||
+        p145.contains("partial_TopKAgg") ||
+        """partial_\w*topk""".r.findFirstIn(p145.toLowerCase).isDefined,
+      "q145 aggregation has a partial (map-side) phase")
 
     val p144 = plan("q144_ann_quantized_rerank")
     check(p144.contains("BroadcastHashJoin"),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k aggregation — the scale path for "top k per group"
+  * (beyond-reference tier). The window formulation (q08) shuffles
+  * EVERY row to its group before ranking; this aggregate keeps at
+  * most k (score, id) pairs in the buffer, so map-side partial
+  * aggregation bounds the shuffle at k pairs per (group × partition)
+  * — at 100 TB with hot groups, the difference between shuffling the
+  * corpus and shuffling k·partitions rows. Results are identical to
+  * the window top-k (largest score first, ties to the smallest id);
+  * the spec pins equality and the q145 oracle recomputes the window
+  * form in DuckDB.
+  */
+object TopK {
+
+  /** Aggregate input: one scored row. */
+  final case class ScoredId(score: Long, id: Long)
+
+  /** Packed sorted buffer [s0,i0,s1,i1,...], best first, ≤ k pairs.
+    * Order: bigger score first, then smaller id. */
+  final class TopKAgg(k: Int)
+      extends Aggregator[ScoredId, Array[Long], Seq[ScoredId]] {
+    require(k >= 1)
+
+    private def beats(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], x: ScoredId): Array[Long] = {
+      val n = buf.length / 2
+      // find insertion slot (first pair x beats)
+      var p = 0
+      while (p < n && !beats(x.score, x.id, buf(2 * p), buf(2 * p + 1)))
+        p += 1
+      if (p >= k) buf
+      else {
+        val m = math.min(n + 1, k)
+        val out = new Array[Long](m * 2)
+        System.arraycopy(buf, 0, out, 0, 2 * p)
+        out(2 * p) = x.score; out(2 * p + 1) = x.id
+        System.arraycopy(buf, 2 * p, out, 2 * p + 2,
+          2 * m - 2 * p - 2)
+        out
+      }
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val (na, nb) = (a.length / 2, b.length / 2)
+      val m = math.min(na + nb, k)
+      val out = new Array[Long](m * 2)
+      var (i, j, o) = (0, 0, 0)
+      while (o < m) {
+        val takeA = j >= nb || (i < na &&
+          beats(a(2 * i), a(2 * i + 1), b(2 * j), b(2 * j + 1)))
+        if (takeA) {
+          out(2 * o) = a(2 * i); out(2 * o + 1) = a(2 * i + 1); i += 1
+        } else {
+          out(2 * o) = b(2 * j); out(2 * o + 1) = b(2 * j + 1); j += 1
+        }
+        o += 1
+      }
+      out
+    }
+
+    def finish(buf: Array[Long]): Seq[ScoredId] =
+      (0 until buf.length / 2).map(p =>
+        ScoredId(buf(2 * p), buf(2 * p + 1)))
+
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+  }
+
+  /** `topK(k)(scoreCol, idCol)` — both LONG columns (the case-class
+    * input surfaces as two UDAF parameters). */
+  def topK(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopKAgg(k))
+    (score, id) => f(score, id)
+  }
+}

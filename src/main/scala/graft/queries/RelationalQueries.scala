@@ -347,7 +347,27 @@ object RelationalQueries {
         date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("best_date"))
   }
 
+  /** q145: bounded top-k AGGREGATE (beyond-reference tier) — q08's
+    * result computed without shuffling every row: `TopK.topK` keeps
+    * ≤k pairs per group per partition map-side, so the shuffle
+    * carries k·partitions pairs instead of the orders table. Exploded
+    * to (custkey, rank, order, cents); the oracle recomputes the
+    * window form. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TopK
+    val scored = t(s, dir, "orders").select(col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("score"),
+      col("o_orderkey").as("id"))
+    scored.groupBy(col("o_custkey"))
+      .agg(TopK.topK(3)(col("score"), col("id")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("price_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q145_topk_aggregate" -> (q145 _),
     "q01_agg_pricing_summary" -> (q01 _),
     "q02_filter_pushdown_projection" -> (q02 _),
     "q03_join_star_revenue" -> (q03 _),
@@ -372,6 +392,15 @@ object RelationalQueries {
     "q47_rank_keepties_lineitem" -> (q47 _))
 
   val oracle: Map[String, String] = Map(
+    "q145_topk_aggregate" ->
+      """WITH s AS (SELECT o_custkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS price_cents, o_orderkey FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY price_cents DESC, o_orderkey) AS rank FROM s)
+        |SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey,
+        |  price_cents
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q01_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,

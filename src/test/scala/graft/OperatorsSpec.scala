@@ -187,6 +187,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("TopK aggregate: equals the window top-k on ties and " +
+    "smaller-than-k groups") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    // group 1: 5 rows with tied scores; group 2: only 2 rows
+    val d = Seq((1L, 10L, 101L), (1L, 10L, 100L), (1L, 20L, 105L),
+      (1L, 10L, 99L), (1L, 5L, 98L), (2L, 7L, 201L), (2L, 9L, 200L))
+      .toDF("g", "score", "id")
+    val agg = d.groupBy(col("g"))
+      .agg(TopK.topK(3)(col("score"), col("id")).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.score").as("score"), col("col.id").as("id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").asc)
+    val win = d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("g", "rank", "score", "id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(agg == win && agg.size == 5) // 3 from group 1, 2 from group 2
+  }
+
   test("overlapJoin: bucket blocking emits each true pair exactly " +
     "once, touching endpoints overlap, disjoint excluded") {
     import graft.operators.IntervalJoin
