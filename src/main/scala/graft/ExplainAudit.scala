@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 235
+  val ExpectedChecks = 238
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -310,6 +310,14 @@ object ExplainAudit {
         !p142.contains("CartesianProduct") &&
         !p142.contains("rangepartitioning"),
       "q142 has no range/cartesian join and no global sort")
+
+    val p146 = plan("q146_salted_skew_join")
+    check(p146.contains("__salt"),
+      "q146 joins on (key, __salt) — the hot key's rows spread over " +
+        "the salt fan-out instead of one reducer")
+    check(!p146.contains("CartesianProduct"),
+      "q146 has no cartesian product (the build side replicates via " +
+        "explode, not a cross join)")
 
     val p145 = plan("q145_topk_aggregate")
     check(p145.contains("ObjectHashAggregate"),

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated inner equijoin (beyond-reference tier): the big
+  * (probe) side gets a per-row salt in `[0, salts)`, the small
+  * (build) side is replicated `salts` times, and the join key becomes
+  * `(keys…, __salt)` — a hot key's rows spread across `salts`
+  * reducers instead of pouring through one. The result is EXACTLY
+  * the plain inner join (salting is a pure partitioning refinement;
+  * the oracle recomputes the unsalted join), so correctness never
+  * depends on the salt distribution.
+  *
+  * This is the STATIC form — deterministic plans, bucketed layouts,
+  * engines without AQE. Spark's AQE skew-join covers the sort-merge
+  * case at runtime; the snapshot writer's tiered salting
+  * (serve/SnapshotWriter) is the write-side sibling. Cost: the build
+  * side is materialized `salts`× — size `salts` to the observed hot
+  * key's reducer overload, not higher. */
+object SaltedJoin {
+
+  def inner(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1)
+    // any uniform per-row value works — the RESULT is salt-invariant;
+    // xxhash64 over the whole row keeps the assignment deterministic
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}

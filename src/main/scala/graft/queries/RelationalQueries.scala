@@ -366,7 +366,27 @@ object RelationalQueries {
         col("col.score").as("price_cents"))
   }
 
+  /** q146: salted skew-join (beyond-reference tier) — lineitem ⋈
+    * orders through `SaltedJoin.inner` (16 salts), rolled to revenue
+    * per order priority. The salt is a pure partitioning refinement,
+    * so the oracle is simply the UNSALTED join: result equality IS
+    * the correctness claim. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SaltedJoin
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"),
+        col("l_extendedprice"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    SaltedJoin.inner(l, o, Seq("okey"), 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_salted_skew_join" -> (q146 _),
     "q145_topk_aggregate" -> (q145 _),
     "q01_agg_pricing_summary" -> (q01 _),
     "q02_filter_pushdown_projection" -> (q02 _),
@@ -392,6 +412,14 @@ object RelationalQueries {
     "q47_rank_keepties_lineitem" -> (q47 _))
 
   val oracle: Map[String, String] = Map(
+    "q146_salted_skew_join" ->
+      """SELECT o.o_orderpriority,
+        |count(*) AS n_items,
+        |CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+        |CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,8)))
+        |  AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q145_topk_aggregate" ->
       """WITH s AS (SELECT o_custkey,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)

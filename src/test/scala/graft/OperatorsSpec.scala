@@ -187,6 +187,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("SaltedJoin: result identical to the plain inner join on a " +
+    "skewed key, any salt count") {
+    import graft.operators.SaltedJoin
+    // 90% of big rows pile on key 1 — the shape salting exists for
+    val big = (1L to 200L).map(i =>
+      (if (i % 10 != 0) 1L else i, i)).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (10L, "a"), (20L, "b"), (999L, "none"))
+      .toDF("k", "v")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "v")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = SaltedJoin.inner(big, small, Seq("k"), salts)
+        .select("k", "payload", "v")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(salted == plain, s"salts=$salts")
+    }
+    assert(plain.count(_._1 == 1L) == 180)
+  }
+
   test("TopK aggregate: equals the window top-k on ties and " +
     "smaller-than-k groups") {
     import graft.operators.TopK
