@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * rows tied on (key, ts) are safe: their relative order is
   * arbitrary, but both sit after every visible right row and carry
   * null right payloads, so the propagated match is identical.
+  *
+  * NULL timestamps: right rows with a NULL `rightTs` are dropped (a
+  * NULL instant can never satisfy `rightTs <= leftTs` — DuckDB ASOF
+  * parity; without the filter they'd sort first and leak their
+  * payload into every match). Left rows with a NULL `leftTs` sort
+  * before every surviving right row and get a NULL `asof` match —
+  * also the no-match the oracle produces.
   */
 object AsofJoin {
 
@@ -42,7 +49,8 @@ object AsofJoin {
     val l = left.select(keys.map(col) ++ Seq(
       col(leftTs).as("__ts"), lit(1).as("__side"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
-    val r = right.select(keys.map(col) ++ Seq(
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(keys.map(col) ++ Seq(
       col(rightTs).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -18,11 +18,22 @@ import org.apache.spark.sql.functions._
   * row ∝ interval_length / bucketWidth; size bucketWidth near the
   * typical interval length.
   *
-  * Bucket arithmetic is integer `div` (epoch-nanos exceed 2^53, so
-  * double division would mis-bucket). Inputs must be non-negative
-  * longs with start <= end (filter/normalize upstream).
+  * Bucket arithmetic is exact integer FLOOR division (epoch-nanos
+  * exceed 2^53, so double division would mis-bucket; bare `div`
+  * truncates toward zero, which would fold buckets -w+1..w-1 into
+  * bucket 0 and break canonical-bucket uniqueness for negative
+  * inputs — floor division buckets negative longs consistently, so
+  * pre-epoch timestamps are safe). Intervals must satisfy
+  * start <= end (filter/normalize upstream).
   */
 object IntervalJoin {
+
+  /** Exact floor division for longs: `a div w` adjusted down by one
+    * when the (truncating) quotient has a nonzero remainder and the
+    * operands disagree in sign. Pure integer arithmetic — never
+    * routes through a double. */
+  private def floorDiv(a: String, w: String): String =
+    s"(($a div $w) - (CASE WHEN ($a % $w) < 0 THEN 1 ELSE 0 END))"
 
   /** @return key columns ++ left's non-key columns ++ right's non-key
     *         columns (caller disambiguates names upstream) ++
@@ -35,14 +46,14 @@ object IntervalJoin {
     val w = bucketWidth.toString
     val l = left
       .withColumn("__b",
-        explode(sequence(expr(s"$lStart div $w"), expr(s"$lEnd div $w"))))
+        explode(sequence(expr(floorDiv(lStart, w)), expr(floorDiv(lEnd, w)))))
     val r = right
       .withColumn("__b",
-        explode(sequence(expr(s"$rStart div $w"), expr(s"$rEnd div $w"))))
+        explode(sequence(expr(floorDiv(rStart, w)), expr(floorDiv(rEnd, w)))))
     l.join(r, keys :+ "__b")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__b") ===
-        expr(s"greatest($lStart, $rStart) div $w"))
+        expr(floorDiv(s"greatest($lStart, $rStart)", w)))
       .withColumn("overlap_len",
         least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
       .drop("__b")

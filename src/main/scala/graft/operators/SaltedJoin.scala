@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 
 /** Skew-mitigated inner equijoin (beyond-reference tier): the big
   * (probe) side gets a per-row salt in `[0, salts)`, the small
@@ -20,16 +21,37 @@ import org.apache.spark.sql.functions._
   * key's reducer overload, not higher. */
 object SaltedJoin {
 
+  /** Default per-row salt source: xxhash64 over the row's hashable
+    * columns MIXED with `monotonically_increasing_id()`. The id term
+    * spreads byte-identical duplicate rows (a realistic skew shape —
+    * a hot key repeated verbatim — that a pure content hash funnels
+    * through ONE reducer); MapType columns are excluded because
+    * `xxhash64` rejects maps at analysis (maps have no canonical
+    * order). A row of nothing but maps degrades to the id alone —
+    * still uniform. The salt is only a partitioning hint, so the
+    * id's run-to-run instability is harmless: any value in
+    * `[0, salts)` yields the same join result. */
+  def defaultSalt(big: DataFrame): Column = {
+    val hashable = big.schema.fields.toSeq
+      .filterNot(_.dataType.isInstanceOf[MapType])
+      .map(f => col(f.name))
+    xxhash64((hashable :+ monotonically_increasing_id()): _*)
+  }
+
+  /** Salted inner join with an explicit salt source — any expression
+    * over `big`'s columns (e.g. a unique row id). Its VALUE never
+    * affects the result, only how evenly the hot key spreads. */
   def inner(big: DataFrame, small: DataFrame, keys: Seq[String],
-      salts: Int): DataFrame = {
+      salts: Int, saltSource: Column): DataFrame = {
     require(salts >= 1)
-    // any uniform per-row value works — the RESULT is salt-invariant;
-    // xxhash64 over the whole row keeps the assignment deterministic
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong))
-        .cast("int"))
+      pmod(saltSource, lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  def inner(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame =
+    inner(big, small, keys, salts, defaultSalt(big))
 }

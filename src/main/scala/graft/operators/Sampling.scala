@@ -194,9 +194,11 @@ object Sampling {
       .withColumn("__tot",
         aggregate(col("__ws"), lit(0.0d),
           (acc, x) => acc + x.getField("w")))
+      // integer `div`, not `/`: Spark's `/` on integrals is DOUBLE
+      // division, which drifts from the oracle's `//` once
+      // totm·targetNum approaches 2^53 (plausible at 100 TB token mass)
       .withColumn("__target",
-        floor(col("__totm") * lit(targetNum) / lit(targetDen))
-          .cast("long"))
+        expr(s"(__totm * $targetNum) div $targetDen"))
       .withColumn("admit_ppm",
         floor(least(lit(1.0d),
           col("__target").cast("double") * col("__w") / col("__tot") /

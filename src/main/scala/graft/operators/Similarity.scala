@@ -144,9 +144,15 @@ object Similarity {
         col("dist"))
   }
 
-  def scalarQuantize(emb: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val packed = packedStats(dimStats(emb, vecCol))
+  /** Quantize against a PRECOMPUTED packed-stats frame (one row of
+    * `__mins`/`__maxs` arrays — [[packedStats]] output). Composed
+    * pipelines (quantize + scan in one plan, q140/q144) must land the
+    * stats — or the whole codes frame — at a Materialize boundary and
+    * pass them here, so the corpus is scanned ONCE for training; the
+    * single-arg convenience below recomputes stats from `emb` inside
+    * the plan, which is only right when the plan has one consumer. */
+  def scalarQuantize(emb: DataFrame, idCol: String, vecCol: String,
+      packed: DataFrame): DataFrame = {
     emb.crossJoin(broadcast(packed))
       .withColumn("codes", transform(col(vecCol), (x, i) => {
         val mn = element_at(col("__mins"), i + 1)
@@ -158,4 +164,8 @@ object Similarity {
       }))
       .drop("__mins", "__maxs")
   }
+
+  def scalarQuantize(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    scalarQuantize(emb, idCol, vecCol, packedStats(dimStats(emb, vecCol)))
 }

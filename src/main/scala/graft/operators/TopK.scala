@@ -34,6 +34,11 @@ object TopK {
 
     def reduce(buf: Array[Long], x: ScoredId): Array[Long] = {
       val n = buf.length / 2
+      // O(k) linear insertion — sized for the top-N-per-group range
+      // this engine uses (k ≤ ~100: locations 10, x_concepts 5,
+      // topics 25). A large-k caller should switch the scan to binary
+      // search + a ring buffer; the k·partitions shuffle bound and
+      // the merge are unaffected.
       // find insertion slot (first pair x beats)
       var p = 0
       while (p < n && !beats(x.score, x.id, buf(2 * p), buf(2 * p + 1)))

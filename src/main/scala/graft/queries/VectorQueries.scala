@@ -186,11 +186,18 @@ object VectorQueries {
     * over q139's int8 codes (4× less scan bandwidth than the float
     * corpus; exact re-rank would follow as in q57). Exact-integer
     * math, so the oracle recomputes codes AND distances bit-for-bit. */
-  private def q140(s: SparkSession, dir: String): DataFrame =
-    Similarity.quantizedTopK(
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    // Materialize boundary (q126/q138 convention): quantize + scan in
+    // one plan has two consumers of the codes (query side + candidate
+    // side) plus the stats pass — landing the codes scans the float
+    // corpus ONCE; the ANN scan reads 4×-smaller int8 files
+    val codes = graft.core.Materialize.temp(
       Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id",
-        "embedding"),
-      "vec_id", "codes", col("vec_id") < 16, 5)
+        "embedding").select(col("vec_id"), col("codes")),
+      "graft-q140-codes")._1
+    Similarity.quantizedTopK(codes, "vec_id", "codes",
+      col("vec_id") < 16, 5)
+  }
 
   /** q144: the production ANN query shape end-to-end — quantized-scan
     * SHORTLIST (top-20 by integer L2 over the int8 codes, 4× less
@@ -199,8 +206,11 @@ object VectorQueries {
     * touches only |Q|·20 pairs. */
   private def q144(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val shortlist = Similarity.quantizedTopK(
-      Similarity.scalarQuantize(e, "vec_id", "embedding"),
+    // same boundary as q140: one float-corpus scan trains + codes land
+    val codes = graft.core.Materialize.temp(
+      Similarity.scalarQuantize(e, "vec_id", "embedding")
+        .select(col("vec_id"), col("codes")), "graft-q144-codes")._1
+    val shortlist = Similarity.quantizedTopK(codes,
       "vec_id", "codes", col("vec_id") < 16, 20)
       .select(col("q_id"), col("neighbor"))
     val v = e.select(col("vec_id"),

@@ -207,6 +207,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.count(_._1 == 1L) == 180)
   }
 
+  test("SaltedJoin: byte-identical duplicate rows spread across salts; " +
+    "MapType columns are tolerated; explicit salt source honored") {
+    import graft.operators.SaltedJoin
+    // 200 FULLY-duplicated rows on the hot key — a pure content hash
+    // would funnel all of them through one reducer
+    val big = (1L to 200L).map(_ => (1L, "same")).toDF("k", "payload")
+    val small = Seq((1L, "hot")).toDF("k", "v")
+    val spread = big
+      .withColumn("__salt", pmod(SaltedJoin.defaultSalt(big), lit(8L)))
+      .select(countDistinct(col("__salt"))).as[Long].collect()(0)
+    assert(spread > 1, "duplicate rows must not share one salt")
+    val out = SaltedJoin.inner(big, small, Seq("k"), 8)
+    assert(out.count() == 200)
+    // a MapType column must not break the default salt (xxhash64
+    // rejects maps at analysis — defaultSalt excludes them)
+    val withMap = big.withColumn("m", map(lit("a"), col("payload")))
+    assert(SaltedJoin.inner(withMap, small, Seq("k"), 4).count() == 200)
+    // explicit salt source: same join result, caller-chosen spread
+    val explicit = SaltedJoin.inner(big, small, Seq("k"), 4,
+      monotonically_increasing_id())
+    assert(explicit.count() == 200)
+  }
+
   test("TopK aggregate: equals the window top-k on ties and " +
     "smaller-than-k groups") {
     import graft.operators.TopK
@@ -248,6 +271,28 @@ class OperatorsSpec extends AnyFunSuite {
     // (13, 23): [0,10] vs [11,20] disjoint — closed ends do NOT touch
   }
 
+  test("overlapJoin: negative coordinates bucket by floor division — " +
+    "pre-epoch intervals pair exactly like the naive join") {
+    import graft.operators.IntervalJoin
+    // intervals straddling zero: truncating `div` would fold buckets
+    // -6..6 into bucket 0 and double-emit (or drop) straddling pairs
+    val left = Seq((1L, 11L, -20L, -5L), (1L, 12L, -3L, 4L),
+      (1L, 13L, -100L, 100L)).toDF("k", "lid", "ls", "le")
+    val right = Seq((1L, 21L, -7L, -6L), (1L, 22L, 0L, 2L),
+      (1L, 23L, -50L, -30L)).toDF("k", "rid", "rs", "re")
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("lid"), col("rid"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    for (w <- Seq(1L, 7L, 64L)) {
+      val out = IntervalJoin.overlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", w)
+        .select(col("lid"), col("rid"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(out == naive, s"bucketWidth=$w")
+    }
+  }
+
   test("asofJoin: latest right row at or before each left ts per key, " +
     "equal-ts visible, no-match null") {
     import graft.operators.AsofJoin
@@ -265,6 +310,22 @@ class OperatorsSpec extends AnyFunSuite {
     // left columns survive untouched
     val cols = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts").columns
     assert(cols.toSeq == Seq("k", "lts", "tag", "asof"))
+  }
+
+  test("asofJoin: NULL right timestamps never match (dropped); NULL " +
+    "left timestamps get a NULL match — DuckDB ASOF parity") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, Option(10L), "a"), (1L, Option.empty[Long], "n"))
+      .toDF("k", "lts", "tag")
+    // the NULL-ts right row would sort FIRST and leak 9.0 into every
+    // match via last(ignoreNulls) if it weren't filtered
+    val right = Seq((1L, Option.empty[Long], 9.0), (1L, Option(7L), 1.0))
+      .toDF("k", "rts", "v")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .select(col("tag"), col("asof.v"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(1.0)) // matches ts=7, never the NULL row
+    assert(out("n").isEmpty) // NULL left ts: no row is "at or before"
   }
 
   test("quantizedTopK: integer squared-L2 over codes, deterministic " +
