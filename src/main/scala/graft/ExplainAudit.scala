@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 238
+  val ExpectedChecks = 243
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -328,6 +328,28 @@ object ExplainAudit {
         p145.contains("partial_TopKAgg") ||
         """partial_\w*topk""".r.findFirstIn(p145.toLowerCase).isDefined,
       "q145 aggregation has a partial (map-side) phase")
+
+    val p147 = plan("q147_location_cap_ranked")
+    check(p147.contains("ObjectHashAggregate") &&
+        """partial_\w*topkrows""".r.findFirstIn(p147.toLowerCase).isDefined,
+      "q147 location cap rides the payload-carrying bounded top-k " +
+        "aggregate (map-side partials, <= cap rows per group x " +
+        "partition) — not a QUALIFY window")
+    check(p147.contains("LeftSemi") &&
+        !p147.contains("rangepartitioning") &&
+        !p147.contains("CartesianProduct"),
+      "q147 keeps elected rows via a semi join; no global sort, no " +
+        "cartesian — nothing ever sorts a whole work's locations")
+
+    val p75x = plan("q75_sources_api")
+    check("""partial_\w*topkrows""".r.findFirstIn(p75x.toLowerCase).isDefined,
+      "q75 topics_and_share elects top-25 in the bounded aggregate — " +
+        "buffer ∝ k, not the topic vocabulary")
+
+    val p89x = plan("q89_institutions_api")
+    check("""partial_\w*topkrows""".r.findFirstIn(p89x.toLowerCase).isDefined,
+      "q89 institutions topics_and_share rides the bounded top-k " +
+        "aggregate too")
 
     val p144 = plan("q144_ann_quantized_rerank")
     check(p144.contains("BroadcastHashJoin"),

@@ -59,21 +59,34 @@ object Authors {
 
   /** Top-5 concepts per author by (count DESC, id ASC) —
     * x_concepts (cell 8 author_concepts_exploded QUALIFY ≤ 5). Input:
-    * (author_id, work_id, concept_id, score). */
+    * (author_id, work_id, concept_id, score).
+    *
+    * Scale shape: the QUALIFY window would shuffle every
+    * (author, concept) row to its author and SORT — at corpus scale a
+    * hot author sorts in one task. `TopK.topKRows` elects the same
+    * top-k inside one ObjectHashAggregate with map-side partials (≤ k
+    * rows per author × partition cross the wire), carrying the score
+    * payload through the aggregate; ties break on the concept id's
+    * STRING form (concept ids are strings throughout this engine). */
   def xConcepts(awc: DataFrame, topK: Int = 5): DataFrame = {
+    val idType = awc.schema("concept_id").dataType
     val grouped = awc.filter(col("concept_id").isNotNull)
       .groupBy(col("author_id"), col("concept_id"))
       .agg(max(col("score")).as("score"), count(lit(1)).as("concept_count"))
-    val w = Window.partitionBy(col("author_id"))
-      .orderBy(col("concept_count").desc, col("concept_id").asc)
     val cmp: (Column, Column) => Column = (l, r) =>
       when(l("score") > r("score"), -1).when(l("score") < r("score"), 1)
         .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1).otherwise(0)
-    grouped.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
-      .groupBy(col("author_id"))
-      .agg(array_sort(collect_list(struct(col("concept_id").as("id"),
-        col("score"), col("concept_count").cast("int").as("count"))), cmp)
-        .as("x_concepts"))
+    grouped.groupBy(col("author_id"))
+      .agg(graft.operators.TopK.topKRows(topK)(col("concept_count"),
+        col("concept_id").cast("string"),
+        to_json(struct(col("score")))).as("__tk"))
+      .select(col("author_id"),
+        array_sort(transform(col("__tk"), e =>
+          struct(e.getField("id").cast(idType).as("id"),
+            from_json(e.getField("payload"), "score DOUBLE",
+              Map.empty[String, String]).getField("score").as("score"),
+            e.getField("score").cast("int").as("count"))), cmp)
+          .as("x_concepts"))
   }
 
   /** Affiliations with active-year sets (cell 8 affiliations_exploded):

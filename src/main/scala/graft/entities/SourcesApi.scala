@@ -107,24 +107,44 @@ object SourcesApi {
         .over(Window.partitionBy(col("topic_id"))))
     val share = col("cnt").cast("double") /
       nullif(col("topic_total").cast("double"), lit(0.0))
+    // bounded top-k election (TopK.topKRows) instead of
+    // collect-everything + sort + slice: the aggregate buffer holds at
+    // most k rows per (entity × partition) — bounded by k, not by the
+    // topic vocabulary — and the output arrives already in election
+    // order. `topics` elects on (count DESC, id ASC); `topic_share` on
+    // (value DESC, id ASC) via the EXACT e7-scaled share (value =
+    // e7/1e7 is strictly monotone and injective in e7, so the long
+    // election order IS the double order). The per-topic payload rides
+    // through the aggregate as JSON — doubles round-trip exactly
+    // (Double.toString/parseDouble), ids are strings already.
     val rows = withTotals.filter(col("source_id").isNotNull)
       .withColumn("value", Authors.r7(share))
-    val byCount: (Column, Column) => Column = (l, r) =>
-      when(l("count") > r("count"), -1).when(l("count") < r("count"), 1)
-        .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1).otherwise(0)
-    val byValue: (Column, Column) => Column = (l, r) =>
-      when(l("value") > r("value"), -1).when(l("value") < r("value"), 1)
-        .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1).otherwise(0)
+      .withColumn("__value_e7", floor(share * 10000000L + 0.5).cast("long"))
+    val payload = to_json(struct(col("display_name"), col("subfield"),
+      col("field"), col("domain"), col("value")))
+    val pSchema = "display_name STRING, subfield STRING, field STRING, " +
+      "domain STRING, value DOUBLE"
+    def p(e: Column): Column =
+      from_json(e.getField("payload"), pSchema, Map.empty[String, String])
     rows.groupBy(col("source_id"))
       .agg(
-        slice(array_sort(collect_list(struct(col("topic_id").as("id"),
-          col("display_name"), col("cnt").cast("int").as("count"),
-          col("subfield"), col("field"), col("domain"))), byCount), 1, topK)
-          .as("topics"),
-        slice(array_sort(collect_list(struct(col("topic_id").as("id"),
-          col("display_name"), col("value"),
-          col("subfield"), col("field"), col("domain"))), byValue), 1, topK)
-          .as("topic_share"))
+        graft.operators.TopK.topKRows(topK)(col("cnt"), col("topic_id"),
+          payload).as("__tc"),
+        graft.operators.TopK.topKRows(topK)(col("__value_e7"),
+          col("topic_id"), payload).as("__tv"))
+      .select(col("source_id"),
+        transform(col("__tc"), e => struct(e.getField("id").as("id"),
+          p(e).getField("display_name").as("display_name"),
+          e.getField("score").cast("int").as("count"),
+          p(e).getField("subfield").as("subfield"),
+          p(e).getField("field").as("field"),
+          p(e).getField("domain").as("domain"))).as("topics"),
+        transform(col("__tv"), e => struct(e.getField("id").as("id"),
+          p(e).getField("display_name").as("display_name"),
+          p(e).getField("value").as("value"),
+          p(e).getField("subfield").as("subfield"),
+          p(e).getField("field").as("field"),
+          p(e).getField("domain").as("domain"))).as("topic_share"))
   }
 
   /** Per-(source, year) counts collected newest-year-first — the

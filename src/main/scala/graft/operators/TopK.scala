@@ -87,4 +87,62 @@ object TopK {
     val f = udaf(new TopKAgg(k))
     (score, id) => f(score, id)
   }
+
+  /** Aggregate input for the payload-carrying variant: score (LONG,
+    * bigger = better), id (STRING, ties break ascending), payload
+    * (any row data the consumer needs back — typically
+    * `to_json(struct(...))`, decoded with `from_json` after the
+    * aggregate; may be null). */
+  final case class ScoredRow(score: Long, id: String, payload: String)
+
+  /** Payload-carrying bounded top-k — the corpus-scale form of "top k
+    * rows per group": where [[TopKAgg]] elects bare (score, id) pairs
+    * and the caller joins the winners back (a second corpus shuffle),
+    * this variant rides the row's payload THROUGH the aggregate, so
+    * one ObjectHashAggregate with map-side partials replaces the
+    * window-sort shape entirely — the shuffle carries at most k rows
+    * per (group × partition) and the output array arrives already in
+    * election order (score DESC, id ASC as STRINGS; zero-pad numeric
+    * ids upstream if their natural order must differ from collation).
+    * Input ids must be non-null and unique within a group. */
+  final class TopKRowsAgg(k: Int)
+      extends Aggregator[ScoredRow, List[ScoredRow], Seq[ScoredRow]] {
+    require(k >= 1)
+
+    private def beats(a: ScoredRow, b: ScoredRow): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    def zero: List[ScoredRow] = Nil
+
+    // O(k) linear insertion, like TopKAgg — sized for k ≤ ~100
+    def reduce(buf: List[ScoredRow], x: ScoredRow): List[ScoredRow] = {
+      val (better, rest) = buf.span(e => !beats(x, e))
+      if (better.length >= k) buf
+      else (better ::: x :: rest).take(k)
+    }
+
+    def merge(a: List[ScoredRow], b: List[ScoredRow]): List[ScoredRow] = {
+      val out = List.newBuilder[ScoredRow]
+      var (x, y, n) = (a, b, 0)
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && beats(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: List[ScoredRow]): Seq[ScoredRow] = buf
+
+    def bufferEncoder: Encoder[List[ScoredRow]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[ScoredRow]] = ExpressionEncoder()
+  }
+
+  /** `topKRows(k)(score, id, payload)` → ARRAY<STRUCT<score, id,
+    * payload>> in election order. */
+  def topKRows(k: Int): (Column, Column, Column) => Column = {
+    val f = udaf(new TopKRowsAgg(k))
+    (score, id, payload) => f(score, id, payload)
+  }
 }

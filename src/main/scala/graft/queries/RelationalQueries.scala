@@ -385,7 +385,43 @@ object RelationalQueries {
         dsum(col("l_extendedprice")).as("revenue"))
   }
 
+  /** q147: the works locations assembly shape riding the BOUNDED cap —
+    * `WorksBase.capPerProvenance` (TopK.topKRows election, ≤2 newest
+    * rows per (work, provenance), semi-join keep) composed with
+    * `WorksBase.rankedLocations` (priority-ordered array + primary) and
+    * exploded back to rows. The oracle recomputes both stages as
+    * QUALIFY windows in DuckDB — result equality proves the bounded
+    * aggregate IS the window semantics inside a real consumer
+    * composition (reference cap: CreateWorksBase.ipynb:238-243). */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.works.WorksBase
+    val loc = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("work_id"),
+      col("l_returnflag").as("prov"),
+      // unique per ROW (the fixture repeats l_linenumber within an
+      // order, so (line, part, supp) is the natural key): both the cap
+      // election and the ranked array are tie-free and deterministic
+      ((((unix_date(col("l_shipdate").cast("date")).cast("long") * 16 +
+        col("l_linenumber")) * 32768) + col("l_partkey")) * 1024 +
+        col("l_suppkey")).cast("long").as("upd"),
+      concat_ws(":", col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")).as("native"))
+    val capped = WorksBase.capPerProvenance(loc, "work_id", "prov",
+      col("upd"), "native", cap = 2)
+    val prio = when(col("prov") === "A", 1)
+      .when(col("prov") === "N", 2).otherwise(3)
+    WorksBase.rankedLocations(capped, "work_id", prio, col("upd"),
+      Seq("native", "prov"))
+      .select(col("work_id"),
+        col("primary_location.native").as("primary_native"),
+        posexplode(col("locations")))
+      .select(col("work_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col.native").as("native"), col("col.prov").as("prov"),
+        col("primary_native"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_location_cap_ranked" -> (q147 _),
     "q146_salted_skew_join" -> (q146 _),
     "q145_topk_aggregate" -> (q145 _),
     "q01_agg_pricing_summary" -> (q01 _),
@@ -412,6 +448,25 @@ object RelationalQueries {
     "q47_rank_keepties_lineitem" -> (q47 _))
 
   val oracle: Map[String, String] = Map(
+    "q147_location_cap_ranked" ->
+      """WITH loc AS (SELECT l_orderkey AS work_id,
+        |  l_returnflag AS prov,
+        |  ((CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) * 16
+        |    + l_linenumber) * 32768 + l_partkey) * 1024
+        |    + l_suppkey AS upd,
+        |  l_linenumber || ':' || l_partkey || ':' || l_suppkey
+        |    AS native FROM lineitem),
+        |capped AS (SELECT * FROM loc QUALIFY row_number() OVER (
+        |  PARTITION BY work_id, prov ORDER BY upd DESC, native) <= 2),
+        |ranked AS (SELECT work_id, native, prov,
+        |  CAST(row_number() OVER (PARTITION BY work_id ORDER BY
+        |    CASE prov WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END,
+        |    upd DESC) AS INTEGER) AS pos FROM capped)
+        |SELECT work_id, pos, native, prov,
+        |  first(native) OVER (PARTITION BY work_id ORDER BY pos) AS
+        |    primary_native
+        |FROM ranked""".stripMargin,
     "q146_salted_skew_join" ->
       """SELECT o.o_orderpriority,
         |count(*) AS n_items,

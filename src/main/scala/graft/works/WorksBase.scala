@@ -31,6 +31,31 @@ object WorksBase {
     locations.groupBy(col(workId)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Bounded per-provenance candidate cap (reference: CreateWorksBase
+    * .ipynb:238-243 keeps at most 10 location candidates per
+    * provenance before assembly): within each (work, provenance) the
+    * newest `updatedEpoch` rows win, `nativeId` ASC (string form)
+    * breaking ties. The QUALIFY-window form would shuffle AND sort
+    * every location row per work — a hot work (1M+ mirror locations)
+    * sorts in one task; here `TopK.topKRows` elects the survivors in
+    * one ObjectHashAggregate (map-side partials keep ≤ cap rows per
+    * group × partition) and a semi join keeps the full-width elected
+    * rows — the corpus shuffles once, nothing ever sorts a whole
+    * group. `nativeId` must be unique within (work, provenance) —
+    * it's the locations natural key (UnionLocations.key). */
+  def capPerProvenance(locations: DataFrame, workId: String,
+      provenance: String, updatedEpoch: Column, nativeId: String,
+      cap: Int = 10): DataFrame = {
+    val elected = locations.groupBy(col(workId), col(provenance))
+      .agg(graft.operators.TopK.topKRows(cap)(updatedEpoch,
+        col(nativeId).cast("string"), lit(null).cast("string")).as("__tk"))
+      .select(col(workId).as("__w"), col(provenance).as("__p"),
+        explode(col("__tk.id")).as("__n"))
+    locations.join(elected,
+      col(workId) === col("__w") && col(provenance) === col("__p") &&
+        col(nativeId).cast("string") === col("__n"), "left_semi")
+  }
+
   /** Ranked locations array + primary location (first by priority). */
   def rankedLocations(locations: DataFrame, workId: String,
       priority: Column, updated: Column, payload: Seq[String]): DataFrame = {

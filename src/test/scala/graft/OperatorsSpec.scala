@@ -253,6 +253,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(agg == win && agg.size == 5) // 3 from group 1, 2 from group 2
   }
 
+  test("topKRows: payload-carrying election equals the window top-k — " +
+    "string-id ties, short groups, election order, JSON payload " +
+    "round-trips doubles exactly") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq((1L, 10L, "b", 0.1), (1L, 10L, "a", 0.30000000000000004),
+      (1L, 20L, "z", 0.3), (1L, 10L, "c", 1.0 / 3.0), (1L, 5L, "q", 2.5),
+      (2L, 7L, "x", -0.0), (2L, 9L, "y", 4.2))
+      .toDF("g", "score", "id", "payload_val")
+    val agg = d.groupBy(col("g"))
+      .agg(TopK.topKRows(3)(col("score"), col("id"),
+        to_json(struct(col("payload_val")))).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.score").as("score"), col("col.id").as("id"),
+        from_json(col("col.payload"), "payload_val DOUBLE",
+          Map.empty[String, String]).getField("payload_val").as("pv"))
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").asc)
+    val win = d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("g"), col("rank"), col("score"), col("id"),
+        col("payload_val"))
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    assert(agg == win && agg.size == 5)
+    // exact doubles back out of the JSON payload (incl. the 17-digit
+    // 0.30000000000000004 vs its near-neighbor 0.3)
+    val pvs = agg.map(t => t._4 -> t._5).toMap
+    assert(pvs("a") == 0.30000000000000004 && pvs("z") == 0.3)
+  }
+
   test("overlapJoin: bucket blocking emits each true pair exactly " +
     "once, touching endpoints overlap, disjoint excluded") {
     import graft.operators.IntervalJoin
