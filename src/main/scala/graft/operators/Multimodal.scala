@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque BINARY
   * columns with typed metadata, batched per-partition feature
-  * extraction. The actual media DECODE is stubbed (codec libraries are
-  * not available in this environment) — what is real and tested is the
-  * Spark-side contract: schema, batching, partition-wise execution, and
-  * deterministic fake features standing in for decoder output.
+  * extraction. The stub boundary is PIXEL/SAMPLE decode only (codec
+  * libraries are not available in this environment); everything up to
+  * it is real and oracle-gated: container sniffing, PNG/JPEG header
+  * parsing to true (width, height) ([[imageDims]] — the native
+  * graft.plans.ImageDims expression), the resize / frame-sampling
+  * plans that consume those dimensions, and the Spark-side contract —
+  * schema, batching, partition-wise execution — with deterministic
+  * fake features standing in for decoder output.
   *
   * Scale notes: media bytes travel as parquet BINARY; decode runs
   * per-partition (one JNI/codec context per partition, not per row);
@@ -30,6 +34,16 @@ object Multimodal {
         when(hex(substring(col(binCol), 1, 2)) === "FFD8", "jpeg")
           .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "png")
           .otherwise("unknown"))
+
+  /** REAL header parse (not a stub): PNG IHDR / JPEG SOF dimensions
+    * from the raw bytes → STRUCT<format, w, h>, NULL for non-images —
+    * the native codegen'd [[graft.plans.ImageDims]] expression. The
+    * parsed dimensions feed [[resizeSpec]] so the whole
+    * bytes → (w, h) → resize plan path is decoder-free arithmetic. */
+  def imageDims(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExpr.column(
+      graft.plans.ImageDims(
+        org.apache.spark.sql.GraftExpr.expression(bin)))
 
   /** Aspect-preserving resize target (w', h') for a max output
     * dimension — pure codegen'd arithmetic; the decoder consumes it.

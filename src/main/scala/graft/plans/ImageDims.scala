@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image-container header parse (pure JVM, dependency-free): PNG
+  * IHDR and JPEG SOF dimension extraction over an opaque BINARY media
+  * column → `STRUCT<format STRING, w INT, h INT>`, NULL when the bytes
+  * are not a parseable PNG/JPEG. This retires the header half of the
+  * multimodal decode stub (operators/Multimodal) — only PIXEL decode
+  * remains a declared model/codec boundary; container sniffing,
+  * dimensions, and the resize/frame-plan arithmetic they feed are all
+  * real and oracle-gated (q41).
+  *
+  *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, first chunk
+  *    must be IHDR (bytes 12..15), width/height are big-endian u32 at
+  *    16/20 (PNG spec §11.2.2; values above 2^31-1 are invalid per
+  *    spec, so INT is exact).
+  *  - JPEG: `FF D8` SOI, then a marker-segment walk (each segment
+  *    `FF mm len_hi len_lo payload`, length includes its own 2 bytes);
+  *    the first SOF0–SOF15 frame header (C0–CF except the non-frame
+  *    C4/C8/CC) carries height at payload offset 1 and width at 3,
+  *    big-endian u16 (ITU T.81 §B.2.2). Standalone markers (RST/TEM)
+  *    and padding FF fill bytes are skipped. A truncated or malformed
+  *    stream yields NULL, never an exception — corpus media columns
+  *    contain arbitrary junk.
+  *
+  * One static call per row keeps consumers inside whole-stage codegen
+  * (same pattern as [[CharHash]]/[[WindowHashes]]).
+  */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"image_dims requires BINARY, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dims"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageDims.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.ImageDims.parse($b);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageDims = copy(child = newChild)
+}
+
+object ImageDims {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (be16(b, i).toLong << 16) | be16(b, i + 2)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Shared by interpreted eval and generated code. Returns the
+    * (format, w, h) row or null — never throws. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val png = parsePng(b)
+    if (png != null) png else parseJpeg(b)
+  }
+
+  private def row(fmt: String, w: Long, h: Long): InternalRow =
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) null
+    else new GenericInternalRow(Array[Any](UTF8String.fromString(fmt),
+      w.toInt, h.toInt))
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    if (b.length < 24) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PngSig(i)) return null; i += 1 }
+    // first chunk must be IHDR: length(4) type(4)="IHDR" data
+    if (u8(b, 12) != 'I' || u8(b, 13) != 'H' || u8(b, 14) != 'D' ||
+      u8(b, 15) != 'R') return null
+    row("png", be32(b, 16), be32(b, 20))
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return null // marker misalignment: malformed
+      var m = u8(b, i + 1)
+      // FF fill bytes may pad before a marker
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        i += 2 // standalone marker: SOI dup, RSTn, TEM — no length
+      } else if (m == 0xd9 || m == 0xda) {
+        return null // EOI / start-of-scan before any SOF: no dims
+      } else {
+        if (i + 3 >= b.length) return null
+        val len = be16(b, i + 2)
+        if (len < 2) return null
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          // payload: precision(1) height(2) width(2) ...
+          if (i + 8 >= b.length || len < 7) return null
+          return row("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong)
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+}

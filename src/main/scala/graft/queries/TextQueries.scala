@@ -167,12 +167,15 @@ object TextQueries {
   }
 
   /** Multimodal plumbing: opaque binary column + typed metadata —
-    * byte length, content digest, plus the REAL decoder-plan
-    * arithmetic (the decode itself is stubbed; see
-    * operators/Multimodal): frameSamplePlan's sampled-frame count and
-    * last frame index over a synthetic duration, and resizeSpec's
-    * aspect-preserving (w', h') over synthetic dimensions — both
-    * recomputed arithmetically by the oracle (r14). */
+    * byte length, content digest, the REAL decoder-plan arithmetic
+    * (frameSamplePlan / resizeSpec, r14), and the REAL container
+    * header parse (r15): the query synthesizes spec-conformant PNG
+    * (signature + IHDR) and JPEG (SOI + APP0 + COM + SOF0 marker
+    * walk) byte streams whose embedded dimensions derive from doc_id,
+    * parses them back with the native `graft.plans.ImageDims`
+    * expression, and feeds the PARSED dims into resizeSpec — the
+    * oracle recomputes every leg arithmetically (junk rows must parse
+    * to NULL). Only pixel decode remains a stub boundary. */
   private def q41(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
     val d = t(s, dir, "documents")
@@ -180,9 +183,24 @@ object TextQueries {
     val durMs = pmod(col("doc_id"), lit(10000)) * 400
     val plan = Multimodal.frameSamplePlan(durMs, fps = 30.0,
       everyNth = 5, maxFrames = 16)
-    val rs = Multimodal.resizeSpec(
-      (lit(100) + pmod(col("doc_id"), lit(1200))).cast("int"),
-      (lit(90) + pmod(col("doc_id"), lit(800))).cast("int"), 224)
+    val w = (lit(100) + pmod(col("doc_id"), lit(1200))).cast("int")
+    val h = (lit(90) + pmod(col("doc_id"), lit(800))).cast("int")
+    val rs = Multimodal.resizeSpec(w, h, 224)
+    // real container bytes: PNG for doc_id%3=0, JPEG for %3=1 (with a
+    // COM segment so the parser must WALK markers, not peek an
+    // offset), raw text bytes (not an image) otherwise
+    def hx4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+    val jpegHex = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFFE0005414243" +
+        "FFC0001108"), hx4(h), hx4(w), lit("03011100021101031101"))
+    val media = when(pmod(col("doc_id"), lit(3)) === 0, unhex(pngHex))
+      .when(pmod(col("doc_id"), lit(3)) === 1, unhex(jpegHex))
+      .otherwise(bin)
+    val dims = Multimodal.imageDims(media)
+    val rs2 = Multimodal.resizeSpec(dims.getField("w"),
+      dims.getField("h"), 224)
     d.select(col("doc_id"),
       length(bin).as("byte_len"),
       sha2(bin, 256).as("sha"),
@@ -191,7 +209,12 @@ object TextQueries {
       coalesce(try_element_at(plan, lit(-1)), lit(-1L))
         .as("last_frame_idx"),
       rs.getField("w").as("rs_w"),
-      rs.getField("h").as("rs_h"))
+      rs.getField("h").as("rs_h"),
+      dims.getField("format").as("img_format"),
+      dims.getField("w").as("img_w"),
+      dims.getField("h").as("img_h"),
+      rs2.getField("w").as("rs2_w"),
+      rs2.getField("h").as("rs2_h"))
   }
 
   /** Transitive dedup clusters: candidate pairs (paths, one ~55-hop
@@ -1251,7 +1274,17 @@ object TextQueries {
         |CAST(pl.n_sampled AS INTEGER) AS n_sampled_frames,
         |pl.last_idx AS last_frame_idx,
         |CAST(floor(CAST(rz.w AS DOUBLE) * rz.scale) AS INTEGER) AS rs_w,
-        |CAST(floor(CAST(rz.h AS DOUBLE) * rz.scale) AS INTEGER) AS rs_h
+        |CAST(floor(CAST(rz.h AS DOUBLE) * rz.scale) AS INTEGER) AS rs_h,
+        |CASE WHEN b.doc_id % 3 = 0 THEN 'png'
+        |  WHEN b.doc_id % 3 = 1 THEN 'jpeg' END AS img_format,
+        |CASE WHEN b.doc_id % 3 IN (0, 1) THEN rz.w END AS img_w,
+        |CASE WHEN b.doc_id % 3 IN (0, 1) THEN rz.h END AS img_h,
+        |CASE WHEN b.doc_id % 3 IN (0, 1) THEN
+        |  CAST(floor(CAST(rz.w AS DOUBLE) * rz.scale) AS INTEGER)
+        |  END AS rs2_w,
+        |CASE WHEN b.doc_id % 3 IN (0, 1) THEN
+        |  CAST(floor(CAST(rz.h AS DOUBLE) * rz.scale) AS INTEGER)
+        |  END AS rs2_h
         |FROM b JOIN pl ON pl.doc_id = b.doc_id
         |JOIN rz ON rz.doc_id = b.doc_id""".stripMargin)
 }
