@@ -191,6 +191,105 @@ object Streams {
       }
   }
 
+  /** Tagged input row for [[asofEnrich]] — the streaming twin of the
+    * batch union+window as-of join (operators/AsofJoin): side 0 =
+    * right (dimension update: `v` is the payload), side 1 = left
+    * (event to enrich). `ts` = epoch-nanos, the events convention. */
+  final case class AsofEv(key: Long, ts: Long, side: Int, id: Long,
+      v: Double)
+  /** Internal watermarked twin (the watermark column must survive
+    * into the grouped Dataset, as in [[sessionizeCollapsed]]). */
+  final case class AsofEvW(key: Long, ts: Long, side: Int, id: Long,
+      v: Double, tsm: java.sql.Timestamp)
+  /** Finalized enrichment: the latest right row with
+    * `rightTs <= ts` on the same key, or none. */
+  final case class AsofOut(key: Long, ts: Long, id: Long,
+      matched_id: Option[Long], matched_v: Option[Double])
+  /** Keyed as-of state: `floor*` = the single collapsed
+    * latest-behind-watermark right row (a point-in-time dimension
+    * needs ONE old row — every older one is shadowed for all future
+    * lefts); `rights` = open right rows (ts >= last watermark);
+    * `lefts` = events awaiting finality. */
+  final case class AsofSt(hasFloor: Boolean, floorTs: Long,
+      floorId: Long, floorV: Double, rights: Seq[(Long, Long, Double)],
+      lefts: Seq[(Long, Long)])
+
+  /** Streaming point-in-time enrichment — [[graft.operators.AsofJoin]]
+    * as a watermarked stateful stream over ONE tagged input (dimension
+    * updates + events interleaved, the CDC-plus-clickstream shape).
+    * A left row is emitted exactly when the watermark passes its
+    * timestamp: only then can no earlier-or-equal right row still
+    * arrive, so the match is FINAL — out-of-order replay within the
+    * watermark delay converges to the exact batch as-of answer
+    * (StreamingSpec pins parity).
+    *
+    * Bounded state (the sessionizeCollapsed discipline): right rows
+    * behind the watermark collapse to the single latest one (the
+    * "floor" — all future lefts have ts >= watermark, so older rights
+    * are shadowed); left rows leave state at emission; the event-time
+    * timeout re-collapses idle keys. State per key = floor + open
+    * horizon, never the history. Right (key, ts) pairs must be unique
+    * (dedupe upstream — the batch operator's contract); right rows
+    * with the NULL-ts convention cannot occur here (ts is primitive).
+    */
+  def asofEnrich(evs: Dataset[AsofEv], delay: String): Dataset[AsofOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    val wm = evs
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsm", delay)
+      .select(col("key"), col("ts"), col("side"), col("id"), col("v"),
+        col("tsm"))
+      .as[AsofEvW]
+    wm.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofEvW], state: GroupState[AsofSt]) =>
+          val prev = state.getOption
+            .getOrElse(AsofSt(hasFloor = false, 0L, 0L, 0.0, Nil, Nil))
+          val arrived = rows.toSeq
+          var rights = prev.rights ++ arrived.filter(_.side == 0)
+            .map(e => (e.ts, e.id, e.v))
+          var lefts = prev.lefts ++ arrived.filter(_.side == 1)
+            .map(e => (e.ts, e.id))
+          val wmNs = state.getCurrentWatermarkMs * 1000000L
+          // finality: all rights at or before a left's ts have arrived
+          // once the watermark passes it (rows behind the watermark are
+          // dropped upstream, so none can appear later)
+          val (fin, pending) = lefts.partition(_._1 < wmNs)
+          val out = fin.sorted.map { case (lts, lid) =>
+            val m = (prev.floor(lts) ++ rights.filter(_._1 <= lts))
+              .maxByOption(_._1)
+            AsofOut(key, lts, lid, m.map(_._2), m.map(_._3))
+          }
+          // collapse: of the rights behind the watermark only the
+          // LATEST can ever match a future left — it becomes the floor
+          val (closed, open) = rights.partition(_._1 < wmNs)
+          val newFloor = (prev.floor(Long.MaxValue) ++ closed)
+            .maxByOption(_._1)
+          val st = AsofSt(newFloor.isDefined,
+            newFloor.map(_._1).getOrElse(0L),
+            newFloor.map(_._2).getOrElse(0L),
+            newFloor.map(_._3).getOrElse(0.0), open, pending)
+          state.update(st)
+          if (pending.nonEmpty || open.nonEmpty) {
+            val nextMs = (pending.map(_._1) ++ open.map(_._1))
+              .min / 1000000L + 1
+            state.setTimeoutTimestamp(
+              math.max(nextMs, state.getCurrentWatermarkMs + 1))
+          }
+          out.iterator
+      }
+  }
+
+  private implicit class AsofStOps(private val st: AsofSt) extends AnyVal {
+    /** The floor right row as a candidate list, visible at `ts`. */
+    def floor(ts: Long): Seq[(Long, Long, Double)] =
+      if (st.hasFloor && st.floorTs <= ts)
+        Seq((st.floorTs, st.floorId, st.floorV))
+      else Nil
+  }
+
   /** Fingerprinted document for [[incrementalDedup]]. */
   final case class FpDoc(doc_id: Long, fp: Long)
 

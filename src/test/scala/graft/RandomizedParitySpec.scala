@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsofJoin, IntervalJoin, SaltedJoin, TopK}
+
+/** Seeded randomized parity for the round-14 scale operators: each
+  * operator's Spark plan is driven with generated inputs (random keys,
+  * score ties, duplicate rows, empty sides, zero-length and negative
+  * intervals) and compared against an independent NAIVE formulation
+  * computed driver-side in plain Scala — beyond the fixed fixtures of
+  * OperatorsSpec. Seeds are pinned: failures reproduce. */
+class RandomizedParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("asofJoin: random keys/timestamps (with cross-side ts " +
+    "collisions and matchless keys) equal the per-row naive scan") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val r = rng(seed)
+      // small ts domain forces equal-instant left/right collisions
+      val left = Seq.fill(300)((r.nextInt(8).toLong,
+        r.nextInt(40).toLong, r.nextLong(1000000)))
+      val rights = Seq.fill(120)((r.nextInt(10).toLong,
+        r.nextInt(40).toLong, r.nextDouble()))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, ts)
+      val out = AsofJoin.asofJoin(
+        left.toDF("k", "lts", "lid"),
+        rights.toDF("k", "rts", "v"), Seq("k"), "lts", "rts")
+        .select(col("k"), col("lts"), col("lid"), col("asof.v"))
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+      val expected = left.map { case (k, lts, lid) =>
+        val m = rights.filter(t => t._1 == k && t._2 <= lts)
+          .sortBy(_._2).lastOption
+        (k, lts, lid, m.map(_._3))
+      }.toSet
+      assert(out == expected, s"seed=$seed")
+    }
+  }
+
+  test("overlapJoin: random intervals (zero-length, negative, " +
+    "spanning many buckets) equal the naive filter for every width") {
+    for (seed <- Seq(21L, 22L)) {
+      val r = rng(seed)
+      def iv() = {
+        val s = r.nextInt(400) - 200L
+        // mix: points (zero-length), short, and long intervals
+        val len = r.nextInt(3) match {
+          case 0 => 0L
+          case 1 => r.nextInt(10).toLong
+          case _ => r.nextInt(150).toLong
+        }
+        (s, s + len)
+      }
+      val left = Seq.tabulate(120) { i => val (s, e) = iv()
+        (r.nextInt(5).toLong, i.toLong, s, e) } // unique lids
+      val right = Seq.tabulate(120) { i => val (s, e) = iv()
+        (r.nextInt(5).toLong, 1000L + i, s, e) } // unique rids
+      val expected = (for {
+        (lk, lid, ls, le) <- left
+        (rk, rid, rs, re) <- right
+        if lk == rk && ls <= re && rs <= le
+      } yield (lid, rid, math.min(le, re) - math.max(ls, rs))).toSet
+      for (w <- Seq(1L, 7L, 64L, 1000L)) {
+        val out = IntervalJoin.overlapJoin(
+          left.toDF("k", "lid", "ls", "le"),
+          right.toDF("k", "rid", "rs", "re"),
+          Seq("k"), "ls", "le", "rs", "re", w)
+          .select(col("lid"), col("rid"), col("overlap_len"))
+          .as[(Long, Long, Long)].collect()
+        assert(out.length == expected.size, s"seed=$seed w=$w: dup/missing")
+        assert(out.toSet == expected, s"seed=$seed w=$w")
+      }
+    }
+  }
+
+  test("SaltedJoin: random skew with DUPLICATE rows and empty match " +
+    "sets equals the plain inner join (multiplicities included)") {
+    for (seed <- Seq(31L, 32L)) {
+      val r = rng(seed)
+      // 70% of rows on one hot key; ~half the rows byte-identical dups
+      val big = Seq.fill(400) {
+        val k = if (r.nextInt(10) < 7) 1L else r.nextInt(20).toLong
+        (k, if (r.nextBoolean()) 0L else r.nextInt(50).toLong)
+      }
+      val small = Seq.fill(12)((r.nextInt(25).toLong, r.nextInt(5)))
+      val plain = big.flatMap { case (k, p) =>
+        small.filter(_._1 == k).map(s => (k, p, s._2)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      for (salts <- Seq(1, 3, 8)) {
+        val out = SaltedJoin.inner(big.toDF("k", "payload"),
+          small.toDF("k", "s"), Seq("k"), salts)
+          .as[(Long, Long, Int)].collect()
+          .groupBy(identity).view.mapValues(_.length).toMap
+        assert(out == plain, s"seed=$seed salts=$salts")
+      }
+    }
+  }
+
+  test("TopK (pairs + payload rows): random heavy-tied scores equal " +
+    "the window election for k below, at, and above group sizes") {
+    for (seed <- Seq(41L, 42L)) {
+      val r = rng(seed)
+      // tiny score domain => massive ties; single-digit ids so string
+      // collation == numeric order (the rows variant compares exactly)
+      val d = Seq.fill(500)((r.nextInt(12).toLong, r.nextInt(4).toLong,
+        r.nextInt(9).toLong))
+      val df = d.toDF("g", "score", "id")
+      for (k <- Seq(1, 5, 100)) {
+        val expected = d.groupBy(_._1).flatMap { case (g, rows) =>
+          rows.sortBy(t => (-t._2, t._3)).take(k).zipWithIndex
+            .map { case ((_, s, id), i) => (g, (i + 1).toLong, s, id) }
+        }.toSet
+        val agg = df.groupBy(col("g"))
+          .agg(TopK.topK(k)(col("score"), col("id")).as("tk"))
+          .select(col("g"), posexplode(col("tk")))
+          .select(col("g"), (col("pos") + 1).as("rank"),
+            col("col.score"), col("col.id"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(agg == expected, s"seed=$seed k=$k pairs")
+        val rowsAgg = df.groupBy(col("g"))
+          .agg(TopK.topKRows(k)(col("score"),
+            col("id").cast("string"), lit(null)).as("tk"))
+          .select(col("g"), posexplode(col("tk")))
+          .select(col("g"), (col("pos") + 1).as("rank"),
+            col("col.score"), col("col.id").cast("long"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(rowsAgg == expected, s"seed=$seed k=$k rows-variant")
+      }
+    }
+  }
+}

@@ -289,4 +289,81 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("n_emails") === 1 && col("n_ips") === 1).count()
       === spark.table("curstream").count())
   }
+
+  test("asofEnrich: streaming point-in-time enrichment equals the " +
+    "batch as-of join under out-of-order replay within the watermark") {
+    import graft.streaming.Streams.AsofEv
+    import graft.operators.AsofJoin
+    import org.apache.spark.sql.types._
+    val evRows = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every 3rd event is a dimension update (right side), deduped to
+    // unique (key, ts) by min event id — the operator contract
+    val rightsU = evRows.filter(_._1 % 3 == 0)
+      .groupBy(t => (t._3, t._2)).map(_._2.minBy(_._1)).toSeq
+    val lefts = evRows.filter(_._1 % 3 != 0)
+    // batch twin: union+window as-of join
+    val leftDf = lefts.toSeq.map(t => (t._3, t._2, t._1))
+      .toDF("key", "ts", "id")
+    val rightDf = rightsU.map(t => (t._3, t._2, t._1, t._4))
+      .toDF("key", "rts", "rid", "rv")
+    val batch = AsofJoin.asofJoin(leftDf, rightDf, Seq("key"), "ts", "rts")
+      .select(col("key"), col("ts"), col("id"),
+        col("asof.rid"), col("asof.rv"))
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().toSet
+    // streaming replay: 6 time-sliced micro-batches with every 7th
+    // row bumped one batch LATE (still inside the watermark delay)
+    val tagged = (rightsU.map(t => AsofEv(t._3, t._2, 0, t._1, t._4)) ++
+      lefts.map(t => AsofEv(t._3, t._2, 1, t._1, 0.0)))
+      .sortBy(e => (e.ts, e.side, e.id))
+    val span = tagged.last.ts - tagged.head.ts
+    val delaySec = span / 4 / 1000000000L + 1
+    val n = tagged.length
+    val batches = Array.fill(7)(Seq.newBuilder[AsofEv])
+    tagged.zipWithIndex.foreach { case (e, i) =>
+      val b = i * 6 / n
+      batches(if (e.id % 7 == 0) b + 1 else b) += e
+    }
+    val d = Files.createTempDirectory("graft-asof").toString
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", LongType), StructField("side", IntegerType),
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(d).as[AsofEv]
+    val q = Streams.asofEnrich(src, s"$delaySec seconds")
+      .writeStream.format("memory").queryName("asofstream")
+      .outputMode("append").start()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val rows = b.result()
+      if (rows.nonEmpty) {
+        rows.map(e => (e.key, e.ts, e.side, e.id, e.v))
+          .toDF("key", "ts", "side", "id", "v")
+          .coalesce(1).write.parquet(s"$d/part-$i")
+        q.processAllAvailable()
+      }
+    }
+    // two far-future sentinel dimension rows on an unused key: the
+    // first advances the watermark past every real event, the second
+    // fires the event-time timeouts that flush remaining lefts
+    val maxTs = tagged.last.ts
+    (0 to 1).foreach { i =>
+      Seq((-1L, maxTs + (i + 2) * delaySec * 2000000000L, 0, -1L, 0.0))
+        .toDF("key", "ts", "side", "id", "v")
+        .coalesce(1).write.parquet(s"$d/part-sentinel-$i")
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("asofstream")
+      .filter(col("key") =!= -1L)
+      .select(col("key"), col("ts"), col("id"),
+        col("matched_id"), col("matched_v"))
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
 }
