@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 243
+  val ExpectedChecks = 245
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -350,6 +350,13 @@ object ExplainAudit {
     check("""partial_\w*topkrows""".r.findFirstIn(p89x.toLowerCase).isDefined,
       "q89 institutions topics_and_share rides the bounded top-k " +
         "aggregate too")
+
+    val p148 = plan("q148_pack_whole_docs")
+    check(p148.contains("MapGroups") &&
+        !p148.contains("rangepartitioning"),
+      "q148 whole-doc packing folds per hash bucket (MapGroups behind " +
+        "a keyed exchange) — the non-associative greedy fill never " +
+        "runs as a global sort")
 
     val p144 = plan("q144_ann_quantized_rerank")
     check(p144.contains("BroadcastHashJoin"),

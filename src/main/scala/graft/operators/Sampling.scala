@@ -211,6 +211,61 @@ object Sampling {
         lit(1000000L)) < col("admit_ppm"))
   }
 
+  /** A whole document placed into a pack by [[packWhole]]. */
+  final case class PackedDoc(doc_id: Long, n_tokens: Long, bucket: Long,
+      pack_idx: Long, pack_id: Long, fill_after: Long)
+
+  /** Whole-document (no-split) greedy packing — the SFT-style packing
+    * where a document NEVER truncates across pack boundaries
+    * ([[packSequences]] is the pretraining concat-and-chunk twin that
+    * does split): documents are taken in salted-hash order and a
+    * document opens a new pack whenever it would overflow the current
+    * one (first-fit on the ordered stream, the standard
+    * sequential-greedy packer). Documents with tokens outside
+    * (0, seqLen] are dropped (an over-long document cannot be packed
+    * whole — truncation policy belongs upstream).
+    *
+    * The greedy fill is a NON-ASSOCIATIVE sequential fold (pack
+    * boundaries depend on every prior document), so no window
+    * function expresses it. Scale shape: the same top-`bucketBits`
+    * hash range bucketing as [[packSequences]] — each bucket is an
+    * independent stream folded in one task via a typed
+    * `flatMapGroups` (bucket size ∝ corpus/2^bucketBits; size
+    * bucketBits so a bucket fits an executor, exactly the
+    * packSequences sizing rule), buckets fold in parallel, and pack
+    * ids are globally unique as `bucket · 2^32 + pack_idx`. The
+    * DuckDB oracle recomputes the fold with a recursive CTE —
+    * engine-exact integer arithmetic throughout. */
+  def packWhole(docs: DataFrame, idCol: String, tokenCol: String,
+      seqLen: Int, seed: String, bucketBits: Int = 10): DataFrame = {
+    require(seqLen > 0 && bucketBits >= 1 && bucketBits <= 20)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = TextFunctions.charHash(
+      concat(col(idCol).cast("string"), lit(":packw:" + seed)))
+    docs.filter(col(tokenCol) > 0 && col(tokenCol) <= seqLen)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokenCol).cast("long").as("n_tokens"),
+        h.as("__h"),
+        shiftright(h, 56 - bucketBits).as("__b"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups { (bucket: Long, rows: Iterator[(Long, Long, Long, Long)]) =>
+        // one bucket folds in one task — ordered by (hash, id), the
+        // same total order packSequences concatenates in
+        val ordered = rows.toSeq.sortBy(t => (t._3, t._1))
+        var fill = 0L
+        var idx = 0L
+        ordered.iterator.map { case (id, n, _, _) =>
+          // n <= seqLen is guaranteed, so the first document of a
+          // bucket (fill = 0) never triggers the overflow branch
+          if (fill + n > seqLen) { idx += 1; fill = 0L }
+          fill += n
+          PackedDoc(id, n, bucket, idx, bucket * 4294967296L + idx, fill)
+        }
+      }.toDF()
+  }
+
   /** Keeps at most `cap` rows per stratum, elected deterministically
     * by the salted id hash (ties impossible for distinct ids; the id
     * itself is the final tiebreak for duplicate ids). */

@@ -509,6 +509,21 @@ object TextQueries {
     Sampling.packSequences(docs, "doc_id", "n_tokens", 512, "p1")
   }
 
+  /** q148: whole-document greedy packing (beyond-reference tier) —
+    * the SFT-style packer: documents NEVER truncate across pack
+    * boundaries; a doc opens a new pack when it would overflow the
+    * current one, in salted-hash order within hash range buckets
+    * (16 here). The fold is non-associative (no window expresses
+    * it) — per-bucket typed flatMapGroups in Spark, a recursive CTE
+    * in the DuckDB oracle; exact integer arithmetic throughout. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    Sampling.packWhole(docs, "doc_id", "n_tokens", 512, "pw1",
+      bucketBits = 4)
+  }
+
   /** q137: temperature-based mixture resampling (beyond-reference
     * tier) — per-source weights ∝ mass^0.5 (up-weighting small
     * sources), corpus resampled to 2/5 of its token mass, admission
@@ -564,6 +579,7 @@ object TextQueries {
     "q134_url_ccnet_dedup" -> (q134 _),
     "q135_dup_spans" -> (q135 _),
     "q136_sequence_packing" -> (q136 _),
+    "q148_pack_whole_docs" -> (q148 _),
     "q137_temperature_resample" -> (q137 _),
     "q138_curation_pack_shard" -> (q138 _),
     "q141_shard_manifest" -> (q141 _),
@@ -944,6 +960,32 @@ object TextQueries {
          |  (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1
          |    AS n_packs
          |FROM c""".stripMargin
+    },
+    "q148_pack_whole_docs" -> {
+      val packH = chash("CAST(doc_id AS VARCHAR) || ':packw:pw1'")
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    AS BIGINT) AS n_tokens,
+         |  $packH AS h FROM documents),
+         |f AS (SELECT doc_id, n_tokens, h,
+         |    h // 4503599627370496 AS b
+         |  FROM d WHERE n_tokens > 0 AND n_tokens <= 512),
+         |o AS (SELECT *, row_number() OVER (PARTITION BY b
+         |    ORDER BY h, doc_id) AS rn FROM f),
+         |r AS (
+         |  SELECT b, rn, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS pack_idx, n_tokens AS fill_after
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.b, o.rn, o.doc_id, o.n_tokens,
+         |    CASE WHEN r.fill_after + o.n_tokens > 512
+         |      THEN r.pack_idx + 1 ELSE r.pack_idx END,
+         |    CASE WHEN r.fill_after + o.n_tokens > 512
+         |      THEN o.n_tokens ELSE r.fill_after + o.n_tokens END
+         |  FROM r JOIN o ON o.b = r.b AND o.rn = r.rn + 1)
+         |SELECT doc_id, n_tokens, b AS bucket, pack_idx,
+         |  b * 4294967296 + pack_idx AS pack_id, fill_after
+         |FROM r""".stripMargin
     },
     "q137_temperature_resample" -> {
       val tempH = chash("CAST(doc_id AS VARCHAR) || ':temp:t1'")

@@ -285,6 +285,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pvs("a") == 0.30000000000000004 && pvs("z") == 0.3)
   }
 
+  test("packWhole: greedy no-split packing — naive fold parity, no " +
+    "pack overflows, over-long docs dropped, dense pack indices") {
+    import graft.operators.Sampling
+    import graft.functions.TextFunctions
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 130) + 1))
+      .toDF("doc_id", "n_tokens")
+      .withColumn("n_tokens",
+        when(col("doc_id") % 19 === 0, lit(999L)) // over-long: dropped
+          .otherwise(col("n_tokens")))
+    val out = Sampling.packWhole(docs, "doc_id", "n_tokens", 128,
+        "s9", bucketBits = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // naive driver-side fold over the same (hash, id) order
+    val hashed = docs.select(col("doc_id"), col("n_tokens"),
+        TextFunctions.charHash(concat(col("doc_id").cast("string"),
+          lit(":packw:s9"))).as("h"))
+      .as[(Long, Long, Long)].collect()
+      .filter(t => t._2 > 0 && t._2 <= 128)
+    val expected = hashed.toSeq.groupBy(_._3 >> 54).flatMap { case (b, rows) =>
+      var fill = 0L; var idx = 0L
+      rows.sortBy(t => (t._3, t._1)).map { case (id, n, _) =>
+        if (fill + n > 128) { idx += 1; fill = 0L }
+        fill += n
+        (id, n, b, idx, b * 4294967296L + idx, fill)
+      }
+    }.toSet
+    assert(out.toSet == expected && out.nonEmpty)
+    assert(out.forall(_._6 <= 128)) // no pack ever overflows
+    assert(!out.exists(_._1 % 19 == 0)) // over-long docs dropped
+    // pack indices dense per bucket: max_idx + 1 == distinct packs
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val idxs = rows.map(_._4).toSet
+      assert(idxs == (0L until idxs.size).toSet)
+    }
+  }
+
   test("overlapJoin: bucket blocking emits each true pair exactly " +
     "once, touching endpoints overlap, disjoint excluded") {
     import graft.operators.IntervalJoin
