@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 245
+  val ExpectedChecks = 247
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -350,6 +350,12 @@ object ExplainAudit {
     check("""partial_\w*topkrows""".r.findFirstIn(p89x.toLowerCase).isDefined,
       "q89 institutions topics_and_share rides the bounded top-k " +
         "aggregate too")
+
+    val p149 = plan("q149_span_decontamination")
+    check(p149.contains("BroadcastHashJoin") ||
+        p149.contains("BroadcastExchange"),
+      "q149 span decontamination broadcasts the eval window hashes — " +
+        "the corpus joins map-side and never shuffles on text")
 
     val p148 = plan("q148_pack_whole_docs")
     check(p148.contains("MapGroups") &&

@@ -204,6 +204,47 @@ object TextQuality {
     * straddles a chunk boundary. ONE keyed shuffle on the window
     * hash + one keyed agg per doc; the stride-1 fan-out (n windows
     * per doc) is the documented cost of substring-level dedup. */
+  /** Exact-substring benchmark decontamination — the GPT-3 / Lee et
+    * al. N-token-overlap method (a doc is contaminated when ANY
+    * length-`window` token run appears VERBATIM in the eval set),
+    * beside the shingle-count form (Dedup.contaminationPairs, q115)
+    * which needs `minCommon` distinct shingles anywhere in the doc.
+    * Both sides hash per-token then fold the native rolling
+    * [[graft.plans.WindowHashes]]; the eval set's distinct window
+    * hashes BROADCAST (eval sets are tiny next to a training corpus),
+    * the corpus joins them map-side and aggregates per doc — the
+    * corpus never shuffles on text, only (id, pos, hash) longs leave
+    * the row, and the single shuffle is the per-doc hit aggregation.
+    * Eval rows shorter than `window` tokens contribute no hashes (no
+    * spurious matches from short prompts). */
+  def spanContamination(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    def winOcc(df: DataFrame): DataFrame = {
+      val tokenHashes = transform(TextFunctions.tokens(col(textCol)),
+        t => TextFunctions.charHash(t))
+      val hashes = org.apache.spark.sql.GraftExpr.column(
+        graft.plans.WindowHashes(
+          org.apache.spark.sql.GraftExpr.expression(tokenHashes), window))
+      df.select(col(idCol), hashes.as("__hs"))
+        .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "wh")))
+    }
+    val benchW = winOcc(bench).select(col("wh")).distinct()
+    val hits = winOcc(docs)
+      .join(broadcast(benchW), Seq("wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nw"),
+        countDistinct(col("wh")).as("__nd"),
+        min(col("pos")).cast("long").as("__fp"))
+    docs.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).as("n_tokens"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__nw"), lit(0L)).as("n_hit_windows"),
+        coalesce(col("__nd"), lit(0L)).as("n_hit_distinct"),
+        coalesce(col("__fp"), lit(-1L)).as("first_hit_pos"),
+        col("__nw").isNotNull.as("is_contaminated"))
+  }
+
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

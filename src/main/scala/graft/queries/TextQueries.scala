@@ -509,6 +509,20 @@ object TextQueries {
     Sampling.packSequences(docs, "doc_id", "n_tokens", 512, "p1")
   }
 
+  /** q149: exact-substring benchmark decontamination (beyond-reference
+    * tier) — the GPT-3-style N-token-overlap method over the q115
+    * bench arms: a doc is contaminated when any 8-token run appears
+    * verbatim in the eval set. Rides the native rolling WindowHashes
+    * on BOTH sides; the eval hashes broadcast. The verbatim-copy arm
+    * contaminates its sources (and their exact/near twins sharing an
+    * 8-run); the 6-word-prefix and 4-token novel arms produce ZERO
+    * window hashes — the short-prompt no-false-positive edge. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextQuality
+    val d = t(s, dir, "documents")
+    TextQuality.spanContamination(d, benchDocs(d), "doc_id", "text", 8)
+  }
+
   /** q148: whole-document greedy packing (beyond-reference tier) —
     * the SFT-style packer: documents NEVER truncate across pack
     * boundaries; a doc opens a new pack when it would overflow the
@@ -580,6 +594,7 @@ object TextQueries {
     "q135_dup_spans" -> (q135 _),
     "q136_sequence_packing" -> (q136 _),
     "q148_pack_whole_docs" -> (q148 _),
+    "q149_span_decontamination" -> (q149 _),
     "q137_temperature_resample" -> (q137 _),
     "q138_curation_pack_shard" -> (q138 _),
     "q141_shard_manifest" -> (q141 _),
@@ -960,6 +975,37 @@ object TextQueries {
          |  (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1
          |    AS n_packs
          |FROM c""".stripMargin
+    },
+    "q149_span_decontamination" -> {
+      val tokH = chash("t")
+      val mod = graft.functions.TextFunctions.CharHashMod
+      def winSql(src: String, id: String) =
+        s"""(SELECT $id, i AS pos,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_slice(hs, i + 1, i + 8)),
+           |    (h, c) -> (h * 31 + c) % $mod) AS wh
+           |  FROM (SELECT $id,
+           |    list_transform(list_filter(string_split(text, ' '),
+           |      x -> x <> ''), t -> $tokH) AS hs FROM $src) s,
+           |  unnest(range(0, len(hs) - 8 + 1)) u(i)
+           |  WHERE len(hs) >= 8)""".stripMargin
+      s"""WITH $benchCtes,
+         |docc AS ${winSql("documents", "doc_id")},
+         |bocc AS ${winSql("bench", "bench_id")},
+         |bh AS (SELECT DISTINCT wh FROM bocc),
+         |hits AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_hit_windows,
+         |    CAST(count(DISTINCT d.wh) AS BIGINT) AS n_hit_distinct,
+         |    CAST(min(pos) AS BIGINT) AS first_hit_pos
+         |  FROM docc d JOIN bh USING (wh) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(list_filter(string_split(t.text, ' '),
+         |    x -> x <> '')) AS INTEGER) AS n_tokens,
+         |  coalesce(h.n_hit_windows, 0) AS n_hit_windows,
+         |  coalesce(h.n_hit_distinct, 0) AS n_hit_distinct,
+         |  coalesce(h.first_hit_pos, -1) AS first_hit_pos,
+         |  h.doc_id IS NOT NULL AS is_contaminated
+         |FROM documents t LEFT JOIN hits h ON h.doc_id = t.doc_id""".stripMargin
     },
     "q148_pack_whole_docs" -> {
       val packH = chash("CAST(doc_id AS VARCHAR) || ':packw:pw1'")

@@ -285,6 +285,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pvs("a") == 0.30000000000000004 && pvs("z") == 0.3)
   }
 
+  test("spanContamination: verbatim 8-token runs detected at the " +
+    "right position; short eval rows yield zero hashes (no false " +
+    "positives); clean docs uncontaminated") {
+    import graft.operators.TextQuality
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // contains the eval run at pos 1
+      (2L, "a b c d e f g h"), // the eval run IS the doc (pos 0)
+      (3L, "one two three four five six seven eight nine"), // clean
+      (4L, "b c d e f g h i") // overlaps eval text but shifted: no run
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "b c d e f g h i j"), // 9 tokens => two 8-windows
+      (101L, "short prompt only"), // 3 tokens => zero hashes
+      (102L, "one two three") // prefix of doc 3, too short to matter
+    ).toDF("doc_id", "text")
+    val out = TextQuality.spanContamination(docs, bench,
+        "doc_id", "text", 8)
+      .as[(Long, Int, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10, 2L, 2L, 1L, true))) // both eval windows
+    assert(out(2L)._6 == false) // "a b c..h" is NOT an eval window
+    assert(out(3L) == ((3L, 9, 0L, 0L, -1L, false)))
+    assert(out(4L) == ((4L, 8, 1L, 1L, 0L, true))) // b..i at pos 0
+  }
+
   test("packWhole: greedy no-split packing — naive fold parity, no " +
     "pack overflows, over-long docs dropped, dense pack indices") {
     import graft.operators.Sampling
