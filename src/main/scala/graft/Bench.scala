@@ -57,7 +57,7 @@ object Bench {
     * quotes silently defeated the previous pattern and the outlier
     * re-run never fired. */
   /** Self-contained floors artifact: every query's cumulative floor on
-    * ONE compact line, keyed by the `qNN` prefix only. The driver keeps
+    * compact line(s), keyed by the `qNN` prefix only. The driver keeps
     * just the LAST ~2000 chars of the bench stdout (BENCH_r06 starts
     * mid-`passes` and ends at the sbt trailer), which a 75-entry
     * full-name map cannot fit — short keys + 3-decimal floors do
@@ -72,7 +72,7 @@ object Bench {
     * outlier test on its conservative side (the per-pass times in the
     * same artifacts still carry exact floors when they survive the
     * tail — floorFor folds min over both). */
-  private[graft] def floorsJson(entries: Seq[(String, Double)]): String =
+  private[graft] def floorsJson(entries: Seq[(String, Double)]): Seq[String] =
     entries.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
       .groupMapReduce(_._1)(_._2)(math.min)
       .toSeq.sortBy(_._1)
@@ -80,7 +80,15 @@ object Bench {
         "\"" + k.stripPrefix("q") + "\":" +
           math.max(math.floor(v * 10) / 10, 0.05)
       }
-      .mkString("{\"floors\":{", ",", "}}")
+      // CHUNKED since r15 (149 queries): one line crossed the 1400-char
+      // tail budget. Each chunk is a self-contained floors object well
+      // under the budget, and the harvest is regex-per-pair (never a
+      // JSON parse), so if the driver's ~2000-char tail ever cuts into
+      // the OLDEST chunk mid-line, every complete pair after the cut
+      // still floors — growth degrades gracefully instead of breaking.
+      .grouped(75)
+      .map(_.mkString("{\"floors\":{", ",", "}}"))
+      .toSeq
 
   /** Floor for a query under both key schemes: the full name (legacy
     * artifacts) and its `qNN` prefix (floors lines); min wins. */
@@ -184,11 +192,11 @@ object Bench {
     val leakedJson = leaked.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.min).sum
-    val floorsLine = floorsJson(
+    val floorsLines = floorsJson(
       floors.toSeq ++ results.map { case (k, v) => (k, v.min) })
-    println(floorsLine)
+    floorsLines.foreach(println)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"leaked":$leakedJson,"reran":$reranJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
-    println(floorsLine)
+    floorsLines.foreach(println)
     spark.stop()
   }
 }

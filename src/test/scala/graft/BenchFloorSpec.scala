@@ -26,15 +26,21 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(names.size >= 75)
     val mins = names.zipWithIndex.map { case (n, i) => n -> (0.5 + i * 0.01) }
     // what Bench.main prints: big line (passes for every query, far over
-    // the driver's window) bracketed by the compact floors lines
-    val floorsLine = Bench.floorsJson(mins)
-    assert(floorsLine.length < 1400,
-      s"floors line too long to survive the ~2000-char tail: ${floorsLine.length}")
+    // the driver's window) bracketed by the compact floors chunk lines
+    val floorsLines = Bench.floorsJson(mins)
+    floorsLines.foreach(l => assert(l.length < 1400,
+      s"a floors chunk too long to survive the ~2000-char tail: ${l.length}"))
+    // all trailing chunks + the sbt trailer must fit the tail window
+    // TODAY (at ~195 queries the oldest chunk starts getting cut, which
+    // the regex-per-pair harvest degrades through gracefully — this
+    // assert is the early warning to re-budget)
+    assert(floorsLines.map(_.length + 1).sum < 1900,
+      s"floors chunks total ${floorsLines.map(_.length + 1).sum} — tail overflow")
     val passes = mins.map { case (k, v) => "\"" + k + s"\":[$v,${v * 2}]" }
       .mkString("{", ",", "}")
-    val stdout = floorsLine + "\n" +
+    val stdout = floorsLines.mkString("\n") + "\n" +
       s"""{"metric":"total","value":42.0,"unit":"sec","passes":$passes}""" +
-      "\n" + floorsLine + "\n[success] Total time: 168 s"
+      "\n" + floorsLines.mkString("\n") + "\n[success] Total time: 168 s"
     // the driver keeps only the tail, escaped inside a JSON string field
     val wrapped = "{\"n\":7,\"rc\":0,\"tail\": \"" +
       stdout.takeRight(2000).replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
