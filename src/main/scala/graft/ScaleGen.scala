@@ -23,11 +23,19 @@ import org.apache.spark.sql.functions._
   *    vocabularies disjoint: each copy reproduces sf0.1's exact
   *    near-dup pair structure and contributes zero cross-copy
   *    candidates — total dedup work scales exactly N×;
-  *  - embeddings get a per-copy cyclic DIMENSION ROTATION: a
-  *    permutation preserves every within-copy cosine/dot exactly
-  *    while decorrelating cross-copy pairs, so ANN/near-dup
-  *    neighborhood structure also scales N× (pure scaling would keep
-  *    cross-copy cosines at 1.0 and blow up LSH buckets);
+  *  - embeddings get a per-copy AFFINE DIMENSION PERMUTATION
+  *    `i → (a·i + r) mod dim` with `r = c mod dim`,
+  *    `a = 2·(c div dim) + 1` (dim must be a power of two, so every
+  *    odd `a` is coprime and the map is a bijection): any permutation
+  *    preserves every within-copy cosine/dot exactly while
+  *    decorrelating cross-copy pairs, so ANN/near-dup neighborhood
+  *    structure also scales N× (pure scaling would keep cross-copy
+  *    cosines at 1.0 and blow up LSH buckets). The affine family
+  *    keeps permutations DISTINCT past `copies > dim` — a pure cyclic
+  *    rotation repeats at copy c+dim, silently re-correlating those
+  *    pairs; distinct (a, r) pairs give dim²/2 distinct permutations
+  *    (copies ≤ 2048 at dim 64), and the first dim copies reproduce
+  *    the plain rotation exactly (a = 1);
   *  - events shift event_id/user_id; the time range stays (N× denser
   *    traffic, the realistic growth shape for windows/sessionization).
   *
@@ -98,6 +106,19 @@ object ScaleGen {
 
     val emb = read("embeddings")
     val vecN = off(emb, "vec_id")
+    val dim = emb.select(max(size(col("embedding")))).collect()(0).getInt(0)
+    require((dim & (dim - 1)) == 0,
+      s"embedding dim $dim must be a power of two (affine permutation " +
+        "multipliers are the odd residues — coprime only for 2^k dims)")
+    require(copies <= dim.toLong * dim / 2,
+      s"copies=$copies exceeds the ${dim.toLong * dim / 2} distinct " +
+        s"affine permutations at dim $dim — cross-copy pairs would " +
+        "re-correlate")
+    // i → (a·i + r) mod dim; a = 2·(c div dim)+1 (odd ⇒ bijective on a
+    // power-of-two dim), r = c mod dim. Distinct copies ⇒ distinct
+    // (a, r) ⇒ distinct permutations; copies < dim ⇒ a = 1, the plain
+    // rotation (bit-identical to the r15 fixtures at 10 copies).
+    val mult = floor(col("__c") / lit(dim.toLong)) * 2 + 1
     val fannedEmb = emb
       .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
       .withColumn("vec_id", col("vec_id") + col("__c") * vecN)
@@ -105,7 +126,7 @@ object ScaleGen {
         when(col("__c") === 0, col("embedding")).otherwise(
           transform(col("embedding"), (_, i) =>
             element_at(col("embedding"),
-              (pmod(i + col("__c"), size(col("embedding"))) + 1)
+              (pmod(i * mult + col("__c"), lit(dim.toLong)) + 1)
                 .cast("int")))))
       .drop("__c")
     write(fannedEmb, "embeddings")

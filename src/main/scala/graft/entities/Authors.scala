@@ -67,9 +67,26 @@ object Authors {
     * top-k inside one ObjectHashAggregate with map-side partials (≤ k
     * rows per author × partition cross the wire), carrying the score
     * payload through the aggregate; ties break on the concept id's
-    * STRING form (concept ids are strings throughout this engine). */
+    * STRING form (concept ids are strings throughout this engine).
+    * NUMERIC concept ids are zero-padded to 20 digits before the cast
+    * (TopK's own scaladoc rule), so count-ties elect in the id's
+    * NUMERIC order — without the pad, a numeric caller would silently
+    * get collation order ('10' < '9'). Contract: integral concept ids
+    * are non-negative (the pad can't linearize negatives; entity ids
+    * here never are). Fractional id types stay on collation order —
+    * no engine id is fractional. */
   def xConcepts(awc: DataFrame, topK: Int = 5): DataFrame = {
     val idType = awc.schema("concept_id").dataType
+    val numericId = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val tkId =
+      if (numericId) lpad(col("concept_id").cast("string"), 20, "0")
+      else col("concept_id").cast("string")
     val grouped = awc.filter(col("concept_id").isNotNull)
       .groupBy(col("author_id"), col("concept_id"))
       .agg(max(col("score")).as("score"), count(lit(1)).as("concept_count"))
@@ -78,7 +95,7 @@ object Authors {
         .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1).otherwise(0)
     grouped.groupBy(col("author_id"))
       .agg(graft.operators.TopK.topKRows(topK)(col("concept_count"),
-        col("concept_id").cast("string"),
+        tkId,
         to_json(struct(col("score")))).as("__tk"))
       .select(col("author_id"),
         array_sort(transform(col("__tk"), e =>

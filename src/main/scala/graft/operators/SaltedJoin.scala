@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Skew-mitigated inner equijoin (beyond-reference tier): the big
   * (probe) side gets a per-row salt in `[0, salts)`, the small
@@ -25,15 +25,23 @@ object SaltedJoin {
     * columns MIXED with `monotonically_increasing_id()`. The id term
     * spreads byte-identical duplicate rows (a realistic skew shape —
     * a hot key repeated verbatim — that a pure content hash funnels
-    * through ONE reducer); MapType columns are excluded because
-    * `xxhash64` rejects maps at analysis (maps have no canonical
-    * order). A row of nothing but maps degrades to the id alone —
+    * through ONE reducer); columns containing a MapType ANYWHERE in
+    * their type tree (top-level, array element, struct field) are
+    * excluded because `xxhash64` rejects maps at analysis (maps have
+    * no canonical order). A row of nothing but maps degrades to the id alone —
     * still uniform. The salt is only a partitioning hint, so the
     * id's run-to-run instability is harmless: any value in
     * `[0, salts)` yields the same join result. */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case a: ArrayType => containsMap(a.elementType)
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
   def defaultSalt(big: DataFrame): Column = {
     val hashable = big.schema.fields.toSeq
-      .filterNot(_.dataType.isInstanceOf[MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name))
     xxhash64((hashable :+ monotonically_increasing_id()): _*)
   }

@@ -400,9 +400,13 @@ object RelationalQueries {
       col("l_returnflag").as("prov"),
       // unique per ROW (the fixture repeats l_linenumber within an
       // order, so (line, part, supp) is the natural key): both the cap
-      // election and the ranked array are tie-free and deterministic
+      // election and the ranked array are tie-free and deterministic.
+      // Slot budget: date*16+line < 2^18, partkey slot 2^24, suppkey
+      // slot 2^20 → ≤ 62 bits; holds through ScaleGen fixtures to
+      // ~800 copies of sf0.1 (the sf10-equivalent uses 100), where the
+      // old 2^15/2^10 slots overflowed at ~10 copies and collided upd
       ((((unix_date(col("l_shipdate").cast("date")).cast("long") * 16 +
-        col("l_linenumber")) * 32768) + col("l_partkey")) * 1024 +
+        col("l_linenumber")) * 16777216L) + col("l_partkey")) * 1048576L +
         col("l_suppkey")).cast("long").as("upd"),
       concat_ws(":", col("l_linenumber"), col("l_partkey"),
         col("l_suppkey")).as("native"))
@@ -453,7 +457,7 @@ object RelationalQueries {
         |  l_returnflag AS prov,
         |  ((CAST(datediff('day', DATE '1970-01-01',
         |    CAST(l_shipdate AS DATE)) AS BIGINT) * 16
-        |    + l_linenumber) * 32768 + l_partkey) * 1024
+        |    + l_linenumber) * 16777216 + l_partkey) * 1048576
         |    + l_suppkey AS upd,
         |  l_linenumber || ':' || l_partkey || ':' || l_suppkey
         |    AS native FROM lineitem),
