@@ -81,17 +81,24 @@ object Similarity {
     * broadcast) centroid table and keep the top `nProbe` cells by
     * (cosine DESC, centroid id ASC — deterministic ties). `nProbe = 1`
     * is list ASSIGNMENT; queries probe with `nProbe ≥ 1`. Cost is
-    * O(N·K) map-side work behind a broadcast — no shuffle of the corpus;
-    * at scale K ≈ √N keeps both the assign pass and the per-cell list
-    * sizes balanced (the standard IVF sizing).
-    * @param cent (cent_id, cv DOUBLE[], cn norm) */
+    * O(N·K) map-side work behind a broadcast — no shuffle of the corpus
+    * for SCORING, and the per-vector probe election rides the bounded
+    * `TopK.topKDouble` aggregate: map-side partials fold each vector's
+    * K centroid scores down to ≤ nProbe entries BEFORE the exchange,
+    * so the shuffle carries N·nProbe entries, not the N·K scored rows
+    * the window formulation moved (K ≈ √N at scale — the standard IVF
+    * sizing — makes that a √N-factor cut).
+    * @param cent (cent_id LONG, cv DOUBLE[], cn norm) */
   def ivfCells(e: DataFrame, idCol: String, vecCol: String, normCol: String,
       cent: DataFrame, nProbe: Int): DataFrame = {
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("__cos", dot(col(vecCol), col("cv")) / (col(normCol) * col("cn")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cent_id").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= nProbe)
-      .select(col(idCol), col("cent_id").as("cell"), col("__r").as("probe_rank"))
+    scored.groupBy(col(idCol))
+      .agg(graft.operators.TopK.topKDouble(nProbe)(col("__cos"),
+        col("cent_id").cast("long")).as("__tk"))
+      .select(col(idCol), posexplode(col("__tk")))
+      .select(col(idCol), col("col.id").as("cell"),
+        (col("pos") + 1).cast("int").as("probe_rank"))
   }
 
   /** Per-dimension min/max over the embedding corpus — the int8
@@ -125,9 +132,20 @@ object Similarity {
     * (a 100 TB scan touches 4× fewer bytes; exact float re-rank of
     * the shortlist follows as in the IVF path). Exact integer
     * arithmetic, so the oracle is bit-trivially identical. Queries
-    * broadcast; top-k by (dist ASC, id ASC — deterministic ties). */
+    * broadcast; top-k by (dist ASC, id ASC — deterministic ties).
+    *
+    * The per-query election is the bounded `TopK` aggregate with
+    * score = −dist (distances are exact longs, so the flip is exact):
+    * ONE ObjectHashAggregate whose map-side partials keep ≤ k pairs
+    * per (query × partition), so the exchange carries k·partitions·|Q|
+    * pairs. The window formulation this replaced shuffled EVERY scored
+    * (candidate, query) row to one task per query and sorted the
+    * corpus there — parallelism = |Q|, per-task data = corpus: the
+    * exact shape that dies at 100 TB. Ids must be non-null integrals
+    * (they ride the aggregate as longs and cast back on output). */
   def quantizedTopK(codes: DataFrame, idCol: String, codesCol: String,
       queryPred: Column, k: Int): DataFrame = {
+    val idType = codes.schema(idCol).dataType
     val c = codes.select(col(idCol), col(codesCol).as("__c"))
     val q = c.filter(queryPred)
       .select(col(idCol).as("q_id"), col("__c").as("__qc"))
@@ -136,12 +154,13 @@ object Similarity {
       .withColumn("dist", aggregate(
         zip_with(col("__qc"), col("__cc"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"),
-        col("dist"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.operators.TopK.topK(k)(-col("dist"),
+        col("c_id").cast("long")).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").cast(idType).as("neighbor"),
+        (-col("col.score")).as("dist"))
   }
 
   /** Quantize against a PRECOMPUTED packed-stats frame (one row of

@@ -145,4 +145,60 @@ object TopK {
     val f = udaf(new TopKRowsAgg(k))
     (score, id, payload) => f(score, id, payload)
   }
+
+  /** Aggregate input for the double-scored variant: score (DOUBLE,
+    * bigger = better, non-null), id (LONG, ties break ascending). */
+  final case class DScoredId(score: Double, id: Long)
+
+  /** DOUBLE-scored bounded top-k — for elections whose score can't be
+    * an exact long (raw cosines in the IVF assign/probe path). Same
+    * ordering as a `(score DESC, id ASC)` window: doubles compare via
+    * `java.lang.Double.compare` — identical to Spark's DoubleType sort
+    * order (NaN greatest) except that −0.0 sorts before +0.0 where a
+    * window deems them equal ties (similarity scores never produce a
+    * signed-zero distinction). Scores must be non-null (a null
+    * primitive would decode as 0.0, not sort last like a window's
+    * desc_nulls_last). */
+  final class TopKDoubleAgg(k: Int)
+      extends Aggregator[DScoredId, List[DScoredId], Seq[DScoredId]] {
+    require(k >= 1)
+
+    private def beats(a: DScoredId, b: DScoredId): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
+
+    def zero: List[DScoredId] = Nil
+
+    // O(k) linear insertion, like TopKAgg — sized for k ≤ ~100
+    def reduce(buf: List[DScoredId], x: DScoredId): List[DScoredId] = {
+      val (better, rest) = buf.span(e => !beats(x, e))
+      if (better.length >= k) buf
+      else (better ::: x :: rest).take(k)
+    }
+
+    def merge(a: List[DScoredId], b: List[DScoredId]): List[DScoredId] = {
+      val out = List.newBuilder[DScoredId]
+      var (x, y, n) = (a, b, 0)
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && beats(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: List[DScoredId]): Seq[DScoredId] = buf
+
+    def bufferEncoder: Encoder[List[DScoredId]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[DScoredId]] = ExpressionEncoder()
+  }
+
+  /** `topKDouble(k)(scoreCol DOUBLE, idCol LONG)` → ARRAY<STRUCT<score,
+    * id>> in election order. */
+  def topKDouble(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopKDoubleAgg(k))
+    (score, id) => f(score, id)
+  }
 }

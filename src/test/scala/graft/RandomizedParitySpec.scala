@@ -131,4 +131,59 @@ class RandomizedParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("quantizedTopK: random code vectors with a TINY code domain " +
+    "(mass distance ties) equal the naive per-query scan election") {
+    import graft.operators.Similarity
+    for (seed <- Seq(51L, 52L)) {
+      val r = rng(seed)
+      // dim 4 over codes {0,1,2} => many exactly-equal squared-L2
+      // distances; ties must break on the neighbor id ascending
+      val vecs = Seq.tabulate(60)(i =>
+        (i.toLong, Seq.fill(4)(r.nextInt(3))))
+      val df = vecs.toDF("vec_id", "codes")
+      for (k <- Seq(1, 3, 70)) {
+        val out = Similarity.quantizedTopK(df, "vec_id", "codes",
+          col("vec_id") < 5, k)
+          .as[(Long, Int, Long, Long)].collect().toSet
+        val expected = (for {
+          (q, qc) <- vecs.filter(_._1 < 5)
+        } yield {
+          val scored = vecs.filter(_._1 != q).map { case (c, cc) =>
+            val d = qc.zip(cc).map { case (a, b) =>
+              (a - b).toLong * (a - b) }.sum
+            (c, d)
+          }
+          scored.sortBy(t => (t._2, t._1)).take(k).zipWithIndex
+            .map { case ((c, d), i) => (q, i + 1, c, d) }
+        }).flatten.toSet
+        assert(out == expected, s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("topKDouble: random double scores with planted EXACT ties " +
+    "equal the (score DESC, id ASC) window election") {
+    for (seed <- Seq(61L, 62L)) {
+      val r = rng(seed)
+      // draw from 6 distinct doubles so exact ties are common
+      val pool = Seq.fill(6)(r.nextDouble() * 2 - 1)
+      val d = Seq.fill(400)((r.nextInt(10).toLong,
+        pool(r.nextInt(pool.size)), r.nextInt(50).toLong))
+      val df = d.toDF("g", "score", "id")
+      for (k <- Seq(1, 4, 500)) {
+        val expected = d.groupBy(_._1).flatMap { case (g, rows) =>
+          rows.sortBy(t => (-t._2, t._3)).take(k).zipWithIndex
+            .map { case ((_, s, id), i) => (g, (i + 1).toLong, s, id) }
+        }.toSet
+        val agg = df.groupBy(col("g"))
+          .agg(TopK.topKDouble(k)(col("score"), col("id")).as("tk"))
+          .select(col("g"), posexplode(col("tk")))
+          .select(col("g"), (col("pos") + 1).as("rank"),
+            col("col.score"), col("col.id"))
+          .as[(Long, Long, Double, Long)].collect().toSet
+        assert(agg == expected, s"seed=$seed k=$k")
+      }
+    }
+  }
 }
