@@ -235,10 +235,22 @@ object Sampling {
     * packSequences sizing rule), buckets fold in parallel, and pack
     * ids are globally unique as `bucket · 2^32 + pack_idx`. The
     * DuckDB oracle recomputes the fold with a recursive CTE —
-    * engine-exact integer arithmetic throughout. */
+    * engine-exact integer arithmetic throughout.
+    *
+    * MEMORY CONTRACT: each bucket buffers in ONE task (the sort needs
+    * the whole bucket), so the sizing rule — 2^bucketBits ≳
+    * corpus rows / rows-per-executor-heap — is enforced, not assumed:
+    * the buffer counts rows as it fills and fails fast with the
+    * observed bucket size and a resize hint once `maxBucketRows` is
+    * crossed (default 2^26 ≈ 67M rows ≈ 2 GB of 32-byte tuples — an
+    * executor-sized sort), BEFORE the heap dies at 100 TB. Hash
+    * bucketing keeps bucket sizes ~uniform, so the check binds only
+    * when bucketBits is genuinely undersized. */
   def packWhole(docs: DataFrame, idCol: String, tokenCol: String,
-      seqLen: Int, seed: String, bucketBits: Int = 10): DataFrame = {
+      seqLen: Int, seed: String, bucketBits: Int = 10,
+      maxBucketRows: Long = 1L << 26): DataFrame = {
     require(seqLen > 0 && bucketBits >= 1 && bucketBits <= 20)
+    require(maxBucketRows >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
     val h = TextFunctions.charHash(
@@ -252,8 +264,20 @@ object Sampling {
       .groupByKey(_._4)
       .flatMapGroups { (bucket: Long, rows: Iterator[(Long, Long, Long, Long)]) =>
         // one bucket folds in one task — ordered by (hash, id), the
-        // same total order packSequences concatenates in
-        val ordered = rows.toSeq.sortBy(t => (t._3, t._1))
+        // same total order packSequences concatenates in. The buffer
+        // is bounded: fail fast (with a resize hint) instead of
+        // letting an undersized bucketBits OOM the executor mid-sort.
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        while (rows.hasNext) {
+          buf += rows.next()
+          if (buf.length > maxBucketRows)
+            throw new IllegalStateException(
+              s"packWhole bucket $bucket exceeds maxBucketRows=" +
+                s"$maxBucketRows — raise bucketBits (currently " +
+                s"$bucketBits) so corpus/2^bucketBits fits an executor")
+        }
+        val ordered = buf.sortBy(t => (t._3, t._1))
         var fill = 0L
         var idx = 0L
         ordered.iterator.map { case (id, n, _, _) =>

@@ -72,20 +72,40 @@ object TextQuality {
     * the FIRST occurrence corpus-wide — ordered by (docId, position)
     * — owns the hash, every later occurrence is a duplicate. Returns
     * one row per occurrence: (docId, para_idx, para_hash,
-    * is_duplicate). ONE keyed shuffle on the paragraph hash; the
-    * per-hash winner is a keyed window, never a global sort. */
+    * is_duplicate).
+    *
+    * 100 TB posture — the winner is `min(struct(docId, position))`
+    * per hash: a keyed aggregate whose MAP-SIDE PARTIALS bound the
+    * hash-keyed shuffle at one struct per (hash × partition), so a
+    * Zipfian paragraph (one boilerplate chunk duplicated 10⁷–10⁸
+    * times corpus-wide) costs nothing at its reducer. The r15 window
+    * formulation partitioned by para_hash — same oracle rows, but the
+    * hot hash's ENTIRE occurrence list sorted in one task, and AQE
+    * can split skewed join partitions, never window sorts. The
+    * winners then roll up PER DOCUMENT (winner lists are bounded by a
+    * doc's own paragraph count) and join back on the document id — a
+    * unique-ish key, so no shuffle in the plan ever keys on the
+    * Zipf-skewed hash with row-level volume. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = docs.select(col(idCol),
         posexplode(tokenChunks(col(textCol), chunkSize))
           .as(Seq("para_idx", "para")))
       .filter(col("para") =!= "")
       .withColumn("para_hash", TextFunctions.charHash(col("para")))
       .drop("para")
-    val w = Window.partitionBy(col("para_hash"))
-      .orderBy(col(idCol).asc, col("para_idx").asc)
-    paras.withColumn("is_duplicate", row_number().over(w) > 1)
+    val wonByDoc = paras.groupBy(col("para_hash"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("para_idx").as("__wi"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__wi")).as("__wp"))
+    paras.join(wonByDoc, Seq(idCol), "left")
+      .withColumn("is_duplicate",
+        !coalesce(array_contains(col("__wp"), col("para_idx")),
+          lit(false)))
+      .select(col(idCol), col("para_idx"), col("para_hash"),
+        col("is_duplicate"))
   }
 
   /** Per-document rollup of [[paragraphDedup]]: paragraph counts and
@@ -155,17 +175,38 @@ object TextQuality {
   /** URL-level dedup (the stage CCNet/RefinedWeb run BEFORE any
     * content hashing): rows sharing a canonical URL collapse to one
     * winner — highest `qualityCol`, ties to the smallest id. Returns
-    * every input row + (canonical_url, is_url_duplicate). ONE keyed
-    * shuffle on the canonical URL; the winner election is a keyed
-    * window, never a global sort. */
+    * every input row + (canonical_url, is_url_duplicate).
+    *
+    * 100 TB posture — two chained keyed aggregates, both with
+    * map-side partials, elect the winner without ever sorting a hot
+    * URL's occurrence list in one task (real URL frequency is
+    * Zipfian; the r15 per-URL window was the shape AQE cannot split):
+    * (1) per (url, quality) the smallest id — partials bound the
+    * shuffle at one row per (url × quality × partition); (2) per url
+    * the max-quality row — stage 1 already collapsed quality ties, so
+    * `max(struct(quality, id))` never compares ids (and an all-NULL-
+    * quality url reduces to its single stage-1 row, electing min id,
+    * exactly the window's desc_nulls_last order). Winners then join
+    * back on (url, id) — id is the unique row key, so the join's
+    * composite key is skew-free. Contract: `idCol` is unique per row
+    * (duplicate ids would co-elect). */
   def urlDedup(docs: DataFrame, idCol: String, urlCol: String,
       qualityCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val withKey = docs.withColumn("canonical_url",
       urlCanonicalize(col(urlCol)))
-    val w = Window.partitionBy(col("canonical_url"))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
-    withKey.withColumn("is_url_duplicate", row_number().over(w) > 1)
+    val winners = withKey
+      .groupBy(col("canonical_url"), col(qualityCol))
+      .agg(min(col(idCol)).as("__mid"))
+      .groupBy(col("canonical_url"))
+      .agg(max(struct(col(qualityCol).as("q"), col("__mid").as("m")))
+        .as("__mx"))
+      .select(col("canonical_url").as("__cu"),
+        col("__mx").getField("m").as("__wid"))
+    withKey.join(winners,
+        col("canonical_url") <=> col("__cu") &&
+          col(idCol) === col("__wid"), "left")
+      .withColumn("is_url_duplicate", col("__wid").isNull)
+      .drop("__cu", "__wid")
   }
 
   /** CCNet-style text normalization for near-duplicate line/chunk
@@ -216,9 +257,23 @@ object TextQuality {
     * corpus never shuffles on text, only (id, pos, hash) longs leave
     * the row, and the single shuffle is the per-doc hit aggregation.
     * Eval rows shorter than `window` tokens contribute no hashes (no
-    * spurious matches from short prompts). */
+    * spurious matches from short prompts).
+    *
+    * BYTE-EXACT on hits (r16): a 56-bit rolling hash expects a
+    * handful of false matches at 10¹² corpus windows × 10⁶ eval
+    * hashes, so every hash hit is verified VERBATIM before it flags —
+    * candidate (doc, pos) pairs (rare: bounded by the eval hashes'
+    * corpus frequency) roll up per doc and broadcast BACK to the
+    * corpus scan, which re-reads only the candidate documents' token
+    * runs map-side and joins them against the broadcast (hash, span)
+    * eval table; a pure hash collision is dropped. The corpus still
+    * never shuffles on text — the only text leaving a corpus row is
+    * the `window`-token runs at verified-candidate positions (token
+    * runs compare joined on U+0001; tokens contain no whitespace, so
+    * the join key is injective). */
   def spanContamination(docs: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    val sep = "\u0001"
     def winOcc(df: DataFrame): DataFrame = {
       val tokenHashes = transform(TextFunctions.tokens(col(textCol)),
         t => TextFunctions.charHash(t))
@@ -228,9 +283,33 @@ object TextQuality {
       df.select(col(idCol), hashes.as("__hs"))
         .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "wh")))
     }
-    val benchW = winOcc(bench).select(col("wh")).distinct()
-    val hits = winOcc(docs)
-      .join(broadcast(benchW), Seq("wh"))
+    // eval side: distinct (hash, verbatim span) — eval sets are tiny,
+    // so carrying and broadcasting the span strings is free
+    val benchSpans = {
+      val toks = TextFunctions.tokens(col(textCol))
+      val tokenHashes = transform(toks, t => TextFunctions.charHash(t))
+      val hashes = org.apache.spark.sql.GraftExpr.column(
+        graft.plans.WindowHashes(
+          org.apache.spark.sql.GraftExpr.expression(tokenHashes), window))
+      bench.select(toks.as("__t"), hashes.as("__hs"))
+        .select(col("__t"), posexplode(col("__hs")).as(Seq("pos", "wh")))
+        .select(col("wh"),
+          array_join(slice(col("__t"), col("pos") + 1, lit(window)), sep)
+            .as("__span"))
+        .distinct()
+    }
+    val benchW = benchSpans.select(col("wh")).distinct()
+    val cand = winOcc(docs).join(broadcast(benchW), Seq("wh"))
+    val candByDoc = cand.groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("wh"))).as("__cand"))
+    val verified = docs.join(broadcast(candByDoc), Seq(idCol))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"),
+        explode(col("__cand")).as("__c"))
+      .select(col(idCol), col("__c.pos").as("pos"), col("__c.wh").as("wh"),
+        array_join(slice(col("__t"), col("__c.pos") + 1, lit(window)), sep)
+          .as("__span"))
+      .join(broadcast(benchSpans), Seq("wh", "__span"))
+    val hits = verified
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nw"),
         countDistinct(col("wh")).as("__nd"),
@@ -245,9 +324,21 @@ object TextQuality {
         col("__nw").isNotNull.as("is_contaminated"))
   }
 
+  /** 100 TB posture — the hash-ownership election is
+    * `min(struct(docId, pos))` per window hash: map-side partials
+    * bound the hash-keyed shuffle at one struct per (hash ×
+    * partition), so a Zipf-hot 10-token boilerplate span (10⁷–10⁸
+    * occurrences) never funnels its occurrence list through one task
+    * (the r15 per-hash window did — the shape AQE cannot split).
+    * Because EVERY stride-1 position of a document is an occurrence,
+    * the duplicate positions are simply the document's position range
+    * MINUS its won positions — winners roll up per document (bounded
+    * by the doc's own window count), join back on the unique doc id,
+    * and an `array_except` recovers the dup-position list; the
+    * occurrence frame itself never shuffles again. Oracle rows are
+    * identical to the window formulation. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.tokens(col(textCol))
     val n = size(toks)
     // per-token charHash once (O(chars)), then the native rolling
@@ -261,14 +352,25 @@ object TextQuality {
     val occ = docs.select(col(idCol), hashes.as("hs"))
       .select(col(idCol),
         posexplode(col("hs")).as(Seq("pos", "win_hash")))
-    val w = Window.partitionBy(col("win_hash"))
-      .orderBy(col(idCol).asc, col("pos").asc)
-    val marked = occ.withColumn("is_dup", row_number().over(w) > 1)
-    val stats = marked.groupBy(col(idCol))
-      .agg(sum(when(col("is_dup"), 1L).otherwise(0L))
-          .as("n_dup_windows"),
-        array_sort(collect_list(when(col("is_dup"),
-          col("pos").cast("long")))).as("dps"))
+    val wonByDoc = occ.groupBy(col("win_hash"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("pos").cast("long").as("__wpos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__wpos"))).as("__wp"))
+    docs.select(col(idCol), n.as("n_tokens"))
+      .join(wonByDoc, Seq(idCol), "left")
+      .withColumn("__nwin",
+        greatest(lit(0L), col("n_tokens").cast("long") - window + 1))
+      .withColumn("__wp",
+        coalesce(col("__wp"), array().cast("array<long>")))
+      // dup positions = the full stride-1 range minus won positions
+      // (ascending — sequence ascends and array_except keeps order)
+      .withColumn("dps",
+        when(col("__nwin") > 0,
+          array_except(sequence(lit(0L), col("__nwin") - 1), col("__wp")))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("n_dup_windows", col("__nwin") - size(col("__wp")))
       .withColumn("dup_token_count",
         aggregate(col("dps"),
           struct(lit(0L).as("pe"), lit(0L).as("tot")),
@@ -277,14 +379,10 @@ object TextQuality {
             (s.getField("tot") + greatest(lit(0L),
               p + window - greatest(p, s.getField("pe")))).as("tot")),
           s => s.getField("tot")))
-      .drop("dps")
-    docs.select(col(idCol), n.as("n_tokens"))
-      .join(stats, Seq(idCol), "left")
-      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
-      .withColumn("dup_token_count",
-        coalesce(col("dup_token_count"), lit(0L)))
       .withColumn("dup_token_frac",
         frac(col("dup_token_count"), col("n_tokens")))
+      .select(col(idCol), col("n_tokens"), col("n_dup_windows"),
+        col("dup_token_count"), col("dup_token_frac"))
   }
 
   /** Per-document repetition metrics + the keep verdict. */

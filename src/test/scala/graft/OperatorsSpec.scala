@@ -346,6 +346,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packWhole: maxBucketRows guard fails FAST with the resize " +
+    "hint when a bucket outgrows the buffer contract") {
+    import graft.operators.Sampling
+    val docs = (1L to 50L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    // bucketBits=1 (2 buckets over 50 docs) with a 5-row ceiling must
+    // trip before any bucket finishes buffering
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.packWhole(docs, "doc_id", "n_tokens", 128, "s9",
+        bucketBits = 1, maxBucketRows = 5).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage)
+      .getOrElse(e.getMessage) + e.getMessage
+    assert(msg.contains("maxBucketRows") && msg.contains("bucketBits"))
+    // the default ceiling leaves the same corpus untouched
+    assert(Sampling.packWhole(docs, "doc_id", "n_tokens", 128, "s9",
+      bucketBits = 1).count() === 50L)
+  }
+
   test("overlapJoin: bucket blocking emits each true pair exactly " +
     "once, touching endpoints overlap, disjoint excluded") {
     import graft.operators.IntervalJoin

@@ -284,6 +284,106 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("dup_token_frac") === 0.0)
   }
 
+  test("adversarial Zipf skew: ONE hash owning ~50% of all occurrences " +
+    "elects identically to the naive first-occurrence scan " +
+    "(paragraphDedup, dupSpans, urlDedup)") {
+    val r = new scala.util.Random(7L)
+    // 400 docs of 3 chunks (chunkSize 3): half the docs lead with the
+    // SAME boilerplate chunk; the rest are drawn from a tiny vocab so
+    // organic collisions exist too. Vocab tokens are RANDOM 12-char
+    // strings: short or structured tokens ("wordN") yield polynomial
+    // hashes with exact linear relations, so 3-token window folds
+    // collide systematically and the naive STRING-level scan disagrees
+    // with ANY hash-level election (window or aggregate alike)
+    val vocab = Seq.fill(30)(
+      Iterator.continually(r.nextPrintableChar())
+        .filter(_.isLetterOrDigit).take(12).mkString)
+    def chunk() = Seq.fill(3)(vocab(r.nextInt(30))).mkString(" ")
+    val hot = s"${vocab(0)} ${vocab(0)} ${vocab(0)}"
+    val docs = (0 until 400).map { i =>
+      val lead = if (i % 2 == 0) hot else chunk()
+      (i.toLong, s"$lead ${chunk()} ${chunk()}")
+    }
+    val df = docs.toDF("doc_id", "text")
+    // naive election, driver-side: first (doc, idx) owns each chunk
+    val paras = docs.flatMap { case (id, t) =>
+      t.split(" ").grouped(3).map(_.mkString(" ")).zipWithIndex
+        .map { case (p, i) => (id, i, p) } }
+    val owners = paras.groupBy(_._3).map { case (p, occ) =>
+      p -> occ.map(t => (t._1, t._2)).min }
+    val expectedDup = paras.map { case (id, i, p) =>
+      ((id, i), owners(p) != ((id, i))) }.toMap
+    val got = TextQuality.paragraphDedup(df, "doc_id", "text", 3)
+      .select(col("doc_id"), col("para_idx"), col("is_duplicate"))
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length === expectedDup.size)
+    got.foreach { case (id, i, d) =>
+      assert(d === expectedDup((id, i)), s"doc $id chunk $i") }
+    // dupSpans over the same corpus (window 3): per-doc dup-window
+    // counts equal the naive stride-1 ownership scan
+    val spanOcc = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ")
+      (0 to ts.length - 3).map(p => (id, p, ts.slice(p, p + 3).mkString(" "))) }
+    val spanOwners = spanOcc.groupBy(_._3).map { case (s, occ) =>
+      s -> occ.map(t => (t._1, t._2)).min }
+    val expectedN = spanOcc.groupBy(_._1).map { case (id, occ) =>
+      id -> occ.count(t => spanOwners(t._3) != ((t._1, t._2))).toLong }
+    val gotSpans = TextQuality.dupSpans(df, "doc_id", "text", 3)
+      .select(col("doc_id"), col("n_dup_windows"))
+      .as[(Long, Long)].collect().toMap
+    expectedN.foreach { case (id, nd) =>
+      assert(gotSpans(id) === nd, s"doc $id") }
+    // urlDedup with 50% of rows on one canonical URL, quality ties
+    val urls = (0 until 400).map { i =>
+      val u = if (i % 2 == 0) "https://hot.example.com/x"
+        else s"https://cold.example.com/p${r.nextInt(40)}"
+      (i.toLong, u, (i % 3).toLong) }
+    val udf2 = urls.toDF("doc_id", "url", "quality")
+    // these test URLs carry no www/params/fragments — canonicalization
+    // is just the scheme strip
+    def canon(u: String) =
+      u.stripPrefix("https://").stripPrefix("http://")
+    val uWin = urls.groupBy(t => canon(t._2))
+      .map { case (cu, rows) =>
+        cu -> rows.sortBy(t => (-t._3, t._1)).head._1 }
+    val gotU = TextQuality.urlDedup(udf2, "doc_id", "url", "quality")
+      .select(col("doc_id"), col("canonical_url"),
+        col("is_url_duplicate"))
+      .as[(Long, String, Boolean)].collect()
+    gotU.foreach { case (id, cu, dup) =>
+      assert(cu === canon(urls(id.toInt)._2))
+      assert(dup === (uWin(cu) != id), s"doc $id") }
+  }
+
+  test("spanContamination is byte-exact: a constructed token-hash " +
+    "collision ('Aa'/'BB' under the 31-fold) hash-hits but the " +
+    "verbatim verify rejects it; a real verbatim window still flags") {
+    // charHash is the h*31+codepoint fold: charHash("Aa") ==
+    // charHash("BB") == 65*31+97 == 66*31+66 (no 2^56 wrap at 2 chars),
+    // so every window hash over these tokens collides while the spans
+    // differ byte-wise
+    val collide = Seq(
+      (1L, "alpha beta Aa gamma delta"),   // hash-collides with bench
+      (2L, "alpha beta BB gamma delta"),   // verbatim copy of bench
+      (3L, "totally unrelated text here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta BB gamma delta"))
+      .toDF("doc_id", "text")
+    // sanity: the collision really exists at the hash level
+    val h = collide.filter(col("doc_id") === 1L)
+      .select(graft.functions.TextFunctions.charHash(lit("Aa")),
+        graft.functions.TextFunctions.charHash(lit("BB")))
+      .as[(Long, Long)].collect()(0)
+    assert(h._1 === h._2)
+    val out = TextQuality.spanContamination(collide, bench,
+        "doc_id", "text", 3)
+      .select(col("doc_id"), col("n_hit_windows"), col("is_contaminated"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 0L, false)))  // collision rejected byte-wise
+    assert(out(1) === ((2L, 3L, true)))   // verbatim windows still flag
+    assert(out(2) === ((3L, 0L, false)))
+  }
+
   test("piiScrub: typed placeholders, per-kind counts, short phone " +
     "numbers survive") {
     val docs = Seq((1L,
