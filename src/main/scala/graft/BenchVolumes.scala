@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-VOLUME audit (VERDICT r15 ask #7): ExplainAudit pins plan
+  * SHAPES, but a payload column accidentally riding a wide exchange is
+  * shape-invisible — it only shows as bytes. This main measures actual
+  * `shuffle bytes/records written` per registered query (Spark task
+  * metrics via a listener) and prints ONE JSON line, committed as
+  * `BENCH_volumes.json` so regressions diff.
+  *
+  * It also proves the r16 election rewrites AT THE METRICS LEVEL, not
+  * just by plan shape: the bounded-aggregate formulations are run
+  * side-by-side with their r15 window twins (rebuilt inline here) and
+  * the audit FAILS unless the aggregate shuffles strictly fewer
+  * records:
+  *  - q145-style bounded top-k vs the q08 window top-k;
+  *  - quantizedTopK (aggregate) vs the per-query window ANN scan;
+  *  - dupSpans (two-phase min-agg) vs the per-hash window ownership.
+  *
+  * Volumes are compression-stable at a pinned SF, so the artifact is
+  * comparable across rounds (unlike wall-clock, no host-drift noise).
+  */
+object BenchVolumes {
+
+  final class ShuffleListener extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.LongAdder
+    val records = new java.util.concurrent.atomic.LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        bytes.add(m.shuffleWriteMetrics.bytesWritten)
+        records.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+  }
+
+  /** The r15 window formulation of the quantized ANN scan — kept ONLY
+    * as the measured baseline the bounded aggregate is compared
+    * against. */
+  private def windowedQuantizedTopK(codes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = codes.select(col("vec_id"), col("codes").as("__c"))
+    val q = c.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("__c").as("__qc"))
+    val scored = c.select(col("vec_id").as("c_id"), col("__c").as("__cc"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("dist", aggregate(
+        zip_with(col("__qc"), col("__cc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"),
+        col("dist"))
+  }
+
+  /** The r15 window formulation of stride-1 hash ownership (dupSpans'
+    * election stage) — the measured baseline for the two-phase
+    * min-aggregate. */
+  private def windowedSpanOwnership(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val tokenHashes = transform(TextFunctions.tokens(col("text")),
+      t => TextFunctions.charHash(t))
+    val hashes = org.apache.spark.sql.GraftExpr.column(
+      graft.plans.WindowHashes(
+        org.apache.spark.sql.GraftExpr.expression(tokenHashes), 10))
+    val occ = docs.select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "win_hash")))
+    val w = Window.partitionBy(col("win_hash"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    occ.withColumn("is_dup", row_number().over(w) > 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-volumes")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addListener(listener)
+
+    // settle: poll the async listener totals until stable so one
+    // query's late task-end events never leak into the next reading
+    def settled(): (Long, Long) = {
+      var last = (listener.bytes.sum(), listener.records.sum())
+      var same = 0
+      while (same < 2) {
+        Thread.sleep(120)
+        val cur = (listener.bytes.sum(), listener.records.sum())
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      last
+    }
+    def measure(fn: => DataFrame): (Long, Long) = {
+      spark.catalog.clearCache()
+      val (b0, r0) = settled()
+      fn.write.format("noop").mode("overwrite").save()
+      val (b1, r1) = settled()
+      (b1 - b0, r1 - r0)
+    }
+
+    var ok = true
+    def check(cond: Boolean, msg: String): Unit = {
+      println(s"[volumes] ${if (cond) "OK " else "FAIL"} $msg")
+      ok &= cond
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val vols = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val (b, r) = measure(fn(spark, sfDir))
+        name -> (b, r)
+      }
+    val volMap = vols.toMap
+
+    // the r16 election-rewrite evidence: aggregate vs window twins
+    val codes = graft.operators.Similarity.scalarQuantize(
+      graft.core.Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("codes"))
+    val landed = graft.core.Materialize.temp(codes, "graft-vol-codes")._1
+    val (aggB, aggR) = measure(graft.operators.Similarity
+      .quantizedTopK(landed, "vec_id", "codes", col("vec_id") < 16, 5))
+    val (winB, winR) = measure(windowedQuantizedTopK(landed, 5))
+    check(aggR < winR && aggR > 0,
+      s"ANN top-k aggregate shuffles fewer records than the window " +
+        s"twin ($aggR vs $winR; bytes $aggB vs $winB)")
+
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (dsB, dsR) = measure(graft.operators.TextQuality
+      .dupSpans(docs, "doc_id", "text"))
+    val (dwB, dwR) = measure(windowedSpanOwnership(docs))
+    check(dsR < dwR && dsR > 0,
+      s"dupSpans two-phase min-agg shuffles fewer records than the " +
+        s"per-hash window twin ($dsR vs $dwR; bytes $dsB vs $dwB)")
+
+    for {
+      (b145, r145) <- volMap.get("q145_topk_aggregate")
+      (b08, r08) <- volMap.get("q08_window_topk_orders")
+    } check(r145 < r08,
+      s"q145 bounded top-k shuffles fewer records than the q08 window " +
+        s"($r145 vs $r08; bytes $b145 vs $b08)")
+
+    val qs = vols.map { case (k, (b, r)) =>
+      "\"" + k + "\":{\"bytes\":" + b + ",\"records\":" + r + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"shuffle_volumes","sf":"$sfDir","twins":{"ann_agg_records":$aggR,"ann_window_records":$winR,"dupspans_agg_records":$dsR,"dupspans_window_records":$dwR},"queries":$qs}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

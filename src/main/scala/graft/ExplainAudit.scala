@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 247
+  val ExpectedChecks = 252
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -213,12 +213,14 @@ object ExplainAudit {
       "q123 broadcasts the budgets side")
 
     val p126 = plan("q126_curation_scrub_mix")
-    check(p126.contains("windowspecdefinition(para_hash") &&
+    check(!p126.contains("windowspecdefinition(para_hash") &&
+        p126.contains("partial_min") &&
         """windowspecdefinition\(source#\d+, __b#""".r
           .findFirstIn(p126).nonEmpty,
-      "q126 composed curation DAG: paragraph election keyed per hash, " +
-        "budget cumsum keyed per (source, hash-bucket) — no global " +
-        "sort anywhere in the chain")
+      "q126 composed curation DAG: paragraph election is the two-phase " +
+        "min-aggregate (map-side partials — never a per-hash window " +
+        "sort on the Zipf key), budget cumsum keyed per (source, " +
+        "hash-bucket) — no global sort anywhere in the chain")
     check(p126.contains("graft-curation-scrub"),
       "q126 lands the multi-consumer scrub stage at a Materialize " +
         "boundary (measured 9.1 s -> 3.4 s at sf0.1 — the regex chain " +
@@ -227,9 +229,12 @@ object ExplainAudit {
       "q126 has no cartesian product")
 
     val p124 = plan("q124_paragraph_dedup")
-    check(p124.contains("windowspecdefinition(para_hash"),
-      "q124 first-occurrence election windows per paragraph hash — " +
-        "one keyed shuffle, never a global sort")
+    check(!p124.contains("windowspecdefinition") &&
+        p124.contains("partial_min"),
+      "q124 first-occurrence election is min(struct(id, pos)) per " +
+        "hash — map-side partials bound the Zipf-keyed shuffle at one " +
+        "struct per (hash x partition); the join back keys on the " +
+        "unique doc id, so NO per-hash window sort anywhere")
     val p125 = plan("q125_pii_scrub")
     check("""\(\d+\) Exchange""".r.findAllMatchIn(p125).isEmpty,
       "q125 PII scrub is a pure projection — zero shuffles")
@@ -357,6 +362,15 @@ object ExplainAudit {
       "q149 span decontamination broadcasts the eval window hashes — " +
         "the corpus joins map-side and never shuffles on text")
 
+    val p150 = plan("q150_sft_pack_tail")
+    check(p150.contains("MapGroups") &&
+        p150.contains("graft-sft-gate") &&
+        p150.contains("BroadcastHashJoin") &&
+        !p150.contains("rangepartitioning"),
+      "q150 SFT tail: gate landed at a Materialize boundary, admit " +
+        "thresholds broadcast, whole-doc packing folds per hash " +
+        "bucket (MapGroups) — no corpus-wide sort anywhere")
+
     val p148 = plan("q148_pack_whole_docs")
     check(p148.contains("MapGroups") &&
         !p148.contains("rangepartitioning"),
@@ -371,14 +385,35 @@ object ExplainAudit {
     check(!p144.contains("CartesianProduct") &&
         !p144.contains("rangepartitioning"),
       "q144 has no cartesian product and no global sort")
+    check(p144.contains("ObjectHashAggregate") &&
+        """partial_\w*topkagg""".r.findFirstIn(p144.toLowerCase).isDefined &&
+        !p144.contains("windowspecdefinition"),
+      "q144 shortlist AND final election both ride the bounded top-k " +
+        "aggregate (map-side partials) — zero per-query windows in " +
+        "the production ANN path")
 
     val p140 = plan("q140_ann_quantized_topk")
     check(p140.contains("BroadcastNestedLoopJoin"),
       "q140 quantized scan broadcasts the query codes — the candidate " +
         "side streams, never shuffles for scoring")
-    check(p140.contains("windowspecdefinition(q_id") &&
+    check(p140.contains("ObjectHashAggregate") &&
+        """partial_\w*topkagg""".r.findFirstIn(p140.toLowerCase).isDefined &&
+        !p140.contains("windowspecdefinition") &&
         !p140.contains("rangepartitioning"),
-      "q140 top-k is a per-query keyed window, no global sort")
+      "q140 top-k rides the bounded aggregate — map-side partials " +
+        "keep <= k pairs per (query x partition); no per-query window " +
+        "(a hot query never sorts the corpus in one task), no global sort")
+
+    val p57 = plan("q57_ann_ivf_probe")
+    check(!p57.contains("windowspecdefinition") &&
+        """partial_\w*topk""".r.findFirstIn(p57.toLowerCase).isDefined,
+      "q57 IVF assign/probe/re-rank elections all ride bounded " +
+        "aggregates — the N*K scored frame never shuffles to windows")
+
+    val p40 = plan("q40_ann_lsh_buckets")
+    check(!p40.contains("windowspecdefinition"),
+      "q40 bucket-nn election is one keyed aggregate (count + top-1 " +
+        "in a single pass) — no per-query window over hot buckets")
 
     val p138 = plan("q138_curation_pack_shard")
     check(p138.contains("BroadcastHashJoin") &&
@@ -411,21 +446,25 @@ object ExplainAudit {
       "q136 has no corpus-wide sort")
 
     val p135 = plan("q135_dup_spans")
-    check(p135.contains("windowspecdefinition(win_hash") &&
+    check(!p135.contains("windowspecdefinition") &&
+        p135.contains("partial_min") &&
         !p135.contains("rangepartitioning"),
-      "q135 stride-1 window ownership partitions by win_hash — a " +
-        "keyed window, never a corpus-wide sort")
+      "q135 stride-1 hash ownership is the two-phase min-aggregate " +
+        "(map-side partials on the Zipf-keyed shuffle; dup positions " +
+        "recovered per unique doc id) — no per-hash window, no " +
+        "corpus-wide sort")
     check(!p135.contains("CartesianProduct"),
       "q135 has no cartesian product")
 
     val p134 = plan("q134_url_ccnet_dedup")
     check(p134.contains("graft-url-dedup"),
       "q134 lands the URL winner election at a Materialize boundary " +
-        "(the canonical-url window runs once, not per consumer)")
-    check(p134.contains("windowspecdefinition(para_hash") &&
+        "(the canonical-url election runs once, not per consumer)")
+    check(!p134.contains("windowspecdefinition") &&
         !p134.contains("rangepartitioning"),
-      "q134 chunk election partitions by para_hash — keyed windows, " +
-        "no global sort")
+      "q134 URL + chunk elections are chained keyed aggregates with " +
+        "map-side partials — no per-URL/per-hash window (Zipf keys " +
+        "never sort one task), no global sort")
 
     val p133 = plan("q133_r14_funder_config_shapes")
     check("""\(\d+\) Exchange hashpartitioning""".r

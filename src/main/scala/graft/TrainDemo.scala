@@ -12,13 +12,15 @@ import graft.operators.{Dedup, Sampling, TextQuality}
   *
   *   URL dedup → PII scrub → repetition gate → paragraph dedup gate →
   *   MinHash-LSH near-dup components (canonicals only) → benchmark
-  *   decontamination → temperature mixture resample → sequence
-  *   packing → shard manifest
+  *   decontamination (shingle-count AND exact-substring span) →
+  *   temperature mixture resample → sequence packing → shard manifest,
+  *   plus the SFT tail: resample → WHOLE-document packing → manifest
   *
   * Prints the funnel, checks stage invariants (monotone counts, pack
-  * tiling, manifest conservation, deterministic rerun), exit 1 on any
-  * failure. Every expensive multi-consumer stage lands at a
-  * Materialize boundary, mirroring the q126/q138 conventions.
+  * tiling, no-split/no-overflow whole-doc packs, manifest
+  * conservation, deterministic rerun), exit 1 on any failure. Every
+  * expensive multi-consumer stage lands at a Materialize boundary,
+  * mirroring the q126/q138 conventions.
   */
 object TrainDemo {
   def main(args: Array[String]): Unit = {
@@ -97,21 +99,30 @@ object TrainDemo {
     funnel("after near-dup canonicals", n3)
     check("near-dup kept canonicals only", n3 <= n2 && n3 > 0)
 
-    // 4. benchmark decontamination (q115's bench arms)
+    // 4. benchmark decontamination — BOTH screens: the shingle-count
+    // form (q115: >= minCommon distinct shingles anywhere) and the
+    // exact-substring span form (q149: any 8-token run verbatim,
+    // byte-verified); a doc flagged by either is dropped
     val bench = gated.filter(pmod(k, lit(10)) === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val dirty = Dedup.contaminationPairs(
         Dedup.shingles(nearKept, "doc_id", "text", 3),
         Dedup.shingles(bench, "doc_id", "text", 3),
         "doc_id", minCommon = 3)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
+    val spanDirty = TextQuality.spanContamination(nearKept, bench,
+        "doc_id", "text", 8)
+      .filter(col("is_contaminated")).select(col("doc_id"))
+    val dirtyAll = dirty.unionByName(spanDirty).distinct()
     val clean = Materialize.temp(
-      nearKept.join(dirty, Seq("doc_id"), "left_anti")
+      nearKept.join(dirtyAll, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_tokens")),
       "train-demo-clean")._1
     val n4 = clean.count()
     funnel("after decontamination", n4)
     check("decontamination dropped bench overlaps", n4 < n3 && n4 > 0)
+    check("span screen catches at least the verbatim-copy arm",
+      spanDirty.count() > 0)
 
     // 5. temperature resample (α=0.5, 1/2 the clean mass) → pack →
     // shard manifest
@@ -139,6 +150,32 @@ object TrainDemo {
     check("manifest conserves docs + tokens",
       m.getLong(0) == n5 && m.getLong(1) == agg.getLong(0))
     manifest.orderBy(col("shard_id")).show(5, false)
+
+    // 6. the SFT tail over the same clean corpus: resample → WHOLE-
+    // document greedy packing (docs never truncate) → shard manifest
+    val sftMixed = Sampling.temperatureResample(clean, "doc_id",
+        "n_tokens", "source", 0.5, 1, 2, "sft")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val sftPacked = Materialize.temp(
+      Sampling.packWhole(sftMixed, "doc_id", "n_tokens", 256, "sft",
+          bucketBits = 4)
+        .withColumn("shard_id", expr("pack_id div 32")),
+      "train-demo-sft")._1
+    val n6 = sftPacked.count()
+    funnel("SFT tail: resample+packWhole", n6)
+    check("sft packs never overflow seqLen",
+      sftPacked.filter(col("fill_after") > 256).count() == 0)
+    check("sft docs never split (one layout row per doc)",
+      sftPacked.select("doc_id").distinct().count() == n6)
+    check("sft packing kept every fit-sized resampled doc",
+      n6 == sftMixed.filter(col("n_tokens") > 0 &&
+        col("n_tokens") <= 256).count())
+    val sftTok = sftPacked.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val sftM = sftPacked.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
+      .agg(sum(col("n_docs")), sum(col("tok"))).collect()(0)
+    check("sft manifest conserves docs + tokens",
+      sftM.getLong(0) == n6 && sftM.getLong(1) == sftTok)
 
     // determinism: the same seed reruns to the identical admitted set
     val rerun = Sampling.temperatureResample(clean, "doc_id",

@@ -579,6 +579,35 @@ object TextQueries {
         floor(col("pack_id") / lit(32)).cast("long"))
   }
 
+  /** q150: the composed SFT training tail end-to-end (beyond-
+    * reference tier) — where q138 is the PRETRAINING tail (documents
+    * may split across packs), this is the fine-tuning layout: quality
+    * gate → temperature resample (α=0.5, half the gated mass) →
+    * WHOLE-document greedy packing (512-token packs, docs never
+    * truncate) → 32-pack shards. Chains the r15 `packWhole` operator
+    * into a real consumer; the oracle re-derives the non-associative
+    * greedy fold with a recursive CTE over the gated+resampled frame.
+    * Same Materialize convention as q138 (the gate's text HOFs feed
+    * the mass agg, admit join, and the pack fold). */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, TextQuality}
+    val d = t(s, dir, "documents")
+    val gated = graft.core.Materialize.temp(
+      TextQuality.repetitionScreens(
+        d.select(col("doc_id"), col("source"), col("text")), "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("n_tokens")),
+      "graft-sft-gate")._1
+    val mixed = Sampling.temperatureResample(gated, "doc_id",
+      "n_tokens", "source", 0.5, 1, 2, "sft1")
+      .select(col("doc_id"), col("n_tokens"))
+    Sampling.packWhole(mixed, "doc_id", "n_tokens", 512, "sft1",
+        bucketBits = 4)
+      // 32 consecutive packs per shard; 2^32 divides by 32, so shards
+      // never straddle buckets (integer div — exact past 2^53)
+      .withColumn("shard_id", expr("pack_id div 32"))
+  }
+
   /** q141: the shard MANIFEST a training launcher reads — q138's
     * (doc, pack, shard) layout rolled up per shard: doc count, token
     * mass, pack range. One keyed agg over the composed tail. */
@@ -590,6 +619,7 @@ object TextQueries {
         max(col("pack_end")).as("last_pack"))
 
   val queries: Map[String, Q] = Map(
+    "q150_sft_pack_tail" -> (q150 _),
     "q134_url_ccnet_dedup" -> (q134 _),
     "q135_dup_spans" -> (q135 _),
     "q136_sequence_packing" -> (q136 _),
@@ -1055,6 +1085,42 @@ object TextQueries {
          |WHERE d.h % 1000000 < a.admit_ppm""".stripMargin
     },
     "q138_curation_pack_shard" -> packShardSql,
+    "q150_sft_pack_tail" -> {
+      // the q138 gate+resample CTE chain reseeded for the SFT tail,
+      // then the q148 recursive greedy fold over the ADMITTED frame
+      val tempH = chash("CAST(doc_id AS VARCHAR) || ':temp:sft1'")
+      val packH = chash("CAST(doc_id AS VARCHAR) || ':packw:sft1'")
+      // tk..aa carry no seed text (the c2/sft1 seeds live in `adm`'s
+      // admission predicate, rebuilt below), so the slice reuses the
+      // gate + mass/weight/admit-ppm chain verbatim
+      val gateCtes = packShardSql
+        .substring(packShardSql.indexOf("tk AS"),
+          packShardSql.indexOf(",\nadm AS"))
+      s"""WITH RECURSIVE $gateCtes,
+         |adm AS (SELECT g.doc_id, g.n_tokens
+         |  FROM g JOIN aa USING (source)
+         |  WHERE $tempH % 1000000 < aa.admit_ppm),
+         |fd AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    $packH AS h, $packH // 4503599627370496 AS b
+         |  FROM adm WHERE n_tokens > 0 AND n_tokens <= 512),
+         |o AS (SELECT *, row_number() OVER (PARTITION BY b
+         |    ORDER BY h, doc_id) AS rn FROM fd),
+         |r AS (
+         |  SELECT b, rn, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS pack_idx, n_tokens AS fill_after
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.b, o.rn, o.doc_id, o.n_tokens,
+         |    CASE WHEN r.fill_after + o.n_tokens > 512
+         |      THEN r.pack_idx + 1 ELSE r.pack_idx END,
+         |    CASE WHEN r.fill_after + o.n_tokens > 512
+         |      THEN o.n_tokens ELSE r.fill_after + o.n_tokens END
+         |  FROM r JOIN o ON o.b = r.b AND o.rn = r.rn + 1)
+         |SELECT doc_id, n_tokens, b AS bucket, pack_idx,
+         |  b * 4294967296 + pack_idx AS pack_id, fill_after,
+         |  (b * 4294967296 + pack_idx) // 32 AS shard_id
+         |FROM r""".stripMargin
+    },
     "q141_shard_manifest" ->
       s"""WITH o AS ($packShardSql)
          |SELECT shard_id, count(*) AS n_docs,
