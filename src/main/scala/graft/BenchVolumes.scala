@@ -91,7 +91,7 @@ object BenchVolumes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new ShuffleListener
-    spark.sparkContext.addListener(listener)
+    spark.sparkContext.addSparkListener(listener)
 
     // settle: poll the async listener totals until stable so one
     // query's late task-end events never leak into the next reading
