@@ -97,11 +97,13 @@ object AwardQueries {
     // grammar chain: fused, the single generated method tops the JVM
     // 64KB limit and the whole stage drops to interpreted eval (in
     // production the awards arrive from a table scan, which is exactly
-    // what the boundary restores here).
-    val rows = graft.core.Materialize.temp(
+    // what the boundary restores here). CACHED per (dir, JVM): the
+    // synthesis stands in for a STORED table — rebuilding it per plan
+    // build measured fixture I/O, not the grammar chain.
+    val rows = graft.core.Materialize.cachedTemp(s"q68-rows:$dir", s) {
       o.select(k.as("k"), funder.as("funder_id"), award.as("award_id"),
-        side.as("side")),
-      "graft-q68-rows")._1
+        side.as("side"))
+    }
     rows.select(col("k"), col("funder_id"), col("award_id"), col("side"),
       AwardKeys.genericKey(col("award_id")).as("generic_key"),
       AwardKeys.sharpKey(col("funder_id"), col("award_id"),
@@ -626,8 +628,11 @@ object AwardQueries {
     // Materialize: the 51-grammar key chain over this 16-arm synthesis
     // would top the 64KB codegen method limit (q68 lesson); production
     // feeds the keys from a table scan, which the boundary restores.
-    graft.core.Materialize.temp(parts.reduce(_ unionByName _),
-      "graft-q108-raw")._1
+    // CACHED per (dir, JVM) like q68's rows — the synthesis stands in
+    // for a stored table, so rebuild-per-plan-build is fixture I/O.
+    graft.core.Materialize.cachedTemp(s"q108-raw:$dir", s) {
+      parts.reduce(_ unionByName _)
+    }
   }
 
   private def q108(s: SparkSession, dir: String): DataFrame =
