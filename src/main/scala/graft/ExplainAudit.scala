@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 252
+  val ExpectedChecks = 256
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -514,6 +514,21 @@ object ExplainAudit {
     val p117 = plan("q117_embedding_curation")
     check(!p117.contains("CartesianProduct"),
       "q117 cosine-LSH bucket join is an equijoin, not a cartesian")
+
+    val p151 = plan("q151_semantic_dedup")
+    check(!p151.contains("CartesianProduct") &&
+        !p151.contains("windowspecdefinition") &&
+        """partial_\w*topk""".r.findFirstIn(p151.toLowerCase).isDefined,
+      "q151 semantic dedup: cell assignment is the bounded aggregate, " +
+        "the pair term is a CELL equijoin (SemDeDup's clustering bound " +
+        "— never corpus all-pairs), flags join back on the unique id")
+
+    val p152 = plan("q152_bloom_incremental_dedup")
+    check(p152.contains("BroadcastHashJoin") &&
+        !p152.contains("CartesianProduct"),
+      "q152 bloom incremental dedup: the verify joins the corpus " +
+        "stream against the BROADCAST filter-hit candidates — the " +
+        "corpus never shuffles (the filter probe is projection-side)")
 
     val singlePartitionOk = Set("q26_id_minting",
       "q51_work_id_resolver", "q52_author_match_cascade",

@@ -32,6 +32,69 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Bloom-prefiltered INCREMENTAL exact dedup — "which of today's
+    * batch is already in the corpus", at 100 TB: the corpus's content
+    * hashes fold into a Bloom filter (ONE corpus pass via Spark's
+    * treeAggregate-backed `stat.bloomFilter`; ~1.2 GB per 10⁹ keys at
+    * 1% FPP — broadcastable where shuffling the corpus for an
+    * anti-join is not), a batch row whose hash MISSES the filter is
+    * definitely new (Bloom filters have no false negatives), and only
+    * the filter HITS — |batch|·fpp false positives + the true dups —
+    * reach the exact verification: the corpus streams ONCE more
+    * map-side against the broadcast hit set, comparing text VERBATIM
+    * (hash collisions can't false-flag). The result is EXACTLY the
+    * plain text-equality anti-join — that IS the registered oracle,
+    * like SaltedJoin's unsalted-join oracle: the filter is a pure
+    * pruning refinement. The membership probe is a scala UDF over the
+    * broadcast filter — the one place a UDF beats the alternatives
+    * (no built-in column function probes a BloomFilter; the probe is
+    * two hashes + bit reads per row, and it PREVENTS a corpus-scale
+    * shuffle). Returns the batch + `is_seen`. */
+  /** The filter-build half, separated so production builds it ONCE
+    * per corpus version and reuses it across daily batches (the
+    * convenience overload below builds inline — an eager corpus pass
+    * at plan-construction, acceptable only for one-shot runs). */
+  def corpusBloom(corpus: DataFrame, textCol: String,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val ch = corpus.select(TextFunctions.charHash(col(textCol)).as("__h"))
+    ch.stat.bloomFilter("__h", math.max(1L, ch.count()), fpp)
+  }
+
+  def bloomSeenFlags(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, fpp: Double): DataFrame =
+    bloomSeenFlags(corpus, batch, idCol, textCol,
+      corpusBloom(corpus, textCol, fpp))
+
+  def bloomSeenFlags(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bloomSeenFlags(corpus, batch, idCol, textCol, 0.01)
+
+  def bloomSeenFlags(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val spark = corpus.sparkSession
+    val ch = corpus.select(TextFunctions.charHash(col(textCol)).as("__h"),
+      col(textCol).as("__t"))
+    val bcast = spark.sparkContext.broadcast(bf)
+    val might = udf((h: Long) => bcast.value.mightContainLong(h))
+    val bh = batch.withColumn("__bh",
+      TextFunctions.charHash(col(textCol)))
+    val candidates = bh
+      .filter(might(col("__bh")))
+      .select(col("__bh"), col(textCol).as("__bt"), col(idCol).as("__bid"))
+      .distinct()
+    // corpus streams map-side against the broadcast candidates; only
+    // verbatim-equal texts survive → the confirmed-seen batch ids
+    val seen = ch.join(broadcast(candidates),
+        col("__h") === col("__bh") && col("__t") === col("__bt"))
+      .select(col("__bid").as(idCol)).distinct()
+      .withColumn("__seen", lit(true))
+    bh.drop("__bh")
+      .join(seen, Seq(idCol), "left")
+      .withColumn("is_seen", coalesce(col("__seen"), lit(false)))
+      .drop("__seen")
+  }
+
   /** (id, shingle) pairs — NOT deduplicated: a shingle repeating inside
     * one doc emits repeated rows. Every downstream consumer here is
     * duplicate-safe (min-fold signatures, collect_set document sets),

@@ -187,4 +187,46 @@ object Similarity {
   def scalarQuantize(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     scalarQuantize(emb, idCol, vecCol, packedStats(dimStats(emb, vecCol)))
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — the published semantic-dedup recipe for web-
+    * scale pretraining corpora): embeddings cluster to their nearest
+    * centroid (the [[ivfCells]] nProbe = 1 assignment), and WITHIN a
+    * cluster a vector is a semantic duplicate when any LOWER-ID
+    * cluster-mate sits at-or-above the cosine threshold (exists-
+    * semantics, no transitive closure — deterministic and oracle-
+    * exact; the kept vector of every dup pair is the smaller id).
+    * `tauMicro` is the threshold as an exact ×1e6 integer against the
+    * same floor-rounded cosine the other vector operators emit.
+    *
+    * Scale shape — the whole point of SemDeDup's clustering: the
+    * quadratic pair term is CELL-BOUNDED (one equijoin on the cell id,
+    * never corpus all-pairs; at the standard K ≈ √N sizing a cell
+    * holds ≈ √N vectors, so total pair work ≈ N^1.5 / K — tractable
+    * where N² is not), the assignment is a broadcast-centroid
+    * projection + bounded aggregate, and the dup flags join back on
+    * the unique vector id. A skew-hot cell is a JOIN partition — AQE
+    * splits it. Returns (idCol, cell, is_semantic_dup). */
+  def semanticDupFlags(e: DataFrame, idCol: String, vecCol: String,
+      normCol: String, cent: DataFrame, tauMicro: Long): DataFrame = {
+    val cells = ivfCells(e, idCol, vecCol, normCol, cent, nProbe = 1)
+      .select(col(idCol), col("cell"))
+    val withCell = e.select(col(idCol), col(vecCol), col(normCol))
+      .join(cells, Seq(idCol))
+    val a = withCell.select(col("cell"), col(idCol).as("__a_id"),
+      col(vecCol).as("__av"), col(normCol).as("__an"))
+    val b = withCell.select(col("cell"), col(idCol).as("__b_id"),
+      col(vecCol).as("__bv"), col(normCol).as("__bn"))
+    val dups = a.join(b, Seq("cell")).filter(col("__b_id") < col("__a_id"))
+      .withColumn("__cos_e6",
+        floor(dot(col("__av"), col("__bv")) /
+          (col("__an") * col("__bn")) * 1000000 + 0.5).cast("long"))
+      .filter(col("__cos_e6") >= tauMicro)
+      .select(col("__a_id").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    withCell.select(col(idCol), col("cell"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_semantic_dup"))
+  }
 }

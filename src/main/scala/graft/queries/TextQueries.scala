@@ -608,6 +608,29 @@ object TextQueries {
       .withColumn("shard_id", expr("pack_id div 32"))
   }
 
+  /** q152: Bloom-prefiltered incremental exact dedup (beyond-
+    * reference tier) — "which of today's batch is already in the
+    * corpus": the corpus hashes fold into a broadcast Bloom filter
+    * (one pass, no corpus shuffle), filter MISSES are definitely new,
+    * filter HITS verify verbatim against the streaming corpus. The
+    * fixture plants half the batch as verbatim corpus copies
+    * (doc_id % 14) and half as suffixed novelties; the oracle is the
+    * PLAIN text-equality EXISTS — the filter is a pure pruning
+    * refinement, so result equality is the whole correctness claim
+    * (the q146 salted-join convention). */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val k = col("doc_id")
+    val batch = d.filter(pmod(k, lit(7)) === 0)
+      .select((k + 200000).as("doc_id"),
+        when(pmod(k, lit(14)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel suffix")))
+          .as("text"))
+    Dedup.bloomSeenFlags(d, batch, "doc_id", "text")
+      .select(col("doc_id"), col("is_seen"))
+  }
+
   /** q141: the shard MANIFEST a training launcher reads — q138's
     * (doc, pack, shard) layout rolled up per shard: doc count, token
     * mass, pack range. One keyed agg over the composed tail. */
@@ -619,6 +642,7 @@ object TextQueries {
         max(col("pack_end")).as("last_pack"))
 
   val queries: Map[String, Q] = Map(
+    "q152_bloom_incremental_dedup" -> (q152 _),
     "q150_sft_pack_tail" -> (q150 _),
     "q134_url_ccnet_dedup" -> (q134 _),
     "q135_dup_spans" -> (q135 _),
@@ -1085,6 +1109,15 @@ object TextQueries {
          |WHERE d.h % 1000000 < a.admit_ppm""".stripMargin
     },
     "q138_curation_pack_shard" -> packShardSql,
+    "q152_bloom_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id + 200000 AS doc_id,
+        |  CASE WHEN doc_id % 14 = 0 THEN text
+        |       ELSE text || ' novel suffix' END AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT b.doc_id,
+        |  EXISTS(SELECT 1 FROM documents d WHERE d.text = b.text)
+        |    AS is_seen
+        |FROM b""".stripMargin,
     "q150_sft_pack_tail" -> {
       // the q138 gate+resample CTE chain reseeded for the SFT tail,
       // then the q148 recursive greedy fold over the ADMITTED frame

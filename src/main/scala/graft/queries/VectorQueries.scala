@@ -256,7 +256,30 @@ object VectorQueries {
         (col("col.score") / 1000000.0).as("cos"))
   }
 
+  /** q151: SemDeDup-style semantic dedup (beyond-reference tier) —
+    * the published web-scale recipe (Abbas et al. 2023): cluster to
+    * the nearest of 16 centroids (IVF assignment), flag any vector
+    * with a lower-id cluster-mate at cosine ≥ 0.99. Same planted
+    * perturbed dups as q56; clustering bounds the pair term to cells
+    * (the whole point of SemDeDup), so no all-pairs join exists in
+    * the plan. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val dup = e0.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + (pmod(i, lit(3)) - 1).cast("double") * 0.01).as("v"))
+    val all = e0.unionByName(dup)
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    Similarity.semanticDupFlags(all, "vec_id", "v", "nrm", cent, 990000L)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_semantic_dedup" -> (q151 _),
     "q139_embedding_quantize" -> (q139 _),
     "q140_ann_quantized_topk" -> (q140 _),
     "q144_ann_quantized_rerank" -> (q144 _),
@@ -310,6 +333,29 @@ object VectorQueries {
       |  FROM x JOIN st USING (dim))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q151_semantic_dedup" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |dup AS (SELECT vec_id + 100000 AS vec_id,
+         |  list_transform(range(1, len(v)+1),
+         |    k -> v[k] + CAST((k-1)%3 - 1 AS DOUBLE)*0.01) AS v
+         |  FROM e0 WHERE vec_id % 10 = 0),
+         |al AS (SELECT * FROM e0 UNION ALL SELECT * FROM dup),
+         |cent AS (SELECT vec_id AS cent_id, v AS cv FROM al WHERE vec_id < 16),
+         |sc AS (SELECT al.vec_id, c.cent_id,
+         |  ${dotSql("al.v", "c.cv")} /
+         |    (sqrt(${dotSql("al.v", "al.v")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS cs
+         |  FROM al CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY cs DESC, cent_id ASC) AS r FROM sc) WHERE r = 1),
+         |wc AS (SELECT al.vec_id, al.v, a.cell FROM al JOIN asg a USING (vec_id)),
+         |dups AS (SELECT DISTINCT x.vec_id FROM wc x JOIN wc y
+         |  ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE floor(${dotSql("x.v", "y.v")} /
+         |    (sqrt(${dotSql("x.v", "x.v")}) * sqrt(${dotSql("y.v", "y.v")}))
+         |    * 1000000 + 0.5) >= 990000)
+         |SELECT w.vec_id, w.cell, d.vec_id IS NOT NULL AS is_semantic_dup
+         |FROM wc w LEFT JOIN dups d ON w.vec_id = d.vec_id""".stripMargin,
     "q139_embedding_quantize" ->
       s"""WITH $quantCtes
          |SELECT vec_id, dim, code FROM codes""".stripMargin,

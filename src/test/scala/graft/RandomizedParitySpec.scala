@@ -162,6 +162,28 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("bloomSeenFlags: random corpora at aggressive FPP equal the " +
+    "plain text-equality scan — the filter is pruning, never truth") {
+    import graft.operators.Dedup
+    for (seed <- Seq(71L, 72L)) {
+      val r = rng(seed)
+      // tiny vocab so the batch has real corpus collisions; fpp 0.5
+      // forces MANY Bloom false positives through the verify stage
+      def txt() = Seq.fill(3)("tok" + r.nextInt(40)).mkString(" ")
+      val corpus = Seq.tabulate(300)(i => (i.toLong, txt()))
+      val batch = Seq.tabulate(120)(i => (1000L + i,
+        if (r.nextBoolean()) corpus(r.nextInt(300))._2 else txt()))
+      val corpusTexts = corpus.map(_._2).toSet
+      val expected = batch.map { case (id, t) =>
+        (id, corpusTexts.contains(t)) }.toSet
+      val out = Dedup.bloomSeenFlags(corpus.toDF("doc_id", "text"),
+          batch.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+        .select(col("doc_id"), col("is_seen"))
+        .as[(Long, Boolean)].collect().toSet
+      assert(out == expected, s"seed=$seed")
+    }
+  }
+
   test("topKDouble: random double scores with planted EXACT ties " +
     "equal the (score DESC, id ASC) window election") {
     for (seed <- Seq(61L, 62L)) {
