@@ -80,24 +80,39 @@ object Similarity {
   /** IVF coarse quantization: score every vector against the (small,
     * broadcast) centroid table and keep the top `nProbe` cells by
     * (cosine DESC, centroid id ASC — deterministic ties). `nProbe = 1`
-    * is list ASSIGNMENT; queries probe with `nProbe ≥ 1`. Cost is
-    * O(N·K) map-side work behind a broadcast — no shuffle of the corpus
-    * for SCORING, and the per-vector probe election rides the bounded
-    * `TopK.topKDouble` aggregate: map-side partials fold each vector's
-    * K centroid scores down to ≤ nProbe entries BEFORE the exchange,
-    * so the shuffle carries N·nProbe entries, not the N·K scored rows
-    * the window formulation moved (K ≈ √N at scale — the standard IVF
-    * sizing — makes that a √N-factor cut).
+    * is list ASSIGNMENT; queries probe with `nProbe ≥ 1`.
+    *
+    * ZERO-shuffle: the centroids pack to ONE broadcast row of K
+    * structs (the packedStats convention — the global fold crosses
+    * only K ≈ √N rows, bounded by design), and each vector's election
+    * is an IN-ARRAY score-sort-slice projection: no row explosion, no
+    * exchange anywhere — the r15 window form shuffled the N·K scored
+    * frame, the interim aggregate form still exchanged N buffer rows.
+    * Per-row cost is the same O(K) dot products either way; ties and
+    * ordering match the window form exactly (cos DESC, cent_id ASC;
+    * cosines are never NaN for non-zero-norm inputs — the comparator
+    * contract).
     * @param cent (cent_id LONG, cv DOUBLE[], cn norm) */
   def ivfCells(e: DataFrame, idCol: String, vecCol: String, normCol: String,
       cent: DataFrame, nProbe: Int): DataFrame = {
-    val scored = e.crossJoin(broadcast(cent))
-      .withColumn("__cos", dot(col(vecCol), col("cv")) / (col(normCol) * col("cn")))
-    scored.groupBy(col(idCol))
-      .agg(graft.operators.TopK.topKDouble(nProbe)(col("__cos"),
-        col("cent_id").cast("long")).as("__tk"))
-      .select(col(idCol), posexplode(col("__tk")))
-      .select(col(idCol), col("col.id").as("cell"),
+    val packed = cent.agg(sort_array(collect_list(struct(
+      col("cent_id").cast("long").as("cent_id"), col("cv"), col("cn"))))
+      .as("__cents"))
+    val scores = transform(col("__cents"), c => struct(
+      (dot(col(vecCol), c.getField("cv")) /
+        (col(normCol) * c.getField("cn"))).as("cos"),
+      c.getField("cent_id").as("cent_id")))
+    val byCosDesc: (Column, Column) => Column = (l, r) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cent_id") < r.getField("cent_id"), -1)
+        .when(l.getField("cent_id") > r.getField("cent_id"), 1)
+        .otherwise(0)
+    e.crossJoin(broadcast(packed))
+      .select(col(idCol),
+        slice(array_sort(scores, byCosDesc), 1, nProbe).as("__top"))
+      .select(col(idCol), posexplode(col("__top")))
+      .select(col(idCol), col("col.cent_id").as("cell"),
         (col("pos") + 1).cast("int").as("probe_rank"))
   }
 
