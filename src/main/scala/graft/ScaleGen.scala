@@ -43,6 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** The per-copy affine embedding permutation (exposed for the
+    * spec): `new[i] = old[(a·i + c) mod dim]` with
+    * `a = 2·(c div dim) + 1` — a bijection for power-of-two dims
+    * (odd multiplier), distinct for distinct copies, and equal to
+    * the plain rotation for c < dim. */
+  def permuted(emb: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
+    val mult = floor(c / lit(dim.toLong)) * 2 + 1
+    when(c === 0, emb).otherwise(
+      transform(emb, (_, i) =>
+        element_at(emb,
+          (pmod(i * mult + c, lit(dim.toLong)) + 1).cast("int"))))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -118,16 +132,11 @@ object ScaleGen {
     // power-of-two dim), r = c mod dim. Distinct copies ⇒ distinct
     // (a, r) ⇒ distinct permutations; copies < dim ⇒ a = 1, the plain
     // rotation (bit-identical to the r15 fixtures at 10 copies).
-    val mult = floor(col("__c") / lit(dim.toLong)) * 2 + 1
     val fannedEmb = emb
       .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
       .withColumn("vec_id", col("vec_id") + col("__c") * vecN)
       .withColumn("embedding",
-        when(col("__c") === 0, col("embedding")).otherwise(
-          transform(col("embedding"), (_, i) =>
-            element_at(col("embedding"),
-              (pmod(i * mult + col("__c"), lit(dim.toLong)) + 1)
-                .cast("int")))))
+        permuted(col("embedding"), col("__c"), dim))
       .drop("__c")
     write(fannedEmb, "embeddings")
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-fixture generator's embedding permutation invariants —
+  * the advisor's r15 finding was exactly a silent violation here (the
+  * cyclic rotation repeated at copy c+dim, re-correlating cross-copy
+  * cosines), so the affine replacement gets its own pins:
+  *  - every copy's output is a PERMUTATION of the input (multiset
+  *    equal ⇒ norms and within-copy dot products preserved exactly);
+  *  - distinct copies give DISTINCT permutations, including past
+  *    c = dim where the rotation used to repeat;
+  *  - copies below dim reproduce the plain rotation bit-for-bit (the
+  *    r15 sf1 fixtures stay valid). */
+class ScaleGenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 64
+  private def apply(c: Long): Seq[Double] = {
+    val v = (0 until dim).map(i => (i + 1).toDouble)
+    Seq(Tuple1(v)).toDF("embedding")
+      .select(ScaleGen.permuted(col("embedding"), lit(c), dim).as("e"))
+      .as[Seq[Double]].collect()(0)
+  }
+
+  test("permutation invariants: multiset-preserving, distinct per " +
+    "copy past c = dim, rotation-compatible below dim") {
+    val base = (0 until dim).map(i => (i + 1).toDouble)
+    val copies = Seq(0L, 1L, 7L, 63L, 64L, 65L, 128L, 129L, 1000L)
+    val outs = copies.map(c => c -> apply(c)).toMap
+    // permutation of the input (so norms/dots are exactly preserved)
+    outs.values.foreach(o => assert(o.sorted == base.sorted))
+    // pairwise distinct — the r15 rotation violated this at (c, c+64)
+    for (a <- copies; b <- copies if a < b)
+      assert(outs(a) != outs(b), s"copies $a and $b collide")
+    // c < dim is the plain rotation: new[i] = old[(i + c) mod dim]
+    for (c <- Seq(1L, 7L, 63L)) {
+      val rot = (0 until dim).map(i => base(((i + c) % dim).toInt))
+      assert(outs(c) == rot, s"copy $c is not the plain rotation")
+    }
+    // c = 0 is the identity
+    assert(outs(0L) == base)
+  }
+}

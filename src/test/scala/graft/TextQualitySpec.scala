@@ -355,6 +355,25 @@ class TextQualitySpec extends AnyFunSuite {
       assert(dup === (uWin(cu) != id), s"doc $id") }
   }
 
+  test("urlDedup NULL-quality edges: null loses to any non-null " +
+    "quality (desc_nulls_last), and an ALL-null group elects min id") {
+    val docs = Seq(
+      (1L, "http://a.example.com/x", Some(10L)),
+      (2L, "http://a.example.com/x", None),      // null loses to 10
+      (3L, "http://b.example.com/y", None),      // all-null group:
+      (4L, "http://b.example.com/y", None),      //   min id (3) wins
+      (5L, "http://c.example.com/z", None))      // singleton null
+      .toDF("doc_id", "url", "quality")
+    val out = TextQuality.urlDedup(docs, "doc_id", "url", "quality")
+      .select(col("doc_id"), col("is_url_duplicate"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) === false)
+    assert(out(2L) === true)
+    assert(out(3L) === false)
+    assert(out(4L) === true)
+    assert(out(5L) === false)
+  }
+
   test("spanContamination is byte-exact: a constructed token-hash " +
     "collision ('Aa'/'BB' under the 31-fold) hash-hits but the " +
     "verbatim verify rejects it; a real verbatim window still flags") {
