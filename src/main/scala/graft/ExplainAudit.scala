@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   /** Exact number of `check(...)` calls a full run performs (named
     * checks + the generic per-query single-partition screen). */
-  val ExpectedChecks = 254
+  val ExpectedChecks = 255
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -227,6 +227,13 @@ object ExplainAudit {
         "ran once per consumer otherwise)")
     check(!p126.contains("CartesianProduct"),
       "q126 has no cartesian product")
+
+    val p114 = plan("q114_hash_split_stratified")
+    check("""partial_\w*topkrows""".r.findFirstIn(p114.toLowerCase).isDefined &&
+        p114.contains("LeftSemi") &&
+        !p114.contains("windowspecdefinition"),
+      "q114 stratified cap rides the bounded election + semi join — " +
+        "a dominant stratum never sorts in one window task")
 
     val p124 = plan("q124_paragraph_dedup")
     check(!p124.contains("windowspecdefinition") &&

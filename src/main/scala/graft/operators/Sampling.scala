@@ -291,16 +291,41 @@ object Sampling {
   }
 
   /** Keeps at most `cap` rows per stratum, elected deterministically
-    * by the salted id hash (ties impossible for distinct ids; the id
-    * itself is the final tiebreak for duplicate ids). */
+    * by the salted id hash (ties impossible for distinct ids; the id's
+    * zero-padded string form is the final tiebreak for duplicate ids
+    * — identical to the id order for non-negative integral or string
+    * ids, the engine's id universe).
+    *
+    * 100 TB posture — bounded election + semi join (the
+    * capPerProvenance pattern), not a per-stratum window: real strata
+    * are Zipfian (one dominant source can own most of a corpus) and a
+    * `Window.partitionBy(strata)` sorts the hot stratum in ONE task.
+    * `TopK.topKRows` keeps ≤ cap (hash, id) pairs per (stratum ×
+    * partition) map-side; the winners (≤ cap per stratum — tiny) join
+    * back LEFT SEMI on (strata, id). Election order is unchanged:
+    * hash ASC (score = −hash, exact — hashes are < 2^56), id ASC. */
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       seed: String, cap: Int): DataFrame = {
-    val rank = row_number().over(
-      Window.partitionBy(strata.map(col): _*)
-        .orderBy(TextFunctions.charHash(
-          concat(col(idCol).cast("string"), lit(":cap:" + seed))).asc,
-          col(idCol).asc))
-    df.withColumn("__rank", rank).filter(col("__rank") <= cap)
-      .drop("__rank")
+    val isIntegral = {
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val idStr =
+      if (isIntegral) lpad(col(idCol).cast("string"), 20, "0")
+      else col(idCol).cast("string")
+    val h = TextFunctions.charHash(
+      concat(col(idCol).cast("string"), lit(":cap:" + seed)))
+    val renamed = strata.zipWithIndex.map { case (c, i) => (c, s"__s$i") }
+    val elected = df.groupBy(strata.map(col): _*)
+      .agg(graft.operators.TopK.topKRows(cap)(-h, idStr,
+        lit(null).cast("string")).as("__tk"))
+      .select(renamed.map { case (c, a) => col(c).as(a) } :+
+        explode(col("__tk.id")).as("__eid"): _*)
+    df.join(elected,
+      renamed.map { case (c, a) => col(c) <=> col(a) }
+        .reduce(_ && _) && idStr === col("__eid"), "left_semi")
   }
 }
