@@ -94,14 +94,22 @@ object BenchVolumes {
     spark.sparkContext.addSparkListener(listener)
 
     // settle: poll the async listener totals until stable so one
-    // query's late task-end events never leak into the next reading
+    // query's late task-end events never leak into the next reading.
+    // BOUNDED: speculative/zombie tasks trickling events forever must
+    // fail the run with a diagnostic, not hang the bench harness
     def settled(): (Long, Long) = {
       var last = (listener.bytes.sum(), listener.records.sum())
+      var prev = last
       var same = 0
+      var polls = 0
       while (same < 2) {
+        polls += 1
+        if (polls > 500) // 500 × 120 ms = 60 s of non-quiescence
+          sys.error(s"shuffle listener never settled after $polls polls" +
+            s" — last two readings: $prev then $last (bytes, records)")
         Thread.sleep(120)
         val cur = (listener.bytes.sum(), listener.records.sum())
-        if (cur == last) same += 1 else { same = 0; last = cur }
+        if (cur == last) same += 1 else { same = 0; prev = last; last = cur }
       }
       last
     }

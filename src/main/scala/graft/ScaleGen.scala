@@ -120,7 +120,16 @@ object ScaleGen {
 
     val emb = read("embeddings")
     val vecN = off(emb, "vec_id")
-    val dim = emb.select(max(size(col("embedding")))).collect()(0).getInt(0)
+    val Array(minDim, dim) = emb
+      .agg(min(size(col("embedding"))), max(size(col("embedding"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).toArray
+    // permuted() indexes every row with the single global dim; a
+    // shorter row would read past its end (NULL elements under
+    // non-ANSI eval — silent fixture corruption, not a failure), so
+    // ragged embeddings must fail fast here
+    require(minDim == dim,
+      s"embeddings must be uniform-dimension (found sizes $minDim..$dim)" +
+        " — the affine permutation indexes with the global dim")
     require((dim & (dim - 1)) == 0,
       s"embedding dim $dim must be a power of two (affine permutation " +
         "multipliers are the odd residues — coprime only for 2^k dims)")

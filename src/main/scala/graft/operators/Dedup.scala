@@ -34,26 +34,52 @@ object Dedup {
 
   /** Bloom-prefiltered INCREMENTAL exact dedup — "which of today's
     * batch is already in the corpus", at 100 TB: the corpus's content
-    * hashes fold into a Bloom filter (ONE corpus pass via Spark's
-    * treeAggregate-backed `stat.bloomFilter`; ~1.2 GB per 10⁹ keys at
-    * 1% FPP — broadcastable where shuffling the corpus for an
-    * anti-join is not), a batch row whose hash MISSES the filter is
-    * definitely new (Bloom filters have no false negatives), and only
-    * the filter HITS — |batch|·fpp false positives + the true dups —
-    * reach the exact verification: the corpus streams ONCE more
-    * map-side against the broadcast hit set, comparing text VERBATIM
-    * (hash collisions can't false-flag). The result is EXACTLY the
-    * plain text-equality anti-join — that IS the registered oracle,
-    * like SaltedJoin's unsalted-join oracle: the filter is a pure
-    * pruning refinement. The membership probe is a scala UDF over the
-    * broadcast filter — the one place a UDF beats the alternatives
-    * (no built-in column function probes a BloomFilter; the probe is
-    * two hashes + bit reads per row, and it PREVENTS a corpus-scale
-    * shuffle). Returns the batch + `is_seen`. */
+    * hashes fold into a Bloom filter (a treeAggregate-backed
+    * `stat.bloomFilter` pass — ONE corpus pass when the caller passes
+    * `expectedItems` from table metadata, as production does), a batch
+    * row whose hash MISSES the filter is definitely new (Bloom filters
+    * have no false negatives), and only the filter HITS — |batch|·fpp
+    * false positives + the true dups — reach the exact verification:
+    * the corpus streams ONCE more map-side against the broadcast hit
+    * set, comparing text VERBATIM (hash collisions can't false-flag).
+    * The result is EXACTLY the plain text-equality anti-join — that IS
+    * the registered oracle, like SaltedJoin's unsalted-join oracle:
+    * the filter is a pure pruning refinement. The membership probe is
+    * a scala UDF over the broadcast filter — the one place a UDF beats
+    * the alternatives (no built-in column function probes a
+    * BloomFilter; the probe is two hashes + bit reads per row, and it
+    * PREVENTS a corpus-scale shuffle). Returns the batch + `is_seen`.
+    *
+    * MEMORY BUDGET — the filter must fit the driver and every
+    * executor as ONE broadcast: ~1.2 GB per 10⁹ distinct keys at 1%
+    * FPP (≈ 9.6 bits/key), so up to a few-billion-document corpus is
+    * one filter. Past ~10¹⁰ keys (≳ 12 GB) a single filter stops
+    * broadcasting — shard the corpus into a FILTER BANK (e.g. by
+    * pmod(hash, shards), building one filter per shard over that
+    * shard's rows and probing batch rows against their shard's
+    * filter); this operator deliberately does not hide that split
+    * behind the single-filter API. */
   /** The filter-build half, separated so production builds it ONCE
     * per corpus version and reuses it across daily batches (the
-    * convenience overload below builds inline — an eager corpus pass
-    * at plan-construction, acceptable only for one-shot runs). */
+    * convenience overloads below build inline — an eager corpus pass
+    * at plan-construction, acceptable only for one-shot runs).
+    *
+    * `expectedItems` sizes the filter WITHOUT counting the corpus —
+    * pass the row count production already has (Delta/parquet table
+    * metadata): the build is then genuinely ONE corpus pass.
+    * Oversizing is safe (a larger filter only lowers the realized
+    * FPP); undersizing degrades FPP but NEVER correctness — false
+    * positives are re-verified verbatim downstream. */
+  def corpusBloom(corpus: DataFrame, textCol: String, fpp: Double,
+      expectedItems: Long): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0, s"expectedItems must be > 0 (got $expectedItems)")
+    corpus.select(TextFunctions.charHash(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+  }
+
+  /** Convenience fallback when no metadata count exists: counts the
+    * corpus first to size the filter — TWO corpus passes (count +
+    * build). One-shot runs only; production passes `expectedItems`. */
   def corpusBloom(corpus: DataFrame, textCol: String,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val ch = corpus.select(TextFunctions.charHash(col(textCol)).as("__h"))
@@ -69,6 +95,13 @@ object Dedup {
       textCol: String): DataFrame =
     bloomSeenFlags(corpus, batch, idCol, textCol, 0.01)
 
+  /** CONTRACT — the batch is SMALL relative to the corpus (the
+    * operator's stated shape: "today's batch vs the corpus"). The
+    * broadcast candidate set is bounded by the batch's distinct
+    * filter-hit texts (true dups + |batch|·fpp false positives), so a
+    * caller passing batch ≈ corpus broadcasts a corpus-sized frame to
+    * the driver. For corpus-vs-corpus dedup use [[exactGroups]] (one
+    * keyed hash aggregate) — the Bloom path buys nothing there. */
   def bloomSeenFlags(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String,
       bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {

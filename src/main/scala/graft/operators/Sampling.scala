@@ -303,7 +303,16 @@ object Sampling {
     * `TopK.topKRows` keeps ≤ cap (hash, id) pairs per (stratum ×
     * partition) map-side; the winners (≤ cap per stratum — tiny) join
     * back LEFT SEMI on (strata, id). Election order is unchanged:
-    * hash ASC (score = −hash, exact — hashes are < 2^56), id ASC. */
+    * hash ASC (score = −hash, exact — hashes are < 2^56), id ASC.
+    *
+    * CONTRACT — `idCol` is unique per row within a stratum (the
+    * urlDedup convention, and what TopKRowsAgg itself requires): the
+    * semi join keeps every row whose id was ELECTED, so a duplicated
+    * id inflates the kept count past `cap` (cap=1 with id twins
+    * returns both twins — the old window form would have kept exactly
+    * one arbitrarily, which is not better, just differently wrong).
+    * Pipelines with non-unique natural ids must pre-compose a unique
+    * row key (e.g. concat(id, pos)). */
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       seed: String, cap: Int): DataFrame = {
     val isIntegral = {

@@ -89,9 +89,12 @@ object Similarity {
     * exchange anywhere — the r15 window form shuffled the N·K scored
     * frame, the interim aggregate form still exchanged N buffer rows.
     * Per-row cost is the same O(K) dot products either way; ties and
-    * ordering match the window form exactly (cos DESC, cent_id ASC;
-    * cosines are never NaN for non-zero-norm inputs — the comparator
-    * contract).
+    * ordering match the window form exactly (cos DESC, cent_id ASC),
+    * INCLUDING NaN: a zero-norm vector or centroid yields NaN cosines,
+    * and the comparator orders NaN as GREATEST (Spark's sort-order
+    * convention — `orderBy(desc)` puts NaN first), so a degenerate
+    * input destabilizes nothing; it deterministically elects the
+    * lowest-id NaN-scored centroid, exactly as the window form did.
     * @param cent (cent_id LONG, cv DOUBLE[], cn norm) */
   def ivfCells(e: DataFrame, idCol: String, vecCol: String, normCol: String,
       cent: DataFrame, nProbe: Int): DataFrame = {
@@ -102,9 +105,16 @@ object Similarity {
       (dot(col(vecCol), c.getField("cv")) /
         (col(normCol) * c.getField("cn"))).as("cos"),
       c.getField("cent_id").as("cent_id")))
+    // NaN branches FIRST: `>`/`<` are false for NaN operands, so
+    // without them two NaN scores (or NaN vs number) would fall
+    // through to 0/centroid order nondeterministically vs the window
+    // twin's total order (NaN greatest, i.e. first under DESC)
+    val isN = (c: Column) => isnan(c.getField("cos"))
     val byCosDesc: (Column, Column) => Column = (l, r) =>
-      when(l.getField("cos") > r.getField("cos"), -1)
-        .when(l.getField("cos") < r.getField("cos"), 1)
+      when(isN(l) && !isN(r), -1)
+        .when(!isN(l) && isN(r), 1)
+        .when(!isN(l) && !isN(r) && l.getField("cos") > r.getField("cos"), -1)
+        .when(!isN(l) && !isN(r) && l.getField("cos") < r.getField("cos"), 1)
         .when(l.getField("cent_id") < r.getField("cent_id"), -1)
         .when(l.getField("cent_id") > r.getField("cent_id"), 1)
         .otherwise(0)

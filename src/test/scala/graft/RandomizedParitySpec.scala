@@ -181,6 +181,21 @@ class RandomizedParitySpec extends AnyFunSuite {
         .select(col("doc_id"), col("is_seen"))
         .as[(Long, Boolean)].collect().toSet
       assert(out == expected, s"seed=$seed")
+      // the single-pass production build: filter sized from an
+      // EXPLICIT metadata count (no corpus count() pass) — and an
+      // UNDERSIZED count (worse realized FPP) still yields the exact
+      // anti-join answer, because hits are verified verbatim
+      for (expectedItems <- Seq(300L, 7L)) {
+        val bf = Dedup.corpusBloom(corpus.toDF("doc_id", "text"),
+          "text", 0.5, expectedItems)
+        val outExplicit = Dedup.bloomSeenFlags(
+            corpus.toDF("doc_id", "text"),
+            batch.toDF("doc_id", "text"), "doc_id", "text", bf)
+          .select(col("doc_id"), col("is_seen"))
+          .as[(Long, Boolean)].collect().toSet
+        assert(outExplicit == expected,
+          s"seed=$seed expectedItems=$expectedItems")
+      }
     }
   }
 
