@@ -37,47 +37,6 @@ object BenchVolumes {
     }
   }
 
-  /** The r15 window formulation of the quantized ANN scan — kept ONLY
-    * as the measured baseline the bounded aggregate is compared
-    * against. */
-  private def windowedQuantizedTopK(codes: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = codes.select(col("vec_id"), col("codes").as("__c"))
-    val q = c.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("q_id"), col("__c").as("__qc"))
-    val scored = c.select(col("vec_id").as("c_id"), col("__c").as("__cc"))
-      .join(broadcast(q), col("c_id") =!= col("q_id"))
-      .withColumn("dist", aggregate(
-        zip_with(col("__qc"), col("__cc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id").as("neighbor"),
-        col("dist"))
-  }
-
-  /** The r15 window formulation of stride-1 hash ownership (dupSpans'
-    * election stage) — the measured baseline for the two-phase
-    * min-aggregate. */
-  private def windowedSpanOwnership(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.TextFunctions
-    val tokenHashes = transform(TextFunctions.tokens(col("text")),
-      t => TextFunctions.charHash(t))
-    val hashes = org.apache.spark.sql.GraftExpr.column(
-      graft.plans.WindowHashes(
-        org.apache.spark.sql.GraftExpr.expression(tokenHashes), 10))
-    val occ = docs.select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "win_hash")))
-    val w = Window.partitionBy(col("win_hash"))
-      .orderBy(col("doc_id").asc, col("pos").asc)
-    occ.withColumn("is_dup", row_number().over(w) > 1)
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -143,7 +102,7 @@ object BenchVolumes {
     val landed = graft.core.Materialize.temp(codes, "graft-vol-codes")._1
     val (aggB, aggR) = measure(graft.operators.Similarity
       .quantizedTopK(landed, "vec_id", "codes", col("vec_id") < 16, 5))
-    val (winB, winR) = measure(windowedQuantizedTopK(landed, 5))
+    val (winB, winR) = measure(WindowTwins.quantizedTopK(landed, 5))
     check(aggR < winR && aggR > 0,
       s"ANN top-k aggregate shuffles fewer records than the window " +
         s"twin ($aggR vs $winR; bytes $aggB vs $winB)")
@@ -152,7 +111,7 @@ object BenchVolumes {
       .select(col("doc_id"), col("text"))
     val (dsB, dsR) = measure(graft.operators.TextQuality
       .dupSpans(docs, "doc_id", "text"))
-    val (dwB, dwR) = measure(windowedSpanOwnership(docs))
+    val (dwB, dwR) = measure(WindowTwins.spanOwnership(docs))
     check(dsR < dwR && dsR > 0,
       s"dupSpans two-phase min-agg shuffles fewer records than the " +
         s"per-hash window twin ($dsR vs $dwR; bytes $dsB vs $dwB)")

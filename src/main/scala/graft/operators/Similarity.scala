@@ -213,6 +213,107 @@ object Similarity {
       vecCol: String): DataFrame =
     scalarQuantize(emb, idCol, vecCol, packedStats(dimStats(emb, vecCol)))
 
+  /** Deterministic k-means centroid trainer — the missing half of the
+    * SemDeDup recipe (Abbas et al. 2023 cluster with k-means; the
+    * operator below took caller-supplied centroids until r17). Fully
+    * deterministic and oracle-reproducible, no RNG:
+    *
+    *  - SEEDING is a hash-seeded sample: the k vectors minimizing a
+    *    SEED-PERMUTED id hash (ties to smaller id) — content-
+    *    independent like a random sample, reproducible in any engine,
+    *    and not biased by id order the way first-k seeding is. The
+    *    seed enters as an affine permutation `(q·a + b) mod P` with a
+    *    seed-derived ODD multiplier (the MinHash permutation family;
+    *    P = [[SeedPrime]] < 2^28 keeps every product in signed-64) —
+    *    NOT as a concatenated affix: a polynomial hash is affine in
+    *    any fixed-position affix, so `charHash(id || seed)` shifts
+    *    every same-length id's hash by the SAME constant and the
+    *    elected sample never changes with the seed. `q` is the id
+    *    hash SPREAD by a fixed multiply-mod (`(h(id) mod P)·
+    *    2654435761 mod P`) first — short numeric ids hash to tiny
+    *    CONSECUTIVE values (chl("0")=48 …), and an affine map only
+    *    permutes via wraparound, so unspread inputs would keep their
+    *    id order under every seed. Hash ties (P ~2.7e8, so a
+    *    billion-id corpus has ~2-element tie classes) break to the
+    *    smaller id — deterministic, bias negligible.
+    *    The election rides the bounded [[TopK]] aggregate (map-side
+    *    partials keep ≤ k pairs per partition; the final fold crosses
+    *    ≤ k·partitions pairs — bounded by design), then joins back on
+    *    the unique id for the k seed vectors. `cent_id` = seed rank in
+    *    (hash ASC, id ASC) order.
+    *  - A FIXED number of Lloyd iterations (no driver-side convergence
+    *    loop — the iteration count bounds the plan like
+    *    `Dedup.connectedComponents`): assign every vector to its
+    *    nearest centroid (the zero-shuffle [[ivfCells]] nProbe = 1
+    *    election), then recompute each centroid as the element-wise
+    *    mean of its members — `AuthorVectors.ArraySumAgg` map-side
+    *    partials shuffle ONE partial vector per (cell × partition),
+    *    never a list — MICRO-ROUNDED (floor(x·1e6 + 0.5)/1e6) so both
+    *    engines start every iteration from bit-identical centroids
+    *    (the q79 cross-engine mean protocol). An empty cell keeps its
+    *    previous centroid (deterministic; no re-seeding).
+    *
+    * Per iteration: one corpus projection (assignment) + one keyed
+    * aggregate bounded at K cells — nothing quadratic, nothing
+    * windowed. SemDeDup is insensitive to clustering quality (the
+    * clusters only bound the pair term), so small `iters` (1–3) is the
+    * production setting. Ids must be non-null integrals (they ride the
+    * TopK aggregate as longs — the [[quantizedTopK]] contract).
+    *
+    * @return (cent_id LONG, cv ARRAY<DOUBLE> micro-rounded, cn norm) —
+    *         K rows, the broadcastable `cent` input of [[ivfCells]] /
+    *         [[semanticDupFlags]]. */
+  /** Largest prime below 2^28 — the seed-permutation modulus for
+    * [[trainCentroids]] (residue · odd-multiplier stays in signed-64). */
+  val SeedPrime = 268435399L
+
+  /** Fixed spreading multiplier (Knuth's 2654435761): decorrelates
+    * the id-hash residues before the seeded affine permutation. */
+  val SeedSpread = 2654435761L
+
+  /** The 56-bit charHash polynomial, driver-side (for seed-derived
+    * constants — same fold as `TextFunctions.charHash` / plans.CharHash). */
+  def charHashLocal(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((h, c) =>
+      (h * 31 + c) % graft.functions.TextFunctions.CharHashMod)
+
+  def trainCentroids(e: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be > 0 (got $k)")
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    val arrSum = udaf(graft.aer.AuthorVectors.ArraySumAgg)
+    val base = e.select(col(idCol).cast("long").as("__id"),
+        toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val ha = 2L * (charHashLocal(seed) % SeedPrime) + 1L
+    val hb = charHashLocal(seed + ":b") % SeedPrime
+    val spread = graft.functions.TextFunctions.charHash(
+      col("__id").cast("string")) % SeedPrime * SeedSpread % SeedPrime
+    val h = (spread * ha + hb) % SeedPrime
+    val seeds = base
+      .agg(graft.operators.TopK.topK(k)(-h, col("__id")).as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select(col("pos").cast("long").as("cent_id"), col("col.id").as("__id"))
+    var cent = seeds.join(base, Seq("__id"))
+      .select(col("cent_id"), col("__v").as("cv"), col("__n").as("cn"))
+    for (_ <- 1 to iters) {
+      val asg = ivfCells(base, "__id", "__v", "__n", cent, nProbe = 1)
+        .select(col("__id"), col("cell"))
+      val means = base.join(asg, Seq("__id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("__cnt"), arrSum(col("__v")).as("__sum"))
+        .select(col("cell"), transform(col("__sum"),
+          v => floor(v / col("__cnt") * 1000000 + 0.5) / 1000000.0)
+          .as("__mv"))
+      cent = cent.select(col("cent_id"), col("cv").as("__old"))
+        .join(means, col("cent_id") === col("cell"), "left")
+        .select(col("cent_id"),
+          coalesce(col("__mv"), col("__old")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+    }
+    cent
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — the published semantic-dedup recipe for web-
     * scale pretraining corpora): embeddings cluster to their nearest
@@ -231,18 +332,63 @@ object Similarity {
     * where N² is not), the assignment is a broadcast-centroid
     * projection + bounded aggregate, and the dup flags join back on
     * the unique vector id. A skew-hot cell is a JOIN partition — AQE
-    * splits it. Returns (idCol, cell, is_semantic_dup). */
+    * splits it. Returns (idCol, cell, is_semantic_dup).
+    *
+    * GIANT-CELL GUARD (`maxCellSize`): one mega-cell — a boilerplate-
+    * dominated corpus where k-means parks most vectors on one centroid
+    * — re-introduces the all-pairs term the clustering exists to kill
+    * (a cell of N/2 vectors is N²/4 pairs, and AQE's skew split only
+    * re-partitions the join, not the quadratic row count). When a
+    * cell exceeds `maxCellSize` rows, its rows are SUB-BUCKETED by
+    * sign-bit hyperplane LSH over the RESIDUAL (v − centroid) —
+    * residual, because a tight cluster's raw vectors all sit on the
+    * same side of most hyperplanes while their residuals are
+    * direction-diverse — and the pair join keys on (cell, sub), cutting
+    * the mega-cell's pair term ~4^subPlanes-fold. This is a documented
+    * RECALL trade (the LSH semantics the near-dup operators already
+    * carry): a dup pair split across sub-buckets is missed — exact
+    * duplicates never split (identical residuals ⇒ identical buckets),
+    * and the closer the pair, the likelier they co-bucket. Cells at or
+    * under the cap — and every cell when the default no-op cap is left
+    * in place — are compared exhaustively, exactly as before; the
+    * guard's cell-size census is one keyed count bounded at K rows,
+    * broadcast back. `dim` is the embedding dimension (plane width);
+    * only read when the guard is active. */
   def semanticDupFlags(e: DataFrame, idCol: String, vecCol: String,
-      normCol: String, cent: DataFrame, tauMicro: Long): DataFrame = {
+      normCol: String, cent: DataFrame, tauMicro: Long,
+      maxCellSize: Long = Long.MaxValue, subPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
     val cells = ivfCells(e, idCol, vecCol, normCol, cent, nProbe = 1)
       .select(col(idCol), col("cell"))
-    val withCell = e.select(col(idCol), col(vecCol), col(normCol))
+    val withCell0 = e.select(col(idCol), col(vecCol), col(normCol))
       .join(cells, Seq(idCol))
-    val a = withCell.select(col("cell"), col(idCol).as("__a_id"),
-      col(vecCol).as("__av"), col(normCol).as("__an"))
-    val b = withCell.select(col("cell"), col(idCol).as("__b_id"),
-      col(vecCol).as("__bv"), col(normCol).as("__bn"))
-    val dups = a.join(b, Seq("cell")).filter(col("__b_id") < col("__a_id"))
+    val withCell =
+      if (maxCellSize == Long.MaxValue)
+        withCell0.withColumn("__sub", lit(0))
+      else {
+        val over = cells.groupBy(col("cell"))
+          .agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") > maxCellSize)
+          .select(col("cell"), lit(true).as("__over"))
+        val ps = planes(subPlanes, dim)
+        withCell0
+          .join(broadcast(over), Seq("cell"), "left")
+          .join(broadcast(cent.select(col("cent_id").cast("long")
+            .as("cell"), col("cv").as("__ccv"))), Seq("cell"))
+          .withColumn("__sub", when(col("__over"),
+              hyperplaneBucket(zip_with(col(vecCol), col("__ccv"),
+                (a, b) => a - b), ps))
+            .otherwise(lit(0)))
+          .drop("__over", "__ccv")
+      }
+    val a = withCell.select(col("cell"), col("__sub"),
+      col(idCol).as("__a_id"), col(vecCol).as("__av"),
+      col(normCol).as("__an"))
+    val b = withCell.select(col("cell"), col("__sub"),
+      col(idCol).as("__b_id"), col(vecCol).as("__bv"),
+      col(normCol).as("__bn"))
+    val dups = a.join(b, Seq("cell", "__sub"))
+      .filter(col("__b_id") < col("__a_id"))
       .withColumn("__cos_e6",
         floor(dot(col("__av"), col("__bv")) /
           (col("__an") * col("__bn")) * 1000000 + 0.5).cast("long"))

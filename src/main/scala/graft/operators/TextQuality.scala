@@ -87,13 +87,30 @@ object TextQuality {
     * unique-ish key, so no shuffle in the plan ever keys on the
     * Zipf-skewed hash with row-level volume. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int = 10): DataFrame = {
-    val paras = docs.select(col(idCol),
+      chunkSize: Int = 10): DataFrame =
+    paragraphDedupFromOccurrences(
+      paragraphOccurrences(docs, idCol, textCol, chunkSize), idCol)
+
+  /** The (idCol, para_idx, para_hash) occurrence frame of
+    * [[paragraphDedup]] — exposed separately because the election
+    * consumes it TWICE (the hash-keyed winner aggregate and the
+    * per-document join-back): a composed pipeline should land this
+    * frame at a Materialize boundary once (the q134 convention)
+    * rather than tokenize + chunk the corpus twice in one plan; the
+    * tokenization, not the election, is the dominant per-row cost. */
+  def paragraphOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, chunkSize: Int = 10): DataFrame =
+    docs.select(col(idCol),
         posexplode(tokenChunks(col(textCol), chunkSize))
           .as(Seq("para_idx", "para")))
       .filter(col("para") =!= "")
       .withColumn("para_hash", TextFunctions.charHash(col("para")))
       .drop("para")
+
+  /** The first-occurrence election of [[paragraphDedup]] over a
+    * precomputed [[paragraphOccurrences]] frame. */
+  def paragraphDedupFromOccurrences(paras: DataFrame,
+      idCol: String): DataFrame = {
     val wonByDoc = paras.groupBy(col("para_hash"))
       .agg(min(struct(col(idCol), col("para_idx"))).as("__w"))
       .select(col("__w").getField(idCol).as(idCol),

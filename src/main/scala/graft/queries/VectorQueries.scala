@@ -257,12 +257,18 @@ object VectorQueries {
   }
 
   /** q151: SemDeDup-style semantic dedup (beyond-reference tier) —
-    * the published web-scale recipe (Abbas et al. 2023): cluster to
-    * the nearest of 16 centroids (IVF assignment), flag any vector
-    * with a lower-id cluster-mate at cosine ≥ 0.99. Same planted
-    * perturbed dups as q56; clustering bounds the pair term to cells
-    * (the whole point of SemDeDup), so no all-pairs join exists in
-    * the plan. */
+    * the published web-scale recipe (Abbas et al. 2023), END-TO-END
+    * from raw embeddings since r17: centroids come from the
+    * deterministic hash-seeded k-means trainer (k=16, 2 Lloyd
+    * iterations — [[Similarity.trainCentroids]]), every vector
+    * clusters to its nearest centroid (IVF assignment), and any
+    * vector with a lower-id cluster-mate at cosine ≥ 0.99 is flagged.
+    * Same planted perturbed dups as q56; clustering bounds the pair
+    * term to cells (the whole point of SemDeDup), the giant-cell
+    * guard (maxCellSize=256, residual-LSH sub-bucketing) caps any
+    * mega-cell's quadratic term, and no all-pairs join exists in the
+    * plan. The oracle recomputes the trainer (seed hashes, both
+    * micro-rounded Lloyd iterations) AND the guard semantics. */
   private def q151(s: SparkSession, dir: String): DataFrame = {
     val e0 = t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
@@ -272,10 +278,10 @@ object VectorQueries {
           x + (pmod(i, lit(3)) - 1).cast("double") * 0.01).as("v"))
     val all = e0.unionByName(dup)
       .withColumn("nrm", Similarity.norm(col("v")))
-    val cent = all.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    Similarity.semanticDupFlags(all, "vec_id", "v", "nrm", cent, 990000L)
+    val cent = Similarity.trainCentroids(all, "vec_id", "v",
+      k = 16, iters = 2, seed = "sd1")
+    Similarity.semanticDupFlags(all, "vec_id", "v", "nrm", cent, 990000L,
+      maxCellSize = 256L, subPlanes = 4, dim = 64)
   }
 
   val queries: Map[String, Q] = Map(
@@ -294,6 +300,35 @@ object VectorQueries {
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), k -> $a[k]*$b[k]))"
+
+  /** DuckDB twin of `TextFunctions.charHash` (the TextQueries.chash
+    * fold, local copy): same 56-bit polynomial. */
+  private def chashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e,''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h,c) -> (h*31+c) % ${graft.functions.TextFunctions.CharHashMod})"
+
+  /** One Lloyd iteration of the q151 trainer oracle: argmax-cosine
+    * assignment against `prev`, micro-rounded per-cell means, empty
+    * cells carrying the previous centroid — the exact
+    * `Similarity.trainCentroids` iteration semantics. */
+  private def lloydCtes(n: Int, prev: String): String =
+    s"""s$n AS (SELECT al.vec_id, c.cent_id,
+       |  ${dotSql("al.v", "c.cv")} /
+       |    (sqrt(${dotSql("al.v", "al.v")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS cs
+       |  FROM al CROSS JOIN $prev c),
+       |a$n AS (SELECT vec_id, cent_id AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY cs DESC, cent_id ASC) AS r FROM s$n) WHERE r = 1),
+       |m$n AS (SELECT a.cell, r.i,
+       |    floor(sum(al.v[CAST(r.i AS INT)]) / count(*) * 1000000 + 0.5)
+       |      / 1000000.0 AS mv
+       |  FROM al JOIN a$n a USING (vec_id), range(1, 65) AS r(i)
+       |  GROUP BY a.cell, r.i),
+       |mv$n AS (SELECT cell, list(mv ORDER BY i) AS cv
+       |  FROM m$n GROUP BY cell),
+       |c$n AS (SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv
+       |  FROM $prev c LEFT JOIN mv$n m ON m.cell = c.cent_id)""".stripMargin
 
   private val aerBase =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
@@ -340,17 +375,49 @@ object VectorQueries {
          |    k -> v[k] + CAST((k-1)%3 - 1 AS DOUBLE)*0.01) AS v
          |  FROM e0 WHERE vec_id % 10 = 0),
          |al AS (SELECT * FROM e0 UNION ALL SELECT * FROM dup),
-         |cent AS (SELECT vec_id AS cent_id, v AS cv FROM al WHERE vec_id < 16),
-         |sc AS (SELECT al.vec_id, c.cent_id,
+         |prm AS (SELECT
+         |  2 * (${chashSql("'sd1'")} % ${Similarity.SeedPrime}) + 1 AS a,
+         |  ${chashSql("'sd1:b'")} % ${Similarity.SeedPrime} AS b),
+         |hs AS (SELECT al.vec_id, al.v,
+         |  ((${chashSql("CAST(al.vec_id AS VARCHAR)")}
+         |      % ${Similarity.SeedPrime} * ${Similarity.SeedSpread}
+         |      % ${Similarity.SeedPrime}) * prm.a + prm.b)
+         |    % ${Similarity.SeedPrime} AS h
+         |  FROM al CROSS JOIN prm),
+         |c0 AS (SELECT CAST(r - 1 AS BIGINT) AS cent_id, v AS cv FROM
+         |  (SELECT vec_id, v, row_number() OVER
+         |     (ORDER BY h ASC, vec_id ASC) AS r FROM hs) WHERE r <= 16),
+         |${lloydCtes(1, "c0")},
+         |${lloydCtes(2, "c1")},
+         |s9 AS (SELECT al.vec_id, c.cent_id,
          |  ${dotSql("al.v", "c.cv")} /
          |    (sqrt(${dotSql("al.v", "al.v")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS cs
-         |  FROM al CROSS JOIN cent c),
+         |  FROM al CROSS JOIN c2 c),
          |asg AS (SELECT vec_id, cent_id AS cell FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY cs DESC, cent_id ASC) AS r FROM sc) WHERE r = 1),
-         |wc AS (SELECT al.vec_id, al.v, a.cell FROM al JOIN asg a USING (vec_id)),
+         |     ORDER BY cs DESC, cent_id ASC) AS r FROM s9) WHERE r = 1),
+         |sizes AS (SELECT cell, count(*) AS sz FROM asg GROUP BY cell),
+         |pl AS (SELECT i, list(val ORDER BY j) p FROM
+         |  (SELECT u1.i, u2.j,
+         |   CAST(((u1.i*64+u2.j)*2654435761) % 1000003 AS DOUBLE)/1000003.0
+         |     - 0.5 AS val
+         |   FROM unnest(range(0, 4)) u1(i), unnest(range(0, 64)) u2(j)) t
+         |  GROUP BY i),
+         |wc0 AS (SELECT al.vec_id, al.v, a.cell, sz.sz > 256 AS ov
+         |  FROM al JOIN asg a ON al.vec_id = a.vec_id
+         |  JOIN sizes sz ON sz.cell = a.cell),
+         |resid AS (SELECT w.vec_id,
+         |  list_transform(range(1, 65),
+         |    k -> w.v[CAST(k AS INT)] - c2.cv[CAST(k AS INT)]) AS rv
+         |  FROM wc0 w JOIN c2 ON c2.cent_id = w.cell WHERE w.ov),
+         |subs AS (SELECT r2.vec_id,
+         |  CAST(sum(CASE WHEN ${dotSql("r2.rv", "p.p")} > 0
+         |    THEN (1 << CAST(p.i AS INTEGER)) ELSE 0 END) AS INTEGER) AS sub
+         |  FROM resid r2 CROSS JOIN pl p GROUP BY r2.vec_id),
+         |wc AS (SELECT w.vec_id, w.v, w.cell, coalesce(s2.sub, 0) AS sub
+         |  FROM wc0 w LEFT JOIN subs s2 ON s2.vec_id = w.vec_id),
          |dups AS (SELECT DISTINCT x.vec_id FROM wc x JOIN wc y
-         |  ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  ON x.cell = y.cell AND x.sub = y.sub AND y.vec_id < x.vec_id
          |  WHERE floor(${dotSql("x.v", "y.v")} /
          |    (sqrt(${dotSql("x.v", "x.v")}) * sqrt(${dotSql("y.v", "y.v")}))
          |    * 1000000 + 0.5) >= 990000)

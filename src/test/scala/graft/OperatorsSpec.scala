@@ -453,6 +453,115 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1, 2L, 25L), (2, 3L, 25L), (3, 4L, 25L)))
   }
 
+  test("trainCentroids: deterministic hash-seeded k-means — iters=0 " +
+    "returns the hash-elected seed vectors, iterated centroids sit on " +
+    "the micro grid, and reruns are bit-identical") {
+    val r = new scala.util.Random(4242)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)((r.nextDouble() * 2 - 1).toFloat).toSeq))
+    val e = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    // iters=0: centroids ARE the k seed vectors, in (hash, id) order
+    val seeds = Similarity.trainCentroids(e, "vec_id", "v", 5, 0, "sA")
+      .orderBy("cent_id").collect()
+    assert(seeds.map(_.getLong(0)).toSeq == (0L until 5L))
+    // pure-Scala replication of the seeded affine permutation
+    val p = Similarity.SeedPrime
+    val ha = 2L * (Similarity.charHashLocal("sA") % p) + 1L
+    val hb = Similarity.charHashLocal("sA:b") % p
+    val hashed = vecs.map { case (id, _) =>
+      val q = Similarity.charHashLocal(id.toString) % p *
+        Similarity.SeedSpread % p
+      ((q * ha + hb) % p, id)
+    }.sorted.take(5).map(_._2)
+    val seedVecs = vecs.toMap
+    seeds.zip(hashed).foreach { case (row, expectId) =>
+      val cv = row.getSeq[Double](1)
+      assert(cv == seedVecs(expectId).map(_.toDouble),
+        s"seed cent_id=${row.getLong(0)} must be vec $expectId")
+    }
+    // iterated: k rows, every component on the exact 1e-6 grid, rerun
+    // bit-identical (the cross-engine mean protocol)
+    val c1 = Similarity.trainCentroids(e, "vec_id", "v", 5, 2, "sA")
+      .orderBy("cent_id").collect()
+    val c2 = Similarity.trainCentroids(e, "vec_id", "v", 5, 2, "sA")
+      .orderBy("cent_id").collect()
+    assert(c1.length == 5)
+    c1.foreach { row =>
+      row.getSeq[Double](1).foreach { x =>
+        assert(x == math.rint(x * 1000000) / 1000000.0,
+          s"centroid component $x off the micro grid") }
+    }
+    assert(c1.map(_.getSeq[Double](1)).toSeq ==
+      c2.map(_.getSeq[Double](1)).toSeq)
+    // a different seed elects different seed vectors
+    val cB = Similarity.trainCentroids(e, "vec_id", "v", 5, 0, "sB")
+      .orderBy("cent_id").collect()
+    assert(cB.map(_.getSeq[Double](1)).toSeq !=
+      seeds.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  test("semanticDupFlags giant-cell guard: a ~95%-hot cell triggers " +
+    "residual-LSH sub-bucketing — exact duplicates always co-bucket, " +
+    "guarded flags are a subset (the documented recall trade), and a " +
+    "planted opposite-residual near-pair is the missed witness") {
+    val dim = 8
+    val r = new scala.util.Random(777)
+    // two explicit far-apart centroids; the HOT cluster centers ON
+    // centroid 0 so residuals (v - c0) are the direction-diverse noise
+    val c0 = Array(10.0, 0, 0, 0, 0, 0, 0, 0)
+    val c1 = Array(-10.0, 0, 0, 0, 0, 0, 0, 0)
+    val hot = Seq.tabulate(200)(i => (i.toLong,
+      c0.map(_ + (r.nextDouble() * 2 - 1)).toSeq))
+    val cold = Seq.tabulate(10)(i => (500L + i,
+      c1.map(_ + (r.nextDouble() * 2 - 1)).toSeq))
+    // witnesses: vA / vB differ ONLY by an opposite-sign residual
+    // component (residuals +0.1*e2 and -0.1*e2 ⇒ every hyperplane dot
+    // flips sign ⇒ complementary sub-buckets, guaranteed split) but
+    // cos(vA, vB) ≈ 0.9998; vDup is an EXACT copy of vA (identical
+    // residual ⇒ identical sub-bucket, can never be lost)
+    val vA = c0.clone(); vA(2) = 0.1
+    val vB = c0.clone(); vB(2) = -0.1
+    val all = (hot ++ cold ++ Seq((1000L, vA.toSeq), (1001L, vB.toSeq),
+      (1002L, vA.toSeq))).toDF("vec_id", "v")
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cent = Seq((0L, c0.toSeq), (1L, c1.toSeq)).toDF("cent_id", "cv")
+      .withColumn("cn", Similarity.norm(col("cv")))
+    def flags(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("is_semantic_dup")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    // exact-dup threshold: both forms flag exactly the planted copy
+    val exactGuard = flags(Similarity.semanticDupFlags(all, "vec_id",
+      "v", "nrm", cent, 1000000L, maxCellSize = 50L, subPlanes = 3,
+      dim = dim))
+    val exactFull = flags(Similarity.semanticDupFlags(all, "vec_id",
+      "v", "nrm", cent, 1000000L))
+    assert(exactFull == Set(1002L))
+    assert(exactGuard == Set(1002L),
+      "an exact duplicate must survive the guard (identical residuals)")
+    // near-dup threshold: the guard can only REMOVE pairs, and the
+    // opposite-residual pair is provably split
+    val nearGuard = flags(Similarity.semanticDupFlags(all, "vec_id",
+      "v", "nrm", cent, 999000L, maxCellSize = 50L, subPlanes = 3,
+      dim = dim))
+    val nearFull = flags(Similarity.semanticDupFlags(all, "vec_id",
+      "v", "nrm", cent, 999000L))
+    assert(nearGuard.subsetOf(nearFull))
+    assert(nearFull.contains(1001L),
+      "unguarded must flag the near pair (cos ~0.9998)")
+    assert(!nearGuard.contains(1001L),
+      "the opposite-residual near pair must land in complementary " +
+        "sub-buckets — the documented recall trade of the guard")
+    assert(nearGuard.contains(1002L), "exact copy still flagged")
+    // cells at or under the cap are untouched: an inert cap equals
+    // the unguarded output exactly
+    val inert = flags(Similarity.semanticDupFlags(all, "vec_id", "v",
+      "nrm", cent, 999000L, maxCellSize = 100000L, subPlanes = 3,
+      dim = dim))
+    assert(inert == nearFull)
+  }
+
   test("ArrayDotProduct: native codegen == HOF fold bit-for-bit, null semantics") {
     import graft.operators.Similarity
     graft.plans.ArrayDotProduct.register(spark)
