@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler (guide §1/§7): run named queries with a listener that
+  * captures per-job and per-stage wall time + task metrics, so the
+  * expensive part of a multi-job query (which stage, how much of the
+  * wall is driver-side planning between jobs) is a reading instead of
+  * a guess. Two passes per query; the warm pass is the one reported
+  * (pass 1 absorbs JIT/codegen).
+  *
+  * Usage: runMain graft.ProfileStages <q1,q2,...> [sfDir]
+  */
+object ProfileStages {
+
+  final case class StageRec(id: Int, name: String, submitted: Long,
+    completed: Long, tasks: Int, runTimeMs: Long, cpuTimeMs: Long,
+    shufReadB: Long, shufWriteB: Long, inputB: Long, outputB: Long,
+    gcMs: Long, fetchWaitMs: Long, deserMs: Long)
+
+  final class Rec extends SparkListener {
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageRec]()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    val taskAgg = new java.util.concurrent.ConcurrentHashMap[Int,
+      Array[Long]]() // runTime, cpuTime(ns), srB, swB, inB, outB, gc, n, fetchWait, deser
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val a = taskAgg.computeIfAbsent(t.stageId, _ => new Array[Long](10))
+        a.synchronized {
+          a(0) += m.executorRunTime
+          a(1) += m.executorCpuTime
+          a(2) += m.shuffleReadMetrics.totalBytesRead
+          a(3) += m.shuffleWriteMetrics.bytesWritten
+          a(4) += m.inputMetrics.bytesRead
+          a(5) += m.outputMetrics.bytesWritten
+          a(6) += m.jvmGCTime
+          a(7) += 1
+          a(8) += m.shuffleReadMetrics.fetchWaitTime
+          a(9) += m.executorDeserializeTime
+        }
+      }
+    }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val a = taskAgg.getOrDefault(si.stageId, new Array[Long](10))
+      stages.put(si.stageId, StageRec(si.stageId, si.name,
+        si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+        si.numTasks, a(0), a(1) / 1000000L, a(2), a(3), a(4), a(5), a(6),
+        a(8), a(9)))
+    }
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      jobs.put(e.jobId, (e.time, 0L))
+    override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+      val prev = jobs.getOrDefault(e.jobId, (0L, 0L))
+      jobs.put(e.jobId, (prev._1, e.time))
+    }
+    def clear(): Unit = { stages.clear(); jobs.clear(); taskAgg.clear() }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("q97_work_author_guard").split(",")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rec = new Rec
+    spark.sparkContext.addSparkListener(rec)
+    names.foreach { n =>
+      val q = SparkEntry.queries(n)
+      // pass 1: warm (JIT, codegen cache, fixture cachedTemp builds)
+      val tw0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      val warm = (System.nanoTime() - tw0) / 1e9
+      spark.catalog.clearCache()
+      Thread.sleep(300)
+      rec.clear()
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let listener drain
+      import scala.jdk.CollectionConverters._
+      val st = rec.stages.values.asScala.toSeq.sortBy(-_.runTimeMs)
+      val jobsSorted = rec.jobs.asScala.toSeq.sortBy(_._1)
+      val jobWall = jobsSorted.map { case (_, (s, e)) =>
+        math.max(0L, e - s) }.sum / 1e3
+      println(f"\n=== $n pass1=$warm%.2f s warm=$wall%.2f s " +
+        f"jobs=${jobsSorted.size} jobWall=$jobWall%.2f s " +
+        f"driverGap=${wall - jobWall}%.2f s ===")
+      val totGc = st.map(_.gcMs).sum / 1e3
+      val totRun = st.map(_.runTimeMs).sum / 1e3
+      val totCpu = st.map(_.cpuTimeMs).sum / 1e3
+      println(f"  totals: run=$totRun%.1f s cpu=$totCpu%.1f s gc=$totGc%.1f s" +
+        f" stages=${st.size}")
+      st.take(14).foreach { s =>
+        val dur = (s.completed - s.submitted) / 1e3
+        println(f"  stage ${s.id}%4d ${dur}%6.2f s wall | tasks=${s.tasks}%4d " +
+          f"run=${s.runTimeMs / 1e3}%7.2f s cpu=${s.cpuTimeMs / 1e3}%7.2f s " +
+          f"gc=${s.gcMs / 1e3}%5.2f s fw=${s.fetchWaitMs / 1e3}%5.2f s " +
+          f"ds=${s.deserMs / 1e3}%5.2f s " +
+          f"| in=${s.inputB / 1e6}%7.1f MB sr=${s.shufReadB / 1e6}%7.1f MB " +
+          f"sw=${s.shufWriteB / 1e6}%7.1f MB out=${s.outputB / 1e6}%6.1f MB")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
