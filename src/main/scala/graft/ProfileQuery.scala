@@ -8,11 +8,16 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q36_dedup_jaccard_rare_shingle")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for config A/Bs
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names run in sequence (reproduces sweep
     // neighborhood effects: shuffle-file/GC pressure on later queries)

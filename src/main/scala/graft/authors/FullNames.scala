@@ -97,8 +97,16 @@ object FullNames {
   /** The cell-4 `author_full_name_pending_changes` build: enrich ∪
     * resets. `authors`: (id, full_name). */
   def pendingChanges(ev: DataFrame, authors: DataFrame,
-      parsedNames: DataFrame): DataFrame = {
-    val current = authors
+      parsedNames: DataFrame,
+      boundary: DataFrame => DataFrame = identity): DataFrame = {
+    // `boundary` (r17, guide §3.3): `ev` feeds three consumers
+    // (evidence stats, last-match, compat), `current` two and `flagged`
+    // two (conflicts + enrich) — unbounded, each consumer replays the
+    // upstream agg+join subtree and the composed plan's analysis/codegen
+    // dominates the run at bench scale. Pass
+    // `df => Materialize.temp(df)._1` in composed pipelines; identity
+    // keeps the plan pure (the reference lands evidence as a table).
+    val current = boundary(authors
       .join(broadcast(parsedNames.select(col("raw_author_name"),
           col("parsed_name"))),
         trim(col("full_name")) === col("raw_author_name"), "left")
@@ -107,7 +115,7 @@ object FullNames {
         col("parsed_name.first").as("c_first"),
         coalesce(col("parsed_name.middle"), lit("")).as("c_middle"),
         col("parsed_name.last").as("c_last"),
-        coalesce(col("parsed_name.suffix"), lit("")).as("c_suffix"))
+        coalesce(col("parsed_name.suffix"), lit("")).as("c_suffix")))
     val attestedEv = ev.filter(col("n").isNotNull)
     val evidenceStats = attestedEv
       .groupBy(col("author_id"))
@@ -133,7 +141,7 @@ object FullNames {
         letters(col("p_first")).as("e_first_letters"),
         letters(col("c_middle")).as("c_mid_letters"),
         letters(col("p_middle")).as("e_mid_letters"))
-    val flagged = compat
+    val flagged = boundary(compat
       .withColumn("first_gain",
         when(col("e_first_letters") === col("c_first_letters"), 0)
           .when(length(col("c_first_letters")) <= 1 &&
@@ -150,7 +158,7 @@ object FullNames {
           coalesce(col("c_suffix"), lit("")), 0)
           .when(col("c_suffix") === "" && col("p_suffix") =!= "" &&
             regexp_replace(lower(col("p_suffix")), "[^a-z]", "")
-              .isin("jr", "sr", "ii", "iii", "iv", "junior"), 1))
+              .isin("jr", "sr", "ii", "iii", "iv", "junior"), 1)))
     val conflicts = flagged.groupBy(col("author_id"))
       .agg(
         countDistinct(when(col("n") >= 2 && col("e_mid_letters") =!= "",

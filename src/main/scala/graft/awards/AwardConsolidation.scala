@@ -62,12 +62,15 @@ object AwardConsolidation {
 
   /** `award_norm_key(funder, id, side)` with the weakness guard:
     * deposited (priority < 3) weak bare numbers get NO key at all;
-    * otherwise sharp-with-generic-fallback. */
-  private def sk(funderId: Column, awardId: Column, priority: Column): Column =
-    when(priority < 3 && AwardKeys.isWeak(funderId, awardId),
+    * otherwise sharp-with-generic-fallback. `nrm` is the pre-projected
+    * [[AwardKeys.normalized]] attribute (isWeakNorm doc: inlining the
+    * normalization per rule arm triples the analyzed tree). */
+  private def sk(funderId: Column, awardId: Column, nrm: Column,
+      priority: Column): Column =
+    when(priority < 3 && AwardKeys.isWeakNorm(funderId, nrm),
       lit(null).cast("string"))
       .otherwise(coalesce(
-        AwardKeys.sharpKey(funderId, awardId, priority >= 3), nk(awardId)))
+        AwardKeys.sharpKeyNorm(funderId, nrm, priority >= 3), nk(awardId)))
 
   /** Per-id survivorship (cells 2/3): higher priority wins; the
     * (funder_id, funder_award_id) tie-break keeps hash-collided ids
@@ -91,9 +94,11 @@ object AwardConsolidation {
   def keyed(raw: DataFrame): DataFrame =
     graft.core.Materialize.temp(
       dedupById(raw)
+        .withColumn("__nrm", AwardKeys.normalized(col("funder_award_id")))
         .withColumn("nk", nk(col("funder_award_id")))
         .withColumn("sk", sk(col("funder_id"), col("funder_award_id"),
-          col("priority"))),
+          col("__nrm"), col("priority")))
+        .drop("__nrm"),
       "graft-award-keyed")._1
 
   /** Cell 2: the award-id alias table — (old_id → canonical_id) for

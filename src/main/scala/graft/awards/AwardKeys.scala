@@ -395,14 +395,21 @@ object AwardKeys {
     4320320924L -> "^[0-9]{4,6}$", 4320320300L -> "^[0-9]{6}$",
     4320306076L -> "^[0-9]{7}$", 4320334593L -> "^[0-9]{4,6}$")
 
-  def isWeak(funderId: Column, awardId: Column): Column = {
-    val n = normalized(awardId)
+  def isWeak(funderId: Column, awardId: Column): Column =
+    isWeakNorm(funderId, normalized(awardId))
+
+  /** [[isWeak]] over an ALREADY-normalized column. Callers that also
+    * derive the sharp key should project `normalized(awardId)` once
+    * and pass the attribute to both *_Norm variants: passing the raw
+    * id inlines the 4-regex normalization subtree into every rule arm
+    * (~150 copies across the 50-rule chain), which triples the
+    * analyzed/codegen'd tree — plan-build time that every pass pays. */
+  def isWeakNorm(funderId: Column, n: Column): Column =
     // reduceRight: when(a).otherwise(when(b).otherwise(...)) — each
     // when gets exactly one otherwise
     coalesce(weakBare.map { case (f, p) =>
       when(funderId === f, n.rlike(p))
     }.reduceRight(_.otherwise(_)), lit(false))
-  }
 
   /** Sharp key for (funder, award, side); null for unconfigured
     * funders — callers fall back to the generic key.
@@ -417,13 +424,16 @@ object AwardKeys {
     * measured row-based cost is within 15% of a would-be codegen run
     * (3.5 vs 4.0 s incl. the abandoned compile). Row-local and
     * embarrassingly parallel — scales linearly with executors. */
-  def sharpKey(funderId: Column, awardId: Column, registrySide: Column): Column = {
-    val n = normalized(awardId)
+  def sharpKey(funderId: Column, awardId: Column, registrySide: Column): Column =
+    sharpKeyNorm(funderId, normalized(awardId), registrySide)
+
+  /** [[sharpKey]] over an ALREADY-normalized column (see
+    * [[isWeakNorm]] for why callers should project it once). */
+  def sharpKeyNorm(funderId: Column, n: Column, registrySide: Column): Column =
     rules.map { r =>
       when(funderId === r.funderId,
         when(registrySide, r.registry(n)).otherwise(r.deposited(n)))
     }.reduceRight(_.otherwise(_))
-  }
 
   /** Deposited provenances (WorkAwards): sharp keys from these are
     * weakness-guarded; everything else is registry-side. */
@@ -441,10 +451,14 @@ object AwardKeys {
     val isReg = !col("provenance").isin(DepositedProvenances: _*)
     val base = awards.filter(col("funder_award_id").isNotNull)
       .withColumn("gk", genericKey(col("funder_award_id")))
+      // normalized ONCE as an attribute; the rule chain references it
+      // instead of inlining the 4-regex prelude per arm (isWeakNorm doc)
+      .withColumn("__nrm", normalized(col("funder_award_id")))
       // weakness guards DEPOSITED evidence only; registry ids are
       // trusted (WorkAwards awards_base CASE)
-      .withColumn("sk", when(isReg || !isWeak(col("funder_id"), col("funder_award_id")),
-        sharpKey(col("funder_id"), col("funder_award_id"), isReg)))
+      .withColumn("sk", when(isReg || !isWeakNorm(col("funder_id"), col("__nrm")),
+        sharpKeyNorm(col("funder_id"), col("__nrm"), isReg)))
+      .drop("__nrm")
       .withColumn("is_registry", isReg.cast("int"))
     val g = base.withColumn("__rn", row_number().over(
         Window.partitionBy(col("funder_id"), col("gk"))
@@ -469,8 +483,10 @@ object AwardKeys {
   def matchWorkAwards(workFunders: DataFrame, lookup: DataFrame): DataFrame = {
     val keyed = workFunders
       .withColumn("nk", genericKey(col("funder_award_id")))
-      .withColumn("sk", when(!isWeak(col("funder_id"), col("funder_award_id")),
-        sharpKey(col("funder_id"), col("funder_award_id"), lit(false))))
+      .withColumn("__nrm", normalized(col("funder_award_id")))
+      .withColumn("sk", when(!isWeakNorm(col("funder_id"), col("__nrm")),
+        sharpKeyNorm(col("funder_id"), col("__nrm"), lit(false))))
+      .drop("__nrm")
     val g = lookup.filter(col("regime") === "g").select(
       col("funder_id").as("__gf"), col("nk").as("__gk"),
       col("id").as("__gid"), col("display_name").as("__gdn"),

@@ -96,11 +96,19 @@ object Similarity {
     * input destabilizes nothing; it deterministically elects the
     * lowest-id NaN-scored centroid, exactly as the window form did.
     * @param cent (cent_id LONG, cv DOUBLE[], cn norm) */
-  def ivfCells(e: DataFrame, idCol: String, vecCol: String, normCol: String,
-      cent: DataFrame, nProbe: Int): DataFrame = {
-    val packed = cent.agg(sort_array(collect_list(struct(
+  /** Centroids packed to ONE row of K structs (the packedStats
+    * convention) — the broadcast side of the in-array election. */
+  private def packCentroids(cent: DataFrame): DataFrame =
+    cent.agg(sort_array(collect_list(struct(
       col("cent_id").cast("long").as("cent_id"), col("cv"), col("cn"))))
       .as("__cents"))
+
+  /** Top-`nProbe` cells by (cosine DESC, cent_id ASC) as an in-array
+    * sorted slice over the packed `__cents` column — the shared
+    * election expression of [[ivfCells]] and the trainer's inline
+    * assignment (same expressions ⇒ bit-identical cells). */
+  private def topCellsExpr(vecCol: String, normCol: String,
+      nProbe: Int): Column = {
     val scores = transform(col("__cents"), c => struct(
       (dot(col(vecCol), c.getField("cv")) /
         (col(normCol) * c.getField("cn"))).as("cos"),
@@ -118,13 +126,16 @@ object Similarity {
         .when(l.getField("cent_id") < r.getField("cent_id"), -1)
         .when(l.getField("cent_id") > r.getField("cent_id"), 1)
         .otherwise(0)
-    e.crossJoin(broadcast(packed))
-      .select(col(idCol),
-        slice(array_sort(scores, byCosDesc), 1, nProbe).as("__top"))
+    slice(array_sort(scores, byCosDesc), 1, nProbe)
+  }
+
+  def ivfCells(e: DataFrame, idCol: String, vecCol: String, normCol: String,
+      cent: DataFrame, nProbe: Int): DataFrame =
+    e.crossJoin(broadcast(packCentroids(cent)))
+      .select(col(idCol), topCellsExpr(vecCol, normCol, nProbe).as("__top"))
       .select(col(idCol), posexplode(col("__top")))
       .select(col(idCol), col("col.cent_id").as("cell"),
         (col("pos") + 1).cast("int").as("probe_rank"))
-  }
 
   /** Per-dimension min/max over the embedding corpus — the int8
     * scalar-quantizer "training" pass. One explode + keyed agg to a
@@ -278,9 +289,10 @@ object Similarity {
       (h * 31 + c) % graft.functions.TextFunctions.CharHashMod)
 
   def trainCentroids(e: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, seed: String): DataFrame = {
+      k: Int, iters: Int, seed: String,
+      boundary: DataFrame => DataFrame = identity): DataFrame = {
     require(k > 0, s"k must be > 0 (got $k)")
-    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    require(iters >= 0, s"iters >= 0 (got $iters)")
     val arrSum = udaf(graft.aer.AuthorVectors.ArraySumAgg)
     val base = e.select(col(idCol).cast("long").as("__id"),
         toDoubleVec(col(vecCol)).as("__v"))
@@ -294,22 +306,37 @@ object Similarity {
       .agg(graft.operators.TopK.topK(k)(-h, col("__id")).as("__tk"))
       .select(posexplode(col("__tk")))
       .select(col("pos").cast("long").as("cent_id"), col("col.id").as("__id"))
-    var cent = seeds.join(base, Seq("__id"))
-      .select(col("cent_id"), col("__v").as("cv"), col("__n").as("cn"))
+    // `boundary` (r17, guide §3.3): each iteration's centroid frame is
+    // K tiny rows, but consumed TWICE by the next iteration (packed
+    // election + empty-cell fallback join) and again by every
+    // downstream consumer — without a cut the i-th iteration's plan
+    // embeds 2^i copies of the trainer subtree and the optimizer
+    // replays the corpus scan per copy. Cutting at K rows per
+    // iteration makes the whole trainer ~1 corpus pass per iteration.
+    // Pass `df => Materialize.temp(df)._1` in composed pipelines;
+    // identity keeps the plan pure (spec determinism arms).
+    var cent = boundary(seeds.join(base, Seq("__id"))
+      .select(col("cent_id"), col("__v").as("cv"), col("__n").as("cn")))
     for (_ <- 1 to iters) {
-      val asg = ivfCells(base, "__id", "__v", "__n", cent, nProbe = 1)
-        .select(col("__id"), col("cell"))
-      val means = base.join(asg, Seq("__id"))
+      // inline nProbe=1 assignment: same packed broadcast + in-array
+      // election expression as ivfCells, but carrying `__v` through
+      // the projection — the old form joined ivfCells output back to
+      // `base` on __id, a second corpus scan + a corpus-wide join per
+      // iteration for rows the projection already had in hand
+      val asgv = base.crossJoin(broadcast(packCentroids(cent)))
+        .select(element_at(topCellsExpr("__v", "__n", 1), 1)
+          .getField("cent_id").as("cell"), col("__v"))
+      val means = asgv
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("__cnt"), arrSum(col("__v")).as("__sum"))
         .select(col("cell"), transform(col("__sum"),
           v => floor(v / col("__cnt") * 1000000 + 0.5) / 1000000.0)
           .as("__mv"))
-      cent = cent.select(col("cent_id"), col("cv").as("__old"))
+      cent = boundary(cent.select(col("cent_id"), col("cv").as("__old"))
         .join(means, col("cent_id") === col("cell"), "left")
         .select(col("cent_id"),
           coalesce(col("__mv"), col("__old")).as("cv"))
-        .withColumn("cn", norm(col("cv")))
+        .withColumn("cn", norm(col("cv"))))
     }
     cent
   }
@@ -357,12 +384,23 @@ object Similarity {
   def semanticDupFlags(e: DataFrame, idCol: String, vecCol: String,
       normCol: String, cent: DataFrame, tauMicro: Long,
       maxCellSize: Long = Long.MaxValue, subPlanes: Int = 4,
-      dim: Int = 64): DataFrame = {
-    val cells = ivfCells(e, idCol, vecCol, normCol, cent, nProbe = 1)
-      .select(col(idCol), col("cell"))
+      dim: Int = 64,
+      boundary: DataFrame => DataFrame = identity): DataFrame = {
+    // `boundary` (r17, guide §3.3/§2.4): the assignment feeds the size
+    // census AND the vector join, and the bucketed frame feeds BOTH
+    // pair sides plus the final flag join — unbounded, each consumer
+    // replays the assignment projection (and, through `cent`, the
+    // whole trainer when composed with [[trainCentroids]]). Cut at the
+    // narrow (id, cell) frame and at the bucketed frame so the
+    // assignment runs once and the pair sides re-read a landing
+    // instead of recomputing — the SemDeDup-at-scale posture (cluster
+    // assignments are a stored artifact). identity keeps it pure.
+    val cells = boundary(
+      ivfCells(e, idCol, vecCol, normCol, cent, nProbe = 1)
+        .select(col(idCol), col("cell")))
     val withCell0 = e.select(col(idCol), col(vecCol), col(normCol))
       .join(cells, Seq(idCol))
-    val withCell =
+    val withCell = boundary(
       if (maxCellSize == Long.MaxValue)
         withCell0.withColumn("__sub", lit(0))
       else {
@@ -380,7 +418,7 @@ object Similarity {
                 (a, b) => a - b), ps))
             .otherwise(lit(0)))
           .drop("__over", "__ccv")
-      }
+      })
     val a = withCell.select(col("cell"), col("__sub"),
       col(idCol).as("__a_id"), col(vecCol).as("__av"),
       col(normCol).as("__an"))

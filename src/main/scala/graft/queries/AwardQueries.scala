@@ -104,11 +104,12 @@ object AwardQueries {
       o.select(k.as("k"), funder.as("funder_id"), award.as("award_id"),
         side.as("side"))
     }
-    rows.select(col("k"), col("funder_id"), col("award_id"), col("side"),
-      AwardKeys.genericKey(col("award_id")).as("generic_key"),
-      AwardKeys.sharpKey(col("funder_id"), col("award_id"),
-        col("side") === "registry").as("sharp_key"),
-      AwardKeys.isWeak(col("funder_id"), col("award_id")).as("weak"))
+    rows.withColumn("__nrm", AwardKeys.normalized(col("award_id")))
+      .select(col("k"), col("funder_id"), col("award_id"), col("side"),
+        AwardKeys.genericKey(col("award_id")).as("generic_key"),
+        AwardKeys.sharpKeyNorm(col("funder_id"), col("__nrm"),
+          col("side") === "registry").as("sharp_key"),
+        AwardKeys.isWeakNorm(col("funder_id"), col("__nrm")).as("weak"))
   }
 
   /** q68 oracle v2 (round 8): generic keys, weakness, and every
@@ -745,7 +746,15 @@ object AwardQueries {
       rrow(TTFL, concat(lit("PRE-VV"), ks(5)), 3)(m(17)),  // verdict-screened dep
       rrow(TTFU, concat(lit("ZZUN"), ks(5)), 3)(m(29))     // unscored funder
     ).reduce(_ unionByName _)
-    (verdicts, registry)
+    // The synthesized arms stand in for STORED tables (the verdict
+    // table and the raw registry landing are both Delta tables in the
+    // reference) — CACHED per (dir, JVM) like q68's rows and q108's
+    // raw landing: re-running the 19+21-arm union synthesis per plan
+    // build measured fixture I/O (~40 scan+project codegen units per
+    // pass), not the tail-map pipeline, which recomputes per pass.
+    def mat(name: String, df: => DataFrame) =
+      graft.core.Materialize.cachedTemp(s"q127fix-$name:$dir", s)(df)
+    (mat("verdicts", verdicts), mat("registry", registry))
   }
 
   private def q127(s: SparkSession, dir: String): DataFrame = {

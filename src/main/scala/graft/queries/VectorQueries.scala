@@ -278,10 +278,17 @@ object VectorQueries {
           x + (pmod(i, lit(3)) - 1).cast("double") * 0.01).as("v"))
     val all = e0.unionByName(dup)
       .withColumn("nrm", Similarity.norm(col("v")))
+    // r17: Materialize boundaries at every multi-consumer stage (the
+    // q97 pattern) — per-iteration K-row centroid cuts in the trainer,
+    // the (id, cell) assignment, and the bucketed pair frame. Without
+    // them the composed plan replayed the trainer subtree per consumer
+    // (~30 corpus scans, 96 Exchanges); with them it is ~6 passes.
+    val cut = (df: org.apache.spark.sql.DataFrame) =>
+      graft.core.Materialize.temp(df)._1
     val cent = Similarity.trainCentroids(all, "vec_id", "v",
-      k = 16, iters = 2, seed = "sd1")
+      k = 16, iters = 2, seed = "sd1", boundary = cut)
     Similarity.semanticDupFlags(all, "vec_id", "v", "nrm", cent, 990000L,
-      maxCellSize = 256L, subPlanes = 4, dim = 64)
+      maxCellSize = 256L, subPlanes = 4, dim = 64, boundary = cut)
   }
 
   val queries: Map[String, Q] = Map(
