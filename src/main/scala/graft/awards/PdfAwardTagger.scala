@@ -158,10 +158,14 @@ object PdfAwardTagger {
         col("all_sections").as("funding_sections"))
   }
 
-  /** rlike with a non-literal pattern column (Column.rlike takes a
-    * string literal; functions.rlike accepts a column pattern). */
+  /** rlike with a non-literal pattern column, through the compiled-
+    * pattern cache (graft.plans.RLikeCached — the built-in RLike
+    * recompiles a non-foldable pattern per row pair; the registry
+    * sides here carry a few dozen DISTINCT patterns evaluated against
+    * every section row). Semantics identical to `functions.rlike`
+    * (PlansSpec parity arm). Sessions register it via core.Tables. */
   implicit private class DynRlike(c: Column) {
     def rlike_dynamic(pattern: Column): Column =
-      org.apache.spark.sql.functions.rlike(c, pattern)
+      call_function("rlike_cached", c, pattern)
   }
 }

@@ -37,6 +37,7 @@ object Tables {
     graft.plans.ArrayDotProduct.register(spark)
     graft.plans.CharHash.register(spark)
     graft.plans.SortedIntersectCount.register(spark)
+    graft.plans.RLikeCached.register(spark)
     if (name == "events") readEvents(spark, s"$dir/$name.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
   }

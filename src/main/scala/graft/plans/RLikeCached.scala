@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rlike` for NON-LITERAL pattern columns with a compiled-pattern
+  * cache (SURVEY §7.3: custom Catalyst only where built-ins can't
+  * express it EFFICIENTLY).
+  *
+  * Spark's `RLike` only caches the compiled `java.util.regex.Pattern`
+  * when the pattern is a foldable literal; with a pattern COLUMN (the
+  * PdfAwardTagger registry-regex × sections cross-match) it calls
+  * `Pattern.compile` per evaluated ROW PAIR — ~4.5M compiles per pass
+  * on the q102 fixture for a registry of ~30 distinct patterns. This
+  * expression keeps the exact `RLike` semantics
+  * (`Pattern.compile(p.toString).matcher(s.toString).find(0)`, null if
+  * either side is null) and adds a per-instance pattern→Pattern cache:
+  * registry-sized pattern sets compile once per task instead of once
+  * per row. Parity with `functions.rlike` is asserted in PlansSpec.
+  *
+  * The cache is bounded (10⁴ entries — far above any registry; the
+  * q102 sides carry ~30/~60 distinct patterns); on overflow new
+  * patterns simply compile per row like the built-in, never wrong.
+  */
+case class RLikeCached(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rlike_cached requires (STRING, STRING), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "rlike_cached"
+
+  @transient private lazy val helper = new RLikeCached.Helper
+
+  override def nullSafeEval(s: Any, p: Any): Any =
+    helper.matches(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("rlikeCachedHelper", helper,
+      classOf[RLikeCached.Helper].getName)
+    nullSafeCodeGen(ctx, ev, (s, p) =>
+      s"${ev.value} = $h.matches($s, $p);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RLikeCached =
+    copy(left = newLeft, right = newRight)
+}
+
+object RLikeCached {
+
+  /** Serializable holder; the cache itself is transient and rebuilt
+    * empty after (de)serialization to the task. Keys are DEFENSIVE
+    * COPIES of the probe UTF8String (column values can be backed by
+    * reused buffers); probes use the transient value directly
+    * (UTF8String equals/hashCode are content-based). */
+  final class Helper extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[UTF8String,
+        java.util.regex.Pattern]()
+    def matches(s: UTF8String, p: UTF8String): Boolean = {
+      var pat = cache.get(p)
+      if (pat == null) {
+        val ps = p.toString
+        pat = java.util.regex.Pattern.compile(ps)
+        if (cache.size < 10000) cache.put(UTF8String.fromString(ps), pat)
+      }
+      pat.matcher(s.toString).find(0)
+    }
+  }
+
+  /** Register `rlike_cached` in the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rlike_cached", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"rlike_cached requires exactly 2 arguments, got ${exprs.length}")
+        RLikeCached(exprs.head, exprs(1))
+      }, "scala_udf")
+}

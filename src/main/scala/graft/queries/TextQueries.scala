@@ -301,9 +301,16 @@ object TextQueries {
     * clean — the rowset a training run would actually read. */
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    // r17: the exploded shingle frame feeds BOTH the signature build
+    // and the decontamination screen, and the signature+set frame
+    // feeds BOTH candidate generation and verification — land each
+    // once (the Materialize generation/verification boundary this
+    // pipeline's operators already document; guide §3.3)
+    val sh = graft.core.Materialize.temp(
+      Dedup.shingles(d, "doc_id", "text", 3))._1
     val sid = Dedup.withShingleIds(sh).select(col("doc_id"), col("sid"))
-    val combined = Dedup.signatureWithSets(sid, "doc_id", 16)
+    val combined = graft.core.Materialize.temp(
+      Dedup.signatureWithSets(sid, "doc_id", 16))._1
     val cand = Dedup.lshCandidates(combined, "doc_id", 4, 4)
     val verified = Dedup.jaccardForSets(cand, combined, "doc_id")
       .filter(col("jaccard") >= 0.5).select(col("da"), col("db"))

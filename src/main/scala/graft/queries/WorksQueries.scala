@@ -168,9 +168,12 @@ object WorksQueries {
         pmod(k, lit(400)).cast("string"))).as("doi"),
       when(pmod(k, lit(5)) < 2, array(struct(pmhId.as("pmh_id"))))
         .as("locations"))
-    val matched = graft.core.Materialize.temp(
-      WorkFulltext.matches(works, keys))._1
+    // r17: land keys ONCE and match against the landing — `keys` fed
+    // both `matches` and the delta legs, so the keysDelta window +
+    // merge subtree was computed twice per pass (guide §3.3)
     val keysM = graft.core.Materialize.temp(keys)._1
+    val matched = graft.core.Materialize.temp(
+      WorkFulltext.matches(works, keysM))._1
     val wf0 = o.filter(k % 21 === 6).select(k.as("work_id"),
       lit("PRE").as("fulltext"), lit("pmh").as("match_type"),
       lit("stale").as("key"), lit(-1L).as("raw_length"),
