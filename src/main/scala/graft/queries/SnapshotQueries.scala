@@ -61,10 +61,16 @@ object SnapshotQueries {
     val loc2 = locS(concat(lit("d"), k), lit("datacite"),
       srcStruct(lit("DC"), pmod(k, lit(7)) === 0), lit("publishedVersion"),
       concat(lit("https://l2/"), k), nstr)
+    // r17: loc1/loc2 are ~50-node struct trees referenced 2-3× each
+    // (locations + primary/best_oa) — hoisted to real columns so the
+    // giant doc projection (which falls out of whole-stage codegen at
+    // this width) evaluates each ONCE per row; CollapseProject keeps
+    // multi-referenced non-cheap aliases as a separate projection
+    val loc1c = col("__loc1"); val loc2c = col("__loc2")
     val locations = when(pmod(k, lit(71)) === 0,
         lit(null).cast("array<struct<native_id:string,source:struct<display_name:string,is_in_doaj:boolean>,is_oa:boolean,version:string,landing_page_url:string,pdf_url:string,raw_source_name:string,raw_type:string,provenance:string,license:string,license_id:bigint,is_accepted:boolean>>"))
-      .when(pmod(k, lit(6)) < 3, array(loc1, loc2))
-      .otherwise(array(loc1))
+      .when(pmod(k, lit(6)) < 3, array(loc1c, loc2c))
+      .otherwise(array(loc1c))
     // --- abstract_inverted_index arms (maxBytes = 64) ---
     val absIdx = when(pmod(k, lit(19)) === 0, nstr)
       .when(pmod(k, lit(23)) === 0, lit("not json"))
@@ -104,7 +110,9 @@ object SnapshotQueries {
       concat(lit("C"), pmod(k, lit(50)) + off).as("display_name"),
       pmod(k, lit(5)).cast("int").as("level"),
       (pmod(k, lit(100)) / lit(100.0)).as("score"))
-    val works = o.select(
+    val works = o
+      .withColumn("__loc1", loc1).withColumn("__loc2", loc2)
+      .select(
       when(pmod(k, lit(89)) === 0, lit(null).cast("long"))
         .when(pmod(k, lit(97)) === 0, -k.cast("long"))
         .otherwise(k.cast("long")).as("id"),
@@ -134,9 +142,9 @@ object SnapshotQueries {
         concat(lit("https://u/"), k).as("oa_url")).as("open_access"),
       authorships.as("authorships"),
       locations.as("locations"),
-      when(pmod(k, lit(47)) =!= 0 && pmod(k, lit(71)) =!= 0, loc1)
+      when(pmod(k, lit(47)) =!= 0 && pmod(k, lit(71)) =!= 0, loc1c)
         .as("primary_location"),
-      when(pmod(k, lit(6)) < 3, loc2).as("best_oa_location"),
+      when(pmod(k, lit(6)) < 3, loc2c).as("best_oa_location"),
       when(pmod(k, lit(37)) === 0, lit("ft")).as("fulltext"),
       pmod(k, lit(7)).cast("int").as("authors_count"),
       when(pmod(k, lit(61)) =!= 0, array(pmod(k, lit(13)).cast("long")))
