@@ -1411,9 +1411,17 @@ object EntityQueries {
     val (wb, wa, an, cl, rm, oa, ar, lg) = q97Fixture(s, dir)
     // boundaries: the batch feeds the seat capture + judgment + apply,
     // and the flagged frame feeds five cascade consumers — both are
-    // multi-consumer stages (the reference lands each as a Delta table)
+    // multi-consumer stages (the reference lands each as a Delta table).
+    // r17 (guide §2.3, project before the exchange/boundary): the GUARD
+    // reads only (work_id, author_sequence, raw_author_name) — selecting
+    // them before the landing prunes the collect_list(affiliation_
+    // structs) and max(updated_date) aggregates out of the batch plan
+    // entirely and narrows the landed payload (q98's apply still lands
+    // the full batch; it consumes the structs).
     val batch = graft.core.Materialize.temp(WorkAuthorGuard.updateBatch(
-      wb, wa, lit("2024-01-15").cast("timestamp")))._1
+        wb, wa, lit("2024-01-15").cast("timestamp"))
+      .select(col("work_id"), col("author_sequence"),
+        col("raw_author_name")))._1
     WorkAuthorGuard.guardBatch(batch, wa, an, cl, rm, oa, ar, lg,
         boundary = df => graft.core.Materialize.temp(df)._1)
       .select(col("work_id"), col("author_sequence"),
