@@ -414,16 +414,18 @@ object AwardKeys {
   /** Sharp key for (funder, award, side); null for unconfigured
     * funders — callers fall back to the generic key.
     *
-    * Codegen note (measured at the q68 rotation, 150k rows): the
-    * 50-branch chain's generated code tops the JVM 64KB single-method
-    * limit, so whole-stage codegen falls back to the row-based
-    * projection for this stage. That is fine here: per row only the
-    * matched funder's regexes evaluate (guards are cheap long
-    * equality), regex matching dominates either mode (~3µs/exec,
-    * compiled patterns cached per expression instance), and the
-    * measured row-based cost is within 15% of a would-be codegen run
-    * (3.5 vs 4.0 s incl. the abandoned compile). Row-local and
-    * embarrassingly parallel — scales linearly with executors. */
+    * Codegen note (re-measured r17 at the q68 rotation, 150k rows):
+    * the 50-branch chain's generated code tops the JVM 64KB
+    * single-method limit, so whole-stage codegen falls back to the
+    * row-based projection for this stage. Per row only the matched
+    * funder's regexes evaluate (guards are cheap long equality) —
+    * BUT inlining `normalized(awardId)` per rule arm (the pre-r17
+    * form of this method) both tripled the analyzed/codegen'd tree
+    * (plan-build time every pass pays) and re-ran the 4-regex prelude
+    * per arm use per row in the interpreted fallback: hoisting it to
+    * a projected attribute via [[sharpKeyNorm]] halved q68's task CPU
+    * (4.2 → 1.8 s) and its plan-build gap (2.75 → 1.2 s). Row-local
+    * and embarrassingly parallel — scales linearly with executors. */
   def sharpKey(funderId: Column, awardId: Column, registrySide: Column): Column =
     sharpKeyNorm(funderId, normalized(awardId), registrySide)
 
