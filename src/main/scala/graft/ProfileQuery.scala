@@ -14,9 +14,14 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for config A/Bs
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF segment '$kv' has no '=' (want k=v;k=v)")
+        }
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names run in sequence (reproduces sweep

@@ -37,10 +37,15 @@ object Materialize {
     df.sparkSession.read.parquet(path)
   }
 
-  /** Materialize into a fresh temp dir; caller owns cleanup (or lets
-    * the OS tmp reaper take it — the data is a transient stage). */
+  /** Materialize into a fresh temp dir; the dir is deleted at JVM exit
+    * (same shutdown set as [[cachedTemp]] — repeated bench/verify
+    * passes through a query whose constructor lands boundaries would
+    * otherwise accumulate unbounded /tmp usage). Callers may still
+    * delete earlier via the returned path. */
   def temp(df: DataFrame, prefix: String = "graft-mat"): (DataFrame, String) = {
-    val dir = Files.createTempDirectory(prefix).resolve("data").toString
+    val root = Files.createTempDirectory(prefix)
+    cleanupHook.add(root.toString)
+    val dir = root.resolve("data").toString
     (parquet(df, dir), dir)
   }
 

@@ -73,12 +73,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 object ArrayDotProduct {
-  /** Register `array_dot` in the session (idempotent). */
+  /** Register `array_dot` in the session (idempotent, WARN-free). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"array_dot requires exactly 2 arguments, got ${exprs.length}")
-        ArrayDotProduct(exprs(0), exprs(1))
-      }, "scala_udf")
+    RegisterOnce(spark, "array_dot") { exprs =>
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"array_dot requires exactly 2 arguments, got ${exprs.length}")
+      ArrayDotProduct(exprs(0), exprs(1))
+    }
 }

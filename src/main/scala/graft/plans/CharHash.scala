@@ -126,12 +126,11 @@ object CharHash {
     h
   }
 
-  /** Register `char_hash` in the session (idempotent). */
+  /** Register `char_hash` in the session (idempotent, WARN-free). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_hash", exprs => {
-        if (exprs.length != 1) throw new IllegalArgumentException(
-          s"char_hash requires exactly 1 argument, got ${exprs.length}")
-        CharHash(exprs.head)
-      }, "scala_udf")
+    RegisterOnce(spark, "char_hash") { exprs =>
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"char_hash requires exactly 1 argument, got ${exprs.length}")
+      CharHash(exprs.head)
+    }
 }

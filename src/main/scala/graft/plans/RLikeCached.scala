@@ -79,12 +79,11 @@ object RLikeCached {
     }
   }
 
-  /** Register `rlike_cached` in the session (idempotent). */
+  /** Register `rlike_cached` in the session (idempotent, WARN-free). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rlike_cached", exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"rlike_cached requires exactly 2 arguments, got ${exprs.length}")
-        RLikeCached(exprs.head, exprs(1))
-      }, "scala_udf")
+    RegisterOnce(spark, "rlike_cached") { exprs =>
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"rlike_cached requires exactly 2 arguments, got ${exprs.length}")
+      RLikeCached(exprs.head, exprs(1))
+    }
 }

@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Register a temp function only when the session doesn't already have
+  * it. `createOrReplaceTempFunction` on every call is semantically
+  * idempotent but logs a `SimpleFunctionRegistry: ... replaced` WARN
+  * per call — Tables() registers four functions per table load, so a
+  * full bench sweep emitted thousands of WARN lines, which is exactly
+  * the noise that pushed the bench's final results line out of the
+  * driver's ~2 KB stdout tail (PERF parsed: null since r14).
+  *
+  * A lost check-then-act race between two threads merely degrades to
+  * one replace WARN; the registered builder is identical either way.
+  */
+object RegisterOnce {
+  def apply(spark: SparkSession, name: String)(
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}

@@ -79,13 +79,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
-  /** Register `sorted_intersect_count` in the session (idempotent). */
+  /** Register `sorted_intersect_count` in the session (idempotent, WARN-free). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
-        SortedIntersectCount(exprs(0), exprs(1))
-      }, "scala_udf")
+    RegisterOnce(spark, "sorted_intersect_count") { exprs =>
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
+      SortedIntersectCount(exprs(0), exprs(1))
+    }
 }

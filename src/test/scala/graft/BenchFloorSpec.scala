@@ -57,6 +57,43 @@ class BenchFloorSpec extends AnyFunSuite {
     }
   }
 
+  test("compact results line survives the driver's 2000-char tail and " +
+    "round-trips as floors") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // qNN prefixes must be unique or the compact line silently merges
+    // two queries' results
+    val prefixes = names.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size === names.size,
+      s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct}")
+    // pessimistic: every query at 99.9 s (4-char values), 3-digit loads
+    val res = names.map(_ -> 99.94)
+    val line = Bench.compactLine(res, 9999.9, "/root/testdata/sf0.1", 5,
+      "[99.99,99.99,99.99]")
+    // budget: 2000-char tail - "[info] " prefix - "\n" - ~75-char sbt
+    // [success] trailer => the line itself must stay under ~1915
+    assert(line.length < 1900, s"compact line ${line.length} chars — " +
+      "will be cut by the driver's stdout tail")
+    assert(line.contains("\"metric\":\"total\"") && line.contains("\"unit\":\"sec\""))
+    // floored, clamped values: 99.94 -> 99.9, and a 0.01 s query floors
+    // to the 0.05 clamp (a raw 0.0 would trip the 3x outlier test on
+    // every future run)
+    assert(line.contains("\":99.9"))
+    val tiny = Bench.compactLine(Seq("q01_x" -> 0.01), 0.01, "d", 0, "[]")
+    assert(tiny.contains("\"q01\":0.05"))
+    // the driver wraps the tail in an escaped JSON string; harvesting
+    // the artifact must floor every query from the compact line alone
+    val wrapped = "{\"n\":18,\"rc\":0,\"tail\": \"" +
+      ("[info] " + line + "\n[success] Total time: 600 s").takeRight(2000)
+        .replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+    val dir = java.nio.file.Files.createTempDirectory("benchcompact")
+    val p = dir.resolve("BENCH_r98.json")
+    java.nio.file.Files.write(p, wrapped.getBytes("UTF-8"))
+    val floors = Bench.floorTimesFrom(Seq(p.toString))
+    names.foreach { n =>
+      assert(Bench.floorFor(floors, n).contains(99.9), s"no floor for $n")
+    }
+  }
+
   test("floorFor: short qNN keys serve full names, min wins over both") {
     val m = Map("q49" -> 0.7, "q49_humanname_parse" -> 0.9, "q03" -> 1.2)
     assert(Bench.floorFor(m, "q49_humanname_parse").contains(0.7))
