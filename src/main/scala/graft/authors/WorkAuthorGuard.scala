@@ -111,10 +111,25 @@ object WorkAuthorGuard {
           .as("affiliation_structs"))
   }
 
-  private def nameKeys(authorNames: DataFrame, prefix: String): DataFrame =
-    authorNames.select(col("raw_author_name").as(s"${prefix}_raw"),
-      col("match_last").as(s"${prefix}_last"),
-      col("match_first").as(s"${prefix}_first"))
+  /** One canonical match-key projection of the name dictionary. Every
+    * guard lookup joins THIS subtree and renames the keys afterwards:
+    * with per-prefix projections (`in_*`, `cur_*`, …) the five lookup
+    * joins each built their own broadcast relation of the same
+    * dictionary; with one canonical shape the planner's exchange reuse
+    * builds the broadcast once and the other four become
+    * ReusedExchange (guide §3.1: fewer broadcast builds). */
+  private def nameKeysDict(authorNames: DataFrame): DataFrame =
+    authorNames.select(col("raw_author_name").as("nk_raw"),
+      col("match_last").as("nk_last"), col("match_first").as("nk_first"))
+
+  /** Left-join `nameCol`'s trimmed value against the canonical
+    * dictionary and expose the keys as `<prefix>_last`/`<prefix>_first`. */
+  private def withNameKeys(df: DataFrame, dict: DataFrame, nameCol: Column,
+      prefix: String): DataFrame =
+    df.join(broadcast(dict), trim(nameCol) === col("nk_raw"), "left")
+      .drop("nk_raw")
+      .withColumnRenamed("nk_last", s"${prefix}_last")
+      .withColumnRenamed("nk_first", s"${prefix}_first")
 
   /** Cell 11: the guard batch. Inputs beyond the batch: bound seats
     * (work_authors), the name dictionary, claim + removal curations,
@@ -148,11 +163,9 @@ object WorkAuthorGuard {
       .filter(!(lower(trim(col("incoming_name"))) <=>
         lower(trim(col("current_name")))))
       .distinct()
-    val judged = changed
-      .join(broadcast(nameKeys(authorNames, "in")),
-        trim(col("incoming_name")) === col("in_raw"), "left").drop("in_raw")
-      .join(broadcast(nameKeys(authorNames, "cur")),
-        trim(col("current_name")) === col("cur_raw"), "left").drop("cur_raw")
+    val nkDict = nameKeysDict(authorNames)
+    val judged = withNameKeys(withNameKeys(changed, nkDict,
+        col("incoming_name"), "in"), nkDict, col("current_name"), "cur")
       .withColumn("verdict",
         when(col("incoming_name").rlike(Cjk) ||
           col("current_name").rlike(Cjk), "ABSTAIN_CJK")
@@ -189,15 +202,15 @@ object WorkAuthorGuard {
       .select(coalesce(col("__pid"), col("__aid")).as("__prof_id"),
         coalesce(col("__oa_dn"), col("__ar_dn")).as("__prof_dn"),
         col("__oa_fn").as("__prof_fn"))
-    val freed = flagged.filter(col("invalidate"))
-      .select(col("work_id"), col("current_name").as("donor_name"),
-        col("current_author_id").as("donor_id"),
-        col("cur_last").as("donor_last"), col("cur_first").as("donor_first"))
-      .join(broadcast(profile), col("donor_id") === col("__prof_id"), "left")
-      .join(broadcast(nameKeys(authorNames, "pd")),
-        trim(col("__prof_dn")) === col("pd_raw"), "left").drop("pd_raw")
-      .join(broadcast(nameKeys(authorNames, "pf")),
-        trim(col("__prof_fn")) === col("pf_raw"), "left").drop("pf_raw")
+    val freed = withNameKeys(withNameKeys(
+        flagged.filter(col("invalidate"))
+          .select(col("work_id"), col("current_name").as("donor_name"),
+            col("current_author_id").as("donor_id"),
+            col("cur_last").as("donor_last"),
+            col("cur_first").as("donor_first"))
+          .join(broadcast(profile), col("donor_id") === col("__prof_id"),
+            "left"),
+        nkDict, col("__prof_dn"), "pd"), nkDict, col("__prof_fn"), "pf")
       .filter(namesCompatibleV2(col("donor_last"), col("donor_first"),
         when(col("pd_last").isNotNull, col("pd_last"))
           .otherwise(col("pf_last")),
@@ -235,9 +248,8 @@ object WorkAuthorGuard {
     // aggregation (the reference's three CTEs scan legacy three times;
     // the per-tier semantics are preserved as conditional aggregates:
     // le_n = 0 ⟺ no exact-raw row ⟺ the reference's NULL __le)
-    val legDict = legacy.filter(col("author_id").isNotNull)
-      .join(broadcast(nameKeys(authorNames, "pn")),
-        trim(col("raw_author_name")) === col("pn_raw"), "left").drop("pn_raw")
+    val legDict = withNameKeys(legacy.filter(col("author_id").isNotNull),
+        nkDict, col("raw_author_name"), "pn")
       .select(col("work_id"),
         lower(trim(col("raw_author_name"))).as("__l_raw"),
         col("author_id").as("__l_auth"),
@@ -334,8 +346,11 @@ object WorkAuthorGuard {
         posexplode(col("authorships")).as(Seq("author_sequence", "__a")))
       .select(col("work_id"), col("author_sequence"),
         col("__a.is_corresponding").as("__corr"))
-    val srcPn = authorNames.select(col("raw_author_name").as("__src_raw"),
-      col("parsed_last").as("__src_pl"), col("parsed_first").as("__src_pf"))
+    // one canonical parsed-key projection — the source enrich and the
+    // legacy parsed tier join the same subtree so the broadcast builds
+    // once (the per-tier filter folds into the inner-join condition)
+    val pnDict = authorNames.select(col("raw_author_name").as("pn_raw"),
+      col("parsed_last").as("pn_pl"), col("parsed_first").as("pn_pf"))
     val lwaName = legacy
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("work_id"),
@@ -346,12 +361,12 @@ object WorkAuthorGuard {
         lower(trim(col("raw_author_name"))).as("__ln_raw"),
         col("author_id").as("__ln_auth"))
     val lwaParsed = legacy
-      .join(broadcast(authorNames.filter(col("parsed_last").isNotNull &&
-        col("parsed_last") =!= "")
-        .select(col("raw_author_name").as("__lp_raw"),
-          col("parsed_last").as("__lp_pl"),
-          col("parsed_first").as("__lp_pf"))),
-        trim(col("raw_author_name")) === col("__lp_raw"))
+      .join(broadcast(pnDict),
+        trim(col("raw_author_name")) === col("pn_raw") &&
+          col("pn_pl").isNotNull && col("pn_pl") =!= "")
+      .drop("pn_raw")
+      .withColumnRenamed("pn_pl", "__lp_pl")
+      .withColumnRenamed("pn_pf", "__lp_pf")
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("work_id"), col("__lp_pl"), col("__lp_pf"))
           .orderBy(col("author_sequence"))))
@@ -363,8 +378,11 @@ object WorkAuthorGuard {
         col("raw_author_name"), col("updated_date"),
         explode_outer(col("affiliation_structs")).as("__aff"))
       .join(corr, Seq("work_id", "author_sequence"), "left")
-      .join(broadcast(srcPn),
-        trim(col("raw_author_name")) === col("__src_raw"), "left")
+      .join(broadcast(pnDict),
+        trim(col("raw_author_name")) === col("pn_raw"), "left")
+      .drop("pn_raw")
+      .withColumnRenamed("pn_pl", "__src_pl")
+      .withColumnRenamed("pn_pf", "__src_pf")
       .join(lwaName, col("work_id") === col("__ln_w") &&
         lower(trim(col("raw_author_name"))) === col("__ln_raw"), "left")
       .drop("__ln_w")

@@ -174,8 +174,13 @@ object SnapshotDocs {
           .cast("date"))
       .withColumn("id", concat(lit("https://openalex.org/W"), col("id")))
       .withColumn("publication_year", year(col("publication_date")))
+      // display_name was set to the raw title above, so sanitizing it
+      // separately ran the two Unicode-class regex passes TWICE per
+      // row; aliasing the sanitized title computes them once
+      // (CollapseProject keeps the multi-referenced non-cheap alias in
+      // its own projection level — the r17 loc-struct hoist pattern)
       .withColumn("title", sanitizeName(col("title")))
-      .withColumn("display_name", sanitizeName(col("display_name")))
+      .withColumn("display_name", col("title"))
       .withColumn("ids", transform_values(col("ids"), (k, v) =>
         when(k === "doi", concat(lit("https://doi.org/"), v)).otherwise(v)))
       .withColumn("doi", sanitizeString(col("doi")))

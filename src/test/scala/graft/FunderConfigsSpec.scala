@@ -12,6 +12,7 @@ import graft.awards.{FunderConfigs, FunderIngest}
   * CreateDODAwards cells 8-11, CreateNIHAwards cell 5,
   * CreateGTRProjectAwards cell 6, CreateERCAwards cell 7,
   * CreateEuropeanCommissionAwards cell 8). */
+@org.scalatest.tags.Slow
 class FunderConfigsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -3,6 +3,7 @@ package graft
 /** Every declared query must execute at sf0.001; the flagship entry
   * must return rows. (Value correctness is the driver's DuckDB gate —
   * reproduced locally by dev/check_oracle.py.) */
+@org.scalatest.tags.Slow
 class QueriesSmokeSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"

@@ -7,6 +7,7 @@ import graft.entities.AffiliationMatcher
 import graft.llm.LlmOps
 import graft.serve.BulkSink
 
+@org.scalatest.tags.Slow
 class ServeLlmSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

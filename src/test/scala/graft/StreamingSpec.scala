@@ -11,6 +11,7 @@ import graft.streaming.Streams
   * streaming semantics sequence by a data column (SURVEY §2.10), so a
   * streaming application over the same rows must produce exactly the
   * batch answer. */
+@org.scalatest.tags.Slow
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
