@@ -389,11 +389,10 @@ object AwardKeys {
     dod(4320338478L, "(?:W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9}"))
 
   /** `award_id_is_weak`: deposited bare numbers at dense numeric
-    * registries (single source of truth WEAK_BARE in the generator). */
-  val weakBare: Seq[(Long, String)] = Seq(
-    4320334506L -> "^[0-9]{4,6}$", 4320311904L -> "^[0-9]{5,6}$",
-    4320320924L -> "^[0-9]{4,6}$", 4320320300L -> "^[0-9]{6}$",
-    4320306076L -> "^[0-9]{7}$", 4320334593L -> "^[0-9]{4,6}$")
+    * registries (single source of truth WEAK_BARE in the generator;
+    * the data lives in [[graft.plans.AwardWeakBare]] so the native
+    * expression and this module share one table). */
+  val weakBare: Seq[(Long, String)] = graft.plans.AwardWeakBare.entries
 
   def isWeak(funderId: Column, awardId: Column): Column =
     isWeakNorm(funderId, normalized(awardId))
@@ -403,8 +402,21 @@ object AwardKeys {
     * and pass the attribute to both *_Norm variants: passing the raw
     * id inlines the 4-regex normalization subtree into every rule arm
     * (~150 copies across the 50-rule chain), which triples the
-    * analyzed/codegen'd tree — plan-build time that every pass pays. */
+    * analyzed/codegen'd tree — plan-build time that every pass pays.
+    *
+    * r18: evaluates via the native [[graft.plans.AwardIsWeak]]
+    * expression — one tree node, hash dispatch, per-JVM compiled
+    * patterns. [[isWeakNormSpec]] keeps the reference Column chain;
+    * AwardKeysSpec asserts per-row parity across every configured
+    * funder × an adversarial string battery. */
   def isWeakNorm(funderId: Column, n: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.plans.AwardIsWeak(
+      org.apache.spark.sql.GraftExpr.expression(funderId.cast("long")),
+      org.apache.spark.sql.GraftExpr.expression(n)))
+
+  /** The pre-r18 Column-chain form of [[isWeakNorm]] — the executable
+    * spec the parity test runs the native expression against. */
+  private[graft] def isWeakNormSpec(funderId: Column, n: Column): Column =
     // reduceRight: when(a).otherwise(when(b).otherwise(...)) — each
     // when gets exactly one otherwise
     coalesce(weakBare.map { case (f, p) =>
@@ -430,8 +442,29 @@ object AwardKeys {
     sharpKeyNorm(funderId, normalized(awardId), registrySide)
 
   /** [[sharpKey]] over an ALREADY-normalized column (see
-    * [[isWeakNorm]] for why callers should project it once). */
+    * [[isWeakNorm]] for why callers should project it once).
+    *
+    * r18: evaluates via the native [[graft.plans.AwardSharpKey]]
+    * expression. The pre-r18 `when` chain's generated code topped the
+    * JVM 64 KB method limit, so whole-stage codegen failed (and burned
+    * ~1 s of Janino work) on EVERY pass of every consumer before
+    * falling back to row mode; the native node keeps stages
+    * codegen-able and dispatches by hash instead of 40 guards. A null
+    * registrySide coalesces to false = the chain's `otherwise`
+    * (deposited) branch. [[sharpKeyNormSpec]] keeps the Column chain
+    * as the executable spec for the parity test. */
   def sharpKeyNorm(funderId: Column, n: Column, registrySide: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.plans.AwardSharpKey(
+      org.apache.spark.sql.GraftExpr.expression(funderId.cast("long")),
+      org.apache.spark.sql.GraftExpr.expression(n),
+      org.apache.spark.sql.GraftExpr.expression(
+        coalesce(registrySide, lit(false)))))
+
+  /** The pre-r18 Column-chain form of [[sharpKeyNorm]] — the
+    * executable spec the parity test runs the native expression
+    * against. */
+  private[graft] def sharpKeyNormSpec(funderId: Column, n: Column,
+      registrySide: Column): Column =
     rules.map { r =>
       when(funderId === r.funderId,
         when(registrySide, r.registry(n)).otherwise(r.deposited(n)))
