@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native `sanitize_name` (SnapshotDocs.sanitizeName — reference
+  * export_works.ipynb cell 3):
+  *
+  *   trim(regexp_replace(regexp_replace(c,
+  *     "[^\\p{L}\\p{N}\\p{P}\\p{S}\\p{Z}]", ""), "\\s+", " "))
+  *
+  * as ONE fused code-point pass instead of two full regex scans plus a
+  * trim (guide: per-task work — the works snapshot doc is too wide for
+  * whole-stage codegen, so each regex ran interpreted per row over the
+  * title).
+  *
+  * Faithfulness notes (parity-tested in SnapshotDocsSpec against the
+  * Column chain):
+  *  - Java regex `\p{L}/\p{N}/\p{P}/\p{S}/\p{Z}` are the Unicode
+  *    general categories backed by `Character.getType`, evaluated per
+  *    CODE POINT (supplementary chars are single units) — the pass
+  *    keeps exactly those nineteen categories.
+  *  - `\s` in the second pass is ASCII-only ([ \t\n\x0B\f\r]); every
+  *    one of those except the space itself has category Cc and was
+  *    already removed by the first pass (their removal MERGES the
+  *    neighboring spaces into one run), so collapsing runs of U+0020
+  *    while dropping rejected chars reproduces both passes.
+  *  - Spark's `trim` strips leading/trailing U+0020 only; deferring
+  *    each space until a kept non-space follows (and starting emission
+  *    only after the first kept non-space) reproduces it. Unicode
+  *    spaces (NBSP &c., category Zs) are kept and neither collapsed
+  *    nor trimmed — exactly the chain's behavior.
+  */
+case class SanitizeName(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"sanitize_name requires STRING, got ${t.catalogString}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sanitize_name"
+
+  override def nullSafeEval(s: Any): Any =
+    SanitizeName.sanitize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.plans.SanitizeName.sanitize($s)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SanitizeName = copy(child = newChild)
+}
+
+object SanitizeName {
+
+  /** `[\p{L}\p{N}\p{P}\p{S}\p{Z}]` membership via the general
+    * category — the same table Java regex consults. */
+  private def keep(cp: Int): Boolean = Character.getType(cp) match {
+    case Character.UPPERCASE_LETTER | Character.LOWERCASE_LETTER |
+         Character.TITLECASE_LETTER | Character.MODIFIER_LETTER |
+         Character.OTHER_LETTER |                                   // L
+         Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
+         Character.OTHER_NUMBER |                                   // N
+         Character.CONNECTOR_PUNCTUATION | Character.DASH_PUNCTUATION |
+         Character.START_PUNCTUATION | Character.END_PUNCTUATION |
+         Character.INITIAL_QUOTE_PUNCTUATION |
+         Character.FINAL_QUOTE_PUNCTUATION |
+         Character.OTHER_PUNCTUATION |                              // P
+         Character.MATH_SYMBOL | Character.CURRENCY_SYMBOL |
+         Character.MODIFIER_SYMBOL | Character.OTHER_SYMBOL |       // S
+         Character.SPACE_SEPARATOR | Character.LINE_SEPARATOR |
+         Character.PARAGRAPH_SEPARATOR => true                      // Z
+    case _ => false
+  }
+
+  /** Static entry point (called from generated code). */
+  def sanitize(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp == 0x20) {
+        // collapse the run; defer so leading/trailing spaces drop (trim)
+        pendingSpace = true
+      } else if (keep(cp)) {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.appendCodePoint(cp)
+      }
+      // rejected chars vanish; a space on either side of them merges
+      // into the pending run, exactly like the two-pass regex form
+    }
+    UTF8String.fromString(out.toString)
+  }
+}

@@ -20,8 +20,22 @@ object SnapshotDocs {
 
   /** sanitize_name (export_works.ipynb cell 3): strip characters
     * outside letters/numbers/punctuation/symbols/separators of ANY
-    * script, collapse whitespace runs, trim. */
+    * script, collapse whitespace runs, trim.
+    *
+    * r18: evaluates via the native [[graft.plans.SanitizeName]]
+    * expression — one fused code-point pass instead of two interpreted
+    * Unicode-class regex scans plus a trim (the works doc projection
+    * is too wide for whole-stage codegen, so every regex ran
+    * interpreted per row). [[sanitizeNameSpec]] keeps the Column chain
+    * as the executable spec; SnapshotDocsSpec asserts parity over a
+    * Unicode battery. */
   def sanitizeName(c: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.plans.SanitizeName(
+      org.apache.spark.sql.GraftExpr.expression(c)))
+
+  /** The pre-r18 regex-chain form of [[sanitizeName]] — the executable
+    * spec the parity test runs the native expression against. */
+  private[graft] def sanitizeNameSpec(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(c, "[^\\p{L}\\p{N}\\p{P}\\p{S}\\p{Z}]", ""),
       "\\s+", " "))

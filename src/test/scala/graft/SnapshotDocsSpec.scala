@@ -152,4 +152,27 @@ class SnapshotDocsSpec extends AnyFunSuite {
     assert(gotAw.selectExpr("id", "size(investigators)")
       .as[(String, Int)].head() === ("https://openalex.org/G5", 0))
   }
+
+  test("native sanitize_name matches the regex-chain spec on a " +
+    "Unicode battery") {
+    val battery: Seq[String] = Seq(
+      "plain title", "  leading and trailing  ", "tabs\tand\nnewlines",
+      "double  spaces   runs", "B\u00fcchner\t  Stra\u00dfe ",
+      "a\u0000b", "be\u0007ll", "nb\u00a0sp kept",
+      "\u00a0nbsp at edges\u00a0", "  \u00a0 mixed edge \u00a0  ",
+      "zero\u200bwidth\u200cjoins\u200d", "combining a\u0301 mark",
+      "emoji \ud83d\ude00 and math \u2211 and currency \u20ac",
+      "CJK \u6f22\u5b57\u304b\u306a\u30ab\u30ca\ud55c\uad6d",
+      "RTL \u05e2\u05b4\u05d1 \u0627\u0644\u0639",
+      "line\u2028sep\u2029para", "ctrl\u0001\u0002run",
+      "mixed \u0003 \t x", "ideographic\u3000space",
+      "soft\u00adhyphen", "surrogate pair \ud835\udc9c script A",
+      "\ud800 unpaired surrogate", "\u000b\u000c verticals",
+      "", " ", "   ", "\t\n", null)
+    val out = battery.toDF("s").select(
+      SnapshotDocs.sanitizeName(col("s")).as("native"),
+      SnapshotDocs.sanitizeNameSpec(col("s")).as("spec"))
+    val bad = out.filter(!(col("native") <=> col("spec"))).collect()
+    assert(bad.isEmpty, s"${bad.length} mismatches: ${bad.take(5).toSeq}")
+  }
 }
